@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated tables (TESTDATA.md / FIXTURES.md §2).
+  *
+  * All tables are parquet; schemas are inferred from the files (they are
+  * driver-controlled and stable). At 100 TB these would be partitioned
+  * lake tables — the loaders keep the access path behind one function so
+  * a future catalog/table-format source swaps in without touching query
+  * code.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Small dimension tables that should always be broadcast in joins.
+    * region=5, nation=25, supplier≈10·sf rows — far below any sane
+    * autoBroadcastJoinThreshold, but we hint explicitly so plans stay
+    * broadcast even if thresholds change on a real cluster.
+    */
+  val broadcastDims: Set[String] = Set("region", "nation", "supplier")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS) (FIXTURES.md §2), which
+    // Spark 4 refuses by default — read it as LongType ns-since-epoch
+    // and convert explicitly where wall-clock semantics are needed
+    // (the DuckDB oracle sees it via epoch_ns(ts)).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** events.ts (ns long) → microsecond TimestampType column. */
+  def tsFromNanos(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.timestamp_micros(
+      (c / org.apache.spark.sql.functions.lit(1000L))
+        .cast(org.apache.spark.sql.types.LongType))
+
+  /** Register all tables as temp views (for spark.sql paths and tests). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Reusable Column-level functions (SURVEY.md §2.8, §2.10).
+  *
+  * Everything here is a composition of built-in, codegen'd Catalyst
+  * expressions — no Scala UDFs — so whole-stage codegen stays intact
+  * and the optimizer can fold/push them (SURVEY.md §4).
+  */
+object ColumnFunctions {
+
+  /** σ(x) = 1/(1+e^{-x}) — reference `empathy_interaction.py:84-86`,
+    * `reward.py:64` (F8). */
+  def sigmoid(x: Column): Column = lit(1.0) / (lit(1.0) + exp(-x))
+
+  /** max(x, 0) clamp — reference `reward.py:54-56` (F9). */
+  def clamp0(x: Column): Column = greatest(lit(0.0), x)
+
+  /** Element-wise double cast for float arrays (embeddings are
+    * ARRAY<FLOAT>; math is done in double). */
+  def toDoubleArray(a: Column): Column = transform(a, x => x.cast("double"))
+
+  /** Dot product of two numeric arrays via zip_with + left-fold
+    * aggregate — deterministic element-order summation (L3). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Euclidean norm. */
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity of two double arrays (L3). */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Numerically-stable softmax over an array column — reference
+    * `empathy_interaction.py:127` (F12). Subtracts array_max first. */
+  def softmax(a: Column): Column = {
+    val shifted = transform(a, x => exp(x - array_max(a)))
+    val z = aggregate(shifted, lit(0.0), (acc, x) => acc + x)
+    transform(shifted, x => x / z)
+  }
+
+  /** 1-based argmax over an array — reference
+    * `empathy_interaction.py:128-129` (O4/F13). */
+  def argmax1(a: Column): Column = array_position(a, array_max(a))
+
+  /** Max probability after softmax without materializing the softmax
+    * array: exp(max-max)/Σexp(x-max) = 1/Σexp(x-max). The softmax→max
+    * composition collapses (SURVEY.md §4 optional rewrite, done here at
+    * the function level rather than as a Catalyst rule). */
+  def softmaxConfidence(a: Column): Column = {
+    val z = aggregate(transform(a, x => exp(x - array_max(a))), lit(0.0), (acc, x) => acc + x)
+    lit(1.0) / z
+  }
+
+  /** Mean of a numeric array — reference `reward.py:32,69` (F17, A2). */
+  def arrayMean(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x) / size(a).cast("double")
+
+  // -------------------------------------------------------------------
+  // Deterministic arithmetic hashing (L2 MinHash / fingerprinting).
+  // Engine-portable on purpose: the DuckDB oracle must compute the SAME
+  // hash, so we avoid xxhash64/murmur (engine-specific) and use a plain
+  // polynomial-mod hash over code points. p < 2^31 so a*h+b stays well
+  // inside Long range.
+  // -------------------------------------------------------------------
+
+  val HashP: Long = 1000000007L
+
+  /** Polynomial string hash: fold over characters, h = (h*31 + ascii)%p.
+    * `aggregate` over a 1..len sequence keeps it a codegen'd expression.
+    */
+  def polyHash(s: Column): Column =
+    aggregate(
+      sequence(lit(1), length(s)),
+      lit(0L),
+      (acc, i) => pmod(acc * lit(31L) + ascii(substring(s, i, lit(1))).cast("long"), lit(HashP)))
+
+  /** Seeded re-hash for MinHash permutations: (a*h + b) mod p with
+    * deterministic per-seed coefficients. */
+  def seededHash(h: Column, seed: Int): Column = {
+    val a = 1103515245L % HashP
+    val b = 12345L
+    pmod(h * lit((a + 2 * seed + 1) % HashP) + lit(b + seed), lit(HashP))
+  }
+}
