@@ -25,6 +25,24 @@ object SparkEntry {
     "turn_scores" -> ((s, d) => reward.Reward.turnScores(s, d)),
     "grpo_normalize" -> ((s, d) => reward.Reward.grpoNormalize(s, d)),
     "session_termination" -> ((s, d) => session.Termination.sessionTermination(s, d)),
+    // --- [EXT] relational core (SURVEY.md §2.3-2.8) ---
+    "q1_pricing_summary" -> (ops.Relational.q1PricingSummary _),
+    "revenue_by_nation" -> (ops.Relational.revenueByNation _),
+    "top_orders_per_customer" -> (ops.Relational.topOrdersPerCustomer _),
+    "moving_revenue_7d" -> (ops.Relational.movingRevenue7d _),
+    "customers_without_orders" -> (ops.Relational.customersWithoutOrders _),
+    "segment_order_stats" -> (ops.Relational.segmentOrderStats _),
+    "range_join_quantity" -> (ops.Relational.rangeJoinQuantity _),
+    "asof_latest_error" -> (ops.Relational.asofLatestError _),
+    "rollup_acctbal" -> (ops.Relational.rollupAcctbal _),
+    "distinct_counts" -> (ops.Relational.distinctCounts _),
+    "approx_distinct_users" -> (ops.Relational.approxDistinctUsers _),
+    "json_extract_events" -> (ops.Relational.jsonExtractEvents _),
+    "monthly_revenue" -> (ops.Relational.monthlyRevenue _),
+    "topk_parts" -> (ops.Relational.topkParts _),
+    "nation_coverage" -> (ops.Relational.nationCoverage _),
+    "nations_without_suppliers" -> (ops.Relational.nationsWithoutSuppliers _),
+    "string_funcs_part" -> (ops.Relational.stringFuncsPart _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -35,7 +53,7 @@ object SparkEntry {
         |  SELECT user_id AS dia_id,
         |         CAST(event_id % 5 + 1 AS INT) AS layer,
         |         CAST(event_id * 7 % 100 AS DOUBLE) / 100.0 AS confidence,
-        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS turn
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS turn
         |  FROM events
         |), lagged AS (
         |  SELECT dia_id, layer, confidence,
@@ -57,7 +75,7 @@ object SparkEntry {
         |  SELECT user_id AS dia_id,
         |         CAST(event_id % 5 + 1 AS INT) AS layer,
         |         CAST(event_id * 7 % 100 AS DOUBLE) / 100.0 AS confidence,
-        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS turn
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS turn
         |  FROM events
         |), lagged AS (
         |  SELECT dia_id, CAST(turn AS INT) AS turn, layer, confidence,
@@ -84,7 +102,7 @@ object SparkEntry {
       """WITH turns AS (
         |  SELECT user_id AS dia_id,
         |         CAST(event_id % 5 + 1 AS INT) AS layer,
-        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS turn
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS turn
         |  FROM events
         |), flagged AS (
         |  SELECT dia_id, turn,
@@ -104,5 +122,126 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY dia_id ORDER BY turn) AS rn
         |  FROM flagged WHERE terminate_reason IS NOT NULL
         |) WHERE rn = 1 ORDER BY dia_id""".stripMargin,
+    // --- [EXT] relational core. DuckDB type notes: sum(INTEGER/BIGINT)
+    // returns HUGEINT → cast to BIGINT to match Spark's LongType;
+    // year()/month() return BIGINT → cast to INT. ---
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |       round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+        |       round(avg(l_quantity), 6) AS avg_qty,
+        |       round(avg(l_extendedprice), 6) AS avg_price,
+        |       round(avg(l_discount), 6) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "revenue_by_nation" ->
+      """SELECT r_name, n_name,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "top_orders_per_customer" ->
+      """SELECT o_custkey, CAST(rn AS INT) AS rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders
+        |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "moving_revenue_7d" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         sum(o_totalprice) AS rev,
+        |         datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS daynum
+        |  FROM orders GROUP BY 1, 3
+        |)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, round(rev, 2) AS revenue,
+        |       round(sum(rev) OVER (ORDER BY daynum
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS revenue_7d
+        |FROM daily ORDER BY day""".stripMargin,
+    "customers_without_orders" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "segment_order_stats" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        |       round(sum(c_acctbal), 2) AS sum_acctbal
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "range_join_quantity" ->
+      """SELECT p_partkey,
+        |       CAST(count(*) AS BIGINT) AS n_items,
+        |       round(sum(l_quantity), 2) AS sum_qty
+        |FROM part JOIN lineitem
+        |  ON CAST(l_quantity AS INT) BETWEEN p_size AND p_size + 4
+        |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin,
+    "asof_latest_error" ->
+      """SELECT event_id, user_id, ts, prior_error_ts FROM (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts,
+        |         last_value(CASE WHEN event_type = 'error' THEN epoch_us(ts) END
+        |                    IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prior_error_ts
+        |  FROM events
+        |) WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "rollup_acctbal" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        |       round(sum(c_acctbal), 2) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+    "distinct_counts" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // approx_distinct_users: HLL sketch internals are engine-specific →
+    // no oracle (rows-only check), per the contract comment above.
+    "json_extract_events" ->
+      """SELECT event_type,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        |       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k,
+        |       count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "monthly_revenue" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        |       CAST(month(o_orderdate) AS INT) AS mo,
+        |       round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin,
+    "topk_parts" ->
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+        |ORDER BY p_retailprice DESC, p_partkey LIMIT 10""".stripMargin,
+    "nation_coverage" ->
+      """SELECT n_name FROM nation
+        |WHERE EXISTS (SELECT 1 FROM customer WHERE c_nationkey = n_nationkey)
+        |INTERSECT
+        |SELECT n_name FROM nation
+        |WHERE EXISTS (SELECT 1 FROM supplier WHERE s_nationkey = n_nationkey)
+        |ORDER BY n_name""".stripMargin,
+    "nations_without_suppliers" ->
+      """SELECT n_name FROM nation
+        |WHERE EXISTS (SELECT 1 FROM customer WHERE c_nationkey = n_nationkey)
+        |EXCEPT
+        |SELECT n_name FROM nation
+        |WHERE EXISTS (SELECT 1 FROM supplier
+        |              WHERE s_nationkey = n_nationkey AND s_acctbal > 5000)
+        |ORDER BY n_name""".stripMargin,
+    "string_funcs_part" ->
+      """SELECT p_partkey, lower(p_name) AS name_lc,
+        |       substring(p_type, 1, 5) AS type5,
+        |       replace(p_brand, '#', '_') AS brand_u,
+        |       CAST(length(p_name) AS INT) AS name_len
+        |FROM part ORDER BY p_partkey""".stripMargin,
   )
 }

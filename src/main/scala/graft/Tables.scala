@@ -31,11 +31,17 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** events.ts (ns long) → µs-since-epoch long. Integral `div`, NOT
+    * `/`: float division on a ~1.7e18 ns value loses precision before
+    * truncation. µs granularity is also what the DuckDB oracle sees
+    * (it truncates parquet TIMESTAMP(NANOS) to µs on read), so µs is
+    * the only cross-engine-comparable form of this column. */
+  def tsMicros(colName: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr(s"$colName div 1000")
+
   /** events.ts (ns long) → microsecond TimestampType column. */
-  def tsFromNanos(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    org.apache.spark.sql.functions.timestamp_micros(
-      (c / org.apache.spark.sql.functions.lit(1000L))
-        .cast(org.apache.spark.sql.types.LongType))
+  def tsFromNanos(colName: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.timestamp_micros(tsMicros(colName))
 
   /** Register all tables as temp views (for spark.sql paths and tests). */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -1,0 +1,232 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [EXT] relational core over the driver's TPC-H-ish tables
+  * (SURVEY.md §2.3 J2–J6, §2.4 A8–A10, §2.5 W7–W8, §2.6 O5, §2.7
+  * U2–U3, §2.8 F18–F19). The reference has no relational joins
+  * (SURVEY.md §2.3) — these are mandated by the driver's north star.
+  *
+  * Scale posture (100 TB): fact tables (lineitem/orders/events) are
+  * only ever shuffled on their join/group keys; dimensions are
+  * broadcast explicitly; range/as-of joins use pre-aggregation or a
+  * single window pass instead of theta-join row explosion; all
+  * aggregates are partial-agg friendly (sum/count/min/max) so
+  * map-side combine halves shuffle volume automatically.
+  */
+object Relational {
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** A8: TPC-H Q1-shaped pricing summary — hash aggregate with
+    * map-side partials; one shuffle on the 6-value group key. */
+  def q1PricingSummary(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") <= to_timestamp(lit("2000-12-01")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg("l_quantity"), 6).as("avg_qty"),
+        round(avg("l_extendedprice"), 6).as("avg_price"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** J2+J3: revenue rollup through the full dimension chain.
+    * lineitem⋈orders is the only big shuffle; customer⋈nation⋈region
+    * are broadcast (Tables.broadcastDims rationale). */
+  def revenueByNation(s: SparkSession, d: String): DataFrame = {
+    val cust = t(s, d, "customer")
+      .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey", "n_name", "r_name")
+    t(s, d, "lineitem")
+      .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy("r_name", "n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** W7: ranking — top 3 orders per customer by total price. */
+  def topOrdersPerCustomer(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, d, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** W8: 7-day moving revenue. Pre-aggregates to one row per day
+    * BEFORE the window (the window then slides over ~2400 rows
+    * regardless of fact-table size — the 100 TB-safe shape). */
+  def movingRevenue7d(s: SparkSession, d: String): DataFrame = {
+    val daily = t(s, d, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum("o_totalprice").as("rev"))
+      .withColumn("daynum", datediff(col("day"), to_date(lit("1995-01-01"))))
+    val w = Window.orderBy("daynum").rangeBetween(-6, 0)
+    daily
+      .select(
+        // day as yyyy-MM-dd string: pandas renders Spark DATE and
+        // DuckDB DATE with different dtypes; strings compare cleanly.
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        round(col("rev"), 2).as("revenue"),
+        round(sum("rev").over(w), 2).as("revenue_7d"))
+      .orderBy("day")
+  }
+
+  /** J4 (anti): customers with no finished ('F') order. (Plain
+    * "never ordered" is vacuously empty in the driver data — every
+    * customer has orders — so the filtered form keeps the check
+    * meaningful.) */
+  def customersWithoutOrders(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .join(
+        t(s, d, "orders").filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+
+  /** J4 (semi): per-segment stats over customers having at least one
+    * open ('O') order. */
+  def segmentOrderStats(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .join(
+        t(s, d, "orders").filter(col("o_orderstatus") === "O"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"), round(sum("c_acctbal"), 2).as("sum_acctbal"))
+      .orderBy("c_mktsegment")
+
+  /** J5: range join lineitem×part on l_quantity ∈ [p_size, p_size+4].
+    * Instead of a theta BNLJ (O(|L|·|P|) at 100 TB), exploit that
+    * l_quantity is integral: pre-aggregate lineitem per integer
+    * quantity bucket (≤50 rows), explode each part into its 5 buckets,
+    * and equi-join — the fact table is touched exactly once. */
+  def rangeJoinQuantity(s: SparkSession, d: String): DataFrame = {
+    val perBucket = t(s, d, "lineitem")
+      .groupBy(col("l_quantity").cast("int").as("bucket"))
+      .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("qty"))
+    val partBuckets = t(s, d, "part")
+      .select(col("p_partkey"), explode(sequence(col("p_size"), least(col("p_size") + 4, lit(50)))).as("bucket"))
+    partBuckets
+      .join(broadcast(perBucket), "bucket")
+      .groupBy("p_partkey")
+      .agg(sum("cnt").as("n_items"), round(sum("qty"), 2).as("sum_qty"))
+      .orderBy("p_partkey")
+  }
+
+  /** J6: as-of join — for each purchase event, the most recent error
+    * event (ts ≤ purchase ts) by the same user. One window pass over a
+    * single shuffle on user_id; no join explosion (SURVEY.md §2.3 J6).
+    * Timestamps are carried at µs granularity (Tables.tsMicros) — the
+    * finest unit both Spark and the DuckDB oracle agree on. */
+  def asofLatestError(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events").withColumn("ts_us", Tables.tsMicros("ts"))
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ev.withColumn(
+        "prior_error_ts",
+        last(when(col("event_type") === "error", col("ts_us")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us").as("ts"), col("prior_error_ts"))
+      .orderBy("event_id")
+  }
+
+  /** A10: rollup over (region, nation) of customer balances. Joins are
+    * declared with the DataFrame API (broadcast hints included); the
+    * rollup itself goes through spark.sql — the Dataset-API `rollup`
+    * trips the ambiguous-self-join analyzer check on grouping columns
+    * that arrived through a join chain, and this also exercises the
+    * engine's SQL surface (SURVEY.md §2.4 A10). */
+  def rollupAcctbal(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "customer")
+      .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+      .select("r_name", "n_name", "c_acctbal")
+      .createOrReplaceTempView("graft_rollup_src")
+    s.sql("""
+      SELECT r_name, n_name, count(*) AS n_customers,
+             round(sum(c_acctbal), 2) AS sum_acctbal
+      FROM graft_rollup_src
+      GROUP BY ROLLUP (r_name, n_name)
+      ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""")
+  }
+
+  /** A9: exact distinct counts per event type. */
+  def distinctCounts(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_users"), count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  /** A9 (approx): HLL++ distinct — the 100 TB answer to countDistinct
+    * (no exact-distinct shuffle). Not oracle-comparable (sketch
+    * internals are engine-specific) → rows-only check. */
+  def approxDistinctUsers(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy("event_type")
+      .agg(approx_count_distinct("user_id").as("approx_users"))
+      .orderBy("event_type")
+
+  /** F18: JSON field extraction from the events props column. */
+  def jsonExtractEvents(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy("event_type")
+      .agg(sum("k").as("sum_k"), round(avg("k"), 6).as("avg_k"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** F19: calendar aggregation of order revenue. */
+  def monthlyRevenue(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+      .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy("yr", "mo")
+
+  /** O5: global top-k (TakeOrderedAndProject — no full sort at scale). */
+  def topkParts(s: SparkSession, d: String): DataFrame =
+    t(s, d, "part")
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      .limit(10)
+      .select("p_partkey", "p_name", "p_retailprice")
+
+  /** U3 (intersect): nations present in both customer and supplier. */
+  def nationCoverage(s: SparkSession, d: String): DataFrame = {
+    val n = t(s, d, "nation")
+    val withCust = n.join(t(s, d, "customer"), col("n_nationkey") === col("c_nationkey"), "left_semi").select("n_name")
+    val withSupp = n.join(t(s, d, "supplier"), col("n_nationkey") === col("s_nationkey"), "left_semi").select("n_name")
+    withCust.intersect(withSupp).orderBy("n_name")
+  }
+
+  /** U3 (except): nations with customers but no well-capitalized
+    * supplier (s_acctbal > 5000; unfiltered suppliers cover every
+    * nation, which would make the check vacuous). */
+  def nationsWithoutSuppliers(s: SparkSession, d: String): DataFrame = {
+    val n = t(s, d, "nation")
+    val withCust = n.join(t(s, d, "customer"), col("n_nationkey") === col("c_nationkey"), "left_semi").select("n_name")
+    val withSupp = n.join(
+      t(s, d, "supplier").filter(col("s_acctbal") > 5000),
+      col("n_nationkey") === col("s_nationkey"), "left_semi").select("n_name")
+    withCust.except(withSupp).orderBy("n_name")
+  }
+
+  /** F1–F7: string-function projection over part. */
+  def stringFuncsPart(s: SparkSession, d: String): DataFrame =
+    t(s, d, "part")
+      .select(
+        col("p_partkey"),
+        lower(col("p_name")).as("name_lc"),
+        substring(col("p_type"), 1, 5).as("type5"),
+        regexp_replace(col("p_brand"), "#", "_").as("brand_u"),
+        length(col("p_name")).as("name_len"))
+      .orderBy("p_partkey")
+}

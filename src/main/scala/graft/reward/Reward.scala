@@ -37,15 +37,18 @@ object Reward {
 
   /** Derive a deterministic layer-history turns table
     * (FIXTURES.md §1.3 shape) from the driver `events` table:
-    * user_id↔dia_id, ts↔turn order (FIXTURES.md §2 usage mapping).
-    * The layer/confidence derivations are plain integer arithmetic so
-    * the DuckDB oracle computes bit-identical values. */
+    * user_id↔dia_id, event_id↔turn order (FIXTURES.md §2 usage
+    * mapping). Ordering is by event_id ALONE (globally unique):
+    * `events.ts` has sub-microsecond precision that DuckDB truncates on
+    * read, so any ts-based ordering can diverge between engines on
+    * same-microsecond ties (SURVEY.md §7.5 risk 1). The
+    * layer/confidence derivations are plain integer arithmetic so the
+    * DuckDB oracle computes bit-identical values. */
   def turnsFromEvents(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(spark, dir, "events")
-    val byDia = Window.partitionBy("dia_id").orderBy("ts", "event_id")
+    val byDia = Window.partitionBy("dia_id").orderBy("event_id")
     ev.select(
         col("user_id").as("dia_id"),
-        col("ts"),
         col("event_id"),
         (pmod(col("event_id"), lit(5L)) + lit(1L)).cast("int").as("layer"),
         (pmod(col("event_id") * lit(7L), lit(100L)).cast("double") / lit(100.0)).as("confidence"))
