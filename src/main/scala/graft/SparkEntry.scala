@@ -43,6 +43,21 @@ object SparkEntry {
     "nation_coverage" -> (ops.Relational.nationCoverage _),
     "nations_without_suppliers" -> (ops.Relational.nationsWithoutSuppliers _),
     "string_funcs_part" -> (ops.Relational.stringFuncsPart _),
+    // --- [EXT] LLM-data-pipeline ops (SURVEY.md §2.10) ---
+    "dedup_exact" -> (llm.Dedup.dedupExact _),
+    "dedup_prefix_key" -> (llm.Dedup.dedupPrefixKey _),
+    "minhash_signatures" -> (llm.Dedup.minhashSignaturesQuery _),
+    "minhash_near_dup" -> (llm.Dedup.minhashNearDupQuery _),
+    "simhash_docs" -> (llm.Dedup.simhashDocs _),
+    "jaccard_consecutive" -> (llm.Dedup.jaccardConsecutive _),
+    "knn_brute_force" -> ((s, d) => llm.Similarity.knnBruteForce(s, d)),
+    "knn_lsh_bucketed" -> ((s, d) => llm.Similarity.knnLshBucketed(s, d)),
+    "label_cohesion" -> (llm.Similarity.labelCohesion _),
+    "text_quality" -> (llm.TextAnalysis.textQuality _),
+    "token_counts" -> (llm.TextAnalysis.tokenCounts _),
+    "lang_id" -> (llm.TextAnalysis.langId _),
+    "doc_fingerprint" -> (llm.TextAnalysis.docFingerprint _),
+    "multimodal_features" -> (llm.Multimodal.multimodalFeatures _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -243,5 +258,169 @@ object SparkEntry {
         |       replace(p_brand, '#', '_') AS brand_u,
         |       CAST(length(p_name) AS INT) AS name_len
         |FROM part ORDER BY p_partkey""".stripMargin,
+    // --- [EXT] LLM-data-pipeline ops. The polyhash list_reduce mirrors
+    // ColumnFunctions.polyHash exactly: h=(h*31+ascii)%1000000007; the
+    // minhash multiplier (103515239+2*perm)%p mirrors seededHash. ---
+    "dedup_exact" ->
+      """SELECT doc_id, n_copies FROM (
+        |  SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY text) AS n_copies
+        |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "dedup_prefix_key" ->
+      """SELECT key, min(doc_id) AS keeper_doc_id, count(*) AS n_docs FROM (
+        |  SELECT doc_id, tokens[1] || ' ' || tokens[2] AS key
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents))
+        |GROUP BY key ORDER BY key""".stripMargin,
+    "minhash_signatures" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+        |t2 AS (SELECT doc_id, list_transform(tokens, t ->
+        |        list_reduce(list_prepend(0::BIGINT,
+        |          list_transform(range(1, length(t)+1), i -> ascii(substring(t,i,1))::BIGINT)),
+        |          (a,c) -> (a*31+c) % 1000000007)) AS th FROM tok),
+        |h AS (SELECT doc_id, list_transform(range(1, len(th)-1),
+        |        i -> (((th[i]*37 + th[i+1]) % 1000000007) * 37 + th[i+2]) % 1000000007) AS hs
+        |      FROM t2)
+        |SELECT doc_id, CAST(perm AS INT) AS perm,
+        |       list_aggregate(list_transform(hs,
+        |         x -> (x*((103515239 + 2*perm) % 1000000007) + (12345 + perm)) % 1000000007),
+        |         'min') AS minhash
+        |FROM (SELECT doc_id, hs, unnest(range(16)) AS perm FROM h)
+        |ORDER BY doc_id, perm""".stripMargin,
+    "minhash_near_dup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, regexp_replace(text, '^\S+ ', '') FROM documents
+        |),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM corpus),
+        |t2 AS (SELECT doc_id, list_transform(tokens, t ->
+        |        list_reduce(list_prepend(0::BIGINT,
+        |          list_transform(range(1, length(t)+1), i -> ascii(substring(t,i,1))::BIGINT)),
+        |          (a,c) -> (a*31+c) % 1000000007)) AS th FROM tok),
+        |h AS (SELECT doc_id, list_transform(range(1, len(th)-1),
+        |        i -> (((th[i]*37 + th[i+1]) % 1000000007) * 37 + th[i+2]) % 1000000007) AS hs
+        |      FROM t2),
+        |sig AS (SELECT doc_id, perm,
+        |        list_aggregate(list_transform(hs,
+        |          x -> (x*((103515239 + 2*perm) % 1000000007) + (12345 + perm)) % 1000000007),
+        |          'min') AS minhash
+        |        FROM (SELECT doc_id, hs, unnest(range(16)) AS perm FROM h)),
+        |bands AS (SELECT doc_id, CAST(perm // 4 AS INT) AS band,
+        |          string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm) AS band_key
+        |          FROM sig GROUP BY doc_id, band),
+        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |         FROM bands x JOIN bands y
+        |           ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b,
+        |       round(avg(CASE WHEN sa.minhash = sb.minhash THEN 1.0 ELSE 0.0 END), 6) AS est_jaccard
+        |FROM cand
+        |JOIN sig sa ON doc_a = sa.doc_id
+        |JOIN sig sb ON doc_b = sb.doc_id AND sa.perm = sb.perm
+        |GROUP BY doc_a, doc_b
+        |HAVING est_jaccard >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "simhash_docs" ->
+      """WITH th AS (
+        |  SELECT doc_id,
+        |         list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(token)+1),
+        |           i -> ascii(substring(token,i,1))::BIGINT)), (a,c) -> (a*31+c) % 1000000007) AS h,
+        |         count(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY 1, 2
+        |),
+        |bits AS (
+        |  SELECT doc_id, b, CAST(power(2, b) AS BIGINT) AS pow2,
+        |         sum(CASE WHEN (h & CAST(power(2, b) AS BIGINT)) != 0 THEN c ELSE -c END) AS s
+        |  FROM th, (SELECT unnest(range(30)) AS b) bb
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN pow2 ELSE 0 END) AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "jaccard_consecutive" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(tokens)-1),
+        |    i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |             len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE, 6) AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        |ORDER BY doc_a""".stripMargin,
+    "knn_brute_force" ->
+      """WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |                  unnest(range(len(embedding))) AS i FROM embeddings),
+        |n AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM e GROUP BY 1),
+        |d AS (SELECT a.vec_id AS qid, b.vec_id AS vid, sum(a.x * b.x) AS dp
+        |      FROM e a JOIN e b ON a.i = b.i AND b.vec_id != a.vec_id
+        |      WHERE a.vec_id < 10 GROUP BY 1, 2),
+        |sc AS (SELECT qid, vid, round(dp / (na.nrm * nb.nrm), 6) AS cos_sim
+        |       FROM d JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = vid)
+        |SELECT qid, CAST(rn AS INT) AS "rank", vid AS vec_id, cos_sim FROM (
+        |  SELECT qid, vid, cos_sim,
+        |         row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vid) AS rn FROM sc)
+        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+    // knn_lsh_bucketed: approximate recall by design → rows-only check.
+    "label_cohesion" ->
+      """WITH e AS (SELECT label, vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |                  unnest(range(len(embedding))) AS pos FROM embeddings),
+        |cent AS (SELECT label, pos, avg(x) AS c FROM e GROUP BY 1, 2),
+        |m AS (SELECT e.label, e.vec_id, sum(e.x * cent.c) AS dotvc,
+        |             sqrt(sum(e.x * e.x)) AS nv, sqrt(sum(cent.c * cent.c)) AS nc
+        |      FROM e JOIN cent ON e.label = cent.label AND e.pos = cent.pos
+        |      GROUP BY 1, 2)
+        |SELECT label, count(*) AS n_members,
+        |       round(avg(dotvc / (nv * nc)), 6) AS cohesion
+        |FROM m GROUP BY label ORDER BY label""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id, lang,
+        |  CAST(len(tokens) AS INT) AS n_tokens,
+        |  CAST(len(list_distinct(tokens)) AS INT) AS n_uniq,
+        |  round(len(list_distinct(tokens))::DOUBLE / len(tokens), 6) AS ttr,
+        |  round((length(text) - (len(tokens)-1))::DOUBLE / len(tokens), 6) AS avg_token_len,
+        |  round(len(list_filter(tokens, t -> list_contains(['the','a','of','and','in'], t)))::DOUBLE
+        |        / len(tokens), 6) AS stopword_ratio,
+        |  round(ln(1.0 + len(tokens)) * (len(list_distinct(tokens))::DOUBLE / len(tokens)) *
+        |        (1.0 - len(list_filter(tokens, t -> list_contains(['the','a','of','and','in'], t)))::DOUBLE
+        |         / len(tokens)), 6) AS quality
+        |FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS tokens FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "token_counts" ->
+      """SELECT token, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+    "lang_id" ->
+      """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+        |cnt AS (SELECT lang, token, count(*) AS c FROM tok GROUP BY 1, 2),
+        |prof AS (SELECT lang AS plang, token FROM (
+        |  SELECT lang, token,
+        |         row_number() OVER (PARTITION BY lang ORDER BY c DESC, token) AS rn
+        |  FROM cnt) WHERE rn <= 10),
+        |dtok AS (SELECT doc_id, lang,
+        |                unnest(list_distinct(string_split(text, ' '))) AS token FROM documents),
+        |hits AS (SELECT doc_id, lang, plang, count(*) AS overlap
+        |         FROM dtok JOIN prof USING (token) GROUP BY 1, 2, 3)
+        |SELECT doc_id, lang, plang AS predicted FROM (
+        |  SELECT doc_id, lang, plang,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY overlap DESC, plang) AS rn
+        |  FROM hits) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "doc_fingerprint" ->
+      """WITH t2 AS (SELECT doc_id, text, list_transform(string_split(text, ' '), t ->
+        |        list_reduce(list_prepend(0::BIGINT,
+        |          list_transform(range(1, length(t)+1), i -> ascii(substring(t,i,1))::BIGINT)),
+        |          (a,c) -> (a*31+c) % 1000000007)) AS th FROM documents)
+        |SELECT doc_id,
+        |  list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(text)+1),
+        |    i -> ascii(substring(text,i,1))::BIGINT)), (a,c) -> (a*31+c) % 1000000007) AS content_fp,
+        |  list_aggregate(list_transform(range(1, len(th)-1),
+        |    i -> (((th[i]*37 + th[i+1]) % 1000000007) * 37 + th[i+2]) % 1000000007),
+        |    'min') AS min_fp
+        |FROM t2 ORDER BY doc_id""".stripMargin,
+    "multimodal_features" ->
+      """SELECT doc_id, 'image/synthetic' AS media_type,
+        |  CAST(length(text) AS INT) AS n_bytes,
+        |  CAST(64 + length(text) % 576 AS INT) AS width,
+        |  CAST(64 + (ascii(substring(text, 1, 1)) * 7) % 448 AS INT) AS height,
+        |  CAST(1 AS INT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -43,6 +43,16 @@ object Tables {
   def tsFromNanos(colName: String): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.timestamp_micros(tsMicros(colName))
 
+  /** Load + spread across the session's shuffle partitions. The driver
+    * parquet files are single-split at test scale, so CPU-heavy
+    * expression pipelines (hashing, per-doc HOF math) would otherwise
+    * run on ONE core. The shuffled payload is the small raw table; at
+    * 100 TB the source has thousands of splits and this repartition is
+    * a no-op to remove. */
+  def loadParallel(spark: SparkSession, dir: String, name: String): DataFrame =
+    load(spark, dir, name)
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+
   /** Register all tables as temp views (for spark.sql paths and tests). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))

@@ -84,4 +84,43 @@ object ColumnFunctions {
     val b = 12345L
     pmod(h * lit((a + 2 * seed + 1) % HashP) + lit(b + seed), lit(HashP))
   }
+
+  /** Column-seed variant (seed comes from an exploded perm column).
+    * Must stay arithmetic-identical to the Int overload — the DuckDB
+    * oracle mirrors this exact formula. h,mult < p ≈ 1e9 keeps the
+    * product within Long. */
+  def seededHash(h: Column, seed: Column): Column = {
+    val a = 1103515245L % HashP
+    pmod(h * pmod(lit(a) + lit(2L) * seed + lit(1L), lit(HashP)) + (lit(12345L) + seed), lit(HashP))
+  }
+
+  /** Whitespace tokenization (documents.text is single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Per-token polyHash array. IMPORTANT: callers must materialize the
+    * result (exchange boundary / already-bound column) before indexing
+    * into it from another HOF lambda — interpreted HOFs re-evaluate
+    * unbound array expressions per element access. */
+  def tokenHashes(text: Column): Column = transform(tokens(text), t => polyHash(t))
+
+  /** Word 3-gram shingle strings from a MATERIALIZED token-array
+    * column (L2). Callers guarantee ≥3 tokens (driver docs have ≥10,
+    * FIXTURES.md §2). */
+  def shingles3From(tk: Column): Column =
+    transform(
+      sequence(lit(1), size(tk) - 2),
+      i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2)))
+
+  /** Word 3-gram shingle HASHES from a MATERIALIZED token-hash array:
+    * combine three token hashes arithmetically instead of re-folding
+    * the shingle string per character — ~16× fewer interpreted
+    * expression evals, the difference between seconds and minutes at
+    * bench scale. Mirrored exactly by the DuckDB oracles. */
+  def shingleHashes3(th: Column): Column =
+    transform(
+      sequence(lit(1), size(th) - 2),
+      i => pmod(
+        pmod(element_at(th, i) * lit(37L) + element_at(th, i + 1), lit(HashP)) * lit(37L) +
+          element_at(th, i + 2),
+        lit(HashP)))
 }

@@ -1,0 +1,180 @@
+package graft.llm
+
+import graft.Tables
+import graft.functions.ColumnFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators (SURVEY.md §2.10 L1/L2), mandated by the
+  * north star's LLM-data-pipeline clause. All hashing is the
+  * engine-portable polynomial hash from [[graft.functions.ColumnFunctions]]
+  * so the DuckDB oracle computes bit-identical signatures; at 100 TB
+  * you'd swap in `xxhash64` (same structure, one function call) —
+  * polyHash exists to keep the correctness gate cross-engine.
+  *
+  * Scale posture: exact dedup is one shuffle on the content key with
+  * map-side distinct; MinHash is embarrassingly parallel per doc, and
+  * the LSH band join shuffles only (band, band_key) pairs — never the
+  * O(n²) document cross product. That band join IS the 100 TB answer
+  * to near-dup (SURVEY.md L2/L3 note).
+  */
+object Dedup {
+
+  /** L1 exact dedup: first doc_id per distinct text + multiplicity.
+    * (The driver corpus is all-distinct, so n_copies is 1 everywhere —
+    * the op stays semantically exact dedup.) */
+  def dedupExact(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("text")
+    Tables.load(s, d, "documents")
+      .withColumn("rn", row_number().over(w.orderBy("doc_id")))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("n_copies"))
+      .orderBy("doc_id")
+  }
+
+  /** L1 key-dedup: cluster by a normalized key (first two tokens) and
+    * keep the lowest doc_id — the hash-groupBy dedup shape on a key
+    * that actually collides in the driver corpus. */
+  def dedupPrefixKey(s: SparkSession, d: String): DataFrame = {
+    val t = tokens(col("text"))
+    Tables.load(s, d, "documents")
+      .select(col("doc_id"), concat_ws(" ", element_at(t, 1), element_at(t, 2)).as("key"))
+      .groupBy("key")
+      .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_docs"))
+      .orderBy("key")
+  }
+
+  /** Near-dup corpus: originals ∪ perturbed variants (first token
+    * dropped, doc_id offset by 1,000,000). The driver corpus has no
+    * true near-dups, so the pipeline manufactures deterministic ones —
+    * each original/variant pair has 3-gram-shingle Jaccard ≈ (n-4)/n. */
+  def nearDupCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.loadParallel(s, d, "documents").select("doc_id", "text")
+    docs.unionByName(docs.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      regexp_replace(col("text"), "^\\S+ ", "").as("text")))
+  }
+
+  /** L2 MinHash signature ARRAY per doc (index = permutation).
+    *
+    * The repartition between the two projections is load-bearing: it
+    * pins an exchange so the per-token hash array `th` is materialized
+    * ONCE per doc. Without it, CollapseProject inlines `th` into the
+    * per-permutation/per-shingle lambdas and the (non-codegen) HOF
+    * interpreter re-tokenizes and re-hashes per element — measured two
+    * orders of magnitude slower at sf0.1. Explicit numPartitions stops
+    * AQE from coalescing the small exchange to one partition, which
+    * would serialize the expensive stage above it. The shuffled payload
+    * is just (doc_id, th) ≈ 1 KB/doc, and downstream self-joins reuse
+    * the same exchange. */
+  def minhashSigArray(corpus: DataFrame, numPerms: Int = 16): DataFrame =
+    corpus
+      .select(col("doc_id"), tokenHashes(col("text")).as("th"))
+      .repartition(
+        corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+        col("doc_id"))
+      .select(
+        col("doc_id"),
+        transform(
+          sequence(lit(0), lit(numPerms - 1)),
+          p => array_min(transform(shingleHashes3(col("th")), h => seededHash(h, p)))).as("sig"))
+
+  /** Driver query: signatures exploded flat as (doc_id, perm, minhash)
+    * for robust cross-engine comparison. */
+  def minhashSignaturesQuery(s: SparkSession, d: String): DataFrame =
+    minhashSigArray(Tables.loadParallel(s, d, "documents").select("doc_id", "text"))
+      // posexplode_outer, NOT posexplode: the non-outer form makes the
+      // optimizer infer a size(sig)>0 filter that is pushed below the
+      // exchange and re-evaluates the whole signature pipeline per row
+      // inside the Filter condition (~9× slower). sig is never empty.
+      .select(col("doc_id"), posexplode_outer(col("sig")))
+      .select(col("doc_id"), col("pos").cast("int").as("perm"), col("col").as("minhash"))
+      .orderBy("doc_id", "perm")
+
+  /** L2 full MinHash+LSH near-dup pipeline: signature array → one row
+    * per band (band_key = comma-joined band slice) → bucket self-join
+    * for candidates (signature arrays ride along, so nothing is
+    * recomputed) → agreement estimate via zip_with → threshold. Only
+    * band-identical pairs are ever joined — never the O(n²) cross
+    * product. */
+  def minhashNearDup(
+      corpus: DataFrame,
+      numPerms: Int = 16,
+      bandSize: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val nBands = numPerms / bandSize
+    // repartition = explicit exchange: materializes the signature
+    // projection once, and the self-join's two legs share it via
+    // exchange reuse instead of re-running the shingle hashing.
+    val bands = minhashSigArray(corpus, numPerms)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("sig"), explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .withColumn("band_key",
+        concat_ws(",", transform(slice(col("sig"), col("band") * bandSize + 1, lit(bandSize)),
+          _.cast("string"))))
+    val cand = bands.as("x")
+      .join(
+        bands.as("y"),
+        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(
+        col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sig").as("sa"), col("y.sig").as("sb"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .select(
+        col("doc_a"), col("doc_b"),
+        round(
+          size(filter(zip_with(col("sa"), col("sb"), (a, b) => a === b), x => x))
+            .cast("double") / numPerms.toDouble,
+          6).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Driver query: near-dups over originals ∪ manufactured variants. */
+  def minhashNearDupQuery(s: SparkSession, d: String): DataFrame =
+    minhashNearDup(nearDupCorpus(s, d))
+
+  /** L2 SimHash (30-bit — polyHash values are < 2^30): per-doc
+    * bit-majority over term hashes weighted by term frequency.
+    * Token-hash counting first collapses each doc to its ≤|vocab|
+    * distinct hashes, so the bit explode multiplies a tiny frame. */
+  def simhashDocs(s: SparkSession, d: String): DataFrame = {
+    val th = Tables.loadParallel(s, d, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), polyHash(col("token")).as("h"))
+      .agg(count(lit(1)).as("c"))
+    th.select(col("doc_id"), col("h"), col("c"), explode(sequence(lit(0), lit(29))).as("b"))
+      .withColumn("pow2", expr("CAST(pow(2, b) AS BIGINT)"))
+      .groupBy("doc_id", "b", "pow2")
+      .agg(sum(when(col("h").bitwiseAND(col("pow2")) =!= 0, col("c")).otherwise(-col("c"))).as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") > 0, col("pow2")).otherwise(0L)).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** L2 exact n-gram Jaccard between consecutive doc_ids — the
+    * verify-step primitive of the near-dup pipeline, on a linear (not
+    * quadratic) pairing so it stays oracle-friendly. */
+  def jaccardConsecutive(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.loadParallel(s, d, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      // exchange barrier: materialize the token array before the
+      // shingle HOF indexes into it (see minhashSigArray note)
+      .repartition(
+        s.conf.get("spark.sql.shuffle.partitions", "32").toInt, col("doc_id"))
+      .select(col("doc_id"), array_distinct(shingles3From(col("tk"))).as("sh"))
+    sh.as("a")
+      .join(sh.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(
+          size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+            size(array_union(col("a.sh"), col("b.sh"))).cast("double"),
+          6).as("jaccard"))
+      .orderBy("doc_a")
+  }
+}

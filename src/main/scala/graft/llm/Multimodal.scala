@@ -1,0 +1,58 @@
+package graft.llm
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Input to the decode stage: opaque media bytes + typed metadata. */
+final case class MediaIn(doc_id: Long, bytes: Array[Byte], media_type: String)
+
+/** Decoded features — what a real image/audio codec stage would emit. */
+final case class MediaFeat(
+    doc_id: Long, media_type: String, n_bytes: Int,
+    width: Int, height: Int, n_frames: Int)
+
+/** Multimodal column plumbing (SURVEY.md §2.10 L5): media as opaque
+  * BinaryType columns with typed metadata, decoded in a per-partition
+  * batch pass. `Dataset.mapPartitions` is the Scala analogue of a
+  * pandas/Arrow batch UDF: the decoder amortizes any per-partition
+  * setup (codec init, model load) across the partition's rows — the
+  * genuine imperative-per-partition case (SURVEY.md §7.4) where HOFs
+  * don't apply.
+  *
+  * The decode itself is a clearly-marked deterministic STUB (no image
+  * libs in this environment); the Spark-side contract — binary column
+  * in, typed feature row out, partition-batched execution — is real
+  * and oracle-checked (the stub's arithmetic is SQL-expressible on
+  * purpose, so the whole plumbing path gets a DuckDB oracle instead of
+  * a weaker rows-only check).
+  */
+object Multimodal {
+
+  /** STUB decoder — stands in for an image codec. Pure function of the
+    * bytes so the pipeline is deterministic and cross-engine checkable:
+    * width/height derive from byte length and first byte. A real
+    * deployment replaces ONLY this function. */
+  private def decodeStub(m: MediaIn): MediaFeat = {
+    val n = m.bytes.length
+    val first = if (n > 0) m.bytes(0) & 0xff else 0
+    MediaFeat(m.doc_id, m.media_type, n, 64 + n % 576, 64 + (first * 7) % 448, 1)
+  }
+
+  /** L5 pipeline: documents.text reinterpreted as opaque bytes (the
+    * driver ships no true binary table), carried through a typed
+    * Dataset and batch-decoded per partition. */
+  def multimodalFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, d, "documents")
+      .select(
+        col("doc_id"),
+        col("text").cast("binary").as("bytes"),
+        lit("image/synthetic").as("media_type"))
+      .as[MediaIn]
+      .mapPartitions(_.map(decodeStub))
+      .toDF()
+      .select("doc_id", "media_type", "n_bytes", "width", "height", "n_frames")
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,104 @@
+package graft.llm
+
+import graft.Tables
+import graft.functions.ColumnFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over `embeddings.embedding ARRAY<FLOAT>` (SURVEY.md
+  * §2.10 L3): brute-force cosine top-k as the exact baseline, plus a
+  * random-hyperplane-LSH bucketed variant as the 100 TB scale path
+  * (bucket equi-join instead of the full cross product).
+  *
+  * All vector math runs in double via codegen'd higher-order functions
+  * (`zip_with` + `aggregate` — ColumnFunctions.dot); the fold order is
+  * fixed (element 0→63), which keeps Spark-side sums bit-deterministic.
+  */
+object Similarity {
+
+  private def embWithNorm(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "embeddings")
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+
+  /** L3 exact KNN: top-k cosine neighbors for query vectors
+    * (vec_id < nQueries) against the whole table. The tiny query side
+    * is broadcast, so the candidate scan is one shuffle-free pass +
+    * a per-query top-k window. Ranking uses the ROUNDED similarity
+    * (ties broken by vec_id) so rank order is cross-engine stable. */
+  def knnBruteForce(s: SparkSession, d: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val emb = embWithNorm(s, d)
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = emb.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(
+        col("qid"), col("vec_id"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_sim"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("cos_sim"))
+      .orderBy("qid", "rank")
+  }
+
+  /** Deterministic pseudo-random ±1 hyperplane coefficient for plane
+    * p, dimension i — arithmetic stand-in for a seeded RNG (rand() is
+    * banned by the determinism contract, SURVEY.md §4). */
+  private def planeCoef(p: Int, i: Int): Double =
+    if (((i * 31 + p * 17) % 7) % 2 == 0) 1.0 else -1.0
+
+  /** L3 scale path: random-hyperplane LSH. Each vector gets an
+    * nPlanes-bit bucket (sign pattern of projections onto fixed ±1
+    * planes); queries join candidates ONLY within their bucket. Recall
+    * is approximate by design → no SQL oracle (rows-only check). At
+    * 100 TB this is the shape that survives: the bucket join shuffles
+    * each side once on an 8-bit key instead of crossing them. */
+  def knnLshBucketed(
+      s: SparkSession, d: String,
+      k: Int = 5, nQueries: Int = 10, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    def bucket(v: Column): Column =
+      (0 until nPlanes).map { p =>
+        val plane = array((0 until dim).map(i => lit(planeCoef(p, i))): _*)
+        when(dot(v, plane) > 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+
+    val emb = embWithNorm(s, d).withColumn("bucket", bucket(col("v")))
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+        col("bucket").as("qbucket"))
+    val scored = emb.join(broadcast(q),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+      .select(
+        col("qid"), col("vec_id"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_sim"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("cos_sim"))
+      .orderBy("qid", "rank")
+  }
+
+  /** L3 aggregate view: label centroids + per-label cohesion (mean
+    * cosine of members to their centroid) — the clustering-quality
+    * probe of an embedding pipeline. Exact, oracle-able. */
+  def labelCohesion(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.load(s, d, "embeddings")
+      .select(col("vec_id"), col("label"), toDoubleArray(col("embedding")).as("v"))
+      .select(col("vec_id"), col("label"), posexplode(col("v")))
+    // centroid per (label, dim)
+    val cent = emb.groupBy(col("label"), col("pos")).agg(avg("col").as("c"))
+    // member·centroid dot and norms via the same exploded frame
+    val joined = emb.join(cent, Seq("label", "pos"))
+    joined.groupBy("label", "vec_id")
+      .agg(
+        sum(col("col") * col("c")).as("dotvc"),
+        sqrt(sum(col("col") * col("col"))).as("nv"),
+        sqrt(sum(col("c") * col("c"))).as("nc"))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_members"),
+        round(avg(col("dotvc") / (col("nv") * col("nc"))), 6).as("cohesion"))
+      .orderBy("label")
+  }
+}

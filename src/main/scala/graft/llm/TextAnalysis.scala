@@ -1,0 +1,91 @@
+package graft.llm
+
+import graft.Tables
+import graft.functions.ColumnFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` (SURVEY.md §2.10 L4/L6):
+  * quality scoring, token statistics, language-ID, fingerprinting.
+  * Everything is groupBy/window/HOF built-ins — one shuffle per
+  * aggregation, no UDFs, whole-stage codegen intact.
+  */
+object TextAnalysis {
+
+  private val Stopwords = Seq("the", "a", "of", "and", "in")
+
+  /** L4/L6 per-doc quality metrics: token counts, type-token ratio,
+    * average token length, stopword ratio, and a composite score
+    * (log-length × lexical diversity × content ratio). */
+  def textQuality(s: SparkSession, d: String): DataFrame = {
+    val t = tokens(col("text"))
+    val nTok = size(t).cast("double")
+    val stopRatio =
+      size(filter(t, tk => tk.isin(Stopwords: _*))).cast("double") / nTok
+    val ttr = size(array_distinct(t)).cast("double") / nTok
+    Tables.load(s, d, "documents")
+      .select(
+        col("doc_id"), col("lang"),
+        size(t).as("n_tokens"),
+        size(array_distinct(t)).as("n_uniq"),
+        round(ttr, 6).as("ttr"),
+        round((length(col("text")) - (size(t) - 1)).cast("double") / nTok, 6)
+          .as("avg_token_len"),
+        round(stopRatio, 6).as("stopword_ratio"),
+        round(log(lit(1.0) + nTok) * ttr * (lit(1.0) - stopRatio), 6).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** L4 global token frequency, top 20 (ties broken by token). */
+  def tokenCounts(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(20)
+
+  /** L4 language-ID via corpus-derived token profiles: build each
+    * lang's top-10 token profile from the labeled corpus, classify
+    * every doc to the profile with the largest distinct-token overlap
+    * (ties → lexicographically first lang). Self-supervised n-gram
+    * profiling shape; deterministic end to end. */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.load(s, d, "documents")
+    val prof = docs
+      .select(col("lang"), explode(tokens(col("text"))).as("token"))
+      .groupBy("lang", "token")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("lang").orderBy(col("c").desc, col("token"))))
+      .filter(col("rn") <= 10)
+      .select(col("lang").as("plang"), col("token"))
+    val docTok = docs
+      .select(col("doc_id"), col("lang"), explode(array_distinct(tokens(col("text")))).as("token"))
+    docTok.join(prof, "token")
+      .groupBy("doc_id", "lang", "plang")
+      .agg(count(lit(1)).as("overlap"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("doc_id").orderBy(col("overlap").desc, col("plang"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("plang").as("predicted"))
+      .orderBy("doc_id")
+  }
+
+  /** L2/L4 document fingerprints: full-content rolling hash plus the
+    * min-shingle-hash (the winnowing primitive — two docs sharing any
+    * 3-gram window can collide on min_fp for fast candidate lookup). */
+  def docFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.loadParallel(s, d, "documents")
+      .select(col("doc_id"), col("text"), tokenHashes(col("text")).as("th"))
+      // exchange barrier: materialize token hashes before the shingle
+      // combine indexes into them (see Dedup.minhashSigArray note)
+      .repartition(
+        s.conf.get("spark.sql.shuffle.partitions", "32").toInt, col("doc_id"))
+      .select(
+        col("doc_id"),
+        polyHash(col("text")).as("content_fp"),
+        array_min(shingleHashes3(col("th"))).as("min_fp"))
+      .orderBy("doc_id")
+}
