@@ -58,6 +58,11 @@ object SparkEntry {
     "lang_id" -> (llm.TextAnalysis.langId _),
     "doc_fingerprint" -> (llm.TextAnalysis.docFingerprint _),
     "multimodal_features" -> (llm.Multimodal.multimodalFeatures _),
+    // --- reference ETL parity (SURVEY.md §2.2, §2.6 O3, §3 E1) ---
+    "etl_verl_rows" -> (etl.Preprocess.verlRows _),
+    "etl_positional_split" -> (etl.Preprocess.positionalSplit _),
+    "role_swap_messages" -> (etl.Preprocess.roleSwapMessages _),
+    "softmax_classify" -> (etl.Preprocess.softmaxClassify _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -422,5 +427,76 @@ object SparkEntry {
         |  CAST(64 + (ascii(substring(text, 1, 1)) * 7) % 448 AS INT) AS height,
         |  CAST(1 AS INT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // --- reference ETL parity ---
+    "etl_verl_rows" ->
+      """WITH turns AS (
+        |  SELECT user_id AS dia_id, event_id AS turn_id, pos,
+        |         CASE WHEN pos = 1 THEN
+        |           CASE event_id % 4 WHEN 0 THEN 'speaker' WHEN 1 THEN 'listener'
+        |                WHEN 2 THEN 'speaker_primary' ELSE 'observer' END
+        |         ELSE CASE WHEN event_id % 2 = 0 THEN 'speaker_alt' ELSE 'listener_alt' END
+        |         END AS role,
+        |         CASE WHEN pos = 1 THEN
+        |           CASE WHEN event_id % 13 = 0 THEN '   ' ELSE event_type END
+        |         ELSE 'alt_' || event_type END AS text
+        |  FROM events, (SELECT unnest([1, 2]) AS pos) p
+        |),
+        |firsts AS (
+        |  SELECT dia_id, turn_id,
+        |    (list(text ORDER BY pos) FILTER (WHERE lower(role) LIKE 'speaker%'))[1] AS user_text,
+        |    (list(text ORDER BY pos) FILTER (WHERE lower(role) LIKE 'listener%'))[1] AS asst_text
+        |  FROM turns GROUP BY 1, 2
+        |),
+        |scripts AS (
+        |  SELECT dia_id, count(*) AS rounds,
+        |    coalesce(list(trim(user_text) ORDER BY turn_id)
+        |      FILTER (WHERE user_text IS NOT NULL AND length(trim(user_text)) > 0), []) AS user_script,
+        |    coalesce(list(trim(asst_text) ORDER BY turn_id)
+        |      FILTER (WHERE asst_text IS NOT NULL AND length(trim(asst_text)) > 0), []) AS asst_script
+        |  FROM firsts GROUP BY 1
+        |)
+        |SELECT dia_id, 'EmpDia_Iceberg' AS data_source, 'empathy_dialogue' AS ability,
+        |  CAST(rounds AS INT) AS rounds,
+        |  CAST(len(user_script) AS INT) AS n_user_turns,
+        |  CAST(len(asst_script) AS INT) AS n_asst_turns,
+        |  array_to_string(user_script, '|') AS user_script_str,
+        |  array_to_string(asst_script, '|') AS asst_script_str,
+        |  user_script[1] AS prompt_user
+        |FROM scripts ORDER BY dia_id""".stripMargin,
+    "etl_positional_split" ->
+      """SELECT dia_id,
+        |       CASE WHEN rn <= (7*cnt + 9) // 10 THEN 'train' ELSE 'test' END AS split
+        |FROM (
+        |  SELECT dia_id, row_number() OVER (ORDER BY dia_id) AS rn, count(*) OVER () AS cnt
+        |  FROM (SELECT DISTINCT user_id AS dia_id FROM events)
+        |) ORDER BY dia_id""".stripMargin,
+    "role_swap_messages" ->
+      """WITH m AS (
+        |  SELECT user_id AS dia_id,
+        |         list(CASE WHEN event_id % 2 = 0 THEN 'user' ELSE 'assistant' END
+        |              ORDER BY event_id) AS roles
+        |  FROM events GROUP BY 1
+        |),
+        |s AS (
+        |  SELECT dia_id, roles,
+        |    list_transform(roles, r -> CASE r WHEN 'user' THEN 'assistant'
+        |                                      WHEN 'assistant' THEN 'user' ELSE r END) AS sw
+        |  FROM m
+        |)
+        |SELECT dia_id, CAST(len(roles) AS INT) AS n_msgs,
+        |  array_to_string(roles, '|') AS roles_str,
+        |  array_to_string(CASE WHEN sw[-1] != 'user' THEN list_append(sw, 'user') ELSE sw END,
+        |                  '|') AS swapped_roles_str,
+        |  sw[-1] != 'user' AS appended
+        |FROM s ORDER BY dia_id""".stripMargin,
+    "softmax_classify" ->
+      """WITH l AS (SELECT vec_id,
+        |                  list_transform(embedding[1:5], x -> CAST(x AS DOUBLE)) AS lg
+        |           FROM embeddings)
+        |SELECT vec_id,
+        |  CAST(list_position(lg, list_aggregate(lg, 'max')) AS INT) AS pred_layer,
+        |  round(1.0 / list_sum(list_transform(lg, x -> exp(x - list_aggregate(lg, 'max')))), 6)
+        |    AS confidence
+        |FROM l ORDER BY vec_id""".stripMargin,
   )
 }

@@ -1,0 +1,148 @@
+package graft.etl
+
+import graft.Tables
+import graft.functions.ColumnFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reference-parity corpus ETL (SURVEY.md §2.2 P1–P8, §2.6 O1/O3,
+  * §3 E1): the JSON→VERL-row restructuring pipeline of
+  * `utils/data_preprocess.py`, re-expressed as higher-order functions
+  * over a nested dialogue corpus.
+  *
+  * The corpus is DERIVED deterministically from the driver `events`
+  * table (user_id↔dia_id, event_id↔turn_id) because the driver's
+  * DuckDB oracle can only see driver tables — the derivation uses the
+  * same role-prefix / blank-text / missing-speaker edge cases the
+  * reference handles (`data_preprocess.py:27-37`). Each round carries
+  * TWO candidate turns so first-match extraction (P3) is exercised,
+  * and every 13th text is whitespace-only to exercise the blank guard
+  * (P7, `data_preprocess.py:34-36`).
+  *
+  * Scale: one groupBy(dia_id) shuffle builds the nested dialogues; all
+  * restructuring after that is per-row HOF projection — at 100 TB the
+  * corpus would already be stored nested and the shuffle disappears.
+  */
+object Preprocess {
+
+  /** Deterministic nested corpus: one dialogue per user, one round per
+    * event, two turns per round with role/text patterns cycling on
+    * event_id. Round order is scrambled by construction (collect_list
+    * order is nondeterministic) and restored by sort_array — the O1
+    * "sort rounds by turn_id" semantics. */
+  def dialogueCorpus(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.load(s, d, "events")
+    val roleA = pmod(col("event_id"), lit(4L))
+    val turnA = struct(
+      when(roleA === 0, "speaker").when(roleA === 1, "listener")
+        .when(roleA === 2, "speaker_primary").otherwise("observer").as("role"),
+      when(pmod(col("event_id"), lit(13L)) === 0, lit("   "))
+        .otherwise(col("event_type")).as("text"))
+    val turnB = struct(
+      when(pmod(col("event_id"), lit(2L)) === 0, "speaker_alt")
+        .otherwise("listener_alt").as("role"),
+      concat(lit("alt_"), col("event_type")).as("text"))
+    ev.select(
+        col("user_id").as("dia_id"),
+        struct(col("event_id").as("turn_id"), array(turnA, turnB).as("turns")).as("round"))
+      .groupBy("dia_id")
+      .agg(sort_array(collect_list(col("round"))).as("dialogue"))
+  }
+
+  /** P2+P3: first turn whose lowercased role starts with `prefix`,
+    * null if the round has none (try_element_at: ANSI-safe on empty). */
+  private def firstWithPrefix(turns: Column, prefix: String): Column =
+    try_element_at(
+      filter(turns, t => lower(t.getField("role")).startsWith(prefix)), lit(1))
+
+  /** P1/P4–P7 script extraction: per dialogue, ordered trimmed texts
+    * of the first speaker-/listener-prefixed turn per round, blanks
+    * dropped. */
+  private def script(prefix: String): Column =
+    filter(
+      transform(col("dialogue"), r => trim(firstWithPrefix(r.getField("turns"), prefix).getField("text"))),
+      x => x.isNotNull && length(x) > 0)
+
+  /** E1 flagship: corpus → flattened VERL training rows. Arrays are
+    * emitted pipe-joined (cross-engine list compare is fragile). */
+  def verlRows(s: SparkSession, d: String): DataFrame =
+    dialogueCorpus(s, d)
+      .select(
+        col("dia_id"),
+        lit("EmpDia_Iceberg").as("data_source"),
+        lit("empathy_dialogue").as("ability"),
+        size(col("dialogue")).as("rounds"),
+        script("speaker").as("user_script"),
+        script("listener").as("asst_script"))
+      .select(
+        col("dia_id"), col("data_source"), col("ability"), col("rounds"),
+        size(col("user_script")).as("n_user_turns"),
+        size(col("asst_script")).as("n_asst_turns"),
+        concat_ws("|", col("user_script")).as("user_script_str"),
+        concat_ws("|", col("asst_script")).as("asst_script_str"),
+        try_element_at(col("user_script"), lit(1)).as("prompt_user"))
+      .orderBy("dia_id")
+
+  /** O3 positional 70/30 split — NOT randomSplit; the reference's
+    * split is order-dependent (`utils/split.py:6-7`). The threshold is
+    * computed with integer arithmetic ((7n+9) div 10 = ceil(0.7n))
+    * because 0.7*n in binary floating point rounds differently than
+    * decimal engines do. */
+  def positionalSplit(s: SparkSession, d: String): DataFrame = {
+    val dias = Tables.load(s, d, "events")
+      .select(col("user_id").as("dia_id")).distinct()
+    dias
+      .withColumn("rn", row_number().over(Window.orderBy("dia_id")))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy()))
+      .select(
+        col("dia_id"),
+        when(col("rn") <= expr("(7*cnt + 9) div 10"), "train").otherwise("test").as("split"))
+      .orderBy("dia_id")
+  }
+
+  /** P8 role-swap involution + trailing-empty-user append
+    * (`empathy_interaction.py:191-214`): flip user↔assistant over a
+    * per-dialogue message history; if the swapped history doesn't end
+    * with a user turn, append an empty one. */
+  def roleSwapMessages(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.load(s, d, "events")
+    val role = when(pmod(col("event_id"), lit(2L)) === 0, "user").otherwise("assistant")
+    val msgs = ev
+      .select(col("user_id").as("dia_id"),
+        struct(col("event_id"), role.as("role"), col("event_type").as("content")).as("t"))
+      .groupBy("dia_id")
+      .agg(sort_array(collect_list(col("t"))).as("ts"))
+      .select(col("dia_id"),
+        transform(col("ts"), t => t.getField("role")).as("roles"))
+    val swapped0 = transform(col("roles"), r =>
+      when(r === "user", "assistant").when(r === "assistant", "user").otherwise(r))
+    msgs
+      .withColumn("swapped0", swapped0)
+      .withColumn("appended", element_at(col("swapped0"), -1) =!= "user")
+      .select(
+        col("dia_id"),
+        size(col("roles")).as("n_msgs"),
+        concat_ws("|", col("roles")).as("roles_str"),
+        concat_ws("|",
+          when(col("appended"), concat(col("swapped0"), array(lit("user"))))
+            .otherwise(col("swapped0"))).as("swapped_roles_str"),
+        col("appended"))
+      .orderBy("dia_id")
+  }
+
+  /** F12+O4 classifier post-processing (`empathy_interaction.py:127-129`):
+    * softmax→argmax over a 5-way logit vector (first 5 embedding dims
+    * stand in for classifier logits). Confidence uses the collapsed
+    * softmax-max form (ColumnFunctions.softmaxConfidence) — argmax is
+    * softmax-invariant, so the full softmax array is never built. */
+  def softmaxClassify(s: SparkSession, d: String): DataFrame = {
+    val logits = toDoubleArray(slice(col("embedding"), 1, 5))
+    Tables.load(s, d, "embeddings")
+      .select(
+        col("vec_id"),
+        argmax1(logits).cast("int").as("pred_layer"),
+        round(softmaxConfidence(logits), 6).as("confidence"))
+      .orderBy("vec_id")
+  }
+}
