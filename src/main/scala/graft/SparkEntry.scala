@@ -24,6 +24,7 @@ object SparkEntry {
     "reward_trajectory" -> ((s, d) => reward.Reward.rewardTrajectory(s, d)),
     "turn_scores" -> ((s, d) => reward.Reward.turnScores(s, d)),
     "grpo_normalize" -> ((s, d) => reward.Reward.grpoNormalize(s, d)),
+    "reward_trajectory_agg" -> (reward.RewardAgg.rewardTrajectoryAgg _),
     "session_termination" -> ((s, d) => session.Termination.sessionTermination(s, d)),
     // --- [EXT] relational core (SURVEY.md §2.3-2.8) ---
     "q1_pricing_summary" -> (ops.Relational.q1PricingSummary _),
@@ -63,6 +64,11 @@ object SparkEntry {
     "etl_positional_split" -> (etl.Preprocess.positionalSplit _),
     "role_swap_messages" -> (etl.Preprocess.roleSwapMessages _),
     "softmax_classify" -> (etl.Preprocess.softmaxClassify _),
+    // --- streaming semantics (SURVEY.md §2.9 T1-T6), batch-replayed ---
+    "session_replay" -> (streaming.DialogueStateMachine.sessionReplay _),
+    "tumbling_hourly" -> (streaming.EventTimeWindows.tumblingHourly _),
+    "sliding_hourly_30m" -> (streaming.EventTimeWindows.slidingHourly30m _),
+    "session_windows_30m" -> (streaming.EventTimeWindows.sessionWindows30m _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -88,6 +94,29 @@ object SparkEntry {
         |  FROM lagged
         |)
         |SELECT dia_id, count(*) AS n_turns,
+        |       round(CASE WHEN count(*) < 5 THEN 0.0 ELSE avg(score) END, 6) AS reward
+        |FROM scored GROUP BY dia_id ORDER BY dia_id""".stripMargin,
+    // typed-Aggregator path: same math as reward_trajectory, reward only
+    "reward_trajectory_agg" ->
+      """WITH turns AS (
+        |  SELECT user_id AS dia_id,
+        |         CAST(event_id % 5 + 1 AS INT) AS layer,
+        |         CAST(event_id * 7 % 100 AS DOUBLE) / 100.0 AS confidence,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS turn
+        |  FROM events
+        |), lagged AS (
+        |  SELECT dia_id, layer, confidence,
+        |         coalesce(lag(layer) OVER (PARTITION BY dia_id ORDER BY turn), layer) AS last_layer
+        |  FROM turns
+        |), scored AS (
+        |  SELECT dia_id,
+        |         1.0/(1.0+exp(-8.0*((layer/5.0
+        |           + 0.7*greatest(layer-last_layer,0)/5.0
+        |           - 0.6*greatest(last_layer-layer,0)/5.0
+        |           - 5.0*greatest(layer-(last_layer+1),0)/5.0) * (0.5+0.5*confidence) - 0.5))) AS score
+        |  FROM lagged
+        |)
+        |SELECT dia_id,
         |       round(CASE WHEN count(*) < 5 THEN 0.0 ELSE avg(score) END, 6) AS reward
         |FROM scored GROUP BY dia_id ORDER BY dia_id""".stripMargin,
     "turn_scores" ->
@@ -498,5 +527,78 @@ object SparkEntry {
         |  round(1.0 / list_sum(list_transform(lg, x -> exp(x - list_aggregate(lg, 'max')))), 6)
         |    AS confidence
         |FROM l ORDER BY vec_id""".stripMargin,
+    // --- streaming semantics, batch-replayed ---
+    "session_replay" ->
+      """WITH turns AS (
+        |  SELECT user_id AS dia_id,
+        |         CAST(event_id % 5 + 1 AS INT) AS layer,
+        |         CAST(event_id * 7 % 100 AS DOUBLE) / 100.0 AS confidence,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS turn
+        |  FROM events
+        |), lagged AS (
+        |  SELECT dia_id, turn, layer,
+        |         coalesce(lag(layer) OVER (PARTITION BY dia_id ORDER BY turn), layer) AS last_layer,
+        |         confidence
+        |  FROM turns
+        |), scored AS (
+        |  SELECT dia_id, turn, layer,
+        |         1.0/(1.0+exp(-8.0*((layer/5.0
+        |           + 0.7*greatest(layer-last_layer,0)/5.0
+        |           - 0.6*greatest(last_layer-layer,0)/5.0
+        |           - 5.0*greatest(layer-(last_layer+1),0)/5.0) * (0.5+0.5*confidence) - 0.5))) AS score
+        |  FROM lagged
+        |), flagged AS (
+        |  SELECT dia_id, turn, layer, score,
+        |         CASE WHEN turn >= 20 THEN 'max_turns'
+        |              WHEN count(*) OVER w6 = 6
+        |                   AND min(layer) OVER w6 = max(layer) OVER w6 THEN 'no_progress_6'
+        |              WHEN count(*) OVER w5 = 5 AND min(layer) OVER w5 = 5 THEN 'perception_5'
+        |         END AS reason
+        |  FROM scored
+        |  WINDOW w6 AS (PARTITION BY dia_id ORDER BY turn ROWS BETWEEN 5 PRECEDING AND CURRENT ROW),
+        |         w5 AS (PARTITION BY dia_id ORDER BY turn ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |), firstterm AS (
+        |  SELECT dia_id, min(turn) AS t_end FROM flagged WHERE reason IS NOT NULL GROUP BY dia_id
+        |), emitted AS (
+        |  SELECT f.dia_id, f.turn, f.layer, f.score, f.reason, ft.t_end
+        |  FROM flagged f LEFT JOIN firstterm ft USING (dia_id)
+        |  WHERE ft.t_end IS NULL OR f.turn <= ft.t_end
+        |)
+        |SELECT dia_id,
+        |  CAST(count(*) AS INT) AS n_turns,
+        |  CAST(max(turn) AS INT) AS end_turn,
+        |  max(CASE WHEN turn = t_end THEN reason END) AS terminate_reason,
+        |  max(layer) AS deepest_layer,
+        |  round(avg(score), 6) AS mean_score
+        |FROM emitted GROUP BY dia_id ORDER BY dia_id""".stripMargin,
+    "tumbling_hourly" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |       event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "sliding_hourly_30m" ->
+      """WITH w AS (
+        |  SELECT value,
+        |         unnest([time_bucket(INTERVAL '30 minutes', ts),
+        |                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS w_start
+        |  FROM events)
+        |SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start, count(*) AS n,
+        |       round(sum(value), 6) AS sum_value
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+    "session_windows_30m" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, value, event_id,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts, value,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  count(*) AS n_events, round(sum(value), 6) AS sum_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
   )
 }

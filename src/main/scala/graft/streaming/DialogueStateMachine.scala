@@ -1,0 +1,136 @@
+package graft.streaming
+
+import graft.reward.{Reward, RewardConfig}
+import graft.session.Termination
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One classified turn event (FIXTURES.md §1.3 shape). */
+final case class TurnEvent(dia_id: Long, turn: Int, layer: Int, confidence: Double)
+
+/** Mutable per-dialogue state carried between turns — mirrors the
+  * reference's per-instance dict (`empathy_interaction.py:71-79`). */
+final case class DialogueState(
+    turnIndex: Int, lastLayer: Int, deepestLayer: Int,
+    layers: List[Int], scoreSum: Double, terminated: Boolean)
+
+/** Closed-session summary emitted once per dialogue. */
+final case class SessionSummary(
+    dia_id: Long, n_turns: Int, end_turn: Int,
+    terminate_reason: String, deepest_layer: Int, mean_score: Double)
+
+/** The reference's rollout loop as a Spark state machine (SURVEY.md
+  * §2.9 T1–T5): keyed mutable state, per-event update, termination
+  * predicates, session close. ONE transition function drives both the
+  * batch replay (groupByKey.flatMapGroups — the driver-verified path)
+  * and Structured Streaming (flatMapGroupsWithState) so the two
+  * execution modes cannot drift (T8; SURVEY.md §7.5 risk 3).
+  *
+  * Scale: state is O(max_turns) integers per live dialogue; keys are
+  * uuid-like and unskewed. In streaming, state eviction rides the
+  * termination predicate (session closes → state removed); add a
+  * processing-time timeout for abandoned dialogues in production.
+  */
+object DialogueStateMachine {
+  val MaxTurns: Int = Termination.MaxTurns
+
+  def initialState: DialogueState = DialogueState(0, 0, 0, Nil, 0.0, terminated = false)
+
+  /** Per-turn score — the same shaped-sigmoid arithmetic as the
+    * window-based Reward.perTurnScores (W1/W2), in plain Scala.
+    * First turn: lastLayer defaults to the turn's own layer
+    * (`reward.py:48`) → progress/regress/skip all 0. */
+  def scoreTurn(layer: Int, lastLayer: Int, confidence: Double, cfg: RewardConfig): Double = {
+    val md = cfg.maxDepth
+    val depth = layer / md
+    val progress = math.max(layer - lastLayer, 0) / md
+    val regress = math.max(lastLayer - layer, 0) / md
+    val skip = math.max(layer - (lastLayer + 1), 0) / md
+    val raw = (depth + cfg.beta * progress - cfg.delta * regress - cfg.skipW * skip) *
+      (0.5 + 0.5 * confidence)
+    1.0 / (1.0 + math.exp(-cfg.k * (raw - cfg.c)))
+  }
+
+  /** One state transition: consume a turn, produce the next state.
+    * Termination reuses Termination.reasonFor — the exact predicate
+    * the batch window queries verify. */
+  def step(st: DialogueState, ev: TurnEvent, cfg: RewardConfig): (DialogueState, Option[String]) = {
+    val last = if (st.turnIndex == 0) ev.layer else st.lastLayer
+    val score = scoreTurn(ev.layer, last, ev.confidence, cfg)
+    val layers = st.layers :+ ev.layer
+    val next = DialogueState(
+      st.turnIndex + 1, ev.layer, math.max(st.deepestLayer, ev.layer),
+      layers, st.scoreSum + score, terminated = false)
+    val reason = Termination.reasonFor(next.turnIndex, MaxTurns, layers, emptyText = false)
+    (next.copy(terminated = reason.isDefined), reason)
+  }
+
+  /** Fold a whole ordered session; stops consuming at the first
+    * terminating turn (the stream would emit no further user turns). */
+  def runSession(diaId: Long, turns: Iterator[TurnEvent], cfg: RewardConfig): SessionSummary = {
+    var st = initialState
+    var reason: Option[String] = None
+    val it = turns.buffered
+    while (it.hasNext && reason.isEmpty) {
+      val (next, r) = step(st, it.next(), cfg)
+      st = next
+      reason = r
+    }
+    SessionSummary(
+      diaId, st.turnIndex, st.turnIndex, reason.orNull, st.deepestLayer,
+      if (st.turnIndex == 0) 0.0
+      else BigDecimal(st.scoreSum / st.turnIndex).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  /** Driver query: batch replay of the state machine over the
+    * events-derived turns table. Per-group sort is in-memory — group
+    * size is bounded by the dialogue length (≤ max_turns in production;
+    * ≤ events-per-user here), not by table size. */
+  def sessionReplay(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cfg = RewardConfig()
+    Reward.turnsFromEvents(s, d)
+      .select(col("dia_id"), col("turn"), col("layer"), col("confidence"))
+      .as[TurnEvent]
+      .groupByKey(_.dia_id)
+      .flatMapGroups { (k, it) =>
+        Iterator.single(runSession(k, it.toSeq.sortBy(_.turn).iterator, cfg))
+      }
+      .toDF()
+      .orderBy("dia_id")
+  }
+
+  /** Structured Streaming form (T1–T5): same transition function under
+    * flatMapGroupsWithState. Emits one summary row when a session
+    * terminates and removes its state. Exercised by the stream-batch
+    * equivalence spec (T8) over a MemoryStream. */
+  def streamingSummaries(
+      turns: Dataset[TurnEvent],
+      cfg: RewardConfig = RewardConfig()): Dataset[SessionSummary] = {
+    import turns.sparkSession.implicits._
+    turns
+      .groupByKey(_.dia_id)
+      .flatMapGroupsWithState[DialogueState, SessionSummary](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (diaId, evs, state: GroupState[DialogueState]) =>
+          var st = state.getOption.getOrElse(initialState)
+          var out: List[SessionSummary] = Nil
+          // events within a micro-batch arrive unordered; order by turn
+          evs.toSeq.sortBy(_.turn).foreach { ev =>
+            if (!st.terminated) {
+              val (next, reason) = step(st, ev, cfg)
+              st = next
+              reason.foreach { r =>
+                out = SessionSummary(
+                  diaId, st.turnIndex, st.turnIndex, r, st.deepestLayer,
+                  BigDecimal(st.scoreSum / st.turnIndex)
+                    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) :: out
+              }
+            }
+          }
+          if (st.terminated) state.remove() else state.update(st)
+          out.reverseIterator
+      }
+  }
+}

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-time windowing over the events stream table (SURVEY.md §2.9
+  * T6): tumbling / sliding / session windows, run here in batch mode —
+  * the same `window()`/`session_window()` expressions drop into a
+  * `readStream` + `withWatermark` pipeline unchanged (that streaming
+  * path is exercised in the streaming spec with a MemoryStream).
+  *
+  * Timestamps go through Tables.tsFromNanos (µs), the finest unit the
+  * DuckDB oracle can see; window starts are emitted as formatted
+  * strings for cross-engine comparison.
+  */
+object EventTimeWindows {
+
+  private val Fmt = "yyyy-MM-dd HH:mm:ss"
+
+  private def ev(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "events").withColumn("tstamp", Tables.tsFromNanos("ts"))
+
+  /** T6 tumbling: hourly counts + value sums per event type. Epoch-
+    * aligned windows, matching DuckDB's time_bucket. */
+  def tumblingHourly(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .groupBy(window(col("tstamp"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+      .select(
+        date_format(col("w.start"), Fmt).as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  /** T6 sliding: 1-hour windows every 30 minutes — each event lands in
+    * exactly two windows. */
+  def slidingHourly30m(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .groupBy(window(col("tstamp"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+      .select(date_format(col("w.start"), Fmt).as("window_start"), col("n"), col("sum_value"))
+      .orderBy("window_start")
+
+  /** T6/T3 session windows: per-user activity sessions with a
+    * 30-minute inactivity gap — the direct generalization of the
+    * dialogue session-close semantics. Spark's session end = last
+    * event + gap. */
+  def sessionWindows30m(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .groupBy(session_window(col("tstamp"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 6).as("sum_value"))
+      .select(
+        col("user_id"),
+        date_format(col("w.start"), Fmt).as("session_start"),
+        date_format(col("w.end"), Fmt).as("session_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.reward.RewardConfig
+import graft.streaming.{DialogueStateMachine, TurnEvent}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** T8 stream-batch equivalence (SURVEY.md §2.9, §5.4): the
+  * flatMapGroupsWithState streaming path must emit exactly what the
+  * batch fold computes, including state carried across micro-batches. */
+class StreamingEquivalenceSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  private val cfg = RewardConfig()
+
+  // three dialogues with distinct termination modes
+  private val stagnating = // six 3s from turn 2..7 → no_progress_6 at turn 7
+    (1 to 10).map(i => TurnEvent(1L, i, if (i == 1) 1 else 3, 0.5))
+  private val maxedOut = // alternating layers never stagnate → max_turns at 20
+    (1 to 25).map(i => TurnEvent(2L, i, 1 + (i % 2), 0.5))
+  private val perception = // 1,2,3,4,5,5,5,5,5 → perception_5 at turn 9
+    (1 to 12).map(i => TurnEvent(3L, i, math.min(i, 5), 0.5))
+
+  private val all = stagnating ++ maxedOut ++ perception
+
+  test("batch fold produces the expected terminations") {
+    val byDia = all.groupBy(_.dia_id)
+    val s1 = DialogueStateMachine.runSession(1L, byDia(1L).sortBy(_.turn).iterator, cfg)
+    val s2 = DialogueStateMachine.runSession(2L, byDia(2L).sortBy(_.turn).iterator, cfg)
+    val s3 = DialogueStateMachine.runSession(3L, byDia(3L).sortBy(_.turn).iterator, cfg)
+    assert(s1.terminate_reason === "no_progress_6" && s1.end_turn === 7)
+    assert(s2.terminate_reason === "max_turns" && s2.end_turn === 20)
+    assert(s3.terminate_reason === "perception_5" && s3.end_turn === 9)
+    assert(s3.deepest_layer === 5)
+  }
+
+  test("streaming emits the same summaries, state carried across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[TurnEvent]
+    val query = DialogueStateMachine.streamingSummaries(input.toDS(), cfg)
+      .writeStream.format("memory").queryName("t8_out").outputMode("append").start()
+    try {
+      // split mid-session so every dialogue's state crosses a batch boundary
+      val (b1, b2) = all.partition(_.turn <= 5)
+      input.addData(b1)
+      query.processAllAvailable()
+      input.addData(b2)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val streamed = spark.table("t8_out").as[graft.streaming.SessionSummary]
+      .collect().map(s => s.dia_id -> s).toMap
+    val batch = all.groupBy(_.dia_id).map { case (k, ts) =>
+      k -> DialogueStateMachine.runSession(k, ts.sortBy(_.turn).iterator, cfg)
+    }
+    assert(streamed.keySet === batch.keySet)
+    batch.foreach { case (k, b) =>
+      val s = streamed(k)
+      assert(s.end_turn === b.end_turn, s"dia $k end_turn")
+      assert(s.terminate_reason === b.terminate_reason, s"dia $k reason")
+      assert(s.deepest_layer === b.deepest_layer, s"dia $k deepest")
+      assert(math.abs(s.mean_score - b.mean_score) < 1e-9, s"dia $k score")
+    }
+  }
+}
