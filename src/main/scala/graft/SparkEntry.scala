@@ -64,6 +64,9 @@ object SparkEntry {
     "etl_positional_split" -> (etl.Preprocess.positionalSplit _),
     "role_swap_messages" -> (etl.Preprocess.roleSwapMessages _),
     "softmax_classify" -> (etl.Preprocess.softmaxClassify _),
+    "zip_scripts" -> (etl.Preprocess.zipScripts _),
+    "rank_family" -> (ops.Relational.rankFamily _),
+    "union_entities" -> (ops.Relational.unionEntities _),
     // --- streaming semantics (SURVEY.md §2.9 T1-T6), batch-replayed ---
     "session_replay" -> (streaming.DialogueStateMachine.sessionReplay _),
     "tumbling_hourly" -> (streaming.EventTimeWindows.tumblingHourly _),
@@ -527,6 +530,57 @@ object SparkEntry {
         |  round(1.0 / list_sum(list_transform(lg, x -> exp(x - list_aggregate(lg, 'max')))), 6)
         |    AS confidence
         |FROM l ORDER BY vec_id""".stripMargin,
+    "zip_scripts" ->
+      """WITH turns AS (
+        |  SELECT user_id AS dia_id, event_id AS turn_id, pos,
+        |         CASE WHEN pos = 1 THEN
+        |           CASE event_id % 4 WHEN 0 THEN 'speaker' WHEN 1 THEN 'listener'
+        |                WHEN 2 THEN 'speaker_primary' ELSE 'observer' END
+        |         ELSE CASE WHEN event_id % 2 = 0 THEN 'speaker_alt' ELSE 'listener_alt' END
+        |         END AS role,
+        |         CASE WHEN pos = 1 THEN
+        |           CASE WHEN event_id % 13 = 0 THEN '   ' ELSE event_type END
+        |         ELSE 'alt_' || event_type END AS text
+        |  FROM events, (SELECT unnest([1, 2]) AS pos) p
+        |),
+        |firsts AS (
+        |  SELECT dia_id, turn_id,
+        |    (list(text ORDER BY pos) FILTER (WHERE lower(role) LIKE 'speaker%'))[1] AS user_text,
+        |    (list(text ORDER BY pos) FILTER (WHERE lower(role) LIKE 'listener%'))[1] AS asst_text
+        |  FROM turns GROUP BY 1, 2
+        |),
+        |scripts AS (
+        |  SELECT dia_id,
+        |    coalesce(list(trim(user_text) ORDER BY turn_id)
+        |      FILTER (WHERE user_text IS NOT NULL AND length(trim(user_text)) > 0), []) AS user_script,
+        |    coalesce(list(trim(asst_text) ORDER BY turn_id)
+        |      FILTER (WHERE asst_text IS NOT NULL AND length(trim(asst_text)) > 0), []) AS asst_script
+        |  FROM firsts GROUP BY 1
+        |),
+        |u AS (SELECT dia_id, unnest(user_script) AS user_text,
+        |             unnest(range(1, len(user_script)+1)) AS pos FROM scripts),
+        |a AS (SELECT dia_id, unnest(asst_script) AS asst_text,
+        |             unnest(range(1, len(asst_script)+1)) AS pos FROM scripts)
+        |SELECT dia_id, CAST(pos AS INT) AS pos, user_text, asst_text
+        |FROM u FULL OUTER JOIN a USING (dia_id, pos)
+        |ORDER BY dia_id, pos""".stripMargin,
+    "rank_family" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        |       CAST(rn AS INT) AS rn, CAST(rnk AS INT) AS rnk,
+        |       CAST(drnk AS INT) AS drnk, CAST(quartile AS INT) AS quartile
+        |FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |         row_number() OVER w AS rn, rank() OVER w AS rnk,
+        |         dense_rank() OVER w AS drnk, ntile(4) OVER w AS quartile
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+        |) WHERE rn <= 5 ORDER BY c_mktsegment, rn""".stripMargin,
+    "union_entities" ->
+      """SELECT kind, count(*) AS n, min(name) AS first_name FROM (
+        |  SELECT c_name AS name, 'customer' AS kind FROM customer
+        |  UNION ALL
+        |  SELECT s_name AS name, 'supplier' AS kind FROM supplier
+        |) GROUP BY kind ORDER BY kind""".stripMargin,
     // --- streaming semantics, batch-replayed ---
     "session_replay" ->
       """WITH turns AS (

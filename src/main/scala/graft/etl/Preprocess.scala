@@ -131,6 +131,20 @@ object Preprocess {
       .orderBy("dia_id")
   }
 
+  /** J1 positional zip-join (`data_preprocess.py:30-35`): pair the
+    * user and assistant scripts in lockstep via arrays_zip — the only
+    * join-like op with a reference citation. Null-pads the shorter
+    * side, exactly like a full-outer positional join. */
+  def zipScripts(s: SparkSession, d: String): DataFrame =
+    dialogueCorpus(s, d)
+      .select(col("dia_id"), script("speaker").as("user_script"), script("listener").as("asst_script"))
+      .select(col("dia_id"), posexplode(arrays_zip(col("user_script"), col("asst_script"))))
+      .select(
+        col("dia_id"), (col("pos") + 1).cast("int").as("pos"),
+        col("col.user_script").as("user_text"),
+        col("col.asst_script").as("asst_text"))
+      .orderBy("dia_id", "pos")
+
   /** F12+O4 classifier post-processing (`empathy_interaction.py:127-129`):
     * softmax→argmax over a 5-way logit vector (first 5 embedding dims
     * stand in for classifier logits). Confidence uses the collapsed

@@ -219,6 +219,32 @@ object Relational {
     withCust.except(withSupp).orderBy("n_name")
   }
 
+  /** W7 full ranking family: rank, dense_rank, ntile alongside
+    * row_number over per-segment order values. */
+  def rankFamily(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc, col("c_custkey"))
+    t(s, d, "customer")
+      .select(
+        col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"))
+      .filter(col("rn") <= 5)
+      .orderBy("c_mktsegment", "rn")
+  }
+
+  /** U2: tagged UNION ALL of heterogeneous entity names, then a
+    * group-count over the union — the unionByName surface. */
+  def unionEntities(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer").select(col("c_name").as("name"), lit("customer").as("kind"))
+    val su = t(s, d, "supplier").select(col("s_name").as("name"), lit("supplier").as("kind"))
+    c.unionByName(su)
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n"), min("name").as("first_name"))
+      .orderBy("kind")
+  }
+
   /** F1–F7: string-function projection over part. */
   def stringFuncsPart(s: SparkSession, d: String): DataFrame =
     t(s, d, "part")

@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Source/sink coverage (SURVEY.md §2.1 S1/S2/S4/S7): JSON and CSV
+  * scans with explicit schemas, sink round-trips, and the reference's
+  * multiLine JSON corpus shape (`utils/data_preprocess.py:86-89`). */
+class SourcesSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("S4/S1: JSON sink then scan round-trips rows and values") {
+    val out = "/tmp/graft_test/events_json"
+    val src = Tables.load(spark, sfDir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    src.write.mode("overwrite").json(out)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    val back = spark.read.schema(schema).json(out)
+    assert(back.count() === src.count())
+    val a = src.orderBy("event_id").collect().map(_.toSeq)
+    val b = back.orderBy("event_id").collect().map(_.toSeq)
+    assert(a.sameElements(b) || a.zip(b).forall { case (x, y) => x == y })
+  }
+
+  test("S7/S2: CSV sink then scan with explicit schema round-trips") {
+    val out = "/tmp/graft_test/part_csv"
+    val src = Tables.load(spark, sfDir, "part")
+      .select("p_partkey", "p_name", "p_size", "p_retailprice")
+    src.write.mode("overwrite").option("header", "true").csv(out)
+    val schema = StructType(Seq(
+      StructField("p_partkey", LongType), StructField("p_name", StringType),
+      StructField("p_size", IntegerType), StructField("p_retailprice", DoubleType)))
+    val back = spark.read.schema(schema).option("header", "true").csv(out)
+    assert(back.count() === src.count())
+    assert(back.agg(sum("p_retailprice")).collect()(0).getDouble(0)
+      === src.agg(sum("p_retailprice")).collect()(0).getDouble(0))
+  }
+
+  test("S1: multiLine JSON dialogue corpus scans with nested schema") {
+    // the reference's corpus shape (FIXTURES.md §1.1), incl. unsorted
+    // turn_ids and a speakerless round
+    val json =
+      """[
+        |  {"dia_id": "d1", "seed": "s", "story": "st", "first_explanation": "fe",
+        |   "dialogue": [
+        |     {"turn_id": 2, "turns": [{"role": "speaker", "text": " hello2 "}]},
+        |     {"turn_id": 1, "turns": [{"role": "listener", "text": "resp1"},
+        |                               {"role": "speaker_x", "text": "hello1"}]},
+        |     {"turn_id": 3, "turns": [{"role": "observer", "text": "nope"}]}
+        |   ]}
+        |]""".stripMargin
+    val dir = Paths.get("/tmp/graft_test")
+    Files.createDirectories(dir)
+    val f = dir.resolve("corpus.json")
+    Files.writeString(f, json)
+    val df = spark.read.option("multiLine", "true").json(f.toString)
+    // sort rounds by turn_id, pull first speaker* text per round, trim, drop misses
+    val sorted = df.select(col("dia_id"),
+      array_sort(col("dialogue"), (a, b) =>
+        a.getField("turn_id").cast("int") - b.getField("turn_id").cast("int")).as("dialogue"))
+    val script = sorted.select(col("dia_id"),
+      filter(
+        transform(col("dialogue"), r =>
+          trim(try_element_at(
+            filter(r.getField("turns"), t => lower(t.getField("role")).startsWith("speaker")),
+            lit(1)).getField("text"))),
+        x => x.isNotNull && length(x) > 0).as("user_script"))
+    val row = script.collect()(0)
+    assert(row.getAs[String]("dia_id") === "d1")
+    assert(row.getAs[scala.collection.Seq[String]]("user_script") === Seq("hello1", "hello2"))
+  }
+}
