@@ -1,0 +1,38 @@
+package graft
+
+import graft.functions.{DotProductExpr, PolyHashExpr}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{ArrayTransform, Expression, ExpressionInfo, Size}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** size(transform(arr, λ)) ⇒ size(arr): transform is length-preserving
+  * regardless of the lambda, so the (possibly expensive, non-codegen)
+  * per-element evaluation is dead work when only the length is
+  * consumed. This is exactly the shape the optimizer's inferred
+  * `size(...) > 0` Generate filters produce over computed arrays
+  * (see Dedup.minhashSignaturesQuery). */
+object SizeOfTransformSimplification extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case Size(ArrayTransform(arr, _), legacy) => Size(arr, legacy)
+    }
+}
+
+/** Engine extension point (mandate category (c)): SQL-registered
+  * native functions + optimizer rules, activated with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_polyhash"),
+      new ExpressionInfo(classOf[PolyHashExpr].getName, "graft_polyhash"),
+      (children: Seq[Expression]) => PolyHashExpr(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProductExpr(children(0), children(1))))
+    ext.injectOptimizerRule(_ => SizeOfTransformSimplification)
+  }
+}

@@ -22,9 +22,20 @@ object ColumnFunctions {
     * ARRAY<FLOAT>; math is done in double). */
   def toDoubleArray(a: Column): Column = transform(a, x => x.cast("double"))
 
-  /** Dot product of two numeric arrays via zip_with + left-fold
-    * aggregate — deterministic element-order summation (L3). */
-  def dot(a: Column, b: Column): Column =
+  /** Wrap a raw Catalyst expression as a Column (Spark 4 classic). */
+  private def ofExpr(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.GraftSqlShim.column(e)
+
+  private def exprOf(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.GraftSqlShim.expression(c)
+
+  /** Dot product of two double arrays — native codegen expression
+    * (one tight loop). Left-to-right summation, bit-identical to
+    * [[dotHof]], which the spec cross-checks. */
+  def dot(a: Column, b: Column): Column = ofExpr(DotProductExpr(exprOf(a), exprOf(b)))
+
+  /** Interpreted HOF reference form of [[dot]] (zip_with + left fold). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** Euclidean norm. */
@@ -68,10 +79,15 @@ object ColumnFunctions {
 
   val HashP: Long = 1000000007L
 
-  /** Polynomial string hash: fold over characters, h = (h*31 + ascii)%p.
-    * `aggregate` over a 1..len sequence keeps it a codegen'd expression.
-    */
-  def polyHash(s: Column): Column =
+  /** Polynomial string hash h=(h*31+byte)%p — native codegen
+    * expression (PolyHashExpr). Equals [[polyHashHof]] on ASCII input
+    * (spec-checked); the DuckDB oracles mirror the same fold. */
+  def polyHash(s: Column): Column = ofExpr(PolyHashExpr(exprOf(s)))
+
+  /** Interpreted HOF reference form of [[polyHash]]: fold over
+    * characters via aggregate-over-sequence (code points, so ASCII
+    * agrees with the byte-wise native form). */
+  def polyHashHof(s: Column): Column =
     aggregate(
       sequence(lit(1), length(s)),
       lit(0L),
