@@ -52,6 +52,7 @@ object SparkEntry {
     "simhash_docs" -> (llm.Dedup.simhashDocs _),
     "jaccard_consecutive" -> (llm.Dedup.jaccardConsecutive _),
     "knn_brute_force" -> ((s, d) => llm.Similarity.knnBruteForce(s, d)),
+    "knn_topk_agg" -> ((s, d) => llm.Similarity.knnTopKAgg(s, d)),
     "knn_lsh_bucketed" -> ((s, d) => llm.Similarity.knnLshBucketed(s, d)),
     "label_cohesion" -> (llm.Similarity.labelCohesion _),
     "text_quality" -> (llm.TextAnalysis.textQuality _),
@@ -67,6 +68,8 @@ object SparkEntry {
     "zip_scripts" -> (etl.Preprocess.zipScripts _),
     "rank_family" -> (ops.Relational.rankFamily _),
     "union_entities" -> (ops.Relational.unionEntities _),
+    "cube_status_priority" -> (ops.Relational.cubeStatusPriority _),
+    "salted_type_stats" -> (ops.Relational.saltedTypeStats _),
     // --- streaming semantics (SURVEY.md §2.9 T1-T6), batch-replayed ---
     "session_replay" -> (streaming.DialogueStateMachine.sessionReplay _),
     "tumbling_hourly" -> (streaming.EventTimeWindows.tumblingHourly _),
@@ -396,6 +399,29 @@ object SparkEntry {
         |  SELECT qid, vid, cos_sim,
         |         row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vid) AS rn FROM sc)
         |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+    // knn_topk_agg: heap-aggregate plan, identical results/oracle as brute force
+    "knn_topk_agg" ->
+      """WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |                  unnest(range(len(embedding))) AS i FROM embeddings),
+        |n AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM e GROUP BY 1),
+        |d AS (SELECT a.vec_id AS qid, b.vec_id AS vid, sum(a.x * b.x) AS dp
+        |      FROM e a JOIN e b ON a.i = b.i AND b.vec_id != a.vec_id
+        |      WHERE a.vec_id < 10 GROUP BY 1, 2),
+        |sc AS (SELECT qid, vid, round(dp / (na.nrm * nb.nrm), 6) AS cos_sim
+        |       FROM d JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = vid)
+        |SELECT qid, CAST(rn AS INT) AS "rank", vid AS vec_id, cos_sim FROM (
+        |  SELECT qid, vid, cos_sim,
+        |         row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vid) AS rn FROM sc)
+        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+    "cube_status_priority" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "salted_type_stats" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // knn_lsh_bucketed: approximate recall by design → rows-only check.
     "label_cohesion" ->
       """WITH e AS (SELECT label, vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,

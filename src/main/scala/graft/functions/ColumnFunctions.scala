@@ -38,6 +38,13 @@ object ColumnFunctions {
   def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  /** Bounded top-k aggregate column (TypedImperativeAggregate): the
+    * heap-based, map-side-combining alternative to a row_number window
+    * for per-group top-k. Pass the ROUNDED score for cross-engine
+    * rank stability. Returns array<struct<id,score>> best-first. */
+  def topKByScore(score: Column, id: Column, k: Int): Column =
+    ofExpr(TopKByScore(exprOf(score), exprOf(id), k).toAggregateExpression())
+
   /** Euclidean norm. */
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 

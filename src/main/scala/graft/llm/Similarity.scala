@@ -42,6 +42,30 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** L3 exact KNN via the bounded top-k aggregate (TopKByScore,
+    * SURVEY.md §2.11): same results as [[knnBruteForce]] — same oracle
+    * — but a single-pass heap aggregate with map-side combine instead
+    * of a full per-group sort under a row_number window. The 100 TB
+    * shape: every partition ships at most k rows per query to the
+    * final aggregation. */
+  def knnTopKAgg(s: SparkSession, d: String, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val emb = embWithNorm(s, d)
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = emb.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(
+        col("qid"), col("vec_id"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_sim"))
+    scored
+      .groupBy("qid")
+      .agg(topKByScore(col("cos_sim"), col("vec_id"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(
+        col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("vec_id"), col("col.score").as("cos_sim"))
+      .orderBy("qid", "rank")
+  }
+
   /** Deterministic pseudo-random ±1 hyperplane coefficient for plane
     * p, dimension i — arithmetic stand-in for a seeded RNG (rand() is
     * banned by the determinism contract, SURVEY.md §4). */

@@ -219,6 +219,28 @@ object Relational {
     withCust.except(withSupp).orderBy("n_name")
   }
 
+  /** A10 (cube): all grouping combinations of status × priority. */
+  def cubeStatusPriority(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .select("o_orderstatus", "o_orderpriority", "o_totalprice")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** Skew-resilient two-stage aggregation: salt the group key, partial-
+    * aggregate per (key, salt), then final-aggregate per key. Results
+    * are identical to the direct groupBy (the oracle is the plain
+    * form); the shape is what survives a hot key at 100 TB — each hot
+    * key's rows spread across 16 reducers before the tiny final agg. */
+  def saltedTypeStats(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .withColumn("salt", pmod(col("event_id"), lit(16L)))
+      .groupBy("event_type", "salt")
+      .agg(count(lit(1)).as("pn"), sum("value").as("ps"))
+      .groupBy("event_type")
+      .agg(sum("pn").as("n"), round(sum("ps"), 6).as("sum_value"))
+      .orderBy("event_type")
+
   /** W7 full ranking family: rank, dense_rank, ntile alongside
     * row_number over per-segment order values. */
   def rankFamily(s: SparkSession, d: String): DataFrame = {
