@@ -70,6 +70,8 @@ object SparkEntry {
     "union_entities" -> (ops.Relational.unionEntities _),
     "cube_status_priority" -> (ops.Relational.cubeStatusPriority _),
     "salted_type_stats" -> (ops.Relational.saltedTypeStats _),
+    "stats_summary" -> (ops.Relational.statsSummary _),
+    "pivot_status_revenue" -> (ops.Relational.pivotStatusRevenue _),
     // --- streaming semantics (SURVEY.md §2.9 T1-T6), batch-replayed ---
     "session_replay" -> (streaming.DialogueStateMachine.sessionReplay _),
     "tumbling_hourly" -> (streaming.EventTimeWindows.tumblingHourly _),
@@ -422,6 +424,19 @@ object SparkEntry {
     "salted_type_stats" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "stats_summary" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+        |       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |       round(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc,
+        |       round(stddev_samp(l_quantity), 6) AS stddev_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "pivot_status_revenue" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        |       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
+        |       round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O,
+        |       round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
+        |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin,
     // knn_lsh_bucketed: approximate recall by design → rows-only check.
     "label_cohesion" ->
       """WITH e AS (SELECT label, vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,

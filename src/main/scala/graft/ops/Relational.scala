@@ -267,6 +267,26 @@ object Relational {
       .orderBy("kind")
   }
 
+  /** A8 (statistics family): exact interpolated median + correlation /
+    * covariance / stddev per return flag. */
+  def statsSummary(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+        round(corr("l_quantity", "l_extendedprice"), 6).as("corr_qty_price"),
+        round(covar_samp("l_quantity", "l_discount"), 6).as("covar_qty_disc"),
+        round(stddev_samp("l_quantity"), 6).as("stddev_qty"))
+      .orderBy("l_returnflag")
+
+  /** A8 (pivot): order revenue by year, one column per status. */
+  def pivotStatusRevenue(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy(year(col("o_orderdate")).cast("int").as("yr"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(sum("o_totalprice"), 2))
+      .orderBy("yr")
+
   /** F1–F7: string-function projection over part. */
   def stringFuncsPart(s: SparkSession, d: String): DataFrame =
     t(s, d, "part")
