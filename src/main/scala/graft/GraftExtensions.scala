@@ -34,5 +34,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProductExpr(children(0), children(1))))
     ext.injectOptimizerRule(_ => SizeOfTransformSimplification)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

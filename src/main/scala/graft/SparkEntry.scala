@@ -35,6 +35,7 @@ object SparkEntry {
     "segment_order_stats" -> (ops.Relational.segmentOrderStats _),
     "range_join_quantity" -> (ops.Relational.rangeJoinQuantity _),
     "asof_latest_error" -> (ops.Relational.asofLatestError _),
+    "asof_native" -> (ops.Relational.asofNativeLatestError _),
     "rollup_acctbal" -> (ops.Relational.rollupAcctbal _),
     "distinct_counts" -> (ops.Relational.distinctCounts _),
     "approx_distinct_users" -> (ops.Relational.approxDistinctUsers _),
@@ -244,6 +245,15 @@ object SparkEntry {
         |  ON CAST(l_quantity AS INT) BETWEEN p_size AND p_size + 4
         |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin,
     "asof_latest_error" ->
+      """SELECT event_id, user_id, ts, prior_error_ts FROM (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts,
+        |         last_value(CASE WHEN event_type = 'error' THEN epoch_us(ts) END
+        |                    IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prior_error_ts
+        |  FROM events
+        |) WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "asof_native" ->
       """SELECT event_id, user_id, ts, prior_error_ts FROM (
         |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts,
         |         last_value(CASE WHEN event_type = 'error' THEN epoch_us(ts) END

@@ -141,6 +141,24 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** J6 via the NATIVE as-of join operator (graft.plans.AsOfJoin):
+    * same semantics and oracle as [[asofLatestError]], but executed by
+    * the custom AsOfJoinExec merge pass instead of a window over the
+    * unioned stream — the plan shape that needs no window state and
+    * only scans each side once. */
+  def asofNativeLatestError(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events").withColumn("ts_us", Tables.tsMicros("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_us")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("r_user_id"), col("ts_us").as("r_ts"))
+    graft.plans.AsOf.asofJoin(purchases, errors, "user_id", "r_user_id", "ts_us", "r_ts")
+      .select(
+        col("event_id"), col("user_id"), col("ts_us").as("ts"),
+        col("r_ts").as("prior_error_ts"))
+      .orderBy("event_id")
+  }
+
   /** A10: rollup over (region, nation) of customer balances. Joins are
     * declared with the DataFrame API (broadcast hints included); the
     * rollup itself goes through spark.sql — the Dataset-API `rollup`

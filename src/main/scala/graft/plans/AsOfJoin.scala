@@ -1,0 +1,132 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.GraftSqlShim
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+
+/** Native as-of join (SURVEY.md §2.3 J6) — the whole-operator custom
+  * path of the mandate's preference ladder: LogicalPlan + Strategy +
+  * SparkPlan, registered through [[graft.GraftExtensions]].
+  *
+  * Semantics: for every left row, attach the LATEST right row of the
+  * same key whose time ≤ the left row's time (null-extended when none
+  * exists) — the point-in-time lookup Spark SQL lacks natively.
+  *
+  * Physical shape (the 100 TB story): both sides hash-partitioned on
+  * the key and sorted by (key, time) — a sort-merge join's input
+  * requirements, satisfied by EnsureRequirements — then one forward
+  * merge pass per partition carrying a single candidate row of state:
+  * O(|L|+|R|) per partition, no row explosion, no window
+  * materialization of the right side.
+  *
+  * Contract: key and time expressions must be LongType (see
+  * Tables.tsMicros); right-side columns should be pre-aliased to
+  * names distinct from the left's (as with any self-join).
+  */
+final case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTime: Expression,
+    rightTime: Expression)
+    extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ right.output.map(_.withNullability(true))
+  protected override def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans AsOfJoinPlan → AsOfJoinExec (injectPlannerStrategy). */
+object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+final case class AsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTime: Expression,
+    rightTime: Expression)
+    extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(
+      Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val (lk, rk, lt, rt) = (leftKey, rightKey, leftTime, rightTime)
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(Seq(lk, lt), lOut)
+      val rKeyProj = UnsafeProjection.create(Seq(rk, rt), rOut)
+      val outProj = UnsafeProjection.create(lOut ++ rOut, lOut ++ rOut)
+      val nullRight = new GenericInternalRow(rOut.size)
+      val joined = new JoinedRow
+
+      val rBuf = rIter.buffered
+      var candRow: InternalRow = null // latest right row with key=candKey, time ≤ seen left time
+      var candKey: Long = 0L
+      var hasCand = false
+
+      lIter.map { lRow =>
+        val lProj = lKeyProj(lRow)
+        val lKeyV = lProj.getLong(0)
+        val lTimeV = lProj.getLong(1)
+        var advancing = true
+        while (advancing && rBuf.hasNext) {
+          val rProj = rKeyProj(rBuf.head)
+          val rKeyV = rProj.getLong(0)
+          val rTimeV = rProj.getLong(1)
+          if (rKeyV < lKeyV) rBuf.next() // smaller key: discard
+          else if (rKeyV == lKeyV && rTimeV <= lTimeV) {
+            candRow = rBuf.next().copy(); candKey = rKeyV; hasCand = true
+          } else advancing = false
+        }
+        val matched = hasCand && candKey == lKeyV
+        outProj(joined(lRow, if (matched) candRow else nullRight))
+      }
+    }
+  }
+
+  protected override def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** DataFrame-level API: resolve key/time columns BY NAME against each
+  * side (LongType required). */
+object AsOf {
+  private def attr(df: DataFrame, name: String): Attribute =
+    GraftSqlShim.analyzedPlan(df).output.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"column $name not in [${GraftSqlShim.analyzedPlan(df).output.map(_.name).mkString(",")}]"))
+
+  def asofJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String): DataFrame = {
+    val plan = AsOfJoinPlan(
+      GraftSqlShim.analyzedPlan(left), GraftSqlShim.analyzedPlan(right),
+      attr(left, leftKey), attr(right, rightKey),
+      attr(left, leftTime), attr(right, rightTime))
+    GraftSqlShim.ofRows(left.sparkSession, plan)
+  }
+}
