@@ -60,6 +60,9 @@ object SparkEntry {
     "token_counts" -> (llm.TextAnalysis.tokenCounts _),
     "lang_id" -> (llm.TextAnalysis.langId _),
     "doc_fingerprint" -> (llm.TextAnalysis.docFingerprint _),
+    "bpe_token_stats" -> (llm.TextAnalysis.bpeTokenStats _),
+    "lang_id_ngram" -> (llm.TextAnalysis.langIdNgram _),
+    "embedding_near_dup" -> ((s, d) => llm.Similarity.embeddingNearDup(s, d)),
     "multimodal_features" -> (llm.Multimodal.multimodalFeatures _),
     // --- reference ETL parity (SURVEY.md §2.2, §2.6 O3, §3 E1) ---
     "etl_verl_rows" -> (etl.Preprocess.verlRows _),
@@ -503,6 +506,46 @@ object SparkEntry {
         |    i -> (((th[i]*37 + th[i+1]) % 1000000007) * 37 + th[i+2]) % 1000000007),
         |    'min') AS min_fp
         |FROM t2 ORDER BY doc_id""".stripMargin,
+    "bpe_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpe_tokens,
+        |  CAST(len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS INT)
+        |    AS n_uniq_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "lang_id_ngram" ->
+      """WITH g AS (SELECT doc_id, lang,
+        |                  list_transform(range(1, length(text)-1),
+        |                                 i -> substring(text, i, 3)) AS grams
+        |           FROM documents),
+        |tok AS (SELECT lang, unnest(grams) AS g FROM g),
+        |cnt AS (SELECT lang, g, count(*) AS c FROM tok GROUP BY 1, 2),
+        |prof AS (SELECT lang AS plang, g FROM (
+        |  SELECT lang, g, row_number() OVER (PARTITION BY lang ORDER BY c DESC, g) AS rn
+        |  FROM cnt) WHERE rn <= 10),
+        |dtok AS (SELECT doc_id, lang, unnest(list_distinct(grams)) AS g FROM g),
+        |hits AS (SELECT doc_id, lang, plang, count(*) AS overlap
+        |         FROM dtok JOIN prof USING (g) GROUP BY 1, 2, 3)
+        |SELECT doc_id, lang, plang AS predicted FROM (
+        |  SELECT doc_id, lang, plang,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY overlap DESC, plang) AS rn
+        |  FROM hits) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "embedding_near_dup" ->
+      """WITH base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |              FROM embeddings WHERE vec_id < 200),
+        |var AS (SELECT vec_id + 1000000 AS vec_id,
+        |               list_transform(range(len(v)), i -> v[i+1] * (1 + 0.02*((i % 5) - 2))) AS v
+        |        FROM base),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM var),
+        |e AS (SELECT vec_id, unnest(v) AS x, unnest(range(len(v))) AS i FROM corpus),
+        |n AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM e GROUP BY 1),
+        |d AS (SELECT a.vec_id AS va, b.vec_id AS vb, sum(a.x * b.x) AS dp
+        |      FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2)
+        |SELECT va AS vec_a, vb AS vec_b,
+        |       round(dp / (na.nrm * nb.nrm), 6) AS cos_sim
+        |FROM d JOIN n na ON na.vec_id = va JOIN n nb ON nb.vec_id = vb
+        |WHERE round(dp / (na.nrm * nb.nrm), 6) >= 0.9
+        |ORDER BY vec_a, vec_b""".stripMargin,
     "multimodal_features" ->
       """SELECT doc_id, 'image/synthetic' AS media_type,
         |  CAST(length(text) AS INT) AS n_bytes,

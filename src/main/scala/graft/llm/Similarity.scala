@@ -103,6 +103,33 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** L2/L3 embedding-cosine near-dup: originals ∪ deterministically
+    * perturbed variants (±4% per-dim scaling, vec_id offset 1,000,000
+    * — the driver embeddings are random, so true near-dups are
+    * manufactured like Dedup.nearDupCorpus does for text), brute-force
+    * pairwise cosine over a bounded slice, threshold on the ROUNDED
+    * similarity. Original/variant pairs land ≈0.999; random pairs stay
+    * < 0.52, so the 0.9 threshold is noise-proof. At scale the
+    * candidate set comes from knnLshBucketed's buckets instead of the
+    * bounded cross join. */
+  def embeddingNearDup(s: SparkSession, d: String, threshold: Double = 0.9): DataFrame = {
+    val base = Tables.load(s, d, "embeddings")
+      .filter(col("vec_id") < 200)
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+    val variant = base.select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("v"), (x, i) =>
+        x * (lit(1.0) + lit(0.02) * (pmod(i, lit(5)) - lit(2)).cast("double"))).as("v"))
+    val corpus = base.unionByName(variant).withColumn("nrm", l2norm(col("v")))
+    corpus.as("a")
+      .join(corpus.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** L3 aggregate view: label centroids + per-label cohesion (mean
     * cosine of members to their centroid) — the clustering-quality
     * probe of an embedding pipeline. Exact, oracle-able. */

@@ -73,6 +73,50 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** L4 BPE-ish regex token counting: runs of letters, runs of
+    * digits, and single other symbols — the subword-style tokenizer
+    * shape — compared against plain whitespace counts per doc. */
+  def bpeTokenStats(s: SparkSession, d: String): DataFrame = {
+    val bpe = regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))
+    Tables.load(s, d, "documents")
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).as("n_ws_tokens"),
+        size(bpe).as("n_bpe_tokens"),
+        size(array_distinct(bpe)).as("n_uniq_bpe"))
+      .orderBy("doc_id")
+  }
+
+  /** L4 language-ID, char-trigram variant (the literal "n-gram
+    * heuristic"): per-lang top-10 character trigram profiles from the
+    * labeled corpus, classify by distinct-trigram overlap (ties →
+    * lexicographically first lang). Same self-supervised shape as
+    * [[langId]] at sub-word granularity. */
+  def langIdNgram(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.loadParallel(s, d, "documents")
+    val grams = transform(
+      sequence(lit(1), length(col("text")) - 2),
+      i => substring(col("text"), i, lit(3)))
+    val prof = docs
+      .select(col("lang"), explode(grams).as("g"))
+      .groupBy("lang", "g")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("lang").orderBy(col("c").desc, col("g"))))
+      .filter(col("rn") <= 10)
+      .select(col("lang").as("plang"), col("g"))
+    val docGrams = docs
+      .select(col("doc_id"), col("lang"), explode(array_distinct(grams)).as("g"))
+    docGrams.join(prof, "g")
+      .groupBy("doc_id", "lang", "plang")
+      .agg(count(lit(1)).as("overlap"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("doc_id").orderBy(col("overlap").desc, col("plang"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("plang").as("predicted"))
+      .orderBy("doc_id")
+  }
+
   /** L2/L4 document fingerprints: full-content rolling hash plus the
     * min-shingle-hash (the winnowing primitive — two docs sharing any
     * 3-gram window can collide on min_fp for fast candidate lookup). */

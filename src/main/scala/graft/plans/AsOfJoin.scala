@@ -77,7 +77,14 @@ final case class AsOfJoinExec(
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(Seq(lk, lt), lOut)
       val rKeyProj = UnsafeProjection.create(Seq(rk, rt), rOut)
-      val outProj = UnsafeProjection.create(lOut ++ rOut, lOut ++ rOut)
+      // explicit all-nullable BoundReferences: binding output attrs by
+      // exprId would inherit the child attributes' nullability and a
+      // non-nullable reference reads 0 from the null-extension row
+      // instead of null
+      val outProj = UnsafeProjection.create(
+        output.zipWithIndex.map { case (a, i) =>
+          org.apache.spark.sql.catalyst.expressions.BoundReference(i, a.dataType, nullable = true)
+        })
       val nullRight = new GenericInternalRow(rOut.size)
       val joined = new JoinedRow
 

@@ -1,0 +1,43 @@
+package graft
+
+import graft.plans.AsOf
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Edge semantics of the native as-of join operator. */
+class AsOfJoinSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  test("latest right ≤ left time per key; null when none; exact tie matches") {
+    val left = Seq( // (event, key, time)
+      (1L, 10L, 100L), (2L, 10L, 200L), (3L, 10L, 50L), // key 10
+      (4L, 20L, 500L), // key 20: no right rows at all
+      (5L, 30L, 100L)) // key 30: right only AFTER this time
+      .toDF("event_id", "user_id", "ts_us")
+    val right = Seq( // (key, time, tag)
+      (10L, 100L, "a"), // exact tie with left t=100
+      (10L, 150L, "b"),
+      (30L, 200L, "z"))
+      .toDF("r_user_id", "r_ts", "r_tag")
+
+    val got = AsOf.asofJoin(left, right, "user_id", "r_user_id", "ts_us", "r_ts")
+      .select("event_id", "r_ts", "r_tag")
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_ -> r.getString(2)))
+      .toMap
+
+    assert(got(1L).contains(100L -> "a")) // tie: time ≤ matches
+    assert(got(2L).contains(150L -> "b")) // latest of the two priors
+    assert(got(3L).isEmpty) // before any right row of key 10
+    assert(got(4L).isEmpty) // key absent on right
+    assert(got(5L).isEmpty) // right row exists but only later
+  }
+
+  test("matches the window-form query on driver data") {
+    val dir = "/root/testdata/sf0.001"
+    val a = ops.Relational.asofLatestError(spark, dir).collect().map(_.toSeq)
+    val b = ops.Relational.asofNativeLatestError(spark, dir).collect().map(_.toSeq)
+    assert(a.length === b.length)
+    a.zip(b).foreach { case (x, y) => assert(x === y) }
+  }
+}
