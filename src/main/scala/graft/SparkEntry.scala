@@ -76,6 +76,7 @@ object SparkEntry {
     "salted_type_stats" -> (ops.Relational.saltedTypeStats _),
     "stats_summary" -> (ops.Relational.statsSummary _),
     "pivot_status_revenue" -> (ops.Relational.pivotStatusRevenue _),
+    "skyline_price_size" -> (ops.Relational.skylinePriceSize _),
     // --- streaming semantics (SURVEY.md §2.9 T1-T6), batch-replayed ---
     "session_replay" -> (streaming.DialogueStateMachine.sessionReplay _),
     "tumbling_hourly" -> (streaming.EventTimeWindows.tumblingHourly _),
@@ -444,6 +445,14 @@ object SparkEntry {
         |       round(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc,
         |       round(stddev_samp(l_quantity), 6) AS stddev_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "skyline_price_size" ->
+      """WITH pts AS (SELECT DISTINCT p_retailprice, p_size FROM part)
+        |SELECT p_retailprice, p_size FROM pts a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts b
+        |  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size <= a.p_size
+        |    AND (b.p_retailprice < a.p_retailprice OR b.p_size < a.p_size))
+        |ORDER BY p_retailprice, p_size""".stripMargin,
     "pivot_status_revenue" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS yr,
         |       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,

@@ -305,6 +305,25 @@ object Relational {
       .agg(round(sum("o_totalprice"), 2))
       .orderBy("yr")
 
+  /** Skyline / Pareto frontier (PAPERS.md: "Integration of Skyline
+    * Queries into Spark SQL", EDBT 2023): parts where no other part is
+    * both cheaper-or-equal AND smaller-or-equal (strict in one).
+    * Computed over distinct (price, size) pairs in one sort + one
+    * running-min window — O(n log n) — instead of the naive O(n²)
+    * dominance self-join the oracle uses: after sorting by (price asc,
+    * size asc), a pair is on the frontier iff every preceding pair has
+    * a strictly larger size. */
+  def skylinePriceSize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("p_retailprice").asc, col("p_size").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(s, d, "part")
+      .select(col("p_retailprice"), col("p_size")).distinct()
+      .withColumn("min_prev_size", min(col("p_size")).over(w))
+      .filter(col("min_prev_size").isNull || col("min_prev_size") > col("p_size"))
+      .select(col("p_retailprice"), col("p_size"))
+      .orderBy("p_retailprice", "p_size")
+  }
+
   /** F1–F7: string-function projection over part. */
   def stringFuncsPart(s: SparkSession, d: String): DataFrame =
     t(s, d, "part")
