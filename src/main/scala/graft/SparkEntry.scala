@@ -55,6 +55,8 @@ object SparkEntry {
     "knn_brute_force" -> ((s, d) => llm.Similarity.knnBruteForce(s, d)),
     "knn_topk_agg" -> ((s, d) => llm.Similarity.knnTopKAgg(s, d)),
     "knn_lsh_bucketed" -> ((s, d) => llm.Similarity.knnLshBucketed(s, d)),
+    // knn_ivf: approximate recall by construction → rows-only check
+    "knn_ivf" -> ((s, d) => llm.Similarity.knnIvf(s, d)),
     "label_cohesion" -> (llm.Similarity.labelCohesion _),
     "text_quality" -> (llm.TextAnalysis.textQuality _),
     "token_counts" -> (llm.TextAnalysis.tokenCounts _),

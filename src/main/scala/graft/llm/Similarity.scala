@@ -103,6 +103,42 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** L3 scale path #2: IVF-style two-stage search. A deterministic
+    * coarse quantizer (the first nCells vectors stand in for k-means
+    * centroids — production would train real ones) assigns every
+    * vector to its nearest cell; each query probes its nProbe nearest
+    * cells and searches only those inverted lists. The candidate join
+    * shuffles on cell_id alone — the same bounded-bucket shape as
+    * [[knnLshBucketed]], with recall controlled by nProbe. Approximate
+    * by construction → rows-only check. */
+  def knnIvf(
+      s: SparkSession, d: String,
+      k: Int = 5, nQueries: Int = 10, nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    val emb = embWithNorm(s, d)
+    val cents = emb.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell_id"), col("v").as("cv"), col("nrm").as("cn"))
+    def nearestCells(df: DataFrame, keep: Int): DataFrame = {
+      val w = Window.partitionBy("vec_id").orderBy(col("cell_sim").desc, col("cell_id"))
+      df.crossJoin(broadcast(cents))
+        .withColumn("cell_sim", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") <= keep)
+        .drop("cv", "cn", "cell_sim", "crn")
+    }
+    val assigned = nearestCells(emb, 1)
+    val probes = nearestCells(emb.filter(col("vec_id") < nQueries), nProbe)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"), col("cell_id"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
+    assigned.join(probes, Seq("cell_id"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("cos_sim"))
+      .orderBy("qid", "rank")
+  }
+
   /** L2/L3 embedding-cosine near-dup: originals ∪ deterministically
     * perturbed variants (±4% per-dim scaling, vec_id offset 1,000,000
     * — the driver embeddings are random, so true near-dups are
