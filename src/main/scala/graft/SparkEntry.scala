@@ -79,6 +79,7 @@ object SparkEntry {
     "stats_summary" -> (ops.Relational.statsSummary _),
     "pivot_status_revenue" -> (ops.Relational.pivotStatusRevenue _),
     "skyline_price_size" -> (ops.Relational.skylinePriceSize _),
+    "lake_snapshot_read" -> (sources.LakeTable.snapshotReadQuery _),
     // --- streaming semantics (SURVEY.md §2.9 T1-T6), batch-replayed ---
     "session_replay" -> (streaming.DialogueStateMachine.sessionReplay _),
     "tumbling_hourly" -> (streaming.EventTimeWindows.tumblingHourly _),
@@ -447,6 +448,11 @@ object SparkEntry {
         |       round(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc,
         |       round(stddev_samp(l_quantity), 6) AS stddev_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // lake_snapshot_read: two lake-table commits then a latest-snapshot
+    // read; values must equal the plain aggregate over the source table
+    "lake_snapshot_read" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "skyline_price_size" ->
       """WITH pts AS (SELECT DISTINCT p_retailprice, p_size FROM part)
         |SELECT p_retailprice, p_size FROM pts a

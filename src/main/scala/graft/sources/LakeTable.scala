@@ -1,0 +1,128 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Minimal snapshot-versioned table format over parquet — the
+  * "managing table metadata and data files" clause of the north star
+  * (`BASELINE.json`), scoped to what a query engine needs: atomic-ish
+  * versioned commits, time travel, append/overwrite, compaction, and
+  * a history view. No external dependency: data files are plain
+  * parquet, manifests are JSON-lines written/read by Spark itself.
+  *
+  * Layout:
+  * {{{
+  *   <path>/data/<commit-uuid>/part-N.parquet   immutable data files
+  *   <path>/_graft_meta/vN/part-N.json          manifest: one row per file
+  * }}}
+  * A manifest row is (file, operation). Readers resolve a version to
+  * its file list and read exactly those files — stale data files from
+  * overwritten snapshots stay on disk for older versions (time travel)
+  * until a GC pass would remove them.
+  *
+  * Scale: manifests are tiny (file paths only) and read once per
+  * query; the data path keeps parquet's pushdown/pruning intact since
+  * readers get a plain parquet scan over an explicit file list.
+  */
+object LakeTable {
+
+  private def metaDir(path: String) = s"$path/_graft_meta"
+
+  def latestVersion(path: String): Option[Int] = {
+    val md = Paths.get(metaDir(path))
+    if (!Files.exists(md)) None
+    else {
+      val vs = Files.list(md).iterator().asScala
+        .map(_.getFileName.toString).filter(_.startsWith("v"))
+        .map(_.drop(1).toInt).toSeq
+      if (vs.isEmpty) None else Some(vs.max)
+    }
+  }
+
+  private def manifestFiles(spark: SparkSession, path: String, version: Int): Seq[String] = {
+    import spark.implicits._
+    spark.read.json(s"${metaDir(path)}/v$version").select("file").as[String].collect().toSeq
+  }
+
+  private def writeDataFiles(df: DataFrame, path: String): Seq[String] = {
+    val commitId = java.util.UUID.randomUUID().toString
+    val dataDir = s"$path/data/$commitId"
+    df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
+    Files.list(Paths.get(dataDir)).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+  }
+
+  private def commit(
+      spark: SparkSession, path: String, files: Seq[String], op: String): Int = {
+    import spark.implicits._
+    val next = latestVersion(path).getOrElse(-1) + 1
+    files.map(f => (f, op)).toDF("file", "operation")
+      .coalesce(1)
+      .write.mode(SaveMode.ErrorIfExists).json(s"${metaDir(path)}/v$next")
+    next
+  }
+
+  /** Create or replace the table content (new snapshot referencing
+    * only the newly written files). */
+  def overwrite(df: DataFrame, path: String): Int =
+    commit(df.sparkSession, path, writeDataFiles(df, path), "overwrite")
+
+  /** Append a new snapshot = previous file list + new files. */
+  def append(df: DataFrame, path: String): Int = {
+    val spark = df.sparkSession
+    val prev = latestVersion(path).map(manifestFiles(spark, path, _)).getOrElse(Nil)
+    commit(spark, path, prev ++ writeDataFiles(df, path), "append")
+  }
+
+  /** Read a snapshot (default: latest). Plain parquet scan over the
+    * manifest's file list — pushdown and pruning apply unchanged. */
+  def read(spark: SparkSession, path: String, version: Option[Int] = None): DataFrame = {
+    val v = version.orElse(latestVersion(path)).getOrElse(
+      throw new IllegalArgumentException(s"no snapshots at $path"))
+    val files = manifestFiles(spark, path, v)
+    spark.read.parquet(files: _*)
+  }
+
+  /** Rewrite the current snapshot's many small files into
+    * `numFiles` larger ones (new snapshot; old versions untouched). */
+  def compact(spark: SparkSession, path: String, numFiles: Int = 1): Int = {
+    val current = read(spark, path)
+    commit(spark, path,
+      writeDataFiles(current.repartition(numFiles), path), "compact")
+  }
+
+  /** Driver query: write the events table as two snapshots (evens,
+    * then append odds), read back the LATEST snapshot through the
+    * manifest path, and aggregate — the oracle is the plain group-by
+    * over the source table, so the whole commit/manifest/read cycle is
+    * hash-verified. The table lives under /tmp keyed by sfDir (rebuilt
+    * deterministically each run; unique per scale factor so parallel
+    * verify threads never collide). */
+  def snapshotReadQuery(s: SparkSession, d: String): DataFrame = {
+    val path = s"/tmp/graft_lake_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val p = Paths.get(path)
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    val ev = graft.Tables.load(s, d, "events").select("event_id", "event_type", "value")
+    overwrite(ev.filter(pmod(col("event_id"), lit(2L)) === 0), path)
+    append(ev.filter(pmod(col("event_id"), lit(2L)) =!= 0), path)
+    read(s, path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** Table history: one row per snapshot (version, operation, n_files). */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    val versions = latestVersion(path).map(v => 0 to v).getOrElse(Seq.empty)
+    val rows = versions.map { v =>
+      val mf = spark.read.json(s"${metaDir(path)}/v$v")
+      val op = mf.select("operation").head().getString(0)
+      (v, op, mf.count())
+    }
+    import spark.implicits._
+    rows.toDF("version", "operation", "n_files")
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.sources.LakeTable
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Snapshot-versioned table format: commits, time travel, compaction,
+  * history, and pushdown survival through the manifest read path. */
+class LakeTableSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  private val path = "/tmp/graft_test/lake_orders"
+
+  private def rmdir(p: String): Unit = {
+    val pth = Paths.get(p)
+    if (Files.exists(pth)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(pth).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+  }
+
+  test("append/overwrite snapshots with time travel and compaction") {
+    rmdir(path)
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+    val evens = orders.filter(col("o_orderkey") % 2 === 0)
+    val odds = orders.filter(col("o_orderkey") % 2 =!= 0)
+
+    val v0 = LakeTable.overwrite(evens, path)
+    val v1 = LakeTable.append(odds.repartition(4), path)
+    assert(v0 === 0 && v1 === 1)
+
+    // latest = full table; time travel to v0 = evens only
+    assert(LakeTable.read(spark, path).count() === orders.count())
+    assert(LakeTable.read(spark, path, Some(0)).count() === evens.count())
+
+    // overwrite replaces content; old versions stay readable
+    val v2 = LakeTable.overwrite(odds, path)
+    assert(v2 === 2)
+    assert(LakeTable.read(spark, path).count() === odds.count())
+    assert(LakeTable.read(spark, path, Some(1)).count() === orders.count())
+
+    // compaction: same rows, fewer files, prior snapshot untouched
+    val filesBefore = LakeTable.history(spark, path)
+      .filter(col("version") === 2).select("n_files").head().getLong(0)
+    val v3 = LakeTable.compact(spark, path, numFiles = 1)
+    val h = LakeTable.history(spark, path).collect()
+      .map(r => r.getInt(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(h(v3)._1 === "compact" && h(v3)._2 === 1L)
+    assert(h(v3)._2 <= filesBefore)
+    assert(LakeTable.read(spark, path).count() === odds.count())
+    assert(LakeTable.read(spark, path, Some(2)).count() === odds.count())
+
+    // history records every operation in order
+    assert(h(0)._1 === "overwrite" && h(1)._1 === "append" && h(2)._1 === "overwrite")
+  }
+
+  test("filter pushdown reaches the scan through the manifest read path") {
+    val df = LakeTable.read(spark, path).filter(col("o_totalprice") > 1000.0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("o_totalprice"),
+      s"pushdown missing:\n${plan.take(800)}")
+  }
+}
