@@ -130,6 +130,12 @@ object AsOf {
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String): DataFrame = {
+    // self-register the strategy so the operator also works in
+    // sessions built without spark.sql.extensions=graft.GraftExtensions
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
     val plan = AsOfJoinPlan(
       GraftSqlShim.analyzedPlan(left), GraftSqlShim.analyzedPlan(right),
       attr(left, leftKey), attr(right, rightKey),

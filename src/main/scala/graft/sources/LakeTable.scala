@@ -77,12 +77,16 @@ object LakeTable {
   }
 
   /** Read a snapshot (default: latest). Plain parquet scan over the
-    * manifest's file list — pushdown and pruning apply unchanged. */
+    * manifest's file list — pushdown and pruning apply unchanged.
+    * mergeSchema=true gives schema evolution on read: files written
+    * before a column existed surface it as null. (At 100 TB the
+    * snapshot schema lives in the manifest instead of being merged
+    * from footers — same read path, cheaper planning.) */
   def read(spark: SparkSession, path: String, version: Option[Int] = None): DataFrame = {
     val v = version.orElse(latestVersion(path)).getOrElse(
       throw new IllegalArgumentException(s"no snapshots at $path"))
     val files = manifestFiles(spark, path, v)
-    spark.read.parquet(files: _*)
+    spark.read.option("mergeSchema", "true").parquet(files: _*)
   }
 
   /** Rewrite the current snapshot's many small files into

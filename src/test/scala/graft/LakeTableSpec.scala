@@ -57,6 +57,22 @@ class LakeTableSpec extends AnyFunSuite {
     assert(h(0)._1 === "overwrite" && h(1)._1 === "append" && h(2)._1 === "overwrite")
   }
 
+  test("schema evolution: columns appended later read as null for old files") {
+    val p2 = "/tmp/graft_test/lake_evolve"
+    rmdir(p2)
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    LakeTable.overwrite(orders.select("o_orderkey", "o_totalprice").limit(10), p2)
+    LakeTable.append(
+      orders.select("o_orderkey", "o_totalprice", "o_orderstatus").limit(5), p2)
+    val evolved = LakeTable.read(spark, p2)
+    assert(evolved.columns.toSet === Set("o_orderkey", "o_totalprice", "o_orderstatus"))
+    assert(evolved.filter(col("o_orderstatus").isNull).count() === 10)
+    assert(evolved.filter(col("o_orderstatus").isNotNull).count() === 5)
+    // time travel: the pre-evolution snapshot keeps its original schema
+    assert(LakeTable.read(spark, p2, Some(0)).columns.toSet
+      === Set("o_orderkey", "o_totalprice"))
+  }
+
   test("filter pushdown reaches the scan through the manifest read path") {
     val df = LakeTable.read(spark, path).filter(col("o_totalprice") > 1000.0)
     val plan = df.queryExecution.executedPlan.toString
