@@ -75,6 +75,7 @@ object SparkEntry {
     "rank_family" -> (ops.Relational.rankFamily _),
     "union_entities" -> (ops.Relational.unionEntities _),
     "cube_status_priority" -> (ops.Relational.cubeStatusPriority _),
+    "grouping_sets_orders" -> (ops.Relational.groupingSetsOrders _),
     "salted_type_stats" -> (ops.Relational.saltedTypeStats _),
     "stats_summary" -> (ops.Relational.statsSummary _),
     "pivot_status_revenue" -> (ops.Relational.pivotStatusRevenue _),
@@ -437,6 +438,12 @@ object SparkEntry {
         |       round(sum(o_totalprice), 2) AS revenue
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "grouping_sets_orders" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
     "salted_type_stats" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value

@@ -245,6 +245,18 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
+  /** A10 (grouping sets): two independent groupings in one pass —
+    * by-status and by-priority totals side by side. */
+  def groupingSetsOrders(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "orders").createOrReplaceTempView("graft_gs_orders")
+    s.sql("""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM graft_gs_orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
+  }
+
   /** Skew-resilient two-stage aggregation: salt the group key, partial-
     * aggregate per (key, salt), then final-aggregate per key. Results
     * are identical to the direct groupBy (the oracle is the plain

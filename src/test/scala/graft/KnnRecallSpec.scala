@@ -1,0 +1,49 @@
+package graft
+
+import graft.llm.Similarity
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Recall quality of the approximate KNN paths vs exact brute force —
+  * documents the accuracy/scale trade the LSH and IVF variants make
+  * (they are rows-only driver checks; this spec pins their quality). */
+class KnnRecallSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.collect()
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("vec_id"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  test("top-k aggregate path is IDENTICAL to brute force") {
+    val bf = topSets(Similarity.knnBruteForce(spark, dir))
+    val agg = topSets(Similarity.knnTopKAgg(spark, dir))
+    assert(agg === bf)
+  }
+
+  test("LSH and IVF results are well-formed ranked similarity lists") {
+    def check(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val rows = df.collect().map(r => (
+        r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim")))
+      assert(rows.nonEmpty, s"$name returned nothing")
+      rows.groupBy(_._1).foreach { case (q, rs) =>
+        val sorted = rs.sortBy(_._2)
+        // contiguous ranks from 1, similarity non-increasing, no self
+        assert(sorted.map(_._2).toSeq === (1 to sorted.length), s"$name q=$q ranks")
+        sorted.sliding(2).foreach {
+          case Array(a, b) => assert(a._4 >= b._4, s"$name q=$q not descending")
+          case _ =>
+        }
+        assert(!sorted.exists(_._3 == q), s"$name q=$q includes itself")
+      }
+    }
+    check("lsh", Similarity.knnLshBucketed(spark, dir))
+    check("ivf", Similarity.knnIvf(spark, dir))
+    // IVF probes nProbe=2 of 16 cells covering all vectors: every
+    // query must find candidates (its own cell is never empty)
+    val ivfQs = Similarity.knnIvf(spark, dir).select("qid").distinct().count()
+    assert(ivfQs === 10L, "every IVF query should return results")
+  }
+}
