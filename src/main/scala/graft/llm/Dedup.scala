@@ -106,8 +106,9 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     val nBands = numPerms / bandSize
     // repartition = explicit exchange: materializes the signature
-    // projection once, and the self-join's two legs share it via
-    // exchange reuse instead of re-running the shingle hashing.
+    // arrays once so the self-join's two legs share them via exchange
+    // reuse instead of re-running the per-perm arithmetic that would
+    // otherwise inline into the band keys and the zip_with agreement.
     val bands = minhashSigArray(corpus, numPerms)
       .repartition(col("doc_id"))
       .select(col("doc_id"), col("sig"), explode(sequence(lit(0), lit(nBands - 1))).as("band"))
