@@ -2,9 +2,9 @@ package graft.streaming
 
 import graft.reward.{Reward, RewardConfig}
 import graft.session.Termination
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** One classified turn event (FIXTURES.md §1.3 shape). */
 final case class TurnEvent(dia_id: Long, turn: Int, layer: Int, confidence: Double)
@@ -99,6 +99,53 @@ object DialogueStateMachine {
       }
       .toDF()
       .orderBy("dia_id")
+  }
+
+  /** Spark 4 arbitrary-state API (transformWithState): the SAME
+    * transition function under a StatefulProcessor with typed
+    * ValueState — the forward-looking form of T1–T5 (requires the
+    * RocksDB state store provider). Asserted equivalent to both other
+    * paths in the streaming spec. */
+  class DialogueProcessor(cfg: RewardConfig)
+      extends StatefulProcessor[Long, TurnEvent, SessionSummary] {
+    @transient private var st: ValueState[DialogueState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[DialogueState](
+        "dialogue", Encoders.product[DialogueState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[TurnEvent],
+        timerValues: TimerValues): Iterator[SessionSummary] = {
+      var state = if (st.exists()) st.get() else initialState
+      var out: List[SessionSummary] = Nil
+      rows.toSeq.sortBy(_.turn).foreach { ev =>
+        if (!state.terminated) {
+          val (next, reason) = step(state, ev, cfg)
+          state = next
+          reason.foreach { r =>
+            out = SessionSummary(
+              key, state.turnIndex, state.turnIndex, r, state.deepestLayer,
+              BigDecimal(state.scoreSum / state.turnIndex)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) :: out
+          }
+        }
+      }
+      if (state.terminated) st.clear() else st.update(state)
+      out.reverseIterator
+    }
+  }
+
+  /** transformWithState pipeline over a (possibly streaming) turns
+    * Dataset. */
+  def streamingSummariesTws(
+      turns: Dataset[TurnEvent],
+      cfg: RewardConfig = RewardConfig()): Dataset[SessionSummary] = {
+    import turns.sparkSession.implicits._
+    turns
+      .groupByKey(_.dia_id)
+      .transformWithState(
+        new DialogueProcessor(cfg), TimeMode.None(), OutputMode.Append())
   }
 
   /** Structured Streaming form (T1–T5): same transition function under

@@ -63,4 +63,42 @@ class StreamingEquivalenceSpec extends AnyFunSuite {
       assert(math.abs(s.mean_score - b.mean_score) < 1e-9, s"dia $k score")
     }
   }
+
+  test("transformWithState (Spark 4 arbitrary-state API) matches the batch fold") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[TurnEvent]
+      val query = DialogueStateMachine.streamingSummariesTws(input.toDS(), cfg)
+        .writeStream.format("memory").queryName("tws_out").outputMode("append").start()
+      try {
+        val (b1, b2) = all.partition(_.turn <= 5)
+        input.addData(b1)
+        query.processAllAvailable()
+        input.addData(b2)
+        query.processAllAvailable()
+      } finally query.stop()
+      val streamed = spark.table("tws_out").as[graft.streaming.SessionSummary]
+        .collect().map(s => s.dia_id -> s).toMap
+      val batch = all.groupBy(_.dia_id).map { case (k, ts) =>
+        k -> DialogueStateMachine.runSession(k, ts.sortBy(_.turn).iterator, cfg)
+      }
+      assert(streamed.keySet === batch.keySet)
+      batch.foreach { case (k, b) =>
+        val s = streamed(k)
+        assert(s.end_turn === b.end_turn && s.terminate_reason === b.terminate_reason,
+          s"dia $k")
+        assert(math.abs(s.mean_score - b.mean_score) < 1e-9, s"dia $k score")
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
