@@ -66,6 +66,8 @@ object SparkEntry {
     "lang_id_ngram" -> (llm.TextAnalysis.langIdNgram _),
     "embedding_near_dup" -> ((s, d) => llm.Similarity.embeddingNearDup(s, d)),
     "multimodal_features" -> (llm.Multimodal.multimodalFeatures _),
+    "video_frame_sample" -> (llm.Multimodal.videoFrameSample _),
+    "above_avg_customers" -> (ops.Relational.aboveAvgCustomers _),
     // --- reference ETL parity (SURVEY.md §2.2, §2.6 O3, §3 E1) ---
     "etl_verl_rows" -> (etl.Preprocess.verlRows _),
     "etl_positional_split" -> (etl.Preprocess.positionalSplit _),
@@ -570,6 +572,19 @@ object SparkEntry {
         |FROM d JOIN n na ON na.vec_id = va JOIN n nb ON nb.vec_id = vb
         |WHERE round(dp / (na.nrm * nb.nrm), 6) >= 0.9
         |ORDER BY vec_a, vec_b""".stripMargin,
+    "video_frame_sample" ->
+      """SELECT doc_id, CAST(f AS INT) AS frame_idx,
+        |       ((length(text)::BIGINT * 31 + ascii(substring(text, 1, 1))) * 37 + f)
+        |         % 1000000007 AS frame_hash
+        |FROM documents,
+        |     LATERAL (SELECT unnest(range(least(1 + length(text) // 100, 5))) AS f) fr
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    "above_avg_customers" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
     "multimodal_features" ->
       """SELECT doc_id, 'image/synthetic' AS media_type,
         |  CAST(length(text) AS INT) AS n_bytes,

@@ -39,6 +39,35 @@ object Multimodal {
     MediaFeat(m.doc_id, m.media_type, n, 64 + n % 576, 64 + (first * 7) % 448, 1)
   }
 
+  /** STUB frame sampler — stands in for a video decoder emitting one
+    * row per sampled frame (the 1→N decode shape). Frame count and
+    * per-frame hash are pure functions of the bytes so the pipeline
+    * stays deterministic and cross-engine checkable. */
+  private def sampleFramesStub(m: MediaIn): Iterator[(Long, Int, Long)] = {
+    val n = m.bytes.length
+    val frames = math.min(1 + n / 100, 5)
+    val first = if (n > 0) m.bytes(0) & 0xff else 0
+    (0 until frames).iterator.map { i =>
+      (m.doc_id, i, ((n.toLong * 31 + first) * 37 + i) % 1000000007L)
+    }
+  }
+
+  /** L5 frame sampling: per-partition batch decode that EXPANDS each
+    * media row into its sampled frames — the flatMap form of the
+    * decode stage (video → frames, audio → windows). */
+  def videoFrameSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, d, "documents")
+      .select(
+        col("doc_id"),
+        col("text").cast("binary").as("bytes"),
+        lit("video/synthetic").as("media_type"))
+      .as[MediaIn]
+      .mapPartitions(_.flatMap(sampleFramesStub))
+      .toDF("doc_id", "frame_idx", "frame_hash")
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** L5 pipeline: documents.text reinterpreted as opaque bytes (the
     * driver ships no true binary table), carried through a typed
     * Dataset and batch-decoded per partition. */

@@ -317,6 +317,18 @@ object Relational {
       .agg(round(sum("o_totalprice"), 2))
       .orderBy("yr")
 
+  /** Correlated scalar subquery (decorrelated by Catalyst into a
+    * join): customers with balance above their nation's average. */
+  def aboveAvgCustomers(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "customer").createOrReplaceTempView("graft_sq_customer")
+    s.sql("""
+      SELECT c_custkey, c_nationkey, c_acctbal
+      FROM graft_sq_customer c
+      WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM graft_sq_customer c2
+                         WHERE c2.c_nationkey = c.c_nationkey)
+      ORDER BY c_custkey""")
+  }
+
   /** Skyline / Pareto frontier (PAPERS.md: "Integration of Skyline
     * Queries into Spark SQL", EDBT 2023): parts where no other part is
     * both cheaper-or-equal AND smaller-or-equal (strict in one).
