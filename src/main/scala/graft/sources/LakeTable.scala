@@ -41,24 +41,31 @@ object LakeTable {
     }
   }
 
-  private def manifestFiles(spark: SparkSession, path: String, version: Int): Seq[String] = {
+  /** (file, base) pairs of a snapshot; base = the commit's data dir,
+    * needed to reconstruct partition columns from directory names. */
+  private def manifestEntries(
+      spark: SparkSession, path: String, version: Int): Seq[(String, String)] = {
     import spark.implicits._
-    spark.read.json(s"${metaDir(path)}/v$version").select("file").as[String].collect().toSeq
+    spark.read.json(s"${metaDir(path)}/v$version")
+      .select("file", "base").as[(String, String)].collect().toSeq
   }
 
-  private def writeDataFiles(df: DataFrame, path: String): Seq[String] = {
+  private def writeDataFiles(
+      df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Seq[(String, String)] = {
     val commitId = java.util.UUID.randomUUID().toString
     val dataDir = s"$path/data/$commitId"
-    df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
-    Files.list(Paths.get(dataDir)).iterator().asScala
+    val w = df.write.mode(SaveMode.ErrorIfExists)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(dataDir)
+    Files.walk(Paths.get(dataDir)).iterator().asScala
       .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+      .map(f => (f, dataDir))
   }
 
   private def commit(
-      spark: SparkSession, path: String, files: Seq[String], op: String): Int = {
+      spark: SparkSession, path: String, entries: Seq[(String, String)], op: String): Int = {
     import spark.implicits._
     val next = latestVersion(path).getOrElse(-1) + 1
-    files.map(f => (f, op)).toDF("file", "operation")
+    entries.map { case (f, b) => (f, b, op) }.toDF("file", "base", "operation")
       .coalesce(1)
       .write.mode(SaveMode.ErrorIfExists).json(s"${metaDir(path)}/v$next")
     next
@@ -69,10 +76,16 @@ object LakeTable {
   def overwrite(df: DataFrame, path: String): Int =
     commit(df.sparkSession, path, writeDataFiles(df, path), "overwrite")
 
+  /** Create or replace with hive-style partitioned layout — partition
+    * columns live in directory names and are reconstructed on read
+    * (enabling partition PRUNING through the manifest path). */
+  def overwritePartitioned(df: DataFrame, path: String, partitionCols: String*): Int =
+    commit(df.sparkSession, path, writeDataFiles(df, path, partitionCols), "overwrite")
+
   /** Append a new snapshot = previous file list + new files. */
   def append(df: DataFrame, path: String): Int = {
     val spark = df.sparkSession
-    val prev = latestVersion(path).map(manifestFiles(spark, path, _)).getOrElse(Nil)
+    val prev = latestVersion(path).map(manifestEntries(spark, path, _)).getOrElse(Nil)
     commit(spark, path, prev ++ writeDataFiles(df, path), "append")
   }
 
@@ -85,8 +98,13 @@ object LakeTable {
   def read(spark: SparkSession, path: String, version: Option[Int] = None): DataFrame = {
     val v = version.orElse(latestVersion(path)).getOrElse(
       throw new IllegalArgumentException(s"no snapshots at $path"))
-    val files = manifestFiles(spark, path, v)
-    spark.read.option("mergeSchema", "true").parquet(files: _*)
+    val byBase = manifestEntries(spark, path, v).groupBy(_._2)
+    byBase.map { case (base, entries) =>
+      spark.read
+        .option("mergeSchema", "true")
+        .option("basePath", base)
+        .parquet(entries.map(_._1): _*)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Rewrite the current snapshot's many small files into

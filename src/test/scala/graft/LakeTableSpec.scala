@@ -73,6 +73,25 @@ class LakeTableSpec extends AnyFunSuite {
       === Set("o_orderkey", "o_totalprice"))
   }
 
+  test("partitioned snapshots reconstruct partition columns and prune") {
+    val p3 = "/tmp/graft_test/lake_part"
+    rmdir(p3)
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    LakeTable.overwritePartitioned(orders, p3, "o_orderstatus")
+    val back = LakeTable.read(spark, p3)
+    // partition column reconstructed from directory names
+    assert(back.columns.toSet === Set("o_orderkey", "o_totalprice", "o_orderstatus"))
+    assert(back.count() === orders.count())
+    assert(back.filter(col("o_orderstatus") === "F").count()
+      === orders.filter(col("o_orderstatus") === "F").count())
+    // and the filter prunes partitions rather than scanning them
+    val plan = back.filter(col("o_orderstatus") === "F")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("o_orderstatus"),
+      s"partition pruning missing:\n${plan.take(800)}")
+  }
+
   test("filter pushdown reaches the scan through the manifest read path") {
     val df = LakeTable.read(spark, path).filter(col("o_totalprice") > 1000.0)
     val plan = df.queryExecution.executedPlan.toString
