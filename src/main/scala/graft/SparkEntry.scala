@@ -83,6 +83,7 @@ object SparkEntry {
     "pivot_status_revenue" -> (ops.Relational.pivotStatusRevenue _),
     "skyline_price_size" -> (ops.Relational.skylinePriceSize _),
     "lake_snapshot_read" -> (sources.LakeTable.snapshotReadQuery _),
+    "lake_merge_read" -> (sources.LakeTable.mergeReadQuery _),
     // --- streaming semantics (SURVEY.md §2.9 T1-T6), batch-replayed ---
     "session_replay" -> (streaming.DialogueStateMachine.sessionReplay _),
     "tumbling_hourly" -> (streaming.EventTimeWindows.tumblingHourly _),
@@ -462,6 +463,17 @@ object SparkEntry {
     "lake_snapshot_read" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "lake_merge_read" ->
+      """WITH merged AS (
+        |  SELECT event_id,
+        |         CASE WHEN event_id % 3 = 0 THEN 'patched' ELSE event_type END AS event_type,
+        |         CASE WHEN event_id % 3 = 0 THEN value + 1000 ELSE value END AS value
+        |  FROM events
+        |), final AS (
+        |  SELECT * FROM merged WHERE NOT (event_id % 7 = 0 AND event_id % 3 != 0)
+        |)
+        |SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin,
     "skyline_price_size" ->
       """WITH pts AS (SELECT DISTINCT p_retailprice, p_size FROM part)
         |SELECT p_retailprice, p_size FROM pts a

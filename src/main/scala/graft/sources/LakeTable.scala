@@ -17,7 +17,9 @@ import org.apache.spark.sql.functions._
   *   <path>/data/<commit-uuid>/part-N.parquet   immutable data files
   *   <path>/_graft_meta/vN/part-N.json          manifest: one row per file
   * }}}
-  * A manifest row is (file, operation). Readers resolve a version to
+  * A manifest row is (file, base, operation) — base is the commit's
+  * data dir, used as the parquet basePath so partitioned layouts
+  * reconstruct their partition columns. Readers resolve a version to
   * its file list and read exactly those files — stale data files from
   * overwritten snapshots stay on disk for older versions (time travel)
   * until a GC pass would remove them.
@@ -107,6 +109,25 @@ object LakeTable {
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** Copy-on-write MERGE/upsert: rows of the current snapshot whose
+    * key collides with an incoming row are replaced; new keys are
+    * inserted. One anti-join + union + rewrite = a new snapshot; all
+    * prior versions remain time-travelable. (At 100 TB you'd rewrite
+    * only the files containing touched keys — same commit protocol,
+    * finer-grained file selection.) */
+  def upsert(df: DataFrame, path: String, keyCol: String): Int = {
+    val spark = df.sparkSession
+    val current = read(spark, path)
+    val kept = current.join(df.select(keyCol).distinct(), Seq(keyCol), "left_anti")
+    commit(spark, path,
+      writeDataFiles(kept.unionByName(df, allowMissingColumns = true), path), "merge")
+  }
+
+  /** Copy-on-write DELETE: new snapshot without the matching rows. */
+  def delete(spark: SparkSession, path: String, predicate: org.apache.spark.sql.Column): Int =
+    commit(spark, path,
+      writeDataFiles(read(spark, path).filter(!predicate), path), "delete")
+
   /** Rewrite the current snapshot's many small files into
     * `numFiles` larger ones (new snapshot; old versions untouched). */
   def compact(spark: SparkSession, path: String, numFiles: Int = 1): Int = {
@@ -130,6 +151,30 @@ object LakeTable {
     val ev = graft.Tables.load(s, d, "events").select("event_id", "event_type", "value")
     overwrite(ev.filter(pmod(col("event_id"), lit(2L)) === 0), path)
     append(ev.filter(pmod(col("event_id"), lit(2L)) =!= 0), path)
+    read(s, path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** Driver query: full CoW lifecycle — overwrite, MERGE (patch every
+    * 3rd event), DELETE (every 7th unpatched event), then read and
+    * aggregate. The oracle computes the same merge+delete algebra
+    * directly over the source table. */
+  def mergeReadQuery(s: SparkSession, d: String): DataFrame = {
+    val path = s"/tmp/graft_lakemerge_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val p = Paths.get(path)
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    val ev = graft.Tables.load(s, d, "events").select("event_id", "event_type", "value")
+    overwrite(ev, path)
+    upsert(
+      ev.filter(pmod(col("event_id"), lit(3L)) === 0)
+        .select(col("event_id"), lit("patched").as("event_type"),
+          (col("value") + 1000.0).as("value")),
+      path, "event_id")
+    delete(s, path,
+      pmod(col("event_id"), lit(7L)) === 0 && pmod(col("event_id"), lit(3L)) =!= 0)
     read(s, path)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))

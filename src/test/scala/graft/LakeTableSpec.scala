@@ -73,6 +73,37 @@ class LakeTableSpec extends AnyFunSuite {
       === Set("o_orderkey", "o_totalprice"))
   }
 
+  test("upsert replaces colliding keys, inserts new ones; delete removes rows") {
+    val p4 = "/tmp/graft_test/lake_merge"
+    rmdir(p4)
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .select("o_orderkey", "o_totalprice")
+    LakeTable.overwrite(orders.limit(100), p4)
+    val before = LakeTable.read(spark, p4)
+    val keys = before.select("o_orderkey").limit(10).collect().map(_.getLong(0))
+
+    // upsert: 10 updated rows (price bumped) + 1 brand-new key
+    import spark.implicits._
+    val updates = before.filter(col("o_orderkey").isin(keys: _*))
+      .select(col("o_orderkey"), (col("o_totalprice") + 1000000.0).as("o_totalprice"))
+      .unionByName(Seq((-1L, 42.0)).toDF("o_orderkey", "o_totalprice"))
+    val vMerge = LakeTable.upsert(updates, p4, "o_orderkey")
+
+    val after = LakeTable.read(spark, p4)
+    assert(after.count() === 101) // 100 originals + 1 insert, no dup keys
+    assert(after.filter(col("o_orderkey") === -1L).count() === 1)
+    assert(after.filter(col("o_totalprice") > 1000000.0).count() === 10)
+    // pre-merge snapshot untouched
+    assert(LakeTable.read(spark, p4, Some(vMerge - 1))
+      .filter(col("o_totalprice") > 1000000.0).count() === 0)
+
+    // delete the updated rows
+    LakeTable.delete(spark, p4, col("o_totalprice") > 1000000.0)
+    assert(LakeTable.read(spark, p4).count() === 91)
+    val ops = LakeTable.history(spark, p4).select("operation").collect().map(_.getString(0))
+    assert(ops.takeRight(2).toSeq === Seq("merge", "delete"))
+  }
+
   test("partitioned snapshots reconstruct partition columns and prune") {
     val p3 = "/tmp/graft_test/lake_part"
     rmdir(p3)
