@@ -181,9 +181,31 @@ object LakeTable {
       .orderBy("event_type")
   }
 
+  /** Expire snapshots older than the last `retain` versions: their
+    * manifests are dropped and data files referenced by NO surviving
+    * snapshot are garbage-collected. Completes the metadata lifecycle
+    * (commit → time travel → expire). */
+  def expireSnapshots(spark: SparkSession, path: String, retain: Int): Seq[String] = {
+    val latest = latestVersion(path).getOrElse(return Nil)
+    val cutoff = latest - retain + 1
+    if (cutoff <= 0) return Nil
+    val keepFiles = (cutoff to latest)
+      .flatMap(v => manifestEntries(spark, path, v)).map(_._1).toSet
+    val dropFiles = (0 until cutoff)
+      .flatMap(v => manifestEntries(spark, path, v)).map(_._1).toSet -- keepFiles
+    dropFiles.foreach(f => Files.deleteIfExists(Paths.get(f)))
+    (0 until cutoff).foreach { v =>
+      val md = Paths.get(s"${metaDir(path)}/v$v")
+      if (Files.exists(md))
+        Files.walk(md).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+    dropFiles.toSeq.sorted
+  }
+
   /** Table history: one row per snapshot (version, operation, n_files). */
   def history(spark: SparkSession, path: String): DataFrame = {
     val versions = latestVersion(path).map(v => 0 to v).getOrElse(Seq.empty)
+      .filter(v => Files.exists(Paths.get(s"${metaDir(path)}/v$v"))) // expired gaps
     val rows = versions.map { v =>
       val mf = spark.read.json(s"${metaDir(path)}/v$v")
       val op = mf.select("operation").head().getString(0)

@@ -104,6 +104,24 @@ class LakeTableSpec extends AnyFunSuite {
     assert(ops.takeRight(2).toSeq === Seq("merge", "delete"))
   }
 
+  test("snapshot expiration drops old manifests and garbage-collects their files") {
+    val p5 = "/tmp/graft_test/lake_expire"
+    rmdir(p5)
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .select("o_orderkey", "o_totalprice")
+    LakeTable.overwrite(orders.limit(10), p5)
+    LakeTable.overwrite(orders.limit(20), p5)
+    LakeTable.overwrite(orders.limit(30), p5)
+    val dropped = LakeTable.expireSnapshots(spark, p5, retain = 1)
+    assert(dropped.nonEmpty, "expired data files should be deleted")
+    dropped.foreach(f => assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(f))))
+    // latest still reads; expired versions are gone from history
+    assert(LakeTable.read(spark, p5).count() === 30)
+    val hist = LakeTable.history(spark, p5).collect().map(_.getInt(0)).toSeq
+    assert(hist === Seq(2))
+    intercept[Exception](LakeTable.read(spark, p5, Some(0)).count())
+  }
+
   test("partitioned snapshots reconstruct partition columns and prune") {
     val p3 = "/tmp/graft_test/lake_part"
     rmdir(p3)
