@@ -181,6 +181,18 @@ object LakeTable {
       .orderBy("event_type")
   }
 
+  /** Clustered rewrite (OPTIMIZE ... ZORDER-style): range-partition the
+    * current snapshot by the clustering columns and sort within files,
+    * so parquet min/max footer stats become selective and point/range
+    * predicates skip whole files. New snapshot, op="optimize". */
+  def optimizeBy(spark: SparkSession, path: String, numFiles: Int, cols: String*): Int = {
+    val current = read(spark, path)
+    val sorted = current
+      .repartitionByRange(numFiles, cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
+    commit(spark, path, writeDataFiles(sorted, path), "optimize")
+  }
+
   /** Expire snapshots older than the last `retain` versions: their
     * manifests are dropped and data files referenced by NO surviving
     * snapshot are garbage-collected. Completes the metadata lifecycle

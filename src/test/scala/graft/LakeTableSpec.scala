@@ -104,6 +104,27 @@ class LakeTableSpec extends AnyFunSuite {
     assert(ops.takeRight(2).toSeq === Seq("merge", "delete"))
   }
 
+  test("optimizeBy clusters rows into non-overlapping key ranges per file") {
+    val p6 = "/tmp/graft_test/lake_optimize"
+    rmdir(p6)
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .select("o_orderkey", "o_totalprice")
+    LakeTable.overwrite(orders.repartition(8), p6) // scrambled layout
+    LakeTable.optimizeBy(spark, p6, numFiles = 4, "o_orderkey")
+    val back = LakeTable.read(spark, p6)
+    assert(back.count() === orders.count())
+    // per-file key ranges must not overlap after clustering
+    val ranges = back
+      .select(input_file_name().as("f"), col("o_orderkey"))
+      .groupBy("f").agg(min("o_orderkey").as("lo"), max("o_orderkey").as("hi"))
+      .collect().map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+      .sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 < b._1, s"overlapping file ranges: $a $b")
+      case _ =>
+    }
+  }
+
   test("snapshot expiration drops old manifests and garbage-collects their files") {
     val p5 = "/tmp/graft_test/lake_expire"
     rmdir(p5)
