@@ -1,0 +1,70 @@
+package graft
+
+import graft.llm.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dedup semantics on frames WITH real duplicates — the driver corpus
+  * is all-distinct, so the oracle check exercises these ops but never
+  * their positive cases. */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  test("minhash signatures: identical docs agree, disjoint docs disagree") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j"), // exact duplicate of 1
+      (3L, "z y x w v u t s r q") // disjoint vocabulary
+    ).toDF("doc_id", "text")
+    val sig = Dedup.minhashSigArray(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[scala.collection.Seq[Long]]("sig")).toMap
+    assert(sig(1L) === sig(2L), "identical docs must have identical signatures")
+    assert(sig(1L) !== sig(3L), "disjoint docs must differ")
+  }
+
+  test("near-dup pipeline finds duplicate pairs and skips unrelated docs") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "a b c d e f g h i j k l"), // dup of 1 → est_jaccard 1.0
+      (3L, "b c d e f g h i j k l m"), // shifted by one token → high overlap
+      (4L, "z y x w v u t s r q p o") // unrelated
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDup(docs, threshold = 0.5).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("est_jaccard"))
+      .toMap
+    assert(pairs.get((1L, 2L)).contains(1.0), s"exact dup pair missing: $pairs")
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L },
+      s"unrelated doc must not pair: $pairs")
+  }
+
+  test("simhash: near-identical docs are closer in hamming distance than unrelated") {
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    // write a tiny corpus into the documents-table shape on disk
+    val dir = "/tmp/graft_test/dedup_docs"
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "s", 50L),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda", "en", "s", 50L),
+      (3L, "one two three four five six seven eight nine ten", "en", "s", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val sh = Dedup.simhashDocs(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(hamming(sh(1L), sh(2L)) < hamming(sh(1L), sh(3L)),
+      s"similar docs should be closer: $sh")
+  }
+
+  test("exact dedup multiplicity on a frame with true duplicates") {
+    val dir = "/tmp/graft_test/dedup_exact"
+    Seq(
+      (10L, "same text here", "en", "s", 14L),
+      (11L, "same text here", "en", "s", 14L),
+      (12L, "same text here", "en", "s", 14L),
+      (13L, "different text", "en", "s", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.dedupExact(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(got === Map(10L -> 3L, 13L -> 1L), s"got $got")
+  }
+}
