@@ -29,6 +29,8 @@ object SparkEntry {
     // --- [EXT] relational core (SURVEY.md §2.3-2.8) ---
     "q1_pricing_summary" -> (ops.Relational.q1PricingSummary _),
     "revenue_by_nation" -> (ops.Relational.revenueByNation _),
+    "q3_shipping_priority" -> (ops.Relational.q3ShippingPriority _),
+    "q18_large_orders" -> (ops.Relational.q18LargeOrders _),
     "top_orders_per_customer" -> (ops.Relational.topOrdersPerCustomer _),
     "moving_revenue_7d" -> (ops.Relational.movingRevenue7d _),
     "customers_without_orders" -> (ops.Relational.customersWithoutOrders _),
@@ -218,6 +220,27 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
+        |       o_orderpriority,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate >= TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+        |       round(total_qty, 2) AS total_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150) b
+        |  ON o_orderkey = b.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
     "top_orders_per_customer" ->
       """SELECT o_custkey, CAST(rn AS INT) AS rn, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

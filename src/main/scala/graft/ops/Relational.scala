@@ -37,6 +37,40 @@ object Relational {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** TPC-H Q3 shape (shipping priority): three-way join with date
+    * predicates on both fact tables, revenue aggregation, top-10. */
+  def q3ShippingPriority(s: SparkSession, d: String): DataFrame = {
+    val cutoff = to_timestamp(lit("1998-01-01"))
+    t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .join(t(s, d, "orders").filter(col("o_orderdate") < cutoff),
+        col("c_custkey") === col("o_custkey"))
+      .join(t(s, d, "lineitem").filter(col("l_shipdate") >= cutoff),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .select(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q18 shape (large-volume customers): HAVING over a grouped
+    * fact + semi-join back through an IN subquery. */
+  def q18LargeOrders(s: SparkSession, d: String): DataFrame = {
+    val bigOrders = t(s, d, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("total_qty"))
+      .filter(col("total_qty") > 150)
+    t(s, d, "orders")
+      .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_totalprice"), round(col("total_qty"), 2).as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
   /** J2+J3: revenue rollup through the full dimension chain.
     * lineitem⋈orders is the only big shuffle; customer⋈nation⋈region
     * are broadcast (Tables.broadcastDims rationale). */
