@@ -25,12 +25,25 @@ object Bench {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name%-28s $sec%8.3f s") // progress, stderr only
+      name -> sec
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Round to ms so the stdout JSON line stays well under any
+    // tail-truncation window (round 1 lost 4 timings to a ~4 KB line).
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Belt and braces: persist the full JSON to a file too, so timings
+    // survive even if stdout is truncated by the harness.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LATEST.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(out), json.getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] write $out: $e") }
+    println(json)
     spark.stop()
   }
 }

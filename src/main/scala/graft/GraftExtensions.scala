@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProductExpr, PolyHashExpr}
+import graft.functions.{CharNgramsExpr, DotProductExpr, PolyHashExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{ArrayTransform, Expression, ExpressionInfo, Size}
@@ -33,6 +33,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProductExpr(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_char_ngrams"),
+      new ExpressionInfo(classOf[CharNgramsExpr].getName, "graft_char_ngrams"),
+      (children: Seq[Expression]) => CharNgramsExpr(
+        children(0),
+        children(1).eval().asInstanceOf[Number].intValue())))
     ext.injectOptimizerRule(_ => SizeOfTransformSimplification)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

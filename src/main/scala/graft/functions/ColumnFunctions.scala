@@ -86,14 +86,20 @@ object ColumnFunctions {
 
   val HashP: Long = 1000000007L
 
-  /** Polynomial string hash h=(h*31+byte)%p — native codegen
-    * expression (PolyHashExpr). Equals [[polyHashHof]] on ASCII input
-    * (spec-checked); the DuckDB oracles mirror the same fold. */
+  /** Polynomial string hash h=(h*31+codePoint)%p — native codegen
+    * expression (PolyHashExpr). Hashes UNICODE CODE POINTS, exactly
+    * like [[polyHashHof]] and the DuckDB oracles, so all three agree on
+    * any text — ASCII and CJK alike (spec-checked with a CJK fixture). */
   def polyHash(s: Column): Column = ofExpr(PolyHashExpr(exprOf(s)))
 
+  /** Character n-gram array by code point — native codegen expression
+    * (CharNgramsExpr); equals transform(sequence(1, length-n+1),
+    * i -> substring(s, i, n)) at a fraction of the interpreted cost. */
+  def charNgrams(s: Column, n: Int): Column = ofExpr(CharNgramsExpr(exprOf(s), n))
+
   /** Interpreted HOF reference form of [[polyHash]]: fold over
-    * characters via aggregate-over-sequence (code points, so ASCII
-    * agrees with the byte-wise native form). */
+    * characters via aggregate-over-sequence (`ascii(substring)` =
+    * codePointAt, the same code-point fold as the native form). */
   def polyHashHof(s: Column): Column =
     aggregate(
       sequence(lit(1), length(s)),

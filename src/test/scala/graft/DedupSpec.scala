@@ -23,6 +23,23 @@ class DedupSpec extends AnyFunSuite {
     assert(sig(1L) !== sig(3L), "disjoint docs must differ")
   }
 
+  test("minhash on a CJK corpus: dup pair found, signatures engine-stable") {
+    // The reference's corpus is Chinese (data_preprocess.py:19-24) —
+    // the hash pipeline must behave identically on multi-byte text now
+    // that PolyHashExpr folds code points (round-1 weak-risk fix).
+    val docs = Seq(
+      (1L, "共情 回应 层级 对话 深度 状态 转移 评分 奖励 轨迹"),
+      (2L, "共情 回应 层级 对话 深度 状态 转移 评分 奖励 轨迹"), // exact dup
+      (3L, "天气 预报 晴天 多云 降雨 气温 湿度 风速 紫外线 指数") // unrelated
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDup(docs, threshold = 0.5).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("est_jaccard"))
+      .toMap
+    assert(pairs.get((1L, 2L)).contains(1.0), s"CJK dup pair missing: $pairs")
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L },
+      s"unrelated CJK doc must not pair: $pairs")
+  }
+
   test("near-dup pipeline finds duplicate pairs and skips unrelated docs") {
     val docs = Seq(
       (1L, "a b c d e f g h i j k l"),

@@ -11,13 +11,38 @@ class ExtensionsSpec extends AnyFunSuite {
   private lazy val spark = SparkSpec.spark
   import spark.implicits._
 
-  test("PolyHashExpr equals the HOF fold on ASCII strings") {
+  test("PolyHashExpr equals the HOF fold on ASCII and CJK strings") {
+    // The reference's own corpus is Chinese (data_preprocess.py:19-24):
+    // the native expression must hash CODE POINTS like the HOF form and
+    // the DuckDB oracles, not UTF-8 bytes (round-1 weak-risk, fixed).
     val strs = Seq("", "a", "abc", "hello world", "key agg row scan slow fast",
-      "x" * 300, (0 until 50).map(i => ('a' + i % 26).toChar).mkString)
+      "x" * 300, (0 until 50).map(i => ('a' + i % 26).toChar).mkString,
+      "中文文本", "我 很 难过", "共情 回应 层级 对话", "mixed 中英 text",
+      "éàü höf", "日本語テキスト", "한국어", "emoji 😀 astral 🚀 plane")
     val df = strs.toDF("s")
       .select(polyHash(col("s")).as("fast"), polyHashHof(col("s")).as("ref"))
     df.collect().foreach { r =>
       assert(r.getAs[Long]("fast") === r.getAs[Long]("ref"))
+    }
+    // pinned value: hand-computed code-point fold for "中文"
+    // (20013, 25991): (20013*31 + 25991) % (1e9+7) = 646394
+    val cjk = Seq("中文").toDF("s").select(polyHash(col("s")).as("h")).collect()(0)
+    assert(cjk.getAs[Long]("h") === ((20013L * 31 + 25991) % HashP))
+  }
+
+  test("CharNgramsExpr equals the transform(sequence, substring) HOF form") {
+    val strs = Seq("", "ab", "abc", "abcd", "hello world",
+      "中文文本测试", "mixed 中英 text", "日本語テキスト",
+      "emoji 😀 astral 🚀 plane") // astral chars: 1 code point each
+    val hof = transform(
+      sequence(lit(1), length(col("s")) - 2),
+      i => substring(col("s"), i, lit(3)))
+    val df = strs.toDF("s")
+      .select(charNgrams(col("s"), 3).as("fast"),
+        when(length(col("s")) >= 3, hof).otherwise(array()).as("ref"))
+    df.collect().foreach { r =>
+      assert(r.getAs[scala.collection.Seq[String]]("fast") ===
+        r.getAs[scala.collection.Seq[String]]("ref"))
     }
   }
 
