@@ -276,7 +276,7 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_items,
         |       round(sum(l_quantity), 2) AS sum_qty
         |FROM part JOIN lineitem
-        |  ON CAST(l_quantity AS INT) BETWEEN p_size AND p_size + 4
+        |  ON CAST(floor(l_quantity) AS INT) BETWEEN p_size AND p_size + 4
         |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin,
     "asof_latest_error" ->
       """SELECT event_id, user_id, ts, prior_error_ts FROM (

@@ -146,11 +146,18 @@ object Relational {
     * quantity bucket (≤50 rows), explode each part into its 5 buckets,
     * and equi-join — the fact table is touched exactly once. */
   def rangeJoinQuantity(s: SparkSession, d: String): DataFrame = {
+    // floor() pinned EXPLICITLY on both engines: Spark cast('int')
+    // truncates while DuckDB CAST rounds-to-nearest, so a bare cast
+    // diverges on fractional quantities. No cap on the bucket list —
+    // sequence(p_size, p_size+4) is always ascending and the join
+    // discards buckets with no lineitem rows, so correctness is
+    // data-independent (round-1 ADVICE: least(...,50) silently assumed
+    // max quantity 50).
     val perBucket = t(s, d, "lineitem")
-      .groupBy(col("l_quantity").cast("int").as("bucket"))
+      .groupBy(floor(col("l_quantity")).cast("int").as("bucket"))
       .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("qty"))
     val partBuckets = t(s, d, "part")
-      .select(col("p_partkey"), explode(sequence(col("p_size"), least(col("p_size") + 4, lit(50)))).as("bucket"))
+      .select(col("p_partkey"), explode(sequence(col("p_size"), col("p_size") + 4)).as("bucket"))
     partBuckets
       .join(broadcast(perBucket), "bucket")
       .groupBy("p_partkey")

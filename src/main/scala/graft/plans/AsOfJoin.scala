@@ -26,7 +26,9 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
   *
   * Contract: key and time expressions must be LongType (see
   * Tables.tsMicros); right-side columns should be pre-aliased to
-  * names distinct from the left's (as with any self-join).
+  * names distinct from the left's (as with any self-join). NULL keys
+  * or times follow SQL equi-join semantics: a null left row is
+  * null-extended, a null right row is never a candidate.
   */
 final case class AsOfJoinPlan(
     left: LogicalPlan,
@@ -95,20 +97,33 @@ final case class AsOfJoinExec(
 
       lIter.map { lRow =>
         val lProj = lKeyProj(lRow)
-        val lKeyV = lProj.getLong(0)
-        val lTimeV = lProj.getLong(1)
-        var advancing = true
-        while (advancing && rBuf.hasNext) {
-          val rProj = rKeyProj(rBuf.head)
-          val rKeyV = rProj.getLong(0)
-          val rTimeV = rProj.getLong(1)
-          if (rKeyV < lKeyV) rBuf.next() // smaller key: discard
-          else if (rKeyV == lKeyV && rTimeV <= lTimeV) {
-            candRow = rBuf.next().copy(); candKey = rKeyV; hasCand = true
-          } else advancing = false
+        // NULL key/time on the left can never match (SQL equi-join
+        // semantics) → null-extend without consuming right rows.
+        // Ascending sort puts right-side nulls FIRST, so null right
+        // rows are discarded up front and never become candidates —
+        // without the isNullAt guards a NULL would read as 0 and
+        // silently match real key-0/time-0 rows.
+        if (lProj.isNullAt(0) || lProj.isNullAt(1)) {
+          outProj(joined(lRow, nullRight))
+        } else {
+          val lKeyV = lProj.getLong(0)
+          val lTimeV = lProj.getLong(1)
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val rProj = rKeyProj(rBuf.head)
+            if (rProj.isNullAt(0) || rProj.isNullAt(1)) rBuf.next() // nulls sort first: discard
+            else {
+              val rKeyV = rProj.getLong(0)
+              val rTimeV = rProj.getLong(1)
+              if (rKeyV < lKeyV) rBuf.next() // smaller key: discard
+              else if (rKeyV == lKeyV && rTimeV <= lTimeV) {
+                candRow = rBuf.next().copy(); candKey = rKeyV; hasCand = true
+              } else advancing = false
+            }
+          }
+          val matched = hasCand && candKey == lKeyV
+          outProj(joined(lRow, if (matched) candRow else nullRight))
         }
-        val matched = hasCand && candKey == lKeyV
-        outProj(joined(lRow, if (matched) candRow else nullRight))
       }
     }
   }

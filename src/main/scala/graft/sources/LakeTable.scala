@@ -123,10 +123,13 @@ object LakeTable {
       writeDataFiles(kept.unionByName(df, allowMissingColumns = true), path), "merge")
   }
 
-  /** Copy-on-write DELETE: new snapshot without the matching rows. */
+  /** Copy-on-write DELETE: new snapshot without the matching rows.
+    * SQL DELETE ... WHERE semantics (as in Delta/Iceberg): rows where
+    * the predicate evaluates to NULL are KEPT — hence the coalesce;
+    * a bare filter(!predicate) would drop them (NOT NULL = NULL). */
   def delete(spark: SparkSession, path: String, predicate: org.apache.spark.sql.Column): Int =
     commit(spark, path,
-      writeDataFiles(read(spark, path).filter(!predicate), path), "delete")
+      writeDataFiles(read(spark, path).filter(!coalesce(predicate, lit(false))), path), "delete")
 
   /** Rewrite the current snapshot's many small files into
     * `numFiles` larger ones (new snapshot; old versions untouched). */
@@ -195,21 +198,34 @@ object LakeTable {
 
   /** Expire snapshots older than the last `retain` versions: their
     * manifests are dropped and data files referenced by NO surviving
-    * snapshot are garbage-collected. Completes the metadata lifecycle
-    * (commit → time travel → expire). */
+    * snapshot are garbage-collected; commit data dirs left empty by GC
+    * are removed too. Completes the metadata lifecycle (commit → time
+    * travel → expire). IDEMPOTENT: versions whose manifests were
+    * removed by a previous expire are skipped (the normal periodic-GC
+    * usage is expire → more commits → expire again). */
   def expireSnapshots(spark: SparkSession, path: String, retain: Int): Seq[String] = {
     val latest = latestVersion(path).getOrElse(return Nil)
     val cutoff = latest - retain + 1
     if (cutoff <= 0) return Nil
-    val keepFiles = (cutoff to latest)
+    def live(v: Int): Boolean = Files.exists(Paths.get(s"${metaDir(path)}/v$v"))
+    val keepFiles = (cutoff to latest).filter(live)
       .flatMap(v => manifestEntries(spark, path, v)).map(_._1).toSet
-    val dropFiles = (0 until cutoff)
+    val dropDirs = (0 until cutoff).filter(live)
+    val dropFiles = dropDirs
       .flatMap(v => manifestEntries(spark, path, v)).map(_._1).toSet -- keepFiles
     dropFiles.foreach(f => Files.deleteIfExists(Paths.get(f)))
-    (0 until cutoff).foreach { v =>
+    dropDirs.foreach { v =>
       val md = Paths.get(s"${metaDir(path)}/v$v")
-      if (Files.exists(md))
-        Files.walk(md).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      Files.walk(md).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+    // remove commit data dirs that no longer hold any parquet file
+    val dataRoot = Paths.get(s"$path/data")
+    if (Files.exists(dataRoot)) {
+      Files.list(dataRoot).iterator().asScala.toSeq.foreach { commitDir =>
+        val contents = Files.walk(commitDir).iterator().asScala.toSeq
+        if (!contents.exists(_.toString.endsWith(".parquet")))
+          contents.reverse.foreach(Files.deleteIfExists(_))
+      }
     }
     dropFiles.toSeq.sorted
   }

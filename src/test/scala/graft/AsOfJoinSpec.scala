@@ -33,6 +33,34 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got(5L).isEmpty) // right row exists but only later
   }
 
+  test("NULL keys/times: null left rows null-extend, null right rows never match") {
+    // Without the isNullAt guards, a NULL key/time reads as 0 through
+    // getLong and can match real key-0/time-0 rows (round-1 ADVICE).
+    val left = Seq(
+      (1L, Some(0L), Some(0L)), // real key 0, time 0
+      (2L, None, Some(100L)), // null key
+      (3L, Some(10L), None), // null time
+      (4L, Some(10L), Some(100L))) // normal row
+      .toDF("event_id", "user_id", "ts_us")
+    val right = Seq(
+      (Some(0L), Some(0L), "zero"), // legitimately matches left event 1
+      (None, Some(50L), "nullkey"), // must never be a candidate
+      (Some(10L), None, "nulltime"), // must never be a candidate
+      (Some(10L), Some(90L), "ok"))
+      .toDF("r_user_id", "r_ts", "r_tag")
+
+    val got = AsOf.asofJoin(left, right, "user_id", "r_user_id", "ts_us", "r_ts")
+      .select("event_id", "r_tag")
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)))
+      .toMap
+
+    assert(got(1L).contains("zero")) // real 0s still match each other
+    assert(got(2L).isEmpty) // null key → null-extended
+    assert(got(3L).isEmpty) // null time → null-extended
+    assert(got(4L).contains("ok")) // null right rows skipped, real one wins
+  }
+
   test("matches the window-form query on driver data") {
     val dir = "/root/testdata/sf0.001"
     val a = ops.Relational.asofLatestError(spark, dir).collect().map(_.toSeq)

@@ -143,6 +143,42 @@ class LakeTableSpec extends AnyFunSuite {
     intercept[Exception](LakeTable.read(spark, p5, Some(0)).count())
   }
 
+  test("expire is idempotent across commit cycles and removes emptied data dirs") {
+    // round-1 ADVICE: a second expire used to crash on PATH_NOT_FOUND
+    // reading manifests already removed by the first one.
+    val p7 = "/tmp/graft_test/lake_expire_twice"
+    rmdir(p7)
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .select("o_orderkey", "o_totalprice")
+    LakeTable.overwrite(orders.limit(10), p7)
+    LakeTable.overwrite(orders.limit(20), p7)
+    LakeTable.expireSnapshots(spark, p7, retain = 1)
+    // the periodic-GC cycle: more commits, then expire AGAIN
+    LakeTable.overwrite(orders.limit(30), p7)
+    val dropped2 = LakeTable.expireSnapshots(spark, p7, retain = 1)
+    assert(dropped2.nonEmpty)
+    assert(LakeTable.read(spark, p7).count() === 30)
+    // a third expire with nothing to do is a clean no-op
+    assert(LakeTable.expireSnapshots(spark, p7, retain = 1) === Nil)
+    // GC'd commit data dirs are gone (only the live snapshot's remains)
+    import scala.jdk.CollectionConverters._
+    val dataDirs = java.nio.file.Files.list(
+      java.nio.file.Paths.get(s"$p7/data")).iterator().asScala.toSeq
+    assert(dataDirs.size === 1, s"emptied commit dirs should be removed: $dataDirs")
+  }
+
+  test("delete keeps rows whose predicate evaluates to NULL (SQL DELETE semantics)") {
+    val p8 = "/tmp/graft_test/lake_null_delete"
+    rmdir(p8)
+    import spark.implicits._
+    val rows = Seq((1L, Some(5.0)), (2L, None), (3L, Some(50.0)))
+      .toDF("k", "v")
+    LakeTable.overwrite(rows, p8)
+    LakeTable.delete(spark, p8, col("v") > 10.0) // NULL for k=2
+    val kept = LakeTable.read(spark, p8).select("k").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(1L, 2L), "NULL-predicate row must be retained")
+  }
+
   test("partitioned snapshots reconstruct partition columns and prune") {
     val p3 = "/tmp/graft_test/lake_part"
     rmdir(p3)
