@@ -591,6 +591,10 @@ object SparkEntry {
         |  SELECT doc_id, lang, plang,
         |         row_number() OVER (PARTITION BY doc_id ORDER BY overlap DESC, plang) AS rn
         |  FROM hits) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // Mirrors the Spark LSH bucketing bit-exactly: plane coefficient
+    // coef(p,i) = +1 iff ((i*31 + p*17) % 7) % 2 = 0 (Similarity.
+    // planeCoef), projection = left-to-right double sum, bucket bit p
+    // set iff projection > 0. Candidates are within-bucket pairs only.
     "embedding_near_dup" ->
       """WITH base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |              FROM embeddings WHERE vec_id < 200),
@@ -598,10 +602,22 @@ object SparkEntry {
         |               list_transform(range(len(v)), i -> v[i+1] * (1 + 0.02*((i % 5) - 2))) AS v
         |        FROM base),
         |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM var),
+        |proj AS (SELECT vec_id, p,
+        |                list_sum(list_transform(range(len(v)),
+        |                  i -> v[i+1] * (CASE WHEN ((i*31 + p*17) % 7) % 2 = 0
+        |                                 THEN 1.0 ELSE -1.0 END))) AS pr
+        |         FROM corpus, (SELECT unnest(range(8)) AS p)),
+        |buck AS (SELECT vec_id,
+        |                CAST(sum(CASE WHEN pr > 0 THEN CAST(pow(2, p) AS BIGINT)
+        |                          ELSE 0 END) AS BIGINT) AS bucket
+        |         FROM proj GROUP BY 1),
         |e AS (SELECT vec_id, unnest(v) AS x, unnest(range(len(v))) AS i FROM corpus),
         |n AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM e GROUP BY 1),
         |d AS (SELECT a.vec_id AS va, b.vec_id AS vb, sum(a.x * b.x) AS dp
-        |      FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2)
+        |      FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+        |      JOIN buck ba ON ba.vec_id = a.vec_id
+        |      JOIN buck bb ON bb.vec_id = b.vec_id AND ba.bucket = bb.bucket
+        |      GROUP BY 1, 2)
         |SELECT va AS vec_a, vb AS vec_b,
         |       round(dp / (na.nrm * nb.nrm), 6) AS cos_sim
         |FROM d JOIN n na ON na.vec_id = va JOIN n nb ON nb.vec_id = vb

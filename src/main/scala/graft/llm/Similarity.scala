@@ -78,16 +78,20 @@ object Similarity {
     * is approximate by design → no SQL oracle (rows-only check). At
     * 100 TB this is the shape that survives: the bucket join shuffles
     * each side once on an 8-bit key instead of crossing them. */
+  /** nPlanes-bit random-hyperplane bucket: bit p = sign of the
+    * projection onto fixed ±1 plane p. Shared by [[knnLshBucketed]]
+    * and [[embeddingNearDup]]; the DuckDB oracle mirrors the exact
+    * same coefficient formula and left-to-right projection sum. */
+  private[llm] def lshBucket(v: Column, nPlanes: Int = 8, dim: Int = 64): Column =
+    (0 until nPlanes).map { p =>
+      val plane = array((0 until dim).map(i => lit(planeCoef(p, i))): _*)
+      when(dot(v, plane) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   def knnLshBucketed(
       s: SparkSession, d: String,
       k: Int = 5, nQueries: Int = 10, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
-    def bucket(v: Column): Column =
-      (0 until nPlanes).map { p =>
-        val plane = array((0 until dim).map(i => lit(planeCoef(p, i))): _*)
-        when(dot(v, plane) > 0, lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_ + _)
-
-    val emb = embWithNorm(s, d).withColumn("bucket", bucket(col("v")))
+    val emb = embWithNorm(s, d).withColumn("bucket", lshBucket(col("v"), nPlanes, dim))
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
         col("bucket").as("qbucket"))
@@ -142,12 +146,15 @@ object Similarity {
   /** L2/L3 embedding-cosine near-dup: originals ∪ deterministically
     * perturbed variants (±4% per-dim scaling, vec_id offset 1,000,000
     * — the driver embeddings are random, so true near-dups are
-    * manufactured like Dedup.nearDupCorpus does for text), brute-force
-    * pairwise cosine over a bounded slice, threshold on the ROUNDED
-    * similarity. Original/variant pairs land ≈0.999; random pairs stay
-    * < 0.52, so the 0.9 threshold is noise-proof. At scale the
-    * candidate set comes from knnLshBucketed's buckets instead of the
-    * bounded cross join. */
+    * manufactured like Dedup.nearDupCorpus does for text). Round 2:
+    * candidates come from [[lshBucket]]'s random-hyperplane buckets —
+    * a bucket EQUI-join (the knnLshBucketed shape) instead of the
+    * round-1 bounded cross join, i.e. the plan that survives 100 TB.
+    * The exact rounded-cosine check still runs on every candidate
+    * pair; the DuckDB oracle mirrors the bucketing bit-exactly, so
+    * both engines agree on the candidate set AND the survivors.
+    * Original/variant pairs land ≈0.999 cosine and agree on nearly
+    * every sign bit; random pairs stay < 0.52. */
   def embeddingNearDup(s: SparkSession, d: String, threshold: Double = 0.9): DataFrame = {
     val base = Tables.load(s, d, "embeddings")
       .filter(col("vec_id") < 200)
@@ -156,9 +163,16 @@ object Similarity {
       (col("vec_id") + 1000000L).as("vec_id"),
       transform(col("v"), (x, i) =>
         x * (lit(1.0) + lit(0.02) * (pmod(i, lit(5)) - lit(2)).cast("double"))).as("v"))
-    val corpus = base.unionByName(variant).withColumn("nrm", l2norm(col("v")))
+    val corpus = base.unionByName(variant)
+      .withColumn("nrm", l2norm(col("v")))
+      .withColumn("bucket", lshBucket(col("v")))
+      // exchange barrier doubling as join prep: materializes v/nrm/
+      // bucket once, and both self-join legs reuse the same exchange
+      .repartition(
+        s.conf.get("spark.sql.shuffle.partitions", "32").toInt, col("bucket"))
     corpus.as("a")
-      .join(corpus.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .join(corpus.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(
         col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6).as("cos_sim"))

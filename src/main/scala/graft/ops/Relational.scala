@@ -373,17 +373,39 @@ object Relational {
   /** Skyline / Pareto frontier (PAPERS.md: "Integration of Skyline
     * Queries into Spark SQL", EDBT 2023): parts where no other part is
     * both cheaper-or-equal AND smaller-or-equal (strict in one).
-    * Computed over distinct (price, size) pairs in one sort + one
-    * running-min window — O(n log n) — instead of the naive O(n²)
-    * dominance self-join the oracle uses: after sorting by (price asc,
-    * size asc), a pair is on the frontier iff every preceding pair has
-    * a strictly larger size. */
+    *
+    * Scale-safe shape (round-1 verdict replaced a global no-partition
+    * window — a single-reducer at 100× part cardinality):
+    *  1. hash-agg to min size per price (only that point of a price
+    *     group can be on the frontier);
+    *  2. range-partition by price (explicit numPartitions so AQE can't
+    *     re-coalesce the two consumer legs differently); per-range
+    *     running min via a window PARTITIONED by the range id;
+    *  3. cross-range fixup: per-range minima (≤ one row per range) get
+    *     a prefix min over range ids — the only unpartitioned window,
+    *     bounded by the partition COUNT, not the data — broadcast back.
+    * A point is on the frontier iff every strictly-cheaper price has a
+    * strictly larger size: min over (earlier ranges ∪ earlier rows in
+    * this range) > own size. Two fully-parallel passes, O(n log n). */
   def skylinePriceSize(s: SparkSession, d: String): DataFrame = {
-    val w = Window.orderBy(col("p_retailprice").asc, col("p_size").asc)
+    val nPart = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val best = t(s, d, "part")
+      .groupBy("p_retailprice").agg(min("p_size").as("p_size"))
+    val bucketed = best
+      .repartitionByRange(nPart, col("p_retailprice"))
+      .withColumn("pid", spark_partition_id()) // monotone in price
+    val localW = Window.partitionBy("pid").orderBy("p_retailprice")
       .rowsBetween(Window.unboundedPreceding, -1)
-    t(s, d, "part")
-      .select(col("p_retailprice"), col("p_size")).distinct()
-      .withColumn("min_prev_size", min(col("p_size")).over(w))
+    val local = bucketed.withColumn("local_min_prev", min("p_size").over(localW))
+    val prefixW = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = bucketed
+      .groupBy("pid").agg(min("p_size").as("bucket_min")) // ≤ nPart rows
+      .withColumn("prev_buckets_min", min("bucket_min").over(prefixW))
+      .select("pid", "prev_buckets_min")
+    local.join(broadcast(prefix), "pid")
+      // least() ignores nulls; null only when BOTH legs are empty
+      // (globally first row) — kept, as the frontier's cheapest point
+      .withColumn("min_prev_size", least(col("local_min_prev"), col("prev_buckets_min")))
       .filter(col("min_prev_size").isNull || col("min_prev_size") > col("p_size"))
       .select(col("p_retailprice"), col("p_size"))
       .orderBy("p_retailprice", "p_size")
