@@ -72,6 +72,7 @@ object SparkEntry {
     "above_avg_customers" -> (ops.Relational.aboveAvgCustomers _),
     // --- reference ETL parity (SURVEY.md §2.2, §2.6 O3, §3 E1) ---
     "etl_verl_rows" -> (etl.Preprocess.verlRows _),
+    "permissive_ingest" -> (etl.Preprocess.permissiveIngest _),
     "etl_positional_split" -> (etl.Preprocess.positionalSplit _),
     "role_swap_messages" -> (etl.Preprocess.roleSwapMessages _),
     "softmax_classify" -> (etl.Preprocess.softmaxClassify _),
@@ -86,6 +87,7 @@ object SparkEntry {
     "skyline_price_size" -> (ops.Relational.skylinePriceSize _),
     "lake_snapshot_read" -> (sources.LakeTable.snapshotReadQuery _),
     "lake_merge_read" -> (sources.LakeTable.mergeReadQuery _),
+    "lake_partition_prune" -> (sources.LakeTable.partitionPruneQuery _),
     // --- streaming semantics (SURVEY.md §2.9 T1-T6), batch-replayed ---
     "session_replay" -> (streaming.DialogueStateMachine.sessionReplay _),
     "tumbling_hourly" -> (streaming.EventTimeWindows.tumblingHourly _),
@@ -486,6 +488,21 @@ object SparkEntry {
     "lake_snapshot_read" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // permissive_ingest: malformed JSON rows (every 7th) parse to
+    // null-defaulted columns; the oracle mirrors the outcome directly
+    "permissive_ingest" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
+        |       CASE WHEN doc_id % 7 = 0 THEN NULL
+        |            ELSE CAST(length(text) AS INT) END AS n_chars,
+        |       doc_id % 7 = 0 AS malformed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // lake_partition_prune: partitioned lake-table write + predicate
+    // read; only the event_type=purchase partition's files are scanned
+    "lake_partition_prune" ->
+      """SELECT event_id % 10 AS bucket, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
     "lake_merge_read" ->
       """WITH merged AS (
         |  SELECT event_id,

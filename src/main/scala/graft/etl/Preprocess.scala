@@ -26,6 +26,33 @@ import org.apache.spark.sql.functions._
   */
 object Preprocess {
 
+  /** P9 permissive message normalization: ingest a JSON-lines corpus
+    * where some rows are malformed, PERMISSIVE-parse them against an
+    * explicit schema (`from_json` — the same row-level recovery path
+    * as `spark.read.schema(...).json` with mode=PERMISSIVE), and emit
+    * null-defaulted columns plus a malformed flag. The JSON strings
+    * are derived deterministically from `documents` (every 7th row is
+    * truncated mid-object) so the DuckDB oracle can mirror the
+    * outcome without parsing JSON at all.
+    * Scale: map-only — parse failures cost nothing beyond the row. */
+  def permissiveIngest(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.load(s, d, "documents")
+    val js = when(pmod(col("doc_id"), lit(7L)) === 0, lit("{\"lang\": \"trunc")) // malformed
+      .otherwise(concat(
+        lit("{\"lang\":\""), col("lang"),
+        lit("\",\"n_chars\":"), length(col("text")).cast("string"), lit("}")))
+    docs
+      .select(col("doc_id"),
+        from_json(js, org.apache.spark.sql.types.StructType.fromDDL(
+          "lang STRING, n_chars INT")).as("r"))
+      .select(
+        col("doc_id"),
+        col("r.lang").as("lang"),
+        col("r.n_chars").as("n_chars"),
+        col("r.lang").isNull.as("malformed"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic nested corpus: one dialogue per user, one round per
     * event, two turns per round with role/text patterns cycling on
     * event_id. Round order is scrambled by construction (collect_list

@@ -13,12 +13,20 @@ final case class TurnIn(dia_id: Long, turn: Int, layer: Int, confidence: Double)
   * sequential fold of `reward.py:28-69`, carrying `last_layer` through
   * the turn-ordered history. This is the cross-check implementation
   * against the window-function form (Reward.trajectoryReward) — the
-  * equivalence is property-tested in RewardSpec.
+  * equivalence is property-tested in RewardSpec, including groups
+  * longer than the streaming MaxTurns cap.
   *
-  * The buffer holds the (bounded: ≤ max_turns) turn list because the
-  * fold is order-sensitive while Spark feeds aggregators in partition
-  * order; sorting happens once in finish(). Scoring arithmetic is
-  * shared with the streaming state machine (scoreTurn). */
+  * The buffer holds the whole turn list because the fold is
+  * order-sensitive while Spark feeds aggregators in partition order;
+  * sorting happens once in finish(). Memory bound = the LONGEST LOGGED
+  * DIALOGUE (driver events-per-user can exceed MaxTurns), NOT
+  * max_turns: batch scoring deliberately folds the full logged
+  * history, exactly like the window form and `reward.py` itself. The
+  * STREAMING state machine is the one place the MaxTurns cap applies —
+  * there the rollout loop stops EMITTING turns at termination
+  * (DialogueStateMachine.runSession), so capping here would double-
+  * apply it and diverge from the window form's oracle. Scoring
+  * arithmetic is shared with the state machine (scoreTurn). */
 class RewardAgg(cfg: RewardConfig = RewardConfig())
     extends Aggregator[TurnIn, List[TurnIn], Double] {
 

@@ -184,6 +184,28 @@ object LakeTable {
       .orderBy("event_type")
   }
 
+  /** Driver query: write events as a hive-partitioned lake table
+    * (partitioned by event_type via [[overwritePartitioned]]), read the
+    * snapshot back through the manifest path WITH a partition
+    * predicate, and aggregate into event_id buckets. The partition
+    * filter prunes at planning time — only `event_type=purchase` files
+    * are scanned (file-count asserted in LakeTableSpec) — and the
+    * oracle is the same filtered aggregate over the source table, so
+    * the whole partitioned-commit/prune/read path is hash-verified. */
+  def partitionPruneQuery(s: SparkSession, d: String): DataFrame = {
+    val path = s"/tmp/graft_lakeprune_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val p = Paths.get(path)
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    val ev = graft.Tables.load(s, d, "events").select("event_id", "event_type", "value")
+    overwritePartitioned(ev, path, "event_type")
+    read(s, path)
+      .filter(col("event_type") === "purchase")
+      .groupBy(pmod(col("event_id"), lit(10L)).as("bucket"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+      .orderBy("bucket")
+  }
+
   /** Clustered rewrite (OPTIMIZE ... ZORDER-style): range-partition the
     * current snapshot by the clustering columns and sort within files,
     * so parquet min/max footer stats become selective and point/range

@@ -198,6 +198,30 @@ class LakeTableSpec extends AnyFunSuite {
       s"partition pruning missing:\n${plan.take(800)}")
   }
 
+  test("partition-pruned read scans only the matching partition's files") {
+    val p9 = "/tmp/graft_test/lake_prune_files"
+    rmdir(p9)
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    LakeTable.overwritePartitioned(orders.repartition(4), p9, "o_orderstatus")
+    // AQE off so the executed plan exposes FileSourceScanExec directly
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def filesScanned(df: org.apache.spark.sql.DataFrame): Long = {
+        df.collect()
+        df.queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.metrics("numFiles").value
+        }.sum
+      }
+      val all = filesScanned(LakeTable.read(spark, p9))
+      val pruned = filesScanned(
+        LakeTable.read(spark, p9).filter(col("o_orderstatus") === "F"))
+      assert(pruned > 0 && pruned < all,
+        s"partition predicate must skip files: pruned=$pruned all=$all")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("filter pushdown reaches the scan through the manifest read path") {
     val df = LakeTable.read(spark, path).filter(col("o_totalprice") > 1000.0)
     val plan = df.queryExecution.executedPlan.toString

@@ -55,7 +55,10 @@ class RewardSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(42)
     val agg = new RewardAgg(cfg)
     val dialogues = (0 until 40).map { d =>
-      val n = 1 + rnd.nextInt(12)
+      // lengths straddle the streaming MaxTurns cap (20): batch scoring
+    // folds the FULL logged history — documented divergence from the
+    // streaming path, which stops EMITTING turns at termination
+    val n = 1 + rnd.nextInt(35)
       d.toLong -> List.fill(n)((1 + rnd.nextInt(5), rnd.nextInt(101) / 100.0))
     }
     val turns = dialogues.flatMap { case (id, hist) =>

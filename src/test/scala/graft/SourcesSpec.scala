@@ -75,4 +75,39 @@ class SourcesSpec extends AnyFunSuite {
     assert(row.getAs[String]("dia_id") === "d1")
     assert(row.getAs[scala.collection.Seq[String]]("user_script") === Seq("hello1", "hello2"))
   }
+
+  test("P9: permissive JSON read null-defaults malformed rows and captures them") {
+    // file-based leg of the permissive_ingest driver query: a corrupt
+    // line parses to null columns + _corrupt_record instead of failing
+    // the scan (reference ingest tolerates malformed dialogue rows)
+    val dir = Paths.get("/tmp/graft_test")
+    Files.createDirectories(dir)
+    val f = dir.resolve("permissive.jsonl")
+    Files.writeString(f,
+      """{"id": 1, "lang": "en"}
+        |{"id": 2, "lang": BROKEN
+        |{"id": 3, "lang": "de"}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("lang", StringType),
+      StructField("_corrupt_record", StringType)))
+    val df = spark.read.schema(schema).json(f.toString).cache()
+    try {
+      assert(df.count() === 3, "malformed row must not kill the scan")
+      assert(df.filter(col("_corrupt_record").isNotNull).count() === 1)
+      assert(df.filter(col("id").isNull && col("lang").isNull).count() === 1)
+      assert(df.filter(col("lang") === "de").count() === 1)
+    } finally df.unpersist()
+  }
+
+  test("F16: uuid() yields RFC-4122 values, distinct per row — excluded from oracles") {
+    // uuid() is nondeterministic BY DESIGN, which is exactly why no
+    // driver oracle may contain it (determinism contract, SURVEY.md
+    // §4); this spec is its documented coverage.
+    val ids = Tables.load(spark, sfDir, "region")
+      .select(expr("uuid()").as("u")).collect().map(_.getString(0))
+    val re = "^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$".r
+    ids.foreach(u => assert(re.matches(u), s"not a v4 uuid: $u"))
+    assert(ids.distinct.length === ids.length, "uuids must be unique per row")
+  }
 }
