@@ -35,6 +35,8 @@ object SparkEntry {
     "moving_revenue_7d" -> (ops.Relational.movingRevenue7d _),
     "customers_without_orders" -> (ops.Relational.customersWithoutOrders _),
     "segment_order_stats" -> (ops.Relational.segmentOrderStats _),
+    "q5_local_supplier" -> (ops.Relational.q5LocalSupplier _),
+    "quantile_quantity" -> (ops.Relational.quantileQuantity _),
     "range_join_quantity" -> (ops.Relational.rangeJoinQuantity _),
     "asof_latest_error" -> (ops.Relational.asofLatestError _),
     "asof_native" -> (ops.Relational.asofNativeLatestError _),
@@ -57,13 +59,16 @@ object SparkEntry {
     "knn_brute_force" -> ((s, d) => llm.Similarity.knnBruteForce(s, d)),
     "knn_topk_agg" -> ((s, d) => llm.Similarity.knnTopKAgg(s, d)),
     "knn_lsh_bucketed" -> ((s, d) => llm.Similarity.knnLshBucketed(s, d)),
-    // knn_ivf: approximate recall by construction → rows-only check
+    // knn_ivf / knn_ivf_kmeans: approximate recall by construction →
+    // rows-only check (float mean order additionally varies for kmeans)
     "knn_ivf" -> ((s, d) => llm.Similarity.knnIvf(s, d)),
+    "knn_ivf_kmeans" -> ((s, d) => llm.Similarity.knnIvfKmeans(s, d)),
     "label_cohesion" -> (llm.Similarity.labelCohesion _),
     "text_quality" -> (llm.TextAnalysis.textQuality _),
     "token_counts" -> (llm.TextAnalysis.tokenCounts _),
     "lang_id" -> (llm.TextAnalysis.langId _),
     "doc_fingerprint" -> (llm.TextAnalysis.docFingerprint _),
+    "cjk_fingerprint" -> (llm.TextAnalysis.cjkFingerprint _),
     "bpe_token_stats" -> (llm.TextAnalysis.bpeTokenStats _),
     "lang_id_ngram" -> (llm.TextAnalysis.langIdNgram _),
     "embedding_near_dup" -> ((s, d) => llm.Similarity.embeddingNearDup(s, d)),
@@ -273,6 +278,25 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM orders
         |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_items
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "quantile_quantity" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+        |       round(quantile_cont(l_quantity, 0.5), 6) AS q50,
+        |       round(quantile_cont(l_quantity, 0.75), 6) AS q75,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "range_join_quantity" ->
       """SELECT p_partkey,
         |       CAST(count(*) AS BIGINT) AS n_items,
@@ -572,6 +596,18 @@ object SparkEntry {
         |  SELECT doc_id, lang, plang,
         |         row_number() OVER (PARTITION BY doc_id ORDER BY overlap DESC, plang) AS rn
         |  FROM hits) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // cjk_fingerprint: code-point polyhash over mixed CJK/ASCII text —
+    // ascii(substring) is codePointAt in both engines, so this oracle
+    // pins multi-byte hash agreement cross-engine
+    "cjk_fingerprint" ->
+      """WITH t AS (SELECT doc_id, '文档«' || lang || '»共情¶ ' || text AS s, text
+        |           FROM documents)
+        |SELECT doc_id,
+        |  list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(s)+1),
+        |    i -> ascii(substring(s,i,1))::BIGINT)), (a,c) -> (a*31+c) % 1000000007) AS cjk_fp,
+        |  list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(text)+1),
+        |    i -> ascii(substring(text,i,1))::BIGINT)), (a,c) -> (a*31+c) % 1000000007) AS ascii_fp
+        |FROM t ORDER BY doc_id""".stripMargin,
     "doc_fingerprint" ->
       """WITH t2 AS (SELECT doc_id, text, list_transform(string_split(text, ' '), t ->
         |        list_reduce(list_prepend(0::BIGINT,

@@ -115,12 +115,15 @@ object Similarity {
     * shuffles on cell_id alone — the same bounded-bucket shape as
     * [[knnLshBucketed]], with recall controlled by nProbe. Approximate
     * by construction → rows-only check. */
-  def knnIvf(
-      s: SparkSession, d: String,
-      k: Int = 5, nQueries: Int = 10, nCells: Int = 16, nProbe: Int = 2): DataFrame = {
-    val emb = embWithNorm(s, d)
-    val cents = emb.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell_id"), col("v").as("cv"), col("nrm").as("cn"))
+  /** Two-stage IVF search over an arbitrary centroid table
+    * (cell_id, cv, cn): assign every vector to its nearest cell, probe
+    * each query's nProbe nearest cells, exact-score only those
+    * inverted lists. The candidate join shuffles on cell_id alone —
+    * the bounded-bucket shape. Shared by [[knnIvf]] (deterministic
+    * stand-in centroids) and [[knnIvfKmeans]] (trained centroids). */
+  private def ivfSearch(
+      emb: DataFrame, cents: DataFrame,
+      k: Int, nQueries: Int, nProbe: Int): DataFrame = {
     def nearestCells(df: DataFrame, keep: Int): DataFrame = {
       val w = Window.partitionBy("vec_id").orderBy(col("cell_sim").desc, col("cell_id"))
       df.crossJoin(broadcast(cents))
@@ -141,6 +144,53 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vec_id"), col("cos_sim"))
       .orderBy("qid", "rank")
+  }
+
+  def knnIvf(
+      s: SparkSession, d: String,
+      k: Int = 5, nQueries: Int = 10, nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    val emb = embWithNorm(s, d)
+    val cents = emb.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell_id"), col("v").as("cv"), col("nrm").as("cn"))
+    ivfSearch(emb, cents, k, nQueries, nProbe)
+  }
+
+  /** L3: IVF with k-means-TRAINED centroids — Lloyd's iterations in
+    * pure DataFrame algebra, the production IVF training path
+    * (round-1's knnIvf uses raw vectors as stand-in centroids).
+    * Init = first nCells vectors (deterministic, rand() is banned);
+    * each iteration assigns every vector to its nearest centroid by
+    * squared-euclidean (argmin ||v-c||² = argmax v·c − ||c||²/2, so
+    * one codegen'd dot per pair) and recomputes per-dimension means.
+    *
+    * Scale: assignment is a broadcast cross of nCells tiny centroids —
+    * map-only; the update is one posexplode + two hash aggs shuffling
+    * (cell, dim) partial sums, never vectors². Approximate by
+    * construction (float mean order) → rows-only driver check; recall
+    * floor pinned in KnnRecallSpec. */
+  def knnIvfKmeans(
+      s: SparkSession, d: String,
+      k: Int = 5, nQueries: Int = 10, nCells: Int = 16, nProbe: Int = 2,
+      iters: Int = 2): DataFrame = {
+    val emb = embWithNorm(s, d)
+    var cents = emb.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell_id"), col("v").as("cv"))
+    for (_ <- 1 to iters) {
+      val w = Window.partitionBy("vec_id").orderBy(col("score").desc, col("cell_id"))
+      val assigned = emb.crossJoin(broadcast(cents))
+        .withColumn("score",
+          dot(col("v"), col("cv")) - lit(0.5) * dot(col("cv"), col("cv")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("cell_id"), col("v"))
+      cents = assigned
+        .select(col("cell_id"), posexplode_outer(col("v")))
+        .groupBy("cell_id", "pos").agg(avg("col").as("m"))
+        .groupBy("cell_id")
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell_id"), transform(col("pm"), e => e.getField("m")).as("cv"))
+    }
+    ivfSearch(emb, cents.withColumn("cn", l2norm(col("cv"))), k, nQueries, nProbe)
   }
 
   /** L2/L3 embedding-cosine near-dup: originals ∪ deterministically

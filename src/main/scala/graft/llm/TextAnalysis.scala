@@ -138,6 +138,23 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** CJK-domain fingerprint: the reference's actual corpus is Chinese
+    * (`utils/data_preprocess.py:19-24`), but the driver tables are
+    * ASCII — so this query derives a deterministic MIXED CJK/ASCII
+    * string per doc (CJK literals + doc columns) and hashes it with
+    * the native code-point PolyHashExpr. The DuckDB oracle runs the
+    * identical code-point fold (`ascii(substring)` = codePointAt in
+    * BOTH engines), which makes the multi-byte hash path — the
+    * round-1 weak-risk — oracle-verified, not just spec-verified. */
+  def cjkFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.loadParallel(s, d, "documents")
+      .select(
+        col("doc_id"),
+        polyHash(concat(lit("文档«"), col("lang"), lit("»共情¶ "), col("text")))
+          .as("cjk_fp"),
+        polyHash(col("text")).as("ascii_fp"))
+      .orderBy("doc_id")
+
   /** L2/L4 document fingerprints: full-content rolling hash plus the
     * min-shingle-hash (the winnowing primitive — two docs sharing any
     * 3-gram window can collide on min_fp for fast candidate lookup). */

@@ -71,6 +71,54 @@ object Relational {
       .limit(20)
   }
 
+  /** TPC-H Q5 shape (local supplier volume): the deepest join tree in
+    * the suite — lineitem⋈orders is the one big shuffle (orderkey),
+    * customer the second (custkey); supplier and the ASIA
+    * nation⋈region slice are broadcast, and the Q5 locality
+    * constraint c_nationkey = s_nationkey rides the customer join as
+    * a predicate instead of a post-filter, so no row survives longer
+    * than it must. */
+  def q5LocalSupplier(s: SparkSession, d: String): DataFrame = {
+    val asia = t(s, d, "nation")
+      .join(broadcast(t(s, d, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val sup = t(s, d, "supplier")
+      .join(broadcast(asia), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    t(s, d, "lineitem")
+      .join(t(s, d, "orders")
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1997-01-01"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, d, "customer"),
+        col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  /** Exact percentile family (A-family widening): quartiles of
+    * l_quantity per return flag. Spark `percentile` and DuckDB
+    * `quantile_cont` share the percentile_cont interpolation
+    * (1-f)*lo + f*h; results are rounded for cross-engine float
+    * stability. Scale: per-group exact percentile sorts within the
+    * aggregation — fine for bounded group counts; unbounded cardinality
+    * would switch to approx_percentile (t-digest/GK, merge-friendly). */
+  def quantileQuantity(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 6).as("q25"),
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("q50"),
+        round(expr("percentile(l_quantity, 0.75)"), 6).as("q75"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   /** J2+J3: revenue rollup through the full dimension chain.
     * lineitem⋈orders is the only big shuffle; customer⋈nation⋈region
     * are broadcast (Tables.broadcastDims rationale). */

@@ -13,7 +13,8 @@ class ContractSpec extends AnyFunSuite {
 
   test("queries without oracles are the documented approximate ones") {
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(unoracled === Set("approx_distinct_users", "knn_lsh_bucketed", "knn_ivf"),
+    assert(unoracled === Set(
+      "approx_distinct_users", "knn_lsh_bucketed", "knn_ivf", "knn_ivf_kmeans"),
       s"unexpected rows-only queries: $unoracled")
   }
 

@@ -41,9 +41,32 @@ class KnnRecallSpec extends AnyFunSuite {
     }
     check("lsh", Similarity.knnLshBucketed(spark, dir))
     check("ivf", Similarity.knnIvf(spark, dir))
+    check("ivf_kmeans", Similarity.knnIvfKmeans(spark, dir))
     // IVF probes nProbe=2 of 16 cells covering all vectors: every
     // query must find candidates (its own cell is never empty)
     val ivfQs = Similarity.knnIvf(spark, dir).select("qid").distinct().count()
     assert(ivfQs === 10L, "every IVF query should return results")
+  }
+
+  test("approximate paths hit a recall floor vs brute force") {
+    // random 64-dim embeddings are a worst case for ANN (no cluster
+    // structure), so floors are deliberately conservative — the point
+    // is a regression tripwire, not a quality benchmark.
+    val exact = topSets(Similarity.knnBruteForce(spark, dir))
+    def recall(approx: Map[Long, Set[Long]]): Double = {
+      val hits = exact.map { case (q, s) =>
+        approx.get(q).map(a => (a & s).size).getOrElse(0)
+      }.sum
+      hits.toDouble / exact.values.map(_.size).sum
+    }
+    val rLsh = recall(topSets(Similarity.knnLshBucketed(spark, dir)))
+    val rIvf = recall(topSets(Similarity.knnIvf(spark, dir)))
+    val rKm = recall(topSets(Similarity.knnIvfKmeans(spark, dir)))
+    // single-table 8-bit LSH partitions 200 random vectors into ~2^8
+    // buckets — recall is structurally low here (multi-probe/multi-
+    // table would raise it); the floor only guards against zero
+    assert(rLsh >= 0.05, s"LSH recall collapsed: $rLsh")
+    assert(rIvf >= 0.25, s"IVF recall collapsed: $rIvf")
+    assert(rKm >= 0.25, s"kmeans-IVF recall collapsed: $rKm")
   }
 }
