@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CharNgramsExpr, DotProductExpr, PolyHashExpr}
+import graft.functions.{CharNgramsExpr, DotProductExpr, MinHashSigExpr, PolyHashExpr, TokenHashesExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{ArrayTransform, Expression, ExpressionInfo, Size}
@@ -37,6 +37,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_char_ngrams"),
       new ExpressionInfo(classOf[CharNgramsExpr].getName, "graft_char_ngrams"),
       (children: Seq[Expression]) => CharNgramsExpr(
+        children(0),
+        children(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_token_hashes"),
+      new ExpressionInfo(classOf[TokenHashesExpr].getName, "graft_token_hashes"),
+      (children: Seq[Expression]) => TokenHashesExpr(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash_sig"),
+      (children: Seq[Expression]) => MinHashSigExpr(
         children(0),
         children(1).eval().asInstanceOf[Number].intValue())))
     ext.injectOptimizerRule(_ => SizeOfTransformSimplification)

@@ -45,6 +45,84 @@ object HashUtil {
     h
   }
 
+  /** Per-token polyHash array: split on single spaces with Java
+    * `split(" ", -1)` semantics (consecutive spaces yield empty
+    * tokens hashing to 0; trailing empty kept) — exactly
+    * `transform(split(text, " "), t -> polyHash(t))`, the HOF form in
+    * ColumnFunctions.tokenHashes, in one pass over the bytes. */
+  def tokenHashes(s: UTF8String): ArrayData = {
+    val n = s.numBytes
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      val b0 = s.getByte(i) & 0xff
+      if (b0 == ' '.toInt) { out += h; h = 0L; i += 1 }
+      else {
+        var cp = 0
+        var len = 1
+        if (b0 < 0x80) { cp = b0 }
+        else if (b0 < 0xe0) { cp = b0 & 0x1f; len = 2 }
+        else if (b0 < 0xf0) { cp = b0 & 0x0f; len = 3 }
+        else { cp = b0 & 0x07; len = 4 }
+        var k = 1
+        while (k < len) { cp = (cp << 6) | (s.getByte(i + k) & 0x3f); k += 1 }
+        h = (h * 31L + cp) % ColumnFunctions.HashP
+        i += len
+      }
+    }
+    out += h // final token (empty string → 0, like split -1)
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Full MinHash signature from a token-hash array in one fused
+    * loop: 3-gram shingle hashes (((a*37+b)%p)*37+c)%p, then for each
+    * permutation the min of seededHash(sh, p) — arithmetic-identical
+    * to the HOF pipeline minhashSigArrayHof (spec-asserted) and to the
+    * DuckDB oracle. ~16×|shingles| interpreted-expression evals become
+    * one tight loop. Returns null if fewer than 3 tokens (the HOF
+    * form's array_min-of-empty contract; driver docs have ≥10). */
+  def minhashSig(th: ArrayData, numPerms: Int): ArrayData = {
+    val p = ColumnFunctions.HashP
+    val n = th.numElements()
+    if (n < 3) return null
+    val a = 1103515245L % p
+    val mins = Array.fill(numPerms)(Long.MaxValue)
+    var i = 0
+    while (i <= n - 3) {
+      val sh = (((th.getLong(i) * 37L + th.getLong(i + 1)) % p) * 37L +
+        th.getLong(i + 2)) % p
+      var q = 0
+      while (q < numPerms) {
+        val mult = (a + 2L * q + 1L) % p
+        val h = (sh * mult + (12345L + q)) % p
+        if (h < mins(q)) mins(q) = h
+        q += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(x => x: Any))
+  }
+
+  /** Min 3-gram shingle hash (the winnowing primitive of
+    * doc_fingerprint) from a token-hash array — same shingle
+    * arithmetic as [[minhashSig]], no permutations. Null if fewer
+    * than 3 tokens. */
+  def shingleMin(th: ArrayData): Any = {
+    val p = ColumnFunctions.HashP
+    val n = th.numElements()
+    if (n < 3) return null
+    var min = Long.MaxValue
+    var i = 0
+    while (i <= n - 3) {
+      val sh = (((th.getLong(i) * 37L + th.getLong(i + 1)) % p) * 37L +
+        th.getLong(i + 2)) % p
+      if (sh < min) min = sh
+      i += 1
+    }
+    min
+  }
+
   /** Character n-grams (by code point, matching `substring`'s
     * character indexing) as one tight loop — replaces the interpreted
     * transform(sequence(1, len-2), i -> substring(text, i, 3)) HOF,
@@ -116,6 +194,78 @@ case class CharNgramsExpr(child: Expression, n: Int)
       s"${ev.value} = graft.functions.HashUtil.charNgrams($c, $n);")
 
   protected override def withNewChildInternal(newChild: Expression): CharNgramsExpr =
+    copy(child = newChild)
+}
+
+/** Per-token polyHash array (see [[HashUtil.tokenHashes]]) as a native
+  * codegen expression — one pass over the UTF-8 bytes, replacing the
+  * interpreted transform(split) HOF in the dedup pipelines. */
+case class TokenHashesExpr(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_token_hashes"
+
+  protected override def nullSafeEval(input: Any): Any =
+    HashUtil.tokenHashes(input.asInstanceOf[UTF8String])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashUtil.tokenHashes($c);")
+
+  protected override def withNewChildInternal(newChild: Expression): TokenHashesExpr =
+    copy(child = newChild)
+}
+
+/** Fused MinHash signature (see [[HashUtil.minhashSig]]) as a native
+  * codegen expression: token-hash array → numPerms-permutation
+  * signature in one loop. */
+case class MinHashSigExpr(child: Expression, numPerms: Int)
+    extends UnaryExpression {
+
+  require(numPerms >= 1, s"numPerms must be >= 1, got $numPerms")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // null for < 3 tokens
+  override def prettyName: String = "graft_minhash_sig"
+
+  protected override def nullSafeEval(input: Any): Any =
+    HashUtil.minhashSig(input.asInstanceOf[ArrayData], numPerms)
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.HashUtil.minhashSig($c, $numPerms);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  protected override def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+/** Min shingle hash (see [[HashUtil.shingleMin]]) as a native codegen
+  * expression — the doc_fingerprint winnowing primitive. */
+case class ShingleMinExpr(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true // null for < 3 tokens
+  override def prettyName: String = "graft_shingle_min"
+
+  protected override def nullSafeEval(input: Any): Any =
+    HashUtil.shingleMin(input.asInstanceOf[ArrayData])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("sm")
+      s"""
+         |Object $tmp = graft.functions.HashUtil.shingleMin($c);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = (Long) $tmp; }
+       """.stripMargin
+    })
+
+  protected override def withNewChildInternal(newChild: Expression): ShingleMinExpr =
     copy(child = newChild)
 }
 

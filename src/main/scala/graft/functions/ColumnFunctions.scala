@@ -126,11 +126,26 @@ object ColumnFunctions {
   /** Whitespace tokenization (documents.text is single-space separated). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Per-token polyHash array. IMPORTANT: callers must materialize the
+  /** Per-token polyHash array (interpreted HOF reference form of
+    * [[tokenHashesNative]]). IMPORTANT: callers must materialize the
     * result (exchange boundary / already-bound column) before indexing
     * into it from another HOF lambda — interpreted HOFs re-evaluate
     * unbound array expressions per element access. */
   def tokenHashes(text: Column): Column = transform(tokens(text), t => polyHash(t))
+
+  /** Native codegen form of [[tokenHashes]] — one pass over the UTF-8
+    * bytes, split(" ", -1) semantics (spec-asserted equal). */
+  def tokenHashesNative(text: Column): Column = ofExpr(TokenHashesExpr(exprOf(text)))
+
+  /** Fused native MinHash signature from a token-hash array —
+    * arithmetic-identical to the shingleHashes3+seededHash HOF
+    * pipeline (spec-asserted) and the DuckDB oracles. */
+  def minhashSigNative(th: Column, numPerms: Int): Column =
+    ofExpr(MinHashSigExpr(exprOf(th), numPerms))
+
+  /** Native min 3-gram shingle hash (doc_fingerprint winnowing
+    * primitive) — equals array_min(shingleHashes3(th)). */
+  def shingleMinNative(th: Column): Column = ofExpr(ShingleMinExpr(exprOf(th)))
 
   /** Word 3-gram shingle strings from a MATERIALIZED token-array
     * column (L2). Callers guarantee ≥3 tokens (driver docs have ≥10,

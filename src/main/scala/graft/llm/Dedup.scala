@@ -57,19 +57,26 @@ object Dedup {
       regexp_replace(col("text"), "^\\S+ ", "").as("text")))
   }
 
-  /** L2 MinHash signature ARRAY per doc (index = permutation).
-    *
-    * The repartition between the two projections is load-bearing: it
-    * pins an exchange so the per-token hash array `th` is materialized
-    * ONCE per doc. Without it, CollapseProject inlines `th` into the
-    * per-permutation/per-shingle lambdas and the (non-codegen) HOF
-    * interpreter re-tokenizes and re-hashes per element — measured two
-    * orders of magnitude slower at sf0.1. Explicit numPartitions stops
-    * AQE from coalescing the small exchange to one partition, which
-    * would serialize the expensive stage above it. The shuffled payload
-    * is just (doc_id, th) ≈ 1 KB/doc, and downstream self-joins reuse
-    * the same exchange. */
+  /** L2 MinHash signature ARRAY per doc (index = permutation), round 2:
+    * one fused native expression (text → token hashes → shingle
+    * hashes → per-permutation minima, MinHashSigExpr) — a single
+    * codegen'd projection with NO exchange barrier needed, because
+    * nothing indexes an unbound array from a lambda anymore. The HOF
+    * pipeline survives as [[minhashSigArrayHof]], spec-asserted
+    * arithmetic-identical; the DuckDB oracle mirrors the same math. */
   def minhashSigArray(corpus: DataFrame, numPerms: Int = 16): DataFrame =
+    corpus.select(
+      col("doc_id"),
+      minhashSigNative(tokenHashesNative(col("text")), numPerms).as("sig"))
+
+  /** Interpreted HOF reference form of [[minhashSigArray]] (round-1
+    * implementation). The repartition is load-bearing HERE: it pins an
+    * exchange so the token-hash array `th` is materialized once per
+    * doc — without it CollapseProject inlines `th` into the
+    * per-permutation/per-shingle lambdas and the HOF interpreter
+    * re-tokenizes per element (measured two orders of magnitude
+    * slower at sf0.1). */
+  def minhashSigArrayHof(corpus: DataFrame, numPerms: Int = 16): DataFrame =
     corpus
       .select(col("doc_id"), tokenHashes(col("text")).as("th"))
       .repartition(

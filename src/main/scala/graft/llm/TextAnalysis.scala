@@ -159,15 +159,13 @@ object TextAnalysis {
     * min-shingle-hash (the winnowing primitive — two docs sharing any
     * 3-gram window can collide on min_fp for fast candidate lookup). */
   def docFingerprint(s: SparkSession, d: String): DataFrame =
+    // round 2: fused native expressions (TokenHashesExpr +
+    // ShingleMinExpr) — single codegen projection, no exchange barrier
+    // needed (nothing indexes an unbound array from a HOF lambda)
     Tables.loadParallel(s, d, "documents")
-      .select(col("doc_id"), col("text"), tokenHashes(col("text")).as("th"))
-      // exchange barrier: materialize token hashes before the shingle
-      // combine indexes into them (see Dedup.minhashSigArray note)
-      .repartition(
-        s.conf.get("spark.sql.shuffle.partitions", "32").toInt, col("doc_id"))
       .select(
         col("doc_id"),
         polyHash(col("text")).as("content_fp"),
-        array_min(shingleHashes3(col("th"))).as("min_fp"))
+        shingleMinNative(tokenHashesNative(col("text"))).as("min_fp"))
       .orderBy("doc_id")
 }

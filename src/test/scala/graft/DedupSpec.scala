@@ -11,6 +11,41 @@ class DedupSpec extends AnyFunSuite {
   private lazy val spark = SparkSpec.spark
   import spark.implicits._
 
+  test("native fused minhash signature equals the HOF pipeline exactly") {
+    // covers split(" ", -1) edge semantics (double space → empty token
+    // hashing to 0; trailing space → trailing empty token) and CJK
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a  b c d"), // double space: empty token
+      (3L, "a b c d "), // trailing space: trailing empty token
+      (4L, "共情 回应 层级 对话 深度 状态"),
+      (5L, "x y z")) // exactly 3 tokens → 1 shingle
+      .toDF("doc_id", "text")
+    val native = Dedup.minhashSigArray(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[scala.collection.Seq[Long]]("sig")).toMap
+    val hof = Dedup.minhashSigArrayHof(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[scala.collection.Seq[Long]]("sig")).toMap
+    assert(native === hof)
+    // token hashes + shingle-min native forms agree with HOF math too
+    import graft.functions.ColumnFunctions._
+    val fp = docs.select(
+      tokenHashesNative(col("text")).as("thn"),
+      tokenHashes(col("text")).as("thh"),
+      shingleMinNative(tokenHashesNative(col("text"))).as("smn"))
+    fp.collect().foreach { r =>
+      val thn = r.getAs[scala.collection.Seq[Long]]("thn")
+      val thh = r.getAs[scala.collection.Seq[Long]]("thh")
+      assert(thn === thh, "token hashes diverge")
+      if (thn.size >= 3) {
+        val p = HashP
+        val expect = thn.sliding(3).map { w =>
+          (((w(0) * 37 + w(1)) % p) * 37 + w(2)) % p
+        }.min
+        assert(r.getAs[Long]("smn") === expect)
+      }
+    }
+  }
+
   test("minhash signatures: identical docs agree, disjoint docs disagree") {
     val docs = Seq(
       (1L, "a b c d e f g h i j"),
