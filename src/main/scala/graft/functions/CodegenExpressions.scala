@@ -123,6 +123,31 @@ object HashUtil {
     min
   }
 
+  /** 30-bit SimHash from a token-hash array (with multiplicity): per
+    * bit, +1 for every token occurrence with the bit set, −1
+    * otherwise; the output sets the bits with positive balance. Same
+    * math as the exploded count-weighted bit-majority the DuckDB
+    * oracle computes (frequency-grouping there is only an
+    * optimization — summing ±1 per occurrence is identical). */
+  def simhash30(th: ArrayData): Long = {
+    val bal = new Array[Long](30)
+    var i = 0
+    val n = th.numElements()
+    while (i < n) {
+      val h = th.getLong(i)
+      var b = 0
+      while (b < 30) {
+        if (((h >> b) & 1L) != 0L) bal(b) += 1 else bal(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 30) { if (bal(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
   /** Character n-grams (by code point, matching `substring`'s
     * character indexing) as one tight loop — replaces the interpreted
     * transform(sequence(1, len-2), i -> substring(text, i, 3)) HOF,
@@ -266,6 +291,26 @@ case class ShingleMinExpr(child: Expression)
     })
 
   protected override def withNewChildInternal(newChild: Expression): ShingleMinExpr =
+    copy(child = newChild)
+}
+
+/** 30-bit SimHash (see [[HashUtil.simhash30]]) as a native codegen
+  * expression — turns the explode-×30-bits + two-shuffle SimHash
+  * aggregation into a map-only per-doc projection. */
+case class SimHashExpr(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  protected override def nullSafeEval(input: Any): Any =
+    HashUtil.simhash30(input.asInstanceOf[ArrayData])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashUtil.simhash30($c);")
+
+  protected override def withNewChildInternal(newChild: Expression): SimHashExpr =
     copy(child = newChild)
 }
 

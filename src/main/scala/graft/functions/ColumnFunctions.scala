@@ -147,6 +147,10 @@ object ColumnFunctions {
     * primitive) — equals array_min(shingleHashes3(th)). */
   def shingleMinNative(th: Column): Column = ofExpr(ShingleMinExpr(exprOf(th)))
 
+  /** Native 30-bit SimHash over a token-hash array (bit-majority with
+    * multiplicity) — the map-only form of the exploded bit aggregate. */
+  def simhashNative(th: Column): Column = ofExpr(SimHashExpr(exprOf(th)))
+
   /** Word 3-gram shingle strings from a MATERIALIZED token-array
     * column (L2). Callers guarantee ≥3 tokens (driver docs have ≥10,
     * FIXTURES.md §2). */

@@ -148,21 +148,17 @@ object Dedup {
 
   /** L2 SimHash (30-bit — polyHash values are < 2^30): per-doc
     * bit-majority over term hashes weighted by term frequency.
-    * Token-hash counting first collapses each doc to its ≤|vocab|
-    * distinct hashes, so the bit explode multiplies a tiny frame. */
-  def simhashDocs(s: SparkSession, d: String): DataFrame = {
-    val th = Tables.loadParallel(s, d, "documents")
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      .groupBy(col("doc_id"), polyHash(col("token")).as("h"))
-      .agg(count(lit(1)).as("c"))
-    th.select(col("doc_id"), col("h"), col("c"), explode(sequence(lit(0), lit(29))).as("b"))
-      .withColumn("pow2", expr("CAST(pow(2, b) AS BIGINT)"))
-      .groupBy("doc_id", "b", "pow2")
-      .agg(sum(when(col("h").bitwiseAND(col("pow2")) =!= 0, col("c")).otherwise(-col("c"))).as("s"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("s") > 0, col("pow2")).otherwise(0L)).as("simhash"))
+    * Round 2: one native expression (SimHashExpr) per doc — MAP-ONLY,
+    * zero shuffles (round 1 exploded ×30 bits through two hash
+    * aggregations). The oracle's count-weighted formulation is
+    * arithmetic-identical (±1 per occurrence vs ±c per distinct
+    * hash). */
+  def simhashDocs(s: SparkSession, d: String): DataFrame =
+    Tables.loadParallel(s, d, "documents")
+      .select(
+        col("doc_id"),
+        simhashNative(tokenHashesNative(col("text"))).as("simhash"))
       .orderBy("doc_id")
-  }
 
   /** L2 exact n-gram Jaccard between consecutive doc_ids — the
     * verify-step primitive of the near-dup pipeline, on a linear (not

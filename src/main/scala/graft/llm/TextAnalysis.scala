@@ -52,20 +52,32 @@ object TextAnalysis {
     * (ties → lexicographically first lang). Self-supervised n-gram
     * profiling shape; deterministic end to end. */
   def langId(s: SparkSession, d: String): DataFrame = {
+    // Same broadcast-profile shape as [[langIdNgram]] (round-2
+    // rewrite): the per-lang top-10 token profile collapses to one
+    // array row per lang and classification is a map-only
+    // size(array_intersect) over a 5-row broadcast — no doc-side
+    // explode, no shuffle join on token strings. array_intersect
+    // counts DISTINCT shared tokens (= the old explode(array_distinct)
+    // + join count); filter(overlap >= 1) reproduces the inner join's
+    // dropping of zero-overlap pairs.
     val docs = Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("tk"))
+      .repartition(
+        s.conf.get("spark.sql.shuffle.partitions", "32").toInt, col("doc_id"))
     val prof = docs
-      .select(col("lang"), explode(tokens(col("text"))).as("token"))
+      .select(col("lang"), explode_outer(col("tk")).as("token"))
       .groupBy("lang", "token")
       .agg(count(lit(1)).as("c"))
       .withColumn("rn",
         row_number().over(Window.partitionBy("lang").orderBy(col("c").desc, col("token"))))
       .filter(col("rn") <= 10)
-      .select(col("lang").as("plang"), col("token"))
-    val docTok = docs
-      .select(col("doc_id"), col("lang"), explode(array_distinct(tokens(col("text")))).as("token"))
-    docTok.join(prof, "token")
-      .groupBy("doc_id", "lang", "plang")
-      .agg(count(lit(1)).as("overlap"))
+      .groupBy(col("lang").as("plang"))
+      .agg(collect_list(col("token")).as("ptok"))
+    docs.crossJoin(broadcast(prof))
+      .select(
+        col("doc_id"), col("lang"), col("plang"),
+        size(array_intersect(col("tk"), col("ptok"))).as("overlap"))
+      .filter(col("overlap") >= 1)
       .withColumn("rn",
         row_number().over(Window.partitionBy("doc_id").orderBy(col("overlap").desc, col("plang"))))
       .filter(col("rn") === 1)
