@@ -54,6 +54,7 @@ object SparkEntry {
     "dedup_prefix_key" -> (llm.Dedup.dedupPrefixKey _),
     "minhash_signatures" -> (llm.Dedup.minhashSignaturesQuery _),
     "minhash_near_dup" -> (llm.Dedup.minhashNearDupQuery _),
+    "dedup_clusters" -> ((s, d) => llm.Dedup.dedupClusters(s, d)),
     "simhash_docs" -> (llm.Dedup.simhashDocs _),
     "jaccard_consecutive" -> (llm.Dedup.jaccardConsecutive _),
     "knn_brute_force" -> ((s, d) => llm.Similarity.knnBruteForce(s, d)),
@@ -99,6 +100,42 @@ object SparkEntry {
     "sliding_hourly_30m" -> (streaming.EventTimeWindows.slidingHourly30m _),
     "session_windows_30m" -> (streaming.EventTimeWindows.sessionWindows30m _),
   )
+
+  /** MinHash near-dup pair SQL, shared by the `minhash_near_dup`
+    * oracle and the recursive-CTE closure in `dedup_clusters`. */
+  private val MinhashNearDupSql: String =
+    """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, regexp_replace(text, '^\S+ ', '') FROM documents
+        |),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM corpus),
+        |t2 AS (SELECT doc_id, list_transform(tokens, t ->
+        |        list_reduce(list_prepend(0::BIGINT,
+        |          list_transform(range(1, length(t)+1), i -> ascii(substring(t,i,1))::BIGINT)),
+        |          (a,c) -> (a*31+c) % 1000000007)) AS th FROM tok),
+        |h AS (SELECT doc_id, list_transform(range(1, len(th)-1),
+        |        i -> (((th[i]*37 + th[i+1]) % 1000000007) * 37 + th[i+2]) % 1000000007) AS hs
+        |      FROM t2),
+        |sig AS (SELECT doc_id, perm,
+        |        list_aggregate(list_transform(hs,
+        |          x -> (x*((103515239 + 2*perm) % 1000000007) + (12345 + perm)) % 1000000007),
+        |          'min') AS minhash
+        |        FROM (SELECT doc_id, hs, unnest(range(16)) AS perm FROM h)),
+        |bands AS (SELECT doc_id, CAST(perm // 4 AS INT) AS band,
+        |          string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm) AS band_key
+        |          FROM sig GROUP BY doc_id, band),
+        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |         FROM bands x JOIN bands y
+        |           ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b,
+        |       round(avg(CASE WHEN sa.minhash = sb.minhash THEN 1.0 ELSE 0.0 END), 6) AS est_jaccard
+        |FROM cand
+        |JOIN sig sa ON doc_a = sa.doc_id
+        |JOIN sig sb ON doc_b = sb.doc_id AND sa.perm = sb.perm
+        |GROUP BY doc_a, doc_b
+        |HAVING est_jaccard >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -398,39 +435,21 @@ object SparkEntry {
         |         'min') AS minhash
         |FROM (SELECT doc_id, hs, unnest(range(16)) AS perm FROM h)
         |ORDER BY doc_id, perm""".stripMargin,
-    "minhash_near_dup" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, regexp_replace(text, '^\S+ ', '') FROM documents
-        |),
-        |tok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM corpus),
-        |t2 AS (SELECT doc_id, list_transform(tokens, t ->
-        |        list_reduce(list_prepend(0::BIGINT,
-        |          list_transform(range(1, length(t)+1), i -> ascii(substring(t,i,1))::BIGINT)),
-        |          (a,c) -> (a*31+c) % 1000000007)) AS th FROM tok),
-        |h AS (SELECT doc_id, list_transform(range(1, len(th)-1),
-        |        i -> (((th[i]*37 + th[i+1]) % 1000000007) * 37 + th[i+2]) % 1000000007) AS hs
-        |      FROM t2),
-        |sig AS (SELECT doc_id, perm,
-        |        list_aggregate(list_transform(hs,
-        |          x -> (x*((103515239 + 2*perm) % 1000000007) + (12345 + perm)) % 1000000007),
-        |          'min') AS minhash
-        |        FROM (SELECT doc_id, hs, unnest(range(16)) AS perm FROM h)),
-        |bands AS (SELECT doc_id, CAST(perm // 4 AS INT) AS band,
-        |          string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm) AS band_key
-        |          FROM sig GROUP BY doc_id, band),
-        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        |         FROM bands x JOIN bands y
-        |           ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id)
-        |SELECT doc_a, doc_b,
-        |       round(avg(CASE WHEN sa.minhash = sb.minhash THEN 1.0 ELSE 0.0 END), 6) AS est_jaccard
-        |FROM cand
-        |JOIN sig sa ON doc_a = sa.doc_id
-        |JOIN sig sb ON doc_b = sb.doc_id AND sa.perm = sb.perm
-        |GROUP BY doc_a, doc_b
-        |HAVING est_jaccard >= 0.5
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "minhash_near_dup" -> MinhashNearDupSql,
+    // dedup_clusters: connected components over the near-dup pairs —
+    // the oracle computes the EXACT transitive closure with a
+    // recursive CTE, guarding the Spark side's iteration bound
+    "dedup_clusters" ->
+      ("WITH RECURSIVE nd AS (\n" + MinhashNearDupSql + "\n),\n" +
+        """edges AS (SELECT doc_a AS src, doc_b AS dst FROM nd
+          |          UNION ALL SELECT doc_b, doc_a FROM nd),
+          |nodes AS (SELECT DISTINCT src AS id FROM edges),
+          |reach(id, label) AS (
+          |  SELECT id, id FROM nodes
+          |  UNION
+          |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
+          |SELECT id AS doc_id, min(label) AS cluster_id
+          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
     "simhash_docs" ->
       """WITH th AS (
         |  SELECT doc_id,

@@ -160,6 +160,39 @@ object Dedup {
         simhashNative(tokenHashesNative(col("text"))).as("simhash"))
       .orderBy("doc_id")
 
+  /** L1/L2 dedup CLUSTERING: connected components over the near-dup
+    * pair graph — the transitive-closure step a production dedup
+    * needs after candidate generation (A~B and B~C must collapse to
+    * one keeper even if A~C was never scored). Iterative min-label
+    * propagation in pure DataFrame algebra: every node starts as its
+    * own label; each round takes the min label over itself and its
+    * neighbors. `iters` rounds converge for any component of diameter
+    * ≤ iters — the manufactured corpus has only orig↔variant stars
+    * (diameter 1); at 100 TB you'd iterate to a fixpoint (or
+    * alternate large-star/small-star) with each round being one
+    * self-equi-join + hash agg, fully parallel. The DuckDB oracle
+    * computes the EXACT closure with a recursive CTE, so
+    * under-iteration would fail the gate. */
+  def dedupClusters(s: SparkSession, d: String, iters: Int = 4): DataFrame = {
+    val pairs = minhashNearDupQuery(s, d).select("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val nodes = edges.select(col("src").as("id")).distinct()
+    var labels = nodes.withColumn("label", col("id"))
+    for (_ <- 1 to iters) {
+      val neigh = edges
+        .join(labels.withColumnRenamed("id", "src_id"), col("src") === col("src_id"))
+        .groupBy(col("dst")).agg(min("label").as("nlabel"))
+      labels = labels
+        .join(neigh, col("id") === col("dst"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+    }
+    labels
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** L2 exact n-gram Jaccard between consecutive doc_ids — the
     * verify-step primitive of the near-dup pipeline, on a linear (not
     * quadratic) pairing so it stays oracle-friendly. */

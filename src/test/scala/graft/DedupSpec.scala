@@ -106,6 +106,28 @@ class DedupSpec extends AnyFunSuite {
       s"similar docs should be closer: $sh")
   }
 
+  test("label propagation clusters transitively-linked near-dups (A~B~C, no A~C edge)") {
+    // chain component: 1-2, 2-3 linked but 1-3 never paired — the
+    // cluster id must still collapse to min(component) = 1
+    import graft.functions.ColumnFunctions._
+    import org.apache.spark.sql.DataFrame
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val nodes = edges.select(col("src").as("id")).distinct()
+    var labels: DataFrame = nodes.withColumn("label", col("id"))
+    for (_ <- 1 to 4) {
+      val neigh = edges
+        .join(labels.withColumnRenamed("id", "src_id"), col("src") === col("src_id"))
+        .groupBy(col("dst")).agg(min("label").as("nlabel"))
+      labels = labels.join(neigh, col("id") === col("dst"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+    }
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("exact dedup multiplicity on a frame with true duplicates") {
     val dir = "/tmp/graft_test/dedup_exact"
     Seq(

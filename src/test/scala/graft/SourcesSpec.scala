@@ -76,6 +76,21 @@ class SourcesSpec extends AnyFunSuite {
     assert(row.getAs[scala.collection.Seq[String]]("user_script") === Seq("hello1", "hello2"))
   }
 
+  test("ORC sink then scan round-trips rows with predicate pushdown") {
+    val out = "/tmp/graft_test/events_orc"
+    val src = Tables.load(spark, sfDir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    src.write.mode("overwrite").orc(out)
+    val back = spark.read.orc(out)
+    assert(back.count() === src.count())
+    val filtered = back.filter(col("event_type") === "purchase")
+    assert(filtered.count() === src.filter(col("event_type") === "purchase").count())
+    // predicate must reach the ORC scan (pushdown intact)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("event_type"),
+      s"ORC pushdown missing:\n${plan.take(600)}")
+  }
+
   test("P9: permissive JSON read null-defaults malformed rows and captures them") {
     // file-based leg of the permissive_ingest driver query: a corrupt
     // line parses to null columns + _corrupt_record instead of failing
