@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan contracts for the scale-critical queries: the shapes
+  * SCALE.md promises (broadcast dims, no join explosion, map-only
+  * pipelines) are asserted here so a refactor that silently degrades
+  * a plan — e.g. a broadcast falling back to SMJ, or a bucket join
+  * decaying to a cartesian — fails the suite, not just the bench. */
+class PlanContractSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  private def count(p: String, pat: String): Int = pat.r.findAllIn(p).length
+
+  test("embedding_near_dup: bucket EQUI-join, no nested-loop or cartesian") {
+    val p = plan("embedding_near_dup")
+    assert(count(p, "BroadcastNestedLoopJoin") === 0, p.take(400))
+    assert(count(p, "CartesianProduct") === 0)
+  }
+
+  test("revenue_by_nation and q5: dimension joins stay broadcast") {
+    assert(count(plan("revenue_by_nation"), "BroadcastHashJoin") >= 2)
+    assert(count(plan("q5_local_supplier"), "BroadcastHashJoin") >= 1)
+    assert(count(plan("q5_local_supplier"), "CartesianProduct") === 0)
+  }
+
+  test("range join is an equi-join (bucket explode), not a BNLJ") {
+    val p = plan("range_join_quantity")
+    assert(count(p, "BroadcastNestedLoopJoin") === 0)
+    assert(count(p, "CartesianProduct") === 0)
+  }
+
+  test("simhash_docs is map-only: no joins, exchanges only for the output sort") {
+    val p = plan("simhash_docs")
+    assert(count(p, "Join") === 0, s"simhash must not join:\n${p.take(400)}")
+    // loadParallel round-robin + final orderBy range exchange only
+    assert(count(p, "Exchange") <= 2, s"simhash grew a shuffle:\n${p.take(400)}")
+  }
+
+  test("minhash_signatures: fused native signature, no join, no agg shuffle") {
+    val p = plan("minhash_signatures")
+    assert(p.contains("graft_minhash_sig"), "native expression missing from plan")
+    assert(count(p, "Join") === 0)
+  }
+
+  test("as-of native operator is planned as AsOfJoinExec") {
+    assert(plan("asof_native").contains("AsOfJoin"))
+  }
+
+  test("lang_id family classifies via broadcast, not a token shuffle join") {
+    for (q <- Seq("lang_id", "lang_id_ngram")) {
+      val p = plan(q)
+      assert(count(p, "SortMergeJoin") === 0, s"$q decayed to SMJ:\n${p.take(400)}")
+    }
+  }
+}
