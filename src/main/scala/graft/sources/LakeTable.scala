@@ -160,6 +160,25 @@ object LakeTable {
       .orderBy("event_type")
   }
 
+  /** Driver query: TIME TRAVEL — commit evens (v0) then append odds
+    * (v1), but read back snapshot v0 explicitly. The oracle aggregates
+    * only the even events, so version pinning itself is hash-verified
+    * (a reader that resolved "latest" would see double the rows and
+    * fail). */
+  def timeTravelQuery(s: SparkSession, d: String): DataFrame = {
+    val path = s"/tmp/graft_laketravel_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val p = Paths.get(path)
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    val ev = graft.Tables.load(s, d, "events").select("event_id", "event_type", "value")
+    overwrite(ev.filter(pmod(col("event_id"), lit(2L)) === 0), path)
+    append(ev.filter(pmod(col("event_id"), lit(2L)) =!= 0), path)
+    read(s, path, version = Some(0))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   /** Driver query: full CoW lifecycle — overwrite, MERGE (patch every
     * 3rd event), DELETE (every 7th unpatched event), then read and
     * aggregate. The oracle computes the same merge+delete algebra
