@@ -148,6 +148,67 @@ object DialogueStateMachine {
         new DialogueProcessor(cfg), TimeMode.None(), OutputMode.Append())
   }
 
+  /** A turn with an event-time stamp, for the timeout-aware path. */
+  final case class TimedTurn(
+      ts: java.sql.Timestamp, dia_id: Long, turn: Int, layer: Int, confidence: Double)
+
+  /** Timeout-aware streaming form: same transition function, plus an
+    * EVENT-TIME timeout that force-closes abandoned dialogues (ones
+    * that stop emitting turns without ever hitting a termination
+    * predicate) once the watermark passes their last activity +
+    * `timeoutMs`. This is the state-eviction story SCALE.md requires
+    * at 100 TB rates — without it, abandoned keys pin state forever.
+    * Emitted timeout summaries carry reason "Timeout". Event-time (not
+    * processing-time) timers keep the behavior deterministic and
+    * replayable. */
+  def streamingSummariesWithTimeout(
+      turns: Dataset[TimedTurn],
+      timeoutMs: Long,
+      cfg: RewardConfig = RewardConfig()): Dataset[SessionSummary] = {
+    import turns.sparkSession.implicits._
+    turns
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.dia_id)
+      .flatMapGroupsWithState[DialogueState, SessionSummary](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (diaId, evs, state: GroupState[DialogueState]) =>
+          if (evs.isEmpty && state.hasTimedOut) {
+            // watermark passed last activity + timeout: close the
+            // abandoned session from whatever state it reached
+            val st = state.getOption.getOrElse(initialState)
+            state.remove()
+            if (st.turnIndex == 0) Iterator.empty
+            else Iterator.single(SessionSummary(
+              diaId, st.turnIndex, st.turnIndex, "Timeout", st.deepestLayer,
+              BigDecimal(st.scoreSum / st.turnIndex)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+          } else {
+            var st = state.getOption.getOrElse(initialState)
+            var out: List[SessionSummary] = Nil
+            var lastTs = 0L
+            evs.toSeq.sortBy(_.turn).foreach { ev =>
+              lastTs = math.max(lastTs, ev.ts.getTime)
+              if (!st.terminated) {
+                val (next, reason) = step(st, TurnEvent(ev.dia_id, ev.turn, ev.layer, ev.confidence), cfg)
+                st = next
+                reason.foreach { r =>
+                  out = SessionSummary(
+                    diaId, st.turnIndex, st.turnIndex, r, st.deepestLayer,
+                    BigDecimal(st.scoreSum / st.turnIndex)
+                      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) :: out
+                }
+              }
+            }
+            if (st.terminated) state.remove()
+            else {
+              state.update(st)
+              state.setTimeoutTimestamp(lastTs + timeoutMs)
+            }
+            out.reverseIterator
+          }
+      }
+  }
+
   /** Structured Streaming form (T1–T5): same transition function under
     * flatMapGroupsWithState. Emits one summary row when a session
     * terminates and removes its state. Exercised by the stream-batch
