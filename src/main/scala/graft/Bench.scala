@@ -31,12 +31,15 @@ object Bench {
     }.toMap
     // Round to ms so the stdout JSON line stays well under any
     // tail-truncation window (round 1 lost 4 timings to a ~4 KB line).
+    // Locale.ROOT: the f interpolator uses the default locale, and a
+    // comma-decimal locale would emit invalid JSON.
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // Belt and braces: persist the full JSON to a file too, so timings
     // survive even if stdout is truncated by the harness.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LATEST.json")

@@ -20,6 +20,24 @@ object SizeOfTransformSimplification extends Rule[LogicalPlan] {
     }
 }
 
+object GraftExtensions {
+  /** Validate a SQL function argument that must be an integer literal
+    * (e.g. an n-gram size baked into the expression at plan time),
+    * with a clear analysis-time error instead of an internal
+    * eval-on-unbound-reference crash. */
+  private[graft] def intLiteralArg(fn: String, children: Seq[Expression], pos: Int): Int =
+    children(pos) match {
+      case e if e.foldable =>
+        e.eval() match {
+          case n: java.lang.Number => n.intValue()
+          case other => throw new IllegalArgumentException(
+            s"$fn: argument ${pos + 1} must be an integer literal, got $other")
+        }
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${pos + 1} must be a literal (constant-foldable), got $other")
+    }
+}
+
 /** Engine extension point (mandate category (c)): SQL-registered
   * native functions + optimizer rules, activated with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")`. */
@@ -38,7 +56,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CharNgramsExpr].getName, "graft_char_ngrams"),
       (children: Seq[Expression]) => CharNgramsExpr(
         children(0),
-        children(1).eval().asInstanceOf[Number].intValue())))
+        GraftExtensions.intLiteralArg("graft_char_ngrams", children, 1))))
     ext.injectFunction((
       new FunctionIdentifier("graft_token_hashes"),
       new ExpressionInfo(classOf[TokenHashesExpr].getName, "graft_token_hashes"),
@@ -48,7 +66,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash_sig"),
       (children: Seq[Expression]) => MinHashSigExpr(
         children(0),
-        children(1).eval().asInstanceOf[Number].intValue())))
+        GraftExtensions.intLiteralArg("graft_minhash_sig", children, 1))))
     ext.injectOptimizerRule(_ => SizeOfTransformSimplification)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

@@ -19,28 +19,36 @@ import org.apache.spark.unsafe.types.UTF8String
   * forwarders of this object. */
 object HashUtil {
 
+  /** Decode the UTF-8 code point starting at byte `i`, packed as
+    * (codePoint << 3) | byteLength — one shared decoder for every
+    * native hash loop, so a decode fix cannot miss a copy. JIT
+    * inlines it; no allocation. */
+  @inline private def decodeCp(s: UTF8String, i: Int): Long = {
+    val b0 = s.getByte(i) & 0xff
+    var cp = 0
+    var len = 1
+    if (b0 < 0x80) { cp = b0 }
+    else if (b0 < 0xe0) { cp = b0 & 0x1f; len = 2 }
+    else if (b0 < 0xf0) { cp = b0 & 0x0f; len = 3 }
+    else { cp = b0 & 0x07; len = 4 }
+    var k = 1
+    while (k < len) { cp = (cp << 6) | (s.getByte(i + k) & 0x3f); k += 1 }
+    (cp.toLong << 3) | len
+  }
+
   /** Polynomial rolling hash h=(h*31+codePoint)%(1e9+7) over a
     * string's UNICODE CODE POINTS — the same fold as the HOF form
     * (`ascii(substring(s,i,1))` = codePointAt) and the DuckDB oracles,
     * so native/HOF/oracle agree on ANY text, not just ASCII (the
-    * reference's own corpus is CJK: `utils/data_preprocess.py:19-24`).
-    * Decodes UTF-8 in place — no allocation. */
+    * reference's own corpus is CJK: `utils/data_preprocess.py:19-24`). */
   def polyHashCp(s: UTF8String): Long = {
     val n = s.numBytes
     var h = 0L
     var i = 0
     while (i < n) {
-      val b0 = s.getByte(i) & 0xff
-      var cp = 0
-      var len = 1
-      if (b0 < 0x80) { cp = b0 }
-      else if (b0 < 0xe0) { cp = b0 & 0x1f; len = 2 }
-      else if (b0 < 0xf0) { cp = b0 & 0x0f; len = 3 }
-      else { cp = b0 & 0x07; len = 4 }
-      var k = 1
-      while (k < len) { cp = (cp << 6) | (s.getByte(i + k) & 0x3f); k += 1 }
-      h = (h * 31L + cp) % ColumnFunctions.HashP
-      i += len
+      val packed = decodeCp(s, i)
+      h = (h * 31L + (packed >> 3)) % ColumnFunctions.HashP
+      i += (packed & 7L).toInt
     }
     h
   }
@@ -56,19 +64,11 @@ object HashUtil {
     var h = 0L
     var i = 0
     while (i < n) {
-      val b0 = s.getByte(i) & 0xff
-      if (b0 == ' '.toInt) { out += h; h = 0L; i += 1 }
+      if ((s.getByte(i) & 0xff) == ' '.toInt) { out += h; h = 0L; i += 1 }
       else {
-        var cp = 0
-        var len = 1
-        if (b0 < 0x80) { cp = b0 }
-        else if (b0 < 0xe0) { cp = b0 & 0x1f; len = 2 }
-        else if (b0 < 0xf0) { cp = b0 & 0x0f; len = 3 }
-        else { cp = b0 & 0x07; len = 4 }
-        var k = 1
-        while (k < len) { cp = (cp << 6) | (s.getByte(i + k) & 0x3f); k += 1 }
-        h = (h * 31L + cp) % ColumnFunctions.HashP
-        i += len
+        val packed = decodeCp(s, i)
+        h = (h * 31L + (packed >> 3)) % ColumnFunctions.HashP
+        i += (packed & 7L).toInt
       }
     }
     out += h // final token (empty string → 0, like split -1)
@@ -84,18 +84,18 @@ object HashUtil {
     * form's array_min-of-empty contract; driver docs have ≥10). */
   def minhashSig(th: ArrayData, numPerms: Int): ArrayData = {
     val p = ColumnFunctions.HashP
+    val m = ColumnFunctions.ShingleMult
     val n = th.numElements()
     if (n < 3) return null
-    val a = 1103515245L % p
     val mins = Array.fill(numPerms)(Long.MaxValue)
     var i = 0
     while (i <= n - 3) {
-      val sh = (((th.getLong(i) * 37L + th.getLong(i + 1)) % p) * 37L +
+      val sh = (((th.getLong(i) * m + th.getLong(i + 1)) % p) * m +
         th.getLong(i + 2)) % p
       var q = 0
       while (q < numPerms) {
-        val mult = (a + 2L * q + 1L) % p
-        val h = (sh * mult + (12345L + q)) % p
+        val mult = (ColumnFunctions.HashA + 2L * q + 1L) % p
+        val h = (sh * mult + (ColumnFunctions.HashB + q)) % p
         if (h < mins(q)) mins(q) = h
         q += 1
       }
@@ -110,12 +110,13 @@ object HashUtil {
     * than 3 tokens. */
   def shingleMin(th: ArrayData): Any = {
     val p = ColumnFunctions.HashP
+    val m = ColumnFunctions.ShingleMult
     val n = th.numElements()
     if (n < 3) return null
     var min = Long.MaxValue
     var i = 0
     while (i <= n - 3) {
-      val sh = (((th.getLong(i) * 37L + th.getLong(i + 1)) % p) * 37L +
+      val sh = (((th.getLong(i) * m + th.getLong(i + 1)) % p) * m +
         th.getLong(i + 2)) % p
       if (sh < min) min = sh
       i += 1

@@ -86,6 +86,14 @@ object ColumnFunctions {
 
   val HashP: Long = 1000000007L
 
+  /** MinHash permutation-family constants — SINGLE definition, shared
+    * by the HOF forms below, HashUtil's native loops, and mirrored by
+    * the DuckDB oracles. Retuning them here is the only edit point. */
+  val HashA: Long = 1103515245L % HashP
+  val HashB: Long = 12345L
+  /** 3-gram shingle combination multiplier. */
+  val ShingleMult: Long = 37L
+
   /** Polynomial string hash h=(h*31+codePoint)%p — native codegen
     * expression (PolyHashExpr). Hashes UNICODE CODE POINTS, exactly
     * like [[polyHashHof]] and the DuckDB oracles, so all three agree on
@@ -108,20 +116,17 @@ object ColumnFunctions {
 
   /** Seeded re-hash for MinHash permutations: (a*h + b) mod p with
     * deterministic per-seed coefficients. */
-  def seededHash(h: Column, seed: Int): Column = {
-    val a = 1103515245L % HashP
-    val b = 12345L
-    pmod(h * lit((a + 2 * seed + 1) % HashP) + lit(b + seed), lit(HashP))
-  }
+  def seededHash(h: Column, seed: Int): Column =
+    pmod(h * lit((HashA + 2 * seed + 1) % HashP) + lit(HashB + seed), lit(HashP))
 
   /** Column-seed variant (seed comes from an exploded perm column).
     * Must stay arithmetic-identical to the Int overload — the DuckDB
     * oracle mirrors this exact formula. h,mult < p ≈ 1e9 keeps the
     * product within Long. */
-  def seededHash(h: Column, seed: Column): Column = {
-    val a = 1103515245L % HashP
-    pmod(h * pmod(lit(a) + lit(2L) * seed + lit(1L), lit(HashP)) + (lit(12345L) + seed), lit(HashP))
-  }
+  def seededHash(h: Column, seed: Column): Column =
+    pmod(
+      h * pmod(lit(HashA) + lit(2L) * seed + lit(1L), lit(HashP)) + (lit(HashB) + seed),
+      lit(HashP))
 
   /** Whitespace tokenization (documents.text is single-space separated). */
   def tokens(text: Column): Column = split(text, " ")
@@ -168,7 +173,7 @@ object ColumnFunctions {
     transform(
       sequence(lit(1), size(th) - 2),
       i => pmod(
-        pmod(element_at(th, i) * lit(37L) + element_at(th, i + 1), lit(HashP)) * lit(37L) +
-          element_at(th, i + 2),
+        pmod(element_at(th, i) * lit(ShingleMult) + element_at(th, i + 1), lit(HashP)) *
+          lit(ShingleMult) + element_at(th, i + 2),
         lit(HashP)))
 }

@@ -166,28 +166,39 @@ object Dedup {
     * one keeper even if A~C was never scored). Iterative min-label
     * propagation in pure DataFrame algebra: every node starts as its
     * own label; each round takes the min label over itself and its
-    * neighbors. `iters` rounds converge for any component of diameter
-    * ≤ iters — the manufactured corpus has only orig↔variant stars
-    * (diameter 1); at 100 TB you'd iterate to a fixpoint (or
-    * alternate large-star/small-star) with each round being one
-    * self-equi-join + hash agg, fully parallel. The DuckDB oracle
-    * computes the EXACT closure with a recursive CTE, so
-    * under-iteration would fail the gate. */
-  def dedupClusters(s: SparkSession, d: String, iters: Int = 4): DataFrame = {
+    * neighbors, and iteration runs TO A FIXPOINT (converged when no
+    * label changed in a round — checked with one small count per
+    * round, the standard driver-controlled loop of every iterative
+    * graph algorithm on Spark). Rounds needed = component min-label
+    * eccentricity; intermediate label frames are cached and released.
+    * `maxIters` is a runaway backstop, not a correctness bound — the
+    * DuckDB oracle computes the EXACT closure with a recursive CTE,
+    * so a non-converged result would fail the gate loudly. */
+  def dedupClusters(s: SparkSession, d: String, maxIters: Int = 20): DataFrame = {
     val pairs = minhashNearDupQuery(s, d).select("doc_a", "doc_b")
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
     val nodes = edges.select(col("src").as("id")).distinct()
-    var labels = nodes.withColumn("label", col("id"))
-    for (_ <- 1 to iters) {
+    var labels = nodes.withColumn("label", col("id")).persist()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
       val neigh = edges
         .join(labels.withColumnRenamed("id", "src_id"), col("src") === col("src_id"))
         .groupBy(col("dst")).agg(min("label").as("nlabel"))
-      labels = labels
+      val next = labels
         .join(neigh, col("id") === col("dst"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          (col("nlabel") < col("label")).as("changed"))
+        .persist()
+      converged = next.filter(col("changed")).limit(1).count() == 0
+      labels.unpersist()
+      labels = next.drop("changed")
+      it += 1
     }
+    edges.unpersist()
     labels
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .orderBy("doc_id")

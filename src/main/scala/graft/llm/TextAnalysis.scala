@@ -60,10 +60,11 @@ object TextAnalysis {
     // counts DISTINCT shared tokens (= the old explode(array_distinct)
     // + join count); filter(overlap >= 1) reproduces the inner join's
     // dropping of zero-overlap pairs.
+    // No exchange barrier here (unlike the ngram variant): tk is one
+    // codegen'd split() call, so recomputing it per consumer is far
+    // cheaper than shuffling the whole corpus to share it.
     val docs = Tables.load(s, d, "documents")
       .select(col("doc_id"), col("lang"), tokens(col("text")).as("tk"))
-      .repartition(
-        s.conf.get("spark.sql.shuffle.partitions", "32").toInt, col("doc_id"))
     val prof = docs
       .select(col("lang"), explode_outer(col("tk")).as("token"))
       .groupBy("lang", "token")
@@ -131,6 +132,10 @@ object TextAnalysis {
         s.conf.get("spark.sql.shuffle.partitions", "32").toInt, col("doc_id"))
     val prof = docs
       .select(col("lang"), explode_outer(col("grams")).as("g"))
+      // explode_outer (not explode) avoids the inferred size>0 filter;
+      // the null row it emits for a <3-char doc is dropped HERE so it
+      // can never enter a profile (the oracle's unnest emits nothing)
+      .filter(col("g").isNotNull)
       .groupBy("lang", "g")
       .agg(count(lit(1)).as("c"))
       .withColumn("rn",

@@ -439,9 +439,24 @@ object Relational {
     val nPart = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val best = t(s, d, "part")
       .groupBy("p_retailprice").agg(min("p_size").as("p_size"))
-    val bucketed = best
-      .repartitionByRange(nPart, col("p_retailprice"))
-      .withColumn("pid", spark_partition_id()) // monotone in price
+    // Range id from the DATA (value-range bucketing over broadcast
+    // min/max), NOT spark_partition_id over repartitionByRange: the
+    // two consumer legs below must observe IDENTICAL bucket ids, and a
+    // partition-id column would silently depend on exchange reuse
+    // (RangePartitioner boundaries are sampled per execution). A
+    // per-row deterministic formula has no such coupling. Value-range
+    // buckets can skew on clustered prices — production would compute
+    // sampled boundaries once into a broadcast table; the correctness
+    // argument is identical.
+    val stats = best.agg(
+      min("p_retailprice").as("lo"), max("p_retailprice").as("hi"))
+    val bucketed = best.crossJoin(broadcast(stats))
+      .withColumn("pid",
+        when(col("hi") === col("lo"), lit(0)).otherwise(
+          least(lit(nPart - 1),
+            floor((col("p_retailprice") - col("lo")) /
+              ((col("hi") - col("lo")) / nPart)).cast("int"))))
+      .drop("lo", "hi")
     val localW = Window.partitionBy("pid").orderBy("p_retailprice")
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = bucketed.withColumn("local_min_prev", min("p_size").over(localW))

@@ -139,6 +139,20 @@ object LakeTable {
       writeDataFiles(current.repartition(numFiles), path), "compact")
   }
 
+  /** Fresh /tmp working dir for a driver query: path keyed by prefix +
+    * sfDir (unique per scale factor so parallel verify threads never
+    * collide), wiped if present. The walk stream is closed properly. */
+  private def freshWorkDir(prefix: String, d: String): String = {
+    val path = s"/tmp/graft_${prefix}_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val p = Paths.get(path)
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+    path
+  }
+
   /** Driver query: write the events table as two snapshots (evens,
     * then append odds), read back the LATEST snapshot through the
     * manifest path, and aggregate — the oracle is the plain group-by
@@ -147,10 +161,7 @@ object LakeTable {
     * deterministically each run; unique per scale factor so parallel
     * verify threads never collide). */
   def snapshotReadQuery(s: SparkSession, d: String): DataFrame = {
-    val path = s"/tmp/graft_lake_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
-    val p = Paths.get(path)
-    if (Files.exists(p))
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    val path = freshWorkDir("lake", d)
     val ev = graft.Tables.load(s, d, "events").select("event_id", "event_type", "value")
     overwrite(ev.filter(pmod(col("event_id"), lit(2L)) === 0), path)
     append(ev.filter(pmod(col("event_id"), lit(2L)) =!= 0), path)
@@ -166,10 +177,7 @@ object LakeTable {
     * (a reader that resolved "latest" would see double the rows and
     * fail). */
   def timeTravelQuery(s: SparkSession, d: String): DataFrame = {
-    val path = s"/tmp/graft_laketravel_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
-    val p = Paths.get(path)
-    if (Files.exists(p))
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    val path = freshWorkDir("laketravel", d)
     val ev = graft.Tables.load(s, d, "events").select("event_id", "event_type", "value")
     overwrite(ev.filter(pmod(col("event_id"), lit(2L)) === 0), path)
     append(ev.filter(pmod(col("event_id"), lit(2L)) =!= 0), path)
@@ -184,10 +192,7 @@ object LakeTable {
     * aggregate. The oracle computes the same merge+delete algebra
     * directly over the source table. */
   def mergeReadQuery(s: SparkSession, d: String): DataFrame = {
-    val path = s"/tmp/graft_lakemerge_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
-    val p = Paths.get(path)
-    if (Files.exists(p))
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    val path = freshWorkDir("lakemerge", d)
     val ev = graft.Tables.load(s, d, "events").select("event_id", "event_type", "value")
     overwrite(ev, path)
     upsert(
@@ -212,10 +217,7 @@ object LakeTable {
     * oracle is the same filtered aggregate over the source table, so
     * the whole partitioned-commit/prune/read path is hash-verified. */
   def partitionPruneQuery(s: SparkSession, d: String): DataFrame = {
-    val path = s"/tmp/graft_lakeprune_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
-    val p = Paths.get(path)
-    if (Files.exists(p))
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    val path = freshWorkDir("lakeprune", d)
     val ev = graft.Tables.load(s, d, "events").select("event_id", "event_type", "value")
     overwritePartitioned(ev, path, "event_type")
     read(s, path)
