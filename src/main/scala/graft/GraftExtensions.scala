@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CharNgramsExpr, DotProductExpr, MinHashSigExpr, PolyHashExpr, TokenHashesExpr}
+import graft.functions.{CharNgramsExpr, DotProductExpr, MinHashSigExpr, PolyHashExpr, ShingleMinExpr, SimHashExpr, TokenHashesExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{ArrayTransform, Expression, ExpressionInfo, Size}
@@ -67,6 +67,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => MinHashSigExpr(
         children(0),
         GraftExtensions.intLiteralArg("graft_minhash_sig", children, 1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingle_min"),
+      new ExpressionInfo(classOf[ShingleMinExpr].getName, "graft_shingle_min"),
+      (children: Seq[Expression]) => ShingleMinExpr(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashExpr].getName, "graft_simhash"),
+      (children: Seq[Expression]) => SimHashExpr(children.head)))
     ext.injectOptimizerRule(_ => SizeOfTransformSimplification)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

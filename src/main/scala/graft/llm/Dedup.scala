@@ -180,7 +180,15 @@ object Dedup {
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
     val nodes = edges.select(col("src").as("id")).distinct()
-    var labels = nodes.withColumn("label", col("id")).persist()
+    // smart init: label = min(self, direct neighbors) — fuses the
+    // first propagation round into initialization (no extra action),
+    // so star components centered on their min converge after ONE
+    // changed-count check
+    val nbrMin = edges.groupBy(col("src").as("id0")).agg(min("dst").as("nmin"))
+    var labels = nodes
+      .join(nbrMin, col("id") === col("id0"), "left")
+      .select(col("id"), least(col("id"), coalesce(col("nmin"), col("id"))).as("label"))
+      .persist()
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {

@@ -60,10 +60,28 @@ class ExtensionsSpec extends AnyFunSuite {
 
   test("functions are SQL-registered via GraftExtensions") {
     val r = spark.sql(
-      "SELECT graft_polyhash('abc') AS h, graft_dot(array(1d,2d), array(3d,4d)) AS d")
+      """SELECT graft_polyhash('abc') AS h, graft_dot(array(1d,2d), array(3d,4d)) AS d,
+        |       graft_char_ngrams('abcd', 3) AS g,
+        |       graft_token_hashes('a b') AS th,
+        |       graft_minhash_sig(graft_token_hashes('a b c d'), 4) AS sig,
+        |       graft_shingle_min(graft_token_hashes('a b c d')) AS sm,
+        |       graft_simhash(graft_token_hashes('a b c')) AS sh""".stripMargin)
       .collect()(0)
     assert(r.getAs[Long]("h") === 96354L)
     assert(r.getAs[Double]("d") === 11.0)
+    assert(r.getAs[scala.collection.Seq[String]]("g") === Seq("abc", "bcd"))
+    assert(r.getAs[scala.collection.Seq[Long]]("th") === Seq(97L, 98L))
+    assert(r.getAs[scala.collection.Seq[Long]]("sig").length === 4)
+    assert(r.getAs[Long]("sm") > 0L)
+    assert(r.getAs[Long]("sh") >= 0L)
+  }
+
+  test("SQL registry rejects non-literal size arguments with a clear error") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_char_ngrams(s, length(s)) FROM (SELECT 'ab' AS s)")
+        .collect()
+    }
+    assert(e.getMessage.contains("literal"), e.getMessage)
   }
 
   test("optimizer rule elides transform under size()") {
