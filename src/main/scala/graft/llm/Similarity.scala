@@ -88,18 +88,29 @@ object Similarity {
       when(dot(v, plane) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** MULTI-PROBE: each query also probes the nPlanes buckets at
+    * Hamming distance 1 from its own (sign flips on the planes most
+    * likely to have split true neighbors) — the standard recall lever
+    * for single-table hyperplane LSH. Cost is bounded: (nPlanes+1)
+    * probe rows per query on the broadcast side, still a bucket
+    * equi-join, never a cross product. Candidates reached through
+    * several probes are deduped before ranking. */
   def knnLshBucketed(
       s: SparkSession, d: String,
       k: Int = 5, nQueries: Int = 10, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
     val emb = embWithNorm(s, d).withColumn("bucket", lshBucket(col("v"), nPlanes, dim))
+    val probeOffsets = array((0 to nPlanes).map(p =>
+      lit(if (p == 0) 0L else 1L << (p - 1))): _*)
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
-        col("bucket").as("qbucket"))
+        explode(transform(probeOffsets, off => col("bucket").bitwiseXOR(off)))
+          .as("qbucket"))
     val scored = emb.join(broadcast(q),
         col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
       .select(
         col("qid"), col("vec_id"),
         round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_sim"))
+      .dropDuplicates("qid", "vec_id")
     val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -62,10 +62,10 @@ class KnnRecallSpec extends AnyFunSuite {
     val rLsh = recall(topSets(Similarity.knnLshBucketed(spark, dir)))
     val rIvf = recall(topSets(Similarity.knnIvf(spark, dir)))
     val rKm = recall(topSets(Similarity.knnIvfKmeans(spark, dir)))
-    // single-table 8-bit LSH partitions 200 random vectors into ~2^8
-    // buckets — recall is structurally low here (multi-probe/multi-
-    // table would raise it); the floor only guards against zero
-    assert(rLsh >= 0.05, s"LSH recall collapsed: $rLsh")
+    // multi-probe (own bucket + 8 Hamming-1 neighbors of 2^8) lifts
+    // the structurally-low single-probe recall on this clusterless
+    // random corpus; still conservative as a regression floor
+    assert(rLsh >= 0.2, s"LSH recall collapsed: $rLsh (was ~0.1 single-probe)")
     assert(rIvf >= 0.25, s"IVF recall collapsed: $rIvf")
     assert(rKm >= 0.25, s"kmeans-IVF recall collapsed: $rKm")
   }
