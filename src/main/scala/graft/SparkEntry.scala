@@ -36,6 +36,7 @@ object SparkEntry {
     "customers_without_orders" -> (ops.Relational.customersWithoutOrders _),
     "segment_order_stats" -> (ops.Relational.segmentOrderStats _),
     "q5_local_supplier" -> (ops.Relational.q5LocalSupplier _),
+    "q7_volume_shipping" -> (ops.Relational.q7VolumeShipping _),
     "quantile_quantity" -> (ops.Relational.quantileQuantity _),
     "range_join_quantity" -> (ops.Relational.rangeJoinQuantity _),
     "asof_latest_error" -> (ops.Relational.asofLatestError _),
@@ -328,6 +329,19 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS INT) AS l_year,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "quantile_quantity" ->
       """SELECT l_returnflag,
         |       round(quantile_cont(l_quantity, 0.25), 6) AS q25,

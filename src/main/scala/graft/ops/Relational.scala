@@ -102,6 +102,33 @@ object Relational {
       .orderBy("n_name")
   }
 
+  /** TPC-H Q7 shape (volume shipping): bidirectional nation-pair
+    * predicate — the OR-of-conjunctions join condition that defeats
+    * naive pushdown. Both nation legs broadcast; the OR pair applies
+    * after the equi-joins, exactly where Catalyst can still evaluate
+    * it row-at-a-time without turning any join into a theta join. */
+  def q7VolumeShipping(s: SparkSession, d: String): DataFrame = {
+    val n1 = broadcast(t(s, d, "nation")
+      .select(col("n_nationkey").as("supp_nk"), col("n_name").as("supp_nation")))
+    val n2 = broadcast(t(s, d, "nation")
+      .select(col("n_nationkey").as("cust_nk"), col("n_name").as("cust_nation")))
+    val (na, nb) = ("NATION_3", "NATION_7")
+    t(s, d, "lineitem")
+      .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(n1, col("s_nationkey") === col("supp_nk"))
+      .join(n2, col("c_nationkey") === col("cust_nk"))
+      .filter(
+        (col("supp_nation") === na && col("cust_nation") === nb) ||
+          (col("supp_nation") === nb && col("cust_nation") === na))
+      .groupBy(
+        col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("int").as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
   /** Exact percentile family (A-family widening): quartiles of
     * l_quantity per return flag. Spark `percentile` and DuckDB
     * `quantile_cont` share the percentile_cont interpolation
