@@ -88,13 +88,13 @@ object Similarity {
       when(dot(v, plane) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** MULTI-PROBE: each query also probes the nPlanes buckets at
-    * Hamming distance 1 from its own (sign flips on the planes most
-    * likely to have split true neighbors) — the standard recall lever
-    * for single-table hyperplane LSH. Cost is bounded: (nPlanes+1)
-    * probe rows per query on the broadcast side, still a bucket
-    * equi-join, never a cross product. Candidates reached through
-    * several probes are deduped before ranking. */
+  /** MULTI-PROBE: each query probes its own bucket plus ALL nPlanes
+    * buckets at Hamming distance 1 (one sign flip each) — the
+    * standard recall lever for single-table hyperplane LSH. Cost is
+    * bounded: (nPlanes+1) probe rows per query on the broadcast side,
+    * still a bucket equi-join, never a cross product. The probe set
+    * is pairwise-distinct and each candidate has one bucket, so no
+    * (qid, vec_id) pair can match twice — no dedup needed. */
   def knnLshBucketed(
       s: SparkSession, d: String,
       k: Int = 5, nQueries: Int = 10, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
@@ -110,7 +110,6 @@ object Similarity {
       .select(
         col("qid"), col("vec_id"),
         round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_sim"))
-      .dropDuplicates("qid", "vec_id")
     val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

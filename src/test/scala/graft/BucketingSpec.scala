@@ -16,14 +16,7 @@ class BucketingSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
     // in-memory catalog: DROP forgets the table but a previous JVM's
     // files survive in the warehouse dir — remove them on disk too
-    Seq("b_orders", "b_lineitem").foreach { t =>
-      val p = java.nio.file.Paths.get(s"/tmp/graft_warehouse/$t")
-      if (java.nio.file.Files.exists(p)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
-    }
+    Seq("b_orders", "b_lineitem").foreach(t => SparkSpec.rmdir(s"/tmp/graft_warehouse/$t"))
     Tables.load(spark, dir, "orders")
       .select("o_orderkey", "o_custkey", "o_totalprice")
       .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")

@@ -13,13 +13,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class FileStreamSpec extends AnyFunSuite {
   private lazy val spark = SparkSpec.spark
 
-  private def rmdir(p: String): Unit = {
-    val path = Paths.get(p)
-    if (Files.exists(path)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(path).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-    }
-  }
+  private def rmdir(p: String): Unit = SparkSpec.rmdir(p)
 
   test("incremental file stream with watermark appends finalized daily windows") {
     val src = "/tmp/graft_test/stream_src"

@@ -12,13 +12,7 @@ class LakeTableSpec extends AnyFunSuite {
 
   private val path = "/tmp/graft_test/lake_orders"
 
-  private def rmdir(p: String): Unit = {
-    val pth = Paths.get(p)
-    if (Files.exists(pth)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(pth).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-    }
-  }
+  private def rmdir(p: String): Unit = SparkSpec.rmdir(p)
 
   test("append/overwrite snapshots with time travel and compaction") {
     rmdir(path)

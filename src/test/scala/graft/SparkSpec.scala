@@ -5,6 +5,20 @@ import org.apache.spark.sql.SparkSession
 /** Shared session for all suites — one JVM-wide SparkSession keeps the
   * test run fast (getOrCreate reuses across suites; sbt forks once). */
 object SparkSpec {
+
+  /** Recursive temp-dir delete shared by every spec that stages files
+    * under /tmp — one definition, walk stream closed properly. */
+  def rmdir(path: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")

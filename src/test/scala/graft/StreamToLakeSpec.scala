@@ -18,14 +18,7 @@ class StreamToLakeSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val path = "/tmp/graft_test/stream_lake"
-    val p = java.nio.file.Paths.get(path)
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(p)
-      try walk.iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-      finally walk.close()
-    }
+    SparkSpec.rmdir(path)
 
     val input = MemoryStream[(Long, String, Double)]
     val query = input.toDS().toDF("id", "status", "score")
