@@ -96,6 +96,7 @@ object SparkEntry {
     "lake_merge_read" -> (sources.LakeTable.mergeReadQuery _),
     "lake_partition_prune" -> (sources.LakeTable.partitionPruneQuery _),
     "lake_time_travel" -> (sources.LakeTable.timeTravelQuery _),
+    "lake_stats_skip" -> (sources.LakeTable.statsSkipQuery _),
     // --- streaming semantics (SURVEY.md §2.9 T1-T6), batch-replayed ---
     "session_replay" -> (streaming.DialogueStateMachine.sessionReplay _),
     "tumbling_hourly" -> (streaming.EventTimeWindows.tumblingHourly _),
@@ -555,6 +556,12 @@ object SparkEntry {
         |            ELSE CAST(length(text) AS INT) END AS n_chars,
         |       doc_id % 7 = 0 AS malformed
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // lake_stats_skip: footer-stats file pruning on a clustered table;
+    // results must equal the plain range aggregate
+    "lake_stats_skip" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events WHERE event_id BETWEEN 1000 AND 2999
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // lake_time_travel: v0 (evens) then v1 (append odds), read v0 —
     // version pinning is what's verified
     "lake_time_travel" ->

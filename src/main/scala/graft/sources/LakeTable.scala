@@ -43,31 +43,77 @@ object LakeTable {
     }
   }
 
-  /** (file, base) pairs of a snapshot; base = the commit's data dir,
-    * needed to reconstruct partition columns from directory names. */
+  /** One manifest row: a data file, its commit dir (parquet basePath
+    * for partition-column reconstruction), and per-column min/max
+    * stats harvested from the parquet footer at commit time — the
+    * Iceberg-style metadata that lets a reader skip whole files. */
+  final case class ManifestEntry(
+      file: String, base: String, stats: Map[String, Seq[Double]])
+
+  private val ManifestSchema =
+    "file STRING, base STRING, operation STRING, stats MAP<STRING, ARRAY<DOUBLE>>"
+
   private def manifestEntries(
-      spark: SparkSession, path: String, version: Int): Seq[(String, String)] = {
-    import spark.implicits._
-    spark.read.json(s"${metaDir(path)}/v$version")
-      .select("file", "base").as[(String, String)].collect().toSeq
+      spark: SparkSession, path: String, version: Int): Seq[ManifestEntry] =
+    spark.read.schema(ManifestSchema).json(s"${metaDir(path)}/v$version")
+      .select("file", "base", "stats").collect().toSeq.map { r =>
+        ManifestEntry(r.getString(0), r.getString(1),
+          Option(r.getMap[String, scala.collection.Seq[Double]](2))
+            .map(_.toMap.map { case (k, v) => k -> v.toSeq }).getOrElse(Map.empty))
+      }
+
+  /** Per-column (min, max) over all row groups of one parquet file,
+    * read from the FOOTER only (no data pages touched). Numeric
+    * columns only — others are simply absent, which readers treat as
+    * "cannot prune". At 100 TB the tasks that wrote each file would
+    * report these stats back through the commit instead of the driver
+    * re-opening footers; the manifest format is the same. */
+  private def footerStats(
+      spark: SparkSession, file: String): Map[String, Seq[Double]] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file), conf))
+    try {
+      val acc = scala.collection.mutable.Map[String, (Double, Double)]()
+      reader.getFooter.getBlocks.asScala.foreach { block =>
+        block.getColumns.asScala.foreach { c =>
+          val st = c.getStatistics
+          if (st != null && st.hasNonNullValue) {
+            (st.genericGetMin, st.genericGetMax) match {
+              case (mn: java.lang.Number, mx: java.lang.Number) =>
+                val name = c.getPath.toDotString
+                val cur = acc.get(name)
+                acc(name) = cur
+                  .map(c0 => (math.min(c0._1, mn.doubleValue), math.max(c0._2, mx.doubleValue)))
+                  .getOrElse((mn.doubleValue, mx.doubleValue))
+              case _ => // non-numeric: no stats recorded
+            }
+          }
+        }
+      }
+      acc.map { case (k, (mn, mx)) => k -> Seq(mn, mx) }.toMap
+    } finally reader.close()
   }
 
   private def writeDataFiles(
-      df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Seq[(String, String)] = {
+      df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Seq[ManifestEntry] = {
     val commitId = java.util.UUID.randomUUID().toString
     val dataDir = s"$path/data/$commitId"
     val w = df.write.mode(SaveMode.ErrorIfExists)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(dataDir)
     Files.walk(Paths.get(dataDir)).iterator().asScala
       .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
-      .map(f => (f, dataDir))
+      .map(f => ManifestEntry(f, dataDir, footerStats(df.sparkSession, f)))
   }
 
   private def commit(
-      spark: SparkSession, path: String, entries: Seq[(String, String)], op: String): Int = {
+      spark: SparkSession, path: String, entries: Seq[ManifestEntry], op: String): Int = {
     import spark.implicits._
     val next = latestVersion(path).getOrElse(-1) + 1
-    entries.map { case (f, b) => (f, b, op) }.toDF("file", "base", "operation")
+    entries.map(e => (e.file, e.base, op, e.stats))
+      .toDF("file", "base", "operation", "stats")
       .coalesce(1)
       .write.mode(SaveMode.ErrorIfExists).json(s"${metaDir(path)}/v$next")
     next
@@ -100,13 +146,45 @@ object LakeTable {
   def read(spark: SparkSession, path: String, version: Option[Int] = None): DataFrame = {
     val v = version.orElse(latestVersion(path)).getOrElse(
       throw new IllegalArgumentException(s"no snapshots at $path"))
-    val byBase = manifestEntries(spark, path, v).groupBy(_._2)
+    val byBase = manifestEntries(spark, path, v).groupBy(_.base)
     byBase.map { case (base, entries) =>
       spark.read
         .option("mergeSchema", "true")
         .option("basePath", base)
-        .parquet(entries.map(_._1): _*)
+        .parquet(entries.map(_.file): _*)
     }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** DATA-SKIPPING scan: read only the files whose manifest [min,max]
+    * range for `column` overlaps [lower, upper] — Iceberg-style file
+    * pruning from commit-time footer stats, metadata-only (no data
+    * file is opened to decide). Files without stats for the column
+    * (non-numeric, or written before stats existed) are conservatively
+    * kept. The precise row filter still applies after the skip, so
+    * results are exact regardless of stats quality; stats only decide
+    * how many files are TOUCHED (spec asserts the skip on a clustered
+    * table). */
+  def readWhereBetween(
+      spark: SparkSession, path: String, column: String,
+      lower: Double, upper: Double, version: Option[Int] = None): DataFrame = {
+    val v = version.orElse(latestVersion(path)).getOrElse(
+      throw new IllegalArgumentException(s"no snapshots at $path"))
+    val entries = manifestEntries(spark, path, v)
+    val kept = entries.filter { e =>
+      e.stats.get(column) match {
+        case Some(Seq(mn, mx)) => mx >= lower && mn <= upper
+        case _ => true // no stats → cannot prune
+      }
+    }
+    val base =
+      if (kept.isEmpty) read(spark, path, Some(v)).filter(lit(false))
+      else kept.groupBy(_.base).map { case (b, es) =>
+        spark.read
+          .option("mergeSchema", "true")
+          .option("basePath", b)
+          .parquet(es.map(_.file): _*)
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+    base.filter(col(column) >= lower && col(column) <= upper)
   }
 
   /** Copy-on-write MERGE/upsert: rows of the current snapshot whose
@@ -227,6 +305,23 @@ object LakeTable {
       .orderBy("bucket")
   }
 
+  /** Driver query: DATA SKIPPING end to end — write events, OPTIMIZE-
+    * cluster by value (tight per-file min/max ranges), then a
+    * stats-pruned range scan + aggregate. The oracle is the same
+    * range aggregate over the source table, so the footer-stats →
+    * manifest → file-skip path is hash-verified; LakeTableSpec
+    * additionally asserts fewer files are touched. */
+  def statsSkipQuery(s: SparkSession, d: String): DataFrame = {
+    val path = freshWorkDir("lakestats", d)
+    val ev = graft.Tables.load(s, d, "events").select("event_id", "event_type", "value")
+    overwrite(ev, path)
+    optimizeBy(s, path, numFiles = 8, "event_id")
+    readWhereBetween(s, path, "event_id", 1000, 2999)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   /** Clustered rewrite (OPTIMIZE ... ZORDER-style): range-partition the
     * current snapshot by the clustering columns and sort within files,
     * so parquet min/max footer stats become selective and point/range
@@ -252,10 +347,10 @@ object LakeTable {
     if (cutoff <= 0) return Nil
     def live(v: Int): Boolean = Files.exists(Paths.get(s"${metaDir(path)}/v$v"))
     val keepFiles = (cutoff to latest).filter(live)
-      .flatMap(v => manifestEntries(spark, path, v)).map(_._1).toSet
+      .flatMap(v => manifestEntries(spark, path, v)).map(_.file).toSet
     val dropDirs = (0 until cutoff).filter(live)
     val dropFiles = dropDirs
-      .flatMap(v => manifestEntries(spark, path, v)).map(_._1).toSet -- keepFiles
+      .flatMap(v => manifestEntries(spark, path, v)).map(_.file).toSet -- keepFiles
     dropFiles.foreach(f => Files.deleteIfExists(Paths.get(f)))
     dropDirs.foreach { v =>
       val md = Paths.get(s"${metaDir(path)}/v$v")

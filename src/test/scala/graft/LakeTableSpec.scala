@@ -192,6 +192,47 @@ class LakeTableSpec extends AnyFunSuite {
       s"partition pruning missing:\n${plan.take(800)}")
   }
 
+  test("footer-stats data skipping reads fewer files on a clustered table") {
+    val p10 = "/tmp/graft_test/lake_stats_skip"
+    rmdir(p10)
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .select("o_orderkey", "o_totalprice")
+    LakeTable.overwrite(orders.repartition(8), p10) // scrambled layout
+    LakeTable.optimizeBy(spark, p10, numFiles = 8, "o_orderkey")
+    val keys = orders.agg(min("o_orderkey"), max("o_orderkey")).head()
+    val (lo, hi) = (keys.getLong(0).toDouble, keys.getLong(0).toDouble + 50)
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // read scan metrics after the FIRST action only: Dataset actions
+      // resetMetrics() before executing, and driver-side numFiles is
+      // populated only when the lazy inputRDD is first built — a
+      // second collect() on the same DF zeroes it permanently
+      def collectAndCount(df: org.apache.spark.sql.DataFrame): (Seq[Long], Long) = {
+        val rows = df.collect().map(_.getLong(0)).sorted.toSeq
+        val files = df.queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.metrics("numFiles").value
+        }.sum
+        (rows, files)
+      }
+      val (prunedRows, nPruned) = collectAndCount(
+        LakeTable.readWhereBetween(spark, p10, "o_orderkey", lo, hi))
+      val (fullRows, nFull) = collectAndCount(
+        LakeTable.read(spark, p10)
+          .filter(col("o_orderkey") >= lo && col("o_orderkey") <= hi))
+      assert(prunedRows === fullRows) // identical rows, fewer files
+      assert(nPruned > 0 && nPruned < nFull,
+        s"stats skip must touch fewer files: pruned=$nPruned full=$nFull")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    // a range outside all stats reads zero rows without failing
+    assert(LakeTable.readWhereBetween(spark, p10, "o_orderkey", -5000, -1000).count() === 0)
+    // a column without stats (string) falls back to keeping all files
+    assert(LakeTable.readWhereBetween(spark, p10, "o_totalprice", 0, 1e9).count()
+      === LakeTable.read(spark, p10).count())
+  }
+
   test("partition-pruned read scans only the matching partition's files") {
     val p9 = "/tmp/graft_test/lake_prune_files"
     rmdir(p9)
