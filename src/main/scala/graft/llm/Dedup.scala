@@ -201,7 +201,11 @@ object Dedup {
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
           (col("nlabel") < col("label")).as("changed"))
         .persist()
-      converged = next.filter(col("changed")).limit(1).count() == 0
+      // full aggregate, not limit(1): the action must materialize the
+      // ENTIRE cached frame (a limited count would cache only the
+      // partitions it touched, recomputing the rest downstream)
+      val row = next.agg(sum(when(col("changed"), 1L).otherwise(0L))).head()
+      converged = row.isNullAt(0) || row.getLong(0) == 0L
       labels.unpersist()
       labels = next.drop("changed")
       it += 1
