@@ -97,6 +97,7 @@ object SparkEntry {
     "lake_partition_prune" -> (sources.LakeTable.partitionPruneQuery _),
     "lake_time_travel" -> (sources.LakeTable.timeTravelQuery _),
     "lake_stats_skip" -> (sources.LakeTable.statsSkipQuery _),
+    "lake_zorder_box" -> (sources.LakeTable.zorderBoxQuery _),
     // --- streaming semantics (SURVEY.md §2.9 T1-T6), batch-replayed ---
     "session_replay" -> (streaming.DialogueStateMachine.sessionReplay _),
     "tumbling_hourly" -> (streaming.EventTimeWindows.tumblingHourly _),
@@ -562,6 +563,13 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
         |FROM events WHERE event_id BETWEEN 1000 AND 2999
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // lake_zorder_box: z-order clustering + 2-dim box scan through
+    // footer-stats skipping; results equal the plain box aggregate
+    "lake_zorder_box" ->
+      """SELECT user_id, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events
+        |WHERE event_id BETWEEN 100 AND 2999 AND user_id BETWEEN 10 AND 49
+        |GROUP BY 1 ORDER BY user_id""".stripMargin,
     // lake_time_travel: v0 (evens) then v1 (append odds), read v0 —
     // version pinning is what's verified
     "lake_time_travel" ->

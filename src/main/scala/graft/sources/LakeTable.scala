@@ -155,25 +155,28 @@ object LakeTable {
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
-  /** DATA-SKIPPING scan: read only the files whose manifest [min,max]
-    * range for `column` overlaps [lower, upper] — Iceberg-style file
-    * pruning from commit-time footer stats, metadata-only (no data
-    * file is opened to decide). Files without stats for the column
-    * (non-numeric, or written before stats existed) are conservatively
-    * kept. The precise row filter still applies after the skip, so
-    * results are exact regardless of stats quality; stats only decide
-    * how many files are TOUCHED (spec asserts the skip on a clustered
-    * table). */
-  def readWhereBetween(
-      spark: SparkSession, path: String, column: String,
-      lower: Double, upper: Double, version: Option[Int] = None): DataFrame = {
+  /** DATA-SKIPPING scan, multi-predicate form: read only the files
+    * whose manifest [min,max] range overlaps EVERY (column, lower,
+    * upper) box side — Iceberg-style file pruning from commit-time
+    * footer stats, metadata-only (no data file is opened to decide).
+    * Files without stats for a column (non-numeric, or written before
+    * stats existed) are conservatively kept. The precise row filter
+    * still applies after the skip, so results are exact regardless of
+    * stats quality; stats only decide how many files are TOUCHED
+    * (spec asserts the skip on clustered and z-ordered tables). */
+  def readWhere(
+      spark: SparkSession, path: String,
+      preds: Seq[(String, Double, Double)],
+      version: Option[Int] = None): DataFrame = {
     val v = version.orElse(latestVersion(path)).getOrElse(
       throw new IllegalArgumentException(s"no snapshots at $path"))
     val entries = manifestEntries(spark, path, v)
     val kept = entries.filter { e =>
-      e.stats.get(column) match {
-        case Some(Seq(mn, mx)) => mx >= lower && mn <= upper
-        case _ => true // no stats → cannot prune
+      preds.forall { case (column, lower, upper) =>
+        e.stats.get(column) match {
+          case Some(Seq(mn, mx)) => mx >= lower && mn <= upper
+          case _ => true // no stats → cannot prune
+        }
       }
     }
     val base =
@@ -184,7 +187,51 @@ object LakeTable {
           .option("basePath", b)
           .parquet(es.map(_.file): _*)
       }.reduce(_.unionByName(_, allowMissingColumns = true))
-    base.filter(col(column) >= lower && col(column) <= upper)
+    preds.foldLeft(base) { case (df, (column, lower, upper)) =>
+      df.filter(col(column) >= lower && col(column) <= upper)
+    }
+  }
+
+  /** Single-column data-skipping scan (see [[readWhere]]). */
+  def readWhereBetween(
+      spark: SparkSession, path: String, column: String,
+      lower: Double, upper: Double, version: Option[Int] = None): DataFrame =
+    readWhere(spark, path, Seq((column, lower, upper)), version)
+
+  /** Morton/Z-ORDER clustered rewrite: both columns are value-range
+    * normalized to 16 bits (broadcastable min/max — same deterministic
+    * scheme as the skyline buckets) and bit-interleaved into a 32-bit
+    * z-key; files are range-partitioned and sorted by that key. A file
+    * then covers a RECTANGLE of the 2-D value space instead of a slab
+    * of one column, so footer-stats skipping ([[readWhere]]) prunes on
+    * BOTH dimensions — the multi-dimensional OPTIMIZE the lexicographic
+    * [[optimizeBy]] cannot give (its second column has no file
+    * locality). */
+  def zOrderBy(
+      spark: SparkSession, path: String, numFiles: Int,
+      colA: String, colB: String): Int = {
+    val current = read(spark, path)
+    val s = current.agg(
+      min(colA).cast("double"), max(colA).cast("double"),
+      min(colB).cast("double"), max(colB).cast("double")).head()
+    def norm(c: String, lo: Double, hi: Double) =
+      if (hi == lo) lit(0)
+      else least(lit(65535), greatest(lit(0),
+        floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * 65535).cast("int")))
+    val (na, nb) = (norm(colA, s.getDouble(0), s.getDouble(1)),
+      norm(colB, s.getDouble(2), s.getDouble(3)))
+    // bit interleave: a's bit i → 2i, b's bit i → 2i+1 (codegen'd
+    // builtin bitwise ops — no UDF)
+    val zkey = (0 until 16).map { i =>
+      shiftright(na, i).bitwiseAND(lit(1)).cast("long") * lit(1L << (2 * i)) +
+        shiftright(nb, i).bitwiseAND(lit(1)).cast("long") * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+    val sorted = current
+      .withColumn("__zkey", zkey)
+      .repartitionByRange(numFiles, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__zkey")
+    commit(spark, path, writeDataFiles(sorted, path), "zorder")
   }
 
   /** Copy-on-write MERGE/upsert: rows of the current snapshot whose
@@ -320,6 +367,23 @@ object LakeTable {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
       .orderBy("event_type")
+  }
+
+  /** Driver query: Z-ORDER end to end — write events, z-order by
+    * (event_id, user_id), then a 2-DIMENSIONAL box scan through
+    * [[readWhere]]'s stats skipping, aggregated per user. The oracle
+    * is the same box aggregate over the source table; LakeTableSpec
+    * additionally asserts z-order skips files on the second dimension
+    * where lexicographic clustering cannot. */
+  def zorderBoxQuery(s: SparkSession, d: String): DataFrame = {
+    val path = freshWorkDir("lakezorder", d)
+    val ev = graft.Tables.load(s, d, "events").select("event_id", "user_id", "value")
+    overwrite(ev, path)
+    zOrderBy(s, path, numFiles = 16, "event_id", "user_id")
+    readWhere(s, path, Seq(("event_id", 100, 2999), ("user_id", 10, 49)))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+      .orderBy("user_id")
   }
 
   /** Clustered rewrite (OPTIMIZE ... ZORDER-style): range-partition the

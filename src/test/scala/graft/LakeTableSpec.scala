@@ -233,6 +233,46 @@ class LakeTableSpec extends AnyFunSuite {
       === LakeTable.read(spark, p10).count())
   }
 
+  test("z-order skips files on the second dimension where lexicographic cannot") {
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .select("o_orderkey", "o_totalprice")
+    val pStats = orders.agg(min("o_totalprice"), max("o_totalprice")).head()
+    val (pLo, pHi) = (pStats.getDouble(0), pStats.getDouble(1))
+    // a thin slab of the SECOND clustering column only
+    val (lo, hi) = (pLo, pLo + (pHi - pLo) * 0.1)
+
+    def build(dir: String, z: Boolean): Unit = {
+      rmdir(dir)
+      LakeTable.overwrite(orders.repartition(8), dir)
+      if (z) LakeTable.zOrderBy(spark, dir, 8, "o_orderkey", "o_totalprice")
+      else LakeTable.optimizeBy(spark, dir, 8, "o_orderkey", "o_totalprice")
+    }
+    build("/tmp/graft_test/lake_lex", z = false)
+    build("/tmp/graft_test/lake_z", z = true)
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def scan(dir: String): (Seq[Long], Long) = {
+        val df = LakeTable.readWhere(spark, dir, Seq(("o_totalprice", lo, hi)))
+        val rows = df.collect().map(_.getLong(0)).sorted.toSeq
+        val files = df.queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.metrics("numFiles").value
+        }.sum
+        (rows, files)
+      }
+      val (lexRows, lexFiles) = scan("/tmp/graft_test/lake_lex")
+      val (zRows, zFiles) = scan("/tmp/graft_test/lake_z")
+      assert(zRows === lexRows, "clustering must not change results")
+      assert(zRows.nonEmpty)
+      // lexicographic by (o_orderkey, o_totalprice): every file spans
+      // the full price range → no skip possible; z-order gives price
+      // locality per file
+      assert(zFiles < lexFiles,
+        s"z-order should touch fewer files on dim 2: z=$zFiles lex=$lexFiles")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("partition-pruned read scans only the matching partition's files") {
     val p9 = "/tmp/graft_test/lake_prune_files"
     rmdir(p9)
