@@ -58,6 +58,7 @@ object SparkEntry {
     "dedup_clusters" -> ((s, d) => llm.Dedup.dedupClusters(s, d)),
     "simhash_docs" -> (llm.Dedup.simhashDocs _),
     "jaccard_consecutive" -> (llm.Dedup.jaccardConsecutive _),
+    "levenshtein_consecutive" -> (llm.Dedup.levenshteinConsecutive _),
     "knn_brute_force" -> ((s, d) => llm.Similarity.knnBruteForce(s, d)),
     "knn_topk_agg" -> ((s, d) => llm.Similarity.knnTopKAgg(s, d)),
     "knn_lsh_bucketed" -> ((s, d) => llm.Similarity.knnLshBucketed(s, d)),
@@ -493,6 +494,13 @@ object SparkEntry {
         |       round(len(list_intersect(a.sh, b.sh))::DOUBLE /
         |             len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE, 6) AS jaccard
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        |ORDER BY doc_a""".stripMargin,
+    "levenshtein_consecutive" ->
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(levenshtein(a.text, b.text) AS INT) AS edit_dist,
+        |       round(1.0 - levenshtein(a.text, b.text)::DOUBLE /
+        |             greatest(length(a.text), length(b.text))::DOUBLE, 6) AS edit_sim
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
         |ORDER BY doc_a""".stripMargin,
     "knn_brute_force" ->
       """WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,

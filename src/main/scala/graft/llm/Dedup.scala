@@ -160,6 +160,25 @@ object Dedup {
         simhashNative(tokenHashesNative(col("text"))).as("simhash"))
       .orderBy("doc_id")
 
+  /** L2 edit-distance verify primitive: Levenshtein distance between
+    * consecutive doc_ids (the same linear pairing as
+    * [[jaccardConsecutive]]), normalized by the longer text — the
+    * character-level complement to shingle Jaccard for near-dup
+    * verification. Both engines ship the same builtin. */
+  def levenshteinConsecutive(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.loadParallel(s, d, "documents").select("doc_id", "text")
+    docs.as("a")
+      .join(docs.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        levenshtein(col("a.text"), col("b.text")).as("edit_dist"),
+        round(
+          lit(1.0) - levenshtein(col("a.text"), col("b.text")).cast("double") /
+            greatest(length(col("a.text")), length(col("b.text"))).cast("double"),
+          6).as("edit_sim"))
+      .orderBy("doc_a")
+  }
+
   /** L1/L2 dedup CLUSTERING: connected components over the near-dup
     * pair graph — the transitive-closure step a production dedup
     * needs after candidate generation (A~B and B~C must collapse to
