@@ -37,6 +37,7 @@ object SparkEntry {
     "segment_order_stats" -> (ops.Relational.segmentOrderStats _),
     "q5_local_supplier" -> (ops.Relational.q5LocalSupplier _),
     "q7_volume_shipping" -> (ops.Relational.q7VolumeShipping _),
+    "q10_returned_items" -> (ops.Relational.q10ReturnedItems _),
     "quantile_quantity" -> (ops.Relational.quantileQuantity _),
     "range_join_quantity" -> (ops.Relational.rangeJoinQuantity _),
     "asof_latest_error" -> (ops.Relational.asofLatestError _),
@@ -345,6 +346,18 @@ object SparkEntry {
         |WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
         |   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "quantile_quantity" ->
       """SELECT l_returnflag,
         |       round(quantile_cont(l_quantity, 0.25), 6) AS q25,

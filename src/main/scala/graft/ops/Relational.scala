@@ -129,6 +129,27 @@ object Relational {
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
+  /** TPC-H Q10 shape (returned-item reporting): customers ranked by
+    * revenue lost to returned lineitems in a quarter — a 4-table join
+    * where the fact side is filtered EARLY (returnflag + date reach
+    * the scans as pushed predicates) and only the aggregated top 20
+    * survive to the final order. */
+  def q10ReturnedItems(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+      .join(
+        t(s, d, "orders")
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1996-04-01"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      // round(6), not 2: partial-agg sum order differs across engines
+      // by ~1 ulp, and a cent boundary (x.xx5) can flip under round(2)
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 6).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
   /** Exact percentile family (A-family widening): quartiles of
     * l_quantity per return flag. Spark `percentile` and DuckDB
     * `quantile_cont` share the percentile_cont interpolation

@@ -52,6 +52,18 @@ class PlanContractSpec extends AnyFunSuite {
     assert(plan("asof_native").contains("AsOfJoin"))
   }
 
+  test("per-group top-k runs under WindowGroupLimit (rank filter pushed into the sort)") {
+    // Spark's InferWindowGroupLimit turns rn <= k into a per-group
+    // bounded sort — the difference between sorting every group fully
+    // and keeping k rows per group at 100 TB
+    assert(plan("top_orders_per_customer").contains("WindowGroupLimit"))
+  }
+
+  test("global top-k runs as TakeOrderedAndProject, not a full sort") {
+    for (q <- Seq("topk_parts", "q10_returned_items", "q3_shipping_priority"))
+      assert(plan(q).contains("TakeOrderedAndProject"), s"$q lost its top-k plan")
+  }
+
   test("lang_id family classifies via broadcast, not a token shuffle join") {
     for (q <- Seq("lang_id", "lang_id_ngram")) {
       val p = plan(q)
