@@ -100,6 +100,7 @@ object SparkEntry {
     "lake_time_travel" -> (sources.LakeTable.timeTravelQuery _),
     "lake_stats_skip" -> (sources.LakeTable.statsSkipQuery _),
     "lake_zorder_box" -> (sources.LakeTable.zorderBoxQuery _),
+    "lake_change_feed" -> (sources.LakeTable.changeFeedQuery _),
     // --- streaming semantics (SURVEY.md §2.9 T1-T6), batch-replayed ---
     "session_replay" -> (streaming.DialogueStateMachine.sessionReplay _),
     "tumbling_hourly" -> (streaming.EventTimeWindows.tumblingHourly _),
@@ -584,6 +585,20 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
         |FROM events WHERE event_id BETWEEN 1000 AND 2999
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // lake_change_feed: v0→v2 CDC over overwrite + merge + delete;
+    // inserts = patched rows, deletes = pre-patch originals + deleted
+    "lake_change_feed" ->
+      """WITH ins AS (
+        |  SELECT 'insert' AS change_type, event_id,
+        |         'patched' AS event_type, round(value + 1000, 6) AS value
+        |  FROM events WHERE event_id % 3 = 0
+        |), del AS (
+        |  SELECT 'delete' AS change_type, event_id, event_type, round(value, 6) AS value
+        |  FROM events
+        |  WHERE event_id % 3 = 0 OR (event_id % 7 = 0 AND event_id % 3 != 0)
+        |)
+        |SELECT * FROM ins UNION ALL SELECT * FROM del
+        |ORDER BY change_type, event_id""".stripMargin,
     // lake_zorder_box: z-order clustering + 2-dim box scan through
     // footer-stats skipping; results equal the plain box aggregate
     "lake_zorder_box" ->

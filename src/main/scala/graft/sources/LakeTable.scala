@@ -369,6 +369,43 @@ object LakeTable {
       .orderBy("event_type")
   }
 
+  /** CHANGE DATA FEED: row-level diff of two snapshots — rows only in
+    * `toV` are inserts, rows only in `fromV` are deletes (an update =
+    * delete + insert pair, the CoW representation). Pure set algebra
+    * over the two manifest reads; exceptAll keeps duplicate
+    * multiplicity honest. At 100 TB you'd diff only the files that
+    * CHANGED between the manifests (same API, file-level pre-filter);
+    * all-column hashing makes that an equi-join on (file-set delta ×
+    * row hash). */
+  def changes(spark: SparkSession, path: String, fromV: Int, toV: Int): DataFrame = {
+    val before = read(spark, path, Some(fromV))
+    val after = read(spark, path, Some(toV))
+    after.exceptAll(before).withColumn("change_type", lit("insert"))
+      .unionByName(before.exceptAll(after).withColumn("change_type", lit("delete")))
+  }
+
+  /** Driver query: CDC over the CoW lifecycle — overwrite (v0), MERGE
+    * patching every 3rd event (v1), DELETE every 7th unpatched event
+    * (v2), then the v0→v2 change feed. The oracle derives the same
+    * inserts (patched rows) and deletes (pre-patch originals + deleted
+    * rows) directly from the source table. */
+  def changeFeedQuery(s: SparkSession, d: String): DataFrame = {
+    val path = freshWorkDir("lakecdc", d)
+    val ev = graft.Tables.load(s, d, "events").select("event_id", "event_type", "value")
+    overwrite(ev, path)
+    upsert(
+      ev.filter(pmod(col("event_id"), lit(3L)) === 0)
+        .select(col("event_id"), lit("patched").as("event_type"),
+          (col("value") + 1000.0).as("value")),
+      path, "event_id")
+    delete(s, path,
+      pmod(col("event_id"), lit(7L)) === 0 && pmod(col("event_id"), lit(3L)) =!= 0)
+    changes(s, path, fromV = 0, toV = 2)
+      .select(col("change_type"), col("event_id"), col("event_type"),
+        round(col("value"), 6).as("value"))
+      .orderBy("change_type", "event_id")
+  }
+
   /** Driver query: Z-ORDER end to end — write events, z-order by
     * (event_id, user_id), then a 2-DIMENSIONAL box scan through
     * [[readWhere]]'s stats skipping, aggregated per user. The oracle
