@@ -337,7 +337,7 @@ object SparkEntry {
     "q7_volume_shipping" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |       CAST(year(l_shipdate) AS INT) AS l_year,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey

@@ -164,7 +164,12 @@ object Dedup {
     * consecutive doc_ids (the same linear pairing as
     * [[jaccardConsecutive]]), normalized by the longer text — the
     * character-level complement to shingle Jaccard for near-dup
-    * verification. Both engines ship the same builtin. */
+    * verification. ORACLE DOMAIN NOTE: Spark's levenshtein counts
+    * CHARACTERS while DuckDB's counts BYTES — they agree only on
+    * ASCII, which the driver corpus is. A CJK corpus would need a
+    * byte-based Spark variant for cross-engine agreement (same trap
+    * class as the round-1 PolyHashExpr byte/code-point divergence,
+    * but here the engine builtin semantics are fixed). */
   def levenshteinConsecutive(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.loadParallel(s, d, "documents").select("doc_id", "text")
     docs.as("a")

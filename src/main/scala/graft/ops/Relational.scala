@@ -125,7 +125,9 @@ object Relational {
       .groupBy(
         col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).cast("int").as("l_year"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      // round(6): cross-engine partial-agg sum order differs by ~1 ulp
+      // and a cent boundary can flip under round(2) (see q10 note)
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 6).as("revenue"))
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 

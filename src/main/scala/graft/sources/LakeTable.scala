@@ -146,24 +146,33 @@ object LakeTable {
   def read(spark: SparkSession, path: String, version: Option[Int] = None): DataFrame = {
     val v = version.orElse(latestVersion(path)).getOrElse(
       throw new IllegalArgumentException(s"no snapshots at $path"))
-    val byBase = manifestEntries(spark, path, v).groupBy(_.base)
-    byBase.map { case (base, entries) =>
+    readFiles(spark, manifestEntries(spark, path, v))
+  }
+
+  /** Assemble a DataFrame from manifest entries — ONE definition of
+    * the basePath/mergeSchema/union read path, shared by [[read]] and
+    * [[readWhere]] so the two scans cannot drift. */
+  private def readFiles(spark: SparkSession, entries: Seq[ManifestEntry]): DataFrame =
+    entries.groupBy(_.base).map { case (base, es) =>
       spark.read
         .option("mergeSchema", "true")
         .option("basePath", base)
-        .parquet(entries.map(_.file): _*)
+        .parquet(es.map(_.file): _*)
     }.reduce(_.unionByName(_, allowMissingColumns = true))
-  }
 
   /** DATA-SKIPPING scan, multi-predicate form: read only the files
     * whose manifest [min,max] range overlaps EVERY (column, lower,
     * upper) box side — Iceberg-style file pruning from commit-time
     * footer stats, metadata-only (no data file is opened to decide).
-    * Files without stats for a column (non-numeric, or written before
-    * stats existed) are conservatively kept. The precise row filter
-    * still applies after the skip, so results are exact regardless of
-    * stats quality; stats only decide how many files are TOUCHED
-    * (spec asserts the skip on clustered and z-ordered tables). */
+    * Files without stats for a column (written before the column
+    * existed, or before stats were recorded) are conservatively kept.
+    * The precise row filter still applies after the skip, so results
+    * are exact regardless of stats quality; stats only decide how many
+    * files are TOUCHED (spec asserts the skip on clustered and
+    * z-ordered tables, and the conservative keep via schema
+    * evolution). NUMERIC columns only — a double interval on a string
+    * column would silently cast-to-null every row, so that misuse is
+    * rejected loudly. */
   def readWhere(
       spark: SparkSession, path: String,
       preds: Seq[(String, Double, Double)],
@@ -181,14 +190,16 @@ object LakeTable {
     }
     val base =
       if (kept.isEmpty) read(spark, path, Some(v)).filter(lit(false))
-      else kept.groupBy(_.base).map { case (b, es) =>
-        spark.read
-          .option("mergeSchema", "true")
-          .option("basePath", b)
-          .parquet(es.map(_.file): _*)
-      }.reduce(_.unionByName(_, allowMissingColumns = true))
+      else readFiles(spark, kept)
     preds.foldLeft(base) { case (df, (column, lower, upper)) =>
-      df.filter(col(column) >= lower && col(column) <= upper)
+      if (!df.columns.contains(column)) {
+        // every surviving file predates the column → it is null (or
+        // absent) on all rows, so nothing can satisfy the interval
+        df.filter(lit(false))
+      } else if (!df.schema(column).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]) {
+        throw new IllegalArgumentException(
+          s"readWhere supports numeric columns; '$column' is ${df.schema(column).dataType}")
+      } else df.filter(col(column) >= lower && col(column) <= upper)
     }
   }
 
@@ -214,6 +225,10 @@ object LakeTable {
     val s = current.agg(
       min(colA).cast("double"), max(colA).cast("double"),
       min(colB).cast("double"), max(colB).cast("double")).head()
+    // empty snapshot or all-null clustering column: nothing to
+    // cluster — commit a plain rewrite instead of NPE-ing on the agg
+    if ((0 to 3).exists(s.isNullAt))
+      return commit(spark, path, writeDataFiles(current, path), "zorder")
     def norm(c: String, lo: Double, hi: Double) =
       if (hi == lo) lit(0)
       else least(lit(65535), greatest(lit(0),
@@ -316,8 +331,11 @@ object LakeTable {
     * 3rd event), DELETE (every 7th unpatched event), then read and
     * aggregate. The oracle computes the same merge+delete algebra
     * directly over the source table. */
-  def mergeReadQuery(s: SparkSession, d: String): DataFrame = {
-    val path = freshWorkDir("lakemerge", d)
+  /** The CoW lifecycle both [[mergeReadQuery]] and [[changeFeedQuery]]
+    * exercise: overwrite (v0), MERGE patching every 3rd event (v1),
+    * DELETE every 7th unpatched event (v2). ONE definition so the two
+    * driver queries (and their oracles) cannot desynchronize. */
+  private def buildCowLifecycle(s: SparkSession, d: String, path: String): Unit = {
     val ev = graft.Tables.load(s, d, "events").select("event_id", "event_type", "value")
     overwrite(ev, path)
     upsert(
@@ -327,6 +345,11 @@ object LakeTable {
       path, "event_id")
     delete(s, path,
       pmod(col("event_id"), lit(7L)) === 0 && pmod(col("event_id"), lit(3L)) =!= 0)
+  }
+
+  def mergeReadQuery(s: SparkSession, d: String): DataFrame = {
+    val path = freshWorkDir("lakemerge", d)
+    buildCowLifecycle(s, d, path)
     read(s, path)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
@@ -391,15 +414,7 @@ object LakeTable {
     * rows) directly from the source table. */
   def changeFeedQuery(s: SparkSession, d: String): DataFrame = {
     val path = freshWorkDir("lakecdc", d)
-    val ev = graft.Tables.load(s, d, "events").select("event_id", "event_type", "value")
-    overwrite(ev, path)
-    upsert(
-      ev.filter(pmod(col("event_id"), lit(3L)) === 0)
-        .select(col("event_id"), lit("patched").as("event_type"),
-          (col("value") + 1000.0).as("value")),
-      path, "event_id")
-    delete(s, path,
-      pmod(col("event_id"), lit(7L)) === 0 && pmod(col("event_id"), lit(3L)) =!= 0)
+    buildCowLifecycle(s, d, path)
     changes(s, path, fromV = 0, toV = 2)
       .select(col("change_type"), col("event_id"), col("event_type"),
         round(col("value"), 6).as("value"))

@@ -199,8 +199,8 @@ class LakeTableSpec extends AnyFunSuite {
       .select("o_orderkey", "o_totalprice")
     LakeTable.overwrite(orders.repartition(8), p10) // scrambled layout
     LakeTable.optimizeBy(spark, p10, numFiles = 8, "o_orderkey")
-    val keys = orders.agg(min("o_orderkey"), max("o_orderkey")).head()
-    val (lo, hi) = (keys.getLong(0).toDouble, keys.getLong(0).toDouble + 50)
+    val minKey = orders.agg(min("o_orderkey")).head().getLong(0).toDouble
+    val (lo, hi) = (minKey, minKey + 50)
 
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
@@ -228,9 +228,46 @@ class LakeTableSpec extends AnyFunSuite {
 
     // a range outside all stats reads zero rows without failing
     assert(LakeTable.readWhereBetween(spark, p10, "o_orderkey", -5000, -1000).count() === 0)
-    // a column without stats (string) falls back to keeping all files
-    assert(LakeTable.readWhereBetween(spark, p10, "o_totalprice", 0, 1e9).count()
-      === LakeTable.read(spark, p10).count())
+    // a non-numeric column is rejected loudly (a double interval would
+    // silently cast-to-null every row otherwise)
+    val p10b = "/tmp/graft_test/lake_stats_str"
+    rmdir(p10b)
+    import spark.implicits._
+    LakeTable.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), p10b)
+    val e = intercept[IllegalArgumentException] {
+      LakeTable.readWhereBetween(spark, p10b, "s", 0, 1)
+    }
+    assert(e.getMessage.contains("numeric"))
+  }
+
+  test("files without stats for a column are conservatively kept (schema evolution)") {
+    // v0's file predates the `extra` column → no stats for it → the
+    // file must be READ (not pruned); its rows surface extra=null and
+    // the precise row filter then drops them — exact results, file
+    // conservatively touched
+    val p12 = "/tmp/graft_test/lake_stats_evolve"
+    rmdir(p12)
+    import spark.implicits._
+    LakeTable.overwrite(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), p12)
+    LakeTable.append(Seq((3L, 30.0, 777L)).toDF("k", "v", "extra"), p12)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // range that EXCLUDES the new file's extra stats [777,777]:
+      // only the stats-less old file survives the skip; since that
+      // file predates the column, readWhere proves no row can match
+      // and Catalyst elides the scan — exact empty result, no error
+      assert(LakeTable.readWhere(spark, p12, Seq(("extra", 0, 100))).collect().isEmpty)
+      // a range covering 777 keeps BOTH files through the skip (the
+      // old one conservatively — no stats), reads them, and the row
+      // filter yields exactly the new row
+      assert(LakeTable.readWhere(spark, p12, Seq(("extra", 700, 800)))
+        .collect().map(_.getLong(0)).toSeq === Seq(3L))
+      // conservative keep on a MIXED-stats query: filtering on k keeps
+      // the old file via stats and the new file too; both rows < 3
+      // come from the stats-less-for-extra old file
+      assert(LakeTable.readWhere(spark, p12, Seq(("k", 1, 2)))
+        .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("optimistic concurrency: a racing commit to the same version fails, table intact") {
