@@ -87,6 +87,7 @@ object SparkEntry {
     "softmax_classify" -> (etl.Preprocess.softmaxClassify _),
     "zip_scripts" -> (etl.Preprocess.zipScripts _),
     "rank_family" -> (ops.Relational.rankFamily _),
+    "window_value_funcs" -> (ops.Relational.windowValueFuncs _),
     "union_entities" -> (ops.Relational.unionEntities _),
     "cube_status_priority" -> (ops.Relational.cubeStatusPriority _),
     "grouping_sets_orders" -> (ops.Relational.groupingSetsOrders _),
@@ -903,6 +904,20 @@ object SparkEntry {
         |  FROM customer
         |  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
         |) WHERE rn <= 5 ORDER BY c_mktsegment, rn""".stripMargin,
+    "window_value_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        |       first_value(o_totalprice) OVER wf AS first_price,
+        |       last_value(o_totalprice) OVER wf AS last_price,
+        |       nth_value(o_totalprice, 2) OVER wf AS second_price,
+        |       coalesce(lag(o_totalprice) OVER w, 0.0) AS prev_price,
+        |       coalesce(lead(o_totalprice) OVER w, 0.0) AS next_price,
+        |       round(percent_rank() OVER w, 6) AS pr,
+        |       round(cume_dist() OVER w, 6) AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+        |       wf AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
     "union_entities" ->
       """SELECT kind, count(*) AS n, min(name) AS first_name FROM (
         |  SELECT c_name AS name, 'customer' AS kind FROM customer

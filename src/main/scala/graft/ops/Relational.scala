@@ -456,6 +456,27 @@ object Relational {
       .agg(round(sum("o_totalprice"), 2))
       .orderBy("yr")
 
+  /** W7 widening: the VALUE window-function family — first/last/nth
+    * over an explicit full frame, lead/lag with defaults, and the
+    * continuous ranks (percent_rank, cume_dist) — one window pass per
+    * customer, ordered by the unique order key for cross-engine
+    * determinism. */
+  def windowValueFuncs(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, d, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        first("o_totalprice").over(full).as("first_price"),
+        last("o_totalprice").over(full).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(full).as("second_price"),
+        lag("o_totalprice", 1, 0.0).over(w).as("prev_price"),
+        lead("o_totalprice", 1, 0.0).over(w).as("next_price"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .orderBy("o_orderkey")
+  }
+
   /** Correlated scalar subquery (decorrelated by Catalyst into a
     * join): customers with balance above their nation's average. */
   def aboveAvgCustomers(s: SparkSession, d: String): DataFrame = {
