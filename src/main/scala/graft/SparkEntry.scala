@@ -69,6 +69,7 @@ object SparkEntry {
     "knn_ivf_kmeans" -> ((s, d) => llm.Similarity.knnIvfKmeans(s, d)),
     "label_cohesion" -> (llm.Similarity.labelCohesion _),
     "text_quality" -> (llm.TextAnalysis.textQuality _),
+    "token_predicates" -> (llm.TextAnalysis.tokenPredicates _),
     "token_counts" -> (llm.TextAnalysis.tokenCounts _),
     "lang_id" -> (llm.TextAnalysis.langId _),
     "doc_fingerprint" -> (llm.TextAnalysis.docFingerprint _),
@@ -656,6 +657,16 @@ object SparkEntry {
         |SELECT label, count(*) AS n_members,
         |       round(avg(dotvc / (nv * nc)), 6) AS cohesion
         |FROM m GROUP BY label ORDER BY label""".stripMargin,
+    "token_predicates" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the','a','of','and','in'))) > 0 AS has_stopword,
+        |  len(list_filter(string_split(text, ' '), t -> length(t) >= 15)) = 0 AS all_short,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> length(t) >= 8)) AS INT) AS n_long,
+        |  CAST(list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(string_split(text, ' '), t -> length(t)::BIGINT)),
+        |    (a, c) -> a + c) AS INT) AS sum_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       """SELECT doc_id, lang,
         |  CAST(len(tokens) AS INT) AS n_tokens,

@@ -86,6 +86,22 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** F-family HOF predicates over token arrays — exists / forall /
+    * filter-count / aggregate-fold, each mirrored by a DuckDB list
+    * function. Map-only; the HOFs run once per doc over one split()
+    * array (no cross-lambda indexing, so no barrier needed). */
+  def tokenPredicates(s: SparkSession, d: String): DataFrame = {
+    val t = tokens(col("text"))
+    Tables.load(s, d, "documents")
+      .select(
+        col("doc_id"),
+        exists(t, tk => tk.isin(Stopwords: _*)).as("has_stopword"),
+        forall(t, tk => length(tk) < 15).as("all_short"),
+        size(filter(t, tk => length(tk) >= 8)).as("n_long"),
+        aggregate(t, lit(0), (acc, tk) => acc + length(tk)).as("sum_token_len"))
+      .orderBy("doc_id")
+  }
+
   /** L4 BPE-ish regex token counting: runs of letters, runs of
     * digits, and single other symbols — the subword-style tokenizer
     * shape — compared against plain whitespace counts per doc. */
