@@ -72,12 +72,6 @@ object Similarity {
   private def planeCoef(p: Int, i: Int): Double =
     if (((i * 31 + p * 17) % 7) % 2 == 0) 1.0 else -1.0
 
-  /** L3 scale path: random-hyperplane LSH. Each vector gets an
-    * nPlanes-bit bucket (sign pattern of projections onto fixed ±1
-    * planes); queries join candidates ONLY within their bucket. Recall
-    * is approximate by design → no SQL oracle (rows-only check). At
-    * 100 TB this is the shape that survives: the bucket join shuffles
-    * each side once on an 8-bit key instead of crossing them. */
   /** nPlanes-bit random-hyperplane bucket: bit p = sign of the
     * projection onto fixed ±1 plane p. Shared by [[knnLshBucketed]]
     * and [[embeddingNearDup]]; the DuckDB oracle mirrors the exact
@@ -88,7 +82,10 @@ object Similarity {
       when(dot(v, plane) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** MULTI-PROBE: each query probes its own bucket plus ALL nPlanes
+  /** L3 scale path: random-hyperplane LSH — queries join candidates
+    * only within probed buckets (bucket equi-join on an 8-bit key,
+    * never a cross product; approximate by design → rows-only check).
+    * MULTI-PROBE: each query probes its own bucket plus ALL nPlanes
     * buckets at Hamming distance 1 (one sign flip each) — the
     * standard recall lever for single-table hyperplane LSH. Cost is
     * bounded: (nPlanes+1) probe rows per query on the broadcast side,
@@ -117,14 +114,6 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
-  /** L3 scale path #2: IVF-style two-stage search. A deterministic
-    * coarse quantizer (the first nCells vectors stand in for k-means
-    * centroids — production would train real ones) assigns every
-    * vector to its nearest cell; each query probes its nProbe nearest
-    * cells and searches only those inverted lists. The candidate join
-    * shuffles on cell_id alone — the same bounded-bucket shape as
-    * [[knnLshBucketed]], with recall controlled by nProbe. Approximate
-    * by construction → rows-only check. */
   /** Two-stage IVF search over an arbitrary centroid table
     * (cell_id, cv, cn): assign every vector to its nearest cell, probe
     * each query's nProbe nearest cells, exact-score only those
@@ -156,6 +145,10 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** L3 scale path #2: IVF with a deterministic coarse quantizer (the
+    * first nCells vectors stand in for trained centroids — see
+    * [[knnIvfKmeans]] for the trained variant). Recall controlled by
+    * nProbe; approximate by construction → rows-only check. */
   def knnIvf(
       s: SparkSession, d: String,
       k: Int = 5, nQueries: Int = 10, nCells: Int = 16, nProbe: Int = 2): DataFrame = {
@@ -178,11 +171,12 @@ object Similarity {
     * (cell, dim) partial sums, never vectors². Approximate by
     * construction (float mean order) → rows-only driver check; recall
     * floor pinned in KnnRecallSpec. */
-  def knnIvfKmeans(
-      s: SparkSession, d: String,
-      k: Int = 5, nQueries: Int = 10, nCells: Int = 16, nProbe: Int = 2,
-      iters: Int = 2): DataFrame = {
-    val emb = embWithNorm(s, d)
+  /** Lloyd's k-means over (vec_id, v) — deterministic init (first
+    * nCells vectors), squared-euclidean assignment via the dot-product
+    * identity, per-dimension mean update. Returns (cell_id, cv).
+    * Exposed so the training-quality spec can pin that iterations do
+    * not degrade the clustering objective. */
+  private[graft] def kmeansCentroids(emb: DataFrame, nCells: Int, iters: Int): DataFrame = {
     var cents = emb.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cell_id"), col("v").as("cv"))
     for (_ <- 1 to iters) {
@@ -200,6 +194,15 @@ object Similarity {
         .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell_id"), transform(col("pm"), e => e.getField("m")).as("cv"))
     }
+    cents
+  }
+
+  def knnIvfKmeans(
+      s: SparkSession, d: String,
+      k: Int = 5, nQueries: Int = 10, nCells: Int = 16, nProbe: Int = 2,
+      iters: Int = 2): DataFrame = {
+    val emb = embWithNorm(s, d)
+    val cents = kmeansCentroids(emb, nCells, iters)
     ivfSearch(emb, cents.withColumn("cn", l2norm(col("cv"))), k, nQueries, nProbe)
   }
 

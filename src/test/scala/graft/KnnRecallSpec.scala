@@ -48,6 +48,32 @@ class KnnRecallSpec extends AnyFunSuite {
     assert(ivfQs === 10L, "every IVF query should return results")
   }
 
+  test("k-means iterations do not degrade the clustering objective") {
+    // Lloyd's guarantees a non-increasing squared-euclidean objective;
+    // measure mean squared distance of every vector to its NEAREST
+    // centroid, trained (2 iters) vs the raw stand-in init (0 iters)
+    import graft.functions.ColumnFunctions._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+    def objective(iters: Int): Double = {
+      val cents = Similarity.kmeansCentroids(emb, nCells = 16, iters = iters)
+      val w = Window.partitionBy("vec_id").orderBy(col("d2"))
+      emb.crossJoin(broadcast(cents))
+        .withColumn("d2",
+          dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("cv")) +
+            dot(col("cv"), col("cv")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .agg(avg("d2")).head().getDouble(0)
+    }
+    val init = objective(0)
+    val trained = objective(2)
+    assert(trained <= init + 1e-9,
+      s"training must not worsen the objective: init=$init trained=$trained")
+  }
+
   test("approximate paths hit a recall floor vs brute force") {
     // random 64-dim embeddings are a worst case for ANN (no cluster
     // structure), so floors are deliberately conservative — the point
