@@ -74,6 +74,7 @@ object SparkEntry {
     "lang_id" -> (llm.TextAnalysis.langId _),
     "doc_fingerprint" -> (llm.TextAnalysis.docFingerprint _),
     "cjk_fingerprint" -> (llm.TextAnalysis.cjkFingerprint _),
+    "sql_registry_fingerprint" -> (llm.TextAnalysis.sqlRegistryFingerprint _),
     "bpe_token_stats" -> (llm.TextAnalysis.bpeTokenStats _),
     "lang_id_ngram" -> (llm.TextAnalysis.langIdNgram _),
     "embedding_near_dup" -> ((s, d) => llm.Similarity.embeddingNearDup(s, d)),
@@ -484,6 +485,29 @@ object SparkEntry {
           |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
           |SELECT id AS doc_id, min(label) AS cluster_id
           |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
+    // sql_registry_fingerprint: same math as doc_fingerprint + simhash,
+    // but the Spark side runs through the graft_* SQL registry
+    "sql_registry_fingerprint" ->
+      """WITH t2 AS (SELECT doc_id, text, list_transform(string_split(text, ' '), t ->
+        |        list_reduce(list_prepend(0::BIGINT,
+        |          list_transform(range(1, length(t)+1), i -> ascii(substring(t,i,1))::BIGINT)),
+        |          (a,c) -> (a*31+c) % 1000000007)) AS th FROM documents),
+        |fp AS (SELECT doc_id,
+        |  list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(text)+1),
+        |    i -> ascii(substring(text,i,1))::BIGINT)), (a,c) -> (a*31+c) % 1000000007) AS content_fp,
+        |  list_aggregate(list_transform(range(1, len(th)-1),
+        |    i -> (((th[i]*37 + th[i+1]) % 1000000007) * 37 + th[i+2]) % 1000000007),
+        |    'min') AS min_fp
+        |FROM t2),
+        |cnt AS (SELECT doc_id, h, count(*) AS c
+        |        FROM (SELECT doc_id, unnest(th) AS h FROM t2) GROUP BY 1, 2),
+        |bits AS (SELECT doc_id, b, CAST(power(2, b) AS BIGINT) AS pow2,
+        |         sum(CASE WHEN (h & CAST(power(2, b) AS BIGINT)) != 0 THEN c ELSE -c END) AS s
+        |         FROM cnt, (SELECT unnest(range(30)) AS b) bb GROUP BY 1, 2, 3),
+        |sh AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN pow2 ELSE 0 END) AS BIGINT) AS simhash
+        |       FROM bits GROUP BY doc_id)
+        |SELECT fp.doc_id, content_fp, min_fp, simhash
+        |FROM fp JOIN sh ON fp.doc_id = sh.doc_id ORDER BY fp.doc_id""".stripMargin,
     "simhash_docs" ->
       """WITH th AS (
         |  SELECT doc_id,

@@ -188,6 +188,22 @@ object TextAnalysis {
         polyHash(col("text")).as("ascii_fp"))
       .orderBy("doc_id")
 
+  /** The SQL-REGISTRY surface end-to-end: the same fingerprint math as
+    * [[docFingerprint]] expressed through `spark.sql` with the
+    * graft_* functions injected by GraftExtensions — proving the
+    * extension point works under the driver's correctness gate, not
+    * just in specs. Falls back to session-level registration when the
+    * session was built without `spark.sql.extensions`. */
+  def sqlRegistryFingerprint(s: SparkSession, d: String): DataFrame = {
+    Tables.loadParallel(s, d, "documents").createOrReplaceTempView("graft_docs_sqlreg")
+    s.sql("""
+      SELECT doc_id,
+             graft_polyhash(text) AS content_fp,
+             graft_shingle_min(graft_token_hashes(text)) AS min_fp,
+             graft_simhash(graft_token_hashes(text)) AS simhash
+      FROM graft_docs_sqlreg ORDER BY doc_id""")
+  }
+
   /** L2/L4 document fingerprints: full-content rolling hash plus the
     * min-shingle-hash (the winnowing primitive — two docs sharing any
     * 3-gram window can collide on min_fp for fast candidate lookup). */
