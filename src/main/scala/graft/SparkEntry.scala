@@ -51,6 +51,7 @@ object SparkEntry {
     "nation_coverage" -> (ops.Relational.nationCoverage _),
     "nations_without_suppliers" -> (ops.Relational.nationsWithoutSuppliers _),
     "string_funcs_part" -> (ops.Relational.stringFuncsPart _),
+    "map_defaults_weights" -> (ops.Relational.mapDefaultsWeights _),
     // --- [EXT] LLM-data-pipeline ops (SURVEY.md §2.10) ---
     "dedup_exact" -> (llm.Dedup.dedupExact _),
     "dedup_prefix_key" -> (llm.Dedup.dedupPrefixKey _),
@@ -436,6 +437,16 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM supplier
         |              WHERE s_nationkey = n_nationkey AND s_acctbal > 5000)
         |ORDER BY n_name""".stripMargin,
+    // map_defaults_weights: MapType lookup with coalesce default on
+    // the Spark side; the oracle mirrors it as a CASE ladder
+    "map_defaults_weights" ->
+      """SELECT event_type, count(*) AS n,
+        |       round(sum(value * CASE event_type
+        |                           WHEN 'purchase' THEN 1.5
+        |                           WHEN 'error' THEN 0.5
+        |                           WHEN 'login' THEN 0.0
+        |                           ELSE 1.0 END), 6) AS weighted_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "string_funcs_part" ->
       """SELECT p_partkey, lower(p_name) AS name_lc,
         |       substring(p_type, 1, 5) AS type5,

@@ -545,6 +545,25 @@ object Relational {
       .orderBy("p_retailprice", "p_size")
   }
 
+  /** F20: MAP-with-defaults semantics — a literal MapType column
+    * looked up per row with a coalesce default (the reference's
+    * config-map access pattern, `dict.get(k, default)`), driving a
+    * weighted aggregate. The oracle mirrors the lookup as a CASE
+    * ladder — same semantics, engine-native form. */
+  def mapDefaultsWeights(s: SparkSession, d: String): DataFrame = {
+    val weights = map(
+      lit("purchase"), lit(1.5), lit("error"), lit(0.5), lit("login"), lit(0.0))
+    t(s, d, "events")
+      .select(
+        col("event_type"), col("value"),
+        coalesce(element_at(weights, col("event_type")), lit(1.0)).as("w"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value") * col("w")), 6).as("weighted_value"))
+      .orderBy("event_type")
+  }
+
   /** F1–F7: string-function projection over part. */
   def stringFuncsPart(s: SparkSession, d: String): DataFrame =
     t(s, d, "part")
