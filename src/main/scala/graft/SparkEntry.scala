@@ -444,7 +444,7 @@ object SparkEntry {
         |       round(sum(value * CASE event_type
         |                           WHEN 'purchase' THEN 1.5
         |                           WHEN 'error' THEN 0.5
-        |                           WHEN 'login' THEN 0.0
+        |                           WHEN 'view' THEN 0.0
         |                           ELSE 1.0 END), 6) AS weighted_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "string_funcs_part" ->

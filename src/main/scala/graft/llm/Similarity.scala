@@ -158,24 +158,17 @@ object Similarity {
     ivfSearch(emb, cents, k, nQueries, nProbe)
   }
 
-  /** L3: IVF with k-means-TRAINED centroids — Lloyd's iterations in
-    * pure DataFrame algebra, the production IVF training path
-    * (round-1's knnIvf uses raw vectors as stand-in centroids).
-    * Init = first nCells vectors (deterministic, rand() is banned);
-    * each iteration assigns every vector to its nearest centroid by
-    * squared-euclidean (argmin ||v-c||² = argmax v·c − ||c||²/2, so
-    * one codegen'd dot per pair) and recomputes per-dimension means.
+  /** Lloyd's k-means over (vec_id, v) — deterministic init (first
+    * nCells vectors; rand() is banned), squared-euclidean assignment
+    * via the dot-product identity (argmin ||v-c||² = argmax
+    * v·c − ||c||²/2, one codegen'd dot per pair), per-dimension mean
+    * update. Returns (cell_id, cv).
     *
     * Scale: assignment is a broadcast cross of nCells tiny centroids —
     * map-only; the update is one posexplode + two hash aggs shuffling
-    * (cell, dim) partial sums, never vectors². Approximate by
-    * construction (float mean order) → rows-only driver check; recall
-    * floor pinned in KnnRecallSpec. */
-  /** Lloyd's k-means over (vec_id, v) — deterministic init (first
-    * nCells vectors), squared-euclidean assignment via the dot-product
-    * identity, per-dimension mean update. Returns (cell_id, cv).
-    * Exposed so the training-quality spec can pin that iterations do
-    * not degrade the clustering objective. */
+    * (cell, dim) partial sums, never vector pairs. Package-private so
+    * the training-quality spec can pin that iterations do not degrade
+    * the clustering objective (KnnRecallSpec). */
   private[graft] def kmeansCentroids(emb: DataFrame, nCells: Int, iters: Int): DataFrame = {
     var cents = emb.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cell_id"), col("v").as("cv"))
@@ -197,6 +190,11 @@ object Similarity {
     cents
   }
 
+  /** L3: IVF with k-means-TRAINED centroids ([[kmeansCentroids]]) —
+    * the production IVF training path (round-1's [[knnIvf]] uses raw
+    * vectors as stand-ins). Approximate by construction (float mean
+    * order) → rows-only driver check; recall floor pinned in
+    * KnnRecallSpec. */
   def knnIvfKmeans(
       s: SparkSession, d: String,
       k: Int = 5, nQueries: Int = 10, nCells: Int = 16, nProbe: Int = 2,

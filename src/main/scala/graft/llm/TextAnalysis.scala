@@ -192,8 +192,9 @@ object TextAnalysis {
     * [[docFingerprint]] expressed through `spark.sql` with the
     * graft_* functions injected by GraftExtensions — proving the
     * extension point works under the driver's correctness gate, not
-    * just in specs. Falls back to session-level registration when the
-    * session was built without `spark.sql.extensions`. */
+    * just in specs. Requires a session built with
+    * `spark.sql.extensions=graft.GraftExtensions` (as Verify/Bench/
+    * Explain/PlanAudit all are). */
   def sqlRegistryFingerprint(s: SparkSession, d: String): DataFrame = {
     Tables.loadParallel(s, d, "documents").createOrReplaceTempView("graft_docs_sqlreg")
     s.sql("""

@@ -551,8 +551,12 @@ object Relational {
     * weighted aggregate. The oracle mirrors the lookup as a CASE
     * ladder — same semantics, engine-native form. */
   def mapDefaultsWeights(s: SparkSession, d: String): DataFrame = {
+    // all three keys exist in the driver data, so every branch is
+    // exercised: two non-trivial weights, a ZERO weight (distinguishes
+    // a map hit of 0.0 from the null→coalesce default), and the
+    // default path for click/signup
     val weights = map(
-      lit("purchase"), lit(1.5), lit("error"), lit(0.5), lit("login"), lit(0.0))
+      lit("purchase"), lit(1.5), lit("error"), lit(0.5), lit("view"), lit(0.0))
     t(s, d, "events")
       .select(
         col("event_type"), col("value"),
