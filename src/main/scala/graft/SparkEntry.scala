@@ -69,6 +69,7 @@ object SparkEntry {
     "knn_ivf" -> ((s, d) => llm.Similarity.knnIvf(s, d)),
     "knn_ivf_kmeans" -> ((s, d) => llm.Similarity.knnIvfKmeans(s, d)),
     "label_cohesion" -> (llm.Similarity.labelCohesion _),
+    "doc_embedding_join" -> (llm.Similarity.docEmbeddingJoin _),
     "text_quality" -> (llm.TextAnalysis.textQuality _),
     "token_predicates" -> (llm.TextAnalysis.tokenPredicates _),
     "token_counts" -> (llm.TextAnalysis.tokenCounts _),
@@ -681,6 +682,15 @@ object SparkEntry {
         |       round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
         |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin,
     // knn_lsh_bucketed: approximate recall by design → rows-only check.
+    "doc_embedding_join" ->
+      """WITH n AS (SELECT vec_id, label,
+        |             round(sqrt(list_sum(list_transform(embedding,
+        |               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS vec_norm
+        |           FROM embeddings)
+        |SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |       label, vec_norm
+        |FROM documents JOIN n ON doc_id = vec_id
+        |ORDER BY doc_id""".stripMargin,
     "label_cohesion" ->
       """WITH e AS (SELECT label, vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
         |                  unnest(range(len(embedding))) AS pos FROM embeddings),

@@ -241,6 +241,22 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Cross-modal record assembly: text features joined to the vector
+    * table by shared id — the multi-modal training-data shape (one
+    * record = text + embedding + label). One equi-join shuffle on the
+    * id; both feature computations are map-only projections. */
+  def docEmbeddingJoin(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).as("n_tokens"))
+    val emb = Tables.load(s, d, "embeddings")
+      .select(col("vec_id"), col("label"),
+        round(l2norm(toDoubleArray(col("embedding"))), 6).as("vec_norm"))
+    docs.join(emb, col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("label"), col("vec_norm"))
+      .orderBy("doc_id")
+  }
+
   /** L3 aggregate view: label centroids + per-label cohesion (mean
     * cosine of members to their centroid) — the clustering-quality
     * probe of an embedding pipeline. Exact, oracle-able. */
