@@ -146,6 +146,10 @@ object LakeTable {
   def read(spark: SparkSession, path: String, version: Option[Int] = None): DataFrame = {
     val v = version.orElse(latestVersion(path)).getOrElse(
       throw new IllegalArgumentException(s"no snapshots at $path"))
+    if (!Files.exists(Paths.get(s"${metaDir(path)}/v$v")))
+      throw new IllegalArgumentException(
+        s"no such snapshot version $v at $path (expired or never committed); " +
+          s"latest is ${latestVersion(path).getOrElse(-1)}")
     readFiles(spark, manifestEntries(spark, path, v))
   }
 

@@ -154,6 +154,12 @@ class LakeTableSpec extends AnyFunSuite {
     assert(LakeTable.read(spark, p7).count() === 30)
     // a third expire with nothing to do is a clean no-op
     assert(LakeTable.expireSnapshots(spark, p7, retain = 1) === Nil)
+    // reading an expired (or never-committed) version fails with a
+    // clear message, not a raw PATH_NOT_FOUND from the parquet reader
+    val e = intercept[IllegalArgumentException](LakeTable.read(spark, p7, Some(0)))
+    assert(e.getMessage.contains("no such snapshot version"))
+    val e2 = intercept[IllegalArgumentException](LakeTable.read(spark, p7, Some(99)))
+    assert(e2.getMessage.contains("latest is"))
     // GC'd commit data dirs are gone (only the live snapshot's remains)
     import scala.jdk.CollectionConverters._
     val dataDirs = java.nio.file.Files.list(
