@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CharNgramsExpr, DotProductExpr, MinHashSigExpr, PolyHashExpr, ShingleMinExpr, SimHashExpr, TokenHashesExpr}
+import graft.functions.{CharNgramsExpr, DotProductExpr, LevenshteinCpExpr, MinHashSigExpr, PolyHashExpr, ShingleMinExpr, SimHashExpr, TokenHashesExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{ArrayTransform, Expression, ExpressionInfo, Size}
@@ -75,6 +75,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHashExpr].getName, "graft_simhash"),
       (children: Seq[Expression]) => SimHashExpr(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_levenshtein"),
+      new ExpressionInfo(classOf[LevenshteinCpExpr].getName, "graft_levenshtein"),
+      (children: Seq[Expression]) => LevenshteinCpExpr(children(0), children(1))))
     ext.injectOptimizerRule(_ => SizeOfTransformSimplification)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

@@ -61,6 +61,7 @@ object SparkEntry {
     "simhash_docs" -> (llm.Dedup.simhashDocs _),
     "jaccard_consecutive" -> (llm.Dedup.jaccardConsecutive _),
     "levenshtein_consecutive" -> (llm.Dedup.levenshteinConsecutive _),
+    "cjk_edit_sim" -> (llm.Dedup.cjkEditSim _),
     "knn_brute_force" -> ((s, d) => llm.Similarity.knnBruteForce(s, d)),
     "knn_topk_agg" -> ((s, d) => llm.Similarity.knnTopKAgg(s, d)),
     "knn_lsh_bucketed" -> ((s, d) => llm.Similarity.knnLshBucketed(s, d)),
@@ -553,6 +554,19 @@ object SparkEntry {
         |       round(1.0 - levenshtein(a.text, b.text)::DOUBLE /
         |             greatest(length(a.text), length(b.text))::DOUBLE, 6) AS edit_sim
         |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |ORDER BY doc_a""".stripMargin,
+    // cjk_edit_sim: Spark computes the native CODE-POINT Levenshtein
+    // over 1:1 ASCII→CJK translated strings; the oracle computes the
+    // byte distance over the ASCII originals — equal iff the native
+    // expression counts code points (a byte bug would cost 3 per CJK
+    // substitution and hash-mismatch)
+    "cjk_edit_sim" ->
+      """WITH t AS (SELECT doc_id, substring(text, 1, 40) AS s FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(levenshtein(a.s, b.s) AS INT) AS edit_dist,
+        |       round(1.0 - levenshtein(a.s, b.s)::DOUBLE /
+        |             greatest(length(a.s), length(b.s))::DOUBLE, 6) AS edit_sim
+        |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
         |ORDER BY doc_a""".stripMargin,
     "knn_brute_force" ->
       """WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,

@@ -156,6 +156,13 @@ object ColumnFunctions {
     * multiplicity) — the map-only form of the exploded bit aggregate. */
   def simhashNative(th: Column): Column = ofExpr(SimHashExpr(exprOf(th)))
 
+  /** Code-point Levenshtein distance — native codegen expression
+    * (LevenshteinCpExpr). Unlike the byte-based DuckDB builtin (and
+    * matching Spark's own char semantics), distances are counted in
+    * UNICODE CODE POINTS, so a CJK substitution costs 1, not 3. */
+  def levenshteinCp(a: Column, b: Column): Column =
+    ofExpr(LevenshteinCpExpr(exprOf(a), exprOf(b)))
+
   /** Word 3-gram shingle strings from a MATERIALIZED token-array
     * column (L2). Callers guarantee ≥3 tokens (driver docs have ≥10,
     * FIXTURES.md §2). */

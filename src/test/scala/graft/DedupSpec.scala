@@ -137,6 +137,35 @@ class DedupSpec extends AnyFunSuite {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("code-point Levenshtein: CJK substitution costs 1, parity with Spark builtin") {
+    import graft.functions.ColumnFunctions.levenshteinCp
+    val rows = Seq(
+      ("共情回应层级", "共鸣回应层级"), // 1 substitution
+      ("共情回应", "共情回应"), // identical
+      ("", "共情"), // insertions from empty
+      ("kitten", "sitting"), // classic ASCII case = 3
+      ("a𝄞b", "ab"), // astral-plane (4-byte) code point deletion
+      ("共情 abc", "共情 abd")) // mixed CJK/ASCII
+      .toDF("a", "b")
+      .select(
+        col("a"), col("b"),
+        levenshteinCp(col("a"), col("b")).as("cp"),
+        // Spark's builtin levenshtein also counts code points — the
+        // native expression must agree with it everywhere (the gap
+        // being closed is vs DuckDB's BYTE counting, not vs Spark)
+        levenshtein(col("a"), col("b")).as("builtin"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getAs[Int]("cp") === r.getAs[Int]("builtin"),
+        s"native vs builtin diverge on (${r.getString(0)}, ${r.getString(1)})")
+    }
+    val byPair = rows.map(r => (r.getString(0), r.getString(1)) -> r.getAs[Int]("cp")).toMap
+    assert(byPair(("共情回应层级", "共鸣回应层级")) === 1) // bytes would say 3
+    assert(byPair(("", "共情")) === 2)
+    assert(byPair(("kitten", "sitting")) === 3)
+    assert(byPair(("a𝄞b", "ab")) === 1)
+  }
+
   test("exact dedup multiplicity on a frame with true duplicates") {
     val dir = "/tmp/graft_test/dedup_exact"
     Seq(

@@ -65,9 +65,11 @@ class ExtensionsSpec extends AnyFunSuite {
         |       graft_token_hashes('a b') AS th,
         |       graft_minhash_sig(graft_token_hashes('a b c d'), 4) AS sig,
         |       graft_shingle_min(graft_token_hashes('a b c d')) AS sm,
-        |       graft_simhash(graft_token_hashes('a b c')) AS sh""".stripMargin)
+        |       graft_simhash(graft_token_hashes('a b c')) AS sh,
+        |       graft_levenshtein('共情回应', '共鸣回应') AS lev""".stripMargin)
       .collect()(0)
     assert(r.getAs[Long]("h") === 96354L)
+    assert(r.getAs[Int]("lev") === 1) // code points, not bytes (would be 3)
     assert(r.getAs[Double]("d") === 11.0)
     assert(r.getAs[scala.collection.Seq[String]]("g") === Seq("abc", "bcd"))
     assert(r.getAs[scala.collection.Seq[Long]]("th") === Seq(97L, 98L))
