@@ -107,6 +107,7 @@ object SparkEntry {
     "lake_stats_skip" -> (sources.LakeTable.statsSkipQuery _),
     "lake_zorder_box" -> (sources.LakeTable.zorderBoxQuery _),
     "lake_change_feed" -> (sources.LakeTable.changeFeedQuery _),
+    "lake_expire_read" -> (sources.LakeTable.expireReadQuery _),
     // --- streaming semantics (SURVEY.md §2.9 T1-T6), batch-replayed ---
     "session_replay" -> (streaming.DialogueStateMachine.sessionReplay _),
     "tumbling_hourly" -> (streaming.EventTimeWindows.tumblingHourly _),
@@ -631,6 +632,13 @@ object SparkEntry {
         |            ELSE CAST(length(text) AS INT) END AS n_chars,
         |       doc_id % 7 = 0 AS malformed
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // lake_expire_read: three snapshots, expire all but the last two
+    // (v0's files actually GC'd, v0 unreadable — require'd in the
+    // query), then a latest-snapshot read; a GC pass that deleted a
+    // LIVE file would lose rows here and hash-mismatch
+    "lake_expire_read" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // lake_stats_skip: footer-stats file pruning on a clustered table;
     // results must equal the plain range aggregate
     "lake_stats_skip" ->
