@@ -111,6 +111,7 @@ object SparkEntry {
     // --- streaming semantics (SURVEY.md §2.9 T1-T6), batch-replayed ---
     "session_replay" -> (streaming.DialogueStateMachine.sessionReplay _),
     "tumbling_hourly" -> (streaming.EventTimeWindows.tumblingHourly _),
+    "tumbling_hourly_stream" -> (streaming.EventTimeWindows.tumblingHourlyStream _),
     "sliding_hourly_30m" -> (streaming.EventTimeWindows.slidingHourly30m _),
     "session_windows_30m" -> (streaming.EventTimeWindows.sessionWindows30m _),
   )
@@ -331,7 +332,7 @@ object SparkEntry {
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q5_local_supplier" ->
       """SELECT n_name,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
         |       CAST(count(*) AS BIGINT) AS n_items
         |FROM customer, orders, lineitem, supplier, nation, region
         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -1047,6 +1048,14 @@ object SparkEntry {
         |  round(avg(score), 6) AS mean_score
         |FROM emitted GROUP BY dia_id ORDER BY dia_id""".stripMargin,
     "tumbling_hourly" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |       event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // tumbling_hourly_stream: SAME oracle as tumbling_hourly — the
+    // query executes through a real Structured Streaming run
+    // (file-source micro-batches + complete-mode state + foreachBatch
+    // sink), so streaming execution itself sits under the hash gate
+    "tumbling_hourly_stream" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |       event_type, count(*) AS n, round(sum(value), 6) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

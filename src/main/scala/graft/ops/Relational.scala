@@ -97,7 +97,10 @@ object Relational {
           col("c_nationkey") === col("s_nationkey"))
       .groupBy("n_name")
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        // round(6), not round(2): partial-agg accumulation order
+        // differs ~1 ulp across engines and can flip a cent boundary
+        // (the q7/q10 trap; round-2 ADVICE)
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 6).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("n_name")
   }

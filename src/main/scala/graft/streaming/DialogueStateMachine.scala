@@ -13,7 +13,13 @@ final case class TurnEvent(dia_id: Long, turn: Int, layer: Int, confidence: Doub
   * reference's per-instance dict (`empathy_interaction.py:71-79`). */
 final case class DialogueState(
     turnIndex: Int, lastLayer: Int, deepestLayer: Int,
-    layers: List[Int], scoreSum: Double, terminated: Boolean)
+    layers: List[Int], scoreSum: Double, terminated: Boolean,
+    // last-activity EVENT time (ms) carried across micro-batches so
+    // the timeout timer is set from the group's true latest activity;
+    // a batch-local max would let an on-time but older-than-previous
+    // batch pull the timeout EARLIER and close the session prematurely
+    // (round-2 ADVICE)
+    lastActivityMs: Long = 0L)
 
 /** Closed-session summary emitted once per dialogue. */
 final case class SessionSummary(
@@ -185,7 +191,7 @@ object DialogueStateMachine {
           } else {
             var st = state.getOption.getOrElse(initialState)
             var out: List[SessionSummary] = Nil
-            var lastTs = 0L
+            var lastTs = st.lastActivityMs // true max across ALL batches
             evs.toSeq.sortBy(_.turn).foreach { ev =>
               lastTs = math.max(lastTs, ev.ts.getTime)
               if (!st.terminated) {
@@ -201,7 +207,7 @@ object DialogueStateMachine {
             }
             if (st.terminated) state.remove()
             else {
-              state.update(st)
+              state.update(st.copy(lastActivityMs = lastTs))
               state.setTimeoutTimestamp(lastTs + timeoutMs)
             }
             out.reverseIterator
