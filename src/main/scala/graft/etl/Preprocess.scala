@@ -58,8 +58,15 @@ object Preprocess {
     * event_id. Round order is scrambled by construction (collect_list
     * order is nondeterministic) and restored by sort_array — the O1
     * "sort rounds by turn_id" semantics. */
-  def dialogueCorpus(s: SparkSession, d: String): DataFrame =
+  def dialogueCorpus(s: SparkSession, d: String): DataFrame = {
+    // evict entries of STOPPED sessions first (their cached blocks died
+    // with the context; the map entry would otherwise pin the session
+    // for the JVM lifetime — round-3 ADVICE). sfDir contents are
+    // assumed immutable for the process lifetime, as with any external
+    // table an engine caches.
+    corpusCache.keySet.removeIf { case (sess, _) => sess.sparkContext.isStopped }
     corpusCache.computeIfAbsent((s, d), _ => buildDialogueCorpus(s, d).persist())
+  }
 
   /** The derived corpus is consumed by FOUR declared queries
     * (etl_verl_rows, zip_scripts, role_swap_messages, and the

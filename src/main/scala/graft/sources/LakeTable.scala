@@ -69,6 +69,12 @@ object LakeTable {
     * a max below the true max) and let [[readWhere]] prune a file
     * that contains matching rows (round-2 ADVICE). Int/Float/Double
     * convert exactly and are not widened. */
+  private def isNanStat(v: Any): Boolean = v match {
+    case d: java.lang.Double => d.isNaN
+    case f: java.lang.Float  => f.isNaN
+    case _ => false
+  }
+
   private def statLo(v: Any): Double = v match {
     case l: java.lang.Long if math.abs(l.longValue) > (1L << 53) =>
       Math.nextDown(l.doubleValue)
@@ -97,6 +103,9 @@ object LakeTable {
     * handles those. */
   private def collectStats(
       spark: SparkSession, files: Seq[String]): Map[String, Map[String, Seq[Double]]] = {
+    // an empty frame written with partition columns produces ZERO
+    // parquet files; spark.read.parquet() with no paths throws
+    if (files.isEmpty) return Map.empty
     val df = spark.read.parquet(files: _*)
     val numCols = df.schema.fields
       .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
@@ -111,8 +120,16 @@ object LakeTable {
         val file = java.net.URI.create(r.getAs[String]("__file")).getPath
         val stats = numCols.flatMap { c =>
           (Option(r.getAs[Any](s"__mn_$c")), Option(r.getAs[Any](s"__mx_$c"))) match {
-            case (Some(mn), Some(mx)) => Some(c -> Seq(statLo(mn), statHi(mx)))
-            case _ => None // all-null column in this file → no stats
+            // NaN poisons pruning: Spark's min/max order NaN ABOVE
+            // every double, so one NaN row yields max=NaN (all-NaN
+            // yields min=NaN too) and the readWhere overlap test
+            // `mx >= lower` goes false — the file would be skipped
+            // even though it holds matching finite rows. Parquet
+            // footers omit stats in this case; do the same (no stats
+            // → cannot prune), per the round-3 ADVICE.
+            case (Some(mn), Some(mx)) if !isNanStat(mn) && !isNanStat(mx) =>
+              Some(c -> Seq(statLo(mn), statHi(mx)))
+            case _ => None // all-null column, or a NaN bound → no stats
           }
         }.toMap
         file -> stats
@@ -131,10 +148,19 @@ object LakeTable {
     files.map(f => ManifestEntry(f, dataDir, stats.getOrElse(f, Map.empty)))
   }
 
-  private def commit(
-      spark: SparkSession, path: String, entries: Seq[ManifestEntry], op: String): Int = {
+  /** Publish `entries` as version `base + 1`, where `base` is the
+    * version the caller's read-modify-write cycle OBSERVED (-1 for
+    * none). The claimed version is derived from that observation, not
+    * re-read here: if a racer published base+1 between the caller's
+    * read and this commit, the atomic rename below collides with the
+    * racer's dir and fails loudly — re-reading latest at commit time
+    * would instead claim base+2 and silently drop the racer's files
+    * from the newest snapshot (the round-3 ADVICE lost-update race). */
+  private[graft] def commit(
+      spark: SparkSession, path: String, base: Int,
+      entries: Seq[ManifestEntry], op: String): Int = {
     import spark.implicits._
-    val next = latestVersion(path).getOrElse(-1) + 1
+    val next = base + 1
     // STAGE-THEN-PUBLISH: the manifest is fully written to a staging
     // dir, then atomically renamed into the version slot. Readers
     // therefore see a version either completely or not at all (no
@@ -168,14 +194,18 @@ object LakeTable {
 
   /** Create or replace the table content (new snapshot referencing
     * only the newly written files). */
-  def overwrite(df: DataFrame, path: String): Int =
-    commit(df.sparkSession, path, writeDataFiles(df, path), "overwrite")
+  def overwrite(df: DataFrame, path: String): Int = {
+    val base = latestVersion(path).getOrElse(-1)
+    commit(df.sparkSession, path, base, writeDataFiles(df, path), "overwrite")
+  }
 
   /** Create or replace with hive-style partitioned layout — partition
     * columns live in directory names and are reconstructed on read
     * (enabling partition PRUNING through the manifest path). */
-  def overwritePartitioned(df: DataFrame, path: String, partitionCols: String*): Int =
-    commit(df.sparkSession, path, writeDataFiles(df, path, partitionCols), "overwrite")
+  def overwritePartitioned(df: DataFrame, path: String, partitionCols: String*): Int = {
+    val base = latestVersion(path).getOrElse(-1)
+    commit(df.sparkSession, path, base, writeDataFiles(df, path, partitionCols), "overwrite")
+  }
 
   /** Append a new snapshot = previous file list + new files, with
     * RETRY/REBASE on commit races (round-2 verdict item #6): if a
@@ -192,9 +222,15 @@ object LakeTable {
     val fresh = writeDataFiles(df, path)
     var attempt = 0
     while (true) {
-      val prev = latestVersion(path).map(manifestEntries(spark, path, _)).getOrElse(Nil)
+      // base is the version `prev` was READ FROM and is threaded into
+      // commit as-is: commit claims exactly base+1, so any commit that
+      // lands in between forces the rename conflict (and this rebase
+      // loop re-reads), instead of claiming a later version on top of
+      // a stale prev and silently dropping the racer's files
+      val base = latestVersion(path).getOrElse(-1)
+      val prev = if (base >= 0) manifestEntries(spark, path, base) else Nil
       try {
-        return commit(spark, path, prev ++ fresh, "append")
+        return commit(spark, path, base, prev ++ fresh, "append")
       } catch {
         case e: Exception if isVersionConflict(e) && attempt < MaxCommitRetries =>
           attempt += 1 // racer won this version: rebase on its snapshot
@@ -321,14 +357,15 @@ object LakeTable {
   def zOrderBy(
       spark: SparkSession, path: String, numFiles: Int,
       colA: String, colB: String): Int = {
-    val current = read(spark, path)
+    val base = observedBase(spark, path)
+    val current = read(spark, path, Some(base))
     val s = current.agg(
       min(colA).cast("double"), max(colA).cast("double"),
       min(colB).cast("double"), max(colB).cast("double")).head()
     // empty snapshot or all-null clustering column: nothing to
     // cluster — commit a plain rewrite instead of NPE-ing on the agg
     if ((0 to 3).exists(s.isNullAt))
-      return commit(spark, path, writeDataFiles(current, path), "zorder")
+      return commit(spark, path, base, writeDataFiles(current, path), "zorder")
     def norm(c: String, lo: Double, hi: Double) =
       if (hi == lo) lit(0)
       else least(lit(65535), greatest(lit(0),
@@ -346,7 +383,7 @@ object LakeTable {
       .repartitionByRange(numFiles, col("__zkey"))
       .sortWithinPartitions("__zkey")
       .drop("__zkey")
-    commit(spark, path, writeDataFiles(sorted, path), "zorder")
+    commit(spark, path, base, writeDataFiles(sorted, path), "zorder")
   }
 
   /** Copy-on-write MERGE/upsert: rows of the current snapshot whose
@@ -357,25 +394,37 @@ object LakeTable {
     * finer-grained file selection.) */
   def upsert(df: DataFrame, path: String, keyCol: String): Int = {
     val spark = df.sparkSession
-    val current = read(spark, path)
+    val base = observedBase(spark, path)
+    val current = read(spark, path, Some(base))
     val kept = current.join(df.select(keyCol).distinct(), Seq(keyCol), "left_anti")
-    commit(spark, path,
+    commit(spark, path, base,
       writeDataFiles(kept.unionByName(df, allowMissingColumns = true), path), "merge")
   }
+
+  /** Latest version for a read-modify-write op — the op reads THIS
+    * version and commits on top of exactly it, so a racer landing in
+    * between fails the version claim loudly instead of being lost. */
+  private def observedBase(spark: SparkSession, path: String): Int =
+    latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"no snapshots at $path"))
 
   /** Copy-on-write DELETE: new snapshot without the matching rows.
     * SQL DELETE ... WHERE semantics (as in Delta/Iceberg): rows where
     * the predicate evaluates to NULL are KEPT — hence the coalesce;
     * a bare filter(!predicate) would drop them (NOT NULL = NULL). */
-  def delete(spark: SparkSession, path: String, predicate: org.apache.spark.sql.Column): Int =
-    commit(spark, path,
-      writeDataFiles(read(spark, path).filter(!coalesce(predicate, lit(false))), path), "delete")
+  def delete(spark: SparkSession, path: String, predicate: org.apache.spark.sql.Column): Int = {
+    val base = observedBase(spark, path)
+    commit(spark, path, base,
+      writeDataFiles(read(spark, path, Some(base)).filter(!coalesce(predicate, lit(false))), path),
+      "delete")
+  }
 
   /** Rewrite the current snapshot's many small files into
     * `numFiles` larger ones (new snapshot; old versions untouched). */
   def compact(spark: SparkSession, path: String, numFiles: Int = 1): Int = {
-    val current = read(spark, path)
-    commit(spark, path,
+    val base = observedBase(spark, path)
+    val current = read(spark, path, Some(base))
+    commit(spark, path, base,
       writeDataFiles(current.repartition(numFiles), path), "compact")
   }
 
@@ -571,11 +620,12 @@ object LakeTable {
     * so parquet min/max footer stats become selective and point/range
     * predicates skip whole files. New snapshot, op="optimize". */
   def optimizeBy(spark: SparkSession, path: String, numFiles: Int, cols: String*): Int = {
-    val current = read(spark, path)
+    val base = observedBase(spark, path)
+    val current = read(spark, path, Some(base))
     val sorted = current
       .repartitionByRange(numFiles, cols.map(col): _*)
       .sortWithinPartitions(cols.map(col): _*)
-    commit(spark, path, writeDataFiles(sorted, path), "optimize")
+    commit(spark, path, base, writeDataFiles(sorted, path), "optimize")
   }
 
   /** Expire snapshots older than the last `retain` versions: their
@@ -625,7 +675,10 @@ object LakeTable {
     spark.read.schema(ManifestSchema)
       .json(versions.map(v => s"${metaDir(path)}/v$v"): _*)
       .withColumn("version",
-        regexp_extract(input_file_name(), "/v(\\d+)/", 1).cast("int"))
+        // anchored to the meta dir: a bare /v(\d+)/ would match a
+        // v<digits> segment in the USER's table path (e.g. /data/v2/t)
+        // first and collapse every snapshot to that one version
+        regexp_extract(input_file_name(), "_graft_meta/v(\\d+)/", 1).cast("int"))
       .groupBy("version")
       .agg(first("operation").as("operation"), count(lit(1)).as("n_files"))
       .orderBy("version")

@@ -212,6 +212,78 @@ class LakeTableSpec extends AnyFunSuite {
       === Map(0 -> "overwrite", 1 -> "append", 2 -> "append", 3 -> "append", 4 -> "append"))
   }
 
+  test("commit claims exactly base+1: a stale read-base collides instead of lost-update") {
+    // round-3 ADVICE (high): if commit re-read latest internally, a
+    // racer publishing between our manifest read and our commit would
+    // let us claim a brand-new version on top of a STALE file list —
+    // rename succeeds, racer's files silently vanish from the newest
+    // snapshot. With base threaded through, the claim is base+1 and
+    // the racer's dir forces the rename conflict deterministically.
+    val p17 = "/tmp/graft_test/lake_stale_base"
+    rmdir(p17)
+    import spark.implicits._
+    LakeTable.overwrite(Seq((0L, "base")).toDF("k", "s"), p17) // v0
+    // we observed base = v0; a racer then publishes v1
+    LakeTable.append(Seq((1L, "racer")).toDF("k", "s"), p17) // v1
+    // committing on the stale base must now FAIL (v1 taken), never
+    // silently claim v2 with a file list that lacks the racer's files
+    val staleEntries = Seq(LakeTable.ManifestEntry(
+      s"$p17/data/nonexistent/part-0.parquet", s"$p17/data/nonexistent", Map.empty))
+    intercept[Exception] {
+      LakeTable.commit(spark, p17, 0, staleEntries, "append")
+    }
+    // table intact: both commits' rows visible, no v2 appeared
+    assert(LakeTable.read(spark, p17).collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(0L, 1L))
+    assert(LakeTable.history(spark, p17).collect().map(_.getInt(0)).toSeq === Seq(0, 1))
+  }
+
+  test("stats skipping ignores NaN min/max bounds instead of pruning the file") {
+    // round-3 ADVICE (medium): NaN sorts above every double in Spark's
+    // min/max, so a file with one NaN row gets max=NaN and the overlap
+    // test `mx >= lower` is false — the file would be skipped even
+    // though it holds matching finite rows. Stats must be omitted.
+    val p18 = "/tmp/graft_test/lake_nan_stats"
+    rmdir(p18)
+    import spark.implicits._
+    LakeTable.overwrite(
+      Seq((1L, Double.NaN), (2L, 5.0), (3L, 7.0)).toDF("k", "v").coalesce(1), p18)
+    val manifest = spark.read
+      .schema("file STRING, base STRING, operation STRING, stats MAP<STRING, ARRAY<DOUBLE>>")
+      .json(s"$p18/_graft_meta/v0")
+      .select("stats").head().getMap[String, scala.collection.Seq[Double]](0)
+    assert(!manifest.contains("v"), "NaN-tainted column must carry no stats")
+    assert(manifest.contains("k"), "finite column keeps its stats")
+    // and the pruned read still finds the finite matching rows
+    assert(LakeTable.readWhereBetween(spark, p18, "v", 4.0, 8.0)
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 3L))
+  }
+
+  test("empty partitioned overwrite commits zero files without failing") {
+    // round-3 ADVICE (low): an empty frame written with partitionBy
+    // produces no parquet files; collectStats must not feed an empty
+    // path list to spark.read.parquet (AnalysisException)
+    val p19 = "/tmp/graft_test/lake_empty_part"
+    rmdir(p19)
+    import spark.implicits._
+    val v = LakeTable.overwritePartitioned(
+      Seq.empty[(Long, String, Double)].toDF("k", "part", "v"), p19, "part")
+    assert(v === 0)
+  }
+
+  test("history() version parse is anchored to the meta dir") {
+    // round-3 ADVICE (low): a v<digits> segment in the USER's path
+    // (here .../v7/...) must not be parsed as the snapshot version
+    val p20 = "/tmp/graft_test/v7/lake_versioned_path"
+    rmdir("/tmp/graft_test/v7")
+    import spark.implicits._
+    LakeTable.overwrite(Seq((1L, "a")).toDF("k", "s"), p20) // v0
+    LakeTable.append(Seq((2L, "b")).toDF("k", "s"), p20) // v1
+    val h = LakeTable.history(spark, p20).collect().map(r => r.getInt(0) -> r.getString(1))
+    assert(h.toSeq === Seq(0 -> "overwrite", 1 -> "append"),
+      s"versions must come from _graft_meta/vN, got ${h.toSeq}")
+  }
+
   test("stats bounds widen conservatively for longs beyond 2^53") {
     // round-2 ADVICE: double round-to-nearest can move an integer min
     // ABOVE the true min; the stored bounds must bracket the exact
