@@ -80,6 +80,10 @@ object SparkEntry {
     "sql_registry_fingerprint" -> (llm.TextAnalysis.sqlRegistryFingerprint _),
     "bpe_token_stats" -> (llm.TextAnalysis.bpeTokenStats _),
     "lang_id_ngram" -> (llm.TextAnalysis.langIdNgram _),
+    "tfidf_top_terms" -> (llm.TextAnalysis.tfidfTopTerms _),
+    "bm25_retrieval" -> (llm.TextAnalysis.bm25Retrieval _),
+    "hash_split" -> (etl.Preprocess.hashSplit _),
+    "bloom_prune_lineitem" -> (ops.Relational.bloomPruneLineitem _),
     "embedding_near_dup" -> ((s, d) => llm.Similarity.embeddingNearDup(s, d)),
     "multimodal_features" -> (llm.Multimodal.multimodalFeatures _),
     "video_frame_sample" -> (llm.Multimodal.videoFrameSample _),
@@ -752,6 +756,65 @@ object SparkEntry {
       """SELECT token, count(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+    // tfidf_top_terms: smoothed-idf TF-IDF, rank on the ROUNDED score
+    // (ln() may differ by ulps across engines; rounding + term
+    // tie-break makes row_number deterministic)
+    "tfidf_top_terms" ->
+      """WITH pairs AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM pairs GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM pairs GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (SELECT doc_id, term, tf,
+        |  round(tf * (ln((n + 1)::DOUBLE / (df + 1)) + 1.0), 6) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, CAST(rk AS INT) AS rk, term, CAST(tf AS INT) AS tf, score FROM (
+        |  SELECT doc_id, term, tf, score,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+        |  FROM scored) WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    // bloom_prune_lineitem: the bloom sketch admits only false
+    // POSITIVES and the exact semi-join removes those, so the result
+    // equals the plain semi-join — which is exactly what the oracle
+    // computes
+    "bloom_prune_lineitem" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 6) AS revenue
+        |FROM lineitem SEMI JOIN part
+        |  ON l_partkey = p_partkey AND p_brand = 'Brand#23'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // hash_split: content-addressed 80/10/10 split — the polyhash
+    // list_reduce is the shared cross-engine hash (same fold as
+    // doc_fingerprint), so split membership itself is hash-verified
+    "hash_split" ->
+      """WITH b AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+        |  list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(text)+1),
+        |    i -> ascii(substring(text,i,1))::BIGINT)), (a,c) -> (a*31+c) % 1000000007)
+        |    % 100 AS bucket
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+        |       round(avg(n_tokens::DOUBLE), 6) AS avg_tokens,
+        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM b GROUP BY split ORDER BY split""".stripMargin,
+    // bm25_retrieval: k1=1.2 b=0.75 over the fixed query bag
+    // ('spark','vector','stream'); final order on the rounded score
+    "bm25_retrieval" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |dl AS (SELECT doc_id, len(tk) AS dl FROM docs),
+        |stats AS (SELECT count(*) AS n, avg(dl::DOUBLE) AS avgdl FROM dl),
+        |qp AS (SELECT doc_id, term FROM
+        |        (SELECT doc_id, unnest(tk) AS term FROM docs)
+        |       WHERE term IN ('spark', 'vector', 'stream')),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM qp GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM qp GROUP BY 1)
+        |SELECT doc_id, round(sum(contrib), 6) AS bm25,
+        |       CAST(count(*) AS INT) AS n_matched_terms
+        |FROM (SELECT tf.doc_id,
+        |        ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
+        |          (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS contrib
+        |      FROM tf JOIN df USING (term)
+        |      JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats)
+        |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
     "lang_id" ->
       """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
         |cnt AS (SELECT lang, token, count(*) AS c FROM tok GROUP BY 1, 2),

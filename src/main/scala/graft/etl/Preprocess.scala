@@ -208,4 +208,28 @@ object Preprocess {
         round(softmaxConfidence(logits), 6).as("confidence"))
       .orderBy("vec_id")
   }
+
+  /** CONTENT-ADDRESSED train/val/test split: the split a document
+    * lands in is a pure function of its TEXT (polyhash mod 100 →
+    * 80/10/10), not of row order, partitioning, or cluster size — the
+    * property a 100 TB training pipeline needs so that re-ingesting,
+    * repartitioning, or incrementally appending the corpus never
+    * moves a document across the held-out boundary (and exact
+    * duplicates always land in the SAME split, so train can never
+    * leak a copy of a val/test doc). Map-only classify + one
+    * aggregation shuffle over 3 keys. */
+  def hashSplit(s: SparkSession, d: String): DataFrame = {
+    val bucket = pmod(polyHash(col("text")), lit(100L))
+    val split = when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    Tables.loadParallel(s, d, "documents")
+      .select(split.as("split"), col("doc_id"), col("lang"),
+        size(tokens(col("text"))).as("n_tokens"))
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct("lang").as("n_langs"),
+        round(avg(col("n_tokens").cast("double")), 6).as("avg_tokens"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("split")
+  }
 }

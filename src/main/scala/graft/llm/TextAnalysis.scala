@@ -218,4 +218,81 @@ object TextAnalysis {
         polyHash(col("text")).as("content_fp"),
         shingleMinNative(tokenHashesNative(col("text"))).as("min_fp"))
       .orderBy("doc_id")
+
+  /** L4 TF-IDF: top-3 terms per doc by tf·idf with smoothed idf
+    * (ln((N+1)/(df+1)) + 1, the sklearn formulation — never negative,
+    * never divides by zero). Scale shape: term frequencies are ONE
+    * shuffle of the exploded (doc, term) pairs; document frequencies
+    * aggregate the same frame a second time and come back as a
+    * BROADCAST join (vocabulary ≪ corpus — bounded by the token
+    * domain, not the doc count); N is a scalar broadcast. Ranking is
+    * computed on the ROUNDED score with a term tie-break, so the
+    * cross-engine ulp noise of ln() cannot flip row_number (the
+    * determinism contract every exp/avg query in this file follows).
+    */
+  def tfidfTopTerms(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.loadParallel(s, d, "documents")
+    val pairs = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = pairs.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = pairs.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n"))
+    val scored = tf
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", round(
+        col("tf").cast("double") *
+          (log((col("n") + 1).cast("double") / (col("df") + 1).cast("double")) + 1.0),
+        6))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk").cast("int").as("rk"), col("term"),
+        col("tf").cast("int").as("tf"), col("score"))
+      .orderBy("doc_id", "rk")
+  }
+
+  /** Query terms for [[bm25Retrieval]] — a fixed conjunctive bag, the
+    * deterministic stand-in for a user query. */
+  private[graft] val Bm25Query = Seq("spark", "vector", "stream")
+
+  /** L4 BM25 retrieval (k1=1.2, b=0.75): top-20 docs for a fixed
+    * query-term bag. Same two-aggregate shape as [[tfidfTopTerms]]
+    * (tf shuffle + broadcast df + scalar (N, avgdl)), with the probe
+    * side pre-filtered to the query terms BEFORE the tf aggregation —
+    * at 100 TB the isin() prunes the exploded pair stream to |query|
+    * terms, so the shuffle carries only matching pairs, not the
+    * corpus. Doc-length normalization uses the ORIGINAL token count
+    * (computed map-side, carried through the aggregation). Final
+    * ranking on the rounded score with doc_id tie-break. */
+  def bm25Retrieval(s: SparkSession, d: String): DataFrame = {
+    val k1 = 1.2
+    val b = 0.75
+    val docs = Tables.loadParallel(s, d, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("tk"), size(col("tk")).as("dl"))
+    val stats = docs.select(
+      count(lit(1)).as("n"), avg(col("dl").cast("double")).as("avgdl"))
+    val qpairs = docs
+      .select(col("doc_id"), col("dl"), explode(col("tk")).as("term"))
+      .filter(col("term").isin(Bm25Query: _*))
+    val tf = qpairs.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = qpairs.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+    tf
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        idf * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(round(sum("contrib"), 6).as("bm25"),
+        count(lit(1)).cast("int").as("n_matched_terms"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
 }

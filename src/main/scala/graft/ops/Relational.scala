@@ -581,4 +581,67 @@ object Relational {
         regexp_replace(col("p_brand"), "#", "_").as("brand_u"),
         length(col("p_name")).as("name_len"))
       .orderBy("p_partkey")
+
+  /** BLOOM-FILTER SEMI-JOIN REDUCTION — the explicit form of Spark's
+    * own runtime-filter shape (InjectRuntimeFilter): the build side
+    * aggregates its join keys into a compact bloom sketch (a few KB
+    * for millions of keys), which ships to every probe task as a
+    * literal (on a cluster: a broadcast) and prunes probe rows BEFORE
+    * the exact join's shuffle. At 100 TB this is the difference
+    * between shuffling the whole fact table and shuffling only the
+    * ~matching fraction when the build side is too large to broadcast
+    * the join itself. The bloom filter admits false positives, never
+    * false negatives, so the EXACT semi-join that follows keeps the
+    * result precisely correct — the sketch only reduces volume.
+    * Internal expressions (BloomFilterAggregate/
+    * BloomFilterMightContain) are Spark's own codegen'd runtime-filter
+    * machinery, reached through the same shim as the native hash
+    * expressions. */
+  def bloomSemiJoin(
+      probe: DataFrame, build: DataFrame,
+      probeKey: String, buildKey: String,
+      expectedItems: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.{Column, GraftSqlShim}
+    def ofExpr(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+      GraftSqlShim.column(e)
+    def exprOf(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+      GraftSqlShim.expression(c)
+    // build-side sketch: one partial-aggregating job, driver holds
+    // only the serialized filter bytes (the same thing Spark's
+    // runtime-filter subquery materializes)
+    val sketch = build
+      .select(ofExpr(new BloomFilterAggregate(
+        new XxHash64(Seq(exprOf(build(buildKey)))), expectedItems)
+        .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val mightContain = ofExpr(BloomFilterMightContain(
+      Literal(sketch, org.apache.spark.sql.types.BinaryType),
+      new XxHash64(Seq(exprOf(probe(probeKey))))))
+    // sketch prune (map-side, no shuffle) → exact semi-join
+    probe
+      .filter(mightContain)
+      .join(build.select(buildKey).distinct(),
+        probe(probeKey) === build(buildKey), "left_semi")
+  }
+
+  /** Driver query: bloom semi-join reduction end to end — lineitem
+    * rows pruned by a bloom sketch of the Brand#23 part keys, then
+    * exactly semi-joined and aggregated. The oracle is the plain
+    * semi-join aggregate, so a sketch that dropped a TRUE match
+    * (false negative — impossible for a correct bloom filter) would
+    * hash-mismatch loudly; PlanContractSpec asserts the
+    * might_contain prune sits in the scan stage. */
+  def bloomPruneLineitem(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+    val parts = t(s, d, "part").filter(col("p_brand") === "Brand#23")
+    bloomSemiJoin(li, parts, "l_partkey", "p_partkey", expectedItems = 65536L)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 6)
+          .as("revenue"))
+      .orderBy("l_returnflag")
+  }
 }

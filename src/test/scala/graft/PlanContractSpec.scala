@@ -70,4 +70,29 @@ class PlanContractSpec extends AnyFunSuite {
       assert(count(p, "SortMergeJoin") === 0, s"$q decayed to SMJ:\n${p.take(400)}")
     }
   }
+
+  test("bloom_prune_lineitem: sketch prune sits in the probe scan stage") {
+    val p = plan("bloom_prune_lineitem")
+    assert(p.contains("might_contain"), "bloom might_contain prune missing from plan")
+    assert(count(p, "CartesianProduct") === 0)
+    // the exact semi-join stays broadcast (filtered build side is tiny)
+    assert(count(p, "SortMergeJoin") === 0, s"bloom probe decayed to SMJ:\n${p.take(400)}")
+  }
+
+  test("hash_split is map-only classify + one 3-key aggregation") {
+    val p = plan("hash_split")
+    assert(count(p, "Join") === 0, s"hash_split must not join:\n${p.take(400)}")
+    assert(p.contains("graft_polyhash"), "content hash must be the native expression")
+  }
+
+  test("tfidf/bm25: vocabulary-side joins stay broadcast, no SMJ on terms") {
+    // the df (vocabulary) and scalar-stats frames are bounded by the
+    // token domain / one row — shuffling the corpus-side pairs against
+    // them would be the 100 TB mistake
+    for (q <- Seq("tfidf_top_terms", "bm25_retrieval")) {
+      val p = plan(q)
+      assert(count(p, "BroadcastHashJoin") >= 1, s"$q lost its broadcast:\n${p.take(400)}")
+      assert(count(p, "SortMergeJoin") === 0, s"$q decayed to SMJ:\n${p.take(400)}")
+    }
+  }
 }
