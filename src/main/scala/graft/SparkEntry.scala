@@ -58,6 +58,8 @@ object SparkEntry {
     "minhash_signatures" -> (llm.Dedup.minhashSignaturesQuery _),
     "minhash_near_dup" -> (llm.Dedup.minhashNearDupQuery _),
     "dedup_clusters" -> ((s, d) => llm.Dedup.dedupClusters(s, d)),
+    "dedup_keep_best" -> ((s, d) => llm.Dedup.dedupKeepBest(s, d)),
+    "streaming_dedup" -> (streaming.StreamingDedup.streamingDedupQuery _),
     "simhash_docs" -> (llm.Dedup.simhashDocs _),
     "jaccard_consecutive" -> (llm.Dedup.jaccardConsecutive _),
     "levenshtein_consecutive" -> (llm.Dedup.levenshteinConsecutive _),
@@ -122,11 +124,17 @@ object SparkEntry {
 
   /** MinHash near-dup pair SQL, shared by the `minhash_near_dup`
     * oracle and the recursive-CTE closure in `dedup_clusters`. */
-  private val MinhashNearDupSql: String =
-    """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
+  /** The near-dup corpus (originals ∪ manufactured variants) as a
+    * DuckDB SELECT — shared by every oracle that mirrors
+    * `Dedup.nearDupCorpus` so the corpora cannot drift. */
+  private val NearDupCorpusSql: String =
+    """SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000000, regexp_replace(text, '^\S+ ', '') FROM documents
+        |  SELECT doc_id + 1000000, regexp_replace(text, '^\S+ ', '') FROM documents""".stripMargin
+
+  private val MinhashNearDupSql: String =
+    s"""WITH corpus AS (
+        |  $NearDupCorpusSql
         |),
         |tok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM corpus),
         |t2 AS (SELECT doc_id, list_transform(tokens, t ->
@@ -504,6 +512,44 @@ object SparkEntry {
           |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
           |SELECT id AS doc_id, min(label) AS cluster_id
           |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
+    // dedup_keep_best: exact closure (as dedup_clusters) + the
+    // canonical keeper per cluster — highest ROUNDED
+    // ln(1+|tokens|)·TTR quality, doc_id tie-break
+    "dedup_keep_best" ->
+      ("WITH RECURSIVE nd AS (\n" + MinhashNearDupSql + "\n),\n" +
+        "corpus2 AS (\n  " + NearDupCorpusSql + "\n),\n" +
+        """edges AS (SELECT doc_a AS src, doc_b AS dst FROM nd
+          |          UNION ALL SELECT doc_b, doc_a FROM nd),
+          |nodes AS (SELECT DISTINCT src AS id FROM edges),
+          |reach(id, label) AS (
+          |  SELECT id, id FROM nodes
+          |  UNION
+          |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+          |labels AS (SELECT id, min(label) AS label FROM reach GROUP BY id),
+          |q AS (SELECT doc_id,
+          |        round(ln(1.0 + len(tk)) * (len(list_distinct(tk))::DOUBLE / len(tk)), 6)
+          |          AS quality
+          |      FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus2)),
+          |ranked AS (SELECT l.label AS cluster_id, q.doc_id, q.quality,
+          |             row_number() OVER (PARTITION BY l.label
+          |                                ORDER BY q.quality DESC, q.doc_id) AS rk,
+          |             count(*) OVER (PARTITION BY l.label) AS n_docs
+          |           FROM labels l JOIN q ON q.doc_id = l.id)
+          |SELECT cluster_id, doc_id AS keeper_doc_id, quality AS keeper_quality, n_docs
+          |FROM ranked WHERE rk = 1 ORDER BY cluster_id""".stripMargin),
+    // streaming_dedup: first-seen dedup state across micro-batches;
+    // the aggregate uses only copy-invariant columns, so it equals
+    // the distinct-text aggregate regardless of arrival order
+    "streaming_dedup" ->
+      """WITH dup AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 5000000, lang, text FROM documents WHERE doc_id % 3 = 0
+        |),
+        |uniq AS (SELECT DISTINCT lang, text FROM dup)
+        |SELECT lang, count(*) AS n_uniq,
+        |       round(avg(len(string_split(text, ' '))::DOUBLE), 6) AS avg_tokens
+        |FROM uniq GROUP BY lang ORDER BY lang""".stripMargin,
     // sql_registry_fingerprint: same math as doc_fingerprint + simhash,
     // but the Spark side runs through the graft_* SQL registry
     "sql_registry_fingerprint" ->

@@ -146,6 +146,42 @@ object Dedup {
   def minhashNearDupQuery(s: SparkSession, d: String): DataFrame =
     minhashNearDup(nearDupCorpus(s, d))
 
+  /** L1b CANONICALIZATION: after clustering ([[dedupClusters]]), a
+    * production dedup keeps ONE representative per near-dup cluster —
+    * the highest-QUALITY member, not an arbitrary one (the cleaner of
+    * two near-dup crawls should win). Quality here is the
+    * length×diversity composite (ln(1+|tokens|)·TTR, the
+    * stopword-free core of TextAnalysis.textQuality), rounded BEFORE
+    * ranking so cross-engine ln() ulps cannot flip the keeper;
+    * doc_id breaks exact ties. One extra hash-agg over the labeled
+    * frame beyond the clustering cost: the keeper is picked with a
+    * lexicographic max over (quality, -doc_id) struct — partial-agg
+    * friendly, no second window pass over the corpus. */
+  def dedupKeepBest(s: SparkSession, d: String, maxIters: Int = 20): DataFrame = {
+    val corpus = nearDupCorpus(s, d)
+    val pairs = minhashNearDup(corpus).select("doc_a", "doc_b")
+    val (labels, _) = connectedComponentsStars(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")), maxIters)
+    val t = tokens(col("text"))
+    val nTok = size(t).cast("double")
+    val quality = corpus.select(
+      col("doc_id"),
+      round(log(lit(1.0) + nTok) *
+        (size(array_distinct(t)).cast("double") / nTok), 6).as("quality"))
+    labels
+      .join(quality, col("id") === col("doc_id"))
+      .groupBy(col("label").as("cluster_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max(struct(col("quality"), (-col("doc_id")).as("neg_id"))).as("best"))
+      .select(
+        col("cluster_id"),
+        (-col("best.neg_id")).as("keeper_doc_id"),
+        col("best.quality").as("keeper_quality"),
+        col("n_docs"))
+      .orderBy("cluster_id")
+  }
+
   /** L2 SimHash (30-bit — polyHash values are < 2^30): per-doc
     * bit-majority over term hashes weighted by term frequency.
     * Round 2: one native expression (SimHashExpr) per doc — MAP-ONLY,
