@@ -84,8 +84,11 @@ object SparkEntry {
     "lang_id_ngram" -> (llm.TextAnalysis.langIdNgram _),
     "tfidf_top_terms" -> (llm.TextAnalysis.tfidfTopTerms _),
     "bm25_retrieval" -> (llm.TextAnalysis.bm25Retrieval _),
+    "conjunctive_search" -> (llm.TextAnalysis.conjunctiveSearch _),
     "hash_split" -> (etl.Preprocess.hashSplit _),
     "bloom_prune_lineitem" -> (ops.Relational.bloomPruneLineitem _),
+    "ntile_quartiles" -> (ops.Relational.ntileQuartiles _),
+    "unpivot_segment_metrics" -> (ops.Relational.unpivotSegmentMetrics _),
     "embedding_near_dup" -> ((s, d) => llm.Similarity.embeddingNearDup(s, d)),
     "multimodal_features" -> (llm.Multimodal.multimodalFeatures _),
     "video_frame_sample" -> (llm.Multimodal.videoFrameSample _),
@@ -114,6 +117,7 @@ object SparkEntry {
     "lake_zorder_box" -> (sources.LakeTable.zorderBoxQuery _),
     "lake_change_feed" -> (sources.LakeTable.changeFeedQuery _),
     "lake_expire_read" -> (sources.LakeTable.expireReadQuery _),
+    "lake_incremental_agg" -> (sources.LakeTable.incrementalAggQuery _),
     // --- streaming semantics (SURVEY.md §2.9 T1-T6), batch-replayed ---
     "session_replay" -> (streaming.DialogueStateMachine.sessionReplay _),
     "tumbling_hourly" -> (streaming.EventTimeWindows.tumblingHourly _),
@@ -740,6 +744,21 @@ object SparkEntry {
         |)
         |SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
         |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // lake_incremental_agg: the maintained aggregate must equal a
+    // full re-aggregation of the final CoW state — the oracle IS that
+    // direct v2 aggregate (same algebra as lake_merge_read)
+    "lake_incremental_agg" ->
+      """WITH merged AS (
+        |  SELECT event_id,
+        |         CASE WHEN event_id % 3 = 0 THEN 'patched' ELSE event_type END AS event_type,
+        |         CASE WHEN event_id % 3 = 0 THEN value + 1000 ELSE value END AS value
+        |  FROM events
+        |), final AS (
+        |  SELECT * FROM merged WHERE NOT (event_id % 7 = 0 AND event_id % 3 != 0)
+        |)
+        |SELECT event_type, count(*) AS n,
+        |       round(CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE), 6) AS sum_value
+        |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin,
     "skyline_price_size" ->
       """WITH pts AS (SELECT DISTINCT p_retailprice, p_size FROM part)
         |SELECT p_retailprice, p_size FROM pts a
@@ -827,6 +846,32 @@ object SparkEntry {
         |FROM lineitem SEMI JOIN part
         |  ON l_partkey = p_partkey AND p_brand = 'Brand#23'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "conjunctive_search" ->
+      """SELECT doc_id, count(*) AS n_hits
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |WHERE term IN ('spark', 'vector', 'stream')
+        |GROUP BY doc_id HAVING count(DISTINCT term) = 3
+        |ORDER BY doc_id""".stripMargin,
+    // ntile_quartiles: tile assignment is deterministic because the
+    // window order (acctbal, custkey) is total
+    "ntile_quartiles" ->
+      """SELECT tile, count(*) AS n, min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
+        |FROM (SELECT c_acctbal,
+        |             CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INT) AS tile
+        |      FROM customer)
+        |GROUP BY tile ORDER BY tile""".stripMargin,
+    "unpivot_segment_metrics" ->
+      """WITH wide AS (
+        |  SELECT c_mktsegment,
+        |         count(*)::DOUBLE AS n,
+        |         round(avg(c_acctbal), 6) AS avg_bal,
+        |         max(c_acctbal)::DOUBLE AS max_bal
+        |  FROM customer GROUP BY c_mktsegment)
+        |SELECT c_mktsegment, metric, value FROM (
+        |  SELECT c_mktsegment, 'n' AS metric, n AS value FROM wide
+        |  UNION ALL SELECT c_mktsegment, 'avg_bal', avg_bal FROM wide
+        |  UNION ALL SELECT c_mktsegment, 'max_bal', max_bal FROM wide)
+        |ORDER BY c_mktsegment, metric""".stripMargin,
     // hash_split: content-addressed 80/10/10 split — the polyhash
     // list_reduce is the shared cross-engine hash (same fold as
     // doc_fingerprint), so split membership itself is hash-verified

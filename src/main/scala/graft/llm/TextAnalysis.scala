@@ -258,6 +258,25 @@ object TextAnalysis {
     * deterministic stand-in for a user query. */
   private[graft] val Bm25Query = Seq("spark", "vector", "stream")
 
+  /** L4 CONJUNCTIVE search — posting-list intersection: docs
+    * containing EVERY query term. The inverted-index shape without
+    * materializing the index: explode to (doc, term) postings, keep
+    * only query terms (the isin prunes map-side, so the shuffle
+    * carries |matching postings|, not the corpus), and a doc survives
+    * iff its distinct-term count equals |query| — intersection as a
+    * counting aggregate, the standard distributed AND. */
+  def conjunctiveSearch(s: SparkSession, d: String): DataFrame = {
+    val nTerms = Bm25Query.size
+    Tables.loadParallel(s, d, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term").isin(Bm25Query: _*))
+      .groupBy("doc_id")
+      .agg(countDistinct("term").as("nq"), count(lit(1)).as("n_hits"))
+      .filter(col("nq") === nTerms)
+      .select(col("doc_id"), col("n_hits"))
+      .orderBy("doc_id")
+  }
+
   /** L4 BM25 retrieval (k1=1.2, b=0.75): top-20 docs for a fixed
     * query-term bag. Same two-aggregate shape as [[tfidfTopTerms]]
     * (tf shuffle + broadcast df + scalar (N, avgdl)), with the probe

@@ -582,6 +582,36 @@ object Relational {
         length(col("p_name")).as("name_len"))
       .orderBy("p_partkey")
 
+  /** W-family: NTILE distribution tiles — equal-depth quartiles over
+    * a TOTAL order (balance, custkey): the tie-break makes tile
+    * assignment deterministic cross-engine, so per-tile stats are
+    * hash-comparable. One window pass + one 4-key aggregation. */
+  def ntileQuartiles(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .select(col("c_custkey"), col("c_acctbal"),
+        ntile(4).over(Window.orderBy(col("c_acctbal"), col("c_custkey"))).as("tile"))
+      .groupBy("tile")
+      .agg(
+        count(lit(1)).as("n"),
+        min("c_acctbal").as("min_bal"),
+        max("c_acctbal").as("max_bal"))
+      .orderBy("tile")
+
+  /** U/F-family: UNPIVOT — a wide per-segment aggregate melted to
+    * (segment, metric, value) rows via `stack` (the codegen'd
+    * wide→long reshape; the inverse of the pivot query). Values are
+    * cast to one double column, avg rounded before the melt. */
+  def unpivotSegmentMetrics(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        round(avg("c_acctbal"), 6).as("avg_bal"),
+        max("c_acctbal").cast("double").as("max_bal"))
+      .select(col("c_mktsegment"), expr(
+        "stack(3, 'n', n, 'avg_bal', avg_bal, 'max_bal', max_bal) AS (metric, value)"))
+      .orderBy("c_mktsegment", "metric")
+
   /** BLOOM-FILTER SEMI-JOIN REDUCTION — the explicit form of Spark's
     * own runtime-filter shape (InjectRuntimeFilter): the build side
     * aggregates its join keys into a compact bloom sketch (a few KB

@@ -598,6 +598,54 @@ object LakeTable {
       .orderBy("change_type", "event_id")
   }
 
+  /** INCREMENTAL AGGREGATE MAINTENANCE over the change feed — the
+    * materialized-view pattern: a per-group (count, sum) maintained
+    * from [[changes]]' row-level deltas (+1 for inserts, −1 for
+    * deletes) instead of re-aggregating the table. At 100 TB this is
+    * the difference between touching the DELTA (bounded by the commit)
+    * and rescanning the snapshot: agg(v_to) = agg(v_from) ⊕
+    * signed-agg(changes(v_from → v_to)) for any commutative
+    * re-aggregatable measure. Grouping keys may themselves change in
+    * an update (CoW emits delete+insert), which this algebra handles
+    * for free — the delete decrements the old group, the insert
+    * increments the new one. */
+  def incrementalAgg(
+      spark: SparkSession, path: String, fromV: Int, toV: Int,
+      groupCol: String, valueCol: String): DataFrame = {
+    // DECIMAL, not double: the maintained sum adds then SUBTRACTS, a
+    // different multiset than a direct re-aggregation, so double ulp
+    // drift could survive rounding — decimal accumulation is exact,
+    // making maintained ≡ recomputed by arithmetic, not by luck
+    def dv = col(valueCol).cast("decimal(24,6)")
+    val base = read(spark, path, Some(fromV))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"), sum(dv).as("sv"))
+    val delta = changes(spark, path, fromV, toV)
+      .groupBy(groupCol)
+      .agg(
+        sum(when(col("change_type") === "insert", 1L).otherwise(-1L)).as("n"),
+        sum(when(col("change_type") === "insert", dv).otherwise(-dv)).as("sv"))
+    base.unionByName(delta)
+      .groupBy(groupCol)
+      .agg(sum("n").as("n"), sum("sv").as("sv"))
+      .filter(col("n") > 0) // groups whose rows were all deleted vanish
+  }
+
+  /** Driver query: incremental view maintenance end to end — the CoW
+    * lifecycle's v0 aggregate patched with the v0→v2 change-feed
+    * deltas. The oracle computes the v2 state DIRECTLY from the
+    * source algebra, so the maintained aggregate is hash-verified to
+    * equal a full re-aggregation (any drift between the delta algebra
+    * and the snapshot diff fails loudly). */
+  def incrementalAggQuery(s: SparkSession, d: String): DataFrame = {
+    val path = freshWorkDir("lakeincr", d)
+    buildCowLifecycle(s, d, path)
+    incrementalAgg(s, path, fromV = 0, toV = 2, "event_type", "value")
+      .select(col("event_type"), col("n"),
+        round(col("sv").cast("double"), 6).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   /** Driver query: Z-ORDER end to end — write events, z-order by
     * (event_id, user_id), then a 2-DIMENSIONAL box scan through
     * [[readWhere]]'s stats skipping, aggregated per user. The oracle
