@@ -88,6 +88,8 @@ object SparkEntry {
     "hash_split" -> (etl.Preprocess.hashSplit _),
     "bloom_prune_lineitem" -> (ops.Relational.bloomPruneLineitem _),
     "ntile_quartiles" -> (ops.Relational.ntileQuartiles _),
+    "funnel_stages" -> (ops.Behavioral.funnelStages _),
+    "cohort_retention" -> (ops.Behavioral.cohortRetention _),
     "unpivot_segment_metrics" -> (ops.Relational.unpivotSegmentMetrics _),
     "embedding_near_dup" -> ((s, d) => llm.Similarity.embeddingNearDup(s, d)),
     "multimodal_features" -> (llm.Multimodal.multimodalFeatures _),
@@ -860,6 +862,31 @@ object SparkEntry {
         |             CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INT) AS tile
         |      FROM customer)
         |GROUP BY tile ORDER BY tile""".stripMargin,
+    // funnel_stages: the per-user state machine is an int fold in
+    // BOTH engines (list_reduce over a mapped prefix); prefix order
+    // is total via the (µs, event_id) sort key
+    "funnel_stages" ->
+      """WITH pref AS (
+        |  SELECT user_id,
+        |         list_slice(list(event_type ORDER BY epoch_us(ts), event_id), 1, 12) AS t12
+        |  FROM events GROUP BY user_id),
+        |st AS (SELECT user_id,
+        |  list_reduce(list_prepend(0, list_transform(t12,
+        |    x -> CASE x WHEN 'view' THEN 1 WHEN 'click' THEN 2
+        |                WHEN 'purchase' THEN 3 ELSE -1 END)),
+        |    (a, c) -> CASE WHEN a = 0 AND c = 1 THEN 1
+        |                   WHEN a = 1 AND c = 2 THEN 2
+        |                   WHEN a = 2 AND c = 3 THEN 3 ELSE a END) AS stage
+        |  FROM pref)
+        |SELECT CAST(stage AS INT) AS stage, count(*) AS n_users
+        |FROM st GROUP BY stage ORDER BY stage""".stripMargin,
+    "cohort_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk
+        |             FROM events),
+        |coh AS (SELECT user_id, min(wk) AS cohort_wk FROM act GROUP BY user_id)
+        |SELECT cohort_wk, wk - cohort_wk AS week_offset, count(*) AS n_users
+        |FROM act JOIN coh USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "unpivot_segment_metrics" ->
       """WITH wide AS (
         |  SELECT c_mktsegment,

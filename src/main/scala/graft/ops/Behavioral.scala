@@ -1,0 +1,75 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** [EXT] Behavioral analytics over the events stream — funnel
+  * progression and cohort retention, the two queries every
+  * product-analytics engine ships. Both are single-pass aggregation
+  * shapes (shuffle on user_id only), deliberately NOT driver-side:
+  * the per-user sequence logic runs inside HOF folds / conditional
+  * aggregates, so the plan is the same at 150 users and 150 million.
+  *
+  * Timestamps: all ordering/bucketing goes through Tables.tsMicros
+  * (µs), the only cross-engine-comparable form of the ns column
+  * (the DuckDB oracle truncates ns→µs on read); event_id breaks ts
+  * ties so sequences are total-ordered in both engines.
+  */
+object Behavioral {
+
+  /** FUNNEL: how far each user progresses through view → click →
+    * purchase within their first 12 events, counted per reached
+    * stage. One shuffle (user_id); the ordered-subsequence state
+    * machine is an `aggregate` fold over the user's time-sorted
+    * event-type prefix — no self-joins, no window re-sorts, no
+    * per-stage passes (the three-join formulation shuffles the fact
+    * table once PER STAGE; this shuffles it once, total). The
+    * 12-event cap is what makes the funnel discriminating on the
+    * synthetic corpus (every user eventually does everything). */
+  def funnelStages(s: SparkSession, d: String): DataFrame = {
+    val seq12 = slice(
+      transform(
+        sort_array(collect_list(struct(
+          Tables.tsMicros("ts").as("ts_us"),
+          col("event_id"),
+          col("event_type")))),
+        e => e.getField("event_type")),
+      1, 12)
+    val stage = aggregate(
+      col("first12"), lit(0),
+      (st, x) =>
+        when(st === 0 && x === "view", 1)
+          .when(st === 1 && x === "click", 2)
+          .when(st === 2 && x === "purchase", 3)
+          .otherwise(st))
+    Tables.load(s, d, "events")
+      .groupBy("user_id")
+      .agg(seq12.as("first12"))
+      .select(stage.as("stage"))
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("stage")
+  }
+
+  /** COHORT RETENTION: users bucketed by their first-activity epoch
+    * week (the cohort), counted in each later week they were active,
+    * keyed by week offset — the retention-matrix query. Three
+    * shuffles, all on bounded keys: distinct (user, week) pairs,
+    * per-user min week, and the (cohort, offset) count; the
+    * cohort-assignment join is per-user (same key as the shuffle
+    * before it, no extra exchange at scale). */
+  def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    // integer div end to end (`/` on longs is DOUBLE division)
+    val week = expr("(ts div 1000) div 604800000000")
+    val activity = Tables.load(s, d, "events")
+      .select(col("user_id"), week.as("wk"))
+      .distinct()
+    val cohort = activity.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    activity
+      .join(cohort, "user_id")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_wk", "week_offset")
+  }
+}
