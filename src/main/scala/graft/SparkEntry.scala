@@ -88,6 +88,7 @@ object SparkEntry {
     "hash_split" -> (etl.Preprocess.hashSplit _),
     "bloom_prune_lineitem" -> (ops.Relational.bloomPruneLineitem _),
     "ntile_quartiles" -> (ops.Relational.ntileQuartiles _),
+    "salted_skew_join" -> (ops.Relational.saltedSkewJoin _),
     "funnel_stages" -> (ops.Behavioral.funnelStages _),
     "cohort_retention" -> (ops.Behavioral.cohortRetention _),
     "unpivot_segment_metrics" -> (ops.Relational.unpivotSegmentMetrics _),
@@ -862,6 +863,18 @@ object SparkEntry {
         |             CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INT) AS tile
         |      FROM customer)
         |GROUP BY tile ORDER BY tile""".stripMargin,
+    // salted_skew_join: the salt is invisible to the result — the
+    // oracle is the UNSALTED join (dim weight rounded before the
+    // multiply on both sides)
+    "salted_skew_join" ->
+      """WITH dim AS (SELECT user_id AS k, round(avg(value), 6) AS w
+        |             FROM events GROUP BY 1),
+        |fact AS (SELECT CASE WHEN event_id % 2 = 0 THEN 0 ELSE user_id END AS k,
+        |                event_type, value
+        |         FROM events)
+        |SELECT event_type, count(*) AS n, round(sum(value * w), 6) AS weighted_value
+        |FROM fact JOIN dim USING (k)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // funnel_stages: the per-user state machine is an int fold in
     // BOTH engines (list_reduce over a mapped prefix); prefix order
     // is total via the (µs, event_id) sort key

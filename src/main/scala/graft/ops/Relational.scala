@@ -582,6 +582,40 @@ object Relational {
         length(col("p_name")).as("name_len"))
       .orderBy("p_partkey")
 
+  /** A11b: SALTED SKEW JOIN — the join-side counterpart of the salted
+    * aggregation: a hot key (here manufactured — half of all fact
+    * rows collapse onto key 0) would put 50% of the join's shuffle
+    * into ONE reducer; salting spreads the hot key across `Salt`
+    * partitions by joining on (key, salt) against a dimension
+    * replicated `Salt`× — bounded replication of the SMALL side buys
+    * even distribution of the BIG side, the standard pre-AQE skew
+    * mitigation (and still the right shape when AQE's skew-join
+    * split cannot see the skew, e.g. under a downstream window). The
+    * shuffle_merge hint forces the shuffle path a big-dim join would
+    * take at 100 TB — broadcast would hide what the salt fixes. */
+  def saltedSkewJoin(s: SparkSession, d: String): DataFrame = {
+    val Salt = 8
+    val ev = t(s, d, "events")
+    val fact = ev.select(
+      when(pmod(col("event_id"), lit(2L)) === 0, 0L)
+        .otherwise(col("user_id")).as("k"),
+      col("event_id"), col("event_type"), col("value"))
+    val dim = ev.groupBy(col("user_id").as("k"))
+      .agg(round(avg("value"), 6).as("w"))
+    val saltedFact = fact
+      .withColumn("salt", pmod(col("event_id"), lit(Salt.toLong)).cast("int"))
+    val saltedDim = dim
+      .withColumn("salt", explode(sequence(lit(0), lit(Salt - 1))))
+    saltedFact
+      .hint("shuffle_merge")
+      .join(saltedDim, Seq("k", "salt"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value") * col("w")), 6).as("weighted_value"))
+      .orderBy("event_type")
+  }
+
   /** W-family: NTILE distribution tiles — equal-depth quartiles over
     * a TOTAL order (balance, custkey): the tie-break makes tile
     * assignment deterministic cross-engine, so per-tile stats are

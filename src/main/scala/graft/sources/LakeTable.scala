@@ -710,6 +710,26 @@ object LakeTable {
     dropFiles.toSeq.sorted
   }
 
+  /** ORPHAN detection: data files on disk referenced by NO live
+    * manifest — the residue of a commit that wrote its data dir but
+    * lost the version-claim race (or died before publishing). Safe to
+    * delete once older than any in-flight commit; [[expireSnapshots]]
+    * never touches them because it walks manifests, so this is the
+    * complementary GC pass (Delta VACUUM / Iceberg
+    * remove-orphan-files). Listing is metadata-only. */
+  def orphanFiles(spark: SparkSession, path: String): Seq[String] = {
+    val live = latestVersion(path).map(v => 0 to v).getOrElse(Seq.empty)
+      .filter(v => Files.exists(Paths.get(s"${metaDir(path)}/v$v")))
+      .flatMap(v => manifestEntries(spark, path, v)).map(_.file).toSet
+    val dataRoot = Paths.get(s"$path/data")
+    if (!Files.exists(dataRoot)) return Nil
+    val walk = Files.walk(dataRoot)
+    try walk.iterator().asScala
+      .map(_.toString).filter(_.endsWith(".parquet"))
+      .filterNot(live).toSeq.sorted
+    finally walk.close()
+  }
+
   /** Table history: one row per snapshot (version, operation,
     * n_files), from ONE distributed read over every live manifest dir
     * — the round-2 version issued one driver-side Spark job per

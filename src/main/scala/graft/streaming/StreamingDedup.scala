@@ -51,7 +51,10 @@ object StreamingDedup {
     val schema = s.read.parquet(arrivals).schema
     val q = s.readStream
       .schema(schema)
-      .option("maxFilesPerTrigger", 1)
+      // 2 files per trigger over 4 files = 2 micro-batches: state
+      // still crosses a batch boundary (the property under test) at
+      // half the per-batch checkpoint/sink overhead of 4 batches
+      .option("maxFilesPerTrigger", 2)
       .parquet(arrivals)
       .dropDuplicates("text")
       .writeStream

@@ -284,6 +284,31 @@ class LakeTableSpec extends AnyFunSuite {
       s"versions must come from _graft_meta/vN, got ${h.toSeq}")
   }
 
+  test("orphan detection finds unreferenced data files and nothing else") {
+    val p21 = "/tmp/graft_test/lake_orphans"
+    rmdir(p21)
+    import spark.implicits._
+    LakeTable.overwrite(Seq((1L, "a")).toDF("k", "s"), p21) // v0
+    LakeTable.append(Seq((2L, "b")).toDF("k", "s"), p21) // v1
+    assert(LakeTable.orphanFiles(spark, p21).isEmpty, "live files are not orphans")
+    // simulate a committer that wrote data files but never published
+    // its manifest (lost race / crash before the version claim)
+    val dead = java.nio.file.Paths.get(s"$p21/data/dead-commit")
+    java.nio.file.Files.createDirectories(dead)
+    Seq((9L, "z")).toDF("k", "s").coalesce(1)
+      .write.mode("overwrite").parquet(dead.toString)
+    val orphans = LakeTable.orphanFiles(spark, p21)
+    assert(orphans.nonEmpty && orphans.forall(_.contains("dead-commit")),
+      s"exactly the dead commit's files must surface: $orphans")
+    // expire does NOT touch orphans (manifest-driven GC only)...
+    LakeTable.compact(spark, p21) // v2
+    LakeTable.expireSnapshots(spark, p21, retain = 1)
+    assert(LakeTable.orphanFiles(spark, p21).nonEmpty,
+      "manifest-walking GC must leave unreferenced commits to orphan cleanup")
+    // ...and the table itself reads clean throughout
+    assert(LakeTable.read(spark, p21).count() === 2)
+  }
+
   test("stats bounds widen conservatively for longs beyond 2^53") {
     // round-2 ADVICE: double round-to-nearest can move an integer min
     // ABOVE the true min; the stored bounds must bracket the exact

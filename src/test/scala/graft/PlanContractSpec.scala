@@ -71,6 +71,12 @@ class PlanContractSpec extends AnyFunSuite {
     }
   }
 
+  test("salted_skew_join: forced shuffle join on (key, salt), dim not broadcast") {
+    val p = plan("salted_skew_join")
+    assert(count(p, "SortMergeJoin") === 1, s"salt demo needs the shuffle path:\n${p.take(400)}")
+    assert(count(p, "CartesianProduct") === 0)
+  }
+
   test("bloom_prune_lineitem: sketch prune sits in the probe scan stage") {
     val p = plan("bloom_prune_lineitem")
     assert(p.contains("might_contain"), "bloom might_contain prune missing from plan")
