@@ -51,7 +51,8 @@ object LakeTable {
       file: String, base: String, stats: Map[String, Seq[Double]])
 
   private val ManifestSchema =
-    "file STRING, base STRING, operation STRING, stats MAP<STRING, ARRAY<DOUBLE>>"
+    "file STRING, base STRING, operation STRING, stats MAP<STRING, ARRAY<DOUBLE>>, " +
+      "committed_at LONG"
 
   private def manifestEntries(
       spark: SparkSession, path: String, version: Int): Seq[ManifestEntry] =
@@ -175,8 +176,12 @@ object LakeTable {
     val md = Paths.get(metaDir(path))
     Files.createDirectories(md)
     val staging = md.resolve(s"_staged_${java.util.UUID.randomUUID()}")
-    entries.map(e => (e.file, e.base, op, e.stats))
-      .toDF("file", "base", "operation", "stats")
+    // wall-clock commit time enables AS-OF-TIMESTAMP reads
+    // ([[versionAsOf]]); it never flows into query results, so
+    // determinism of declared queries is unaffected
+    val committedAt = System.currentTimeMillis()
+    entries.map(e => (e.file, e.base, op, e.stats, committedAt))
+      .toDF("file", "base", "operation", "stats", "committed_at")
       .coalesce(1)
       .write.mode(SaveMode.ErrorIfExists).json(staging.toString)
     try {
@@ -709,6 +714,34 @@ object LakeTable {
     }
     dropFiles.toSeq.sorted
   }
+
+  /** TIME TRAVEL BY TIMESTAMP: latest version committed at or before
+    * `tsMillis` (Delta's `timestampAsOf` / Iceberg's
+    * `as-of-timestamp`). One distributed read over every live
+    * manifest (the same single-job shape as [[history]] — never a
+    * per-version driver loop); manifests from before this field
+    * existed surface null and are skipped. */
+  def versionAsOf(spark: SparkSession, path: String, tsMillis: Long): Int = {
+    val versions = latestVersion(path).map(v => 0 to v).getOrElse(Seq.empty)
+      .filter(v => Files.exists(Paths.get(s"${metaDir(path)}/v$v")))
+    if (versions.isEmpty)
+      throw new IllegalArgumentException(s"no snapshots at $path")
+    val commits = spark.read.schema(ManifestSchema)
+      .json(versions.map(v => s"${metaDir(path)}/v$v"): _*)
+      .withColumn("version",
+        regexp_extract(input_file_name(), "_graft_meta/v(\\d+)/", 1).cast("int"))
+      .filter(col("committed_at").isNotNull && col("committed_at") <= tsMillis)
+      .agg(max("version"))
+      .head()
+    if (commits.isNullAt(0))
+      throw new IllegalArgumentException(
+        s"no snapshot at $path committed at or before $tsMillis")
+    commits.getInt(0)
+  }
+
+  /** Read the snapshot current as of `tsMillis` (see [[versionAsOf]]). */
+  def readAsOf(spark: SparkSession, path: String, tsMillis: Long): DataFrame =
+    read(spark, path, Some(versionAsOf(spark, path, tsMillis)))
 
   /** ORPHAN detection: data files on disk referenced by NO live
     * manifest — the residue of a commit that wrote its data dir but

@@ -67,4 +67,44 @@ class FileStreamSpec extends AnyFunSuite {
       assert(math.abs(r.getAs[Double]("sum_value") - exp._2) < 1e-6, s"window $k sum")
     }
   }
+
+  test("dedup state survives a query RESTART from the checkpoint") {
+    // a resumed dropDuplicates stream must not re-emit keys it saw
+    // before the stop — the state-store recovery contract a 100 TB
+    // ingest dedup depends on (a re-emission would double-count
+    // downstream)
+    val src = "/tmp/graft_test/dedup_restart_src"
+    val out = "/tmp/graft_test/dedup_restart_out"
+    val chk = "/tmp/graft_test/dedup_restart_chk"
+    Seq(src, out, chk).foreach(rmdir)
+    import spark.implicits._
+
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema("k LONG, payload STRING")
+        .parquet(src)
+        .dropDuplicates("k")
+        .writeStream
+        .format("parquet")
+        .option("checkpointLocation", chk)
+        .option("path", out)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    Seq((1L, "a"), (2L, "b")).toDF("k", "payload")
+      .write.mode("append").parquet(src)
+    runOnce()
+    assert(spark.read.parquet(out).count() === 2)
+    // second ARRIVAL after a full stop: keys 1 and 2 are replays the
+    // recovered state must suppress; only key 3 is new
+    Seq((1L, "a-again"), (2L, "b-again"), (3L, "c")).toDF("k", "payload")
+      .write.mode("append").parquet(src)
+    runOnce()
+    val keys = spark.read.parquet(out).collect().map(_.getLong(0)).sorted.toSeq
+    assert(keys === Seq(1L, 2L, 3L),
+      s"restart must emit each key exactly once across runs, got $keys")
+  }
 }

@@ -284,6 +284,24 @@ class LakeTableSpec extends AnyFunSuite {
       s"versions must come from _graft_meta/vN, got ${h.toSeq}")
   }
 
+  test("time travel by timestamp resolves the version current at that instant") {
+    val p22 = "/tmp/graft_test/lake_ts_travel"
+    rmdir(p22)
+    import spark.implicits._
+    LakeTable.overwrite(Seq((1L, "a")).toDF("k", "s"), p22) // v0
+    Thread.sleep(5) // strictly between the two commit stamps
+    val between = System.currentTimeMillis()
+    Thread.sleep(5)
+    LakeTable.append(Seq((2L, "b")).toDF("k", "s"), p22) // v1
+    assert(LakeTable.versionAsOf(spark, p22, between) === 0)
+    assert(LakeTable.readAsOf(spark, p22, between).count() === 1)
+    assert(LakeTable.versionAsOf(spark, p22, System.currentTimeMillis()) === 1)
+    assert(LakeTable.readAsOf(spark, p22, System.currentTimeMillis()).count() === 2)
+    intercept[IllegalArgumentException] { // before the first commit
+      LakeTable.versionAsOf(spark, p22, 0L)
+    }
+  }
+
   test("orphan detection finds unreferenced data files and nothing else") {
     val p21 = "/tmp/graft_test/lake_orphans"
     rmdir(p21)
