@@ -41,14 +41,29 @@ object Fuzz {
       def fold(arr: org.apache.spark.sql.Column) =
         aggregate(arr, lit(0L), (a, c) => pmod(a * lit(31L) + c, p))
       val th = tokenHashesNative(col("s"))
-      val out = in.select(
-        col("id"),
+      // consecutive pairing for the binary Levenshtein expression;
+      // ASCII-only domain (chars == bytes ⟺ DuckDB's byte distance
+      // equals code-point distance, so the builtin is a valid referee
+      // there; the CJK domain is oracle-pinned by cjk_edit_sim)
+      val asciiOnly = length(col("s")) === octet_length(col("s"))
+      val hashes = in.select(
+        col("id"), col("s"), asciiOnly.as("is_ascii"),
         polyHash(col("s")).as("poly_fp"),
         fold(th).as("token_fold"),
         coalesce(fold(minhashSigNative(th, 16)), lit(-1L)).as("sig_fp"),
         simhashNative(th).as("simhash"),
-        fold(transform(charNgrams(col("s"), 3), g => polyHash(g))).as("ngram_fp")
-      ).orderBy("id")
+        fold(transform(charNgrams(col("s"), 3), g => polyHash(g))).as("ngram_fp"))
+      val out = hashes.as("a")
+        .join(hashes.as("b"), col("b.id") === col("a.id") + 1, "left")
+        .select(
+          col("a.id").as("id"), col("a.poly_fp").as("poly_fp"),
+          col("a.token_fold").as("token_fold"), col("a.sig_fp").as("sig_fp"),
+          col("a.simhash").as("simhash"), col("a.ngram_fp").as("ngram_fp"),
+          coalesce(
+            when(col("a.is_ascii") && col("b.is_ascii"),
+              levenshteinCp(col("a.s"), col("b.s")).cast("long")),
+            lit(-1L)).as("lev_next"))
+        .orderBy("id")
       out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/fuzz_hashes")
     } finally spark.stop()
   }

@@ -168,6 +168,14 @@ object Dedup {
       col("doc_id"),
       round(log(lit(1.0) + nTok) *
         (size(array_distinct(t)).cast("double") / nTok), 6).as("quality"))
+    keepBest(labels, quality)
+  }
+
+  /** Keeper selection given (id, label) cluster labels and (doc_id,
+    * quality) scores: per cluster, the member with the highest
+    * quality, LOWEST doc_id on exact ties — one lexicographic
+    * struct-max aggregation (ties spec-pinned in DedupSpec). */
+  private[graft] def keepBest(labels: DataFrame, quality: DataFrame): DataFrame =
     labels
       .join(quality, col("id") === col("doc_id"))
       .groupBy(col("label").as("cluster_id"))
@@ -180,7 +188,6 @@ object Dedup {
         col("best.quality").as("keeper_quality"),
         col("n_docs"))
       .orderBy("cluster_id")
-  }
 
   /** L2 SimHash (30-bit — polyHash values are < 2^30): per-doc
     * bit-majority over term hashes weighted by term frequency.

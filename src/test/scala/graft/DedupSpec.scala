@@ -137,6 +137,21 @@ class DedupSpec extends AnyFunSuite {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("keeper selection: highest quality wins, exact ties break to the LOWEST doc_id") {
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "label")
+    // cluster 1: doc 2 strictly best; cluster 10: exact quality tie,
+    // so doc 10 (lower id) must be the keeper — a max_by would pick
+    // nondeterministically here
+    val quality = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (10L, 0.7), (11L, 0.7))
+      .toDF("doc_id", "quality")
+    val got = Dedup.keepBest(labels, quality).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      1L -> ((2L, 0.9, 3L)), // tie 2-vs-3 inside: lower id 2 wins
+      10L -> ((10L, 0.7, 2L))))
+  }
+
   test("code-point Levenshtein: CJK substitution costs 1, parity with Spark builtin") {
     import graft.functions.ColumnFunctions.levenshteinCp
     val rows = Seq(

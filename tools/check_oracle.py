@@ -152,9 +152,18 @@ bits AS (
   GROUP BY 1, 2, 3),
 sim AS (
   SELECT id, CAST(sum(CASE WHEN bal > 0 THEN pow2 ELSE 0 END) AS BIGINT) AS simhash
-  FROM bits GROUP BY id)
-SELECT s.id, poly_fp, token_fold, sig_fp, simhash, ngram_fp
-FROM scalar s JOIN sim USING (id) ORDER BY s.id
+  FROM bits GROUP BY id),
+-- byte distance == code-point distance iff both strings are pure
+-- ASCII (strlen == length); outside that domain emit the -1 sentinel
+-- (the CJK domain is oracle-pinned by cjk_edit_sim)
+lev AS (
+  SELECT a.id,
+         CASE WHEN strlen(a.s) = length(a.s) AND strlen(b.s) = length(b.s)
+              THEN levenshtein(a.s, b.s) ELSE -1 END AS lev_next
+  FROM fuzz_input a LEFT JOIN fuzz_input b ON b.id = a.id + 1),
+lev2 AS (SELECT id, coalesce(lev_next, -1)::BIGINT AS lev_next FROM lev)
+SELECT s.id, poly_fp, token_fold, sig_fp, simhash, ngram_fp, lev_next
+FROM scalar s JOIN sim USING (id) JOIN lev2 USING (id) ORDER BY s.id
 """
 
 
