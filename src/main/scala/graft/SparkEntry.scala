@@ -86,6 +86,8 @@ object SparkEntry {
     "bm25_retrieval" -> (llm.TextAnalysis.bm25Retrieval _),
     "conjunctive_search" -> (llm.TextAnalysis.conjunctiveSearch _),
     "hash_split" -> (etl.Preprocess.hashSplit _),
+    "stratified_sample" -> (etl.Preprocess.stratifiedSample _),
+    "dq_checks" -> (ops.Relational.dqChecks _),
     "bloom_prune_lineitem" -> (ops.Relational.bloomPruneLineitem _),
     "ntile_quartiles" -> (ops.Relational.ntileQuartiles _),
     "salted_skew_join" -> (ops.Relational.saltedSkewJoin _),
@@ -855,6 +857,32 @@ object SparkEntry {
         |WHERE term IN ('spark', 'vector', 'stream')
         |GROUP BY doc_id HAVING count(DISTINCT term) = 3
         |ORDER BY doc_id""".stripMargin,
+    "stratified_sample" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |  list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(text)+1),
+        |    i -> ascii(substring(text,i,1))::BIGINT)), (a,c) -> (a*31+c) % 1000000007)
+        |    % 100 AS bucket
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_sampled, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM b WHERE bucket < CASE WHEN lang = 'en' THEN 50 ELSE 10 END
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    // dq_checks: every violation count must be independently derivable
+    // from the same table — the oracle recomputes each rule in SQL
+    "dq_checks" ->
+      """SELECT rule, n_violations FROM (
+        |  SELECT 'accepted_values_o_orderstatus' AS rule,
+        |         count(*) FILTER (o_orderstatus NOT IN ('O','F','P')) AS n_violations
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'not_null_o_custkey', count(*) FILTER (o_custkey IS NULL) FROM orders
+        |  UNION ALL
+        |  SELECT 'pk_unique_o_orderkey', count(*) - count(DISTINCT o_orderkey) FROM orders
+        |  UNION ALL
+        |  SELECT 'positive_o_totalprice', count(*) FILTER (o_totalprice <= 0) FROM orders
+        |  UNION ALL
+        |  SELECT 'ref_orders_customer', count(*) FROM orders
+        |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |) ORDER BY rule""".stripMargin,
     // ntile_quartiles: tile assignment is deterministic because the
     // window order (acctbal, custkey) is total
     "ntile_quartiles" ->

@@ -218,6 +218,24 @@ object Preprocess {
     * duplicates always land in the SAME split, so train can never
     * leak a copy of a val/test doc). Map-only classify + one
     * aggregation shuffle over 3 keys. */
+  /** STRATIFIED content-addressed sampling: per-stratum keep rates
+    * (en half, everything else a tenth) applied through the same
+    * polyhash bucket as [[hashSplit]] — deterministic, repartition-
+    * proof, and exact-duplicate-consistent, unlike `sampleBy` (seeded
+    * per-partition RNG: same data, different cluster → different
+    * sample). Map-only classify + one aggregation. */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val bucket = pmod(polyHash(col("text")), lit(100L))
+    val rate = when(col("lang") === "en", 50L).otherwise(10L)
+    Tables.loadParallel(s, d, "documents")
+      .filter(bucket < rate)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("lang")
+  }
+
   def hashSplit(s: SparkSession, d: String): DataFrame = {
     val bucket = pmod(polyHash(col("text")), lit(100L))
     val split = when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")

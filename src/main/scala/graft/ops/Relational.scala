@@ -582,6 +582,37 @@ object Relational {
         length(col("p_name")).as("name_len"))
       .orderBy("p_partkey")
 
+  /** DATA-QUALITY EXPECTATIONS — the dbt-test / Deequ shape: each
+    * rule is an aggregate over the table producing a violation count,
+    * evaluated in ONE pass per table (the rules share the scan; a
+    * per-rule job at 100 TB would rescan the fact table once per
+    * expectation). Rules here: primary-key uniqueness, not-null,
+    * accepted value domain, referential integrity (orders.custkey ⊆
+    * customer, checked as an anti-join count), and a range check. */
+  def dqChecks(s: SparkSession, d: String): DataFrame = {
+    val orders = t(s, d, "orders")
+    val single = orders.agg(
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("pk_unique_o_orderkey"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("not_null_o_custkey"),
+      sum(when(col("o_orderstatus").isin("O", "F", "P"), 0L).otherwise(1L))
+        .as("accepted_values_o_orderstatus"),
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L))
+        .as("positive_o_totalprice"))
+    val referential = orders
+      .join(t(s, d, "customer").select(col("c_custkey").as("o_custkey")),
+        Seq("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("ref_orders_customer").as("rule"), col("n_violations"))
+    single
+      .select(expr(
+        "stack(4, 'accepted_values_o_orderstatus', accepted_values_o_orderstatus, " +
+          "'not_null_o_custkey', not_null_o_custkey, " +
+          "'pk_unique_o_orderkey', pk_unique_o_orderkey, " +
+          "'positive_o_totalprice', positive_o_totalprice) AS (rule, n_violations)"))
+      .unionByName(referential)
+      .orderBy("rule")
+  }
+
   /** A11b: SALTED SKEW JOIN — the join-side counterpart of the salted
     * aggregation: a hot key (here manufactured — half of all fact
     * rows collapse onto key 0) would put 50% of the join's shuffle
