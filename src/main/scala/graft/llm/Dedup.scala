@@ -344,35 +344,46 @@ object Dedup {
       (r.getLong(0), r.getLong(1))
     }
 
+    // One alternation: large-star then small-star.
+    //  - large-star: for each node a (over BOTH edge directions),
+    //    m(a) = min(closed neighborhood) via a window-min — one
+    //    shuffle, no join; every larger neighbor b of a re-points to
+    //    m(a). b > a >= m(a), so output stays canonical, no self-loop.
+    //  - small-star: on canonical edges node u's smaller neighborhood
+    //    is exactly its dst set, so m(u) = window-min of v. Each
+    //    smaller neighbor v re-points to m(u) and u hooks to m(u);
+    //    both legs share the window exchange (reuse), deduped once.
+    def contractOnce(e: DataFrame): DataFrame = {
+      val bi = e.select(col("u").as("a"), col("v").as("b"))
+        .unionByName(e.select(col("v").as("a"), col("u").as("b")))
+      val large = bi
+        .withColumn("ma", least(col("a"), min("b").over(Window.partitionBy("a"))))
+        .filter(col("b") > col("a"))
+        .select(col("b").as("u"), col("ma").as("v"))
+      val withM = large.withColumn("m", min("v").over(Window.partitionBy("u")))
+      withM.select(col("v").as("su"), col("m").as("sv"))
+        .unionByName(withM.select(col("u").as("su"), col("m").as("sv")))
+        .filter(col("su") =!= col("sv"))
+        .select(col("su").as("u"), col("sv").as("v"))
+        .dropDuplicates("u", "v")
+    }
+
     var edges = edges0
     var prev = checksum(edges0)
     var rounds = 0
     var converged = prev._1 == 0L
     while (!converged && rounds < maxIters) {
+      // ONE alternation per materialization. (Measured: fusing two
+      // alternations into one plan to halve the action count RUNS THE
+      // INNER PASS TWICE — contractOnce references its input in both
+      // union legs, and an unpersisted inner contraction is not
+      // exchange-reused across them — nearly doubling the round cost.
+      // The per-round action is the price of a persisted frontier.)
       rounds += 1
-      // large-star: for each node a (over BOTH edge directions),
-      // m(a) = min(closed neighborhood) via a window-min — one
-      // shuffle, no join; every larger neighbor b of a re-points to
-      // m(a). b > a >= m(a), so output stays canonical, no self-loop.
-      val bi = edges.select(col("u").as("a"), col("v").as("b"))
-        .unionByName(edges.select(col("v").as("a"), col("u").as("b")))
-      val large = bi
-        .withColumn("ma", least(col("a"), min("b").over(Window.partitionBy("a"))))
-        .filter(col("b") > col("a"))
-        .select(col("b").as("u"), col("ma").as("v"))
-      // small-star: on canonical edges node u's smaller neighborhood
-      // is exactly its dst set, so m(u) = window-min of v. Each
-      // smaller neighbor v re-points to m(u) and u hooks to m(u);
-      // both legs share the window exchange (reuse), deduped once.
-      val withM = large.withColumn("m", min("v").over(Window.partitionBy("u")))
-      val small = withM.select(col("v").as("su"), col("m").as("sv"))
-        .unionByName(withM.select(col("u").as("su"), col("m").as("sv")))
-        .filter(col("su") =!= col("sv"))
-        .select(col("su").as("u"), col("sv").as("v"))
-        .dropDuplicates("u", "v")
+      val next0 = contractOnce(edges)
       val next =
-        if (rounds % CheckpointEvery == 0) small.localCheckpoint(true)
-        else small.persist()
+        if (rounds % CheckpointEvery == 0) next0.localCheckpoint(true)
+        else next0.persist()
       val cur = checksum(next) // materializes next's cache
       converged = cur == prev
       prev = cur
