@@ -91,6 +91,8 @@ object SparkEntry {
     "bloom_prune_lineitem" -> (ops.Relational.bloomPruneLineitem _),
     "ntile_quartiles" -> (ops.Relational.ntileQuartiles _),
     "salted_skew_join" -> (ops.Relational.saltedSkewJoin _),
+    "q4_late_orders" -> (ops.Relational.q4LateOrders _),
+    "q14_promo_revenue" -> (ops.Relational.q14PromoRevenue _),
     "funnel_stages" -> (ops.Behavioral.funnelStages _),
     "cohort_retention" -> (ops.Behavioral.cohortRetention _),
     "unpivot_segment_metrics" -> (ops.Relational.unpivotSegmentMetrics _),
@@ -891,6 +893,24 @@ object SparkEntry {
         |             CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INT) AS tile
         |      FROM customer)
         |GROUP BY tile ORDER BY tile""".stripMargin,
+    "q4_late_orders" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q14_promo_revenue" ->
+      """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |                        THEN l_extendedprice * (1.0 - l_discount)
+        |                        ELSE 0.0 END) /
+        |             sum(l_extendedprice * (1.0 - l_discount)), 6) AS promo_revenue_pct,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'""".stripMargin,
     // salted_skew_join: the salt is invisible to the result — the
     // oracle is the UNSALTED join (dim weight rounded before the
     // multiply on both sides)

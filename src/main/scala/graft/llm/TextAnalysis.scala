@@ -235,8 +235,11 @@ object TextAnalysis {
     val pairs = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val tf = pairs.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = pairs.select("doc_id", "term").distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    // df comes from the TF AGGREGATE (one row per (doc, term) ⟹ row
+    // count per term = docs containing it), not from a second
+    // distinct+aggregate over the raw exploded pairs — at 100 TB that
+    // second pass over the token stream is the whole corpus again
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.select(count(lit(1)).as("n"))
     val scored = tf
       .join(broadcast(dfreq), "term")
@@ -298,8 +301,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("dl"), explode(col("tk")).as("term"))
       .filter(col("term").isin(Bm25Query: _*))
     val tf = qpairs.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = qpairs.select("doc_id", "term").distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df")) // one tf row per (doc, term)
     val idf = log(lit(1.0) +
       (col("n") - col("df") + 0.5) / (col("df") + 0.5))
     tf

@@ -582,6 +582,42 @@ object Relational {
         length(col("p_name")).as("name_len"))
       .orderBy("p_partkey")
 
+  /** TPC-H Q4 shape (adapted to this corpus's columns): order counts
+    * per priority for orders with at least one LATE shipment
+    * (l_shipdate more than 60 days after o_orderdate) — the EXISTS
+    * decorrelates to a left-semi join on orderkey; the date window
+    * prunes orders before the join. */
+  def q4LateOrders(s: SparkSession, d: String): DataFrame = {
+    val orders = t(s, d, "orders")
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+    val late = t(s, d, "lineitem")
+      .select(col("l_orderkey").as("o_orderkey"), col("l_shipdate"))
+    orders
+      .join(late,
+        late("o_orderkey") === orders("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q14 shape: promo revenue share in one ship-year — CASE
+    * aggregation over the lineitem⋈part equi-join (part broadcasts). */
+  def q14PromoRevenue(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    li.join(broadcast(t(s, d, "part").select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        round(sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))) /
+          sum(rev) * 100.0, 6).as("promo_revenue_pct"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** DATA-QUALITY EXPECTATIONS — the dbt-test / Deequ shape: each
     * rule is an aggregate over the table producing a violation count,
     * evaluated in ONE pass per table (the rules share the scan; a

@@ -284,6 +284,19 @@ class LakeTableSpec extends AnyFunSuite {
       s"versions must come from _graft_meta/vN, got ${h.toSeq}")
   }
 
+  test("incremental aggregate drops a group whose rows were all deleted") {
+    val p23 = "/tmp/graft_test/lake_incr_vanish"
+    rmdir(p23)
+    import spark.implicits._
+    LakeTable.overwrite(
+      Seq((1L, "a", 10.0), (2L, "a", 5.0), (3L, "b", 7.0)).toDF("k", "g", "v"), p23) // v0
+    LakeTable.delete(spark, p23, col("g") === "a") // v1: group a fully gone
+    val got = LakeTable.incrementalAgg(spark, p23, 0, 1, "g", "v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDecimal(2).doubleValue))).toMap
+    assert(got === Map("b" -> ((1L, 7.0))),
+      s"vanished group must not survive with n=0, got $got")
+  }
+
   test("time travel by timestamp resolves the version current at that instant") {
     val p22 = "/tmp/graft_test/lake_ts_travel"
     rmdir(p22)
