@@ -131,6 +131,7 @@ object SparkEntry {
     "tumbling_hourly_stream" -> (streaming.EventTimeWindows.tumblingHourlyStream _),
     "sliding_hourly_30m" -> (streaming.EventTimeWindows.slidingHourly30m _),
     "session_windows_30m" -> (streaming.EventTimeWindows.sessionWindows30m _),
+    "session_windows_stream" -> (streaming.EventTimeWindows.sessionWindowsStream _),
   )
 
   /** MinHash near-dup pair SQL, shared by the `minhash_near_dup`
@@ -1311,6 +1312,24 @@ object SparkEntry {
         |       round(sum(value), 6) AS sum_value
         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
     "session_windows_30m" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, value, event_id,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts, value,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  count(*) AS n_events, round(sum(value), 6) AS sum_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    // session_windows_stream: the streaming execution must converge to
+    // the SAME final sessions as the batch query — identical oracle
+    "session_windows_stream" ->
       """WITH o AS (
         |  SELECT user_id, ts, value, event_id,
         |         CASE WHEN lag(ts) OVER w IS NULL

@@ -87,6 +87,55 @@ object EventTimeWindows {
     s.read.parquet(s"$out/result").orderBy("window_start", "event_type")
   }
 
+  /** T6/T3 EXECUTED AS A STREAM: per-user 30-minute-gap session
+    * windows under a real Structured Streaming run — the stateful
+    * shape tumbling windows don't exercise: sessions MERGE across
+    * micro-batches (a user's events in batch 2 can extend, or bridge,
+    * sessions opened in batch 1, so the state store must rewrite
+    * existing windows, not just accumulate counts). Same oracle as
+    * the batch [[sessionWindows30m]]; the events table streams in as
+    * 4 file drops, complete-mode aggregation carries session state,
+    * foreachBatch persists the last full answer. */
+  def sessionWindowsStream(s: SparkSession, d: String): DataFrame = {
+    val out = s"/tmp/graft_stream_session_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val root = java.nio.file.Paths.get(out)
+    if (java.nio.file.Files.exists(root)) {
+      val walk = java.nio.file.Files.walk(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      } finally walk.close()
+    }
+    val arrivals = s"$out/arrivals"
+    // split in EVENT-ID space (not time) so most users appear in
+    // every batch and their sessions genuinely merge across batches
+    ev(s, d).withColumn("part", pmod(col("event_id"), lit(4L)))
+      .write.partitionBy("part").parquet(arrivals)
+    val schema = s.read.parquet(arrivals).schema
+    val q = s.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 2)
+      .parquet(arrivals)
+      .groupBy(session_window(col("tstamp"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 6).as("sum_value"))
+      .select(
+        col("user_id"),
+        date_format(col("w.start"), Fmt).as("session_start"),
+        date_format(col("w.end"), Fmt).as("session_end"),
+        col("n_events"), col("sum_value"))
+      .writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", s"$out/_chk")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(s"$out/result")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$out/result").orderBy("user_id", "session_start")
+  }
+
   /** T6 sliding: 1-hour windows every 30 minutes — each event lands in
     * exactly two windows. */
   def slidingHourly30m(s: SparkSession, d: String): DataFrame =
