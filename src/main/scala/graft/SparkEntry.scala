@@ -95,6 +95,7 @@ object SparkEntry {
     "q14_promo_revenue" -> (ops.Relational.q14PromoRevenue _),
     "funnel_stages" -> (ops.Behavioral.funnelStages _),
     "cohort_retention" -> (ops.Behavioral.cohortRetention _),
+    "resample_ffill" -> (ops.Behavioral.resampleFfill _),
     "unpivot_segment_metrics" -> (ops.Relational.unpivotSegmentMetrics _),
     "embedding_near_dup" -> ((s, d) => llm.Similarity.embeddingNearDup(s, d)),
     "multimodal_features" -> (llm.Multimodal.multimodalFeatures _),
@@ -949,6 +950,21 @@ object SparkEntry {
         |SELECT cohort_wk, wk - cohort_wk AS week_offset, count(*) AS n_users
         |FROM act JOIN coh USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // resample_ffill: hourly sums are rounded BEFORE the forward
+    // fill in both engines, so carried values are bit-identical; the
+    // first spine hour always has data (bounds come from the
+    // aggregate), so no leading null
+    "resample_ffill" ->
+      """WITH hourly AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS h, count(*) AS n, round(sum(value), 6) AS sv
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |bounds AS (SELECT min(h) AS mn, max(h) AS mx FROM hourly),
+        |spine AS (SELECT unnest(range(mn, mx + 1)) AS h FROM bounds)
+        |SELECT s.h, coalesce(n, 0) AS n,
+        |       last_value(sv IGNORE NULLS)
+        |         OVER (ORDER BY s.h ROWS UNBOUNDED PRECEDING) AS sum_filled
+        |FROM spine s LEFT JOIN hourly ON hourly.h = s.h
+        |ORDER BY s.h""".stripMargin,
     "unpivot_segment_metrics" ->
       """WITH wide AS (
         |  SELECT c_mktsegment,

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** [EXT] Behavioral analytics over the events stream — funnel
@@ -50,6 +51,34 @@ object Behavioral {
       .groupBy("stage")
       .agg(count(lit(1)).as("n_users"))
       .orderBy("stage")
+  }
+
+  /** TIME-SERIES RESAMPLE with GAP FILL: hourly purchase sums on a
+    * dense hour spine — missing hours appear with n=0 and the last
+    * seen sum carried forward (the ffill every monitoring/feature
+    * pipeline needs before a model sees the series). The spine is
+    * generated from the aggregate's own [min, max] hour bounds; the
+    * forward-fill window is global-ordered BY DESIGN: it runs over
+    * the SPINE (one row per hour — bounded by elapsed time, not by
+    * data volume), never over the events, so the single-partition
+    * sort is a few thousand rows at any corpus size. The raw table
+    * itself only ever sees a map-side filter + one hash aggregation. */
+  def resampleFfill(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.load(s, d, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("(ts div 1000) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sv"))
+    val spine = hourly
+      .agg(min("h").as("mn"), max("h").as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"))).as("h"))
+    val w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    spine
+      .join(hourly, Seq("h"), "left")
+      .select(
+        col("h"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last("sv", ignoreNulls = true).over(w).as("sum_filled"))
+      .orderBy("h")
   }
 
   /** COHORT RETENTION: users bucketed by their first-activity epoch

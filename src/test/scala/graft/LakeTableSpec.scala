@@ -284,6 +284,30 @@ class LakeTableSpec extends AnyFunSuite {
       s"versions must come from _graft_meta/vN, got ${h.toSeq}")
   }
 
+  test("partition evolution: mixed partitioned and unpartitioned commits read as one snapshot") {
+    // Iceberg-style partition-spec evolution, minimal form: a table
+    // written hive-partitioned can keep taking appends with a
+    // different (here: no) layout — each manifest entry carries its
+    // own basePath, so partition columns reconstruct per commit and
+    // the union read sees one coherent schema
+    val p24 = "/tmp/graft_test/lake_part_evolve"
+    rmdir(p24)
+    import spark.implicits._
+    LakeTable.overwritePartitioned(
+      Seq((1L, "red", 1.0), (2L, "blue", 2.0)).toDF("k", "color", "v"),
+      p24, "color") // v0: hive layout, color in dir names
+    LakeTable.append(
+      Seq((3L, "green", 3.0)).toDF("k", "color", "v"), p24) // v1: flat layout
+    val got = LakeTable.read(spark, p24)
+      .select("k", "color", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(got === Seq((1L, "red", 1.0), (2L, "blue", 2.0), (3L, "green", 3.0)),
+      s"mixed-layout snapshot must reconstruct partition columns, got $got")
+    // and data skipping still prunes on the numeric column across layouts
+    assert(LakeTable.readWhereBetween(spark, p24, "v", 2.5, 3.5)
+      .collect().map(_.getLong(0)).toSeq === Seq(3L))
+  }
+
   test("incremental aggregate drops a group whose rows were all deleted") {
     val p23 = "/tmp/graft_test/lake_incr_vanish"
     rmdir(p23)
