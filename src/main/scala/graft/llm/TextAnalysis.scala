@@ -261,6 +261,26 @@ object TextAnalysis {
     * deterministic stand-in for a user query. */
   private[graft] val Bm25Query = Seq("spark", "vector", "stream")
 
+  /** L4 COUNT-MIN SKETCH token frequencies: the fixed-size mergeable
+    * frequency summary (Spark's own `CountMinSketch`, built with a
+    * deterministic seed via one distributed pass + sketch merge). The
+    * sketch never under-counts and over-counts by at most ε·N with
+    * probability 1−δ — the bound TokenSketchSpec asserts against the
+    * exact counts. At 100 TB this is how per-token frequencies reach
+    * a driver/dashboard without shuffling the vocabulary: each
+    * partition folds into a KB-scale sketch, sketches merge
+    * associatively (the same re-aggregation algebra as HLL). Not a
+    * declared query: estimates are approximate by construction, so
+    * correctness lives in the spec's ε/δ bound, exactly like the
+    * recall-floored KNN family. */
+  def tokenCountSketch(
+      s: SparkSession, d: String,
+      eps: Double = 0.001, confidence: Double = 0.99, seed: Int = 42)
+      : org.apache.spark.util.sketch.CountMinSketch =
+    Tables.loadParallel(s, d, "documents")
+      .select(explode(tokens(col("text"))).as("token"))
+      .stat.countMinSketch(col("token"), eps, confidence, seed)
+
   /** L4 CONJUNCTIVE search — posting-list intersection: docs
     * containing EVERY query term. The inverted-index shape without
     * materializing the index: explode to (doc, term) postings, keep
