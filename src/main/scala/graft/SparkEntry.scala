@@ -96,6 +96,7 @@ object SparkEntry {
     "funnel_stages" -> (ops.Behavioral.funnelStages _),
     "cohort_retention" -> (ops.Behavioral.cohortRetention _),
     "resample_ffill" -> (ops.Behavioral.resampleFfill _),
+    "ewma_daily_revenue" -> (ops.Behavioral.ewmaDailyRevenue _),
     "unpivot_segment_metrics" -> (ops.Relational.unpivotSegmentMetrics _),
     "embedding_near_dup" -> ((s, d) => llm.Similarity.embeddingNearDup(s, d)),
     "multimodal_features" -> (llm.Multimodal.multimodalFeatures _),
@@ -885,7 +886,9 @@ object SparkEntry {
         |  SELECT 'positive_o_totalprice', count(*) FILTER (o_totalprice <= 0) FROM orders
         |  UNION ALL
         |  SELECT 'ref_orders_customer', count(*) FROM orders
-        |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |  WHERE o_custkey IS NOT NULL
+        |    AND o_custkey NOT IN (SELECT c_custkey FROM customer
+        |                          WHERE c_custkey IS NOT NULL)
         |) ORDER BY rule""".stripMargin,
     // ntile_quartiles: tile assignment is deterministic because the
     // window order (acctbal, custkey) is total
@@ -950,6 +953,19 @@ object SparkEntry {
         |SELECT cohort_wk, wk - cohort_wk AS week_offset, count(*) AS n_users
         |FROM act JOIN coh USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // ewma_daily_revenue: DuckDB's list_reduce seeds with the first
+    // element — exactly the Spark fold's NaN-seed semantics; (1.0-0.3)
+    // is spelled as the subtraction so both engines use the identical
+    // double (the 0.7 literal is one ulp away)
+    "ewma_daily_revenue" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         round(sum(value), 6) AS rev
+        |  FROM events GROUP BY 1, 2),
+        |ser AS (SELECT event_type, list(rev ORDER BY day) AS l FROM daily GROUP BY 1)
+        |SELECT event_type, CAST(len(l) AS INT) AS n_days,
+        |       round(list_reduce(l, (a, x) -> 0.3 * x + (1.0 - 0.3) * a), 6) AS ewma
+        |FROM ser ORDER BY event_type""".stripMargin,
     // resample_ffill: hourly sums are rounded BEFORE the forward
     // fill in both engines, so carried values are bit-identical; the
     // first spine hour always has data (bounds come from the

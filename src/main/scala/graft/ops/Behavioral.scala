@@ -81,6 +81,41 @@ object Behavioral {
       .orderBy("h")
   }
 
+  /** EWMA smoothing per series: exponentially-weighted moving average
+    * over each event type's DAILY revenue, α=0.3. EWMA is inherently
+    * sequential (state_t = α·x_t + (1−α)·state_{t−1}), so it runs as
+    * a fold over the day-sorted series INSIDE each group — the series
+    * is first reduced to one row per (type, day) by a hash
+    * aggregation, so the folded array is bounded by elapsed days, not
+    * event volume (same spine-not-data discipline as
+    * [[resampleFfill]]). Both engines fold sequentially over the
+    * identical sorted list, so the result is bit-deterministic — no
+    * partial-order ulp drift to round away mid-stream. */
+  def ewmaDailyRevenue(s: SparkSession, d: String): DataFrame = {
+    val alpha = 0.3
+    val daily = Tables.load(s, d, "events")
+      .groupBy(col("event_type"),
+        expr("(ts div 1000) div 86400000000").as("day"))
+      // round BEFORE the fold (as resampleFfill does before its
+      // fill): the daily sums carry cross-engine partial-order ulps,
+      // and only rounding makes the fold INPUTS bit-identical — the
+      // sequential fold itself then stays exact on both sides
+      .agg(round(sum("value"), 6).as("rev"))
+    daily
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("rev")))).as("series"))
+      .select(
+        col("event_type"),
+        size(col("series")).as("n_days"),
+        round(aggregate(
+          col("series"),
+          lit(Double.NaN),
+          (acc, e) => when(isnan(acc), e.getField("rev"))
+            .otherwise(lit(alpha) * e.getField("rev") + lit(1 - alpha) * acc)),
+          6).as("ewma"))
+      .orderBy("event_type")
+  }
+
   /** COHORT RETENTION: users bucketed by their first-activity epoch
     * week (the cohort), counted in each later week they were active,
     * keyed by week offset — the retention-matrix query. Three

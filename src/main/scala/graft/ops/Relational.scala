@@ -613,8 +613,10 @@ object Relational {
     li.join(broadcast(t(s, d, "part").select("p_partkey", "p_type")),
         col("l_partkey") === col("p_partkey"))
       .agg(
-        round(sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))) /
-          sum(rev) * 100.0, 6).as("promo_revenue_pct"),
+        // 100.0 * s1 / s2, matching the oracle's association exactly
+        // — (s1/s2)*100.0 can differ by an ulp at the rounding edge
+        round(lit(100.0) * sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))) /
+          sum(rev), 6).as("promo_revenue_pct"),
         count(lit(1)).as("n_items"))
   }
 
@@ -627,14 +629,21 @@ object Relational {
     * customer, checked as an anti-join count), and a range check. */
   def dqChecks(s: SparkSession, d: String): DataFrame = {
     val orders = t(s, d, "orders")
+    // NULL semantics follow dbt's: null keys/values are the NOT-NULL
+    // rule's job, so accepted-values, range, and referential rules
+    // count only NON-NULL violators — matching the oracle's SQL
+    // NOT IN / comparison semantics on dirty data, not just on the
+    // clean corpus (round-4 review finding)
     val single = orders.agg(
       (count(lit(1)) - countDistinct(col("o_orderkey"))).as("pk_unique_o_orderkey"),
       sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("not_null_o_custkey"),
-      sum(when(col("o_orderstatus").isin("O", "F", "P"), 0L).otherwise(1L))
+      sum(when(col("o_orderstatus").isNotNull &&
+          !col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
         .as("accepted_values_o_orderstatus"),
       sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L))
         .as("positive_o_totalprice"))
     val referential = orders
+      .filter(col("o_custkey").isNotNull)
       .join(t(s, d, "customer").select(col("c_custkey").as("o_custkey")),
         Seq("o_custkey"), "left_anti")
       .agg(count(lit(1)).as("n_violations"))

@@ -57,7 +57,9 @@ object LakeTable {
   private def manifestEntries(
       spark: SparkSession, path: String, version: Int): Seq[ManifestEntry] =
     spark.read.schema(ManifestSchema).json(s"${metaDir(path)}/v$version")
-      .select("file", "base", "stats").collect().toSeq.map { r =>
+      .select("file", "base", "stats")
+      .filter(col("file").isNotNull) // empty-snapshot sentinel row
+      .collect().toSeq.map { r =>
         ManifestEntry(r.getString(0), r.getString(1),
           Option(r.getMap[String, scala.collection.Seq[Double]](2))
             .map(_.toMap.map { case (k, v) => k -> v.toSeq }).getOrElse(Map.empty))
@@ -180,7 +182,15 @@ object LakeTable {
     // ([[versionAsOf]]); it never flows into query results, so
     // determinism of declared queries is unaffected
     val committedAt = System.currentTimeMillis()
-    entries.map(e => (e.file, e.base, op, e.stats, committedAt))
+    // an EMPTY snapshot (e.g. a partitioned overwrite of zero rows)
+    // still writes one SENTINEL row (file = null): the version must
+    // stay visible to history()/versionAsOf() and readable as an
+    // empty table, not vanish as a zero-row manifest
+    val rows =
+      if (entries.isEmpty)
+        Seq((null: String, null: String, op, Map.empty[String, Seq[Double]], committedAt))
+      else entries.map(e => (e.file, e.base, op, e.stats, committedAt))
+    rows
       .toDF("file", "base", "operation", "stats", "committed_at")
       .coalesce(1)
       .write.mode(SaveMode.ErrorIfExists).json(staging.toString)
@@ -283,7 +293,11 @@ object LakeTable {
     * the basePath/mergeSchema/union read path, shared by [[read]] and
     * [[readWhere]] so the two scans cannot drift. */
   private def readFiles(spark: SparkSession, entries: Seq[ManifestEntry]): DataFrame =
-    entries.groupBy(_.base).map { case (base, es) =>
+    // empty snapshot: no data file carries a schema, so the honest
+    // answer is an empty zero-column frame (Delta would serve the
+    // metadata schema here; this format keeps schema in the files)
+    if (entries.isEmpty) spark.emptyDataFrame
+    else entries.groupBy(_.base).map { case (base, es) =>
       spark.read
         .option("mergeSchema", "true")
         .option("basePath", base)
@@ -438,12 +452,7 @@ object LakeTable {
     * collide), wiped if present. The walk stream is closed properly. */
   private def freshWorkDir(prefix: String, d: String): String = {
     val path = s"/tmp/graft_${prefix}_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
-    val p = Paths.get(path)
-    if (Files.exists(p)) {
-      val walk = Files.walk(p)
-      try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-      finally walk.close()
-    }
+    graft.Util.rmRecursive(path)
     path
   }
 
@@ -715,6 +724,23 @@ object LakeTable {
     dropFiles.toSeq.sorted
   }
 
+  /** Versions whose manifest dir still exists (expire leaves gaps). */
+  private def liveVersions(path: String): Seq[Int] =
+    latestVersion(path).map(v => 0 to v).getOrElse(Seq.empty)
+      .filter(v => Files.exists(Paths.get(s"${metaDir(path)}/v$v")))
+
+  /** ONE distributed read over the given manifest dirs, each row
+    * tagged with its version (anchored to the meta dir — a bare
+    * /v\d+/ would match a v<digits> segment in the user's table
+    * path). Shared by [[history]] and [[versionAsOf]] so the version
+    * parse cannot drift between them again. */
+  private def manifestFrame(
+      spark: SparkSession, path: String, versions: Seq[Int]): DataFrame =
+    spark.read.schema(ManifestSchema)
+      .json(versions.map(v => s"${metaDir(path)}/v$v"): _*)
+      .withColumn("version",
+        regexp_extract(input_file_name(), "_graft_meta/v(\\d+)/", 1).cast("int"))
+
   /** TIME TRAVEL BY TIMESTAMP: latest version committed at or before
     * `tsMillis` (Delta's `timestampAsOf` / Iceberg's
     * `as-of-timestamp`). One distributed read over every live
@@ -722,14 +748,10 @@ object LakeTable {
     * per-version driver loop); manifests from before this field
     * existed surface null and are skipped. */
   def versionAsOf(spark: SparkSession, path: String, tsMillis: Long): Int = {
-    val versions = latestVersion(path).map(v => 0 to v).getOrElse(Seq.empty)
-      .filter(v => Files.exists(Paths.get(s"${metaDir(path)}/v$v")))
+    val versions = liveVersions(path)
     if (versions.isEmpty)
       throw new IllegalArgumentException(s"no snapshots at $path")
-    val commits = spark.read.schema(ManifestSchema)
-      .json(versions.map(v => s"${metaDir(path)}/v$v"): _*)
-      .withColumn("version",
-        regexp_extract(input_file_name(), "_graft_meta/v(\\d+)/", 1).cast("int"))
+    val commits = manifestFrame(spark, path, versions)
       .filter(col("committed_at").isNotNull && col("committed_at") <= tsMillis)
       .agg(max("version"))
       .head()
@@ -751,8 +773,7 @@ object LakeTable {
     * complementary GC pass (Delta VACUUM / Iceberg
     * remove-orphan-files). Listing is metadata-only. */
   def orphanFiles(spark: SparkSession, path: String): Seq[String] = {
-    val live = latestVersion(path).map(v => 0 to v).getOrElse(Seq.empty)
-      .filter(v => Files.exists(Paths.get(s"${metaDir(path)}/v$v")))
+    val live = liveVersions(path)
       .flatMap(v => manifestEntries(spark, path, v)).map(_.file).toSet
     val dataRoot = Paths.get(s"$path/data")
     if (!Files.exists(dataRoot)) return Nil
@@ -769,19 +790,14 @@ object LakeTable {
     * version (the second driver loop the round-2 verdict flagged). */
   def history(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    val versions = latestVersion(path).map(v => 0 to v).getOrElse(Seq.empty)
-      .filter(v => Files.exists(Paths.get(s"${metaDir(path)}/v$v"))) // expired gaps
+    val versions = liveVersions(path) // expired versions leave gaps
     if (versions.isEmpty)
       return Seq.empty[(Int, String, Long)].toDF("version", "operation", "n_files")
-    spark.read.schema(ManifestSchema)
-      .json(versions.map(v => s"${metaDir(path)}/v$v"): _*)
-      .withColumn("version",
-        // anchored to the meta dir: a bare /v(\d+)/ would match a
-        // v<digits> segment in the USER's table path (e.g. /data/v2/t)
-        // first and collapse every snapshot to that one version
-        regexp_extract(input_file_name(), "_graft_meta/v(\\d+)/", 1).cast("int"))
+    manifestFrame(spark, path, versions)
       .groupBy("version")
-      .agg(first("operation").as("operation"), count(lit(1)).as("n_files"))
+      // count(col) skips nulls: an empty snapshot's sentinel row
+      // keeps the version visible with n_files = 0
+      .agg(first("operation").as("operation"), count(col("file")).as("n_files"))
       .orderBy("version")
   }
 }

@@ -50,15 +50,7 @@ object EventTimeWindows {
     val chk = s"$out/_chk"
     // fresh checkpoint + sink per run: the query must re-stream from
     // scratch, not resume a prior run's finished checkpoint
-    val root = java.nio.file.Paths.get(out)
-    if (java.nio.file.Files.exists(root)) {
-      val walk = java.nio.file.Files.walk(root)
-      try {
-        import scala.jdk.CollectionConverters._
-        walk.iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      } finally walk.close()
-    }
+    graft.Util.rmRecursive(out)
     val q = s.readStream
       .schema(schema)
       // the driver table is a single parquet FILE in the sf dir; a
@@ -98,15 +90,7 @@ object EventTimeWindows {
     * foreachBatch persists the last full answer. */
   def sessionWindowsStream(s: SparkSession, d: String): DataFrame = {
     val out = s"/tmp/graft_stream_session_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
-    val root = java.nio.file.Paths.get(out)
-    if (java.nio.file.Files.exists(root)) {
-      val walk = java.nio.file.Files.walk(root)
-      try {
-        import scala.jdk.CollectionConverters._
-        walk.iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      } finally walk.close()
-    }
+    graft.Util.rmRecursive(out) // fresh checkpoint/sink per run
     val arrivals = s"$out/arrivals"
     // split in EVENT-ID space (not time) so most users appear in
     // every batch and their sessions genuinely merge across batches

@@ -37,15 +37,7 @@ object StreamingDedup {
     * accumulated unique texts per lang. */
   def streamingDedupQuery(s: SparkSession, d: String): DataFrame = {
     val root = s"/tmp/graft_stream_dedup_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
-    val p = java.nio.file.Paths.get(root)
-    if (java.nio.file.Files.exists(p)) {
-      val walk = java.nio.file.Files.walk(p)
-      try {
-        import scala.jdk.CollectionConverters._
-        walk.iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      } finally walk.close()
-    }
+    graft.Util.rmRecursive(root) // fresh checkpoint/sink per run
     val arrivals = s"$root/arrivals"
     dupCorpus(s, d).repartition(4).write.parquet(arrivals)
     val schema = s.read.parquet(arrivals).schema

@@ -262,13 +262,25 @@ class LakeTableSpec extends AnyFunSuite {
   test("empty partitioned overwrite commits zero files without failing") {
     // round-3 ADVICE (low): an empty frame written with partitionBy
     // produces no parquet files; collectStats must not feed an empty
-    // path list to spark.read.parquet (AnalysisException)
+    // path list to spark.read.parquet (AnalysisException). Round-4
+    // review: the empty VERSION must also stay readable (as an empty
+    // frame) and visible to history — not vanish as a zero-row
+    // manifest or crash readFiles' union-reduce.
     val p19 = "/tmp/graft_test/lake_empty_part"
     rmdir(p19)
     import spark.implicits._
     val v = LakeTable.overwritePartitioned(
       Seq.empty[(Long, String, Double)].toDF("k", "part", "v"), p19, "part")
     assert(v === 0)
+    assert(LakeTable.read(spark, p19).count() === 0, "empty snapshot must read as empty")
+    val h0 = LakeTable.history(spark, p19).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(h0.toSeq === Seq((0, "overwrite", 0L)),
+      s"empty version must appear in history with n_files=0, got ${h0.toSeq}")
+    // the table recovers: a later append is fully usable
+    LakeTable.append(Seq((1L, "x", 1.0)).toDF("k", "part", "v"), p19) // v1
+    assert(LakeTable.read(spark, p19).count() === 1)
+    assert(LakeTable.versionAsOf(spark, p19, System.currentTimeMillis()) === 1)
   }
 
   test("history() version parse is anchored to the meta dir") {
