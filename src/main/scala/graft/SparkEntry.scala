@@ -61,6 +61,7 @@ object SparkEntry {
     "dedup_keep_best" -> ((s, d) => llm.Dedup.dedupKeepBest(s, d)),
     "streaming_dedup" -> (streaming.StreamingDedup.streamingDedupQuery _),
     "simhash_docs" -> (llm.Dedup.simhashDocs _),
+    "simhash_near_dup" -> ((s, d) => llm.Dedup.simhashNearDup(s, d)),
     "jaccard_consecutive" -> (llm.Dedup.jaccardConsecutive _),
     "levenshtein_consecutive" -> (llm.Dedup.levenshteinConsecutive _),
     "cjk_edit_sim" -> (llm.Dedup.cjkEditSim _),
@@ -74,6 +75,7 @@ object SparkEntry {
     "label_cohesion" -> (llm.Similarity.labelCohesion _),
     "doc_embedding_join" -> (llm.Similarity.docEmbeddingJoin _),
     "text_quality" -> (llm.TextAnalysis.textQuality _),
+    "doc_length_histogram" -> (llm.TextAnalysis.docLengthHistogram _),
     "token_predicates" -> (llm.TextAnalysis.tokenPredicates _),
     "token_counts" -> (llm.TextAnalysis.tokenCounts _),
     "lang_id" -> (llm.TextAnalysis.langId _),
@@ -95,6 +97,7 @@ object SparkEntry {
     "q14_promo_revenue" -> (ops.Relational.q14PromoRevenue _),
     "funnel_stages" -> (ops.Behavioral.funnelStages _),
     "cohort_retention" -> (ops.Behavioral.cohortRetention _),
+    "zscore_outliers" -> (ops.Behavioral.zscoreOutliers _),
     "resample_ffill" -> (ops.Behavioral.resampleFfill _),
     "ewma_daily_revenue" -> (ops.Behavioral.ewmaDailyRevenue _),
     "unpivot_segment_metrics" -> (ops.Relational.unpivotSegmentMetrics _),
@@ -127,6 +130,7 @@ object SparkEntry {
     "lake_change_feed" -> (sources.LakeTable.changeFeedQuery _),
     "lake_expire_read" -> (sources.LakeTable.expireReadQuery _),
     "lake_incremental_agg" -> (sources.LakeTable.incrementalAggQuery _),
+    "lake_schema_evolution" -> (sources.LakeTable.schemaEvolutionQuery _),
     // --- streaming semantics (SURVEY.md §2.9 T1-T6), batch-replayed ---
     "session_replay" -> (streaming.DialogueStateMachine.sessionReplay _),
     "tumbling_hourly" -> (streaming.EventTimeWindows.tumblingHourly _),
@@ -604,6 +608,39 @@ object SparkEntry {
         |)
         |SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN pow2 ELSE 0 END) AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // simhash_near_dup: threshold 2 = bands−1, so banding is EXACT
+    // (pigeonhole: ≤2 flipped bits leave one 10-bit band untouched) —
+    // the band join here is the same pure prune as the Spark side;
+    // hamming is integral bit math
+    "simhash_near_dup" ->
+      """WITH th AS (
+        |  SELECT doc_id,
+        |         list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(token)+1),
+        |           i -> ascii(substring(token,i,1))::BIGINT)), (a,c) -> (a*31+c) % 1000000007) AS h,
+        |         count(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY 1, 2
+        |),
+        |bits AS (
+        |  SELECT doc_id, b, CAST(power(2, b) AS BIGINT) AS pow2,
+        |         sum(CASE WHEN (h & CAST(power(2, b) AS BIGINT)) != 0 THEN c ELSE -c END) AS s
+        |  FROM th, (SELECT unnest(range(30)) AS b) bb
+        |  GROUP BY 1, 2, 3
+        |),
+        |sim AS (
+        |  SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN pow2 ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id
+        |),
+        |bands AS (
+        |  SELECT doc_id, simhash, b, (simhash >> (b*10)) & 1023 AS bv
+        |  FROM sim, (SELECT unnest(range(3)) AS b) bb
+        |)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        |FROM bands a JOIN bands b
+        |  ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "jaccard_consecutive" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(list_transform(range(1, len(tokens)-1),
@@ -769,6 +806,19 @@ object SparkEntry {
         |SELECT event_type, count(*) AS n,
         |       round(CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE), 6) AS sum_value
         |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // lake_schema_evolution: v0 = evens (no channel column), v1 =
+    // odds with the evolved column; the mergeSchema read must surface
+    // v0 rows as channel=null (folded to 'legacy')
+    "lake_schema_evolution" ->
+      """WITH un AS (
+        |  SELECT value, NULL AS channel FROM events WHERE event_id % 2 = 0
+        |  UNION ALL
+        |  SELECT value, CASE WHEN event_id % 4 = 1 THEN 'web' ELSE 'app' END
+        |  FROM events WHERE event_id % 2 != 0
+        |)
+        |SELECT coalesce(channel, 'legacy') AS channel, count(*) AS n,
+        |       round(sum(value), 6) AS sum_value
+        |FROM un GROUP BY 1 ORDER BY channel""".stripMargin,
     "skyline_price_size" ->
       """WITH pts AS (SELECT DISTINCT p_retailprice, p_size FROM part)
         |SELECT p_retailprice, p_size FROM pts a
@@ -827,6 +877,15 @@ object SparkEntry {
         |         / len(tokens)), 6) AS quality
         |FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS tokens FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // doc_length_histogram: integer `//` bucketing — no float boundary
+    // can flip a doc between bins cross-engine
+    "doc_length_histogram" ->
+      """SELECT CAST(least(length(text) // 100, 19) AS INT) AS bucket,
+        |       count(*) AS n_docs,
+        |       CAST(min(length(text)) AS INT) AS min_len,
+        |       CAST(max(length(text)) AS INT) AS max_len,
+        |       round(avg(len(string_split(text, ' '))), 6) AS avg_tokens
+        |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
     "token_counts" ->
       """SELECT token, count(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
@@ -953,6 +1012,17 @@ object SparkEntry {
         |SELECT cohort_wk, wk - cohort_wk AS week_offset, count(*) AS n_users
         |FROM act JOIN coh USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // zscore_outliers: z rounded to 6 BEFORE the threshold test so
+    // both engines compare the identical double (mu/sigma carry
+    // partial-order ulps; the raw parquet value does not)
+    "zscore_outliers" ->
+      """WITH st AS (
+        |  SELECT event_type, avg(value) AS mu, stddev(value) AS sigma
+        |  FROM events GROUP BY 1)
+        |SELECT event_id, event_type, round((value - mu) / sigma, 6) AS z
+        |FROM events JOIN st USING (event_type)
+        |WHERE abs(round((value - mu) / sigma, 6)) > 3.0
+        |ORDER BY event_id""".stripMargin,
     // ewma_daily_revenue: DuckDB's list_reduce seeds with the first
     // element — exactly the Spark fold's NaN-seed semantics; (1.0-0.3)
     // is spelled as the subtraction so both engines use the identical

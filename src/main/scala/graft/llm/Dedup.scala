@@ -203,6 +203,46 @@ object Dedup {
         simhashNative(tokenHashesNative(col("text"))).as("simhash"))
       .orderBy("doc_id")
 
+  /** L2 SimHash NEAR-DUP via bit-band bucketing — the dedup loop the
+    * signature query feeds: the 30-bit signature splits into 3 bands
+    * of 10 bits, docs agreeing on ANY band become candidates (a
+    * band-value equi-join, the same never-O(n²) shape as the MinHash
+    * LSH join), and candidates verify by Hamming distance over the
+    * full signature. With the threshold at bands−1 = 2 the banding is
+    * EXACT, not approximate: a pair differing in ≤2 of 30 bits must
+    * leave at least one of the 3 bands untouched (pigeonhole), so the
+    * output is ALL pairs with hamming ≤ 2 — the bucketing is a pure
+    * pruning optimization with perfect recall, and the oracle needs no
+    * banding caveat (it mirrors the bands anyway, for the same prune).
+    * All arithmetic is integral → bit-deterministic both engines.
+    * 100 TB: shuffles only (band, band_value) keys; the Hamming verify
+    * is one codegen'd `bit_count(xor)` per candidate. */
+  def simhashNearDup(s: SparkSession, d: String, maxHamming: Int = 2): DataFrame = {
+    val sigs = Tables.loadParallel(s, d, "documents")
+      .select(
+        col("doc_id"),
+        simhashNative(tokenHashesNative(col("text"))).as("simhash"))
+    val bands = sigs.select(
+      col("doc_id"), col("simhash"),
+      explode(array((0 until 3).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 10).bitwiseAND(lit(1023L)).as("bv"))): _*))
+        .as("bb"))
+      .select(col("doc_id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("int").as("hamming"))
+      .distinct() // a pair can agree on several bands
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** L2 edit-distance verify primitive: Levenshtein distance between
     * consecutive doc_ids (the same linear pairing as
     * [[jaccardConsecutive]]), normalized by the longer text — the

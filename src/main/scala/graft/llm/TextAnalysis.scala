@@ -37,6 +37,28 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** L4 corpus-shape histogram: documents binned by character length
+    * into fixed-width buckets (100 chars, capped at bucket 19) — the
+    * length-distribution profile every corpus audit starts with, plus
+    * per-bucket token stats. All bucketing is INTEGER arithmetic
+    * (`div`), so bin assignment is bit-identical cross-engine — no
+    * float boundary can flip a doc between bins. One hash aggregation;
+    * map-only before it. */
+  def docLengthHistogram(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+      .select(
+        // `div`, not `/`: Spark's / is DOUBLE division on integers
+        expr("least(length(text) div 100, 19)").cast("int").as("bucket"),
+        length(col("text")).as("len"),
+        size(tokens(col("text"))).as("n_tok"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min("len").as("min_len"),
+        max("len").as("max_len"),
+        round(avg("n_tok"), 6).as("avg_tokens"))
+      .orderBy("bucket")
+
   /** L4 global token frequency, top 20 (ties broken by token). */
   def tokenCounts(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "documents")

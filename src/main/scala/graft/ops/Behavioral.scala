@@ -116,6 +116,25 @@ object Behavioral {
       .orderBy("event_type")
   }
 
+  /** ANOMALY DETECTION by z-score: events whose value sits more than
+    * 3 standard deviations from their event type's mean. Two-pass
+    * shape — one hash aggregation for the per-type moments (5 rows),
+    * broadcast back over the fact table for a MAP-ONLY flagging pass:
+    * no second shuffle of the events at any scale. z is rounded to 6
+    * before the threshold test so both engines compare the identical
+    * double (mu/sigma carry partial-order ulps; the raw parquet value
+    * does not). */
+  def zscoreOutliers(s: SparkSession, d: String): DataFrame = {
+    val events = Tables.load(s, d, "events")
+    val stats = events.groupBy("event_type")
+      .agg(avg("value").as("mu"), stddev("value").as("sigma"))
+    events.join(broadcast(stats), Seq("event_type"))
+      .withColumn("z", round((col("value") - col("mu")) / col("sigma"), 6))
+      .filter(abs(col("z")) > 3.0)
+      .select(col("event_id"), col("event_type"), col("z"))
+      .orderBy("event_id")
+  }
+
   /** COHORT RETENTION: users bucketed by their first-activity epoch
     * week (the cohort), counted in each later week they were active,
     * keyed by week offset — the retention-matrix query. Three

@@ -583,6 +583,30 @@ object LakeTable {
       .orderBy("event_type")
   }
 
+  /** Driver query: SCHEMA EVOLUTION end to end — v0 commits the
+    * original 3-column shape, v1 appends rows carrying a NEW `channel`
+    * column, and the latest snapshot reads as ONE table (the manifest
+    * read path sets mergeSchema, so old files surface the new column
+    * as null — Delta/Iceberg's add-column semantics without a rewrite
+    * of existing data). The aggregate keys on the evolved column with
+    * nulls folded to 'legacy', so the oracle (a UNION of the two
+    * generations over the source table) hash-verifies that no row lost
+    * or invented a channel across the schema boundary. */
+  def schemaEvolutionQuery(s: SparkSession, d: String): DataFrame = {
+    val path = freshWorkDir("lakeschema", d)
+    val ev = graft.Tables.load(s, d, "events").select("event_id", "event_type", "value")
+    overwrite(ev.filter(pmod(col("event_id"), lit(2L)) === 0), path) // v0: 3 cols
+    append(
+      ev.filter(pmod(col("event_id"), lit(2L)) =!= 0)
+        .withColumn("channel",
+          when(pmod(col("event_id"), lit(4L)) === 1, "web").otherwise("app")),
+      path) // v1: evolved schema
+    read(s, path)
+      .groupBy(coalesce(col("channel"), lit("legacy")).as("channel"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+      .orderBy("channel")
+  }
+
   /** CHANGE DATA FEED: row-level diff of two snapshots — rows only in
     * `toV` are inserts, rows only in `fromV` are deletes (an update =
     * delete + insert pair, the CoW representation). Pure set algebra

@@ -181,6 +181,28 @@ class DedupSpec extends AnyFunSuite {
     assert(byPair(("a𝄞b", "ab")) === 1)
   }
 
+  test("banded simhash near-dup equals brute-force hamming <= 2 exactly") {
+    // threshold 2 = bands-1 makes the banding a pure prune (pigeonhole:
+    // <=2 flipped bits leave one of the 3 ten-bit bands untouched), so
+    // the banded join must reproduce the all-pairs answer EXACTLY —
+    // recall 1.0, not a floor
+    val d = "/root/testdata/sf0.001"
+    val banded = Dedup.simhashNearDup(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    import graft.functions.ColumnFunctions._
+    val sigs = graft.Tables.load(spark, d, "documents")
+      .select(col("doc_id"), simhashNative(tokenHashesNative(col("text"))).as("sh"))
+    val brute = sigs.as("a")
+      .join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("int").as("h"))
+      .filter(col("h") <= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded === brute,
+      s"banded=${banded.size} brute=${brute.size}; banding must lose nothing at threshold 2")
+    assert(banded.nonEmpty, "corpus has near-dup pairs; empty means the query broke")
+  }
+
   test("exact dedup multiplicity on a frame with true duplicates") {
     val dir = "/tmp/graft_test/dedup_exact"
     Seq(

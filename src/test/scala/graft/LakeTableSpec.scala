@@ -283,6 +283,23 @@ class LakeTableSpec extends AnyFunSuite {
     assert(LakeTable.versionAsOf(spark, p19, System.currentTimeMillis()) === 1)
   }
 
+  test("schema evolution: appended column surfaces as null on old snapshots' files") {
+    val p20 = "/tmp/graft_test/lake_schema_evo"
+    rmdir(p20)
+    import spark.implicits._
+    LakeTable.overwrite(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), p20) // v0: 2 cols
+    LakeTable.append(
+      Seq((3L, 30.0, "web"), (4L, 40.0, "app")).toDF("k", "v", "channel"), p20) // v1: 3 cols
+    val latest = LakeTable.read(spark, p20)
+    assert(latest.columns.toSet === Set("k", "v", "channel"),
+      "mergeSchema read must surface the evolved column")
+    val byK = latest.collect().map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(byK === Map(1L -> None, 2L -> None, 3L -> Some("web"), 4L -> Some("app")),
+      s"old-generation rows must read channel=null, got $byK")
+    // time travel to v0 still serves the ORIGINAL 2-column shape
+    assert(LakeTable.read(spark, p20, Some(0)).columns.toSet === Set("k", "v"))
+  }
+
   test("history() version parse is anchored to the meta dir") {
     // round-3 ADVICE (low): a v<digits> segment in the USER's path
     // (here .../v7/...) must not be parsed as the snapshot version
