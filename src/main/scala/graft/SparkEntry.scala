@@ -138,6 +138,7 @@ object SparkEntry {
     "sliding_hourly_30m" -> (streaming.EventTimeWindows.slidingHourly30m _),
     "session_windows_30m" -> (streaming.EventTimeWindows.sessionWindows30m _),
     "session_windows_stream" -> (streaming.EventTimeWindows.sessionWindowsStream _),
+    "stream_interval_join" -> (streaming.StreamJoin.intervalJoinStream _),
   )
 
   /** MinHash near-dup pair SQL, shared by the `minhash_near_dup`
@@ -1447,5 +1448,16 @@ object SparkEntry {
         |  strftime(max(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS session_end,
         |  count(*) AS n_events, round(sum(value), 6) AS sum_value
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    // stream_interval_join: a real stream-stream interval join (views
+    // x purchases within 1h, both sides streaming); inner joins emit
+    // each pair exactly once across micro-batches, so the accumulated
+    // union equals this batch self-join regardless of file batching
+    "stream_interval_join" ->
+      """WITH v AS (SELECT user_id, ts AS vt FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, ts AS pt, value FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, count(*) AS n_attrib, round(sum(value), 6) AS attrib_value
+        |FROM v JOIN p USING (user_id)
+        |WHERE pt >= vt AND pt <= vt + INTERVAL '1 hour'
+        |GROUP BY 1 ORDER BY user_id""".stripMargin,
   )
 }

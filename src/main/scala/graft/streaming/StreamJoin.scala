@@ -1,0 +1,85 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stream-stream INTERVAL JOIN executed as a real Structured
+  * Streaming query under the driver's correctness gate (SURVEY.md
+  * §2.9 T9) — the attribution shape: every purchase joined to the
+  * same user's views from the preceding hour, both sides arriving as
+  * streams.
+  *
+  * Inner stream-stream joins emit every matched pair EXACTLY ONCE
+  * (the state store pairs rows across batches), so appending each
+  * micro-batch's output and aggregating the accumulated union is
+  * deterministic regardless of how the files are batched — the same
+  * copy-invariance argument as StreamingDedup. The watermarks plus
+  * the time-bound condition are what let Spark EVICT view rows older
+  * than the join window instead of buffering both streams forever —
+  * the state bound that makes the plan viable on an unbounded 100 TB
+  * arrival stream.
+  *
+  * DETERMINISM NOTE: the declared query's arrival files are split in
+  * EVENT-ID space (so cross-batch pairing is genuinely exercised),
+  * which means later batches carry events far OLDER than the
+  * watermark a time-aware delay would have advanced to — they would
+  * be late, and which pairs survive would depend on file-listing
+  * order. The declared run therefore sets the delay LONGER than the
+  * whole corpus timeline: no row of the finite replay can ever be
+  * late, the answer is arrival-order-invariant (= the batch oracle),
+  * and the eviction machinery itself is pinned by StreamJoinSpec with
+  * deliberately time-ordered arrivals and a tight delay.
+  */
+object StreamJoin {
+
+  /** Declared driver query: views and purchases stream in from the
+    * same arrival directory (event-id-partitioned file drops, so both
+    * sides genuinely span micro-batches), join on user within
+    * [view_ts, view_ts + 1h], accumulate pairs via foreachBatch
+    * append, then aggregate per user in batch. Oracle: the identical
+    * interval self-join over the source table. */
+  def intervalJoinStream(s: SparkSession, d: String): DataFrame = {
+    val out = s"/tmp/graft_stream_ivjoin_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+    graft.Util.rmRecursive(out) // fresh checkpoint/sink per run
+    val arrivals = s"$out/arrivals"
+    Tables.load(s, d, "events")
+      .withColumn("tstamp", Tables.tsFromNanos("ts"))
+      .select("event_id", "user_id", "event_type", "tstamp", "value")
+      .withColumn("part", pmod(col("event_id"), lit(4L)))
+      .write.partitionBy("part").parquet(arrivals)
+    val schema = s.read.parquet(arrivals).schema
+    def arriving() = s.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 2)
+      .parquet(arrivals)
+    val views = arriving()
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("tstamp").as("v_ts"))
+      .withWatermark("v_ts", "365 days")
+    val purchases = arriving()
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("tstamp").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "365 days")
+    val q = views
+      .join(purchases,
+        col("v_user") === col("p_user") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("v_user").as("user_id"), col("v_ts"), col("p_ts"), col("value"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$out/_chk")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // append mode: each micro-batch carries only NEW pairs
+        batch.write.mode("append").parquet(s"$out/pairs")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$out/pairs")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_attrib"), round(sum("value"), 6).as("attrib_value"))
+      .orderBy("user_id")
+  }
+}
