@@ -93,6 +93,7 @@ object SparkEntry {
     "bloom_prune_lineitem" -> (ops.Relational.bloomPruneLineitem _),
     "ntile_quartiles" -> (ops.Relational.ntileQuartiles _),
     "salted_skew_join" -> (ops.Relational.saltedSkewJoin _),
+    "bucketed_join_colocated" -> (ops.Relational.bucketedJoinColocated _),
     "q4_late_orders" -> (ops.Relational.q4LateOrders _),
     "q14_promo_revenue" -> (ops.Relational.q14PromoRevenue _),
     "funnel_stages" -> (ops.Behavioral.funnelStages _),
@@ -988,6 +989,16 @@ object SparkEntry {
         |SELECT event_type, count(*) AS n, round(sum(value * w), 6) AS weighted_value
         |FROM fact JOIN dim USING (k)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // bucketed_join_colocated: the bucket layout is invisible to the
+    // result — the oracle is the plain join + two-level aggregate
+    "bucketed_join_colocated" ->
+      """WITH per_order AS (
+        |  SELECT o_orderkey, CAST(count(*) AS INT) AS n_items,
+        |         round(sum(l_extendedprice), 6) AS rev
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY 1)
+        |SELECT n_items, count(*) AS n_orders, round(sum(rev), 6) AS sum_rev
+        |FROM per_order GROUP BY 1 ORDER BY n_items""".stripMargin,
     // funnel_stages: the per-user state machine is an int fold in
     // BOTH engines (list_reduce over a mapped prefix); prefix order
     // is total via the (µs, event_id) sort key

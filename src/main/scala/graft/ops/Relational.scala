@@ -20,6 +20,46 @@ import org.apache.spark.sql.functions._
 object Relational {
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
+  /** J2+ CO-LOCATED BUCKETED JOIN — the pre-partitioning strategy for
+    * repeated fact-fact joins at 100 TB: both tables are written
+    * bucketed+sorted on the join key, so the orderkey join AND the
+    * per-order aggregate run with ZERO shuffle of either fact table
+    * (the bucket layout carries outputPartitioning through the
+    * catalog). Only the final tiny histogram re-groups — the plan is
+    * require'd to hold at most that one hash exchange, so a layout
+    * regression fails the gate loudly rather than silently shuffling
+    * terabytes. Tables live under the /tmp warehouse keyed by scale
+    * factor (rebuilt per run; DROP + rm so a previous JVM's files
+    * can't leak in through the in-memory catalog). */
+  def bucketedJoinColocated(s: SparkSession, d: String): DataFrame = {
+    val safe = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val (to, tl) = (s"b_orders_$safe", s"b_lineitem_$safe")
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    Seq(to, tl).foreach { tab =>
+      s.sql(s"DROP TABLE IF EXISTS $tab")
+      graft.Util.rmRecursive(s"$wh/$tab")
+    }
+    t(s, d, "orders").select("o_orderkey", "o_custkey")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(to)
+    t(s, d, "lineitem").select("l_orderkey", "l_extendedprice")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(tl)
+    val perOrder = s.table(to)
+      .join(s.table(tl), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).cast("int").as("n_items"),
+        round(sum("l_extendedprice"), 6).as("rev"))
+    val hist = perOrder
+      .groupBy("n_items")
+      .agg(count(lit(1)).as("n_orders"), round(sum("rev"), 6).as("sum_rev"))
+      .orderBy("n_items")
+    val exchanges =
+      "Exchange hashpartitioning".r
+        .findAllIn(hist.queryExecution.executedPlan.toString).length
+    require(exchanges <= 1,
+      s"bucketed join/agg must not shuffle the fact tables (got $exchanges hash exchanges)")
+    hist
+  }
+
   /** A8: TPC-H Q1-shaped pricing summary — hash aggregate with
     * map-side partials; one shuffle on the 6-value group key. */
   def q1PricingSummary(s: SparkSession, d: String): DataFrame =
