@@ -76,6 +76,8 @@ object SparkEntry {
     "doc_embedding_join" -> (llm.Similarity.docEmbeddingJoin _),
     "text_quality" -> (llm.TextAnalysis.textQuality _),
     "doc_length_histogram" -> (llm.TextAnalysis.docLengthHistogram _),
+    "decontaminate_overlap" -> (llm.TextAnalysis.decontaminateOverlap _),
+    "bigram_lm_score" -> (llm.TextAnalysis.bigramLmScore _),
     "token_predicates" -> (llm.TextAnalysis.tokenPredicates _),
     "token_counts" -> (llm.TextAnalysis.tokenCounts _),
     "lang_id" -> (llm.TextAnalysis.langId _),
@@ -879,6 +881,40 @@ object SparkEntry {
         |         / len(tokens)), 6) AS quality
         |FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS tokens FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // decontaminate_overlap: shingles are exact strings, counts are
+    // integral — no float anywhere; self-pairs excluded on both sides
+    "decontaminate_overlap" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - 3),
+        |    i -> array_to_string(list_slice(tk, i, i + 4), ' ')))) AS shingle
+        |  FROM toks WHERE len(tk) >= 5),
+        |bench AS (SELECT doc_id AS b_id, shingle FROM sh WHERE doc_id % 50 = 0),
+        |ov AS (
+        |  SELECT s.doc_id, CAST(count(DISTINCT s.shingle) AS INT) AS n_overlap
+        |  FROM sh s JOIN bench b ON s.shingle = b.shingle AND s.doc_id != b.b_id
+        |  GROUP BY 1)
+        |SELECT d.doc_id, d.doc_id % 50 = 0 AS is_benchmark,
+        |       coalesce(n_overlap, 0) AS n_overlap,
+        |       coalesce(n_overlap, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN ov USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // bigram_lm_score: integral counts through ln, rounded after the
+    // mean; docs with <2 tokens have no bigrams and are absent in both
+    "bigram_lm_score" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |uni AS (SELECT w, count(*) AS cw
+        |        FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY 1),
+        |v AS (SELECT count(*) AS v FROM uni),
+        |big AS (
+        |  SELECT doc_id, tk[CAST(i AS INT)] AS w1, tk[CAST(i AS INT) + 1] AS w2
+        |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+        |        FROM toks WHERE len(tk) >= 2)),
+        |bc AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY 1, 2)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       round(avg(ln((cb + 1.0) / (cw + v))), 6) AS lm_score
+        |FROM big JOIN bc USING (w1, w2) JOIN uni ON w1 = uni.w CROSS JOIN v
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // doc_length_histogram: integer `//` bucketing — no float boundary
     // can flip a doc between bins cross-engine
     "doc_length_histogram" ->

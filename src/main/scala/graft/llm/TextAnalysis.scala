@@ -37,6 +37,76 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** L1/L5 BENCHMARK DECONTAMINATION by 5-gram overlap — the
+    * train/eval hygiene pass every pipeline needs: flag training docs
+    * sharing any word 5-gram with a benchmark set (here the doc_id %
+    * 50 == 0 subset stands in for the eval corpus). Shingle the
+    * benchmark side (small by construction), BROADCAST it, and count
+    * distinct shared shingles per doc — a broadcast equi-join on the
+    * shingle string, never a doc×doc comparison, so the fact side
+    * streams map-only into one count-distinct aggregation at any
+    * corpus size. Self-pairs are excluded so benchmark docs report
+    * only cross-doc overlap. */
+  def decontaminateOverlap(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.load(s, d, "documents")
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+    val sh = toks
+      .filter(size(col("tk")) >= 5)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, size(tk) - 4), i -> concat_ws(' ', slice(tk, i, 5)))")))
+        .as("shingle"))
+    val bench = sh.filter(pmod(col("doc_id"), lit(50L)) === 0)
+      .select(col("doc_id").as("b_id"), col("shingle").as("b_shingle"))
+    val overlap = sh
+      .join(broadcast(bench),
+        col("shingle") === col("b_shingle") && col("doc_id") =!= col("b_id"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("shingle")).cast("int").as("n_overlap"))
+    docs.select(col("doc_id"), (pmod(col("doc_id"), lit(50L)) === 0).as("is_benchmark"))
+      .join(overlap, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("is_benchmark"),
+        coalesce(col("n_overlap"), lit(0)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0)) > 0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** L4/L6 BIGRAM LM QUALITY SCORE — the n-gram stand-in for
+    * LM-perplexity filtering: each doc scored by the mean log
+    * probability of its bigrams under an add-one-smoothed bigram
+    * model trained on the corpus itself (p(w2|w1) = (c(w1,w2)+1) /
+    * (c(w1)+V); c(w1) is the plain unigram count, V the vocabulary
+    * size). Three hash aggregations (bigram counts, unigram counts,
+    * one scalar vocab row broadcast back) and two equi-joins on the
+    * exploded bigrams — every stage is shuffle-by-key or broadcast,
+    * nothing driver-side, so the model "training" IS the aggregation
+    * and scales with the corpus. Scores round(…,6) after the ln-mean
+    * as usual. */
+  def bigramLmScore(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.load(s, d, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+    val uni = toks.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val vocab = uni.agg(count(lit(1)).as("v")) // 1 row: |V|
+    val big = toks.filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(tk) - 1),
+          |  i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))"""
+          .stripMargin)).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bc = big.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    big
+      .join(bc, Seq("w1", "w2"))
+      .join(uni.withColumnRenamed("w", "w1"), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("cb") + lit(1.0)) / (col("cw") + col("v")))), 6)
+          .as("lm_score"))
+      .orderBy("doc_id")
+  }
+
   /** L4 corpus-shape histogram: documents binned by character length
     * into fixed-width buckets (100 chars, capped at bucket 19) — the
     * length-distribution profile every corpus audit starts with, plus
