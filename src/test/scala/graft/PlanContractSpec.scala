@@ -91,6 +91,25 @@ class PlanContractSpec extends AnyFunSuite {
     assert(p.contains("graft_polyhash"), "content hash must be the native expression")
   }
 
+  test("simhash_near_dup: band-bucket EQUI-join, never all-pairs") {
+    val p = plan("simhash_near_dup")
+    assert(count(p, "BroadcastNestedLoopJoin") === 0, p.take(400))
+    assert(count(p, "CartesianProduct") === 0)
+    assert(p.contains("bit_count"), "hamming verify must be the codegen'd bit_count")
+  }
+
+  test("decontaminate_overlap: benchmark shingles broadcast, corpus side never shuffled for the probe") {
+    val p = plan("decontaminate_overlap")
+    assert(count(p, "BroadcastHashJoin") >= 1, s"bench side lost its broadcast:\n${p.take(400)}")
+    assert(count(p, "CartesianProduct") === 0)
+  }
+
+  test("zscore_outliers: per-type moments broadcast back, fact table shuffled at most once") {
+    val p = plan("zscore_outliers")
+    assert(count(p, "BroadcastHashJoin") === 1, s"stats join must broadcast:\n${p.take(400)}")
+    assert(count(p, "SortMergeJoin") === 0)
+  }
+
   test("tfidf/bm25: vocabulary-side joins stay broadcast, no SMJ on terms") {
     // the df (vocabulary) and scalar-stats frames are bounded by the
     // token domain / one row — shuffling the corpus-side pairs against
