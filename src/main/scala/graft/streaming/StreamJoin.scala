@@ -44,6 +44,10 @@ object StreamJoin {
     graft.Util.rmRecursive(out) // fresh checkpoint/sink per run
     val arrivals = s"$out/arrivals"
     Tables.load(s, d, "events")
+      // only the two joined types ever reach the arrival stream —
+      // upstream filtering, not in-stream filtering, is the 100 TB
+      // posture anyway (don't ship what you won't join)
+      .filter(col("event_type").isin("view", "purchase"))
       .withColumn("tstamp", Tables.tsFromNanos("ts"))
       .select("event_id", "user_id", "event_type", "tstamp", "value")
       .withColumn("part", pmod(col("event_id"), lit(4L)))
@@ -61,22 +65,30 @@ object StreamJoin {
       .filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("tstamp").as("p_ts"), col("value"))
       .withWatermark("p_ts", "365 days")
-    val q = views
-      .join(purchases,
-        col("v_user") === col("p_user") &&
-          col("p_ts") >= col("v_ts") &&
-          col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
-      .select(col("v_user").as("user_id"), col("v_ts"), col("p_ts"), col("value"))
-      .writeStream
-      .outputMode("append")
-      .option("checkpointLocation", s"$out/_chk")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // append mode: each micro-batch carries only NEW pairs
-        batch.write.mode("append").parquet(s"$out/pairs")
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // the join-state stores are per shuffle partition PER SIDE per
+    // micro-batch; 32 of them checkpointing a few hundred pairs is
+    // pure fsync overhead — scope the streaming query to 8 (restored
+    // after; result is partition-count invariant)
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = views
+        .join(purchases,
+          col("v_user") === col("p_user") &&
+            col("p_ts") >= col("v_ts") &&
+            col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("v_user").as("user_id"), col("v_ts"), col("p_ts"), col("value"))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$out/_chk")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // append mode: each micro-batch carries only NEW pairs
+          batch.write.mode("append").parquet(s"$out/pairs")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
     s.read.parquet(s"$out/pairs")
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_attrib"), round(sum("value"), 6).as("attrib_value"))
