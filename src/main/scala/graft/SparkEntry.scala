@@ -134,6 +134,7 @@ object SparkEntry {
     "lake_expire_read" -> (sources.LakeTable.expireReadQuery _),
     "lake_incremental_agg" -> (sources.LakeTable.incrementalAggQuery _),
     "lake_schema_evolution" -> (sources.LakeTable.schemaEvolutionQuery _),
+    "lake_orphan_gc" -> (sources.LakeTable.orphanGcQuery _),
     // --- streaming semantics (SURVEY.md §2.9 T1-T6), batch-replayed ---
     "session_replay" -> (streaming.DialogueStateMachine.sessionReplay _),
     "tumbling_hourly" -> (streaming.EventTimeWindows.tumblingHourly _),
@@ -743,6 +744,11 @@ object SparkEntry {
     // query), then a latest-snapshot read; a GC pass that deleted a
     // LIVE file would lose rows here and hash-mismatch
     "lake_expire_read" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // lake_orphan_gc: dead-commit residue removed; the hash gate
+    // proves no LIVE file was deleted (rows would go missing)
+    "lake_orphan_gc" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // lake_stats_skip: footer-stats file pruning on a clustered table;

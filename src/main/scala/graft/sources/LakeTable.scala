@@ -808,6 +808,40 @@ object LakeTable {
     finally walk.close()
   }
 
+  /** GC companion to [[orphanFiles]] (Iceberg's remove-orphan-files
+    * action): physically delete the unreferenced files, returning what
+    * was removed. Deletion is driver-side like [[expireSnapshots]] —
+    * metadata-scale work (file paths, not data). */
+  def removeOrphans(spark: SparkSession, path: String): Seq[String] = {
+    val orphans = orphanFiles(spark, path)
+    orphans.foreach(f => Files.deleteIfExists(Paths.get(f)))
+    orphans
+  }
+
+  /** Driver query: ORPHAN-FILE GC end to end — commit the table, then
+    * plant a dead commit (data files written, manifest never published
+    * — the residue of a committer that lost the version race or
+    * crashed), remove orphans, and read the table. The require's pin
+    * that exactly the dead commit's files were removed and none
+    * remain; the hash gate then proves the GC touched NO live file —
+    * a pass that deleted referenced data would lose rows against the
+    * plain source aggregate. */
+  def orphanGcQuery(s: SparkSession, d: String): DataFrame = {
+    val path = freshWorkDir("lakeorphan", d)
+    val ev = graft.Tables.load(s, d, "events").select("event_id", "event_type", "value")
+    overwrite(ev, path) // v0
+    ev.filter(col("event_id") < 100)
+      .write.parquet(s"$path/data/dead-commit")
+    val removed = removeOrphans(s, path)
+    require(removed.nonEmpty && removed.forall(_.contains("dead-commit")),
+      s"exactly the dead commit's files must be GC'd, got $removed")
+    require(orphanFiles(s, path).isEmpty, "orphan GC must leave no orphans behind")
+    read(s, path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   /** Table history: one row per snapshot (version, operation,
     * n_files), from ONE distributed read over every live manifest dir
     * — the round-2 version issued one driver-side Spark job per

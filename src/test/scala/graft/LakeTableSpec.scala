@@ -391,6 +391,12 @@ class LakeTableSpec extends AnyFunSuite {
       "manifest-walking GC must leave unreferenced commits to orphan cleanup")
     // ...and the table itself reads clean throughout
     assert(LakeTable.read(spark, p21).count() === 2)
+    // GC removes exactly the orphans, is idempotent, touches no live file
+    val removed = LakeTable.removeOrphans(spark, p21)
+    assert(removed.nonEmpty && removed.forall(_.contains("dead-commit")), s"$removed")
+    assert(LakeTable.orphanFiles(spark, p21).isEmpty)
+    assert(LakeTable.removeOrphans(spark, p21).isEmpty, "second GC must be a no-op")
+    assert(LakeTable.read(spark, p21).count() === 2)
   }
 
   test("stats bounds widen conservatively for longs beyond 2^53") {
