@@ -51,6 +51,7 @@ object EventTimeWindows {
     // fresh checkpoint + sink per run: the query must re-stream from
     // scratch, not resume a prior run's finished checkpoint
     graft.Util.rmRecursive(out)
+    graft.Util.withShufflePartitions(s, 8) {
     val q = s.readStream
       .schema(schema)
       // the driver table is a single parquet FILE in the sf dir; a
@@ -76,6 +77,7 @@ object EventTimeWindows {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    }
     s.read.parquet(s"$out/result").orderBy("window_start", "event_type")
   }
 
@@ -97,6 +99,7 @@ object EventTimeWindows {
     ev(s, d).withColumn("part", pmod(col("event_id"), lit(4L)))
       .write.partitionBy("part").parquet(arrivals)
     val schema = s.read.parquet(arrivals).schema
+    graft.Util.withShufflePartitions(s, 8) {
     val q = s.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 2)
@@ -117,6 +120,7 @@ object EventTimeWindows {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    }
     s.read.parquet(s"$out/result").orderBy("user_id", "session_start")
   }
 

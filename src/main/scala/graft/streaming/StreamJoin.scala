@@ -65,13 +65,9 @@ object StreamJoin {
       .filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("tstamp").as("p_ts"), col("value"))
       .withWatermark("p_ts", "365 days")
-    // the join-state stores are per shuffle partition PER SIDE per
-    // micro-batch; 32 of them checkpointing a few hundred pairs is
-    // pure fsync overhead — scope the streaming query to 8 (restored
-    // after; result is partition-count invariant)
-    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    // join-state stores are per shuffle partition PER SIDE per
+    // micro-batch — scope them down (see Util.withShufflePartitions)
+    graft.Util.withShufflePartitions(s, 8) {
       val q = views
         .join(purchases,
           col("v_user") === col("p_user") &&
@@ -88,7 +84,7 @@ object StreamJoin {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+    }
     s.read.parquet(s"$out/pairs")
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_attrib"), round(sum("value"), 6).as("attrib_value"))

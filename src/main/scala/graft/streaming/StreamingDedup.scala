@@ -41,6 +41,7 @@ object StreamingDedup {
     val arrivals = s"$root/arrivals"
     dupCorpus(s, d).repartition(4).write.parquet(arrivals)
     val schema = s.read.parquet(arrivals).schema
+    graft.Util.withShufflePartitions(s, 8) {
     val q = s.readStream
       .schema(schema)
       // 2 files per trigger over 4 files = 2 micro-batches: state
@@ -59,6 +60,7 @@ object StreamingDedup {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    }
     s.read.parquet(s"$root/unique")
       .groupBy("lang")
       .agg(
