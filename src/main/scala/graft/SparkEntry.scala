@@ -101,10 +101,12 @@ object SparkEntry {
     "funnel_stages" -> (ops.Behavioral.funnelStages _),
     "cohort_retention" -> (ops.Behavioral.cohortRetention _),
     "zscore_outliers" -> (ops.Behavioral.zscoreOutliers _),
+    "moving_median_7d" -> (ops.Behavioral.movingMedian7d _),
     "resample_ffill" -> (ops.Behavioral.resampleFfill _),
     "ewma_daily_revenue" -> (ops.Behavioral.ewmaDailyRevenue _),
     "unpivot_segment_metrics" -> (ops.Relational.unpivotSegmentMetrics _),
     "embedding_near_dup" -> ((s, d) => llm.Similarity.embeddingNearDup(s, d)),
+    "multi_signal_near_dup" -> ((s, d) => llm.Similarity.multiSignalNearDup(s, d)),
     "multimodal_features" -> (llm.Multimodal.multimodalFeatures _),
     "video_frame_sample" -> (llm.Multimodal.videoFrameSample _),
     "above_avg_customers" -> (ops.Relational.aboveAvgCustomers _),
@@ -155,9 +157,13 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT doc_id + 1000000, regexp_replace(text, '^\S+ ', '') FROM documents""".stripMargin
 
-  private val MinhashNearDupSql: String =
+  /** The MinHash band/signature pair pipeline over an arbitrary
+    * corpus SELECT — one definition, instantiated for the manufactured
+    * near-dup corpus (below) and for the plain documents corpus
+    * (`multi_signal_near_dup`), so the band math cannot drift. */
+  private def minhashPairsSqlOver(corpusSql: String): String =
     s"""WITH corpus AS (
-        |  $NearDupCorpusSql
+        |  $corpusSql
         |),
         |tok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM corpus),
         |t2 AS (SELECT doc_id, list_transform(tokens, t ->
@@ -186,6 +192,8 @@ object SparkEntry {
         |GROUP BY doc_a, doc_b
         |HAVING est_jaccard >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val MinhashNearDupSql: String = minhashPairsSqlOver(NearDupCorpusSql)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -521,6 +529,31 @@ object SparkEntry {
         |FROM (SELECT doc_id, hs, unnest(range(16)) AS perm FROM h)
         |ORDER BY doc_id, perm""".stripMargin,
     "minhash_near_dup" -> MinhashNearDupSql,
+    // multi_signal_near_dup: text-side band candidates over the
+    // manufactured corpus, embedding-cosine verify per candidate; the
+    // +1M variant rides a perturbed copy of its base embedding (same
+    // formula as embedding_near_dup's variant). Float products are
+    // exact in double (24-bit mantissas), so round(…,6) absorbs
+    // summation-order ulps.
+    "multi_signal_near_dup" ->
+      ("WITH nd AS (\n" + MinhashNearDupSql + "\n),\n" +
+        """eb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          |       FROM embeddings),
+          |ev AS (SELECT vec_id + 1000000 AS vec_id,
+          |              list_transform(range(len(v)), i -> v[i+1] * (1 + 0.02*((i % 5) - 2))) AS v
+          |       FROM eb),
+          |e AS (SELECT vec_id, unnest(v) AS x, unnest(range(len(v))) AS i
+          |      FROM (SELECT * FROM eb UNION ALL SELECT * FROM ev)),
+          |n AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM e GROUP BY 1),
+          |dp AS (SELECT nd.doc_a, nd.doc_b, nd.est_jaccard, sum(a.x * b.x) AS dp
+          |       FROM nd JOIN e a ON a.vec_id = nd.doc_a
+          |               JOIN e b ON b.vec_id = nd.doc_b AND a.i = b.i
+          |       GROUP BY 1, 2, 3)
+          |SELECT doc_a, doc_b, est_jaccard,
+          |       round(dp / (na.nrm * nb.nrm), 6) AS cos_sim,
+          |       round(dp / (na.nrm * nb.nrm), 6) >= 0.8 AS confirmed
+          |FROM dp JOIN n na ON na.vec_id = doc_a JOIN n nb ON nb.vec_id = doc_b
+          |ORDER BY doc_a, doc_b""".stripMargin),
     // dedup_clusters: connected components over the near-dup pairs —
     // the oracle computes the EXACT transitive closure with a
     // recursive CTE, guarding the Spark side's iteration bound
@@ -1077,6 +1110,20 @@ object SparkEntry {
         |FROM events JOIN st USING (event_type)
         |WHERE abs(round((value - mu) / sigma, 6)) > 3.0
         |ORDER BY event_id""".stripMargin,
+    // moving_median_7d: daily sums rounded BEFORE the window so the
+    // holistic percentile interpolates identical doubles both engines
+    "moving_median_7d" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         round(sum(value), 6) AS rev
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day,
+        |       CAST(count(*) OVER w AS INT) AS n_days,
+        |       round(quantile_cont(rev, 0.5) OVER w, 6) AS med_rev
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, day""".stripMargin,
     // ewma_daily_revenue: DuckDB's list_reduce seeds with the first
     // element — exactly the Spark fold's NaN-seed semantics; (1.0-0.3)
     // is spelled as the subtraction so both engines use the identical

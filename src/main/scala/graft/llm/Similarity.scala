@@ -216,6 +216,44 @@ object Similarity {
     * both engines agree on the candidate set AND the survivors.
     * Original/variant pairs land ≈0.999 cosine and agree on nearly
     * every sign bit; random pairs stay < 0.52. */
+  /** L2/L3 MULTI-SIGNAL NEAR-DUP: MinHash-LSH candidates from the
+    * TEXT side ([[Dedup.minhashNearDup]] over the plain documents
+    * corpus), each verified by EMBEDDING cosine — the
+    * two-independent-signals dedup a production pipeline runs before
+    * destructive removal (lexical overlap can be coincidence;
+    * lexical + semantic agreement rarely is). Candidate generation
+    * stays the banded equi-join (never all-pairs); the embedding
+    * verify is two broadcast-or-shuffle equi-joins on doc id plus one
+    * codegen'd dot product per CANDIDATE — the embedding table is
+    * never self-joined at all. */
+  def multiSignalNearDup(s: SparkSession, d: String, cosThreshold: Double = 0.8): DataFrame = {
+    // both signals over the SAME manufactured corpus: the +1M text
+    // variant (first token dropped) carries a mildly perturbed copy of
+    // its base embedding (embeddingNearDup's variant formula), so
+    // original↔variant candidates agree on both signals (confirmed)
+    // while coincidental same-corpus lexical collisions get vetoed by
+    // the embedding — the discrimination this operator exists for
+    val cand = Dedup.minhashNearDup(Dedup.nearDupCorpus(s, d))
+    val base = graft.Tables.load(s, d, "embeddings")
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+    val emb = base
+      .unionByName(base.select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("v"), (x, i) =>
+          x * (lit(1.0) + lit(0.02) * (pmod(i, lit(5)) - lit(2)).cast("double"))).as("v")))
+      .withColumn("nrm", l2norm(col("v")))
+    cand
+      .join(emb.select(col("vec_id").as("doc_a"), col("v").as("va"), col("nrm").as("na")),
+        Seq("doc_a"))
+      .join(emb.select(col("vec_id").as("doc_b"), col("v").as("vb"), col("nrm").as("nb")),
+        Seq("doc_b"))
+      .select(
+        col("doc_a"), col("doc_b"), col("est_jaccard"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos_sim"))
+      .withColumn("confirmed", col("cos_sim") >= cosThreshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
   def embeddingNearDup(s: SparkSession, d: String, threshold: Double = 0.9): DataFrame = {
     val base = Tables.load(s, d, "embeddings")
       .filter(col("vec_id") < 200)

@@ -116,6 +116,26 @@ object Behavioral {
       .orderBy("event_type")
   }
 
+  /** 7-DAY MOVING MEDIAN of daily revenue per event type — the
+    * robust-statistics window the mean-based movers can't give you
+    * (one outlier day doesn't drag the trend). The holistic aggregate
+    * (exact percentile) runs over a RANGE frame on the daily
+    * aggregate, so the window's working set is bounded by elapsed
+    * days per type, never by event volume — same spine-not-data
+    * discipline as [[resampleFfill]]. Daily sums are rounded BEFORE
+    * the window so both engines interpolate over identical doubles. */
+  def movingMedian7d(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.load(s, d, "events")
+      .groupBy(col("event_type"), expr("(ts div 1000) div 86400000000").as("day"))
+      .agg(round(sum("value"), 6).as("rev"))
+    val w = Window.partitionBy("event_type").orderBy("day").rangeBetween(-6, 0)
+    daily.select(
+      col("event_type"), col("day"),
+      count(lit(1)).over(w).cast("int").as("n_days"),
+      round(expr("percentile(rev, 0.5)").over(w), 6).as("med_rev"))
+      .orderBy("event_type", "day")
+  }
+
   /** ANOMALY DETECTION by z-score: events whose value sits more than
     * 3 standard deviations from their event type's mean. Two-pass
     * shape — one hash aggregation for the per-type moments (5 rows),
