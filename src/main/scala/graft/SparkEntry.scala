@@ -73,6 +73,7 @@ object SparkEntry {
     "knn_ivf" -> ((s, d) => llm.Similarity.knnIvf(s, d)),
     "knn_ivf_kmeans" -> ((s, d) => llm.Similarity.knnIvfKmeans(s, d)),
     "label_cohesion" -> (llm.Similarity.labelCohesion _),
+    "chi2_lang_label" -> (llm.Similarity.chi2LangLabel _),
     "doc_embedding_join" -> (llm.Similarity.docEmbeddingJoin _),
     "text_quality" -> (llm.TextAnalysis.textQuality _),
     "doc_length_histogram" -> (llm.TextAnalysis.docLengthHistogram _),
@@ -897,6 +898,24 @@ object SparkEntry {
         |SELECT label, count(*) AS n_members,
         |       round(avg(dotvc / (nv * nc)), 6) AS cohesion
         |FROM m GROUP BY label ORDER BY label""".stripMargin,
+    // chi2_lang_label: integral contingency counts; the statistic sums
+    // 25-ish double cells → round 6; zero cells contribute E
+    "chi2_lang_label" ->
+      """WITH ct AS (
+        |  SELECT lang, label, count(*) AS o
+        |  FROM documents JOIN embeddings ON doc_id = vec_id GROUP BY 1, 2),
+        |rt AS (SELECT lang, sum(o) AS r FROM ct GROUP BY 1),
+        |clt AS (SELECT label, sum(o) AS c FROM ct GROUP BY 1),
+        |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM ct),
+        |cells AS (
+        |  SELECT nn.n, g.lang, g.label,
+        |         CAST(coalesce(ct.o, 0) AS DOUBLE) AS od,
+        |         CAST(g.r AS DOUBLE) * g.c / nn.n AS e
+        |  FROM (SELECT lang, r, label, c FROM rt CROSS JOIN clt) g
+        |  LEFT JOIN ct USING (lang, label) CROSS JOIN nn)
+        |SELECT n, CAST(count(*) AS INT) AS n_cells,
+        |       round(sum((od - e) * (od - e) / e), 6) AS chi2
+        |FROM cells GROUP BY n""".stripMargin,
     "token_predicates" ->
       """SELECT doc_id,
         |  len(list_filter(string_split(text, ' '),

@@ -298,6 +298,38 @@ object Similarity {
   /** L3 aggregate view: label centroids + per-label cohesion (mean
     * cosine of members to their centroid) — the clustering-quality
     * probe of an embedding pipeline. Exact, oracle-able. */
+  /** Cross-modal INDEPENDENCE TEST: Pearson chi-square between a
+    * doc's language and its embedding-cluster label — the "is my
+    * labeling correlated with language?" audit a multilingual corpus
+    * needs before training (a high statistic means the clusters are
+    * just rediscovering language). The contingency table is one
+    * equi-join + hash aggregation; marginals are two tiny re-aggs of
+    * the CELLS (never the corpus) crossed back in a broadcast grid,
+    * so the full table is touched exactly once at any scale. Zero
+    * cells contribute their expected count via the left join. */
+  def chi2LangLabel(s: SparkSession, d: String): DataFrame = {
+    val ct = Tables.load(s, d, "documents")
+      .join(Tables.load(s, d, "embeddings").select(col("vec_id"), col("label")),
+        col("doc_id") === col("vec_id"))
+      .groupBy("lang", "label")
+      .agg(count(lit(1)).as("o"))
+    val rt = ct.groupBy("lang").agg(sum("o").as("r"))
+    val clt = ct.groupBy("label").agg(sum("o").as("c"))
+    val n = ct.agg(sum("o").as("n"))
+    broadcast(rt).crossJoin(broadcast(clt)).crossJoin(broadcast(n))
+      .join(ct, Seq("lang", "label"), "left")
+      .select(
+        col("n"), col("lang"), col("label"),
+        coalesce(col("o"), lit(0L)).cast("double").as("od"),
+        (col("r").cast("double") * col("c") / col("n")).as("e"))
+      .groupBy("n")
+      .agg(
+        count(lit(1)).cast("int").as("n_cells"),
+        round(sum((col("od") - col("e")) * (col("od") - col("e")) / col("e")), 6)
+          .as("chi2"))
+      .select(col("n"), col("n_cells"), col("chi2"))
+  }
+
   def labelCohesion(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.load(s, d, "embeddings")
       .select(col("vec_id"), col("label"), toDoubleArray(col("embedding")).as("v"))
