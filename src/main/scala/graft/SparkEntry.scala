@@ -98,7 +98,11 @@ object SparkEntry {
     "salted_skew_join" -> (ops.Relational.saltedSkewJoin _),
     "bucketed_join_colocated" -> (ops.Relational.bucketedJoinColocated _),
     "q4_late_orders" -> (ops.Relational.q4LateOrders _),
+    "q12_priority_shipping" -> (ops.Relational.q12PriorityShipping _),
+    "q13_order_distribution" -> (ops.Relational.q13OrderDistribution _),
     "q14_promo_revenue" -> (ops.Relational.q14PromoRevenue _),
+    "q19_disjunctive_revenue" -> (ops.Relational.q19DisjunctiveRevenue _),
+    "q22_sales_opportunity" -> (ops.Relational.q22SalesOpportunity _),
     "funnel_stages" -> (ops.Behavioral.funnelStages _),
     "cohort_retention" -> (ops.Behavioral.cohortRetention _),
     "zscore_outliers" -> (ops.Behavioral.zscoreOutliers _),
@@ -1071,6 +1075,46 @@ object SparkEntry {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         |  AND l_shipdate < TIMESTAMP '1998-01-01'""".stripMargin,
+    "q12_priority_shipping" ->
+      """SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY ship_year""".stripMargin,
+    "q13_order_distribution" ->
+      """WITH co AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist
+        |FROM co GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q19_disjunctive_revenue" ->
+      """SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 6) AS revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    // q22: NOT EXISTS (never NOT IN — a single null o_custkey would
+    // empty the result); dormant = no order since 2000 (every customer
+    // in this corpus has ordered at least once); threshold rounded so
+    // both engines cut at the identical double
+    "q22_sales_opportunity" ->
+      """WITH ab AS (SELECT round(avg(c_acctbal), 6) AS ab
+        |            FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c_nationkey, count(*) AS numcust,
+        |       round(sum(c_acctbal), 6) AS totacctbal
+        |FROM customer, ab
+        |WHERE c_acctbal > ab
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
     // salted_skew_join: the salt is invisible to the result — the
     // oracle is the UNSALTED join (dim weight rounded before the
     // multiply on both sides)

@@ -60,6 +60,83 @@ object Relational {
     hist
   }
 
+  /** TPC-H Q12 shape (priority shipping): fact⋈fact join + conditional
+    * counting aggregate — one orderkey shuffle, the CASE sums are
+    * partial-agg friendly. (The driver tables carry no shipmode or
+    * commit/receipt dates, so the essence — urgent-vs-other line
+    * counts per period — runs on order priority and ship year.) */
+  def q12PriorityShipping(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem").select("l_orderkey", "l_shipdate")
+      .join(t(s, d, "orders").select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("l_shipdate")).cast("int").as("ship_year"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy("ship_year")
+
+  /** TPC-H Q13 shape (customer order-count distribution): LEFT join so
+    * zero-order customers survive with c_count = 0, then the
+    * distribution re-aggregation. Two shuffles total (custkey, then
+    * the tiny count key). */
+  def q13OrderDistribution(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer").select("c_custkey")
+      .join(t(s, d, "orders").select("o_custkey", "o_orderkey"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count")) // count(col) skips the null miss
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** TPC-H Q19 shape (disjunctive predicate join): three OR'd
+    * brand×size×quantity branches — the classic case where the
+    * predicate must stay ON the join (not decompose into separate
+    * scans); part is broadcast so the disjunction evaluates map-side
+    * in one pass over lineitem. */
+  def q19DisjunctiveRevenue(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .join(broadcast(t(s, d, "part").select("p_partkey", "p_brand", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30)))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 6)
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q22 shape (global sales opportunity): positive-balance
+    * average as a broadcast scalar threshold, anti-join against orders
+    * for DORMANT customers, grouped by nation. (The driver corpus
+    * gives every customer at least one order, so the textbook
+    * "never ordered" filter is structurally empty — the anti-join runs
+    * against the final stretch of the order history instead: high-
+    * balance customers with no order since 2000.) The threshold is
+    * ROUNDED before comparison so both engines cut at the identical
+    * double. */
+  def q22SalesOpportunity(s: SparkSession, d: String): DataFrame = {
+    val cust = t(s, d, "customer")
+    val avgBal = cust.filter(col("c_acctbal") > 0.0)
+      .agg(round(avg("c_acctbal"), 6).as("ab"))
+    cust.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("ab"))
+      .join(
+        t(s, d, "orders")
+          .filter(col("o_orderdate") >= to_timestamp(lit("2000-01-01")))
+          .select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("numcust"), round(sum("c_acctbal"), 6).as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
+
   /** A8: TPC-H Q1-shaped pricing summary — hash aggregate with
     * map-side partials; one shuffle on the 6-value group key. */
   def q1PricingSummary(s: SparkSession, d: String): DataFrame =
