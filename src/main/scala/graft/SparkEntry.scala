@@ -62,6 +62,7 @@ object SparkEntry {
     "streaming_dedup" -> (streaming.StreamingDedup.streamingDedupQuery _),
     "simhash_docs" -> (llm.Dedup.simhashDocs _),
     "simhash_near_dup" -> ((s, d) => llm.Dedup.simhashNearDup(s, d)),
+    "setsim_join_exact" -> (llm.Dedup.setSimJoinQuery _),
     "jaccard_consecutive" -> (llm.Dedup.jaccardConsecutive _),
     "levenshtein_consecutive" -> (llm.Dedup.levenshteinConsecutive _),
     "cjk_edit_sim" -> (llm.Dedup.cjkEditSim _),
@@ -683,6 +684,40 @@ object SparkEntry {
         |FROM bands a JOIN bands b
         |  ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // setsim_join_exact: prefix filtering is a pure prune (proof in
+    // Dedup.setSimJoinExact) so the oracle could even skip it — it is
+    // mirrored anyway to keep the engines' candidate sets identical;
+    // the 3/5 threshold is tested as all-integer 5*inter >= 3*union
+    "setsim_join_exact" ->
+      s"""WITH corpus AS (
+        |  $NearDupCorpusSql
+        |),
+        |tk0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
+        |tk AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+        |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS ts
+        |       FROM tk0 WHERE len(tk) >= 3),
+        |tok AS (SELECT doc_id, unnest(ts) AS token FROM tk),
+        |dfreq AS (SELECT token, count(*) AS df FROM tok GROUP BY 1),
+        |ordered AS (
+        |  SELECT doc_id, list(token ORDER BY df, token) AS ots
+        |  FROM tok JOIN dfreq USING (token) GROUP BY doc_id),
+        |pref AS (
+        |  SELECT doc_id, unnest(list_slice(ots, 1,
+        |    len(ots) - ((3 * len(ots) + 4) // 5) + 1)) AS token
+        |  FROM ordered),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM pref a JOIN pref b ON a.token = b.token AND a.doc_id < b.doc_id),
+        |v AS (
+        |  SELECT doc_a, doc_b,
+        |         len(list_intersect(ta.ts, tb.ts)) AS n_inter,
+        |         len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts)) AS n_union
+        |  FROM cand JOIN tk ta ON ta.doc_id = doc_a JOIN tk tb ON tb.doc_id = doc_b)
+        |SELECT doc_a, doc_b, CAST(n_inter AS INT) AS n_inter,
+        |       CAST(n_union AS INT) AS n_union,
+        |       round(n_inter::DOUBLE / n_union, 6) AS jaccard
+        |FROM v WHERE 5 * n_inter >= 3 * n_union
         |ORDER BY doc_a, doc_b""".stripMargin,
     "jaccard_consecutive" ->
       """WITH sh AS (
