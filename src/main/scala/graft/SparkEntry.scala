@@ -63,6 +63,7 @@ object SparkEntry {
     "simhash_docs" -> (llm.Dedup.simhashDocs _),
     "simhash_near_dup" -> ((s, d) => llm.Dedup.simhashNearDup(s, d)),
     "setsim_join_exact" -> (llm.Dedup.setSimJoinQuery _),
+    "triangle_count" -> (llm.Dedup.triangleCount _),
     "jaccard_consecutive" -> (llm.Dedup.jaccardConsecutive _),
     "levenshtein_consecutive" -> (llm.Dedup.levenshteinConsecutive _),
     "cjk_edit_sim" -> (llm.Dedup.cjkEditSim _),
@@ -719,6 +720,28 @@ object SparkEntry {
         |       round(n_inter::DOUBLE / n_union, 6) AS jaccard
         |FROM v WHERE 5 * n_inter >= 3 * n_union
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // triangle_count: the oracle builds the SAME edge set by brute
+    // force (legitimate — the prefix filter is proven exact) and
+    // closes wedges with two joins; all-integer
+    "triangle_count" ->
+      s"""WITH corpus AS (
+        |  $NearDupCorpusSql
+        |),
+        |tk0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
+        |tk AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+        |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS ts
+        |       FROM tk0 WHERE len(tk) >= 3),
+        |e AS (SELECT a.doc_id AS x, b.doc_id AS y
+        |      FROM tk a JOIN tk b ON a.doc_id < b.doc_id
+        |      WHERE 5 * len(list_intersect(a.ts, b.ts)) >=
+        |            3 * (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))),
+        |vx AS (SELECT count(DISTINCT v) AS n_vertices
+        |       FROM (SELECT x AS v FROM e UNION ALL SELECT y FROM e)),
+        |ed AS (SELECT count(*) AS n_edges FROM e),
+        |tri AS (SELECT count(*) AS n_triangles
+        |        FROM e e1 JOIN e e2 ON e1.y = e2.x
+        |                  JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y)
+        |SELECT n_vertices, n_edges, n_triangles FROM vx, ed, tri""".stripMargin,
     "jaccard_consecutive" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(list_transform(range(1, len(tokens)-1),

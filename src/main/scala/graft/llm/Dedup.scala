@@ -208,6 +208,30 @@ object Dedup {
   def setSimJoinQuery(s: SparkSession, d: String): DataFrame =
     setSimJoinExact(nearDupCorpus(s, d))
 
+  /** GRAPH ANALYTICS over the dedup graph: TRIANGLE COUNT on the
+    * exact near-dup edges — the standard cluster-density probe (a
+    * chain of pairwise near-dups is a different dedup risk than a
+    * dense clique; triangles measure the difference). The classic
+    * two-join MR shape: every edge is (a < b), a wedge is
+    * e1=(a,m)⋈e2=(m,c), closed by e3=(a,c) — each triangle {x<y<z}
+    * counted exactly once. All three joins are equi-joins on vertex
+    * ids; at 100 TB the refinement is degree-ordered iteration (join
+    * only from the lower-degree endpoint), the same plan shape with a
+    * degree table joined in. Output is all-integer. */
+  def triangleCount(s: SparkSession, d: String): DataFrame = {
+    val e = setSimJoinExact(nearDupCorpus(s, d))
+      .select(col("doc_a").as("x"), col("doc_b").as("y"))
+      .persist() // three consumers; the edge frame is candidate-scale, not corpus-scale
+    val verts = e.select(col("x").as("v")).unionByName(e.select(col("y").as("v")))
+      .agg(countDistinct("v").as("n_vertices"))
+    val edges = e.agg(count(lit(1)).as("n_edges"))
+    val tri = e.select(col("x").as("a"), col("y").as("m"))
+      .join(e.select(col("x").as("m"), col("y").as("c")), Seq("m"))
+      .join(e.select(col("x").as("a"), col("y").as("c")), Seq("a", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+    verts.crossJoin(edges).crossJoin(tri)
+  }
+
   /** L1b CANONICALIZATION: after clustering ([[dedupClusters]]), a
     * production dedup keeps ONE representative per near-dup cluster —
     * the highest-QUALITY member, not an arbitrary one (the cleaner of
