@@ -92,6 +92,7 @@ object SparkEntry {
     "tfidf_top_terms" -> (llm.TextAnalysis.tfidfTopTerms _),
     "bm25_retrieval" -> (llm.TextAnalysis.bm25Retrieval _),
     "conjunctive_search" -> (llm.TextAnalysis.conjunctiveSearch _),
+    "inverted_index_lookup" -> (llm.TextAnalysis.invertedIndexLookup _),
     "hash_split" -> (etl.Preprocess.hashSplit _),
     "stratified_sample" -> (etl.Preprocess.stratifiedSample _),
     "dq_checks" -> (ops.Relational.dqChecks _),
@@ -1074,6 +1075,14 @@ object SparkEntry {
         |  ON l_partkey = p_partkey AND p_brand = 'Brand#23'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "conjunctive_search" ->
+      """SELECT doc_id, count(*) AS n_hits
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |WHERE term IN ('spark', 'vector', 'stream')
+        |GROUP BY doc_id HAVING count(DISTINCT term) = 3
+        |ORDER BY doc_id""".stripMargin,
+    // inverted_index_lookup: the materialized-index path must give the
+    // SAME answer as the direct corpus query — identical oracle
+    "inverted_index_lookup" ->
       """SELECT doc_id, count(*) AS n_hits
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
         |WHERE term IN ('spark', 'vector', 'stream')
