@@ -94,6 +94,13 @@ object TextAnalysis {
           |  i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))"""
           .stripMargin)).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      // pinned exchange on the bigram key: the count aggregation and
+      // the scoring join BOTH consume `big` hashed on (w1, w2), so the
+      // explode runs once and the exchange is reused — without it each
+      // consumer re-derives the corpus explode from the scan
+      .repartition(
+        s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+        col("w1"), col("w2"))
     val bc = big.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
     big
       .join(bc, Seq("w1", "w2"))
