@@ -203,6 +203,31 @@ object SparkEntry {
 
   private val MinhashNearDupSql: String = minhashPairsSqlOver(NearDupCorpusSql)
 
+  /** Hashed-shingle-set Jaccard edges (τ = 4/5) over the near-dup
+    * corpus by BRUTE FORCE — legitimate as an oracle because the
+    * Spark side's prefix + positional filters are proven exact; shared
+    * by `setsim_join_exact` and `triangle_count`. The hash chain (th →
+    * hs) is the same published polyhash/shingle math as the MinHash
+    * oracle and the fuzz harness. */
+  private val SetSimEdgesSql: String =
+    s"""corpus AS (
+        |  $NearDupCorpusSql
+        |),
+        |t2 AS (SELECT doc_id, list_transform(string_split(text, ' '), t ->
+        |        list_reduce(list_prepend(0::BIGINT,
+        |          list_transform(range(1, length(t)+1), i -> ascii(substring(t,i,1))::BIGINT)),
+        |          (a,c) -> (a*31+c) % 1000000007)) AS th FROM corpus),
+        |h AS (SELECT doc_id, list_transform(range(1, len(th)-1),
+        |        i -> (((th[i]*37 + th[i+1]) % 1000000007) * 37 + th[i+2]) % 1000000007) AS hs
+        |      FROM t2 WHERE len(th) >= 3),
+        |tkset AS (SELECT doc_id, list_distinct(hs) AS ts FROM h),
+        |e AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |             len(list_intersect(a.ts, b.ts)) AS n_inter,
+        |             len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS n_union
+        |      FROM tkset a JOIN tkset b ON a.doc_id < b.doc_id
+        |      WHERE 5 * len(list_intersect(a.ts, b.ts)) >=
+        |            4 * (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))))""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
@@ -687,62 +712,27 @@ object SparkEntry {
         |  ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
         |ORDER BY doc_a, doc_b""".stripMargin,
-    // setsim_join_exact: prefix filtering is a pure prune (proof in
-    // Dedup.setSimJoinExact) so the oracle could even skip it — it is
-    // mirrored anyway to keep the engines' candidate sets identical;
-    // the 3/5 threshold is tested as all-integer 5*inter >= 3*union
+    // setsim_join_exact: the Spark side's prefix + positional
+    // filters are proven exact, so the oracle verifies by brute force
+    // over the same hashed shingle sets; thresholds all-integer
     "setsim_join_exact" ->
-      s"""WITH corpus AS (
-        |  $NearDupCorpusSql
-        |),
-        |tk0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
-        |tk AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
-        |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS ts
-        |       FROM tk0 WHERE len(tk) >= 3),
-        |tok AS (SELECT doc_id, unnest(ts) AS token FROM tk),
-        |dfreq AS (SELECT token, count(*) AS df FROM tok GROUP BY 1),
-        |ordered AS (
-        |  SELECT doc_id, list(token ORDER BY df, token) AS ots
-        |  FROM tok JOIN dfreq USING (token) GROUP BY doc_id),
-        |pref AS (
-        |  SELECT doc_id, unnest(list_slice(ots, 1,
-        |    len(ots) - ((3 * len(ots) + 4) // 5) + 1)) AS token
-        |  FROM ordered),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM pref a JOIN pref b ON a.token = b.token AND a.doc_id < b.doc_id),
-        |v AS (
-        |  SELECT doc_a, doc_b,
-        |         len(list_intersect(ta.ts, tb.ts)) AS n_inter,
-        |         len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts)) AS n_union
-        |  FROM cand JOIN tk ta ON ta.doc_id = doc_a JOIN tk tb ON tb.doc_id = doc_b)
-        |SELECT doc_a, doc_b, CAST(n_inter AS INT) AS n_inter,
-        |       CAST(n_union AS INT) AS n_union,
-        |       round(n_inter::DOUBLE / n_union, 6) AS jaccard
-        |FROM v WHERE 5 * n_inter >= 3 * n_union
-        |ORDER BY doc_a, doc_b""".stripMargin,
-    // triangle_count: the oracle builds the SAME edge set by brute
-    // force (legitimate — the prefix filter is proven exact) and
-    // closes wedges with two joins; all-integer
+      (s"""WITH $SetSimEdgesSql\n""" +
+        """SELECT doc_a, doc_b, CAST(n_inter AS INT) AS n_inter,
+          |       CAST(n_union AS INT) AS n_union,
+          |       round(n_inter::DOUBLE / n_union, 6) AS jaccard
+          |FROM e ORDER BY doc_a, doc_b""".stripMargin),
+    // triangle_count: edges = the minhash near-dup pairs (shared
+    // MinhashNearDupSql, nested like dedup_clusters does), wedges
+    // closed with two joins; all-integer
     "triangle_count" ->
-      s"""WITH corpus AS (
-        |  $NearDupCorpusSql
-        |),
-        |tk0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
-        |tk AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
-        |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS ts
-        |       FROM tk0 WHERE len(tk) >= 3),
-        |e AS (SELECT a.doc_id AS x, b.doc_id AS y
-        |      FROM tk a JOIN tk b ON a.doc_id < b.doc_id
-        |      WHERE 5 * len(list_intersect(a.ts, b.ts)) >=
-        |            3 * (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))),
-        |vx AS (SELECT count(DISTINCT v) AS n_vertices
-        |       FROM (SELECT x AS v FROM e UNION ALL SELECT y FROM e)),
-        |ed AS (SELECT count(*) AS n_edges FROM e),
-        |tri AS (SELECT count(*) AS n_triangles
-        |        FROM e e1 JOIN e e2 ON e1.y = e2.x
-        |                  JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y)
-        |SELECT n_vertices, n_edges, n_triangles FROM vx, ed, tri""".stripMargin,
+      ("WITH e AS (\n" + MinhashNearDupSql + "\n),\n" +
+        """vx AS (SELECT count(DISTINCT v) AS n_vertices
+          |       FROM (SELECT doc_a AS v FROM e UNION ALL SELECT doc_b FROM e)),
+          |ed AS (SELECT count(*) AS n_edges FROM e),
+          |tri AS (SELECT count(*) AS n_triangles
+          |        FROM e e1 JOIN e e2 ON e1.doc_b = e2.doc_a
+          |                  JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)
+          |SELECT n_vertices, n_edges, n_triangles FROM vx, ed, tri""".stripMargin),
     "jaccard_consecutive" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(list_transform(range(1, len(tokens)-1),

@@ -160,20 +160,39 @@ object Dedup {
     * The threshold is the RATIONAL 3/5 tested as 5·|∩| ≥ 3·|∪| —
     * all-integer, no float boundary on either engine.
     *
-    * The SET is each doc's distinct word-3-gram shingles (the same
-    * unit as [[jaccardConsecutive]] and MinHash), not unigrams: this
-    * corpus draws unigrams from a shared template vocabulary, so
-    * unigram sets are near-identical across unrelated docs (measured:
-    * 56% of ALL pairs pass τ=0.6 on unigrams; exactly the
-    * manufactured near-dups pass on shingles). */
+    * The SET is each doc's distinct HASHED word-3-gram shingles
+    * (native `shingleHashes3` — the exact unit MinHash signs, already
+    * cross-engine-proven by the fuzz harness), τ = 4/5 tested as
+    * 5·|∩| ≥ 4·|∪|. Unigrams would be useless on this corpus (its
+    * template vocabulary makes 56% of ALL pairs pass τ=0.6 on unigram
+    * sets), and long hashes make the million-candidate verify integer
+    * compares instead of string hashing.
+    *
+    * Besides the prefix filter, candidates pass PPJoin's POSITIONAL
+    * filter AT JOIN TIME: a match at rare-first positions (ia, ib)
+    * bounds the overlap by ub = 1 + min(na−ia, nb−ib) (every common
+    * element ≥ the matched one in the global order), and J ≥ 4/5
+    * forces |∩| ≥ ⌈4(na+nb)/9⌉, so 9·ub ≥ 4·(na+nb) or the match
+    * cannot witness a qualifying pair — also lossless, also integer.
+    * On this corpus the prefix join alone yields ~1.2M candidate
+    * pairs at sf0.1; the positional filter is what keeps the exact
+    * verify off those. */
   def setSimJoinExact(corpus: DataFrame): DataFrame = {
+    val nParts =
+      corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val tk = corpus
-      .select(col("doc_id"), tokens(col("text")).as("tk"))
-      .filter(size(col("tk")) >= 3)
-      .select(col("doc_id"), array_distinct(expr(
-        "transform(sequence(1, size(tk) - 2), i -> concat_ws(' ', slice(tk, i, 3)))"))
-        .as("ts"))
+      .select(col("doc_id"),
+        array_distinct(shingleHashes3(tokenHashesNative(col("text")))).as("ts"))
+      .filter(size(col("ts")) >= 1)
+      // pinned exchange: the shingle-set projection has three
+      // consumers (posting explode + both verify-join sides); without
+      // a materialization barrier each re-runs the hashing from the
+      // scan (the HOF-recompute trap)
+      .repartition(nParts, col("doc_id"))
     val tok = tk.select(col("doc_id"), explode(col("ts")).as("token"))
+      // same barrier for the exploded postings, keyed on token so the
+      // df aggregation and the ordering join reuse one partitioning
+      .repartition(nParts, col("token"))
     val dfreq = tok.groupBy("token").agg(count(lit(1)).as("df"))
     val ordered = tok.join(dfreq, Seq("token"))
       .groupBy("doc_id")
@@ -182,12 +201,18 @@ object Dedup {
         e => e.getField("token")).as("ots"))
     val pref = ordered
       .withColumn("n", size(col("ots")))
-      .select(col("doc_id"),
-        explode(slice(col("ots"), lit(1),
-          col("n") - expr("(3 * n + 4) div 5") + 1)).as("token"))
-    val cand = pref.select(col("doc_id").as("doc_a"), col("token"))
-      .join(pref.select(col("doc_id").as("doc_b"), col("token").as("b_token")),
-        col("token") === col("b_token") && col("doc_a") < col("doc_b"))
+      .select(col("doc_id"), col("n"),
+        posexplode(slice(col("ots"), lit(1),
+          col("n") - expr("(4 * n + 4) div 5") + 1)))
+      .select(col("doc_id"), col("n"), (col("pos") + 1).as("i"), col("col").as("token"))
+    val cand = pref
+      .select(col("doc_id").as("doc_a"), col("n").as("na"), col("i").as("ia"), col("token"))
+      .join(
+        pref.select(col("doc_id").as("doc_b"), col("n").as("nb"),
+          col("i").as("ib"), col("token").as("b_token")),
+        col("token") === col("b_token") && col("doc_a") < col("doc_b") &&
+          lit(9) * (lit(1) + least(col("na") - col("ia"), col("nb") - col("ib"))) >=
+            lit(4) * (col("na") + col("nb")))
       .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
     cand
@@ -197,7 +222,7 @@ object Dedup {
         size(array_intersect(col("ta"), col("tb"))).as("n_inter"),
         (size(col("ta")) + size(col("tb"))
           - size(array_intersect(col("ta"), col("tb")))).as("n_union"))
-      .filter(lit(5) * col("n_inter") >= lit(3) * col("n_union"))
+      .filter(lit(5) * col("n_inter") >= lit(4) * col("n_union"))
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),
         round(col("n_inter").cast("double") / col("n_union"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -209,17 +234,22 @@ object Dedup {
     setSimJoinExact(nearDupCorpus(s, d))
 
   /** GRAPH ANALYTICS over the dedup graph: TRIANGLE COUNT on the
-    * exact near-dup edges — the standard cluster-density probe (a
-    * chain of pairwise near-dups is a different dedup risk than a
-    * dense clique; triangles measure the difference). The classic
-    * two-join MR shape: every edge is (a < b), a wedge is
-    * e1=(a,m)⋈e2=(m,c), closed by e3=(a,c) — each triangle {x<y<z}
-    * counted exactly once. All three joins are equi-joins on vertex
-    * ids; at 100 TB the refinement is degree-ordered iteration (join
-    * only from the lower-degree endpoint), the same plan shape with a
-    * degree table joined in. Output is all-integer. */
+    * MinHash near-dup edges (the same graph [[dedupClusters]]
+    * contracts) — the standard cluster-density probe (a chain of
+    * pairwise near-dups is a different dedup risk than a dense
+    * clique; triangles measure the difference). The classic two-join
+    * MR shape: every edge is (a < b), a wedge is e1=(a,m)⋈e2=(m,c),
+    * closed by e3=(a,c) — each triangle {x<y<z} counted exactly once.
+    * All three joins are equi-joins on vertex ids; at 100 TB the
+    * refinement is degree-ordered iteration (join only from the
+    * lower-degree endpoint), the same plan shape with a degree table
+    * joined in. (The SimHash hamming≤2 graph was measured and
+    * rejected as the edge set here: this corpus makes it DENSE — 4.5%
+    * of ALL doc pairs — and wedge counting over dense banded clusters
+    * is the quadratic blowup the est_jaccard≥0.5 graph avoids.)
+    * Output is all-integer. */
   def triangleCount(s: SparkSession, d: String): DataFrame = {
-    val e = setSimJoinExact(nearDupCorpus(s, d))
+    val e = minhashNearDup(nearDupCorpus(s, d))
       .select(col("doc_a").as("x"), col("doc_b").as("y"))
       .persist() // three consumers; the edge frame is candidate-scale, not corpus-scale
     val verts = e.select(col("x").as("v")).unionByName(e.select(col("y").as("v")))

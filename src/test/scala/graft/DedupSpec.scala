@@ -203,9 +203,10 @@ class DedupSpec extends AnyFunSuite {
     assert(banded.nonEmpty, "corpus has near-dup pairs; empty means the query broke")
   }
 
-  test("prefix-filtered set-similarity join equals brute-force Jaccard >= 3/5 exactly") {
-    // the prefix filter must be a PURE prune: every pair with token-set
-    // Jaccard >= 3/5 shares a token inside both rarest-first prefixes
+  test("prefix+positional-filtered set-similarity join equals brute-force Jaccard >= 4/5 exactly") {
+    // BOTH filters must be pure prunes: every pair with hashed-shingle
+    // Jaccard >= 4/5 shares a token inside both rarest-first prefixes
+    // at positions satisfying the overlap upper bound
     val d = "/root/testdata/sf0.001"
     val corpus = Dedup.nearDupCorpus(spark, d)
       .filter(pmod(col("doc_id"), lit(1000000L)) < 200) // 400 docs: brute force stays cheap
@@ -213,21 +214,19 @@ class DedupSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
     import graft.functions.ColumnFunctions._
     val tk = corpus
-      .select(col("doc_id"), tokens(col("text")).as("tk"))
-      .filter(size(col("tk")) >= 3)
-      .select(col("doc_id"), array_distinct(expr(
-        "transform(sequence(1, size(tk) - 2), i -> concat_ws(' ', slice(tk, i, 3)))"))
-        .as("ts"))
+      .select(col("doc_id"),
+        array_distinct(shingleHashes3(tokenHashesNative(col("text")))).as("ts"))
+      .filter(size(col("ts")) >= 1)
     val brute = tk.as("a").join(tk.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id"), col("b.doc_id"),
         size(array_intersect(col("a.ts"), col("b.ts"))).as("i"),
         (size(col("a.ts")) + size(col("b.ts"))
           - size(array_intersect(col("a.ts"), col("b.ts")))).as("u"))
-      .filter(lit(5) * col("i") >= lit(3) * col("u"))
+      .filter(lit(5) * col("i") >= lit(4) * col("u"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
     assert(got === brute,
-      s"prefix filter must lose nothing: got=${got.size} brute=${brute.size}")
-    assert(got.nonEmpty, "the manufactured corpus has Jaccard>=3/5 pairs")
+      s"filters must lose nothing: got=${got.size} brute=${brute.size}")
+    assert(got.nonEmpty, "the manufactured corpus has Jaccard>=4/5 pairs")
   }
 
   test("exact dedup multiplicity on a frame with true duplicates") {
