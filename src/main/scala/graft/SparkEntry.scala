@@ -110,6 +110,8 @@ object SparkEntry {
     "cohort_retention" -> (ops.Behavioral.cohortRetention _),
     "zscore_outliers" -> (ops.Behavioral.zscoreOutliers _),
     "moving_median_7d" -> (ops.Behavioral.movingMedian7d _),
+    "event_transitions" -> (ops.Behavioral.eventTransitions _),
+    "revenue_pareto" -> (ops.Behavioral.revenuePareto _),
     "resample_ffill" -> (ops.Behavioral.resampleFfill _),
     "ewma_daily_revenue" -> (ops.Behavioral.ewmaDailyRevenue _),
     "unpivot_segment_metrics" -> (ops.Relational.unpivotSegmentMetrics _),
@@ -1230,6 +1232,29 @@ object SparkEntry {
         |FROM events JOIN st USING (event_type)
         |WHERE abs(round((value - mu) / sigma, 6)) > 3.0
         |ORDER BY event_id""".stripMargin,
+    // event_transitions: (µs, event_id) makes sequences total-ordered;
+    // probabilities rounded after the division
+    "event_transitions" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT prev, event_type AS next, count(*) AS n,
+        |       round(count(*)::DOUBLE / sum(count(*)) OVER (PARTITION BY prev), 6) AS p
+        |FROM o WHERE prev IS NOT NULL
+        |GROUP BY prev, event_type ORDER BY prev, next""".stripMargin,
+    // revenue_pareto: rank/cumsum/total all over the ROUNDED per-nation
+    // revenue — identical doubles in identical order on both engines
+    "revenue_pareto" ->
+      """WITH bn AS (
+        |  SELECT c_nationkey, round(sum(o_totalprice), 2) AS revenue
+        |  FROM customer JOIN orders ON c_custkey = o_custkey GROUP BY 1),
+        |t AS (SELECT sum(revenue) AS total FROM bn)
+        |SELECT c_nationkey, revenue,
+        |       CAST(rank() OVER (ORDER BY revenue DESC, c_nationkey) AS INT) AS rk,
+        |       round(sum(revenue) OVER (ORDER BY revenue DESC, c_nationkey
+        |                                ROWS UNBOUNDED PRECEDING) / total, 6) AS cum_share
+        |FROM bn, t ORDER BY rk""".stripMargin,
     // moving_median_7d: daily sums rounded BEFORE the window so the
     // holistic percentile interpolates identical doubles both engines
     "moving_median_7d" ->

@@ -116,6 +116,56 @@ object Behavioral {
       .orderBy("event_type")
   }
 
+  /** MARKOV TRANSITION MATRIX estimation over per-user event
+    * sequences: P(next type | current type) from the lag pairs of
+    * each user's time-ordered stream — the behavioral model behind
+    * "what do users do after a view". One user_id shuffle for the lag
+    * window, one hash aggregation over the (prev, cur) pairs (25
+    * cells); probabilities are rounded after the division. The
+    * (µs, event_id) sort key makes every sequence total-ordered in
+    * both engines. */
+  def eventTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(Tables.tsMicros("ts"), col("event_id"))
+    val pairs = Tables.load(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .filter(col("prev").isNotNull)
+    pairs
+      .groupBy("prev", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        round(col("n").cast("double") /
+          sum("n").over(Window.partitionBy("prev")), 6))
+      .select(col("prev"), col("event_type").as("next"), col("n"), col("p"))
+      .orderBy("prev", "next")
+  }
+
+  /** PARETO / CONTRIBUTION analysis: nations ranked by revenue with
+    * cumulative share — the 80/20 cut every revenue review draws. The
+    * heavy work is one fact-side hash aggregation; the ranking window
+    * runs over |nations| rows. Ranking, the running sum, and the
+    * total all operate on the ROUNDED per-nation revenue, so both
+    * engines order and fold bit-identical doubles (the raw sums carry
+    * partial-order ulps that could flip a rank or the 6th decimal of
+    * a share). */
+  def revenuePareto(s: SparkSession, d: String): DataFrame = {
+    val byNation = Tables.load(s, d, "customer")
+      .join(Tables.load(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+      .groupBy("c_nationkey")
+      .agg(round(sum("o_totalprice"), 2).as("revenue"))
+    val w = Window.orderBy(col("revenue").desc, col("c_nationkey"))
+    byNation
+      .crossJoin(broadcast(byNation.agg(sum("revenue").as("total"))))
+      .select(
+        col("c_nationkey"),
+        col("revenue"),
+        rank().over(w).cast("int").as("rk"),
+        round(sum(col("revenue")).over(w.rowsBetween(Window.unboundedPreceding, 0)) /
+          col("total"), 6).as("cum_share"))
+      .orderBy("rk")
+  }
+
   /** 7-DAY MOVING MEDIAN of daily revenue per event type — the
     * robust-statistics window the mean-based movers can't give you
     * (one outlier day doesn't drag the trend). The holistic aggregate
