@@ -110,6 +110,17 @@ class PlanContractSpec extends AnyFunSuite {
     assert(count(p, "SortMergeJoin") === 0)
   }
 
+  test("setsim_join_exact: prefix-token equi-join, never all-pairs") {
+    val p = plan("setsim_join_exact")
+    assert(count(p, "CartesianProduct") === 0)
+    assert(count(p, "BroadcastNestedLoopJoin") === 0, s"set-sim decayed to BNLJ:\n${p.take(400)}")
+  }
+
+  test("triangle_count: wedge-close equi-joins only") {
+    val p = plan("triangle_count")
+    assert(count(p, "CartesianProduct") === 0)
+  }
+
   test("tfidf/bm25: vocabulary-side joins stay broadcast, no SMJ on terms") {
     // the df (vocabulary) and scalar-stats frames are bounded by the
     // token domain / one row — shuffling the corpus-side pairs against
