@@ -333,8 +333,14 @@ object Dedup {
     * All arithmetic is integral → bit-deterministic both engines.
     * 100 TB: shuffles only (band, band_value) keys; the Hamming verify
     * is one codegen'd `bit_count(xor)` per candidate. */
-  def simhashNearDup(s: SparkSession, d: String, maxHamming: Int = 2): DataFrame = {
-    val sigs = Tables.loadParallel(s, d, "documents")
+  def simhashNearDup(s: SparkSession, d: String, maxHamming: Int = 2): DataFrame =
+    simhashNearDupFrame(
+      Tables.loadParallel(s, d, "documents").select("doc_id", "text"), maxHamming)
+
+  /** Corpus-frame form of [[simhashNearDup]] (exactness is
+    * property-tested on random corpora in SetSimPropertySpec). */
+  def simhashNearDupFrame(corpus: DataFrame, maxHamming: Int = 2): DataFrame = {
+    val sigs = corpus
       .select(
         col("doc_id"),
         simhashNative(tokenHashesNative(col("text"))).as("simhash"))
