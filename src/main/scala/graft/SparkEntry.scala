@@ -95,6 +95,7 @@ object SparkEntry {
     "inverted_index_lookup" -> (llm.TextAnalysis.invertedIndexLookup _),
     "hash_split" -> (etl.Preprocess.hashSplit _),
     "stratified_sample" -> (etl.Preprocess.stratifiedSample _),
+    "sequence_packing" -> (etl.Preprocess.sequencePacking _),
     "dq_checks" -> (ops.Relational.dqChecks _),
     "bloom_prune_lineitem" -> (ops.Relational.bloomPruneLineitem _),
     "ntile_quartiles" -> (ops.Relational.ntileQuartiles _),
@@ -1080,6 +1081,29 @@ object SparkEntry {
         |WHERE term IN ('spark', 'vector', 'stream')
         |GROUP BY doc_id HAVING count(DISTINCT term) = 3
         |ORDER BY doc_id""".stripMargin,
+    // sequence_packing: the next-fit fold is the identical all-integer
+    // list_reduce on both engines (state = bin*512 + used); shards and
+    // token counts are pure integer functions of the row
+    "sequence_packing" ->
+      """WITH dl AS (
+        |  SELECT doc_id // 100 AS shard, doc_id,
+        |         len(string_split(text, ' ')) AS l
+        |  FROM documents),
+        |sh AS (SELECT shard, count(*) AS n_docs,
+        |              CAST(sum(l) AS BIGINT) AS total_tokens,
+        |              list(l ORDER BY doc_id) AS ls
+        |       FROM dl GROUP BY 1),
+        |f AS (SELECT shard, n_docs, total_tokens,
+        |             list_reduce(list_prepend(512::BIGINT,
+        |               list_transform(ls, x -> x::BIGINT)),
+        |               (st, x) -> CASE WHEN st % 512 + x > 256
+        |                          THEN (st // 512 + 1) * 512 + x
+        |                          ELSE st + x END) AS st
+        |      FROM sh)
+        |SELECT shard, n_docs, total_tokens,
+        |       CAST(st // 512 AS INT) AS n_bins,
+        |       round(total_tokens::DOUBLE / ((st // 512) * 256), 6) AS fill_ratio
+        |FROM f ORDER BY shard""".stripMargin,
     "stratified_sample" ->
       """WITH b AS (SELECT doc_id, lang,
         |  list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(text)+1),

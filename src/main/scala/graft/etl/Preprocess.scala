@@ -236,6 +236,41 @@ object Preprocess {
       .orderBy("lang")
   }
 
+  /** SEQUENCE PACKING for training examples: greedy NEXT-FIT of docs
+    * (by token count) into fixed-capacity bins of 256 tokens — the
+    * packing pass every LLM pre-training pipeline runs so short docs
+    * don't waste sequence slots. Packing is inherently sequential, so
+    * the distributed form shards the corpus (100 docs per shard, a
+    * pure function of doc_id) and folds WITHIN each shard — bounded
+    * state, embarrassingly parallel across shards, and deterministic:
+    * the fold walks doc_id order with the all-integer encoded state
+    * bin·512 + used (token counts are ≤ 100 < 512·256−capacity, so
+    * the radix never overflows). Output per shard: bins used and fill
+    * ratio — the packing efficiency a capacity choice is judged by. */
+  def sequencePacking(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+      .select(expr("doc_id div 100").as("shard"), col("doc_id"),
+        size(tokens(col("text"))).as("len"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("len").cast("long")).as("total_tokens"),
+        sort_array(collect_list(struct(col("doc_id"), col("len")))).as("dl"))
+      .select(
+        col("shard"), col("n_docs"), col("total_tokens"),
+        // state = bin*512 + used, seeded at bin 1 / used 0 (BIGINT:
+        // `div` promotes, so the fold type must start promoted)
+        expr("""aggregate(dl, CAST(512 AS BIGINT), (st, e) ->
+                CASE WHEN pmod(st, 512) + e.len > 256
+                     THEN (st div 512 + 1) * 512 + e.len
+                     ELSE st + e.len END)""").as("st"))
+      .select(
+        col("shard"), col("n_docs"), col("total_tokens"),
+        expr("st div 512").cast("int").as("n_bins"),
+        round(col("total_tokens").cast("double") /
+          (expr("st div 512") * lit(256)), 6).as("fill_ratio"))
+      .orderBy("shard")
+
   def hashSplit(s: SparkSession, d: String): DataFrame = {
     val bucket = pmod(polyHash(col("text")), lit(100L))
     val split = when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")

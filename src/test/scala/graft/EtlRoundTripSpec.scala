@@ -38,6 +38,33 @@ class EtlRoundTripSpec extends AnyFunSuite {
     assert(train.count() === (7 * n + 9) / 10)
   }
 
+  test("sequence packing: next-fit fold matches a driver-side reference fold") {
+    val out = Preprocess.sequencePacking(spark, dir).collect()
+    assert(out.nonEmpty)
+    // reference: same greedy next-fit, computed imperatively per shard
+    val docs = Tables.load(spark, dir, "documents")
+      .select(expr("doc_id div 100").as("shard"), col("doc_id"),
+        size(split(col("text"), " ")).as("len"))
+      .collect()
+      .groupBy(_.getAs[Long]("shard"))
+      .view.mapValues(_.sortBy(_.getAs[Long]("doc_id")).map(_.getAs[Int]("len")))
+      .toMap
+    out.foreach { r =>
+      val shard = r.getAs[Long]("shard")
+      val lens = docs(shard)
+      var bins = 1; var used = 0
+      lens.foreach { l =>
+        if (used + l > 256) { bins += 1; used = l } else used += l
+      }
+      assert(r.getAs[Long]("n_docs") === lens.length, s"shard $shard n_docs")
+      assert(r.getAs[Long]("total_tokens") === lens.map(_.toLong).sum, s"shard $shard tokens")
+      assert(r.getAs[Int]("n_bins") === bins, s"shard $shard bins")
+      // next-fit never does worse than 2x the volume lower bound
+      val lb = (lens.map(_.toLong).sum + 255) / 256
+      assert(bins <= 2 * lb, s"shard $shard next-fit bound")
+    }
+  }
+
   test("P8 property: role swap is an involution on user/assistant histories") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
