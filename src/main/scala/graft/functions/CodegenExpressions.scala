@@ -104,6 +104,28 @@ object HashUtil {
     new GenericArrayData(mins.map(x => x: Any))
   }
 
+  /** All 3-gram shingle hashes from a token-hash array — the native
+    * loop form of the interpreted `transform(sequence(...))` HOF in
+    * [[ColumnFunctions.shingleHashes3]] (same arithmetic: shingle =
+    * (((a·m + b) mod p)·m + c) mod p), which Spark cannot codegen and
+    * re-evaluates element-at-a-time. Empty array (not null) for fewer
+    * than 3 tokens, so a downstream size≥1 filter drops such docs the
+    * same way the HOF pipeline's empty transform result would. */
+  def shingleHashes3(th: ArrayData): ArrayData = {
+    val p = ColumnFunctions.HashP
+    val m = ColumnFunctions.ShingleMult
+    val n = th.numElements()
+    if (n < 3) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - 2)
+    var i = 0
+    while (i <= n - 3) {
+      out(i) = (((th.getLong(i) * m + th.getLong(i + 1)) % p) * m +
+        th.getLong(i + 2)) % p
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Min 3-gram shingle hash (the winnowing primitive of
     * doc_fingerprint) from a token-hash array — same shingle
     * arithmetic as [[minhashSig]], no permutations. Null if fewer
@@ -293,6 +315,27 @@ case class TokenHashesExpr(child: Expression)
       s"${ev.value} = graft.functions.HashUtil.tokenHashes($c);")
 
   protected override def withNewChildInternal(newChild: Expression): TokenHashesExpr =
+    copy(child = newChild)
+}
+
+/** All 3-gram shingle hashes (see [[HashUtil.shingleHashes3]]) as a
+  * native codegen expression — the hot input of the exact
+  * set-similarity join, where the interpreted HOF form costs ~30
+  * expression evals per shingle. */
+case class ShingleHashes3Expr(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes3"
+
+  protected override def nullSafeEval(input: Any): Any =
+    HashUtil.shingleHashes3(input.asInstanceOf[ArrayData])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashUtil.shingleHashes3($c);")
+
+  protected override def withNewChildInternal(newChild: Expression): ShingleHashes3Expr =
     copy(child = newChild)
 }
 

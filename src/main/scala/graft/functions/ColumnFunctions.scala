@@ -163,6 +163,13 @@ object ColumnFunctions {
   def levenshteinCp(a: Column, b: Column): Column =
     ofExpr(LevenshteinCpExpr(exprOf(a), exprOf(b)))
 
+  /** Native codegen form of [[shingleHashes3]] — one loop over the
+    * token-hash array (spec-asserted equal to the HOF for ≥3 tokens;
+    * empty array below that, where the HOF's sequence(1, n−2) is
+    * undefined under ANSI). */
+  def shingleHashes3Native(th: Column): Column =
+    ofExpr(ShingleHashes3Expr(exprOf(th)))
+
   /** Word 3-gram shingle strings from a MATERIALIZED token-array
     * column (L2). Callers guarantee ≥3 tokens (driver docs have ≥10,
     * FIXTURES.md §2). */

@@ -182,7 +182,7 @@ object Dedup {
       corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val tk = corpus
       .select(col("doc_id"),
-        array_distinct(shingleHashes3(tokenHashesNative(col("text")))).as("ts"))
+        array_distinct(shingleHashes3Native(tokenHashesNative(col("text")))).as("ts"))
       .filter(size(col("ts")) >= 1)
       // pinned exchange: the shingle-set projection has three
       // consumers (posting explode + both verify-join sides); without

@@ -69,6 +69,29 @@ class HashPropertySpec extends AnyFunSuite {
       }
   }
 
+  test("property: ShingleHashes3Expr == transform HOF on 100 token arrays") {
+    val multiTok = for {
+      n <- Gen.choose(3, 10)
+      toks <- Gen.listOfN(n, tokenGen.suchThat(_.nonEmpty))
+    } yield toks.mkString(" ")
+    val strs = samples(multiTok, 100)
+    assert(strs.nonEmpty)
+    strs.toDF("s")
+      .select(tokenHashesNative(col("s")).as("th"))
+      .select(shingleHashes3Native(col("th")).as("fast"),
+        shingleHashes3(col("th")).as("ref"))
+      .collect()
+      .foreach { r =>
+        assert(r.getAs[scala.collection.Seq[Long]]("fast") ===
+          r.getAs[scala.collection.Seq[Long]]("ref"))
+      }
+    // below 3 tokens the native form is a defined empty array
+    val short = Seq("", "a", "a b").toDF("s")
+      .select(shingleHashes3Native(tokenHashesNative(col("s"))).as("sh"))
+      .collect()
+    short.foreach(r => assert(r.getAs[scala.collection.Seq[Long]]("sh").isEmpty))
+  }
+
   test("property: MinHashSigExpr == seeded-min HOF pipeline on 100 token arrays") {
     // ≥3 non-empty tokens so the HOF's shingle sequence is well-defined
     val multiTok = for {
