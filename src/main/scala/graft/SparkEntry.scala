@@ -96,6 +96,10 @@ object SparkEntry {
     "hash_split" -> (etl.Preprocess.hashSplit _),
     "stratified_sample" -> (etl.Preprocess.stratifiedSample _),
     "sequence_packing" -> (etl.Preprocess.sequencePacking _),
+    "doc_chunking" -> (etl.Preprocess.docChunking _),
+    "importance_sample" -> (etl.Preprocess.importanceSample _),
+    "repetition_signals" -> (llm.TextAnalysis.repetitionSignals _),
+    "pii_scrub" -> (llm.TextAnalysis.piiScrub _),
     "dq_checks" -> (ops.Relational.dqChecks _),
     "bloom_prune_lineitem" -> (ops.Relational.bloomPruneLineitem _),
     "ntile_quartiles" -> (ops.Relational.ntileQuartiles _),
@@ -1104,6 +1108,102 @@ object SparkEntry {
         |       CAST(st // 512 AS INT) AS n_bins,
         |       round(total_tokens::DOUBLE / ((st // 512) * 256), 6) AS fill_ratio
         |FROM f ORDER BY shard""".stripMargin,
+    // doc_chunking: chunk count/boundaries are integer functions of
+    // the token count; list slicing clamps at the tail on both engines
+    "doc_chunking" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ts,
+        |                   len(string_split(text, ' ')) AS n
+        |            FROM documents),
+        |c AS (SELECT doc_id, ts,
+        |             unnest(range(0, 1 + greatest(0, (n - 64 + 47) // 48))) AS cid
+        |      FROM tk)
+        |SELECT doc_id, CAST(cid AS INT) AS chunk_id,
+        |       CAST(cid * 48 + 1 AS INT) AS start_tok,
+        |       CAST(len(ts[(cid*48+1):(cid*48+64)]) AS INT) AS n_chunk_tokens,
+        |       array_to_string(ts[(cid*48+1):(cid*48+64)], ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    // importance_sample: the acceptance test polyhash(text) % n_g <
+    // min_n is all-integer; the char-fold polyhash is the proven
+    // cross-engine formulation
+    "importance_sample" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(text)+1),
+        |    i -> ascii(substring(text,i,1))::BIGINT)), (a,c) -> (a*31+c) % 1000000007) AS ph
+        |  FROM documents),
+        |cnt AS (SELECT lang, count(*) AS n_source FROM h GROUP BY 1),
+        |mn AS (SELECT min(n_source) AS target_n FROM cnt)
+        |SELECT h.lang, cnt.n_source, mn.target_n,
+        |       count(*) AS n_sampled,
+        |       round(count(*)::DOUBLE / cnt.n_source, 6) AS rate,
+        |       round(avg(n_tokens::DOUBLE), 6) AS avg_tokens
+        |FROM h JOIN cnt USING (lang) CROSS JOIN mn
+        |WHERE ph % cnt.n_source < mn.target_n
+        |GROUP BY h.lang, cnt.n_source, mn.target_n
+        |ORDER BY lang""".stripMargin,
+    // repetition_signals: bigram profile via unnest + two aggs; the
+    // run fold uses the identical radix-packed integer state on both
+    // engines (token hash < 2^30, run/best capped at 1023)
+    "repetition_signals" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |            WHERE len(string_split(text, ' ')) >= 2),
+        |bgl AS (SELECT doc_id,
+        |               unnest(list_transform(range(1, len(ts)),
+        |                 i -> ts[i] || ' ' || ts[i+1])) AS bg
+        |        FROM tk),
+        |p1 AS (SELECT doc_id, bg, count(*) AS c FROM bgl GROUP BY 1, 2),
+        |prof AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |                count(*) AS n_distinct, max(c) AS top_count
+        |         FROM p1 GROUP BY 1),
+        |runs AS (SELECT doc_id,
+        |  CAST(list_reduce(list_prepend(1000000007::BIGINT * 1048576,
+        |    list_transform(ts, t ->
+        |      list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(t)+1),
+        |        j -> ascii(substring(t,j,1))::BIGINT)), (a,c2) -> (a*31+c2) % 1000000007))),
+        |    (st, x) -> x * 1048576
+        |      + least(CASE WHEN x = st // 1048576
+        |               THEN ((st // 1024) % 1024) + 1 ELSE 1 END, 1023) * 1024
+        |      + greatest(st % 1024,
+        |          least(CASE WHEN x = st // 1048576
+        |                THEN ((st // 1024) % 1024) + 1 ELSE 1 END, 1023))) % 1024
+        |    AS INT) AS max_run
+        |  FROM tk)
+        |SELECT prof.doc_id, n_bigrams, n_distinct, top_count,
+        |       round((n_bigrams - n_distinct)::DOUBLE / n_bigrams, 6) AS dup2_frac,
+        |       round(top_count::DOUBLE / n_bigrams, 6) AS top2_frac,
+        |       max_run,
+        |       CAST(CASE WHEN 5 * top_count > n_bigrams
+        |                   OR 2 * (n_bigrams - n_distinct) > n_bigrams
+        |                   OR max_run >= 3 THEN 1 ELSE 0 END AS INT) AS repetitive
+        |FROM prof JOIN runs ON prof.doc_id = runs.doc_id
+        |ORDER BY prof.doc_id""".stripMargin,
+    // pii_scrub: injection is a pure integer function of doc_id;
+    // patterns are RE2-safe character classes so Java regex and RE2
+    // agree on every span
+    "pii_scrub" ->
+      """WITH inj AS (SELECT doc_id, lang, text
+        |  || CASE WHEN doc_id % 5 = 0
+        |          THEN ' reach user' || doc_id || '@mail.example.org' ELSE '' END
+        |  || CASE WHEN doc_id % 7 = 0
+        |          THEN ' dial 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END
+        |  || CASE WHEN doc_id % 11 = 0
+        |          THEN ' from 10.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+        |               || '.' || ((doc_id * 13) % 256) ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |       CAST(len(regexp_extract_all(text, '[a-z0-9]+@[a-z0-9.]+')) AS INT) AS n_emails,
+        |       CAST(len(regexp_extract_all(text, '555-[0-9]{4}')) AS INT) AS n_phones,
+        |       CAST(len(regexp_extract_all(text, '10\.[0-9]+\.[0-9]+\.[0-9]+')) AS INT) AS n_ips,
+        |       CAST(length(text) AS INT) AS len_raw,
+        |       regexp_replace(regexp_replace(regexp_replace(text,
+        |         '[a-z0-9]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        |         '10\.[0-9]+\.[0-9]+\.[0-9]+', '<IP>', 'g'),
+        |         '555-[0-9]{4}', '<PHONE>', 'g') AS scrubbed,
+        |       CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+        |         '[a-z0-9]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        |         '10\.[0-9]+\.[0-9]+\.[0-9]+', '<IP>', 'g'),
+        |         '555-[0-9]{4}', '<PHONE>', 'g')) AS INT) AS len_scrubbed
+        |FROM inj ORDER BY doc_id""".stripMargin,
     "stratified_sample" ->
       """WITH b AS (SELECT doc_id, lang,
         |  list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(text)+1),

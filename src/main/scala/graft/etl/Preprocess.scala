@@ -271,6 +271,63 @@ object Preprocess {
           (expr("st div 512") * lit(256)), 6).as("fill_ratio"))
       .orderBy("shard")
 
+  /** CONTEXT-WINDOW CHUNKING: split each document into fixed-size
+    * token windows (64 tokens, stride 48 → 16-token overlap) — the
+    * long-document pass of a pre-training pipeline, where documents
+    * longer than the model context are cut into overlapping windows
+    * rather than truncated. Chunk count and boundaries are pure
+    * INTEGER functions of the token count (`1 + max(0, ⌈(n−64)/48⌉)`
+    * via `(n−64+47) div 48`, guarded by greatest(0,·) so the
+    * truncating-vs-flooring division of negative numbers can never
+    * differ cross-engine), and slicing clamps at the tail on both
+    * engines. Map-only: tokenize → generate chunk ids → slice; the
+    * only exchange is the pinned barrier before the generators (the
+    * HOF-recompute trap). */
+  def docChunking(s: SparkSession, d: String): DataFrame = {
+    val nParts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    Tables.load(s, d, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .repartition(nParts, col("doc_id"))
+      .select(col("doc_id"), col("tk"), size(col("tk")).as("n"))
+      .select(col("doc_id"), col("tk"),
+        posexplode_outer(
+          sequence(lit(0), greatest(lit(0), expr("(n - 64 + 47) div 48")))))
+      .select(col("doc_id"), col("col").cast("int").as("chunk_id"),
+        (col("col") * 48 + 1).cast("int").as("start_tok"),
+        slice(col("tk"), col("col") * 48 + 1, lit(64)).as("chunk"))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        size(col("chunk")).as("n_chunk_tokens"),
+        concat_ws(" ", col("chunk")).as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** IMPORTANCE RESAMPLING to a balanced language mix (the DSIR /
+    * DoReMi-shaped domain-reweighting stage, reduced to its
+    * deterministic core): each language group is thinned to the size
+    * of the SMALLEST group by the exact integer acceptance test
+    * `polyHash(text) mod n_g < min_n` — a hash-Bernoulli draw at rate
+    * min_n/n_g with zero float arithmetic, reproducible bit-for-bit
+    * on any engine that agrees on the hash (the fuzz harness proves
+    * DuckDB does). Group sizes are a 5-row broadcast; the scan stays
+    * one pass. */
+  def importanceSample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("text"),
+        size(tokens(col("text"))).as("n_tokens"))
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_source"))
+    val minN = counts.agg(min("n_source").as("target_n"))
+    docs.join(broadcast(counts), Seq("lang"))
+      .crossJoin(broadcast(minN))
+      .filter(pmod(polyHash(col("text")), col("n_source")) < col("target_n"))
+      .groupBy(col("lang"), col("n_source"), col("target_n"))
+      .agg(count(lit(1)).as("n_sampled"),
+        round(avg(col("n_tokens").cast("double")), 6).as("avg_tokens"))
+      .select(col("lang"), col("n_source"), col("target_n"), col("n_sampled"),
+        round(col("n_sampled").cast("double") / col("n_source"), 6).as("rate"),
+        col("avg_tokens"))
+      .orderBy("lang")
+  }
+
   def hashSplit(s: SparkSession, d: String): DataFrame = {
     val bucket = pmod(polyHash(col("text")), lit(100L))
     val split = when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")

@@ -463,4 +463,100 @@ object TextAnalysis {
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(20)
   }
+
+  /** L4 REPETITION quality signals (the Gopher/C4 filter family —
+    * Rae et al. 2021 §A1.1): per-document duplicate-bigram fraction,
+    * top-bigram fraction, and longest same-token run. Highly
+    * repetitive documents are the classic low-quality stratum a
+    * pre-training pipeline drops before dedup even starts. Shapes:
+    * the bigram profile is explode + two partial-agg-friendly hash
+    * aggregations (never a per-row O(n²) HOF scan); the run length is
+    * a single map-side integer fold over the native token-hash array
+    * with radix-packed state prev·2^20 + run·2^10 + best (hashes
+    * < 2^30, runs capped at 1023, so the state stays < 2^51 — exact
+    * in BIGINT on both engines). The repetitive gate uses INTEGER
+    * comparisons (5·top > n, 2·dup > n) — no float threshold can
+    * flip a document cross-engine. */
+  def repetitionSignals(s: SparkSession, d: String): DataFrame = {
+    val nParts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val toks = Tables.load(s, d, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("tk"),
+        tokenHashesNative(col("text")).as("th"))
+      .filter(size(col("tk")) >= 2)
+      // exchange barrier: tk/th are consumed by the bigram HOF and
+      // the run fold — materialize once (HOF-recompute trap)
+      .repartition(nParts, col("doc_id"))
+    val prof = toks
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(tk) - 1),
+          |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1)))"""
+          .stripMargin)).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bigrams"), count(lit(1)).as("n_distinct"),
+        max("c").as("top_count"))
+    val runs = toks.select(col("doc_id"), expr(
+      """CAST(aggregate(th, CAST(1000000007 AS BIGINT) * 1048576,
+        |  (st, x) -> x * 1048576
+        |    + least(CASE WHEN x = st div 1048576
+        |             THEN (st div 1024) % 1024 + 1 ELSE 1 END, 1023) * 1024
+        |    + greatest(st % 1024,
+        |        least(CASE WHEN x = st div 1048576
+        |              THEN (st div 1024) % 1024 + 1 ELSE 1 END, 1023)),
+        |  st -> st % 1024) AS INT)""".stripMargin).as("max_run"))
+    prof.join(runs, Seq("doc_id"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct"), col("top_count"),
+        round((col("n_bigrams") - col("n_distinct")).cast("double") /
+          col("n_bigrams"), 6).as("dup2_frac"),
+        round(col("top_count").cast("double") / col("n_bigrams"), 6).as("top2_frac"),
+        col("max_run"),
+        (lit(5) * col("top_count") > col("n_bigrams") ||
+          lit(2) * (col("n_bigrams") - col("n_distinct")) > col("n_bigrams") ||
+          col("max_run") >= 3).cast("int").as("repetitive"))
+      .orderBy("doc_id")
+  }
+
+  /** L4 PII SCRUBBING — the redaction pass every released corpus
+    * runs: detect and mask emails, phone numbers, and IPv4 addresses
+    * with codegen'd `regexp_extract_all`/`regexp_replace` (map-only,
+    * zero shuffles before the final sort). The driver corpus carries
+    * no PII, so a deterministic injection step (pure integer
+    * functions of doc_id, mirrored by the oracle) plants all three
+    * kinds first — making the detector's hit counts and the scrubbed
+    * text itself exactly checkable. Patterns are RE2-safe character
+    * classes (no lookaround), so Java regex and DuckDB RE2 match
+    * identical spans. */
+  def piiScrub(s: SparkSession, d: String): DataFrame = {
+    val email = "[a-z0-9]+@[a-z0-9.]+"
+    val phone = "555-[0-9]{4}"
+    val ip = "10\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+    val injected = Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("lang"), concat(
+        col("text"),
+        when(pmod(col("doc_id"), lit(5L)) === 0,
+          concat(lit(" reach user"), col("doc_id").cast("string"),
+            lit("@mail.example.org"))).otherwise(""),
+        when(pmod(col("doc_id"), lit(7L)) === 0,
+          concat(lit(" dial 555-"),
+            lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")))
+          .otherwise(""),
+        when(pmod(col("doc_id"), lit(11L)) === 0,
+          concat(lit(" from 10."), pmod(col("doc_id"), lit(256L)).cast("string"),
+            lit("."), pmod(col("doc_id") * 7, lit(256L)).cast("string"),
+            lit("."), pmod(col("doc_id") * 13, lit(256L)).cast("string")))
+          .otherwise("")).as("text"))
+    injected
+      .select(col("doc_id"), col("lang"),
+        size(regexp_extract_all(col("text"), lit(email), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(phone), lit(0))).as("n_phones"),
+        size(regexp_extract_all(col("text"), lit(ip), lit(0))).as("n_ips"),
+        length(col("text")).as("len_raw"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), email, "<EMAIL>"),
+            ip, "<IP>"),
+          phone, "<PHONE>").as("scrubbed"))
+      .withColumn("len_scrubbed", length(col("scrubbed")))
+      .orderBy("doc_id")
+  }
 }

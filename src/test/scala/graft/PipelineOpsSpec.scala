@@ -1,0 +1,95 @@
+package graft
+
+import graft.etl.Preprocess
+import graft.llm.TextAnalysis
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the training-pipeline prep operators added in round
+  * 4: chunking, importance resampling, repetition signals, PII scrub. */
+class PipelineOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("doc_chunking: chunks tile every document with stride-48 windows") {
+    val chunks = Preprocess.docChunking(spark, dir)
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+    // per doc: first chunk starts at 1, consecutive starts differ by
+    // 48, every chunk but the last has exactly 64 tokens, and the
+    // windows cover all n tokens (last start + last size = n + 1... )
+    val byDoc = chunks.groupBy("doc_id")
+      .agg(min("start_tok").as("first_start"), max("start_tok").as("last_start"),
+        count(lit(1)).as("n_chunks"), min("n_chunk_tokens").as("min_len"),
+        max("n_chunk_tokens").as("max_len"),
+        max(col("start_tok") + col("n_chunk_tokens") - 1).as("covered"))
+      .join(docs, "doc_id")
+    assert(byDoc.filter(col("first_start") =!= 1).count() === 0)
+    assert(byDoc.filter(col("max_len") > 64).count() === 0)
+    assert(byDoc.filter(col("covered") =!= col("n")).count() === 0)
+    assert(byDoc.filter(
+      col("last_start") =!= (col("n_chunks") - 1) * 48 + 1).count() === 0)
+    // overlap really happens: some doc has > 1 chunk
+    assert(byDoc.filter(col("n_chunks") > 1).count() > 0)
+  }
+
+  test("importance_sample: every group thinned to at most ~target, never grown") {
+    val out = Preprocess.importanceSample(spark, dir).collect()
+    assert(out.length > 1)
+    val targetN = out.head.getAs[Long]("target_n")
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_sampled") <= r.getAs[Long]("n_source"))
+      // hash-Bernoulli at rate target/n keeps the expectation at
+      // target; allow wide tolerance for the binomial spread
+      val expected = targetN.toDouble
+      assert(math.abs(r.getAs[Long]("n_sampled") - expected) <= 3 * math.sqrt(expected) + 5,
+        s"lang ${r.getAs[String]("lang")} sampled far from target")
+    }
+    // the smallest group is kept whole: rate 1 accepts every hash
+    assert(out.exists(r => r.getAs[Long]("n_source") === targetN &&
+      r.getAs[Long]("n_sampled") === targetN))
+  }
+
+  test("repetition_signals: counts are consistent and runs detected exactly") {
+    val out = TextAnalysis.repetitionSignals(spark, dir)
+    assert(out.filter(col("n_distinct") > col("n_bigrams")).count() === 0)
+    assert(out.filter(col("top_count") > col("n_bigrams") - col("n_distinct") + 1)
+      .count() === 0)
+    assert(out.filter(col("max_run") < 1).count() === 0)
+    // cross-check max_run against a driver-side scan on a sample
+    val sample = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") < 50).select("doc_id", "text").collect()
+    val expected = sample.map { r =>
+      val toks = r.getAs[String]("text").split(" ", -1)
+      var best = 1; var run = 1
+      toks.sliding(2).foreach { w =>
+        if (w.length == 2 && w(0) == w(1)) { run += 1; best = math.max(best, run) }
+        else run = 1
+      }
+      r.getAs[Long]("doc_id") -> best
+    }.toMap
+    out.filter(col("doc_id") < 50).collect().foreach { r =>
+      assert(r.getAs[Int]("max_run") === expected(r.getAs[Long]("doc_id")),
+        s"doc ${r.getAs[Long]("doc_id")} max_run")
+    }
+  }
+
+  test("pii_scrub: scrubbed text contains no remaining pattern matches") {
+    val out = TextAnalysis.piiScrub(spark, dir)
+    val residue = out.filter(
+      col("scrubbed").rlike("[a-z0-9]+@[a-z0-9.]+") ||
+        col("scrubbed").rlike("555-[0-9]{4}") ||
+        col("scrubbed").rlike("10\\.[0-9]+\\.[0-9]+\\.[0-9]+"))
+    assert(residue.count() === 0)
+    // injection actually planted PII and the detector saw it
+    assert(out.filter(col("n_emails") > 0).count() > 0)
+    assert(out.filter(col("n_phones") > 0).count() > 0)
+    assert(out.filter(col("n_ips") > 0).count() > 0)
+    // length accounting: scrubbing only ever shortens or keeps length
+    // when a replacement tag is shorter than the span it replaces;
+    // unscrubbed docs keep their exact length
+    assert(out.filter(col("n_emails") === 0 && col("n_phones") === 0 &&
+      col("n_ips") === 0 && col("len_scrubbed") =!= col("len_raw")).count() === 0)
+  }
+}
