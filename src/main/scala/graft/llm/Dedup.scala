@@ -530,6 +530,20 @@ object Dedup {
         .dropDuplicates("u", "v")
     }
 
+    val spark = pairEdges.sparkSession
+    val maxParts =
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // Round partitioning tracks the FRONTIER, not the corpus: the
+    // edge frame shrinks geometrically under contraction, and a
+    // 3-shuffle round over a few thousand rows at full parallelism is
+    // pure scheduler overhead (the same effect that motivated the
+    // streaming state-store scoping). ~32k edge rows per partition,
+    // clamped to [4, conf] — at cluster scale a 10^9-edge frontier
+    // still gets the configured width; the known per-round count from
+    // the convergence checksum is what makes this free.
+    def partsFor(edgeCount: Long): Int =
+      math.min(maxParts, math.max(4, (edgeCount / 32768L).toInt + 1))
+
     var edges = edges0
     var prev = checksum(edges0)
     var rounds = 0
@@ -542,27 +556,32 @@ object Dedup {
       // exchange-reused across them — nearly doubling the round cost.
       // The per-round action is the price of a persisted frontier.)
       rounds += 1
-      val next0 = contractOnce(edges)
-      val next =
-        if (rounds % CheckpointEvery == 0) next0.localCheckpoint(true)
-        else next0.persist()
-      val cur = checksum(next) // materializes next's cache
+      val cur = graft.Util.withShufflePartitions(spark, partsFor(prev._1)) {
+        val next0 = contractOnce(edges)
+        val next =
+          if (rounds % CheckpointEvery == 0) next0.localCheckpoint(true)
+          else next0.persist()
+        val c = checksum(next) // materializes next's cache
+        if (!(edges eq edges0)) edges.unpersist()
+        edges = next
+        c
+      }
       converged = cur == prev
       prev = cur
-      if (!(edges eq edges0)) edges.unpersist()
-      edges = next
     }
     // fixpoint = stars: every non-center node has exactly one dst,
     // its component minimum; centers appear only as dst → label self.
     // Node set comes from the ORIGINAL edges (contraction may drop
     // nodes from the edge frame once they point at the center).
-    val nodes = edges0.select(col("u").as("id"))
-      .unionByName(edges0.select(col("v").as("id")))
-      .distinct()
-    val stars = edges.groupBy(col("u").as("sid")).agg(min("v").as("slabel"))
-    val labels = nodes.join(stars, col("id") === col("sid"), "left")
-      .select(col("id"), coalesce(col("slabel"), col("id")).as("label"))
-      .localCheckpoint(true)
+    val labels = graft.Util.withShufflePartitions(spark, partsFor(prev._1)) {
+      val nodes = edges0.select(col("u").as("id"))
+        .unionByName(edges0.select(col("v").as("id")))
+        .distinct()
+      val stars = edges.groupBy(col("u").as("sid")).agg(min("v").as("slabel"))
+      nodes.join(stars, col("id") === col("sid"), "left")
+        .select(col("id"), coalesce(col("slabel"), col("id")).as("label"))
+        .localCheckpoint(true)
+    }
     if (!(edges eq edges0)) edges.unpersist()
     (labels, rounds)
   }
