@@ -97,6 +97,8 @@ object SparkEntry {
     "stratified_sample" -> (etl.Preprocess.stratifiedSample _),
     "sequence_packing" -> (etl.Preprocess.sequencePacking _),
     "doc_chunking" -> (etl.Preprocess.docChunking _),
+    "padding_waste" -> (etl.Preprocess.paddingWaste _),
+    "split_leakage_audit" -> (llm.Dedup.splitLeakageAudit _),
     "importance_sample" -> (etl.Preprocess.importanceSample _),
     "repetition_signals" -> (llm.TextAnalysis.repetitionSignals _),
     "pii_scrub" -> (llm.TextAnalysis.piiScrub _),
@@ -1108,6 +1110,48 @@ object SparkEntry {
         |       CAST(st // 512 AS INT) AS n_bins,
         |       round(total_tokens::DOUBLE / ((st // 512) * 256), 6) AS fill_ratio
         |FROM f ORDER BY shard""".stripMargin,
+    // split_leakage_audit: near-dup pairs (the proven MinHash oracle)
+    // joined to the content-addressed split of both endpoints; counts
+    // per unordered split combination
+    "split_leakage_audit" ->
+      ("WITH nd AS (\n" + MinhashNearDupSql + "\n),\n" +
+        "corpus2 AS (\n  " + NearDupCorpusSql + "\n),\n" +
+        """sp AS (SELECT doc_id,
+          |  CASE WHEN ph % 100 < 80 THEN 'train'
+          |       WHEN ph % 100 < 90 THEN 'val' ELSE 'test' END AS split
+          |  FROM (SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+          |    list_transform(range(1, length(text)+1), i -> ascii(substring(text,i,1))::BIGINT)),
+          |    (a,c) -> (a*31+c) % 1000000007) AS ph FROM corpus2)),
+          |j AS (SELECT least(a.split, b.split) AS split_a,
+          |             greatest(a.split, b.split) AS split_b
+          |      FROM nd JOIN sp a ON a.doc_id = nd.doc_a
+          |              JOIN sp b ON b.doc_id = nd.doc_b)
+          |SELECT split_a, split_b, count(*) AS n_pairs,
+          |       CAST(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END AS INT) AS leaky
+          |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    // padding_waste: batch membership is integer arithmetic on doc_id
+    // / length-bucket row numbers; only the final fraction is rounded
+    "padding_waste" ->
+      """WITH dl AS (SELECT doc_id, len(string_split(text, ' ')) AS l FROM documents),
+        |nb AS (SELECT doc_id // 32 AS bkey, count(*) AS n, max(l) AS mx,
+        |              CAST(sum(l) AS BIGINT) AS tot
+        |       FROM dl GROUP BY 1),
+        |na AS (SELECT 'naive' AS strategy, count(*) AS n_batches,
+        |              CAST(sum(tot) AS BIGINT) AS total_tokens,
+        |              CAST(sum(n * mx) AS BIGINT) AS padded_tokens FROM nb),
+        |bk AS (SELECT l, l // 8 AS lb,
+        |              row_number() OVER (PARTITION BY l // 8 ORDER BY doc_id) AS rn
+        |       FROM dl),
+        |bb AS (SELECT lb, (rn - 1) // 32 AS b2, count(*) AS n, max(l) AS mx,
+        |              CAST(sum(l) AS BIGINT) AS tot
+        |       FROM bk GROUP BY 1, 2),
+        |ba AS (SELECT 'bucketed' AS strategy, count(*) AS n_batches,
+        |              CAST(sum(tot) AS BIGINT) AS total_tokens,
+        |              CAST(sum(n * mx) AS BIGINT) AS padded_tokens FROM bb)
+        |SELECT strategy, n_batches, total_tokens, padded_tokens,
+        |       padded_tokens - total_tokens AS waste_tokens,
+        |       round((padded_tokens - total_tokens)::DOUBLE / padded_tokens, 6) AS waste_frac
+        |FROM (SELECT * FROM na UNION ALL SELECT * FROM ba) ORDER BY strategy""".stripMargin,
     // doc_chunking: chunk count/boundaries are integer functions of
     // the token count; list slicing clamps at the tail on both engines
     "doc_chunking" ->

@@ -328,6 +328,42 @@ object Preprocess {
       .orderBy("lang")
   }
 
+  /** PADDING-WASTE accounting for batch composition — the measurement
+    * behind length-bucketed ("dynamic") batching: every sequence in a
+    * batch pads to the batch max, so batching docs of similar length
+    * together is pure throughput. Compares NAIVE batches (doc_id
+    * order, 32 docs) against LENGTH-BUCKETED batches (8-token length
+    * buckets, row_number WITHIN each bucket — the window is
+    * partitioned by bucket, never global, so the plan scales) and
+    * reports total vs padded token counts per strategy. All counting
+    * is integer; only the final waste fraction is a rounded double. */
+  def paddingWaste(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.load(s, d, "documents")
+      .select(col("doc_id"), size(tokens(col("text"))).as("len"))
+    def account(batched: DataFrame, strategy: String): DataFrame =
+      batched.groupBy("bkey")
+        .agg(count(lit(1)).as("n"), max("len").as("mx"),
+          sum(col("len").cast("long")).as("tot"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("tot")).as("total_tokens"),
+          sum(col("n") * col("mx")).as("padded_tokens"))
+        .select(lit(strategy).as("strategy"), col("n_batches"),
+          col("total_tokens"), col("padded_tokens"),
+          (col("padded_tokens") - col("total_tokens")).as("waste_tokens"),
+          round((col("padded_tokens") - col("total_tokens")).cast("double") /
+            col("padded_tokens"), 6).as("waste_frac"))
+    val naive = account(
+      docs.select(col("len"), expr("doc_id div 32").as("bkey")), "naive")
+    val bucketed = account(
+      docs.select(col("len"), expr("len div 8").as("lb"), col("doc_id"))
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("lb").orderBy("doc_id")))
+        .select(col("len"),
+          concat_ws("_", col("lb"), expr("(rn - 1) div 32")).as("bkey")),
+      "bucketed")
+    naive.unionByName(bucketed).orderBy("strategy")
+  }
+
   def hashSplit(s: SparkSession, d: String): DataFrame = {
     val bucket = pmod(polyHash(col("text")), lit(100L))
     val split = when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")

@@ -233,6 +233,37 @@ object Dedup {
   def setSimJoinQuery(s: SparkSession, d: String): DataFrame =
     setSimJoinExact(nearDupCorpus(s, d))
 
+  /** SPLIT-LEAKAGE AUDIT — the pipeline-integrity check that composes
+    * two independent stages: the content-addressed train/val/test
+    * split (polyhash(text) mod 100, the [[graft.etl.Preprocess.hashSplit]]
+    * rule) and the MinHash near-dup graph. A near-dup pair whose
+    * members hash into DIFFERENT splits is test-set contamination the
+    * moment one side trains and the other evaluates — exactly what a
+    * hash split over non-deduped data produces, since near-dups (by
+    * construction non-identical text) hash independently. Output: pair
+    * counts per unordered split combination with a leaky flag. Shapes:
+    * the split assignment is map-only and joins the (sparse) pair list
+    * by doc id — the corpus itself is never self-joined. */
+  def splitLeakageAudit(s: SparkSession, d: String): DataFrame = {
+    val corpus = nearDupCorpus(s, d)
+    val bucket = pmod(polyHash(col("text")), lit(100L))
+    val split = corpus.select(col("doc_id"),
+      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+        .as("split"))
+    val pairs = minhashNearDup(corpus).select("doc_a", "doc_b")
+    pairs
+      .join(broadcast(split.select(col("doc_id").as("doc_a"), col("split").as("sa"))),
+        Seq("doc_a"))
+      .join(broadcast(split.select(col("doc_id").as("doc_b"), col("split").as("sb"))),
+        Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leaky", (col("split_a") =!= col("split_b")).cast("int"))
+      .orderBy("split_a", "split_b")
+  }
+
   /** GRAPH ANALYTICS over the dedup graph: TRIANGLE COUNT on the
     * MinHash near-dup edges (the same graph [[dedupClusters]]
     * contracts) — the standard cluster-density probe (a chain of

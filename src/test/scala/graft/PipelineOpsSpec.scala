@@ -75,6 +75,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("padding_waste: bucketed batching never wastes more than naive") {
+    val rows = Preprocess.paddingWaste(spark, dir).collect()
+      .map(r => r.getAs[String]("strategy") -> r).toMap
+    assert(rows.keySet === Set("naive", "bucketed"))
+    val (n, b) = (rows("naive"), rows("bucketed"))
+    // identical real token mass; padding differs only by composition
+    assert(n.getAs[Long]("total_tokens") === b.getAs[Long]("total_tokens"))
+    assert(b.getAs[Long]("waste_tokens") <= n.getAs[Long]("waste_tokens"))
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("padded_tokens") >= r.getAs[Long]("total_tokens"))
+      assert(r.getAs[Long]("waste_tokens") ===
+        r.getAs[Long]("padded_tokens") - r.getAs[Long]("total_tokens"))
+    }
+  }
+
+  test("split_leakage_audit: hash split leaks near-dup pairs across splits") {
+    import graft.llm.Dedup
+    val out = Dedup.splitLeakageAudit(spark, dir).collect()
+    assert(out.nonEmpty)
+    // the leaky flag is exactly split_a != split_b
+    out.foreach { r =>
+      val cross = r.getAs[String]("split_a") != r.getAs[String]("split_b")
+      assert(r.getAs[Int]("leaky") === (if (cross) 1 else 0))
+    }
+    // near-dups hash independently, so SOME pair must straddle splits
+    assert(out.filter(_.getAs[Int]("leaky") === 1).map(_.getAs[Long]("n_pairs")).sum > 0)
+    // unordered combos: split_a <= split_b always
+    out.foreach(r => assert(r.getAs[String]("split_a") <= r.getAs[String]("split_b")))
+  }
+
   test("pii_scrub: scrubbed text contains no remaining pattern matches") {
     val out = TextAnalysis.piiScrub(spark, dir)
     val residue = out.filter(
