@@ -101,6 +101,8 @@ object SparkEntry {
     "split_leakage_audit" -> (llm.Dedup.splitLeakageAudit _),
     "importance_sample" -> (etl.Preprocess.importanceSample _),
     "repetition_signals" -> (llm.TextAnalysis.repetitionSignals _),
+    "token_budget_select" -> (llm.TextAnalysis.tokenBudgetSelect _),
+    "vocab_coverage" -> (llm.TextAnalysis.vocabCoverage _),
     "pii_scrub" -> (llm.TextAnalysis.piiScrub _),
     "dq_checks" -> (ops.Relational.dqChecks _),
     "bloom_prune_lineitem" -> (ops.Relational.bloomPruneLineitem _),
@@ -1185,6 +1187,41 @@ object SparkEntry {
         |WHERE ph % cnt.n_source < mn.target_n
         |GROUP BY h.lang, cnt.n_source, mn.target_n
         |ORDER BY lang""".stripMargin,
+    // token_budget_select: the oracle takes the PLAIN global running
+    // sum over (quality DESC, doc_id) — the Spark side's
+    // bucket-prefix + within-bucket cumsum decomposition must equal
+    // it exactly (the bucket key is a truncation of the same rounded
+    // quality, so bucket order refines the global order)
+    "token_budget_select" ->
+      """WITH q AS (SELECT doc_id, lang, len(tokens) AS n_tokens,
+        |  round(ln(1.0 + len(tokens)) * (len(list_distinct(tokens))::DOUBLE / len(tokens)) *
+        |        (1.0 - len(list_filter(tokens, t -> list_contains(['the','a','of','and','in'], t)))::DOUBLE
+        |         / len(tokens)), 6) AS quality
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS tokens FROM documents)),
+        |b AS (SELECT CAST(sum(n_tokens) AS BIGINT) // 4 AS budget FROM q),
+        |c AS (SELECT lang, n_tokens, quality,
+        |             sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM q)
+        |SELECT lang, count(*) AS n_selected,
+        |       CAST(sum(n_tokens) AS BIGINT) AS tokens_selected,
+        |       round(min(quality), 6) AS min_quality
+        |FROM c CROSS JOIN b WHERE cum <= budget
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    // vocab_coverage: type counts + rank, coverage of the top-k mass
+    "vocab_coverage" ->
+      """WITH tc AS (SELECT w, count(*) AS c
+        |            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |            GROUP BY w),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total_tokens FROM tc),
+        |rk AS (SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS rk FROM tc)
+        |SELECT k, count(*) AS n_types,
+        |       CAST(sum(c) AS BIGINT) AS covered_tokens,
+        |       total_tokens,
+        |       round(CAST(sum(c) AS BIGINT)::DOUBLE / total_tokens, 6) AS coverage
+        |FROM rk CROSS JOIN tot CROSS JOIN (SELECT unnest([10, 100, 1000]) AS k)
+        |WHERE rk <= k
+        |GROUP BY k, total_tokens ORDER BY k""".stripMargin,
     // repetition_signals: bigram profile via unnest + two aggs; the
     // run fold uses the identical radix-packed integer state on both
     // engines (token hash < 2^30, run/best capped at 1023)

@@ -464,6 +464,85 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** TOKEN-BUDGET SELECTION — "take the best documents until the
+    * budget is spent": rank by the composite quality score and keep
+    * docs while the running token total stays within budget (here
+    * total/4, derived from the data so the query is scale-free). The
+    * global running sum is the classic scale trap — a single-partition
+    * window — so this uses the engine's documented two-pass shape
+    * (as `skylinePriceSize`): (1) integer quality-bucket totals, tiny
+    * frame, broadcast back with each bucket's strictly-higher prefix;
+    * (2) a window cumsum WITHIN each bucket, partitioned by bucket.
+    * global_cumsum = bucket_prefix + within_bucket — no global
+    * exchange-to-one anywhere. The bucket key is an integer truncation
+    * of the ROUNDED quality (identical double product cross-engine),
+    * and the running total is all-integer, so the budget boundary
+    * cannot flip on float noise. */
+  def tokenBudgetSelect(s: SparkSession, d: String): DataFrame = {
+    val t = tokens(col("text"))
+    val nTok = size(t).cast("double")
+    val stopRatio =
+      size(filter(t, tk => tk.isin(Stopwords: _*))).cast("double") / nTok
+    val ttr = size(array_distinct(t)).cast("double") / nTok
+    val qd = Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("lang"), size(t).as("n_tokens"),
+        round(log(lit(1.0) + nTok) * ttr * (lit(1.0) - stopRatio), 6).as("quality"))
+      .withColumn("qb", floor(col("quality") * 1000).cast("long"))
+    val budget = qd.agg(
+      expr("sum(CAST(n_tokens AS BIGINT)) div 4").as("budget"))
+    // pass 1: per-bucket token totals (tiny), prefix of strictly
+    // better buckets via a window over the BUCKET frame only
+    val buckets = qd.groupBy("qb")
+      .agg(sum(col("n_tokens").cast("long")).as("btok"))
+      .withColumn("prefix",
+        coalesce(sum("btok").over(
+          Window.orderBy(col("qb").desc).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+    // pass 2: within-bucket running total, partitioned by bucket
+    qd.join(broadcast(buckets.select("qb", "prefix")), Seq("qb"))
+      .crossJoin(broadcast(budget))
+      .withColumn("cum",
+        col("prefix") + sum(col("n_tokens").cast("long")).over(
+          Window.partitionBy("qb")
+            .orderBy(col("quality").desc, col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("cum") <= col("budget"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_selected"),
+        sum(col("n_tokens").cast("long")).as("tokens_selected"),
+        round(min("quality"), 6).as("min_quality"))
+      .orderBy("lang")
+  }
+
+  /** VOCABULARY COVERAGE CURVE — what fraction of the corpus token
+    * mass the top-k most frequent types cover (the audit behind vocab
+    * size / tokenizer choices). Type counts are one hash aggregation;
+    * the top-k cut is `orderBy(...).limit(maxK)` — planned as
+    * TakeOrderedAndProject (per-partition heaps + single merge, never
+    * a global sort of the vocabulary); the k-sweep then runs on that
+    * ≤maxK-row frame. Ties rank by token string so the cut is total. */
+  def vocabCoverage(s: SparkSession, d: String): DataFrame = {
+    val ks = Seq(10, 100, 1000)
+    val counts = Tables.load(s, d, "documents")
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum("c").as("total_tokens"))
+    val top = counts.orderBy(col("c").desc, col("w")).limit(ks.max)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("c").desc, col("w")))) // ≤ maxK rows: tiny
+    top.crossJoin(broadcast(total))
+      .select(explode(typedLit(ks)).as("k"), col("rk"), col("c"),
+        col("total_tokens"))
+      .filter(col("rk") <= col("k"))
+      .groupBy("k", "total_tokens")
+      .agg(count(lit(1)).as("n_types"), sum("c").as("covered_tokens"))
+      .select(col("k"), col("n_types"), col("covered_tokens"),
+        col("total_tokens"),
+        round(col("covered_tokens").cast("double") / col("total_tokens"), 6)
+          .as("coverage"))
+      .orderBy("k")
+  }
+
   /** L4 REPETITION quality signals (the Gopher/C4 filter family —
     * Rae et al. 2021 §A1.1): per-document duplicate-bigram fraction,
     * top-bigram fraction, and longest same-token run. Highly

@@ -105,6 +105,53 @@ class PipelineOpsSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getAs[String]("split_a") <= r.getAs[String]("split_b")))
   }
 
+  test("token_budget_select: selection fits the budget and is quality-prefix") {
+    val out = TextAnalysis.tokenBudgetSelect(spark, dir).collect()
+    assert(out.nonEmpty)
+    val total = Tables.load(spark, dir, "documents")
+      .agg(sum(size(split(col("text"), " ")).cast("long"))).head().getLong(0)
+    val selected = out.map(_.getAs[Long]("tokens_selected")).sum
+    assert(selected <= total / 4)
+    // greedy by quality: adding the next-best doc must overflow —
+    // selection is maximal for the prefix rule (within one doc's size)
+    val qd = TextAnalysis.textQuality(spark, dir)
+      .select(col("n_tokens"), col("quality"), col("doc_id")).collect()
+      .sortBy(r => (-r.getAs[Double]("quality"), r.getAs[Long]("doc_id")))
+    var cum = 0L; var n = 0
+    qd.foreach { r =>
+      if (cum + r.getAs[Int]("n_tokens") <= total / 4) {
+        cum += r.getAs[Int]("n_tokens"); n += 1
+      }
+    }
+    // the driver-side greedy STOPS at the first overflow (prefix
+    // rule), so re-walk exactly the oracle semantics: cum <= budget
+    var cum2 = 0L; var n2 = 0
+    var done = false
+    qd.foreach { r =>
+      cum2 += r.getAs[Int]("n_tokens")
+      if (cum2 <= total / 4 && !done) n2 += 1 else done = true
+    }
+    assert(out.map(_.getAs[Long]("n_selected")).sum === n2)
+    assert(selected > 0)
+  }
+
+  test("vocab_coverage: coverage is monotone in k and bounded by 1") {
+    val out = TextAnalysis.vocabCoverage(spark, dir).collect()
+      .sortBy(_.getAs[Int]("k"))
+    assert(out.length === 3)
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Double]("coverage") <= b.getAs[Double]("coverage"))
+        assert(a.getAs[Long]("covered_tokens") <= b.getAs[Long]("covered_tokens"))
+      case _ =>
+    }
+    out.foreach { r =>
+      assert(r.getAs[Double]("coverage") <= 1.0)
+      assert(r.getAs[Long]("n_types") <= r.getAs[Int]("k"))
+      assert(r.getAs[Long]("total_tokens") === out.head.getAs[Long]("total_tokens"))
+    }
+  }
+
   test("pii_scrub: scrubbed text contains no remaining pattern matches") {
     val out = TextAnalysis.piiScrub(spark, dir)
     val residue = out.filter(
