@@ -99,6 +99,7 @@ object SparkEntry {
     "doc_chunking" -> (etl.Preprocess.docChunking _),
     "padding_waste" -> (etl.Preprocess.paddingWaste _),
     "split_leakage_audit" -> (llm.Dedup.splitLeakageAudit _),
+    "incremental_ingest_dedup" -> (llm.Dedup.incrementalIngestDedup _),
     "importance_sample" -> (etl.Preprocess.importanceSample _),
     "repetition_signals" -> (llm.TextAnalysis.repetitionSignals _),
     "token_budget_select" -> (llm.TextAnalysis.tokenBudgetSelect _),
@@ -115,6 +116,10 @@ object SparkEntry {
     "q14_promo_revenue" -> (ops.Relational.q14PromoRevenue _),
     "q19_disjunctive_revenue" -> (ops.Relational.q19DisjunctiveRevenue _),
     "q22_sales_opportunity" -> (ops.Relational.q22SalesOpportunity _),
+    "q6_forecast_revenue" -> (ops.Relational.q6ForecastRevenue _),
+    "q9_product_profit" -> (ops.Relational.q9ProductProfit _),
+    "q17_small_quantity" -> (ops.Relational.q17SmallQuantityRevenue _),
+    "q21_waiting_suppliers" -> (ops.Relational.q21WaitingSuppliers _),
     "funnel_stages" -> (ops.Behavioral.funnelStages _),
     "cohort_retention" -> (ops.Behavioral.cohortRetention _),
     "zscore_outliers" -> (ops.Behavioral.zscoreOutliers _),
@@ -180,7 +185,10 @@ object SparkEntry {
     * corpus SELECT — one definition, instantiated for the manufactured
     * near-dup corpus (below) and for the plain documents corpus
     * (`multi_signal_near_dup`), so the band math cannot drift. */
-  private def minhashPairsSqlOver(corpusSql: String): String =
+  /** The shared banding prefix (corpus → token hashes → shingles →
+    * 16-perm signatures → 4-perm band keys) of every MinHash oracle —
+    * identical arithmetic to the Spark-side native expressions. */
+  private def minhashBandsSqlOver(corpusSql: String): String =
     s"""WITH corpus AS (
         |  $corpusSql
         |),
@@ -199,8 +207,11 @@ object SparkEntry {
         |        FROM (SELECT doc_id, hs, unnest(range(16)) AS perm FROM h)),
         |bands AS (SELECT doc_id, CAST(perm // 4 AS INT) AS band,
         |          string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm) AS band_key
-        |          FROM sig GROUP BY doc_id, band),
-        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |          FROM sig GROUP BY doc_id, band)""".stripMargin
+
+  private def minhashPairsSqlOver(corpusSql: String): String =
+    minhashBandsSqlOver(corpusSql) + ",\n" +
+      """cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
         |         FROM bands x JOIN bands y
         |           ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id)
         |SELECT doc_a, doc_b,
@@ -1131,6 +1142,22 @@ object SparkEntry {
           |SELECT split_a, split_b, count(*) AS n_pairs,
           |       CAST(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END AS INT) AS leaky
           |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    // incremental_ingest_dedup: the store-probe decision (any shared
+    // band between a new doc and an existing one) recomputed from
+    // scratch by banding the union — the incremental path must land
+    // on exactly the same per-doc outcome
+    "incremental_ingest_dedup" ->
+      (minhashBandsSqlOver(NearDupCorpusSql) + ",\n" +
+        """cand AS (SELECT y.doc_id AS new_id, x.doc_id AS old_id
+          |         FROM bands x JOIN bands y
+          |           ON x.band = y.band AND x.band_key = y.band_key
+          |         WHERE x.doc_id < 1000000 AND y.doc_id >= 1000000),
+          |p AS (SELECT new_id, count(DISTINCT old_id) AS n_partners FROM cand GROUP BY 1)
+          |SELECT d.doc_id, coalesce(p.n_partners, 0) AS n_partners,
+          |       CAST(coalesce(p.n_partners, 0) > 0 AS INT) AS dup
+          |FROM (SELECT doc_id + 1000000 AS doc_id FROM documents) d
+          |LEFT JOIN p ON p.new_id = d.doc_id
+          |ORDER BY doc_id""".stripMargin),
     // padding_waste: batch membership is integer arithmetic on doc_id
     // / length-bucket row numbers; only the final fraction is rounded
     "padding_waste" ->
@@ -1330,6 +1357,55 @@ object SparkEntry {
         |              WHERE l_orderkey = o_orderkey
         |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 6) AS revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    // q9: supply cost is the deterministic stand-in 0.6*p_retailprice
+    // (no partsupp in the driver schema)
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)
+        |                 - 0.6 * p_retailprice * l_quantity), 6) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name, year(o_orderdate)
+        |ORDER BY nation, o_year DESC""".stripMargin,
+    // q17: the correlated 0.2*avg predicate reformulated all-integer
+    // (5*qty*cnt < sum_qty) — no float boundary can flip a line
+    "q17_small_quantity" ->
+      """WITH pp AS (SELECT l_partkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+        |                   count(*) AS cnt
+        |            FROM lineitem GROUP BY 1)
+        |SELECT round(sum(l_extendedprice) / 7.0, 6) AS avg_yearly,
+        |       count(*) AS n_lines
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#23' AND p_size <= 10
+        |JOIN pp USING (l_partkey)
+        |WHERE 5 * CAST(l_quantity AS BIGINT) * cnt < sq""".stripMargin,
+    // q21: EXISTS/NOT-EXISTS decorrelated into per-order distinct
+    // supplier counts, lateness as in q4 (> 60 days after order date)
+    "q21_waiting_suppliers" ->
+      """WITH lo AS (SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+        |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |po AS (SELECT l_orderkey, count(DISTINCT l_suppkey) AS nsupp,
+        |              count(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |                                  THEN l_suppkey END) AS nlate
+        |       FROM lo GROUP BY 1),
+        |w AS (SELECT DISTINCT lo.l_orderkey, lo.l_suppkey
+        |      FROM lo JOIN po ON lo.l_orderkey = po.l_orderkey
+        |      WHERE lo.l_shipdate > lo.o_orderdate + INTERVAL 60 DAY
+        |        AND po.nsupp >= 2 AND po.nlate = 1)
+        |SELECT s_name, count(*) AS numwait
+        |FROM w JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
     "q14_promo_revenue" ->
       """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
         |                        THEN l_extendedprice * (1.0 - l_discount)

@@ -106,22 +106,30 @@ object Dedup {
     * recomputed) → agreement estimate via zip_with → threshold. Only
     * band-identical pairs are ever joined — never the O(n²) cross
     * product. */
+  /** LSH band frame (doc_id, sig, band, band_key) for a corpus — the
+    * shared signing step of the batch near-dup join and the
+    * incremental signature store. The repartition is an explicit
+    * exchange: it materializes the signature arrays once so every
+    * consumer shares them via exchange reuse instead of re-running
+    * the per-perm arithmetic. */
+  private[graft] def bandFrame(
+      corpus: DataFrame, numPerms: Int = 16, bandSize: Int = 4): DataFrame = {
+    val nBands = numPerms / bandSize
+    minhashSigArray(corpus, numPerms)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .withColumn("band_key",
+        concat_ws(",", transform(slice(col("sig"), col("band") * bandSize + 1, lit(bandSize)),
+          _.cast("string"))))
+  }
+
   def minhashNearDup(
       corpus: DataFrame,
       numPerms: Int = 16,
       bandSize: Int = 4,
       threshold: Double = 0.5): DataFrame = {
-    val nBands = numPerms / bandSize
-    // repartition = explicit exchange: materializes the signature
-    // arrays once so the self-join's two legs share them via exchange
-    // reuse instead of re-running the per-perm arithmetic that would
-    // otherwise inline into the band keys and the zip_with agreement.
-    val bands = minhashSigArray(corpus, numPerms)
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), col("sig"), explode(sequence(lit(0), lit(nBands - 1))).as("band"))
-      .withColumn("band_key",
-        concat_ws(",", transform(slice(col("sig"), col("band") * bandSize + 1, lit(bandSize)),
-          _.cast("string"))))
+    val bands = bandFrame(corpus, numPerms, bandSize)
     val cand = bands.as("x")
       .join(
         bands.as("y"),
@@ -232,6 +240,44 @@ object Dedup {
     * manufactured near-dup corpus. */
   def setSimJoinQuery(s: SparkSession, d: String): DataFrame =
     setSimJoinExact(nearDupCorpus(s, d))
+
+  /** INCREMENTAL INGEST DEDUP — the daily-drop shape of a 100 TB
+    * corpus: the EXISTING corpus's LSH band keys live in a persisted
+    * signature store (a lake table, written once); an arriving batch
+    * signs ONLY ITSELF, probes the store with a band equi-join, and
+    * rejects any doc sharing a band with an existing one; the novel
+    * docs' bands are appended to the store for the next drop. Nothing
+    * ever re-signs or re-scans the historical corpus — the cost per
+    * drop is O(batch + matched postings), not O(corpus). The decision
+    * (any-band match, no verify step) is deterministic, so the whole
+    * per-doc outcome is oracle-checkable against a from-scratch SQL
+    * banding of the union. */
+  def incrementalIngestDedup(s: SparkSession, d: String): DataFrame = {
+    val path = s"/tmp/graft_sigstore_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+    graft.Util.rmRecursive(path)
+    val existing = Tables.loadParallel(s, d, "documents").select("doc_id", "text")
+    val arrivals = existing.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      regexp_replace(col("text"), "^\\S+ ", "").as("text"))
+    graft.sources.LakeTable.overwrite(
+      bandFrame(existing).select("doc_id", "band", "band_key"), path)
+    val store = graft.sources.LakeTable.read(s, path)
+    val nb = bandFrame(arrivals).select("doc_id", "band", "band_key")
+    val matches = nb.as("n")
+      .join(store.as("e"),
+        col("n.band") === col("e.band") && col("n.band_key") === col("e.band_key"))
+      .groupBy(col("n.doc_id").as("doc_id"))
+      .agg(countDistinct(col("e.doc_id")).as("n_partners"))
+    val out = arrivals.select("doc_id")
+      .join(matches, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_partners"), lit(0L)).as("n_partners"),
+        (coalesce(col("n_partners"), lit(0L)) > 0).cast("int").as("dup"))
+    // lifecycle: the store grows by exactly the novel docs' bands
+    graft.sources.LakeTable.append(
+      nb.join(out.filter(col("dup") === 0).select("doc_id"), Seq("doc_id")), path)
+    out.orderBy("doc_id")
+  }
 
   /** SPLIT-LEAKAGE AUDIT — the pipeline-integrity check that composes
     * two independent stages: the content-addressed train/val/test

@@ -901,4 +901,95 @@ object Relational {
           .as("revenue"))
       .orderBy("l_returnflag")
   }
+
+  /** TPC-H Q6 shape (forecast revenue change): the pure
+    * filter-and-sum scan — every predicate pushes to the parquet
+    * reader, no joins, one partial-agg reduction. The query that
+    * measures scan + pushdown efficiency and nothing else. */
+  def q6ForecastRevenue(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(
+        round(sum(col("l_extendedprice") * col("l_discount")), 6).as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q9 shape (product-type profit): the deep join tree —
+    * lineitem ⋈ orders (the one big-big shuffle join) with part /
+    * supplier / nation broadcast, profit per supplier nation per
+    * order year. The driver schema has no partsupp, so supply cost is
+    * the deterministic stand-in 0.6·p_retailprice (same double math
+    * both engines). */
+  def q9ProductProfit(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .join(broadcast(t(s, d, "part")
+        .filter(col("p_type") === "STANDARD")
+        .select("p_partkey", "p_retailprice")),
+        col("l_partkey") === col("p_partkey"))
+      .join(t(s, d, "orders").select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, d, "nation").select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .withColumn("o_year", year(col("o_orderdate")))
+      .groupBy("n_name", "o_year")
+      .agg(round(sum(
+        col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+          lit(0.6) * col("p_retailprice") * col("l_quantity")), 6)
+        .as("sum_profit"))
+      .select(col("n_name").as("nation"), col("o_year"), col("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+
+  /** TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    * per-part average, decorrelated into a per-part aggregate joined
+    * back. The textbook predicate `l_quantity < 0.2 · avg(quantity)`
+    * is a FLOAT boundary that partial-agg summation order could flip;
+    * quantities are integral, so it is reformulated exactly as the
+    * all-integer `5 · quantity · count < sum_quantity`. */
+  def q17SmallQuantityRevenue(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+    val perPart = li.groupBy("l_partkey").agg(
+      sum(col("l_quantity").cast("long")).as("sq"),
+      count(lit(1)).as("cnt"))
+    li
+      .join(broadcast(t(s, d, "part")
+        .filter(col("p_brand") === "Brand#23" && col("p_size") <= 10)
+        .select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(perPart, Seq("l_partkey"))
+      .filter(lit(5) * col("l_quantity").cast("long") * col("cnt") < col("sq"))
+      .agg(round(sum("l_extendedprice") / 7.0, 6).as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): the double
+    * correlation — orders with at least two suppliers where EXACTLY
+    * ONE shipped late (> 60 days after order date, the schema's
+    * lateness notion as in Q4). The EXISTS / NOT EXISTS pair
+    * decorrelates into one per-order aggregate (distinct suppliers,
+    * distinct late suppliers) joined back to the late lines; output
+    * is the top-20 suppliers by waiting count under a total order. */
+  def q21WaitingSuppliers(s: SparkSession, d: String): DataFrame = {
+    val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
+    val lo = t(s, d, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(t(s, d, "orders").select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+    val perOrder = lo.groupBy("l_orderkey").agg(
+      countDistinct("l_suppkey").as("nsupp"),
+      countDistinct(when(late, col("l_suppkey"))).as("nlate"))
+    lo.filter(late)
+      .join(perOrder.filter(col("nsupp") >= 2 && col("nlate") === 1),
+        Seq("l_orderkey"))
+      .select("l_orderkey", "l_suppkey").distinct()
+      .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
 }

@@ -152,6 +152,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental_ingest_dedup: store grows by novel bands; re-drop fully rejected") {
+    import graft.llm.Dedup
+    val out = Dedup.incrementalIngestDedup(spark, dir)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // decisions partition the batch
+    assert(rows.forall(r => (r.getAs[Int]("dup") == 1) ==
+      (r.getAs[Long]("n_partners") > 0)))
+    val novel = rows.count(_.getAs[Int]("dup") == 0)
+    // the signature store holds existing + novel bands (4 bands/doc)
+    val path = s"/tmp/graft_sigstore_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val store = graft.sources.LakeTable.read(spark, path)
+    val nExisting = Tables.load(spark, dir, "documents").count()
+    assert(store.count() === (nExisting + novel) * 4)
+    // a SECOND drop of the same arrivals must match the store 100%:
+    // every doc now shares all four bands with its first-drop copy...
+    // except it landed under the same doc_ids, so instead assert the
+    // store now rejects the original corpus' variants via re-probe
+    val arrivals = Tables.load(spark, dir, "documents")
+      .select((org.apache.spark.sql.functions.col("doc_id") + 1000000L).as("doc_id"),
+        org.apache.spark.sql.functions.regexp_replace(
+          org.apache.spark.sql.functions.col("text"), "^\\S+ ", "").as("text"))
+    val reprobe = Dedup.bandFrame(arrivals).select("doc_id", "band", "band_key")
+      .as("n")
+      .join(store.as("e"),
+        col("n.band") === col("e.band") && col("n.band_key") === col("e.band_key"))
+      .select(col("n.doc_id")).distinct().count()
+    assert(reprobe === arrivals.count()) // every re-dropped doc matches now
+  }
+
   test("pii_scrub: scrubbed text contains no remaining pattern matches") {
     val out = TextAnalysis.piiScrub(spark, dir)
     val residue = out.filter(
