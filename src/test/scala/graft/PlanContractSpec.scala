@@ -131,4 +131,52 @@ class PlanContractSpec extends AnyFunSuite {
       assert(count(p, "SortMergeJoin") === 0, s"$q decayed to SMJ:\n${p.take(400)}")
     }
   }
+
+  test("doc_chunking and pii_scrub stay map-only (no join, no agg shuffle)") {
+    for (q <- Seq("doc_chunking", "pii_scrub")) {
+      val p = plan(q)
+      assert(count(p, "Join") === 0, s"$q grew a join:\n${p.take(400)}")
+      assert(count(p, "HashAggregate") === 0, s"$q grew an aggregate:\n${p.take(400)}")
+    }
+  }
+
+  test("q9: exactly one big-big shuffle join; part/supplier/nation broadcast") {
+    val p = plan("q9_product_profit")
+    assert(count(p, "BroadcastHashJoin") >= 3, s"q9 dims not broadcast:\n${p.take(400)}")
+    assert(count(p, "SortMergeJoin|ShuffledHashJoin") <= 1,
+      s"q9 grew extra shuffle joins:\n${p.take(400)}")
+    assert(count(p, "CartesianProduct") === 0)
+  }
+
+  test("q6: every predicate reaches the parquet scan") {
+    val p = plan("q6_forecast_revenue")
+    assert(p.contains("PushedFilters: ["), s"q6 lost pushdown:\n${p.take(600)}")
+    assert(p.contains("l_shipdate"), "shipdate filter not pushed")
+    assert(count(p, "Join") === 0)
+  }
+
+  test("vocab_coverage: top-k cut is TakeOrderedAndProject, never a vocab sort") {
+    assert(plan("vocab_coverage").contains("TakeOrderedAndProject"))
+  }
+
+  test("token_budget_select: windows partitioned by bucket, broadcast prefix") {
+    val p = plan("token_budget_select")
+    // within-bucket cumsum must be a partitioned window; the bucket
+    // frame and budget come back as broadcasts
+    assert(count(p, "BroadcastHashJoin|BroadcastNestedLoopJoin") >= 2,
+      s"bucket prefix/budget not broadcast:\n${p.take(400)}")
+    assert(count(p, "SortMergeJoin") === 0, s"decayed to SMJ:\n${p.take(400)}")
+  }
+
+  test("incremental_ingest_dedup: store probe is a band EQUI-join, no cartesian") {
+    val p = plan("incremental_ingest_dedup")
+    assert(count(p, "CartesianProduct") === 0)
+    assert(count(p, "BroadcastNestedLoopJoin") === 0, s"probe decayed:\n${p.take(400)}")
+  }
+
+  test("split_leakage_audit: split assignment joins broadcast onto sparse pairs") {
+    val p = plan("split_leakage_audit")
+    assert(count(p, "CartesianProduct") === 0)
+    assert(count(p, "BroadcastHashJoin") >= 2, s"split frames not broadcast:\n${p.take(400)}")
+  }
 }
