@@ -262,7 +262,13 @@ object Dedup {
     graft.sources.LakeTable.overwrite(
       bandFrame(existing).select("doc_id", "band", "band_key"), path)
     val store = graft.sources.LakeTable.read(s, path)
+    // the arrival bands and the decision frame each feed MULTIPLE
+    // actions (probe, store append, returned result) — eager
+    // localCheckpoint materializes them once instead of re-signing
+    // the batch per action (the multi-action analogue of the
+    // HOF-recompute barrier)
     val nb = bandFrame(arrivals).select("doc_id", "band", "band_key")
+      .localCheckpoint(true)
     val matches = nb.as("n")
       .join(store.as("e"),
         col("n.band") === col("e.band") && col("n.band_key") === col("e.band_key"))
@@ -273,6 +279,7 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("n_partners"), lit(0L)).as("n_partners"),
         (coalesce(col("n_partners"), lit(0L)) > 0).cast("int").as("dup"))
+      .localCheckpoint(true)
     // lifecycle: the store grows by exactly the novel docs' bands
     graft.sources.LakeTable.append(
       nb.join(out.filter(col("dup") === 0).select("doc_id"), Seq("doc_id")), path)
