@@ -129,6 +129,39 @@ class DedupSpec extends AnyFunSuite {
     assert(rounds <= 7, s"64-node path took $rounds rounds (want O(log n) <= 7)")
   }
 
+  test("property: star contraction == union-find on 20 seeded random graphs") {
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 20) {
+      val n = 5 + rnd.nextInt(60)
+      val m = 1 + rnd.nextInt(2 * n)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        // driver-side union-find reference
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        // canonical label = min id of each component
+        val expected = nodes
+          .groupBy(find).flatMap { case (_, members) =>
+            val lbl = members.min; members.map(_ -> lbl)
+          }
+        val (labels, rounds) = Dedup.connectedComponentsStars(
+          edges.toDF("src", "dst"))
+        val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === expected, s"trial $trial (n=$n m=$m) mismatch")
+        assert(rounds <= 10, s"trial $trial took $rounds rounds on $n nodes")
+      }
+    }
+  }
+
   test("star contraction handles duplicate, reversed, and self-loop input edges") {
     val pairs = Seq((2L, 1L), (1L, 2L), (2L, 2L), (3L, 2L), (7L, 9L))
       .toDF("src", "dst")
