@@ -67,4 +67,34 @@ class WatermarkSpec extends AnyFunSuite {
     val ids = spark.table("dd_out").collect().map(_.getAs[Long]("id")).sorted
     assert(ids === Array(100L, 200L))
   }
+
+  test("dropDuplicatesWithinWatermark BOUNDS state: expired keys re-admit") {
+    // the 100 TB half of the contract: dedup state is evicted once the
+    // watermark passes a key's horizon, so a duplicate arriving after
+    // expiry is treated as new — bounded state, windowed-exactness
+    // (SCALE.md's streaming-ingest-dedup deployment note)
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val dedup = input.toDS().toDF("ts", "id")
+      .withWatermark("ts", "5 minutes")
+      .dropDuplicatesWithinWatermark("id")
+    val query = dedup.writeStream.format("memory").queryName("dd_exp_out")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(0), 7L))
+      query.processAllAvailable()
+      input.addData((ts(1), 7L)) // dup within horizon → suppressed
+      query.processAllAvailable()
+      // advance the watermark far beyond 10:00 + 5 min → key 7 evicted
+      input.addData((ts(30), 8L))
+      query.processAllAvailable()
+      input.addData((ts(31), 7L)) // same id, after expiry → re-admitted
+      query.processAllAvailable()
+    } finally query.stop()
+    val sevens = spark.table("dd_exp_out").collect()
+      .map(_.getAs[Long]("id")).count(_ == 7L)
+    assert(sevens === 2,
+      "expired dedup key must re-admit (state is bounded, not global)")
+  }
 }
