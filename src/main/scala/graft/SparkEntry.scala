@@ -64,6 +64,7 @@ object SparkEntry {
     "simhash_near_dup" -> ((s, d) => llm.Dedup.simhashNearDup(s, d)),
     "setsim_join_exact" -> (llm.Dedup.setSimJoinQuery _),
     "triangle_count" -> (llm.Dedup.triangleCount _),
+    "pagerank_near_dup" -> ((s, d) => llm.Dedup.pagerankNearDup(s, d)),
     "jaccard_consecutive" -> (llm.Dedup.jaccardConsecutive _),
     "levenshtein_consecutive" -> (llm.Dedup.levenshteinConsecutive _),
     "cjk_edit_sim" -> (llm.Dedup.cjkEditSim _),
@@ -120,6 +121,9 @@ object SparkEntry {
     "q9_product_profit" -> (ops.Relational.q9ProductProfit _),
     "q17_small_quantity" -> (ops.Relational.q17SmallQuantityRevenue _),
     "q21_waiting_suppliers" -> (ops.Relational.q21WaitingSuppliers _),
+    "q8_market_share" -> (ops.Relational.q8MarketShare _),
+    "q15_top_supplier" -> (ops.Relational.q15TopSupplier _),
+    "dup_ngram_frac" -> (llm.TextAnalysis.dupNgramFrac _),
     "funnel_stages" -> (ops.Behavioral.funnelStages _),
     "cohort_retention" -> (ops.Behavioral.cohortRetention _),
     "zscore_outliers" -> (ops.Behavioral.zscoreOutliers _),
@@ -755,6 +759,28 @@ object SparkEntry {
           |        FROM e e1 JOIN e e2 ON e1.doc_b = e2.doc_a
           |                  JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)
           |SELECT n_vertices, n_edges, n_triangles FROM vx, ed, tri""".stripMargin),
+    // pagerank_near_dup: 3 power iterations UNROLLED as CTEs (the
+    // Spark side runs the same fixed count); teleport/damping written
+    // as the literals 0.15/0.85 on both engines, rank scaled by |V|
+    // and rounded once at the end
+    "pagerank_near_dup" ->
+      ("WITH nd AS (\n" + MinhashNearDupSql + "\n),\n" +
+        """e AS (SELECT doc_a AS u, doc_b AS v FROM nd
+          |      UNION ALL SELECT doc_b, doc_a FROM nd),
+          |deg AS (SELECT u, count(*) AS deg FROM e GROUP BY 1),
+          |nn AS (SELECT count(*) AS n FROM deg),
+          |ed AS (SELECT e.u, e.v, deg.deg FROM e JOIN deg USING (u)),
+          |r0 AS (SELECT u, 1.0 / n AS r FROM deg CROSS JOIN nn),
+          |r1 AS (SELECT ed.v AS u, 0.15 / nn.n + 0.85 * sum(r0.r / ed.deg) AS r
+          |       FROM ed JOIN r0 ON ed.u = r0.u CROSS JOIN nn GROUP BY ed.v, nn.n),
+          |r2 AS (SELECT ed.v AS u, 0.15 / nn.n + 0.85 * sum(r1.r / ed.deg) AS r
+          |       FROM ed JOIN r1 ON ed.u = r1.u CROSS JOIN nn GROUP BY ed.v, nn.n),
+          |r3 AS (SELECT ed.v AS u, 0.15 / nn.n + 0.85 * sum(r2.r / ed.deg) AS r
+          |       FROM ed JOIN r2 ON ed.u = r2.u CROSS JOIN nn GROUP BY ed.v, nn.n)
+          |SELECT deg.u AS doc_id, CAST(deg.deg AS INT) AS degree,
+          |       round(r3.r * nn.n, 6) AS rank_norm
+          |FROM r3 JOIN deg ON r3.u = deg.u CROSS JOIN nn
+          |ORDER BY doc_id""".stripMargin),
     "jaccard_consecutive" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(list_transform(range(1, len(tokens)-1),
@@ -1048,6 +1074,26 @@ object SparkEntry {
         |       round(avg(ln((cb + 1.0) / (cw + v))), 6) AS lm_score
         |FROM big JOIN bc USING (w1, w2) JOIN uni ON w1 = uni.w CROSS JOIN v
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // dup_ngram_frac: distinct 5-grams per doc, df>=2 means shared
+    // with another doc; counts are integral, division rounded last
+    "dup_ngram_frac" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1] || ' ' ||
+        |         tk[CAST(i AS INT) + 2] || ' ' || tk[CAST(i AS INT) + 3] || ' ' ||
+        |         tk[CAST(i AS INT) + 4] AS shingle
+        |       FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS i
+        |             FROM toks WHERE len(tk) >= 5)),
+        |dfq AS (SELECT shingle, count(*) AS ndocs FROM sh GROUP BY 1),
+        |pd AS (SELECT doc_id, count(*) AS n_shingles,
+        |              sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS n_dup
+        |       FROM sh JOIN dfq USING (shingle) GROUP BY 1)
+        |SELECT doc_id,
+        |       CAST(coalesce(n_shingles, 0) AS INT) AS n_shingles,
+        |       CAST(coalesce(n_dup, 0) AS INT) AS n_dup,
+        |       round(coalesce(n_dup, 0) * 1.0 /
+        |             greatest(coalesce(n_shingles, 0), 1), 6) AS dup_frac
+        |FROM documents LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin,
     // doc_length_histogram: integer `//` bucketing — no float boundary
     // can flip a doc between bins cross-engine
     "doc_length_histogram" ->
@@ -1406,6 +1452,41 @@ object SparkEntry {
         |SELECT s_name, count(*) AS numwait
         |FROM w JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    // q8: market-share ratio rounded AFTER the division (q14's rule);
+    // the conditional sum is over the identical join result so both
+    // engines divide the same two doubles up to summation-order ulps
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |       round(sum(CASE WHEN sn.n_name = 'NATION_7'
+        |                 THEN l_extendedprice * (1.0 - l_discount)
+        |                 ELSE 0.0 END) /
+        |             sum(l_extendedprice * (1.0 - l_discount)), 6) AS mkt_share,
+        |       count(*) AS n_lines
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY o_year""".stripMargin,
+    // q15: revenue rounded BEFORE max/equality, so the top-supplier
+    // selection compares the identical decimal cross-engine
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         round(sum(l_extendedprice * (1.0 - l_discount)), 6) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_name""".stripMargin,
     "q14_promo_revenue" ->
       """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
         |                        THEN l_extendedprice * (1.0 - l_discount)

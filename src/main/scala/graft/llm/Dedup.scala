@@ -346,6 +346,58 @@ object Dedup {
     verts.crossJoin(edges).crossJoin(tri)
   }
 
+  /** L11 PAGERANK over the near-dup graph — duplicate-cluster
+    * centrality as a curation signal: a doc whose copies are
+    * themselves heavily duplicated scores higher than a leaf of a
+    * duplication chain, which ranks boilerplate hubs for removal
+    * first. Exactly [[iters]] power iterations (fixed, so the oracle
+    * can unroll them), damping 0.85; vertices are the edge endpoints
+    * (the symmetrized graph has no dangling nodes, so no lost-mass
+    * correction is needed).
+    *
+    * Scale posture: the edge frame with source degrees is
+    * checkpointed ONCE; each iteration is one equi-join of the rank
+    * frame (|V| rows) against it plus one hash aggregate on the
+    * destination — shuffles on vertex ids only, never vertex×vertex.
+    * The vertex count rides as a broadcast single row, never a
+    * driver-side scalar. With fixed iteration count the plan depth
+    * is constant; a convergence-driven variant would reuse
+    * [[connectedComponentsStars]]' checksum-action pattern.
+    *
+    * Teleport/damping literals are written 0.15/0.85 on BOTH engines
+    * (never computed as 1−d, whose double differs from the literal
+    * in the last ulp). */
+  def pagerankNearDup(s: SparkSession, d: String, iters: Int = 3): DataFrame =
+    pagerank(minhashNearDupQuery(s, d).select("doc_a", "doc_b"), iters)
+
+  /** Core power iteration over undirected (doc_a, doc_b) pairs. */
+  private[graft] def pagerank(pairs: DataFrame, iters: Int): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+    // one materialization feeds all iterations (and the final degree join)
+    val edgesDeg = edges.join(deg, Seq("u")).localCheckpoint(true)
+    val degOnly = edgesDeg.select("u", "deg").distinct()
+    val nRow = broadcast(degOnly.agg(count(lit(1)).as("n")))
+    var ranks = degOnly.crossJoin(nRow)
+      .select(col("u"), (lit(1.0) / col("n")).as("r"))
+    for (_ <- 1 to iters) {
+      ranks = edgesDeg
+        .join(ranks, Seq("u"))
+        .groupBy(col("v"))
+        .agg(sum(col("r") / col("deg")).as("m"))
+        .crossJoin(nRow)
+        .select(col("v").as("u"),
+          (lit(0.15) / col("n") + lit(0.85) * col("m")).as("r"))
+    }
+    ranks
+      .join(degOnly, Seq("u"))
+      .crossJoin(nRow)
+      .select(col("u").as("doc_id"), col("deg").cast("int").as("degree"),
+        round(col("r") * col("n"), 6).as("rank_norm"))
+      .orderBy("doc_id")
+  }
+
   /** L1b CANONICALIZATION: after clustering ([[dedupClusters]]), a
     * production dedup keeps ONE representative per near-dup cluster —
     * the highest-QUALITY member, not an arbitrary one (the cleaner of

@@ -638,4 +638,42 @@ object TextAnalysis {
       .withColumn("len_scrubbed", length(col("scrubbed")))
       .orderBy("doc_id")
   }
+
+  /** L8b DUPLICATE-N-GRAM FRACTION — the corpus-level repetition
+    * signal (Dolma/RedPajama "fraction of duplicate n-grams"):
+    * for each doc, the share of its DISTINCT word 5-grams that also
+    * occur in at least one OTHER document. Where `repetitionSignals`
+    * measures repetition WITHIN a doc (map-only), this measures
+    * boilerplate ACROSS docs: one document-frequency aggregation on
+    * the shingle key, joined back to the per-doc shingle set — both
+    * stages shuffle on the shingle, never doc×doc. A doc's distinct
+    * shingles mean df≥2 ⇔ some other doc shares the shingle, so no
+    * self-exclusion join is needed. At 100 TB the shingle strings
+    * would be polyhashed (as `setsimJoinExact` does); exact strings
+    * here keep the oracle byte-identical. */
+  def dupNgramFrac(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.load(s, d, "documents")
+    val sh = docs
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 5)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, size(tk) - 4), i -> concat_ws(' ', slice(tk, i, 5)))")))
+        .as("shingle"))
+    val df = sh.groupBy("shingle").agg(count(lit(1)).as("ndocs"))
+    val perDoc = sh
+      .join(df, Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("int").as("n_shingles"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).cast("int").as("n_dup"))
+    docs.select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_shingles"), lit(0)).as("n_shingles"),
+        coalesce(col("n_dup"), lit(0)).as("n_dup"),
+        round(coalesce(col("n_dup"), lit(0)).cast("double") /
+          greatest(coalesce(col("n_shingles"), lit(0)), lit(1)), 6).as("dup_frac"))
+      .orderBy("doc_id")
+  }
 }

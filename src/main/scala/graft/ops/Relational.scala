@@ -992,4 +992,73 @@ object Relational {
       .orderBy(col("numwait").desc, col("s_name"))
       .limit(20)
   }
+
+  /** TPC-H Q8 shape (national market share): of the revenue on
+    * ECONOMY-type parts ordered by ASIA-region customers in
+    * 1996–1997, the fraction supplied by NATION_7, per order year.
+    * Join posture mirrors q5: lineitem⋈orders and orders⋈customer
+    * are the two fact shuffles; part (filtered), both nation copies,
+    * region, and supplier broadcast. The share is a single
+    * conditional-sum ratio per year — partial aggregation collapses
+    * everything before the one groupBy shuffle, and the division
+    * happens once per output row, rounded after (q14's float rule). */
+  def q8MarketShare(s: SparkSession, d: String): DataFrame = {
+    val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    t(s, d, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount")
+      .join(broadcast(t(s, d, "part")
+        .filter(col("p_type") === "ECONOMY").select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, d, "customer").select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "nation")
+        .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))),
+        col("c_nationkey") === col("cn_key"))
+      .join(broadcast(t(s, d, "region")
+        .filter(col("r_name") === "ASIA").select("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, d, "nation")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .withColumn("o_year", year(col("o_orderdate")))
+      .groupBy("o_year")
+      .agg(
+        round(sum(when(col("supp_nation") === "NATION_7", vol).otherwise(0.0)) /
+          sum(vol), 6).as("mkt_share"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q15 shape (top supplier): the revenue "view" is a
+    * per-supplier aggregate over one ship-date quarter; the top
+    * supplier(s) are those whose revenue equals the global max —
+    * the classic scalar-subquery-on-an-aggregate. One groupBy
+    * shuffle builds the view, the max comes back as a broadcast
+    * single row, and the selection is a map-side equality — no
+    * global sort, no second pass over lineitem. Revenue is ROUNDED
+    * before the max/equality (the repo's sum-of-doubles rule) so
+    * both engines compare the identical decimal. */
+  def q15TopSupplier(s: SparkSession, d: String): DataFrame = {
+    val rev = t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 6)
+        .as("total_revenue"))
+    rev
+      .join(broadcast(rev.agg(max(col("total_revenue")).as("mx"))),
+        col("total_revenue") === col("mx"))
+      .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_name")
+  }
 }

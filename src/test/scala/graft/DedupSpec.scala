@@ -275,4 +275,38 @@ class DedupSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_copies")).toMap
     assert(got === Map(10L -> 3L, 13L -> 1L), s"got $got")
   }
+
+  test("pagerank: matches a driver-side power iteration on a star graph") {
+    // K1,4 star centered at 0 plus a detached 2-path: known degrees,
+    // hand-checkable mass flow, and two components in one frame
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.pagerank(pairs, iters = 3).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Int]("degree"), r.getAs[Double]("rank_norm")))).toMap
+
+    // reference: same fixed-iteration PageRank, computed imperatively
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (10L, 11L))
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size }
+    val n = deg.size
+    var r = deg.keys.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 3) {
+      val in = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => r(u) / deg(u) }.sum
+      }
+      r = deg.keys.map(v => v -> (0.15 / n + 0.85 * in(v))).toMap
+    }
+    assert(got.keySet === deg.keySet)
+    deg.keys.foreach { v =>
+      assert(got(v)._1 === deg(v), s"degree of $v")
+      val want = math.rint(r(v) * n * 1e6) / 1e6 // query rounds to 6 decimals
+      assert(math.abs(got(v)._2 - want) < 1e-9,
+        s"rank of $v: got=${got(v)._2} want=$want")
+    }
+    // structure: the hub outranks every leaf; total mass is conserved
+    assert(got(0L)._2 > got(1L)._2 * 2)
+    val total = got.values.map(_._2).sum
+    assert(math.abs(total - n) < 1e-4, s"mass conservation: $total vs $n")
+  }
 }

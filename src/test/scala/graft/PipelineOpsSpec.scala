@@ -199,4 +199,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.filter(col("n_emails") === 0 && col("n_phones") === 0 &&
       col("n_ips") === 0 && col("len_scrubbed") =!= col("len_raw")).count() === 0)
   }
+
+  test("dup_ngram_frac: shared 5-grams counted exactly, short docs report zero") {
+    import spark.implicits._
+    val tmp = "/tmp/graft_test/dup_ngram"
+    Seq(
+      (1L, "a b c d e f", "en", "s", 11L), // shares "a b c d e" with doc 2
+      (2L, "z a b c d e", "en", "s", 11L),
+      (3L, "p q r s t u", "en", "s", 11L), // all shingles unique
+      (4L, "x y", "en", "s", 3L)) // < 5 tokens: no shingles at all
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextAnalysis.dupNgramFrac(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_shingles"), r.getAs[Int]("n_dup"),
+          r.getAs[Double]("dup_frac")))).toMap
+    assert(got === Map(
+      1L -> ((2, 1, 0.5)), 2L -> ((2, 1, 0.5)),
+      3L -> ((2, 0, 0.0)), 4L -> ((0, 0, 0.0))), s"got $got")
+  }
 }
