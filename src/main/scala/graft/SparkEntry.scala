@@ -124,6 +124,9 @@ object SparkEntry {
     "q8_market_share" -> (ops.Relational.q8MarketShare _),
     "q15_top_supplier" -> (ops.Relational.q15TopSupplier _),
     "dup_ngram_frac" -> (llm.TextAnalysis.dupNgramFrac _),
+    "quality_logit" -> (llm.TextAnalysis.qualityLogit _),
+    "normalized_dedup" -> (llm.Dedup.normalizedDedup _),
+    "k_anonymity_audit" -> ((s, d) => ops.Relational.kAnonymityAudit(s, d)),
     "funnel_stages" -> (ops.Behavioral.funnelStages _),
     "cohort_retention" -> (ops.Behavioral.cohortRetention _),
     "zscore_outliers" -> (ops.Behavioral.zscoreOutliers _),
@@ -1094,6 +1097,43 @@ object SparkEntry {
         |       round(coalesce(n_dup, 0) * 1.0 /
         |             greatest(coalesce(n_shingles, 0), 1), 6) AS dup_frac
         |FROM documents LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // quality_logit: identical linear formula inside and outside the
+    // sigmoid; keep tests the LINEAR score (monotone σ) so exp() never
+    // sits on the decision boundary
+    "quality_logit" ->
+      """WITH f AS (SELECT doc_id,
+        |    len(list_distinct(tokens))::DOUBLE / len(tokens) AS ttr,
+        |    len(list_filter(tokens, t -> list_contains(['the','a','of','and','in'], t)))::DOUBLE
+        |      / len(tokens) AS sr,
+        |    len(tokens) AS n
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents))
+        |SELECT doc_id,
+        |       round(-2.0 + 3.0*ttr - 1.5*sr + 0.3*ln(1.0 + n), 6) AS logit,
+        |       round(1.0 / (1.0 + exp(-(-2.0 + 3.0*ttr - 1.5*sr + 0.3*ln(1.0 + n)))), 6) AS p_keep,
+        |       (-2.0 + 3.0*ttr - 1.5*sr + 0.3*ln(1.0 + n)) >= 0.0 AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
+    // normalized_dedup: canonicalization chain written identically on
+    // both engines (DuckDB regexp_replace needs the 'g' flag to match
+    // Spark's replace-all default); counts integral
+    "normalized_dedup" ->
+      """WITH c AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |         upper(substr(text, 1, 1)) || substr(text, 2) || ' .'
+        |  FROM documents),
+        |n AS (SELECT doc_id,
+        |        trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |                            ' +', ' ', 'g')) AS norm
+        |      FROM c)
+        |SELECT min(doc_id) AS doc_id, CAST(count(*) AS INT) AS n_copies,
+        |       CAST(length(norm) AS INT) AS norm_len
+        |FROM n GROUP BY norm ORDER BY doc_id""".stripMargin,
+    "k_anonymity_audit" ->
+      """SELECT lang, source, CAST(n_chars // 100 AS INT) AS len_bucket,
+        |       count(*) AS n_docs, count(*) < 5 AS at_risk
+        |FROM documents GROUP BY 1, 2, 3
+        |ORDER BY lang, source, len_bucket""".stripMargin,
     // doc_length_histogram: integer `//` bucketing — no float boundary
     // can flip a doc between bins cross-engine
     "doc_length_histogram" ->

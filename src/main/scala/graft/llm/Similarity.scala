@@ -233,7 +233,7 @@ object Similarity {
     // original↔variant candidates agree on both signals (confirmed)
     // while coincidental same-corpus lexical collisions get vetoed by
     // the embedding — the discrimination this operator exists for
-    val cand = Dedup.minhashNearDup(Dedup.nearDupCorpus(s, d))
+    val cand = Dedup.minhashNearDupQuery(s, d) // persisted shared pair frame
     val base = graft.Tables.load(s, d, "embeddings")
       .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
     val emb = base

@@ -639,6 +639,32 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** L6 MODEL-BASED QUALITY FILTERING (inference side) — the linear
+    * quality-classifier pass of a curated corpus (the fastText-style
+    * "looks like reference text?" gate): p(keep) = σ(w·x) over cheap
+    * per-doc features (TTR, stopword ratio, log token count). The
+    * weights are fixed constants here — a trained model would arrive
+    * as a broadcast weight vector and the plan would not change.
+    * Map-only: one codegen'd projection per doc, zero shuffles (the
+    * ORDER BY is the determinism contract). The keep decision tests
+    * the LINEAR score against 0 (σ is monotone), so no exp() sits on
+    * the decision boundary. */
+  def qualityLogit(s: SparkSession, d: String): DataFrame = {
+    val t = tokens(col("text"))
+    val nTok = size(t).cast("double")
+    val ttr = size(array_distinct(t)).cast("double") / nTok
+    val stopRatio = size(filter(t, tk => tk.isin(Stopwords: _*))).cast("double") / nTok
+    val z = lit(-2.0) + lit(3.0) * ttr - lit(1.5) * stopRatio +
+      lit(0.3) * log(lit(1.0) + nTok)
+    Tables.load(s, d, "documents")
+      .select(
+        col("doc_id"),
+        round(z, 6).as("logit"),
+        round(sigmoid(z), 6).as("p_keep"),
+        (z >= 0.0).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** L8b DUPLICATE-N-GRAM FRACTION — the corpus-level repetition
     * signal (Dolma/RedPajama "fraction of duplicate n-grams"):
     * for each doc, the share of its DISTINCT word 5-grams that also

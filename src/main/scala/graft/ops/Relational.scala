@@ -1061,4 +1061,21 @@ object Relational {
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
       .orderBy("s_name")
   }
+
+  /** L9 K-ANONYMITY AUDIT — the governance-side complement of
+    * [[dqChecks]]: group the corpus by its quasi-identifier tuple
+    * (lang, source, length bucket) and flag groups smaller than k=5,
+    * whose members are re-identification risks if the dataset is
+    * released with those attributes. ONE hash aggregate over the
+    * corpus (partial-agg friendly); the risk flag is an integer
+    * compare on the group row itself, so the audit output is bounded
+    * by the quasi-identifier domain, never the corpus size. */
+  def kAnonymityAudit(s: SparkSession, d: String, k: Int = 5): DataFrame =
+    t(s, d, "documents")
+      .groupBy(col("lang"), col("source"),
+        expr("CAST(n_chars DIV 100 AS INT)").as("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("lang"), col("source"), col("len_bucket"), col("n_docs"),
+        (col("n_docs") < k).as("at_risk"))
+      .orderBy("lang", "source", "len_bucket")
 }

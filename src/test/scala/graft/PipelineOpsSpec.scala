@@ -200,6 +200,51 @@ class PipelineOpsSpec extends AnyFunSuite {
       col("n_ips") === 0 && col("len_scrubbed") =!= col("len_raw")).count() === 0)
   }
 
+  test("normalized_dedup: restyled text collapses onto its original") {
+    import spark.implicits._
+    import graft.llm.Dedup
+    val tmp = "/tmp/graft_test/norm_dedup"
+    Seq(
+      (1L, "hello world foo", "en", "s", 15L),
+      (2L, "unique text here", "en", "s", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // the query manufactures "Hello world foo ." / "Unique text here ."
+    // variants itself; normalization must fold them back
+    val got = Dedup.normalizedDedup(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_copies")).toMap
+    assert(got === Map(1L -> 2, 2L -> 2), s"got $got")
+    // and genuinely different docs never merge: 2 groups, not 1
+    assert(got.size === 2)
+  }
+
+  test("quality_logit: keep agrees with the sign of the logit, p in (0,1)") {
+    val out = TextAnalysis.qualityLogit(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (z, p, keep) = (r.getAs[Double]("logit"), r.getAs[Double]("p_keep"),
+        r.getAs[Boolean]("keep"))
+      assert(p > 0.0 && p < 1.0, s"p out of range: $p")
+      assert(keep === (z >= 0.0), s"keep/logit disagree: z=$z keep=$keep")
+      // σ(z) ≥ 1/2 exactly when z ≥ 0 (both already rounded to 6)
+      assert(keep === (p >= 0.5), s"keep/p disagree: p=$p keep=$keep")
+    }
+  }
+
+  test("k_anonymity_audit: groups below k are flagged, others are not") {
+    import spark.implicits._
+    val tmp = "/tmp/graft_test/k_anon"
+    val rows = (1L to 5L).map(i => (i, s"t$i", "en", "big", 10L)) :+
+      ((6L, "t6", "zh", "small", 10L)) // singleton group → at risk
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = ops.Relational.kAnonymityAudit(spark, tmp).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Boolean]("at_risk")))).toMap
+    assert(got === Map(("en", "big") -> ((5L, false)), ("zh", "small") -> ((1L, true))),
+      s"got $got")
+  }
+
   test("dup_ngram_frac: shared 5-grams counted exactly, short docs report zero") {
     import spark.implicits._
     val tmp = "/tmp/graft_test/dup_ngram"
