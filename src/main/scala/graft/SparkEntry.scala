@@ -127,6 +127,8 @@ object SparkEntry {
     "quality_logit" -> (llm.TextAnalysis.qualityLogit _),
     "normalized_dedup" -> (llm.Dedup.normalizedDedup _),
     "k_anonymity_audit" -> ((s, d) => ops.Relational.kAnonymityAudit(s, d)),
+    "source_overlap_matrix" -> (llm.Dedup.sourceOverlapMatrix _),
+    "mixture_plan" -> (etl.Preprocess.mixturePlan _),
     "funnel_stages" -> (ops.Behavioral.funnelStages _),
     "cohort_retention" -> (ops.Behavioral.cohortRetention _),
     "zscore_outliers" -> (ops.Behavioral.zscoreOutliers _),
@@ -1129,6 +1131,31 @@ object SparkEntry {
         |SELECT min(doc_id) AS doc_id, CAST(count(*) AS INT) AS n_copies,
         |       CAST(length(norm) AS INT) AS norm_len
         |FROM n GROUP BY norm ORDER BY doc_id""".stripMargin,
+    // source_overlap_matrix: near-dup pairs mapped to the SOURCE of
+    // both endpoints (variant ids fold back via % 1000000); counts
+    // integral, matrix keyed on the (least, greatest) source pair
+    "source_overlap_matrix" ->
+      ("WITH nd AS (\n" + MinhashNearDupSql + "\n)\n" +
+        """SELECT least(da.source, db.source) AS source_a,
+          |       greatest(da.source, db.source) AS source_b,
+          |       count(*) AS n_pairs
+          |FROM nd
+          |JOIN documents da ON da.doc_id = nd.doc_a % 1000000
+          |JOIN documents db ON db.doc_id = nd.doc_b % 1000000
+          |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin),
+    // mixture_plan: integral token counts; shares and keep rates
+    // divided once per output row, rounded last
+    "mixture_plan" ->
+      """WITH g AS (SELECT lang, count(*) AS n_docs,
+        |                  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |             count(*) AS n_langs FROM g)
+        |SELECT lang, n_docs, n_tokens,
+        |       round(n_tokens * 1.0 / total_tokens, 6) AS current_share,
+        |       round(1.0 / n_langs, 6) AS target_share,
+        |       round(least(1.0, (total_tokens * 1.0 / n_langs) / n_tokens), 6) AS sample_rate
+        |FROM g CROSS JOIN t ORDER BY lang""".stripMargin,
     "k_anonymity_audit" ->
       """SELECT lang, source, CAST(n_chars // 100 AS INT) AS len_bucket,
         |       count(*) AS n_docs, count(*) < 5 AS at_risk

@@ -378,4 +378,32 @@ object Preprocess {
         min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
       .orderBy("split")
   }
+
+  /** L7c DATASET MIXTURE PLAN — the planning half of domain
+    * reweighting (DoReMi/DSIR shape): per language group, current
+    * token share vs a uniform target share, and the keep rate that
+    * would rebalance the mixture (capped at 1 — no upsampling).
+    * [[importanceSample]] is the EXECUTION of such a plan by hash
+    * thinning; this emits the plan itself, the artifact a pipeline
+    * stores next to the corpus manifest. One hash aggregate over the
+    * corpus; totals come back as a broadcast single row; output is
+    * |langs| rows. */
+  def mixturePlan(s: SparkSession, d: String): DataFrame = {
+    val g = Tables.load(s, d, "documents")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val tot = g.agg(sum("n_tokens").as("total_tokens"),
+      count(lit(1)).as("n_langs"))
+    g.crossJoin(broadcast(tot))
+      .select(
+        col("lang"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("total_tokens"), 6)
+          .as("current_share"),
+        round(lit(1.0) / col("n_langs"), 6).as("target_share"),
+        round(least(lit(1.0),
+          (col("total_tokens").cast("double") / col("n_langs")) / col("n_tokens")), 6)
+          .as("sample_rate"))
+      .orderBy("lang")
+  }
 }

@@ -172,6 +172,31 @@ object Dedup {
   private val pairsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** L11 SOURCE-OVERLAP MATRIX — crawl-dedup diagnostics: which
+    * sources near-duplicate each other, counted from the shared
+    * MinHash pair frame joined to the source of BOTH endpoints
+    * (variants map back to their base doc via the id offset). The
+    * pair matrix is the artifact a crawl-curation team reads to
+    * decide which feed to drop. Two equi-joins of the SPARSE pair
+    * frame against the (doc_id, source) projection — at 100 TB the
+    * doc→source map is corpus-sized, so these are key-shuffle joins
+    * of pair-scale against corpus-scale, never corpus×corpus; the
+    * output is bounded by |sources|². */
+  def sourceOverlapMatrix(s: SparkSession, d: String): DataFrame = {
+    val pairs = minhashNearDupQuery(s, d)
+      .select(pmod(col("doc_a"), lit(1000000L)).as("ida"),
+        pmod(col("doc_b"), lit(1000000L)).as("idb"))
+    val src = Tables.load(s, d, "documents").select("doc_id", "source")
+    pairs
+      .join(src.select(col("doc_id").as("ida"), col("source").as("sa")), Seq("ida"))
+      .join(src.select(col("doc_id").as("idb"), col("source").as("sb")), Seq("idb"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** L1 NORMALIZED (C4-style) DEDUP — exact dedup AFTER text
     * canonicalization: lowercase, strip non-alphanumerics, collapse
     * runs of whitespace, trim. Catches the trivially-restyled

@@ -682,6 +682,11 @@ object TextAnalysis {
     val sh = docs
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .filter(size(col("tk")) >= 5)
+      // materialization barrier (bandFrame's pattern): without it
+      // CollapseProject inlines tk = split(text) into the transform
+      // lambda and the interpreted HOF re-tokenizes per shingle index
+      // — O(|doc|²) per doc (measured 13 s vs 1.4 s at sf0.1)
+      .repartition(col("doc_id"))
       .select(col("doc_id"), explode(array_distinct(expr(
         "transform(sequence(1, size(tk) - 4), i -> concat_ws(' ', slice(tk, i, 5)))")))
         .as("shingle"))

@@ -245,6 +245,35 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("mixture_plan: shares sum to 1, rates capped at 1, big groups thinned hardest") {
+    val rows = Preprocess.mixturePlan(spark, dir).collect()
+    assert(rows.length > 1)
+    val shareSum = rows.map(_.getAs[Double]("current_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4, s"shares sum to $shareSum")
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("sample_rate")
+      assert(rate > 0.0 && rate <= 1.0, s"rate out of range: $rate")
+    }
+    // ordering: a group with more tokens never gets a HIGHER keep rate
+    val byTokens = rows.sortBy(_.getAs[Long]("n_tokens"))
+    byTokens.sliding(2).foreach {
+      case Array(small, big) =>
+        assert(big.getAs[Double]("sample_rate") <= small.getAs[Double]("sample_rate") + 1e-9)
+      case _ =>
+    }
+  }
+
+  test("source_overlap_matrix: matrix mass equals the pair count exactly") {
+    import graft.llm.Dedup
+    val matrix = Dedup.sourceOverlapMatrix(spark, dir).collect()
+    val mass = matrix.map(_.getAs[Long]("n_pairs")).sum
+    val pairs = Dedup.minhashNearDupQuery(spark, dir).count()
+    assert(mass === pairs, s"matrix mass $mass != pair count $pairs")
+    assert(matrix.forall { r =>
+      r.getAs[String]("source_a") <= r.getAs[String]("source_b")
+    }, "matrix keys must be (least, greatest)-canonical")
+  }
+
   test("dup_ngram_frac: shared 5-grams counted exactly, short docs report zero") {
     import spark.implicits._
     val tmp = "/tmp/graft_test/dup_ngram"

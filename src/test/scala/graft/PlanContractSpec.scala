@@ -179,4 +179,36 @@ class PlanContractSpec extends AnyFunSuite {
     assert(count(p, "CartesianProduct") === 0)
     assert(count(p, "BroadcastHashJoin") >= 2, s"split frames not broadcast:\n${p.take(400)}")
   }
+
+  test("q8: two fact shuffles at most, dims broadcast, no nested loop") {
+    val p = plan("q8_market_share")
+    assert(count(p, "BroadcastHashJoin") >= 4, s"dims decayed:\n${p.take(400)}")
+    assert(count(p, "SortMergeJoin|ShuffledHashJoin") <= 2, s"extra fact shuffle:\n${p.take(400)}")
+    assert(count(p, "CartesianProduct|BroadcastNestedLoopJoin") === 0)
+  }
+
+  test("q15: scalar max returns as a broadcast, lineitem never sorted globally") {
+    val p = plan("q15_top_supplier")
+    // rev⋈max and rev⋈supplier both broadcast; no SMJ anywhere
+    assert(count(p, "BroadcastHashJoin") >= 1, s"max not broadcast:\n${p.take(400)}")
+    assert(count(p, "SortMergeJoin") === 0, s"decayed to SMJ:\n${p.take(400)}")
+  }
+
+  test("quality_logit is map-only: no joins, no aggregate exchange") {
+    val p = plan("quality_logit")
+    assert(count(p, "Join") === 0, s"quality_logit must not join:\n${p.take(400)}")
+    // loadParallel round-robin + final orderBy range exchange only
+    assert(count(p, "Exchange") <= 2, s"grew a shuffle:\n${p.take(400)}")
+  }
+
+  test("dup_ngram_frac and pagerank: shingle/vertex equi-joins only, no cartesian") {
+    val pd = plan("dup_ngram_frac")
+    assert(count(pd, "CartesianProduct|BroadcastNestedLoopJoin") === 0, pd.take(400))
+    val pr = plan("pagerank_near_dup")
+    // rank⋈edge joins SHUFFLE on the vertex id (SMJ is the correct
+    // 100 TB shape — the rank frame is |V| rows); the only
+    // nested-loop allowed is the broadcast single-row |V| cross join
+    assert(count(pr, "CartesianProduct") === 0, pr.take(400))
+    assert(count(pr, "BroadcastNestedLoopJoin BuildRight, Inner") === 0, pr.take(400))
+  }
 }
