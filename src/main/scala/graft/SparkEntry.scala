@@ -129,6 +129,7 @@ object SparkEntry {
     "k_anonymity_audit" -> ((s, d) => ops.Relational.kAnonymityAudit(s, d)),
     "source_overlap_matrix" -> (llm.Dedup.sourceOverlapMatrix _),
     "mixture_plan" -> (etl.Preprocess.mixturePlan _),
+    "hash_topk_sample" -> ((s, d) => etl.Preprocess.hashTopkSample(s, d)),
     "funnel_stages" -> (ops.Behavioral.funnelStages _),
     "cohort_retention" -> (ops.Behavioral.cohortRetention _),
     "zscore_outliers" -> (ops.Behavioral.zscoreOutliers _),
@@ -1143,6 +1144,18 @@ object SparkEntry {
           |JOIN documents da ON da.doc_id = nd.doc_a % 1000000
           |JOIN documents db ON db.doc_id = nd.doc_b % 1000000
           |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin),
+    // hash_topk_sample: deterministic per-group sample — rank on the
+    // content polyhash (same list_reduce form as hash_split), doc_id
+    // tie-break; row_number cast to Spark's INT
+    "hash_topk_sample" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |  list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(text)+1),
+        |    i -> ascii(substring(text,i,1))::BIGINT)), (a,c) -> (a*31+c) % 1000000007) AS h
+        |  FROM documents),
+        |r AS (SELECT doc_id, lang, h,
+        |        CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS INT) AS rn
+        |      FROM h)
+        |SELECT lang, rn, doc_id, h FROM r WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
     // mixture_plan: integral token counts; shares and keep rates
     // divided once per output row, rounded last
     "mixture_plan" ->

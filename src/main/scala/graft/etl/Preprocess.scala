@@ -379,6 +379,26 @@ object Preprocess {
       .orderBy("split")
   }
 
+  /** L7 DETERMINISTIC PER-GROUP SAMPLE — k docs per language chosen
+    * by smallest content hash: the reproducible replacement for
+    * per-stratum random sampling (seeded RNG sampling depends on
+    * partition layout; a hash rank does not). The rank filter
+    * `rn <= k` compiles to WindowGroupLimit (plan-contracted), so
+    * each partition keeps at most k rows per group BEFORE the
+    * shuffle — the same bounded-state shape as per-group top-k.
+    * Hash ties are impossible on distinct texts up to polyhash
+    * collisions; doc_id breaks them deterministically anyway. */
+  def hashTopkSample(s: SparkSession, d: String, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("h"), col("doc_id"))
+    Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("lang"), polyHash(col("text")).as("h"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("lang"), col("rn"), col("doc_id"), col("h"))
+      .orderBy("lang", "rn")
+  }
+
   /** L7c DATASET MIXTURE PLAN — the planning half of domain
     * reweighting (DoReMi/DSIR shape): per language group, current
     * token share vs a uniform target share, and the keep rate that

@@ -180,6 +180,10 @@ class PlanContractSpec extends AnyFunSuite {
     assert(count(p, "BroadcastHashJoin") >= 2, s"split frames not broadcast:\n${p.take(400)}")
   }
 
+  test("hash_topk_sample: rank filter compiles to WindowGroupLimit") {
+    assert(plan("hash_topk_sample").contains("WindowGroupLimit"))
+  }
+
   test("q8: two fact shuffles at most, dims broadcast, no nested loop") {
     val p = plan("q8_market_share")
     assert(count(p, "BroadcastHashJoin") >= 4, s"dims decayed:\n${p.take(400)}")
