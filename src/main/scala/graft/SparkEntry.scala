@@ -130,6 +130,7 @@ object SparkEntry {
     "source_overlap_matrix" -> (llm.Dedup.sourceOverlapMatrix _),
     "mixture_plan" -> (etl.Preprocess.mixturePlan _),
     "hash_topk_sample" -> ((s, d) => etl.Preprocess.hashTopkSample(s, d)),
+    "label_centroid_sim" -> (llm.Similarity.labelCentroidSim _),
     "funnel_stages" -> (ops.Behavioral.funnelStages _),
     "cohort_retention" -> (ops.Behavioral.cohortRetention _),
     "zscore_outliers" -> (ops.Behavioral.zscoreOutliers _),
@@ -1005,6 +1006,18 @@ object SparkEntry {
         |SELECT label, count(*) AS n_members,
         |       round(avg(dotvc / (nv * nc)), 6) AS cohesion
         |FROM m GROUP BY label ORDER BY label""".stripMargin,
+    // label_centroid_sim: centroids ROUNDED before the pairwise
+    // cosine, so both engines feed identical decimals into the matrix
+    "label_centroid_sim" ->
+      """WITH e AS (SELECT label, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |                  unnest(range(len(embedding))) AS pos FROM embeddings),
+        |cent AS (SELECT label, pos, round(avg(x), 6) AS c FROM e GROUP BY 1, 2),
+        |p AS (SELECT a.label AS label_a, b.label AS label_b, a.pos,
+        |             a.c AS ca, b.c AS cb
+        |      FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label)
+        |SELECT label_a, label_b,
+        |       round(sum(ca * cb) / (sqrt(sum(ca * ca)) * sqrt(sum(cb * cb))), 6) AS cos_sim
+        |FROM p GROUP BY 1, 2 ORDER BY label_a, label_b""".stripMargin,
     // chi2_lang_label: integral contingency counts; the statistic sums
     // 25-ish double cells → round 6; zero cells contribute E
     "chi2_lang_label" ->

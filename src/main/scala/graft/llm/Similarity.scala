@@ -349,4 +349,31 @@ object Similarity {
         round(avg(col("dotvc") / (col("nv") * col("nc"))), 6).as("cohesion"))
       .orderBy("label")
   }
+
+  /** L3/L11 BETWEEN-LABEL CENTROID SIMILARITY — the confusion-
+    * structure complement of [[labelCohesion]]: the upper-triangle
+    * cosine matrix over label centroids, the artifact that tells a
+    * curation team which label pairs are semantically entangled
+    * (candidates for merging or re-annotation). Centroids are rounded
+    * BEFORE the pairwise cosine — avg summation order differs
+    * cross-engine, and the rounded centroid is the shared exact input
+    * (dedup_keep_best's round-before-compare discipline). One
+    * corpus-scale (label, dim) aggregation builds centroids;
+    * everything downstream is |labels|²·dim arithmetic on a tiny
+    * frame (equi-join on the dimension index). */
+  def labelCentroidSim(s: SparkSession, d: String): DataFrame = {
+    val cent = Tables.load(s, d, "embeddings")
+      .select(col("label"), posexplode(toDoubleArray(col("embedding"))))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg("col"), 6).as("c"))
+    val a = cent.select(col("label").as("label_a"), col("pos"), col("c").as("ca"))
+    val b = cent.select(col("label").as("label_b"), col("pos"), col("c").as("cb"))
+    a.join(b, Seq("pos"))
+      .filter(col("label_a") < col("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(round(sum(col("ca") * col("cb")) /
+        (sqrt(sum(col("ca") * col("ca"))) * sqrt(sum(col("cb") * col("cb")))), 6)
+        .as("cos_sim"))
+      .orderBy("label_a", "label_b")
+  }
 }
