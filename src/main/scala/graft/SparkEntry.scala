@@ -169,6 +169,8 @@ object SparkEntry {
     "lake_zorder_box" -> (sources.LakeTable.zorderBoxQuery _),
     "lake_change_feed" -> (sources.LakeTable.changeFeedQuery _),
     "lake_expire_read" -> (sources.LakeTable.expireReadQuery _),
+    "lake_mor_delete" -> (sources.LakeTable.morDeleteQuery _),
+    "lake_tag_read" -> (sources.LakeTable.tagReadQuery _),
     "lake_incremental_agg" -> (sources.LakeTable.incrementalAggQuery _),
     "lake_schema_evolution" -> (sources.LakeTable.schemaEvolutionQuery _),
     "lake_orphan_gc" -> (sources.LakeTable.orphanGcQuery _),
@@ -881,6 +883,23 @@ object SparkEntry {
         |            ELSE CAST(length(text) AS INT) END AS n_chars,
         |       doc_id % 7 = 0 AS malformed
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // lake_mor_delete: both phases (anti-join read, post-compact read)
+    // must equal events minus every 5th event_id — a wrong anti-join
+    // OR a lossy fold fails the hash
+    "lake_mor_delete" ->
+      """WITH base AS (SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        |              FROM events WHERE event_id % 5 <> 0
+        |              GROUP BY event_type)
+        |SELECT 'compacted' AS phase, event_type, n, sum_value FROM base
+        |UNION ALL
+        |SELECT 'mor', event_type, n, sum_value FROM base
+        |ORDER BY phase, event_type""".stripMargin,
+    // lake_tag_read: the tag resolves to v0 (evens only) — identical
+    // check shape to lake_time_travel but through the named ref
+    "lake_tag_read" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events WHERE event_id % 2 = 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // lake_expire_read: three snapshots, expire all but the last two
     // (v0's files actually GC'd, v0 unreadable — require'd in the
     // query), then a latest-snapshot read; a GC pass that deleted a

@@ -48,7 +48,8 @@ object LakeTable {
     * stats harvested from the parquet footer at commit time — the
     * Iceberg-style metadata that lets a reader skip whole files. */
   final case class ManifestEntry(
-      file: String, base: String, stats: Map[String, Seq[Double]])
+      file: String, base: String, stats: Map[String, Seq[Double]],
+      kind: String = "data") // "data" | "delete" (merge-on-read key file)
 
   private val ManifestSchema =
     "file STRING, base STRING, operation STRING, stats MAP<STRING, ARRAY<DOUBLE>>, " +
@@ -57,12 +58,13 @@ object LakeTable {
   private def manifestEntries(
       spark: SparkSession, path: String, version: Int): Seq[ManifestEntry] =
     spark.read.schema(ManifestSchema).json(s"${metaDir(path)}/v$version")
-      .select("file", "base", "stats")
+      .select("file", "base", "stats", "operation")
       .filter(col("file").isNotNull) // empty-snapshot sentinel row
       .collect().toSeq.map { r =>
         ManifestEntry(r.getString(0), r.getString(1),
           Option(r.getMap[String, scala.collection.Seq[Double]](2))
-            .map(_.toMap.map { case (k, v) => k -> v.toSeq }).getOrElse(Map.empty))
+            .map(_.toMap.map { case (k, v) => k -> v.toSeq }).getOrElse(Map.empty),
+          if (r.getString(3) == "delete_keys") "delete" else "data")
       }
 
   /** Lower/upper bound of a collected min/max value as a Double,
@@ -186,10 +188,16 @@ object LakeTable {
     // still writes one SENTINEL row (file = null): the version must
     // stay visible to history()/versionAsOf() and readable as an
     // empty table, not vanish as a zero-row manifest
+    // the row-level operation records the ENTRY's role: merge-on-read
+    // delete-key files keep "delete_keys" when carried forward by
+    // later commits, so readers can split data from deletes at any
+    // version regardless of which commit created each entry
     val rows =
       if (entries.isEmpty)
         Seq((null: String, null: String, op, Map.empty[String, Seq[Double]], committedAt))
-      else entries.map(e => (e.file, e.base, op, e.stats, committedAt))
+      else entries.map(e =>
+        (e.file, e.base, if (e.kind == "delete") "delete_keys" else op,
+          e.stats, committedAt))
     rows
       .toDF("file", "base", "operation", "stats", "committed_at")
       .coalesce(1)
@@ -286,7 +294,25 @@ object LakeTable {
       throw new IllegalArgumentException(
         s"no such snapshot version $v at $path (expired or never committed); " +
           s"latest is ${latestVersion(path).getOrElse(-1)}")
-    readFiles(spark, manifestEntries(spark, path, v))
+    assembleWithDeletes(spark, manifestEntries(spark, path, v))
+  }
+
+  /** Data entries minus merge-on-read delete keys: the Iceberg v2
+    * equality-delete read shape. Delete files are tiny key lists, so
+    * the subtraction is an anti-join the planner broadcasts; the data
+    * scan itself is untouched (pushdown/pruning intact). */
+  private def assembleWithDeletes(
+      spark: SparkSession, entries: Seq[ManifestEntry]): DataFrame = {
+    val (del, data) = entries.partition(_.kind == "delete")
+    val df = readFiles(spark, data)
+    if (del.isEmpty) df
+    else {
+      val keys = readFiles(spark, del)
+      // one key column per table (upsert's contract); its NAME rides
+      // in the delete file's own schema
+      df.join(keys.select(keys.columns.head).distinct(),
+        Seq(keys.columns.head), "left_anti")
+    }
   }
 
   /** Assemble a DataFrame from manifest entries — ONE definition of
@@ -323,7 +349,8 @@ object LakeTable {
       version: Option[Int] = None): DataFrame = {
     val v = version.orElse(latestVersion(path)).getOrElse(
       throw new IllegalArgumentException(s"no snapshots at $path"))
-    val entries = manifestEntries(spark, path, v)
+    val (delEntries, entries) =
+      manifestEntries(spark, path, v).partition(_.kind == "delete")
     val kept = entries.filter { e =>
       preds.forall { case (column, lower, upper) =>
         e.stats.get(column) match {
@@ -332,9 +359,18 @@ object LakeTable {
         }
       }
     }
-    val base =
+    val base0 =
       if (kept.isEmpty) read(spark, path, Some(v)).filter(lit(false))
       else readFiles(spark, kept)
+    // merge-on-read deletes apply AFTER the file skip: pruning only
+    // decides which data files are touched, never which rows survive
+    val base =
+      if (delEntries.isEmpty) base0
+      else {
+        val keys = readFiles(spark, delEntries)
+        base0.join(keys.select(keys.columns.head).distinct(),
+          Seq(keys.columns.head), "left_anti")
+      }
     // full-snapshot schema, resolved lazily: only consulted when a
     // predicate column is absent from the kept files, to keep the
     // pruned read's schema LAYOUT-INDEPENDENT (round-2 ADVICE — a
@@ -438,14 +474,75 @@ object LakeTable {
       "delete")
   }
 
+  /** MERGE-ON-READ DELETE (Iceberg v2's equality-delete shape):
+    * instead of rewriting every surviving data file (copy-on-write
+    * [[delete]]), commit the DELETED KEYS as a delete file; readers
+    * subtract them with an anti-join at scan time
+    * ([[assembleWithDeletes]]), and [[compact]] folds them into a
+    * clean data-only snapshot. Write cost is O(deleted keys), not
+    * O(table) — the only delete shape that holds when a 100 TB table
+    * loses a few rows. Prior snapshots are untouched, so time travel
+    * to a pre-delete version still sees every row. SQL DELETE
+    * semantics: predicate-NULL rows are KEPT (only predicate===true
+    * keys are written). One key column per table, as [[upsert]]. */
+  def deleteMoR(
+      spark: SparkSession, path: String, keyCol: String,
+      predicate: org.apache.spark.sql.Column): Int = {
+    val base = observedBase(spark, path)
+    val prev = manifestEntries(spark, path, base)
+    val keys = read(spark, path, Some(base))
+      .filter(coalesce(predicate, lit(false)))
+      .select(keyCol).distinct()
+    val delEntries = writeDataFiles(keys, path).map(_.copy(kind = "delete"))
+    commit(spark, path, base, prev ++ delEntries, "mor_delete")
+  }
+
   /** Rewrite the current snapshot's many small files into
-    * `numFiles` larger ones (new snapshot; old versions untouched). */
+    * `numFiles` larger ones (new snapshot; old versions untouched).
+    * Reading through [[read]] means merge-on-read delete keys are
+    * APPLIED and the new snapshot carries no delete entries — compact
+    * is also the fold step of the MoR delete lifecycle. */
   def compact(spark: SparkSession, path: String, numFiles: Int = 1): Int = {
     val base = observedBase(spark, path)
     val current = read(spark, path, Some(base))
     commit(spark, path, base,
       writeDataFiles(current.repartition(numFiles), path), "compact")
   }
+
+  // ---- snapshot tags (Iceberg-style named refs) ----
+
+  private def tagsDir(path: String) = s"${metaDir(path)}/tags"
+
+  /** Create or move a NAMED TAG pointing at a snapshot version
+    * (Iceberg's immutable-ref surface: `VERSION AS OF 'name'`).
+    * Tags pin their snapshot against [[expireSnapshots]]. */
+  def tag(path: String, name: String, version: Int): Unit = {
+    require(Files.exists(Paths.get(s"${metaDir(path)}/v$version")),
+      s"cannot tag missing version $version at $path")
+    require(name.matches("[A-Za-z0-9._-]+"), s"illegal tag name '$name'")
+    Files.createDirectories(Paths.get(tagsDir(path)))
+    Files.writeString(Paths.get(s"${tagsDir(path)}/$name"), version.toString)
+  }
+
+  /** Resolve a tag to its version (throws on a missing tag). */
+  def tagVersion(path: String, name: String): Int = {
+    val p = Paths.get(s"${tagsDir(path)}/$name")
+    if (!Files.exists(p))
+      throw new IllegalArgumentException(s"no such tag '$name' at $path")
+    Files.readString(p).trim.toInt
+  }
+
+  /** All tags as (name, version). */
+  def tags(path: String): Map[String, Int] = {
+    val dir = Paths.get(tagsDir(path))
+    if (!Files.exists(dir)) Map.empty
+    else Files.list(dir).iterator().asScala
+      .map(p => p.getFileName.toString -> Files.readString(p).trim.toInt).toMap
+  }
+
+  /** Read the snapshot a tag points at. */
+  def readTag(spark: SparkSession, path: String, name: String): DataFrame =
+    read(spark, path, Some(tagVersion(path, name)))
 
   /** Fresh /tmp working dir for a driver query: path keyed by prefix +
     * sfDir (unique per scale factor so parallel verify threads never
@@ -469,6 +566,50 @@ object LakeTable {
     overwrite(ev.filter(pmod(col("event_id"), lit(2L)) === 0), path)
     append(ev.filter(pmod(col("event_id"), lit(2L)) =!= 0), path)
     read(s, path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** Driver query: MERGE-ON-READ DELETE lifecycle — write the events
+    * projection (v0), [[deleteMoR]] every 5th event (v1: a key file
+    * only, no data rewrite), read latest (anti-join applies the
+    * deletes), then [[compact]] (v2: deletes folded away) and read
+    * again. BOTH phases are emitted and must agree with the oracle's
+    * events-minus-deleted-keys aggregate — so the anti-join read AND
+    * the fold are each hash-checked; the structural facts (v1 reuses
+    * v0's data files unrewritten, v2 carries no delete entries) are
+    * asserted in LakeTableSpec where file counts may be
+    * layout-dependent. */
+  def morDeleteQuery(s: SparkSession, d: String): DataFrame = {
+    val path = freshWorkDir("lakemor", d)
+    val ev = graft.Tables.load(s, d, "events").select("event_id", "event_type", "value")
+    overwrite(ev, path)
+    deleteMoR(s, path, "event_id", pmod(col("event_id"), lit(5L)) === 0)
+    val afterDelete = read(s, path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+    compact(s, path)
+    val afterCompact = read(s, path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+    afterDelete.withColumn("phase", lit("mor"))
+      .unionByName(afterCompact.withColumn("phase", lit("compacted")))
+      .select(col("phase"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("phase", "event_type")
+  }
+
+  /** Driver query: SNAPSHOT TAGS — evens (v0), tag it "baseline",
+    * append odds (v1), then read THROUGH THE TAG. The oracle
+    * aggregates only even events, so tag resolution is
+    * hash-verified exactly like explicit-version time travel. */
+  def tagReadQuery(s: SparkSession, d: String): DataFrame = {
+    val path = freshWorkDir("laketag", d)
+    val ev = graft.Tables.load(s, d, "events").select("event_id", "event_type", "value")
+    overwrite(ev.filter(pmod(col("event_id"), lit(2L)) === 0), path)
+    tag(path, "baseline", 0)
+    append(ev.filter(pmod(col("event_id"), lit(2L)) =!= 0), path)
+    readTag(s, path, "baseline")
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
       .orderBy("event_type")
@@ -726,9 +867,15 @@ object LakeTable {
     val cutoff = latest - retain + 1
     if (cutoff <= 0) return Nil
     def live(v: Int): Boolean = Files.exists(Paths.get(s"${metaDir(path)}/v$v"))
-    val keepFiles = (cutoff to latest).filter(live)
+    // tagged snapshots are PINNED (Iceberg ref semantics): their
+    // manifests survive below the retention cutoff and their files
+    // count as reachable
+    val tagged = tags(path).values.toSet
+    val keepVersions = (cutoff to latest).filter(live) ++
+      (0 until cutoff).filter(v => live(v) && tagged(v))
+    val keepFiles = keepVersions
       .flatMap(v => manifestEntries(spark, path, v)).map(_.file).toSet
-    val dropDirs = (0 until cutoff).filter(live)
+    val dropDirs = (0 until cutoff).filter(v => live(v) && !tagged(v))
     val dropFiles = dropDirs
       .flatMap(v => manifestEntries(spark, path, v)).map(_.file).toSet -- keepFiles
     dropFiles.foreach(f => Files.deleteIfExists(Paths.get(f)))

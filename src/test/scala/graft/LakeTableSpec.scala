@@ -668,4 +668,74 @@ class LakeTableSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters") && plan.contains("o_totalprice"),
       s"pushdown missing:\n${plan.take(800)}")
   }
+
+  test("merge-on-read delete: no data rewrite, stacking deletes, compact folds") {
+    val p = "/tmp/graft_test/lake_mor"
+    rmdir(p)
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    LakeTable.overwrite(orders, p)
+    val v0Data = LakeTable.read(spark, p).inputFiles.toSet
+
+    LakeTable.deleteMoR(spark, p, "o_orderkey", col("o_orderkey") % 3 === 0)
+    // v1 reuses v0's data files UNREWRITTEN and only adds key files
+    val v1 = LakeTable.read(spark, p)
+    assert(v0Data.subsetOf(v1.inputFiles.toSet), "MoR must not rewrite data files")
+    val expected1 = orders.filter(col("o_orderkey") % 3 =!= 0).count()
+    assert(v1.count() === expected1)
+    // time travel: v0 still sees every row
+    assert(LakeTable.read(spark, p, Some(0)).count() === orders.count())
+
+    // second MoR delete stacks on the first
+    LakeTable.deleteMoR(spark, p, "o_orderkey", col("o_orderkey") % 5 === 0)
+    val expected2 = orders
+      .filter(col("o_orderkey") % 3 =!= 0 && col("o_orderkey") % 5 =!= 0).count()
+    assert(LakeTable.read(spark, p).count() === expected2)
+
+    // deletes survive readWhere's file-skipping path too
+    val pruned = LakeTable.readWhereBetween(
+      spark, p, "o_orderkey", 0, Double.MaxValue).count()
+    assert(pruned === expected2, "readWhere must apply MoR deletes")
+
+    // compact folds the deletes into a clean data-only snapshot
+    LakeTable.compact(spark, p)
+    assert(LakeTable.read(spark, p).count() === expected2)
+    assert(!LakeTable.read(spark, p).inputFiles.toSet.exists(v0Data.contains),
+      "compact rewrites data files")
+    // NULL-predicate rows are kept (SQL DELETE semantics)
+    LakeTable.deleteMoR(spark, p, "o_orderkey",
+      when(col("o_orderkey") % 2 === 0, lit(null).cast("boolean")).otherwise(lit(false)))
+    assert(LakeTable.read(spark, p).count() === expected2,
+      "NULL/false predicate must delete nothing")
+  }
+
+  test("tags: named refs resolve, retag moves, expire pins tagged snapshots") {
+    val p = "/tmp/graft_test/lake_tags"
+    rmdir(p)
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .select("o_orderkey", "o_totalprice")
+    val evens = orders.filter(col("o_orderkey") % 2 === 0)
+    LakeTable.overwrite(evens, p) // v0
+    LakeTable.tag(p, "baseline", 0)
+    LakeTable.append(orders.filter(col("o_orderkey") % 2 =!= 0), p) // v1
+    LakeTable.overwrite(orders, p) // v2
+    LakeTable.overwrite(orders, p) // v3
+
+    assert(LakeTable.tagVersion(p, "baseline") === 0)
+    assert(LakeTable.readTag(spark, p, "baseline").count() === evens.count())
+    intercept[IllegalArgumentException](LakeTable.readTag(spark, p, "nope"))
+    intercept[IllegalArgumentException](LakeTable.tag(p, "bad", 99))
+
+    // expire keeps the tagged v0 alive while dropping untagged v1
+    LakeTable.expireSnapshots(spark, p, retain = 2)
+    assert(LakeTable.readTag(spark, p, "baseline").count() === evens.count(),
+      "expire must pin tagged snapshots")
+    intercept[IllegalArgumentException](LakeTable.read(spark, p, Some(1)))
+
+    // retag moves the pointer
+    LakeTable.tag(p, "baseline", 3)
+    assert(LakeTable.tagVersion(p, "baseline") === 3)
+    assert(LakeTable.readTag(spark, p, "baseline").count() === orders.count())
+    assert(LakeTable.tags(p) === Map("baseline" -> 3))
+  }
 }
