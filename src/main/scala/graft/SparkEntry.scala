@@ -170,6 +170,7 @@ object SparkEntry {
     "lake_change_feed" -> (sources.LakeTable.changeFeedQuery _),
     "lake_expire_read" -> (sources.LakeTable.expireReadQuery _),
     "lake_mor_delete" -> (sources.LakeTable.morDeleteQuery _),
+    "lake_mor_upsert" -> (sources.LakeTable.morUpsertQuery _),
     "lake_tag_read" -> (sources.LakeTable.tagReadQuery _),
     "lake_incremental_agg" -> (sources.LakeTable.incrementalAggQuery _),
     "lake_schema_evolution" -> (sources.LakeTable.schemaEvolutionQuery _),
@@ -894,6 +895,16 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'mor', event_type, n, sum_value FROM base
         |ORDER BY phase, event_type""".stripMargin,
+    // lake_mor_upsert: the sequence rule hash-checked — patch rows
+    // must survive their own delete keys, originals must not
+    "lake_mor_upsert" ->
+      """WITH merged AS (
+        |  SELECT event_id,
+        |         CASE WHEN event_id % 3 = 0 THEN 'patched' ELSE event_type END AS event_type,
+        |         CASE WHEN event_id % 3 = 0 THEN value + 1000 ELSE value END AS value
+        |  FROM events)
+        |SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM merged GROUP BY event_type ORDER BY event_type""".stripMargin,
     // lake_tag_read: the tag resolves to v0 (evens only) — identical
     // check shape to lake_time_travel but through the named ref
     "lake_tag_read" ->

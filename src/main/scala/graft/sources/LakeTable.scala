@@ -49,22 +49,24 @@ object LakeTable {
     * Iceberg-style metadata that lets a reader skip whole files. */
   final case class ManifestEntry(
       file: String, base: String, stats: Map[String, Seq[Double]],
-      kind: String = "data") // "data" | "delete" (merge-on-read key file)
+      kind: String = "data", // "data" | "delete" (merge-on-read key file)
+      seq: Int = -1) // commit sequence; -1 = "assign at commit" (Iceberg's data-sequence-number)
 
   private val ManifestSchema =
     "file STRING, base STRING, operation STRING, stats MAP<STRING, ARRAY<DOUBLE>>, " +
-      "committed_at LONG"
+      "committed_at LONG, seq INT"
 
   private def manifestEntries(
       spark: SparkSession, path: String, version: Int): Seq[ManifestEntry] =
     spark.read.schema(ManifestSchema).json(s"${metaDir(path)}/v$version")
-      .select("file", "base", "stats", "operation")
+      .select("file", "base", "stats", "operation", "seq")
       .filter(col("file").isNotNull) // empty-snapshot sentinel row
       .collect().toSeq.map { r =>
         ManifestEntry(r.getString(0), r.getString(1),
           Option(r.getMap[String, scala.collection.Seq[Double]](2))
             .map(_.toMap.map { case (k, v) => k -> v.toSeq }).getOrElse(Map.empty),
-          if (r.getString(3) == "delete_keys") "delete" else "data")
+          if (r.getString(3) == "delete_keys") "delete" else "data",
+          if (r.isNullAt(4)) 0 else r.getInt(4)) // pre-seq manifests read as 0
       }
 
   /** Lower/upper bound of a collected min/max value as a Double,
@@ -191,15 +193,18 @@ object LakeTable {
     // the row-level operation records the ENTRY's role: merge-on-read
     // delete-key files keep "delete_keys" when carried forward by
     // later commits, so readers can split data from deletes at any
-    // version regardless of which commit created each entry
+    // version regardless of which commit created each entry. Each
+    // entry likewise keeps the SEQUENCE of the commit that introduced
+    // it (fresh entries get this commit's); deletes apply only to
+    // strictly-older data — Iceberg's data-sequence-number rule.
     val rows =
       if (entries.isEmpty)
-        Seq((null: String, null: String, op, Map.empty[String, Seq[Double]], committedAt))
+        Seq((null: String, null: String, op, Map.empty[String, Seq[Double]], committedAt, next))
       else entries.map(e =>
         (e.file, e.base, if (e.kind == "delete") "delete_keys" else op,
-          e.stats, committedAt))
+          e.stats, committedAt, if (e.seq < 0) next else e.seq))
     rows
-      .toDF("file", "base", "operation", "stats", "committed_at")
+      .toDF("file", "base", "operation", "stats", "committed_at", "seq")
       .coalesce(1)
       .write.mode(SaveMode.ErrorIfExists).json(staging.toString)
     try {
@@ -304,15 +309,45 @@ object LakeTable {
   private def assembleWithDeletes(
       spark: SparkSession, entries: Seq[ManifestEntry]): DataFrame = {
     val (del, data) = entries.partition(_.kind == "delete")
-    val df = readFiles(spark, data)
-    if (del.isEmpty) df
-    else {
-      val keys = readFiles(spark, del)
-      // one key column per table (upsert's contract); its NAME rides
-      // in the delete file's own schema
-      df.join(keys.select(keys.columns.head).distinct(),
-        Seq(keys.columns.head), "left_anti")
-    }
+    if (del.isEmpty) readFiles(spark, data)
+    else applyMorDeletes(spark, taggedRead(spark, data), del)
+  }
+
+  /** Data files with their commit sequence riding as `_seq` (one
+    * literal per commit group — entries in a commit share a base
+    * dir AND a sequence). */
+  private def taggedRead(
+      spark: SparkSession, data: Seq[ManifestEntry]): DataFrame =
+    if (data.isEmpty) spark.emptyDataFrame
+    else data.groupBy(e => (e.base, e.seq)).map { case ((base, sq), es) =>
+      spark.read
+        .option("mergeSchema", "true")
+        .option("basePath", base)
+        .parquet(es.map(_.file): _*)
+        .withColumn("_seq", lit(sq))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** Iceberg's data-sequence-number rule: a delete with sequence s
+    * removes a key only from data files with sequence < s — so a
+    * commit that ships a delete file AND fresh data (merge-on-read
+    * UPSERT) replaces old rows without deleting its own. The input
+    * frame must carry `_seq`; the anti-join condition compares it. */
+  private def applyMorDeletes(
+      spark: SparkSession, dataWithSeq: DataFrame,
+      del: Seq[ManifestEntry]): DataFrame = {
+    // one key column per table (upsert's contract); its NAME rides in
+    // the delete file's own schema
+    val keys = del.groupBy(e => (e.base, e.seq)).map { case ((base, sq), es) =>
+      val k = spark.read.option("basePath", base).parquet(es.map(_.file): _*)
+      k.select(col(k.columns.head).as("_dkey")).distinct()
+        .withColumn("_dseq", lit(sq))
+    }.reduce(_.unionByName(_))
+    val keyName = spark.read.parquet(del.head.file).columns.head
+    dataWithSeq
+      .join(keys,
+        dataWithSeq(keyName) === keys("_dkey") && keys("_dseq") > dataWithSeq("_seq"),
+        "left_anti")
+      .drop("_seq")
   }
 
   /** Assemble a DataFrame from manifest entries — ONE definition of
@@ -359,18 +394,12 @@ object LakeTable {
         }
       }
     }
-    val base0 =
-      if (kept.isEmpty) read(spark, path, Some(v)).filter(lit(false))
-      else readFiles(spark, kept)
     // merge-on-read deletes apply AFTER the file skip: pruning only
     // decides which data files are touched, never which rows survive
     val base =
-      if (delEntries.isEmpty) base0
-      else {
-        val keys = readFiles(spark, delEntries)
-        base0.join(keys.select(keys.columns.head).distinct(),
-          Seq(keys.columns.head), "left_anti")
-      }
+      if (kept.isEmpty) read(spark, path, Some(v)).filter(lit(false))
+      else if (delEntries.isEmpty) readFiles(spark, kept)
+      else applyMorDeletes(spark, taggedRead(spark, kept), delEntries)
     // full-snapshot schema, resolved lazily: only consulted when a
     // predicate column is absent from the kept files, to keep the
     // pruned read's schema LAYOUT-INDEPENDENT (round-2 ADVICE — a
@@ -495,6 +524,23 @@ object LakeTable {
       .select(keyCol).distinct()
     val delEntries = writeDataFiles(keys, path).map(_.copy(kind = "delete"))
     commit(spark, path, base, prev ++ delEntries, "mor_delete")
+  }
+
+  /** MERGE-ON-READ UPSERT: one commit shipping the matched keys as a
+    * delete file AND the fresh rows as data files. The sequence rule
+    * ([[applyMorDeletes]]) makes it correct by construction — the
+    * delete (seq = n) removes the keys only from OLDER data
+    * (seq < n), never from the rows it arrives with. Write cost is
+    * O(upserted rows), vs CoW [[upsert]]'s full-table rewrite; the
+    * read pays one extra broadcast anti-join until [[compact]]
+    * folds the snapshot clean. */
+  def upsertMoR(df: DataFrame, path: String, keyCol: String): Int = {
+    val spark = df.sparkSession
+    val base = observedBase(spark, path)
+    val prev = manifestEntries(spark, path, base)
+    val delE = writeDataFiles(df.select(keyCol).distinct(), path)
+      .map(_.copy(kind = "delete"))
+    commit(spark, path, base, prev ++ delE ++ writeDataFiles(df, path), "mor_merge")
   }
 
   /** Rewrite the current snapshot's many small files into
@@ -649,6 +695,26 @@ object LakeTable {
       path, "event_id")
     delete(s, path,
       pmod(col("event_id"), lit(7L)) === 0 && pmod(col("event_id"), lit(3L)) =!= 0)
+  }
+
+  /** Driver query: MERGE-ON-READ UPSERT — write events (v0), then
+    * [[upsertMoR]] a patch of every 3rd event with value+1000 and
+    * event_type 'patched' (v1: one delete file + one small data file,
+    * NO table rewrite). The sequence rule must let the patch rows
+    * survive their own delete keys while the originals vanish; the
+    * oracle computes the patched table directly. */
+  def morUpsertQuery(s: SparkSession, d: String): DataFrame = {
+    val path = freshWorkDir("lakemorup", d)
+    val ev = graft.Tables.load(s, d, "events").select("event_id", "event_type", "value")
+    overwrite(ev, path)
+    val patch = ev.filter(pmod(col("event_id"), lit(3L)) === 0)
+      .select(col("event_id"), lit("patched").as("event_type"),
+        (col("value") + 1000).as("value"))
+    upsertMoR(patch, path, "event_id")
+    read(s, path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+      .orderBy("event_type")
   }
 
   def mergeReadQuery(s: SparkSession, d: String): DataFrame = {

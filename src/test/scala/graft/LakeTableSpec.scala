@@ -709,6 +709,34 @@ class LakeTableSpec extends AnyFunSuite {
       "NULL/false predicate must delete nothing")
   }
 
+  test("MoR upsert: sequence rule lets patch rows survive their own delete keys") {
+    val p = "/tmp/graft_test/lake_mor_up"
+    rmdir(p)
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .select("o_orderkey", "o_totalprice")
+    LakeTable.overwrite(orders, p)
+    val v0Files = LakeTable.read(spark, p).inputFiles.toSet
+
+    val patch = orders.filter(col("o_orderkey") % 4 === 0)
+      .select(col("o_orderkey"), (col("o_totalprice") + 1.0).as("o_totalprice"))
+    LakeTable.upsertMoR(patch, p, "o_orderkey")
+
+    val after = LakeTable.read(spark, p)
+    // no table rewrite: v0's data files still serve the unpatched rows
+    assert(v0Files.subsetOf(after.inputFiles.toSet), "MoR upsert must not rewrite")
+    assert(after.count() === orders.count(), "row count preserved")
+    // patched rows carry the new value; unpatched the old
+    val patchedSum = after.filter(col("o_orderkey") % 4 === 0)
+      .agg(sum("o_totalprice")).first().getDouble(0)
+    val wantSum = patch.agg(sum("o_totalprice")).first().getDouble(0)
+    assert(math.abs(patchedSum - wantSum) < 1e-6, "patch rows must win")
+    // a LATER MoR delete still removes a patched row (seq 2 > seq 1)
+    LakeTable.deleteMoR(spark, p, "o_orderkey", col("o_orderkey") % 4 === 0)
+    assert(LakeTable.read(spark, p).count() ===
+      orders.filter(col("o_orderkey") % 4 =!= 0).count(),
+      "newer delete must override older upsert rows")
+  }
+
   test("tags: named refs resolve, retag moves, expire pins tagged snapshots") {
     val p = "/tmp/graft_test/lake_tags"
     rmdir(p)
