@@ -267,6 +267,41 @@ object LakeTable {
     -1 // unreachable
   }
 
+  /** WRITE-AUDIT-PUBLISH (Iceberg's WAP workflow): stage the batch as
+    * data files WITHOUT committing, run the audit over exactly those
+    * staged files, and only a passing audit publishes them as a
+    * snapshot (through [[append]]'s retry/rebase protocol). A failing
+    * audit returns the reason and deletes the staged files — and even
+    * a crash between stage and publish leaves only unreferenced files
+    * that [[orphanFiles]]/[[removeOrphans]] reclaim, so a bad batch
+    * can never become readable. The audit callback returns None to
+    * pass or Some(reason) to reject (dq-style checks compose here —
+    * see the spec, which gates on a duplicate-key audit). */
+  def writeAuditPublish(
+      df: DataFrame, path: String,
+      audit: DataFrame => Option[String]): Either[String, Int] = {
+    val spark = df.sparkSession
+    val staged = writeDataFiles(df, path)
+    audit(readFiles(spark, staged)) match {
+      case None =>
+        var attempt = 0
+        while (true) {
+          val base = latestVersion(path).getOrElse(-1)
+          val prev = if (base >= 0) manifestEntries(spark, path, base) else Nil
+          try {
+            return Right(commit(spark, path, base, prev ++ staged, "append"))
+          } catch {
+            case e: Exception if isVersionConflict(e) && attempt < MaxCommitRetries =>
+              attempt += 1
+          }
+        }
+        Left("unreachable")
+      case Some(reason) =>
+        staged.foreach(e => Files.deleteIfExists(Paths.get(e.file)))
+        Left(reason)
+    }
+  }
+
   /** A refused version claim = another committer got there first.
     * Matched on the claim-path error classes so genuine I/O failures
     * still propagate. */

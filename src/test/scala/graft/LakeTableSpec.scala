@@ -737,6 +737,34 @@ class LakeTableSpec extends AnyFunSuite {
       "newer delete must override older upsert rows")
   }
 
+  test("write-audit-publish: failing audit never becomes readable, passing one lands") {
+    val p = "/tmp/graft_test/lake_wap"
+    rmdir(p)
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .select("o_orderkey", "o_totalprice")
+    LakeTable.overwrite(orders, p)
+    val before = LakeTable.read(spark, p).count()
+
+    // audit: reject any batch with duplicate keys
+    def noDupes(df: org.apache.spark.sql.DataFrame): Option[String] = {
+      val d = df.groupBy("o_orderkey").count().filter(col("count") > 1).count()
+      if (d > 0) Some(s"$d duplicate keys") else None
+    }
+
+    val bad = orders.limit(10).unionAll(orders.limit(10)) // all dupes
+    val r1 = LakeTable.writeAuditPublish(bad, p, noDupes)
+    assert(r1.isLeft, "duplicate batch must be rejected")
+    assert(LakeTable.read(spark, p).count() === before, "rejected batch must not land")
+    assert(LakeTable.orphanFiles(spark, p).isEmpty,
+      "rejected stage must clean up its files")
+
+    val good = orders.select(col("o_orderkey") + 1000000, col("o_totalprice"))
+      .toDF("o_orderkey", "o_totalprice")
+    val r2 = LakeTable.writeAuditPublish(good, p, noDupes)
+    assert(r2 === Right(1), s"clean batch must publish: $r2")
+    assert(LakeTable.read(spark, p).count() === before * 2)
+  }
+
   test("tags: named refs resolve, retag moves, expire pins tagged snapshots") {
     val p = "/tmp/graft_test/lake_tags"
     rmdir(p)
