@@ -56,4 +56,50 @@ class StreamToLakeSpec extends AnyFunSuite {
       assert(v0 === Map(1L -> "new", 2L -> "new"))
     } finally query.stop()
   }
+
+  test("foreachBatch MoR-upserts: O(batch) commits, no base-file rewrite") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = "/tmp/graft_test/stream_lake_mor"
+    SparkSpec.rmdir(path)
+
+    val input = MemoryStream[(Long, String, Double)]
+    val query = input.toDS().toDF("id", "status", "score")
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // the streaming-CDC sink shape that holds at 100 TB: each
+        // micro-batch costs O(batch) — a delete file + a data file —
+        // never a table rewrite
+        if (LakeTable.latestVersion(path).isEmpty) LakeTable.overwrite(batch, path)
+        else LakeTable.upsertMoR(batch, path, "id")
+        ()
+      }
+      .start()
+    try {
+      input.addData((1L, "new", 0.1), (2L, "new", 0.2))
+      query.processAllAvailable()
+      val v0Files = LakeTable.read(spark, path).inputFiles.toSet
+
+      input.addData((1L, "done", 0.9), (3L, "new", 0.3))
+      query.processAllAvailable()
+      input.addData((3L, "done", 1.0))
+      query.processAllAvailable()
+
+      val rows = LakeTable.read(spark, path).collect()
+        .map(r => r.getAs[Long]("id") -> (r.getAs[String]("status"), r.getAs[Double]("score")))
+        .toMap
+      assert(rows === Map(
+        1L -> ("done", 0.9), 2L -> ("new", 0.2), 3L -> ("done", 1.0)),
+        s"MoR streaming upsert semantics violated: $rows")
+      // base files were never rewritten across three commits
+      assert(v0Files.subsetOf(LakeTable.read(spark, path).inputFiles.toSet),
+        "MoR sink must not rewrite base files")
+      // compaction folds the accumulated delete files; state unchanged
+      LakeTable.compact(spark, path)
+      val after = LakeTable.read(spark, path).collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[String]("status")).toMap
+      assert(after === Map(1L -> "done", 2L -> "new", 3L -> "done"))
+    } finally query.stop()
+  }
 }
