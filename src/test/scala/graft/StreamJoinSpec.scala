@@ -56,4 +56,35 @@ class StreamJoinSpec extends AnyFunSuite {
         s"unexpected join output (10:08 must be dropped as late): $rows")
     } finally query.stop()
   }
+
+  test("stream-static enrichment join stays stateless and broadcasts the dim") {
+    // The OTHER streaming-join cell: stream⋈static needs NO state
+    // store at all — the static side re-resolves per micro-batch and
+    // broadcasts, so enrichment at 100 TB/day costs a map-side hash
+    // probe per event. Dropped (unmatched inner) rows prove the join
+    // actually filters, not just projects.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dim = Seq((0L, "NATION_0"), (1L, "NATION_1")).toDF("nk", "n_name")
+    val events = MemoryStream[(Long, Long, Double)]
+    val enriched = events.toDS().toDF("id", "nk", "value")
+      .join(broadcast(dim), Seq("nk")) // inner: unknown nk drops
+      .select(col("id"), col("n_name"), col("value"))
+    val query = enriched.writeStream.format("memory").queryName("ssd_out")
+      .outputMode("append").start()
+    try {
+      events.addData((1L, 0L, 1.0), (2L, 1L, 2.0), (3L, 9L, 3.0))
+      query.processAllAvailable()
+      events.addData((4L, 1L, 4.0))
+      query.processAllAvailable()
+      val rows = spark.table("ssd_out").collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[String]("n_name"))).toSet
+      assert(rows === Set((1L, "NATION_0"), (2L, "NATION_1"), (4L, "NATION_1")),
+        s"enrichment wrong (nk=9 must drop): $rows")
+      // stateless: no state-store operator in the executed plan
+      val progress = query.lastProgress
+      assert(progress.stateOperators.isEmpty,
+        s"stream-static join must not allocate state: ${progress.stateOperators.length}")
+    } finally query.stop()
+  }
 }
