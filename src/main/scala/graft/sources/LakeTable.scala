@@ -344,9 +344,11 @@ object LakeTable {
   private def assembleWithDeletes(
       spark: SparkSession, entries: Seq[ManifestEntry]): DataFrame = {
     val (del, data) = entries.partition(_.kind == "delete")
-    if (del.isEmpty) readFiles(spark, data)
+    if (del.isEmpty || data.isEmpty) readFiles(spark, data)
     else applyMorDeletes(spark, taggedRead(spark, data), del)
   }
+
+  private val SeqCol = "__graft_seq" // internal; underscored to dodge user columns
 
   /** Data files with their commit sequence riding as `_seq` (one
     * literal per commit group — entries in a commit share a base
@@ -359,7 +361,7 @@ object LakeTable {
         .option("mergeSchema", "true")
         .option("basePath", base)
         .parquet(es.map(_.file): _*)
-        .withColumn("_seq", lit(sq))
+        .withColumn(SeqCol, lit(sq))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
 
   /** Iceberg's data-sequence-number rule: a delete with sequence s
@@ -374,15 +376,16 @@ object LakeTable {
     // the delete file's own schema
     val keys = del.groupBy(e => (e.base, e.seq)).map { case ((base, sq), es) =>
       val k = spark.read.option("basePath", base).parquet(es.map(_.file): _*)
-      k.select(col(k.columns.head).as("_dkey")).distinct()
-        .withColumn("_dseq", lit(sq))
+      k.select(col(k.columns.head).as("__graft_dkey")).distinct()
+        .withColumn("__graft_dseq", lit(sq))
     }.reduce(_.unionByName(_))
     val keyName = spark.read.parquet(del.head.file).columns.head
     dataWithSeq
       .join(keys,
-        dataWithSeq(keyName) === keys("_dkey") && keys("_dseq") > dataWithSeq("_seq"),
+        dataWithSeq(keyName) === keys("__graft_dkey") &&
+          keys("__graft_dseq") > dataWithSeq(SeqCol),
         "left_anti")
-      .drop("_seq")
+      .drop(SeqCol)
   }
 
   /** Assemble a DataFrame from manifest entries — ONE definition of
