@@ -1105,8 +1105,16 @@ object LakeTable {
     manifestFrame(spark, path, versions)
       .groupBy("version")
       // count(col) skips nulls: an empty snapshot's sentinel row
-      // keeps the version visible with n_files = 0
-      .agg(first("operation").as("operation"), count(col("file")).as("n_files"))
+      // keeps the version visible with n_files = 0. The COMMIT op is
+      // any row's operation EXCEPT "delete_keys" (merge-on-read key
+      // entries keep that marker regardless of the committing op, so
+      // first() over the mix would be nondeterministic).
+      .agg(
+        coalesce(
+          first(when(col("operation") =!= "delete_keys", col("operation")),
+            ignoreNulls = true),
+          lit("mor_delete")).as("operation"),
+        count(col("file")).as("n_files"))
       .orderBy("version")
   }
 }

@@ -707,6 +707,11 @@ class LakeTableSpec extends AnyFunSuite {
       when(col("o_orderkey") % 2 === 0, lit(null).cast("boolean")).otherwise(lit(false)))
     assert(LakeTable.read(spark, p).count() === expected2,
       "NULL/false predicate must delete nothing")
+    // history reports the COMMIT op for MoR versions, deterministically
+    val hist = LakeTable.history(spark, p).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(hist(0) === "overwrite" && hist(1) === "mor_delete" &&
+      hist(2) === "mor_delete" && hist(3) === "compact", s"history: $hist")
   }
 
   test("MoR upsert: sequence rule lets patch rows survive their own delete keys") {
