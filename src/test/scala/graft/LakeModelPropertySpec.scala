@@ -1,0 +1,83 @@
+package graft
+
+import graft.sources.LakeTable
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Model-based property test of the table format: a seeded random
+  * sequence of commits (append, CoW upsert, MoR upsert, MoR delete,
+  * compact) runs against BOTH the lake table and a trivial in-memory
+  * Map model; after every commit the table read must equal the model,
+  * and at the end EVERY version must time-travel back to the model
+  * state recorded when it was committed. This covers the interleavings
+  * the single-shape specs cannot: CoW and MoR commits stacked in any
+  * order, deletes landing on top of unfolded delete files, compaction
+  * mid-sequence, and sequence-number precedence across mixed ops. */
+class LakeModelPropertySpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  private def frame(m: Map[Long, Double]) = {
+    import spark.implicits._
+    m.toSeq.toDF("id", "value")
+  }
+
+  private def readState(p: String, v: Option[Int] = None): Map[Long, Double] =
+    LakeTable.read(spark, p, v).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("value")).toMap
+
+  test("random commit sequences match the in-memory model at every version") {
+    for (seed <- Seq(11, 22, 33)) {
+      val rnd = new scala.util.Random(seed)
+      val p = s"/tmp/graft_test/lake_model_$seed"
+      SparkSpec.rmdir(p)
+
+      var nextKey = 100L
+      var model = (1L to 20L).map(k => k -> (k * 10.0 + seed)).toMap
+      LakeTable.overwrite(frame(model), p) // v0
+      val perVersion = scala.collection.mutable.Buffer(model)
+
+      for (step <- 1 to 8) {
+        rnd.nextInt(5) match {
+          case 0 => // append fresh keys
+            val add = (0 until 3).map { i =>
+              (nextKey + i) -> (rnd.nextInt(1000).toDouble)
+            }.toMap
+            nextKey += 3
+            LakeTable.append(frame(add), p)
+            model = model ++ add
+          case 1 => // CoW upsert: patch a random live subset + one new key
+            val patch = model.keys.filter(_ => rnd.nextBoolean()).take(5)
+              .map(k => k -> rnd.nextInt(1000).toDouble).toMap +
+              (nextKey -> rnd.nextInt(1000).toDouble)
+            nextKey += 1
+            LakeTable.upsert(frame(patch), p, "id")
+            model = model ++ patch
+          case 2 => // MoR upsert: same semantics, O(batch) commit
+            val patch = model.keys.filter(_ => rnd.nextBoolean()).take(5)
+              .map(k => k -> rnd.nextInt(1000).toDouble).toMap +
+              (nextKey -> rnd.nextInt(1000).toDouble)
+            nextKey += 1
+            LakeTable.upsertMoR(frame(patch), p, "id")
+            model = model ++ patch
+          case 3 => // MoR delete by predicate
+            val m = 2 + rnd.nextInt(4)
+            val r = rnd.nextInt(m)
+            LakeTable.deleteMoR(spark, p, "id", pmod(col("id"), lit(m.toLong)) === r)
+            model = model.filter { case (k, _) => k % m != r }
+          case 4 =>
+            LakeTable.compact(spark, p)
+          // model unchanged
+        }
+        perVersion += model
+        assert(readState(p) === model,
+          s"seed=$seed step=$step: table diverged from model")
+      }
+
+      // every version time-travels to the state recorded at its commit
+      perVersion.zipWithIndex.foreach { case (m, v) =>
+        assert(readState(p, Some(v)) === m,
+          s"seed=$seed: version $v does not replay its model state")
+      }
+    }
+  }
+}
