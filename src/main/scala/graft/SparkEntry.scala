@@ -133,6 +133,8 @@ object SparkEntry {
     "label_centroid_sim" -> (llm.Similarity.labelCentroidSim _),
     "funnel_stages" -> (ops.Behavioral.funnelStages _),
     "cohort_retention" -> (ops.Behavioral.cohortRetention _),
+    "time_to_convert" -> (ops.Behavioral.timeToConvert _),
+    "winsorized_stats" -> (ops.Behavioral.winsorizedStats _),
     "zscore_outliers" -> (ops.Behavioral.zscoreOutliers _),
     "moving_median_7d" -> (ops.Behavioral.movingMedian7d _),
     "event_transitions" -> (ops.Behavioral.eventTransitions _),
@@ -1706,6 +1708,40 @@ object SparkEntry {
         |SELECT cohort_wk, wk - cohort_wk AS week_offset, count(*) AS n_users
         |FROM act JOIN coh USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // time_to_convert: integer minutes (µs div 60e6) feed exact
+    // percentiles — identical inputs cross-engine; interpolated
+    // percentile rounded last
+    "time_to_convert" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v_us,
+        |         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p_us
+        |  FROM events GROUP BY user_id),
+        |conv AS (
+        |  SELECT v_us // 604800000000 AS cohort_wk,
+        |         (p_us - v_us) // 60000000 AS mins
+        |  FROM pu
+        |  WHERE v_us IS NOT NULL AND p_us IS NOT NULL AND p_us >= v_us)
+        |SELECT cohort_wk, count(*) AS n_converted,
+        |       round(avg(mins), 6) AS avg_mins,
+        |       round(quantile_cont(mins, 0.5), 6) AS p50_mins,
+        |       round(quantile_cont(mins, 0.9), 6) AS p90_mins,
+        |       max(mins) AS max_mins
+        |FROM conv GROUP BY 1 ORDER BY cohort_wk""".stripMargin,
+    // winsorized_stats: percentile bounds ROUNDED before the clamp so
+    // both engines cut at the identical double
+    "winsorized_stats" ->
+      """WITH b AS (SELECT event_type,
+        |                  round(quantile_cont(value, 0.05), 6) AS lo,
+        |                  round(quantile_cont(value, 0.95), 6) AS hi
+        |           FROM events GROUP BY 1)
+        |SELECT event_type, count(*) AS n,
+        |       round(avg(value), 6) AS raw_mean,
+        |       round(avg(least(greatest(value, lo), hi)), 6) AS winsorized_mean,
+        |       round(any_value(lo), 6) AS p05,
+        |       round(any_value(hi), 6) AS p95
+        |FROM events JOIN b USING (event_type)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // zscore_outliers: z rounded to 6 BEFORE the threshold test so
     // both engines compare the identical double (mu/sigma carry
     // partial-order ulps; the raw parquet value does not)

@@ -212,6 +212,62 @@ object Behavioral {
     * per-user min week, and the (cohort, offset) count; the
     * cohort-assignment join is per-user (same key as the shuffle
     * before it, no extra exchange at scale). */
+  /** TIME-TO-CONVERT: per user, minutes from FIRST view to FIRST
+    * purchase (users who purchased before ever viewing, or never did
+    * both, drop out), summarized per first-view week cohort with
+    * exact percentiles. One conditional-min aggregation per user
+    * (single user_id shuffle) then a tiny per-cohort percentile pass
+    * — the conversion-latency read every growth dashboard wants.
+    * Minutes are INTEGER (µs div 60e6) so the percentile inputs are
+    * identical cross-engine. */
+  def timeToConvert(s: SparkSession, d: String): DataFrame = {
+    val us = Tables.tsMicros("ts")
+    val perUser = Tables.load(s, d, "events")
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", us)).as("v_us"),
+        min(when(col("event_type") === "purchase", us)).as("p_us"))
+      .filter(col("v_us").isNotNull && col("p_us").isNotNull &&
+        col("p_us") >= col("v_us"))
+      .select(
+        expr("v_us div 604800000000").as("cohort_wk"),
+        expr("(p_us - v_us) div 60000000").as("mins"))
+    perUser
+      .groupBy("cohort_wk")
+      .agg(
+        count(lit(1)).as("n_converted"),
+        round(avg("mins"), 6).as("avg_mins"),
+        round(expr("percentile(mins, 0.5)"), 6).as("p50_mins"),
+        round(expr("percentile(mins, 0.9)"), 6).as("p90_mins"),
+        max("mins").as("max_mins"))
+      .orderBy("cohort_wk")
+  }
+
+  /** WINSORIZED STATS: per event type, the mean of `value` after
+    * clamping to the [p05, p95] range — the robust aggregate that
+    * keeps one fat-fingered outlier from moving a metric. Percentile
+    * bounds come from one per-type aggregation (5 rows) broadcast
+    * back over the fact table; the clamp-and-mean pass is map-side
+    * partial-aggregated — the same two-pass broadcast-moments shape
+    * as [[zscoreOutliers]]. Bounds are rounded BEFORE the clamp so
+    * both engines cut at the identical double. */
+  def winsorizedStats(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.load(s, d, "events").select("event_type", "value")
+    val bounds = ev.groupBy("event_type").agg(
+      round(expr("percentile(value, 0.05)"), 6).as("lo"),
+      round(expr("percentile(value, 0.95)"), 6).as("hi"))
+    ev.join(broadcast(bounds), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg("value"), 6).as("raw_mean"),
+        round(avg(least(greatest(col("value"), col("lo")), col("hi"))), 6)
+          .as("winsorized_mean"),
+        round(first("lo"), 6).as("p05"),
+        round(first("hi"), 6).as("p95"))
+      .orderBy("event_type")
+  }
+
   def cohortRetention(s: SparkSession, d: String): DataFrame = {
     // integer div end to end (`/` on longs is DOUBLE division)
     val week = expr("(ts div 1000) div 604800000000")
