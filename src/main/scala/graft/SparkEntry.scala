@@ -131,6 +131,7 @@ object SparkEntry {
     "mixture_plan" -> (etl.Preprocess.mixturePlan _),
     "hash_topk_sample" -> ((s, d) => etl.Preprocess.hashTopkSample(s, d)),
     "label_centroid_sim" -> (llm.Similarity.labelCentroidSim _),
+    "curation_funnel" -> (llm.Curation.curationFunnel _),
     "funnel_stages" -> (ops.Behavioral.funnelStages _),
     "cohort_retention" -> (ops.Behavioral.cohortRetention _),
     "time_to_convert" -> (ops.Behavioral.timeToConvert _),
@@ -664,6 +665,63 @@ object SparkEntry {
           |           FROM labels l JOIN q ON q.doc_id = l.id)
           |SELECT cluster_id, doc_id AS keeper_doc_id, quality AS keeper_quality, n_docs
           |FROM ranked WHERE rk = 1 ORDER BY cluster_id""".stripMargin),
+    // curation_funnel: the END-TO-END pipeline recomputed from
+    // scratch — normalization dedup, recursive-CTE near-dup closure +
+    // keep-best, logistic gate, hash split — so the COMPOSITION is
+    // hash-verified, not just the stages
+    "curation_funnel" ->
+      ("WITH RECURSIVE nd AS (\n" + MinhashNearDupSql + "\n),\n" +
+        "corpus2 AS (\n  " + NearDupCorpusSql + "\n),\n" +
+        """styled AS (SELECT doc_id + 2000000 AS doc_id,
+          |                  upper(substr(text, 1, 1)) || substr(text, 2) || ' .' AS text
+          |           FROM documents),
+          |raw AS (SELECT doc_id, text FROM corpus2 UNION ALL SELECT * FROM styled),
+          |s1 AS (SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text
+          |       FROM (SELECT doc_id, text,
+          |               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+          |                                   ' +', ' ', 'g')) AS norm
+          |             FROM raw)
+          |       GROUP BY norm),
+          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM nd
+          |          UNION ALL SELECT doc_b, doc_a FROM nd),
+          |nodes AS (SELECT DISTINCT src AS id FROM edges),
+          |reach(id, label) AS (
+          |  SELECT id, id FROM nodes
+          |  UNION
+          |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+          |labels AS (SELECT id, min(label) AS label FROM reach GROUP BY id),
+          |q AS (SELECT doc_id,
+          |        round(ln(1.0 + len(tk)) * (len(list_distinct(tk))::DOUBLE / len(tk)), 6)
+          |          AS quality
+          |      FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus2)),
+          |ranked AS (SELECT l.label, q.doc_id, q.quality,
+          |             row_number() OVER (PARTITION BY l.label
+          |                                ORDER BY q.quality DESC, q.doc_id) AS rk
+          |           FROM labels l JOIN q ON q.doc_id = l.id),
+          |s2 AS (SELECT s1.doc_id, s1.text FROM s1
+          |       WHERE s1.doc_id IN (SELECT doc_id FROM ranked WHERE rk = 1)
+          |          OR s1.doc_id NOT IN (SELECT id FROM nodes)),
+          |s3 AS (SELECT doc_id, text FROM (
+          |         SELECT doc_id, text,
+          |           -2.0 + 3.0 * (len(list_distinct(tk))::DOUBLE / len(tk))
+          |           - 1.5 * (len(list_filter(tk, t -> list_contains(['the','a','of','and','in'], t)))::DOUBLE
+          |                    / len(tk))
+          |           + 0.3 * ln(1.0 + len(tk)) AS z
+          |         FROM (SELECT doc_id, text, string_split(text, ' ') AS tk FROM s2))
+          |       WHERE z >= 0.0),
+          |s4 AS (SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+          |                   ELSE 'test' END AS split
+          |       FROM (SELECT list_reduce(list_prepend(0::BIGINT,
+          |               list_transform(range(1, length(text)+1),
+          |                 i -> ascii(substring(text,i,1))::BIGINT)),
+          |               (a,c) -> (a*31+c) % 1000000007) % 100 AS b
+          |             FROM s3))
+          |SELECT 's0_raw' AS stage, count(*) AS n_docs FROM raw
+          |UNION ALL SELECT 's1_exact_dedup', count(*) FROM s1
+          |UNION ALL SELECT 's2_near_dedup', count(*) FROM s2
+          |UNION ALL SELECT 's3_quality', count(*) FROM s3
+          |UNION ALL SELECT 's4_' || split, count(*) FROM s4 GROUP BY split
+          |ORDER BY stage""".stripMargin),
     // streaming_dedup: first-seen dedup state across micro-batches;
     // the aggregate uses only copy-invariant columns, so it equals
     // the distinct-text aggregate regardless of arrival order

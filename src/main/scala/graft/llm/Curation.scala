@@ -1,0 +1,93 @@
+package graft.llm
+
+import graft.Tables
+import graft.functions.ColumnFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** [EXT] The END-TO-END CURATION PIPELINE as one declared query — the
+  * composition every training-data team actually runs, chained from
+  * the engine's own verified stages:
+  *
+  *   s0 raw          originals ∪ near-dup variants ∪ restyled copies
+  *   s1 exact dedup  after C4-style normalization (restyled copies
+  *                   collapse onto their originals — lowest id wins)
+  *   s2 near dedup   MinHash clusters → highest-quality keeper per
+  *                   cluster; docs outside the near-dup graph are
+  *                   singletons and survive
+  *   s3 quality      σ(w·x) logistic gate on the linear score
+  *   s4 split        content-addressed 80/10/10 train/val/test
+  *
+  * The output is the stage-retention funnel (stage, n_docs) — the
+  * number every pipeline dashboard tracks — and the DuckDB oracle
+  * recomputes ALL five stages from scratch (recursive-CTE closure
+  * included), so the whole composition is hash-verified end to end,
+  * not just its pieces.
+  *
+  * Scale: each stage is the already-audited shape (one groupBy for
+  * exact dedup, banded LSH + star contraction for clusters, map-only
+  * gates, hash-bucket split); the funnel adds only per-stage count
+  * aggregates (one row each) and never materializes anything the
+  * stages themselves would not.
+  */
+object Curation {
+
+  def curationFunnel(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+    val styled = docs.select(
+      (col("doc_id") + 2000000L).as("doc_id"),
+      concat(upper(substring(col("text"), 1, 1)),
+        expr("substring(text, 2)"), lit(" .")).as("text"))
+    val raw = Dedup.nearDupCorpus(s, d).unionByName(styled)
+
+    // s1: exact dedup on the canonical text; keeper = lowest doc_id
+    // (lexicographic struct-min, partial-agg friendly)
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    val s1 = raw
+      .select(norm.as("norm"), struct(col("doc_id"), col("text")).as("dt"))
+      .groupBy("norm").agg(min(col("dt")).as("keep"))
+      .select(col("keep.doc_id").as("doc_id"), col("keep.text").as("text"))
+
+    // s2: near-dup keep-best over the survivors. The surviving set is
+    // exactly the near-dup corpus (restyled copies collapse, near
+    // variants do not — dropping a token is not a restyle), so the
+    // shared persisted pair frame applies; keepers come from the
+    // verified keep-best stage, singletons ride through untouched.
+    val keepers = Dedup.dedupKeepBest(s, d)
+      .select(col("keeper_doc_id").as("doc_id"))
+    val pairs = Dedup.minhashNearDupQuery(s, d)
+    val graphNodes = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val s2 = keepers
+      .unionByName(s1.select("doc_id").join(graphNodes, Seq("doc_id"), "left_anti"))
+      .join(s1, Seq("doc_id"))
+
+    // s3: logistic quality gate, decided on the linear score
+    val t = tokens(col("text"))
+    val nTok = size(t).cast("double")
+    val ttr = size(array_distinct(t)).cast("double") / nTok
+    val sr = size(filter(t, tk =>
+      tk.isin("the", "a", "of", "and", "in"))).cast("double") / nTok
+    val z = lit(-2.0) + lit(3.0) * ttr - lit(1.5) * sr +
+      lit(0.3) * log(lit(1.0) + nTok)
+    val s3 = s2.filter(z >= 0.0)
+
+    // s4: content-addressed split of the final corpus
+    val bucket = pmod(polyHash(col("text")), lit(100L))
+    val split = when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    val s4 = s3.select(split.as("split"))
+      .groupBy("split").agg(count(lit(1)).as("n_docs"))
+      .select(concat(lit("s4_"), col("split")).as("stage"), col("n_docs"))
+
+    def cnt(df: DataFrame, stage: String): DataFrame =
+      df.agg(count(lit(1)).as("n_docs")).select(lit(stage).as("stage"), col("n_docs"))
+
+    cnt(raw, "s0_raw")
+      .unionByName(cnt(s1, "s1_exact_dedup"))
+      .unionByName(cnt(s2, "s2_near_dedup"))
+      .unionByName(cnt(s3, "s3_quality"))
+      .unionByName(s4)
+      .orderBy("stage")
+  }
+}
