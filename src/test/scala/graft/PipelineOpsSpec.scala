@@ -245,6 +245,17 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("curation_funnel: monotone retention, splits partition the final stage") {
+    import graft.llm.Curation
+    val got = Curation.curationFunnel(spark, dir).collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_docs")).toMap
+    assert(got("s0_raw") > got("s1_exact_dedup"), s"restyled copies must collapse: $got")
+    assert(got("s1_exact_dedup") > got("s2_near_dedup"), s"near-dups must collapse: $got")
+    assert(got("s2_near_dedup") >= got("s3_quality"), s"gate only removes: $got")
+    val splits = got.view.filterKeys(_.startsWith("s4_")).values.sum
+    assert(splits === got("s3_quality"), s"splits must partition s3: $got")
+  }
+
   test("mixture_plan: shares sum to 1, rates capped at 1, big groups thinned hardest") {
     val rows = Preprocess.mixturePlan(spark, dir).collect()
     assert(rows.length > 1)
