@@ -132,6 +132,7 @@ object SparkEntry {
     "hash_topk_sample" -> ((s, d) => etl.Preprocess.hashTopkSample(s, d)),
     "label_centroid_sim" -> (llm.Similarity.labelCentroidSim _),
     "curation_funnel" -> (llm.Curation.curationFunnel _),
+    "phrase_search" -> ((s, d) => llm.TextAnalysis.phraseSearch(s, d)),
     "funnel_stages" -> (ops.Behavioral.funnelStages _),
     "cohort_retention" -> (ops.Behavioral.cohortRetention _),
     "time_to_convert" -> (ops.Behavioral.timeToConvert _),
@@ -1183,6 +1184,15 @@ object SparkEntry {
         |       round(avg(ln((cb + 1.0) / (cw + v))), 6) AS lm_score
         |FROM big JOIN bc USING (w1, w2) JOIN uni ON w1 = uni.w CROSS JOIN v
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // phrase_search: consecutive 'table scan' occurrences; adjacency
+    // via 1-based positions, counts integral
+    "phrase_search" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |hits AS (SELECT doc_id
+        |         FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks)
+        |         WHERE tk[CAST(i AS INT)] = 'table' AND tk[CAST(i AS INT) + 1] = 'scan')
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_occurrences
+        |FROM hits GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // dup_ngram_frac: distinct 5-grams per doc, df>=2 means shared
     // with another doc; counts are integral, division rounded last
     "dup_ngram_frac" ->

@@ -639,6 +639,30 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** L4b PHRASE SEARCH — exact consecutive-phrase matching via
+    * POSITIONAL postings, the index shape conjunctive (bag-of-words)
+    * search cannot express: tokens explode with their position, the
+    * posting stream is pruned to the phrase's terms MAP-SIDE (before
+    * any shuffle), and adjacency is one equi-join on
+    * (doc, position+1). Per-doc occurrence counts follow in the same
+    * aggregation. At 100 TB this is the standard positional-index
+    * probe: the shuffle carries matching postings only, never the
+    * corpus. */
+  def phraseSearch(
+      s: SparkSession, d: String,
+      w1: String = "table", w2: String = "scan"): DataFrame = {
+    val tok = Tables.load(s, d, "documents")
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .filter(col("col").isin(w1, w2))
+    val a = tok.filter(col("col") === w1).select(col("doc_id"), col("pos"))
+    val b = tok.filter(col("col") === w2)
+      .select(col("doc_id"), (col("pos") - 1).as("pos"))
+    a.join(b, Seq("doc_id", "pos"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_occurrences"))
+      .orderBy("doc_id")
+  }
+
   /** L6 MODEL-BASED QUALITY FILTERING (inference side) — the linear
     * quality-classifier pass of a curated corpus (the fastText-style
     * "looks like reference text?" gate): p(keep) = σ(w·x) over cheap
