@@ -59,9 +59,13 @@ object Curation {
     val pairs = Dedup.minhashNearDupQuery(s, d)
     val graphNodes = pairs.select(col("doc_a").as("doc_id"))
       .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    // the funnel emits FIVE count branches over this chain; an eager
+    // materialization here (survivor ids + text — keeper-scale, tiny)
+    // stops each branch re-running dedup + clustering upstream
     val s2 = keepers
       .unionByName(s1.select("doc_id").join(graphNodes, Seq("doc_id"), "left_anti"))
       .join(s1, Seq("doc_id"))
+      .localCheckpoint(true)
 
     // s3: logistic quality gate, decided on the linear score
     val t = tokens(col("text"))

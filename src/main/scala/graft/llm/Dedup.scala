@@ -479,11 +479,26 @@ object Dedup {
     * frame beyond the clustering cost: the keeper is picked with a
     * lexicographic max over (quality, -doc_id) struct — partial-agg
     * friendly, no second window pass over the corpus. */
+  /** Component labels of the near-dup graph, contracted ONCE per
+    * (session, sfDir) and shared by every consumer (dedup_clusters,
+    * dedup_keep_best, the curation funnel) — the contraction result
+    * is itself already checkpointed, so the cache holds a
+    * materialized frame, exactly like [[minhashNearDupQuery]]'s pair
+    * frame one level below. */
+  private[graft] def nearDupLabels(s: SparkSession, d: String): DataFrame = {
+    labelsCache.keySet.removeIf { case (sess, _) => sess.sparkContext.isStopped }
+    labelsCache.computeIfAbsent((s, d), _ =>
+      connectedComponentsStars(
+        minhashNearDupQuery(s, d)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst")))._1)
+  }
+
+  private val labelsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def dedupKeepBest(s: SparkSession, d: String, maxIters: Int = 20): DataFrame = {
     val corpus = nearDupCorpus(s, d)
-    val pairs = minhashNearDupQuery(s, d).select("doc_a", "doc_b")
-    val (labels, _) = connectedComponentsStars(
-      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")), maxIters)
+    val labels = nearDupLabels(s, d)
     val t = tokens(col("text"))
     val nTok = size(t).cast("double")
     val quality = corpus.select(
@@ -643,14 +658,10 @@ object Dedup {
     * `maxIters` is a runaway backstop, not a correctness bound — the
     * DuckDB oracle computes the EXACT closure with a recursive CTE,
     * so a non-converged result would fail the gate loudly. */
-  def dedupClusters(s: SparkSession, d: String, maxIters: Int = 20): DataFrame = {
-    val pairs = minhashNearDupQuery(s, d).select("doc_a", "doc_b")
-    val (labels, _) = connectedComponentsStars(
-      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")), maxIters)
-    labels
+  def dedupClusters(s: SparkSession, d: String, maxIters: Int = 20): DataFrame =
+    nearDupLabels(s, d)
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .orderBy("doc_id")
-  }
 
   /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
     * contraction (Kiveris et al., "Connected Components in MapReduce
