@@ -148,6 +148,7 @@ object SparkEntry {
     "multi_signal_near_dup" -> ((s, d) => llm.Similarity.multiSignalNearDup(s, d)),
     "multimodal_features" -> (llm.Multimodal.multimodalFeatures _),
     "video_frame_sample" -> (llm.Multimodal.videoFrameSample _),
+    "media_embedding_search" -> ((s, d) => llm.Multimodal.mediaEmbeddingSearch(s, d)),
     "above_avg_customers" -> (ops.Relational.aboveAvgCustomers _),
     // --- reference ETL parity (SURVEY.md §2.2, §2.6 O3, §3 E1) ---
     "etl_verl_rows" -> (etl.Preprocess.verlRows _),
@@ -1184,6 +1185,22 @@ object SparkEntry {
         |       round(avg(ln((cb + 1.0) / (cw + v))), 6) AS lm_score
         |FROM big JOIN bc USING (w1, w2) JOIN uni ON w1 = uni.w CROSS JOIN v
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // media_embedding_search: the stub encoder's seeded byte folds
+    // recomputed per dimension; cosine rounded before the rank cut,
+    // doc_id tie-break (ASCII corpus: byte == code point)
+    "media_embedding_search" ->
+      """WITH codes AS (SELECT doc_id, list_transform(range(1, length(text)+1),
+        |                 i -> ascii(substring(text,i,1))::BIGINT) AS cs FROM documents),
+        |v AS (SELECT doc_id, j,
+        |        (list_reduce(list_prepend(CAST(j AS BIGINT), cs),
+        |           (a,c) -> (a*31 + c + j) % 1000000007) % 1000) / 1000.0 AS vj,
+        |        ((j*37 + 11) % 1000) / 1000.0 AS qj
+        |      FROM codes CROSS JOIN (SELECT unnest(range(8)) AS j)),
+        |s AS (SELECT doc_id, sum(vj*qj) AS dp,
+        |             sqrt(sum(vj*vj)) AS nv, sqrt(sum(qj*qj)) AS nq
+        |      FROM v GROUP BY 1)
+        |SELECT doc_id, round(dp / (nv * nq), 6) AS cos_sim
+        |FROM s ORDER BY cos_sim DESC, doc_id LIMIT 5""".stripMargin,
     // phrase_search: consecutive 'table scan' occurrences; adjacency
     // via 1-based positions, counts integral
     "phrase_search" ->

@@ -84,4 +84,51 @@ object Multimodal {
       .select("doc_id", "media_type", "n_bytes", "width", "height", "n_frames")
       .orderBy("doc_id")
   }
+
+  /** STUB media encoder — stands in for a CLIP-style image/audio
+    * embedding model: 8 dimensions, each a seeded byte fold
+    * normalized to [0, 1). Pure function of the bytes (deterministic,
+    * SQL-expressible), so the retrieval path downstream is
+    * hash-checkable; a real deployment replaces ONLY this function
+    * with the model forward pass. */
+  private def encodeStub(m: MediaIn): (Long, Array[Double]) = {
+    val vec = Array.tabulate(8) { j =>
+      var a = j.toLong
+      var i = 0
+      while (i < m.bytes.length) {
+        a = (a * 31 + (m.bytes(i) & 0xff) + j) % 1000000007L
+        i += 1
+      }
+      (a % 1000).toDouble / 1000.0
+    }
+    (m.doc_id, vec)
+  }
+
+  /** L5/L3 MEDIA-EMBEDDING RETRIEVAL — the cross-modal search
+    * pipeline end to end: opaque media bytes → per-partition batch
+    * ENCODE (the model-inference stage, stubbed) → cosine top-k
+    * against a query vector. The encode amortizes model setup per
+    * partition exactly like the decode stages; the search side is
+    * the engine's standard shape (global top-k via
+    * TakeOrderedAndProject, never a full sort). Scores are rounded
+    * before the rank cut, doc_id breaks ties. */
+  def mediaEmbeddingSearch(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val q = Array.tabulate(8)(j => ((j * 37 + 11) % 1000).toDouble / 1000.0)
+    val qNorm = math.sqrt(q.map(x => x * x).sum)
+    val embedded = Tables.load(s, d, "documents")
+      .select(
+        col("doc_id"),
+        col("text").cast("binary").as("bytes"),
+        lit("image/synthetic").as("media_type"))
+      .as[MediaIn]
+      .mapPartitions(_.map(encodeStub))
+      .toDF("doc_id", "vec")
+    val dot = (0 until 8).map(j => col("vec")(j) * lit(q(j))).reduce(_ + _)
+    val norm = sqrt((0 until 8).map(j => col("vec")(j) * col("vec")(j)).reduce(_ + _))
+    embedded
+      .select(col("doc_id"), round(dot / (norm * lit(qNorm)), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("doc_id"))
+      .limit(k)
+  }
 }
