@@ -136,6 +136,7 @@ object SparkEntry {
     "funnel_stages" -> (ops.Behavioral.funnelStages _),
     "cohort_retention" -> (ops.Behavioral.cohortRetention _),
     "time_to_convert" -> (ops.Behavioral.timeToConvert _),
+    "approx_quantiles" -> ((s, d) => ops.Relational.approxQuantiles(s, d)),
     "winsorized_stats" -> (ops.Behavioral.winsorizedStats _),
     "zscore_outliers" -> (ops.Behavioral.zscoreOutliers _),
     "moving_median_7d" -> (ops.Behavioral.movingMedian7d _),

@@ -1062,6 +1062,28 @@ object Relational {
       .orderBy("s_name")
   }
 
+  /** A12b APPROXIMATE QUANTILES — the sketch that replaces exact
+    * percentiles at 100 TB: `percentile_approx` is Spark's
+    * Greenwald–Khanna summary, a MERGEABLE fixed-size state with a
+    * guaranteed rank error ≤ 1/accuracy — partial-aggregatable like
+    * any algebraic function, where the exact percentile family
+    * ([[quantileQuantity]]) is holistic and must see every value.
+    * Approximate by construction → rows-only under the driver gate;
+    * ApproxQuantileSpec pins the rank-error bound against the exact
+    * percentiles. */
+  def approxQuantiles(s: SparkSession, d: String, accuracy: Int = 100): DataFrame =
+    t(s, d, "events")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        percentile_approx(col("value"),
+          array(lit(0.25), lit(0.5), lit(0.75), lit(0.9)), lit(accuracy))
+          .as("qs"))
+      .select(col("event_type"), col("n"),
+        col("qs")(0).as("q25"), col("qs")(1).as("q50"),
+        col("qs")(2).as("q75"), col("qs")(3).as("q90"))
+      .orderBy("event_type")
+
   /** L9 K-ANONYMITY AUDIT — the governance-side complement of
     * [[dqChecks]]: group the corpus by its quasi-identifier tuple
     * (lang, source, length bucket) and flag groups smaller than k=5,

@@ -14,7 +14,8 @@ class ContractSpec extends AnyFunSuite {
   test("queries without oracles are the documented approximate ones") {
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unoracled === Set(
-      "approx_distinct_users", "knn_lsh_bucketed", "knn_ivf", "knn_ivf_kmeans"),
+      "approx_distinct_users", "knn_lsh_bucketed", "knn_ivf", "knn_ivf_kmeans",
+      "approx_quantiles"),
       s"unexpected rows-only queries: $unoracled")
   }
 
