@@ -133,6 +133,7 @@ object SparkEntry {
     "label_centroid_sim" -> (llm.Similarity.labelCentroidSim _),
     "curation_funnel" -> (llm.Curation.curationFunnel _),
     "phrase_search" -> ((s, d) => llm.TextAnalysis.phraseSearch(s, d)),
+    "augment_token_dropout" -> (llm.TextAnalysis.augmentTokenDropout _),
     "funnel_stages" -> (ops.Behavioral.funnelStages _),
     "cohort_retention" -> (ops.Behavioral.cohortRetention _),
     "time_to_convert" -> (ops.Behavioral.timeToConvert _),
@@ -1186,6 +1187,21 @@ object SparkEntry {
         |       round(avg(ln((cb + 1.0) / (cw + v))), 6) AS lm_score
         |FROM big JOIN bc USING (w1, w2) JOIN uni ON w1 = uni.w CROSS JOIN v
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // augment_token_dropout: the 10% "random" dropout is the pure
+    // function (polyhash(token) + doc_id) % 10 == 0 — reproducible
+    // across engines byte for byte
+    "augment_token_dropout" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |k AS (SELECT doc_id, len(tk) AS n_tokens,
+        |        list_filter(tk, t -> (list_reduce(list_prepend(0::BIGINT,
+        |          list_transform(range(1, length(t)+1), i -> ascii(substring(t,i,1))::BIGINT)),
+        |          (x,c) -> (x*31+c) % 1000000007) + doc_id) % 10 <> 0) AS kept
+        |      FROM toks)
+        |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+        |       CAST(len(kept) AS INT) AS n_kept,
+        |       array_to_string(kept, ' ') AS augmented,
+        |       CAST(length(array_to_string(kept, ' ')) AS INT) AS len_augmented
+        |FROM k ORDER BY doc_id""".stripMargin,
     // media_embedding_search: the stub encoder's seeded byte folds
     // recomputed per dimension; cosine rounded before the rank cut,
     // doc_id tie-break (ASCII corpus: byte == code point)

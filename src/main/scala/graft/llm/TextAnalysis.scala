@@ -639,6 +639,26 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** L7g DETERMINISTIC TOKEN-DROPOUT AUGMENTATION — the EDA-style
+    * augmentation stage of a training pipeline, made reproducible:
+    * each token drops iff polyhash(token) + doc_id ≡ 0 (mod 10), so
+    * the "random" 10% dropout is a pure function of (doc, token) —
+    * re-running the pipeline regenerates byte-identical augmented
+    * text (seeded per-partition RNG cannot promise that across
+    * repartitions). Map-only HOF filter + concat, zero shuffles. */
+  def augmentTokenDropout(s: SparkSession, d: String): DataFrame = {
+    val kept = filter(tokens(col("text")),
+      tk => pmod(polyHash(tk) + col("doc_id"), lit(10L)) =!= 0)
+    Tables.load(s, d, "documents")
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).as("n_tokens"),
+        size(kept).as("n_kept"),
+        concat_ws(" ", kept).as("augmented"))
+      .withColumn("len_augmented", length(col("augmented")))
+      .orderBy("doc_id")
+  }
+
   /** L4b PHRASE SEARCH — exact consecutive-phrase matching via
     * POSITIONAL postings, the index shape conjunctive (bag-of-words)
     * search cannot express: tokens explode with their position, the
