@@ -364,9 +364,16 @@ object Preprocess {
     naive.unionByName(bucketed).orderBy("strategy")
   }
 
+  /** Content-addressed split assignment of a text column — ONE
+    * definition of the 80/10/10 bucket rule, shared by [[hashSplit]],
+    * the leakage audit, and the curation funnel. */
+  private[graft] def splitOf(text: Column): Column = {
+    val bucket = pmod(polyHash(text), lit(100L))
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+  }
+
   def hashSplit(s: SparkSession, d: String): DataFrame = {
-    val bucket = pmod(polyHash(col("text")), lit(100L))
-    val split = when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    val split = splitOf(col("text"))
     Tables.loadParallel(s, d, "documents")
       .select(split.as("split"), col("doc_id"), col("lang"),
         size(tokens(col("text"))).as("n_tokens"))

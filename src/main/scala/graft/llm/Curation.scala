@@ -34,18 +34,17 @@ object Curation {
 
   def curationFunnel(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.load(s, d, "documents").select("doc_id", "text")
-    val styled = docs.select(
-      (col("doc_id") + 2000000L).as("doc_id"),
-      concat(upper(substring(col("text"), 1, 1)),
-        expr("substring(text, 2)"), lit(" .")).as("text"))
-    val raw = Dedup.nearDupCorpus(s, d).unionByName(styled)
+    // every stage expression below is THE stage's own shared helper
+    // (styledVariants/canonicalNorm/qualityZ/splitOf) — the funnel
+    // composes the verified stages, it does not re-derive them
+    val raw = Dedup.nearDupCorpus(s, d)
+      .unionByName(Dedup.styledVariants(docs))
 
     // s1: exact dedup on the canonical text; keeper = lowest doc_id
     // (lexicographic struct-min, partial-agg friendly)
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
     val s1 = raw
-      .select(norm.as("norm"), struct(col("doc_id"), col("text")).as("dt"))
+      .select(Dedup.canonicalNorm(col("text")).as("norm"),
+        struct(col("doc_id"), col("text")).as("dt"))
       .groupBy("norm").agg(min(col("dt")).as("keep"))
       .select(col("keep.doc_id").as("doc_id"), col("keep.text").as("text"))
 
@@ -68,19 +67,10 @@ object Curation {
       .localCheckpoint(true)
 
     // s3: logistic quality gate, decided on the linear score
-    val t = tokens(col("text"))
-    val nTok = size(t).cast("double")
-    val ttr = size(array_distinct(t)).cast("double") / nTok
-    val sr = size(filter(t, tk =>
-      tk.isin("the", "a", "of", "and", "in"))).cast("double") / nTok
-    val z = lit(-2.0) + lit(3.0) * ttr - lit(1.5) * sr +
-      lit(0.3) * log(lit(1.0) + nTok)
-    val s3 = s2.filter(z >= 0.0)
+    val s3 = s2.filter(TextAnalysis.qualityZ(col("text")) >= 0.0)
 
     // s4: content-addressed split of the final corpus
-    val bucket = pmod(polyHash(col("text")), lit(100L))
-    val split = when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
-    val s4 = s3.select(split.as("split"))
+    val s4 = s3.select(graft.etl.Preprocess.splitOf(col("text")).as("split"))
       .groupBy("split").agg(count(lit(1)).as("n_docs"))
       .select(concat(lit("s4_"), col("split")).as("stage"), col("n_docs"))
 

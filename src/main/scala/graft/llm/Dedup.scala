@@ -209,16 +209,27 @@ object Dedup {
     * a map-only codegen'd regex chain; dedup is ONE hash-groupBy on
     * the canonical key. At 100 TB the groupBy key is xxhash64(norm)
     * (8 bytes), not the normalized string. */
-  def normalizedDedup(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.load(s, d, "documents").select("doc_id", "text")
-    val styled = docs.select(
+  /** Restyled copies of a (doc_id, text) frame — title-case first
+    * token + trailing " ." punctuation, id offset 2,000,000. The
+    * manufactured input of the normalization-dedup stages (shared by
+    * [[normalizedDedup]] and the curation funnel so the two cannot
+    * drift). */
+  private[graft] def styledVariants(docs: DataFrame): DataFrame =
+    docs.select(
       (col("doc_id") + 2000000L).as("doc_id"),
       concat(upper(substring(col("text"), 1, 1)),
         expr("substring(text, 2)"), lit(" .")).as("text"))
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
-    docs.unionByName(styled)
-      .select(col("doc_id"), norm.as("norm"))
+
+  /** C4-style canonicalization of a text column: lowercase, strip
+    * non-alphanumerics, collapse whitespace runs, trim. ONE
+    * definition for every consumer of "normalized text". */
+  private[graft] def canonicalNorm(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  def normalizedDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+    docs.unionByName(styledVariants(docs))
+      .select(col("doc_id"), canonicalNorm(col("text")).as("norm"))
       .groupBy("norm")
       .agg(min("doc_id").as("doc_id"), count(lit(1)).cast("int").as("n_copies"))
       .select(col("doc_id"), col("n_copies"), length(col("norm")).as("norm_len"))
@@ -370,10 +381,8 @@ object Dedup {
     * by doc id — the corpus itself is never self-joined. */
   def splitLeakageAudit(s: SparkSession, d: String): DataFrame = {
     val corpus = nearDupCorpus(s, d)
-    val bucket = pmod(polyHash(col("text")), lit(100L))
     val split = corpus.select(col("doc_id"),
-      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
-        .as("split"))
+      graft.etl.Preprocess.splitOf(col("text")).as("split"))
     val pairs = minhashNearDupQuery(s, d).select("doc_a", "doc_b")
     pairs
       .join(broadcast(split.select(col("doc_id").as("doc_a"), col("split").as("sa"))),
@@ -496,7 +505,7 @@ object Dedup {
   private val labelsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  def dedupKeepBest(s: SparkSession, d: String, maxIters: Int = 20): DataFrame = {
+  def dedupKeepBest(s: SparkSession, d: String): DataFrame = {
     val corpus = nearDupCorpus(s, d)
     val labels = nearDupLabels(s, d)
     val t = tokens(col("text"))
@@ -658,7 +667,7 @@ object Dedup {
     * `maxIters` is a runaway backstop, not a correctness bound — the
     * DuckDB oracle computes the EXACT closure with a recursive CTE,
     * so a non-converged result would fail the gate loudly. */
-  def dedupClusters(s: SparkSession, d: String, maxIters: Int = 20): DataFrame =
+  def dedupClusters(s: SparkSession, d: String): DataFrame =
     nearDupLabels(s, d)
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .orderBy("doc_id")

@@ -693,13 +693,20 @@ object TextAnalysis {
     * ORDER BY is the determinism contract). The keep decision tests
     * the LINEAR score against 0 (σ is monotone), so no exp() sits on
     * the decision boundary. */
-  def qualityLogit(s: SparkSession, d: String): DataFrame = {
-    val t = tokens(col("text"))
+  /** The quality model's LINEAR score over a text column — one
+    * definition shared by [[qualityLogit]] and the curation funnel's
+    * gate (so the composed pipeline cannot drift from the stage). */
+  private[graft] def qualityZ(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val t = tokens(text)
     val nTok = size(t).cast("double")
     val ttr = size(array_distinct(t)).cast("double") / nTok
     val stopRatio = size(filter(t, tk => tk.isin(Stopwords: _*))).cast("double") / nTok
-    val z = lit(-2.0) + lit(3.0) * ttr - lit(1.5) * stopRatio +
+    lit(-2.0) + lit(3.0) * ttr - lit(1.5) * stopRatio +
       lit(0.3) * log(lit(1.0) + nTok)
+  }
+
+  def qualityLogit(s: SparkSession, d: String): DataFrame = {
+    val z = qualityZ(col("text"))
     Tables.load(s, d, "documents")
       .select(
         col("doc_id"),

@@ -245,20 +245,25 @@ object LakeTable {
     * every other op) still fail loudly: their outcome depends on the
     * state they replace, so auto-rebase would silently drop the
     * racer's commit. */
-  def append(df: DataFrame, path: String): Int = {
-    val spark = df.sparkSession
-    val fresh = writeDataFiles(df, path)
+  def append(df: DataFrame, path: String): Int =
+    publishStaged(df.sparkSession, path, writeDataFiles(df, path), "append")
+
+  /** ONE definition of the commit retry/rebase protocol, shared by
+    * [[append]] and [[writeAuditPublish]]: base is the version `prev`
+    * was READ FROM and is threaded into commit as-is — commit claims
+    * exactly base+1, so any commit that lands in between forces the
+    * rename conflict (and this rebase loop re-reads), instead of
+    * claiming a later version on top of a stale prev and silently
+    * dropping the racer's files. */
+  private def publishStaged(
+      spark: SparkSession, path: String,
+      fresh: Seq[ManifestEntry], op: String): Int = {
     var attempt = 0
     while (true) {
-      // base is the version `prev` was READ FROM and is threaded into
-      // commit as-is: commit claims exactly base+1, so any commit that
-      // lands in between forces the rename conflict (and this rebase
-      // loop re-reads), instead of claiming a later version on top of
-      // a stale prev and silently dropping the racer's files
       val base = latestVersion(path).getOrElse(-1)
       val prev = if (base >= 0) manifestEntries(spark, path, base) else Nil
       try {
-        return commit(spark, path, base, prev ++ fresh, "append")
+        return commit(spark, path, base, prev ++ fresh, op)
       } catch {
         case e: Exception if isVersionConflict(e) && attempt < MaxCommitRetries =>
           attempt += 1 // racer won this version: rebase on its snapshot
@@ -284,18 +289,7 @@ object LakeTable {
     val staged = writeDataFiles(df, path)
     audit(readFiles(spark, staged)) match {
       case None =>
-        var attempt = 0
-        while (true) {
-          val base = latestVersion(path).getOrElse(-1)
-          val prev = if (base >= 0) manifestEntries(spark, path, base) else Nil
-          try {
-            return Right(commit(spark, path, base, prev ++ staged, "append"))
-          } catch {
-            case e: Exception if isVersionConflict(e) && attempt < MaxCommitRetries =>
-              attempt += 1
-          }
-        }
-        Left("unreachable")
+        Right(publishStaged(spark, path, staged, "append"))
       case Some(reason) =>
         staged.foreach(e => Files.deleteIfExists(Paths.get(e.file)))
         Left(reason)
@@ -373,16 +367,22 @@ object LakeTable {
       spark: SparkSession, dataWithSeq: DataFrame,
       del: Seq[ManifestEntry]): DataFrame = {
     // one key column per table (upsert's contract); its NAME rides in
-    // the delete file's own schema
+    // the delete file's own schema and is captured while the key
+    // frames are built — no extra footer read just for the name
+    var keyName: String = null
     val keys = del.groupBy(e => (e.base, e.seq)).map { case ((base, sq), es) =>
       val k = spark.read.option("basePath", base).parquet(es.map(_.file): _*)
+      keyName = k.columns.head
       k.select(col(k.columns.head).as("__graft_dkey")).distinct()
         .withColumn("__graft_dseq", lit(sq))
     }.reduce(_.unionByName(_))
-    val keyName = spark.read.parquet(del.head.file).columns.head
     dataWithSeq
+      // null-SAFE key equality: a NULL-keyed row selected by the
+      // delete predicate must be removed exactly as CoW delete()
+      // removes it — plain === never matches the NULL delete key and
+      // the row would silently survive every read and even compact
       .join(keys,
-        dataWithSeq(keyName) === keys("__graft_dkey") &&
+        dataWithSeq(keyName) <=> keys("__graft_dkey") &&
           keys("__graft_dseq") > dataWithSeq(SeqCol),
         "left_anti")
       .drop(SeqCol)
@@ -620,8 +620,12 @@ object LakeTable {
   def tags(path: String): Map[String, Int] = {
     val dir = Paths.get(tagsDir(path))
     if (!Files.exists(dir)) Map.empty
-    else Files.list(dir).iterator().asScala
-      .map(p => p.getFileName.toString -> Files.readString(p).trim.toInt).toMap
+    else {
+      val st = Files.list(dir)
+      try st.iterator().asScala
+        .map(p => p.getFileName.toString -> Files.readString(p).trim.toInt).toMap
+      finally st.close()
+    }
   }
 
   /** Read the snapshot a tag points at. */

@@ -714,6 +714,26 @@ class LakeTableSpec extends AnyFunSuite {
       hist(2) === "mor_delete" && hist(3) === "compact", s"history: $hist")
   }
 
+  test("MoR delete removes NULL-keyed rows exactly like CoW delete") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val p = "/tmp/graft_test/lake_mor_null"
+    rmdir(p)
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = true),
+      StructField("v", StringType)))
+    val rows = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, "keep"), Row(2L, "drop"), Row(null, "drop-null")),
+      schema)
+    LakeTable.overwrite(rows, p)
+    // predicate selects the NULL-keyed row AND key 2
+    LakeTable.deleteMoR(spark, p, "k", col("v").startsWith("drop"))
+    val got = LakeTable.read(spark, p).collect().map(_.getAs[String]("v")).toSet
+    assert(got === Set("keep"),
+      s"NULL-keyed row must be deleted (null-safe key match): $got")
+  }
+
   test("MoR upsert: sequence rule lets patch rows survive their own delete keys") {
     val p = "/tmp/graft_test/lake_mor_up"
     rmdir(p)
