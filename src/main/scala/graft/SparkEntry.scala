@@ -59,6 +59,7 @@ object SparkEntry {
     "minhash_near_dup" -> (llm.Dedup.minhashNearDupQuery _),
     "dedup_clusters" -> ((s, d) => llm.Dedup.dedupClusters(s, d)),
     "dedup_keep_best" -> ((s, d) => llm.Dedup.dedupKeepBest(s, d)),
+    "cluster_size_hist" -> (llm.Dedup.clusterSizeHistogram _),
     "streaming_dedup" -> (streaming.StreamingDedup.streamingDedupQuery _),
     "simhash_docs" -> (llm.Dedup.simhashDocs _),
     "simhash_near_dup" -> ((s, d) => llm.Dedup.simhashNearDup(s, d)),
@@ -644,6 +645,21 @@ object SparkEntry {
           |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
           |SELECT id AS doc_id, min(label) AS cluster_id
           |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
+    // cluster_size_hist: exact-closure cluster sizes histogrammed —
+    // all-integer, guards the shared contraction labels a third way
+    "cluster_size_hist" ->
+      ("WITH RECURSIVE nd AS (\n" + MinhashNearDupSql + "\n),\n" +
+        """edges AS (SELECT doc_a AS src, doc_b AS dst FROM nd
+          |          UNION ALL SELECT doc_b, doc_a FROM nd),
+          |nodes AS (SELECT DISTINCT src AS id FROM edges),
+          |reach(id, label) AS (
+          |  SELECT id, id FROM nodes
+          |  UNION
+          |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+          |labels AS (SELECT id, min(label) AS label FROM reach GROUP BY id),
+          |sz AS (SELECT label, count(*) AS cluster_size FROM labels GROUP BY 1)
+          |SELECT cluster_size, count(*) AS n_clusters
+          |FROM sz GROUP BY 1 ORDER BY cluster_size""".stripMargin),
     // dedup_keep_best: exact closure (as dedup_clusters) + the
     // canonical keeper per cluster — highest ROUNDED
     // ln(1+|tokens|)·TTR quality, doc_id tie-break

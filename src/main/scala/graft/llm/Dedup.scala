@@ -505,6 +505,18 @@ object Dedup {
   private val labelsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** L1b CLUSTER-SIZE HISTOGRAM — the dedup health metric: how many
+    * near-dup clusters exist at each size (a fat tail means
+    * boilerplate explosions; all-2 means pair-wise copies). Two tiny
+    * hash aggregations over the SHARED contraction labels — the graph
+    * is never re-contracted, and the output is bounded by the largest
+    * cluster size. */
+  def clusterSizeHistogram(s: SparkSession, d: String): DataFrame =
+    nearDupLabels(s, d)
+      .groupBy("label").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size")
+
   def dedupKeepBest(s: SparkSession, d: String): DataFrame = {
     val corpus = nearDupCorpus(s, d)
     val labels = nearDupLabels(s, d)
