@@ -86,6 +86,7 @@ object SparkEntry {
     "token_predicates" -> (llm.TextAnalysis.tokenPredicates _),
     "token_counts" -> (llm.TextAnalysis.tokenCounts _),
     "lang_id" -> (llm.TextAnalysis.langId _),
+    "lang_id_confusion" -> (llm.TextAnalysis.langIdConfusion _),
     "doc_fingerprint" -> (llm.TextAnalysis.docFingerprint _),
     "cjk_fingerprint" -> (llm.TextAnalysis.cjkFingerprint _),
     "sql_registry_fingerprint" -> (llm.TextAnalysis.sqlRegistryFingerprint _),
@@ -1997,6 +1998,25 @@ object SparkEntry {
         |  SELECT doc_id, lang, plang,
         |         row_number() OVER (PARTITION BY doc_id ORDER BY overlap DESC, plang) AS rn
         |  FROM hits) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // lang_id_confusion: the same classifier, matrixed — declared ×
+    // predicted counts, all-integer
+    "lang_id_confusion" ->
+      """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+        |cnt AS (SELECT lang, token, count(*) AS c FROM tok GROUP BY 1, 2),
+        |prof AS (SELECT lang AS plang, token FROM (
+        |  SELECT lang, token,
+        |         row_number() OVER (PARTITION BY lang ORDER BY c DESC, token) AS rn
+        |  FROM cnt) WHERE rn <= 10),
+        |dtok AS (SELECT doc_id, lang,
+        |                unnest(list_distinct(string_split(text, ' '))) AS token FROM documents),
+        |hits AS (SELECT doc_id, lang, plang, count(*) AS overlap
+        |         FROM dtok JOIN prof USING (token) GROUP BY 1, 2, 3),
+        |pred AS (SELECT doc_id, lang, plang AS predicted FROM (
+        |  SELECT doc_id, lang, plang,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY overlap DESC, plang) AS rn
+        |  FROM hits) WHERE rn = 1)
+        |SELECT lang, predicted, count(*) AS n_docs
+        |FROM pred GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
     // cjk_fingerprint: code-point polyhash over mixed CJK/ASCII text —
     // ascii(substring) is codePointAt in both engines, so this oracle
     // pins multi-byte hash agreement cross-engine

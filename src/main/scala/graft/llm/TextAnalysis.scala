@@ -639,6 +639,17 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** L4e CLASSIFIER CONFUSION MATRIX — the eval-side read of the
+    * language-ID stage: declared label × predicted label counts, the
+    * matrix that tells a curation team WHERE the classifier fails
+    * before they gate on it. One hash aggregation over [[langId]]'s
+    * per-doc predictions; output bounded by |langs|². */
+  def langIdConfusion(s: SparkSession, d: String): DataFrame =
+    langId(s, d)
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "predicted")
+
   /** L7g DETERMINISTIC TOKEN-DROPOUT AUGMENTATION — the EDA-style
     * augmentation stage of a training pipeline, made reproducible:
     * each token drops iff polyhash(token) + doc_id ≡ 0 (mod 10), so
