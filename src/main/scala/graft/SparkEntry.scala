@@ -851,26 +851,29 @@ object SparkEntry {
           |                  JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)
           |SELECT n_vertices, n_edges, n_triangles FROM vx, ed, tri""".stripMargin),
     // pagerank_near_dup: 3 power iterations UNROLLED as CTEs (the
-    // Spark side runs the same fixed count); teleport/damping written
-    // as the literals 0.15/0.85 on both engines, rank scaled by |V|
-    // and rounded once at the end
+    // Spark side runs the same fixed count) in NORMALIZED rank space
+    // (q0 = 1, update 0.15 + 0.85·Σ q/deg — no |V| anywhere);
+    // teleport/damping written as the literals 0.15/0.85 on both
+    // engines, and EACH iteration rounded to 9 decimals exactly as
+    // the Spark side does, so summation-order ulps cannot compound
+    // across iterations and flip the final 6-decimal round
+    // (round-4 ADVICE)
     "pagerank_near_dup" ->
       ("WITH nd AS (\n" + MinhashNearDupSql + "\n),\n" +
         """e AS (SELECT doc_a AS u, doc_b AS v FROM nd
           |      UNION ALL SELECT doc_b, doc_a FROM nd),
           |deg AS (SELECT u, count(*) AS deg FROM e GROUP BY 1),
-          |nn AS (SELECT count(*) AS n FROM deg),
           |ed AS (SELECT e.u, e.v, deg.deg FROM e JOIN deg USING (u)),
-          |r0 AS (SELECT u, 1.0 / n AS r FROM deg CROSS JOIN nn),
-          |r1 AS (SELECT ed.v AS u, 0.15 / nn.n + 0.85 * sum(r0.r / ed.deg) AS r
-          |       FROM ed JOIN r0 ON ed.u = r0.u CROSS JOIN nn GROUP BY ed.v, nn.n),
-          |r2 AS (SELECT ed.v AS u, 0.15 / nn.n + 0.85 * sum(r1.r / ed.deg) AS r
-          |       FROM ed JOIN r1 ON ed.u = r1.u CROSS JOIN nn GROUP BY ed.v, nn.n),
-          |r3 AS (SELECT ed.v AS u, 0.15 / nn.n + 0.85 * sum(r2.r / ed.deg) AS r
-          |       FROM ed JOIN r2 ON ed.u = r2.u CROSS JOIN nn GROUP BY ed.v, nn.n)
+          |r0 AS (SELECT u, 1.0 AS r FROM deg),
+          |r1 AS (SELECT ed.v AS u, round(0.15 + 0.85 * sum(r0.r / ed.deg), 9) AS r
+          |       FROM ed JOIN r0 ON ed.u = r0.u GROUP BY ed.v),
+          |r2 AS (SELECT ed.v AS u, round(0.15 + 0.85 * sum(r1.r / ed.deg), 9) AS r
+          |       FROM ed JOIN r1 ON ed.u = r1.u GROUP BY ed.v),
+          |r3 AS (SELECT ed.v AS u, round(0.15 + 0.85 * sum(r2.r / ed.deg), 9) AS r
+          |       FROM ed JOIN r2 ON ed.u = r2.u GROUP BY ed.v)
           |SELECT deg.u AS doc_id, CAST(deg.deg AS INT) AS degree,
-          |       round(r3.r * nn.n, 6) AS rank_norm
-          |FROM r3 JOIN deg ON r3.u = deg.u CROSS JOIN nn
+          |       round(r3.r, 6) AS rank_norm
+          |FROM r3 JOIN deg ON r3.u = deg.u
           |ORDER BY doc_id""".stripMargin),
     "jaccard_consecutive" ->
       """WITH sh AS (

@@ -183,10 +183,18 @@ object Dedup {
     * of pair-scale against corpus-scale, never corpus×corpus; the
     * output is bounded by |sources|². */
   def sourceOverlapMatrix(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.load(s, d, "documents").select("doc_id", "source")
+    // the pmod fold below maps variant ids (base + 1,000,000) back to
+    // their base doc; if base ids ever reach the offset at a larger
+    // scale factor, the fold would silently join variants to the
+    // WRONG document — fail loudly instead (round-4 ADVICE). One tiny
+    // max() over the doc_id column, metadata-scale.
+    val maxId = src.agg(max("doc_id")).head().getLong(0)
+    require(maxId < 1000000L,
+      s"id-fold offset 1000000 requires base doc_ids below it; corpus max is $maxId")
     val pairs = minhashNearDupQuery(s, d)
       .select(pmod(col("doc_a"), lit(1000000L)).as("ida"),
         pmod(col("doc_b"), lit(1000000L)).as("idb"))
-    val src = Tables.load(s, d, "documents").select("doc_id", "source")
     pairs
       .join(src.select(col("doc_id").as("ida"), col("source").as("sa")), Seq("ida"))
       .join(src.select(col("doc_id").as("idb"), col("source").as("sb")), Seq("idb"))
@@ -445,11 +453,20 @@ object Dedup {
     *
     * Teleport/damping literals are written 0.15/0.85 on BOTH engines
     * (never computed as 1−d, whose double differs from the literal
-    * in the last ulp). */
+    * in the last ulp). The iteration runs in NORMALIZED rank space
+    * (q = r·|V|, so q₀ = 1 exactly and the update is
+    * q' = 0.15 + 0.85·Σ q/deg — no |V| division anywhere), and each
+    * iteration's output is rounded to 9 decimals on BOTH engines:
+    * Spark and DuckDB sum the neighbor contributions in different
+    * orders, and without the per-iteration round a last-ulp drift
+    * compounding across iterations could land a final value on the
+    * other side of the 6th-decimal boundary and flip the hash gate
+    * intermittently (round-4 ADVICE). */
   def pagerankNearDup(s: SparkSession, d: String, iters: Int = 3): DataFrame =
     pagerank(minhashNearDupQuery(s, d).select("doc_a", "doc_b"), iters)
 
-  /** Core power iteration over undirected (doc_a, doc_b) pairs. */
+  /** Core power iteration over undirected (doc_a, doc_b) pairs, in
+    * normalized rank space (see [[pagerankNearDup]]). */
   private[graft] def pagerank(pairs: DataFrame, iters: Int): DataFrame = {
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
@@ -457,23 +474,21 @@ object Dedup {
     // one materialization feeds all iterations (and the final degree join)
     val edgesDeg = edges.join(deg, Seq("u")).localCheckpoint(true)
     val degOnly = edgesDeg.select("u", "deg").distinct()
-    val nRow = broadcast(degOnly.agg(count(lit(1)).as("n")))
-    var ranks = degOnly.crossJoin(nRow)
-      .select(col("u"), (lit(1.0) / col("n")).as("r"))
+    var ranks = degOnly.select(col("u"), lit(1.0).as("r")) // q0 = 1 exactly
     for (_ <- 1 to iters) {
       ranks = edgesDeg
         .join(ranks, Seq("u"))
         .groupBy(col("v"))
         .agg(sum(col("r") / col("deg")).as("m"))
-        .crossJoin(nRow)
+        // round EVERY iteration boundary, not just the output: both
+        // engines flatten their summation-order ulps here
         .select(col("v").as("u"),
-          (lit(0.15) / col("n") + lit(0.85) * col("m")).as("r"))
+          round(lit(0.15) + lit(0.85) * col("m"), 9).as("r"))
     }
     ranks
       .join(degOnly, Seq("u"))
-      .crossJoin(nRow)
       .select(col("u").as("doc_id"), col("deg").cast("int").as("degree"),
-        round(col("r") * col("n"), 6).as("rank_norm"))
+        round(col("r"), 6).as("rank_norm"))
       .orderBy("doc_id")
   }
 

@@ -291,7 +291,12 @@ object LakeTable {
       case None =>
         Right(publishStaged(spark, path, staged, "append"))
       case Some(reason) =>
-        staged.foreach(e => Files.deleteIfExists(Paths.get(e.file)))
+        // remove the whole staged commit dir (all entries share one
+        // base), not just the .parquet files: a per-file delete left
+        // the dir + _SUCCESS marker behind, invisible to orphanFiles
+        // (which tracks only .parquet) until the empty-dir sweep
+        // (round-4 ADVICE)
+        staged.map(_.base).distinct.foreach(graft.Util.rmRecursive)
         Left(reason)
     }
   }
@@ -367,15 +372,23 @@ object LakeTable {
       spark: SparkSession, dataWithSeq: DataFrame,
       del: Seq[ManifestEntry]): DataFrame = {
     // one key column per table (upsert's contract); its NAME rides in
-    // the delete file's own schema and is captured while the key
-    // frames are built — no extra footer read just for the name
-    var keyName: String = null
-    val keys = del.groupBy(e => (e.base, e.seq)).map { case ((base, sq), es) =>
+    // each delete file's own schema. NOTHING enforces the contract at
+    // write time (deleteMoR/upsertMoR take keyCol per call), so a
+    // table whose delete commits disagree on the key column must fail
+    // LOUDLY here — anti-joining every key list against one
+    // arbitrary group's column would silently drop or keep wrong rows
+    // (round-4 ADVICE, medium).
+    val groups = del.groupBy(e => (e.base, e.seq)).toSeq.map { case ((base, sq), es) =>
       val k = spark.read.option("basePath", base).parquet(es.map(_.file): _*)
-      keyName = k.columns.head
-      k.select(col(k.columns.head).as("__graft_dkey")).distinct()
-        .withColumn("__graft_dseq", lit(sq))
-    }.reduce(_.unionByName(_))
+      (k.columns.head,
+        k.select(col(k.columns.head).as("__graft_dkey")).distinct()
+          .withColumn("__graft_dseq", lit(sq)))
+    }
+    val keyNames = groups.map(_._1).distinct
+    require(keyNames.size == 1,
+      s"merge-on-read delete files must all share ONE key column per table; found $keyNames")
+    val keyName = keyNames.head
+    val keys = groups.map(_._2).reduce(_.unionByName(_))
     dataWithSeq
       // null-SAFE key equality: a NULL-keyed row selected by the
       // delete predicate must be removed exactly as CoW delete()
@@ -549,9 +562,16 @@ object LakeTable {
     * clean data-only snapshot. Write cost is O(deleted keys), not
     * O(table) — the only delete shape that holds when a 100 TB table
     * loses a few rows. Prior snapshots are untouched, so time travel
-    * to a pre-delete version still sees every row. SQL DELETE
-    * semantics: predicate-NULL rows are KEPT (only predicate===true
-    * keys are written). One key column per table, as [[upsert]]. */
+    * to a pre-delete version still sees every row. Predicate-NULL
+    * rows are KEPT (only predicate===true keys are written).
+    *
+    * Deletion is KEY-GRANULAR, not row-granular: equality deletes
+    * remove EVERY row sharing a key with any predicate-true row. When
+    * keyCol is unique per row (the upsert contract) this is exactly
+    * SQL DELETE ... WHERE; with non-unique keys, or a predicate not
+    * functionally determined by the key, results diverge from CoW
+    * [[delete]] — by design (the delete FILE stores keys, not rows).
+    * One key column per table, as [[upsert]]. */
   def deleteMoR(
       spark: SparkSession, path: String, keyCol: String,
       predicate: org.apache.spark.sql.Column): Int = {
