@@ -19,10 +19,22 @@ object Bench {
         .groupBy("l_returnflag").count()
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => }
+    // SPARK_GRAFT_COLD=1: clear the shared materializations (pair
+    // frame, contraction labels, dialogue corpus) before EVERY query,
+    // so each timing carries its own full cost instead of whichever
+    // consumer ran first paying the shared build (round-4 verdict
+    // item #6 — attribution, not throughput; the default warm run is
+    // what the driver measures)
+    val cold = sys.env.get("SPARK_GRAFT_COLD").exists(v => v == "1" || v == "true")
+    if (cold) System.err.println("[bench] COLD mode: shared caches cleared per query")
     // noop sink: forces FULL evaluation of every output column.
     // count() would let Catalyst prune the very computation being
     // measured (e.g. hash pipelines collapse to a row count).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      if (cold) {
+        graft.llm.Dedup.clearSharedCaches()
+        graft.etl.Preprocess.clearSharedCaches()
+      }
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }

@@ -183,11 +183,14 @@ object SparkEntry {
     "lake_tag_read" -> (sources.LakeTable.tagReadQuery _),
     "lake_incremental_agg" -> (sources.LakeTable.incrementalAggQuery _),
     "lake_schema_evolution" -> (sources.LakeTable.schemaEvolutionQuery _),
+    "lake_rename_read" -> (sources.LakeTable.renameReadQuery _),
+    "lake_merge_conditional" -> (sources.LakeTable.mergeConditionalQuery _),
     "lake_orphan_gc" -> (sources.LakeTable.orphanGcQuery _),
     // --- streaming semantics (SURVEY.md §2.9 T1-T6), batch-replayed ---
     "session_replay" -> (streaming.DialogueStateMachine.sessionReplay _),
     "tumbling_hourly" -> (streaming.EventTimeWindows.tumblingHourly _),
     "tumbling_hourly_stream" -> (streaming.EventTimeWindows.tumblingHourlyStream _),
+    "tumbling_late_drop" -> (streaming.EventTimeWindows.tumblingLateDropStream _),
     "sliding_hourly_30m" -> (streaming.EventTimeWindows.slidingHourly30m _),
     "session_windows_30m" -> (streaming.EventTimeWindows.sessionWindows30m _),
     "session_windows_stream" -> (streaming.EventTimeWindows.sessionWindowsStream _),
@@ -1072,6 +1075,38 @@ object SparkEntry {
         |SELECT event_type, count(*) AS n,
         |       round(CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE), 6) AS sum_value
         |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // lake_merge_conditional: SQL MERGE replayed as CTEs — left join
+    // picks the first matching clause per target row (update if
+    // t.value<500, else delete), anti-join + condition picks inserts
+    "lake_merge_conditional" ->
+      """WITH src AS (
+        |  SELECT event_id, 'patched' AS event_type, value + 1000.0 AS value
+        |  FROM events WHERE event_id % 3 = 0
+        |  UNION ALL
+        |  SELECT -event_id, 'inserted', value FROM events WHERE event_id % 10 = 5
+        |), merged AS (
+        |  SELECT CASE WHEN s.event_id IS NOT NULL AND t.value < 500
+        |              THEN s.event_type ELSE t.event_type END AS event_type,
+        |         CASE WHEN s.event_id IS NOT NULL AND t.value < 500
+        |              THEN s.value ELSE t.value END AS value,
+        |         (s.event_id IS NOT NULL AND t.value >= 500) AS deleted
+        |  FROM events t LEFT JOIN src s ON t.event_id = s.event_id
+        |), surv AS (
+        |  SELECT event_type, value FROM merged WHERE NOT deleted
+        |), ins AS (
+        |  SELECT event_type, value FROM src
+        |  WHERE event_id NOT IN (SELECT event_id FROM events) AND value > 100
+        |), final AS (
+        |  SELECT * FROM surv UNION ALL SELECT * FROM ins
+        |)
+        |SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // lake_rename_read: value→amount is a metadata-only field-id
+    // rename — old files resolve BY ID under the new name, so the
+    // oracle is simply the full-table aggregate with the new alias
+    "lake_rename_read" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_amount
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // lake_schema_evolution: v0 = evens (no channel column), v1 =
     // odds with the evolved column; the mergeSchema read must surface
     // v0 rows as channel=null (folded to 'legacy')
@@ -2308,6 +2343,19 @@ object SparkEntry {
     // query executes through a real Structured Streaming run
     // (file-source micro-batches + complete-mode state + foreachBatch
     // sink), so streaming execution itself sits under the hash gate
+    // tumbling_late_drop: append-mode watermarking — only windows
+    // closed by the final watermark (max ts − 30 min) are emitted,
+    // and the engineered stragglers (every 5th event of a closed
+    // window, delivered in a later micro-batch) are DROPPED; the
+    // oracle aggregates exactly that in-horizon subset
+    "tumbling_late_drop" ->
+      """WITH wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events)
+        |SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |       event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events, wm
+        |WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' <= wm.w
+        |  AND event_id % 5 != 0
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "tumbling_hourly_stream" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |       event_type, count(*) AS n, round(sum(value), 6) AS sum_value

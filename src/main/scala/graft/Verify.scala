@@ -28,6 +28,19 @@ object Verify {
     // iteration; the driver never sets it, so its gate always runs all
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // the filter must never silently narrow the official gate: if the
+    // variable leaks into the driver environment, both the outputs and
+    // oracle_sql.json would cover a subset with no visible trace
+    // (round-5 ADVICE) — so an active filter screams on stderr AND
+    // leaves a marker file the driver (or a human) can see in outDir
+    only.foreach { names =>
+      System.err.println(
+        s"[verify] *** SPARK_GRAFT_ONLY ACTIVE — running ${names.size} " +
+          s"of ${SparkEntry.queries.size} queries: ${names.mkString(",")} — " +
+          "THIS IS NOT A FULL VERIFY RUN ***")
+      Files.writeString(Paths.get(s"$outDir/FILTERED_RUN"),
+        names.toSeq.sorted.mkString("\n"))
+    }
     def selected(name: String): Boolean = only.forall(_.contains(name))
     val futures = SparkEntry.queries.toSeq.filter(t => selected(t._1)).map { case (name, fn) =>
       scala.concurrent.Future {

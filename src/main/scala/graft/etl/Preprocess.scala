@@ -80,6 +80,13 @@ object Preprocess {
   private val corpusCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** Drop the shared corpus materialization (bench-attribution hook,
+    * SPARK_GRAFT_COLD — see [[graft.llm.Dedup.clearSharedCaches]]). */
+  private[graft] def clearSharedCaches(): Unit = {
+    corpusCache.values.forEach(_.unpersist())
+    corpusCache.clear()
+  }
+
   private def buildDialogueCorpus(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.load(s, d, "events")
     val roleA = pmod(col("event_id"), lit(4L))

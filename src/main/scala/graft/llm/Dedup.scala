@@ -189,7 +189,11 @@ object Dedup {
     // scale factor, the fold would silently join variants to the
     // WRONG document — fail loudly instead (round-4 ADVICE). One tiny
     // max() over the doc_id column, metadata-scale.
-    val maxId = src.agg(max("doc_id")).head().getLong(0)
+    // null-safe: max() over an EMPTY documents table is null — treat as
+    // "no ids", which trivially satisfies the offset bound (round-5
+    // ADVICE: getLong(0) NPE'd where the old code returned empty)
+    val maxId = Option(src.agg(max("doc_id")).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(-1L)
     require(maxId < 1000000L,
       s"id-fold offset 1000000 requires base doc_ids below it; corpus max is $maxId")
     val pairs = minhashNearDupQuery(s, d)
@@ -519,6 +523,18 @@ object Dedup {
 
   private val labelsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Drop the shared pair/label materializations so the NEXT consumer
+    * rebuilds from scratch — bench-attribution hook (SPARK_GRAFT_COLD):
+    * the shared build otherwise lands on whichever consumer runs
+    * first, making per-query timings unreadable (round-4 verdict
+    * item #6). Never called on the query path. */
+  private[graft] def clearSharedCaches(): Unit = {
+    pairsCache.values.forEach(_.unpersist())
+    pairsCache.clear()
+    labelsCache.values.forEach(_.unpersist())
+    labelsCache.clear()
+  }
 
   /** L1b CLUSTER-SIZE HISTOGRAM — the dedup health metric: how many
     * near-dup clusters exist at each size (a fat tail means

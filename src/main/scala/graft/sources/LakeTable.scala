@@ -72,7 +72,8 @@ object LakeTable {
   final case class ManifestEntry(
       file: String, base: String, stats: Map[String, Seq[Double]],
       kind: String = "data", // "data" | "delete" (merge-on-read key file)
-      seq: Int = -1) // commit sequence; -1 = "assign at commit"
+      seq: Int = -1, // commit sequence; -1 = "assign at commit"
+      cols: Map[String, Int] = Map.empty) // write-time name → field id
 
   /** One manifest-LIST row: an immutable manifest file plus everything
     * planning needs WITHOUT opening it — the commit dir all its
@@ -82,7 +83,26 @@ object LakeTable {
     * it; a missing column means "cannot prune this manifest on it"). */
   final case class ManifestRef(
       manifest: String, base: String, kind: String, seq: Int,
-      nFiles: Long, ranges: Map[String, Seq[Double]])
+      nFiles: Long, ranges: Map[String, Seq[Double]],
+      // WRITE-TIME (column name → field id) of the files this manifest
+      // covers — the Iceberg field-id trick: a rename/drop is a
+      // metadata-only schema change, and readers resolve every file's
+      // columns BY ID through this mapping (empty = legacy identity)
+      cols: Map[String, Int] = Map.empty,
+      // HIDDEN-PARTITIONING spec of this manifest's files (Iceberg's
+      // partition-spec-per-manifest): transforms of SOURCE columns
+      // whose derived values live only in directory names — readers
+      // prune on source-column predicates through the transform and
+      // never see the derived column. Per-manifest, so the spec can
+      // evolve between commits (empty = unpartitioned/hive layout)
+      pspec: Seq[PartitionTransform] = Nil)
+
+  /** One hidden-partition transform (Iceberg's spec entry): derive a
+    * partition value from `source` without adding a user-visible
+    * column. kind ∈ identity | bucket (param = N buckets, xxhash64) |
+    * truncate (param = width, floor-div index) | day (truncate to
+    * 86400-second days — source must be epoch SECONDS). */
+  final case class PartitionTransform(source: String, kind: String, param: Long = 0L)
 
   // ---- JSON lines, driver-side (Jackson ships with Spark) ----
 
@@ -106,6 +126,18 @@ object LakeTable {
       s"${jstr(c)}:[$lo,$hi]"
     }.mkString("{", ",", "}")
 
+  /** {"col":id,...} — the write-time field-id mapping. */
+  private def jcols(m: Map[String, Int]): String =
+    m.toSeq.sortBy(_._1).map { case (c, id) => s"${jstr(c)}:$id" }
+      .mkString("{", ",", "}")
+
+  /** [{"src":...,"kind":...,"param":N},...] — a partition spec. */
+  private def jpspec(ts: Seq[PartitionTransform]): String =
+    ts.map(t =>
+      s"{${jstr("src")}:${jstr(t.source)},${jstr("kind")}:${jstr(t.kind)}," +
+        s"${jstr("param")}:${t.param}}")
+      .mkString("[", ",", "]")
+
   private def readJsonLines(p: java.nio.file.Path): Seq[com.fasterxml.jackson.databind.JsonNode] =
     Files.readAllLines(p).asScala.iterator
       .filter(_.trim.nonEmpty).map(Mapper.readTree(_)).toSeq
@@ -117,6 +149,17 @@ object LakeTable {
       }.toMap
     }.getOrElse(Map.empty)
 
+  private def nodeCols(n: com.fasterxml.jackson.databind.JsonNode): Map[String, Int] =
+    Option(n).filter(_.isObject).map { o =>
+      o.properties().asScala.map(e => e.getKey -> e.getValue.asInt).toMap
+    }.getOrElse(Map.empty)
+
+  private def nodePspec(n: com.fasterxml.jackson.databind.JsonNode): Seq[PartitionTransform] =
+    Option(n).filter(_.isArray).map { a =>
+      a.elements().asScala.map(e => PartitionTransform(
+        e.get("src").asText, e.get("kind").asText, e.get("param").asLong)).toSeq
+    }.getOrElse(Nil)
+
   // ---- manifest files (immutable, one per staged write) ----
 
   /** Write `entries` (all sharing one commit dir) as ONE immutable
@@ -124,7 +167,8 @@ object LakeTable {
     * commit"). Driver-side: a manifest is metadata-scale (one short
     * JSON line per file). */
   private def writeManifest(
-      path: String, entries: Seq[ManifestEntry], kind: String): ManifestRef = {
+      path: String, entries: Seq[ManifestEntry], kind: String,
+      fieldIds: Map[String, Int] = Map.empty): ManifestRef = {
     require(entries.nonEmpty, "a manifest must reference at least one file")
     val bases = entries.map(_.base).distinct
     require(bases.size == 1, s"one manifest covers one commit dir, got $bases")
@@ -143,17 +187,17 @@ object LakeTable {
       val bs = entries.map(_.stats(c))
       c -> Seq(bs.map(_.head).min, bs.map(_.last).max)
     }.toMap
-    ManifestRef(mf.toString, bases.head, kind, -1, entries.size, ranges)
+    ManifestRef(mf.toString, bases.head, kind, -1, entries.size, ranges, fieldIds)
   }
 
   /** The entries of one manifest, stamped with its list row's
-    * kind/seq (sequence-number inheritance). Driver-side Jackson
-    * parse — used for small plans and GC; large plans go through
-    * [[distributedPlan]] instead. */
+    * kind/seq/cols (sequence-number and field-id inheritance).
+    * Driver-side Jackson parse — used for small plans and GC; large
+    * plans go through [[distributedPlan]] instead. */
   private def readManifest(ref: ManifestRef): Seq[ManifestEntry] =
     readJsonLines(Paths.get(ref.manifest)).map { n =>
       ManifestEntry(n.get("file").asText, n.get("base").asText,
-        nodeStats(n.get("stats")), ref.kind, ref.seq)
+        nodeStats(n.get("stats")), ref.kind, ref.seq, ref.cols)
     }
 
   /** Every entry of a version with inherited kind/seq — a LAYOUT-
@@ -166,7 +210,8 @@ object LakeTable {
 
   private val ListSchema =
     "manifest STRING, base STRING, kind STRING, operation STRING, " +
-      "committed_at LONG, seq INT, n_files LONG, ranges MAP<STRING, ARRAY<DOUBLE>>"
+      "committed_at LONG, seq INT, n_files LONG, ranges MAP<STRING, ARRAY<DOUBLE>>, " +
+      "cols MAP<STRING, INT>"
 
   private def listPath(path: String, version: Int) =
     Paths.get(s"${metaDir(path)}/v$version/list.json")
@@ -182,8 +227,44 @@ object LakeTable {
       .map { n =>
         ManifestRef(n.get("manifest").asText, n.get("base").asText,
           n.get("kind").asText, n.get("seq").asInt,
-          n.get("n_files").asLong, nodeStats(n.get("ranges")))
+          n.get("n_files").asLong, nodeStats(n.get("ranges")),
+          nodeCols(n.get("cols")), nodePspec(n.get("pspec")))
       }
+  }
+
+  // ---- table schema (field-id → current name), one file per version ----
+
+  /** The table's column schema at `version`: ordered (field id,
+    * current name) pairs — Iceberg's schema-by-field-id, minimal form.
+    * None on legacy versions (written before field ids existed):
+    * readers then pass file columns through by name, which is exactly
+    * the old behavior. */
+  private[graft] def schemaOf(path: String, version: Int): Option[Seq[(Int, String)]] = {
+    val p = Paths.get(s"${metaDir(path)}/v$version/schema.json")
+    if (!Files.exists(p)) None
+    else Some(readJsonLines(p).map(n => n.get("id").asInt -> n.get("name").asText))
+  }
+
+  /** Field-id assignment for writing columns `names` on top of
+    * version `base`: existing names keep their ids, new names get
+    * fresh ids past the highwater mark — ids are NEVER reused, so a
+    * column dropped and re-added under the same name is a DIFFERENT
+    * column and old files correctly serve null for it. */
+  private def schemaForWrite(
+      path: String, base: Int, names: Seq[String]): (Seq[(Int, String)], Map[String, Int]) = {
+    val prev = if (base >= 0) schemaOf(path, base).getOrElse(Nil) else Nil
+    val known = prev.map(_._2).toSet
+    // the highwater mark spans DROPPED ids too: after dropColumn the
+    // schema no longer lists the id, but manifests carried into the
+    // current version still map files to it — re-assigning that id to
+    // a re-added column would resurrect the dropped data, so fresh
+    // ids start past everything the live manifests reference
+    val refIds = (if (base >= 0) listRefs(path, base) else Nil).flatMap(_.cols.values)
+    var nextId = ((0 +: prev.map(_._1)) ++ refIds).max
+    val appended = names.filterNot(known).map { n => nextId += 1; (nextId, n) }
+    val full = prev ++ appended
+    val byName = full.map { case (id, n) => n -> id }.toMap
+    (full, names.map(n => n -> byName(n)).toMap)
   }
 
   /** Lower/upper bound of a collected min/max value as a Double,
@@ -297,7 +378,8 @@ object LakeTable {
     * versionAsOf() and readable as an empty table. */
   private[graft] def commitRefs(
       spark: SparkSession, path: String, base: Int,
-      refs: Seq[ManifestRef], op: String): Int = {
+      refs: Seq[ManifestRef], op: String,
+      schemaCols: Option[Seq[(Int, String)]] = None): Int = {
     val next = base + 1
     val md = Paths.get(metaDir(path))
     Files.createDirectories(md)
@@ -311,14 +393,46 @@ object LakeTable {
       s"{${jstr("manifest")}:${jstr(r.manifest)},${jstr("base")}:${jstr(r.base)}," +
         s"${jstr("kind")}:${jstr(r.kind)},${jstr("operation")}:${jstr(op)}," +
         s"${jstr("committed_at")}:$committedAt,${jstr("seq")}:${if (r.seq < 0) next else r.seq}," +
-        s"${jstr("n_files")}:${r.nFiles},${jstr("ranges")}:${jstats(r.ranges)}}"
+        s"${jstr("n_files")}:${r.nFiles},${jstr("ranges")}:${jstats(r.ranges)}," +
+        s"${jstr("cols")}:${jcols(r.cols)},${jstr("pspec")}:${jpspec(r.pspec)}}"
     val lines =
       if (refs.isEmpty)
         Seq(s"{${jstr("manifest")}:null,${jstr("base")}:null,${jstr("kind")}:null," +
           s"${jstr("operation")}:${jstr(op)},${jstr("committed_at")}:$committedAt," +
-          s"${jstr("seq")}:$next,${jstr("n_files")}:0,${jstr("ranges")}:{}}")
+          s"${jstr("seq")}:$next,${jstr("n_files")}:0,${jstr("ranges")}:{},${jstr("cols")}:{}}")
       else refs.map(row)
     Files.write(staging.resolve("list.json"), lines.asJava)
+    // table SCHEMA (field id → current name): explicit on schema-
+    // changing commits (rename/drop), otherwise carried forward from
+    // the base and extended with any new columns the FRESH manifests
+    // introduce. Ids are the identity: a fresh ref whose (name, id)
+    // disagrees with the schema means two writers raced a schema
+    // evolution — fail loudly, never publish a mapping that would
+    // silently mis-resolve files later. Carried refs may reference
+    // dropped ids (their projection drops those columns on read).
+    val carried = schemaCols.orElse(if (base >= 0) schemaOf(path, base) else None)
+    val effective = refs.filter(_.seq < 0).flatMap(_.cols.toSeq).distinct
+      .foldLeft(carried.getOrElse(Nil)) { case (sch, (n, id)) =>
+        sch.find(_._1 == id) match {
+          case Some((_, existing)) =>
+            require(existing == n,
+              s"field-id conflict at $path: fresh manifest writes '$n' as id $id " +
+                s"but the table schema names id $id '$existing' (concurrent schema " +
+                "evolution) — re-stage on the current schema")
+            sch
+          case None =>
+            require(!sch.exists(_._2 == n),
+              s"field-id conflict at $path: fresh manifest assigns NEW id $id to " +
+                s"'$n' but the schema already has that name under id " +
+                s"${sch.find(_._2 == n).get._1} (concurrent schema evolution)")
+            sch :+ (id -> n)
+        }
+      }
+    if (effective.nonEmpty)
+      Files.write(staging.resolve("schema.json"),
+        effective.map { case (id, n) =>
+          s"{${jstr("id")}:$id,${jstr("name")}:${jstr(n)}}"
+        }.asJava)
     try {
       Files.move(staging, md.resolve(s"v$next"),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -333,12 +447,17 @@ object LakeTable {
   }
 
   /** Stage `df` as data files + one manifest; None when the frame
-    * wrote zero files (empty input). */
+    * wrote zero files (empty input). The manifest records the
+    * WRITE-TIME field-id mapping of df's columns (existing names keep
+    * their ids, new names take fresh ones), so a later rename/drop
+    * resolves these files by id. */
   private def stageManifest(
       df: DataFrame, path: String,
       partitionCols: Seq[String] = Nil, kind: String = "data"): Option[ManifestRef] = {
+    val (_, fieldIds) = schemaForWrite(
+      path, latestVersion(path).getOrElse(-1), df.columns.toSeq)
     val entries = writeDataFiles(df, path, partitionCols)
-    if (entries.isEmpty) None else Some(writeManifest(path, entries, kind))
+    if (entries.isEmpty) None else Some(writeManifest(path, entries, kind, fieldIds))
   }
 
   /** Create or replace the table content (new snapshot referencing
@@ -411,9 +530,14 @@ object LakeTable {
     audit(readFiles(spark, staged)) match {
       case None =>
         // the manifest is written only AFTER the audit passes — a
-        // rejected batch leaves zero metadata
+        // rejected batch leaves zero metadata. Field ids are assigned
+        // like any staged write, so WAP commits stay rename-safe.
         val fresh = if (staged.isEmpty) Nil
-          else Seq(writeManifest(path, staged, "data"))
+          else {
+            val (_, fieldIds) = schemaForWrite(
+              path, latestVersion(path).getOrElse(-1), df.columns.toSeq)
+            Seq(writeManifest(path, staged, "data", fieldIds))
+          }
         Right(publishStaged(spark, path, fresh, "append"))
       case Some(reason) =>
         // remove the whole staged commit dir (all entries share one
@@ -459,7 +583,28 @@ object LakeTable {
       throw new IllegalArgumentException(
         s"no such snapshot version $v at $path (expired or never committed); " +
           s"latest is ${latestVersion(path).getOrElse(-1)}")
-    assembleWithDeletes(spark, listRefs(path, v))
+    assembleWithDeletes(spark, listRefs(path, v), schemaOf(path, v))
+  }
+
+  /** Project a manifest's frame from its WRITE-TIME column names to
+    * the CURRENT schema by field id (the metadata-only rename/drop
+    * read rule): a renamed column surfaces under its current name, a
+    * dropped field id is projected out, and untracked columns (legacy
+    * manifests, reconstructed internals) pass through by name. */
+  private def projectToCurrent(
+      df: DataFrame, cols: Map[String, Int],
+      current: Option[Seq[(Int, String)]]): DataFrame = current match {
+    case Some(schema) if cols.nonEmpty =>
+      val idToName = schema.toMap
+      val sel = df.columns.toSeq.flatMap { c =>
+        cols.get(c) match {
+          case Some(id) =>
+            idToName.get(id).map(n => if (n == c) col(c) else col(c).as(n))
+          case None => Some(col(c))
+        }
+      }
+      df.select(sel: _*)
+    case _ => df
   }
 
   /** Data manifests minus merge-on-read delete keys: the Iceberg v2
@@ -467,10 +612,11 @@ object LakeTable {
     * the subtraction is an anti-join the planner broadcasts; the data
     * scan itself is untouched (pushdown/pruning intact). */
   private def assembleWithDeletes(
-      spark: SparkSession, refs: Seq[ManifestRef]): DataFrame = {
+      spark: SparkSession, refs: Seq[ManifestRef],
+      current: Option[Seq[(Int, String)]]): DataFrame = {
     val (del, data) = refs.partition(_.kind == "delete")
-    if (del.isEmpty || data.isEmpty) readRefs(spark, data)
-    else applyMorDeletes(spark, taggedReadRefs(spark, data), del)
+    if (del.isEmpty || data.isEmpty) readRefs(spark, data, current)
+    else applyMorDeletes(spark, taggedReadRefs(spark, data, current), del, current)
   }
 
   private val SeqCol = "__graft_seq" // internal; underscored to dodge user columns
@@ -483,24 +629,29 @@ object LakeTable {
     spark.read.option("basePath", ref.base).parquet(ref.base)
 
   /** Assemble data manifests into one frame (schema evolution via the
-    * allowMissingColumns union across commit generations). */
-  private def readRefs(spark: SparkSession, refs: Seq[ManifestRef]): DataFrame = {
+    * allowMissingColumns union across commit generations, rename/drop
+    * via per-manifest field-id projection). */
+  private def readRefs(
+      spark: SparkSession, refs: Seq[ManifestRef],
+      current: Option[Seq[(Int, String)]]): DataFrame = {
     val live = refs.filter(_.nFiles > 0)
     // empty snapshot: no data file carries a schema, so the honest
     // answer is an empty zero-column frame (Delta would serve the
     // metadata schema here; this format keeps schema in the files)
     if (live.isEmpty) spark.emptyDataFrame
-    else live.map(refScan(spark, _))
+    else live.map(r => projectToCurrent(refScan(spark, r), r.cols, current))
       .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Data manifests with their commit sequence riding as a column
     * (one literal per manifest — its entries share the sequence). */
   private def taggedReadRefs(
-      spark: SparkSession, refs: Seq[ManifestRef]): DataFrame = {
+      spark: SparkSession, refs: Seq[ManifestRef],
+      current: Option[Seq[(Int, String)]]): DataFrame = {
     val live = refs.filter(_.nFiles > 0)
     if (live.isEmpty) spark.emptyDataFrame
-    else live.map(r => refScan(spark, r).withColumn(SeqCol, lit(r.seq)))
+    else live.map(r => projectToCurrent(refScan(spark, r), r.cols, current)
+        .withColumn(SeqCol, lit(r.seq)))
       .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
@@ -511,7 +662,8 @@ object LakeTable {
     * frame must carry `_seq`; the anti-join condition compares it. */
   private def applyMorDeletes(
       spark: SparkSession, dataWithSeq: DataFrame,
-      del: Seq[ManifestRef]): DataFrame = {
+      del: Seq[ManifestRef],
+      current: Option[Seq[(Int, String)]] = None): DataFrame = {
     // one key column per table (upsert's contract); its NAME rides in
     // each delete file's own schema. NOTHING enforces the contract at
     // write time (deleteMoR/upsertMoR take keyCol per call), so a
@@ -520,7 +672,10 @@ object LakeTable {
     // arbitrary group's column would silently drop or keep wrong rows
     // (round-4 ADVICE, medium).
     val groups = del.map { ref =>
-      val k = refScan(spark, ref)
+      // delete-key files resolve through the same field-id projection
+      // as data files: a renamed key column surfaces under its
+      // CURRENT name, matching the projected data frame
+      val k = projectToCurrent(refScan(spark, ref), ref.cols, current)
       (k.columns.head,
         k.select(col(k.columns.head).as("__graft_dkey")).distinct()
           .withColumn("__graft_dseq", lit(ref.seq)))
@@ -544,26 +699,35 @@ object LakeTable {
 
   /** Assemble a DataFrame from PRUNED manifest entries — the
     * explicit-file-list read path used when stats skipping kept only
-    * part of a commit dir (and by write-audit-publish's staged read). */
-  private def readFiles(spark: SparkSession, entries: Seq[ManifestEntry]): DataFrame =
+    * part of a commit dir (and by write-audit-publish's staged read).
+    * Entries of one base share one manifest, hence one field-id
+    * mapping — projected like the whole-dir path. */
+  private def readFiles(
+      spark: SparkSession, entries: Seq[ManifestEntry],
+      current: Option[Seq[(Int, String)]] = None): DataFrame =
     if (entries.isEmpty) spark.emptyDataFrame
     else entries.groupBy(_.base).map { case (base, es) =>
-      spark.read
-        .option("mergeSchema", "true")
-        .option("basePath", base)
-        .parquet(es.map(_.file): _*)
+      projectToCurrent(
+        spark.read
+          .option("mergeSchema", "true")
+          .option("basePath", base)
+          .parquet(es.map(_.file): _*),
+        es.head.cols, current)
     }.reduce(_.unionByName(_, allowMissingColumns = true))
 
   /** Pruned entries with their commit sequence riding as a column
     * (grouped per (base, seq) — entries of one manifest share both). */
   private def taggedRead(
-      spark: SparkSession, data: Seq[ManifestEntry]): DataFrame =
+      spark: SparkSession, data: Seq[ManifestEntry],
+      current: Option[Seq[(Int, String)]] = None): DataFrame =
     if (data.isEmpty) spark.emptyDataFrame
     else data.groupBy(e => (e.base, e.seq)).map { case ((base, sq), es) =>
-      spark.read
-        .option("mergeSchema", "true")
-        .option("basePath", base)
-        .parquet(es.map(_.file): _*)
+      projectToCurrent(
+        spark.read
+          .option("mergeSchema", "true")
+          .option("basePath", base)
+          .parquet(es.map(_.file): _*),
+        es.head.cols, current)
         .withColumn(SeqCol, lit(sq))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
 
@@ -582,47 +746,80 @@ object LakeTable {
     * distributed Spark job that collects only the survivors — the
     * driver never materializes a 10⁶-row file list. Below it, a
     * driver-side parse of the few surviving manifests is cheaper than
-    * a job launch. */
-  private[graft] val DistributedPlanThreshold = 10000L
+    * a job launch. A var so the spec can lower it and drive the
+    * distributed path end-to-end with HONEST small-table metadata
+    * (never mutated in production code). */
+  @volatile private[graft] var DistributedPlanThreshold = 10000L
 
   /** How the last [[readWhere]] planned: (manifests in the list,
     * manifests surviving the range prune, files they claim, files
-    * kept, distributed?). Observability for specs and SCALE.md — a
-    * plan that deserialized a range-excluded manifest is a bug the
-    * spec catches by corrupting one. */
+    * kept, distributed?, manifests planned as whole dirs by the
+    * weak-selectivity fallback). Observability for specs and SCALE.md
+    * — a plan that deserialized a range-excluded manifest is a bug
+    * the spec catches by corrupting one. */
   final case class PlanAudit(
       manifestsTotal: Int, manifestsScanned: Int,
-      filesClaimed: Long, filesKept: Long, distributed: Boolean)
+      filesClaimed: Long, filesKept: Long, distributed: Boolean,
+      manifestsWhole: Int = 0)
   @volatile private[graft] var lastPlanAudit: PlanAudit = PlanAudit(0, 0, 0, 0, false)
 
-  /** Entry-level stats prune as ONE distributed job over the
-    * surviving manifests' JSON: filter in Spark SQL, collect only the
-    * kept (file, base, seq, kind) rows. Manifests are joined back to
-    * their list rows by FILENAME (a UUID — unique by construction)
-    * to re-attach seq/kind, which entries inherit rather than store. */
+  /** Entry-level stats prune as distributed jobs over the surviving
+    * manifests' JSON: filter in Spark SQL, collect only what planning
+    * needs. Returns (whole manifests, pruned entries): a manifest
+    * keeping ≥90% of its files is read as its WHOLE commit dir (one
+    * list row, zero per-file rows to the driver) — on a weakly-
+    * selective predicate over a 10⁷-file snapshot, collecting each
+    * surviving entry would re-materialize ~the full file list on the
+    * driver, the exact posture the distributed plan exists to avoid
+    * (round-5 ADVICE); the row filter after the skip keeps results
+    * exact either way. Job 1 collects per-manifest survivor COUNTS
+    * (O(#manifests) rows); job 2 collects per-file rows only for the
+    * selectively-pruned manifests. Manifests are joined back to their
+    * list rows by FILENAME (a UUID — unique by construction) to
+    * re-attach seq/kind, which entries inherit rather than store. */
   private def distributedPlan(
       spark: SparkSession, refs: Seq[ManifestRef],
-      preds: Seq[(String, Double, Double)]): Seq[ManifestEntry] = {
+      preds: Seq[(String, Double, Double)],
+      nameFor: (ManifestRef, String) => String): (Seq[ManifestRef], Seq[ManifestEntry]) = {
     import spark.implicits._
-    val byName = refs.map(r => Paths.get(r.manifest).getFileName.toString -> r)
-    val refDf = byName.map { case (n, r) => (n, r.kind, r.seq) }.toDF("mname", "kind", "seq")
+    def name(r: ManifestRef): String = Paths.get(r.manifest).getFileName.toString
+    // each manifest's stats are keyed by ITS write-time column names
+    // (field-id schema evolution) — the per-manifest predicate-key
+    // translation rides in as an array column, joined in BEFORE the
+    // stats filter so one job serves manifests of any schema vintage
+    val refDf = refs.map(r =>
+      (name(r), r.kind, r.seq, preds.map { case (c, _, _) => nameFor(r, c) }))
+      .toDF("mname", "kind", "seq", "pnames")
     val entries = spark.read
       .schema("file STRING, base STRING, stats MAP<STRING, ARRAY<DOUBLE>>")
       .json(refs.map(_.manifest): _*)
       .withColumn("mname", element_at(split(input_file_name(), "/"), -1))
-    val kept = preds.foldLeft(entries) { case (df, (column, lower, upper)) =>
-      // try_element_at: missing key → null (ANSI element_at throws);
-      // a null bounds array coalesces to TRUE = conservatively kept
-      val bounds = try_element_at(col("stats"), lit(column))
-      df.filter(coalesce(
-        element_at(bounds, 2) >= lower && element_at(bounds, 1) <= upper,
-        lit(true)))
+      .join(broadcast(refDf), Seq("mname"))
+    val kept = preds.zipWithIndex.foldLeft(entries) {
+      case (df, ((_, lower, upper), i)) =>
+        // try_element_at: missing key → null (ANSI element_at throws);
+        // a null bounds array coalesces to TRUE = conservatively kept
+        val bounds = try_element_at(col("stats"), element_at(col("pnames"), i + 1))
+        df.filter(coalesce(
+          element_at(bounds, 2) >= lower && element_at(bounds, 1) <= upper,
+          lit(true)))
     }
-    kept.join(broadcast(refDf), Seq("mname"))
-      .select("file", "base", "kind", "seq")
+    val counts = kept.groupBy("mname").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val survivors = refs.filter(r => counts.getOrElse(name(r), 0L) > 0L)
+    val (full, partial) = survivors.partition(r =>
+      counts(name(r)) * 10L >= r.nFiles * 9L)
+    if (partial.isEmpty) return (full, Nil)
+    val byName = partial.map(r => name(r) -> r).toMap
+    // only the PARTIAL manifests' per-file rows reach the driver —
+    // full manifests are planned whole from their list row
+    val collected = kept
+      .filter(col("mname").isInCollection(byName.keys.toSeq))
+      .select("file", "base", "kind", "seq", "mname")
       .collect().toSeq
       .map(r => ManifestEntry(r.getString(0), r.getString(1), Map.empty,
-        r.getString(2), r.getInt(3)))
+        r.getString(2), r.getInt(3), byName(r.getString(4)).cols))
+    (full, collected)
   }
 
   /** DATA-SKIPPING scan, multi-predicate form: read only the files
@@ -650,28 +847,61 @@ object LakeTable {
     val v = version.orElse(latestVersion(path)).getOrElse(
       throw new IllegalArgumentException(s"no snapshots at $path"))
     val (delRefs, dataRefs) = listRefs(path, v).partition(_.kind == "delete")
+    val current = schemaOf(path, v)
+    // current name of a predicate column → its WRITE-TIME name in a
+    // manifest: Some(name) to consult stats under that name; None when
+    // the field-id mapping PROVES the manifest predates (or dropped)
+    // the column — its files serve only null there, so no interval can
+    // match and the whole manifest prunes (exact, not conservative)
+    def writeTimeName(ref: ManifestRef, column: String): Option[String] =
+      current.flatMap(sch => sch.find(_._2 == column)) match {
+        case Some((id, _)) if ref.cols.nonEmpty =>
+          ref.cols.collectFirst { case (n, i) if i == id => n }
+        case _ => Some(column) // legacy manifest or schema-less table
+      }
     // LEVEL 1: manifest-range prune, from the list alone
-    val candidates = dataRefs.filter(r => r.nFiles > 0 && admits(r.ranges, preds))
-    // LEVEL 2: entry-level stats prune within surviving manifests
+    val candidates = dataRefs.filter { r =>
+      r.nFiles > 0 && {
+        val named = preds.map { case (c, lo, hi) =>
+          writeTimeName(r, c).map((_, lo, hi)) }
+        named.forall(_.isDefined) && admits(r.ranges, named.flatten)
+      }
+    }
+    // LEVEL 2: entry-level stats prune within surviving manifests —
+    // producing whole manifests read by their commit dir (weakly- or
+    // un-pruned) plus an explicit file list for the selectively-pruned
     val claimed = candidates.map(_.nFiles).sum
     val distributed = claimed > DistributedPlanThreshold
-    val kept =
-      if (distributed) distributedPlan(spark, candidates, preds)
-      else candidates.flatMap(readManifest).filter(e => admits(e.stats, preds))
+    val (fullRefs, kept) =
+      if (distributed) distributedPlan(spark, candidates, preds,
+        (r, c) => writeTimeName(r, c).get) // candidates: always defined
+      else (Nil, candidates.flatMap { r =>
+        val named = preds.flatMap { case (c, lo, hi) =>
+          writeTimeName(r, c).map((_, lo, hi)) }
+        readManifest(r).filter(e => admits(e.stats, named))
+      })
     lastPlanAudit = PlanAudit(
-      dataRefs.size, candidates.size, claimed, kept.size.toLong, distributed)
+      dataRefs.size, candidates.size, claimed,
+      fullRefs.map(_.nFiles).sum + kept.size.toLong, distributed, fullRefs.size)
     // merge-on-read deletes apply AFTER the file skip: pruning only
     // decides which data files are touched, never which rows survive
+    def assemble(parts: Seq[DataFrame]): DataFrame =
+      parts.reduce(_.unionByName(_, allowMissingColumns = true))
     val base =
-      if (kept.isEmpty) read(spark, path, Some(v)).filter(lit(false))
-      else if (delRefs.isEmpty) readFiles(spark, kept)
-      else applyMorDeletes(spark, taggedRead(spark, kept), delRefs)
+      if (fullRefs.isEmpty && kept.isEmpty) read(spark, path, Some(v)).filter(lit(false))
+      else if (delRefs.isEmpty) assemble(Seq(
+        if (kept.nonEmpty) Some(readFiles(spark, kept, current)) else None,
+        if (fullRefs.nonEmpty) Some(readRefs(spark, fullRefs, current)) else None).flatten)
+      else applyMorDeletes(spark, assemble(Seq(
+        if (kept.nonEmpty) Some(taggedRead(spark, kept, current)) else None,
+        if (fullRefs.nonEmpty) Some(taggedReadRefs(spark, fullRefs, current)) else None).flatten),
+        delRefs, current)
     // full-snapshot schema, resolved lazily: only consulted when a
     // predicate column is absent from the kept files, to keep the
     // pruned read's schema LAYOUT-INDEPENDENT (round-2 ADVICE — a
     // consumer selecting the predicate column must see the same
     // schema whether or not the skip dropped every file that has it)
-    lazy val fullSchema = readRefs(spark, dataRefs).schema
+    lazy val fullSchema = readRefs(spark, dataRefs, current).schema
     preds.foldLeft(base) { case (df, (column, lower, upper)) =>
       if (!df.columns.contains(column)) {
         // every surviving file predates the column → it is null (or
@@ -749,6 +979,163 @@ object LakeTable {
     val kept = current.join(df.select(keyCol).distinct(), Seq(keyCol), "left_anti")
     commitRefs(spark, path, base,
       stageManifest(kept.unionByName(df, allowMissingColumns = true), path).toSeq, "merge")
+  }
+
+  // ---- conditional multi-action MERGE (SQL MERGE / Delta-style) ----
+
+  /** One WHEN MATCHED clause. Conditions and update expressions may
+    * reference both sides through the aliases `t` (target) and `s`
+    * (source), e.g. `col("t.value") < col("s.value")`; a None
+    * condition always applies. Clauses are evaluated IN ORDER — the
+    * first whose condition holds wins (SQL MERGE semantics); a
+    * matched row satisfying none is kept unchanged. */
+  sealed trait MergeClause
+  final case class MatchedUpdate(
+      cond: Option[org.apache.spark.sql.Column],
+      set: Map[String, org.apache.spark.sql.Column]) extends MergeClause
+  final case class MatchedDelete(
+      cond: Option[org.apache.spark.sql.Column]) extends MergeClause
+
+  /** The row-level MERGE algebra shared by the CoW and MoR merges:
+    * returns (surviving-target rows with updates applied, insert
+    * rows, matched-and-affected key frame). One left join computes
+    * the first-matching clause per target row; everything else is
+    * conditional projection — no driver loops, no UDFs, and the join
+    * broadcasts whenever the source is small. NULL condition results
+    * count as false (SQL three-valued logic); NULL keys match
+    * null-safely, mirroring [[applyMorDeletes]]. */
+  private def mergeRows(
+      target: DataFrame, source: DataFrame, keyCol: String,
+      matched: Seq[MergeClause],
+      notMatchedInsert: Option[org.apache.spark.sql.Column])
+      : (DataFrame, DataFrame, DataFrame) = {
+    // SQL MERGE rejects a source that matches one target row twice
+    // (nondeterministic update order) — enforce loudly up front
+    val dup = source.groupBy(col(keyCol)).count()
+      .filter(col("count") > 1).limit(1).count()
+    require(dup == 0L, s"MERGE source has duplicate keys on '$keyCol'")
+    val tCols = target.columns.toSeq
+    val t = target.alias("t")
+    val s = source.withColumn("__graft_m", lit(1)).alias("s")
+    val joined = t.join(s, col(s"t.$keyCol") <=> col(s"s.$keyCol"), "left")
+    val isMatched = col("__graft_m").isNotNull
+    def condOf(cl: MergeClause): Option[org.apache.spark.sql.Column] = cl match {
+      case MatchedUpdate(c, _) => c
+      case MatchedDelete(c) => c
+    }
+    // index of the FIRST clause whose condition holds; -1 = keep as-is
+    val idx = matched.zipWithIndex.reverse.foldLeft(lit(-1)) {
+      case (els, (cl, i)) =>
+        when(coalesce(condOf(cl).getOrElse(lit(true)), lit(false)), lit(i))
+          .otherwise(els)
+    }
+    val withIdx = joined.withColumn("__graft_a",
+      when(isMatched, idx).otherwise(lit(-1)))
+    val deleteIdx = matched.zipWithIndex.collect { case (MatchedDelete(_), i) => i }
+    val updated = tCols.map { c =>
+      matched.zipWithIndex.foldLeft(col(s"t.$c")) {
+        case (acc, (MatchedUpdate(_, set), i)) if set.contains(c) =>
+          when(col("__graft_a") === i, set(c)).otherwise(acc)
+        case (acc, _) => acc
+      }.as(c)
+    }
+    val survivors = (if (deleteIdx.isEmpty) withIdx
+      else withIdx.filter(!col("__graft_a").isin(deleteIdx.map(Integer.valueOf): _*)))
+      .select(updated: _*)
+    // WHEN NOT MATCHED [AND cond] INSERT: source rows with no target
+    // key, by the source's own columns (names align with the target's)
+    val inserts = notMatchedInsert match {
+      case Some(cond) =>
+        val tk = target.select(col(keyCol).as("__graft_tk"))
+        source.join(tk, source(keyCol) <=> col("__graft_tk"), "left_anti")
+          .filter(coalesce(cond, lit(false)))
+      case None => source.limit(0)
+    }
+    val affectedKeys = withIdx.filter(col("__graft_a") =!= -1)
+      .select(col(s"t.$keyCol").as(keyCol)).distinct()
+    (survivors, inserts, affectedKeys)
+  }
+
+  /** Copy-on-write conditional MERGE: WHEN MATCHED [AND cond] UPDATE
+    * SET .../DELETE (first clause wins) + WHEN NOT MATCHED [AND cond]
+    * INSERT — the full SQL MERGE surface over the snapshot commit
+    * protocol. One join + conditional projection + table rewrite; all
+    * prior versions stay time-travelable. */
+  def mergeConditional(
+      source: DataFrame, path: String, keyCol: String,
+      matched: Seq[MergeClause],
+      notMatchedInsert: Option[org.apache.spark.sql.Column] = None): Int = {
+    val spark = source.sparkSession
+    val base = observedBase(spark, path)
+    val target = read(spark, path, Some(base))
+    val (survivors, inserts, _) =
+      mergeRows(target, source, keyCol, matched, notMatchedInsert)
+    commitRefs(spark, path, base,
+      stageManifest(
+        survivors.unionByName(inserts, allowMissingColumns = true), path).toSeq,
+      "merge")
+  }
+
+  /** MERGE-ON-READ conditional MERGE: ships the affected keys as a
+    * delete file plus the post-clause rows (updates + inserts) as
+    * fresh data — write cost O(matched + inserted), never a table
+    * rewrite. The sequence rule ([[applyMorDeletes]]) removes the old
+    * versions of updated/deleted keys from OLDER data only, so the
+    * replacement rows it arrives with survive by construction. */
+  def mergeConditionalMoR(
+      source: DataFrame, path: String, keyCol: String,
+      matched: Seq[MergeClause],
+      notMatchedInsert: Option[org.apache.spark.sql.Column] = None): Int = {
+    val spark = source.sparkSession
+    val base = observedBase(spark, path)
+    val target = read(spark, path, Some(base))
+    val (survivors, inserts, affected) =
+      mergeRows(target, source, keyCol, matched, notMatchedInsert)
+    // the replacement rows = post-merge state of exactly the UPDATED
+    // keys (deleted keys ship no replacement) + the inserts
+    val replacements = survivors
+      .join(affected, Seq(keyCol), "left_semi")
+      .unionByName(inserts, allowMissingColumns = true)
+    val prev = listRefs(path, base)
+    commitRefs(spark, path, base,
+      prev ++ stageManifest(affected, path, kind = "delete")
+        ++ stageManifest(replacements, path),
+      "mor_merge")
+  }
+
+  /** METADATA-ONLY column rename (Iceberg's field-id schema
+    * evolution): the new version re-references every manifest
+    * unchanged — zero data files touched — and only the schema's
+    * (id → name) row changes. Files written under the old name keep
+    * resolving BY ID through their manifest's write-time mapping, so
+    * reads at the new version surface the column under its new name
+    * while time travel to older versions still serves the old one. */
+  def renameColumn(
+      spark: SparkSession, path: String, oldName: String, newName: String): Int = {
+    val base = observedBase(spark, path)
+    val schema = schemaOf(path, base).getOrElse(throw new IllegalArgumentException(
+      s"$path has no field-id schema (pre-field-id table) — rename needs one"))
+    require(schema.exists(_._2 == oldName), s"no such column '$oldName' at $path")
+    require(!schema.exists(_._2 == newName),
+      s"column '$newName' already exists at $path")
+    val next = schema.map { case (id, n) =>
+      (id, if (n == oldName) newName else n) }
+    commitRefs(spark, path, base, listRefs(path, base), "rename_column", Some(next))
+  }
+
+  /** METADATA-ONLY column drop: the field id leaves the schema, every
+    * manifest is carried unchanged, and readers project the column
+    * out of old files by id. A later add of the SAME name takes a
+    * fresh id — old files serve null for it, never resurrected data
+    * (ids are never reused, see [[schemaForWrite]]). */
+  def dropColumn(spark: SparkSession, path: String, name: String): Int = {
+    val base = observedBase(spark, path)
+    val schema = schemaOf(path, base).getOrElse(throw new IllegalArgumentException(
+      s"$path has no field-id schema (pre-field-id table) — drop needs one"))
+    require(schema.exists(_._2 == name), s"no such column '$name' at $path")
+    val next = schema.filterNot(_._2 == name)
+    require(next.nonEmpty, s"cannot drop the last column of $path")
+    commitRefs(spark, path, base, listRefs(path, base), "drop_column", Some(next))
   }
 
   /** Latest version for a read-modify-write op — the op reads THIS
@@ -1093,6 +1480,65 @@ object LakeTable {
       .orderBy("channel")
   }
 
+  /** Driver query: CONDITIONAL MULTI-ACTION MERGE end to end — target
+    * = events (v0); the source patches every 3rd event and offers
+    * negated-id rows as fresh keys. Clauses, in SQL MERGE order:
+    * WHEN MATCHED AND t.value < 500 THEN UPDATE (take the source's
+    * type and value), WHEN MATCHED THEN DELETE (the ≥500 leftovers),
+    * WHEN NOT MATCHED AND value > 100 THEN INSERT. The oracle
+    * replays the identical algebra as CTEs (left join + first-clause
+    * CASE + anti-join insert), so every clause boundary is
+    * hash-verified. */
+  def mergeConditionalQuery(s: SparkSession, d: String): DataFrame = {
+    val path = freshWorkDir("lakemergecond", d)
+    val ev = graft.Tables.load(s, d, "events").select("event_id", "event_type", "value")
+    overwrite(ev, path)
+    val src = ev.filter(pmod(col("event_id"), lit(3L)) === 0)
+      .select(col("event_id"), lit("patched").as("event_type"),
+        (col("value") + 1000.0).as("value"))
+      .unionByName(
+        ev.filter(pmod(col("event_id"), lit(10L)) === 5)
+          .select((-col("event_id")).as("event_id"),
+            lit("inserted").as("event_type"), col("value")))
+    mergeConditional(src, path, "event_id",
+      matched = Seq(
+        MatchedUpdate(Some(col("t.value") < 500.0),
+          Map("event_type" -> col("s.event_type"), "value" -> col("s.value"))),
+        MatchedDelete(None)),
+      notMatchedInsert = Some(col("value") > 100.0))
+    read(s, path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** Driver query: METADATA-ONLY RENAME end to end — write the even
+    * events (v0, measure column `value`), rename value→amount (v1:
+    * field-id schema change, ZERO data files touched — require'd by
+    * comparing the two versions' file sets), append the odd events
+    * already under the new name (v2), and aggregate on `amount`
+    * across both file generations. The oracle is the plain aggregate
+    * over the full source table, so the by-id resolution of old files
+    * under the new name is hash-verified — a reader that resolved by
+    * NAME would lose every pre-rename row's measure (null) and
+    * mismatch loudly. */
+  def renameReadQuery(s: SparkSession, d: String): DataFrame = {
+    val path = freshWorkDir("lakerename", d)
+    val ev = graft.Tables.load(s, d, "events").select("event_id", "event_type", "value")
+    overwrite(ev.filter(pmod(col("event_id"), lit(2L)) === 0), path) // v0
+    val files0 = entriesOf(path, 0).map(_.file).toSet
+    renameColumn(s, path, "value", "amount") // v1: metadata only
+    require(entriesOf(path, 1).map(_.file).toSet == files0,
+      "rename must re-reference the same data files, not rewrite them")
+    append(
+      ev.filter(pmod(col("event_id"), lit(2L)) =!= 0)
+        .withColumnRenamed("value", "amount"), path) // v2: new-name generation
+    read(s, path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("amount"), 6).as("sum_amount"))
+      .orderBy("event_type")
+  }
+
   /** CHANGE DATA FEED: row-level diff of two snapshots — rows only in
     * `toV` are inserts, rows only in `fromV` are deletes (an update =
     * delete + insert pair, the CoW representation). Pure set algebra
@@ -1325,16 +1771,37 @@ object LakeTable {
     finally walk.close()
   }
 
+  /** Default orphan-GC grace: files younger than this are presumed to
+    * belong to an IN-FLIGHT commit (staged but not yet published) and
+    * are left alone — mirroring Iceberg remove-orphan-files'
+    * older-than default. An hour dwarfs any commit's stage-to-publish
+    * window while still reclaiming same-day crash residue. */
+  private[graft] val DefaultOrphanGraceMs: Long = 60L * 60 * 1000
+
   /** GC companion to [[orphanFiles]] (Iceberg's remove-orphan-files
-    * action): physically delete the unreferenced files, returning what
-    * was removed. Deletion is driver-side like [[expireSnapshots]] —
-    * metadata-scale work (file paths, not data). */
-  def removeOrphans(spark: SparkSession, path: String): Seq[String] = {
-    val orphans = orphanFiles(spark, path)
-    orphans.foreach(f => Files.deleteIfExists(Paths.get(f)))
+    * action): physically delete the unreferenced files OLDER than
+    * `graceMillis`, returning what was removed. The age threshold is
+    * load-bearing, not cosmetic (round-5 ADVICE): a concurrent append
+    * sits between stageManifest and commitRefs with its data files and
+    * manifest referenced by NO live version — an ungated GC racing it
+    * would delete the in-flight files and the subsequent publish would
+    * create a permanently broken snapshot. Deletion is driver-side
+    * like [[expireSnapshots]] — metadata-scale work (file paths, not
+    * data). Pass graceMillis = 0 only when no writer can be in flight
+    * (tests, single-writer maintenance windows). */
+  def removeOrphans(
+      spark: SparkSession, path: String,
+      graceMillis: Long = DefaultOrphanGraceMs): Seq[String] = {
+    val cutoff = System.currentTimeMillis() - graceMillis
+    def oldEnough(p: java.nio.file.Path): Boolean =
+      try Files.getLastModifiedTime(p).toMillis <= cutoff
+      catch { case _: java.io.IOException => false } // vanished → skip
+    val removed = orphanFiles(spark, path)
+      .map(Paths.get(_)).filter(oldEnough)
+    removed.foreach(Files.deleteIfExists(_))
     // manifests referenced by no live version (the residue of a crash
     // between manifest staging and the version claim) are orphan
-    // METADATA — reclaimed by the same pass
+    // METADATA — reclaimed by the same pass, under the same grace
     val liveManifests = liveVersions(path)
       .flatMap(listRefs(path, _)).map(_.manifest).toSet
     val mdir = Paths.get(manifestsDir(path))
@@ -1342,10 +1809,11 @@ object LakeTable {
       val ls = Files.list(mdir)
       try ls.iterator().asScala
         .filterNot(p => liveManifests(p.toString))
+        .filter(oldEnough)
         .foreach(Files.deleteIfExists(_))
       finally ls.close()
     }
-    orphans
+    removed.map(_.toString)
   }
 
   /** Driver query: ORPHAN-FILE GC end to end — commit the table, then
@@ -1362,7 +1830,9 @@ object LakeTable {
     overwrite(ev, path) // v0
     ev.filter(col("event_id") < 100)
       .write.parquet(s"$path/data/dead-commit")
-    val removed = removeOrphans(s, path)
+    // grace 0: this query IS the single writer, no commit is in flight
+    // (the default grace would rightly refuse the seconds-old files)
+    val removed = removeOrphans(s, path, graceMillis = 0)
     require(removed.nonEmpty && removed.forall(_.contains("dead-commit")),
       s"exactly the dead commit's files must be GC'd, got $removed")
     require(orphanFiles(s, path).isEmpty, "orphan GC must leave no orphans behind")

@@ -81,6 +81,83 @@ object EventTimeWindows {
     s.read.parquet(s"$out/result").orderBy("window_start", "event_type")
   }
 
+  /** T2/T6 WATERMARKED LATE-DATA DROP under a REAL streaming run —
+    * the declared-query form of WatermarkSpec (round-5 verdict item
+    * #6): a 30-minute watermark, APPEND output mode, and an arrival
+    * order engineered so a deterministic subset of rows is GENUINELY
+    * LATE — batch 1 carries everything except every 5th event of the
+    * already-closed windows (and includes the stream's max event
+    * time, pinning the watermark); batch 2 delivers those stragglers
+    * AFTER the watermark has passed their windows' end. Append mode
+    * then emits exactly the finalized windows (end ≤ max − 30min)
+    * WITHOUT the late rows; the oracle aggregates the same in-horizon
+    * subset directly, so both the drop and the append-mode emission
+    * boundary are hash-verified. Arrival order is pinned by explicit
+    * file mtimes (the file source processes oldest-first), not by
+    * write-completion luck. */
+  def tumblingLateDropStream(s: SparkSession, d: String): DataFrame = {
+    val out = s"/tmp/graft_stream_latedrop_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+    graft.Util.rmRecursive(out)
+    val arrivals = s"$out/arrivals"
+    val evts = ev(s, d)
+    val maxMicros = evts.agg(max(unix_micros(col("tstamp")))).head().getLong(0)
+    val wmMicros = maxMicros - 30L * 60 * 1000000 // the final watermark
+    // late = in a window already finalized by the watermark AND in
+    // the designated straggler subset (every 5th event id) — a proper
+    // subset, so finalized windows hold BOTH on-time and late rows
+    // and the drop is visible at row granularity, not window
+    val finalized =
+      expr(s"(unix_micros(tstamp) DIV 3600000000 + 1) * 3600000000 <= ${wmMicros}L")
+    val isLate = finalized && pmod(col("event_id"), lit(5L)) === 0
+    // hive-partitioned arrival layout (the file source discovers
+    // key=value dirs): batches 0-1 split the on-time rows, batch 2
+    // carries the stragglers. THREE files, not two, because Spark
+    // admits/drops late events against the PREVIOUS batch's watermark
+    // (eventTimeWatermarkForLateEvents) and only evicts with the
+    // current one — stragglers must arrive ≥2 batches after the
+    // watermark-raising data to be genuinely dropped
+    evts.withColumn("batch",
+      when(isLate, 2).otherwise(pmod(col("event_id"), lit(2L)).cast("int")))
+      .coalesce(1).write.partitionBy("batch").parquet(arrivals)
+    // deterministic arrival order: the file source takes files
+    // oldest-mtime-first, so stamp the batches a minute apart
+    import scala.jdk.CollectionConverters._
+    def stamp(sub: String, t: Long): Unit = {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$arrivals/$sub"))
+      try walk.iterator().asScala.filter(_.toString.endsWith(".parquet")).foreach(p =>
+        java.nio.file.Files.setLastModifiedTime(
+          p, java.nio.file.attribute.FileTime.fromMillis(t)))
+      finally walk.close()
+    }
+    val t0 = System.currentTimeMillis()
+    stamp("batch=0", t0 - 120000)
+    stamp("batch=1", t0 - 60000)
+    stamp("batch=2", t0)
+    val schema = s.read.parquet(arrivals).schema
+    graft.Util.withShufflePartitions(s, 8) {
+      val q = s.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals)
+        .withWatermark("tstamp", "30 minutes")
+        .groupBy(window(col("tstamp"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+        .select(
+          date_format(col("w.start"), Fmt).as("window_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .writeStream
+        .outputMode("append") // emits a window ONCE, when finalized
+        .option("checkpointLocation", s"$out/_chk")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(s"$out/result")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(s"$out/result").orderBy("window_start", "event_type")
+  }
+
   /** T6/T3 EXECUTED AS A STREAM: per-user 30-minute-gap session
     * windows under a real Structured Streaming run — the stateful
     * shape tumbling windows don't exercise: sessions MERGE across
