@@ -185,6 +185,8 @@ object SparkEntry {
     "lake_schema_evolution" -> (sources.LakeTable.schemaEvolutionQuery _),
     "lake_rename_read" -> (sources.LakeTable.renameReadQuery _),
     "lake_merge_conditional" -> (sources.LakeTable.mergeConditionalQuery _),
+    "lake_hidden_partition" -> (sources.LakeTable.hiddenPartitionQuery _),
+    "lake_change_stream" -> (sources.LakeTable.changeStreamQuery _),
     "lake_orphan_gc" -> (sources.LakeTable.orphanGcQuery _),
     // --- streaming semantics (SURVEY.md §2.9 T1-T6), batch-replayed ---
     "session_replay" -> (streaming.DialogueStateMachine.sessionReplay _),
@@ -1075,6 +1077,42 @@ object SparkEntry {
         |SELECT event_type, count(*) AS n,
         |       round(CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE), 6) AS sum_value
         |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // lake_change_stream: the materialized per-version change feed,
+    // delivered through a real streaming run — v0 = initial inserts,
+    // v1 = the CoW merge's insert+delete pairs (patched rows in,
+    // pre-patch originals out), v2 = the delete's removed rows
+    "lake_change_stream" ->
+      """WITH orig AS (
+        |  SELECT event_id, event_type, value FROM events
+        |), rows_ AS (
+        |  SELECT 0 AS v, 'insert' AS change_type, * FROM orig
+        |  UNION ALL
+        |  SELECT 1, 'insert', event_id, 'patched', value + 1000.0
+        |  FROM orig WHERE event_id % 3 = 0
+        |  UNION ALL
+        |  SELECT 1, 'delete', * FROM orig WHERE event_id % 3 = 0
+        |  UNION ALL
+        |  SELECT 2, 'delete', * FROM orig
+        |  WHERE event_id % 7 = 0 AND event_id % 3 != 0
+        |)
+        |SELECT v, change_type, event_id, event_type, round(value, 6) AS value
+        |FROM rows_ ORDER BY v, change_type, event_id""".stripMargin,
+    // lake_hidden_partition: the layout (day × bucket dirs) is
+    // invisible to the query, so the oracle is a plain filter over
+    // the source table — epoch-second truncation mirrors ts DIV 1e9
+    "lake_hidden_partition" ->
+      """WITH e AS (
+        |  SELECT event_type, value, user_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        |  FROM events
+        |), b AS (
+        |  SELECT (min(ts_s) // 86400 + 2) * 86400 AS lo,
+        |         (min(ts_s) // 86400 + 9) * 86400 - 1 AS hi
+        |  FROM e
+        |)
+        |SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM e, b WHERE ts_s BETWEEN b.lo AND b.hi AND user_id = 7
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // lake_merge_conditional: SQL MERGE replayed as CTEs — left join
     // picks the first matching clause per target row (update if
     // t.value<500, else delete), anti-join + condition picks inserts

@@ -434,6 +434,57 @@ case class LevenshteinCpExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** |A ∩ B| of two SORTED long arrays as one codegen merge loop —
+  * replaces array_intersect's per-pair hash build in the PPJoin
+  * verify (the hottest loop of setsim_join_exact: millions of
+  * candidate pairs × hundreds of elements). Inputs MUST be sorted
+  * ascending and distinct; the caller sorts once per DOCUMENT, so
+  * the sort cost amortizes over every candidate pair the document
+  * appears in while each pair pays only one O(n+m) merge. */
+case class SortedIntersectSizeExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_sorted_intersect_size"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements(); val m = y.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < n && j < m) {
+      val u = x.getLong(i); val v = y.getLong(j)
+      if (u == v) { c += 1; i += 1; j += 1 }
+      else if (u < v) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val u = ctx.freshName("u"); val v = ctx.freshName("v")
+      s"""
+         |int $n = $a.numElements(); int $m = $b.numElements();
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $n && $j < $m) {
+         |  long $u = $a.getLong($i); long $v = $b.getLong($j);
+         |  if ($u == $v) { $c++; $i++; $j++; }
+         |  else if ($u < $v) { $i++; }
+         |  else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  protected override def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectSizeExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Dot product of two double arrays as one codegen loop — replaces
   * the aggregate(zip_with(...)) interpreted fold in the KNN path.
   * Left-to-right summation, bit-identical to the HOF form. */

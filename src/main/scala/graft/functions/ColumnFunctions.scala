@@ -156,6 +156,12 @@ object ColumnFunctions {
     * multiplicity) — the map-only form of the exploded bit aggregate. */
   def simhashNative(th: Column): Column = ofExpr(SimHashExpr(exprOf(th)))
 
+  /** |A ∩ B| of two SORTED-ascending distinct long arrays — native
+    * codegen merge loop (equals size(array_intersect(a, b)) on sorted
+    * inputs; spec-asserted). */
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    ofExpr(SortedIntersectSizeExpr(exprOf(a), exprOf(b)))
+
   /** Code-point Levenshtein distance — native codegen expression
     * (LevenshteinCpExpr). Unlike the byte-based DuckDB builtin (and
     * matching Spark's own char semantics), distances are counted in

@@ -284,7 +284,11 @@ object Dedup {
       corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val tk = corpus
       .select(col("doc_id"),
-        array_distinct(shingleHashes3Native(tokenHashesNative(col("text")))).as("ts"))
+        // sorted ONCE per document: the verify's native merge-
+        // intersect needs sorted inputs, and the sort amortizes over
+        // every candidate pair the document appears in
+        sort_array(array_distinct(
+          shingleHashes3Native(tokenHashesNative(col("text"))))).as("ts"))
       .filter(size(col("ts")) >= 1)
       // pinned exchange: the shingle-set projection has three
       // consumers (posting explode + both verify-join sides); without
@@ -320,10 +324,13 @@ object Dedup {
     cand
       .join(tk.select(col("doc_id").as("doc_a"), col("ts").as("ta")), Seq("doc_a"))
       .join(tk.select(col("doc_id").as("doc_b"), col("ts").as("tb")), Seq("doc_b"))
+      // ONE codegen merge pass per pair (arrays pre-sorted above) —
+      // array_intersect built a per-pair hash set here, the hottest
+      // loop of the whole query (round-4 verdict item #8)
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("ta"), col("tb"))).as("n_inter"),
+        sortedIntersectSize(col("ta"), col("tb")).as("n_inter"),
         (size(col("ta")) + size(col("tb"))
-          - size(array_intersect(col("ta"), col("tb")))).as("n_union"))
+          - sortedIntersectSize(col("ta"), col("tb"))).as("n_union"))
       .filter(lit(5) * col("n_inter") >= lit(4) * col("n_union"))
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),
         round(col("n_inter").cast("double") / col("n_union"), 6).as("jaccard"))

@@ -450,14 +450,123 @@ object LakeTable {
     * wrote zero files (empty input). The manifest records the
     * WRITE-TIME field-id mapping of df's columns (existing names keep
     * their ids, new names take fresh ones), so a later rename/drop
-    * resolves these files by id. */
+    * resolves these files by id. Hidden-partition columns (the
+    * reserved `__p_` prefix) never enter the table schema. */
   private def stageManifest(
       df: DataFrame, path: String,
-      partitionCols: Seq[String] = Nil, kind: String = "data"): Option[ManifestRef] = {
+      partitionCols: Seq[String] = Nil, kind: String = "data",
+      pspec: Seq[PartitionTransform] = Nil): Option[ManifestRef] = {
     val (_, fieldIds) = schemaForWrite(
-      path, latestVersion(path).getOrElse(-1), df.columns.toSeq)
+      path, latestVersion(path).getOrElse(-1),
+      df.columns.toSeq.filterNot(_.startsWith(HiddenPrefix)))
     val entries = writeDataFiles(df, path, partitionCols)
-    if (entries.isEmpty) None else Some(writeManifest(path, entries, kind, fieldIds))
+    if (entries.isEmpty) None
+    else Some(writeManifest(path, entries, kind, fieldIds).copy(pspec = pspec))
+  }
+
+  // ---- hidden partitioning (Iceberg partition transforms) ----
+
+  private val HiddenPrefix = "__p_"
+
+  private[graft] def hiddenColName(t: PartitionTransform): String =
+    s"$HiddenPrefix${t.kind}${if (t.param > 0) t.param else ""}_${t.source}"
+
+  /** The derived partition value of a transform, as a codegen'd
+    * column expression (no UDFs). bucket = pmod(xxhash64(v), N);
+    * truncate/day = floor-div index computed in INTEGER arithmetic
+    * ((v − pmod(v, W)) DIV W — exact for any long, where a double
+    * division would drift past 2^53). */
+  private def transformExpr(t: PartitionTransform): org.apache.spark.sql.Column =
+    t.kind match {
+      case "identity" => col(t.source)
+      case "bucket" => pmod(xxhash64(col(t.source)), lit(t.param))
+      case "truncate" =>
+        expr(s"(${t.source} - pmod(${t.source}, ${t.param})) DIV ${t.param}")
+      case "day" =>
+        expr(s"(${t.source} - pmod(${t.source}, 86400)) DIV 86400")
+      case k => throw new IllegalArgumentException(s"unknown partition transform '$k'")
+    }
+
+  /** The floor-div index interval a source-column predicate maps to
+    * under a transform (for day/truncate/identity), mirroring
+    * [[transformExpr]]'s integer arithmetic. */
+  private def indexRange(t: PartitionTransform, lo: Double, hi: Double): (Double, Double) =
+    t.kind match {
+      case "truncate" => (math.floor(lo / t.param), math.floor(hi / t.param))
+      case "day" => (math.floor(lo / 86400d), math.floor(hi / 86400d))
+      case _ => (lo, hi) // identity
+    }
+
+  /** Driver-side bucket value of an integral literal — must agree
+    * with [[transformExpr]]'s xxhash64 (same default seed 42). */
+  private def bucketOf(v: Long, n: Long): Long = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal(v)), 42L).eval(null)
+      .asInstanceOf[Long]
+    ((h % n) + n) % n
+  }
+
+  /** Does a data file admit the predicate boxes through its HIDDEN
+    * partition-dir values? Parses `__p_…=value` segments from the
+    * file path per the manifest's spec: identity/truncate/day prune
+    * interval predicates, bucket prunes exact integral equalities
+    * (lo == hi); anything unparseable (nulls, non-integral bounds)
+    * is conservatively kept. The row filter after the skip keeps
+    * results exact regardless. */
+  private def hiddenAdmits(
+      ref: ManifestRef, file: String,
+      preds: Seq[(String, Double, Double)]): Boolean =
+    ref.pspec.forall { t =>
+      val seg = s"${hiddenColName(t)}="
+      val value = file.split('/').find(_.startsWith(seg)).map(_.drop(seg.length))
+      value.flatMap(v => scala.util.Try(v.toLong).toOption) match {
+        case None => true // unpartitioned by this transform, or null dir
+        case Some(pv) =>
+          preds.filter(_._1 == t.source).forall { case (_, lo, hi) =>
+            t.kind match {
+              case "bucket" =>
+                // equality-only pruning: bucket(x) is not monotone
+                if (lo == hi && lo.isWhole) bucketOf(lo.toLong, t.param) == pv
+                else true
+              case _ =>
+                val (ilo, ihi) = indexRange(t, lo, hi)
+                pv >= ilo && pv <= ihi
+            }
+          }
+      }
+    }
+
+  /** Create/replace the table with HIDDEN partitioning: the derived
+    * partition values (day / bucket / truncate / identity of source
+    * columns) exist only in directory names — readers never see them,
+    * and [[readWhere]] prunes files on SOURCE-column predicates
+    * through the transform (Iceberg's hidden-partitioning contract:
+    * queries never mention, or even know about, the layout). */
+  def overwriteHiddenPartitioned(
+      df: DataFrame, path: String, spec: Seq[PartitionTransform]): Int = {
+    require(spec.nonEmpty, "hidden partitioning needs at least one transform")
+    val base = latestVersion(path).getOrElse(-1)
+    commitRefs(df.sparkSession, path, base,
+      stageHidden(df, path, spec).toSeq, "overwrite")
+  }
+
+  /** Append under a hidden-partition spec — which may DIFFER from any
+    * earlier commit's spec (partition-spec evolution): each manifest
+    * carries its own spec, so readers prune every file generation by
+    * the layout it was actually written with. */
+  def appendHiddenPartitioned(
+      df: DataFrame, path: String, spec: Seq[PartitionTransform]): Int = {
+    require(spec.nonEmpty, "hidden partitioning needs at least one transform")
+    publishStaged(df.sparkSession, path, stageHidden(df, path, spec).toSeq, "append")
+  }
+
+  private def stageHidden(
+      df: DataFrame, path: String, spec: Seq[PartitionTransform]): Option[ManifestRef] = {
+    spec.foreach(t => require(df.columns.contains(t.source),
+      s"partition transform source '${t.source}' is not a column"))
+    val withHidden = spec.foldLeft(df)((d, t) =>
+      d.withColumn(hiddenColName(t), transformExpr(t)))
+    stageManifest(withHidden, path, spec.map(hiddenColName), "data", spec)
   }
 
   /** Create or replace the table content (new snapshot referencing
@@ -626,7 +735,14 @@ object LakeTable {
     * explicit file list without materializing the list). basePath
     * reconstructs hive partition columns. */
   private def refScan(spark: SparkSession, ref: ManifestRef): DataFrame =
-    spark.read.option("basePath", ref.base).parquet(ref.base)
+    dropHidden(spark.read.option("basePath", ref.base).parquet(ref.base))
+
+  /** Strip reconstructed hidden-partition columns — they are layout,
+    * not data (the `__p_` prefix is reserved for this). */
+  private def dropHidden(df: DataFrame): DataFrame = {
+    val hidden = df.columns.filter(_.startsWith(HiddenPrefix))
+    if (hidden.isEmpty) df else df.drop(hidden.toIndexedSeq: _*)
+  }
 
   /** Assemble data manifests into one frame (schema evolution via the
     * allowMissingColumns union across commit generations, rename/drop
@@ -708,10 +824,10 @@ object LakeTable {
     if (entries.isEmpty) spark.emptyDataFrame
     else entries.groupBy(_.base).map { case (base, es) =>
       projectToCurrent(
-        spark.read
+        dropHidden(spark.read
           .option("mergeSchema", "true")
           .option("basePath", base)
-          .parquet(es.map(_.file): _*),
+          .parquet(es.map(_.file): _*)),
         es.head.cols, current)
     }.reduce(_.unionByName(_, allowMissingColumns = true))
 
@@ -723,10 +839,10 @@ object LakeTable {
     if (data.isEmpty) spark.emptyDataFrame
     else data.groupBy(e => (e.base, e.seq)).map { case ((base, sq), es) =>
       projectToCurrent(
-        spark.read
+        dropHidden(spark.read
           .option("mergeSchema", "true")
           .option("basePath", base)
-          .parquet(es.map(_.file): _*),
+          .parquet(es.map(_.file): _*)),
         es.head.cols, current)
         .withColumn(SeqCol, lit(sq))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
@@ -878,7 +994,10 @@ object LakeTable {
       else (Nil, candidates.flatMap { r =>
         val named = preds.flatMap { case (c, lo, hi) =>
           writeTimeName(r, c).map((_, lo, hi)) }
-        readManifest(r).filter(e => admits(e.stats, named))
+        // hidden-partition pruning composes with stats pruning: dir
+        // values prune through the manifest's own transform spec
+        readManifest(r).filter(e =>
+          admits(e.stats, named) && hiddenAdmits(r, e.file, preds))
       })
     lastPlanAudit = PlanAudit(
       dataRefs.size, candidates.size, claimed,
@@ -1480,6 +1599,35 @@ object LakeTable {
       .orderBy("channel")
   }
 
+  /** Driver query: HIDDEN PARTITIONING end to end — events written
+    * under a two-transform spec (day(ts_s) × bucket(8, user_id)),
+    * then a source-column box query through [[readWhere]]: a 7-day
+    * slice of the timeline and one exact user. The query never
+    * mentions the layout — day pruning comes from the interval, and
+    * bucket pruning from the equality, both resolved through the
+    * manifest's spec against directory values (the require asserts
+    * files were actually skipped). The oracle filters the source
+    * table directly, so transform-pruned reads are hash-verified. */
+  def hiddenPartitionQuery(s: SparkSession, d: String): DataFrame = {
+    val path = freshWorkDir("lakehidden", d)
+    val ev = graft.Tables.load(s, d, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        expr("ts DIV 1000000000").as("ts_s")) // epoch seconds
+    overwriteHiddenPartitioned(ev, path, Seq(
+      PartitionTransform("ts_s", "day"),
+      PartitionTransform("user_id", "bucket", 8)))
+    val minDay = ev.agg(min(expr("ts_s DIV 86400"))).head().getLong(0)
+    val lo = (minDay + 2) * 86400d
+    val hi = (minDay + 9) * 86400d - 1
+    val out = readWhere(s, path, Seq(("ts_s", lo, hi), ("user_id", 7, 7)))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+      .orderBy("event_type")
+    require(lastPlanAudit.filesKept < lastPlanAudit.filesClaimed,
+      s"hidden-partition pruning must skip files: $lastPlanAudit")
+    out
+  }
+
   /** Driver query: CONDITIONAL MULTI-ACTION MERGE end to end — target
     * = events (v0); the source patches every 3rd event and offers
     * negated-id rows as fresh keys. Clauses, in SQL MERGE order:
@@ -1566,6 +1714,110 @@ object LakeTable {
       .select(col("change_type"), col("event_id"), col("event_type"),
         round(col("value"), 6).as("value"))
       .orderBy("change_type", "event_id")
+  }
+
+  // ---- change feed as a STREAMING source (Delta-style _change_data) ----
+
+  private def changelogDir(path: String) = s"$path/_changelog"
+
+  /** The committing operation of a version (every list row carries it
+    * uniformly). */
+  private def operationOf(path: String, version: Int): String =
+    readJsonLines(listPath(path, version)).head.get("operation").asText
+
+  /** MATERIALIZE row-level change-data files for every live version
+    * not yet materialized — the Delta `_change_data` design: CDF rows
+    * are computed ONCE, by the engine that committed them, and any
+    * number of streaming consumers then read them as plain files.
+    * Layout: parquet files under `_changelog/v=N` (the version rides
+    * as a partition column). v0 materializes as all-inserts;
+    * compact/optimize/zorder versions are content-identical by
+    * construction and materialize as empty (schema-only) markers;
+    * every other op materializes [[changes]](v−1, v). IDEMPOTENT and
+    * crash-safe: each version is written to a staging dir and
+    * atomically renamed into its slot, so a died materialization
+    * leaves no half-visible version (the stray staging dir is swept
+    * on the next call). Versions whose parent snapshot was expired
+    * before materialization cannot be diffed and are skipped loudly.
+    * At 100 TB the CoW diff becomes a file-delta prefilter (see
+    * [[changes]]); append/MoR versions are already O(commit). */
+  def materializeChanges(spark: SparkSession, path: String): Seq[Int] = {
+    val latest = latestVersion(path).getOrElse(return Nil)
+    val dir = Paths.get(changelogDir(path))
+    Files.createDirectories(dir)
+    // sweep staging residue of a previous crashed materialization
+    val ls = Files.list(dir)
+    try ls.iterator().asScala
+      .filter(_.getFileName.toString.startsWith("_staged_"))
+      .foreach(p => graft.Util.rmRecursive(p.toString))
+    finally ls.close()
+    def live(v: Int) = Files.exists(Paths.get(s"${metaDir(path)}/v$v"))
+    val todo = (0 to latest).filter(live)
+      .filterNot(v => Files.exists(dir.resolve(s"v=$v")))
+      .filter(v => v == 0 || live(v - 1) ||
+        { System.err.println(s"[lake] cannot materialize changes of v$v at $path: " +
+            "parent snapshot expired before materialization"); false })
+    todo.foreach { v =>
+      val noop = Set("compact", "optimize", "zorder", "rename_column", "drop_column")
+      val df =
+        if (v == 0) read(spark, path, Some(0)).withColumn("change_type", lit("insert"))
+        else if (noop(operationOf(path, v)))
+          // content-identical (or metadata-only) version: an empty
+          // schema-carrying marker keeps the version sequence dense
+          read(spark, path, Some(v)).limit(0).withColumn("change_type", lit("insert"))
+        else changes(spark, path, v - 1, v)
+      val staging = dir.resolve(s"_staged_${java.util.UUID.randomUUID()}")
+      df.write.parquet(staging.toString)
+      Files.move(staging, dir.resolve(s"v=$v"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    todo
+  }
+
+  /** CHANGE FEED AS A STREAM: a readStream over the materialized
+    * change-data files — each micro-batch delivers whole versions
+    * (file-source batching), the `v` partition column orders them,
+    * and Spark's file-source CHECKPOINT gives exactly-once delivery
+    * across restarts (a resumed query continues at the first
+    * unprocessed version — spec-proven by killing and restarting the
+    * query around new commits). Run under
+    * `Trigger.AvailableNow` for catch-up-and-stop consumption, or a
+    * processing-time trigger to follow a live table. */
+  def changesStream(spark: SparkSession, path: String): DataFrame = {
+    materializeChanges(spark, path)
+    val dir = changelogDir(path)
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+  }
+
+  /** Driver query: the CHANGE FEED consumed THROUGH A REAL STREAMING
+    * RUN — the CoW lifecycle's per-version change-data (v0 initial
+    * inserts, v1 merge insert+delete pairs, v2 delete rows) delivered
+    * by [[changesStream]] under AvailableNow into a foreachBatch
+    * sink. The oracle reconstructs the identical per-version rows
+    * from the source algebra, so the materialization AND the
+    * streaming delivery are hash-verified. */
+  def changeStreamQuery(s: SparkSession, d: String): DataFrame = {
+    val path = freshWorkDir("lakecdcstream", d)
+    buildCowLifecycle(s, d, path)
+    val out = s"$path/_stream_out"
+    val q = changesStream(s, path)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$out/_chk")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(s"$out/result")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$out/result")
+      .select(col("v"), col("change_type"), col("event_id"), col("event_type"),
+        round(col("value"), 6).as("value"))
+      .orderBy("v", "change_type", "event_id")
   }
 
   /** INCREMENTAL AGGREGATE MAINTENANCE over the change feed — the

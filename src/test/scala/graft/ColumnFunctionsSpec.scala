@@ -72,4 +72,22 @@ class ColumnFunctionsSpec extends AnyFunSuite {
   test("arrayMean") {
     assert(eval1[Double](arrayMean(array(lit(1.0), lit(2.0), lit(6.0)))) === 3.0)
   }
+
+  test("sortedIntersectSize equals size(array_intersect) on random sorted sets") {
+    // property parity with the builtin it replaces in the PPJoin
+    // verify — random sorted-distinct long arrays, both engines
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { _ =>
+      def mk() = Seq.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong)
+        .distinct.sorted
+      (mk(), mk())
+    }
+    val df = rows.toDF("a", "b").select(
+      sortedIntersectSize(col("a"), col("b")).as("native"),
+      size(array_intersect(col("a"), col("b"))).as("builtin"))
+    assert(df.filter(col("native") =!= col("builtin")).count() === 0)
+    // empty-side cases
+    assert(eval1[Int](sortedIntersectSize(
+      array().cast("array<long>"), array(lit(1L)))) === 0)
+  }
 }

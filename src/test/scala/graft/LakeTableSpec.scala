@@ -468,6 +468,58 @@ class LakeTableSpec extends AnyFunSuite {
       "pre-rename delete file must still subtract by field id under the new name")
   }
 
+  test("hidden partitioning: invisible layout, transform pruning, spec evolution mid-table") {
+    val p = "/tmp/graft_test/lake_hidden"
+    rmdir(p)
+    import spark.implicits._
+    // 4 days × 100 keys; bucket(4) on k scatters where stats can't
+    // prune (per-file k ranges span everything within a bucket)
+    val rows = for (day <- 0 until 4; k <- 0 until 100)
+      yield (k.toLong, day * 86400L + k, 1.0)
+    val df = rows.toDF("k", "ts_s", "v")
+    LakeTable.overwriteHiddenPartitioned(df, p, Seq(
+      LakeTable.PartitionTransform("ts_s", "day"),
+      LakeTable.PartitionTransform("k", "bucket", 4))) // v0
+    // the layout is INVISIBLE: no __p_ column surfaces anywhere
+    val back = LakeTable.read(spark, p)
+    assert(back.columns.toSet === Set("k", "ts_s", "v"), back.columns.toSeq.toString)
+    assert(back.count() === 400)
+    // day-interval prune through the transform: 1 of 4 days kept
+    val day1 = LakeTable.readWhereBetween(spark, p, "ts_s", 86400, 2 * 86400 - 1)
+    assert(day1.count() === 100)
+    val a1 = LakeTable.lastPlanAudit
+    assert(a1.filesKept < a1.filesClaimed && a1.filesKept > 0,
+      s"day transform must skip other days' files: $a1")
+    // bucket-equality prune: k = 5 touches only its bucket's files —
+    // per-file k stats span ~the full range inside every bucket, so
+    // this skip is the TRANSFORM's, not the stats layer's
+    val k5 = LakeTable.readWhere(spark, p, Seq(("k", 5, 5)))
+    assert(k5.count() === 4) // one row per day
+    val a2 = LakeTable.lastPlanAudit
+    assert(a2.filesKept < a2.filesClaimed,
+      s"bucket transform must skip other buckets' files: $a2")
+    // combined box: day × bucket composes
+    assert(LakeTable.readWhere(spark, p,
+      Seq(("ts_s", 86400, 2 * 86400 - 1), ("k", 5, 5))).count() === 1)
+    // SPEC EVOLUTION: append a second generation under a DIFFERENT
+    // spec (identity on k) — per-manifest specs prune independently
+    val gen2 = Seq((500L, 10 * 86400L, 9.0), (501L, 10 * 86400L, 9.0)).toDF("k", "ts_s", "v")
+    LakeTable.appendHiddenPartitioned(gen2, p, Seq(
+      LakeTable.PartitionTransform("k", "identity"))) // v1
+    val all = LakeTable.read(spark, p)
+    assert(all.count() === 402)
+    assert(all.columns.toSet === Set("k", "ts_s", "v"))
+    // a query across generations stays exact and still prunes: k=501
+    // matches only gen2's identity dir; gen1 is excluded by bucket
+    // (if 501 hashes elsewhere) or kept conservatively — either way
+    // the rows are exact
+    assert(LakeTable.readWhere(spark, p, Seq(("k", 501, 501)))
+      .collect().map(_.getLong(0)).toSeq === Seq(501L))
+    // and a non-matching identity value prunes gen2 without touching it
+    assert(LakeTable.readWhere(spark, p, Seq(("k", 500, 500)))
+      .collect().map(_.getLong(0)).toSeq === Seq(500L))
+  }
+
   test("history() version parse is anchored to the meta dir") {
     // round-3 ADVICE (low): a v<digits> segment in the USER's path
     // (here .../v7/...) must not be parsed as the snapshot version
@@ -1025,6 +1077,47 @@ class LakeTableSpec extends AnyFunSuite {
     val r2 = LakeTable.writeAuditPublish(good, p, noDupes)
     assert(r2 === Right(1), s"clean batch must publish: $r2")
     assert(LakeTable.read(spark, p).count() === before * 2)
+  }
+
+  test("change-feed stream delivers each version exactly once across restarts") {
+    val p = "/tmp/graft_test/lake_cdc_stream"
+    rmdir(p)
+    import spark.implicits._
+    LakeTable.overwrite(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s"), p) // v0
+    LakeTable.append(Seq((4L, "d"), (5L, "e")).toDF("k", "s"), p) // v1
+    LakeTable.deleteMoR(spark, p, "k", col("k") === 2L) // v2
+    val out = "/tmp/graft_test/lake_cdc_stream_out"
+    rmdir(out)
+    def drain(): Unit = {
+      val q = LakeTable.changesStream(spark, p)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$out/_chk")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(s"$out/result")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain() // run 1: v0-v2, then the query STOPS (AvailableNow)
+    def got(): Seq[(Int, String, Long)] = spark.read.parquet(s"$out/result")
+      .select(col("v").cast("int"), col("change_type"), col("k"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).sortBy(t => (t._1, t._2, t._3)).toSeq
+    val run1 = got()
+    assert(run1 === Seq(
+      (0, "insert", 1L), (0, "insert", 2L), (0, "insert", 3L),
+      (1, "insert", 4L), (1, "insert", 5L),
+      (2, "delete", 2L)), s"run 1 must deliver v0-v2 changes: $run1")
+    // more commits AFTER the stream stopped, including a no-op compact
+    LakeTable.append(Seq((6L, "f")).toDF("k", "s"), p) // v3
+    LakeTable.compact(spark, p) // v4: content-identical → empty marker
+    drain() // run 2: SAME checkpoint — must resume, not replay
+    val run2 = got()
+    assert(run2 === run1 ++ Seq((3, "insert", 6L)),
+      s"restart must deliver exactly the new versions, no duplicates: $run2")
+    // the changelog itself is idempotent: re-materializing is a no-op
+    assert(LakeTable.materializeChanges(spark, p).isEmpty)
   }
 
   test("tags: named refs resolve, retag moves, expire pins tagged snapshots") {
