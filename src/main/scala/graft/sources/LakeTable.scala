@@ -1102,12 +1102,14 @@ object LakeTable {
 
   // ---- conditional multi-action MERGE (SQL MERGE / Delta-style) ----
 
-  /** One WHEN MATCHED clause. Conditions and update expressions may
-    * reference both sides through the aliases `t` (target) and `s`
-    * (source), e.g. `col("t.value") < col("s.value")`; a None
-    * condition always applies. Clauses are evaluated IN ORDER — the
-    * first whose condition holds wins (SQL MERGE semantics); a
-    * matched row satisfying none is kept unchanged. */
+  /** One WHEN MATCHED (or WHEN NOT MATCHED BY SOURCE) clause.
+    * Conditions and update expressions may reference both sides
+    * through the aliases `t` (target) and `s` (source), e.g.
+    * `col("t.value") < col("s.value")` — not-matched-by-source
+    * clauses see only `t` (there is no source row); a None condition
+    * always applies. Clauses are evaluated IN ORDER — the first whose
+    * condition holds wins (SQL MERGE semantics); a row satisfying
+    * none is kept unchanged. */
   sealed trait MergeClause
   final case class MatchedUpdate(
       cond: Option[org.apache.spark.sql.Column],
@@ -1126,7 +1128,8 @@ object LakeTable {
   private def mergeRows(
       target: DataFrame, source: DataFrame, keyCol: String,
       matched: Seq[MergeClause],
-      notMatchedInsert: Option[org.apache.spark.sql.Column])
+      notMatchedInsert: Option[org.apache.spark.sql.Column],
+      notMatchedBySource: Seq[MergeClause] = Nil)
       : (DataFrame, DataFrame, DataFrame) = {
     // SQL MERGE rejects a source that matches one target row twice
     // (nondeterministic update order) — enforce loudly up front
@@ -1143,23 +1146,40 @@ object LakeTable {
       case MatchedDelete(c) => c
     }
     // index of the FIRST clause whose condition holds; -1 = keep as-is
-    val idx = matched.zipWithIndex.reverse.foldLeft(lit(-1)) {
-      case (els, (cl, i)) =>
-        when(coalesce(condOf(cl).getOrElse(lit(true)), lit(false)), lit(i))
-          .otherwise(els)
-    }
-    val withIdx = joined.withColumn("__graft_a",
-      when(isMatched, idx).otherwise(lit(-1)))
-    val deleteIdx = matched.zipWithIndex.collect { case (MatchedDelete(_), i) => i }
-    val updated = tCols.map { c =>
-      matched.zipWithIndex.foldLeft(col(s"t.$c")) {
-        case (acc, (MatchedUpdate(_, set), i)) if set.contains(c) =>
-          when(col("__graft_a") === i, set(c)).otherwise(acc)
-        case (acc, _) => acc
-      }.as(c)
-    }
-    val survivors = (if (deleteIdx.isEmpty) withIdx
-      else withIdx.filter(!col("__graft_a").isin(deleteIdx.map(Integer.valueOf): _*)))
+    def firstClause(cls: Seq[MergeClause]): org.apache.spark.sql.Column =
+      cls.zipWithIndex.reverse.foldLeft(lit(-1)) {
+        case (els, (cl, i)) =>
+          when(coalesce(condOf(cl).getOrElse(lit(true)), lit(false)), lit(i))
+            .otherwise(els)
+      }
+    // WHEN NOT MATCHED BY SOURCE clauses (Delta's third family) see
+    // only target columns — their conditions/sets reference `t.` alone
+    val withIdx = joined
+      .withColumn("__graft_a", when(isMatched, firstClause(matched)).otherwise(lit(-1)))
+      .withColumn("__graft_b",
+        if (notMatchedBySource.isEmpty) lit(-1)
+        else when(!isMatched, firstClause(notMatchedBySource)).otherwise(lit(-1)))
+    def deleteIdxOf(cls: Seq[MergeClause]) =
+      cls.zipWithIndex.collect { case (MatchedDelete(_), i) => i }
+    def applyUpdates(
+        cls: Seq[MergeClause], actionCol: String,
+        acc0: Seq[org.apache.spark.sql.Column]): Seq[org.apache.spark.sql.Column] =
+      tCols.zip(acc0).map { case (c, a0) =>
+        cls.zipWithIndex.foldLeft(a0) {
+          case (acc, (MatchedUpdate(_, set), i)) if set.contains(c) =>
+            when(col(actionCol) === i, set(c)).otherwise(acc)
+          case (acc, _) => acc
+        }
+      }
+    val updated = applyUpdates(notMatchedBySource, "__graft_b",
+      applyUpdates(matched, "__graft_a", tCols.map(c => col(s"t.$c"))))
+      .zip(tCols).map { case (e, c) => e.as(c) }
+    def dropDeleted(df: DataFrame, actionCol: String, idx: Seq[Int]): DataFrame =
+      if (idx.isEmpty) df
+      else df.filter(!col(actionCol).isin(idx.map(Integer.valueOf): _*))
+    val survivors = dropDeleted(
+      dropDeleted(withIdx, "__graft_a", deleteIdxOf(matched)),
+      "__graft_b", deleteIdxOf(notMatchedBySource))
       .select(updated: _*)
     // WHEN NOT MATCHED [AND cond] INSERT: source rows with no target
     // key, by the source's own columns (names align with the target's)
@@ -1170,7 +1190,8 @@ object LakeTable {
           .filter(coalesce(cond, lit(false)))
       case None => source.limit(0)
     }
-    val affectedKeys = withIdx.filter(col("__graft_a") =!= -1)
+    val affectedKeys = withIdx
+      .filter(col("__graft_a") =!= -1 || col("__graft_b") =!= -1)
       .select(col(s"t.$keyCol").as(keyCol)).distinct()
     (survivors, inserts, affectedKeys)
   }
@@ -1183,12 +1204,13 @@ object LakeTable {
   def mergeConditional(
       source: DataFrame, path: String, keyCol: String,
       matched: Seq[MergeClause],
-      notMatchedInsert: Option[org.apache.spark.sql.Column] = None): Int = {
+      notMatchedInsert: Option[org.apache.spark.sql.Column] = None,
+      notMatchedBySource: Seq[MergeClause] = Nil): Int = {
     val spark = source.sparkSession
     val base = observedBase(spark, path)
     val target = read(spark, path, Some(base))
     val (survivors, inserts, _) =
-      mergeRows(target, source, keyCol, matched, notMatchedInsert)
+      mergeRows(target, source, keyCol, matched, notMatchedInsert, notMatchedBySource)
     commitRefs(spark, path, base,
       stageManifest(
         survivors.unionByName(inserts, allowMissingColumns = true), path).toSeq,
@@ -1204,12 +1226,13 @@ object LakeTable {
   def mergeConditionalMoR(
       source: DataFrame, path: String, keyCol: String,
       matched: Seq[MergeClause],
-      notMatchedInsert: Option[org.apache.spark.sql.Column] = None): Int = {
+      notMatchedInsert: Option[org.apache.spark.sql.Column] = None,
+      notMatchedBySource: Seq[MergeClause] = Nil): Int = {
     val spark = source.sparkSession
     val base = observedBase(spark, path)
     val target = read(spark, path, Some(base))
     val (survivors, inserts, affected) =
-      mergeRows(target, source, keyCol, matched, notMatchedInsert)
+      mergeRows(target, source, keyCol, matched, notMatchedInsert, notMatchedBySource)
     // the replacement rows = post-merge state of exactly the UPDATED
     // keys (deleted keys ship no replacement) + the inserts
     val replacements = survivors
@@ -1220,6 +1243,52 @@ object LakeTable {
       prev ++ stageManifest(affected, path, kind = "delete")
         ++ stageManifest(replacements, path),
       "mor_merge")
+  }
+
+  /** ROLLBACK to an earlier snapshot (Iceberg's rollback semantics):
+    * a NEW commit re-referencing exactly `version`'s manifests and
+    * schema — history only moves forward, nothing is deleted, and the
+    * rolled-past versions stay time-travelable (so a bad deploy's
+    * data remains inspectable while readers immediately see the good
+    * state). Metadata-only: zero data files touched. */
+  def rollback(spark: SparkSession, path: String, version: Int): Int = {
+    val base = observedBase(spark, path)
+    require(Files.exists(Paths.get(s"${metaDir(path)}/v$version")),
+      s"cannot roll back to missing version $version at $path")
+    commitRefs(spark, path, base, listRefs(path, version), "rollback",
+      schemaOf(path, version))
+  }
+
+  /** Iceberg-style `manifests` METADATA TABLE: one row per manifest
+    * of a snapshot, straight from the list — metadata-only. */
+  def manifests(spark: SparkSession, path: String, version: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val v = version.orElse(latestVersion(path)).getOrElse(
+      throw new IllegalArgumentException(s"no snapshots at $path"))
+    listRefs(path, v)
+      .map(r => (r.manifest, r.base, r.kind, r.seq, r.nFiles))
+      .toDF("manifest", "base", "kind", "seq", "n_files")
+  }
+
+  /** Iceberg-style `files` METADATA TABLE: one row per data/delete
+    * file of a snapshot, read as ONE distributed job over the
+    * manifests' JSON (never a driver loop — the 10⁷-file posture). */
+  def files(spark: SparkSession, path: String, version: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val v = version.orElse(latestVersion(path)).getOrElse(
+      throw new IllegalArgumentException(s"no snapshots at $path"))
+    val refs = listRefs(path, v).filter(_.nFiles > 0)
+    if (refs.isEmpty)
+      return Seq.empty[(String, String, String, Int)].toDF("file", "base", "kind", "seq")
+    val refDf = refs
+      .map(r => (Paths.get(r.manifest).getFileName.toString, r.kind, r.seq))
+      .toDF("mname", "kind", "seq")
+    spark.read
+      .schema("file STRING, base STRING, stats MAP<STRING, ARRAY<DOUBLE>>")
+      .json(refs.map(_.manifest): _*)
+      .withColumn("mname", element_at(split(input_file_name(), "/"), -1))
+      .join(broadcast(refDf), Seq("mname"))
+      .select("file", "base", "kind", "seq")
   }
 
   /** METADATA-ONLY column rename (Iceberg's field-id schema

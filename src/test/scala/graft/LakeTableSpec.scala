@@ -1030,6 +1030,84 @@ class LakeTableSpec extends AnyFunSuite {
     }
   }
 
+  test("WHEN NOT MATCHED BY SOURCE clauses update/delete unreferenced target rows") {
+    val p = "/tmp/graft_test/lake_merge_nms"
+    rmdir(p)
+    import spark.implicits._
+    LakeTable.overwrite(Seq(
+      (1L, "a", 10.0), (2L, "stale", 20.0), (3L, "old", 900.0)).toDF("k", "tag", "v"), p)
+    val src = Seq((1L, "u", 11.0)).toDF("k", "tag", "v")
+    // k=1 matched → update; k=2 unmatched-by-source & v<500 → mark
+    // stale; k=3 unmatched-by-source (v≥500) → delete
+    LakeTable.mergeConditional(src, p, "k",
+      matched = Seq(LakeTable.MatchedUpdate(None,
+        Map("tag" -> col("s.tag"), "v" -> col("s.v")))),
+      notMatchedInsert = None,
+      notMatchedBySource = Seq(
+        LakeTable.MatchedUpdate(Some(col("t.v") < 500.0),
+          Map("tag" -> lit("orphaned"))),
+        LakeTable.MatchedDelete(None)))
+    val got = LakeTable.read(spark, p).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(got === Seq((1L, "u", 11.0), (2L, "orphaned", 20.0)),
+      s"not-matched-by-source algebra mismatch: $got")
+    // MoR form agrees
+    val p2 = "/tmp/graft_test/lake_merge_nms_mor"
+    rmdir(p2)
+    LakeTable.overwrite(Seq(
+      (1L, "a", 10.0), (2L, "stale", 20.0), (3L, "old", 900.0)).toDF("k", "tag", "v"), p2)
+    LakeTable.mergeConditionalMoR(src, p2, "k",
+      matched = Seq(LakeTable.MatchedUpdate(None,
+        Map("tag" -> col("s.tag"), "v" -> col("s.v")))),
+      notMatchedInsert = None,
+      notMatchedBySource = Seq(
+        LakeTable.MatchedUpdate(Some(col("t.v") < 500.0),
+          Map("tag" -> lit("orphaned"))),
+        LakeTable.MatchedDelete(None)))
+    val got2 = LakeTable.read(spark, p2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(got2 === got, s"MoR not-matched-by-source must agree with CoW: $got2")
+  }
+
+  test("rollback re-references an old snapshot without deleting history") {
+    val p = "/tmp/graft_test/lake_rollback"
+    rmdir(p)
+    import spark.implicits._
+    LakeTable.overwrite(Seq((1L, "good")).toDF("k", "s"), p) // v0
+    LakeTable.overwrite(Seq((2L, "bad"), (3L, "bad")).toDF("k", "s"), p) // v1
+    val v2 = LakeTable.rollback(spark, p, 0)
+    assert(v2 === 2)
+    // readers see v0's content again, as a NEW forward commit
+    assert(LakeTable.read(spark, p).collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // nothing deleted: the bad version stays time-travelable
+    assert(LakeTable.read(spark, p, Some(1)).count() === 2)
+    assert(LakeTable.history(spark, p).collect().map(r =>
+      r.getInt(0) -> r.getString(1)).toSeq
+      === Seq(0 -> "overwrite", 1 -> "overwrite", 2 -> "rollback"))
+    // rollback is metadata-only: v2 references exactly v0's files
+    assert(LakeTable.read(spark, p, Some(2)).inputFiles.toSet
+      === LakeTable.read(spark, p, Some(0)).inputFiles.toSet)
+  }
+
+  test("manifests() and files() metadata tables describe the snapshot") {
+    val p = "/tmp/graft_test/lake_meta_tables"
+    rmdir(p)
+    import spark.implicits._
+    LakeTable.overwrite(Seq((1L, 1.0)).toDF("k", "v").coalesce(1), p) // v0
+    LakeTable.append(Seq((2L, 2.0)).toDF("k", "v").coalesce(1), p) // v1
+    LakeTable.deleteMoR(spark, p, "k", col("k") === 1L) // v2: + delete manifest
+    val ms = LakeTable.manifests(spark, p).collect()
+    assert(ms.length === 3)
+    assert(ms.count(_.getAs[String]("kind") == "delete") === 1)
+    assert(ms.map(_.getAs[Long]("n_files")).sum === 3)
+    val fs = LakeTable.files(spark, p).collect()
+    assert(fs.length === 3, s"one row per file: ${fs.toSeq}")
+    assert(fs.forall(_.getAs[String]("file").endsWith(".parquet")))
+    // version pinning works
+    assert(LakeTable.manifests(spark, p, Some(0)).count() === 1)
+    assert(LakeTable.files(spark, p, Some(0)).count() === 1)
+  }
+
   test("conditional CoW merge agrees with the MoR merge on the same clauses") {
     import spark.implicits._
     def run(mor: Boolean): Seq[(Long, String, Double)] = {
