@@ -187,6 +187,7 @@ object SparkEntry {
     "lake_merge_conditional" -> (sources.LakeTable.mergeConditionalQuery _),
     "lake_hidden_partition" -> (sources.LakeTable.hiddenPartitionQuery _),
     "lake_change_stream" -> (sources.LakeTable.changeStreamQuery _),
+    "lake_rollback" -> (sources.LakeTable.rollbackQuery _),
     "lake_orphan_gc" -> (sources.LakeTable.orphanGcQuery _),
     // --- streaming semantics (SURVEY.md §2.9 T1-T6), batch-replayed ---
     "session_replay" -> (streaming.DialogueStateMachine.sessionReplay _),
@@ -1077,6 +1078,11 @@ object SparkEntry {
         |SELECT event_type, count(*) AS n,
         |       round(CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE), 6) AS sum_value
         |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // lake_rollback: rolling back past a bad overwrite re-exposes the
+    // good snapshot — the oracle is simply the v0 aggregate
+    "lake_rollback" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // lake_change_stream: the materialized per-version change feed,
     // delivered through a real streaming run — v0 = initial inserts,
     // v1 = the CoW merge's insert+delete pairs (patched rows in,

@@ -566,7 +566,13 @@ object LakeTable {
       s"partition transform source '${t.source}' is not a column"))
     val withHidden = spec.foldLeft(df)((d, t) =>
       d.withColumn(hiddenColName(t), transformExpr(t)))
-    stageManifest(withHidden, path, spec.map(hiddenColName), "data", spec)
+    // co-locate each partition value into one task before partitionBy:
+    // without this, every input task writes a file into every dir it
+    // touches — tasks × dirs small files at cluster scale (one shuffle
+    // buys one file per dir per write, the layout the pruning wants)
+    val hiddenCols = spec.map(t => col(hiddenColName(t)))
+    stageManifest(withHidden.repartition(hiddenCols: _*),
+      path, spec.map(hiddenColName), "data", spec)
   }
 
   /** Create or replace the table content (new snapshot referencing
@@ -903,14 +909,28 @@ object LakeTable {
     // (field-id schema evolution) — the per-manifest predicate-key
     // translation rides in as an array column, joined in BEFORE the
     // stats filter so one job serves manifests of any schema vintage
+    // BUCKET-equality hidden-partition constraints ride into the job
+    // as (dir-segment, required-value) pairs per manifest: interval
+    // transforms (day/truncate/identity) already prune distributed
+    // via per-file SOURCE-column stats, but bucket hashes scatter the
+    // source values, so the dir name is the only pruning signal
+    def bucketCons(r: ManifestRef): Seq[(String, String)] =
+      r.pspec.filter(_.kind == "bucket").flatMap { t =>
+        preds.filter(p => p._1 == t.source && p._2 == p._3 && p._2.isWhole)
+          .map(p => hiddenColName(t) -> bucketOf(p._2.toLong, t.param).toString)
+      }
     val refDf = refs.map(r =>
-      (name(r), r.kind, r.seq, preds.map { case (c, _, _) => nameFor(r, c) }))
-      .toDF("mname", "kind", "seq", "pnames")
+      (name(r), r.kind, r.seq,
+        preds.map { case (c, _, _) => nameFor(r, c) }, bucketCons(r)))
+      .toDF("mname", "kind", "seq", "pnames", "hcons")
     val entries = spark.read
       .schema("file STRING, base STRING, stats MAP<STRING, ARRAY<DOUBLE>>")
       .json(refs.map(_.manifest): _*)
       .withColumn("mname", element_at(split(input_file_name(), "/"), -1))
       .join(broadcast(refDf), Seq("mname"))
+      .filter(aggregate(col("hcons"), lit(true), (acc, e) =>
+        acc && col("file").contains(concat(
+          lit("/"), e.getField("_1"), lit("="), e.getField("_2"), lit("/")))))
     val kept = preds.zipWithIndex.foldLeft(entries) {
       case (df, ((_, lower, upper), i)) =>
         // try_element_at: missing key → null (ANSI element_at throws);
@@ -1044,39 +1064,46 @@ object LakeTable {
       lower: Double, upper: Double, version: Option[Int] = None): DataFrame =
     readWhere(spark, path, Seq((column, lower, upper)), version)
 
-  /** Morton/Z-ORDER clustered rewrite: both columns are value-range
-    * normalized to 16 bits (broadcastable min/max — same deterministic
-    * scheme as the skyline buckets) and bit-interleaved into a 32-bit
-    * z-key; files are range-partitioned and sorted by that key. A file
-    * then covers a RECTANGLE of the 2-D value space instead of a slab
-    * of one column, so footer-stats skipping ([[readWhere]]) prunes on
-    * BOTH dimensions — the multi-dimensional OPTIMIZE the lexicographic
-    * [[optimizeBy]] cannot give (its second column has no file
-    * locality). */
+  /** Morton/Z-ORDER clustered rewrite over N ≥ 2 dimensions: each
+    * column is value-range normalized (broadcastable min/max — same
+    * deterministic scheme as the skyline buckets) and bit-interleaved
+    * into one long z-key (16 bits/dim up to 3 dims, narrower past
+    * that); files are range-partitioned and sorted by that key. A
+    * file then covers a HYPER-RECTANGLE of the value space instead of
+    * a slab of one column, so footer-stats skipping ([[readWhere]])
+    * prunes on EVERY dimension — the multi-dimensional OPTIMIZE the
+    * lexicographic [[optimizeBy]] cannot give (its non-leading
+    * columns have no file locality). */
   def zOrderBy(
       spark: SparkSession, path: String, numFiles: Int,
-      colA: String, colB: String): Int = {
+      zCols: String*): Int = {
+    require(zCols.size >= 2, "z-order needs at least two clustering columns")
+    val k = zCols.size
+    // 16 bits per dim up to 3 dims, narrower past that — the z-key
+    // must stay inside one long (k * bits ≤ 48 keeps headroom)
+    val bits = math.min(16, 48 / k)
     val base = observedBase(spark, path)
     val current = read(spark, path, Some(base))
     val s = current.agg(
-      min(colA).cast("double"), max(colA).cast("double"),
-      min(colB).cast("double"), max(colB).cast("double")).head()
+      zCols.flatMap(c => Seq(min(c).cast("double"), max(c).cast("double"))).head,
+      zCols.flatMap(c => Seq(min(c).cast("double"), max(c).cast("double"))).tail: _*).head()
     // empty snapshot or all-null clustering column: nothing to
     // cluster — commit a plain rewrite instead of NPE-ing on the agg
-    if ((0 to 3).exists(s.isNullAt))
+    if ((0 until 2 * k).exists(s.isNullAt))
       return commitRefs(spark, path, base, stageManifest(current, path).toSeq, "zorder")
+    val maxVal = (1 << bits) - 1
     def norm(c: String, lo: Double, hi: Double) =
       if (hi == lo) lit(0)
-      else least(lit(65535), greatest(lit(0),
-        floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * 65535).cast("int")))
-    val (na, nb) = (norm(colA, s.getDouble(0), s.getDouble(1)),
-      norm(colB, s.getDouble(2), s.getDouble(3)))
-    // bit interleave: a's bit i → 2i, b's bit i → 2i+1 (codegen'd
+      else least(lit(maxVal), greatest(lit(0),
+        floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * maxVal).cast("int")))
+    val norms = zCols.zipWithIndex.map { case (c, j) =>
+      norm(c, s.getDouble(2 * j), s.getDouble(2 * j + 1))
+    }
+    // bit interleave: dim j's bit i → position k*i + j (codegen'd
     // builtin bitwise ops — no UDF)
-    val zkey = (0 until 16).map { i =>
-      shiftright(na, i).bitwiseAND(lit(1)).cast("long") * lit(1L << (2 * i)) +
-        shiftright(nb, i).bitwiseAND(lit(1)).cast("long") * lit(1L << (2 * i + 1))
-    }.reduce(_ + _)
+    val zkey = (for (i <- 0 until bits; (n, j) <- norms.zipWithIndex) yield
+      shiftright(n, i).bitwiseAND(lit(1)).cast("long") * lit(1L << (k * i + j)))
+      .reduce(_ + _)
     val sorted = current
       .withColumn("__zkey", zkey)
       .repartitionByRange(numFiles, col("__zkey"))
@@ -1695,6 +1722,29 @@ object LakeTable {
     require(lastPlanAudit.filesKept < lastPlanAudit.filesClaimed,
       s"hidden-partition pruning must skip files: $lastPlanAudit")
     out
+  }
+
+  /** Driver query: ROLLBACK end to end — good state (v0 = all
+    * events), bad overwrite (v1 = a corrupted projection), rollback
+    * (v2), then read LATEST and aggregate. The oracle is the plain
+    * v0 aggregate, so the rollback must genuinely re-expose the old
+    * snapshot; the require pins that it did so metadata-only (v2
+    * references exactly v0's files) and that the bad version is
+    * still time-travelable (forensics survive the fix). */
+  def rollbackQuery(s: SparkSession, d: String): DataFrame = {
+    val path = freshWorkDir("lakerollback", d)
+    val ev = graft.Tables.load(s, d, "events").select("event_id", "event_type", "value")
+    overwrite(ev, path) // v0: good
+    overwrite(ev.filter(col("event_id") < 10)
+      .withColumn("value", col("value") * -1), path) // v1: bad deploy
+    rollback(s, path, 0) // v2
+    require(entriesOf(path, 2).map(_.file).toSet == entriesOf(path, 0).map(_.file).toSet,
+      "rollback must be metadata-only")
+    require(read(s, path, Some(1)).count() > 0, "bad version must stay inspectable")
+    read(s, path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+      .orderBy("event_type")
   }
 
   /** Driver query: CONDITIONAL MULTI-ACTION MERGE end to end — target

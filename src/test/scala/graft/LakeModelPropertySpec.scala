@@ -6,13 +6,16 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Model-based property test of the table format: a seeded random
   * sequence of commits (append, CoW upsert, MoR upsert, MoR delete,
-  * compact) runs against BOTH the lake table and a trivial in-memory
-  * Map model; after every commit the table read must equal the model,
+  * compact, conditional MERGE in both CoW and MoR forms, rollback)
+  * runs against BOTH the lake table and a trivial in-memory Map
+  * model; after every commit the table read must equal the model,
   * and at the end EVERY version must time-travel back to the model
   * state recorded when it was committed. This covers the interleavings
   * the single-shape specs cannot: CoW and MoR commits stacked in any
   * order, deletes landing on top of unfolded delete files, compaction
-  * mid-sequence, and sequence-number precedence across mixed ops. */
+  * mid-sequence, clause-conditional merges over MoR delete files,
+  * rollbacks re-exposing old states under later MoR commits, and
+  * sequence-number precedence across mixed ops. */
 class LakeModelPropertySpec extends AnyFunSuite {
   private lazy val spark = SparkSpec.spark
 
@@ -36,8 +39,19 @@ class LakeModelPropertySpec extends AnyFunSuite {
       LakeTable.overwrite(frame(model), p) // v0
       val perVersion = scala.collection.mutable.Buffer(model)
 
-      for (step <- 1 to 8) {
-        rnd.nextInt(5) match {
+      // the merge algebra every conditional-merge step applies, mirrored
+      // in the model: matched & value<500 → take source value; matched
+      // otherwise → delete; unmatched source rows insert when >300
+      def mergeModel(model: Map[Long, Double], srcM: Map[Long, Double]): Map[Long, Double] =
+        model.flatMap { case (k, v) =>
+          srcM.get(k) match {
+            case Some(sv) => if (v < 500.0) Some(k -> sv) else None
+            case None => Some(k -> v)
+          }
+        } ++ srcM.filter { case (k, sv) => !model.contains(k) && sv > 300.0 }
+
+      for (step <- 1 to 10) {
+        rnd.nextInt(8) match {
           case 0 => // append fresh keys
             val add = (0 until 3).map { i =>
               (nextKey + i) -> (rnd.nextInt(1000).toDouble)
@@ -67,6 +81,23 @@ class LakeModelPropertySpec extends AnyFunSuite {
           case 4 =>
             LakeTable.compact(spark, p)
           // model unchanged
+          case n if n == 5 || n == 6 => // conditional MERGE, CoW and MoR
+            val matchedKeys = model.keys.filter(_ => rnd.nextBoolean()).take(4)
+            val srcM = (matchedKeys.map(k => k -> rnd.nextInt(1000).toDouble) ++
+              (0 until 2).map(i => (nextKey + i) -> rnd.nextInt(1000).toDouble)).toMap
+            nextKey += 2
+            val clauses = Seq(
+              LakeTable.MatchedUpdate(Some(col("t.value") < 500.0),
+                Map("value" -> col("s.value"))),
+              LakeTable.MatchedDelete(None))
+            val ins = Some(col("value") > 300.0)
+            if (n == 5) LakeTable.mergeConditional(frame(srcM), p, "id", clauses, ins)
+            else LakeTable.mergeConditionalMoR(frame(srcM), p, "id", clauses, ins)
+            model = mergeModel(model, srcM)
+          case 7 => // rollback to a random earlier version
+            val r = rnd.nextInt(perVersion.size)
+            LakeTable.rollback(spark, p, r)
+            model = perVersion(r)
         }
         perVersion += model
         assert(readState(p) === model,

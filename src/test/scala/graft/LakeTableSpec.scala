@@ -518,6 +518,19 @@ class LakeTableSpec extends AnyFunSuite {
     // and a non-matching identity value prunes gen2 without touching it
     assert(LakeTable.readWhere(spark, p, Seq(("k", 500, 500)))
       .collect().map(_.getLong(0)).toSeq === Seq(500L))
+    // the DISTRIBUTED plan path prunes bucket equalities too (dir
+    // constraints ride into the Spark job — per-file k stats span
+    // every bucket, so only the dir name can prune here)
+    val saved = LakeTable.DistributedPlanThreshold
+    LakeTable.DistributedPlanThreshold = 3
+    try {
+      val k5d = LakeTable.readWhere(spark, p, Seq(("k", 5, 5)))
+      assert(k5d.count() === 4)
+      val a3 = LakeTable.lastPlanAudit
+      assert(a3.distributed, s"must have planned distributed: $a3")
+      assert(a3.filesKept < a3.filesClaimed,
+        s"bucket constraint must prune inside the distributed job: $a3")
+    } finally LakeTable.DistributedPlanThreshold = saved
   }
 
   test("history() version parse is anchored to the meta dir") {
@@ -859,6 +872,35 @@ class LakeTableSpec extends AnyFunSuite {
       assert(zFiles < lexFiles,
         s"z-order should touch fewer files on dim 2: z=$zFiles lex=$lexFiles")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("3-dimensional z-order skips files on the THIRD dimension") {
+    // uniform 16x16x16 cube: lexicographic (a,b,c) gives c no file
+    // locality at all; 3-dim Morton clustering must prune a thin
+    // c-slab to a strict subset of the files
+    val rows = for (a <- 0 until 16; b <- 0 until 16; c <- 0 until 16)
+      yield (a.toLong, b.toLong, c.toLong)
+    import spark.implicits._
+    val df = rows.toDF("a", "b", "c")
+    def build(dir: String, z: Boolean): Unit = {
+      rmdir(dir)
+      LakeTable.overwrite(df.repartition(8), dir)
+      if (z) LakeTable.zOrderBy(spark, dir, 8, "a", "b", "c")
+      else LakeTable.optimizeBy(spark, dir, 8, "a", "b", "c")
+    }
+    build("/tmp/graft_test/lake_z3_lex", z = false)
+    build("/tmp/graft_test/lake_z3_z", z = true)
+    def scan(dir: String): (Long, Long) = {
+      val pruned = LakeTable.readWhereBetween(spark, dir, "c", 3, 4)
+      val n = pruned.count()
+      (n, LakeTable.lastPlanAudit.filesKept)
+    }
+    val (lexRows, lexFiles) = scan("/tmp/graft_test/lake_z3_lex")
+    val (zRows, zFiles) = scan("/tmp/graft_test/lake_z3_z")
+    assert(zRows === lexRows && zRows === 2 * 16 * 16,
+      "clustering must not change results")
+    assert(zFiles < lexFiles,
+      s"3-dim z-order should touch fewer files on dim 3: z=$zFiles lex=$lexFiles")
   }
 
   test("partition-pruned read scans only the matching partition's files") {
