@@ -188,6 +188,7 @@ object SparkEntry {
     "lake_hidden_partition" -> (sources.LakeTable.hiddenPartitionQuery _),
     "lake_change_stream" -> (sources.LakeTable.changeStreamQuery _),
     "lake_rollback" -> (sources.LakeTable.rollbackQuery _),
+    "lake_bloom_skip" -> (sources.LakeTable.bloomSkipQuery _),
     "lake_orphan_gc" -> (sources.LakeTable.orphanGcQuery _),
     // --- streaming semantics (SURVEY.md §2.9 T1-T6), batch-replayed ---
     "session_replay" -> (streaming.DialogueStateMachine.sessionReplay _),
@@ -1078,6 +1079,13 @@ object SparkEntry {
         |SELECT event_type, count(*) AS n,
         |       round(CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE), 6) AS sum_value
         |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // lake_bloom_skip: the bloom is a file-skip signal only — results
+    // are the plain equality filter, so the oracle never sees it
+    "lake_bloom_skip" ->
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE source = (SELECT min(source) FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     // lake_rollback: rolling back past a bad overwrite re-exposes the
     // good snapshot — the oracle is simply the v0 aggregate
     "lake_rollback" ->

@@ -73,7 +73,13 @@ object LakeTable {
       file: String, base: String, stats: Map[String, Seq[Double]],
       kind: String = "data", // "data" | "delete" (merge-on-read key file)
       seq: Int = -1, // commit sequence; -1 = "assign at commit"
-      cols: Map[String, Int] = Map.empty) // write-time name → field id
+      cols: Map[String, Int] = Map.empty, // write-time name → field id
+      // per-file BLOOM FILTERS (see [[withBloom]]): column key (field
+      // id when the table has a schema, else name) → header-encoded
+      // [bits, k, setPosition...] — the equality-skip signal for
+      // columns min/max stats cannot express (strings)
+      bloom: Map[String, Seq[Long]] = Map.empty,
+      bytes: Long = -1L) // file size; -1 on legacy entries (stat lazily)
 
   /** One manifest-LIST row: an immutable manifest file plus everything
     * planning needs WITHOUT opening it — the commit dir all its
@@ -175,9 +181,14 @@ object LakeTable {
     val dir = Paths.get(manifestsDir(path))
     Files.createDirectories(dir)
     val mf = dir.resolve(s"m-${java.util.UUID.randomUUID()}.json")
+    def jbloom(m: Map[String, Seq[Long]]): String =
+      m.toSeq.sortBy(_._1).map { case (c, vs) =>
+        s"${jstr(c)}:${vs.mkString("[", ",", "]")}"
+      }.mkString("{", ",", "}")
     val lines = entries.map(e =>
       s"{${jstr("file")}:${jstr(e.file)},${jstr("base")}:${jstr(e.base)}," +
-        s"${jstr("stats")}:${jstats(e.stats)}}")
+        s"${jstr("stats")}:${jstats(e.stats)},${jstr("bytes")}:${e.bytes}" +
+        (if (e.bloom.isEmpty) "" else s",${jstr("bloom")}:${jbloom(e.bloom)}") + "}")
     Files.write(mf, lines.asJava)
     // aggregated ranges: a column prunes the whole manifest only when
     // EVERY entry carries stats for it (else a stats-less file inside
@@ -196,8 +207,13 @@ object LakeTable {
     * plans go through [[distributedPlan]] instead. */
   private def readManifest(ref: ManifestRef): Seq[ManifestEntry] =
     readJsonLines(Paths.get(ref.manifest)).map { n =>
+      val bloom = Option(n.get("bloom")).filter(_.isObject).map { o =>
+        o.properties().asScala.map(e =>
+          e.getKey -> e.getValue.elements().asScala.map(_.asLong).toSeq).toMap
+      }.getOrElse(Map.empty[String, Seq[Long]])
       ManifestEntry(n.get("file").asText, n.get("base").asText,
-        nodeStats(n.get("stats")), ref.kind, ref.seq, ref.cols)
+        nodeStats(n.get("stats")), ref.kind, ref.seq, ref.cols, bloom,
+        Option(n.get("bytes")).map(_.asLong(-1L)).getOrElse(-1L))
     }
 
   /** Every entry of a version with inherited kind/seq — a LAYOUT-
@@ -354,7 +370,8 @@ object LakeTable {
     val files = Files.walk(Paths.get(dataDir)).iterator().asScala
       .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
     val stats = collectStats(df.sparkSession, files)
-    files.map(f => ManifestEntry(f, dataDir, stats.getOrElse(f, Map.empty)))
+    files.map(f => ManifestEntry(f, dataDir, stats.getOrElse(f, Map.empty),
+      bytes = Files.size(Paths.get(f))))
   }
 
   /** Publish `refs` as version `base + 1`, where `base` is the
@@ -379,7 +396,8 @@ object LakeTable {
   private[graft] def commitRefs(
       spark: SparkSession, path: String, base: Int,
       refs: Seq[ManifestRef], op: String,
-      schemaCols: Option[Seq[(Int, String)]] = None): Int = {
+      schemaCols: Option[Seq[(Int, String)]] = None,
+      constraints: Option[Seq[(String, String)]] = None): Int = {
     val next = base + 1
     val md = Paths.get(metaDir(path))
     Files.createDirectories(md)
@@ -433,6 +451,16 @@ object LakeTable {
         effective.map { case (id, n) =>
           s"{${jstr("id")}:$id,${jstr("name")}:${jstr(n)}}"
         }.asJava)
+    // CHECK constraints carry forward like the schema (explicit on
+    // add/drop commits, inherited otherwise)
+    val effCons = constraints.orElse(
+      if (base >= 0) Some(constraintsOf(path, base)).filter(_.nonEmpty) else None)
+    effCons.filter(_.nonEmpty).foreach { cs =>
+      Files.write(staging.resolve("constraints.json"),
+        cs.map { case (n, e) =>
+          s"{${jstr("name")}:${jstr(n)},${jstr("expr")}:${jstr(e)}}"
+        }.asJava)
+    }
     try {
       Files.move(staging, md.resolve(s"v$next"),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -456,12 +484,77 @@ object LakeTable {
       df: DataFrame, path: String,
       partitionCols: Seq[String] = Nil, kind: String = "data",
       pspec: Seq[PartitionTransform] = Nil): Option[ManifestRef] = {
+    // CHECK constraints gate every DATA batch before any file lands
+    // (delete-key files are row SUBTRACTIONS — nothing to check)
+    if (kind == "data") enforceConstraints(df, path)
     val (_, fieldIds) = schemaForWrite(
       path, latestVersion(path).getOrElse(-1),
       df.columns.toSeq.filterNot(_.startsWith(HiddenPrefix)))
     val entries = writeDataFiles(df, path, partitionCols)
     if (entries.isEmpty) None
     else Some(writeManifest(path, entries, kind, fieldIds).copy(pspec = pspec))
+  }
+
+  // ---- CHECK constraints (Delta-style, enforced at write) ----
+
+  /** The table's CHECK constraints at `version`: (name, SQL boolean
+    * expression) pairs, carried forward by every commit like the
+    * schema. */
+  private[graft] def constraintsOf(path: String, version: Int): Seq[(String, String)] = {
+    val p = Paths.get(s"${metaDir(path)}/v$version/constraints.json")
+    if (!Files.exists(p)) Nil
+    else readJsonLines(p).map(n => n.get("name").asText -> n.get("expr").asText)
+  }
+
+  /** Reject `df` when any active constraint has a violating row —
+    * ONE job over the batch (first violated constraint name wins),
+    * run BEFORE any data file is written so a bad batch leaves
+    * nothing behind. NULL results violate (Delta CHECK semantics:
+    * the constraint must be provably true). */
+  private def enforceConstraints(df: DataFrame, path: String): Unit = {
+    val cons = latestVersion(path).map(constraintsOf(path, _)).getOrElse(Nil)
+    if (cons.isEmpty) return
+    val violated = df.select(coalesce(
+      cons.map { case (n, sql) =>
+        when(!coalesce(expr(sql), lit(false)), lit(n))
+      } :+ lit(null).cast("string"): _*).as("__c"))
+      .filter(col("__c").isNotNull)
+      .limit(1).collect()
+    violated.headOption.foreach { r =>
+      val n = r.getString(0)
+      val sql = cons.find(_._1 == n).get._2
+      throw new IllegalArgumentException(
+        s"CHECK constraint '$n' ($sql) violated by the incoming batch at $path")
+    }
+  }
+
+  /** ADD a named CHECK constraint: the EXISTING table must already
+    * satisfy it (validated here — one scan, loud failure otherwise),
+    * then a metadata-only commit records it and every subsequent
+    * data write enforces it batch-side before staging. */
+  def addConstraint(
+      spark: SparkSession, path: String, name: String, sqlExpr: String): Int = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"illegal constraint name '$name'")
+    val base = observedBase(spark, path)
+    require(!constraintsOf(path, base).exists(_._1 == name),
+      s"constraint '$name' already exists at $path")
+    val bad = read(spark, path, Some(base))
+      .filter(!coalesce(expr(sqlExpr), lit(false))).limit(1).count()
+    require(bad == 0L,
+      s"existing rows at $path violate CHECK '$name' ($sqlExpr) — not added")
+    commitRefs(spark, path, base, listRefs(path, base), "add_constraint",
+      schemaOf(path, base),
+      Some(constraintsOf(path, base) :+ (name -> sqlExpr)))
+  }
+
+  /** DROP a named CHECK constraint (metadata-only commit). */
+  def dropConstraint(spark: SparkSession, path: String, name: String): Int = {
+    val base = observedBase(spark, path)
+    require(constraintsOf(path, base).exists(_._1 == name),
+      s"no such constraint '$name' at $path")
+    commitRefs(spark, path, base, listRefs(path, base), "drop_constraint",
+      schemaOf(path, base),
+      Some(constraintsOf(path, base).filterNot(_._1 == name)))
   }
 
   // ---- hidden partitioning (Iceberg partition transforms) ----
@@ -641,6 +734,7 @@ object LakeTable {
       df: DataFrame, path: String,
       audit: DataFrame => Option[String]): Either[String, Int] = {
     val spark = df.sparkSession
+    enforceConstraints(df, path) // CHECKs gate WAP batches too
     val staged = writeDataFiles(df, path)
     audit(readFiles(spark, staged)) match {
       case None =>
@@ -1318,6 +1412,112 @@ object LakeTable {
       .select("file", "base", "kind", "seq")
   }
 
+  /** Driver-side probe positions of `value` for a (bits, k) bloom —
+    * must agree bit-for-bit with [[withBloom]]'s distributed
+    * xxhash64(col, seed_j) (same Catalyst expression, seed 42). */
+  private def bloomProbes(value: String, bits: Long, k: Long): Seq[Long] =
+    (0 until k.toInt).map { j =>
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          value, org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.catalyst.expressions.Literal(j)), 42L)
+        .eval(null).asInstanceOf[Long]
+      ((h % bits) + bits) % bits
+    }
+
+  /** The bloom key of a column: its FIELD ID when the table has a
+    * schema (rename-proof), else the raw name. */
+  private def bloomKey(path: String, version: Int, column: String): String =
+    schemaOf(path, version).flatMap(_.find(_._2 == column))
+      .map(_._1.toString).getOrElse(column)
+
+  /** Attach per-file BLOOM FILTERS for `column` to every data
+    * manifest (maintenance op, like OPTIMIZE): one distributed job
+    * computes each file's k×xxhash64 bit positions, the driver
+    * rewrites manifest METADATA only (entries keep their stats,
+    * sequence, field ids and partition spec — zero data files
+    * touched). Point-lookup skipping for columns min/max stats cannot
+    * express — strings above all ([[readWhereEquals]]); numeric
+    * intervals stay on the stats path. Bits/k are header-encoded per
+    * entry, so later blooms may use different sizing. */
+  def withBloom(
+      spark: SparkSession, path: String, column: String,
+      bits: Int = 4096, k: Int = 3): Int = {
+    val base = observedBase(spark, path)
+    val refs = listRefs(path, base)
+    val (del, data) = refs.partition(_.kind == "delete")
+    val live = data.filter(_.nFiles > 0)
+    require(live.nonEmpty, s"no data to bloom at $path")
+    val key = bloomKey(path, base, column)
+    val current = schemaOf(path, base)
+    // ONE distributed job: per file, the distinct bloom bit positions
+    // of the column's values (bounded by `bits` per file)
+    val posByFile = live.map { r =>
+        projectToCurrent(
+          spark.read.option("basePath", r.base).parquet(r.base)
+            .withColumn("__graft_f", input_file_name()),
+          r.cols, current)
+      }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+      .filter(col(column).isNotNull)
+      .select(col("__graft_f"),
+        explode(array((0 until k).map(j =>
+          pmod(xxhash64(col(column).cast("string"), lit(j)), lit(bits.toLong))): _*)).as("p"))
+      .groupBy("__graft_f").agg(collect_set("p").as("ps"))
+      .collect()
+      .map(r => java.net.URI.create(r.getString(0)).getPath ->
+        r.getSeq[Long](1).sorted)
+      .toMap
+    val rebloomed = live.map { r =>
+      val entries = readManifest(r).map { e =>
+        val header = Seq(bits.toLong, k.toLong)
+        posByFile.get(e.file) match {
+          case Some(ps) => e.copy(bloom = e.bloom + (key -> (header ++ ps)))
+          // a file with zero non-null values: an always-empty bloom
+          // (every probe misses → correctly prunable for any value)
+          case None => e.copy(bloom = e.bloom + (key -> header))
+        }
+      }
+      writeManifest(path, entries, r.kind, r.cols)
+        .copy(seq = r.seq, pspec = r.pspec)
+    }
+    commitRefs(spark, path, base, rebloomed ++ del, "bloom")
+  }
+
+  /** EQUALITY point-lookup scan through the per-file blooms: a file
+    * is read only when every probe bit of `value` is set in its bloom
+    * (or it has no bloom for the column — conservative keep). The
+    * precise row filter still applies, so results are exact at any
+    * false-positive rate; the bloom only decides which files are
+    * TOUCHED — the string-column analogue of [[readWhere]]'s numeric
+    * stats skip. Merge-on-read deletes apply after the skip. */
+  def readWhereEquals(
+      spark: SparkSession, path: String, column: String, value: String,
+      version: Option[Int] = None): DataFrame = {
+    val v = version.orElse(latestVersion(path)).getOrElse(
+      throw new IllegalArgumentException(s"no snapshots at $path"))
+    val (delRefs, dataRefs) = listRefs(path, v).partition(_.kind == "delete")
+    val current = schemaOf(path, v)
+    val key = bloomKey(path, v, column)
+    val kept = dataRefs.filter(_.nFiles > 0).flatMap(readManifest).filter { e =>
+      e.bloom.get(key) match {
+        case Some(bits +: k +: positions) if bits > 0 =>
+          val set = positions.toSet
+          bloomProbes(value, bits, k).forall(set.contains)
+        case _ => true // no bloom → cannot prune
+      }
+    }
+    lastPlanAudit = PlanAudit(
+      dataRefs.size, dataRefs.size,
+      dataRefs.map(_.nFiles).sum, kept.size.toLong, distributed = false)
+    val base =
+      if (kept.isEmpty) read(spark, path, Some(v)).filter(lit(false))
+      else if (delRefs.isEmpty) readFiles(spark, kept, current)
+      else applyMorDeletes(spark, taggedRead(spark, kept, current), delRefs, current)
+    if (!base.columns.contains(column)) base.filter(lit(false))
+    else base.filter(col(column) === value)
+  }
+
   /** METADATA-ONLY column rename (Iceberg's field-id schema
     * evolution): the new version re-references every manifest
     * unchanged — zero data files touched — and only the schema's
@@ -1430,6 +1630,47 @@ object LakeTable {
     val current = read(spark, path, Some(base))
     commitRefs(spark, path, base,
       stageManifest(current.repartition(numFiles), path).toSeq, "compact")
+  }
+
+  /** BINPACK small-file compaction (Iceberg's rewrite-data-files
+    * binpack): rewrite ONLY the files smaller than `targetBytes`,
+    * re-referencing every right-sized file untouched — the
+    * steady-state maintenance shape for a streamed-into table, where
+    * full [[compact]] would rewrite 100 TB to fold a day of small
+    * commits. File sizes come from manifest metadata (recorded at
+    * write; stat'd lazily for legacy entries). The rewritten subset
+    * is read WITH merge-on-read deletes applied and takes the new
+    * commit's sequence, so carried delete files stop applying to it
+    * but keep subtracting from the untouched older files — the
+    * sequence rule keeps the mix exact. Untouched manifests are
+    * carried as-is (zero metadata rewrite); partially-kept ones are
+    * re-manifested with their sequence/field-ids/spec preserved. */
+  def compactSmall(spark: SparkSession, path: String, targetBytes: Long): Int = {
+    val base = observedBase(spark, path)
+    val refs = listRefs(path, base)
+    val (del, data) = refs.partition(_.kind == "delete")
+    val current = schemaOf(path, base)
+    def sizeOf(e: ManifestEntry): Long =
+      if (e.bytes >= 0) e.bytes else Files.size(Paths.get(e.file))
+    val perRef = data.filter(_.nFiles > 0).map(r => r -> readManifest(r))
+    val smalls = perRef.flatMap(_._2).filter(e => sizeOf(e) < targetBytes)
+    if (smalls.size <= 1)
+      return commitRefs(spark, path, base, refs, "binpack") // nothing to fold
+    val smallSet = smalls.map(_.file).toSet
+    val smallDf =
+      if (del.isEmpty) readFiles(spark, smalls, current)
+      else applyMorDeletes(spark, taggedRead(spark, smalls, current), del, current)
+    val nOut = math.max(1L,
+      (smalls.map(sizeOf).sum + targetBytes - 1) / targetBytes).toInt
+    val packed = stageManifest(smallDf.repartition(nOut), path)
+    val keptRefs = perRef.flatMap { case (r, es) =>
+      val keep = es.filterNot(e => smallSet(e.file))
+      if (keep.isEmpty) None
+      else if (keep.size == es.size) Some(r) // untouched manifest carried as-is
+      else Some(writeManifest(path, keep, r.kind, r.cols)
+        .copy(seq = r.seq, pspec = r.pspec))
+    }
+    commitRefs(spark, path, base, keptRefs ++ del ++ packed, "binpack")
   }
 
   // ---- snapshot tags (Iceberg-style named refs) ----
@@ -1721,6 +1962,32 @@ object LakeTable {
       .orderBy("event_type")
     require(lastPlanAudit.filesKept < lastPlanAudit.filesClaimed,
       s"hidden-partition pruning must skip files: $lastPlanAudit")
+    out
+  }
+
+  /** Driver query: per-file BLOOM FILTERS end to end — documents
+    * written source-clustered (so each file holds few of the ~20
+    * sources), bloomed on the STRING `source` column (which numeric
+    * min/max stats cannot skip on at all), then an equality
+    * point-lookup through [[readWhereEquals]] aggregated per lang.
+    * The require pins that the bloom actually skipped files; the
+    * oracle filters the source table directly, so the probe/bit
+    * agreement between the distributed build and the driver-side
+    * lookup is hash-verified. */
+  def bloomSkipQuery(s: SparkSession, d: String): DataFrame = {
+    val path = freshWorkDir("lakebloom", d)
+    val docs = graft.Tables.load(s, d, "documents")
+      .select("doc_id", "lang", "source", "n_chars")
+    overwrite(docs, path)
+    optimizeBy(s, path, numFiles = 8, "source") // cluster: few sources per file
+    withBloom(s, path, "source")
+    val probe = docs.agg(min("source")).head().getString(0)
+    val out = readWhereEquals(s, path, "source", probe)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+      .orderBy("lang")
+    require(lastPlanAudit.filesKept < lastPlanAudit.filesClaimed,
+      s"bloom must skip files on a source-clustered table: $lastPlanAudit")
     out
   }
 

@@ -1150,6 +1150,114 @@ class LakeTableSpec extends AnyFunSuite {
     assert(LakeTable.files(spark, p, Some(0)).count() === 1)
   }
 
+  test("CHECK constraints gate writes: violating batches never land, drop lifts the gate") {
+    val p = "/tmp/graft_test/lake_constraints"
+    rmdir(p)
+    import spark.implicits._
+    LakeTable.overwrite(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), p) // v0
+    // adding a constraint the EXISTING data violates must fail loudly
+    val e0 = intercept[IllegalArgumentException] {
+      LakeTable.addConstraint(spark, p, "v_big", "v >= 15")
+    }
+    assert(e0.getMessage.contains("v_big"))
+    LakeTable.addConstraint(spark, p, "v_nonneg", "v >= 0") // v1
+    // a violating append is rejected BEFORE anything lands
+    val e1 = intercept[IllegalArgumentException] {
+      LakeTable.append(Seq((3L, -1.0)).toDF("k", "v"), p)
+    }
+    assert(e1.getMessage.contains("v_nonneg"), e1.getMessage)
+    assert(LakeTable.read(spark, p).count() === 2, "rejected batch must not land")
+    assert(LakeTable.orphanFiles(spark, p).isEmpty,
+      "rejected batch must leave no staged files")
+    // NULL check results violate (the constraint must be provably true)
+    val e2 = intercept[IllegalArgumentException] {
+      LakeTable.append(Seq((4L, Option.empty[Double])).toDF("k", "v"), p)
+    }
+    assert(e2.getMessage.contains("v_nonneg"))
+    // valid batches pass; upserts and merges are gated too
+    LakeTable.append(Seq((5L, 5.0)).toDF("k", "v"), p) // v2
+    val e3 = intercept[IllegalArgumentException] {
+      LakeTable.upsert(Seq((5L, -9.0)).toDF("k", "v"), p, "k")
+    }
+    assert(e3.getMessage.contains("v_nonneg"))
+    // drop lifts the gate (metadata-only), and the constraint set is versioned
+    LakeTable.dropConstraint(spark, p, "v_nonneg") // v3
+    LakeTable.append(Seq((6L, -1.0)).toDF("k", "v"), p) // v4: now fine
+    assert(LakeTable.read(spark, p).count() === 4)
+    assert(LakeTable.constraintsOf(p, 1) === Seq("v_nonneg" -> "v >= 0"))
+    assert(LakeTable.constraintsOf(p, 4) === Nil)
+  }
+
+  test("binpack compaction rewrites only the small files, deletes stay exact") {
+    val p = "/tmp/graft_test/lake_binpack"
+    rmdir(p)
+    import spark.implicits._
+    // v0: one BIG file; v1-v3: three tiny appends (the streaming-
+    // ingest steady state binpack exists for)
+    LakeTable.overwrite(
+      spark.range(0, 5000).select(col("id").as("k"), (col("id") * 2.0).as("v"))
+        .coalesce(1), p)
+    (1 to 3).foreach(i =>
+      LakeTable.append(Seq((10000L + i, i.toDouble)).toDF("k", "v").coalesce(1), p))
+    // MoR delete stacked BEFORE the binpack: one big-file key and one
+    // tiny-file key — the rewrite must apply it to the folded rows
+    // while the carried delete file keeps subtracting from the big one
+    LakeTable.deleteMoR(spark, p, "k", col("k") === 42L || col("k") === 10001L)
+    val sizes = LakeTable.entriesOf(p, 3).filter(_.kind == "data").map(e =>
+      e.file -> java.nio.file.Files.size(java.nio.file.Paths.get(e.file))).toMap
+    val big = sizes.maxBy(_._2)._1
+    val target = (sizes.values.min + sizes.values.max) / 2
+    val v = LakeTable.compactSmall(spark, p, target)
+    val after = LakeTable.read(spark, p)
+    assert(after.inputFiles.exists(_.endsWith(big.split('/').last)),
+      "binpack must NOT rewrite the right-sized file")
+    assert(after.count() === 5000 + 3 - 2, "deletes must survive the fold exactly")
+    assert(after.filter(col("k") === 42L || col("k") === 10001L).count() === 0)
+    // the three tiny files folded into one packed file
+    val dataEntries = LakeTable.entriesOf(p, v).filter(_.kind == "data")
+    assert(dataEntries.size === 2,
+      s"big + one packed file expected, got ${dataEntries.map(_.file)}")
+    // a second binpack with nothing to fold is a clean no-op commit
+    val v2 = LakeTable.compactSmall(spark, p, target)
+    assert(LakeTable.read(spark, p, Some(v2)).count() === 5001)
+    // time travel across the binpack is intact: v3 pre-delete, v4 post
+    assert(LakeTable.read(spark, p, Some(3)).count() === 5003)
+    assert(LakeTable.read(spark, p, Some(4)).count() === 5001)
+  }
+
+  test("per-file blooms skip string equality lookups, survive renames, stay exact") {
+    val p = "/tmp/graft_test/lake_bloom"
+    rmdir(p)
+    import spark.implicits._
+    // 4 files, each holding exactly one tag value
+    val rows = for (t <- 0 until 4; i <- 0 until 25)
+      yield (t * 25L + i, s"tag_$t", i.toDouble)
+    LakeTable.overwrite(rows.toDF("k", "tag", "v")
+      .repartitionByRange(4, col("tag")).sortWithinPartitions("tag"), p) // v0
+    val files0 = LakeTable.read(spark, p).inputFiles.toSet
+    LakeTable.withBloom(spark, p, "tag") // v1: metadata-only
+    assert(LakeTable.read(spark, p).inputFiles.toSet === files0,
+      "bloom attach must not touch data files")
+    // equality lookup touches only the matching file
+    val got = LakeTable.readWhereEquals(spark, p, "tag", "tag_2")
+    assert(got.count() === 25)
+    val a = LakeTable.lastPlanAudit
+    assert(a.filesKept === 1 && a.filesClaimed === 4,
+      s"bloom must keep exactly the one matching file: $a")
+    // a value present NOWHERE prunes everything, exactly (not error)
+    assert(LakeTable.readWhereEquals(spark, p, "tag", "nope").count() === 0)
+    // files written AFTER the bloom have none and are kept conservatively
+    LakeTable.append(Seq((999L, "tag_9", 9.0)).toDF("k", "tag", "v"), p) // v2
+    assert(LakeTable.readWhereEquals(spark, p, "tag", "tag_9")
+      .collect().map(_.getLong(0)).toSeq === Seq(999L))
+    // the bloom key is the FIELD ID: a rename keeps the skip working
+    LakeTable.renameColumn(spark, p, "tag", "label") // v3
+    val got2 = LakeTable.readWhereEquals(spark, p, "label", "tag_2")
+    assert(got2.count() === 25, "bloom lookup must follow the rename by field id")
+    assert(LakeTable.lastPlanAudit.filesKept === 2, // matching file + unbloated v2 file
+      s"renamed lookup must still prune: ${LakeTable.lastPlanAudit}")
+  }
+
   test("conditional CoW merge agrees with the MoR merge on the same clauses") {
     import spark.implicits._
     def run(mor: Boolean): Seq[(Long, String, Double)] = {
