@@ -189,6 +189,7 @@ object SparkEntry {
     "lake_change_stream" -> (sources.LakeTable.changeStreamQuery _),
     "lake_rollback" -> (sources.LakeTable.rollbackQuery _),
     "lake_bloom_skip" -> (sources.LakeTable.bloomSkipQuery _),
+    "lake_branch_ff" -> (sources.LakeTable.branchFastForwardQuery _),
     "lake_orphan_gc" -> (sources.LakeTable.orphanGcQuery _),
     // --- streaming semantics (SURVEY.md §2.9 T1-T6), batch-replayed ---
     "session_replay" -> (streaming.DialogueStateMachine.sessionReplay _),
@@ -1079,6 +1080,11 @@ object SparkEntry {
         |SELECT event_type, count(*) AS n,
         |       round(CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE), 6) AS sum_value
         |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // lake_branch_ff: evens land on main, odds through a branch +
+    // fast-forward — the adopted table is simply the full aggregate
+    "lake_branch_ff" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // lake_bloom_skip: the bloom is a file-skip signal only — results
     // are the plain equality filter, so the oracle never sees it
     "lake_bloom_skip" ->

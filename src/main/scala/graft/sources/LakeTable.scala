@@ -487,9 +487,13 @@ object LakeTable {
     // CHECK constraints gate every DATA batch before any file lands
     // (delete-key files are row SUBTRACTIONS — nothing to check)
     if (kind == "data") enforceConstraints(df, path)
-    val (_, fieldIds) = schemaForWrite(
-      path, latestVersion(path).getOrElse(-1),
-      df.columns.toSeq.filterNot(_.startsWith(HiddenPrefix)))
+    // position-delete files carry internal (file_path, row_index)
+    // columns that must never leak into the table schema
+    val (_, fieldIds) =
+      if (kind == "posdel") (Nil, Map.empty[String, Int])
+      else schemaForWrite(
+        path, latestVersion(path).getOrElse(-1),
+        df.columns.toSeq.filterNot(_.startsWith(HiddenPrefix)))
     val entries = writeDataFiles(df, path, partitionCols)
     if (entries.isEmpty) None
     else Some(writeManifest(path, entries, kind, fieldIds).copy(pspec = pspec))
@@ -822,10 +826,40 @@ object LakeTable {
     * scan itself is untouched (pushdown/pruning intact). */
   private def assembleWithDeletes(
       spark: SparkSession, refs: Seq[ManifestRef],
-      current: Option[Seq[(Int, String)]]): DataFrame = {
-    val (del, data) = refs.partition(_.kind == "delete")
-    if (del.isEmpty || data.isEmpty) readRefs(spark, data, current)
-    else applyMorDeletes(spark, taggedReadRefs(spark, data, current), del, current)
+      current: Option[Seq[(Int, String)]],
+      keepMeta: Boolean = false): DataFrame = {
+    val (eq, rest) = refs.partition(_.kind == "delete")
+    val (pos, data) = rest.partition(_.kind == "posdel")
+    if (eq.isEmpty && pos.isEmpty && !keepMeta) readRefs(spark, data, current)
+    else {
+      val tagged = taggedReadRefs(spark, data, current,
+        withPos = pos.nonEmpty || keepMeta)
+      val afterPos = if (pos.nonEmpty) applyPosDeletes(spark, tagged, pos) else tagged
+      val afterEq =
+        if (eq.nonEmpty) applyMorDeletes(spark, afterPos, eq, current)
+        else afterPos.drop(SeqCol)
+      if (keepMeta) afterEq else afterEq.drop(FpCol, RiCol)
+    }
+  }
+
+  private val FpCol = "__graft_fp" // scan-time file path (position deletes)
+  private val RiCol = "__graft_ri" // scan-time row index within the file
+
+  /** Iceberg v2 POSITION deletes: subtract exact (file, row-index)
+    * pairs — row-granular where equality deletes are key-granular, so
+    * duplicate-keyed rows can be deleted individually. File identity
+    * pins the vintage (a rewritten file has a new path, so stale
+    * position rows match nothing); no sequence check needed. */
+  private def applyPosDeletes(
+      spark: SparkSession, dataWithMeta: DataFrame,
+      pos: Seq[ManifestRef]): DataFrame = {
+    val keys = pos.map(r => refScan(spark, r).select(
+      col("file_path").as("__graft_dfp"), col("row_index").as("__graft_dri")))
+      .reduce(_.unionByName(_)).distinct()
+    dataWithMeta.join(keys,
+      dataWithMeta(FpCol) === col("__graft_dfp") &&
+        dataWithMeta(RiCol) === col("__graft_dri"),
+      "left_anti")
   }
 
   private val SeqCol = "__graft_seq" // internal; underscored to dodge user columns
@@ -860,16 +894,26 @@ object LakeTable {
   }
 
   /** Data manifests with their commit sequence riding as a column
-    * (one literal per manifest — its entries share the sequence). */
+    * (one literal per manifest — its entries share the sequence);
+    * withPos additionally rides each row's (file path, row index)
+    * from the scan's `_metadata`, for position-delete subtraction. */
   private def taggedReadRefs(
       spark: SparkSession, refs: Seq[ManifestRef],
-      current: Option[Seq[(Int, String)]]): DataFrame = {
+      current: Option[Seq[(Int, String)]],
+      withPos: Boolean = false): DataFrame = {
     val live = refs.filter(_.nFiles > 0)
     if (live.isEmpty) spark.emptyDataFrame
-    else live.map(r => projectToCurrent(refScan(spark, r), r.cols, current)
-        .withColumn(SeqCol, lit(r.seq)))
-      .reduce(_.unionByName(_, allowMissingColumns = true))
+    else live.map { r =>
+      val scan = if (withPos) posMeta(refScan(spark, r)) else refScan(spark, r)
+      projectToCurrent(scan, r.cols, current).withColumn(SeqCol, lit(r.seq))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
+
+  /** Ride the scan's hidden `_metadata` as plain columns (projection-
+    * safe: `_metadata` itself resolves only directly on a file scan). */
+  private def posMeta(df: DataFrame): DataFrame =
+    df.withColumn(FpCol, col("_metadata.file_path"))
+      .withColumn(RiCol, col("_metadata.row_index"))
 
   /** Iceberg's data-sequence-number rule: a delete with sequence s
     * removes a key only from data files with sequence < s — so a
@@ -935,15 +979,15 @@ object LakeTable {
     * (grouped per (base, seq) — entries of one manifest share both). */
   private def taggedRead(
       spark: SparkSession, data: Seq[ManifestEntry],
-      current: Option[Seq[(Int, String)]] = None): DataFrame =
+      current: Option[Seq[(Int, String)]] = None,
+      withPos: Boolean = false): DataFrame =
     if (data.isEmpty) spark.emptyDataFrame
     else data.groupBy(e => (e.base, e.seq)).map { case ((base, sq), es) =>
-      projectToCurrent(
-        dropHidden(spark.read
-          .option("mergeSchema", "true")
-          .option("basePath", base)
-          .parquet(es.map(_.file): _*)),
-        es.head.cols, current)
+      val scan = dropHidden(spark.read
+        .option("mergeSchema", "true")
+        .option("basePath", base)
+        .parquet(es.map(_.file): _*))
+      projectToCurrent(if (withPos) posMeta(scan) else scan, es.head.cols, current)
         .withColumn(SeqCol, lit(sq))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
 
@@ -1076,7 +1120,8 @@ object LakeTable {
       version: Option[Int] = None): DataFrame = {
     val v = version.orElse(latestVersion(path)).getOrElse(
       throw new IllegalArgumentException(s"no snapshots at $path"))
-    val (delRefs, dataRefs) = listRefs(path, v).partition(_.kind == "delete")
+    val (eqRefs, rest0) = listRefs(path, v).partition(_.kind == "delete")
+    val (posRefs, dataRefs) = rest0.partition(_.kind == "posdel")
     val current = schemaOf(path, v)
     // current name of a predicate column → its WRITE-TIME name in a
     // manifest: Some(name) to consult stats under that name; None when
@@ -1122,13 +1167,20 @@ object LakeTable {
       parts.reduce(_.unionByName(_, allowMissingColumns = true))
     val base =
       if (fullRefs.isEmpty && kept.isEmpty) read(spark, path, Some(v)).filter(lit(false))
-      else if (delRefs.isEmpty) assemble(Seq(
+      else if (eqRefs.isEmpty && posRefs.isEmpty) assemble(Seq(
         if (kept.nonEmpty) Some(readFiles(spark, kept, current)) else None,
         if (fullRefs.nonEmpty) Some(readRefs(spark, fullRefs, current)) else None).flatten)
-      else applyMorDeletes(spark, assemble(Seq(
-        if (kept.nonEmpty) Some(taggedRead(spark, kept, current)) else None,
-        if (fullRefs.nonEmpty) Some(taggedReadRefs(spark, fullRefs, current)) else None).flatten),
-        delRefs, current)
+      else {
+        val withPos = posRefs.nonEmpty
+        val tagged = assemble(Seq(
+          if (kept.nonEmpty) Some(taggedRead(spark, kept, current, withPos)) else None,
+          if (fullRefs.nonEmpty)
+            Some(taggedReadRefs(spark, fullRefs, current, withPos)) else None).flatten)
+        val p1 = if (withPos) applyPosDeletes(spark, tagged, posRefs) else tagged
+        val p2 = if (eqRefs.nonEmpty) applyMorDeletes(spark, p1, eqRefs, current)
+          else p1.drop(SeqCol)
+        p2.drop(FpCol, RiCol)
+      }
     // full-snapshot schema, resolved lazily: only consulted when a
     // predicate column is absent from the kept files, to keep the
     // pruned read's schema LAYOUT-INDEPENDENT (round-2 ADVICE — a
@@ -1445,7 +1497,7 @@ object LakeTable {
       bits: Int = 4096, k: Int = 3): Int = {
     val base = observedBase(spark, path)
     val refs = listRefs(path, base)
-    val (del, data) = refs.partition(_.kind == "delete")
+    val (del, data) = refs.partition(_.kind != "data")
     val live = data.filter(_.nFiles > 0)
     require(live.nonEmpty, s"no data to bloom at $path")
     val key = bloomKey(path, base, column)
@@ -1496,7 +1548,8 @@ object LakeTable {
       version: Option[Int] = None): DataFrame = {
     val v = version.orElse(latestVersion(path)).getOrElse(
       throw new IllegalArgumentException(s"no snapshots at $path"))
-    val (delRefs, dataRefs) = listRefs(path, v).partition(_.kind == "delete")
+    val (eqRefs, rest0) = listRefs(path, v).partition(_.kind == "delete")
+    val (posRefs, dataRefs) = rest0.partition(_.kind == "posdel")
     val current = schemaOf(path, v)
     val key = bloomKey(path, v, column)
     val kept = dataRefs.filter(_.nFiles > 0).flatMap(readManifest).filter { e =>
@@ -1512,8 +1565,14 @@ object LakeTable {
       dataRefs.map(_.nFiles).sum, kept.size.toLong, distributed = false)
     val base =
       if (kept.isEmpty) read(spark, path, Some(v)).filter(lit(false))
-      else if (delRefs.isEmpty) readFiles(spark, kept, current)
-      else applyMorDeletes(spark, taggedRead(spark, kept, current), delRefs, current)
+      else if (eqRefs.isEmpty && posRefs.isEmpty) readFiles(spark, kept, current)
+      else {
+        val tagged = taggedRead(spark, kept, current, withPos = posRefs.nonEmpty)
+        val p1 = if (posRefs.nonEmpty) applyPosDeletes(spark, tagged, posRefs) else tagged
+        val p2 = if (eqRefs.nonEmpty) applyMorDeletes(spark, p1, eqRefs, current)
+          else p1.drop(SeqCol)
+        p2.drop(FpCol, RiCol)
+      }
     if (!base.columns.contains(column)) base.filter(lit(false))
     else base.filter(col(column) === value)
   }
@@ -1602,6 +1661,29 @@ object LakeTable {
       prev ++ stageManifest(keys, path, kind = "delete"), "mor_delete")
   }
 
+  /** MERGE-ON-READ POSITION DELETE (Iceberg v2's positional-delete
+    * shape): commit the (file, row-index) pairs of the matching
+    * VISIBLE rows as a delete file — ROW-granular where
+    * [[deleteMoR]]'s equality deletes are key-granular, so one of
+    * several duplicate-keyed rows can be deleted on its own, with
+    * zero data rewritten. The predicate is evaluated over the current
+    * visible state (equality and earlier position deletes applied),
+    * matching CoW [[delete]] semantics exactly; NULL-predicate rows
+    * are kept. File identity pins the vintage — rewrites (compact/
+    * binpack) re-materialize survivors under new paths, so stale
+    * position rows never resurrect or misfire. */
+  def deleteMoRPositional(
+      spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column): Int = {
+    val base = observedBase(spark, path)
+    val prev = listRefs(path, base)
+    val keys = assembleWithDeletes(spark, prev, schemaOf(path, base), keepMeta = true)
+      .filter(coalesce(predicate, lit(false)))
+      .select(col(FpCol).as("file_path"), col(RiCol).as("row_index"))
+    commitRefs(spark, path, base,
+      prev ++ stageManifest(keys, path, kind = "posdel"), "mor_posdelete")
+  }
+
   /** MERGE-ON-READ UPSERT: one commit shipping the matched keys as a
     * delete file AND the fresh rows as data files. The sequence rule
     * ([[applyMorDeletes]]) makes it correct by construction — the
@@ -1648,7 +1730,9 @@ object LakeTable {
   def compactSmall(spark: SparkSession, path: String, targetBytes: Long): Int = {
     val base = observedBase(spark, path)
     val refs = listRefs(path, base)
-    val (del, data) = refs.partition(_.kind == "delete")
+    val (eq, rest) = refs.partition(_.kind == "delete")
+    val (pos, data) = rest.partition(_.kind == "posdel")
+    val del = eq ++ pos
     val current = schemaOf(path, base)
     def sizeOf(e: ManifestEntry): Long =
       if (e.bytes >= 0) e.bytes else Files.size(Paths.get(e.file))
@@ -1659,7 +1743,13 @@ object LakeTable {
     val smallSet = smalls.map(_.file).toSet
     val smallDf =
       if (del.isEmpty) readFiles(spark, smalls, current)
-      else applyMorDeletes(spark, taggedRead(spark, smalls, current), del, current)
+      else {
+        val tagged = taggedRead(spark, smalls, current, withPos = pos.nonEmpty)
+        val p1 = if (pos.nonEmpty) applyPosDeletes(spark, tagged, pos) else tagged
+        val p2 = if (eq.nonEmpty) applyMorDeletes(spark, p1, eq, current)
+          else p1.drop(SeqCol)
+        p2.drop(FpCol, RiCol)
+      }
     val nOut = math.max(1L,
       (smalls.map(sizeOf).sum + targetBytes - 1) / targetBytes).toInt
     val packed = stageManifest(smallDf.repartition(nOut), path)
@@ -1671,6 +1761,95 @@ object LakeTable {
         .copy(seq = r.seq, pspec = r.pspec))
     }
     commitRefs(spark, path, base, keptRefs ++ del ++ packed, "binpack")
+  }
+
+  // ---- branches (Iceberg-style WRITABLE refs) ----
+
+  private def branchesRoot(path: String) = s"$path/_graft_branches"
+
+  /** The table path of a branch — every LakeTable operation (append,
+    * merge, time travel, readWhere, …) works on it unchanged: a
+    * branch IS a table whose v0 re-references the fork point's
+    * manifests, so branch writes stage their own data while shared
+    * history stays shared (and GC on either side sees the other's
+    * references — see [[externalRefs]]). */
+  def branchPath(path: String, name: String): String = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"illegal branch name '$name'")
+    s"${branchesRoot(path)}/$name"
+  }
+
+  /** All branch names of a table. */
+  def branches(path: String): Seq[String] = {
+    val root = Paths.get(branchesRoot(path))
+    if (!Files.exists(root)) Nil
+    else {
+      val ls = Files.list(root)
+      try ls.iterator().asScala.filter(Files.isDirectory(_))
+        .map(_.getFileName.toString).toSeq.sorted
+      finally ls.close()
+    }
+  }
+
+  /** CREATE a branch at `fromVersion` (default: latest): its v0 is a
+    * metadata-only commit re-referencing the fork point — zero data
+    * copied, the Iceberg audit-branch workflow (write to the branch,
+    * validate, [[fastForward]] main). One level only: branching a
+    * branch is refused. */
+  def createBranch(
+      spark: SparkSession, path: String, name: String,
+      fromVersion: Option[Int] = None): Int = {
+    require(!path.contains("/_graft_branches/"),
+      "branches fork from the main table only")
+    val v = fromVersion.orElse(latestVersion(path)).getOrElse(
+      throw new IllegalArgumentException(s"no snapshots at $path"))
+    require(Files.exists(Paths.get(s"${metaDir(path)}/v$v")),
+      s"cannot branch from missing version $v")
+    val bp = branchPath(path, name)
+    require(latestVersion(bp).isEmpty, s"branch '$name' already exists at $path")
+    val b0 = commitRefs(spark, bp, -1, listRefs(path, v), "branch_from",
+      schemaOf(path, v), Some(constraintsOf(path, v)).filter(_.nonEmpty))
+    Files.writeString(Paths.get(s"${metaDir(bp)}/fork.json"),
+      s"{${jstr("version")}:$v}")
+    b0
+  }
+
+  /** FAST-FORWARD main to a branch's head: refused when main moved
+    * past the fork (divergence needs a merge, not a silent overwrite
+    * of main's commits); on success main adopts the branch's list/
+    * schema/constraints as a new commit and the fork point advances,
+    * so audit cycles can repeat on the same branch. */
+  def fastForward(spark: SparkSession, path: String, name: String): Int = {
+    val bp = branchPath(path, name)
+    val head = latestVersion(bp).getOrElse(
+      throw new IllegalArgumentException(s"no such branch '$name' at $path"))
+    val forkFile = Paths.get(s"${metaDir(bp)}/fork.json")
+    val forkV = readJsonLines(forkFile).head.get("version").asInt
+    val base = observedBase(spark, path)
+    require(base == forkV,
+      s"main at v$base has diverged from branch '$name' (forked at v$forkV) — " +
+        "fast-forward refused; merge the branch content explicitly")
+    val next = commitRefs(spark, path, base, listRefs(bp, head), "fast_forward",
+      schemaOf(bp, head), Some(constraintsOf(bp, head)).filter(_.nonEmpty))
+    Files.writeString(forkFile, s"{${jstr("version")}:$next}")
+    next
+  }
+
+  /** DROP a branch: its metadata vanishes; data files only the branch
+    * referenced become orphans for [[removeOrphans]] to reclaim. */
+  def dropBranch(path: String, name: String): Unit =
+    graft.Util.rmRecursive(branchPath(path, name))
+
+  /** Manifests referenced by RELATED roots — the main table when
+    * `path` is a branch, and every branch when `path` is main. GC
+    * (expire, orphan removal) must treat these as live: a branch's v0
+    * shares the fork point's manifests with main, and branch commits
+    * keep carrying them. */
+  private def externalRefs(path: String): Seq[ManifestRef] = {
+    val idx = path.indexOf("/_graft_branches/")
+    val main = if (idx >= 0) path.substring(0, idx) else path
+    val roots = main +: branches(main).map(branchPath(main, _))
+    roots.filterNot(_ == path)
+      .flatMap(r => liveVersions(r).flatMap(listRefs(r, _)))
   }
 
   // ---- snapshot tags (Iceberg-style named refs) ----
@@ -1963,6 +2142,28 @@ object LakeTable {
     require(lastPlanAudit.filesKept < lastPlanAudit.filesClaimed,
       s"hidden-partition pruning must skip files: $lastPlanAudit")
     out
+  }
+
+  /** Driver query: BRANCH / WRITE-AUDIT-FAST-FORWARD end to end —
+    * main holds the even events (v0), a branch forks and receives the
+    * odd events, and main adopts the branch head via [[fastForward]].
+    * The requires pin isolation (main unchanged while the branch
+    * carries staged rows) and the oracle is the full-table aggregate,
+    * so the fork/adopt cycle itself is hash-verified. */
+  def branchFastForwardQuery(s: SparkSession, d: String): DataFrame = {
+    val path = freshWorkDir("lakebranch", d)
+    val ev = graft.Tables.load(s, d, "events").select("event_id", "event_type", "value")
+    overwrite(ev.filter(pmod(col("event_id"), lit(2L)) === 0), path) // main v0
+    createBranch(s, path, "staging")
+    val bp = branchPath(path, "staging")
+    append(ev.filter(pmod(col("event_id"), lit(2L)) =!= 0), bp) // branch-only
+    require(read(s, path).count() < read(s, bp).count(),
+      "branch writes must be invisible on main before fast-forward")
+    fastForward(s, path, "staging")
+    read(s, path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+      .orderBy("event_type")
   }
 
   /** Driver query: per-file BLOOM FILTERS end to end — documents
@@ -2304,26 +2505,39 @@ object LakeTable {
     val tagged = tags(path).values.toSet
     val keepVersions = (cutoff to latest).filter(live) ++
       (0 until cutoff).filter(v => live(v) && tagged(v))
-    val keepManifests = keepVersions.flatMap(listRefs(path, _)).map(_.manifest).toSet
+    // manifests the main table / sibling branches still reference are
+    // PINNED: a branch's chain shares the fork point's manifests
+    val keepRefs = keepVersions.flatMap(listRefs(path, _)) ++ externalRefs(path)
+    val keepManifests = keepRefs.map(_.manifest).toSet
     val dropDirs = (0 until cutoff).filter(v => live(v) && !tagged(v))
     val dropRefs = dropDirs.flatMap(listRefs(path, _))
       .filterNot(r => keepManifests(r.manifest))
       .groupBy(_.manifest).map(_._2.head).toSeq
-    // report + delete the dropped manifests' data files (the whole
-    // immutable commit dir each), then the manifests themselves
+    // delete a dropped manifest's files — the whole immutable commit
+    // dir when no kept manifest shares it, else FILE-GRANULAR (since
+    // binpack/bloom, a partial re-manifest of the same dir can be
+    // kept while the original full manifest drops: deleting the whole
+    // dir would kill the files the kept manifest still references)
+    val keepBases = keepRefs.map(_.base).toSet
     val dropFiles = dropRefs.flatMap { r =>
-      val base = Paths.get(r.base)
-      if (!Files.exists(base)) Nil
-      else {
-        val walk = Files.walk(base)
-        try walk.iterator().asScala.map(_.toString)
+      if (!Files.exists(Paths.get(r.base))) {
+        Files.deleteIfExists(Paths.get(r.manifest)); Nil
+      } else if (!keepBases(r.base)) {
+        val walk = Files.walk(Paths.get(r.base))
+        val fs = try walk.iterator().asScala.map(_.toString)
           .filter(_.endsWith(".parquet")).toSeq
         finally walk.close()
+        graft.Util.rmRecursive(r.base)
+        Files.deleteIfExists(Paths.get(r.manifest))
+        fs
+      } else {
+        val keptFiles = keepRefs.filter(_.base == r.base)
+          .flatMap(readManifest).map(_.file).toSet
+        val mine = readManifest(r).map(_.file).filterNot(keptFiles)
+        mine.foreach(f => Files.deleteIfExists(Paths.get(f)))
+        Files.deleteIfExists(Paths.get(r.manifest))
+        mine
       }
-    }
-    dropRefs.foreach { r =>
-      graft.Util.rmRecursive(r.base)
-      Files.deleteIfExists(Paths.get(r.manifest))
     }
     dropDirs.foreach { v =>
       val md = Paths.get(s"${metaDir(path)}/v$v")
@@ -2397,8 +2611,8 @@ object LakeTable {
     // manifest covers its immutable dir 1:1), so the live set is
     // O(#manifests) — no per-file entry is deserialized to list
     // orphans even on a 10⁷-file table
-    val liveBases = liveVersions(path)
-      .flatMap(listRefs(path, _)).map(b => s"${b.base}/").toSet
+    val liveBases = (liveVersions(path).flatMap(listRefs(path, _))
+      ++ externalRefs(path)).map(b => s"${b.base}/").toSet
     val dataRoot = Paths.get(s"$path/data")
     if (!Files.exists(dataRoot)) return Nil
     val walk = Files.walk(dataRoot)
@@ -2440,8 +2654,8 @@ object LakeTable {
     // manifests referenced by no live version (the residue of a crash
     // between manifest staging and the version claim) are orphan
     // METADATA — reclaimed by the same pass, under the same grace
-    val liveManifests = liveVersions(path)
-      .flatMap(listRefs(path, _)).map(_.manifest).toSet
+    val liveManifests = (liveVersions(path).flatMap(listRefs(path, _))
+      ++ externalRefs(path)).map(_.manifest).toSet
     val mdir = Paths.get(manifestsDir(path))
     if (Files.exists(mdir)) {
       val ls = Files.list(mdir)

@@ -999,6 +999,46 @@ class LakeTableSpec extends AnyFunSuite {
       s"NULL-keyed row must be deleted (null-safe key match): $got")
   }
 
+  test("position deletes: row-granular where equality deletes are key-granular") {
+    val p = "/tmp/graft_test/lake_posdel"
+    rmdir(p)
+    import spark.implicits._
+    // DUPLICATE keys — the case equality deletes cannot express:
+    // deleting only (1,"a") must leave (1,"b") alive
+    LakeTable.overwrite(
+      Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("k", "s").coalesce(1), p) // v0
+    val v0Files = LakeTable.read(spark, p).inputFiles.toSet
+    LakeTable.deleteMoRPositional(spark, p, col("s") === "a") // v1
+    val got1 = LakeTable.read(spark, p)
+    assert(got1.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._2).toSeq
+      === Seq((1L, "b"), (2L, "c")),
+      "only the matching ROW of the duplicate key may be deleted")
+    assert(v0Files.subsetOf(got1.inputFiles.toSet), "position delete must not rewrite")
+    assert(LakeTable.read(spark, p, Some(0)).count() === 3, "time travel intact")
+    // stacking: a second positional delete, evaluated on the VISIBLE
+    // state (the first delete already applied)
+    LakeTable.deleteMoRPositional(spark, p, col("s") === "b") // v2
+    assert(LakeTable.read(spark, p).collect().map(_.getString(1)).toSeq === Seq("c"))
+    // equality + position deletes compose on one table
+    LakeTable.append(Seq((3L, "d"), (3L, "e")).toDF("k", "s").coalesce(1), p) // v3
+    LakeTable.deleteMoR(spark, p, "k", col("k") === 2L) // v4: key-granular
+    val mixed = LakeTable.read(spark, p).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._2).toSeq
+    assert(mixed === Seq((3L, "d"), (3L, "e")), s"mixed delete kinds: $mixed")
+    // pruned reads apply position deletes too
+    assert(LakeTable.readWhereBetween(spark, p, "k", 0, 10).count() === 2)
+    // NULL-predicate rows are kept (SQL DELETE semantics)
+    LakeTable.deleteMoRPositional(spark, p,
+      when(col("k") === 3L, lit(null).cast("boolean")).otherwise(lit(false)))
+    assert(LakeTable.read(spark, p).count() === 2)
+    // compact folds every delete representation into clean data
+    LakeTable.compact(spark, p)
+    assert(LakeTable.read(spark, p).count() === 2)
+    assert(LakeTable.entriesOf(p, LakeTable.history(spark, p)
+      .agg(org.apache.spark.sql.functions.max("version")).head().getInt(0))
+      .forall(_.kind == "data"), "compact must fold position deletes away")
+  }
+
   test("MoR upsert: sequence rule lets patch rows survive their own delete keys") {
     val p = "/tmp/graft_test/lake_mor_up"
     rmdir(p)
@@ -1148,6 +1188,98 @@ class LakeTableSpec extends AnyFunSuite {
     // version pinning works
     assert(LakeTable.manifests(spark, p, Some(0)).count() === 1)
     assert(LakeTable.files(spark, p, Some(0)).count() === 1)
+  }
+
+  test("branches: isolated writes, fast-forward with divergence refusal, drop") {
+    val p = "/tmp/graft_test/lake_branch"
+    rmdir(p)
+    import spark.implicits._
+    LakeTable.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), p) // main v0
+    LakeTable.createBranch(spark, p, "audit")
+    val bp = LakeTable.branchPath(p, "audit")
+    // branch v0 re-references the fork: zero data copied, same rows
+    assert(LakeTable.read(spark, bp).count() === 2)
+    // writes to the branch are INVISIBLE on main (and vice versa)
+    LakeTable.append(Seq((3L, "staged")).toDF("k", "s"), bp)
+    assert(LakeTable.read(spark, bp).count() === 3)
+    assert(LakeTable.read(spark, p).count() === 2)
+    // fast-forward adopts the branch head on main
+    val v1 = LakeTable.fastForward(spark, p, "audit")
+    assert(v1 === 1)
+    assert(LakeTable.read(spark, p).collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(1L, 2L, 3L))
+    // the audit cycle REPEATS: branch keeps writing, ff again
+    LakeTable.append(Seq((4L, "staged2")).toDF("k", "s"), bp)
+    LakeTable.fastForward(spark, p, "audit")
+    assert(LakeTable.read(spark, p).count() === 4)
+    // divergence: main moves on its own → ff refuses loudly
+    LakeTable.append(Seq((9L, "main-only")).toDF("k", "s"), p)
+    LakeTable.append(Seq((5L, "staged3")).toDF("k", "s"), bp)
+    val e = intercept[IllegalArgumentException](LakeTable.fastForward(spark, p, "audit"))
+    assert(e.getMessage.contains("diverged"))
+    assert(LakeTable.read(spark, p).count() === 5, "refused ff must not commit")
+    // drop removes the ref; branching a branch is refused
+    intercept[IllegalArgumentException](LakeTable.createBranch(spark, bp, "nested"))
+    assert(LakeTable.branches(p) === Seq("audit"))
+    LakeTable.dropBranch(p, "audit")
+    assert(LakeTable.branches(p) === Nil)
+  }
+
+  test("expire and orphan GC never reclaim branch-referenced files") {
+    val p = "/tmp/graft_test/lake_branch_gc"
+    rmdir(p)
+    import spark.implicits._
+    LakeTable.overwrite(Seq((1L, "v0")).toDF("k", "s"), p) // main v0
+    LakeTable.createBranch(spark, p, "pinned") // forks at v0
+    LakeTable.overwrite(Seq((2L, "v1")).toDF("k", "s"), p) // main v1
+    LakeTable.overwrite(Seq((3L, "v2")).toDF("k", "s"), p) // main v2
+    // expire drops main's v0/v1 lists — but v0's FILES are still
+    // referenced by the branch and must survive
+    LakeTable.expireSnapshots(spark, p, retain = 1)
+    assert(LakeTable.read(spark, LakeTable.branchPath(p, "pinned"))
+      .collect().map(_.getLong(0)).toSeq === Seq(1L),
+      "branch must still read its fork-point data after main expire")
+    // orphan GC on main sees branch references as live
+    LakeTable.removeOrphans(spark, p, graceMillis = 0)
+    assert(LakeTable.read(spark, LakeTable.branchPath(p, "pinned")).count() === 1)
+    // dropping the branch releases the files to the next GC pass
+    LakeTable.dropBranch(p, "pinned")
+    val removed = LakeTable.removeOrphans(spark, p, graceMillis = 0)
+    assert(removed.nonEmpty, "dropped branch's unshared files become orphans")
+    assert(LakeTable.read(spark, p).count() === 1) // main intact
+  }
+
+  test("expire with a shared base is file-granular: bloom/binpack re-manifests survive") {
+    // since binpack/bloom, TWO manifests can reference one commit dir;
+    // expire used to delete the whole dir with the dropped manifest
+    val p = "/tmp/graft_test/lake_expire_shared"
+    rmdir(p)
+    import spark.implicits._
+    LakeTable.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "tag").coalesce(1), p) // v0
+    LakeTable.withBloom(spark, p, "tag") // v1: NEW manifest, SAME base dir
+    val dropped = LakeTable.expireSnapshots(spark, p, retain = 1)
+    assert(dropped.isEmpty,
+      s"every file is still referenced by the bloomed manifest: $dropped")
+    assert(LakeTable.read(spark, p).count() === 2, "table must survive the expire")
+    assert(LakeTable.readWhereEquals(spark, p, "tag", "a").count() === 1)
+    // binpack variant: the kept big file shares its base with dropped
+    // full manifests; only the folded small files may be GC'd
+    val p2 = "/tmp/graft_test/lake_expire_shared2"
+    rmdir(p2)
+    LakeTable.overwrite(
+      spark.range(0, 5000).select(col("id").as("k"), (col("id") * 1.0).as("v"))
+        .coalesce(1), p2) // v0: one big file
+    LakeTable.append(Seq((90001L, 1.0)).toDF("k", "v").coalesce(1), p2) // v1: tiny
+    LakeTable.append(Seq((90002L, 2.0)).toDF("k", "v").coalesce(1), p2) // v2: tiny
+    val sizes = LakeTable.entriesOf(p2, 2).map(e =>
+      java.nio.file.Files.size(java.nio.file.Paths.get(e.file)))
+    LakeTable.compactSmall(spark, p2, (sizes.min + sizes.max) / 2) // v3
+    val dropped2 = LakeTable.expireSnapshots(spark, p2, retain = 1)
+    assert(LakeTable.read(spark, p2).count() === 5002,
+      "binpacked table must survive expiring its pre-fold versions")
+    assert(dropped2.nonEmpty && dropped2.forall(f =>
+      !LakeTable.read(spark, p2).inputFiles.exists(_.endsWith(f.split('/').last))),
+      s"only unreferenced (folded) files may be GC'd: $dropped2")
   }
 
   test("CHECK constraints gate writes: violating batches never land, drop lifts the gate") {

@@ -14,6 +14,39 @@ import org.scalatest.funsuite.AnyFunSuite
 class StreamToLakeSpec extends AnyFunSuite {
   private lazy val spark = SparkSpec.spark
 
+  test("stream lands in a HIDDEN-PARTITIONED table; pruning spans micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = "/tmp/graft_test/stream_lake_hidden"
+    SparkSpec.rmdir(path)
+    val spec = Seq(LakeTable.PartitionTransform("ts_s", "day"))
+    val input = MemoryStream[(Long, Long, Double)]
+    val query = input.toDS().toDF("k", "ts_s", "v")
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        LakeTable.appendHiddenPartitioned(batch, path, spec)
+        ()
+      }
+      .start()
+    try {
+      input.addData((1L, 0L, 1.0), (2L, 86400L, 2.0)) // days 0, 1
+      query.processAllAvailable()
+      input.addData((3L, 86401L, 3.0), (4L, 2 * 86400L, 4.0)) // days 1, 2
+      query.processAllAvailable()
+      val t = LakeTable.read(spark, path)
+      assert(t.count() === 4)
+      assert(!t.columns.exists(_.startsWith("__p_")), "layout stays hidden")
+      // a day-1 interval prunes across BOTH batches' manifests and
+      // reads exactly the two day-1 rows
+      val day1 = LakeTable.readWhereBetween(spark, path, "ts_s", 86400, 2 * 86400 - 1)
+      assert(day1.collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 3L))
+      val a = LakeTable.lastPlanAudit
+      assert(a.filesKept < a.filesClaimed,
+        s"day pruning must skip other days' files across batches: $a")
+    } finally query.stop()
+  }
+
   test("foreachBatch upserts micro-batches into the lake table") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
