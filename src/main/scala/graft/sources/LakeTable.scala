@@ -101,7 +101,12 @@ object LakeTable {
       // prune on source-column predicates through the transform and
       // never see the derived column. Per-manifest, so the spec can
       // evolve between commits (empty = unpartitioned/hive layout)
-      pspec: Seq[PartitionTransform] = Nil)
+      pspec: Seq[PartitionTransform] = Nil,
+      // true when this manifest covers only PART of its commit dir
+      // (binpack's re-manifest of the kept files): readers must use
+      // the explicit file list — a whole-dir scan would resurrect the
+      // folded files that still sit in the dir for older versions
+      partial: Boolean = false)
 
   /** One hidden-partition transform (Iceberg's spec entry): derive a
     * partition value from `source` without adding a user-visible
@@ -244,7 +249,8 @@ object LakeTable {
         ManifestRef(n.get("manifest").asText, n.get("base").asText,
           n.get("kind").asText, n.get("seq").asInt,
           n.get("n_files").asLong, nodeStats(n.get("ranges")),
-          nodeCols(n.get("cols")), nodePspec(n.get("pspec")))
+          nodeCols(n.get("cols")), nodePspec(n.get("pspec")),
+          Option(n.get("partial")).exists(_.asBoolean))
       }
   }
 
@@ -412,7 +418,8 @@ object LakeTable {
         s"${jstr("kind")}:${jstr(r.kind)},${jstr("operation")}:${jstr(op)}," +
         s"${jstr("committed_at")}:$committedAt,${jstr("seq")}:${if (r.seq < 0) next else r.seq}," +
         s"${jstr("n_files")}:${r.nFiles},${jstr("ranges")}:${jstats(r.ranges)}," +
-        s"${jstr("cols")}:${jcols(r.cols)},${jstr("pspec")}:${jpspec(r.pspec)}}"
+        s"${jstr("cols")}:${jcols(r.cols)},${jstr("pspec")}:${jpspec(r.pspec)}," +
+        s"${jstr("partial")}:${r.partial}}"
     val lines =
       if (refs.isEmpty)
         Seq(s"{${jstr("manifest")}:null,${jstr("base")}:null,${jstr("kind")}:null," +
@@ -659,8 +666,19 @@ object LakeTable {
 
   private def stageHidden(
       df: DataFrame, path: String, spec: Seq[PartitionTransform]): Option[ManifestRef] = {
-    spec.foreach(t => require(df.columns.contains(t.source),
-      s"partition transform source '${t.source}' is not a column"))
+    spec.foreach { t =>
+      require(df.columns.contains(t.source),
+        s"partition transform source '${t.source}' is not a column")
+      // bucket pruning re-derives the hash DRIVER-SIDE from a LONG
+      // literal; Spark's xxhash64 hashes int32 and int64 differently,
+      // so a non-bigint source would prune the WRONG bucket — refuse
+      // at write time rather than lose rows at read time
+      if (t.kind == "bucket")
+        require(df.schema(t.source).dataType ==
+          org.apache.spark.sql.types.LongType,
+          s"bucket transform supports BIGINT sources; '${t.source}' is " +
+            s"${df.schema(t.source).dataType}")
+    }
     val withHidden = spec.foldLeft(df)((d, t) =>
       d.withColumn(hiddenColName(t), transformExpr(t)))
     // co-locate each partition value into one task before partitionBy:
@@ -710,9 +728,20 @@ object LakeTable {
   private def publishStaged(
       spark: SparkSession, path: String,
       fresh: Seq[ManifestRef], op: String): Int = {
+    // the staged batch was constraint-checked against the set active
+    // at stage time; if a racer lands a schema of NEW constraints
+    // before our claim, the rebase must NOT silently publish rows
+    // that were never checked against them (TOCTOU) — fail loudly so
+    // the caller re-stages under the new gate
+    val consAtStage = latestVersion(path).map(constraintsOf(path, _)).getOrElse(Nil)
     var attempt = 0
     while (true) {
       val base = latestVersion(path).getOrElse(-1)
+      val consNow = if (base >= 0) constraintsOf(path, base) else Nil
+      require(consNow.toSet.subsetOf(consAtStage.toSet),
+        s"CHECK constraints changed concurrently at $path " +
+          s"(staged under ${consAtStage.map(_._1)}, now ${consNow.map(_._1)}) — " +
+          "the staged batch was not validated against the new set; re-stage")
       val prev = if (base >= 0) listRefs(path, base) else Nil
       try {
         return commitRefs(spark, path, base, prev ++ fresh, op)
@@ -869,7 +898,16 @@ object LakeTable {
     * explicit file list without materializing the list). basePath
     * reconstructs hive partition columns. */
   private def refScan(spark: SparkSession, ref: ManifestRef): DataFrame =
-    dropHidden(spark.read.option("basePath", ref.base).parquet(ref.base))
+    if (ref.partial)
+      // a PARTIAL manifest (binpack re-manifest) must read its
+      // explicit file list: the commit dir still holds the folded
+      // files (older versions reference them) and a dir scan would
+      // count their rows twice
+      dropHidden(spark.read
+        .option("mergeSchema", "true")
+        .option("basePath", ref.base)
+        .parquet(readManifest(ref).map(_.file): _*))
+    else dropHidden(spark.read.option("basePath", ref.base).parquet(ref.base))
 
   /** Strip reconstructed hidden-partition columns — they are layout,
     * not data (the `__p_` prefix is reserved for this). */
@@ -1223,7 +1261,8 @@ object LakeTable {
   def zOrderBy(
       spark: SparkSession, path: String, numFiles: Int,
       zCols: String*): Int = {
-    require(zCols.size >= 2, "z-order needs at least two clustering columns")
+    require(zCols.size >= 2 && zCols.size <= 16,
+      s"z-order supports 2..16 clustering columns, got ${zCols.size}")
     val k = zCols.size
     // 16 bits per dim up to 3 dims, narrower past that — the z-key
     // must stay inside one long (k * bits ≤ 48 keeps headroom)
@@ -1428,8 +1467,11 @@ object LakeTable {
     val base = observedBase(spark, path)
     require(Files.exists(Paths.get(s"${metaDir(path)}/v$version")),
       s"cannot roll back to missing version $version at $path")
+    // constraints roll back WITH the snapshot (a bad deploy may have
+    // added one; carrying the current set would leave metadata
+    // half-rolled-back) — Some(Nil) clears, None would inherit
     commitRefs(spark, path, base, listRefs(path, version), "rollback",
-      schemaOf(path, version))
+      schemaOf(path, version), Some(constraintsOf(path, version)))
   }
 
   /** Iceberg-style `manifests` METADATA TABLE: one row per manifest
@@ -1531,7 +1573,7 @@ object LakeTable {
         }
       }
       writeManifest(path, entries, r.kind, r.cols)
-        .copy(seq = r.seq, pspec = r.pspec)
+        .copy(seq = r.seq, pspec = r.pspec, partial = r.partial)
     }
     commitRefs(spark, path, base, rebloomed ++ del, "bloom")
   }
@@ -1552,23 +1594,72 @@ object LakeTable {
     val (posRefs, dataRefs) = rest0.partition(_.kind == "posdel")
     val current = schemaOf(path, v)
     val key = bloomKey(path, v, column)
-    val kept = dataRefs.filter(_.nFiles > 0).flatMap(readManifest).filter { e =>
-      e.bloom.get(key) match {
-        case Some(bits +: k +: positions) if bits > 0 =>
-          val set = positions.toSet
-          bloomProbes(value, bits, k).forall(set.contains)
-        case _ => true // no bloom → cannot prune
-      }
-    }
-    lastPlanAudit = PlanAudit(
-      dataRefs.size, dataRefs.size,
-      dataRefs.map(_.nFiles).sum, kept.size.toLong, distributed = false)
-    val base =
-      if (kept.isEmpty) read(spark, path, Some(v)).filter(lit(false))
-      else if (eqRefs.isEmpty && posRefs.isEmpty) readFiles(spark, kept, current)
+    val live = dataRefs.filter(_.nFiles > 0)
+    val claimed = live.map(_.nFiles).sum
+    val distributed = claimed > DistributedPlanThreshold
+    // below the threshold: driver-side probe over the entries; past
+    // it: ONE Spark job evaluates the same probes against the
+    // manifests' bloom JSON (identical xxhash64 expression — the
+    // 10⁷-file posture, mirroring readWhere's distributed plan,
+    // with the same ≥90%-kept whole-manifest fallback)
+    val (fullRefs, kept) =
+      if (!distributed)
+        (Nil, live.flatMap(readManifest).filter { e =>
+          e.bloom.get(key) match {
+            case Some(bits +: k +: positions) if bits > 0 =>
+              val set = positions.toSet
+              bloomProbes(value, bits, k).forall(set.contains)
+            case _ => true // no bloom → cannot prune
+          }
+        })
       else {
-        val tagged = taggedRead(spark, kept, current, withPos = posRefs.nonEmpty)
-        val p1 = if (posRefs.nonEmpty) applyPosDeletes(spark, tagged, posRefs) else tagged
+        import spark.implicits._
+        def mname(r: ManifestRef) = Paths.get(r.manifest).getFileName.toString
+        val refDf = live.map(r => (mname(r), r.kind, r.seq))
+          .toDF("mname", "kind", "seq")
+        val arr = try_element_at(col("bloom"), lit(key))
+        val positions = slice(arr, lit(3), greatest(size(arr) - 2, lit(0)))
+        val keepCond = arr.isNull ||
+          (element_at(arr, lit(1)) > 0 && forall(
+            sequence(lit(0), element_at(arr, lit(2)).cast("int") - 1),
+            j => array_contains(positions,
+              pmod(xxhash64(lit(value), j), element_at(arr, lit(1))))))
+        val keptDf = spark.read
+          .schema("file STRING, base STRING, bloom MAP<STRING, ARRAY<LONG>>")
+          .json(live.map(_.manifest): _*)
+          .withColumn("mname", element_at(split(input_file_name(), "/"), -1))
+          .join(broadcast(refDf), Seq("mname"))
+          .filter(keepCond)
+        val counts = keptDf.groupBy("mname").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val survivors = live.filter(r => counts.getOrElse(mname(r), 0L) > 0L)
+        val (full, partialRefs) = survivors.partition(r =>
+          counts(mname(r)) * 10L >= r.nFiles * 9L)
+        val byName = partialRefs.map(r => mname(r) -> r).toMap
+        val collected = if (partialRefs.isEmpty) Nil else keptDf
+          .filter(col("mname").isInCollection(byName.keys.toSeq))
+          .select("file", "base", "kind", "seq", "mname").collect().toSeq
+          .map(r => ManifestEntry(r.getString(0), r.getString(1), Map.empty,
+            r.getString(2), r.getInt(3), byName(r.getString(4)).cols))
+        (full, collected)
+      }
+    lastPlanAudit = PlanAudit(
+      dataRefs.size, dataRefs.size, claimed,
+      fullRefs.map(_.nFiles).sum + kept.size.toLong, distributed, fullRefs.size)
+    def assemble(parts: Seq[DataFrame]): DataFrame =
+      parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    val base =
+      if (fullRefs.isEmpty && kept.isEmpty) read(spark, path, Some(v)).filter(lit(false))
+      else if (eqRefs.isEmpty && posRefs.isEmpty) assemble(Seq(
+        if (kept.nonEmpty) Some(readFiles(spark, kept, current)) else None,
+        if (fullRefs.nonEmpty) Some(readRefs(spark, fullRefs, current)) else None).flatten)
+      else {
+        val withPos = posRefs.nonEmpty
+        val tagged = assemble(Seq(
+          if (kept.nonEmpty) Some(taggedRead(spark, kept, current, withPos)) else None,
+          if (fullRefs.nonEmpty)
+            Some(taggedReadRefs(spark, fullRefs, current, withPos)) else None).flatten)
+        val p1 = if (withPos) applyPosDeletes(spark, tagged, posRefs) else tagged
         val p2 = if (eqRefs.nonEmpty) applyMorDeletes(spark, p1, eqRefs, current)
           else p1.drop(SeqCol)
         p2.drop(FpCol, RiCol)
@@ -1758,7 +1849,7 @@ object LakeTable {
       if (keep.isEmpty) None
       else if (keep.size == es.size) Some(r) // untouched manifest carried as-is
       else Some(writeManifest(path, keep, r.kind, r.cols)
-        .copy(seq = r.seq, pspec = r.pspec))
+        .copy(seq = r.seq, pspec = r.pspec, partial = true))
     }
     commitRefs(spark, path, base, keptRefs ++ del ++ packed, "binpack")
   }
@@ -1835,9 +1926,24 @@ object LakeTable {
   }
 
   /** DROP a branch: its metadata vanishes; data files only the branch
-    * referenced become orphans for [[removeOrphans]] to reclaim. */
-  def dropBranch(path: String, name: String): Unit =
-    graft.Util.rmRecursive(branchPath(path, name))
+    * referenced become orphans for [[removeOrphans]] to reclaim.
+    * REFUSED while main (or a sibling) still references anything
+    * under the branch dir — after a [[fastForward]], main's latest
+    * list points at manifests and data STAGED IN THE BRANCH, and
+    * deleting them would destroy main's current snapshot (expire
+    * main's pre-adoption history past the adopted version first, or
+    * rewrite it with [[compact]], then drop). */
+  def dropBranch(path: String, name: String): Unit = {
+    val bp = branchPath(path, name)
+    val prefix = s"$bp/"
+    val pinnedBy = externalRefs(bp)
+      .filter(r => r.manifest.startsWith(prefix) || r.base.startsWith(prefix))
+    require(pinnedBy.isEmpty,
+      s"cannot drop branch '$name': ${pinnedBy.size} manifest(s) staged in it are " +
+        "still referenced by main or a sibling (fast-forwarded content) — " +
+        "compact or expire the referencing snapshots first")
+    graft.Util.rmRecursive(bp)
+  }
 
   /** Manifests referenced by RELATED roots — the main table when
     * `path` is a branch, and every branch when `path` is main. GC
@@ -2345,7 +2451,8 @@ object LakeTable {
         { System.err.println(s"[lake] cannot materialize changes of v$v at $path: " +
             "parent snapshot expired before materialization"); false })
     todo.foreach { v =>
-      val noop = Set("compact", "optimize", "zorder", "rename_column", "drop_column")
+      val noop = Set("compact", "optimize", "zorder", "rename_column", "drop_column",
+        "binpack", "bloom", "add_constraint", "drop_constraint")
       val df =
         if (v == 0) read(spark, path, Some(0)).withColumn("change_type", lit("insert"))
         else if (noop(operationOf(path, v)))
@@ -2373,7 +2480,10 @@ object LakeTable {
   def changesStream(spark: SparkSession, path: String): DataFrame = {
     materializeChanges(spark, path)
     val dir = changelogDir(path)
-    val schema = spark.read.parquet(dir).schema
+    // mergeSchema: changelog generations written before a rename
+    // carry the old column name — a single-footer schema would
+    // silently null one generation's measures
+    val schema = spark.read.option("mergeSchema", "true").parquet(dir).schema
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 1)

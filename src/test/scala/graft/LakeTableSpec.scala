@@ -1221,8 +1221,17 @@ class LakeTableSpec extends AnyFunSuite {
     // drop removes the ref; branching a branch is refused
     intercept[IllegalArgumentException](LakeTable.createBranch(spark, bp, "nested"))
     assert(LakeTable.branches(p) === Seq("audit"))
+    // main still references the fast-forwarded (branch-staged)
+    // manifests — dropping now would destroy main's snapshot, refuse
+    val e2 = intercept[IllegalArgumentException](LakeTable.dropBranch(p, "audit"))
+    assert(e2.getMessage.contains("fast-forwarded"), e2.getMessage)
+    // compacting main rewrites its content into main's own dirs and
+    // expire releases the adopted references — then the drop is safe
+    LakeTable.compact(spark, p)
+    LakeTable.expireSnapshots(spark, p, retain = 1)
     LakeTable.dropBranch(p, "audit")
     assert(LakeTable.branches(p) === Nil)
+    assert(LakeTable.read(spark, p).count() === 5, "main intact after drop")
   }
 
   test("expire and orphan GC never reclaim branch-referenced files") {
@@ -1357,6 +1366,36 @@ class LakeTableSpec extends AnyFunSuite {
     assert(LakeTable.read(spark, p, Some(4)).count() === 5001)
   }
 
+  test("binpack of a mixed-size commit dir: partial re-manifest never double-counts") {
+    // ONE commit (one manifest, one dir) holding a big and a tiny
+    // file: the fold must re-manifest the kept big file as PARTIAL so
+    // readers use its explicit file list — a whole-dir scan would
+    // also read the folded tiny file (still on disk for v0) and
+    // return its rows twice
+    val p = "/tmp/graft_test/lake_binpack_mixed"
+    rmdir(p)
+    import spark.implicits._
+    val df = spark.range(0, 5001).select(col("id").as("k"),
+      when(col("id") === 0, "a").when(col("id") === 1, "c")
+        .otherwise("b").as("part"), lit(1.0).as("v"))
+    LakeTable.overwritePartitioned(df, p, "part") // v0: parts a,c tiny; b big
+    assert(LakeTable.entriesOf(p, 0).size >= 2)
+    val sizes = LakeTable.entriesOf(p, 0).map(e =>
+      java.nio.file.Files.size(java.nio.file.Paths.get(e.file)))
+    val v1 = LakeTable.compactSmall(spark, p, (sizes.min + sizes.max) / 2)
+    val after = LakeTable.read(spark, p, Some(v1))
+    assert(after.count() === 5001,
+      "folded rows must appear exactly ONCE (no whole-dir double count)")
+    assert(after.filter(col("part") === "a").count() === 1)
+    // the big file was carried unrewritten, via a PARTIAL manifest
+    val kept = LakeTable.listRefs(p, v1).filter(_.kind == "data")
+    assert(kept.exists(_.partial), s"kept subset must be marked partial: $kept")
+    // v0 still reads its original layout exactly
+    assert(LakeTable.read(spark, p, Some(0)).count() === 5001)
+    // and stats pruning through the partial manifest stays exact
+    assert(LakeTable.readWhereBetween(spark, p, "k", 0, 100).count() === 101)
+  }
+
   test("per-file blooms skip string equality lookups, survive renames, stay exact") {
     val p = "/tmp/graft_test/lake_bloom"
     rmdir(p)
@@ -1388,6 +1427,17 @@ class LakeTableSpec extends AnyFunSuite {
     assert(got2.count() === 25, "bloom lookup must follow the rename by field id")
     assert(LakeTable.lastPlanAudit.filesKept === 2, // matching file + unbloated v2 file
       s"renamed lookup must still prune: ${LakeTable.lastPlanAudit}")
+    // past the claimed-file threshold the SAME probes run as one
+    // Spark job (identical xxhash64 expression both sides)
+    val saved = LakeTable.DistributedPlanThreshold
+    LakeTable.DistributedPlanThreshold = 2
+    try {
+      val d = LakeTable.readWhereEquals(spark, p, "label", "tag_2")
+      assert(d.count() === 25)
+      val a2 = LakeTable.lastPlanAudit
+      assert(a2.distributed && a2.filesKept === 2,
+        s"distributed bloom prune must agree with the driver path: $a2")
+    } finally LakeTable.DistributedPlanThreshold = saved
   }
 
   test("conditional CoW merge agrees with the MoR merge on the same clauses") {
