@@ -661,7 +661,8 @@ object LakeTable {
   def appendHiddenPartitioned(
       df: DataFrame, path: String, spec: Seq[PartitionTransform]): Int = {
     require(spec.nonEmpty, "hidden partitioning needs at least one transform")
-    publishStaged(df.sparkSession, path, stageHidden(df, path, spec).toSeq, "append")
+    val cons = activeConstraints(path)
+    publishStaged(df.sparkSession, path, stageHidden(df, path, spec).toSeq, "append", cons)
   }
 
   private def stageHidden(
@@ -715,8 +716,14 @@ object LakeTable {
     * re-commits on top of it. Overwrites (and every other op) still
     * fail loudly: their outcome depends on the state they replace, so
     * auto-rebase would silently drop the racer's commit. */
-  def append(df: DataFrame, path: String): Int =
-    publishStaged(df.sparkSession, path, stageManifest(df, path).toSeq, "append")
+  def append(df: DataFrame, path: String): Int = {
+    val cons = activeConstraints(path) // BEFORE staging (TOCTOU guard)
+    publishStaged(df.sparkSession, path, stageManifest(df, path).toSeq, "append", cons)
+  }
+
+  /** The constraint set currently gating writes at `path`. */
+  private def activeConstraints(path: String): Seq[(String, String)] =
+    latestVersion(path).map(constraintsOf(path, _)).getOrElse(Nil)
 
   /** ONE definition of the commit retry/rebase protocol, shared by
     * [[append]] and [[writeAuditPublish]]: base is the version the
@@ -727,13 +734,15 @@ object LakeTable {
     * list and silently dropping the racer's manifests. */
   private def publishStaged(
       spark: SparkSession, path: String,
-      fresh: Seq[ManifestRef], op: String): Int = {
-    // the staged batch was constraint-checked against the set active
-    // at stage time; if a racer lands a schema of NEW constraints
-    // before our claim, the rebase must NOT silently publish rows
-    // that were never checked against them (TOCTOU) — fail loudly so
-    // the caller re-stages under the new gate
-    val consAtStage = latestVersion(path).map(constraintsOf(path, _)).getOrElse(Nil)
+      fresh: Seq[ManifestRef], op: String,
+      // the constraint set the batch WAS validated against, captured
+      // by the caller BEFORE staging began (a snapshot taken here
+      // would already include a constraint added during the long
+      // data-file write — exactly the unvalidated window to refuse)
+      consAtStage: Seq[(String, String)]): Int = {
+    // if a racer lands NEW constraints before our claim, the rebase
+    // must NOT silently publish rows never checked against them
+    // (TOCTOU) — fail loudly so the caller re-stages under the gate
     var attempt = 0
     while (true) {
       val base = latestVersion(path).getOrElse(-1)
@@ -767,6 +776,7 @@ object LakeTable {
       df: DataFrame, path: String,
       audit: DataFrame => Option[String]): Either[String, Int] = {
     val spark = df.sparkSession
+    val cons = activeConstraints(path) // BEFORE staging (TOCTOU guard)
     enforceConstraints(df, path) // CHECKs gate WAP batches too
     val staged = writeDataFiles(df, path)
     audit(readFiles(spark, staged)) match {
@@ -780,7 +790,7 @@ object LakeTable {
               path, latestVersion(path).getOrElse(-1), df.columns.toSeq)
             Seq(writeManifest(path, staged, "data", fieldIds))
           }
-        Right(publishStaged(spark, path, fresh, "append"))
+        Right(publishStaged(spark, path, fresh, "append", cons))
       case Some(reason) =>
         // remove the whole staged commit dir (all entries share one
         // base), not just the .parquet files: a per-file delete left
@@ -1029,6 +1039,34 @@ object LakeTable {
         .withColumn(SeqCol, lit(sq))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
 
+  /** Assemble a PRUNED scan — explicit file entries plus whole
+    * manifests — and apply every delete representation. ONE
+    * definition shared by [[readWhere]], [[readWhereEquals]] and the
+    * binpack fold, so the prune paths can never diverge on delete
+    * semantics. */
+  private def assemblePruned(
+      spark: SparkSession,
+      kept: Seq[ManifestEntry], fullRefs: Seq[ManifestRef],
+      eqRefs: Seq[ManifestRef], posRefs: Seq[ManifestRef],
+      current: Option[Seq[(Int, String)]]): DataFrame = {
+    def assemble(parts: Seq[DataFrame]): DataFrame =
+      parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    if (eqRefs.isEmpty && posRefs.isEmpty) assemble(Seq(
+      if (kept.nonEmpty) Some(readFiles(spark, kept, current)) else None,
+      if (fullRefs.nonEmpty) Some(readRefs(spark, fullRefs, current)) else None).flatten)
+    else {
+      val withPos = posRefs.nonEmpty
+      val tagged = assemble(Seq(
+        if (kept.nonEmpty) Some(taggedRead(spark, kept, current, withPos)) else None,
+        if (fullRefs.nonEmpty)
+          Some(taggedReadRefs(spark, fullRefs, current, withPos)) else None).flatten)
+      val p1 = if (withPos) applyPosDeletes(spark, tagged, posRefs) else tagged
+      val p2 = if (eqRefs.nonEmpty) applyMorDeletes(spark, p1, eqRefs, current)
+        else p1.drop(SeqCol)
+      p2.drop(FpCol, RiCol)
+    }
+  }
+
   /** Does a stats/ranges map admit a match for every predicate box
     * side? (absent column → cannot prune → admits) */
   private def admits(
@@ -1092,7 +1130,10 @@ object LakeTable {
     // source values, so the dir name is the only pruning signal
     def bucketCons(r: ManifestRef): Seq[(String, String)] =
       r.pspec.filter(_.kind == "bucket").flatMap { t =>
-        preds.filter(p => p._1 == t.source && p._2 == p._3 && p._2.isWhole)
+        // match on the TRANSLATED predicate name: transform sources
+        // are write-time names, predicates arrive in current names
+        preds.filter(p =>
+            nameFor(r, p._1) == t.source && p._2 == p._3 && p._2.isWhole)
           .map(p => hiddenColName(t) -> bucketOf(p._2.toLong, t.param).toString)
       }
     val refDf = refs.map(r =>
@@ -1192,33 +1233,21 @@ object LakeTable {
         val named = preds.flatMap { case (c, lo, hi) =>
           writeTimeName(r, c).map((_, lo, hi)) }
         // hidden-partition pruning composes with stats pruning: dir
-        // values prune through the manifest's own transform spec
+        // values prune through the manifest's own transform spec —
+        // matched on the TRANSLATED (write-time) predicate names, so
+        // a renamed source column keeps pruning (transform sources
+        // are write-time names by construction)
         readManifest(r).filter(e =>
-          admits(e.stats, named) && hiddenAdmits(r, e.file, preds))
+          admits(e.stats, named) && hiddenAdmits(r, e.file, named))
       })
     lastPlanAudit = PlanAudit(
       dataRefs.size, candidates.size, claimed,
       fullRefs.map(_.nFiles).sum + kept.size.toLong, distributed, fullRefs.size)
     // merge-on-read deletes apply AFTER the file skip: pruning only
     // decides which data files are touched, never which rows survive
-    def assemble(parts: Seq[DataFrame]): DataFrame =
-      parts.reduce(_.unionByName(_, allowMissingColumns = true))
     val base =
       if (fullRefs.isEmpty && kept.isEmpty) read(spark, path, Some(v)).filter(lit(false))
-      else if (eqRefs.isEmpty && posRefs.isEmpty) assemble(Seq(
-        if (kept.nonEmpty) Some(readFiles(spark, kept, current)) else None,
-        if (fullRefs.nonEmpty) Some(readRefs(spark, fullRefs, current)) else None).flatten)
-      else {
-        val withPos = posRefs.nonEmpty
-        val tagged = assemble(Seq(
-          if (kept.nonEmpty) Some(taggedRead(spark, kept, current, withPos)) else None,
-          if (fullRefs.nonEmpty)
-            Some(taggedReadRefs(spark, fullRefs, current, withPos)) else None).flatten)
-        val p1 = if (withPos) applyPosDeletes(spark, tagged, posRefs) else tagged
-        val p2 = if (eqRefs.nonEmpty) applyMorDeletes(spark, p1, eqRefs, current)
-          else p1.drop(SeqCol)
-        p2.drop(FpCol, RiCol)
-      }
+      else assemblePruned(spark, kept, fullRefs, eqRefs, posRefs, current)
     // full-snapshot schema, resolved lazily: only consulted when a
     // predicate column is absent from the kept files, to keep the
     // pruned read's schema LAYOUT-INDEPENDENT (round-2 ADVICE — a
@@ -1446,9 +1475,13 @@ object LakeTable {
     val (survivors, inserts, affected) =
       mergeRows(target, source, keyCol, matched, notMatchedInsert, notMatchedBySource)
     // the replacement rows = post-merge state of exactly the UPDATED
-    // keys (deleted keys ship no replacement) + the inserts
+    // keys (deleted keys ship no replacement) + the inserts. The
+    // semi-join is NULL-SAFE like every key comparison in the merge:
+    // a plain equi-join would silently drop an updated NULL-keyed
+    // row's replacement while its delete still applied
+    val ak = affected.select(col(keyCol).as("__graft_ak"))
     val replacements = survivors
-      .join(affected, Seq(keyCol), "left_semi")
+      .join(ak, survivors(keyCol) <=> col("__graft_ak"), "left_semi")
       .unionByName(inserts, allowMissingColumns = true)
     val prev = listRefs(path, base)
     commitRefs(spark, path, base,
@@ -1546,10 +1579,11 @@ object LakeTable {
     val current = schemaOf(path, base)
     // ONE distributed job: per file, the distinct bloom bit positions
     // of the column's values (bounded by `bits` per file)
+    // refScan honors partial (binpack) manifests — a whole-dir read
+    // would hash folded files' rows only to discard them
     val posByFile = live.map { r =>
         projectToCurrent(
-          spark.read.option("basePath", r.base).parquet(r.base)
-            .withColumn("__graft_f", input_file_name()),
+          refScan(spark, r).withColumn("__graft_f", input_file_name()),
           r.cols, current)
       }
       .reduce(_.unionByName(_, allowMissingColumns = true))
@@ -1646,24 +1680,9 @@ object LakeTable {
     lastPlanAudit = PlanAudit(
       dataRefs.size, dataRefs.size, claimed,
       fullRefs.map(_.nFiles).sum + kept.size.toLong, distributed, fullRefs.size)
-    def assemble(parts: Seq[DataFrame]): DataFrame =
-      parts.reduce(_.unionByName(_, allowMissingColumns = true))
     val base =
       if (fullRefs.isEmpty && kept.isEmpty) read(spark, path, Some(v)).filter(lit(false))
-      else if (eqRefs.isEmpty && posRefs.isEmpty) assemble(Seq(
-        if (kept.nonEmpty) Some(readFiles(spark, kept, current)) else None,
-        if (fullRefs.nonEmpty) Some(readRefs(spark, fullRefs, current)) else None).flatten)
-      else {
-        val withPos = posRefs.nonEmpty
-        val tagged = assemble(Seq(
-          if (kept.nonEmpty) Some(taggedRead(spark, kept, current, withPos)) else None,
-          if (fullRefs.nonEmpty)
-            Some(taggedReadRefs(spark, fullRefs, current, withPos)) else None).flatten)
-        val p1 = if (withPos) applyPosDeletes(spark, tagged, posRefs) else tagged
-        val p2 = if (eqRefs.nonEmpty) applyMorDeletes(spark, p1, eqRefs, current)
-          else p1.drop(SeqCol)
-        p2.drop(FpCol, RiCol)
-      }
+      else assemblePruned(spark, kept, fullRefs, eqRefs, posRefs, current)
     if (!base.columns.contains(column)) base.filter(lit(false))
     else base.filter(col(column) === value)
   }
@@ -1698,6 +1717,15 @@ object LakeTable {
     val schema = schemaOf(path, base).getOrElse(throw new IllegalArgumentException(
       s"$path has no field-id schema (pre-field-id table) — drop needs one"))
     require(schema.exists(_._2 == name), s"no such column '$name' at $path")
+    val droppedId = schema.find(_._2 == name).get._1
+    // an UNFOLDED equality-delete file keyed on this column would have
+    // nothing to anti-join against after the drop — every read would
+    // throw. Refuse loudly; compact() folds the deletes first.
+    val keyedDeletes = listRefs(path, base)
+      .filter(r => r.kind == "delete" && r.cols.values.exists(_ == droppedId))
+    require(keyedDeletes.isEmpty,
+      s"cannot drop '$name': ${keyedDeletes.size} live merge-on-read delete " +
+        s"file(s) key on it — compact the table first to fold them")
     val next = schema.filterNot(_._2 == name)
     require(next.nonEmpty, s"cannot drop the last column of $path")
     commitRefs(spark, path, base, listRefs(path, base), "drop_column", Some(next))
@@ -1832,15 +1860,7 @@ object LakeTable {
     if (smalls.size <= 1)
       return commitRefs(spark, path, base, refs, "binpack") // nothing to fold
     val smallSet = smalls.map(_.file).toSet
-    val smallDf =
-      if (del.isEmpty) readFiles(spark, smalls, current)
-      else {
-        val tagged = taggedRead(spark, smalls, current, withPos = pos.nonEmpty)
-        val p1 = if (pos.nonEmpty) applyPosDeletes(spark, tagged, pos) else tagged
-        val p2 = if (eq.nonEmpty) applyMorDeletes(spark, p1, eq, current)
-          else p1.drop(SeqCol)
-        p2.drop(FpCol, RiCol)
-      }
+    val smallDf = assemblePruned(spark, smalls, Nil, eq, pos, current)
     val nOut = math.max(1L,
       (smalls.map(sizeOf).sum + targetBytes - 1) / targetBytes).toInt
     val packed = stageManifest(smallDf.repartition(nOut), path)
@@ -1897,11 +1917,15 @@ object LakeTable {
       s"cannot branch from missing version $v")
     val bp = branchPath(path, name)
     require(latestVersion(bp).isEmpty, s"branch '$name' already exists at $path")
-    val b0 = commitRefs(spark, bp, -1, listRefs(path, v), "branch_from",
-      schemaOf(path, v), Some(constraintsOf(path, v)).filter(_.nonEmpty))
+    // fork pointer BEFORE the v0 commit: a crash in between leaves a
+    // version-less dir createBranch can simply retry over, whereas the
+    // reverse order left a working branch that fast-forward could only
+    // fail on with a raw missing-file error
+    Files.createDirectories(Paths.get(metaDir(bp)))
     Files.writeString(Paths.get(s"${metaDir(bp)}/fork.json"),
       s"{${jstr("version")}:$v}")
-    b0
+    commitRefs(spark, bp, -1, listRefs(path, v), "branch_from",
+      schemaOf(path, v), Some(constraintsOf(path, v)))
   }
 
   /** FAST-FORWARD main to a branch's head: refused when main moved
@@ -1914,13 +1938,19 @@ object LakeTable {
     val head = latestVersion(bp).getOrElse(
       throw new IllegalArgumentException(s"no such branch '$name' at $path"))
     val forkFile = Paths.get(s"${metaDir(bp)}/fork.json")
+    require(Files.exists(forkFile),
+      s"branch '$name' at $path has no fork pointer (half-created metadata) — " +
+        "drop and recreate it")
     val forkV = readJsonLines(forkFile).head.get("version").asInt
     val base = observedBase(spark, path)
     require(base == forkV,
       s"main at v$base has diverged from branch '$name' (forked at v$forkV) — " +
         "fast-forward refused; merge the branch content explicitly")
+    // constraints adopt UNFILTERED: Some(Nil) must clear main's set
+    // when the branch dropped a constraint (filtering to None would
+    // resurrect it over adopted rows that legally violate it)
     val next = commitRefs(spark, path, base, listRefs(bp, head), "fast_forward",
-      schemaOf(bp, head), Some(constraintsOf(bp, head)).filter(_.nonEmpty))
+      schemaOf(bp, head), Some(constraintsOf(bp, head)))
     Files.writeString(forkFile, s"{${jstr("version")}:$next}")
     next
   }

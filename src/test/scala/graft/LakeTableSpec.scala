@@ -454,6 +454,38 @@ class LakeTableSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](LakeTable.dropColumn(spark, p, "ghost"))
   }
 
+  test("dropColumn refuses while a live MoR delete file keys on the column") {
+    val p = "/tmp/graft_test/lake_drop_guard"
+    rmdir(p)
+    import spark.implicits._
+    LakeTable.overwrite(
+      Seq((1L, 1.0, "x"), (2L, 2.0, "y"), (3L, 3.0, "z")).toDF("k", "v", "tag"), p)
+    LakeTable.deleteMoR(spark, p, "k", col("k") === 2L) // unfolded delete keyed on k
+    val e = intercept[IllegalArgumentException](LakeTable.dropColumn(spark, p, "k"))
+    assert(e.getMessage.contains("compact"), e.getMessage)
+    assert(LakeTable.read(spark, p).count() === 2, "refusal must leave the table intact")
+    LakeTable.compact(spark, p) // folds the delete
+    LakeTable.dropColumn(spark, p, "k") // now safe
+    assert(LakeTable.read(spark, p).columns.toSet === Set("v", "tag"))
+    assert(LakeTable.read(spark, p).count() === 2)
+  }
+
+  test("conditional MoR merge keeps an updated NULL-keyed row (null-safe replacement)") {
+    val p = "/tmp/graft_test/lake_merge_nullkey"
+    rmdir(p)
+    import spark.implicits._
+    LakeTable.overwrite(
+      Seq((Option(1L), "a"), (Option.empty[Long], "orphan")).toDF("k", "s"), p)
+    val src = Seq((Option.empty[Long], "patched")).toDF("k", "s")
+    LakeTable.mergeConditionalMoR(src, p, "k",
+      matched = Seq(LakeTable.MatchedUpdate(None, Map("s" -> col("s.s")))),
+      notMatchedInsert = None)
+    val got = LakeTable.read(spark, p).collect()
+      .map(r => Option(r.get(0)).map(_.asInstanceOf[Long]) -> r.getString(1)).toMap
+    assert(got === Map(Option(1L) -> "a", None -> "patched"),
+      s"NULL-keyed update must replace, not vanish: $got")
+  }
+
   test("MoR delete files written before a key-column rename still apply after it") {
     val p = "/tmp/graft_test/lake_rename_mor"
     rmdir(p)
@@ -518,6 +550,15 @@ class LakeTableSpec extends AnyFunSuite {
     // and a non-matching identity value prunes gen2 without touching it
     assert(LakeTable.readWhere(spark, p, Seq(("k", 500, 500)))
       .collect().map(_.getLong(0)).toSeq === Seq(500L))
+    // a RENAME of the bucket source keeps pruning: the predicate's
+    // current name translates to the manifest's write-time source
+    LakeTable.renameColumn(spark, p, "k", "kk")
+    val kR = LakeTable.readWhere(spark, p, Seq(("kk", 5, 5)))
+    assert(kR.count() === 4)
+    val aR = LakeTable.lastPlanAudit
+    assert(aR.filesKept < aR.filesClaimed,
+      s"bucket pruning must survive the source rename: $aR")
+    LakeTable.renameColumn(spark, p, "kk", "k") // restore for the rest
     // the DISTRIBUTED plan path prunes bucket equalities too (dir
     // constraints ride into the Spark job — per-file k stats span
     // every bucket, so only the dir name can prune here)
