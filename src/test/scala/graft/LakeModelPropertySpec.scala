@@ -117,4 +117,74 @@ class LakeModelPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("readWhere equals full-scan filter across random feature compositions") {
+    // the PRUNING property: whatever mix of hidden partitioning,
+    // blooms, binpack, renames, equality/position deletes and
+    // clustering a table accumulates, a stats/transform-pruned read
+    // must return exactly the rows of an unpruned filter — the skip
+    // layers may only decide which files are TOUCHED
+    import org.apache.spark.sql.functions.{col, expr, pmod, lit}
+    for (seed <- Seq(7, 41)) {
+      val rnd = new scala.util.Random(seed)
+      val p = s"/tmp/graft_test/lake_prune_prop_$seed"
+      SparkSpec.rmdir(p)
+      import spark.implicits._
+      def freshRows(n: Int, from: Long): Seq[(Long, Double)] =
+        (0 until n).map(i => (from + i) -> rnd.nextInt(1000).toDouble)
+      var nextKey = 200L
+      var valCol = "value" // tracks renames
+      LakeTable.overwriteHiddenPartitioned(
+        freshRows(120, 0).toDF("id", valCol),
+        p, Seq(LakeTable.PartitionTransform("id", "bucket", 4))) // v0
+      def checkPruned(): Unit = {
+        val lo = rnd.nextInt(900).toDouble
+        val hi = lo + rnd.nextInt(200)
+        val pruned = LakeTable.readWhere(spark, p, Seq((valCol, lo, hi)))
+          .collect().map(_.getLong(0)).sorted.toSeq
+        val full = LakeTable.read(spark, p)
+          .filter(col(valCol) >= lo && col(valCol) <= hi)
+          .collect().map(_.getLong(0)).sorted.toSeq
+        assert(pruned === full, s"seed=$seed: pruned read diverged for [$lo,$hi]")
+        // exact-key probe through the bucket transform / stats
+        val k = rnd.nextLong(nextKey).max(0L)
+        val eqP = LakeTable.readWhere(spark, p, Seq(("id", k.toDouble, k.toDouble)))
+          .collect().map(_.getLong(0)).toSeq
+        val eqF = LakeTable.read(spark, p).filter(col("id") === k)
+          .collect().map(_.getLong(0)).toSeq
+        assert(eqP === eqF, s"seed=$seed: id=$k probe diverged")
+      }
+      checkPruned()
+      for (step <- 1 to 8) {
+        rnd.nextInt(7) match {
+          case 0 =>
+            LakeTable.append(freshRows(30, nextKey).toDF("id", valCol), p)
+            nextKey += 30
+          case 1 =>
+            LakeTable.appendHiddenPartitioned(
+              freshRows(30, nextKey).toDF("id", valCol), p,
+              Seq(LakeTable.PartitionTransform("id", "truncate", 50)))
+            nextKey += 30
+          case 2 => // rename the measure back and forth
+            val next = if (valCol == "value") "amount" else "value"
+            LakeTable.renameColumn(spark, p, valCol, next)
+            valCol = next
+          case 3 =>
+            LakeTable.withBloom(spark, p, "id", bits = 256, k = 2)
+          case 4 =>
+            val v = LakeTable.latestVersion(p).get
+            val sizes = LakeTable.entriesOf(p, v)
+              .filter(_.kind == "data").map(_.bytes).filter(_ > 0)
+            LakeTable.compactSmall(spark, p,
+              if (sizes.isEmpty) 1024L else (sizes.min + sizes.max) / 2)
+          case 5 =>
+            LakeTable.deleteMoR(spark, p, "id", pmod(col("id"), lit(7L)) === step)
+          case 6 =>
+            LakeTable.deleteMoRPositional(spark, p,
+              expr(s"pmod(id, 11) = $step"))
+        }
+        checkPruned()
+      }
+    }
+  }
 }
