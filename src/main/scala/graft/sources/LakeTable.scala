@@ -2697,6 +2697,24 @@ object LakeTable {
     dropFiles.sorted
   }
 
+  /** Expire snapshots COMMITTED AT OR BEFORE `tsMillis` (Iceberg's
+    * expire_snapshots older-than form), always keeping the latest.
+    * Commit times rise with versions, so the kept set is a suffix —
+    * resolved from one distributed read over the lists, then
+    * delegated to [[expireSnapshots]] (same tag pinning, branch
+    * reachability and shared-base GC semantics). */
+  def expireOlderThan(spark: SparkSession, path: String, tsMillis: Long): Seq[String] = {
+    val latest = latestVersion(path).getOrElse(return Nil)
+    val versions = liveVersions(path)
+    if (versions.isEmpty) return Nil
+    val commits = manifestFrame(spark, path, versions)
+      .groupBy("version").agg(first("committed_at").as("ts")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val minKept = versions.filter(v => commits.get(v).exists(_ > tsMillis))
+      .minOption.getOrElse(latest)
+    expireSnapshots(spark, path, retain = latest - math.min(minKept, latest) + 1)
+  }
+
   /** Versions whose manifest dir still exists (expire leaves gaps). */
   private def liveVersions(path: String): Seq[Int] =
     latestVersion(path).map(v => 0 to v).getOrElse(Seq.empty)

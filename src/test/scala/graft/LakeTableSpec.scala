@@ -167,6 +167,26 @@ class LakeTableSpec extends AnyFunSuite {
     assert(dataDirs.size === 1, s"emptied commit dirs should be removed: $dataDirs")
   }
 
+  test("expireOlderThan drops exactly the snapshots committed at or before the cutoff") {
+    val p = "/tmp/graft_test/lake_expire_ts"
+    rmdir(p)
+    import spark.implicits._
+    LakeTable.overwrite(Seq((1L, "a")).toDF("k", "s"), p) // v0
+    LakeTable.overwrite(Seq((2L, "b")).toDF("k", "s"), p) // v1
+    Thread.sleep(5)
+    val cutoff = System.currentTimeMillis()
+    Thread.sleep(5)
+    LakeTable.overwrite(Seq((3L, "c")).toDF("k", "s"), p) // v2 (after cutoff)
+    val dropped = LakeTable.expireOlderThan(spark, p, cutoff)
+    assert(dropped.nonEmpty, "pre-cutoff snapshots' files must be GC'd")
+    intercept[IllegalArgumentException](LakeTable.read(spark, p, Some(0)))
+    intercept[IllegalArgumentException](LakeTable.read(spark, p, Some(1)))
+    assert(LakeTable.read(spark, p, Some(2)).count() === 1)
+    // a cutoff beyond every commit still PINS the latest snapshot
+    assert(LakeTable.expireOlderThan(spark, p, System.currentTimeMillis()) === Nil)
+    assert(LakeTable.read(spark, p).count() === 1)
+  }
+
   test("expire deletes exactly the unreferenced files of the dropped snapshots") {
     val p13 = "/tmp/graft_test/lake_expire_count"
     rmdir(p13)
