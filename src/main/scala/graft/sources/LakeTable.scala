@@ -413,10 +413,20 @@ object LakeTable {
     // ([[versionAsOf]]); it never flows into query results, so
     // determinism of declared queries is unaffected
     val committedAt = System.currentTimeMillis()
+    // Data-sequence numbers must stay monotone over the LIVE manifest
+    // set, not over this root's version counter: a branch's v0 carries
+    // the fork point's manifests with main's (higher) seqs, so "seq =
+    // version" would hand a branch MoR delete a sequence BELOW the
+    // data it must subtract from (and a carried equality delete a seq
+    // ABOVE fresh branch appends it must not touch). Fresh refs
+    // therefore take max(version, max carried seq + 1) — on main the
+    // two coincide; on a branch (and on main after a fast-forward
+    // adopts branch-assigned seqs) the carried max dominates.
+    val freshSeq = (next +: refs.collect { case r if r.seq >= 0 => r.seq + 1 }).max
     def row(r: ManifestRef): String =
       s"{${jstr("manifest")}:${jstr(r.manifest)},${jstr("base")}:${jstr(r.base)}," +
         s"${jstr("kind")}:${jstr(r.kind)},${jstr("operation")}:${jstr(op)}," +
-        s"${jstr("committed_at")}:$committedAt,${jstr("seq")}:${if (r.seq < 0) next else r.seq}," +
+        s"${jstr("committed_at")}:$committedAt,${jstr("seq")}:${if (r.seq < 0) freshSeq else r.seq}," +
         s"${jstr("n_files")}:${r.nFiles},${jstr("ranges")}:${jstats(r.ranges)}," +
         s"${jstr("cols")}:${jcols(r.cols)},${jstr("pspec")}:${jpspec(r.pspec)}," +
         s"${jstr("partial")}:${r.partial}}"
@@ -594,12 +604,23 @@ object LakeTable {
   /** The floor-div index interval a source-column predicate maps to
     * under a transform (for day/truncate/identity), mirroring
     * [[transformExpr]]'s integer arithmetic. */
-  private def indexRange(t: PartitionTransform, lo: Double, hi: Double): (Double, Double) =
+  private def indexRange(t: PartitionTransform, lo: Double, hi: Double): (Double, Double) = {
+    // doubles hold integers exactly only up to 2^53; past that the
+    // double quotient can land one index off transformExpr's exact
+    // integer arithmetic and wrongly prune a matching file — widen by
+    // one index per side, mirroring boundsOf's ulp-widening for the
+    // same representability hazard (skip pruning stays conservative;
+    // the row filter keeps results exact)
+    def widened(ilo: Double, ihi: Double): (Double, Double) =
+      if (math.abs(lo) > 9007199254740992d || math.abs(hi) > 9007199254740992d)
+        (ilo - 1, ihi + 1)
+      else (ilo, ihi)
     t.kind match {
-      case "truncate" => (math.floor(lo / t.param), math.floor(hi / t.param))
-      case "day" => (math.floor(lo / 86400d), math.floor(hi / 86400d))
+      case "truncate" => widened(math.floor(lo / t.param), math.floor(hi / t.param))
+      case "day" => widened(math.floor(lo / 86400d), math.floor(hi / 86400d))
       case _ => (lo, hi) // identity
     }
+  }
 
   /** Driver-side bucket value of an integral literal — must agree
     * with [[transformExpr]]'s xxhash64 (same default seed 42). */
@@ -1083,9 +1104,21 @@ object LakeTable {
     * driver never materializes a 10⁶-row file list. Below it, a
     * driver-side parse of the few surviving manifests is cheaper than
     * a job launch. A var so the spec can lower it and drive the
-    * distributed path end-to-end with HONEST small-table metadata
-    * (never mutated in production code). */
+    * distributed path end-to-end with HONEST small-table metadata —
+    * mutate ONLY through [[withPlanThreshold]], which restores the
+    * prior value; production code never writes it. */
   @volatile private[graft] var DistributedPlanThreshold = 10000L
+
+  /** Run `body` with the planner threshold lowered to `t`, restoring
+    * the prior value even on failure — the only sanctioned way to
+    * touch [[DistributedPlanThreshold]] (a bare assignment that skips
+    * the restore would silently change planning for the rest of the
+    * JVM). */
+  private[graft] def withPlanThreshold[A](t: Long)(body: => A): A = {
+    val saved = DistributedPlanThreshold
+    DistributedPlanThreshold = t
+    try body finally DistributedPlanThreshold = saved
+  }
 
   /** How the last [[readWhere]] planned: (manifests in the list,
     * manifests surviving the range prune, files they claim, files

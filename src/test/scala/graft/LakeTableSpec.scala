@@ -305,9 +305,7 @@ class LakeTableSpec extends AnyFunSuite {
       df.repartitionByRange(4, col("k")).sortWithinPartitions("k"), p) // v0
     val refs = LakeTable.listRefs(p, 0)
     assert(refs.size === 1 && refs.head.nFiles === 4)
-    val saved = LakeTable.DistributedPlanThreshold
-    LakeTable.DistributedPlanThreshold = 3 // 4 claimed > 3 → distributed
-    try {
+    LakeTable.withPlanThreshold(3) { // 4 claimed > 3 → distributed
       // selective predicate: one of the four clustered files survives
       val got = LakeTable.readWhereBetween(spark, p, "k", 0, 50)
         .collect().map(_.getLong(0)).sorted.toSeq
@@ -325,7 +323,7 @@ class LakeTableSpec extends AnyFunSuite {
       val audit2 = LakeTable.lastPlanAudit
       assert(audit2.distributed && audit2.filesKept === 4 && audit2.manifestsWhole === 1,
         s"≥90%-kept manifest must be planned whole, zero per-file rows collected: $audit2")
-    } finally LakeTable.DistributedPlanThreshold = saved
+    }
   }
 
   test("append metadata is O(1): one new list row per commit, prior manifests untouched") {
@@ -582,16 +580,14 @@ class LakeTableSpec extends AnyFunSuite {
     // the DISTRIBUTED plan path prunes bucket equalities too (dir
     // constraints ride into the Spark job — per-file k stats span
     // every bucket, so only the dir name can prune here)
-    val saved = LakeTable.DistributedPlanThreshold
-    LakeTable.DistributedPlanThreshold = 3
-    try {
+    LakeTable.withPlanThreshold(3) {
       val k5d = LakeTable.readWhere(spark, p, Seq(("k", 5, 5)))
       assert(k5d.count() === 4)
       val a3 = LakeTable.lastPlanAudit
       assert(a3.distributed, s"must have planned distributed: $a3")
       assert(a3.filesKept < a3.filesClaimed,
         s"bucket constraint must prune inside the distributed job: $a3")
-    } finally LakeTable.DistributedPlanThreshold = saved
+    }
   }
 
   test("history() version parse is anchored to the meta dir") {
@@ -1295,6 +1291,48 @@ class LakeTableSpec extends AnyFunSuite {
     assert(LakeTable.read(spark, p).count() === 5, "main intact after drop")
   }
 
+  test("branch MoR keeps one monotone sequence across roots") {
+    // The failure shape this guards: branch versions restart at 0, so
+    // "seq = version" would hand a branch delete a sequence BELOW the
+    // carried fork-point data (delete never applies) and leave carried
+    // delete manifests with seqs ABOVE post-fast-forward appends
+    // (delete wrongly applies). Both directions are exercised.
+    val p = "/tmp/graft_test/lake_branch_mor"
+    rmdir(p)
+    import spark.implicits._
+    LakeTable.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), p) // v0, seq 1
+    LakeTable.append(Seq((3L, "c")).toDF("k", "s"), p)               // v1, seq 2
+    LakeTable.append(Seq((4L, "d")).toDF("k", "s"), p)               // v2, seq 3
+    LakeTable.createBranch(spark, p, "mor") // branch v0 carries seqs 1..3
+    val bp = LakeTable.branchPath(p, "mor")
+    // equality delete on the branch must subtract from CARRIED data
+    LakeTable.deleteMoR(spark, bp, "k", col("k") === 2L)
+    assert(LakeTable.read(spark, bp).collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(1L, 3L, 4L), "branch MoR delete must apply to fork-point data")
+    // MoR upsert on the branch: carried k=3 replaced, not duplicated
+    LakeTable.upsertMoR(Seq((3L, "upd")).toDF("k", "s"), bp, "k")
+    val afterUpsert = LakeTable.read(spark, bp).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(afterUpsert === Seq((1L, "a"), (3L, "upd"), (4L, "d")),
+      "branch MoR upsert must replace carried rows, not duplicate them")
+    // main adopts the branch head (carried delete manifests ride along)
+    LakeTable.fastForward(spark, p, "mor")
+    assert(LakeTable.read(spark, p).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq === afterUpsert)
+    // a FRESH append on main re-using a deleted key must NOT be
+    // subtracted by the carried (higher-seq-than-version) delete file
+    LakeTable.append(Seq((3L, "new")).toDF("k", "s"), p)
+    val finalRows = LakeTable.read(spark, p).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(r => (r._1, r._2)).toSeq
+    assert(finalRows === Seq((1L, "a"), (3L, "new"), (3L, "upd"), (4L, "d")),
+      "carried equality deletes must never apply to newer appends")
+    // compact folds the MoR state clean and the result is unchanged
+    LakeTable.compact(spark, p)
+    assert(LakeTable.read(spark, p).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(r => (r._1, r._2)).toSeq
+      === finalRows)
+  }
+
   test("expire and orphan GC never reclaim branch-referenced files") {
     val p = "/tmp/graft_test/lake_branch_gc"
     rmdir(p)
@@ -1490,15 +1528,13 @@ class LakeTableSpec extends AnyFunSuite {
       s"renamed lookup must still prune: ${LakeTable.lastPlanAudit}")
     // past the claimed-file threshold the SAME probes run as one
     // Spark job (identical xxhash64 expression both sides)
-    val saved = LakeTable.DistributedPlanThreshold
-    LakeTable.DistributedPlanThreshold = 2
-    try {
+    LakeTable.withPlanThreshold(2) {
       val d = LakeTable.readWhereEquals(spark, p, "label", "tag_2")
       assert(d.count() === 25)
       val a2 = LakeTable.lastPlanAudit
       assert(a2.distributed && a2.filesKept === 2,
         s"distributed bloom prune must agree with the driver path: $a2")
-    } finally LakeTable.DistributedPlanThreshold = saved
+    }
   }
 
   test("conditional CoW merge agrees with the MoR merge on the same clauses") {
