@@ -1208,6 +1208,148 @@ object LakeTable {
     (full, collected)
   }
 
+  /** The shared two-level prune behind [[readWhere]] AND the
+    * DataSourceV2 read path ([[planV2]]): manifest-range first (from
+    * the list alone), then entry-level stats within the survivors —
+    * driver-side under [[DistributedPlanThreshold]], one Spark job
+    * past it. ONE definition so the two paths can never diverge on
+    * skip behavior, and [[lastPlanAudit]] counts are identical by
+    * construction. Returns (whole manifests, pruned explicit
+    * entries). */
+  private def prunePlan(
+      spark: SparkSession, dataRefs: Seq[ManifestRef],
+      current: Option[Seq[(Int, String)]],
+      preds: Seq[(String, Double, Double)],
+      // false = stop after the manifest-range level and plan every
+      // surviving manifest whole (the V2 hive-layout path, where
+      // partition-dir pruning belongs to Spark's file index, not to
+      // entry stats)
+      entryLevel: Boolean = true): (Seq[ManifestRef], Seq[ManifestEntry]) = {
+    // current name of a predicate column → its WRITE-TIME name in a
+    // manifest: Some(name) to consult stats under that name; None when
+    // the field-id mapping PROVES the manifest predates (or dropped)
+    // the column — its files serve only null there, so no interval can
+    // match and the whole manifest prunes (exact, not conservative)
+    def writeTimeName(ref: ManifestRef, column: String): Option[String] =
+      current.flatMap(sch => sch.find(_._2 == column)) match {
+        case Some((id, _)) if ref.cols.nonEmpty =>
+          ref.cols.collectFirst { case (n, i) if i == id => n }
+        case _ => Some(column) // legacy manifest or schema-less table
+      }
+    // LEVEL 1: manifest-range prune, from the list alone
+    val candidates = dataRefs.filter { r =>
+      r.nFiles > 0 && {
+        val named = preds.map { case (c, lo, hi) =>
+          writeTimeName(r, c).map((_, lo, hi)) }
+        named.forall(_.isDefined) && admits(r.ranges, named.flatten)
+      }
+    }
+    // LEVEL 2: entry-level stats prune within surviving manifests —
+    // producing whole manifests read by their commit dir (weakly- or
+    // un-pruned) plus an explicit file list for the selectively-pruned
+    val claimed = candidates.map(_.nFiles).sum
+    val distributed = entryLevel && claimed > DistributedPlanThreshold
+    val (fullRefs, kept) =
+      if (!entryLevel) (candidates, Seq.empty[ManifestEntry])
+      else if (distributed) distributedPlan(spark, candidates, preds,
+        (r, c) => writeTimeName(r, c).get) // candidates: always defined
+      else (Nil, candidates.flatMap { r =>
+        val named = preds.flatMap { case (c, lo, hi) =>
+          writeTimeName(r, c).map((_, lo, hi)) }
+        // hidden-partition pruning composes with stats pruning: dir
+        // values prune through the manifest's own transform spec —
+        // matched on the TRANSLATED (write-time) predicate names, so
+        // a renamed source column keeps pruning (transform sources
+        // are write-time names by construction)
+        readManifest(r).filter(e =>
+          admits(e.stats, named) && hiddenAdmits(r, e.file, named))
+      })
+    lastPlanAudit = PlanAudit(
+      dataRefs.size, candidates.size, claimed,
+      fullRefs.map(_.nFiles).sum + kept.size.toLong, distributed, fullRefs.size)
+    (fullRefs, kept)
+  }
+
+  /** What the V2 connector scans: explicit data files plus whole
+    * commit dirs, ready for an `InMemoryFileIndex`. Dirs are only
+    * emitted for manifests that cover their whole dir with no hidden
+    * partitioning (a `__p_…=v` subdir would be partition-INFERRED by
+    * the file index into phantom columns). */
+  private[sources] final case class V2Plan(files: Seq[String], dirs: Seq[String])
+
+  /** File-level planning for the DataSourceV2 read path
+    * ([[GraftLakeSource]]). Runs [[prunePlan]] — so pushdown-driven
+    * skipping and [[lastPlanAudit]] match the library path exactly —
+    * then flattens the survivors to paths. The V2 scan hands Spark's
+    * parquet reader a concrete file set, so it REFUSES snapshots
+    * whose read requires row-level assembly a bare file scan cannot
+    * express: merge-on-read delete files (fold them with [[compact]]
+    * first) and field-id RENAMES (per-file projection). Additive
+    * schema evolution and drops are fine — missing columns
+    * null-extend, dropped ids are simply absent from the read
+    * schema. */
+  private[sources] def planV2(
+      spark: SparkSession, path: String, v: Int,
+      preds: Seq[(String, Double, Double)]): V2Plan = {
+    require(Files.exists(Paths.get(s"${metaDir(path)}/v$v")),
+      s"no such snapshot version $v at $path (expired or never committed); " +
+        s"latest is ${latestVersion(path).getOrElse(-1)}")
+    val (eqRefs, rest0) = listRefs(path, v).partition(_.kind == "delete")
+    val (posRefs, dataRefs) = rest0.partition(_.kind == "posdel")
+    if (eqRefs.nonEmpty || posRefs.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"graftlake V2 read at $path v$v: the snapshot carries " +
+          s"${eqRefs.size + posRefs.size} merge-on-read delete manifest(s) a " +
+          "file-level scan cannot apply — LakeTable.compact(...) folds them, " +
+          "or read through LakeTable.read")
+    val current = schemaOf(path, v)
+    for {
+      r <- dataRefs; (n, id) <- r.cols
+      (_, cur) <- current.flatMap(_.find(_._1 == id)) if cur != n
+    } throw new UnsupportedOperationException(
+      s"graftlake V2 read at $path v$v: files under ${r.base} store column " +
+        s"'$cur' (field id $id) as '$n' — the rename is resolved by per-file " +
+        "projection, a library-read feature; LakeTable.compact(...) rewrites " +
+        "to current names, or read through LakeTable.read")
+    // HIVE-partitioned commits (overwritePartitioned: `col=value`
+    // subdirs carrying the values, files without the column) must be
+    // planned as WHOLE dirs — an explicit leaf-file list would read
+    // the partition column back as null. Spark's file index then owns
+    // both partition-value reconstruction and partition pruning (the
+    // connector forwards partition filters into the listing). Hidden
+    // `__p_…` layout dirs are NOT hive partitioning — their values
+    // are derived layout, dropped on read.
+    def hivePartitioned(r: ManifestRef): Boolean = {
+      val b = Paths.get(r.base)
+      Files.isDirectory(b) && {
+        val ls = Files.list(b)
+        try ls.iterator().asScala.exists { p =>
+          val n = p.getFileName.toString
+          Files.isDirectory(p) && n.contains('=') && !n.startsWith(HiddenPrefix)
+        } finally ls.close()
+      }
+    }
+    val live = dataRefs.filter(_.nFiles > 0)
+    val (hive, plain) = live.partition(hivePartitioned)
+    if (hive.nonEmpty && plain.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"graftlake V2 read at $path v$v: snapshot mixes hive-partitioned " +
+          s"commit dirs (${hive.size}) with unpartitioned ones (${plain.size}) — " +
+          "partition inference cannot reconcile the layouts; compact the table " +
+          "or read through LakeTable.read")
+    if (hive.exists(_.partial))
+      throw new UnsupportedOperationException(
+        s"graftlake V2 read at $path v$v: a hive-partitioned manifest covers " +
+          "only part of its commit dir (binpack re-manifest) — the explicit " +
+          "file list would lose partition values; read through LakeTable.read")
+    val (fullRefs, kept) =
+      prunePlan(spark, dataRefs, current, preds, entryLevel = hive.isEmpty)
+    val (whole, listed) = fullRefs.partition(r => !r.partial && r.pspec.isEmpty)
+    V2Plan(
+      files = kept.map(_.file) ++ listed.flatMap(r => readManifest(r).map(_.file)),
+      dirs = whole.map(_.base).distinct)
+  }
+
   /** DATA-SKIPPING scan, multi-predicate form: read only the files
     * whose stats [min,max] range overlaps EVERY (column, lower,
     * upper) box side — Iceberg-style pruning from commit-time stats,
@@ -1235,47 +1377,7 @@ object LakeTable {
     val (eqRefs, rest0) = listRefs(path, v).partition(_.kind == "delete")
     val (posRefs, dataRefs) = rest0.partition(_.kind == "posdel")
     val current = schemaOf(path, v)
-    // current name of a predicate column → its WRITE-TIME name in a
-    // manifest: Some(name) to consult stats under that name; None when
-    // the field-id mapping PROVES the manifest predates (or dropped)
-    // the column — its files serve only null there, so no interval can
-    // match and the whole manifest prunes (exact, not conservative)
-    def writeTimeName(ref: ManifestRef, column: String): Option[String] =
-      current.flatMap(sch => sch.find(_._2 == column)) match {
-        case Some((id, _)) if ref.cols.nonEmpty =>
-          ref.cols.collectFirst { case (n, i) if i == id => n }
-        case _ => Some(column) // legacy manifest or schema-less table
-      }
-    // LEVEL 1: manifest-range prune, from the list alone
-    val candidates = dataRefs.filter { r =>
-      r.nFiles > 0 && {
-        val named = preds.map { case (c, lo, hi) =>
-          writeTimeName(r, c).map((_, lo, hi)) }
-        named.forall(_.isDefined) && admits(r.ranges, named.flatten)
-      }
-    }
-    // LEVEL 2: entry-level stats prune within surviving manifests —
-    // producing whole manifests read by their commit dir (weakly- or
-    // un-pruned) plus an explicit file list for the selectively-pruned
-    val claimed = candidates.map(_.nFiles).sum
-    val distributed = claimed > DistributedPlanThreshold
-    val (fullRefs, kept) =
-      if (distributed) distributedPlan(spark, candidates, preds,
-        (r, c) => writeTimeName(r, c).get) // candidates: always defined
-      else (Nil, candidates.flatMap { r =>
-        val named = preds.flatMap { case (c, lo, hi) =>
-          writeTimeName(r, c).map((_, lo, hi)) }
-        // hidden-partition pruning composes with stats pruning: dir
-        // values prune through the manifest's own transform spec —
-        // matched on the TRANSLATED (write-time) predicate names, so
-        // a renamed source column keeps pruning (transform sources
-        // are write-time names by construction)
-        readManifest(r).filter(e =>
-          admits(e.stats, named) && hiddenAdmits(r, e.file, named))
-      })
-    lastPlanAudit = PlanAudit(
-      dataRefs.size, candidates.size, claimed,
-      fullRefs.map(_.nFiles).sum + kept.size.toLong, distributed, fullRefs.size)
+    val (fullRefs, kept) = prunePlan(spark, dataRefs, current, preds)
     // merge-on-read deletes apply AFTER the file skip: pruning only
     // decides which data files are touched, never which rows survive
     val base =
@@ -2071,17 +2173,20 @@ object LakeTable {
 
   /** Driver query: write the events table as two snapshots (evens,
     * then append odds), read back the LATEST snapshot through the
-    * manifest path, and aggregate — the oracle is the plain group-by
-    * over the source table, so the whole commit/manifest/read cycle is
-    * hash-verified. The table lives under /tmp keyed by sfDir (rebuilt
-    * deterministically each run; unique per scale factor so parallel
-    * verify threads never collide). */
+    * DataSourceV2 connector (`spark.read.format("graftlake")` —
+    * [[GraftLakeSource]], Spark's own vectorized parquet scan over
+    * the manifest-planned file set), and aggregate — the oracle is
+    * the plain group-by over the source table, so the whole
+    * commit/manifest/V2-read cycle is hash-verified. The table lives
+    * under /tmp keyed by sfDir (rebuilt deterministically each run;
+    * unique per scale factor so parallel verify threads never
+    * collide). */
   def snapshotReadQuery(s: SparkSession, d: String): DataFrame = {
     val path = freshWorkDir("lake", d)
     val ev = graft.Tables.load(s, d, "events").select("event_id", "event_type", "value")
     overwrite(ev.filter(pmod(col("event_id"), lit(2L)) === 0), path)
     append(ev.filter(pmod(col("event_id"), lit(2L)) =!= 0), path)
-    read(s, path)
+    s.read.format("graftlake").load(path)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
       .orderBy("event_type")
@@ -2198,17 +2303,19 @@ object LakeTable {
 
   /** Driver query: write events as a hive-partitioned lake table
     * (partitioned by event_type via [[overwritePartitioned]]), read the
-    * snapshot back through the manifest path WITH a partition
-    * predicate, and aggregate into event_id buckets. The partition
-    * filter prunes at planning time — only `event_type=purchase` files
-    * are scanned (file-count asserted in LakeTableSpec) — and the
-    * oracle is the same filtered aggregate over the source table, so
-    * the whole partitioned-commit/prune/read path is hash-verified. */
+    * snapshot back through the DataSourceV2 connector WITH a partition
+    * predicate, and aggregate into event_id buckets. The pushed
+    * `event_type = 'purchase'` filter prunes DIRECTORIES at listing
+    * time (the connector forwards it into the file index as a
+    * partition filter — file-count asserted in GraftLakeSourceSpec)
+    * and the oracle is the same filtered aggregate over the source
+    * table, so the whole partitioned-commit/prune/V2-read path is
+    * hash-verified. */
   def partitionPruneQuery(s: SparkSession, d: String): DataFrame = {
     val path = freshWorkDir("lakeprune", d)
     val ev = graft.Tables.load(s, d, "events").select("event_id", "event_type", "value")
     overwritePartitioned(ev, path, "event_type")
-    read(s, path)
+    s.read.format("graftlake").load(path)
       .filter(col("event_type") === "purchase")
       .groupBy(pmod(col("event_id"), lit(10L)).as("bucket"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))

@@ -1,0 +1,164 @@
+package graft
+
+import graft.sources.LakeTable
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.execution.datasources.FilePartition
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The DataSourceV2 connector ([[graft.sources.GraftLakeSource]]):
+  * `spark.read.format("graftlake")` must agree with the library read
+  * path row-for-row, push filters into the SAME manifest prune
+  * (PlanAudit parity), reconstruct hive partition values, prune
+  * partition DIRECTORIES at listing time, time-travel via
+  * `versionAsOf`, resolve through the SQL session catalog, and refuse
+  * the snapshots the file-level scan cannot represent with an error
+  * naming the fold that lifts the restriction. */
+class GraftLakeSourceSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  import SparkSpec.rmdir
+
+  private def v2(path: String) = spark.read.format("graftlake").load(path)
+
+  /** Data files the executed plan actually scanned (the V2 scan's
+    * input partitions are FilePartitions over the pruned set). */
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    df.collect() // force planning + execution
+    df.queryExecution.executedPlan.collect { case b: BatchScanExec =>
+      b.inputRDD.partitions.collect { case p if p.isInstanceOf[org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition] =>
+        p.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition]
+          .inputPartitions.collect { case fp: FilePartition => fp.files.map(_.urlEncodedPath).toSeq }.flatten
+      }.flatten.toSeq
+    }.flatten
+  }
+
+  test("V2 load agrees with the library read and pins versions") {
+    val p = "/tmp/graft_test/v2_basic"
+    rmdir(p)
+    import spark.implicits._
+    val df = spark.range(0, 400).select(col("id").as("k"), (col("id") * 2.0).as("v"))
+    LakeTable.overwrite(df.repartitionByRange(4, col("k")).sortWithinPartitions("k"), p)
+    LakeTable.append(Seq((1000L, 9.0)).toDF("k", "v"), p)
+    assert(v2(p).count() === 401)
+    assert(v2(p).agg(sum("k")).head.getLong(0)
+      === LakeTable.read(spark, p).agg(sum("k")).head.getLong(0))
+    // versionAsOf pins the older snapshot
+    assert(spark.read.format("graftlake").option("versionAsOf", 0).load(p).count() === 400)
+    intercept[Exception](
+      spark.read.format("graftlake").option("versionAsOf", 99).load(p).collect())
+  }
+
+  test("pushed range filters drive the manifest prune: PlanAudit parity with readWhere") {
+    val p = "/tmp/graft_test/v2_prune"
+    rmdir(p)
+    val df = spark.range(0, 400).select(col("id").as("k"), (col("id") * 2.0).as("v"))
+    LakeTable.overwrite(df.repartitionByRange(4, col("k")).sortWithinPartitions("k"), p)
+    // library path first: capture its audit
+    val lib = LakeTable.readWhereBetween(spark, p, "k", 0, 50)
+    assert(lib.count() === 51)
+    val libAudit = LakeTable.lastPlanAudit
+    assert(libAudit.filesClaimed === 4 && libAudit.filesKept === 1, s"$libAudit")
+    // V2 path: same predicate arrives via Spark filter pushdown
+    val got = v2(p).filter(col("k") >= 0 && col("k") <= 50)
+    assert(got.count() === 51)
+    val v2Audit = LakeTable.lastPlanAudit
+    assert(v2Audit === libAudit,
+      s"V2 prune must equal the library plan: lib=$libAudit v2=$v2Audit")
+    // and the executed scan touched exactly the surviving file
+    assert(scannedFiles(got).size === 1)
+  }
+
+  test("column pruning reaches the parquet read schema") {
+    val p = "/tmp/graft_test/v2_colprune"
+    rmdir(p)
+    val df = spark.range(0, 100).select(
+      col("id").as("k"), (col("id") * 2.0).as("v"), lit("pad").as("s"))
+    LakeTable.overwrite(df, p)
+    val q = v2(p).select("k")
+    q.collect()
+    val scan = q.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b }.head
+    assert(scan.output.map(_.name) === Seq("k"),
+      s"read schema must be pruned to the projection: ${scan.output}")
+  }
+
+  test("hive partitioning: values reconstructed, dirs pruned at listing time") {
+    val p = "/tmp/graft_test/v2_hive"
+    rmdir(p)
+    val df = spark.range(0, 300).select(col("id").as("k"),
+      concat(lit("t"), pmod(col("id"), lit(3))).as("tag"), (col("id") * 2.0).as("v"))
+    LakeTable.overwritePartitioned(df.repartition(2), p, "tag")
+    val r = v2(p)
+    assert(r.count() === 300)
+    // partition values come back from dir names, typed by the schema
+    assert(r.filter(col("tag") === "t1").agg(sum("k")).head.getLong(0)
+      === (1 until 300 by 3).map(_.toLong).sum)
+    // dir pruning: only tag=t1 files are listed into the scan
+    val files = scannedFiles(v2(p).filter(col("tag") === "t1"))
+    assert(files.nonEmpty && files.forall(_.contains("tag=t1")),
+      s"partition filter must prune directories at listing: $files")
+    // parity with the library read
+    assert(r.agg(sum("v")).head.getDouble(0)
+      === LakeTable.read(spark, p).agg(sum("v")).head.getDouble(0))
+  }
+
+  test("additive schema evolution null-extends through the V2 scan") {
+    val p = "/tmp/graft_test/v2_evolve"
+    rmdir(p)
+    import spark.implicits._
+    LakeTable.overwrite(Seq((1L, "a")).toDF("k", "s"), p)
+    LakeTable.append(Seq((2L, "b", "web")).toDF("k", "s", "channel"), p)
+    val rows = v2(p).orderBy("k").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(rows.map(r => Option(r.getString(2))).toSeq === Seq(None, Some("web")),
+      "old files must null-extend the new column")
+  }
+
+  test("SQL catalog: CREATE TABLE USING graftlake, filtered SELECT") {
+    val p = "/tmp/graft_test/v2_sql"
+    rmdir(p)
+    val df = spark.range(0, 400).select(col("id").as("k"), (col("id") * 2.0).as("v"))
+    LakeTable.overwrite(df.repartitionByRange(4, col("k")).sortWithinPartitions("k"), p)
+    spark.sql("DROP TABLE IF EXISTS v2_sql_spec")
+    try {
+      spark.sql(s"CREATE TABLE v2_sql_spec USING graftlake OPTIONS (path '$p')")
+      val n = spark.sql(
+        "SELECT count(*) AS n FROM v2_sql_spec WHERE k BETWEEN 0 AND 50").head.getLong(0)
+      assert(n === 51)
+      // the SQL filter reached the manifest prune too
+      assert(LakeTable.lastPlanAudit.filesKept === 1,
+        s"${LakeTable.lastPlanAudit}")
+    } finally spark.sql("DROP TABLE IF EXISTS v2_sql_spec")
+  }
+
+  test("refusals name the fold: MoR deletes, renames, mixed layouts") {
+    import spark.implicits._
+    // merge-on-read snapshot → refuse, compact lifts it
+    val p1 = "/tmp/graft_test/v2_refuse_mor"
+    rmdir(p1)
+    LakeTable.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), p1)
+    LakeTable.deleteMoR(spark, p1, "k", col("k") === 1L)
+    val e1 = intercept[UnsupportedOperationException](v2(p1).collect())
+    assert(e1.getMessage.contains("compact"), e1.getMessage)
+    LakeTable.compact(spark, p1)
+    assert(v2(p1).collect().map(_.getLong(0)).toSeq === Seq(2L))
+    // rename → refuse, compact (rewrite under current names) lifts it
+    val p2 = "/tmp/graft_test/v2_refuse_rename"
+    rmdir(p2)
+    LakeTable.overwrite(Seq((1L, "a")).toDF("k", "s"), p2)
+    LakeTable.renameColumn(spark, p2, "s", "label")
+    val e2 = intercept[UnsupportedOperationException](v2(p2).collect())
+    assert(e2.getMessage.contains("rename"), e2.getMessage)
+    LakeTable.compact(spark, p2)
+    assert(v2(p2).columns.toSeq === Seq("k", "label"))
+    assert(v2(p2).head.getString(1) === "a")
+    // hive + unpartitioned commits in one snapshot → refuse
+    val p3 = "/tmp/graft_test/v2_refuse_mixed"
+    rmdir(p3)
+    val d3 = Seq((1L, "x", 1.0), (2L, "y", 2.0)).toDF("k", "tag", "v")
+    LakeTable.overwritePartitioned(d3, p3, "tag")
+    LakeTable.append(d3, p3)
+    val e3 = intercept[UnsupportedOperationException](v2(p3).collect())
+    assert(e3.getMessage.contains("mixes hive-partitioned"), e3.getMessage)
+  }
+}
