@@ -81,5 +81,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => LevenshteinCpExpr(children(0), children(1))))
     ext.injectOptimizerRule(_ => SizeOfTransformSimplification)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // SQL DML over lake tables: UPDATE / MERGE INTO / VERSION AS OF
+    // lower onto the LakeTable ops (DELETE goes through the V2
+    // table's SupportsDelete, no rule needed)
+    ext.injectResolutionRule(s => new graft.sources.LakeSqlDmlRule(s))
+    ext.injectPlannerStrategy(_ => graft.sources.LakeDmlStrategy)
+    // direct-path reads + VERSION AS OF time travel over lake tables
+    ext.injectParser((s, p) => new graft.sources.GraftSqlParser(s, p))
   }
 }

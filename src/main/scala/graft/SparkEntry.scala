@@ -185,6 +185,7 @@ object SparkEntry {
     "lake_schema_evolution" -> (sources.LakeTable.schemaEvolutionQuery _),
     "lake_rename_read" -> (sources.LakeTable.renameReadQuery _),
     "lake_merge_conditional" -> (sources.LakeTable.mergeConditionalQuery _),
+    "lake_sql_merge" -> (sources.LakeTable.sqlMergeQuery _),
     "lake_hidden_partition" -> (sources.LakeTable.hiddenPartitionQuery _),
     "lake_change_stream" -> (sources.LakeTable.changeStreamQuery _),
     "lake_rollback" -> (sources.LakeTable.rollbackQuery _),
@@ -1137,6 +1138,32 @@ object SparkEntry {
     // picks the first matching clause per target row (update if
     // t.value<500, else delete), anti-join + condition picks inserts
     "lake_merge_conditional" ->
+      """WITH src AS (
+        |  SELECT event_id, 'patched' AS event_type, value + 1000.0 AS value
+        |  FROM events WHERE event_id % 3 = 0
+        |  UNION ALL
+        |  SELECT -event_id, 'inserted', value FROM events WHERE event_id % 10 = 5
+        |), merged AS (
+        |  SELECT CASE WHEN s.event_id IS NOT NULL AND t.value < 500
+        |              THEN s.event_type ELSE t.event_type END AS event_type,
+        |         CASE WHEN s.event_id IS NOT NULL AND t.value < 500
+        |              THEN s.value ELSE t.value END AS value,
+        |         (s.event_id IS NOT NULL AND t.value >= 500) AS deleted
+        |  FROM events t LEFT JOIN src s ON t.event_id = s.event_id
+        |), surv AS (
+        |  SELECT event_type, value FROM merged WHERE NOT deleted
+        |), ins AS (
+        |  SELECT event_type, value FROM src
+        |  WHERE event_id NOT IN (SELECT event_id FROM events) AND value > 100
+        |), final AS (
+        |  SELECT * FROM surv UNION ALL SELECT * FROM ins
+        |)
+        |SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // lake_sql_merge: the SAME merge executed as a SQL MERGE INTO
+    // statement (parser + resolution-rule lowering onto
+    // mergeConditional) — same CTE oracle by construction
+    "lake_sql_merge" ->
       """WITH src AS (
         |  SELECT event_id, 'patched' AS event_type, value + 1000.0 AS value
         |  FROM events WHERE event_id % 3 = 0

@@ -93,9 +93,36 @@ object GraftLakeSource {
     }
 }
 
-/** One lake snapshot as a V2 [[Table]] (batch read). */
+/** One lake snapshot as a V2 [[Table]] (batch read + SQL DELETE).
+  * [[org.apache.spark.sql.connector.catalog.SupportsDelete]] is the
+  * idiomatic V2 route for `DELETE FROM t WHERE …`: Spark translates
+  * the condition to source filters and hands them here, where they
+  * lower onto the copy-on-write [[LakeTable.delete]]. Conditions the
+  * filter algebra cannot express are refused via `canDeleteWhere`
+  * (Spark raises the standard cannot-delete error). UPDATE and MERGE
+  * lower through [[LakeSqlDmlRule]] instead. */
 class GraftLakeTable(path: String, version: Option[Int], tableSchema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  /** The lake path / pinned version (for the SQL DML lowering rule). */
+  def tablePath: String = path
+  def pinnedVersion: Option[Int] = version
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    version.isEmpty && filters.forall(f => GraftLakeTable.filterColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(version.isEmpty, s"cannot DELETE from a version-pinned read of $path")
+    val spark = SparkSession.getActiveSession.getOrElse(
+      throw new IllegalStateException("graftlake: no active SparkSession"))
+    val cond = filters.map(f => GraftLakeTable.filterColumn(f).getOrElse(
+      throw new UnsupportedOperationException(
+        s"graftlake DELETE at $path: cannot express filter $f")))
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    LakeTable.delete(spark, path, cond)
+  }
 
   override def name(): String =
     s"graftlake.`$path`${version.map(v => s" VERSION AS OF $v").getOrElse("")}"
@@ -113,6 +140,35 @@ class GraftLakeTable(path: String, version: Option[Int], tableSchema: StructType
       SparkSession.getActiveSession.getOrElse(
         throw new IllegalStateException("graftlake: no active SparkSession")),
       path, v, tableSchema)
+  }
+}
+
+object GraftLakeTable {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit, not}
+
+  /** A source filter as a Column predicate over the table's own
+    * columns — None when the algebra cannot express it (the caller
+    * refuses rather than guessing). */
+  private[sources] def filterColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(c, v) => Some(col(c) === lit(v))
+    case org.apache.spark.sql.sources.EqualNullSafe(c, v) => Some(col(c) <=> lit(v))
+    case GreaterThan(c, v) => Some(col(c) > lit(v))
+    case GreaterThanOrEqual(c, v) => Some(col(c) >= lit(v))
+    case LessThan(c, v) => Some(col(c) < lit(v))
+    case LessThanOrEqual(c, v) => Some(col(c) <= lit(v))
+    case In(c, vs) => Some(col(c).isin(vs.toIndexedSeq: _*))
+    case IsNull(c) => Some(col(c).isNull)
+    case IsNotNull(c) => Some(col(c).isNotNull)
+    case org.apache.spark.sql.sources.StringStartsWith(c, v) => Some(col(c).startsWith(v))
+    case org.apache.spark.sql.sources.StringEndsWith(c, v) => Some(col(c).endsWith(v))
+    case org.apache.spark.sql.sources.StringContains(c, v) => Some(col(c).contains(v))
+    case And(l, r) => for { lc <- filterColumn(l); rc <- filterColumn(r) } yield lc && rc
+    case Or(l, r) => for { lc <- filterColumn(l); rc <- filterColumn(r) } yield lc || rc
+    case org.apache.spark.sql.sources.Not(child) => filterColumn(child).map(not)
+    case org.apache.spark.sql.sources.AlwaysTrue() => Some(lit(true))
+    case org.apache.spark.sql.sources.AlwaysFalse() => Some(lit(false))
+    case _ => None
   }
 }
 

@@ -1,0 +1,318 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, GraftSqlShim, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, EqualNullSafe, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, Command, DeleteAction, InsertAction, InsertStarAction, LeafNode, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.lit
+
+/** SQL DML over lake tables — the "Spark SQL … for Iceberg table
+  * operations" surface:
+  *
+  * {{{
+  *   UPDATE lake_tbl SET v = v + 1 WHERE k < 10
+  *   MERGE INTO lake_tbl t USING updates s ON t.k = s.k
+  *     WHEN MATCHED AND s.v > t.v THEN UPDATE SET v = s.v
+  *     WHEN MATCHED AND s.dead THEN DELETE
+  *     WHEN NOT MATCHED THEN INSERT *
+  *   DELETE FROM lake_tbl WHERE k = 7      -- via SupportsDelete, not here
+  *   SELECT * FROM lake_tbl VERSION AS OF 2
+  * }}}
+  *
+  * Spark's own parser produces `UpdateTable` / `MergeIntoTable` /
+  * `RelationTimeTravel` nodes; this resolution rule (injected by
+  * [[graft.GraftExtensions]]) recognizes the ones whose target is a
+  * graftlake V2 relation and lowers them onto the library ops —
+  * [[LakeTable.update]], [[LakeTable.mergeConditional]],
+  * versioned [[LakeTable.read]] — as an eagerly-executed command.
+  * Without the rule, Spark rejects these statements outright (the
+  * table does not implement SupportsRowLevelOperations); with it, the
+  * exact MERGE algebra the library already hash-verifies against the
+  * oracle becomes reachable from SQL. DELETE needs no lowering: the
+  * table implements `SupportsDelete` and Spark routes the translated
+  * filters straight to it. */
+class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def refuse(msg: String): Nothing =
+    throw new UnsupportedOperationException(s"graftlake SQL DML: $msg")
+
+  /** The lake table under a (possibly aliased) resolved V2 relation. */
+  private def lakeTarget(plan: LogicalPlan): Option[GraftLakeTable] = plan match {
+    case SubqueryAlias(_, child) => lakeTarget(child)
+    case r: DataSourceV2Relation => r.table match {
+      case t: GraftLakeTable => Some(t)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def aliasOf(plan: LogicalPlan): Option[String] = plan match {
+    case SubqueryAlias(id, _) => Some(id.name)
+    case u: UnresolvedRelation => u.multipartIdentifier.lastOption
+    case _ => None
+  }
+
+  /** Column name of an assignment key (qualifiers dropped — the key
+    * is a target column by SQL's own rules). */
+  private def keyName(e: Expression): String = e match {
+    case a: AttributeReference => a.name
+    case u: UnresolvedAttribute => u.nameParts.last
+    case other => refuse(s"unsupported assignment target $other")
+  }
+
+  /** An expression as a Column over the plain target frame: every
+    * column reference collapses to its unqualified name (resolved
+    * attributes belong to the DML plan's relation instance and would
+    * not bind against a fresh read). */
+  private def bare(e: Expression): Column = GraftSqlShim.column(e.transform {
+    case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+    case u: UnresolvedAttribute => UnresolvedAttribute(Seq(u.nameParts.last))
+  })
+
+  /** An expression re-anchored onto the library merge's `t`/`s`
+    * aliases: resolved references map by attribute identity, still-
+    * unresolved qualified ones by the statement's own aliases, and
+    * unqualified ones stay bare (the joined frame resolves them, or
+    * raises the standard ambiguity error). */
+  private def anchored(
+      e: Expression, tOut: AttributeSet, sOut: AttributeSet,
+      tAlias: Option[String], sAlias: Option[String]): Column = {
+    def requal(parts: Seq[String]): Seq[String] = parts match {
+      case Seq(q, c) if tAlias.contains(q) => Seq("t", c)
+      case Seq(q, c) if sAlias.contains(q) => Seq("s", c)
+      case other => other
+    }
+    GraftSqlShim.column(e.transform {
+      case a: AttributeReference if tOut.contains(a) => UnresolvedAttribute(Seq("t", a.name))
+      case a: AttributeReference if sOut.contains(a) => UnresolvedAttribute(Seq("s", a.name))
+      case u: UnresolvedAttribute => UnresolvedAttribute(requal(u.nameParts))
+    })
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+
+    case u @ UpdateTable(target, assignments, condition) =>
+      lakeTarget(target) match {
+        case None => u
+        case Some(tbl) =>
+          if (tbl.pinnedVersion.nonEmpty)
+            refuse(s"cannot UPDATE a version-pinned read of ${tbl.tablePath}")
+          val set = assignments.map {
+            case Assignment(k, v) => keyName(k) -> bare(v)
+          }.toMap
+          val cond = condition.map(bare).getOrElse(lit(true))
+          val path = tbl.tablePath
+          LakeDmlCommand(s"UPDATE graftlake.`$path`",
+            () => LakeTable.update(spark, path, set, cond))
+      }
+
+    case m @ MergeIntoTable(target, source, mergeCond,
+        matchedActions, notMatchedActions, notMatchedBySourceActions, _) =>
+      lakeTarget(target) match {
+        case None => m
+        case Some(tbl) =>
+          if (tbl.pinnedVersion.nonEmpty)
+            refuse(s"cannot MERGE into a version-pinned read of ${tbl.tablePath}")
+          val path = tbl.tablePath
+          val tOut = target.outputSet
+          val sOut = source.outputSet
+          val tAlias = aliasOf(target)
+          val sAlias = aliasOf(source)
+
+          // which side does a bare column reference belong to?
+          def side(e: Expression): Option[(Boolean, String)] = e match {
+            case a: AttributeReference if tOut.contains(a) => Some((true, a.name))
+            case a: AttributeReference if sOut.contains(a) => Some((false, a.name))
+            case u: UnresolvedAttribute => u.nameParts match {
+              case Seq(q, c) if tAlias.contains(q) => Some((true, c))
+              case Seq(q, c) if sAlias.contains(q) => Some((false, c))
+              case _ => None
+            }
+            case _ => None
+          }
+          // the library merge is a (null-safe) single-key equi-merge:
+          // accept ON t.k = s.k with the SAME column name both sides
+          val keyCol = (mergeCond match {
+            case EqualTo(l, r) => Some((l, r))
+            case EqualNullSafe(l, r) => Some((l, r))
+            case _ => None
+          }).flatMap { case (l, r) =>
+            for {
+              (ls, ln) <- side(l); (rs, rn) <- side(r)
+              if ls != rs && ln.equalsIgnoreCase(rn)
+            } yield ln
+          }.getOrElse(refuse(
+            s"MERGE INTO graftlake.`$path` requires ON target.k = source.k " +
+              s"over one same-named key column; got $mergeCond"))
+
+          def anchor(e: Expression): Column = anchored(e, tOut, sOut, tAlias, sAlias)
+          def clauseOf(a: MergeAction): LakeTable.MergeClause = a match {
+            case UpdateAction(cond, assigns, _) =>
+              LakeTable.MatchedUpdate(cond.map(anchor),
+                assigns.map { case Assignment(k, v) => keyName(k) -> anchor(v) }.toMap)
+            case DeleteAction(cond) => LakeTable.MatchedDelete(cond.map(anchor))
+            case UpdateStarAction(cond) =>
+              // SET * = every source column overwrites its namesake;
+              // expanded at effect time when the source frame is known
+              LakeTable.MatchedUpdate(cond.map(anchor), Map.empty)
+            case other => refuse(s"unsupported WHEN MATCHED action $other")
+          }
+          // a NOT MATCHED condition is evaluated over the bare source
+          // frame (no t/s aliases exist there): source references
+          // unqualify, target references are meaningless — refuse
+          def sourceOnly(e: Expression): Column = GraftSqlShim.column(e.transform {
+            case a: AttributeReference if sOut.contains(a) =>
+              UnresolvedAttribute(Seq(a.name))
+            case a: AttributeReference if tOut.contains(a) => refuse(
+              s"MERGE INTO graftlake.`$path`: a WHEN NOT MATCHED condition may " +
+                "reference only source columns")
+            case u: UnresolvedAttribute => u.nameParts match {
+              case Seq(q, c) if sAlias.contains(q) => UnresolvedAttribute(Seq(c))
+              case Seq(q, _) if tAlias.contains(q) => refuse(
+                s"MERGE INTO graftlake.`$path`: a WHEN NOT MATCHED condition may " +
+                  "reference only source columns")
+              case parts => UnresolvedAttribute(Seq(parts.last))
+            }
+          })
+          // INSERT only ships the source row itself (the library
+          // contract): INSERT * always qualifies; an explicit column
+          // list must be the identity mapping c = s.c
+          def insertCond(a: MergeAction): Column = a match {
+            case InsertStarAction(cond) => cond.map(sourceOnly).getOrElse(lit(true))
+            case InsertAction(cond, assigns) =>
+              val identity = assigns.forall {
+                case Assignment(k, v) => side(v) match {
+                  case Some((false, vn)) => vn.equalsIgnoreCase(keyName(k))
+                  case None => v match {
+                    case u: UnresolvedAttribute =>
+                      u.nameParts.last.equalsIgnoreCase(keyName(k))
+                    case _ => false
+                  }
+                  case _ => false
+                }
+              }
+              if (!identity) refuse(
+                s"MERGE INTO graftlake.`$path`: WHEN NOT MATCHED INSERT must be " +
+                  "INSERT * or the identity column mapping (the inserted row is " +
+                  "the source row)")
+              cond.map(sourceOnly).getOrElse(lit(true))
+            case other => refuse(s"unsupported WHEN NOT MATCHED action $other")
+          }
+          if (notMatchedActions.size > 1)
+            refuse(s"MERGE INTO graftlake.`$path`: at most one WHEN NOT MATCHED clause")
+          val matched = matchedActions.map(clauseOf)
+          val starCols = matchedActions.collect { case _: UpdateStarAction => () }.nonEmpty
+          val nmbs = notMatchedBySourceActions.map(clauseOf)
+          val insert = notMatchedActions.headOption.map(insertCond)
+          // the source plan re-analyzes as its own frame at effect
+          // time (capturing the analyzed child of THIS plan would pin
+          // attribute ids that die with it)
+          LakeDmlCommand(s"MERGE INTO graftlake.`$path`", () => {
+            val srcDf = GraftSqlShim.ofRows(spark, source)
+            val expanded = matched.map {
+              case LakeTable.MatchedUpdate(c, s) if starCols && s.isEmpty =>
+                LakeTable.MatchedUpdate(c,
+                  srcDf.columns.toSeq.map(c0 =>
+                    c0 -> org.apache.spark.sql.functions.col(s"s.$c0")).toMap)
+              case other => other
+            }
+            LakeTable.mergeConditional(srcDf, path, keyCol, expanded, insert, nmbs)
+          })
+      }
+
+  }
+}
+
+/** Parser wrapper (injected by [[graft.GraftExtensions]]): resolves
+  * the two relation shapes the built-in analyzer REJECTS before any
+  * injected resolution rule can run —
+  *
+  *  - `SELECT … FROM graftlake.`/path`` (direct path query;
+  *    ResolveSQLOnFile only serves V1 FileFormat sources)
+  *  - `… FROM <lake table or path> VERSION AS OF n` (the session
+  *    catalog refuses time travel for TableProvider tables)
+  *
+  * Both rewrite to the connector's versioned read right after
+  * parsing; every other statement passes through untouched (catalog
+  * reads, DML, DDL all keep the standard path). */
+class GraftSqlParser(
+    spark: SparkSession,
+    delegate: org.apache.spark.sql.catalyst.parser.ParserInterface)
+    extends org.apache.spark.sql.catalyst.parser.ParserInterface {
+
+  private def lakePathOf(parts: Seq[String]): Option[String] = parts match {
+    case Seq(ns, p) if ns.equalsIgnoreCase("graftlake") => Some(p)
+    case _ => GraftSqlShim.tableProviderAndLocation(spark, parts).collect {
+      case (prov, loc) if prov.equalsIgnoreCase("graftlake") => loc
+    }
+  }
+
+  private def lakeRelation(path: String, version: Option[Int]): LogicalPlan = {
+    val reader = spark.read.format("graftlake")
+    GraftSqlShim.analyzedPlan(
+      version.fold(reader)(v => reader.option("versionAsOf", v)).load(path))
+  }
+
+  // transformDown: the time-travel node must match BEFORE its
+  // UnresolvedRelation child is rewritten away (the version would be
+  // silently dropped otherwise)
+  override def parsePlan(sqlText: String): LogicalPlan =
+    delegate.parsePlan(sqlText).transformDown {
+      case RelationTimeTravel(u: UnresolvedRelation, None, Some(versionStr))
+          if lakePathOf(u.multipartIdentifier).isDefined =>
+        val v = try versionStr.trim.toInt catch {
+          case _: NumberFormatException => throw new UnsupportedOperationException(
+            s"graftlake VERSION AS OF needs an integer version, got '$versionStr'")
+        }
+        lakeRelation(lakePathOf(u.multipartIdentifier).get, Some(v))
+      case u: UnresolvedRelation if u.multipartIdentifier.length == 2 &&
+          u.multipartIdentifier.head.equalsIgnoreCase("graftlake") =>
+        lakeRelation(u.multipartIdentifier(1), None)
+    }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): org.apache.spark.sql.catalyst.TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): org.apache.spark.sql.catalyst.FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): org.apache.spark.sql.types.StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): org.apache.spark.sql.types.StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+}
+
+/** An eagerly-executed DML side effect (the commit happens when Spark
+  * runs the command, exactly once). */
+case class LakeDmlCommand(sql: String, effect: () => Int)
+    extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
+  override def simpleString(maxFields: Int): String = s"LakeDmlCommand $sql"
+}
+
+case class LakeDmlExec(sql: String, effect: () => Int) extends LeafExecNode {
+  override def output: Seq[Attribute] = Nil
+  private lazy val done: Unit = { effect(); () }
+  override def executeCollect(): Array[InternalRow] = { done; Array.empty }
+  override protected def doExecute(): RDD[InternalRow] = {
+    done; sparkContext.emptyRDD[InternalRow]
+  }
+}
+
+object LakeDmlStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case LakeDmlCommand(sql, effect) => LakeDmlExec(sql, effect) :: Nil
+    case _ => Nil
+  }
+}

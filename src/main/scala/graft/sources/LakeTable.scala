@@ -1885,6 +1885,27 @@ object LakeTable {
       "delete")
   }
 
+  /** Copy-on-write UPDATE ... SET ... WHERE: rewrite the snapshot
+    * with the assignments applied to predicate-TRUE rows (NULL
+    * predicate keeps the row unchanged — SQL three-valued logic, as
+    * [[delete]]). Assignment values may reference the row's own
+    * columns (`SET v = v + 1`). The SQL surface lowers onto this via
+    * [[graft.sources.LakeSqlDmlRule]]. */
+  def update(
+      spark: SparkSession, path: String,
+      set: Map[String, org.apache.spark.sql.Column],
+      predicate: org.apache.spark.sql.Column): Int = {
+    val base = observedBase(spark, path)
+    val cur = read(spark, path, Some(base))
+    set.keys.foreach(c => require(cur.columns.contains(c),
+      s"UPDATE at $path: no such column '$c' (have ${cur.columns.mkString(", ")})"))
+    val p = coalesce(predicate, lit(false))
+    val updated = cur.select(cur.columns.toSeq.map { c =>
+      set.get(c).map(v => when(p, v).otherwise(col(c)).as(c)).getOrElse(col(c))
+    }: _*)
+    commitRefs(spark, path, base, stageManifest(updated, path).toSeq, "update")
+  }
+
   /** MERGE-ON-READ DELETE (Iceberg v2's equality-delete shape):
     * instead of rewriting every surviving data file (copy-on-write
     * [[delete]]), commit the DELETED KEYS as a delete file; readers
@@ -2518,6 +2539,40 @@ object LakeTable {
         MatchedDelete(None)),
       notMatchedInsert = Some(col("value") > 100.0))
     read(s, path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** Driver query: the SAME conditional merge as
+    * [[mergeConditionalQuery]] (same oracle) executed as a SQL
+    * `MERGE INTO` statement — the [[GraftSqlParser]] resolves the
+    * path-form target, [[LakeSqlDmlRule]] lowers the statement onto
+    * [[mergeConditional]], and the read-back goes through the V2
+    * connector; hash-matching the CTE oracle verifies the whole SQL
+    * DML surface end to end (clause order, conditional update,
+    * delete, filtered INSERT *). */
+  def sqlMergeQuery(s: SparkSession, d: String): DataFrame = {
+    val path = freshWorkDir("lakesqlmerge", d)
+    val ev = graft.Tables.load(s, d, "events").select("event_id", "event_type", "value")
+    overwrite(ev, path)
+    ev.filter(pmod(col("event_id"), lit(3L)) === 0)
+      .select(col("event_id"), lit("patched").as("event_type"),
+        (col("value") + 1000.0).as("value"))
+      .unionByName(
+        ev.filter(pmod(col("event_id"), lit(10L)) === 5)
+          .select((-col("event_id")).as("event_id"),
+            lit("inserted").as("event_type"), col("value")))
+      .createOrReplaceTempView("lake_sql_merge_src")
+    s.sql(
+      s"""MERGE INTO graftlake.`$path` t USING lake_sql_merge_src s
+         |ON t.event_id = s.event_id
+         |WHEN MATCHED AND t.value < 500.0
+         |  THEN UPDATE SET event_type = s.event_type, value = s.value
+         |WHEN MATCHED THEN DELETE
+         |WHEN NOT MATCHED AND s.value > 100.0 THEN INSERT *
+         |""".stripMargin)
+    s.read.format("graftlake").load(path)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
       .orderBy("event_type")

@@ -21,4 +21,24 @@ object GraftSqlShim {
     * scans must read footers with; `sessionState` is private[sql]. */
   def hadoopConf(spark: SparkSession): org.apache.hadoop.conf.Configuration =
     spark.asInstanceOf[classic.SparkSession].sessionState.newHadoopConf()
+
+  /** (provider, location path) of a session-catalog table, None when
+    * the identifier is not a catalog table (or has neither recorded).
+    * Used by the graftlake SQL surface to resolve `VERSION AS OF`
+    * over catalog-registered lake tables at parse time. */
+  def tableProviderAndLocation(
+      spark: SparkSession, nameParts: Seq[String]): Option[(String, String)] = {
+    val catalog = spark.asInstanceOf[classic.SparkSession].sessionState.catalog
+    val ident = nameParts match {
+      case Seq(t) => Some(catalyst.TableIdentifier(t))
+      case Seq(db, t) => Some(catalyst.TableIdentifier(t, Some(db)))
+      case Seq(c, db, t) if c.equalsIgnoreCase("spark_catalog") =>
+        Some(catalyst.TableIdentifier(t, Some(db)))
+      case _ => None
+    }
+    try ident.filter(catalog.tableExists).flatMap { ti =>
+      val m = catalog.getTableMetadata(ti)
+      for { p <- m.provider; l <- m.storage.locationUri } yield (p, l.getPath)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
 }

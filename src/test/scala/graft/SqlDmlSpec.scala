@@ -1,0 +1,128 @@
+package graft
+
+import graft.sources.LakeTable
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL DML over lake tables (GraftSqlParser + LakeSqlDmlRule +
+  * SupportsDelete): DELETE / UPDATE / MERGE INTO statements must
+  * commit through the library ops, VERSION AS OF must pin snapshots
+  * from SQL, and the unsupported shapes must refuse with an error
+  * that names the contract. */
+class SqlDmlSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  import SparkSpec.rmdir
+
+  private def freshTable(p: String, name: String): Unit = {
+    rmdir(p)
+    import spark.implicits._
+    LakeTable.overwrite(Seq(
+      (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0)
+    ).toDF("k", "s", "v"), p)
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"CREATE TABLE $name USING graftlake OPTIONS (path '$p')")
+  }
+
+  test("SQL DELETE commits a copy-on-write delete") {
+    val p = "/tmp/graft_test/sqldml_delete"
+    freshTable(p, "sqldml_del")
+    try {
+      spark.sql("DELETE FROM sqldml_del WHERE k >= 3 AND s != 'd'")
+      assert(spark.sql("SELECT k FROM sqldml_del ORDER BY k")
+        .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 4L))
+      // the commit is a real snapshot: v0 still time-travels complete
+      assert(LakeTable.read(spark, p, Some(0)).count() === 4)
+      assert(LakeTable.history(spark, p).count() === 2)
+    } finally spark.sql("DROP TABLE IF EXISTS sqldml_del")
+  }
+
+  test("SQL UPDATE rewrites predicate-true rows only") {
+    val p = "/tmp/graft_test/sqldml_update"
+    freshTable(p, "sqldml_upd")
+    try {
+      spark.sql("UPDATE sqldml_upd SET v = v * 2, s = concat(s, '!') WHERE k <= 2")
+      val rows = spark.sql("SELECT k, s, v FROM sqldml_upd ORDER BY k").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+      assert(rows === Seq((1L, "a!", 20.0), (2L, "b!", 40.0),
+        (3L, "c", 30.0), (4L, "d", 40.0)))
+      assert(LakeTable.read(spark, p, Some(0)).count() === 4, "prior snapshot intact")
+    } finally spark.sql("DROP TABLE IF EXISTS sqldml_upd")
+  }
+
+  test("SQL MERGE INTO lowers onto mergeConditional with full clause order") {
+    val p = "/tmp/graft_test/sqldml_merge"
+    freshTable(p, "sqldml_mrg")
+    import spark.implicits._
+    Seq((2L, "B", 200.0), (3L, "C", 300.0), (9L, "z", 9.0), (10L, "y", 1.0))
+      .toDF("k", "s", "v").createOrReplaceTempView("sqldml_mrg_src")
+    try {
+      spark.sql(
+        """MERGE INTO sqldml_mrg t USING sqldml_mrg_src u ON t.k = u.k
+          |WHEN MATCHED AND t.v < 25.0 THEN UPDATE SET s = u.s, v = u.v
+          |WHEN MATCHED THEN DELETE
+          |WHEN NOT MATCHED AND u.v > 5.0 THEN INSERT *
+          |""".stripMargin)
+      val rows = spark.sql("SELECT k, s, v FROM sqldml_mrg ORDER BY k").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+      // k=2 updated (v=20<25), k=3 deleted (v=30), k=9 inserted
+      // (v=9>5), k=10 filtered out (v=1), k=1/4 untouched
+      assert(rows === Seq((1L, "a", 10.0), (2L, "B", 200.0),
+        (4L, "d", 40.0), (9L, "z", 9.0)))
+    } finally spark.sql("DROP TABLE IF EXISTS sqldml_mrg")
+  }
+
+  test("SQL MERGE with WHEN NOT MATCHED BY SOURCE") {
+    val p = "/tmp/graft_test/sqldml_nmbs"
+    freshTable(p, "sqldml_nmbs")
+    import spark.implicits._
+    Seq((1L, "A", 100.0)).toDF("k", "s", "v")
+      .createOrReplaceTempView("sqldml_nmbs_src")
+    try {
+      spark.sql(
+        """MERGE INTO sqldml_nmbs t USING sqldml_nmbs_src u ON t.k = u.k
+          |WHEN MATCHED THEN UPDATE SET v = u.v
+          |WHEN NOT MATCHED BY SOURCE AND t.k >= 4 THEN DELETE
+          |""".stripMargin)
+      val rows = spark.sql("SELECT k, v FROM sqldml_nmbs ORDER BY k").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(rows === Seq((1L, 100.0), (2L, 20.0), (3L, 30.0)))
+    } finally spark.sql("DROP TABLE IF EXISTS sqldml_nmbs")
+  }
+
+  test("VERSION AS OF works for catalog tables and direct paths") {
+    val p = "/tmp/graft_test/sqldml_tt"
+    freshTable(p, "sqldml_tt")
+    import spark.implicits._
+    try {
+      LakeTable.append(Seq((9L, "z", 90.0)).toDF("k", "s", "v"), p)
+      assert(spark.sql("SELECT count(*) AS n FROM sqldml_tt").head.getLong(0) === 5)
+      assert(spark.sql("SELECT count(*) AS n FROM sqldml_tt VERSION AS OF 0")
+        .head.getLong(0) === 4)
+      assert(spark.sql(s"SELECT count(*) AS n FROM graftlake.`$p` VERSION AS OF 0")
+        .head.getLong(0) === 4)
+      assert(spark.sql(s"SELECT count(*) AS n FROM graftlake.`$p`")
+        .head.getLong(0) === 5)
+    } finally spark.sql("DROP TABLE IF EXISTS sqldml_tt")
+  }
+
+  test("unsupported merge shapes refuse loudly") {
+    val p = "/tmp/graft_test/sqldml_refuse"
+    freshTable(p, "sqldml_ref")
+    import spark.implicits._
+    Seq((1L, "A", 1.0)).toDF("k", "s", "v")
+      .createOrReplaceTempView("sqldml_ref_src")
+    try {
+      // non-equi ON
+      val e1 = intercept[Exception](spark.sql(
+        """MERGE INTO sqldml_ref t USING sqldml_ref_src u ON t.k < u.k
+          |WHEN MATCHED THEN DELETE""".stripMargin))
+      assert(e1.getMessage.contains("ON target.k = source.k"), e1.getMessage)
+      // non-identity INSERT mapping
+      val e2 = intercept[Exception](spark.sql(
+        """MERGE INTO sqldml_ref t USING sqldml_ref_src u ON t.k = u.k
+          |WHEN NOT MATCHED THEN INSERT (k, s, v) VALUES (u.k, 'fixed', u.v)
+          |""".stripMargin))
+      assert(e2.getMessage.contains("identity column mapping"), e2.getMessage)
+    } finally spark.sql("DROP TABLE IF EXISTS sqldml_ref")
+  }
+}
