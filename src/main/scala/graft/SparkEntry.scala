@@ -179,6 +179,7 @@ object SparkEntry {
     "lake_change_feed" -> (sources.LakeTable.changeFeedQuery _),
     "lake_expire_read" -> (sources.LakeTable.expireReadQuery _),
     "lake_mor_delete" -> (sources.LakeTable.morDeleteQuery _),
+    "lake_dv_read" -> (sources.LakeTable.dvReadQuery _),
     "lake_mor_upsert" -> (sources.LakeTable.morUpsertQuery _),
     "lake_tag_read" -> (sources.LakeTable.tagReadQuery _),
     "lake_incremental_agg" -> (sources.LakeTable.incrementalAggQuery _),
@@ -987,6 +988,17 @@ object SparkEntry {
         |SELECT 'compacted' AS phase, event_type, n, sum_value FROM base
         |UNION ALL
         |SELECT 'mor', event_type, n, sum_value FROM base
+        |ORDER BY phase, event_type""".stripMargin,
+    // lake_dv_read: deletion vectors — every 7th event bit-flagged in
+    // a per-file bitmap; the DV-applied read and the post-compact
+    // fold must both equal events-minus-deleted
+    "lake_dv_read" ->
+      """WITH base AS (SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        |              FROM events WHERE event_id % 7 <> 0
+        |              GROUP BY event_type)
+        |SELECT 'compacted' AS phase, event_type, n, sum_value FROM base
+        |UNION ALL
+        |SELECT 'dv', event_type, n, sum_value FROM base
         |ORDER BY phase, event_type""".stripMargin,
     // lake_mor_upsert: the sequence rule hash-checked — patch rows
     // must survive their own delete keys, originals must not

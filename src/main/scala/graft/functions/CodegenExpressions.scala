@@ -523,3 +523,38 @@ case class DotProductExpr(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): DotProductExpr =
     copy(left = newLeft, right = newRight)
 }
+
+/** Deletion-vector membership: is bit `idx` set in the bitmap `dv`?
+  * The lake's deletion vectors ([[graft.sources.LakeTable]] kind
+  * `dv`) are little-endian bitsets over per-file row indices — byte
+  * `idx >> 3`, bit `idx & 7`; an index past the bitmap's end is
+  * simply NOT deleted (vectors are truncated at the highest set
+  * bit). Codegen keeps the DV filter inside the whole-stage pipeline
+  * of the scan it guards. */
+case class DvContainsExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "graft_dv_contains"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val bytes = a.asInstanceOf[Array[Byte]]
+    val idx = b.asInstanceOf[Long]
+    val bi = (idx >> 3).toInt
+    idx >= 0 && bi < bytes.length && ((bytes(bi) >> (idx & 7)) & 1) == 1
+  }
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val bi = ctx.freshName("bi")
+      s"""
+         |int $bi = (int) ($b >> 3);
+         |${ev.value} = $b >= 0 && $bi < $a.length &&
+         |  (($a[$bi] >> ((int) ($b & 7))) & 1) == 1;
+       """.stripMargin
+    })
+
+  protected override def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DvContainsExpr =
+    copy(left = newLeft, right = newRight)
+}

@@ -507,7 +507,7 @@ object LakeTable {
     // position-delete files carry internal (file_path, row_index)
     // columns that must never leak into the table schema
     val (_, fieldIds) =
-      if (kind == "posdel") (Nil, Map.empty[String, Int])
+      if (kind == "posdel" || kind == "dv") (Nil, Map.empty[String, Int])
       else schemaForWrite(
         path, latestVersion(path).getOrElse(-1),
         df.columns.toSeq.filterNot(_.startsWith(HiddenPrefix)))
@@ -889,15 +889,18 @@ object LakeTable {
       current: Option[Seq[(Int, String)]],
       keepMeta: Boolean = false): DataFrame = {
     val (eq, rest) = refs.partition(_.kind == "delete")
-    val (pos, data) = rest.partition(_.kind == "posdel")
-    if (eq.isEmpty && pos.isEmpty && !keepMeta) readRefs(spark, data, current)
+    val (pos, rest2) = rest.partition(_.kind == "posdel")
+    val (dv, data) = rest2.partition(_.kind == "dv")
+    if (eq.isEmpty && pos.isEmpty && dv.isEmpty && !keepMeta)
+      readRefs(spark, data, current)
     else {
       val tagged = taggedReadRefs(spark, data, current,
-        withPos = pos.nonEmpty || keepMeta)
+        withPos = pos.nonEmpty || dv.nonEmpty || keepMeta)
       val afterPos = if (pos.nonEmpty) applyPosDeletes(spark, tagged, pos) else tagged
+      val afterDv = if (dv.nonEmpty) applyDvDeletes(spark, afterPos, dv) else afterPos
       val afterEq =
-        if (eq.nonEmpty) applyMorDeletes(spark, afterPos, eq, current)
-        else afterPos.drop(SeqCol)
+        if (eq.nonEmpty) applyMorDeletes(spark, afterDv, eq, current)
+        else afterDv.drop(SeqCol)
       if (keepMeta) afterEq else afterEq.drop(FpCol, RiCol)
     }
   }
@@ -921,6 +924,33 @@ object LakeTable {
         dataWithMeta(RiCol) === col("__graft_dri"),
       "left_anti")
   }
+
+  /** DELETION VECTORS (Delta/Iceberg-puffin shape): position deletes
+    * compressed to one BITMAP PER FILE instead of one row per
+    * (file, index) pair — the representation that survives a heavily-
+    * updated 100 TB table, where a file's accumulated posdel set
+    * grows with every delete while its DV stays ≤ rows/8 bytes.
+    * Applied as a broadcast left join per DV manifest (DV frames are
+    * metadata-sized: ≤ one row per data file) with a codegen'd bit
+    * probe ([[graft.functions.DvContainsExpr]]) — the filter stays
+    * inside the scan's whole-stage pipeline, no explode back to
+    * per-row pairs. Several DV manifests for one file compose by
+    * chaining (deleted = union of set bits), so writers never need a
+    * read-modify-write of earlier vectors. */
+  private def applyDvDeletes(
+      spark: SparkSession, dataWithMeta: DataFrame,
+      dv: Seq[ManifestRef]): DataFrame =
+    dv.foldLeft(dataWithMeta) { (df, ref) =>
+      val m = refScan(spark, ref).select(
+        col("file_path").as("__graft_dvf"), col("dv").as("__graft_dvb"))
+      val hit = org.apache.spark.sql.GraftSqlShim.column(
+        graft.functions.DvContainsExpr(
+          org.apache.spark.sql.GraftSqlShim.expression(col("__graft_dvb")),
+          org.apache.spark.sql.GraftSqlShim.expression(col(RiCol))))
+      df.join(broadcast(m), df(FpCol) === col("__graft_dvf"), "left")
+        .filter(col("__graft_dvb").isNull || !hit)
+        .drop("__graft_dvf", "__graft_dvb")
+    }
 
   private val SeqCol = "__graft_seq" // internal; underscored to dodge user columns
 
@@ -1069,21 +1099,23 @@ object LakeTable {
       spark: SparkSession,
       kept: Seq[ManifestEntry], fullRefs: Seq[ManifestRef],
       eqRefs: Seq[ManifestRef], posRefs: Seq[ManifestRef],
+      dvRefs: Seq[ManifestRef],
       current: Option[Seq[(Int, String)]]): DataFrame = {
     def assemble(parts: Seq[DataFrame]): DataFrame =
       parts.reduce(_.unionByName(_, allowMissingColumns = true))
-    if (eqRefs.isEmpty && posRefs.isEmpty) assemble(Seq(
+    if (eqRefs.isEmpty && posRefs.isEmpty && dvRefs.isEmpty) assemble(Seq(
       if (kept.nonEmpty) Some(readFiles(spark, kept, current)) else None,
       if (fullRefs.nonEmpty) Some(readRefs(spark, fullRefs, current)) else None).flatten)
     else {
-      val withPos = posRefs.nonEmpty
+      val withPos = posRefs.nonEmpty || dvRefs.nonEmpty
       val tagged = assemble(Seq(
         if (kept.nonEmpty) Some(taggedRead(spark, kept, current, withPos)) else None,
         if (fullRefs.nonEmpty)
           Some(taggedReadRefs(spark, fullRefs, current, withPos)) else None).flatten)
-      val p1 = if (withPos) applyPosDeletes(spark, tagged, posRefs) else tagged
-      val p2 = if (eqRefs.nonEmpty) applyMorDeletes(spark, p1, eqRefs, current)
-        else p1.drop(SeqCol)
+      val p1 = if (posRefs.nonEmpty) applyPosDeletes(spark, tagged, posRefs) else tagged
+      val p1b = if (dvRefs.nonEmpty) applyDvDeletes(spark, p1, dvRefs) else p1
+      val p2 = if (eqRefs.nonEmpty) applyMorDeletes(spark, p1b, eqRefs, current)
+        else p1b.drop(SeqCol)
       p2.drop(FpCol, RiCol)
     }
   }
@@ -1295,13 +1327,14 @@ object LakeTable {
       s"no such snapshot version $v at $path (expired or never committed); " +
         s"latest is ${latestVersion(path).getOrElse(-1)}")
     val (eqRefs, rest0) = listRefs(path, v).partition(_.kind == "delete")
-    val (posRefs, dataRefs) = rest0.partition(_.kind == "posdel")
-    if (eqRefs.nonEmpty || posRefs.nonEmpty)
+    val (posRefs, rest1) = rest0.partition(_.kind == "posdel")
+    val (dvRefs, dataRefs) = rest1.partition(_.kind == "dv")
+    if (eqRefs.nonEmpty || posRefs.nonEmpty || dvRefs.nonEmpty)
       throw new UnsupportedOperationException(
         s"graftlake V2 read at $path v$v: the snapshot carries " +
-          s"${eqRefs.size + posRefs.size} merge-on-read delete manifest(s) a " +
-          "file-level scan cannot apply — LakeTable.compact(...) folds them, " +
-          "or read through LakeTable.read")
+          s"${eqRefs.size + posRefs.size + dvRefs.size} merge-on-read delete " +
+          "manifest(s) a file-level scan cannot apply — " +
+          "LakeTable.compact(...) folds them, or read through LakeTable.read")
     val current = schemaOf(path, v)
     for {
       r <- dataRefs; (n, id) <- r.cols
@@ -1375,14 +1408,15 @@ object LakeTable {
     val v = version.orElse(latestVersion(path)).getOrElse(
       throw new IllegalArgumentException(s"no snapshots at $path"))
     val (eqRefs, rest0) = listRefs(path, v).partition(_.kind == "delete")
-    val (posRefs, dataRefs) = rest0.partition(_.kind == "posdel")
+    val (posRefs, rest1) = rest0.partition(_.kind == "posdel")
+    val (dvRefs, dataRefs) = rest1.partition(_.kind == "dv")
     val current = schemaOf(path, v)
     val (fullRefs, kept) = prunePlan(spark, dataRefs, current, preds)
     // merge-on-read deletes apply AFTER the file skip: pruning only
     // decides which data files are touched, never which rows survive
     val base =
       if (fullRefs.isEmpty && kept.isEmpty) read(spark, path, Some(v)).filter(lit(false))
-      else assemblePruned(spark, kept, fullRefs, eqRefs, posRefs, current)
+      else assemblePruned(spark, kept, fullRefs, eqRefs, posRefs, dvRefs, current)
     // full-snapshot schema, resolved lazily: only consulted when a
     // predicate column is absent from the kept files, to keep the
     // pruned read's schema LAYOUT-INDEPENDENT (round-2 ADVICE — a
@@ -1760,7 +1794,8 @@ object LakeTable {
     val v = version.orElse(latestVersion(path)).getOrElse(
       throw new IllegalArgumentException(s"no snapshots at $path"))
     val (eqRefs, rest0) = listRefs(path, v).partition(_.kind == "delete")
-    val (posRefs, dataRefs) = rest0.partition(_.kind == "posdel")
+    val (posRefs, rest1) = rest0.partition(_.kind == "posdel")
+    val (dvRefs, dataRefs) = rest1.partition(_.kind == "dv")
     val current = schemaOf(path, v)
     val key = bloomKey(path, v, column)
     val live = dataRefs.filter(_.nFiles > 0)
@@ -1817,7 +1852,7 @@ object LakeTable {
       fullRefs.map(_.nFiles).sum + kept.size.toLong, distributed, fullRefs.size)
     val base =
       if (fullRefs.isEmpty && kept.isEmpty) read(spark, path, Some(v)).filter(lit(false))
-      else assemblePruned(spark, kept, fullRefs, eqRefs, posRefs, current)
+      else assemblePruned(spark, kept, fullRefs, eqRefs, posRefs, dvRefs, current)
     if (!base.columns.contains(column)) base.filter(lit(false))
     else base.filter(col(column) === value)
   }
@@ -1959,6 +1994,43 @@ object LakeTable {
       prev ++ stageManifest(keys, path, kind = "posdel"), "mor_posdelete")
   }
 
+  /** MERGE-ON-READ DELETE as a DELETION VECTOR: same row-granular
+    * semantics as [[deleteMoRPositional]] (predicate over the current
+    * VISIBLE state, NULL keeps, file identity pins the vintage), but
+    * the matching (file, row-index) set commits as ONE BITMAP PER
+    * FILE — O(files-touched) metadata rows instead of O(deleted
+    * rows). Readers probe bits inside the scan pipeline
+    * ([[applyDvDeletes]]); [[compact]] folds vectors away like every
+    * other delete representation. */
+  def deleteMoRVector(
+      spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column): Int = {
+    val base = observedBase(spark, path)
+    val prev = listRefs(path, base)
+    val keys = assembleWithDeletes(spark, prev, schemaOf(path, base), keepMeta = true)
+      .filter(coalesce(predicate, lit(false)))
+      .select(col(FpCol).as("file_path"), col(RiCol).as("row_index"))
+    import spark.implicits._
+    // one growable little-endian bitset per file, built streaming so
+    // a heavily-deleted file never buffers its index list (peak
+    // memory = rows/8 bytes, the vector itself)
+    val dvRows = keys.as[(String, Long)].groupByKey(_._1)
+      .mapGroups { (f, it) =>
+        var bytes = new Array[Byte](64)
+        var maxByte = -1
+        it.foreach { case (_, i) =>
+          val bi = (i >> 3).toInt
+          if (bi >= bytes.length)
+            bytes = java.util.Arrays.copyOf(bytes, math.max(bytes.length * 2, bi + 1))
+          bytes(bi) = (bytes(bi) | (1 << (i & 7))).toByte
+          if (bi > maxByte) maxByte = bi
+        }
+        (f, java.util.Arrays.copyOf(bytes, maxByte + 1))
+      }.toDF("file_path", "dv")
+    commitRefs(spark, path, base,
+      prev ++ stageManifest(dvRows, path, kind = "dv"), "mor_dv_delete")
+  }
+
   /** MERGE-ON-READ UPSERT: one commit shipping the matched keys as a
     * delete file AND the fresh rows as data files. The sequence rule
     * ([[applyMorDeletes]]) makes it correct by construction — the
@@ -2006,8 +2078,9 @@ object LakeTable {
     val base = observedBase(spark, path)
     val refs = listRefs(path, base)
     val (eq, rest) = refs.partition(_.kind == "delete")
-    val (pos, data) = rest.partition(_.kind == "posdel")
-    val del = eq ++ pos
+    val (pos, rest2) = rest.partition(_.kind == "posdel")
+    val (dvs, data) = rest2.partition(_.kind == "dv")
+    val del = eq ++ pos ++ dvs
     val current = schemaOf(path, base)
     def sizeOf(e: ManifestEntry): Long =
       if (e.bytes >= 0) e.bytes else Files.size(Paths.get(e.file))
@@ -2016,7 +2089,7 @@ object LakeTable {
     if (smalls.size <= 1)
       return commitRefs(spark, path, base, refs, "binpack") // nothing to fold
     val smallSet = smalls.map(_.file).toSet
-    val smallDf = assemblePruned(spark, smalls, Nil, eq, pos, current)
+    val smallDf = assemblePruned(spark, smalls, Nil, eq, pos, dvs, current)
     val nOut = math.max(1L,
       (smalls.map(sizeOf).sum + targetBytes - 1) / targetBytes).toInt
     val packed = stageManifest(smallDf.repartition(nOut), path)
@@ -2236,6 +2309,32 @@ object LakeTable {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
     afterDelete.withColumn("phase", lit("mor"))
+      .unionByName(afterCompact.withColumn("phase", lit("compacted")))
+      .select(col("phase"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("phase", "event_type")
+  }
+
+  /** Driver query: DELETION-VECTOR lifecycle — write the events
+    * projection (v0), [[deleteMoRVector]] every 7th event (v1: one
+    * bitmap per touched file, no data rewrite), read latest (the
+    * codegen bit probe applies the vectors), then [[compact]] (v2:
+    * vectors folded away) and read again. Both phases hash-match the
+    * oracle's events-minus-deleted aggregate, so the DV apply AND the
+    * fold are verified; bitmap↔posdel equivalence and stacking are
+    * asserted in LakeTableSpec / the model property test. */
+  def dvReadQuery(s: SparkSession, d: String): DataFrame = {
+    val path = freshWorkDir("lakedv", d)
+    val ev = graft.Tables.load(s, d, "events").select("event_id", "event_type", "value")
+    overwrite(ev, path)
+    deleteMoRVector(s, path, pmod(col("event_id"), lit(7L)) === 0)
+    val afterDv = read(s, path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+    compact(s, path)
+    val afterCompact = read(s, path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+    afterDv.withColumn("phase", lit("dv"))
       .unionByName(afterCompact.withColumn("phase", lit("compacted")))
       .select(col("phase"), col("event_type"), col("n"), col("sum_value"))
       .orderBy("phase", "event_type")

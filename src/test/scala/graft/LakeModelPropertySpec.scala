@@ -51,7 +51,7 @@ class LakeModelPropertySpec extends AnyFunSuite {
         } ++ srcM.filter { case (k, sv) => !model.contains(k) && sv > 300.0 }
 
       for (step <- 1 to 10) {
-        rnd.nextInt(9) match {
+        rnd.nextInt(10) match {
           case 0 => // append fresh keys
             val add = (0 until 3).map { i =>
               (nextKey + i) -> (rnd.nextInt(1000).toDouble)
@@ -102,6 +102,12 @@ class LakeModelPropertySpec extends AnyFunSuite {
             val lo = rnd.nextInt(800).toDouble
             val hi = lo + rnd.nextInt(200)
             LakeTable.deleteMoRPositional(spark, p,
+              col("value") >= lo && col("value") <= hi)
+            model = model.filter { case (_, v) => v < lo || v > hi }
+          case 9 => // DELETION-VECTOR delete (bitmap-compressed posdel)
+            val lo = rnd.nextInt(800).toDouble
+            val hi = lo + rnd.nextInt(200)
+            LakeTable.deleteMoRVector(spark, p,
               col("value") >= lo && col("value") <= hi)
             model = model.filter { case (_, v) => v < lo || v > hi }
         }

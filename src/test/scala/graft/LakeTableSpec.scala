@@ -1096,6 +1096,59 @@ class LakeTableSpec extends AnyFunSuite {
       .forall(_.kind == "data"), "compact must fold position deletes away")
   }
 
+  test("deletion vectors: bitmap posdels, same semantics, O(files) metadata") {
+    val p = "/tmp/graft_test/lake_dv"
+    rmdir(p)
+    import spark.implicits._
+    // duplicate keys again — DVs must stay row-granular like posdels
+    LakeTable.overwrite(
+      Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d")).toDF("k", "s").coalesce(1), p) // v0
+    val v0Files = LakeTable.read(spark, p).inputFiles.toSet
+    LakeTable.deleteMoRVector(spark, p, col("s") === "a") // v1
+    val got1 = LakeTable.read(spark, p)
+    assert(got1.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._2).toSeq
+      === Seq((1L, "b"), (2L, "c"), (3L, "d")),
+      "only the matching ROW of the duplicate key may be deleted")
+    assert(v0Files.subsetOf(got1.inputFiles.toSet), "DV delete must not rewrite data")
+    assert(LakeTable.read(spark, p, Some(0)).count() === 4, "time travel intact")
+    // the DV manifest carries ONE row per touched file, not per
+    // deleted row: delete two more rows of the same file and check
+    // the new vector's manifest claims a single metadata row
+    LakeTable.deleteMoRVector(spark, p, col("s").isin("b", "c")) // v2: stacked vector
+    assert(LakeTable.read(spark, p).collect().map(_.getString(1)).toSeq === Seq("d"))
+    val dvRefs = LakeTable.listRefs(p, 2).filter(_.kind == "dv")
+    assert(dvRefs.size === 2, "each DV commit adds one vector manifest")
+    assert(dvRefs.forall(_.nFiles === 1),
+      s"a DV manifest holds one bitmap row per touched data file: $dvRefs")
+    // DV + equality deletes compose; pruned reads apply DVs too
+    LakeTable.append(Seq((5L, "e"), (6L, "f")).toDF("k", "s").coalesce(1), p) // v3
+    LakeTable.deleteMoR(spark, p, "k", col("k") === 6L) // v4
+    assert(LakeTable.read(spark, p).collect().map(_.getString(1)).sorted.toSeq
+      === Seq("d", "e"))
+    assert(LakeTable.readWhereBetween(spark, p, "k", 0, 10).count() === 2,
+      "pruned reads must apply deletion vectors")
+    // NULL-predicate rows are kept (SQL DELETE semantics)
+    LakeTable.deleteMoRVector(spark, p,
+      when(col("k") === 3L, lit(null).cast("boolean")).otherwise(lit(false)))
+    assert(LakeTable.read(spark, p).count() === 2)
+    // equivalence: the same deletes via posdel pairs give the same table
+    val q = "/tmp/graft_test/lake_dv_eq"
+    rmdir(q)
+    LakeTable.overwrite(
+      Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d")).toDF("k", "s").coalesce(1), q)
+    LakeTable.deleteMoRPositional(spark, q, col("s") === "a")
+    LakeTable.deleteMoRPositional(spark, q, col("s").isin("b", "c"))
+    assert(LakeTable.read(spark, q).collect().map(_.getString(1)).toSeq
+      === Seq("d"), "DV and posdel must express identical deletions")
+    // compact folds vectors into clean data
+    LakeTable.compact(spark, p)
+    val head = LakeTable.history(spark, p)
+      .agg(org.apache.spark.sql.functions.max("version")).head().getInt(0)
+    assert(LakeTable.entriesOf(p, head).forall(_.kind == "data"),
+      "compact must fold deletion vectors away")
+    assert(LakeTable.read(spark, p).count() === 2)
+  }
+
   test("MoR upsert: sequence rule lets patch rows survive their own delete keys") {
     val p = "/tmp/graft_test/lake_mor_up"
     rmdir(p)
