@@ -326,11 +326,12 @@ object Dedup {
       .join(tk.select(col("doc_id").as("doc_b"), col("ts").as("tb")), Seq("doc_b"))
       // ONE codegen merge pass per pair (arrays pre-sorted above) —
       // array_intersect built a per-pair hash set here, the hottest
-      // loop of the whole query (round-4 verdict item #8)
-      .select(col("doc_a"), col("doc_b"),
-        sortedIntersectSize(col("ta"), col("tb")).as("n_inter"),
-        (size(col("ta")) + size(col("tb"))
-          - sortedIntersectSize(col("ta"), col("tb"))).as("n_union"))
+      // loop of the whole query (round-4 verdict item #8). n_inter is
+      // materialized in its own projection so the merge runs ONCE per
+      // pair regardless of whether codegen subexpression elimination
+      // kicks in for the union arithmetic.
+      .withColumn("n_inter", sortedIntersectSize(col("ta"), col("tb")))
+      .withColumn("n_union", size(col("ta")) + size(col("tb")) - col("n_inter"))
       .filter(lit(5) * col("n_inter") >= lit(4) * col("n_union"))
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),
         round(col("n_inter").cast("double") / col("n_union"), 6).as("jaccard"))

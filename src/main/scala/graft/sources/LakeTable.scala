@@ -173,10 +173,49 @@ object LakeTable {
 
   // ---- manifest files (immutable, one per staged write) ----
 
+  /** Row threshold past which metadata (manifest files and manifest
+    * lists) is written as PARQUET instead of JSON lines — the
+    * SCALE.md crossover: a 10⁵-entry manifest as JSON pays per-row
+    * Jackson parsing and 3-5× the bytes; as parquet it is column-
+    * pruned, predicate-pushed and splittable for the distributed
+    * planner. Below the threshold JSON keeps metadata human-readable
+    * and zero-job. Readers accept BOTH encodings side by side
+    * (discriminated by extension), so the crossover needs no
+    * migration and old commits stay readable forever. Mutate only
+    * through [[withColumnarMetaThreshold]]. */
+  @volatile private[graft] var ColumnarMetaThreshold = 10000L
+
+  private[graft] def withColumnarMetaThreshold[A](t: Long)(body: => A): A = {
+    val saved = ColumnarMetaThreshold
+    ColumnarMetaThreshold = t
+    try body finally ColumnarMetaThreshold = saved
+  }
+
+  /** Write `df` as exactly ONE parquet file at `dest` (spark writes a
+    * directory; the single part file is moved out and the scaffolding
+    * removed). Metadata-plane only. */
+  private def writeSingleParquet(
+      spark: SparkSession, df: DataFrame, dest: java.nio.file.Path): Unit = {
+    val tmp = dest.getParent.resolve(s"_pq_${java.util.UUID.randomUUID()}")
+    df.coalesce(1).write.parquet(tmp.toString)
+    val part = {
+      val ls = Files.list(tmp)
+      try ls.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no parquet part under $tmp"))
+      finally ls.close()
+    }
+    Files.move(part, dest)
+    graft.Util.rmRecursive(tmp.toString)
+  }
+
+  private case class ManifestRow(
+      file: String, base: String, stats: Map[String, Seq[Double]],
+      bytes: Long, bloom: Map[String, Seq[Long]])
+
   /** Write `entries` (all sharing one commit dir) as ONE immutable
     * manifest file; returns its list row with seq = -1 ("assign at
-    * commit"). Driver-side: a manifest is metadata-scale (one short
-    * JSON line per file). */
+    * commit"). JSON lines below [[ColumnarMetaThreshold]] entries,
+    * parquet past it. */
   private def writeManifest(
       path: String, entries: Seq[ManifestEntry], kind: String,
       fieldIds: Map[String, Int] = Map.empty): ManifestRef = {
@@ -185,7 +224,16 @@ object LakeTable {
     require(bases.size == 1, s"one manifest covers one commit dir, got $bases")
     val dir = Paths.get(manifestsDir(path))
     Files.createDirectories(dir)
-    val mf = dir.resolve(s"m-${java.util.UUID.randomUUID()}.json")
+    val columnar = entries.size > ColumnarMetaThreshold
+    val ext = if (columnar) "parquet" else "json"
+    val mf = dir.resolve(s"m-${java.util.UUID.randomUUID()}.$ext")
+    if (columnar) {
+      val spark = SparkSession.active
+      import spark.implicits._
+      writeSingleParquet(spark,
+        entries.map(e => ManifestRow(e.file, e.base, e.stats, e.bytes, e.bloom)).toDF(),
+        mf)
+    } else {
     def jbloom(m: Map[String, Seq[Long]]): String =
       m.toSeq.sortBy(_._1).map { case (c, vs) =>
         s"${jstr(c)}:${vs.mkString("[", ",", "]")}"
@@ -195,6 +243,7 @@ object LakeTable {
         s"${jstr("stats")}:${jstats(e.stats)},${jstr("bytes")}:${e.bytes}" +
         (if (e.bloom.isEmpty) "" else s",${jstr("bloom")}:${jbloom(e.bloom)}") + "}")
     Files.write(mf, lines.asJava)
+    }
     // aggregated ranges: a column prunes the whole manifest only when
     // EVERY entry carries stats for it (else a stats-less file inside
     // could hold matching rows)
@@ -208,10 +257,21 @@ object LakeTable {
 
   /** The entries of one manifest, stamped with its list row's
     * kind/seq/cols (sequence-number and field-id inheritance).
-    * Driver-side Jackson parse — used for small plans and GC; large
+    * Driver-side Jackson parse for JSON manifests; a one-file spark
+    * read for parquet ones — used for small plans and GC; large
     * plans go through [[distributedPlan]] instead. */
   private def readManifest(ref: ManifestRef): Seq[ManifestEntry] =
-    readJsonLines(Paths.get(ref.manifest)).map { n =>
+    if (ref.manifest.endsWith(".parquet")) {
+      SparkSession.active.read.parquet(ref.manifest).collect().toSeq.map { r =>
+        def mapOf[T](name: String): Map[String, Seq[T]] =
+          Option(r.getAs[scala.collection.Map[String, scala.collection.Seq[T]]](name))
+            .map(_.map { case (k, v) => k -> v.toSeq }.toMap)
+            .getOrElse(Map.empty)
+        ManifestEntry(r.getAs[String]("file"), r.getAs[String]("base"),
+          mapOf[Double]("stats"), ref.kind, ref.seq, ref.cols,
+          mapOf[Long]("bloom"), r.getAs[Long]("bytes"))
+      }
+    } else readJsonLines(Paths.get(ref.manifest)).map { n =>
       val bloom = Option(n.get("bloom")).filter(_.isObject).map { o =>
         o.properties().asScala.map(e =>
           e.getKey -> e.getValue.elements().asScala.map(_.asLong).toSeq).toMap
@@ -220,6 +280,19 @@ object LakeTable {
         nodeStats(n.get("stats")), ref.kind, ref.seq, ref.cols, bloom,
         Option(n.get("bytes")).map(_.asLong(-1L)).getOrElse(-1L))
     }
+
+  /** Manifest entries of `refs` as ONE distributed frame under
+    * `schema`, whatever mix of JSON and parquet encodings the refs
+    * carry — the shared scan for the distributed planner and the
+    * bloom probe job. */
+  private def entriesFrameOf(
+      spark: SparkSession, refs: Seq[ManifestRef], schema: String): DataFrame = {
+    val (pq, js) = refs.partition(_.manifest.endsWith(".parquet"))
+    Seq(
+      if (js.nonEmpty) Some(spark.read.schema(schema).json(js.map(_.manifest): _*)) else None,
+      if (pq.nonEmpty) Some(spark.read.schema(schema).parquet(pq.map(_.manifest): _*)) else None)
+      .flatten.reduce(_.unionByName(_))
+  }
 
   /** Every entry of a version with inherited kind/seq — a LAYOUT-
     * INDEPENDENT window for specs (and debugging); queries never call
@@ -237,13 +310,47 @@ object LakeTable {
   private def listPath(path: String, version: Int) =
     Paths.get(s"${metaDir(path)}/v$version/list.json")
 
-  /** The manifest list of a version — one tiny JSON line per manifest,
+  private def listPathParquet(path: String, version: Int) =
+    Paths.get(s"${metaDir(path)}/v$version/list.parquet")
+
+  /** The version's list file under whichever encoding the commit
+    * chose (JSON below [[ColumnarMetaThreshold]] rows, parquet past
+    * it). None = racer's claim dir without a published list. */
+  private def listFile(path: String, version: Int): Option[java.nio.file.Path] = {
+    val js = listPath(path, version)
+    if (Files.exists(js)) Some(js)
+    else Some(listPathParquet(path, version)).filter(Files.exists(_))
+  }
+
+  private case class PspecRow(src: String, kind: String, param: Long)
+  private case class ListRow(
+      manifest: String, base: String, kind: String, operation: String,
+      committed_at: Long, seq: Int, n_files: Long,
+      ranges: Map[String, Seq[Double]], cols: Map[String, Int],
+      pspec: Seq[PspecRow], partial: Boolean)
+
+  /** The manifest list of a version — one tiny row per manifest,
     * parsed driver-side (planning metadata, O(#manifests) not
     * O(#files)). Sentinel rows (empty snapshot) carry no manifest. */
   private[graft] def listRefs(path: String, version: Int): Seq[ManifestRef] = {
-    val p = listPath(path, version)
-    if (!Files.exists(p)) return Nil // racer's claim dir without a list
-    readJsonLines(p)
+    val p = listFile(path, version).getOrElse(return Nil)
+    if (p.getFileName.toString.endsWith(".parquet"))
+      SparkSession.active.read.parquet(p.toString).collect().toSeq.map { r =>
+        def mapOf[T](name: String): Map[String, Seq[T]] =
+          Option(r.getAs[scala.collection.Map[String, scala.collection.Seq[T]]](name))
+            .map(_.map { case (k, v) => k -> v.toSeq }.toMap).getOrElse(Map.empty)
+        ManifestRef(r.getAs[String]("manifest"), r.getAs[String]("base"),
+          r.getAs[String]("kind"), r.getAs[Int]("seq"),
+          r.getAs[Long]("n_files"), mapOf[Double]("ranges"),
+          Option(r.getAs[scala.collection.Map[String, Int]]("cols"))
+            .map(_.toMap).getOrElse(Map.empty),
+          Option(r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("pspec"))
+            .map(_.toSeq.map(t => PartitionTransform(
+              t.getAs[String]("src"), t.getAs[String]("kind"), t.getAs[Long]("param"))))
+            .getOrElse(Nil),
+          r.getAs[Boolean]("partial"))
+      }
+    else readJsonLines(p)
       .filter(n => n.hasNonNull("manifest"))
       .map { n =>
         ManifestRef(n.get("manifest").asText, n.get("base").asText,
@@ -430,6 +537,17 @@ object LakeTable {
         s"${jstr("n_files")}:${r.nFiles},${jstr("ranges")}:${jstats(r.ranges)}," +
         s"${jstr("cols")}:${jcols(r.cols)},${jstr("pspec")}:${jpspec(r.pspec)}," +
         s"${jstr("partial")}:${r.partial}}"
+    if (refs.size > ColumnarMetaThreshold) {
+      // columnar list: past the crossover a JSON list is the planning
+      // bottleneck (per-row Jackson on every read); parquet keeps the
+      // O(#manifests) promise at 10⁵+ manifests
+      import spark.implicits._
+      writeSingleParquet(spark,
+        refs.map(r => ListRow(r.manifest, r.base, r.kind, op, committedAt,
+          if (r.seq < 0) freshSeq else r.seq, r.nFiles, r.ranges, r.cols,
+          r.pspec.map(t => PspecRow(t.source, t.kind, t.param)), r.partial)).toDF(),
+        staging.resolve("list.parquet"))
+    } else {
     val lines =
       if (refs.isEmpty)
         Seq(s"{${jstr("manifest")}:null,${jstr("base")}:null,${jstr("kind")}:null," +
@@ -437,6 +555,7 @@ object LakeTable {
           s"${jstr("seq")}:$next,${jstr("n_files")}:0,${jstr("ranges")}:{},${jstr("cols")}:{}}")
       else refs.map(row)
     Files.write(staging.resolve("list.json"), lines.asJava)
+    }
     // table SCHEMA (field id → current name): explicit on schema-
     // changing commits (rename/drop), otherwise carried forward from
     // the base and extended with any new columns the FRESH manifests
@@ -497,10 +616,60 @@ object LakeTable {
     * their ids, new names take fresh ones), so a later rename/drop
     * resolves these files by id. Hidden-partition columns (the
     * reserved `__p_` prefix) never enter the table schema. */
+  // ---- table-declared sort order (write.sort-order) ----
+
+  private def sortOrderFile(path: String) = s"${metaDir(path)}/sort_order.json"
+
+  /** DECLARE a standing lexicographic sort order: every subsequent
+    * data batch ([[append]], [[overwrite]], [[compact]], merge
+    * rewrites — anything staging `kind = "data"` files) is
+    * range-partitioned and sorted on these columns before it lands,
+    * so per-file min/max stats stay tight and [[readWhere]] skipping
+    * holds WITHOUT periodic OPTIMIZE runs — [[optimizeBy]] becomes
+    * the one-shot form of this standing policy (and [[zOrderBy]] its
+    * multi-dimensional cousin; the declared order is lexicographic).
+    * Declaring / changing / clearing the order is METADATA-ONLY:
+    * existing files are never rewritten, their stats simply stay as
+    * loose as they were until the next rewrite touches them. */
+  def setSortOrder(path: String, cols: String*): Unit = {
+    require(cols.nonEmpty, "setSortOrder needs at least one column (use clearSortOrder)")
+    Files.createDirectories(Paths.get(metaDir(path)))
+    Files.writeString(Paths.get(sortOrderFile(path)),
+      cols.map(c => s"{${jstr("col")}:${jstr(c)}}").mkString("\n"))
+  }
+
+  /** Drop the standing sort order (future batches land as given). */
+  def clearSortOrder(path: String): Unit =
+    Files.deleteIfExists(Paths.get(sortOrderFile(path)))
+
+  /** The table's declared sort order (empty = none). */
+  def sortOrderOf(path: String): Seq[String] = {
+    val p = Paths.get(sortOrderFile(path))
+    if (!Files.exists(p)) Nil
+    else readJsonLines(p).map(_.get("col").asText)
+  }
+
+  /** Apply the declared sort order to a data batch: range-partition +
+    * in-partition sort on the declared columns, preserving the
+    * batch's own parallelism (a small append must not shatter into
+    * shuffle-partition-count slivers). Batches missing a sort column
+    * (older schema vintage) pass through unsorted — conservative, the
+    * stats just stay loose for those files. */
+  private def applySortOrder(df: DataFrame, path: String): DataFrame = {
+    val order = sortOrderOf(path)
+    if (order.isEmpty || !order.forall(df.columns.contains)) df
+    else {
+      val n = math.max(1, df.rdd.getNumPartitions)
+      df.repartitionByRange(n, order.map(col): _*)
+        .sortWithinPartitions(order.map(col): _*)
+    }
+  }
+
   private def stageManifest(
-      df: DataFrame, path: String,
+      df0: DataFrame, path: String,
       partitionCols: Seq[String] = Nil, kind: String = "data",
       pspec: Seq[PartitionTransform] = Nil): Option[ManifestRef] = {
+    val df = if (kind == "data") applySortOrder(df0, path) else df0
     // CHECK constraints gate every DATA batch before any file lands
     // (delete-key files are row SUBTRACTIONS — nothing to check)
     if (kind == "data") enforceConstraints(df, path)
@@ -1205,9 +1374,8 @@ object LakeTable {
       (name(r), r.kind, r.seq,
         preds.map { case (c, _, _) => nameFor(r, c) }, bucketCons(r)))
       .toDF("mname", "kind", "seq", "pnames", "hcons")
-    val entries = spark.read
-      .schema("file STRING, base STRING, stats MAP<STRING, ARRAY<DOUBLE>>")
-      .json(refs.map(_.manifest): _*)
+    val entries = entriesFrameOf(spark, refs,
+      "file STRING, base STRING, stats MAP<STRING, ARRAY<DOUBLE>>")
       .withColumn("mname", element_at(split(input_file_name(), "/"), -1))
       .join(broadcast(refDf), Seq("mname"))
       .filter(aggregate(col("hcons"), lit(true), (acc, e) =>
@@ -1700,9 +1868,8 @@ object LakeTable {
     val refDf = refs
       .map(r => (Paths.get(r.manifest).getFileName.toString, r.kind, r.seq))
       .toDF("mname", "kind", "seq")
-    spark.read
-      .schema("file STRING, base STRING, stats MAP<STRING, ARRAY<DOUBLE>>")
-      .json(refs.map(_.manifest): _*)
+    entriesFrameOf(spark, refs,
+      "file STRING, base STRING, stats MAP<STRING, ARRAY<DOUBLE>>")
       .withColumn("mname", element_at(split(input_file_name(), "/"), -1))
       .join(broadcast(refDf), Seq("mname"))
       .select("file", "base", "kind", "seq")
@@ -1828,9 +1995,8 @@ object LakeTable {
             sequence(lit(0), element_at(arr, lit(2)).cast("int") - 1),
             j => array_contains(positions,
               pmod(xxhash64(lit(value), j), element_at(arr, lit(1))))))
-        val keptDf = spark.read
-          .schema("file STRING, base STRING, bloom MAP<STRING, ARRAY<LONG>>")
-          .json(live.map(_.manifest): _*)
+        val keptDf = entriesFrameOf(spark, live,
+          "file STRING, base STRING, bloom MAP<STRING, ARRAY<LONG>>")
           .withColumn("mname", element_at(split(input_file_name(), "/"), -1))
           .join(broadcast(refDf), Seq("mname"))
           .filter(keepCond)
@@ -2739,8 +2905,14 @@ object LakeTable {
 
   /** The committing operation of a version (every list row carries it
     * uniformly). */
-  private def operationOf(path: String, version: Int): String =
-    readJsonLines(listPath(path, version)).head.get("operation").asText
+  private def operationOf(path: String, version: Int): String = {
+    val p = listFile(path, version).getOrElse(throw new IllegalArgumentException(
+      s"no list for version $version at $path"))
+    if (p.getFileName.toString.endsWith(".parquet"))
+      SparkSession.active.read.parquet(p.toString)
+        .select("operation").head().getString(0)
+    else readJsonLines(p).head.get("operation").asText
+  }
 
   /** MATERIALIZE row-level change-data files for every live version
     * not yet materialized — the Delta `_change_data` design: CDF rows
@@ -3021,11 +3193,16 @@ object LakeTable {
     * [[history]] and [[versionAsOf]] so the version parse cannot
     * drift between them again. */
   private def manifestFrame(
-      spark: SparkSession, path: String, versions: Seq[Int]): DataFrame =
-    spark.read.schema(ListSchema)
-      .json(versions.map(v => listPath(path, v).toString): _*)
+      spark: SparkSession, path: String, versions: Seq[Int]): DataFrame = {
+    val files = versions.flatMap(v => listFile(path, v).map(_.toString))
+    val (pq, js) = files.partition(_.endsWith(".parquet"))
+    Seq(
+      if (js.nonEmpty) Some(spark.read.schema(ListSchema).json(js: _*)) else None,
+      if (pq.nonEmpty) Some(spark.read.schema(ListSchema).parquet(pq: _*)) else None)
+      .flatten.reduce(_.unionByName(_))
       .withColumn("version",
         regexp_extract(input_file_name(), "_graft_meta/v(\\d+)/", 1).cast("int"))
+  }
 
   /** TIME TRAVEL BY TIMESTAMP: latest version committed at or before
     * `tsMillis` (Delta's `timestampAsOf` / Iceberg's

@@ -29,7 +29,12 @@ class LakeModelPropertySpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("id") -> r.getAs[Double]("value")).toMap
 
   test("random commit sequences match the in-memory model at every version") {
-    for (seed <- Seq(11, 22, 33)) {
+    // seed 33 runs with the columnar-metadata threshold lowered so
+    // batches CROSS the encoding boundary mid-sequence (small commits
+    // stay JSON, larger ones go parquet) — every replayed version
+    // must read identically through whichever mix it accumulated
+    for (seed <- Seq(11, 22, 33)) LakeTable.withColumnarMetaThreshold(
+      if (seed == 33) 3 else LakeTable.ColumnarMetaThreshold) {
       val rnd = new scala.util.Random(seed)
       val p = s"/tmp/graft_test/lake_model_$seed"
       SparkSpec.rmdir(p)

@@ -1149,6 +1149,98 @@ class LakeTableSpec extends AnyFunSuite {
     assert(LakeTable.read(spark, p).count() === 2)
   }
 
+  test("columnar metadata: parquet lists/manifests plan identically to JSON") {
+    import spark.implicits._
+    val df = spark.range(0, 400).select(col("id").as("k"), (col("id") * 2.0).as("v"))
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+    val pJ = "/tmp/graft_test/meta_json"
+    val pP = "/tmp/graft_test/meta_pq"
+    rmdir(pJ); rmdir(pP)
+    LakeTable.overwrite(df, pJ) // JSON metadata (default threshold)
+    LakeTable.withColumnarMetaThreshold(0) {
+      LakeTable.overwrite(df, pP) // parquet list AND parquet manifest
+    }
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$pP/_graft_meta/v0/list.parquet")),
+      "threshold 0 must produce a columnar list")
+    // identical entries through both decoders
+    val eJ = LakeTable.entriesOf(pJ, 0).map(e => (e.stats, e.bytes >= 0)).toSet
+    val eP = LakeTable.entriesOf(pP, 0).map(e => (e.stats, e.bytes >= 0)).toSet
+    assert(eJ === eP, "entry stats must round-trip both encodings")
+    // identical prune plans, driver path
+    assert(LakeTable.readWhereBetween(spark, pJ, "k", 0, 50).count() === 51)
+    val aJ = LakeTable.lastPlanAudit
+    assert(LakeTable.readWhereBetween(spark, pP, "k", 0, 50).count() === 51)
+    assert(LakeTable.lastPlanAudit === aJ,
+      s"parquet metadata must plan like JSON: $aJ vs ${LakeTable.lastPlanAudit}")
+    assert(aJ.filesKept === 1, s"$aJ")
+    // identical prune plans, DISTRIBUTED path (the parquet manifests
+    // feed the planning job through the same frame)
+    LakeTable.withPlanThreshold(3) {
+      assert(LakeTable.readWhereBetween(spark, pJ, "k", 0, 50).count() === 51)
+      val dJ = LakeTable.lastPlanAudit
+      assert(LakeTable.readWhereBetween(spark, pP, "k", 0, 50).count() === 51)
+      assert(LakeTable.lastPlanAudit === dJ && dJ.distributed, s"$dJ")
+    }
+    // ENCODINGS MIX within one table: a later JSON commit on top of
+    // the parquet v0 — every reader (history, time travel, reads)
+    // spans both
+    LakeTable.append(Seq((1000L, 1.0)).toDF("k", "v"), pP) // v1, JSON list
+    assert(LakeTable.read(spark, pP).count() === 401)
+    assert(LakeTable.read(spark, pP, Some(0)).count() === 400)
+    assert(LakeTable.history(spark, pP).count() === 2)
+    val ops = LakeTable.history(spark, pP).orderBy("version")
+      .collect().map(_.getAs[String]("operation")).toSeq
+    assert(ops === Seq("overwrite", "append"), ops.toString)
+  }
+
+  test("declared sort order keeps append skipping as tight as OPTIMIZE") {
+    import spark.implicits._
+    val df = spark.range(0, 400).select(col("id").as("k"), (col("id") * 2.0).as("v"))
+      .repartition(4) // round-robin: every partition spans the full range
+    // BASELINE: unsorted write keeps nothing skippable, OPTIMIZE fixes it
+    val pA = "/tmp/graft_test/lake_sort_a"
+    rmdir(pA)
+    LakeTable.overwrite(df, pA)
+    assert(LakeTable.readWhereBetween(spark, pA, "k", 0, 50).count() === 51)
+    val loose = LakeTable.lastPlanAudit
+    assert(loose.filesKept === loose.filesClaimed,
+      s"round-robin files must be unprunable: $loose")
+    LakeTable.optimizeBy(spark, pA, 4, "k")
+    assert(LakeTable.readWhereBetween(spark, pA, "k", 0, 50).count() === 51)
+    val optimized = LakeTable.lastPlanAudit
+    assert(optimized.filesKept === 1, s"$optimized")
+    // DECLARED ORDER: the same write lands pre-clustered — skip counts
+    // match the post-OPTIMIZE table with no OPTIMIZE run
+    val pB = "/tmp/graft_test/lake_sort_b"
+    rmdir(pB)
+    LakeTable.setSortOrder(pB, "k")
+    LakeTable.overwrite(df, pB)
+    assert(LakeTable.readWhereBetween(spark, pB, "k", 0, 50).count() === 51)
+    assert(LakeTable.lastPlanAudit.filesKept === optimized.filesKept,
+      s"declared-order append must skip like OPTIMIZE: ${LakeTable.lastPlanAudit}")
+    // appends keep the policy: clustering does NOT decay between runs
+    LakeTable.append(df, pB)
+    assert(LakeTable.readWhereBetween(spark, pB, "k", 0, 50).count() === 102)
+    val after = LakeTable.lastPlanAudit
+    assert(after.filesClaimed === 8 && after.filesKept === 2,
+      s"one file per generation may match the narrow range: $after")
+    // evolving / clearing the order is metadata-only: no commit, no
+    // data rewrite — existing files and the version counter untouched
+    val filesBefore = LakeTable.read(spark, pB).inputFiles.toSet
+    val vBefore = LakeTable.latestVersion(pB)
+    LakeTable.setSortOrder(pB, "v")
+    assert(LakeTable.sortOrderOf(pB) === Seq("v"))
+    assert(LakeTable.latestVersion(pB) === vBefore)
+    assert(LakeTable.read(spark, pB).inputFiles.toSet === filesBefore)
+    LakeTable.clearSortOrder(pB)
+    assert(LakeTable.sortOrderOf(pB) === Nil)
+    // a batch missing the sort column passes through (conservative)
+    LakeTable.setSortOrder(pB, "missing_col")
+    LakeTable.append(df, pB) // must not throw
+    assert(LakeTable.read(spark, pB).count() === 1200)
+  }
+
   test("MoR upsert: sequence rule lets patch rows survive their own delete keys") {
     val p = "/tmp/graft_test/lake_mor_up"
     rmdir(p)
