@@ -75,6 +75,9 @@ object SparkEntry {
     // knn_ivf / knn_ivf_kmeans: approximate recall by construction →
     // rows-only check (float mean order additionally varies for kmeans)
     "knn_ivf" -> ((s, d) => llm.Similarity.knnIvf(s, d)),
+    // ...but the IVF CELL ASSIGNMENT is exact arithmetic — its
+    // companion query is the family's hash gate
+    "knn_ivf_cells" -> ((s, d) => llm.Similarity.knnIvfCellCounts(s, d)),
     "knn_ivf_kmeans" -> ((s, d) => llm.Similarity.knnIvfKmeans(s, d)),
     "label_cohesion" -> (llm.Similarity.labelCohesion _),
     "chi2_lang_label" -> (llm.Similarity.chi2LangLabel _),
@@ -928,6 +931,24 @@ object SparkEntry {
         |  SELECT qid, vid, cos_sim,
         |         row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vid) AS rn FROM sc)
         |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+    // knn_ivf_cells: the IVF family's hash gate — exact cell
+    // assignment under the deterministic stand-in centroids (first 16
+    // vectors), rounded-cosine argmax with cell_id tie-break (the
+    // ranking contract knn_brute_force hash-proves)
+    "knn_ivf_cells" ->
+      """WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |                  unnest(range(len(embedding))) AS i FROM embeddings),
+        |n AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM e GROUP BY 1),
+        |d AS (SELECT a.vec_id AS vid, b.vec_id AS cell_id, sum(a.x * b.x) AS dp
+        |      FROM e a JOIN e b ON a.i = b.i AND b.vec_id < 16
+        |      GROUP BY 1, 2),
+        |sc AS (SELECT vid, cell_id, round(dp / (na.nrm * nb.nrm), 6) AS cs
+        |       FROM d JOIN n na ON na.vec_id = vid JOIN n nb ON nb.vec_id = cell_id),
+        |a AS (SELECT vid, cell_id,
+        |        row_number() OVER (PARTITION BY vid ORDER BY cs DESC, cell_id) AS rn
+        |      FROM sc)
+        |SELECT cell_id, count(*) AS n_vectors, CAST(sum(vid) AS BIGINT) AS sum_vec_id
+        |FROM a WHERE rn = 1 GROUP BY cell_id ORDER BY cell_id""".stripMargin,
     // knn_topk_agg: heap-aggregate plan, identical results/oracle as brute force
     "knn_topk_agg" ->
       """WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,

@@ -158,6 +158,31 @@ object Similarity {
     ivfSearch(emb, cents, k, nQueries, nProbe)
   }
 
+  /** HASH-GATE COMPANION for the IVF family (the top-k ANN answer is
+    * approximate by construction, so `knn_ivf` itself is rows-only —
+    * this query pins the part that IS deterministic): the cell
+    * ASSIGNMENT of every vector under [[knnIvf]]'s stand-in centroids
+    * (the first nCells vectors), aggregated to (cell_id, count,
+    * sum of member ids). Cosine is ROUNDED to 6 before the argmax —
+    * the same cross-engine-stable ranking contract knn_brute_force
+    * already hash-proves — so the DuckDB oracle recomputes the exact
+    * assignment and any drift in the centroid/probe math flips the
+    * hash loudly. */
+  def knnIvfCellCounts(s: SparkSession, d: String, nCells: Int = 16): DataFrame = {
+    val emb = embWithNorm(s, d)
+    val cents = emb.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cell_sim").desc, col("cell_id"))
+    emb.crossJoin(broadcast(cents))
+      .withColumn("cell_sim",
+        round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy("cell_id")
+      .agg(count(lit(1)).as("n_vectors"), sum("vec_id").as("sum_vec_id"))
+      .orderBy("cell_id")
+  }
+
   /** Lloyd's k-means over (vec_id, v) — deterministic init (first
     * nCells vectors; rand() is banned), squared-euclidean assignment
     * via the dot-product identity (argmin ||v-c||² = argmax
