@@ -42,9 +42,39 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * row-level assembly that belongs to `LakeTable.read`. Additive
   * schema evolution and drops read fine through the V2 path.
   */
-class GraftLakeSource extends TableProvider with DataSourceRegister {
+class GraftLakeSource extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.CreatableRelationProvider {
 
   override def shortName(): String = "graftlake"
+
+  /** `df.write.format("graftlake").mode(…).save(path)` — the
+    * DataFrameWriter V1 command path (path-based saves do not route
+    * through the V2 write builder); same library commits as every
+    * other write surface. */
+  override def createRelation(
+      ctx: org.apache.spark.sql.SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): org.apache.spark.sql.sources.BaseRelation = {
+    import scala.jdk.CollectionConverters._
+    val path = GraftLakeSource.pathOf(new CaseInsensitiveStringMap(parameters.asJava))
+    import org.apache.spark.sql.SaveMode._
+    mode match {
+      case Append => LakeTable.append(data, path)
+      case Overwrite => LakeTable.overwrite(data, path)
+      case ErrorIfExists =>
+        if (LakeTable.latestVersion(path).nonEmpty)
+          throw new IllegalArgumentException(
+            s"graftlake table already exists at $path (mode ErrorIfExists)")
+        LakeTable.overwrite(data, path)
+      case Ignore =>
+        if (LakeTable.latestVersion(path).isEmpty) LakeTable.overwrite(data, path)
+    }
+    new org.apache.spark.sql.sources.BaseRelation {
+      override def sqlContext: org.apache.spark.sql.SQLContext = ctx
+      override def schema: StructType = data.schema
+    }
+  }
 
   // schema comes from the snapshot's own files, never from the user
   override def supportsExternalMetadata(): Boolean = false
@@ -93,7 +123,7 @@ object GraftLakeSource {
     }
 }
 
-/** One lake snapshot as a V2 [[Table]] (batch read + SQL DELETE).
+/** One lake snapshot as a V2 [[Table]] (batch read/write + SQL DELETE).
   * [[org.apache.spark.sql.connector.catalog.SupportsDelete]] is the
   * idiomatic V2 route for `DELETE FROM t WHERE …`: Spark translates
   * the condition to source filters and hands them here, where they
@@ -103,6 +133,7 @@ object GraftLakeSource {
   * lower through [[LakeSqlDmlRule]] instead. */
 class GraftLakeTable(path: String, version: Option[Int], tableSchema: StructType)
     extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   /** The lake path / pinned version (for the SQL DML lowering rule). */
@@ -130,7 +161,43 @@ class GraftLakeTable(path: String, version: Option[Int], tableSchema: StructType
   override def schema(): StructType = tableSchema
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  /** V2 WRITE surface via the V1 fallback ([[V1Write]] — the shape
+    * Delta shipped on for years): `INSERT INTO t SELECT …`,
+    * `INSERT OVERWRITE …`, and `df.write.format("graftlake")` land as
+    * the library's own transactional [[LakeTable.append]] /
+    * [[LakeTable.overwrite]], so the commit protocol (staging, retry/
+    * rebase, constraints, declared sort order, schema tracking) is
+    * ONE code path whichever API the batch arrives through. A full
+    * distributed BatchWrite would only relocate the parquet write —
+    * the data job is already distributed inside append/overwrite. */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(version.isEmpty, s"cannot write a version-pinned read of $path")
+    new org.apache.spark.sql.connector.write.WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+        overwrite = true; this
+      }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+            new org.apache.spark.sql.sources.InsertableRelation {
+              override def insert(
+                  data: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                  fallbackOverwrite: Boolean): Unit =
+                if (overwrite || fallbackOverwrite) LakeTable.overwrite(data, path)
+                else LakeTable.append(data, path)
+            }
+        }
+    }
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // a read-time versionAsOf option overrides the table-level pin

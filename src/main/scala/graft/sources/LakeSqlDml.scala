@@ -260,20 +260,26 @@ class GraftSqlParser(
 
   // transformDown: the time-travel node must match BEFORE its
   // UnresolvedRelation child is rewritten away (the version would be
-  // silently dropped otherwise)
+  // silently dropped otherwise). InsertIntoStatement keeps its TARGET
+  // in a non-child field (its only child is the query), so the
+  // rewrite recurses into it explicitly.
+  private def rewrite(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement =>
+      i.copy(table = rewrite(i.table))
+    case RelationTimeTravel(u: UnresolvedRelation, None, Some(versionStr))
+        if lakePathOf(u.multipartIdentifier).isDefined =>
+      val v = try versionStr.trim.toInt catch {
+        case _: NumberFormatException => throw new UnsupportedOperationException(
+          s"graftlake VERSION AS OF needs an integer version, got '$versionStr'")
+      }
+      lakeRelation(lakePathOf(u.multipartIdentifier).get, Some(v))
+    case u: UnresolvedRelation if u.multipartIdentifier.length == 2 &&
+        u.multipartIdentifier.head.equalsIgnoreCase("graftlake") =>
+      lakeRelation(u.multipartIdentifier(1), None)
+  }
+
   override def parsePlan(sqlText: String): LogicalPlan =
-    delegate.parsePlan(sqlText).transformDown {
-      case RelationTimeTravel(u: UnresolvedRelation, None, Some(versionStr))
-          if lakePathOf(u.multipartIdentifier).isDefined =>
-        val v = try versionStr.trim.toInt catch {
-          case _: NumberFormatException => throw new UnsupportedOperationException(
-            s"graftlake VERSION AS OF needs an integer version, got '$versionStr'")
-        }
-        lakeRelation(lakePathOf(u.multipartIdentifier).get, Some(v))
-      case u: UnresolvedRelation if u.multipartIdentifier.length == 2 &&
-          u.multipartIdentifier.head.equalsIgnoreCase("graftlake") =>
-        lakeRelation(u.multipartIdentifier(1), None)
-    }
+    rewrite(delegate.parsePlan(sqlText))
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)

@@ -105,6 +105,39 @@ class SqlDmlSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS sqldml_tt")
   }
 
+  test("INSERT INTO / OVERWRITE and df.write land through the commit protocol") {
+    val p = "/tmp/graft_test/sqldml_insert"
+    freshTable(p, "sqldml_ins")
+    import spark.implicits._
+    try {
+      // SQL INSERT INTO appends a new snapshot
+      spark.sql("INSERT INTO sqldml_ins VALUES (9, 'z', 90.0)")
+      assert(spark.sql("SELECT count(*) AS n FROM sqldml_ins").head.getLong(0) === 5)
+      assert(LakeTable.history(spark, p).count() === 2, "insert = one commit")
+      assert(LakeTable.read(spark, p, Some(0)).count() === 4, "v0 intact")
+      // INSERT OVERWRITE replaces the snapshot (history preserved)
+      spark.sql("INSERT OVERWRITE sqldml_ins VALUES (1, 'only', 1.0)")
+      assert(spark.sql("SELECT count(*) AS n FROM sqldml_ins").head.getLong(0) === 1)
+      assert(LakeTable.read(spark, p, Some(1)).count() === 5, "overwrite time-travels")
+      // DataFrame writer API, append mode
+      Seq((7L, "df", 7.0)).toDF("k", "s", "v")
+        .write.format("graftlake").mode("append").save(p)
+      assert(LakeTable.read(spark, p).count() === 2)
+      // V2 writer API (df.writeTo) against the catalog table
+      Seq((8L, "v2", 8.0)).toDF("k", "s", "v").writeTo("sqldml_ins").append()
+      assert(LakeTable.read(spark, p).count() === 3)
+      // path-form INSERT (the parser-resolved relation is insertable)
+      spark.sql(s"INSERT INTO graftlake.`$p` VALUES (10, 'path', 10.0)")
+      assert(LakeTable.read(spark, p).count() === 4)
+      // CHECK constraints gate SQL inserts exactly like library appends
+      LakeTable.addConstraint(spark, p, "pos_v", "v > 0")
+      val e = intercept[Exception](
+        spark.sql("INSERT INTO sqldml_ins VALUES (8, 'bad', -1.0)"))
+      assert(e.getMessage.contains("pos_v"), e.getMessage)
+      assert(LakeTable.read(spark, p).count() === 4, "violating batch left nothing")
+    } finally spark.sql("DROP TABLE IF EXISTS sqldml_ins")
+  }
+
   test("unsupported merge shapes refuse loudly") {
     val p = "/tmp/graft_test/sqldml_refuse"
     freshTable(p, "sqldml_ref")
