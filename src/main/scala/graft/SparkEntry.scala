@@ -174,6 +174,7 @@ object SparkEntry {
     "pivot_status_revenue" -> (ops.Relational.pivotStatusRevenue _),
     "skyline_price_size" -> (ops.Relational.skylinePriceSize _),
     "lake_snapshot_read" -> (sources.LakeTable.snapshotReadQuery _),
+    "lake_agg_pushdown" -> (sources.LakeTable.aggPushdownQuery _),
     "lake_merge_read" -> (sources.LakeTable.mergeReadQuery _),
     "lake_partition_prune" -> (sources.LakeTable.partitionPruneQuery _),
     "lake_time_travel" -> (sources.LakeTable.timeTravelQuery _),
@@ -990,6 +991,13 @@ object SparkEntry {
     "lake_snapshot_read" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // lake_agg_pushdown: global count/min/max answered from manifest
+    // metadata alone (plan-contract require'd in the query); the
+    // oracle recomputes the same aggregate over the source rows
+    "lake_agg_pushdown" ->
+      """SELECT count(*) AS n, min(event_id) AS mn_id, max(event_id) AS mx_id,
+        |       round(min(value), 6) AS mn_value, round(max(value), 6) AS mx_value
+        |FROM events""".stripMargin,
     // permissive_ingest: malformed JSON rows (every 7th) parse to
     // null-defaulted columns; the oracle mirrors the outcome directly
     "permissive_ingest" ->

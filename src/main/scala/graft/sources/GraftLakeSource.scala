@@ -6,7 +6,9 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{GraftSqlShim, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, LocalScan, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.catalyst.{expressions => ce}
 import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
@@ -249,11 +251,102 @@ class GraftLakeScanBuilder(
     spark: SparkSession, path: String, version: Option[Int],
     tableSchema: StructType)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var accepted: Array[Filter] = Array.empty
   private var allFilters: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
+  private var pushedAgg: Option[(StructType, ce.GenericInternalRow)] = None
+
+  /** Metadata-only AGGREGATE pushdown — the Iceberg-style answer for
+    * `SELECT count(*), min(c), max(c) FROM t`: COMPLETE pushdown of a
+    * global (no GROUP BY, no filters) count/min/max aggregation,
+    * answered from per-file row counts and [min,max] stats in the
+    * manifests. [[LakeTable.metadataAggregate]] owns every exactness
+    * refusal (merge-on-read rows, legacy entries, stats gaps, NaN
+    * vintages); here we additionally refuse when the stored Double
+    * bound cannot round-trip EXACTLY into the column's type (a long
+    * beyond 2^53). When it fires, the scan is a [[LocalScan]] of one
+    * precomputed row — zero data files opened, O(#manifest-rows)
+    * metadata work, distributed past the planner threshold. */
+  override def supportCompletePushDown(agg: Aggregation): Boolean = {
+    if (pushedAgg.isEmpty) pushedAgg = tryMetaAgg(agg)
+    pushedAgg.isDefined
+  }
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (pushedAgg.isEmpty) pushedAgg = tryMetaAgg(agg)
+    pushedAgg.isDefined
+  }
+
+  private def tryMetaAgg(agg: Aggregation): Option[(StructType, ce.GenericInternalRow)] = {
+    import org.apache.spark.sql.types._
+    if (allFilters.nonEmpty || agg.groupByExpressions.nonEmpty) return None
+    def fieldOf(r: NamedReference): Option[StructField] =
+      r.fieldNames match {
+        case Array(one) => tableSchema.fields.find(_.name == one)
+          .filter(f => f.dataType match {
+            case _: IntegerType | _: LongType | _: ShortType | _: ByteType |
+                 _: FloatType | _: DoubleType => true
+            case _ => false // decimals lose precision through Double stats
+          })
+        case _ => None
+      }
+    // (needCount, minField, maxField) per aggregate, in output order
+    val parsed: Seq[Option[(Boolean, Option[StructField], Option[StructField])]] =
+      agg.aggregateExpressions.toSeq.map {
+        case _: CountStar => Some((true, None, None))
+        case m: Min => m.column match {
+          case r: NamedReference => fieldOf(r).map(f => (false, Some(f), None))
+          case _ => None
+        }
+        case m: Max => m.column match {
+          case r: NamedReference => fieldOf(r).map(f => (false, None, Some(f)))
+          case _ => None
+        }
+        case _ => None
+      }
+    if (parsed.exists(_.isEmpty)) return None
+    val wants = parsed.flatten
+    val v = version.orElse(LakeTable.latestVersion(path)).getOrElse(return None)
+    val ans = LakeTable.metadataAggregate(
+      spark, path, v,
+      minCols = wants.flatMap(_._2).map(_.name),
+      maxCols = wants.flatMap(_._3).map(_.name),
+      needCount = wants.exists(_._1)).getOrElse(return None)
+    // a stored Double bound must round-trip exactly into the column
+    // type, or the metadata answer could differ from the scan's
+    def exact(f: StructField, d: Double): Option[Any] = f.dataType match {
+      case DoubleType => Some(d)
+      case FloatType => Some(d.toFloat).filter(_.toDouble == d)
+      case LongType => Some(d.toLong).filter(_.toDouble == d)
+      case IntegerType => Some(d.toInt).filter(_.toDouble == d)
+      case ShortType => Some(d.toShort).filter(_.toDouble == d)
+      case ByteType => Some(d.toByte).filter(_.toDouble == d)
+      case _ => None
+    }
+    val fieldsValues: Seq[(StructField, Any)] = wants.map {
+      case (true, _, _) =>
+        (StructField("count(*)", LongType, nullable = false),
+          ans.count.getOrElse(return None))
+      case (_, Some(f), _) =>
+        val value = ans.mins.get(f.name).flatten match {
+          case None => null
+          case Some(d) => exact(f, d).getOrElse(return None)
+        }
+        (StructField(s"min(${f.name})", f.dataType), value)
+      case (_, _, Some(f)) =>
+        val value = ans.maxes.get(f.name).flatten match {
+          case None => null
+          case Some(d) => exact(f, d).getOrElse(return None)
+        }
+        (StructField(s"max(${f.name})", f.dataType), value)
+      case _ => return None
+    }
+    Some((StructType(fieldsValues.map(_._1)),
+      new ce.GenericInternalRow(fieldsValues.map(_._2).toArray)))
+  }
 
   /** The conjunctive numeric boxes a filter set implies, per column —
     * the lake prune's native predicate shape. Strict bounds tighten
@@ -329,6 +422,9 @@ class GraftLakeScanBuilder(
   }
 
   override def build(): Scan = {
+    pushedAgg.foreach { case (schema, row) =>
+      return new GraftLakeAggScan(path, schema, row)
+    }
     val v = version.orElse(LakeTable.latestVersion(path)).getOrElse(
       throw new IllegalArgumentException(s"no snapshots at $path"))
     val preds = intervalsOf(accepted.toSeq)
@@ -353,12 +449,46 @@ class GraftLakeScanBuilder(
     // absent columns are dropped by the parquet filter converter),
     // the pruned column set becomes the read schema (missing columns
     // in older files null-extend via schema clipping)
-    ParquetScan(
+    val parquet = ParquetScan(
       spark, GraftSqlShim.hadoopConf(spark), index,
       dataSchema = fileSchema, readDataSchema = readData,
       readPartitionSchema = readPart,
       pushedFilters = allFilters,
       options = CaseInsensitiveStringMap.empty(),
       partitionFilters = partitionFilterExprs(partSchema))
+    // exact post-prune cardinality from the manifests (when fully
+    // file-listed) feeds Catalyst's cost model: a dim table that
+    // pruned to broadcast size IS broadcast, from metadata, not from
+    // a listing-size guess
+    plan.stats.map { case (bytes, rows) =>
+      new GraftLakeStatsScan(parquet, bytes, rows)
+    }.getOrElse(parquet)
   }
+}
+
+/** A [[ParquetScan]] plus EXACT scan statistics from the lake's own
+  * manifests: `numRows` is the sum of the surviving files' recorded
+  * row counts, `sizeInBytes` their on-disk bytes. Delegates the
+  * actual reading batch untouched. */
+class GraftLakeStatsScan(underlying: ParquetScan, bytes: Long, rows: Long)
+    extends Scan with SupportsReportStatistics {
+  override def readSchema(): StructType = underlying.readSchema()
+  override def toBatch: Batch = underlying.toBatch
+  override def description(): String =
+    s"${underlying.description()} (graftlake stats: rows=$rows bytes=$bytes)"
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+  }
+}
+
+/** The one-row result of a COMPLETELY pushed-down global aggregate —
+  * Spark plans this as a driver-local table scan; no data file, no
+  * job. */
+class GraftLakeAggScan(path: String, schema: StructType, row: ce.GenericInternalRow)
+    extends LocalScan {
+  override def readSchema(): StructType = schema
+  override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = Array(row)
+  override def description(): String =
+    s"GraftLakeAggScan(metadata-only aggregate over $path)"
 }

@@ -79,7 +79,12 @@ object LakeTable {
       // [bits, k, setPosition...] — the equality-skip signal for
       // columns min/max stats cannot express (strings)
       bloom: Map[String, Seq[Long]] = Map.empty,
-      bytes: Long = -1L) // file size; -1 on legacy entries (stat lazily)
+      bytes: Long = -1L, // file size; -1 on legacy entries (stat lazily)
+      // exact row count, harvested by the SAME commit-time stats job —
+      // what lets count(*) (and scan cardinality estimates) be answered
+      // from metadata alone; -1 on legacy/derived entries = "unknown,
+      // refuse metadata-only answers that need it"
+      rows: Long = -1L)
 
   /** One manifest-LIST row: an immutable manifest file plus everything
     * planning needs WITHOUT opening it — the commit dir all its
@@ -210,7 +215,7 @@ object LakeTable {
 
   private case class ManifestRow(
       file: String, base: String, stats: Map[String, Seq[Double]],
-      bytes: Long, bloom: Map[String, Seq[Long]])
+      bytes: Long, bloom: Map[String, Seq[Long]], rows: Long)
 
   /** Write `entries` (all sharing one commit dir) as ONE immutable
     * manifest file; returns its list row with seq = -1 ("assign at
@@ -231,7 +236,7 @@ object LakeTable {
       val spark = SparkSession.active
       import spark.implicits._
       writeSingleParquet(spark,
-        entries.map(e => ManifestRow(e.file, e.base, e.stats, e.bytes, e.bloom)).toDF(),
+        entries.map(e => ManifestRow(e.file, e.base, e.stats, e.bytes, e.bloom, e.rows)).toDF(),
         mf)
     } else {
     def jbloom(m: Map[String, Seq[Long]]): String =
@@ -241,6 +246,7 @@ object LakeTable {
     val lines = entries.map(e =>
       s"{${jstr("file")}:${jstr(e.file)},${jstr("base")}:${jstr(e.base)}," +
         s"${jstr("stats")}:${jstats(e.stats)},${jstr("bytes")}:${e.bytes}" +
+        (if (e.rows < 0) "" else s",${jstr("rows")}:${e.rows}") +
         (if (e.bloom.isEmpty) "" else s",${jstr("bloom")}:${jbloom(e.bloom)}") + "}")
     Files.write(mf, lines.asJava)
     }
@@ -269,7 +275,9 @@ object LakeTable {
             .getOrElse(Map.empty)
         ManifestEntry(r.getAs[String]("file"), r.getAs[String]("base"),
           mapOf[Double]("stats"), ref.kind, ref.seq, ref.cols,
-          mapOf[Long]("bloom"), r.getAs[Long]("bytes"))
+          mapOf[Long]("bloom"), r.getAs[Long]("bytes"),
+          // manifests written before rows were recorded lack the column
+          if (r.schema.fieldNames.contains("rows")) r.getAs[Long]("rows") else -1L)
       }
     } else readJsonLines(Paths.get(ref.manifest)).map { n =>
       val bloom = Option(n.get("bloom")).filter(_.isObject).map { o =>
@@ -278,7 +286,8 @@ object LakeTable {
       }.getOrElse(Map.empty[String, Seq[Long]])
       ManifestEntry(n.get("file").asText, n.get("base").asText,
         nodeStats(n.get("stats")), ref.kind, ref.seq, ref.cols, bloom,
-        Option(n.get("bytes")).map(_.asLong(-1L)).getOrElse(-1L))
+        Option(n.get("bytes")).map(_.asLong(-1L)).getOrElse(-1L),
+        Option(n.get("rows")).map(_.asLong(-1L)).getOrElse(-1L))
     }
 
   /** Manifest entries of `refs` as ONE distributed frame under
@@ -436,7 +445,8 @@ object LakeTable {
     * excluded (identical to footer behavior): partition PRUNING
     * handles those. */
   private def collectStats(
-      spark: SparkSession, files: Seq[String]): Map[String, Map[String, Seq[Double]]] = {
+      spark: SparkSession, files: Seq[String])
+      : Map[String, (Map[String, Seq[Double]], Long)] = {
     // an empty frame written with partition columns produces ZERO
     // parquet files; spark.read.parquet() with no paths throws
     if (files.isEmpty) return Map.empty
@@ -444,8 +454,10 @@ object LakeTable {
     val numCols = df.schema.fields
       .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
       .map(_.name).toSeq
-    if (numCols.isEmpty) return Map.empty
-    val aggs = numCols.flatMap(c =>
+    // exact per-file cardinality rides in the same job: it costs
+    // nothing extra here and is what metadata-only count(*) needs —
+    // collected even for tables with no numeric column at all
+    val aggs = count(lit(1)).as("__rows") +: numCols.flatMap(c =>
       Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
     df.groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
@@ -470,7 +482,7 @@ object LakeTable {
             case _ => None // all-null/NaN/±Inf bound → no stats
           }
         }.toMap
-        file -> stats
+        file -> (stats, r.getAs[Long]("__rows"))
       }.toMap
   }
 
@@ -483,8 +495,11 @@ object LakeTable {
     val files = Files.walk(Paths.get(dataDir)).iterator().asScala
       .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
     val stats = collectStats(df.sparkSession, files)
-    files.map(f => ManifestEntry(f, dataDir, stats.getOrElse(f, Map.empty),
-      bytes = Files.size(Paths.get(f))))
+    files.map { f =>
+      // a file absent from the stats job produced no group = zero rows
+      val (st, rows) = stats.getOrElse(f, (Map.empty[String, Seq[Double]], 0L))
+      ManifestEntry(f, dataDir, st, bytes = Files.size(Paths.get(f)), rows = rows)
+    }
   }
 
   /** Publish `refs` as version `base + 1`, where `base` is the
@@ -1475,7 +1490,13 @@ object LakeTable {
     * emitted for manifests that cover their whole dir with no hidden
     * partitioning (a `__p_…=v` subdir would be partition-INFERRED by
     * the file index into phantom columns). */
-  private[sources] final case class V2Plan(files: Seq[String], dirs: Seq[String])
+  private[sources] final case class V2Plan(
+      files: Seq[String], dirs: Seq[String],
+      // exact (bytes, rows) of the surviving file set when every
+      // entry records them — the V2 scan reports these to Catalyst
+      // (SupportsReportStatistics), so broadcast/AQE decisions see
+      // true post-prune cardinality instead of a listing guess
+      stats: Option[(Long, Long)] = None)
 
   /** File-level planning for the DataSourceV2 read path
     * ([[GraftLakeSource]]). Runs [[prunePlan]] — so pushdown-driven
@@ -1546,9 +1567,122 @@ object LakeTable {
     val (fullRefs, kept) =
       prunePlan(spark, dataRefs, current, preds, entryLevel = hive.isEmpty)
     val (whole, listed) = fullRefs.partition(r => !r.partial && r.pspec.isEmpty)
-    V2Plan(
-      files = kept.map(_.file) ++ listed.flatMap(r => readManifest(r).map(_.file)),
-      dirs = whole.map(_.base).distinct)
+    val listedEntries = listed.flatMap(readManifest)
+    val all = kept ++ listedEntries
+    // exact survivor stats: only when the plan is fully file-listed
+    // (whole-dir and distributed plans skip per-entry metadata by
+    // design — conservative None, Spark falls back to listing sizes)
+    val planStats =
+      if (whole.isEmpty && all.forall(e => e.bytes >= 0L && e.rows >= 0L))
+        Some((all.map(_.bytes).sum, all.map(_.rows).sum))
+      else None
+    V2Plan(files = all.map(_.file), dirs = whole.map(_.base).distinct, planStats)
+  }
+
+  /** Answers for a metadata-only GLOBAL aggregate (the V2
+    * [[GraftLakeScanBuilder]] pushdown): `count` is the exact
+    * unfiltered row count, `mins`/`maxes` map each REQUESTED column to
+    * its exact bound (None = the snapshot is empty, so the aggregate
+    * is SQL null). */
+  private[sources] final case class MetaAggAnswer(
+      count: Option[Long],
+      mins: Map[String, Option[Double]], maxes: Map[String, Option[Double]])
+
+  /** Metadata-only global aggregate over snapshot `v` — the
+    * Iceberg-style trick where `SELECT count(*), min(c), max(c)` never
+    * touches a data file: per-file row counts and [min,max] stats were
+    * harvested at commit time, so the answer folds over manifest rows.
+    * Returns None (caller falls back to a real scan) unless the answer
+    * is provably EXACT:
+    *   - the snapshot is pure appended data — any merge-on-read
+    *     manifest (equality/position deletes, deletion vectors)
+    *     subtracts rows the manifests cannot count;
+    *   - no live field-id rename (stats keys are write-time names);
+    *   - `needCount` requires every file to carry a recorded row count
+    *     (legacy entries predate recording);
+    *   - each min/max column requires stats on EVERY file: a file
+    *     missing them may hide NaN/±Inf (whose Spark max would be NaN)
+    *     or be an older-schema vintage — refusal preserves exactness,
+    *     and all-finite stats coverage proves no NaN exists at all.
+    * Below [[DistributedPlanThreshold]] claimed files the fold is a
+    * driver-side manifest read (same cost class as planning); past it,
+    * ONE Spark job over the manifest files aggregates O(#files)
+    * METADATA rows — at 100 TB this answers count(*) in manifest time
+    * while a data scan would read every row. */
+  private[sources] def metadataAggregate(
+      spark: SparkSession, path: String, v: Int,
+      minCols: Seq[String], maxCols: Seq[String], needCount: Boolean)
+      : Option[MetaAggAnswer] = {
+    val refs = listRefs(path, v)
+    if (refs.exists(_.kind != "data")) return None
+    val current = schemaOf(path, v)
+    val renamed = refs.exists(r => r.cols.exists { case (n, id) =>
+      current.flatMap(_.find(_._1 == id)).exists(_._2 != n) })
+    if (renamed) return None
+    val live = refs.filter(_.nFiles > 0)
+    val claimed = live.map(_.nFiles).sum
+    if (claimed == 0L)
+      return Some(MetaAggAnswer(
+        if (needCount) Some(0L) else None,
+        minCols.map(_ -> None).toMap, maxCols.map(_ -> None).toMap))
+    if (claimed <= DistributedPlanThreshold) {
+      val entries = live.flatMap(readManifest)
+      val cnt =
+        if (!needCount) None
+        else if (entries.forall(_.rows >= 0L)) Some(entries.map(_.rows).sum)
+        else return None
+      // a PROVABLY-empty file (recorded rows == 0, e.g. an empty
+      // writer-partition part) contributes no value and is exactly
+      // skippable; an UNKNOWN one (-1) stays and must carry stats
+      val valued = entries.filter(_.rows != 0L)
+      def fold(cs: Seq[String], pick: Seq[Double] => Double,
+          reduce: (Double, Double) => Double): Option[Map[String, Option[Double]]] = {
+        val m = cs.distinct.map { c =>
+          val bs = valued.map(_.stats.get(c))
+          if (bs.exists(_.isEmpty)) return None // incomplete coverage
+          c -> bs.flatten.map(pick).reduceOption(reduce) // None = no rows → SQL null
+        }
+        Some(m.toMap)
+      }
+      for {
+        mins <- fold(minCols, _.head, math.min)
+        maxes <- fold(maxCols, _.last, math.max)
+      } yield MetaAggAnswer(cnt, mins, maxes)
+    } else {
+      // one metadata job: per-column coverage counts prove every file
+      // participates before a bound is trusted
+      val cols = (minCols ++ maxCols).distinct
+      val base = entriesFrameOf(spark, live,
+        "file STRING, stats MAP<STRING, ARRAY<DOUBLE>>, rows LONG")
+      // a PROVABLY-empty file (rows == 0) is exactly skippable for
+      // bounds/coverage; unknown rows (null in JSON, -1 sentinel in
+      // parquet encodings) must still carry stats to participate
+      val nz = col("rows").isNull || col("rows") =!= 0L
+      val aggs = Seq(
+        count(lit(1)).as("__n"),
+        count(when(nz, lit(1))).as("__nz"),
+        count(col("rows")).as("__rows_known"),
+        min(col("rows")).as("__rows_min"), sum(col("rows")).as("__rows")) ++
+        cols.flatMap { c =>
+          val b = try_element_at(col("stats"), lit(c))
+          Seq(count(when(nz, b)).as(s"__has_$c"),
+            min(when(nz, element_at(b, 1))).as(s"__mn_$c"),
+            max(when(nz, element_at(b, 2))).as(s"__mx_$c"))
+        }
+      val r = base.agg(aggs.head, aggs.tail: _*).collect().head
+      val n = r.getAs[Long]("__n")
+      val cnt =
+        if (!needCount) None
+        else if (r.getAs[Long]("__rows_known") == n && r.getAs[Long]("__rows_min") >= 0L)
+          Some(r.getAs[Long]("__rows"))
+        else return None
+      if (cols.exists(c => r.getAs[Long](s"__has_$c") != r.getAs[Long]("__nz")))
+        return None
+      def side(cs: Seq[String], pfx: String): Map[String, Option[Double]] =
+        cs.distinct.map(c => c -> Option(r.getAs[Any](s"${pfx}_$c"))
+          .map(_.asInstanceOf[Double])).toMap
+      Some(MetaAggAnswer(cnt, side(minCols, "__mn"), side(maxCols, "__mx")))
+    }
   }
 
   /** DATA-SKIPPING scan, multi-predicate form: read only the files
@@ -2450,6 +2584,34 @@ object LakeTable {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
       .orderBy("event_type")
+  }
+
+  /** Driver query: METADATA-ONLY AGGREGATE PUSHDOWN — two lake commits
+    * (evens, then odds), then a global count/min/max through the V2
+    * path. [[GraftLakeScanBuilder]] answers it COMPLETELY from
+    * per-file row counts and [min,max] manifest stats
+    * ([[metadataAggregate]]): the require below pins the contract
+    * that no data file is opened (the scan is a [[GraftLakeAggScan]]
+    * local row), while the oracle checks the VALUES against a real
+    * aggregate over the source table — both halves of "Iceberg
+    * answers count(*) from manifests" are verified. */
+  def aggPushdownQuery(s: SparkSession, d: String): DataFrame = {
+    val path = freshWorkDir("lakeagg", d)
+    val ev = graft.Tables.load(s, d, "events").select("event_id", "event_type", "value")
+    overwrite(ev.filter(pmod(col("event_id"), lit(2L)) === 0), path)
+    append(ev.filter(pmod(col("event_id"), lit(2L)) =!= 0), path)
+    val df = s.read.format("graftlake").load(path)
+      .agg(count(lit(1)).as("n"),
+        min("event_id").as("mn_id"), max("event_id").as("mx_id"),
+        round(min("value"), 6).as("mn_value"), round(max("value"), 6).as("mx_value"))
+    val pushed = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+          if r.scan.isInstanceOf[GraftLakeAggScan] => r
+    }.nonEmpty
+    require(pushed,
+      "lake_agg_pushdown: the aggregate must be answered from metadata alone " +
+        s"(got:\n${df.queryExecution.optimizedPlan})")
+    df
   }
 
   /** Driver query: MERGE-ON-READ DELETE lifecycle — write the events

@@ -20,6 +20,27 @@ class GraftLakeSourceSpec extends AnyFunSuite {
 
   private def v2(path: String) = spark.read.format("graftlake").load(path)
 
+  /** Every physical node of the EXECUTED plan, descending through the
+    * AdaptiveSparkPlanExec wrapper (a leaf to `collect`, so a naive
+    * `executedPlan.collect` under AQE finds nothing and asserts pass
+    * vacuously). */
+  private def planNodes(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    df.collect()
+    def expand(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        expand(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        s +: expand(s.plan)
+      case other => other +: other.children.flatMap(expand)
+    }
+    expand(df.queryExecution.executedPlan)
+  }
+
+  private def scansData(df: org.apache.spark.sql.DataFrame): Boolean =
+    planNodes(df).exists(_.isInstanceOf[BatchScanExec])
+
   /** Data files the executed plan actually scanned (the V2 scan's
     * input partitions are FilePartitions over the pruned set). */
   private def scannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] = {
@@ -129,6 +150,95 @@ class GraftLakeSourceSpec extends AnyFunSuite {
       assert(LakeTable.lastPlanAudit.filesKept === 1,
         s"${LakeTable.lastPlanAudit}")
     } finally spark.sql("DROP TABLE IF EXISTS v2_sql_spec")
+  }
+
+  test("metadata-only aggregate pushdown: count/min/max without touching a data file") {
+    val p = "/tmp/graft_test/v2_aggpush"
+    rmdir(p)
+    val df = spark.range(0, 400).select(col("id").as("k"), (col("id") * 2.0 - 100.0).as("v"))
+    LakeTable.overwrite(df.repartitionByRange(4, col("k")).sortWithinPartitions("k"), p)
+    LakeTable.append(spark.range(400, 401).select(col("id").as("k"), lit(-999.5).as("v")), p)
+    val q = v2(p).agg(count(lit(1)).as("n"), min("k").as("mn_k"),
+      max("k").as("mx_k"), min("v").as("mn_v"), max("v").as("mx_v"))
+    val row = q.head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getDouble(3), row.getDouble(4))
+      === ((401L, 0L, 400L, -999.5, 698.0)))
+    // COMPLETE pushdown: the executed plan is a local one-row scan —
+    // no BatchScanExec, so no parquet file was opened
+    assert(!scansData(q),
+      s"aggregate must be answered from metadata alone:\n${q.queryExecution.executedPlan}")
+    assert(planNodes(q).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec]))
+    // SQL spelling through the session catalog pushes identically
+    spark.sql("DROP TABLE IF EXISTS v2_agg_spec")
+    try {
+      spark.sql(s"CREATE TABLE v2_agg_spec USING graftlake OPTIONS (path '$p')")
+      val sq = spark.sql("SELECT count(*) AS n, min(k) AS mn, max(v) AS mx FROM v2_agg_spec")
+      assert(sq.head === org.apache.spark.sql.Row(401L, 0L, 698.0))
+      assert(!scansData(sq))
+    } finally spark.sql("DROP TABLE IF EXISTS v2_agg_spec")
+  }
+
+  test("aggregate pushdown refuses inexact shapes and falls back to a real scan") {
+    val p = "/tmp/graft_test/v2_aggpush_refuse"
+    rmdir(p)
+    val df = spark.range(0, 400).select(col("id").as("k"), (col("id") * 2.0).as("v"))
+    LakeTable.overwrite(df.repartitionByRange(4, col("k")).sortWithinPartitions("k"), p)
+    // a filter makes file-granular metadata inexact → real scan, right answer
+    val filtered = v2(p).filter(col("k") > 100).agg(count(lit(1)).as("n"))
+    assert(filtered.head.getLong(0) === 299L)
+    assert(scansData(filtered), "filtered aggregate must scan")
+    // sum is not answerable from [min,max] stats → real scan
+    val summed = v2(p).agg(sum("k").as("s"))
+    assert(summed.head.getLong(0) === (0L until 400L).sum)
+    assert(scansData(summed), "sum must scan")
+    // group-by is file-granular-inexact → real scan
+    val grouped = v2(p).groupBy((col("k") % 2).as("par")).agg(count(lit(1)).as("n"))
+    assert(grouped.collect().map(_.getLong(1)).sorted.toSeq === Seq(200L, 200L))
+    assert(scansData(grouped), "grouped aggregate must scan")
+    // an all-null column never collects stats → min(s) refused, scanned
+    val p2 = "/tmp/graft_test/v2_aggpush_nullcol"
+    rmdir(p2)
+    import spark.implicits._
+    LakeTable.overwrite(
+      Seq((1L, Option.empty[Double]), (2L, Option.empty[Double])).toDF("k", "s"), p2)
+    val nullMin = v2(p2).agg(min("s").as("mn"))
+    assert(nullMin.head.isNullAt(0))
+    assert(scansData(nullMin), "min over an all-null column must scan (no stats coverage)")
+  }
+
+  test("metadata aggregate goes DISTRIBUTED past the plan threshold, same answers") {
+    val p = "/tmp/graft_test/v2_aggpush_dist"
+    rmdir(p)
+    val df = spark.range(0, 400).select(col("id").as("k"), (col("id") * 2.0).as("v"))
+    LakeTable.overwrite(df.repartitionByRange(4, col("k")).sortWithinPartitions("k"), p)
+    LakeTable.withPlanThreshold(2) { // 4 claimed > 2 → the one-job metadata fold
+      val q = v2(p).agg(count(lit(1)).as("n"), min("v").as("mn"), max("k").as("mx"))
+      assert(q.head === org.apache.spark.sql.Row(400L, 0.0, 399L))
+      assert(!scansData(q), "metadata fold must not open a data file")
+    }
+  }
+
+  test("V2 scan reports EXACT statistics from manifests (rows and bytes)") {
+    val p = "/tmp/graft_test/v2_stats"
+    rmdir(p)
+    val df = spark.range(0, 400).select(col("id").as("k"), (col("id") * 2.0).as("v"))
+    LakeTable.overwrite(df.repartitionByRange(4, col("k")).sortWithinPartitions("k"), p)
+    def v2Stats(q: org.apache.spark.sql.DataFrame) = {
+      q.collect()
+      q.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.stats
+      }.head
+    }
+    val full = v2Stats(v2(p).filter(col("k") >= 0))
+    assert(full.rowCount === Some(BigInt(400)),
+      s"exact numRows must reach Catalyst: ${full.rowCount}")
+    // post-prune: only the surviving file's rows are reported
+    val pruned = v2Stats(v2(p).filter(col("k") >= 0 && col("k") <= 50))
+    assert(pruned.rowCount.exists(rc => rc >= 51 && rc < 400),
+      s"post-prune cardinality must be the survivor file's rows: ${pruned.rowCount}")
+    assert(full.sizeInBytes > pruned.sizeInBytes && pruned.sizeInBytes > 0)
   }
 
   test("refusals name the fold: MoR deletes, renames, mixed layouts") {
