@@ -175,6 +175,7 @@ object SparkEntry {
     "skyline_price_size" -> (ops.Relational.skylinePriceSize _),
     "lake_snapshot_read" -> (sources.LakeTable.snapshotReadQuery _),
     "lake_agg_pushdown" -> (sources.LakeTable.aggPushdownQuery _),
+    "lake_catalog_sql" -> (sources.LakeTable.catalogSqlQuery _),
     "lake_merge_read" -> (sources.LakeTable.mergeReadQuery _),
     "lake_partition_prune" -> (sources.LakeTable.partitionPruneQuery _),
     "lake_time_travel" -> (sources.LakeTable.timeTravelQuery _),
@@ -998,6 +999,17 @@ object SparkEntry {
       """SELECT count(*) AS n, min(event_id) AS mn_id, max(event_id) AS mx_id,
         |       round(min(value), 6) AS mn_value, round(max(value), 6) AS mx_value
         |FROM events""".stripMargin,
+    // lake_catalog_sql: catalog DDL + INSERT INTO + native VERSION AS
+    // OF; phase v1 = the evens-only first commit, latest = everything
+    "lake_catalog_sql" ->
+      """SELECT 'v1' AS phase, event_type, count(*) AS n,
+        |       round(sum(value), 6) AS sum_value
+        |FROM events WHERE event_id % 2 = 0 GROUP BY event_type
+        |UNION ALL
+        |SELECT 'latest' AS phase, event_type, count(*) AS n,
+        |       round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY event_type
+        |ORDER BY phase, event_type""".stripMargin,
     // permissive_ingest: malformed JSON rows (every 7th) parse to
     // null-defaulted columns; the oracle mirrors the outcome directly
     "permissive_ingest" ->

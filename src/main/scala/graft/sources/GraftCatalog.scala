@@ -1,0 +1,284 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A DataSourceV2 [[TableCatalog]] over a lake warehouse directory —
+  * the Iceberg-SparkCatalog-shaped surface that makes lake tables
+  * first-class SQL objects instead of paths:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+  *   spark.conf.set("spark.sql.catalog.graft.warehouse", "/wh")
+  *   spark.sql("CREATE NAMESPACE graft.db")
+  *   spark.sql("CREATE TABLE graft.db.t (k BIGINT, v DOUBLE) USING graftlake")
+  *   spark.sql("INSERT INTO graft.db.t SELECT ...")
+  *   spark.sql("SELECT * FROM graft.db.t VERSION AS OF 1")   // native time travel
+  *   spark.sql("ALTER TABLE graft.db.t RENAME COLUMN v TO value")
+  *   spark.sql("SELECT * FROM graft.db.t.history")           // metadata table
+  * }}}
+  *
+  * Layout is the obvious one: a namespace is a directory under the
+  * warehouse, a table is a directory with lake metadata
+  * (`_graft_meta/v*`) in it. Everything data-shaped delegates to
+  * [[LakeTable]] (one commit protocol whatever surface the op arrives
+  * through) and everything scan-shaped to [[GraftLakeTable]] (so
+  * pushdown, exact statistics, metadata-only aggregates, and SQL DML
+  * all work identically on catalog tables and path tables).
+  *
+  * Time travel is the NATIVE V2 route: `VERSION AS OF n` arrives as
+  * `loadTable(ident, "n")` (a tag name resolves too — Iceberg's
+  * ref-as-version), `TIMESTAMP AS OF t` as `loadTable(ident, micros)`
+  * lowered onto [[LakeTable.versionAsOf]].
+  *
+  * The warehouse root is re-read from the session conf on every call
+  * (falling back to the init-time option): catalog instances are
+  * cached per session, and a cached instance pinned to a stale work
+  * dir would silently cross-wire tests and queries that point the
+  * SAME catalog name at different roots.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var initWarehouse: Option[String] = None
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    initWarehouse = Option(options.get("warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def warehouse: String = {
+    val raw = spark.conf.getOption(s"spark.sql.catalog.$catalogName.warehouse")
+      .orElse(initWarehouse)
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft catalog '$catalogName': set spark.sql.catalog.$catalogName.warehouse"))
+    if (raw.startsWith("file:")) new java.net.URI(raw).getPath else raw
+  }
+
+  private def pathOf(parts: Seq[String]): String =
+    (warehouse +: parts).mkString("/")
+
+  private def tablePath(ident: Identifier): String =
+    pathOf(ident.namespace.toSeq :+ ident.name)
+
+  private def isTable(p: String): Boolean = LakeTable.latestVersion(p).nonEmpty
+
+  private def listDirs(p: String): Seq[String] = {
+    val dir = Paths.get(p)
+    if (!Files.isDirectory(dir)) return Nil
+    val ls = Files.list(dir)
+    try ls.iterator().asScala.filter(Files.isDirectory(_))
+      .map(_.getFileName.toString).filterNot(_.startsWith("_")).toSeq.sorted
+    finally ls.close()
+  }
+
+  // ---- tables ----
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    listDirs(pathOf(namespace.toSeq))
+      .filter(n => isTable(pathOf(namespace.toSeq :+ n)))
+      .map(Identifier.of(namespace, _)).toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean = isTable(tablePath(ident))
+
+  /** The table's read schema; an EMPTY table (sentinel-only snapshot,
+    * no file to carry a schema) falls back to the declared schema
+    * persisted at CREATE TABLE time. */
+  private def schemaFor(p: String, version: Option[Int]): StructType = {
+    val s = LakeTable.read(spark, p, version).schema
+    if (s.nonEmpty) s
+    else declaredSchemaOf(p).getOrElse(s)
+  }
+
+  private def declaredSchemaFile(p: String) = Paths.get(s"$p/_graft_meta/catalog_schema.json")
+
+  private def declaredSchemaOf(p: String): Option[StructType] = {
+    val f = declaredSchemaFile(p)
+    if (Files.exists(f)) Some(StructType.fromDDL(Files.readString(f))) else None
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val p = tablePath(ident)
+    if (isTable(p)) new GraftLakeTable(p, None, schemaFor(p, None))
+    else metaTableOf(ident).getOrElse(throw new NoSuchTableException(ident))
+  }
+
+  /** `SELECT ... FROM cat.ns.t VERSION AS OF x` — x is a version
+    * number or a tag name (Iceberg's ref-as-version). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val p = tablePath(ident)
+    if (!isTable(p)) throw new NoSuchTableException(ident)
+    val v = version.toIntOption.getOrElse(LakeTable.tagVersion(p, version))
+    new GraftLakeTable(p, Some(v), schemaFor(p, Some(v)))
+  }
+
+  /** `TIMESTAMP AS OF t` — Spark hands MICROseconds since epoch. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val p = tablePath(ident)
+    if (!isTable(p)) throw new NoSuchTableException(ident)
+    val v = LakeTable.versionAsOf(spark, p, timestamp / 1000L)
+    new GraftLakeTable(p, Some(v), schemaFor(p, Some(v)))
+  }
+
+  /** Iceberg-style METADATA TABLES: `cat.ns.t.history` resolves when
+    * `cat.ns.t` is a lake table — served as a driver-local scan (the
+    * frame is O(#versions) metadata). */
+  private def metaTableOf(ident: Identifier): Option[Table] = {
+    if (ident.namespace.isEmpty) return None
+    val parent = pathOf(ident.namespace.toSeq)
+    if (!isTable(parent)) return None
+    ident.name match {
+      case "history" =>
+        Some(new GraftLocalTable(
+          s"${ident.namespace.mkString(".")}.history",
+          LakeTable.history(spark, parent)))
+      case _ => None
+    }
+  }
+
+  override def createTable(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      s"graft catalog: PARTITIONED BY is not supported through DDL — write with " +
+        "LakeTable.overwritePartitioned / hiddenPartition specs instead")
+    val p = tablePath(ident)
+    if (isTable(p)) throw new TableAlreadyExistsException(ident)
+    // v0 is an EMPTY snapshot (sentinel commit): the table is
+    // immediately SELECT-able (zero rows) and history starts at v0
+    LakeTable.overwrite(
+      spark.createDataFrame(util.Collections.emptyList[org.apache.spark.sql.Row](), schema),
+      p)
+    Files.writeString(declaredSchemaFile(p), schema.toDDL)
+    Option(properties.get("write.sort-order")).foreach { order =>
+      LakeTable.setSortOrder(p, order.split(",").map(_.trim).filter(_.nonEmpty): _*)
+    }
+    new GraftLakeTable(p, None, schema)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val p = tablePath(ident)
+    if (!isTable(p)) throw new NoSuchTableException(ident)
+    changes.foreach {
+      case r: TableChange.RenameColumn if r.fieldNames.length == 1 =>
+        LakeTable.renameColumn(spark, p, r.fieldNames()(0), r.newName())
+      case d: TableChange.DeleteColumn if d.fieldNames.length == 1 =>
+        LakeTable.dropColumn(spark, p, d.fieldNames()(0))
+      case s: TableChange.SetProperty if s.property == "write.sort-order" =>
+        LakeTable.setSortOrder(p, s.value.split(",").map(_.trim).filter(_.nonEmpty): _*)
+      case a: TableChange.AddColumn =>
+        // the format carries schema in data files: a column EXISTS
+        // once a file carries it (additive evolution on append), so a
+        // metadata-only add would be invisible to reads — refuse with
+        // the working route named
+        throw new UnsupportedOperationException(
+          s"graft catalog: ADD COLUMN ${a.fieldNames().mkString(".")} is not a " +
+            "metadata operation in this format — append data carrying the new " +
+            "column (reads null-extend older files)")
+      case other =>
+        throw new UnsupportedOperationException(
+          s"graft catalog: unsupported ALTER TABLE change $other")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = tablePath(ident)
+    if (!isTable(p)) return false
+    graft.Util.rmRecursive(p)
+    true
+  }
+
+  /** Refused, for the same reason Iceberg's path-based HadoopCatalog
+    * refuses it: manifests reference data files by ABSOLUTE path, so
+    * a directory move orphans every file reference. A
+    * location-addressed warehouse has no indirection layer to retarget;
+    * a name-mapping catalog (one more metadata file) would lift this. */
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    if (!isTable(tablePath(from))) throw new NoSuchTableException(from)
+    throw new UnsupportedOperationException(
+      s"graft catalog '$catalogName': RENAME TABLE is not supported in a " +
+        "location-addressed warehouse (manifests hold absolute paths — a move " +
+        "would orphan them); CREATE TABLE AS SELECT into the new name instead")
+  }
+
+  // ---- namespaces ----
+
+  override def listNamespaces(): Array[Array[String]] =
+    listDirs(warehouse).filterNot(n => isTable(pathOf(Seq(n))))
+      .map(Array(_)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    listDirs(pathOf(namespace.toSeq))
+      .filterNot(n => isTable(pathOf(namespace.toSeq :+ n)))
+      .map(n => namespace :+ n).toArray
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty ||
+      (Files.isDirectory(Paths.get(pathOf(namespace.toSeq))) &&
+        !isTable(pathOf(namespace.toSeq)))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(
+      namespace: Array[String], metadata: util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace) && namespace.nonEmpty)
+      throw new NamespaceAlreadyExistsException(namespace)
+    Files.createDirectories(Paths.get(pathOf(namespace.toSeq)))
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog: namespaces carry no alterable metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace) || namespace.isEmpty) return false
+    val p = pathOf(namespace.toSeq)
+    if (!cascade && listDirs(p).nonEmpty)
+      throw NonEmptyNamespaceException(namespace, "drop without CASCADE", None)
+    graft.Util.rmRecursive(p)
+    true
+  }
+}
+
+/** A small driver-local V2 table over an already-computed metadata
+  * frame (table history etc.) — O(#versions) rows, so a [[LocalScan]]
+  * is the honest plan. */
+class GraftLocalTable(tableName: String, df: org.apache.spark.sql.DataFrame)
+    extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = df.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        override def readSchema(): StructType = df.schema
+        override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+          df.queryExecution.executedPlan.executeCollect()
+        override def description(): String = s"GraftLocalTable($tableName)"
+      }
+    }
+}

@@ -181,12 +181,21 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           })
           // INSERT only ships the source row itself (the library
           // contract): INSERT * always qualifies; an explicit column
-          // list must be the identity mapping c = s.c
+          // list must be the identity mapping c = s.c. The analyzer
+          // may have expanded INSERT * into aligned assignments with
+          // store-assignment casts before this rule ran (catalog
+          // tables resolve natively) — strip those wrappers before
+          // judging identity.
+          def stripped(e: Expression): Expression = e match {
+            case c: org.apache.spark.sql.catalyst.expressions.Cast => stripped(c.child)
+            case a: org.apache.spark.sql.catalyst.expressions.Alias => stripped(a.child)
+            case other => other
+          }
           def insertCond(a: MergeAction): Column = a match {
             case InsertStarAction(cond) => cond.map(sourceOnly).getOrElse(lit(true))
             case InsertAction(cond, assigns) =>
               val identity = assigns.forall {
-                case Assignment(k, v) => side(v) match {
+                case Assignment(k, v0) => val v = stripped(v0); side(v) match {
                   case Some((false, vn)) => vn.equalsIgnoreCase(keyName(k))
                   case None => v match {
                     case u: UnresolvedAttribute =>

@@ -2614,6 +2614,41 @@ object LakeTable {
     df
   }
 
+  /** Driver query: the V2 TABLE CATALOG end to end
+    * ([[GraftCatalog]]) — register a catalog over a fresh warehouse,
+    * `CREATE NAMESPACE` + `CREATE TABLE` via DDL, load the events
+    * projection through two `INSERT INTO` commits (evens then odds),
+    * and read back BOTH the pinned `VERSION AS OF 1` snapshot (native
+    * catalog time travel — `loadTable(ident, version)`) and the
+    * latest. The oracle recomputes both phases from the source table,
+    * so catalog resolution, the DDL-declared schema, the V1Write
+    * commit path, and version pinning are all value-checked in one
+    * query. */
+  def catalogSqlQuery(s: SparkSession, d: String): DataFrame = {
+    val wh = freshWorkDir("lakecat", d)
+    s.conf.set("spark.sql.catalog.graft_q", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_q.warehouse", wh)
+    graft.Tables.load(s, d, "events").select("event_id", "event_type", "value")
+      .createOrReplaceTempView("cat_ev_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_q.lakedb")
+    s.sql("DROP TABLE IF EXISTS graft_q.lakedb.ev")
+    s.sql("CREATE TABLE graft_q.lakedb.ev " +
+      "(event_id BIGINT, event_type STRING, value DOUBLE) USING graftlake")
+    s.sql("INSERT INTO graft_q.lakedb.ev " +
+      "SELECT event_id, event_type, value FROM cat_ev_src WHERE event_id % 2 = 0")
+    s.sql("INSERT INTO graft_q.lakedb.ev " +
+      "SELECT event_id, event_type, value FROM cat_ev_src WHERE event_id % 2 = 1")
+    s.sql(
+      """SELECT 'v1' AS phase, event_type, count(*) AS n,
+        |       round(sum(value), 6) AS sum_value
+        |FROM graft_q.lakedb.ev VERSION AS OF 1 GROUP BY event_type
+        |UNION ALL
+        |SELECT 'latest' AS phase, event_type, count(*) AS n,
+        |       round(sum(value), 6) AS sum_value
+        |FROM graft_q.lakedb.ev GROUP BY event_type
+        |ORDER BY phase, event_type""".stripMargin)
+  }
+
   /** Driver query: MERGE-ON-READ DELETE lifecycle — write the events
     * projection (v0), [[deleteMoR]] every 5th event (v1: a key file
     * only, no data rewrite), read latest (anti-join applies the
