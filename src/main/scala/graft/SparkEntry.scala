@@ -176,6 +176,7 @@ object SparkEntry {
     "lake_snapshot_read" -> (sources.LakeTable.snapshotReadQuery _),
     "lake_agg_pushdown" -> (sources.LakeTable.aggPushdownQuery _),
     "lake_catalog_sql" -> (sources.LakeTable.catalogSqlQuery _),
+    "lake_runtime_prune" -> (sources.LakeTable.runtimePruneQuery _),
     "lake_merge_read" -> (sources.LakeTable.mergeReadQuery _),
     "lake_partition_prune" -> (sources.LakeTable.partitionPruneQuery _),
     "lake_time_travel" -> (sources.LakeTable.timeTravelQuery _),
@@ -194,6 +195,7 @@ object SparkEntry {
     "lake_sql_merge" -> (sources.LakeTable.sqlMergeQuery _),
     "lake_hidden_partition" -> (sources.LakeTable.hiddenPartitionQuery _),
     "lake_change_stream" -> (sources.LakeTable.changeStreamQuery _),
+    "lake_v2_change_stream" -> (sources.LakeTable.v2ChangeStreamQuery _),
     "lake_rollback" -> (sources.LakeTable.rollbackQuery _),
     "lake_bloom_skip" -> (sources.LakeTable.bloomSkipQuery _),
     "lake_branch_ff" -> (sources.LakeTable.branchFastForwardQuery _),
@@ -999,6 +1001,13 @@ object SparkEntry {
       """SELECT count(*) AS n, min(event_id) AS mn_id, max(event_id) AS mx_id,
         |       round(min(value), 6) AS mn_value, round(max(value), 6) AS mx_value
         |FROM events""".stripMargin,
+    // lake_runtime_prune: broadcast star join whose dim keys are
+    // exactly event_id < 100, so the join is value-equivalent to a
+    // filter; the runtime file-skip contract is require'd in-query
+    "lake_runtime_prune" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events WHERE event_id < 100
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // lake_catalog_sql: catalog DDL + INSERT INTO + native VERSION AS
     // OF; phase v1 = the evens-only first commit, latest = everything
     "lake_catalog_sql" ->
@@ -1156,6 +1165,26 @@ object SparkEntry {
     // v1 = the CoW merge's insert+delete pairs (patched rows in,
     // pre-patch originals out), v2 = the delete's removed rows
     "lake_change_stream" ->
+      """WITH orig AS (
+        |  SELECT event_id, event_type, value FROM events
+        |), rows_ AS (
+        |  SELECT 0 AS v, 'insert' AS change_type, * FROM orig
+        |  UNION ALL
+        |  SELECT 1, 'insert', event_id, 'patched', value + 1000.0
+        |  FROM orig WHERE event_id % 3 = 0
+        |  UNION ALL
+        |  SELECT 1, 'delete', * FROM orig WHERE event_id % 3 = 0
+        |  UNION ALL
+        |  SELECT 2, 'delete', * FROM orig
+        |  WHERE event_id % 7 = 0 AND event_id % 3 != 0
+        |)
+        |SELECT v, change_type, event_id, event_type, round(value, 6) AS value
+        |FROM rows_ ORDER BY v, change_type, event_id""".stripMargin,
+    // lake_v2_change_stream: identical content contract to
+    // lake_change_stream — the delivery path is the part under test
+    // (native V2 MicroBatchStream, version offsets, per-commit
+    // batches), and it must not change a single row
+    "lake_v2_change_stream" ->
       """WITH orig AS (
         |  SELECT event_id, event_type, value FROM events
         |), rows_ AS (

@@ -86,11 +86,16 @@ class GraftLakeSource extends TableProvider with DataSourceRegister
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = active
-    // the library read's schema IS the V2 table schema (union across
-    // commit generations, renames/drops resolved) — computed on
-    // metadata + parquet footers only, no data scan
-    LakeTable.read(spark, GraftLakeSource.pathOf(options),
-      GraftLakeSource.versionOf(options)).schema
+    if (GraftLakeSource.changeFeedOf(options))
+      // streaming CDC read: the schema is the changelog's (data
+      // columns + change_type + the v partition column)
+      LakeTable.changeFeedSchema(spark, GraftLakeSource.pathOf(options))
+    else
+      // the library read's schema IS the V2 table schema (union across
+      // commit generations, renames/drops resolved) — computed on
+      // metadata + parquet footers only, no data scan
+      LakeTable.read(spark, GraftLakeSource.pathOf(options),
+        GraftLakeSource.versionOf(options)).schema
   }
 
   override def getTable(
@@ -98,7 +103,8 @@ class GraftLakeSource extends TableProvider with DataSourceRegister
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     new GraftLakeTable(
-      GraftLakeSource.pathOf(opts), GraftLakeSource.versionOf(opts), schema)
+      GraftLakeSource.pathOf(opts), GraftLakeSource.versionOf(opts), schema,
+      GraftLakeSource.changeFeedOf(opts))
   }
 }
 
@@ -123,6 +129,9 @@ object GraftLakeSource {
           s"graftlake: versionAsOf must be an integer version, got '$s'")
       }
     }
+
+  private[sources] def changeFeedOf(options: CaseInsensitiveStringMap): Boolean =
+    options.getBoolean("changeFeed", false)
 }
 
 /** One lake snapshot as a V2 [[Table]] (batch read/write + SQL DELETE).
@@ -133,7 +142,9 @@ object GraftLakeSource {
   * filter algebra cannot express are refused via `canDeleteWhere`
   * (Spark raises the standard cannot-delete error). UPDATE and MERGE
   * lower through [[LakeSqlDmlRule]] instead. */
-class GraftLakeTable(path: String, version: Option[Int], tableSchema: StructType)
+class GraftLakeTable(
+    path: String, version: Option[Int], tableSchema: StructType,
+    changeFeed: Boolean = false)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
@@ -163,7 +174,10 @@ class GraftLakeTable(path: String, version: Option[Int], tableSchema: StructType
   override def schema(): StructType = tableSchema
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(
+    if (changeFeed)
+      // the CDC projection is a STREAM (batch CDC is LakeTable.changes)
+      util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    else util.EnumSet.of(
       TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)
@@ -202,13 +216,20 @@ class GraftLakeTable(path: String, version: Option[Int], tableSchema: StructType
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val spark = SparkSession.getActiveSession.getOrElse(
+      throw new IllegalStateException("graftlake: no active SparkSession"))
+    if (changeFeed) {
+      require(version.isEmpty,
+        s"graftlake changeFeed at $path: a version-pinned CDC stream is " +
+          "contradictory — the stream's offsets ARE versions")
+      return new ScanBuilder {
+        override def build(): Scan = new GraftLakeChangeScan(spark, path, tableSchema)
+      }
+    }
     // a read-time versionAsOf option overrides the table-level pin
     val v = Option(options.get("versionAsOf"))
       .map(_ => GraftLakeSource.versionOf(options)).getOrElse(version)
-    new GraftLakeScanBuilder(
-      SparkSession.getActiveSession.getOrElse(
-        throw new IllegalStateException("graftlake: no active SparkSession")),
-      path, v, tableSchema)
+    new GraftLakeScanBuilder(spark, path, v, tableSchema)
   }
 }
 
@@ -429,6 +450,15 @@ class GraftLakeScanBuilder(
       throw new IllegalArgumentException(s"no snapshots at $path"))
     val preds = intervalsOf(accepted.toSeq)
       .map { case (c, (lo, hi)) => (c, lo, hi) }.toSeq
+    new GraftLakeScan(path, tableSchema, preds, ps => buildParquet(v, ps))
+  }
+
+  /** One (ParquetScan, plan) for a predicate-box set — called once at
+    * build time and again per RUNTIME filter arrival (the wrapper
+    * re-plans with the tightened boxes). */
+  private def buildParquet(
+      v: Int, preds: Seq[(String, Double, Double)])
+      : (ParquetScan, LakeTable.V2Plan) = {
     val plan = LakeTable.planV2(spark, path, v, preds)
     val paths = (plan.dirs ++ plan.files).map(new Path(_))
     val index = new InMemoryFileIndex(
@@ -449,36 +479,147 @@ class GraftLakeScanBuilder(
     // absent columns are dropped by the parquet filter converter),
     // the pruned column set becomes the read schema (missing columns
     // in older files null-extend via schema clipping)
-    val parquet = ParquetScan(
+    (ParquetScan(
       spark, GraftSqlShim.hadoopConf(spark), index,
       dataSchema = fileSchema, readDataSchema = readData,
       readPartitionSchema = readPart,
       pushedFilters = allFilters,
       options = CaseInsensitiveStringMap.empty(),
-      partitionFilters = partitionFilterExprs(partSchema))
-    // exact post-prune cardinality from the manifests (when fully
-    // file-listed) feeds Catalyst's cost model: a dim table that
-    // pruned to broadcast size IS broadcast, from metadata, not from
-    // a listing-size guess
-    plan.stats.map { case (bytes, rows) =>
-      new GraftLakeStatsScan(parquet, bytes, rows)
-    }.getOrElse(parquet)
+      partitionFilters = partitionFilterExprs(partSchema)), plan)
   }
 }
 
-/** A [[ParquetScan]] plus EXACT scan statistics from the lake's own
-  * manifests: `numRows` is the sum of the surviving files' recorded
-  * row counts, `sizeInBytes` their on-disk bytes. Delegates the
-  * actual reading batch untouched. */
-class GraftLakeStatsScan(underlying: ParquetScan, bytes: Long, rows: Long)
-    extends Scan with SupportsReportStatistics {
+/** The lake's batch V2 [[Scan]]: a [[ParquetScan]] over the pruned
+  * file set, plus the two metadata superpowers the manifests afford —
+  *
+  *  - EXACT statistics ([[SupportsReportStatistics]]): post-prune
+  *    (rows, bytes) summed from manifest entries, so Catalyst's
+  *    broadcast/AQE decisions see true cardinality, not a listing
+  *    guess (falls back to the parquet scan's estimate when the plan
+  *    was whole-dir/distributed);
+  *  - RUNTIME file skipping ([[SupportsRuntimeV2Filtering]]): a
+  *    dynamic-pruning IN-set from a broadcast join side arrives as V2
+  *    predicates, collapses to per-column [min,max] boxes, and the
+  *    scan RE-PLANS through the same manifest prune before any
+  *    partition is read — the Iceberg runtime-filtering shape, where
+  *    a star-join's dim filter skips fact FILES at execution time.
+  *    File skipping is a superset guarantee, so tightening boxes at
+  *    runtime can only drop files the join would discard anyway.
+  *
+  * The inner scan is swapped atomically on re-plan; `toBatch` always
+  * defers to the CURRENT inner scan, because BatchScanExec may have
+  * materialized the batch before runtime filters arrive. */
+class GraftLakeScan(
+    path: String, tableSchema: StructType,
+    staticPreds: Seq[(String, Double, Double)],
+    mk: Seq[(String, Double, Double)] => (ParquetScan, LakeTable.V2Plan))
+    extends Scan with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  @volatile private var state: (ParquetScan, LakeTable.V2Plan) = mk(staticPreds)
+  private def underlying: ParquetScan = state._1
+
   override def readSchema(): StructType = underlying.readSchema()
-  override def toBatch: Batch = underlying.toBatch
-  override def description(): String =
-    s"${underlying.description()} (graftlake stats: rows=$rows bytes=$bytes)"
-  override def estimateStatistics(): Statistics = new Statistics {
-    override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
-    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+
+  override def description(): String = {
+    val stats = state._2.stats.map { case (b, r) => s" rows=$r bytes=$b" }.getOrElse("")
+    s"${underlying.description()} (graftlake$stats)"
+  }
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] =
+      underlying.toBatch.planInputPartitions()
+    override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =
+      underlying.toBatch.createReaderFactory()
+  }
+
+  override def estimateStatistics(): Statistics = state._2.stats match {
+    case Some((bytes, rows)) => new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+    }
+    case None => underlying match {
+      case s: SupportsReportStatistics => s.estimateStatistics()
+      case _ => new Statistics {
+        override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.empty()
+        override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+      }
+    }
+  }
+
+  /** Dynamic pruning may target any column the manifest prune can
+    * skip on — the numeric top-level set. */
+  override def filterAttributes(): Array[NamedReference] =
+    tableSchema.fields
+      .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      .map(f => GraftSqlShim.fieldReference(f.name))
+
+  override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val extra = GraftLakeScan.boxesOf(predicates)
+    if (extra.nonEmpty) {
+      // intersect with the build-time boxes and re-plan
+      val merged = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+      (staticPreds.map { case (c, lo, hi) => c -> (lo, hi) } ++ extra).foreach {
+        case (c, (lo, hi)) =>
+          val (l0, h0) = merged.getOrElse(c, (Double.NegativeInfinity, Double.PositiveInfinity))
+          merged(c) = (math.max(l0, lo), math.min(h0, hi))
+      }
+      state = mk(merged.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) })
+    }
+  }
+}
+
+object GraftLakeScan {
+  import org.apache.spark.sql.connector.expressions.{Expression => V2Expression}
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+
+  /** Conjunctive per-column [lo,hi] boxes implied by runtime V2
+    * predicates — IN sets (the dynamic-pruning shape) collapse to
+    * their value range; unrecognized predicates contribute nothing
+    * (no pruning, still correct: the row filter re-applies above). */
+  private[sources] def boxesOf(predicates: Array[Predicate]): Seq[(String, (Double, Double))] = {
+    def num(e: V2Expression): Option[Double] =
+      GraftSqlShim.literalValueOf(e).collect {
+        case n: java.lang.Number => n.doubleValue()
+      }
+    def colOf(e: V2Expression): Option[String] = e match {
+      case r: NamedReference => r.fieldNames match {
+        case Array(one) => Some(one)
+        case _ => None
+      }
+      case _ => None
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, (Double, Double))]
+    def walk(p: Predicate): Unit = (p.name(), p.children()) match {
+      case ("IN", cs) if cs.length >= 2 =>
+        for {
+          c <- colOf(cs.head)
+          vs <- Some(cs.tail.toSeq.map(num)) if vs.forall(_.isDefined)
+        } out += c -> (vs.flatten.min, vs.flatten.max)
+      case ("=", Array(l, r)) =>
+        (colOf(l), num(r)) match {
+          case (Some(c), Some(d)) => out += c -> (d, d)
+          case _ => (colOf(r), num(l)) match {
+            case (Some(c), Some(d)) => out += c -> (d, d)
+            case _ => ()
+          }
+        }
+      case (">=", Array(l, r)) =>
+        for { c <- colOf(l); d <- num(r) } out += c -> (d, Double.PositiveInfinity)
+      case (">", Array(l, r)) =>
+        for { c <- colOf(l); d <- num(r) } out += c -> (d, Double.PositiveInfinity)
+      case ("<=", Array(l, r)) =>
+        for { c <- colOf(l); d <- num(r) } out += c -> (Double.NegativeInfinity, d)
+      case ("<", Array(l, r)) =>
+        for { c <- colOf(l); d <- num(r) } out += c -> (Double.NegativeInfinity, d)
+      case ("AND", cs) => cs.foreach {
+        case cp: Predicate => walk(cp)
+        case _ => ()
+      }
+      case _ => ()
+    }
+    predicates.foreach(walk)
+    out.toSeq
   }
 }
 

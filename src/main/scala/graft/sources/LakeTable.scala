@@ -2649,6 +2649,38 @@ object LakeTable {
         |ORDER BY phase, event_type""".stripMargin)
   }
 
+  /** Driver query: RUNTIME V2 FILTERING (dynamic file pruning) — the
+    * star-join shape at 100 TB: a fact lake table clustered on the
+    * join key, a file-backed dim with a selective filter, broadcast
+    * join. Spark plants a dynamic-pruning subquery on the fact scan
+    * ([[GraftLakeScan.filterAttributes]]); at execution the dim's
+    * surviving keys arrive as an IN-set, collapse to a [min,max] box,
+    * and the scan RE-PLANS through the manifest prune before reading
+    * a partition. The require pins the contract that files were
+    * actually skipped at runtime; the oracle checks the values (the
+    * dim's keys are exactly event_id < 100, so the join ≡ a filter). */
+  def runtimePruneQuery(s: SparkSession, d: String): DataFrame = {
+    val path = freshWorkDir("lakedpp", d)
+    val ev = graft.Tables.load(s, d, "events").select("event_id", "event_type", "value")
+    overwrite(ev, path)
+    optimizeBy(s, path, numFiles = 8, "event_id")
+    val dimPath = s"$path/_dim"
+    ev.select(col("event_id"),
+      when(col("event_id") < 100, lit("keep")).otherwise(lit("drop")).as("grp"))
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = s.read.parquet(dimPath).filter(col("grp") === "keep").drop("grp")
+    val joined = s.read.format("graftlake").load(path)
+      .join(broadcast(dim), "event_id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+      .orderBy("event_type")
+    joined.collect() // force execution so the runtime re-plan runs
+    val audit = lastPlanAudit
+    require(audit.filesKept < audit.filesClaimed,
+      s"runtime filter must skip fact files (keys < 100 fit ~1 of 8): $audit")
+    joined
+  }
+
   /** Driver query: MERGE-ON-READ DELETE lifecycle — write the events
     * projection (v0), [[deleteMoR]] every 5th event (v1: a key file
     * only, no data rewrite), read latest (anti-join applies the
@@ -3100,6 +3132,19 @@ object LakeTable {
 
   private def changelogDir(path: String) = s"$path/_changelog"
 
+  /** Changelog location + schema for the V2 streaming source
+    * ([[GraftLakeMicroBatchStream]]). The schema is the mergeSchema
+    * union across changelog generations — a rename leaves old
+    * generations under the old column name, and a single-footer
+    * schema would silently null one generation's measures. */
+  private[sources] def changelogDirOf(path: String): String = changelogDir(path)
+
+  private[sources] def changeFeedSchema(
+      spark: SparkSession, path: String): org.apache.spark.sql.types.StructType = {
+    materializeChanges(spark, path)
+    spark.read.option("mergeSchema", "true").parquet(changelogDir(path)).schema
+  }
+
   /** The committing operation of a version (every list row carries it
     * uniformly). */
   private def operationOf(path: String, version: Int): String = {
@@ -3204,6 +3249,41 @@ object LakeTable {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    s.read.parquet(s"$out/result")
+      .select(col("v"), col("change_type"), col("event_id"), col("event_type"),
+        round(col("value"), 6).as("value"))
+      .orderBy("v", "change_type", "event_id")
+  }
+
+  /** Driver query: the change feed through the NATIVE V2 STREAMING
+    * SOURCE ([[GraftLakeMicroBatchStream]]) — same CoW lifecycle and
+    * oracle as `lake_change_stream`, but consumed via
+    * `spark.readStream.format("graftlake").option("changeFeed",
+    * "true")`: version-number offsets, one commit per micro-batch
+    * (admission control), Spark's vectorized parquet reader, and the
+    * engine's own offset checkpointing for exactly-once. The
+    * per-version batch boundary is require'd (a drain that lumped
+    * versions would still hash right — the boundary is the part only
+    * this query can see). */
+  def v2ChangeStreamQuery(s: SparkSession, d: String): DataFrame = {
+    val path = freshWorkDir("lakecdcv2", d)
+    buildCowLifecycle(s, d, path)
+    val out = s"$path/_stream_out"
+    val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = s.readStream.format("graftlake").option("changeFeed", "true")
+      .load(path)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$out/_chk")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) seen.incrementAndGet()
+        batch.write.mode("append").parquet(s"$out/result")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    require(seen.get() == 3,
+      s"v2 change stream must deliver one micro-batch per version (3), got ${seen.get()}")
     s.read.parquet(s"$out/result")
       .select(col("v"), col("change_type"), col("event_id"), col("event_type"),
         round(col("value"), 6).as("value"))

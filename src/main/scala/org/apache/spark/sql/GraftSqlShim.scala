@@ -22,6 +22,18 @@ object GraftSqlShim {
   def hadoopConf(spark: SparkSession): org.apache.hadoop.conf.Configuration =
     spark.asInstanceOf[classic.SparkSession].sessionState.newHadoopConf()
 
+  /** [[connector.expressions.FieldReference]] is private[sql] in
+    * Scala source — mint NamedReferences for V2 interfaces here. */
+  def fieldReference(name: String): connector.expressions.NamedReference =
+    connector.expressions.FieldReference.column(name)
+
+  /** The value inside a V2 LiteralValue, None for anything else
+    * (LiteralValue is private[sql] in Scala source). */
+  def literalValueOf(e: connector.expressions.Expression): Option[Any] = e match {
+    case l: connector.expressions.LiteralValue[_] => Some(l.value)
+    case _ => None
+  }
+
   /** (provider, location path) of a session-catalog table, None when
     * the identifier is not a catalog table (or has neither recorded).
     * Used by the graftlake SQL surface to resolve `VERSION AS OF`

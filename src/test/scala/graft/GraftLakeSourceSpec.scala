@@ -241,6 +241,91 @@ class GraftLakeSourceSpec extends AnyFunSuite {
     assert(full.sizeInBytes > pruned.sizeInBytes && pruned.sizeInBytes > 0)
   }
 
+  test("V2 change-feed stream: per-version batches, content parity, checkpoint resume") {
+    import spark.implicits._
+    val p = "/tmp/graft_test/v2_cdc_stream"
+    rmdir(p)
+    LakeTable.overwrite(
+      spark.range(0, 50).select(col("id").as("k"), (col("id") * 2.0).as("x")), p) // v0
+    LakeTable.delete(spark, p, col("k") >= 40) // v1: CoW delete
+    LakeTable.append(Seq((100L, 1.0), (101L, 2.0)).toDF("k", "x"), p) // v2
+    val out = s"$p/_v2_stream_out"
+    def drain(): Seq[Long] = {
+      val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = spark.readStream.format("graftlake").option("changeFeed", "true")
+        .load(p)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$out/_chk")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          if (!b.isEmpty) {
+            batches += id
+            b.write.mode("append").parquet(s"$out/result")
+          }
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      batches.toSeq
+    }
+    val firstRun = drain()
+    assert(firstRun.size === 3, s"one micro-batch per version, got $firstRun")
+    val got = spark.read.parquet(s"$out/result")
+    assert(got.columns.toSet === Set("k", "x", "change_type", "v"))
+    // content parity with the batch change feed, per version
+    val want = (0 to 2).map { ver =>
+      (if (ver == 0)
+        LakeTable.read(spark, p, Some(0)).withColumn("change_type", lit("insert"))
+      else LakeTable.changes(spark, p, ver - 1, ver))
+        .withColumn("ver", lit(ver))
+    }.reduce(_.unionByName(_))
+    assert(got.select(col("v").as("ver2"), col("k"), col("change_type")).exceptAll(
+      want.select(col("ver").as("ver2"), col("k"), col("change_type"))).isEmpty
+      && want.count() === got.count(),
+      "streamed CDC rows must equal the batch change feed")
+    // restart: a new commit delivers EXACTLY the new version
+    LakeTable.delete(spark, p, col("k") === 0L) // v3
+    val secondRun = drain()
+    assert(secondRun.size === 1, s"resume must deliver only v3, got $secondRun")
+    val after = spark.read.parquet(s"$out/result")
+    assert(after.count() === got.count() + 1) // one delete row for k=0
+    assert(after.filter(col("v") === 3).select("change_type", "k").collect().toSeq
+      === Seq(org.apache.spark.sql.Row("delete", 0L)))
+  }
+
+  test("runtime V2 filtering: a broadcast join's dim keys prune fact FILES at execution") {
+    import spark.implicits._
+    val p = "/tmp/graft_test/v2_dpp"
+    rmdir(p)
+    // 4 range-clustered files on k: [0,100) [100,200) [200,300) [300,400)
+    val fact = spark.range(0, 400).select(col("id").as("k"), (col("id") * 2.0).as("v"))
+    LakeTable.overwrite(fact.repartitionByRange(4, col("k")).sortWithinPartitions("k"), p)
+    // a FILE-BACKED dim with a SELECTIVE filter — what plants the
+    // dynamic-pruning subquery (a local Seq would constant-fold the
+    // filter into a LocalRelation and no DPP is planted); the
+    // surviving keys all land in ONE fact file's range
+    val dimPath = s"$p/_dim"
+    (Seq((10L, "a"), (20L, "b"), (30L, "c")) ++
+      Seq((150L, "zz"), (250L, "zz"), (350L, "zz"))).toDF("k", "name")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val joined = v2(p).join(broadcast(dim).filter(col("name").isin("a", "b", "c")), "k")
+    val rows = joined.collect()
+    assert(rows.length === 3)
+    assert(rows.map(_.getAs[Double]("v")).sorted.toSeq === Seq(20.0, 40.0, 60.0))
+    // the executed scan read ONLY the file whose [min,max] admits the
+    // dim's key range — runtime filtering re-planned the manifests
+    val files = planNodes(joined).collect { case b: BatchScanExec =>
+      b.inputRDD.partitions.collect {
+        case dp: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
+          dp.inputPartitions.collect {
+            case fp: FilePartition => fp.files.map(_.urlEncodedPath).toSeq
+          }.flatten
+      }.flatten.toSeq
+    }.flatten
+    assert(files.distinct.size === 1,
+      s"dim keys [10,30] fit one fact file; runtime filter must prune to it: $files")
+  }
+
   test("refusals name the fold: MoR deletes, renames, mixed layouts") {
     import spark.implicits._
     // merge-on-read snapshot → refuse, compact lifts it
