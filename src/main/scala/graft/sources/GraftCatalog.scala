@@ -72,6 +72,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def pathOf(parts: Seq[String]): String =
     (warehouse +: parts).mkString("/")
 
+  /** Warehouse path of `parts` when it is a live lake table in this
+    * catalog — the maintenance-SQL resolver ([[GraftSqlParser]]). */
+  private[sources] def lakeTablePath(parts: Seq[String]): Option[String] =
+    Some(pathOf(parts)).filter(isTable)
+
   private def tablePath(ident: Identifier): String =
     pathOf(ident.namespace.toSeq :+ ident.name)
 

@@ -261,6 +261,56 @@ class GraftSqlParser(
     }
   }
 
+  /** Resolve a maintenance-statement target: `graftlake.\`/path\``, a
+    * session-catalog graftlake table, or a [[GraftCatalog]] table
+    * (`cat.ns.t` — looked up through the registered plugin). */
+  private def maintenancePathOf(parts: Seq[String]): Option[String] =
+    lakePathOf(parts).orElse(parts match {
+      case cat +: rest if rest.nonEmpty =>
+        GraftSqlShim.catalogPlugin(spark, cat).collect {
+          case g: GraftCatalog => g.lakeTablePath(rest)
+        }.flatten
+      case _ => None
+    })
+
+  // Delta-shaped MAINTENANCE statements the stock parser rejects:
+  //   OPTIMIZE <t>                      -- binpack small files (128 MiB target)
+  //   OPTIMIZE <t> ZORDER BY (c1, c2)   -- z-order rewrite, file count preserved
+  //   VACUUM <t>                        -- remove orphans (grace-gated)
+  //   VACUUM <t> RETAIN <n> VERSIONS    -- expire snapshots first, then orphans
+  private val OptimizeRe =
+    """(?is)^\s*OPTIMIZE\s+(.+?)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""".r
+  private val VacuumRe =
+    """(?is)^\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""".r
+
+  private def maintenance(sqlText: String): Option[LogicalPlan] = {
+    def pathFor(refText: String): String = {
+      val parts = delegate.parseMultipartIdentifier(refText.trim)
+      maintenancePathOf(parts).getOrElse(throw new UnsupportedOperationException(
+        s"graftlake maintenance SQL: ${parts.mkString(".")} is not a lake table"))
+    }
+    sqlText match {
+      case OptimizeRe(ref, null) =>
+        val p = pathFor(ref)
+        Some(LakeDmlCommand(s"OPTIMIZE graftlake.`$p`",
+          () => LakeTable.compactSmall(spark, p, 128L * 1024 * 1024)))
+      case OptimizeRe(ref, zcols) =>
+        val p = pathFor(ref)
+        val cols = zcols.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
+          .filter(_.nonEmpty).toSeq
+        val n = math.max(1L, LakeTable.liveFileCount(p)).toInt
+        Some(LakeDmlCommand(s"OPTIMIZE graftlake.`$p` ZORDER BY (${cols.mkString(", ")})",
+          () => LakeTable.zOrderBy(spark, p, n, cols: _*)))
+      case VacuumRe(ref, retain) =>
+        val p = pathFor(ref)
+        Some(LakeDmlCommand(s"VACUUM graftlake.`$p`", () => {
+          Option(retain).foreach(r => LakeTable.expireSnapshots(spark, p, r.toInt))
+          LakeTable.removeOrphans(spark, p).size
+        }))
+      case _ => None
+    }
+  }
+
   private def lakeRelation(path: String, version: Option[Int]): LogicalPlan = {
     val reader = spark.read.format("graftlake")
     GraftSqlShim.analyzedPlan(
@@ -288,7 +338,9 @@ class GraftSqlParser(
   }
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    rewrite(delegate.parsePlan(sqlText))
+    // maintenance statements first: the stock grammar REJECTS them,
+    // so they can never shadow a legal Spark statement
+    maintenance(sqlText).getOrElse(rewrite(delegate.parsePlan(sqlText)))
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)

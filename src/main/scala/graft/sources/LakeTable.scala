@@ -1685,6 +1685,13 @@ object LakeTable {
     }
   }
 
+  /** Live data-file count of the latest snapshot (from list rows
+    * alone) — sizes maintenance rewrites that should preserve layout
+    * scale (SQL `OPTIMIZE … ZORDER BY`). */
+  private[sources] def liveFileCount(path: String): Long =
+    latestVersion(path).map(v =>
+      listRefs(path, v).filter(_.kind == "data").map(_.nFiles).sum).getOrElse(0L)
+
   /** DATA-SKIPPING scan, multi-predicate form: read only the files
     * whose stats [min,max] range overlaps EVERY (column, lower,
     * upper) box side — Iceberg-style pruning from commit-time stats,

@@ -34,6 +34,14 @@ object GraftSqlShim {
     case _ => None
   }
 
+  /** A registered V2 catalog plugin by name (catalogManager is
+    * private[sql]); None when unregistered or failing to load. */
+  def catalogPlugin(
+      spark: SparkSession, name: String): Option[connector.catalog.CatalogPlugin] =
+    try Some(spark.asInstanceOf[classic.SparkSession]
+      .sessionState.catalogManager.catalog(name))
+    catch { case scala.util.control.NonFatal(_) => None }
+
   /** (provider, location path) of a session-catalog table, None when
     * the identifier is not a catalog table (or has neither recorded).
     * Used by the graftlake SQL surface to resolve `VERSION AS OF`

@@ -138,6 +138,59 @@ class SqlDmlSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS sqldml_ins")
   }
 
+  test("OPTIMIZE binpacks small files; ZORDER BY rewrites clustered") {
+    val p = "/tmp/graft_test/sqldml_optimize"
+    rmdir(p)
+    // five tiny single-file appends → binpack folds them
+    (0 until 5).foreach { i =>
+      LakeTable.append(spark.range(i * 20, (i + 1) * 20)
+        .select(col("id").as("k"), (col("id") * 2.0).as("v")).coalesce(1), p)
+    }
+    val before = LakeTable.read(spark, p).agg(sum("k"), count(lit(1))).head
+    spark.sql(s"OPTIMIZE graftlake.`$p`")
+    assert(LakeTable.read(spark, p).agg(sum("k"), count(lit(1))).head === before)
+    val packedFiles = LakeTable.entriesOf(p, LakeTable.latestVersion(p).get)
+      .count(_.kind == "data")
+    assert(packedFiles === 1, s"five tiny files must binpack to one, got $packedFiles")
+    // ZORDER rewrite: content unchanged, clustering commit lands
+    spark.sql(s"OPTIMIZE graftlake.`$p` ZORDER BY (k, v)")
+    assert(LakeTable.read(spark, p).agg(sum("k"), count(lit(1))).head === before)
+    val ops = LakeTable.history(spark, p).collect().map(_.getString(1))
+    assert(ops.count(_ == "binpack") >= 1 && ops.contains("zorder"), ops.mkString(","))
+  }
+
+  test("VACUUM RETAIN expires old snapshots and sweeps orphans") {
+    val p = "/tmp/graft_test/sqldml_vacuum"
+    rmdir(p)
+    val df = spark.range(0, 100).select(col("id").as("k"), (col("id") * 2.0).as("v"))
+    LakeTable.overwrite(df, p) // v0
+    LakeTable.compact(spark, p) // v1 (rewrites every file)
+    LakeTable.compact(spark, p) // v2
+    spark.sql(s"VACUUM graftlake.`$p` RETAIN 1 VERSIONS")
+    // only the latest snapshot survives; content intact
+    assert(LakeTable.read(spark, p).count() === 100)
+    intercept[Exception](LakeTable.read(spark, p, Some(0)).collect())
+    intercept[Exception](LakeTable.read(spark, p, Some(1)).collect())
+    // plain VACUUM on a healthy table is a no-op sweep, still succeeds
+    spark.sql(s"VACUUM graftlake.`$p`")
+    assert(LakeTable.read(spark, p).count() === 100)
+  }
+
+  test("maintenance SQL resolves GraftCatalog tables; refuses non-lake targets") {
+    spark.conf.set("spark.sql.catalog.graft_m", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_m.warehouse", "/tmp/graft_test/sqldml_wh")
+    rmdir("/tmp/graft_test/sqldml_wh/dbm")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_m.dbm")
+    spark.sql("CREATE TABLE graft_m.dbm.t (k BIGINT, v DOUBLE) USING graftlake")
+    (0 until 3).foreach { i =>
+      spark.sql(s"INSERT INTO graft_m.dbm.t SELECT id, id * 1.0 FROM range(${i * 10}, ${i * 10 + 10})")
+    }
+    spark.sql("OPTIMIZE graft_m.dbm.t")
+    assert(spark.sql("SELECT count(*) AS n FROM graft_m.dbm.t").head.getLong(0) === 30L)
+    val e = intercept[Exception](spark.sql("OPTIMIZE graft_m.dbm.nope"))
+    assert(e.getMessage.contains("not a lake table"), e.getMessage)
+  }
+
   test("unsupported merge shapes refuse loudly") {
     val p = "/tmp/graft_test/sqldml_refuse"
     freshTable(p, "sqldml_ref")
