@@ -23,13 +23,31 @@ object Tables {
   val broadcastDims: Set[String] = Set("region", "nation", "supplier")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS) (FIXTURES.md §2), which
-    // Spark 4 refuses by default — read it as LongType ns-since-epoch
-    // and convert explicitly where wall-clock semantics are needed
-    // (the DuckDB oracle sees it via epoch_ns(ts)).
+    // events.ts vintage drift: older driver data is parquet
+    // TIMESTAMP(NANOS) (Spark 4 refuses it by default — read as
+    // LongType ns-since-epoch via the legacy conf), newer driver data
+    // is TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ). Both normalize to
+    // the SAME canonical form — ns-since-epoch LongType, as-if-UTC —
+    // so every consumer and every DuckDB oracle (epoch_ns(ts)) sees
+    // one representation regardless of the vintage on disk.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
   }
+
+  /** Canonicalize a `ts` column to ns-since-epoch LongType. µs-vintage
+    * data arrives as TIMESTAMP_NTZ; with the session at UTC the
+    * NTZ→LTZ cast is micros-identity, so `unix_micros * 1000` is the
+    * exact naive instant DuckDB's `epoch_ns` reports for the same
+    * file. ns-vintage data already reads as Long (no-op). */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts") match {
+      case Some(f) if f.dataType == org.apache.spark.sql.types.TimestampNTZType ||
+          f.dataType == org.apache.spark.sql.types.TimestampType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+      case _ => df
+    }
 
   /** events.ts (ns long) → µs-since-epoch long. Integral `div`, NOT
     * `/`: float division on a ~1.7e18 ns value loses precision before

@@ -50,7 +50,11 @@ object EventTimeWindows {
     * directory and the foreachBatch target becomes the lake table
     * (StreamToLakeSpec runs that upsert variant). */
   def tumblingHourlyStream(s: SparkSession, d: String): DataFrame = {
-    val schema = Tables.load(s, d, "events").schema // also sets nanosAsLong
+    // the STREAM schema must be the file's own (ts arrives as NTZ on
+    // µs-vintage data and is normalized per-batch below); Tables.load
+    // is still called first for its session-conf side effects
+    Tables.load(s, d, "events")
+    val schema = s.read.parquet(s"$d/events.parquet").schema
     val out = s"/tmp/graft_stream_tumbling_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
     val chk = s"$out/_chk"
     // fresh checkpoint + sink per run: the query must re-stream from
@@ -65,6 +69,7 @@ object EventTimeWindows {
       .option("pathGlobFilter", "events.parquet")
       .option("maxFilesPerTrigger", 1)
       .parquet(d)
+      .transform(Tables.normalizeTs)
       .withColumn("tstamp", Tables.tsFromNanos("ts"))
       .groupBy(window(col("tstamp"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
