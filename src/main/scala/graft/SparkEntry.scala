@@ -196,6 +196,7 @@ object SparkEntry {
     "lake_hidden_partition" -> (sources.LakeTable.hiddenPartitionQuery _),
     "lake_change_stream" -> (sources.LakeTable.changeStreamQuery _),
     "lake_v2_change_stream" -> (sources.LakeTable.v2ChangeStreamQuery _),
+    "lake_stream_sink" -> (sources.LakeTable.streamSinkQuery _),
     "lake_rollback" -> (sources.LakeTable.rollbackQuery _),
     "lake_bloom_skip" -> (sources.LakeTable.bloomSkipQuery _),
     "lake_branch_ff" -> (sources.LakeTable.branchFastForwardQuery _),
@@ -1180,6 +1181,13 @@ object SparkEntry {
         |)
         |SELECT v, change_type, event_id, event_type, round(value, 6) AS value
         |FROM rows_ ORDER BY v, change_type, event_id""".stripMargin,
+    // lake_stream_sink: the native V2 streaming SINK — rows written
+    // by sink tasks, committed per epoch with the exactly-once
+    // ledger, read back from the lake; content must equal a plain
+    // aggregate of the source (delivery path is the part under test)
+    "lake_stream_sink" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // lake_v2_change_stream: identical content contract to
     // lake_change_stream — the delivery path is the part under test
     // (native V2 MicroBatchStream, version offsets, per-commit

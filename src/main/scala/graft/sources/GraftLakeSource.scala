@@ -90,6 +90,11 @@ class GraftLakeSource extends TableProvider with DataSourceRegister
       // streaming CDC read: the schema is the changelog's (data
       // columns + change_type + the v partition column)
       LakeTable.changeFeedSchema(spark, GraftLakeSource.pathOf(options))
+    else if (LakeTable.latestVersion(GraftLakeSource.pathOf(options)).isEmpty)
+      // no snapshots yet: this resolution is a STREAMING SINK about to
+      // CREATE the table (reads of a missing table still fail loudly,
+      // at scan build). The write takes the query's schema.
+      new StructType()
     else
       // the library read's schema IS the V2 table schema (union across
       // commit generations, renames/drops resolved) — computed on
@@ -180,6 +185,7 @@ class GraftLakeTable(
     else util.EnumSet.of(
       TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE,
+      TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE)
 
   /** V2 WRITE surface via the V1 fallback ([[V1Write]] — the shape
@@ -211,6 +217,20 @@ class GraftLakeTable(
                 if (overwrite || fallbackOverwrite) LakeTable.overwrite(data, path)
                 else LakeTable.append(data, path)
             }
+          /** `df.writeStream.format("graftlake")` — the native
+            * exactly-once epoch sink ([[GraftLakeStreamingWrite]]);
+            * the write schema is the QUERY's (a first write may be
+            * creating the table). */
+          override def toStreaming
+              : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+            require(!overwrite,
+              s"graftlake streaming sink at $path is append-only — Complete/" +
+                "Truncate mode would overwrite the table every epoch; use " +
+                "foreachBatch + LakeTable.overwrite to opt into that explicitly")
+            val spark = SparkSession.getActiveSession.getOrElse(
+              throw new IllegalStateException("graftlake: no active SparkSession"))
+            new GraftLakeStreamingWrite(path, info.queryId(), info.schema(), spark)
+          }
         }
     }
   }

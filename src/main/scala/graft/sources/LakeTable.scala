@@ -525,7 +525,8 @@ object LakeTable {
       spark: SparkSession, path: String, base: Int,
       refs: Seq[ManifestRef], op: String,
       schemaCols: Option[Seq[(Int, String)]] = None,
-      constraints: Option[Seq[(String, String)]] = None): Int = {
+      constraints: Option[Seq[(String, String)]] = None,
+      txn: Option[(String, Long)] = None): Int = {
     val next = base + 1
     val md = Paths.get(metaDir(path))
     Files.createDirectories(md)
@@ -612,6 +613,18 @@ object LakeTable {
           s"{${jstr("name")}:${jstr(n)},${jstr("expr")}:${jstr(e)}}"
         }.asJava)
     }
+    // STREAMING TRANSACTION map (Delta's SetTransaction shape): the
+    // latest (queryId → epochId) per streaming writer, carried forward
+    // by EVERY commit so the newest version always holds the full map —
+    // the exactly-once replay guard reads ONE sidecar, never a history
+    // walk. Bounded by the number of distinct streaming queries ever
+    // writing to the table (tiny), not by versions or data.
+    val effTxns = (if (base >= 0) txnsOf(path, base) else Map.empty[String, Long]) ++ txn
+    if (effTxns.nonEmpty)
+      Files.write(staging.resolve("txns.json"),
+        effTxns.toSeq.sortBy(_._1).map { case (q, e) =>
+          s"{${jstr("query")}:${jstr(q)},${jstr("epoch")}:$e}"
+        }.asJava)
     try {
       Files.move(staging, md.resolve(s"v$next"),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -709,6 +722,93 @@ object LakeTable {
     val p = Paths.get(s"${metaDir(path)}/v$version/constraints.json")
     if (!Files.exists(p)) Nil
     else readJsonLines(p).map(n => n.get("name").asText -> n.get("expr").asText)
+  }
+
+  /** Latest committed epoch per streaming query id at `version` —
+    * the exactly-once ledger ([[commitRefs]] carries it forward, so
+    * reading the newest version suffices). */
+  private[graft] def txnsOf(path: String, version: Int): Map[String, Long] = {
+    val p = Paths.get(s"${metaDir(path)}/v$version/txns.json")
+    if (!Files.exists(p)) Map.empty
+    else readJsonLines(p).map(n => n.get("query").asText -> n.get("epoch").asLong).toMap
+  }
+
+  /** Commit ONE streaming micro-batch's executor-written files as a
+    * new snapshot, EXACTLY ONCE: the commit atomically records
+    * (queryId → epochId) in the version's transaction map, and a
+    * replayed epoch (engine restart from an older checkpoint re-runs
+    * the batch) is detected against that map and SKIPPED — its
+    * re-written files are deleted, no duplicate rows can land. Returns
+    * the new version, or None for a skipped replay.
+    *
+    * The batch files were written by sink tasks (no driver hop for
+    * data, the 100 TB shape); this driver-side step runs the SAME
+    * commit-time machinery as a batch append over exactly those
+    * files: CHECK constraints (one job over the batch), the
+    * distributed stats job (per-file min/max + row counts), the
+    * declared sort order (a sorted table re-sorts the batch — one
+    * bounded rewrite of the micro-batch, never of the table), and the
+    * retry/rebase publish protocol. The manifest is marked
+    * `partial` because a failed/speculative sink task may have left
+    * an uncommitted file in the epoch dir: manifest-listed files are
+    * the truth, whole-dir planning must not adopt the dir. */
+  private[graft] def commitStreamEpoch(
+      spark: SparkSession, path: String, files0: Seq[String],
+      queryId: String, epochId: Long): Option[Int] = {
+    def replayed(base: Int): Boolean =
+      base >= 0 && txnsOf(path, base).get(queryId).exists(_ >= epochId)
+    def dropFiles(fs: Seq[String]): Unit =
+      fs.foreach(f => Files.deleteIfExists(Paths.get(f)))
+    val base0 = latestVersion(path).getOrElse(-1)
+    if (replayed(base0)) { dropFiles(files0); return None }
+    val cons = activeConstraints(path)
+    val fresh: Option[ManifestRef] =
+      if (files0.isEmpty) None
+      else {
+        val batch = spark.read.option("mergeSchema", "true").parquet(files0: _*)
+        enforceConstraints(batch, path)
+        if (sortOrderOf(path).nonEmpty) {
+          // standing write order: rewrite THIS batch sorted (cost
+          // bounded by the micro-batch), drop the raw epoch files
+          val (_, fieldIds) = schemaForWrite(path, base0, batch.columns.toSeq)
+          val entries = writeDataFiles(applySortOrder(batch, path), path)
+          dropFiles(files0)
+          if (entries.isEmpty) None
+          else Some(writeManifest(path, entries, "data", fieldIds))
+        } else {
+          val (_, fieldIds) = schemaForWrite(path, base0, batch.columns.toSeq)
+          val stats = collectStats(spark, files0)
+          val entries = files0.sorted.map { f =>
+            val (st, rows) = stats.getOrElse(f, (Map.empty[String, Seq[Double]], 0L))
+            ManifestEntry(f, Paths.get(f).getParent.toString, st,
+              bytes = Files.size(Paths.get(f)), rows = rows)
+          }
+          Some(writeManifest(path, entries, "data", fieldIds).copy(partial = true))
+        }
+      }
+    // publish with retry/rebase; EVERY attempt rechecks the replay
+    // ledger and the constraint set against the rebased base
+    var attempt = 0
+    while (true) {
+      val base = latestVersion(path).getOrElse(-1)
+      if (replayed(base)) {
+        fresh.foreach(r => dropFiles(readManifest(r).map(_.file) :+ r.manifest))
+        return None
+      }
+      val consNow = if (base >= 0) constraintsOf(path, base) else Nil
+      require(consNow.toSet.subsetOf(cons.toSet),
+        s"CHECK constraints changed concurrently at $path during a streaming " +
+          s"epoch commit (validated under ${cons.map(_._1)}, now ${consNow.map(_._1)})")
+      val prev = if (base >= 0) listRefs(path, base) else Nil
+      try {
+        return Some(commitRefs(spark, path, base, prev ++ fresh.toSeq,
+          "streaming-append", txn = Some(queryId -> epochId)))
+      } catch {
+        case e: Exception if isVersionConflict(e) && attempt < MaxCommitRetries =>
+          attempt += 1 // racer won this version: rebase on its snapshot
+      }
+    }
+    None // unreachable
   }
 
   /** Reject `df` when any active constraint has a violating row —
@@ -3295,6 +3395,46 @@ object LakeTable {
       .select(col("v"), col("change_type"), col("event_id"), col("event_type"),
         round(col("value"), 6).as("value"))
       .orderBy("v", "change_type", "event_id")
+  }
+
+  /** Driver query: the NATIVE V2 STREAMING SINK end to end — the
+    * events table staged as three arrival files, streamed through
+    * `writeStream.format("graftlake")` ([[GraftLakeStreamingWrite]]:
+    * sink tasks write the parquet, the driver's epoch commit runs the
+    * shared stats/constraint/publish machinery and records the
+    * exactly-once ledger), then read back from the lake table and
+    * aggregated. The oracle aggregates the source table directly, so
+    * the whole task-write → epoch-commit → manifest-read cycle is
+    * hash-verified; the one-version-per-epoch batching and the ledger
+    * head are require'd in-query (only this query can see them). */
+  def streamSinkQuery(s: SparkSession, d: String): DataFrame = {
+    val path = freshWorkDir("lakesink", d)
+    val arrivals = s"$path/arrivals"
+    val table = s"$path/table"
+    graft.Tables.load(s, d, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .repartition(3)
+      .write.parquet(arrivals)
+    graft.Util.withShufflePartitions(s, 8) {
+      val q = s.readStream
+        .schema(s.read.parquet(arrivals).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals)
+        .writeStream.format("graftlake")
+        .option("checkpointLocation", s"$path/_chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(table)
+      q.awaitTermination()
+    }
+    val v = latestVersion(table).getOrElse(
+      throw new IllegalStateException(s"native sink committed nothing at $table"))
+    require(v == 2, s"one commit per epoch (3 arrival files → v2), got v$v")
+    require(txnsOf(table, v).values.toSeq == Seq(2L),
+      s"exactly-once ledger must hold epoch 2, got ${txnsOf(table, v)}")
+    read(s, table)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+      .orderBy("event_type")
   }
 
   /** INCREMENTAL AGGREGATE MAINTENANCE over the change feed — the

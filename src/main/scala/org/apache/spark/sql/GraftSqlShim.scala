@@ -62,3 +62,41 @@ object GraftSqlShim {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 }
+
+/** An executor-side handle on one open parquet writer — wraps the
+  * private[sql] [[execution.datasources.OutputWriter]] so code
+  * outside Spark's packages can drive it. */
+class GraftParquetWriter private[sql] (w: execution.datasources.OutputWriter) {
+  def write(row: catalyst.InternalRow): Unit = w.write(row)
+  def close(): Unit = w.close()
+}
+
+/** Driver-built, executor-shipped parquet WRITE recipe: Spark's own
+  * [[execution.datasources.parquet.ParquetFileFormat]] `prepareWrite`
+  * output-writer factory plus the job Hadoop conf it configured
+  * (schema converters, compression, timestamp encoding), bundled
+  * behind a serializable facade. This is exactly the writer the
+  * engine's FileFormatWriter drives — a streaming sink task using it
+  * produces files byte-identical in format to a batch write, with no
+  * reimplemented parquet layer. */
+class GraftParquetWriteBundle(
+    @transient spark: SparkSession, schema: types.StructType)
+    extends Serializable {
+
+  private val (factory, conf) = {
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(GraftSqlShim.hadoopConf(spark))
+    val f = new execution.datasources.parquet.ParquetFileFormat()
+      .prepareWrite(spark.asInstanceOf[classic.SparkSession], job, Map.empty, schema)
+    (f, new org.apache.spark.util.SerializableConfiguration(job.getConfiguration))
+  }
+
+  /** Open `file` for writing on this task (any JVM). */
+  def newWriter(file: String, partitionId: Int, taskId: Long): GraftParquetWriter = {
+    import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
+    val attempt = new TaskAttemptID(
+      new TaskID(new JobID("graftlake-stream", 0), TaskType.MAP, partitionId),
+      (taskId % Int.MaxValue).toInt)
+    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(conf.value, attempt)
+    new GraftParquetWriter(factory.newInstance(file, schema, ctx))
+  }
+}
