@@ -197,6 +197,7 @@ object SparkEntry {
     "lake_change_stream" -> (sources.LakeTable.changeStreamQuery _),
     "lake_v2_change_stream" -> (sources.LakeTable.v2ChangeStreamQuery _),
     "lake_stream_sink" -> (sources.LakeTable.streamSinkQuery _),
+    "lake_spj_join" -> (sources.LakeTable.spjJoinQuery _),
     "lake_rollback" -> (sources.LakeTable.rollbackQuery _),
     "lake_bloom_skip" -> (sources.LakeTable.bloomSkipQuery _),
     "lake_branch_ff" -> (sources.LakeTable.branchFastForwardQuery _),
@@ -1188,6 +1189,14 @@ object SparkEntry {
     "lake_stream_sink" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // lake_spj_join: the storage-partitioned join must return exactly
+    // the plain relational join (the zero-shuffle plan is require'd
+    // in-query; content is what the oracle can check)
+    "lake_spj_join" ->
+      """SELECT o_orderkey, o_orderstatus, count(*) AS n,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey, o_orderstatus ORDER BY o_orderkey""".stripMargin,
     // lake_v2_change_stream: identical content contract to
     // lake_change_stream — the delivery path is the part under test
     // (native V2 MicroBatchStream, version offsets, per-commit

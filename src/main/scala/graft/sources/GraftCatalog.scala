@@ -47,7 +47,24 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * dir would silently cross-wire tests and queries that point the
   * SAME catalog name at different roots.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+
+  /** The layout functions of the lake format ([[GraftBucketFunction]])
+    * — Spark resolves a scan-reported bucket transform against the
+    * table's FunctionCatalog when planning a storage-partitioned
+    * join; exposing it here is what lets two bucket-partitioned
+    * catalog tables join shuffle-free. */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadFunction(
+      ident: Identifier): org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace.isEmpty && ident.name.equalsIgnoreCase("bucket"))
+      GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   private var catalogName: String = _
   private var initWarehouse: Option[String] = None

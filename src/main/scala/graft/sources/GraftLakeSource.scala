@@ -178,6 +178,16 @@ class GraftLakeTable(
 
   override def schema(): StructType = tableSchema
 
+  /** The table's hidden-partition layout as V2 transforms (visible in
+    * DESCRIBE EXTENDED; the join-usable subset is what the SCAN
+    * reports for storage-partitioned joins). Empty when generations
+    * disagree (partition evolution) or the table has none. */
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
+    version.orElse(LakeTable.latestVersion(path))
+      .flatMap(v => GraftLakeSpj.layoutOf(path, v, tableSchema))
+      .map(_.transforms)
+      .getOrElse(Array.empty)
+
   override def capabilities(): util.Set[TableCapability] =
     if (changeFeed)
       // the CDC projection is a STREAM (batch CDC is LakeTable.changes)
@@ -470,7 +480,15 @@ class GraftLakeScanBuilder(
       throw new IllegalArgumentException(s"no snapshots at $path"))
     val preds = intervalsOf(accepted.toSeq)
       .map { case (c, (lo, hi)) => (c, lo, hi) }.toSeq
-    new GraftLakeScan(path, tableSchema, preds, ps => buildParquet(v, ps))
+    // storage-partitioned-join layout, reported only under Spark's
+    // own SPJ gate (the conf also gates the planner rule that would
+    // consume it — reporting it unconditionally costs planning work
+    // for nothing)
+    val spj =
+      if (spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false") == "true")
+        GraftLakeSpj.layoutOf(path, v, tableSchema)
+      else None
+    new GraftLakeScan(path, tableSchema, preds, spj, ps => buildParquet(v, ps))
   }
 
   /** One (ParquetScan, plan) for a predicate-box set — called once at
@@ -532,12 +550,36 @@ class GraftLakeScanBuilder(
 class GraftLakeScan(
     path: String, tableSchema: StructType,
     staticPreds: Seq[(String, Double, Double)],
+    spj: Option[GraftLakeSpj.KeyedLayout],
     mk: Seq[(String, Double, Double)] => (ParquetScan, LakeTable.V2Plan))
     extends Scan with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
   @volatile private var state: (ParquetScan, LakeTable.V2Plan) = mk(staticPreds)
   private def underlying: ParquetScan = state._1
+
+  /** One keyed input partition per distinct hidden-partition value —
+    * computed ONCE (the planner reads outputPartitioning and
+    * planInputPartitions at different times; both must describe the
+    * same grouping, so runtime re-planning is disabled in keyed
+    * mode). None ⇒ not keyable (whole-dir plan, unparseable layout,
+    * or no SPJ layout) ⇒ UnknownPartitioning. */
+  private lazy val keyedPartitions
+      : Option[Array[org.apache.spark.sql.connector.read.InputPartition]] =
+    spj.filter(_ => state._2.dirs.isEmpty)
+      .flatMap(l => GraftLakeSpj.groupByKey(l, state._2.files))
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    (spj, keyedPartitions) match {
+      case (Some(l), Some(groups)) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          l.transforms.map(t => t: org.apache.spark.sql.connector.expressions.Expression),
+          groups.length)
+      case _ =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
 
   override def readSchema(): StructType = underlying.readSchema()
 
@@ -548,9 +590,11 @@ class GraftLakeScan(
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] =
-      underlying.toBatch.planInputPartitions()
-    override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =
-      underlying.toBatch.createReaderFactory()
+      keyedPartitions.getOrElse(underlying.toBatch.planInputPartitions())
+    override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory = {
+      val inner = underlying.toBatch.createReaderFactory()
+      if (keyedPartitions.isDefined) new KeyedReaderFactory(inner) else inner
+    }
   }
 
   override def estimateStatistics(): Statistics = state._2.stats match {
@@ -568,13 +612,19 @@ class GraftLakeScan(
   }
 
   /** Dynamic pruning may target any column the manifest prune can
-    * skip on — the numeric top-level set. */
+    * skip on — the numeric subset of the READ schema (declaring
+    * pruned-away columns would crash Spark's PartitionPruning, which
+    * resolves these refs against the scan's pruned output). */
   override def filterAttributes(): Array[NamedReference] =
-    tableSchema.fields
+    underlying.readSchema().fields
       .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
       .map(f => GraftSqlShim.fieldReference(f.name))
 
   override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    // keyed (SPJ) mode: the reported KeyGroupedPartitioning and the
+    // planned partitions must stay one grouping — a runtime re-plan
+    // could drop whole key groups after the partitioning was fixed
+    if (keyedPartitions.isDefined) return
     val extra = GraftLakeScan.boxesOf(predicates)
     if (extra.nonEmpty) {
       // intersect with the build-time boxes and re-plan

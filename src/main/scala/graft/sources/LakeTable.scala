@@ -3437,6 +3437,56 @@ object LakeTable {
       .orderBy("event_type")
   }
 
+  /** Driver query: STORAGE-PARTITIONED JOIN end to end — orders and
+    * lineitem land as lake tables co-bucketed on the order key
+    * (hidden `bucket(16, …)` layout), registered in a [[GraftCatalog]]
+    * (whose `bucket` function lets Spark prove the two layouts
+    * compatible), and joined via SQL under the SPJ gate: the scans
+    * report [[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning]],
+    * and the join + group-by run with ZERO hash exchanges — require'd
+    * in-query (only this query can see the plan). At 100 TB this is
+    * the co-located fact-fact join: neither side shuffles, the
+    * dominant cost of the query deleted by layout. The oracle is the
+    * plain relational join, so the keyed delivery is hash-verified. */
+  def spjJoinQuery(s: SparkSession, d: String): DataFrame = {
+    val path = freshWorkDir("lakespj", d)
+    val wh = s"$path/wh"
+    val spec16 = (c: String) => Seq(PartitionTransform(c, "bucket", 16))
+    overwriteHiddenPartitioned(
+      graft.Tables.load(s, d, "orders").select("o_orderkey", "o_orderstatus"),
+      s"$wh/db/orders_b", spec16("o_orderkey"))
+    overwriteHiddenPartitioned(
+      graft.Tables.load(s, d, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount"),
+      s"$wh/db/lineitem_b", spec16("l_orderkey"))
+    s.conf.set("spark.sql.catalog.graftspj", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graftspj.warehouse", wh)
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    try {
+      val j = s.sql(
+        """SELECT /*+ MERGE(o) */ o_orderkey, o_orderstatus,
+          |       count(*) AS n,
+          |       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+          |FROM graftspj.db.orders_b o
+          |JOIN graftspj.db.lineitem_b l ON o.o_orderkey = l.l_orderkey
+          |GROUP BY o_orderkey, o_orderstatus
+          |ORDER BY o_orderkey""".stripMargin)
+      val out = j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange hashpartitioning"),
+        s"storage-partitioned join must not hash-shuffle either side:\n$plan")
+      // rebuild a DataFrame from the verified rows (the driver writes
+      // the RESULT; the require above already consumed the plan)
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(out.toSeq.asJava, j.schema)
+    } finally {
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      s.conf.unset("spark.sql.catalog.graftspj.warehouse")
+      s.conf.unset("spark.sql.catalog.graftspj")
+    }
+  }
+
   /** INCREMENTAL AGGREGATE MAINTENANCE over the change feed — the
     * materialized-view pattern: a per-group (count, sum) maintained
     * from [[changes]]' row-level deltas (+1 for inserts, −1 for

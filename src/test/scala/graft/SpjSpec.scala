@@ -1,0 +1,118 @@
+package graft
+
+import graft.sources.LakeTable
+import graft.sources.LakeTable.PartitionTransform
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Storage-partitioned joins over the V2 connector: two lake tables
+  * co-partitioned by a hidden transform join with ZERO shuffle
+  * exchanges under `spark.sql.sources.v2.bucketing.enabled` — the
+  * Iceberg SPJ shape. Results are always asserted against the plain
+  * (shuffled) join, so the keyed path is correctness-gated, not just
+  * plan-gated. */
+class SpjSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private def withSpj[T](body: => T): T = {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    try body
+    finally spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+  }
+
+  private def exchanges(df: DataFrame): Int =
+    "Exchange ".r.findAllIn(df.queryExecution.executedPlan.toString).length
+
+  private def facts(n: Int): DataFrame =
+    (0 until n).map(i => (i.toLong % 40, i.toLong, i * 2.5)).toDF("k", "seq", "v")
+  private def dims(n: Int): DataFrame =
+    (0 until n).map(i => (i.toLong % 40, s"d_$i", i * 1.0)).toDF("k", "name", "w")
+
+  test("identity-partitioned tables join with zero shuffles (path-based SPJ)") {
+    val root = "/tmp/graft_spj_identity"
+    SparkSpec.rmdir(root)
+    val (ta, tb) = (s"$root/a", s"$root/b")
+    val spec = Seq(PartitionTransform("k", "identity"))
+    LakeTable.overwriteHiddenPartitioned(facts(4000), ta, spec)
+    LakeTable.appendHiddenPartitioned(facts(1000), ta, spec) // second generation, same spec
+    LakeTable.overwriteHiddenPartitioned(dims(400), tb, spec)
+
+    def read(p: String) = spark.read.format("graftlake").load(p)
+    val joined = withSpj {
+      val j = read(ta).join(read(tb), "k")
+        .groupBy("k").agg(count(lit(1)).as("n"), round(sum($"v" * $"w"), 6).as("s"))
+        .orderBy("k")
+      // one exchange is allowed for the final orderBy; the JOIN and
+      // the groupBy must ride the storage partitioning
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"SPJ join must not hash-shuffle either side:\n$plan")
+      j.collect()
+    }
+    val expected = facts(4000).unionAll(facts(1000)).join(dims(400), "k")
+      .groupBy("k").agg(count(lit(1)).as("n"), round(sum($"v" * $"w"), 6).as("s"))
+      .orderBy("k").collect()
+    assert(joined.toSeq === expected.toSeq)
+  }
+
+  test("bucket-partitioned catalog tables join shuffle-free via the bucket function") {
+    val root = "/tmp/graft_spj_bucket"
+    SparkSpec.rmdir(root)
+    spark.conf.set("spark.sql.catalog.spjcat", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.spjcat.warehouse", root)
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS spjcat.db")
+      val spec = Seq(PartitionTransform("id", "bucket", 8))
+      val left = (0 until 5000).map(i => (i.toLong, i * 3.0)).toDF("id", "x")
+      val right = (0 until 1000).map(i => (i.toLong * 5, s"r_$i")).toDF("id", "tag")
+      LakeTable.overwriteHiddenPartitioned(left, s"$root/db/l", spec)
+      LakeTable.overwriteHiddenPartitioned(right, s"$root/db/r", spec)
+
+      val (rows, plan) = withSpj {
+        // disable broadcast so the join would otherwise shuffle both sides
+        val j = spark.sql(
+          """SELECT /*+ MERGE(l) */ l.id, x, tag
+            |FROM spjcat.db.l l JOIN spjcat.db.r r ON l.id = r.id
+            |ORDER BY l.id""".stripMargin)
+        (j.collect(), j.queryExecution.executedPlan.toString)
+      }
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucket SPJ must not hash-shuffle either side:\n$plan")
+      val expected = left.join(right, "id").orderBy("id")
+        .select("id", "x", "tag").collect()
+      assert(rows.toSeq === expected.toSeq)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.spjcat")
+      spark.conf.unset("spark.sql.catalog.spjcat.warehouse")
+    }
+  }
+
+  test("mixed-spec generations fall back to Unknown partitioning but stay correct") {
+    val root = "/tmp/graft_spj_mixed"
+    SparkSpec.rmdir(root)
+    val t = s"$root/t"
+    LakeTable.overwriteHiddenPartitioned(
+      facts(500), t, Seq(PartitionTransform("k", "identity")))
+    LakeTable.appendHiddenPartitioned(
+      facts(500), t, Seq(PartitionTransform("k", "bucket", 4))) // spec evolved
+    withSpj {
+      val got = spark.read.format("graftlake").load(t)
+        .groupBy("k").count().orderBy("k").collect()
+      assert(got.length === 40)
+      assert(got.map(_.getLong(1)).sum === 1000L)
+    }
+  }
+
+  test("SPJ gate off: same tables, plan shuffles, same answer") {
+    val root = "/tmp/graft_spj_identity" // reuse tables from the first test
+    val ta = s"$root/a"
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(ta)))
+    val df = spark.read.format("graftlake").load(ta)
+      .groupBy("k").agg(sum("v").as("sv")).orderBy("k")
+    assert(exchanges(df) >= 1, "without the SPJ gate the aggregate shuffles")
+    assert(df.count() === 40)
+  }
+}
