@@ -2894,6 +2894,24 @@ object LakeTable {
       pmod(col("event_id"), lit(7L)) === 0 && pmod(col("event_id"), lit(3L)) =!= 0)
   }
 
+  // lifecycle tables already built by THIS process, per sf dir —
+  // immutable once built (every consumer only reads / materializes
+  // the idempotent changelog), so the five CDC-family queries share
+  // ONE build instead of each paying the three commits + the
+  // per-version diff materialization. The 100 TB analogue: change
+  // data is materialized once per commit, consumed by any number of
+  // readers — never rebuilt per consumer.
+  private val cowShared = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def sharedCowLifecycle(s: SparkSession, d: String): String =
+    // computeIfAbsent: Verify drives queries from a 4-thread pool, so
+    // the build must be once-and-blocking, not check-then-act
+    cowShared.computeIfAbsent(d, _ => {
+      val path = freshWorkDir("lakecdc_shared", d)
+      buildCowLifecycle(s, d, path)
+      path
+    })
+
   /** Driver query: MERGE-ON-READ UPSERT — write events (v0), then
     * [[upsertMoR]] a patch of every 3rd event with value+1000 and
     * event_type 'patched' (v1: one delete file + one small data file,
@@ -2915,8 +2933,7 @@ object LakeTable {
   }
 
   def mergeReadQuery(s: SparkSession, d: String): DataFrame = {
-    val path = freshWorkDir("lakemerge", d)
-    buildCowLifecycle(s, d, path)
+    val path = sharedCowLifecycle(s, d)
     read(s, path)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
@@ -3227,8 +3244,7 @@ object LakeTable {
     * inserts (patched rows) and deletes (pre-patch originals + deleted
     * rows) directly from the source table. */
   def changeFeedQuery(s: SparkSession, d: String): DataFrame = {
-    val path = freshWorkDir("lakecdc", d)
-    buildCowLifecycle(s, d, path)
+    val path = sharedCowLifecycle(s, d)
     changes(s, path, fromV = 0, toV = 2)
       .select(col("change_type"), col("event_id"), col("event_type"),
         round(col("value"), 6).as("value"))
@@ -3279,7 +3295,18 @@ object LakeTable {
     * before materialization cannot be diffed and are skipped loudly.
     * At 100 TB the CoW diff becomes a file-delta prefilter (see
     * [[changes]]); append/MoR versions are already O(commit). */
-  def materializeChanges(spark: SparkSession, path: String): Seq[Int] = {
+  // one materializer per table per process: concurrent consumers of a
+  // SHARED table (the Verify pool runs 4 queries at once) must not
+  // race the idempotent version fill — the loser's atomic rename
+  // would throw, and the residue sweep could eat the winner's staging
+  private val changelogLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  def materializeChanges(spark: SparkSession, path: String): Seq[Int] =
+    changelogLocks.computeIfAbsent(path, _ => new Object).synchronized {
+      materializeChangesLocked(spark, path)
+    }
+
+  private def materializeChangesLocked(spark: SparkSession, path: String): Seq[Int] = {
     val latest = latestVersion(path).getOrElse(return Nil)
     val dir = Paths.get(changelogDir(path))
     Files.createDirectories(dir)
@@ -3343,9 +3370,8 @@ object LakeTable {
     * from the source algebra, so the materialization AND the
     * streaming delivery are hash-verified. */
   def changeStreamQuery(s: SparkSession, d: String): DataFrame = {
-    val path = freshWorkDir("lakecdcstream", d)
-    buildCowLifecycle(s, d, path)
-    val out = s"$path/_stream_out"
+    val path = sharedCowLifecycle(s, d)
+    val out = freshWorkDir("lakecdcstream_out", d)
     val q = changesStream(s, path)
       .writeStream
       .outputMode("append")
@@ -3373,9 +3399,8 @@ object LakeTable {
     * versions would still hash right — the boundary is the part only
     * this query can see). */
   def v2ChangeStreamQuery(s: SparkSession, d: String): DataFrame = {
-    val path = freshWorkDir("lakecdcv2", d)
-    buildCowLifecycle(s, d, path)
-    val out = s"$path/_stream_out"
+    val path = sharedCowLifecycle(s, d)
+    val out = freshWorkDir("lakecdcv2_out", d)
     val seen = new java.util.concurrent.atomic.AtomicInteger(0)
     val q = s.readStream.format("graftlake").option("changeFeed", "true")
       .load(path)
@@ -3527,8 +3552,7 @@ object LakeTable {
     * equal a full re-aggregation (any drift between the delta algebra
     * and the snapshot diff fails loudly). */
   def incrementalAggQuery(s: SparkSession, d: String): DataFrame = {
-    val path = freshWorkDir("lakeincr", d)
-    buildCowLifecycle(s, d, path)
+    val path = sharedCowLifecycle(s, d)
     incrementalAgg(s, path, fromV = 0, toV = 2, "event_type", "value")
       .select(col("event_type"), col("n"),
         round(col("sv").cast("double"), 6).as("sum_value"))
