@@ -194,6 +194,7 @@ class GraftLakeTable(
       util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
     else util.EnumSet.of(
       TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ, // append-following table stream
       TableCapability.V1_BATCH_WRITE,
       TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE)
@@ -259,7 +260,8 @@ class GraftLakeTable(
     // a read-time versionAsOf option overrides the table-level pin
     val v = Option(options.get("versionAsOf"))
       .map(_ => GraftLakeSource.versionOf(options)).getOrElse(version)
-    new GraftLakeScanBuilder(spark, path, v, tableSchema)
+    new GraftLakeScanBuilder(spark, path, v, tableSchema,
+      skipChangeCommits = options.getBoolean("skipChangeCommits", false))
   }
 }
 
@@ -300,7 +302,7 @@ object GraftLakeTable {
   * subset guarantee, not row-exact. */
 class GraftLakeScanBuilder(
     spark: SparkSession, path: String, version: Option[Int],
-    tableSchema: StructType)
+    tableSchema: StructType, skipChangeCommits: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
@@ -488,7 +490,8 @@ class GraftLakeScanBuilder(
       if (spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false") == "true")
         GraftLakeSpj.layoutOf(path, v, tableSchema)
       else None
-    new GraftLakeScan(path, tableSchema, preds, spj, ps => buildParquet(v, ps))
+    new GraftLakeScan(path, tableSchema, preds, spj, ps => buildParquet(v, ps),
+      streamCtx = Some((spark, version, skipChangeCommits)))
   }
 
   /** One (ParquetScan, plan) for a predicate-box set — called once at
@@ -551,7 +554,9 @@ class GraftLakeScan(
     path: String, tableSchema: StructType,
     staticPreds: Seq[(String, Double, Double)],
     spj: Option[GraftLakeSpj.KeyedLayout],
-    mk: Seq[(String, Double, Double)] => (ParquetScan, LakeTable.V2Plan))
+    mk: Seq[(String, Double, Double)] => (ParquetScan, LakeTable.V2Plan),
+    // (session, version pin, skipChangeCommits) for the streaming read
+    streamCtx: Option[(SparkSession, Option[Int], Boolean)] = None)
     extends Scan with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
@@ -586,6 +591,22 @@ class GraftLakeScan(
   override def description(): String = {
     val stats = state._2.stats.map { case (b, r) => s" rows=$r bytes=$b" }.getOrElse("")
     s"${underlying.description()} (graftlake$stats)"
+  }
+
+  /** `spark.readStream.format("graftlake").load(path)` — the
+    * append-following TABLE stream ([[GraftLakeTableStream]]): version
+    * offsets, one commit per micro-batch, non-append commits refused
+    * (or skipped under `skipChangeCommits`). */
+  override def toMicroBatchStream(
+      checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    val (spark, pin, skip) = streamCtx.getOrElse(
+      throw new UnsupportedOperationException(
+        s"graftlake scan at $path was not built for streaming"))
+    require(pin.isEmpty,
+      s"graftlake stream at $path: a version-pinned streaming read is " +
+        "contradictory — the stream's offsets ARE versions")
+    new GraftLakeTableStream(spark, path, tableSchema, skip)
   }
 
   override def toBatch: Batch = new Batch {

@@ -136,3 +136,133 @@ class GraftLakeMicroBatchStream(spark: SparkSession, path: String, fullSchema: S
   override def stop(): Unit = ()
   override def deserializeOffset(json: String): Offset = VOffset(json.trim.toInt)
 }
+
+/** The lake TABLE as a native V2 streaming SOURCE (the Delta-shaped
+  * append-following read, complementing the change feed):
+  *
+  * {{{
+  *   spark.readStream.format("graftlake").load(path)
+  * }}}
+  *
+  * Offsets are VERSION numbers; micro-batch `v` delivers exactly the
+  * files the FRESH data manifests of commit `v` reference — an
+  * append-only tail of the table, with the initial snapshot arriving
+  * as version 0's batch. Admission control steps one version per
+  * batch (bounded progress: a batch can never outgrow the largest
+  * single commit), and the engine's offset checkpoint gives
+  * exactly-once resume across restarts.
+  *
+  * HONEST CONTRACT for non-append commits: a version that rewrites or
+  * removes data (overwrite past v0, delete, merge, compact, z-order —
+  * anything whose fresh files do not purely ADD rows) REFUSES loudly,
+  * because delivering its fresh files would double-count rewritten
+  * rows and silently skip deletions. `option("skipChangeCommits",
+  * "true")` opts into skipping such versions wholesale (Delta's
+  * semantics: downstream sees appends only, never retractions).
+  * Hive-partitioned commits refuse too — their dir-encoded partition
+  * values cannot ride a bare file scan. */
+class GraftLakeTableStream(
+    spark: SparkSession, path: String, tableSchema: StructType,
+    skipChangeCommits: Boolean)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  private case class VOffset(v: Int) extends Offset {
+    override def json(): String = v.toString
+  }
+
+  // append ops deliver; v0's initial overwrite is the snapshot batch
+  private def deliverable(v: Int): Boolean =
+    LakeTable.operationOf(path, v) match {
+      case "append" | "streaming-append" => true
+      case "overwrite" if v == 0 => true
+      case _ => false
+    }
+
+  /** Fresh DATA manifests of commit `v` (not carried from `v-1`). */
+  private def freshRefs(v: Int): Seq[LakeTable.ManifestRef] = {
+    val prev: Set[String] =
+      if (v == 0) Set.empty
+      else LakeTable.listRefs(path, v - 1).map(_.manifest).toSet
+    LakeTable.listRefs(path, v).filterNot(r => prev.contains(r.manifest))
+  }
+
+  private def filesOf(v: Int): Seq[String] = {
+    if (!deliverable(v)) {
+      if (skipChangeCommits) return Nil
+      throw new UnsupportedOperationException(
+        s"graftlake stream at $path: version $v is a " +
+          s"'${LakeTable.operationOf(path, v)}' commit — its files rewrite or " +
+          "remove rows, which an append-following stream cannot represent. " +
+          "Use option(\"skipChangeCommits\", \"true\") to skip such versions, " +
+          "or the change feed (option(\"changeFeed\", \"true\")) for row-level " +
+          "change data.")
+    }
+    val fresh = freshRefs(v)
+    fresh.foreach { r =>
+      require(r.kind == "data",
+        s"graftlake stream at $path: version $v carries a fresh '${r.kind}' " +
+          "manifest (merge-on-read) — not an append")
+    }
+    val entries = fresh.flatMap(LakeTable.readManifest)
+    entries.map(_.file).filter { f =>
+      // hive layout check: a file under a non-hidden `col=value` dir
+      // would read its partition column back as null
+      val bad = f.split('/').exists(seg =>
+        seg.contains('=') && !seg.startsWith("__p_") && !seg.endsWith(".parquet"))
+      if (bad) throw new UnsupportedOperationException(
+        s"graftlake stream at $path: version $v holds hive-partitioned file " +
+          s"$f — dir-encoded values cannot ride a bare file scan; read the " +
+          "change feed instead")
+      true
+    }
+  }
+
+  @volatile private var pinned: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    pinned = Some(LakeTable.latestVersion(path).getOrElse(-1))
+
+  private def head(): Int =
+    pinned.getOrElse(LakeTable.latestVersion(path).getOrElse(-1))
+
+  override def initialOffset(): Offset = VOffset(-1)
+  override def latestOffset(): Offset = VOffset(head())
+
+  /** One version per micro-batch — the bounded-progress contract. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[VOffset].v
+    VOffset(math.min(from + 1, math.max(head(), from)))
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def reportLatestOffset(): Offset = VOffset(head())
+
+  private def scanFor(files: Seq[String]): ParquetScan = {
+    val index = new InMemoryFileIndex(
+      spark, files.map(new Path(_)), Map.empty, Some(tableSchema),
+      FileStatusCache.getOrCreate(spark))
+    ParquetScan(
+      spark, GraftSqlShim.hadoopConf(spark), index,
+      dataSchema = tableSchema, readDataSchema = tableSchema,
+      readPartitionSchema = new StructType(),
+      pushedFilters = Array.empty,
+      options = CaseInsensitiveStringMap.empty())
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[VOffset].v
+    val to = end.asInstanceOf[VOffset].v
+    val files = ((from + 1) to to).flatMap(filesOf)
+    if (files.isEmpty) Array.empty
+    else scanFor(files).toBatch.planInputPartitions()
+  }
+
+  /** One factory serves every batch: all versions share the table
+    * schema (older vintages null-extend through schema clipping). */
+  override def createReaderFactory(): PartitionReaderFactory =
+    scanFor(Nil).toBatch.createReaderFactory()
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def deserializeOffset(json: String): Offset = VOffset(json.trim.toInt)
+}

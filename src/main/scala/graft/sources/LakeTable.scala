@@ -266,7 +266,7 @@ object LakeTable {
     * Driver-side Jackson parse for JSON manifests; a one-file spark
     * read for parquet ones — used for small plans and GC; large
     * plans go through [[distributedPlan]] instead. */
-  private def readManifest(ref: ManifestRef): Seq[ManifestEntry] =
+  private[sources] def readManifest(ref: ManifestRef): Seq[ManifestEntry] =
     if (ref.manifest.endsWith(".parquet")) {
       SparkSession.active.read.parquet(ref.manifest).collect().toSeq.map { r =>
         def mapOf[T](name: String): Map[String, Seq[T]] =
@@ -3270,7 +3270,7 @@ object LakeTable {
 
   /** The committing operation of a version (every list row carries it
     * uniformly). */
-  private def operationOf(path: String, version: Int): String = {
+  private[sources] def operationOf(path: String, version: Int): String = {
     val p = listFile(path, version).getOrElse(throw new IllegalArgumentException(
       s"no list for version $version at $path"))
     if (p.getFileName.toString.endsWith(".parquet"))

@@ -1,0 +1,104 @@
+package graft
+
+import graft.sources.LakeTable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The append-following TABLE stream
+  * (`spark.readStream.format("graftlake").load(path)`): per-version
+  * batches, checkpoint resume, the non-append refusal contract, and
+  * the full lake-to-lake loop (graftlake source → graftlake sink). */
+class TableStreamSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private def rows(from: Int, n: Int): DataFrame =
+    (from until from + n).map(i => (i.toLong, i * 2.0)).toDF("id", "x")
+
+  private def drain(table: String, out: String, chk: String,
+      opts: Map[String, String] = Map.empty): Int = {
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val reader = spark.readStream.format("graftlake")
+    opts.foreach { case (k, v) => reader.option(k, v) }
+    val q = reader.load(table)
+      .writeStream
+      .option("checkpointLocation", chk)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) batches.incrementAndGet()
+        b.write.mode("append").parquet(out)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    batches.get()
+  }
+
+  test("appends arrive one version per batch; restart resumes past committed offsets") {
+    val root = "/tmp/graft_tstream_e2e"
+    SparkSpec.rmdir(root)
+    val (table, out, chk) = (s"$root/t", s"$root/out", s"$root/chk")
+    LakeTable.overwrite(rows(0, 10), table)   // v0: initial snapshot
+    LakeTable.append(rows(10, 5), table)      // v1
+    LakeTable.append(rows(15, 5), table)      // v2
+
+    assert(drain(table, out, chk) === 3, "v0..v2 must arrive as three batches")
+    assert(spark.read.parquet(out).select(countDistinct("id")).head().getLong(0) === 20)
+
+    LakeTable.append(rows(20, 7), table)      // v3 after the first drain
+    assert(drain(table, out, chk) === 1, "resume delivers only the new version")
+    val all = spark.read.parquet(out)
+    assert(all.count() === 27)
+    assert(all.select(countDistinct("id")).head().getLong(0) === 27)
+  }
+
+  test("a delete commit refuses loudly; skipChangeCommits skips it and follows later appends") {
+    val root = "/tmp/graft_tstream_refuse"
+    SparkSpec.rmdir(root)
+    val table = s"$root/t"
+    LakeTable.overwrite(rows(0, 10), table)             // v0
+    LakeTable.delete(spark, table, col("id") < 3L)      // v1: rewrite
+    LakeTable.append(rows(100, 4), table)               // v2
+
+    val err = intercept[StreamingQueryException] {
+      drain(table, s"$root/out1", s"$root/chk1")
+    }
+    assert(err.getCause.getMessage.contains("skipChangeCommits"),
+      s"refusal must name the opt-out: ${err.getCause.getMessage}")
+
+    // opted in: v1 skipped wholesale, v0 + v2 delivered
+    val n = drain(table, s"$root/out2", s"$root/chk2",
+      Map("skipChangeCommits" -> "true"))
+    assert(n === 2)
+    val got = spark.read.parquet(s"$root/out2")
+    assert(got.count() === 14, "snapshot (10) + append (4), delete never retracted")
+  }
+
+  test("lake-to-lake: graftlake source streamed into the graftlake sink, exactly once") {
+    val root = "/tmp/graft_tstream_loop"
+    SparkSpec.rmdir(root)
+    val (src, dst, chk) = (s"$root/src", s"$root/dst", s"$root/chk")
+    LakeTable.overwrite(rows(0, 12), src)
+    LakeTable.append(rows(12, 8), src)
+
+    def loop(): Unit = {
+      val q = spark.readStream.format("graftlake").load(src)
+        .writeStream.format("graftlake")
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .start(dst)
+      q.awaitTermination()
+    }
+    loop()
+    assert(LakeTable.read(spark, dst).count() === 20)
+    // re-run with nothing new: the ledger + offsets deliver nothing twice
+    loop()
+    assert(LakeTable.read(spark, dst).count() === 20)
+    LakeTable.append(rows(20, 3), src)
+    loop()
+    val d = LakeTable.read(spark, dst)
+    assert(d.count() === 23)
+    assert(d.select(countDistinct("id")).head().getLong(0) === 23)
+  }
+}
