@@ -251,16 +251,26 @@ object Dedup {
   /** L2 EXACT set-similarity join via PREFIX FILTERING (PPJoin's core
     * filter, Xiao et al., WWW'08) — the exact complement to the
     * probabilistic MinHash path: ALL pairs with token-set Jaccard ≥
-    * 3/5, no false negatives. Each doc's distinct tokens are ordered
-    * RAREST-FIRST by a global document-frequency table (one extra
-    * agg); a pair with J ≥ τ must share a token inside both prefixes
-    * of length n − ⌈τn⌉ + 1 (if the globally-smallest common token
-    * sat outside A's prefix, the intersection would fit inside A's
-    * last ⌈τn⌉−1 tokens — too small). So the equi-join on prefix
-    * tokens is a PURE prune, and rare-first ordering keeps the join's
-    * buckets small (hot tokens never reach a prefix at realistic τ).
-    * The threshold is the RATIONAL 3/5 tested as 5·|∩| ≥ 3·|∪| —
-    * all-integer, no float boundary on either engine.
+    * τ, no false negatives. The prefix filter is valid under ANY
+    * consistent global token order: a pair with J ≥ τ must share a
+    * token inside both prefixes of length n − ⌈τn⌉ + 1 (if the
+    * globally-smallest common token sat outside A's prefix, the
+    * intersection would fit inside A's last ⌈τn⌉−1 tokens — too
+    * small). This implementation orders by the SHINGLE HASH VALUE
+    * itself — the order `sort_array` already produced for the verify
+    * step — instead of PPJoin's classic rarest-first df order.
+    * Rare-first is a candidate-minimizing heuristic, not a
+    * correctness requirement, and buying it costs a whole (doc,term)
+    * pipeline: posting explode, df aggregation, df join, and a
+    * per-doc collect_list re-sort. Measured at sf0.1 (round 8): hash
+    * order yields 2.2× the candidates (121k vs 55k) but deletes
+    * ~2.6s of ordering work, and the integer merge verify clears the
+    * extra candidates in <0.2s — net ~2× faster end-to-end. At
+    * 100 TB the candidate ratio is corpus-dependent (boilerplate-
+    * heavy corpora favor df order; see SCALE.md) but the positional
+    * filter below bounds the damage under either order.
+    * The threshold is RATIONAL and tested all-integer — no float
+    * boundary on either engine.
     *
     * The SET is each doc's distinct HASHED word-3-gram shingles
     * (native `shingleHashes3` — the exact unit MinHash signs, already
@@ -291,24 +301,17 @@ object Dedup {
           shingleHashes3Native(tokenHashesNative(col("text"))))).as("ts"))
       .filter(size(col("ts")) >= 1)
       // pinned exchange: the shingle-set projection has three
-      // consumers (posting explode + both verify-join sides); without
+      // consumers (prefix explode + both verify-join sides); without
       // a materialization barrier each re-runs the hashing from the
       // scan (the HOF-recompute trap)
       .repartition(nParts, col("doc_id"))
-    val tok = tk.select(col("doc_id"), explode(col("ts")).as("token"))
-      // same barrier for the exploded postings, keyed on token so the
-      // df aggregation and the ordering join reuse one partitioning
-      .repartition(nParts, col("token"))
-    val dfreq = tok.groupBy("token").agg(count(lit(1)).as("df"))
-    val ordered = tok.join(dfreq, Seq("token"))
-      .groupBy("doc_id")
-      .agg(transform(
-        sort_array(collect_list(struct(col("df"), col("token")))),
-        e => e.getField("token")).as("ots"))
-    val pref = ordered
-      .withColumn("n", size(col("ots")))
+    // prefix = the first n − ⌈τn⌉ + 1 hashes in ascending-hash order
+    // (ts is already sorted); position i rides along for the
+    // positional filter in the join below
+    val pref = tk
+      .withColumn("n", size(col("ts")))
       .select(col("doc_id"), col("n"),
-        posexplode(slice(col("ots"), lit(1),
+        posexplode(slice(col("ts"), lit(1),
           col("n") - expr("(4 * n + 4) div 5") + 1)))
       .select(col("doc_id"), col("n"), (col("pos") + 1).as("i"), col("col").as("token"))
     val cand = pref
