@@ -176,6 +176,7 @@ object SparkEntry {
     "lake_snapshot_read" -> (sources.LakeTable.snapshotReadQuery _),
     "lake_agg_pushdown" -> (sources.LakeTable.aggPushdownQuery _),
     "lake_catalog_sql" -> (sources.LakeTable.catalogSqlQuery _),
+    "lake_ctas" -> (sources.LakeTable.ctasQuery _),
     "lake_runtime_prune" -> (sources.LakeTable.runtimePruneQuery _),
     "lake_merge_read" -> (sources.LakeTable.mergeReadQuery _),
     "lake_partition_prune" -> (sources.LakeTable.partitionPruneQuery _),
@@ -1021,6 +1022,16 @@ object SparkEntry {
         |       round(sum(value), 6) AS sum_value
         |FROM events GROUP BY event_type
         |ORDER BY phase, event_type""".stripMargin,
+    // lake_ctas: v0 = the CTAS content (purchases), latest = the
+    // RTAS-replaced content (everything else); atomicity of the
+    // poisoned CTAS is require'd in-query, values are the oracle's
+    "lake_ctas" ->
+      """SELECT 'latest' AS phase, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events WHERE event_type <> 'purchase'
+        |UNION ALL
+        |SELECT 'v0' AS phase, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY phase""".stripMargin,
     // permissive_ingest: malformed JSON rows (every 7th) parse to
     // null-defaulted columns; the oracle mirrors the outcome directly
     "permissive_ingest" ->

@@ -48,6 +48,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * SAME catalog name at different roots.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog
     with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   /** The layout functions of the lake format ([[GraftBucketFunction]])
@@ -193,6 +194,116 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     new GraftLakeTable(p, None, schema)
   }
+
+  // ---- atomic CTAS / RTAS (StagingTableCatalog) ----
+  //
+  // The staging substrate is the same trick as branch fast-forward:
+  // manifests can be ADOPTED across metadata roots without moving a
+  // file, because they reference data by absolute path. stageCreate
+  // writes the SELECT into a hidden staged table at
+  // `<table>/_graft_staging/ctas_<uuid>` (underscore-prefixed, so it
+  // is invisible to listings and `isTable` stays false — a failed
+  // CTAS leaves nothing visible); commitStagedChanges publishes ONE
+  // commit at the final path re-referencing the staged manifests
+  // (create: v0 via the ErrorIfExists version-rename, so two racing
+  // CTAS cannot both win; replace: the next version over the old
+  // content, keeping history time-travelable). abortStagedChanges
+  // removes the staging dir. Crash residue (neither committed nor
+  // aborted) is underscore-hidden and swept by the next stage call
+  // on the same table past the orphan grace window.
+
+  private def stagingRoot(p: String) = s"$p/_graft_staging"
+
+  private def sweepStaleStaging(p: String): Unit = {
+    val root = Paths.get(stagingRoot(p))
+    if (!Files.isDirectory(root)) return
+    val cutoff = System.currentTimeMillis() - LakeTable.DefaultOrphanGraceMs
+    val ls = Files.list(root)
+    try ls.iterator().asScala
+      .filter(d => try Files.getLastModifiedTime(d).toMillis <= cutoff
+        catch { case _: java.io.IOException => false })
+      .foreach(d => graft.Util.rmRecursive(d.toString))
+    finally ls.close()
+  }
+
+  private def stageFor(
+      ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String],
+      replace: Boolean, orCreate: Boolean)
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    require(partitions.isEmpty,
+      s"graft catalog: PARTITIONED BY is not supported through DDL — write with " +
+        "LakeTable.overwritePartitioned / hiddenPartition specs instead")
+    val p = tablePath(ident)
+    if (!replace && isTable(p)) throw new TableAlreadyExistsException(ident)
+    if (replace && !orCreate && !isTable(p)) throw new NoSuchTableException(ident)
+    sweepStaleStaging(p)
+    val sp = s"${stagingRoot(p)}/ctas_${java.util.UUID.randomUUID()}"
+    // honor a declared sort order DURING the staged write, so the
+    // adopted files are already laid out (the final table gets the
+    // same declaration at commit)
+    Option(properties.get("write.sort-order")).foreach { order =>
+      LakeTable.setSortOrder(sp, order.split(",").map(_.trim).filter(_.nonEmpty): _*)
+    }
+    new GraftLakeTable(sp, None, schema)
+      with org.apache.spark.sql.connector.catalog.StagedTable {
+      override def name(): String = s"$catalogName.$ident (staged)"
+
+      override def commitStagedChanges(): Unit = {
+        val base =
+          if (replace) LakeTable.latestVersion(p).getOrElse(-1)
+          else {
+            if (isTable(p)) throw new TableAlreadyExistsException(ident)
+            -1
+          }
+        val op = if (base >= 0) "replace" else "ctas"
+        LakeTable.latestVersion(sp) match {
+          case Some(h) =>
+            LakeTable.commitRefs(spark, p, base, LakeTable.listRefs(sp, h), op,
+              LakeTable.schemaOf(sp, h), Some(LakeTable.constraintsOf(sp, h)))
+          case None => // empty SELECT never wrote — an empty sentinel version
+            LakeTable.commitRefs(spark, p, base, Nil, op, None, Some(Nil))
+        }
+        Files.writeString(declaredSchemaFile(p), schema.toDDL)
+        Option(properties.get("write.sort-order")).foreach { order =>
+          LakeTable.setSortOrder(p, order.split(",").map(_.trim).filter(_.nonEmpty): _*)
+        }
+      }
+
+      override def abortStagedChanges(): Unit = {
+        graft.Util.rmRecursive(sp)
+        // leave no empty husk behind: if the staged table was the only
+        // thing under a freshly-created table dir, remove the dir too
+        // (a pre-existing namespace dir with children stays)
+        def dropIfEmpty(dir: java.nio.file.Path): Unit =
+          if (Files.isDirectory(dir)) {
+            val ls = Files.list(dir)
+            val empty = try !ls.iterator().hasNext finally ls.close()
+            if (empty) Files.deleteIfExists(dir)
+          }
+        dropIfEmpty(Paths.get(stagingRoot(p)))
+        dropIfEmpty(Paths.get(p))
+      }
+    }
+  }
+
+  override def stageCreate(
+      ident: Identifier, info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stageFor(ident, info.schema(), info.partitions(), info.properties(),
+      replace = false, orCreate = false)
+
+  override def stageReplace(
+      ident: Identifier, info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stageFor(ident, info.schema(), info.partitions(), info.properties(),
+      replace = true, orCreate = false)
+
+  override def stageCreateOrReplace(
+      ident: Identifier, info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stageFor(ident, info.schema(), info.partitions(), info.properties(),
+      replace = true, orCreate = true)
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val p = tablePath(ident)

@@ -2756,6 +2756,56 @@ object LakeTable {
     * so catalog resolution, the DDL-declared schema, the V1Write
     * commit path, and version pinning are all value-checked in one
     * query. */
+  /** Driver query: ATOMIC CTAS + RTAS through the V2 catalog
+    * ([[GraftCatalog]] as a `StagingTableCatalog`) — the single most
+    * common way users materialize a lake table. Three contracts in
+    * one hash-gated result: (1) a FAILING CTAS (integer div-by-zero
+    * mid-write under ANSI) aborts its staged table and leaves
+    * NOTHING — no table, no directory residue (require'd in-query);
+    * (2) the real CTAS lands the SELECT in ONE commit (op `ctas`);
+    * (3) `REPLACE TABLE … AS SELECT` swaps the content atomically in
+    * a second commit while v0 stays time-travelable — the final
+    * SELECT reads BOTH phases, so create-content, replace-content
+    * and post-replace time travel are all value-checked against the
+    * plain source aggregates. Runs in a conf-isolated cloned session
+    * so the catalog registration never touches the shared session. */
+  def ctasQuery(s: SparkSession, d: String): DataFrame = {
+    val wh = freshWorkDir("lakectas", d)
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.catalog.graft_ctas", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft_ctas.warehouse", wh)
+    graft.Tables.load(s2, d, "events").select("event_id", "event_type", "value")
+      .createOrReplaceTempView("ctas_ev_src")
+    s2.sql("CREATE NAMESPACE IF NOT EXISTS graft_ctas.db")
+    // contract (1): a CTAS whose SELECT fails must leave nothing
+    val failed =
+      try {
+        s2.sql("CREATE TABLE graft_ctas.db.ev_sel USING graftlake AS " +
+          "SELECT event_id, 1 div (event_id - event_id) AS boom FROM ctas_ev_src")
+        false
+      } catch { case _: Exception => true }
+    require(failed, "the poisoned CTAS must fail")
+    require(!s2.catalog.tableExists("graft_ctas.db.ev_sel"),
+      "aborted CTAS left a visible table")
+    require(!Files.exists(Paths.get(s"$wh/db/ev_sel")),
+      "aborted CTAS left directory residue")
+    // contract (2): the real CTAS — one commit, op `ctas`
+    s2.sql("CREATE TABLE graft_ctas.db.ev_sel USING graftlake AS " +
+      "SELECT event_id, event_type, value FROM ctas_ev_src " +
+      "WHERE event_type = 'purchase'")
+    // contract (3): atomic replace; v0 stays readable
+    s2.sql("REPLACE TABLE graft_ctas.db.ev_sel USING graftlake AS " +
+      "SELECT event_id, event_type, value FROM ctas_ev_src " +
+      "WHERE event_type <> 'purchase'")
+    s2.sql(
+      """SELECT 'v0' AS phase, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM graft_ctas.db.ev_sel VERSION AS OF 0
+        |UNION ALL
+        |SELECT 'latest' AS phase, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM graft_ctas.db.ev_sel
+        |ORDER BY phase""".stripMargin)
+  }
+
   def catalogSqlQuery(s: SparkSession, d: String): DataFrame = {
     val wh = freshWorkDir("lakecat", d)
     s.conf.set("spark.sql.catalog.graft_q", "graft.sources.GraftCatalog")

@@ -127,6 +127,60 @@ class GraftCatalogSpec extends AnyFunSuite {
       "catalog-table count/min/max must be metadata-only")
   }
 
+  test("atomic CTAS: content lands in one commit; failure leaves nothing visible") {
+    rmdir(s"$wh/db6")
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.db6")
+    // happy path: one staged write, one visible commit
+    sql("CREATE TABLE graft.db6.agg USING graftlake AS " +
+      "SELECT id % 7 AS k, count(*) AS n, sum(id) AS s FROM range(0, 1000) GROUP BY id % 7")
+    assert(sql("SELECT count(*) AS n FROM graft.db6.agg").head.getLong(0) === 7L)
+    assert(sql("SELECT sum(s) AS t FROM graft.db6.agg").head.getLong(0)
+      === (0L until 1000L).sum)
+    val hist = sql("SELECT * FROM graft.db6.agg.history").collect()
+    assert(hist.length === 1 && hist.head.getString(1) === "ctas",
+      hist.mkString(","))
+    // CTAS into an existing name refuses
+    intercept[Exception](
+      sql("CREATE TABLE graft.db6.agg USING graftlake AS SELECT 1 AS x"))
+    // failing SELECT (ANSI division by zero mid-write) aborts the
+    // staged table: nothing visible, no husk dir left behind
+    intercept[Exception](
+      sql("CREATE TABLE graft.db6.boom USING graftlake AS " +
+        "SELECT id / (id - 500) AS x FROM range(0, 1000)"))
+    assert(!spark.catalog.tableExists("graft.db6.boom"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$wh/db6/boom")),
+      "aborted CTAS must leave no directory residue")
+    assert(!spark.sql("SHOW TABLES IN graft.db6").collect()
+      .map(_.getString(1)).contains("boom"))
+  }
+
+  test("atomic RTAS: replace keeps history time-travelable; OR REPLACE creates") {
+    rmdir(s"$wh/db7")
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.db7")
+    // REPLACE of a missing table refuses; CREATE OR REPLACE creates
+    intercept[Exception](
+      sql("REPLACE TABLE graft.db7.r USING graftlake AS SELECT 1L AS k"))
+    sql("CREATE OR REPLACE TABLE graft.db7.r USING graftlake AS " +
+      "SELECT id AS k, CAST(id * 2.0 AS DOUBLE) AS v FROM range(0, 50)")
+    assert(sql("SELECT count(*) AS n FROM graft.db7.r").head.getLong(0) === 50L)
+    // replace swaps content in ONE commit; the old snapshot stays
+    // readable via time travel (Iceberg REPLACE semantics)
+    sql("REPLACE TABLE graft.db7.r USING graftlake AS " +
+      "SELECT id AS k, CAST(id * 10.0 AS DOUBLE) AS v FROM range(0, 3)")
+    assert(sql("SELECT count(*) AS n FROM graft.db7.r").head.getLong(0) === 3L)
+    assert(sql("SELECT round(sum(v), 6) AS s FROM graft.db7.r").head.getDouble(0) === 30.0)
+    assert(sql("SELECT count(*) AS n FROM graft.db7.r VERSION AS OF 0")
+      .head.getLong(0) === 50L)
+    val ops = sql("SELECT * FROM graft.db7.r.history").collect().map(_.getString(1)).toSeq
+    assert(ops === Seq("ctas", "replace"), ops.mkString(","))
+    // a failed REPLACE leaves the table exactly as it was
+    intercept[Exception](
+      sql("REPLACE TABLE graft.db7.r USING graftlake AS " +
+        "SELECT id / (id - 1) AS x FROM range(0, 10)"))
+    assert(sql("SELECT count(*) AS n FROM graft.db7.r").head.getLong(0) === 3L)
+    assert(sql("SELECT * FROM graft.db7.r.history").count() === 2L)
+  }
+
   test("namespace hygiene: exists, list, drop refusals") {
     rmdir(s"$wh/db5")
     sql("CREATE NAMESPACE graft.db5")
