@@ -1013,14 +1013,25 @@ object SparkEntry {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // lake_catalog_sql: catalog DDL + INSERT INTO + native VERSION AS
     // OF; phase v1 = the evens-only first commit, latest = everything
+    // lake_catalog_sql: phase v1 = first insert (even ids); latest =
+    // all events (bonus null-extended by the metadata-only ADD
+    // COLUMN) plus the post-add bonus rows (every 10th id, value*2)
     "lake_catalog_sql" ->
-      """SELECT 'v1' AS phase, event_type, count(*) AS n,
-        |       round(sum(value), 6) AS sum_value
-        |FROM events WHERE event_id % 2 = 0 GROUP BY event_type
-        |UNION ALL
+      """WITH latest AS (
+        |  SELECT event_type, value, CAST(NULL AS DOUBLE) AS bonus FROM events
+        |  UNION ALL
+        |  SELECT 'bonus' AS event_type, value, value * 2 AS bonus
+        |  FROM events WHERE event_id % 10 = 0)
         |SELECT 'latest' AS phase, event_type, count(*) AS n,
-        |       round(sum(value), 6) AS sum_value
-        |FROM events GROUP BY event_type
+        |       round(sum(value), 6) AS sum_value,
+        |       count(bonus) AS n_bonus,
+        |       coalesce(round(sum(bonus), 6), CAST(0.0 AS DOUBLE)) AS sum_bonus
+        |FROM latest GROUP BY event_type
+        |UNION ALL
+        |SELECT 'v1' AS phase, event_type, count(*) AS n,
+        |       round(sum(value), 6) AS sum_value,
+        |       CAST(0 AS BIGINT) AS n_bonus, CAST(0.0 AS DOUBLE) AS sum_bonus
+        |FROM events WHERE event_id % 2 = 0 GROUP BY event_type
         |ORDER BY phase, event_type""".stripMargin,
     // lake_ctas: v0 = the CTAS content (purchases), latest = the
     // RTAS-replaced content (everything else); atomicity of the

@@ -122,12 +122,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   /** The table's read schema; an EMPTY table (sentinel-only snapshot,
     * no file to carry a schema) falls back to the declared schema
-    * persisted at CREATE TABLE time. */
+    * persisted at CREATE TABLE time. A metadata-only ADDed column
+    * that no data file carries yet is null-extended here: it is
+    * registered in the version's field-id schema, and its TYPE comes
+    * from the declared schema (the only place a type can live before
+    * a file carries it) — the V2 scan then null-fills it via schema
+    * clipping, exactly like absent columns of older files. */
   private def schemaFor(p: String, version: Option[Int]): StructType = {
     val s = LakeTable.read(spark, p, version).schema
-    if (s.nonEmpty) s
-    else declaredSchemaOf(p).getOrElse(s)
+    if (s.isEmpty) return declaredSchemaOf(p).getOrElse(s)
+    val registered = version.orElse(LakeTable.latestVersion(p))
+      .flatMap(v => LakeTable.schemaOf(p, v)).getOrElse(Nil).map(_._2)
+    val declared = declaredSchemaOf(p)
+    val extras = registered.filterNot(s.fieldNames.contains)
+      .flatMap(n => declared.flatMap(_.fields.find(_.name == n)))
+    if (extras.isEmpty) s else StructType(s.fields ++ extras)
   }
+
+  /** Keep the declared (typed) schema in sync across metadata-only
+    * DDL, when one was persisted at CREATE time. */
+  private def syncDeclared(p: String)(f: StructType => StructType): Unit =
+    declaredSchemaOf(p).foreach(cur =>
+      Files.writeString(declaredSchemaFile(p), f(cur).toDDL))
 
   private def declaredSchemaFile(p: String) = Paths.get(s"$p/_graft_meta/catalog_schema.json")
 
@@ -227,8 +243,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   private def stageFor(
-      ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String],
+      ident: Identifier, declared: StructType,
+      partitions: Array[Transform], tableProps: util.Map[String, String],
       replace: Boolean, orCreate: Boolean)
       : org.apache.spark.sql.connector.catalog.StagedTable = {
     require(partitions.isEmpty,
@@ -242,10 +258,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // honor a declared sort order DURING the staged write, so the
     // adopted files are already laid out (the final table gets the
     // same declaration at commit)
-    Option(properties.get("write.sort-order")).foreach { order =>
+    Option(tableProps.get("write.sort-order")).foreach { order =>
       LakeTable.setSortOrder(sp, order.split(",").map(_.trim).filter(_.nonEmpty): _*)
     }
-    new GraftLakeTable(sp, None, schema)
+    new GraftLakeTable(sp, None, declared)
       with org.apache.spark.sql.connector.catalog.StagedTable {
       override def name(): String = s"$catalogName.$ident (staged)"
 
@@ -264,8 +280,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           case None => // empty SELECT never wrote — an empty sentinel version
             LakeTable.commitRefs(spark, p, base, Nil, op, None, Some(Nil))
         }
-        Files.writeString(declaredSchemaFile(p), schema.toDDL)
-        Option(properties.get("write.sort-order")).foreach { order =>
+        Files.writeString(declaredSchemaFile(p), declared.toDDL)
+        Option(tableProps.get("write.sort-order")).foreach { order =>
           LakeTable.setSortOrder(p, order.split(",").map(_.trim).filter(_.nonEmpty): _*)
         }
       }
@@ -311,19 +327,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     changes.foreach {
       case r: TableChange.RenameColumn if r.fieldNames.length == 1 =>
         LakeTable.renameColumn(spark, p, r.fieldNames()(0), r.newName())
+        syncDeclared(p)(cur => StructType(cur.fields.map(f =>
+          if (f.name == r.fieldNames()(0)) f.copy(name = r.newName()) else f)))
       case d: TableChange.DeleteColumn if d.fieldNames.length == 1 =>
         LakeTable.dropColumn(spark, p, d.fieldNames()(0))
+        syncDeclared(p)(cur =>
+          StructType(cur.fields.filterNot(_.name == d.fieldNames()(0))))
       case s: TableChange.SetProperty if s.property == "write.sort-order" =>
         LakeTable.setSortOrder(p, s.value.split(",").map(_.trim).filter(_.nonEmpty): _*)
-      case a: TableChange.AddColumn =>
-        // the format carries schema in data files: a column EXISTS
-        // once a file carries it (additive evolution on append), so a
-        // metadata-only add would be invisible to reads — refuse with
-        // the working route named
-        throw new UnsupportedOperationException(
-          s"graft catalog: ADD COLUMN ${a.fieldNames().mkString(".")} is not a " +
-            "metadata operation in this format — append data carrying the new " +
-            "column (reads null-extend older files)")
+      case a: TableChange.AddColumn if a.fieldNames.length == 1 =>
+        // METADATA-ONLY add: a fresh field id is committed (so later
+        // rename/drop address it and ids are never reused); the TYPE
+        // lives in the declared schema until a write carries the
+        // column, and reads null-extend via schemaFor's merge.
+        require(a.isNullable,
+          s"graft catalog: ADD COLUMN ${a.fieldNames()(0)} NOT NULL would lie " +
+            "about every existing row (they read as null) — add it nullable")
+        require(a.position() == null,
+          s"graft catalog: ADD COLUMN ${a.fieldNames()(0)} supports trailing " +
+            "position only (FIRST/AFTER would reorder file-carried columns)")
+        LakeTable.addColumn(spark, p, a.fieldNames()(0))
+        val field = org.apache.spark.sql.types.StructField(
+          a.fieldNames()(0), a.dataType(), nullable = true)
+        declaredSchemaOf(p) match {
+          case Some(cur) => Files.writeString(
+            declaredSchemaFile(p), StructType(cur.fields :+ field).toDDL)
+          case None => Files.writeString(declaredSchemaFile(p),
+            StructType(LakeTable.read(spark, p, None).schema.fields :+ field).toDDL)
+        }
       case other =>
         throw new UnsupportedOperationException(
           s"graft catalog: unsupported ALTER TABLE change $other")

@@ -2309,6 +2309,26 @@ object LakeTable {
     commitRefs(spark, path, base, listRefs(path, base), "rename_column", Some(next))
   }
 
+  /** METADATA-ONLY column add (Iceberg's additive schema evolution):
+    * the new name takes a FRESH field id past the highwater mark
+    * (ids are never reused — see [[schemaForWrite]]), every manifest
+    * is carried unchanged, and existing files serve null for the new
+    * id. The column's data TYPE is catalog-level metadata: this
+    * format keeps types in data files, so until a write carries the
+    * column the type lives in the catalog's declared schema
+    * (GraftCatalog wires it through its `schemaFor` merge) and the
+    * LIBRARY read surfaces the column only once data carries it. */
+  def addColumn(spark: SparkSession, path: String, name: String): Int = {
+    val base = observedBase(spark, path)
+    val schema = schemaOf(path, base).getOrElse(throw new IllegalArgumentException(
+      s"$path has no field-id schema (pre-field-id table) — add needs one"))
+    require(!schema.exists(_._2 == name), s"column '$name' already exists at $path")
+    val refIds = listRefs(path, base).flatMap(_.cols.values)
+    val fresh = (schema.map(_._1) ++ refIds ++ Seq(-1)).max + 1
+    commitRefs(spark, path, base, listRefs(path, base), "add_column",
+      Some(schema :+ (fresh -> name)))
+  }
+
   /** METADATA-ONLY column drop: the field id leaves the schema, every
     * manifest is carried unchanged, and readers project the column
     * out of old files by id. A later add of the SAME name takes a
@@ -2820,13 +2840,24 @@ object LakeTable {
       "SELECT event_id, event_type, value FROM cat_ev_src WHERE event_id % 2 = 0")
     s.sql("INSERT INTO graft_q.lakedb.ev " +
       "SELECT event_id, event_type, value FROM cat_ev_src WHERE event_id % 2 = 1")
+    // metadata-only ADD COLUMN (round 8): every pre-add row reads
+    // null for `bonus` (the field id is fresh, no file carries it);
+    // the third insert writes it, so the final aggregate hash-checks
+    // the null-extension AND the post-add write in one pass
+    s.sql("ALTER TABLE graft_q.lakedb.ev ADD COLUMN bonus DOUBLE")
+    s.sql("INSERT INTO graft_q.lakedb.ev " +
+      "SELECT event_id + 10000000, 'bonus', value, value * 2 " +
+      "FROM cat_ev_src WHERE event_id % 10 = 0")
     s.sql(
       """SELECT 'v1' AS phase, event_type, count(*) AS n,
-        |       round(sum(value), 6) AS sum_value
+        |       round(sum(value), 6) AS sum_value,
+        |       CAST(0 AS BIGINT) AS n_bonus, CAST(0.0 AS DOUBLE) AS sum_bonus
         |FROM graft_q.lakedb.ev VERSION AS OF 1 GROUP BY event_type
         |UNION ALL
         |SELECT 'latest' AS phase, event_type, count(*) AS n,
-        |       round(sum(value), 6) AS sum_value
+        |       round(sum(value), 6) AS sum_value,
+        |       count(bonus) AS n_bonus,
+        |       coalesce(round(sum(bonus), 6), CAST(0.0 AS DOUBLE)) AS sum_bonus
         |FROM graft_q.lakedb.ev GROUP BY event_type
         |ORDER BY phase, event_type""".stripMargin)
   }

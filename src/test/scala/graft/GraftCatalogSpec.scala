@@ -79,9 +79,42 @@ class GraftCatalogSpec extends AnyFunSuite {
     val eMv = intercept[Exception](sql("ALTER TABLE graft.db2.t RENAME TO db2.t2"))
     assert(eMv.getMessage.contains("location-addressed"), eMv.getMessage)
     assert(sql("SELECT count(*) AS n FROM graft.db2.t").head.getLong(0) === 10L)
-    // ADD COLUMN names the working route instead of lying
-    val e = intercept[Exception](sql("ALTER TABLE graft.db2.t ADD COLUMN extra INT"))
-    assert(e.getMessage.contains("append data carrying the new column"), e.getMessage)
+  }
+
+  test("metadata-only ADD COLUMN: null-extends old rows, writable, evolvable") {
+    rmdir(s"$wh/db8")
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.db8")
+    sql("CREATE TABLE graft.db8.t (k BIGINT, v DOUBLE) USING graftlake")
+    sql("INSERT INTO graft.db8.t SELECT id, CAST(id * 2.0 AS DOUBLE) FROM range(0, 10)")
+    sql("ALTER TABLE graft.db8.t ADD COLUMN extra STRING")
+    // metadata-only: one commit, zero data rewritten; old rows read null
+    val hist = sql("SELECT * FROM graft.db8.t.history").collect()
+    assert(hist.map(_.getString(1)).toSeq === Seq("overwrite", "append", "add_column"))
+    assert(sql("SELECT * FROM graft.db8.t").columns.toSeq === Seq("k", "v", "extra"))
+    assert(sql("SELECT count(*) AS n FROM graft.db8.t WHERE extra IS NULL")
+      .head.getLong(0) === 10L)
+    // a write carrying the column lands under the registered field id,
+    // and the mixed read null-extends only the old files
+    sql("INSERT INTO graft.db8.t SELECT id, CAST(id AS DOUBLE), concat('x', id) " +
+      "FROM range(10, 13)")
+    assert(sql("SELECT count(extra) AS n FROM graft.db8.t").head.getLong(0) === 3L)
+    // time travel BEFORE the add shows the old schema
+    assert(sql("SELECT * FROM graft.db8.t VERSION AS OF 1").columns.toSeq
+      === Seq("k", "v"))
+    // the added column is a first-class field id: rename works on it
+    // (files written before the rename need the documented compact to
+    // lift the V2 per-file projection, same as any renamed column)
+    sql("ALTER TABLE graft.db8.t RENAME COLUMN extra TO note")
+    assert(LakeTable.read(spark, s"$wh/db8/t").columns.toSeq === Seq("k", "v", "note"))
+    LakeTable.compact(spark, s"$wh/db8/t")
+    assert(sql("SELECT count(note) AS n FROM graft.db8.t").head.getLong(0) === 3L)
+    // honest refusals: NOT NULL add and positioned add
+    val e1 = intercept[Exception](
+      sql("ALTER TABLE graft.db8.t ADD COLUMN bad INT NOT NULL"))
+    assert(e1.getMessage.contains("nullable"), e1.getMessage)
+    val e2 = intercept[Exception](
+      sql("ALTER TABLE graft.db8.t ADD COLUMN early INT FIRST"))
+    assert(e2.getMessage.contains("trailing"), e2.getMessage)
   }
 
   test("SQL DML on catalog tables rides the same library commits") {
