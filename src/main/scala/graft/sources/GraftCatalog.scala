@@ -57,15 +57,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * join; exposing it here is what lets two bucket-partitioned
     * catalog tables join shuffle-free. */
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    if (namespace.isEmpty)
+      Array("bucket", "day").map(Identifier.of(Array.empty, _))
     else if (namespaceExists(namespace)) Array.empty
     else throw new NoSuchNamespaceException(namespace)
 
   override def loadFunction(
       ident: Identifier): org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
-    if (ident.namespace.isEmpty && ident.name.equalsIgnoreCase("bucket"))
-      GraftBucketFunction
-    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+    if (ident.namespace.nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+    else ident.name.toLowerCase(java.util.Locale.ROOT) match {
+      case "bucket" => GraftBucketFunction
+      case "day" => GraftDayFunction
+      case _ =>
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+    }
 
   private var catalogName: String = _
   private var initWarehouse: Option[String] = None

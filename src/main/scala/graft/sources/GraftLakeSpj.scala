@@ -34,9 +34,16 @@ private[sources] object GraftLakeSpj {
   /** The keyable layout of snapshot `v`: its uniform hidden-partition
     * spec restricted to join-usable transforms, with the V2 transform
     * expressions and the key row type. None ⇒ report Unknown (mixed
-    * spec generations after partition evolution, non-integral
-    * identity sources, day/truncate layouts — which are prunable but
-    * not join-keyable: their index is not injective on the column). */
+    * spec generations after partition evolution, or non-integral
+    * identity sources). day/truncate transforms ARE join-keyable
+    * (round 8): their index is a deterministic function of the source
+    * column, so rows with equal join keys land in equal partitions —
+    * Spark proves it by resolving the reported `day`/`truncate`
+    * transform against the catalog's FunctionCatalog
+    * ([[GraftDayFunction]]/[[GraftTruncateFunction]], the exact
+    * write-side floor-div arithmetic), the same route `bucket` takes.
+    * Like bucket, they need a catalog read; path reads SPJ on
+    * identity only. */
   final case class KeyedLayout(
       spec: Seq[LakeTable.PartitionTransform],
       transforms: Array[Transform],
@@ -48,6 +55,8 @@ private[sources] object GraftLakeSpj {
     if (live.isEmpty) return None
     val spec = live.head.pspec
     if (spec.isEmpty || live.exists(_.pspec != spec)) return None
+    def longSource(t: LakeTable.PartitionTransform): Boolean =
+      schema.fields.find(_.name == t.source).exists(_.dataType == LongType)
     val parts = spec.map { t =>
       t.kind match {
         case "bucket" =>
@@ -57,7 +66,18 @@ private[sources] object GraftLakeSpj {
             case IntegerType => (Expressions.identity(t.source), IntegerType: DataType)
             case LongType => (Expressions.identity(t.source), LongType: DataType)
           }
-        case _ => None // day/truncate: prunable, not join-keyable
+        case "day" if longSource(t) =>
+          Some((Expressions.apply("day",
+            Expressions.column(t.source)): Transform, LongType: DataType))
+        // truncate: prunable but NOT join-keyable on this Spark —
+        // KeyGroupedPartitioning.satisfies0 requires every partition
+        // expression to have exactly one leaf (the literal width
+        // would be a second leaf; only bucket's literal is special-
+        // cased into TransformExpression.numBucketsOpt), so a
+        // reported truncate transform could never satisfy the join's
+        // clustered distribution. Verified against the 4.1.2
+        // bytecode; SpjSpec pins the documented fallback.
+        case _ => None
       }
     }
     if (parts.exists(_.isEmpty)) None
@@ -136,6 +156,30 @@ class KeyedReaderFactory(inner: PartitionReaderFactory)
   * expression; the semantics here are EXACTLY the write-side layout
   * function (`pmod(xxhash64(v), N)`, seed 42), so a key provably
   * lands in the partition the scan claims. */
+/** The `day(col)` layout function: epoch-seconds LONG → day index by
+  * exact integer floor division — bit-identical to the write-side
+  * `(v − pmod(v, 86400)) DIV 86400`, so a key provably lands in the
+  * partition the scan claims. */
+object GraftDayFunction extends UnboundFunction {
+  override def name(): String = "day"
+  override def description(): String =
+    "day(epochSeconds): floorDiv(v, 86400) — the lake's hidden day-partition index"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 1 && inputType.fields(0).dataType == LongType,
+      s"day takes (epochSeconds BIGINT), got $inputType")
+    new ScalarFunction[java.lang.Long] {
+      override def inputTypes(): Array[DataType] = Array(LongType)
+      override def resultType(): DataType = LongType
+      override def name(): String = "day"
+      override def canonicalName(): String = "graftlake.day"
+      override def isResultNullable: Boolean = false
+      override def produceResult(input: InternalRow): java.lang.Long =
+        Math.floorDiv(input.getLong(0), 86400L)
+    }
+  }
+}
+
 object GraftBucketFunction extends UnboundFunction {
   override def name(): String = "bucket"
   override def description(): String =

@@ -90,6 +90,78 @@ class SpjSpec extends AnyFunSuite {
     }
   }
 
+  test("day-partitioned catalog tables join shuffle-free via the day function") {
+    val root = "/tmp/graft_spj_day"
+    SparkSpec.rmdir(root)
+    spark.conf.set("spark.sql.catalog.spjday", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.spjday.warehouse", root)
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS spjday.db")
+      val spec = Seq(PartitionTransform("ts_s", "day"))
+      // epoch-seconds spanning ~10 days; join key IS the timestamp, a
+      // function of which (day) is the partition — equal keys provably
+      // co-locate, the Iceberg SPJ-over-transforms shape
+      val left = (0 until 5000)
+        .map(i => (1700000000L + (i % 800) * 1000L, i * 3.0)).toDF("ts_s", "x")
+      val right = (0 until 400)
+        .map(i => (1700000000L + i * 2000L, s"r_$i")).toDF("ts_s", "tag")
+      LakeTable.overwriteHiddenPartitioned(left, s"$root/db/l", spec)
+      LakeTable.overwriteHiddenPartitioned(right, s"$root/db/r", spec)
+
+      val (rows, plan) = withSpj {
+        val j = spark.sql(
+          """SELECT /*+ MERGE(l) */ l.ts_s, x, tag
+            |FROM spjday.db.l l JOIN spjday.db.r r ON l.ts_s = r.ts_s
+            |ORDER BY l.ts_s, x, tag""".stripMargin)
+        (j.collect(), j.queryExecution.executedPlan.toString)
+      }
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"day SPJ must not hash-shuffle either side:\n$plan")
+      val expected = left.join(right, "ts_s").orderBy("ts_s", "x", "tag")
+        .select("ts_s", "x", "tag").collect()
+      assert(rows.toSeq === expected.toSeq)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.spjday")
+      spark.conf.unset("spark.sql.catalog.spjday.warehouse")
+    }
+  }
+
+  test("truncate-partitioned tables fall back to shuffle (engine gate) but stay correct") {
+    val root = "/tmp/graft_spj_trunc"
+    SparkSpec.rmdir(root)
+    spark.conf.set("spark.sql.catalog.spjtr", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.spjtr.warehouse", root)
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS spjtr.db")
+      val spec = Seq(PartitionTransform("id", "truncate", 100))
+      val left = (0 until 4000).map(i => (i.toLong, i * 2.0)).toDF("id", "x")
+      val right = (0 until 800).map(i => (i.toLong * 5, s"t_$i")).toDF("id", "tag")
+      LakeTable.overwriteHiddenPartitioned(left, s"$root/db/l", spec)
+      LakeTable.overwriteHiddenPartitioned(right, s"$root/db/r", spec)
+
+      // Spark's KeyGroupedPartitioning requires single-leaf partition
+      // expressions (only bucket's literal width is special-cased into
+      // numBucketsOpt), so truncate(width, col) can never satisfy the
+      // join's clustered distribution — the layout correctly reports
+      // Unknown and the join shuffles, with identical results
+      val (rows, plan) = withSpj {
+        val j = spark.sql(
+          """SELECT /*+ MERGE(l) */ l.id, x, tag
+            |FROM spjtr.db.l l JOIN spjtr.db.r r ON l.id = r.id
+            |ORDER BY l.id""".stripMargin)
+        (j.collect(), j.queryExecution.executedPlan.toString)
+      }
+      assert(plan.contains("Exchange hashpartitioning"),
+        s"truncate layouts are documented non-keyable on this Spark:\n$plan")
+      val expected = left.join(right, "id").orderBy("id")
+        .select("id", "x", "tag").collect()
+      assert(rows.toSeq === expected.toSeq)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.spjtr")
+      spark.conf.unset("spark.sql.catalog.spjtr.warehouse")
+    }
+  }
+
   test("mixed-spec generations fall back to Unknown partitioning but stay correct") {
     val root = "/tmp/graft_spj_mixed"
     SparkSpec.rmdir(root)
