@@ -175,6 +175,7 @@ object SparkEntry {
     "skyline_price_size" -> (ops.Relational.skylinePriceSize _),
     "lake_snapshot_read" -> (sources.LakeTable.snapshotReadQuery _),
     "lake_agg_pushdown" -> (sources.LakeTable.aggPushdownQuery _),
+    "lake_agg_pushdown_group" -> (sources.LakeTable.aggPushdownGroupQuery _),
     "lake_catalog_sql" -> (sources.LakeTable.catalogSqlQuery _),
     "lake_ctas" -> (sources.LakeTable.ctasQuery _),
     "lake_runtime_prune" -> (sources.LakeTable.runtimePruneQuery _),
@@ -1004,6 +1005,12 @@ object SparkEntry {
       """SELECT count(*) AS n, min(event_id) AS mn_id, max(event_id) AS mx_id,
         |       round(min(value), 6) AS mn_value, round(max(value), 6) AS mx_value
         |FROM events""".stripMargin,
+    // lake_agg_pushdown_group: per-partition counts/bounds from
+    // manifests (plan require'd in-query); shard = event_id % 8
+    "lake_agg_pushdown_group" ->
+      """SELECT event_id % 8 AS shard, count(*) AS n, min(event_id) AS mn_id,
+        |       round(max(value), 6) AS mx_value
+        |FROM events GROUP BY event_id % 8 ORDER BY shard""".stripMargin,
     // lake_runtime_prune: broadcast star join whose dim keys are
     // exactly event_id < 100, so the join is value-equivalent to a
     // filter; the runtime file-skip contract is require'd in-query

@@ -310,7 +310,7 @@ class GraftLakeScanBuilder(
   private var accepted: Array[Filter] = Array.empty
   private var allFilters: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
-  private var pushedAgg: Option[(StructType, ce.GenericInternalRow)] = None
+  private var pushedAgg: Option[(StructType, Seq[ce.GenericInternalRow])] = None
 
   /** Metadata-only AGGREGATE pushdown — the Iceberg-style answer for
     * `SELECT count(*), min(c), max(c) FROM t`: COMPLETE pushdown of a
@@ -333,9 +333,9 @@ class GraftLakeScanBuilder(
     pushedAgg.isDefined
   }
 
-  private def tryMetaAgg(agg: Aggregation): Option[(StructType, ce.GenericInternalRow)] = {
+  private def tryMetaAgg(agg: Aggregation): Option[(StructType, Seq[ce.GenericInternalRow])] = {
     import org.apache.spark.sql.types._
-    if (allFilters.nonEmpty || agg.groupByExpressions.nonEmpty) return None
+    if (allFilters.nonEmpty) return None
     def fieldOf(r: NamedReference): Option[StructField] =
       r.fieldNames match {
         case Array(one) => tableSchema.fields.find(_.name == one)
@@ -346,6 +346,7 @@ class GraftLakeScanBuilder(
           })
         case _ => None
       }
+    if (agg.groupByExpressions.nonEmpty) return tryMetaGroupAgg(agg, fieldOf)
     // (needCount, minField, maxField) per aggregate, in output order
     val parsed: Seq[Option[(Boolean, Option[StructField], Option[StructField])]] =
       agg.aggregateExpressions.toSeq.map {
@@ -398,7 +399,93 @@ class GraftLakeScanBuilder(
       case _ => return None
     }
     Some((StructType(fieldsValues.map(_._1)),
-      new ce.GenericInternalRow(fieldsValues.map(_._2).toArray)))
+      Seq(new ce.GenericInternalRow(fieldsValues.map(_._2).toArray))))
+  }
+
+  /** GROUP-BY metadata aggregate (round 8): GROUP BY over identity-
+    * partition source columns with count/min/max, answered from the
+    * per-partition manifest rows ([[LakeTable.metadataGroupAggregate]]
+    * owns the exactness refusals — non-identity group keys, mixed
+    * specs, MoR rows, stats gaps). Output rows are the group keys (in
+    * the query's grouping order) followed by the aggregates, the
+    * complete-pushdown contract shape. */
+  private def tryMetaGroupAgg(
+      agg: Aggregation,
+      fieldOf: NamedReference => Option[org.apache.spark.sql.types.StructField])
+      : Option[(StructType, Seq[ce.GenericInternalRow])] = {
+    import org.apache.spark.sql.types._
+    // group keys: single-name integral fields only — the dir value is
+    // a long, and it must round-trip into the column type exactly
+    val groupFields: Seq[StructField] = agg.groupByExpressions.toSeq.map {
+      case r: NamedReference => fieldOf(r)
+        .filter(f => f.dataType match {
+          case _: IntegerType | _: LongType | _: ShortType | _: ByteType => true
+          case _ => false
+        }).getOrElse(return None)
+      case _ => None.getOrElse(return None)
+    }
+    val parsed: Seq[Option[(Boolean, Option[StructField], Option[StructField])]] =
+      agg.aggregateExpressions.toSeq.map {
+        case _: CountStar => Some((true, None, None))
+        case m: Min => m.column match {
+          case r: NamedReference => fieldOf(r).map(f => (false, Some(f), None))
+          case _ => None
+        }
+        case m: Max => m.column match {
+          case r: NamedReference => fieldOf(r).map(f => (false, None, Some(f)))
+          case _ => None
+        }
+        case _ => None
+      }
+    if (parsed.exists(_.isEmpty)) return None
+    val wants = parsed.flatten
+    val v = version.orElse(LakeTable.latestVersion(path)).getOrElse(return None)
+    val groups = LakeTable.metadataGroupAggregate(
+      spark, path, v, groupFields.map(_.name),
+      minCols = wants.flatMap(_._2).map(_.name),
+      maxCols = wants.flatMap(_._3).map(_.name),
+      needCount = wants.exists(_._1)).getOrElse(return None)
+    def exact(dt: DataType, d: Double): Option[Any] = dt match {
+      case DoubleType => Some(d)
+      case FloatType => Some(d.toFloat).filter(_.toDouble == d)
+      case LongType => Some(d.toLong).filter(_.toDouble == d)
+      case IntegerType => Some(d.toInt).filter(_.toDouble == d)
+      case ShortType => Some(d.toShort).filter(_.toDouble == d)
+      case ByteType => Some(d.toByte).filter(_.toDouble == d)
+      case _ => None
+    }
+    def keyValue(dt: DataType, k: Long): Option[Any] = dt match {
+      case LongType => Some(k)
+      case IntegerType => Some(k.toInt).filter(_.toLong == k)
+      case ShortType => Some(k.toShort).filter(_.toLong == k)
+      case ByteType => Some(k.toByte).filter(_.toLong == k)
+      case _ => None
+    }
+    val aggFields: Seq[StructField] = wants.map {
+      case (true, _, _) => StructField("count(*)", LongType, nullable = false)
+      case (_, Some(f), _) => StructField(s"min(${f.name})", f.dataType)
+      case (_, _, Some(f)) => StructField(s"max(${f.name})", f.dataType)
+      case _ => return None
+    }
+    val rows = groups.map { g =>
+      val keyVals = groupFields.zip(g.key).map { case (f, k) =>
+        keyValue(f.dataType, k).getOrElse(return None)
+      }
+      val aggVals: Seq[Any] = wants.map {
+        case (true, _, _) => g.count.getOrElse(return None)
+        case (_, Some(f), _) => g.mins.get(f.name).flatten match {
+          case None => null
+          case Some(d) => exact(f.dataType, d).getOrElse(return None)
+        }
+        case (_, _, Some(f)) => g.maxes.get(f.name).flatten match {
+          case None => null
+          case Some(d) => exact(f.dataType, d).getOrElse(return None)
+        }
+        case _ => return None
+      }
+      new ce.GenericInternalRow((keyVals ++ aggVals).toArray)
+    }
+    Some((StructType(groupFields ++ aggFields), rows))
   }
 
   /** The conjunctive numeric boxes a filter set implies, per column —
@@ -475,8 +562,8 @@ class GraftLakeScanBuilder(
   }
 
   override def build(): Scan = {
-    pushedAgg.foreach { case (schema, row) =>
-      return new GraftLakeAggScan(path, schema, row)
+    pushedAgg.foreach { case (schema, rows) =>
+      return new GraftLakeAggScan(path, schema, rows)
     }
     val v = version.orElse(LakeTable.latestVersion(path)).getOrElse(
       throw new IllegalArgumentException(s"no snapshots at $path"))
@@ -717,10 +804,11 @@ object GraftLakeScan {
 /** The one-row result of a COMPLETELY pushed-down global aggregate —
   * Spark plans this as a driver-local table scan; no data file, no
   * job. */
-class GraftLakeAggScan(path: String, schema: StructType, row: ce.GenericInternalRow)
+class GraftLakeAggScan(path: String, schema: StructType, resultRows: Seq[ce.GenericInternalRow])
     extends LocalScan {
   override def readSchema(): StructType = schema
-  override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = Array(row)
+  override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+    resultRows.toArray[org.apache.spark.sql.catalyst.InternalRow]
   override def description(): String =
     s"GraftLakeAggScan(metadata-only aggregate over $path)"
 }

@@ -1734,6 +1734,119 @@ object LakeTable {
     * ONE Spark job over the manifest files aggregates O(#files)
     * METADATA rows — at 100 TB this answers count(*) in manifest time
     * while a data scan would read every row. */
+  /** One group of a metadata-answered GROUP BY aggregate. */
+  private[sources] final case class MetaGroupRow(
+      key: Seq[Long], count: Option[Long],
+      mins: Map[String, Option[Double]], maxes: Map[String, Option[Double]])
+
+  /** GROUP-BY count/min/max answered from manifests alone — the
+    * reporting shape over an identity-partitioned table. Group keys
+    * must be identity SOURCES of the snapshot's one uniform hidden
+    * spec: each file's key is then its dir value, which proves every
+    * row of the file carries exactly that key — INCLUDING the absence
+    * of nulls, which column min/max stats could never prove (a file
+    * with min==max can still hold null rows that SQL groups
+    * separately). Every refusal returns None and the caller falls
+    * back to the real scan, so this path can be absent but never
+    * wrong. Driver-side fold below [[DistributedPlanThreshold]]
+    * claimed files; ONE metadata job over the manifests past it.
+    * Output size is O(#distinct partition values) — the same bounded
+    * plane as any pushed-aggregate result. */
+  private[sources] def metadataGroupAggregate(
+      spark: SparkSession, path: String, v: Int, groupCols: Seq[String],
+      minCols: Seq[String], maxCols: Seq[String], needCount: Boolean)
+      : Option[Seq[MetaGroupRow]] = {
+    val refs = listRefs(path, v)
+    if (refs.exists(_.kind != "data")) return None
+    val current = schemaOf(path, v)
+    val renamed = refs.exists(r => r.cols.exists { case (n, id) =>
+      current.flatMap(_.find(_._1 == id)).exists(_._2 != n) })
+    if (renamed) return None
+    val live = refs.filter(_.nFiles > 0)
+    if (live.isEmpty || groupCols.isEmpty) return if (live.isEmpty) Some(Nil) else None
+    val spec = live.head.pspec
+    if (spec.isEmpty || live.exists(_.pspec != spec)) return None
+    val idSources = spec.filter(_.kind == "identity").map(_.source).toSet
+    if (!groupCols.forall(idSources.contains)) return None
+    val prefixes = groupCols.map(c =>
+      s"${hiddenColName(PartitionTransform(c, "identity"))}=")
+    def keyOf(file: String): Option[Seq[Long]] = {
+      val segs = file.split('/')
+      val vals = prefixes.map(p => segs.find(_.startsWith(p)).map(_.drop(p.length))
+        .flatMap(_.toLongOption))
+      if (vals.exists(_.isEmpty)) None else Some(vals.flatten)
+    }
+    val claimed = live.map(_.nFiles).sum
+    val statCols = (minCols ++ maxCols).distinct
+    if (claimed <= DistributedPlanThreshold) {
+      val entries = live.flatMap(readManifest)
+      if (needCount && entries.exists(_.rows < 0L)) return None
+      val valued = entries.filter(_.rows != 0L)
+      val keyed = valued.map(e => keyOf(e.file) match {
+        case Some(k) => (k, e)
+        case None => return None // null/unparseable dir value
+      })
+      val groups = keyed.groupBy(_._1).toSeq.sortBy(_._1.mkString(","))
+      val out = groups.map { case (k, kes) =>
+        val es = kes.map(_._2)
+        val cnt = if (needCount) Some(es.map(_.rows).sum) else None
+        def fold(cs: Seq[String], pick: Seq[Double] => Double,
+            reduce: (Double, Double) => Double): Option[Map[String, Option[Double]]] = {
+          val m = cs.distinct.map { c =>
+            val bs = es.map(_.stats.get(c))
+            if (bs.exists(_.isEmpty)) return None // incomplete coverage
+            c -> bs.flatten.map(pick).reduceOption(reduce)
+          }
+          Some(m.toMap)
+        }
+        for {
+          mins <- fold(minCols, _.head, math.min)
+          maxes <- fold(maxCols, _.last, math.max)
+        } yield MetaGroupRow(k, cnt, mins, maxes)
+      }
+      if (out.exists(_.isEmpty)) None else Some(out.flatten.toSeq)
+    } else {
+      // ONE metadata job: parse each file's dir key, group on it, and
+      // carry per-group coverage proofs (files with a stat / files)
+      val base = entriesFrameOf(spark, live,
+        "file STRING, stats MAP<STRING, ARRAY<DOUBLE>>, rows LONG")
+        .filter(col("rows").isNull || col("rows") =!= 0L)
+      val withKeys = prefixes.zipWithIndex.foldLeft(base) { case (df, (p, i)) =>
+        df.withColumn(s"__k$i", expr(
+          s"try_cast(substring(element_at(filter(split(file, '/'), " +
+            s"s -> startswith(s, '$p')), 1), ${p.length + 1}) AS LONG)"))
+      }
+      val keyCols = prefixes.indices.map(i => col(s"__k$i"))
+      val aggs = Seq(
+        count(lit(1)).as("__n"),
+        count(col("rows")).as("__rows_known"),
+        min(col("rows")).as("__rows_min"), sum(col("rows")).as("__rows")) ++
+        statCols.flatMap { c =>
+          val b = try_element_at(col("stats"), lit(c))
+          Seq(count(b).as(s"__has_$c"),
+            min(element_at(b, 1)).as(s"__mn_$c"),
+            max(element_at(b, 2)).as(s"__mx_$c"))
+        }
+      val rs = withKeys.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*).collect()
+      val out = rs.toSeq.map { r =>
+        if (prefixes.indices.exists(r.isNullAt)) return None // unparseable key
+        val key = prefixes.indices.map(r.getLong)
+        val n = r.getAs[Long]("__n")
+        val cnt =
+          if (!needCount) None
+          else if (r.getAs[Long]("__rows_known") == n && r.getAs[Long]("__rows_min") >= 0L)
+            Some(r.getAs[Long]("__rows"))
+          else return None
+        if (statCols.exists(c => r.getAs[Long](s"__has_$c") != n)) return None
+        def side(cs: Seq[String], pfx: String): Map[String, Option[Double]] =
+          cs.distinct.map(c => c -> Option(r.getAs[Any](s"${pfx}_$c"))
+            .map(_.asInstanceOf[Double])).toMap
+        MetaGroupRow(key, cnt, side(minCols, "__mn"), side(maxCols, "__mx"))
+      }
+      Some(out.sortBy(_.key.mkString(",")))
+    }
+  }
+
   private[sources] def metadataAggregate(
       spark: SparkSession, path: String, v: Int,
       minCols: Seq[String], maxCols: Seq[String], needCount: Boolean)
@@ -2763,6 +2876,40 @@ object LakeTable {
     require(pushed,
       "lake_agg_pushdown: the aggregate must be answered from metadata alone " +
         s"(got:\n${df.queryExecution.optimizedPlan})")
+    df
+  }
+
+  /** Driver query: GROUP-BY METADATA AGGREGATE PUSHDOWN (round 8) —
+    * the common reporting shape over a partitioned table: `GROUP BY
+    * <partition col>` with count/min/max, answered from the
+    * per-partition manifest rows with ZERO data files opened
+    * (require'd in-query: the optimized plan must hold a
+    * [[GraftLakeAggScan]], the N-row LocalScan). The key-purity proof
+    * is the identity-partition DIR VALUE, not column stats — stats
+    * min==max cannot rule out null rows, dir placement can. The
+    * oracle recomputes the same aggregate from the source table, so
+    * per-group counts and bounds are hash-verified. */
+  def aggPushdownGroupQuery(s: SparkSession, d: String): DataFrame = {
+    val path = freshWorkDir("lakeagggrp", d)
+    val ev = graft.Tables.load(s, d, "events")
+      .select(col("event_id"), col("value"),
+        pmod(col("event_id"), lit(8L)).as("shard"))
+    overwriteHiddenPartitioned(ev, path,
+      Seq(PartitionTransform("shard", "identity")))
+    val df = s.read.format("graftlake").load(path)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n"), min(col("event_id")).as("mn_id"),
+        max(col("value")).as("mx_raw"))
+      .select(col("shard"), col("n"), col("mn_id"),
+        round(col("mx_raw"), 6).as("mx_value"))
+      .orderBy("shard")
+    val pushed = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+          if r.scan.isInstanceOf[GraftLakeAggScan] => r
+    }.nonEmpty
+    require(pushed,
+      "lake_agg_pushdown_group: the group-by aggregate must be answered from " +
+        s"metadata alone (got:\n${df.queryExecution.optimizedPlan})")
     df
   }
 

@@ -207,6 +207,47 @@ class GraftLakeSourceSpec extends AnyFunSuite {
     assert(scansData(nullMin), "min over an all-null column must scan (no stats coverage)")
   }
 
+  test("GROUP BY over identity-partition keys pushes to metadata; others fall back") {
+    import graft.sources.LakeTable.PartitionTransform
+    val p = "/tmp/graft_test/v2_aggpush_group"
+    rmdir(p)
+    val spec = Seq(PartitionTransform("g", "identity"))
+    val a = spark.range(0, 500)
+      .select((col("id") % 5).as("g"), col("id").as("k"), (col("id") * 2.0).as("v"))
+    val b = spark.range(500, 620)
+      .select((col("id") % 5).as("g"), col("id").as("k"), (col("id") * 2.0).as("v"))
+    LakeTable.overwriteHiddenPartitioned(a, p, spec)
+    LakeTable.appendHiddenPartitioned(b, p, spec) // second generation, same spec
+    val q = v2(p).groupBy("g")
+      .agg(count(lit(1)).as("n"), min("k").as("mn"), max("v").as("mx"))
+      .orderBy("g")
+    val expected = a.unionAll(b).groupBy("g")
+      .agg(count(lit(1)).as("n"), min("k").as("mn"), max("v").as("mx"))
+      .orderBy("g").collect()
+    assert(q.collect().toSeq === expected.toSeq)
+    assert(!scansData(q),
+      s"partition-key group-by must be metadata-only:\n${q.queryExecution.executedPlan}")
+    // non-partition group key → real scan, same answer
+    val q2 = v2(p).groupBy("k").agg(count(lit(1)).as("n"))
+    assert(q2.collect().length === 620)
+    assert(scansData(q2), "non-partition group key must scan")
+    // a filter makes per-partition metadata counts inexact → real scan
+    val q3 = v2(p).filter(col("k") > 100).groupBy("g").agg(count(lit(1)).as("n"))
+    assert(q3.collect().map(_.getLong(1)).sum === 519L)
+    assert(scansData(q3), "filtered group-by must scan")
+    // null group values land in the hive default dir → unparseable
+    // key → refused, scanned, and SQL's null group stays correct
+    val p2 = "/tmp/graft_test/v2_aggpush_group_null"
+    rmdir(p2)
+    val withNull = spark.range(0, 100)
+      .select(when(col("id") < 10, null).otherwise(col("id") % 3).as("g"), col("id").as("k"))
+    LakeTable.overwriteHiddenPartitioned(withNull, p2, spec)
+    val qn = v2(p2).groupBy("g").agg(count(lit(1)).as("n"))
+    val got = qn.collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getLong(1)).toMap
+    assert(got(-1L) === 10L, s"null group must survive: $got")
+    assert(scansData(qn), "a null-keyed partition dir must refuse the metadata path")
+  }
+
   test("metadata aggregate goes DISTRIBUTED past the plan threshold, same answers") {
     val p = "/tmp/graft_test/v2_aggpush_dist"
     rmdir(p)
