@@ -152,15 +152,20 @@ class GraftLakeMicroBatchStream(spark: SparkSession, path: String, fullSchema: S
   * single commit), and the engine's offset checkpoint gives
   * exactly-once resume across restarts.
   *
-  * HONEST CONTRACT for non-append commits: a version that rewrites or
-  * removes data (overwrite past v0, delete, merge, compact, z-order —
-  * anything whose fresh files do not purely ADD rows) REFUSES loudly,
-  * because delivering its fresh files would double-count rewritten
-  * rows and silently skip deletions. `option("skipChangeCommits",
-  * "true")` opts into skipping such versions wholesale (Delta's
-  * semantics: downstream sees appends only, never retractions).
-  * Hive-partitioned commits refuse too — their dir-encoded partition
-  * values cannot ride a bare file scan. */
+  * HONEST CONTRACT for non-append commits: a version that CHANGES
+  * rows (overwrite past v0, delete, merge — anything whose fresh
+  * files do not purely ADD rows) REFUSES loudly, because delivering
+  * its fresh files would double-count rewritten rows and silently
+  * skip deletions. `option("skipChangeCommits", "true")` opts into
+  * skipping such versions wholesale (Delta's semantics: downstream
+  * sees appends only, never retractions). Row-PRESERVING maintenance
+  * (compact/z-order/binpack/bloom) and pure metadata commits
+  * (constraints, add_column) deliver as EMPTY batches — no row
+  * changed, so a follower has nothing to see and nothing to die
+  * over (round-7 ADVICE). rename/drop column still refuse: the
+  * stream's schema is pinned at start and post-rename appends would
+  * null-fill through it. Hive-partitioned commits refuse too — their
+  * dir-encoded partition values cannot ride a bare file scan. */
 class GraftLakeTableStream(
     spark: SparkSession, path: String, tableSchema: StructType,
     skipChangeCommits: Boolean)
@@ -178,6 +183,19 @@ class GraftLakeTableStream(
       case _ => false
     }
 
+  /** Ops whose commit changes no ROW of the table — maintenance
+    * rewrites (row-preserving) and pure metadata commits. A follower
+    * stream sees them as EMPTY batches instead of dying (round-7
+    * ADVICE: a constraint added mid-stream killed every follower
+    * unless skipChangeCommits was set; Delta delivers metadata
+    * commits as empty batches). rename/drop column are deliberately
+    * NOT here: the stream's schema is pinned at start, and appends
+    * AFTER a rename would silently null-fill the renamed column
+    * through the old schema — those still refuse loudly. */
+  private val emptyBatchOps = Set(
+    "compact", "optimize", "zorder", "binpack", "bloom",
+    "add_constraint", "drop_constraint", "add_column")
+
   /** Fresh DATA manifests of commit `v` (not carried from `v-1`). */
   private def freshRefs(v: Int): Seq[LakeTable.ManifestRef] = {
     val prev: Set[String] =
@@ -188,6 +206,14 @@ class GraftLakeTableStream(
 
   private def filesOf(v: Int): Seq[String] = {
     if (!deliverable(v)) {
+      val op = LakeTable.operationOf(path, v)
+      // row-preserving / metadata-only commits → empty batch. The
+      // schema-reshaping ops are checked FIRST because their fresh
+      // manifest set is also empty (metadata carry) — they must not
+      // slip through the no-fresh-data test below.
+      if (op != "rename_column" && op != "drop_column" &&
+          (emptyBatchOps(op) || freshRefs(v).isEmpty))
+        return Nil
       if (skipChangeCommits) return Nil
       throw new UnsupportedOperationException(
         s"graftlake stream at $path: version $v is a " +

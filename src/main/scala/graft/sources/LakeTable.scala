@@ -762,46 +762,67 @@ object LakeTable {
     val base0 = latestVersion(path).getOrElse(-1)
     if (replayed(base0)) { dropFiles(files0); return None }
     val cons = activeConstraints(path)
-    val fresh: Option[ManifestRef] =
+    // the manifest carries the batch's write-time (column → field id)
+    // mapping; the columns ride along so a rebase can RECHECK the
+    // mapping against the rebased base (round-7 ADVICE: a concurrent
+    // writer that evolved the schema would otherwise leave this
+    // epoch's manifest with stale ids — constraints were rechecked
+    // per attempt, schema was not)
+    var fresh: Option[(ManifestRef, Seq[String], Map[String, Int])] =
       if (files0.isEmpty) None
       else {
         val batch = spark.read.option("mergeSchema", "true").parquet(files0: _*)
         enforceConstraints(batch, path)
+        val cols = batch.columns.toSeq
+        val (_, fieldIds) = schemaForWrite(path, base0, cols)
         if (sortOrderOf(path).nonEmpty) {
           // standing write order: rewrite THIS batch sorted (cost
           // bounded by the micro-batch), drop the raw epoch files
-          val (_, fieldIds) = schemaForWrite(path, base0, batch.columns.toSeq)
           val entries = writeDataFiles(applySortOrder(batch, path), path)
           dropFiles(files0)
           if (entries.isEmpty) None
-          else Some(writeManifest(path, entries, "data", fieldIds))
+          else Some((writeManifest(path, entries, "data", fieldIds), cols, fieldIds))
         } else {
-          val (_, fieldIds) = schemaForWrite(path, base0, batch.columns.toSeq)
           val stats = collectStats(spark, files0)
           val entries = files0.sorted.map { f =>
             val (st, rows) = stats.getOrElse(f, (Map.empty[String, Seq[Double]], 0L))
             ManifestEntry(f, Paths.get(f).getParent.toString, st,
               bytes = Files.size(Paths.get(f)), rows = rows)
           }
-          Some(writeManifest(path, entries, "data", fieldIds).copy(partial = true))
+          Some((writeManifest(path, entries, "data", fieldIds).copy(partial = true),
+            cols, fieldIds))
         }
       }
     // publish with retry/rebase; EVERY attempt rechecks the replay
-    // ledger and the constraint set against the rebased base
+    // ledger, the constraint set, AND the field-id schema against the
+    // rebased base
     var attempt = 0
     while (true) {
       val base = latestVersion(path).getOrElse(-1)
       if (replayed(base)) {
-        fresh.foreach(r => dropFiles(readManifest(r).map(_.file) :+ r.manifest))
+        fresh.foreach { case (r, _, _) =>
+          dropFiles(readManifest(r).map(_.file) :+ r.manifest) }
         return None
       }
       val consNow = if (base >= 0) constraintsOf(path, base) else Nil
       require(consNow.toSet.subsetOf(cons.toSet),
         s"CHECK constraints changed concurrently at $path during a streaming " +
           s"epoch commit (validated under ${cons.map(_._1)}, now ${consNow.map(_._1)})")
+      fresh.foreach { case (r, cols, ids) =>
+        val (_, idsNow) = schemaForWrite(path, base, cols)
+        if (idsNow != ids) {
+          // concurrent schema evolution landed under us: rewrite the
+          // manifest (metadata-only, same entries) under the CURRENT
+          // write-time ids and drop the stale one
+          val nr = writeManifest(path, readManifest(r), "data", idsNow)
+            .copy(partial = r.partial)
+          Files.deleteIfExists(Paths.get(r.manifest))
+          fresh = Some((nr, cols, idsNow))
+        }
+      }
       val prev = if (base >= 0) listRefs(path, base) else Nil
       try {
-        return Some(commitRefs(spark, path, base, prev ++ fresh.toSeq,
+        return Some(commitRefs(spark, path, base, prev ++ fresh.map(_._1).toSeq,
           "streaming-append", txn = Some(queryId -> epochId)))
       } catch {
         case e: Exception if isVersionConflict(e) && attempt < MaxCommitRetries =>

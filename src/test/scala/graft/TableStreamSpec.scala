@@ -53,6 +53,24 @@ class TableStreamSpec extends AnyFunSuite {
     assert(all.select(countDistinct("id")).head().getLong(0) === 27)
   }
 
+  test("maintenance and metadata commits arrive as empty batches, not stream death") {
+    val root = "/tmp/graft_tstream_meta"
+    SparkSpec.rmdir(root)
+    val (table, out, chk) = (s"$root/t", s"$root/out", s"$root/chk")
+    LakeTable.overwrite(rows(0, 10), table)             // v0
+    assert(drain(table, out, chk) === 1)
+    LakeTable.addConstraint(spark, table, "pos_x", "x >= 0") // v1: metadata only
+    LakeTable.append(rows(10, 5), table)                // v2
+    LakeTable.compact(spark, table)                     // v3: row-preserving rewrite
+    LakeTable.addColumn(spark, table, "extra")          // v4: metadata only
+    LakeTable.append(rows(15, 5).withColumn("extra", lit("e")), table) // v5
+    // v1/v3/v4 deliver empty; v2/v5 carry rows — follower never dies
+    assert(drain(table, out, chk) === 2,
+      "exactly the two append versions carry rows")
+    val all = spark.read.parquet(out)
+    assert(all.select(countDistinct("id")).head().getLong(0) === 20)
+  }
+
   test("a delete commit refuses loudly; skipChangeCommits skips it and follows later appends") {
     val root = "/tmp/graft_tstream_refuse"
     SparkSpec.rmdir(root)
