@@ -48,7 +48,15 @@ object Bench {
     // noop sink: forces FULL evaluation of every output column.
     // count() would let Catalyst prune the very computation being
     // measured (e.g. hash pipelines collapse to a row count).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev-only subset filter for perf iteration (the driver never
+    // sets it; prestage still runs, so timings are bench-shaped)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach(names => System.err.println(
+      s"[bench] *** SPARK_GRAFT_BENCH_ONLY ACTIVE: ${names.size} queries — NOT a full run ***"))
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(t => only.forall(_.contains(t._1)))
+      .map { case (name, fn) =>
       if (cold) {
         graft.llm.Dedup.clearSharedCaches()
         graft.etl.Preprocess.clearSharedCaches()

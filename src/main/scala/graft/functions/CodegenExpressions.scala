@@ -36,6 +36,41 @@ object HashUtil {
     (cp.toLong << 3) | len
   }
 
+  /** C4-style canonicalization in ONE byte pass, provably equal to
+    * the reference pipeline
+    * `trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))`:
+    * lowercase via the SAME UTF8String.toLowerCase Spark's `lower`
+    * uses, then per BYTE of the lowered string — ASCII alnum kept,
+    * ASCII space run-collapsed, everything else dropped. Byte-level
+    * is safe because every byte of a multibyte character is ≥ 0x80
+    * (never alnum/space), so dropping its bytes one by one is exactly
+    * the regex dropping the character; the regex's " " matches only
+    * ASCII 0x20, as here. Property-specced against the regex form
+    * over unicode fuzz strings. Two java-regex passes over the corpus
+    * become one allocation-light scan — the hot input of exact dedup
+    * and the curation funnel's s1. */
+  def canonicalNorm(s: UTF8String): UTF8String = {
+    val lowered = s.toLowerCase
+    val n = lowered.numBytes()
+    val out = new Array[Byte](n)
+    var i = 0
+    var o = 0
+    var pendingSpace = false
+    while (i < n) {
+      val b = lowered.getByte(i)
+      val alnum = (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
+      if (alnum) {
+        if (pendingSpace && o > 0) { out(o) = ' '; o += 1 }
+        pendingSpace = false
+        out(o) = b; o += 1
+      } else if (b == ' ') {
+        pendingSpace = true // emitted only if a kept byte follows (trim)
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(out, 0, o)
+  }
+
   /** Polynomial rolling hash h=(h*31+codePoint)%(1e9+7) over a
     * string's UNICODE CODE POINTS — the same fold as the HOF form
     * (`ascii(substring(s,i,1))` = codePointAt) and the DuckDB oracles,
@@ -258,6 +293,23 @@ object HashUtil {
   * [[HashUtil.polyHashCp]]) as a native codegen expression — one
   * static-helper call per row instead of an interpreted
   * aggregate-over-sequence fold (~50 expression-tree evals per char). */
+case class CanonicalNormExpr(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "graft_canonical_norm"
+
+  protected override def nullSafeEval(input: Any): Any =
+    HashUtil.canonicalNorm(input.asInstanceOf[UTF8String])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashUtil.canonicalNorm($c);")
+
+  protected override def withNewChildInternal(newChild: Expression): CanonicalNormExpr =
+    copy(child = newChild)
+}
+
 case class PolyHashExpr(child: Expression)
     extends UnaryExpression {
 

@@ -142,6 +142,11 @@ object ColumnFunctions {
     * bytes, split(" ", -1) semantics (spec-asserted equal). */
   def tokenHashesNative(text: Column): Column = ofExpr(TokenHashesExpr(exprOf(text)))
 
+  /** C4-style canonicalization (lower → strip non-[a-z0-9 ] →
+    * collapse spaces → trim) as ONE native byte scan — spec-asserted
+    * equal to the regex pipeline it replaces. */
+  def canonicalNormNative(text: Column): Column = ofExpr(CanonicalNormExpr(exprOf(text)))
+
   /** Fused native MinHash signature from a token-hash array —
     * arithmetic-identical to the shingleHashes3+seededHash HOF
     * pipeline (spec-asserted) and the DuckDB oracles. */

@@ -41,12 +41,17 @@ object Curation {
       .unionByName(Dedup.styledVariants(docs))
 
     // s1: exact dedup on the canonical text; keeper = lowest doc_id
-    // (lexicographic struct-min, partial-agg friendly)
+    // (lexicographic struct-min, partial-agg friendly). Materialized
+    // eagerly (survivor-scale): THREE downstream consumers (the s2
+    // anti-join, the s2 text join, and its own count branch) would
+    // otherwise each re-run the canonicalNorm groupBy over the 3×
+    // corpus — separate actions, so exchange reuse cannot merge them
     val s1 = raw
       .select(Dedup.canonicalNorm(col("text")).as("norm"),
         struct(col("doc_id"), col("text")).as("dt"))
       .groupBy("norm").agg(min(col("dt")).as("keep"))
       .select(col("keep.doc_id").as("doc_id"), col("keep.text").as("text"))
+      .localCheckpoint(true)
 
     // s2: near-dup keep-best over the survivors. The surviving set is
     // exactly the near-dup corpus (restyled copies collapse, near

@@ -55,6 +55,29 @@ class HashPropertySpec extends AnyFunSuite {
       }
   }
 
+  test("property: CanonicalNormExpr == the regex pipeline on 300 arbitrary strings") {
+    // extra generator weight on punctuation/uppercase/digit mixes —
+    // the characters the normalization actually acts on
+    val punctTok: Gen[String] = Gen.listOfN(6, Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf('.', ',', '!', '?', ';', '-', '_', '\'', '"'),
+      Gen.oneOf('A', 'Z', 'Q', '0', '9'), Gen.choose(0x00c0, 0x00ff).map(_.toChar)))
+      .map(_.mkString)
+    val mixGen: Gen[String] = for {
+      n <- Gen.choose(0, 8)
+      toks <- Gen.listOfN(n, Gen.oneOf(tokenGen, punctTok))
+      sep <- Gen.oneOf(" ", "  ", "   ")
+      lead <- Gen.oneOf("", " ", "  ")
+      trail <- Gen.oneOf("", " ", ". ")
+    } yield lead + toks.mkString(sep) + trail
+    val strs = samples(mixGen, 300) ++ Seq("", " ", "  .  ", "A.B", "ΑΒΓ Kk")
+    strs.toDF("s")
+      .select(llm.Dedup.canonicalNorm(col("s")).as("fast"),
+        llm.Dedup.canonicalNormRegex(col("s")).as("ref"))
+      .collect()
+      .foreach(r => assert(r.getString(0) === r.getString(1),
+        s"native canonicalNorm drifted from the regex pipeline"))
+  }
+
   test("property: CharNgramsExpr == transform(sequence, substring) on 200 strings") {
     val hof = transform(
       sequence(lit(1), length(col("s")) - 2),
