@@ -625,11 +625,28 @@ object LakeTable {
         effTxns.toSeq.sortBy(_._1).map { case (q, e) =>
           s"{${jstr("query")}:${jstr(q)},${jstr("epoch")}:$e}"
         }.asJava)
+    // COMMIT POINT, arbitrated (round 8, S8ad): the table's arbiter
+    // must grant the version claim before the publish rename — the
+    // catalog-service CAS protocol ([[CommitArbiter]]); the default
+    // RenameArbiter grants everything and the atomic ErrorIfExists
+    // rename stays the sole (and locally sufficient) arbitration.
+    val arb = arbiterFor(path)
+    arb.observed(path, base)
+    if (!arb.tryClaim(path, next)) {
+      val walk = Files.walk(staging)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+      throw new java.nio.file.FileAlreadyExistsException(
+        s"${metaDir(path)}/v$next",
+        null, "version claim refused by the commit arbiter (concurrent committer)")
+    }
     try {
       Files.move(staging, md.resolve(s"v$next"),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      arb.published(path, next)
     } catch {
       case e: Throwable =>
+        arb.abandon(path, next)
         val walk = Files.walk(staging)
         try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
         finally walk.close()
@@ -637,6 +654,22 @@ object LakeTable {
     }
     next
   }
+
+  // ---- pluggable commit arbitration (S8ad) ----
+
+  private val arbiters =
+    new java.util.concurrent.ConcurrentHashMap[String, CommitArbiter]()
+  private def normArbPath(p: String): String =
+    p.stripPrefix("file:").replaceAll("/+$", "")
+
+  /** Attach a [[CommitArbiter]] (catalog-service commit protocol) to
+    * a table; every subsequent commit claims its version through it.
+    * Detach by attaching [[RenameArbiter]]. */
+  def setCommitArbiter(path: String, arbiter: CommitArbiter): Unit =
+    arbiters.put(normArbPath(path), arbiter)
+
+  private def arbiterFor(path: String): CommitArbiter =
+    arbiters.getOrDefault(normArbPath(path), RenameArbiter)
 
   /** Stage `df` as data files + one manifest; None when the frame
     * wrote zero files (empty input). The manifest records the
