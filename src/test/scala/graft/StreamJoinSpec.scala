@@ -57,6 +57,57 @@ class StreamJoinSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("LEFT OUTER interval join emits null matches once the watermark closes the window") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val purchases = MemoryStream[(Timestamp, Long)]
+    val errors = MemoryStream[(Timestamp, Long)]
+    // left outer: every purchase must surface exactly once — paired
+    // when an error fell in its window, null-extended when the
+    // watermark PROVES no matching error can still arrive (the state
+    // eviction point). The attribution query shape where absence of a
+    // cause is itself the signal.
+    val joined = purchases.toDS().toDF("pts", "user")
+      .withWatermark("pts", "10 minutes")
+      .join(
+        errors.toDS().toDF("ets", "euser").withWatermark("ets", "10 minutes"),
+        expr("""user = euser AND
+                ets >= pts - INTERVAL 10 MINUTES AND ets <= pts"""),
+        "left_outer")
+      .select(col("user"), col("pts"), col("ets"))
+    val query = joined.writeStream.format("memory").queryName("ssj_outer")
+      .outputMode("append").start()
+    try {
+      // u1 pairs; u3 has no error and must eventually null-extend
+      errors.addData((ts(5), 1L))
+      purchases.addData((ts(12), 1L), (ts(13), 3L))
+      query.processAllAvailable()
+      // sentinels on DISTINCT users push both sides' event-time max
+      // forward so the global watermark passes u3's window end
+      // (10:13): purchases→10:40, errors→10:30 ⇒ watermark 10:30
+      errors.addData((ts(40), 8L))
+      purchases.addData((ts(50), 9L))
+      query.processAllAvailable()
+      // one more batch: outer results materialize on the batch AFTER
+      // the watermark advance evicts the state
+      errors.addData((ts(41), 8L))
+      query.processAllAvailable()
+
+      val rows = spark.table("ssj_outer").collect()
+        .map(r => (r.getAs[Long]("user"), r.getAs[Timestamp]("pts"),
+          Option(r.getAs[Timestamp]("ets")))).toSet
+      assert(rows.contains((1L, ts(12), Some(ts(5)))), s"inner pair lost: $rows")
+      assert(rows.contains((3L, ts(13), None)),
+        s"unmatched purchase must null-extend after watermark passes its window: $rows")
+      // the sentinel purchase's window (ends 10:50) is NOT yet closed
+      // by the 10:30 watermark — no premature null
+      assert(!rows.exists(r => r._1 == 9L),
+        s"window still open ⇒ no emission for the sentinel purchase: $rows")
+      // an unmatched RIGHT row never surfaces in a left outer join
+      assert(!rows.exists(r => r._1 == 8L), s"right-only user leaked: $rows")
+    } finally query.stop()
+  }
+
   test("stream-static enrichment join stays stateless and broadcasts the dim") {
     // The OTHER streaming-join cell: stream⋈static needs NO state
     // store at all — the static side re-resolves per micro-batch and
