@@ -26,6 +26,9 @@ import graft.functions.ColumnFunctions._
   *  - simhash:    30-bit SimHashExpr bit-majority
   *  - ngram_fp:   fold of PolyHashExpr over each code-point 3-gram
   *                from CharNgramsExpr
+  *  - canon_fp:   PolyHashExpr of CanonicalNormExpr's output — the
+  *                single-pass native normalization vs DuckDB's own
+  *                lower + regex pipeline (round 8)
   */
 object Fuzz {
   def main(args: Array[String]): Unit = {
@@ -52,13 +55,15 @@ object Fuzz {
         fold(th).as("token_fold"),
         coalesce(fold(minhashSigNative(th, 16)), lit(-1L)).as("sig_fp"),
         simhashNative(th).as("simhash"),
-        fold(transform(charNgrams(col("s"), 3), g => polyHash(g))).as("ngram_fp"))
+        fold(transform(charNgrams(col("s"), 3), g => polyHash(g))).as("ngram_fp"),
+        polyHash(canonicalNormNative(col("s"))).as("canon_fp"))
       val out = hashes.as("a")
         .join(hashes.as("b"), col("b.id") === col("a.id") + 1, "left")
         .select(
           col("a.id").as("id"), col("a.poly_fp").as("poly_fp"),
           col("a.token_fold").as("token_fold"), col("a.sig_fp").as("sig_fp"),
           col("a.simhash").as("simhash"), col("a.ngram_fp").as("ngram_fp"),
+          col("a.canon_fp").as("canon_fp"),
           coalesce(
             when(col("a.is_ascii") && col("b.is_ascii"),
               levenshteinCp(col("a.s"), col("b.s")).cast("long")),

@@ -143,7 +143,13 @@ scalar AS (
         i -> substring(s, i, 3)), g ->
         list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(g)+1),
           i -> ascii(substring(g,i,1))::BIGINT)), (a,c) -> (a*31+c) % 1000000007))),
-      (a,c) -> (a*31+c) % 1000000007) AS ngram_fp
+      (a,c) -> (a*31+c) % 1000000007) AS ngram_fp,
+    list_reduce(list_prepend(0::BIGINT, list_transform(
+      range(1, length(trim(regexp_replace(regexp_replace(lower(s),
+        '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) + 1),
+      i -> ascii(substring(trim(regexp_replace(regexp_replace(lower(s),
+        '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), i, 1))::BIGINT)),
+      (a,c) -> (a*31+c) % 1000000007) AS canon_fp
   FROM sh),
 bits AS (
   SELECT id, b, CAST(power(2, b) AS BIGINT) AS pow2,
@@ -162,7 +168,7 @@ lev AS (
               THEN levenshtein(a.s, b.s) ELSE -1 END AS lev_next
   FROM fuzz_input a LEFT JOIN fuzz_input b ON b.id = a.id + 1),
 lev2 AS (SELECT id, coalesce(lev_next, -1)::BIGINT AS lev_next FROM lev)
-SELECT s.id, poly_fp, token_fold, sig_fp, simhash, ngram_fp, lev_next
+SELECT s.id, poly_fp, token_fold, sig_fp, simhash, ngram_fp, canon_fp, lev_next
 FROM scalar s JOIN sim USING (id) JOIN lev2 USING (id) ORDER BY s.id
 """
 
