@@ -138,10 +138,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val s = LakeTable.read(spark, p, version).schema
     if (s.isEmpty) return declaredSchemaOf(p).getOrElse(s)
     val registered = version.orElse(LakeTable.latestVersion(p))
-      .flatMap(v => LakeTable.schemaOf(p, v)).getOrElse(Nil).map(_._2)
+      .flatMap(v => LakeTable.schemaOf(p, v)).getOrElse(Nil)
     val declared = declaredSchemaOf(p)
-    val extras = registered.filterNot(s.fieldNames.contains)
-      .flatMap(n => declared.flatMap(_.fields.find(_.name == n)))
+    // the declared schema tracks CURRENT names, so a version pinned
+    // between an ADD and a later RENAME must resolve the TYPE through
+    // the field id's latest name, then surface the column under the
+    // version's own name (round-8 review catch)
+    val latestNames: Map[Int, String] = LakeTable.latestVersion(p)
+      .flatMap(v => LakeTable.schemaOf(p, v)).getOrElse(Nil).toMap
+    val extras = registered.filterNot { case (_, n) => s.fieldNames.contains(n) }
+      .flatMap { case (id, n) =>
+        declared.flatMap(_.fields.find(_.name == latestNames.getOrElse(id, n)))
+          .map(_.copy(name = n))
+      }
     if (extras.isEmpty) s else StructType(s.fields ++ extras)
   }
 
@@ -244,6 +253,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     try ls.iterator().asScala
       .filter(d => try Files.getLastModifiedTime(d).toMillis <= cutoff
         catch { case _: java.io.IOException => false })
+      // a COMMITTED CTAS/RTAS leaves its staged dir in place forever —
+      // the commit adopted its manifests without moving a file — so
+      // age alone cannot distinguish crash residue from live data:
+      // only dirs no live version (or branch) references are residue
+      .filterNot(d => LakeTable.referencesUnder(p, d.toString))
       .foreach(d => graft.Util.rmRecursive(d.toString))
     finally ls.close()
   }
@@ -355,12 +369,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         LakeTable.addColumn(spark, p, a.fieldNames()(0))
         val field = org.apache.spark.sql.types.StructField(
           a.fieldNames()(0), a.dataType(), nullable = true)
-        declaredSchemaOf(p) match {
-          case Some(cur) => Files.writeString(
-            declaredSchemaFile(p), StructType(cur.fields :+ field).toDDL)
-          case None => Files.writeString(declaredSchemaFile(p),
-            StructType(LakeTable.read(spark, p, None).schema.fields :+ field).toDDL)
-        }
+        if (declaredSchemaOf(p).isEmpty) // pre-catalog table: seed from data
+          Files.writeString(declaredSchemaFile(p),
+            LakeTable.read(spark, p, None).schema.toDDL)
+        syncDeclared(p)(cur => StructType(cur.fields :+ field))
       case other =>
         throw new UnsupportedOperationException(
           s"graft catalog: unsupported ALTER TABLE change $other")

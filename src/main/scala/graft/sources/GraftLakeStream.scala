@@ -188,10 +188,14 @@ class GraftLakeTableStream(
     * stream sees them as EMPTY batches instead of dying (round-7
     * ADVICE: a constraint added mid-stream killed every follower
     * unless skipChangeCommits was set; Delta delivers metadata
-    * commits as empty batches). rename/drop column are deliberately
-    * NOT here: the stream's schema is pinned at start, and appends
+    * commits as empty batches). Deliberately NOT here: rename/drop
+    * column (the stream's schema is pinned at start, and appends
     * AFTER a rename would silently null-fill the renamed column
-    * through the old schema — those still refuse loudly. */
+    * through the old schema), and ANY op outside this list —
+    * rollback / delete-all / overwrite-to-empty also carry no fresh
+    * manifests but REMOVE rows, so a generic no-fresh-manifests test
+    * would silently swallow retractions (round-8 review catch).
+    * Enumerated allow-list only. */
   private val emptyBatchOps = Set(
     "compact", "optimize", "zorder", "binpack", "bloom",
     "add_constraint", "drop_constraint", "add_column")
@@ -207,13 +211,12 @@ class GraftLakeTableStream(
   private def filesOf(v: Int): Seq[String] = {
     if (!deliverable(v)) {
       val op = LakeTable.operationOf(path, v)
-      // row-preserving / metadata-only commits → empty batch. The
-      // schema-reshaping ops are checked FIRST because their fresh
-      // manifest set is also empty (metadata carry) — they must not
-      // slip through the no-fresh-data test below.
-      if (op != "rename_column" && op != "drop_column" &&
-          (emptyBatchOps(op) || freshRefs(v).isEmpty))
-        return Nil
+      // ONLY the enumerated row-preserving/metadata ops deliver empty
+      // batches. A generic "no fresh manifests" test would be wrong:
+      // rollback, delete-all and overwrite-to-empty also carry no
+      // fresh manifests yet REMOVE rows — those must keep refusing
+      // loudly (round-8 review catch).
+      if (emptyBatchOps(op)) return Nil
       if (skipChangeCommits) return Nil
       throw new UnsupportedOperationException(
         s"graftlake stream at $path: version $v is a " +

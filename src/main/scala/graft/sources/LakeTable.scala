@@ -630,9 +630,13 @@ object LakeTable {
     // catalog-service CAS protocol ([[CommitArbiter]]); the default
     // RenameArbiter grants everything and the atomic ErrorIfExists
     // rename stays the sole (and locally sufficient) arbitration.
+    // the arbiter sees the NORMALIZED table key — two spellings of one
+    // table ("file:/p" vs "/p") must share head/claim state, not just
+    // the arbiter object (round-8 review catch)
     val arb = arbiterFor(path)
-    arb.observed(path, base)
-    if (!arb.tryClaim(path, next)) {
+    val arbKey = normArbPath(path)
+    arb.observed(arbKey, base)
+    if (!arb.tryClaim(arbKey, next)) {
       val walk = Files.walk(staging)
       try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
       finally walk.close()
@@ -643,10 +647,10 @@ object LakeTable {
     try {
       Files.move(staging, md.resolve(s"v$next"),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      arb.published(path, next)
+      arb.published(arbKey, next)
     } catch {
       case e: Throwable =>
-        arb.abandon(path, next)
+        arb.abandon(arbKey, next)
         val walk = Files.walk(staging)
         try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
         finally walk.close()
@@ -4010,6 +4014,19 @@ object LakeTable {
   private def liveVersions(path: String): Seq[Int] =
     latestVersion(path).map(v => 0 to v).getOrElse(Seq.empty)
       .filter(v => Files.exists(Paths.get(s"${metaDir(path)}/v$v")))
+
+  /** Is anything under `dir` referenced (manifest or data base) by a
+    * LIVE version of `path` or its branches? The CTAS staging sweep
+    * must never reclaim a staged dir whose manifests a commit ADOPTED
+    * (they stay under `_graft_staging` forever — the no-file-move
+    * adoption); mtime alone cannot tell residue from live data
+    * (round-8 review catch). O(#manifests) driver metadata. */
+  private[sources] def referencesUnder(path: String, dir: String): Boolean = {
+    val prefix = s"${dir.stripSuffix("/")}/"
+    val roots = path +: branches(path).map(branchPath(path, _))
+    roots.exists(r => liveVersions(r).flatMap(listRefs(r, _))
+      .exists(m => m.manifest.startsWith(prefix) || m.base.startsWith(prefix)))
+  }
 
   /** ONE distributed read over the given versions' manifest LISTS —
     * one row per manifest, not per file — each row tagged with its

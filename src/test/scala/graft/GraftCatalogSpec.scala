@@ -108,6 +108,16 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(LakeTable.read(spark, s"$wh/db8/t").columns.toSeq === Seq("k", "v", "note"))
     LakeTable.compact(spark, s"$wh/db8/t")
     assert(sql("SELECT count(note) AS n FROM graft.db8.t").head.getLong(0) === 3L)
+    // a version pinned between an ADD and a later RENAME of the same
+    // (never-written) column still surfaces it under the version's
+    // name, typed through the field id (round-8 review catch)
+    sql("ALTER TABLE graft.db8.t ADD COLUMN tag2 STRING") // v6
+    sql("ALTER TABLE graft.db8.t RENAME COLUMN tag2 TO label2") // v7
+    assert(sql("SELECT * FROM graft.db8.t VERSION AS OF 6").columns.contains("tag2"),
+      "pinned read between add and rename must keep the version's column name")
+    assert(sql("SELECT count(tag2) AS n FROM graft.db8.t VERSION AS OF 6")
+      .head.getLong(0) === 0L)
+    assert(sql("SELECT * FROM graft.db8.t").columns.contains("label2"))
     // honest refusals: NOT NULL add and positioned add
     val e1 = intercept[Exception](
       sql("ALTER TABLE graft.db8.t ADD COLUMN bad INT NOT NULL"))
@@ -212,6 +222,35 @@ class GraftCatalogSpec extends AnyFunSuite {
         "SELECT id / (id - 1) AS x FROM range(0, 10)"))
     assert(sql("SELECT count(*) AS n FROM graft.db7.r").head.getLong(0) === 3L)
     assert(sql("SELECT * FROM graft.db7.r.history").count() === 2L)
+  }
+
+  test("staging sweep never reclaims ADOPTED staged dirs, only unreferenced residue") {
+    rmdir(s"$wh/db9")
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.db9")
+    sql("CREATE TABLE graft.db9.t USING graftlake AS " +
+      "SELECT id AS k, CAST(id * 2.0 AS DOUBLE) AS v FROM range(0, 100)")
+    val stagingRoot = java.nio.file.Paths.get(s"$wh/db9/t/_graft_staging")
+    val adopted = java.nio.file.Files.list(stagingRoot).iterator().next()
+    // plant genuine crash residue beside the adopted dir
+    val residue = stagingRoot.resolve("ctas_dead_residue")
+    java.nio.file.Files.createDirectories(residue)
+    java.nio.file.Files.writeString(residue.resolve("junk"), "x")
+    // age BOTH far past the orphan grace — age alone must not decide
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 24L * 3600 * 1000)
+    java.nio.file.Files.setLastModifiedTime(adopted, old)
+    java.nio.file.Files.setLastModifiedTime(residue, old)
+    // the next staged op sweeps: residue goes, adopted data survives
+    sql("REPLACE TABLE graft.db9.t USING graftlake AS " +
+      "SELECT id AS k, CAST(id AS DOUBLE) AS v FROM range(0, 5)")
+    assert(!java.nio.file.Files.exists(residue),
+      "unreferenced residue past grace must be swept")
+    assert(java.nio.file.Files.exists(adopted),
+      "a committed CTAS's adopted staging dir must never be swept")
+    // v0 (the CTAS content, living in the adopted dir) still reads
+    assert(sql("SELECT count(*) AS n FROM graft.db9.t VERSION AS OF 0")
+      .head.getLong(0) === 100L)
+    assert(sql("SELECT count(*) AS n FROM graft.db9.t").head.getLong(0) === 5L)
   }
 
   test("namespace hygiene: exists, list, drop refusals") {

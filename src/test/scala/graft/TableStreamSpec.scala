@@ -71,6 +71,23 @@ class TableStreamSpec extends AnyFunSuite {
     assert(all.select(countDistinct("id")).head().getLong(0) === 20)
   }
 
+  test("a rollback commit (no fresh manifests, rows removed) still refuses loudly") {
+    val root = "/tmp/graft_tstream_rb"
+    SparkSpec.rmdir(root)
+    val (table, out, chk) = (s"$root/t", s"$root/out", s"$root/chk")
+    LakeTable.overwrite(rows(0, 10), table)   // v0
+    LakeTable.append(rows(10, 5), table)      // v1
+    assert(drain(table, out, chk) === 2)
+    // v2 re-references v0's manifests exactly — zero fresh manifests,
+    // but the table LOST v1's rows: an empty batch would silently
+    // diverge the follower, so it must die instead
+    LakeTable.rollback(spark, table, 0)
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      drain(table, out, chk))
+    assert(err.getCause.getMessage.contains("skipChangeCommits"),
+      s"rollback must refuse with the opt-out named: ${err.getCause.getMessage}")
+  }
+
   test("a delete commit refuses loudly; skipChangeCommits skips it and follows later appends") {
     val root = "/tmp/graft_tstream_refuse"
     SparkSpec.rmdir(root)
