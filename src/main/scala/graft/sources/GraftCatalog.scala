@@ -202,6 +202,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         Some(new GraftLocalTable(
           s"${ident.namespace.mkString(".")}.history",
           LakeTable.history(spark, parent)))
+      case "manifests" =>
+        // O(#manifests) metadata — LocalScan-honest. `files` is NOT
+        // served here on purpose: it is O(#files) and already a
+        // DISTRIBUTED frame at the library level (LakeTable.files);
+        // lowering it through a driver-local scan would materialize a
+        // 10⁷-row listing on the driver.
+        Some(new GraftLocalTable(
+          s"${ident.namespace.mkString(".")}.manifests",
+          LakeTable.manifests(spark, parent)))
       case _ => None
     }
   }

@@ -69,7 +69,11 @@ class GraftCatalogSpec extends AnyFunSuite {
       === (0 until 10).map(_ * 1.5).sum)
     sql("ALTER TABLE graft.db2.t DROP COLUMN junk")
     assert(sql("SELECT * FROM graft.db2.t").columns.toSeq === Seq("k", "score"))
-    // metadata table: one history row per version
+    // metadata tables: one history row per version; manifests lists
+    // the snapshot's manifest rows (metadata-scale LocalScan)
+    assert(sql("SELECT * FROM graft.db2.t.manifests").columns.toSeq
+      === Seq("manifest", "base", "kind", "seq", "n_files"))
+    assert(sql("SELECT count(*) AS n FROM graft.db2.t.manifests").head.getLong(0) >= 1L)
     val hist = sql("SELECT * FROM graft.db2.t.history").collect()
     assert(hist.map(_.getInt(0)).toSeq === Seq(0, 1, 2, 3, 4))
     assert(hist.map(_.getString(1)).toSeq
