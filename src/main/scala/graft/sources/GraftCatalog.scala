@@ -137,15 +137,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def schemaFor(p: String, version: Option[Int]): StructType = {
     val s = LakeTable.read(spark, p, version).schema
     if (s.isEmpty) return declaredSchemaOf(p).getOrElse(s)
-    val registered = version.orElse(LakeTable.latestVersion(p))
-      .flatMap(v => LakeTable.schemaOf(p, v)).getOrElse(Nil)
+    val latest = LakeTable.latestVersion(p)
+    val latestSchema = latest.flatMap(v => LakeTable.schemaOf(p, v)).getOrElse(Nil)
+    val registered =
+      if (version.forall(latest.contains)) latestSchema
+      else version.flatMap(v => LakeTable.schemaOf(p, v)).getOrElse(Nil)
     val declared = declaredSchemaOf(p)
     // the declared schema tracks CURRENT names, so a version pinned
     // between an ADD and a later RENAME must resolve the TYPE through
     // the field id's latest name, then surface the column under the
-    // version's own name (round-8 review catch)
-    val latestNames: Map[Int, String] = LakeTable.latestVersion(p)
-      .flatMap(v => LakeTable.schemaOf(p, v)).getOrElse(Nil).toMap
+    // version's own name (round-8 review catch). Known bound: a
+    // column added AND later dropped without any write ever carrying
+    // it has no surviving type anywhere (declared lost it, no file
+    // holds it) — pinned reads inside that interval omit it, the
+    // honest answer short of per-version declared-schema snapshots.
+    val latestNames: Map[Int, String] = latestSchema.toMap
     val extras = registered.filterNot { case (_, n) => s.fieldNames.contains(n) }
       .flatMap { case (id, n) =>
         declared.flatMap(_.fields.find(_.name == latestNames.getOrElse(id, n)))
@@ -254,14 +260,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private def stagingRoot(p: String) = s"$p/_graft_staging"
 
+  /** Newest mtime anywhere under `dir` — an IN-FLIGHT stage keeps
+    * writing files in subdirs while the top-level dir's own mtime
+    * never moves, so residue detection must look at the tree. */
+  private def deepMtime(dir: java.nio.file.Path): Long = {
+    val walk = Files.walk(dir)
+    try walk.iterator().asScala
+      .map(f => try Files.getLastModifiedTime(f).toMillis
+        catch { case _: java.io.IOException => Long.MaxValue })
+      .foldLeft(0L)(math.max)
+    finally walk.close()
+  }
+
   private def sweepStaleStaging(p: String): Unit = {
     val root = Paths.get(stagingRoot(p))
     if (!Files.isDirectory(root)) return
     val cutoff = System.currentTimeMillis() - LakeTable.DefaultOrphanGraceMs
     val ls = Files.list(root)
     try ls.iterator().asScala
-      .filter(d => try Files.getLastModifiedTime(d).toMillis <= cutoff
-        catch { case _: java.io.IOException => false })
+      // the DEEP newest mtime must be past grace: a long-running
+      // concurrent stage writes fresh files in subdirs while the
+      // top-level dir's mtime stays at creation time
+      .filter(d => deepMtime(d) <= cutoff)
       // a COMMITTED CTAS/RTAS leaves its staged dir in place forever —
       // the commit adopted its manifests without moving a file — so
       // age alone cannot distinguish crash residue from live data:

@@ -175,11 +175,12 @@ class GraftLakeTableStream(
     override def json(): String = v.toString
   }
 
-  // append ops deliver; v0's initial overwrite is the snapshot batch
+  // append ops deliver; v0's initial content (plain overwrite or an
+  // atomic CTAS — both purely additive at v0) is the snapshot batch
   private def deliverable(v: Int): Boolean =
     LakeTable.operationOf(path, v) match {
       case "append" | "streaming-append" => true
-      case "overwrite" if v == 0 => true
+      case "overwrite" | "ctas" if v == 0 => true
       case _ => false
     }
 

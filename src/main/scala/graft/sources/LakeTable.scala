@@ -663,8 +663,7 @@ object LakeTable {
 
   private val arbiters =
     new java.util.concurrent.ConcurrentHashMap[String, CommitArbiter]()
-  private def normArbPath(p: String): String =
-    p.stripPrefix("file:").replaceAll("/+$", "")
+  private def normArbPath(p: String): String = canonicalTablePath(p)
 
   /** Attach a [[CommitArbiter]] (catalog-service commit protocol) to
     * a table; every subsequent commit claims its version through it.
@@ -864,6 +863,11 @@ object LakeTable {
       } catch {
         case e: Exception if isVersionConflict(e) && attempt < MaxCommitRetries =>
           attempt += 1 // racer won this version: rebase on its snapshot
+          // linear backoff: an ARBITER claim refusal can precede the
+          // racer's publish (claim held, rename pending) — instant
+          // retries would burn every attempt against the same base
+          // before anything changed (round-8 review catch)
+          Thread.sleep(20L * attempt)
       }
     }
     None // unreachable
@@ -1120,6 +1124,7 @@ object LakeTable {
       } catch {
         case e: Exception if isVersionConflict(e) && attempt < MaxCommitRetries =>
           attempt += 1 // racer won this version: rebase on its snapshot
+          Thread.sleep(20L * attempt) // see the streaming arm's backoff note
       }
     }
     -1 // unreachable
@@ -1514,15 +1519,34 @@ object LakeTable {
   // audit; the global stays for single-threaded specs.
   private val auditByPath =
     new java.util.concurrent.ConcurrentHashMap[String, PlanAudit]()
-  private def normAuditPath(p: String): String =
-    p.stripPrefix("file:").replaceAll("/+$", "")
+
+  /** ONE canonical spelling for a table path: URI forms ("file:/p",
+    * "file:///p") resolve through java.net.URI exactly like the
+    * catalog's warehouse handling, trailing slashes drop. Shared by
+    * the audit and arbiter keyings — a naive stripPrefix("file:")
+    * would turn "file:///p" into "///p" and split the very state the
+    * normalization exists to unify (round-8 review catch). */
+  private[sources] def canonicalTablePath(raw: String): String = {
+    val p =
+      if (raw.startsWith("file:"))
+        try new java.net.URI(raw).getPath catch { case _: Exception => raw }
+      else raw
+    p.replaceAll("/+$", "")
+  }
+  private def normAuditPath(p: String): String = canonicalTablePath(p)
   private def recordAudit(tablePath: String, a: PlanAudit): Unit = {
     lastPlanAudit = a
     auditByPath.put(normAuditPath(tablePath), a)
   }
   private def tableOfManifest(m: String): String = {
     val i = m.indexOf("/_graft_meta/")
-    if (i >= 0) m.substring(0, i) else m
+    val base = if (i >= 0) m.substring(0, i) else m
+    // manifests ADOPTED from a CTAS/RTAS stage live under the table's
+    // _graft_staging forever; the audit must land on the TABLE, not
+    // the staging dir nobody queries (round-8 review catch). Branch
+    // manifests are NOT folded: a branch is its own queryable root.
+    val j = base.indexOf("/_graft_staging/")
+    if (j >= 0) base.substring(0, j) else base
   }
   private[graft] def auditOf(path: String): PlanAudit =
     auditByPath.getOrDefault(normAuditPath(path), PlanAudit(0, 0, 0, 0, false))
@@ -3651,6 +3675,7 @@ object LakeTable {
             "parent snapshot expired before materialization"); false })
     todo.foreach { v =>
       val noop = Set("compact", "optimize", "zorder", "rename_column", "drop_column",
+        "add_column", // metadata-only: no file carries the column yet
         "binpack", "bloom", "add_constraint", "drop_constraint")
       val df =
         if (v == 0) read(spark, path, Some(0)).withColumn("change_type", lit("insert"))

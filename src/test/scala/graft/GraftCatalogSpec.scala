@@ -239,11 +239,17 @@ class GraftCatalogSpec extends AnyFunSuite {
     val residue = stagingRoot.resolve("ctas_dead_residue")
     java.nio.file.Files.createDirectories(residue)
     java.nio.file.Files.writeString(residue.resolve("junk"), "x")
-    // age BOTH far past the orphan grace — age alone must not decide
+    // age BOTH whole TREES far past the orphan grace (the sweep reads
+    // the deep mtime so an in-flight stage is never reclaimed) — age
+    // alone must still not decide for the adopted dir
     val old = java.nio.file.attribute.FileTime.fromMillis(
       System.currentTimeMillis() - 24L * 3600 * 1000)
-    java.nio.file.Files.setLastModifiedTime(adopted, old)
-    java.nio.file.Files.setLastModifiedTime(residue, old)
+    Seq(adopted, residue).foreach { d =>
+      val walk = java.nio.file.Files.walk(d)
+      try walk.iterator().forEachRemaining(f =>
+        java.nio.file.Files.setLastModifiedTime(f, old))
+      finally walk.close()
+    }
     // the next staged op sweeps: residue goes, adopted data survives
     sql("REPLACE TABLE graft.db9.t USING graftlake AS " +
       "SELECT id AS k, CAST(id AS DOUBLE) AS v FROM range(0, 5)")

@@ -53,6 +53,28 @@ class TableStreamSpec extends AnyFunSuite {
     assert(all.select(countDistinct("id")).head().getLong(0) === 27)
   }
 
+  test("a CTAS-created table streams its v0 snapshot like any initial overwrite") {
+    val root = "/tmp/graft_tstream_ctas"
+    SparkSpec.rmdir(root)
+    val (wh, out, chk) = (s"$root/wh", s"$root/out", s"$root/chk")
+    spark.conf.set("spark.sql.catalog.tsctas", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.tsctas.warehouse", wh)
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS tsctas.db")
+      spark.sql("CREATE TABLE tsctas.db.t USING graftlake AS " +
+        "SELECT id, CAST(id * 2.0 AS DOUBLE) AS x FROM range(0, 25)")
+      val table = s"$wh/db/t"
+      assert(drain(table, out, chk) === 1, "the ctas v0 is the snapshot batch")
+      assert(spark.read.parquet(out).count() === 25)
+      LakeTable.append(rows(25, 5).toDF("id", "x"), table)
+      assert(drain(table, out, chk) === 1)
+      assert(spark.read.parquet(out).count() === 30)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.tsctas")
+      spark.conf.unset("spark.sql.catalog.tsctas.warehouse")
+    }
+  }
+
   test("maintenance and metadata commits arrive as empty batches, not stream death") {
     val root = "/tmp/graft_tstream_meta"
     SparkSpec.rmdir(root)
