@@ -13,9 +13,34 @@ object Util {
     * down (results are partition-count invariant; at production rates
     * you'd size this UP instead, same knob). */
   def withShufflePartitions[T](s: org.apache.spark.sql.SparkSession, n: Int)(body: => T): T = {
+    // NOTE: save/restore on the SHARED session — only safe where no
+    // concurrent query can observe the scoped value. The one
+    // remaining caller (Dedup's star contraction) runs inside the
+    // prestage pass, BEFORE Verify's pool starts; every streaming
+    // query uses the conf-isolated form below instead (round-8
+    // review catch: two pooled queries interleaving save/restore
+    // could pin the whole session at the scoped width).
     val saved = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
     try body finally s.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
+  /** Run `body` against a conf-ISOLATED clone of the session with
+    * `spark.sql.shuffle.partitions` set to `n` — the streaming
+    * queries' form: the clone's conf lives and dies with this query,
+    * so concurrently-pooled queries can never observe the scoped
+    * value, and nothing needs restoring. The clone shares the
+    * SparkContext (same files, checkpoints, sinks); the two
+    * table-vintage confs `Tables.load` relies on are carried over. */
+  def withIsolatedShufflePartitions[T](
+      s: org.apache.spark.sql.SparkSession, n: Int)(
+      body: org.apache.spark.sql.SparkSession => T): T = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", n.toString)
+    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s2.conf.set("spark.sql.session.timeZone",
+      s.conf.get("spark.sql.session.timeZone", "UTC"))
+    body(s2)
   }
 
   /** rm -rf (no-op if absent); the walk stream is closed properly. */

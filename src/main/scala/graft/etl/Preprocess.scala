@@ -172,8 +172,11 @@ object Preprocess {
     val ev = Tables.load(s, d, "events")
     val role = when(pmod(col("event_id"), lit(2L)) === 0, "user").otherwise("assistant")
     val msgs = ev
+      // (event_id, role) only: event_id is unique so it fully orders
+      // the sort_array, and the transform below reads only role — a
+      // content payload would ride the groupBy shuffle dead
       .select(col("user_id").as("dia_id"),
-        struct(col("event_id"), role.as("role"), col("event_type").as("content")).as("t"))
+        struct(col("event_id"), role.as("role")).as("t"))
       .groupBy("dia_id")
       .agg(sort_array(collect_list(col("t"))).as("ts"))
       .select(col("dia_id"),
@@ -433,7 +436,7 @@ object Preprocess {
     val g = Tables.load(s, d, "documents")
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+        sum(size(graft.functions.ColumnFunctions.tokens(col("text"))).cast("long")).as("n_tokens"))
     val tot = g.agg(sum("n_tokens").as("total_tokens"),
       count(lit(1)).as("n_langs"))
     g.crossJoin(broadcast(tot))

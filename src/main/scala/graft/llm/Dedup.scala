@@ -40,7 +40,11 @@ object Dedup {
   def dedupPrefixKey(s: SparkSession, d: String): DataFrame = {
     val t = tokens(col("text"))
     Tables.load(s, d, "documents")
-      .select(col("doc_id"), concat_ws(" ", element_at(t, 1), element_at(t, 2)).as("key"))
+      // try_element_at: a single-token document has no second element,
+      // and plain element_at THROWS under Spark 4's default ANSI mode —
+      // concat_ws skips the null, so the lone token keys alone
+      .select(col("doc_id"),
+        concat_ws(" ", try_element_at(t, lit(1)), try_element_at(t, lit(2))).as("key"))
       .groupBy("key")
       .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_docs"))
       .orderBy("key")
@@ -414,10 +418,15 @@ object Dedup {
     val split = corpus.select(col("doc_id"),
       graft.etl.Preprocess.splitOf(col("text")).as("split"))
     val pairs = minhashNearDupQuery(s, d).select("doc_a", "doc_b")
+    // NO broadcast hint: the split frame is CORPUS-scale (one row per
+    // doc) — at 100 TB forcing it through the driver OOMs; these are
+    // key-shuffle joins of pair-scale against corpus-scale, the same
+    // posture sourceOverlapMatrix documents (the optimizer may still
+    // broadcast at toy scale from its own stats — that is its call)
     pairs
-      .join(broadcast(split.select(col("doc_id").as("doc_a"), col("split").as("sa"))),
+      .join(split.select(col("doc_id").as("doc_a"), col("split").as("sa")),
         Seq("doc_a"))
-      .join(broadcast(split.select(col("doc_id").as("doc_b"), col("split").as("sb"))),
+      .join(split.select(col("doc_id").as("doc_b"), col("split").as("sb")),
         Seq("doc_b"))
       .select(least(col("sa"), col("sb")).as("split_a"),
         greatest(col("sa"), col("sb")).as("split_b"))

@@ -57,7 +57,7 @@ object Multimodal {
     * decode stage (video → frames, audio → windows). */
   def videoFrameSample(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.load(s, d, "documents")
+    Tables.loadParallel(s, d, "documents")
       .select(
         col("doc_id"),
         col("text").cast("binary").as("bytes"),
@@ -73,7 +73,7 @@ object Multimodal {
     * Dataset and batch-decoded per partition. */
   def multimodalFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.load(s, d, "documents")
+    Tables.loadParallel(s, d, "documents")
       .select(
         col("doc_id"),
         col("text").cast("binary").as("bytes"),
@@ -116,7 +116,7 @@ object Multimodal {
     import s.implicits._
     val q = Array.tabulate(8)(j => ((j * 37 + 11) % 1000).toDouble / 1000.0)
     val qNorm = math.sqrt(q.map(x => x * x).sum)
-    val embedded = Tables.load(s, d, "documents")
+    val embedded = Tables.loadParallel(s, d, "documents")
       .select(
         col("doc_id"),
         col("text").cast("binary").as("bytes"),

@@ -120,19 +120,30 @@ object Similarity {
     * inverted lists. The candidate join shuffles on cell_id alone —
     * the bounded-bucket shape. Shared by [[knnIvf]] (deterministic
     * stand-in centroids) and [[knnIvfKmeans]] (trained centroids). */
+  /** ONE cell-assignment definition for every IVF consumer (the
+    * probe/assign step of ivfSearch AND the hash-gated cell-count
+    * companion): nearest `keep` centroids by ROUNDED cosine (6 dp,
+    * ties to the lower cell_id) — rounding is what lets the DuckDB
+    * oracle replay the exact assignment, and sharing the definition
+    * is what makes the companion's hash actually gate the search's
+    * assignment (round-8 review catch: a duplicated copy could
+    * drift without flipping the gate). */
+  private def nearestCells(
+      df: DataFrame, cents: DataFrame, keep: Int): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("cell_sim").desc, col("cell_id"))
+    df.crossJoin(broadcast(cents))
+      .withColumn("cell_sim",
+        round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") <= keep)
+  }
+
   private def ivfSearch(
       emb: DataFrame, cents: DataFrame,
       k: Int, nQueries: Int, nProbe: Int): DataFrame = {
-    def nearestCells(df: DataFrame, keep: Int): DataFrame = {
-      val w = Window.partitionBy("vec_id").orderBy(col("cell_sim").desc, col("cell_id"))
-      df.crossJoin(broadcast(cents))
-        .withColumn("cell_sim", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
-        .withColumn("crn", row_number().over(w))
-        .filter(col("crn") <= keep)
-        .drop("cv", "cn", "cell_sim", "crn")
-    }
-    val assigned = nearestCells(emb, 1)
-    val probes = nearestCells(emb.filter(col("vec_id") < nQueries), nProbe)
+    val assigned = nearestCells(emb, cents, 1).drop("cv", "cn", "cell_sim", "crn")
+    val probes = nearestCells(emb.filter(col("vec_id") < nQueries), cents, nProbe)
+      .drop("cv", "cn", "cell_sim", "crn")
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"), col("cell_id"))
     val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
     assigned.join(probes, Seq("cell_id"))
@@ -172,12 +183,7 @@ object Similarity {
     val emb = embWithNorm(s, d)
     val cents = emb.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cell_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val w = Window.partitionBy("vec_id").orderBy(col("cell_sim").desc, col("cell_id"))
-    emb.crossJoin(broadcast(cents))
-      .withColumn("cell_sim",
-        round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    nearestCells(emb, cents, 1)
       .groupBy("cell_id")
       .agg(count(lit(1)).as("n_vectors"), sum("vec_id").as("sum_vec_id"))
       .orderBy("cell_id")

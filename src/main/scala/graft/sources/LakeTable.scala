@@ -3792,8 +3792,8 @@ object LakeTable {
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       .repartition(3)
       .write.parquet(arrivals)
-    graft.Util.withShufflePartitions(s, 8) {
-      val q = s.readStream
+    graft.Util.withIsolatedShufflePartitions(s, 8) { s8 =>
+      val q = s8.readStream
         .schema(s.read.parquet(arrivals).schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(arrivals)

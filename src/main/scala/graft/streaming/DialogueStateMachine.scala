@@ -72,6 +72,16 @@ object DialogueStateMachine {
     (next.copy(terminated = reason.isDefined), reason)
   }
 
+  /** ONE summary construction for every execution path (batch fold,
+    * flatMapGroupsWithState, transformWithState, timeout form) — the
+    * rounding/shape cannot drift between them. */
+  private def summaryOf(diaId: Long, st: DialogueState, reason: String): SessionSummary =
+    SessionSummary(
+      diaId, st.turnIndex, st.turnIndex, reason, st.deepestLayer,
+      if (st.turnIndex == 0) 0.0
+      else BigDecimal(st.scoreSum / st.turnIndex)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+
   /** Fold a whole ordered session; stops consuming at the first
     * terminating turn (the stream would emit no further user turns). */
   def runSession(diaId: Long, turns: Iterator[TurnEvent], cfg: RewardConfig): SessionSummary = {
@@ -83,10 +93,7 @@ object DialogueStateMachine {
       st = next
       reason = r
     }
-    SessionSummary(
-      diaId, st.turnIndex, st.turnIndex, reason.orNull, st.deepestLayer,
-      if (st.turnIndex == 0) 0.0
-      else BigDecimal(st.scoreSum / st.turnIndex).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    summaryOf(diaId, st, reason.orNull)
   }
 
   /** Driver query: batch replay of the state machine over the
@@ -129,15 +136,16 @@ object DialogueStateMachine {
         if (!state.terminated) {
           val (next, reason) = step(state, ev, cfg)
           state = next
-          reason.foreach { r =>
-            out = SessionSummary(
-              key, state.turnIndex, state.turnIndex, r, state.deepestLayer,
-              BigDecimal(state.scoreSum / state.turnIndex)
-                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) :: out
-          }
+          reason.foreach(r => out = summaryOf(key, state, r) :: out)
         }
       }
-      if (state.terminated) st.clear() else st.update(state)
+      // terminated state is KEPT as a tombstone, not cleared: post-
+      // termination turns arriving in a LATER micro-batch would
+      // otherwise re-initialize the key and emit a duplicate summary,
+      // breaking batch/stream equivalence (round-8 review catch; the
+      // batch fold simply stops consuming). Eviction belongs to the
+      // timeout variant.
+      st.update(state)
       out.reverseIterator
     }
   }
@@ -180,14 +188,13 @@ object DialogueStateMachine {
         case (diaId, evs, state: GroupState[DialogueState]) =>
           if (evs.isEmpty && state.hasTimedOut) {
             // watermark passed last activity + timeout: close the
-            // abandoned session from whatever state it reached
+            // abandoned session from whatever state it reached. A
+            // TERMINATED tombstone already emitted its summary —
+            // evict silently.
             val st = state.getOption.getOrElse(initialState)
             state.remove()
-            if (st.turnIndex == 0) Iterator.empty
-            else Iterator.single(SessionSummary(
-              diaId, st.turnIndex, st.turnIndex, "Timeout", st.deepestLayer,
-              BigDecimal(st.scoreSum / st.turnIndex)
-                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+            if (st.turnIndex == 0 || st.terminated) Iterator.empty
+            else Iterator.single(summaryOf(diaId, st, "Timeout"))
           } else {
             var st = state.getOption.getOrElse(initialState)
             var out: List[SessionSummary] = Nil
@@ -197,19 +204,16 @@ object DialogueStateMachine {
               if (!st.terminated) {
                 val (next, reason) = step(st, TurnEvent(ev.dia_id, ev.turn, ev.layer, ev.confidence), cfg)
                 st = next
-                reason.foreach { r =>
-                  out = SessionSummary(
-                    diaId, st.turnIndex, st.turnIndex, r, st.deepestLayer,
-                    BigDecimal(st.scoreSum / st.turnIndex)
-                      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) :: out
-                }
+                reason.foreach(r => out = summaryOf(diaId, st, r) :: out)
               }
             }
-            if (st.terminated) state.remove()
-            else {
-              state.update(st.copy(lastActivityMs = lastTs))
-              state.setTimeoutTimestamp(lastTs + timeoutMs)
-            }
+            // terminated sessions stay as tombstones so straggler
+            // turns in later batches cannot re-open the key and
+            // duplicate the summary; the timeout timer still evicts
+            // the tombstone once the watermark passes (silently —
+            // see the timed-out branch)
+            state.update(st.copy(lastActivityMs = lastTs))
+            state.setTimeoutTimestamp(lastTs + timeoutMs)
             out.reverseIterator
           }
       }
@@ -217,7 +221,9 @@ object DialogueStateMachine {
 
   /** Structured Streaming form (T1–T5): same transition function under
     * flatMapGroupsWithState. Emits one summary row when a session
-    * terminates and removes its state. Exercised by the stream-batch
+    * terminates and keeps a terminated TOMBSTONE so stragglers in
+    * later micro-batches cannot re-open the key (state eviction is
+    * the timeout variant's job). Exercised by the stream-batch
     * equivalence spec (T8) over a MemoryStream. */
   def streamingSummaries(
       turns: Dataset[TurnEvent],
@@ -235,15 +241,12 @@ object DialogueStateMachine {
             if (!st.terminated) {
               val (next, reason) = step(st, ev, cfg)
               st = next
-              reason.foreach { r =>
-                out = SessionSummary(
-                  diaId, st.turnIndex, st.turnIndex, r, st.deepestLayer,
-                  BigDecimal(st.scoreSum / st.turnIndex)
-                    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) :: out
-              }
+              reason.foreach(r => out = summaryOf(diaId, st, r) :: out)
             }
           }
-          if (st.terminated) state.remove() else state.update(st)
+          // tombstone, not remove — see DialogueProcessor: stragglers
+          // in a later batch must not re-open a terminated session
+          state.update(st)
           out.reverseIterator
       }
   }

@@ -60,8 +60,8 @@ object EventTimeWindows {
     // fresh checkpoint + sink per run: the query must re-stream from
     // scratch, not resume a prior run's finished checkpoint
     graft.Util.rmRecursive(out)
-    graft.Util.withShufflePartitions(s, 8) {
-    val q = s.readStream
+    graft.Util.withIsolatedShufflePartitions(s, 8) { s8 =>
+    val q = s8.readStream
       .schema(schema)
       // the driver table is a single parquet FILE in the sf dir; a
       // file source needs a directory, so stream the dir and select
@@ -165,8 +165,8 @@ object EventTimeWindows {
     lateDropStaged.put(arrivals, true)
     }
     val schema = s.read.parquet(arrivals).schema
-    graft.Util.withShufflePartitions(s, 8) {
-      val q = s.readStream
+    graft.Util.withIsolatedShufflePartitions(s, 8) { s8 =>
+      val q = s8.readStream
         .schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(arrivals)
@@ -207,8 +207,8 @@ object EventTimeWindows {
     ev(s, d).withColumn("part", pmod(col("event_id"), lit(4L)))
       .write.partitionBy("part").parquet(arrivals)
     val schema = s.read.parquet(arrivals).schema
-    graft.Util.withShufflePartitions(s, 8) {
-    val q = s.readStream
+    graft.Util.withIsolatedShufflePartitions(s, 8) { s8 =>
+    val q = s8.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 2)
       .parquet(arrivals)

@@ -53,21 +53,22 @@ object StreamJoin {
       .withColumn("part", pmod(col("event_id"), lit(4L)))
       .write.partitionBy("part").parquet(arrivals)
     val schema = s.read.parquet(arrivals).schema
-    def arriving() = s.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", 2)
-      .parquet(arrivals)
-    val views = arriving()
-      .filter(col("event_type") === "view")
-      .select(col("user_id").as("v_user"), col("tstamp").as("v_ts"))
-      .withWatermark("v_ts", "365 days")
-    val purchases = arriving()
-      .filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("tstamp").as("p_ts"), col("value"))
-      .withWatermark("p_ts", "365 days")
     // join-state stores are per shuffle partition PER SIDE per
-    // micro-batch — scope them down (see Util.withShufflePartitions)
-    graft.Util.withShufflePartitions(s, 8) {
+    // micro-batch — scope them down via a conf-isolated session (the
+    // streams must be BUILT from it for the scope to bind)
+    graft.Util.withIsolatedShufflePartitions(s, 8) { s8 =>
+      def arriving() = s8.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(arrivals)
+      val views = arriving()
+        .filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("tstamp").as("v_ts"))
+        .withWatermark("v_ts", "365 days")
+      val purchases = arriving()
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("tstamp").as("p_ts"), col("value"))
+        .withWatermark("p_ts", "365 days")
       val q = views
         .join(purchases,
           col("v_user") === col("p_user") &&

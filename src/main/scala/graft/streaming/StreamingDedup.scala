@@ -41,8 +41,8 @@ object StreamingDedup {
     val arrivals = s"$root/arrivals"
     dupCorpus(s, d).repartition(4).write.parquet(arrivals)
     val schema = s.read.parquet(arrivals).schema
-    graft.Util.withShufflePartitions(s, 8) {
-    val q = s.readStream
+    graft.Util.withIsolatedShufflePartitions(s, 8) { s8 =>
+    val q = s8.readStream
       .schema(schema)
       // 2 files per trigger over 4 files = 2 micro-batches: state
       // still crosses a batch boundary (the property under test) at
@@ -65,7 +65,7 @@ object StreamingDedup {
       .groupBy("lang")
       .agg(
         count(lit(1)).as("n_uniq"),
-        round(avg(size(split(col("text"), " ")).cast("double")), 6).as("avg_tokens"))
+        round(avg(size(graft.functions.ColumnFunctions.tokens(col("text"))).cast("double")), 6).as("avg_tokens"))
       .orderBy("lang")
   }
 }

@@ -64,6 +64,29 @@ class StreamingEquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  test("post-termination stragglers in a LATER batch never duplicate a summary") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[TurnEvent]
+    val query = DialogueStateMachine.streamingSummaries(input.toDS(), cfg)
+      .writeStream.format("memory").queryName("t8_dup").outputMode("append").start()
+    try {
+      // dialogue 1 terminates at turn 7 (no_progress_6); deliver turns
+      // 1..7 in batch 1 and the post-termination turns 8..10 in batch
+      // 2 — with remove-on-terminate the key would re-open and emit a
+      // SECOND summary; the tombstone must swallow the stragglers
+      val (b1, b2) = stagnating.partition(_.turn <= 7)
+      input.addData(b1)
+      query.processAllAvailable()
+      input.addData(b2)
+      query.processAllAvailable()
+      val rows = spark.table("t8_dup").collect()
+      assert(rows.length === 1, s"exactly one summary per dialogue: ${rows.toSeq}")
+      assert(rows.head.getAs[String]("terminate_reason") === "no_progress_6")
+      assert(rows.head.getAs[Int]("end_turn") === 7)
+    } finally query.stop()
+  }
+
   test("transformWithState (Spark 4 arbitrary-state API) matches the batch fold") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
