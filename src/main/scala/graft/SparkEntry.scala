@@ -2115,13 +2115,15 @@ object SparkEntry {
     // zscore_outliers: z rounded to 6 BEFORE the threshold test so
     // both engines compare the identical double (mu/sigma carry
     // partial-order ulps; the raw parquet value does not)
+    // zscore_outliers: NULLIF guards the constant-group sigma=0 case
+    // identically on both engines (z undefined -> row drops)
     "zscore_outliers" ->
       """WITH st AS (
         |  SELECT event_type, avg(value) AS mu, stddev(value) AS sigma
         |  FROM events GROUP BY 1)
-        |SELECT event_id, event_type, round((value - mu) / sigma, 6) AS z
+        |SELECT event_id, event_type, round((value - mu) / NULLIF(sigma, 0.0), 6) AS z
         |FROM events JOIN st USING (event_type)
-        |WHERE abs(round((value - mu) / sigma, 6)) > 3.0
+        |WHERE abs(round((value - mu) / NULLIF(sigma, 0.0), 6)) > 3.0
         |ORDER BY event_id""".stripMargin,
     // event_transitions: (µs, event_id) makes sequences total-ordered;
     // probabilities rounded after the division

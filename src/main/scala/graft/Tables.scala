@@ -57,6 +57,15 @@ object Tables {
   def tsMicros(colName: String): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.expr(s"$colName div 1000")
 
+  /** events.ts (ns long) → integral time-bucket index at µs
+    * granularity: (ts div 1000) div widthMicros — ONE definition for
+    * every hour/day/week bucketing (integral `div` throughout; float
+    * division loses precision at 1.7e18 ns). Mirrors the oracles'
+    * epoch_us(ts) // width. */
+  def tsBucket(colName: String, widthMicros: Long): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr(
+      s"($colName div 1000) div ${widthMicros}L")
+
   /** events.ts (ns long) → microsecond TimestampType column. */
   def tsFromNanos(colName: String): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.timestamp_micros(tsMicros(colName))

@@ -48,8 +48,11 @@ object ColumnFunctions {
   /** Euclidean norm. */
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity of two double arrays (L3). */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+  /** Cosine similarity of two double arrays (L3). Undefined (null)
+    * when either vector has zero norm — the bare division would
+    * THROW under Spark 4's default ANSI mode instead of scoring. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / nullif(l2norm(a) * l2norm(b), lit(0.0))
 
   /** Numerically-stable softmax over an array column — reference
     * `empathy_interaction.py:127` (F12). Subtracts array_max first. */
@@ -72,9 +75,11 @@ object ColumnFunctions {
     lit(1.0) / z
   }
 
-  /** Mean of a numeric array — reference `reward.py:32,69` (F17, A2). */
+  /** Mean of a numeric array — reference `reward.py:32,69` (F17, A2).
+    * Null (not an ANSI DIVIDE_BY_ZERO throw) on an empty array. */
   def arrayMean(a: Column): Column =
-    aggregate(a, lit(0.0), (acc, x) => acc + x) / size(a).cast("double")
+    aggregate(a, lit(0.0), (acc, x) => acc + x) /
+      nullif(size(a).cast("double"), lit(0.0))
 
   // -------------------------------------------------------------------
   // Deterministic arithmetic hashing (L2 MinHash / fingerprinting).

@@ -28,6 +28,8 @@ case class TopKByScore(
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]] {
 
+  require(k >= 1, s"topKByScore needs k >= 1, got $k")
+
   // PriorityQueue dequeues its MAX; rank elements so the max is the
   // WORST entry (lowest score, then highest id): by (-score, id).
   private val heapOrdering: Ordering[(Double, Long)] =

@@ -66,7 +66,7 @@ object Behavioral {
   def resampleFfill(s: SparkSession, d: String): DataFrame = {
     val hourly = Tables.load(s, d, "events")
       .filter(col("event_type") === "purchase")
-      .groupBy(expr("(ts div 1000) div 3600000000").as("h"))
+      .groupBy(Tables.tsBucket("ts", 3600000000L).as("h"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sv"))
     val spine = hourly
       .agg(min("h").as("mn"), max("h").as("mx"))
@@ -95,7 +95,7 @@ object Behavioral {
     val alpha = 0.3
     val daily = Tables.load(s, d, "events")
       .groupBy(col("event_type"),
-        expr("(ts div 1000) div 86400000000").as("day"))
+        Tables.tsBucket("ts", 86400000000L).as("day"))
       // round BEFORE the fold (as resampleFfill does before its
       // fill): the daily sums carry cross-engine partial-order ulps,
       // and only rounding makes the fold INPUTS bit-identical — the
@@ -155,14 +155,19 @@ object Behavioral {
       .groupBy("c_nationkey")
       .agg(round(sum("o_totalprice"), 2).as("revenue"))
     val w = Window.orderBy(col("revenue").desc, col("c_nationkey"))
+    // the grand total rides the SAME 25-row (|nations|) window the
+    // ranking already needs — no crossJoin, no second evaluation of
+    // the customer⋈orders aggregate (the two plan branches would only
+    // merge if exchange reuse happened to fire)
     byNation
-      .crossJoin(broadcast(byNation.agg(sum("revenue").as("total"))))
       .select(
         col("c_nationkey"),
         col("revenue"),
         rank().over(w).cast("int").as("rk"),
         round(sum(col("revenue")).over(w.rowsBetween(Window.unboundedPreceding, 0)) /
-          col("total"), 6).as("cum_share"))
+          sum(col("revenue")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)),
+          6).as("cum_share"))
       .orderBy("rk")
   }
 
@@ -176,7 +181,7 @@ object Behavioral {
     * the window so both engines interpolate over identical doubles. */
   def movingMedian7d(s: SparkSession, d: String): DataFrame = {
     val daily = Tables.load(s, d, "events")
-      .groupBy(col("event_type"), expr("(ts div 1000) div 86400000000").as("day"))
+      .groupBy(col("event_type"), Tables.tsBucket("ts", 86400000000L).as("day"))
       .agg(round(sum("value"), 6).as("rev"))
     val w = Window.partitionBy("event_type").orderBy("day").rangeBetween(-6, 0)
     daily.select(
@@ -199,19 +204,17 @@ object Behavioral {
     val stats = events.groupBy("event_type")
       .agg(avg("value").as("mu"), stddev("value").as("sigma"))
     events.join(broadcast(stats), Seq("event_type"))
-      .withColumn("z", round((col("value") - col("mu")) / col("sigma"), 6))
+      // sigma = 0 (a constant-valued group) leaves z UNDEFINED — and
+      // under Spark 4's default ANSI mode the bare division would
+      // throw DIVIDE_BY_ZERO; null z rows drop at the filter, and the
+      // oracle mirrors the same NULLIF guard
+      .withColumn("z",
+        round((col("value") - col("mu")) / nullif(col("sigma"), lit(0.0)), 6))
       .filter(abs(col("z")) > 3.0)
       .select(col("event_id"), col("event_type"), col("z"))
       .orderBy("event_id")
   }
 
-  /** COHORT RETENTION: users bucketed by their first-activity epoch
-    * week (the cohort), counted in each later week they were active,
-    * keyed by week offset — the retention-matrix query. Three
-    * shuffles, all on bounded keys: distinct (user, week) pairs,
-    * per-user min week, and the (cohort, offset) count; the
-    * cohort-assignment join is per-user (same key as the shuffle
-    * before it, no extra exchange at scale). */
   /** TIME-TO-CONVERT: per user, minutes from FIRST view to FIRST
     * purchase (users who purchased before ever viewing, or never did
     * both, drop out), summarized per first-view week cohort with
@@ -268,9 +271,16 @@ object Behavioral {
       .orderBy("event_type")
   }
 
+  /** COHORT RETENTION: users bucketed by their first-activity epoch
+    * week (the cohort), counted in each later week they were active,
+    * keyed by week offset — the retention-matrix query. Three
+    * shuffles, all on bounded keys: distinct (user, week) pairs,
+    * per-user min week, and the (cohort, offset) count; the
+    * cohort-assignment join is per-user (same key as the shuffle
+    * before it, no extra exchange at scale). */
   def cohortRetention(s: SparkSession, d: String): DataFrame = {
     // integer div end to end (`/` on longs is DOUBLE division)
-    val week = expr("(ts div 1000) div 604800000000")
+    val week = Tables.tsBucket("ts", 604800000000L)
     val activity = Tables.load(s, d, "events")
       .select(col("user_id"), week.as("wk"))
       .distinct()

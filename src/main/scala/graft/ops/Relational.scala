@@ -404,14 +404,22 @@ object Relational {
     * same semantics and oracle as [[asofLatestError]], but executed by
     * the custom AsOfJoinExec merge pass instead of a window over the
     * unioned stream — the plan shape that needs no window state and
-    * only scans each side once. */
+    * only scans each side once. The event_id TIEBREAK makes the
+    * operator's admission rule exactly the window's (time, event_id)
+    * total order: a same-microsecond error counts only if its id
+    * orders before the purchase (ns→µs truncation can tie timestamps
+    * the id still orders — round-8 review catch; without the
+    * tiebreak the two forms diverge on such ties). */
   def asofNativeLatestError(s: SparkSession, d: String): DataFrame = {
     val ev = t(s, d, "events").withColumn("ts_us", Tables.tsMicros("ts"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select("event_id", "user_id", "ts_us")
     val errors = ev.filter(col("event_type") === "error")
-      .select(col("user_id").as("r_user_id"), col("ts_us").as("r_ts"))
-    graft.plans.AsOf.asofJoin(purchases, errors, "user_id", "r_user_id", "ts_us", "r_ts")
+      .select(col("user_id").as("r_user_id"), col("ts_us").as("r_ts"),
+        col("event_id").as("r_event_id"))
+    graft.plans.AsOf.asofJoin(purchases, errors, "user_id", "r_user_id",
+        "ts_us", "r_ts", Some("event_id"), Some("r_event_id"))
+      .drop("r_event_id")
       .select(
         col("event_id"), col("user_id"), col("ts_us").as("ts"),
         col("r_ts").as("prior_error_ts"))

@@ -36,7 +36,9 @@ final case class AsOfJoinPlan(
     leftKey: Expression,
     rightKey: Expression,
     leftTime: Expression,
-    rightTime: Expression)
+    rightTime: Expression,
+    leftTie: Option[Expression] = None,
+    rightTie: Option[Expression] = None)
     extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ right.output.map(_.withNullability(true))
   protected override def withNewChildrenInternal(
@@ -47,8 +49,8 @@ final case class AsOfJoinPlan(
 /** Plans AsOfJoinPlan → AsOfJoinExec (injectPlannerStrategy). */
 object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, ltie, rtie) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, ltie, rtie) :: Nil
     case _ => Nil
   }
 }
@@ -59,7 +61,9 @@ final case class AsOfJoinExec(
     leftKey: Expression,
     rightKey: Expression,
     leftTime: Expression,
-    rightTime: Expression)
+    rightTime: Expression,
+    leftTie: Option[Expression] = None,
+    rightTie: Option[Expression] = None)
     extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ right.output.map(_.withNullability(true))
@@ -68,17 +72,21 @@ final case class AsOfJoinExec(
     ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
     Seq(
-      Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
-      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+      Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)) ++
+        leftTie.map(SortOrder(_, Ascending)),
+      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)) ++
+        rightTie.map(SortOrder(_, Ascending)))
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
   protected override def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
     val (lk, rk, lt, rt) = (leftKey, rightKey, leftTime, rightTime)
+    val (ltie, rtie) = (leftTie, rightTie)
+    val tied = ltie.isDefined && rtie.isDefined
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val lKeyProj = UnsafeProjection.create(Seq(lk, lt), lOut)
-      val rKeyProj = UnsafeProjection.create(Seq(rk, rt), rOut)
+      val lKeyProj = UnsafeProjection.create(Seq(lk, lt) ++ ltie.toSeq, lOut)
+      val rKeyProj = UnsafeProjection.create(Seq(rk, rt) ++ rtie.toSeq, rOut)
       // explicit all-nullable BoundReferences: binding output attrs by
       // exprId would inherit the child attributes' nullability and a
       // non-nullable reference reads 0 from the null-extension row
@@ -108,6 +116,7 @@ final case class AsOfJoinExec(
         } else {
           val lKeyV = lProj.getLong(0)
           val lTimeV = lProj.getLong(1)
+          val lTieV = if (tied) lProj.getLong(2) else 0L
           var advancing = true
           while (advancing && rBuf.hasNext) {
             val rProj = rKeyProj(rBuf.head)
@@ -115,8 +124,17 @@ final case class AsOfJoinExec(
             else {
               val rKeyV = rProj.getLong(0)
               val rTimeV = rProj.getLong(1)
+              // WITHOUT a tiebreak, equal times are admitted (classic
+              // as-of ≤ semantics). WITH one, an equal-time right row
+              // is admitted only if its tie value sorts STRICTLY
+              // before the left's — the window-form semantics of a
+              // (time, tie)-ordered event stream, where a same-time
+              // row with a larger tie has not "happened yet"
+              val admitTie =
+                !tied || (!rProj.isNullAt(2) && rProj.getLong(2) < lTieV)
               if (rKeyV < lKeyV) rBuf.next() // smaller key: discard
-              else if (rKeyV == lKeyV && rTimeV <= lTimeV) {
+              else if (rKeyV == lKeyV &&
+                  (rTimeV < lTimeV || (rTimeV == lTimeV && admitTie))) {
                 candRow = rBuf.next().copy(); candKey = rKeyV; hasCand = true
               } else advancing = false
             }
@@ -144,7 +162,21 @@ object AsOf {
   def asofJoin(
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
-      leftTime: String, rightTime: String): DataFrame = {
+      leftTime: String, rightTime: String): DataFrame =
+    asofJoin(left, right, leftKey, rightKey, leftTime, rightTime, None, None)
+
+  /** Tie-broken form: right rows at the SAME time as a left row are
+    * admitted only when rightTie < leftTie — the semantics of an
+    * event stream totally ordered by (time, tie), e.g. (ts_us,
+    * event_id) after ns→µs truncation can tie timestamps that the id
+    * still orders. Tie columns must be LongType and non-null. */
+  def asofJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      leftTie: Option[String], rightTie: Option[String]): DataFrame = {
+    require(leftTie.isDefined == rightTie.isDefined,
+      "asofJoin: tiebreak columns must be given for both sides or neither")
     // self-register the strategy so the operator also works in
     // sessions built without spark.sql.extensions=graft.GraftExtensions
     val spark = left.sparkSession
@@ -154,7 +186,8 @@ object AsOf {
     val plan = AsOfJoinPlan(
       GraftSqlShim.analyzedPlan(left), GraftSqlShim.analyzedPlan(right),
       attr(left, leftKey), attr(right, rightKey),
-      attr(left, leftTime), attr(right, rightTime))
+      attr(left, leftTime), attr(right, rightTime),
+      leftTie.map(attr(left, _)), rightTie.map(attr(right, _)))
     GraftSqlShim.ofRows(left.sparkSession, plan)
   }
 }

@@ -33,6 +33,36 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got(5L).isEmpty) // right row exists but only later
   }
 
+  test("tiebreak: same-time right rows admit only when their tie orders first") {
+    val left = Seq( // (event, key, time, tie)
+      (1L, 10L, 100L, 5L), // tie 5: same-time right rows with tie < 5 admit
+      (2L, 10L, 100L, 1L), // tie 1: the same-time right row (tie 3) is 'later'
+      (3L, 10L, 200L, 9L)) // strictly later time: ties irrelevant
+      .toDF("event_id", "user_id", "ts_us", "tie")
+    val right = Seq( // (key, time, tie, tag)
+      (10L, 100L, 3L, "same_t"), // ties with the t=100 lefts
+      (10L, 50L, 99L, "early")) // strictly earlier: always admissible
+      .toDF("r_user_id", "r_ts", "r_tie", "r_tag")
+
+    val got = AsOf.asofJoin(left, right, "user_id", "r_user_id",
+        "ts_us", "r_ts", Some("tie"), Some("r_tie"))
+      .select("event_id", "r_tag")
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)))
+      .toMap
+
+    assert(got(1L).contains("same_t"), // 3 < 5: the tied row has happened
+      s"got $got")
+    assert(got(2L).contains("early"), // 3 > 1: tied row not yet happened
+      s"got $got")
+    assert(got(3L).contains("same_t")) // later time: latest admissible wins
+    // untied form admits all equal-time rows (contract unchanged)
+    val untied = AsOf.asofJoin(left, right, "user_id", "r_user_id", "ts_us", "r_ts")
+      .select("event_id", "r_tag").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(untied(2L) === "same_t")
+  }
+
   test("NULL keys/times: null left rows null-extend, null right rows never match") {
     // Without the isNullAt guards, a NULL key/time reads as 0 through
     // getLong and can match real key-0/time-0 rows (round-1 ADVICE).
