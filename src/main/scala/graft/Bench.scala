@@ -15,17 +15,20 @@ object Bench {
     // warmup: JIT/codegen/parquet-footer costs land here, not on
     // whichever query happens to sort first
     try {
-      spark.read.parquet(s"$sfDir/lineitem.parquet")
+      // Tables.load, not a raw read: it sets the ns-vintage legacy
+      // conf first — a raw read of TIMESTAMP(NANOS) events would
+      // throw and silently skip the rest of the warmup
+      graft.Tables.load(spark, sfDir, "lineitem")
         .groupBy("l_returnflag").count()
         .write.format("noop").mode("overwrite").save()
       // touch the other hot tables too: parquet footers + OS page
       // cache land here instead of on whichever query reads them
       // first (orders/events/documents back most of the query set)
       Seq("orders", "events", "documents").foreach { t =>
-        spark.read.parquet(s"$sfDir/$t.parquet")
+        graft.Tables.load(spark, sfDir, t)
           .write.format("noop").mode("overwrite").save()
       }
-    } catch { case _: Throwable => }
+    } catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
     // SPARK_GRAFT_COLD=1: clear the shared materializations (pair
     // frame, contraction labels, dialogue corpus) before EVERY query,
     // so each timing carries its own full cost instead of whichever
@@ -61,16 +64,21 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach(names => System.err.println(
       s"[bench] *** SPARK_GRAFT_BENCH_ONLY ACTIVE: ${names.size} queries — NOT a full run ***"))
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(t => only.forall(_.contains(t._1)))
       .map { case (name, fn) =>
       if (cold) {
         graft.llm.Dedup.clearSharedCaches()
         graft.etl.Preprocess.clearSharedCaches()
+        graft.sources.LakeTable.clearSharedCaches()
       }
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+      catch { case e: Throwable =>
+        failed += name // a crash must not read as a speedup in the JSON
+        System.err.println(s"[bench] $name: $e")
+      }
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-28s $sec%8.3f s") // progress, stderr only
       name -> sec
@@ -84,8 +92,16 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    def jesc(v: String): String = v.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c => c.toString
+    }
+    val failedJson =
+      if (failed.isEmpty) ""
+      else failed.sorted.map(n => "\"" + jesc(n) + "\"").mkString(",\"failed\":[", ",", "]")
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$failedJson,"sf":"${jesc(sfDir)}"}"""
     // Belt and braces: persist the full JSON to a file too, so timings
     // survive even if stdout is truncated by the harness.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LATEST.json")

@@ -25,6 +25,16 @@ object GraftExtensions {
     * (e.g. an n-gram size baked into the expression at plan time),
     * with a clear analysis-time error instead of an internal
     * eval-on-unbound-reference crash. */
+  /** Arity check with the function name in the error — a wrong-arity
+    * SQL call must fail analysis cleanly, not throw an internal
+    * IndexOutOfBoundsException from children(i). */
+  private[graft] def arity(
+      fn: String, children: Seq[Expression], n: Int): Seq[Expression] = {
+    if (children.size != n) throw new IllegalArgumentException(
+      s"$fn expects $n argument(s), got ${children.size}")
+    children
+  }
+
   private[graft] def intLiteralArg(fn: String, children: Seq[Expression], pos: Int): Int =
     children(pos) match {
       case e if e.foldable =>
@@ -46,39 +56,43 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("graft_polyhash"),
       new ExpressionInfo(classOf[PolyHashExpr].getName, "graft_polyhash"),
-      (children: Seq[Expression]) => PolyHashExpr(children.head)))
+      (children: Seq[Expression]) => PolyHashExpr(GraftExtensions.arity("graft_polyhash", children, 1).head)))
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotProductExpr(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        val c = GraftExtensions.arity("graft_dot", children, 2); DotProductExpr(c(0), c(1))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("graft_char_ngrams"),
       new ExpressionInfo(classOf[CharNgramsExpr].getName, "graft_char_ngrams"),
       (children: Seq[Expression]) => CharNgramsExpr(
-        children(0),
+        GraftExtensions.arity("graft_char_ngrams", children, 2)(0),
         GraftExtensions.intLiteralArg("graft_char_ngrams", children, 1))))
     ext.injectFunction((
       new FunctionIdentifier("graft_token_hashes"),
       new ExpressionInfo(classOf[TokenHashesExpr].getName, "graft_token_hashes"),
-      (children: Seq[Expression]) => TokenHashesExpr(children.head)))
+      (children: Seq[Expression]) => TokenHashesExpr(GraftExtensions.arity("graft_token_hashes", children, 1).head)))
     ext.injectFunction((
       new FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash_sig"),
       (children: Seq[Expression]) => MinHashSigExpr(
-        children(0),
+        GraftExtensions.arity("graft_minhash_sig", children, 2)(0),
         GraftExtensions.intLiteralArg("graft_minhash_sig", children, 1))))
     ext.injectFunction((
       new FunctionIdentifier("graft_shingle_min"),
       new ExpressionInfo(classOf[ShingleMinExpr].getName, "graft_shingle_min"),
-      (children: Seq[Expression]) => ShingleMinExpr(children.head)))
+      (children: Seq[Expression]) => ShingleMinExpr(GraftExtensions.arity("graft_shingle_min", children, 1).head)))
     ext.injectFunction((
       new FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHashExpr].getName, "graft_simhash"),
-      (children: Seq[Expression]) => SimHashExpr(children.head)))
+      (children: Seq[Expression]) => SimHashExpr(GraftExtensions.arity("graft_simhash", children, 1).head)))
     ext.injectFunction((
       new FunctionIdentifier("graft_levenshtein"),
       new ExpressionInfo(classOf[LevenshteinCpExpr].getName, "graft_levenshtein"),
-      (children: Seq[Expression]) => LevenshteinCpExpr(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        val c = GraftExtensions.arity("graft_levenshtein_cp", children, 2); LevenshteinCpExpr(c(0), c(1))
+      }))
     ext.injectOptimizerRule(_ => SizeOfTransformSimplification)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // SQL DML over lake tables: UPDATE / MERGE INTO / VERSION AS OF

@@ -58,14 +58,20 @@ object Verify {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
+          // a STALE output from a previous run into the same outDir
+          // would let the oracle compare pass on old data and mask
+          // the regression — the failure must leave no output at all
+          graft.Util.rmRecursive(s"$outDir/$name")
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }
     }
-    scala.concurrent.Await.result(
+    try scala.concurrent.Await.result(
       scala.concurrent.Future.sequence(futures),
       scala.concurrent.duration.Duration.Inf)
-    pool.shutdown()
+    // non-daemon pool: an exception here would otherwise keep the JVM
+    // alive forever instead of failing the driver's step fast
+    finally pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -3261,6 +3261,13 @@ object LakeTable {
     materializeChanges(s, sharedCowLifecycle(s, d)); ()
   }
 
+  /** COLD-mode attribution hook (SPARK_GRAFT_COLD): drop the shared
+    * lifecycle-table pointer so the NEXT CDC-family consumer rebuilds
+    * from scratch — same contract as Dedup/Preprocess
+    * clearSharedCaches (the old on-disk table stays; freshWorkDir
+    * gives the rebuild a new dir). */
+  private[graft] def clearSharedCaches(): Unit = cowShared.clear()
+
   /** Driver query: MERGE-ON-READ UPSERT — write events (v0), then
     * [[upsertMoR]] a patch of every 3rd event with value+1000 and
     * event_type 'patched' (v1: one delete file + one small data file,
