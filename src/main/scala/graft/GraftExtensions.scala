@@ -91,7 +91,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_levenshtein"),
       new ExpressionInfo(classOf[LevenshteinCpExpr].getName, "graft_levenshtein"),
       (children: Seq[Expression]) => {
-        val c = GraftExtensions.arity("graft_levenshtein_cp", children, 2); LevenshteinCpExpr(c(0), c(1))
+        val c = GraftExtensions.arity("graft_levenshtein", children, 2); LevenshteinCpExpr(c(0), c(1))
       }))
     ext.injectOptimizerRule(_ => SizeOfTransformSimplification)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

@@ -111,7 +111,9 @@ final case class AsOfJoinExec(
         // rows are discarded up front and never become candidates —
         // without the isNullAt guards a NULL would read as 0 and
         // silently match real key-0/time-0 rows.
-        if (lProj.isNullAt(0) || lProj.isNullAt(1)) {
+        // A NULL left tie gets the same treatment (it would otherwise
+        // read as 0 and reject every equal-time right row silently).
+        if (lProj.isNullAt(0) || lProj.isNullAt(1) || (tied && lProj.isNullAt(2))) {
           outProj(joined(lRow, nullRight))
         } else {
           val lKeyV = lProj.getLong(0)

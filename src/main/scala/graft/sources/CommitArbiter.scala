@@ -113,7 +113,15 @@ class InProcessCatalogArbiter(claimGraceMs: Long = 60000L,
     }
 
   override def published(table: String, next: Int): Unit = {
-    update(table)(st => (State(math.max(st.head, next), None), true)); ()
+    // Retire ONLY the matching claim (mirror abandon): a late
+    // published(n) from a committer whose claim was already stolen —
+    // or that raced observed() — must not wipe a claim another
+    // committer legitimately holds for a later version, or two
+    // writers end up holding the same version claim with only the
+    // local rename backstop (absent on S3-class stores) between them.
+    update(table)(st =>
+      (State(math.max(st.head, next), st.claim.filterNot(_._1 == next)), true))
+    ()
   }
 
   override def abandon(table: String, next: Int): Unit = {

@@ -263,14 +263,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   /** Newest mtime anywhere under `dir` — an IN-FLIGHT stage keeps
     * writing files in subdirs while the top-level dir's own mtime
     * never moves, so residue detection must look at the tree. */
-  private def deepMtime(dir: java.nio.file.Path): Long = {
-    val walk = Files.walk(dir)
-    try walk.iterator().asScala
-      .map(f => try Files.getLastModifiedTime(f).toMillis
-        catch { case _: java.io.IOException => Long.MaxValue })
-      .foldLeft(0L)(math.max)
-    finally walk.close()
-  }
+  private def deepMtime(dir: java.nio.file.Path): Long =
+    // Files.walk's own directory iteration throws UncheckedIOException
+    // if a concurrent abortStagedChanges deletes the dir mid-walk; a
+    // vanished/unreadable dir must read as FRESH (non-sweepable) so
+    // the sweep can never abort an unrelated in-flight stage call.
+    try {
+      val walk = Files.walk(dir)
+      try walk.iterator().asScala
+        .map(f => try Files.getLastModifiedTime(f).toMillis
+          catch { case _: java.io.IOException => Long.MaxValue })
+        .foldLeft(0L)(math.max)
+      finally walk.close()
+    } catch {
+      case _: java.io.IOException | _: java.io.UncheckedIOException => Long.MaxValue
+    }
 
   private def sweepStaleStaging(p: String): Unit = {
     val root = Paths.get(stagingRoot(p))

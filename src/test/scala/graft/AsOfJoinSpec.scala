@@ -63,6 +63,26 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(untied(2L) === "same_t")
   }
 
+  test("NULL left tie null-extends instead of silently reading as 0") {
+    // Without the symmetric isNullAt guard a NULL left tie reads 0
+    // through getLong, so every equal-time right row is rejected
+    // (rTie < 0 never holds) — round-8 ADVICE. The contract says tie
+    // columns are non-null; a violation must null-extend like a null
+    // key/time does, not fabricate tie value 0.
+    val left = Seq(
+      (1L, 10L, Some(100L), None: Option[Long]), // null tie → null-extend
+      (2L, 10L, Some(100L), Some(5L))) // sane row unaffected
+      .toDF("event_id", "user_id", "ts_us", "tie")
+    val right = Seq((10L, 100L, 3L, "same_t"))
+      .toDF("r_user_id", "r_ts", "r_tie", "r_tag")
+    val got = AsOf.asofJoin(left, right, "user_id", "r_user_id",
+        "ts_us", "r_ts", Some("tie"), Some("r_tie"))
+      .select("event_id", "r_tag").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got(1L).isEmpty, s"null left tie must null-extend, got $got")
+    assert(got(2L).contains("same_t"))
+  }
+
   test("NULL keys/times: null left rows null-extend, null right rows never match") {
     // Without the isNullAt guards, a NULL key/time reads as 0 through
     // getLong and can match real key-0/time-0 rows (round-1 ADVICE).

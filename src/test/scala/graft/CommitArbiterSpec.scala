@@ -45,6 +45,27 @@ class CommitArbiterSpec extends AnyFunSuite {
     assert(arb.headOf("t") === 0)
   }
 
+  test("protocol: a late published() retires only its own claim, not a successor's") {
+    val arb = new InProcessCatalogArbiter()
+    arb.observed("t", -1)
+    // A claims v0 and renames it into place, but has not yet reported
+    // published(0)…
+    assert(arb.tryClaim("t", 0))
+    // …when B lists the FS, sees v0, reports it, and claims v1. The
+    // observed(0) adoption drops A's now-overtaken v0 claim.
+    arb.observed("t", 0)
+    assert(arb.tryClaim("t", 1), "B must be able to claim the next version")
+    // A's LATE published(0) must not wipe B's v1 claim — otherwise a
+    // third committer could also claim v1 and two writers would hold
+    // the same version with only the local rename backstop (absent on
+    // S3-class stores) between them.
+    arb.published("t", 0)
+    assert(!arb.tryClaim("t", 1),
+      "B's claim on v1 must survive A's late published(0)")
+    arb.published("t", 1)
+    assert(arb.headOf("t") === 1)
+  }
+
   test("arbitrated commits: concurrent appends serialize through claims, no loss") {
     val path = "/tmp/graft_test/arb_concurrent"
     SparkSpec.rmdir(path)
