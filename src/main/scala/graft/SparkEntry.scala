@@ -1019,25 +1019,39 @@ object SparkEntry {
         |FROM events WHERE event_id < 100
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // lake_catalog_sql: catalog DDL + INSERT INTO + native VERSION AS
-    // OF; phase v1 = the evens-only first commit, latest = everything
-    // lake_catalog_sql: phase v1 = first insert (even ids); latest =
-    // all events (bonus null-extended by the metadata-only ADD
-    // COLUMN) plus the post-add bonus rows (every 10th id, value*2)
+    // OF; phase v1 = first insert (even ids); latest = all events
+    // (bonus null-extended by the metadata-only ADD COLUMN) plus the
+    // post-add bonus rows (every 10th id, value*2), plus the `hits`
+    // rows: narrow-vintage INT rows (event_id % 10 = 1, hits =
+    // event_id % 1000) widened by the metadata-only TYPE promotion,
+    // and one post-widen row past the int range (3000000000)
     "lake_catalog_sql" ->
       """WITH latest AS (
-        |  SELECT event_type, value, CAST(NULL AS DOUBLE) AS bonus FROM events
+        |  SELECT event_type, value, CAST(NULL AS DOUBLE) AS bonus,
+        |         CAST(NULL AS BIGINT) AS hits FROM events
         |  UNION ALL
-        |  SELECT 'bonus' AS event_type, value, value * 2 AS bonus
-        |  FROM events WHERE event_id % 10 = 0)
+        |  SELECT 'bonus' AS event_type, value, value * 2 AS bonus,
+        |         CAST(NULL AS BIGINT) AS hits
+        |  FROM events WHERE event_id % 10 = 0
+        |  UNION ALL
+        |  SELECT 'hits' AS event_type, value, CAST(NULL AS DOUBLE) AS bonus,
+        |         CAST(event_id % 1000 AS BIGINT) AS hits
+        |  FROM events WHERE event_id % 10 = 1
+        |  UNION ALL
+        |  SELECT 'hits' AS event_type, CAST(0.5 AS DOUBLE) AS value,
+        |         CAST(NULL AS DOUBLE) AS bonus, CAST(3000000000 AS BIGINT) AS hits)
         |SELECT 'latest' AS phase, event_type, count(*) AS n,
         |       round(sum(value), 6) AS sum_value,
         |       count(bonus) AS n_bonus,
-        |       coalesce(round(sum(bonus), 6), CAST(0.0 AS DOUBLE)) AS sum_bonus
+        |       coalesce(round(sum(bonus), 6), CAST(0.0 AS DOUBLE)) AS sum_bonus,
+        |       count(hits) AS n_hits,
+        |       CAST(coalesce(sum(hits), 0) AS BIGINT) AS sum_hits
         |FROM latest GROUP BY event_type
         |UNION ALL
         |SELECT 'v1' AS phase, event_type, count(*) AS n,
         |       round(sum(value), 6) AS sum_value,
-        |       CAST(0 AS BIGINT) AS n_bonus, CAST(0.0 AS DOUBLE) AS sum_bonus
+        |       CAST(0 AS BIGINT) AS n_bonus, CAST(0.0 AS DOUBLE) AS sum_bonus,
+        |       CAST(0 AS BIGINT) AS n_hits, CAST(0 AS BIGINT) AS sum_hits
         |FROM events WHERE event_id % 2 = 0 GROUP BY event_type
         |ORDER BY phase, event_type""".stripMargin,
     // lake_ctas: v0 = the CTAS content (purchases), latest = the

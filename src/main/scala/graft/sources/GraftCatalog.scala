@@ -332,7 +332,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         LakeTable.latestVersion(sp) match {
           case Some(h) =>
             LakeTable.commitRefs(spark, p, base, LakeTable.listRefs(sp, h), op,
-              LakeTable.schemaOf(sp, h), Some(LakeTable.constraintsOf(sp, h)))
+              LakeTable.schemaOf(sp, h), Some(LakeTable.constraintsOf(sp, h)),
+              promotedTypes = Some(LakeTable.promotedOf(sp, h)))
           case None => // empty SELECT never wrote — an empty sentinel version
             LakeTable.commitRefs(spark, p, base, Nil, op, None, Some(Nil))
         }
@@ -409,6 +410,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           Files.writeString(declaredSchemaFile(p),
             LakeTable.read(spark, p, None).schema.toDDL)
         syncDeclared(p)(cur => StructType(cur.fields :+ field))
+      case u: TableChange.UpdateColumnType if u.fieldNames.length == 1 =>
+        // METADATA-ONLY widening (S9a): data-carried columns promote
+        // through the lake's widening evolution (lossless upcasts
+        // only — LakeTable.promoteColumnType validates); a column no
+        // data file carries yet has its type ONLY in the declared
+        // schema, where any re-declaration is trivially lossless.
+        val n = u.fieldNames()(0)
+        val hasData = LakeTable.read(spark, p, None).schema.fieldNames.contains(n)
+        if (hasData) LakeTable.promoteColumnType(spark, p, n, u.newDataType().sql)
+        else require(declaredSchemaOf(p).exists(_.fieldNames.contains(n)),
+          s"graft catalog: no such column '$n' at $p")
+        syncDeclared(p)(cur => StructType(cur.fields.map(f =>
+          if (f.name == n) f.copy(dataType = u.newDataType()) else f)))
       case other =>
         throw new UnsupportedOperationException(
           s"graft catalog: unsupported ALTER TABLE change $other")

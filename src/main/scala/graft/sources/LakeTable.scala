@@ -383,6 +383,28 @@ object LakeTable {
     else Some(readJsonLines(p).map(n => n.get("id").asInt -> n.get("name").asText))
   }
 
+  /** Declared TYPE PROMOTIONS at `version` (Iceberg's widening
+    * evolution, S9a): field id → promoted Spark DDL type, from the
+    * optional "type" field of the same schema.json rows — so a
+    * promotion follows its field id through renames and dies with it
+    * on drop, with no second sidecar to keep consistent. */
+  private[graft] def promotedOf(path: String, version: Int): Map[Int, String] = {
+    val p = Paths.get(s"${metaDir(path)}/v$version/schema.json")
+    if (!Files.exists(p)) Map.empty
+    else readJsonLines(p).flatMap(n =>
+      Option(n.get("type")).filterNot(_.isNull)
+        .map(t => n.get("id").asInt -> t.asText)).toMap
+  }
+
+  /** The read-path schema bundle: current (field id → name) pairs
+    * plus declared type promotions — everything a per-manifest
+    * projection needs to surface a file under the CURRENT schema. */
+  private[graft] final case class Sch(
+      cols: Seq[(Int, String)], promoted: Map[Int, String] = Map.empty)
+
+  private[graft] def schFor(path: String, version: Int): Option[Sch] =
+    schemaOf(path, version).map(Sch(_, promotedOf(path, version)))
+
   /** Field-id assignment for writing columns `names` on top of
     * version `base`: existing names keep their ids, new names get
     * fresh ids past the highwater mark — ids are NEVER reused, so a
@@ -526,7 +548,11 @@ object LakeTable {
       refs: Seq[ManifestRef], op: String,
       schemaCols: Option[Seq[(Int, String)]] = None,
       constraints: Option[Seq[(String, String)]] = None,
-      txn: Option[(String, Long)] = None): Int = {
+      txn: Option[(String, Long)] = None,
+      // type promotions carry forward from the base like the schema;
+      // explicit on promote commits and on cross-lineage commits
+      // (rollback/branch/fast-forward adopt the SOURCE version's)
+      promotedTypes: Option[Map[Int, String]] = None): Int = {
     val next = base + 1
     val md = Paths.get(metaDir(path))
     Files.createDirectories(md)
@@ -598,10 +624,14 @@ object LakeTable {
             sch :+ (id -> n)
         }
       }
+    val effPromoted = promotedTypes.getOrElse(
+      if (base >= 0) promotedOf(path, base) else Map.empty[Int, String])
     if (effective.nonEmpty)
       Files.write(staging.resolve("schema.json"),
         effective.map { case (id, n) =>
-          s"{${jstr("id")}:$id,${jstr("name")}:${jstr(n)}}"
+          val t = effPromoted.get(id)
+            .map(t => s",${jstr("type")}:${jstr(t)}").getOrElse("")
+          s"{${jstr("id")}:$id,${jstr("name")}:${jstr(n)}$t}"
         }.asJava)
     // CHECK constraints carry forward like the schema (explicit on
     // add/drop commits, inherited otherwise)
@@ -1203,28 +1233,44 @@ object LakeTable {
       throw new IllegalArgumentException(
         s"no such snapshot version $v at $path (expired or never committed); " +
           s"latest is ${latestVersion(path).getOrElse(-1)}")
-    assembleWithDeletes(spark, listRefs(path, v), schemaOf(path, v))
+    assembleWithDeletes(spark, listRefs(path, v), schFor(path, v))
   }
 
   /** Project a manifest's frame from its WRITE-TIME column names to
     * the CURRENT schema by field id (the metadata-only rename/drop
     * read rule): a renamed column surfaces under its current name, a
     * dropped field id is projected out, and untracked columns (legacy
-    * manifests, reconstructed internals) pass through by name. */
+    * manifests, reconstructed internals) pass through by name. A
+    * declared TYPE PROMOTION then upcasts the column per manifest —
+    * BEFORE any union, so mixed-vintage files agree exactly and the
+    * served type is the declared one (the cast is trivial — erased by
+    * the optimizer — on files already written wide). */
   private def projectToCurrent(
       df: DataFrame, cols: Map[String, Int],
-      current: Option[Seq[(Int, String)]]): DataFrame = current match {
-    case Some(schema) if cols.nonEmpty =>
-      val idToName = schema.toMap
-      val sel = df.columns.toSeq.flatMap { c =>
-        cols.get(c) match {
-          case Some(id) =>
-            idToName.get(id).map(n => if (n == c) col(c) else col(c).as(n))
-          case None => Some(col(c))
+      current: Option[Sch]): DataFrame = {
+    val named = current match {
+      case Some(sch) if cols.nonEmpty =>
+        val idToName = sch.cols.toMap
+        val sel = df.columns.toSeq.flatMap { c =>
+          cols.get(c) match {
+            case Some(id) =>
+              idToName.get(id).map(n => if (n == c) col(c) else col(c).as(n))
+            case None => Some(col(c))
+          }
         }
-      }
-      df.select(sel: _*)
-    case _ => df
+        df.select(sel: _*)
+      case _ => df
+    }
+    val widen: Map[String, String] = current match {
+      case Some(sch) if sch.promoted.nonEmpty =>
+        sch.cols.collect {
+          case (id, n) if sch.promoted.contains(id) => n -> sch.promoted(id)
+        }.toMap
+      case _ => Map.empty
+    }
+    if (widen.isEmpty || !named.columns.exists(widen.contains)) named
+    else named.select(named.columns.toSeq.map(c =>
+      widen.get(c).map(t => col(c).cast(t).as(c)).getOrElse(col(c))): _*)
   }
 
   /** Data manifests minus merge-on-read delete keys: the Iceberg v2
@@ -1233,7 +1279,7 @@ object LakeTable {
     * scan itself is untouched (pushdown/pruning intact). */
   private def assembleWithDeletes(
       spark: SparkSession, refs: Seq[ManifestRef],
-      current: Option[Seq[(Int, String)]],
+      current: Option[Sch],
       keepMeta: Boolean = false): DataFrame = {
     val (eq, rest) = refs.partition(_.kind == "delete")
     val (pos, rest2) = rest.partition(_.kind == "posdel")
@@ -1329,7 +1375,7 @@ object LakeTable {
     * via per-manifest field-id projection). */
   private def readRefs(
       spark: SparkSession, refs: Seq[ManifestRef],
-      current: Option[Seq[(Int, String)]]): DataFrame = {
+      current: Option[Sch]): DataFrame = {
     val live = refs.filter(_.nFiles > 0)
     // empty snapshot: no data file carries a schema, so the honest
     // answer is an empty zero-column frame (Delta would serve the
@@ -1345,7 +1391,7 @@ object LakeTable {
     * from the scan's `_metadata`, for position-delete subtraction. */
   private def taggedReadRefs(
       spark: SparkSession, refs: Seq[ManifestRef],
-      current: Option[Seq[(Int, String)]],
+      current: Option[Sch],
       withPos: Boolean = false): DataFrame = {
     val live = refs.filter(_.nFiles > 0)
     if (live.isEmpty) spark.emptyDataFrame
@@ -1369,7 +1415,7 @@ object LakeTable {
   private def applyMorDeletes(
       spark: SparkSession, dataWithSeq: DataFrame,
       del: Seq[ManifestRef],
-      current: Option[Seq[(Int, String)]] = None): DataFrame = {
+      current: Option[Sch] = None): DataFrame = {
     // one key column per table (upsert's contract); its NAME rides in
     // each delete file's own schema. NOTHING enforces the contract at
     // write time (deleteMoR/upsertMoR take keyCol per call), so a
@@ -1410,7 +1456,7 @@ object LakeTable {
     * mapping — projected like the whole-dir path. */
   private def readFiles(
       spark: SparkSession, entries: Seq[ManifestEntry],
-      current: Option[Seq[(Int, String)]] = None): DataFrame =
+      current: Option[Sch] = None): DataFrame =
     if (entries.isEmpty) spark.emptyDataFrame
     else entries.groupBy(_.base).map { case (base, es) =>
       projectToCurrent(
@@ -1425,7 +1471,7 @@ object LakeTable {
     * (grouped per (base, seq) — entries of one manifest share both). */
   private def taggedRead(
       spark: SparkSession, data: Seq[ManifestEntry],
-      current: Option[Seq[(Int, String)]] = None,
+      current: Option[Sch] = None,
       withPos: Boolean = false): DataFrame =
     if (data.isEmpty) spark.emptyDataFrame
     else data.groupBy(e => (e.base, e.seq)).map { case ((base, sq), es) =>
@@ -1447,7 +1493,7 @@ object LakeTable {
       kept: Seq[ManifestEntry], fullRefs: Seq[ManifestRef],
       eqRefs: Seq[ManifestRef], posRefs: Seq[ManifestRef],
       dvRefs: Seq[ManifestRef],
-      current: Option[Seq[(Int, String)]]): DataFrame = {
+      current: Option[Sch]): DataFrame = {
     def assemble(parts: Seq[DataFrame]): DataFrame =
       parts.reduce(_.unionByName(_, allowMissingColumns = true))
     if (eqRefs.isEmpty && posRefs.isEmpty && dvRefs.isEmpty) assemble(Seq(
@@ -1636,7 +1682,7 @@ object LakeTable {
     * entries). */
   private def prunePlan(
       spark: SparkSession, dataRefs: Seq[ManifestRef],
-      current: Option[Seq[(Int, String)]],
+      current: Option[Sch],
       preds: Seq[(String, Double, Double)],
       // false = stop after the manifest-range level and plan every
       // surviving manifest whole (the V2 hive-layout path, where
@@ -1649,7 +1695,7 @@ object LakeTable {
     // the column — its files serve only null there, so no interval can
     // match and the whole manifest prunes (exact, not conservative)
     def writeTimeName(ref: ManifestRef, column: String): Option[String] =
-      current.flatMap(sch => sch.find(_._2 == column)) match {
+      current.flatMap(sch => sch.cols.find(_._2 == column)) match {
         case Some((id, _)) if ref.cols.nonEmpty =>
           ref.cols.collectFirst { case (n, i) if i == id => n }
         case _ => Some(column) // legacy manifest or schema-less table
@@ -1731,10 +1777,10 @@ object LakeTable {
           s"${eqRefs.size + posRefs.size + dvRefs.size} merge-on-read delete " +
           "manifest(s) a file-level scan cannot apply — " +
           "LakeTable.compact(...) folds them, or read through LakeTable.read")
-    val current = schemaOf(path, v)
+    val current = schFor(path, v)
     for {
       r <- dataRefs; (n, id) <- r.cols
-      (_, cur) <- current.flatMap(_.find(_._1 == id)) if cur != n
+      (_, cur) <- current.flatMap(_.cols.find(_._1 == id)) if cur != n
     } throw new UnsupportedOperationException(
       s"graftlake V2 read at $path v$v: files under ${r.base} store column " +
         s"'$cur' (field id $id) as '$n' — the rename is resolved by per-file " +
@@ -1840,9 +1886,9 @@ object LakeTable {
       : Option[Seq[MetaGroupRow]] = {
     val refs = listRefs(path, v)
     if (refs.exists(_.kind != "data")) return None
-    val current = schemaOf(path, v)
+    val current = schFor(path, v)
     val renamed = refs.exists(r => r.cols.exists { case (n, id) =>
-      current.flatMap(_.find(_._1 == id)).exists(_._2 != n) })
+      current.flatMap(_.cols.find(_._1 == id)).exists(_._2 != n) })
     if (renamed) return None
     val live = refs.filter(_.nFiles > 0)
     if (live.isEmpty || groupCols.isEmpty) return if (live.isEmpty) Some(Nil) else None
@@ -1935,9 +1981,9 @@ object LakeTable {
       : Option[MetaAggAnswer] = {
     val refs = listRefs(path, v)
     if (refs.exists(_.kind != "data")) return None
-    val current = schemaOf(path, v)
+    val current = schFor(path, v)
     val renamed = refs.exists(r => r.cols.exists { case (n, id) =>
-      current.flatMap(_.find(_._1 == id)).exists(_._2 != n) })
+      current.flatMap(_.cols.find(_._1 == id)).exists(_._2 != n) })
     if (renamed) return None
     val live = refs.filter(_.nFiles > 0)
     val claimed = live.map(_.nFiles).sum
@@ -2039,7 +2085,7 @@ object LakeTable {
     val (eqRefs, rest0) = listRefs(path, v).partition(_.kind == "delete")
     val (posRefs, rest1) = rest0.partition(_.kind == "posdel")
     val (dvRefs, dataRefs) = rest1.partition(_.kind == "dv")
-    val current = schemaOf(path, v)
+    val current = schFor(path, v)
     val (fullRefs, kept) = prunePlan(spark, dataRefs, current, preds)
     // merge-on-read deletes apply AFTER the file skip: pruning only
     // decides which data files are touched, never which rows survive
@@ -2302,7 +2348,8 @@ object LakeTable {
     // added one; carrying the current set would leave metadata
     // half-rolled-back) — Some(Nil) clears, None would inherit
     commitRefs(spark, path, base, listRefs(path, version), "rollback",
-      schemaOf(path, version), Some(constraintsOf(path, version)))
+      schemaOf(path, version), Some(constraintsOf(path, version)),
+      promotedTypes = Some(promotedOf(path, version)))
   }
 
   /** Iceberg-style `manifests` METADATA TABLE: one row per manifest
@@ -2373,7 +2420,7 @@ object LakeTable {
     val live = data.filter(_.nFiles > 0)
     require(live.nonEmpty, s"no data to bloom at $path")
     val key = bloomKey(path, base, column)
-    val current = schemaOf(path, base)
+    val current = schFor(path, base)
     // ONE distributed job: per file, the distinct bloom bit positions
     // of the column's values (bounded by `bits` per file)
     // refScan honors partial (binpack) manifests — a whole-dir read
@@ -2424,7 +2471,7 @@ object LakeTable {
     val (eqRefs, rest0) = listRefs(path, v).partition(_.kind == "delete")
     val (posRefs, rest1) = rest0.partition(_.kind == "posdel")
     val (dvRefs, dataRefs) = rest1.partition(_.kind == "dv")
-    val current = schemaOf(path, v)
+    val current = schFor(path, v)
     val key = bloomKey(path, v, column)
     val live = dataRefs.filter(_.nFiles > 0)
     val claimed = live.map(_.nFiles).sum
@@ -2522,6 +2569,52 @@ object LakeTable {
     val fresh = (schema.map(_._1) ++ refIds ++ Seq(-1)).max + 1
     commitRefs(spark, path, base, listRefs(path, base), "add_column",
       Some(schema :+ (fresh -> name)))
+  }
+
+  /** METADATA-ONLY type promotion (S9a, Iceberg's widening schema
+    * evolution): declares field `name`'s read type as `newType` —
+    * zero data files rewritten on a 100 TB table. Old files keep
+    * their narrow physical type and upcast through the same
+    * per-manifest projection that resolves renames
+    * ([[projectToCurrent]]); new writes may carry either width (the
+    * upcast is trivial on wide files). Only LOSSLESS widenings are
+    * accepted — int→bigint, float→double, decimal precision increase
+    * at unchanged scale — so a promoted read can never change a
+    * value, only its container. Time travel to pre-promotion
+    * versions serves the old type (the promotion lives in the
+    * version's schema metadata, like a rename). */
+  def promoteColumnType(
+      spark: SparkSession, path: String, name: String, newType: String): Int = {
+    import org.apache.spark.sql.types._
+    val base = observedBase(spark, path)
+    val schema = schemaOf(path, base).getOrElse(throw new IllegalArgumentException(
+      s"$path has no field-id schema (pre-field-id table) — type promotion needs one"))
+    val id = schema.find(_._2 == name).map(_._1).getOrElse(
+      throw new IllegalArgumentException(s"no such column '$name' at $path"))
+    val target = DataType.fromDDL(newType)
+    // validate against the EFFECTIVE read type (physical + any prior
+    // promotion) — read() already serves promoted types, so chained
+    // widenings (int→bigint after decimal... no; bigint→bigint) stay
+    // honest and re-declaring the current type is a no-op commit
+    val cur = read(spark, path, Some(base)).schema
+      .find(_.name == name).map(_.dataType).getOrElse(
+        throw new IllegalArgumentException(
+          s"column '$name' carries no data yet at $path — its type is catalog " +
+            "metadata until a write lands; alter the declared schema instead"))
+    val lossless = (cur, target) match {
+      case (a, b) if a == b => true // idempotent re-declare
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (a: DecimalType, b: DecimalType) =>
+        b.scale == a.scale && b.precision >= a.precision
+      case _ => false
+    }
+    require(lossless,
+      s"type promotion ${cur.sql} -> ${target.sql} for '$name' is not a lossless " +
+        "widening (allowed: INT->BIGINT, FLOAT->DOUBLE, DECIMAL precision " +
+        "increase at unchanged scale)")
+    commitRefs(spark, path, base, listRefs(path, base), "promote_type",
+      Some(schema), promotedTypes = Some(promotedOf(path, base) + (id -> target.sql)))
   }
 
   /** METADATA-ONLY column drop: the field id leaves the schema, every
@@ -2634,7 +2727,7 @@ object LakeTable {
       predicate: org.apache.spark.sql.Column): Int = {
     val base = observedBase(spark, path)
     val prev = listRefs(path, base)
-    val keys = assembleWithDeletes(spark, prev, schemaOf(path, base), keepMeta = true)
+    val keys = assembleWithDeletes(spark, prev, schFor(path, base), keepMeta = true)
       .filter(coalesce(predicate, lit(false)))
       .select(col(FpCol).as("file_path"), col(RiCol).as("row_index"))
     commitRefs(spark, path, base,
@@ -2654,7 +2747,7 @@ object LakeTable {
       predicate: org.apache.spark.sql.Column): Int = {
     val base = observedBase(spark, path)
     val prev = listRefs(path, base)
-    val keys = assembleWithDeletes(spark, prev, schemaOf(path, base), keepMeta = true)
+    val keys = assembleWithDeletes(spark, prev, schFor(path, base), keepMeta = true)
       .filter(coalesce(predicate, lit(false)))
       .select(col(FpCol).as("file_path"), col(RiCol).as("row_index"))
     import spark.implicits._
@@ -2728,7 +2821,7 @@ object LakeTable {
     val (pos, rest2) = rest.partition(_.kind == "posdel")
     val (dvs, data) = rest2.partition(_.kind == "dv")
     val del = eq ++ pos ++ dvs
-    val current = schemaOf(path, base)
+    val current = schFor(path, base)
     def sizeOf(e: ManifestEntry): Long =
       if (e.bytes >= 0) e.bytes else Files.size(Paths.get(e.file))
     val perRef = data.filter(_.nFiles > 0).map(r => r -> readManifest(r))
@@ -2801,7 +2894,8 @@ object LakeTable {
     Files.writeString(Paths.get(s"${metaDir(bp)}/fork.json"),
       s"{${jstr("version")}:$v}")
     commitRefs(spark, bp, -1, listRefs(path, v), "branch_from",
-      schemaOf(path, v), Some(constraintsOf(path, v)))
+      schemaOf(path, v), Some(constraintsOf(path, v)),
+      promotedTypes = Some(promotedOf(path, v)))
   }
 
   /** FAST-FORWARD main to a branch's head: refused when main moved
@@ -2826,7 +2920,8 @@ object LakeTable {
     // when the branch dropped a constraint (filtering to None would
     // resurrect it over adopted rows that legally violate it)
     val next = commitRefs(spark, path, base, listRefs(bp, head), "fast_forward",
-      schemaOf(bp, head), Some(constraintsOf(bp, head)))
+      schemaOf(bp, head), Some(constraintsOf(bp, head)),
+      promotedTypes = Some(promotedOf(bp, head)))
     Files.writeString(forkFile, s"{${jstr("version")}:$next}")
     next
   }
@@ -3077,16 +3172,33 @@ object LakeTable {
     s.sql("INSERT INTO graft_q.lakedb.ev " +
       "SELECT event_id + 10000000, 'bonus', value, value * 2 " +
       "FROM cat_ev_src WHERE event_id % 10 = 0")
+    // metadata-only TYPE PROMOTION (round 9, S9a): `hits` lands as
+    // INT across one narrow-vintage insert, widens to BIGINT in one
+    // metadata commit (zero files rewritten), and a post-widen insert
+    // carries a value beyond the int range — the final aggregate
+    // hash-checks the upcast of old files AND the wide row together
+    s.sql("ALTER TABLE graft_q.lakedb.ev ADD COLUMN hits INT")
+    s.sql("INSERT INTO graft_q.lakedb.ev " +
+      "SELECT event_id + 20000000, 'hits', value, CAST(NULL AS DOUBLE), " +
+      "CAST(event_id % 1000 AS INT) FROM cat_ev_src WHERE event_id % 10 = 1")
+    s.sql("ALTER TABLE graft_q.lakedb.ev ALTER COLUMN hits TYPE BIGINT")
+    require(s.table("graft_q.lakedb.ev").schema("hits").dataType.sql == "BIGINT",
+      "promoted column must serve BIGINT through the catalog")
+    s.sql("INSERT INTO graft_q.lakedb.ev VALUES " +
+      "(30000000, 'hits', 0.5, CAST(NULL AS DOUBLE), 3000000000)")
     s.sql(
       """SELECT 'v1' AS phase, event_type, count(*) AS n,
         |       round(sum(value), 6) AS sum_value,
-        |       CAST(0 AS BIGINT) AS n_bonus, CAST(0.0 AS DOUBLE) AS sum_bonus
+        |       CAST(0 AS BIGINT) AS n_bonus, CAST(0.0 AS DOUBLE) AS sum_bonus,
+        |       CAST(0 AS BIGINT) AS n_hits, CAST(0 AS BIGINT) AS sum_hits
         |FROM graft_q.lakedb.ev VERSION AS OF 1 GROUP BY event_type
         |UNION ALL
         |SELECT 'latest' AS phase, event_type, count(*) AS n,
         |       round(sum(value), 6) AS sum_value,
         |       count(bonus) AS n_bonus,
-        |       coalesce(round(sum(bonus), 6), CAST(0.0 AS DOUBLE)) AS sum_bonus
+        |       coalesce(round(sum(bonus), 6), CAST(0.0 AS DOUBLE)) AS sum_bonus,
+        |       count(hits) AS n_hits,
+        |       coalesce(sum(hits), CAST(0 AS BIGINT)) AS sum_hits
         |FROM graft_q.lakedb.ev GROUP BY event_type
         |ORDER BY phase, event_type""".stripMargin)
   }

@@ -131,6 +131,76 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("trailing"), e2.getMessage)
   }
 
+  test("metadata-only TYPE promotion: INT→BIGINT widens old files in place") {
+    rmdir(s"$wh/db9")
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.db9")
+    sql("CREATE TABLE graft.db9.t (k BIGINT, v INT) USING graftlake")
+    sql("INSERT INTO graft.db9.t SELECT id, CAST(id * 10 AS INT) FROM range(0, 10)")
+    assert(spark.table("graft.db9.t").schema("v").dataType.sql === "INT")
+    sql("ALTER TABLE graft.db9.t ALTER COLUMN v TYPE BIGINT")
+    // metadata-only: one promote_type commit, zero files rewritten
+    val hist = sql("SELECT * FROM graft.db9.t.history").collect()
+    assert(hist.map(_.getString(1)).toSeq
+      === Seq("overwrite", "append", "promote_type"))
+    // the catalog serves the promoted type; old (int) files upcast
+    assert(spark.table("graft.db9.t").schema("v").dataType.sql === "BIGINT")
+    assert(sql("SELECT sum(v) AS s FROM graft.db9.t").head.getLong(0) === 450L)
+    // a write past the int range lands fine and the mixed-vintage
+    // read (narrow old files + wide new ones) serves one BIGINT column
+    sql(s"INSERT INTO graft.db9.t VALUES (100, ${Int.MaxValue.toLong + 5L})")
+    assert(sql("SELECT max(v) AS m FROM graft.db9.t").head.getLong(0)
+      === Int.MaxValue.toLong + 5L)
+    assert(LakeTable.read(spark, s"$wh/db9/t").schema("v").dataType.sql === "BIGINT")
+    // time travel BEFORE the promotion serves the old narrow type
+    assert(sql("SELECT * FROM graft.db9.t VERSION AS OF 1").schema("v").dataType.sql
+      === "INT")
+    // the promotion follows its field id through a rename
+    sql("ALTER TABLE graft.db9.t RENAME COLUMN v TO score")
+    LakeTable.compact(spark, s"$wh/db9/t") // lift V2 per-file projection
+    assert(spark.table("graft.db9.t").schema("score").dataType.sql === "BIGINT")
+    assert(sql("SELECT max(score) AS m FROM graft.db9.t").head.getLong(0)
+      === Int.MaxValue.toLong + 5L)
+    // honest refusals: narrowing and non-numeric re-type (Spark's own
+    // upcast check or the library's lossless gate — either may fire)
+    val e1 = intercept[Exception](
+      sql("ALTER TABLE graft.db9.t ALTER COLUMN score TYPE INT"))
+    assert(e1.getMessage != null)
+    val e2 = intercept[Exception](
+      sql("ALTER TABLE graft.db9.t ALTER COLUMN score TYPE STRING"))
+    assert(e2.getMessage.toLowerCase.contains("widening"), e2.getMessage)
+  }
+
+  test("TYPE promotion library surface: float→double, decimal widen, branch/rollback carry") {
+    import spark.implicits._
+    val path = "/tmp/graft_test/promote_lib"
+    rmdir(path)
+    LakeTable.overwrite(
+      Seq((1L, 1.5f, BigDecimal("12.34")), (2L, 2.5f, BigDecimal("99.99")))
+        .toDF("k", "f", "d")
+        .select(col("k"), col("f"), col("d").cast("decimal(4,2)")), path)
+    LakeTable.promoteColumnType(spark, path, "f", "DOUBLE")
+    LakeTable.promoteColumnType(spark, path, "d", "DECIMAL(10,2)")
+    val got = LakeTable.read(spark, path)
+    assert(got.schema("f").dataType.sql === "DOUBLE")
+    assert(got.schema("d").dataType.sql === "DECIMAL(10,2)")
+    // float→double upcast preserves the float VALUES exactly
+    assert(got.orderBy("k").collect().map(_.getDouble(1)).toSeq
+      === Seq(1.5f.toDouble, 2.5f.toDouble))
+    assert(got.orderBy("k").collect().map(_.getDecimal(2).toString).toSeq
+      === Seq("12.34", "99.99"))
+    // decimal scale change is NOT lossless at same precision rules
+    val e1 = intercept[Exception](
+      LakeTable.promoteColumnType(spark, path, "d", "DECIMAL(10,4)"))
+    assert(e1.getMessage.contains("widening"), e1.getMessage)
+    // a branch forks the promotion; rollback restores the narrow type
+    LakeTable.createBranch(spark, path, "audit")
+    assert(LakeTable.read(spark, LakeTable.branchPath(path, "audit"))
+      .schema("f").dataType.sql === "DOUBLE")
+    LakeTable.rollback(spark, path, 0)
+    assert(LakeTable.read(spark, path).schema("f").dataType.sql === "FLOAT",
+      "rollback to v0 must serve the pre-promotion type")
+  }
+
   test("SQL DML on catalog tables rides the same library commits") {
     rmdir(s"$wh/db3")
     sql("CREATE NAMESPACE IF NOT EXISTS graft.db3")
