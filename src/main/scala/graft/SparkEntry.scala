@@ -177,6 +177,8 @@ object SparkEntry {
     "lake_agg_pushdown" -> (sources.LakeTable.aggPushdownQuery _),
     "lake_agg_pushdown_group" -> (sources.LakeTable.aggPushdownGroupQuery _),
     "lake_catalog_sql" -> (sources.LakeTable.catalogSqlQuery _),
+    "lake_partitions_meta" -> (sources.LakeTable.partitionsMetaQuery _),
+    "lake_arbitrated_commit" -> (sources.LakeTable.arbitratedCommitQuery _),
     "lake_ctas" -> (sources.LakeTable.ctasQuery _),
     "lake_runtime_prune" -> (sources.LakeTable.runtimePruneQuery _),
     "lake_merge_read" -> (sources.LakeTable.mergeReadQuery _),
@@ -1054,6 +1056,26 @@ object SparkEntry {
         |       CAST(0 AS BIGINT) AS n_hits, CAST(0 AS BIGINT) AS sum_hits
         |FROM events WHERE event_id % 2 = 0 GROUP BY event_type
         |ORDER BY phase, event_type""".stripMargin,
+    // lake_arbitrated_commit: seed (ids % 3 = 0) + two contending
+    // arbitrated appends (% 3 = 1 and % 3 = 2, one forced through a
+    // refused-claim rebase) must equal ALL events exactly once; the
+    // protocol facts (1 rebase, head = v2) are require'd in-query
+    "lake_arbitrated_commit" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // lake_partitions_meta: the per-partition record_count rollup
+    // must equal a direct group-by over the raw events, for BOTH
+    // layout generations (hive event_type dirs + hidden day dirs);
+    // file/byte physicals are require'd in-query, not oracle-stable
+    "lake_partitions_meta" ->
+      """SELECT concat('day_ts_s=',
+        |              CAST((epoch_us(ts) // 1000000) // 86400 AS VARCHAR)) AS part,
+        |       count(*) AS record_count
+        |FROM events GROUP BY 1
+        |UNION ALL
+        |SELECT concat('event_type=', event_type) AS part, count(*) AS record_count
+        |FROM events GROUP BY 1
+        |ORDER BY part""".stripMargin,
     // lake_ctas: v0 = the CTAS content (purchases), latest = the
     // RTAS-replaced content (everything else); atomicity of the
     // poisoned CTAS is require'd in-query, values are the oracle's

@@ -217,6 +217,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         Some(new GraftLocalTable(
           s"${ident.namespace.mkString(".")}.manifests",
           LakeTable.manifests(spark, parent)))
+      case "partitions" =>
+        // per-partition rollup: O(#partitions) result rows (fine as a
+        // LocalScan) computed by ONE distributed job over manifests
+        Some(new GraftLocalTable(
+          s"${ident.namespace.mkString(".")}.partitions",
+          LakeTable.partitions(spark, parent)))
       case _ => None
     }
   }

@@ -2363,6 +2363,55 @@ object LakeTable {
       .toDF("manifest", "base", "kind", "seq", "n_files")
   }
 
+  /** Iceberg-style `partitions` METADATA TABLE (S9b): per-partition
+    * row / file / byte rollup — the table a user consults BEFORE
+    * writing a filter — folded from the SAME manifest entry rows the
+    * metadata aggregates use: ONE distributed job over manifest
+    * files, zero data files opened (the 10⁷-file posture). Partition
+    * identity is the file's layout path: every `k=v` directory
+    * segment under the commit dir, covering hive partitioning and
+    * hidden `__p_` transform dirs alike (the reserved prefix is
+    * stripped, so `day_ts=19700` reads the same either way);
+    * unpartitioned files fold into the empty-string partition.
+    * Unknown per-file row counts (legacy entries written before
+    * counts were recorded) surface as NULL record_count for the
+    * partition — never a partial sum presented as total. MoR delete
+    * manifests are refused: their subtracted rows are not visible in
+    * metadata, so any rollup would overcount (compact first). */
+  def partitions(
+      spark: SparkSession, path: String, version: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val v = version.orElse(latestVersion(path)).getOrElse(
+      throw new IllegalArgumentException(s"no snapshots at $path"))
+    val all = listRefs(path, v)
+    require(!all.exists(r => r.kind != "data" && r.nFiles > 0),
+      s"$path v$v carries merge-on-read delete manifests — their subtracted " +
+        "rows are invisible to a metadata rollup; compact the table first")
+    val refs = all.filter(r => r.kind == "data" && r.nFiles > 0)
+    if (refs.isEmpty)
+      return Seq.empty[(String, Long, Long, Long)]
+        .toDF("partition", "record_count", "file_count", "total_bytes")
+    // layout segments between the commit dir and the file name; the
+    // base prefix is removed by LENGTH (never regex — paths carry
+    // regex metachars), so only genuinely layout-born `k=v` dirs
+    // remain to name the partition
+    val rel = expr("substring(file, length(base) + 2)")
+    val partCol = array_join(
+      transform(
+        filter(split(rel, "/"), s => s.contains("=")),
+        s => regexp_replace(s, "^__p_", "")),
+      "/")
+    val unknownRows = col("rows").isNull || col("rows") < 0L
+    val unknownBytes = col("bytes").isNull || col("bytes") < 0L
+    entriesFrameOf(spark, refs, "file STRING, base STRING, bytes LONG, rows LONG")
+      .groupBy(partCol.as("partition"))
+      .agg(
+        when(count(when(unknownRows, lit(1))) === 0, sum("rows")).as("record_count"),
+        count(lit(1)).as("file_count"),
+        when(count(when(unknownBytes, lit(1))) === 0, sum("bytes")).as("total_bytes"))
+      .orderBy("partition")
+  }
+
   /** Iceberg-style `files` METADATA TABLE: one row per data/delete
     * file of a snapshot, read as ONE distributed job over the
     * manifests' JSON (never a driver loop — the 10⁷-file posture). */
@@ -3201,6 +3250,81 @@ object LakeTable {
         |       coalesce(sum(hits), CAST(0 AS BIGINT)) AS sum_hits
         |FROM graft_q.lakedb.ev GROUP BY event_type
         |ORDER BY phase, event_type""".stripMargin)
+  }
+
+  /** Driver query: ARBITRATED COMMITS under contention (S8ad) — the
+    * catalog-service protocol driven through the oracle gate. The
+    * seed commit lands plain; then TWO contending appends race for
+    * the next version through one [[InProcessCatalogArbiter]]: the
+    * wrapper interposes on the first claim, lets the CONTENDING
+    * writer commit first (through the same arbiter), and refuses the
+    * caller — exactly what a catalog CAS returns when a concurrent
+    * winner took the version — so the loser's rebase loop re-reads
+    * the moved head and lands on top. Deterministic by construction
+    * (the interposition serializes the race), and the final table
+    * must hold the seed and BOTH appends exactly once — which is the
+    * whole point of commit arbitration. */
+  def arbitratedCommitQuery(s: SparkSession, d: String): DataFrame = {
+    val path = freshWorkDir("lakearb", d)
+    val ev = graft.Tables.load(s, d, "events")
+      .select("event_id", "event_type", "value")
+    overwrite(ev.filter(pmod(col("event_id"), lit(3L)) === 0L), path) // v0 seed
+    val inner = new InProcessCatalogArbiter()
+    val contended = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val rebasesDriven = new java.util.concurrent.atomic.AtomicInteger(0)
+    val arb: CommitArbiter = new CommitArbiter {
+      override def observed(t: String, h: Int): Unit = inner.observed(t, h)
+      override def tryClaim(t: String, n: Int): Boolean = {
+        if (contended.compareAndSet(false, true)) {
+          // the contending writer wins this version first — its
+          // append claims through this same arbiter (now delegating
+          // to the inner catalog) and publishes…
+          append(ev.filter(pmod(col("event_id"), lit(3L)) === 1L), path)
+          rebasesDriven.incrementAndGet()
+          false // …and OUR claim is refused: rebase
+        } else inner.tryClaim(t, n)
+      }
+      override def published(t: String, n: Int): Unit = inner.published(t, n)
+      override def abandon(t: String, n: Int): Unit = inner.abandon(t, n)
+    }
+    setCommitArbiter(path, arb)
+    try append(ev.filter(pmod(col("event_id"), lit(3L)) === 2L), path)
+    finally setCommitArbiter(path, RenameArbiter)
+    require(rebasesDriven.get() == 1,
+      "exactly one refused claim must have driven the rebase loop")
+    require(latestVersion(path).contains(2),
+      s"seed + two contending appends must land as v0..v2, " +
+        s"got ${latestVersion(path)}")
+    read(s, path).groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** Driver query: `partitions` METADATA TABLE (S9b) over a
+    * mixed-layout table — commit 1 hive-partitions events by
+    * event_type, commit 2 appends the same rows hidden-partitioned
+    * by day — so the rollup must name BOTH generations' partitions
+    * from manifest rows alone. The oracle recomputes every
+    * partition's record_count from the raw events; the
+    * non-reproducible physical facts (file counts, byte sizes) are
+    * require'd present and positive in-query rather than emitted,
+    * because parquet sizes and task layouts are not oracle-stable. */
+  def partitionsMetaQuery(s: SparkSession, d: String): DataFrame = {
+    val path = freshWorkDir("lakeparts", d)
+    val ev = graft.Tables.load(s, d, "events")
+      .select("event_id", "event_type", "value")
+    overwritePartitioned(ev, path, "event_type")
+    val ev2 = graft.Tables.load(s, d, "events")
+      .select(col("event_id"), col("event_type"), col("value"),
+        expr("ts DIV 1000000000").as("ts_s"))
+    appendHiddenPartitioned(ev2, path, Seq(PartitionTransform("ts_s", "day")))
+    val parts = partitions(s, path)
+    require(parts.filter(col("record_count").isNull || col("file_count") < 1L ||
+        col("total_bytes").isNull || col("total_bytes") <= 0L)
+      .limit(1).count() == 0L,
+      "commit-time stats must cover every fresh entry (rows, files, bytes)")
+    parts.select(col("partition").as("part"), col("record_count"))
+      .orderBy("part")
   }
 
   /** Driver query: RUNTIME V2 FILTERING (dynamic file pruning) — the

@@ -201,6 +201,32 @@ class GraftCatalogSpec extends AnyFunSuite {
       "rollback to v0 must serve the pre-promotion type")
   }
 
+  test("partitions metadata table: per-partition rollup, MoR refusal, unpartitioned fold") {
+    import spark.implicits._
+    rmdir(s"$wh/db10")
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.db10")
+    val df = (0 until 100).map(i => (i.toLong, s"g${i % 4}", i * 1.0)).toDF("k", "g", "v")
+    LakeTable.overwritePartitioned(df, s"$wh/db10/t", "g")
+    val rows = sql("SELECT * FROM graft.db10.t.partitions").collect()
+    assert(rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+      === Map("g=g0" -> 25L, "g=g1" -> 25L, "g=g2" -> 25L, "g=g3" -> 25L))
+    assert(rows.forall(_.getLong(2) >= 1L), "file_count must be positive")
+    assert(rows.forall(_.getLong(3) > 0L), "total_bytes must be positive")
+    // an unpartitioned append folds into the empty-string partition
+    LakeTable.append(Seq((1000L, "gX", 0.0)).toDF("k", "g", "v"), s"$wh/db10/t")
+    val withPlain = LakeTable.partitions(spark, s"$wh/db10/t").collect()
+    assert(withPlain.exists(r => r.getString(0) == "" && r.getLong(1) == 1L))
+    // MoR delete manifests refuse the rollup (their subtracted rows
+    // are invisible to metadata); compact lifts the refusal
+    LakeTable.deleteMoR(spark, s"$wh/db10/t", "k", col("k") < 10L)
+    val e = intercept[Exception](LakeTable.partitions(spark, s"$wh/db10/t").collect())
+    assert(e.getMessage.contains("compact"), e.getMessage)
+    LakeTable.compact(spark, s"$wh/db10/t")
+    val total = LakeTable.partitions(spark, s"$wh/db10/t")
+      .agg(sum("record_count")).head.getLong(0)
+    assert(total === 91L, "post-compact rollup = 101 rows - 10 deleted")
+  }
+
   test("SQL DML on catalog tables rides the same library commits") {
     rmdir(s"$wh/db3")
     sql("CREATE NAMESPACE IF NOT EXISTS graft.db3")
