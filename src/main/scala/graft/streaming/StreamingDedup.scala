@@ -21,6 +21,23 @@ import org.apache.spark.sql.functions._
   */
 object StreamingDedup {
 
+  /** Watermark-scoped ingest dedup (T7 × L1, round 9): the SAME
+    * first-seen-wins pipeline as [[streamingDedupQuery]] but with
+    * dedup state EVICTED once the watermark passes a key's event-time
+    * horizon. At 100 TB of stream-days this is the only deployable
+    * shape — plain `dropDuplicates` state grows with every distinct
+    * key ever seen, unbounded; `dropDuplicatesWithinWatermark` keeps
+    * exactly the keys inside the watermark window, trading global
+    * exactness for windowed exactness (a copy arriving after its
+    * original's horizon re-admits — the documented contract). Rows
+    * older than the watermark are dropped outright, so a late
+    * duplicate can neither re-emit nor corrupt state. */
+  def dedupWithinWatermark(
+      stream: DataFrame, eventTimeCol: String, delay: String,
+      keys: String*): DataFrame =
+    stream.withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark(keys.toSeq)
+
   /** Originals ∪ exact copies of every 3rd doc under fresh ids — the
     * deterministic duplicate corpus the stream must collapse. */
   private def dupCorpus(s: SparkSession, d: String): DataFrame = {

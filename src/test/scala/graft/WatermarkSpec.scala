@@ -97,4 +97,52 @@ class WatermarkSpec extends AnyFunSuite {
     assert(sevens === 2,
       "expired dedup key must re-admit (state is bounded, not global)")
   }
+
+  test("ingest dedup within watermark: state size is bounded, late dups dropped") {
+    // The 100 TB contract of StreamingDedup.dedupWithinWatermark,
+    // proven from the engine's own state telemetry: (a) the state
+    // plateau built by a wide batch is EVICTED once the watermark
+    // passes its horizon (numRowsTotal collapses instead of growing
+    // monotonically, as plain dropDuplicates state would), and (b) a
+    // duplicate arriving BEHIND the watermark is dropped outright —
+    // it neither re-emits (despite its key's state being gone) nor
+    // re-enters state.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val dedup = graft.streaming.StreamingDedup.dedupWithinWatermark(
+      input.toDS().toDF("ts", "text"), "ts", "5 minutes", "text")
+    val query = dedup.writeStream.format("memory").queryName("dd_bound_out")
+      .outputMode("append").start()
+    def stateRows(): Long =
+      Option(query.lastProgress).toSeq.flatMap(_.stateOperators.toSeq)
+        .map(_.numRowsTotal).sum
+    try {
+      // a wide first batch: 100 distinct texts → 100 state rows
+      input.addData((0 until 100).map(i => (ts(0, i % 60), s"doc-$i")): _*)
+      query.processAllAvailable()
+      val plateau = stateRows()
+      assert(plateau >= 100L, s"dedup state must hold the 100 keys, got $plateau")
+      // advance event time far past 10:00 + 5 min; the NEXT batch runs
+      // with the advanced watermark and sweeps the expired keys
+      input.addData((ts(30), "fresh-a"))
+      query.processAllAvailable()
+      input.addData((ts(31), "fresh-b"))
+      query.processAllAvailable()
+      val afterEvict = stateRows()
+      assert(afterEvict <= 5L,
+        s"watermark must evict the expired plateau (bounded state), " +
+          s"got $afterEvict rows after eviction vs $plateau at plateau")
+      // a duplicate of doc-0 arriving BEHIND the watermark: state for
+      // it is gone, but the row is late → dropped, not re-emitted
+      input.addData((ts(1), "doc-0"))
+      query.processAllAvailable()
+      input.addData((ts(32), "fresh-c")) // one more batch to flush
+      query.processAllAvailable()
+    } finally query.stop()
+    val emitted = spark.table("dd_bound_out").collect().map(_.getAs[String]("text"))
+    assert(emitted.count(_ == "doc-0") === 1,
+      "a late duplicate behind the watermark must be dropped, not re-admitted")
+    assert(emitted.count(_ == "fresh-c") === 1)
+  }
 }
