@@ -578,6 +578,13 @@ class GraftLakeScanBuilder(
         GraftLakeSpj.layoutOf(path, v, tableSchema)
       else None
     new GraftLakeScan(path, tableSchema, preds, spj, ps => buildParquet(v, ps),
+      // under Spark's partially-clustered SPJ mode the connector
+      // hands over split-granular keyed partitions and Spark owns
+      // the grouping/replication (S9c); read at build time so the
+      // partition report and the plan agree for this scan's lifetime
+      partiallyClustered = spark.conf.get(
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled",
+        "false") == "true",
       streamCtx = Some((spark, version, skipChangeCommits)))
   }
 
@@ -642,6 +649,9 @@ class GraftLakeScan(
     staticPreds: Seq[(String, Double, Double)],
     spj: Option[GraftLakeSpj.KeyedLayout],
     mk: Seq[(String, Double, Double)] => (ParquetScan, LakeTable.V2Plan),
+    // partially-clustered SPJ (S9c): report split-granular keyed
+    // partitions and let Spark group or replicate them
+    partiallyClustered: Boolean = false,
     // (session, version pin, skipChangeCommits) for the streaming read
     streamCtx: Option[(SparkSession, Option[Int], Boolean)] = None)
     extends Scan with SupportsReportStatistics
@@ -660,7 +670,9 @@ class GraftLakeScan(
   private lazy val keyedPartitions
       : Option[Array[org.apache.spark.sql.connector.read.InputPartition]] =
     spj.filter(_ => state._2.dirs.isEmpty)
-      .flatMap(l => GraftLakeSpj.groupByKey(l, state._2.files))
+      .flatMap(l =>
+        if (partiallyClustered) GraftLakeSpj.perFileKeyed(l, state._2.files)
+        else GraftLakeSpj.groupByKey(l, state._2.files))
 
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =

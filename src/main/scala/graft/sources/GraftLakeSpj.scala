@@ -112,15 +112,40 @@ private[sources] object GraftLakeSpj {
       .groupBy(_._1.toSeq(layout.keyTypes))
       .toSeq.sortBy(_._1.mkString(","))
     Some(groups.zipWithIndex.map { case ((_, kfs), i) =>
-      val pfs = kfs.map { case (_, f) =>
-        val size = java.nio.file.Files.size(java.nio.file.Paths.get(f))
-        PartitionedFile(
-          partitionValues = InternalRow.empty,
-          filePath = SparkPath.fromPathString(f),
-          start = 0L, length = size, fileSize = size)
-      }.toArray
-      new KeyedFilePartition(i, pfs, kfs.head._1): InputPartition
+      new KeyedFilePartition(i, kfs.map(kf => partitionedFile(kf._2)).toArray,
+        kfs.head._1): InputPartition
     }.toArray)
+  }
+
+  /** One keyed input partition PER FILE — the PARTIALLY-CLUSTERED
+    * distribution shape (S9c): under
+    * `spark.sql.sources.v2.bucketing.partiallyClusteredDistribution
+    * .enabled` Spark's own SPJ machinery takes over the grouping — it
+    * merges same-key splits when both sides are balanced, and on a
+    * SKEWED side keeps the splits apart while REPLICATING the other
+    * side's matching partition across them, so one hot partition
+    * value no longer serializes into one task (Iceberg's
+    * partially-clustered mode). The connector's job is only to hand
+    * Spark split-granular keyed partitions; sorted (key, file) for a
+    * deterministic order. None if any file lacks a key. */
+  def perFileKeyed(
+      layout: KeyedLayout, files: Seq[String]): Option[Array[InputPartition]] = {
+    val keyed = files.map(f => keyOf(layout, f).map(k => (k, f)))
+    if (keyed.exists(_.isEmpty)) return None
+    Some(keyed.flatten
+      .sortBy { case (k, f) => (k.toSeq(layout.keyTypes).mkString(","), f) }
+      .zipWithIndex
+      .map { case ((k, f), i) =>
+        new KeyedFilePartition(i, Array(partitionedFile(f)), k): InputPartition
+      }.toArray)
+  }
+
+  private def partitionedFile(f: String): PartitionedFile = {
+    val size = java.nio.file.Files.size(java.nio.file.Paths.get(f))
+    PartitionedFile(
+      partitionValues = InternalRow.empty,
+      filePath = SparkPath.fromPathString(f),
+      start = 0L, length = size, fileSize = size)
   }
 }
 

@@ -178,6 +178,72 @@ class SpjSpec extends AnyFunSuite {
     }
   }
 
+  test("partially-clustered SPJ: skewed key keeps its splits, zero hash exchanges") {
+    // Iceberg's partially-clustered mode (S9c): the hot partition
+    // value of a skewed fact side must NOT serialize into one task —
+    // under Spark's partiallyClusteredDistribution flag the connector
+    // reports split-granular keyed partitions, Spark replicates the
+    // dim side's matching partition across the hot key's splits, and
+    // the join still plans with zero hash exchanges.
+    val root = "/tmp/graft_spj_skew"
+    SparkSpec.rmdir(root)
+    val (ta, tb) = (s"$root/a", s"$root/b")
+    val spec = Seq(PartitionTransform("k", "identity"))
+    def skewed(offset: Int): DataFrame =
+      // key 7 dominates; keys 0-4 tiny
+      ((0 until 2000).map(i => (7L, offset + i.toLong, i * 1.5)) ++
+        (0 until 50).map(i => (i.toLong % 5, offset + 10000L + i, i * 0.5)))
+        .toDF("k", "seq", "v")
+    // three appends → three files per partition value present in each
+    LakeTable.overwriteHiddenPartitioned(skewed(0), ta, spec)
+    LakeTable.appendHiddenPartitioned(skewed(100000), ta, spec)
+    LakeTable.appendHiddenPartitioned(skewed(200000), ta, spec)
+    LakeTable.overwriteHiddenPartitioned(
+      (0 until 8).map(i => (i.toLong, s"d_$i")).toDF("k", "name"), tb, spec)
+
+    def read(p: String) = spark.read.format("graftlake").load(p)
+    def runJoin(): (Array[org.apache.spark.sql.Row], String, Int) = {
+      val j = read(ta).join(read(tb), "k")
+        .select($"k", $"seq", $"v", $"name")
+      val rows = j.orderBy("k", "seq").collect()
+      val plan = j.queryExecution.executedPlan.toString
+      val parts = j.rdd.getNumPartitions
+      (rows, plan, parts)
+    }
+    val (groupedRows, groupedPlan, groupedParts) = withSpj {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try runJoin()
+      finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+    assert(!groupedPlan.contains("Exchange hashpartitioning"),
+      s"plain SPJ must not hash-shuffle:\n$groupedPlan")
+    assert(groupedParts === 8, // pushPartValues: union of both sides' keys (0..7)
+      s"grouped SPJ runs one task per key, got $groupedParts")
+    val (pcRows, pcPlan, pcParts) = withSpj {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled", "true")
+      try runJoin()
+      finally {
+        spark.conf.unset(
+          "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+    assert(!pcPlan.contains("Exchange hashpartitioning"),
+      s"partially-clustered SPJ must not hash-shuffle:\n$pcPlan")
+    assert(pcParts > groupedParts,
+      s"the skewed key's splits must exceed the one-task-per-key count: " +
+        s"$pcParts vs $groupedParts")
+    assert(pcRows.toSeq === groupedRows.toSeq,
+      "partially-clustered replication must not change the join result")
+    // value-level gate against the plain (shuffled) join
+    val expected = (skewed(0).unionAll(skewed(100000)).unionAll(skewed(200000)))
+      .join((0 until 8).map(i => (i.toLong, s"d_$i")).toDF("k", "name"), "k")
+      .select($"k", $"seq", $"v", $"name").orderBy("k", "seq").collect()
+    assert(pcRows.toSeq === expected.toSeq)
+  }
+
   test("SPJ gate off: same tables, plan shuffles, same answer") {
     val root = "/tmp/graft_spj_identity" // reuse tables from the first test
     val ta = s"$root/a"
