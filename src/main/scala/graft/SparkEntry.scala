@@ -24,6 +24,7 @@ object SparkEntry {
     "reward_trajectory" -> ((s, d) => reward.Reward.rewardTrajectory(s, d)),
     "turn_scores" -> ((s, d) => reward.Reward.turnScores(s, d)),
     "grpo_normalize" -> ((s, d) => reward.Reward.grpoNormalize(s, d)),
+    "preference_pairs" -> ((s, d) => reward.Reward.preferencePairs(s, d)),
     "reward_trajectory_agg" -> (reward.RewardAgg.rewardTrajectoryAgg _),
     "session_termination" -> ((s, d) => session.Termination.sessionTermination(s, d)),
     // --- [EXT] relational core (SURVEY.md §2.3-2.8) ---
@@ -46,6 +47,7 @@ object SparkEntry {
     "distinct_counts" -> (ops.Relational.distinctCounts _),
     "approx_distinct_users" -> (ops.Relational.approxDistinctUsers _),
     "json_extract_events" -> (ops.Relational.jsonExtractEvents _),
+    "variant_extract_events" -> (ops.Relational.variantExtractEvents _),
     "monthly_revenue" -> (ops.Relational.monthlyRevenue _),
     "topk_parts" -> (ops.Relational.topkParts _),
     "nation_coverage" -> (ops.Relational.nationCoverage _),
@@ -129,6 +131,7 @@ object SparkEntry {
     "q8_market_share" -> (ops.Relational.q8MarketShare _),
     "q15_top_supplier" -> (ops.Relational.q15TopSupplier _),
     "dup_ngram_frac" -> (llm.TextAnalysis.dupNgramFrac _),
+    "exact_substring_spans" -> (llm.TextAnalysis.exactSubstringSpans _),
     "quality_logit" -> (llm.TextAnalysis.qualityLogit _),
     "normalized_dedup" -> (llm.Dedup.normalizedDedup _),
     "k_anonymity_audit" -> ((s, d) => ops.Relational.kAnonymityAudit(s, d)),
@@ -194,6 +197,7 @@ object SparkEntry {
     "lake_tag_read" -> (sources.LakeTable.tagReadQuery _),
     "lake_incremental_agg" -> (sources.LakeTable.incrementalAggQuery _),
     "lake_schema_evolution" -> (sources.LakeTable.schemaEvolutionQuery _),
+    "lake_default_column" -> (sources.LakeTable.defaultColumnQuery _),
     "lake_rename_read" -> (sources.LakeTable.renameReadQuery _),
     "lake_merge_conditional" -> (sources.LakeTable.mergeConditionalQuery _),
     "lake_sql_merge" -> (sources.LakeTable.sqlMergeQuery _),
@@ -372,6 +376,28 @@ object SparkEntry {
         |         stddev_samp(value) OVER (PARTITION BY user_id) AS sd
         |  FROM events
         |) ORDER BY event_id""".stripMargin,
+    // preference_pairs: best-vs-worst rollout per prompt group, ties
+    // broken on the smallest event id; all-tied groups emit nothing
+    "preference_pairs" ->
+      """WITH rk AS (
+        |  SELECT user_id, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY value DESC, event_id) AS rb,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY value ASC, event_id) AS rw
+        |  FROM events),
+        |c AS (SELECT user_id, event_id AS chosen_id, value AS chosen_r
+        |      FROM rk WHERE rb = 1),
+        |r AS (SELECT user_id, event_id AS rejected_id, value AS rejected_r
+        |      FROM rk WHERE rw = 1)
+        |SELECT c.user_id, chosen_id, rejected_id,
+        |       round(chosen_r, 6) AS chosen_r,
+        |       round(rejected_r, 6) AS rejected_r,
+        |       round(chosen_r - rejected_r, 6) AS margin
+        |FROM c JOIN r ON c.user_id = r.user_id
+        |WHERE chosen_id != rejected_id
+        |  AND round(chosen_r - rejected_r, 6) > 0
+        |ORDER BY c.user_id""".stripMargin,
     "session_termination" ->
       """WITH turns AS (
         |  SELECT user_id AS dia_id,
@@ -562,6 +588,18 @@ object SparkEntry {
         |       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k,
         |       count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // variant_extract_events (F21): the Spark side constructs a
+    // nested JSON doc per event, parses to VARIANT and extracts typed
+    // paths; the oracle recomputes from the flat columns, verifying
+    // the construct->parse->extract round trip (absent path = NULL
+    // for every row, so n_absent = n)
+    "variant_extract_events" ->
+      """SELECT event_type AS t, count(*) AS n,
+        |       round(sum(value), 6) AS sum_v,
+        |       count(DISTINCT user_id) AS n_users,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        |       count(*) AS n_absent
+        |FROM events GROUP BY 1 ORDER BY t""".stripMargin,
     "monthly_revenue" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS yr,
         |       CAST(month(o_orderdate) AS INT) AS mo,
@@ -1369,6 +1407,20 @@ object SparkEntry {
         |SELECT coalesce(channel, 'legacy') AS channel, count(*) AS n,
         |       round(sum(value), 6) AS sum_value
         |FROM un GROUP BY 1 ORDER BY channel""".stripMargin,
+    // lake_default_column (S9d): v0 = evens with no tier column, one
+    // metadata-only ADD COLUMN ... DEFAULT 'standard', v2 = odds
+    // carrying computed tiers; old rows must read the constant
+    "lake_default_column" ->
+      """WITH un AS (
+        |  SELECT event_type, value, 'standard' AS tier
+        |  FROM events WHERE event_id % 2 = 0
+        |  UNION ALL
+        |  SELECT event_type, value,
+        |         CASE WHEN event_id % 4 = 1 THEN 'gold' ELSE 'silver' END
+        |  FROM events WHERE event_id % 2 != 0
+        |)
+        |SELECT event_type, tier, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM un GROUP BY 1, 2 ORDER BY event_type, tier""".stripMargin,
     "skyline_price_size" ->
       """WITH pts AS (SELECT DISTINCT p_retailprice, p_size FROM part)
         |SELECT p_retailprice, p_size FROM pts a
@@ -1550,6 +1602,38 @@ object SparkEntry {
         |       CAST(coalesce(n_dup, 0) AS INT) AS n_dup,
         |       round(coalesce(n_dup, 0) * 1.0 /
         |             greatest(coalesce(n_shingles, 0), 1), 6) AS dup_frac
+        |FROM documents LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // exact_substring_spans (L13): positional 8-token windows; a
+    // position is duplicated when its window occurs anywhere else in
+    // the corpus (positions counted, not distinct shingles);
+    // consecutive duplicated windows (gap <= 8) coalesce into maximal
+    // spans via gaps-and-islands — identical logic both engines
+    "exact_substring_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |win AS (SELECT doc_id, CAST(i AS INT) AS pos,
+        |          array_to_string(tk[CAST(i AS INT):CAST(i AS INT) + 7], ' ') AS w
+        |        FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i
+        |              FROM toks WHERE len(tk) >= 8)),
+        |cnts AS (SELECT w, count(*) AS cnt FROM win GROUP BY 1),
+        |dup AS (SELECT doc_id, pos FROM win JOIN cnts USING (w) WHERE cnt >= 2),
+        |isl AS (SELECT doc_id, pos,
+        |          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+        |               THEN 0 ELSE 1 END AS newgrp
+        |        FROM dup),
+        |grp AS (SELECT doc_id, pos,
+        |          sum(newgrp) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |        FROM isl),
+        |spans AS (SELECT doc_id, grp, min(pos) AS s, max(pos) + 7 AS e
+        |          FROM grp GROUP BY 1, 2),
+        |pd AS (SELECT doc_id, count(*) AS n_spans, sum(e - s + 1) AS dup_tokens,
+        |              max(e - s + 1) AS longest_span
+        |       FROM spans GROUP BY 1)
+        |SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |       CAST(coalesce(n_spans, 0) AS INT) AS n_spans,
+        |       CAST(coalesce(dup_tokens, 0) AS INT) AS dup_tokens,
+        |       CAST(coalesce(longest_span, 0) AS INT) AS longest_span,
+        |       round(coalesce(dup_tokens, 0) * 1.0 /
+        |             greatest(len(string_split(text, ' ')), 1), 6) AS dup_frac
         |FROM documents LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin,
     // quality_logit: identical linear formula inside and outside the
     // sigmoid; keep tests the LINEAR score (monotone σ) so exp() never

@@ -739,6 +739,70 @@ object TextAnalysis {
     * self-exclusion join is needed. At 100 TB the shingle strings
     * would be polyhashed (as `setsimJoinExact` does); exact strings
     * here keep the oracle byte-identical. */
+  /** L13 EXACT-SUBSTRING DUPLICATION SPANS — the positional variant
+    * of n-gram dedup (the ExactSubstr shape of Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * approximated at 8-token window granularity): a position is
+    * duplicated when its 8-token window occurs ANYWHERE else in the
+    * corpus (another doc or another position of the same doc);
+    * consecutive duplicated positions coalesce into MAXIMAL SPANS
+    * (two windows at p < q merge when q ≤ p + 8 — their token
+    * intervals touch), and each doc reports span count, tokens
+    * covered, longest span, and covered fraction — exactly what the
+    * cut-duplicated-substrings curation step consumes. Unlike
+    * [[dupNgramFrac]] (distinct-shingle fraction), positions are
+    * kept, so a 200-token verbatim quote counts as ONE span of 200
+    * tokens, not 193 independent shingles.
+    *
+    * Scale shape: one |tokens|-row window explode, one count
+    * aggregation on the window key, one shuffle-by-doc windowed
+    * islands pass — never doc×doc. At 100 TB the window key would be
+    * a 128-bit window hash instead of the spelled-out string (same
+    * plan, ~8× smaller shuffle); the string key here keeps the query
+    * bit-identical to the cross-engine oracle. */
+  def exactSubstringSpans(s: SparkSession, d: String): DataFrame = {
+    val W = 8
+    val docs = Tables.load(s, d, "documents")
+    val toks = docs
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= W)
+      // materialization barrier (dupNgramFrac's pattern): keep the
+      // interpreted HOF from re-tokenizing per window index
+      .repartition(col("doc_id"))
+    val win = toks
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(tk) - ${W - 1}), " +
+          s"i -> concat_ws(' ', slice(tk, i, $W)))")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("w"))
+    val counts = win.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val dup = win.join(counts, Seq("w")).filter(col("cnt") >= 2)
+      .select("doc_id", "pos")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = dup
+      // gaps-and-islands: a window starts a NEW span unless it
+      // touches the previous window's token interval
+      .withColumn("newgrp",
+        when(col("pos") - lag("pos", 1).over(byDoc) <= W, 0).otherwise(1))
+      .withColumn("grp", sum("newgrp").over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").as("s"), (max("pos") + W - 1).as("e"))
+    val perDoc = spans.groupBy("doc_id").agg(
+      count(lit(1)).cast("int").as("n_spans"),
+      sum(col("e") - col("s") + 1).cast("int").as("dup_tokens"),
+      max(col("e") - col("s") + 1).cast("int").as("longest_span"))
+    docs.select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0)).as("dup_tokens"),
+        coalesce(col("longest_span"), lit(0)).as("longest_span"),
+        round(coalesce(col("dup_tokens"), lit(0)).cast("double") /
+          greatest(col("n_tokens"), lit(1)), 6).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   def dupNgramFrac(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.load(s, d, "documents")
     val sh = docs

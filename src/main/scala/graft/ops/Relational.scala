@@ -470,6 +470,43 @@ object Relational {
       .agg(sum("k").as("sum_k"), round(avg("k"), 6).as("avg_k"), count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** F21 ([EXT]): semi-structured VARIANT analytics, Spark-4 native —
+    * each event folded into ONE nested JSON document (object + nested
+    * object + array + the stored `props` payload), parsed ONCE to
+    * `VariantType` with `parse_json`, and consumed through typed
+    * `variant_get` paths: a top-level field, a nested field, an array
+    * index, a path INTO the embedded payload, and `try_variant_get`
+    * on an absent path (NULL, never an error). The oracle recomputes
+    * the aggregate from the flat columns, so the
+    * construct→parse→extract round trip is hash-verified end to end.
+    * VARIANT is the 100 TB posture for heterogeneous payloads: one
+    * binary-encoded column parsed at ingest (not per query), typed
+    * paths ready for parquet shredding — vs `get_json_object`
+    * re-parsing the string per extraction ([[jsonExtractEvents]] is
+    * the legacy form). */
+  def variantExtractEvents(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .withColumn("var", parse_json(to_json(struct(
+        col("event_type").as("t"),
+        struct(col("user_id").as("u"), col("value").as("v")).as("m"),
+        array(col("event_id"), col("user_id")).as("ids"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT")).as("payload")))))
+      .select(
+        variant_get(col("var"), "$.t", "string").as("t"),
+        variant_get(col("var"), "$.m.v", "double").as("v"),
+        variant_get(col("var"), "$.ids[1]", "bigint").as("uid"),
+        variant_get(col("var"), "$.payload.k", "int").as("k"),
+        try_variant_get(col("var"), "$.not.there", "int").as("absent"))
+      .groupBy("t")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("v"), 6).as("sum_v"),
+        countDistinct(col("uid")).as("n_users"),
+        sum(col("k")).as("sum_k"),
+        sum(when(col("absent").isNull, 1L).otherwise(0L)).as("n_absent"))
+      .orderBy("t")
+
   /** F19: calendar aggregation of order revenue. */
   def monthlyRevenue(s: SparkSession, d: String): DataFrame =
     t(s, d, "orders")

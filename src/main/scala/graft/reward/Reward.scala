@@ -102,6 +102,43 @@ object Reward {
     * selects this via `algorithm.adv_estimator: grpo`
     * (`configs/multiturn_grpo_interaction.yaml:14`). Computed over the
     * events table with user_id as the prompt group. */
+  /** PREFERENCE-PAIR CONSTRUCTION ([EXT] of the reference's
+    * group-relative reward surface, same prompt-group convention as
+    * [[grpoNormalize]]): from each group of sampled rollouts, emit
+    * ONE (chosen, rejected) pair — the best- and worst-rewarded
+    * members — with the reward margin; groups whose members all tie
+    * produce nothing (margin 0 carries no preference signal). This
+    * is the DPO/RLHF dataset-prep step downstream of rollout scoring:
+    * group → rank → pair. Ties inside a group break on the SMALLEST
+    * event id, so the pairing is deterministic under any partitioning.
+    * One shuffle on the group key; two in-partition sorts (best/worst
+    * rank) over the same exchange — no joins against the fact table,
+    * and the per-group output is exactly one row, so the result is
+    * |groups|-sized at any corpus scale. */
+  def preferencePairs(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val best = Window.partitionBy("user_id")
+      .orderBy(col("value").desc, col("event_id").asc)
+    val worst = Window.partitionBy("user_id")
+      .orderBy(col("value").asc, col("event_id").asc)
+    val ranked = ev.select(
+      col("user_id"), col("event_id"), col("value"),
+      row_number().over(best).as("rb"), row_number().over(worst).as("rw"))
+    val chosen = ranked.filter(col("rb") === 1).select(
+      col("user_id"), col("event_id").as("chosen_id"), col("value").as("chosen_r"))
+    val rejected = ranked.filter(col("rw") === 1).select(
+      col("user_id"), col("event_id").as("rejected_id"), col("value").as("rejected_r"))
+    chosen.join(rejected, Seq("user_id"))
+      .filter(col("chosen_id") =!= col("rejected_id"))
+      .select(
+        col("user_id"), col("chosen_id"), col("rejected_id"),
+        round(col("chosen_r"), 6).as("chosen_r"),
+        round(col("rejected_r"), 6).as("rejected_r"),
+        round(col("chosen_r") - col("rejected_r"), 6).as("margin"))
+      .filter(col("margin") > 0)
+      .orderBy("user_id")
+  }
+
   def grpoNormalize(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(spark, dir, "events")
     val w = Window.partitionBy("user_id")

@@ -339,9 +339,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           case Some(h) =>
             LakeTable.commitRefs(spark, p, base, LakeTable.listRefs(sp, h), op,
               LakeTable.schemaOf(sp, h), Some(LakeTable.constraintsOf(sp, h)),
-              promotedTypes = Some(LakeTable.promotedOf(sp, h)))
+              promotedTypes = Some(LakeTable.promotedOf(sp, h)),
+              defaultVals = Some(LakeTable.defaultsOf(sp, h)))
           case None => // empty SELECT never wrote — an empty sentinel version
-            LakeTable.commitRefs(spark, p, base, Nil, op, None, Some(Nil))
+            LakeTable.commitRefs(spark, p, base, Nil, op, None, Some(Nil),
+              defaultVals = Some(Map.empty))
         }
         Files.writeString(declaredSchemaFile(p), declared.toDDL)
         Option(tableProps.get("write.sort-order")).foreach { order =>
@@ -384,6 +386,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     stageFor(ident, info.schema(), info.partitions(), info.properties(),
       replace = true, orCreate = true)
 
+  /** Declares DEFAULT-clause support (S9d): without this, Spark's
+    * analyzer rejects `ADD COLUMN … DEFAULT …` before the catalog
+    * ever sees the change. */
+  override def capabilities()
+      : util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_COLUMN_DEFAULT_VALUE)
+
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val p = tablePath(ident)
     if (!isTable(p)) throw new NoSuchTableException(ident)
@@ -403,18 +414,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // rename/drop address it and ids are never reused); the TYPE
         // lives in the declared schema until a write carries the
         // column, and reads null-extend via schemaFor's merge.
-        require(a.isNullable,
+        // With a DEFAULT (S9d), existing rows read the declared
+        // constant instead — which also makes NOT NULL honest.
+        require(a.isNullable || a.defaultValue() != null,
           s"graft catalog: ADD COLUMN ${a.fieldNames()(0)} NOT NULL would lie " +
-            "about every existing row (they read as null) — add it nullable")
+            "about every existing row (they read as null) — add it nullable " +
+            "or give it a DEFAULT")
         require(a.position() == null,
           s"graft catalog: ADD COLUMN ${a.fieldNames()(0)} supports trailing " +
             "position only (FIRST/AFTER would reorder file-carried columns)")
-        LakeTable.addColumn(spark, p, a.fieldNames()(0))
-        val field = org.apache.spark.sql.types.StructField(
-          a.fieldNames()(0), a.dataType(), nullable = true)
         if (declaredSchemaOf(p).isEmpty) // pre-catalog table: seed from data
+          // BEFORE the add commits — a defaulted column appears in
+          // read() immediately and would otherwise seed AND append
           Files.writeString(declaredSchemaFile(p),
             LakeTable.read(spark, p, None).schema.toDDL)
+        Option(a.defaultValue()) match {
+          case Some(dv) =>
+            // prefer the user's SQL text; a purely-expression default
+            // (no SQL form) falls back to the analyzed literal value
+            val sql = Option(dv.getSql).getOrElse(
+              org.apache.spark.sql.catalyst.expressions.Literal(
+                dv.getValue.value, dv.getValue.dataType).sql)
+            LakeTable.addColumnWithDefault(
+              spark, p, a.fieldNames()(0), a.dataType().sql, sql)
+          case None =>
+            LakeTable.addColumn(spark, p, a.fieldNames()(0))
+        }
+        val field = org.apache.spark.sql.types.StructField(
+          a.fieldNames()(0), a.dataType(), nullable = a.isNullable)
         syncDeclared(p)(cur => StructType(cur.fields :+ field))
       case u: TableChange.UpdateColumnType if u.fieldNames.length == 1 =>
         // METADATA-ONLY widening (S9a): data-carried columns promote

@@ -396,14 +396,31 @@ object LakeTable {
         .map(t => n.get("id").asInt -> t.asText)).toMap
   }
 
+  /** Declared COLUMN DEFAULTS at `version` (Iceberg v3's
+    * initial-default shape, S9d): field id → default literal SQL,
+    * from the optional "default" field of the same schema.json rows.
+    * A file whose manifest predates the field id serves the default
+    * constant instead of null — metadata-only on a 100 TB table. The
+    * default rides the schema row, so it follows renames and dies
+    * with its id on drop, like a type promotion. */
+  private[graft] def defaultsOf(path: String, version: Int): Map[Int, String] = {
+    val p = Paths.get(s"${metaDir(path)}/v$version/schema.json")
+    if (!Files.exists(p)) Map.empty
+    else readJsonLines(p).flatMap(n =>
+      Option(n.get("default")).filterNot(_.isNull)
+        .map(d => n.get("id").asInt -> d.asText)).toMap
+  }
+
   /** The read-path schema bundle: current (field id → name) pairs
-    * plus declared type promotions — everything a per-manifest
-    * projection needs to surface a file under the CURRENT schema. */
+    * plus declared type promotions and column defaults — everything a
+    * per-manifest projection needs to surface a file under the
+    * CURRENT schema. */
   private[graft] final case class Sch(
-      cols: Seq[(Int, String)], promoted: Map[Int, String] = Map.empty)
+      cols: Seq[(Int, String)], promoted: Map[Int, String] = Map.empty,
+      defaults: Map[Int, String] = Map.empty)
 
   private[graft] def schFor(path: String, version: Int): Option[Sch] =
-    schemaOf(path, version).map(Sch(_, promotedOf(path, version)))
+    schemaOf(path, version).map(Sch(_, promotedOf(path, version), defaultsOf(path, version)))
 
   /** Field-id assignment for writing columns `names` on top of
     * version `base`: existing names keep their ids, new names get
@@ -552,7 +569,11 @@ object LakeTable {
       // type promotions carry forward from the base like the schema;
       // explicit on promote commits and on cross-lineage commits
       // (rollback/branch/fast-forward adopt the SOURCE version's)
-      promotedTypes: Option[Map[Int, String]] = None): Int = {
+      promotedTypes: Option[Map[Int, String]] = None,
+      // column defaults (S9d) carry exactly like promotions: the
+      // "default" field of the live schema rows, so a dropped id's
+      // default never serializes into the next version
+      defaultVals: Option[Map[Int, String]] = None): Int = {
     val next = base + 1
     val md = Paths.get(metaDir(path))
     Files.createDirectories(md)
@@ -626,12 +647,16 @@ object LakeTable {
       }
     val effPromoted = promotedTypes.getOrElse(
       if (base >= 0) promotedOf(path, base) else Map.empty[Int, String])
+    val effDefaults = defaultVals.getOrElse(
+      if (base >= 0) defaultsOf(path, base) else Map.empty[Int, String])
     if (effective.nonEmpty)
       Files.write(staging.resolve("schema.json"),
         effective.map { case (id, n) =>
           val t = effPromoted.get(id)
             .map(t => s",${jstr("type")}:${jstr(t)}").getOrElse("")
-          s"{${jstr("id")}:$id,${jstr("name")}:${jstr(n)}$t}"
+          val d = effDefaults.get(id)
+            .map(d => s",${jstr("default")}:${jstr(d)}").getOrElse("")
+          s"{${jstr("id")}:$id,${jstr("name")}:${jstr(n)}$t$d}"
         }.asJava)
     // CHECK constraints carry forward like the schema (explicit on
     // add/drop commits, inherited otherwise)
@@ -1247,7 +1272,8 @@ object LakeTable {
     * the optimizer — on files already written wide). */
   private def projectToCurrent(
       df: DataFrame, cols: Map[String, Int],
-      current: Option[Sch]): DataFrame = {
+      current: Option[Sch],
+      injectDefaults: Boolean = true): DataFrame = {
     val named = current match {
       case Some(sch) if cols.nonEmpty =>
         val idToName = sch.cols.toMap
@@ -1268,9 +1294,32 @@ object LakeTable {
         }.toMap
       case _ => Map.empty
     }
-    if (widen.isEmpty || !named.columns.exists(widen.contains)) named
-    else named.select(named.columns.toSeq.map(c =>
-      widen.get(c).map(t => col(c).cast(t).as(c)).getOrElse(col(c))): _*)
+    val widened =
+      if (widen.isEmpty || !named.columns.exists(widen.contains)) named
+      else named.select(named.columns.toSeq.map(c =>
+        widen.get(c).map(t => col(c).cast(t).as(c)).getOrElse(col(c))): _*)
+    // COLUMN DEFAULTS (S9d): a manifest that predates a defaulted
+    // field id serves the default CONSTANT — the Iceberg v3
+    // initial-default read rule. One literal column per manifest
+    // frame, folded by the optimizer; applied BEFORE any union so
+    // every generation carries the column and allowMissingColumns
+    // never null-fills it. Delete-key frames opt out (their single
+    // column is the key; a surplus default column is meaningless).
+    // The columns.contains guard keeps legacy by-name manifests
+    // (empty cols mapping) from double-adding a column a file
+    // already carries under the current name.
+    current match {
+      case Some(sch) if injectDefaults && sch.defaults.nonEmpty =>
+        sch.cols.foldLeft(widened) { case (acc, (id, n)) =>
+          sch.defaults.get(id) match {
+            case Some(d) if !cols.values.exists(_ == id) && !acc.columns.contains(n) =>
+              val c = expr(d)
+              acc.withColumn(n, sch.promoted.get(id).map(t => c.cast(t)).getOrElse(c))
+            case _ => acc
+          }
+        }
+      case _ => widened
+    }
   }
 
   /** Data manifests minus merge-on-read delete keys: the Iceberg v2
@@ -1427,7 +1476,8 @@ object LakeTable {
       // delete-key files resolve through the same field-id projection
       // as data files: a renamed key column surfaces under its
       // CURRENT name, matching the projected data frame
-      val k = projectToCurrent(refScan(spark, ref), ref.cols, current)
+      val k = projectToCurrent(refScan(spark, ref), ref.cols, current,
+        injectDefaults = false)
       (k.columns.head,
         k.select(col(k.columns.head).as("__graft_dkey")).distinct()
           .withColumn("__graft_dseq", lit(ref.seq)))
@@ -1786,6 +1836,19 @@ object LakeTable {
         s"'$cur' (field id $id) as '$n' — the rename is resolved by per-file " +
         "projection, a library-read feature; LakeTable.compact(...) rewrites " +
         "to current names, or read through LakeTable.read")
+    // DEFAULTED columns (S9d): a live manifest that predates the
+    // field id needs the constant filled per file — row-level
+    // assembly, same contract as renames. A file-level scan would
+    // silently serve null where the declared answer is the default.
+    for {
+      sch <- current.toSeq; (id, d) <- sch.defaults
+      n <- sch.cols.collectFirst { case (i, nm) if i == id => nm }
+      r <- dataRefs if r.nFiles > 0 && !r.cols.values.exists(_ == id)
+    } throw new UnsupportedOperationException(
+      s"graftlake V2 read at $path v$v: files under ${r.base} predate column " +
+        s"'$n' (field id $id, default $d) — constant fill is a library-read " +
+        "feature; LakeTable.compact(...) materializes defaults, or read " +
+        "through LakeTable.read")
     // HIVE-partitioned commits (overwritePartitioned: `col=value`
     // subdirs carrying the values, files without the column) must be
     // planned as WHOLE dirs — an explicit leaf-file list would read
@@ -2349,7 +2412,8 @@ object LakeTable {
     // half-rolled-back) — Some(Nil) clears, None would inherit
     commitRefs(spark, path, base, listRefs(path, version), "rollback",
       schemaOf(path, version), Some(constraintsOf(path, version)),
-      promotedTypes = Some(promotedOf(path, version)))
+      promotedTypes = Some(promotedOf(path, version)),
+      defaultVals = Some(defaultsOf(path, version)))
   }
 
   /** Iceberg-style `manifests` METADATA TABLE: one row per manifest
@@ -2618,6 +2682,86 @@ object LakeTable {
     val fresh = (schema.map(_._1) ++ refIds ++ Seq(-1)).max + 1
     commitRefs(spark, path, base, listRefs(path, base), "add_column",
       Some(schema :+ (fresh -> name)))
+  }
+
+  /** METADATA-ONLY column add WITH A DEFAULT (S9d, Iceberg v3's
+    * initial-default): one commit declares the column, its type, and
+    * a constant every existing row reads — zero files rewritten on a
+    * 100 TB table. Semantics: a data file that predates the field id
+    * serves the default (not null); a file written after carries real
+    * values, including explicit NULLs, which stay NULL. Because ANY
+    * file missing the column serves it, the one declared constant
+    * plays both of Iceberg's roles (initial-default for old files,
+    * write-default for writers that omit the column) — which is why
+    * altering a default later is refused: it would rewrite history
+    * for every file that omitted the column since. The default must
+    * be a deterministic constant expression that casts losslessly to
+    * the declared type; it is canonicalized to a literal at add time
+    * so reads never re-evaluate user input. Time travel before the
+    * add does not see the column; rename follows the field id; drop
+    * kills default and type with the id. The V2 file-level scan
+    * refuses snapshots where a live manifest predates the column
+    * (constant fill is a library-read feature, like renames);
+    * [[compact]] materializes defaults into files and lifts that. */
+  def addColumnWithDefault(
+      spark: SparkSession, path: String, name: String,
+      typeDdl: String, defaultSql: String): Int = {
+    import org.apache.spark.sql.types.DataType
+    val base = observedBase(spark, path)
+    val schema = schemaOf(path, base).getOrElse(throw new IllegalArgumentException(
+      s"$path has no field-id schema (pre-field-id table) — add needs one"))
+    require(!schema.exists(_._2 == name), s"column '$name' already exists at $path")
+    val target = DataType.fromDDL(typeDdl)
+    val parsed = spark.sessionState.sqlParser.parseExpression(defaultSql)
+    require(parsed.collectFirst {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a
+    }.isEmpty,
+      s"default ($defaultSql) references columns — defaults are per-TABLE " +
+        "constants; generated columns are a different feature")
+    // determinism/foldability are only knowable AFTER analysis
+    // (parseExpression leaves rand() as an UnresolvedFunction whose
+    // `deterministic` is vacuously true) — analyze against a dummy
+    // one-row plan and inspect the resolved projection
+    val analyzed =
+      try spark.range(1).select(expr(defaultSql).as("r"))
+        .queryExecution.analyzed.expressions
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"default ($defaultSql) does not analyze: ${e.getMessage}")
+      }
+    // strip the projection Alias (its `foldable` is hardcoded false
+    // on this Spark) and judge the default expression itself
+    require(analyzed.map {
+      case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
+      case e => e
+    }.forall(e => e.deterministic && e.foldable),
+      s"default ($defaultSql) is not a deterministic constant — every reader " +
+        "must see the same value")
+    val (raw, castVal) =
+      try {
+        val r = spark.range(1)
+          .select(expr(defaultSql).as("r"), expr(defaultSql).cast(target).as("c"))
+          .head
+        (r.get(0), r.get(1))
+      } catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"default ($defaultSql) does not evaluate/cast as $typeDdl: ${e.getMessage}")
+      }
+    require(raw != null, "a NULL default is the absence of one — omit it " +
+      "(existing rows already read null for an added column)")
+    require(castVal != null,
+      s"default ($defaultSql) casts to NULL under $typeDdl — lossy; refused")
+    val canonical =
+      org.apache.spark.sql.catalyst.expressions.Literal.create(castVal, target).sql
+    val refIds = listRefs(path, base).flatMap(_.cols.values)
+    val fresh = (schema.map(_._1) ++ refIds ++ Seq(-1)).max + 1
+    commitRefs(spark, path, base, listRefs(path, base), "add_column_default",
+      Some(schema :+ (fresh -> name)),
+      // the declared type rides the same "type" field a promotion
+      // uses — it is the column's read type until files carry it,
+      // and the base for any later lossless widening
+      promotedTypes = Some(promotedOf(path, base) + (fresh -> target.sql)),
+      defaultVals = Some(defaultsOf(path, base) + (fresh -> canonical)))
   }
 
   /** METADATA-ONLY type promotion (S9a, Iceberg's widening schema
@@ -2944,7 +3088,8 @@ object LakeTable {
       s"{${jstr("version")}:$v}")
     commitRefs(spark, bp, -1, listRefs(path, v), "branch_from",
       schemaOf(path, v), Some(constraintsOf(path, v)),
-      promotedTypes = Some(promotedOf(path, v)))
+      promotedTypes = Some(promotedOf(path, v)),
+      defaultVals = Some(defaultsOf(path, v)))
   }
 
   /** FAST-FORWARD main to a branch's head: refused when main moved
@@ -2970,7 +3115,8 @@ object LakeTable {
     // resurrect it over adopted rows that legally violate it)
     val next = commitRefs(spark, path, base, listRefs(bp, head), "fast_forward",
       schemaOf(bp, head), Some(constraintsOf(bp, head)),
-      promotedTypes = Some(promotedOf(bp, head)))
+      promotedTypes = Some(promotedOf(bp, head)),
+      defaultVals = Some(defaultsOf(bp, head)))
     Files.writeString(forkFile, s"{${jstr("version")}:$next}")
     next
   }
@@ -3620,6 +3766,33 @@ object LakeTable {
       .groupBy(coalesce(col("channel"), lit("legacy")).as("channel"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
       .orderBy("channel")
+  }
+
+  /** Driver query: DEFAULT COLUMN VALUES (S9d) end to end — v0 holds
+    * the even events with NO `tier` column; one metadata-only
+    * [[addColumnWithDefault]] declares `tier STRING DEFAULT
+    * 'standard'` (the require pins that the add referenced exactly
+    * v0's files — zero data written); v2 appends the odd events
+    * carrying their own computed tier. Old rows must serve the
+    * constant, new rows their values — the oracle recomputes the
+    * split from the raw table, so the initial-default read rule is
+    * hash-verified. */
+  def defaultColumnQuery(s: SparkSession, d: String): DataFrame = {
+    val path = freshWorkDir("lakedefault", d)
+    val ev = graft.Tables.load(s, d, "events").select("event_id", "event_type", "value")
+    overwrite(ev.filter(pmod(col("event_id"), lit(2L)) === 0), path) // v0: no tier
+    addColumnWithDefault(s, path, "tier", "STRING", "'standard'") // v1
+    require(entriesOf(path, 1).map(_.file).toSet == entriesOf(path, 0).map(_.file).toSet,
+      "ADD COLUMN DEFAULT must be metadata-only")
+    append(
+      ev.filter(pmod(col("event_id"), lit(2L)) =!= 0)
+        .withColumn("tier",
+          when(pmod(col("event_id"), lit(4L)) === 1, "gold").otherwise("silver")),
+      path) // v2: rows carrying the column
+    read(s, path)
+      .groupBy("event_type", "tier")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+      .orderBy("event_type", "tier")
   }
 
   /** Driver query: HIDDEN PARTITIONING end to end — events written

@@ -303,4 +303,32 @@ class PipelineOpsSpec extends AnyFunSuite {
       1L -> ((2, 1, 0.5)), 2L -> ((2, 1, 0.5)),
       3L -> ((2, 0, 0.0)), 4L -> ((0, 0, 0.0))), s"got $got")
   }
+
+  test("exact_substring_spans: overlapping windows coalesce, within-doc repeats count, separated spans stay separate") {
+    import spark.implicits._
+    val tmp = "/tmp/graft_test/exact_substr"
+    val mid = (1 to 14).map(i => s"u$i").mkString(" ")
+    Seq(
+      // docs 1/2 share two overlapping 8-token windows -> ONE span
+      (1L, "a b c d e f g h i j", "en", "s", 1L),
+      (2L, "z a b c d e f g h i", "en", "s", 1L),
+      // doc 3: within-doc repetition (both windows identical)
+      (3L, "w w w w w w w w w", "en", "s", 1L),
+      // doc 4: two duplicated regions separated by 14 unique tokens
+      (4L, s"a b c d e f g h $mid w w w w w w w w", "en", "s", 1L),
+      (5L, "x y", "en", "s", 1L)) // too short for any window
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextAnalysis.exactSubstringSpans(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_tokens"), r.getAs[Int]("n_spans"),
+          r.getAs[Int]("dup_tokens"), r.getAs[Int]("longest_span"),
+          r.getAs[Double]("dup_frac")))).toMap
+    assert(got === Map(
+      1L -> ((10, 1, 9, 9, 0.9)),
+      2L -> ((10, 1, 9, 9, 0.9)),
+      3L -> ((9, 1, 9, 9, 1.0)),
+      4L -> ((30, 2, 16, 8, 0.533333)),
+      5L -> ((2, 0, 0, 0, 0.0))), s"got $got")
+  }
 }

@@ -82,4 +82,32 @@ class RewardSpec extends AnyFunSuite {
     assert(w.keySet === a.keySet)
     w.foreach { case (k, v) => assert(math.abs(v - a(k)) < 1e-9, s"dia $k") }
   }
+
+  test("preference_pairs: one pair per group, smallest-id tie-break, all-tied groups drop") {
+    import spark.implicits._
+    val tmp = "/tmp/graft_test/pref_pairs"
+    Seq(
+      // group 1: clear best (id 11) and worst (id 13)
+      (11L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "a", 5.0, "{}"),
+      (12L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 1L, "a", 3.0, "{}"),
+      (13L, java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), 1L, "a", 1.0, "{}"),
+      // group 2: best value tied between ids 22 and 21 -> 21 wins
+      (22L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 2L, "a", 9.0, "{}"),
+      (21L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 2L, "a", 9.0, "{}"),
+      (23L, java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), 2L, "a", 2.0, "{}"),
+      // group 3: all members tie -> no preference signal, no pair
+      (31L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 3L, "a", 4.0, "{}"),
+      (32L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 3L, "a", 4.0, "{}"),
+      // group 4: a single rollout cannot form a pair
+      (41L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 4L, "a", 7.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = Reward.preferencePairs(spark, tmp).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("chosen_id"), r.getAs[Long]("rejected_id"),
+          r.getAs[Double]("margin")))).toMap
+    assert(got === Map(
+      1L -> ((11L, 13L, 4.0)),
+      2L -> ((21L, 23L, 7.0))), s"got $got")
+  }
 }
