@@ -157,8 +157,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         declared.flatMap(_.fields.find(_.name == latestNames.getOrElse(id, n)))
           .map(_.copy(name = n))
       }
-    if (extras.isEmpty) s else StructType(s.fields ++ extras)
+    val merged = if (extras.isEmpty) s else StructType(s.fields ++ extras)
+    withDefaultMeta(p, version.orElse(latest), merged)
   }
+
+  /** Decorate defaulted columns (S9d) with Spark's standard
+    * CURRENT_DEFAULT / EXISTS_DEFAULT field metadata, so the analyzer
+    * fills them on `INSERT INTO t (subset-of-columns)` and resolves
+    * the `DEFAULT` keyword — the V2 write-default path. The same one
+    * declared constant backs both keys (see
+    * [[LakeTable.addColumnWithDefault]]: any file missing the column
+    * serves it, so current- and exists-default coincide here). */
+  private def withDefaultMeta(
+      p: String, version: Option[Int], s: StructType): StructType =
+    version.map { v =>
+      val defs = LakeTable.defaultsOf(p, v)
+      if (defs.isEmpty) s
+      else {
+        val names = LakeTable.schemaOf(p, v).getOrElse(Nil).toMap
+        val byName = defs.flatMap { case (id, d) => names.get(id).map(_ -> d) }
+        StructType(s.fields.map(f => byName.get(f.name).map { d =>
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString("CURRENT_DEFAULT", d)
+            .putString("EXISTS_DEFAULT", d).build())
+        }.getOrElse(f)))
+      }
+    }.getOrElse(s)
 
   /** Keep the declared (typed) schema in sync across metadata-only
     * DDL, when one was persisted at CREATE time. */

@@ -166,6 +166,75 @@ object DialogueStateMachine {
   final case class TimedTurn(
       ts: java.sql.Timestamp, dia_id: Long, turn: Int, layer: Int, confidence: Double)
 
+  /** Spark 4 arbitrary-state form of the TIMEOUT path (T10b): the
+    * same transition function under a StatefulProcessor with
+    * EVENT-TIME TIMERS — `registerTimer` + `handleExpiredTimer`
+    * replace the legacy `GroupStateTimeout` plumbing of
+    * [[streamingSummariesWithTimeout]]. Exactly ONE live timer per
+    * key (each batch deletes the previous deadline and re-arms at
+    * last activity + timeoutMs); when the watermark passes the
+    * deadline, `handleExpiredTimer` closes the abandoned session with
+    * reason "Timeout" and CLEARS state — in this form tombstones are
+    * evicted by the timer, so terminated keys do not pin state
+    * forever (the 100 TB deployment shape). Asserted equivalent to
+    * the legacy-API path in TimeoutSpec. */
+  class DialogueTimeoutProcessor(cfg: RewardConfig, timeoutMs: Long)
+      extends StatefulProcessor[Long, TimedTurn, SessionSummary] {
+    @transient private var st: ValueState[DialogueState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[DialogueState](
+        "dialogue", Encoders.product[DialogueState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[TimedTurn],
+        timerValues: TimerValues): Iterator[SessionSummary] = {
+      var state = if (st.exists()) st.get() else initialState
+      var out: List[SessionSummary] = Nil
+      var lastTs = state.lastActivityMs // true max across ALL batches
+      rows.toSeq.sortBy(_.turn).foreach { ev =>
+        lastTs = math.max(lastTs, ev.ts.getTime)
+        if (!state.terminated) {
+          val (next, reason) =
+            step(state, TurnEvent(ev.dia_id, ev.turn, ev.layer, ev.confidence), cfg)
+          state = next
+          reason.foreach(r => out = summaryOf(key, state, r) :: out)
+        }
+      }
+      // re-arm: delete any previous deadline first, so a key carries
+      // exactly one live timer (stale earlier deadlines would close
+      // the session while it is still active)
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(lastTs + timeoutMs)
+      st.update(state.copy(lastActivityMs = lastTs))
+      out.reverseIterator
+    }
+
+    override def handleExpiredTimer(
+        key: Long, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[SessionSummary] = {
+      val state = if (st.exists()) st.get() else initialState
+      st.clear() // timer-driven eviction — tombstones included
+      if (state.turnIndex == 0 || state.terminated) Iterator.empty
+      else Iterator.single(summaryOf(key, state, "Timeout"))
+    }
+  }
+
+  /** transformWithState timeout pipeline (event-time timers). */
+  def streamingSummariesTwsTimeout(
+      turns: Dataset[TimedTurn],
+      timeoutMs: Long,
+      cfg: RewardConfig = RewardConfig()): Dataset[SessionSummary] = {
+    import turns.sparkSession.implicits._
+    turns
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.dia_id)
+      .transformWithState(
+        new DialogueTimeoutProcessor(cfg, timeoutMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Timeout-aware streaming form: same transition function, plus an
     * EVENT-TIME timeout that force-closes abandoned dialogues (ones
     * that stop emitting turns without ever hitting a termination

@@ -142,6 +142,15 @@ class DefaultColumnSpec extends AnyFunSuite {
     assert(spark.sql("SELECT k, tier FROM graft.ddb.t ORDER BY k").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq ===
       Seq((1L, "standard"), (2L, "standard")))
+    // WRITE-DEFAULT: an INSERT that omits the column is filled by the
+    // analyzer from the declared CURRENT_DEFAULT field metadata
+    spark.sql("INSERT INTO graft.ddb.t (k, v) VALUES (9, 'z')")
+    assert(spark.sql("SELECT tier FROM graft.ddb.t WHERE k = 9").head.getString(0)
+      === "standard")
+    // ...and the explicit DEFAULT keyword resolves to the same constant
+    spark.sql("INSERT INTO graft.ddb.t VALUES (10, 'w', DEFAULT)")
+    assert(spark.sql("SELECT tier FROM graft.ddb.t WHERE k = 10").head.getString(0)
+      === "standard")
     // a plain nullable add without default still works as before
     spark.sql("ALTER TABLE graft.ddb.t ADD COLUMN note STRING")
     assert(spark.table("graft.ddb.t").columns.contains("note"))

@@ -47,4 +47,44 @@ class TimeoutSpec extends AnyFunSuite {
         s"dialogue 1 must time out (and only it): ${rows.toSeq}")
     } finally query.stop()
   }
+
+  test("transformWithState timers (T10b) match the legacy timeout path scenario") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[TimedTurn]
+      val query = DialogueStateMachine
+        .streamingSummariesTwsTimeout(input.toDS(), timeoutMs = 5 * 60 * 1000)
+        .writeStream.format("memory").queryName("tws_timeout_out")
+        .outputMode("append").start()
+      try {
+        // same scenario as the legacy-API test above: dialogue 1 goes
+        // silent after 10:00, dialogue 2 keeps the watermark moving
+        input.addData(
+          TimedTurn(ts(0), 1L, 1, 2, 0.5), TimedTurn(ts(0), 1L, 2, 3, 0.5),
+          TimedTurn(ts(0), 2L, 1, 1, 0.5))
+        query.processAllAvailable()
+        assert(spark.table("tws_timeout_out").count() === 0,
+          "nothing should close yet")
+        input.addData(TimedTurn(ts(10), 2L, 2, 2, 0.5))
+        query.processAllAvailable()
+        input.addData(TimedTurn(ts(12), 2L, 3, 3, 0.5))
+        query.processAllAvailable()
+        val rows = spark.table("tws_timeout_out").collect().map(r =>
+          (r.getAs[Long]("dia_id"), r.getAs[String]("terminate_reason"),
+            r.getAs[Int]("n_turns"), r.getAs[Int]("deepest_layer")))
+        assert(rows.toSeq === Seq((1L, "Timeout", 2, 3)),
+          s"timer must close dialogue 1 (and only it): ${rows.toSeq}")
+      } finally query.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
