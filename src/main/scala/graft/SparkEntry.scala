@@ -198,6 +198,7 @@ object SparkEntry {
     "lake_incremental_agg" -> (sources.LakeTable.incrementalAggQuery _),
     "lake_schema_evolution" -> (sources.LakeTable.schemaEvolutionQuery _),
     "lake_default_column" -> (sources.LakeTable.defaultColumnQuery _),
+    "lake_merge_evolution" -> (sources.LakeTable.mergeEvolutionQuery _),
     "lake_rename_read" -> (sources.LakeTable.renameReadQuery _),
     "lake_merge_conditional" -> (sources.LakeTable.mergeConditionalQuery _),
     "lake_sql_merge" -> (sources.LakeTable.sqlMergeQuery _),
@@ -1421,6 +1422,27 @@ object SparkEntry {
         |)
         |SELECT event_type, tier, count(*) AS n, round(sum(value), 6) AS sum_value
         |FROM un GROUP BY 1, 2 ORDER BY event_type, tier""".stripMargin,
+    // lake_merge_evolution (S9e): left join replays SET */INSERT *
+    // with the source-only grade column; untouched rows fold to
+    // 'ungraded'
+    "lake_merge_evolution" ->
+      """WITH src AS (
+        |  SELECT event_id, event_type, value * 2 AS value,
+        |         CASE WHEN value >= 250.0 THEN 'high' ELSE 'low' END AS grade
+        |  FROM events WHERE event_id % 4 = 0
+        |  UNION ALL
+        |  SELECT -event_id, 'fresh', value, 'new'
+        |  FROM events WHERE event_id % 10 = 7
+        |),
+        |merged AS (
+        |  SELECT coalesce(s.value, t.value) AS value, s.grade AS grade
+        |  FROM events t LEFT JOIN src s ON t.event_id = s.event_id
+        |  UNION ALL
+        |  SELECT value, grade FROM src WHERE event_id < 0
+        |)
+        |SELECT coalesce(grade, 'ungraded') AS grade, count(*) AS n,
+        |       round(sum(value), 6) AS sum_value
+        |FROM merged GROUP BY 1 ORDER BY grade""".stripMargin,
     "skyline_price_size" ->
       """WITH pts AS (SELECT DISTINCT p_retailprice, p_size FROM part)
         |SELECT p_retailprice, p_size FROM pts a

@@ -112,7 +112,7 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
 
     case m @ MergeIntoTable(target, source, mergeCond,
-        matchedActions, notMatchedActions, notMatchedBySourceActions, _) =>
+        matchedActions, notMatchedActions, notMatchedBySourceActions, withEvo) =>
       lakeTarget(target) match {
         case None => m
         case Some(tbl) =>
@@ -152,6 +152,13 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
           def anchor(e: Expression): Column = anchored(e, tOut, sOut, tAlias, sAlias)
           def clauseOf(a: MergeAction): LakeTable.MergeClause = a match {
+            // under WITH SCHEMA EVOLUTION an analyzer-expanded SET *
+            // (fromStar) is re-expanded at effect time like a raw
+            // UpdateStarAction: the analyzer aligned it to the
+            // PRE-evolution target schema, dropping exactly the
+            // source-only columns the clause exists to write
+            case UpdateAction(cond, _, true) if withEvo =>
+              LakeTable.MatchedUpdate(cond.map(anchor), Map.empty)
             case UpdateAction(cond, assigns, _) =>
               LakeTable.MatchedUpdate(cond.map(anchor),
                 assigns.map { case Assignment(k, v) => keyName(k) -> anchor(v) }.toMap)
@@ -215,7 +222,10 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           if (notMatchedActions.size > 1)
             refuse(s"MERGE INTO graftlake.`$path`: at most one WHEN NOT MATCHED clause")
           val matched = matchedActions.map(clauseOf)
-          val starCols = matchedActions.collect { case _: UpdateStarAction => () }.nonEmpty
+          val starCols = matchedActions.collect {
+            case _: UpdateStarAction => ()
+            case UpdateAction(_, _, true) if withEvo => () // deferred SET *
+          }.nonEmpty
           val nmbs = notMatchedBySourceActions.map(clauseOf)
           val insert = notMatchedActions.headOption.map(insertCond)
           // the source plan re-analyzes as its own frame at effect
@@ -230,7 +240,24 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
                     c0 -> org.apache.spark.sql.functions.col(s"s.$c0")).toMap)
               case other => other
             }
-            LakeTable.mergeConditional(srcDf, path, keyCol, expanded, insert, nmbs)
+            // SCHEMA EVOLUTION (S9e): source-only columns are
+            // admitted only under MERGE WITH SCHEMA EVOLUTION — they
+            // then evolve the target (SET * writes them on matched
+            // rows, inserts carry them, untouched rows read null);
+            // without the clause a wider source refuses loudly, the
+            // strict SQL MERGE contract
+            // an EMPTY target (no data file carries a schema yet) is
+            // exempt: the merge is all-inserts and the insert frame
+            // defines the schema, evolution or not
+            val targetCols = LakeTable.read(spark, path).columns
+            val srcOnly = srcDf.columns.toSeq
+              .filterNot(c => targetCols.exists(_.equalsIgnoreCase(c)))
+            if (targetCols.nonEmpty && srcOnly.nonEmpty && !withEvo) refuse(
+              s"MERGE INTO graftlake.`$path`: source carries column(s) " +
+                s"${srcOnly.mkString(", ")} the target lacks — use MERGE WITH " +
+                "SCHEMA EVOLUTION to add them, or project them away")
+            LakeTable.mergeConditional(srcDf, path, keyCol, expanded, insert, nmbs,
+              evolveColumns = if (withEvo) srcOnly else Nil)
           })
       }
 

@@ -2274,16 +2274,27 @@ object LakeTable {
     * count as false (SQL three-valued logic); NULL keys match
     * null-safely, mirroring [[applyMorDeletes]]. */
   private def mergeRows(
-      target: DataFrame, source: DataFrame, keyCol: String,
+      target0: DataFrame, source: DataFrame, keyCol: String,
       matched: Seq[MergeClause],
       notMatchedInsert: Option[org.apache.spark.sql.Column],
-      notMatchedBySource: Seq[MergeClause] = Nil)
+      notMatchedBySource: Seq[MergeClause] = Nil,
+      evolveColumns: Seq[String] = Nil)
       : (DataFrame, DataFrame, DataFrame) = {
     // SQL MERGE rejects a source that matches one target row twice
     // (nondeterministic update order) — enforce loudly up front
     val dup = source.groupBy(col(keyCol)).count()
       .filter(col("count") > 1).limit(1).count()
     require(dup == 0L, s"MERGE source has duplicate keys on '$keyCol'")
+    // SCHEMA EVOLUTION (S9e): each named source-only column is
+    // surfaced on the target side as a typed NULL before the clause
+    // algebra, so UPDATE SET * can write it for matched rows while
+    // untouched rows honestly read null — the additive write path
+    // then registers the fresh field id when the merged frame commits
+    val srcTypes = source.schema.map(f => f.name -> f.dataType).toMap
+    val target = evolveColumns
+      .filter(srcTypes.contains)
+      .filterNot(c => target0.columns.exists(_.equalsIgnoreCase(c)))
+      .foldLeft(target0)((df, c) => df.withColumn(c, lit(null).cast(srcTypes(c))))
     val tCols = target.columns.toSeq
     val t = target.alias("t")
     val s = source.withColumn("__graft_m", lit(1)).alias("s")
@@ -2353,12 +2364,14 @@ object LakeTable {
       source: DataFrame, path: String, keyCol: String,
       matched: Seq[MergeClause],
       notMatchedInsert: Option[org.apache.spark.sql.Column] = None,
-      notMatchedBySource: Seq[MergeClause] = Nil): Int = {
+      notMatchedBySource: Seq[MergeClause] = Nil,
+      evolveColumns: Seq[String] = Nil): Int = {
     val spark = source.sparkSession
     val base = observedBase(spark, path)
     val target = read(spark, path, Some(base))
     val (survivors, inserts, _) =
-      mergeRows(target, source, keyCol, matched, notMatchedInsert, notMatchedBySource)
+      mergeRows(target, source, keyCol, matched, notMatchedInsert,
+        notMatchedBySource, evolveColumns)
     commitRefs(spark, path, base,
       stageManifest(
         survivors.unionByName(inserts, allowMissingColumns = true), path).toSeq,
@@ -2375,12 +2388,14 @@ object LakeTable {
       source: DataFrame, path: String, keyCol: String,
       matched: Seq[MergeClause],
       notMatchedInsert: Option[org.apache.spark.sql.Column] = None,
-      notMatchedBySource: Seq[MergeClause] = Nil): Int = {
+      notMatchedBySource: Seq[MergeClause] = Nil,
+      evolveColumns: Seq[String] = Nil): Int = {
     val spark = source.sparkSession
     val base = observedBase(spark, path)
     val target = read(spark, path, Some(base))
     val (survivors, inserts, affected) =
-      mergeRows(target, source, keyCol, matched, notMatchedInsert, notMatchedBySource)
+      mergeRows(target, source, keyCol, matched, notMatchedInsert,
+        notMatchedBySource, evolveColumns)
     // the replacement rows = post-merge state of exactly the UPDATED
     // keys (deleted keys ship no replacement) + the inserts. The
     // semi-join is NULL-SAFE like every key comparison in the merge:
@@ -3961,6 +3976,43 @@ object LakeTable {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
       .orderBy("event_type")
+  }
+
+  /** Driver query: MERGE WITH SCHEMA EVOLUTION (S9e) end to end —
+    * the target holds all events (no `grade` column); the source
+    * re-scores every 4th event AND carries a NEW `grade` column,
+    * plus fresh negated-id rows. The SQL statement's evolution
+    * clause admits the wider source: SET * writes `grade` on matched
+    * rows, INSERT * ships it on fresh rows, and every untouched row
+    * reads null (folded to 'ungraded'). The oracle recomputes the
+    * merge from the raw table, so the evolved write path — including
+    * the fresh field id the commit registers — is hash-verified. */
+  def mergeEvolutionQuery(s: SparkSession, d: String): DataFrame = {
+    val path = freshWorkDir("lakemergeevo", d)
+    val ev = graft.Tables.load(s, d, "events").select("event_id", "event_type", "value")
+    overwrite(ev, path)
+    require(!read(s, path).columns.contains("grade"), "target must start narrow")
+    ev.filter(pmod(col("event_id"), lit(4L)) === 0)
+      .select(col("event_id"), col("event_type"), (col("value") * 2).as("value"),
+        when(col("value") >= 250.0, "high").otherwise("low").as("grade"))
+      .unionByName(
+        ev.filter(pmod(col("event_id"), lit(10L)) === 7)
+          .select((-col("event_id")).as("event_id"), lit("fresh").as("event_type"),
+            col("value"), lit("new").as("grade")))
+      .createOrReplaceTempView("lake_merge_evo_src")
+    s.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO graftlake.`$path` t
+         |USING lake_merge_evo_src s
+         |ON t.event_id = s.event_id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |""".stripMargin)
+    val out = read(s, path)
+    require(out.columns.contains("grade"), "merge must have evolved the schema")
+    out
+      .groupBy(coalesce(col("grade"), lit("ungraded")).as("grade"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+      .orderBy("grade")
   }
 
   /** Driver query: METADATA-ONLY RENAME end to end — write the even
