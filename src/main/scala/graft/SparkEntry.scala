@@ -203,6 +203,7 @@ object SparkEntry {
     "lake_merge_conditional" -> (sources.LakeTable.mergeConditionalQuery _),
     "lake_sql_merge" -> (sources.LakeTable.sqlMergeQuery _),
     "lake_hidden_partition" -> (sources.LakeTable.hiddenPartitionQuery _),
+    "lake_partitioned_ddl" -> (sources.LakeTable.partitionedDdlQuery _),
     "lake_change_stream" -> (sources.LakeTable.changeStreamQuery _),
     "lake_v2_change_stream" -> (sources.LakeTable.v2ChangeStreamQuery _),
     "lake_stream_sink" -> (sources.LakeTable.streamSinkQuery _),
@@ -1325,6 +1326,22 @@ object SparkEntry {
     // invisible to the query, so the oracle is a plain filter over
     // the source table — epoch-second truncation mirrors ts DIV 1e9
     "lake_hidden_partition" ->
+      """WITH e AS (
+        |  SELECT event_type, value, user_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        |  FROM events
+        |), b AS (
+        |  SELECT (min(ts_s) // 86400 + 2) * 86400 AS lo,
+        |         (min(ts_s) // 86400 + 9) * 86400 - 1 AS hi
+        |  FROM e
+        |)
+        |SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM e, b WHERE ts_s BETWEEN b.lo AND b.hi AND user_id = 7
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // lake_partitioned_ddl (S9g): identical box semantics to
+    // lake_hidden_partition — the layout is declared by DDL and the
+    // INSERT never names it, so the oracle is the same raw filter
+    "lake_partitioned_ddl" ->
       """WITH e AS (
         |  SELECT event_type, value, user_id,
         |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s

@@ -248,16 +248,58 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         Some(new GraftLocalTable(
           s"${ident.namespace.mkString(".")}.partitions",
           LakeTable.partitions(spark, parent)))
+      case "refs" =>
+        // named refs (main/tags/branches): O(#refs) rows, pure metadata
+        Some(new GraftLocalTable(
+          s"${ident.namespace.mkString(".")}.refs",
+          LakeTable.refs(spark, parent)))
       case _ => None
+    }
+  }
+
+  /** `PARTITIONED BY` DDL transforms → the lake's hidden-partition
+    * spec (S9g). Supported: `identity(c)`, `bucket(n, c)` (BIGINT
+    * sources — the write path enforces it, see stageHidden),
+    * `days(c)` over the epoch-second BIGINT convention, and
+    * `truncate(w, c)`. Anything else refuses loudly at CREATE. */
+  private def specOfTransforms(
+      schema: StructType, ts: Array[Transform]): Seq[LakeTable.PartitionTransform] = {
+    import org.apache.spark.sql.connector.expressions.{Expression => VExpr, Literal => VLit, NamedReference}
+    def colOf(t: Transform): String = {
+      val refs = t.references()
+      require(refs.length == 1,
+        s"graft catalog: partition transform ${t.describe()} must reference " +
+          "exactly one column")
+      val name = refs(0).fieldNames().mkString(".")
+      require(schema.fieldNames.contains(name),
+        s"graft catalog: partition source '$name' is not a table column")
+      name
+    }
+    def litLong(t: Transform): Long = t.arguments().collectFirst {
+      case l: VLit[_] => l.value() match {
+        case n: java.lang.Number => n.longValue
+        case other => throw new UnsupportedOperationException(
+          s"graft catalog: non-numeric transform argument $other in ${t.describe()}")
+      }
+    }.getOrElse(throw new UnsupportedOperationException(
+      s"graft catalog: transform ${t.describe()} needs a numeric argument"))
+    ts.toSeq.map { t =>
+      t.name() match {
+        case "identity" => LakeTable.PartitionTransform(colOf(t), "identity")
+        case "bucket" => LakeTable.PartitionTransform(colOf(t), "bucket", litLong(t))
+        case "days" | "day" => LakeTable.PartitionTransform(colOf(t), "day")
+        case "truncate" => LakeTable.PartitionTransform(colOf(t), "truncate", litLong(t))
+        case other => throw new UnsupportedOperationException(
+          s"graft catalog: unsupported partition transform '$other' — " +
+            "identity, bucket(n, c), days(c), truncate(w, c)")
+      }
     }
   }
 
   override def createTable(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      s"graft catalog: PARTITIONED BY is not supported through DDL — write with " +
-        "LakeTable.overwritePartitioned / hiddenPartition specs instead")
+    val spec = specOfTransforms(schema, partitions) // refuses unsupported shapes
     val p = tablePath(ident)
     if (isTable(p)) throw new TableAlreadyExistsException(ident)
     // v0 is an EMPTY snapshot (sentinel commit): the table is
@@ -266,6 +308,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       spark.createDataFrame(util.Collections.emptyList[org.apache.spark.sql.Row](), schema),
       p)
     Files.writeString(declaredSchemaFile(p), schema.toDDL)
+    // declare the STANDING layout after the empty sentinel: every
+    // INSERT from here on lands hidden-partitioned (S9g)
+    if (spec.nonEmpty) LakeTable.setPartitionSpec(p, spec)
     Option(properties.get("write.sort-order")).foreach { order =>
       LakeTable.setSortOrder(p, order.split(",").map(_.trim).filter(_.nonEmpty): _*)
     }
@@ -334,9 +379,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       partitions: Array[Transform], tableProps: util.Map[String, String],
       replace: Boolean, orCreate: Boolean)
       : org.apache.spark.sql.connector.catalog.StagedTable = {
-    require(partitions.isEmpty,
-      s"graft catalog: PARTITIONED BY is not supported through DDL — write with " +
-        "LakeTable.overwritePartitioned / hiddenPartition specs instead")
+    val spec = specOfTransforms(declared, partitions) // refuses unsupported shapes
     val p = tablePath(ident)
     if (!replace && isTable(p)) throw new TableAlreadyExistsException(ident)
     if (replace && !orCreate && !isTable(p)) throw new NoSuchTableException(ident)
@@ -348,6 +391,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     Option(tableProps.get("write.sort-order")).foreach { order =>
       LakeTable.setSortOrder(sp, order.split(",").map(_.trim).filter(_.nonEmpty): _*)
     }
+    // PARTITIONED BY on CTAS/RTAS (S9g): the staged SELECT lands
+    // under the declared layout, and the final table adopts the
+    // standing spec at commit
+    if (spec.nonEmpty) LakeTable.setPartitionSpec(sp, spec)
     new GraftLakeTable(sp, None, declared)
       with org.apache.spark.sql.connector.catalog.StagedTable {
       override def name(): String = s"$catalogName.$ident (staged)"
@@ -367,13 +414,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               promotedTypes = Some(LakeTable.promotedOf(sp, h)),
               defaultVals = Some(LakeTable.defaultsOf(sp, h)))
           case None => // empty SELECT never wrote — an empty sentinel version
+            // a REPLACED table's metadata must not survive into the
+            // replacement's lineage: clear promotions AND defaults
+            // (the staged table had neither)
             LakeTable.commitRefs(spark, p, base, Nil, op, None, Some(Nil),
-              defaultVals = Some(Map.empty))
+              promotedTypes = Some(Map.empty), defaultVals = Some(Map.empty))
         }
         Files.writeString(declaredSchemaFile(p), declared.toDDL)
         Option(tableProps.get("write.sort-order")).foreach { order =>
           LakeTable.setSortOrder(p, order.split(",").map(_.trim).filter(_.nonEmpty): _*)
         }
+        // the replacement DEFINES the table: an RTAS without
+        // PARTITIONED BY must not inherit the replaced table's layout
+        if (spec.nonEmpty) LakeTable.setPartitionSpec(p, spec)
+        else LakeTable.clearPartitionSpec(p)
       }
 
       override def abortStagedChanges(): Unit = {

@@ -199,7 +199,14 @@ class GraftLakeTableStream(
     * Enumerated allow-list only. */
   private val emptyBatchOps = Set(
     "compact", "optimize", "zorder", "binpack", "bloom",
-    "add_constraint", "drop_constraint", "add_column")
+    "add_constraint", "drop_constraint", "add_column",
+    // a DEFAULTED add (S9d) is also a zero-file metadata commit; the
+    // stream's pinned schema predates the column, so deliveries never
+    // need the constant filled (files carrying it are schema-clipped,
+    // exactly like a plain add_column) — the hole only exists for
+    // streams whose PINNED schema includes a defaulted column, and
+    // filesOf refuses those per delivered version below
+    "add_column_default")
 
   /** Fresh DATA manifests of commit `v` (not carried from `v-1`). */
   private def freshRefs(v: Int): Seq[LakeTable.ManifestRef] = {
@@ -219,6 +226,13 @@ class GraftLakeTableStream(
       // loudly (round-8 review catch).
       if (emptyBatchOps(op)) return Nil
       if (skipChangeCommits) return Nil
+      if (op == "promote_type") throw new UnsupportedOperationException(
+        s"graftlake stream at $path: version $v is a 'promote_type' metadata " +
+          "commit — the stream's schema is pinned at start and cannot adopt " +
+          "the widened type (files written wide afterwards would not read " +
+          "through the narrow pinned schema). Restart the stream to pick up " +
+          "the promoted schema, or skipChangeCommits to keep the narrow view " +
+          "of pre-promotion data only.")
       throw new UnsupportedOperationException(
         s"graftlake stream at $path: version $v is a " +
           s"'${LakeTable.operationOf(path, v)}' commit — its files rewrite or " +
@@ -228,6 +242,26 @@ class GraftLakeTableStream(
           "change data.")
     }
     val fresh = freshRefs(v)
+    // S9d: when the PINNED schema includes a DEFAULTED column, a
+    // fresh manifest that omits its field id serves the constant on
+    // the library read — a raw file scan would silently null-fill it.
+    // Refuse exactly like the batch V2 scan (compact materializes
+    // defaults and lifts this); streams pinned BEFORE the add are
+    // unaffected (the column is not in their schema at all).
+    val defs = LakeTable.defaultsOf(path, v)
+    if (defs.nonEmpty) {
+      val names = LakeTable.schemaOf(path, v).getOrElse(Nil).toMap
+      for {
+        (id, d) <- defs; n <- names.get(id)
+        if tableSchema.fieldNames.contains(n)
+        r <- fresh if r.nFiles > 0 && !r.cols.values.exists(_ == id)
+      } throw new UnsupportedOperationException(
+        s"graftlake stream at $path: version $v delivers files that omit " +
+          s"defaulted column '$n' (default $d) — constant fill is a " +
+          "library-read feature a bare file scan cannot apply; " +
+          "LakeTable.compact(...) materializes defaults, or read the change " +
+          "feed (option(\"changeFeed\", \"true\"))")
+    }
     fresh.foreach { r =>
       require(r.kind == "data",
         s"graftlake stream at $path: version $v carries a fresh '${r.kind}' " +

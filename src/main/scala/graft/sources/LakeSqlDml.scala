@@ -248,8 +248,17 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
             // strict SQL MERGE contract
             // an EMPTY target (no data file carries a schema yet) is
             // exempt: the merge is all-inserts and the insert frame
-            // defines the schema, evolution or not
-            val targetCols = LakeTable.read(spark, path).columns
+            // defines the schema, evolution or not. Target columns
+            // come from the registered field-id schema — O(1)
+            // metadata, no table assembly — falling back to a read
+            // only for legacy pre-field-id tables. A concurrent
+            // schema change between this look and the merge's own
+            // observedBase pin is backstopped by commitRefs'
+            // field-id conflict check; a benign mis-classification
+            // of evolveColumns is re-filtered inside mergeRows.
+            val targetCols = LakeTable.latestVersion(path)
+              .flatMap(v => LakeTable.schemaOf(path, v).map(_.map(_._2)))
+              .getOrElse(LakeTable.read(spark, path).columns.toSeq)
             val srcOnly = srcDf.columns.toSeq
               .filterNot(c => targetCols.exists(_.equalsIgnoreCase(c)))
             if (targetCols.nonEmpty && srcOnly.nonEmpty && !withEvo) refuse(

@@ -761,6 +761,38 @@ object LakeTable {
   def clearSortOrder(path: String): Unit =
     Files.deleteIfExists(Paths.get(sortOrderFile(path)))
 
+  private def partitionSpecFile(path: String) = s"${metaDir(path)}/partition_spec.json"
+
+  /** Declare a STANDING hidden-partition spec (S9g — the
+    * `PARTITIONED BY` DDL surface): every future [[append]] /
+    * [[overwrite]] lands under this layout without the writer naming
+    * it, exactly as [[setSortOrder]] declares a standing sort. The
+    * declaration is metadata-only; existing files keep the layout
+    * they were written with (per-manifest specs — S8e partition
+    * evolution — so readers prune each generation by its own
+    * layout). */
+  def setPartitionSpec(path: String, spec: Seq[PartitionTransform]): Unit = {
+    require(spec.nonEmpty, "setPartitionSpec needs at least one transform " +
+      "(use clearPartitionSpec)")
+    Files.createDirectories(Paths.get(metaDir(path)))
+    Files.writeString(Paths.get(partitionSpecFile(path)),
+      spec.map(t =>
+        s"{${jstr("src")}:${jstr(t.source)},${jstr("kind")}:${jstr(t.kind)}," +
+          s"${jstr("param")}:${t.param}}").mkString("\n"))
+  }
+
+  /** Drop the standing spec (future batches land unpartitioned). */
+  def clearPartitionSpec(path: String): Unit =
+    Files.deleteIfExists(Paths.get(partitionSpecFile(path)))
+
+  /** The table's declared partition spec (empty = none). */
+  def partitionSpecOf(path: String): Seq[PartitionTransform] = {
+    val p = Paths.get(partitionSpecFile(path))
+    if (!Files.exists(p)) Nil
+    else readJsonLines(p).map(n => PartitionTransform(
+      n.get("src").asText, n.get("kind").asText, n.get("param").asLong))
+  }
+
   /** The table's declared sort order (empty = none). */
   def sortOrderOf(path: String): Seq[String] = {
     val p = Paths.get(sortOrderFile(path))
@@ -1116,9 +1148,18 @@ object LakeTable {
   /** Create or replace the table content (new snapshot referencing
     * only the newly written manifest). */
   def overwrite(df: DataFrame, path: String): Int = {
-    val base = latestVersion(path).getOrElse(-1)
-    commitRefs(df.sparkSession, path, base,
-      stageManifest(df, path).toSeq, "overwrite")
+    // a DECLARED partition spec (S9g) routes every plain write into
+    // the hidden-partition layout — the writer never names it. An
+    // EMPTY batch skips the routing (partitionBy on an empty frame
+    // writes no files; the sentinel path handles it) so CREATE TABLE
+    // can seed its v0 before the spec is declared or after.
+    val spec = partitionSpecOf(path)
+    if (spec.nonEmpty && !df.isEmpty) overwriteHiddenPartitioned(df, path, spec)
+    else {
+      val base = latestVersion(path).getOrElse(-1)
+      commitRefs(df.sparkSession, path, base,
+        stageManifest(df, path).toSeq, "overwrite")
+    }
   }
 
   /** Create or replace with hive-style partitioned layout — partition
@@ -1139,6 +1180,8 @@ object LakeTable {
     * fail loudly: their outcome depends on the state they replace, so
     * auto-rebase would silently drop the racer's commit. */
   def append(df: DataFrame, path: String): Int = {
+    val spec = partitionSpecOf(path) // declared layout routes plain appends (S9g)
+    if (spec.nonEmpty) return appendHiddenPartitioned(df, path, spec)
     val cons = activeConstraints(path) // BEFORE staging (TOCTOU guard)
     publishStaged(df.sparkSession, path, stageManifest(df, path).toSeq, "append", cons)
   }
@@ -1722,6 +1765,23 @@ object LakeTable {
     (full, collected)
   }
 
+  /** A canonical default literal's numeric value, when it has one —
+    * int/long/double literals parse directly; anything else (strings,
+    * the CAST-wrapped float canonical form, dates) answers None and
+    * range pruning treats the constant as undecidable (conservative
+    * keep). Driver-side, no Spark job. */
+  private def literalDouble(sql: String): Option[Double] =
+    try {
+      SparkSession.active.sessionState.sqlParser.parseExpression(sql) match {
+        case l: org.apache.spark.sql.catalyst.expressions.Literal => l.value match {
+          case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+          case n: java.lang.Number => Some(n.doubleValue)
+          case _ => None
+        }
+        case _ => None
+      }
+    } catch { case _: Exception => None }
+
   /** The shared two-level prune behind [[readWhere]] AND the
     * DataSourceV2 read path ([[planV2]]): manifest-range first (from
     * the list alone), then entry-level stats within the survivors —
@@ -1742,20 +1802,40 @@ object LakeTable {
     // current name of a predicate column → its WRITE-TIME name in a
     // manifest: Some(name) to consult stats under that name; None when
     // the field-id mapping PROVES the manifest predates (or dropped)
-    // the column — its files serve only null there, so no interval can
-    // match and the whole manifest prunes (exact, not conservative)
+    // the column — its files serve only null there (UNLESS the id
+    // carries a DEFAULT, handled below), so no interval can match and
+    // the whole manifest prunes (exact, not conservative)
     def writeTimeName(ref: ManifestRef, column: String): Option[String] =
       current.flatMap(sch => sch.cols.find(_._2 == column)) match {
         case Some((id, _)) if ref.cols.nonEmpty =>
           ref.cols.collectFirst { case (n, i) if i == id => n }
         case _ => Some(column) // legacy manifest or schema-less table
       }
+    // Per-predicate, per-manifest resolution: Left((writeName,lo,hi))
+    // = consult range stats; Right(keep) = the manifest PREDATES the
+    // column and a DEFAULT decides it EXACTLY — every row serves the
+    // constant, so the predicate holds for all rows (constant inside
+    // the interval) or none (outside); a non-numeric constant keeps
+    // conservatively (range preds cannot see it); None = predates
+    // with no default → serves only null → the manifest prunes
+    def resolvePred(r: ManifestRef, c: String, lo: Double, hi: Double)
+        : Option[Either[(String, Double, Double), Boolean]] =
+      current.flatMap(sch => sch.cols.find(_._2 == c).map(t => (sch, t._1))) match {
+        case Some((sch, id)) if r.cols.nonEmpty =>
+          r.cols.collectFirst { case (n, i) if i == id => n } match {
+            case Some(n) => Some(Left((n, lo, hi)))
+            case None => sch.defaults.get(id).map(d =>
+              Right(literalDouble(d).forall(v => v >= lo && v <= hi)))
+          }
+        case _ => Some(Left((c, lo, hi))) // legacy manifest or schema-less
+      }
     // LEVEL 1: manifest-range prune, from the list alone
     val candidates = dataRefs.filter { r =>
       r.nFiles > 0 && {
-        val named = preds.map { case (c, lo, hi) =>
-          writeTimeName(r, c).map((_, lo, hi)) }
-        named.forall(_.isDefined) && admits(r.ranges, named.flatten)
+        val resolved = preds.map { case (c, lo, hi) => resolvePred(r, c, lo, hi) }
+        resolved.forall(_.isDefined) &&
+          resolved.flatten.forall { case Right(keep) => keep; case Left(_) => true } &&
+          admits(r.ranges, resolved.flatten.collect { case Left(t) => t })
       }
     }
     // LEVEL 2: entry-level stats prune within surviving manifests —
@@ -1766,7 +1846,11 @@ object LakeTable {
     val (fullRefs, kept) =
       if (!entryLevel) (candidates, Seq.empty[ManifestEntry])
       else if (distributed) distributedPlan(spark, candidates, preds,
-        (r, c) => writeTimeName(r, c).get) // candidates: always defined
+        // a candidate kept by a DEFAULT decision has no write-time
+        // name for that column — hand the stats probe the current
+        // name, which no stats row carries → conservatively kept
+        // (level 1 already decided that predicate exactly)
+        (r, c) => writeTimeName(r, c).getOrElse(c))
       else (Nil, candidates.flatMap { r =>
         val named = preds.flatMap { case (c, lo, hi) =>
           writeTimeName(r, c).map((_, lo, hi)) }
@@ -2429,6 +2513,23 @@ object LakeTable {
       schemaOf(path, version), Some(constraintsOf(path, version)),
       promotedTypes = Some(promotedOf(path, version)),
       defaultVals = Some(defaultsOf(path, version)))
+  }
+
+  /** Iceberg-style `refs` METADATA TABLE: every named ref of the
+    * table — `main` (the current head), each tag (immutable version
+    * pin, GC-protected) and each branch (independent lineage with its
+    * own head) — one metadata-only row per ref, zero data or manifest
+    * files opened. The table a user consults before `VERSION AS OF
+    * '<tag>'` or a branch fast-forward. A branch's `version` is its
+    * head within its OWN lineage (branch version counters restart at
+    * the fork, like the rest of the branch surface). */
+  def refs(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val main = latestVersion(path).map(v => ("main", "branch", v)).toSeq
+    val tagRows = tags(path).toSeq.sortBy(_._1).map { case (n, v) => (n, "tag", v) }
+    val branchRows = branches(path).sorted.flatMap(n =>
+      latestVersion(branchPath(path, n)).map(v => (n, "branch", v)))
+    (main ++ tagRows ++ branchRows).toDF("name", "type", "version")
   }
 
   /** Iceberg-style `manifests` METADATA TABLE: one row per manifest
@@ -3837,6 +3938,42 @@ object LakeTable {
     val audit = auditOf(path)
     require(audit.filesKept < audit.filesClaimed,
       s"hidden-partition pruning must skip files: $audit")
+    out
+  }
+
+  /** Driver query: `PARTITIONED BY` DDL (S9g) end to end — the SAME
+    * box query as [[hiddenPartitionQuery]] (same oracle shape), but
+    * the layout comes from `CREATE TABLE … PARTITIONED BY (days(…),
+    * bucket(…))` and the data from a plain SQL `INSERT` that never
+    * names it: the standing-spec routing is what's under test. The
+    * require pins that the declared layout actually pruned files. */
+  def partitionedDdlQuery(s: SparkSession, d: String): DataFrame = {
+    val wh = freshWorkDir("lakepddl", d)
+    s.conf.set("spark.sql.catalog.graft_p", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_p.warehouse", wh)
+    val ev = graft.Tables.load(s, d, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        expr("ts DIV 1000000000").as("ts_s"))
+    ev.createOrReplaceTempView("pddl_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_p.pdb")
+    s.sql("DROP TABLE IF EXISTS graft_p.pdb.ev")
+    s.sql(
+      """CREATE TABLE graft_p.pdb.ev
+        |(event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, ts_s BIGINT)
+        |USING graftlake PARTITIONED BY (days(ts_s), bucket(8, user_id))""".stripMargin)
+    s.sql("INSERT INTO graft_p.pdb.ev " +
+      "SELECT event_id, user_id, event_type, value, ts_s FROM pddl_src")
+    val path = s"$wh/pdb/ev"
+    val minDay = ev.agg(min(expr("ts_s DIV 86400"))).head().getLong(0)
+    val lo = (minDay + 2) * 86400d
+    val hi = (minDay + 9) * 86400d - 1
+    val out = readWhere(s, path, Seq(("ts_s", lo, hi), ("user_id", 7, 7)))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+      .orderBy("event_type")
+    val audit = auditOf(path)
+    require(audit.filesKept < audit.filesClaimed,
+      s"DDL-declared layout must prune files: $audit")
     out
   }
 

@@ -101,6 +101,47 @@ class DefaultColumnSpec extends AnyFunSuite {
     assert(rows === Map(1L -> "std", 2L -> "std"))
   }
 
+  test("readWhere decides pre-add manifests on the DEFAULT constant — kept inside the interval, pruned outside") {
+    import spark.implicits._
+    val p = freshTable("prune")
+    LakeTable.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), p) // v0 predates score
+    LakeTable.addColumnWithDefault(spark, p, "score", "INT", "7")
+    LakeTable.append(Seq((3L, "c", 20)).toDF("k", "v", "score"), p)
+    // constant inside the interval: every pre-add row serves 7 and
+    // must surface (the "absent => only null" prune proof does NOT
+    // apply to a defaulted column)
+    val in = LakeTable.readWhere(spark, p, Seq(("score", 0.0, 10.0)))
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(in === Set(1L, 2L))
+    // constant outside: pre-add manifests prune EXACTLY; the carried
+    // row matches on its own stats
+    val out = LakeTable.readWhere(spark, p, Seq(("score", 15.0, 30.0)))
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(out === Set(3L))
+  }
+
+  test("table-follower stream refuses a pinned defaulted column whose files omit it; pre-add streams deliver empty metadata batches") {
+    import spark.implicits._
+    val p = freshTable("stream")
+    LakeTable.append(Seq((1L, "a")).toDF("k", "v"), p)
+    LakeTable.addColumnWithDefault(spark, p, "tier", "STRING", "'std'")
+    LakeTable.append(Seq((2L, "b", "gold")).toDF("k", "v", "tier"), p)
+    // a stream started NOW pins a schema containing `tier`; v0's
+    // files omit the defaulted id — must refuse, never null-fill
+    val q = spark.readStream.format("graftlake").load(p)
+      .writeStream.format("memory").queryName("dflt_stream_out").start()
+    val ex = intercept[Exception] { q.processAllAvailable() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    // either refusal is honest: the initial-snapshot plan refuses via
+    // planV2 ("predate column"), per-version delivery via filesOf
+    // ("omit defaulted column") — what matters is NO silent null-fill
+    assert(messages(ex).exists(m =>
+      m.contains("omit defaulted column 'tier'") || m.contains("predate column 'tier'")),
+      messages(ex).mkString(" | "))
+    q.stop()
+  }
+
   test("default composes with type promotion and survives branch/rollback lineage") {
     import spark.implicits._
     val p = freshTable("lineage")

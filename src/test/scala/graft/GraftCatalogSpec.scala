@@ -373,4 +373,22 @@ class GraftCatalogSpec extends AnyFunSuite {
     val e = intercept[Exception](sql("SELECT * FROM graft.db5.missing"))
     assert(e.getMessage.toLowerCase.contains("table"), e.getMessage)
   }
+
+  test("refs metadata table lists main, tags and branches — pure metadata") {
+    rmdir(s"$wh/db6")
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.db6")
+    sql("DROP TABLE IF EXISTS graft.db6.t")
+    sql("CREATE TABLE graft.db6.t (k BIGINT, v STRING) USING graftlake")
+    sql("INSERT INTO graft.db6.t VALUES (1, 'a'), (2, 'b')")
+    val p = s"$wh/db6/t"
+    LakeTable.tag(p, "golden", 1)
+    LakeTable.createBranch(spark, p, "audit")
+    val refs = sql("SELECT name, type, version FROM graft.db6.t.refs ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
+    assert(refs === Seq(
+      ("audit", "branch", 0), ("golden", "tag", 1), ("main", "branch", 1)), refs)
+    // the tag resolves through VERSION AS OF exactly as refs reports
+    assert(sql("SELECT count(*) FROM graft.db6.t VERSION AS OF 'golden'")
+      .head.getLong(0) === 2L)
+  }
 }
