@@ -283,12 +283,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       }
     }.getOrElse(throw new UnsupportedOperationException(
       s"graft catalog: transform ${t.describe()} needs a numeric argument"))
+    // CREATE-time validation must cover everything the WRITE path
+    // would reject, or the table is born unwritable (half-made):
+    // zero widths divide by zero in the transform expression, bucket
+    // hashes only BIGINT (xxhash64 int32≠int64 — stageHidden's own
+    // contract), day/truncate do integral arithmetic
+    def integral(n: String): Boolean =
+      schema(n).dataType == org.apache.spark.sql.types.LongType ||
+        schema(n).dataType == org.apache.spark.sql.types.IntegerType
     ts.toSeq.map { t =>
       t.name() match {
         case "identity" => LakeTable.PartitionTransform(colOf(t), "identity")
-        case "bucket" => LakeTable.PartitionTransform(colOf(t), "bucket", litLong(t))
-        case "days" | "day" => LakeTable.PartitionTransform(colOf(t), "day")
-        case "truncate" => LakeTable.PartitionTransform(colOf(t), "truncate", litLong(t))
+        case "bucket" =>
+          val (n, w) = (colOf(t), litLong(t))
+          require(w > 0, s"graft catalog: bucket($w, $n) needs a positive width")
+          require(schema(n).dataType == org.apache.spark.sql.types.LongType,
+            s"graft catalog: bucket transform supports BIGINT sources; '$n' is " +
+              s"${schema(n).dataType.sql}")
+          LakeTable.PartitionTransform(n, "bucket", w)
+        case "days" | "day" =>
+          val n = colOf(t)
+          require(integral(n),
+            s"graft catalog: days transform works over the epoch-second " +
+              s"integral convention; '$n' is ${schema(n).dataType.sql}")
+          LakeTable.PartitionTransform(n, "day")
+        case "truncate" =>
+          val (n, w) = (colOf(t), litLong(t))
+          require(w > 0, s"graft catalog: truncate($w, $n) needs a positive width")
+          require(integral(n),
+            s"graft catalog: truncate transform works over integral sources; " +
+              s"'$n' is ${schema(n).dataType.sql}")
+          LakeTable.PartitionTransform(n, "truncate", w)
         case other => throw new UnsupportedOperationException(
           s"graft catalog: unsupported partition transform '$other' — " +
             "identity, bucket(n, c), days(c), truncate(w, c)")
@@ -421,11 +446,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               promotedTypes = Some(Map.empty), defaultVals = Some(Map.empty))
         }
         Files.writeString(declaredSchemaFile(p), declared.toDDL)
-        Option(tableProps.get("write.sort-order")).foreach { order =>
-          LakeTable.setSortOrder(p, order.split(",").map(_.trim).filter(_.nonEmpty): _*)
+        // the replacement DEFINES the table: an RTAS without the
+        // sort-order property / PARTITIONED BY must not inherit the
+        // replaced table's standing declarations (the old order may
+        // even name columns the replacement lacks)
+        Option(tableProps.get("write.sort-order")) match {
+          case Some(order) =>
+            LakeTable.setSortOrder(p, order.split(",").map(_.trim).filter(_.nonEmpty): _*)
+          case None => LakeTable.clearSortOrder(p)
         }
-        // the replacement DEFINES the table: an RTAS without
-        // PARTITIONED BY must not inherit the replaced table's layout
         if (spec.nonEmpty) LakeTable.setPartitionSpec(p, spec)
         else LakeTable.clearPartitionSpec(p)
       }

@@ -175,6 +175,23 @@ class GraftLakeTableStream(
     override def json(): String = v.toString
   }
 
+  // S9d guard inputs, pinned at STREAM START like the schema itself:
+  // the question is "does the PINNED schema contain a defaulted
+  // column whose constant this file scan cannot fill" — so the
+  // defaults in force when the schema was pinned decide it. Reading
+  // a DELIVERED version's own defaults would pass pre-add versions
+  // vacuously (their defaults map is empty — exactly the manifests
+  // that omit the field id) and silently null-fill a post-compact
+  // historical replay.
+  private val pinnedDefaults: Seq[(Int, String, String)] =
+    LakeTable.latestVersion(path).toSeq.flatMap { v =>
+      val names = LakeTable.schemaOf(path, v).getOrElse(Nil).toMap
+      LakeTable.defaultsOf(path, v).toSeq.flatMap { case (id, d) =>
+        names.get(id).filter(tableSchema.fieldNames.contains)
+          .map(n => (id, n, d))
+      }
+    }
+
   // append ops deliver; v0's initial content (plain overwrite or an
   // atomic CTAS — both purely additive at v0) is the snapshot batch
   private def deliverable(v: Int): Boolean =
@@ -247,21 +264,18 @@ class GraftLakeTableStream(
     // the library read — a raw file scan would silently null-fill it.
     // Refuse exactly like the batch V2 scan (compact materializes
     // defaults and lifts this); streams pinned BEFORE the add are
-    // unaffected (the column is not in their schema at all).
-    val defs = LakeTable.defaultsOf(path, v)
-    if (defs.nonEmpty) {
-      val names = LakeTable.schemaOf(path, v).getOrElse(Nil).toMap
-      for {
-        (id, d) <- defs; n <- names.get(id)
-        if tableSchema.fieldNames.contains(n)
-        r <- fresh if r.nFiles > 0 && !r.cols.values.exists(_ == id)
-      } throw new UnsupportedOperationException(
-        s"graftlake stream at $path: version $v delivers files that omit " +
-          s"defaulted column '$n' (default $d) — constant fill is a " +
-          "library-read feature a bare file scan cannot apply; " +
-          "LakeTable.compact(...) materializes defaults, or read the change " +
-          "feed (option(\"changeFeed\", \"true\"))")
-    }
+    // unaffected (the column is not in their schema at all). The
+    // defaults are the stream-start set ([[pinnedDefaults]]) so a
+    // historical replay of PRE-ADD versions refuses too.
+    for {
+      (id, n, d) <- pinnedDefaults
+      r <- fresh if r.nFiles > 0 && !r.cols.values.exists(_ == id)
+    } throw new UnsupportedOperationException(
+      s"graftlake stream at $path: version $v delivers files that omit " +
+        s"defaulted column '$n' (default $d) — constant fill is a " +
+        "library-read feature a bare file scan cannot apply; " +
+        "LakeTable.compact(...) materializes defaults, or read the change " +
+        "feed (option(\"changeFeed\", \"true\"))")
     fresh.foreach { r =>
       require(r.kind == "data",
         s"graftlake stream at $path: version $v carries a fresh '${r.kind}' " +

@@ -244,9 +244,14 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
             // admitted only under MERGE WITH SCHEMA EVOLUTION — they
             // then evolve the target (SET * writes them on matched
             // rows, inserts carry them, untouched rows read null);
-            // without the clause a wider source refuses loudly, the
-            // strict SQL MERGE contract
-            // an EMPTY target (no data file carries a schema yet) is
+            // without the clause a wider source refuses loudly when
+            // the merge would WRITE those columns. Only clauses that
+            // ship whole source rows write them: SET * (starCols) and
+            // any INSERT (the library insert contract ships the source
+            // row). An explicit-assignment UPDATE-only merge never
+            // touches source-only columns, so a wider source is fine
+            // there — and must NOT evolve the schema as a side effect.
+            // An EMPTY target (no data file carries a schema yet) is
             // exempt: the merge is all-inserts and the insert frame
             // defines the schema, evolution or not. Target columns
             // come from the registered field-id schema — O(1)
@@ -261,12 +266,14 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
               .getOrElse(LakeTable.read(spark, path).columns.toSeq)
             val srcOnly = srcDf.columns.toSeq
               .filterNot(c => targetCols.exists(_.equalsIgnoreCase(c)))
-            if (targetCols.nonEmpty && srcOnly.nonEmpty && !withEvo) refuse(
-              s"MERGE INTO graftlake.`$path`: source carries column(s) " +
-                s"${srcOnly.mkString(", ")} the target lacks — use MERGE WITH " +
-                "SCHEMA EVOLUTION to add them, or project them away")
+            val writesSource = starCols || insert.nonEmpty
+            if (targetCols.nonEmpty && srcOnly.nonEmpty && writesSource && !withEvo)
+              refuse(
+                s"MERGE INTO graftlake.`$path`: source carries column(s) " +
+                  s"${srcOnly.mkString(", ")} the target lacks — use MERGE WITH " +
+                  "SCHEMA EVOLUTION to add them, or project them away")
             LakeTable.mergeConditional(srcDf, path, keyCol, expanded, insert, nmbs,
-              evolveColumns = if (withEvo) srcOnly else Nil)
+              evolveColumns = if (withEvo && writesSource) srcOnly else Nil)
           })
       }
 

@@ -1149,12 +1149,12 @@ object LakeTable {
     * only the newly written manifest). */
   def overwrite(df: DataFrame, path: String): Int = {
     // a DECLARED partition spec (S9g) routes every plain write into
-    // the hidden-partition layout — the writer never names it. An
-    // EMPTY batch skips the routing (partitionBy on an empty frame
-    // writes no files; the sentinel path handles it) so CREATE TABLE
-    // can seed its v0 before the spec is declared or after.
+    // the hidden-partition layout — the writer never names it. No
+    // emptiness probe: an extra .isEmpty action would re-execute a
+    // prefix of an expensive input plan, and the hidden path commits
+    // a zero-row batch correctly anyway (no files → sentinel commit).
     val spec = partitionSpecOf(path)
-    if (spec.nonEmpty && !df.isEmpty) overwriteHiddenPartitioned(df, path, spec)
+    if (spec.nonEmpty) overwriteHiddenPartitioned(df, path, spec)
     else {
       val base = latestVersion(path).getOrElse(-1)
       commitRefs(df.sparkSession, path, base,
@@ -1356,7 +1356,13 @@ object LakeTable {
         sch.cols.foldLeft(widened) { case (acc, (id, n)) =>
           sch.defaults.get(id) match {
             case Some(d) if !cols.values.exists(_ == id) && !acc.columns.contains(n) =>
-              val c = expr(d)
+              // `when` without otherwise keeps the column NULLABLE: a
+              // bare literal would type it NOT NULL, but the COLUMN
+              // is nullable by contract (post-add generations may
+              // carry explicit NULLs) — a single-generation read must
+              // not advertise a nullability the next union would have
+              // to retract
+              val c = when(lit(true), expr(d))
               acc.withColumn(n, sch.promoted.get(id).map(t => c.cast(t)).getOrElse(c))
             case _ => acc
           }
@@ -1817,15 +1823,21 @@ object LakeTable {
     // constant, so the predicate holds for all rows (constant inside
     // the interval) or none (outside); a non-numeric constant keeps
     // conservatively (range preds cannot see it); None = predates
-    // with no default → serves only null → the manifest prunes
+    // with no default → serves only null → the manifest prunes.
+    // Constants parse ONCE per plan, not per (manifest × predicate) —
+    // at 10⁵ manifests the repeated parser round-trips would be real
+    // driver time.
+    val defaultNums: Map[Int, Option[Double]] =
+      current.map(_.defaults.map { case (id, d) => id -> literalDouble(d) })
+        .getOrElse(Map.empty)
     def resolvePred(r: ManifestRef, c: String, lo: Double, hi: Double)
         : Option[Either[(String, Double, Double), Boolean]] =
       current.flatMap(sch => sch.cols.find(_._2 == c).map(t => (sch, t._1))) match {
         case Some((sch, id)) if r.cols.nonEmpty =>
           r.cols.collectFirst { case (n, i) if i == id => n } match {
             case Some(n) => Some(Left((n, lo, hi)))
-            case None => sch.defaults.get(id).map(d =>
-              Right(literalDouble(d).forall(v => v >= lo && v <= hi)))
+            case None => sch.defaults.get(id).map(_ =>
+              Right(defaultNums(id).forall(v => v >= lo && v <= hi)))
           }
         case _ => Some(Left((c, lo, hi))) // legacy manifest or schema-less
       }
@@ -1847,10 +1859,15 @@ object LakeTable {
       if (!entryLevel) (candidates, Seq.empty[ManifestEntry])
       else if (distributed) distributedPlan(spark, candidates, preds,
         // a candidate kept by a DEFAULT decision has no write-time
-        // name for that column — hand the stats probe the current
-        // name, which no stats row carries → conservatively kept
-        // (level 1 already decided that predicate exactly)
-        (r, c) => writeTimeName(r, c).getOrElse(c))
+        // name for that column — hand the stats probe a SENTINEL no
+        // stats map can carry, so its entries are conservatively kept
+        // (level 1 already decided that predicate exactly). The
+        // current NAME would be wrong here: after a rename frees a
+        // name and a defaulted re-add takes it, an old manifest still
+        // carries stats under that name for the DIFFERENT (renamed)
+        // field id, and probing them would prune rows the default
+        // serves.
+        (r, c) => writeTimeName(r, c).getOrElse(" __graft_default_kept"))
       else (Nil, candidates.flatMap { r =>
         val named = preds.flatMap { case (c, lo, hi) =>
           writeTimeName(r, c).map((_, lo, hi)) }
@@ -2431,7 +2448,14 @@ object LakeTable {
         val tk = target.select(col(keyCol).as("__graft_tk"))
         source.join(tk, source(keyCol) <=> col("__graft_tk"), "left_anti")
           .filter(coalesce(cond, lit(false)))
-      case None => source.limit(0)
+      case None =>
+        // no INSERT clause: the zero-row frame must not smuggle
+        // source-only columns into the union SCHEMA (unionByName's
+        // allowMissingColumns would widen the written table even
+        // with zero rows) — keep only the columns the target knows
+        source.select(
+          source.columns.filter(c => tCols.exists(_.equalsIgnoreCase(c)))
+            .map(col(_)).toSeq: _*).limit(0)
     }
     val affectedKeys = withIdx
       .filter(col("__graft_a") =!= -1 || col("__graft_b") =!= -1)
@@ -4281,6 +4305,10 @@ object LakeTable {
     todo.foreach { v =>
       val noop = Set("compact", "optimize", "zorder", "rename_column", "drop_column",
         "add_column", // metadata-only: no file carries the column yet
+        // S9d/S9a: equally metadata-only — no ROW changes; without
+        // these the cross-version exceptAll runs over mismatched
+        // schemas (2 vs 3 columns) and the whole feed dies
+        "add_column_default", "promote_type",
         "binpack", "bloom", "add_constraint", "drop_constraint")
       val df =
         if (v == 0) read(spark, path, Some(0)).withColumn("change_type", lit("insert"))

@@ -142,6 +142,37 @@ class DefaultColumnSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("post-compact historical stream replay still refuses pre-add files; the change feed serves the table") {
+    import spark.implicits._
+    val p = freshTable("replay")
+    // column named "txt", not "v" — the change feed exposes its
+    // version as a `v` partition column, a documented reserved name
+    LakeTable.append(Seq((1L, "a")).toDF("k", "txt"), p)
+    LakeTable.addColumnWithDefault(spark, p, "tier", "STRING", "'std'")
+    LakeTable.append(Seq((2L, "b", "gold")).toDF("k", "txt", "tier"), p)
+    LakeTable.compact(spark, p) // lifts the planV2 refusal at LATEST…
+    // …but a follower stream replays v0, whose files predate the
+    // column; the guard must judge by the PINNED (current) defaults,
+    // not the delivered version's own (empty, pre-add) map
+    val q = spark.readStream.format("graftlake").load(p)
+      .writeStream.format("memory").queryName("replay_stream_out").start()
+    val ex = intercept[Exception] { q.processAllAvailable() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("omit defaulted column 'tier'")),
+      messages(ex).mkString(" | "))
+    q.stop()
+    // the recommended remedy must actually work: the change feed
+    // materializes through library reads (add_column_default is a
+    // noop marker, not a schema-mismatched diff)
+    val feed = spark.readStream.format("graftlake")
+      .option("changeFeed", "true").load(p)
+      .writeStream.format("memory").queryName("replay_feed_out").start()
+    feed.processAllAvailable()
+    feed.stop()
+    assert(spark.table("replay_feed_out").count() > 0)
+  }
+
   test("default composes with type promotion and survives branch/rollback lineage") {
     import spark.implicits._
     val p = freshTable("lineage")

@@ -60,6 +60,21 @@ class MergeEvolutionSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM graft.evo.t").head.getLong(0) === 3L)
   }
 
+  test("explicit-assignment UPDATE-only merge tolerates a wider source and never widens the schema") {
+    setup()
+    // no star, no insert: the extra column is never written, so a
+    // wider source is legal WITHOUT the evolution clause...
+    spark.sql("""MERGE INTO graft.evo.t t USING evo_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v""")
+    assert(spark.table("graft.evo.t").columns.toSeq === Seq("k", "v"))
+    assert(spark.sql("SELECT v FROM graft.evo.t WHERE k = 2").head.getString(0) === "B")
+    // ...and even WITH the clause it must not evolve as a side effect
+    spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO graft.evo.t t USING evo_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v""")
+    assert(spark.table("graft.evo.t").columns.toSeq === Seq("k", "v"),
+      "an unreferenced source-only column must not widen the schema")
+  }
+
   test("library surface: evolveColumns on the MoR merge — delete+replace carries the new column") {
     import spark.implicits._
     val p = s"$wh/lib_mor"

@@ -83,6 +83,20 @@ class PartitionedDdlSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("unsupported partition transform"), ex.getMessage)
     assert(!spark.catalog.tableExists("graft.pd2.bad"))
+    // shapes the WRITE path would reject must refuse at CREATE too —
+    // otherwise the table is born unwritable (half-made)
+    val zero = intercept[Exception] {
+      spark.sql("CREATE TABLE graft.pd2.bad2 (k BIGINT) USING graftlake " +
+        "PARTITIONED BY (bucket(0, k))")
+    }
+    assert(zero.getMessage.contains("positive width"), zero.getMessage)
+    val narrow = intercept[Exception] {
+      spark.sql("CREATE TABLE graft.pd2.bad3 (k INT) USING graftlake " +
+        "PARTITIONED BY (bucket(4, k))")
+    }
+    assert(narrow.getMessage.contains("BIGINT"), narrow.getMessage)
+    assert(!spark.catalog.tableExists("graft.pd2.bad2") &&
+      !spark.catalog.tableExists("graft.pd2.bad3"))
     spark.sql("DROP TABLE graft.pd2.c")
   }
 }
