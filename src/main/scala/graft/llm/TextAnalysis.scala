@@ -94,10 +94,15 @@ object TextAnalysis {
           |  i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))"""
           .stripMargin)).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      // pinned exchange on the bigram key: the count aggregation and
-      // the scoring join BOTH consume `big` hashed on (w1, w2), so the
-      // explode runs once and the exchange is reused — without it each
-      // consumer re-derives the corpus explode from the scan
+      // pinned exchange on the bigram key: a MATERIALIZATION BARRIER
+      // keeping the interpreted transform() from being inlined into
+      // each consumer (the O(|doc|²) HOF-recompute trap), and the
+      // hash distribution both the count aggregation and the scoring
+      // join need, so neither adds an exchange of its own. (Measured
+      // honesty: ReuseExchange does NOT dedupe the two subtrees —
+      // column pruning specializes them — so the explode itself runs
+      // per consumer; it is the cheap map stage, the shuffles are
+      // what this pin bounds.)
       .repartition(
         s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
         col("w1"), col("w2"))
@@ -774,6 +779,14 @@ object TextAnalysis {
         s"transform(sequence(1, size(tk) - ${W - 1}), " +
           s"i -> concat_ws(' ', slice(tk, i, $W)))")))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("w"))
+    // `win` feeds two consumers (count agg, position probe) and the
+    // explode DOES run once per consumer — measured: ReuseExchange
+    // never fires here because column pruning specializes each
+    // consumer's subtree (counts prunes to `w` alone), which is the
+    // better trade: the map-side explode is cheap, the pruned agg
+    // shuffle is not. A pinned shared exchange was tried and rejected
+    // (it forces the probe through a shuffle where the planner's
+    // broadcast/SMJ choice is strictly better at either scale).
     val counts = win.groupBy("w").agg(count(lit(1)).as("cnt"))
     val dup = win.join(counts, Seq("w")).filter(col("cnt") >= 2)
       .select("doc_id", "pos")
