@@ -130,6 +130,10 @@ object SparkEntry {
     "q21_waiting_suppliers" -> (ops.Relational.q21WaitingSuppliers _),
     "q8_market_share" -> (ops.Relational.q8MarketShare _),
     "q15_top_supplier" -> (ops.Relational.q15TopSupplier _),
+    "q2_min_cost_supplier" -> (ops.Relational.q2MinCostSupplier _),
+    "q11_important_stock" -> (ops.Relational.q11ImportantStock _),
+    "q16_supplier_count" -> (ops.Relational.q16SupplierCountByPart _),
+    "q20_promotion_suppliers" -> (ops.Relational.q20PromotionSuppliers _),
     "dup_ngram_frac" -> (llm.TextAnalysis.dupNgramFrac _),
     "exact_substring_spans" -> (llm.TextAnalysis.exactSubstringSpans _),
     "quality_logit" -> (llm.TextAnalysis.qualityLogit _),
@@ -2127,6 +2131,68 @@ object SparkEntry {
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY 1 ORDER BY o_year""".stripMargin,
+    // q2: supply relation derived from lineitem (no partsupp table);
+    // unit cost rounded BEFORE the min/equality (q15's rule)
+    "q2_min_cost_supplier" ->
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+        |                   round(min(l_extendedprice / l_quantity), 6) AS cost
+        |            FROM lineitem GROUP BY 1, 2),
+        |rps AS (SELECT ps.*, s_name, s_acctbal, n_name
+        |        FROM ps JOIN supplier ON l_suppkey = s_suppkey
+        |        JOIN nation ON s_nationkey = n_nationkey
+        |        JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+        |mc AS (SELECT l_partkey, min(cost) AS mincost FROM rps GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
+        |FROM rps JOIN mc ON rps.l_partkey = mc.l_partkey AND cost = mincost
+        |JOIN part ON rps.l_partkey = p_partkey
+        |         AND p_type = 'STANDARD' AND p_size BETWEEN 10 AND 20
+        |ORDER BY s_acctbal DESC, p_partkey, s_name LIMIT 100""".stripMargin,
+    // q11: all-integer threshold (1000 * qty_value > total) replaces
+    // the float fraction boundary (q17's reformulation rule)
+    "q11_important_stock" ->
+      """WITH pv AS (
+        |  SELECT l_partkey,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_value
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey = 3)
+        |  GROUP BY 1)
+        |SELECT l_partkey, qty_value
+        |FROM pv, (SELECT sum(qty_value) AS total FROM pv)
+        |WHERE 1000 * qty_value > total
+        |ORDER BY qty_value DESC, l_partkey""".stripMargin,
+    // q16: blacklist exclusion as NOT IN over a non-nullable key
+    // (negative-balance suppliers stand in for the comment LIKE)
+    "q16_supplier_count" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        |            WHERE l_suppkey NOT IN
+        |              (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0))
+        |SELECT p_brand, p_type, p_size,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM ps JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#23' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    // q20: nested IN chain decorrelated; all-integer 2*q96 > qall with
+    // a volume floor (no availqty column exists in the corpus)
+    "q20_promotion_suppliers" ->
+      """WITH pssum AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+        |                   AND l_shipdate < TIMESTAMP '1997-01-01'
+        |                  THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS q96,
+        |         sum(CAST(l_quantity AS BIGINT)) AS qall
+        |  FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part
+        |                      WHERE p_name LIKE 'small%')
+        |  GROUP BY 1, 2)
+        |SELECT s_suppkey, s_name, s_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM pssum
+        |                    WHERE 2 * q96 > qall AND qall >= 60)
+        |ORDER BY s_name""".stripMargin,
     // q15: revenue rounded BEFORE max/equality, so the top-supplier
     // selection compares the identical decimal cross-engine
     "q15_top_supplier" ->

@@ -1107,6 +1107,128 @@ object Relational {
       .orderBy("s_name")
   }
 
+  /** TPC-H Q2 shape (minimum-cost supplier): the correlated scalar
+    * subquery `cost = (SELECT min(cost) … WHERE partkey = p_partkey
+    * AND region)` decorrelated into a per-part min aggregate joined
+    * back — the min-rejoin pattern, the only shape that survives
+    * 100 TB (per-row correlated execution would re-scan the supply
+    * relation per part). The driver corpus has no partsupp table, so
+    * the supply relation is DERIVED: per (partkey, suppkey) the
+    * minimum observed unit price from lineitem — same keys, same
+    * role. Unit cost is ROUNDED before the min/equality (q15's rule)
+    * so both engines compare the identical decimal; supplier, nation,
+    * region broadcast; output carries a total tie-break order. */
+  def q2MinCostSupplier(s: SparkSession, d: String): DataFrame = {
+    val ps = t(s, d, "lineitem")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(round(min(col("l_extendedprice") / col("l_quantity")), 6).as("cost"))
+    val rps = ps
+      .join(broadcast(t(s, d, "supplier")
+        .select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, d, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, d, "region")
+        .filter(col("r_name") === "EUROPE").select("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+    val minCost = rps.groupBy(col("l_partkey").as("mc_partkey"))
+      .agg(min(col("cost")).as("mincost"))
+    rps
+      .join(minCost,
+        col("l_partkey") === col("mc_partkey") && col("cost") === col("mincost"))
+      .join(broadcast(t(s, d, "part")
+        .filter(col("p_type") === "STANDARD" && col("p_size").between(10, 20))
+        .select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand")
+      .orderBy(col("s_acctbal").desc, col("p_partkey"), col("s_name"))
+      .limit(100)
+  }
+
+  /** TPC-H Q11 shape (important stock identification): a per-part
+    * value aggregate over one nation's supply lines, kept only where
+    * the group exceeds a FRACTION of the global total — the
+    * scalar-subquery HAVING. The textbook `value > 0.0001 · total` is
+    * a float boundary that summation order could flip, so value is
+    * the INTEGRAL quantity sum and the threshold the all-integer
+    * `1000 · value > total` — exact in both engines (q17's
+    * reformulation rule). One partkey shuffle builds the groups; the
+    * total comes back as a broadcast single row; suppliers of the
+    * nation reach lineitem as a broadcast semi-join. */
+  def q11ImportantStock(s: SparkSession, d: String): DataFrame = {
+    val pv = t(s, d, "lineitem")
+      .join(broadcast(t(s, d, "supplier")
+        .filter(col("s_nationkey") === 3).select("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy("l_partkey")
+      .agg(sum(col("l_quantity").cast("long")).as("qty_value"))
+    pv.crossJoin(broadcast(pv.agg(sum("qty_value").as("total"))))
+      .filter(lit(1000L) * col("qty_value") > col("total"))
+      .select("l_partkey", "qty_value")
+      .orderBy(col("qty_value").desc, col("l_partkey"))
+  }
+
+  /** TPC-H Q16 shape (supplier count by part attributes): distinct
+    * suppliers per (brand, type, size) over the derived supply
+    * relation, EXCLUDING a blacklist via anti-join — the NOT IN
+    * subquery shape (anti-join, never a NOT IN over a nullable
+    * column). The complaint filter has no comment column to LIKE
+    * over, so the blacklist is negative-balance suppliers — same
+    * role: a supplier-side exclusion subquery. countDistinct is the
+    * one expensive aggregate; it shuffles (brand,type,size) with the
+    * suppkey carried, all integer/count arithmetic — exact. */
+  def q16SupplierCountByPart(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem").select("l_partkey", "l_suppkey").distinct()
+      .join(broadcast(t(s, d, "supplier")
+        .filter(col("s_acctbal") < 0.0).select(col("s_suppkey"))),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(t(s, d, "part")
+        .filter(col("p_brand") =!= "Brand#23" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+        .select("p_partkey", "p_brand", "p_type", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+
+  /** TPC-H Q20 shape (potential part promotion): the nested
+    * IN-subquery chain — suppliers IN (supply rows whose available
+    * quantity beats half a correlated shipped-quantity subquery) for
+    * parts IN (a name-prefix filter) — decorrelated into one derived
+    * per-(part,supplier) aggregate and two semi-joins. No availqty
+    * column exists, so the "more than half" predicate compares the
+    * pair's 1996 shipments against its ALL-TIME volume (2·q96 > qall,
+    * all-integer, exact), with a volume floor so the answer means
+    * "suppliers who concentrated meaningful volume into 1996".
+    * Region-filtered suppliers broadcast; output is the supplier
+    * list, totally ordered. */
+  def q20PromotionSuppliers(s: SparkSession, d: String): DataFrame = {
+    val y96 = col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+      col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+    val pssum = t(s, d, "lineitem")
+      .join(broadcast(t(s, d, "part")
+        .filter(col("p_name").startsWith("small")).select("p_partkey")),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(
+        sum(when(y96, col("l_quantity").cast("long")).otherwise(0L)).as("q96"),
+        sum(col("l_quantity").cast("long")).as("qall"))
+    t(s, d, "supplier")
+      .join(broadcast(t(s, d, "nation").select("n_nationkey", "n_regionkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, d, "region")
+        .filter(col("r_name") === "EUROPE").select("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(pssum
+        .filter(lit(2L) * col("q96") > col("qall") && col("qall") >= 60L)
+        .select(col("l_suppkey")),
+        col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name", "s_acctbal")
+      .orderBy("s_name")
+  }
+
   /** A12b APPROXIMATE QUANTILES — the sketch that replaces exact
     * percentiles at 100 TB: `percentile_approx` is Spark's
     * Greenwald–Khanna summary, a MERGEABLE fixed-size state with a
