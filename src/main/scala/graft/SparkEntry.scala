@@ -208,6 +208,7 @@ object SparkEntry {
     "lake_sql_merge" -> (sources.LakeTable.sqlMergeQuery _),
     "lake_hidden_partition" -> (sources.LakeTable.hiddenPartitionQuery _),
     "lake_partitioned_ddl" -> (sources.LakeTable.partitionedDdlQuery _),
+    "lake_dynamic_overwrite" -> (sources.LakeTable.dynamicOverwriteQuery _),
     "lake_change_stream" -> (sources.LakeTable.changeStreamQuery _),
     "lake_v2_change_stream" -> (sources.LakeTable.v2ChangeStreamQuery _),
     "lake_stream_sink" -> (sources.LakeTable.streamSinkQuery _),
@@ -1358,6 +1359,28 @@ object SparkEntry {
         |SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
         |FROM e, b WHERE ts_s BETWEEN b.lo AND b.hi AND user_id = 7
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // lake_dynamic_overwrite: three days re-land doubled through SQL
+    // INSERT OVERWRITE under partitionOverwriteMode=dynamic; the
+    // oracle recomputes the final table from the source (doubled
+    // inside the replaced window, original outside) — carry/replace
+    // file-set semantics are require'd in-query
+    "lake_dynamic_overwrite" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, value,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        |  FROM events
+        |), b AS (
+        |  SELECT (min(ts_s) // 86400 + 2) * 86400 AS lo,
+        |         (min(ts_s) // 86400 + 5) * 86400 - 1 AS hi
+        |  FROM e
+        |), final AS (
+        |  SELECT event_type,
+        |         CASE WHEN ts_s BETWEEN b.lo AND b.hi
+        |              THEN value * 2.0 ELSE value END AS value
+        |  FROM e, b
+        |)
+        |SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin,
     // lake_merge_conditional: SQL MERGE replayed as CTEs — left join
     // picks the first matching clause per target row (update if
     // t.value<500, else delete), anti-join + condition picks inserts

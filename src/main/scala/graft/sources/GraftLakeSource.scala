@@ -197,7 +197,13 @@ class GraftLakeTable(
       TableCapability.MICRO_BATCH_READ, // append-following table stream
       TableCapability.V1_BATCH_WRITE,
       TableCapability.STREAMING_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE,
+      // INSERT OVERWRITE under partitionOverwriteMode=dynamic: served
+      // by [[LakeSqlDmlRule]]'s lowering onto overwriteDynamic (Spark
+      // has no V1 fallback exec for OverwritePartitionsDynamic), so
+      // the capability must still be declared for the analyzer's
+      // capability check
+      TableCapability.OVERWRITE_DYNAMIC)
 
   /** V2 WRITE surface via the V1 fallback ([[V1Write]] — the shape
     * Delta shipped on for years): `INSERT INTO t SELECT …`,

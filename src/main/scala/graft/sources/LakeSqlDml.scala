@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, GraftSqlShim, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, EqualNullSafe, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, Command, DeleteAction, InsertAction, InsertStarAction, LeafNode, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, Command, DeleteAction, InsertAction, InsertStarAction, LeafNode, LogicalPlan, MergeAction, MergeIntoTable, OverwritePartitionsDynamic, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -275,6 +275,28 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
             LakeTable.mergeConditional(srcDf, path, keyCol, expanded, insert, nmbs,
               evolveColumns = if (withEvo && writesSource) srcOnly else Nil)
           })
+      }
+
+    // INSERT OVERWRITE under partitionOverwriteMode=dynamic (and
+    // DataFrameWriterV2.overwritePartitions): Spark plans
+    // OverwritePartitionsDynamic, which has NO V1 fallback exec — a
+    // V1Write table hits toBatch and dies. Lower it here onto
+    // [[LakeTable.overwriteDynamic]] instead, the same one-commit-path
+    // rule as every other write surface. Fires only once the analyzer
+    // has aligned the query to the table schema (outputResolved), so
+    // the effect can bind columns positionally.
+    case o: OverwritePartitionsDynamic if o.query.resolved && o.outputResolved =>
+      lakeTarget(o.table) match {
+        case None => o
+        case Some(tbl) =>
+          if (tbl.pinnedVersion.nonEmpty)
+            refuse(s"cannot INSERT OVERWRITE a version-pinned read of ${tbl.tablePath}")
+          val path = tbl.tablePath
+          val cols = tbl.schema().fieldNames.toSeq
+          val query = o.query
+          LakeDmlCommand(s"INSERT OVERWRITE (dynamic) graftlake.`$path`",
+            () => LakeTable.overwriteDynamic(
+              GraftSqlShim.ofRows(spark, query).toDF(cols: _*), path))
       }
 
   }

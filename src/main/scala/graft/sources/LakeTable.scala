@@ -1162,6 +1162,80 @@ object LakeTable {
     }
   }
 
+  /** DYNAMIC partition overwrite (Iceberg's `replacePartitions`,
+    * Spark's `partitionOverwriteMode=dynamic`): replace EXACTLY the
+    * partitions the incoming batch touches — untouched partitions
+    * carry forward unchanged. The idempotent-backfill primitive at
+    * 100 TB: re-running one day's pipeline replaces that day's
+    * partitions and nothing else, where truncate-overwrite would drop
+    * the other irreplaceable 99.9 % of the table.
+    *
+    * Partition identity comes from the table's DECLARED spec (S9g) —
+    * replaced tuples are the layout-dir segment sequences of the
+    * FRESHLY staged files, matched against each prior file's own
+    * segments, so both sides went through the same writer's partition
+    * path formatting (no driver-side re-derivation of hive escaping).
+    * Prior manifests are filtered file-granular: untouched manifests
+    * carry as-is, fully-replaced ones drop, mixed ones re-manifest
+    * partially (the binpack mechanism — metadata only, zero data
+    * files moved). Refusals, honest and loud: no declared spec (no
+    * partition identity to replace by), mixed-spec live generations
+    * (a tuple under spec A names a different set of rows than under
+    * spec B), and live MoR delete manifests (a carried delete could
+    * subtract from replaced rows — compact first). A zero-row batch
+    * replaces nothing and commits a carry-forward snapshot (the
+    * Iceberg no-op shape, never a truncate).
+    *
+    * Commit posture matches [[overwrite]]: no auto-rebase — the
+    * outcome depends on the state it replaces, so a racing commit
+    * must surface as a conflict, not be silently rebased over. */
+  def overwriteDynamic(df: DataFrame, path: String): Int = {
+    val spark = df.sparkSession
+    val spec = partitionSpecOf(path)
+    require(spec.nonEmpty,
+      s"dynamic partition overwrite at $path needs a declared partition " +
+        "spec (CREATE TABLE … PARTITIONED BY / setPartitionSpec) — without " +
+        "one there is no partition identity to replace by")
+    val base = latestVersion(path).getOrElse(-1)
+    val prior = if (base >= 0) listRefs(path, base) else Nil
+    require(!prior.exists(r => r.kind != "data" && r.nFiles > 0),
+      s"$path carries live merge-on-read delete manifests — a carried " +
+        "delete could subtract from the replacing rows; compact first")
+    prior.filter(r => r.kind == "data" && r.nFiles > 0 && r.pspec != spec)
+      .foreach { r =>
+        // a zero-row generation (CREATE TABLE's schema-anchor file)
+        // has no partition identity to be ambiguous about — it is
+        // carried untouched; unknown legacy row counts refuse
+        require(readManifest(r).forall(_.rows == 0L),
+          s"$path has live rows under partition spec ${r.pspec} but the " +
+            s"declared spec is $spec — partition identity is ambiguous " +
+            "across specs; rewrite (OPTIMIZE) the old generation first")
+      }
+    // layout-dir segment sequence of a file under its commit dir —
+    // the partition tuple as the WRITER spelled it
+    def tupleOf(e: ManifestEntry): Seq[String] =
+      e.file.substring(e.base.length + 1).split('/').toSeq.init
+        .filter(_.contains("="))
+    val fresh = stageHidden(df, path, spec).toSeq
+    val replaced: Set[Seq[String]] =
+      fresh.flatMap(r => readManifest(r).map(tupleOf)).toSet
+    val kept = prior.flatMap { r =>
+      if (r.kind != "data" || r.nFiles == 0 || replaced.isEmpty) Some(r)
+      else {
+        // manifest-level skip: if the list row's ranges could prune we
+        // would still need per-file tuples, so read the manifest (the
+        // same O(#entries) metadata read binpack does)
+        val es = readManifest(r)
+        val keep = es.filterNot(e => replaced(tupleOf(e)))
+        if (keep.size == es.size) Some(r)
+        else if (keep.isEmpty) None
+        else Some(writeManifest(path, keep, r.kind, r.cols)
+          .copy(seq = r.seq, pspec = r.pspec, partial = true))
+      }
+    }
+    commitRefs(spark, path, base, kept ++ fresh, "overwrite_dynamic")
+  }
+
   /** Create or replace with hive-style partitioned layout — partition
     * columns live in directory names and are reconstructed on read
     * (enabling partition PRUNING through the manifest path). */
@@ -3999,6 +4073,63 @@ object LakeTable {
     require(audit.filesKept < audit.filesClaimed,
       s"DDL-declared layout must prune files: $audit")
     out
+  }
+
+  /** Driver query: DYNAMIC PARTITION OVERWRITE end to end — a
+    * day-partitioned catalog table takes a full INSERT, then a
+    * three-day "backfill" batch (the same days recomputed with
+    * doubled values) lands via SQL `INSERT OVERWRITE` under
+    * `partitionOverwriteMode=dynamic`, which [[LakeSqlDmlRule]]
+    * lowers onto [[overwriteDynamic]]. The requires pin the
+    * semantics that distinguish dynamic from truncate: the final
+    * snapshot must CARRY untouched days' files from v1 AND must have
+    * dropped the replaced days' files. The oracle recomputes the
+    * final state from the source table (doubled inside the window,
+    * original outside), so the partition-replacement algebra itself
+    * is hash-verified. */
+  def dynamicOverwriteQuery(s: SparkSession, d: String): DataFrame = {
+    val wh = freshWorkDir("lakedynow", d)
+    s.conf.set("spark.sql.catalog.graft_dy", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_dy.warehouse", wh)
+    val ev = graft.Tables.load(s, d, "events")
+      .select(col("event_id"), col("event_type"), col("value"),
+        expr("ts DIV 1000000000").as("ts_s"))
+    ev.createOrReplaceTempView("dynow_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_dy.dydb")
+    s.sql("DROP TABLE IF EXISTS graft_dy.dydb.ev")
+    s.sql(
+      """CREATE TABLE graft_dy.dydb.ev
+        |(event_id BIGINT, event_type STRING, value DOUBLE, ts_s BIGINT)
+        |USING graftlake PARTITIONED BY (days(ts_s))""".stripMargin)
+    s.sql("INSERT INTO graft_dy.dydb.ev " +
+      "SELECT event_id, event_type, value, ts_s FROM dynow_src")
+    val path = s"$wh/dydb/ev"
+    val v0 = latestVersion(path).get
+    val v0Files = entriesOf(path, v0).map(_.file).toSet
+    val minDay = ev.agg(min(expr("ts_s DIV 86400"))).head().getLong(0)
+    val loS = (minDay + 2) * 86400L
+    val hiS = (minDay + 5) * 86400L - 1 // days +2, +3, +4 exactly
+    s.sql(
+      s"""SELECT event_id, event_type, value * 2.0 AS value, ts_s
+         |FROM dynow_src WHERE ts_s BETWEEN $loS AND $hiS""".stripMargin)
+      .createOrReplaceTempView("dynow_fix")
+    val modeKey = "spark.sql.sources.partitionOverwriteMode"
+    val prevMode = s.conf.get(modeKey, "STATIC")
+    s.conf.set(modeKey, "dynamic")
+    try s.sql("INSERT OVERWRITE graft_dy.dydb.ev SELECT * FROM dynow_fix")
+    finally s.conf.set(modeKey, prevMode)
+    val v1 = latestVersion(path).get
+    require(v1 > v0, "dynamic overwrite must commit a new version")
+    val v1Files = entriesOf(path, v1).map(_.file).toSet
+    require((v0Files intersect v1Files).nonEmpty,
+      "dynamic overwrite must carry untouched days' files — a truncate " +
+        "would replace the whole table")
+    require((v0Files -- v1Files).nonEmpty,
+      "dynamic overwrite must drop the replaced days' files")
+    read(s, path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+      .orderBy("event_type")
   }
 
   /** Driver query: BRANCH / WRITE-AUDIT-FAST-FORWARD end to end —
