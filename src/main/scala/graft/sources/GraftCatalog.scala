@@ -58,7 +58,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * catalog tables join shuffle-free. */
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty)
-      Array("bucket", "day").map(Identifier.of(Array.empty, _))
+      Array("bucket", "day", "hour", "month", "year")
+        .map(Identifier.of(Array.empty, _))
     else if (namespaceExists(namespace)) Array.empty
     else throw new NoSuchNamespaceException(namespace)
 
@@ -69,6 +70,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     else ident.name.toLowerCase(java.util.Locale.ROOT) match {
       case "bucket" => GraftBucketFunction
       case "day" => GraftDayFunction
+      case "hour" => GraftTimeUnitFunction.Hour
+      case "month" => GraftTimeUnitFunction.Month
+      case "year" => GraftTimeUnitFunction.Year
       case _ =>
         throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
     }
@@ -301,12 +305,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"graft catalog: bucket transform supports BIGINT sources; '$n' is " +
               s"${schema(n).dataType.sql}")
           LakeTable.PartitionTransform(n, "bucket", w)
-        case "days" | "day" =>
+        case tn @ ("days" | "day" | "hours" | "hour" | "months" | "month" |
+                   "years" | "year") =>
           val n = colOf(t)
           require(integral(n),
-            s"graft catalog: days transform works over the epoch-second " +
+            s"graft catalog: $tn transform works over the epoch-second " +
               s"integral convention; '$n' is ${schema(n).dataType.sql}")
-          LakeTable.PartitionTransform(n, "day")
+          LakeTable.PartitionTransform(n, tn.stripSuffix("s"))
         case "truncate" =>
           val (n, w) = (colOf(t), litLong(t))
           require(w > 0, s"graft catalog: truncate($w, $n) needs a positive width")
@@ -316,7 +321,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           LakeTable.PartitionTransform(n, "truncate", w)
         case other => throw new UnsupportedOperationException(
           s"graft catalog: unsupported partition transform '$other' — " +
-            "identity, bucket(n, c), days(c), truncate(w, c)")
+            "identity, bucket(n, c), hours/days/months/years(c), truncate(w, c)")
       }
     }
   }

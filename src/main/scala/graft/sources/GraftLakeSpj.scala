@@ -69,6 +69,13 @@ private[sources] object GraftLakeSpj {
         case "day" if longSource(t) =>
           Some((Expressions.apply("day",
             Expressions.column(t.source)): Transform, LongType: DataType))
+        // hour/month/year indices are deterministic single-leaf
+        // functions of the source column, so they are join-keyable
+        // exactly like day — Spark resolves each reported transform
+        // against the catalog's matching layout function
+        case ("hour" | "month" | "year") if longSource(t) =>
+          Some((Expressions.apply(t.kind,
+            Expressions.column(t.source)): Transform, LongType: DataType))
         // truncate: prunable but NOT join-keyable on this Spark —
         // KeyGroupedPartitioning.satisfies0 requires every partition
         // expression to have exactly one leaf (the literal width
@@ -203,6 +210,47 @@ object GraftDayFunction extends UnboundFunction {
         Math.floorDiv(input.getLong(0), 86400L)
     }
   }
+}
+
+/** The `hour`/`month`/`year` layout functions: epoch-seconds LONG →
+  * the transform's partition index, bit-identical to the write-side
+  * expression — hour by exact floor division, month/year through the
+  * timezone-free epoch-day calendar (`date_from_unix_date` on the
+  * write side, `LocalDate.ofEpochDay` here — both proleptic
+  * Gregorian). Deterministic single-leaf functions, so Spark can key
+  * a storage-partitioned join on them exactly like `day`. */
+class GraftTimeUnitFunction private (unit: String) extends UnboundFunction {
+  override def name(): String = unit
+  override def description(): String =
+    s"$unit(epochSeconds): the lake's hidden $unit-partition index"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 1 && inputType.fields(0).dataType == LongType,
+      s"$unit takes (epochSeconds BIGINT), got $inputType")
+    new ScalarFunction[java.lang.Long] {
+      override def inputTypes(): Array[DataType] = Array(LongType)
+      override def resultType(): DataType = LongType
+      override def name(): String = unit
+      override def canonicalName(): String = s"graftlake.$unit"
+      override def isResultNullable: Boolean = false
+      override def produceResult(input: InternalRow): java.lang.Long = {
+        val sec = input.getLong(0)
+        unit match {
+          case "hour" => Math.floorDiv(sec, 3600L)
+          case _ =>
+            val d = java.time.LocalDate.ofEpochDay(Math.floorDiv(sec, 86400L))
+            if (unit == "year") (d.getYear - 1970).toLong
+            else (d.getYear - 1970).toLong * 12 + (d.getMonthValue - 1)
+        }
+      }
+    }
+  }
+}
+
+object GraftTimeUnitFunction {
+  val Hour = new GraftTimeUnitFunction("hour")
+  val Month = new GraftTimeUnitFunction("month")
+  val Year = new GraftTimeUnitFunction("year")
 }
 
 object GraftBucketFunction extends UnboundFunction {

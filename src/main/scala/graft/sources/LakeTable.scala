@@ -1031,8 +1031,40 @@ object LakeTable {
         expr(s"(${t.source} - pmod(${t.source}, ${t.param})) DIV ${t.param}")
       case "day" =>
         expr(s"(${t.source} - pmod(${t.source}, 86400)) DIV 86400")
+      case "hour" =>
+        expr(s"(${t.source} - pmod(${t.source}, 3600)) DIV 3600")
+      // month/year indices are CALENDAR functions of the epoch-second
+      // source (Iceberg's months/years): day index → DATE (timezone-
+      // free date_from_unix_date), then months/years since 1970. The
+      // ANSI int cast bounds the day index to ±2^31 — a source that
+      // far outside the representable calendar fails the write loudly
+      // rather than landing in a nonsense partition.
+      case "month" =>
+        val d = s"date_from_unix_date(CAST((${t.source} - " +
+          s"pmod(${t.source}, 86400)) DIV 86400 AS INT))"
+        expr(s"CAST((year($d) - 1970) * 12 + month($d) - 1 AS BIGINT)")
+      case "year" =>
+        expr(s"CAST(year(date_from_unix_date(CAST((${t.source} - " +
+          s"pmod(${t.source}, 86400)) DIV 86400 AS INT))) - 1970 AS BIGINT)")
       case k => throw new IllegalArgumentException(s"unknown partition transform '$k'")
     }
+
+  /** The derived partition value of a transform, exposed for specs
+    * that pin write-side/driver-side calendar agreement. */
+  private[graft] def partitionValueExpr(t: PartitionTransform): org.apache.spark.sql.Column =
+    transformExpr(t)
+
+  /** Driver-side month/year index of an epoch-second bound — must
+    * agree with [[transformExpr]]'s calendar arithmetic (both resolve
+    * through the proleptic-Gregorian epoch-day calendar, no
+    * timezone). None when the bound is outside LocalDate's range —
+    * the caller skips pruning (conservative). */
+  private def calendarIndex(kind: String, sec: Double): Option[Long] =
+    scala.util.Try {
+      val d = java.time.LocalDate.ofEpochDay(math.floor(sec / 86400d).toLong)
+      if (kind == "year") (d.getYear - 1970).toLong
+      else (d.getYear - 1970).toLong * 12 + (d.getMonthValue - 1)
+    }.toOption
 
   /** The floor-div index interval a source-column predicate maps to
     * under a transform (for day/truncate/identity), mirroring
@@ -1051,6 +1083,15 @@ object LakeTable {
     t.kind match {
       case "truncate" => widened(math.floor(lo / t.param), math.floor(hi / t.param))
       case "day" => widened(math.floor(lo / 86400d), math.floor(hi / 86400d))
+      case "hour" => widened(math.floor(lo / 3600d), math.floor(hi / 3600d))
+      // calendar indices are monotone in the source, so the two
+      // endpoint conversions bound the interval exactly; an endpoint
+      // beyond the calendar disables pruning (conservative keep)
+      case "month" | "year" =>
+        (calendarIndex(t.kind, lo), calendarIndex(t.kind, hi)) match {
+          case (Some(ilo), Some(ihi)) => (ilo.toDouble, ihi.toDouble)
+          case _ => (Double.NegativeInfinity, Double.PositiveInfinity)
+        }
       case _ => (lo, hi) // identity
     }
   }

@@ -76,12 +76,14 @@ class PartitionedDdlSpec extends AnyFunSuite {
     // standing: further inserts route through the layout
     spark.sql("INSERT INTO graft.pd2.c VALUES (1, 100)")
     assert(spark.sql("SELECT count(*) FROM graft.pd2.c WHERE k = 1").head.getLong(0) === 11L)
-    // unsupported transform shapes refuse at CREATE, nothing half-made
+    // unsupported transform shapes refuse at CREATE, nothing half-made:
+    // time transforms exist (TimeTransformSpec) but only over the
+    // epoch-second integral convention, never raw TIMESTAMP columns
     val ex = intercept[Exception] {
       spark.sql("CREATE TABLE graft.pd2.bad (k BIGINT, ts TIMESTAMP) USING graftlake " +
         "PARTITIONED BY (hours(ts))")
     }
-    assert(ex.getMessage.contains("unsupported partition transform"), ex.getMessage)
+    assert(ex.getMessage.contains("epoch-second"), ex.getMessage)
     assert(!spark.catalog.tableExists("graft.pd2.bad"))
     // shapes the WRITE path would reject must refuse at CREATE too —
     // otherwise the table is born unwritable (half-made)
