@@ -257,6 +257,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         Some(new GraftLocalTable(
           s"${ident.namespace.mkString(".")}.refs",
           LakeTable.refs(spark, parent)))
+      case "snapshots" =>
+        // per-version commit summary incl. added/removed file deltas:
+        // O(#versions) result rows from ONE distributed list read
+        Some(new GraftLocalTable(
+          s"${ident.namespace.mkString(".")}.snapshots",
+          LakeTable.snapshots(spark, parent)))
       case _ => None
     }
   }

@@ -5015,4 +5015,63 @@ object LakeTable {
         sum(col("n_files")).as("n_files"))
       .orderBy("version")
   }
+
+  /** Iceberg-style `snapshots` METADATA TABLE: one row per live
+    * version with its commit wall-time, operation, and the SUMMARY an
+    * operator reads before trusting a snapshot — manifest/file totals
+    * plus the added/removed file deltas against the PREVIOUS live
+    * version. Everything folds from the manifest LISTS (one
+    * distributed read, the [[history]] frame — zero manifests or data
+    * files opened): a version's added manifests are its list rows
+    * absent from the previous list, removed ones the converse, both
+    * one anti-join on manifest path keyed per version; O(1) metadata
+    * per commit makes the deltas exact because manifests are
+    * immutable and re-referenced by path. After [[expireSnapshots]]
+    * the previous LIVE version is the diff base (gaps collapse), so
+    * deltas spanning a gap aggregate the expired commits' net effect
+    * — the honest reading, never a null. */
+  def snapshots(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val versions = liveVersions(path)
+    if (versions.isEmpty)
+      return Seq.empty[(Int, Long, String, Long, Long, Long, Long, Long)]
+        .toDF("version", "committed_at", "operation", "n_manifests",
+          "total_data_files", "total_delete_files",
+          "added_data_files", "removed_data_files")
+    val mf = manifestFrame(spark, path, versions)
+      .select("version", "manifest", "kind", "operation", "committed_at",
+        "n_files")
+    // previous LIVE version of each version (driver map, O(#versions))
+    val prevOf = versions.zip(-1 +: versions.init).toDF("version", "prev")
+    val dataFiles = when(col("kind") === "data", col("n_files")).otherwise(0L)
+    val totals = mf.groupBy("version").agg(
+      first(col("committed_at")).as("committed_at"),
+      first(col("operation")).as("operation"),
+      count(lit(1)).as("n_manifests"),
+      sum(dataFiles).as("total_data_files"),
+      sum(col("n_files") - dataFiles).as("total_delete_files"))
+    val prevRefs = mf.select(col("version").as("pv"), col("manifest").as("pm"),
+      col("kind").as("pkind"), col("n_files").as("pn"))
+    val cur = mf.join(broadcast(prevOf), "version")
+    val added = cur
+      .join(prevRefs, cur("prev") === prevRefs("pv") &&
+        cur("manifest") === prevRefs("pm"), "left_anti")
+      .groupBy("version").agg(sum(dataFiles).as("added_data_files"))
+    // removed: the previous version's manifests this version dropped —
+    // diff from the successor's side so the anti-join shape mirrors
+    // `added` (pn/pkind are the PREVIOUS list's counts)
+    val removed = cur.select(col("version"), col("prev"))
+      .distinct()
+      .join(prevRefs, col("prev") === prevRefs("pv"))
+      .join(mf.select(col("version").as("cv"), col("manifest").as("cm")),
+        col("version") === col("cv") && col("pm") === col("cm"), "left_anti")
+      .groupBy("version").agg(
+        sum(when(col("pkind") === "data", col("pn")).otherwise(0L))
+          .as("removed_data_files"))
+    totals
+      .join(added, Seq("version"), "left")
+      .join(removed, Seq("version"), "left")
+      .na.fill(0L, Seq("added_data_files", "removed_data_files"))
+      .orderBy("version")
+  }
 }

@@ -1,0 +1,88 @@
+package graft
+
+import graft.sources.LakeTable
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `snapshots` metadata table: per-version commit summary with
+  * added/removed data-file deltas folded from the manifest lists —
+  * the table an operator reads before trusting a snapshot. */
+class SnapshotsMetaSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private def summaries(p: String): Map[Int, Row] =
+    LakeTable.snapshots(spark, p).collect()
+      .map(r => r.getInt(0) -> r).toMap
+
+  test("lifecycle summary: totals and added/removed deltas per commit") {
+    val p = "/tmp/graft_test/snapmeta_basic"
+    SparkSpec.rmdir(p)
+    val df1 = (0 until 100).map(i => (i.toLong, i * 1.0)).toDF("k", "v")
+    LakeTable.overwrite(df1.repartition(2), p) // v0: 2 files
+    LakeTable.append(
+      (100 until 160).map(i => (i.toLong, i * 1.0)).toDF("k", "v")
+        .repartition(3), p) // v1: +3 files
+    LakeTable.deleteMoR(spark, p, "k", col("k") < 10L) // v2: +1 delete manifest
+    val s = summaries(p)
+    assert(s.keySet == Set(0, 1, 2))
+    def longAt(v: Int, c: String): Long =
+      s(v).getLong(s(v).fieldIndex(c))
+    assert(s(0).getString(2) == "overwrite")
+    assert(longAt(0, "total_data_files") == 2 &&
+      longAt(0, "added_data_files") == 2 && longAt(0, "removed_data_files") == 0)
+    assert(s(1).getString(2) == "append")
+    assert(longAt(1, "total_data_files") == 5 &&
+      longAt(1, "added_data_files") == 3 && longAt(1, "removed_data_files") == 0)
+    assert(longAt(2, "total_delete_files") >= 1 &&
+      longAt(2, "added_data_files") == 0 && longAt(2, "removed_data_files") == 0)
+    // commit times are real and non-decreasing
+    val ts = Seq(0, 1, 2).map(v => s(v).getLong(1))
+    assert(ts.forall(_ > 0) && ts == ts.sorted)
+    // a compacting rewrite both adds (the folded file) and removes
+    LakeTable.compact(spark, p)
+    val s2 = summaries(p)
+    val r3 = s2(3)
+    def l3(c: String): Long = r3.getLong(r3.fieldIndex(c))
+    assert(l3("added_data_files") >= 1 && l3("removed_data_files") >= 5,
+      s"compact must replace the small files: $r3")
+  }
+
+  test("expire collapses gaps: the previous LIVE version is the diff base") {
+    val p = "/tmp/graft_test/snapmeta_expire"
+    SparkSpec.rmdir(p)
+    (0 until 4).foreach { i =>
+      LakeTable.append(
+        Seq((i.toLong, i * 1.0)).toDF("k", "v").repartition(1), p)
+    }
+    LakeTable.expireSnapshots(spark, p, retain = 2) // keeps v2, v3
+    val s = summaries(p)
+    assert(s.keySet == Set(2, 3))
+    val r2 = s(2)
+    // v2's diff base is "nothing live" — its whole list reads as added
+    assert(r2.getLong(r2.fieldIndex("added_data_files"))
+      == r2.getLong(r2.fieldIndex("total_data_files")))
+  }
+
+  test("catalog surface: SELECT over t.snapshots") {
+    val root = "/tmp/graft_test/snapmeta_cat"
+    SparkSpec.rmdir(root)
+    spark.conf.set("spark.sql.catalog.snapc", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.snapc.warehouse", root)
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS snapc.db")
+      spark.sql("CREATE TABLE snapc.db.t (k BIGINT, v DOUBLE) USING graftlake")
+      spark.sql("INSERT INTO snapc.db.t VALUES (1, 1.0), (2, 2.0)")
+      val rows = spark.sql(
+        "SELECT version, operation, added_data_files FROM snapc.db.t.snapshots " +
+          "ORDER BY version").collect()
+      assert(rows.length == 2) // CREATE's v0 + the INSERT
+      assert(rows.last.getString(1) == "append")
+      assert(rows.last.getLong(2) >= 1)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.snapc")
+      spark.conf.unset("spark.sql.catalog.snapc.warehouse")
+    }
+  }
+}
