@@ -3096,16 +3096,78 @@ object LakeTable {
     latestVersion(path).getOrElse(
       throw new IllegalArgumentException(s"no snapshots at $path"))
 
-  /** Copy-on-write DELETE: new snapshot without the matching rows.
-    * SQL DELETE ... WHERE semantics (as in Delta/Iceberg): rows where
-    * the predicate evaluates to NULL are KEPT — hence the coalesce;
-    * a bare filter(!predicate) would drop them (NOT NULL = NULL). */
+  /** Copy-on-write DELETE, FILE-GRANULAR (Iceberg's delete planning):
+    * one pass over the snapshot classifies every data file by its
+    * VISIBLE rows' match counts, then
+    *
+    *  - files with NO matching row CARRY as-is — metadata-only, the
+    *    common case for a partition-aligned retention delete, where a
+    *    whole-table rewrite would touch the irreplaceable 99 % that
+    *    survives;
+    *  - files where EVERY visible row matches DROP from the manifests
+    *    — also metadata-only (a `DELETE WHERE day < cutoff` on a
+    *    day-partitioned 100 TB table writes zero data files);
+    *  - only BOUNDARY files (some rows match) rewrite their
+    *    survivors.
+    *
+    * Classification counts the ASSEMBLED read (equality / position /
+    * DV deletes applied), so a carried file keeps its sequence and
+    * its older deletes keep subtracting, while rewritten survivors
+    * materialize their visible state under a fresh sequence. SQL
+    * DELETE ... WHERE semantics: predicate-NULL rows are KEPT (the
+    * coalesce); a bare filter(!predicate) would drop them. */
   def delete(spark: SparkSession, path: String, predicate: org.apache.spark.sql.Column): Int = {
     val base = observedBase(spark, path)
-    commitRefs(spark, path, base,
-      stageManifest(
-        read(spark, path, Some(base)).filter(!coalesce(predicate, lit(false))), path).toSeq,
-      "delete")
+    val matches = coalesce(predicate, lit(false))
+    val refs = listRefs(path, base)
+    // the VISIBLE state with each row's file identity riding from the
+    // scan's _metadata (the position-delete plumbing — survives the
+    // MoR anti-joins where input_file_name would refuse a multi-
+    // source plan)
+    val cur = assembleWithDeletes(spark, refs, schFor(path, base), keepMeta = true)
+    // per-file (visible rows, matching rows) — ONE distributed job;
+    // the collected frame is O(#files) planning metadata (the
+    // binpack/compact posture). _metadata.file_path spells URIs;
+    // manifests store plain paths — normalize driver-side only.
+    def plainPath(uri: String): String =
+      scala.util.Try(new java.net.URI(uri).getPath).toOption
+        .filter(_ != null).getOrElse(uri)
+    val counts = cur
+      .groupBy(col(FpCol).as("f"))
+      .agg(count(lit(1)).as("visible"),
+        sum(when(matches, 1L).otherwise(0L)).as("hit"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val boundary = counts.collect {
+      case (f, (vis, hit)) if hit > 0 && hit < vis => f
+    }.toSet
+    val dropped = counts.collect {
+      case (f, (vis, hit)) if hit > 0 && hit == vis => f
+    }.toSet
+    // survivors of boundary files only — the sole data rewrite
+    val rewritten =
+      if (boundary.isEmpty) None
+      else {
+        import spark.implicits._
+        val bf = boundary.toSeq.toDF("f")
+        stageManifest(
+          cur.join(broadcast(bf), col(FpCol) === col("f"), "left_semi")
+            .filter(!matches).drop(FpCol, RiCol, SeqCol),
+          path)
+      }
+    val gone = (boundary ++ dropped).map(plainPath)
+    val kept = refs.flatMap { r =>
+      if (r.kind != "data" || r.nFiles == 0) Some(r)
+      else {
+        val es = readManifest(r)
+        val keep = es.filterNot(e => gone(e.file))
+        if (keep.size == es.size) Some(r)
+        else if (keep.isEmpty) None
+        else Some(writeManifest(path, keep, r.kind, r.cols)
+          .copy(seq = r.seq, pspec = r.pspec, partial = true))
+      }
+    }
+    commitRefs(spark, path, base, kept ++ rewritten.toSeq, "delete")
   }
 
   /** Copy-on-write UPDATE ... SET ... WHERE: rewrite the snapshot
