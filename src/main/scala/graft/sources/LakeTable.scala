@@ -2449,19 +2449,40 @@ object LakeTable {
     commitRefs(spark, path, base, stageManifest(sorted, path).toSeq, "zorder")
   }
 
-  /** Copy-on-write MERGE/upsert: rows of the current snapshot whose
-    * key collides with an incoming row are replaced; new keys are
-    * inserted. One anti-join + union + rewrite = a new snapshot; all
-    * prior versions remain time-travelable. (At 100 TB you'd rewrite
-    * only the files containing touched keys — same commit protocol,
-    * finer-grained file selection.) */
+  /** Copy-on-write MERGE/upsert, FILE-GRANULAR like [[delete]]: rows
+    * of the current snapshot whose key collides with an incoming row
+    * are replaced; new keys are inserted. Only the files HOLDING a
+    * colliding key rewrite (their non-colliding rows re-land beside
+    * the incoming batch); every other file carries metadata-only —
+    * the 100 TB shape, where an upsert touching 0.1 % of keys must
+    * not rewrite the 99.9 % of files it never read. Key collision is
+    * plain equality (NULL keys never collide — incoming NULL-keyed
+    * rows insert, existing ones survive), matching the historical
+    * anti-join semantics exactly. */
   def upsert(df: DataFrame, path: String, keyCol: String): Int = {
     val spark = df.sparkSession
     val base = observedBase(spark, path)
-    val current = read(spark, path, Some(base))
-    val kept = current.join(df.select(keyCol).distinct(), Seq(keyCol), "left_anti")
+    val refs = listRefs(path, base)
+    val cur = assembleWithDeletes(spark, refs, schFor(path, base), keepMeta = true)
+    val srcKeys = df.select(col(keyCol).as("__graft_uk")).distinct()
+    // files holding ≥1 colliding key — the ONLY data rewritten. The
+    // collected frame is O(#files) planning metadata.
+    val touched = cur
+      .join(srcKeys, col(keyCol) === col("__graft_uk"), "left_semi")
+      .select(FpCol).distinct().collect().map(_.getString(0)).toSet
+    // survivors of touched files = their non-colliding rows; limit(0)
+    // keeps the FULL table schema on the no-collision path so a
+    // narrower incoming batch still unions against it
+    val survivors =
+      (if (touched.isEmpty) cur.limit(0)
+       else rowsInFiles(cur, touched)
+         .join(srcKeys, col(keyCol) === col("__graft_uk"), "left_anti"))
+        .drop(FpCol, RiCol, SeqCol)
     commitRefs(spark, path, base,
-      stageManifest(kept.unionByName(df, allowMissingColumns = true), path).toSeq, "merge")
+      carryManifests(path, refs, touched)
+        ++ stageManifest(
+          survivors.unionByName(df, allowMissingColumns = true), path),
+      "merge")
   }
 
   // ---- conditional multi-action MERGE (SQL MERGE / Delta-style) ----
@@ -2581,8 +2602,19 @@ object LakeTable {
   /** Copy-on-write conditional MERGE: WHEN MATCHED [AND cond] UPDATE
     * SET .../DELETE (first clause wins) + WHEN NOT MATCHED [AND cond]
     * INSERT — the full SQL MERGE surface over the snapshot commit
-    * protocol. One join + conditional projection + table rewrite; all
-    * prior versions stay time-travelable. */
+    * protocol; all prior versions stay time-travelable.
+    *
+    * FILE-GRANULAR whenever every clause is keyed off the source (no
+    * WHEN NOT MATCHED BY SOURCE, no schema evolution): a file holding
+    * no source-matched key carries as-is — all its rows take the
+    * unmatched-target path, which is the identity — and only touched
+    * files rewrite through the merge algebra. The inserts computed
+    * against the touched slice are the inserts against the WHOLE
+    * target: a source key null-safe-matching ANY target row makes
+    * that row's file touched by construction. With NOT MATCHED BY
+    * SOURCE clauses every target row is potentially rewritten, and
+    * with schema evolution the commit's schema must cover carried
+    * files too — both fall back to the full-snapshot rewrite. */
   def mergeConditional(
       source: DataFrame, path: String, keyCol: String,
       matched: Seq[MergeClause],
@@ -2591,14 +2623,36 @@ object LakeTable {
       evolveColumns: Seq[String] = Nil): Int = {
     val spark = source.sparkSession
     val base = observedBase(spark, path)
-    val target = read(spark, path, Some(base))
-    val (survivors, inserts, _) =
-      mergeRows(target, source, keyCol, matched, notMatchedInsert,
-        notMatchedBySource, evolveColumns)
-    commitRefs(spark, path, base,
-      stageManifest(
-        survivors.unionByName(inserts, allowMissingColumns = true), path).toSeq,
-      "merge")
+    if (notMatchedBySource.isEmpty && evolveColumns.isEmpty) {
+      val refs = listRefs(path, base)
+      val cur = assembleWithDeletes(spark, refs, schFor(path, base), keepMeta = true)
+      val srcKeys = source.select(col(keyCol).as("__graft_mk")).distinct()
+      // null-safe like every merge key comparison, so a NULL-keyed
+      // target row's file is touched when the source carries NULL
+      val touched = cur
+        .join(srcKeys, col(keyCol) <=> col("__graft_mk"), "left_semi")
+        .select(FpCol).distinct().collect().map(_.getString(0)).toSet
+      val targetTouched =
+        (if (touched.isEmpty) cur.limit(0) else rowsInFiles(cur, touched))
+          .drop(FpCol, RiCol, SeqCol)
+      val (survivors, inserts, _) =
+        mergeRows(targetTouched, source, keyCol, matched, notMatchedInsert,
+          notMatchedBySource, evolveColumns)
+      commitRefs(spark, path, base,
+        carryManifests(path, refs, touched)
+          ++ stageManifest(
+            survivors.unionByName(inserts, allowMissingColumns = true), path),
+        "merge")
+    } else {
+      val target = read(spark, path, Some(base))
+      val (survivors, inserts, _) =
+        mergeRows(target, source, keyCol, matched, notMatchedInsert,
+          notMatchedBySource, evolveColumns)
+      commitRefs(spark, path, base,
+        stageManifest(
+          survivors.unionByName(inserts, allowMissingColumns = true), path).toSeq,
+        "merge")
+    }
   }
 
   /** MERGE-ON-READ conditional MERGE: ships the affected keys as a
@@ -3125,19 +3179,7 @@ object LakeTable {
     // MoR anti-joins where input_file_name would refuse a multi-
     // source plan)
     val cur = assembleWithDeletes(spark, refs, schFor(path, base), keepMeta = true)
-    // per-file (visible rows, matching rows) — ONE distributed job;
-    // the collected frame is O(#files) planning metadata (the
-    // binpack/compact posture). _metadata.file_path spells URIs;
-    // manifests store plain paths — normalize driver-side only.
-    def plainPath(uri: String): String =
-      scala.util.Try(new java.net.URI(uri).getPath).toOption
-        .filter(_ != null).getOrElse(uri)
-    val counts = cur
-      .groupBy(col(FpCol).as("f"))
-      .agg(count(lit(1)).as("visible"),
-        sum(when(matches, 1L).otherwise(0L)).as("hit"))
-      .collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val counts = fileMatchCounts(cur, matches)
     val boundary = counts.collect {
       case (f, (vis, hit)) if hit > 0 && hit < vis => f
     }.toSet
@@ -3147,16 +3189,52 @@ object LakeTable {
     // survivors of boundary files only — the sole data rewrite
     val rewritten =
       if (boundary.isEmpty) None
-      else {
-        import spark.implicits._
-        val bf = boundary.toSeq.toDF("f")
-        stageManifest(
-          cur.join(broadcast(bf), col(FpCol) === col("f"), "left_semi")
-            .filter(!matches).drop(FpCol, RiCol, SeqCol),
-          path)
-      }
-    val gone = (boundary ++ dropped).map(plainPath)
-    val kept = refs.flatMap { r =>
+      else stageManifest(
+        rowsInFiles(cur, boundary).filter(!matches).drop(FpCol, RiCol, SeqCol),
+        path)
+    commitRefs(spark, path, base,
+      carryManifests(path, refs, boundary ++ dropped) ++ rewritten.toSeq, "delete")
+  }
+
+  /** `_metadata.file_path` spells `file:` URIs while manifests store
+    * plain paths — normalize driver-side only. */
+  private def plainPath(uri: String): String =
+    scala.util.Try(new java.net.URI(uri).getPath).toOption
+      .filter(_ != null).getOrElse(uri)
+
+  /** Per-file (visible rows, matching rows) over the assembled
+    * visible frame — ONE distributed job; the collected result is
+    * O(#files) planning metadata (the binpack/compact posture),
+    * never data. Shared by the file-granular DELETE/UPDATE planners. */
+  private def fileMatchCounts(
+      cur: DataFrame, matches: org.apache.spark.sql.Column): Map[String, (Long, Long)] =
+    cur.groupBy(col(FpCol).as("f"))
+      .agg(count(lit(1)).as("visible"),
+        sum(when(matches, 1L).otherwise(0L)).as("hit"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  /** Rows of the assembled frame belonging to `files` (scan-time file
+    * identity): a broadcast semi-join against the O(#files) planning
+    * set, so only the selected files' partitions survive the scan. */
+  private def rowsInFiles(cur: DataFrame, files: Set[String]): DataFrame = {
+    val spark = cur.sparkSession
+    import spark.implicits._
+    cur.join(broadcast(files.toSeq.toDF("__graft_cf")),
+      col(FpCol) === col("__graft_cf"), "left_semi")
+  }
+
+  /** Carry a snapshot's manifests forward minus `goneUris`' data
+    * files: an untouched manifest carries as-is; one that loses SOME
+    * files rewrites METADATA-only (sequence preserved, marked
+    * partial); one that loses ALL files drops. Delete/posdel/DV
+    * manifests always carry — their older subtractions keep applying
+    * to the carried data files. Shared by the file-granular
+    * DELETE/UPDATE/MERGE planners. */
+  private def carryManifests(
+      path: String, refs: Seq[ManifestRef], goneUris: Set[String]): Seq[ManifestRef] = {
+    val gone = goneUris.map(plainPath)
+    refs.flatMap { r =>
       if (r.kind != "data" || r.nFiles == 0) Some(r)
       else {
         val es = readManifest(r)
@@ -3167,28 +3245,40 @@ object LakeTable {
           .copy(seq = r.seq, pspec = r.pspec, partial = true))
       }
     }
-    commitRefs(spark, path, base, kept ++ rewritten.toSeq, "delete")
   }
 
-  /** Copy-on-write UPDATE ... SET ... WHERE: rewrite the snapshot
-    * with the assignments applied to predicate-TRUE rows (NULL
-    * predicate keeps the row unchanged — SQL three-valued logic, as
-    * [[delete]]). Assignment values may reference the row's own
-    * columns (`SET v = v + 1`). The SQL surface lowers onto this via
+  /** Copy-on-write UPDATE ... SET ... WHERE, FILE-GRANULAR like
+    * [[delete]]: one classification pass finds the files holding at
+    * least one predicate-TRUE row; only THOSE rewrite (with the
+    * assignments applied to their matching rows), every other file
+    * carries metadata-only — a point UPDATE on a 100 TB table
+    * rewrites one file, not the table. NULL predicate keeps the row
+    * unchanged (SQL three-valued logic, as [[delete]]); assignment
+    * values may reference the row's own columns (`SET v = v + 1`).
+    * The SQL surface lowers onto this via
     * [[graft.sources.LakeSqlDmlRule]]. */
   def update(
       spark: SparkSession, path: String,
       set: Map[String, org.apache.spark.sql.Column],
       predicate: org.apache.spark.sql.Column): Int = {
     val base = observedBase(spark, path)
-    val cur = read(spark, path, Some(base))
-    set.keys.foreach(c => require(cur.columns.contains(c),
-      s"UPDATE at $path: no such column '$c' (have ${cur.columns.mkString(", ")})"))
+    val refs = listRefs(path, base)
+    val cur = assembleWithDeletes(spark, refs, schFor(path, base), keepMeta = true)
+    val visible = cur.columns.filterNot(Set(FpCol, RiCol, SeqCol)).toSeq
+    set.keys.foreach(c => require(visible.contains(c),
+      s"UPDATE at $path: no such column '$c' (have ${visible.mkString(", ")})"))
     val p = coalesce(predicate, lit(false))
-    val updated = cur.select(cur.columns.toSeq.map { c =>
-      set.get(c).map(v => when(p, v).otherwise(col(c)).as(c)).getOrElse(col(c))
-    }: _*)
-    commitRefs(spark, path, base, stageManifest(updated, path).toSeq, "update")
+    val touched = fileMatchCounts(cur, p).collect {
+      case (f, (_, hit)) if hit > 0 => f
+    }.toSet
+    val rewritten =
+      if (touched.isEmpty) None
+      else stageManifest(
+        rowsInFiles(cur, touched).select(visible.map { c =>
+          set.get(c).map(v => when(p, v).otherwise(col(c)).as(c)).getOrElse(col(c))
+        }: _*), path)
+    commitRefs(spark, path, base,
+      carryManifests(path, refs, touched) ++ rewritten.toSeq, "update")
   }
 
   /** MERGE-ON-READ DELETE (Iceberg v2's equality-delete shape):

@@ -88,4 +88,108 @@ class FileGranularDeleteSpec extends AnyFunSuite {
     assert(files(p, v1) == before)
     assert(LakeTable.read(spark, p).count() == 50)
   }
+
+  // ---- the same planner under UPDATE / upsert / MERGE ----
+
+  private def partitionedTable(p: String): Unit = {
+    SparkSpec.rmdir(p)
+    val df = (0 until 300)
+      .map(i => (i.toLong, (i % 3).toLong, i * 1.0)).toDF("k", "day", "v")
+    LakeTable.overwriteHiddenPartitioned(df, p,
+      Seq(PartitionTransform("day", "identity")))
+  }
+
+  test("UPDATE rewrites only files holding a matching row; others carry") {
+    val p = "/tmp/graft_test/fgupd"
+    partitionedTable(p)
+    val before = files(p, LakeTable.latestVersion(p).get)
+    LakeTable.update(spark, p,
+      Map("v" -> (col("v") + 1000.0)), col("day") === 1L && col("k") < 50L)
+    val after = files(p, LakeTable.latestVersion(p).get)
+    val carried = before intersect after
+    assert(carried.exists(_.contains("__p_identity_day=0")) &&
+      carried.exists(_.contains("__p_identity_day=2")),
+      s"untouched days' files must carry as-is: $carried")
+    assert(!after.exists(f => before(f) && f.contains("__p_identity_day=1")),
+      "the touched day's file must be replaced")
+    val out = LakeTable.read(spark, p)
+    assert(out.count() == 300)
+    assert(out.filter(col("v") >= 1000.0).count() == 17) // k in {1,4,...,49} day 1
+    // untouched rows of the SAME file rewrote unchanged
+    assert(out.filter(col("day") === 1L && col("k") >= 50L && col("v") >= 1000.0)
+      .count() == 0)
+  }
+
+  test("UPDATE with no matching rows carries every file") {
+    val p = "/tmp/graft_test/fgupd_none"
+    partitionedTable(p)
+    val before = files(p, LakeTable.latestVersion(p).get)
+    LakeTable.update(spark, p, Map("v" -> lit(0.0)), col("k") > 1000L)
+    assert(files(p, LakeTable.latestVersion(p).get) == before)
+    assert(LakeTable.read(spark, p).agg(sum(col("v"))).head.getDouble(0) > 0)
+  }
+
+  test("upsert rewrites only files holding a colliding key") {
+    val p = "/tmp/graft_test/fgups"
+    partitionedTable(p)
+    val before = files(p, LakeTable.latestVersion(p).get)
+    // keys 1 and 4 live on day 1; key 9999 is new
+    val incoming = Seq((1L, 1L, -1.0), (4L, 1L, -4.0), (9999L, 0L, -9.0))
+      .toDF("k", "day", "v")
+    LakeTable.upsert(incoming, p, "k")
+    val after = files(p, LakeTable.latestVersion(p).get)
+    val carried = before intersect after
+    assert(carried.exists(_.contains("__p_identity_day=0")) &&
+      carried.exists(_.contains("__p_identity_day=2")),
+      s"files without colliding keys must carry: $carried")
+    val out = LakeTable.read(spark, p)
+    assert(out.count() == 301)
+    assert(out.filter(col("k") === 1L).head.getDouble(2) == -1.0)
+    assert(out.filter(col("k") === 9999L).count() == 1)
+    assert(out.filter(col("k") === 7L).head.getDouble(2) == 7.0,
+      "non-colliding row of the rewritten file must survive unchanged")
+  }
+
+  test("MERGE without BY-SOURCE clauses carries unmatched files") {
+    val p = "/tmp/graft_test/fgmrg"
+    partitionedTable(p)
+    val before = files(p, LakeTable.latestVersion(p).get)
+    val src = Seq((1L, 500.0), (4L, -1.0), (8888L, 42.0)).toDF("k", "nv")
+    LakeTable.mergeConditional(
+      src.withColumn("day", lit(9L)).withColumn("v", col("nv")).drop("nv"),
+      p, "k",
+      matched = Seq(
+        LakeTable.MatchedDelete(Some(col("s.v") < 0)),
+        LakeTable.MatchedUpdate(None, Map("v" -> col("s.v")))),
+      notMatchedInsert = Some(lit(true)))
+    val after = files(p, LakeTable.latestVersion(p).get)
+    val carried = before intersect after
+    assert(carried.exists(_.contains("__p_identity_day=0")) &&
+      carried.exists(_.contains("__p_identity_day=2")),
+      s"files with no source-matched key must carry: $carried")
+    val out = LakeTable.read(spark, p)
+    assert(out.count() == 300)           // -1 delete (k=4) +1 insert (k=8888)
+    assert(out.filter(col("k") === 4L).count() == 0)
+    assert(out.filter(col("k") === 1L).head.getDouble(2) == 500.0)
+    assert(out.filter(col("k") === 8888L).count() == 1)
+    assert(out.filter(col("k") === 7L).head.getDouble(2) == 7.0)
+  }
+
+  test("MERGE with a BY-SOURCE clause falls back to the full rewrite") {
+    val p = "/tmp/graft_test/fgmrg_bysrc"
+    partitionedTable(p)
+    val src = Seq((1L, 1L, 500.0)).toDF("k", "day", "v")
+    LakeTable.mergeConditional(
+      src, p, "k",
+      matched = Seq(LakeTable.MatchedUpdate(None, Map("v" -> col("s.v")))),
+      notMatchedBySource = Seq(
+        LakeTable.MatchedUpdate(Some(col("t.day") === 2L), Map("v" -> lit(-7.0)))))
+    val out = LakeTable.read(spark, p)
+    assert(out.count() == 300)
+    assert(out.filter(col("k") === 1L).head.getDouble(2) == 500.0)
+    assert(out.filter(col("day") === 2L && col("v") =!= -7.0).count() == 0,
+      "every day-2 row must take the BY-SOURCE update")
+    assert(out.filter(col("day") === 0L && col("k") =!= 1L && col("v") === -7.0)
+      .count() == 0)
+  }
 }
