@@ -3179,13 +3179,17 @@ object LakeTable {
     // MoR anti-joins where input_file_name would refuse a multi-
     // source plan)
     val cur = assembleWithDeletes(spark, refs, schFor(path, base), keepMeta = true)
-    val counts = fileMatchCounts(cur, matches)
+    // pass 1 — PUSHED-filter scan: which files hold a matching row.
+    // pass 2 — full per-file counts over ONLY those files, to split
+    // them into fully-matched (drop) vs boundary (rewrite).
+    val touched = touchedFiles(cur, matches)
+    val counts =
+      if (touched.isEmpty) Map.empty[String, (Long, Long)]
+      else fileMatchCounts(rowsInFiles(cur, touched), matches)
     val boundary = counts.collect {
-      case (f, (vis, hit)) if hit > 0 && hit < vis => f
+      case (f, (vis, hit)) if hit < vis => f
     }.toSet
-    val dropped = counts.collect {
-      case (f, (vis, hit)) if hit > 0 && hit == vis => f
-    }.toSet
+    val dropped = touched -- boundary
     // survivors of boundary files only — the sole data rewrite
     val rewritten =
       if (boundary.isEmpty) None
@@ -3196,6 +3200,18 @@ object LakeTable {
       carryManifests(path, refs, boundary ++ dropped) ++ rewritten.toSeq, "delete")
   }
 
+  /** Pass-1 of the file-granular DML planners: the set of files
+    * holding at least one `matches` row. The predicate sits directly
+    * on the scan, so Catalyst pushes it to Parquet and footer
+    * stats/dictionary/bloom skipping refute unmatched files from
+    * their metadata alone — a point DELETE/UPDATE on a clustered
+    * 100 TB table reads a handful of files' data pages, not the
+    * table. Output is O(#touched files) planning metadata. */
+  private def touchedFiles(
+      cur: DataFrame, matches: org.apache.spark.sql.Column): Set[String] =
+    cur.filter(matches).select(FpCol).distinct()
+      .collect().map(_.getString(0)).toSet
+
   /** `_metadata.file_path` spells `file:` URIs while manifests store
     * plain paths — normalize driver-side only. */
   private def plainPath(uri: String): String =
@@ -3203,9 +3219,10 @@ object LakeTable {
       .filter(_ != null).getOrElse(uri)
 
   /** Per-file (visible rows, matching rows) over the assembled
-    * visible frame — ONE distributed job; the collected result is
-    * O(#files) planning metadata (the binpack/compact posture),
-    * never data. Shared by the file-granular DELETE/UPDATE planners. */
+    * visible frame — the DELETE planner's pass 2, run over the
+    * already-touched files only, to split them into fully-matched
+    * (metadata-only drop) vs boundary (survivor rewrite). The
+    * collected result is O(#files) planning metadata, never data. */
   private def fileMatchCounts(
       cur: DataFrame, matches: org.apache.spark.sql.Column): Map[String, (Long, Long)] =
     cur.groupBy(col(FpCol).as("f"))
@@ -3268,9 +3285,7 @@ object LakeTable {
     set.keys.foreach(c => require(visible.contains(c),
       s"UPDATE at $path: no such column '$c' (have ${visible.mkString(", ")})"))
     val p = coalesce(predicate, lit(false))
-    val touched = fileMatchCounts(cur, p).collect {
-      case (f, (_, hit)) if hit > 0 => f
-    }.toSet
+    val touched = touchedFiles(cur, p)
     val rewritten =
       if (touched.isEmpty) None
       else stageManifest(

@@ -89,6 +89,19 @@ class FileGranularDeleteSpec extends AnyFunSuite {
     assert(LakeTable.read(spark, p).count() == 50)
   }
 
+  test("pass-1 classification predicate reaches the Parquet scan (PushedFilters)") {
+    val p = "/tmp/graft_test/fgdel_push"
+    SparkSpec.rmdir(p)
+    LakeTable.overwrite((0 until 100).map(i => (i.toLong, i * 1.0)).toDF("k", "v"), p)
+    // the planner's pass-1 shape: predicate directly on the assembled
+    // scan — footer stats/dictionary skipping only fire if Catalyst
+    // pushes it into the file source
+    val plan = LakeTable.read(spark, p).filter(col("k") === 5L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(k,5)"),
+      s"predicate must push to the scan; plan:\n$plan")
+  }
+
   // ---- the same planner under UPDATE / upsert / MERGE ----
 
   private def partitionedTable(p: String): Unit = {
