@@ -185,6 +185,7 @@ object SparkEntry {
     "lake_agg_pushdown_group" -> (sources.LakeTable.aggPushdownGroupQuery _),
     "lake_catalog_sql" -> (sources.LakeTable.catalogSqlQuery _),
     "lake_partitions_meta" -> (sources.LakeTable.partitionsMetaQuery _),
+    "lake_ndv_sketch" -> (sources.LakeTable.ndvSketchQuery _),
     "lake_arbitrated_commit" -> (sources.LakeTable.arbitratedCommitQuery _),
     "lake_ctas" -> (sources.LakeTable.ctasQuery _),
     "lake_runtime_prune" -> (sources.LakeTable.runtimePruneQuery _),
@@ -1121,6 +1122,16 @@ object SparkEntry {
         |SELECT concat('event_type=', event_type) AS part, count(*) AS record_count
         |FROM events GROUP BY 1
         |ORDER BY part""".stripMargin,
+    // lake_ndv_sketch: the manifest-sketch NDV of event_type is
+    // EXACT (HLL coupon mode below ~512 distinct) so the oracle
+    // recomputes it as count(distinct); the high-cardinality
+    // event_id estimate is bound in-query (== SQL sketch estimate,
+    // within 2% of exact) and surfaces as a checked flag
+    "lake_ndv_sketch" ->
+      """SELECT 'event_id_sketch_ok' AS metric, 1 AS ndv
+        |UNION ALL
+        |SELECT 'event_type_ndv' AS metric, count(DISTINCT event_type) AS ndv
+        |FROM events ORDER BY metric""".stripMargin,
     // lake_ctas: v0 = the CTAS content (purchases), latest = the
     // RTAS-replaced content (everything else); atomicity of the
     // poisoned CTAS is require'd in-query, values are the oracle's
