@@ -723,16 +723,42 @@ class GraftLakeScan(
     }
   }
 
-  override def estimateStatistics(): Statistics = state._2.stats match {
-    case Some((bytes, rows)) => new Statistics {
-      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
-      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+  override def estimateStatistics(): Statistics = {
+    // per-column NDV from the survivors' ANALYZE sketches (S9i):
+    // reported as V2 column statistics so Catalyst's CBO sees real
+    // distinct counts for join-cardinality estimation — restricted
+    // to the READ schema (pruned-away columns would dangle)
+    val colStats: java.util.Map[
+        NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val m = new java.util.HashMap[
+        NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      val readCols = underlying.readSchema().fieldNames.toSet
+      state._2.ndv.foreach { case (n, d) =>
+        if (readCols.contains(n))
+          m.put(GraftSqlShim.fieldReference(n),
+            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+              override def distinctCount(): java.util.OptionalLong =
+                java.util.OptionalLong.of(d)
+            })
+      }
+      m
     }
-    case None => underlying match {
-      case s: SupportsReportStatistics => s.estimateStatistics()
-      case _ => new Statistics {
-        override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.empty()
-        override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    state._2.stats match {
+      case Some((bytes, rows)) => new Statistics {
+        override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+        override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+        override def columnStats(): java.util.Map[
+            NamedReference,
+            org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStats
+      }
+      case None => underlying match {
+        case s: SupportsReportStatistics => s.estimateStatistics()
+        case _ => new Statistics {
+          override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.empty()
+          override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+        }
       }
     }
   }

@@ -2015,7 +2015,11 @@ object LakeTable {
       // entry records them — the V2 scan reports these to Catalyst
       // (SupportsReportStatistics), so broadcast/AQE decisions see
       // true post-prune cardinality instead of a listing guess
-      stats: Option[(Long, Long)] = None)
+      stats: Option[(Long, Long)] = None,
+      // per-column NDV estimates folded from the survivors' ANALYZE
+      // sketches (S9i) — reported as V2 column statistics so CBO's
+      // join-cardinality model sees real distinct counts
+      ndv: Map[String, Long] = Map.empty)
 
   /** File-level planning for the DataSourceV2 read path
     * ([[GraftLakeSource]]). Runs [[prunePlan]] — so pushdown-driven
@@ -2108,7 +2112,39 @@ object LakeTable {
       if (whole.isEmpty && all.forall(e => e.bytes >= 0L && e.rows >= 0L))
         Some((all.map(_.bytes).sum, all.map(_.rows).sum))
       else None
-    V2Plan(files = all.map(_.file), dirs = whole.map(_.base).distinct, planStats)
+    // per-column NDV from the SURVIVORS' ANALYZE sketches (S9i): a
+    // column reports only when EVERY surviving entry carries its
+    // sketch, and the post-prune union is exactly the sketch of the
+    // surviving files' rows — O(#files) driver metadata fold
+    val ndv: Map[String, Long] =
+      if (whole.nonEmpty || all.isEmpty) Map.empty
+      else {
+        import org.apache.datasketches.hll.{HllSketch, TgtHllType, Union}
+        all.head.bloom.keySet.iterator
+          .filter(_.startsWith("ndv:"))
+          .filter(k => all.forall(_.bloom.contains(k)))
+          .flatMap { k =>
+            // the key carries the column's field id (name on
+            // pre-field-id tables) — resolve to the CURRENT name
+            val raw = k.stripPrefix("ndv:")
+            val name = raw.toIntOption match {
+              case Some(id) =>
+                current.flatMap(_.cols.collectFirst { case (i, n) if i == id => n })
+              case None => Some(raw)
+            }
+            name.map { n =>
+              val u = new Union(21)
+              all.foreach(_.bloom(k) match {
+                case len +: packed => u.update(HllSketch.heapify(
+                  packed.take(len.toInt).map(_.toByte).toArray))
+                case _ => ()
+              })
+              n -> Math.round(u.getResult(TgtHllType.HLL_8).getEstimate)
+            }
+          }.toMap
+      }
+    V2Plan(files = all.map(_.file), dirs = whole.map(_.base).distinct,
+      planStats, ndv)
   }
 
   /** Answers for a metadata-only GLOBAL aggregate (the V2
