@@ -347,6 +347,11 @@ class GraftSqlParser(
     """(?is)^\s*OPTIMIZE\s+(.+?)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""".r
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""".r
+  // Spark's own ANALYZE grammar, routed to the lake's per-file NDV
+  // sketches (S9i) when the target IS a lake table; any other table
+  // falls through to the stock command untouched
+  private val AnalyzeRe =
+    """(?is)^\s*ANALYZE\s+TABLE\s+(.+?)\s+COMPUTE\s+STATISTICS\s+FOR\s+COLUMNS\s+(.+?)\s*;?\s*$""".r
 
   private def maintenance(sqlText: String): Option[LogicalPlan] = {
     def pathFor(refText: String): String = {
@@ -372,6 +377,18 @@ class GraftSqlParser(
           Option(retain).foreach(r => LakeTable.expireSnapshots(spark, p, r.toInt))
           LakeTable.removeOrphans(spark, p).size
         }))
+      case AnalyzeRe(ref, colsTxt) =>
+        // unlike OPTIMIZE/VACUUM this is stock Spark grammar: only
+        // claim it for lake tables, everything else keeps the v1
+        // AnalyzeColumn command
+        val parts = delegate.parseMultipartIdentifier(ref.trim)
+        maintenancePathOf(parts).map { p =>
+          val cols = colsTxt.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
+            .filter(_.nonEmpty).toSeq
+          LakeDmlCommand(
+            s"ANALYZE graftlake.`$p` FOR COLUMNS (${cols.mkString(", ")})",
+            () => LakeTable.analyzeNdv(spark, p, cols))
+        }
       case _ => None
     }
   }

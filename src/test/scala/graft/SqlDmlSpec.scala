@@ -176,6 +176,19 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(LakeTable.read(spark, p).count() === 100)
   }
 
+  test("ANALYZE TABLE ... FOR COLUMNS attaches NDV sketches on lake tables") {
+    val p = "/tmp/graft_test/sqldml_analyze"
+    rmdir(p)
+    LakeTable.append(spark.range(0, 3000)
+      .select((col("id") % 120).as("k"), (col("id") % 7).as("g")), p)
+    spark.sql(s"ANALYZE TABLE graftlake.`$p` COMPUTE STATISTICS FOR COLUMNS k, g")
+    // both columns answer from manifests alone; coupon mode → exact
+    assert(LakeTable.approxCountDistinct(spark, p, "k") === 120L)
+    assert(LakeTable.approxCountDistinct(spark, p, "g") === 7L)
+    assert(LakeTable.history(spark, p).collect().map(_.getString(1))
+      .contains("analyze"))
+  }
+
   test("maintenance SQL resolves GraftCatalog tables; refuses non-lake targets") {
     spark.conf.set("spark.sql.catalog.graft_m", "graft.sources.GraftCatalog")
     spark.conf.set("spark.sql.catalog.graft_m.warehouse", "/tmp/graft_test/sqldml_wh")
