@@ -352,6 +352,69 @@ class GraftSqlParser(
   // falls through to the stock command untouched
   private val AnalyzeRe =
     """(?is)^\s*ANALYZE\s+TABLE\s+(.+?)\s+COMPUTE\s+STATISTICS\s+FOR\s+COLUMNS\s+(.+?)\s*;?\s*$""".r
+  // Iceberg's spec/order EVOLUTION statements (not stock Spark
+  // grammar — `ADD PARTITION FIELD` ≠ hive's `ADD PARTITION (spec)`,
+  // the FIELD keyword disambiguates): metadata-only declarations,
+  // existing files keep their written layout (S8e/S9g)
+  private val AddPartFieldRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+ADD\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*$""".r
+  private val DropPartFieldRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*$""".r
+  private val WriteOrderedRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+WRITE\s+ORDERED\s+BY\s+(.+?)\s*;?\s*$""".r
+  private val WriteUnorderedRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+WRITE\s+UNORDERED\s*;?\s*$""".r
+  private val FnTransformRe = """(?is)^\s*(\w+)\s*\(\s*([^)]*?)\s*\)\s*$""".r
+
+  /** Parse one `ADD/DROP PARTITION FIELD` transform, validating the
+    * SAME contracts GraftCatalog enforces at CREATE (existence,
+    * BIGINT buckets, integral time/truncate sources) so the ALTER
+    * cannot leave the table unwritable. */
+  private def transformOf(
+      txt: String, schema: org.apache.spark.sql.types.StructType)
+      : LakeTable.PartitionTransform = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    def strip(c: String) = c.trim.stripPrefix("`").stripSuffix("`")
+    def checked(n: String): String = {
+      require(schema.fieldNames.contains(n),
+        s"graftlake ALTER: partition source '$n' is not a table column " +
+          s"(have ${schema.fieldNames.mkString(", ")})")
+      n
+    }
+    def integral(n: String): Unit = require(
+      schema(n).dataType == LongType || schema(n).dataType == IntegerType,
+      s"graftlake ALTER: transform over '$n' needs an integral " +
+        s"(epoch-second) source; it is ${schema(n).dataType.sql}")
+    txt match {
+      case FnTransformRe(fn, args) =>
+        val as = args.split(",").map(strip).filter(_.nonEmpty).toSeq
+        fn.toLowerCase match {
+          case t @ ("days" | "day" | "hours" | "hour" | "months" | "month" |
+                    "years" | "year") =>
+            require(as.size == 1, s"graftlake ALTER: $t takes one column")
+            integral(checked(as.head))
+            LakeTable.PartitionTransform(as.head, t.stripSuffix("s"))
+          case "identity" =>
+            require(as.size == 1, "graftlake ALTER: identity takes one column")
+            LakeTable.PartitionTransform(checked(as.head), "identity")
+          case t @ ("bucket" | "truncate") =>
+            require(as.size == 2 && as.head.forall(_.isDigit),
+              s"graftlake ALTER: $t(<width>, <col>) expected, got '$txt'")
+            val (w, n) = (as.head.toLong, checked(as(1)))
+            require(w > 0, s"graftlake ALTER: $t($w, $n) needs a positive width")
+            if (t == "bucket")
+              require(schema(n).dataType == LongType,
+                s"graftlake ALTER: bucket supports BIGINT sources; '$n' is " +
+                  s"${schema(n).dataType.sql}")
+            else integral(n)
+            LakeTable.PartitionTransform(n, t, w)
+          case other => throw new UnsupportedOperationException(
+            s"graftlake ALTER: unsupported partition transform '$other' — " +
+              "identity, bucket(n, c), hours/days/months/years(c), truncate(w, c)")
+        }
+      case bare => LakeTable.PartitionTransform(checked(strip(bare)), "identity")
+    }
+  }
 
   private def maintenance(sqlText: String): Option[LogicalPlan] = {
     def pathFor(refText: String): String = {
@@ -377,6 +440,52 @@ class GraftSqlParser(
           Option(retain).foreach(r => LakeTable.expireSnapshots(spark, p, r.toInt))
           LakeTable.removeOrphans(spark, p).size
         }))
+      case AddPartFieldRe(ref, tr) =>
+        val parts = delegate.parseMultipartIdentifier(ref.trim)
+        maintenancePathOf(parts).map { p =>
+          LakeDmlCommand(s"ALTER graftlake.`$p` ADD PARTITION FIELD $tr", () => {
+            val t = transformOf(tr, LakeTable.read(spark, p).schema)
+            val cur = LakeTable.partitionSpecOf(p)
+            require(!cur.contains(t),
+              s"graftlake ALTER: partition field $t is already declared")
+            LakeTable.setPartitionSpec(p, cur :+ t)
+            cur.size + 1
+          })
+        }
+      case DropPartFieldRe(ref, tr) =>
+        val parts = delegate.parseMultipartIdentifier(ref.trim)
+        maintenancePathOf(parts).map { p =>
+          LakeDmlCommand(s"ALTER graftlake.`$p` DROP PARTITION FIELD $tr", () => {
+            val t = transformOf(tr, LakeTable.read(spark, p).schema)
+            val cur = LakeTable.partitionSpecOf(p)
+            require(cur.contains(t),
+              s"graftlake ALTER: partition field $t is not declared " +
+                s"(standing spec: ${if (cur.isEmpty) "none" else cur.mkString(", ")})")
+            val next = cur.filterNot(_ == t)
+            if (next.isEmpty) LakeTable.clearPartitionSpec(p)
+            else LakeTable.setPartitionSpec(p, next)
+            next.size
+          })
+        }
+      case WriteOrderedRe(ref, colsTxt) =>
+        val parts = delegate.parseMultipartIdentifier(ref.trim)
+        maintenancePathOf(parts).map { p =>
+          LakeDmlCommand(s"ALTER graftlake.`$p` WRITE ORDERED BY $colsTxt", () => {
+            val schema = LakeTable.read(spark, p).schema
+            val cols = colsTxt.split(",")
+              .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty).toSeq
+            cols.foreach(c => require(schema.fieldNames.contains(c),
+              s"graftlake ALTER: sort column '$c' is not a table column"))
+            LakeTable.setSortOrder(p, cols: _*)
+            cols.size
+          })
+        }
+      case WriteUnorderedRe(ref) =>
+        val parts = delegate.parseMultipartIdentifier(ref.trim)
+        maintenancePathOf(parts).map { p =>
+          LakeDmlCommand(s"ALTER graftlake.`$p` WRITE UNORDERED",
+            () => { LakeTable.clearSortOrder(p); 0 })
+        }
       case AnalyzeRe(ref, colsTxt) =>
         // unlike OPTIMIZE/VACUUM this is stock Spark grammar: only
         // claim it for lake tables, everything else keeps the v1

@@ -176,6 +176,42 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(LakeTable.read(spark, p).count() === 100)
   }
 
+  test("ALTER TABLE ADD/DROP PARTITION FIELD and WRITE ORDERED BY evolve declarations") {
+    import LakeTable.PartitionTransform
+    val p = "/tmp/graft_test/sqldml_alterpart"
+    rmdir(p)
+    LakeTable.append(spark.range(0, 200)
+      .select(col("id").as("k"), (col("id") % 5).as("day"),
+        (col("id") * 2.0).as("v")), p)
+    spark.sql(s"ALTER TABLE graftlake.`$p` ADD PARTITION FIELD day")
+    spark.sql(s"ALTER TABLE graftlake.`$p` ADD PARTITION FIELD bucket(4, k)")
+    assert(LakeTable.partitionSpecOf(p) == Seq(
+      PartitionTransform("day", "identity"), PartitionTransform("k", "bucket", 4)))
+    // a fresh append lands under the evolved layout; old files keep theirs
+    LakeTable.append(spark.range(200, 300)
+      .select(col("id").as("k"), (col("id") % 5).as("day"),
+        (col("id") * 2.0).as("v")), p)
+    val files = LakeTable.entriesOf(p, LakeTable.latestVersion(p).get).map(_.file)
+    assert(files.exists(f => f.contains("__p_identity_day=") && f.contains("__p_bucket4_k=")),
+      s"new files must carry the declared layout: $files")
+    assert(LakeTable.read(spark, p).count() === 300)
+    // duplicates and unknown fields refuse loudly
+    assert(intercept[IllegalArgumentException] {
+      spark.sql(s"ALTER TABLE graftlake.`$p` ADD PARTITION FIELD day")
+    }.getMessage.contains("already declared"))
+    assert(intercept[IllegalArgumentException] {
+      spark.sql(s"ALTER TABLE graftlake.`$p` DROP PARTITION FIELD days(nope)")
+    }.getMessage.contains("not a table column"))
+    spark.sql(s"ALTER TABLE graftlake.`$p` DROP PARTITION FIELD bucket(4, k)")
+    spark.sql(s"ALTER TABLE graftlake.`$p` DROP PARTITION FIELD day")
+    assert(LakeTable.partitionSpecOf(p).isEmpty)
+    // declared write order rides the same evolution surface
+    spark.sql(s"ALTER TABLE graftlake.`$p` WRITE ORDERED BY k, day")
+    assert(LakeTable.sortOrderOf(p) == Seq("k", "day"))
+    spark.sql(s"ALTER TABLE graftlake.`$p` WRITE UNORDERED")
+    assert(LakeTable.sortOrderOf(p).isEmpty)
+  }
+
   test("ANALYZE TABLE ... FOR COLUMNS attaches NDV sketches on lake tables") {
     val p = "/tmp/graft_test/sqldml_analyze"
     rmdir(p)
