@@ -2516,8 +2516,9 @@ object LakeTable {
         .drop(FpCol, RiCol, SeqCol)
     commitRefs(spark, path, base,
       carryManifests(path, refs, touched)
-        ++ stageManifest(
-          survivors.unionByName(df, allowMissingColumns = true), path),
+        ++ stageRewrite(
+          survivors.unionByName(df, allowMissingColumns = true), path,
+          rewriteSpec(path, refs, touched)),
       "merge")
   }
 
@@ -2676,8 +2677,9 @@ object LakeTable {
           notMatchedBySource, evolveColumns)
       commitRefs(spark, path, base,
         carryManifests(path, refs, touched)
-          ++ stageManifest(
-            survivors.unionByName(inserts, allowMissingColumns = true), path),
+          ++ stageRewrite(
+            survivors.unionByName(inserts, allowMissingColumns = true), path,
+            rewriteSpec(path, refs, touched)),
         "merge")
     } else {
       val target = read(spark, path, Some(base))
@@ -2685,8 +2687,9 @@ object LakeTable {
         mergeRows(target, source, keyCol, matched, notMatchedInsert,
           notMatchedBySource, evolveColumns)
       commitRefs(spark, path, base,
-        stageManifest(
-          survivors.unionByName(inserts, allowMissingColumns = true), path).toSeq,
+        stageRewrite(
+          survivors.unionByName(inserts, allowMissingColumns = true), path,
+          partitionSpecOf(path)).toSeq,
         "merge")
     }
   }
@@ -3343,12 +3346,13 @@ object LakeTable {
       case (f, (vis, hit)) if hit < vis => f
     }.toSet
     val dropped = touched -- boundary
-    // survivors of boundary files only — the sole data rewrite
+    // survivors of boundary files only — the sole data rewrite,
+    // re-landing under the table's layout (never degrading pruning)
     val rewritten =
       if (boundary.isEmpty) None
-      else stageManifest(
+      else stageRewrite(
         rowsInFiles(cur, boundary).filter(!matches).drop(FpCol, RiCol, SeqCol),
-        path)
+        path, rewriteSpec(path, refs, boundary))
     commitRefs(spark, path, base,
       carryManifests(path, refs, boundary ++ dropped) ++ rewritten.toSeq, "delete")
   }
@@ -3392,6 +3396,43 @@ object LakeTable {
     import spark.implicits._
     cur.join(broadcast(files.toSeq.toDF("__graft_cf")),
       col(FpCol) === col("__graft_cf"), "left_semi")
+  }
+
+  /** The layout a DML rewrite lands under: the table's STANDING spec
+    * when declared (Iceberg semantics — rewrites use the current
+    * spec), else the UNANIMOUS spec of the touched manifests (a
+    * partition-aligned table written through the explicit API keeps
+    * its layout instead of silently degrading to unpartitioned
+    * survivor files and losing pruning on every rewritten row), else
+    * none. O(#files) driver metadata. */
+  private def rewriteSpec(
+      path: String, refs: Seq[ManifestRef], touchedUris: Set[String])
+      : Seq[PartitionTransform] = {
+    val standing = partitionSpecOf(path)
+    if (standing.nonEmpty) standing
+    else {
+      val gone = touchedUris.map(plainPath)
+      refs.filter(r => r.kind == "data" && r.nFiles > 0)
+        .filter(r => readManifest(r).exists(e => gone(e.file)))
+        .map(_.pspec).distinct match {
+        case Seq(one) => one
+        case _ => Nil // mixed generations: correct, just unpruned
+      }
+    }
+  }
+
+  /** Stage a DML rewrite batch under `spec` (hidden layout) or plain.
+    * A spec the batch cannot satisfy (partition source renamed/dropped
+    * since the files were written, bucket source no longer BIGINT)
+    * degrades to plain files instead of failing the DML — layout is
+    * a pruning optimization, never a correctness gate. */
+  private def stageRewrite(
+      df: DataFrame, path: String,
+      spec: Seq[PartitionTransform]): Option[ManifestRef] = {
+    val usable = spec.nonEmpty && spec.forall(t =>
+      df.columns.contains(t.source) && (t.kind != "bucket" ||
+        df.schema(t.source).dataType == org.apache.spark.sql.types.LongType))
+    if (usable) stageHidden(df, path, spec) else stageManifest(df, path)
   }
 
   /** Carry a snapshot's manifests forward minus `goneUris`' data
@@ -3441,10 +3482,10 @@ object LakeTable {
     val touched = touchedFiles(cur, p)
     val rewritten =
       if (touched.isEmpty) None
-      else stageManifest(
+      else stageRewrite(
         rowsInFiles(cur, touched).select(visible.map { c =>
           set.get(c).map(v => when(p, v).otherwise(col(c)).as(c)).getOrElse(col(c))
-        }: _*), path)
+        }: _*), path, rewriteSpec(path, refs, touched))
     commitRefs(spark, path, base,
       carryManifests(path, refs, touched) ++ rewritten.toSeq, "update")
   }

@@ -188,6 +188,25 @@ class FileGranularDeleteSpec extends AnyFunSuite {
     assert(out.filter(col("k") === 7L).head.getDouble(2) == 7.0)
   }
 
+  test("rewritten survivors re-land under the touched files' layout") {
+    val p = "/tmp/graft_test/fgdel_layout"
+    partitionedTable(p)
+    val before = files(p, LakeTable.latestVersion(p).get)
+    LakeTable.delete(spark, p, col("day") === 2L && col("k") < 100L)
+    val fresh = files(p, LakeTable.latestVersion(p).get) -- before
+    assert(fresh.nonEmpty && fresh.forall(_.contains("__p_identity_day=2")),
+      s"survivor rewrite must keep the hidden layout (no standing spec " +
+        s"declared — inherited from the touched manifest): $fresh")
+    // and the standing spec, when declared, wins for UPDATE rewrites
+    LakeTable.setPartitionSpec(p, Seq(PartitionTransform("day", "identity")))
+    val mid = files(p, LakeTable.latestVersion(p).get)
+    LakeTable.update(spark, p, Map("v" -> lit(-1.0)), col("k") === 150L)
+    val updFresh = files(p, LakeTable.latestVersion(p).get) -- mid
+    assert(updFresh.nonEmpty && updFresh.forall(_.contains("__p_identity_day=0")),
+      s"update rewrite must land under the standing spec: $updFresh")
+    assert(LakeTable.read(spark, p).filter(col("k") === 150L).head.getDouble(2) == -1.0)
+  }
+
   test("MERGE with a BY-SOURCE clause falls back to the full rewrite") {
     val p = "/tmp/graft_test/fgmrg_bysrc"
     partitionedTable(p)
