@@ -3307,8 +3307,10 @@ object LakeTable {
       throw new IllegalArgumentException(s"no snapshots at $path"))
 
   /** Copy-on-write DELETE, FILE-GRANULAR (Iceberg's delete planning):
-    * one pass over the snapshot classifies every data file by its
-    * VISIBLE rows' match counts, then
+    * the predicate's implied intervals first prune whole MANIFESTS
+    * (no footer opened for a refuted commit), a pushed-filter pass
+    * then classifies the candidate files by their VISIBLE rows'
+    * match counts, and
     *
     *  - files with NO matching row CARRY as-is — metadata-only, the
     *    common case for a partition-aligned retention delete, where a
@@ -3330,31 +3332,38 @@ object LakeTable {
     val base = observedBase(spark, path)
     val matches = coalesce(predicate, lit(false))
     val refs = listRefs(path, base)
-    // the VISIBLE state with each row's file identity riding from the
-    // scan's _metadata (the position-delete plumbing — survives the
-    // MoR anti-joins where input_file_name would refuse a multi-
-    // source plan)
-    val cur = assembleWithDeletes(spark, refs, schFor(path, base), keepMeta = true)
-    // pass 1 — PUSHED-filter scan: which files hold a matching row.
-    // pass 2 — full per-file counts over ONLY those files, to split
-    // them into fully-matched (drop) vs boundary (rewrite).
-    val touched = touchedFiles(cur, matches)
-    val counts =
-      if (touched.isEmpty) Map.empty[String, (Long, Long)]
-      else fileMatchCounts(rowsInFiles(cur, touched), matches)
-    val boundary = counts.collect {
-      case (f, (vis, hit)) if hit < vis => f
-    }.toSet
-    val dropped = touched -- boundary
-    // survivors of boundary files only — the sole data rewrite,
-    // re-landing under the table's layout (never degrading pruning)
-    val rewritten =
-      if (boundary.isEmpty) None
-      else stageRewrite(
-        rowsInFiles(cur, boundary).filter(!matches).drop(FpCol, RiCol, SeqCol),
-        path, rewriteSpec(path, refs, boundary))
-    commitRefs(spark, path, base,
-      carryManifests(path, refs, boundary ++ dropped) ++ rewritten.toSeq, "delete")
+    // classification reads the VISIBLE state with each row's file
+    // identity riding from the scan's _metadata (the position-delete
+    // plumbing — survives the MoR anti-joins where input_file_name
+    // would refuse a multi-source plan).
+    // pass 0 — MANIFEST prune on the predicate's implied intervals
+    // (refuted manifests carry without touching a footer); pass 1 —
+    // PUSHED-filter scan over the candidates: which files hold a
+    // matching row; pass 2 — full per-file counts over ONLY those
+    // files, to split them into fully-matched (drop) vs boundary
+    // (rewrite).
+    classificationFrame(spark, path, base, refs, predicate) match {
+      case None => commitRefs(spark, path, base, refs, "delete")
+      case Some(cur) =>
+        val touched = touchedFiles(cur, matches)
+        val counts =
+          if (touched.isEmpty) Map.empty[String, (Long, Long)]
+          else fileMatchCounts(rowsInFiles(cur, touched), matches)
+        val boundary = counts.collect {
+          case (f, (vis, hit)) if hit < vis => f
+        }.toSet
+        val dropped = touched -- boundary
+        // survivors of boundary files only — the sole data rewrite,
+        // re-landing under the table's layout (never degrading pruning)
+        val rewritten =
+          if (boundary.isEmpty) None
+          else stageRewrite(
+            rowsInFiles(cur, boundary).filter(!matches).drop(FpCol, RiCol, SeqCol),
+            path, rewriteSpec(path, refs, boundary))
+        commitRefs(spark, path, base,
+          carryManifests(path, refs, boundary ++ dropped) ++ rewritten.toSeq,
+          "delete")
+    }
   }
 
   /** Pass-1 of the file-granular DML planners: the set of files
@@ -3368,6 +3377,74 @@ object LakeTable {
       cur: DataFrame, matches: org.apache.spark.sql.Column): Set[String] =
     cur.filter(matches).select(FpCol).distinct()
       .collect().map(_.getString(0)).toSet
+
+  /** Conjunctive numeric intervals IMPLIED by a DML predicate: every
+    * predicate-TRUE row satisfies every interval, so a file the
+    * intervals refute provably holds no matching row — which makes
+    * MANIFEST-level pruning of the classification scan exact, before
+    * a single Parquet footer opens. Translation is deliberately
+    * conservative: only top-level conjuncts of
+    * attr {=, <, <=, >, >=, IN, BETWEEN-shaped} numeric-literal are
+    * used; anything else (OR, functions, strings, casts) contributes
+    * nothing. Strict bounds widen to closed ones, and long→double
+    * monotonicity keeps inclusion safe at int64 extremes. */
+  private[graft] def impliedIntervals(
+      pred: org.apache.spark.sql.Column): Seq[(String, Double, Double)] = {
+    // Spark 4 Columns are UNRESOLVED node trees (the catalyst
+    // conversion is a lazy opaque wrapper) — structural matching
+    // happens on GraftSqlShim's flattened view, by SQL function name
+    import org.apache.spark.sql.GraftSqlShim.{PAttr, PFn, PNum, PredNode}
+    // a > v  ⟹  a ∈ [v, ∞);   v > a  ⟹  a ∈ (-∞, v]
+    def lower(a: PredNode, v: PredNode): Seq[(String, Double, Double)] =
+      (a, v) match {
+        case (PAttr(c), PNum(x)) => Seq((c, x, Double.PositiveInfinity))
+        case _ => Nil
+      }
+    def upper(a: PredNode, v: PredNode): Seq[(String, Double, Double)] =
+      (a, v) match {
+        case (PAttr(c), PNum(x)) => Seq((c, Double.NegativeInfinity, x))
+        case _ => Nil
+      }
+    def go(n: PredNode): Seq[(String, Double, Double)] = n match {
+      case PFn("and", Seq(l, r)) => go(l) ++ go(r)
+      case PFn("=" | "==" | "<=>", Seq(a, b)) => (a, b) match {
+        case (PAttr(c), PNum(x)) => Seq((c, x, x))
+        case (PNum(x), PAttr(c)) => Seq((c, x, x))
+        case _ => Nil
+      }
+      case PFn(">" | ">=", Seq(a, b)) => lower(a, b) ++ upper(b, a)
+      case PFn("<" | "<=", Seq(a, b)) => upper(a, b) ++ lower(b, a)
+      case PFn("in", a +: vs) if vs.nonEmpty =>
+        (a, vs.collect { case PNum(x) => x }) match {
+          case (PAttr(c), xs) if xs.size == vs.size => Seq((c, xs.min, xs.max))
+          case _ => Nil
+        }
+      case _ => Nil
+    }
+    go(org.apache.spark.sql.GraftSqlShim.predTree(pred))
+  }
+
+  /** The classification frame for a predicate DML: the visible read,
+    * restricted to the data manifests the predicate's implied
+    * intervals ADMIT — refuted manifests never reach the scan (their
+    * files are carried by construction). MoR deletes always ride.
+    * None = every data manifest is refuted (or the table is empty):
+    * nothing can match, the DML is a carry-forward commit. */
+  private def classificationFrame(
+      spark: SparkSession, path: String, base: Int,
+      refs: Seq[ManifestRef],
+      pred: org.apache.spark.sql.Column): Option[DataFrame] = {
+    val (morRefs, dataRefs) = refs.partition(_.kind != "data")
+    val live = dataRefs.filter(_.nFiles > 0)
+    val intervals = impliedIntervals(pred)
+    val candidates =
+      if (intervals.isEmpty) live
+      else prunePlan(spark, live, schFor(path, base), intervals,
+        entryLevel = false)._1
+    if (candidates.isEmpty) None
+    else Some(assembleWithDeletes(spark, candidates ++ morRefs,
+      schFor(path, base), keepMeta = true))
+  }
 
   /** `_metadata.file_path` spells `file:` URIs while manifests store
     * plain paths — normalize driver-side only. */
@@ -3474,20 +3551,29 @@ object LakeTable {
       predicate: org.apache.spark.sql.Column): Int = {
     val base = observedBase(spark, path)
     val refs = listRefs(path, base)
-    val cur = assembleWithDeletes(spark, refs, schFor(path, base), keepMeta = true)
-    val visible = cur.columns.filterNot(Set(FpCol, RiCol, SeqCol)).toSeq
-    set.keys.foreach(c => require(visible.contains(c),
-      s"UPDATE at $path: no such column '$c' (have ${visible.mkString(", ")})"))
-    val p = coalesce(predicate, lit(false))
-    val touched = touchedFiles(cur, p)
-    val rewritten =
-      if (touched.isEmpty) None
-      else stageRewrite(
-        rowsInFiles(cur, touched).select(visible.map { c =>
-          set.get(c).map(v => when(p, v).otherwise(col(c)).as(c)).getOrElse(col(c))
-        }: _*), path, rewriteSpec(path, refs, touched))
-    commitRefs(spark, path, base,
-      carryManifests(path, refs, touched) ++ rewritten.toSeq, "update")
+    classificationFrame(spark, path, base, refs, predicate) match {
+      case None =>
+        // every manifest refuted: column names still validate (a
+        // typo'd SET must refuse, matched rows or not)
+        schFor(path, base).map(_.cols.map(_._2)).foreach(names =>
+          set.keys.foreach(c => require(names.contains(c),
+            s"UPDATE at $path: no such column '$c' (have ${names.mkString(", ")})")))
+        commitRefs(spark, path, base, refs, "update")
+      case Some(cur) =>
+        val visible = cur.columns.filterNot(Set(FpCol, RiCol, SeqCol)).toSeq
+        set.keys.foreach(c => require(visible.contains(c),
+          s"UPDATE at $path: no such column '$c' (have ${visible.mkString(", ")})"))
+        val p = coalesce(predicate, lit(false))
+        val touched = touchedFiles(cur, p)
+        val rewritten =
+          if (touched.isEmpty) None
+          else stageRewrite(
+            rowsInFiles(cur, touched).select(visible.map { c =>
+              set.get(c).map(v => when(p, v).otherwise(col(c)).as(c)).getOrElse(col(c))
+            }: _*), path, rewriteSpec(path, refs, touched))
+        commitRefs(spark, path, base,
+          carryManifests(path, refs, touched) ++ rewritten.toSeq, "update")
+    }
   }
 
   /** MERGE-ON-READ DELETE (Iceberg v2's equality-delete shape):

@@ -9,6 +9,35 @@ object GraftSqlShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Structural view of a Column's UNRESOLVED node tree — for
+    * callers that INSPECT a predicate's shape (interval extraction)
+    * rather than execute it. In Spark 4 the Column→catalyst
+    * conversion is a lazy opaque wrapper and the ColumnNode ADT is
+    * private[sql], so the flattening lives here: SQL function
+    * applications keep their name and arguments, attributes keep
+    * their dotted name, numeric literals their double value, and
+    * everything else collapses to [[POther]] (callers must treat it
+    * as unknowable). */
+  sealed trait PredNode
+  final case class PFn(name: String, args: Seq[PredNode]) extends PredNode
+  final case class PAttr(name: String) extends PredNode
+  final case class PNum(value: Double) extends PredNode
+  case object POther extends PredNode
+
+  def predTree(c: Column): PredNode = {
+    def go(n: internal.ColumnNode): PredNode = n match {
+      case f: internal.UnresolvedFunction =>
+        PFn(f.functionName.toLowerCase(java.util.Locale.ROOT), f.arguments.map(go))
+      case a: internal.UnresolvedAttribute => PAttr(a.nameParts.mkString("."))
+      case l: internal.Literal => l.value match {
+        case v: java.lang.Number => PNum(v.doubleValue)
+        case _ => POther
+      }
+      case _ => POther
+    }
+    go(c.node)
+  }
+
   def analyzedPlan(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
 

@@ -89,6 +89,37 @@ class FileGranularDeleteSpec extends AnyFunSuite {
     assert(LakeTable.read(spark, p).count() == 50)
   }
 
+  test("implied intervals: exact translation of conjunctive numeric shapes") {
+    def iv(c: org.apache.spark.sql.Column) = LakeTable.impliedIntervals(c).toSet
+    assert(iv(col("k") === 5L) == Set(("k", 5.0, 5.0)))
+    assert(iv(lit(5L) === col("k")) == Set(("k", 5.0, 5.0)))
+    assert(iv(col("k") > 3L && col("k") <= 9L) ==
+      Set(("k", 3.0, Double.PositiveInfinity), ("k", Double.NegativeInfinity, 9.0)))
+    assert(iv(lit(3L) < col("k")) == Set(("k", 3.0, Double.PositiveInfinity)))
+    assert(iv(col("k").isin(7L, 2L, 4L)) == Set(("k", 2.0, 7.0)))
+    assert(iv(col("day") === 1L && col("tag") === "x") == Set(("day", 1.0, 1.0)))
+    // unsupported shapes contribute NOTHING (conservative): OR,
+    // functions, string equality, null checks
+    assert(iv(col("k") === 5L || col("k") === 9L).isEmpty)
+    assert(iv(abs(col("k")) === 5L).isEmpty)
+    assert(iv(col("tag") === "x").isEmpty)
+    assert(iv(col("k").isNull).isEmpty)
+  }
+
+  test("refuted-everywhere delete with MoR refs is a carry-forward commit") {
+    val p = "/tmp/graft_test/fgdel_refuted_mor"
+    SparkSpec.rmdir(p)
+    LakeTable.overwrite((0 until 100).map(i => (i.toLong, i * 1.0)).toDF("k", "v"), p)
+    LakeTable.deleteMoR(spark, p, "k", col("k") === 4L)
+    val before = LakeTable.listRefs(p, LakeTable.latestVersion(p).get)
+      .map(_.manifest).toSet
+    LakeTable.delete(spark, p, col("k") > 1000L) // interval refutes every manifest
+    val after = LakeTable.listRefs(p, LakeTable.latestVersion(p).get)
+      .map(_.manifest).toSet
+    assert(after == before, "carry-forward must re-reference every manifest, MoR incl.")
+    assert(LakeTable.read(spark, p).count() == 99)
+  }
+
   test("pass-1 classification predicate reaches the Parquet scan (PushedFilters)") {
     val p = "/tmp/graft_test/fgdel_push"
     SparkSpec.rmdir(p)
