@@ -3599,11 +3599,13 @@ object LakeTable {
       predicate: org.apache.spark.sql.Column): Int = {
     val base = observedBase(spark, path)
     val prev = listRefs(path, base)
-    val keys = read(spark, path, Some(base))
-      .filter(coalesce(predicate, lit(false)))
-      .select(keyCol).distinct()
+    // the same pass-0 manifest prune as CoW [[delete]]: a refuted
+    // commit contributes no keys, so it never reaches the scan; a
+    // refuted-everywhere predicate is a pure carry-forward commit
+    val keys = classificationFrame(spark, path, base, prev, predicate)
+      .map(_.filter(coalesce(predicate, lit(false))).select(keyCol).distinct())
     commitRefs(spark, path, base,
-      prev ++ stageManifest(keys, path, kind = "delete"), "mor_delete")
+      prev ++ keys.flatMap(stageManifest(_, path, kind = "delete")), "mor_delete")
   }
 
   /** MERGE-ON-READ POSITION DELETE (Iceberg v2's positional-delete
@@ -3622,11 +3624,14 @@ object LakeTable {
       predicate: org.apache.spark.sql.Column): Int = {
     val base = observedBase(spark, path)
     val prev = listRefs(path, base)
-    val keys = assembleWithDeletes(spark, prev, schFor(path, base), keepMeta = true)
-      .filter(coalesce(predicate, lit(false)))
-      .select(col(FpCol).as("file_path"), col(RiCol).as("row_index"))
+    // pass-0 manifest prune as CoW [[delete]] (file identity still
+    // rides per surviving candidate — the vintage-pinning contract)
+    val keys = classificationFrame(spark, path, base, prev, predicate)
+      .map(_.filter(coalesce(predicate, lit(false)))
+        .select(col(FpCol).as("file_path"), col(RiCol).as("row_index")))
     commitRefs(spark, path, base,
-      prev ++ stageManifest(keys, path, kind = "posdel"), "mor_posdelete")
+      prev ++ keys.flatMap(stageManifest(_, path, kind = "posdel")),
+      "mor_posdelete")
   }
 
   /** MERGE-ON-READ DELETE as a DELETION VECTOR: same row-granular
@@ -3642,7 +3647,10 @@ object LakeTable {
       predicate: org.apache.spark.sql.Column): Int = {
     val base = observedBase(spark, path)
     val prev = listRefs(path, base)
-    val keys = assembleWithDeletes(spark, prev, schFor(path, base), keepMeta = true)
+    // pass-0 manifest prune as CoW [[delete]]; a refuted-everywhere
+    // predicate carries every ref forward with no vector staged
+    val keys = classificationFrame(spark, path, base, prev, predicate)
+      .getOrElse(return commitRefs(spark, path, base, prev, "mor_dv_delete"))
       .filter(coalesce(predicate, lit(false)))
       .select(col(FpCol).as("file_path"), col(RiCol).as("row_index"))
     import spark.implicits._
