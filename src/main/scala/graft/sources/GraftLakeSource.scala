@@ -126,14 +126,29 @@ object GraftLakeSource {
     if (raw.startsWith("file:")) new java.net.URI(raw).getPath else raw
   }
 
-  private[sources] def versionOf(options: CaseInsensitiveStringMap): Option[Int] =
-    Option(options.get("versionAsOf")).map { s =>
+  private[sources] def versionOf(options: CaseInsensitiveStringMap): Option[Int] = {
+    val v = Option(options.get("versionAsOf")).map { s =>
       try s.trim.toInt
       catch { case _: NumberFormatException =>
         throw new IllegalArgumentException(
           s"graftlake: versionAsOf must be an integer version, got '$s'")
       }
     }
+    // timestampAsOf resolves THROUGH versionAsOf (Delta's option,
+    // Iceberg's as-of-timestamp): epoch millis, ISO instant, or
+    // 'yyyy-MM-dd[ HH:mm:ss]' read as UTC — resolution itself is one
+    // metadata read (LakeTable.versionAsOf), no data touched
+    val t = Option(options.get("timestampAsOf")).map { s =>
+      LakeTable.versionAsOf(
+        SparkSession.active, pathOf(options), LakeTable.timestampMillisOf(s))
+    }
+    require(v.isEmpty || t.isEmpty,
+      "graftlake: versionAsOf and timestampAsOf are mutually exclusive")
+    v.orElse(t)
+  }
+
+  private[sources] def hasTimeTravel(options: CaseInsensitiveStringMap): Boolean =
+    options.containsKey("versionAsOf") || options.containsKey("timestampAsOf")
 
   private[sources] def changeFeedOf(options: CaseInsensitiveStringMap): Boolean =
     options.getBoolean("changeFeed", false)
@@ -263,9 +278,11 @@ class GraftLakeTable(
         override def build(): Scan = new GraftLakeChangeScan(spark, path, tableSchema)
       }
     }
-    // a read-time versionAsOf option overrides the table-level pin
-    val v = Option(options.get("versionAsOf"))
-      .map(_ => GraftLakeSource.versionOf(options)).getOrElse(version)
+    // a read-time versionAsOf/timestampAsOf option overrides the
+    // table-level pin
+    val v =
+      if (GraftLakeSource.hasTimeTravel(options)) GraftLakeSource.versionOf(options)
+      else version
     new GraftLakeScanBuilder(spark, path, v, tableSchema,
       skipChangeCommits = options.getBoolean("skipChangeCommits", false))
   }

@@ -523,6 +523,22 @@ class GraftSqlParser(
           s"graftlake VERSION AS OF needs an integer version, got '$versionStr'")
       }
       lakeRelation(lakePathOf(u.multipartIdentifier).get, Some(v))
+    case RelationTimeTravel(u: UnresolvedRelation, Some(ts), None)
+        if lakePathOf(u.multipartIdentifier).isDefined =>
+      // TIMESTAMP AS OF: the parser hands a literal (string or
+      // timestamp); resolve to a version through the same metadata
+      // read the reader option uses
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
+      val millis = ts match {
+        case Literal(v: Long, _: TimestampType) => v / 1000L
+        case Literal(v: Long, _: TimestampNTZType) => v / 1000L
+        case Literal(v, _) if v != null => LakeTable.timestampMillisOf(v.toString)
+        case other => throw new UnsupportedOperationException(
+          s"graftlake TIMESTAMP AS OF needs a literal timestamp, got $other")
+      }
+      val p = lakePathOf(u.multipartIdentifier).get
+      lakeRelation(p, Some(LakeTable.versionAsOf(spark, p, millis)))
     case u: UnresolvedRelation if u.multipartIdentifier.length == 2 &&
         u.multipartIdentifier.head.equalsIgnoreCase("graftlake") =>
       lakeRelation(u.multipartIdentifier(1), None)

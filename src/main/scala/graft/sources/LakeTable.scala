@@ -5397,6 +5397,33 @@ object LakeTable {
     commits.getInt(0)
   }
 
+  /** A user-facing time-travel timestamp → epoch millis: a bare
+    * number IS millis; otherwise an ISO instant
+    * (`2026-01-01T00:00:00Z`) or `yyyy-MM-dd[ HH:mm:ss]` read as
+    * UTC (the engine's uniform as-if-UTC convention — see
+    * [[graft.Tables.normalizeTs]]). */
+  private[graft] def timestampMillisOf(s: String): Long = {
+    val t = s.trim
+    t.toLongOption.getOrElse {
+      import java.time._
+      import java.time.format.DateTimeFormatter
+      try Instant.parse(t).toEpochMilli
+      catch { case _: DateTimeException =>
+        try LocalDateTime.parse(t.replace(' ', 'T'))
+          .toInstant(ZoneOffset.UTC).toEpochMilli
+        catch { case _: DateTimeException =>
+          try LocalDate.parse(t, DateTimeFormatter.ISO_LOCAL_DATE)
+            .atStartOfDay(ZoneOffset.UTC).toInstant.toEpochMilli
+          catch { case _: DateTimeException =>
+            throw new IllegalArgumentException(
+              s"graftlake: cannot parse time-travel timestamp '$s' — " +
+                "epoch millis, ISO instant, or yyyy-MM-dd[ HH:mm:ss] (UTC)")
+          }
+        }
+      }
+    }
+  }
+
   /** Read the snapshot current as of `tsMillis` (see [[versionAsOf]]). */
   def readAsOf(spark: SparkSession, path: String, tsMillis: Long): DataFrame =
     read(spark, path, Some(versionAsOf(spark, path, tsMillis)))

@@ -212,6 +212,37 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(LakeTable.sortOrderOf(p).isEmpty)
   }
 
+  test("TIMESTAMP AS OF resolves a version via commit wall-time (SQL + reader option)") {
+    val p = "/tmp/graft_test/sqldml_tsasof"
+    rmdir(p)
+    LakeTable.overwrite(spark.range(0, 10).select(col("id").as("k")), p) // v0
+    Thread.sleep(120)
+    LakeTable.append(spark.range(10, 30).select(col("id").as("k")), p) // v1
+    val t0 = LakeTable.snapshots(spark, p).filter(col("version") === 0)
+      .head.getAs[Long]("committed_at")
+    // reader option: epoch millis and ISO instant forms
+    assert(spark.read.format("graftlake").option("timestampAsOf", t0.toString)
+      .load(p).count() === 10)
+    val iso = java.time.Instant.ofEpochMilli(t0).toString
+    assert(spark.read.format("graftlake").option("timestampAsOf", iso)
+      .load(p).count() === 10)
+    // SQL literal-string form through the delegating parser
+    assert(spark.sql(
+      s"SELECT count(*) FROM graftlake.`$p` TIMESTAMP AS OF '$iso'")
+      .head.getLong(0) === 10)
+    // current read unaffected; pre-table timestamps refuse loudly
+    assert(LakeTable.read(spark, p).count() === 30)
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graftlake").option("timestampAsOf", (t0 - 500000).toString)
+        .load(p).count()
+    }
+    assert(e.getMessage.contains("committed at or before"))
+    assert(intercept[IllegalArgumentException] {
+      spark.read.format("graftlake").option("timestampAsOf", "yesterday-ish")
+        .load(p).count()
+    }.getMessage.contains("cannot parse"))
+  }
+
   test("ANALYZE TABLE ... FOR COLUMNS attaches NDV sketches on lake tables") {
     val p = "/tmp/graft_test/sqldml_analyze"
     rmdir(p)
