@@ -365,6 +365,20 @@ class GraftSqlParser(
   private val WriteUnorderedRe =
     """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+WRITE\s+UNORDERED\s*;?\s*$""".r
   private val FnTransformRe = """(?is)^\s*(\w+)\s*\(\s*([^)]*?)\s*\)\s*$""".r
+  // Iceberg's ref DDL (branches as writable lineages, tags as
+  // immutable GC-protected pins) + timestamp-based expiration
+  private val CreateBranchRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+CREATE\s+BRANCH\s+([A-Za-z0-9._-]+)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*$""".r
+  private val DropBranchRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+BRANCH\s+([A-Za-z0-9._-]+)\s*;?\s*$""".r
+  private val CreateTagRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+CREATE\s+TAG\s+([A-Za-z0-9._-]+)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*$""".r
+  private val DropTagRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+TAG\s+([A-Za-z0-9._-]+)\s*;?\s*$""".r
+  private val FastForwardRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+FAST\s+FORWARD\s+([A-Za-z0-9._-]+)\s*;?\s*$""".r
+  private val VacuumOlderRe =
+    """(?is)^\s*VACUUM\s+(.+?)\s+OLDER\s+THAN\s+'([^']+)'\s*;?\s*$""".r
 
   /** Parse one `ADD/DROP PARTITION FIELD` transform, validating the
     * SAME contracts GraftCatalog enforces at CREATE (existence,
@@ -434,12 +448,52 @@ class GraftSqlParser(
         val n = math.max(1L, LakeTable.liveFileCount(p)).toInt
         Some(LakeDmlCommand(s"OPTIMIZE graftlake.`$p` ZORDER BY (${cols.mkString(", ")})",
           () => LakeTable.zOrderBy(spark, p, n, cols: _*)))
+      case VacuumOlderRe(ref, ts) =>
+        // must precede the bare-VACUUM arm: its lazy (.+?) would
+        // otherwise swallow "t OLDER THAN '…'" as the table name
+        val p = pathFor(ref)
+        Some(LakeDmlCommand(s"VACUUM graftlake.`$p` OLDER THAN", () => {
+          LakeTable.expireOlderThan(spark, p, LakeTable.timestampMillisOf(ts))
+          LakeTable.removeOrphans(spark, p).size
+        }))
       case VacuumRe(ref, retain) =>
         val p = pathFor(ref)
         Some(LakeDmlCommand(s"VACUUM graftlake.`$p`", () => {
           Option(retain).foreach(r => LakeTable.expireSnapshots(spark, p, r.toInt))
           LakeTable.removeOrphans(spark, p).size
         }))
+      case CreateBranchRe(ref, name, ver) =>
+        val parts = delegate.parseMultipartIdentifier(ref.trim)
+        maintenancePathOf(parts).map(p => LakeDmlCommand(
+          s"ALTER graftlake.`$p` CREATE BRANCH $name",
+          () => LakeTable.createBranch(spark, p, name,
+            Option(ver).map(_.toInt))))
+      case DropBranchRe(ref, name) =>
+        val parts = delegate.parseMultipartIdentifier(ref.trim)
+        maintenancePathOf(parts).map(p => LakeDmlCommand(
+          s"ALTER graftlake.`$p` DROP BRANCH $name",
+          () => { LakeTable.dropBranch(p, name); 0 }))
+      case CreateTagRe(ref, name, ver) =>
+        val parts = delegate.parseMultipartIdentifier(ref.trim)
+        maintenancePathOf(parts).map(p => LakeDmlCommand(
+          s"ALTER graftlake.`$p` CREATE TAG $name",
+          () => {
+            val v = Option(ver).map(_.toInt)
+              .orElse(LakeTable.latestVersion(p))
+              .getOrElse(throw new IllegalArgumentException(
+                s"no snapshots to tag at $p"))
+            LakeTable.tag(p, name, v); v
+          }))
+      case DropTagRe(ref, name) =>
+        val parts = delegate.parseMultipartIdentifier(ref.trim)
+        maintenancePathOf(parts).map(p => LakeDmlCommand(
+          s"ALTER graftlake.`$p` DROP TAG $name",
+          () => { LakeTable.dropTag(p, name); 0 }))
+      case FastForwardRe(ref, name) =>
+        val parts = delegate.parseMultipartIdentifier(ref.trim)
+        maintenancePathOf(parts).map(p => LakeDmlCommand(
+          s"ALTER graftlake.`$p` FAST FORWARD $name",
+          () => LakeTable.fastForward(spark, p, name)))
       case AddPartFieldRe(ref, tr) =>
         val parts = delegate.parseMultipartIdentifier(ref.trim)
         maintenancePathOf(parts).map { p =>

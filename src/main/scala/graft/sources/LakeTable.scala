@@ -3879,6 +3879,15 @@ object LakeTable {
     Files.writeString(Paths.get(s"${tagsDir(path)}/$name"), version.toString)
   }
 
+  /** Remove a tag: the pinned version stays readable until expired —
+    * only the GC pin is released. Missing tags refuse loudly. */
+  def dropTag(path: String, name: String): Unit = {
+    val p = Paths.get(s"${tagsDir(path)}/$name")
+    if (!Files.exists(p))
+      throw new IllegalArgumentException(s"no such tag '$name' at $path")
+    Files.delete(p)
+  }
+
   /** Resolve a tag to its version (throws on a missing tag). */
   def tagVersion(path: String, name: String): Int = {
     val p = Paths.get(s"${tagsDir(path)}/$name")

@@ -212,6 +212,39 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(LakeTable.sortOrderOf(p).isEmpty)
   }
 
+  test("branch/tag DDL and VACUUM OLDER THAN route to the ref machinery") {
+    val p = "/tmp/graft_test/sqldml_refs"
+    rmdir(p)
+    LakeTable.overwrite(spark.range(0, 10).select(col("id").as("k")), p) // v0
+    LakeTable.append(spark.range(10, 30).select(col("id").as("k")), p) // v1
+    spark.sql(s"ALTER TABLE graftlake.`$p` CREATE TAG stable AS OF VERSION 0")
+    assert(LakeTable.tags(p) == Map("stable" -> 0))
+    spark.sql(s"ALTER TABLE graftlake.`$p` CREATE BRANCH dev")
+    LakeTable.append(spark.range(100, 110).select(col("id").as("k")),
+      LakeTable.branchPath(p, "dev"))
+    spark.sql(s"ALTER TABLE graftlake.`$p` FAST FORWARD dev")
+    assert(LakeTable.read(spark, p).count() === 40)
+    // dev's fast-forwarded manifests are referenced by main, so
+    // dropping it refuses (dropBranch contract) — drop a scratch
+    // branch instead
+    spark.sql(s"ALTER TABLE graftlake.`$p` CREATE BRANCH scratch")
+    spark.sql(s"ALTER TABLE graftlake.`$p` DROP BRANCH scratch")
+    assert(LakeTable.branches(p).toSet == Set("dev"))
+    spark.sql(s"ALTER TABLE graftlake.`$p` DROP TAG stable")
+    assert(LakeTable.tags(p).isEmpty)
+    assert(intercept[IllegalArgumentException] {
+      spark.sql(s"ALTER TABLE graftlake.`$p` DROP TAG stable")
+    }.getMessage.contains("no such tag"))
+    // VACUUM OLDER THAN: everything before 'now' expires except the
+    // latest (always pinned)
+    spark.sql(s"VACUUM graftlake.`$p` OLDER THAN '${System.currentTimeMillis()}'")
+    val live = (0 to LakeTable.latestVersion(p).get).filter(v =>
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$p/_graft_meta/v$v")))
+    assert(live.size === 1, s"only the head survives: $live")
+    assert(LakeTable.read(spark, p).count() === 40)
+  }
+
   test("TIMESTAMP AS OF resolves a version via commit wall-time (SQL + reader option)") {
     val p = "/tmp/graft_test/sqldml_tsasof"
     rmdir(p)
