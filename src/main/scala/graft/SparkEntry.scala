@@ -186,6 +186,7 @@ object SparkEntry {
     "lake_catalog_sql" -> (sources.LakeTable.catalogSqlQuery _),
     "lake_partitions_meta" -> (sources.LakeTable.partitionsMetaQuery _),
     "lake_ndv_sketch" -> (sources.LakeTable.ndvSketchQuery _),
+    "lake_file_granular_delete" -> (sources.LakeTable.fileGranularDeleteQuery _),
     "lake_arbitrated_commit" -> (sources.LakeTable.arbitratedCommitQuery _),
     "lake_ctas" -> (sources.LakeTable.ctasQuery _),
     "lake_runtime_prune" -> (sources.LakeTable.runtimePruneQuery _),
@@ -1122,6 +1123,16 @@ object SparkEntry {
         |SELECT concat('event_type=', event_type) AS part, count(*) AS record_count
         |FROM events GROUP BY 1
         |ORDER BY part""".stripMargin,
+    // lake_file_granular_delete: after a partition-aligned delete of
+    // 'click' (require'd metadata-only) and a boundary delete of
+    // every 10th 'view' (require'd carry + layout-preserving
+    // rewrite), the survivors must equal a plain WHERE-NOT recompute
+    "lake_file_granular_delete" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events
+        |WHERE event_type <> 'click'
+        |  AND NOT (event_type = 'view' AND event_id % 10 = 0)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // lake_ndv_sketch: the manifest-sketch NDV of event_type is
     // EXACT (HLL coupon mode below ~512 distinct) so the oracle
     // recomputes it as count(distinct); the high-cardinality

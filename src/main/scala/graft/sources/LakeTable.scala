@@ -4192,6 +4192,39 @@ object LakeTable {
       .orderBy("part")
   }
 
+  /** Driver query: FILE-GRANULAR DELETE planning (S9h). A
+    * partition-aligned delete must be a PURE METADATA commit (the
+    * matched partition's files drop from the manifests, zero data
+    * files written — the `DELETE WHERE day < cutoff` shape that makes
+    * retention deletes deployable on a 100 TB table), and a boundary
+    * delete must rewrite ONLY the touched partition's survivors,
+    * re-landing them under the same hidden layout. All three facts
+    * are require'd in-query; the oracle checks the surviving rows
+    * against a plain WHERE-NOT recompute. */
+  def fileGranularDeleteQuery(s: SparkSession, d: String): DataFrame = {
+    val path = freshWorkDir("lakefgd", d)
+    val ev = graft.Tables.load(s, d, "events")
+      .select("event_id", "event_type", "value")
+    overwriteHiddenPartitioned(ev, path,
+      Seq(PartitionTransform("event_type", "identity")))
+    val before = entriesOf(path, latestVersion(path).get).map(_.file).toSet
+    delete(s, path, col("event_type") === lit("click"))
+    val after1 = entriesOf(path, latestVersion(path).get).map(_.file).toSet
+    require(after1.subsetOf(before) && (before -- after1).nonEmpty,
+      "partition-aligned delete must drop files and write none")
+    delete(s, path,
+      col("event_type") === lit("view") && col("event_id") % 10 === 0)
+    val after2 = entriesOf(path, latestVersion(path).get).map(_.file).toSet
+    require((after1 intersect after2).nonEmpty,
+      "files without matching rows must carry as-is")
+    require((after2 -- after1).nonEmpty &&
+      (after2 -- after1).forall(_.contains("__p_identity_event_type=view")),
+      "boundary survivors must rewrite under the touched partition's layout")
+    read(s, path).groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   /** Driver query: PER-FILE NDV SKETCHES ([[analyzeNdv]] /
     * [[approxCountDistinct]]). Two appends make a multi-file table;
     * ANALYZE attaches one HLL sketch per (file, column) in a commit
