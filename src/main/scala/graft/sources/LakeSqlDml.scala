@@ -352,6 +352,8 @@ class GraftSqlParser(
   // falls through to the stock command untouched
   private val AnalyzeRe =
     """(?is)^\s*ANALYZE\s+TABLE\s+(.+?)\s+COMPUTE\s+STATISTICS\s+FOR\s+COLUMNS\s+(.+?)\s*;?\s*$""".r
+  private val AnalyzeAllRe =
+    """(?is)^\s*ANALYZE\s+TABLE\s+(.+?)\s+COMPUTE\s+STATISTICS\s+FOR\s+ALL\s+COLUMNS\s*;?\s*$""".r
   // Iceberg's spec/order EVOLUTION statements (not stock Spark
   // grammar — `ADD PARTITION FIELD` ≠ hive's `ADD PARTITION (spec)`,
   // the FIELD keyword disambiguates): metadata-only declarations,
@@ -539,6 +541,20 @@ class GraftSqlParser(
         maintenancePathOf(parts).map { p =>
           LakeDmlCommand(s"ALTER graftlake.`$p` WRITE UNORDERED",
             () => { LakeTable.clearSortOrder(p); 0 })
+        }
+      case AnalyzeAllRe(ref) =>
+        // every sketchable column (the hll_sketch_agg input types);
+        // non-sketchable ones (double, struct, …) are skipped, not
+        // refused — ALL means "all that can"
+        val parts = delegate.parseMultipartIdentifier(ref.trim)
+        maintenancePathOf(parts).map { p =>
+          LakeDmlCommand(s"ANALYZE graftlake.`$p` FOR ALL COLUMNS", () => {
+            val cols = LakeTable.read(spark, p).schema.fields
+              .filter(f => LakeTable.ndvSketchable(f.dataType)).map(_.name).toSeq
+            require(cols.nonEmpty,
+              s"ANALYZE at $p: no INT/BIGINT/STRING/BINARY column to sketch")
+            LakeTable.analyzeNdv(spark, p, cols)
+          })
         }
       case AnalyzeRe(ref, colsTxt) =>
         // unlike OPTIMIZE/VACUUM this is stock Spark grammar: only

@@ -3001,6 +3001,12 @@ object LakeTable {
   private def ndvKey(path: String, version: Int, column: String): String =
     "ndv:" + bloomKey(path, version, column)
 
+  /** The input types DataSketches' `hll_sketch_agg` hashes. */
+  private[graft] def ndvSketchable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt == IntegerType || dt == LongType || dt == StringType || dt == BinaryType
+  }
+
   /** ANALYZE: attach a per-file DataSketches HLL sketch of each named
     * column to every live data file's manifest entry — Iceberg's
     * Puffin NDV-sketch analogue, computed like [[withBloom]] by ONE
@@ -3032,8 +3038,12 @@ object LakeTable {
           r.cols, current)
       }
       .reduce(_.unionByName(_, allowMissingColumns = true))
-    columns.foreach(c => require(scan.columns.contains(c),
-      s"analyzeNdv at $path: no such column '$c'"))
+    columns.foreach { c =>
+      require(scan.columns.contains(c), s"analyzeNdv at $path: no such column '$c'")
+      require(ndvSketchable(scan.schema(c).dataType),
+        s"analyzeNdv at $path: '$c' is ${scan.schema(c).dataType.sql} — " +
+          "hll_sketch_agg hashes INT/BIGINT/STRING/BINARY only")
+    }
     val agg = scan.groupBy(col("__graft_f"))
       .agg(hll_sketch_agg(col(columns.head), lit(lgK)).as(columns.head),
         columns.tail.map(c => hll_sketch_agg(col(c), lit(lgK)).as(c)): _*)

@@ -287,6 +287,19 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(LakeTable.approxCountDistinct(spark, p, "g") === 7L)
     assert(LakeTable.history(spark, p).collect().map(_.getString(1))
       .contains("analyze"))
+    // FOR ALL COLUMNS sketches every sketchable column (and only those)
+    LakeTable.append(spark.range(0, 10)
+      .select((col("id") % 3).as("k"), (col("id") % 2).as("g")), p)
+    spark.sql(s"ANALYZE TABLE graftlake.`$p` COMPUTE STATISTICS FOR ALL COLUMNS")
+    assert(LakeTable.approxCountDistinct(spark, p, "k") === 120L)
+    // a non-sketchable type refuses by name
+    val p2 = "/tmp/graft_test/sqldml_analyze_dbl"
+    rmdir(p2)
+    LakeTable.append(spark.range(0, 10)
+      .select(col("id").as("k"), (col("id") * 1.5).as("v")), p2)
+    assert(intercept[IllegalArgumentException] {
+      LakeTable.analyzeNdv(spark, p2, Seq("v"))
+    }.getMessage.contains("DOUBLE"))
   }
 
   test("maintenance SQL resolves GraftCatalog tables; refuses non-lake targets") {
