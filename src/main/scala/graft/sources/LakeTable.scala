@@ -1707,14 +1707,18 @@ object LakeTable {
       kept: Seq[ManifestEntry], fullRefs: Seq[ManifestRef],
       eqRefs: Seq[ManifestRef], posRefs: Seq[ManifestRef],
       dvRefs: Seq[ManifestRef],
-      current: Option[Sch]): DataFrame = {
+      current: Option[Sch],
+      // keep the scan-time file identity columns riding (the DML
+      // classification consumer) — mirrors assembleWithDeletes
+      keepMeta: Boolean = false): DataFrame = {
     def assemble(parts: Seq[DataFrame]): DataFrame =
       parts.reduce(_.unionByName(_, allowMissingColumns = true))
-    if (eqRefs.isEmpty && posRefs.isEmpty && dvRefs.isEmpty) assemble(Seq(
-      if (kept.nonEmpty) Some(readFiles(spark, kept, current)) else None,
-      if (fullRefs.nonEmpty) Some(readRefs(spark, fullRefs, current)) else None).flatten)
+    if (eqRefs.isEmpty && posRefs.isEmpty && dvRefs.isEmpty && !keepMeta)
+      assemble(Seq(
+        if (kept.nonEmpty) Some(readFiles(spark, kept, current)) else None,
+        if (fullRefs.nonEmpty) Some(readRefs(spark, fullRefs, current)) else None).flatten)
     else {
-      val withPos = posRefs.nonEmpty || dvRefs.nonEmpty
+      val withPos = posRefs.nonEmpty || dvRefs.nonEmpty || keepMeta
       val tagged = assemble(Seq(
         if (kept.nonEmpty) Some(taggedRead(spark, kept, current, withPos)) else None,
         if (fullRefs.nonEmpty)
@@ -1723,7 +1727,7 @@ object LakeTable {
       val p1b = if (dvRefs.nonEmpty) applyDvDeletes(spark, p1, dvRefs) else p1
       val p2 = if (eqRefs.nonEmpty) applyMorDeletes(spark, p1b, eqRefs, current)
         else p1b.drop(SeqCol)
-      p2.drop(FpCol, RiCol)
+      if (keepMeta) p2 else p2.drop(FpCol, RiCol)
     }
   }
 
@@ -3446,14 +3450,25 @@ object LakeTable {
       pred: org.apache.spark.sql.Column): Option[DataFrame] = {
     val (morRefs, dataRefs) = refs.partition(_.kind != "data")
     val live = dataRefs.filter(_.nFiles > 0)
-    val intervals = impliedIntervals(pred)
-    val candidates =
-      if (intervals.isEmpty) live
-      else prunePlan(spark, live, schFor(path, base), intervals,
-        entryLevel = false)._1
-    if (candidates.isEmpty) None
-    else Some(assembleWithDeletes(spark, candidates ++ morRefs,
-      schFor(path, base), keepMeta = true))
+    val current = schFor(path, base)
+    if (impliedIntervals(pred).isEmpty)
+      return if (live.isEmpty) None
+      else Some(assembleWithDeletes(spark, live ++ morRefs, current,
+        keepMeta = true))
+    // FILE-granular pass 0 — the same two-level (manifest ranges →
+    // per-entry stats, distributed past the plan threshold) prune the
+    // reads use; refuted files never reach the scan and carry by
+    // construction
+    val (fullRefs, kept) =
+      prunePlan(spark, live, current, impliedIntervals(pred))
+    if (fullRefs.isEmpty && kept.isEmpty) None
+    else {
+      val eq = morRefs.filter(_.kind == "delete")
+      val pos = morRefs.filter(_.kind == "posdel")
+      val dv = morRefs.filter(_.kind == "dv")
+      Some(assemblePruned(spark, kept, fullRefs, eq, pos, dv, current,
+        keepMeta = true))
+    }
   }
 
   /** `_metadata.file_path` spells `file:` URIs while manifests store
