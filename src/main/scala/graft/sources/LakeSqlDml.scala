@@ -381,6 +381,12 @@ class GraftSqlParser(
     """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+FAST\s+FORWARD\s+([A-Za-z0-9._-]+)\s*;?\s*$""".r
   private val VacuumOlderRe =
     """(?is)^\s*VACUUM\s+(.+?)\s+OLDER\s+THAN\s+'([^']+)'\s*;?\s*$""".r
+  // Delta's RESTORE grammar over the lake's rollback (a NEW forward
+  // commit re-referencing the old snapshot — history never rewrites)
+  private val RestoreVersionRe =
+    """(?is)^\s*RESTORE\s+TABLE\s+(.+?)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+  private val RestoreTimestampRe =
+    """(?is)^\s*RESTORE\s+TABLE\s+(.+?)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*$""".r
 
   /** Parse one `ADD/DROP PARTITION FIELD` transform, validating the
     * SAME contracts GraftCatalog enforces at CREATE (existence,
@@ -464,6 +470,17 @@ class GraftSqlParser(
           Option(retain).foreach(r => LakeTable.expireSnapshots(spark, p, r.toInt))
           LakeTable.removeOrphans(spark, p).size
         }))
+      case RestoreVersionRe(ref, ver) =>
+        val parts = delegate.parseMultipartIdentifier(ref.trim)
+        maintenancePathOf(parts).map(p => LakeDmlCommand(
+          s"RESTORE graftlake.`$p` TO VERSION AS OF $ver",
+          () => LakeTable.rollback(spark, p, ver.toInt)))
+      case RestoreTimestampRe(ref, ts) =>
+        val parts = delegate.parseMultipartIdentifier(ref.trim)
+        maintenancePathOf(parts).map(p => LakeDmlCommand(
+          s"RESTORE graftlake.`$p` TO TIMESTAMP AS OF",
+          () => LakeTable.rollback(spark, p,
+            LakeTable.versionAsOf(spark, p, LakeTable.timestampMillisOf(ts)))))
       case CreateBranchRe(ref, name, ver) =>
         val parts = delegate.parseMultipartIdentifier(ref.trim)
         maintenancePathOf(parts).map(p => LakeDmlCommand(

@@ -212,6 +212,24 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(LakeTable.sortOrderOf(p).isEmpty)
   }
 
+  test("RESTORE TABLE rolls forward to an old snapshot's content") {
+    val p = "/tmp/graft_test/sqldml_restore"
+    rmdir(p)
+    LakeTable.overwrite(spark.range(0, 10).select(col("id").as("k")), p) // v0
+    Thread.sleep(120)
+    LakeTable.append(spark.range(10, 30).select(col("id").as("k")), p) // v1
+    spark.sql(s"RESTORE TABLE graftlake.`$p` TO VERSION AS OF 0")
+    assert(LakeTable.read(spark, p).count() === 10)
+    // history moved FORWARD (v2 = restore commit); v1 stays travelable
+    assert(LakeTable.latestVersion(p).get === 2)
+    assert(LakeTable.read(spark, p, Some(1)).count() === 30)
+    // timestamp form resolves through versionAsOf (v1's wall-time)
+    val t1 = LakeTable.snapshots(spark, p).filter(col("version") === 1)
+      .head.getAs[Long]("committed_at")
+    spark.sql(s"RESTORE TABLE graftlake.`$p` TO TIMESTAMP AS OF '$t1'")
+    assert(LakeTable.read(spark, p).count() === 30)
+  }
+
   test("branch/tag DDL and VACUUM OLDER THAN route to the ref machinery") {
     val p = "/tmp/graft_test/sqldml_refs"
     rmdir(p)
