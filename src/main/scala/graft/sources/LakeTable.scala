@@ -2122,31 +2122,20 @@ object LakeTable {
     // surviving files' rows — O(#files) driver metadata fold
     val ndv: Map[String, Long] =
       if (whole.nonEmpty || all.isEmpty) Map.empty
-      else {
-        import org.apache.datasketches.hll.{HllSketch, TgtHllType, Union}
-        all.head.bloom.keySet.iterator
-          .filter(_.startsWith("ndv:"))
-          .filter(k => all.forall(_.bloom.contains(k)))
-          .flatMap { k =>
-            // the key carries the column's field id (name on
-            // pre-field-id tables) — resolve to the CURRENT name
-            val raw = k.stripPrefix("ndv:")
-            val name = raw.toIntOption match {
-              case Some(id) =>
-                current.flatMap(_.cols.collectFirst { case (i, n) if i == id => n })
-              case None => Some(raw)
-            }
-            name.map { n =>
-              val u = new Union(21)
-              all.foreach(_.bloom(k) match {
-                case len +: packed => u.update(HllSketch.heapify(
-                  packed.take(len.toInt).map(_.toByte).toArray))
-                case _ => ()
-              })
-              n -> Math.round(u.getResult(TgtHllType.HLL_8).getEstimate)
-            }
-          }.toMap
-      }
+      else all.head.bloom.keySet.iterator
+        .filter(_.startsWith("ndv:"))
+        .filter(k => all.forall(_.bloom.contains(k)))
+        .flatMap { k =>
+          // the key carries the column's field id (name on
+          // pre-field-id tables) — resolve to the CURRENT name
+          val raw = k.stripPrefix("ndv:")
+          val name = raw.toIntOption match {
+            case Some(id) =>
+              current.flatMap(_.cols.collectFirst { case (i, n) if i == id => n })
+            case None => Some(raw)
+          }
+          name.map(n => n -> foldNdvSketches(all.map(_.bloom(k))))
+        }.toMap
     V2Plan(files = all.map(_.file), dirs = whole.map(_.base).distinct,
       planStats, ndv)
   }
@@ -2518,11 +2507,12 @@ object LakeTable {
        else rowsInFiles(cur, touched)
          .join(srcKeys, col(keyCol) === col("__graft_uk"), "left_anti"))
         .drop(FpCol, RiCol, SeqCol)
+    val mm = manifestMemo()
     commitRefs(spark, path, base,
-      carryManifests(path, refs, touched)
+      carryManifests(path, refs, touched, mm)
         ++ stageRewrite(
           survivors.unionByName(df, allowMissingColumns = true), path,
-          rewriteSpec(path, refs, touched)),
+          rewriteSpec(path, refs, touched, mm)),
       "merge")
   }
 
@@ -2679,11 +2669,12 @@ object LakeTable {
       val (survivors, inserts, _) =
         mergeRows(targetTouched, source, keyCol, matched, notMatchedInsert,
           notMatchedBySource, evolveColumns)
+      val mm = manifestMemo()
       commitRefs(spark, path, base,
-        carryManifests(path, refs, touched)
+        carryManifests(path, refs, touched, mm)
           ++ stageRewrite(
             survivors.unionByName(inserts, allowMissingColumns = true), path,
-            rewriteSpec(path, refs, touched)),
+            rewriteSpec(path, refs, touched, mm)),
         "merge")
     } else {
       val target = read(spark, path, Some(base))
@@ -3005,6 +2996,24 @@ object LakeTable {
   private def ndvKey(path: String, version: Int, column: String): String =
     "ndv:" + bloomKey(path, version, column)
 
+  /** Union packed per-file NDV sketches (len-header, byte-per-long
+    * encoding) into the rounded DataSketches estimate — ONE
+    * definition so the V2 scan-stats fold and
+    * [[approxCountDistinct]] cannot drift. lgMaxK 21 never
+    * downsamples (accuracy stays the sketches' own lgK); HLL_8
+    * mirrors `hll_sketch_agg`'s internal target, so the rounded
+    * estimate is bit-for-bit the SQL surface's `hll_union_agg`. */
+  private def foldNdvSketches(packedSketches: Iterable[Seq[Long]]): Long = {
+    import org.apache.datasketches.hll.{HllSketch, TgtHllType, Union}
+    val u = new Union(21)
+    packedSketches.foreach {
+      case len +: packed =>
+        u.update(HllSketch.heapify(packed.take(len.toInt).map(_.toByte).toArray))
+      case _ => ()
+    }
+    Math.round(u.getResult(TgtHllType.HLL_8).getEstimate)
+  }
+
   /** The input types DataSketches' `hll_sketch_agg` hashes. */
   private[graft] def ndvSketchable(dt: org.apache.spark.sql.types.DataType): Boolean = {
     import org.apache.spark.sql.types._
@@ -3104,23 +3113,13 @@ object LakeTable {
         s"(${mor.map(_.kind).distinct.mkString(", ")}) — per-file sketches " +
         "cannot subtract deleted rows; compact first")
     val key = ndvKey(path, v, column)
-    // lgMaxK 21 never downsamples: the result's accuracy is the
-    // sketches' own lgK
-    val union = new Union(21)
-    refs.filter(r => r.kind == "data" && r.nFiles > 0)
-      .flatMap(readManifest).foreach { e =>
-        e.bloom.get(key) match {
-          case Some(len +: packed) =>
-            union.update(HllSketch.heapify(
-              packed.take(len.toInt).map(_.toByte).toArray))
-          case _ => throw new IllegalArgumentException(
-            s"approxCountDistinct at $path: file ${e.file} has no NDV " +
-              s"sketch for '$column' — run analyzeNdv after appends")
-        }
+    val sketches = refs.filter(r => r.kind == "data" && r.nFiles > 0)
+      .flatMap(readManifest).map { e =>
+        e.bloom.getOrElse(key, throw new IllegalArgumentException(
+          s"approxCountDistinct at $path: file ${e.file} has no NDV " +
+            s"sketch for '$column' — run analyzeNdv after appends"))
       }
-    // HLL_8 mirrors hll_sketch_agg's internal target, so the rounded
-    // estimate is bit-for-bit the SQL surface's
-    Math.round(union.getResult(TgtHllType.HLL_8).getEstimate)
+    foldNdvSketches(sketches)
   }
 
   /** METADATA-ONLY column rename (Iceberg's field-id schema
@@ -3367,15 +3366,16 @@ object LakeTable {
           case (f, (vis, hit)) if hit < vis => f
         }.toSet
         val dropped = touched -- boundary
+        val mm = manifestMemo()
         // survivors of boundary files only — the sole data rewrite,
         // re-landing under the table's layout (never degrading pruning)
         val rewritten =
           if (boundary.isEmpty) None
           else stageRewrite(
             rowsInFiles(cur, boundary).filter(!matches).drop(FpCol, RiCol, SeqCol),
-            path, rewriteSpec(path, refs, boundary))
+            path, rewriteSpec(path, refs, boundary, mm))
         commitRefs(spark, path, base,
-          carryManifests(path, refs, boundary ++ dropped) ++ rewritten.toSeq,
+          carryManifests(path, refs, boundary ++ dropped, mm) ++ rewritten.toSeq,
           "delete")
     }
   }
@@ -3408,28 +3408,39 @@ object LakeTable {
     // conversion is a lazy opaque wrapper) — structural matching
     // happens on GraftSqlShim's flattened view, by SQL function name
     import org.apache.spark.sql.GraftSqlShim.{PAttr, PFn, PNum, PredNode}
+    // NaN literals poison interval pruning: under Spark's ordering
+    // NaN is ≥ every double, so `v <= NaN` matches EVERYTHING while
+    // admits() would refute every stats-carrying manifest (mn <= NaN
+    // is false in IEEE space) — a NaN bound must contribute nothing
+    def finiteNum(n: PredNode): Option[Double] = n match {
+      case PNum(x) if !x.isNaN => Some(x)
+      case _ => None
+    }
     // a > v  ⟹  a ∈ [v, ∞);   v > a  ⟹  a ∈ (-∞, v]
     def lower(a: PredNode, v: PredNode): Seq[(String, Double, Double)] =
-      (a, v) match {
-        case (PAttr(c), PNum(x)) => Seq((c, x, Double.PositiveInfinity))
+      (a, finiteNum(v)) match {
+        case (PAttr(c), Some(x)) => Seq((c, x, Double.PositiveInfinity))
         case _ => Nil
       }
     def upper(a: PredNode, v: PredNode): Seq[(String, Double, Double)] =
-      (a, v) match {
-        case (PAttr(c), PNum(x)) => Seq((c, Double.NegativeInfinity, x))
+      (a, finiteNum(v)) match {
+        case (PAttr(c), Some(x)) => Seq((c, Double.NegativeInfinity, x))
         case _ => Nil
       }
     def go(n: PredNode): Seq[(String, Double, Double)] = n match {
       case PFn("and", Seq(l, r)) => go(l) ++ go(r)
-      case PFn("=" | "==" | "<=>", Seq(a, b)) => (a, b) match {
-        case (PAttr(c), PNum(x)) => Seq((c, x, x))
-        case (PNum(x), PAttr(c)) => Seq((c, x, x))
-        case _ => Nil
-      }
+      case PFn("=" | "==" | "<=>", Seq(a, b)) =>
+        (a, finiteNum(b)) match {
+          case (PAttr(c), Some(x)) => Seq((c, x, x))
+          case _ => (b, finiteNum(a)) match {
+            case (PAttr(c), Some(x)) => Seq((c, x, x))
+            case _ => Nil
+          }
+        }
       case PFn(">" | ">=", Seq(a, b)) => lower(a, b) ++ upper(b, a)
       case PFn("<" | "<=", Seq(a, b)) => upper(a, b) ++ lower(b, a)
       case PFn("in", a +: vs) if vs.nonEmpty =>
-        (a, vs.collect { case PNum(x) => x }) match {
+        (a, vs.flatMap(finiteNum)) match {
           case (PAttr(c), xs) if xs.size == vs.size => Seq((c, xs.min, xs.max))
           case _ => Nil
         }
@@ -3507,15 +3518,24 @@ object LakeTable {
     * its layout instead of silently degrading to unpartitioned
     * survivor files and losing pruning on every rewritten row), else
     * none. O(#files) driver metadata. */
+  /** One memoized [[readManifest]] per DML commit, shared between
+    * [[rewriteSpec]] and [[carryManifests]] so each live manifest
+    * parses ONCE driver-side, not once per consumer. */
+  private def manifestMemo(): ManifestRef => Seq[ManifestEntry] = {
+    val cache = scala.collection.mutable.HashMap.empty[String, Seq[ManifestEntry]]
+    r => cache.getOrElseUpdate(r.manifest, readManifest(r))
+  }
+
   private def rewriteSpec(
-      path: String, refs: Seq[ManifestRef], touchedUris: Set[String])
+      path: String, refs: Seq[ManifestRef], touchedUris: Set[String],
+      entriesOf: ManifestRef => Seq[ManifestEntry])
       : Seq[PartitionTransform] = {
     val standing = partitionSpecOf(path)
     if (standing.nonEmpty) standing
     else {
       val gone = touchedUris.map(plainPath)
       refs.filter(r => r.kind == "data" && r.nFiles > 0)
-        .filter(r => readManifest(r).exists(e => gone(e.file)))
+        .filter(r => entriesOf(r).exists(e => gone(e.file)))
         .map(_.pspec).distinct match {
         case Seq(one) => one
         case _ => Nil // mixed generations: correct, just unpruned
@@ -3545,12 +3565,13 @@ object LakeTable {
     * to the carried data files. Shared by the file-granular
     * DELETE/UPDATE/MERGE planners. */
   private def carryManifests(
-      path: String, refs: Seq[ManifestRef], goneUris: Set[String]): Seq[ManifestRef] = {
+      path: String, refs: Seq[ManifestRef], goneUris: Set[String],
+      entriesOf: ManifestRef => Seq[ManifestEntry]): Seq[ManifestRef] = {
     val gone = goneUris.map(plainPath)
     refs.flatMap { r =>
       if (r.kind != "data" || r.nFiles == 0) Some(r)
       else {
-        val es = readManifest(r)
+        val es = entriesOf(r)
         val keep = es.filterNot(e => gone(e.file))
         if (keep.size == es.size) Some(r)
         else if (keep.isEmpty) None
@@ -3579,10 +3600,12 @@ object LakeTable {
     classificationFrame(spark, path, base, refs, predicate) match {
       case None =>
         // every manifest refuted: column names still validate (a
-        // typo'd SET must refuse, matched rows or not)
-        schFor(path, base).map(_.cols.map(_._2)).foreach(names =>
-          set.keys.foreach(c => require(names.contains(c),
-            s"UPDATE at $path: no such column '$c' (have ${names.mkString(", ")})")))
+        // typo'd SET must refuse, matched rows or not); pre-field-id
+        // tables fall back to the read schema
+        val names = schFor(path, base).map(_.cols.map(_._2))
+          .getOrElse(read(spark, path, Some(base)).columns.toSeq)
+        set.keys.foreach(c => require(names.contains(c),
+          s"UPDATE at $path: no such column '$c' (have ${names.mkString(", ")})"))
         commitRefs(spark, path, base, refs, "update")
       case Some(cur) =>
         val visible = cur.columns.filterNot(Set(FpCol, RiCol, SeqCol)).toSeq
@@ -3590,14 +3613,15 @@ object LakeTable {
           s"UPDATE at $path: no such column '$c' (have ${visible.mkString(", ")})"))
         val p = coalesce(predicate, lit(false))
         val touched = touchedFiles(cur, p)
+        val mm = manifestMemo()
         val rewritten =
           if (touched.isEmpty) None
           else stageRewrite(
             rowsInFiles(cur, touched).select(visible.map { c =>
               set.get(c).map(v => when(p, v).otherwise(col(c)).as(c)).getOrElse(col(c))
-            }: _*), path, rewriteSpec(path, refs, touched))
+            }: _*), path, rewriteSpec(path, refs, touched, mm))
         commitRefs(spark, path, base,
-          carryManifests(path, refs, touched) ++ rewritten.toSeq, "update")
+          carryManifests(path, refs, touched, mm) ++ rewritten.toSeq, "update")
     }
   }
 

@@ -25,6 +25,25 @@ object GraftSqlShim {
   case object POther extends PredNode
 
   def predTree(c: Column): PredNode = {
+    import org.apache.spark.sql.catalyst.{expressions => cexpr}
+    // catalyst-wrapped Columns (the SQL DML rule builds predicates
+    // via ExpressionUtils.column) flatten from the EXPRESSION tree;
+    // Column-DSL ones from the node tree — same PredNode view either
+    // way, so interval extraction works on both surfaces
+    def goExpr(e: cexpr.Expression): PredNode = e match {
+      case cexpr.And(l, r) => PFn("and", Seq(goExpr(l), goExpr(r)))
+      case cexpr.EqualTo(a, b) => PFn("=", Seq(goExpr(a), goExpr(b)))
+      case cexpr.EqualNullSafe(a, b) => PFn("<=>", Seq(goExpr(a), goExpr(b)))
+      case cexpr.GreaterThan(a, b) => PFn(">", Seq(goExpr(a), goExpr(b)))
+      case cexpr.GreaterThanOrEqual(a, b) => PFn(">=", Seq(goExpr(a), goExpr(b)))
+      case cexpr.LessThan(a, b) => PFn("<", Seq(goExpr(a), goExpr(b)))
+      case cexpr.LessThanOrEqual(a, b) => PFn("<=", Seq(goExpr(a), goExpr(b)))
+      case cexpr.In(a, vs) => PFn("in", goExpr(a) +: vs.map(goExpr))
+      case a: catalyst.analysis.UnresolvedAttribute => PAttr(a.name)
+      case a: cexpr.AttributeReference => PAttr(a.name)
+      case cexpr.Literal(v: java.lang.Number, _) => PNum(v.doubleValue)
+      case _ => POther
+    }
     def go(n: internal.ColumnNode): PredNode = n match {
       case f: internal.UnresolvedFunction =>
         PFn(f.functionName.toLowerCase(java.util.Locale.ROOT), f.arguments.map(go))
@@ -33,6 +52,7 @@ object GraftSqlShim {
         case v: java.lang.Number => PNum(v.doubleValue)
         case _ => POther
       }
+      case classic.ExpressionColumnNode(e, _) => goExpr(e)
       case _ => POther
     }
     go(c.node)

@@ -104,6 +104,23 @@ class FileGranularDeleteSpec extends AnyFunSuite {
     assert(iv(abs(col("k")) === 5L).isEmpty)
     assert(iv(col("tag") === "x").isEmpty)
     assert(iv(col("k").isNull).isEmpty)
+    // NaN literals poison pruning (NaN sorts ABOVE every double in
+    // Spark, but IEEE comparisons against stats refute everything):
+    // they must contribute nothing, never a NaN bound
+    assert(iv(col("v") <= lit(Double.NaN)).isEmpty)
+    assert(iv(col("v") === lit(Double.NaN)).isEmpty)
+    assert(iv(col("v").isin(5.0, Double.NaN)).isEmpty)
+    // catalyst-wrapped predicates (the SQL DML rule's shape) flatten
+    // to the same intervals as Column-DSL ones
+    import org.apache.spark.sql.catalyst.expressions.{
+      And => CAnd, AttributeReference, EqualTo => CEq, LessThan => CLt,
+      Literal => CLit}
+    import org.apache.spark.sql.types.LongType
+    val day = AttributeReference("day", LongType)()
+    val wrapped = org.apache.spark.sql.GraftSqlShim.column(
+      CAnd(CEq(day, CLit(1L)), CLt(day, CLit(5L))))
+    assert(iv(wrapped) ==
+      Set(("day", 1.0, 1.0), ("day", Double.NegativeInfinity, 5.0)))
   }
 
   test("refuted-everywhere delete with MoR refs is a carry-forward commit") {
