@@ -3784,7 +3784,14 @@ object LakeTable {
     val smallDf = assemblePruned(spark, smalls, Nil, eq, pos, dvs, current)
     val nOut = math.max(1L,
       (smalls.map(sizeOf).sum + targetBytes - 1) / targetBytes).toInt
-    val packed = stageManifest(smallDf.repartition(nOut), path)
+    // fold WITHIN the table's layout when one is declared/unanimous
+    // (Iceberg's rewriteDataFiles packs per partition — folding tiny
+    // files ACROSS partition dirs would trade pruning for file count);
+    // layoutless tables pack to the computed target count as before
+    val spec = rewriteSpec(path, data, smallSet, perRef.toMap)
+    val packed =
+      if (spec.nonEmpty) stageRewrite(smallDf, path, spec)
+      else stageManifest(smallDf.repartition(nOut), path)
     val keptRefs = perRef.flatMap { case (r, es) =>
       val keep = es.filterNot(e => smallSet(e.file))
       if (keep.isEmpty) None

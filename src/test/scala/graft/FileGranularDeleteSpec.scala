@@ -255,6 +255,26 @@ class FileGranularDeleteSpec extends AnyFunSuite {
     assert(LakeTable.read(spark, p).filter(col("k") === 150L).head.getDouble(2) == -1.0)
   }
 
+  test("binpack folds WITHIN the partition layout, not across it") {
+    val p = "/tmp/graft_test/fgdel_binpack"
+    SparkSpec.rmdir(p)
+    val spec = Seq(PartitionTransform("day", "identity"))
+    // three tiny appends per layout → many sub-target files
+    (0 until 3).foreach { g =>
+      LakeTable.appendHiddenPartitioned(
+        (0 until 60).map(i => ((g * 100 + i).toLong, (i % 3).toLong, i * 1.0))
+          .toDF("k", "day", "v"), p, spec)
+    }
+    LakeTable.compactSmall(spark, p, 1024L * 1024)
+    val files = LakeTable.entriesOf(p, LakeTable.latestVersion(p).get)
+      .filter(_.kind == "data").map(_.file)
+    assert(files.forall(_.contains("__p_identity_day=")),
+      s"folded files must keep the hidden layout: $files")
+    assert(LakeTable.read(spark, p).count() === 180)
+    // pruning still works post-fold
+    assert(LakeTable.readWhereBetween(spark, p, "day", 1, 1).count() === 60)
+  }
+
   test("MERGE with a BY-SOURCE clause falls back to the full rewrite") {
     val p = "/tmp/graft_test/fgmrg_bysrc"
     partitionedTable(p)
