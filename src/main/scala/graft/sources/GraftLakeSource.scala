@@ -126,7 +126,16 @@ object GraftLakeSource {
     if (raw.startsWith("file:")) new java.net.URI(raw).getPath else raw
   }
 
-  private[sources] def versionOf(options: CaseInsensitiveStringMap): Option[Int] = {
+  private[sources] def versionOf(options: CaseInsensitiveStringMap): Option[Int] =
+    versionOf(options, pathOf(options))
+
+  /** As [[versionOf]] but against a KNOWN table path — the catalog
+    * route (`spark.read.option("timestampAsOf", …).table(t)`) reaches
+    * [[GraftLakeTable.newScanBuilder]] with no path option, so
+    * timestampAsOf must resolve against the table's own path field
+    * rather than re-deriving it from scan options. */
+  private[sources] def versionOf(
+      options: CaseInsensitiveStringMap, path: String): Option[Int] = {
     val v = Option(options.get("versionAsOf")).map { s =>
       try s.trim.toInt
       catch { case _: NumberFormatException =>
@@ -140,7 +149,7 @@ object GraftLakeSource {
     // metadata read (LakeTable.versionAsOf), no data touched
     val t = Option(options.get("timestampAsOf")).map { s =>
       LakeTable.versionAsOf(
-        SparkSession.active, pathOf(options), LakeTable.timestampMillisOf(s))
+        SparkSession.active, path, LakeTable.timestampMillisOf(s))
     }
     require(v.isEmpty || t.isEmpty,
       "graftlake: versionAsOf and timestampAsOf are mutually exclusive")
@@ -281,7 +290,8 @@ class GraftLakeTable(
     // a read-time versionAsOf/timestampAsOf option overrides the
     // table-level pin
     val v =
-      if (GraftLakeSource.hasTimeTravel(options)) GraftLakeSource.versionOf(options)
+      if (GraftLakeSource.hasTimeTravel(options))
+        GraftLakeSource.versionOf(options, path)
       else version
     new GraftLakeScanBuilder(spark, path, v, tableSchema,
       skipChangeCommits = options.getBoolean("skipChangeCommits", false))

@@ -58,6 +58,45 @@ object GraftSqlShim {
     go(c.node)
   }
 
+  /** Conservative determinism check on an UNRESOLVED Column — the
+    * guard DML classification needs (Spark/Delta refuse
+    * nondeterministic DELETE/UPDATE conditions because a multi-pass
+    * planner re-evaluating `rand() < 0.5` per pass silently loses
+    * rows). Walks the node tree for the nondeterministic function
+    * family; unknown leaf nodes default to deterministic (attributes,
+    * literals, extensions), wrapped catalyst trees ask the
+    * expressions themselves. */
+  def isDeterministic(c: Column): Boolean = {
+    val nondet = Set("rand", "randn", "random", "uuid", "shuffle",
+      "monotonically_increasing_id", "input_file_name", "spark_partition_id")
+    import org.apache.spark.sql.catalyst.{expressions => cexpr}
+    def exprDet(e: cexpr.Expression): Boolean = e.find {
+      case f: catalyst.analysis.UnresolvedFunction =>
+        nondet(f.nameParts.last.toLowerCase(java.util.Locale.ROOT))
+      case x => !x.deterministic
+    }.isEmpty
+    def go(n: internal.ColumnNodeLike): Boolean = n match {
+      case f: internal.UnresolvedFunction =>
+        !nondet(f.functionName.toLowerCase(java.util.Locale.ROOT)) &&
+          f.arguments.forall(go)
+      case a: internal.Alias => go(a.child)
+      case k: internal.Cast => go(k.child)
+      case w: internal.CaseWhenOtherwise =>
+        w.branches.forall { case (p, v) => go(p) && go(v) } &&
+          w.otherwise.forall(go)
+      case l: internal.LambdaFunction => go(l.function)
+      case x: internal.UnresolvedExtractValue => go(x.child) && go(x.extraction)
+      case u: internal.UpdateFields => go(u.structExpression)
+      case s: internal.SortOrder => go(s.child)
+      case s: internal.SqlExpression =>
+        scala.util.Try(exprDet(SparkSession.active.asInstanceOf[classic.SparkSession]
+          .sessionState.sqlParser.parseExpression(s.expression))).getOrElse(true)
+      case classic.ExpressionColumnNode(e, _) => exprDet(e)
+      case _ => true
+    }
+    go(c.node)
+  }
+
   def analyzedPlan(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
 

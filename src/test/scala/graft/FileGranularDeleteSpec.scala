@@ -275,6 +275,51 @@ class FileGranularDeleteSpec extends AnyFunSuite {
     assert(LakeTable.readWhereBetween(spark, p, "day", 1, 1).count() === 60)
   }
 
+  test("binpack packs toward targetBytes WITHIN a partition: oversized partitions split") {
+    val p = "/tmp/graft_test/fgdel_binpack_split"
+    SparkSpec.rmdir(p)
+    val spec = Seq(PartitionTransform("day", "identity"))
+    // four sub-target appends into ONE partition value
+    (0 until 4).foreach { g =>
+      LakeTable.appendHiddenPartitioned(
+        (0 until 50).map(i => ((g * 1000 + i).toLong, 0L, i * 1.0))
+          .toDF("k", "day", "v"), p, spec)
+    }
+    def dataFiles = LakeTable.entriesOf(p, LakeTable.latestVersion(p).get)
+      .filter(_.kind == "data")
+    val pre = dataFiles
+    assert(pre.size == 4)
+    val total = pre.map(_.bytes).sum
+    // target fits ~2 input files per bin: every file is "small" (each
+    // < target) but the partition's smalls sum to ~2 targets, so the
+    // within-partition packer must emit >1 file where the old
+    // one-file-per-partition fold emitted exactly 1
+    LakeTable.compactSmall(spark, p, total * 2 / 3)
+    val post = dataFiles
+    assert(post.forall(_.file.contains("__p_identity_day=0")),
+      s"folded files must keep the layout: ${post.map(_.file)}")
+    assert(post.size >= 2 && post.size < pre.size,
+      s"an oversized partition must split toward targetBytes, got ${post.size} files")
+    assert(LakeTable.read(spark, p).count() === 200)
+  }
+
+  test("nondeterministic DELETE/UPDATE conditions are refused up front") {
+    val p = "/tmp/graft_test/fgdel_nondet"
+    partitionedTable(p)
+    val e1 = intercept[IllegalArgumentException] {
+      LakeTable.delete(spark, p, rand() < 0.5)
+    }
+    assert(e1.getMessage.contains("nondeterministic"))
+    val e2 = intercept[IllegalArgumentException] {
+      LakeTable.update(spark, p, Map("v" -> lit(0.0)),
+        col("k") > 10L && rand() < 0.5)
+    }
+    assert(e2.getMessage.contains("nondeterministic"))
+    // deterministic ones still run
+    LakeTable.delete(spark, p, col("k") === 1L)
+    assert(LakeTable.read(spark, p).filter(col("k") === 1L).count() == 0)
+  }
+
   test("MERGE with a BY-SOURCE clause falls back to the full rewrite") {
     val p = "/tmp/graft_test/fgmrg_bysrc"
     partitionedTable(p)

@@ -49,6 +49,32 @@ class SnapshotsMetaSpec extends AnyFunSuite {
       s"compact must replace the small files: $r3")
   }
 
+  test("metadata-only re-manifest reports ZERO churn (file granularity)") {
+    // ANALYZE rewrites every manifest (new paths, same file sets): a
+    // manifest-path diff would report the whole table as rewritten;
+    // the commit-dir-count diff must report 0 added / 0 removed.
+    val p = "/tmp/graft_test/snapmeta_analyze"
+    SparkSpec.rmdir(p)
+    LakeTable.overwrite(
+      (0 until 50).map(i => (i.toLong, i * 1.0)).toDF("k", "v")
+        .repartition(3), p)
+    LakeTable.analyzeNdv(spark, p, Seq("k"))
+    val s = summaries(p)
+    val r1 = s(1)
+    def l1(c: String): Long = r1.getLong(r1.fieldIndex(c))
+    assert(l1("added_data_files") == 0 && l1("removed_data_files") == 0,
+      s"ANALYZE is metadata-only, must show zero data-file churn: $r1")
+    assert(l1("total_data_files") == 3)
+    // a file-granular partial carry removes exactly the dropped files
+    LakeTable.delete(spark, p, col("k") < 5L)
+    val s2 = summaries(p)
+    val r2 = s2(2)
+    def l2(c: String): Long = r2.getLong(r2.fieldIndex(c))
+    assert(l2("removed_data_files") >= 1 &&
+      l2("removed_data_files") + l2("total_data_files") >= 3,
+      s"partial carry must count only the files that left: $r2")
+  }
+
   test("expire collapses gaps: the previous LIVE version is the diff base") {
     val p = "/tmp/graft_test/snapmeta_expire"
     SparkSpec.rmdir(p)

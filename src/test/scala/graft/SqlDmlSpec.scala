@@ -294,6 +294,36 @@ class SqlDmlSpec extends AnyFunSuite {
     }.getMessage.contains("cannot parse"))
   }
 
+  test("timestampAsOf works on CATALOG-managed tables (no path option in scan)") {
+    // the catalog route reaches newScanBuilder with no path/location
+    // option — timestampAsOf must resolve against the table's own
+    // path, exactly like versionAsOf does (round-9 advice item)
+    val root = "/tmp/graft_test/sqldml_tscat"
+    rmdir(root)
+    spark.conf.set("spark.sql.catalog.tsc", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.tsc.warehouse", root)
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS tsc.db")
+      spark.sql("CREATE TABLE tsc.db.t (k BIGINT) USING graftlake")
+      spark.sql("INSERT INTO tsc.db.t VALUES (1), (2)") // v1
+      Thread.sleep(120)
+      val p = s"$root/db/t"
+      val t1 = LakeTable.snapshots(spark, p).filter(col("version") === 1)
+        .head.getAs[Long]("committed_at")
+      spark.sql("INSERT INTO tsc.db.t VALUES (3), (4), (5)") // v2
+      // Spark's own TimeTravelSpec requires a TIMESTAMP-castable
+      // string on the catalog route (it resolves via
+      // loadTable(ident, micros)) — ISO instant, not epoch millis
+      val iso = java.time.Instant.ofEpochMilli(t1).toString
+      assert(spark.read.option("timestampAsOf", iso)
+        .table("tsc.db.t").count() === 2)
+      assert(spark.table("tsc.db.t").count() === 5)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.tsc")
+      spark.conf.unset("spark.sql.catalog.tsc.warehouse")
+    }
+  }
+
   test("ANALYZE TABLE ... FOR COLUMNS attaches NDV sketches on lake tables") {
     val p = "/tmp/graft_test/sqldml_analyze"
     rmdir(p)
