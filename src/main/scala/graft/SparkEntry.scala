@@ -185,6 +185,7 @@ object SparkEntry {
     "lake_agg_pushdown_group" -> (sources.LakeTable.aggPushdownGroupQuery _),
     "lake_catalog_sql" -> (sources.LakeTable.catalogSqlQuery _),
     "lake_partitions_meta" -> (sources.LakeTable.partitionsMetaQuery _),
+    "lake_mor_partitions" -> (sources.LakeTable.morPartitionsQuery _),
     "lake_ndv_sketch" -> (sources.LakeTable.ndvSketchQuery _),
     "lake_file_granular_delete" -> (sources.LakeTable.fileGranularDeleteQuery _),
     "lake_arbitrated_commit" -> (sources.LakeTable.arbitratedCommitQuery _),
@@ -1123,6 +1124,16 @@ object SparkEntry {
         |SELECT concat('event_type=', event_type) AS part, count(*) AS record_count
         |FROM events GROUP BY 1
         |ORDER BY part""".stripMargin,
+    // lake_mor_partitions: the partitions rollup served THROUGH live
+    // position-delete and deletion-vector manifests (metadata-only;
+    // both representations + global-count agreement require'd
+    // in-query) must equal a direct recompute with the deletes applied
+    "lake_mor_partitions" ->
+      """SELECT concat('identity_event_type=', event_type) AS part,
+        |       count(*) AS record_count
+        |FROM events
+        |WHERE event_id % 10 NOT IN (0, 1)
+        |GROUP BY 1 ORDER BY part""".stripMargin,
     // lake_file_granular_delete: after a partition-aligned delete of
     // 'click' (require'd metadata-only) and a boundary delete of
     // every 10th 'view' (require'd carry + layout-preserving

@@ -1,0 +1,132 @@
+package graft
+
+import graft.sources.LakeTable
+import graft.sources.LakeTable.PartitionTransform
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MoR-aware METADATA PLANE (round-10, verdict "missing" #1):
+  * position deletes and deletion vectors are per-file row indexes, so
+  * their counts subtract EXACTLY from manifest metadata — `partitions`
+  * and the count(*) metadata pushdowns stay available through MoR
+  * ingest; only equality deletes (key-granular, per-file match counts
+  * unknowable) still refuse. */
+class MorMetadataSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private def mkPartitioned(p: String): Unit = {
+    SparkSpec.rmdir(p)
+    val df = (0 until 300)
+      .map(i => (i.toLong, (i % 3).toLong, i * 1.0)).toDF("k", "day", "v")
+    LakeTable.overwriteHiddenPartitioned(
+      df, p, Seq(PartitionTransform("day", "identity")))
+  }
+
+  test("partitions subtracts position deletes exactly, per partition") {
+    val p = "/tmp/graft_test/mormeta_pos"
+    mkPartitioned(p)
+    // delete 10 rows of day 0 and 5 of day 1, row-granular
+    LakeTable.deleteMoRPositional(spark, p,
+      (col("day") === 0L && col("k") < 30L) ||
+        (col("day") === 1L && col("k") < 16L))
+    val rollup = LakeTable.partitions(spark, p).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // ground truth from the assembled read
+    val truth = LakeTable.read(spark, p).groupBy("day").count().collect()
+      .map(r => s"identity_day=${r.getLong(0)}" -> r.getLong(1)).toMap
+    assert(rollup === truth, s"rollup $rollup must equal read-side $truth")
+    assert(rollup("identity_day=0") === 90L && rollup("identity_day=1") === 95L)
+  }
+
+  test("partitions subtracts DV deletes; overlapping posdel+DV never double-count") {
+    val p = "/tmp/graft_test/mormeta_dv"
+    mkPartitioned(p)
+    LakeTable.deleteMoRVector(spark, p, col("k") < 30L) // 10 per day
+    val afterDv = LakeTable.partitions(spark, p).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(afterDv.values.sum === 270L, s"300 - 30 deleted: $afterDv")
+    // a second, posdel-shaped delete over the VISIBLE state — plus a
+    // hand-staged overlap would be invisible anyway because the
+    // union-popcount folds both representations into one bitmap
+    LakeTable.deleteMoRPositional(spark, p, col("k") >= 290L)
+    val both = LakeTable.partitions(spark, p).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(both.values.sum === 260L, s"270 - 10 more: $both")
+    val truth = LakeTable.read(spark, p).count()
+    assert(both.values.sum === truth)
+  }
+
+  test("equality deletes still refuse the rollup; compact lifts it") {
+    val p = "/tmp/graft_test/mormeta_eq"
+    mkPartitioned(p)
+    LakeTable.deleteMoR(spark, p, "k", col("k") < 10L)
+    val e = intercept[Exception](LakeTable.partitions(spark, p).collect())
+    assert(e.getMessage.contains("EQUALITY") && e.getMessage.contains("compact"))
+    LakeTable.compact(spark, p)
+    assert(LakeTable.partitions(spark, p)
+      .agg(sum("record_count")).head.getLong(0) === 290L)
+  }
+
+  test("count(*) metadata pushdown answers through pos/DV deletes; min/max refuse") {
+    val wh = "/tmp/graft_test/mormeta_cat"
+    SparkSpec.rmdir(wh)
+    spark.conf.set("spark.sql.catalog.morc", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.morc.warehouse", wh)
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS morc.db")
+      spark.sql("CREATE TABLE morc.db.t (k BIGINT, v DOUBLE) USING graftlake")
+      spark.sql("INSERT INTO morc.db.t SELECT id, id * 1.0 FROM range(0, 500)")
+      val p = s"$wh/db/t"
+      LakeTable.deleteMoRPositional(spark, p, col("k") < 40L)
+      LakeTable.deleteMoRVector(spark, p, col("k") >= 480L)
+      // the V2 file scan refuses MoR snapshots, so a successful
+      // count(*) PROVES the metadata pushdown answered it — with the
+      // 60 deleted rows subtracted
+      assert(spark.sql("SELECT count(*) FROM morc.db.t").head.getLong(0) === 440L)
+      // min/max cannot be served (an extremal row may be deleted):
+      // the pushdown declines and the scan's MoR refusal surfaces
+      val e = intercept[Exception](
+        spark.sql("SELECT min(k) FROM morc.db.t").collect())
+      assert(e.getMessage.contains("compact"), e.getMessage)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.morc")
+      spark.conf.unset("spark.sql.catalog.morc.warehouse")
+    }
+  }
+
+  test("GROUP BY count(*) pushdown subtracts per group through posdel") {
+    val p = "/tmp/graft_test/mormeta_group"
+    mkPartitioned(p)
+    LakeTable.deleteMoRPositional(spark, p, col("day") === 2L && col("k") < 60L)
+    val groups = LakeTable.metadataGroupAggregate(
+      spark, p, LakeTable.latestVersion(p).get, Seq("day"),
+      minCols = Nil, maxCols = Nil, needCount = true)
+    assert(groups.isDefined, "count-only group pushdown must answer under posdel")
+    val counts = groups.get.map(g => g.key.head -> g.count.get).toMap
+    assert(counts === Map(0L -> 100L, 1L -> 100L, 2L -> 80L), s"$counts")
+    // min/max refuse under MoR
+    assert(LakeTable.metadataGroupAggregate(
+      spark, p, LakeTable.latestVersion(p).get, Seq("day"),
+      minCols = Seq("v"), maxCols = Nil, needCount = true).isEmpty)
+  }
+
+  test("stale delete rows referencing dropped files do not undercount") {
+    val p = "/tmp/graft_test/mormeta_stale"
+    SparkSpec.rmdir(p)
+    LakeTable.overwrite(
+      (0 until 100).map(i => (i.toLong, i * 1.0)).toDF("k", "v"), p)
+    LakeTable.deleteMoRPositional(spark, p, col("k") < 20L)
+    // CoW delete drops/rewrites the referenced files under NEW paths;
+    // the posdel manifest carries but its rows now match nothing
+    LakeTable.delete(spark, p, col("k") >= 90L)
+    val v = LakeTable.latestVersion(p).get
+    val ans = LakeTable.metadataAggregate(
+      spark, p, v, Nil, Nil, needCount = true)
+    // honest either way: answered → must equal the true count
+    val truth = LakeTable.read(spark, p).count()
+    ans.foreach(a => assert(a.count.contains(truth),
+      s"metadata count ${a.count} must equal read-side $truth"))
+    assert(truth === 70L)
+  }
+}
