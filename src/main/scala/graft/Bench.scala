@@ -79,6 +79,21 @@ object Bench {
     }
     def cachedMb(): Double =
       spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum / 1e6
+    // ACTUAL storage I/O of this process (page-cache hits excluded):
+    // /proc/self/io read_bytes counts block-device reads only, so a
+    // per-query delta directly names "OS page-cache cold" as the
+    // cause of a slow outlier — the one attribution gc/eviction
+    // telemetry cannot see (round-9 verdict #2). local[N] executors
+    // share this JVM, so self-io covers every task thread. -1 when
+    // the platform has no procfs (telemetry absent, never wrong).
+    def diskReadBytes(): Long = try {
+      val src = scala.io.Source.fromFile("/proc/self/io")
+      try src.getLines()
+        .collectFirst { case l if l.startsWith("read_bytes:") =>
+          l.substring(l.indexOf(':') + 1).trim.toLong }
+        .getOrElse(-1L)
+      finally src.close()
+    } catch { case _: Throwable => -1L }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(t => only.forall(_.contains(t._1)))
       .map { case (name, fn) =>
@@ -87,7 +102,7 @@ object Bench {
         graft.etl.Preprocess.clearSharedCaches()
         graft.sources.LakeTable.clearSharedCaches()
       }
-      val (gc0, mem0) = (gcMs(), cachedMb())
+      val (gc0, mem0, io0) = (gcMs(), cachedMb(), diskReadBytes())
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -97,16 +112,19 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       val gcDelta = gcMs() - gc0
       val evictMb = math.max(0.0, mem0 - cachedMb())
+      val diskMb =
+        if (io0 < 0) -1.0 else math.max(0L, diskReadBytes() - io0) / 1e6
       System.err.println( // progress + attribution, stderr only
-        f"[bench] $name%-28s $sec%8.3f s  gc=$gcDelta%4d ms  evict=$evictMb%6.1f MB")
-      name -> ((sec, gcDelta, evictMb))
+        f"[bench] $name%-28s $sec%8.3f s  gc=$gcDelta%4d ms  " +
+          f"evict=$evictMb%6.1f MB  disk=$diskMb%7.1f MB")
+      name -> ((sec, gcDelta, evictMb, diskMb))
     }.toMap
     // Round to ms so the stdout JSON line stays well under any
     // tail-truncation window (round 1 lost 4 timings to a ~4 KB line).
     // Locale.ROOT: the f interpolator uses the default locale, and a
     // comma-decimal locale would emit invalid JSON.
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def numMap(f: ((Double, Long, Double)) => String): String = results.toSeq.sortBy(_._1)
+    def numMap(f: ((Double, Long, Double, Double)) => String): String = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val qs = numMap(v => fmt(v._1))
@@ -131,6 +149,7 @@ object Bench {
     val fileJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$failedJson,""" +
       s""""gc_ms":${numMap(_._2.toString)},"evict_mb":${numMap(v => fmt(v._3))},""" +
+      s""""disk_read_mb":${numMap(v => fmt(v._4))},""" +
       s""""sf":"${jesc(sfDir)}","total_sec":${fmt(total)}}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LATEST.json")
     try java.nio.file.Files.write(
