@@ -49,7 +49,30 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
     with org.apache.spark.sql.connector.catalog.StagingTableCatalog
-    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+
+  /** Iceberg-style `CALL cat.system.<proc>(…)` through Spark 4's
+    * NATIVE ProcedureCatalog route — stock grammar, analyzer-bound
+    * named/positional args, declared defaults; procedures route onto
+    * the same maintenance machinery as the OPTIMIZE/VACUUM/RESTORE
+    * statements ([[GraftProcedures]]). */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace.length == 1 &&
+        ident.namespace.head.equalsIgnoreCase("system"),
+      s"procedures live in the 'system' namespace: CALL ${name()}.system.<proc>(…)")
+    GraftProcedures.load(this, spark, ident.name).getOrElse(
+      throw new UnsupportedOperationException(
+        s"unknown procedure '${ident.name}' — supported: " +
+          GraftProcedures.names.mkString(", ")))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty ||
+        (namespace.length == 1 && namespace.head.equalsIgnoreCase("system")))
+      GraftProcedures.names.map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
 
   /** The layout functions of the lake format ([[GraftBucketFunction]])
     * — Spark resolves a scan-reported bucket transform against the

@@ -1,0 +1,191 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One Iceberg-style SQL maintenance procedure, served through
+  * Spark 4's NATIVE `ProcedureCatalog` route — `CALL cat.system.p(…)`
+  * parses in stock grammar, the analyzer binds named/positional
+  * arguments and fills declared defaults against [[parameters]], and
+  * the result surfaces as a one-row [[LocalScan]] (the honest plan
+  * for a driver-computed summary). No custom parsing anywhere. */
+private[sources] final class GraftProcedure(
+    procName: String,
+    params: Seq[ProcedureParameter],
+    outSchema: StructType,
+    desc: String)(
+    body: Seq[Option[Any]] => Seq[Seq[Any]])
+  extends UnboundProcedure with BoundProcedure {
+  override def name(): String = procName
+  override def description(): String = desc
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = params.toArray
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): util.Iterator[Scan] = {
+    val args = params.zipWithIndex.map { case (p, i) =>
+      if (input.numFields <= i || input.isNullAt(i)) None
+      else Some(input.get(i, p.dataType()) match {
+        case s: UTF8String => s.toString
+        case other => other
+      })
+    }
+    val out = body(args)
+    val scan: Scan = new LocalScan {
+      override def readSchema(): StructType = outSchema
+      override def rows(): Array[InternalRow] = out.map { r =>
+        new GenericInternalRow(r.map {
+          case s: String => UTF8String.fromString(s)
+          case x => x.asInstanceOf[Any]
+        }.toArray[Any])
+      }.toArray
+      override def description(): String = s"CALL $procName"
+    }
+    util.Collections.singletonList(scan).iterator()
+  }
+}
+
+/** The `system` namespace procedure registry (Iceberg's procedure
+  * names onto the lake's existing maintenance machinery — one commit
+  * protocol whatever surface the op arrives through):
+  *
+  * {{{
+  *   CALL cat.system.expire_snapshots(table => 'db.t', retain_last => 2)
+  *   CALL cat.system.expire_snapshots(table => 'db.t', older_than => '2026-01-01')
+  *   CALL cat.system.remove_orphan_files(table => 'db.t')
+  *   CALL cat.system.rewrite_data_files(table => 'db.t')      -- binpack, 128 MiB
+  *   CALL cat.system.rollback_to_snapshot(table => 'db.t', version => 3)
+  *   CALL cat.system.rollback_to_timestamp(table => 'db.t', timestamp => '…')
+  *   CALL cat.system.fast_forward(table => 'db.t', branch => 'audit')
+  *   CALL cat.system.compute_table_stats(table => 'db.t' [, columns => 'a,b'])
+  * }}}
+  *
+  * `table` resolves inside the calling catalog (`db.t`) or as an
+  * absolute lake path. Unknown procedures fail loudly with the
+  * supported list. */
+private[sources] object GraftProcedures {
+
+  private def in(n: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(n, dt).build()
+  private def opt(n: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(n, dt).defaultValue("NULL").build()
+
+  private def one(vs: Any*): Seq[Seq[Any]] = Seq(vs.toSeq)
+
+  def names: Seq[String] = Seq(
+    "expire_snapshots", "remove_orphan_files", "rewrite_data_files",
+    "rollback_to_snapshot", "rollback_to_timestamp", "fast_forward",
+    "compute_table_stats")
+
+  def load(cat: GraftCatalog, spark: => SparkSession, name: String)
+      : Option[UnboundProcedure] = {
+    def pathOf(t: Any): String = {
+      val s = t.toString
+      if (s.startsWith("/")) s
+      else cat.lakeTablePath(s.split('.').toSeq).getOrElse(
+        throw new IllegalArgumentException(
+          s"CALL system.$name: '$s' is not a lake table of this catalog " +
+            "(use 'ns.table' or an absolute lake path)"))
+    }
+    def str(a: Option[Any]): Option[String] = a.map(_.toString)
+    def int(a: Option[Any]): Option[Int] = a.map {
+      case i: Int => i
+      case l: Long => l.toInt
+      case o => o.toString.toInt
+    }
+    def long(a: Option[Any]): Option[Long] = a.map {
+      case i: Int => i.toLong
+      case l: Long => l
+      case o => o.toString.toLong
+    }
+    val p = name.toLowerCase(java.util.Locale.ROOT) match {
+      case "expire_snapshots" => Some(new GraftProcedure(
+        "expire_snapshots",
+        Seq(in("table", StringType),
+          opt("older_than", StringType), opt("retain_last", IntegerType)),
+        StructType(Seq(StructField("deleted_data_files_count", LongType))),
+        "Expire old snapshots (older_than timestamp and/or retain_last count); " +
+          "tagged snapshots and the head are always pinned.")(args => {
+        val path = pathOf(args(0).get)
+        val older = str(args(1))
+        val retain = int(args(2))
+        require(older.nonEmpty || retain.nonEmpty,
+          "CALL system.expire_snapshots: pass older_than => '<ts>' " +
+            "and/or retain_last => n")
+        val a = older.map(ts =>
+          LakeTable.expireOlderThan(spark, path, LakeTable.timestampMillisOf(ts)))
+          .getOrElse(Nil)
+        val b = retain.map(r => LakeTable.expireSnapshots(spark, path, r))
+          .getOrElse(Nil)
+        one((a.size + b.size).toLong)
+      }))
+      case "remove_orphan_files" => Some(new GraftProcedure(
+        "remove_orphan_files",
+        Seq(in("table", StringType)),
+        StructType(Seq(StructField("orphan_file_count", LongType))),
+        "Delete data files referenced by no live manifest (grace-gated).")(args => {
+        one(LakeTable.removeOrphans(spark, pathOf(args(0).get)).size.toLong)
+      }))
+      case "rewrite_data_files" => Some(new GraftProcedure(
+        "rewrite_data_files",
+        Seq(in("table", StringType), opt("target_file_size_bytes", LongType)),
+        StructType(Seq(StructField("version", IntegerType))),
+        "Binpack files smaller than the target (default 128 MiB) within " +
+          "the table's partition layout; right-sized files carry untouched.")(args => {
+        val target = long(args(1)).getOrElse(128L * 1024 * 1024)
+        require(target > 0, "target_file_size_bytes must be positive")
+        one(LakeTable.compactSmall(spark, pathOf(args(0).get), target))
+      }))
+      case "rollback_to_snapshot" => Some(new GraftProcedure(
+        "rollback_to_snapshot",
+        Seq(in("table", StringType), in("version", IntegerType)),
+        StructType(Seq(StructField("version", IntegerType))),
+        "Roll the table back to an earlier version as a NEW forward " +
+          "commit (history never rewrites).")(args => {
+        one(LakeTable.rollback(spark, pathOf(args(0).get), int(args(1)).get))
+      }))
+      case "rollback_to_timestamp" => Some(new GraftProcedure(
+        "rollback_to_timestamp",
+        Seq(in("table", StringType), in("timestamp", StringType)),
+        StructType(Seq(StructField("version", IntegerType))),
+        "Roll back to the snapshot current as of the timestamp.")(args => {
+        val path = pathOf(args(0).get)
+        one(LakeTable.rollback(spark, path, LakeTable.versionAsOf(
+          spark, path, LakeTable.timestampMillisOf(str(args(1)).get))))
+      }))
+      case "fast_forward" => Some(new GraftProcedure(
+        "fast_forward",
+        Seq(in("table", StringType), in("branch", StringType)),
+        StructType(Seq(StructField("version", IntegerType))),
+        "Fast-forward main to a branch's head (refused on divergence).")(args => {
+        one(LakeTable.fastForward(spark, pathOf(args(0).get), str(args(1)).get))
+      }))
+      case "compute_table_stats" => Some(new GraftProcedure(
+        "compute_table_stats",
+        Seq(in("table", StringType), opt("columns", StringType)),
+        StructType(Seq(StructField("version", IntegerType))),
+        "Attach per-file NDV sketches (ANALYZE) for the named columns, " +
+          "or every sketchable column when omitted.")(args => {
+        val path = pathOf(args(0).get)
+        val cols = str(args(1))
+          .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse {
+            val all = LakeTable.read(spark, path).schema.fields
+              .filter(f => LakeTable.ndvSketchable(f.dataType)).map(_.name).toSeq
+            require(all.nonEmpty,
+              s"compute_table_stats at $path: no sketchable column")
+            all
+          }
+        one(LakeTable.analyzeNdv(spark, path, cols))
+      }))
+      case _ => None
+    }
+    p
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import graft.sources.LakeTable
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Iceberg-style `CALL cat.system.<proc>(…)` through Spark 4's native
+  * ProcedureCatalog route: stock grammar, analyzer-bound named args,
+  * declared defaults, LocalScan results. */
+class CallProcedureSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private val wh = "/tmp/graft_test/callproc_wh"
+
+  private def withCat[A](body: => A): A = {
+    spark.conf.set("spark.sql.catalog.callc", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.callc.warehouse", wh)
+    try body
+    finally {
+      spark.conf.unset("spark.sql.catalog.callc")
+      spark.conf.unset("spark.sql.catalog.callc.warehouse")
+    }
+  }
+
+  test("rewrite_data_files binpacks; expire_snapshots + remove_orphan_files GC") {
+    SparkSpec.rmdir(wh)
+    withCat {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS callc.db")
+      spark.sql("CREATE TABLE callc.db.t (k BIGINT, v DOUBLE) USING graftlake")
+      (0 until 3).foreach { g =>
+        spark.sql(s"INSERT INTO callc.db.t SELECT id, id * 1.0 FROM range(${g * 100}, ${g * 100 + 100})")
+      }
+      val p = s"$wh/db/t"
+      val filesBefore = LakeTable.entriesOf(p, LakeTable.latestVersion(p).get).size
+      val out = spark.sql(
+        "CALL callc.system.rewrite_data_files(table => 'db.t')").collect()
+      assert(out.length == 1 && out.head.getInt(0) > 0)
+      val filesAfter = LakeTable.entriesOf(p, LakeTable.latestVersion(p).get).size
+      assert(filesAfter < filesBefore, s"binpack must fold: $filesBefore -> $filesAfter")
+      assert(spark.table("callc.db.t").count() === 300)
+      // positional arg form works too (Spark binds by position)
+      spark.sql("CALL callc.system.expire_snapshots('db.t', retain_last => 1)")
+      val live = (0 to LakeTable.latestVersion(p).get).count(v =>
+        java.nio.file.Files.exists(java.nio.file.Paths.get(s"$p/_graft_meta/v$v")))
+      assert(live === 1, s"retain_last => 1 must leave one live version, got $live")
+      val orphans = spark.sql(
+        "CALL callc.system.remove_orphan_files(table => 'db.t')").head.getLong(0)
+      assert(orphans >= 0L)
+      assert(spark.table("callc.db.t").count() === 300)
+    }
+  }
+
+  test("rollback_to_snapshot and compute_table_stats route to the library") {
+    SparkSpec.rmdir(wh)
+    withCat {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS callc.db")
+      spark.sql("CREATE TABLE callc.db.r (k BIGINT) USING graftlake")
+      spark.sql("INSERT INTO callc.db.r VALUES (1), (2)") // v1
+      spark.sql("INSERT INTO callc.db.r VALUES (3)") // v2
+      spark.sql("CALL callc.system.rollback_to_snapshot(table => 'db.r', version => 1)")
+      assert(spark.table("callc.db.r").count() === 2)
+      val p = s"$wh/db/r"
+      spark.sql("CALL callc.system.compute_table_stats(table => 'db.r')")
+      assert(LakeTable.approxCountDistinct(spark, p, "k") === 2L,
+        "ANALYZE via CALL must attach NDV sketches")
+    }
+  }
+
+  test("unknown procedure and non-lake table refuse loudly") {
+    SparkSpec.rmdir(wh)
+    withCat {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS callc.db")
+      val e1 = intercept[Exception](
+        spark.sql("CALL callc.system.frobnicate(table => 'db.t')"))
+      // Spark wraps loadProcedure failures in FAILED_TO_LOAD_ROUTINE;
+      // the supported-procedure list rides the cause chain
+      val msgs = Iterator.iterate[Throwable](e1)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+      assert(msgs.contains("supported") || msgs.contains("Failed to load routine"),
+        msgs)
+      spark.sql("CREATE TABLE callc.db.ok (k BIGINT) USING graftlake")
+      val e2 = intercept[Exception](
+        spark.sql("CALL callc.system.rewrite_data_files(table => 'db.nope')")
+          .collect())
+      assert(e2.getMessage.contains("not a lake table"), e2.getMessage)
+    }
+  }
+}
