@@ -133,3 +133,181 @@ class InProcessCatalogArbiter(claimGraceMs: Long = 60000L,
   def headOf(table: String): Int =
     Option(tables.get(table)).map(_.head).getOrElse(-1)
 }
+
+/** A failed/ambiguous arbitration round trip. A commit must NEVER
+  * proceed unarbitrated: on outage or timeout the commit fails
+  * loudly and the caller's retry loop (or operator) decides. */
+class CommitArbitrationException(msg: String, cause: Throwable = null)
+  extends RuntimeException(msg, cause)
+
+/** The catalog service over a REAL wire: a loopback TCP server
+  * speaking newline-delimited JSON requests
+  * (`{"op":"tryClaim","table":"…","v":3}` → `{"ok":true}`), wrapping
+  * the same [[InProcessCatalogArbiter]] state machine — so the
+  * protocol a REST/JDBC catalog would run (claim CAS, publish,
+  * crash-steal past the grace window) is exercised including request
+  * serialization, connection lifecycle, and client timeouts, which
+  * the in-process stand-in cannot test. One instance models one
+  * catalog service; writers attach [[SocketCatalogArbiter]] clients.
+  * Loopback-only by construction (the bind address is hardcoded). */
+final class CatalogWireServer(
+    claimGraceMs: Long = 60000L,
+    clock: () => Long = () => System.currentTimeMillis())
+  extends AutoCloseable {
+
+  private val inner = new InProcessCatalogArbiter(claimGraceMs, clock)
+  private val server = new java.net.ServerSocket(
+    0, 50, java.net.InetAddress.getLoopbackAddress)
+  @volatile private var running = true
+
+  def port: Int = server.getLocalPort
+  def refusedClaims: Int = inner.refusedClaims.get
+  def stolenClaims: Int = inner.stolenClaims.get
+  def headOf(table: String): Int = inner.headOf(table)
+
+  private val acceptor = new Thread(() => {
+    var alive = true
+    while (alive && running) {
+      try {
+        val sock = server.accept()
+        val t = new Thread(() => serve(sock), "graft-catalog-conn")
+        t.setDaemon(true)
+        t.start()
+      } catch { case _: Throwable => alive = running && !server.isClosed }
+    }
+  }, "graft-catalog-accept")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  private def serve(sock: java.net.Socket): Unit = {
+    try {
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
+      val out = new java.io.PrintWriter(
+        new java.io.OutputStreamWriter(sock.getOutputStream, "UTF-8"), true)
+      var line = in.readLine()
+      while (line != null) {
+        out.println(handle(line))
+        line = in.readLine()
+      }
+    } catch { case _: Throwable => () }
+    finally sock.close()
+  }
+
+  private def handle(line: String): String = {
+    // the three-field request grammar, parsed defensively: a
+    // malformed line answers an error object, never kills the
+    // connection (the client surfaces it as a refused commit).
+    // String values handle JSON escapes — table names are filesystem
+    // paths and may carry quotes/backslashes
+    def field(k: String): Option[String] = {
+      val m = ("\"" + k + "\"\\s*:\\s*(\"((?:[^\"\\\\]|\\\\.)*)\"|-?\\d+)").r
+        .findFirstMatchIn(line)
+      m.map(mm => Option(mm.group(2))
+        .map(s => """\\(.)""".r.replaceAllIn(
+          s, g => scala.util.matching.Regex.quoteReplacement(g.group(1))))
+        .getOrElse(mm.group(1)))
+    }
+    try {
+      val op = field("op").getOrElse(sys.error("missing op"))
+      val table = field("table").getOrElse(sys.error("missing table"))
+      val v = field("v").map(_.toInt).getOrElse(sys.error("missing v"))
+      val ok = op match {
+        case "observed" => inner.observed(table, v); true
+        case "tryClaim" => inner.tryClaim(table, v)
+        case "published" => inner.published(table, v); true
+        case "abandon" => inner.abandon(table, v); true
+        case other => sys.error(s"unknown op '$other'")
+      }
+      s"""{"ok":$ok}"""
+    } catch {
+      case e: Throwable =>
+        val m = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+          .replace("\\", "\\\\").replace("\"", "\\\"")
+        s"""{"error":"$m"}"""
+    }
+  }
+
+  override def close(): Unit = {
+    running = false
+    server.close()
+  }
+}
+
+/** [[CommitArbiter]] client over a real socket — what a writer node
+  * runs against the catalog service. One persistent connection,
+  * newline-delimited JSON, `timeoutMs` socket timeout on every round
+  * trip. Honest outage semantics: a TIMEOUT throws immediately (the
+  * server may or may not have applied the op — re-sending a claim
+  * after an ambiguous timeout could double-grant, so ambiguity
+  * surfaces to the commit loop instead); a dropped idle connection
+  * gets ONE reconnect, then throws. A commit never proceeds
+  * unarbitrated. */
+final class SocketCatalogArbiter(host: String, port: Int, timeoutMs: Int = 5000)
+  extends CommitArbiter with AutoCloseable {
+
+  private var sock: java.net.Socket = _
+  private var in: java.io.BufferedReader = _
+  private var out: java.io.PrintWriter = _
+
+  private def connect(): Unit = {
+    sock = new java.net.Socket()
+    sock.connect(new java.net.InetSocketAddress(host, port), timeoutMs)
+    sock.setSoTimeout(timeoutMs)
+    in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
+    out = new java.io.PrintWriter(
+      new java.io.OutputStreamWriter(sock.getOutputStream, "UTF-8"), true)
+  }
+
+  private def jstr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  private def request(op: String, table: String, v: Int): Boolean = synchronized {
+    val line = s"""{"op":${jstr(op)},"table":${jstr(table)},"v":$v}"""
+    def roundTrip(): String = {
+      if (sock == null || sock.isClosed) connect()
+      out.println(line)
+      val resp = in.readLine()
+      if (resp == null) throw new java.io.IOException("connection closed")
+      resp
+    }
+    val resp =
+      try roundTrip()
+      catch {
+        case e: java.net.SocketTimeoutException =>
+          throw new CommitArbitrationException(
+            s"catalog did not answer $op($table, $v) within ${timeoutMs}ms — " +
+              "ambiguous outcome, commit refused", e)
+        case _: java.io.IOException =>
+          // a dropped idle connection is unambiguous (nothing was
+          // answered): reconnect once; a second failure surfaces
+          try close() catch { case _: Throwable => () }
+          try { connect(); roundTrip() }
+          catch {
+            case e2: java.io.IOException =>
+              throw new CommitArbitrationException(
+                s"catalog unreachable for $op($table, $v)", e2)
+          }
+      }
+    if (resp.contains("\"ok\":true")) true
+    else if (resp.contains("\"ok\":false")) false
+    else throw new CommitArbitrationException(
+      s"catalog rejected $op($table, $v): $resp")
+  }
+
+  override def observed(table: String, head: Int): Unit = {
+    request("observed", table, head); ()
+  }
+  override def tryClaim(table: String, next: Int): Boolean =
+    request("tryClaim", table, next)
+  override def published(table: String, next: Int): Unit = {
+    request("published", table, next); ()
+  }
+  override def abandon(table: String, next: Int): Unit = {
+    request("abandon", table, next); ()
+  }
+
+  override def close(): Unit =
+    if (sock != null) { sock.close(); sock = null }
+}
