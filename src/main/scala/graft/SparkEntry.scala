@@ -186,6 +186,7 @@ object SparkEntry {
     "lake_catalog_sql" -> (sources.LakeTable.catalogSqlQuery _),
     "lake_partitions_meta" -> (sources.LakeTable.partitionsMetaQuery _),
     "lake_mor_partitions" -> (sources.LakeTable.morPartitionsQuery _),
+    "lake_row_lineage" -> (sources.LakeTable.rowLineageQuery _),
     "lake_ndv_sketch" -> (sources.LakeTable.ndvSketchQuery _),
     "lake_file_granular_delete" -> (sources.LakeTable.fileGranularDeleteQuery _),
     "lake_arbitrated_commit" -> (sources.LakeTable.arbitratedCommitQuery _),
@@ -1134,6 +1135,18 @@ object SparkEntry {
         |FROM events
         |WHERE event_id % 10 NOT IN (0, 1)
         |GROUP BY 1 ORDER BY part""".stripMargin,
+    // lake_row_lineage: rows land as ONE event_id-ordered file, so
+    // _row_id is the 0-based event_id rank; an UPDATE (clicks, commit
+    // seq 2) and a DELETE (every 7th id) must preserve survivors' ids
+    // and bump exactly the updated rows' last-updated sequence
+    "lake_row_lineage" ->
+      """SELECT event_id, row_id, last_upd FROM (
+        |  SELECT event_id,
+        |         CAST(row_number() OVER (ORDER BY event_id) - 1 AS BIGINT) AS row_id,
+        |         CAST(CASE WHEN event_type = 'click' THEN 2 ELSE 0 END AS BIGINT) AS last_upd
+        |  FROM events) t
+        |WHERE event_id % 7 <> 0
+        |ORDER BY event_id""".stripMargin,
     // lake_file_granular_delete: after a partition-aligned delete of
     // 'click' (require'd metadata-only) and a boundary delete of
     // every 10th 'view' (require'd carry + layout-preserving

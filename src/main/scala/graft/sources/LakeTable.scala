@@ -52,7 +52,7 @@ import org.apache.spark.sql.functions._
   * back to the interpreted encoder (round-9 verdict "wrong" #1). */
 private[sources] case class ManifestRow(
     file: String, base: String, stats: Map[String, Seq[Double]],
-    bytes: Long, bloom: Map[String, Seq[Long]], rows: Long)
+    bytes: Long, bloom: Map[String, Seq[Long]], rows: Long, frid: Long)
 
 /** Columnar manifest-LIST rows — top-level for the same codegen
   * reason as [[ManifestRow]]. */
@@ -61,7 +61,8 @@ private[sources] case class ListRow(
     manifest: String, base: String, kind: String, operation: String,
     committed_at: Long, seq: Int, n_files: Long,
     ranges: Map[String, Seq[Double]], cols: Map[String, Int],
-    pspec: Seq[PspecRow], partial: Boolean)
+    pspec: Seq[PspecRow], partial: Boolean,
+    n_rows: Long, first_row_id: Long)
 
 object LakeTable {
 
@@ -102,7 +103,14 @@ object LakeTable {
       // what lets count(*) (and scan cardinality estimates) be answered
       // from metadata alone; -1 on legacy/derived entries = "unknown,
       // refuse metadata-only answers that need it"
-      rows: Long = -1L)
+      rows: Long = -1L,
+      // EXPLICIT first-row-id of this file (row lineage, S10d):
+      // normally a file's ids derive as manifest.firstRowId + the
+      // cumulative rows of the entries before it, but a PARTIAL carry
+      // (file-granular DML, binpack) drops entries — offsets derived
+      // from the smaller list would silently reassign ids, so carries
+      // pin each kept file's base here. -1 = derive from the manifest
+      frid: Long = -1L)
 
   /** One manifest-LIST row: an immutable manifest file plus everything
     * planning needs WITHOUT opening it — the commit dir all its
@@ -129,7 +137,19 @@ object LakeTable {
       // (binpack's re-manifest of the kept files): readers must use
       // the explicit file list — a whole-dir scan would resurrect the
       // folded files that still sit in the dir for older versions
-      partial: Boolean = false)
+      partial: Boolean = false,
+      // total rows over the entries (-1 = some entry unknown) —
+      // what advances the row-id counter without re-reading entries
+      nRows: Long = -1L,
+      // ROW LINEAGE (Iceberg v3 _row_id, S10d): the first row id of
+      // this manifest's row span. A row's durable id = firstRowId +
+      // cumulative offset of its file (entry order, see
+      // [[fridMapOf]]) + its index within the file. -1 = lineage not
+      // tracked for this manifest (pre-enable vintage — reads
+      // refuse); -2 = the files MATERIALIZE lineage as physical
+      // columns (every rewrite writes them, so ids survive
+      // compaction and file-granular DML)
+      firstRowId: Long = -1L)
 
   /** One hidden-partition transform (Iceberg's spec entry): derive a
     * partition value from `source` without adding a user-visible
@@ -250,7 +270,8 @@ object LakeTable {
       val spark = SparkSession.active
       import spark.implicits._
       writeSingleParquet(spark,
-        entries.map(e => ManifestRow(e.file, e.base, e.stats, e.bytes, e.bloom, e.rows)).toDF(),
+        entries.map(e =>
+          ManifestRow(e.file, e.base, e.stats, e.bytes, e.bloom, e.rows, e.frid)).toDF(),
         mf)
     } else {
     def jbloom(m: Map[String, Seq[Long]]): String =
@@ -261,6 +282,7 @@ object LakeTable {
       s"{${jstr("file")}:${jstr(e.file)},${jstr("base")}:${jstr(e.base)}," +
         s"${jstr("stats")}:${jstats(e.stats)},${jstr("bytes")}:${e.bytes}" +
         (if (e.rows < 0) "" else s",${jstr("rows")}:${e.rows}") +
+        (if (e.frid < 0) "" else s",${jstr("frid")}:${e.frid}") +
         (if (e.bloom.isEmpty) "" else s",${jstr("bloom")}:${jbloom(e.bloom)}") + "}")
     Files.write(mf, lines.asJava)
     }
@@ -272,7 +294,8 @@ object LakeTable {
       val bs = entries.map(_.stats(c))
       c -> Seq(bs.map(_.head).min, bs.map(_.last).max)
     }.toMap
-    ManifestRef(mf.toString, bases.head, kind, -1, entries.size, ranges, fieldIds)
+    ManifestRef(mf.toString, bases.head, kind, -1, entries.size, ranges, fieldIds,
+      nRows = if (entries.forall(_.rows >= 0)) entries.map(_.rows).sum else -1L)
   }
 
   /** The entries of one manifest, stamped with its list row's
@@ -291,7 +314,8 @@ object LakeTable {
           mapOf[Double]("stats"), ref.kind, ref.seq, ref.cols,
           mapOf[Long]("bloom"), r.getAs[Long]("bytes"),
           // manifests written before rows were recorded lack the column
-          if (r.schema.fieldNames.contains("rows")) r.getAs[Long]("rows") else -1L)
+          if (r.schema.fieldNames.contains("rows")) r.getAs[Long]("rows") else -1L,
+          if (r.schema.fieldNames.contains("frid")) r.getAs[Long]("frid") else -1L)
       }
     } else readJsonLines(Paths.get(ref.manifest)).map { n =>
       val bloom = Option(n.get("bloom")).filter(_.isObject).map { o =>
@@ -301,7 +325,8 @@ object LakeTable {
       ManifestEntry(n.get("file").asText, n.get("base").asText,
         nodeStats(n.get("stats")), ref.kind, ref.seq, ref.cols, bloom,
         Option(n.get("bytes")).map(_.asLong(-1L)).getOrElse(-1L),
-        Option(n.get("rows")).map(_.asLong(-1L)).getOrElse(-1L))
+        Option(n.get("rows")).map(_.asLong(-1L)).getOrElse(-1L),
+        Option(n.get("frid")).map(_.asLong(-1L)).getOrElse(-1L))
     }
 
   /** Manifest entries of `refs` as ONE distributed frame under
@@ -328,7 +353,7 @@ object LakeTable {
   private val ListSchema =
     "manifest STRING, base STRING, kind STRING, operation STRING, " +
       "committed_at LONG, seq INT, n_files LONG, ranges MAP<STRING, ARRAY<DOUBLE>>, " +
-      "cols MAP<STRING, INT>"
+      "cols MAP<STRING, INT>, n_rows LONG, first_row_id LONG"
 
   private def listPath(path: String, version: Int) =
     Paths.get(s"${metaDir(path)}/v$version/list.json")
@@ -364,7 +389,9 @@ object LakeTable {
             .map(_.toSeq.map(t => PartitionTransform(
               t.getAs[String]("src"), t.getAs[String]("kind"), t.getAs[Long]("param"))))
             .getOrElse(Nil),
-          r.getAs[Boolean]("partial"))
+          r.getAs[Boolean]("partial"),
+          if (r.schema.fieldNames.contains("n_rows")) r.getAs[Long]("n_rows") else -1L,
+          if (r.schema.fieldNames.contains("first_row_id")) r.getAs[Long]("first_row_id") else -1L)
       }
     else readJsonLines(p)
       .filter(n => n.hasNonNull("manifest"))
@@ -373,7 +400,9 @@ object LakeTable {
           n.get("kind").asText, n.get("seq").asInt,
           n.get("n_files").asLong, nodeStats(n.get("ranges")),
           nodeCols(n.get("cols")), nodePspec(n.get("pspec")),
-          Option(n.get("partial")).exists(_.asBoolean))
+          Option(n.get("partial")).exists(_.asBoolean),
+          Option(n.get("n_rows")).map(_.asLong(-1L)).getOrElse(-1L),
+          Option(n.get("first_row_id")).map(_.asLong(-1L)).getOrElse(-1L))
       }
   }
 
@@ -571,7 +600,7 @@ object LakeTable {
     * versionAsOf() and readable as an empty table. */
   private[graft] def commitRefs(
       spark: SparkSession, path: String, base: Int,
-      refs: Seq[ManifestRef], op: String,
+      refs0: Seq[ManifestRef], op: String,
       schemaCols: Option[Seq[(Int, String)]] = None,
       constraints: Option[Seq[(String, String)]] = None,
       txn: Option[(String, Long)] = None,
@@ -582,7 +611,12 @@ object LakeTable {
       // column defaults (S9d) carry exactly like promotions: the
       // "default" field of the live schema rows, so a dropped id's
       // default never serializes into the next version
-      defaultVals: Option[Map[Int, String]] = None): Int = {
+      defaultVals: Option[Map[Int, String]] = None,
+      // ROW LINEAGE (S10d): true on the enabling commit; the counter
+      // override serves cross-lineage commits (branch adopts the
+      // source's counter, fast-forward takes the max of both sides)
+      enableLineage: Boolean = false,
+      lineageCounterOverride: Option[Long] = None): Int = {
     val next = base + 1
     val md = Paths.get(metaDir(path))
     Files.createDirectories(md)
@@ -601,14 +635,45 @@ object LakeTable {
     // therefore take max(version, max carried seq + 1) — on main the
     // two coincide; on a branch (and on main after a fast-forward
     // adopts branch-assigned seqs) the carried max dominates.
-    val freshSeq = (next +: refs.collect { case r if r.seq >= 0 => r.seq + 1 }).max
+    val freshSeq = (next +: refs0.collect { case r if r.seq >= 0 => r.seq + 1 }).max
+    // ROW LINEAGE assignment: when the table tracks lineage (sidecar
+    // carried from base, enabling commit, or cross-lineage override),
+    // every data manifest still lacking a first-row-id takes the next
+    // span of the MONOTONE counter; materialized (-2) and carried
+    // assignments keep theirs. Ids are never reused — the counter
+    // only advances, like field ids.
+    val lineageCounter0: Option[Long] = lineageCounterOverride.orElse {
+      if (enableLineage)
+        Some(if (base >= 0) nextRowIdOf(path, base).getOrElse(0L) else 0L)
+      else if (base >= 0) nextRowIdOf(path, base)
+      else None
+    }
+    val (refs, lineageNext) = lineageCounter0 match {
+      case None => (refs0, None)
+      case Some(c0) =>
+        var c = c0
+        val out = refs0.map { r =>
+          if (r.kind == "data" && r.nFiles > 0 && r.firstRowId == -1L) {
+            require(r.nRows >= 0,
+              s"row lineage at $path: manifest ${r.manifest} lacks row " +
+                "counts — cannot size its id span (compact the legacy vintage " +
+                "or disable lineage)")
+            val a = r.copy(firstRowId = c); c += r.nRows; a
+          } else r
+        }
+        (out, Some(c))
+    }
+    lineageNext.foreach(c => Files.write(staging.resolve("lineage.json"),
+      Seq(s"{${jstr("next_row_id")}:$c}").asJava))
     def row(r: ManifestRef): String =
       s"{${jstr("manifest")}:${jstr(r.manifest)},${jstr("base")}:${jstr(r.base)}," +
         s"${jstr("kind")}:${jstr(r.kind)},${jstr("operation")}:${jstr(op)}," +
         s"${jstr("committed_at")}:$committedAt,${jstr("seq")}:${if (r.seq < 0) freshSeq else r.seq}," +
         s"${jstr("n_files")}:${r.nFiles},${jstr("ranges")}:${jstats(r.ranges)}," +
         s"${jstr("cols")}:${jcols(r.cols)},${jstr("pspec")}:${jpspec(r.pspec)}," +
-        s"${jstr("partial")}:${r.partial}}"
+        s"${jstr("partial")}:${r.partial}" +
+        (if (r.nRows < 0) "" else s",${jstr("n_rows")}:${r.nRows}") +
+        (if (r.firstRowId == -1L) "" else s",${jstr("first_row_id")}:${r.firstRowId}") + "}"
     if (refs.size > ColumnarMetaThreshold) {
       // columnar list: past the crossover a JSON list is the planning
       // bottleneck (per-row Jackson on every read); parquet keeps the
@@ -617,7 +682,8 @@ object LakeTable {
       writeSingleParquet(spark,
         refs.map(r => ListRow(r.manifest, r.base, r.kind, op, committedAt,
           if (r.seq < 0) freshSeq else r.seq, r.nFiles, r.ranges, r.cols,
-          r.pspec.map(t => PspecRow(t.source, t.kind, t.param)), r.partial)).toDF(),
+          r.pspec.map(t => PspecRow(t.source, t.kind, t.param)), r.partial,
+          r.nRows, r.firstRowId)).toDF(),
         staging.resolve("list.parquet"))
     } else {
     val lines =
@@ -843,7 +909,15 @@ object LakeTable {
         df.columns.toSeq.filterNot(_.startsWith(HiddenPrefix)))
     val entries = writeDataFiles(df, path, partitionCols, maxRecordsPerFile)
     if (entries.isEmpty) None
-    else Some(writeManifest(path, entries, kind, fieldIds).copy(pspec = pspec))
+    else {
+      val ref = writeManifest(path, entries, kind, fieldIds).copy(pspec = pspec)
+      // a batch carrying the physical lineage column MATERIALIZES row
+      // ids (rewrites under row lineage) — mark the manifest so reads
+      // trust the columns instead of deriving
+      Some(if (kind == "data" && df.columns.contains(LineageRid))
+        ref.copy(firstRowId = RowIdMaterialized)
+      else ref)
+    }
   }
 
   // ---- CHECK constraints (Delta-style, enforced at write) ----
@@ -1288,8 +1362,7 @@ object LakeTable {
         val keep = es.filterNot(e => replaced(tupleOf(e)))
         if (keep.size == es.size) Some(r)
         else if (keep.isEmpty) None
-        else Some(writeManifest(path, keep, r.kind, r.cols)
-          .copy(seq = r.seq, pspec = r.pspec, partial = true))
+        else Some(reManifestKeep(path, r, keep, es))
       }
     }
     commitRefs(spark, path, base, kept ++ fresh, "overwrite_dynamic")
@@ -1658,11 +1731,191 @@ object LakeTable {
         .parquet(readManifest(ref).map(_.file): _*))
     else dropHidden(spark.read.option("basePath", ref.base).parquet(ref.base))
 
+  // ---- ROW LINEAGE (Iceberg v3 _row_id, S10d) ----
+
+  /** Physical column names materialized lineage rides under in
+    * rewritten parquet files: the `__p_` prefix keeps them invisible
+    * to every normal read (dropHidden) and out of the registered
+    * schema (schemaForWrite filters the prefix) for free. */
+  private[graft] val LineageRid = HiddenPrefix + "row_id"
+  private[graft] val LineageLus = HiddenPrefix + "lus"
+  /** User-facing lineage columns of [[readWithLineage]]. */
+  private[graft] val RowIdCol = "_row_id"
+  private[graft] val LusCol = "_last_updated_sequence_number"
+  /** [[ManifestRef.firstRowId]] sentinel: files materialize lineage
+    * physically (rewrites), nothing derives. */
+  private[graft] val RowIdMaterialized = -2L
+
+  /** Scoped flag: inside [[withLineageCols]] scans KEEP the physical
+    * lineage columns instead of dropping them with the other hidden
+    * columns — the lineage read/rewrite paths wrap their frame
+    * CONSTRUCTION in it (plan building is driver-side + synchronous,
+    * so the dynamic scope is exact) without threading a parameter
+    * through every assembly helper. */
+  private val keepLineageCols = new scala.util.DynamicVariable[Boolean](false)
+  private def withLineageCols[A](body: => A): A =
+    keepLineageCols.withValue(true)(body)
+
   /** Strip reconstructed hidden-partition columns — they are layout,
-    * not data (the `__p_` prefix is reserved for this). */
+    * not data (the `__p_` prefix is reserved for this). Lineage
+    * physicals survive only inside [[withLineageCols]]. */
   private def dropHidden(df: DataFrame): DataFrame = {
-    val hidden = df.columns.filter(_.startsWith(HiddenPrefix))
+    val keep: Set[String] =
+      if (keepLineageCols.value) Set(LineageRid, LineageLus) else Set.empty
+    val hidden = df.columns.filter(c => c.startsWith(HiddenPrefix) && !keep(c))
     if (hidden.isEmpty) df else df.drop(hidden.toIndexedSeq: _*)
+  }
+
+  /** file → first-row-id over one manifest's entries: explicit pins
+    * ([[ManifestEntry.frid]], written by partial carries) win; else
+    * ids derive as manifest.firstRowId + cumulative rows in FILE-PATH
+    * order (every writer emits sorted entries; sorting here makes the
+    * derivation stable whatever encoding the manifest used). */
+  private def fridMapOf(r: ManifestRef, es: Seq[ManifestEntry]): Map[String, Long] =
+    if (es.forall(_.frid >= 0)) es.map(e => e.file -> e.frid).toMap
+    else {
+      require(r.firstRowId >= 0,
+        s"manifest ${r.manifest} does not track row lineage")
+      var off = r.firstRowId
+      es.sortBy(_.file).map { e =>
+        require(e.rows >= 0,
+          s"row lineage: ${e.file} lacks a row count — id derivation impossible")
+        val v = off; off += e.rows; e.file -> v
+      }.toMap
+    }
+
+  /** Re-manifest a SUBSET of `r`'s entries, PINNING per-file first
+    * row ids when the manifest derives lineage: offsets re-derived
+    * over the smaller entry list would silently reassign ids — the
+    * partial-carry rule every file-dropping metadata rewrite
+    * (file-granular DML, binpack, dynamic overwrite) shares. */
+  private def reManifestKeep(
+      path: String, r: ManifestRef, keep: Seq[ManifestEntry],
+      all: => Seq[ManifestEntry]): ManifestRef = {
+    val pinned =
+      if (r.firstRowId < 0) keep // untracked (-1) or materialized (-2)
+      else {
+        val m = fridMapOf(r, all)
+        keep.map(e => if (e.frid >= 0) e else e.copy(frid = m(e.file)))
+      }
+    writeManifest(path, pinned, r.kind, r.cols)
+      .copy(seq = r.seq, pspec = r.pspec, partial = true,
+        firstRowId = r.firstRowId)
+  }
+
+  /** Attach the user-facing lineage columns to an assembled frame
+    * riding [[FpCol]]/[[RiCol]]: `_row_id` = the physical column when
+    * the file materializes lineage, else firstRowId(file) + the row's
+    * index; `_last_updated_sequence_number` = physical else the
+    * manifest's sequence (Iceberg's inheritance rule — an updated
+    * row's NULL physical inherits the updating commit's sequence).
+    * The file → (base id, seq) map is O(#files) planning metadata,
+    * broadcast. */
+  private def attachLineage(
+      spark: SparkSession, cur: DataFrame, live: Seq[ManifestRef],
+      entriesOf: ManifestRef => Seq[ManifestEntry], path: String): DataFrame = {
+    import spark.implicits._
+    live.foreach(r => require(r.firstRowId != -1L,
+      s"row lineage at $path: manifest ${r.manifest} predates lineage " +
+        "enablement — run LakeTable.enableRowLineage"))
+    // derived manifests contribute (file, base id, seq); materialized
+    // ones (file, NULL, seq) — their ids are physical, but the seq
+    // row is what lets an updated row's NULL last-updated INHERIT the
+    // rewriting commit's sequence (the Iceberg inheritance rule)
+    val rows: Seq[(String, java.lang.Long, Int)] = live.flatMap { r =>
+      if (r.firstRowId == RowIdMaterialized)
+        entriesOf(r).map(e => (e.file, null: java.lang.Long, r.seq))
+      else fridMapOf(r, entriesOf(r)).toSeq.map { case (f, b) =>
+        (f, java.lang.Long.valueOf(b), r.seq)
+      }
+    }
+    val withCols = Seq(LineageRid, LineageLus).foldLeft(cur)((d, c) =>
+      if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast("long")))
+    val m = broadcast(rows.toDF("__graft_lf", "__graft_lb", "__graft_ls"))
+    withCols
+      .join(m, regexp_replace(col(FpCol), "^file:(//)?", "") === col("__graft_lf"),
+        "left")
+      .withColumn(RowIdCol, coalesce(col(LineageRid), col("__graft_lb") + col(RiCol)))
+      .withColumn(LusCol, coalesce(col(LineageLus), col("__graft_ls").cast("long")))
+      .drop("__graft_lf", "__graft_lb", "__graft_ls")
+  }
+
+  /** The table's next unassigned row id at `version`; presence of the
+    * sidecar IS the lineage-enabled flag (carried by every commit). */
+  private[graft] def nextRowIdOf(path: String, version: Int): Option[Long] = {
+    val p = Paths.get(s"${metaDir(path)}/v$version/lineage.json")
+    if (!Files.exists(p)) None
+    else readJsonLines(p).headOption.map(_.get("next_row_id").asLong)
+  }
+
+  /** Is row lineage tracked at `version` (default: latest)? */
+  def rowLineageEnabled(path: String, version: Option[Int] = None): Boolean =
+    version.orElse(latestVersion(path))
+      .exists(v => nextRowIdOf(path, v).isDefined)
+
+  /** ENABLE Iceberg-v3 row lineage: ONE metadata-only commit assigns
+    * every existing data manifest its first-row-id span and starts
+    * the table's monotone row-id counter; every later commit assigns
+    * fresh spans to fresh manifests, and every rewrite preserves ids
+    * (compact materializes them physically, file-granular DML pins
+    * per-file bases on partial carries). Idempotent. Legacy manifests
+    * without row counts refuse (compact first) — an id span cannot be
+    * sized without them. */
+  def enableRowLineage(spark: SparkSession, path: String): Int = {
+    val base = observedBase(spark, path)
+    if (nextRowIdOf(path, base).isDefined) return base // already on
+    val refs = listRefs(path, base)
+    val withRows = refs.map { r =>
+      if (r.kind != "data" || r.nFiles == 0 || r.nRows >= 0) r
+      else {
+        val es = readManifest(r)
+        require(es.forall(_.rows >= 0),
+          s"enableRowLineage at $path: ${r.manifest} has entries without " +
+            "row counts (legacy vintage) — compact first")
+        r.copy(nRows = es.map(_.rows).sum)
+      }
+    }
+    commitRefs(spark, path, base, withRows, "enable_row_lineage",
+      enableLineage = true)
+  }
+
+  /** Read the table WITH its lineage columns: every user column plus
+    * `_row_id` (durable, survives compaction and file-granular DML;
+    * an UPDATE keeps the row's id) and
+    * `_last_updated_sequence_number` (the sequence of the commit that
+    * last wrote the row — UPDATE bumps it via NULL-inheritance from
+    * the rewriting manifest). MoR deletes subtract as everywhere.
+    * O(#files) driver planning metadata for the id map (the
+    * sub-threshold posture; a distributed map is the 10⁷-file
+    * follow-up). */
+  def readWithLineage(
+      spark: SparkSession, path: String,
+      version: Option[Int] = None): DataFrame = {
+    val v = version.orElse(latestVersion(path)).getOrElse(
+      throw new IllegalArgumentException(s"no snapshots at $path"))
+    require(nextRowIdOf(path, v).isDefined,
+      s"row lineage is not enabled at $path — " +
+        "LakeTable.enableRowLineage(spark, path) first")
+    val refs = listRefs(path, v)
+    val (eq, rest) = refs.partition(_.kind == "delete")
+    val (pos, rest2) = rest.partition(_.kind == "posdel")
+    val (dv, data) = rest2.partition(_.kind == "dv")
+    val current = schFor(path, v)
+    val live = data.filter(_.nFiles > 0)
+    if (live.isEmpty) return spark.emptyDataFrame
+    val tagged = withLineageCols {
+      live.map { r =>
+        projectToCurrent(posMeta(refScan(spark, r)), r.cols, current)
+          .withColumn(SeqCol, lit(r.seq))
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+    val mm = manifestMemo()
+    val withL = attachLineage(spark, tagged, live, mm, path)
+    val p1 = if (pos.nonEmpty) applyPosDeletes(spark, withL, pos) else withL
+    val p2 = if (dv.nonEmpty) applyDvDeletes(spark, p1, dv) else p1
+    val p3 = if (eq.nonEmpty) applyMorDeletes(spark, p2, eq, current)
+      else p2.drop(SeqCol)
+    p3.drop(FpCol, RiCol, LineageRid, LineageLus)
   }
 
   /** Assemble data manifests into one frame (schema evolution via the
@@ -2574,7 +2827,7 @@ object LakeTable {
     // must stay inside one long (k * bits ≤ 48 keeps headroom)
     val bits = math.min(16, 48 / k)
     val base = observedBase(spark, path)
-    val current = read(spark, path, Some(base))
+    val current = rewriteRead(spark, path, base)
     val s = current.agg(
       zCols.flatMap(c => Seq(min(c).cast("double"), max(c).cast("double"))).head,
       zCols.flatMap(c => Seq(min(c).cast("double"), max(c).cast("double"))).tail: _*).head()
@@ -2616,6 +2869,7 @@ object LakeTable {
   def upsert(df: DataFrame, path: String, keyCol: String): Int = {
     val spark = df.sparkSession
     val base = observedBase(spark, path)
+    refuseUnderLineage(path, base, "upsert")
     val refs = listRefs(path, base)
     val cur = assembleWithDeletes(spark, refs, schFor(path, base), keepMeta = true)
     val srcKeys = df.select(col(keyCol).as("__graft_uk")).distinct()
@@ -2779,6 +3033,7 @@ object LakeTable {
       evolveColumns: Seq[String] = Nil): Int = {
     val spark = source.sparkSession
     val base = observedBase(spark, path)
+    refuseUnderLineage(path, base, "MERGE")
     if (notMatchedBySource.isEmpty && evolveColumns.isEmpty) {
       val refs = listRefs(path, base)
       val cur = assembleWithDeletes(spark, refs, schFor(path, base), keepMeta = true)
@@ -2828,6 +3083,7 @@ object LakeTable {
       evolveColumns: Seq[String] = Nil): Int = {
     val spark = source.sparkSession
     val base = observedBase(spark, path)
+    refuseUnderLineage(path, base, "MoR MERGE")
     val target = read(spark, path, Some(base))
     val (survivors, inserts, affected) =
       mergeRows(target, source, keyCol, matched, notMatchedInsert,
@@ -3047,7 +3303,8 @@ object LakeTable {
         }
       }
       writeManifest(path, entries, r.kind, r.cols)
-        .copy(seq = r.seq, pspec = r.pspec, partial = r.partial)
+        .copy(seq = r.seq, pspec = r.pspec, partial = r.partial,
+          firstRowId = r.firstRowId)
     }
     commitRefs(spark, path, base, rebloomed ++ del, "bloom")
   }
@@ -3220,7 +3477,8 @@ object LakeTable {
       val entries = readManifest(r).map(e =>
         e.copy(bloom = e.bloom ++ byFile.getOrElse(e.file, empty)))
       writeManifest(path, entries, r.kind, r.cols)
-        .copy(seq = r.seq, pspec = r.pspec, partial = r.partial)
+        .copy(seq = r.seq, pspec = r.pspec, partial = r.partial,
+          firstRowId = r.firstRowId)
     }
     commitRefs(spark, path, base, analyzed ++ del, "analyze")
   }
@@ -3506,7 +3764,9 @@ object LakeTable {
     // matching row; pass 2 — full per-file counts over ONLY those
     // files, to split them into fully-matched (drop) vs boundary
     // (rewrite).
-    classificationFrame(spark, path, base, refs, predicate) match {
+    val lineage = nextRowIdOf(path, base).isDefined
+    withLineageColsIf(lineage)(
+      classificationFrame(spark, path, base, refs, predicate)) match {
       case None => commitRefs(spark, path, base, refs, "delete")
       case Some(cur) =>
         val touched = touchedFiles(cur, matches)
@@ -3519,11 +3779,21 @@ object LakeTable {
         val dropped = touched -- boundary
         val mm = manifestMemo()
         // survivors of boundary files only — the sole data rewrite,
-        // re-landing under the table's layout (never degrading pruning)
+        // re-landing under the table's layout (never degrading pruning).
+        // Under row lineage the survivors RE-MATERIALIZE their ids
+        // (the boundary files drop, so derivation would be lost).
+        def survivors: DataFrame = {
+          val raw = rowsInFiles(cur, boundary).filter(!matches)
+          if (!lineage) raw.drop(FpCol, RiCol, SeqCol)
+          else attachLineage(spark, raw,
+              refs.filter(r => r.kind == "data" && r.nFiles > 0), mm, path)
+            .withColumn(LineageRid, col(RowIdCol))
+            .withColumn(LineageLus, col(LusCol))
+            .drop(RowIdCol, LusCol, FpCol, RiCol, SeqCol)
+        }
         val rewritten =
           if (boundary.isEmpty) None
-          else stageRewrite(
-            rowsInFiles(cur, boundary).filter(!matches).drop(FpCol, RiCol, SeqCol),
+          else stageRewrite(survivors,
             path, rewriteSpec(path, refs, boundary, mm))
         commitRefs(spark, path, base,
           carryManifests(path, refs, boundary ++ dropped, mm) ++ rewritten.toSeq,
@@ -3734,8 +4004,7 @@ object LakeTable {
         val keep = es.filterNot(e => gone(e.file))
         if (keep.size == es.size) Some(r)
         else if (keep.isEmpty) None
-        else Some(writeManifest(path, keep, r.kind, r.cols)
-          .copy(seq = r.seq, pspec = r.pspec, partial = true))
+        else Some(reManifestKeep(path, r, keep, es))
       }
     }
   }
@@ -3757,7 +4026,9 @@ object LakeTable {
     requireDeterministic(predicate, "UPDATE")
     val base = observedBase(spark, path)
     val refs = listRefs(path, base)
-    classificationFrame(spark, path, base, refs, predicate) match {
+    val lineage = nextRowIdOf(path, base).isDefined
+    withLineageColsIf(lineage)(
+      classificationFrame(spark, path, base, refs, predicate)) match {
       case None =>
         // every manifest refuted: column names still validate (a
         // typo'd SET must refuse, matched rows or not); pre-field-id
@@ -3768,18 +4039,32 @@ object LakeTable {
           s"UPDATE at $path: no such column '$c' (have ${names.mkString(", ")})"))
         commitRefs(spark, path, base, refs, "update")
       case Some(cur) =>
-        val visible = cur.columns.filterNot(Set(FpCol, RiCol, SeqCol)).toSeq
+        val visible = cur.columns
+          .filterNot(Set(FpCol, RiCol, SeqCol, LineageRid, LineageLus)).toSeq
         set.keys.foreach(c => require(visible.contains(c),
           s"UPDATE at $path: no such column '$c' (have ${visible.mkString(", ")})"))
         val p = coalesce(predicate, lit(false))
         val touched = touchedFiles(cur, p)
         val mm = manifestMemo()
+        // under row lineage: every rewritten row keeps its durable id
+        // (Iceberg's UPDATE rule), and an UPDATED row's last-updated
+        // goes NULL so it inherits the rewriting commit's sequence
+        def projected: DataFrame = {
+          val tr = rowsInFiles(cur, touched)
+          val selCols = visible.map { c =>
+            set.get(c).map(v => when(p, v).otherwise(col(c)).as(c)).getOrElse(col(c))
+          }
+          if (!lineage) tr.select(selCols: _*)
+          else attachLineage(spark, tr,
+              refs.filter(r => r.kind == "data" && r.nFiles > 0), mm, path)
+            .select(selCols ++ Seq(
+              col(RowIdCol).as(LineageRid),
+              when(p, lit(null).cast("long")).otherwise(col(LusCol))
+                .as(LineageLus)): _*)
+        }
         val rewritten =
           if (touched.isEmpty) None
-          else stageRewrite(
-            rowsInFiles(cur, touched).select(visible.map { c =>
-              set.get(c).map(v => when(p, v).otherwise(col(c)).as(c)).getOrElse(col(c))
-            }: _*), path, rewriteSpec(path, refs, touched, mm))
+          else stageRewrite(projected, path, rewriteSpec(path, refs, touched, mm))
         commitRefs(spark, path, base,
           carryManifests(path, refs, touched, mm) ++ rewritten.toSeq, "update")
     }
@@ -3894,6 +4179,7 @@ object LakeTable {
   def upsertMoR(df: DataFrame, path: String, keyCol: String): Int = {
     val spark = df.sparkSession
     val base = observedBase(spark, path)
+    refuseUnderLineage(path, base, "upsertMoR")
     val prev = listRefs(path, base)
     commitRefs(spark, path, base,
       prev ++ stageManifest(df.select(keyCol).distinct(), path, kind = "delete")
@@ -3906,9 +4192,30 @@ object LakeTable {
     * Reading through [[read]] means merge-on-read delete keys are
     * APPLIED and the new snapshot carries no delete entries — compact
     * is also the fold step of the MoR delete lifecycle. */
+  /** The frame a WHOLE-TABLE rewrite restages: the plain read, or —
+    * under row lineage — the lineage read with ids/last-updated
+    * RE-MATERIALIZED as physical columns, so the rewrite preserves
+    * every row's durable id through the fold. */
+  private def rewriteRead(spark: SparkSession, path: String, base: Int): DataFrame =
+    if (base < 0 || nextRowIdOf(path, base).isEmpty) read(spark, path, Some(base))
+    else readWithLineage(spark, path, Some(base))
+      .withColumnRenamed(RowIdCol, LineageRid)
+      .withColumnRenamed(LusCol, LineageLus)
+
+  /** Ops whose lineage preservation is not implemented yet refuse
+    * under row lineage instead of silently reassigning ids. */
+  private def refuseUnderLineage(path: String, base: Int, op: String): Unit =
+    require(base < 0 || nextRowIdOf(path, base).isEmpty,
+      s"$op at $path is not lineage-preserving yet — under row lineage use " +
+        "append/overwrite, DELETE/UPDATE, MoR deletes, compact, binpack, " +
+        "z-order, or dynamic overwrite (or disable lineage)")
+
+  private def withLineageColsIf[A](b: Boolean)(body: => A): A =
+    if (b) withLineageCols(body) else body
+
   def compact(spark: SparkSession, path: String, numFiles: Int = 1): Int = {
     val base = observedBase(spark, path)
-    val current = read(spark, path, Some(base))
+    val current = rewriteRead(spark, path, base)
     commitRefs(spark, path, base,
       stageManifest(current.repartition(numFiles), path).toSeq, "compact")
   }
@@ -3938,6 +4245,24 @@ object LakeTable {
       if (e.bytes >= 0) e.bytes else Files.size(Paths.get(e.file))
     val perRef = data.filter(_.nFiles > 0).map(r => r -> readManifest(r))
     val smalls = perRef.flatMap(_._2).filter(e => sizeOf(e) < targetBytes)
+    val lineage = nextRowIdOf(path, base).isDefined
+    val perRefMap = perRef.toMap
+    // assemble the small files' rows; under row lineage the fold
+    // re-materializes every row's durable id as physical columns
+    // (the folded files drop, so derivation would be lost)
+    def smallRows(keepMeta: Boolean): DataFrame = {
+      val raw = withLineageColsIf(lineage)(
+        assemblePruned(spark, smalls, Nil, eq, pos, dvs, current,
+          keepMeta = keepMeta || lineage))
+      val withL =
+        if (!lineage) raw
+        else attachLineage(spark, raw, data.filter(_.nFiles > 0),
+            r => perRefMap.getOrElse(r, readManifest(r)), path)
+          .withColumn(LineageRid, col(RowIdCol))
+          .withColumn(LineageLus, col(LusCol))
+          .drop(RowIdCol, LusCol)
+      if (keepMeta) withL else withL.drop(FpCol, RiCol, SeqCol)
+    }
     if (smalls.size <= 1)
       return commitRefs(spark, path, base, refs, "binpack") // nothing to fold
     val smallSet = smalls.map(_.file).toSet
@@ -3976,8 +4301,7 @@ object LakeTable {
           import spark.implicits._
           binOf.toDF("__graft_bf", "__graft_bin")
         }
-        val withBin = assemblePruned(spark, smalls, Nil, eq, pos, dvs,
-            current, keepMeta = true)
+        val withBin = smallRows(keepMeta = true)
           // _metadata.file_path spells `file:` URIs; manifests store
           // plain paths — normalize scan-side in the join key
           .join(broadcast(binDf),
@@ -3998,14 +4322,12 @@ object LakeTable {
         stageRewrite(withBin, path, spec,
           splitCol = Some("__graft_bin"), maxRecordsPerFile = maxRecs)
       } else stageManifest(
-        assemblePruned(spark, smalls, Nil, eq, pos, dvs, current)
-          .repartition(nOut), path)
+        smallRows(keepMeta = false).repartition(nOut), path)
     val keptRefs = perRef.flatMap { case (r, es) =>
       val keep = es.filterNot(e => smallSet(e.file))
       if (keep.isEmpty) None
       else if (keep.size == es.size) Some(r) // untouched manifest carried as-is
-      else Some(writeManifest(path, keep, r.kind, r.cols)
-        .copy(seq = r.seq, pspec = r.pspec, partial = true))
+      else Some(reManifestKeep(path, r, keep, es))
     }
     commitRefs(spark, path, base, keptRefs ++ del ++ packed, "binpack")
   }
@@ -4063,7 +4385,10 @@ object LakeTable {
     commitRefs(spark, bp, -1, listRefs(path, v), "branch_from",
       schemaOf(path, v), Some(constraintsOf(path, v)),
       promotedTypes = Some(promotedOf(path, v)),
-      defaultVals = Some(defaultsOf(path, v)))
+      defaultVals = Some(defaultsOf(path, v)),
+      // the branch adopts the source's row-id counter, so ids it
+      // assigns can never collide with the fork point's
+      lineageCounterOverride = nextRowIdOf(path, v))
   }
 
   /** FAST-FORWARD main to a branch's head: refused when main moved
@@ -4087,10 +4412,16 @@ object LakeTable {
     // constraints adopt UNFILTERED: Some(Nil) must clear main's set
     // when the branch dropped a constraint (filtering to None would
     // resurrect it over adopted rows that legally violate it)
+    // row-id counter: the max of both sides (the branch assigned ids
+    // main has not seen; ids are never reused)
+    val ffCounter = (nextRowIdOf(bp, head).toSeq ++
+      (if (base >= 0) nextRowIdOf(path, base).toSeq else Nil))
+      .maxOption
     val next = commitRefs(spark, path, base, listRefs(bp, head), "fast_forward",
       schemaOf(bp, head), Some(constraintsOf(bp, head)),
       promotedTypes = Some(promotedOf(bp, head)),
-      defaultVals = Some(defaultsOf(bp, head)))
+      defaultVals = Some(defaultsOf(bp, head)),
+      lineageCounterOverride = ffCounter)
     Files.writeString(forkFile, s"{${jstr("version")}:$next}")
     next
   }
@@ -4485,6 +4816,31 @@ object LakeTable {
       "the partitions rollup and the global metadata count must agree")
     parts.select(col("partition").as("part"), col("record_count"))
       .orderBy("part")
+  }
+
+  /** Driver query: ROW LINEAGE (S10d). The events land as ONE file in
+    * event_id order, so `_row_id` is deterministically the 0-based
+    * event_id rank — which is what lets DuckDB recompute it. An
+    * UPDATE (clicks) then a DELETE (every 7th id) exercise the two
+    * preservation paths: every surviving row must keep its original
+    * id, updated rows must carry the update commit's sequence, and
+    * untouched co-resident rows their original one. */
+  def rowLineageQuery(s: SparkSession, d: String): DataFrame = {
+    val path = freshWorkDir("lakerlin", d)
+    val ev = graft.Tables.load(s, d, "events")
+      .select("event_id", "event_type", "value")
+      .repartition(1).sortWithinPartitions("event_id")
+    overwrite(ev, path) // v0, seq 0
+    enableRowLineage(s, path) // v1, metadata-only
+    update(s, path, Map("value" -> (col("value") * -1)),
+      col("event_type") === "click") // v2, seq 2
+    delete(s, path, col("event_id") % 7 === 0) // v3
+    val out = readWithLineage(s, path)
+    require(out.columns.contains(RowIdCol) && out.columns.contains(LusCol),
+      "the lineage read must surface both lineage columns")
+    out.select(col("event_id"), col(RowIdCol).as("row_id"),
+        col(LusCol).as("last_upd"))
+      .orderBy("event_id")
   }
 
   /** Driver query: FILE-GRANULAR DELETE planning (S9h). A

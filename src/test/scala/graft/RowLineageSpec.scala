@@ -1,0 +1,165 @@
+package graft
+
+import graft.sources.LakeTable
+import graft.sources.LakeTable.PartitionTransform
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Iceberg-v3 ROW LINEAGE (S10d): durable `_row_id` per row plus
+  * `_last_updated_sequence_number`, assigned at commit from the
+  * table's monotone counter and PRESERVED through every supported
+  * rewrite — compaction, binpack, and file-granular DELETE/UPDATE
+  * (an UPDATE keeps the row's id and bumps its last-updated). */
+class RowLineageSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private def lineageMap(p: String): Map[Long, (Long, Long)] =
+    LakeTable.readWithLineage(spark, p).collect()
+      .map(r => r.getAs[Long]("k") ->
+        (r.getAs[Long]("_row_id"),
+          r.getAs[Long]("_last_updated_sequence_number"))).toMap
+
+  test("enable assigns ids to existing rows; appends take fresh spans") {
+    val p = "/tmp/graft_test/rl_basic"
+    SparkSpec.rmdir(p)
+    LakeTable.overwrite(
+      (0 until 100).map(i => (i.toLong, i * 1.0)).toDF("k", "v"), p)
+    assert(!LakeTable.rowLineageEnabled(p))
+    LakeTable.enableRowLineage(spark, p)
+    assert(LakeTable.rowLineageEnabled(p))
+    LakeTable.enableRowLineage(spark, p) // idempotent
+    val m0 = lineageMap(p)
+    assert(m0.size === 100)
+    assert(m0.values.map(_._1).toSet === (0L until 100L).toSet,
+      "enable must assign a dense 0..n-1 id space")
+    // plain read stays clean of lineage columns
+    assert(!LakeTable.read(spark, p).columns.exists(_.startsWith("_row")))
+    LakeTable.append(
+      (100 until 130).map(i => (i.toLong, i * 1.0)).toDF("k", "v"), p)
+    val m1 = lineageMap(p)
+    assert(m1.size === 130)
+    assert(m1.filter(_._1 < 100).forall { case (k, (rid, _)) => m0(k)._1 == rid },
+      "existing rows keep their ids across an append")
+    assert(m1.filter(_._1 >= 100).values.map(_._1).toSet === (100L until 130L).toSet,
+      "appended rows take the next contiguous span")
+  }
+
+  test("compact and binpack preserve every row's id") {
+    val p = "/tmp/graft_test/rl_compact"
+    SparkSpec.rmdir(p)
+    (0 until 3).foreach { g =>
+      LakeTable.append(
+        (g * 50 until (g + 1) * 50).map(i => (i.toLong, i * 1.0)).toDF("k", "v")
+          .repartition(2), p)
+    }
+    LakeTable.enableRowLineage(spark, p)
+    val before = lineageMap(p)
+    LakeTable.compact(spark, p)
+    assert(lineageMap(p) === before, "compact must preserve the id of every row")
+    // more small appends, then binpack
+    LakeTable.append(
+      (150 until 170).map(i => (i.toLong, i * 1.0)).toDF("k", "v"), p)
+    val before2 = lineageMap(p)
+    LakeTable.compactSmall(spark, p, 1024L * 1024)
+    assert(lineageMap(p) === before2, "binpack must preserve ids")
+  }
+
+  test("UPDATE keeps the row's id and bumps last-updated; others untouched") {
+    val p = "/tmp/graft_test/rl_update"
+    SparkSpec.rmdir(p)
+    LakeTable.overwrite(
+      (0 until 60).map(i => (i.toLong, i * 1.0)).toDF("k", "v"), p)
+    LakeTable.enableRowLineage(spark, p)
+    val before = lineageMap(p)
+    LakeTable.update(spark, p, Map("v" -> lit(-1.0)), col("k") === 7L)
+    val after = lineageMap(p)
+    assert(after(7L)._1 === before(7L)._1, "an UPDATE keeps the row's durable id")
+    assert(after(7L)._2 > before(7L)._2, "an UPDATE bumps last-updated-sequence")
+    assert(after.filter(_._1 != 7L) === before.filter(_._1 != 7L),
+      "untouched rows (even co-resident in the rewritten file) keep BOTH fields")
+    assert(LakeTable.read(spark, p).filter(col("k") === 7L).head.getDouble(1) === -1.0)
+  }
+
+  test("file-granular DELETE: survivors keep ids through boundary rewrite AND partial carry") {
+    val p = "/tmp/graft_test/rl_delete"
+    SparkSpec.rmdir(p)
+    val spec = Seq(PartitionTransform("day", "identity"))
+    LakeTable.overwriteHiddenPartitioned(
+      (0 until 300).map(i => (i.toLong, (i % 3).toLong, i * 1.0))
+        .toDF("k", "day", "v"), p, spec)
+    LakeTable.enableRowLineage(spark, p)
+    val before = lineageMap(p)
+    // aligned delete (whole partition drops metadata-only, manifest
+    // partially carries) + boundary delete (survivor rewrite)
+    LakeTable.delete(spark, p, col("day") === 1L)
+    LakeTable.delete(spark, p, col("day") === 0L && col("k") < 30L)
+    val after = lineageMap(p)
+    assert(after.keySet ===
+      before.keySet.filter(k => k % 3 == 2 || (k % 3 == 0 && k >= 30)))
+    assert(after.forall { case (k, (rid, _)) => before(k)._1 == rid },
+      "every survivor keeps its id — through metadata carry and rewrite alike")
+  }
+
+  test("MoR deletes subtract from the lineage read; merge/upsert refuse") {
+    val p = "/tmp/graft_test/rl_mor"
+    SparkSpec.rmdir(p)
+    LakeTable.overwrite(
+      (0 until 50).map(i => (i.toLong, i * 1.0)).toDF("k", "v"), p)
+    LakeTable.enableRowLineage(spark, p)
+    val before = lineageMap(p)
+    LakeTable.deleteMoRPositional(spark, p, col("k") < 5L)
+    LakeTable.deleteMoRVector(spark, p, col("k") >= 45L)
+    val after = lineageMap(p)
+    assert(after.keySet === (5L until 45L).toSet)
+    assert(after.forall { case (k, (rid, _)) => before(k)._1 == rid })
+    val e = intercept[IllegalArgumentException] {
+      LakeTable.upsert(Seq((1L, 9.9)).toDF("k", "v"), p, "k")
+    }
+    assert(e.getMessage.contains("lineage"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      LakeTable.mergeConditional(
+        Seq((1L, 9.9)).toDF("k", "v"), p, "k",
+        matched = Seq(LakeTable.MatchedUpdate(None, Map("v" -> lit(0.0)))))
+    }
+  }
+
+  test("branches adopt the counter; fast-forward takes the max") {
+    val p = "/tmp/graft_test/rl_branch"
+    SparkSpec.rmdir(p)
+    LakeTable.overwrite(
+      (0 until 20).map(i => (i.toLong, i * 1.0)).toDF("k", "v"), p)
+    LakeTable.enableRowLineage(spark, p)
+    LakeTable.createBranch(spark, p, "audit")
+    val bp = LakeTable.branchPath(p, "audit")
+    LakeTable.append(
+      (20 until 30).map(i => (i.toLong, i * 1.0)).toDF("k", "v"), bp)
+    val bm = lineageMap(bp)
+    assert(bm.values.map(_._1).toSet === (0L until 30L).toSet,
+      "branch appends continue the adopted counter — no id collision with main")
+    LakeTable.fastForward(spark, p, "audit")
+    val mm = lineageMap(p)
+    assert(mm === bm, "fast-forwarded main sees the branch's lineage verbatim")
+    LakeTable.append(
+      (30 until 35).map(i => (i.toLong, i * 1.0)).toDF("k", "v"), p)
+    assert(lineageMap(p).values.map(_._1).toSet === (0L until 35L).toSet,
+      "post-fast-forward main continues past the branch's counter")
+  }
+
+  test("time travel serves the lineage as of the version") {
+    val p = "/tmp/graft_test/rl_tt"
+    SparkSpec.rmdir(p)
+    LakeTable.overwrite(
+      (0 until 10).map(i => (i.toLong, i * 1.0)).toDF("k", "v"), p)
+    LakeTable.enableRowLineage(spark, p) // v1
+    val v1 = LakeTable.latestVersion(p).get
+    LakeTable.delete(spark, p, col("k") < 5L) // v2
+    assert(LakeTable.readWithLineage(spark, p, Some(v1)).count() === 10)
+    assert(LakeTable.readWithLineage(spark, p).count() === 5)
+    // pre-enable versions refuse honestly
+    val e = intercept[IllegalArgumentException] {
+      LakeTable.readWithLineage(spark, p, Some(0))
+    }
+    assert(e.getMessage.contains("not enabled"))
+  }
+}
