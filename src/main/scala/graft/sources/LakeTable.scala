@@ -142,13 +142,13 @@ object LakeTable {
       // what advances the row-id counter without re-reading entries
       nRows: Long = -1L,
       // ROW LINEAGE (Iceberg v3 _row_id, S10d): the first row id of
-      // this manifest's row span. A row's durable id = firstRowId +
-      // cumulative offset of its file (entry order, see
-      // [[fridMapOf]]) + its index within the file. -1 = lineage not
-      // tracked for this manifest (pre-enable vintage — reads
-      // refuse); -2 = the files MATERIALIZE lineage as physical
-      // columns (every rewrite writes them, so ids survive
-      // compaction and file-granular DML)
+      // this manifest's row span. A row's durable id = its PHYSICAL
+      // __p_row_id when the file materializes one (rewrites), else
+      // firstRowId + cumulative offset of its file (entry order, see
+      // [[fridMapOf]]) + its index within the file — the v3
+      // null-inheritance rule, which lets one manifest mix carried
+      // (materialized) and fresh (derived) rows. -1 = lineage not
+      // tracked (pre-enable vintage — reads refuse)
       firstRowId: Long = -1L)
 
   /** One hidden-partition transform (Iceberg's spec entry): derive a
@@ -909,15 +909,7 @@ object LakeTable {
         df.columns.toSeq.filterNot(_.startsWith(HiddenPrefix)))
     val entries = writeDataFiles(df, path, partitionCols, maxRecordsPerFile)
     if (entries.isEmpty) None
-    else {
-      val ref = writeManifest(path, entries, kind, fieldIds).copy(pspec = pspec)
-      // a batch carrying the physical lineage column MATERIALIZES row
-      // ids (rewrites under row lineage) — mark the manifest so reads
-      // trust the columns instead of deriving
-      Some(if (kind == "data" && df.columns.contains(LineageRid))
-        ref.copy(firstRowId = RowIdMaterialized)
-      else ref)
-    }
+    else Some(writeManifest(path, entries, kind, fieldIds).copy(pspec = pspec))
   }
 
   // ---- CHECK constraints (Delta-style, enforced at write) ----
@@ -1742,10 +1734,6 @@ object LakeTable {
   /** User-facing lineage columns of [[readWithLineage]]. */
   private[graft] val RowIdCol = "_row_id"
   private[graft] val LusCol = "_last_updated_sequence_number"
-  /** [[ManifestRef.firstRowId]] sentinel: files materialize lineage
-    * physically (rewrites), nothing derives. */
-  private[graft] val RowIdMaterialized = -2L
-
   /** Scoped flag: inside [[withLineageCols]] scans KEEP the physical
     * lineage columns instead of dropping them with the other hidden
     * columns — the lineage read/rewrite paths wrap their frame
@@ -1793,7 +1781,7 @@ object LakeTable {
       path: String, r: ManifestRef, keep: Seq[ManifestEntry],
       all: => Seq[ManifestEntry]): ManifestRef = {
     val pinned =
-      if (r.firstRowId < 0) keep // untracked (-1) or materialized (-2)
+      if (r.firstRowId < 0) keep // lineage untracked
       else {
         val m = fridMapOf(r, all)
         keep.map(e => if (e.frid >= 0) e else e.copy(frid = m(e.file)))
@@ -1815,17 +1803,16 @@ object LakeTable {
       spark: SparkSession, cur: DataFrame, live: Seq[ManifestRef],
       entriesOf: ManifestRef => Seq[ManifestEntry], path: String): DataFrame = {
     import spark.implicits._
-    live.foreach(r => require(r.firstRowId != -1L,
+    live.foreach(r => require(r.firstRowId >= 0L,
       s"row lineage at $path: manifest ${r.manifest} predates lineage " +
         "enablement — run LakeTable.enableRowLineage"))
-    // derived manifests contribute (file, base id, seq); materialized
-    // ones (file, NULL, seq) — their ids are physical, but the seq
-    // row is what lets an updated row's NULL last-updated INHERIT the
-    // rewriting commit's sequence (the Iceberg inheritance rule)
+    // every manifest contributes (file, base id, seq); PHYSICAL
+    // lineage values override per row, so a rewritten file's null
+    // slots (freshly inserted rows) INHERIT base + row index and
+    // null last-updated inherits the commit's sequence — exactly
+    // Iceberg v3's inheritance rule
     val rows: Seq[(String, java.lang.Long, Int)] = live.flatMap { r =>
-      if (r.firstRowId == RowIdMaterialized)
-        entriesOf(r).map(e => (e.file, null: java.lang.Long, r.seq))
-      else fridMapOf(r, entriesOf(r)).toSeq.map { case (f, b) =>
+      fridMapOf(r, entriesOf(r)).toSeq.map { case (f, b) =>
         (f, java.lang.Long.valueOf(b), r.seq)
       }
     }
@@ -2869,24 +2856,34 @@ object LakeTable {
   def upsert(df: DataFrame, path: String, keyCol: String): Int = {
     val spark = df.sparkSession
     val base = observedBase(spark, path)
-    refuseUnderLineage(path, base, "upsert")
+    val lineage = nextRowIdOf(path, base).isDefined
     val refs = listRefs(path, base)
-    val cur = assembleWithDeletes(spark, refs, schFor(path, base), keepMeta = true)
+    val cur = withLineageColsIf(lineage)(
+      assembleWithDeletes(spark, refs, schFor(path, base), keepMeta = true))
     val srcKeys = df.select(col(keyCol).as("__graft_uk")).distinct()
     // files holding ≥1 colliding key — the ONLY data rewritten. The
     // collected frame is O(#files) planning metadata.
     val touched = cur
       .join(srcKeys, col(keyCol) === col("__graft_uk"), "left_semi")
       .select(FpCol).distinct().collect().map(_.getString(0)).toSet
+    val mm = manifestMemo()
     // survivors of touched files = their non-colliding rows; limit(0)
     // keeps the FULL table schema on the no-collision path so a
-    // narrower incoming batch still unions against it
-    val survivors =
-      (if (touched.isEmpty) cur.limit(0)
-       else rowsInFiles(cur, touched)
-         .join(srcKeys, col(keyCol) === col("__graft_uk"), "left_anti"))
-        .drop(FpCol, RiCol, SeqCol)
-    val mm = manifestMemo()
+    // narrower incoming batch still unions against it. Under row
+    // lineage survivors KEEP their ids; upserted keys are
+    // delete+insert semantics — the replacing rows take FRESH ids
+    // (use mergeConditional's UPDATE clauses to preserve ids)
+    def keepLin(d: DataFrame): DataFrame =
+      if (!lineage) d.drop(FpCol, RiCol, SeqCol)
+      else attachLineage(spark, d,
+          refs.filter(r => r.kind == "data" && r.nFiles > 0), mm, path)
+        .withColumn(LineageRid, col(RowIdCol))
+        .withColumn(LineageLus, col(LusCol))
+        .drop(RowIdCol, LusCol, FpCol, RiCol, SeqCol)
+    val survivors = keepLin(
+      if (touched.isEmpty) cur.limit(0)
+      else rowsInFiles(cur, touched)
+        .join(srcKeys, col(keyCol) === col("__graft_uk"), "left_anti"))
     commitRefs(spark, path, base,
       carryManifests(path, refs, touched, mm)
         ++ stageRewrite(
@@ -3033,37 +3030,60 @@ object LakeTable {
       evolveColumns: Seq[String] = Nil): Int = {
     val spark = source.sparkSession
     val base = observedBase(spark, path)
-    refuseUnderLineage(path, base, "MERGE")
+    val lineage = nextRowIdOf(path, base).isDefined
+    // under row lineage an UPDATEd row keeps its durable id (the
+    // physical column rides through the clause algebra as a target
+    // column) and its last-updated NULLs to inherit the merge
+    // commit's sequence; INSERTed rows carry no physical and derive
+    // fresh ids from the new manifest's span — v3 inheritance
+    def lusBumped(survivors: DataFrame, affected: DataFrame): DataFrame =
+      if (!lineage) survivors
+      else survivors
+        .join(affected.select(col(keyCol).as("__graft_lk")),
+          survivors(keyCol) <=> col("__graft_lk"), "left")
+        .withColumn(LineageLus,
+          when(col("__graft_lk").isNotNull, lit(null).cast("long"))
+            .otherwise(col(LineageLus)))
+        .drop("__graft_lk")
     if (notMatchedBySource.isEmpty && evolveColumns.isEmpty) {
       val refs = listRefs(path, base)
-      val cur = assembleWithDeletes(spark, refs, schFor(path, base), keepMeta = true)
+      val cur = withLineageColsIf(lineage)(
+        assembleWithDeletes(spark, refs, schFor(path, base), keepMeta = true))
       val srcKeys = source.select(col(keyCol).as("__graft_mk")).distinct()
       // null-safe like every merge key comparison, so a NULL-keyed
       // target row's file is touched when the source carries NULL
       val touched = cur
         .join(srcKeys, col(keyCol) <=> col("__graft_mk"), "left_semi")
         .select(FpCol).distinct().collect().map(_.getString(0)).toSet
-      val targetTouched =
-        (if (touched.isEmpty) cur.limit(0) else rowsInFiles(cur, touched))
-          .drop(FpCol, RiCol, SeqCol)
-      val (survivors, inserts, _) =
+      val mm = manifestMemo()
+      val targetTouched = {
+        val tr = if (touched.isEmpty) cur.limit(0) else rowsInFiles(cur, touched)
+        if (!lineage) tr.drop(FpCol, RiCol, SeqCol)
+        else attachLineage(spark, tr,
+            refs.filter(r => r.kind == "data" && r.nFiles > 0), mm, path)
+          .withColumn(LineageRid, col(RowIdCol))
+          .withColumn(LineageLus, col(LusCol))
+          .drop(RowIdCol, LusCol, FpCol, RiCol, SeqCol)
+      }
+      val (survivors, inserts, affected) =
         mergeRows(targetTouched, source, keyCol, matched, notMatchedInsert,
           notMatchedBySource, evolveColumns)
-      val mm = manifestMemo()
       commitRefs(spark, path, base,
         carryManifests(path, refs, touched, mm)
           ++ stageRewrite(
-            survivors.unionByName(inserts, allowMissingColumns = true), path,
+            lusBumped(survivors, affected)
+              .unionByName(inserts, allowMissingColumns = true), path,
             rewriteSpec(path, refs, touched, mm)),
         "merge")
     } else {
-      val target = read(spark, path, Some(base))
-      val (survivors, inserts, _) =
+      val target = rewriteRead(spark, path, base)
+      val (survivors, inserts, affected) =
         mergeRows(target, source, keyCol, matched, notMatchedInsert,
           notMatchedBySource, evolveColumns)
       commitRefs(spark, path, base,
         stageRewrite(
-          survivors.unionByName(inserts, allowMissingColumns = true), path,
+          lusBumped(survivors, affected)
+            .unionByName(inserts, allowMissingColumns = true), path,
           partitionSpecOf(path)).toSeq,
         "merge")
     }
@@ -3083,11 +3103,19 @@ object LakeTable {
       evolveColumns: Seq[String] = Nil): Int = {
     val spark = source.sparkSession
     val base = observedBase(spark, path)
-    refuseUnderLineage(path, base, "MoR MERGE")
-    val target = read(spark, path, Some(base))
-    val (survivors, inserts, affected) =
+    val lineage = nextRowIdOf(path, base).isDefined
+    // under row lineage the replacement rows MATERIALIZE their old
+    // ids (physical column through the clause algebra) with NULL
+    // last-updated — they are all updated rows, so they inherit the
+    // merge commit's sequence; inserts derive fresh ids
+    val target = if (lineage) rewriteRead(spark, path, base)
+      else read(spark, path, Some(base))
+    val (survivors0, inserts, affected) =
       mergeRows(target, source, keyCol, matched, notMatchedInsert,
         notMatchedBySource, evolveColumns)
+    val survivors =
+      if (!lineage) survivors0
+      else survivors0.withColumn(LineageLus, lit(null).cast("long"))
     // the replacement rows = post-merge state of exactly the UPDATED
     // keys (deleted keys ship no replacement) + the inserts. The
     // semi-join is NULL-SAFE like every key comparison in the merge:
@@ -4179,7 +4207,6 @@ object LakeTable {
   def upsertMoR(df: DataFrame, path: String, keyCol: String): Int = {
     val spark = df.sparkSession
     val base = observedBase(spark, path)
-    refuseUnderLineage(path, base, "upsertMoR")
     val prev = listRefs(path, base)
     commitRefs(spark, path, base,
       prev ++ stageManifest(df.select(keyCol).distinct(), path, kind = "delete")
@@ -4201,14 +4228,6 @@ object LakeTable {
     else readWithLineage(spark, path, Some(base))
       .withColumnRenamed(RowIdCol, LineageRid)
       .withColumnRenamed(LusCol, LineageLus)
-
-  /** Ops whose lineage preservation is not implemented yet refuse
-    * under row lineage instead of silently reassigning ids. */
-  private def refuseUnderLineage(path: String, base: Int, op: String): Unit =
-    require(base < 0 || nextRowIdOf(path, base).isEmpty,
-      s"$op at $path is not lineage-preserving yet — under row lineage use " +
-        "append/overwrite, DELETE/UPDATE, MoR deletes, compact, binpack, " +
-        "z-order, or dynamic overwrite (or disable lineage)")
 
   private def withLineageColsIf[A](b: Boolean)(body: => A): A =
     if (b) withLineageCols(body) else body

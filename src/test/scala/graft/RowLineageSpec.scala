@@ -101,7 +101,7 @@ class RowLineageSpec extends AnyFunSuite {
       "every survivor keeps its id — through metadata carry and rewrite alike")
   }
 
-  test("MoR deletes subtract from the lineage read; merge/upsert refuse") {
+  test("MoR deletes subtract from the lineage read; ids stay put") {
     val p = "/tmp/graft_test/rl_mor"
     SparkSpec.rmdir(p)
     LakeTable.overwrite(
@@ -113,15 +113,52 @@ class RowLineageSpec extends AnyFunSuite {
     val after = lineageMap(p)
     assert(after.keySet === (5L until 45L).toSet)
     assert(after.forall { case (k, (rid, _)) => before(k)._1 == rid })
-    val e = intercept[IllegalArgumentException] {
-      LakeTable.upsert(Seq((1L, 9.9)).toDF("k", "v"), p, "k")
-    }
-    assert(e.getMessage.contains("lineage"), e.getMessage)
-    intercept[IllegalArgumentException] {
-      LakeTable.mergeConditional(
-        Seq((1L, 9.9)).toDF("k", "v"), p, "k",
-        matched = Seq(LakeTable.MatchedUpdate(None, Map("v" -> lit(0.0)))))
-    }
+  }
+
+  test("MERGE: updated rows keep ids + bump last-updated; inserts derive fresh ids") {
+    val p = "/tmp/graft_test/rl_merge"
+    SparkSpec.rmdir(p)
+    LakeTable.overwrite(
+      (0 until 40).map(i => (i.toLong, i * 1.0)).toDF("k", "v"), p)
+    LakeTable.enableRowLineage(spark, p)
+    val before = lineageMap(p)
+    val src = Seq((10L, -1.0), (11L, -2.0), (100L, 5.0)).toDF("k", "v")
+    LakeTable.mergeConditional(
+      src, p, "k",
+      matched = Seq(
+        LakeTable.MatchedDelete(Some(col("s.v") < -1.5)),
+        LakeTable.MatchedUpdate(None, Map("v" -> col("s.v")))),
+      notMatchedInsert = Some(lit(true)))
+    val after = lineageMap(p)
+    assert(after.keySet === ((0L until 40L).toSet - 11L + 100L))
+    assert(after(10L)._1 === before(10L)._1, "MERGE UPDATE keeps the row's id")
+    assert(after(10L)._2 > before(10L)._2, "MERGE UPDATE bumps last-updated")
+    assert((after - 10L - 100L) === (before - 10L - 11L),
+      "co-resident untouched rows keep both fields through the rewrite")
+    val usedIds = before.values.map(_._1).toSet
+    assert(!usedIds.contains(after(100L)._1),
+      "an inserted row derives a FRESH id from the new manifest's span")
+    // ids are unique after the merge
+    val ids = after.values.map(_._1).toSeq
+    assert(ids.distinct.size === ids.size)
+  }
+
+  test("upsert is delete+insert lineage: kept rows keep ids, replaced take fresh") {
+    val p = "/tmp/graft_test/rl_upsert"
+    SparkSpec.rmdir(p)
+    LakeTable.overwrite(
+      (0 until 30).map(i => (i.toLong, i * 1.0)).toDF("k", "v"), p)
+    LakeTable.enableRowLineage(spark, p)
+    val before = lineageMap(p)
+    LakeTable.upsert(Seq((1L, 9.9), (50L, 1.0)).toDF("k", "v"), p, "k")
+    val after = lineageMap(p)
+    assert(after.keySet === ((0L until 30L).toSet + 50L))
+    assert((after - 1L - 50L).forall { case (k, (rid, _)) => before(k)._1 == rid },
+      "non-colliding rows keep their ids")
+    val usedIds = before.values.map(_._1).toSet
+    assert(!usedIds.contains(after(50L)._1))
+    val ids = after.values.map(_._1).toSeq
+    assert(ids.distinct.size === ids.size, "no id reuse even for the replaced key")
   }
 
   test("branches adopt the counter; fast-forward takes the max") {
