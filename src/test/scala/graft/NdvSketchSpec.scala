@@ -27,6 +27,38 @@ class NdvSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("columnar-scale ANALYZE rewrites manifests distributed; fold answers distributed too") {
+    // force BOTH big-table paths on honest small data: manifests go
+    // columnar past 10 entries (so ANALYZE takes the distributed
+    // per-manifest rewrite — driver never collects the sketches) and
+    // the read-side fold goes distributed past 5 claimed files
+    val p = "/tmp/graft_test/ndv_distributed"
+    SparkSpec.rmdir(p)
+    LakeTable.withColumnarMetaThreshold(10) {
+      val df = (0 until 6000)
+        .map(i => ((i % 300).toLong, s"u${i % 97}", i.toLong))
+        .toDF("k", "user", "seqid")
+      LakeTable.append(df.repartition(30), p) // 30 files > threshold
+      LakeTable.append(df.limit(100), p) // a SMALL manifest too: mixed paths
+      LakeTable.analyzeNdv(spark, p, Seq("k", "user"))
+      val driverFold = LakeTable.approxCountDistinct(spark, p, "k")
+      val driverFoldU = LakeTable.approxCountDistinct(spark, p, "user")
+      assert(driverFold == 300L, s"coupon-mode estimate must be exact: $driverFold")
+      assert(driverFoldU == 97L)
+      LakeTable.withPlanThreshold(5) {
+        assert(LakeTable.approxCountDistinct(spark, p, "k") === driverFold,
+          "the distributed hll_union_agg fold must answer exactly like the driver fold")
+        assert(LakeTable.approxCountDistinct(spark, p, "user") === driverFoldU)
+      }
+      // a second ANALYZE (re-sketch) over already-sketched columnar
+      // manifests must replace, not duplicate or collide
+      LakeTable.analyzeNdv(spark, p, Seq("k"))
+      assert(LakeTable.approxCountDistinct(spark, p, "k") === 300L)
+      assert(LakeTable.approxCountDistinct(spark, p, "user") === 97L,
+        "re-analyzing one column must not clobber the other's sketches")
+    }
+  }
+
   test("analyze is metadata-only; estimates honest, exact in coupon mode") {
     val p = "/tmp/graft_test/ndv_basic"
     table(p)
