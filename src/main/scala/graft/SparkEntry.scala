@@ -187,6 +187,9 @@ object SparkEntry {
     "lake_partitions_meta" -> (sources.LakeTable.partitionsMetaQuery _),
     "lake_mor_partitions" -> (sources.LakeTable.morPartitionsQuery _),
     "lake_row_lineage" -> (sources.LakeTable.rowLineageQuery _),
+    "lake_wire_arbitrated_commit" -> (sources.LakeTable.wireArbitratedCommitQuery _),
+    "lake_snapshots_meta" -> (sources.LakeTable.snapshotsMetaQuery _),
+    "lake_call_maintenance" -> (sources.LakeTable.callMaintenanceQuery _),
     "lake_ndv_sketch" -> (sources.LakeTable.ndvSketchQuery _),
     "lake_file_granular_delete" -> (sources.LakeTable.fileGranularDeleteQuery _),
     "lake_arbitrated_commit" -> (sources.LakeTable.arbitratedCommitQuery _),
@@ -1135,6 +1138,31 @@ object SparkEntry {
         |FROM events
         |WHERE event_id % 10 NOT IN (0, 1)
         |GROUP BY 1 ORDER BY part""".stripMargin,
+    // lake_wire_arbitrated_commit: every arbitration round trip
+    // crosses a real loopback socket (refused claim drives the rebase
+    // — require'd in-query); no row lost or doubled
+    "lake_wire_arbitrated_commit" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // lake_snapshots_meta: the snapshots table's FILE-granular deltas
+    // over a count-pinned lifecycle (4-file overwrite, 2-file append,
+    // metadata-only ANALYZE reporting ZERO churn, compact folding 6
+    // into 1) — the whole answer is the constant lifecycle table
+    "lake_snapshots_meta" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS INTEGER), 'overwrite', CAST(4 AS BIGINT), CAST(4 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (CAST(1 AS INTEGER), 'append',    CAST(6 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (CAST(2 AS INTEGER), 'analyze',   CAST(6 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (CAST(3 AS INTEGER), 'compact',   CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(6 AS BIGINT))
+        |) AS t(version, operation, total_files, added, removed)
+        |ORDER BY version""".stripMargin,
+    // lake_call_maintenance: CALL procedures (native ProcedureCatalog
+    // grammar) run binpack + snapshot expiry + ANALYZE on a catalog
+    // table (each effect require'd in-query); the surviving rows must
+    // equal the raw recompute
+    "lake_call_maintenance" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // lake_row_lineage: rows land as ONE event_id-ordered file, so
     // _row_id is the 0-based event_id rank; an UPDATE (clicks, commit
     // seq 2) and a DELETE (every 7th id) must preserve survivors' ids

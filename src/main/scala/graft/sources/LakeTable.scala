@@ -4865,6 +4865,122 @@ object LakeTable {
       .orderBy("event_type")
   }
 
+  /** Driver query: the catalog commit protocol over the REAL WIRE
+    * (S10c): same interposed-contention shape as
+    * [[arbitratedCommitQuery]], but every protocol round trip —
+    * observed/claim/publish — crosses a loopback TCP socket to the
+    * [[CatalogWireServer]] in newline-delimited JSON. The refused
+    * claim arrives over the wire and must drive the same rebase loop;
+    * the oracle checks no row was lost or doubled. */
+  def wireArbitratedCommitQuery(s: SparkSession, d: String): DataFrame = {
+    val path = freshWorkDir("lakewirearb", d)
+    val ev = graft.Tables.load(s, d, "events")
+      .select("event_id", "event_type", "value")
+    overwrite(ev.filter(pmod(col("event_id"), lit(3L)) === 0L), path) // v0 seed
+    val srv = new CatalogWireServer()
+    val wire = new SocketCatalogArbiter("127.0.0.1", srv.port)
+    val contended = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val rebasesDriven = new java.util.concurrent.atomic.AtomicInteger(0)
+    val arb: CommitArbiter = new CommitArbiter {
+      override def observed(t: String, h: Int): Unit = wire.observed(t, h)
+      override def tryClaim(t: String, n: Int): Boolean = {
+        if (contended.compareAndSet(false, true)) {
+          append(ev.filter(pmod(col("event_id"), lit(3L)) === 1L), path)
+          rebasesDriven.incrementAndGet()
+          false
+        } else wire.tryClaim(t, n)
+      }
+      override def published(t: String, n: Int): Unit = wire.published(t, n)
+      override def abandon(t: String, n: Int): Unit = wire.abandon(t, n)
+    }
+    setCommitArbiter(path, arb)
+    try append(ev.filter(pmod(col("event_id"), lit(3L)) === 2L), path)
+    finally {
+      setCommitArbiter(path, RenameArbiter)
+      wire.close(); srv.close()
+    }
+    require(rebasesDriven.get() == 1,
+      "exactly one wire-refused claim must have driven the rebase loop")
+    require(latestVersion(path).contains(2),
+      s"seed + two contending appends must land as v0..v2, got ${latestVersion(path)}")
+    require(srv.headOf(normArbPath(path)) == 2,
+      "the wire catalog's head must have followed the published commits")
+    read(s, path).groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** Driver query: `snapshots` METADATA TABLE (S9m) with
+    * FILE-granular added/removed deltas. The lifecycle pins every
+    * count by explicit repartition: overwrite(4 files) → append(2) →
+    * ANALYZE (metadata-only — the round-10 exactness fix: a
+    * manifest-path diff would report 6/6 churn here) → compact
+    * (1 added, 6 removed). Wall-times are checked monotone in-query;
+    * the oracle is the constant lifecycle table. */
+  def snapshotsMetaQuery(s: SparkSession, d: String): DataFrame = {
+    val path = freshWorkDir("lakesnapq", d)
+    val ev = graft.Tables.load(s, d, "events")
+      .select("event_id", "event_type", "value")
+    overwrite(ev.repartition(4), path) // v0: 4 files
+    append(ev.limit(500).repartition(2), path) // v1: +2
+    analyzeNdv(s, path, Seq("event_id")) // v2: metadata-only
+    compact(s, path) // v3: 1 added, 6 removed
+    val snaps = snapshots(s, path)
+    val ts = snaps.orderBy("version").select("committed_at")
+      .collect().map(_.getLong(0)).toSeq
+    require(ts.forall(_ > 0) && ts == ts.sorted,
+      "commit wall-times must be present and non-decreasing")
+    snaps.select(col("version"), col("operation"),
+        col("total_data_files").as("total_files"),
+        col("added_data_files").as("added"),
+        col("removed_data_files").as("removed"))
+      .orderBy("version")
+  }
+
+  /** Driver query: CALL maintenance procedures (S10a) through
+    * Spark 4's native ProcedureCatalog grammar, end-to-end on a
+    * catalog table: rewrite_data_files must FOLD the small files
+    * (require'd), expire_snapshots must leave one live version
+    * (require'd), compute_table_stats must make approx-NDV
+    * metadata-answerable (require'd), and the surviving rows must
+    * equal the raw recompute (oracle). */
+  def callMaintenanceQuery(s: SparkSession, d: String): DataFrame = {
+    val wh = freshWorkDir("lakecallwh", d)
+    s.conf.set("spark.sql.catalog.graftcallq", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graftcallq.warehouse", wh)
+    try {
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftcallq.db")
+      s.sql("CREATE TABLE graftcallq.db.ev " +
+        "(event_id BIGINT, event_type STRING, value DOUBLE) USING graftlake")
+      val ev = graft.Tables.load(s, d, "events")
+        .select("event_id", "event_type", "value")
+      (0 until 3).foreach { g =>
+        ev.filter(pmod(col("event_id"), lit(3L)) === g.toLong)
+          .write.format("graftlake").mode("append").save(s"$wh/db/ev")
+      }
+      val p = s"$wh/db/ev"
+      val before = entriesOf(p, latestVersion(p).get).size
+      s.sql("CALL graftcallq.system.rewrite_data_files(table => 'db.ev')").collect()
+      val after = entriesOf(p, latestVersion(p).get).size
+      require(after < before, s"CALL rewrite_data_files must fold: $before -> $after")
+      s.sql("CALL graftcallq.system.expire_snapshots('db.ev', retain_last => 1)")
+        .collect()
+      val live = (0 to latestVersion(p).get).count(v =>
+        Files.exists(Paths.get(s"${metaDir(p)}/v$v")))
+      require(live == 1, s"CALL expire_snapshots(retain_last => 1) left $live versions")
+      s.sql("CALL graftcallq.system.compute_table_stats(table => 'db.ev', " +
+        "columns => 'event_type')").collect()
+      require(approxCountDistinct(s, p, "event_type") > 0,
+        "CALL compute_table_stats must make NDV metadata-answerable")
+      read(s, p).groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+        .orderBy("event_type")
+    } finally {
+      s.conf.unset("spark.sql.catalog.graftcallq")
+      s.conf.unset("spark.sql.catalog.graftcallq.warehouse")
+    }
+  }
+
   /** Driver query: `partitions` METADATA TABLE (S9b) over a
     * mixed-layout table — commit 1 hive-partitions events by
     * event_type, commit 2 appends the same rows hidden-partitioned
