@@ -1810,15 +1810,45 @@ object LakeTable {
     // lineage values override per row, so a rewritten file's null
     // slots (freshly inserted rows) INHERIT base + row index and
     // null last-updated inherits the commit's sequence — exactly
-    // Iceberg v3's inheritance rule
-    val rows: Seq[(String, java.lang.Long, Int)] = live.flatMap { r =>
-      fridMapOf(r, entriesOf(r)).toSeq.map { case (f, b) =>
-        (f, java.lang.Long.valueOf(b), r.seq)
+    // Iceberg v3's inheritance rule. Below the plan threshold the map
+    // is a driver-built broadcast; past it, ONE metadata job derives
+    // the same (explicit frid pins win, else manifest base +
+    // file-ordered cumulative rows — the fridMapOf rule in SQL), so
+    // the driver never materializes a 10⁷-file id map.
+    val claimed = live.map(_.nFiles).sum
+    val m: DataFrame =
+      if (claimed <= DistributedPlanThreshold) {
+        val rows: Seq[(String, java.lang.Long, Int)] = live.flatMap { r =>
+          fridMapOf(r, entriesOf(r)).toSeq.map { case (f, b) =>
+            (f, java.lang.Long.valueOf(b), r.seq)
+          }
+        }
+        broadcast(rows.toDF("__graft_lf", "__graft_lb", "__graft_ls"))
+      } else {
+        def mname(r: ManifestRef) =
+          Paths.get(r.manifest).getFileName.toString
+        val refDf = broadcast(live
+          .map(r => (mname(r), r.firstRowId, r.seq))
+          .toDF("__graft_mn", "__graft_fr", "__graft_ls"))
+        val ent = entriesFrameOf(spark, live, "file STRING, rows LONG, frid LONG")
+          .withColumn("__graft_mn", element_at(split(input_file_name(), "/"), -1))
+        require(ent.filter(col("rows").isNull || col("rows") < 0L)
+            .limit(1).count() == 0L,
+          s"row lineage at $path: entries without row counts — " +
+            "id derivation impossible (compact the legacy vintage)")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("__graft_mn").orderBy("file")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        ent.join(refDf, Seq("__graft_mn"))
+          .withColumn("__graft_off", sum(col("rows")).over(w) - col("rows"))
+          .select(col("file").as("__graft_lf"),
+            when(coalesce(col("frid"), lit(-1L)) >= 0, col("frid"))
+              .otherwise(col("__graft_fr") + col("__graft_off")).as("__graft_lb"),
+            col("__graft_ls"))
       }
-    }
     val withCols = Seq(LineageRid, LineageLus).foldLeft(cur)((d, c) =>
       if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast("long")))
-    val m = broadcast(rows.toDF("__graft_lf", "__graft_lb", "__graft_ls"))
     withCols
       .join(m, regexp_replace(col(FpCol), "^file:(//)?", "") === col("__graft_lf"),
         "left")

@@ -183,6 +183,23 @@ class RowLineageSpec extends AnyFunSuite {
       "post-fast-forward main continues past the branch's counter")
   }
 
+  test("the distributed id map answers exactly like the driver broadcast") {
+    val p = "/tmp/graft_test/rl_distmap"
+    SparkSpec.rmdir(p)
+    (0 until 3).foreach { g =>
+      LakeTable.append(
+        (g * 40 until (g + 1) * 40).map(i => (i.toLong, i * 1.0)).toDF("k", "v")
+          .repartition(3), p)
+    }
+    LakeTable.enableRowLineage(spark, p)
+    // a partial carry so explicit frid pins are in the mix too
+    LakeTable.delete(spark, p, col("k") === 50L)
+    val driver = lineageMap(p)
+    val dist = LakeTable.withPlanThreshold(2)(lineageMap(p))
+    assert(dist === driver,
+      "past the plan threshold the SQL-derived id map must be identical")
+  }
+
   test("time travel serves the lineage as of the version") {
     val p = "/tmp/graft_test/rl_tt"
     SparkSpec.rmdir(p)
