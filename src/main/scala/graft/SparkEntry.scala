@@ -190,6 +190,7 @@ object SparkEntry {
     "lake_wire_arbitrated_commit" -> (sources.LakeTable.wireArbitratedCommitQuery _),
     "lake_snapshots_meta" -> (sources.LakeTable.snapshotsMetaQuery _),
     "lake_call_maintenance" -> (sources.LakeTable.callMaintenanceQuery _),
+    "lake_lineage_cdc" -> (sources.LakeTable.lineageCdcQuery _),
     "lake_ndv_sketch" -> (sources.LakeTable.ndvSketchQuery _),
     "lake_file_granular_delete" -> (sources.LakeTable.fileGranularDeleteQuery _),
     "lake_arbitrated_commit" -> (sources.LakeTable.arbitratedCommitQuery _),
@@ -1163,6 +1164,27 @@ object SparkEntry {
     "lake_call_maintenance" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // lake_lineage_cdc: before/after pair on the durable _row_id, so
+    // the UPDATEd clicks surface as preimage/postimage rows (original
+    // vs negated value), deletes carry the v1 image, untouched rows
+    // emit nothing — Delta CDF's four change types from row lineage
+    "lake_lineage_cdc" ->
+      """WITH base AS (
+        |  SELECT event_id, event_type, value,
+        |         CAST(row_number() OVER (ORDER BY event_id) - 1 AS BIGINT) AS row_id
+        |  FROM events)
+        |SELECT * FROM (
+        |  SELECT 'delete' AS change_type, event_id, event_type,
+        |         round(value, 6) AS value, row_id
+        |  FROM base WHERE event_id % 7 = 0
+        |  UNION ALL
+        |  SELECT 'update_preimage', event_id, event_type, round(value, 6), row_id
+        |  FROM base WHERE event_type = 'click' AND event_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT 'update_postimage', event_id, event_type,
+        |         round((-value) + 0, 6), row_id
+        |  FROM base WHERE event_type = 'click' AND event_id % 7 <> 0) t
+        |ORDER BY change_type, event_id""".stripMargin,
     // lake_row_lineage: rows land as ONE event_id-ordered file, so
     // _row_id is the 0-based event_id rank; an UPDATE (clicks, commit
     // seq 2) and a DELETE (every 7th id) must preserve survivors' ids

@@ -5835,6 +5835,72 @@ object LakeTable {
       .unionByName(before.exceptAll(after).withColumn("change_type", lit("delete")))
   }
 
+  /** LINEAGE-AWARE change feed (Delta CDF's four change types): with
+    * row lineage enabled, before/after rows pair on the durable
+    * `_row_id`, so an UPDATE surfaces as `update_preimage` +
+    * `update_postimage` rows instead of dissolving into an unrelated
+    * delete+insert — the changelog consumers (sync jobs, audit)
+    * actually want. Also the cheaper plan: ONE full-outer join on an
+    * 8-byte key versus [[changes]]' two full-row `exceptAll`
+    * shuffles. Inserts/deletes are rows whose id exists on one side
+    * only; identical-content pairs emit nothing. Both versions must
+    * track lineage and share the user schema (refuse loudly across a
+    * rename/drop — ids pair, columns would not). */
+  def changesWithLineage(
+      spark: SparkSession, path: String, fromV: Int, toV: Int): DataFrame = {
+    require(nextRowIdOf(path, fromV).isDefined && nextRowIdOf(path, toV).isDefined,
+      s"changesWithLineage at $path: both v$fromV and v$toV must track row " +
+        "lineage (enableRowLineage) — use changes() otherwise")
+    val b = readWithLineage(spark, path, Some(fromV))
+    val a = readWithLineage(spark, path, Some(toV))
+    val userCols = a.columns.filterNot(Set(RowIdCol, LusCol)).toSeq
+    require(b.columns.filterNot(Set(RowIdCol, LusCol)).toSeq == userCols,
+      s"changesWithLineage at $path: the user schema changed between " +
+        s"v$fromV and v$toV — ids pair but columns would not")
+    val bk = b.select(col(RowIdCol),
+      struct(userCols.map(col): _*).as("__graft_cb"))
+    val ak = a.select(col(RowIdCol),
+      struct(userCols.map(col): _*).as("__graft_ca"))
+    val j = ak.join(bk, Seq(RowIdCol), "full_outer")
+    def side(src: String, kind: String) =
+      userCols.map(c => col(s"$src.$c")) :+ col(RowIdCol) :+
+        lit(kind).as("change_type")
+    val inserts = j.filter(col("__graft_cb").isNull)
+      .select(side("__graft_ca", "insert"): _*)
+    val deletes = j.filter(col("__graft_ca").isNull)
+      .select(side("__graft_cb", "delete"): _*)
+    val changed = j.filter(col("__graft_ca").isNotNull &&
+      col("__graft_cb").isNotNull && !(col("__graft_ca") <=> col("__graft_cb")))
+    inserts
+      .unionByName(deletes)
+      .unionByName(changed.select(side("__graft_cb", "update_preimage"): _*))
+      .unionByName(changed.select(side("__graft_ca", "update_postimage"): _*))
+  }
+
+  /** Driver query: the LINEAGE-AWARE change feed (S10f) over the
+    * deterministic single-file lifecycle of [[rowLineageQuery]]:
+    * UPDATE (clicks, v2) then DELETE (every 7th id, v3), diffed
+    * v1→v3 — updates must pair on `_row_id` as preimage/postimage
+    * (original vs negated value), deletes carry the ORIGINAL value
+    * (the v1 image), untouched rows emit nothing. */
+  def lineageCdcQuery(s: SparkSession, d: String): DataFrame = {
+    val path = freshWorkDir("lakelincdc", d)
+    val ev = graft.Tables.load(s, d, "events")
+      .select("event_id", "event_type", "value")
+      .repartition(1).sortWithinPartitions("event_id")
+    overwrite(ev, path) // v0
+    enableRowLineage(s, path) // v1
+    // the +0.0 normalizes a potential -0.0 (both engines agree on
+    // 0.0; they need not agree on formatting the signed zero)
+    update(s, path, Map("value" -> (col("value") * -1 + lit(0.0))),
+      col("event_type") === "click") // v2
+    delete(s, path, col("event_id") % 7 === 0) // v3
+    changesWithLineage(s, path, fromV = 1, toV = 3)
+      .select(col("change_type"), col("event_id"), col("event_type"),
+        round(col("value"), 6).as("value"), col(RowIdCol).as("row_id"))
+      .orderBy("change_type", "event_id")
+  }
+
   /** Driver query: CDC over the CoW lifecycle — overwrite (v0), MERGE
     * patching every 3rd event (v1), DELETE every 7th unpatched event
     * (v2), then the v0→v2 change feed. The oracle derives the same

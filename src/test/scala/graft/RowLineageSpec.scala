@@ -200,6 +200,31 @@ class RowLineageSpec extends AnyFunSuite {
       "past the plan threshold the SQL-derived id map must be identical")
   }
 
+  test("lineage-aware CDC pairs updates as preimage/postimage; no-change rows silent") {
+    val p = "/tmp/graft_test/rl_cdc"
+    SparkSpec.rmdir(p)
+    LakeTable.overwrite(
+      (0 until 20).map(i => (i.toLong, i * 1.0)).toDF("k", "v"), p) // v0
+    LakeTable.enableRowLineage(spark, p) // v1
+    LakeTable.update(spark, p, Map("v" -> lit(-1.0)), col("k") === 3L) // v2
+    LakeTable.delete(spark, p, col("k") === 5L) // v3
+    LakeTable.append(Seq((100L, 0.5)).toDF("k", "v"), p) // v4
+    val rows = LakeTable.changesWithLineage(spark, p, 1, 4).collect()
+      .map(r => (r.getAs[String]("change_type"), r.getAs[Long]("k"),
+        r.getAs[Double]("v"))).toSet
+    assert(rows === Set(
+      ("update_preimage", 3L, 3.0), ("update_postimage", 3L, -1.0),
+      ("delete", 5L, 5.0), ("insert", 100L, 0.5)),
+      s"got $rows")
+    // identical endpoints diff to nothing
+    assert(LakeTable.changesWithLineage(spark, p, 4, 4).count() === 0)
+    // pre-lineage versions refuse with the plain-diff alternative named
+    val e = intercept[IllegalArgumentException] {
+      LakeTable.changesWithLineage(spark, p, 0, 4)
+    }
+    assert(e.getMessage.contains("changes()"))
+  }
+
   test("time travel serves the lineage as of the version") {
     val p = "/tmp/graft_test/rl_tt"
     SparkSpec.rmdir(p)
