@@ -3284,13 +3284,31 @@ object LakeTable {
     if (refs.isEmpty)
       return Seq.empty[(String, String, String, Int)].toDF("file", "base", "kind", "seq")
     val refDf = refs
-      .map(r => (Paths.get(r.manifest).getFileName.toString, r.kind, r.seq))
-      .toDF("mname", "kind", "seq")
-    entriesFrameOf(spark, refs,
-      "file STRING, base STRING, stats MAP<STRING, ARRAY<DOUBLE>>")
+      .map(r => (Paths.get(r.manifest).getFileName.toString, r.kind, r.seq,
+        r.firstRowId))
+      .toDF("mname", "kind", "seq", "__graft_fr")
+    val base = entriesFrameOf(spark, refs,
+        "file STRING, base STRING, stats MAP<STRING, ARRAY<DOUBLE>>, " +
+          "rows LONG, frid LONG")
       .withColumn("mname", element_at(split(input_file_name(), "/"), -1))
       .join(broadcast(refDf), Seq("mname"))
-      .select("file", "base", "kind", "seq")
+    if (!rowLineageEnabled(path, Some(v)))
+      base.select("file", "base", "kind", "seq")
+    else {
+      // v3 parity: the files table shows each data file's
+      // first_row_id (explicit frid pins win, else the manifest span
+      // base + file-ordered cumulative rows — the fridMapOf rule);
+      // delete-family files carry null
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("mname").orderBy("file")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      base.withColumn("first_row_id",
+          when(col("kind") === "data" && col("__graft_fr") >= 0,
+            coalesce(when(coalesce(col("frid"), lit(-1L)) >= 0, col("frid")),
+              col("__graft_fr") + (sum(col("rows")).over(w) - col("rows")))))
+        .select("file", "base", "kind", "seq", "first_row_id")
+    }
   }
 
   /** Driver-side probe positions of `value` for a (bits, k) bloom —

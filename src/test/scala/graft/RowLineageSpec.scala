@@ -225,6 +225,24 @@ class RowLineageSpec extends AnyFunSuite {
     assert(e.getMessage.contains("changes()"))
   }
 
+  test("the files metadata table surfaces first_row_id under lineage") {
+    val p = "/tmp/graft_test/rl_files"
+    SparkSpec.rmdir(p)
+    LakeTable.append(
+      (0 until 60).map(i => (i.toLong, i * 1.0)).toDF("k", "v").repartition(3), p)
+    assert(!LakeTable.files(spark, p).columns.contains("first_row_id"),
+      "pre-lineage files table keeps its shape")
+    LakeTable.enableRowLineage(spark, p)
+    val rows = LakeTable.files(spark, p).collect()
+    val frids = rows.filter(_.getAs[String]("kind") == "data")
+      .map(r => Option(r.getAs[java.lang.Long]("first_row_id")).map(_.toLong))
+    assert(frids.forall(_.isDefined))
+    assert(frids.flatten.toSet.contains(0L), "one file starts the span at 0")
+    // spans must tile [0, 60): sorted bases are cumulative counts
+    assert(frids.flatten.sorted.zip(Seq(0L, 20L, 40L)).forall(t => t._1 == t._2),
+      s"3 × 20-row files must tile the span: ${frids.flatten.sorted.toSeq}")
+  }
+
   test("time travel serves the lineage as of the version") {
     val p = "/tmp/graft_test/rl_tt"
     SparkSpec.rmdir(p)
