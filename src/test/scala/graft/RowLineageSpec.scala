@@ -243,6 +243,33 @@ class RowLineageSpec extends AnyFunSuite {
       s"3 × 20-row files must tile the span: ${frids.flatten.sorted.toSeq}")
   }
 
+  test("concurrent appends never collide id spans (rebase re-reads the counter)") {
+    val p = "/tmp/graft_test/rl_concurrent"
+    SparkSpec.rmdir(p)
+    LakeTable.overwrite(Seq((0L, 0.0)).toDF("k", "v"), p)
+    LakeTable.enableRowLineage(spark, p)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val writes = (1 to 6).map { i =>
+      scala.concurrent.Future {
+        LakeTable.append(
+          (i * 100 until i * 100 + 10).map(j => (j.toLong, j * 1.0)).toDF("k", "v"), p)
+      }
+    }
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(writes),
+      scala.concurrent.duration.Duration(120, "s"))
+    pool.shutdown()
+    val m = lineageMap(p)
+    assert(m.size === 61)
+    val ids = m.values.map(_._1).toSeq
+    assert(ids.distinct.size === ids.size,
+      "racing appends must take DISJOINT id spans through the rebase loop")
+    assert(ids.toSet === (0L until 61L).toSet,
+      "rebased spans stay dense — the counter is re-read per attempt")
+  }
+
   test("time travel serves the lineage as of the version") {
     val p = "/tmp/graft_test/rl_tt"
     SparkSpec.rmdir(p)
