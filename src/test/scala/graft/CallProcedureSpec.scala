@@ -67,6 +67,20 @@ class CallProcedureSpec extends AnyFunSuite {
     }
   }
 
+  test("SHOW PROCEDURES and DESCRIBE PROCEDURE ride listProcedures for free") {
+    SparkSpec.rmdir(wh)
+    withCat {
+      val names = spark.sql("SHOW PROCEDURES IN callc.system").collect()
+        .map(_.getAs[String]("procedure_name")).toSet
+      assert(names === Set("expire_snapshots", "remove_orphan_files",
+        "rewrite_data_files", "rollback_to_snapshot", "rollback_to_timestamp",
+        "fast_forward", "compute_table_stats"))
+      val desc = spark.sql("DESCRIBE PROCEDURE callc.system.expire_snapshots")
+        .collect().map(_.getString(0)).mkString(" ")
+      assert(desc.contains("expire_snapshots") && desc.contains("retain_last"))
+    }
+  }
+
   test("unknown procedure and non-lake table refuse loudly") {
     SparkSpec.rmdir(wh)
     withCat {
