@@ -96,6 +96,7 @@ object SparkEntry {
     "cjk_fingerprint" -> (llm.TextAnalysis.cjkFingerprint _),
     "sql_registry_fingerprint" -> (llm.TextAnalysis.sqlRegistryFingerprint _),
     "bpe_token_stats" -> (llm.TextAnalysis.bpeTokenStats _),
+    "gopher_repetition" -> (llm.TextAnalysis.gopherRepetitionQuery _),
     "lang_id_ngram" -> (llm.TextAnalysis.langIdNgram _),
     "tfidf_top_terms" -> (llm.TextAnalysis.tfidfTopTerms _),
     "bm25_retrieval" -> (llm.TextAnalysis.bm25Retrieval _),
@@ -2638,6 +2639,30 @@ object SparkEntry {
         |    i -> (((th[i]*37 + th[i+1]) % 1000000007) * 37 + th[i+2]) % 1000000007),
         |    'min') AS min_fp
         |FROM t2 ORDER BY doc_id""".stripMargin,
+    // gopher_repetition: MassiveText repetition filters — duplicate
+    // word fraction + top-bigram share with the 0.2 keep/drop flag
+    "gopher_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |words AS (SELECT doc_id, unnest(w) AS word FROM base),
+        |wstats AS (
+        |  SELECT doc_id, count(*) AS n_words, count(DISTINCT word) AS n_distinct
+        |  FROM words GROUP BY doc_id),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    list_transform(list_zip(w, w[2:]), p -> p[1] || ' ' || p[2]),
+        |    x -> x IS NOT NULL)) AS bigram
+        |  FROM base),
+        |bgc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram),
+        |bstats AS (SELECT doc_id, max(c) AS top_c, sum(c) AS tot_c FROM bgc GROUP BY doc_id)
+        |SELECT w.doc_id,
+        |       CAST(w.n_words AS BIGINT) AS n_words,
+        |       round(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 6) AS dup_word_frac,
+        |       round(coalesce(CAST(top_c AS DOUBLE) / tot_c, 0.0), 6) AS top_bigram_share,
+        |       coalesce(CAST(top_c AS DOUBLE) / tot_c, 0.0) > 0.2 AS repetitive
+        |FROM wstats w LEFT JOIN bstats b ON w.doc_id = b.doc_id
+        |ORDER BY w.doc_id""".stripMargin,
     "bpe_token_stats" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,

@@ -846,4 +846,35 @@ object TextAnalysis {
           greatest(coalesce(col("n_shingles"), lit(0)), lit(1)), 6).as("dup_frac"))
       .orderBy("doc_id")
   }
+
+  /** GOPHER-STYLE REPETITION SIGNALS (Rae et al. 2021, "Scaling
+    * Language Models" §A1.1 — the MassiveText repetition filters):
+    * per document, the duplicate-word fraction (1 − distinct/total)
+    * and the TOP-BIGRAM SHARE (occurrences of the most frequent word
+    * 2-gram over all 2-grams), plus the standard keep/drop flag at
+    * the 0.2 threshold. Shape at 100 TB: bigrams derive from ONE
+    * posexplode + a lead window inside the doc_id partition — the
+    * corpus shuffles once on doc_id, then two bounded per-doc
+    * aggregations; never a self-join. */
+  def gopherRepetitionQuery(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+    val w = expr("filter(split(text, ' '), x -> x <> '')")
+    val toks = docs.select(col("doc_id"), posexplode(w).as(Seq("pos", "word")))
+    val withNext = toks.withColumn("nxt",
+      lead("word", 1).over(Window.partitionBy("doc_id").orderBy("pos")))
+    val bg = withNext.filter(col("nxt").isNotNull)
+      .groupBy(col("doc_id"), concat_ws(" ", col("word"), col("nxt")).as("bigram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_c"), sum("c").as("tot_c"))
+    val wd = toks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), countDistinct("word").as("n_distinct"))
+    val share = coalesce(col("top_c").cast("double") / col("tot_c"), lit(0.0))
+    wd.join(bg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_words"), 6)
+          .as("dup_word_frac"),
+        round(share, 6).as("top_bigram_share"),
+        (share > 0.2).as("repetitive"))
+      .orderBy("doc_id")
+  }
 }
