@@ -276,6 +276,11 @@ final class SocketCatalogArbiter(host: String, port: Int, timeoutMs: Int = 5000)
       try roundTrip()
       catch {
         case e: java.net.SocketTimeoutException =>
+          // DISCARD the connection: the server's late answer to THIS
+          // op would otherwise be read as the response to the NEXT
+          // request on the same arbiter, desynchronizing the stream —
+          // a refused claim could read as granted
+          try close() catch { case _: Throwable => () }
           throw new CommitArbitrationException(
             s"catalog did not answer $op($table, $v) within ${timeoutMs}ms — " +
               "ambiguous outcome, commit refused", e)

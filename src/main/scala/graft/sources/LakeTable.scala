@@ -1857,6 +1857,18 @@ object LakeTable {
       .drop("__graft_lf", "__graft_lb", "__graft_ls")
   }
 
+  /** The ONE id-preservation projection every lineage-preserving DML
+    * rewrite shares: attach the computed lineage, RE-MATERIALIZE it
+    * under the physical column names, and drop the scan-meta columns.
+    * `extraSel` lets UPDATE/MERGE override the last-updated rule. */
+  private def materializeLineage(
+      spark: SparkSession, df: DataFrame, live: Seq[ManifestRef],
+      entriesOf: ManifestRef => Seq[ManifestEntry], path: String): DataFrame =
+    attachLineage(spark, df, live, entriesOf, path)
+      .withColumn(LineageRid, col(RowIdCol))
+      .withColumn(LineageLus, col(LusCol))
+      .drop(RowIdCol, LusCol, FpCol, RiCol, SeqCol)
+
   /** The table's next unassigned row id at `version`; presence of the
     * sidecar IS the lineage-enabled flag (carried by every commit). */
   private[graft] def nextRowIdOf(path: String, version: Int): Option[Long] = {
@@ -1919,12 +1931,14 @@ object LakeTable {
     val (dv, data) = rest2.partition(_.kind == "dv")
     val current = schFor(path, v)
     val live = data.filter(_.nFiles > 0)
+    // an empty snapshot still honors the contract's two lineage
+    // columns, so `select("_row_id")` and the lineage CDC never
+    // face a zero-column frame
     if (live.isEmpty) return spark.emptyDataFrame
+      .withColumn(RowIdCol, lit(null).cast("long"))
+      .withColumn(LusCol, lit(null).cast("long"))
     val tagged = withLineageCols {
-      live.map { r =>
-        projectToCurrent(posMeta(refScan(spark, r)), r.cols, current)
-          .withColumn(SeqCol, lit(r.seq))
-      }.reduce(_.unionByName(_, allowMissingColumns = true))
+      taggedReadRefs(spark, live, current, withPos = true)
     }
     val mm = manifestMemo()
     val withL = attachLineage(spark, tagged, live, mm, path)
@@ -2903,17 +2917,17 @@ object LakeTable {
     // lineage survivors KEEP their ids; upserted keys are
     // delete+insert semantics — the replacing rows take FRESH ids
     // (use mergeConditional's UPDATE clauses to preserve ids)
-    def keepLin(d: DataFrame): DataFrame =
-      if (!lineage) d.drop(FpCol, RiCol, SeqCol)
-      else attachLineage(spark, d,
+    // no colliding file → nothing carries lineage (the incoming batch
+    // derives fresh ids from its own span); skip the id-map build
+    val survivors =
+      if (touched.isEmpty) cur.limit(0).drop(FpCol, RiCol, SeqCol)
+      else {
+        val surv = rowsInFiles(cur, touched)
+          .join(srcKeys, col(keyCol) === col("__graft_uk"), "left_anti")
+        if (!lineage) surv.drop(FpCol, RiCol, SeqCol)
+        else materializeLineage(spark, surv,
           refs.filter(r => r.kind == "data" && r.nFiles > 0), mm, path)
-        .withColumn(LineageRid, col(RowIdCol))
-        .withColumn(LineageLus, col(LusCol))
-        .drop(RowIdCol, LusCol, FpCol, RiCol, SeqCol)
-    val survivors = keepLin(
-      if (touched.isEmpty) cur.limit(0)
-      else rowsInFiles(cur, touched)
-        .join(srcKeys, col(keyCol) === col("__graft_uk"), "left_anti"))
+      }
     commitRefs(spark, path, base,
       carryManifests(path, refs, touched, mm)
         ++ stageRewrite(
@@ -3087,13 +3101,11 @@ object LakeTable {
         .select(FpCol).distinct().collect().map(_.getString(0)).toSet
       val mm = manifestMemo()
       val targetTouched = {
-        val tr = if (touched.isEmpty) cur.limit(0) else rowsInFiles(cur, touched)
-        if (!lineage) tr.drop(FpCol, RiCol, SeqCol)
-        else attachLineage(spark, tr,
-            refs.filter(r => r.kind == "data" && r.nFiles > 0), mm, path)
-          .withColumn(LineageRid, col(RowIdCol))
-          .withColumn(LineageLus, col(LusCol))
-          .drop(RowIdCol, LusCol, FpCol, RiCol, SeqCol)
+        if (touched.isEmpty) cur.limit(0).drop(FpCol, RiCol, SeqCol)
+        else if (!lineage)
+          rowsInFiles(cur, touched).drop(FpCol, RiCol, SeqCol)
+        else materializeLineage(spark, rowsInFiles(cur, touched),
+          refs.filter(r => r.kind == "data" && r.nFiles > 0), mm, path)
       }
       val (survivors, inserts, affected) =
         mergeRows(targetTouched, source, keyCol, matched, notMatchedInsert,
@@ -3947,11 +3959,8 @@ object LakeTable {
         def survivors: DataFrame = {
           val raw = rowsInFiles(cur, boundary).filter(!matches)
           if (!lineage) raw.drop(FpCol, RiCol, SeqCol)
-          else attachLineage(spark, raw,
-              refs.filter(r => r.kind == "data" && r.nFiles > 0), mm, path)
-            .withColumn(LineageRid, col(RowIdCol))
-            .withColumn(LineageLus, col(LusCol))
-            .drop(RowIdCol, LusCol, FpCol, RiCol, SeqCol)
+          else materializeLineage(spark, raw,
+            refs.filter(r => r.kind == "data" && r.nFiles > 0), mm, path)
         }
         val rewritten =
           if (boundary.isEmpty) None
@@ -4407,6 +4416,9 @@ object LakeTable {
       val raw = withLineageColsIf(lineage)(
         assemblePruned(spark, smalls, Nil, eq, pos, dvs, current,
           keepMeta = keepMeta || lineage))
+      // NB materializeLineage drops the meta columns, which the
+      // spec-path bin join still needs — re-ride them through the
+      // attach instead (the shared helper covers the plain rewrites)
       val withL =
         if (!lineage) raw
         else attachLineage(spark, raw, data.filter(_.nFiles > 0),
@@ -5871,8 +5883,18 @@ object LakeTable {
         "lineage (enableRowLineage) — use changes() otherwise")
     val b = readWithLineage(spark, path, Some(fromV))
     val a = readWithLineage(spark, path, Some(toV))
-    val userCols = a.columns.filterNot(Set(RowIdCol, LusCol)).toSeq
-    require(b.columns.filterNot(Set(RowIdCol, LusCol)).toSeq == userCols,
+    val bCols = b.columns.filterNot(Set(RowIdCol, LusCol)).toSeq
+    val aCols = a.columns.filterNot(Set(RowIdCol, LusCol)).toSeq
+    // an EMPTY endpoint has no user columns at all (schema lives in
+    // data files): the diff against it is trivially one-sided
+    if (aCols.isEmpty)
+      return b.select(bCols.map(col) :+ col(RowIdCol) :+
+        lit("delete").as("change_type"): _*)
+    if (bCols.isEmpty)
+      return a.select(aCols.map(col) :+ col(RowIdCol) :+
+        lit("insert").as("change_type"): _*)
+    val userCols = aCols
+    require(bCols == userCols,
       s"changesWithLineage at $path: the user schema changed between " +
         s"v$fromV and v$toV — ids pair but columns would not")
     val bk = b.select(col(RowIdCol),

@@ -91,6 +91,15 @@ object GraftSqlShim {
       case s: internal.SqlExpression =>
         scala.util.Try(exprDet(SparkSession.active.asInstanceOf[classic.SparkSession]
           .sessionState.sqlParser.parseExpression(s.expression))).getOrElse(true)
+      case u: internal.InvokeInlineUserDefinedFunction =>
+        // a UDF's own determinism flag decides; an unknown UDF-like
+        // refuses conservatively (a wrong 'true' here means silent
+        // row loss in the multi-pass DML planner)
+        (u.function match {
+          case f: org.apache.spark.sql.expressions.UserDefinedFunction =>
+            f.deterministic
+          case _ => false
+        }) && u.arguments.forall(go)
       case classic.ExpressionColumnNode(e, _) => exprDet(e)
       case _ => true
     }

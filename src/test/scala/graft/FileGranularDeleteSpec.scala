@@ -318,6 +318,16 @@ class FileGranularDeleteSpec extends AnyFunSuite {
     // deterministic ones still run
     LakeTable.delete(spark, p, col("k") === 1L)
     assert(LakeTable.read(spark, p).filter(col("k") === 1L).count() == 0)
+    // UDF predicates: the UDF's own determinism flag decides (tests
+    // may use udf(); main code never does)
+    val nd = udf(() => scala.util.Random.nextDouble()).asNondeterministic()
+    val e3 = intercept[IllegalArgumentException] {
+      LakeTable.delete(spark, p, nd() < 0.5)
+    }
+    assert(e3.getMessage.contains("nondeterministic"))
+    val det = udf((k: Long) => k == 2L)
+    LakeTable.delete(spark, p, det(col("k")))
+    assert(LakeTable.read(spark, p).filter(col("k") === 2L).count() == 0)
   }
 
   test("MERGE with a BY-SOURCE clause falls back to the full rewrite") {

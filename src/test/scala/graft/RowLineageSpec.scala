@@ -270,6 +270,24 @@ class RowLineageSpec extends AnyFunSuite {
       "rebased spans stay dense — the counter is re-read per attempt")
   }
 
+  test("an emptied table keeps the lineage contract; CDC against it is one-sided") {
+    val p = "/tmp/graft_test/rl_empty"
+    SparkSpec.rmdir(p)
+    LakeTable.overwrite(
+      (0 until 10).map(i => (i.toLong, i * 1.0)).toDF("k", "v"), p) // v0
+    LakeTable.enableRowLineage(spark, p) // v1
+    LakeTable.delete(spark, p, lit(true)) // v2: drops every file
+    val empty = LakeTable.readWithLineage(spark, p)
+    assert(empty.columns.contains("_row_id") &&
+      empty.columns.contains("_last_updated_sequence_number"),
+      "the lineage read must honor its column contract even when empty")
+    assert(empty.count() === 0)
+    val deletes = LakeTable.changesWithLineage(spark, p, 1, 2).collect()
+    assert(deletes.length === 10 &&
+      deletes.forall(_.getAs[String]("change_type") == "delete"),
+      "diffing a full version against an emptied one is all deletes")
+  }
+
   test("time travel serves the lineage as of the version") {
     val p = "/tmp/graft_test/rl_tt"
     SparkSpec.rmdir(p)

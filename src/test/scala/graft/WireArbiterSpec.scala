@@ -104,6 +104,48 @@ class WireArbiterSpec extends AnyFunSuite {
     } finally stall.close()
   }
 
+  test("a timeout DISCARDS the connection — the late answer can never desync") {
+    // a server whose FIRST answer arrives after the client timeout,
+    // all later answers prompt: without the discard, the retried
+    // request would consume the stale first answer and every
+    // subsequent response would be off by one
+    val srv = new java.net.ServerSocket(
+      0, 5, java.net.InetAddress.getLoopbackAddress)
+    val slowOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val t = new Thread(() => {
+      try while (true) {
+        val sock = srv.accept()
+        val h = new Thread(() => {
+          try {
+            val in = new java.io.BufferedReader(
+              new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
+            val out = new java.io.PrintWriter(sock.getOutputStream, true)
+            var line = in.readLine()
+            while (line != null) {
+              if (slowOnce.compareAndSet(true, false)) Thread.sleep(800)
+              // answer FALSE always: a desynced client would
+              // misattribute some response; a correct one sees
+              // exactly false per fresh request
+              out.println("""{"ok":false}""")
+              line = in.readLine()
+            }
+          } catch { case _: Throwable => () } finally sock.close()
+        })
+        h.setDaemon(true); h.start()
+      } catch { case _: Throwable => () }
+    })
+    t.setDaemon(true); t.start()
+    try {
+      val c = new SocketCatalogArbiter("127.0.0.1", srv.getLocalPort, timeoutMs = 300)
+      intercept[CommitArbitrationException](c.tryClaim("t", 0)) // times out
+      // fresh connection, fresh stream: the late '{"ok":false}' of the
+      // timed-out request is gone with the discarded socket
+      assert(!c.tryClaim("t", 1), "post-timeout request must pair with ITS answer")
+      assert(!c.tryClaim("t", 2))
+      c.close()
+    } finally srv.close()
+  }
+
   test("a dropped idle connection reconnects once; a dead server throws") {
     val srv = new CatalogWireServer()
     val c = new SocketCatalogArbiter("127.0.0.1", srv.port)
