@@ -1167,8 +1167,8 @@ object SparkEntry {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // lake_lineage_cdc: before/after pair on the durable _row_id, so
     // the UPDATEd clicks surface as preimage/postimage rows (original
-    // vs negated value), deletes carry the v1 image, untouched rows
-    // emit nothing — Delta CDF's four change types from row lineage
+    // vs value+1), deletes carry the v1 image, untouched rows emit
+    // nothing — Delta CDF's four change types from row lineage
     "lake_lineage_cdc" ->
       """WITH base AS (
         |  SELECT event_id, event_type, value,
@@ -1183,7 +1183,7 @@ object SparkEntry {
         |  FROM base WHERE event_type = 'click' AND event_id % 7 <> 0
         |  UNION ALL
         |  SELECT 'update_postimage', event_id, event_type,
-        |         round((-value) + 0, 6), row_id
+        |         round(value + 1, 6), row_id
         |  FROM base WHERE event_type = 'click' AND event_id % 7 <> 0) t
         |ORDER BY change_type, event_id""".stripMargin,
     // lake_row_lineage: rows land as ONE event_id-ordered file, so

@@ -194,24 +194,24 @@ final class CatalogWireServer(
     finally sock.close()
   }
 
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   private def handle(line: String): String = {
-    // the three-field request grammar, parsed defensively: a
-    // malformed line answers an error object, never kills the
-    // connection (the client surfaces it as a refused commit).
-    // String values handle JSON escapes — table names are filesystem
-    // paths and may carry quotes/backslashes
-    def field(k: String): Option[String] = {
-      val m = ("\"" + k + "\"\\s*:\\s*(\"((?:[^\"\\\\]|\\\\.)*)\"|-?\\d+)").r
-        .findFirstMatchIn(line)
-      m.map(mm => Option(mm.group(2))
-        .map(s => """\\(.)""".r.replaceAllIn(
-          s, g => scala.util.matching.Regex.quoteReplacement(g.group(1))))
-        .getOrElse(mm.group(1)))
-    }
+    // the three-field request grammar, parsed with the same Jackson
+    // the metadata layer uses (escapes in path-shaped table names
+    // come for free); a malformed line answers an error object, never
+    // kills the connection (the client surfaces it as a refused
+    // commit)
     try {
-      val op = field("op").getOrElse(sys.error("missing op"))
-      val table = field("table").getOrElse(sys.error("missing table"))
-      val v = field("v").map(_.toInt).getOrElse(sys.error("missing v"))
+      val n = mapper.readTree(line)
+      def field(k: String): String = {
+        val f = n.get(k)
+        if (f == null || f.isNull) sys.error(s"missing $k")
+        f.asText
+      }
+      val op = field("op")
+      val table = field("table")
+      val v = field("v").toInt
       val ok = op match {
         case "observed" => inner.observed(table, v); true
         case "tryClaim" => inner.tryClaim(table, v)
@@ -265,35 +265,48 @@ final class SocketCatalogArbiter(host: String, port: Int, timeoutMs: Int = 5000)
 
   private def request(op: String, table: String, v: Int): Boolean = synchronized {
     val line = s"""{"op":${jstr(op)},"table":${jstr(table)},"v":$v}"""
-    def roundTrip(): String = {
-      if (sock == null || sock.isClosed) connect()
+    // SEND phase: a failure here is unambiguous (the server accepted
+    // nothing of THIS request) — connect errors throw loudly, a stale
+    // idle connection whose write fails gets exactly ONE reconnect +
+    // resend. PrintWriter latches errors instead of throwing, so the
+    // checkError probe IS the failure signal.
+    def send(): Unit = {
       out.println(line)
-      val resp = in.readLine()
-      if (resp == null) throw new java.io.IOException("connection closed")
-      resp
+      if (out.checkError()) throw new java.io.IOException("write failed")
     }
+    try {
+      if (sock == null || sock.isClosed) connect()
+      send()
+    } catch {
+      case _: java.io.IOException =>
+        try close() catch { case _: Throwable => () }
+        try { connect(); send() }
+        catch {
+          case e2: java.io.IOException =>
+            throw new CommitArbitrationException(
+              s"catalog unreachable for $op($table, $v)", e2)
+        }
+    }
+    // RECEIVE phase: once the request is on the wire, ANY failure is
+    // AMBIGUOUS — the server may have applied the op, so re-sending
+    // could double-claim. Discard the connection (its late answer
+    // must never pair with the next request) and refuse the commit.
     val resp =
-      try roundTrip()
-      catch {
+      try {
+        val r = in.readLine()
+        if (r == null) throw new java.io.IOException("connection closed")
+        r
+      } catch {
         case e: java.net.SocketTimeoutException =>
-          // DISCARD the connection: the server's late answer to THIS
-          // op would otherwise be read as the response to the NEXT
-          // request on the same arbiter, desynchronizing the stream —
-          // a refused claim could read as granted
           try close() catch { case _: Throwable => () }
           throw new CommitArbitrationException(
             s"catalog did not answer $op($table, $v) within ${timeoutMs}ms — " +
               "ambiguous outcome, commit refused", e)
-        case _: java.io.IOException =>
-          // a dropped idle connection is unambiguous (nothing was
-          // answered): reconnect once; a second failure surfaces
+        case e: java.io.IOException =>
           try close() catch { case _: Throwable => () }
-          try { connect(); roundTrip() }
-          catch {
-            case e2: java.io.IOException =>
-              throw new CommitArbitrationException(
-                s"catalog unreachable for $op($table, $v)", e2)
-          }
+          throw new CommitArbitrationException(
+            s"connection lost awaiting the $op($table, $v) reply — " +
+              "ambiguous outcome, commit refused", e)
       }
     if (resp.contains("\"ok\":true")) true
     else if (resp.contains("\"ok\":false")) false

@@ -1754,6 +1754,22 @@ object LakeTable {
     if (hidden.isEmpty) df else df.drop(hidden.toIndexedSeq: _*)
   }
 
+  /** UTF-8 byte-wise less-than — the collation Spark's string
+    * orderBy uses; lineage id derivation must sort file paths the
+    * SAME way on the driver and in SQL. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   /** file → first-row-id over one manifest's entries: explicit pins
     * ([[ManifestEntry.frid]], written by partial carries) win; else
     * ids derive as manifest.firstRowId + cumulative rows in FILE-PATH
@@ -1765,7 +1781,10 @@ object LakeTable {
       require(r.firstRowId >= 0,
         s"manifest ${r.manifest} does not track row lineage")
       var off = r.firstRowId
-      es.sortBy(_.file).map { e =>
+      // UTF-8 BINARY order, matching Spark's string orderBy exactly —
+      // Scala's default UTF-16 sort would swap supplementary-plane
+      // paths and derive different ids than the distributed map
+      es.sortWith((a, b) => utf8Lt(a.file, b.file)).map { e =>
         require(e.rows >= 0,
           s"row lineage: ${e.file} lacks a row count — id derivation impossible")
         val v = off; off += e.rows; e.file -> v
@@ -2698,17 +2717,21 @@ object LakeTable {
         if (needCount) Some(0L) else None,
         minCols.map(_ -> None).toMap, maxCols.map(_ -> None).toMap))
     // total pos/DV-deleted rows across the snapshot's LIVE data files
-    // (stale delete rows referencing since-dropped files are excluded
-    // by the semi-join), computed lazily — only a counting pushdown
-    // over a MoR snapshot pays the O(delete bytes) job
-    lazy val deleted: Long =
-      if (posRefs.isEmpty && dvRefs.isEmpty) 0L
-      else morDeletedCounts(spark, posRefs, dvRefs)
-        .join(entriesFrameOf(spark, live, "file STRING").select("file"),
-          col("__graft_delf") === col("file"), "left_semi")
-        .agg(coalesce(sum("__graft_del"), lit(0L))).head.getLong(0)
+    // (stale delete rows referencing since-dropped files excluded),
+    // computed lazily — only a counting pushdown over a MoR snapshot
+    // pays the O(delete bytes) job. The sub-threshold branch filters
+    // against the driver-parsed entry set it already holds; only the
+    // distributed branch pays the manifest-scan semi-join.
+    val hasMor = posRefs.nonEmpty || dvRefs.nonEmpty
     if (claimed <= DistributedPlanThreshold) {
       val entries = live.flatMap(readManifest)
+      lazy val deleted: Long =
+        if (!hasMor) 0L
+        else {
+          val liveFiles = entries.map(_.file).toSet
+          morDeletedCounts(spark, posRefs, dvRefs).collect()
+            .filter(r => liveFiles(r.getString(0))).map(_.getLong(1)).sum
+        }
       val cnt =
         if (!needCount) None
         else if (entries.forall(_.rows >= 0L))
@@ -2752,6 +2775,12 @@ object LakeTable {
             min(when(nz, element_at(b, 1))).as(s"__mn_$c"),
             max(when(nz, element_at(b, 2))).as(s"__mx_$c"))
         }
+      lazy val deleted: Long =
+        if (!hasMor) 0L
+        else morDeletedCounts(spark, posRefs, dvRefs)
+          .join(entriesFrameOf(spark, live, "file STRING").select("file"),
+            col("__graft_delf") === col("file"), "left_semi")
+          .agg(coalesce(sum("__graft_del"), lit(0L))).head.getLong(0)
       val r = base.agg(aggs.head, aggs.tail: _*).collect().head
       val n = r.getAs[Long]("__n")
       val cnt =
@@ -3018,9 +3047,30 @@ object LakeTable {
           case (acc, _) => acc
         }
       }
-    val updated = applyUpdates(notMatchedBySource, "__graft_b",
+    val updated0 = applyUpdates(notMatchedBySource, "__graft_b",
       applyUpdates(matched, "__graft_a", tCols.map(c => col(s"t.$c"))))
       .zip(tCols).map { case (e, c) => e.as(c) }
+    // ROW LINEAGE (S10d): a row an UPDATE clause actually FIRED on
+    // NULLs its last-updated so it inherits the merge commit's
+    // sequence — ACTION-granular (a duplicate-keyed sibling the
+    // clause skipped keeps its original value; a key-level rule
+    // would mis-bump it)
+    def updateIdxOf(cls: Seq[MergeClause]) =
+      cls.zipWithIndex.collect { case (MatchedUpdate(_, _), i) => i }
+    val updated =
+      if (!tCols.contains(LineageLus)) updated0
+      else {
+        val hitUpdate =
+          col("__graft_a").isin(updateIdxOf(matched).map(Integer.valueOf): _*) ||
+            col("__graft_b").isin(
+              updateIdxOf(notMatchedBySource).map(Integer.valueOf): _*)
+        tCols.zip(updated0).map { case (c, e) =>
+          if (c == LineageLus)
+            when(hitUpdate, lit(null).cast("long"))
+              .otherwise(col(s"t.$LineageLus")).as(LineageLus)
+          else e
+        }
+      }
     def dropDeleted(df: DataFrame, actionCol: String, idx: Seq[Int]): DataFrame =
       if (idx.isEmpty) df
       else df.filter(!col(actionCol).isin(idx.map(Integer.valueOf): _*))
@@ -3066,29 +3116,40 @@ object LakeTable {
     * SOURCE clauses every target row is potentially rewritten, and
     * with schema evolution the commit's schema must cover carried
     * files too — both fall back to the full-snapshot rewrite. */
+  /** MERGE clause conditions share DELETE/UPDATE's determinism rule:
+    * the planner evaluates them in more than one pass (delete-key
+    * staging vs replacement selection on the MoR form; classification
+    * vs clause algebra on the CoW form), so `rand()`-style conditions
+    * would silently lose or duplicate rows. */
+  private def requireDeterministicMerge(
+      matched: Seq[MergeClause], notMatchedInsert: Option[org.apache.spark.sql.Column],
+      notMatchedBySource: Seq[MergeClause]): Unit = {
+    val conds = (matched ++ notMatchedBySource).flatMap {
+      case MatchedUpdate(c, set) => c.toSeq ++ set.values
+      case MatchedDelete(c) => c.toSeq
+    } ++ notMatchedInsert.toSeq
+    conds.foreach(c => require(
+      org.apache.spark.sql.GraftSqlShim.isDeterministic(c),
+      s"MERGE: nondeterministic clause expression ($c) is not allowed — " +
+        "the planner evaluates clauses in multiple passes"))
+  }
+
   def mergeConditional(
       source: DataFrame, path: String, keyCol: String,
       matched: Seq[MergeClause],
       notMatchedInsert: Option[org.apache.spark.sql.Column] = None,
       notMatchedBySource: Seq[MergeClause] = Nil,
       evolveColumns: Seq[String] = Nil): Int = {
+    requireDeterministicMerge(matched, notMatchedInsert, notMatchedBySource)
     val spark = source.sparkSession
     val base = observedBase(spark, path)
     val lineage = nextRowIdOf(path, base).isDefined
-    // under row lineage an UPDATEd row keeps its durable id (the
-    // physical column rides through the clause algebra as a target
-    // column) and its last-updated NULLs to inherit the merge
-    // commit's sequence; INSERTed rows carry no physical and derive
-    // fresh ids from the new manifest's span — v3 inheritance
-    def lusBumped(survivors: DataFrame, affected: DataFrame): DataFrame =
-      if (!lineage) survivors
-      else survivors
-        .join(affected.select(col(keyCol).as("__graft_lk")),
-          survivors(keyCol) <=> col("__graft_lk"), "left")
-        .withColumn(LineageLus,
-          when(col("__graft_lk").isNotNull, lit(null).cast("long"))
-            .otherwise(col(LineageLus)))
-        .drop("__graft_lk")
+    // under row lineage an UPDATEd row keeps its durable id and its
+    // last-updated NULLs to inherit the merge commit's sequence —
+    // the rule lives INSIDE mergeRows (ACTION-granular: a
+    // duplicate-keyed sibling an UPDATE clause skipped keeps its
+    // value; a key-level rule would mis-bump it); INSERTed rows
+    // carry no physical and derive fresh ids — v3 inheritance
     if (notMatchedBySource.isEmpty && evolveColumns.isEmpty) {
       val refs = listRefs(path, base)
       val cur = withLineageColsIf(lineage)(
@@ -3101,7 +3162,15 @@ object LakeTable {
         .select(FpCol).distinct().collect().map(_.getString(0)).toSet
       val mm = manifestMemo()
       val targetTouched = {
-        if (touched.isEmpty) cur.limit(0).drop(FpCol, RiCol, SeqCol)
+        if (touched.isEmpty) {
+          // empty slice: still honor the lineage-column contract (the
+          // clause algebra's last-updated rule references it)
+          val base = cur.limit(0).drop(FpCol, RiCol, SeqCol)
+          if (!lineage) base
+          else Seq(LineageRid, LineageLus).foldLeft(base)((d, c) =>
+            if (d.columns.contains(c)) d
+            else d.withColumn(c, lit(null).cast("long")))
+        }
         else if (!lineage)
           rowsInFiles(cur, touched).drop(FpCol, RiCol, SeqCol)
         else materializeLineage(spark, rowsInFiles(cur, touched),
@@ -3113,8 +3182,7 @@ object LakeTable {
       commitRefs(spark, path, base,
         carryManifests(path, refs, touched, mm)
           ++ stageRewrite(
-            lusBumped(survivors, affected)
-              .unionByName(inserts, allowMissingColumns = true), path,
+            survivors.unionByName(inserts, allowMissingColumns = true), path,
             rewriteSpec(path, refs, touched, mm)),
         "merge")
     } else {
@@ -3124,8 +3192,7 @@ object LakeTable {
           notMatchedBySource, evolveColumns)
       commitRefs(spark, path, base,
         stageRewrite(
-          lusBumped(survivors, affected)
-            .unionByName(inserts, allowMissingColumns = true), path,
+          survivors.unionByName(inserts, allowMissingColumns = true), path,
           partitionSpecOf(path)).toSeq,
         "merge")
     }
@@ -3143,6 +3210,7 @@ object LakeTable {
       notMatchedInsert: Option[org.apache.spark.sql.Column] = None,
       notMatchedBySource: Seq[MergeClause] = Nil,
       evolveColumns: Seq[String] = Nil): Int = {
+    requireDeterministicMerge(matched, notMatchedInsert, notMatchedBySource)
     val spark = source.sparkSession
     val base = observedBase(spark, path)
     val lineage = nextRowIdOf(path, base).isDefined
@@ -3152,12 +3220,9 @@ object LakeTable {
     // merge commit's sequence; inserts derive fresh ids
     val target = if (lineage) rewriteRead(spark, path, base)
       else read(spark, path, Some(base))
-    val (survivors0, inserts, affected) =
+    val (survivors, inserts, affected) =
       mergeRows(target, source, keyCol, matched, notMatchedInsert,
         notMatchedBySource, evolveColumns)
-    val survivors =
-      if (!lineage) survivors0
-      else survivors0.withColumn(LineageLus, lit(null).cast("long"))
     // the replacement rows = post-merge state of exactly the UPDATED
     // keys (deleted keys ship no replacement) + the inserts. The
     // semi-join is NULL-SAFE like every key comparison in the merge:
@@ -5930,9 +5995,10 @@ object LakeTable {
       .repartition(1).sortWithinPartitions("event_id")
     overwrite(ev, path) // v0
     enableRowLineage(s, path) // v1
-    // the +0.0 normalizes a potential -0.0 (both engines agree on
-    // 0.0; they need not agree on formatting the signed zero)
-    update(s, path, Map("value" -> (col("value") * -1 + lit(0.0))),
+    // +1.0 GUARANTEES a content change for every finite value (a
+    // negation would leave a 0.0 click bit-identical and the diff
+    // would rightly suppress it — diverging from the oracle)
+    update(s, path, Map("value" -> (col("value") + lit(1.0))),
       col("event_type") === "click") // v2
     delete(s, path, col("event_id") % 7 === 0) // v3
     changesWithLineage(s, path, fromV = 1, toV = 3)

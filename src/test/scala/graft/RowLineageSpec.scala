@@ -270,6 +270,44 @@ class RowLineageSpec extends AnyFunSuite {
       "rebased spans stay dense — the counter is re-read per attempt")
   }
 
+  test("action-granular last-updated: a duplicate-keyed sibling the clause skipped keeps its value") {
+    val p = "/tmp/graft_test/rl_dupkey"
+    SparkSpec.rmdir(p)
+    // duplicate TARGET keys are legal (only source dupes are refused)
+    LakeTable.overwrite(
+      Seq((1L, 1.0), (1L, 10.0), (2L, 2.0)).toDF("k", "v"), p)
+    LakeTable.enableRowLineage(spark, p)
+    LakeTable.mergeConditional(
+      Seq((1L, 0.0)).toDF("k", "v"), p, "k",
+      matched = Seq(LakeTable.MatchedUpdate(
+        Some(col("t.v") > 5.0), Map("v" -> lit(99.0)))))
+    val rows = LakeTable.readWithLineage(spark, p).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Double]("v")) ->
+        r.getAs[Long]("_last_updated_sequence_number")).toMap
+    assert(rows((1L, 99.0)) > 0L, "the row the clause FIRED on must bump")
+    assert(rows((1L, 1.0)) === 0L,
+      "the duplicate-keyed sibling the clause skipped must keep its last-updated")
+    assert(rows((2L, 2.0)) === 0L)
+  }
+
+  test("nondeterministic MERGE clause expressions refuse up front") {
+    val p = "/tmp/graft_test/rl_ndmerge"
+    SparkSpec.rmdir(p)
+    LakeTable.overwrite(Seq((1L, 1.0)).toDF("k", "v"), p)
+    val e = intercept[IllegalArgumentException] {
+      LakeTable.mergeConditional(
+        Seq((1L, 0.0)).toDF("k", "v"), p, "k",
+        matched = Seq(LakeTable.MatchedUpdate(
+          Some(rand() < 0.5), Map("v" -> lit(0.0)))))
+    }
+    assert(e.getMessage.contains("nondeterministic"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      LakeTable.mergeConditionalMoR(
+        Seq((1L, 0.0)).toDF("k", "v"), p, "k",
+        matched = Seq(LakeTable.MatchedDelete(Some(rand() < 0.5))))
+    }
+  }
+
   test("an emptied table keeps the lineage contract; CDC against it is one-sided") {
     val p = "/tmp/graft_test/rl_empty"
     SparkSpec.rmdir(p)
