@@ -17,6 +17,21 @@ class PlanContractSpec extends AnyFunSuite {
 
   private def count(p: String, pat: String): Int = pat.r.findAllIn(p).length
 
+  test("lineage read: the id map joins BROADCAST below the plan threshold") {
+    import spark.implicits._
+    val p = "/tmp/graft_test/plan_lineage"
+    SparkSpec.rmdir(p)
+    graft.sources.LakeTable.overwrite(
+      (0 until 50).map(i => (i.toLong, i * 1.0)).toDF("k", "v"), p)
+    graft.sources.LakeTable.enableRowLineage(spark, p)
+    val phys = graft.sources.LakeTable.readWithLineage(spark, p)
+      .queryExecution.executedPlan.toString
+    assert(count(phys, "BroadcastHashJoin") >= 1,
+      s"the (file -> id base) map must broadcast:\n${phys.take(400)}")
+    assert(count(phys, "SortMergeJoin") === 0,
+      s"a lineage read must not shuffle the data on the id map:\n${phys.take(400)}")
+  }
+
   test("embedding_near_dup: bucket EQUI-join, no nested-loop or cartesian") {
     val p = plan("embedding_near_dup")
     assert(count(p, "BroadcastNestedLoopJoin") === 0, p.take(400))
