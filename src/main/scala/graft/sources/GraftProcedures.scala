@@ -80,6 +80,7 @@ private[sources] object GraftProcedures {
 
   def names: Seq[String] = Seq(
     "expire_snapshots", "remove_orphan_files", "rewrite_data_files",
+    "rewrite_position_delete_files",
     "rollback_to_snapshot", "rollback_to_timestamp", "fast_forward",
     "compute_table_stats")
 
@@ -141,6 +142,14 @@ private[sources] object GraftProcedures {
         val target = long(args(1)).getOrElse(128L * 1024 * 1024)
         require(target > 0, "target_file_size_bytes must be positive")
         one(LakeTable.compactSmall(spark, pathOf(args(0).get), target))
+      }))
+      case "rewrite_position_delete_files" => Some(new GraftProcedure(
+        "rewrite_position_delete_files",
+        Seq(in("table", StringType)),
+        StructType(Seq(StructField("version", IntegerType))),
+        "Consolidate accumulated position-delete and deletion-vector files " +
+          "into one vector per data file — zero data rewritten.")(args => {
+        one(LakeTable.rewritePositionDeletes(spark, pathOf(args(0).get)))
       }))
       case "rollback_to_snapshot" => Some(new GraftProcedure(
         "rollback_to_snapshot",

@@ -4404,6 +4404,82 @@ object LakeTable {
       prev ++ stageManifest(dvRows, path, kind = "dv"), "mor_dv_delete")
   }
 
+  /** CONSOLIDATE the row-level delete representation (Iceberg's
+    * `rewrite_position_delete_files`): every accumulated position-
+    * delete and deletion-vector manifest folds into ONE deletion
+    * vector per touched data file, committed as a single fresh DV
+    * manifest — ZERO data files rewritten. The maintenance op for
+    * MoR-heavy ingest, where each point delete otherwise adds another
+    * delete file every reader must anti-join/probe: after the rewrite
+    * a scan pays one bitmap probe per file regardless of how many
+    * deletes accumulated. Stale delete rows referencing since-dropped
+    * files are dropped (their targets are unreachable). Equality
+    * deletes are untouched — they are key-granular and fold only
+    * through [[compact]]. No-op (carry-forward commit) when fewer
+    * than two row-level delete manifests exist. */
+  def rewritePositionDeletes(spark: SparkSession, path: String): Int = {
+    val base = observedBase(spark, path)
+    val refs = listRefs(path, base)
+    val (pos, rest) = refs.partition(r => r.kind == "posdel" && r.nFiles > 0)
+    val (dvs, keep) = rest.partition(r => r.kind == "dv" && r.nFiles > 0)
+    if (pos.size + dvs.size < 2)
+      return commitRefs(spark, path, base, refs, "rewrite_posdeletes")
+    // per-file union bitmaps over EVERY row-level delete — the same
+    // fold the metadata plane counts with; keep only bitmaps whose
+    // target file is still live (stale rows die here)
+    val liveFiles = keep
+      .filter(r => r.kind == "data" && r.nFiles > 0)
+      .flatMap(readManifest).map(_.file).toSet
+    import spark.implicits._
+    val consolidated = {
+      // keep file_path AS STORED (scan-form URIs): the read-side DV
+      // probe joins on the scan's own _metadata.file_path, so a
+      // normalized path would silently match nothing
+      val posBm =
+        if (pos.isEmpty) None
+        else Some(pos.map(r => refScan(spark, r)
+            .select(col("file_path").as("f"), col("row_index").as("i")))
+          .reduce(_.unionByName(_)).distinct()
+          .as[(String, Long)].groupByKey(_._1)
+          .mapGroups { (f, it) =>
+            var bytes = new Array[Byte](64)
+            var maxByte = -1
+            it.foreach { case (_, i) =>
+              val bi = (i >> 3).toInt
+              if (bi >= bytes.length)
+                bytes = java.util.Arrays.copyOf(
+                  bytes, math.max(bytes.length * 2, bi + 1))
+              bytes(bi) = (bytes(bi) | (1 << (i & 7))).toByte
+              if (bi > maxByte) maxByte = bi
+            }
+            (f, java.util.Arrays.copyOf(bytes, maxByte + 1))
+          })
+      val dvBm =
+        if (dvs.isEmpty) None
+        else Some(dvs.map(r => refScan(spark, r)
+            .select(col("file_path").as("f"), col("dv").as("b")))
+          .reduce(_.unionByName(_)).as[(String, Array[Byte])])
+      (posBm.toSeq ++ dvBm.toSeq).reduce(_.union(_))
+        .groupByKey(_._1)
+        .mapGroups { (f, it) =>
+          val acc = it.foldLeft(Array.emptyByteArray) { (a, fb) =>
+            val b = fb._2
+            val (big, small) = if (a.length >= b.length) (a, b) else (b, a)
+            val out = java.util.Arrays.copyOf(big, big.length)
+            var i = 0
+            while (i < small.length) { out(i) = (out(i) | small(i)).toByte; i += 1 }
+            out
+          }
+          (f, acc)
+        }
+        .filter(r => liveFiles.contains(r._1.replaceFirst("^file:(//)?", "")))
+        .toDF("file_path", "dv")
+    }
+    commitRefs(spark, path, base,
+      keep ++ stageManifest(consolidated, path, kind = "dv"),
+      "rewrite_posdeletes")
+  }
+
   /** MERGE-ON-READ UPSERT: one commit shipping the matched keys as a
     * delete file AND the fresh rows as data files. The sequence rule
     * ([[applyMorDeletes]]) makes it correct by construction — the

@@ -73,7 +73,8 @@ class CallProcedureSpec extends AnyFunSuite {
       val names = spark.sql("SHOW PROCEDURES IN callc.system").collect()
         .map(_.getAs[String]("procedure_name")).toSet
       assert(names === Set("expire_snapshots", "remove_orphan_files",
-        "rewrite_data_files", "rollback_to_snapshot", "rollback_to_timestamp",
+        "rewrite_data_files", "rewrite_position_delete_files",
+        "rollback_to_snapshot", "rollback_to_timestamp",
         "fast_forward", "compute_table_stats"))
       val desc = spark.sql("DESCRIBE PROCEDURE callc.system.expire_snapshots")
         .collect().map(_.getString(0)).mkString(" ")

@@ -68,6 +68,45 @@ class MorMetadataSpec extends AnyFunSuite {
       .agg(sum("record_count")).head.getLong(0) === 290L)
   }
 
+  test("rewritePositionDeletes consolidates the delete representation, zero data rewritten") {
+    val p = "/tmp/graft_test/mormeta_rewrite"
+    mkPartitioned(p)
+    LakeTable.deleteMoRPositional(spark, p, col("k") < 10L)
+    LakeTable.deleteMoRPositional(spark, p, col("k") >= 290L)
+    LakeTable.deleteMoRVector(spark, p, col("k") === 150L)
+    val v0 = LakeTable.latestVersion(p).get
+    val dataBefore = LakeTable.entriesOf(p, v0)
+      .filter(_.kind == "data").map(_.file).toSet
+    def rowDeletes(v: Int) = LakeTable.entriesOf(p, v)
+      .count(e => e.kind == "posdel" || e.kind == "dv")
+    assert(rowDeletes(v0) >= 3, "three delete files accumulated")
+    LakeTable.rewritePositionDeletes(spark, p)
+    val v1 = LakeTable.latestVersion(p).get
+    assert(LakeTable.entriesOf(p, v1).filter(_.kind == "data").map(_.file).toSet
+      === dataBefore, "consolidation must not touch a single data file")
+    val dvAfter = LakeTable.entriesOf(p, v1).filter(_.kind == "dv")
+    assert(rowDeletes(v1) < rowDeletes(v0) && dvAfter.nonEmpty,
+      s"delete files must fold: ${rowDeletes(v0)} -> ${rowDeletes(v1)}")
+    // read semantics identical before and after
+    assert(LakeTable.read(spark, p, Some(v1)).count() === 279)
+    assert(LakeTable.read(spark, p, Some(v1)).collect().toSet
+      === LakeTable.read(spark, p, Some(v0)).collect().toSet)
+    // the metadata plane keeps subtracting exactly through the new vector
+    assert(LakeTable.partitions(spark, p)
+      .agg(sum("record_count")).head.getLong(0) === 279L)
+    // CALL surface routes to it
+    spark.conf.set("spark.sql.catalog.rpdc", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.rpdc.warehouse", "/tmp/graft_test/rpd_wh")
+    try {
+      val out = spark.sql(
+        s"CALL rpdc.system.rewrite_position_delete_files(table => '$p')").collect()
+      assert(out.length === 1) // idempotent-ish: single dv manifest → carry-forward
+    } finally {
+      spark.conf.unset("spark.sql.catalog.rpdc")
+      spark.conf.unset("spark.sql.catalog.rpdc.warehouse")
+    }
+  }
+
   test("count(*) metadata pushdown answers through pos/DV deletes; min/max refuse") {
     val wh = "/tmp/graft_test/mormeta_cat"
     SparkSpec.rmdir(wh)
