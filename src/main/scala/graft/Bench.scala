@@ -86,6 +86,17 @@ object Bench {
     // telemetry cannot see (round-9 verdict #2). local[N] executors
     // share this JVM, so self-io covers every task thread. -1 when
     // the platform has no procfs (telemetry absent, never wrong).
+    // Process CPU time (ns, all threads): with it the artifact can
+    // name host contention POSITIVELY — wall ≫ cpu with disk=0 and
+    // gc≈0 means this process was descheduled, not working — instead
+    // of inferring it by elimination (round-10 verdict #1). -1 when
+    // the JMX bean is not the com.sun variant (telemetry absent).
+    def processCpuNs(): Long =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean =>
+          math.max(-1L, os.getProcessCpuTime)
+        case _ => -1L
+      }
     def diskReadBytes(): Long = try {
       val src = scala.io.Source.fromFile("/proc/self/io")
       try src.getLines()
@@ -102,7 +113,7 @@ object Bench {
         graft.etl.Preprocess.clearSharedCaches()
         graft.sources.LakeTable.clearSharedCaches()
       }
-      val (gc0, mem0, io0) = (gcMs(), cachedMb(), diskReadBytes())
+      val (gc0, mem0, io0, cpu0) = (gcMs(), cachedMb(), diskReadBytes(), processCpuNs())
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -112,19 +123,24 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       val gcDelta = gcMs() - gc0
       val evictMb = math.max(0.0, mem0 - cachedMb())
-      val diskMb =
-        if (io0 < 0) -1.0 else math.max(0L, diskReadBytes() - io0) / 1e6
+      // -1 sentinel when EITHER reading failed: a transient post-query
+      // procfs failure must read as "telemetry absent", never as a
+      // suspiciously-clean "0.0 MB read" (round-10 advice #4)
+      val io1 = if (io0 < 0) -1L else diskReadBytes()
+      val diskMb = if (io0 < 0 || io1 < 0) -1.0 else math.max(0L, io1 - io0) / 1e6
+      val cpu1 = if (cpu0 < 0) -1L else processCpuNs()
+      val cpuMs = if (cpu0 < 0 || cpu1 < 0) -1L else math.max(0L, cpu1 - cpu0) / 1000000L
       System.err.println( // progress + attribution, stderr only
-        f"[bench] $name%-28s $sec%8.3f s  gc=$gcDelta%4d ms  " +
+        f"[bench] $name%-28s $sec%8.3f s  cpu=$cpuMs%6d ms  gc=$gcDelta%4d ms  " +
           f"evict=$evictMb%6.1f MB  disk=$diskMb%7.1f MB")
-      name -> ((sec, gcDelta, evictMb, diskMb))
+      name -> ((sec, gcDelta, evictMb, diskMb, cpuMs))
     }.toMap
     // Round to ms so the stdout JSON line stays well under any
     // tail-truncation window (round 1 lost 4 timings to a ~4 KB line).
     // Locale.ROOT: the f interpolator uses the default locale, and a
     // comma-decimal locale would emit invalid JSON.
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def numMap(f: ((Double, Long, Double, Double)) => String): String = results.toSeq.sortBy(_._1)
+    def numMap(f: ((Double, Long, Double, Double, Long)) => String): String = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val qs = numMap(v => fmt(v._1))
@@ -149,7 +165,7 @@ object Bench {
     val fileJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$failedJson,""" +
       s""""gc_ms":${numMap(_._2.toString)},"evict_mb":${numMap(v => fmt(v._3))},""" +
-      s""""disk_read_mb":${numMap(v => fmt(v._4))},""" +
+      s""""disk_read_mb":${numMap(v => fmt(v._4))},"cpu_ms":${numMap(_._5.toString)},""" +
       s""""sf":"${jesc(sfDir)}","total_sec":${fmt(total)}}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LATEST.json")
     try java.nio.file.Files.write(

@@ -70,14 +70,44 @@ object GraftSqlShim {
     val nondet = Set("rand", "randn", "random", "uuid", "shuffle",
       "monotonically_increasing_id", "input_file_name", "spark_partition_id")
     import org.apache.spark.sql.catalyst.{expressions => cexpr}
+    // An unresolved function resolves through the SESSION's actual
+    // function resolution (builtins + temp/persistent UDFs), so a
+    // registered SQL UDF's own `asNondeterministic` flag is consulted
+    // — the hardcoded name set alone would wave such a UDF through to
+    // the multi-pass DML planner (round-10 advice #3). A function
+    // that fails to resolve/build refuses conservatively: a wrong
+    // `true` here means silent row loss.
+    def fnDet(f: catalyst.analysis.UnresolvedFunction): Boolean =
+      !nondet(f.nameParts.last.toLowerCase(java.util.Locale.ROOT)) &&
+        scala.util.Try {
+          val ss = SparkSession.active.asInstanceOf[classic.SparkSession]
+          val fid = f.nameParts match {
+            case Seq(n) => catalyst.FunctionIdentifier(n)
+            case parts => catalyst.FunctionIdentifier(parts.last, Some(parts(parts.size - 2)))
+          }
+          ss.sessionState.catalog.lookupFunction(fid, f.arguments).deterministic
+        }.getOrElse(false)
     def exprDet(e: cexpr.Expression): Boolean = e.find {
-      case f: catalyst.analysis.UnresolvedFunction =>
-        nondet(f.nameParts.last.toLowerCase(java.util.Locale.ROOT))
+      case f: catalyst.analysis.UnresolvedFunction => !fnDet(f)
       case x => !x.deterministic
     }.isEmpty
     def go(n: internal.ColumnNodeLike): Boolean = n match {
       case f: internal.UnresolvedFunction =>
         !nondet(f.functionName.toLowerCase(java.util.Locale.ROOT)) &&
+          // best-effort registry consultation for the DSL surface
+          // (`call_udf("f", ...)` of a registered nondeterministic
+          // UDF): build through the session's function resolution and
+          // read the built node's own flag. Structural build failures
+          // keep the permissive default — the name set + argument
+          // recursion below still covers the builtin nondet family,
+          // and the SQL-string surface (the DML guard's main entry)
+          // refuses hard via exprDet.
+          scala.util.Try {
+            val ss = SparkSession.active.asInstanceOf[classic.SparkSession]
+            ss.sessionState.catalog.lookupFunction(
+              catalyst.FunctionIdentifier(f.functionName),
+              f.arguments.map(a => expression(Column(a)))).deterministic
+          }.getOrElse(true) &&
           f.arguments.forall(go)
       case a: internal.Alias => go(a.child)
       case k: internal.Cast => go(k.child)
@@ -89,8 +119,10 @@ object GraftSqlShim {
       case u: internal.UpdateFields => go(u.structExpression)
       case s: internal.SortOrder => go(s.child)
       case s: internal.SqlExpression =>
+        // parse failure → refusal: an expression string this guard
+        // cannot even parse must not default to "safe" (advice #3)
         scala.util.Try(exprDet(SparkSession.active.asInstanceOf[classic.SparkSession]
-          .sessionState.sqlParser.parseExpression(s.expression))).getOrElse(true)
+          .sessionState.sqlParser.parseExpression(s.expression))).getOrElse(false)
       case u: internal.InvokeInlineUserDefinedFunction =>
         // a UDF's own determinism flag decides; an unknown UDF-like
         // refuses conservatively (a wrong 'true' here means silent

@@ -342,4 +342,37 @@ class RowLineageSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("not enabled"))
   }
+
+  test("URI-scheme manifest entries keep the lineage pairing (scheme-agnostic join key)") {
+    // On an object store both the scan's `_metadata.file_path` and the
+    // manifest entries are scheme-qualified URIs; locally the entries
+    // are plain paths while the scan reports file:///p. The lineage
+    // join must pair them whatever mix of forms the two layers carry —
+    // simulate the worst case by rewriting a live manifest's entries
+    // to file://-prefixed URIs and asserting every id is unchanged.
+    val p = "/tmp/graft_test/rl_scheme"
+    SparkSpec.rmdir(p)
+    LakeTable.append(
+      (0 until 40).map(i => (i.toLong, i * 1.0)).toDF("k", "v").repartition(2), p)
+    LakeTable.append(
+      (40 until 60).map(i => (i.toLong, i * 1.0)).toDF("k", "v"), p)
+    LakeTable.enableRowLineage(spark, p)
+    val before = lineageMap(p)
+    assert(before.size === 60)
+    val v = LakeTable.latestVersion(p).get
+    val manifests = LakeTable.listRefs(p, v).filter(_.kind == "data").map(_.manifest)
+    assert(manifests.nonEmpty)
+    val rewritten = manifests.filter(_.endsWith(".json")).map { m =>
+      val mp = java.nio.file.Paths.get(m)
+      val lines = java.nio.file.Files.readAllLines(mp)
+      val out = new java.util.ArrayList[String]()
+      lines.forEach(l => out.add(l.replace("\"file\":\"/", "\"file\":\"file:///")))
+      java.nio.file.Files.write(mp, out)
+      m
+    }
+    assert(rewritten.nonEmpty, "fixture requires at least one JSON manifest")
+    assert(lineageMap(p) === before,
+      "a scheme-qualified manifest entry must pair with the same scan rows " +
+        "and derive the same ids as its plain-path form")
+  }
 }
