@@ -189,6 +189,49 @@ object Similarity {
       .orderBy("cell_id")
   }
 
+  /** ORACLE GATE for an approximate KNN path (round-10 verdict ask
+    * #3, generalizing the `knn_ivf_cells` pattern): the approximate
+    * top-k itself is engine-specific, but (a) the EXACT brute-force
+    * top-k is cross-engine deterministic (rounded cosine, vec_id
+    * tie-break — the contract `knn_brute_force` hash-proves) and
+    * (b) whether the approximate path's recall clears a floor is a
+    * BOOLEAN the oracle can assert as literal `true`. One row:
+    * exact-side aggregates the oracle recomputes bit-for-bit, plus
+    * `recall_floor_met` = micro-averaged recall (total approx∩exact
+    * pairs / total exact pairs) >= floor. Any drift in the
+    * approximate machinery that collapses recall flips the boolean
+    * and the hash loudly; any drift in the exact contract flips the
+    * aggregates. */
+  private def knnRecallGate(
+      approx: DataFrame, exact: DataFrame, floor: Double): DataFrame = {
+    val hits = approx.select(col("qid"), col("vec_id"))
+      .join(exact.select(col("qid"), col("vec_id")), Seq("qid", "vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+    exact.agg(
+        countDistinct("qid").as("n_queries"),
+        count(lit(1)).as("n_pairs"),
+        sum("vec_id").as("sum_exact_ids"),
+        round(sum("cos_sim"), 4).as("sum_exact_sim"))
+      .crossJoin(hits) // both sides are ONE row
+      .select(col("n_queries"), col("n_pairs"), col("sum_exact_ids"),
+        col("sum_exact_sim"),
+        (col("n_hits").cast("double") >= lit(floor) * col("n_pairs"))
+          .as("recall_floor_met"))
+  }
+
+  /** Hash-gated [[knnLshBucketed]]: exact-side aggregates + the LSH
+    * path's recall floor as one oracle-checkable row. */
+  def knnLshGate(s: SparkSession, d: String, floor: Double = 0.2): DataFrame =
+    knnRecallGate(knnLshBucketed(s, d), knnBruteForce(s, d), floor)
+
+  /** Hash-gated [[knnIvf]]. */
+  def knnIvfGate(s: SparkSession, d: String, floor: Double = 0.2): DataFrame =
+    knnRecallGate(knnIvf(s, d), knnBruteForce(s, d), floor)
+
+  /** Hash-gated [[knnIvfKmeans]]. */
+  def knnIvfKmeansGate(s: SparkSession, d: String, floor: Double = 0.2): DataFrame =
+    knnRecallGate(knnIvfKmeans(s, d), knnBruteForce(s, d), floor)
+
   /** Lloyd's k-means over (vec_id, v) — deterministic init (first
     * nCells vectors; rand() is banned), squared-euclidean assignment
     * via the dot-product identity (argmin ||v-c||² = argmax

@@ -454,12 +454,32 @@ object Relational {
       .orderBy("event_type")
 
   /** A9 (approx): HLL++ distinct — the 100 TB answer to countDistinct
-    * (no exact-distinct shuffle). Not oracle-comparable (sketch
-    * internals are engine-specific) → rows-only check. */
+    * (no exact-distinct shuffle). The sketch ESTIMATE is
+    * engine-specific, so the declared query is the ORACLE-GATED form
+    * (round-10 verdict ask #3): the exact distinct count recomputed
+    * in-query (which DuckDB reproduces bit-for-bit) plus
+    * `within_bound` — |estimate − exact| ≤ 3·rsd·exact with the
+    * default rsd 0.05, a bound the oracle asserts as literal `true`.
+    * A sketch regression flips the boolean and the hash loudly; the
+    * raw estimate stays available via [[approxDistinctUsersRaw]]. */
   def approxDistinctUsers(s: SparkSession, d: String): DataFrame =
     t(s, d, "events")
       .groupBy("event_type")
-      .agg(approx_count_distinct("user_id").as("approx_users"))
+      .agg(
+        countDistinct("user_id").as("n_exact"),
+        approx_count_distinct("user_id", 0.05).as("approx"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("approx") - col("n_exact")).cast("double") <=
+          lit(0.15) * col("n_exact")).as("within_bound"))
+      .orderBy("event_type")
+
+  /** The production form of [[approxDistinctUsers]] — sketch only, no
+    * exact recompute (the gate query pays countDistinct purely to
+    * verify; at 100 TB you run THIS one). */
+  def approxDistinctUsersRaw(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy("event_type")
+      .agg(approx_count_distinct("user_id", 0.05).as("approx_users"))
       .orderBy("event_type")
 
   /** F18: JSON field extraction from the events props column. */
@@ -1235,10 +1255,42 @@ object Relational {
     * guaranteed rank error ≤ 1/accuracy — partial-aggregatable like
     * any algebraic function, where the exact percentile family
     * ([[quantileQuantity]]) is holistic and must see every value.
-    * Approximate by construction → rows-only under the driver gate;
-    * ApproxQuantileSpec pins the rank-error bound against the exact
-    * percentiles. */
-  def approxQuantiles(s: SparkSession, d: String, accuracy: Int = 100): DataFrame =
+    * The returned VALUES are engine-specific, so the declared query
+    * is the ORACLE-GATED form (round-10 verdict ask #3): per group,
+    * the exact row count plus one BOOLEAN per quantile asserting the
+    * sketch value's RANK sits within the guaranteed ±1/accuracy
+    * window — verified in-query by counting rows below/at the sketch
+    * value (one broadcast join of the 5-row sketch frame back onto
+    * events, two conditional counts per quantile). The oracle asserts
+    * the booleans as literal `true` and recomputes `n` exactly; the
+    * raw sketch values stay available via [[approxQuantilesRaw]]. */
+  def approxQuantiles(s: SparkSession, d: String, accuracy: Int = 100): DataFrame = {
+    val phis = Seq(0.25 -> "q25", 0.5 -> "q50", 0.75 -> "q75", 0.9 -> "q90")
+    val sk = t(s, d, "events")
+      .groupBy("event_type")
+      .agg(percentile_approx(col("value"),
+        array(phis.map(p => lit(p._1)): _*), lit(accuracy)).as("qs"))
+    val eps = 1.0 / accuracy
+    val rankCols = phis.zipWithIndex.flatMap { case ((_, nm), i) =>
+      Seq(
+        sum(when(col("value") < col("qs")(i), 1L).otherwise(0L)).as(s"${nm}_lt"),
+        sum(when(col("value") <= col("qs")(i), 1L).otherwise(0L)).as(s"${nm}_le"))
+    }
+    t(s, d, "events")
+      .join(broadcast(sk), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), rankCols: _*)
+      .select(col("event_type") +: col("n") +: phis.map { case (phi, nm) =>
+        ((col(s"${nm}_lt").cast("double") <= (lit(phi) + eps) * col("n") + 1) &&
+          (col(s"${nm}_le").cast("double") >= (lit(phi) - eps) * col("n") - 1))
+          .as(s"${nm}_ok")
+      }: _*)
+      .orderBy("event_type")
+  }
+
+  /** The production form of [[approxQuantiles]] — sketch values only
+    * (mergeable fixed-size state; what actually runs at 100 TB). */
+  def approxQuantilesRaw(s: SparkSession, d: String, accuracy: Int = 100): DataFrame =
     t(s, d, "events")
       .groupBy("event_type")
       .agg(

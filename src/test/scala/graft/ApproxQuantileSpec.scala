@@ -15,7 +15,7 @@ class ApproxQuantileSpec extends AnyFunSuite {
   private val Accuracy = 100
 
   test("approx quantiles land within the guaranteed rank error of exact") {
-    val approx = ops.Relational.approxQuantiles(spark, dir, Accuracy).collect()
+    val approx = ops.Relational.approxQuantilesRaw(spark, dir, Accuracy).collect()
       .map(r => r.getAs[String]("event_type") ->
         Seq(r.getAs[Double]("q25"), r.getAs[Double]("q50"),
           r.getAs[Double]("q75"), r.getAs[Double]("q90"))).toMap
@@ -35,5 +35,12 @@ class ApproxQuantileSpec extends AnyFunSuite {
       assert(math.abs(rank - q * n) <= eps + 1,
         s"$tpe q=$q: value $v has rank $rank, want ${q * n} ± $eps (n=$n)")
     }
+  }
+
+  test("the declared gate query emits all-true bound flags") {
+    val rows = ops.Relational.approxQuantiles(spark, dir, Accuracy).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows; c <- Seq("q25_ok", "q50_ok", "q75_ok", "q90_ok"))
+      assert(r.getAs[Boolean](c), s"${r.getAs[String]("event_type")}.$c")
   }
 }

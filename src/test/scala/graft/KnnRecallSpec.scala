@@ -95,4 +95,18 @@ class KnnRecallSpec extends AnyFunSuite {
     assert(rIvf >= 0.25, s"IVF recall collapsed: $rIvf")
     assert(rKm >= 0.25, s"kmeans-IVF recall collapsed: $rKm")
   }
+
+  test("the declared gate queries agree with this spec's floors") {
+    // the oracle asserts recall_floor_met as literal true, so the
+    // gates must be green on the same data this spec measures
+    for ((nm, df) <- Seq(
+        "lsh" -> Similarity.knnLshGate(spark, dir),
+        "ivf" -> Similarity.knnIvfGate(spark, dir),
+        "ivf_kmeans" -> Similarity.knnIvfKmeansGate(spark, dir))) {
+      val r = df.collect()
+      assert(r.length === 1, nm)
+      assert(r.head.getAs[Boolean]("recall_floor_met"), s"$nm gate flipped")
+      assert(r.head.getAs[Long]("n_pairs") === 50L, nm)
+    }
+  }
 }
