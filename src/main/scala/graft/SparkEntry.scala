@@ -190,6 +190,7 @@ object SparkEntry {
     "lake_catalog_sql" -> (sources.LakeTable.catalogSqlQuery _),
     "lake_partitions_meta" -> (sources.LakeTable.partitionsMetaQuery _),
     "lake_mor_partitions" -> (sources.LakeTable.morPartitionsQuery _),
+    "lake_entries_meta" -> (sources.LakeTable.entriesMetaQuery _),
     "lake_row_lineage" -> (sources.LakeTable.rowLineageQuery _),
     "lake_wire_arbitrated_commit" -> (sources.LakeTable.wireArbitratedCommitQuery _),
     "lake_snapshots_meta" -> (sources.LakeTable.snapshotsMetaQuery _),
@@ -1179,6 +1180,19 @@ object SparkEntry {
         |FROM events
         |WHERE event_id % 10 NOT IN (0, 1)
         |GROUP BY 1 ORDER BY part""".stripMargin,
+    // lake_entries_meta: the per-entry debug plane's data rollup must
+    // equal a direct group-by over the raw events, and its posdel
+    // entries must count exactly the MoR-deleted rows; seqs present,
+    // lineage spans tiling the id space, and pin flags are require'd
+    // in-query (physical facts, not oracle-stable)
+    "lake_entries_meta" ->
+      """SELECT concat('identity_event_type=', event_type) AS part,
+        |       'data' AS kind, count(*) AS n
+        |FROM events GROUP BY 1
+        |UNION ALL
+        |SELECT '' AS part, 'posdel' AS kind, count(*) AS n
+        |FROM events WHERE event_id % 10 = 0
+        |ORDER BY kind, part""".stripMargin,
     // lake_wire_arbitrated_commit: every arbitration round trip
     // crosses a real loopback socket (refused claim drives the rebase
     // — require'd in-query); no row lost or doubled

@@ -286,6 +286,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         Some(new GraftLocalTable(
           s"${ident.namespace.mkString(".")}.snapshots",
           LakeTable.snapshots(spark, parent)))
+      case "entries" =>
+        // per-manifest-entry debug rows (seqs, delete kinds, lineage
+        // spans). O(#files) — a LocalScan materializes on the driver,
+        // so past the distributed-plan threshold this surface refuses
+        // by name and points at the distributed library frame (the
+        // same honesty rule that keeps `files` off the LocalScan path)
+        import org.apache.spark.sql.functions.{coalesce, lit, sum}
+        val claimed = LakeTable.manifests(spark, parent)
+          .agg(coalesce(sum("n_files"), lit(0L))).head().getLong(0)
+        require(claimed <= LakeTable.DistributedPlanThreshold,
+          s"$parent claims $claimed files — the `entries` SQL surface is " +
+            "driver-local and stops at the distributed-plan threshold " +
+            s"(${LakeTable.DistributedPlanThreshold}); read " +
+            "LakeTable.entries(spark, path) instead (one distributed job)")
+        Some(new GraftLocalTable(
+          s"${ident.namespace.mkString(".")}.entries",
+          LakeTable.entries(spark, parent)))
       case _ => None
     }
   }

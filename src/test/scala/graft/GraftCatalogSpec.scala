@@ -391,4 +391,71 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(sql("SELECT count(*) FROM graft.db6.t VERSION AS OF 'golden'")
       .head.getLong(0) === 2L)
   }
+
+  test("entries metadata table exposes seqs, delete kinds, lineage spans and pins") {
+    rmdir(s"$wh/db7")
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.db7")
+    sql("DROP TABLE IF EXISTS graft.db7.t")
+    sql("CREATE TABLE graft.db7.t (k BIGINT, day BIGINT, v DOUBLE) " +
+      "USING graftlake PARTITIONED BY (day)")
+    sql("INSERT INTO graft.db7.t SELECT id AS k, id % 3 AS day, id * 1.0 AS v " +
+      "FROM range(0, 300)")
+    val p = s"$wh/db7/t"
+    LakeTable.enableRowLineage(spark, p)
+    val vEnabled = LakeTable.latestVersion(p).get
+
+    // partial CoW delete: day-2's boundary file rewrites, days 0/1
+    // carry under a partial manifest with PINNED first-row-ids
+    LakeTable.delete(spark, p, col("day") === 2L && col("k") < 100L)
+    // row-granular MoR delete: a posdel manifest appears
+    LakeTable.deleteMoRPositional(spark, p, col("k") === 7L)
+
+    val ent = LakeTable.entries(spark, p).collect()
+    val data = ent.filter(_.getAs[String]("kind") == "data")
+    val posdel = ent.filter(_.getAs[String]("kind") == "posdel")
+    assert(data.nonEmpty && posdel.nonEmpty,
+      s"both kinds must be visible: ${ent.map(_.getAs[String]("kind")).toSeq}")
+
+    // delete-family rows: a seq but no lineage span
+    assert(posdel.forall(r => !r.isNullAt(r.fieldIndex("seq"))))
+    assert(posdel.forall(_.isNullAt(posdel.head.fieldIndex("first_row_id"))))
+
+    // data rows: partition dirs, per-file counts, and a lineage span
+    // whose base equals the file's minimum _row_id under the read path
+    // (CREATE TABLE's zero-row schema-anchor file is legitimately
+    // unpartitioned — overwriteDynamic documents the same carve-out)
+    val live = data.filter(_.getAs[Long]("record_count") > 0L)
+    assert(live.forall(r => r.getAs[String]("partition").contains("day=")),
+      live.map(r => (r.getAs[String]("file"), r.getAs[String]("partition"))).toSeq.mkString("\n"))
+    assert(data.map(_.getAs[Long]("record_count")).sum === 300L - 33L)
+    assert(data.forall(r => !r.isNullAt(r.fieldIndex("first_row_id"))))
+    val carriedPinned = data.filter(_.getAs[Boolean]("frid_pinned"))
+    assert(carriedPinned.nonEmpty,
+      "the partial carry must surface its explicit frid pins")
+    // span honesty, non-circularly, AT THE POST-ENABLE VERSION (later
+    // rewrites materialize ids physically and burn fresh spans, so
+    // derivation-vs-scan equality only holds where ids still derive):
+    // the [first_row_id, +record_count) intervals must be pairwise
+    // disjoint and the lineage READ must serve exactly their union
+    val enabled = LakeTable.entries(spark, p, Some(vEnabled)).collect()
+      .filter(r => r.getAs[String]("kind") == "data" &&
+        r.getAs[Long]("record_count") > 0L)
+    val intervals = enabled.map(r =>
+      (r.getAs[Long]("first_row_id"), r.getAs[Long]("record_count"))).sortBy(_._1)
+    intervals.sliding(2).foreach {
+      case Array((a, n), (b, _)) => assert(a + n <= b, s"overlapping spans: ${intervals.toSeq}")
+      case _ =>
+    }
+    val ids = graft.sources.LakeTable.readWithLineage(spark, p, Some(vEnabled))
+      .select("_row_id").collect().map(_.getLong(0)).toSet
+    val expected = intervals.flatMap { case (a, n) => a until (a + n) }.toSet
+    assert(ids === expected,
+      "the lineage read must serve exactly the union of declared spans")
+
+    // SQL surface serves the same rows below the plan threshold
+    val viaSql = sql("SELECT kind, count(*) AS n FROM graft.db7.t.entries GROUP BY kind")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaSql("data") === data.length.toLong)
+    assert(viaSql("posdel") === posdel.length.toLong)
+  }
 }
