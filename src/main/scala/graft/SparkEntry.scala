@@ -191,6 +191,7 @@ object SparkEntry {
     "lake_partitions_meta" -> (sources.LakeTable.partitionsMetaQuery _),
     "lake_mor_partitions" -> (sources.LakeTable.morPartitionsQuery _),
     "lake_entries_meta" -> (sources.LakeTable.entriesMetaQuery _),
+    "lake_rewrite_manifests" -> (sources.LakeTable.rewriteManifestsQuery _),
     "lake_row_lineage" -> (sources.LakeTable.rowLineageQuery _),
     "lake_wire_arbitrated_commit" -> (sources.LakeTable.wireArbitratedCommitQuery _),
     "lake_snapshots_meta" -> (sources.LakeTable.snapshotsMetaQuery _),
@@ -1174,11 +1175,13 @@ object SparkEntry {
     // position-delete and deletion-vector manifests (metadata-only;
     // both representations + global-count agreement require'd
     // in-query) must equal a direct recompute with the deletes applied
+    // — INCLUDING an equality delete retired by the equality→DV
+    // conversion (the pre-convert refusal is require'd by name)
     "lake_mor_partitions" ->
       """SELECT concat('identity_event_type=', event_type) AS part,
         |       count(*) AS record_count
         |FROM events
-        |WHERE event_id % 10 NOT IN (0, 1)
+        |WHERE event_id % 10 NOT IN (0, 1, 2)
         |GROUP BY 1 ORDER BY part""".stripMargin,
     // lake_entries_meta: the per-entry debug plane's data rollup must
     // equal a direct group-by over the raw events, and its posdel
@@ -1193,6 +1196,15 @@ object SparkEntry {
         |SELECT '' AS part, 'posdel' AS kind, count(*) AS n
         |FROM events WHERE event_id % 10 = 0
         |ORDER BY kind, part""".stripMargin,
+    // lake_rewrite_manifests: the rollup reads THROUGH the
+    // consolidated manifest state (per-entry seq pins, multi-base
+    // assembly, posdel subtraction across the fold); the
+    // metadata-only contract (manifest count drops, file set
+    // identical) is require'd in-query
+    "lake_rewrite_manifests" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events WHERE event_id % 10 != 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // lake_wire_arbitrated_commit: every arbitration round trip
     // crosses a real loopback socket (refused claim drives the rebase
     // — require'd in-query); no row lost or doubled

@@ -80,7 +80,8 @@ private[sources] object GraftProcedures {
 
   def names: Seq[String] = Seq(
     "expire_snapshots", "remove_orphan_files", "rewrite_data_files",
-    "rewrite_position_delete_files",
+    "rewrite_position_delete_files", "rewrite_manifests",
+    "convert_equality_deletes",
     "rollback_to_snapshot", "rollback_to_timestamp", "fast_forward",
     "compute_table_stats")
 
@@ -150,6 +151,26 @@ private[sources] object GraftProcedures {
         "Consolidate accumulated position-delete and deletion-vector files " +
           "into one vector per data file — zero data rewritten.")(args => {
         one(LakeTable.rewritePositionDeletes(spark, pathOf(args(0).get)))
+      }))
+      case "convert_equality_deletes" => Some(new GraftProcedure(
+        "convert_equality_deletes",
+        Seq(in("table", StringType)),
+        StructType(Seq(StructField("version", IntegerType))),
+        "Rewrite live equality deletes as one deletion vector per data " +
+          "file (one scan, zero data rewritten) and retire the equality " +
+          "manifests — restoring the metadata plane (partitions, count(*) " +
+          "pushdown, NDV) without a full compaction.")(args => {
+        one(LakeTable.convertEqualityDeletes(spark, pathOf(args(0).get)))
+      }))
+      case "rewrite_manifests" => Some(new GraftProcedure(
+        "rewrite_manifests",
+        Seq(in("table", StringType), opt("target_manifest_entries", LongType)),
+        StructType(Seq(StructField("version", IntegerType))),
+        "Consolidate small live data manifests into right-sized ones — " +
+          "metadata-only (zero data files move); per-entry seq and " +
+          "lineage-span pins preserve MoR and row-lineage semantics.")(args => {
+        val target = long(args(1)).getOrElse(512L)
+        one(LakeTable.rewriteManifests(spark, pathOf(args(0).get), target))
       }))
       case "rollback_to_snapshot" => Some(new GraftProcedure(
         "rollback_to_snapshot",

@@ -11,12 +11,12 @@ class ContractSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
-  test("queries without oracles are the documented approximate ones") {
+  test("every query carries an oracle — zero rows-only checks") {
+    // round 11 closed the approximate family's oracle gap: each of
+    // the five formerly rows-only queries now emits exact-side values
+    // plus bound/recall booleans the oracle asserts as literal true
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(unoracled === Set(
-      "approx_distinct_users", "knn_lsh_bucketed", "knn_ivf", "knn_ivf_kmeans",
-      "approx_quantiles"),
-      s"unexpected rows-only queries: $unoracled")
+    assert(unoracled.isEmpty, s"rows-only queries crept back in: $unoracled")
   }
 
   test("flagship entry returns rows (driver t1 smoke)") {

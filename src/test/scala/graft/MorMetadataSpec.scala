@@ -68,6 +68,55 @@ class MorMetadataSpec extends AnyFunSuite {
       .agg(sum("record_count")).head.getLong(0) === 290L)
   }
 
+  test("convertEqualityDeletes retires equality files and restores the plane, zero data rewritten") {
+    val p = "/tmp/graft_test/mormeta_convert"
+    mkPartitioned(p)
+    // layered deletes: row-granular first, then an equality delete
+    // over the VISIBLE state (k=5 is already pos-deleted, so it
+    // contributes no key), then fresh data RE-landing a deleted key
+    // (the seq rule: the retired delete must not touch the re-land)
+    LakeTable.deleteMoRPositional(spark, p, col("k") < 10L)
+    LakeTable.deleteMoR(spark, p, "k", col("k") >= 290L || col("k") === 5L)
+    LakeTable.append(Seq((295L, 1L, -1.0)).toDF("k", "day", "v"), p)
+    val v0 = LakeTable.latestVersion(p).get
+    val before = LakeTable.read(spark, p).collect().toSet
+    assert(before.size === 281) // 300 - 10 pos - 10 eq + 1 re-land
+    // pre-convert: the plane refuses BY NAME
+    val e = intercept[Exception](LakeTable.partitions(spark, p).collect())
+    assert(e.getMessage.contains("EQUALITY"), e.getMessage)
+    val dataBefore = LakeTable.entriesOf(p, v0)
+      .filter(_.kind == "data").map(_.file).toSet
+    LakeTable.convertEqualityDeletes(spark, p)
+    val v1 = LakeTable.latestVersion(p).get
+    val kinds = LakeTable.entriesOf(p, v1).map(_.kind).toSet
+    assert(!kinds("delete"), s"equality manifests must retire, got $kinds")
+    assert(LakeTable.entriesOf(p, v1).filter(_.kind == "data").map(_.file).toSet
+      === dataBefore, "conversion must not rewrite a single data file")
+    // read semantics identical, including the re-landed key
+    assert(LakeTable.read(spark, p).collect().toSet === before)
+    assert(LakeTable.read(spark, p).filter(col("k") === 295L).count() === 1L)
+    // the metadata plane serves again, exactly
+    assert(LakeTable.partitions(spark, p)
+      .agg(sum("record_count")).head.getLong(0) === 281L)
+    // time travel to the pre-convert version still applies the
+    // equality semantics (history untouched)
+    assert(LakeTable.read(spark, p, Some(v0)).collect().toSet === before)
+    // idempotent: a second call is a pure carry-forward
+    LakeTable.convertEqualityDeletes(spark, p)
+    assert(LakeTable.read(spark, p).collect().toSet === before)
+    // CALL surface routes onto the same machinery
+    spark.conf.set("spark.sql.catalog.ceqc", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.ceqc.warehouse", "/tmp/graft_test/ceq_wh")
+    try {
+      val out = spark.sql(
+        s"CALL ceqc.system.convert_equality_deletes(table => '$p')").collect()
+      assert(out.length === 1)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.ceqc")
+      spark.conf.unset("spark.sql.catalog.ceqc.warehouse")
+    }
+  }
+
   test("rewritePositionDeletes consolidates the delete representation, zero data rewritten") {
     val p = "/tmp/graft_test/mormeta_rewrite"
     mkPartitioned(p)

@@ -165,4 +165,100 @@ class WireArbiterSpec extends AnyFunSuite {
       intercept[CommitArbitrationException](c.tryClaim("t", 2))
     } finally { c.close(); srv.close() }
   }
+
+  // ---- the SAME protocol over the Iceberg-REST-shaped HTTP binding
+  // (round-11): POST /v1/tables/{t}/commits with requirements +
+  // updates, 409 as the conflict signal; claim/publish/steal state
+  // machine and the client's two-phase ambiguity contract unchanged.
+
+  test("HTTP: requirements+updates commits; 409 refusal; publish/abandon") {
+    val srv = new graft.sources.CatalogHttpServer()
+    try {
+      val a = new graft.sources.HttpCatalogArbiter("127.0.0.1", srv.port)
+      val b = new graft.sources.HttpCatalogArbiter("127.0.0.1", srv.port)
+      try {
+        a.observed("db.t", -1)
+        assert(a.tryClaim("db.t", 0), "first claim of v0 must win")
+        assert(!b.tryClaim("db.t", 0), "concurrent claim answers 409 → rebase")
+        assert(srv.refusedClaims === 1)
+        a.published("db.t", 0)
+        assert(srv.headOf("db.t") === 0)
+        // a stale base version fails the assert-table-version
+        // requirement itself — the catalog's optimistic-concurrency 409
+        assert(!b.tryClaim("db.t", 0), "stale-base claim must 409")
+        assert(b.tryClaim("db.t", 1))
+        b.abandon("db.t", 1)
+        assert(a.tryClaim("db.t", 1))
+        a.published("db.t", 1)
+        assert(srv.headOf("db.t") === 1)
+      } finally { a.close(); b.close() }
+    } finally srv.close()
+  }
+
+  test("HTTP: crash-steal past grace; path-shaped table names URL-encode") {
+    var now = 1000L
+    val srv = new graft.sources.CatalogHttpServer(claimGraceMs = 500L, clock = () => now)
+    try {
+      val crashed = new graft.sources.HttpCatalogArbiter("127.0.0.1", srv.port)
+      val successor = new graft.sources.HttpCatalogArbiter("127.0.0.1", srv.port)
+      try {
+        val table = "/tmp/odd path/with spaces & percent%"
+        crashed.observed(table, -1)
+        assert(crashed.tryClaim(table, 0))
+        crashed.close() // claimant dies holding the claim
+        now += 100L
+        assert(!successor.tryClaim(table, 0), "young claim honored over HTTP")
+        now += 1000L
+        assert(successor.tryClaim(table, 0), "dangling claim stolen past grace")
+        assert(srv.stolenClaims === 1)
+        successor.published(table, 0)
+        assert(srv.headOf(table) === 0)
+      } finally successor.close()
+    } finally srv.close()
+  }
+
+  test("HTTP: end-to-end concurrent lake appends arbitrated, no loss") {
+    val path = "/tmp/graft_test/httparb_concurrent"
+    SparkSpec.rmdir(path)
+    val srv = new graft.sources.CatalogHttpServer()
+    val arb = new graft.sources.HttpCatalogArbiter("127.0.0.1", srv.port)
+    LakeTable.setCommitArbiter(path, arb)
+    try {
+      LakeTable.overwrite(Seq((0L, "seed")).toDF("k", "tag"), path)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val writes = (1 to 6).map { i =>
+        scala.concurrent.Future {
+          LakeTable.append(Seq((i.toLong, s"w$i")).toDF("k", "tag"), path)
+        }
+      }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(writes),
+        scala.concurrent.duration.Duration(120, "s"))
+      pool.shutdown()
+      assert(LakeTable.read(spark, path).count() === 7,
+        "every HTTP-arbitrated append must land exactly once")
+    } finally {
+      LakeTable.setCommitArbiter(path, RenameArbiter)
+      arb.close()
+      srv.close()
+    }
+  }
+
+  test("HTTP: timeout is ambiguous → throws and discards the connection") {
+    // an HTTP server that accepts but never answers
+    val stall = new java.net.ServerSocket(
+      0, 5, java.net.InetAddress.getLoopbackAddress)
+    try {
+      val c = new graft.sources.HttpCatalogArbiter("127.0.0.1",
+        stall.getLocalPort, timeoutMs = 300)
+      val t0 = System.nanoTime()
+      val e = intercept[CommitArbitrationException](c.tryClaim("t", 0))
+      val ms = (System.nanoTime() - t0) / 1e6
+      assert(e.getMessage.contains("ambiguous"), e.getMessage)
+      assert(ms < 5000, s"must fail within the timeout, took $ms ms")
+      c.close()
+    } finally stall.close()
+  }
 }
