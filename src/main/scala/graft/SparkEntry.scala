@@ -197,6 +197,7 @@ object SparkEntry {
     "lake_snapshots_meta" -> (sources.LakeTable.snapshotsMetaQuery _),
     "lake_call_maintenance" -> (sources.LakeTable.callMaintenanceQuery _),
     "lake_lineage_cdc" -> (sources.LakeTable.lineageCdcQuery _),
+    "lake_lineage_cdc_stream" -> (sources.LakeTable.lineageCdcStreamQuery _),
     "lake_ndv_sketch" -> (sources.LakeTable.ndvSketchQuery _),
     "lake_file_granular_delete" -> (sources.LakeTable.fileGranularDeleteQuery _),
     "lake_arbitrated_commit" -> (sources.LakeTable.arbitratedCommitQuery _),
@@ -1251,6 +1252,33 @@ object SparkEntry {
         |         round(value + 1, 6), row_id
         |  FROM base WHERE event_type = 'click' AND event_id % 7 <> 0) t
         |ORDER BY change_type, event_id""".stripMargin,
+    // lake_lineage_cdc_stream: the SAME lifecycle consumed through
+    // the lineage STREAMING feed — per-version diffs (v1 initial
+    // snapshot, v2 update pairs, v3 deletes carrying the POST-update
+    // image), keyed on the durable row_id; per-version micro-batch
+    // delivery is require'd in-query
+    "lake_lineage_cdc_stream" ->
+      """WITH base AS (
+        |  SELECT event_id, event_type, value,
+        |         CAST(row_number() OVER (ORDER BY event_id) - 1 AS BIGINT) AS row_id
+        |  FROM events)
+        |SELECT * FROM (
+        |  SELECT 1 AS v, 'insert' AS change_type, event_id, event_type,
+        |         round(value, 6) AS value, row_id
+        |  FROM base
+        |  UNION ALL
+        |  SELECT 2, 'update_preimage', event_id, event_type, round(value, 6), row_id
+        |  FROM base WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT 2, 'update_postimage', event_id, event_type,
+        |         round(value + 1, 6), row_id
+        |  FROM base WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT 3, 'delete', event_id, event_type,
+        |         round(value + CASE WHEN event_type = 'click' THEN 1 ELSE 0 END, 6),
+        |         row_id
+        |  FROM base WHERE event_id % 7 = 0) t
+        |ORDER BY v, change_type, event_id""".stripMargin,
     // lake_row_lineage: rows land as ONE event_id-ordered file, so
     // _row_id is the 0-based event_id rank; an UPDATE (clicks, commit
     // seq 2) and a DELETE (every 7th id) must preserve survivors' ids

@@ -88,8 +88,10 @@ class GraftLakeSource extends TableProvider with DataSourceRegister
     val spark = active
     if (GraftLakeSource.changeFeedOf(options))
       // streaming CDC read: the schema is the changelog's (data
-      // columns + change_type + the v partition column)
-      LakeTable.changeFeedSchema(spark, GraftLakeSource.pathOf(options))
+      // columns + change_type [+ _row_id on the lineage feed] + the
+      // v partition column)
+      LakeTable.changeFeedSchema(spark, GraftLakeSource.pathOf(options),
+        GraftLakeSource.lineageFeedOf(options))
     else if (LakeTable.latestVersion(GraftLakeSource.pathOf(options)).isEmpty)
       // no snapshots yet: this resolution is a STREAMING SINK about to
       // CREATE the table (reads of a missing table still fail loudly,
@@ -109,7 +111,7 @@ class GraftLakeSource extends TableProvider with DataSourceRegister
     val opts = new CaseInsensitiveStringMap(properties)
     new GraftLakeTable(
       GraftLakeSource.pathOf(opts), GraftLakeSource.versionOf(opts), schema,
-      GraftLakeSource.changeFeedOf(opts))
+      GraftLakeSource.changeFeedOf(opts), GraftLakeSource.lineageFeedOf(opts))
   }
 }
 
@@ -159,8 +161,26 @@ object GraftLakeSource {
   private[sources] def hasTimeTravel(options: CaseInsensitiveStringMap): Boolean =
     options.containsKey("versionAsOf") || options.containsKey("timestampAsOf")
 
+  /** `changeFeed` option: false (plain table read/stream), true (the
+    * row-level change feed), or `lineage` — the LINEAGE feed, whose
+    * rows key on the durable `_row_id` and pair updates as
+    * preimage/postimage ([[LakeTable.changesWithLineage]] per
+    * version). Anything else refuses loudly. */
+  private[sources] def feedModeOf(options: CaseInsensitiveStringMap): Option[String] =
+    Option(options.get("changeFeed"))
+      .map(_.toLowerCase(java.util.Locale.ROOT)).flatMap {
+        case "false" => None
+        case "true" => Some("rows")
+        case "lineage" => Some("lineage")
+        case other => throw new IllegalArgumentException(
+          s"graftlake: changeFeed must be true, false or 'lineage', got '$other'")
+      }
+
   private[sources] def changeFeedOf(options: CaseInsensitiveStringMap): Boolean =
-    options.getBoolean("changeFeed", false)
+    feedModeOf(options).isDefined
+
+  private[sources] def lineageFeedOf(options: CaseInsensitiveStringMap): Boolean =
+    feedModeOf(options).contains("lineage")
 }
 
 /** One lake snapshot as a V2 [[Table]] (batch read/write + SQL DELETE).
@@ -173,7 +193,7 @@ object GraftLakeSource {
   * lower through [[LakeSqlDmlRule]] instead. */
 class GraftLakeTable(
     path: String, version: Option[Int], tableSchema: StructType,
-    changeFeed: Boolean = false)
+    changeFeed: Boolean = false, lineageFeed: Boolean = false)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
@@ -284,7 +304,8 @@ class GraftLakeTable(
         s"graftlake changeFeed at $path: a version-pinned CDC stream is " +
           "contradictory — the stream's offsets ARE versions")
       return new ScanBuilder {
-        override def build(): Scan = new GraftLakeChangeScan(spark, path, tableSchema)
+        override def build(): Scan =
+          new GraftLakeChangeScan(spark, path, tableSchema, lineageFeed)
       }
     }
     // a read-time versionAsOf/timestampAsOf option overrides the

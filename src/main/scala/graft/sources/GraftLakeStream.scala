@@ -36,22 +36,33 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * checkpointed version offset — exactly-once without any file-level
   * bookkeeping. `Trigger.AvailableNow` pins the materialized head at
   * prepare time and drains version by version to it. */
-class GraftLakeChangeScan(spark: SparkSession, path: String, fullSchema: StructType)
+class GraftLakeChangeScan(
+    spark: SparkSession, path: String, fullSchema: StructType,
+    lineage: Boolean = false)
     extends Scan {
   override def readSchema(): StructType = fullSchema
-  override def description(): String = s"GraftLakeChangeScan(changeFeed of $path)"
+  override def description(): String =
+    s"GraftLakeChangeScan(${if (lineage) "lineage " else ""}changeFeed of $path)"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftLakeMicroBatchStream(spark, path, fullSchema)
+    new GraftLakeMicroBatchStream(spark, path, fullSchema, lineage)
 }
 
-class GraftLakeMicroBatchStream(spark: SparkSession, path: String, fullSchema: StructType)
+/** `lineage = true` serves the LINEAGE change feed (S11e,
+  * `.option("changeFeed", "lineage")`): the same version-offset
+  * machinery over `_changelog_lineage/v=N` files, whose rows key on
+  * the durable `_row_id` and pair updates as preimage/postimage
+  * ([[LakeTable.changesWithLineage]] per version) — Delta-CDF-style
+  * streaming update pairs with a stable row identity. */
+class GraftLakeMicroBatchStream(
+    spark: SparkSession, path: String, fullSchema: StructType,
+    lineage: Boolean = false)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private case class VOffset(v: Int) extends Offset {
     override def json(): String = v.toString
   }
 
-  private val changelog = LakeTable.changelogDirOf(path)
+  private val changelog = LakeTable.changelogDirOf(path, lineage)
 
   // the changelog's layout splits the schema: `v` comes from dir
   // names (partition column), everything else from the files
@@ -74,12 +85,12 @@ class GraftLakeMicroBatchStream(spark: SparkSession, path: String, fullSchema: S
   @volatile private var pinned: Option[Int] = None
 
   override def prepareForTriggerAvailableNow(): Unit = {
-    LakeTable.materializeChanges(spark, path)
+    LakeTable.materializeChanges(spark, path, lineage)
     pinned = Some(materializedMax())
   }
 
   private def head(): Int = pinned.getOrElse {
-    LakeTable.materializeChanges(spark, path)
+    LakeTable.materializeChanges(spark, path, lineage)
     materializedMax()
   }
 

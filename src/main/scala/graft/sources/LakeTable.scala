@@ -6488,18 +6488,22 @@ object LakeTable {
   // ---- change feed as a STREAMING source (Delta-style _change_data) ----
 
   private def changelogDir(path: String) = s"$path/_changelog"
+  private def lineageChangelogDir(path: String) = s"$path/_changelog_lineage"
 
   /** Changelog location + schema for the V2 streaming source
     * ([[GraftLakeMicroBatchStream]]). The schema is the mergeSchema
     * union across changelog generations — a rename leaves old
     * generations under the old column name, and a single-footer
     * schema would silently null one generation's measures. */
-  private[sources] def changelogDirOf(path: String): String = changelogDir(path)
+  private[sources] def changelogDirOf(path: String, lineage: Boolean = false): String =
+    if (lineage) lineageChangelogDir(path) else changelogDir(path)
 
   private[sources] def changeFeedSchema(
-      spark: SparkSession, path: String): org.apache.spark.sql.types.StructType = {
-    materializeChanges(spark, path)
-    spark.read.option("mergeSchema", "true").parquet(changelogDir(path)).schema
+      spark: SparkSession, path: String,
+      lineage: Boolean = false): org.apache.spark.sql.types.StructType = {
+    materializeChanges(spark, path, lineage)
+    spark.read.option("mergeSchema", "true")
+      .parquet(changelogDirOf(path, lineage)).schema
   }
 
   /** The committing operation of a version (every list row carries it
@@ -6535,14 +6539,24 @@ object LakeTable {
   // would throw, and the residue sweep could eat the winner's staging
   private val changelogLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
-  def materializeChanges(spark: SparkSession, path: String): Seq[Int] =
-    changelogLocks.computeIfAbsent(path, _ => new Object).synchronized {
-      materializeChangesLocked(spark, path)
-    }
+  def materializeChanges(
+      spark: SparkSession, path: String, lineage: Boolean = false): Seq[Int] =
+    changelogLocks.computeIfAbsent(changelogDirOf(path, lineage), _ => new Object)
+      .synchronized { materializeChangesLocked(spark, path, lineage) }
 
-  private def materializeChangesLocked(spark: SparkSession, path: String): Seq[Int] = {
+  private def materializeChangesLocked(
+      spark: SparkSession, path: String, lineage: Boolean): Seq[Int] = {
     val latest = latestVersion(path).getOrElse(return Nil)
-    val dir = Paths.get(changelogDir(path))
+    if (lineage) require(nextRowIdOf(path, latest).isDefined,
+      s"lineage change feed at $path: the table does not track row lineage " +
+        "— run LakeTable.enableRowLineage (or consume the plain change feed)")
+    // the first lineage-tracking version: the feed's INITIAL-SNAPSHOT
+    // batch (all rows as inserts, with their durable ids); versions
+    // before it materialize as empty markers so the version axis (and
+    // the stream's offsets) stays aligned with the table's
+    lazy val firstEnabled: Int = (0 to latest)
+      .find(v => nextRowIdOf(path, v).isDefined).get
+    val dir = Paths.get(changelogDirOf(path, lineage))
     Files.createDirectories(dir)
     // sweep staging residue of a previous crashed materialization
     val ls = Files.list(dir)
@@ -6563,9 +6577,30 @@ object LakeTable {
         // these the cross-version exceptAll runs over mismatched
         // schemas (2 vs 3 columns) and the whole feed dies
         "add_column_default", "promote_type",
-        "binpack", "bloom", "add_constraint", "drop_constraint")
+        "binpack", "bloom", "add_constraint", "drop_constraint",
+        // content-identical by construction (round 11): manifest
+        // consolidation, the delete-representation rewrites
+        "rewrite_manifests", "convert_eqdeletes", "rewrite_posdeletes")
       val df =
-        if (v == 0) read(spark, path, Some(0)).withColumn("change_type", lit("insert"))
+        if (lineage) {
+          // LINEAGE FEED (S11e): Delta-CDF-style update pairs keyed by
+          // the durable `_row_id` — the diff changesWithLineage
+          // computes. Pre-enablement versions are empty markers (the
+          // ids don't exist yet); the enablement version is the
+          // feed's initial snapshot (every row an insert, with its id)
+          if (v < firstEnabled)
+            read(spark, path, Some(v)).limit(0)
+              .withColumn(RowIdCol, lit(null).cast("long"))
+              .withColumn("change_type", lit("insert"))
+          else if (v == firstEnabled)
+            readWithLineage(spark, path, Some(v)).drop(LusCol)
+              .withColumn("change_type", lit("insert"))
+          else if (noop(operationOf(path, v)))
+            readWithLineage(spark, path, Some(v)).drop(LusCol).limit(0)
+              .withColumn("change_type", lit("insert"))
+          else changesWithLineage(spark, path, v - 1, v)
+        }
+        else if (v == 0) read(spark, path, Some(0)).withColumn("change_type", lit("insert"))
         else if (noop(operationOf(path, v)))
           // content-identical (or metadata-only) version: an empty
           // schema-carrying marker keeps the version sequence dense
@@ -6658,6 +6693,48 @@ object LakeTable {
     s.read.parquet(s"$out/result")
       .select(col("v"), col("change_type"), col("event_id"), col("event_type"),
         round(col("value"), 6).as("value"))
+      .orderBy("v", "change_type", "event_id")
+  }
+
+  /** Driver query: the LINEAGE change feed as a STREAM (S11e, the
+    * round-10 stretch ask) — the deterministic single-file lifecycle
+    * of [[rowLineageQuery]] consumed through
+    * `option("changeFeed", "lineage")`: v1 arrives as the initial
+    * snapshot (every row an insert with its durable id), v2 as
+    * `_row_id`-keyed preimage/postimage pairs, v3 as deletes carrying
+    * the LAST image (updated clicks deleted at v3 show value+1 — the
+    * per-version diff, unlike the batch v1→v3 diff of
+    * `lake_lineage_cdc`). Per-version batch delivery is require'd. */
+  def lineageCdcStreamQuery(s: SparkSession, d: String): DataFrame = {
+    val path = freshWorkDir("lakelincdcs", d)
+    val ev = graft.Tables.load(s, d, "events")
+      .select("event_id", "event_type", "value")
+      .repartition(1).sortWithinPartitions("event_id")
+    overwrite(ev, path) // v0 (pre-lineage → empty feed marker)
+    enableRowLineage(s, path) // v1: the feed's initial snapshot
+    update(s, path, Map("value" -> (col("value") + lit(1.0))),
+      col("event_type") === "click") // v2
+    delete(s, path, col("event_id") % 7 === 0) // v3
+    val out = freshWorkDir("lakelincdcs_out", d)
+    val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = s.readStream.format("graftlake").option("changeFeed", "lineage")
+      .load(path)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$out/_chk")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) seen.incrementAndGet()
+        batch.write.mode("append").parquet(s"$out/result")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    require(seen.get() == 3,
+      s"lineage stream must deliver v1..v3 as three micro-batches, got ${seen.get()}")
+    s.read.parquet(s"$out/result")
+      .select(col("v").cast("int").as("v"), col("change_type"), col("event_id"),
+        col("event_type"), round(col("value"), 6).as("value"),
+        col(RowIdCol).as("row_id"))
       .orderBy("v", "change_type", "event_id")
   }
 

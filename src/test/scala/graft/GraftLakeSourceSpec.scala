@@ -333,6 +333,72 @@ class GraftLakeSourceSpec extends AnyFunSuite {
       === Seq(org.apache.spark.sql.Row("delete", 0L)))
   }
 
+  test("LINEAGE change-feed stream: _row_id-keyed update pairs, checkpoint resume") {
+    import spark.implicits._
+    val p = "/tmp/graft_test/v2_lincdc_stream"
+    rmdir(p)
+    LakeTable.overwrite(
+      (0 until 20).map(i => (i.toLong, i * 1.0)).toDF("k", "x")
+        .repartition(1).sortWithinPartitions("k"), p) // v0 (pre-lineage)
+    LakeTable.enableRowLineage(spark, p) // v1: the feed's initial snapshot
+    LakeTable.update(spark, p,
+      Map("x" -> (col("x") + 100.0)), col("k") % 5 === 0L) // v2: 4 updates
+    LakeTable.delete(spark, p, col("k") === 7L) // v3: 1 delete
+    val out = s"$p/_lin_stream_out"
+    def drain(): Seq[Long] = {
+      val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = spark.readStream.format("graftlake").option("changeFeed", "lineage")
+        .load(p)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$out/_chk")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          if (!b.isEmpty) {
+            batches += id
+            b.write.mode("append").parquet(s"$out/result")
+          }
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      batches.toSeq
+    }
+    val firstRun = drain()
+    // v0 is a pre-enablement empty marker; v1..v3 deliver rows
+    assert(firstRun.size === 3, s"one non-empty batch per live version: $firstRun")
+    val got = spark.read.parquet(s"$out/result")
+    assert(got.columns.contains("_row_id"),
+      s"the lineage feed must carry the durable id: ${got.columns.toSeq}")
+    // v1: the initial snapshot — every row an insert with its id
+    val v1 = got.filter(col("v") === 1).collect()
+    assert(v1.length === 20 && v1.forall(_.getAs[String]("change_type") == "insert"))
+    assert(v1.map(_.getAs[Long]("_row_id")).toSet === (0L until 20L).toSet)
+    // v2: preimage/postimage PAIRS sharing the row's durable id
+    val v2b = got.filter(col("v") === 2).collect()
+    val pre = v2b.filter(_.getAs[String]("change_type") == "update_preimage")
+    val post = v2b.filter(_.getAs[String]("change_type") == "update_postimage")
+    assert(pre.length === 4 && post.length === 4 && v2b.length === 8)
+    val pairs = post.map(r => r.getAs[Long]("_row_id") -> r.getAs[Double]("x")).toMap
+    pre.foreach { r =>
+      val rid = r.getAs[Long]("_row_id")
+      assert(pairs(rid) === r.getAs[Double]("x") + 100.0,
+        s"pre/post must pair by _row_id and differ by the update: $rid")
+    }
+    // v3: the delete carries the row's id and its LAST image
+    val v3b = got.filter(col("v") === 3).collect()
+    assert(v3b.length === 1 && v3b.head.getAs[String]("change_type") == "delete")
+    assert(v3b.head.getAs[Long]("k") === 7L)
+    // RESTART resume: a new commit delivers exactly the new version
+    LakeTable.update(spark, p, Map("x" -> lit(-1.0)), col("k") === 3L) // v4
+    val secondRun = drain()
+    assert(secondRun.size === 1, s"resume must deliver only v4: $secondRun")
+    val v4 = spark.read.parquet(s"$out/result").filter(col("v") === 4).collect()
+    assert(v4.length === 2 &&
+      v4.map(_.getAs[String]("change_type")).toSet ===
+        Set("update_preimage", "update_postimage"))
+    assert(v4.map(_.getAs[Long]("_row_id")).distinct.length === 1,
+      "the restarted feed's update pair still keys on one durable id")
+  }
+
   test("runtime V2 filtering: a broadcast join's dim keys prune fact FILES at execution") {
     import spark.implicits._
     val p = "/tmp/graft_test/v2_dpp"
