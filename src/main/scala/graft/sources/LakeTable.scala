@@ -381,7 +381,7 @@ object LakeTable {
   private val ListSchema =
     "manifest STRING, base STRING, kind STRING, operation STRING, " +
       "committed_at LONG, seq INT, n_files LONG, ranges MAP<STRING, ARRAY<DOUBLE>>, " +
-      "cols MAP<STRING, INT>, n_rows LONG, first_row_id LONG"
+      "cols MAP<STRING, INT>, n_rows LONG, first_row_id LONG, partial BOOLEAN"
 
   private def listPath(path: String, version: Int) =
     Paths.get(s"${metaDir(path)}/v$version/list.json")
@@ -7252,8 +7252,37 @@ object LakeTable {
     // version's counts re-keyed onto their SUCCESSOR, full-outer on
     // (version, base) → positive diff = files added, negative =
     // removed. The first live version has no predecessor: all added.
-    val baseCnt = mf.filter(col("kind") === "data" && col("base").isNotNull)
-      .groupBy("version", "base").agg(sum("n_files").as("cnt"))
+    // PARTIAL manifests expand to per-ENTRY base counts: a
+    // CONSOLIDATED manifest (rewrite_manifests) books its files under
+    // ONE list-row base, and trusting that here would report phantom
+    // churn for a metadata-only fold (the same honesty rule GC
+    // follows); single-base partials (binpack carries) count
+    // identically either way.
+    val mfk = mf.withColumn("mname", element_at(split(col("manifest"), "/"), -1))
+    val isPartial = coalesce(col("partial"), lit(false))
+    val partialPaths = mfk
+      .filter(col("kind") === "data" && isPartial)
+      .select("manifest").distinct().collect().map(_.getString(0)).toSeq
+    val baseCnt =
+      if (partialPaths.isEmpty)
+        mf.filter(col("kind") === "data" && col("base").isNotNull)
+          .groupBy("version", "base").agg(sum("n_files").as("cnt"))
+      else {
+        val nonPartial = mfk
+          .filter(col("kind") === "data" && col("base").isNotNull && !isPartial)
+          .groupBy("version", "base").agg(sum("n_files").as("cnt"))
+        val pEnt = entriesFrameOf(spark,
+            partialPaths.map(p => ManifestRef(p, "", "data", -1, 1L, Map.empty)),
+            "base STRING")
+          .withColumn("mname", element_at(split(input_file_name(), "/"), -1))
+          .groupBy("mname", "base").agg(count(lit(1)).as("ecnt"))
+        val pCnt = mfk.filter(col("kind") === "data" && isPartial)
+          .select("version", "mname")
+          .join(pEnt, Seq("mname"))
+          .groupBy("version", "base").agg(sum("ecnt").as("cnt"))
+        nonPartial.unionByName(pCnt)
+          .groupBy("version", "base").agg(sum("cnt").as("cnt"))
+      }
     val sucDf = versions.init.zip(versions.tail).toDF("pv", "suc")
     val prevB = baseCnt.join(broadcast(sucDf), col("version") === col("pv"))
       .select(col("suc").as("version"), col("base"), col("cnt").as("pcnt"))

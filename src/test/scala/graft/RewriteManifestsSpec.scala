@@ -42,6 +42,14 @@ class RewriteManifestsSpec extends AnyFunSuite {
     assert(LakeTable.read(spark, p, Some(vBefore)).count() === 60)
     // the V2 connector read survives the multi-base partial manifest
     assert(spark.read.format("graftlake").load(p).count() === 60)
+    // the snapshots table reports ZERO file churn for the fold (the
+    // per-base counts expand partial manifests to their entry bases —
+    // the single list-row base would book phantom adds+removes)
+    val snap = LakeTable.snapshots(spark, p).orderBy("version").collect().last
+    assert(snap.getAs[String]("operation") === "rewrite_manifests")
+    assert(snap.getAs[Long]("added_data_files") === 0L &&
+      snap.getAs[Long]("removed_data_files") === 0L,
+      s"metadata-only consolidation must report zero churn: $snap")
   }
 
   test("per-entry seq pins keep equality-delete subtraction exact across the fold") {
