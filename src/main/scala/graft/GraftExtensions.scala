@@ -100,6 +100,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // table's SupportsDelete, no rule needed)
     ext.injectResolutionRule(s => new graft.sources.LakeSqlDmlRule(s))
     ext.injectPlannerStrategy(_ => graft.sources.LakeDmlStrategy)
+    // versioned views (S11g): read-side expansion of GraftCatalog view
+    // references + the row-returning SHOW VIEWS command — the DDL half
+    // intercepts in GraftSqlParser (stock analysis refuses V2-catalog
+    // view statements before any injected rule could see them)
+    ext.injectResolutionRule(s => new graft.sources.GraftViewRelationRule(s))
+    ext.injectPlannerStrategy(_ => graft.sources.LakeRowsStrategy)
     // direct-path reads + VERSION AS OF time travel over lake tables
     ext.injectParser((s, p) => new graft.sources.GraftSqlParser(s, p))
   }

@@ -191,6 +191,7 @@ object SparkEntry {
     "lake_partitions_meta" -> (sources.LakeTable.partitionsMetaQuery _),
     "lake_mor_partitions" -> (sources.LakeTable.morPartitionsQuery _),
     "lake_entries_meta" -> (sources.LakeTable.entriesMetaQuery _),
+    "lake_versioned_view" -> (sources.GraftViews.versionedViewQuery _),
     "lake_rewrite_manifests" -> (sources.LakeTable.rewriteManifestsQuery _),
     "lake_row_lineage" -> (sources.LakeTable.rowLineageQuery _),
     "lake_wire_arbitrated_commit" -> (sources.LakeTable.wireArbitratedCommitQuery _),
@@ -1197,6 +1198,20 @@ object SparkEntry {
         |SELECT '' AS part, 'posdel' AS kind, count(*) AS n
         |FROM events WHERE event_id % 10 = 0
         |ORDER BY kind, part""".stripMargin,
+    // lake_versioned_view: two view DEFINITIONS (v0 evens, the
+    // REPLACE'd v1 odds) each aggregate through the catalog's
+    // ViewCatalog route; the version-audit contract (history keeps
+    // both SQL texts, SHOW VIEWS/TABLES separation) is require'd
+    // in-query
+    "lake_versioned_view" ->
+      """SELECT 'v0' AS phase, event_type, count(*) AS n,
+        |       round(sum(value), 6) AS sum_value
+        |FROM events WHERE event_id % 2 = 0 GROUP BY event_type
+        |UNION ALL
+        |SELECT 'v1' AS phase, event_type, count(*) AS n,
+        |       round(sum(value), 6) AS sum_value
+        |FROM events WHERE event_id % 2 = 1 GROUP BY event_type
+        |ORDER BY phase, event_type""".stripMargin,
     // lake_rewrite_manifests: the rollup reads THROUGH the
     // consolidated manifest state (per-entry seq pins, multi-base
     // assembly, posdel subtraction across the fold); the

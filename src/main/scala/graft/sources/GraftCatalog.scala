@@ -6,8 +6,8 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, NoSuchViewException, NonEmptyNamespaceException, TableAlreadyExistsException, ViewAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, Table, TableCapability, TableCatalog, TableChange, View, ViewCatalog, ViewChange, ViewInfo}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
 import org.apache.spark.sql.types.StructType
@@ -50,7 +50,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class GraftCatalog extends TableCatalog with SupportsNamespaces
     with org.apache.spark.sql.connector.catalog.StagingTableCatalog
     with org.apache.spark.sql.connector.catalog.FunctionCatalog
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with ViewCatalog {
 
   /** Iceberg-style `CALL cat.system.<proc>(…)` through Spark 4's
     * NATIVE ProcedureCatalog route — stock grammar, analyzer-bound
@@ -254,7 +255,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def metaTableOf(ident: Identifier): Option[Table] = {
     if (ident.namespace.isEmpty) return None
     val parent = pathOf(ident.namespace.toSeq)
-    if (!isTable(parent)) return None
+    if (!isTable(parent)) {
+      // `cat.ns.v.versions` when the parent is a VIEW: its immutable
+      // definition history — O(#versions) driver metadata
+      if (ident.name == "versions" && GraftViews.isView(parent))
+        return Some(new GraftLocalTable(
+          s"${ident.namespace.mkString(".")}.versions",
+          GraftViews.history(spark, parent)))
+      return None
+    }
     ident.name match {
       case "history" =>
         Some(new GraftLocalTable(
@@ -378,6 +387,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val spec = specOfTransforms(schema, partitions) // refuses unsupported shapes
     val p = tablePath(ident)
     if (isTable(p)) throw new TableAlreadyExistsException(ident)
+    require(!GraftViews.isView(p),
+      s"graft catalog: a VIEW already exists at $ident — views and tables " +
+        "share the warehouse namespace")
     // v0 is an EMPTY snapshot (sentinel commit): the table is
     // immediately SELECT-able (zero rows) and history starts at v0
     LakeTable.overwrite(
@@ -642,24 +654,121 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         "would orphan them); CREATE TABLE AS SELECT into the new name instead")
   }
 
+  // ---- views (Iceberg-view-spec-shaped, Spark's native ViewCatalog
+  //      route: CREATE/REPLACE/ALTER/DROP/SHOW VIEWS and SELECT
+  //      through a view all arrive here) ----
+
+  /** Every view mutation commits a NEW immutable version file
+    * ([[GraftViews]]) — `SELECT * FROM cat.ns.v.versions` reads the
+    * audit trail. */
+  override def loadView(ident: Identifier): View = {
+    val p = tablePath(ident)
+    val v = GraftViews.latest(p).getOrElse(throw new NoSuchViewException(ident))
+    new GraftView(ident, p, v)
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    GraftViews.isView(tablePath(ident))
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val ns = namespace.toArray
+    if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
+    listDirs(pathOf(ns.toSeq))
+      .filter(n => GraftViews.isView(pathOf(ns.toSeq :+ n)))
+      .map(Identifier.of(ns, _)).toArray
+  }
+
+  private def viewMetaOf(info: ViewInfo): GraftViews.ViewMeta =
+    GraftViews.ViewMeta(
+      sql = info.sql,
+      currentCatalog = info.currentCatalog,
+      currentNamespace = Option(info.currentNamespace).map(_.toSeq).getOrElse(Nil),
+      schemaDdl = info.schema.toDDL,
+      queryColumnNames =
+        Option(info.queryColumnNames).map(_.toSeq).getOrElse(Nil),
+      columnAliases = Option(info.columnAliases).map(_.toSeq).getOrElse(Nil),
+      columnComments = Option(info.columnComments).map(_.toSeq).getOrElse(Nil)
+        .map(c => Option(c).getOrElse("")),
+      properties = Option(info.properties).map(_.asScala.toMap)
+        .getOrElse(Map.empty),
+      committedAtMs = System.currentTimeMillis())
+
+  override def createView(info: ViewInfo): View = {
+    val p = tablePath(info.ident)
+    if (viewExists(info.ident)) throw new ViewAlreadyExistsException(info.ident)
+    require(!isTable(p),
+      s"graft catalog: a TABLE already exists at ${info.ident} — views and " +
+        "tables share the warehouse namespace")
+    if (info.ident.namespace.nonEmpty && !namespaceExists(info.ident.namespace))
+      throw new NoSuchNamespaceException(info.ident.namespace)
+    GraftViews.commit(p, viewMetaOf(info))
+    loadView(info.ident)
+  }
+
+  /** CREATE OR REPLACE: the replacement is version N+1 — the prior
+    * definition stays readable in `versions` (REPLACE is an audit
+    * event, not an overwrite). */
+  override def replaceView(info: ViewInfo, orCreate: Boolean): View = {
+    val p = tablePath(info.ident)
+    require(!isTable(p),
+      s"graft catalog: ${info.ident} is a TABLE — REPLACE VIEW refuses it")
+    if (!GraftViews.isView(p) && !orCreate)
+      throw new NoSuchViewException(info.ident)
+    GraftViews.commit(p, viewMetaOf(info))
+    loadView(info.ident)
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val p = tablePath(ident)
+    val v = GraftViews.latest(p).getOrElse(throw new NoSuchViewException(ident))
+    val m = GraftViews.load(p, v)
+    val props = changes.foldLeft(m.properties) {
+      case (acc, s: ViewChange.SetProperty) => acc + (s.property -> s.value)
+      case (acc, r: ViewChange.RemoveProperty) => acc - r.property
+      case (_, other) => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported ALTER VIEW change $other")
+    }
+    GraftViews.commit(p,
+      m.copy(properties = props, committedAtMs = System.currentTimeMillis()))
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    GraftViews.drop(tablePath(ident))
+
+  /** Views CAN rename (unlike tables): the stored SQL resolves its
+    * table references through the saved catalog/namespace context,
+    * never through the view's own location, so a directory move
+    * orphans nothing. */
+  override def renameView(from: Identifier, to: Identifier): Unit = {
+    if (!viewExists(from)) throw new NoSuchViewException(from)
+    if (viewExists(to)) throw new ViewAlreadyExistsException(to)
+    require(!isTable(tablePath(to)),
+      s"graft catalog: rename target $to is a TABLE")
+    GraftViews.rename(tablePath(from), tablePath(to))
+  }
+
   // ---- namespaces ----
 
   override def listNamespaces(): Array[Array[String]] =
-    listDirs(warehouse).filterNot(n => isTable(pathOf(Seq(n))))
+    listDirs(warehouse)
+      .filterNot(n => isTable(pathOf(Seq(n))) || GraftViews.isView(pathOf(Seq(n))))
       .map(Array(_)).toArray
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
     if (namespace.isEmpty) return listNamespaces()
     if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
     listDirs(pathOf(namespace.toSeq))
-      .filterNot(n => isTable(pathOf(namespace.toSeq :+ n)))
+      .filterNot(n => isTable(pathOf(namespace.toSeq :+ n)) ||
+        GraftViews.isView(pathOf(namespace.toSeq :+ n)))
       .map(n => namespace :+ n).toArray
   }
 
   override def namespaceExists(namespace: Array[String]): Boolean =
     namespace.isEmpty ||
       (Files.isDirectory(Paths.get(pathOf(namespace.toSeq))) &&
-        !isTable(pathOf(namespace.toSeq)))
+        !isTable(pathOf(namespace.toSeq)) &&
+        !GraftViews.isView(pathOf(namespace.toSeq)))
 
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
     if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
@@ -705,4 +814,23 @@ class GraftLocalTable(tableName: String, df: org.apache.spark.sql.DataFrame)
         override def description(): String = s"GraftLocalTable($tableName)"
       }
     }
+}
+
+/** One immutable VERSION of a catalog view — the analyzer re-parses
+  * [[query]] under the stored catalog/namespace context, so the view
+  * keeps meaning what it meant when written no matter where the
+  * reading session sits. */
+class GraftView(ident: Identifier, p: String, v: Int)
+    extends View {
+  private val m = GraftViews.load(p, v)
+  override def name(): String =
+    (ident.namespace :+ ident.name).mkString(".")
+  override def query(): String = m.sql
+  override def currentCatalog(): String = m.currentCatalog
+  override def currentNamespace(): Array[String] = m.currentNamespace.toArray
+  override def schema(): StructType = StructType.fromDDL(m.schemaDdl)
+  override def queryColumnNames(): Array[String] = m.queryColumnNames.toArray
+  override def columnAliases(): Array[String] = m.columnAliases.toArray
+  override def columnComments(): Array[String] = m.columnComments.toArray
+  override def properties(): util.Map[String, String] = m.properties.asJava
 }

@@ -633,8 +633,124 @@ class GraftSqlParser(
 
   override def parsePlan(sqlText: String): LogicalPlan =
     // maintenance statements first: the stock grammar REJECTS them,
-    // so they can never shadow a legal Spark statement
-    maintenance(sqlText).getOrElse(rewrite(delegate.parsePlan(sqlText)))
+    // so they can never shadow a legal Spark statement. View DDL
+    // aimed at a GraftCatalog intercepts here too — the stock grammar
+    // PARSES it but ResolveSessionCatalog refuses every V2-catalog
+    // view statement (MISSING_CATALOG_ABILITY) before any injected
+    // rule runs, so the parser is the only honest hook (S11g).
+    viewStatement(sqlText)
+      .orElse(maintenance(sqlText))
+      .getOrElse(rewrite(delegate.parsePlan(sqlText)))
+
+  // ---- versioned-view DDL (S11g): lowered onto the catalog's native
+  //      ViewCatalog methods, one code path for SQL and library ----
+  private val CreateViewRe =
+    """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(IF\s+NOT\s+EXISTS\s+)?([\w.`]+)\s+AS\s+(.+?)\s*;?\s*$""".r
+  private val DropViewRe =
+    """(?is)^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.`]+)\s*;?\s*$""".r
+  private val AlterViewSetPropsRe =
+    """(?is)^\s*ALTER\s+VIEW\s+([\w.`]+)\s+SET\s+TBLPROPERTIES\s*\((.+)\)\s*;?\s*$""".r
+  private val AlterViewUnsetPropsRe =
+    """(?is)^\s*ALTER\s+VIEW\s+([\w.`]+)\s+UNSET\s+TBLPROPERTIES\s*\((.+)\)\s*;?\s*$""".r
+  private val AlterViewRenameRe =
+    """(?is)^\s*ALTER\s+VIEW\s+([\w.`]+)\s+RENAME\s+TO\s+([\w.`]+)\s*;?\s*$""".r
+  private val ShowViewsRe =
+    """(?is)^\s*SHOW\s+VIEWS\s+(?:IN|FROM)\s+([\w.`]+)\s*;?\s*$""".r
+  private val PropPairRe = """'([^']*)'\s*=\s*'([^']*)'""".r
+  private val PropKeyRe = """'([^']*)'""".r
+
+  /** (catalog, identifier) when the statement's target lives in a
+    * registered [[GraftCatalog]] — explicit `cat.ns.v` names resolve
+    * by their head part; bare names resolve through the session's
+    * CURRENT catalog/namespace, except when a same-named temp view
+    * exists (the stock grammar owns temp views). Anything else →
+    * None, and the statement passes through untouched. */
+  private def viewTargetOf(parts: Seq[String])
+      : Option[(GraftCatalog, org.apache.spark.sql.connector.catalog.Identifier)] = {
+    import org.apache.spark.sql.connector.catalog.Identifier
+    parts match {
+      case cat +: rest if rest.nonEmpty &&
+          GraftSqlShim.catalogPlugin(spark, cat).isDefined =>
+        GraftViewSql.viewCatalogOf(spark, cat)
+          .map(g => (g, Identifier.of(rest.init.toArray, rest.last)))
+      case _ =>
+        if (parts.size == 1 && spark.catalog.tableExists(parts.head)) None
+        else {
+          val (curCat, curNs) = GraftSqlShim.currentContext(spark)
+          GraftViewSql.viewCatalogOf(spark, curCat).map(g =>
+            (g, Identifier.of((curNs ++ parts.init).toArray, parts.last)))
+        }
+    }
+  }
+
+  private def viewStatement(sqlText: String): Option[LogicalPlan] = {
+    def parts(t: String) = delegate.parseMultipartIdentifier(t.trim)
+    sqlText match {
+      case CreateViewRe(replace, ifNot, ref, body) =>
+        viewTargetOf(parts(ref)).map { case (g, ident) =>
+          LakeDmlCommand(s"CREATE VIEW $ident",
+            () => GraftViewSql.createView(spark, g, ident, body.trim,
+              replace = replace != null, ifNotExists = ifNot != null))
+        }
+      case DropViewRe(ifExists, ref) =>
+        viewTargetOf(parts(ref)).filter { case (g, ident) =>
+          // only claim the statement when the view EXISTS (or the
+          // target is explicit): a bare DROP VIEW of a session object
+          // under a graft current catalog stays with the stock path
+          g.viewExists(ident) || ifExists == null
+        }.map { case (g, ident) =>
+          LakeDmlCommand(s"DROP VIEW $ident", () => {
+            if (!g.dropView(ident) && ifExists == null)
+              throw new org.apache.spark.sql.catalyst.analysis
+                .NoSuchViewException(ident)
+            0
+          })
+        }
+      case AlterViewSetPropsRe(ref, props) =>
+        viewTargetOf(parts(ref)).filter(t => t._1.viewExists(t._2))
+          .map { case (g, ident) =>
+            val changes = PropPairRe.findAllMatchIn(props).map(m =>
+              org.apache.spark.sql.connector.catalog.ViewChange
+                .setProperty(m.group(1), m.group(2))).toSeq
+            require(changes.nonEmpty,
+              s"ALTER VIEW $ident SET TBLPROPERTIES: no 'k' = 'v' pairs in ($props)")
+            LakeDmlCommand(s"ALTER VIEW $ident SET TBLPROPERTIES",
+              () => { g.alterView(ident, changes: _*); 0 })
+          }
+      case AlterViewUnsetPropsRe(ref, props) =>
+        viewTargetOf(parts(ref)).filter(t => t._1.viewExists(t._2))
+          .map { case (g, ident) =>
+            val changes = PropKeyRe.findAllMatchIn(props).map(m =>
+              org.apache.spark.sql.connector.catalog.ViewChange
+                .removeProperty(m.group(1))).toSeq
+            require(changes.nonEmpty,
+              s"ALTER VIEW $ident UNSET TBLPROPERTIES: no 'k' keys in ($props)")
+            LakeDmlCommand(s"ALTER VIEW $ident UNSET TBLPROPERTIES",
+              () => { g.alterView(ident, changes: _*); 0 })
+          }
+      case AlterViewRenameRe(fromRef, toRef) =>
+        val fromParts = parts(fromRef)
+        viewTargetOf(fromParts).filter(t => t._1.viewExists(t._2))
+          .map { case (g, from) =>
+            val to = viewTargetOf(parts(toRef)).collect {
+              case (g2, i) if g2 eq g => i
+            }.getOrElse(throw new IllegalArgumentException(
+              s"ALTER VIEW RENAME: target $toRef must stay in the same catalog"))
+            LakeDmlCommand(s"ALTER VIEW $from RENAME TO $to",
+              () => { g.renameView(from, to); 0 })
+          }
+      case ShowViewsRe(ref) =>
+        val p = parts(ref)
+        GraftViewSql.viewCatalogOf(spark, p.head).map { g =>
+          val ns = p.tail
+          LakeRowsCommand(s"SHOW VIEWS IN ${p.mkString(".")}",
+            Seq("namespace", "viewName", "isTemporary"),
+            () => g.listViews(ns: _*).toSeq.map(i =>
+              Seq(i.namespace.mkString("."), i.name, "false")))
+        }
+      case _ => None
+    }
+  }
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)

@@ -2024,14 +2024,16 @@ object LakeTable {
     p3.drop(FpCol, RiCol, LineageRid, LineageLus)
   }
 
-  /** [[readWithLineage]] restricted AT PLAN TIME to the entries whose
-    * files sit in `fs` — the lineage diff's file-delta prefilter:
-    * only the changed files are listed in the scan at all (a post-scan
+  /** [[readWithLineage]] restricted AT PLAN TIME to the entries of
+    * the churn files — the lineage diff's file-delta prefilter: only
+    * the changed files are listed in the scan at all (a post-scan
     * row filter would still read every carried file). The lineage id
     * map still derives over ALL live manifests (ids must be globally
-    * consistent); the data read is O(changed files). */
+    * consistent — one metadata job past the plan threshold, inside
+    * [[attachLineage]]); the data read is O(changed files). */
   private def readWithLineageSubset(
-      spark: SparkSession, path: String, v: Int, fs: Set[String]): DataFrame = {
+      spark: SparkSession, path: String, v: Int,
+      otherLive: Set[String], scope: DiffScope): DataFrame = {
     val refs = listRefs(path, v)
     val (eq, rest) = refs.partition(_.kind == "delete")
     val (pos, rest2) = rest.partition(_.kind == "posdel")
@@ -2039,7 +2041,7 @@ object LakeTable {
     val current = schFor(path, v)
     val live = data.filter(_.nFiles > 0)
     val mm = manifestMemo()
-    val kept = live.flatMap(mm).filter(e => fs(plainPath(e.file)))
+    val kept = churnEntries(spark, live, otherLive, scope)
     if (kept.isEmpty) // zero churn on this side: schema-ful empty
       return readWithLineage(spark, path, Some(v)).limit(0)
     val tagged = withLineageCols {
@@ -6432,11 +6434,16 @@ object LakeTable {
     * files). Returns None — no prefilter, full diff — when the
     * bounds cannot be proven by file identity: equality-delete sets
     * differ (key-granular reach), declared defaults differ (a carried
-    * pre-default file would serve different constants), or an
-    * endpoint is empty (schema shapes short-circuit elsewhere). */
+    * pre-default file would serve different constants), an endpoint
+    * is empty (schema shapes short-circuit elsewhere), or the CHURN
+    * itself exceeds the plan threshold (a near-full rewrite — the
+    * prefiltered diff would approach the full diff, and the churn
+    * set would not be driver-affordable). The guards are on the
+    * CHURN, never on table size: a 10⁷-file table with a ten-file
+    * commit between the versions prefilters fine. */
   private def diffChangedFiles(
       spark: SparkSession, path: String, fromV: Int, toV: Int,
-      bRefs: Seq[ManifestRef], aRefs: Seq[ManifestRef]): Option[Set[String]] = {
+      bRefs: Seq[ManifestRef], aRefs: Seq[ManifestRef]): Option[DiffScope] = {
     def eqSet(rs: Seq[ManifestRef]) =
       rs.filter(r => r.kind == "delete" && r.nFiles > 0).map(_.manifest).toSet
     if (eqSet(bRefs) != eqSet(aRefs)) return None
@@ -6444,23 +6451,18 @@ object LakeTable {
     def live(rs: Seq[ManifestRef]) = rs.filter(r => r.kind == "data" && r.nFiles > 0)
     val (bLive, aLive) = (live(bRefs), live(aRefs))
     if (bLive.isEmpty || aLive.isEmpty) return None
-    // the entry-subset assembly below the consumers is driver-built
-    // (readManifest + filter); past the plan threshold fall back to
-    // the full diff — never worse than before. (The distributed
-    // extension is mechanical: push `fs` into distributedPlan's
-    // entry job; the changed SET itself is already collected
-    // O(churn) whatever the table size.)
-    if ((bLive ++ aLive).map(_.nFiles).sum > 2L * DistributedPlanThreshold)
-      return None
     // the delta reads ONLY the one-sided manifests: a manifest shared
     // by both versions contributes identical entries to both sides
     // (each version lists each live file exactly once, so a shared
     // manifest's file cannot be churn) — O(churn manifests), not
-    // O(table). Below the plan threshold (the only regime this
-    // prefilter runs in) manifests are driver-memoized, so the delta
+    // O(table), whatever the table size. Bounded by the churn guard
+    // above, the driver-memoized read is affordable by the same rule
+    // that sanctions driver planning below the plan threshold, and
     // costs ZERO Spark jobs; identical manifest sets cost nothing.
     val bOnly = bLive.filterNot(r => aLive.exists(_.manifest == r.manifest))
     val aOnly = aLive.filterNot(r => bLive.exists(_.manifest == r.manifest))
+    if ((bOnly ++ aOnly).map(_.nFiles).sum > DistributedPlanThreshold)
+      return None
     val delta: Set[String] =
       if (bOnly.isEmpty && aOnly.isEmpty) Set.empty
       else {
@@ -6482,27 +6484,79 @@ object LakeTable {
       else oneSided.map(r => refScan(spark, r).select("file_path"))
         .reduce(_.unionByName(_)).distinct()
         .collect().map(r => plainPath(r.getString(0))).toSet
-    Some(delta ++ targets)
+    if (targets.size > DistributedPlanThreshold) return None // churn guard
+    Some(DiffScope(delta ++ targets, (targets diff delta).nonEmpty))
+  }
+
+  /** The prefilter's answer: the churn file set, plus whether some of
+    * those files are CARRIED between the versions (a one-sided
+    * posdel/DV reaching into old files) — carried churn may be listed
+    * by SHARED manifests, which decides where [[churnEntries]] must
+    * search. */
+  private final case class DiffScope(
+      files: Set[String], carriedTargets: Boolean)
+
+  /** The manifest entries of `scope.files` within one version's live
+    * data manifests — the prefiltered diff's scan list. Search space:
+    * the version's ONE-SIDED manifests when no churn file is carried
+    * (a shared manifest's file exists in both versions and cannot be
+    * add/remove churn), ALL live manifests when a one-sided row-level
+    * delete reaches into carried files. Driver-memoized below the
+    * plan threshold; past it ONE metadata job (never a data file)
+    * joins the entries against the broadcast churn set — entry seq
+    * pins win over the list row's seq, exactly [[distributedPlan]]'s
+    * stored-beats-inherited rule. */
+  private def churnEntries(
+      spark: SparkSession, liveData: Seq[ManifestRef],
+      otherLive: Set[String], scope: DiffScope): Seq[ManifestEntry] = {
+    import spark.implicits._
+    val search =
+      if (scope.carriedTargets) liveData
+      else liveData.filterNot(r => otherLive(r.manifest))
+    if (search.isEmpty) return Nil
+    if (search.map(_.nFiles).sum <= DistributedPlanThreshold) {
+      val mm = manifestMemo()
+      search.flatMap(mm).filter(e => scope.files(plainPath(e.file)))
+    } else {
+      def mname(r: ManifestRef) = Paths.get(r.manifest).getFileName.toString
+      val byName = search.map(r => mname(r) -> r).toMap
+      val refDf = broadcast(search.map(r => (mname(r), r.seq))
+        .toDF("__graft_mn", "__graft_rs"))
+      val want = broadcast(scope.files.toSeq.toDF("__graft_w"))
+      def plainKey(c: org.apache.spark.sql.Column) =
+        regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.\\-]*:(//)?", "")
+      entriesFrameOf(spark, search, "file STRING, base STRING, seq INT")
+        .withColumn("__graft_mn", element_at(split(input_file_name(), "/"), -1))
+        .join(want, plainKey(col("file")) === col("__graft_w"))
+        .join(refDf, Seq("__graft_mn"))
+        .select(col("file"), col("base"),
+          when(coalesce(col("seq"), lit(-1)) >= 0, col("seq"))
+            .otherwise(col("__graft_rs")).as("seq"),
+          col("__graft_mn"))
+        .collect().toSeq.map(r => ManifestEntry(r.getString(0), r.getString(1),
+          Map.empty, "data", r.getInt(2), byName(r.getString(3)).cols))
+    }
   }
 
   def changes(spark: SparkSession, path: String, fromV: Int, toV: Int): DataFrame = {
     val (bRefs, aRefs) = (listRefs(path, fromV), listRefs(path, toV))
     val pre = diffChangedFiles(spark, path, fromV, toV, bRefs, aRefs)
-    def side(refs: Seq[ManifestRef], v: Int): DataFrame = pre match {
-      case Some(fs) =>
-        val (eq, rest) = refs.partition(_.kind == "delete")
-        val (pos, rest2) = rest.partition(_.kind == "posdel")
-        val (dv, data) = rest2.partition(_.kind == "dv")
-        val mm = manifestMemo()
-        val kept = data.filter(_.nFiles > 0).flatMap(mm)
-          .filter(e => fs(plainPath(e.file)))
-        if (kept.isEmpty) // zero churn on this side: schema-ful empty
-          read(spark, path, Some(v)).limit(0)
-        else assemblePruned(spark, kept, Nil, eq, pos, dv, schFor(path, v))
-      case None => read(spark, path, Some(v))
-    }
-    val before = side(bRefs, fromV)
-    val after = side(aRefs, toV)
+    def side(refs: Seq[ManifestRef], other: Seq[ManifestRef], v: Int): DataFrame =
+      pre match {
+        case Some(scope) =>
+          val (eq, rest) = refs.partition(_.kind == "delete")
+          val (pos, rest2) = rest.partition(_.kind == "posdel")
+          val (dv, data) = rest2.partition(_.kind == "dv")
+          val otherLive = other.filter(r => r.kind == "data" && r.nFiles > 0)
+            .map(_.manifest).toSet
+          val kept = churnEntries(spark, data.filter(_.nFiles > 0), otherLive, scope)
+          if (kept.isEmpty) // zero churn on this side: schema-ful empty
+            read(spark, path, Some(v)).limit(0)
+          else assemblePruned(spark, kept, Nil, eq, pos, dv, schFor(path, v))
+        case None => read(spark, path, Some(v))
+      }
+    val before = side(bRefs, aRefs, fromV)
+    val after = side(aRefs, bRefs, toV)
     after.exceptAll(before).withColumn("change_type", lit("insert"))
       .unionByName(before.exceptAll(after).withColumn("change_type", lit("delete")))
   }
@@ -6527,14 +6581,17 @@ object LakeTable {
     // serve identical (id, row) pairs on both sides and pair away in
     // the full-outer join — restricting to the churn is exact, and
     // turns the per-version diff O(churn) at 100 TB
-    val pre = diffChangedFiles(spark, path, fromV, toV,
-      listRefs(path, fromV), listRefs(path, toV))
-    def endpoint(v: Int): DataFrame = pre match {
-      case Some(fs) => readWithLineageSubset(spark, path, v, fs)
+    val (bRefs, aRefs) = (listRefs(path, fromV), listRefs(path, toV))
+    val pre = diffChangedFiles(spark, path, fromV, toV, bRefs, aRefs)
+    def liveNames(rs: Seq[ManifestRef]) =
+      rs.filter(r => r.kind == "data" && r.nFiles > 0).map(_.manifest).toSet
+    def endpoint(v: Int, other: Seq[ManifestRef]): DataFrame = pre match {
+      case Some(scope) =>
+        readWithLineageSubset(spark, path, v, liveNames(other), scope)
       case None => readWithLineage(spark, path, Some(v))
     }
-    val b = endpoint(fromV)
-    val a = endpoint(toV)
+    val b = endpoint(fromV, aRefs)
+    val a = endpoint(toV, bRefs)
     val bCols = b.columns.filterNot(Set(RowIdCol, LusCol)).toSeq
     val aCols = a.columns.filterNot(Set(RowIdCol, LusCol)).toSeq
     // an EMPTY endpoint has no user columns at all (schema lives in

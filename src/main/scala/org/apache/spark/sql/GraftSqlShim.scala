@@ -163,6 +163,14 @@ object GraftSqlShim {
     case _ => None
   }
 
+  /** The session's CURRENT (catalog name, namespace) — the
+    * name-resolution context a view definition must freeze at CREATE
+    * time (catalogManager is private[sql]). */
+  def currentContext(spark: SparkSession): (String, Seq[String]) = {
+    val cm = spark.asInstanceOf[classic.SparkSession].sessionState.catalogManager
+    (cm.currentCatalog.name, cm.currentNamespace.toSeq)
+  }
+
   /** A registered V2 catalog plugin by name (catalogManager is
     * private[sql]); None when unregistered or failing to load. */
   def catalogPlugin(

@@ -76,21 +76,67 @@ class ChangesPrefilterSpec extends AnyFunSuite {
       s"full-diff fallback under equality-delete drift stays exact: $rows")
   }
 
-  test("past the plan threshold the prefilter stands down, same rows") {
+  test("CHURN past the plan threshold stands the prefilter down, same rows") {
     val p = "/tmp/graft_test/cp_threshold"
     SparkSpec.rmdir(p)
     LakeTable.overwrite(
       (0 until 20).map(i => (i.toLong, i * 1.0)).toDF("k", "v")
         .repartition(4), p) // v0
-    LakeTable.append(Seq((99L, 9.9)).toDF("k", "v"), p) // v1
+    LakeTable.append(
+      (100 until 104).map(i => (i.toLong, 9.9)).toDF("k", "v")
+        .repartition(2), p) // v1: 2-file churn
     val pruned = LakeTable.changes(spark, p, 0, 1).collect()
       .map(r => (r.getAs[String]("change_type"), r.getAs[Long]("k"))).toSet
+    val want = (100L until 104L).map(("insert", _)).toSet
+    // threshold 1 < the 2-file churn: full-diff fallback, same answer
     val full = LakeTable.withPlanThreshold(1) {
       LakeTable.changes(spark, p, 0, 1).collect()
         .map(r => (r.getAs[String]("change_type"), r.getAs[Long]("k"))).toSet
     }
-    assert(pruned === full && full === Set(("insert", 99L)),
-      s"threshold fallback must answer identically: pruned=$pruned full=$full")
+    assert(pruned === full && full === want,
+      s"churn-guard fallback must answer identically: pruned=$pruned full=$full")
+  }
+
+  test("a big table with small churn STILL prefilters past the threshold") {
+    val p = "/tmp/graft_test/cp_bigtable"
+    SparkSpec.rmdir(p)
+    LakeTable.overwrite(
+      (0 until 80).map(i => (i.toLong, i * 1.0)).toDF("k", "v")
+        .repartition(8), p) // v0: 8 carried files
+    LakeTable.append(Seq((500L, 5.5)).toDF("k", "v"), p) // v1: 1-file churn
+    val carried = dataFiles(p, 0)
+    // table (9 live files) is past threshold 3; churn (1 file) is not:
+    // the guards are on CHURN, so the diff still prunes to one file
+    LakeTable.withPlanThreshold(3) {
+      val ch = LakeTable.changes(spark, p, 0, 1)
+      val rows = ch.collect()
+      assert(rows.map(r => (r.getAs[String]("change_type"),
+        r.getAs[Long]("k"))).toSet === Set(("insert", 500L)))
+      assert(ch.inputFiles.toSet.intersect(carried).isEmpty,
+        "carried files must stay out of the scan on a past-threshold table")
+    }
+  }
+
+  test("posdel into a carried file on a past-threshold table: one metadata job") {
+    val p = "/tmp/graft_test/cp_bigposdel"
+    SparkSpec.rmdir(p)
+    LakeTable.overwrite(
+      (0 until 80).map(i => (i.toLong, i * 1.0)).toDF("k", "v")
+        .repartition(8), p) // v0: 8 files, past threshold 3
+    val target = LakeTable.read(spark, p, Some(0))
+      .filter(col("k") === 42L).select(input_file_name()).head().getString(0)
+    LakeTable.deleteMoRPositional(spark, p, col("k") === 42L) // v1
+    LakeTable.withPlanThreshold(3) {
+      val ch = LakeTable.changes(spark, p, 0, 1)
+      val rows = ch.collect()
+      assert(rows.map(r => (r.getAs[String]("change_type"),
+        r.getAs[Long]("k"))).toSet === Set(("delete", 42L)))
+      // the target sits in a SHARED manifest, so the entry lookup runs
+      // distributed — the scan must still restrict to the target file
+      val scannedData = ch.inputFiles.toSet.intersect(dataFiles(p, 0))
+      assert(scannedData === Set(target),
+        s"distributed churn lookup must isolate the target: $scannedData")
+    }
   }
 
   test("lineage diff scans only the rewritten file's two vintages") {

@@ -1,0 +1,102 @@
+package graft
+
+import graft.sources.GraftViews
+import org.scalatest.funsuite.AnyFunSuite
+
+/** VERSIONED VIEWS (S11g) through Spark's native ViewCatalog route:
+  * CREATE/REPLACE/ALTER/DROP/SHOW VIEWS and SELECT-through-view all
+  * resolve against [[graft.sources.GraftCatalog]], and every mutation
+  * commits a NEW immutable version file — `v.versions` reads the
+  * audit trail, so a REPLACE never destroys the prior definition. */
+class GraftViewsSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = SparkSpec.spark
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    s
+  }
+  private val wh = "/tmp/graft_test/views_wh"
+  import SparkSpec.rmdir
+
+  private def sql(q: String) = spark.sql(q)
+
+  test("view lifecycle: CREATE, SELECT through, REPLACE versions, DROP") {
+    rmdir(s"$wh/vdb")
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.vdb")
+    sql("CREATE TABLE graft.vdb.t (k BIGINT, v DOUBLE) USING graftlake")
+    sql("INSERT INTO graft.vdb.t SELECT id, id * 2.0 FROM range(0, 10)")
+    sql("CREATE VIEW graft.vdb.doubles AS SELECT k, v FROM graft.vdb.t WHERE k >= 5")
+    assert(sql("SELECT count(*) AS n FROM graft.vdb.doubles").head.getLong(0) === 5L)
+    // the view tracks the TABLE's evolution (a view is a query, not a copy)
+    sql("INSERT INTO graft.vdb.t SELECT id, id * 2.0 FROM range(10, 20)")
+    assert(sql("SELECT count(*) AS n FROM graft.vdb.doubles").head.getLong(0) === 15L)
+    // REPLACE commits version 1; the definition changes in place…
+    sql("CREATE OR REPLACE VIEW graft.vdb.doubles AS " +
+      "SELECT k, v FROM graft.vdb.t WHERE k < 5")
+    assert(sql("SELECT count(*) AS n FROM graft.vdb.doubles").head.getLong(0) === 5L)
+    // …and the HISTORY keeps both: versions 0 and 1, old SQL intact
+    val hist = sql("SELECT version, sql FROM graft.vdb.doubles.versions ORDER BY version")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(hist.map(_._1).toSeq === Seq(0, 1))
+    assert(hist(0)._2.contains("k >= 5") && hist(1)._2.contains("k < 5"),
+      s"history must keep the replaced definition: ${hist.toSeq}")
+    // SHOW VIEWS lists it; tables and views stay distinct
+    assert(sql("SHOW VIEWS IN graft.vdb").collect().map(_.getString(1))
+      .contains("doubles"))
+    assert(!sql("SHOW TABLES IN graft.vdb").collect().map(_.getString(1))
+      .contains("doubles"))
+    sql("DROP VIEW graft.vdb.doubles")
+    intercept[Exception](sql("SELECT * FROM graft.vdb.doubles").collect())
+    sql("DROP TABLE graft.vdb.t")
+  }
+
+  test("stored resolution context: the view works from another namespace") {
+    rmdir(s"$wh/vctx")
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.vctx")
+    sql("CREATE TABLE graft.vctx.src (k BIGINT) USING graftlake")
+    sql("INSERT INTO graft.vctx.src SELECT id FROM range(0, 7)")
+    // body references the table by BARE name — resolvable only
+    // through the stored (catalog, namespace) context
+    sql("USE graft.vctx")
+    try sql("CREATE VIEW graft.vctx.ctx_view AS SELECT k FROM src WHERE k > 2")
+    finally sql("USE spark_catalog.default")
+    // reading from a completely different context still resolves
+    assert(sql("SELECT count(*) AS n FROM graft.vctx.ctx_view").head.getLong(0) === 4L)
+  }
+
+  test("ALTER VIEW properties commit versions; rename moves the definition") {
+    rmdir(s"$wh/valt")
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.valt")
+    sql("CREATE TABLE graft.valt.t (k BIGINT) USING graftlake")
+    sql("INSERT INTO graft.valt.t SELECT id FROM range(0, 3)")
+    sql("CREATE VIEW graft.valt.v1 AS SELECT k FROM graft.valt.t")
+    sql("ALTER VIEW graft.valt.v1 SET TBLPROPERTIES ('owner.team' = 'data')")
+    assert(GraftViews.versions(s"$wh/valt/v1") === Seq(0, 1),
+      "a property change is an audited version, not an in-place edit")
+    assert(GraftViews.load(s"$wh/valt/v1", 1).properties
+      .get("owner.team").contains("data"))
+    sql("ALTER VIEW graft.valt.v1 UNSET TBLPROPERTIES ('owner.team')")
+    assert(!GraftViews.load(s"$wh/valt/v1", 2).properties.contains("owner.team"))
+    // rename: views move freely (the body resolves through the stored
+    // context, never through the view's own path)
+    sql("ALTER VIEW graft.valt.v1 RENAME TO graft.valt.v2")
+    assert(sql("SELECT count(*) AS n FROM graft.valt.v2").head.getLong(0) === 3L)
+    assert(GraftViews.versions(s"$wh/valt/v2").size === 3)
+    assert(!GraftViews.isView(s"$wh/valt/v1"))
+  }
+
+  test("views and tables refuse to shadow each other") {
+    rmdir(s"$wh/vclash")
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.vclash")
+    sql("CREATE TABLE graft.vclash.t (k BIGINT) USING graftlake")
+    val e1 = intercept[Exception](
+      sql("CREATE VIEW graft.vclash.t AS SELECT 1 AS x"))
+    assert(e1.getMessage.toLowerCase.contains("table"))
+    sql("CREATE VIEW graft.vclash.v AS SELECT 1 AS x")
+    val e2 = intercept[Exception](
+      sql("CREATE TABLE graft.vclash.v (k BIGINT) USING graftlake"))
+    assert(e2.getMessage.toLowerCase.contains("view"))
+    // CREATE VIEW (no REPLACE) on an existing view refuses too
+    intercept[Exception](sql("CREATE VIEW graft.vclash.v AS SELECT 2 AS x"))
+  }
+}
