@@ -100,6 +100,7 @@ object SparkEntry {
     "sql_registry_fingerprint" -> (llm.TextAnalysis.sqlRegistryFingerprint _),
     "bpe_token_stats" -> (llm.TextAnalysis.bpeTokenStats _),
     "gopher_repetition" -> (llm.TextAnalysis.gopherRepetitionQuery _),
+    "dsir_select" -> (llm.TextAnalysis.dsirSelectQuery _),
     "lang_id_ngram" -> (llm.TextAnalysis.langIdNgram _),
     "tfidf_top_terms" -> (llm.TextAnalysis.tfidfTopTerms _),
     "bm25_retrieval" -> (llm.TextAnalysis.bm25Retrieval _),
@@ -2754,6 +2755,37 @@ object SparkEntry {
         |    i -> (((th[i]*37 + th[i+1]) % 1000000007) * 37 + th[i+2]) % 1000000007),
         |    'min') AS min_fp
         |FROM t2 ORDER BY doc_id""".stripMargin,
+    // dsir_select: DSIR importance selection (Xie et al. 2023) — two
+    // Laplace-smoothed unigram models (target slice vs raw pool), per
+    // raw doc Σ ln(p_target/p_raw), deterministic top-50 with rank on
+    // the ROUNDED score + doc_id tiebreak
+    "dsir_select" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, unnest(list_filter(
+        |    string_split(text, ' '), x -> x <> '')) AS w
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT w,
+        |    sum(CASE WHEN source IN ('src0','src1','src2','src3')
+        |             THEN 1 ELSE 0 END) AS ct,
+        |    sum(CASE WHEN source IN ('src0','src1','src2','src3')
+        |             THEN 0 ELSE 1 END) AS cr
+        |  FROM tok GROUP BY w),
+        |tot AS (SELECT count(*) AS v, sum(ct) AS tt, sum(cr) AS rt FROM cnt),
+        |ratio AS (
+        |  SELECT w, ln((ct + 1.0) / (tt + v)) - ln((cr + 1.0) / (rt + v)) AS lr
+        |  FROM cnt, tot),
+        |score AS (
+        |  SELECT t.doc_id, round(sum(r.lr), 6) AS dsir_score
+        |  FROM tok t JOIN ratio r USING (w)
+        |  WHERE t.source NOT IN ('src0','src1','src2','src3')
+        |  GROUP BY t.doc_id)
+        |SELECT doc_id, dsir_score,
+        |       CAST(row_number() OVER (ORDER BY dsir_score DESC, doc_id)
+        |            AS BIGINT) AS rk
+        |FROM score
+        |QUALIFY rk <= 50
+        |ORDER BY rk""".stripMargin,
     // gopher_repetition: MassiveText repetition filters — duplicate
     // word fraction + top-bigram share with the 0.2 keep/drop flag
     "gopher_repetition" ->

