@@ -193,6 +193,7 @@ object SparkEntry {
     "lake_mor_partitions" -> (sources.LakeTable.morPartitionsQuery _),
     "lake_entries_meta" -> (sources.LakeTable.entriesMetaQuery _),
     "lake_versioned_view" -> (sources.GraftViews.versionedViewQuery _),
+    "lake_incremental_append" -> (sources.LakeTable.incrementalAppendQuery _),
     "lake_rewrite_manifests" -> (sources.LakeTable.rewriteManifestsQuery _),
     "lake_row_lineage" -> (sources.LakeTable.rowLineageQuery _),
     "lake_wire_arbitrated_commit" -> (sources.LakeTable.wireArbitratedCommitQuery _),
@@ -1213,6 +1214,14 @@ object SparkEntry {
         |       round(sum(value), 6) AS sum_value
         |FROM events WHERE event_id % 2 = 1 GROUP BY event_type
         |ORDER BY phase, event_type""".stripMargin,
+    // lake_incremental_append: Iceberg's incremental read — exactly
+    // the rows two appends added after v0 (evens overwritten at v0,
+    // odds appended); v0 files provably unlisted and the refusal
+    // across a later DELETE are require'd in-query
+    "lake_incremental_append" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events WHERE event_id % 2 = 1
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // lake_rewrite_manifests: the rollup reads THROUGH the
     // consolidated manifest state (per-entry seq pins, multi-base
     // assembly, posdel subtraction across the fold); the

@@ -5629,6 +5629,34 @@ object LakeTable {
       .orderBy("kind", "part")
   }
 
+  /** Driver query: INCREMENTAL APPEND SCAN (S11h). Evens land at v0
+    * (overwrite), odds arrive as TWO appends — `appendsBetween(0, 2)`
+    * must serve exactly the odds while LISTING only the two appended
+    * manifests (plan-time file count require'd), and a later DELETE
+    * makes the incremental read across it refuse by name (require'd
+    * too: the refusal is the semantics). */
+  def incrementalAppendQuery(s: SparkSession, d: String): DataFrame = {
+    val path = freshWorkDir("lakeinca", d)
+    val ev = graft.Tables.load(s, d, "events")
+      .select("event_id", "event_type", "value")
+    overwrite(ev.filter(col("event_id") % 2 === 0), path) // v0: evens
+    append(ev.filter(col("event_id") % 4 === 1), path) // v1
+    append(ev.filter(col("event_id") % 4 === 3), path) // v2
+    val inc = appendsBetween(s, path, 0, 2)
+    val evensFiles = read(s, path, Some(0)).inputFiles.toSet
+    require(inc.inputFiles.toSet.intersect(evensFiles).isEmpty,
+      "incremental append scan must not LIST any v0 file")
+    delete(s, path, col("event_id") % 10 === 0) // v3: not an append
+    val refused = try { appendsBetween(s, path, 0, 3); false }
+      catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("changes()") }
+    require(refused,
+      "appendsBetween across a DELETE must refuse and point at changes()")
+    inc.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   /** Driver query: MANIFEST CONSOLIDATION (S11a, round-10 verdict
     * "missing" #1). Four appends + a position delete accumulate five
     * manifests; `rewriteManifests` folds the data manifests into one
@@ -6536,6 +6564,37 @@ object LakeTable {
         .collect().toSeq.map(r => ManifestEntry(r.getString(0), r.getString(1),
           Map.empty, "data", r.getInt(2), byName(r.getString(3)).cols))
     }
+  }
+
+  /** INCREMENTAL APPEND SCAN (Iceberg's incremental read): exactly
+    * the rows ADDED after `fromV` up to and including `toV` — the
+    * consumer shape for downstream sync jobs that only want NEW data.
+    * The scan lists ONLY the appended manifests (plan-time; zero
+    * carried files opened) and applies no delete machinery at all,
+    * which is exact because every commit in range is require'd to be
+    * a pure append: any DML/overwrite/compact in range refuses BY
+    * NAME ("rows added" would silently lie across them — that is
+    * [[changes]]' job). Older MoR deletes cannot reach appended rows
+    * either way (delete seq < fresh data seq; posdel/DV pin file
+    * identities that predate the appends). At 100 TB: O(appended
+    * files) whatever the table size, no diff, no shuffle. */
+  def appendsBetween(
+      spark: SparkSession, path: String, fromV: Int, toV: Int): DataFrame = {
+    require(fromV <= toV,
+      s"appendsBetween at $path: fromV $fromV must not exceed toV $toV")
+    if (fromV == toV) return read(spark, path, Some(toV)).limit(0)
+    val nonAppend = (fromV + 1 to toV).map(v => v -> operationOf(path, v))
+      .filterNot(_._2 == "append")
+    require(nonAppend.isEmpty,
+      s"appendsBetween at $path: version(s) ${nonAppend.map { case (v, o) =>
+          s"v$v=$o" }.mkString(", ")} are not pure appends — " +
+        "incremental append semantics would lie across them; use changes()")
+    val before = listRefs(path, fromV)
+      .filter(_.kind == "data").map(_.manifest).toSet
+    val fresh = listRefs(path, toV)
+      .filter(r => r.kind == "data" && r.nFiles > 0 && !before(r.manifest))
+    if (fresh.isEmpty) return read(spark, path, Some(toV)).limit(0)
+    assemblePruned(spark, Nil, fresh, Nil, Nil, Nil, schFor(path, toV))
   }
 
   def changes(spark: SparkSession, path: String, fromV: Int, toV: Int): DataFrame = {

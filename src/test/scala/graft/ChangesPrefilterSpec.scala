@@ -167,6 +167,36 @@ class ChangesPrefilterSpec extends AnyFunSuite {
       "the rewritten file's OLD vintage must be scanned for the preimage")
   }
 
+  test("appendsBetween serves exactly the appended rows, never lists old files") {
+    val p = "/tmp/graft_test/cp_incappend"
+    SparkSpec.rmdir(p)
+    LakeTable.overwrite(
+      (0 until 20).map(i => (i.toLong, i * 1.0)).toDF("k", "v")
+        .repartition(2), p) // v0
+    LakeTable.append(
+      (100 until 110).map(i => (i.toLong, 1.0)).toDF("k", "v"), p) // v1
+    LakeTable.append(
+      (200 until 205).map(i => (i.toLong, 2.0)).toDF("k", "v"), p) // v2
+    val inc = LakeTable.appendsBetween(spark, p, 0, 2)
+    assert(inc.collect().map(_.getAs[Long]("k")).toSet ===
+      ((100L until 110L) ++ (200L until 205L)).toSet)
+    assert(inc.inputFiles.toSet.intersect(dataFiles(p, 0)).isEmpty,
+      "v0 files must not be listed")
+    // half-open semantics: (1, 2] is just the second append
+    assert(LakeTable.appendsBetween(spark, p, 1, 2).collect()
+      .map(_.getAs[Long]("k")).toSet === (200L until 205L).toSet)
+    // empty range: schema-ful empty
+    val e = LakeTable.appendsBetween(spark, p, 2, 2)
+    assert(e.columns.toSeq === Seq("k", "v") && e.count() === 0)
+    // any non-append in range refuses by name and points at changes()
+    LakeTable.delete(spark, p, col("k") === 100L) // v3
+    val ex = intercept[IllegalArgumentException](
+      LakeTable.appendsBetween(spark, p, 0, 3))
+    assert(ex.getMessage.contains("changes()") && ex.getMessage.contains("v3"))
+    // ranges that stop BEFORE the delete still serve
+    assert(LakeTable.appendsBetween(spark, p, 0, 2).count() === 15)
+  }
+
   test("zero-churn endpoints diff to an empty, schema-ful frame") {
     val p = "/tmp/graft_test/cp_zero"
     SparkSpec.rmdir(p)
