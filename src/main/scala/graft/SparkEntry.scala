@@ -197,6 +197,7 @@ object SparkEntry {
     "lake_rewrite_manifests" -> (sources.LakeTable.rewriteManifestsQuery _),
     "lake_row_lineage" -> (sources.LakeTable.rowLineageQuery _),
     "lake_wire_arbitrated_commit" -> (sources.LakeTable.wireArbitratedCommitQuery _),
+    "lake_txn_commit" -> (sources.LakeTable.txnCommitQuery _),
     "lake_snapshots_meta" -> (sources.LakeTable.snapshotsMetaQuery _),
     "lake_call_maintenance" -> (sources.LakeTable.callMaintenanceQuery _),
     "lake_lineage_cdc" -> (sources.LakeTable.lineageCdcQuery _),
@@ -1231,6 +1232,20 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
         |FROM events WHERE event_id % 10 != 0
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // lake_txn_commit: a multi-table transaction through the HTTP
+    // catalog's /v1/transactions/commit all-or-nothing claim; a solo
+    // append provably 409-rebases the WHOLE transaction (require'd),
+    // then both tables land — table a holds seed+solo+txn slices,
+    // table b seed+txn
+    "lake_txn_commit" ->
+      """SELECT 'a' AS tbl, event_type, count(*) AS n,
+        |       round(sum(value), 6) AS sum_value
+        |FROM events WHERE event_id % 4 <> 1 GROUP BY event_type
+        |UNION ALL
+        |SELECT 'b' AS tbl, event_type, count(*) AS n,
+        |       round(sum(value), 6) AS sum_value
+        |FROM events WHERE event_id % 4 IN (1, 3) GROUP BY event_type
+        |ORDER BY tbl, event_type""".stripMargin,
     // lake_wire_arbitrated_commit: every arbitration round trip
     // crosses a real loopback socket (refused claim drives the rebase
     // — require'd in-query); no row lost or doubled

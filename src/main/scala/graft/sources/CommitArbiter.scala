@@ -53,6 +53,27 @@ trait CommitArbiter {
   def abandon(table: String, next: Int): Unit
 }
 
+/** MULTI-TABLE TRANSACTION extension (Iceberg REST's
+  * `/v1/transactions/commit` shape): claim the next version on
+  * SEVERAL tables all-or-nothing — the primitive behind an atomic
+  * cross-table commit. A transaction claim is held by an OWNER
+  * (writer identity), and the owner's own per-table claim re-enters
+  * (the subsequent per-table publishes ride the standard commit path
+  * unmodified). Honest contract at the data plane: the CLAIM set is
+  * atomic — no interleaving writer can take any of the versions — but
+  * the per-table list-file publishes that follow are separate
+  * filesystem renames; a crash between them leaves named, abandoned
+  * claims and loud errors, never silent divergence (the same
+  * limitation Iceberg has on a path-based catalog; its REST catalog
+  * removes it by making the server the read authority for ALL
+  * pointers, which [[InProcessCatalogArbiter.headOf]] models). */
+trait TransactionalArbiter extends CommitArbiter {
+  /** Atomically claim every `(table, next)` or none. False = at least
+    * one table moved or is claimed by another owner → caller rebases
+    * ALL tables and retries. */
+  def tryClaimAll(claims: Seq[(String, Int)]): Boolean
+}
+
 /** Filesystem arbitration: every claim granted; the atomic
   * ErrorIfExists rename into the version slot is the commit point. */
 object RenameArbiter extends CommitArbiter {
@@ -67,25 +88,40 @@ object RenameArbiter extends CommitArbiter {
   * `claimGraceMs`. Thread-safe; one instance models one catalog
   * service, shared by every "writer" registered against it. */
 class InProcessCatalogArbiter(claimGraceMs: Long = 60000L,
-    clock: () => Long = () => System.currentTimeMillis()) extends CommitArbiter {
+    clock: () => Long = () => System.currentTimeMillis())
+  extends CommitArbiter {
 
-  private final case class State(head: Int, claim: Option[(Int, Long)])
+  // A held claim. Re-entry is deliberately NARROW: only a claim taken
+  // BY A TRANSACTION (txn = true) re-enters, only for its own owner,
+  // and re-entry CONSUMES the mark — so the one per-table commit a
+  // transaction performs gets through, while two threads sharing one
+  // writer identity on plain single-table appends keep the full
+  // duplicate-claim refusal they always had (re-entering a PLAIN
+  // claim would double-grant exactly the race the arbiter exists to
+  // settle, with only the local rename backstop behind it).
+  private final case class Claim(v: Int, ts: Long, owner: String, txn: Boolean)
+  private final case class State(head: Int, claim: Option[Claim])
   private val tables = new java.util.concurrent.ConcurrentHashMap[String, State]()
   // protocol observability for specs: how many claims were refused /
   // stolen — the visible trace of contention handling
   val refusedClaims = new java.util.concurrent.atomic.AtomicInteger(0)
   val stolenClaims = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  private def update(table: String)(f: State => (State, Boolean)): Boolean = {
-    var out = false
-    tables.compute(table, (_, cur) => {
-      val st = Option(cur).getOrElse(State(-1, None))
-      val (next, ok) = f(st)
-      out = ok
-      next
-    })
-    out
-  }
+  // ONE monitor for every mutation: per-key CAS was enough for
+  // single-table claims, but tryClaimAll's all-or-nothing contract
+  // needs the whole map quiescent while it checks-then-takes. Claim
+  // traffic is O(commits) metadata — never a throughput concern.
+  private def update(table: String)(f: State => (State, Boolean)): Boolean =
+    synchronized {
+      var out = false
+      tables.compute(table, (_, cur) => {
+        val st = Option(cur).getOrElse(State(-1, None))
+        val (next, ok) = f(st)
+        out = ok
+        next
+      })
+      out
+    }
 
   override def observed(table: String, head: Int): Unit = {
     update(table) { st =>
@@ -93,22 +129,73 @@ class InProcessCatalogArbiter(claimGraceMs: Long = 60000L,
         // the FS moved past us (a non-arbitrated writer, or our own
         // state predates attachment): adopt, dropping any claim that
         // the adopted head has overtaken
-        (State(head, st.claim.filter(_._1 > head)), true)
+        (State(head, st.claim.filter(_.v > head)), true)
       else (st, true)
     }
     ()
   }
 
-  override def tryClaim(table: String, next: Int): Boolean =
+  /** Can `owner` take `next` given `st` — the ONE claim admission
+    * rule, shared by the single-table CAS and the transaction: head
+    * must sit at next-1, and the slot is free, grace-expired (steal),
+    * or a TRANSACTION claim of this very owner (re-entry). */
+  private def admissible(st: State, next: Int, owner: String): Boolean =
+    st.head == next - 1 && (st.claim match {
+      case None => true
+      case Some(c) if c.v == next && c.txn && c.owner == owner &&
+        owner.nonEmpty => true
+      case Some(c) if c.v == next && clock() - c.ts > claimGraceMs => true
+      case Some(_) => false
+    })
+
+  def tryClaim(table: String, next: Int, owner: String): Boolean =
     update(table) { st =>
-      if (st.head != next - 1) { refusedClaims.incrementAndGet(); (st, false) }
-      else st.claim match {
-        case None => (st.copy(claim = Some((next, clock()))), true)
-        case Some((v, t)) if v == next && clock() - t > claimGraceMs =>
-          // dangling claim of a crashed committer: steal it
-          stolenClaims.incrementAndGet()
-          (st.copy(claim = Some((next, clock()))), true)
-        case Some(_) => refusedClaims.incrementAndGet(); (st, false)
+      if (!admissible(st, next, owner)) {
+        refusedClaims.incrementAndGet(); (st, false)
+      } else {
+        st.claim match {
+          case Some(c) if c.v == next && c.txn && c.owner == owner &&
+              owner.nonEmpty =>
+            // re-entry CONSUMES the transaction mark: the one
+            // per-table commit gets through; a second same-owner
+            // claim refuses like any duplicate
+            (st.copy(claim = Some(c.copy(txn = false))), true)
+          case Some(c) if c.v == next && clock() - c.ts > claimGraceMs =>
+            // dangling claim of a crashed committer: steal it
+            stolenClaims.incrementAndGet()
+            (st.copy(claim = Some(Claim(next, clock(), owner, txn = false))), true)
+          case _ =>
+            (st.copy(claim = Some(Claim(next, clock(), owner, txn = false))), true)
+        }
+      }
+    }
+
+  override def tryClaim(table: String, next: Int): Boolean =
+    tryClaim(table, next, "")
+
+  /** All-or-nothing multi-table claim for `owner`: under the single
+    * monitor, admit-check EVERY table first, then take every claim —
+    * a refusal anywhere takes nothing (and counts one refusal, the
+    * transaction being one commit attempt). */
+  def tryClaimAll(owner: String, claims: Seq[(String, Int)]): Boolean =
+    synchronized {
+      require(owner.nonEmpty, "transactional claims need a writer identity")
+      require(claims.map(_._1).distinct.size == claims.size,
+        s"duplicate table in transaction: ${claims.map(_._1).mkString(", ")}")
+      def stateOf(t: String) = Option(tables.get(t)).getOrElse(State(-1, None))
+      if (!claims.forall { case (t, n) => admissible(stateOf(t), n, owner) }) {
+        refusedClaims.incrementAndGet(); false
+      } else {
+        claims.foreach { case (t, n) =>
+          val st = stateOf(t)
+          st.claim match {
+            case Some(c) if c.v == n && clock() - c.ts > claimGraceMs &&
+              !(c.txn && c.owner == owner) => stolenClaims.incrementAndGet()
+            case _ => ()
+          }
+          tables.put(t, st.copy(claim = Some(Claim(n, clock(), owner, txn = true))))
+        }
+        true
       }
     }
 
@@ -120,18 +207,39 @@ class InProcessCatalogArbiter(claimGraceMs: Long = 60000L,
     // writers end up holding the same version claim with only the
     // local rename backstop (absent on S3-class stores) between them.
     update(table)(st =>
-      (State(math.max(st.head, next), st.claim.filterNot(_._1 == next)), true))
+      (State(math.max(st.head, next), st.claim.filterNot(_.v == next)), true))
     ()
   }
 
   override def abandon(table: String, next: Int): Unit = {
     update(table)(st =>
-      (st.copy(claim = st.claim.filterNot(_._1 == next)), true)); ()
+      (st.copy(claim = st.claim.filterNot(_.v == next)), true)); ()
   }
 
   /** The arbiter's view of a table's head (spec observability). */
   def headOf(table: String): Int =
     Option(tables.get(table)).map(_.head).getOrElse(-1)
+}
+
+/** One WRITER's identity-bearing handle onto a shared
+  * [[InProcessCatalogArbiter]]: every claim carries `owner`, so a
+  * transaction's claims re-enter when the per-table commits replay
+  * them — the in-process analogue of one [[HttpCatalogArbiter]]
+  * connection per writer. Two writers must hold two handles; sharing
+  * one would let them re-enter each other's claims. */
+final class OwnedArbiter(inner: InProcessCatalogArbiter, owner: String)
+  extends TransactionalArbiter {
+  require(owner.nonEmpty, "OwnedArbiter needs a writer identity")
+  override def observed(table: String, head: Int): Unit =
+    inner.observed(table, head)
+  override def tryClaim(table: String, next: Int): Boolean =
+    inner.tryClaim(table, next, owner)
+  override def published(table: String, next: Int): Unit =
+    inner.published(table, next)
+  override def abandon(table: String, next: Int): Unit =
+    inner.abandon(table, next)
+  override def tryClaimAll(claims: Seq[(String, Int)]): Boolean =
+    inner.tryClaimAll(owner, claims)
 }
 
 /** A failed/ambiguous arbitration round trip. A commit must NEVER
@@ -315,9 +423,12 @@ final class CatalogHttpServer(
           case None =>
             val results = arr("updates").map { u =>
               val v = u.get("version").asInt
+              // claims may carry the writer identity (re-entrant for
+              // its own transaction claims); absent = anonymous
+              val owner = Option(u.get("owner")).map(_.asText).getOrElse("")
               u.get("action").asText match {
                 case "observed-head" => inner.observed(table, v); true
-                case "claim-version" => inner.tryClaim(table, v)
+                case "claim-version" => inner.tryClaim(table, v, owner)
                 case "publish-version" => inner.published(table, v); true
                 case "abandon-version" => inner.abandon(table, v); true
                 case other => sys.error(s"unknown action '$other'")
@@ -335,6 +446,65 @@ final class CatalogHttpServer(
       }
     }
   })
+  // MULTI-TABLE TRANSACTION (Iceberg REST `/v1/transactions/commit`):
+  // per-table requirements + claim updates, applied ALL-OR-NOTHING —
+  // any failed assertion or contended slot answers 409 with nothing
+  // taken. Only claim-version updates are transactional (the atomic
+  // primitive); publishes follow per table through the standard route.
+  server.createContext("/v1/transactions/commit",
+    new com.sun.net.httpserver.HttpHandler {
+      override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+        def respond(status: Int, body: String): Unit = {
+          val bytes = body.getBytes("UTF-8")
+          ex.getResponseHeaders.set("Content-Type", "application/json")
+          ex.sendResponseHeaders(status, bytes.length.toLong)
+          ex.getResponseBody.write(bytes)
+          ex.close()
+        }
+        try {
+          require(ex.getRequestMethod == "POST",
+            s"unsupported method ${ex.getRequestMethod}")
+          val doc = mapper.readTree(ex.getRequestBody)
+          val owner = Option(doc.get("owner")).map(_.asText).getOrElse("")
+          require(owner.nonEmpty, "transaction needs a writer identity ('owner')")
+          val changes = {
+            val n = doc.get("table-changes")
+            require(n != null && n.isArray, "missing 'table-changes'")
+            val it = n.elements()
+            Iterator.continually(it).takeWhile(_.hasNext).map(_.next()).toSeq
+          }
+          val claims = changes.map { c =>
+            val table = c.get("table").asText
+            val ups = c.get("updates").elements()
+            val up = Iterator.continually(ups).takeWhile(_.hasNext)
+              .map(_.next()).toSeq
+            require(up.size == 1 && up.head.get("action").asText == "claim-version",
+              s"transaction updates for $table must be exactly one claim-version")
+            val next = up.head.get("version").asInt
+            // explicit base assertions must agree with the claim CAS
+            val reqs = Option(c.get("requirements")).toSeq
+              .flatMap { r => val i = r.elements()
+                Iterator.continually(i).takeWhile(_.hasNext).map(_.next()).toSeq }
+            reqs.foreach { r =>
+              require(r.get("type").asText == "assert-table-version",
+                s"unknown requirement type ${r.get("type")}")
+              require(r.get("version").asInt == next - 1,
+                s"requirement/claim mismatch for $table: " +
+                  s"assert ${r.get("version").asInt} vs claim $next")
+            }
+            table -> next
+          }
+          if (inner.tryClaimAll(owner, claims)) respond(200, """{"ok":true}""")
+          else respond(409,
+            """{"error":"transaction conflict: a table moved or is claimed"}""")
+        } catch {
+          case e: Throwable =>
+            val m = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+              .replace("\\", "\\\\").replace("\"", "\\\"")
+            try respond(400, s"""{"error":"$m"}""") catch { case _: Throwable => () }
+        }
+      }
+    })
   server.setExecutor(null) // default executor: one dispatch thread
   server.start()
 
@@ -352,8 +522,12 @@ final class CatalogHttpServer(
   * claim — so the connection is discarded (its late answer must
   * never pair with the next request) and the commit refuses. A 409
   * answers `false` (rebase); any other non-200 throws. */
-final class HttpCatalogArbiter(host: String, port: Int, timeoutMs: Int = 5000)
-  extends CommitArbiter with AutoCloseable {
+final class HttpCatalogArbiter(host: String, port: Int, timeoutMs: Int = 5000,
+    // writer identity carried on every claim: lets THIS writer's
+    // transaction claims re-enter when the per-table commits replay
+    // them; unique per client by default (one connection = one writer)
+    writerId: String = s"writer-${java.util.UUID.randomUUID()}")
+  extends TransactionalArbiter with AutoCloseable {
 
   private var sock: java.net.Socket = _
   private var in: java.io.DataInputStream = _
@@ -368,22 +542,35 @@ final class HttpCatalogArbiter(host: String, port: Int, timeoutMs: Int = 5000)
     out = new java.io.BufferedOutputStream(sock.getOutputStream)
   }
 
+  private def jEsc(s: String): String =
+    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+
   private def body(requirements: Seq[Int], updates: Seq[(String, Int)]): String = {
     val reqs = requirements
       .map(v => s"""{"type":"assert-table-version","version":$v}""")
       .mkString("[", ",", "]")
     val ups = updates
-      .map { case (a, v) => s"""{"action":"$a","version":$v}""" }
+      .map { case (a, v) =>
+        if (a == "claim-version")
+          s"""{"action":"$a","version":$v,"owner":"${jEsc(writerId)}"}"""
+        else s"""{"action":"$a","version":$v}"""
+      }
       .mkString("[", ",", "]")
     s"""{"requirements":$reqs,"updates":$ups}"""
   }
 
   private def post(
       table: String, requirements: Seq[Int], updates: Seq[(String, Int)],
-      opName: String): Boolean = synchronized {
-    val payload = body(requirements, updates).getBytes("UTF-8")
+      opName: String): Boolean = {
     val tEnc = java.net.URLEncoder.encode(table, "UTF-8")
-    val head = (s"POST /v1/tables/$tEnc/commits HTTP/1.1\r\n" +
+    postRaw(s"/v1/tables/$tEnc/commits", body(requirements, updates),
+      s"$opName")
+  }
+
+  private def postRaw(
+      urlPath: String, jsonBody: String, opName: String): Boolean = synchronized {
+    val payload = jsonBody.getBytes("UTF-8")
+    val head = (s"POST $urlPath HTTP/1.1\r\n" +
       s"Host: $host:$port\r\n" +
       "Content-Type: application/json\r\n" +
       s"Content-Length: ${payload.length}\r\n" +
@@ -400,7 +587,7 @@ final class HttpCatalogArbiter(host: String, port: Int, timeoutMs: Int = 5000)
         catch {
           case e2: java.io.IOException =>
             throw new CommitArbitrationException(
-              s"catalog unreachable for $opName($table)", e2)
+              s"catalog unreachable for $opName", e2)
         }
     }
     // RECEIVE phase — ambiguous on ANY failure: discard + refuse
@@ -430,26 +617,26 @@ final class HttpCatalogArbiter(host: String, port: Int, timeoutMs: Int = 5000)
         case e: java.net.SocketTimeoutException =>
           try close() catch { case _: Throwable => () }
           throw new CommitArbitrationException(
-            s"catalog did not answer $opName($table) within ${timeoutMs}ms — " +
+            s"catalog did not answer $opName within ${timeoutMs}ms — " +
               "ambiguous outcome, commit refused", e)
         case e: java.io.IOException =>
           try close() catch { case _: Throwable => () }
           throw new CommitArbitrationException(
-            s"connection lost awaiting the $opName($table) reply — " +
+            s"connection lost awaiting the $opName reply — " +
               "ambiguous outcome, commit refused", e)
         case scala.util.control.NonFatal(e) =>
           // an unparseable response is as ambiguous as a lost one:
           // the stream position is unknown, so the connection must go
           try close() catch { case _: Throwable => () }
           throw new CommitArbitrationException(
-            s"malformed catalog reply to $opName($table) — " +
+            s"malformed catalog reply to $opName — " +
               "ambiguous outcome, commit refused", e)
       }
     status match {
       case (200, _) => true
       case (409, _) => false // the REST conflict signal: caller rebases
       case (code, b) => throw new CommitArbitrationException(
-        s"catalog rejected $opName($table): HTTP $code $b")
+        s"catalog rejected $opName: HTTP $code $b")
     }
   }
 
@@ -463,6 +650,21 @@ final class HttpCatalogArbiter(host: String, port: Int, timeoutMs: Int = 5000)
   }
   override def abandon(table: String, next: Int): Unit = {
     post(table, Nil, Seq("abandon-version" -> next), "abandon"); ()
+  }
+
+  /** Multi-table transactional claim: ONE `POST
+    * /v1/transactions/commit` carrying every table's assert+claim —
+    * applied all-or-nothing server-side; 409 = rebase everything.
+    * Same two-phase ambiguity contract as every other round trip. */
+  override def tryClaimAll(claims: Seq[(String, Int)]): Boolean = {
+    val changes = claims.map { case (t, n) =>
+      s"""{"table":"${jEsc(t)}",""" +
+        s""""requirements":[{"type":"assert-table-version","version":${n - 1}}],""" +
+        s""""updates":[{"action":"claim-version","version":$n}]}"""
+    }.mkString("[", ",", "]")
+    postRaw("/v1/transactions/commit",
+      s"""{"owner":"${jEsc(writerId)}","table-changes":$changes}""",
+      s"tryClaimAll(${claims.map(_._1).mkString(",")})")
   }
 
   override def close(): Unit =

@@ -834,6 +834,75 @@ object LakeTable {
   private def arbiterFor(path: String): CommitArbiter =
     arbiters.getOrDefault(normArbPath(path), RenameArbiter)
 
+  /** MULTI-TABLE ATOMIC APPEND (Iceberg REST's multi-table
+    * transaction, S11i): every batch lands, each on its table's next
+    * version, with the version CLAIMS taken ALL-OR-NOTHING through
+    * one [[TransactionalArbiter]] — no interleaving writer can take
+    * any of the claimed versions, so the per-table appends that
+    * follow ride the STANDARD commit path (the writer's own claims
+    * re-enter) and cannot be refused. A contended transaction rebases
+    * EVERY table and retries, exactly the single-table loop widened.
+    *
+    * Requirements, refused by name: all tables registered to the SAME
+    * [[TransactionalArbiter]] instance (one catalog arbitrates one
+    * transaction — two catalogs cannot be atomic w.r.t. each other),
+    * distinct tables. Honest data-plane contract: claims are atomic;
+    * the list-file publishes that follow are per-table renames — a
+    * crash between them surfaces loudly with the claims abandoned
+    * (never silent divergence), the path-based-catalog limitation the
+    * REST catalog's server-held pointers remove. */
+  def appendTransaction(
+      spark: SparkSession, batches: Seq[(DataFrame, String)],
+      maxAttempts: Int = 20): Seq[Int] = {
+    require(batches.nonEmpty, "appendTransaction: no batches")
+    val keys = batches.map(b => normArbPath(b._2))
+    require(keys.distinct.size == keys.size,
+      s"appendTransaction: duplicate table in ${keys.mkString(", ")}")
+    val arbs = batches.map(b => arbiterFor(b._2))
+    val txn = arbs.head match {
+      case t: TransactionalArbiter if arbs.forall(_ eq t) => t
+      case _: TransactionalArbiter => throw new IllegalArgumentException(
+        "appendTransaction: tables are registered to DIFFERENT arbiters — " +
+          "one catalog must arbitrate one transaction")
+      case other => throw new IllegalArgumentException(
+        s"appendTransaction: arbiter ${other.getClass.getSimpleName} is not " +
+          "transactional — register a TransactionalArbiter " +
+          "(HttpCatalogArbiter / OwnedArbiter) on every table")
+    }
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val bases = batches.map(b => observedBase(spark, b._2))
+      keys.zip(bases).foreach { case (k, b) => txn.observed(k, b) }
+      val claims = keys.zip(bases.map(_ + 1))
+      if (txn.tryClaimAll(claims)) {
+        // claims held everywhere: each append's own claim re-enters,
+        // each publish retires it — failures surface loudly with the
+        // remaining claims abandoned so a retry (or another writer,
+        // past the grace) can proceed
+        val done = scala.collection.mutable.ListBuffer.empty[Int]
+        try {
+          batches.foreach { case (df, p) => done += append(df, p) }
+          return done.toSeq
+        } catch {
+          case e: Throwable =>
+            claims.drop(done.size).foreach { case (k, n) => txn.abandon(k, n) }
+            throw new CommitArbitrationException(
+              s"appendTransaction: table ${done.size + 1}/${batches.size} " +
+                s"failed AFTER ${done.size} publish(es) — claims abandoned; " +
+                "the published tables stand (per-table renames are not " +
+                "jointly atomic on a path catalog)", e)
+        }
+      }
+      if (attempt >= maxAttempts)
+        throw new CommitArbitrationException(
+          s"appendTransaction: claims refused $maxAttempts times across " +
+            s"${keys.mkString(", ")} — giving up (live contention)")
+      Thread.sleep(math.min(50L * attempt, 500L)) // bounded backoff, then rebase
+    }
+    Nil // unreachable
+  }
+
   /** Stage `df` as data files + one manifest; None when the frame
     * wrote zero files (empty input). The manifest records the
     * WRITE-TIME field-id mapping of df's columns (existing names keep
@@ -5447,6 +5516,68 @@ object LakeTable {
     read(s, path).groupBy("event_type")
       .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
       .orderBy("event_type")
+  }
+
+  /** Driver query: MULTI-TABLE TRANSACTION (S11i). Two tables seed at
+    * v0; a transaction appends one slice to BOTH through the HTTP
+    * catalog's `/v1/transactions/commit` all-or-nothing claim — and a
+    * deterministic solo append to table A lands right before the
+    * FIRST claim attempt, so the transaction provably 409-rebases
+    * BOTH tables and retries (require'd: exactly one rebase, final
+    * versions a=2/b=1, the catalog's heads in agreement). The rollup
+    * over both tables is the oracle surface. */
+  def txnCommitQuery(s: SparkSession, d: String): DataFrame = {
+    val pa = freshWorkDir("laketxna", d)
+    val pb = freshWorkDir("laketxnb", d)
+    val ev = graft.Tables.load(s, d, "events")
+      .select("event_id", "event_type", "value")
+    overwrite(ev.filter(pmod(col("event_id"), lit(4L)) === 0L), pa) // a: v0
+    overwrite(ev.filter(pmod(col("event_id"), lit(4L)) === 1L), pb) // b: v0
+    val srv = new CatalogHttpServer()
+    val http = new HttpCatalogArbiter("127.0.0.1", srv.port)
+    val contended = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val rebases = new java.util.concurrent.atomic.AtomicInteger(0)
+    val arb: TransactionalArbiter = new TransactionalArbiter {
+      override def observed(t: String, h: Int): Unit = http.observed(t, h)
+      override def tryClaim(t: String, n: Int): Boolean = http.tryClaim(t, n)
+      override def published(t: String, n: Int): Unit = http.published(t, n)
+      override def abandon(t: String, n: Int): Unit = http.abandon(t, n)
+      override def tryClaimAll(claims: Seq[(String, Int)]): Boolean = {
+        if (contended.compareAndSet(false, true)) {
+          // a solo writer lands on table A between the transaction's
+          // base observation and its claim — the stale assertion must
+          // 409 the WHOLE transaction (nothing claimed on B either)
+          append(ev.filter(pmod(col("event_id"), lit(4L)) === 2L), pa)
+          rebases.incrementAndGet()
+        }
+        http.tryClaimAll(claims)
+      }
+    }
+    setCommitArbiter(pa, arb)
+    setCommitArbiter(pb, arb)
+    try {
+      appendTransaction(s, Seq(
+        (ev.filter(pmod(col("event_id"), lit(4L)) === 3L), pa),
+        (ev.filter(pmod(col("event_id"), lit(4L)) === 3L), pb)))
+    } finally {
+      setCommitArbiter(pa, RenameArbiter)
+      setCommitArbiter(pb, RenameArbiter)
+      http.close(); srv.close()
+    }
+    require(rebases.get() == 1,
+      "exactly one contended attempt must have driven the 409 rebase")
+    require(latestVersion(pa).contains(2) && latestVersion(pb).contains(1),
+      s"expected a=v2 (seed+solo+txn) and b=v1 (seed+txn), got " +
+        s"${latestVersion(pa)}/${latestVersion(pb)}")
+    require(srv.headOf(normArbPath(pa)) == 2 && srv.headOf(normArbPath(pb)) == 1,
+      "the catalog's transactionally-claimed heads must match the tables")
+    val roll = (p: String, tbl: String) => read(s, p)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+      .withColumn("tbl", lit(tbl))
+    roll(pa, "a").unionByName(roll(pb, "b"))
+      .select("tbl", "event_type", "n", "sum_value")
+      .orderBy("tbl", "event_type")
   }
 
   /** Driver query: `snapshots` METADATA TABLE (S9m) with

@@ -261,4 +261,116 @@ class WireArbiterSpec extends AnyFunSuite {
       c.close()
     } finally stall.close()
   }
+
+  test("TXN: multi-table claims are all-or-nothing; re-entry consumes once") {
+    val inner = new graft.sources.InProcessCatalogArbiter()
+    val w1 = new graft.sources.OwnedArbiter(inner, "w1")
+    val w2 = new graft.sources.OwnedArbiter(inner, "w2")
+    w1.observed("a", 0); w1.observed("b", 5)
+    // a stale assertion on ONE table takes NOTHING on the other
+    assert(!w1.tryClaimAll(Seq("a" -> 1, "b" -> 9)),
+      "b is at 5; claiming 9 must refuse the whole transaction")
+    assert(w2.tryClaim("a", 1), "table a must be untouched by the refusal")
+    w2.abandon("a", 1)
+    // a successful transaction holds BOTH; other owners refuse on each
+    assert(w1.tryClaimAll(Seq("a" -> 1, "b" -> 6)))
+    assert(!w2.tryClaim("a", 1) && !w2.tryClaim("b", 6),
+      "transaction claims must exclude other writers")
+    assert(!w2.tryClaimAll(Seq("a" -> 1, "b" -> 6)),
+      "another owner's transaction must refuse against held claims")
+    // the owner's own per-table claim re-enters ONCE (then consumed)
+    assert(w1.tryClaim("a", 1), "the transaction owner's commit re-enters")
+    assert(!w1.tryClaim("a", 1),
+      "re-entry consumes the mark: a duplicate claim refuses as always")
+    w1.published("a", 1); w1.published("b", 6)
+    assert(inner.headOf("a") === 1 && inner.headOf("b") === 6)
+  }
+
+  test("TXN: plain same-owner claims never re-enter (shared-client threads stay safe)") {
+    val inner = new graft.sources.InProcessCatalogArbiter()
+    val w = new graft.sources.OwnedArbiter(inner, "shared")
+    w.observed("t", 0)
+    assert(w.tryClaim("t", 1))
+    assert(!w.tryClaim("t", 1),
+      "two threads sharing one writer identity must not double-claim")
+  }
+
+  test("TXN: HTTP end-to-end — atomic cross-table appends under contention") {
+    val (p1, p2) = ("/tmp/graft_test/txn_t1", "/tmp/graft_test/txn_t2")
+    SparkSpec.rmdir(p1); SparkSpec.rmdir(p2)
+    val srv = new graft.sources.CatalogHttpServer()
+    val arb = new graft.sources.HttpCatalogArbiter("127.0.0.1", srv.port)
+    LakeTable.setCommitArbiter(p1, arb)
+    LakeTable.setCommitArbiter(p2, arb)
+    try {
+      LakeTable.overwrite(Seq((0L, "seed")).toDF("k", "tag"), p1)
+      LakeTable.overwrite(Seq((0L, "seed")).toDF("k", "tag"), p2)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      // two transaction writers land (i, txn) on BOTH tables while a
+      // single-table writer contends on t1 — every row exactly once
+      val txns = (1 to 4).map { i =>
+        scala.concurrent.Future {
+          LakeTable.appendTransaction(spark, Seq(
+            (Seq((i.toLong, s"txn$i")).toDF("k", "tag"), p1),
+            (Seq((i.toLong, s"txn$i")).toDF("k", "tag"), p2)))
+        }
+      }
+      val singles = (10 to 12).map { i =>
+        scala.concurrent.Future {
+          LakeTable.append(Seq((i.toLong, s"solo$i")).toDF("k", "tag"), p1)
+        }
+      }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(txns ++ singles),
+        scala.concurrent.duration.Duration(120, "s"))
+      pool.shutdown()
+      val t1 = LakeTable.read(spark, p1).collect().map(_.getLong(0)).sorted.toSeq
+      val t2 = LakeTable.read(spark, p2).collect().map(_.getLong(0)).sorted.toSeq
+      assert(t1 === Seq(0L, 1L, 2L, 3L, 4L, 10L, 11L, 12L),
+        s"t1 must hold every row exactly once: $t1")
+      assert(t2 === Seq(0L, 1L, 2L, 3L, 4L),
+        s"t2 must hold every transaction row exactly once: $t2")
+    } finally {
+      LakeTable.setCommitArbiter(p1, RenameArbiter)
+      LakeTable.setCommitArbiter(p2, RenameArbiter)
+      arb.close()
+      srv.close()
+    }
+  }
+
+  test("TXN: refusals name the requirement — non-transactional or mixed arbiters") {
+    val (p1, p2) = ("/tmp/graft_test/txn_ref1", "/tmp/graft_test/txn_ref2")
+    SparkSpec.rmdir(p1); SparkSpec.rmdir(p2)
+    LakeTable.overwrite(Seq((0L, "x")).toDF("k", "tag"), p1)
+    LakeTable.overwrite(Seq((0L, "x")).toDF("k", "tag"), p2)
+    val e1 = intercept[IllegalArgumentException](
+      LakeTable.appendTransaction(spark, Seq(
+        (Seq((1L, "a")).toDF("k", "tag"), p1),
+        (Seq((1L, "a")).toDF("k", "tag"), p2))))
+    assert(e1.getMessage.contains("TransactionalArbiter"), e1.getMessage)
+    val inner = new graft.sources.InProcessCatalogArbiter()
+    LakeTable.setCommitArbiter(p1, new graft.sources.OwnedArbiter(inner, "w1"))
+    LakeTable.setCommitArbiter(p2, new graft.sources.OwnedArbiter(inner, "w1"))
+    try {
+      val e2 = intercept[IllegalArgumentException](
+        LakeTable.appendTransaction(spark, Seq(
+          (Seq((1L, "a")).toDF("k", "tag"), p1),
+          (Seq((1L, "a")).toDF("k", "tag"), p2))))
+      assert(e2.getMessage.contains("DIFFERENT arbiters"), e2.getMessage)
+      // same handle on both: the transaction lands
+      val one = new graft.sources.OwnedArbiter(inner, "w2")
+      LakeTable.setCommitArbiter(p1, one)
+      LakeTable.setCommitArbiter(p2, one)
+      LakeTable.appendTransaction(spark, Seq(
+        (Seq((1L, "a")).toDF("k", "tag"), p1),
+        (Seq((1L, "a")).toDF("k", "tag"), p2)))
+      assert(LakeTable.read(spark, p1).count() === 2)
+      assert(LakeTable.read(spark, p2).count() === 2)
+    } finally {
+      LakeTable.setCommitArbiter(p1, RenameArbiter)
+      LakeTable.setCommitArbiter(p2, RenameArbiter)
+    }
+  }
 }
