@@ -193,6 +193,7 @@ object SparkEntry {
     "lake_mor_partitions" -> (sources.LakeTable.morPartitionsQuery _),
     "lake_entries_meta" -> (sources.LakeTable.entriesMetaQuery _),
     "lake_versioned_view" -> (sources.GraftViews.versionedViewQuery _),
+    "lake_materialized_view" -> (sources.GraftMaterializedViews.materializedViewQuery _),
     "lake_incremental_append" -> (sources.LakeTable.incrementalAppendQuery _),
     "lake_rewrite_manifests" -> (sources.LakeTable.rewriteManifestsQuery _),
     "lake_row_lineage" -> (sources.LakeTable.rowLineageQuery _),
@@ -1214,6 +1215,23 @@ object SparkEntry {
         |SELECT 'v1' AS phase, event_type, count(*) AS n,
         |       round(sum(value), 6) AS sum_value
         |FROM events WHERE event_id % 2 = 1 GROUP BY event_type
+        |ORDER BY phase, event_type""".stripMargin,
+    // lake_materialized_view: fresh reads serve the storage table
+    // (plan provenance require'd), a source commit flips the next
+    // read to the query expansion (current answers, never stale),
+    // REFRESH re-arms — three phases of rollups
+    "lake_materialized_view" ->
+      """SELECT 'fresh' AS phase, event_type, count(*) AS n,
+        |       round(sum(value), 6) AS sum_value
+        |FROM events WHERE event_id % 2 = 0 GROUP BY event_type
+        |UNION ALL
+        |SELECT 'refreshed' AS phase, event_type, count(*) AS n,
+        |       round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY event_type
+        |UNION ALL
+        |SELECT 'stale' AS phase, event_type, count(*) AS n,
+        |       round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY event_type
         |ORDER BY phase, event_type""".stripMargin,
     // lake_incremental_append: Iceberg's incremental read — exactly
     // the rows two appends added after v0 (evens overwritten at v0,

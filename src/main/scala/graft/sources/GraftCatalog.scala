@@ -132,6 +132,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def tablePath(ident: Identifier): String =
     pathOf(ident.namespace.toSeq :+ ident.name)
 
+  /** Warehouse path of an identifier — the view/materialized-view
+    * machinery's address resolution ([[GraftMaterializedViews]]). */
+  private[sources] def warehousePathOf(ident: Identifier): String =
+    tablePath(ident)
+
   private def isTable(p: String): Boolean = LakeTable.latestVersion(p).nonEmpty
 
   private def listDirs(p: String): Seq[String] = {

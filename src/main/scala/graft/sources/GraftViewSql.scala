@@ -60,25 +60,31 @@ object GraftViewSql {
 
   /** Expand every view reference in `plan`, recursively, carrying the
     * expansion path so a view cycle refuses by name. Nested subquery
-    * expressions (EXISTS/IN/scalar) expand too. */
+    * expressions (EXISTS/IN/scalar) expand too. A FRESH materialized
+    * view resolves to its storage table instead of its query
+    * ([[GraftMaterializedViews.freshStoragePlan]]); a stale one falls
+    * back to the always-correct expansion. */
   private[sources] def expandViews(
       spark: SparkSession, plan: LogicalPlan,
       stack: List[String]): LogicalPlan = {
     val mapped = plan match {
       case u: UnresolvedRelation =>
         viewAt(spark, u.multipartIdentifier) match {
-          case Some((_, ident, view)) =>
+          case Some((g, ident, view)) =>
             val key = (u.multipartIdentifier.head +: ident.namespace :+ ident.name)
               .mkString(".")
             require(!stack.contains(key),
               s"view cycle detected: ${(key :: stack).reverse.mkString(" -> ")}")
             require(stack.size < MaxDepth,
               s"view nesting exceeds $MaxDepth levels at $key")
-            val body = spark.sessionState.sqlParser.parsePlan(view.query)
-            val qualified = qualify(body, view.currentCatalog,
-              view.currentNamespace.toSeq)
-            SubqueryAlias(ident.name,
-              expandViews(spark, qualified, key :: stack))
+            GraftMaterializedViews.freshStoragePlan(spark, g, ident, view)
+              .getOrElse {
+                val body = spark.sessionState.sqlParser.parsePlan(view.query)
+                val qualified = qualify(body, view.currentCatalog,
+                  view.currentNamespace.toSeq)
+                SubqueryAlias(ident.name,
+                  expandViews(spark, qualified, key :: stack))
+              }
           case None => u
         }
       case other =>
@@ -89,6 +95,23 @@ object GraftViewSql {
         s.withNewPlan(expandViews(spark, s.plan, stack))
     }
   }
+
+  /** The view's body as a resolved frame, under its frozen context —
+    * what REFRESH recomputes and what a stale materialized read falls
+    * back to. */
+  private[sources] def resolvedBody(
+      spark: SparkSession, view: View, selfKey: String)
+      : org.apache.spark.sql.DataFrame = {
+    val body = spark.sessionState.sqlParser.parsePlan(view.query)
+    val qualified = qualify(body, view.currentCatalog,
+      view.currentNamespace.toSeq)
+    GraftSqlShim.ofRows(spark, expandViews(spark, qualified, List(selfKey)))
+  }
+
+  /** [[qualify]] for the materialized-view machinery. */
+  private[sources] def qualifiedPlan(
+      plan: LogicalPlan, cat: String, ns: Seq[String]): LogicalPlan =
+    qualify(plan, cat, ns)
 
   /** Re-anchor the parsed view body in its CREATE-time context:
     * single-part table names resolve under the stored catalog +
@@ -113,18 +136,25 @@ object GraftViewSql {
 
   /** CREATE [OR REPLACE] VIEW through the catalog: the body analyzes
     * NOW, in the creator's context (that analysis is what freezes the
-    * schema the View reports), then commits as the next version. */
+    * schema the View reports), then commits as the next version. A
+    * materialized create ALSO refuses untrackable sources and runs
+    * the initial refresh, so the view is born fresh. */
   private[sources] def createView(
       spark: SparkSession, g: GraftCatalog, ident: Identifier,
-      body: String, replace: Boolean, ifNotExists: Boolean): Int = {
+      body: String, replace: Boolean, ifNotExists: Boolean,
+      materialized: Boolean = false): Int = {
     if (ifNotExists && g.viewExists(ident)) return 0
     val schema = GraftSqlShim.ofRows(
       spark, spark.sessionState.sqlParser.parsePlan(body)).schema
     val (curCat, curNs) = GraftSqlShim.currentContext(spark)
+    val props: java.util.Map[String, String] =
+      if (!materialized) java.util.Collections.emptyMap()
+      else java.util.Collections.singletonMap(
+        GraftMaterializedViews.MaterializedProp, "true")
     val info = new ViewInfo(ident, body, curCat, curNs.toArray, schema,
-      schema.fieldNames, Array.empty[String], Array.empty[String],
-      java.util.Collections.emptyMap[String, String]())
+      schema.fieldNames, Array.empty[String], Array.empty[String], props)
     if (replace) g.replaceView(info, true) else g.createView(info)
+    if (materialized) GraftMaterializedViews.refresh(spark, g, ident)
     0
   }
 }

@@ -646,6 +646,10 @@ class GraftSqlParser(
   //      ViewCatalog methods, one code path for SQL and library ----
   private val CreateViewRe =
     """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(IF\s+NOT\s+EXISTS\s+)?([\w.`]+)\s+AS\s+(.+?)\s*;?\s*$""".r
+  private val CreateMatViewRe =
+    """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?([\w.`]+)\s+AS\s+(.+?)\s*;?\s*$""".r
+  private val RefreshMatViewRe =
+    """(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s*;?\s*$""".r
   private val DropViewRe =
     """(?is)^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.`]+)\s*;?\s*$""".r
   private val AlterViewSetPropsRe =
@@ -686,6 +690,19 @@ class GraftSqlParser(
   private def viewStatement(sqlText: String): Option[LogicalPlan] = {
     def parts(t: String) = delegate.parseMultipartIdentifier(t.trim)
     sqlText match {
+      case CreateMatViewRe(replace, ifNot, ref, body) =>
+        viewTargetOf(parts(ref)).map { case (g, ident) =>
+          LakeDmlCommand(s"CREATE MATERIALIZED VIEW $ident",
+            () => GraftViewSql.createView(spark, g, ident, body.trim,
+              replace = replace != null, ifNotExists = ifNot != null,
+              materialized = true))
+        }
+      case RefreshMatViewRe(ref) =>
+        viewTargetOf(parts(ref)).filter(t => t._1.viewExists(t._2))
+          .map { case (g, ident) =>
+            LakeDmlCommand(s"REFRESH MATERIALIZED VIEW $ident",
+              () => { GraftMaterializedViews.refresh(spark, g, ident); 0 })
+          }
       case CreateViewRe(replace, ifNot, ref, body) =>
         viewTargetOf(parts(ref)).map { case (g, ident) =>
           LakeDmlCommand(s"CREATE VIEW $ident",

@@ -1,6 +1,6 @@
 package graft
 
-import graft.sources.GraftViews
+import graft.sources.{GraftViews, LakeTable}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** VERSIONED VIEWS (S11g) through Spark's native ViewCatalog route:
@@ -83,6 +83,61 @@ class GraftViewsSpec extends AnyFunSuite {
     assert(sql("SELECT count(*) AS n FROM graft.valt.v2").head.getLong(0) === 3L)
     assert(GraftViews.versions(s"$wh/valt/v2").size === 3)
     assert(!GraftViews.isView(s"$wh/valt/v1"))
+  }
+
+  test("materialized view: fresh reads serve STORAGE; staleness falls back; REFRESH re-arms") {
+    rmdir(s"$wh/mv")
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.mv")
+    sql("CREATE TABLE graft.mv.src (k BIGINT, g STRING) USING graftlake")
+    sql("INSERT INTO graft.mv.src SELECT id, concat('g', id % 3) FROM range(0, 30)")
+    sql("CREATE MATERIALIZED VIEW graft.mv.agg AS " +
+      "SELECT g, count(*) AS n FROM graft.mv.src GROUP BY g")
+    val storage = s"$wh/mv/agg/_graft_mv_storage"
+    // FRESH: the read lists ONLY storage files — never the source
+    val fresh = sql("SELECT g, n FROM graft.mv.agg ORDER BY g")
+    assert(fresh.inputFiles.forall(_.contains("_graft_mv_storage")),
+      s"a fresh materialized read must serve storage: ${fresh.inputFiles.toSeq}")
+    assert(fresh.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("g0", 10L), ("g1", 10L), ("g2", 10L)))
+    // STALE: a source commit flips the read to the query expansion —
+    // correct CURRENT answers, the source relation back in the plan
+    // (the V2 source contributes no inputFiles, so the plan is the
+    // observation surface here)
+    sql("INSERT INTO graft.mv.src SELECT id, 'g0' FROM range(100, 105)")
+    val stale = sql("SELECT g, n FROM graft.mv.agg ORDER BY g")
+    val stalePlan = stale.queryExecution.analyzed.toString
+    assert(!stalePlan.contains("_graft_mv_storage") &&
+      stalePlan.contains("graft.mv.src"),
+      s"a stale materialized view must recompute through the query: $stalePlan")
+    assert(stale.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("g0", 15L), ("g1", 10L), ("g2", 10L)),
+      "stale reads must still answer CURRENT data (never stale storage)")
+    // REFRESH re-arms storage (a new view version audits it) and the
+    // storage table itself time-travels over refresh generations
+    sql("REFRESH MATERIALIZED VIEW graft.mv.agg")
+    val post = sql("SELECT g, n FROM graft.mv.agg ORDER BY g")
+    assert(post.inputFiles.forall(_.contains("_graft_mv_storage")))
+    assert(post.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("g0", 15L), ("g1", 10L), ("g2", 10L)))
+    // CREATE committed v0 (definition) + v1 (initial refresh); the
+    // explicit REFRESH is v2 — every refresh is an audited version
+    assert(GraftViews.versions(s"$wh/mv/agg").size === 3,
+      "the refresh must commit an audited view version")
+    assert(LakeTable.read(spark, storage, Some(0))
+      .collect().map(_.getLong(1)).sum === 30L,
+      "storage v0 keeps the pre-refresh result (time travel over refreshes)")
+    // refreshing a fresh view is a no-op version-wise
+    sql("REFRESH MATERIALIZED VIEW graft.mv.agg")
+    assert(GraftViews.versions(s"$wh/mv/agg").size === 3)
+  }
+
+  test("materialized view refuses untrackable sources by name") {
+    rmdir(s"$wh/mvref")
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.mvref")
+    spark.range(5).toDF("k").createOrReplaceTempView("mv_tmp_src")
+    val e = intercept[Exception](
+      sql("CREATE MATERIALIZED VIEW graft.mvref.bad AS SELECT k FROM mv_tmp_src"))
+    assert(e.getMessage.contains("version-trackable"), e.getMessage)
   }
 
   test("views and tables refuse to shadow each other") {
