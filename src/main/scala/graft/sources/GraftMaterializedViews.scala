@@ -180,6 +180,12 @@ object GraftMaterializedViews {
     val sources = sourceVersions(spark, view, selfKey)
     val df = GraftViewSql.resolvedBody(spark, view, selfKey)
     LakeTable.overwrite(df, storagePath(p))
+    // a REPLACE racing this refresh must not get OLD-sql freshness
+    // recorded over it: refuse the record (storage then reads as
+    // stale — the fallback recomputes, nothing serves wrong data)
+    require(GraftViews.latest(p).contains(v),
+      s"view $ident changed concurrently during REFRESH — " +
+        "freshness not recorded; re-run REFRESH")
     GraftViews.commit(p, meta.copy(
       properties = meta.properties + (SourcesProp -> fmtSources(sources)),
       committedAtMs = System.currentTimeMillis()))

@@ -6627,7 +6627,7 @@ object LakeTable {
       else {
         val mm = manifestMemo()
         def files(rs: Seq[ManifestRef]) =
-          rs.flatMap(mm).map(e => plainPath(e.file)).toSet
+          rs.flatMap(mm).map(e => stripScheme(e.file)).toSet
         val (be, ae) = (files(bOnly), files(aOnly))
         (ae diff be) ++ (be diff ae)
       }
@@ -6642,7 +6642,7 @@ object LakeTable {
       if (oneSided.isEmpty) Set.empty
       else oneSided.map(r => refScan(spark, r).select("file_path"))
         .reduce(_.unionByName(_)).distinct()
-        .collect().map(r => plainPath(r.getString(0))).toSet
+        .collect().map(r => stripScheme(r.getString(0))).toSet
     if (targets.size > DistributedPlanThreshold) return None // churn guard
     Some(DiffScope(delta ++ targets, (targets diff delta).nonEmpty))
   }
@@ -6665,6 +6665,15 @@ object LakeTable {
     * joins the entries against the broadcast churn set — entry seq
     * pins win over the list row's seq, exactly [[distributedPlan]]'s
     * stored-beats-inherited rule. */
+  /** ONE normalization for every path the diff prefilter compares —
+    * the scheme-strip rule (identical to the lineage join key), NOT
+    * [[plainPath]]: URI.getPath drops an object-store AUTHORITY
+    * (s3a://bucket/k → /k), so mixing the two rules would compare
+    * bucket-less against bucket-ful paths. Driver form here, SQL form
+    * in [[churnEntries]]' distributed branch — same regex. */
+  private def stripScheme(s: String): String =
+    s.replaceFirst("^[A-Za-z][A-Za-z0-9+.\\-]*:(//)?", "")
+
   private def churnEntries(
       spark: SparkSession, liveData: Seq[ManifestRef],
       otherLive: Set[String], scope: DiffScope): Seq[ManifestEntry] = {
@@ -6675,7 +6684,7 @@ object LakeTable {
     if (search.isEmpty) return Nil
     if (search.map(_.nFiles).sum <= DistributedPlanThreshold) {
       val mm = manifestMemo()
-      search.flatMap(mm).filter(e => scope.files(plainPath(e.file)))
+      search.flatMap(mm).filter(e => scope.files(stripScheme(e.file)))
     } else {
       def mname(r: ManifestRef) = Paths.get(r.manifest).getFileName.toString
       val byName = search.map(r => mname(r) -> r).toMap
