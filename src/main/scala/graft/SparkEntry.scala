@@ -195,6 +195,7 @@ object SparkEntry {
     "lake_versioned_view" -> (sources.GraftViews.versionedViewQuery _),
     "lake_materialized_view" -> (sources.GraftMaterializedViews.materializedViewQuery _),
     "lake_incremental_append" -> (sources.LakeTable.incrementalAppendQuery _),
+    "lake_all_files" -> (sources.LakeTable.allFilesQuery _),
     "lake_rewrite_manifests" -> (sources.LakeTable.rewriteManifestsQuery _),
     "lake_row_lineage" -> (sources.LakeTable.rowLineageQuery _),
     "lake_wire_arbitrated_commit" -> (sources.LakeTable.wireArbitratedCommitQuery _),
@@ -1233,6 +1234,20 @@ object SparkEntry {
         |       round(sum(value), 6) AS sum_value
         |FROM events GROUP BY event_type
         |ORDER BY phase, event_type""".stripMargin,
+    // lake_all_files: the history-wide metadata tables — per-snapshot
+    // file/row rollup over a pinned lifecycle (1-file overwrite,
+    // 1-file append, compact); the carried-manifest membership and
+    // the 3-distinct-files bound are require'd in-query
+    "lake_all_files" ->
+      """SELECT 0 AS snapshot, CAST(1 AS BIGINT) AS n_files,
+        |       (SELECT count(*) FROM events WHERE event_id % 2 = 0) AS n_rows
+        |UNION ALL
+        |SELECT 1 AS snapshot, CAST(2 AS BIGINT) AS n_files,
+        |       (SELECT count(*) FROM events) AS n_rows
+        |UNION ALL
+        |SELECT 2 AS snapshot, CAST(1 AS BIGINT) AS n_files,
+        |       (SELECT count(*) FROM events) AS n_rows
+        |ORDER BY snapshot""".stripMargin,
     // lake_incremental_append: Iceberg's incremental read — exactly
     // the rows two appends added after v0 (evens overwritten at v0,
     // odds appended); v0 files provably unlisted and the refusal

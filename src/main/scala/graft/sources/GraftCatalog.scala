@@ -317,6 +317,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         Some(new GraftLocalTable(
           s"${ident.namespace.mkString(".")}.entries",
           LakeTable.entries(spark, parent)))
+      case "all_manifests" =>
+        // one row per (snapshot, manifest) — pure list metadata
+        Some(new GraftLocalTable(
+          s"${ident.namespace.mkString(".")}.all_manifests",
+          LakeTable.allManifests(spark, parent)))
+      case "all_files" =>
+        // O(Σ per-snapshot files) result rows — the same LocalScan
+        // honesty rule as `entries`, summed across the history
+        import org.apache.spark.sql.functions.{coalesce, lit, sum}
+        val claimed = LakeTable.allManifests(spark, parent)
+          .agg(coalesce(sum("n_files"), lit(0L))).head().getLong(0)
+        require(claimed <= LakeTable.DistributedPlanThreshold,
+          s"$parent claims $claimed (snapshot, file) rows across its history " +
+            "— the `all_files` SQL surface is driver-local and stops at the " +
+            s"distributed-plan threshold (${LakeTable.DistributedPlanThreshold}); " +
+            "read LakeTable.allFiles(spark, path) instead (one distributed job)")
+        Some(new GraftLocalTable(
+          s"${ident.namespace.mkString(".")}.all_files",
+          LakeTable.allFiles(spark, parent)))
       case _ => None
     }
   }

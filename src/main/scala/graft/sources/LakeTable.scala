@@ -3564,6 +3564,57 @@ object LakeTable {
     }
   }
 
+  /** Iceberg-style `all_manifests`: every manifest of every LIVE
+    * snapshot — one row per (snapshot, manifest), so a carried
+    * manifest shows once per snapshot that references it (the signal
+    * that answers "which snapshots still pin this file" before an
+    * expire). Pure list metadata: O(#snapshots × #manifests) driver
+    * rows, zero manifest files opened. */
+  def allManifests(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    liveVersions(path)
+      .flatMap(v => listRefs(path, v).filter(_.nFiles > 0)
+        .map(r => (v, r.manifest, r.base, r.kind, r.seq, r.nFiles)))
+      .toDF("snapshot", "manifest", "base", "kind", "seq", "n_files")
+  }
+
+  /** Iceberg-style `all_files`: every file of every LIVE snapshot —
+    * one row per (snapshot, file), duplicates across snapshots BY
+    * DESIGN (that is the table's point: lineage of a file through the
+    * version history). Each DISTINCT manifest's entries are read ONCE
+    * (one distributed job) and joined to the broadcast
+    * (snapshot, manifest) membership — a manifest carried through
+    * 10³ snapshots costs one read, not 10³. */
+  def allFiles(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    def mname(r: ManifestRef) = Paths.get(r.manifest).getFileName.toString
+    val vs = liveVersions(path)
+    val perV = vs.map(v => v -> listRefs(path, v).filter(_.nFiles > 0))
+    val pairs = perV.flatMap { case (v, rs) =>
+      rs.map(r => (v, mname(r), r.kind, r.seq)) }
+    val distinctRefs = perV.flatMap(_._2)
+      .groupBy(_.manifest).map(_._2.head).toSeq
+    if (distinctRefs.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "snapshot INT, file STRING, base STRING, kind STRING, seq INT, " +
+            "record_count LONG, file_size_bytes LONG"))
+    val pairDf = broadcast(pairs.toDF("snapshot", "mname", "kind", "seq"))
+    entriesFrameOf(spark, distinctRefs,
+        "file STRING, base STRING, rows LONG, bytes LONG, seq INT")
+      .withColumnRenamed("seq", "__graft_eseq")
+      .withColumn("mname", element_at(split(input_file_name(), "/"), -1))
+      .join(pairDf, Seq("mname"))
+      // per-entry seq pins (consolidated manifests) win, as everywhere
+      .withColumn("seq",
+        when(coalesce(col("__graft_eseq"), lit(-1)) >= 0, col("__graft_eseq"))
+          .otherwise(col("seq")))
+      .select(col("snapshot"), col("file"), col("base"), col("kind"),
+        col("seq"), col("rows").as("record_count"),
+        col("bytes").as("file_size_bytes"))
+  }
+
   /** Iceberg-style `entries` METADATA TABLE — the DEBUG plane (round-10
     * verdict "missing" #4): one row per manifest ENTRY, exposing what
     * the other metadata tables fold away — which manifest claims each
@@ -5786,6 +5837,33 @@ object LakeTable {
     inc.groupBy("event_type")
       .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
       .orderBy("event_type")
+  }
+
+  /** Driver query: ALL_FILES / ALL_MANIFESTS history tables (S11k).
+    * A pinned lifecycle — overwrite evens (1 file), append odds
+    * (1 file), compact (1 file) — makes the per-snapshot file/row
+    * rollup of `all_files` a constant the oracle recomputes from the
+    * source; the carried-manifest property (v0's manifest appears in
+    * BOTH v0 and v1 of `all_manifests`, ONE distinct manifest read)
+    * is require'd in-query. */
+  def allFilesQuery(s: SparkSession, d: String): DataFrame = {
+    val path = freshWorkDir("lakeallf", d)
+    val ev = graft.Tables.load(s, d, "events")
+      .select("event_id", "event_type", "value")
+    overwrite(ev.filter(col("event_id") % 2 === 0).repartition(1), path) // v0
+    append(ev.filter(col("event_id") % 2 === 1).repartition(1), path) // v1
+    compact(s, path) // v2: one fresh file
+    val am = allManifests(s, path).collect()
+    val byManifest = am.groupBy(_.getAs[String]("manifest"))
+      .map { case (_, rows) => rows.map(_.getAs[Int]("snapshot")).toSet }
+    require(byManifest.exists(_ == Set(0, 1)),
+      "v0's manifest must be CARRIED into v1 and show under both snapshots")
+    val af = allFiles(s, path)
+    require(af.select("file").distinct().count() == 3,
+      "the history holds exactly 3 distinct files (evens, odds, compacted)")
+    af.groupBy("snapshot")
+      .agg(count(lit(1)).as("n_files"), sum("record_count").as("n_rows"))
+      .orderBy("snapshot")
   }
 
   /** Driver query: MANIFEST CONSOLIDATION (S11a, round-10 verdict

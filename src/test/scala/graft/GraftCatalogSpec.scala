@@ -458,4 +458,38 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(viaSql("data") === data.length.toLong)
     assert(viaSql("posdel") === posdel.length.toLong)
   }
+
+  test("all_files / all_manifests walk the LIVE history; expire shrinks the domain") {
+    val wh2 = wh
+    SparkSpec.rmdir(s"$wh2/db8")
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.db8")
+    sql("CREATE TABLE graft.db8.h (k BIGINT, v DOUBLE) USING graftlake")
+    val p = s"$wh2/db8/h"
+    import spark.implicits._
+    LakeTable.append((0L until 10L).map(i => (i, i * 1.0)).toDF("k", "v")
+      .repartition(1), p) // v1
+    LakeTable.append((10L until 15L).map(i => (i, i * 1.0)).toDF("k", "v")
+      .repartition(1), p) // v2
+    // one row per (snapshot, file): the CREATE sentinel is v0's one
+    // file, each append CARRIES it — v1's file shows under v1 AND v2
+    val af = sql("SELECT snapshot, count(*) AS n FROM graft.db8.h.all_files " +
+      "GROUP BY snapshot ORDER BY snapshot")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(af === Seq((0, 1L), (1, 2L), (2, 3L)), s"got $af")
+    val am = sql("SELECT manifest, count(*) AS n_snaps " +
+      "FROM graft.db8.h.all_manifests GROUP BY manifest")
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(am === Seq(1L, 2L, 3L),
+      "carried manifests must show once per snapshot referencing them")
+    // expiration shrinks the history domain (live snapshots only)
+    LakeTable.expireSnapshots(spark, p, retain = 1)
+    val post = LakeTable.allFiles(spark, p)
+      .select("snapshot").distinct().collect().map(_.getInt(0)).toSeq
+    assert(post === Seq(2), s"expired snapshots must leave the domain: $post")
+    // the SQL all_files surface refuses past the plan threshold by name
+    LakeTable.withPlanThreshold(1) {
+      val e = intercept[Exception](sql("SELECT * FROM graft.db8.h.all_files").collect())
+      assert(e.getMessage.contains("allFiles"), e.getMessage)
+    }
+  }
 }
