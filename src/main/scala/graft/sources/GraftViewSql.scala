@@ -68,6 +68,36 @@ object GraftViewSql {
       spark: SparkSession, plan: LogicalPlan,
       stack: List[String]): LogicalPlan = {
     val mapped = plan match {
+      // VERSION AS OF on a VIEW: replay that VERSION'S DEFINITION over
+      // current data — exactly what the immutable version files
+      // promise ("what did this view compute last Tuesday"). A leaf
+      // node holding the relation as a FIELD, so it needs its own arm;
+      // TIMESTAMP AS OF refuses by name (versions are the contract).
+      case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel =>
+        (tt.relation match {
+          case u: UnresolvedRelation =>
+            viewAt(spark, u.multipartIdentifier).map(v => (u, v))
+          case _ => None
+        }) match {
+          case Some((u, (g, ident, _))) =>
+            require(tt.version.nonEmpty,
+              s"view time travel on $ident supports VERSION AS OF only " +
+                "(view versions are the audit contract; see v.versions)")
+            val p = g.warehousePathOf(ident)
+            val v = tt.version.get.toIntOption.getOrElse(
+              throw new IllegalArgumentException(
+                s"view version must be an integer, got '${tt.version.get}'"))
+            require(GraftViews.versions(p).contains(v),
+              s"no version $v of view $ident — see ${ident.name}.versions")
+            val m = GraftViews.load(p, v)
+            val key = (u.multipartIdentifier.head +: ident.namespace :+
+              ident.name).mkString(".") + s"@v$v"
+            require(!stack.contains(key), s"view cycle detected at $key")
+            val body = spark.sessionState.sqlParser.parsePlan(m.sql)
+            SubqueryAlias(ident.name, expandViews(spark,
+              qualify(body, m.currentCatalog, m.currentNamespace), key :: stack))
+          case None => tt
+        }
       case u: UnresolvedRelation =>
         viewAt(spark, u.multipartIdentifier) match {
           case Some((g, ident, view)) =>
@@ -194,9 +224,12 @@ object LakeRowsStrategy extends SparkStrategy {
 class GraftViewRelationRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     // cheap bail: no unresolved relations anywhere (subqueries
-    // included), nothing to expand
+    // included; RelationTimeTravel HOLDS its relation as a field, so
+    // it needs its own arm), nothing to expand
     val hasUnresolved = plan.collectWithSubqueries {
-      case u: UnresolvedRelation => u }.nonEmpty
+      case u: UnresolvedRelation => u
+      case t: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel => t
+    }.nonEmpty
     if (!hasUnresolved) plan
     else GraftViewSql.expandViews(spark, plan, Nil)
   }

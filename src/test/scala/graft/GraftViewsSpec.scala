@@ -40,6 +40,20 @@ class GraftViewsSpec extends AnyFunSuite {
     assert(hist.map(_._1).toSeq === Seq(0, 1))
     assert(hist(0)._2.contains("k >= 5") && hist(1)._2.contains("k < 5"),
       s"history must keep the replaced definition: ${hist.toSeq}")
+    // VERSION AS OF replays THAT VERSION'S DEFINITION over current
+    // data: v0 (k >= 5) over the 20-row table = 15, even though the
+    // current definition (v1, k < 5) answers 5
+    assert(sql("SELECT count(*) AS n FROM graft.vdb.doubles VERSION AS OF 0")
+      .head.getLong(0) === 15L)
+    assert(sql("SELECT count(*) AS n FROM graft.vdb.doubles VERSION AS OF 1")
+      .head.getLong(0) === 5L)
+    val eTt = intercept[Exception](
+      sql("SELECT * FROM graft.vdb.doubles TIMESTAMP AS OF current_timestamp()")
+        .collect())
+    assert(eTt.getMessage.contains("VERSION AS OF"), eTt.getMessage)
+    val eNoV = intercept[Exception](
+      sql("SELECT * FROM graft.vdb.doubles VERSION AS OF 9").collect())
+    assert(eNoV.getMessage.contains("versions"), eNoV.getMessage)
     // SHOW VIEWS lists it; tables and views stay distinct
     assert(sql("SHOW VIEWS IN graft.vdb").collect().map(_.getString(1))
       .contains("doubles"))
