@@ -81,7 +81,7 @@ private[sources] object GraftProcedures {
   def names: Seq[String] = Seq(
     "expire_snapshots", "remove_orphan_files", "rewrite_data_files",
     "rewrite_position_delete_files", "rewrite_manifests",
-    "convert_equality_deletes",
+    "convert_equality_deletes", "refresh_materialized_view",
     "rollback_to_snapshot", "rollback_to_timestamp", "fast_forward",
     "compute_table_stats")
 
@@ -151,6 +151,21 @@ private[sources] object GraftProcedures {
         "Consolidate accumulated position-delete and deletion-vector files " +
           "into one vector per data file — zero data rewritten.")(args => {
         one(LakeTable.rewritePositionDeletes(spark, pathOf(args(0).get)))
+      }))
+      case "refresh_materialized_view" => Some(new GraftProcedure(
+        "refresh_materialized_view",
+        Seq(in("view", StringType)),
+        StructType(Seq(StructField("refreshed", BooleanType))),
+        "Recompute a materialized view's storage table under its frozen " +
+          "resolution context and commit an audited view version carrying " +
+          "the new per-source freshness record; false = already fresh, " +
+          "nothing recomputed.")(args => {
+        val parts = args(0).get.toString.split('.').toSeq
+        require(parts.size >= 2 || parts.nonEmpty,
+          "refresh_materialized_view expects 'ns.view'")
+        val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+          parts.init.toArray, parts.last)
+        one(GraftMaterializedViews.refresh(spark, cat, ident))
       }))
       case "convert_equality_deletes" => Some(new GraftProcedure(
         "convert_equality_deletes",

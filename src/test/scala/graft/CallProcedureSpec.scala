@@ -75,6 +75,7 @@ class CallProcedureSpec extends AnyFunSuite {
       assert(names === Set("expire_snapshots", "remove_orphan_files",
         "rewrite_data_files", "rewrite_position_delete_files",
         "rewrite_manifests", "convert_equality_deletes",
+        "refresh_materialized_view",
         "rollback_to_snapshot", "rollback_to_timestamp",
         "fast_forward", "compute_table_stats"))
       val desc = spark.sql("DESCRIBE PROCEDURE callc.system.expire_snapshots")

@@ -143,6 +143,15 @@ class GraftViewsSpec extends AnyFunSuite {
     // refreshing a fresh view is a no-op version-wise
     sql("REFRESH MATERIALIZED VIEW graft.mv.agg")
     assert(GraftViews.versions(s"$wh/mv/agg").size === 3)
+    // the CALL procedure route drives the same refresh machinery:
+    // fresh → false; stale after another source commit → true
+    assert(!sql("CALL graft.system.refresh_materialized_view('mv.agg')")
+      .head.getBoolean(0), "refresh of a fresh view reports false")
+    sql("INSERT INTO graft.mv.src SELECT id, 'g1' FROM range(200, 202)")
+    assert(sql("CALL graft.system.refresh_materialized_view('mv.agg')")
+      .head.getBoolean(0), "refresh of a stale view reports true")
+    assert(sql("SELECT n FROM graft.mv.agg WHERE g = 'g1'").head.getLong(0) === 12L)
+    assert(GraftViews.versions(s"$wh/mv/agg").size === 4)
   }
 
   test("materialized view refuses untrackable sources by name") {
