@@ -167,6 +167,41 @@ class ChangesPrefilterSpec extends AnyFunSuite {
       "the rewritten file's OLD vintage must be scanned for the preimage")
   }
 
+  test("lineage diff prefilters past the plan threshold (distributed id map)") {
+    val p = "/tmp/graft_test/cp_biglineage"
+    SparkSpec.rmdir(p)
+    // 8 one-file MANIFESTS (separate appends): the churn guard counts
+    // ONE-SIDED manifest entries, and an update into a 1-file manifest
+    // churns 2 entries — so the prefilter engages even at threshold 3,
+    // while the table's 8 claimed files push the id map distributed.
+    // (A single 8-file manifest would make the partial carry itself
+    // threshold-scale churn at 3 — the guard correctly stands down
+    // there; at the production threshold of 10⁴ that needs a 10⁴-file
+    // manifest, which rewrite_manifests sizing bounds.)
+    (0 until 8).foreach { g =>
+      LakeTable.append(
+        (g * 10 until (g + 1) * 10).map(i => (i.toLong, i * 1.0)).toDF("k", "v")
+          .repartition(1), p)
+    }
+    LakeTable.enableRowLineage(spark, p) // v8
+    val old = LakeTable.read(spark, p, Some(8))
+      .filter(col("k") === 11L).select(input_file_name()).head().getString(0)
+    LakeTable.update(spark, p, Map("v" -> lit(-5.0)), col("k") === 11L) // v9
+    LakeTable.withPlanThreshold(3) {
+      val ch = LakeTable.changesWithLineage(spark, p, 8, 9)
+      val rows = ch.collect().map(r => (r.getAs[String]("change_type"),
+        r.getAs[Long]("k"), r.getAs[Double]("v"))).toSet
+      assert(rows === Set(
+        ("update_preimage", 11L, 11.0), ("update_postimage", 11L, -5.0)),
+        s"got $rows")
+      val untouched = dataFiles(p, 8) - old
+      val scanned = ch.inputFiles.toSet
+      assert(scanned.intersect(untouched).isEmpty,
+        s"carried data files leaked past the threshold: " +
+          s"${scanned.intersect(untouched)}")
+    }
+  }
+
   test("appendsBetween serves exactly the appended rows, never lists old files") {
     val p = "/tmp/graft_test/cp_incappend"
     SparkSpec.rmdir(p)
