@@ -194,6 +194,7 @@ object SparkEntry {
     "lake_entries_meta" -> (sources.LakeTable.entriesMetaQuery _),
     "lake_versioned_view" -> (sources.GraftViews.versionedViewQuery _),
     "lake_materialized_view" -> (sources.GraftMaterializedViews.materializedViewQuery _),
+    "lake_mv_incremental" -> (sources.GraftMaterializedViews.incrementalMvQuery _),
     "lake_incremental_append" -> (sources.LakeTable.incrementalAppendQuery _),
     "lake_all_files" -> (sources.LakeTable.allFilesQuery _),
     "lake_rewrite_manifests" -> (sources.LakeTable.rewriteManifestsQuery _),
@@ -1234,6 +1235,28 @@ object SparkEntry {
         |       round(sum(value), 6) AS sum_value
         |FROM events GROUP BY event_type
         |ORDER BY phase, event_type""".stripMargin,
+    // lake_mv_incremental: a pure-append source commit refreshes the
+    // materialized view through the O(delta) incremental fold (mode
+    // recorded on the view version + cross-checked in-query against
+    // the direct recompute), a DML commit falls back to the full
+    // recompute — both phases' rollups are the oracle surface
+    "lake_mv_incremental" ->
+      """WITH upd AS (
+        |  SELECT event_id, event_type,
+        |         CASE WHEN event_id % 7 = 0 THEN value + 1 ELSE value END
+        |           AS value
+        |  FROM events)
+        |SELECT * FROM (
+        |  SELECT 'after_update' AS phase, event_type, count(*) AS n,
+        |         round(sum(value), 6) AS sv,
+        |         min(event_id) AS mn, max(event_id) AS mx
+        |  FROM upd GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 'incremental' AS phase, event_type, count(*) AS n,
+        |         round(sum(value), 6) AS sv,
+        |         min(event_id) AS mn, max(event_id) AS mx
+        |  FROM events GROUP BY event_type
+        |) ORDER BY phase, event_type""".stripMargin,
     // lake_all_files: the history-wide metadata tables — per-snapshot
     // file/row rollup over a pinned lifecycle (1-file overwrite,
     // 1-file append, compact); the carried-manifest membership and

@@ -155,17 +155,25 @@ private[sources] object GraftProcedures {
       case "refresh_materialized_view" => Some(new GraftProcedure(
         "refresh_materialized_view",
         Seq(in("view", StringType)),
-        StructType(Seq(StructField("refreshed", BooleanType))),
+        StructType(Seq(StructField("refreshed", BooleanType),
+          StructField("mode", StringType))),
         "Recompute a materialized view's storage table under its frozen " +
           "resolution context and commit an audited view version carrying " +
           "the new per-source freshness record; false = already fresh, " +
-          "nothing recomputed.")(args => {
+          "nothing recomputed. mode = the path the refresh took " +
+          "('incremental' for the O(delta) distributive-aggregate fold " +
+          "over a pure-append range, 'full' otherwise; null when fresh).")(
+        args => {
         val parts = args(0).get.toString.split('.').toSeq
         require(parts.size >= 2 || parts.nonEmpty,
           "refresh_materialized_view expects 'ns.view'")
         val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
           parts.init.toArray, parts.last)
-        one(GraftMaterializedViews.refresh(spark, cat, ident))
+        val refreshed = GraftMaterializedViews.refresh(spark, cat, ident)
+        one(refreshed,
+          if (refreshed)
+            GraftMaterializedViews.lastRefreshMode(cat, ident).orNull
+          else null)
       }))
       case "convert_equality_deletes" => Some(new GraftProcedure(
         "convert_equality_deletes",
