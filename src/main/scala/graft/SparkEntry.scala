@@ -84,6 +84,9 @@ object SparkEntry {
     // companion query hash-pins the assignment math itself
     "knn_ivf_cells" -> ((s, d) => llm.Similarity.knnIvfCellCounts(s, d)),
     "knn_ivf_kmeans" -> ((s, d) => llm.Similarity.knnIvfKmeansGate(s, d)),
+    // SemDeDup: cluster-bounded semantic dedup; rounded-everywhere
+    // arithmetic makes the WHOLE algorithm oracle-replayable
+    "semdedup" -> ((s, d) => llm.Similarity.semDeDupQuery(s, d)),
     "label_cohesion" -> (llm.Similarity.labelCohesion _),
     "chi2_lang_label" -> (llm.Similarity.chi2LangLabel _),
     "doc_embedding_join" -> (llm.Similarity.docEmbeddingJoin _),
@@ -1062,6 +1065,49 @@ object SparkEntry {
         |      FROM sc)
         |SELECT cell_id, count(*) AS n_vectors, CAST(sum(vid) AS BIGINT) AS sum_vec_id
         |FROM a WHERE rn = 1 GROUP BY cell_id ORDER BY cell_id""".stripMargin,
+    // semdedup: the full SemDeDup pipeline replayed — manufactured
+    // corpus (originals + perturbed variants), stand-in-centroid
+    // assignment (rounded argmax), cluster-bounded ordered pairs,
+    // the ε≥0.95 drop sweep in keep-order (centroid-sim ASC, id ASC),
+    // per-cell census
+    "semdedup" ->
+      """WITH base AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |                     unnest(range(len(embedding))) AS i FROM embeddings),
+        |corp AS (
+        |  SELECT vec_id, i, x FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, i, x * (1.0 + 0.02 * ((i % 5) - 2))
+        |  FROM base),
+        |n AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM corp GROUP BY 1),
+        |cents AS (SELECT vec_id AS cell_id, i, x FROM corp WHERE vec_id < 16),
+        |d AS (SELECT a.vec_id AS vid, c.cell_id, sum(a.x * c.x) AS dp
+        |      FROM corp a JOIN cents c ON a.i = c.i GROUP BY 1, 2),
+        |sc AS (SELECT vid, cell_id, round(dp / (na.nrm * nb.nrm), 6) AS cs
+        |       FROM d JOIN n na ON na.vec_id = vid
+        |              JOIN n nb ON nb.vec_id = cell_id),
+        |m AS (SELECT vid, cell_id, cell_sim FROM (
+        |        SELECT vid, cell_id, cs AS cell_sim,
+        |               row_number() OVER (PARTITION BY vid
+        |                                  ORDER BY cs DESC, cell_id) AS rn
+        |        FROM sc) WHERE rn = 1),
+        |pd AS (SELECT a.vid AS avid, b.vid AS bvid, sum(ca.x * cb.x) AS dp
+        |       FROM m a JOIN m b ON a.cell_id = b.cell_id
+        |         AND (b.cell_sim < a.cell_sim OR
+        |              (b.cell_sim = a.cell_sim AND b.vid < a.vid))
+        |       JOIN corp ca ON ca.vec_id = a.vid
+        |       JOIN corp cb ON cb.vec_id = b.vid AND cb.i = ca.i
+        |       GROUP BY 1, 2),
+        |drp AS (SELECT DISTINCT avid FROM pd
+        |        JOIN n na ON na.vec_id = avid JOIN n nb ON nb.vec_id = bvid
+        |        WHERE round(dp / (na.nrm * nb.nrm), 6) >= 0.95)
+        |SELECT m.cell_id, count(*) AS n_members,
+        |       CAST(sum(CASE WHEN drp.avid IS NOT NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_dropped,
+        |       CAST(sum(CASE WHEN drp.avid IS NULL THEN m.vid END)
+        |            AS BIGINT) AS sum_kept_ids,
+        |       round(sum(m.cell_sim), 4) AS sum_cell_sim
+        |FROM m LEFT JOIN drp ON drp.avid = m.vid
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // knn_topk_agg: heap-aggregate plan, identical results/oracle as brute force
     "knn_topk_agg" ->
       """WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,

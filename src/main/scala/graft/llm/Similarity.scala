@@ -424,6 +424,96 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** The SemDeDup corpus: originals ∪ deterministically perturbed
+    * variants (+1M ids, [[embeddingNearDup]]'s per-dim ±4% scaling) —
+    * the driver embeddings are random, so true semantic duplicates
+    * are manufactured exactly like every other near-dup query does. */
+  private[graft] def semDeDupCorpus(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.load(s, d, "embeddings")
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+    base.unionByName(base.select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("v"), (x, i) =>
+          x * (lit(1.0) + lit(0.02) * (pmod(i, lit(5)) - lit(2)).cast("double"))).as("v")))
+      .withColumn("nrm", l2norm(col("v")))
+  }
+
+  /** L16: SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication") — the
+    * embedding-space dedup a frontier-scale pipeline runs where
+    * lexical near-dup (MinHash/SimHash) is blind: paraphrases and
+    * re-encodings share no shingles but sit on top of each other in
+    * embedding space.
+    *
+    * The paper's algorithm, verbatim: (1) cluster the corpus
+    * (k-means); (2) within each cluster ONLY, compute pairwise cosine;
+    * (3) from every ε-similar set keep the member with the LOWEST
+    * similarity to its cluster centroid (the least "typical" —
+    * retaining it preserves more diversity than keeping the
+    * prototype) and drop the rest. Cluster-bounded pairs are the
+    * whole scale story: the corpus never self-joins globally — the
+    * pair join shuffles on cell_id alone and each cell's pair count
+    * is (cluster size)², tuned by nCells exactly as in the paper
+    * (they run 50k clusters over LAION).
+    *
+    * Drop rule, exactly: the cluster's members are ordered by
+    * (rounded centroid-similarity ASC, vec_id ASC); x is dropped iff
+    * some EARLIER member y has round(cos(x,y),6) ≥ ε — one shot over
+    * the ordering (a dropped witness still drops its successors),
+    * which is the paper implementation's upper-triangular matrix
+    * sweep, not an iterative re-clustering.
+    *
+    * Every arithmetic step is rounded before any comparison
+    * (assignment argmax, keep-order, the ε test), so the DuckDB
+    * oracle replays the WHOLE algorithm bit-for-bit — this query is
+    * hash-green, not recall-gated: assignment via the deterministic
+    * stand-in centroids ([[knnIvf]]'s: the first nCells originals).
+    * The kmeans-TRAINED production path is the same pipeline with
+    * [[kmeansCentroids]] swapped in (SemDeDupSpec pins its behavior;
+    * training is float-order-sensitive so it stays off the hash). */
+  private[graft] def semDeDupDropped(
+      corpus: DataFrame, cents: DataFrame, eps: Double): DataFrame = {
+    val assigned = nearestCells(corpus, cents, 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell_id"), col("cell_sim"))
+    val nPart = corpus.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    // one exchange on cell_id feeds both self-join legs
+    val m = assigned.repartition(nPart, col("cell_id"))
+    val earlier = // b strictly precedes a in the keep order
+      (col("b.cell_sim") < col("a.cell_sim")) ||
+        (col("b.cell_sim") === col("a.cell_sim") &&
+          col("b.vec_id") < col("a.vec_id"))
+    val dropped = m.as("a").join(m.as("b"),
+        col("a.cell_id") === col("b.cell_id") && earlier &&
+          round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6)
+            >= eps,
+        "left_semi")
+      .select(col("vec_id"), lit(true).as("is_dropped"))
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell_id"), col("cell_sim"),
+        coalesce(col("is_dropped"), lit(false)).as("is_dropped"))
+  }
+
+  /** Driver query: per-cluster SemDeDup census — members, drops, and
+    * the kept-id checksum under the deterministic stand-in centroids.
+    * The drop decision rides every column, so any drift anywhere in
+    * the pipeline (assignment, keep-order, ε test) flips the hash. */
+  def semDeDupQuery(
+      s: SparkSession, d: String, eps: Double = 0.95,
+      nCells: Int = 16): DataFrame = {
+    val corpus = semDeDupCorpus(s, d)
+    val cents = corpus.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell_id"), col("v").as("cv"), col("nrm").as("cn"))
+    semDeDupDropped(corpus, cents, eps)
+      .groupBy("cell_id")
+      .agg(
+        count(lit(1)).as("n_members"),
+        sum(when(col("is_dropped"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(!col("is_dropped"), col("vec_id"))).as("sum_kept_ids"),
+        round(sum("cell_sim"), 4).as("sum_cell_sim"))
+      .orderBy("cell_id")
+  }
+
   /** L3/L11 BETWEEN-LABEL CENTROID SIMILARITY — the confusion-
     * structure complement of [[labelCohesion]]: the upper-triangle
     * cosine matrix over label centroids, the artifact that tells a
