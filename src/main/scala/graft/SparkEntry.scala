@@ -104,6 +104,7 @@ object SparkEntry {
     "bpe_token_stats" -> (llm.TextAnalysis.bpeTokenStats _),
     "gopher_repetition" -> (llm.TextAnalysis.gopherRepetitionQuery _),
     "dsir_select" -> (llm.TextAnalysis.dsirSelectQuery _),
+    "ccnet_buckets" -> (llm.TextAnalysis.ccnetBucketsQuery _),
     "lang_id_ngram" -> (llm.TextAnalysis.langIdNgram _),
     "tfidf_top_terms" -> (llm.TextAnalysis.tfidfTopTerms _),
     "bm25_retrieval" -> (llm.TextAnalysis.bm25Retrieval _),
@@ -199,6 +200,7 @@ object SparkEntry {
     "lake_materialized_view" -> (sources.GraftMaterializedViews.materializedViewQuery _),
     "lake_mv_incremental" -> (sources.GraftMaterializedViews.incrementalMvQuery _),
     "lake_incremental_append" -> (sources.LakeTable.incrementalAppendQuery _),
+    "lake_add_files" -> (sources.LakeTable.addFilesQuery _),
     "lake_all_files" -> (sources.LakeTable.allFilesQuery _),
     "lake_rewrite_manifests" -> (sources.LakeTable.rewriteManifestsQuery _),
     "lake_row_lineage" -> (sources.LakeTable.rowLineageQuery _),
@@ -1325,6 +1327,13 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
         |FROM events WHERE event_id % 2 = 1
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // lake_add_files: evens committed normally + odds registered
+    // from an external dir metadata-only (zero-copy + in-place scan
+    // + schema-mismatch refusal require'd in-query); the rollup over
+    // both halves is the full events aggregate
+    "lake_add_files" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // lake_rewrite_manifests: the rollup reads THROUGH the
     // consolidated manifest state (per-entry seq pins, multi-base
     // assembly, posdel subtraction across the fold); the
@@ -1948,6 +1957,36 @@ object SparkEntry {
         |       round(avg(ln((cb + 1.0) / (cw + v))), 6) AS lm_score
         |FROM big JOIN bc USING (w1, w2) JOIN uni ON w1 = uni.w CROSS JOIN v
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // ccnet_buckets: per-language head/middle/tail perplexity
+    // terciles over the bigram-LM score — rank on the rounded score
+    // with doc_id tie-break, integer-arithmetic boundaries
+    "ccnet_buckets" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |uni AS (SELECT w, count(*) AS cw
+        |        FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY 1),
+        |v AS (SELECT count(*) AS v FROM uni),
+        |big AS (
+        |  SELECT doc_id, tk[CAST(i AS INT)] AS w1, tk[CAST(i AS INT) + 1] AS w2
+        |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+        |        FROM toks WHERE len(tk) >= 2)),
+        |bc AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY 1, 2),
+        |sc AS (SELECT doc_id, round(avg(ln((cb + 1.0) / (cw + v))), 6) AS lm_score
+        |       FROM big JOIN bc USING (w1, w2) JOIN uni ON w1 = uni.w CROSS JOIN v
+        |       GROUP BY doc_id),
+        |r AS (SELECT d.lang, s.doc_id, s.lm_score,
+        |        row_number() OVER (PARTITION BY d.lang
+        |                           ORDER BY s.lm_score DESC, s.doc_id) AS rk,
+        |        count(*) OVER (PARTITION BY d.lang) AS n
+        |      FROM sc s JOIN documents d USING (doc_id))
+        |SELECT lang,
+        |       CASE WHEN rk * 3 <= n THEN 'head'
+        |            WHEN rk * 3 <= n * 2 THEN 'middle'
+        |            ELSE 'tail' END AS bucket,
+        |       count(*) AS n_docs,
+        |       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+        |       round(sum(lm_score), 4) AS sum_score,
+        |       min(lm_score) AS cutoff_score
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // augment_token_dropout: the 10% "random" dropout is the pure
     // function (polyhash(token) + doc_id) % 10 == 0 — reproducible
     // across engines byte for byte

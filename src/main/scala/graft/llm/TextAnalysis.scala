@@ -927,4 +927,50 @@ object TextAnalysis {
       .select("doc_id", "dsir_score", "rk")
       .orderBy("rk")
   }
+
+  /** L17: CCNet perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    * Extracting high quality monolingual datasets from web crawl
+    * data") — the paper's central move: score every document by LM
+    * perplexity, then split EACH LANGUAGE into head / middle / tail
+    * thirds by perplexity rank (head = most fluent third, the slice
+    * that trains; tail = the crawl noise that gets dropped or
+    * down-weighted). The LM is [[bigramLmScore]] — mean bigram
+    * log-prob, the repo's n-gram stand-in for the paper's
+    * Kneser-Ney model — so head = HIGHEST lm_score.
+    *
+    * Determinism: rank on the ROUNDED score with doc_id tie-break
+    * (the repo-wide ranking contract) and tercile boundaries in
+    * INTEGER arithmetic (3·rank ≤ n, 3·rank ≤ 2n — never a float
+    * quantile), so bucket membership is bit-identical cross-engine
+    * and the whole query is hash-green.
+    *
+    * Scale: the per-language rank is a window over the language
+    * partition — exact, as the oracle needs. At true corpus scale a
+    * language shard outgrows one partition; the production variant is
+    * the paper's own: derive the two cutoff scores per language from
+    * a sampled histogram (one tiny aggregate, broadcast back), and
+    * bucket assignment becomes a map-only comparison. Same output
+    * contract, approximate boundaries — this query keeps the exact
+    * form precisely because the boundaries themselves are the
+    * verification surface. */
+  def ccnetBucketsQuery(s: SparkSession, d: String): DataFrame = {
+    val scored = bigramLmScore(s, d).select("doc_id", "lm_score")
+    val docs = Tables.load(s, d, "documents").select("doc_id", "lang")
+    val w = Window.partitionBy("lang")
+      .orderBy(col("lm_score").desc, col("doc_id"))
+    scored.join(docs, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+      .withColumn("bucket",
+        when(col("rk") * 3 <= col("n"), "head")
+          .when(col("rk") * 3 <= col("n") * 2, "middle")
+          .otherwise("tail"))
+      .groupBy("lang", "bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("doc_id").as("sum_doc_id"),
+        round(sum("lm_score"), 4).as("sum_score"),
+        min("lm_score").as("cutoff_score"))
+      .orderBy("lang", "bucket")
+  }
 }

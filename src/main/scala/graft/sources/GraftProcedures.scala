@@ -80,7 +80,7 @@ private[sources] object GraftProcedures {
 
   def names: Seq[String] = Seq(
     "expire_snapshots", "remove_orphan_files", "rewrite_data_files",
-    "rewrite_position_delete_files", "rewrite_manifests",
+    "rewrite_position_delete_files", "rewrite_manifests", "add_files",
     "convert_equality_deletes", "refresh_materialized_view",
     "rollback_to_snapshot", "rollback_to_timestamp", "fast_forward",
     "compute_table_stats")
@@ -194,6 +194,26 @@ private[sources] object GraftProcedures {
           "lineage-span pins preserve MoR and row-lineage semantics.")(args => {
         val target = long(args(1)).getOrElse(512L)
         one(LakeTable.rewriteManifests(spark, pathOf(args(0).get), target))
+      }))
+      case "add_files" => Some(new GraftProcedure(
+        "add_files",
+        Seq(in("table", StringType), in("source_dir", StringType)),
+        StructType(Seq(StructField("version", IntegerType),
+          StructField("files_added", LongType))),
+        "Register existing parquet files into the table METADATA-ONLY " +
+          "(zero data bytes move; one distributed stats job builds the " +
+          "manifest). Ownership transfers: expire GC may later delete " +
+          "the imported files in place. Refuses by name on schema " +
+          "mismatch, hidden partitioning, CHECK constraints, or a " +
+          "source inside the table root.")(args => {
+        val path = pathOf(args(0).get)
+        val src = args(1).get.toString
+        val before = LakeTable.latestVersion(path)
+          .map(v => LakeTable.listRefs(path, v).map(_.nFiles).sum)
+          .getOrElse(0L)
+        val v = LakeTable.addFiles(spark, path, src)
+        val after = LakeTable.listRefs(path, v).map(_.nFiles).sum
+        one(v, after - before)
       }))
       case "rollback_to_snapshot" => Some(new GraftProcedure(
         "rollback_to_snapshot",

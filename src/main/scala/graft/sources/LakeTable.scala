@@ -1565,6 +1565,71 @@ object LakeTable {
     }
   }
 
+  /** Iceberg's `add_files` import: register EXISTING parquet files
+    * into the table METADATA-ONLY — zero data bytes move. One
+    * distributed stats job over the imported files (the same
+    * [[collectStats]] every ordinary commit runs) builds the manifest
+    * entries; the manifest is marked partial with the source dir as
+    * each entry's base — exactly the consolidated-manifest shape every
+    * consumer (reads, GC, lineage, binpack) already handles — and
+    * publishes through the standard retry/rebase commit protocol.
+    *
+    * OWNERSHIP TRANSFERS, the Iceberg contract: once registered the
+    * files belong to the table — a later overwrite + expire GC will
+    * DELETE them in place (spec-pinned). Import a copy if the source
+    * must outlive the table.
+    *
+    * Refusals by name, each a correctness hole otherwise:
+    * schema mismatch (the import would silently null-fold under the
+    * mergeSchema read), hidden-partitioning specs (dir-borne
+    * partition values do not survive explicit file lists — the S11a
+    * rule), CHECK constraints (the import is unvalidated data; a
+    * constrained table must never acquire rows that bypassed the
+    * gate), and a source dir inside the table root (GC and orphan
+    * scans own that namespace). */
+  def addFiles(spark: SparkSession, path: String, sourceDir: String): Int = {
+    val srcNorm = plainPath(sourceDir)
+    require(!srcNorm.startsWith(plainPath(path) + "/"),
+      s"add_files: source $sourceDir lies inside the table root $path — " +
+        "the table's GC and orphan scans own that namespace; import from outside")
+    require(Files.isDirectory(Paths.get(srcNorm)),
+      s"add_files: $sourceDir is not a directory")
+    require(partitionSpecOf(path).isEmpty,
+      s"add_files: table $path declares hidden partitioning — dir-borne " +
+        "partition values do not survive explicit file lists; " +
+        "import into an unpartitioned table")
+    val cons = activeConstraints(path)
+    require(cons.isEmpty,
+      s"add_files: table $path carries CHECK constraints " +
+        s"(${cons.map(_._1).mkString(", ")}) — imported files are " +
+        "unvalidated; drop the constraint or load through append()")
+    val walk = Files.walk(Paths.get(srcNorm))
+    val files =
+      try walk.iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".parquet")).toSeq.sorted
+      finally walk.close()
+    require(files.nonEmpty, s"add_files: no parquet files under $sourceDir")
+    val imported = spark.read.parquet(files: _*)
+    val base = latestVersion(path).getOrElse(-1)
+    if (base >= 0) {
+      val table = read(spark, path).schema
+      val want = table.fields.map(f => f.name -> f.dataType).toMap
+      val got = imported.schema.fields.map(f => f.name -> f.dataType).toMap
+      require(want == got,
+        s"add_files: imported schema ${got.toSeq.sortBy(_._1)} does not " +
+          s"match table schema ${want.toSeq.sortBy(_._1)} — evolve the " +
+          "table first or rewrite the source")
+    }
+    val stats = collectStats(spark, files)
+    val entries = files.map { f =>
+      val (st, rows) = stats.getOrElse(f, (Map.empty[String, Seq[Double]], 0L))
+      ManifestEntry(f, srcNorm, st, bytes = Files.size(Paths.get(f)), rows = rows)
+    }
+    val (_, fieldIds) = schemaForWrite(path, base, imported.columns.toSeq)
+    val ref = writeManifest(path, entries, "data", fieldIds).copy(partial = true)
+    publishStaged(spark, path, Seq(ref), "add_files", cons)
+  }
+
   /** A refused version claim = another committer got there first.
     * Matched on the claim-path error classes so genuine I/O failures
     * still propagate. */
@@ -5835,6 +5900,52 @@ object LakeTable {
     require(refused,
       "appendsBetween across a DELETE must refuse and point at changes()")
     inc.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** Driver query: ADD_FILES import lifecycle (S12a). Evens load
+    * normally; odds land as EXTERNAL parquet that add_files registers
+    * metadata-only — require'd: the commit copies zero bytes (no new
+    * file appears under the table root; the scan LISTS the external
+    * paths in place), a schema-mismatched import refuses by name, and
+    * the rollup over both halves is the oracle surface (the full
+    * events aggregate). */
+  def addFilesQuery(s: SparkSession, d: String): DataFrame = {
+    val path = freshWorkDir("lakeaddf", d)
+    val ext = freshWorkDir("lakeaddfsrc", d)
+    val ev = graft.Tables.load(s, d, "events")
+      .select("event_id", "event_type", "value")
+    overwrite(ev.filter(col("event_id") % 2 === 0), path) // v0: evens
+    ev.filter(col("event_id") % 2 === 1).write.parquet(ext) // external odds
+    val tableFilesBefore = {
+      val walk = Files.walk(Paths.get(s"$path/data"))
+      try walk.iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".parquet")).toSet
+      finally walk.close()
+    }
+    val v = addFiles(s, path, ext)
+    require(v == 1, s"add_files must publish v1, got v$v")
+    val tableFilesAfter = {
+      val walk = Files.walk(Paths.get(s"$path/data"))
+      try walk.iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".parquet")).toSet
+      finally walk.close()
+    }
+    require(tableFilesAfter == tableFilesBefore,
+      "add_files must copy ZERO data bytes into the table root")
+    val out = read(s, path)
+    require(out.inputFiles.exists(f => plainPath(f).startsWith(ext + "/")),
+      "the scan must LIST the imported files in place")
+    val refused = try {
+      addFiles(s, path, { // wrong shape: missing the value column
+        val bad = freshWorkDir("lakeaddfbad", d)
+        ev.select("event_id", "event_type").limit(5).write.parquet(bad); bad
+      }); false
+    } catch { case e: IllegalArgumentException =>
+      e.getMessage.contains("schema") }
+    require(refused, "a schema-mismatched import must refuse by name")
+    out.groupBy("event_type")
       .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
       .orderBy("event_type")
   }

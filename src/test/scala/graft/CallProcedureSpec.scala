@@ -75,12 +75,37 @@ class CallProcedureSpec extends AnyFunSuite {
       assert(names === Set("expire_snapshots", "remove_orphan_files",
         "rewrite_data_files", "rewrite_position_delete_files",
         "rewrite_manifests", "convert_equality_deletes",
-        "refresh_materialized_view",
+        "refresh_materialized_view", "add_files",
         "rollback_to_snapshot", "rollback_to_timestamp",
         "fast_forward", "compute_table_stats"))
       val desc = spark.sql("DESCRIBE PROCEDURE callc.system.expire_snapshots")
         .collect().map(_.getString(0)).mkString(" ")
       assert(desc.contains("expire_snapshots") && desc.contains("retain_last"))
+    }
+  }
+
+  test("add_files imports metadata-only through the CALL route") {
+    SparkSpec.rmdir(wh)
+    SparkSpec.rmdir("/tmp/graft_test/callproc_addf")
+    withCat {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS callc.db")
+      spark.sql("CREATE TABLE callc.db.a (k BIGINT, v DOUBLE) USING graftlake")
+      spark.sql("INSERT INTO callc.db.a SELECT id, id * 1.0 FROM range(0, 40)")
+      spark.range(40, 70)
+        .selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+        .write.parquet("/tmp/graft_test/callproc_addf")
+      val out = spark.sql(
+        "CALL callc.system.add_files(table => 'db.a', " +
+          "source_dir => '/tmp/graft_test/callproc_addf')").head
+      assert(out.getInt(0) === 2, "import publishes v2 (create=v0, insert=v1)")
+      assert(out.getLong(1) > 0L, "files_added must count the import")
+      assert(spark.table("callc.db.a").count() === 70,
+        "the DSv2 table route reads the imported rows")
+      // in-place listing proof rides the library read (the DSv2
+      // wrapper scan is not a FileScan, so Dataset.inputFiles is
+      // empty there by Spark's own contract)
+      assert(LakeTable.read(spark, s"$wh/db/a").inputFiles
+        .exists(_.contains("callproc_addf")), "scan lists imports in place")
     }
   }
 

@@ -351,4 +351,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(all.collect().map(_.getAs[Double]("dsir_score")).min >=
       scores.last, "re-run must reproduce the same cut (deterministic)")
   }
+
+  test("ccnet_buckets: integer terciles per language, fluency ordered") {
+    val out = TextAnalysis.ccnetBucketsQuery(spark, dir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("bucket"),
+        r.getAs[Long]("n_docs"), r.getAs[Double]("cutoff_score")))
+    val byLang = out.groupBy(_._1)
+    assert(byLang.nonEmpty)
+    byLang.foreach { case (lang, rows) =>
+      val n = rows.map(_._3).sum
+      def sz(b: String) = rows.find(_._2 == b).map(_._3).getOrElse(0L)
+      // 3·rank ≤ n / 3·rank ≤ 2n boundaries ⇒ exact integer tercile sizes
+      assert(sz("head") === n / 3, s"$lang head")
+      assert(sz("middle") === 2 * n / 3 - n / 3, s"$lang middle")
+      assert(sz("tail") === n - 2 * n / 3, s"$lang tail")
+      // head = most fluent third: its WORST score still beats the
+      // middle's worst, which beats the tail's worst
+      def cut(b: String) = rows.find(_._2 == b).map(_._4)
+      for (h <- cut("head"); m <- cut("middle")) assert(h >= m, lang)
+      for (m <- cut("middle"); t <- cut("tail")) assert(m >= t, lang)
+    }
+  }
 }
