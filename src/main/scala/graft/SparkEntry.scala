@@ -201,6 +201,7 @@ object SparkEntry {
     "lake_mv_incremental" -> (sources.GraftMaterializedViews.incrementalMvQuery _),
     "lake_incremental_append" -> (sources.LakeTable.incrementalAppendQuery _),
     "lake_add_files" -> (sources.LakeTable.addFilesQuery _),
+    "lake_position_deletes" -> (sources.LakeTable.positionDeletesQuery _),
     "lake_all_files" -> (sources.LakeTable.allFilesQuery _),
     "lake_rewrite_manifests" -> (sources.LakeTable.rewriteManifestsQuery _),
     "lake_row_lineage" -> (sources.LakeTable.rowLineageQuery _),
@@ -1334,6 +1335,23 @@ object SparkEntry {
     "lake_add_files" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // lake_position_deletes: per-kind census of the row-level
+    // delete positions over a deterministically-ordered single file
+    // (row_index = rank among sorted evens; the DV phase deletes
+    // over the VISIBLE state, so the %70 overlap stays with posdel)
+    "lake_position_deletes" ->
+      """WITH ev AS (SELECT event_id,
+        |              row_number() OVER (ORDER BY event_id) - 1 AS pos
+        |            FROM events WHERE event_id % 2 = 0)
+        |SELECT * FROM (
+        |  SELECT 'dv' AS kind, count(*) AS n_positions,
+        |         CAST(1 AS BIGINT) AS n_target_files,
+        |         CAST(sum(pos) AS BIGINT) AS sum_pos
+        |  FROM ev WHERE event_id % 14 = 0 AND event_id % 10 <> 0
+        |  UNION ALL
+        |  SELECT 'posdel', count(*), CAST(1 AS BIGINT), CAST(sum(pos) AS BIGINT)
+        |  FROM ev WHERE event_id % 10 = 0
+        |) ORDER BY kind""".stripMargin,
     // lake_rewrite_manifests: the rollup reads THROUGH the
     // consolidated manifest state (per-entry seq pins, multi-base
     // assembly, posdel subtraction across the fold); the

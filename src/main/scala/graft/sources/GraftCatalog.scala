@@ -317,6 +317,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         Some(new GraftLocalTable(
           s"${ident.namespace.mkString(".")}.entries",
           LakeTable.entries(spark, parent)))
+      case "position_deletes" =>
+        // one row per deleted position (posdel rows + expanded DV
+        // bits). O(deleted rows) — the same LocalScan honesty rule:
+        // refuse past the threshold by the claimed delete-row bound
+        // a DV manifest's n_rows counts BITMAPS, not set bits, so the
+        // honest bound is a distributed count of the frame itself
+        // (O(delete files) work, one small job — never driver rows)
+        val pd = LakeTable.positionDeletes(spark, parent)
+        val claimed = pd.count()
+        require(claimed <= LakeTable.DistributedPlanThreshold,
+          s"$parent claims $claimed position-delete rows — the " +
+            "`position_deletes` SQL surface is driver-local and stops at " +
+            s"the distributed-plan threshold " +
+            s"(${LakeTable.DistributedPlanThreshold}); read " +
+            "LakeTable.positionDeletes(spark, path) instead (one " +
+            "distributed job)")
+        Some(new GraftLocalTable(
+          s"${ident.namespace.mkString(".")}.position_deletes", pd))
       case "all_manifests" =>
         // one row per (snapshot, manifest) — pure list metadata
         Some(new GraftLocalTable(

@@ -3746,6 +3746,59 @@ object LakeTable {
       .orderBy("manifest", "file")
   }
 
+  /** The `position_deletes` metadata table (Iceberg's): one row per
+    * deleted POSITION visible at the snapshot — the target data file,
+    * the row index, the delete file carrying it, the representation
+    * (`posdel` row-list | `dv` bitmap), and the delete's
+    * data-sequence-number. DV bitmaps expand to their set bits in one
+    * distributed pass (flatMap over the bitmap bytes — output bounded
+    * by DELETED rows, the thing this table enumerates); posdel files
+    * stream through unchanged. O(delete files + deleted rows), zero
+    * data files opened. EQUALITY deletes are key-granular — no
+    * position exists until a scan resolves them — so they surface
+    * through `entries`/`files`, never here (Iceberg's table draws the
+    * same line). The debug plane for "which exact rows does this DV
+    * suppress": [[morDeletedCounts]] gives the counts, this gives the
+    * positions. */
+  def positionDeletes(
+      spark: SparkSession, path: String, version: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val v = version.orElse(latestVersion(path)).getOrElse(
+      throw new IllegalArgumentException(s"no snapshots at $path"))
+    val refs = listRefs(path, v)
+    val plain = (c: org.apache.spark.sql.Column) =>
+      regexp_replace(c, "^file:(//)?", "")
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "file_path STRING, pos LONG, delete_file STRING, " +
+          "kind STRING, seq INT"))
+    val parts =
+      refs.filter(r => r.kind == "posdel" && r.nFiles > 0).map { r =>
+        refScan(spark, r).select(
+          plain(col("file_path")).as("file_path"),
+          col("row_index").as("pos"),
+          plain(input_file_name()).as("delete_file"),
+          lit("posdel").as("kind"), lit(r.seq).as("seq"))
+      } ++
+      refs.filter(r => r.kind == "dv" && r.nFiles > 0).map { r =>
+        refScan(spark, r)
+          .select(plain(col("file_path")).as("f"), col("dv").as("b"),
+            plain(input_file_name()).as("df"))
+          .as[(String, Array[Byte], String)]
+          .flatMap { case (f, b, df) =>
+            for {
+              i <- b.indices if b(i) != 0
+              bit <- 0 until 8 if (b(i) & (1 << bit)) != 0
+            } yield (f, (i.toLong << 3) | bit, df)
+          }
+          .toDF("file_path", "pos", "delete_file")
+          .select(col("file_path"), col("pos"), col("delete_file"),
+            lit("dv").as("kind"), lit(r.seq).as("seq"))
+      }
+    parts.foldLeft(empty)(_.unionByName(_)).orderBy("file_path", "pos", "seq")
+  }
+
   /** Driver-side probe positions of `value` for a (bits, k) bloom —
     * must agree bit-for-bit with [[withBloom]]'s distributed
     * xxhash64(col, seed_j) (same Catalyst expression, seed 42). */
@@ -5902,6 +5955,39 @@ object LakeTable {
     inc.groupBy("event_type")
       .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
       .orderBy("event_type")
+  }
+
+  /** Driver query: POSITION_DELETES metadata table (S12b). One
+    * deterministically-ordered data file (repartition(1) +
+    * sortWithinPartitions pins row_index = rank among sorted evens),
+    * then BOTH row-level representations land: a posdel list
+    * (event_id%10=0) and a DV bitmap over the VISIBLE remainder
+    * (event_id%14=0 — the %70 overlap is already suppressed, exactly
+    * the visible-state delete contract). The per-kind position
+    * census (count, target files, sum of row indexes) is the oracle
+    * surface — the oracle recomputes every row index from rank
+    * arithmetic; the delete seq ordering is require'd in-query. */
+  def positionDeletesQuery(s: SparkSession, d: String): DataFrame = {
+    val path = freshWorkDir("lakeposd", d)
+    val ev = graft.Tables.load(s, d, "events")
+      .select("event_id", "event_type", "value")
+    overwrite(ev.filter(col("event_id") % 2 === 0)
+      .repartition(1).sortWithinPartitions("event_id"), path) // v0
+    deleteMoRPositional(s, path, col("event_id") % 10 === 0) // v1
+    deleteMoRVector(s, path, col("event_id") % 14 === 0) // v2
+    val pd = positionDeletes(s, path)
+    val seqs = pd.groupBy("kind").agg(min("seq").as("mn"), max("seq").as("mx"))
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getInt(2))).toMap
+    require(seqs.get("posdel").contains((1, 1)) && seqs.get("dv").contains((2, 2)),
+      s"delete sequence numbers must pin the commit order, got $seqs")
+    require(pd.select("delete_file").distinct().count() == 2,
+      "each representation rides its own delete file")
+    pd.groupBy("kind")
+      .agg(
+        count(lit(1)).as("n_positions"),
+        countDistinct("file_path").as("n_target_files"),
+        sum("pos").as("sum_pos"))
+      .orderBy("kind")
   }
 
   /** Driver query: ADD_FILES import lifecycle (S12a). Evens load

@@ -199,6 +199,53 @@ class MorMetadataSpec extends AnyFunSuite {
       minCols = Seq("v"), maxCols = Nil, needCount = true).isEmpty)
   }
 
+  test("position_deletes lists every suppressed position, both representations") {
+    val p = "/tmp/graft_test/mormeta_pdt"
+    SparkSpec.rmdir(p)
+    LakeTable.overwrite(
+      (0 until 100).map(i => (i.toLong, i * 1.0)).toDF("k", "v")
+        .repartition(1).sortWithinPartitions("k"), p)
+    LakeTable.deleteMoRPositional(spark, p, col("k") < 10L) // v1: pos 0..9
+    LakeTable.deleteMoRVector(spark, p, col("k") >= 95L) // v2: pos 95..99
+    val pd = LakeTable.positionDeletes(spark, p).collect()
+      .map(r => (r.getAs[Long]("pos"), r.getAs[String]("kind"),
+        r.getAs[Int]("seq")))
+    assert(pd.filter(_._2 == "posdel").map(_._1).sorted.toSeq ===
+      (0L until 10L), "posdel rows list their indexes verbatim")
+    assert(pd.filter(_._2 == "dv").map(_._1).sorted.toSeq ===
+      (95L until 100L), "DV bitmaps expand to their set bits")
+    assert(pd.forall(r => if (r._2 == "posdel") r._3 == 1 else r._3 == 2),
+      "each position carries its delete's sequence number")
+    // equality deletes are key-granular — no position exists
+    LakeTable.deleteMoR(spark, p, "k", col("k") === 50L) // v3
+    assert(LakeTable.positionDeletes(spark, p).count() === 15L,
+      "equality deletes never surface in position_deletes")
+    // the consolidation fold preserves the position set as DVs
+    LakeTable.rewritePositionDeletes(spark, p) // v4
+    val folded = LakeTable.positionDeletes(spark, p).collect()
+      .map(r => (r.getAs[Long]("pos"), r.getAs[String]("kind")))
+    assert(folded.map(_._1).sorted.toSeq ===
+      ((0L until 10L) ++ (95L until 100L)),
+      "rewrite_position_delete_files preserves the position set")
+    assert(folded.forall(_._2 == "dv"), "the folded representation is DV")
+    // SQL route (threshold-guarded LocalScan, same rule as entries)
+    spark.conf.set("spark.sql.catalog.pdt", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.pdt.warehouse", "/tmp/graft_test/mormeta_pdt_wh")
+    try {
+      SparkSpec.rmdir("/tmp/graft_test/mormeta_pdt_wh/db")
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS pdt.db")
+      spark.sql("CREATE TABLE pdt.db.t (k BIGINT, v DOUBLE) USING graftlake")
+      spark.sql("INSERT INTO pdt.db.t SELECT id, CAST(id AS DOUBLE) FROM range(0, 50)")
+      LakeTable.deleteMoRVector(spark,
+        "/tmp/graft_test/mormeta_pdt_wh/db/t", col("k") < 5L)
+      assert(spark.sql("SELECT count(*) FROM pdt.db.t.position_deletes")
+        .head().getLong(0) === 5L)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.pdt")
+      spark.conf.unset("spark.sql.catalog.pdt.warehouse")
+    }
+  }
+
   test("stale delete rows referencing dropped files do not undercount") {
     val p = "/tmp/graft_test/mormeta_stale"
     SparkSpec.rmdir(p)
