@@ -207,6 +207,7 @@ object SparkEntry {
     "lake_row_lineage" -> (sources.LakeTable.rowLineageQuery _),
     "lake_wire_arbitrated_commit" -> (sources.LakeTable.wireArbitratedCommitQuery _),
     "lake_txn_commit" -> (sources.LakeTable.txnCommitQuery _),
+    "lake_stream_fanout" -> (sources.LakeTable.streamFanOutQuery _),
     "lake_snapshots_meta" -> (sources.LakeTable.snapshotsMetaQuery _),
     "lake_call_maintenance" -> (sources.LakeTable.callMaintenanceQuery _),
     "lake_lineage_cdc" -> (sources.LakeTable.lineageCdcQuery _),
@@ -1375,6 +1376,18 @@ object SparkEntry {
         |       round(sum(value), 6) AS sum_value
         |FROM events WHERE event_id % 4 IN (1, 3) GROUP BY event_type
         |ORDER BY tbl, event_type""".stripMargin,
+    // lake_stream_fanout: the evens/odds split of the full events
+    // table, landed through per-micro-batch transactions (ledger +
+    // replay no-op + head alignment require'd in-query)
+    "lake_stream_fanout" ->
+      """SELECT * FROM (
+        |  SELECT 'evens' AS tbl, event_type, count(*) AS n,
+        |         round(sum(value), 6) AS sum_value
+        |  FROM events WHERE event_id % 2 = 0 GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 'odds', event_type, count(*), round(sum(value), 6)
+        |  FROM events WHERE event_id % 2 = 1 GROUP BY event_type
+        |) ORDER BY tbl, event_type""".stripMargin,
     // lake_wire_arbitrated_commit: every arbitration round trip
     // crosses a real loopback socket (refused claim drives the rebase
     // — require'd in-query); no row lost or doubled

@@ -853,7 +853,10 @@ object LakeTable {
     * REST catalog's server-held pointers remove. */
   def appendTransaction(
       spark: SparkSession, batches: Seq[(DataFrame, String)],
-      maxAttempts: Int = 20): Seq[Int] = {
+      maxAttempts: Int = 20,
+      // optional replay-ledger entry recorded atomically with EVERY
+      // table's commit — [[fanOutExactlyOnce]]'s idempotence anchor
+      ledger: Option[(String, Long)] = None): Seq[Int] = {
     require(batches.nonEmpty, "appendTransaction: no batches")
     val keys = batches.map(b => normArbPath(b._2))
     require(keys.distinct.size == keys.size,
@@ -882,7 +885,7 @@ object LakeTable {
         // past the grace) can proceed
         val done = scala.collection.mutable.ListBuffer.empty[Int]
         try {
-          batches.foreach { case (df, p) => done += append(df, p) }
+          batches.foreach { case (df, p) => done += appendLedgered(df, p, ledger) }
           return done.toSeq
         } catch {
           case e: Throwable =>
@@ -901,6 +904,72 @@ object LakeTable {
       Thread.sleep(math.min(50L * attempt, 500L)) // bounded backoff, then rebase
     }
     Nil // unreachable
+  }
+
+  /** [[append]] with an optional replay-ledger entry recorded
+    * atomically with the commit — both the plain and the
+    * hidden-partitioned staging route land through [[publishStaged]],
+    * so the ledger rides whichever layout the table declares. */
+  private def appendLedgered(
+      df: DataFrame, path: String, txn: Option[(String, Long)]): Int = {
+    val spec = partitionSpecOf(path)
+    val cons = activeConstraints(path)
+    val staged =
+      if (spec.nonEmpty) stageHidden(df, path, spec).toSeq
+      else stageManifest(df, path).toSeq
+    publishStaged(df.sparkSession, path, staged, "append", cons, txn)
+  }
+
+  /** EXACTLY-ONCE MULTI-TABLE STREAMING FAN-OUT (S12c): the
+    * foreachBatch helper composing [[appendTransaction]]'s
+    * all-or-nothing version claims with the streaming sink's replay
+    * ledger (the per-version (queryId → epochId) transaction map —
+    * Delta's SetTransaction shape). Per micro-batch:
+    *
+    *  1. tables whose ledger already records this query at a batch
+    *     ≥ `batchId` are REPLAYS — skipped (None), their state
+    *     untouched: a restart from an older checkpoint re-offers
+    *     batches some tables already hold;
+    *  2. the remaining tables commit through ONE transaction —
+    *     all-or-nothing claims on the shared catalog arbiter, each
+    *     commit recording the ledger entry atomically with its
+    *     version.
+    *
+    * The partial-replay matrix is exactly the crash-recovery story:
+    * a crash between the per-table publishes (the documented
+    * path-catalog non-atomicity of S11i — claims are atomic, renames
+    * are not) leaves table A at batch n and table B behind; the
+    * replay filters A out and lands B alone, converging both tables
+    * to every batch EXACTLY ONCE. Spark guarantees one active run
+    * per checkpoint, so the filter-then-claim window admits no
+    * concurrent duplicate of the same query; unrelated writers
+    * contend through the ordinary claim/rebase loop.
+    *
+    * Use from foreachBatch:
+    * {{{
+    *   ds.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+    *     LakeTable.fanOutExactlyOnce(spark, Seq(
+    *       (batch.filter($"k" % 2 === 0), evensTable),
+    *       (batch.filter($"k" % 2 === 1), oddsTable)), queryId, id)
+    *   }
+    * }}}
+    *
+    * Returns one Option per input table: Some(version) committed,
+    * None skipped as a replay. */
+  def fanOutExactlyOnce(
+      spark: SparkSession, batches: Seq[(DataFrame, String)],
+      queryId: String, batchId: Long): Seq[Option[Int]] = {
+    require(batches.nonEmpty, "fanOutExactlyOnce: no batches")
+    val replayed = batches.map { case (_, p) =>
+      latestVersion(p).exists(v =>
+        txnsOf(p, v).get(queryId).exists(_ >= batchId))
+    }
+    val fresh = batches.zip(replayed).collect { case (b, false) => b }
+    if (fresh.isEmpty) return batches.map(_ => None)
+    val committed =
+      appendTransaction(spark, fresh, ledger = Some(queryId -> batchId))
+    val it = committed.iterator
+    batches.zip(replayed).map { case (_, r) => if (r) None else Some(it.next()) }
   }
 
   /** Stage `df` as data files + one manifest; None when the frame
@@ -1501,7 +1570,11 @@ object LakeTable {
       // by the caller BEFORE staging began (a snapshot taken here
       // would already include a constraint added during the long
       // data-file write — exactly the unvalidated window to refuse)
-      consAtStage: Seq[(String, String)]): Int = {
+      consAtStage: Seq[(String, String)],
+      // (queryId → epochId) replay-ledger entry to record atomically
+      // with the commit — the streaming sink's SetTransaction shape,
+      // threaded here so [[fanOutExactlyOnce]] rides one commit path
+      txn: Option[(String, Long)] = None): Int = {
     // if a racer lands NEW constraints before our claim, the rebase
     // must NOT silently publish rows never checked against them
     // (TOCTOU) — fail loudly so the caller re-stages under the gate
@@ -1515,7 +1588,7 @@ object LakeTable {
           "the staged batch was not validated against the new set; re-stage")
       val prev = if (base >= 0) listRefs(path, base) else Nil
       try {
-        return commitRefs(spark, path, base, prev ++ fresh, op)
+        return commitRefs(spark, path, base, prev ++ fresh, op, txn = txn)
       } catch {
         case e: Exception if isVersionConflict(e) && attempt < MaxCommitRetries =>
           attempt += 1 // racer won this version: rebase on its snapshot
@@ -5695,6 +5768,86 @@ object LakeTable {
     * BOTH tables and retries (require'd: exactly one rebase, final
     * versions a=2/b=1, the catalog's heads in agreement). The rollup
     * over both tables is the oracle surface. */
+  /** Driver query: EXACTLY-ONCE STREAMING FAN-OUT to two lake tables
+    * (S12c) under a REAL Structured Streaming run — the events table
+    * micro-batched file-by-file through foreachBatch, each batch
+    * split (evens → A, odds → B) and landed through ONE
+    * [[fanOutExactlyOnce]] transaction per batch on a REST-shaped
+    * HTTP catalog arbiter. Require'd in-query: one version per batch
+    * per table (the ledger recorded each), a deliberate REPLAY of an
+    * already-ledgered batch commits NOTHING anywhere, and the
+    * arbiter's heads match both tables. The rollup over both tables
+    * is the full events aggregate — the oracle surface. */
+  def streamFanOutQuery(s: SparkSession, d: String): DataFrame = {
+    val pa = freshWorkDir("lakefoa", d)
+    val pb = freshWorkDir("lakefob", d)
+    val src = freshWorkDir("lakefosrc", d)
+    val ev = graft.Tables.load(s, d, "events")
+      .select("event_id", "event_type", "value")
+    val nBatches = 3
+    ev.repartition(nBatches).write.parquet(src)
+    // seed both targets at v0 (empty snapshot): the transaction's
+    // observed-base contract — like Iceberg's — claims versions on
+    // EXISTING tables; create precedes the stream
+    overwrite(ev.limit(0), pa)
+    overwrite(ev.limit(0), pb)
+    val srv = new CatalogHttpServer()
+    val http = new HttpCatalogArbiter("127.0.0.1", srv.port)
+    setCommitArbiter(pa, http)
+    setCommitArbiter(pb, http)
+    val qid = "fanout-driver-query"
+    try {
+      val schema = s.read.parquet(src).schema
+      val q = s.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream
+        .option("checkpointLocation", s"$src/_chk")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          fanOutExactlyOnce(batch.sparkSession, Seq(
+            (batch.filter(col("event_id") % 2 === 0), pa),
+            (batch.filter(col("event_id") % 2 === 1), pb)), qid, id)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      require(latestVersion(pa).contains(nBatches) &&
+          latestVersion(pb).contains(nBatches),
+        s"one transactional commit per micro-batch per table on top of " +
+          s"the v0 seed, got ${latestVersion(pa)}/${latestVersion(pb)}")
+      Seq(pa, pb).foreach { p =>
+        require(txnsOf(p, latestVersion(p).get).get(qid)
+            .contains((nBatches - 1).toLong),
+          s"the replay ledger at $p must record the final batch")
+      }
+      // a restart re-offering an already-ledgered batch is a no-op
+      val replay = fanOutExactlyOnce(s, Seq(
+        (ev.limit(1), pa), (ev.limit(1), pb)), qid, 0L)
+      require(replay.forall(_.isEmpty),
+        s"replaying a ledgered batch must skip every table, got $replay")
+      require(latestVersion(pa).contains(nBatches) &&
+          latestVersion(pb).contains(nBatches),
+        "the replay must not move either table")
+      require(srv.headOf(normArbPath(pa)) == nBatches &&
+          srv.headOf(normArbPath(pb)) == nBatches,
+        "the catalog's claimed heads must match both tables")
+    } finally {
+      setCommitArbiter(pa, RenameArbiter)
+      setCommitArbiter(pb, RenameArbiter)
+      http.close(); srv.close()
+    }
+    val roll = (p: String, tbl: String) => read(s, p)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+      .withColumn("tbl", lit(tbl))
+    roll(pa, "evens").unionByName(roll(pb, "odds"))
+      .select("tbl", "event_type", "n", "sum_value")
+      .orderBy("tbl", "event_type")
+  }
+
   def txnCommitQuery(s: SparkSession, d: String): DataFrame = {
     val pa = freshWorkDir("laketxna", d)
     val pb = freshWorkDir("laketxnb", d)

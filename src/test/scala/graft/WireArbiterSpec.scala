@@ -373,4 +373,49 @@ class WireArbiterSpec extends AnyFunSuite {
       LakeTable.setCommitArbiter(p2, RenameArbiter)
     }
   }
+
+  test("FANOUT: the replay ledger makes the multi-table txn exactly-once") {
+    val (p1, p2) = ("/tmp/graft_test/fo_t1", "/tmp/graft_test/fo_t2")
+    SparkSpec.rmdir(p1); SparkSpec.rmdir(p2)
+    LakeTable.overwrite(Seq((0L, "seed")).toDF("k", "tag"), p1)
+    LakeTable.overwrite(Seq((0L, "seed")).toDF("k", "tag"), p2)
+    val inner = new graft.sources.InProcessCatalogArbiter()
+    val w = new graft.sources.OwnedArbiter(inner, "fanout")
+    LakeTable.setCommitArbiter(p1, w)
+    LakeTable.setCommitArbiter(p2, w)
+    def batch(tag: String) = Seq((1L, tag)).toDF("k", "tag")
+    val q = "fanout-query"
+    try {
+      // batch 0 lands everywhere through one transaction
+      val r0 = LakeTable.fanOutExactlyOnce(spark,
+        Seq((batch("b0"), p1), (batch("b0"), p2)), q, 0L)
+      assert(r0 === Seq(Some(1), Some(1)))
+      // a full replay of batch 0 is a no-op on every table
+      val r0again = LakeTable.fanOutExactlyOnce(spark,
+        Seq((batch("dup"), p1), (batch("dup"), p2)), q, 0L)
+      assert(r0again === Seq(None, None))
+      assert(LakeTable.read(spark, p1).count() === 2)
+      // PARTIAL replay — the crash-between-publishes recovery: land
+      // batch 1 on table 1 alone (the crash left table 2 behind)...
+      assert(LakeTable.fanOutExactlyOnce(spark,
+        Seq((batch("b1"), p1)), q, 1L) === Seq(Some(2)))
+      // ...the restart re-offers batch 1 to BOTH; only table 2 moves
+      val r1 = LakeTable.fanOutExactlyOnce(spark,
+        Seq((batch("b1"), p1), (batch("b1"), p2)), q, 1L)
+      assert(r1 === Seq(None, Some(2)),
+        "partial replay must converge the lagging table alone")
+      assert(LakeTable.read(spark, p1).count() === 3)
+      assert(LakeTable.read(spark, p2).count() === 3)
+      // the ledger is monotone: an OLDER batch id than recorded skips
+      assert(LakeTable.fanOutExactlyOnce(spark,
+        Seq((batch("old"), p1), (batch("old"), p2)), q, 0L) ===
+        Seq(None, None))
+      // a DIFFERENT query's ledger is independent
+      assert(LakeTable.fanOutExactlyOnce(spark,
+        Seq((batch("other"), p1)), "other-query", 0L) === Seq(Some(3)))
+    } finally {
+      LakeTable.setCommitArbiter(p1, RenameArbiter)
+      LakeTable.setCommitArbiter(p2, RenameArbiter)
+    }
+  }
 }
