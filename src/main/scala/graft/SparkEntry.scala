@@ -87,6 +87,9 @@ object SparkEntry {
     // SemDeDup: cluster-bounded semantic dedup; rounded-everywhere
     // arithmetic makes the WHOLE algorithm oracle-replayable
     "semdedup" -> ((s, d) => llm.Similarity.semDeDupQuery(s, d)),
+    // hard-negative mining: LSH-bucketed candidates, banded cosine,
+    // rank on the rounded value — fully oracle-replayable
+    "hard_negatives" -> ((s, d) => llm.Similarity.hardNegatives(s, d)),
     "label_cohesion" -> (llm.Similarity.labelCohesion _),
     "chi2_lang_label" -> (llm.Similarity.chi2LangLabel _),
     "doc_embedding_join" -> (llm.Similarity.docEmbeddingJoin _),
@@ -1112,6 +1115,38 @@ object SparkEntry {
         |       round(sum(m.cell_sim), 4) AS sum_cell_sim
         |FROM m LEFT JOIN drp ON drp.avid = m.vid
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // hard_negatives: per-anchor top-k inside the [0, 0.95) cosine
+    // band over 4-plane LSH buckets — buckets, band and rank all
+    // replayed exactly by the oracle
+    "hard_negatives" ->
+      """WITH corpus AS (SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |       FROM embeddings),
+        |proj AS (SELECT vec_id, p,
+        |                list_sum(list_transform(range(len(v)),
+        |                  i -> v[i+1] * (CASE WHEN ((i*31 + p*17) % 7) % 2 = 0
+        |                                 THEN 1.0 ELSE -1.0 END))) AS pr
+        |         FROM corpus, (SELECT unnest(range(4)) AS p)),
+        |buck AS (SELECT vec_id,
+        |                CAST(sum(CASE WHEN pr > 0 THEN CAST(pow(2, p) AS BIGINT)
+        |                          ELSE 0 END) AS BIGINT) AS bucket
+        |         FROM proj GROUP BY 1),
+        |e AS (SELECT vec_id, unnest(v) AS x, unnest(range(len(v))) AS i FROM corpus),
+        |n AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM e GROUP BY 1),
+        |d AS (SELECT a.vec_id AS qid, b.vec_id AS vid, sum(a.x * b.x) AS dp
+        |      FROM e a JOIN e b ON a.i = b.i AND b.vec_id != a.vec_id
+        |      JOIN buck ba ON ba.vec_id = a.vec_id
+        |      JOIN buck bb ON bb.vec_id = b.vec_id AND ba.bucket = bb.bucket
+        |      WHERE a.vec_id < 20 GROUP BY 1, 2),
+        |sc AS (SELECT qid, vid, round(dp / (na.nrm * nb.nrm), 6) AS cos_sim
+        |       FROM d JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = vid
+        |       WHERE round(dp / (na.nrm * nb.nrm), 6) >= 0.0
+        |         AND round(dp / (na.nrm * nb.nrm), 6) < 0.95)
+        |SELECT qid, CAST(rn AS INT) AS "rank", vid AS vec_id, cos_sim FROM (
+        |  SELECT qid, vid, cos_sim,
+        |         row_number() OVER (PARTITION BY qid
+        |                            ORDER BY cos_sim DESC, vid) AS rn FROM sc)
+        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
     // knn_topk_agg: heap-aggregate plan, identical results/oracle as brute force
     "knn_topk_agg" ->
       """WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,

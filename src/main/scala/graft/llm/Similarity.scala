@@ -424,6 +424,42 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** L18: HARD-NEGATIVE MINING — the contrastive-training data-prep
+    * op (DPR, Karpukhin et al. 2020; SimCSE): per anchor, the top-k
+    * most similar candidates INSIDE a similarity band [lo, hi) —
+    * similar enough to be informative negatives, strictly below the
+    * near-duplicate ceiling (an actual positive mined as a negative
+    * poisons the contrastive loss; `hi` is the same threshold the
+    * near-dup family deduplicates at).
+    *
+    * Scale shape: candidates come from the SAME random-hyperplane
+    * LSH-bucket equi-join the near-dup path uses — never all-pairs;
+    * nPlanes tunes bucket width (fewer planes = wider buckets = more
+    * candidates per anchor, the recall/cost knob). Everything is
+    * rounded-before-compare (bucket signs are exact arithmetic, the
+    * band test and the rank run on the 6-dp cosine with vec_id
+    * tie-break), so the DuckDB oracle replays buckets, band, and
+    * ranking bit-for-bit — hash-green, no recall gate needed. */
+  def hardNegatives(
+      s: SparkSession, d: String, k: Int = 5, nAnchors: Int = 20,
+      lo: Double = 0.0, hi: Double = 0.95, nPlanes: Int = 4): DataFrame = {
+    val emb = embWithNorm(s, d)
+      .withColumn("bucket", lshBucket(col("v"), nPlanes))
+    val anchors = emb.filter(col("vec_id") < nAnchors)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket").as("qbucket"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
+    emb.join(broadcast(anchors),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= lo && col("cos_sim") < hi)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("cos_sim"))
+      .orderBy("qid", "rank")
+  }
+
   /** The SemDeDup corpus: originals ∪ deterministically perturbed
     * variants (+1M ids, [[embeddingNearDup]]'s per-dim ±4% scaling) —
     * the driver embeddings are random, so true semantic duplicates

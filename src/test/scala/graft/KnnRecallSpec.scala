@@ -96,6 +96,28 @@ class KnnRecallSpec extends AnyFunSuite {
     assert(rKm >= 0.25, s"kmeans-IVF recall collapsed: $rKm")
   }
 
+  test("hard_negatives: band bounds hold, ranks dense, ceiling excludes near-dups") {
+    val out = Similarity.hardNegatives(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val cos = r.getAs[Double]("cos_sim")
+      assert(cos >= 0.0 && cos < 0.95, s"banded cosine out of range: $cos")
+      assert(r.getAs[Long]("qid") !== r.getAs[Long]("vec_id"),
+        "an anchor must never mine itself")
+    }
+    out.groupBy(_.getAs[Long]("qid")).foreach { case (q, rows) =>
+      val ranks = rows.map(_.getAs[Int]("rank")).sorted.toSeq
+      assert(ranks === (1 to ranks.size), s"anchor $q ranks must be dense")
+      val scores = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos_sim"))
+      assert(scores === scores.sorted.reverse, s"anchor $q order by similarity")
+    }
+    // a tighter ceiling strictly filters: every survivor under hi=0.5
+    // must sit below 0.5, and the set is the [0, 0.5) restriction
+    val tight = Similarity.hardNegatives(spark, dir, hi = 0.5).collect()
+    assert(tight.forall(_.getAs[Double]("cos_sim") < 0.5))
+    assert(tight.nonEmpty && tight.length <= 100)
+  }
+
   test("the declared gate queries agree with this spec's floors") {
     // the oracle asserts recall_floor_met as literal true, so the
     // gates must be green on the same data this spec measures
