@@ -513,21 +513,25 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("nrm"), col("cell_id"), col("cell_sim"))
     val nPart = corpus.sparkSession.conf
       .get("spark.sql.shuffle.partitions", "32").toInt
-    // one exchange on cell_id feeds both self-join legs
+    // ONE exchange on cell_id feeds both self-join legs — the legs
+    // carry identical column sets, so ReuseExchange computes the
+    // assignment (its own per-vec_id window shuffle) exactly once
     val m = assigned.repartition(nPart, col("cell_id"))
     val earlier = // b strictly precedes a in the keep order
       (col("b.cell_sim") < col("a.cell_sim")) ||
         (col("b.cell_sim") === col("a.cell_sim") &&
           col("b.vec_id") < col("a.vec_id"))
-    val dropped = m.as("a").join(m.as("b"),
+    // one LEFT-OUTER pair join + a per-member re-aggregation flags
+    // dropped members in a single pass — no semi-join + join-back
+    // pair that would walk the assignment a third time
+    m.as("a").join(m.as("b"),
         col("a.cell_id") === col("b.cell_id") && earlier &&
           round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6)
             >= eps,
-        "left_semi")
-      .select(col("vec_id"), lit(true).as("is_dropped"))
-    assigned.join(dropped, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cell_id"), col("cell_sim"),
-        coalesce(col("is_dropped"), lit(false)).as("is_dropped"))
+        "left_outer")
+      .groupBy(col("a.vec_id").as("vec_id"), col("a.cell_id").as("cell_id"),
+        col("a.cell_sim").as("cell_sim"))
+      .agg((count(col("b.vec_id")) > 0).as("is_dropped"))
   }
 
   /** Driver query: per-cluster SemDeDup census — members, drops, and
