@@ -205,6 +205,7 @@ object SparkEntry {
     "lake_incremental_append" -> (sources.LakeTable.incrementalAppendQuery _),
     "lake_add_files" -> (sources.LakeTable.addFilesQuery _),
     "lake_position_deletes" -> (sources.LakeTable.positionDeletesQuery _),
+    "lake_filtered_rewrite" -> (sources.LakeTable.filteredRewriteQuery _),
     "lake_all_files" -> (sources.LakeTable.allFilesQuery _),
     "lake_rewrite_manifests" -> (sources.LakeTable.rewriteManifestsQuery _),
     "lake_row_lineage" -> (sources.LakeTable.rowLineageQuery _),
@@ -1371,6 +1372,13 @@ object SparkEntry {
     "lake_add_files" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // lake_filtered_rewrite: where-scoped binpack — file selection
+    // from manifest stats folds only the in-scope half (carried
+    // original paths + fold require'd in-query); reads unchanged
+    "lake_filtered_rewrite" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events WHERE event_id % 2 = 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // lake_position_deletes: per-kind census of the row-level
     // delete positions over a deterministically-ordered single file
     // (row_index = rank among sorted evens; the DV phase deletes

@@ -78,6 +78,59 @@ private[sources] object GraftProcedures {
 
   private def one(vs: Any*): Seq[Seq[Any]] = Seq(vs.toSeq)
 
+  /** A `where` string → the repo's (column, lo, hi) stat boxes.
+    * Supported: conjunctions of numeric `>= > <= < = BETWEEN` over
+    * plain columns (BETWEEN parses to the >=/<= pair). Strict
+    * bounds widen to inclusive — FILE selection is conservative by
+    * contract, so admitting a boundary-only file is correct (its
+    * rows are untouched either way). Anything else refuses by name:
+    * silently ignoring a predicate would "compact everything" when
+    * the caller asked for a slice. */
+  private def whereBoxes(
+      spark: SparkSession, where: String): Seq[(String, Double, Double)] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions._
+    def num(l: Any): Option[Double] = l match {
+      case n: java.lang.Number => Some(n.doubleValue)
+      case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+      case _ => None
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def nameOf(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.name)
+      case _ => None
+    }
+    val parsed = spark.sessionState.sqlParser.parseExpression(where)
+    conjuncts(parsed).flatMap { c =>
+      val box: Option[Seq[(String, Double, Double)]] = c match {
+        // Spark 4 parses BETWEEN to an unresolved function call
+        case org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+            Seq("between"), Seq(a, Literal(lo, _), Literal(hi, _)), _, _, _, _, _) =>
+          nameOf(a).flatMap(n => num(lo).zip(num(hi)).map { case (l, h) =>
+            Seq((n, l, Double.PositiveInfinity), (n, Double.NegativeInfinity, h))
+          })
+        case GreaterThanOrEqual(a, Literal(v, _)) =>
+          nameOf(a).zip(num(v)).map { case (n, d) => Seq((n, d, Double.PositiveInfinity)) }
+        case GreaterThan(a, Literal(v, _)) =>
+          nameOf(a).zip(num(v)).map { case (n, d) => Seq((n, d, Double.PositiveInfinity)) }
+        case LessThanOrEqual(a, Literal(v, _)) =>
+          nameOf(a).zip(num(v)).map { case (n, d) => Seq((n, Double.NegativeInfinity, d)) }
+        case LessThan(a, Literal(v, _)) =>
+          nameOf(a).zip(num(v)).map { case (n, d) => Seq((n, Double.NegativeInfinity, d)) }
+        case EqualTo(a, Literal(v, _)) =>
+          nameOf(a).zip(num(v)).map { case (n, d) => Seq((n, d, d)) }
+        case _ => None
+      }
+      box.getOrElse(throw new IllegalArgumentException(
+        s"rewrite_data_files where-clause: unsupported predicate '${c.sql}' — " +
+          "use conjunctions of numeric >=, >, <=, <, =, BETWEEN over " +
+          "plain columns (file selection works from manifest stat ranges)"))
+    }
+  }
+
   def names: Seq[String] = Seq(
     "expire_snapshots", "remove_orphan_files", "rewrite_data_files",
     "rewrite_position_delete_files", "rewrite_manifests", "add_files",
@@ -136,13 +189,19 @@ private[sources] object GraftProcedures {
       }))
       case "rewrite_data_files" => Some(new GraftProcedure(
         "rewrite_data_files",
-        Seq(in("table", StringType), opt("target_file_size_bytes", LongType)),
+        Seq(in("table", StringType), opt("target_file_size_bytes", LongType),
+          opt("where", StringType)),
         StructType(Seq(StructField("version", IntegerType))),
         "Binpack files smaller than the target (default 128 MiB) within " +
-          "the table's partition layout; right-sized files carry untouched.")(args => {
+          "the table's partition layout; right-sized files carry untouched. " +
+          "Optional `where` scopes WHICH FILES fold (Iceberg semantics: a " +
+          "file that may hold matching rows is selected, from manifest " +
+          "stats alone) — numeric range/equality conjunctions only, " +
+          "anything else refuses by name.")(args => {
         val target = long(args(1)).getOrElse(128L * 1024 * 1024)
         require(target > 0, "target_file_size_bytes must be positive")
-        one(LakeTable.compactSmall(spark, pathOf(args(0).get), target))
+        val preds = str(args(2)).map(whereBoxes(spark, _)).getOrElse(Nil)
+        one(LakeTable.compactSmall(spark, pathOf(args(0).get), target, preds))
       }))
       case "rewrite_position_delete_files" => Some(new GraftProcedure(
         "rewrite_position_delete_files",

@@ -5078,7 +5078,15 @@ object LakeTable {
     * sequence rule keeps the mix exact. Untouched manifests are
     * carried as-is (zero metadata rewrite); partially-kept ones are
     * re-manifested with their sequence/field-ids/spec preserved. */
-  def compactSmall(spark: SparkSession, path: String, targetBytes: Long): Int = {
+  def compactSmall(spark: SparkSession, path: String, targetBytes: Long,
+      // optional FILE-selection boxes (Iceberg's rewrite_data_files
+      // `where`): only small files that MAY hold matching rows fold —
+      // decided from manifest stats alone (the readWhere overlap
+      // rule), conservative in the only safe direction (a stats-less
+      // file is selected; selection never changes ROW visibility,
+      // it only scopes which files pay the rewrite). The op for
+      // "compact yesterday's partition, not the 100 TB table".
+      preds: Seq[(String, Double, Double)] = Nil): Int = {
     val base = observedBase(spark, path)
     val refs = listRefs(path, base)
     val (eq, rest) = refs.partition(_.kind == "delete")
@@ -5089,7 +5097,17 @@ object LakeTable {
     def sizeOf(e: ManifestEntry): Long =
       if (e.bytes >= 0) e.bytes else Files.size(Paths.get(e.file))
     val perRef = data.filter(_.nFiles > 0).map(r => r -> readManifest(r))
-    val smalls = perRef.flatMap(_._2).filter(e => sizeOf(e) < targetBytes)
+    val selected: ManifestEntry => Boolean =
+      if (preds.isEmpty) _ => true
+      else {
+        val (fullRefs, kept) = prunePlan(spark, data, current, preds)
+        val files = (fullRefs.flatMap(r =>
+          perRef.collectFirst { case (pr, es) if pr == r => es }
+            .getOrElse(readManifest(r))) ++ kept).map(_.file).toSet
+        e => files(e.file)
+      }
+    val smalls = perRef.flatMap(_._2)
+      .filter(e => sizeOf(e) < targetBytes && selected(e))
     val lineage = nextRowIdOf(path, base).isDefined
     val perRefMap = perRef.toMap
     // assemble the small files' rows; under row lineage the fold
@@ -6106,6 +6124,42 @@ object LakeTable {
     require(refused,
       "appendsBetween across a DELETE must refuse and point at changes()")
     inc.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** Driver query: FILTERED REWRITE (S12d) — rewrite_data_files with
+    * a `where` scope. v0 lands the evens as four RANGE-partitioned
+    * files (repartitionByRange gives disjoint event_id stats boxes,
+    * so file selection is exact here); the filtered binpack folds
+    * ONLY the files whose boxes may hold the lower half — require'd:
+    * the out-of-scope files carry under their ORIGINAL paths, the
+    * in-scope ones fold away, and the read — the oracle surface — is
+    * unchanged (file selection never changes row visibility). */
+  def filteredRewriteQuery(s: SparkSession, d: String): DataFrame = {
+    val path = freshWorkDir("lakefrw", d)
+    val ev = graft.Tables.load(s, d, "events")
+      .select("event_id", "event_type", "value")
+    val evens = ev.filter(col("event_id") % 2 === 0)
+    overwrite(evens.repartitionByRange(4, col("event_id")), path) // v0
+    val maxId = evens.agg(max("event_id")).head().getLong(0)
+    val mid = (maxId / 2).toDouble
+    val before = entries(s, path).filter(col("kind") === "data")
+      .select("file").collect().map(_.getString(0)).toSet
+    require(before.size == 4, s"range layout must land 4 files, got $before")
+    val v = compactSmall(s, path, targetBytes = Long.MaxValue,
+      preds = Seq(("event_id", 0.0, mid)))
+    require(v == 1, s"the filtered rewrite must publish v1, got v$v")
+    val after = entries(s, path, Some(v)).filter(col("kind") === "data")
+      .select("file").collect().map(_.getString(0)).toSet
+    val carried = before.intersect(after)
+    require(carried.nonEmpty && carried.size < before.size,
+      s"out-of-scope files must carry under their original paths and " +
+        s"in-scope ones must fold: before=${before.size} carried=${carried.size}")
+    require(after.size < before.size,
+      "the fold must reduce the file count within the selected scope")
+    read(s, path)
+      .groupBy("event_type")
       .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
       .orderBy("event_type")
   }

@@ -84,6 +84,46 @@ class CallProcedureSpec extends AnyFunSuite {
     }
   }
 
+  test("rewrite_data_files where-scope folds only in-scope files; bad predicates refuse") {
+    SparkSpec.rmdir(wh)
+    withCat {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS callc.db")
+      spark.sql("CREATE TABLE callc.db.f (k BIGINT, v DOUBLE) USING graftlake")
+      val p = s"$wh/db/f"
+      // three inserts with disjoint key ranges → three files with
+      // disjoint stats boxes
+      spark.sql("INSERT INTO callc.db.f SELECT id, CAST(id AS DOUBLE) FROM range(0, 100, 1, 1)")
+      spark.sql("INSERT INTO callc.db.f SELECT id, CAST(id AS DOUBLE) FROM range(100, 200, 1, 1)")
+      spark.sql("INSERT INTO callc.db.f SELECT id, CAST(id AS DOUBLE) FROM range(200, 300, 1, 1)")
+      def files() = LakeTable.entries(spark, p)
+        .filter(col("kind") === "data")
+        .select("file").collect().map(_.getString(0)).toSet
+      val before = files()
+      assert(before.size >= 3)
+      // BETWEEN parses to the >=/<= pair; only the 0..199 files fold
+      spark.sql("CALL callc.system.rewrite_data_files(table => 'db.f', " +
+        "where => 'k BETWEEN 0 AND 199')")
+      val after = files()
+      val carried = before.intersect(after)
+      assert(carried.nonEmpty, "the out-of-scope files must carry")
+      // carried = exactly the files outside the scope: every row they
+      // hold has k >= 200 (file selection was stats-exact here)
+      val carriedKs = spark.read.parquet(carried.toSeq: _*)
+        .select("k").collect().map(_.getLong(0))
+      assert(carriedKs.nonEmpty && carriedKs.forall(_ >= 200L),
+        "carried files must be exactly the out-of-scope ones")
+      assert(after.size === carried.size + 1,
+        s"the in-scope files fold into one: $after")
+      assert(spark.table("callc.db.f").count() === 300,
+        "file selection never changes row visibility")
+      // a predicate the stats planes cannot serve refuses by name
+      val e = intercept[Exception](spark.sql(
+        "CALL callc.system.rewrite_data_files(table => 'db.f', " +
+          "where => 'v LIKE \\'x%\\'')").collect())
+      assert(e.getMessage.contains("unsupported predicate"), e.getMessage)
+    }
+  }
+
   test("add_files imports metadata-only through the CALL route") {
     SparkSpec.rmdir(wh)
     SparkSpec.rmdir("/tmp/graft_test/callproc_addf")
