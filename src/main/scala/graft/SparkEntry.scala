@@ -206,6 +206,7 @@ object SparkEntry {
     "lake_add_files" -> (sources.LakeTable.addFilesQuery _),
     "lake_position_deletes" -> (sources.LakeTable.positionDeletesQuery _),
     "lake_filtered_rewrite" -> (sources.LakeTable.filteredRewriteQuery _),
+    "lake_replace_where" -> (sources.LakeTable.replaceWhereQuery _),
     "lake_all_files" -> (sources.LakeTable.allFilesQuery _),
     "lake_rewrite_manifests" -> (sources.LakeTable.rewriteManifestsQuery _),
     "lake_row_lineage" -> (sources.LakeTable.rowLineageQuery _),
@@ -1379,6 +1380,16 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
         |FROM events WHERE event_id % 2 = 0
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // lake_replace_where: predicate-scoped overwrite — the lower
+    // half replaced by a value+100 batch in ONE commit (carry +
+    // out-of-slice refusal require'd in-query); rollup over the
+    // final state
+    "lake_replace_where" ->
+      """WITH k AS (SELECT max(event_id) // 2 AS k FROM events)
+        |SELECT event_type, count(*) AS n,
+        |       round(sum(CASE WHEN event_id < (SELECT k FROM k)
+        |                      THEN value + 100 ELSE value END), 6) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // lake_position_deletes: per-kind census of the row-level
     // delete positions over a deterministically-ordered single file
     // (row_index = rank among sorted evens; the DV phase deletes

@@ -242,6 +242,7 @@ class GraftLakeTable(
       TableCapability.V1_BATCH_WRITE,
       TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER, // REPLACE WHERE
       // INSERT OVERWRITE under partitionOverwriteMode=dynamic: served
       // by [[LakeSqlDmlRule]]'s lowering onto overwriteDynamic (Spark
       // has no V1 fallback exec for OverwritePartitionsDynamic), so
@@ -263,10 +264,27 @@ class GraftLakeTable(
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     require(version.isEmpty, s"cannot write a version-pinned read of $path")
     new org.apache.spark.sql.connector.write.WriteBuilder
-      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      with org.apache.spark.sql.connector.write.SupportsOverwrite {
       private var overwrite = false
+      // REPLACE WHERE: the analyzer hands the scope as V2 filters;
+      // AlwaysTrue alone is a plain truncate-overwrite
+      private var replaceCond: Option[org.apache.spark.sql.Column] = None
       override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
         overwrite = true; this
+      }
+      override def overwrite(
+          filters: Array[Filter]): org.apache.spark.sql.connector.write.WriteBuilder = {
+        if (filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+          overwrite = true
+        else {
+          val conds = filters.toSeq.map(f =>
+            GraftLakeTable.filterColumn(f).getOrElse(
+              throw new IllegalArgumentException(
+                s"REPLACE WHERE at $path: condition '$f' is outside the " +
+                  "translatable filter algebra — rewrite the predicate")))
+          replaceCond = Some(conds.reduce(_ && _))
+        }
+        this
       }
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.V1Write {
@@ -275,8 +293,12 @@ class GraftLakeTable(
               override def insert(
                   data: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                   fallbackOverwrite: Boolean): Unit =
-                if (overwrite || fallbackOverwrite) LakeTable.overwrite(data, path)
-                else LakeTable.append(data, path)
+                replaceCond match {
+                  case Some(cond) => LakeTable.overwriteWhere(data, path, cond)
+                  case None =>
+                    if (overwrite || fallbackOverwrite) LakeTable.overwrite(data, path)
+                    else LakeTable.append(data, path)
+                }
             }
           /** `df.writeStream.format("graftlake")` — the native
             * exactly-once epoch sink ([[GraftLakeStreamingWrite]]);

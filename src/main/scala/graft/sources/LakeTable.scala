@@ -4535,6 +4535,79 @@ object LakeTable {
     }
   }
 
+  /** REPLACE WHERE (Delta's predicate-scoped overwrite; Spark SQL
+    * `INSERT INTO t REPLACE WHERE cond SELECT …` and
+    * `df.writeTo(t).overwrite(cond)` both land here through the V2
+    * builder): ONE atomic commit that deletes every visible row
+    * matching the predicate and lands the incoming batch — the
+    * backfill shape ("replace this day's slice") without the torn
+    * window a separate DELETE + INSERT leaves between commits.
+    *
+    * The delete half is [[delete]]'s file-granular planner verbatim:
+    * manifest-interval prune, pushed-filter touch scan, fully-matched
+    * files drop as pure metadata, boundary files alone rewrite (row
+    * lineage re-materialized). The incoming batch stages under the
+    * table's declared layout like any append.
+    *
+    * ENFORCED, Delta's default: every incoming row must satisfy the
+    * predicate — a batch that writes outside its declared slice
+    * refuses BY NAME before any file is staged (silently landing
+    * out-of-slice rows is how a backfill corrupts neighboring days).
+    * NULL predicate rows count as non-matching on both sides. */
+  def overwriteWhere(
+      df: DataFrame, path: String,
+      predicate: org.apache.spark.sql.Column): Int = {
+    val spark = df.sparkSession
+    requireDeterministic(predicate, "REPLACE WHERE")
+    val matches = coalesce(predicate, lit(false))
+    val bad = df.filter(!matches).limit(1).count()
+    require(bad == 0L,
+      s"REPLACE WHERE at $path: the incoming batch holds rows NOT matching " +
+        "the predicate — a scoped overwrite must stay inside its slice " +
+        "(filter the batch or widen the predicate)")
+    enforceConstraints(df, path)
+    val cons = activeConstraints(path)
+    val base = observedBase(spark, path)
+    val refs = listRefs(path, base)
+    val spec = partitionSpecOf(path)
+    val fresh =
+      if (spec.nonEmpty) stageHidden(df, path, spec).toSeq
+      else stageManifest(df, path).toSeq
+    val consNow = constraintsOf(path, base)
+    require(consNow.toSet.subsetOf(cons.toSet),
+      s"CHECK constraints changed concurrently at $path during REPLACE WHERE")
+    val lineage = nextRowIdOf(path, base).isDefined
+    withLineageColsIf(lineage)(
+      classificationFrame(spark, path, base, refs, predicate)) match {
+      case None =>
+        commitRefs(spark, path, base, refs ++ fresh, "replace_where")
+      case Some(cur) =>
+        val touched = touchedFiles(cur, matches)
+        val counts =
+          if (touched.isEmpty) Map.empty[String, (Long, Long)]
+          else fileMatchCounts(rowsInFiles(cur, touched), matches)
+        val boundary = counts.collect {
+          case (f, (vis, hit)) if hit < vis => f
+        }.toSet
+        val dropped = touched -- boundary
+        val mm = manifestMemo()
+        def survivors: DataFrame = {
+          val raw = rowsInFiles(cur, boundary).filter(!matches)
+          if (!lineage) raw.drop(FpCol, RiCol, SeqCol)
+          else materializeLineage(spark, raw,
+            refs.filter(r => r.kind == "data" && r.nFiles > 0), mm, path)
+        }
+        val rewritten =
+          if (boundary.isEmpty) None
+          else stageRewrite(survivors,
+            path, rewriteSpec(path, refs, boundary, mm))
+        commitRefs(spark, path, base,
+          carryManifests(path, refs, boundary ++ dropped, mm) ++
+            rewritten.toSeq ++ fresh,
+          "replace_where")
+    }
+  }
+
   /** Pass-1 of the file-granular DML planners: the set of files
     * holding at least one `matches` row. The predicate sits directly
     * on the scan, so Catalyst pushes it to Parquet and footer
@@ -6124,6 +6197,46 @@ object LakeTable {
     require(refused,
       "appendsBetween across a DELETE must refuse and point at changes()")
     inc.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** Driver query: REPLACE WHERE (S12e) — predicate-scoped overwrite.
+    * v0 lands the full events table range-partitioned (disjoint
+    * event_id boxes → file-granular behavior is observable); one
+    * commit replaces the lower-half slice with a transformed batch
+    * (value + 100). Require'd in-query: exactly one version
+    * published, the out-of-scope files CARRY under their original
+    * paths (the delete half never rewrites what the predicate cannot
+    * reach), and an out-of-slice batch refuses BY NAME (Delta's
+    * enforcement default). The rollup over the final state — the
+    * transformed lower half ∪ untouched upper half — is the oracle
+    * surface. */
+  def replaceWhereQuery(s: SparkSession, d: String): DataFrame = {
+    val path = freshWorkDir("lakerpw", d)
+    val ev = graft.Tables.load(s, d, "events")
+      .select("event_id", "event_type", "value")
+    overwrite(ev.repartitionByRange(4, col("event_id")), path) // v0
+    val k = ev.agg(max("event_id")).head().getLong(0) / 2
+    val before = entries(s, path).filter(col("kind") === "data")
+      .select("file").collect().map(_.getString(0)).toSet
+    val batch = ev.filter(col("event_id") < k)
+      .withColumn("value", col("value") + 100)
+    val v = overwriteWhere(batch, path, col("event_id") < k)
+    require(v == 1, s"REPLACE WHERE must publish exactly v1, got v$v")
+    val after = entries(s, path, Some(v)).filter(col("kind") === "data")
+      .select("file").collect().map(_.getString(0)).toSet
+    val carried = before.intersect(after)
+    require(carried.nonEmpty && carried.size < before.size,
+      s"out-of-scope files must carry under their original paths: " +
+        s"before=${before.size} carried=${carried.size}")
+    val refused = try {
+      overwriteWhere(ev.limit(5), path, col("event_id") < -1L); false
+    } catch { case e: IllegalArgumentException =>
+      e.getMessage.contains("NOT matching") }
+    require(refused, "an out-of-slice batch must refuse by name")
+    read(s, path)
+      .groupBy("event_type")
       .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
       .orderBy("event_type")
   }

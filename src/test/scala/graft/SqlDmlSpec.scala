@@ -385,4 +385,33 @@ class SqlDmlSpec extends AnyFunSuite {
       assert(e2.getMessage.contains("identity column mapping"), e2.getMessage)
     } finally spark.sql("DROP TABLE IF EXISTS sqldml_ref")
   }
+
+  test("INSERT INTO ... REPLACE WHERE scopes the overwrite to the slice") {
+    val p = "/tmp/graft_test/sqldml_rpw"
+    freshTable(p, "sqldml_rpw")
+    try {
+      // replace the k<=2 slice with fresh rows, one commit
+      spark.sql("INSERT INTO sqldml_rpw REPLACE WHERE k <= 2 " +
+        "SELECT * FROM VALUES (1L, 'A', 11.0), (2L, 'B', 22.0) AS t(k, s, v)")
+      assert(spark.sql("SELECT s FROM sqldml_rpw ORDER BY k")
+        .collect().map(_.getString(0)).toSeq === Seq("A", "B", "c", "d"),
+        "in-slice rows replaced, out-of-slice untouched")
+      assert(LakeTable.history(spark, p).count() === 2,
+        "REPLACE WHERE is ONE commit (delete half + insert half)")
+      assert(LakeTable.read(spark, p, Some(0))
+        .filter(col("s").isin("a", "b")).count() === 2,
+        "v0 time-travels to the pre-replace slice")
+      // enforcement: a batch outside its declared slice refuses by name
+      val e = intercept[Exception](spark.sql(
+        "INSERT INTO sqldml_rpw REPLACE WHERE k > 100 " +
+          "SELECT * FROM VALUES (5L, 'x', 1.0) AS t(k, s, v)"))
+      assert(e.getMessage.contains("NOT matching"), e.getMessage)
+      // the V2 writer route lands on the same path
+      import spark.implicits._
+      Seq((3L, "C", 33.0)).toDF("k", "s", "v")
+        .writeTo("sqldml_rpw").overwrite(col("k") === 3L)
+      assert(spark.sql("SELECT s FROM sqldml_rpw ORDER BY k")
+        .collect().map(_.getString(0)).toSeq === Seq("A", "B", "C", "d"))
+    } finally spark.sql("DROP TABLE IF EXISTS sqldml_rpw")
+  }
 }
