@@ -242,8 +242,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier, version: String): Table = {
     val p = tablePath(ident)
     if (!isTable(p)) throw new NoSuchTableException(ident)
-    val v = version.toIntOption.getOrElse(LakeTable.tagVersion(p, version))
-    new GraftLakeTable(p, Some(v), schemaFor(p, Some(v)))
+    version.toIntOption match {
+      case Some(v) => new GraftLakeTable(p, Some(v), schemaFor(p, Some(v)))
+      case None if LakeTable.tags(p).contains(version) =>
+        val v = LakeTable.tagVersion(p, version)
+        new GraftLakeTable(p, Some(v), schemaFor(p, Some(v)))
+      case None if LakeTable.branches(p).contains(version) =>
+        // a BRANCH is its own chain — read its head, not a main pin
+        val bp = LakeTable.branchPath(p, version)
+        new GraftLakeTable(bp, None, schemaFor(bp, None))
+      case None => // preserve tagVersion's named refusal
+        val v = LakeTable.tagVersion(p, version)
+        new GraftLakeTable(p, Some(v), schemaFor(p, Some(v)))
+    }
   }
 
   /** `TIMESTAMP AS OF t` — Spark hands MICROseconds since epoch. */

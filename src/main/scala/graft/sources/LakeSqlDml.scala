@@ -605,11 +605,22 @@ class GraftSqlParser(
       i.copy(table = rewrite(i.table))
     case RelationTimeTravel(u: UnresolvedRelation, None, Some(versionStr))
         if lakePathOf(u.multipartIdentifier).isDefined =>
-      val v = try versionStr.trim.toInt catch {
-        case _: NumberFormatException => throw new UnsupportedOperationException(
-          s"graftlake VERSION AS OF needs an integer version, got '$versionStr'")
+      // Iceberg's ref-as-version: a non-integer resolves as a TAG
+      // (version pin on the main chain) or a BRANCH (its own chain's
+      // head — a branch is a sibling table path, not a version)
+      val p = lakePathOf(u.multipartIdentifier).get
+      val s = versionStr.trim
+      s.toIntOption match {
+        case Some(v) => lakeRelation(p, Some(v))
+        case None if LakeTable.tags(p).contains(s) =>
+          lakeRelation(p, Some(LakeTable.tagVersion(p, s)))
+        case None if LakeTable.branches(p).contains(s) =>
+          lakeRelation(LakeTable.branchPath(p, s), None)
+        case None => throw new UnsupportedOperationException(
+          s"graftlake VERSION AS OF: '$s' is neither an integer version " +
+            s"nor a tag/branch of $p (tags: ${LakeTable.tags(p).keys.toSeq.sorted
+              .mkString(", ")}; branches: ${LakeTable.branches(p).sorted.mkString(", ")})")
       }
-      lakeRelation(lakePathOf(u.multipartIdentifier).get, Some(v))
     case RelationTimeTravel(u: UnresolvedRelation, Some(ts), None)
         if lakePathOf(u.multipartIdentifier).isDefined =>
       // TIMESTAMP AS OF: the parser hands a literal (string or

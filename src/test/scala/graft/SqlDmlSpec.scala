@@ -263,6 +263,48 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(LakeTable.read(spark, p).count() === 40)
   }
 
+  test("VERSION AS OF resolves tag and branch names (Iceberg ref-as-version)") {
+    val p = "/tmp/graft_test/sqldml_refver"
+    rmdir(p)
+    LakeTable.overwrite(spark.range(0, 10).select(col("id").as("k")), p) // v0
+    LakeTable.append(spark.range(10, 30).select(col("id").as("k")), p) // v1
+    spark.sql(s"ALTER TABLE graftlake.`$p` CREATE TAG first AS OF VERSION 0")
+    spark.sql(s"ALTER TABLE graftlake.`$p` CREATE BRANCH work")
+    LakeTable.append(spark.range(100, 105).select(col("id").as("k")),
+      LakeTable.branchPath(p, "work"))
+    // path route: tag pins a main-chain version, branch reads ITS head
+    assert(spark.sql(s"SELECT count(*) FROM graftlake.`$p` VERSION AS OF 'first'")
+      .head.getLong(0) === 10L)
+    assert(spark.sql(s"SELECT count(*) FROM graftlake.`$p` VERSION AS OF 'work'")
+      .head.getLong(0) === 35L, "a branch resolves to its own chain's head")
+    val e = intercept[Exception](spark.sql(
+      s"SELECT * FROM graftlake.`$p` VERSION AS OF 'nope'").collect())
+    assert(e.getMessage.contains("neither an integer version"), e.getMessage)
+    // catalog route: TableCatalog.loadTable(ident, version) gets the
+    // same tag/branch resolution
+    spark.conf.set("spark.sql.catalog.refv", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.refv.warehouse", "/tmp/graft_test/sqldml_refv_wh")
+    try {
+      rmdir("/tmp/graft_test/sqldml_refv_wh/db")
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS refv.db")
+      spark.sql("CREATE TABLE refv.db.t (k BIGINT) USING graftlake")
+      spark.sql("INSERT INTO refv.db.t SELECT id FROM range(0, 7)") // v1
+      val cp = "/tmp/graft_test/sqldml_refv_wh/db/t"
+      LakeTable.tag(cp, "seven", 1)
+      spark.sql("INSERT INTO refv.db.t SELECT id FROM range(7, 20)") // v2
+      LakeTable.createBranch(spark, cp, "side")
+      LakeTable.append(spark.range(100, 103).select(col("id").as("k")),
+        LakeTable.branchPath(cp, "side"))
+      assert(spark.sql("SELECT count(*) FROM refv.db.t VERSION AS OF 'seven'")
+        .head.getLong(0) === 7L)
+      assert(spark.sql("SELECT count(*) FROM refv.db.t VERSION AS OF 'side'")
+        .head.getLong(0) === 23L)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.refv")
+      spark.conf.unset("spark.sql.catalog.refv.warehouse")
+    }
+  }
+
   test("TIMESTAMP AS OF resolves a version via commit wall-time (SQL + reader option)") {
     val p = "/tmp/graft_test/sqldml_tsasof"
     rmdir(p)
