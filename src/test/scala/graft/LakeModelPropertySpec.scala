@@ -6,7 +6,8 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Model-based property test of the table format: a seeded random
   * sequence of commits (append, CoW upsert, MoR upsert, MoR delete,
-  * compact, conditional MERGE in both CoW and MoR forms, rollback)
+  * compact, conditional MERGE in both CoW and MoR forms, rollback,
+  * REPLACE WHERE, metadata-only add_files imports)
   * runs against BOTH the lake table and a trivial in-memory Map
   * model; after every commit the table read must equal the model,
   * and at the end EVERY version must time-travel back to the model
@@ -56,7 +57,7 @@ class LakeModelPropertySpec extends AnyFunSuite {
         } ++ srcM.filter { case (k, sv) => !model.contains(k) && sv > 300.0 }
 
       for (step <- 1 to 10) {
-        rnd.nextInt(10) match {
+        rnd.nextInt(12) match {
           case 0 => // append fresh keys
             val add = (0 until 3).map { i =>
               (nextKey + i) -> (rnd.nextInt(1000).toDouble)
@@ -115,6 +116,24 @@ class LakeModelPropertySpec extends AnyFunSuite {
             LakeTable.deleteMoRVector(spark, p,
               col("value") >= lo && col("value") <= hi)
             model = model.filter { case (_, v) => v < lo || v > hi }
+          case 10 => // REPLACE WHERE: swap a value slice for fresh rows
+            val lo = rnd.nextInt(800).toDouble
+            val hi = lo + 100 + rnd.nextInt(100)
+            val batch = (0 until 3)
+              .map(i => (nextKey + i) -> (lo + rnd.nextInt(100)).toDouble).toMap
+            nextKey += 3
+            LakeTable.overwriteWhere(frame(batch), p,
+              col("value") >= lo && col("value") <= hi)
+            model = model.filter { case (_, v) => v < lo || v > hi } ++ batch
+          case 11 => // add_files: metadata-only import of external parquet
+            val add = (0 until 4)
+              .map(i => (nextKey + i) -> rnd.nextInt(1000).toDouble).toMap
+            nextKey += 4
+            val ext = s"${p}_ext_$step"
+            SparkSpec.rmdir(ext)
+            frame(add).write.parquet(ext)
+            LakeTable.addFiles(spark, p, ext)
+            model = model ++ add
         }
         perVersion += model
         assert(readState(p) === model,
