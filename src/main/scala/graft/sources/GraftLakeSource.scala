@@ -325,9 +325,10 @@ class GraftLakeTable(
       require(version.isEmpty,
         s"graftlake changeFeed at $path: a version-pinned CDC stream is " +
           "contradictory — the stream's offsets ARE versions")
+      val maxV = options.getInt("maxVersionsPerTrigger", 1)
       return new ScanBuilder {
         override def build(): Scan =
-          new GraftLakeChangeScan(spark, path, tableSchema, lineageFeed)
+          new GraftLakeChangeScan(spark, path, tableSchema, lineageFeed, maxV)
       }
     }
     // a read-time versionAsOf/timestampAsOf option overrides the
@@ -337,7 +338,8 @@ class GraftLakeTable(
         GraftLakeSource.versionOf(options, path)
       else version
     new GraftLakeScanBuilder(spark, path, v, tableSchema,
-      skipChangeCommits = options.getBoolean("skipChangeCommits", false))
+      skipChangeCommits = options.getBoolean("skipChangeCommits", false),
+      maxVersionsPerTrigger = options.getInt("maxVersionsPerTrigger", 1))
   }
 }
 
@@ -378,7 +380,8 @@ object GraftLakeTable {
   * subset guarantee, not row-exact. */
 class GraftLakeScanBuilder(
     spark: SparkSession, path: String, version: Option[Int],
-    tableSchema: StructType, skipChangeCommits: Boolean = false)
+    tableSchema: StructType, skipChangeCommits: Boolean = false,
+    maxVersionsPerTrigger: Int = 1)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
@@ -661,7 +664,8 @@ class GraftLakeScanBuilder(
       partiallyClustered = spark.conf.get(
         "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled",
         "false") == "true",
-      streamCtx = Some((spark, version, skipChangeCommits)))
+      streamCtx = Some((spark, version, skipChangeCommits,
+        maxVersionsPerTrigger)))
   }
 
   /** One (ParquetScan, plan) for a predicate-box set — called once at
@@ -729,7 +733,7 @@ class GraftLakeScan(
     // partitions and let Spark group or replicate them
     partiallyClustered: Boolean = false,
     // (session, version pin, skipChangeCommits) for the streaming read
-    streamCtx: Option[(SparkSession, Option[Int], Boolean)] = None)
+    streamCtx: Option[(SparkSession, Option[Int], Boolean, Int)] = None)
     extends Scan with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
@@ -775,13 +779,13 @@ class GraftLakeScan(
   override def toMicroBatchStream(
       checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
-    val (spark, pin, skip) = streamCtx.getOrElse(
+    val (spark, pin, skip, maxV) = streamCtx.getOrElse(
       throw new UnsupportedOperationException(
         s"graftlake scan at $path was not built for streaming"))
     require(pin.isEmpty,
       s"graftlake stream at $path: a version-pinned streaming read is " +
         "contradictory — the stream's offsets ARE versions")
-    new GraftLakeTableStream(spark, path, tableSchema, skip)
+    new GraftLakeTableStream(spark, path, tableSchema, skip, maxV)
   }
 
   override def toBatch: Batch = new Batch {

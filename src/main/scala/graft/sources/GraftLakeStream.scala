@@ -38,13 +38,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * prepare time and drains version by version to it. */
 class GraftLakeChangeScan(
     spark: SparkSession, path: String, fullSchema: StructType,
-    lineage: Boolean = false)
+    lineage: Boolean = false, maxVersions: Int = 1)
     extends Scan {
   override def readSchema(): StructType = fullSchema
   override def description(): String =
     s"GraftLakeChangeScan(${if (lineage) "lineage " else ""}changeFeed of $path)"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftLakeMicroBatchStream(spark, path, fullSchema, lineage)
+    new GraftLakeMicroBatchStream(spark, path, fullSchema, lineage, maxVersions)
 }
 
 /** `lineage = true` serves the LINEAGE change feed (S11e,
@@ -55,8 +55,16 @@ class GraftLakeChangeScan(
   * streaming update pairs with a stable row identity. */
 class GraftLakeMicroBatchStream(
     spark: SparkSession, path: String, fullSchema: StructType,
-    lineage: Boolean = false)
+    lineage: Boolean = false,
+    // versions admitted per micro-batch (`maxVersionsPerTrigger`):
+    // 1 = the strict bounded-progress default; raising it trades
+    // per-batch boundedness for catch-up throughput on a lagging
+    // consumer — batches stay version-ALIGNED either way (an offset
+    // is always a whole version, never a partial commit)
+    maxVersions: Int = 1)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
+  require(maxVersions >= 1,
+    s"maxVersionsPerTrigger must be >= 1, got $maxVersions")
 
   private case class VOffset(v: Int) extends Offset {
     override def json(): String = v.toString
@@ -98,10 +106,11 @@ class GraftLakeMicroBatchStream(
 
   override def latestOffset(): Offset = VOffset(head())
 
-  /** One version per micro-batch — the bounded-progress contract. */
+  /** At most `maxVersions` versions per micro-batch (default 1 — the
+    * bounded-progress contract; offsets are whole versions always). */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[VOffset].v
-    VOffset(math.min(from + 1, math.max(head(), from)))
+    VOffset(math.min(from + maxVersions, math.max(head(), from)))
   }
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
@@ -179,8 +188,13 @@ class GraftLakeMicroBatchStream(
   * dir-encoded partition values cannot ride a bare file scan. */
 class GraftLakeTableStream(
     spark: SparkSession, path: String, tableSchema: StructType,
-    skipChangeCommits: Boolean)
+    skipChangeCommits: Boolean,
+    // see GraftLakeMicroBatchStream: whole-version offsets, at most
+    // this many versions admitted per micro-batch
+    maxVersions: Int = 1)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
+  require(maxVersions >= 1,
+    s"maxVersionsPerTrigger must be >= 1, got $maxVersions")
 
   private case class VOffset(v: Int) extends Offset {
     override def json(): String = v.toString
@@ -317,10 +331,10 @@ class GraftLakeTableStream(
   override def initialOffset(): Offset = VOffset(-1)
   override def latestOffset(): Offset = VOffset(head())
 
-  /** One version per micro-batch — the bounded-progress contract. */
+  /** At most `maxVersions` versions per micro-batch (default 1). */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[VOffset].v
-    VOffset(math.min(from + 1, math.max(head(), from)))
+    VOffset(math.min(from + maxVersions, math.max(head(), from)))
   }
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()

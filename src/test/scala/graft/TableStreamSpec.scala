@@ -53,6 +53,28 @@ class TableStreamSpec extends AnyFunSuite {
     assert(all.select(countDistinct("id")).head().getLong(0) === 27)
   }
 
+  test("maxVersionsPerTrigger batches several versions, offsets stay version-aligned") {
+    val root = "/tmp/graft_tstream_maxv"
+    SparkSpec.rmdir(root)
+    val (table, out, chk) = (s"$root/t", s"$root/out", s"$root/chk")
+    LakeTable.overwrite(rows(0, 4), table) // v0
+    (1 to 4).foreach(i => LakeTable.append(rows(i * 10, 3), table)) // v1..v4
+    // 5 versions at 2 per trigger → ceil(5/2) = 3 non-empty batches
+    assert(drain(table, out, chk, Map("maxVersionsPerTrigger" -> "2")) === 3,
+      "five versions at two per trigger drain in three batches")
+    assert(spark.read.parquet(out).count() === 16, "every row exactly once")
+    // a later catch-up keeps the knob; resume is version-aligned
+    LakeTable.append(rows(100, 2), table) // v5
+    LakeTable.append(rows(200, 2), table) // v6
+    LakeTable.append(rows(300, 2), table) // v7
+    assert(drain(table, out, chk, Map("maxVersionsPerTrigger" -> "2")) === 2,
+      "three new versions at two per trigger drain in two batches")
+    assert(spark.read.parquet(out).count() === 22)
+    val e = intercept[Exception](
+      drain(table, out, s"$chk-bad", Map("maxVersionsPerTrigger" -> "0")))
+    assert(e.getMessage.contains("maxVersionsPerTrigger"), e.getMessage)
+  }
+
   test("a CTAS-created table streams its v0 snapshot like any initial overwrite") {
     val root = "/tmp/graft_tstream_ctas"
     SparkSpec.rmdir(root)
