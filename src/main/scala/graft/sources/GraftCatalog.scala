@@ -139,6 +139,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private def isTable(p: String): Boolean = LakeTable.latestVersion(p).nonEmpty
 
+  /** CREATE-time TBLPROPERTIES minus the keys Spark injects and the
+    * ones with their own declaration machinery. */
+  private def userProps(properties: util.Map[String, String]): Map[String, String] = {
+    val reserved = Set("provider", "location", "comment", "owner",
+      "external", "write.sort-order")
+    properties.asScala.toMap.filterNot { case (k, _) =>
+      reserved(k) || k.startsWith("option.") }
+  }
+
   private def listDirs(p: String): Seq[String] = {
     val dir = Paths.get(p)
     if (!Files.isDirectory(dir)) return Nil
@@ -455,6 +464,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     Option(properties.get("write.sort-order")).foreach { order =>
       LakeTable.setSortOrder(p, order.split(",").map(_.trim).filter(_.nonEmpty): _*)
     }
+    // CREATE-time TBLPROPERTIES seed the versioned sidecar (an
+    // audited commit on top of the v0 sentinel)
+    val up = userProps(properties)
+    if (up.nonEmpty) LakeTable.setTableProperties(spark, p, up)
     new GraftLakeTable(p, None, schema)
   }
 
@@ -622,7 +635,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val p = tablePath(ident)
     if (!isTable(p)) throw new NoSuchTableException(ident)
+    // generic property changes batch into ONE audited commit however
+    // many keys one ALTER carries (set and unset both)
+    val propSets = changes.collect {
+      case s: TableChange.SetProperty if s.property != "write.sort-order" =>
+        s.property -> s.value
+    }
+    val propUnsets = changes.collect {
+      case r: TableChange.RemoveProperty => r.property
+    }
+    if (propSets.nonEmpty || propUnsets.nonEmpty) {
+      val base = LakeTable.latestVersion(p).getOrElse(
+        throw new NoSuchTableException(ident))
+      val merged = LakeTable.tablePropsOf(p, base) ++ propSets -- propUnsets
+      require(!propSets.exists(_._1 == "write.sort-order"), "unreachable")
+      LakeTable.commitRefs(spark, p, base, LakeTable.listRefs(p, base),
+        if (propSets.nonEmpty) "set_properties" else "unset_properties",
+        props = Some(merged))
+    }
     changes.foreach {
+      case _: TableChange.RemoveProperty => () // handled above
+      case s: TableChange.SetProperty
+          if s.property != "write.sort-order" => () // handled above
       case r: TableChange.RenameColumn if r.fieldNames.length == 1 =>
         LakeTable.renameColumn(spark, p, r.fieldNames()(0), r.newName())
         syncDeclared(p)(cur => StructType(cur.fields.map(f =>

@@ -222,6 +222,16 @@ class GraftLakeTable(
 
   override def schema(): StructType = tableSchema
 
+  /** The versioned properties sidecar (SET/UNSET TBLPROPERTIES) at
+    * this table's pinned-or-latest version — SHOW TBLPROPERTIES and
+    * DESCRIBE EXTENDED read them through Spark's own machinery. */
+  override def properties(): util.Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    version.orElse(LakeTable.latestVersion(path))
+      .map(v => LakeTable.tablePropsOf(path, v)).getOrElse(Map.empty)
+      .asJava
+  }
+
   /** The table's hidden-partition layout as V2 transforms (visible in
     * DESCRIBE EXTENDED; the join-usable subset is what the SCAN
     * reports for storage-partitioned joins). Empty when generations

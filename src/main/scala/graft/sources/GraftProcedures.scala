@@ -198,10 +198,17 @@ private[sources] object GraftProcedures {
           "file that may hold matching rows is selected, from manifest " +
           "stats alone) — numeric range/equality conjunctions only, " +
           "anything else refuses by name.")(args => {
-        val target = long(args(1)).getOrElse(128L * 1024 * 1024)
+        val path = pathOf(args(0).get)
+        // absent target → the table's own write.target-file-size-bytes
+        // property (Iceberg's key) → 128 MiB
+        val target = long(args(1)).getOrElse(
+          LakeTable.latestVersion(path)
+            .flatMap(v => LakeTable.tablePropsOf(path, v)
+              .get("write.target-file-size-bytes").map(_.toLong))
+            .getOrElse(128L * 1024 * 1024))
         require(target > 0, "target_file_size_bytes must be positive")
         val preds = str(args(2)).map(whereBoxes(spark, _)).getOrElse(Nil)
-        one(LakeTable.compactSmall(spark, pathOf(args(0).get), target, preds))
+        one(LakeTable.compactSmall(spark, path, target, preds))
       }))
       case "rewrite_position_delete_files" => Some(new GraftProcedure(
         "rewrite_position_delete_files",

@@ -632,6 +632,10 @@ object LakeTable {
       schemaCols: Option[Seq[(Int, String)]] = None,
       constraints: Option[Seq[(String, String)]] = None,
       txn: Option[(String, Long)] = None,
+      // TABLE PROPERTIES sidecar (Iceberg's table metadata map):
+      // explicit on SET/UNSET commits, carried forward otherwise —
+      // versioned like constraints, so properties time-travel
+      props: Option[Map[String, String]] = None,
       // type promotions carry forward from the base like the schema;
       // explicit on promote commits and on cross-lineage commits
       // (rollback/branch/fast-forward adopt the SOURCE version's)
@@ -771,6 +775,16 @@ object LakeTable {
       Files.write(staging.resolve("constraints.json"),
         cs.map { case (n, e) =>
           s"{${jstr("name")}:${jstr(n)},${jstr("expr")}:${jstr(e)}}"
+        }.asJava)
+    }
+    // TABLE PROPERTIES carry forward like constraints (explicit on
+    // SET/UNSET commits, inherited otherwise)
+    val effProps = props.orElse(
+      if (base >= 0) Some(tablePropsOf(path, base)).filter(_.nonEmpty) else None)
+    effProps.filter(_.nonEmpty).foreach { ps =>
+      Files.write(staging.resolve("props.json"),
+        ps.toSeq.sortBy(_._1).map { case (k, v) =>
+          s"{${jstr("k")}:${jstr(k)},${jstr("v")}:${jstr(v)}}"
         }.asJava)
     }
     // STREAMING TRANSACTION map (Delta's SetTransaction shape): the
@@ -1089,6 +1103,40 @@ object LakeTable {
     val p = Paths.get(s"${metaDir(path)}/v$version/constraints.json")
     if (!Files.exists(p)) Nil
     else readJsonLines(p).map(n => n.get("name").asText -> n.get("expr").asText)
+  }
+
+  /** The table's PROPERTIES at `version` (Iceberg's metadata map),
+    * carried forward by every commit like constraints — properties
+    * are versioned, auditable, and time-travel with the table. */
+  private[graft] def tablePropsOf(path: String, version: Int): Map[String, String] = {
+    val p = Paths.get(s"${metaDir(path)}/v$version/props.json")
+    if (!Files.exists(p)) Map.empty
+    else readJsonLines(p).map(n => n.get("k").asText -> n.get("v").asText).toMap
+  }
+
+  /** SET TBLPROPERTIES: a metadata-only commit carrying the merged
+    * map. `write.sort-order` is NOT a sidecar property — it has its
+    * own declaration machinery — and is refused here by name so the
+    * two planes can never disagree. */
+  def setTableProperties(
+      spark: SparkSession, path: String, add: Map[String, String]): Int = {
+    require(add.nonEmpty, "SET TBLPROPERTIES: no properties given")
+    require(!add.contains("write.sort-order"),
+      "write.sort-order is a declaration, not a sidecar property — " +
+        "use WRITE ORDERED BY / setSortOrder")
+    val base = observedBase(spark, path)
+    commitRefs(spark, path, base, listRefs(path, base), "set_properties",
+      props = Some(tablePropsOf(path, base) ++ add))
+  }
+
+  /** UNSET TBLPROPERTIES: a metadata-only commit without the keys
+    * (absent keys are a no-op, Spark's IF EXISTS semantics). */
+  def unsetTableProperties(
+      spark: SparkSession, path: String, keys: Seq[String]): Int = {
+    require(keys.nonEmpty, "UNSET TBLPROPERTIES: no keys given")
+    val base = observedBase(spark, path)
+    commitRefs(spark, path, base, listRefs(path, base), "unset_properties",
+      props = Some(tablePropsOf(path, base) -- keys))
   }
 
   /** Latest committed epoch per streaming query id at `version` —

@@ -492,4 +492,41 @@ class GraftCatalogSpec extends AnyFunSuite {
       assert(e.getMessage.contains("allFiles"), e.getMessage)
     }
   }
+
+  test("TBLPROPERTIES are versioned commits: SET/UNSET/SHOW, time travel, functional target") {
+    rmdir(s"$wh/db9")
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.db9")
+    sql("CREATE TABLE graft.db9.p (k BIGINT, v DOUBLE) USING graftlake " +
+      "TBLPROPERTIES ('team' = 'curation')")
+    val p = s"$wh/db9/p"
+    def show(): Map[String, String] =
+      sql("SHOW TBLPROPERTIES graft.db9.p").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(show().get("team").contains("curation"),
+      "CREATE-time TBLPROPERTIES seed the sidecar")
+    val vSeed = LakeTable.latestVersion(p).get // sentinel + seed commit
+    sql("ALTER TABLE graft.db9.p SET TBLPROPERTIES " +
+      "('retention.days' = '30', 'write.target-file-size-bytes' = '1099511627776')")
+    assert(show().get("retention.days").contains("30"))
+    assert(LakeTable.latestVersion(p).contains(vSeed + 1),
+      "SET TBLPROPERTIES is ONE audited metadata commit")
+    // properties time-travel like everything else
+    assert(!LakeTable.tablePropsOf(p, vSeed).contains("retention.days"))
+    sql("ALTER TABLE graft.db9.p UNSET TBLPROPERTIES ('team')")
+    assert(!show().contains("team") && show().get("retention.days").contains("30"))
+    // the property is FUNCTIONAL: rewrite_data_files without a target
+    // reads write.target-file-size-bytes (1 TiB here → all files fold)
+    (0 until 3).foreach(i => sql(
+      s"INSERT INTO graft.db9.p SELECT id, CAST(id AS DOUBLE) FROM range(${i * 10}, ${i * 10 + 10}, 1, 1)"))
+    val before = LakeTable.entries(spark, p).filter(col("kind") === "data").count()
+    sql("CALL graft.system.rewrite_data_files(table => 'db9.p')")
+    val after = LakeTable.entries(spark, p).filter(col("kind") === "data").count()
+    assert(before >= 3 && after === 1L,
+      s"the property-driven target must fold everything: $before -> $after")
+    assert(sql("SELECT count(*) FROM graft.db9.p").head.getLong(0) === 30L)
+    // write.sort-order is a declaration, not a sidecar property
+    val e = intercept[Exception](
+      LakeTable.setTableProperties(spark, p, Map("write.sort-order" -> "k")))
+    assert(e.getMessage.contains("declaration"), e.getMessage)
+  }
 }
