@@ -165,14 +165,28 @@ private[sources] object GraftProcedures {
         Seq(in("table", StringType),
           opt("older_than", StringType), opt("retain_last", IntegerType)),
         StructType(Seq(StructField("deleted_data_files_count", LongType))),
-        "Expire old snapshots (older_than timestamp and/or retain_last count); " +
-          "tagged snapshots and the head are always pinned.")(args => {
+        "Expire old snapshots (older_than timestamp and/or retain_last count; " +
+          "with neither, the table's own history.expire.* retention policy " +
+          "properties apply); tagged snapshots and the head are always " +
+          "pinned.")(args => {
         val path = pathOf(args(0).get)
-        val older = str(args(1))
-        val retain = int(args(2))
+        // arg-less form: the RETENTION POLICY lives on the table
+        // itself (Iceberg's history.expire.* keys via S12f versioned
+        // properties) — a maintenance scheduler then runs ONE
+        // parameterless CALL per table and each table keeps its own
+        // policy, audited and time-travelable like any property
+        val props = LakeTable.latestVersion(path)
+          .map(v => LakeTable.tablePropsOf(path, v))
+          .getOrElse(Map.empty[String, String])
+        val older = str(args(1)).orElse(
+          props.get("history.expire.max-snapshot-age-ms").map(age =>
+            (System.currentTimeMillis() - age.toLong).toString))
+        val retain = int(args(2)).orElse(
+          props.get("history.expire.min-snapshots-to-keep").map(_.toInt))
         require(older.nonEmpty || retain.nonEmpty,
-          "CALL system.expire_snapshots: pass older_than => '<ts>' " +
-            "and/or retain_last => n")
+          "CALL system.expire_snapshots: pass older_than => '<ts>' and/or " +
+            "retain_last => n, or set the table's retention policy " +
+            "(history.expire.max-snapshot-age-ms / min-snapshots-to-keep)")
         val a = older.map(ts =>
           LakeTable.expireOlderThan(spark, path, LakeTable.timestampMillisOf(ts)))
           .getOrElse(Nil)

@@ -149,6 +149,29 @@ class CallProcedureSpec extends AnyFunSuite {
     }
   }
 
+  test("arg-less expire_snapshots reads the table's own retention policy") {
+    SparkSpec.rmdir(wh)
+    withCat {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS callc.db")
+      spark.sql("CREATE TABLE callc.db.e (k BIGINT) USING graftlake")
+      spark.sql("INSERT INTO callc.db.e VALUES (1)")
+      spark.sql("INSERT INTO callc.db.e VALUES (2)")
+      // no policy, no args → refuses naming the policy keys
+      val e = intercept[Exception](spark.sql(
+        "CALL callc.system.expire_snapshots(table => 'db.e')").collect())
+      assert(e.getMessage.contains("history.expire"), e.getMessage)
+      // the policy is a versioned property; the arg-less CALL applies it
+      spark.sql("ALTER TABLE callc.db.e SET TBLPROPERTIES " +
+        "('history.expire.min-snapshots-to-keep' = '1')")
+      spark.sql("CALL callc.system.expire_snapshots(table => 'db.e')")
+      val p = s"$wh/db/e"
+      val live = (0 to LakeTable.latestVersion(p).get).count(v =>
+        java.nio.file.Files.exists(java.nio.file.Paths.get(s"$p/_graft_meta/v$v")))
+      assert(live === 1, s"policy retain=1 must leave one live version, got $live")
+      assert(spark.table("callc.db.e").count() === 2)
+    }
+  }
+
   test("unknown procedure and non-lake table refuse loudly") {
     SparkSpec.rmdir(wh)
     withCat {
