@@ -644,6 +644,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val propUnsets = changes.collect {
       case r: TableChange.RemoveProperty => r.property
     }
+    require(!propUnsets.contains("write.sort-order"),
+      "write.sort-order is a declaration, not a sidecar property — " +
+        "unsetting it here would silently leave the standing order in " +
+        "force; use ALTER TABLE ... WRITE UNORDERED")
     if (propSets.nonEmpty || propUnsets.nonEmpty) {
       val base = LakeTable.latestVersion(p).getOrElse(
         throw new NoSuchTableException(ident))

@@ -1134,6 +1134,9 @@ object LakeTable {
   def unsetTableProperties(
       spark: SparkSession, path: String, keys: Seq[String]): Int = {
     require(keys.nonEmpty, "UNSET TBLPROPERTIES: no keys given")
+    require(!keys.contains("write.sort-order"),
+      "write.sort-order is a declaration, not a sidecar property — " +
+        "use WRITE UNORDERED to clear the standing order")
     val base = observedBase(spark, path)
     commitRefs(spark, path, base, listRefs(path, base), "unset_properties",
       props = Some(tablePropsOf(path, base) -- keys))
@@ -1732,6 +1735,20 @@ object LakeTable {
     require(files.nonEmpty, s"add_files: no parquet files under $sourceDir")
     val imported = spark.read.parquet(files: _*)
     val base = latestVersion(path).getOrElse(-1)
+    // Iceberg's check_duplicate_files default: a file the live version
+    // already references must not register twice — that silently
+    // duplicates every one of its rows. One O(#live files) metadata
+    // read, the same cost any DML plan pays below the threshold.
+    if (base >= 0) {
+      val live = listRefs(path, base)
+        .filter(r => r.kind == "data" && r.nFiles > 0)
+        .flatMap(readManifest).map(e => plainPath(e.file)).toSet
+      val dup = files.map(plainPath).filter(live)
+      require(dup.isEmpty,
+        s"add_files: ${dup.size} file(s) are already referenced by the live " +
+          s"version (e.g. ${dup.headOption.getOrElse("")}) — importing twice " +
+          "would duplicate rows")
+    }
     if (base >= 0) {
       val table = read(spark, path).schema
       val want = table.fields.map(f => f.name -> f.dataType).toMap
@@ -4613,8 +4630,11 @@ object LakeTable {
       s"REPLACE WHERE at $path: the incoming batch holds rows NOT matching " +
         "the predicate — a scoped overwrite must stay inside its slice " +
         "(filter the batch or widen the predicate)")
-    enforceConstraints(df, path)
+    // capture BEFORE enforcing (the publishStaged TOCTOU discipline):
+    // a constraint landing between the two is checked by enforce
+    // (stricter) and then refused by the subset guard below
     val cons = activeConstraints(path)
+    enforceConstraints(df, path)
     val base = observedBase(spark, path)
     val refs = listRefs(path, base)
     val spec = partitionSpecOf(path)

@@ -99,6 +99,17 @@ class AddFilesSpec extends AnyFunSuite {
       LakeTable.addFiles(spark, pc, ext))
     assert(e3.getMessage.contains("CHECK"))
 
+    // duplicate import: the live version already references the files
+    val pd = mkTable("refd", 0 until 10)
+    val extd = extDir("refd", 10 until 15)
+    LakeTable.addFiles(spark, pd, extd)
+    val e5 = intercept[IllegalArgumentException](
+      LakeTable.addFiles(spark, pd, extd))
+    assert(e5.getMessage.contains("duplicate") ||
+      e5.getMessage.contains("already referenced"))
+    assert(LakeTable.read(spark, pd).count() === 15,
+      "the refused re-import must not have duplicated rows")
+
     val pp = fresh("refp")
     LakeTable.setPartitionSpec(pp, Seq(PartitionTransform("g", "identity")))
     LakeTable.append(
