@@ -132,6 +132,24 @@ class MvIncrementalSpec extends AnyFunSuite {
         "JOIN gmvi.nd.t b ON a.k = b.k GROUP BY a.k")
   }
 
+  test("a hidden-partitioned source folds incrementally too") {
+    val ns = "part"
+    rmdir(s"$wh/$ns")
+    sql(s"CREATE NAMESPACE IF NOT EXISTS gmvi.$ns")
+    // PARTITIONED BY routes every INSERT through the hidden layout;
+    // appendsBetween must read the partitioned appended manifests
+    sql(s"CREATE TABLE gmvi.$ns.t (k STRING, a BIGINT, x DOUBLE) " +
+      "USING graftlake PARTITIONED BY (bucket(2, a))")
+    sql(s"INSERT INTO gmvi.$ns.t VALUES ('g1', 1, 1.5), ('g2', 10, 4.0)")
+    val body = s"SELECT k, count(*) AS n, sum(x) AS sx FROM gmvi.$ns.t GROUP BY k"
+    sql(s"CREATE MATERIALIZED VIEW gmvi.$ns.m AS $body")
+    sql(s"INSERT INTO gmvi.$ns.t VALUES ('g1', 2, 0.5), ('g3', 7, 2.0)")
+    sql(s"REFRESH MATERIALIZED VIEW gmvi.$ns.m")
+    assert(modeOf(ns, "m") === "incremental",
+      "a pure partitioned append must still take the O(delta) fold")
+    expectEqual(ns, "m", body)
+  }
+
   test("global aggregate (no GROUP BY) folds incrementally") {
     setup("glob")
     val body = "SELECT count(*) AS n, sum(a) AS sa, min(a) AS mn, " +
