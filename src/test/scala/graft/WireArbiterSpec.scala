@@ -413,6 +413,21 @@ class WireArbiterSpec extends AnyFunSuite {
       // a DIFFERENT query's ledger is independent
       assert(LakeTable.fanOutExactlyOnce(spark,
         Seq((batch("other"), p1)), "other-query", 0L) === Seq(Some(3)))
+      // a hidden-partitioned target rides the same ledgered commit
+      val p3 = "/tmp/graft_test/fo_t3"
+      SparkSpec.rmdir(p3)
+      LakeTable.setPartitionSpec(p3,
+        Seq(LakeTable.PartitionTransform("k", "identity")))
+      LakeTable.append(Seq((0L, "seed")).toDF("k", "tag"), p3) // v0, partitioned
+      LakeTable.setCommitArbiter(p3, w)
+      try {
+        assert(LakeTable.fanOutExactlyOnce(spark,
+          Seq((batch("pb0"), p3)), q, 0L) === Seq(Some(1)))
+        assert(LakeTable.fanOutExactlyOnce(spark,
+          Seq((batch("pb0"), p3)), q, 0L) === Seq(None),
+          "the partitioned route records the ledger too")
+        assert(LakeTable.read(spark, p3).count() === 2)
+      } finally LakeTable.setCommitArbiter(p3, RenameArbiter)
     } finally {
       LakeTable.setCommitArbiter(p1, RenameArbiter)
       LakeTable.setCommitArbiter(p2, RenameArbiter)
