@@ -2754,7 +2754,7 @@ object LakeTable {
         // carries stats under that name for the DIFFERENT (renamed)
         // field id, and probing them would prune rows the default
         // serves.
-        (r, c) => writeTimeName(r, c).getOrElse(" __graft_default_kept"))
+        (r, c) => writeTimeName(r, c).getOrElse("\u0000__graft_default_kept"))
       else (Nil, candidates.flatMap { r =>
         val named = preds.flatMap { case (c, lo, hi) =>
           writeTimeName(r, c).map((_, lo, hi)) }

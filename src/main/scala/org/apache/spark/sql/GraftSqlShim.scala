@@ -94,20 +94,20 @@ object GraftSqlShim {
     def go(n: internal.ColumnNodeLike): Boolean = n match {
       case f: internal.UnresolvedFunction =>
         !nondet(f.functionName.toLowerCase(java.util.Locale.ROOT)) &&
-          // best-effort registry consultation for the DSL surface
+          // registry consultation for the DSL surface
           // (`call_udf("f", ...)` of a registered nondeterministic
           // UDF): build through the session's function resolution and
-          // read the built node's own flag. Structural build failures
-          // keep the permissive default — the name set + argument
-          // recursion below still covers the builtin nondet family,
-          // and the SQL-string surface (the DML guard's main entry)
-          // refuses hard via exprDet.
+          // read the built node's own flag. A structural build failure
+          // REFUSES, matching the SQL-string arm (fnDet/SqlExpression)
+          // — a function this guard cannot even resolve must not
+          // default to "safe"; a wrong `true` here means silent row
+          // loss in the multi-pass DML planner (round-11 "wrong" #3).
           scala.util.Try {
             val ss = SparkSession.active.asInstanceOf[classic.SparkSession]
             ss.sessionState.catalog.lookupFunction(
               catalyst.FunctionIdentifier(f.functionName),
               f.arguments.map(a => expression(Column(a)))).deterministic
-          }.getOrElse(true) &&
+          }.getOrElse(false) &&
           f.arguments.forall(go)
       case a: internal.Alias => go(a.child)
       case k: internal.Cast => go(k.child)

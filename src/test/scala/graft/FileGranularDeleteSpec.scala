@@ -330,6 +330,36 @@ class FileGranularDeleteSpec extends AnyFunSuite {
     assert(LakeTable.read(spark, p).filter(col("k") === 2L).count() == 0)
   }
 
+  test("registered nondeterministic UDF is refused on BOTH guard surfaces") {
+    val p = "/tmp/graft_test/fgdel_nondet_both"
+    partitionedTable(p)
+    spark.udf.register("graft_nd_probe",
+      udf(() => scala.util.Random.nextDouble()).asNondeterministic())
+    // DSL surface: call_udf of the registered nondet UDF — the guard
+    // must consult the registry flag, not just the builtin name set
+    val e1 = intercept[IllegalArgumentException] {
+      LakeTable.delete(spark, p, call_udf("graft_nd_probe") < 0.5)
+    }
+    assert(e1.getMessage.contains("nondeterministic"))
+    // SQL-string surface: same UDF through expr(...)
+    val e2 = intercept[IllegalArgumentException] {
+      LakeTable.delete(spark, p, expr("graft_nd_probe() < 0.5"))
+    }
+    assert(e2.getMessage.contains("nondeterministic"))
+    // structural-failure refusal: a call_udf target the guard cannot
+    // even resolve must refuse like the SQL arm, not default to safe
+    val e3 = intercept[IllegalArgumentException] {
+      LakeTable.delete(spark, p, call_udf("graft_no_such_fn", col("k")) < lit(1))
+    }
+    assert(e3.getMessage.contains("nondeterministic"))
+    // a registered DETERMINISTIC call_udf still runs on both surfaces
+    spark.udf.register("graft_det_probe", udf((k: Long) => k == 3L))
+    LakeTable.delete(spark, p, call_udf("graft_det_probe", col("k")))
+    assert(LakeTable.read(spark, p).filter(col("k") === 3L).count() == 0)
+    LakeTable.delete(spark, p, expr("graft_det_probe(k)"))
+    assert(LakeTable.read(spark, p).count() > 0)
+  }
+
   test("MERGE with a BY-SOURCE clause falls back to the full rewrite") {
     val p = "/tmp/graft_test/fgmrg_bysrc"
     partitionedTable(p)
