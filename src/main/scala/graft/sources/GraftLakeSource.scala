@@ -336,9 +336,11 @@ class GraftLakeTable(
         s"graftlake changeFeed at $path: a version-pinned CDC stream is " +
           "contradictory — the stream's offsets ARE versions")
       val maxV = options.getInt("maxVersionsPerTrigger", 1)
+      val allowLoss = options.getBoolean("allowDataLoss", false)
       return new ScanBuilder {
         override def build(): Scan =
-          new GraftLakeChangeScan(spark, path, tableSchema, lineageFeed, maxV)
+          new GraftLakeChangeScan(
+            spark, path, tableSchema, lineageFeed, maxV, allowLoss)
       }
     }
     // a read-time versionAsOf/timestampAsOf option overrides the

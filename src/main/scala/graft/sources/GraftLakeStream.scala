@@ -38,13 +38,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * prepare time and drains version by version to it. */
 class GraftLakeChangeScan(
     spark: SparkSession, path: String, fullSchema: StructType,
-    lineage: Boolean = false, maxVersions: Int = 1)
+    lineage: Boolean = false, maxVersions: Int = 1,
+    allowDataLoss: Boolean = false)
     extends Scan {
   override def readSchema(): StructType = fullSchema
   override def description(): String =
     s"GraftLakeChangeScan(${if (lineage) "lineage " else ""}changeFeed of $path)"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftLakeMicroBatchStream(spark, path, fullSchema, lineage, maxVersions)
+    new GraftLakeMicroBatchStream(
+      spark, path, fullSchema, lineage, maxVersions, allowDataLoss)
 }
 
 /** `lineage = true` serves the LINEAGE change feed (S11e,
@@ -61,7 +63,17 @@ class GraftLakeMicroBatchStream(
     // per-batch boundedness for catch-up throughput on a lagging
     // consumer — batches stay version-ALIGNED either way (an offset
     // is always a whole version, never a partial commit)
-    maxVersions: Int = 1)
+    maxVersions: Int = 1,
+    // DATA-LOSS CONTRACT (round-11 "wrong" #1): a version in range
+    // with no materialized changelog (its parent snapshot was expired
+    // before the change-data could be computed) REFUSES at offset
+    // admission, naming the versions — "deliver what exists" silently
+    // loses committed changes for a lagging consumer resuming after a
+    // retention run. `option("allowDataLoss", "true")` is the
+    // explicit opt-out (Delta's failOnDataLoss shape): the gap is
+    // skipped and delivery continues from the first version that
+    // still has change-data.
+    allowDataLoss: Boolean = false)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
   require(maxVersions >= 1,
     s"maxVersionsPerTrigger must be >= 1, got $maxVersions")
@@ -102,15 +114,62 @@ class GraftLakeMicroBatchStream(
     materializedMax()
   }
 
+  /** Versions in (from, to] whose change-data is UNOBTAINABLE: no
+    * materialized changelog slot AND the snapshot (or its diff
+    * parent) is expired. A missing slot whose snapshot and parent are
+    * both live is merely PENDING — the next materializer pass fills
+    * it — and is not a gap. */
+  private def unmaterializable(from: Int, to: Int): Seq[Int] =
+    ((from + 1) to to).filter { v =>
+      !Files.isDirectory(Paths.get(s"$changelog/v=$v")) &&
+        (!LakeTable.snapshotLive(path, v) ||
+          (v > 0 && !LakeTable.snapshotLive(path, v - 1)))
+    }
+
+  /** Refuse (by version, pointing at the expire) instead of silently
+    * delivering a gap — unless the consumer opted into data loss. */
+  private def requireNoGap(from: Int, to: Int): Unit = {
+    if (allowDataLoss) return
+    val gap = unmaterializable(from, to)
+    if (gap.nonEmpty) throw new IllegalStateException(
+      s"graftlake ${if (lineage) "lineage " else ""}changeFeed at $path: " +
+        s"version${if (gap.size > 1) "s" else ""} ${gap.mkString(", ")} in " +
+        s"($from, $to] ${if (gap.size > 1) "have" else "has"} no " +
+        "materializable changelog — the parent snapshot was expired " +
+        "(expire_snapshots) before the change-data could be computed, so " +
+        "delivering this range would silently skip committed changes. " +
+        "Restart from a fresh checkpoint to take a new initial snapshot, " +
+        "or opt into the gap explicitly with " +
+        "option(\"allowDataLoss\", \"true\"). Tables with live change-feed " +
+        "consumers avoid this entirely: expire_snapshots materializes " +
+        "pending changelog versions before removing their parents whenever " +
+        "the changelog directory exists.")
+  }
+
   override def initialOffset(): Offset = VOffset(-1)
 
+  // the no-arg form carries no START, so it cannot know whether a
+  // gap lies ahead of THIS consumer — the admission-control form
+  // below (which the engine uses: SupportsTriggerAvailableNow extends
+  // SupportsAdmissionControl) and planInputPartitions enforce the
+  // contract against the consumer's actual position
   override def latestOffset(): Offset = VOffset(head())
 
   /** At most `maxVersions` versions per micro-batch (default 1 — the
-    * bounded-progress contract; offsets are whole versions always). */
+    * bounded-progress contract; offsets are whole versions always).
+    * ADMISSION is where the data-loss contract bites: an offset range
+    * containing an unmaterializable version is refused before it can
+    * enter the offset log. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[VOffset].v
-    VOffset(math.min(from + maxVersions, math.max(head(), from)))
+    val to = math.min(from + maxVersions, math.max(head(), from))
+    // probe past the MATERIALIZED head to the TABLE head: when every
+    // materializable version is behind an expired gap the materialized
+    // head never advances, and a consumer below the gap would
+    // otherwise idle silently forever instead of refusing
+    val tableHead = LakeTable.latestVersion(path).getOrElse(-1)
+    requireNoGap(from, math.max(to, math.min(from + maxVersions, tableHead)))
+    VOffset(to)
   }
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
@@ -133,8 +192,10 @@ class GraftLakeMicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[VOffset].v
     val to = end.asInstanceOf[VOffset].v
-    // a version whose parent was expired pre-materialization leaves a
-    // (loudly logged) gap; deliver what exists
+    // admission already refused gaps, but an ALREADY-ADMITTED batch
+    // replayed from the checkpoint after a concurrent expire must
+    // refuse here too (same contract, same opt-out)
+    requireNoGap(from, to)
     val versions = ((from + 1) to to)
       .filter(v => Files.isDirectory(Paths.get(s"$changelog/v=$v")))
     if (versions.isEmpty) return Array.empty

@@ -73,6 +73,14 @@ object LakeTable {
   private def metaDir(path: String) = s"$path/_graft_meta"
   private def manifestsDir(path: String) = s"${metaDir(path)}/manifests"
 
+  /** Does version `v`'s snapshot still exist (expire leaves gaps)?
+    * The change-feed stream asks this to tell a PENDING changelog
+    * version (snapshot and parent both live — will materialize) from
+    * an UNMATERIALIZABLE one (either expired — the data-loss refusal
+    * case). */
+  private[sources] def snapshotLive(path: String, v: Int): Boolean =
+    Files.exists(Paths.get(s"${metaDir(path)}/v$v"))
+
   def latestVersion(path: String): Option[Int] = {
     val md = Paths.get(metaDir(path))
     if (!Files.exists(md)) None
@@ -7543,6 +7551,24 @@ object LakeTable {
       spark: SparkSession, path: String,
       lineage: Boolean = false): org.apache.spark.sql.types.StructType = {
     materializeChanges(spark, path, lineage)
+    val dir = Paths.get(changelogDirOf(path, lineage))
+    val any = Files.isDirectory(dir) && {
+      val ls = Files.list(dir)
+      try ls.iterator().asScala.exists(_.getFileName.toString.startsWith("v="))
+      finally ls.close()
+    }
+    // no slot at all: either the table has no versions, or EVERY
+    // candidate's parent snapshot was expired pre-materialization — a
+    // fresh consumer has no schema and no data to start from, so the
+    // generic parquet schema-inference error would mask the data-loss
+    // cause; refuse by name instead (round-11 "wrong" #1)
+    if (!any) throw new IllegalStateException(
+      s"graftlake ${if (lineage) "lineage " else ""}changeFeed at $path: no " +
+        "version has materializable change-data — the parent snapshots were " +
+        "expired (expire_snapshots) before any changelog could be computed, " +
+        "or the table has no versions. Read the table itself for current " +
+        "state; future expire runs materialize pending changelog versions " +
+        "first once a changelog directory exists.")
     spark.read.option("mergeSchema", "true")
       .parquet(changelogDirOf(path, lineage)).schema
   }
@@ -7963,6 +7989,18 @@ object LakeTable {
     val latest = latestVersion(path).getOrElse(return Nil)
     val cutoff = latest - retain + 1
     if (cutoff <= 0) return Nil
+    // CHANGE-FEED SAFETY (round-11 "wrong" #1): when a changelog dir
+    // exists (the table has — or had — change-feed consumers),
+    // materialize every pending changelog version BEFORE removing its
+    // parent snapshot. A version expired pre-materialization can
+    // never be diffed again, and a lagging consumer would then hit
+    // the stream's data-loss refusal; eager materialization means the
+    // gap never forms. O(pending versions) — a steady-state table
+    // with a draining consumer has zero pending.
+    Seq(false, true).foreach { lineage =>
+      if (Files.isDirectory(Paths.get(changelogDirOf(path, lineage))))
+        materializeChanges(spark, path, lineage)
+    }
     def live(v: Int): Boolean = Files.exists(Paths.get(s"${metaDir(path)}/v$v"))
     // tagged snapshots are PINNED (Iceberg ref semantics): their
     // manifest lists survive below the retention cutoff and their

@@ -399,6 +399,143 @@ class GraftLakeSourceSpec extends AnyFunSuite {
       "the restarted feed's update pair still keys on one durable id")
   }
 
+  test("change-feed data-loss contract: an expired gap refuses by name; allowDataLoss opts out") {
+    import spark.implicits._
+    val p = "/tmp/graft_test/v2_cdc_dataloss"
+    rmdir(p)
+    LakeTable.overwrite(
+      (0 until 10).map(i => (i.toLong, i * 1.0)).toDF("k", "x"), p) // v0
+    (1 to 5).foreach { i =>
+      LakeTable.append(Seq((100L + i, i * 10.0)).toDF("k", "x"), p) // v1..v5
+    }
+    // expire BEFORE any consumer existed (no changelog dir → no eager
+    // materialization): v0..v3 drop, v4 survives but its parent is
+    // gone, so only v5 can ever materialize change-data
+    LakeTable.expireSnapshots(spark, p, retain = 2)
+    val out = s"$p/_out"
+    def drain(allowLoss: Boolean): Seq[org.apache.spark.sql.Row] = {
+      val rows = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      val rd = spark.readStream.format("graftlake").option("changeFeed", "true")
+      val q = (if (allowLoss) rd.option("allowDataLoss", "true") else rd)
+        .load(p)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$out/_chk")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          rows ++= b.collect(); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      rows.toSeq
+    }
+    // default: REFUSE at offset admission, naming the versions and the
+    // expire, before anything enters the offset log
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(allowLoss = false)
+    }
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+    assert(msg.contains("no materializable changelog"), msg)
+    assert(msg.contains("expire"), msg)
+    assert(msg.contains("allowDataLoss"), msg)
+    // explicit opt-out: the gap is skipped, the one materializable
+    // version delivers (the refusal logged no offsets, so the same
+    // checkpoint resumes cleanly)
+    val got = drain(allowLoss = true)
+    assert(got.nonEmpty, "v5's change-data must deliver under the opt-out")
+    assert(got.map(r => r.getAs[Int]("v")).distinct === Seq(5),
+      s"only v5 has materializable change-data: ${got.map(_.getAs[Int]("v")).distinct}")
+    assert(got.map(r => (r.getAs[Long]("k"), r.getAs[String]("change_type")))
+      === Seq((105L, "insert")))
+  }
+
+  test("expire_snapshots materializes pending changelogs first: the gap never forms") {
+    import spark.implicits._
+    val p = "/tmp/graft_test/v2_cdc_nogap"
+    rmdir(p)
+    LakeTable.overwrite(
+      (0 until 8).map(i => (i.toLong, i * 1.0)).toDF("k", "x"), p) // v0
+    LakeTable.append(Seq((100L, 10.0)).toDF("k", "x"), p) // v1
+    LakeTable.delete(spark, p, col("k") === 3L) // v2
+    val out = s"$p/_out"
+    def drain(): Seq[org.apache.spark.sql.Row] = {
+      val rows = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      val q = spark.readStream.format("graftlake").option("changeFeed", "true")
+        .load(p)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$out/_chk")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          rows ++= b.collect(); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      rows.toSeq
+    }
+    assert(drain().size === 8 + 1 + 1) // v0 snapshot + v1 insert + v2 delete
+    // the consumer lags: two more commits land, NOT yet materialized,
+    // then a retention run expires their parents
+    LakeTable.append(Seq((101L, 11.0)).toDF("k", "x"), p) // v3
+    LakeTable.append(Seq((102L, 12.0)).toDF("k", "x"), p) // v4
+    LakeTable.expireSnapshots(spark, p, retain = 1) // keeps only v4
+    // eager materialization computed v3/v4's change-data BEFORE the
+    // parents died: the lagging consumer resumes with NO gap and NO
+    // refusal
+    val resumed = drain()
+    assert(resumed.map(r => (r.getAs[Int]("v"), r.getAs[Long]("k"))).sorted
+      === Seq((3, 101L), (4, 102L)),
+      s"the resumed consumer must see exactly v3 and v4: $resumed")
+  }
+
+  test("LINEAGE feed shares the data-loss contract and the eager-expire fix") {
+    import spark.implicits._
+    val p = "/tmp/graft_test/v2_lincdc_dataloss"
+    rmdir(p)
+    LakeTable.overwrite(
+      (0 until 6).map(i => (i.toLong, i * 1.0)).toDF("k", "x")
+        .repartition(1).sortWithinPartitions("k"), p) // v0
+    LakeTable.enableRowLineage(spark, p) // v1: initial snapshot
+    val out = s"$p/_out"
+    def drain(): Seq[org.apache.spark.sql.Row] = {
+      val rows = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      val q = spark.readStream.format("graftlake").option("changeFeed", "lineage")
+        .load(p)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$out/_chk")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          rows ++= b.collect(); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      rows.toSeq
+    }
+    assert(drain().size === 6) // v1's initial snapshot (v0 is a marker)
+    // lag two commits, expire their parents: eager materialization
+    // keeps the lineage feed whole too
+    LakeTable.update(spark, p, Map("x" -> (col("x") + 1.0)), col("k") === 2L) // v2
+    LakeTable.append(Seq((50L, 5.0)).toDF("k", "x"), p) // v3
+    LakeTable.expireSnapshots(spark, p, retain = 1)
+    val resumed = drain()
+    assert(resumed.map(_.getAs[Int]("v")).distinct.sorted === Seq(2, 3), s"$resumed")
+    assert(resumed.count(_.getAs[String]("change_type").startsWith("update_")) === 2)
+    // a FRESH lineage consumer of a table whose ENTIRE history expired
+    // before any changelog existed has no schema and no data to start
+    // from: the load refuses by name instead of dying on parquet
+    // schema inference over an empty changelog dir
+    val p2 = "/tmp/graft_test/v2_lincdc_dataloss_fresh"
+    rmdir(p2)
+    LakeTable.overwrite(Seq((1L, 1.0)).toDF("k", "x"), p2) // v0
+    LakeTable.enableRowLineage(spark, p2) // v1
+    LakeTable.append(Seq((2L, 2.0)).toDF("k", "x"), p2) // v2
+    LakeTable.expireSnapshots(spark, p2, retain = 1) // no changelog dir: gap forms
+    val e = intercept[IllegalStateException] {
+      spark.readStream.format("graftlake").option("changeFeed", "lineage").load(p2)
+    }
+    assert(e.getMessage.contains("lineage changeFeed") &&
+      e.getMessage.contains("materializable change-data") &&
+      e.getMessage.contains("expire"), e.getMessage)
+  }
+
   test("runtime V2 filtering: a broadcast join's dim keys prune fact FILES at execution") {
     import spark.implicits._
     val p = "/tmp/graft_test/v2_dpp"
