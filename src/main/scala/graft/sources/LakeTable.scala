@@ -6250,9 +6250,12 @@ object LakeTable {
   }
 
   /** Driver query: INCREMENTAL APPEND SCAN (S11h). Evens land at v0
-    * (overwrite), odds arrive as TWO appends — `appendsBetween(0, 2)`
-    * must serve exactly the odds while LISTING only the two appended
-    * manifests (plan-time file count require'd), and a later DELETE
+    * (overwrite), odds arrive as TWO appends with a MAINTENANCE
+    * commit between them (rewrite_manifests — the round-11 friction:
+    * nightly maintenance must not break incremental consumers) —
+    * `appendsBetween(0, 3)` must serve exactly the odds while LISTING
+    * only the two appended manifests (require'd), seeing straight
+    * through the content-identical consolidation; a later DELETE
     * makes the incremental read across it refuse by name (require'd
     * too: the refusal is the semantics). */
   def incrementalAppendQuery(s: SparkSession, d: String): DataFrame = {
@@ -6261,17 +6264,23 @@ object LakeTable {
       .select("event_id", "event_type", "value")
     overwrite(ev.filter(col("event_id") % 2 === 0), path) // v0: evens
     append(ev.filter(col("event_id") % 4 === 1), path) // v1
-    append(ev.filter(col("event_id") % 4 === 3), path) // v2
-    val inc = appendsBetween(s, path, 0, 2)
+    // v2: metadata-only maintenance in range — consolidates the small
+    // manifests; an endpoint manifest-diff would claim v0's rows here
+    rewriteManifests(s, path)
+    require(operationOf(path, 2) == "rewrite_manifests",
+      "the maintenance commit must land as v2")
+    append(ev.filter(col("event_id") % 4 === 3), path) // v3
+    val inc = appendsBetween(s, path, 0, 3)
     val evensFiles = read(s, path, Some(0)).inputFiles.toSet
     require(inc.inputFiles.toSet.intersect(evensFiles).isEmpty,
       "incremental append scan must not LIST any v0 file")
-    delete(s, path, col("event_id") % 10 === 0) // v3: not an append
-    val refused = try { appendsBetween(s, path, 0, 3); false }
+    delete(s, path, col("event_id") % 10 === 0) // v4: not an append
+    val refused = try { appendsBetween(s, path, 0, 4); false }
       catch { case e: IllegalArgumentException =>
-        e.getMessage.contains("changes()") }
+        e.getMessage.contains("changes()") && e.getMessage.contains("v4=delete") &&
+          !e.getMessage.contains("rewrite_manifests") }
     require(refused,
-      "appendsBetween across a DELETE must refuse and point at changes()")
+      "appendsBetween across a DELETE must refuse naming ONLY the delete")
     inc.groupBy("event_type")
       .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
       .orderBy("event_type")
@@ -7389,21 +7398,46 @@ object LakeTable {
     * either way (delete seq < fresh data seq; posdel/DV pin file
     * identities that predate the appends). At 100 TB: O(appended
     * files) whatever the table size, no diff, no shuffle. */
+  /** Commits that change NO row content and NO schema — metadata-only
+    * maintenance an incremental append consumer can see straight
+    * through (Iceberg's incremental scan skips replace-type snapshots
+    * for the same reason): manifest consolidation, the delete-
+    * representation rewrites, stats collection, properties,
+    * constraints. Deliberately NOT here: compaction family (row-
+    * preserving but file-rewriting — the conservative line), schema
+    * changes (a consumer's column expectations deserve a loud stop),
+    * and anything that adds/removes rows. */
+  private val appendTransparentOps = Set(
+    "rewrite_manifests", "convert_eqdeletes", "rewrite_posdeletes",
+    "analyze", "set_properties", "add_constraint", "drop_constraint")
+
   def appendsBetween(
       spark: SparkSession, path: String, fromV: Int, toV: Int): DataFrame = {
     require(fromV <= toV,
       s"appendsBetween at $path: fromV $fromV must not exceed toV $toV")
     if (fromV == toV) return read(spark, path, Some(toV)).limit(0)
-    val nonAppend = (fromV + 1 to toV).map(v => v -> operationOf(path, v))
-      .filterNot(_._2 == "append")
+    val ops = (fromV + 1 to toV).map(v => v -> operationOf(path, v))
+    val nonAppend = ops
+      .filterNot { case (_, o) => o == "append" || appendTransparentOps(o) }
     require(nonAppend.isEmpty,
       s"appendsBetween at $path: version(s) ${nonAppend.map { case (v, o) =>
           s"v$v=$o" }.mkString(", ")} are not pure appends — " +
         "incremental append semantics would lie across them; use changes()")
-    val before = listRefs(path, fromV)
-      .filter(_.kind == "data").map(_.manifest).toSet
-    val fresh = listRefs(path, toV)
-      .filter(r => r.kind == "data" && r.nFiles > 0 && !before(r.manifest))
+    // fresh manifests are collected PER APPEND VERSION against its own
+    // parent, not as an endpoint list-diff: a maintenance commit in
+    // range REWRITES the manifest list (consolidation folds entries,
+    // analyze re-emits stats-extended manifests), so "in toV's list
+    // but not fromV's" would claim pre-range rows after one. Each
+    // append's own fresh manifests are immutable files the append
+    // version's list pins, exact whatever maintenance ran afterwards.
+    // Still O(appended files) data-side; metadata cost O(range) list
+    // reads — the shape an incremental consumer's short range wants.
+    val fresh = ops.filter(_._2 == "append").flatMap { case (v, _) =>
+      val prev = listRefs(path, v - 1)
+        .filter(_.kind == "data").map(_.manifest).toSet
+      listRefs(path, v)
+        .filter(r => r.kind == "data" && r.nFiles > 0 && !prev(r.manifest))
+    }
     if (fresh.isEmpty) return read(spark, path, Some(toV)).limit(0)
     assemblePruned(spark, Nil, fresh, Nil, Nil, Nil, schFor(path, toV))
   }

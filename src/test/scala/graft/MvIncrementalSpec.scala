@@ -87,6 +87,24 @@ class MvIncrementalSpec extends AnyFunSuite {
     expectEqual("zero", "m", body)
   }
 
+  test("maintenance commits in range keep the incremental path (round-11 'missing' #1)") {
+    setup("maint")
+    val body = "SELECT k, count(*) AS n, sum(a) AS sa FROM gmvi.maint.t GROUP BY k"
+    sql(s"CREATE MATERIALIZED VIEW gmvi.maint.m AS $body")
+    // append → nightly maintenance (metadata-only consolidation +
+    // stats + properties) → append: content-identical commits must
+    // not demote the refresh to a full recompute
+    sql("INSERT INTO gmvi.maint.t VALUES ('g1', 3, 1.0)")
+    val tPath = s"$wh/maint/t"
+    LakeTable.rewriteManifests(spark, tPath)
+    LakeTable.analyzeNdv(spark, tPath, Seq("k"))
+    sql("INSERT INTO gmvi.maint.t VALUES ('g4', 40, 2.0)")
+    sql("REFRESH MATERIALIZED VIEW gmvi.maint.m")
+    assert(modeOf("maint", "m") === "incremental",
+      "maintenance in range must stay transparent to the fold")
+    expectEqual("maint", "m", body)
+  }
+
   test("DML in range falls back to the full recompute") {
     setup("dml")
     val body = "SELECT k, count(*) AS n, sum(a) AS sa FROM gmvi.dml.t GROUP BY k"
