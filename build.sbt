@@ -28,3 +28,24 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// The arbiter suites bind loopback sockets and assert sub-second
+// timing contracts (client timeoutMs=300, steal grace); inside the
+// main test JVM — loaded with the other 50 suites' accumulated Spark
+// state, GC churn and streaming timers — those contracts flake about
+// 1-in-2 full runs (round-11 "wrong" #2: WireArbiterSpec green alone,
+// red under the full suite). Run them in their OWN forked JVM, and
+// cap forked test groups at one-at-a-time so the two JVMs never
+// contend for the same 32 cores.
+val socketSuites = Set("graft.WireArbiterSpec", "graft.CommitArbiterSpec")
+Test / testGrouping := {
+  val opts = (Test / javaOptions).value.toVector
+  val (socket, main) =
+    (Test / definedTests).value.partition(t => socketSuites(t.name))
+  Seq(
+    Tests.Group("main", main,
+      Tests.SubProcess(ForkOptions().withRunJVMOptions(opts))),
+    Tests.Group("socket", socket,
+      Tests.SubProcess(ForkOptions().withRunJVMOptions(opts))),
+  ).filter(_.tests.nonEmpty)
+}
+Global / concurrentRestrictions += Tags.limit(Tags.ForkedTestGroup, 1)
