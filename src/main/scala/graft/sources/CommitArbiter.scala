@@ -1,5 +1,7 @@
 package graft.sources
 
+import scala.jdk.CollectionConverters._
+
 /** Pluggable COMMIT ARBITRATION for the lake's version claim — the
   * catalog-service protocol the format needs at 100 TB: on object
   * stores without atomic rename (S3) and across writers on different
@@ -367,7 +369,14 @@ final class CatalogWireServer(
   * a claim whose publish failed). */
 final class CatalogHttpServer(
     claimGraceMs: Long = 60000L,
-    clock: () => Long = () => System.currentTimeMillis())
+    clock: () => Long = () => System.currentTimeMillis(),
+    // READ-PLANE warehouse (round-11 "missing" #3): when set, the
+    // server ASSIGNS storage locations to tables created through it
+    // (`$warehouse/$ns/$name`), so a remote engine needs only the
+    // URL — discovery, loadTable and commit arbitration all flow
+    // through the service; only the data plane (shared storage)
+    // stays filesystem-direct, exactly Iceberg-REST's split.
+    warehouse: Option[String] = None)
   extends AutoCloseable {
 
   private val inner = new InProcessCatalogArbiter(claimGraceMs, clock)
@@ -379,6 +388,19 @@ final class CatalogHttpServer(
   def refusedClaims: Int = inner.refusedClaims.get
   def stolenClaims: Int = inner.stolenClaims.get
   def headOf(table: String): Int = inner.headOf(table)
+
+  // ---- the catalog READ PLANE: namespace + table registry ----
+  // Namespaces are explicit (Iceberg REST's contract); a table row is
+  // name → metadata location. Multi-level namespaces ride the URL as
+  // one segment joined by the unit separator (Iceberg's %1F).
+  private val namespaces =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Seq[String]]()
+  private val tableReg =
+    new java.util.concurrent.ConcurrentHashMap[(Seq[String], String), String]()
+
+  /** Registered location of `ns.name`, if any (spec observability). */
+  def locationOf(ns: Seq[String], name: String): Option[String] =
+    Option(tableReg.get((ns, name)))
 
   server.createContext("/v1/tables/", new com.sun.net.httpserver.HttpHandler {
     override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
@@ -505,6 +527,100 @@ final class CatalogHttpServer(
         }
       }
     })
+  // ---- READ PLANE routes (Iceberg-REST's discovery/load shape) ----
+  //   GET    /v1/namespaces                     → list namespaces
+  //   POST   /v1/namespaces                     → create {"namespace":["ns"]}
+  //   GET    /v1/namespaces/{ns}/tables         → list identifiers
+  //   POST   /v1/namespaces/{ns}/tables         → register/create
+  //            {"name":"t","location":optional} — location defaults to
+  //            the server warehouse; answers the metadata location
+  //   GET    /v1/namespaces/{ns}/tables/{t}     → metadata location +
+  //            the server-held head pointer
+  //   DELETE /v1/namespaces/{ns}/tables/{t}     → unregister (storage
+  //            stays — REST drop without purge)
+  server.createContext("/v1/namespaces", new com.sun.net.httpserver.HttpHandler {
+    override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+      def respond(status: Int, body: String): Unit = {
+        val bytes = body.getBytes("UTF-8")
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.sendResponseHeaders(status, bytes.length.toLong)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+      def jStr(s0: String): String =
+        "\"" + s0.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      def jArr(parts: Seq[String]): String =
+        parts.map(jStr).mkString("[", ",", "]")
+      try {
+        val method = ex.getRequestMethod
+        // RAW segments: decode each exactly once; the ns segment packs
+        // multi-level namespaces with the unit separator
+        val segs = ex.getRequestURI.getRawPath.stripPrefix("/v1/namespaces")
+          .split("/").filter(_.nonEmpty).toSeq
+          .map(java.net.URLDecoder.decode(_, "UTF-8"))
+        def nsOf(seg: String): Seq[String] = seg.split('\u001f').toSeq
+        (method, segs) match {
+          case ("GET", Seq()) =>
+            respond(200, namespaces.iterator().asScala.toSeq
+              .sortBy(_.mkString("\u001f")).map(jArr(_))
+              .mkString("""{"namespaces":[""", ",", "]}"))
+          case ("POST", Seq()) =>
+            val doc = mapper.readTree(ex.getRequestBody)
+            val n = doc.get("namespace")
+            require(n != null && n.isArray && n.size > 0, "missing 'namespace'")
+            val it = n.elements()
+            val parts = Iterator.continually(it).takeWhile(_.hasNext)
+              .map(_.next().asText).toSeq
+            if (namespaces.add(parts)) respond(200, """{"ok":true}""")
+            else respond(409, s"""{"error":"namespace exists: ${parts.mkString(".")}"}""")
+          case ("GET", Seq(ns, "tables")) =>
+            val parts = nsOf(ns)
+            if (!namespaces.contains(parts))
+              respond(404, s"""{"error":"no such namespace: ${parts.mkString(".")}"}""")
+            else respond(200, tableReg.keySet.iterator().asScala.toSeq
+              .filter(_._1 == parts).map(_._2).sorted
+              .map(t => s"""{"namespace":${jArr(parts)},"name":${jStr(t)}}""")
+              .mkString("""{"identifiers":[""", ",", "]}"))
+          case ("POST", Seq(ns, "tables")) =>
+            val parts = nsOf(ns)
+            require(namespaces.contains(parts),
+              s"no such namespace: ${parts.mkString(".")}")
+            val doc = mapper.readTree(ex.getRequestBody)
+            val name = {
+              val n = doc.get("name")
+              require(n != null && !n.isNull && n.asText.nonEmpty, "missing 'name'")
+              n.asText
+            }
+            val loc = Option(doc.get("location")).filterNot(_.isNull).map(_.asText)
+              .orElse(warehouse.map(w =>
+                (w.stripSuffix("/") +: parts :+ name).mkString("/")))
+              .getOrElse(sys.error(
+                "no 'location' given and the catalog service has no warehouse"))
+            if (tableReg.putIfAbsent((parts, name), loc) != null)
+              respond(409, s"""{"error":"table exists: ${parts.mkString(".")}.$name"}""")
+            else respond(200, s"""{"metadata-location":${jStr(loc)}}""")
+          case ("GET", Seq(ns, "tables", t)) =>
+            val parts = nsOf(ns)
+            Option(tableReg.get((parts, t))) match {
+              case Some(loc) => respond(200,
+                s"""{"metadata-location":${jStr(loc)},""" +
+                  s""""version":${inner.headOf(loc)}}""")
+              case None => respond(404,
+                s"""{"error":"no such table: ${parts.mkString(".")}.$t"}""")
+            }
+          case ("DELETE", Seq(ns, "tables", t)) =>
+            if (tableReg.remove((nsOf(ns), t)) != null) respond(200, """{"ok":true}""")
+            else respond(404, s"""{"error":"no such table: $t"}""")
+          case (m, p) => sys.error(s"unsupported route $m /v1/namespaces/${p.mkString("/")}")
+        }
+      } catch {
+        case e: Throwable =>
+          val m = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+            .replace("\\", "\\\\").replace("\"", "\\\"")
+          try respond(400, s"""{"error":"$m"}""") catch { case _: Throwable => () }
+      }
+    }
+  })
   server.setExecutor(null) // default executor: one dispatch thread
   server.start()
 

@@ -103,34 +103,94 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private var catalogName: String = _
   private var initWarehouse: Option[String] = None
+  private var initUri: Option[String] = None
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     initWarehouse = Option(options.get("warehouse"))
+    initUri = Option(options.get("uri"))
   }
 
   override def name(): String = catalogName
 
   private def spark: SparkSession = SparkSession.active
 
+  // ---- catalog-over-HTTP (round-11 "missing" #3): with
+  //   spark.sql.catalog.<name>.uri = http://host:port
+  // set, DISCOVERY and loadTable resolve through the
+  // [[CatalogHttpServer]] read plane (the server holds the registry
+  // and assigns locations), and every resolved table's COMMITS are
+  // arbitrated through [[HttpCatalogArbiter]] against the same
+  // service — a second process needs only the URL; only the data
+  // plane (shared storage) stays filesystem-direct, Iceberg-REST's
+  // exact split. Without a uri, everything below is bypassed and the
+  // catalog is the warehouse-path form it always was. ----
+
+  private def uriOpt: Option[String] =
+    spark.conf.getOption(s"spark.sql.catalog.$catalogName.uri").orElse(initUri)
+
+  // one read client + one writer-identity commit arbiter per service
+  // uri (the arbiter is stateful: a persistent connection carrying
+  // this session's writer id)
+  private val restClients =
+    new java.util.concurrent.ConcurrentHashMap[String, RestCatalogClient]()
+  private val restArbiters =
+    new java.util.concurrent.ConcurrentHashMap[String, HttpCatalogArbiter]()
+
+  private def restClient(uri: String): RestCatalogClient =
+    restClients.computeIfAbsent(uri, new RestCatalogClient(_))
+
+  private def restArbiter(uri: String): HttpCatalogArbiter =
+    restArbiters.computeIfAbsent(uri, u => {
+      val parsed = new java.net.URI(u)
+      new HttpCatalogArbiter(parsed.getHost, parsed.getPort)
+    })
+
+  /** Resolve `ident` through the service and hand back its storage
+    * location with commits wired through the service's arbiter. */
+  private def restResolve(uri: String, ns: Seq[String], name: String)
+      : Option[String] =
+    restClient(uri).loadTable(ns, name).map { case (loc, _) =>
+      LakeTable.setCommitArbiter(loc, restArbiter(uri))
+      loc
+    }
+
   private def warehouse: String = {
     val raw = spark.conf.getOption(s"spark.sql.catalog.$catalogName.warehouse")
       .orElse(initWarehouse)
       .getOrElse(throw new IllegalArgumentException(
-        s"graft catalog '$catalogName': set spark.sql.catalog.$catalogName.warehouse"))
+        s"graft catalog '$catalogName': set spark.sql.catalog.$catalogName.warehouse" +
+          uriOpt.map(u => s" (catalog-over-HTTP at $u serves table resolution; " +
+            "namespace-DIRECTORY surfaces like views still need a warehouse)")
+            .getOrElse("")))
     if (raw.startsWith("file:")) new java.net.URI(raw).getPath else raw
   }
 
   private def pathOf(parts: Seq[String]): String =
     (warehouse +: parts).mkString("/")
 
-  /** Warehouse path of `parts` when it is a live lake table in this
-    * catalog — the maintenance-SQL resolver ([[GraftSqlParser]]). */
+  /** Storage path of `parts` when it is a live lake table in this
+    * catalog — the maintenance-SQL resolver ([[GraftSqlParser]]).
+    * In uri-mode the service registry is the resolution authority. */
   private[sources] def lakeTablePath(parts: Seq[String]): Option[String] =
-    Some(pathOf(parts)).filter(isTable)
+    uriOpt match {
+      case Some(uri) if parts.size >= 2 =>
+        restResolve(uri, parts.dropRight(1), parts.last).filter(isTable)
+      case Some(_) => None
+      case None => Some(pathOf(parts)).filter(isTable)
+    }
 
   private def tablePath(ident: Identifier): String =
     pathOf(ident.namespace.toSeq :+ ident.name)
+
+  /** Storage path of a TABLE identifier under the active resolution
+    * mode: the service-registered location in uri-mode (None when
+    * unregistered), the warehouse path otherwise. */
+  private def resolveTablePath(ident: Identifier): Option[String] =
+    uriOpt match {
+      case Some(uri) => restResolve(uri, ident.namespace.toSeq, ident.name)
+      case None => Some(tablePath(ident))
+    }
 
   /** Warehouse path of an identifier — the view/materialized-view
     * machinery's address resolution ([[GraftMaterializedViews]]). */
@@ -160,13 +220,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   // ---- tables ----
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
-    listDirs(pathOf(namespace.toSeq))
-      .filter(n => isTable(pathOf(namespace.toSeq :+ n)))
-      .map(Identifier.of(namespace, _)).toArray
+    uriOpt match {
+      case Some(uri) =>
+        restClient(uri).listTables(namespace.toSeq)
+          .getOrElse(throw new NoSuchNamespaceException(namespace))
+          .map(Identifier.of(namespace, _)).toArray
+      case None =>
+        if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+        listDirs(pathOf(namespace.toSeq))
+          .filter(n => isTable(pathOf(namespace.toSeq :+ n)))
+          .map(Identifier.of(namespace, _)).toArray
+    }
   }
 
-  override def tableExists(ident: Identifier): Boolean = isTable(tablePath(ident))
+  override def tableExists(ident: Identifier): Boolean =
+    resolveTablePath(ident).exists(isTable)
 
   /** The table's read schema; an EMPTY table (sentinel-only snapshot,
     * no file to carry a schema) falls back to the declared schema
@@ -241,16 +309,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def loadTable(ident: Identifier): Table = {
-    val p = tablePath(ident)
-    if (isTable(p)) new GraftLakeTable(p, None, schemaFor(p, None))
-    else metaTableOf(ident).getOrElse(throw new NoSuchTableException(ident))
+    resolveTablePath(ident) match {
+      case Some(p) if isTable(p) => new GraftLakeTable(p, None, schemaFor(p, None))
+      case Some(p) if uriOpt.isDefined => throw new IllegalStateException(
+        s"graft catalog '$catalogName': $ident is registered at $p but no " +
+          "lake table exists there — the shared storage is not reachable " +
+          "from this process, or the registration is stale")
+      case _ => metaTableOf(ident).getOrElse(throw new NoSuchTableException(ident))
+    }
   }
 
   /** `SELECT ... FROM cat.ns.t VERSION AS OF x` — x is a version
     * number or a tag name (Iceberg's ref-as-version). */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val p = tablePath(ident)
-    if (!isTable(p)) throw new NoSuchTableException(ident)
+    val p = resolveTablePath(ident).filter(isTable)
+      .getOrElse(throw new NoSuchTableException(ident))
     version.toIntOption match {
       case Some(v) => new GraftLakeTable(p, Some(v), schemaFor(p, Some(v)))
       case None if LakeTable.tags(p).contains(version) =>
@@ -268,8 +341,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   /** `TIMESTAMP AS OF t` — Spark hands MICROseconds since epoch. */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
-    val p = tablePath(ident)
-    if (!isTable(p)) throw new NoSuchTableException(ident)
+    val p = resolveTablePath(ident).filter(isTable)
+      .getOrElse(throw new NoSuchTableException(ident))
     val v = LakeTable.versionAsOf(spark, p, timestamp / 1000L)
     new GraftLakeTable(p, Some(v), schemaFor(p, Some(v)))
   }
@@ -279,7 +352,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * frame is O(#versions) metadata). */
   private def metaTableOf(ident: Identifier): Option[Table] = {
     if (ident.namespace.isEmpty) return None
-    val parent = pathOf(ident.namespace.toSeq)
+    // the parent table resolves under the active mode too, so
+    // `cat.ns.t.history` works over catalog-over-HTTP identifiers
+    val parent = uriOpt match {
+      case Some(uri) if ident.namespace.length >= 2 =>
+        restResolve(uri, ident.namespace.toSeq.dropRight(1),
+          ident.namespace.last).getOrElse(return None)
+      case Some(_) => return None
+      case None => pathOf(ident.namespace.toSeq)
+    }
     if (!isTable(parent)) {
       // `cat.ns.v.versions` when the parent is a VIEW: its immutable
       // definition history — O(#versions) driver metadata
@@ -447,7 +528,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       ident: Identifier, schema: StructType, partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val spec = specOfTransforms(schema, partitions) // refuses unsupported shapes
-    val p = tablePath(ident)
+    val p = uriOpt match {
+      case Some(uri) =>
+        // catalog-over-HTTP: the SERVICE assigns the storage location
+        // (its warehouse) and owns the name — a 409 is the
+        // already-exists signal; the physical table then lands at the
+        // assigned location through the same machinery, with commits
+        // arbitrated by the service
+        val loc = restClient(uri)
+          .registerTable(ident.namespace.toSeq, ident.name)
+          .getOrElse(throw new TableAlreadyExistsException(ident))
+        if (isTable(loc)) {
+          // a stale registry row was replaced but storage survived:
+          // CREATE must not silently adopt foreign data
+          restClient(uri).dropTable(ident.namespace.toSeq, ident.name)
+          throw new TableAlreadyExistsException(ident)
+        }
+        LakeTable.setCommitArbiter(loc, restArbiter(uri))
+        loc
+      case None => tablePath(ident)
+    }
     if (isTable(p)) throw new TableAlreadyExistsException(ident)
     require(!GraftViews.isView(p),
       s"graft catalog: a VIEW already exists at $ident — views and tables " +
@@ -726,10 +826,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def dropTable(ident: Identifier): Boolean = {
-    val p = tablePath(ident)
-    if (!isTable(p)) return false
-    graft.Util.rmRecursive(p)
-    true
+    uriOpt match {
+      case Some(uri) =>
+        restClient(uri).loadTable(ident.namespace.toSeq, ident.name) match {
+          case None => false
+          case Some((loc, _)) =>
+            restClient(uri).dropTable(ident.namespace.toSeq, ident.name)
+            if (isTable(loc)) graft.Util.rmRecursive(loc)
+            true
+        }
+      case None =>
+        val p = tablePath(ident)
+        if (!isTable(p)) return false
+        graft.Util.rmRecursive(p)
+        true
+    }
   }
 
   /** Refused, for the same reason Iceberg's path-based HadoopCatalog
@@ -753,17 +864,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * ([[GraftViews]]) — `SELECT * FROM cat.ns.v.versions` reads the
     * audit trail. */
   override def loadView(ident: Identifier): View = {
+    // catalog-over-HTTP serves TABLES; views are warehouse-directory
+    // objects — a miss here must answer the standard named miss, not
+    // a "set warehouse" config error masking the lookup (the analyzer
+    // probes loadView right after a table miss)
+    if (uriOpt.isDefined) throw new NoSuchViewException(ident)
     val p = tablePath(ident)
     val v = GraftViews.latest(p).getOrElse(throw new NoSuchViewException(ident))
     new GraftView(ident, p, v)
   }
 
   override def viewExists(ident: Identifier): Boolean =
-    GraftViews.isView(tablePath(ident))
+    uriOpt.isEmpty && GraftViews.isView(tablePath(ident))
 
   override def listViews(namespace: String*): Array[Identifier] = {
     val ns = namespace.toArray
     if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
+    if (uriOpt.isDefined) return Array.empty
     listDirs(pathOf(ns.toSeq))
       .filter(n => GraftViews.isView(pathOf(ns.toSeq :+ n)))
       .map(Identifier.of(ns, _)).toArray
@@ -842,24 +959,44 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   // ---- namespaces ----
 
   override def listNamespaces(): Array[Array[String]] =
-    listDirs(warehouse)
-      .filterNot(n => isTable(pathOf(Seq(n))) || GraftViews.isView(pathOf(Seq(n))))
-      .map(Array(_)).toArray
+    uriOpt match {
+      case Some(uri) =>
+        restClient(uri).listNamespaces().filter(_.size == 1)
+          .map(_.toArray).toArray
+      case None =>
+        listDirs(warehouse)
+          .filterNot(n => isTable(pathOf(Seq(n))) || GraftViews.isView(pathOf(Seq(n))))
+          .map(Array(_)).toArray
+    }
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
     if (namespace.isEmpty) return listNamespaces()
     if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
-    listDirs(pathOf(namespace.toSeq))
-      .filterNot(n => isTable(pathOf(namespace.toSeq :+ n)) ||
-        GraftViews.isView(pathOf(namespace.toSeq :+ n)))
-      .map(n => namespace :+ n).toArray
+    uriOpt match {
+      case Some(uri) =>
+        // the service registry is flat: children are the registered
+        // namespaces one level below this prefix
+        restClient(uri).listNamespaces()
+          .filter(ns => ns.size == namespace.length + 1 &&
+            ns.startsWith(namespace.toSeq))
+          .map(_.toArray).toArray
+      case None =>
+        listDirs(pathOf(namespace.toSeq))
+          .filterNot(n => isTable(pathOf(namespace.toSeq :+ n)) ||
+            GraftViews.isView(pathOf(namespace.toSeq :+ n)))
+          .map(n => namespace :+ n).toArray
+    }
   }
 
   override def namespaceExists(namespace: Array[String]): Boolean =
-    namespace.isEmpty ||
-      (Files.isDirectory(Paths.get(pathOf(namespace.toSeq))) &&
-        !isTable(pathOf(namespace.toSeq)) &&
-        !GraftViews.isView(pathOf(namespace.toSeq)))
+    namespace.isEmpty || (uriOpt match {
+      case Some(uri) =>
+        restClient(uri).listNamespaces().contains(namespace.toSeq)
+      case None =>
+        Files.isDirectory(Paths.get(pathOf(namespace.toSeq))) &&
+          !isTable(pathOf(namespace.toSeq)) &&
+          !GraftViews.isView(pathOf(namespace.toSeq))
+    })
 
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
     if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
@@ -868,9 +1005,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def createNamespace(
       namespace: Array[String], metadata: util.Map[String, String]): Unit = {
-    if (namespaceExists(namespace) && namespace.nonEmpty)
-      throw new NamespaceAlreadyExistsException(namespace)
-    Files.createDirectories(Paths.get(pathOf(namespace.toSeq)))
+    uriOpt match {
+      case Some(uri) =>
+        if (!restClient(uri).createNamespace(namespace.toSeq))
+          throw new NamespaceAlreadyExistsException(namespace)
+      case None =>
+        if (namespaceExists(namespace) && namespace.nonEmpty)
+          throw new NamespaceAlreadyExistsException(namespace)
+        Files.createDirectories(Paths.get(pathOf(namespace.toSeq)))
+    }
   }
 
   override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =

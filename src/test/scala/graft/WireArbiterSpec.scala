@@ -246,6 +246,64 @@ class WireArbiterSpec extends AnyFunSuite {
     }
   }
 
+  test("HTTP read plane: a catalog session resolves tables knowing only the URL") {
+    val wh = "/tmp/graft_test/resthttp_wh"
+    SparkSpec.rmdir(wh)
+    val srv = new graft.sources.CatalogHttpServer(warehouse = Some(wh))
+    val cat = "rhttp"
+    try {
+      // uri ONLY — this catalog has no warehouse conf and no path
+      // knowledge; every table it touches resolves through the service
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.uri", s"http://127.0.0.1:${srv.port}")
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      assert(spark.sql(s"SHOW NAMESPACES IN $cat").collect()
+        .map(_.getString(0)).contains("db"))
+      // CREATE through the service: the SERVER assigns the location
+      spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, tag STRING) USING graftlake")
+      val loc = srv.locationOf(Seq("db"), "t").get
+      assert(loc.startsWith(wh), s"server must assign from its warehouse: $loc")
+      assert(spark.sql(s"SHOW TABLES IN $cat.db").collect()
+        .map(_.getString(1)).toSeq === Seq("t"))
+      // INSERTs commit THROUGH the service's arbiter: the server-held
+      // head pointer tracks every commit
+      spark.sql(s"INSERT INTO $cat.db.t VALUES (1, 'a'), (2, 'b')")
+      spark.sql(s"INSERT INTO $cat.db.t VALUES (3, 'c')")
+      assert(spark.sql(s"SELECT k FROM $cat.db.t ORDER BY k").collect()
+        .map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+      assert(srv.headOf(loc) === LakeTable.latestVersion(loc).get,
+        "the service must have arbitrated (and therefore tracked) every commit")
+      // loadTable over HTTP answers the head pointer + location
+      val client = new graft.sources.RestCatalogClient(s"http://127.0.0.1:${srv.port}")
+      val (gotLoc, gotV) = client.loadTable(Seq("db"), "t").get
+      assert(gotLoc === loc && gotV === srv.headOf(loc))
+      // a PRE-EXISTING path table registers and then resolves through
+      // the catalog — the session never saw its disk path
+      val ext = "/tmp/graft_test/resthttp_external"
+      SparkSpec.rmdir(ext)
+      LakeTable.overwrite(Seq((10L, 5.0), (20L, 7.0)).toDF("id", "x"), ext)
+      assert(client.registerTable(Seq("db"), "ext", Some(ext)).contains(ext))
+      assert(spark.sql(s"SELECT sum(id) FROM $cat.db.ext").head.getLong(0) === 30L)
+      // metadata tables resolve through the service identifier too
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.t.history").head
+        .getLong(0) >= 3L)
+      // time travel through the service identifier
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.t VERSION AS OF 0")
+        .head.getLong(0) === 0L, "v0 is the empty CREATE sentinel")
+      // unknown table → the standard named miss, not a path error
+      val e = intercept[Exception](spark.sql(s"SELECT * FROM $cat.db.nope").collect())
+      assert(e.getMessage.contains("nope"), e.getMessage)
+      // DROP unregisters on the service and removes storage
+      spark.sql(s"DROP TABLE $cat.db.ext")
+      assert(client.loadTable(Seq("db"), "ext").isEmpty)
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(ext)))
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.uri")
+      srv.close()
+    }
+  }
+
   test("HTTP: timeout is ambiguous → throws and discards the connection") {
     // an HTTP server that accepts but never answers
     val stall = new java.net.ServerSocket(
