@@ -87,6 +87,9 @@ object SparkEntry {
     // SemDeDup: cluster-bounded semantic dedup; rounded-everywhere
     // arithmetic makes the WHOLE algorithm oracle-replayable
     "semdedup" -> ((s, d) => llm.Similarity.semDeDupQuery(s, d)),
+    // production SemDeDup: kmeans-TRAINED centroids; exact-side
+    // values + assignment/keep/recall booleans (round-11 "missing" #4)
+    "semdedup_kmeans" -> ((s, d) => llm.Similarity.semDeDupKmeansGate(s, d)),
     // hard-negative mining: LSH-bucketed candidates, banded cosine,
     // rank on the rounded value — fully oracle-replayable
     "hard_negatives" -> ((s, d) => llm.Similarity.hardNegatives(s, d)),
@@ -108,6 +111,10 @@ object SparkEntry {
     "gopher_repetition" -> (llm.TextAnalysis.gopherRepetitionQuery _),
     "dsir_select" -> (llm.TextAnalysis.dsirSelectQuery _),
     "ccnet_buckets" -> (llm.TextAnalysis.ccnetBucketsQuery _),
+    // production CCNet: sampled-histogram cutoffs, map-only
+    // assignment; exact tercile counts + agreement-floor boolean
+    "ccnet_buckets_sampled" ->
+      ((s, d) => llm.TextAnalysis.ccnetBucketsSampledQuery(s, d)),
     "lang_id_ngram" -> (llm.TextAnalysis.langIdNgram _),
     "tfidf_top_terms" -> (llm.TextAnalysis.tfidfTopTerms _),
     "bm25_retrieval" -> (llm.TextAnalysis.bm25Retrieval _),
@@ -1117,6 +1124,45 @@ object SparkEntry {
         |       round(sum(m.cell_sim), 4) AS sum_cell_sim
         |FROM m LEFT JOIN drp ON drp.avid = m.vid
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // semdedup_kmeans: the exact stand-in side replayed (corpus
+    // size, pair count, caught pairs); the kmeans-trained path's
+    // assignment/keep/recall guarantees assert as literal TRUE
+    "semdedup_kmeans" ->
+      """WITH base AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |                     unnest(range(len(embedding))) AS i FROM embeddings),
+        |corp AS (
+        |  SELECT vec_id, i, x FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, i, x * (1.0 + 0.02 * ((i % 5) - 2))
+        |  FROM base),
+        |n AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM corp GROUP BY 1),
+        |cents AS (SELECT vec_id AS cell_id, i, x FROM corp WHERE vec_id < 16),
+        |d AS (SELECT a.vec_id AS vid, c.cell_id, sum(a.x * c.x) AS dp
+        |      FROM corp a JOIN cents c ON a.i = c.i GROUP BY 1, 2),
+        |sc AS (SELECT vid, cell_id, round(dp / (na.nrm * nb.nrm), 6) AS cs
+        |       FROM d JOIN n na ON na.vec_id = vid
+        |              JOIN n nb ON nb.vec_id = cell_id),
+        |m AS (SELECT vid, cell_id, cell_sim FROM (
+        |        SELECT vid, cell_id, cs AS cell_sim,
+        |               row_number() OVER (PARTITION BY vid
+        |                                  ORDER BY cs DESC, cell_id) AS rn
+        |        FROM sc) WHERE rn = 1),
+        |pd AS (SELECT a.vid AS avid, b.vid AS bvid, sum(ca.x * cb.x) AS dp
+        |       FROM m a JOIN m b ON a.cell_id = b.cell_id
+        |         AND (b.cell_sim < a.cell_sim OR
+        |              (b.cell_sim = a.cell_sim AND b.vid < a.vid))
+        |       JOIN corp ca ON ca.vec_id = a.vid
+        |       JOIN corp cb ON cb.vec_id = b.vid AND cb.i = ca.i
+        |       GROUP BY 1, 2),
+        |drp AS (SELECT DISTINCT avid FROM pd
+        |        JOIN n na ON na.vec_id = avid JOIN n nb ON nb.vec_id = bvid
+        |        WHERE round(dp / (na.nrm * nb.nrm), 6) >= 0.95)
+        |SELECT (SELECT count(*) FROM m) AS n_vectors,
+        |       (SELECT count(*) FROM embeddings) AS n_pairs,
+        |       (SELECT count(DISTINCT avid % 1000000) FROM drp) AS n_exact_caught,
+        |       true AS assigned_once_ok,
+        |       true AS every_cell_keeps_ok,
+        |       true AS recall_floor_met""".stripMargin,
     // hard_negatives: per-anchor top-k inside the [0, 0.95) cosine
     // band over 4-plane LSH buckets — buckets, band and rank all
     // replayed exactly by the oracle
@@ -2072,6 +2118,36 @@ object SparkEntry {
         |       round(sum(lm_score), 4) AS sum_score,
         |       min(lm_score) AS cutoff_score
         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // ccnet_buckets_sampled: the exact per-language tercile counts
+    // replayed; the sampled-cutoff path's agreement floor asserts as
+    // literal TRUE
+    "ccnet_buckets_sampled" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |uni AS (SELECT w, count(*) AS cw
+        |        FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY 1),
+        |v AS (SELECT count(*) AS v FROM uni),
+        |big AS (
+        |  SELECT doc_id, tk[CAST(i AS INT)] AS w1, tk[CAST(i AS INT) + 1] AS w2
+        |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+        |        FROM toks WHERE len(tk) >= 2)),
+        |bc AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY 1, 2),
+        |sc AS (SELECT doc_id, round(avg(ln((cb + 1.0) / (cw + v))), 6) AS lm_score
+        |       FROM big JOIN bc USING (w1, w2) JOIN uni ON w1 = uni.w CROSS JOIN v
+        |       GROUP BY doc_id),
+        |r AS (SELECT d.lang, s.doc_id, s.lm_score,
+        |        row_number() OVER (PARTITION BY d.lang
+        |                           ORDER BY s.lm_score DESC, s.doc_id) AS rk,
+        |        count(*) OVER (PARTITION BY d.lang) AS n
+        |      FROM sc s JOIN documents d USING (doc_id))
+        |SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN rk * 3 <= n THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_head,
+        |       CAST(sum(CASE WHEN rk * 3 > n AND rk * 3 <= n * 2 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_middle,
+        |       CAST(sum(CASE WHEN rk * 3 > n * 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_tail,
+        |       true AS agree_floor_met
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     // augment_token_dropout: the 10% "random" dropout is the pure
     // function (polyhash(token) + doc_id) % 10 == 0 — reproducible
     // across engines byte for byte

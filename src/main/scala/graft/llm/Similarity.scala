@@ -554,6 +554,58 @@ object Similarity {
       .orderBy("cell_id")
   }
 
+  /** Hash-gated PRODUCTION SemDeDup (round-11 "missing" #4): the
+    * same pipeline as [[semDeDupQuery]] with [[kmeansCentroids]]
+    * swapped in — the paper's actual deployment shape (they train
+    * k-means, not take the first k vectors). Training is
+    * float-mean-order-sensitive, so the trained assignment cannot be
+    * hashed; the proven approx-gate pattern applies instead: the
+    * EXACT stand-in side's values ride the row (oracle-replayable
+    * bit-for-bit) and the trained path contributes BOOLEANS —
+    * every vector assigned exactly once, every nonempty cell keeps a
+    * member (the keep-order head always survives), and the trained
+    * path catches at least `floor` of the manufactured duplicate
+    * pairs the stand-in catches. Near-identical pairs land in the
+    * same cell under ANY centroid set (argmax of near-equal scores),
+    * so the realistic rate is ~1.0; the floor just guards collapse. */
+  def semDeDupKmeansGate(
+      s: SparkSession, d: String, eps: Double = 0.95,
+      nCells: Int = 16, iters: Int = 2, floor: Double = 0.9): DataFrame = {
+    val corpus = semDeDupCorpus(s, d)
+    val standIn = corpus.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val exact = semDeDupDropped(corpus, standIn, eps)
+    val trainedCents = kmeansCentroids(
+      corpus.select(col("vec_id"), col("v")), nCells, iters)
+      .withColumn("cn", l2norm(col("cv")))
+    val trained = semDeDupDropped(corpus, trainedCents, eps)
+    // a manufactured pair is CAUGHT when either member drops: the
+    // original and its +1M variant share vec_id mod 1M
+    def caughtPairs(drops: DataFrame, as: String) =
+      drops.filter(col("is_dropped"))
+        .select(pmod(col("vec_id"), lit(1000000L)).as("pair")).distinct()
+        .agg(count(lit(1)).as(as))
+    val exactRow = exact.agg(
+      count(lit(1)).as("n_vectors"),
+      sum(when(col("vec_id") >= 1000000L, 1L).otherwise(0L)).as("n_pairs"))
+    val trainedRow = trained
+      .groupBy("cell_id")
+      .agg(count(lit(1)).as("m"),
+        sum(when(!col("is_dropped"), 1L).otherwise(0L)).as("kept"))
+      .agg(sum("m").as("t_assigned"),
+        min(when(col("kept") >= 1L, 1L).otherwise(0L)).as("min_kept"))
+    exactRow // every frame here is ONE row — the crossJoins are free
+      .crossJoin(caughtPairs(exact, "n_exact_caught"))
+      .crossJoin(caughtPairs(trained, "n_trained_caught"))
+      .crossJoin(trainedRow)
+      .select(
+        col("n_vectors"), col("n_pairs"), col("n_exact_caught"),
+        (col("t_assigned") === col("n_vectors")).as("assigned_once_ok"),
+        (col("min_kept") === 1L).as("every_cell_keeps_ok"),
+        (col("n_trained_caught").cast("double") >=
+          lit(floor) * col("n_exact_caught")).as("recall_floor_met"))
+  }
+
   /** L3/L11 BETWEEN-LABEL CENTROID SIMILARITY — the confusion-
     * structure complement of [[labelCohesion]]: the upper-triangle
     * cosine matrix over label centroids, the artifact that tells a

@@ -372,4 +372,18 @@ class PipelineOpsSpec extends AnyFunSuite {
       for (m <- cut("middle"); t <- cut("tail")) assert(m >= t, lang)
     }
   }
+
+  test("ccnet_buckets_sampled: production cutoffs meet the agreement floor") {
+    val out = TextAnalysis.ccnetBucketsSampledQuery(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("agree_floor_met"),
+        s"sampled cutoffs must agree with the exact terciles: $r")
+      // the exact-side counts tile the language exactly
+      assert(r.getAs[Long]("n_head") + r.getAs[Long]("n_middle") +
+        r.getAs[Long]("n_tail") === r.getAs[Long]("n_docs"), r.toString)
+      val n = r.getAs[Long]("n_docs")
+      assert(r.getAs[Long]("n_head") === n / 3, r.toString)
+    }
+  }
 }

@@ -69,6 +69,16 @@ class SemDeDupSpec extends AnyFunSuite {
     assertPairContract(run(cents, 0.95))
   }
 
+  test("semdedup_kmeans gate: exact side consistent, every boolean holds") {
+    val r = Similarity.semDeDupKmeansGate(spark, dir).head()
+    assert(r.getAs[Long]("n_vectors") === 2 * r.getAs[Long]("n_pairs"))
+    assert(r.getAs[Long]("n_exact_caught") > 0 &&
+      r.getAs[Long]("n_exact_caught") <= r.getAs[Long]("n_pairs"))
+    assert(r.getAs[Boolean]("assigned_once_ok"), r.toString)
+    assert(r.getAs[Boolean]("every_cell_keeps_ok"), r.toString)
+    assert(r.getAs[Boolean]("recall_floor_met"), r.toString)
+  }
+
   test("unreachable epsilon drops nothing; keep-order prefers the atypical") {
     val rows = run(standInCents(16), 1.01)
     assert(rows.forall(!_._3), "cosine never exceeds 1 — nothing can drop")
