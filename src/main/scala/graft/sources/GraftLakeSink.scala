@@ -57,6 +57,11 @@ class GraftLakeStreamingWrite(
     val files = messages.collect { case GraftFilesMessage(fs) => fs }.flatten.toSeq
     LakeTable.commitStreamEpoch(
       SparkSession.active, path, files, queryId, epochId)
+      // table-property-driven post-commit compaction
+      // (write.auto-compact.small-file-count): the sink amortizes its
+      // own small-file maintenance — see maybeAutoCompactAfterEpoch
+      .foreach(v =>
+        LakeTable.maybeAutoCompactAfterEpoch(SparkSession.active, path, v))
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =

@@ -1263,6 +1263,46 @@ object LakeTable {
     None // unreachable
   }
 
+  /** POST-COMMIT AUTO-COMPACTION for streaming ingest (round-11
+    * "missing" #5): when the table property
+    * `write.auto-compact.small-file-count` is set, each streaming
+    * epoch commit checks — from manifest metadata alone, zero file
+    * reads — how many data files sit under the target size
+    * (`write.target-file-size-bytes`, Iceberg's key, 128 MiB
+    * default), and past the threshold runs ONE [[compactSmall]]
+    * fold. A streamed-into table thus stops needing a manual
+    * OPTIMIZE cadence: the sink amortizes its own maintenance, and
+    * the fold is the binpack shape (right-sized files carry
+    * untouched, lineage rides the rewrite, the replay ledger is a
+    * carried sidecar) so cost stays bounded by the small tail, never
+    * the table. A failed fold only WARNS: the epoch's data is
+    * already durably committed, nothing is lost, and the next epoch
+    * retries — auto-maintenance must not take the pipeline down. */
+  private[graft] def maybeAutoCompactAfterEpoch(
+      spark: SparkSession, path: String, version: Int): Unit = {
+    val props = tablePropsOf(path, version)
+    for {
+      maxSmall <- props.get("write.auto-compact.small-file-count")
+        .flatMap(_.toIntOption)
+    } {
+      val target = props.get("write.target-file-size-bytes")
+        .flatMap(_.toLongOption).getOrElse(128L * 1024 * 1024)
+      val nSmall = listRefs(path, version)
+        .filter(r => r.kind == "data" && r.nFiles > 0)
+        .flatMap(readManifest)
+        .count(e => (if (e.bytes >= 0) e.bytes
+          else try Files.size(Paths.get(e.file))
+          catch { case _: java.io.IOException => target }) < target)
+      if (nSmall > maxSmall)
+        try { compactSmall(spark, path, target); () }
+        catch {
+          case scala.util.control.NonFatal(e) => System.err.println(
+            s"[lake] auto-compact after streaming epoch at $path failed " +
+              s"(will retry next epoch): $e")
+        }
+    }
+  }
+
   /** Reject `df` when any active constraint has a violating row —
     * ONE job over the batch (first violated constraint name wins),
     * run BEFORE any data file is written so a bad batch leaves

@@ -126,4 +126,39 @@ class GraftLakeSinkSpec extends AnyFunSuite {
     assert(LakeTable.txnsOf(table, v) === Map("q" -> 1L))
     assert(LakeTable.read(spark, table).count() === 3)
   }
+
+  test("auto-compact property: small epochs trigger a fold; ledger and lineage intact") {
+    val root = "/tmp/graft_sink_spec_autocompact"
+    SparkSpec.rmdir(root)
+    val (arrivals, table, chk) = (s"$root/arrivals", s"$root/table", s"$root/chk")
+    // seed: lineage-tracked table carrying the auto-compact policy
+    LakeTable.overwrite(corpus(4).coalesce(1), table) // v0
+    LakeTable.enableRowLineage(spark, table) // v1
+    LakeTable.setTableProperties(spark, table, Map(
+      "write.auto-compact.small-file-count" -> "3")) // v2
+    corpus(40, from = 4).repartition(5).write.parquet(arrivals) // 5 small epochs
+    runStream(arrivals, table, chk)
+    val v = LakeTable.latestVersion(table).get
+    val ops = LakeTable.snapshots(spark, table)
+      .select("operation").collect().map(_.getString(0)).toSeq
+    assert(ops.count(_ == "streaming-append") === 5, s"5 epochs must commit: $ops")
+    assert(ops.count(_ == "binpack") >= 1,
+      s"past 3 small files the sink must fold its own tail: $ops")
+    // no rows lost or duplicated through the folds
+    val got = LakeTable.read(spark, table)
+    assert(got.count() === 44)
+    assert(got.select(countDistinct("id")).head().getLong(0) === 44)
+    // the replay ledger rides the fold commits (a restart after an
+    // auto-compact must still skip committed epochs)
+    assert(LakeTable.txnsOf(table, v).values.max === 4L,
+      s"ledger must survive the fold: ${LakeTable.txnsOf(table, v)}")
+    // lineage survives: every row keeps a distinct durable id
+    val ids = LakeTable.readWithLineage(spark, table)
+    assert(ids.select(countDistinct("_row_id")).head().getLong(0) === 44)
+    // and the fold actually shrank the small-file tail below the bound
+    // + the folded files themselves (a fold leaves <= a few right-
+    // sized outputs, never the 5-epoch pile)
+    val files = LakeTable.entriesOf(table, v).count(_ => true)
+    assert(files < 6, s"the tail must fold, got $files files")
+  }
 }
