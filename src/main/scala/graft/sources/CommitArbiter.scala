@@ -527,6 +527,66 @@ final class CatalogHttpServer(
         }
       }
     })
+  // RENAME (Iceberg REST's POST /v1/tables/rename): pure registry
+  // indirection — the storage location never moves, so the absolute
+  // paths inside manifests stay valid. This is exactly the capability
+  // the path-addressed catalog refuses by design (no indirection
+  // layer); the service IS the indirection layer.
+  server.createContext("/v1/tables/rename", new com.sun.net.httpserver.HttpHandler {
+    override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+      def respond(status: Int, body: String): Unit = {
+        val bytes = body.getBytes("UTF-8")
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.sendResponseHeaders(status, bytes.length.toLong)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+      try {
+        require(ex.getRequestMethod == "POST",
+          s"unsupported method ${ex.getRequestMethod}")
+        val doc = mapper.readTree(ex.getRequestBody)
+        def identOf(k: String): (Seq[String], String) = {
+          val n = doc.get(k)
+          require(n != null && !n.isNull, s"missing '$k'")
+          val nsNode = n.get("namespace")
+          require(nsNode != null && nsNode.isArray && nsNode.size > 0,
+            s"missing '$k.namespace'")
+          val it = nsNode.elements()
+          val ns = Iterator.continually(it).takeWhile(_.hasNext)
+            .map(_.next().asText).toSeq
+          val name = n.get("name")
+          require(name != null && name.asText.nonEmpty, s"missing '$k.name'")
+          (ns, name.asText)
+        }
+        val (sNs, sName) = identOf("source")
+        val (dNs, dName) = identOf("destination")
+        // check-then-move under one monitor: two concurrent renames
+        // onto the same destination must not both win
+        tableReg.synchronized {
+          if (!namespaces.contains(dNs))
+            respond(404, s"""{"error":"no such namespace: ${dNs.mkString(".")}"}""")
+          else Option(tableReg.get((sNs, sName))) match {
+            case None => respond(404,
+              s"""{"error":"no such table: ${sNs.mkString(".")}.$sName"}""")
+            case Some(loc) =>
+              if (tableReg.putIfAbsent((dNs, dName), loc) != null)
+                respond(409,
+                  s"""{"error":"table exists: ${dNs.mkString(".")}.$dName"}""")
+              else {
+                tableReg.remove((sNs, sName))
+                respond(200, """{"ok":true}""")
+              }
+          }
+        }
+      } catch {
+        case e: Throwable =>
+          val m = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+            .replace("\\", "\\\\").replace("\"", "\\\"")
+          try respond(400, s"""{"error":"$m"}""") catch { case _: Throwable => () }
+      }
+    }
+  })
+
   // ---- READ PLANE routes (Iceberg-REST's discovery/load shape) ----
   //   GET    /v1/namespaces                     → list namespaces
   //   POST   /v1/namespaces                     → create {"namespace":["ns"]}

@@ -733,8 +733,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         .SUPPORT_COLUMN_DEFAULT_VALUE)
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    val p = tablePath(ident)
-    if (!isTable(p)) throw new NoSuchTableException(ident)
+    val p = resolveTablePath(ident).filter(isTable)
+      .getOrElse(throw new NoSuchTableException(ident))
     // generic property changes batch into ONE audited commit however
     // many keys one ALTER carries (set and unset both)
     val propSets = changes.collect {
@@ -843,17 +843,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
-  /** Refused, for the same reason Iceberg's path-based HadoopCatalog
-    * refuses it: manifests reference data files by ABSOLUTE path, so
-    * a directory move orphans every file reference. A
-    * location-addressed warehouse has no indirection layer to retarget;
-    * a name-mapping catalog (one more metadata file) would lift this. */
+  /** Path mode: refused, for the same reason Iceberg's path-based
+    * HadoopCatalog refuses it — manifests reference data files by
+    * ABSOLUTE path, so a directory move orphans every file reference,
+    * and a location-addressed warehouse has no indirection layer to
+    * retarget. Catalog-over-HTTP mode IS that indirection layer
+    * (round 12): the service's registry maps the new name onto the
+    * unchanged location — Iceberg REST's own rename semantics, zero
+    * bytes moved, the manifests' absolute paths stay valid. */
   override def renameTable(from: Identifier, to: Identifier): Unit = {
-    if (!isTable(tablePath(from))) throw new NoSuchTableException(from)
-    throw new UnsupportedOperationException(
-      s"graft catalog '$catalogName': RENAME TABLE is not supported in a " +
-        "location-addressed warehouse (manifests hold absolute paths — a move " +
-        "would orphan them); CREATE TABLE AS SELECT into the new name instead")
+    uriOpt match {
+      case Some(uri) =>
+        restClient(uri).renameTable(
+          from.namespace.toSeq, from.name, to.namespace.toSeq, to.name) match {
+          case "ok" => ()
+          case "no-source" => throw new NoSuchTableException(from)
+          case "exists" => throw new TableAlreadyExistsException(to)
+        }
+      case None =>
+        if (!isTable(tablePath(from))) throw new NoSuchTableException(from)
+        throw new UnsupportedOperationException(
+          s"graft catalog '$catalogName': RENAME TABLE is not supported in a " +
+            "location-addressed warehouse (manifests hold absolute paths — a " +
+            "move would orphan them); CREATE TABLE AS SELECT into the new " +
+            "name, or serve the table through a catalog service " +
+            s"(spark.sql.catalog.$catalogName.uri) whose registry provides " +
+            "the name indirection")
+    }
   }
 
   // ---- views (Iceberg-view-spec-shaped, Spark's native ViewCatalog

@@ -7764,9 +7764,30 @@ object LakeTable {
     * query around new commits). Run under
     * `Trigger.AvailableNow` for catch-up-and-stop consumption, or a
     * processing-time trigger to follow a live table. */
-  def changesStream(spark: SparkSession, path: String): DataFrame = {
+  def changesStream(
+      spark: SparkSession, path: String,
+      allowDataLoss: Boolean = false): DataFrame = {
     materializeChanges(spark, path)
     val dir = changelogDir(path)
+    // the same data-loss contract as the V2 feed (S13a), enforced at
+    // setup — a file stream over the changelog dir cannot notice a
+    // missing version mid-flight, so an unmaterializable one (parent
+    // expired pre-materialization) must refuse HERE, not deliver a
+    // silent gap
+    if (!allowDataLoss) {
+      val latest = latestVersion(path).getOrElse(-1)
+      val gaps = (0 to latest).filter { v =>
+        !Files.isDirectory(Paths.get(s"$dir/v=$v")) &&
+          (!snapshotLive(path, v) || (v > 0 && !snapshotLive(path, v - 1)))
+      }
+      require(gaps.isEmpty,
+        s"graftlake changesStream at $path: version${if (gaps.size > 1) "s" else ""} " +
+          s"${gaps.mkString(", ")} ha${if (gaps.size > 1) "ve" else "s"} no " +
+          "materializable changelog (parent snapshot expired before the " +
+          "change-data could be computed) — the file stream would deliver a " +
+          "silent gap; pass allowDataLoss = true to opt in, or use the V2 " +
+          "feed (option(\"changeFeed\", \"true\")) for per-version admission")
+    }
     // mergeSchema: changelog generations written before a rename
     // carry the old column name — a single-footer schema would
     // silently null one generation's measures

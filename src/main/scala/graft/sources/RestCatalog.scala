@@ -110,6 +110,24 @@ final class RestCatalogClient(baseUri: String, timeoutMs: Int = 10000) {
     }
   }
 
+  /** Rename (Iceberg's POST /v1/tables/rename — registry indirection
+    * only; storage never moves). "ok" | "no-source" | "exists". */
+  def renameTable(srcNs: Seq[String], srcName: String,
+      dstNs: Seq[String], dstName: String): String = {
+    def ident(ns: Seq[String], name: String): String =
+      s"""{"namespace":${ns.map(jStr).mkString("[", ",", "]")},""" +
+        s""""name":${jStr(name)}}"""
+    val body = s"""{"source":${ident(srcNs, srcName)},""" +
+      s""""destination":${ident(dstNs, dstName)}}"""
+    val (st, doc) = http("POST", "/v1/tables/rename", Some(body))
+    st match {
+      case 200 => "ok"
+      case 404 => "no-source"
+      case 409 => "exists"
+      case _ => sys.error(s"graft REST catalog: rename → HTTP $st $doc")
+    }
+  }
+
   /** Unregister (storage untouched — REST drop without purge). */
   def dropTable(ns: Seq[String], name: String): Boolean = {
     val (st, doc) =

@@ -446,6 +446,12 @@ class GraftLakeSourceSpec extends AnyFunSuite {
       s"only v5 has materializable change-data: ${got.map(_.getAs[Int]("v")).distinct}")
     assert(got.map(r => (r.getAs[Long]("k"), r.getAs[String]("change_type")))
       === Seq((105L, "insert")))
+    // the legacy FILE-SOURCE feed shares the contract at setup (it
+    // cannot notice a missing version mid-flight)
+    val e2 = intercept[IllegalArgumentException](LakeTable.changesStream(spark, p))
+    assert(e2.getMessage.contains("no materializable changelog") &&
+      e2.getMessage.contains("allowDataLoss"), e2.getMessage)
+    assert(LakeTable.changesStream(spark, p, allowDataLoss = true).isStreaming)
   }
 
   test("expire_snapshots materializes pending changelogs first: the gap never forms") {

@@ -293,6 +293,22 @@ class WireArbiterSpec extends AnyFunSuite {
       // unknown table → the standard named miss, not a path error
       val e = intercept[Exception](spark.sql(s"SELECT * FROM $cat.db.nope").collect())
       assert(e.getMessage.contains("nope"), e.getMessage)
+      // ALTER resolves through the service too (an audited property
+      // commit on the service-registered location)
+      spark.sql(s"ALTER TABLE $cat.db.t SET TBLPROPERTIES ('graft.probe'='12')")
+      assert(spark.sql(s"SHOW TBLPROPERTIES $cat.db.t").collect()
+        .exists(r => r.getString(0) == "graft.probe" && r.getString(1) == "12"))
+      // RENAME through the service registry (the path catalog refuses
+      // this by design — the registry IS the missing indirection):
+      // zero bytes move, the new name serves the same rows, the old
+      // name misses, and a conflicting destination answers 409
+      spark.sql(s"ALTER TABLE $cat.db.t RENAME TO db.t2")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.t2").head.getLong(0) === 3L)
+      assert(client.loadTable(Seq("db"), "t").isEmpty)
+      assert(client.loadTable(Seq("db"), "t2").map(_._1).contains(loc),
+        "rename must keep the storage location")
+      assert(client.renameTable(Seq("db"), "ext", Seq("db"), "t2") === "exists")
+      spark.sql(s"ALTER TABLE $cat.db.t2 RENAME TO db.t") // restore
       // DROP unregisters on the service and removes storage
       spark.sql(s"DROP TABLE $cat.db.ext")
       assert(client.loadTable(Seq("db"), "ext").isEmpty)
