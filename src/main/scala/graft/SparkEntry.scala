@@ -257,6 +257,9 @@ object SparkEntry {
     "lake_rollback" -> (sources.LakeTable.rollbackQuery _),
     "lake_bloom_skip" -> (sources.LakeTable.bloomSkipQuery _),
     "lake_branch_ff" -> (sources.LakeTable.branchFastForwardQuery _),
+    "lake_cherrypick" -> (sources.LakeTable.cherryPickQuery _),
+    "lake_apply_changes" -> (sources.CdcApply.applyChangesQuery _),
+    "scd2_build" -> (sources.CdcApply.scd2Query _),
     "lake_orphan_gc" -> (sources.LakeTable.orphanGcQuery _),
     // --- streaming semantics (SURVEY.md §2.9 T1-T6), batch-replayed ---
     "session_replay" -> (streaming.DialogueStateMachine.sessionReplay _),
@@ -1732,6 +1735,47 @@ object SparkEntry {
     "lake_branch_ff" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // lake_cherrypick: evens on main, one odd quarter picked off a
+    // branch onto a DIVERGED main (the other quarter) — every event
+    // arrives exactly once, so the oracle is again the full aggregate;
+    // metadata-only adoption, the double-pick refusal, and
+    // collision-free row-id re-spanning are require'd in-query
+    "lake_cherrypick" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // lake_apply_changes: the CDC feed of a full source lifecycle
+    // (click update, %7 delete, new-key append) replays into a replica
+    // via applyChanges — replica ≡ source and retry-idempotence are
+    // require'd in-query, so the oracle is the source's final state
+    // recomputed from the raw table
+    "lake_apply_changes" ->
+      """WITH final AS (
+        |  SELECT event_id, event_type,
+        |         CASE WHEN event_type = 'click' THEN value + 1.0 ELSE value END AS value
+        |  FROM events WHERE event_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT event_id + 1000000000 AS event_id, event_type, value
+        |  FROM events WHERE event_id % 5 = 0
+        |)
+        |SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // scd2_build: the SCD-2 window algebra (lead per key; deletes
+    // close without emitting) replayed verbatim in SQL
+    "scd2_build" ->
+      """WITH ch AS (
+        |  SELECT event_id % 97 AS ent_id, event_id AS seq,
+        |         CASE WHEN event_id % 11 = 3 THEN 'delete' ELSE 'insert' END AS ct,
+        |         event_type, value
+        |  FROM events
+        |), ev AS (
+        |  SELECT *, lead(seq) OVER (PARTITION BY ent_id ORDER BY seq) AS end_seq
+        |  FROM ch
+        |)
+        |SELECT (end_seq IS NULL) AS is_current, count(*) AS n,
+        |       round(sum(value), 6) AS sum_value,
+        |       CAST(coalesce(sum(end_seq - seq), 0) AS BIGINT) AS span
+        |FROM ev WHERE ct = 'insert'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // lake_bloom_skip: the bloom is a file-skip signal only — results
     // are the plain equality filter, so the oracle never sees it
     "lake_bloom_skip" ->

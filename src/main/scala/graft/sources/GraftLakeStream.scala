@@ -282,7 +282,9 @@ class GraftLakeTableStream(
   // atomic CTAS — both purely additive at v0) is the snapshot batch
   private def deliverable(v: Int): Boolean =
     LakeTable.operationOf(path, v) match {
-      case "append" | "streaming-append" => true
+      // a cherry-pick commit adds fresh manifests and nothing else
+      // ([[LakeTable.cherryPick]]) — to a follower it IS an append
+      case "append" | "streaming-append" | "cherrypick" => true
       case "overwrite" | "ctas" if v == 0 => true
       case _ => false
     }

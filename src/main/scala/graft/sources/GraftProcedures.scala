@@ -136,7 +136,7 @@ private[sources] object GraftProcedures {
     "rewrite_position_delete_files", "rewrite_manifests", "add_files",
     "convert_equality_deletes", "refresh_materialized_view",
     "rollback_to_snapshot", "rollback_to_timestamp", "fast_forward",
-    "compute_table_stats")
+    "cherrypick_snapshot", "compute_table_stats")
 
   def load(cat: GraftCatalog, spark: => SparkSession, name: String)
       : Option[UnboundProcedure] = {
@@ -318,6 +318,19 @@ private[sources] object GraftProcedures {
         StructType(Seq(StructField("version", IntegerType))),
         "Fast-forward main to a branch's head (refused on divergence).")(args => {
         one(LakeTable.fastForward(spark, pathOf(args(0).get), str(args(1)).get))
+      }))
+      case "cherrypick_snapshot" => Some(new GraftProcedure(
+        "cherrypick_snapshot",
+        Seq(in("table", StringType), in("branch", StringType),
+          opt("version", IntegerType)),
+        StructType(Seq(StructField("version", IntegerType))),
+        "Apply ONE branch append commit (default: the branch head) onto " +
+          "main's current head, metadata-only — works where fast_forward " +
+          "refuses (main diverged past the fork). Appends only; row-id " +
+          "spans and sequences re-assign under main; main's CHECK " +
+          "constraints re-validate the picked rows.")(args => {
+        one(LakeTable.cherryPick(spark, pathOf(args(0).get),
+          str(args(1)).get, int(args(2))))
       }))
       case "compute_table_stats" => Some(new GraftProcedure(
         "compute_table_stats",

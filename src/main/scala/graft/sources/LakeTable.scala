@@ -3501,12 +3501,19 @@ object LakeTable {
       "__graft_b", deleteIdxOf(notMatchedBySource))
       .select(updated: _*)
     // WHEN NOT MATCHED [AND cond] INSERT: source rows with no target
-    // key, by the source's own columns (names align with the target's)
+    // key, by the source's own columns (names align with the target's).
+    // The insert frame projects onto the TARGET's columns (which
+    // already include any declared evolution) — a stray source-side
+    // working column (a CDC flag, a sequence) must not silently widen
+    // the written table through the union's allowMissingColumns
     val inserts = notMatchedInsert match {
       case Some(cond) =>
         val tk = target.select(col(keyCol).as("__graft_tk"))
-        source.join(tk, source(keyCol) <=> col("__graft_tk"), "left_anti")
+        val raw = source.join(tk, source(keyCol) <=> col("__graft_tk"), "left_anti")
           .filter(coalesce(cond, lit(false)))
+        val keep = raw.columns.filter(c => tCols.exists(_.equalsIgnoreCase(c)))
+        if (tCols.isEmpty || keep.length == raw.columns.length) raw
+        else raw.select(keep.map(col(_)).toIndexedSeq: _*)
       case None =>
         // no INSERT clause: the zero-row frame must not smuggle
         // source-only columns into the union SCHEMA (unionByName's
@@ -5588,6 +5595,84 @@ object LakeTable {
     next
   }
 
+  /** CHERRY-PICK one branch APPEND commit onto main's CURRENT head —
+    * Iceberg's `cherrypick_snapshot`, branch-addressed: the picked
+    * version's fresh data manifests re-commit on main as a new
+    * metadata-only commit (zero data bytes move), and it works where
+    * [[fastForward]] refuses — main may have DIVERGED past the fork
+    * point. Appends only, Iceberg's own line: any other op's outcome
+    * depends on the state it replaced, so replaying it onto a
+    * different head would silently corrupt (a branch DELETE re-applied
+    * on main could remove rows the branch never saw).
+    *
+    * The picked manifests re-enter main's commit protocol as FRESH
+    * refs: data-sequence re-assigns under main's monotone order,
+    * row-id spans re-assign from MAIN's counter — after the fork the
+    * two lineages allocate independently, so carrying the branch's
+    * span could collide with ids main assigned since — and main's
+    * CHECK constraints re-validate the picked rows (main may have
+    * gained a constraint the branch never enforced; an unvalidated
+    * row must not enter through the side door). Schema compatibility
+    * rides [[commitRefs]]'s field-id fold: a post-fork branch column
+    * extends main's schema, a conflicting assignment refuses loudly.
+    *
+    * Double-pick guard: a picked manifest still referenced by main's
+    * live list (an earlier pick or fast-forward) refuses — replaying
+    * it would silently double every row. The guard reads main's LIVE
+    * list only; after main compacts the adopted generation away the
+    * manifests leave the list, so re-picking the same branch version
+    * later is the operator's responsibility (exactly Iceberg's
+    * published-wap-id boundary).
+    *
+    * The commit lands as operation `cherrypick`: the history table
+    * shows the true provenance, while [[appendsBetween]] and the
+    * table-follower stream both treat it as the pure row-addition it
+    * is — incremental consumers never stall on a pick. */
+  def cherryPick(spark: SparkSession, path: String, branch: String,
+      version: Option[Int] = None): Int = {
+    val bp = branchPath(path, branch)
+    val head = latestVersion(bp).getOrElse(
+      throw new IllegalArgumentException(s"no such branch '$branch' at $path"))
+    val v = version.getOrElse(head)
+    require(v >= 0 && v <= head,
+      s"branch '$branch' at $path has no version $v (head is v$head)")
+    val op = operationOf(bp, v)
+    require(op == "append",
+      s"cherry-pick at $path: branch '$branch' v$v is '$op', not a pure " +
+        "append — replaying a state-dependent op onto a diverged head " +
+        "would corrupt; fast-forward an undiverged main, or recompute " +
+        "the op against main's own state")
+    val prevManifests = listRefs(bp, v - 1)
+      .filter(_.kind == "data").map(_.manifest).toSet
+    val fresh = listRefs(bp, v)
+      .filter(r => r.kind == "data" && r.nFiles > 0 && !prevManifests(r.manifest))
+    // per-entry row-id pins are claims about the SOURCE lineage
+    // (partial carries pin them); a fresh append never carries one,
+    // so hitting this means v is not the plain append it claims
+    fresh.foreach { r =>
+      require(readManifest(r).forall(_.frid == -1L),
+        s"cherry-pick at $path: manifest ${r.manifest} pins per-entry row " +
+          "ids from the branch lineage — re-spanning under main's counter " +
+          "would break them; compact the branch and fast-forward instead")
+    }
+    val base = latestVersion(path).getOrElse(-1)
+    val mainLive = (if (base >= 0) listRefs(path, base) else Nil)
+      .map(_.manifest).toSet
+    val dup = fresh.filter(r => mainLive(r.manifest))
+    require(dup.isEmpty,
+      s"cherry-pick at $path: manifest(s) ${dup.map(_.manifest).mkString(", ")} " +
+        s"from branch '$branch' v$v are already referenced by main's live " +
+        "list (an earlier pick or fast-forward) — re-applying would double " +
+        "those rows")
+    val cons = if (base >= 0) constraintsOf(path, base) else Nil
+    if (cons.nonEmpty && fresh.nonEmpty)
+      enforceConstraints(
+        assemblePruned(spark, Nil, fresh, Nil, Nil, Nil, schFor(bp, v)), path)
+    // seq -1 → main's freshSeq; firstRowId -1 → main's counter spans
+    publishStaged(spark, path,
+      fresh.map(_.copy(seq = -1, firstRowId = -1L)), "cherrypick", cons)
+  }
+
   /** DROP a branch: its metadata vanishes; data files only the branch
     * referenced become orphans for [[removeOrphans]] to reclaim.
     * REFUSED while main (or a sibling) still references anything
@@ -5672,7 +5757,7 @@ object LakeTable {
   /** Fresh /tmp working dir for a driver query: path keyed by prefix +
     * sfDir (unique per scale factor so parallel verify threads never
     * collide), wiped if present. The walk stream is closed properly. */
-  private def freshWorkDir(prefix: String, d: String): String = {
+  private[sources] def freshWorkDir(prefix: String, d: String): String = {
     val path = s"/tmp/graft_${prefix}_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
     graft.Util.rmRecursive(path)
     path
@@ -7110,6 +7195,62 @@ object LakeTable {
       .orderBy("event_type")
   }
 
+  /** Driver query: CHERRY-PICK end to end — the branch-WAP case
+    * fast-forward cannot serve. Main takes the evens (v0, lineage
+    * enabled), a branch forks and stages one odd quarter, main
+    * DIVERGES with the other odd quarter, fast-forward provably
+    * refuses, and [[cherryPick]] lands the branch append anyway. The
+    * requires pin: metadata-only adoption (main's new version
+    * references the branch's fresh manifests verbatim), the
+    * double-pick refusal, and collision-free row-id re-spanning
+    * (distinct `_row_id` count == row count — the fork point's
+    * counter was shared, so carrying the branch's spans WOULD have
+    * collided with main's divergent append). The oracle is the
+    * full-table aggregate: every event must arrive exactly once
+    * through the three-way fork/diverge/pick weave. */
+  def cherryPickQuery(s: SparkSession, d: String): DataFrame = {
+    val path = freshWorkDir("lakecherry", d)
+    val ev = graft.Tables.load(s, d, "events").select("event_id", "event_type", "value")
+    overwrite(ev.filter(pmod(col("event_id"), lit(2L)) === 0), path) // v0
+    enableRowLineage(s, path) // v1 — both lineages now allocate ids
+    createBranch(s, path, "wap")
+    val bp = branchPath(path, "wap")
+    append(ev.filter(pmod(col("event_id"), lit(4L)) === 1), bp) // branch
+    append(ev.filter(pmod(col("event_id"), lit(4L)) === 3), path) // main diverges
+    val ffRefusal = try { fastForward(s, path, "wap"); "" }
+      catch { case e: IllegalArgumentException => e.getMessage }
+    require(ffRefusal.contains("diverged"),
+      s"fast-forward must refuse the diverged main by name: '$ffRefusal'")
+    val bFresh = listRefs(bp, latestVersion(bp).get)
+      .filter(r => r.kind == "data" && r.nFiles > 0).map(_.manifest).toSet
+    val before = latestVersion(path).get
+    val picked = cherryPick(s, path, "wap")
+    require(picked == before + 1 && operationOf(path, picked) == "cherrypick",
+      s"cherry-pick must land one commit (v$before → v$picked)")
+    val adopted = listRefs(path, picked).map(_.manifest).toSet
+    require((bFresh -- adopted).isEmpty,
+      "cherry-pick must adopt the branch's fresh manifests VERBATIM " +
+        "(metadata-only — zero data bytes rewritten)")
+    val dupRefusal = try { cherryPick(s, path, "wap"); "" }
+      catch { case e: IllegalArgumentException => e.getMessage }
+    require(dupRefusal.contains("already referenced"),
+      s"a second pick of the same commit must refuse: '$dupRefusal'")
+    val lin = readWithLineage(s, path)
+    val (nIds, nRows) = {
+      val r = lin.agg(
+        countDistinct(col("_row_id")).as("ids"), count(lit(1)).as("rows"))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    require(nIds == nRows,
+      s"row-id spans must re-assign collision-free under main's counter " +
+        s"($nIds distinct ids over $nRows rows)")
+    read(s, path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   /** Driver query: per-file BLOOM FILTERS end to end — documents
     * written source-clustered (so each file holds few of the ~20
     * sources), bloomed on the STRING `source` column (which numeric
@@ -7457,8 +7598,11 @@ object LakeTable {
       s"appendsBetween at $path: fromV $fromV must not exceed toV $toV")
     if (fromV == toV) return read(spark, path, Some(toV)).limit(0)
     val ops = (fromV + 1 to toV).map(v => v -> operationOf(path, v))
+    // a cherry-pick IS a pure row addition (fresh manifests on top of
+    // the parent list — see [[cherryPick]]), so it reads identically
+    val isAppend = (o: String) => o == "append" || o == "cherrypick"
     val nonAppend = ops
-      .filterNot { case (_, o) => o == "append" || appendTransparentOps(o) }
+      .filterNot { case (_, o) => isAppend(o) || appendTransparentOps(o) }
     require(nonAppend.isEmpty,
       s"appendsBetween at $path: version(s) ${nonAppend.map { case (v, o) =>
           s"v$v=$o" }.mkString(", ")} are not pure appends — " +
@@ -7472,7 +7616,7 @@ object LakeTable {
     // version's list pins, exact whatever maintenance ran afterwards.
     // Still O(appended files) data-side; metadata cost O(range) list
     // reads — the shape an incremental consumer's short range wants.
-    val fresh = ops.filter(_._2 == "append").flatMap { case (v, _) =>
+    val fresh = ops.filter(o => isAppend(o._2)).flatMap { case (v, _) =>
       val prev = listRefs(path, v - 1)
         .filter(_.kind == "data").map(_.manifest).toSet
       listRefs(path, v)
@@ -7649,7 +7793,7 @@ object LakeTable {
 
   /** The committing operation of a version (every list row carries it
     * uniformly). */
-  private[sources] def operationOf(path: String, version: Int): String = {
+  private[graft] def operationOf(path: String, version: Int): String = {
     val p = listFile(path, version).getOrElse(throw new IllegalArgumentException(
       s"no list for version $version at $path"))
     if (p.getFileName.toString.endsWith(".parquet"))

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{CdcApply, LakeTable}
+
+/** CDC apply (SCD1) + SCD2 build — the APPLY-CHANGES-INTO family. */
+class CdcApplySpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private def rmdir(p: String): Unit = graft.Util.rmRecursive(p)
+
+  private def content(p: String): Seq[(Long, String, Long)] =
+    LakeTable.read(spark, p).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("s"), r.getAs[Long]("_seq")))
+      .sortBy(_._1).toSeq
+
+  test("applyChanges: bootstrap, update, delete, insert across ordered batches") {
+    val p = "/tmp/graft_test/cdc_apply"
+    rmdir(p)
+    def feed(rows: (Long, String, Long, String)*) =
+      rows.toDF("k", "s", "_seq", "change_type")
+    // batch 1 bootstraps the table (insert-only)
+    CdcApply.applyChanges(feed((1L, "a", 1L, "insert"), (2L, "b", 1L, "insert")),
+      p, "k", "_seq")
+    assert(content(p) === Seq((1L, "a", 1L), (2L, "b", 1L)))
+    // batch 2: update k=1, delete k=2, insert k=3; a delete of a
+    // never-seen key is a no-op
+    CdcApply.applyChanges(feed(
+      (1L, "a2", 2L, "update_postimage"), (1L, "a", 2L, "update_preimage"),
+      (2L, "b", 2L, "delete"), (3L, "c", 2L, "insert"),
+      (9L, "ghost", 2L, "delete")),
+      p, "k", "_seq")
+    assert(content(p) === Seq((1L, "a2", 2L), (3L, "c", 2L)))
+    // within one batch the LATEST sequence per key wins
+    CdcApply.applyChanges(feed(
+      (3L, "mid", 3L, "update_postimage"), (3L, "late", 4L, "update_postimage")),
+      p, "k", "_seq")
+    assert(content(p) === Seq((1L, "a2", 2L), (3L, "late", 4L)))
+    // same-sequence delete+insert is an UPDATE (insert wins the tie)
+    CdcApply.applyChanges(feed(
+      (1L, "a2", 5L, "delete"), (1L, "a3", 5L, "insert")),
+      p, "k", "_seq")
+    assert(content(p) === Seq((1L, "a3", 5L), (3L, "late", 4L)))
+    // the at-least-once retry: same batch again, content unchanged
+    CdcApply.applyChanges(feed(
+      (1L, "a2", 5L, "delete"), (1L, "a3", 5L, "insert")),
+      p, "k", "_seq")
+    assert(content(p) === Seq((1L, "a3", 5L), (3L, "late", 4L)))
+    // a matched row never regresses to an OLDER sequence's value
+    CdcApply.applyChanges(feed((3L, "ancient", 1L, "update_postimage")),
+      p, "k", "_seq")
+    assert(content(p) === Seq((1L, "a3", 5L), (3L, "late", 4L)))
+    // an old delete cannot remove a newer row either
+    CdcApply.applyChanges(feed((3L, "late", 2L, "delete")), p, "k", "_seq")
+    assert(content(p) === Seq((1L, "a3", 5L), (3L, "late", 4L)))
+  }
+
+  test("applyChanges refusals: unknown change_type, conflicting upserts, partial payload") {
+    val p = "/tmp/graft_test/cdc_apply_refuse"
+    rmdir(p)
+    def feed(rows: (Long, String, Long, String)*) =
+      rows.toDF("k", "s", "_seq", "change_type")
+    val e1 = intercept[IllegalArgumentException](CdcApply.applyChanges(
+      feed((1L, "a", 1L, "upsert")), p, "k", "_seq"))
+    assert(e1.getMessage.contains("unknown change_type 'upsert'"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](CdcApply.applyChanges(
+      feed((1L, "a", 1L, "insert"), (1L, "b", 1L, "insert")), p, "k", "_seq"))
+    assert(e2.getMessage.contains("conflicting upserts"), e2.getMessage)
+    // two deletes at one (key, seq) are NOT ambiguous (same effect)
+    CdcApply.applyChanges(feed(
+      (1L, "a", 1L, "insert"),
+      (2L, "x", 1L, "delete"), (2L, "y", 1L, "delete")), p, "k", "_seq")
+    assert(content(p) === Seq((1L, "a", 1L)))
+    // a feed missing a target column refuses (nulling values silently
+    // is how a replica diverges)
+    val e3 = intercept[IllegalArgumentException](CdcApply.applyChanges(
+      Seq((1L, 2L, "insert")).toDF("k", "_seq", "change_type"), p, "k", "_seq"))
+    assert(e3.getMessage.contains("lacks target column 's'"), e3.getMessage)
+    // a feed lacking the sequence column refuses by name
+    val e4 = intercept[IllegalArgumentException](CdcApply.applyChanges(
+      Seq((1L, "a", "insert")).toDF("k", "s", "change_type"), p, "k", "_seq"))
+    assert(e4.getMessage.contains("'_seq'"), e4.getMessage)
+  }
+
+  test("scd2FromChanges: versions, closes, ties, and the predating delete") {
+    val ch = Seq(
+      // k=1: two versions, second still open
+      (1L, "v1", 10L, "insert"), (1L, "v2", 20L, "update_postimage"),
+      (1L, "v1", 20L, "update_preimage"), // informational, ignored
+      // k=2: one version closed by a delete
+      (2L, "w1", 10L, "insert"), (2L, "w1", 30L, "delete"),
+      // k=3: update represented as same-seq delete+insert: the close
+      // goes to the OLD version, the new one opens at the same seq
+      (3L, "x1", 10L, "insert"),
+      (3L, "x1", 40L, "delete"), (3L, "x2", 40L, "insert"),
+      // k=4: the first event is a delete (row predates the feed) —
+      // nothing can be emitted for it
+      (4L, "gone", 10L, "delete"), (4L, "y1", 50L, "insert")
+    ).toDF("k", "s", "_seq", "change_type")
+    val out = CdcApply.scd2FromChanges(ch, "k", "_seq")
+      .collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("s"),
+        r.getAs[Long]("start_seq"),
+        Option(r.getAs[java.lang.Long]("end_seq")).map(_.toLong),
+        r.getAs[Boolean]("is_current")))
+      .sortBy(r => (r._1, r._3)).toSeq
+    assert(out === Seq(
+      (1L, "v1", 10L, Some(20L), false),
+      (1L, "v2", 20L, None, true),
+      (2L, "w1", 10L, Some(30L), false),
+      (3L, "x1", 10L, Some(40L), false),
+      (3L, "x2", 40L, None, true),
+      (4L, "y1", 50L, None, true)))
+  }
+
+  test("applyChanges replicates a lake table's own lineage change feed") {
+    val src = "/tmp/graft_test/cdc_roundtrip_src"
+    val tgt = "/tmp/graft_test/cdc_roundtrip_tgt"
+    rmdir(src); rmdir(tgt)
+    LakeTable.overwrite(
+      (1L to 20L).map(i => (i, s"s$i", i * 10.0)).toDF("k", "s", "v"), src) // v0
+    LakeTable.enableRowLineage(spark, src) // v1
+    LakeTable.update(spark, src, Map("v" -> (col("v") + lit(1.0))),
+      col("k") % 3L === 0L) // v2
+    LakeTable.delete(spark, src, col("k") % 4L === 0L) // v3
+    val feed = (2 to 3).map(v =>
+      LakeTable.changesWithLineage(spark, src, v - 1, v)
+        .drop("_row_id").withColumn("_seq", lit(v.toLong)))
+      .reduce(_ unionByName _)
+    val boot = LakeTable.read(spark, src, Some(1))
+      .withColumn("change_type", lit("insert")).withColumn("_seq", lit(1L))
+    CdcApply.applyChanges(boot.unionByName(feed), tgt, "k", "_seq")
+    val t = LakeTable.read(spark, tgt).select("k", "s", "v")
+    val s0 = LakeTable.read(spark, src)
+    assert(t.exceptAll(s0).count() + s0.exceptAll(t).count() === 0L,
+      "replica must equal the source's final content")
+  }
+}

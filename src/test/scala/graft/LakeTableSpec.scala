@@ -1436,6 +1436,68 @@ class LakeTableSpec extends AnyFunSuite {
     assert(LakeTable.read(spark, p).count() === 5, "main intact after drop")
   }
 
+  test("cherry-pick: a branch append lands on a DIVERGED main, metadata-only") {
+    val p = "/tmp/graft_test/lake_cherrypick"
+    rmdir(p)
+    import spark.implicits._
+    LakeTable.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), p) // main v0
+    LakeTable.enableRowLineage(spark, p)                             // main v1
+    LakeTable.createBranch(spark, p, "wap")
+    val bp = LakeTable.branchPath(p, "wap")
+    LakeTable.append(Seq((10L, "staged")).toDF("k", "s"), bp) // branch v1
+    LakeTable.append(Seq((20L, "mainside")).toDF("k", "s"), p) // main v2: DIVERGED
+    // the case fast-forward refuses is exactly the case cherry-pick serves
+    assert(intercept[IllegalArgumentException](
+      LakeTable.fastForward(spark, p, "wap")).getMessage.contains("diverged"))
+    val bFresh = LakeTable.listRefs(bp, LakeTable.latestVersion(bp).get)
+      .filter(r => r.kind == "data" && r.nFiles > 0).map(_.manifest).toSet
+    val v = LakeTable.cherryPick(spark, p, "wap")
+    assert(LakeTable.operationOf(p, v) === "cherrypick")
+    assert(LakeTable.read(spark, p).collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(1L, 2L, 10L, 20L), "picked rows join main's divergent content")
+    // metadata-only: the branch's fresh manifests are adopted verbatim
+    assert((bFresh -- LakeTable.listRefs(p, v).map(_.manifest).toSet).isEmpty)
+    // branch itself is untouched (no mainside row)
+    assert(LakeTable.read(spark, bp).collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(1L, 2L, 10L))
+    // row ids re-spanned under MAIN's counter: no collisions even
+    // though both lineages allocated from the shared fork counter
+    val lin = LakeTable.readWithLineage(spark, p)
+      .select("_row_id").collect().map(_.getLong(0)).toSeq
+    assert(lin.distinct.size === lin.size, s"row-id collision: $lin")
+    // an incremental consumer reads straight through the pick
+    assert(LakeTable.appendsBetween(spark, p, 1, v)
+      .collect().map(_.getAs[Long]("k")).sorted.toSeq === Seq(10L, 20L))
+    // double-pick refuses by name (rows would double)
+    assert(intercept[IllegalArgumentException](
+      LakeTable.cherryPick(spark, p, "wap")).getMessage
+      .contains("already referenced"))
+    // non-append branch commits refuse by name
+    LakeTable.delete(spark, bp, col("k") === 10L)
+    val e = intercept[IllegalArgumentException](
+      LakeTable.cherryPick(spark, p, "wap"))
+    assert(e.getMessage.contains("not a pure append"), e.getMessage)
+    // unknown branch refuses
+    assert(intercept[IllegalArgumentException](
+      LakeTable.cherryPick(spark, p, "nope")).getMessage.contains("nope"))
+  }
+
+  test("cherry-pick re-validates main's CHECK constraints on the picked rows") {
+    val p = "/tmp/graft_test/lake_cherrypick_cons"
+    rmdir(p)
+    import spark.implicits._
+    LakeTable.overwrite(Seq((1L, "a")).toDF("k", "s"), p) // v0
+    LakeTable.createBranch(spark, p, "wap")
+    val bp = LakeTable.branchPath(p, "wap")
+    LakeTable.append(Seq((-5L, "neg")).toDF("k", "s"), bp) // legal on the branch
+    // main gains a constraint the branch never enforced
+    LakeTable.addConstraint(spark, p, "k_pos", "k > 0")
+    val e = intercept[Exception](LakeTable.cherryPick(spark, p, "wap"))
+    assert(e.getMessage.contains("k_pos"), e.getMessage)
+    assert(LakeTable.read(spark, p).count() === 1,
+      "a refused pick must not commit")
+  }
+
   test("branch MoR keeps one monotone sequence across roots") {
     // The failure shape this guards: branch versions restart at 0, so
     // "seq = version" would hand a branch delete a sequence BELOW the
