@@ -332,7 +332,7 @@ object LakeTable {
     * Driver-side Jackson parse for JSON manifests; a one-file spark
     * read for parquet ones — used for small plans and GC; large
     * plans go through [[distributedPlan]] instead. */
-  private[sources] def readManifest(ref: ManifestRef): Seq[ManifestEntry] =
+  private[graft] def readManifest(ref: ManifestRef): Seq[ManifestEntry] =
     if (ref.manifest.endsWith(".parquet")) {
       SparkSession.active.read.parquet(ref.manifest).collect().toSeq.map { r =>
         def mapOf[T](name: String): Map[String, Seq[T]] =
@@ -1132,6 +1132,11 @@ object LakeTable {
     require(!add.contains("write.sort-order"),
       "write.sort-order is a declaration, not a sidecar property — " +
         "use WRITE ORDERED BY / setSortOrder")
+    // a known-but-invalid value must refuse at the ALTER, not at some
+    // later write that suddenly cannot stage
+    add.get("write.distribution-mode").foreach(m =>
+      require(Set("hash", "range", "none")(m),
+        s"write.distribution-mode '$m' — expected hash, range, or none"))
     val base = observedBase(spark, path)
     commitRefs(spark, path, base, listRefs(path, base), "set_properties",
       props = Some(tablePropsOf(path, base) ++ add))
@@ -1529,10 +1534,33 @@ object LakeTable {
     // co-locate each partition value into one task before partitionBy:
     // without this, every input task writes a file into every dir it
     // touches — tasks × dirs small files at cluster scale (one shuffle
-    // buys one file per dir per write, the layout the pruning wants)
+    // buys one file per dir per write, the layout the pruning wants).
+    // `write.distribution-mode` (Iceberg's key) picks the shape:
+    //   hash (default) — cluster each partition value into one task
+    //   range — range-partition on the derived values: the same
+    //     one-file-per-dir guarantee (equal keys share a range
+    //     partition), with ADJACENT partition values in adjacent
+    //     tasks — tight stats boxes for sorted/temporal ingest
+    //   none — skip the shuffle: every input task writes every dir it
+    //     touches; the write-latency trade for small streaming epochs,
+    //     meant to pair with auto-compaction (S13d)
+    // Maintenance callers passing an explicit splitCol (binpack's bin
+    // index) always take the hash route — the split IS their point.
     val hiddenCols = spec.map(t => col(hiddenColName(t)))
-    val parted = withHidden
-      .repartition((hiddenCols ++ splitCol.map(col)): _*)
+    val mode = latestVersion(path)
+      .map(v => tablePropsOf(path, v)
+        .getOrElse("write.distribution-mode", "hash"))
+      .getOrElse("hash")
+    val parted =
+      if (splitCol.isDefined || mode == "hash")
+        withHidden.repartition((hiddenCols ++ splitCol.map(col)): _*)
+      else mode match {
+        case "range" => withHidden.repartitionByRange(hiddenCols: _*)
+        case "none" => withHidden
+        case other => throw new IllegalArgumentException(
+          s"unknown write.distribution-mode '$other' at $path — " +
+            "expected hash, range, or none")
+      }
     stageManifest(splitCol.foldLeft(parted)(_.drop(_)),
       path, spec.map(hiddenColName), "data", spec, maxRecordsPerFile)
   }

@@ -1436,6 +1436,44 @@ class LakeTableSpec extends AnyFunSuite {
     assert(LakeTable.read(spark, p).count() === 5, "main intact after drop")
   }
 
+  test("write.distribution-mode: hash/range cluster one file per dir, none skips the shuffle") {
+    val p = "/tmp/graft_test/lake_distmode"
+    rmdir(p)
+    import spark.implicits._
+    val batch = (1L to 400L).map(i => (i, i % 4L, s"s$i"))
+      .toDF("k", "part", "s").repartition(8) // 8 input tasks × 4 dirs
+    LakeTable.setPartitionSpec(p,
+      Seq(LakeTable.PartitionTransform("part", "identity")))
+    def freshFiles(v: Int): Seq[String] = {
+      val prev = if (v == 0) Set.empty[String]
+        else LakeTable.listRefs(p, v - 1).map(_.manifest).toSet
+      LakeTable.listRefs(p, v).filterNot(r => prev(r.manifest))
+        .flatMap(LakeTable.readManifest).map(_.file)
+    }
+    def dirsOf(files: Seq[String]): Map[String, Int] =
+      files.groupBy(_.split('/').init.mkString("/")).map { case (d, fs) => d -> fs.size }
+    // default hash: ONE file per partition dir however many input tasks
+    val v0 = LakeTable.overwrite(batch, p)
+    assert(dirsOf(freshFiles(v0)).values.toSeq === Seq.fill(4)(1),
+      s"hash mode must land one file per dir: ${dirsOf(freshFiles(v0))}")
+    // none: the shuffle is skipped — tasks × dirs files land
+    LakeTable.setTableProperties(spark, p, Map("write.distribution-mode" -> "none"))
+    val v1 = LakeTable.append(batch, p)
+    assert(dirsOf(freshFiles(v1)).values.exists(_ > 1),
+      s"none mode must let tasks write per-dir files: ${dirsOf(freshFiles(v1))}")
+    // range: one file per dir again (equal keys share a range partition)
+    LakeTable.setTableProperties(spark, p, Map("write.distribution-mode" -> "range"))
+    val v2 = LakeTable.append(batch, p)
+    assert(dirsOf(freshFiles(v2)).values.toSeq === Seq.fill(4)(1),
+      s"range mode must land one file per dir: ${dirsOf(freshFiles(v2))}")
+    // rows identical across all three modes
+    assert(LakeTable.read(spark, p).count() === 1200L)
+    // an invalid value refuses at the ALTER, not at the next write
+    val e = intercept[IllegalArgumentException](LakeTable.setTableProperties(
+      spark, p, Map("write.distribution-mode" -> "zigzag")))
+    assert(e.getMessage.contains("zigzag"), e.getMessage)
+  }
+
   test("cherry-pick: a branch append lands on a DIVERGED main, metadata-only") {
     val p = "/tmp/graft_test/lake_cherrypick"
     rmdir(p)
