@@ -260,6 +260,7 @@ object SparkEntry {
     "lake_cherrypick" -> (sources.LakeTable.cherryPickQuery _),
     "lake_apply_changes" -> (sources.CdcApply.applyChangesQuery _),
     "scd2_build" -> (sources.CdcApply.scd2Query _),
+    "scd2_apply" -> (sources.CdcApply.scd2ApplyQuery _),
     "lake_orphan_gc" -> (sources.LakeTable.orphanGcQuery _),
     // --- streaming semantics (SURVEY.md §2.9 T1-T6), batch-replayed ---
     "session_replay" -> (streaming.DialogueStateMachine.sessionReplay _),
@@ -1759,6 +1760,24 @@ object SparkEntry {
         |)
         |SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
         |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // scd2_apply: incremental SCD2 maintenance over three ordered
+    // batches + a retry, require'd row-equal to the one-shot build —
+    // so it shares the batch build's oracle
+    "scd2_apply" ->
+      """WITH ch AS (
+        |  SELECT event_id % 97 AS ent_id, event_id AS seq,
+        |         CASE WHEN event_id % 11 = 3 THEN 'delete' ELSE 'insert' END AS ct,
+        |         event_type, value
+        |  FROM events
+        |), ev AS (
+        |  SELECT *, lead(seq) OVER (PARTITION BY ent_id ORDER BY seq) AS end_seq
+        |  FROM ch
+        |)
+        |SELECT (end_seq IS NULL) AS is_current, count(*) AS n,
+        |       round(sum(value), 6) AS sum_value,
+        |       CAST(coalesce(sum(end_seq - seq), 0) AS BIGINT) AS span
+        |FROM ev WHERE ct = 'insert'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // scd2_build: the SCD-2 window algebra (lead per key; deletes
     // close without emitting) replayed verbatim in SQL
     "scd2_build" ->

@@ -168,6 +168,113 @@ object CdcApply {
         col("__graft_scd_end").isNull.as("is_current")): _*)
   }
 
+  /** CONTINUOUS REPLICATION: the streaming form of [[applyChanges]].
+    * Attach a change-feed STREAM (this repo's
+    * `option("changeFeed", "true"|"lineage")` source, whose `v`
+    * column is the natural sequence) and every micro-batch folds into
+    * `target` through one foreachBatch [[applyChanges]] call.
+    * foreachBatch is at-least-once; the stored-sequence guard makes
+    * the replayed batch a content no-op, and the CDC source delivers
+    * versions IN ORDER — together exactly the delivery contract
+    * [[applyChanges]] names. Empty batches (metadata-only commits
+    * surfacing as markers) skip. Returns the started query; pass
+    * `Trigger.AvailableNow()` for catch-up-and-stop replication or a
+    * processing-time trigger to follow the source live. */
+  def applyChangesStream(
+      feed: DataFrame, target: String, key: String, seqCol: String,
+      checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(feed.isStreaming,
+      "applyChangesStream needs a streaming feed — use applyChanges for a batch")
+    feed.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) { applyChanges(b, target, key, seqCol); () }
+      }
+      .trigger(trigger)
+      .start()
+  }
+
+  /** INCREMENTAL SCD TYPE 2 maintenance: fold change batches into a
+    * lake table that stores the full version history — DLT's
+    * "STORED AS SCD TYPE 2". The table's rows are versions:
+    * payload + `start_seq`/`end_seq`/`is_current` plus a stored
+    * `__scd_id` (key:start_seq) — the single-column merge identity of
+    * one version row. Each batch: the feed's keys pull their stored
+    * versions (one semi-join read), events at or below a key's latest
+    * known version start drop as replays, the open row (if any) is
+    * re-seeded as a synthetic insert at its own start, and [[scd2FromChanges]]
+    * rebuilds the touched keys' tails — ONE merge commit then closes
+    * open rows (their `__scd_id` matches → end/is_current update;
+    * payload never rewrites) and inserts the new versions (unseen
+    * ids). Applying batches IN ORDER is provably equivalent to one
+    * [[scd2FromChanges]] over the concatenated feed (the gate query
+    * requires it); re-applying a batch is a no-op — every rebuilt row
+    * matches its existing version id, including the closed rows of
+    * deleted keys. The boundary is SCD1's: a batch strictly older
+    * than applied history rebuilds the wrong chain — deliver in
+    * order. Cost per batch: O(feed + touched keys' open rows +
+    * touched files), never a history rewrite. */
+  def applyChangesScd2(
+      changes: DataFrame, path: String, key: String, seqCol: String): Int = {
+    val spark = changes.sparkSession
+    val ev = effectiveEvents(changes, key, seqCol, s"applyChangesScd2 into $path")
+    val cols = dataCols(ev, seqCol).filterNot(_ == seqCol) // payload incl. key
+    def scdId(keyC: Column, startC: Column): Column =
+      concat_ws(":", keyC.cast("string"), startC.cast("string"))
+    def evFrame(df: DataFrame): DataFrame =
+      df.select((cols.map(col) :+ col(seqCol) :+ col("change_type")): _*)
+    LakeTable.latestVersion(path) match {
+      case None =>
+        LakeTable.overwrite(
+          scd2FromChanges(evFrame(ev), key, seqCol)
+            .withColumn("__scd_id", scdId(col(key), col("start_seq"))), path)
+      case Some(v) =>
+        val tCols = LakeTable.schemaOf(path, v).map(_.map(_._2))
+          .getOrElse(LakeTable.read(spark, path).columns.toSeq)
+        val bookkeeping = Seq("start_seq", "end_seq", "is_current", "__scd_id")
+        bookkeeping.foreach(c => require(tCols.exists(_.equalsIgnoreCase(c)),
+          s"applyChangesScd2 into $path: the table lacks column '$c' — " +
+            "not an applyChangesScd2-maintained SCD2 table"))
+        // every stored payload column must arrive in the feed: a
+        // partial payload would insert null versions
+        tCols.filterNot(c => bookkeeping.exists(_.equalsIgnoreCase(c)))
+          .foreach(c => require(cols.exists(_.equalsIgnoreCase(c)),
+            s"applyChangesScd2 into $path: the feed lacks payload column " +
+              s"'$c' — a partial payload would write null versions"))
+        val feedKeys = ev.select(col(key)).distinct()
+        val prior = LakeTable.read(spark, path)
+          .join(feedKeys, Seq(key), "left_semi")
+        val open = prior.filter(col("is_current"))
+        // events at or below the key's LATEST KNOWN version start are
+        // replays — over ALL stored versions, not just the open one: a
+        // key whose last version was closed by a later delete has no
+        // open row, and filtering by the open row alone would let a
+        // replayed batch rebuild its chain with the final version
+        // OPEN — silently resurrecting the deleted key (the closing
+        // delete lives in a later batch the replay knows nothing of)
+        val evNew = ev.join(
+          prior.groupBy(col(key))
+            .agg(max(col("start_seq")).as("__graft_max_start")),
+          Seq(key), "left")
+          .filter(col("__graft_max_start").isNull ||
+            col(seqCol) > col("__graft_max_start"))
+        val seed = open
+          .select((cols.map(col) :+ col("start_seq").as(seqCol)): _*)
+          .withColumn("change_type", lit("insert"))
+        val rebuilt = scd2FromChanges(
+          seed.unionByName(evFrame(evNew)), key, seqCol)
+          .withColumn("__scd_id", scdId(col(key), col("start_seq")))
+        LakeTable.mergeConditional(rebuilt, path, "__scd_id",
+          matched = Seq(LakeTable.MatchedUpdate(None,
+            Map("end_seq" -> col("s.end_seq"),
+              "is_current" -> col("s.is_current")))),
+          notMatchedInsert = Some(lit(true)))
+    }
+  }
+
   /** Driver query: CDC REPLICATION end to end — a source lake table
     * lives a full lifecycle (update, delete, append of new keys), its
     * per-version lineage change feed replays into a SECOND table via
@@ -217,6 +324,42 @@ object CdcApply {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
       .orderBy("event_type")
+  }
+
+  /** Driver query: INCREMENTAL SCD2 maintenance end to end — the same
+    * deterministic feed as [[scd2Query]] split into three
+    * sequence-ordered batches and folded into a lake table via
+    * [[applyChangesScd2]], with the middle batch re-applied as the
+    * at-least-once retry. The require pins the headline equivalence:
+    * the incrementally-maintained table equals ONE [[scd2FromChanges]]
+    * over the concatenated feed, row for row, both directions — so
+    * the oracle is the same window-algebra SQL as the batch build. */
+  def scd2ApplyQuery(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val p = LakeTable.freshWorkDir("lakescd2apply", d)
+    val ch = graft.Tables.load(s, d, "events")
+      .select(
+        (col("event_id") % 97L).as("ent_id"),
+        col("event_id").as("seq"),
+        when(col("event_id") % 11L === 3L, lit("delete"))
+          .otherwise(lit("insert")).as("change_type"),
+        col("event_type"), col("value"))
+    val mx = ch.agg(max("seq")).head().getLong(0)
+    val batches = Seq(
+      ch.filter(col("seq") <= lit(mx / 3)),
+      ch.filter(col("seq") > lit(mx / 3) && col("seq") <= lit(2 * mx / 3)),
+      ch.filter(col("seq") > lit(2 * mx / 3)))
+    batches.foreach(b => applyChangesScd2(b, p, "ent_id", "seq"))
+    applyChangesScd2(batches(1), p, "ent_id", "seq") // retry: no-op
+    val oneShot = scd2FromChanges(ch, "ent_id", "seq")
+    val stored = LakeTable.read(s, p).select(oneShot.columns.map(col): _*)
+    require(stored.exceptAll(oneShot).count() +
+      oneShot.exceptAll(stored).count() == 0L,
+      "incremental SCD2 maintenance must equal the one-shot batch build")
+    stored.groupBy("is_current")
+      .agg(count(lit(1)).as("n"),
+        round(sum("value"), 6).as("sum_value"),
+        coalesce(sum(col("end_seq") - col("start_seq")), lit(0L)).as("span"))
+      .orderBy("is_current")
   }
 
   /** Driver query: SCD TYPE 2 build — a deterministic change feed

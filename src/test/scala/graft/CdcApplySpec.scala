@@ -115,6 +115,94 @@ class CdcApplySpec extends AnyFunSuite {
       (4L, "y1", 50L, None, true)))
   }
 
+  test("applyChangesScd2: incremental maintenance equals the one-shot build") {
+    val p = "/tmp/graft_test/cdc_scd2_apply"
+    rmdir(p)
+    def feed(rows: (Long, String, Long, String)*) =
+      rows.toDF("k", "s", "_seq", "change_type")
+    val b1 = feed((1L, "v1", 10L, "insert"), (2L, "w1", 10L, "insert"))
+    val b2 = feed(
+      (1L, "v2", 20L, "update_postimage"), // supersede k=1
+      (2L, "w1", 25L, "delete"), // close k=2
+      (3L, "x1", 22L, "insert"), // new key
+      (5L, "z1", 21L, "insert")) // will be closed by a LATER delete
+    val b3 = feed(
+      (1L, "v3", 30L, "update_postimage"),
+      (2L, "w2", 35L, "insert"), // k=2 reborn after its delete
+      (5L, "z1", 33L, "delete")) // close k=5 — the replay trap
+    Seq(b1, b2, b3).foreach(b => CdcApply.applyChangesScd2(b, p, "k", "_seq"))
+    def stored(): Seq[(Long, String, Long, Option[Long], Boolean)] =
+      LakeTable.read(spark, p).collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[String]("s"),
+          r.getAs[Long]("start_seq"),
+          Option(r.getAs[java.lang.Long]("end_seq")).map(_.toLong),
+          r.getAs[Boolean]("is_current")))
+        .sortBy(r => (r._1, r._3)).toSeq
+    val expect = Seq(
+      (1L, "v1", 10L, Some(20L), false),
+      (1L, "v2", 20L, Some(30L), false),
+      (1L, "v3", 30L, None, true),
+      (2L, "w1", 10L, Some(25L), false),
+      (2L, "w2", 35L, None, true),
+      (3L, "x1", 22L, None, true),
+      (5L, "z1", 21L, Some(33L), false))
+    assert(stored() === expect)
+    // equals the one-shot build over the concatenated feed
+    val oneShot = CdcApply.scd2FromChanges(
+      b1.unionByName(b2).unionByName(b3), "k", "_seq")
+      .collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("s"),
+        r.getAs[Long]("start_seq"),
+        Option(r.getAs[java.lang.Long]("end_seq")).map(_.toLong),
+        r.getAs[Boolean]("is_current")))
+      .sortBy(r => (r._1, r._3)).toSeq
+    assert(oneShot === expect)
+    // the at-least-once retry: re-applying any already-applied batch
+    // leaves the history untouched — including the closed rows of a
+    // deleted key (their version ids still match)
+    CdcApply.applyChangesScd2(b2, p, "k", "_seq")
+    assert(stored() === expect)
+    CdcApply.applyChangesScd2(b3, p, "k", "_seq")
+    assert(stored() === expect)
+    // a mismatched payload schema refuses by name
+    val e = intercept[IllegalArgumentException](CdcApply.applyChangesScd2(
+      Seq((9L, 40L, "insert")).toDF("k", "_seq", "change_type"), p, "k", "_seq"))
+    assert(e.getMessage.contains("'s'"), e.getMessage)
+  }
+
+  test("applyChangesStream: continuous replication over the lineage CDC stream") {
+    val src = "/tmp/graft_test/cdc_stream_src"
+    val tgt = "/tmp/graft_test/cdc_stream_tgt"
+    val chk = "/tmp/graft_test/cdc_stream_chk"
+    rmdir(src); rmdir(tgt); rmdir(chk)
+    LakeTable.overwrite(
+      (1L to 30L).map(i => (i, i * 1.0)).toDF("k", "x"), src) // v0
+    LakeTable.enableRowLineage(spark, src) // v1: the initial snapshot batch
+    LakeTable.update(spark, src, Map("x" -> (col("x") + 100.0)),
+      col("k") % 5L === 0L) // v2
+    LakeTable.delete(spark, src, col("k") % 4L === 0L) // v3
+    def replicate(): Unit = {
+      val q = CdcApply.applyChangesStream(
+        spark.readStream.format("graftlake")
+          .option("changeFeed", "lineage").load(src),
+        tgt, "k", "v", chk)
+      q.awaitTermination()
+    }
+    def drift(): Long = {
+      val t = LakeTable.read(spark, tgt).select("k", "x")
+      val s0 = LakeTable.read(spark, src)
+      t.exceptAll(s0).count() + s0.exceptAll(t).count()
+    }
+    replicate()
+    assert(drift() === 0L, "replica must track the source after catch-up")
+    // the source keeps moving; the checkpoint resumes where it left off
+    LakeTable.append((31L to 35L).map(i => (i, i * 1.0)).toDF("k", "x"), src) // v4
+    LakeTable.update(spark, src, Map("x" -> (col("x") * 2.0)),
+      col("k") > 30L) // v5
+    replicate()
+    assert(drift() === 0L, "replica must track the source across restarts")
+  }
+
   test("applyChanges replicates a lake table's own lineage change feed") {
     val src = "/tmp/graft_test/cdc_roundtrip_src"
     val tgt = "/tmp/graft_test/cdc_roundtrip_tgt"
