@@ -184,14 +184,22 @@ object CdcApply {
       feed: DataFrame, target: String, key: String, seqCol: String,
       checkpoint: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      // scd2 = true maintains the full version history instead of the
+      // current state — [[applyChangesScd2]] per micro-batch (DLT's
+      // "STORED AS SCD TYPE 2" toggle)
+      scd2: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(feed.isStreaming,
       "applyChangesStream needs a streaming feed — use applyChanges for a batch")
     feed.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, _: Long) =>
-        if (!b.isEmpty) { applyChanges(b, target, key, seqCol); () }
+        if (!b.isEmpty) {
+          if (scd2) applyChangesScd2(b, target, key, seqCol)
+          else applyChanges(b, target, key, seqCol)
+          ()
+        }
       }
       .trigger(trigger)
       .start()

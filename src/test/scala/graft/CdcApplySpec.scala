@@ -201,6 +201,23 @@ class CdcApplySpec extends AnyFunSuite {
       col("k") > 30L) // v5
     replicate()
     assert(drift() === 0L, "replica must track the source across restarts")
+    // the SCD2 toggle maintains the full history off the same feed
+    val hist = "/tmp/graft_test/cdc_stream_hist"
+    val chk2 = "/tmp/graft_test/cdc_stream_chk2"
+    rmdir(hist); rmdir(chk2)
+    CdcApply.applyChangesStream(
+      spark.readStream.format("graftlake")
+        .option("changeFeed", "lineage").load(src),
+      hist, "k", "v", chk2, scd2 = true).awaitTermination()
+    val open = LakeTable.read(spark, hist).filter(col("is_current"))
+      .select("k", "x")
+    val s1 = LakeTable.read(spark, src)
+    assert(open.exceptAll(s1).count() + s1.exceptAll(open).count() === 0L,
+      "the SCD2 history's open rows must equal the source's current state")
+    // closed history survives: k=20 was updated then deleted
+    assert(LakeTable.read(spark, hist)
+      .filter(col("k") === 20L && !col("is_current")).count() >= 1L,
+      "closed versions must be retained")
   }
 
   test("applyChanges replicates a lake table's own lineage change feed") {
