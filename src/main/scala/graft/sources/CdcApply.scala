@@ -27,8 +27,9 @@ import org.apache.spark.sql.functions._
   * by name — silently dropping it would lose changes.
   *
   * Scale shape: one feed-sized window (partitioned BY KEY — never a
-  * global window), one aggregate for the ambiguity gate, and the
-  * apply itself is the repo's file-granular MERGE — the write cost is
+  * global window), validation woven IN-FLOW into that same pass (zero
+  * extra jobs or shuffles — see [[effectiveEvents]]), and the apply
+  * itself is the repo's file-granular MERGE — the write cost is
   * O(touched files), never a table rewrite, exactly what applying a
   * trickle of changes against a 100 TB table needs. */
 object CdcApply {
@@ -37,32 +38,58 @@ object CdcApply {
   private val Kinds = UpKinds ++ Seq("delete", "update_preimage")
   private val DelFlag = "__graft_cdc_del"
 
-  /** Effective change events: preimages dropped, upsert flag derived,
-    * unknown types refused, conflicting same-(key, seq) upserts
-    * refused (no order exists between them — applying either is a
-    * silent coin flip; DLT's sequence contract refuses the same way). */
+  /** Effective change events with IN-FLOW validation: preimages
+    * dropped, upsert flag derived, unknown types refused, conflicting
+    * same-(key, seq) upserts refused (no order exists between them —
+    * applying either is a silent coin flip; DLT's sequence contract
+    * refuses the same way).
+    *
+    * The refusals are NOT a separate validation pass — a feed is
+    * often an expensive lazy plan (a lineage diff, a window), and a
+    * dedicated driver action would recompute it just to be told it is
+    * well-formed. Instead they are woven into expressions every
+    * consumer must evaluate: the type check rides the `change_type`
+    * projection the preimage filter reads, and the ambiguity check
+    * rides the SEQUENCE column — which both consumers' own window
+    * passes sort by, so every row's check fires during work already
+    * being done. The per-(key, seq) upsert count shares the one
+    * key-clustered exchange this function plants (`repartition(key)`
+    * satisfies the count window's (key, seq) clustering AND the
+    * consumers' (key) windows — zero extra shuffles, zero extra
+    * jobs). Refusals therefore surface at first evaluation, wrapped
+    * in Spark's job failure, message intact. */
   private def effectiveEvents(
       changes: DataFrame, key: String, seqCol: String, what: String): DataFrame = {
     Seq("change_type", key, seqCol).foreach(c =>
       require(changes.columns.contains(c),
         s"$what: the change feed lacks required column '$c'"))
-    val bad = changes
-      .filter(col("change_type").isNull || !col("change_type").isin(Kinds: _*))
-      .select("change_type").limit(1).collect()
-    require(bad.isEmpty,
-      s"$what: unknown change_type '${bad.headOption.map(_.get(0)).orNull}' — " +
-        s"silently dropping it would lose changes; expected ${Kinds.mkString(", ")}")
-    val ev = changes.filter(col("change_type") =!= "update_preimage")
+    // NULL-typed rows must refuse too: the weave replaces change_type
+    // BEFORE the preimage filter evaluates it, so a NULL (which the
+    // filter would silently drop) raises instead
+    val typed = changes.withColumn("change_type",
+      when(col("change_type").isNull || !col("change_type").isin(Kinds: _*),
+        raise_error(concat(
+          lit(s"$what: unknown change_type '"),
+          coalesce(col("change_type"), lit("null")),
+          lit("' — silently dropping it would lose changes; expected " +
+            Kinds.mkString(", ")))).cast("string"))
+        .otherwise(col("change_type")))
+    val ev = typed
+      .repartition(col(key))
+      .filter(col("change_type") =!= "update_preimage")
       .withColumn(DelFlag, !col("change_type").isin(UpKinds: _*))
-    val amb = ev.filter(!col(DelFlag))
-      .groupBy(col(key), col(seqCol)).count()
-      .filter(col("count") > 1).limit(1).collect()
-    require(amb.isEmpty,
-      s"$what: key ${amb.headOption.map(_.get(0)).orNull} carries " +
-        s"conflicting upserts at sequence ${amb.headOption.map(_.get(1)).orNull} — " +
-        "no order exists between them; de-duplicate the feed or refine the " +
-        "sequence column")
-    ev
+    val nUp = count(when(!col(DelFlag), lit(1)))
+      .over(Window.partitionBy(col(key), col(seqCol)))
+    ev.withColumn(seqCol,
+      when(!col(DelFlag) && nUp > lit(1L),
+        raise_error(concat(
+          lit(s"$what: key "), col(key).cast("string"),
+          lit(" carries conflicting upserts at sequence "),
+          col(seqCol).cast("string"),
+          lit(" — no order exists between them; de-duplicate the feed " +
+            "or refine the sequence column")))
+          .cast(ev.schema(seqCol).dataType))
+        .otherwise(col(seqCol)))
   }
 
   /** The payload columns a feed row carries for the target: everything
@@ -120,14 +147,22 @@ object CdcApply {
           s"applyChanges into $path: the feed lacks target column '$c' — " +
             "a partial payload would null existing values"))
         val setAll = targetCols.map(c => c -> col(s"s.$c")).toMap
-        LakeTable.mergeConditional(src, path, key,
-          matched = Seq(
-            LakeTable.MatchedDelete(Some(
-              col(s"s.$DelFlag") && col(s"s.$seqCol") > col(s"t.$seqCol"))),
-            LakeTable.MatchedUpdate(Some(
-              !col(s"s.$DelFlag") && col(s"s.$seqCol") >= col(s"t.$seqCol")),
-              setAll)),
-          notMatchedInsert = Some(!col(DelFlag)))
+        // the merge consumes the source TWICE (touched-file semi-join,
+        // then the clause algebra) and the feed may be an expensive
+        // lazy plan (a lineage diff); cache the latest-per-key fold —
+        // O(feed), never O(table) — for the duration of the commit
+        val cached = src.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try
+          LakeTable.mergeConditional(cached, path, key,
+            matched = Seq(
+              LakeTable.MatchedDelete(Some(
+                col(s"s.$DelFlag") && col(s"s.$seqCol") > col(s"t.$seqCol"))),
+              LakeTable.MatchedUpdate(Some(
+                !col(s"s.$DelFlag") && col(s"s.$seqCol") >= col(s"t.$seqCol")),
+                setAll)),
+            notMatchedInsert = Some(!col(DelFlag)))
+        finally cached.unpersist(blocking = false)
     }
   }
 
@@ -275,11 +310,19 @@ object CdcApply {
         val rebuilt = scd2FromChanges(
           seed.unionByName(evFrame(evNew)), key, seqCol)
           .withColumn("__scd_id", scdId(col(key), col("start_seq")))
-        LakeTable.mergeConditional(rebuilt, path, "__scd_id",
-          matched = Seq(LakeTable.MatchedUpdate(None,
-            Map("end_seq" -> col("s.end_seq"),
-              "is_current" -> col("s.is_current")))),
-          notMatchedInsert = Some(lit(true)))
+        // the rebuilt tail is O(feed + touched keys' history) — cache
+        // it for the merge's two consumptions (touched-file semi-join,
+        // clause algebra) instead of re-running the semi-join read +
+        // replay filter + window per consumption
+        val cached = rebuilt.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try
+          LakeTable.mergeConditional(cached, path, "__scd_id",
+            matched = Seq(LakeTable.MatchedUpdate(None,
+              Map("end_seq" -> col("s.end_seq"),
+                "is_current" -> col("s.is_current")))),
+            notMatchedInsert = Some(lit(true)))
+        finally cached.unpersist(blocking = false)
     }
   }
 
@@ -294,37 +337,34 @@ object CdcApply {
     * raw table, so the whole change-capture → apply loop is
     * hash-verified. */
   def applyChangesQuery(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    val src = LakeTable.freshWorkDir("lakecdcapplysrc", d)
+    // the source is the SHARED lineage lifecycle (update v2, delete
+    // v3, append v4) with its change data MATERIALIZED once — the
+    // 100 TB shape: the ingest side materializes change files per
+    // commit, a replication consumer only READS them (the CDC stream
+    // source serves exactly these files). The replica's cost is the
+    // applies, not the source table's life or the diff joins.
+    val src = LakeTable.sharedLineageLifecycle(s, d)
     val tgt = LakeTable.freshWorkDir("lakecdcapplytgt", d)
-    val ev = graft.Tables.load(s, d, "events")
-      .select("event_id", "event_type", "value")
-    LakeTable.overwrite(ev, src) // v0
-    LakeTable.enableRowLineage(s, src) // v1
-    LakeTable.update(s, src,
-      Map("value" -> (col("value") + lit(1.0))),
-      col("event_type") === "click") // v2
-    LakeTable.delete(s, src, col("event_id") % 7 === 0) // v3
-    LakeTable.append(ev.filter(col("event_id") % 5 === 0)
-      .withColumn("event_id", col("event_id") + lit(1000000000L)), src) // v4
-    // the feed: per-version lineage diffs stamped with their commit
-    // version as the sequence (what the CDC stream source delivers)
-    val feed = (2 to 4).map(v =>
-      LakeTable.changesWithLineage(s, src, v - 1, v)
-        .drop("_row_id").withColumn("_seq", lit(v.toLong)))
-      .reduce(_ unionByName _)
-    val boot = LakeTable.read(s, src, Some(1))
-      .withColumn("change_type", lit("insert"))
-      .withColumn("_seq", lit(1L))
-    applyChanges(boot.unionByName(feed), tgt, "event_id", "_seq")
+    LakeTable.materializeChanges(s, src, lineage = true) // idempotent, prestaged
+    val clog = LakeTable.changelogDirOf(src, lineage = true)
+    def feedOf(fromV: Int): DataFrame =
+      s.read.option("basePath", clog)
+        .parquet((fromV to 4).map(v => s"$clog/v=$v"): _*)
+        .withColumn("_seq", col("v").cast("long")).drop("v")
+    // v1 is the feed's initial snapshot (every row an insert), so the
+    // bootstrap IS the feed from v1
+    applyChanges(feedOf(1), tgt, "event_id", "_seq")
     val srcFinal = LakeTable.read(s, src)
     def replicaDrift(): Long = {
+      // both exceptAll directions in ONE job
       val t = LakeTable.read(s, tgt).select("event_id", "event_type", "value")
-      t.exceptAll(srcFinal).count() + srcFinal.exceptAll(t).count()
+      t.exceptAll(srcFinal).unionAll(srcFinal.exceptAll(t)).count()
     }
     require(replicaDrift() == 0L,
       "applyChanges replica must equal the source's final content exactly")
-    // the at-least-once retry: the same feed again — content unchanged
-    applyChanges(feed, tgt, "event_id", "_seq")
+    // the at-least-once retry: the post-bootstrap feed again —
+    // content unchanged
+    applyChanges(feedOf(2), tgt, "event_id", "_seq")
     require(replicaDrift() == 0L,
       "re-applying the same feed must be a no-op on content " +
         "(the stored-sequence guard)")
@@ -358,11 +398,18 @@ object CdcApply {
       ch.filter(col("seq") > lit(2 * mx / 3)))
     batches.foreach(b => applyChangesScd2(b, p, "ent_id", "seq"))
     applyChangesScd2(batches(1), p, "ent_id", "seq") // retry: no-op
-    val oneShot = scd2FromChanges(ch, "ent_id", "seq")
-    val stored = LakeTable.read(s, p).select(oneShot.columns.map(col): _*)
-    require(stored.exceptAll(oneShot).count() +
-      oneShot.exceptAll(stored).count() == 0L,
+    // the equivalence gate: both exceptAll directions in ONE job, the
+    // two sides cached — each appears in both legs, and oneShot is a
+    // full window rebuild it should not pay twice
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val oneShot = scd2FromChanges(ch, "ent_id", "seq").persist(lvl)
+    val stored = LakeTable.read(s, p)
+      .select(oneShot.columns.map(col): _*).persist(lvl)
+    require(stored.exceptAll(oneShot)
+      .unionAll(oneShot.exceptAll(stored)).count() == 0L,
       "incremental SCD2 maintenance must equal the one-shot batch build")
+    oneShot.unpersist(blocking = false)
+    stored.unpersist(blocking = false)
     stored.groupBy("is_current")
       .agg(count(lit(1)).as("n"),
         round(sum("value"), 6).as("sum_value"),

@@ -689,15 +689,40 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       }
 
       override def abortStagedChanges(): Unit = {
-        graft.Util.rmRecursive(sp)
+        // Task kills are ASYNCHRONOUS: when the write job fails, the
+        // driver enters abort while an interrupted straggler task may
+        // still be flushing its part file, recreating the staging tree
+        // mid-removal. Remove until the tree has STAYED gone across
+        // consecutive checks (bounded; residue past the window is
+        // crash-residue and the next stage call's sweep owns it).
+        val sPath = Paths.get(sp)
+        var quiet = 0
+        var rounds = 0
+        while (quiet < 3 && rounds < 30) {
+          if (Files.exists(sPath)) {
+            // a write landing mid-walk makes the removal itself throw
+            // (new child under a dir being deleted, entries vanishing
+            // under Files.walk) — that IS the race; retry next round
+            try graft.Util.rmRecursive(sp)
+            catch { case _: java.io.IOException | _: java.io.UncheckedIOException => () }
+            quiet = 0
+          } else quiet += 1
+          rounds += 1
+          if (quiet < 3) Thread.sleep(100)
+        }
         // leave no empty husk behind: if the staged table was the only
         // thing under a freshly-created table dir, remove the dir too
-        // (a pre-existing namespace dir with children stays)
+        // (a pre-existing namespace dir with children stays). A racing
+        // recreation between the empty-check and the delete throws
+        // DirectoryNotEmptyException — swallow it; the husk is then
+        // in-flight residue for the sweep, not a leak.
         def dropIfEmpty(dir: java.nio.file.Path): Unit =
           if (Files.isDirectory(dir)) {
             val ls = Files.list(dir)
             val empty = try !ls.iterator().hasNext finally ls.close()
-            if (empty) Files.deleteIfExists(dir)
+            if (empty)
+              try Files.deleteIfExists(dir)
+              catch { case _: java.nio.file.DirectoryNotEmptyException => () }
           }
         dropIfEmpty(Paths.get(stagingRoot(p)))
         dropIfEmpty(Paths.get(p))

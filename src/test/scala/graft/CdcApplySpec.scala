@@ -62,12 +62,18 @@ class CdcApplySpec extends AnyFunSuite {
     rmdir(p)
     def feed(rows: (Long, String, Long, String)*) =
       rows.toDF("k", "s", "_seq", "change_type")
-    val e1 = intercept[IllegalArgumentException](CdcApply.applyChanges(
+    // data-dependent refusals are IN-FLOW (raise_error woven into the
+    // evaluated expressions): they surface as the action's job
+    // failure with the message preserved somewhere in the cause chain
+    def msgChain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    val e1 = intercept[Exception](CdcApply.applyChanges(
       feed((1L, "a", 1L, "upsert")), p, "k", "_seq"))
-    assert(e1.getMessage.contains("unknown change_type 'upsert'"), e1.getMessage)
-    val e2 = intercept[IllegalArgumentException](CdcApply.applyChanges(
+    assert(msgChain(e1).contains("unknown change_type 'upsert'"), msgChain(e1))
+    val e2 = intercept[Exception](CdcApply.applyChanges(
       feed((1L, "a", 1L, "insert"), (1L, "b", 1L, "insert")), p, "k", "_seq"))
-    assert(e2.getMessage.contains("conflicting upserts"), e2.getMessage)
+    assert(msgChain(e2).contains("conflicting upserts"), msgChain(e2))
     // two deletes at one (key, seq) are NOT ambiguous (same effect)
     CdcApply.applyChanges(feed(
       (1L, "a", 1L, "insert"),

@@ -297,6 +297,51 @@ class GraftCatalogSpec extends AnyFunSuite {
       .map(_.getString(1)).contains("boom"))
   }
 
+  test("aborted CTAS cleanup outlasts a straggler task's late flush") {
+    // Task kills are ASYNCHRONOUS: a killed write task can flush its
+    // part file AFTER the driver enters abortStagedChanges, recreating
+    // the staging tree mid-removal. Drive the staged-table API
+    // directly, with a racing writer thread standing in for the
+    // straggler; abort must quiesce past it and leave no residue.
+    import java.nio.file.{Files, Paths}
+    rmdir(s"$wh/db8")
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.db8")
+    import org.apache.spark.sql.connector.catalog.{Identifier, StagingTableCatalog, TableInfo, Column => V2Column}
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[StagingTableCatalog]
+    val info = new TableInfo.Builder()
+      .withColumns(Array(V2Column.create("k", org.apache.spark.sql.types.LongType)))
+      .withProperties(java.util.Collections.emptyMap[String, String]())
+      .withPartitions(Array.empty)
+      .build()
+    val staged = cat.stageCreate(Identifier.of(Array("db8"), "race"), info)
+    val spDir = Paths.get(staged.asInstanceOf[graft.sources.GraftLakeTable].tablePath)
+    Files.createDirectories(spDir)
+    Files.writeString(spDir.resolve("part-00000.parquet"), "x")
+    // the straggler REACTS to each removal (recreate, fixed count)
+    // rather than writing on a wall-clock schedule — a timed writer's
+    // sleeps stretch under full-suite load and can land a write AFTER
+    // abort's quiesce window, failing the assert for the wrong reason
+    val straggler = new Thread(() => {
+      var recreations = 0
+      while (recreations < 3) {
+        if (!Files.exists(spDir)) {
+          try {
+            Files.createDirectories(spDir)
+            Files.writeString(spDir.resolve(s"late-$recreations.tmp"), "y")
+            recreations += 1
+          } catch { case _: java.io.IOException => () }
+        }
+        Thread.sleep(2)
+      }
+    })
+    straggler.start()
+    staged.abortStagedChanges()
+    straggler.join()
+    assert(!Files.exists(Paths.get(s"$wh/db8/race")),
+      "abort must leave no residue even when a straggler flushes mid-cleanup")
+  }
+
   test("atomic RTAS: replace keeps history time-travelable; OR REPLACE creates") {
     rmdir(s"$wh/db7")
     sql("CREATE NAMESPACE IF NOT EXISTS graft.db7")
