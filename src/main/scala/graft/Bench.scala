@@ -172,6 +172,20 @@ object Bench {
       java.nio.file.Paths.get(out), fileJson.getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] write $out: $e") }
     println(json)
+    // The driver keeps only the LAST ~2000 chars of stdout, and at
+    // 230 queries the full line above is ~8 KB — its head (metric/
+    // value) falls out of the window, so the driver's `parsed` field
+    // has been null every round (round-12 verdict #7). Emit a COMPACT
+    // final line (headline numbers + the slowest queries) that fits
+    // the window whole; the complete per-query map lives in the line
+    // above and in the file artifact.
+    val slow = results.toSeq.sortBy(-_._2._1).take(12)
+      .map { case (k, v) => "\"" + jesc(k) + "\":" + fmt(v._1) }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"${jesc(sfDir)}",""" +
+      s""""n_queries":${results.size}$failedJson,"slowest":$slow,""" +
+      s""""queries_file":"${jesc(out)}","total_sec":${fmt(total)}}""")
     spark.stop()
   }
 }

