@@ -657,6 +657,14 @@ object LakeTable {
       // source's counter, fast-forward takes the max of both sides)
       enableLineage: Boolean = false,
       lineageCounterOverride: Option[Long] = None): Int = {
+    // a known-but-invalid property value must refuse wherever it tries
+    // to ENTER the versioned sidecar — setTableProperties, the
+    // catalog's alterTable, CREATE/CTAS TBLPROPERTIES — never at some
+    // later write that suddenly cannot stage; this is the one
+    // chokepoint every props commit passes through
+    props.flatMap(_.get("write.distribution-mode")).foreach(m =>
+      require(Set("hash", "range", "none")(m),
+        s"write.distribution-mode '$m' — expected hash, range, or none"))
     val next = base + 1
     val md = Paths.get(metaDir(path))
     Files.createDirectories(md)
@@ -1652,7 +1660,19 @@ object LakeTable {
         else Some(reManifestKeep(path, r, keep, es))
       }
     }
-    commitRefs(spark, path, base, kept ++ fresh, "overwrite_dynamic")
+    commitValidated(spark, path, base, prior, kept ++ fresh, "overwrite_dynamic",
+      // a racing append is disjoint ONLY if its files landed outside
+      // every replaced partition — a racer writing INTO one would have
+      // its rows silently clobbered by this replace
+      validateAdded = added => added
+        .filter(r => r.kind == "data" && r.nFiles > 0)
+        .foreach { r =>
+          val hit = readManifest(r).map(tupleOf).filter(replaced)
+          require(hit.isEmpty,
+            s"overwrite_dynamic at $path: a concurrent commit landed files " +
+              s"inside replaced partition(s) ${hit.distinct.mkString(", ")} — " +
+              "true conflict; re-run")
+        })
   }
 
   /** Create or replace with hive-style partitioned layout — partition
@@ -1720,6 +1740,83 @@ object LakeTable {
         case e: Exception if isVersionConflict(e) && attempt < MaxCommitRetries =>
           attempt += 1 // racer won this version: rebase on its snapshot
           Thread.sleep(20L * attempt) // see the streaming arm's backoff note
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** STATE-DEPENDENT commit with Iceberg-style CONFLICT REVALIDATION
+    * (`validateNoConflictingData` posture): the file-granular DML
+    * planners (CoW DELETE/UPDATE/MERGE, upsert, REPLACE WHERE, the
+    * MoR writers, dynamic overwrite) read a snapshot, plan a
+    * replacement list, and commit — and before round 13 ANY racing
+    * commit made them refuse, so on a busy table with streaming
+    * appends every maintenance DML spuriously conflicted. Here a
+    * version conflict REBASES instead when the racer's delta is
+    * PROVABLY disjoint from what this operation read and replaced:
+    *
+    *  - every manifest the operation planned against is still live
+    *    and unchanged at the new head (a racer that rewrote/compacted
+    *    /deleted one of them overlaps this operation's inputs — a
+    *    TRUE conflict, refused by manifest name);
+    *  - the racer only ADDED data manifests (a racing delete-file
+    *    manifest could subtract rows this operation rewrote — its
+    *    subtraction would silently stop applying to the rewritten
+    *    copies);
+    *  - the metadata planes the plan was validated under are
+    *    untouched (schema, CHECK constraints, type promotions,
+    *    column defaults, table properties, row-lineage enablement);
+    *  - the caller's own op-specific check passes (`validateAdded` —
+    *    dynamic overwrite refuses racer files landing inside a
+    *    REPLACED partition).
+    *
+    * When all hold, the racer's added manifests ride along unchanged
+    * on top of the planned list and the commit re-claims against the
+    * new head — snapshot-isolation semantics: the DML applied to the
+    * snapshot it read; concurrently appended rows were never visible
+    * to its predicate and land untouched. Everything else refuses by
+    * name, exactly as before. */
+  private def commitValidated(
+      spark: SparkSession, path: String, base: Int,
+      baseRefs: Seq[ManifestRef], planned: Seq[ManifestRef], op: String,
+      validateAdded: Seq[ManifestRef] => Unit = _ => ()): Int = {
+    def plane(v: Int): Seq[Any] = Seq(
+      schemaOf(path, v), constraintsOf(path, v).toSet, promotedOf(path, v),
+      defaultsOf(path, v), tablePropsOf(path, v), nextRowIdOf(path, v).isDefined)
+    val planeNames = Seq("schema", "CHECK constraints", "type promotions",
+      "column defaults", "table properties", "row-lineage enablement")
+    val baseSet = baseRefs.toSet
+    var attempt = 0
+    var head = base
+    var extra: Seq[ManifestRef] = Nil
+    while (true) {
+      try return commitRefs(spark, path, head, planned ++ extra, op)
+      catch {
+        case e: Exception if isVersionConflict(e) && attempt < MaxCommitRetries =>
+          attempt += 1
+          Thread.sleep(20L * attempt)
+          head = latestVersion(path).getOrElse(-1)
+          val newRefs = listRefs(path, head)
+          val newSet = newRefs.toSet
+          val gone = baseRefs.filterNot(newSet)
+          if (gone.nonEmpty) throw new IllegalStateException(
+            s"$op at $path: a concurrent commit rewrote or removed " +
+              s"manifests this operation read (${gone.map(_.manifest).mkString(", ")}) — " +
+              "true conflict; re-run against the new snapshot", e)
+          val added = newRefs.filterNot(baseSet)
+          val badKind = added.filter(r => r.kind != "data" && r.nFiles > 0)
+          if (badKind.nonEmpty) throw new IllegalStateException(
+            s"$op at $path: a concurrent commit added row-level delete " +
+              s"manifests (${badKind.map(_.manifest).mkString(", ")}) whose " +
+              "subtractions would silently stop applying to the rows this " +
+              "operation rewrote — true conflict; re-run", e)
+          plane(base).zip(plane(head)).zip(planeNames).collectFirst {
+            case ((a, b), n) if a != b => n
+          }.foreach(n => throw new IllegalStateException(
+            s"$op at $path: $n changed concurrently — the plan was " +
+              "validated under the old state; re-run", e))
+          validateAdded(added)
+          extra = added
       }
     }
     -1 // unreachable
@@ -3407,7 +3504,7 @@ object LakeTable {
         else materializeLineage(spark, surv,
           refs.filter(r => r.kind == "data" && r.nFiles > 0), mm, path)
       }
-    commitRefs(spark, path, base,
+    commitValidated(spark, path, base, refs,
       carryManifests(path, refs, touched, mm)
         ++ stageRewrite(
           survivors.unionByName(df, allowMissingColumns = true), path,
@@ -3636,7 +3733,7 @@ object LakeTable {
       val (survivors, inserts, affected) =
         mergeRows(targetTouched, source, keyCol, matched, notMatchedInsert,
           notMatchedBySource, evolveColumns)
-      commitRefs(spark, path, base,
+      commitValidated(spark, path, base, refs,
         carryManifests(path, refs, touched, mm)
           ++ stageRewrite(
             survivors.unionByName(inserts, allowMissingColumns = true), path,
@@ -3690,7 +3787,7 @@ object LakeTable {
       .join(ak, survivors(keyCol) <=> col("__graft_ak"), "left_semi")
       .unionByName(inserts, allowMissingColumns = true)
     val prev = listRefs(path, base)
-    commitRefs(spark, path, base,
+    commitValidated(spark, path, base, prev,
       prev ++ stageManifest(affected, path, kind = "delete")
         ++ stageManifest(replacements, path),
       "mor_merge")
@@ -4652,7 +4749,7 @@ object LakeTable {
     val lineage = nextRowIdOf(path, base).isDefined
     withLineageColsIf(lineage)(
       classificationFrame(spark, path, base, refs, predicate)) match {
-      case None => commitRefs(spark, path, base, refs, "delete")
+      case None => commitValidated(spark, path, base, refs, refs, "delete")
       case Some(cur) =>
         val touched = touchedFiles(cur, matches)
         val counts =
@@ -4677,7 +4774,7 @@ object LakeTable {
           if (boundary.isEmpty) None
           else stageRewrite(survivors,
             path, rewriteSpec(path, refs, boundary, mm))
-        commitRefs(spark, path, base,
+        commitValidated(spark, path, base, refs,
           carryManifests(path, refs, boundary ++ dropped, mm) ++ rewritten.toSeq,
           "delete")
     }
@@ -4731,7 +4828,7 @@ object LakeTable {
     withLineageColsIf(lineage)(
       classificationFrame(spark, path, base, refs, predicate)) match {
       case None =>
-        commitRefs(spark, path, base, refs ++ fresh, "replace_where")
+        commitValidated(spark, path, base, refs, refs ++ fresh, "replace_where")
       case Some(cur) =>
         val touched = touchedFiles(cur, matches)
         val counts =
@@ -4752,7 +4849,7 @@ object LakeTable {
           if (boundary.isEmpty) None
           else stageRewrite(survivors,
             path, rewriteSpec(path, refs, boundary, mm))
-        commitRefs(spark, path, base,
+        commitValidated(spark, path, base, refs,
           carryManifests(path, refs, boundary ++ dropped, mm) ++
             rewritten.toSeq ++ fresh,
           "replace_where")
@@ -4995,7 +5092,7 @@ object LakeTable {
           .getOrElse(read(spark, path, Some(base)).columns.toSeq)
         set.keys.foreach(c => require(names.contains(c),
           s"UPDATE at $path: no such column '$c' (have ${names.mkString(", ")})"))
-        commitRefs(spark, path, base, refs, "update")
+        commitValidated(spark, path, base, refs, refs, "update")
       case Some(cur) =>
         val visible = cur.columns
           .filterNot(Set(FpCol, RiCol, SeqCol, LineageRid, LineageLus)).toSeq
@@ -5023,7 +5120,7 @@ object LakeTable {
         val rewritten =
           if (touched.isEmpty) None
           else stageRewrite(projected, path, rewriteSpec(path, refs, touched, mm))
-        commitRefs(spark, path, base,
+        commitValidated(spark, path, base, refs,
           carryManifests(path, refs, touched, mm) ++ rewritten.toSeq, "update")
     }
   }
@@ -5056,7 +5153,7 @@ object LakeTable {
     // refuted-everywhere predicate is a pure carry-forward commit
     val keys = classificationFrame(spark, path, base, prev, predicate)
       .map(_.filter(coalesce(predicate, lit(false))).select(keyCol).distinct())
-    commitRefs(spark, path, base,
+    commitValidated(spark, path, base, prev,
       prev ++ keys.flatMap(stageManifest(_, path, kind = "delete")), "mor_delete")
   }
 
@@ -5081,7 +5178,7 @@ object LakeTable {
     val keys = classificationFrame(spark, path, base, prev, predicate)
       .map(_.filter(coalesce(predicate, lit(false)))
         .select(col(FpCol).as("file_path"), col(RiCol).as("row_index")))
-    commitRefs(spark, path, base,
+    commitValidated(spark, path, base, prev,
       prev ++ keys.flatMap(stageManifest(_, path, kind = "posdel")),
       "mor_posdelete")
   }
@@ -5258,7 +5355,7 @@ object LakeTable {
     val spark = df.sparkSession
     val base = observedBase(spark, path)
     val prev = listRefs(path, base)
-    commitRefs(spark, path, base,
+    commitValidated(spark, path, base, prev,
       prev ++ stageManifest(df.select(keyCol).distinct(), path, kind = "delete")
         ++ stageManifest(df, path),
       "mor_merge")
@@ -5284,8 +5381,12 @@ object LakeTable {
 
   def compact(spark: SparkSession, path: String, numFiles: Int = 1): Int = {
     val base = observedBase(spark, path)
+    val prev = listRefs(path, base)
     val current = rewriteRead(spark, path, base)
-    commitRefs(spark, path, base,
+    // maintenance races appends BY DESIGN (a streaming sink never
+    // pauses for compaction): a racer's added data manifests are not
+    // part of the fold and ride along unchanged
+    commitValidated(spark, path, base, prev,
       stageManifest(current.repartition(numFiles), path).toSeq, "compact")
   }
 

@@ -1901,4 +1901,133 @@ class LakeTableSpec extends AnyFunSuite {
     assert(LakeTable.readTag(spark, p, "baseline").count() === orders.count())
     assert(LakeTable.tags(p) === Map("baseline" -> 3))
   }
+
+  /** Deterministic race injector for the conflict-revalidation tests:
+    * the NEXT claim on the table first runs `race` (the "racer's"
+    * commit — re-entrant claims pass through) and then refuses,exactly
+    * as if the racer had won the version. */
+  private class RacingArbiter extends graft.sources.CommitArbiter {
+    @volatile private var pending: Option[() => Unit] = None
+    private val inRace = new ThreadLocal[java.lang.Boolean] {
+      override def initialValue(): java.lang.Boolean = false
+    }
+    def armRace(cb: () => Unit): Unit = pending = Some(cb)
+    override def observed(table: String, head: Int): Unit = ()
+    override def tryClaim(table: String, next: Int): Boolean =
+      pending match {
+        case Some(cb) if !inRace.get() =>
+          pending = None
+          inRace.set(true)
+          try cb() finally inRace.set(false)
+          false
+        case _ => true
+      }
+    override def published(table: String, next: Int): Unit = ()
+    override def abandon(table: String, next: Int): Unit = ()
+  }
+
+  test("conflict revalidation: a concurrent append and a DELETE both land") {
+    val p = "/tmp/graft_test/lake_concurrent_dml"
+    rmdir(p)
+    import spark.implicits._
+    LakeTable.overwrite((1L to 10L).map(i => (i, s"s$i")).toDF("k", "s"), p) // v0
+    val arb = new RacingArbiter
+    LakeTable.setCommitArbiter(p, arb)
+    try {
+      // the racer appends BETWEEN the DELETE's snapshot read and its
+      // version claim — before round 13 the DELETE refused here
+      arb.armRace(() =>
+        LakeTable.append(Seq((200L, "racer")).toDF("k", "s"), p): Unit)
+      LakeTable.delete(spark, p, col("k") % 2L === 0L)
+      val ks = LakeTable.read(spark, p).collect().map(_.getLong(0)).sorted.toSeq
+      // snapshot isolation: evens visible to the DELETE are gone; the
+      // racer's row (even, but never visible to the predicate) SURVIVES
+      assert(ks === Seq(1L, 3L, 5L, 7L, 9L, 200L), ks.mkString(", "))
+      // both commits are in history, delete on top of the append
+      val ops = LakeTable.history(spark, p).collect()
+        .map(r => r.getInt(0) -> r.getString(1)).sortBy(_._1).toSeq
+      assert(ops.map(_._2) === Seq("overwrite", "append", "delete"), ops.mkString(", "))
+    } finally LakeTable.setCommitArbiter(p, graft.sources.RenameArbiter)
+  }
+
+  test("conflict revalidation: overlapping DELETE vs DELETE still refuses by name") {
+    val p = "/tmp/graft_test/lake_conflict_del_del"
+    rmdir(p)
+    import spark.implicits._
+    LakeTable.overwrite((1L to 10L).map(i => (i, s"s$i")).toDF("k", "s"), p) // v0
+    val arb = new RacingArbiter
+    LakeTable.setCommitArbiter(p, arb)
+    try {
+      arb.armRace(() => LakeTable.delete(spark, p, col("k") === 2L): Unit)
+      val e = intercept[IllegalStateException](
+        LakeTable.delete(spark, p, col("k") === 3L))
+      assert(e.getMessage.contains("rewrote or removed manifests"), e.getMessage)
+      // only the racer's delete applied; the refused one changed nothing
+      assert(LakeTable.read(spark, p).collect().map(_.getLong(0)).sorted.toSeq
+        === (Seq(1L) ++ (3L to 10L)), "refused DELETE must leave the table intact")
+    } finally LakeTable.setCommitArbiter(p, graft.sources.RenameArbiter)
+  }
+
+  test("conflict revalidation: a racing row-level delete file refuses") {
+    val p = "/tmp/graft_test/lake_conflict_mor"
+    rmdir(p)
+    import spark.implicits._
+    LakeTable.overwrite((1L to 10L).map(i => (i, s"s$i")).toDF("k", "s"), p)
+    val arb = new RacingArbiter
+    LakeTable.setCommitArbiter(p, arb)
+    try {
+      // the racer's equality-delete subtraction would silently stop
+      // applying to rows the UPDATE rewrites into fresh files
+      arb.armRace(() => LakeTable.deleteMoR(spark, p, "k", col("k") === 2L): Unit)
+      val e = intercept[IllegalStateException](LakeTable.update(
+        spark, p, Map("s" -> lit("upd")), col("k") === 3L))
+      assert(e.getMessage.contains("delete manifests"), e.getMessage)
+    } finally LakeTable.setCommitArbiter(p, graft.sources.RenameArbiter)
+  }
+
+  test("conflict revalidation: a concurrent schema change refuses") {
+    val p = "/tmp/graft_test/lake_conflict_schema"
+    rmdir(p)
+    import spark.implicits._
+    LakeTable.overwrite((1L to 10L).map(i => (i, s"s$i")).toDF("k", "s"), p)
+    val arb = new RacingArbiter
+    LakeTable.setCommitArbiter(p, arb)
+    try {
+      arb.armRace(() => LakeTable.addColumn(spark, p, "extra"): Unit)
+      val e = intercept[IllegalStateException](
+        LakeTable.delete(spark, p, col("k") === 3L))
+      assert(e.getMessage.contains("schema changed concurrently"), e.getMessage)
+    } finally LakeTable.setCommitArbiter(p, graft.sources.RenameArbiter)
+  }
+
+  test("conflict revalidation: dynamic overwrite rebases over out-of-partition appends only") {
+    val p = "/tmp/graft_test/lake_conflict_dyn"
+    rmdir(p)
+    import spark.implicits._
+    def rows(d: Long, tag: String) = Seq((d, 1L, tag), (d, 2L, tag)).toDF("d", "k", "s")
+    // declare the layout FIRST (dynamic overwrite refuses mixed-spec
+    // generations), then land every generation under it
+    LakeTable.overwrite(rows(1L, "a").limit(0), p) // v0, empty anchor
+    LakeTable.setPartitionSpec(p,
+      Seq(graft.sources.LakeTable.PartitionTransform("d", "identity")))
+    LakeTable.append(rows(1L, "a").unionByName(rows(2L, "a")), p) // v1
+    LakeTable.append(rows(1L, "b"), p) // v2 under the declared layout
+    val arb = new RacingArbiter
+    LakeTable.setCommitArbiter(p, arb)
+    try {
+      // DISJOINT: the racer lands in d=3 while we replace d=1 → both land
+      arb.armRace(() => LakeTable.append(rows(3L, "racer"), p): Unit)
+      LakeTable.overwriteDynamic(rows(1L, "fresh"), p)
+      val byD = LakeTable.read(spark, p).groupBy("d").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(byD(3L) === 2L, "the disjoint racer's partition must land")
+      assert(byD(1L) === 2L, "d=1 must hold exactly the replacement rows")
+      assert(LakeTable.read(spark, p).filter(col("d") === 1L && col("s") =!= "fresh")
+        .count() === 0L, "replaced partition holds only the fresh rows")
+      // OVERLAPPING: the racer lands INSIDE the replaced partition → refuse
+      arb.armRace(() => LakeTable.append(rows(2L, "racer2"), p): Unit)
+      val e = intercept[Exception](LakeTable.overwriteDynamic(rows(2L, "fresh2"), p))
+      assert(e.getMessage.contains("inside replaced partition"), e.getMessage)
+    } finally LakeTable.setCommitArbiter(p, graft.sources.RenameArbiter)
+  }
 }
