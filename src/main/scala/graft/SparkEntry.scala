@@ -226,6 +226,7 @@ object SparkEntry {
     "lake_lineage_cdc_stream" -> (sources.LakeTable.lineageCdcStreamQuery _),
     "lake_ndv_sketch" -> (sources.LakeTable.ndvSketchQuery _),
     "lake_file_granular_delete" -> (sources.LakeTable.fileGranularDeleteQuery _),
+    "lake_delete_in_subquery" -> (sources.LakeTable.deleteInSubqueryQuery _),
     "lake_arbitrated_commit" -> (sources.LakeTable.arbitratedCommitQuery _),
     "lake_ctas" -> (sources.LakeTable.ctasQuery _),
     "lake_runtime_prune" -> (sources.LakeTable.runtimePruneQuery _),
@@ -1577,6 +1578,17 @@ object SparkEntry {
         |  FROM events) t
         |WHERE event_id % 7 <> 0
         |ORDER BY event_id""".stripMargin,
+    // lake_delete_in_subquery: two subquery DELETEs (uncorrelated IN
+    // incl. ids absent from the corpus; equi-correlated EXISTS with a
+    // residual conjunct) — the oracle recomputes the survivors from
+    // the raw table, pinning the subquery materialization + merge
+    // lowering bit for bit
+    "lake_delete_in_subquery" ->
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE NOT (doc_id % 13 = 3)
+        |  AND NOT (doc_id % 7 = 2 AND source = 'src3')
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     // lake_file_granular_delete: after a partition-aligned delete of
     // 'click' (require'd metadata-only) and a boundary delete of
     // every 10th 'view' (require'd carry + layout-preserving

@@ -4,8 +4,8 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, GraftSqlShim, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, EqualNullSafe, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, Command, DeleteAction, InsertAction, InsertStarAction, LeafNode, LogicalPlan, MergeAction, MergeIntoTable, OverwritePartitionsDynamic, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, AttributeSet, EqualNullSafe, EqualTo, Exists, Expression, InSubquery, Not => CNot, OuterReference, PredicateHelper, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, Command, DeleteAction, DeleteFromTable, Filter, InsertAction, InsertStarAction, LeafNode, LogicalPlan, MergeAction, MergeIntoTable, OverwritePartitionsDynamic, Project, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -36,10 +36,13 @@ import org.apache.spark.sql.functions.lit
   * oracle becomes reachable from SQL. DELETE needs no lowering: the
   * table implements `SupportsDelete` and Spark routes the translated
   * filters straight to it. */
-class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
+class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with PredicateHelper {
 
   private def refuse(msg: String): Nothing =
     throw new UnsupportedOperationException(s"graftlake SQL DML: $msg")
+
+  private def hasSubquery(e: Expression): Boolean =
+    e.exists(_.isInstanceOf[SubqueryExpression])
 
   /** The lake table under a (possibly aliased) resolved V2 relation. */
   private def lakeTarget(plan: LogicalPlan): Option[GraftLakeTable] = plan match {
@@ -94,7 +97,176 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     })
   }
 
+  /** DELETE ... WHERE <subquery predicate> — the decontamination /
+    * GDPR-erasure shape ("delete every doc_id found in this benchmark
+    * table"). Plain-predicate DELETEs route through SupportsDelete and
+    * never reach here; a condition carrying IN (SELECT ...) /
+    * NOT IN / EXISTS / NOT EXISTS cannot be expressed as V2 filters,
+    * so it lowers onto the library ops: the subquery MATERIALIZES to
+    * a key frame (computed inside the command's effect, not at
+    * analysis), and the delete routes through the file-granular
+    * merge planner — touched files found by the semi-join touch test,
+    * O(touched files) write cost for IN/EXISTS. NOT IN / NOT EXISTS
+    * are honest whole-table rewrites (every row must be checked
+    * against the full key set) with SQL null semantics pinned: a NULL
+    * anywhere in a NOT IN list makes the predicate never-true (no row
+    * deletes), a NULL target key is never deleted by NOT IN but IS
+    * deleted by NOT EXISTS (equality correlation cannot match it).
+    * Residual plain conjuncts (WHERE k IN (...) AND lang = 'en')
+    * apply on the delete clause. */
+  private def lowerSubqueryDelete(
+      path: String, condition: Expression,
+      tOut: AttributeSet, tAlias: Option[String]): LogicalPlan = {
+    val conjs = splitConjunctivePredicates(condition)
+    val (subs, plains) = conjs.partition(hasSubquery)
+    if (subs.size != 1) refuse(
+      s"DELETE FROM graftlake.`$path`: exactly ONE IN/NOT IN/EXISTS/" +
+        s"NOT EXISTS subquery predicate is supported per statement " +
+        s"(got ${subs.size})")
+
+    def tAnchor(e: Expression): Column = GraftSqlShim.column(e.transform {
+      case a: AttributeReference => UnresolvedAttribute(Seq("t", a.name))
+      case u: UnresolvedAttribute => u.nameParts match {
+        case Seq(q, c) if tAlias.contains(q) => UnresolvedAttribute(Seq("t", c))
+        case parts => UnresolvedAttribute(Seq("t", parts.last))
+      }
+    })
+    val residual: Option[Column] =
+      if (plains.isEmpty) None else Some(plains.map(tAnchor).reduce(_ && _))
+
+    def targetColName(e: Expression): String = e match {
+      case a: AttributeReference => a.name
+      case u: UnresolvedAttribute => u.nameParts match {
+        case Seq(q, c) if tAlias.contains(q) => c
+        case parts => parts.last
+      }
+      case other => refuse(
+        s"DELETE FROM graftlake.`$path`: the subquery predicate's target " +
+          s"side must be one target column, got $other")
+    }
+
+    def isTargetRef(e: Expression): Option[String] = e match {
+      case OuterReference(a) => Some(a.name)
+      case a: AttributeReference if tOut.contains(a) => Some(a.name)
+      case u: UnresolvedAttribute => u.nameParts match {
+        case Seq(q, c) if tAlias.contains(q) => Some(c)
+        case _ => None
+      }
+      case _ => None
+    }
+
+    /** EXISTS (SELECT ... FROM s WHERE s.x = t.k [AND rest]) → the
+      * key column name on the target plus the subquery re-written as
+      * a standalone key-frame plan (correlation conjunct stripped,
+      * inner side projected). Only the canonical top-level-filter
+      * shape decomposes — anything deeper refuses by name. */
+    def decomposeExists(plan0: LogicalPlan): (String, LogicalPlan) = {
+      val (cond, child) = plan0 match {
+        case Filter(c, ch) => (c, ch)
+        case Project(_, Filter(c, ch)) => (c, ch)
+        case other => refuse(
+          s"DELETE FROM graftlake.`$path`: EXISTS subquery must be the " +
+            s"canonical SELECT ... FROM ... WHERE <target.col = expr> " +
+            s"[AND ...] shape, got ${other.nodeName}")
+      }
+      val cs = splitConjunctivePredicates(cond)
+      val (corr, rest) = cs.partition {
+        case EqualTo(l, r) => isTargetRef(l).isDefined ^ isTargetRef(r).isDefined
+        case _ => false
+      }
+      if (corr.size != 1) refuse(
+        s"DELETE FROM graftlake.`$path`: EXISTS needs exactly one " +
+          s"equi-correlation predicate (target.col = subquery expr), " +
+          s"got ${corr.size}")
+      val remainingCorr = rest.exists(_.exists(x => isTargetRef(x).isDefined))
+      if (remainingCorr) refuse(
+        s"DELETE FROM graftlake.`$path`: EXISTS supports one " +
+          "equi-correlation only; other conjuncts must not reference " +
+          "the target")
+      val EqualTo(l, r) = corr.head: @unchecked
+      val (tc, inner) = isTargetRef(l) match {
+        case Some(n) => (n, r)
+        case None => (isTargetRef(r).get, l)
+      }
+      val innerStripped = inner.transform {
+        case OuterReference(a) => a // unreachable side, defensive
+      }
+      val base = rest.reduceOption(And).map(Filter(_, child)).getOrElse(child)
+      (tc, Project(Seq(Alias(innerStripped, "__graft_sq_key")()), base))
+    }
+
+    // classify the one subquery conjunct
+    val (negated, keyCol, keyPlan) = subs.head match {
+      case InSubquery(values, q) =>
+        if (values.size != 1) refuse(
+          s"DELETE FROM graftlake.`$path`: IN subquery supports one key column")
+        (false, targetColName(values.head), q.plan)
+      case CNot(InSubquery(values, q)) =>
+        if (values.size != 1) refuse(
+          s"DELETE FROM graftlake.`$path`: NOT IN subquery supports one key column")
+        (true, targetColName(values.head), q.plan)
+      case e: Exists =>
+        val (tc, kp) = decomposeExists(e.plan)
+        (false, tc, kp)
+      case CNot(e: Exists) =>
+        val (tc, kp) = decomposeExists(e.plan)
+        (true, tc, kp)
+      case other => refuse(
+        s"DELETE FROM graftlake.`$path`: unsupported subquery predicate " +
+          s"${other.sql}; supported: IN (SELECT ...), NOT IN, EXISTS, NOT EXISTS")
+    }
+    val isIn = subs.head match {
+      case _: InSubquery | CNot(_: InSubquery) => true
+      case _ => false
+    }
+
+    val label =
+      (if (negated) "NOT " else "") + (if (isIn) "IN" else "EXISTS")
+    LakeDmlCommand(s"DELETE FROM graftlake.`$path` WHERE $keyCol $label (subquery)",
+      () => {
+        val raw = GraftSqlShim.dataFrame(spark, keyPlan)
+        require(raw.columns.length == 1,
+          s"DELETE FROM graftlake.`$path`: the subquery must produce " +
+            s"exactly one column, got ${raw.columns.mkString(", ")}")
+        val keys = raw.toDF(keyCol)
+        import org.apache.spark.sql.functions.{col, lit}
+        if (!negated) {
+          // IN / EXISTS: equality semantics — NULL keys on either side
+          // never match, so they are stripped before the merge's
+          // null-safe join (which WOULD pair null with null)
+          LakeTable.mergeConditional(
+            keys.filter(col(keyCol).isNotNull).distinct(), path, keyCol,
+            matched = Seq(LakeTable.MatchedDelete(residual)))
+        } else if (isIn &&
+            keys.filter(col(keyCol).isNull).limit(1).count() > 0L) {
+          // NOT IN with a NULL in the list is never true for any row
+          // (SQL three-valued logic): zero rows delete; the explicit
+          // never-true DELETE still commits the audit-trail version a
+          // predicate DELETE would
+          LakeTable.delete(spark, path, lit(false))
+        } else {
+          // NOT IN / NOT EXISTS: delete rows matching NO key. A NULL
+          // target key is UNKNOWN under NOT IN (kept) but TRUE under
+          // NOT EXISTS (an equality correlation cannot match it).
+          val keep = if (isIn)
+            Some(residual.foldLeft(col(s"t.$keyCol").isNotNull)(_ && _))
+          else residual
+          LakeTable.mergeConditional(
+            keys.filter(col(keyCol).isNotNull).distinct(), path, keyCol,
+            matched = Nil,
+            notMatchedBySource = Seq(LakeTable.MatchedDelete(keep)))
+        }
+      })
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+
+    case d @ DeleteFromTable(target, condition)
+        if lakeTarget(target).isDefined && hasSubquery(condition) =>
+      val tbl = lakeTarget(target).get
+      if (tbl.pinnedVersion.nonEmpty)
+        refuse(s"cannot DELETE from a version-pinned read of ${tbl.tablePath}")
+      lowerSubqueryDelete(tbl.tablePath, condition, target.outputSet, aliasOf(target))
 
     case u @ UpdateTable(target, assignments, condition) =>
       lakeTarget(target) match {

@@ -6787,6 +6787,45 @@ object LakeTable {
     * re-landing them under the same hidden layout. All three facts
     * are require'd in-query; the oracle checks the surviving rows
     * against a plain WHERE-NOT recompute. */
+  /** Driver query: DELETE WHERE <subquery> — the decontamination /
+    * GDPR-erasure shape ("delete every doc_id the benchmark contains",
+    * the single most common DML a curation pipeline runs). Two SQL
+    * DELETEs through [[LakeSqlDmlRule]]'s subquery lowering: an
+    * uncorrelated IN (SELECT ...) whose benchmark list also carries
+    * ids the corpus does NOT contain (they must no-op), then an
+    * equi-correlated EXISTS scoped by a residual plain conjunct. Both
+    * route through the file-granular merge planner — touched files by
+    * semi-join, O(touched files) writes. The oracle recomputes the
+    * survivors from the raw documents table, so the subquery
+    * materialization + merge lowering is hash-verified end to end. */
+  def deleteInSubqueryQuery(s: SparkSession, d: String): DataFrame = {
+    val path = freshWorkDir("lakedelsubq", d)
+    val docs = graft.Tables.load(s, d, "documents")
+      .select("doc_id", "lang", "source", "n_chars")
+    overwrite(docs, path)
+    docs.filter(col("doc_id") % 13L === 3L).select("doc_id")
+      .unionByName(s.range(1, 4).select((col("id") + 1000000000L).as("doc_id")))
+      .createOrReplaceTempView("graft_bench_contaminated")
+    docs.filter(col("doc_id") % 7L === 2L).select(col("doc_id").as("bad_id"))
+      .createOrReplaceTempView("graft_bench_pii")
+    s.sql("DROP TABLE IF EXISTS graft_delsubq")
+    s.sql(s"CREATE TABLE graft_delsubq USING graftlake OPTIONS (path '$path')")
+    s.sql("DELETE FROM graft_delsubq WHERE doc_id IN " +
+      "(SELECT doc_id FROM graft_bench_contaminated)")
+    s.sql("DELETE FROM graft_delsubq t WHERE EXISTS " +
+      "(SELECT 1 FROM graft_bench_pii b WHERE b.bad_id = t.doc_id) " +
+      "AND source = 'src3'")
+    // real snapshots: v0 still holds the full corpus, both deletes
+    // committed through the merge planner
+    require(read(s, path, Some(0)).count() == docs.count(),
+      "v0 must time-travel to the full corpus")
+    require(history(s, path).count() == 3,
+      "each subquery DELETE must be one commit")
+    read(s, path).groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+      .orderBy("lang")
+  }
+
   def fileGranularDeleteQuery(s: SparkSession, d: String): DataFrame = {
     val path = freshWorkDir("lakefgd", d)
     val ev = graft.Tables.load(s, d, "events")

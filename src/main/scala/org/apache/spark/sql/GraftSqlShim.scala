@@ -9,6 +9,14 @@ object GraftSqlShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Execute a parsed LOGICAL PLAN as a DataFrame (analysis runs
+    * fresh over the plan) — the SQL DML rule materializes IN/EXISTS
+    * subquery key frames through this. */
+  def dataFrame(
+      spark: SparkSession,
+      plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Structural view of a Column's UNRESOLVED node tree — for
     * callers that INSPECT a predicate's shape (interval extraction)
     * rather than execute it. In Spark 4 the Column→catalyst

@@ -456,4 +456,83 @@ class SqlDmlSpec extends AnyFunSuite {
         .collect().map(_.getString(0)).toSeq === Seq("A", "B", "C", "d"))
     } finally spark.sql("DROP TABLE IF EXISTS sqldml_rpw")
   }
+
+  test("DELETE WHERE k IN (SELECT ...) lowers onto the file-granular merge") {
+    val p = "/tmp/graft_test/sqldml_del_in"
+    freshTable(p, "sqldml_din")
+    import spark.implicits._
+    Seq(2L, 3L, 99L).toDF("doc").createOrReplaceTempView("sqldml_din_bad")
+    try {
+      spark.sql(
+        "DELETE FROM sqldml_din WHERE k IN (SELECT doc FROM sqldml_din_bad)")
+      assert(spark.sql("SELECT k FROM sqldml_din ORDER BY k")
+        .collect().map(_.getLong(0)).toSeq === Seq(1L, 4L))
+      // real snapshot: v0 time-travels complete
+      assert(LakeTable.read(spark, p, Some(0)).count() === 4)
+      // residual plain conjunct scopes the delete
+      spark.sql("DELETE FROM sqldml_din WHERE k IN " +
+        "(SELECT doc FROM sqldml_din_bad UNION ALL SELECT 1) AND s = 'a'")
+      assert(spark.sql("SELECT k FROM sqldml_din ORDER BY k")
+        .collect().map(_.getLong(0)).toSeq === Seq(4L),
+        "only the residual-matching row deletes")
+    } finally spark.sql("DROP TABLE IF EXISTS sqldml_din")
+  }
+
+  test("DELETE WHERE NOT IN pins SQL null semantics") {
+    val p = "/tmp/graft_test/sqldml_del_notin"
+    freshTable(p, "sqldml_dni")
+    import spark.implicits._
+    try {
+      // a NULL in the list: NOT IN is never true — zero rows delete
+      Seq(Some(1L), None).toDF("doc").createOrReplaceTempView("sqldml_dni_keys")
+      spark.sql(
+        "DELETE FROM sqldml_dni WHERE k NOT IN (SELECT doc FROM sqldml_dni_keys)")
+      assert(spark.sql("SELECT count(*) FROM sqldml_dni").head().getLong(0) === 4L,
+        "NULL in a NOT IN list must delete nothing")
+      // no NULLs: delete exactly the non-listed keys
+      Seq(1L, 4L).toDF("doc").createOrReplaceTempView("sqldml_dni_keys2")
+      spark.sql(
+        "DELETE FROM sqldml_dni WHERE k NOT IN (SELECT doc FROM sqldml_dni_keys2)")
+      assert(spark.sql("SELECT k FROM sqldml_dni ORDER BY k")
+        .collect().map(_.getLong(0)).toSeq === Seq(1L, 4L))
+    } finally spark.sql("DROP TABLE IF EXISTS sqldml_dni")
+  }
+
+  test("DELETE WHERE EXISTS / NOT EXISTS decompose the equi-correlation") {
+    val p = "/tmp/graft_test/sqldml_del_exists"
+    freshTable(p, "sqldml_dex")
+    import spark.implicits._
+    Seq((2L, "x"), (4L, "y")).toDF("doc", "why")
+      .createOrReplaceTempView("sqldml_dex_bad")
+    try {
+      spark.sql("DELETE FROM sqldml_dex t WHERE EXISTS " +
+        "(SELECT 1 FROM sqldml_dex_bad b WHERE b.doc = t.k AND b.why = 'x')")
+      assert(spark.sql("SELECT k FROM sqldml_dex ORDER BY k")
+        .collect().map(_.getLong(0)).toSeq === Seq(1L, 3L, 4L))
+      spark.sql("DELETE FROM sqldml_dex t WHERE NOT EXISTS " +
+        "(SELECT 1 FROM sqldml_dex_bad b WHERE b.doc = t.k)")
+      assert(spark.sql("SELECT k FROM sqldml_dex ORDER BY k")
+        .collect().map(_.getLong(0)).toSeq === Seq(4L),
+        "NOT EXISTS keeps only correlated keys")
+    } finally spark.sql("DROP TABLE IF EXISTS sqldml_dex")
+  }
+
+  test("unsupported subquery-DELETE shapes refuse by name") {
+    val p = "/tmp/graft_test/sqldml_del_refuse"
+    freshTable(p, "sqldml_dref")
+    import spark.implicits._
+    Seq(1L).toDF("doc").createOrReplaceTempView("sqldml_dref_keys")
+    try {
+      // two subquery predicates in one statement
+      val e1 = intercept[Exception](spark.sql(
+        "DELETE FROM sqldml_dref WHERE k IN (SELECT doc FROM sqldml_dref_keys) " +
+          "AND k IN (SELECT doc + 1 FROM sqldml_dref_keys)"))
+      assert(e1.getMessage.contains("exactly ONE"), e1.getMessage)
+      // EXISTS without an equi-correlation
+      val e2 = intercept[Exception](spark.sql(
+        "DELETE FROM sqldml_dref t WHERE EXISTS " +
+          "(SELECT 1 FROM sqldml_dref_keys b WHERE b.doc > t.k)"))
+      assert(e2.getMessage.contains("equi-correlation"), e2.getMessage)
+    } finally spark.sql("DROP TABLE IF EXISTS sqldml_dref")
+  }
 }
