@@ -84,6 +84,7 @@ object SparkEntry {
     // companion query hash-pins the assignment math itself
     "knn_ivf_cells" -> ((s, d) => llm.Similarity.knnIvfCellCounts(s, d)),
     "knn_ivf_kmeans" -> ((s, d) => llm.Similarity.knnIvfKmeansGate(s, d)),
+    "knn_ivf_pq" -> ((s, d) => llm.Similarity.knnIvfPqGate(s, d)),
     // SemDeDup: cluster-bounded semantic dedup; rounded-everywhere
     // arithmetic makes the WHOLE algorithm oracle-replayable
     "semdedup" -> ((s, d) => llm.Similarity.semDeDupQuery(s, d)),
@@ -2056,6 +2057,7 @@ object SparkEntry {
     "knn_lsh_bucketed" -> knnGateOracle,
     "knn_ivf" -> knnGateOracle,
     "knn_ivf_kmeans" -> knnGateOracle,
+    "knn_ivf_pq" -> knnGateOracle,
     "doc_embedding_join" ->
       """WITH n AS (SELECT vec_id, label,
         |             round(sqrt(list_sum(list_transform(embedding,

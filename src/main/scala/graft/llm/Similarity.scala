@@ -278,6 +278,104 @@ object Similarity {
     ivfSearch(emb, cents.withColumn("cn", l2norm(col("cv"))), k, nQueries, nProbe)
   }
 
+  /** L3 scale path #3: IVF-PQ — PRODUCT-QUANTIZED candidate scoring
+    * (round-12 verdict ask #4), the memory/IO answer at 100 TB of
+    * embeddings: candidates inside probed IVF cells are scored from
+    * M-byte PQ CODES via an asymmetric-distance lookup table, never
+    * their full vectors — the full-dimension dot product runs only
+    * over the exact RE-RANK of the per-query shortlist.
+    *
+    * Training: per-subspace codebooks via the same deterministic
+    * [[kmeansCentroids]] (M subspaces × `codes` centroids — tiny,
+    * broadcast everywhere). Encoding: one argmin per (vector,
+    * subspace) under the squared-euclidean identity, assembled to an
+    * `ARRAY<INT>` code word. Search: per-query LUT[m][code] =
+    * dot(q_m, codebook[m][code]) (M × codes doubles, broadcast),
+    * ADC score = one zip_with/aggregate over the code word —
+    * O(M) per candidate instead of O(dim) — normalized by the stored
+    * candidate norm for the cosine ranking; top-`shortlist` by ADC
+    * re-rank exactly. Approximate by construction → gated like the
+    * rest of the family ([[knnIvfPqGate]]: exact-side census the
+    * oracle recomputes + recall-floor boolean). */
+  def knnIvfPq(
+      s: SparkSession, d: String,
+      k: Int = 5, nQueries: Int = 10, nCells: Int = 16, nProbe: Int = 4,
+      m: Int = 4, codes: Int = 16, iters: Int = 1, shortlist: Int = 64,
+      dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"PQ needs dim % m == 0, got $dim % $m")
+    val subDim = dim / m
+    val emb = embWithNorm(s, d)
+    def subVecs(df: DataFrame, idAs: String): DataFrame = df
+      .select(col("vec_id").as(idAs), posexplode(
+        array((0 until m).map(mi => slice(col("v"), mi * subDim + 1, subDim)): _*)))
+      .select(col(idAs), col("pos").as("m"), col("col").as("sv"))
+    // per-subspace codebooks — M tiny trainings over the sliced views
+    val books = (0 until m).map { mi =>
+      kmeansCentroids(
+        emb.select(col("vec_id"), slice(col("v"), mi * subDim + 1, subDim).as("v")),
+        codes, iters)
+        .select(lit(mi).as("m"), col("cell_id").cast("int").as("code"),
+          col("cv").as("bv"))
+    }.reduce(_ unionByName _)
+    // encode: nearest codebook entry per (vector, subspace) → ARRAY<INT>
+    val wEnc = Window.partitionBy("vec_id", "m").orderBy(col("score").desc, col("code"))
+    val encoded = subVecs(emb, "vec_id")
+      .join(broadcast(books), Seq("m"))
+      .withColumn("score",
+        dot(col("sv"), col("bv")) - lit(0.5) * dot(col("bv"), col("bv")))
+      .withColumn("rn", row_number().over(wEnc)).filter(col("rn") === 1)
+      .groupBy("vec_id")
+      .agg(sort_array(collect_list(struct(col("m"), col("code")))).as("mc"))
+      .select(col("vec_id"), transform(col("mc"), e => e.getField("code")).as("pqcode"))
+    // IVF coarse quantizer (trained, as knnIvfKmeans)
+    val cents = kmeansCentroids(emb, nCells, iters).withColumn("cn", l2norm(col("cv")))
+    val assigned = nearestCells(emb, cents, 1)
+      .select(col("vec_id"), col("cell_id"), col("nrm"))
+      .join(encoded, Seq("vec_id"))
+    val qs = emb.filter(col("vec_id") < nQueries)
+    val probes = nearestCells(qs, cents, nProbe)
+      .select(col("vec_id").as("qid"), col("cell_id"))
+    // per-query ADC tables: lut[m][code] = dot(q_m, codebook[m][code])
+    val lut = subVecs(qs, "qid")
+      .join(broadcast(books), Seq("m"))
+      .withColumn("pd", dot(col("sv"), col("bv")))
+      .groupBy("qid", "m")
+      .agg(sort_array(collect_list(struct(col("code"), col("pd")))).as("ct"))
+      .select(col("qid"), col("m"),
+        transform(col("ct"), e => e.getField("pd")).as("tab"))
+      .groupBy("qid")
+      .agg(sort_array(collect_list(struct(col("m"), col("tab")))).as("mt"))
+      .select(col("qid"), transform(col("mt"), e => e.getField("tab")).as("lut"))
+    // ADC scoring on code words only; shortlist per query
+    val wS = Window.partitionBy("qid").orderBy(col("adc").desc, col("vec_id"))
+    val short = assigned.join(probes, Seq("cell_id"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(lut), Seq("qid"))
+      .withColumn("adc", round(
+        aggregate(
+          zip_with(col("pqcode"), col("lut"),
+            (c, tab) => element_at(tab, c + 1)),
+          lit(0.0d), (acc, x) => acc + x) / col("nrm"), 6))
+      .withColumn("srn", row_number().over(wS))
+      .filter(col("srn") <= shortlist)
+      .select("qid", "vec_id")
+    // exact re-rank of the shortlist — the only full-dimension pass
+    val qv = qs.select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
+    short.join(emb, Seq("vec_id"))
+      .join(broadcast(qv), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("cos_sim"))
+      .orderBy("qid", "rank")
+  }
+
+  /** Hash-gated [[knnIvfPq]]: exact-side aggregates + recall floor. */
+  def knnIvfPqGate(s: SparkSession, d: String, floor: Double = 0.2): DataFrame =
+    knnRecallGate(knnIvfPq(s, d), knnBruteForce(s, d), floor)
+
   /** L2/L3 embedding-cosine near-dup: originals ∪ deterministically
     * perturbed variants (±4% per-dim scaling, vec_id offset 1,000,000
     * — the driver embeddings are random, so true near-dups are

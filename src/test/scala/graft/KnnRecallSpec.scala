@@ -88,12 +88,17 @@ class KnnRecallSpec extends AnyFunSuite {
     val rLsh = recall(topSets(Similarity.knnLshBucketed(spark, dir)))
     val rIvf = recall(topSets(Similarity.knnIvf(spark, dir)))
     val rKm = recall(topSets(Similarity.knnIvfKmeans(spark, dir)))
+    val rPq = recall(topSets(Similarity.knnIvfPq(spark, dir)))
+    info(s"recall lsh=$rLsh ivf=$rIvf kmeans=$rKm ivf_pq=$rPq")
     // multi-probe (own bucket + 8 Hamming-1 neighbors of 2^8) lifts
     // the structurally-low single-probe recall on this clusterless
     // random corpus; still conservative as a regression floor
     assert(rLsh >= 0.2, s"LSH recall collapsed: $rLsh (was ~0.1 single-probe)")
     assert(rIvf >= 0.25, s"IVF recall collapsed: $rIvf")
     assert(rKm >= 0.25, s"kmeans-IVF recall collapsed: $rKm")
+    // PQ scores candidates from 4-byte code words; nProbe=4 and the
+    // exact shortlist re-rank keep it at-or-above plain IVF
+    assert(rPq >= 0.25, s"IVF-PQ recall collapsed: $rPq")
   }
 
   test("hard_negatives: band bounds hold, ranks dense, ceiling excludes near-dups") {
@@ -124,7 +129,8 @@ class KnnRecallSpec extends AnyFunSuite {
     for ((nm, df) <- Seq(
         "lsh" -> Similarity.knnLshGate(spark, dir),
         "ivf" -> Similarity.knnIvfGate(spark, dir),
-        "ivf_kmeans" -> Similarity.knnIvfKmeansGate(spark, dir))) {
+        "ivf_kmeans" -> Similarity.knnIvfKmeansGate(spark, dir),
+        "ivf_pq" -> Similarity.knnIvfPqGate(spark, dir))) {
       val r = df.collect()
       assert(r.length === 1, nm)
       assert(r.head.getAs[Boolean]("recall_floor_met"), s"$nm gate flipped")
