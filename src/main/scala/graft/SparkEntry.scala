@@ -228,6 +228,7 @@ object SparkEntry {
     "lake_ndv_sketch" -> (sources.LakeTable.ndvSketchQuery _),
     "lake_file_granular_delete" -> (sources.LakeTable.fileGranularDeleteQuery _),
     "lake_delete_in_subquery" -> (sources.LakeTable.deleteInSubqueryQuery _),
+    "lake_variant_column" -> (sources.LakeTable.variantColumnQuery _),
     "lake_arbitrated_commit" -> (sources.LakeTable.arbitratedCommitQuery _),
     "lake_ctas" -> (sources.LakeTable.ctasQuery _),
     "lake_runtime_prune" -> (sources.LakeTable.runtimePruneQuery _),
@@ -1579,6 +1580,17 @@ object SparkEntry {
         |  FROM events) t
         |WHERE event_id % 7 <> 0
         |ORDER BY event_id""".stripMargin,
+    // lake_variant_column: events parsed to VARIANT at ingest, landed
+    // in a lake table across two generations (the second adds another
+    // variant column the first null-folds), read back typed — the
+    // oracle recomputes every extraction from the flat columns
+    "lake_variant_column" ->
+      """SELECT event_type AS t, count(*) AS n,
+        |       round(sum(value), 6) AS sum_v,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        |       CAST(sum(CASE WHEN event_id % 2 <> 0 THEN event_id ELSE 0 END) AS BIGINT)
+        |         AS sum_extra_ids
+        |FROM events GROUP BY 1 ORDER BY t""".stripMargin,
     // lake_delete_in_subquery: two subquery DELETEs (uncorrelated IN
     // incl. ids absent from the corpus; equi-correlated EXISTS with a
     // residual conjunct) — the oracle recomputes the survivors from

@@ -6798,6 +6798,59 @@ object LakeTable {
     * semi-join, O(touched files) writes. The oracle recomputes the
     * survivors from the raw documents table, so the subquery
     * materialization + merge lowering is hash-verified end to end. */
+  /** Driver query: VARIANT COLUMNS THROUGH LAKE TABLES (round-12
+    * verdict ask #5) — heterogeneous-payload event tables are exactly
+    * what lands in lakes. Events parse to a `VariantType` column AT
+    * INGEST (the 100 TB posture: parse once, typed `variant_get`
+    * paths per query — never re-parse JSON strings), land in a lake
+    * table across TWO generations (schema evolution pinned: the
+    * second commit adds a sidecar variant column the first
+    * generation null-folds), and read back through the manifest scan
+    * with the variant type INTACT (require\'d in-query). The oracle
+    * recomputes every extraction from the flat columns, so
+    * store→scan→variant_get is hash-verified end to end. Honesty
+    * boundary (spec-pinned): stats/NDV/pruning refuse variant
+    * columns by name — a binary-encoded document has no min/max
+    * order. */
+  def variantColumnQuery(s: SparkSession, d: String): DataFrame = {
+    val path = freshWorkDir("lakevariant", d)
+    val ev = graft.Tables.load(s, d, "events")
+      .select(col("event_id"), col("event_type"), col("user_id"),
+        col("value"), col("props"))
+      .withColumn("var", parse_json(to_json(struct(
+        col("event_type").as("t"),
+        struct(col("user_id").as("u"), col("value").as("v")).as("m"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT")).as("payload")))))
+      .select("event_id", "event_type", "var")
+    overwrite(ev.filter(col("event_id") % 2L === 0L), path)
+    // second generation adds a SECOND variant column; generation one
+    // must null-fold it under the mergeSchema read
+    append(ev.filter(col("event_id") % 2L =!= 0L)
+      .withColumn("extra", parse_json(to_json(struct(col("event_id").as("e"))))),
+      path)
+    val back = read(s, path)
+    require(back.schema("var").dataType ==
+      org.apache.spark.sql.types.VariantType,
+      s"variant type must survive the lake round trip, got " +
+        back.schema("var").dataType.sql)
+    require(read(s, path, Some(0)).count() ==
+      ev.filter(col("event_id") % 2L === 0L).count(),
+      "v0 must time-travel to the first generation")
+    back
+      .select(
+        variant_get(col("var"), "$.t", "string").as("t"),
+        variant_get(col("var"), "$.m.v", "double").as("v"),
+        variant_get(col("var"), "$.payload.k", "int").as("k"),
+        try_variant_get(col("extra"), "$.e", "bigint").as("e"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("n"),
+        round(sum("v"), 6).as("sum_v"),
+        sum(col("k")).as("sum_k"),
+        coalesce(sum("e"), lit(0L)).as("sum_extra_ids"))
+      .orderBy("t")
+  }
+
   def deleteInSubqueryQuery(s: SparkSession, d: String): DataFrame = {
     val path = freshWorkDir("lakedelsubq", d)
     val docs = graft.Tables.load(s, d, "documents")

@@ -583,4 +583,40 @@ class GraftCatalogSpec extends AnyFunSuite {
       LakeTable.setTableProperties(spark, p, Map("write.sort-order" -> "k")))
     assert(e.getMessage.contains("declaration"), e.getMessage)
   }
+
+  test("VARIANT columns: DDL, ingest, typed extraction, evolution, honest stat refusals") {
+    val wh = "/tmp/graft_test/variant_cat_wh"
+    SparkSpec.rmdir(wh)
+    spark.conf.set("spark.sql.catalog.vlake", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.vlake.warehouse", wh)
+    sql("CREATE NAMESPACE IF NOT EXISTS vlake.db")
+    try {
+      // declared VARIANT column through CREATE / INSERT / SELECT
+      sql("CREATE TABLE vlake.db.ev (k BIGINT, payload VARIANT) USING graftlake")
+      sql("INSERT INTO vlake.db.ev SELECT 1L, parse_json('{\"a\": 7, \"m\": {\"c\": \"x\"}}')")
+      sql("INSERT INTO vlake.db.ev SELECT 2L, parse_json('{\"a\": 9}')")
+      assert(spark.table("vlake.db.ev").schema("payload").dataType ===
+        org.apache.spark.sql.types.VariantType)
+      assert(sql("SELECT k, variant_get(payload, '$.a', 'int') AS a " +
+        "FROM vlake.db.ev ORDER BY k").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSeq === Seq((1L, 7), (2L, 9)))
+      assert(sql("SELECT try_variant_get(payload, '$.m.c', 'string') " +
+        "FROM vlake.db.ev WHERE k = 2").head().isNullAt(0),
+        "absent path reads NULL, never an error")
+      // evolution: ADD COLUMN VARIANT — prior generation null-folds
+      sql("ALTER TABLE vlake.db.ev ADD COLUMN extra VARIANT")
+      sql("INSERT INTO vlake.db.ev SELECT 3L, parse_json('{\"a\": 1}'), " +
+        "parse_json('[4, 5]')")
+      val folded = sql("SELECT k, try_variant_get(extra, '$[0]', 'int') AS e " +
+        "FROM vlake.db.ev ORDER BY k").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)))).toSeq
+      assert(folded === Seq((1L, None), (2L, None), (3L, Some(4))),
+        "pre-evolution rows must null-fold the variant column")
+      // honesty: a binary-encoded document has no min/max order —
+      // NDV/stat machinery refuses the column by name
+      val e = intercept[Exception](sql(
+        "ANALYZE TABLE vlake.db.ev COMPUTE STATISTICS FOR COLUMNS payload"))
+      assert(e.getMessage.contains("payload"), e.getMessage)
+    } finally sql("DROP TABLE IF EXISTS vlake.db.ev")
+  }
 }
