@@ -376,8 +376,23 @@ final class CatalogHttpServer(
     // URL — discovery, loadTable and commit arbitration all flow
     // through the service; only the data plane (shared storage)
     // stays filesystem-direct, exactly Iceberg-REST's split.
-    warehouse: Option[String] = None)
+    warehouse: Option[String] = None,
+    // BEARER-TOKEN auth (round-12 verdict ask #6): when set, every
+    // HTTP route (read plane + rename) requires
+    // `Authorization: Bearer <token>` and answers 401 otherwise —
+    // the pass-through half of Iceberg-REST's OAuth surface; the
+    // commit plane's raw-socket protocol is loopback-only and
+    // unchanged.
+    token: Option[String] = None)
   extends AutoCloseable {
+
+  /** 401 unless the exchange carries the configured bearer token. */
+  private def authorized(ex: com.sun.net.httpserver.HttpExchange): Boolean =
+    token.forall { t =>
+      Option(ex.getRequestHeaders.getFirst("Authorization"))
+        .contains(s"Bearer $t")
+    }
+  private val unauthorizedBody = """{"error":"unauthorized: missing or wrong bearer token"}"""
 
   private val inner = new InProcessCatalogArbiter(claimGraceMs, clock)
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -542,6 +557,7 @@ final class CatalogHttpServer(
         ex.close()
       }
       try {
+        if (!authorized(ex)) { respond(401, unauthorizedBody); return }
         require(ex.getRequestMethod == "POST",
           s"unsupported method ${ex.getRequestMethod}")
         val doc = mapper.readTree(ex.getRequestBody)
@@ -617,6 +633,7 @@ final class CatalogHttpServer(
       def jArr(parts: Seq[String]): String =
         parts.map(jStr).mkString("[", ",", "]")
       try {
+        if (!authorized(ex)) { respond(401, unauthorizedBody); return }
         val method = ex.getRequestMethod
         // RAW segments: decode each exactly once; the ns segment packs
         // multi-level namespaces with the unit separator
@@ -624,6 +641,14 @@ final class CatalogHttpServer(
           .split("/").filter(_.nonEmpty).toSeq
           .map(java.net.URLDecoder.decode(_, "UTF-8"))
         def nsOf(seg: String): Seq[String] = seg.split('\u001f').toSeq
+        lazy val qparams: Map[String, String] =
+          Option(ex.getRequestURI.getRawQuery).toSeq
+            .flatMap(_.split("&")).flatMap(_.split("=", 2) match {
+              case Array(k, v) => Some(
+                java.net.URLDecoder.decode(k, "UTF-8") ->
+                  java.net.URLDecoder.decode(v, "UTF-8"))
+              case _ => None
+            }).toMap
         (method, segs) match {
           case ("GET", Seq()) =>
             respond(200, namespaces.iterator().asScala.toSeq
@@ -642,10 +667,27 @@ final class CatalogHttpServer(
             val parts = nsOf(ns)
             if (!namespaces.contains(parts))
               respond(404, s"""{"error":${jStr(s"no such namespace: ${parts.mkString(".")}")}}""")
-            else respond(200, tableReg.keySet.iterator().asScala.toSeq
-              .filter(_._1 == parts).map(_._2).sorted
-              .map(t => s"""{"namespace":${jArr(parts)},"name":${jStr(t)}}""")
-              .mkString("""{"identifiers":[""", ",", "]}"))
+            else {
+              // PAGINATION (Iceberg REST's pageToken/pageSize): names
+              // sort stably, the token is the last name served — a
+              // registry of 10⁴ tables no longer ships one giant JSON
+              val all = tableReg.keySet.iterator().asScala.toSeq
+                .filter(_._1 == parts).map(_._2).sorted
+              val afterTok = all.indexWhere(qparams.get("pageToken").contains) match {
+                case -1 => qparams.get("pageToken")
+                  .map(t => all.dropWhile(_ <= t)).getOrElse(all)
+                case i => all.drop(i + 1)
+              }
+              val size = qparams.get("pageSize").flatMap(v =>
+                scala.util.Try(v.toInt).toOption).filter(_ > 0)
+              val page = size.map(afterTok.take).getOrElse(afterTok)
+              val next = size.filter(_ < afterTok.size).flatMap(_ =>
+                page.lastOption).map(t => s""","next-page-token":${jStr(t)}""")
+                .getOrElse("")
+              respond(200, page
+                .map(t => s"""{"namespace":${jArr(parts)},"name":${jStr(t)}}""")
+                .mkString("""{"identifiers":[""", ",", s"]$next}"))
+            }
           case ("POST", Seq(ns, "tables")) =>
             val parts = nsOf(ns)
             require(namespaces.contains(parts),

@@ -104,11 +104,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private var catalogName: String = _
   private var initWarehouse: Option[String] = None
   private var initUri: Option[String] = None
+  private var initToken: Option[String] = None
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     initWarehouse = Option(options.get("warehouse"))
     initUri = Option(options.get("uri"))
+    initToken = Option(options.get("token"))
   }
 
   override def name(): String = catalogName
@@ -129,6 +131,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def uriOpt: Option[String] =
     spark.conf.getOption(s"spark.sql.catalog.$catalogName.uri").orElse(initUri)
 
+  // bearer token forwarded on every read-plane request (the server
+  // 401s without it when it was started with one)
+  private def tokenOpt: Option[String] =
+    spark.conf.getOption(s"spark.sql.catalog.$catalogName.token").orElse(initToken)
+
   // one read client + one writer-identity commit arbiter per service
   // uri (the arbiter is stateful: a persistent connection carrying
   // this session's writer id)
@@ -137,8 +144,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private val restArbiters =
     new java.util.concurrent.ConcurrentHashMap[String, HttpCatalogArbiter]()
 
-  private def restClient(uri: String): RestCatalogClient =
-    restClients.computeIfAbsent(uri, new RestCatalogClient(_))
+  private def restClient(uri: String): RestCatalogClient = {
+    val tok = tokenOpt
+    restClients.computeIfAbsent(uri + tok.fold("")("|" + _),
+      _ => new RestCatalogClient(uri, token = tok))
+  }
 
   private def restArbiter(uri: String): HttpCatalogArbiter =
     restArbiters.computeIfAbsent(uri, u => {

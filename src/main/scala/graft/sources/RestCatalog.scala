@@ -14,7 +14,10 @@ import scala.jdk.CollectionConverters._
   *
   * Multi-level namespaces ride the URL as one segment joined by the
   * unit separator (Iceberg REST's `%1F` convention). */
-final class RestCatalogClient(baseUri: String, timeoutMs: Int = 10000) {
+final class RestCatalogClient(baseUri: String, timeoutMs: Int = 10000,
+    // forwarded as `Authorization: Bearer <token>` on every request —
+    // the pass-through half of the server's bearer-token check
+    token: Option[String] = None) {
   require(baseUri.startsWith("http://"),
     s"graft REST catalog: expected an http:// uri, got '$baseUri'")
   private val base = baseUri.stripSuffix("/")
@@ -30,6 +33,7 @@ final class RestCatalogClient(baseUri: String, timeoutMs: Int = 10000) {
       conn.setConnectTimeout(timeoutMs)
       conn.setReadTimeout(timeoutMs)
       conn.setRequestMethod(method)
+      token.foreach(t => conn.setRequestProperty("Authorization", s"Bearer $t"))
       body.foreach { b =>
         conn.setDoOutput(true)
         conn.setRequestProperty("Content-Type", "application/json")
@@ -73,14 +77,30 @@ final class RestCatalogClient(baseUri: String, timeoutMs: Int = 10000) {
     }
   }
 
-  /** Table names in `ns`; None when the namespace does not exist. */
-  def listTables(ns: Seq[String]): Option[Seq[String]] = {
-    val (st, doc) = http("GET", s"/v1/namespaces/${nsSeg(ns)}/tables")
-    st match {
-      case 200 => Some(elems(doc.get("identifiers")).map(_.get("name").asText))
-      case 404 => None
-      case _ => sys.error(s"graft REST catalog: list tables → HTTP $st $doc")
+  /** Table names in `ns`; None when the namespace does not exist.
+    * PAGINATED under the hood (Iceberg REST's pageToken/pageSize):
+    * with `pageSize` set the client walks `next-page-token` pages
+    * until the listing is complete — identical results to the
+    * one-shot form, bounded response bodies on 10⁴-table registries. */
+  def listTables(ns: Seq[String], pageSize: Option[Int] = None): Option[Seq[String]] = {
+    val acc = Seq.newBuilder[String]
+    var tok: Option[String] = None
+    var first = true
+    while (first || tok.nonEmpty) {
+      first = false
+      val qp = (pageSize.map(z => s"pageSize=$z") ++
+        tok.map(t => s"pageToken=${enc(t)}")).mkString("&")
+      val (st, doc) = http("GET", s"/v1/namespaces/${nsSeg(ns)}/tables" +
+        (if (qp.isEmpty) "" else s"?$qp"))
+      st match {
+        case 200 =>
+          acc ++= elems(doc.get("identifiers")).map(_.get("name").asText)
+          tok = Option(doc.get("next-page-token")).filterNot(_.isNull).map(_.asText)
+        case 404 => return None
+        case _ => sys.error(s"graft REST catalog: list tables → HTTP $st $doc")
+      }
     }
+    Some(acc.result())
   }
 
   /** (metadata location, server-held head version; -1 = untracked) —

@@ -507,4 +507,45 @@ class WireArbiterSpec extends AnyFunSuite {
       LakeTable.setCommitArbiter(p2, RenameArbiter)
     }
   }
+
+  test("HTTP read plane: pagination walks pages to the identical listing; bad token 401s") {
+    val srv = new graft.sources.CatalogHttpServer(
+      warehouse = Some("/tmp/graft_test/wire_page_wh"),
+      token = Some("sesame"))
+    try {
+      val ok = new graft.sources.RestCatalogClient(
+        s"http://127.0.0.1:${srv.port}", token = Some("sesame"))
+      assert(ok.createNamespace(Seq("db")))
+      val names = (1 to 7).map(i => f"t$i%02d")
+      names.foreach(n => assert(ok.registerTable(Seq("db"), n).nonEmpty))
+      // paginated listing (3 per page → 3 pages) ≡ the one-shot form
+      assert(ok.listTables(Seq("db")) === Some(names))
+      assert(ok.listTables(Seq("db"), pageSize = Some(3)) === Some(names))
+      assert(ok.listTables(Seq("db"), pageSize = Some(1)) === Some(names),
+        "page size 1 must still walk the full registry")
+      // raw page shape: the first page carries a next-page-token
+      val conn = new java.net.URI(
+        s"http://127.0.0.1:${srv.port}/v1/namespaces/db/tables?pageSize=3")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestProperty("Authorization", "Bearer sesame")
+      val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+      conn.disconnect()
+      assert(body.contains("next-page-token"), body)
+      // wrong / missing token → 401, named refusal, nothing leaks
+      val bad = new graft.sources.RestCatalogClient(
+        s"http://127.0.0.1:${srv.port}", token = Some("wrong"))
+      val e1 = intercept[RuntimeException](bad.listTables(Seq("db")))
+      assert(e1.getMessage.contains("401"), e1.getMessage)
+      val anon = new graft.sources.RestCatalogClient(
+        s"http://127.0.0.1:${srv.port}")
+      val e2 = intercept[RuntimeException](anon.listNamespaces())
+      assert(e2.getMessage.contains("401"), e2.getMessage)
+      // rename is covered by the same gate
+      assert(ok.renameTable(Seq("db"), "t01", Seq("db"), "t01r") === "ok")
+      intercept[RuntimeException](
+        bad.renameTable(Seq("db"), "t02", Seq("db"), "t02r"))
+      assert(ok.listTables(Seq("db")).get.contains("t02"),
+        "an unauthorized rename must not apply")
+    } finally srv.close()
+  }
 }
