@@ -97,42 +97,37 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
     })
   }
 
-  /** DELETE ... WHERE <subquery predicate> — the decontamination /
-    * GDPR-erasure shape ("delete every doc_id found in this benchmark
-    * table"). Plain-predicate DELETEs route through SupportsDelete and
-    * never reach here; a condition carrying IN (SELECT ...) /
-    * NOT IN / EXISTS / NOT EXISTS cannot be expressed as V2 filters,
-    * so it lowers onto the library ops: the subquery MATERIALIZES to
-    * a key frame (computed inside the command's effect, not at
-    * analysis), and the delete routes through the file-granular
-    * merge planner — touched files found by the semi-join touch test,
-    * O(touched files) write cost for IN/EXISTS. NOT IN / NOT EXISTS
-    * are honest whole-table rewrites (every row must be checked
-    * against the full key set) with SQL null semantics pinned: a NULL
-    * anywhere in a NOT IN list makes the predicate never-true (no row
-    * deletes), a NULL target key is never deleted by NOT IN but IS
-    * deleted by NOT EXISTS (equality correlation cannot match it).
-    * Residual plain conjuncts (WHERE k IN (...) AND lang = 'en')
-    * apply on the delete clause. */
-  private def lowerSubqueryDelete(
-      path: String, condition: Expression,
-      tOut: AttributeSet, tAlias: Option[String]): LogicalPlan = {
-    val conjs = splitConjunctivePredicates(condition)
-    val (subs, plains) = conjs.partition(hasSubquery)
-    if (subs.size != 1) refuse(
-      s"DELETE FROM graftlake.`$path`: exactly ONE IN/NOT IN/EXISTS/" +
-        s"NOT EXISTS subquery predicate is supported per statement " +
-        s"(got ${subs.size})")
+  /** One classified subquery predicate of a DML condition: the
+    * target-side key column, the subquery rewritten as a standalone
+    * key-frame plan, negation/IN-vs-EXISTS flags, and the residual
+    * plain conjuncts anchored on the merge alias `t`. Shared by the
+    * DELETE and UPDATE lowerings. */
+  private final case class SubqPred(
+      negated: Boolean, isIn: Boolean, keyCol: String,
+      keyPlan: LogicalPlan, residual: Option[Column], label: String)
 
-    def tAnchor(e: Expression): Column = GraftSqlShim.column(e.transform {
+  /** Expression re-anchored onto the library merge's target alias. */
+  private def tAnchor(e: Expression, tAlias: Option[String]): Column =
+    GraftSqlShim.column(e.transform {
       case a: AttributeReference => UnresolvedAttribute(Seq("t", a.name))
       case u: UnresolvedAttribute => u.nameParts match {
         case Seq(q, c) if tAlias.contains(q) => UnresolvedAttribute(Seq("t", c))
         case parts => UnresolvedAttribute(Seq("t", parts.last))
       }
     })
+
+  private def classifySubquery(
+      path: String, what: String, condition: Expression,
+      tOut: AttributeSet, tAlias: Option[String]): SubqPred = {
+    val conjs = splitConjunctivePredicates(condition)
+    val (subs, plains) = conjs.partition(hasSubquery)
+    if (subs.size != 1) refuse(
+      s"$what graftlake.`$path`: exactly ONE IN/NOT IN/EXISTS/" +
+        s"NOT EXISTS subquery predicate is supported per statement " +
+        s"(got ${subs.size})")
     val residual: Option[Column] =
-      if (plains.isEmpty) None else Some(plains.map(tAnchor).reduce(_ && _))
+      if (plains.isEmpty) None
+      else Some(plains.map(tAnchor(_, tAlias)).reduce(_ && _))
 
     def targetColName(e: Expression): String = e match {
       case a: AttributeReference => a.name
@@ -141,7 +136,7 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
         case parts => parts.last
       }
       case other => refuse(
-        s"DELETE FROM graftlake.`$path`: the subquery predicate's target " +
+        s"$what graftlake.`$path`: the subquery predicate's target " +
           s"side must be one target column, got $other")
     }
 
@@ -165,7 +160,7 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
         case Filter(c, ch) => (c, ch)
         case Project(_, Filter(c, ch)) => (c, ch)
         case other => refuse(
-          s"DELETE FROM graftlake.`$path`: EXISTS subquery must be the " +
+          s"$what graftlake.`$path`: EXISTS subquery must be the " +
             s"canonical SELECT ... FROM ... WHERE <target.col = expr> " +
             s"[AND ...] shape, got ${other.nodeName}")
       }
@@ -175,12 +170,12 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
         case _ => false
       }
       if (corr.size != 1) refuse(
-        s"DELETE FROM graftlake.`$path`: EXISTS needs exactly one " +
+        s"$what graftlake.`$path`: EXISTS needs exactly one " +
           s"equi-correlation predicate (target.col = subquery expr), " +
           s"got ${corr.size}")
       val remainingCorr = rest.exists(_.exists(x => isTargetRef(x).isDefined))
       if (remainingCorr) refuse(
-        s"DELETE FROM graftlake.`$path`: EXISTS supports one " +
+        s"$what graftlake.`$path`: EXISTS supports one " +
           "equi-correlation only; other conjuncts must not reference " +
           "the target")
       val EqualTo(l, r) = corr.head: @unchecked
@@ -195,15 +190,14 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
       (tc, Project(Seq(Alias(innerStripped, "__graft_sq_key")()), base))
     }
 
-    // classify the one subquery conjunct
     val (negated, keyCol, keyPlan) = subs.head match {
       case InSubquery(values, q) =>
         if (values.size != 1) refuse(
-          s"DELETE FROM graftlake.`$path`: IN subquery supports one key column")
+          s"$what graftlake.`$path`: IN subquery supports one key column")
         (false, targetColName(values.head), q.plan)
       case CNot(InSubquery(values, q)) =>
         if (values.size != 1) refuse(
-          s"DELETE FROM graftlake.`$path`: NOT IN subquery supports one key column")
+          s"$what graftlake.`$path`: NOT IN subquery supports one key column")
         (true, targetColName(values.head), q.plan)
       case e: Exists =>
         val (tc, kp) = decomposeExists(e.plan)
@@ -212,33 +206,64 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
         val (tc, kp) = decomposeExists(e.plan)
         (true, tc, kp)
       case other => refuse(
-        s"DELETE FROM graftlake.`$path`: unsupported subquery predicate " +
+        s"$what graftlake.`$path`: unsupported subquery predicate " +
           s"${other.sql}; supported: IN (SELECT ...), NOT IN, EXISTS, NOT EXISTS")
     }
     val isIn = subs.head match {
       case _: InSubquery | CNot(_: InSubquery) => true
       case _ => false
     }
+    val label = (if (negated) "NOT " else "") + (if (isIn) "IN" else "EXISTS")
+    SubqPred(negated, isIn, keyCol, keyPlan, residual, label)
+  }
 
-    val label =
-      (if (negated) "NOT " else "") + (if (isIn) "IN" else "EXISTS")
-    LakeDmlCommand(s"DELETE FROM graftlake.`$path` WHERE $keyCol $label (subquery)",
+  /** The materialized, distinct, null-stripped key frame of a
+    * classified subquery predicate — the merge source. Runs INSIDE
+    * the command effect, never at analysis. */
+  private def keyFrameOf(sp: SubqPred, path: String, what: String)
+      : org.apache.spark.sql.DataFrame = {
+    val raw = GraftSqlShim.dataFrame(spark, sp.keyPlan)
+    require(raw.columns.length == 1,
+      s"$what graftlake.`$path`: the subquery must produce " +
+        s"exactly one column, got ${raw.columns.mkString(", ")}")
+    raw.toDF(sp.keyCol)
+  }
+
+  /** DELETE ... WHERE <subquery predicate> — the decontamination /
+    * GDPR-erasure shape ("delete every doc_id found in this benchmark
+    * table"). Plain-predicate DELETEs route through SupportsDelete and
+    * never reach here; a condition carrying IN (SELECT ...) /
+    * NOT IN / EXISTS / NOT EXISTS cannot be expressed as V2 filters,
+    * so it lowers onto the library ops: the subquery MATERIALIZES to
+    * a key frame (computed inside the command's effect, not at
+    * analysis), and the delete routes through the file-granular
+    * merge planner — touched files found by the semi-join touch test,
+    * O(touched files) write cost for IN/EXISTS. NOT IN / NOT EXISTS
+    * are honest whole-table rewrites (every row must be checked
+    * against the full key set) with SQL null semantics pinned: a NULL
+    * anywhere in a NOT IN list makes the predicate never-true (no row
+    * deletes), a NULL target key is never deleted by NOT IN but IS
+    * deleted by NOT EXISTS (equality correlation cannot match it).
+    * Residual plain conjuncts (WHERE k IN (...) AND lang = 'en')
+    * apply on the delete clause. */
+  private def lowerSubqueryDelete(
+      path: String, condition: Expression,
+      tOut: AttributeSet, tAlias: Option[String]): LogicalPlan = {
+    val sp = classifySubquery(path, "DELETE FROM", condition, tOut, tAlias)
+    import org.apache.spark.sql.functions.{col, lit}
+    LakeDmlCommand(
+      s"DELETE FROM graftlake.`$path` WHERE ${sp.keyCol} ${sp.label} (subquery)",
       () => {
-        val raw = GraftSqlShim.dataFrame(spark, keyPlan)
-        require(raw.columns.length == 1,
-          s"DELETE FROM graftlake.`$path`: the subquery must produce " +
-            s"exactly one column, got ${raw.columns.mkString(", ")}")
-        val keys = raw.toDF(keyCol)
-        import org.apache.spark.sql.functions.{col, lit}
-        if (!negated) {
+        val keys = keyFrameOf(sp, path, "DELETE FROM")
+        if (!sp.negated) {
           // IN / EXISTS: equality semantics — NULL keys on either side
           // never match, so they are stripped before the merge's
           // null-safe join (which WOULD pair null with null)
           LakeTable.mergeConditional(
-            keys.filter(col(keyCol).isNotNull).distinct(), path, keyCol,
-            matched = Seq(LakeTable.MatchedDelete(residual)))
-        } else if (isIn &&
-            keys.filter(col(keyCol).isNull).limit(1).count() > 0L) {
+            keys.filter(col(sp.keyCol).isNotNull).distinct(), path, sp.keyCol,
+            matched = Seq(LakeTable.MatchedDelete(sp.residual)))
+        } else if (sp.isIn &&
+            keys.filter(col(sp.keyCol).isNull).limit(1).count() > 0L) {
           // NOT IN with a NULL in the list is never true for any row
           // (SQL three-valued logic): zero rows delete; the explicit
           // never-true DELETE still commits the audit-trail version a
@@ -248,13 +273,56 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
           // NOT IN / NOT EXISTS: delete rows matching NO key. A NULL
           // target key is UNKNOWN under NOT IN (kept) but TRUE under
           // NOT EXISTS (an equality correlation cannot match it).
-          val keep = if (isIn)
-            Some(residual.foldLeft(col(s"t.$keyCol").isNotNull)(_ && _))
-          else residual
+          val keep = if (sp.isIn)
+            Some(sp.residual.foldLeft(col(s"t.${sp.keyCol}").isNotNull)(_ && _))
+          else sp.residual
           LakeTable.mergeConditional(
-            keys.filter(col(keyCol).isNotNull).distinct(), path, keyCol,
+            keys.filter(col(sp.keyCol).isNotNull).distinct(), path, sp.keyCol,
             matched = Nil,
             notMatchedBySource = Seq(LakeTable.MatchedDelete(keep)))
+        }
+      })
+  }
+
+  /** UPDATE ... SET ... WHERE <subquery predicate> — same lowering as
+    * [[lowerSubqueryDelete]] with update clauses: SET values anchor on
+    * the target alias `t` (they reference the row being rewritten),
+    * IN/EXISTS ride the file-granular matched-update, NOT IN /
+    * NOT EXISTS the not-matched-by-source rewrite, null semantics
+    * identical to the DELETE form. */
+  private def lowerSubqueryUpdate(
+      path: String, assignments: Seq[Assignment], condition: Expression,
+      tOut: AttributeSet, tAlias: Option[String]): LogicalPlan = {
+    val sp = classifySubquery(path, "UPDATE", condition, tOut, tAlias)
+    val setT = assignments.map {
+      case Assignment(k, v) => keyName(k) -> tAnchor(v, tAlias)
+    }.toMap
+    import org.apache.spark.sql.functions.{col, lit}
+    LakeDmlCommand(
+      s"UPDATE graftlake.`$path` WHERE ${sp.keyCol} ${sp.label} (subquery)",
+      () => {
+        val keys = keyFrameOf(sp, path, "UPDATE")
+        if (!sp.negated) {
+          LakeTable.mergeConditional(
+            keys.filter(col(sp.keyCol).isNotNull).distinct(), path, sp.keyCol,
+            matched = Seq(LakeTable.MatchedUpdate(sp.residual, setT)))
+        } else if (sp.isIn &&
+            keys.filter(col(sp.keyCol).isNull).limit(1).count() > 0L) {
+          // NOT IN with a NULL in the list: never true — zero rows
+          // update; the never-true UPDATE (identity assignments —
+          // the t-anchored SET values cannot resolve outside the
+          // merge frame) still validates column names and commits
+          // the audit-trail version
+          LakeTable.update(spark, path,
+            setT.keys.map(k => k -> col(k)).toMap, lit(false))
+        } else {
+          val keep = if (sp.isIn)
+            Some(sp.residual.foldLeft(col(s"t.${sp.keyCol}").isNotNull)(_ && _))
+          else sp.residual
+          LakeTable.mergeConditional(
+            keys.filter(col(sp.keyCol).isNotNull).distinct(), path, sp.keyCol,
+            matched = Nil,
+            notMatchedBySource = Seq(LakeTable.MatchedUpdate(keep, setT)))
         }
       })
   }
@@ -274,13 +342,18 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
         case Some(tbl) =>
           if (tbl.pinnedVersion.nonEmpty)
             refuse(s"cannot UPDATE a version-pinned read of ${tbl.tablePath}")
-          val set = assignments.map {
-            case Assignment(k, v) => keyName(k) -> bare(v)
-          }.toMap
-          val cond = condition.map(bare).getOrElse(lit(true))
           val path = tbl.tablePath
-          LakeDmlCommand(s"UPDATE graftlake.`$path`",
-            () => LakeTable.update(spark, path, set, cond))
+          if (condition.exists(hasSubquery))
+            lowerSubqueryUpdate(path, assignments, condition.get,
+              target.outputSet, aliasOf(target))
+          else {
+            val set = assignments.map {
+              case Assignment(k, v) => keyName(k) -> bare(v)
+            }.toMap
+            val cond = condition.map(bare).getOrElse(lit(true))
+            LakeDmlCommand(s"UPDATE graftlake.`$path`",
+              () => LakeTable.update(spark, path, set, cond))
+          }
       }
 
     case m @ MergeIntoTable(target, source, mergeCond,

@@ -535,4 +535,35 @@ class SqlDmlSpec extends AnyFunSuite {
       assert(e2.getMessage.contains("equi-correlation"), e2.getMessage)
     } finally spark.sql("DROP TABLE IF EXISTS sqldml_dref")
   }
+
+  test("UPDATE WHERE <subquery> lowers onto the merge with SQL null semantics") {
+    val p = "/tmp/graft_test/sqldml_upd_subq"
+    freshTable(p, "sqldml_usq")
+    import spark.implicits._
+    Seq(2L, 3L).toDF("doc").createOrReplaceTempView("sqldml_usq_keys")
+    try {
+      // IN: only listed keys update; SET may reference the row's own columns
+      spark.sql("UPDATE sqldml_usq SET v = v * 10 WHERE k IN " +
+        "(SELECT doc FROM sqldml_usq_keys)")
+      assert(spark.sql("SELECT k, v FROM sqldml_usq ORDER BY k").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        === Seq((1L, 10.0), (2L, 200.0), (3L, 300.0), (4L, 40.0)))
+      // NOT IN with a NULL in the list: never true — nothing changes
+      Seq(Some(2L), None).toDF("doc").createOrReplaceTempView("sqldml_usq_null")
+      spark.sql("UPDATE sqldml_usq SET v = 0 WHERE k NOT IN " +
+        "(SELECT doc FROM sqldml_usq_null)")
+      assert(spark.sql("SELECT sum(v) FROM sqldml_usq").head().getDouble(0)
+        === 550.0, "NULL in a NOT IN list must update nothing")
+      // NOT EXISTS: uncorrelated keys update
+      spark.sql("UPDATE sqldml_usq t SET s = 'cold' WHERE NOT EXISTS " +
+        "(SELECT 1 FROM sqldml_usq_keys b WHERE b.doc = t.k)")
+      assert(spark.sql("SELECT k FROM sqldml_usq WHERE s = 'cold' ORDER BY k")
+        .collect().map(_.getLong(0)).toSeq === Seq(1L, 4L))
+      // residual conjunct scopes the update
+      spark.sql("UPDATE sqldml_usq SET s = 'hot' WHERE k IN " +
+        "(SELECT doc FROM sqldml_usq_keys) AND v >= 300")
+      assert(spark.sql("SELECT k FROM sqldml_usq WHERE s = 'hot'").collect()
+        .map(_.getLong(0)).toSeq === Seq(3L))
+    } finally spark.sql("DROP TABLE IF EXISTS sqldml_usq")
+  }
 }
