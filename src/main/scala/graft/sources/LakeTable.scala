@@ -3441,7 +3441,8 @@ object LakeTable {
     // empty snapshot or all-null clustering column: nothing to
     // cluster — commit a plain rewrite instead of NPE-ing on the agg
     if ((0 until 2 * k).exists(s.isNullAt))
-      return commitRefs(spark, path, base, stageManifest(current, path).toSeq, "zorder")
+      return commitValidated(spark, path, base, listRefs(path, base),
+        stageManifest(current, path).toSeq, "zorder")
     val maxVal = (1 << bits) - 1
     def norm(c: String, lo: Double, hi: Double) =
       if (hi == lo) lit(0)
@@ -3460,7 +3461,8 @@ object LakeTable {
       .repartitionByRange(numFiles, col("__zkey"))
       .sortWithinPartitions("__zkey")
       .drop("__zkey")
-    commitRefs(spark, path, base, stageManifest(sorted, path).toSeq, "zorder")
+    commitValidated(spark, path, base, listRefs(path, base),
+      stageManifest(sorted, path).toSeq, "zorder")
   }
 
   /** Copy-on-write MERGE/upsert, FILE-GRANULAR like [[delete]]: rows
@@ -4188,7 +4190,8 @@ object LakeTable {
         .copy(seq = r.seq, pspec = r.pspec, partial = r.partial,
           firstRowId = r.firstRowId)
     }
-    commitRefs(spark, path, base, rebloomed ++ del, "bloom")
+    commitValidated(spark, path, base, listRefs(path, base),
+      rebloomed ++ del, "bloom")
   }
 
   /** EQUALITY point-lookup scan through the per-file blooms: a file
@@ -4389,7 +4392,8 @@ object LakeTable {
         } else analyzeManifestDistributed(
           spark, path, r, aggDf, columns, keys, empty, plainF)
       }
-      commitRefs(spark, path, base, analyzed ++ del, "analyze")
+      commitValidated(spark, path, base, listRefs(path, base),
+        analyzed ++ del, "analyze")
     } finally if (bigRefs.nonEmpty) aggDf.unpersist()
   }
 
@@ -8454,7 +8458,8 @@ object LakeTable {
     val sorted = current
       .repartitionByRange(numFiles, cols.map(col): _*)
       .sortWithinPartitions(cols.map(col): _*)
-    commitRefs(spark, path, base, stageManifest(sorted, path).toSeq, "optimize")
+    commitValidated(spark, path, base, listRefs(path, base),
+      stageManifest(sorted, path).toSeq, "optimize")
   }
 
   /** Expire snapshots older than the last `retain` versions: their

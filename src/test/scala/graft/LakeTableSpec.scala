@@ -2030,4 +2030,36 @@ class LakeTableSpec extends AnyFunSuite {
       assert(e.getMessage.contains("inside replaced partition"), e.getMessage)
     } finally LakeTable.setCommitArbiter(p, graft.sources.RenameArbiter)
   }
+
+  test("conflict revalidation: maintenance rewrites rebase over racing appends") {
+    val p = "/tmp/graft_test/lake_conflict_maint"
+    rmdir(p)
+    import spark.implicits._
+    LakeTable.overwrite((1L to 20L).map(i => (i, i * 2.0)).toDF("k", "v"), p) // v0
+    LakeTable.append((21L to 25L).map(i => (i, i * 2.0)).toDF("k", "v"), p) // v1
+    val arb = new RacingArbiter
+    LakeTable.setCommitArbiter(p, arb)
+    try {
+      // compact races an append: the fold lands AND the racer's rows
+      // ride along unfolded
+      arb.armRace(() =>
+        LakeTable.append(Seq((100L, 1.0)).toDF("k", "v"), p): Unit)
+      LakeTable.compact(spark, p)
+      assert(LakeTable.read(spark, p).count() === 26L,
+        "compact + racing append must both land")
+      // optimizeBy races an append the same way
+      arb.armRace(() =>
+        LakeTable.append(Seq((101L, 1.0)).toDF("k", "v"), p): Unit)
+      LakeTable.optimizeBy(spark, p, 2, "k")
+      assert(LakeTable.read(spark, p).count() === 27L,
+        "optimize + racing append must both land")
+      // ANALYZE races an append: stats land on the analyzed set, the
+      // racer's fresh manifest rides unstatted
+      arb.armRace(() =>
+        LakeTable.append(Seq((102L, 1.0)).toDF("k", "v"), p): Unit)
+      LakeTable.analyzeNdv(spark, p, Seq("k"))
+      assert(LakeTable.read(spark, p).count() === 28L,
+        "analyze + racing append must both land")
+    } finally LakeTable.setCommitArbiter(p, graft.sources.RenameArbiter)
+  }
 }
