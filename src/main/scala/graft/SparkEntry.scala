@@ -228,6 +228,7 @@ object SparkEntry {
     "lake_ndv_sketch" -> (sources.LakeTable.ndvSketchQuery _),
     "lake_file_granular_delete" -> (sources.LakeTable.fileGranularDeleteQuery _),
     "lake_delete_in_subquery" -> (sources.LakeTable.deleteInSubqueryQuery _),
+    "lake_update_in_subquery" -> (sources.LakeTable.updateInSubqueryQuery _),
     "lake_variant_column" -> (sources.LakeTable.variantColumnQuery _),
     "lake_arbitrated_commit" -> (sources.LakeTable.arbitratedCommitQuery _),
     "lake_ctas" -> (sources.LakeTable.ctasQuery _),
@@ -1591,6 +1592,20 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN event_id % 2 <> 0 THEN event_id ELSE 0 END) AS BIGINT)
         |         AS sum_extra_ids
         |FROM events GROUP BY 1 ORDER BY t""".stripMargin,
+    // lake_update_in_subquery: an equi-correlated EXISTS update whose
+    // SET references the row's own columns, then a residual-scoped
+    // NOT IN — the oracle replays both from the raw table
+    "lake_update_in_subquery" ->
+      """WITH upd AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 5 THEN 'und' ELSE lang END AS lang,
+        |    CASE WHEN doc_id % 11 = 5 THEN n_chars + 1000000 ELSE n_chars END AS n_chars,
+        |    CASE WHEN doc_id % 11 <> 5 AND lang = 'en' THEN 'clean' ELSE source END AS source
+        |  FROM documents)
+        |SELECT lang, count(*) AS n,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(sum(CASE WHEN source = 'clean' THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+        |FROM upd GROUP BY lang ORDER BY lang""".stripMargin,
     // lake_delete_in_subquery: two subquery DELETEs (uncorrelated IN
     // incl. ids absent from the corpus; equi-correlated EXISTS with a
     // residual conjunct) — the oracle recomputes the survivors from

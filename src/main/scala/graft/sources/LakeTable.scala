@@ -6802,6 +6802,36 @@ object LakeTable {
     * semi-join, O(touched files) writes. The oracle recomputes the
     * survivors from the raw documents table, so the subquery
     * materialization + merge lowering is hash-verified end to end. */
+  /** Driver query: UPDATE WHERE <subquery> — the quality-relabel
+    * shape (re-tag every doc a review table lists; mark the rest
+    * clean). Two SQL UPDATEs through the subquery lowering: an
+    * equi-correlated EXISTS whose SET references the row's own
+    * columns, then a NOT IN scoped by a residual conjunct (the
+    * whole-table-check form). The oracle replays both updates from
+    * the raw documents table, hash-verifying the
+    * classify→materialize→merge lowering end to end. */
+  def updateInSubqueryQuery(s: SparkSession, d: String): DataFrame = {
+    val path = freshWorkDir("lakeupdsubq", d)
+    val docs = graft.Tables.load(s, d, "documents")
+      .select("doc_id", "lang", "source", "n_chars")
+    overwrite(docs, path)
+    docs.filter(col("doc_id") % 11L === 5L).select(col("doc_id").as("rid"))
+      .createOrReplaceTempView("graft_review_list")
+    s.sql("DROP TABLE IF EXISTS graft_updsubq")
+    s.sql(s"CREATE TABLE graft_updsubq USING graftlake OPTIONS (path '$path')")
+    s.sql("UPDATE graft_updsubq t SET lang = 'und', n_chars = n_chars + 1000000 " +
+      "WHERE EXISTS (SELECT 1 FROM graft_review_list r WHERE r.rid = t.doc_id)")
+    s.sql("UPDATE graft_updsubq SET source = 'clean' WHERE doc_id NOT IN " +
+      "(SELECT rid FROM graft_review_list) AND lang = 'en'")
+    require(history(s, path).count() == 3,
+      "each subquery UPDATE must be one commit")
+    read(s, path).groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum("n_chars").as("sum_chars"),
+        sum(when(col("source") === "clean", 1L).otherwise(0L)).as("n_clean"))
+      .orderBy("lang")
+  }
+
   /** Driver query: VARIANT COLUMNS THROUGH LAKE TABLES (round-12
     * verdict ask #5) — heterogeneous-payload event tables are exactly
     * what lands in lakes. Events parse to a `VariantType` column AT
