@@ -164,6 +164,7 @@ object SparkEntry {
     "hash_topk_sample" -> ((s, d) => etl.Preprocess.hashTopkSample(s, d)),
     "label_centroid_sim" -> (llm.Similarity.labelCentroidSim _),
     "curation_funnel" -> (llm.Curation.curationFunnel _),
+    "domain_caps" -> ((s, d) => llm.Curation.domainCapsQuery(s, d)),
     "phrase_search" -> ((s, d) => llm.TextAnalysis.phraseSearch(s, d)),
     "augment_token_dropout" -> (llm.TextAnalysis.augmentTokenDropout _),
     "funnel_stages" -> (ops.Behavioral.funnelStages _),
@@ -843,6 +844,15 @@ object SparkEntry {
     // scratch — normalization dedup, recursive-CTE near-dup closure +
     // keep-best, logistic gate, hash split — so the COMPOSITION is
     // hash-verified, not just the stages
+    "domain_caps" ->
+      """WITH r AS (SELECT source, n_chars,
+        |  row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents)
+        |SELECT source,
+        |  CAST(sum(CASE WHEN rk <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN rk > 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  CAST(sum(CASE WHEN rk <= 15 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
     "curation_funnel" ->
       ("WITH RECURSIVE nd AS (\n" + MinhashNearDupSql + "\n),\n" +
         "corpus2 AS (\n  " + NearDupCorpusSql + "\n),\n" +

@@ -3,6 +3,7 @@ package graft.llm
 import graft.Tables
 import graft.functions.ColumnFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** [EXT] The END-TO-END CURATION PIPELINE as one declared query — the
@@ -31,6 +32,31 @@ import org.apache.spark.sql.functions._
   * stages themselves would not.
   */
 object Curation {
+
+  /** PER-DOMAIN CAPS — the mix-control op every large-scale corpus
+    * build runs before training: no source (domain/crawl host) may
+    * contribute more than `cap` documents, and within a capped source
+    * the BEST documents win (here: longest text, doc_id tie-break —
+    * deterministic and oracle-replayable; swap in any quality score).
+    * One window partitioned BY SOURCE — at 100 TB the shuffle is on
+    * the domain key and each partition ranks independently; the
+    * bounded-heap TopKByScore aggregate (knn_topk_agg) is the
+    * map-side-combine alternative when domains are few and huge.
+    * Returns the per-source census the oracle recomputes: kept and
+    * dropped counts plus the kept characters. */
+  def domainCapsQuery(s: SparkSession, d: String, cap: Int = 15): DataFrame = {
+    val docs = graft.Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    docs.withColumn("rk", row_number().over(w))
+      .groupBy("source")
+      .agg(
+        sum(when(col("rk") <= cap, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rk") > cap, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("rk") <= cap, col("n_chars")).otherwise(0L)).as("kept_chars"))
+      .orderBy("source")
+  }
 
   def curationFunnel(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.load(s, d, "documents").select("doc_id", "text")

@@ -386,4 +386,21 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_head") === n / 3, r.toString)
     }
   }
+
+  test("domain_caps: no source exceeds the cap; kept docs are the longest") {
+    val out = graft.llm.Curation.domainCapsQuery(spark, "/root/testdata/sf0.01", cap = 15)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= 15L,
+        s"source ${r.getString(0)} exceeds the cap")
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped") === 25L,
+        "sf0.01 has 25 docs per source")
+    }
+    // a tighter cap keeps strictly fewer characters (the best-first
+    // order means the dropped tail is the shortest)
+    val tight = graft.llm.Curation.domainCapsQuery(spark, "/root/testdata/sf0.01", cap = 5)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("kept_chars")).toMap
+    out.foreach(r => assert(tight(r.getString(0)) < r.getAs[Long]("kept_chars")))
+  }
 }
