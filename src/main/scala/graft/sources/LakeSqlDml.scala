@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, GraftSqlShim, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, AttributeSet, EqualNullSafe, EqualTo, Exists, Expression, InSubquery, Not => CNot, OuterReference, PredicateHelper, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, AttributeSet, EqualNullSafe, EqualTo, Exists, Expression, InSubquery, Literal, Not => CNot, OuterReference, PredicateHelper, ScalarSubquery, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment, Command, DeleteAction, DeleteFromTable, Filter, InsertAction, InsertStarAction, LeafNode, LogicalPlan, MergeAction, MergeIntoTable, OverwritePartitionsDynamic, Project, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
@@ -43,6 +43,33 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
 
   private def hasSubquery(e: Expression): Boolean =
     e.exists(_.isInstanceOf[SubqueryExpression])
+
+  /** True when every subquery inside `e` is a SCALAR subquery —
+    * those lower by VALUE (one tiny job each, at effect time), not
+    * through the key-frame merge. */
+  private def onlyScalarSubqueries(e: Expression): Boolean =
+    e.collect { case sq: SubqueryExpression => sq }
+      .forall(_.isInstanceOf[ScalarSubquery])
+
+  /** Replace every scalar subquery with its VALUE as a typed literal
+    * — evaluated at effect time. SQL semantics pinned: zero rows =
+    * NULL, more than one row refuses loudly. Correlated scalar
+    * subqueries fail their own standalone analysis with Spark's
+    * unresolved-reference error — honest, since by-value lowering
+    * cannot express per-row correlation. */
+  private def materializeScalars(e: Expression): Expression =
+    e.transform {
+      case sq: ScalarSubquery =>
+        val df = GraftSqlShim.dataFrame(spark, sq.plan)
+        require(df.columns.length == 1,
+          s"graftlake SQL DML: a scalar subquery must produce exactly " +
+            s"one column, got ${df.columns.mkString(", ")}")
+        val rows = df.limit(2).collect()
+        require(rows.length <= 1,
+          "graftlake SQL DML: a scalar subquery returned more than one row")
+        Literal.create(if (rows.isEmpty) null else rows(0).get(0),
+          df.schema.head.dataType)
+    }
 
   /** The lake table under a (possibly aliased) resolved V2 relation. */
   private def lakeTarget(plan: LogicalPlan): Option[GraftLakeTable] = plan match {
@@ -294,8 +321,11 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
       path: String, assignments: Seq[Assignment], condition: Expression,
       tOut: AttributeSet, tAlias: Option[String]): LogicalPlan = {
     val sp = classifySubquery(path, "UPDATE", condition, tOut, tAlias)
-    val setT = assignments.map {
-      case Assignment(k, v) => keyName(k) -> tAnchor(v, tAlias)
+    // SET values may themselves carry SCALAR subqueries (UPDATE ...
+    // SET v = (SELECT max(v) FROM x) WHERE k IN (SELECT ...)) —
+    // materialized by value at effect time, inside the lazy map
+    lazy val setT = assignments.map {
+      case Assignment(k, v) => keyName(k) -> tAnchor(materializeScalars(v), tAlias)
     }.toMap
     import org.apache.spark.sql.functions.{col, lit}
     LakeDmlCommand(
@@ -334,7 +364,16 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
       val tbl = lakeTarget(target).get
       if (tbl.pinnedVersion.nonEmpty)
         refuse(s"cannot DELETE from a version-pinned read of ${tbl.tablePath}")
-      lowerSubqueryDelete(tbl.tablePath, condition, target.outputSet, aliasOf(target))
+      val path = tbl.tablePath
+      if (onlyScalarSubqueries(condition))
+        // DELETE ... WHERE v > (SELECT avg(v) FROM x): lower BY VALUE
+        // through the ordinary file-granular delete — the threshold
+        // evaluates once, the planner's manifest pruning then applies
+        // to the resulting plain predicate
+        LakeDmlCommand(s"DELETE FROM graftlake.`$path` WHERE <scalar subquery>",
+          () => LakeTable.delete(spark, path, bare(materializeScalars(condition))))
+      else
+        lowerSubqueryDelete(path, condition, target.outputSet, aliasOf(target))
 
     case u @ UpdateTable(target, assignments, condition) =>
       lakeTarget(target) match {
@@ -343,10 +382,28 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
           if (tbl.pinnedVersion.nonEmpty)
             refuse(s"cannot UPDATE a version-pinned read of ${tbl.tablePath}")
           val path = tbl.tablePath
-          if (condition.exists(hasSubquery))
+          val setHasSubq = assignments.exists(a => hasSubquery(a.value))
+          val condKeyed = condition.exists(c =>
+            hasSubquery(c) && !onlyScalarSubqueries(c))
+          if (condKeyed)
             lowerSubqueryUpdate(path, assignments, condition.get,
               target.outputSet, aliasOf(target))
-          else {
+          else if (setHasSubq || condition.exists(hasSubquery)) {
+            // scalar subqueries only — in SET values and/or the
+            // condition: lower BY VALUE through the ordinary update
+            assignments.foreach(a => if (!onlyScalarSubqueries(a.value)) refuse(
+              s"UPDATE graftlake.`$path`: a SET value supports scalar " +
+                "subqueries only (IN/EXISTS belong in the WHERE clause)"))
+            LakeDmlCommand(s"UPDATE graftlake.`$path` (scalar subquery)",
+              () => {
+                val set = assignments.map {
+                  case Assignment(k, v) => keyName(k) -> bare(materializeScalars(v))
+                }.toMap
+                val cond = condition.map(c => bare(materializeScalars(c)))
+                  .getOrElse(lit(true))
+                LakeTable.update(spark, path, set, cond)
+              })
+          } else {
             val set = assignments.map {
               case Assignment(k, v) => keyName(k) -> bare(v)
             }.toMap

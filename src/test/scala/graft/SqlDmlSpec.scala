@@ -566,4 +566,36 @@ class SqlDmlSpec extends AnyFunSuite {
         .map(_.getLong(0)).toSeq === Seq(3L))
     } finally spark.sql("DROP TABLE IF EXISTS sqldml_usq")
   }
+
+  test("scalar subqueries in DML lower by value: DELETE threshold, UPDATE SET") {
+    val p = "/tmp/graft_test/sqldml_scalar"
+    freshTable(p, "sqldml_sc")
+    import spark.implicits._
+    Seq(10.0, 30.0).toDF("x").createOrReplaceTempView("sqldml_sc_stats")
+    try {
+      // DELETE ... WHERE v > (SELECT avg(x) ...): threshold evaluates
+      // once, the file-granular planner sees a plain predicate
+      spark.sql("DELETE FROM sqldml_sc WHERE v > (SELECT avg(x) FROM sqldml_sc_stats)")
+      assert(spark.sql("SELECT k FROM sqldml_sc ORDER BY k").collect()
+        .map(_.getLong(0)).toSeq === Seq(1L, 2L))
+      // UPDATE SET v = (SELECT max(x) ...) WHERE scalar condition
+      spark.sql("UPDATE sqldml_sc SET v = (SELECT max(x) FROM sqldml_sc_stats) " +
+        "WHERE k >= (SELECT min(x) FROM sqldml_sc_stats) / 5")
+      assert(spark.sql("SELECT k, v FROM sqldml_sc ORDER BY k").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        === Seq((1L, 10.0), (2L, 30.0)))
+      // SET scalar + keyed WHERE combine: materialized value rides the merge
+      Seq(1L).toDF("doc").createOrReplaceTempView("sqldml_sc_keys")
+      spark.sql("UPDATE sqldml_sc SET v = (SELECT sum(x) FROM sqldml_sc_stats) " +
+        "WHERE k IN (SELECT doc FROM sqldml_sc_keys)")
+      assert(spark.sql("SELECT v FROM sqldml_sc WHERE k = 1").head().getDouble(0) === 40.0)
+      // zero-row scalar subquery = NULL (predicate unknown -> no rows)
+      spark.sql("DELETE FROM sqldml_sc WHERE v > (SELECT x FROM sqldml_sc_stats WHERE x > 999)")
+      assert(spark.sql("SELECT count(*) FROM sqldml_sc").head().getLong(0) === 2L)
+      // >1-row scalar subquery refuses loudly
+      val e = intercept[Exception](spark.sql(
+        "DELETE FROM sqldml_sc WHERE v > (SELECT x FROM sqldml_sc_stats)"))
+      assert(e.getMessage.contains("more than one row"), e.getMessage)
+    } finally spark.sql("DROP TABLE IF EXISTS sqldml_sc")
+  }
 }
