@@ -452,7 +452,16 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
             s"MERGE INTO graftlake.`$path` requires ON target.k = source.k " +
               s"over one same-named key column; got $mergeCond"))
 
-          def anchor(e: Expression): Column = anchored(e, tOut, sOut, tAlias, sAlias)
+          def anchor(e0: Expression): Column = {
+            // clause conditions/values evaluate inside the merge's
+            // joined frame — a subquery there has no lowering; name
+            // the fix instead of failing with an unresolved plan
+            if (hasSubquery(e0)) refuse(
+              s"MERGE INTO graftlake.`$path`: subqueries are not supported " +
+                "inside MERGE clauses — precompute the value into the USING " +
+                "source (or a temp view) and reference it as s.<col>")
+            anchored(e0, tOut, sOut, tAlias, sAlias)
+          }
           def clauseOf(a: MergeAction): LakeTable.MergeClause = a match {
             // under WITH SCHEMA EVOLUTION an analyzer-expanded SET *
             // (fromStar) is re-expanded at effect time like a raw

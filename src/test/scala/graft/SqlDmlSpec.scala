@@ -533,6 +533,14 @@ class SqlDmlSpec extends AnyFunSuite {
         "DELETE FROM sqldml_dref t WHERE EXISTS " +
           "(SELECT 1 FROM sqldml_dref_keys b WHERE b.doc > t.k)"))
       assert(e2.getMessage.contains("equi-correlation"), e2.getMessage)
+      // a subquery inside a MERGE clause names the fix
+      spark.sql("SELECT doc AS k FROM sqldml_dref_keys")
+        .createOrReplaceTempView("sqldml_dref_src")
+      val e3 = intercept[Exception](spark.sql(
+        "MERGE INTO sqldml_dref t USING sqldml_dref_src u ON t.k = u.k " +
+          "WHEN MATCHED AND t.v > (SELECT avg(k) FROM sqldml_dref_src) " +
+          "THEN DELETE"))
+      assert(e3.getMessage.contains("precompute the value"), e3.getMessage)
     } finally spark.sql("DROP TABLE IF EXISTS sqldml_dref")
   }
 
