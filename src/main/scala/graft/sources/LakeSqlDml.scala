@@ -344,7 +344,11 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
           // merge frame) still validates column names and commits
           // the audit-trail version
           LakeTable.update(spark, path,
-            setT.keys.map(k => k -> col(k)).toMap, lit(false))
+            // keys straight from the assignments: forcing setT here
+            // would execute SET-value scalar subqueries whose results
+            // the never-true predicate discards
+            assignments.map(a => keyName(a.key) -> col(keyName(a.key)))
+              .toMap, lit(false))
         } else {
           val keep = if (sp.isIn)
             Some(sp.residual.foldLeft(col(s"t.${sp.keyCol}").isNotNull)(_ && _))
