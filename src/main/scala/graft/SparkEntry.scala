@@ -231,6 +231,7 @@ object SparkEntry {
     "lake_delete_in_subquery" -> (sources.LakeTable.deleteInSubqueryQuery _),
     "lake_update_in_subquery" -> (sources.LakeTable.updateInSubqueryQuery _),
     "lake_variant_column" -> (sources.LakeTable.variantColumnQuery _),
+    "lake_conflict_rebase" -> (sources.LakeTable.conflictRebaseQuery _),
     "lake_arbitrated_commit" -> (sources.LakeTable.arbitratedCommitQuery _),
     "lake_ctas" -> (sources.LakeTable.ctasQuery _),
     "lake_runtime_prune" -> (sources.LakeTable.runtimePruneQuery _),
@@ -1591,6 +1592,17 @@ object SparkEntry {
         |  FROM events) t
         |WHERE event_id % 7 <> 0
         |ORDER BY event_id""".stripMargin,
+    // lake_conflict_rebase: a racer append (whose rows MATCH the
+    // delete predicate) lands between the DELETE's snapshot read and
+    // its claim; both commits land and the racer's rows survive —
+    // snapshot isolation, recomputed by the oracle from the raw table
+    "lake_conflict_rebase" ->
+      """WITH fin AS (
+        |  SELECT event_type, value FROM events WHERE event_type <> 'click'
+        |  UNION ALL
+        |  SELECT 'click' AS event_type, value FROM events WHERE event_id % 10 = 0)
+        |SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM fin GROUP BY event_type ORDER BY event_type""".stripMargin,
     // lake_variant_column: events parsed to VARIANT at ingest, landed
     // in a lake table across two generations (the second adds another
     // variant column the first null-folds), read back typed — the

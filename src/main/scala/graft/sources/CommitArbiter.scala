@@ -85,6 +85,34 @@ object RenameArbiter extends CommitArbiter {
   override def abandon(table: String, next: Int): Unit = ()
 }
 
+/** DETERMINISTIC RACE INJECTOR: the next claim on any table first
+  * runs `race` (the "racer's" commit — its own re-entrant claims pass
+  * through) and then refuses, exactly as if the racer had won the
+  * version — the harness that lets the conflict-revalidation
+  * machinery ([[graft.sources.LakeTable]]'s `commitValidated`) be
+  * driven without sleeps or real thread interleaving, both in specs
+  * and in the oracle-gated driver query. Re-armable; unarmed claims
+  * pass through (filesystem arbitration decides). */
+final class RaceInjectionArbiter extends CommitArbiter {
+  @volatile private var pending: Option[() => Unit] = None
+  private val inRace = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = false
+  }
+  def armRace(cb: () => Unit): Unit = pending = Some(cb)
+  override def observed(table: String, head: Int): Unit = ()
+  override def tryClaim(table: String, next: Int): Boolean =
+    pending match {
+      case Some(cb) if !inRace.get() =>
+        pending = None
+        inRace.set(true)
+        try cb() finally inRace.set(false)
+        false
+      case _ => true
+    }
+  override def published(table: String, next: Int): Unit = ()
+  override def abandon(table: String, next: Int): Unit = ()
+}
+
 /** The catalog-service commit protocol run in-process: per-table
   * head pointer CAS + claim bookkeeping with crash-steal after
   * `claimGraceMs`. Thread-safe; one instance models one catalog

@@ -6802,6 +6802,38 @@ object LakeTable {
     * semi-join, O(touched files) writes. The oracle recomputes the
     * survivors from the raw documents table, so the subquery
     * materialization + merge lowering is hash-verified end to end. */
+  /** Driver query: CONCURRENT-DML CONFLICT REVALIDATION (S14a) made
+    * hash-verifiable — a racer append lands BETWEEN the DELETE\'s
+    * snapshot read and its version claim (injected deterministically
+    * through the arbiter protocol, the same seam a real catalog
+    * service arbitrates), and BOTH commits land: the DELETE rebases
+    * over the provably-disjoint racer. The racer\'s rows MATCH the
+    * delete predicate, so their survival is the snapshot-isolation
+    * semantics itself (the predicate never saw them); the oracle
+    * recomputes the final content from the raw table, pinning the
+    * rebase bit for bit. */
+  def conflictRebaseQuery(s: SparkSession, d: String): DataFrame = {
+    val p = freshWorkDir("lakeconflict", d)
+    val ev = graft.Tables.load(s, d, "events")
+      .select("event_id", "event_type", "value")
+    overwrite(ev, p)
+    val racer = ev.filter(col("event_id") % 10L === 0L)
+      .select((col("event_id") + lit(1000000000L)).as("event_id"),
+        lit("click").as("event_type"), col("value"))
+    val arb = new RaceInjectionArbiter
+    setCommitArbiter(p, arb)
+    try {
+      arb.armRace(() => { append(racer, p); () })
+      delete(s, p, col("event_type") === lit("click"))
+    } finally setCommitArbiter(p, RenameArbiter)
+    val ops = history(s, p).collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    require(ops == Map(0 -> "overwrite", 1 -> "append", 2 -> "delete"),
+      s"racer append and rebased delete must BOTH land, got $ops")
+    read(s, p).groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   /** Driver query: UPDATE WHERE <subquery> — the quality-relabel
     * shape (re-tag every doc a review table lists; mark the rest
     * clean). Two SQL UPDATEs through the subquery lowering: an

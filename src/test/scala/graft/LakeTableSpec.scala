@@ -1902,36 +1902,12 @@ class LakeTableSpec extends AnyFunSuite {
     assert(LakeTable.tags(p) === Map("baseline" -> 3))
   }
 
-  /** Deterministic race injector for the conflict-revalidation tests:
-    * the NEXT claim on the table first runs `race` (the "racer's"
-    * commit — re-entrant claims pass through) and then refuses,exactly
-    * as if the racer had won the version. */
-  private class RacingArbiter extends graft.sources.CommitArbiter {
-    @volatile private var pending: Option[() => Unit] = None
-    private val inRace = new ThreadLocal[java.lang.Boolean] {
-      override def initialValue(): java.lang.Boolean = false
-    }
-    def armRace(cb: () => Unit): Unit = pending = Some(cb)
-    override def observed(table: String, head: Int): Unit = ()
-    override def tryClaim(table: String, next: Int): Boolean =
-      pending match {
-        case Some(cb) if !inRace.get() =>
-          pending = None
-          inRace.set(true)
-          try cb() finally inRace.set(false)
-          false
-        case _ => true
-      }
-    override def published(table: String, next: Int): Unit = ()
-    override def abandon(table: String, next: Int): Unit = ()
-  }
-
   test("conflict revalidation: a concurrent append and a DELETE both land") {
     val p = "/tmp/graft_test/lake_concurrent_dml"
     rmdir(p)
     import spark.implicits._
     LakeTable.overwrite((1L to 10L).map(i => (i, s"s$i")).toDF("k", "s"), p) // v0
-    val arb = new RacingArbiter
+    val arb = new graft.sources.RaceInjectionArbiter
     LakeTable.setCommitArbiter(p, arb)
     try {
       // the racer appends BETWEEN the DELETE's snapshot read and its
@@ -1955,7 +1931,7 @@ class LakeTableSpec extends AnyFunSuite {
     rmdir(p)
     import spark.implicits._
     LakeTable.overwrite((1L to 10L).map(i => (i, s"s$i")).toDF("k", "s"), p) // v0
-    val arb = new RacingArbiter
+    val arb = new graft.sources.RaceInjectionArbiter
     LakeTable.setCommitArbiter(p, arb)
     try {
       arb.armRace(() => LakeTable.delete(spark, p, col("k") === 2L): Unit)
@@ -1973,7 +1949,7 @@ class LakeTableSpec extends AnyFunSuite {
     rmdir(p)
     import spark.implicits._
     LakeTable.overwrite((1L to 10L).map(i => (i, s"s$i")).toDF("k", "s"), p)
-    val arb = new RacingArbiter
+    val arb = new graft.sources.RaceInjectionArbiter
     LakeTable.setCommitArbiter(p, arb)
     try {
       // the racer's equality-delete subtraction would silently stop
@@ -1990,7 +1966,7 @@ class LakeTableSpec extends AnyFunSuite {
     rmdir(p)
     import spark.implicits._
     LakeTable.overwrite((1L to 10L).map(i => (i, s"s$i")).toDF("k", "s"), p)
-    val arb = new RacingArbiter
+    val arb = new graft.sources.RaceInjectionArbiter
     LakeTable.setCommitArbiter(p, arb)
     try {
       arb.armRace(() => LakeTable.addColumn(spark, p, "extra"): Unit)
@@ -2012,7 +1988,7 @@ class LakeTableSpec extends AnyFunSuite {
       Seq(graft.sources.LakeTable.PartitionTransform("d", "identity")))
     LakeTable.append(rows(1L, "a").unionByName(rows(2L, "a")), p) // v1
     LakeTable.append(rows(1L, "b"), p) // v2 under the declared layout
-    val arb = new RacingArbiter
+    val arb = new graft.sources.RaceInjectionArbiter
     LakeTable.setCommitArbiter(p, arb)
     try {
       // DISJOINT: the racer lands in d=3 while we replace d=1 → both land
@@ -2037,7 +2013,7 @@ class LakeTableSpec extends AnyFunSuite {
     import spark.implicits._
     LakeTable.overwrite((1L to 20L).map(i => (i, i * 2.0)).toDF("k", "v"), p) // v0
     LakeTable.append((21L to 25L).map(i => (i, i * 2.0)).toDF("k", "v"), p) // v1
-    val arb = new RacingArbiter
+    val arb = new graft.sources.RaceInjectionArbiter
     LakeTable.setCommitArbiter(p, arb)
     try {
       // compact races an append: the fold lands AND the racer's rows
