@@ -232,6 +232,7 @@ object SparkEntry {
     "lake_update_in_subquery" -> (sources.LakeTable.updateInSubqueryQuery _),
     "lake_variant_column" -> (sources.LakeTable.variantColumnQuery _),
     "lake_conflict_rebase" -> (sources.LakeTable.conflictRebaseQuery _),
+    "lake_conflict_serializable" -> (sources.LakeTable.conflictSerializableQuery _),
     "lake_arbitrated_commit" -> (sources.LakeTable.arbitratedCommitQuery _),
     "lake_ctas" -> (sources.LakeTable.ctasQuery _),
     "lake_runtime_prune" -> (sources.LakeTable.runtimePruneQuery _),
@@ -1601,6 +1602,20 @@ object SparkEntry {
         |  SELECT event_type, value FROM events WHERE event_type <> 'click'
         |  UNION ALL
         |  SELECT 'click' AS event_type, value FROM events WHERE event_id % 10 = 0)
+        |SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM fin GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // lake_conflict_serializable: write.delete.isolation-level=
+    // serializable — a racer whose rows do NOT match the DELETE
+    // predicate still rebases (exact evaluation, race 1); a racer
+    // whose rows MATCH refuses the DELETE entirely (race 2), so the
+    // original purchases survive alongside both racers' rows
+    "lake_conflict_serializable" ->
+      """WITH fin AS (
+        |  SELECT event_type, value FROM events WHERE event_type <> 'click'
+        |  UNION ALL
+        |  SELECT 'view' AS event_type, value FROM events WHERE event_id % 10 = 0
+        |  UNION ALL
+        |  SELECT 'purchase' AS event_type, value FROM events WHERE event_id % 7 = 0)
         |SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
         |FROM fin GROUP BY event_type ORDER BY event_type""".stripMargin,
     // lake_variant_column: events parsed to VARIANT at ingest, landed

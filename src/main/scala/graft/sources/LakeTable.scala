@@ -665,6 +665,9 @@ object LakeTable {
     props.flatMap(_.get("write.distribution-mode")).foreach(m =>
       require(Set("hash", "range", "none")(m),
         s"write.distribution-mode '$m' — expected hash, range, or none"))
+    IsolationKeys.foreach(k => props.flatMap(_.get(k)).foreach(v =>
+      require(Set("serializable", "snapshot")(v),
+        s"$k '$v' — expected serializable or snapshot")))
     val next = base + 1
     val md = Paths.get(metaDir(path))
     Files.createDirectories(md)
@@ -1145,6 +1148,9 @@ object LakeTable {
     add.get("write.distribution-mode").foreach(m =>
       require(Set("hash", "range", "none")(m),
         s"write.distribution-mode '$m' — expected hash, range, or none"))
+    IsolationKeys.foreach(k => add.get(k).foreach(v =>
+      require(Set("serializable", "snapshot")(v),
+        s"$k '$v' — expected serializable or snapshot")))
     val base = observedBase(spark, path)
     commitRefs(spark, path, base, listRefs(path, base), "set_properties",
       props = Some(tablePropsOf(path, base) ++ add))
@@ -1775,11 +1781,35 @@ object LakeTable {
     * new head — snapshot-isolation semantics: the DML applied to the
     * snapshot it read; concurrently appended rows were never visible
     * to its predicate and land untouched. Everything else refuses by
-    * name, exactly as before. */
+    * name, exactly as before.
+    *
+    * ISOLATION LEVELS (Iceberg's `write.delete/update/merge
+    * .isolation-level`): under the default `snapshot` the above is
+    * the whole contract. Setting `serializable` additionally refuses
+    * when a racer APPENDED rows the operation's predicate MATCHES —
+    * the phantom the serial order forbids ("DELETE ran after the
+    * append" would have removed them). The check is EXACT, not
+    * Iceberg's conservative stats overlap: the racer's added files
+    * are read (O(racer delta), and only on an actual race) and the
+    * predicate evaluated, so a racer landing non-matching rows still
+    * rebases cleanly. Operations with no row-predicate to test
+    * (keyed upsert/merge — their match set is the join, not a
+    * filter) refuse ANY racer-added rows under serializable,
+    * Iceberg's `alwaysTrue` conflict-detection default. NOTE the
+    * default here is `snapshot`, diverging from Iceberg's
+    * `serializable` default deliberately: the round-13 contract
+    * (streaming appends must not starve maintenance DML) is pinned
+    * by `lake_conflict_rebase` and LakeTableSpec, and serializable
+    * is the opt-in for tables whose DMLs carry serial-order
+    * obligations. */
   private def commitValidated(
       spark: SparkSession, path: String, base: Int,
       baseRefs: Seq[ManifestRef], planned: Seq[ManifestRef], op: String,
-      validateAdded: Seq[ManifestRef] => Unit = _ => ()): Int = {
+      validateAdded: Seq[ManifestRef] => Unit = _ => (),
+      // the operation's row predicate, pre-coalesced to NULL=false —
+      // the serializable conflict-detection filter; None = no filter
+      // derivable (refuse any racer-added rows under serializable)
+      conflictFilter: Option[org.apache.spark.sql.Column] = None): Int = {
     def plane(v: Int): Seq[Any] = Seq(
       schemaOf(path, v), constraintsOf(path, v).toSet, promotedOf(path, v),
       defaultsOf(path, v), tablePropsOf(path, v), nextRowIdOf(path, v).isDefined)
@@ -1816,11 +1846,50 @@ object LakeTable {
             s"$op at $path: $n changed concurrently — the plan was " +
               "validated under the old state; re-run", e))
           validateAdded(added)
+          // serializable isolation: racer-added rows the predicate
+          // matches are phantoms the serial order forbids. Props are
+          // plane-checked equal between base and head just above, so
+          // reading the level at base is the level throughout.
+          opIsolationKey(op)
+            .filter(k => base >= 0 &&
+              tablePropsOf(path, base).getOrElse(k, "snapshot") == "serializable")
+            .foreach { k =>
+              val addedData = added.filter(r => r.kind == "data" && r.nFiles > 0)
+              val phantom = addedData.nonEmpty && (conflictFilter match {
+                case None => true
+                case Some(f) => !assemblePruned(spark, Nil, addedData,
+                    Nil, Nil, Nil, schFor(path, head)).filter(f).isEmpty
+              })
+              if (phantom) throw new IllegalStateException(
+                s"$op at $path: $k=serializable and a concurrent commit " +
+                  s"added rows ${if (conflictFilter.isEmpty) "(no conflict " +
+                    "filter derivable for a keyed merge — any racer rows " +
+                    "conflict)" else "matching this operation's predicate"} " +
+                  "— the serial order forbids the phantom; re-run against " +
+                  "the new snapshot", e)
+            }
           extra = added
       }
     }
     -1 // unreachable
   }
+
+  /** The isolation-level table property governing `op`, if any —
+    * Iceberg's three keys, mapped over this repo's op names. Ops with
+    * their own stronger contract stay out: dynamic overwrite refuses
+    * racer files inside replaced partitions regardless of level, and
+    * maintenance rewrites (compact/binpack/bloom/analyze) change no
+    * visible rows, so racer appends always ride. */
+  private def opIsolationKey(op: String): Option[String] = op match {
+    case "delete" | "mor_delete" | "mor_posdelete" | "mor_dv_delete" |
+         "replace_where" => Some("write.delete.isolation-level")
+    case "update" => Some("write.update.isolation-level")
+    case "merge" | "mor_merge" => Some("write.merge.isolation-level")
+    case _ => None
+  }
+
+  private val IsolationKeys = Seq("write.delete.isolation-level",
+    "write.update.isolation-level", "write.merge.isolation-level")
 
   /** WRITE-AUDIT-PUBLISH (Iceberg's WAP workflow): stage the batch as
     * data files WITHOUT committing, run the audit over exactly those
@@ -4753,7 +4822,8 @@ object LakeTable {
     val lineage = nextRowIdOf(path, base).isDefined
     withLineageColsIf(lineage)(
       classificationFrame(spark, path, base, refs, predicate)) match {
-      case None => commitValidated(spark, path, base, refs, refs, "delete")
+      case None => commitValidated(spark, path, base, refs, refs, "delete",
+        conflictFilter = Some(matches))
       case Some(cur) =>
         val touched = touchedFiles(cur, matches)
         val counts =
@@ -4780,7 +4850,7 @@ object LakeTable {
             path, rewriteSpec(path, refs, boundary, mm))
         commitValidated(spark, path, base, refs,
           carryManifests(path, refs, boundary ++ dropped, mm) ++ rewritten.toSeq,
-          "delete")
+          "delete", conflictFilter = Some(matches))
     }
   }
 
@@ -4832,7 +4902,8 @@ object LakeTable {
     withLineageColsIf(lineage)(
       classificationFrame(spark, path, base, refs, predicate)) match {
       case None =>
-        commitValidated(spark, path, base, refs, refs ++ fresh, "replace_where")
+        commitValidated(spark, path, base, refs, refs ++ fresh, "replace_where",
+          conflictFilter = Some(matches))
       case Some(cur) =>
         val touched = touchedFiles(cur, matches)
         val counts =
@@ -4856,7 +4927,7 @@ object LakeTable {
         commitValidated(spark, path, base, refs,
           carryManifests(path, refs, boundary ++ dropped, mm) ++
             rewritten.toSeq ++ fresh,
-          "replace_where")
+          "replace_where", conflictFilter = Some(matches))
     }
   }
 
@@ -5096,7 +5167,8 @@ object LakeTable {
           .getOrElse(read(spark, path, Some(base)).columns.toSeq)
         set.keys.foreach(c => require(names.contains(c),
           s"UPDATE at $path: no such column '$c' (have ${names.mkString(", ")})"))
-        commitValidated(spark, path, base, refs, refs, "update")
+        commitValidated(spark, path, base, refs, refs, "update",
+          conflictFilter = Some(coalesce(predicate, lit(false))))
       case Some(cur) =>
         val visible = cur.columns
           .filterNot(Set(FpCol, RiCol, SeqCol, LineageRid, LineageLus)).toSeq
@@ -5125,7 +5197,8 @@ object LakeTable {
           if (touched.isEmpty) None
           else stageRewrite(projected, path, rewriteSpec(path, refs, touched, mm))
         commitValidated(spark, path, base, refs,
-          carryManifests(path, refs, touched, mm) ++ rewritten.toSeq, "update")
+          carryManifests(path, refs, touched, mm) ++ rewritten.toSeq, "update",
+          conflictFilter = Some(p))
     }
   }
 
@@ -5158,7 +5231,8 @@ object LakeTable {
     val keys = classificationFrame(spark, path, base, prev, predicate)
       .map(_.filter(coalesce(predicate, lit(false))).select(keyCol).distinct())
     commitValidated(spark, path, base, prev,
-      prev ++ keys.flatMap(stageManifest(_, path, kind = "delete")), "mor_delete")
+      prev ++ keys.flatMap(stageManifest(_, path, kind = "delete")), "mor_delete",
+      conflictFilter = Some(coalesce(predicate, lit(false))))
   }
 
   /** MERGE-ON-READ POSITION DELETE (Iceberg v2's positional-delete
@@ -5184,7 +5258,7 @@ object LakeTable {
         .select(col(FpCol).as("file_path"), col(RiCol).as("row_index")))
     commitValidated(spark, path, base, prev,
       prev ++ keys.flatMap(stageManifest(_, path, kind = "posdel")),
-      "mor_posdelete")
+      "mor_posdelete", conflictFilter = Some(coalesce(predicate, lit(false))))
   }
 
   /** MERGE-ON-READ DELETE as a DELETION VECTOR: same row-granular
@@ -5202,12 +5276,17 @@ object LakeTable {
     val prev = listRefs(path, base)
     // pass-0 manifest prune as CoW [[delete]]; a refuted-everywhere
     // predicate carries every ref forward with no vector staged
+    // commitValidated like its positional sibling (the round-13
+    // revalidation had missed this arm): positions pin file identity,
+    // so a provably-disjoint racer append rides along unchanged
     val keys = classificationFrame(spark, path, base, prev, predicate)
-      .getOrElse(return commitRefs(spark, path, base, prev, "mor_dv_delete"))
+      .getOrElse(return commitValidated(spark, path, base, prev, prev,
+        "mor_dv_delete", conflictFilter = Some(coalesce(predicate, lit(false)))))
       .filter(coalesce(predicate, lit(false)))
       .select(col(FpCol).as("file_path"), col(RiCol).as("row_index"))
-    commitRefs(spark, path, base,
-      prev ++ stageManifest(dvBitmapsOf(keys), path, kind = "dv"), "mor_dv_delete")
+    commitValidated(spark, path, base, prev,
+      prev ++ stageManifest(dvBitmapsOf(keys), path, kind = "dv"), "mor_dv_delete",
+      conflictFilter = Some(coalesce(predicate, lit(false))))
   }
 
   /** (file_path, row_index) rows → one growable little-endian bitset
@@ -6829,6 +6908,53 @@ object LakeTable {
     val ops = history(s, p).collect().map(r => r.getInt(0) -> r.getString(1)).toMap
     require(ops == Map(0 -> "overwrite", 1 -> "append", 2 -> "delete"),
       s"racer append and rebased delete must BOTH land, got $ops")
+    read(s, p).groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** Driver query: SERIALIZABLE ISOLATION on concurrent DML (S14h) —
+    * `write.delete.isolation-level=serializable` opted in by table
+    * property, both sides of the contract exercised under the same
+    * deterministic race seam as [[conflictRebaseQuery]]. Race 1: the
+    * racer's rows do NOT match the DELETE predicate — the
+    * serializable check reads the racer's files and evaluates the
+    * predicate EXACTLY (not Iceberg's conservative stats overlap),
+    * so the rebase still lands and both commits survive. Race 2: the
+    * racer's rows MATCH the predicate — the phantom the serial order
+    * forbids; the DELETE refuses by name (require'd in-query) and
+    * commits nothing. The oracle recomputes the final content from
+    * the raw table, pinning rebase + refusal bit for bit. */
+  def conflictSerializableQuery(s: SparkSession, d: String): DataFrame = {
+    val p = freshWorkDir("lakeserial", d)
+    val ev = graft.Tables.load(s, d, "events")
+      .select("event_id", "event_type", "value")
+    overwrite(ev, p)
+    setTableProperties(s, p,
+      Map("write.delete.isolation-level" -> "serializable"))
+    val arb = new RaceInjectionArbiter
+    setCommitArbiter(p, arb)
+    try {
+      val disjointRacer = ev.filter(col("event_id") % 10L === 0L)
+        .select((col("event_id") + lit(1000000000L)).as("event_id"),
+          lit("view").as("event_type"), col("value"))
+      arb.armRace(() => { append(disjointRacer, p); () })
+      delete(s, p, col("event_type") === lit("click"))
+      val phantomRacer = ev.filter(col("event_id") % 7L === 0L)
+        .select((col("event_id") + lit(2000000000L)).as("event_id"),
+          lit("purchase").as("event_type"), col("value"))
+      arb.armRace(() => { append(phantomRacer, p); () })
+      val refused =
+        try { delete(s, p, col("event_type") === lit("purchase")); false }
+        catch { case e: IllegalStateException
+            if e.getMessage.contains("serializable") => true }
+      require(refused,
+        "serializable isolation must refuse the matching-row phantom")
+    } finally setCommitArbiter(p, RenameArbiter)
+    val ops = history(s, p).collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    require(ops == Map(0 -> "overwrite", 1 -> "set_properties",
+        2 -> "append", 3 -> "delete", 4 -> "append"),
+      s"rebase must land, refusal must commit nothing, got $ops")
     read(s, p).groupBy("event_type")
       .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
       .orderBy("event_type")

@@ -1976,6 +1976,90 @@ class LakeTableSpec extends AnyFunSuite {
     } finally LakeTable.setCommitArbiter(p, graft.sources.RenameArbiter)
   }
 
+  test("serializable isolation: a racer appending MATCHING rows refuses the DELETE") {
+    val p = "/tmp/graft_test/lake_serial_match"
+    rmdir(p)
+    import spark.implicits._
+    LakeTable.overwrite((1L to 10L).map(i => (i, s"s$i")).toDF("k", "s"), p) // v0
+    LakeTable.setTableProperties(spark, p,
+      Map("write.delete.isolation-level" -> "serializable")) // v1
+    val arb = new graft.sources.RaceInjectionArbiter
+    LakeTable.setCommitArbiter(p, arb)
+    try {
+      // the racer's row (k=200, even) MATCHES the predicate — the
+      // phantom serializable forbids; the snapshot default would rebase
+      arb.armRace(() =>
+        LakeTable.append(Seq((200L, "racer")).toDF("k", "s"), p): Unit)
+      val e = intercept[IllegalStateException](
+        LakeTable.delete(spark, p, col("k") % 2L === 0L))
+      assert(e.getMessage.contains("serializable"), e.getMessage)
+      // the refused DELETE committed nothing; the racer's append landed
+      val ks = LakeTable.read(spark, p).collect().map(_.getLong(0)).sorted.toSeq
+      assert(ks === ((1L to 10L) :+ 200L), ks.mkString(", "))
+    } finally LakeTable.setCommitArbiter(p, graft.sources.RenameArbiter)
+  }
+
+  test("serializable isolation: a racer appending NON-matching rows still rebases") {
+    val p = "/tmp/graft_test/lake_serial_disjoint"
+    rmdir(p)
+    import spark.implicits._
+    LakeTable.overwrite((1L to 10L).map(i => (i, s"s$i")).toDF("k", "s"), p)
+    LakeTable.setTableProperties(spark, p,
+      Map("write.delete.isolation-level" -> "serializable"))
+    val arb = new graft.sources.RaceInjectionArbiter
+    LakeTable.setCommitArbiter(p, arb)
+    try {
+      // k=201 is odd — the exact evaluation (not a stats overlap
+      // guess) proves the racer adds no phantom; both commits land
+      arb.armRace(() =>
+        LakeTable.append(Seq((201L, "racer")).toDF("k", "s"), p): Unit)
+      LakeTable.delete(spark, p, col("k") % 2L === 0L)
+      val ks = LakeTable.read(spark, p).collect().map(_.getLong(0)).sorted.toSeq
+      assert(ks === Seq(1L, 3L, 5L, 7L, 9L, 201L), ks.mkString(", "))
+    } finally LakeTable.setCommitArbiter(p, graft.sources.RenameArbiter)
+  }
+
+  test("serializable isolation: a keyed merge refuses ANY racer-added rows") {
+    val p = "/tmp/graft_test/lake_serial_merge"
+    rmdir(p)
+    import spark.implicits._
+    LakeTable.overwrite((1L to 5L).map(i => (i, s"s$i")).toDF("k", "s"), p)
+    LakeTable.setTableProperties(spark, p,
+      Map("write.merge.isolation-level" -> "serializable"))
+    val arb = new graft.sources.RaceInjectionArbiter
+    LakeTable.setCommitArbiter(p, arb)
+    try {
+      // no row-predicate is derivable for a keyed merge (its match
+      // set is the join) — Iceberg's alwaysTrue default: any racer
+      // rows conflict, even on a key the merge never touches
+      arb.armRace(() =>
+        LakeTable.append(Seq((300L, "racer")).toDF("k", "s"), p): Unit)
+      val e = intercept[IllegalStateException](
+        LakeTable.upsert(Seq((2L, "upd")).toDF("k", "s"), p, "k"))
+      assert(e.getMessage.contains("serializable"), e.getMessage)
+      // under the snapshot default the same race rebases
+      LakeTable.setTableProperties(spark, p,
+        Map("write.merge.isolation-level" -> "snapshot"))
+      arb.armRace(() =>
+        LakeTable.append(Seq((301L, "racer2")).toDF("k", "s"), p): Unit)
+      LakeTable.upsert(Seq((2L, "upd")).toDF("k", "s"), p, "k")
+      val got = LakeTable.read(spark, p).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got(2L) === "upd" && got(300L) === "racer" && got(301L) === "racer2")
+    } finally LakeTable.setCommitArbiter(p, graft.sources.RenameArbiter)
+  }
+
+  test("serializable isolation: bad value refuses at ALTER, not at the first race") {
+    val p = "/tmp/graft_test/lake_serial_badval"
+    rmdir(p)
+    import spark.implicits._
+    LakeTable.overwrite(Seq((1L, "a")).toDF("k", "s"), p)
+    val e = intercept[IllegalArgumentException](
+      LakeTable.setTableProperties(spark, p,
+        Map("write.delete.isolation-level" -> "linearizable")))
+    assert(e.getMessage.contains("expected serializable or snapshot"), e.getMessage)
+  }
+
   test("conflict revalidation: dynamic overwrite rebases over out-of-partition appends only") {
     val p = "/tmp/graft_test/lake_conflict_dyn"
     rmdir(p)
