@@ -278,6 +278,7 @@ object SparkEntry {
     "session_windows_30m" -> (streaming.EventTimeWindows.sessionWindows30m _),
     "session_windows_stream" -> (streaming.EventTimeWindows.sessionWindowsStream _),
     "stream_interval_join" -> (streaming.StreamJoin.intervalJoinStream _),
+    "stream_outer_join" -> (streaming.StreamJoin.outerJoinStream _),
   )
 
   /** MinHash near-dup pair SQL, shared by the `minhash_near_dup`
@@ -3612,5 +3613,23 @@ object SparkEntry {
         |FROM v JOIN p USING (user_id)
         |WHERE pt >= vt AND pt <= vt + INTERVAL '1 hour'
         |GROUP BY 1 ORDER BY user_id""".stripMargin,
+    // stream_outer_join: stream-stream LEFT OUTER interval join —
+    // matched pairs emit exactly once across micro-batches; a view
+    // that never converted emits once WITH NULLS when the watermark
+    // (advanced past the corpus by a provably-last sentinel arrival)
+    // evicts its state, so the accumulated union equals this batch
+    // LEFT JOIN regardless of file batching
+    "stream_outer_join" ->
+      """WITH v AS (SELECT user_id, ts AS vt FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id AS p_user, ts AS pt, value
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, count(*) AS n_rows,
+        |       CAST(sum(CASE WHEN pt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_unmatched,
+        |       round(sum(CASE WHEN pt IS NULL THEN NULL ELSE value END), 6)
+        |         AS matched_value
+        |FROM v LEFT JOIN p
+        |  ON p_user = user_id AND pt >= vt AND pt <= vt + INTERVAL '1 hour'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

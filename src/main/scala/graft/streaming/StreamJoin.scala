@@ -91,4 +91,96 @@ object StreamJoin {
       .agg(count(lit(1)).as("n_attrib"), round(sum("value"), 6).as("attrib_value"))
       .orderBy("user_id")
   }
+
+  /** Declared driver query: stream-stream LEFT OUTER interval join
+    * (T13) — the attribution shape WITH the misses: every view joined
+    * to the same user's purchases in the following hour, and views
+    * that never converted emit once with nulls. The null emission is
+    * WATERMARK-DRIVEN state eviction, not an end-of-stream flush:
+    * Spark emits an unmatched left row only when the watermark passes
+    * its join-window close, so a finite replay must ADVANCE the
+    * watermark past the corpus to drain the state deterministically.
+    *
+    * The drain is a SENTINEL arrival: after the event-id-partitioned
+    * corpus files, one extra file carries a single far-future row per
+    * side (both sides must jump — the join's effective watermark is
+    * the MIN across inputs). Its mtime is set past every corpus
+    * file's so the file source (mtime-ordered admission) provably
+    * delivers it LAST: the corpus pairs under a
+    * longer-than-the-timeline delay exactly as the inner join, then
+    * the sentinel batch advances the watermark in one jump and the
+    * trailing no-data batch evicts every never-matched view with
+    * nulls — arrival-order-invariant, so the accumulated union equals
+    * the batch LEFT JOIN whatever the file batching. The sentinel's
+    * own rows never emit (its window never closes; the purchase side
+    * emits no unmatched rows) and are filtered by user_id anyway. */
+  def outerJoinStream(s: SparkSession, d: String): DataFrame = {
+    val out = s"/tmp/graft_stream_ojoin_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+    graft.Util.rmRecursive(out)
+    val arrivals = s"$out/arrivals"
+    val ev = Tables.load(s, d, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .withColumn("tstamp", Tables.tsFromNanos("ts"))
+      .select("event_id", "user_id", "event_type", "tstamp", "value")
+    ev.withColumn("part", pmod(col("event_id"), lit(4L)))
+      .write.partitionBy("part").parquet(arrivals)
+    val maxTs = ev.agg(max("tstamp")).collect()(0).getTimestamp(0)
+    // sentinel = corpus max + delay (365 d) + 2 d: watermark after the
+    // sentinel batch = sentinel - 365 d > corpus max + 1 h, so every
+    // view's window is closed and the state drains
+    val sentTs = new java.sql.Timestamp(maxTs.getTime + 367L * 24 * 3600 * 1000)
+    import s.implicits._
+    Seq((Long.MaxValue - 1L, -1L, "view", sentTs, 0.0),
+        (Long.MaxValue - 2L, -1L, "purchase", sentTs, 0.0))
+      .toDF("event_id", "user_id", "event_type", "tstamp", "value")
+      .withColumn("part", lit(9L))
+      .write.mode("append").partitionBy("part").parquet(arrivals)
+    // mtime-ordered admission: corpus strictly before the sentinel
+    val fs = new java.io.File(arrivals)
+    def files(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(files) else Seq(f)
+    val (sentF, mainF) = files(fs).filter(_.getName.endsWith(".parquet"))
+      .partition(_.getPath.contains("part=9"))
+    val mainMax = mainF.map(_.lastModified()).max
+    sentF.foreach(f => require(f.setLastModified(mainMax + 60000L),
+      s"cannot bump sentinel mtime on $f"))
+    val schema = s.read.parquet(arrivals).schema
+    graft.Util.withIsolatedShufflePartitions(s, 8) { s8 =>
+      def arriving() = s8.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(arrivals)
+      val views = arriving()
+        .filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("tstamp").as("v_ts"))
+        .withWatermark("v_ts", "365 days")
+      val purchases = arriving()
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("tstamp").as("p_ts"), col("value"))
+        .withWatermark("p_ts", "365 days")
+      val q = views
+        .join(purchases,
+          col("v_user") === col("p_user") &&
+            col("p_ts") >= col("v_ts") &&
+            col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"),
+          "left_outer")
+        .select(col("v_user").as("user_id"), col("v_ts"), col("p_ts"), col("value"))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$out/_chk")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(s"$out/pairs")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(s"$out/pairs")
+      .filter(col("user_id") =!= -1L) // the sentinel never pairs; belt and braces
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("p_ts").isNull, 1L).otherwise(0L)).as("n_unmatched"),
+        round(sum("value"), 6).as("matched_value"))
+      .orderBy("user_id")
+  }
 }
