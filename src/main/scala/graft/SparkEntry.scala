@@ -230,6 +230,7 @@ object SparkEntry {
     "lake_file_granular_delete" -> (sources.LakeTable.fileGranularDeleteQuery _),
     "lake_delete_in_subquery" -> (sources.LakeTable.deleteInSubqueryQuery _),
     "lake_update_in_subquery" -> (sources.LakeTable.updateInSubqueryQuery _),
+    "lake_update_correlated" -> (sources.LakeTable.updateCorrelatedQuery _),
     "lake_variant_column" -> (sources.LakeTable.variantColumnQuery _),
     "lake_conflict_rebase" -> (sources.LakeTable.conflictRebaseQuery _),
     "lake_conflict_serializable" -> (sources.LakeTable.conflictSerializableQuery _),
@@ -279,6 +280,7 @@ object SparkEntry {
     "session_windows_stream" -> (streaming.EventTimeWindows.sessionWindowsStream _),
     "stream_interval_join" -> (streaming.StreamJoin.intervalJoinStream _),
     "stream_outer_join" -> (streaming.StreamJoin.outerJoinStream _),
+    "stream_full_outer_join" -> (streaming.StreamJoin.fullOuterJoinStream _),
   )
 
   /** MinHash near-dup pair SQL, shared by the `minhash_near_dup`
@@ -1644,6 +1646,25 @@ object SparkEntry {
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |       CAST(sum(CASE WHEN source = 'clean' THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
         |FROM upd GROUP BY lang ORDER BY lang""".stripMargin,
+    // lake_update_correlated: UPDATE SET x = (SELECT max(...) FROM r
+    // WHERE r.source = t.source) — matched sources take the review
+    // max, sources the zh-only review slice misses take NULL (SQL's
+    // empty-scalar-subquery semantics); a plain SET rides alongside
+    "lake_update_correlated" ->
+      """WITH rv AS (SELECT source, n_chars FROM documents
+        |            WHERE doc_id % 13 = 2 AND lang = 'zh'),
+        |mx AS (SELECT source, max(n_chars) AS m FROM rv GROUP BY source),
+        |upd AS (
+        |  SELECT d.source,
+        |    CASE WHEN d.lang = 'en' THEN 'relabeled' ELSE d.lang END AS lang,
+        |    CASE WHEN d.lang = 'en' THEN mx.m ELSE d.n_chars END AS n_chars
+        |  FROM documents d LEFT JOIN mx ON mx.source = d.source)
+        |SELECT source, count(*) AS n,
+        |       CAST(count(n_chars) AS BIGINT) AS n_set,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(sum(CASE WHEN lang = 'relabeled' THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_relabeled
+        |FROM upd GROUP BY source ORDER BY source""".stripMargin,
     // lake_delete_in_subquery: two subquery DELETEs (uncorrelated IN
     // incl. ids absent from the corpus; equi-correlated EXISTS with a
     // residual conjunct) — the oracle recomputes the survivors from
@@ -3631,5 +3652,25 @@ object SparkEntry {
         |FROM v LEFT JOIN p
         |  ON p_user = user_id AND pt >= vt AND pt <= vt + INTERVAL '1 hour'
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // stream_full_outer_join: both sides' misses surface — views that
+    // never converted AND purchases no view preceded each emit exactly
+    // once with the other side nulled; the same sentinel jump drains
+    // both state stores (purchase windows close at watermark > pt)
+    "stream_full_outer_join" ->
+      """WITH v AS (SELECT user_id AS v_user, ts AS vt
+        |      FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id AS p_user, ts AS pt, value
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT COALESCE(v_user, p_user) AS user_id,
+        |       count(*) AS n_rows,
+        |       CAST(sum(CASE WHEN pt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_unmatched_views,
+        |       CAST(sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_unmatched_purchases,
+        |       round(sum(CASE WHEN vt IS NOT NULL AND pt IS NOT NULL
+        |                      THEN value END), 6) AS matched_value
+        |FROM v FULL JOIN p
+        |  ON p_user = v_user AND pt >= vt AND pt <= vt + INTERVAL '1 hour'
+        |GROUP BY 1 ORDER BY user_id""".stripMargin,
   )
 }

@@ -3,9 +3,9 @@ package graft.sources
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, GraftSqlShim, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAlias, UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, AttributeSet, EqualNullSafe, EqualTo, Exists, Expression, InSubquery, Literal, Not => CNot, OuterReference, PredicateHelper, ScalarSubquery, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, Command, DeleteAction, DeleteFromTable, Filter, InsertAction, InsertStarAction, LeafNode, LogicalPlan, MergeAction, MergeIntoTable, OverwritePartitionsDynamic, Project, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Assignment, Command, DeleteAction, DeleteFromTable, Filter, InsertAction, InsertStarAction, LeafNode, LogicalPlan, MergeAction, MergeIntoTable, OverwritePartitionsDynamic, Project, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -142,6 +142,154 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
         case parts => UnresolvedAttribute(Seq("t", parts.last))
       }
     })
+
+  /** Does `e` hold a scalar subquery that REFERENCES the target
+    * relation (i.e. is correlated)? Correlation is recognized in
+    * resolved form (`OuterReference` / attributes of the target's
+    * output) and in the parser's qualified form (`t.col` under the
+    * statement's target alias). An UNQUALIFIED name that happens to
+    * exist on both sides resolves to the subquery's own relation by
+    * SQL scoping — correctly treated as uncorrelated here. */
+  private def hasCorrelatedScalar(
+      e: Expression, tOut: AttributeSet, tAlias: Option[String]): Boolean =
+    e.exists {
+      case sq: ScalarSubquery =>
+        sq.outerAttrs.nonEmpty || planRefsTarget(sq.plan, tOut, tAlias)
+      case _ => false
+    }
+
+  private def planRefsTarget(
+      plan: LogicalPlan, tOut: AttributeSet, tAlias: Option[String]): Boolean = {
+    def refs(e: Expression): Boolean = e.exists {
+      case _: OuterReference => true
+      case a: AttributeReference => tOut.contains(a)
+      case u: UnresolvedAttribute =>
+        u.nameParts.length == 2 && tAlias.contains(u.nameParts.head)
+      case _ => false
+    }
+    plan.expressions.exists(refs) ||
+      plan.children.exists(planRefsTarget(_, tOut, tAlias))
+  }
+
+  /** `SET x = (SELECT agg(v) FROM src WHERE src.c = t.k [AND rest])`
+    * → (target key column `k`, the subquery REGROUPED as a standalone
+    * key→value plan `SELECT c AS __graft_sq_key, agg(v) AS
+    * __graft_sq_val FROM src [WHERE rest] GROUP BY c`). Only the
+    * canonical single-value, single-equi-correlation, top-level-WHERE
+    * shape decomposes; anything deeper refuses by name. */
+  private def decomposeCorrelatedScalar(
+      plan0: LogicalPlan, path: String,
+      tOut: AttributeSet, tAlias: Option[String]): (String, LogicalPlan) = {
+    def isTargetRef(e: Expression): Option[String] = e match {
+      case OuterReference(a) => Some(a.name)
+      case a: AttributeReference if tOut.contains(a) => Some(a.name)
+      case u: UnresolvedAttribute => u.nameParts match {
+        case Seq(q, c) if tAlias.contains(q) => Some(c)
+        case _ => None
+      }
+      case _ => None
+    }
+    def refuseShape(why: String): Nothing = refuse(
+      s"UPDATE graftlake.`$path`: a correlated scalar SET subquery " +
+        s"must be the canonical SELECT <agg(expr)> FROM ... WHERE " +
+        s"<target.col = expr> [AND ...] shape — $why")
+    val (projs, cond, child) = plan0 match {
+      case Project(ps, Filter(c, ch)) => (ps, c, ch)
+      case Aggregate(g, ps, Filter(c, ch), _) if g.isEmpty => (ps, c, ch)
+      case other => refuseShape(s"got ${other.nodeName}")
+    }
+    if (projs.size != 1)
+      refuseShape(s"it must select exactly one value, got ${projs.size}")
+    val cs = splitConjunctivePredicates(cond)
+    val (corr, rest) = cs.partition {
+      case EqualTo(l, r) => isTargetRef(l).isDefined ^ isTargetRef(r).isDefined
+      case _ => false
+    }
+    if (corr.size != 1) refuseShape(
+      s"exactly one equi-correlation predicate is needed, got ${corr.size}")
+    if (rest.exists(_.exists(x => isTargetRef(x).isDefined))) refuseShape(
+      "conjuncts other than the equi-correlation must not reference the target")
+    val EqualTo(l, r) = corr.head: @unchecked
+    val (tc, inner) = isTargetRef(l) match {
+      case Some(n) => (n, r)
+      case None => (isTargetRef(r).get, l)
+    }
+    val innerStripped = inner.transform { case OuterReference(a) => a }
+    val valueExpr = (projs.head match {
+      case UnresolvedAlias(e, _) => e
+      case Alias(e, _) => e
+      case e => e
+    }).transform { case OuterReference(a) => a }
+    if (valueExpr.exists(x => isTargetRef(x).isDefined)) refuseShape(
+      "the selected value must not reference the target")
+    val base = rest.reduceOption(And).map(Filter(_, child)).getOrElse(child)
+    (tc, Aggregate(Seq(innerStripped),
+      Seq(Alias(innerStripped, "__graft_sq_key")(),
+        Alias(valueExpr, "__graft_sq_val")()), base))
+  }
+
+  /** UPDATE ... SET x = (SELECT agg(...) FROM s WHERE s.c = t.k) —
+    * the per-key relabel shape ("set every doc's score to its
+    * group's best"). By-value lowering cannot express per-row
+    * correlation, so the subquery REGROUPS by its correlation key
+    * into a key→value frame and the statement lowers onto the
+    * library merge: matched rows take `s.__graft_sq_val`, rows whose
+    * key the frame misses take NULL (SQL's empty-scalar-subquery
+    * semantics) via the not-matched-by-source clause — both gated by
+    * the statement's own WHERE. NULL target keys never equality-match
+    * a correlation, so NULL frame keys are stripped and NULL-keyed
+    * rows fall to the NULL arm, exactly SQL. One correlated scalar
+    * per statement; other SET values ride t-anchored (uncorrelated
+    * scalars by value); a keyed WHERE subquery alongside refuses by
+    * name. The rewrite touches every WHERE-matching row BY DESIGN
+    * (each must take a value or NULL), so this is a whole-table merge
+    * — the file-granular planner cannot help a statement whose
+    * semantics touch all rows. */
+  private def lowerCorrelatedScalarUpdate(
+      path: String, assignments: Seq[Assignment], condition: Option[Expression],
+      tOut: AttributeSet, tAlias: Option[String]): LogicalPlan = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (corrAsg, plainAsg) = assignments.partition(a =>
+      hasCorrelatedScalar(a.value, tOut, tAlias))
+    if (corrAsg.size != 1) refuse(
+      s"UPDATE graftlake.`$path`: exactly ONE correlated scalar SET " +
+        s"value is supported per statement (got ${corrAsg.size})")
+    val Assignment(ck, cv) = corrAsg.head: @unchecked
+    val sq = cv match {
+      case s: ScalarSubquery => s
+      case _ => refuse(
+        s"UPDATE graftlake.`$path`: a correlated scalar SET value must " +
+          "be the subquery itself — wrap arithmetic INSIDE the subquery")
+    }
+    condition.foreach(c => if (hasSubquery(c)) refuse(
+      s"UPDATE graftlake.`$path`: WHERE may not carry subqueries when " +
+        "a SET value is a correlated scalar (one subquery per statement)"))
+    val (tc, aggPlan) =
+      decomposeCorrelatedScalar(sq.plan, path, tOut, tAlias)
+    val cond = condition.map(tAnchor(_, tAlias))
+    lazy val setOthers = plainAsg.map { case Assignment(k, v) =>
+      keyName(k) -> tAnchor(materializeScalars(v), tAlias)
+    }.toMap
+    val ckName = keyName(ck)
+    LakeDmlCommand(
+      s"UPDATE graftlake.`$path` SET $ckName = (correlated scalar subquery)",
+      () => {
+        val f =
+          try GraftSqlShim.dataFrame(spark, aggPlan)
+          catch { case e: org.apache.spark.sql.AnalysisException => refuse(
+            s"UPDATE graftlake.`$path`: the correlated scalar SET value " +
+              "must be an AGGREGATE over the subquery's rows (a plain " +
+              s"column cannot regroup by the correlation key): ${e.getMessage}")
+          }
+        val src = f.select(col("__graft_sq_key").as(tc), col("__graft_sq_val"))
+          .filter(col(tc).isNotNull)
+        LakeTable.mergeConditional(src, path, tc,
+          matched = Seq(LakeTable.MatchedUpdate(cond,
+            setOthers + (ckName -> col("s.__graft_sq_val")))),
+          notMatchedBySource = Seq(LakeTable.MatchedUpdate(cond,
+            setOthers + (ckName -> lit(null)))))
+      })
+  }
 
   private def classifySubquery(
       path: String, what: String, condition: Expression,
@@ -389,7 +537,16 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
           val setHasSubq = assignments.exists(a => hasSubquery(a.value))
           val condKeyed = condition.exists(c =>
             hasSubquery(c) && !onlyScalarSubqueries(c))
-          if (condKeyed)
+          val setCorrelated = assignments.exists(a =>
+            hasCorrelatedScalar(a.value, target.outputSet, aliasOf(target)))
+          if (setCorrelated && condKeyed) refuse(
+            s"UPDATE graftlake.`$path`: a correlated scalar SET value " +
+              "cannot combine with an IN/EXISTS WHERE subquery " +
+              "(one subquery per statement)")
+          if (setCorrelated)
+            lowerCorrelatedScalarUpdate(path, assignments, condition,
+              target.outputSet, aliasOf(target))
+          else if (condKeyed)
             lowerSubqueryUpdate(path, assignments, condition.get,
               target.outputSet, aliasOf(target))
           else if (setHasSubq || condition.exists(hasSubquery)) {

@@ -6990,6 +6990,40 @@ object LakeTable {
       .orderBy("lang")
   }
 
+  /** Driver query: UPDATE SET <correlated scalar subquery> (S14g) —
+    * the per-key relabel shape: every English doc's n_chars becomes
+    * its SOURCE's best review score, NULL where the review table has
+    * no row for that source (SQL's empty-scalar-subquery semantics —
+    * most sources, since the review slice is zh-only), with a plain
+    * SET riding alongside. One SQL statement through
+    * [[LakeSqlDmlRule]]'s correlated-scalar lowering (subquery
+    * regrouped by its correlation key, merge matched arm takes the
+    * value, not-matched-by-source arm takes NULL). The oracle replays
+    * the update from the raw table, hash-verifying the regroup→merge
+    * lowering end to end. */
+  def updateCorrelatedQuery(s: SparkSession, d: String): DataFrame = {
+    val path = freshWorkDir("lakeupdcorr", d)
+    val docs = graft.Tables.load(s, d, "documents")
+      .select("doc_id", "lang", "source", "n_chars")
+    overwrite(docs, path)
+    docs.filter(col("doc_id") % 13L === 2L && col("lang") === "zh")
+      .select("source", "n_chars")
+      .createOrReplaceTempView("graft_corr_review")
+    s.sql("DROP TABLE IF EXISTS graft_updcorr")
+    s.sql(s"CREATE TABLE graft_updcorr USING graftlake OPTIONS (path '$path')")
+    s.sql("UPDATE graft_updcorr t SET " +
+      "n_chars = (SELECT max(r.n_chars) FROM graft_corr_review r " +
+      "WHERE r.source = t.source), lang = 'relabeled' WHERE t.lang = 'en'")
+    require(history(s, path).count() == 2,
+      "the correlated-scalar UPDATE must be one commit")
+    read(s, path).groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        count(col("n_chars")).as("n_set"),
+        sum("n_chars").as("sum_chars"),
+        sum(when(col("lang") === "relabeled", 1L).otherwise(0L)).as("n_relabeled"))
+      .orderBy("source")
+  }
+
   /** Driver query: VARIANT COLUMNS THROUGH LAKE TABLES (round-12
     * verdict ask #5) — heterogeneous-payload event tables are exactly
     * what lands in lakes. Events parse to a `VariantType` column AT

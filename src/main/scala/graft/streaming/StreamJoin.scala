@@ -183,4 +183,84 @@ object StreamJoin {
         round(sum("value"), 6).as("matched_value"))
       .orderBy("user_id")
   }
+
+  /** Declared driver query: stream-stream FULL OUTER interval join
+    * (T13b) — both sides' misses surface: views that never converted
+    * AND purchases no view preceded, each emitting exactly once with
+    * the other side nulled when the watermark proves no match can
+    * still arrive. Purchase-side eviction closes at watermark >
+    * p_ts (a matching view needs v_ts in [p_ts − 1h, p_ts]), so the
+    * same single sentinel jump drains BOTH state stores; the
+    * sentinel's own rows never emit (their windows never close) and
+    * are filtered by user anyway. Everything else — corpus-spanning
+    * delay, mtime-ordered last-arrival sentinel, trailing no-data
+    * eviction batch — is [[outerJoinStream]] verbatim. */
+  def fullOuterJoinStream(s: SparkSession, d: String): DataFrame = {
+    val out = s"/tmp/graft_stream_fojoin_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+    graft.Util.rmRecursive(out)
+    val arrivals = s"$out/arrivals"
+    val ev = Tables.load(s, d, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .withColumn("tstamp", Tables.tsFromNanos("ts"))
+      .select("event_id", "user_id", "event_type", "tstamp", "value")
+    ev.withColumn("part", pmod(col("event_id"), lit(4L)))
+      .write.partitionBy("part").parquet(arrivals)
+    val maxTs = ev.agg(max("tstamp")).collect()(0).getTimestamp(0)
+    val sentTs = new java.sql.Timestamp(maxTs.getTime + 367L * 24 * 3600 * 1000)
+    import s.implicits._
+    Seq((Long.MaxValue - 1L, -1L, "view", sentTs, 0.0),
+        (Long.MaxValue - 2L, -1L, "purchase", sentTs, 0.0))
+      .toDF("event_id", "user_id", "event_type", "tstamp", "value")
+      .withColumn("part", lit(9L))
+      .write.mode("append").partitionBy("part").parquet(arrivals)
+    val fs = new java.io.File(arrivals)
+    def files(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(files) else Seq(f)
+    val (sentF, mainF) = files(fs).filter(_.getName.endsWith(".parquet"))
+      .partition(_.getPath.contains("part=9"))
+    val mainMax = mainF.map(_.lastModified()).max
+    sentF.foreach(f => require(f.setLastModified(mainMax + 60000L),
+      s"cannot bump sentinel mtime on $f"))
+    val schema = s.read.parquet(arrivals).schema
+    graft.Util.withIsolatedShufflePartitions(s, 8) { s8 =>
+      def arriving() = s8.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(arrivals)
+      val views = arriving()
+        .filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("tstamp").as("v_ts"))
+        .withWatermark("v_ts", "365 days")
+      val purchases = arriving()
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("tstamp").as("p_ts"), col("value"))
+        .withWatermark("p_ts", "365 days")
+      val q = views
+        .join(purchases,
+          col("v_user") === col("p_user") &&
+            col("p_ts") >= col("v_ts") &&
+            col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"),
+          "full_outer")
+        .select(coalesce(col("v_user"), col("p_user")).as("user_id"),
+          col("v_ts"), col("p_ts"), col("value"))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$out/_chk")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(s"$out/pairs")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(s"$out/pairs")
+      .filter(col("user_id") =!= -1L)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("p_ts").isNull, 1L).otherwise(0L)).as("n_unmatched_views"),
+        sum(when(col("v_ts").isNull, 1L).otherwise(0L)).as("n_unmatched_purchases"),
+        round(sum(when(col("v_ts").isNotNull && col("p_ts").isNotNull,
+          col("value"))), 6).as("matched_value"))
+      .orderBy("user_id")
+  }
 }

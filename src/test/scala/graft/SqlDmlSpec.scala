@@ -606,4 +606,49 @@ class SqlDmlSpec extends AnyFunSuite {
       assert(e.getMessage.contains("more than one row"), e.getMessage)
     } finally spark.sql("DROP TABLE IF EXISTS sqldml_sc")
   }
+
+  test("UPDATE SET <correlated scalar subquery> regroups onto the merge") {
+    val p = "/tmp/graft_test/sqldml_corr"
+    freshTable(p, "sqldml_corr")
+    import spark.implicits._
+    // per-key reference values: k=1 has two rows (max applies), k=3
+    // has none (NULL arm), k=2 has one
+    Seq((1L, 5.0), (1L, 9.0), (2L, 7.0), (4L, 100.0))
+      .toDF("rk", "rv").createOrReplaceTempView("sqldml_corr_ref")
+    try {
+      spark.sql("UPDATE sqldml_corr t SET v = (SELECT max(r.rv) FROM " +
+        "sqldml_corr_ref r WHERE r.rk = t.k), s = 'seen' WHERE t.k <= 3")
+      val rows = spark.sql("SELECT k, s, v FROM sqldml_corr ORDER BY k").collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+      assert(rows === Seq(
+        (1L, "seen", Some(9.0)),  // max of the two reference rows
+        (2L, "seen", Some(7.0)),
+        (3L, "seen", None),       // no reference row: SQL scalar-empty NULL
+        (4L, "d", Some(40.0))),   // outside WHERE: untouched (k=4 ref ignored)
+        rows.mkString(", "))
+      // one commit for the whole statement
+      assert(LakeTable.history(spark, p).count() === 2)
+      // residual filter INSIDE the subquery applies before the regroup
+      spark.sql("UPDATE sqldml_corr t SET v = (SELECT sum(r.rv) FROM " +
+        "sqldml_corr_ref r WHERE r.rk = t.k AND r.rv > 6.0)")
+      val v1 = spark.sql("SELECT v FROM sqldml_corr WHERE k = 1").head()
+      assert(v1.getDouble(0) === 9.0, "rv=5.0 must be filtered before the sum")
+      // refusals by name: two correlated SETs; correlated SET + keyed
+      // WHERE; non-aggregate correlated scalar
+      val e1 = intercept[Exception](spark.sql(
+        "UPDATE sqldml_corr t SET v = (SELECT max(r.rv) FROM sqldml_corr_ref r " +
+          "WHERE r.rk = t.k), s = (SELECT min(r.rv) FROM sqldml_corr_ref r " +
+          "WHERE r.rk = t.k)"))
+      assert(e1.getMessage.contains("exactly ONE correlated scalar"), e1.getMessage)
+      val e2 = intercept[Exception](spark.sql(
+        "UPDATE sqldml_corr t SET v = (SELECT max(r.rv) FROM sqldml_corr_ref r " +
+          "WHERE r.rk = t.k) WHERE t.k IN (SELECT rk FROM sqldml_corr_ref)"))
+      assert(e2.getMessage.contains("cannot combine"), e2.getMessage)
+      val e3 = intercept[Exception](spark.sql(
+        "UPDATE sqldml_corr t SET v = (SELECT r.rv FROM sqldml_corr_ref r " +
+          "WHERE r.rk = t.k)"))
+      assert(e3.getMessage.contains("AGGREGATE"), e3.getMessage)
+    } finally spark.sql("DROP TABLE IF EXISTS sqldml_corr")
+  }
 }
