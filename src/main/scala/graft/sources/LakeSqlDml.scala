@@ -171,6 +171,25 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
       plan.children.exists(planRefsTarget(_, tOut, tAlias))
   }
 
+  /** Like [[planRefsTarget]] but WITHOUT the raw-attribute
+    * containment test — inside a MERGE, a subquery scanning the same
+    * temp view as the USING source shares that view's analyzed
+    * attribute ids (DeduplicateRelations has not run yet), so
+    * containment false-positives an uncorrelated threshold into a
+    * refusal. Resolved correlation always arrives as
+    * OuterReference/outerAttrs; unresolved correlation as an
+    * alias-qualified name. */
+  private def planRefsQualified(plan: LogicalPlan, alias: Option[String]): Boolean = {
+    def refs(e: Expression): Boolean = e.exists {
+      case _: OuterReference => true
+      case u: UnresolvedAttribute =>
+        u.nameParts.length == 2 && alias.contains(u.nameParts.head)
+      case _ => false
+    }
+    plan.expressions.exists(refs) ||
+      plan.children.exists(planRefsQualified(_, alias))
+  }
+
   /** `SET x = (SELECT agg(v) FROM src WHERE src.c = t.k [AND rest])`
     * → (target key column `k`, the subquery REGROUPED as a standalone
     * key→value plan `SELECT c AS __graft_sq_key, agg(v) AS
@@ -613,16 +632,28 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
             s"MERGE INTO graftlake.`$path` requires ON target.k = source.k " +
               s"over one same-named key column; got $mergeCond"))
 
-          def anchor(e0: Expression): Column = {
-            // clause conditions/values evaluate inside the merge's
-            // joined frame — a subquery there has no lowering; name
-            // the fix instead of failing with an unresolved plan
-            if (hasSubquery(e0)) refuse(
-              s"MERGE INTO graftlake.`$path`: subqueries are not supported " +
-                "inside MERGE clauses — precompute the value into the USING " +
-                "source (or a temp view) and reference it as s.<col>")
-            anchored(e0, tOut, sOut, tAlias, sAlias)
-          }
+          // clause conditions/values evaluate inside the merge's
+          // joined frame — an UNCORRELATED SCALAR subquery lowers by
+          // value there (one tiny job at effect time, the same
+          // contract as scalar subqueries in UPDATE/DELETE); anything
+          // correlated (either alias) or keyed has no lowering: name
+          // the fix instead of failing with an unresolved plan
+          def scalarsByValue(e0: Expression): Expression =
+            if (!hasSubquery(e0)) e0
+            else {
+              val corr = e0.collect { case sq: ScalarSubquery => sq }
+                .exists(sq => sq.outerAttrs.nonEmpty ||
+                  planRefsQualified(sq.plan, tAlias) ||
+                  planRefsQualified(sq.plan, sAlias))
+              if (!onlyScalarSubqueries(e0) || corr) refuse(
+                s"MERGE INTO graftlake.`$path`: only uncorrelated SCALAR " +
+                  "subqueries lower inside MERGE clauses (by value) — " +
+                  "precompute correlated or keyed values into the USING " +
+                  "source (or a temp view) and reference them as s.<col>")
+              materializeScalars(e0)
+            }
+          def anchor(e0: Expression): Column =
+            anchored(scalarsByValue(e0), tOut, sOut, tAlias, sAlias)
           def clauseOf(a: MergeAction): LakeTable.MergeClause = a match {
             // under WITH SCHEMA EVOLUTION an analyzer-expanded SET *
             // (fromStar) is re-expanded at effect time like a raw
@@ -671,7 +702,8 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
             case other => other
           }
           def insertCond(a: MergeAction): Column = a match {
-            case InsertStarAction(cond) => cond.map(sourceOnly).getOrElse(lit(true))
+            case InsertStarAction(cond) =>
+              cond.map(c => sourceOnly(scalarsByValue(c))).getOrElse(lit(true))
             case InsertAction(cond, assigns) =>
               val identity = assigns.forall {
                 case Assignment(k, v0) => val v = stripped(v0); side(v) match {
@@ -688,18 +720,21 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
                 s"MERGE INTO graftlake.`$path`: WHEN NOT MATCHED INSERT must be " +
                   "INSERT * or the identity column mapping (the inserted row is " +
                   "the source row)")
-              cond.map(sourceOnly).getOrElse(lit(true))
+              cond.map(c => sourceOnly(scalarsByValue(c))).getOrElse(lit(true))
             case other => refuse(s"unsupported WHEN NOT MATCHED action $other")
           }
           if (notMatchedActions.size > 1)
             refuse(s"MERGE INTO graftlake.`$path`: at most one WHEN NOT MATCHED clause")
-          val matched = matchedActions.map(clauseOf)
+          // lazy: scalar-by-value materialization (and its refusals)
+          // runs INSIDE the command effect, never at analysis — the
+          // first reference to each val is in the closure below
+          lazy val matched = matchedActions.map(clauseOf)
           val starCols = matchedActions.collect {
             case _: UpdateStarAction => ()
             case UpdateAction(_, _, true) if withEvo => () // deferred SET *
           }.nonEmpty
-          val nmbs = notMatchedBySourceActions.map(clauseOf)
-          val insert = notMatchedActions.headOption.map(insertCond)
+          lazy val nmbs = notMatchedBySourceActions.map(clauseOf)
+          lazy val insert = notMatchedActions.headOption.map(insertCond)
           // the source plan re-analyzes as its own frame at effect
           // time (capturing the analyzed child of THIS plan would pin
           // attribute ids that die with it)

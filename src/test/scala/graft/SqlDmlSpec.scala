@@ -533,14 +533,16 @@ class SqlDmlSpec extends AnyFunSuite {
         "DELETE FROM sqldml_dref t WHERE EXISTS " +
           "(SELECT 1 FROM sqldml_dref_keys b WHERE b.doc > t.k)"))
       assert(e2.getMessage.contains("equi-correlation"), e2.getMessage)
-      // a subquery inside a MERGE clause names the fix
+      // a CORRELATED subquery inside a MERGE clause names the fix
+      // (uncorrelated SCALARS lower by value since round 13 — see the
+      // dedicated test)
       spark.sql("SELECT doc AS k FROM sqldml_dref_keys")
         .createOrReplaceTempView("sqldml_dref_src")
       val e3 = intercept[Exception](spark.sql(
         "MERGE INTO sqldml_dref t USING sqldml_dref_src u ON t.k = u.k " +
-          "WHEN MATCHED AND t.v > (SELECT avg(k) FROM sqldml_dref_src) " +
-          "THEN DELETE"))
-      assert(e3.getMessage.contains("precompute the value"), e3.getMessage)
+          "WHEN MATCHED AND t.v > (SELECT avg(b.doc) FROM sqldml_dref_keys b " +
+          "WHERE b.doc = t.k) THEN DELETE"))
+      assert(e3.getMessage.contains("precompute correlated or keyed"), e3.getMessage)
     } finally spark.sql("DROP TABLE IF EXISTS sqldml_dref")
   }
 
@@ -605,6 +607,34 @@ class SqlDmlSpec extends AnyFunSuite {
         "DELETE FROM sqldml_sc WHERE v > (SELECT x FROM sqldml_sc_stats)"))
       assert(e.getMessage.contains("more than one row"), e.getMessage)
     } finally spark.sql("DROP TABLE IF EXISTS sqldml_sc")
+  }
+
+  test("uncorrelated scalar subqueries lower by value inside MERGE clauses") {
+    val p = "/tmp/graft_test/sqldml_msc"
+    freshTable(p, "sqldml_msc")
+    import spark.implicits._
+    Seq((2L, "B", 200.0), (9L, "I", 900.0)).toDF("k", "s", "v")
+      .createOrReplaceTempView("sqldml_msc_src")
+    Seq(25.0).toDF("x").createOrReplaceTempView("sqldml_msc_th")
+    try {
+      spark.sql(
+        """MERGE INTO sqldml_msc t USING sqldml_msc_src u ON t.k = u.k
+          |WHEN MATCHED AND t.v < (SELECT max(x) FROM sqldml_msc_th)
+          |  THEN UPDATE SET v = u.v + (SELECT max(x) FROM sqldml_msc_th)
+          |WHEN NOT MATCHED AND u.v > (SELECT min(x) FROM sqldml_msc_th)
+          |  THEN INSERT *""".stripMargin)
+      val rows = spark.sql("SELECT k, v FROM sqldml_msc ORDER BY k").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      // k=2 matched with t.v=20 < 25 -> v = 200 + 25; k=9 inserted
+      assert(rows === Seq((1L, 10.0), (2L, 225.0), (3L, 30.0),
+        (4L, 40.0), (9L, 900.0)), rows.mkString(", "))
+      // a CORRELATED scalar inside a clause still refuses by name
+      val e = intercept[Exception](spark.sql(
+        """MERGE INTO sqldml_msc t USING sqldml_msc_src u ON t.k = u.k
+          |WHEN MATCHED AND t.v < (SELECT max(x) FROM sqldml_msc_th
+          |  WHERE x = t.v) THEN DELETE""".stripMargin))
+      assert(e.getMessage.contains("only uncorrelated SCALAR"), e.getMessage)
+    } finally spark.sql("DROP TABLE IF EXISTS sqldml_msc")
   }
 
   test("UPDATE SET <correlated scalar subquery> regroups onto the merge") {
