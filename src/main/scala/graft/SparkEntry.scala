@@ -231,6 +231,7 @@ object SparkEntry {
     "lake_delete_in_subquery" -> (sources.LakeTable.deleteInSubqueryQuery _),
     "lake_update_in_subquery" -> (sources.LakeTable.updateInSubqueryQuery _),
     "lake_update_correlated" -> (sources.LakeTable.updateCorrelatedQuery _),
+    "lake_delete_correlated" -> (sources.LakeTable.deleteCorrelatedQuery _),
     "lake_variant_column" -> (sources.LakeTable.variantColumnQuery _),
     "lake_conflict_rebase" -> (sources.LakeTable.conflictRebaseQuery _),
     "lake_conflict_serializable" -> (sources.LakeTable.conflictSerializableQuery _),
@@ -1665,6 +1666,18 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN lang = 'relabeled' THEN 1 ELSE 0 END) AS BIGINT)
         |         AS n_relabeled
         |FROM upd GROUP BY source ORDER BY source""".stripMargin,
+    // lake_delete_correlated: DELETE WHERE n_chars < (SELECT avg(...)
+    // FROM r WHERE r.source = t.source) AND lang = 'en' — per-key
+    // threshold purge; sources the review misses keep their docs
+    // (NULL threshold -> UNKNOWN -> kept, SQL three-valued logic)
+    "lake_delete_correlated" ->
+      """WITH rv AS (SELECT source, n_chars FROM documents
+        |            WHERE doc_id % 13 = 2 AND lang = 'zh'),
+        |av AS (SELECT source, avg(n_chars) AS a FROM rv GROUP BY source)
+        |SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents d LEFT JOIN av ON av.source = d.source
+        |WHERE NOT COALESCE(d.lang = 'en' AND d.n_chars < av.a, FALSE)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     // lake_delete_in_subquery: two subquery DELETEs (uncorrelated IN
     // incl. ids absent from the corpus; equi-correlated EXISTS with a
     // residual conjunct) — the oracle recomputes the survivors from

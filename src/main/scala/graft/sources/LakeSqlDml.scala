@@ -198,7 +198,8 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
     * shape decomposes; anything deeper refuses by name. */
   private def decomposeCorrelatedScalar(
       plan0: LogicalPlan, path: String,
-      tOut: AttributeSet, tAlias: Option[String]): (String, LogicalPlan) = {
+      tOut: AttributeSet, tAlias: Option[String],
+      what: String = "UPDATE"): (String, LogicalPlan) = {
     def isTargetRef(e: Expression): Option[String] = e match {
       case OuterReference(a) => Some(a.name)
       case a: AttributeReference if tOut.contains(a) => Some(a.name)
@@ -209,7 +210,7 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
       case _ => None
     }
     def refuseShape(why: String): Nothing = refuse(
-      s"UPDATE graftlake.`$path`: a correlated scalar SET subquery " +
+      s"$what graftlake.`$path`: a correlated scalar subquery " +
         s"must be the canonical SELECT <agg(expr)> FROM ... WHERE " +
         s"<target.col = expr> [AND ...] shape — $why")
     val (projs, cond, child) = plan0 match {
@@ -307,6 +308,63 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
             setOthers + (ckName -> col("s.__graft_sq_val")))),
           notMatchedBySource = Seq(LakeTable.MatchedUpdate(cond,
             setOthers + (ckName -> lit(null)))))
+      })
+  }
+
+  /** DELETE ... WHERE <cmp involving (SELECT agg(...) FROM r WHERE
+    * r.c = t.k)> — the per-key threshold shape ("delete every doc
+    * below its source's review average"). The correlated scalar
+    * REGROUPS exactly like the UPDATE form; the WHOLE delete
+    * condition (residual conjuncts included) becomes the merge's
+    * matched-delete clause with the subquery replaced by
+    * `s.__graft_sq_val`. Rows whose key the frame misses never match
+    * the merge — their scalar is SQL-NULL, the comparison UNKNOWN,
+    * the row kept — so the file-granular merge planner applies: only
+    * files holding keyed rows are touched. */
+  private def lowerCorrelatedScalarDelete(
+      path: String, condition: Expression,
+      tOut: AttributeSet, tAlias: Option[String]): LogicalPlan = {
+    import org.apache.spark.sql.functions.col
+    val allSqs = condition.collect { case sq: SubqueryExpression => sq }
+    val corrSqs = condition.collect {
+      case sq: ScalarSubquery
+        if sq.outerAttrs.nonEmpty || planRefsTarget(sq.plan, tOut, tAlias) => sq
+    }
+    if (allSqs.size != 1 || corrSqs.size != 1) refuse(
+      s"DELETE FROM graftlake.`$path`: exactly ONE subquery is supported " +
+        s"per statement (got ${allSqs.size}, of which ${corrSqs.size} " +
+        "correlated scalars)")
+    val sq = corrSqs.head
+    val (tc, aggPlan) =
+      decomposeCorrelatedScalar(sq.plan, path, tOut, tAlias, "DELETE FROM")
+    val sVal = UnresolvedAttribute(Seq("s", "__graft_sq_val"))
+    val cond2 = condition.transform {
+      case s: ScalarSubquery if s eq sq => sVal
+    }
+    // t-anchor everything EXCEPT the substituted source-value ref
+    def anchorT(e: Expression): Column = GraftSqlShim.column(e.transform {
+      case u: UnresolvedAttribute
+        if u.nameParts == Seq("s", "__graft_sq_val") => u
+      case a: AttributeReference => UnresolvedAttribute(Seq("t", a.name))
+      case u: UnresolvedAttribute => u.nameParts match {
+        case Seq(q, c) if tAlias.contains(q) => UnresolvedAttribute(Seq("t", c))
+        case parts => UnresolvedAttribute(Seq("t", parts.last))
+      }
+    })
+    LakeDmlCommand(
+      s"DELETE FROM graftlake.`$path` WHERE <correlated scalar subquery>",
+      () => {
+        val f =
+          try GraftSqlShim.dataFrame(spark, aggPlan)
+          catch { case e: org.apache.spark.sql.AnalysisException => refuse(
+            s"DELETE FROM graftlake.`$path`: the correlated scalar must be " +
+              "an AGGREGATE over the subquery's rows (a plain column cannot " +
+              s"regroup by the correlation key): ${e.getMessage}")
+          }
+        val src = f.select(col("__graft_sq_key").as(tc), col("__graft_sq_val"))
+          .filter(col(tc).isNotNull)
+        LakeTable.mergeConditional(src, path, tc,
+          matched = Seq(LakeTable.MatchedDelete(Some(anchorT(cond2)))))
       })
   }
 
@@ -536,7 +594,13 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
       if (tbl.pinnedVersion.nonEmpty)
         refuse(s"cannot DELETE from a version-pinned read of ${tbl.tablePath}")
       val path = tbl.tablePath
-      if (onlyScalarSubqueries(condition))
+      if (hasCorrelatedScalar(condition, target.outputSet, aliasOf(target)))
+        // DELETE ... WHERE v < (SELECT agg(...) WHERE r.c = t.k):
+        // per-row correlation cannot lower by value — regroup onto
+        // the merge (the UPDATE SET lowering's delete twin)
+        lowerCorrelatedScalarDelete(path, condition,
+          target.outputSet, aliasOf(target))
+      else if (onlyScalarSubqueries(condition))
         // DELETE ... WHERE v > (SELECT avg(v) FROM x): lower BY VALUE
         // through the ordinary file-granular delete — the threshold
         // evaluates once, the planner's manifest pruning then applies

@@ -7024,6 +7024,34 @@ object LakeTable {
       .orderBy("source")
   }
 
+  /** Driver query: DELETE WHERE <correlated scalar comparison>
+    * (S14g's delete twin) — the per-key threshold purge: every
+    * English doc shorter than its SOURCE's zh-review average is
+    * deleted; docs of sources the review misses keep (NULL threshold
+    * → UNKNOWN → kept, SQL three-valued logic), with a residual
+    * conjunct riding the clause. One SQL statement through the
+    * regroup→merge lowering; the oracle recomputes the survivors
+    * from the raw table. */
+  def deleteCorrelatedQuery(s: SparkSession, d: String): DataFrame = {
+    val path = freshWorkDir("lakedelcorr", d)
+    val docs = graft.Tables.load(s, d, "documents")
+      .select("doc_id", "lang", "source", "n_chars")
+    overwrite(docs, path)
+    docs.filter(col("doc_id") % 13L === 2L && col("lang") === "zh")
+      .select("source", "n_chars")
+      .createOrReplaceTempView("graft_corr_review_del")
+    s.sql("DROP TABLE IF EXISTS graft_delcorr")
+    s.sql(s"CREATE TABLE graft_delcorr USING graftlake OPTIONS (path '$path')")
+    s.sql("DELETE FROM graft_delcorr t WHERE t.n_chars < " +
+      "(SELECT avg(r.n_chars) FROM graft_corr_review_del r " +
+      "WHERE r.source = t.source) AND t.lang = 'en'")
+    require(history(s, path).count() == 2,
+      "the correlated-scalar DELETE must be one commit")
+    read(s, path).groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+      .orderBy("lang")
+  }
+
   /** Driver query: VARIANT COLUMNS THROUGH LAKE TABLES (round-12
     * verdict ask #5) — heterogeneous-payload event tables are exactly
     * what lands in lakes. Events parse to a `VariantType` column AT

@@ -609,6 +609,31 @@ class SqlDmlSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS sqldml_sc")
   }
 
+  test("DELETE WHERE <correlated scalar comparison> regroups onto the merge") {
+    val p = "/tmp/graft_test/sqldml_cdel"
+    freshTable(p, "sqldml_cdel")
+    import spark.implicits._
+    // per-key thresholds: k=1 -> 15, k=2 -> 25 (max of two), k=3/4 none
+    Seq((1L, 15.0), (2L, 15.0), (2L, 25.0))
+      .toDF("rk", "rv").createOrReplaceTempView("sqldml_cdel_ref")
+    try {
+      spark.sql("DELETE FROM sqldml_cdel t WHERE t.v < (SELECT max(r.rv) " +
+        "FROM sqldml_cdel_ref r WHERE r.rk = t.k) AND t.s != 'z'")
+      // k=1: 10 < 15 deletes; k=2: 20 < 25 deletes; k=3/4: no
+      // reference row -> NULL threshold -> UNKNOWN -> kept
+      assert(spark.sql("SELECT k FROM sqldml_cdel ORDER BY k").collect()
+        .map(_.getLong(0)).toSeq === Seq(3L, 4L))
+      assert(LakeTable.history(spark, p).count() === 2,
+        "the correlated-scalar DELETE must be one commit")
+      // a second subquery alongside refuses by name
+      val e = intercept[Exception](spark.sql(
+        "DELETE FROM sqldml_cdel t WHERE t.v < (SELECT max(r.rv) FROM " +
+          "sqldml_cdel_ref r WHERE r.rk = t.k) AND t.k IN " +
+          "(SELECT rk FROM sqldml_cdel_ref)"))
+      assert(e.getMessage.contains("exactly ONE subquery"), e.getMessage)
+    } finally spark.sql("DROP TABLE IF EXISTS sqldml_cdel")
+  }
+
   test("uncorrelated scalar subqueries lower by value inside MERGE clauses") {
     val p = "/tmp/graft_test/sqldml_msc"
     freshTable(p, "sqldml_msc")
