@@ -294,15 +294,7 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
     LakeDmlCommand(
       s"UPDATE graftlake.`$path` SET $ckName = (correlated scalar subquery)",
       () => {
-        val f =
-          try GraftSqlShim.dataFrame(spark, aggPlan)
-          catch { case e: org.apache.spark.sql.AnalysisException => refuse(
-            s"UPDATE graftlake.`$path`: the correlated scalar SET value " +
-              "must be an AGGREGATE over the subquery's rows (a plain " +
-              s"column cannot regroup by the correlation key): ${e.getMessage}")
-          }
-        val src = f.select(col("__graft_sq_key").as(tc), col("__graft_sq_val"))
-          .filter(col(tc).isNotNull)
+        val src = corrKeyFrame(aggPlan, tc, path, "UPDATE")
         LakeTable.mergeConditional(src, path, tc,
           matched = Seq(LakeTable.MatchedUpdate(cond,
             setOthers + (ckName -> col("s.__graft_sq_val")))),
@@ -337,12 +329,65 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
     val sq = corrSqs.head
     val (tc, aggPlan) =
       decomposeCorrelatedScalar(sq.plan, path, tOut, tAlias, "DELETE FROM")
-    val sVal = UnresolvedAttribute(Seq("s", "__graft_sq_val"))
     val cond2 = condition.transform {
-      case s: ScalarSubquery if s eq sq => sVal
+      case s: ScalarSubquery if s eq sq =>
+        UnresolvedAttribute(Seq("s", "__graft_sq_val"))
     }
-    // t-anchor everything EXCEPT the substituted source-value ref
-    def anchorT(e: Expression): Column = GraftSqlShim.column(e.transform {
+    LakeDmlCommand(
+      s"DELETE FROM graftlake.`$path` WHERE <correlated scalar subquery>",
+      () => {
+        val src = corrKeyFrame(aggPlan, tc, path, "DELETE FROM")
+        LakeTable.mergeConditional(src, path, tc,
+          matched = Seq(LakeTable.MatchedDelete(
+            Some(anchorTKeepSVal(cond2, tAlias)))))
+      })
+  }
+
+  /** UPDATE ... SET <plain values> WHERE <cmp involving a correlated
+    * scalar> — [[lowerCorrelatedScalarDelete]] with an update clause:
+    * the whole condition (subquery substituted by `s.__graft_sq_val`)
+    * gates the matched-update; key-missing rows never match, their
+    * NULL threshold keeps them untouched, and the file-granular merge
+    * planner applies. */
+  private def lowerCorrelatedCondUpdate(
+      path: String, assignments: Seq[Assignment], condition: Expression,
+      tOut: AttributeSet, tAlias: Option[String]): LogicalPlan = {
+    val allSqs = condition.collect { case sq: SubqueryExpression => sq }
+    val corrSqs = condition.collect {
+      case sq: ScalarSubquery
+        if sq.outerAttrs.nonEmpty || planRefsTarget(sq.plan, tOut, tAlias) => sq
+    }
+    if (allSqs.size != 1 || corrSqs.size != 1) refuse(
+      s"UPDATE graftlake.`$path`: exactly ONE subquery is supported " +
+        s"per statement (got ${allSqs.size}, of which ${corrSqs.size} " +
+        "correlated scalars)")
+    assignments.foreach(a => if (hasSubquery(a.value)) refuse(
+      s"UPDATE graftlake.`$path`: SET values may not carry subqueries " +
+        "when the WHERE holds a correlated scalar (one subquery per " +
+        "statement)"))
+    val sq = corrSqs.head
+    val (tc, aggPlan) = decomposeCorrelatedScalar(sq.plan, path, tOut, tAlias)
+    val cond2 = condition.transform {
+      case s: ScalarSubquery if s eq sq =>
+        UnresolvedAttribute(Seq("s", "__graft_sq_val"))
+    }
+    val setT = assignments.map { case Assignment(k, v) =>
+      keyName(k) -> tAnchor(v, tAlias)
+    }.toMap
+    LakeDmlCommand(
+      s"UPDATE graftlake.`$path` WHERE <correlated scalar subquery>",
+      () => {
+        val src = corrKeyFrame(aggPlan, tc, path, "UPDATE")
+        LakeTable.mergeConditional(src, path, tc,
+          matched = Seq(LakeTable.MatchedUpdate(
+            Some(anchorTKeepSVal(cond2, tAlias)), setT)))
+      })
+  }
+
+  /** t-anchor everything EXCEPT the substituted `s.__graft_sq_val`
+    * source-value reference. */
+  private def anchorTKeepSVal(e: Expression, tAlias: Option[String]): Column =
+    GraftSqlShim.column(e.transform {
       case u: UnresolvedAttribute
         if u.nameParts == Seq("s", "__graft_sq_val") => u
       case a: AttributeReference => UnresolvedAttribute(Seq("t", a.name))
@@ -351,21 +396,23 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
         case parts => UnresolvedAttribute(Seq("t", parts.last))
       }
     })
-    LakeDmlCommand(
-      s"DELETE FROM graftlake.`$path` WHERE <correlated scalar subquery>",
-      () => {
-        val f =
-          try GraftSqlShim.dataFrame(spark, aggPlan)
-          catch { case e: org.apache.spark.sql.AnalysisException => refuse(
-            s"DELETE FROM graftlake.`$path`: the correlated scalar must be " +
-              "an AGGREGATE over the subquery's rows (a plain column cannot " +
-              s"regroup by the correlation key): ${e.getMessage}")
-          }
-        val src = f.select(col("__graft_sq_key").as(tc), col("__graft_sq_val"))
-          .filter(col(tc).isNotNull)
-        LakeTable.mergeConditional(src, path, tc,
-          matched = Seq(LakeTable.MatchedDelete(Some(anchorT(cond2)))))
-      })
+
+  /** The regrouped key→value frame of a correlated scalar, analyzed
+    * at effect time; NULL keys are stripped (an equality correlation
+    * cannot match them — those rows take the NULL arm). */
+  private def corrKeyFrame(
+      aggPlan: LogicalPlan, tc: String, path: String, what: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val f =
+      try GraftSqlShim.dataFrame(spark, aggPlan)
+      catch { case e: org.apache.spark.sql.AnalysisException => refuse(
+        s"$what graftlake.`$path`: the correlated scalar must be " +
+          "an AGGREGATE over the subquery's rows (a plain column cannot " +
+          s"regroup by the correlation key): ${e.getMessage}")
+      }
+    f.select(col("__graft_sq_key").as(tc), col("__graft_sq_val"))
+      .filter(col(tc).isNotNull)
   }
 
   private def classifySubquery(
@@ -622,12 +669,19 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
             hasSubquery(c) && !onlyScalarSubqueries(c))
           val setCorrelated = assignments.exists(a =>
             hasCorrelatedScalar(a.value, target.outputSet, aliasOf(target)))
-          if (setCorrelated && condKeyed) refuse(
+          val condCorrelated = condition.exists(c =>
+            hasCorrelatedScalar(c, target.outputSet, aliasOf(target)))
+          if (setCorrelated && (condKeyed || condCorrelated)) refuse(
             s"UPDATE graftlake.`$path`: a correlated scalar SET value " +
-              "cannot combine with an IN/EXISTS WHERE subquery " +
+              "cannot combine with a WHERE subquery " +
               "(one subquery per statement)")
           if (setCorrelated)
             lowerCorrelatedScalarUpdate(path, assignments, condition,
+              target.outputSet, aliasOf(target))
+          else if (condCorrelated)
+            // a keyed subquery alongside refuses INSIDE the lowering
+            // (exactly-one-subquery check), naming both counts
+            lowerCorrelatedCondUpdate(path, assignments, condition.get,
               target.outputSet, aliasOf(target))
           else if (condKeyed)
             lowerSubqueryUpdate(path, assignments, condition.get,

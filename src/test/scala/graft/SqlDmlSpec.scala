@@ -634,6 +634,36 @@ class SqlDmlSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS sqldml_cdel")
   }
 
+  test("UPDATE WHERE <correlated scalar comparison> gates a plain SET") {
+    val p = "/tmp/graft_test/sqldml_cupd"
+    freshTable(p, "sqldml_cupd")
+    import spark.implicits._
+    Seq((1L, 15.0), (2L, 15.0), (4L, 35.0))
+      .toDF("rk", "rv").createOrReplaceTempView("sqldml_cupd_ref")
+    try {
+      spark.sql("UPDATE sqldml_cupd t SET s = 'low', v = v * 100 WHERE " +
+        "t.v < (SELECT max(r.rv) FROM sqldml_cupd_ref r WHERE r.rk = t.k)")
+      val rows = spark.sql("SELECT k, s, v FROM sqldml_cupd ORDER BY k").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+      // k=1: 10 < 15 updates; k=2: 20 < 15 false; k=3: no ref row ->
+      // NULL -> UNKNOWN -> untouched; k=4: 40 < 35 false
+      assert(rows === Seq((1L, "low", 1000.0), (2L, "b", 20.0),
+        (3L, "c", 30.0), (4L, "d", 40.0)), rows.mkString(", "))
+      // correlated WHERE + keyed WHERE refuses with both counts named
+      val e = intercept[Exception](spark.sql(
+        "UPDATE sqldml_cupd t SET s = 'x' WHERE t.v < (SELECT max(r.rv) " +
+          "FROM sqldml_cupd_ref r WHERE r.rk = t.k) AND t.k IN " +
+          "(SELECT rk FROM sqldml_cupd_ref)"))
+      assert(e.getMessage.contains("exactly ONE subquery"), e.getMessage)
+      // correlated SET + correlated WHERE refuses
+      val e2 = intercept[Exception](spark.sql(
+        "UPDATE sqldml_cupd t SET v = (SELECT max(r.rv) FROM sqldml_cupd_ref r " +
+          "WHERE r.rk = t.k) WHERE t.v < (SELECT min(r.rv) FROM " +
+          "sqldml_cupd_ref r WHERE r.rk = t.k)"))
+      assert(e2.getMessage.contains("cannot combine"), e2.getMessage)
+    } finally spark.sql("DROP TABLE IF EXISTS sqldml_cupd")
+  }
+
   test("uncorrelated scalar subqueries lower by value inside MERGE clauses") {
     val p = "/tmp/graft_test/sqldml_msc"
     freshTable(p, "sqldml_msc")
