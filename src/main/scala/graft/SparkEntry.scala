@@ -282,6 +282,7 @@ object SparkEntry {
     "stream_interval_join" -> (streaming.StreamJoin.intervalJoinStream _),
     "stream_outer_join" -> (streaming.StreamJoin.outerJoinStream _),
     "stream_full_outer_join" -> (streaming.StreamJoin.fullOuterJoinStream _),
+    "stream_semi_join" -> (streaming.StreamJoin.semiJoinStream _),
   )
 
   /** MinHash near-dup pair SQL, shared by the `minhash_near_dup`
@@ -3684,6 +3685,18 @@ object SparkEntry {
         |                      THEN value END), 6) AS matched_value
         |FROM v FULL JOIN p
         |  ON p_user = v_user AND pt >= vt AND pt <= vt + INTERVAL '1 hour'
+        |GROUP BY 1 ORDER BY user_id""".stripMargin,
+    // stream_semi_join: a view emits its own columns exactly once the
+    // first time a purchase lands in its hour — never-matched views
+    // never emit, so the accumulated union equals this batch EXISTS
+    "stream_semi_join" ->
+      """WITH v AS (SELECT user_id, ts AS vt FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id AS p_user, ts AS pt
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, count(*) AS n_converted
+        |FROM v
+        |WHERE EXISTS (SELECT 1 FROM p WHERE p_user = user_id
+        |              AND pt >= vt AND pt <= vt + INTERVAL '1 hour')
         |GROUP BY 1 ORDER BY user_id""".stripMargin,
   )
 }

@@ -184,6 +184,59 @@ object StreamJoin {
       .orderBy("user_id")
   }
 
+  /** Declared driver query: stream-stream LEFT SEMI interval join
+    * (T13c) — "which views converted": a view emits (its own columns
+    * only) the first time a purchase lands in its hour, exactly once
+    * however the files batch; never-matched views simply never emit,
+    * so no sentinel drain is needed — the state machinery is the
+    * inner join's, the output contract the semi's. */
+  def semiJoinStream(s: SparkSession, d: String): DataFrame = {
+    val out = s"/tmp/graft_stream_sjoin_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+    graft.Util.rmRecursive(out)
+    val arrivals = s"$out/arrivals"
+    Tables.load(s, d, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .withColumn("tstamp", Tables.tsFromNanos("ts"))
+      .select("event_id", "user_id", "event_type", "tstamp", "value")
+      .withColumn("part", pmod(col("event_id"), lit(4L)))
+      .write.partitionBy("part").parquet(arrivals)
+    val schema = s.read.parquet(arrivals).schema
+    graft.Util.withIsolatedShufflePartitions(s, 8) { s8 =>
+      def arriving() = s8.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(arrivals)
+      val views = arriving()
+        .filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("tstamp").as("v_ts"))
+        .withWatermark("v_ts", "365 days")
+      val purchases = arriving()
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("tstamp").as("p_ts"))
+        .withWatermark("p_ts", "365 days")
+      val q = views
+        .join(purchases,
+          col("v_user") === col("p_user") &&
+            col("p_ts") >= col("v_ts") &&
+            col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"),
+          "left_semi")
+        .select(col("v_user").as("user_id"), col("v_ts"))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$out/_chk")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(s"$out/converted")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(s"$out/converted")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_converted"))
+      .orderBy("user_id")
+  }
+
   /** Declared driver query: stream-stream FULL OUTER interval join
     * (T13b) — both sides' misses surface: views that never converted
     * AND purchases no view preceded, each emitting exactly once with
