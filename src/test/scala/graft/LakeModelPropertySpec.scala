@@ -44,6 +44,14 @@ class LakeModelPropertySpec extends AnyFunSuite {
       var model = (1L to 20L).map(k => k -> (k * 10.0 + seed)).toMap
       LakeTable.overwrite(frame(model), p) // v0
       val perVersion = scala.collection.mutable.Buffer(model)
+      // raced steps (cases 12/13) inject a concurrent append between a
+      // state-dependent commit's snapshot read and its version claim —
+      // the round-13 conflict-revalidation rebase under the snapshot
+      // default, here exercised across RANDOM interleavings with MoR
+      // state, rollbacks and compaction instead of the single-shape specs
+      val arb = new graft.sources.RaceInjectionArbiter
+      LakeTable.setCommitArbiter(p, arb)
+      try {
 
       // the merge algebra every conditional-merge step applies, mirrored
       // in the model: matched & value<500 → take source value; matched
@@ -57,7 +65,7 @@ class LakeModelPropertySpec extends AnyFunSuite {
         } ++ srcM.filter { case (k, sv) => !model.contains(k) && sv > 300.0 }
 
       for (step <- 1 to 10) {
-        rnd.nextInt(12) match {
+        rnd.nextInt(14) match {
           case 0 => // append fresh keys
             val add = (0 until 3).map { i =>
               (nextKey + i) -> (rnd.nextInt(1000).toDouble)
@@ -134,6 +142,26 @@ class LakeModelPropertySpec extends AnyFunSuite {
             frame(add).write.parquet(ext)
             LakeTable.addFiles(spark, p, ext)
             model = model ++ add
+          case 12 => // racing append between a CoW DELETE's read and claim:
+            // snapshot isolation — the delete applies to the snapshot it
+            // read; the racer's rows (even predicate-matching ones) land
+            val add = (0 until 2)
+              .map(i => (nextKey + i) -> rnd.nextInt(1000).toDouble).toMap
+            nextKey += 2
+            arb.armRace(() => { LakeTable.append(frame(add), p); () })
+            val m = 2 + rnd.nextInt(4)
+            val r = rnd.nextInt(m)
+            LakeTable.delete(spark, p, pmod(col("id"), lit(m.toLong)) === r)
+            perVersion += (model ++ add) // the racer's own version
+            model = model.filter { case (k, _) => k % m != r } ++ add
+          case 13 => // racing append under compaction: fold + racer both land
+            val add = (0 until 2)
+              .map(i => (nextKey + i) -> rnd.nextInt(1000).toDouble).toMap
+            nextKey += 2
+            arb.armRace(() => { LakeTable.append(frame(add), p); () })
+            LakeTable.compact(spark, p)
+            perVersion += (model ++ add)
+            model = model ++ add
         }
         perVersion += model
         assert(readState(p) === model,
@@ -145,6 +173,7 @@ class LakeModelPropertySpec extends AnyFunSuite {
         assert(readState(p, Some(v)) === m,
           s"seed=$seed: version $v does not replay its model state")
       }
+      } finally LakeTable.setCommitArbiter(p, graft.sources.RenameArbiter)
     }
   }
 
