@@ -85,6 +85,7 @@ object SparkEntry {
     "knn_ivf_cells" -> ((s, d) => llm.Similarity.knnIvfCellCounts(s, d)),
     "knn_ivf_kmeans" -> ((s, d) => llm.Similarity.knnIvfKmeansGate(s, d)),
     "knn_ivf_pq" -> ((s, d) => llm.Similarity.knnIvfPqGate(s, d)),
+    "knn_int8" -> ((s, d) => llm.Similarity.knnInt8Gate(s, d)),
     // SemDeDup: cluster-bounded semantic dedup; rounded-everywhere
     // arithmetic makes the WHOLE algorithm oracle-replayable
     "semdedup" -> ((s, d) => llm.Similarity.semDeDupQuery(s, d)),
@@ -2158,6 +2159,7 @@ object SparkEntry {
     "knn_ivf" -> knnGateOracle,
     "knn_ivf_kmeans" -> knnGateOracle,
     "knn_ivf_pq" -> knnGateOracle,
+    "knn_int8" -> knnGateOracle,
     "doc_embedding_join" ->
       """WITH n AS (SELECT vec_id, label,
         |             round(sqrt(list_sum(list_transform(embedding,

@@ -376,6 +376,65 @@ object Similarity {
   def knnIvfPqGate(s: SparkSession, d: String, floor: Double = 0.2): DataFrame =
     knnRecallGate(knnIvfPq(s, d), knnBruteForce(s, d), floor)
 
+  /** L3 scale path #4 (round 13): INT8-QUANTIZED candidate scoring —
+    * symmetric per-vector max-abs quantization (qscale = max|x|/127,
+    * codes = round(x/qscale) ∈ [−127, 127] stored as ARRAY<TINYINT>:
+    * 4× fewer bytes per candidate than float32, the embedding-IO
+    * answer where PQ's codebooks are too lossy). Candidates score
+    * with the integer-code dot product rescaled by the two qscales;
+    * the top `shortlist` per query then re-rank at FULL precision
+    * (the PQ tier's shape), so quantization can only lose a neighbor
+    * that fell outside the shortlist margin. The reconstruction
+    * bound |x − c·qscale| ≤ qscale/2 is require'd in-query over
+    * EVERY element — a rounding regression (e.g. a cast hoisted
+    * above the round) refuses loudly before the gate compares.
+    * The tiny-vector clamp (qscale ≥ 1e-12) keeps codes inside the
+    * byte range exactly at the boundary, so ANSI's overflow-throwing
+    * byte cast doubles as a second bound check. */
+  def knnInt8(s: SparkSession, d: String, k: Int = 5, nQueries: Int = 10,
+      shortlist: Int = 15): DataFrame = {
+    val emb = embWithNorm(s, d)
+    val qz = emb
+      .withColumn("qscale", greatest(
+        aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x))) / 127.0,
+        lit(1e-12)))
+      .withColumn("codes",
+        transform(col("v"), x => round(x / col("qscale")).cast("byte")))
+    val worst = qz.select(max(aggregate(
+        zip_with(col("v"), col("codes"),
+          (x, c) => abs(x - c.cast("double") * col("qscale"))),
+        lit(0.0), (a, e) => greatest(a, e)) / col("qscale")).as("w"))
+      .head().getDouble(0)
+    require(worst <= 0.5 + 1e-9,
+      f"int8 reconstruction bound violated: worst |err|/qscale = $worst%.6f")
+    val q = qz.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+        col("qscale").as("qqs"), col("codes").as("qcodes"))
+    val scored = qz.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("v"), col("nrm"),
+        col("qv"), col("qn"),
+        (dot(toDoubleArray(col("codes")), toDoubleArray(col("qcodes"))) *
+          col("qscale") * col("qqs") / (col("nrm") * col("qn"))).as("qcos"))
+    val wq = Window.partitionBy("qid").orderBy(col("qcos").desc, col("vec_id"))
+    val short = scored.withColumn("qrank", row_number().over(wq))
+      .filter(col("qrank") <= shortlist)
+    // exact re-rank of the shortlist only — the sole full-precision pass
+    val rer = short.select(col("qid"), col("vec_id"),
+      round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_sim"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
+    rer.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("cos_sim"))
+      .orderBy("qid", "rank")
+  }
+
+  /** Hash-gated [[knnInt8]]: exact-side aggregates + the quantized
+    * path's recall floor — measured ≈1.0 on the random corpus (the
+    * full-precision re-rank makes shortlist misses the only loss
+    * mode), floored at 0.6 against drift. */
+  def knnInt8Gate(s: SparkSession, d: String, floor: Double = 0.6): DataFrame =
+    knnRecallGate(knnInt8(s, d), knnBruteForce(s, d), floor)
+
   /** L2/L3 embedding-cosine near-dup: originals ∪ deterministically
     * perturbed variants (±4% per-dim scaling, vec_id offset 1,000,000
     * — the driver embeddings are random, so true near-dups are

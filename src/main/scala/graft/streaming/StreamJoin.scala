@@ -123,6 +123,7 @@ object StreamJoin {
       .withColumn("tstamp", Tables.tsFromNanos("ts"))
       .select("event_id", "user_id", "event_type", "tstamp", "value")
     ev.withColumn("part", pmod(col("event_id"), lit(4L)))
+      .repartition(4, col("part")) // one file per part dir (see semiJoinStream)
       .write.partitionBy("part").parquet(arrivals)
     val maxTs = ev.agg(max("tstamp")).collect()(0).getTimestamp(0)
     // sentinel = corpus max + delay (365 d) + 2 d: watermark after the
@@ -199,6 +200,10 @@ object StreamJoin {
       .withColumn("tstamp", Tables.tsFromNanos("ts"))
       .select("event_id", "user_id", "event_type", "tstamp", "value")
       .withColumn("part", pmod(col("event_id"), lit(4L)))
+      // one file per part dir: micro-batch count stays small and
+      // deterministic-ish (2 data batches at maxFilesPerTrigger=2)
+      // while the event-id split still forces cross-batch pairing
+      .repartition(4, col("part"))
       .write.partitionBy("part").parquet(arrivals)
     val schema = s.read.parquet(arrivals).schema
     graft.Util.withIsolatedShufflePartitions(s, 8) { s8 =>
@@ -257,6 +262,7 @@ object StreamJoin {
       .withColumn("tstamp", Tables.tsFromNanos("ts"))
       .select("event_id", "user_id", "event_type", "tstamp", "value")
     ev.withColumn("part", pmod(col("event_id"), lit(4L)))
+      .repartition(4, col("part")) // one file per part dir (see semiJoinStream)
       .write.partitionBy("part").parquet(arrivals)
     val maxTs = ev.agg(max("tstamp")).collect()(0).getTimestamp(0)
     val sentTs = new java.sql.Timestamp(maxTs.getTime + 367L * 24 * 3600 * 1000)

@@ -89,7 +89,8 @@ class KnnRecallSpec extends AnyFunSuite {
     val rIvf = recall(topSets(Similarity.knnIvf(spark, dir)))
     val rKm = recall(topSets(Similarity.knnIvfKmeans(spark, dir)))
     val rPq = recall(topSets(Similarity.knnIvfPq(spark, dir)))
-    info(s"recall lsh=$rLsh ivf=$rIvf kmeans=$rKm ivf_pq=$rPq")
+    val rI8 = recall(topSets(Similarity.knnInt8(spark, dir)))
+    info(s"recall lsh=$rLsh ivf=$rIvf kmeans=$rKm ivf_pq=$rPq int8=$rI8")
     // multi-probe (own bucket + 8 Hamming-1 neighbors of 2^8) lifts
     // the structurally-low single-probe recall on this clusterless
     // random corpus; still conservative as a regression floor
@@ -99,6 +100,9 @@ class KnnRecallSpec extends AnyFunSuite {
     // PQ scores candidates from 4-byte code words; nProbe=4 and the
     // exact shortlist re-rank keep it at-or-above plain IVF
     assert(rPq >= 0.25, s"IVF-PQ recall collapsed: $rPq")
+    // int8 scans ALL candidates (quantized, not pruned) and re-ranks
+    // the shortlist at full precision — near-perfect by construction
+    assert(rI8 >= 0.8, s"int8 recall collapsed: $rI8")
   }
 
   test("hard_negatives: band bounds hold, ranks dense, ceiling excludes near-dups") {
@@ -130,7 +134,8 @@ class KnnRecallSpec extends AnyFunSuite {
         "lsh" -> Similarity.knnLshGate(spark, dir),
         "ivf" -> Similarity.knnIvfGate(spark, dir),
         "ivf_kmeans" -> Similarity.knnIvfKmeansGate(spark, dir),
-        "ivf_pq" -> Similarity.knnIvfPqGate(spark, dir))) {
+        "ivf_pq" -> Similarity.knnIvfPqGate(spark, dir),
+        "int8" -> Similarity.knnInt8Gate(spark, dir))) {
       val r = df.collect()
       assert(r.length === 1, nm)
       assert(r.head.getAs[Boolean]("recall_floor_met"), s"$nm gate flipped")
