@@ -233,6 +233,7 @@ object SparkEntry {
     "lake_update_in_subquery" -> (sources.LakeTable.updateInSubqueryQuery _),
     "lake_update_correlated" -> (sources.LakeTable.updateCorrelatedQuery _),
     "lake_delete_correlated" -> (sources.LakeTable.deleteCorrelatedQuery _),
+    "lake_merge_composite" -> (sources.LakeTable.mergeCompositeQuery _),
     "lake_variant_column" -> (sources.LakeTable.variantColumnQuery _),
     "lake_conflict_rebase" -> (sources.LakeTable.conflictRebaseQuery _),
     "lake_conflict_serializable" -> (sources.LakeTable.conflictSerializableQuery _),
@@ -1680,6 +1681,30 @@ object SparkEntry {
         |FROM documents d LEFT JOIN av ON av.source = d.source
         |WHERE NOT COALESCE(d.lang = 'en' AND d.n_chars < av.a, FALSE)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // lake_merge_composite: MERGE over the (l_orderkey, l_linenumber)
+    // business key — line-1 matches DELETE, other matches take the
+    // source quantity (+100), source-only tuples (+10M orderkeys,
+    // ok%13=0) INSERT; the oracle replays the clause algebra
+    "lake_merge_composite" ->
+      """WITH srcb AS (SELECT l_orderkey, l_linenumber,
+        |                     min(l_quantity) AS mq, min(l_extendedprice) AS mp
+        |              FROM lineitem GROUP BY 1, 2),
+        |upd AS (SELECT l_orderkey, l_linenumber, mq + 100 AS q
+        |        FROM srcb WHERE l_orderkey % 7 = 0),
+        |kept AS (
+        |  SELECT l.l_linenumber,
+        |         CASE WHEN u.l_orderkey IS NOT NULL THEN u.q
+        |              ELSE l.l_quantity END AS q,
+        |         l.l_extendedprice AS p
+        |  FROM lineitem l LEFT JOIN upd u
+        |    ON u.l_orderkey = l.l_orderkey AND u.l_linenumber = l.l_linenumber
+        |  WHERE NOT (u.l_orderkey IS NOT NULL AND l.l_linenumber = 1)
+        |  UNION ALL
+        |  SELECT l_linenumber, mq AS q, mp AS p
+        |  FROM srcb WHERE l_orderkey % 13 = 0)
+        |SELECT l_linenumber, count(*) AS n,
+        |       round(sum(q), 6) AS sum_qty, round(sum(p), 3) AS sum_price
+        |FROM kept GROUP BY 1 ORDER BY l_linenumber""".stripMargin,
     // lake_delete_in_subquery: two subquery DELETEs (uncorrelated IN
     // incl. ids absent from the corpus; equi-correlated EXISTS with a
     // residual conjunct) — the oracle recomputes the survivors from

@@ -735,20 +735,24 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
             }
             case _ => None
           }
-          // the library merge is a (null-safe) single-key equi-merge:
-          // accept ON t.k = s.k with the SAME column name both sides
-          val keyCol = (mergeCond match {
-            case EqualTo(l, r) => Some((l, r))
-            case EqualNullSafe(l, r) => Some((l, r))
-            case _ => None
-          }).flatMap { case (l, r) =>
-            for {
-              (ls, ln) <- side(l); (rs, rn) <- side(r)
-              if ls != rs && ln.equalsIgnoreCase(rn)
-            } yield ln
-          }.getOrElse(refuse(
-            s"MERGE INTO graftlake.`$path` requires ON target.k = source.k " +
-              s"over one same-named key column; got $mergeCond"))
+          // the library merge is a (null-safe) equi-merge over one or
+          // more SAME-NAMED key columns: accept ON t.k = s.k [AND
+          // t.k2 = s.k2 ...] — the composite business-key shape
+          val keyCols = splitConjunctivePredicates(mergeCond).map { c =>
+            (c match {
+              case EqualTo(l, r) => Some((l, r))
+              case EqualNullSafe(l, r) => Some((l, r))
+              case _ => None
+            }).flatMap { case (l, r) =>
+              for {
+                (ls, ln) <- side(l); (rs, rn) <- side(r)
+                if ls != rs && ln.equalsIgnoreCase(rn)
+              } yield ln
+            }.getOrElse(refuse(
+              s"MERGE INTO graftlake.`$path` requires ON to be a " +
+                "conjunction of target.k = source.k same-named key " +
+                s"equalities; got $c"))
+          }.distinct
 
           // clause conditions/values evaluate inside the merge's
           // joined frame — an UNCORRELATED SCALAR subquery lowers by
@@ -897,7 +901,7 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
                 s"MERGE INTO graftlake.`$path`: source carries column(s) " +
                   s"${srcOnly.mkString(", ")} the target lacks — use MERGE WITH " +
                   "SCHEMA EVOLUTION to add them, or project them away")
-            LakeTable.mergeConditional(srcDf, path, keyCol, expanded, insert, nmbs,
+            LakeTable.mergeConditionalKeys(srcDf, path, keyCols, expanded, insert, nmbs,
               evolveColumns = if (withEvo && writesSource) srcOnly else Nil)
           })
       }

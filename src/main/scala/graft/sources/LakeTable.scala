@@ -3609,17 +3609,19 @@ object LakeTable {
     * count as false (SQL three-valued logic); NULL keys match
     * null-safely, mirroring [[applyMorDeletes]]. */
   private def mergeRows(
-      target0: DataFrame, source: DataFrame, keyCol: String,
+      target0: DataFrame, source: DataFrame, keyCols: Seq[String],
       matched: Seq[MergeClause],
       notMatchedInsert: Option[org.apache.spark.sql.Column],
       notMatchedBySource: Seq[MergeClause] = Nil,
       evolveColumns: Seq[String] = Nil)
       : (DataFrame, DataFrame, DataFrame) = {
+    require(keyCols.nonEmpty, "MERGE needs at least one key column")
     // SQL MERGE rejects a source that matches one target row twice
     // (nondeterministic update order) — enforce loudly up front
-    val dup = source.groupBy(col(keyCol)).count()
+    val dup = source.groupBy(keyCols.map(col): _*).count()
       .filter(col("count") > 1).limit(1).count()
-    require(dup == 0L, s"MERGE source has duplicate keys on '$keyCol'")
+    require(dup == 0L,
+      s"MERGE source has duplicate keys on '${keyCols.mkString(", ")}'")
     // SCHEMA EVOLUTION (S9e): each named source-only column is
     // surfaced on the target side as a typed NULL before the clause
     // algebra, so UPDATE SET * can write it for matched rows while
@@ -3633,7 +3635,8 @@ object LakeTable {
     val tCols = target.columns.toSeq
     val t = target.alias("t")
     val s = source.withColumn("__graft_m", lit(1)).alias("s")
-    val joined = t.join(s, col(s"t.$keyCol") <=> col(s"s.$keyCol"), "left")
+    val joined = t.join(s,
+      keyCols.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _), "left")
     val isMatched = col("__graft_m").isNotNull
     def condOf(cl: MergeClause): Option[org.apache.spark.sql.Column] = cl match {
       case MatchedUpdate(c, _) => c
@@ -3704,8 +3707,13 @@ object LakeTable {
     // the written table through the union's allowMissingColumns
     val inserts = notMatchedInsert match {
       case Some(cond) =>
-        val tk = target.select(col(keyCol).as("__graft_tk"))
-        val raw = source.join(tk, source(keyCol) <=> col("__graft_tk"), "left_anti")
+        val tk = target.select(keyCols.zipWithIndex.map {
+          case (k, i) => col(k).as(s"__graft_tk$i")
+        }: _*)
+        val raw = source.join(tk,
+            keyCols.zipWithIndex.map { case (k, i) =>
+              source(k) <=> col(s"__graft_tk$i")
+            }.reduce(_ && _), "left_anti")
           .filter(coalesce(cond, lit(false)))
         val keep = raw.columns.filter(c => tCols.exists(_.equalsIgnoreCase(c)))
         if (tCols.isEmpty || keep.length == raw.columns.length) raw
@@ -3721,7 +3729,7 @@ object LakeTable {
     }
     val affectedKeys = withIdx
       .filter(col("__graft_a") =!= -1 || col("__graft_b") =!= -1)
-      .select(col(s"t.$keyCol").as(keyCol)).distinct()
+      .select(keyCols.map(k => col(s"t.$k").as(k)): _*).distinct()
     (survivors, inserts, affectedKeys)
   }
 
@@ -3764,7 +3772,22 @@ object LakeTable {
       matched: Seq[MergeClause],
       notMatchedInsert: Option[org.apache.spark.sql.Column] = None,
       notMatchedBySource: Seq[MergeClause] = Nil,
+      evolveColumns: Seq[String] = Nil): Int =
+    mergeConditionalKeys(source, path, Seq(keyCol), matched,
+      notMatchedInsert, notMatchedBySource, evolveColumns)
+
+  /** [[mergeConditional]] over a COMPOSITE key — `ON t.k1 = s.k1 AND
+    * t.k2 = s.k2 ...` (the business-key shape). Same clause algebra,
+    * same null-safe key comparisons, same file-granular planning
+    * (a file is touched when ANY source tuple matches one of its
+    * rows on every key column). */
+  def mergeConditionalKeys(
+      source: DataFrame, path: String, keyCols: Seq[String],
+      matched: Seq[MergeClause],
+      notMatchedInsert: Option[org.apache.spark.sql.Column] = None,
+      notMatchedBySource: Seq[MergeClause] = Nil,
       evolveColumns: Seq[String] = Nil): Int = {
+    require(keyCols.nonEmpty, s"MERGE at $path needs at least one key column")
     requireDeterministicMerge(matched, notMatchedInsert, notMatchedBySource)
     val spark = source.sparkSession
     val base = observedBase(spark, path)
@@ -3779,11 +3802,15 @@ object LakeTable {
       val refs = listRefs(path, base)
       val cur = withLineageColsIf(lineage)(
         assembleWithDeletes(spark, refs, schFor(path, base), keepMeta = true))
-      val srcKeys = source.select(col(keyCol).as("__graft_mk")).distinct()
+      val srcKeys = source.select(keyCols.zipWithIndex.map {
+        case (k, i) => col(k).as(s"__graft_mk$i")
+      }: _*).distinct()
       // null-safe like every merge key comparison, so a NULL-keyed
       // target row's file is touched when the source carries NULL
       val touched = cur
-        .join(srcKeys, col(keyCol) <=> col("__graft_mk"), "left_semi")
+        .join(srcKeys, keyCols.zipWithIndex.map { case (k, i) =>
+            col(k) <=> col(s"__graft_mk$i")
+          }.reduce(_ && _), "left_semi")
         .select(FpCol).distinct().collect().map(_.getString(0)).toSet
       val mm = manifestMemo()
       val targetTouched = {
@@ -3802,7 +3829,7 @@ object LakeTable {
           refs.filter(r => r.kind == "data" && r.nFiles > 0), mm, path)
       }
       val (survivors, inserts, affected) =
-        mergeRows(targetTouched, source, keyCol, matched, notMatchedInsert,
+        mergeRows(targetTouched, source, keyCols, matched, notMatchedInsert,
           notMatchedBySource, evolveColumns)
       commitValidated(spark, path, base, refs,
         carryManifests(path, refs, touched, mm)
@@ -3813,7 +3840,7 @@ object LakeTable {
     } else {
       val target = rewriteRead(spark, path, base)
       val (survivors, inserts, affected) =
-        mergeRows(target, source, keyCol, matched, notMatchedInsert,
+        mergeRows(target, source, keyCols, matched, notMatchedInsert,
           notMatchedBySource, evolveColumns)
       commitRefs(spark, path, base,
         stageRewrite(
@@ -3846,7 +3873,7 @@ object LakeTable {
     val target = if (lineage) rewriteRead(spark, path, base)
       else read(spark, path, Some(base))
     val (survivors, inserts, affected) =
-      mergeRows(target, source, keyCol, matched, notMatchedInsert,
+      mergeRows(target, source, Seq(keyCol), matched, notMatchedInsert,
         notMatchedBySource, evolveColumns)
     // the replacement rows = post-merge state of exactly the UPDATED
     // keys (deleted keys ship no replacement) + the inserts. The
@@ -7022,6 +7049,50 @@ object LakeTable {
         sum("n_chars").as("sum_chars"),
         sum(when(col("lang") === "relabeled", 1L).otherwise(0L)).as("n_relabeled"))
       .orderBy("source")
+  }
+
+  /** Driver query: COMPOSITE-KEY MERGE (S14h) — `ON t.l_orderkey =
+    * u.l_orderkey AND t.l_linenumber = u.l_linenumber`, the
+    * business-key shape a single-key merge cannot express (an
+    * orderkey repeats across its line numbers). One SQL MERGE with
+    * all three clause families: line-1 matches DELETE, other matches
+    * take the source quantity, source-only tuples INSERT. Lowered
+    * through [[graft.sources.LakeSqlDmlRule]] onto
+    * [[mergeConditionalKeys]]'s file-granular planner; the oracle
+    * replays the clause algebra from the raw table. */
+  def mergeCompositeQuery(s: SparkSession, d: String): DataFrame = {
+    val path = freshWorkDir("lakemergecomp", d)
+    val li = graft.Tables.load(s, d, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    overwrite(li, path)
+    // the synthetic lineitem repeats (orderkey, linenumber); the
+    // SOURCE must be tuple-unique (SQL MERGE's duplicate-source
+    // refusal) — deterministic per-tuple min. Target-side duplicates
+    // are fine: every row of a matched tuple takes the clause.
+    val srcBase = li.groupBy("l_orderkey", "l_linenumber")
+      .agg(min("l_quantity").as("l_quantity"),
+        min("l_extendedprice").as("l_extendedprice"))
+    srcBase.filter(col("l_orderkey") % 7L === 0L)
+      .withColumn("l_quantity", col("l_quantity") + 100.0)
+      .unionByName(srcBase.filter(col("l_orderkey") % 13L === 0L)
+        .withColumn("l_orderkey", col("l_orderkey") + 10000000L))
+      .createOrReplaceTempView("graft_mc_src")
+    s.sql("DROP TABLE IF EXISTS graft_mc")
+    s.sql(s"CREATE TABLE graft_mc USING graftlake OPTIONS (path '$path')")
+    s.sql("""MERGE INTO graft_mc t USING graft_mc_src u
+      |ON t.l_orderkey = u.l_orderkey AND t.l_linenumber = u.l_linenumber
+      |WHEN MATCHED AND t.l_linenumber = 1 THEN DELETE
+      |WHEN MATCHED THEN UPDATE SET l_quantity = u.l_quantity
+      |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    require(history(s, path).count() == 2,
+      "the composite MERGE must be one commit")
+    read(s, path).groupBy("l_linenumber")
+      .agg(count(lit(1)).as("n"),
+        round(sum("l_quantity"), 6).as("sum_qty"),
+        // price sums reach ~5e8 at sf0.01 — a 1-ulp partial-agg
+        // difference exceeds 1e-6 there, so round coarser
+        round(sum("l_extendedprice"), 3).as("sum_price"))
+      .orderBy("l_linenumber")
   }
 
   /** Driver query: DELETE WHERE <correlated scalar comparison>

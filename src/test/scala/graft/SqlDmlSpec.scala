@@ -609,6 +609,52 @@ class SqlDmlSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS sqldml_sc")
   }
 
+  test("MERGE over a composite ON key lowers onto the multi-key merge") {
+    val p = "/tmp/graft_test/sqldml_mcomp"
+    rmdir(p)
+    import spark.implicits._
+    LakeTable.overwrite(Seq(
+      (1L, 1, "a", 10.0), (1L, 2, "b", 20.0), (2L, 1, "c", 30.0)
+    ).toDF("k1", "k2", "s", "v"), p)
+    spark.sql("DROP TABLE IF EXISTS sqldml_mcomp")
+    spark.sql(s"CREATE TABLE sqldml_mcomp USING graftlake OPTIONS (path '$p')")
+    // k1=1 repeats across k2 — a single-key merge on k1 would refuse
+    // this source as duplicate-keyed; the composite key is the point
+    Seq((1L, 1, "A", 100.0), (1L, 2, "B", 200.0), (3L, 1, "n", 99.0))
+      .toDF("k1", "k2", "s", "v").createOrReplaceTempView("sqldml_mcomp_src")
+    try {
+      spark.sql(
+        """MERGE INTO sqldml_mcomp t USING sqldml_mcomp_src u
+          |ON t.k1 = u.k1 AND t.k2 = u.k2
+          |WHEN MATCHED AND u.v >= 200.0 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET s = u.s, v = u.v
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val rows = spark.sql("SELECT k1, k2, s, v FROM sqldml_mcomp ORDER BY k1, k2")
+        .collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3))).toSeq
+      assert(rows === Seq(
+        (1L, 1, "A", 100.0), // matched tuple (1,1): update
+        // (1,2) matched with u.v=200: deleted
+        (2L, 1, "c", 30.0),  // untouched
+        (3L, 1, "n", 99.0)), // source-only tuple: insert
+        rows.mkString(", "))
+      // a source duplicated on the FULL composite still refuses
+      Seq((1L, 1, "x", 1.0), (1L, 1, "y", 2.0))
+        .toDF("k1", "k2", "s", "v").createOrReplaceTempView("sqldml_mcomp_dup")
+      val e = intercept[Exception](spark.sql(
+        """MERGE INTO sqldml_mcomp t USING sqldml_mcomp_dup u
+          |ON t.k1 = u.k1 AND t.k2 = u.k2
+          |WHEN MATCHED THEN UPDATE SET v = u.v""".stripMargin))
+      assert(e.getMessage.contains("duplicate keys"), e.getMessage)
+      // a non-equi conjunct in ON refuses by name
+      val e2 = intercept[Exception](spark.sql(
+        """MERGE INTO sqldml_mcomp t USING sqldml_mcomp_src u
+          |ON t.k1 = u.k1 AND t.v < u.v
+          |WHEN MATCHED THEN DELETE""".stripMargin))
+      assert(e2.getMessage.contains("same-named key"), e2.getMessage)
+    } finally spark.sql("DROP TABLE IF EXISTS sqldml_mcomp")
+  }
+
   test("DELETE WHERE <correlated scalar comparison> regroups onto the merge") {
     val p = "/tmp/graft_test/sqldml_cdel"
     freshTable(p, "sqldml_cdel")
