@@ -234,6 +234,7 @@ object SparkEntry {
     "lake_update_correlated" -> (sources.LakeTable.updateCorrelatedQuery _),
     "lake_delete_correlated" -> (sources.LakeTable.deleteCorrelatedQuery _),
     "lake_merge_composite" -> (sources.LakeTable.mergeCompositeQuery _),
+    "lake_mor_mode_dml" -> (sources.LakeTable.morModeDmlQuery _),
     "lake_variant_column" -> (sources.LakeTable.variantColumnQuery _),
     "lake_conflict_rebase" -> (sources.LakeTable.conflictRebaseQuery _),
     "lake_conflict_serializable" -> (sources.LakeTable.conflictSerializableQuery _),
@@ -1681,6 +1682,33 @@ object SparkEntry {
         |FROM documents d LEFT JOIN av ON av.source = d.source
         |WHERE NOT COALESCE(d.lang = 'en' AND d.n_chars < av.a, FALSE)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // lake_mor_mode_dml: write.<kind>.mode=merge-on-read routes the
+    // same SQL DELETE/UPDATE/MERGE onto position-delete + replacement
+    // commits; the oracle replays the three statements from raw
+    "lake_mor_mode_dml" ->
+      """WITH del AS (SELECT * FROM documents WHERE doc_id % 10 <> 3),
+        |upd AS (SELECT doc_id, lang, source,
+        |               CASE WHEN lang = 'de' THEN n_chars + 7
+        |                    ELSE n_chars END AS n_chars
+        |        FROM del),
+        |msrc AS (
+        |  SELECT doc_id, 'merged' AS lang, source, n_chars + 1000 AS n_chars
+        |  FROM documents WHERE doc_id % 9 = 4
+        |  UNION ALL
+        |  SELECT doc_id + 5000000, 'merged', source, n_chars + 1000
+        |  FROM documents WHERE doc_id % 11 = 6),
+        |fin AS (
+        |  SELECT CASE WHEN m.doc_id IS NOT NULL THEN m.lang
+        |              ELSE u.lang END AS lang,
+        |         CASE WHEN m.doc_id IS NOT NULL THEN m.n_chars
+        |              ELSE u.n_chars END AS n_chars
+        |  FROM upd u LEFT JOIN msrc m ON m.doc_id = u.doc_id
+        |  UNION ALL
+        |  SELECT m.lang, m.n_chars
+        |  FROM msrc m LEFT JOIN upd u ON u.doc_id = m.doc_id
+        |  WHERE u.doc_id IS NULL)
+        |SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM fin GROUP BY lang ORDER BY lang""".stripMargin,
     // lake_merge_composite: MERGE over the (l_orderkey, l_linenumber)
     // business key — line-1 matches DELETE, other matches take the
     // source quantity (+100), source-only tuples (+10M orderkeys,

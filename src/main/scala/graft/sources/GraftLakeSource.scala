@@ -214,7 +214,11 @@ class GraftLakeTable(
         s"graftlake DELETE at $path: cannot express filter $f")))
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
-    LakeTable.delete(spark, path, cond)
+    // write.delete.mode routes the SQL boundary (Iceberg's key):
+    // merge-on-read commits the positions, copy-on-write rewrites
+    if (LakeTable.dmlModeOf(path, "delete") == "merge-on-read")
+      LakeTable.deleteMoRPositional(spark, path, cond)
+    else LakeTable.delete(spark, path, cond)
   }
 
   override def name(): String =

@@ -295,7 +295,7 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
       s"UPDATE graftlake.`$path` SET $ckName = (correlated scalar subquery)",
       () => {
         val src = corrKeyFrame(aggPlan, tc, path, "UPDATE")
-        LakeTable.mergeConditional(src, path, tc,
+        mergeByMode(path, "update")(src, tc,
           matched = Seq(LakeTable.MatchedUpdate(cond,
             setOthers + (ckName -> col("s.__graft_sq_val")))),
           notMatchedBySource = Seq(LakeTable.MatchedUpdate(cond,
@@ -337,7 +337,7 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
       s"DELETE FROM graftlake.`$path` WHERE <correlated scalar subquery>",
       () => {
         val src = corrKeyFrame(aggPlan, tc, path, "DELETE FROM")
-        LakeTable.mergeConditional(src, path, tc,
+        mergeByMode(path, "delete")(src, tc,
           matched = Seq(LakeTable.MatchedDelete(
             Some(anchorTKeepSVal(cond2, tAlias)))))
       })
@@ -378,7 +378,7 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
       s"UPDATE graftlake.`$path` WHERE <correlated scalar subquery>",
       () => {
         val src = corrKeyFrame(aggPlan, tc, path, "UPDATE")
-        LakeTable.mergeConditional(src, path, tc,
+        mergeByMode(path, "update")(src, tc,
           matched = Seq(LakeTable.MatchedUpdate(
             Some(anchorTKeepSVal(cond2, tAlias)), setT)))
       })
@@ -396,6 +396,74 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
         case parts => UnresolvedAttribute(Seq("t", parts.last))
       }
     })
+
+  /** Can every conjunct of a DELETE condition reach [[GraftLakeTable]]
+    * through Spark's V2 filter translation? Expressible conditions
+    * stay on the idiomatic SupportsDelete route; anything else
+    * (modulo arithmetic, functions, OR-of-columns …) lowers onto the
+    * library DML here instead of dying with Spark's cannot-delete
+    * error. Unresolved conditions answer true — the analyzer resolves
+    * them before the V2 strategy decides, and this rule re-fires. */
+  private def v2Expressible(cond: Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{Contains, EndsWith, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThan, LessThanOrEqual, StartsWith}
+    def isAttr(e: Expression): Boolean = e match {
+      case _: AttributeReference | _: UnresolvedAttribute => true
+      case _ => false
+    }
+    def attrLit(l: Expression, r: Expression): Boolean =
+      (isAttr(l) && r.isInstanceOf[Literal]) ||
+        (isAttr(r) && l.isInstanceOf[Literal])
+    // the structural mirror of GraftLakeTable.filterColumn — a shape
+    // outside it cannot round-trip Spark's V2 translation into the
+    // connector, so it lowers here. Misclassifying either way is
+    // safe: "expressible" falls back to Spark's own cannot-delete
+    // error exactly as before; "inexpressible" runs the identical
+    // predicate through the library planner.
+    def ok(e: Expression): Boolean = e match {
+      case EqualTo(l, r) => attrLit(l, r)
+      case EqualNullSafe(l, r) => attrLit(l, r)
+      case GreaterThan(l, r) => attrLit(l, r)
+      case GreaterThanOrEqual(l, r) => attrLit(l, r)
+      case LessThan(l, r) => attrLit(l, r)
+      case LessThanOrEqual(l, r) => attrLit(l, r)
+      case In(a, vs) => isAttr(a) && vs.forall(_.isInstanceOf[Literal])
+      case _: InSet => true
+      case IsNull(a) => isAttr(a)
+      case IsNotNull(a) => isAttr(a)
+      case StartsWith(l, r) => attrLit(l, r)
+      case EndsWith(l, r) => attrLit(l, r)
+      case Contains(l, r) => attrLit(l, r)
+      case And(l, r) => ok(l) && ok(r)
+      case org.apache.spark.sql.catalyst.expressions.Or(l, r) => ok(l) && ok(r)
+      case CNot(c) => ok(c)
+      case Literal(_, org.apache.spark.sql.types.BooleanType) => true
+      case _ => false
+    }
+    !cond.resolved || ok(cond)
+  }
+
+  /** Route a single-key merge-shaped DML effect on `write.<kind>.mode`
+    * (Iceberg's key, default copy-on-write): merge-on-read ships a
+    * delete file + replacements, copy-on-write rewrites touched
+    * files. The clause algebra is shared, so results are identical —
+    * only the commit SHAPE (and read-side cost model) differs. */
+  private def mergeByMode(path: String, kind: String)(
+      source: org.apache.spark.sql.DataFrame, keyCol: String,
+      matched: Seq[LakeTable.MergeClause],
+      notMatchedBySource: Seq[LakeTable.MergeClause] = Nil): Int =
+    if (LakeTable.dmlModeOf(path, kind) == "merge-on-read")
+      LakeTable.mergeConditionalMoR(source, path, keyCol, matched,
+        notMatchedBySource = notMatchedBySource)
+    else
+      LakeTable.mergeConditional(source, path, keyCol, matched,
+        notMatchedBySource = notMatchedBySource)
+
+  /** Route a plain-predicate UPDATE effect on `write.update.mode`. */
+  private def updateByMode(
+      path: String, set: Map[String, Column], cond: Column): Int =
+    if (LakeTable.dmlModeOf(path, "update") == "merge-on-read")
+      LakeTable.updateMoR(spark, path, set, cond)
+    else LakeTable.update(spark, path, set, cond)
 
   /** The regrouped key→value frame of a correlated scalar, analyzed
     * at effect time; NULL keys are stripped (an equality correlation
@@ -558,8 +626,8 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
           // IN / EXISTS: equality semantics — NULL keys on either side
           // never match, so they are stripped before the merge's
           // null-safe join (which WOULD pair null with null)
-          LakeTable.mergeConditional(
-            keys.filter(col(sp.keyCol).isNotNull).distinct(), path, sp.keyCol,
+          mergeByMode(path, "delete")(
+            keys.filter(col(sp.keyCol).isNotNull).distinct(), sp.keyCol,
             matched = Seq(LakeTable.MatchedDelete(sp.residual)))
         } else if (sp.isIn &&
             keys.filter(col(sp.keyCol).isNull).limit(1).count() > 0L) {
@@ -567,7 +635,9 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
           // (SQL three-valued logic): zero rows delete; the explicit
           // never-true DELETE still commits the audit-trail version a
           // predicate DELETE would
-          LakeTable.delete(spark, path, lit(false))
+          (if (LakeTable.dmlModeOf(path, "delete") == "merge-on-read")
+            LakeTable.deleteMoRPositional(spark, path, lit(false))
+          else LakeTable.delete(spark, path, lit(false)))
         } else {
           // NOT IN / NOT EXISTS: delete rows matching NO key. A NULL
           // target key is UNKNOWN under NOT IN (kept) but TRUE under
@@ -575,8 +645,8 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
           val keep = if (sp.isIn)
             Some(sp.residual.foldLeft(col(s"t.${sp.keyCol}").isNotNull)(_ && _))
           else sp.residual
-          LakeTable.mergeConditional(
-            keys.filter(col(sp.keyCol).isNotNull).distinct(), path, sp.keyCol,
+          mergeByMode(path, "delete")(
+            keys.filter(col(sp.keyCol).isNotNull).distinct(), sp.keyCol,
             matched = Nil,
             notMatchedBySource = Seq(LakeTable.MatchedDelete(keep)))
         }
@@ -605,8 +675,8 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
       () => {
         val keys = keyFrameOf(sp, path, "UPDATE")
         if (!sp.negated) {
-          LakeTable.mergeConditional(
-            keys.filter(col(sp.keyCol).isNotNull).distinct(), path, sp.keyCol,
+          mergeByMode(path, "update")(
+            keys.filter(col(sp.keyCol).isNotNull).distinct(), sp.keyCol,
             matched = Seq(LakeTable.MatchedUpdate(sp.residual, setT)))
         } else if (sp.isIn &&
             keys.filter(col(sp.keyCol).isNull).limit(1).count() > 0L) {
@@ -615,7 +685,7 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
           // the t-anchored SET values cannot resolve outside the
           // merge frame) still validates column names and commits
           // the audit-trail version
-          LakeTable.update(spark, path,
+          updateByMode(path,
             // keys straight from the assignments: forcing setT here
             // would execute SET-value scalar subqueries whose results
             // the never-true predicate discards
@@ -625,8 +695,8 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
           val keep = if (sp.isIn)
             Some(sp.residual.foldLeft(col(s"t.${sp.keyCol}").isNotNull)(_ && _))
           else sp.residual
-          LakeTable.mergeConditional(
-            keys.filter(col(sp.keyCol).isNotNull).distinct(), path, sp.keyCol,
+          mergeByMode(path, "update")(
+            keys.filter(col(sp.keyCol).isNotNull).distinct(), sp.keyCol,
             matched = Nil,
             notMatchedBySource = Seq(LakeTable.MatchedUpdate(keep, setT)))
         }
@@ -636,7 +706,8 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
 
     case d @ DeleteFromTable(target, condition)
-        if lakeTarget(target).isDefined && hasSubquery(condition) =>
+        if lakeTarget(target).isDefined &&
+          (hasSubquery(condition) || !v2Expressible(condition)) =>
       val tbl = lakeTarget(target).get
       if (tbl.pinnedVersion.nonEmpty)
         refuse(s"cannot DELETE from a version-pinned read of ${tbl.tablePath}")
@@ -652,8 +723,15 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
         // through the ordinary file-granular delete — the threshold
         // evaluates once, the planner's manifest pruning then applies
         // to the resulting plain predicate
-        LakeDmlCommand(s"DELETE FROM graftlake.`$path` WHERE <scalar subquery>",
-          () => LakeTable.delete(spark, path, bare(materializeScalars(condition))))
+        LakeDmlCommand(s"DELETE FROM graftlake.`$path` WHERE " +
+          (if (hasSubquery(condition)) "<scalar subquery>"
+           else "<non-pushable predicate>"),
+          () => {
+            val cond = bare(materializeScalars(condition))
+            if (LakeTable.dmlModeOf(path, "delete") == "merge-on-read")
+              LakeTable.deleteMoRPositional(spark, path, cond)
+            else LakeTable.delete(spark, path, cond)
+          })
       else
         lowerSubqueryDelete(path, condition, target.outputSet, aliasOf(target))
 
@@ -699,7 +777,7 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
                 }.toMap
                 val cond = condition.map(c => bare(materializeScalars(c)))
                   .getOrElse(lit(true))
-                LakeTable.update(spark, path, set, cond)
+                updateByMode(path, set, cond)
               })
           } else {
             val set = assignments.map {
@@ -707,7 +785,7 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
             }.toMap
             val cond = condition.map(bare).getOrElse(lit(true))
             LakeDmlCommand(s"UPDATE graftlake.`$path`",
-              () => LakeTable.update(spark, path, set, cond))
+              () => updateByMode(path, set, cond))
           }
       }
 
@@ -901,8 +979,18 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
                 s"MERGE INTO graftlake.`$path`: source carries column(s) " +
                   s"${srcOnly.mkString(", ")} the target lacks — use MERGE WITH " +
                   "SCHEMA EVOLUTION to add them, or project them away")
-            LakeTable.mergeConditionalKeys(srcDf, path, keyCols, expanded, insert, nmbs,
-              evolveColumns = if (withEvo && writesSource) srcOnly else Nil)
+            if (LakeTable.dmlModeOf(path, "merge") == "merge-on-read") {
+              if (keyCols.size != 1) refuse(
+                s"MERGE INTO graftlake.`$path`: write.merge.mode=" +
+                  "merge-on-read supports a single key column (the " +
+                  "equality-delete file is one column) — use " +
+                  "copy-on-write for composite keys")
+              LakeTable.mergeConditionalMoR(srcDf, path, keyCols.head,
+                expanded, insert, nmbs,
+                evolveColumns = if (withEvo && writesSource) srcOnly else Nil)
+            } else
+              LakeTable.mergeConditionalKeys(srcDf, path, keyCols, expanded, insert, nmbs,
+                evolveColumns = if (withEvo && writesSource) srcOnly else Nil)
           })
       }
 

@@ -668,6 +668,9 @@ object LakeTable {
     IsolationKeys.foreach(k => props.flatMap(_.get(k)).foreach(v =>
       require(Set("serializable", "snapshot")(v),
         s"$k '$v' — expected serializable or snapshot")))
+    DmlModeKeys.foreach(k => props.flatMap(_.get(k)).foreach(v =>
+      require(Set("copy-on-write", "merge-on-read")(v),
+        s"$k '$v' — expected copy-on-write or merge-on-read")))
     val next = base + 1
     val md = Paths.get(metaDir(path))
     Files.createDirectories(md)
@@ -1151,6 +1154,9 @@ object LakeTable {
     IsolationKeys.foreach(k => add.get(k).foreach(v =>
       require(Set("serializable", "snapshot")(v),
         s"$k '$v' — expected serializable or snapshot")))
+    DmlModeKeys.foreach(k => add.get(k).foreach(v =>
+      require(Set("copy-on-write", "merge-on-read")(v),
+        s"$k '$v' — expected copy-on-write or merge-on-read")))
     val base = observedBase(spark, path)
     commitRefs(spark, path, base, listRefs(path, base), "set_properties",
       props = Some(tablePropsOf(path, base) ++ add))
@@ -1883,13 +1889,24 @@ object LakeTable {
   private def opIsolationKey(op: String): Option[String] = op match {
     case "delete" | "mor_delete" | "mor_posdelete" | "mor_dv_delete" |
          "replace_where" => Some("write.delete.isolation-level")
-    case "update" => Some("write.update.isolation-level")
+    case "update" | "mor_update" => Some("write.update.isolation-level")
     case "merge" | "mor_merge" => Some("write.merge.isolation-level")
     case _ => None
   }
 
   private val IsolationKeys = Seq("write.delete.isolation-level",
     "write.update.isolation-level", "write.merge.isolation-level")
+
+  private val DmlModeKeys = Seq("write.delete.mode",
+    "write.update.mode", "write.merge.mode")
+
+  /** The DML write mode governing `kind` (delete/update/merge) at
+    * the table's CURRENT head — Iceberg's `write.<kind>.mode`,
+    * default copy-on-write. The SQL boundary routes on this; the
+    * library ops stay explicit (callers of [[delete]] asked for CoW). */
+  private[graft] def dmlModeOf(path: String, kind: String): String =
+    latestVersion(path).map(tablePropsOf(path, _)).getOrElse(Map.empty)
+      .getOrElse(s"write.$kind.mode", "copy-on-write")
 
   /** WRITE-AUDIT-PUBLISH (Iceberg's WAP workflow): stage the batch as
     * data files WITHOUT committing, run the audit over exactly those
@@ -5229,6 +5246,60 @@ object LakeTable {
     }
   }
 
+  /** MERGE-ON-READ UPDATE (Iceberg's `write.update.mode =
+    * merge-on-read` shape): ONE commit shipping the matched rows'
+    * positions as a position-delete file PLUS their updated copies as
+    * fresh data — write cost O(matched rows), never a touched-file
+    * rewrite. The sequence rule keeps it correct by construction: the
+    * position delete pins the OLD files' row positions, and the
+    * replacement rows land in new files the delete never names.
+    * Semantics match CoW [[update]] exactly (visible state, NULL
+    * predicate rows kept, SET values evaluated per matched row);
+    * under row lineage the replacements MATERIALIZE their old row ids
+    * with NULL last-updated, the same rule as [[mergeConditionalMoR]]. */
+  def updateMoR(
+      spark: SparkSession, path: String,
+      set: Map[String, org.apache.spark.sql.Column],
+      predicate: org.apache.spark.sql.Column): Int = {
+    requireDeterministic(predicate, "UPDATE")
+    val base = observedBase(spark, path)
+    val refs = listRefs(path, base)
+    val lineage = nextRowIdOf(path, base).isDefined
+    val p = coalesce(predicate, lit(false))
+    withLineageColsIf(lineage)(
+      classificationFrame(spark, path, base, refs, predicate)) match {
+      case None =>
+        val names = schFor(path, base).map(_.cols.map(_._2))
+          .getOrElse(read(spark, path, Some(base)).columns.toSeq)
+        set.keys.foreach(c => require(names.contains(c),
+          s"UPDATE at $path: no such column '$c' (have ${names.mkString(", ")})"))
+        commitValidated(spark, path, base, refs, refs, "mor_update",
+          conflictFilter = Some(p))
+      case Some(cur) =>
+        val visible = cur.columns
+          .filterNot(Set(FpCol, RiCol, SeqCol, LineageRid, LineageLus)).toSeq
+        set.keys.foreach(c => require(visible.contains(c),
+          s"UPDATE at $path: no such column '$c' (have ${visible.mkString(", ")})"))
+        val mm = manifestMemo()
+        val matched = cur.filter(p)
+        def positions: DataFrame =
+          matched.select(col(FpCol).as("file_path"), col(RiCol).as("row_index"))
+        def replacement: DataFrame = {
+          val selCols = visible.map(c => set.get(c).map(_.as(c)).getOrElse(col(c)))
+          if (!lineage) matched.select(selCols: _*)
+          else attachLineage(spark, matched,
+              refs.filter(r => r.kind == "data" && r.nFiles > 0), mm, path)
+            .select(selCols ++ Seq(
+              col(RowIdCol).as(LineageRid),
+              lit(null).cast("long").as(LineageLus)): _*)
+        }
+        commitValidated(spark, path, base, refs,
+          refs ++ stageManifest(positions, path, kind = "posdel")
+            ++ stageManifest(replacement, path),
+          "mor_update", conflictFilter = Some(p))
+    }
+  }
+
   /** MERGE-ON-READ DELETE (Iceberg v2's equality-delete shape):
     * instead of rewriting every surviving data file (copy-on-write
     * [[delete]]), commit the DELETED KEYS as a delete file; readers
@@ -7049,6 +7120,48 @@ object LakeTable {
         sum("n_chars").as("sum_chars"),
         sum(when(col("lang") === "relabeled", 1L).otherwise(0L)).as("n_relabeled"))
       .orderBy("source")
+  }
+
+  /** Driver query: MoR-MODE SQL DML (S14i) — Iceberg's
+    * `write.delete/update/merge.mode = merge-on-read` table
+    * properties route the SQL boundary: the same DELETE/UPDATE/MERGE
+    * statements commit position-delete + replacement files instead of
+    * rewriting touched files (write cost O(affected rows) — the
+    * streamed-into table's DML shape), with op names require'd in
+    * history to prove the routing. The oracle replays all three
+    * statements from the raw table, so MoR commit + MoR read
+    * (delete application at scan) hash-verify end to end. */
+  def morModeDmlQuery(s: SparkSession, d: String): DataFrame = {
+    val path = freshWorkDir("lakemormode", d)
+    val docs = graft.Tables.load(s, d, "documents")
+      .select("doc_id", "lang", "source", "n_chars")
+    overwrite(docs, path)
+    setTableProperties(s, path, Map(
+      "write.delete.mode" -> "merge-on-read",
+      "write.update.mode" -> "merge-on-read",
+      "write.merge.mode" -> "merge-on-read"))
+    s.sql("DROP TABLE IF EXISTS graft_mormode")
+    s.sql(s"CREATE TABLE graft_mormode USING graftlake OPTIONS (path '$path')")
+    s.sql("DELETE FROM graft_mormode WHERE doc_id % 10 = 3")
+    s.sql("UPDATE graft_mormode SET n_chars = n_chars + 7 WHERE lang = 'de'")
+    docs.filter(col("doc_id") % 9L === 4L)
+      .unionByName(docs.filter(col("doc_id") % 11L === 6L)
+        .withColumn("doc_id", col("doc_id") + 5000000L))
+      .withColumn("lang", lit("merged"))
+      .withColumn("n_chars", col("n_chars") + 1000L)
+      .createOrReplaceTempView("graft_mormode_src")
+    s.sql("""MERGE INTO graft_mormode t USING graft_mormode_src u
+      |ON t.doc_id = u.doc_id
+      |WHEN MATCHED THEN UPDATE SET lang = u.lang, n_chars = u.n_chars
+      |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val ops = history(s, path).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    require(ops == Map(0 -> "overwrite", 1 -> "set_properties",
+        2 -> "mor_posdelete", 3 -> "mor_update", 4 -> "mor_merge"),
+      s"write.<kind>.mode must route every statement to its MoR op, got $ops")
+    read(s, path).groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+      .orderBy("lang")
   }
 
   /** Driver query: COMPOSITE-KEY MERGE (S14h) — `ON t.l_orderkey =

@@ -418,7 +418,7 @@ class SqlDmlSpec extends AnyFunSuite {
       val e1 = intercept[Exception](spark.sql(
         """MERGE INTO sqldml_ref t USING sqldml_ref_src u ON t.k < u.k
           |WHEN MATCHED THEN DELETE""".stripMargin))
-      assert(e1.getMessage.contains("ON target.k = source.k"), e1.getMessage)
+      assert(e1.getMessage.contains("target.k = source.k"), e1.getMessage)
       // non-identity INSERT mapping
       val e2 = intercept[Exception](spark.sql(
         """MERGE INTO sqldml_ref t USING sqldml_ref_src u ON t.k = u.k
@@ -607,6 +607,62 @@ class SqlDmlSpec extends AnyFunSuite {
         "DELETE FROM sqldml_sc WHERE v > (SELECT x FROM sqldml_sc_stats)"))
       assert(e.getMessage.contains("more than one row"), e.getMessage)
     } finally spark.sql("DROP TABLE IF EXISTS sqldml_sc")
+  }
+
+  test("write.<kind>.mode=merge-on-read routes SQL DML; results equal CoW") {
+    val pM = "/tmp/graft_test/sqldml_mode_mor"
+    val pC = "/tmp/graft_test/sqldml_mode_cow"
+    rmdir(pM); rmdir(pC)
+    import spark.implicits._
+    val rows = (1L to 12L).map(i => (i, s"s$i", i * 10.0))
+    for ((p, name) <- Seq(pM -> "sqldml_morm", pC -> "sqldml_coww")) {
+      LakeTable.overwrite(rows.toDF("k", "s", "v"), p)
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      spark.sql(s"CREATE TABLE $name USING graftlake OPTIONS (path '$p')")
+    }
+    // the library call, not SQL ALTER: a session-catalog table's
+    // ALTER lands in Spark's own catalog, never the lake sidecar
+    LakeTable.setTableProperties(spark, pM, Map(
+      "write.delete.mode" -> "merge-on-read",
+      "write.update.mode" -> "merge-on-read",
+      "write.merge.mode" -> "merge-on-read"))
+    Seq((2L, "m2", 999.0), (20L, "m20", 2000.0)).toDF("k", "s", "v")
+      .createOrReplaceTempView("sqldml_mode_src")
+    try {
+      for (name <- Seq("sqldml_morm", "sqldml_coww")) {
+        // pmod arithmetic: NOT V2-filter-expressible — on the CoW twin
+        // this pins the new non-pushable plain-DELETE lowering
+        spark.sql(s"DELETE FROM $name WHERE k % 5 = 0")
+        spark.sql(s"UPDATE $name SET v = v + 0.5 WHERE k <= 3")
+        spark.sql(s"""MERGE INTO $name t USING sqldml_mode_src u ON t.k = u.k
+          |WHEN MATCHED THEN UPDATE SET s = u.s, v = u.v
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      }
+      def state(p: String) = LakeTable.read(spark, p).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(state(pM) === state(pC),
+        "merge-on-read and copy-on-write must produce identical content")
+      val opsM = LakeTable.history(spark, pM).collect()
+        .map(r => r.getInt(0) -> r.getString(1)).toMap
+      assert(opsM(1) === "set_properties" && opsM(2) === "mor_posdelete" &&
+        opsM(3) === "mor_update" && opsM(4) === "mor_merge", opsM.toString)
+      val opsC = LakeTable.history(spark, pC).collect()
+        .map(r => r.getInt(0) -> r.getString(1)).toMap
+      assert(opsC(1) === "delete" && opsC(2) === "update" &&
+        opsC(3) === "merge", opsC.toString)
+      // compact folds the MoR state away; content unchanged
+      LakeTable.compact(spark, pM)
+      assert(state(pM) === state(pC), "compacted MoR content must not move")
+      // bad mode value refuses at the ALTER, not at the first DML
+      val e = intercept[IllegalArgumentException](
+        LakeTable.setTableProperties(spark, pM,
+          Map("write.delete.mode" -> "positional")))
+      assert(e.getMessage.contains("expected copy-on-write or merge-on-read"),
+        e.getMessage)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sqldml_morm")
+      spark.sql("DROP TABLE IF EXISTS sqldml_coww")
+    }
   }
 
   test("MERGE over a composite ON key lowers onto the multi-key merge") {
