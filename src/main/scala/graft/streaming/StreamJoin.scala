@@ -51,6 +51,7 @@ object StreamJoin {
       .withColumn("tstamp", Tables.tsFromNanos("ts"))
       .select("event_id", "user_id", "event_type", "tstamp", "value")
       .withColumn("part", pmod(col("event_id"), lit(4L)))
+      .repartition(4, col("part")) // one file per part dir (see semiJoinStream)
       .write.partitionBy("part").parquet(arrivals)
     val schema = s.read.parquet(arrivals).schema
     // join-state stores are per shuffle partition PER SIDE per
