@@ -407,20 +407,30 @@ object Similarity {
       .head().getDouble(0)
     require(worst <= 0.5 + 1e-9,
       f"int8 reconstruction bound violated: worst |err|/qscale = $worst%.6f")
-    val q = qz.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+    // the quantized pass moves CODES AND NORMS ONLY — carrying the
+    // float vectors of every candidate through the join/shuffle/
+    // window would spend the exact bytes the quantization exists to
+    // save; full-precision vectors re-join for the shortlist alone
+    val qSide = qz.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("nrm").as("qn"),
         col("qscale").as("qqs"), col("codes").as("qcodes"))
-    val scored = qz.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), col("v"), col("nrm"),
-        col("qv"), col("qn"),
+    val scored = qz.select(col("vec_id"), col("codes"), col("qscale"), col("nrm"))
+      .join(broadcast(qSide), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
         (dot(toDoubleArray(col("codes")), toDoubleArray(col("qcodes"))) *
           col("qscale") * col("qqs") / (col("nrm") * col("qn"))).as("qcos"))
     val wq = Window.partitionBy("qid").orderBy(col("qcos").desc, col("vec_id"))
     val short = scored.withColumn("qrank", row_number().over(wq))
       .filter(col("qrank") <= shortlist)
+      .select("qid", "vec_id")
     // exact re-rank of the shortlist only — the sole full-precision pass
-    val rer = short.select(col("qid"), col("vec_id"),
-      round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_sim"))
+    val rer = short
+      .join(emb.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
+      .join(broadcast(emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qn"))), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_sim"))
     val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
     rer.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -205,7 +205,7 @@ object CdcApply {
               LakeTable.MatchedUpdate(Some(
                 !col(s"s.$DelFlag") && col(s"s.$seqCol") >= col(s"t.$seqCol")),
                 setAll)),
-            Some(!col(DelFlag)), Nil, Nil)
+            Some(!col(DelFlag)), Nil, Nil, "merge")
         finally cached.unpersist(blocking = false)
     }
   }
@@ -408,7 +408,7 @@ object CdcApply {
                 Seq(LakeTable.MatchedUpdate(None,
                   Map("end_seq" -> col("s.end_seq"),
                     "is_current" -> col("s.is_current")))),
-                Some(lit(true)), Nil, Nil)
+                Some(lit(true)), Nil, Nil, "merge")
             finally cached.unpersist(blocking = false)
           }
         } finally prior.unpersist(blocking = false)

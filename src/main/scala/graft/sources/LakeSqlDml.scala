@@ -158,17 +158,31 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
       case _ => false
     }
 
+  /** Does the subquery's own FROM clause (re)define `alias`? SQL
+    * scoping says the INNER definition shadows the outer one, so a
+    * qualified name under a shadowed alias is NOT a correlation —
+    * `SET v = (SELECT max(x) FROM ref t WHERE t.c = 5)` with target
+    * alias `t` is an uncorrelated scalar filtered inside `ref`. */
+  private def definesAlias(plan: LogicalPlan, alias: String): Boolean =
+    plan.exists {
+      case SubqueryAlias(id, _) => id.name.equalsIgnoreCase(alias)
+      case u: UnresolvedRelation =>
+        u.multipartIdentifier.lastOption.exists(_.equalsIgnoreCase(alias))
+      case _ => false
+    }
+
   private def planRefsTarget(
       plan: LogicalPlan, tOut: AttributeSet, tAlias: Option[String]): Boolean = {
+    val alias = tAlias.filterNot(definesAlias(plan, _)) // shadowed = inner
     def refs(e: Expression): Boolean = e.exists {
       case _: OuterReference => true
       case a: AttributeReference => tOut.contains(a)
       case u: UnresolvedAttribute =>
-        u.nameParts.length == 2 && tAlias.contains(u.nameParts.head)
+        u.nameParts.length == 2 && alias.contains(u.nameParts.head)
       case _ => false
     }
     plan.expressions.exists(refs) ||
-      plan.children.exists(planRefsTarget(_, tOut, tAlias))
+      plan.children.exists(planRefsTarget(_, tOut, alias))
   }
 
   /** Like [[planRefsTarget]] but WITHOUT the raw-attribute
@@ -179,7 +193,8 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
     * refusal. Resolved correlation always arrives as
     * OuterReference/outerAttrs; unresolved correlation as an
     * alias-qualified name. */
-  private def planRefsQualified(plan: LogicalPlan, alias: Option[String]): Boolean = {
+  private def planRefsQualified(plan: LogicalPlan, alias0: Option[String]): Boolean = {
+    val alias = alias0.filterNot(definesAlias(plan, _)) // shadowed = inner
     def refs(e: Expression): Boolean = e.exists {
       case _: OuterReference => true
       case u: UnresolvedAttribute =>
@@ -198,8 +213,11 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
     * shape decomposes; anything deeper refuses by name. */
   private def decomposeCorrelatedScalar(
       plan0: LogicalPlan, path: String,
-      tOut: AttributeSet, tAlias: Option[String],
+      tOut: AttributeSet, tAlias0: Option[String],
       what: String = "UPDATE"): (String, LogicalPlan) = {
+    // a subquery whose own FROM redefines the target alias shadows
+    // it (SQL scoping) — only unshadowed qualified names correlate
+    val tAlias = tAlias0.filterNot(definesAlias(plan0, _))
     def isTargetRef(e: Expression): Option[String] = e match {
       case OuterReference(a) => Some(a.name)
       case a: AttributeReference if tOut.contains(a) => Some(a.name)
@@ -313,26 +331,37 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
     * the merge — their scalar is SQL-NULL, the comparison UNKNOWN,
     * the row kept — so the file-granular merge planner applies: only
     * files holding keyed rows are touched. */
-  private def lowerCorrelatedScalarDelete(
-      path: String, condition: Expression,
-      tOut: AttributeSet, tAlias: Option[String]): LogicalPlan = {
-    import org.apache.spark.sql.functions.col
+  /** The shared half of the correlated-condition lowerings: exactly
+    * ONE subquery (the correlated scalar) per statement, decompose it,
+    * and substitute `s.__graft_sq_val` into the whole condition. */
+  private def corrCondParts(
+      path: String, what: String, condition: Expression,
+      tOut: AttributeSet, tAlias: Option[String])
+      : (String, LogicalPlan, Expression) = {
     val allSqs = condition.collect { case sq: SubqueryExpression => sq }
     val corrSqs = condition.collect {
       case sq: ScalarSubquery
         if sq.outerAttrs.nonEmpty || planRefsTarget(sq.plan, tOut, tAlias) => sq
     }
     if (allSqs.size != 1 || corrSqs.size != 1) refuse(
-      s"DELETE FROM graftlake.`$path`: exactly ONE subquery is supported " +
+      s"$what graftlake.`$path`: exactly ONE subquery is supported " +
         s"per statement (got ${allSqs.size}, of which ${corrSqs.size} " +
         "correlated scalars)")
     val sq = corrSqs.head
     val (tc, aggPlan) =
-      decomposeCorrelatedScalar(sq.plan, path, tOut, tAlias, "DELETE FROM")
+      decomposeCorrelatedScalar(sq.plan, path, tOut, tAlias, what)
     val cond2 = condition.transform {
       case s: ScalarSubquery if s eq sq =>
         UnresolvedAttribute(Seq("s", "__graft_sq_val"))
     }
+    (tc, aggPlan, cond2)
+  }
+
+  private def lowerCorrelatedScalarDelete(
+      path: String, condition: Expression,
+      tOut: AttributeSet, tAlias: Option[String]): LogicalPlan = {
+    val (tc, aggPlan, cond2) =
+      corrCondParts(path, "DELETE FROM", condition, tOut, tAlias)
     LakeDmlCommand(
       s"DELETE FROM graftlake.`$path` WHERE <correlated scalar subquery>",
       () => {
@@ -352,25 +381,12 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
   private def lowerCorrelatedCondUpdate(
       path: String, assignments: Seq[Assignment], condition: Expression,
       tOut: AttributeSet, tAlias: Option[String]): LogicalPlan = {
-    val allSqs = condition.collect { case sq: SubqueryExpression => sq }
-    val corrSqs = condition.collect {
-      case sq: ScalarSubquery
-        if sq.outerAttrs.nonEmpty || planRefsTarget(sq.plan, tOut, tAlias) => sq
-    }
-    if (allSqs.size != 1 || corrSqs.size != 1) refuse(
-      s"UPDATE graftlake.`$path`: exactly ONE subquery is supported " +
-        s"per statement (got ${allSqs.size}, of which ${corrSqs.size} " +
-        "correlated scalars)")
     assignments.foreach(a => if (hasSubquery(a.value)) refuse(
       s"UPDATE graftlake.`$path`: SET values may not carry subqueries " +
         "when the WHERE holds a correlated scalar (one subquery per " +
         "statement)"))
-    val sq = corrSqs.head
-    val (tc, aggPlan) = decomposeCorrelatedScalar(sq.plan, path, tOut, tAlias)
-    val cond2 = condition.transform {
-      case s: ScalarSubquery if s eq sq =>
-        UnresolvedAttribute(Seq("s", "__graft_sq_val"))
-    }
+    val (tc, aggPlan, cond2) =
+      corrCondParts(path, "UPDATE", condition, tOut, tAlias)
     val setT = assignments.map { case Assignment(k, v) =>
       keyName(k) -> tAnchor(v, tAlias)
     }.toMap
@@ -451,12 +467,16 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
       source: org.apache.spark.sql.DataFrame, keyCol: String,
       matched: Seq[LakeTable.MergeClause],
       notMatchedBySource: Seq[LakeTable.MergeClause] = Nil): Int =
+    // kind threads twice: the WRITE mode picks the commit shape, and
+    // the ISOLATION kind keeps write.<kind>.isolation-level governing
+    // a statement its merge-shaped lowering would otherwise re-home
+    // under write.merge.*
     if (LakeTable.dmlModeOf(path, kind) == "merge-on-read")
       LakeTable.mergeConditionalMoR(source, path, keyCol, matched,
-        notMatchedBySource = notMatchedBySource)
+        notMatchedBySource = notMatchedBySource, isolationKind = kind)
     else
       LakeTable.mergeConditional(source, path, keyCol, matched,
-        notMatchedBySource = notMatchedBySource)
+        notMatchedBySource = notMatchedBySource, isolationKind = kind)
 
   /** Route a plain-predicate UPDATE effect on `write.update.mode`. */
   private def updateByMode(
@@ -850,7 +870,16 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
                   "subqueries lower inside MERGE clauses (by value) — " +
                   "precompute correlated or keyed values into the USING " +
                   "source (or a temp view) and reference them as s.<col>")
-              materializeScalars(e0)
+              // correlation written WITHOUT alias qualification is
+              // undetectable above — it surfaces here as a standalone
+              // analysis failure; keep the named refusal contract
+              try materializeScalars(e0)
+              catch { case ae: org.apache.spark.sql.AnalysisException => refuse(
+                s"MERGE INTO graftlake.`$path`: a clause subquery failed " +
+                  "standalone analysis (likely an unqualified correlated " +
+                  "reference) — precompute correlated or keyed values " +
+                  s"into the USING source; cause: ${ae.getMessage}")
+              }
             }
           def anchor(e0: Expression): Column =
             anchored(scalarsByValue(e0), tOut, sOut, tAlias, sAlias)

@@ -1815,7 +1815,11 @@ object LakeTable {
       // the operation's row predicate, pre-coalesced to NULL=false —
       // the serializable conflict-detection filter; None = no filter
       // derivable (refuse any racer-added rows under serializable)
-      conflictFilter: Option[org.apache.spark.sql.Column] = None): Int = {
+      conflictFilter: Option[org.apache.spark.sql.Column] = None,
+      // the STATEMENT kind governing the isolation property when it
+      // differs from the commit op — a subquery DELETE lowers onto a
+      // merge commit but must answer to write.delete.isolation-level
+      isolationKind: Option[String] = None): Int = {
     def plane(v: Int): Seq[Any] = Seq(
       schemaOf(path, v), constraintsOf(path, v).toSet, promotedOf(path, v),
       defaultsOf(path, v), tablePropsOf(path, v), nextRowIdOf(path, v).isDefined)
@@ -1856,7 +1860,8 @@ object LakeTable {
           // matches are phantoms the serial order forbids. Props are
           // plane-checked equal between base and head just above, so
           // reading the level at base is the level throughout.
-          opIsolationKey(op)
+          isolationKind.map(k => s"write.$k.isolation-level")
+            .orElse(opIsolationKey(op))
             .filter(k => base >= 0 &&
               tablePropsOf(path, base).getOrElse(k, "snapshot") == "serializable")
             .foreach { k =>
@@ -3789,9 +3794,12 @@ object LakeTable {
       matched: Seq[MergeClause],
       notMatchedInsert: Option[org.apache.spark.sql.Column] = None,
       notMatchedBySource: Seq[MergeClause] = Nil,
-      evolveColumns: Seq[String] = Nil): Int =
+      evolveColumns: Seq[String] = Nil,
+      // the governing isolation-property kind: a subquery DELETE
+      // lowers onto this merge but answers to write.delete.*
+      isolationKind: String = "merge"): Int =
     mergeConditionalKeys(source, path, Seq(keyCol), matched,
-      notMatchedInsert, notMatchedBySource, evolveColumns)
+      notMatchedInsert, notMatchedBySource, evolveColumns, isolationKind)
 
   /** [[mergeConditional]] over a COMPOSITE key — `ON t.k1 = s.k1 AND
     * t.k2 = s.k2 ...` (the business-key shape). Same clause algebra,
@@ -3803,7 +3811,8 @@ object LakeTable {
       matched: Seq[MergeClause],
       notMatchedInsert: Option[org.apache.spark.sql.Column] = None,
       notMatchedBySource: Seq[MergeClause] = Nil,
-      evolveColumns: Seq[String] = Nil): Int = {
+      evolveColumns: Seq[String] = Nil,
+      isolationKind: String = "merge"): Int = {
     require(keyCols.nonEmpty, s"MERGE at $path needs at least one key column")
     requireDeterministicMerge(matched, notMatchedInsert, notMatchedBySource)
     val spark = source.sparkSession
@@ -3853,7 +3862,7 @@ object LakeTable {
           ++ stageRewrite(
             survivors.unionByName(inserts, allowMissingColumns = true), path,
             rewriteSpec(path, refs, touched, mm)),
-        "merge")
+        "merge", isolationKind = Some(isolationKind))
     } else {
       val target = rewriteRead(spark, path, base)
       val (survivors, inserts, affected) =
@@ -3878,7 +3887,8 @@ object LakeTable {
       matched: Seq[MergeClause],
       notMatchedInsert: Option[org.apache.spark.sql.Column] = None,
       notMatchedBySource: Seq[MergeClause] = Nil,
-      evolveColumns: Seq[String] = Nil): Int = {
+      evolveColumns: Seq[String] = Nil,
+      isolationKind: String = "merge"): Int = {
     requireDeterministicMerge(matched, notMatchedInsert, notMatchedBySource)
     val spark = source.sparkSession
     val base = observedBase(spark, path)
@@ -3905,7 +3915,7 @@ object LakeTable {
     commitValidated(spark, path, base, prev,
       prev ++ stageManifest(affected, path, kind = "delete")
         ++ stageManifest(replacements, path),
-      "mor_merge")
+      "mor_merge", isolationKind = Some(isolationKind))
   }
 
   /** ROLLBACK to an earlier snapshot (Iceberg's rollback semantics):
@@ -5281,22 +5291,27 @@ object LakeTable {
         set.keys.foreach(c => require(visible.contains(c),
           s"UPDATE at $path: no such column '$c' (have ${visible.mkString(", ")})"))
         val mm = manifestMemo()
-        val matched = cur.filter(p)
-        def positions: DataFrame =
-          matched.select(col(FpCol).as("file_path"), col(RiCol).as("row_index"))
-        def replacement: DataFrame = {
-          val selCols = visible.map(c => set.get(c).map(_.as(c)).getOrElse(col(c)))
-          if (!lineage) matched.select(selCols: _*)
-          else attachLineage(spark, matched,
-              refs.filter(r => r.kind == "data" && r.nFiles > 0), mm, path)
-            .select(selCols ++ Seq(
-              col(RowIdCol).as(LineageRid),
-              lit(null).cast("long").as(LineageLus)): _*)
-        }
-        commitValidated(spark, path, base, refs,
-          refs ++ stageManifest(positions, path, kind = "posdel")
-            ++ stageManifest(replacement, path),
-          "mor_update", conflictFilter = Some(p))
+        // ONE classification scan feeds both manifests (positions +
+        // replacements) — unpersisted, each stage write would re-read
+        // every non-pruned file and re-apply the MoR subtraction
+        val matched = cur.filter(p).persist()
+        try {
+          def positions: DataFrame =
+            matched.select(col(FpCol).as("file_path"), col(RiCol).as("row_index"))
+          def replacement: DataFrame = {
+            val selCols = visible.map(c => set.get(c).map(_.as(c)).getOrElse(col(c)))
+            if (!lineage) matched.select(selCols: _*)
+            else attachLineage(spark, matched,
+                refs.filter(r => r.kind == "data" && r.nFiles > 0), mm, path)
+              .select(selCols ++ Seq(
+                col(RowIdCol).as(LineageRid),
+                lit(null).cast("long").as(LineageLus)): _*)
+          }
+          commitValidated(spark, path, base, refs,
+            refs ++ stageManifest(positions, path, kind = "posdel")
+              ++ stageManifest(replacement, path),
+            "mor_update", conflictFilter = Some(p))
+        } finally matched.unpersist()
     }
   }
 

@@ -665,6 +665,61 @@ class SqlDmlSpec extends AnyFunSuite {
     }
   }
 
+  test("an inner alias shadowing the target alias is NOT a correlation") {
+    val p = "/tmp/graft_test/sqldml_shadow"
+    freshTable(p, "sqldml_shadow")
+    import spark.implicits._
+    Seq((5L, 100.0), (5L, 300.0), (6L, 999.0))
+      .toDF("c", "x").createOrReplaceTempView("sqldml_shadow_ref")
+    try {
+      // the inner 't' shadows the target alias by SQL scoping: this
+      // is an UNCORRELATED scalar filtered INSIDE ref (max x where
+      // c=5 -> 300), applied to every WHERE row — treating 't.c = 5'
+      // as an equi-correlation would regroup by the literal and drop
+      // the filter, silently producing wrong values
+      spark.sql("UPDATE sqldml_shadow t SET v = (SELECT max(t.x) FROM " +
+        "sqldml_shadow_ref t WHERE t.c = 5) WHERE t.k <= 2")
+      val rows = spark.sql("SELECT k, v FROM sqldml_shadow ORDER BY k").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(rows === Seq((1L, 300.0), (2L, 300.0), (3L, 30.0), (4L, 40.0)),
+        rows.mkString(", "))
+    } finally spark.sql("DROP TABLE IF EXISTS sqldml_shadow")
+  }
+
+  test("isolation level follows the STATEMENT kind through merge-shaped lowerings") {
+    val p = "/tmp/graft_test/sqldml_isokind"
+    freshTable(p, "sqldml_isokind")
+    import spark.implicits._
+    Seq(1L, 3L).toDF("doc").createOrReplaceTempView("sqldml_isokind_keys")
+    val arb = new graft.sources.RaceInjectionArbiter
+    LakeTable.setCommitArbiter(p, arb)
+    try {
+      // write.MERGE.isolation-level=serializable must NOT govern a
+      // keyed DELETE statement (it lowers onto a merge commit but
+      // answers to write.DELETE.*): the race rebases
+      LakeTable.setTableProperties(spark, p,
+        Map("write.merge.isolation-level" -> "serializable"))
+      arb.armRace(() =>
+        LakeTable.append(Seq((50L, "r", 1.0)).toDF("k", "s", "v"), p): Unit)
+      spark.sql("DELETE FROM sqldml_isokind WHERE k IN " +
+        "(SELECT doc FROM sqldml_isokind_keys)")
+      assert(spark.sql("SELECT k FROM sqldml_isokind ORDER BY k").collect()
+        .map(_.getLong(0)).toSeq === Seq(2L, 4L, 50L),
+        "merge-level serializable must not refuse a DELETE statement's race")
+      // write.DELETE.isolation-level=serializable DOES govern it —
+      // no row filter is derivable for the keyed form, so any racer
+      // rows conflict (Iceberg's alwaysTrue default)
+      LakeTable.setTableProperties(spark, p,
+        Map("write.delete.isolation-level" -> "serializable"))
+      arb.armRace(() =>
+        LakeTable.append(Seq((51L, "r2", 1.0)).toDF("k", "s", "v"), p): Unit)
+      val e = intercept[Exception](spark.sql(
+        "DELETE FROM sqldml_isokind WHERE k IN " +
+          "(SELECT doc FROM sqldml_isokind_keys)"))
+      assert(e.getMessage.contains("serializable"), e.getMessage)
+    } finally LakeTable.setCommitArbiter(p, graft.sources.RenameArbiter)
+  }
+
   test("MERGE over a composite ON key lowers onto the multi-key merge") {
     val p = "/tmp/graft_test/sqldml_mcomp"
     rmdir(p)
