@@ -424,7 +424,8 @@ object Similarity {
       .filter(col("qrank") <= shortlist)
       .select("qid", "vec_id")
     // exact re-rank of the shortlist only — the sole full-precision pass
-    val rer = short
+    // (the shortlist is O(queries × shortlist) rows: broadcast it)
+    val rer = broadcast(short)
       .join(emb.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
       .join(broadcast(emb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("qid"), col("v").as("qv"),

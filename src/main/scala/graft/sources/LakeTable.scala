@@ -671,6 +671,10 @@ object LakeTable {
     DmlModeKeys.foreach(k => props.flatMap(_.get(k)).foreach(v =>
       require(Set("copy-on-write", "merge-on-read")(v),
         s"$k '$v' — expected copy-on-write or merge-on-read")))
+    Seq("commit.retry.num-retries", "commit.retry.min-wait-ms").foreach(k =>
+      props.flatMap(_.get(k)).foreach(v =>
+        require(scala.util.Try(v.toLong).toOption.exists(_ >= 0L),
+          s"$k '$v' — expected a non-negative integer")))
     val next = base + 1
     val md = Paths.get(metaDir(path))
     Files.createDirectories(md)
@@ -1157,6 +1161,10 @@ object LakeTable {
     DmlModeKeys.foreach(k => add.get(k).foreach(v =>
       require(Set("copy-on-write", "merge-on-read")(v),
         s"$k '$v' — expected copy-on-write or merge-on-read")))
+    Seq("commit.retry.num-retries", "commit.retry.min-wait-ms").foreach(k =>
+      add.get(k).foreach(v =>
+        require(scala.util.Try(v.toLong).toOption.exists(_ >= 0L),
+          s"$k '$v' — expected a non-negative integer")))
     val base = observedBase(spark, path)
     commitRefs(spark, path, base, listRefs(path, base), "set_properties",
       props = Some(tablePropsOf(path, base) ++ add))
@@ -1276,13 +1284,13 @@ object LakeTable {
         return Some(commitRefs(spark, path, base, prev ++ fresh.map(_._1).toSeq,
           "streaming-append", txn = Some(queryId -> epochId)))
       } catch {
-        case e: Exception if isVersionConflict(e) && attempt < MaxCommitRetries =>
+        case e: Exception if isVersionConflict(e) && attempt < commitRetriesOf(path) =>
           attempt += 1 // racer won this version: rebase on its snapshot
           // linear backoff: an ARBITER claim refusal can precede the
           // racer's publish (claim held, rename pending) — instant
           // retries would burn every attempt against the same base
           // before anything changed (round-8 review catch)
-          Thread.sleep(20L * attempt)
+          Thread.sleep(commitWaitMsOf(path) * attempt)
       }
     }
     None // unreachable
@@ -1749,9 +1757,9 @@ object LakeTable {
       try {
         return commitRefs(spark, path, base, prev ++ fresh, op, txn = txn)
       } catch {
-        case e: Exception if isVersionConflict(e) && attempt < MaxCommitRetries =>
+        case e: Exception if isVersionConflict(e) && attempt < commitRetriesOf(path) =>
           attempt += 1 // racer won this version: rebase on its snapshot
-          Thread.sleep(20L * attempt) // see the streaming arm's backoff note
+          Thread.sleep(commitWaitMsOf(path) * attempt) // streaming arm's backoff note
       }
     }
     -1 // unreachable
@@ -1832,9 +1840,9 @@ object LakeTable {
     while (true) {
       try return commitRefs(spark, path, head, planned ++ extra, op)
       catch {
-        case e: Exception if isVersionConflict(e) && attempt < MaxCommitRetries =>
+        case e: Exception if isVersionConflict(e) && attempt < commitRetriesOf(path) =>
           attempt += 1
-          Thread.sleep(20L * attempt)
+          Thread.sleep(commitWaitMsOf(path) * attempt)
           head = latestVersion(path).getOrElse(-1)
           val newRefs = listRefs(path, head)
           val newSet = newRefs.toSet
@@ -2050,6 +2058,19 @@ object LakeTable {
   }
 
   private val MaxCommitRetries = 5
+
+  /** Iceberg's `commit.retry.num-retries` / `commit.retry.min-wait-ms`
+    * table properties, read at retry time (validated where every
+    * property enters): a contended table can buy more attempts and a
+    * gentler backoff without touching code. Defaults match the
+    * hardcoded round-2 values. */
+  private def commitRetriesOf(path: String): Int =
+    latestVersion(path).map(tablePropsOf(path, _)).getOrElse(Map.empty)
+      .get("commit.retry.num-retries").map(_.toInt).getOrElse(MaxCommitRetries)
+
+  private def commitWaitMsOf(path: String): Long =
+    latestVersion(path).map(tablePropsOf(path, _)).getOrElse(Map.empty)
+      .get("commit.retry.min-wait-ms").map(_.toLong).getOrElse(20L)
 
   /** Read a snapshot (default: latest). Planning is METADATA-ONLY and
     * O(#manifests): each manifest covers exactly its immutable commit

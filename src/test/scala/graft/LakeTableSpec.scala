@@ -2049,6 +2049,38 @@ class LakeTableSpec extends AnyFunSuite {
     } finally LakeTable.setCommitArbiter(p, graft.sources.RenameArbiter)
   }
 
+  test("commit.retry.num-retries=0 turns a raced append into a refusal") {
+    val p = "/tmp/graft_test/lake_retry_prop"
+    rmdir(p)
+    import spark.implicits._
+    LakeTable.overwrite(Seq((1L, "a")).toDF("k", "s"), p)
+    LakeTable.setTableProperties(spark, p,
+      Map("commit.retry.num-retries" -> "0"))
+    val arb = new graft.sources.RaceInjectionArbiter
+    LakeTable.setCommitArbiter(p, arb)
+    try {
+      arb.armRace(() =>
+        LakeTable.append(Seq((2L, "r")).toDF("k", "s"), p): Unit)
+      // zero retries: the rebase loop never re-claims — the raw
+      // version conflict surfaces to the caller
+      intercept[Exception](
+        LakeTable.append(Seq((3L, "x")).toDF("k", "s"), p))
+      // restoring the default buys the retries back; both land
+      LakeTable.setTableProperties(spark, p,
+        Map("commit.retry.num-retries" -> "5"))
+      arb.armRace(() =>
+        LakeTable.append(Seq((4L, "r2")).toDF("k", "s"), p): Unit)
+      LakeTable.append(Seq((5L, "y")).toDF("k", "s"), p)
+      val ks = LakeTable.read(spark, p).collect().map(_.getLong(0)).sorted.toSeq
+      assert(ks === Seq(1L, 2L, 4L, 5L), ks.mkString(", "))
+      // malformed value refuses at the ALTER
+      val e = intercept[IllegalArgumentException](
+        LakeTable.setTableProperties(spark, p,
+          Map("commit.retry.num-retries" -> "many")))
+      assert(e.getMessage.contains("non-negative integer"), e.getMessage)
+    } finally LakeTable.setCommitArbiter(p, graft.sources.RenameArbiter)
+  }
+
   test("serializable isolation: bad value refuses at ALTER, not at the first race") {
     val p = "/tmp/graft_test/lake_serial_badval"
     rmdir(p)
