@@ -235,6 +235,7 @@ object SparkEntry {
     "lake_delete_correlated" -> (sources.LakeTable.deleteCorrelatedQuery _),
     "lake_merge_composite" -> (sources.LakeTable.mergeCompositeQuery _),
     "lake_mor_mode_dml" -> (sources.LakeTable.morModeDmlQuery _),
+    "lake_metadata_log" -> (sources.LakeTable.metadataLogQuery _),
     "lake_variant_column" -> (sources.LakeTable.variantColumnQuery _),
     "lake_conflict_rebase" -> (sources.LakeTable.conflictRebaseQuery _),
     "lake_conflict_serializable" -> (sources.LakeTable.conflictSerializableQuery _),
@@ -1682,6 +1683,27 @@ object SparkEntry {
         |FROM documents d LEFT JOIN av ON av.source = d.source
         |WHERE NOT COALESCE(d.lang = 'en' AND d.n_chars < av.a, FALSE)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // lake_metadata_log: metadata_log_entries over a three-commit
+    // lifecycle with one expiration (v0's list file gone) + the
+    // ancestors_of CALL agreeing row-for-row; per-version row counts
+    // re-read through time travel, recomputed here from raw
+    "lake_metadata_log" ->
+      """WITH n AS (SELECT count(*) AS total,
+        |            CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS evens,
+        |            CAST(sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS f
+        |           FROM documents)
+        |SELECT CAST(1 AS INT) AS version, false AS is_current,
+        |       CAST(evens AS BIGINT) AS n_rows, CAST(3 AS INT) AS n_ancestors
+        |FROM n
+        |UNION ALL
+        |SELECT CAST(2 AS INT), false, CAST(total AS BIGINT), CAST(3 AS INT)
+        |FROM n
+        |UNION ALL
+        |SELECT CAST(3 AS INT), true, CAST(total + f AS BIGINT), CAST(3 AS INT)
+        |FROM n
+        |ORDER BY version""".stripMargin,
     // lake_mor_mode_dml: write.<kind>.mode=merge-on-read routes the
     // same SQL DELETE/UPDATE/MERGE onto position-delete + replacement
     // commits; the oracle replays the three statements from raw

@@ -405,6 +405,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         Some(new GraftLocalTable(
           s"${ident.namespace.mkString(".")}.refs",
           LakeTable.refs(spark, parent)))
+      case "metadata_log_entries" =>
+        // one row per live version's manifest-list file + wall-time:
+        // O(#versions), pure metadata
+        Some(new GraftLocalTable(
+          s"${ident.namespace.mkString(".")}.metadata_log_entries",
+          LakeTable.metadataLog(spark, parent)))
       case "snapshots" =>
         // per-version commit summary incl. added/removed file deltas:
         // O(#versions) result rows from ONE distributed list read

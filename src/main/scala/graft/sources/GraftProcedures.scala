@@ -136,7 +136,7 @@ private[sources] object GraftProcedures {
     "rewrite_position_delete_files", "rewrite_manifests", "add_files",
     "convert_equality_deletes", "refresh_materialized_view",
     "rollback_to_snapshot", "rollback_to_timestamp", "fast_forward",
-    "cherrypick_snapshot", "compute_table_stats")
+    "cherrypick_snapshot", "compute_table_stats", "ancestors_of")
 
   def load(cat: GraftCatalog, spark: => SparkSession, name: String)
       : Option[UnboundProcedure] = {
@@ -331,6 +331,21 @@ private[sources] object GraftProcedures {
           "constraints re-validate the picked rows.")(args => {
         one(LakeTable.cherryPick(spark, pathOf(args(0).get),
           str(args(1)).get, int(args(2))))
+      }))
+      case "ancestors_of" => Some(new GraftProcedure(
+        "ancestors_of",
+        Seq(in("table", StringType), opt("version", IntegerType)),
+        StructType(Seq(StructField("version", IntegerType),
+          StructField("made_current_at", StringType))),
+        "Version ancestry of the table's head (or of `version`): one " +
+          "row per live ancestor, oldest first — gaps where expire " +
+          "removed snapshots. O(#versions) metadata.")(args => {
+        val path = pathOf(args(0).get)
+        val upTo = int(args(1)).getOrElse(
+          LakeTable.latestVersion(path).getOrElse(-1))
+        LakeTable.metadataLog(spark, path).collect()
+          .filter(_.getInt(2) <= upTo)
+          .map(r => Seq[Any](r.getInt(2), r.getString(0))).toSeq
       }))
       case "compute_table_stats" => Some(new GraftProcedure(
         "compute_table_stats",

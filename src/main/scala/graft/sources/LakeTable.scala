@@ -7158,6 +7158,57 @@ object LakeTable {
       .orderBy("source")
   }
 
+  /** Driver query: METADATA LOG + ANCESTRY (S14k) — Iceberg's
+    * `metadata_log_entries` metadata table and `ancestors_of`
+    * procedure over a three-commit lifecycle with one expiration:
+    * the log lists only LIVE versions (the expired v0's list file is
+    * gone), `is_current` marks the head, timestamps are require'd
+    * monotone and the listed files require'd to exist; the ancestry
+    * CALL must agree row-for-row with the log. Each surviving
+    * version's row count is re-read through time travel, so the
+    * oracle recomputes the content-bearing part from the raw table. */
+  def metadataLogQuery(s: SparkSession, d: String): DataFrame = {
+    val wh = freshWorkDir("lakemetalogwh", d)
+    s.conf.set("spark.sql.catalog.graftmlog", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graftmlog.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftmlog.db")
+    s.sql("DROP TABLE IF EXISTS graftmlog.db.mlog")
+    s.sql("CREATE TABLE graftmlog.db.mlog " +
+      "(doc_id BIGINT, lang STRING, n_chars BIGINT) USING graftlake")
+    val path = s"$wh/db/mlog"
+    val docs = graft.Tables.load(s, d, "documents")
+      .select("doc_id", "lang", "n_chars")
+    append(docs.filter(col("doc_id") % 2L === 0L), path) // v1
+    append(docs.filter(col("doc_id") % 2L =!= 0L), path) // v2
+    append(docs.filter(col("doc_id") % 5L === 0L), path) // v3
+    expireSnapshots(s, path, retain = 3) // the empty CREATE anchor expires
+    val log = metadataLog(s, path).collect()
+    require(log.map(_.getInt(2)).toSeq == Seq(1, 2, 3),
+      s"expired v0 must leave the log; got ${log.map(_.getInt(2)).mkString(",")}")
+    require(log.forall(r =>
+        java.nio.file.Files.exists(java.nio.file.Paths.get(r.getString(1)))),
+      "every listed metadata file must exist")
+    require(log.map(_.getString(0)).toSeq == log.map(_.getString(0)).sorted.toSeq,
+      "commit wall-times must be monotone over versions")
+    // SQL surfaces must agree with the library frame: the metadata
+    // table through the catalog ident, the ancestry through CALL
+    val sqlLog = s.sql(
+      "SELECT version, is_current FROM graftmlog.db.mlog.metadata_log_entries")
+      .collect().map(r => r.getInt(0) -> r.getBoolean(1)).toMap
+    require(sqlLog == Map(1 -> false, 2 -> false, 3 -> true),
+      s"SQL metadata_log_entries must match the library frame, got $sqlLog")
+    val anc = s.sql("CALL graftmlog.system.ancestors_of('db.mlog')")
+      .collect().map(_.getInt(0)).toSeq
+    require(anc == Seq(1, 2, 3),
+      s"ancestors_of must agree with the log row-for-row, got $anc")
+    import s.implicits._
+    log.map { r =>
+      val v = r.getInt(2)
+      (v, r.getBoolean(3), read(s, path, Some(v)).count(), anc.size)
+    }.toSeq.toDF("version", "is_current", "n_rows", "n_ancestors")
+      .orderBy("version")
+  }
+
   /** Driver query: MoR-MODE SQL DML (S14i) — Iceberg's
     * `write.delete/update/merge.mode = merge-on-read` table
     * properties route the SQL boundary: the same DELETE/UPDATE/MERGE
@@ -9040,6 +9091,32 @@ object LakeTable {
     val minKept = versions.filter(v => commits.get(v).exists(_ > tsMillis))
       .minOption.getOrElse(latest)
     expireSnapshots(spark, path, retain = latest - math.min(minKept, latest) + 1)
+  }
+
+  /** Iceberg-style `metadata_log_entries` METADATA TABLE: one row
+    * per live version's manifest-LIST file with its commit wall-time
+    * and whether it is the current head — the audit plane an
+    * operator greps before pinning a `TIMESTAMP AS OF` read or
+    * diagnosing a catalog pointer. One distributed read over the
+    * lists; zero manifests or data files opened. Expired versions
+    * are absent (their list files are gone), matching the gap
+    * semantics of every other metadata table here. */
+  def metadataLog(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val latest = latestVersion(path).getOrElse(-1)
+    val versions = liveVersions(path)
+    if (versions.isEmpty)
+      return Seq.empty[(String, String, Int, Boolean)]
+        .toDF("made_current_at", "file", "version", "is_current")
+    val commits = manifestFrame(spark, path, versions)
+      .groupBy("version").agg(first("committed_at").as("ts")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    versions.map { v =>
+      val f = listFile(path, v).map(_.toString)
+        .getOrElse(listPath(path, v).toString)
+      (new java.sql.Timestamp(commits.getOrElse(v, 0L)).toString,
+        f, v, v == latest)
+    }.toDF("made_current_at", "file", "version", "is_current")
   }
 
   /** Versions whose manifest dir still exists (expire leaves gaps). */

@@ -77,7 +77,8 @@ class CallProcedureSpec extends AnyFunSuite {
         "rewrite_manifests", "convert_equality_deletes",
         "refresh_materialized_view", "add_files",
         "rollback_to_snapshot", "rollback_to_timestamp",
-        "fast_forward", "cherrypick_snapshot", "compute_table_stats"))
+        "fast_forward", "cherrypick_snapshot", "compute_table_stats",
+        "ancestors_of"))
       val desc = spark.sql("DESCRIBE PROCEDURE callc.system.expire_snapshots")
         .collect().map(_.getString(0)).mkString(" ")
       assert(desc.contains("expire_snapshots") && desc.contains("retain_last"))
