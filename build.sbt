@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's final stdout JSON line; sbt's default
+// LoggedOutput strategy prefixes every forked-process line with
+// "[info] ", which the driver's parser rejects (BENCH_r13.json
+// "parsed": null — round-13 verdict #1). StdoutOutput lets the
+// forked JVM inherit the real stdout so the JSON line arrives bare.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -108,5 +108,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => graft.sources.LakeRowsStrategy)
     // direct-path reads + VERSION AS OF time travel over lake tables
     ext.injectParser((s, p) => new graft.sources.GraftSqlParser(s, p))
+    // Delta-shaped `table_changes(tbl, from[, to])` TVF — the SQL
+    // route into the lake's version-pair change feed (round 14);
+    // `table_changes_with_lineage` adds the row-lineage keyed diff.
+    // Refusal contracts ride the library calls unchanged.
+    ext.injectTableFunction((
+      new FunctionIdentifier("table_changes"),
+      new ExpressionInfo(
+        graft.sources.GraftTableChanges.getClass.getName, "table_changes"),
+      (args: Seq[Expression]) =>
+        graft.sources.GraftTableChanges.plan(lineage = false, args)))
+    ext.injectTableFunction((
+      new FunctionIdentifier("table_changes_with_lineage"),
+      new ExpressionInfo(
+        graft.sources.GraftTableChanges.getClass.getName,
+        "table_changes_with_lineage"),
+      (args: Seq[Expression]) =>
+        graft.sources.GraftTableChanges.plan(lineage = true, args)))
   }
 }

@@ -234,9 +234,12 @@ object SparkEntry {
     "lake_update_correlated" -> (sources.LakeTable.updateCorrelatedQuery _),
     "lake_delete_correlated" -> (sources.LakeTable.deleteCorrelatedQuery _),
     "lake_merge_composite" -> (sources.LakeTable.mergeCompositeQuery _),
+    "lake_mor_merge_composite" -> (sources.LakeTable.morMergeCompositeQuery _),
     "lake_mor_mode_dml" -> (sources.LakeTable.morModeDmlQuery _),
+    "lake_snapshot_migrate" -> (sources.LakeTable.snapshotMigrateQuery _),
     "lake_metadata_log" -> (sources.LakeTable.metadataLogQuery _),
     "lake_variant_column" -> (sources.LakeTable.variantColumnQuery _),
+    "lake_variant_shredded" -> (sources.LakeTable.variantShreddedQuery _),
     "lake_conflict_rebase" -> (sources.LakeTable.conflictRebaseQuery _),
     "lake_conflict_serializable" -> (sources.LakeTable.conflictSerializableQuery _),
     "lake_arbitrated_commit" -> (sources.LakeTable.arbitratedCommitQuery _),
@@ -248,6 +251,7 @@ object SparkEntry {
     "lake_stats_skip" -> (sources.LakeTable.statsSkipQuery _),
     "lake_zorder_box" -> (sources.LakeTable.zorderBoxQuery _),
     "lake_change_feed" -> (sources.LakeTable.changeFeedQuery _),
+    "lake_table_changes_sql" -> (sources.LakeTable.tableChangesSqlQuery _),
     "lake_expire_read" -> (sources.LakeTable.expireReadQuery _),
     "lake_mor_delete" -> (sources.LakeTable.morDeleteQuery _),
     "lake_dv_read" -> (sources.LakeTable.dvReadQuery _),
@@ -1638,6 +1642,15 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN event_id % 2 <> 0 THEN event_id ELSE 0 END) AS BIGINT)
         |         AS sum_extra_ids
         |FROM events GROUP BY 1 ORDER BY t""".stripMargin,
+    // lake_variant_shredded: the $.e box read through sidecar-stat
+    // file skipping (files-skipped require'd in-query); the oracle
+    // replays the slice from the raw table
+    "lake_variant_shredded" ->
+      """SELECT event_type AS t, count(*) AS n, round(sum(value), 6) AS sum_v
+        |FROM events
+        |WHERE event_id BETWEEN (SELECT max(event_id) // 4 FROM events)
+        |                   AND (SELECT max(event_id) // 2 FROM events)
+        |GROUP BY 1 ORDER BY t""".stripMargin,
     // lake_update_in_subquery: an equi-correlated EXISTS update whose
     // SET references the row's own columns, then a residual-scoped
     // NOT IN — the oracle replays both from the raw table
@@ -1736,6 +1749,30 @@ object SparkEntry {
     // source quantity (+100), source-only tuples (+10M orderkeys,
     // ok%13=0) INSERT; the oracle replays the clause algebra
     "lake_merge_composite" ->
+      """WITH srcb AS (SELECT l_orderkey, l_linenumber,
+        |                     min(l_quantity) AS mq, min(l_extendedprice) AS mp
+        |              FROM lineitem GROUP BY 1, 2),
+        |upd AS (SELECT l_orderkey, l_linenumber, mq + 100 AS q
+        |        FROM srcb WHERE l_orderkey % 7 = 0),
+        |kept AS (
+        |  SELECT l.l_linenumber,
+        |         CASE WHEN u.l_orderkey IS NOT NULL THEN u.q
+        |              ELSE l.l_quantity END AS q,
+        |         l.l_extendedprice AS p
+        |  FROM lineitem l LEFT JOIN upd u
+        |    ON u.l_orderkey = l.l_orderkey AND u.l_linenumber = l.l_linenumber
+        |  WHERE NOT (u.l_orderkey IS NOT NULL AND l.l_linenumber = 1)
+        |  UNION ALL
+        |  SELECT l_linenumber, mq AS q, mp AS p
+        |  FROM srcb WHERE l_orderkey % 13 = 0)
+        |SELECT l_linenumber, count(*) AS n,
+        |       round(sum(q), 6) AS sum_qty, round(sum(p), 3) AS sum_price
+        |FROM kept GROUP BY 1 ORDER BY l_linenumber""".stripMargin,
+    // lake_mor_merge_composite: the SAME composite-key clause algebra
+    // under write.merge.mode=merge-on-read — a multi-column equality-
+    // delete file + replacements; content require'd equal to the CoW
+    // twin in-query, so ONE oracle replay covers both planners
+    "lake_mor_merge_composite" ->
       """WITH srcb AS (SELECT l_orderkey, l_linenumber,
         |                     min(l_quantity) AS mq, min(l_extendedprice) AS mp
         |              FROM lineitem GROUP BY 1, 2),
@@ -1864,6 +1901,38 @@ object SparkEntry {
     // lake_change_feed: v0→v2 CDC over overwrite + merge + delete;
     // inserts = patched rows, deletes = pre-patch originals + deleted
     "lake_change_feed" ->
+      """WITH ins AS (
+        |  SELECT 'insert' AS change_type, event_id,
+        |         'patched' AS event_type, round(value + 1000, 6) AS value
+        |  FROM events WHERE event_id % 3 = 0
+        |), del AS (
+        |  SELECT 'delete' AS change_type, event_id, event_type, round(value, 6) AS value
+        |  FROM events
+        |  WHERE event_id % 3 = 0 OR (event_id % 7 = 0 AND event_id % 3 != 0)
+        |)
+        |SELECT * FROM ins UNION ALL SELECT * FROM del
+        |ORDER BY change_type, event_id""".stripMargin,
+    // lake_snapshot_migrate: snapshot (zero-copy + GC-refusal
+    // require'd) and migrate (registration-drop + in-place require'd)
+    // over two parquet exports of the same slice; both lake tables
+    // must serve the slice byte-identically
+    "lake_snapshot_migrate" ->
+      """WITH slice AS (
+        |  SELECT event_type, value FROM events WHERE event_id % 4 = 1
+        |), a AS (
+        |  SELECT 'snapshot' AS src, event_type, count(*) AS n,
+        |         round(sum(value), 6) AS sum_value
+        |  FROM slice GROUP BY 2
+        |), b AS (
+        |  SELECT 'migrate' AS src, event_type, count(*) AS n,
+        |         round(sum(value), 6) AS sum_value
+        |  FROM slice GROUP BY 2
+        |)
+        |SELECT * FROM a UNION ALL SELECT * FROM b
+        |ORDER BY src, event_type""".stripMargin,
+    // lake_table_changes_sql: the SAME v0→v2 diff served through the
+    // table_changes SQL TVF (2-arg head default require'd in-query)
+    "lake_table_changes_sql" ->
       """WITH ins AS (
         |  SELECT 'insert' AS change_type, event_id,
         |         'patched' AS event_type, round(value + 1000, 6) AS value

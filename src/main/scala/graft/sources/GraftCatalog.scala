@@ -190,6 +190,41 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case None => Some(pathOf(parts)).filter(isTable)
     }
 
+  /** Warehouse path for a NEW table ident (no existence filter) —
+    * the snapshot/migrate procedures' destination resolution. Path
+    * mode only: in uri mode locations are server-assigned at CREATE,
+    * so a client-side path guess would be wrong by construction. */
+  private[sources] def newLakeTablePath(parts: Seq[String]): Option[String] =
+    uriOpt match {
+      case Some(_) => None
+      case None => Some(pathOf(parts))
+    }
+
+  /** `register_table` (round-14 #5): bind an EXISTING lake metadata
+    * location to a catalog ident. uri mode registers through the
+    * service — the indirection layer built for exactly this; path
+    * mode refuses by name, the same HadoopCatalog reasoning as
+    * [[renameTable]]: a location-addressed warehouse has no
+    * indirection to bind an external location through. Returns the
+    * registered location. */
+  private[sources] def registerLakeTable(parts: Seq[String], location: String): String =
+    uriOpt match {
+      case Some(uri) =>
+        require(parts.size >= 2,
+          s"register_table: need 'ns.table', got '${parts.mkString(".")}'")
+        require(LakeTable.latestVersion(location).nonEmpty,
+          s"register_table: $location is not a lake table (no metadata)")
+        restClient(uri).registerTable(parts.dropRight(1), parts.last, Some(location))
+          .getOrElse(throw new IllegalArgumentException(
+            s"register_table: ${parts.mkString(".")} already exists in this catalog"))
+      case None => throw new UnsupportedOperationException(
+        "register_table: this catalog resolves tables by warehouse PATH — " +
+          "there is no indirection layer to bind an external metadata " +
+          "location (Iceberg's HadoopCatalog refuses for the same reason); " +
+          "use a catalog-over-HTTP session (spark.sql.catalog.<c>.uri) " +
+          "whose registry IS that layer, or import via add_files/snapshot")
+    }
+
   private def tablePath(ident: Identifier): String =
     pathOf(ident.namespace.toSeq :+ ident.name)
 

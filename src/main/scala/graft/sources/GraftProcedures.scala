@@ -136,7 +136,8 @@ private[sources] object GraftProcedures {
     "rewrite_position_delete_files", "rewrite_manifests", "add_files",
     "convert_equality_deletes", "refresh_materialized_view",
     "rollback_to_snapshot", "rollback_to_timestamp", "fast_forward",
-    "cherrypick_snapshot", "compute_table_stats", "ancestors_of")
+    "cherrypick_snapshot", "compute_table_stats", "ancestors_of",
+    "snapshot", "migrate", "register_table")
 
   def load(cat: GraftCatalog, spark: => SparkSession, name: String)
       : Option[UnboundProcedure] = {
@@ -148,6 +149,17 @@ private[sources] object GraftProcedures {
           s"CALL system.$name: '$s' is not a lake table of this catalog " +
             "(use 'ns.table' or an absolute lake path)"))
     }
+    // snapshot/migrate DESTINATION: an absolute path, or a fresh
+    // 'ns.table' ident resolved to its warehouse path (path mode; a
+    // uri-mode catalog's locations are server-assigned — use an
+    // absolute path there)
+    def destPathOf(s: String): String =
+      if (s.startsWith("/")) s
+      else cat.newLakeTablePath(s.split('.').toSeq).getOrElse(
+        throw new IllegalArgumentException(
+          s"CALL system.$name: '$s' cannot name a NEW table in a " +
+            "uri-mode catalog (locations are server-assigned) — pass an " +
+            "absolute destination path"))
     def str(a: Option[Any]): Option[String] = a.map(_.toString)
     def int(a: Option[Any]): Option[Int] = a.map {
       case i: Int => i
@@ -347,6 +359,42 @@ private[sources] object GraftProcedures {
           .filter(_.getInt(2) <= upTo)
           .map(r => Seq[Any](r.getInt(2), r.getString(0))).toSeq
       }))
+      case "snapshot" => Some(new GraftProcedure(
+        "snapshot",
+        Seq(in("source_dir", StringType), in("table", StringType)),
+        StructType(Seq(StructField("version", IntegerType),
+          StructField("location", StringType))),
+        "Zero-copy TRIAL lake table over an existing parquet directory: " +
+          "metadata-only import (no data bytes move) + gc.enabled=false " +
+          "— the snapshot table never owns the files, so file-deleting " +
+          "maintenance (expire_snapshots, remove_orphan_files, VACUUM) " +
+          "refuses on it by name. The onboarding try-before-you-migrate " +
+          "path for an existing parquet estate.")(args => {
+        val dest = destPathOf(args(1).get.toString)
+        one(LakeTable.snapshotTable(spark, args(0).get.toString, dest), dest)
+      }))
+      case "migrate" => Some(new GraftProcedure(
+        "migrate",
+        Seq(in("source_table", StringType), in("table", StringType)),
+        StructType(Seq(StructField("version", IntegerType),
+          StructField("location", StringType))),
+        "Convert an EXTERNAL session-catalog parquet table to a lake " +
+          "table IN PLACE: files never move, ownership transfers, the " +
+          "source registration is dropped. MANAGED sources refuse (their " +
+          "DROP deletes the files the migrated table references).")(args => {
+        val dest = destPathOf(args(1).get.toString)
+        one(LakeTable.migrateTable(spark, args(0).get.toString, dest), dest)
+      }))
+      case "register_table" => Some(new GraftProcedure(
+        "register_table",
+        Seq(in("table", StringType), in("metadata_location", StringType)),
+        StructType(Seq(StructField("location", StringType))),
+        "Bind an existing lake table location to a catalog identifier. " +
+          "Registry indirection only — catalog-over-HTTP (uri) sessions; " +
+          "path-mode warehouses refuse (no indirection layer, Iceberg's " +
+          "HadoopCatalog posture).")(args =>
+        one(cat.registerLakeTable(args(0).get.toString.split('.').toSeq,
+          args(1).get.toString))))
       case "compute_table_stats" => Some(new GraftProcedure(
         "compute_table_stats",
         Seq(in("table", StringType), opt("columns", StringType)),

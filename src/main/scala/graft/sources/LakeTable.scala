@@ -598,8 +598,11 @@ object LakeTable {
   }
 
   private def writeDataFiles(
-      df: DataFrame, path: String, partitionCols: Seq[String] = Nil,
+      df0: DataFrame, path: String, partitionCols: Seq[String] = Nil,
       maxRecordsPerFile: Option[Long] = None): Seq[ManifestEntry] = {
+    // declared variant-shred sidecars land here — the one chokepoint
+    // every data file passes through ([[withShredSidecars]])
+    val df = withShredSidecars(df0, path)
     val commitId = java.util.UUID.randomUUID().toString
     val dataDir = s"$path/data/$commitId"
     val w0 = df.write.mode(SaveMode.ErrorIfExists)
@@ -675,6 +678,21 @@ object LakeTable {
       props.flatMap(_.get(k)).foreach(v =>
         require(scala.util.Try(v.toLong).toOption.exists(_ >= 0L),
           s"$k '$v' — expected a non-negative integer")))
+    props.flatMap(_.get("gc.enabled")).foreach(v =>
+      require(Set("true", "false")(v),
+        s"gc.enabled '$v' — expected true or false"))
+    props.toSeq.flatten.foreach { case (k, v) =>
+      if (k.startsWith("shred.")) {
+        require(v.nonEmpty && v.split(',').forall(_.contains(":")),
+          s"$k '$v' — expected '<jsonPath>:<type>[,...]'")
+        v.split(',').foreach { ent =>
+          val i = ent.lastIndexOf(':')
+          require(ent.take(i).startsWith("$"),
+            s"$k: shred path '${ent.take(i)}' must be rooted at $$")
+          org.apache.spark.sql.types.DataType.fromDDL(ent.substring(i + 1))
+        }
+      }
+    }
     val next = base + 1
     val md = Paths.get(metaDir(path))
     Files.createDirectories(md)
@@ -1165,6 +1183,21 @@ object LakeTable {
       add.get(k).foreach(v =>
         require(scala.util.Try(v.toLong).toOption.exists(_ >= 0L),
           s"$k '$v' — expected a non-negative integer")))
+    add.get("gc.enabled").foreach(v =>
+      require(Set("true", "false")(v),
+        s"gc.enabled '$v' — expected true or false"))
+    add.foreach { case (k, v) =>
+      if (k.startsWith("shred.")) {
+        require(v.nonEmpty && v.split(',').forall(_.contains(":")),
+          s"$k '$v' — expected '<jsonPath>:<type>[,...]'")
+        v.split(',').foreach { ent =>
+          val i = ent.lastIndexOf(':')
+          require(ent.take(i).startsWith("$"),
+            s"$k: shred path '${ent.take(i)}' must be rooted at $$")
+          org.apache.spark.sql.types.DataType.fromDDL(ent.substring(i + 1))
+        }
+      }
+    }
     val base = observedBase(spark, path)
     commitRefs(spark, path, base, listRefs(path, base), "set_properties",
       props = Some(tablePropsOf(path, base) ++ add))
@@ -1255,6 +1288,12 @@ object LakeTable {
     // publish with retry/rebase; EVERY attempt rechecks the replay
     // ledger, the constraint set, AND the field-id schema against the
     // rebased base
+    // retry properties read ONCE before the loop: the plane check
+    // pins table properties as unchanged between base and head, and
+    // re-reading inside the loop costs two metadata reads per pass of
+    // the contended-commit hot path (round-13 advice)
+    val maxCommitRetries = commitRetriesOf(path)
+    val commitRetryWaitMs = commitWaitMsOf(path)
     var attempt = 0
     while (true) {
       val base = latestVersion(path).getOrElse(-1)
@@ -1284,13 +1323,13 @@ object LakeTable {
         return Some(commitRefs(spark, path, base, prev ++ fresh.map(_._1).toSeq,
           "streaming-append", txn = Some(queryId -> epochId)))
       } catch {
-        case e: Exception if isVersionConflict(e) && attempt < commitRetriesOf(path) =>
+        case e: Exception if isVersionConflict(e) && attempt < maxCommitRetries =>
           attempt += 1 // racer won this version: rebase on its snapshot
           // linear backoff: an ARBITER claim refusal can precede the
           // racer's publish (claim held, rename pending) — instant
           // retries would burn every attempt against the same base
           // before anything changed (round-8 review catch)
-          Thread.sleep(commitWaitMsOf(path) * attempt)
+          Thread.sleep(commitRetryWaitMs * attempt)
       }
     }
     None // unreachable
@@ -1745,6 +1784,12 @@ object LakeTable {
     // if a racer lands NEW constraints before our claim, the rebase
     // must NOT silently publish rows never checked against them
     // (TOCTOU) — fail loudly so the caller re-stages under the gate
+    // retry properties read ONCE before the loop: the plane check
+    // pins table properties as unchanged between base and head, and
+    // re-reading inside the loop costs two metadata reads per pass of
+    // the contended-commit hot path (round-13 advice)
+    val maxCommitRetries = commitRetriesOf(path)
+    val commitRetryWaitMs = commitWaitMsOf(path)
     var attempt = 0
     while (true) {
       val base = latestVersion(path).getOrElse(-1)
@@ -1757,9 +1802,9 @@ object LakeTable {
       try {
         return commitRefs(spark, path, base, prev ++ fresh, op, txn = txn)
       } catch {
-        case e: Exception if isVersionConflict(e) && attempt < commitRetriesOf(path) =>
+        case e: Exception if isVersionConflict(e) && attempt < maxCommitRetries =>
           attempt += 1 // racer won this version: rebase on its snapshot
-          Thread.sleep(commitWaitMsOf(path) * attempt) // streaming arm's backoff note
+          Thread.sleep(commitRetryWaitMs * attempt) // streaming arm's backoff note
       }
     }
     -1 // unreachable
@@ -1835,14 +1880,20 @@ object LakeTable {
       "column defaults", "table properties", "row-lineage enablement")
     val baseSet = baseRefs.toSet
     var attempt = 0
+    // retry properties read ONCE before the loop: the plane check
+    // pins table properties as unchanged between base and head, and
+    // re-reading inside the loop costs two metadata reads per pass of
+    // the contended-commit hot path (round-13 advice)
+    val maxCommitRetries = commitRetriesOf(path)
+    val commitRetryWaitMs = commitWaitMsOf(path)
     var head = base
     var extra: Seq[ManifestRef] = Nil
     while (true) {
       try return commitRefs(spark, path, head, planned ++ extra, op)
       catch {
-        case e: Exception if isVersionConflict(e) && attempt < commitRetriesOf(path) =>
+        case e: Exception if isVersionConflict(e) && attempt < maxCommitRetries =>
           attempt += 1
-          Thread.sleep(commitWaitMsOf(path) * attempt)
+          Thread.sleep(commitRetryWaitMs * attempt)
           head = latestVersion(path).getOrElse(-1)
           val newRefs = listRefs(path, head)
           val newSet = newRefs.toSet
@@ -2040,6 +2091,70 @@ object LakeTable {
     publishStaged(spark, path, Seq(ref), "add_files", cons)
   }
 
+  /** Iceberg's `snapshot` procedure (round-14 #5): a ZERO-COPY trial
+    * lake table over an existing parquet directory — [[addFiles]]
+    * under a FRESH table root (metadata-only, zero data bytes move)
+    * plus `gc.enabled=false`, the no-ownership contract: the snapshot
+    * table is NOT the sole owner of its data files, so every
+    * file-deleting maintenance op (expire_snapshots, VACUUM /
+    * remove_orphan_files) refuses on it by name — exactly Iceberg's
+    * posture for snapshot-created tables. The trial table is fully
+    * writable (fresh commits own THEIR files; they just can never be
+    * GC'd while the property holds). */
+  def snapshotTable(spark: SparkSession, sourceDir: String, destPath: String): Int = {
+    require(latestVersion(destPath).isEmpty,
+      s"snapshot: $destPath is already a lake table — pick a fresh location")
+    addFiles(spark, destPath, sourceDir)
+    setTableProperties(spark, destPath, Map("gc.enabled" -> "false"))
+  }
+
+  /** Iceberg's `migrate` procedure (round-14 #5): convert an EXISTING
+    * session-catalog parquet table to a lake table IN PLACE — the
+    * data files never move ([[addFiles]] references them where they
+    * are), ownership TRANSFERS (unlike [[snapshotTable]], GC may later
+    * delete them — the lake table is now the owner), and the source's
+    * catalog registration is dropped so nothing else writes under the
+    * table's feet. Only EXTERNAL source tables migrate: a MANAGED
+    * table's DROP deletes its files, which would orphan every
+    * reference the fresh manifest just took — refused by name. */
+  def migrateTable(spark: SparkSession, sourceTable: String, destPath: String): Int = {
+    val parts = spark.sessionState.sqlParser.parseMultipartIdentifier(sourceTable)
+    val (prov, loc) = org.apache.spark.sql.GraftSqlShim
+      .tableProviderAndLocation(spark, parts).getOrElse(
+        throw new IllegalArgumentException(
+          s"migrate: $sourceTable is not a session-catalog table with a location"))
+    require(prov.equalsIgnoreCase("parquet"),
+      s"migrate: $sourceTable is a $prov table — only parquet layouts migrate")
+    require(org.apache.spark.sql.GraftSqlShim
+        .tableIsExternal(spark, parts).contains(true),
+      s"migrate: $sourceTable is a MANAGED table — dropping its " +
+        "registration would delete the data files the migrated table " +
+        "now references; recreate it as EXTERNAL (or use snapshot and " +
+        "copy)")
+    require(latestVersion(destPath).isEmpty,
+      s"migrate: $destPath is already a lake table — pick a fresh location")
+    val v = addFiles(spark, destPath, loc)
+    // EXTERNAL drop: registration only, the files stay — verified above
+    spark.sql(s"DROP TABLE ${parts.map(p => s"`$p`").mkString(".")}")
+    v
+  }
+
+  /** The `gc.enabled=false` gate ([[snapshotTable]]'s no-ownership
+    * contract): every maintenance op that DELETES files checks it
+    * before touching storage. Metadata-only ops (compaction would
+    * REWRITE but not delete — still refused: its fold drops the
+    * imported manifests from the live set and a later expire would
+    * delete shared files) stay allowed. */
+  private def requireGcEnabled(path: String, op: String): Unit =
+    latestVersion(path).foreach { v =>
+      if (tablePropsOf(path, v).get("gc.enabled").contains("false"))
+        throw new UnsupportedOperationException(
+          s"$op at $path: gc.enabled=false — this table does not own its " +
+            "data files (created by the snapshot procedure over an external " +
+            "layout); file-deleting maintenance is disabled. Set " +
+            "gc.enabled=true only if the table is the files' sole owner.")
+    }
+
   /** A refused version claim = another committer got there first.
     * Matched on the claim-path error classes so genuine I/O failures
     * still propagate. */
@@ -2066,7 +2181,12 @@ object LakeTable {
     * hardcoded round-2 values. */
   private def commitRetriesOf(path: String): Int =
     latestVersion(path).map(tablePropsOf(path, _)).getOrElse(Map.empty)
-      .get("commit.retry.num-retries").map(_.toInt).getOrElse(MaxCommitRetries)
+      // validation accepts any non-negative Long; clamp here so a
+      // value in (Int.MaxValue, Long.MaxValue] means "effectively
+      // unlimited" instead of a NumberFormatException mid-retry
+      .get("commit.retry.num-retries")
+      .map(v => math.min(v.toLong, Int.MaxValue.toLong).toInt)
+      .getOrElse(MaxCommitRetries)
 
   private def commitWaitMsOf(path: String): Long =
     latestVersion(path).map(tablePropsOf(path, _)).getOrElse(Map.empty)
@@ -2662,49 +2782,59 @@ object LakeTable {
     * commit that ships a delete file AND fresh data (merge-on-read
     * UPSERT) replaces old rows without deleting its own. The input
     * frame must carry `_seq`; the anti-join condition compares it. */
-  /** The (key column name, distinct keys ⨯ their delete sequence)
-    * union of a snapshot's equality-delete manifests — the input both
-    * [[applyMorDeletes]]' anti-join and [[convertEqualityDeletes]]'
-    * semi-join consume, ONE definition so the two can never disagree
-    * on which rows an equality delete suppresses. */
+  /** The (key column names, distinct key tuples ⨯ their delete
+    * sequence) union of a snapshot's equality-delete manifests — the
+    * input both [[applyMorDeletes]]' anti-join and
+    * [[convertEqualityDeletes]]' semi-join consume, ONE definition so
+    * the two can never disagree on which rows an equality delete
+    * suppresses. A delete file's COLUMN LIST is its key: one column
+    * for the single-key writers (deleteMoR/upsertMoR), n columns for
+    * the composite-key MoR MERGE (Iceberg v2 equality-delete files
+    * are multi-column — the (l_orderkey, l_linenumber) CDC-ingest
+    * shape). */
   private def morDeleteKeys(
       spark: SparkSession, del: Seq[ManifestRef],
-      current: Option[Sch]): (String, DataFrame) = {
-    // one key column per table (upsert's contract); its NAME rides in
-    // each delete file's own schema. NOTHING enforces the contract at
-    // write time (deleteMoR/upsertMoR take keyCol per call), so a
-    // table whose delete commits disagree on the key column must fail
-    // LOUDLY here — anti-joining every key list against one
-    // arbitrary group's column would silently drop or keep wrong rows
-    // (round-4 ADVICE, medium).
+      current: Option[Sch]): (Seq[String], DataFrame) = {
+    // one key column LIST per table (upsert's contract); the NAMES
+    // ride in each delete file's own schema. NOTHING enforces the
+    // contract at write time (deleteMoR/upsertMoR/mergeMoR take key
+    // columns per call), so a table whose delete commits disagree on
+    // the key columns must fail LOUDLY here — anti-joining every key
+    // list against one arbitrary group's columns would silently drop
+    // or keep wrong rows (round-4 ADVICE, medium).
     val groups = del.map { ref =>
       // delete-key files resolve through the same field-id projection
       // as data files: a renamed key column surfaces under its
       // CURRENT name, matching the projected data frame
       val k = projectToCurrent(refScan(spark, ref), ref.cols, current,
         injectDefaults = false)
-      (k.columns.head,
-        k.select(col(k.columns.head).as("__graft_dkey")).distinct()
+      (k.columns.toSeq,
+        k.select(k.columns.toSeq.zipWithIndex.map {
+            case (c, i) => col(c).as(s"__graft_dkey$i") }: _*).distinct()
           .withColumn("__graft_dseq", lit(ref.seq)))
     }
-    val keyNames = groups.map(_._1).distinct
-    require(keyNames.size == 1,
-      s"merge-on-read delete files must all share ONE key column per table; found $keyNames")
-    (keyNames.head, groups.map(_._2).reduce(_.unionByName(_)))
+    val keyLists = groups.map(_._1).distinct
+    require(keyLists.size == 1,
+      "merge-on-read delete files must all share ONE key column list " +
+        s"per table; found $keyLists")
+    (keyLists.head, groups.map(_._2).reduce(_.unionByName(_)))
   }
 
   private def applyMorDeletes(
       spark: SparkSession, dataWithSeq: DataFrame,
       del: Seq[ManifestRef],
       current: Option[Sch] = None): DataFrame = {
-    val (keyName, keys) = morDeleteKeys(spark, del, current)
+    val (keyNames, keys) = morDeleteKeys(spark, del, current)
     dataWithSeq
-      // null-SAFE key equality: a NULL-keyed row selected by the
-      // delete predicate must be removed exactly as CoW delete()
-      // removes it — plain === never matches the NULL delete key and
-      // the row would silently survive every read and even compact
+      // null-SAFE key equality per column: a NULL-keyed row selected
+      // by the delete predicate must be removed exactly as CoW
+      // delete() removes it — plain === never matches the NULL delete
+      // key and the row would silently survive every read and even
+      // compact. Composite keys match on the WHOLE tuple.
       .join(keys,
-        dataWithSeq(keyName) <=> keys("__graft_dkey") &&
+        keyNames.zipWithIndex.map { case (k, i) =>
+            dataWithSeq(k) <=> keys(s"__graft_dkey$i")
+          }.reduce(_ && _) &&
           keys("__graft_dseq") > dataWithSeq(SeqCol),
         "left_anti")
       .drop(SeqCol)
@@ -3526,6 +3656,117 @@ object LakeTable {
       lower: Double, upper: Double, version: Option[Int] = None): DataFrame =
     readWhere(spark, path, Seq((column, lower, upper)), version)
 
+  // ---- VARIANT SHREDDING (round-14 #6, Iceberg v3 / Parquet
+  // variant-shredding shape) ----
+
+  /** Declared shred paths of a snapshot: (variant column, JSON path,
+    * SQL type) triples from the versioned `shred.<col>` properties. */
+  private def shredDeclsOf(path: String, version: Int): Seq[(String, String, String)] =
+    tablePropsOf(path, version).toSeq.sortBy(_._1).flatMap {
+      case (k, v) if k.startsWith("shred.") =>
+        v.split(',').toSeq.map { ent =>
+          val i = ent.lastIndexOf(':')
+          (k.stripPrefix("shred."), ent.substring(0, i), ent.substring(i + 1))
+        }
+      case _ => Nil
+    }
+
+  /** The hidden sidecar column a declared (variant column, JSON path)
+    * pair materializes at write time. The `__p_` prefix buys the
+    * whole hidden-column contract for free: excluded from the
+    * registered schema, dropped on every read, invisible to SELECT *. */
+  private[sources] def shredColName(variantCol: String, jsonPath: String): String =
+    HiddenPrefix + "shred_" + variantCol + "_" +
+      jsonPath.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Declare VARIANT SHREDDING for `variantCol`: each (JSON path, SQL
+    * type) pair is materialized as a typed HIDDEN sidecar column on
+    * every subsequent data write (parse ONCE at write, not per query),
+    * and the commit-time stats job harvests min/max for it like any
+    * other column — so a shredded-path predicate skips FILES from
+    * manifest stats alone ([[readWhereVariant]]). At 100 TB of event
+    * payloads this is the difference between scanning every variant
+    * byte and opening only the files whose sidecar range overlaps.
+    * The intact variant stays the source of truth: the read-side row
+    * filter always re-evaluates over the variant itself, so files
+    * written BEFORE the declaration (no sidecar — kept conservatively
+    * by the prune) serve exact results, and the declaration is purely
+    * additive metadata (one versioned property commit). */
+  def declareVariantShredding(
+      spark: SparkSession, path: String, variantCol: String,
+      paths: Seq[(String, String)]): Int = {
+    require(paths.nonEmpty, s"declareVariantShredding at $path: no paths")
+    paths.foreach { case (jp, t) =>
+      require(jp.startsWith("$"),
+        s"shred path '$jp' must be a JSON path rooted at $$")
+      require(!jp.contains(",") && !jp.contains(":"),
+        s"shred path '$jp' — ',' and ':' are the declaration separators")
+      org.apache.spark.sql.types.DataType.fromDDL(t) // refuses bad types loudly
+    }
+    setTableProperties(spark, path, Map(
+      s"shred.$variantCol" ->
+        paths.map { case (jp, t) => s"$jp:$t" }.mkString(",")))
+  }
+
+  /** Materialize the declared shred sidecars onto a data batch before
+    * it lands — called from the single file-writing chokepoint
+    * ([[writeDataFiles]]), so EVERY write surface (append, overwrite,
+    * DML rewrites, compaction, streaming sink) shreds uniformly.
+    * `try_variant_get`: a path missing from one row, or a value that
+    * does not cast, shreds as NULL (no stats contribution) instead of
+    * failing the write — shredding must never refuse data the intact
+    * variant column accepts. No-op for frames without a declared
+    * variant column (delete-key files, posdel/DV frames, other
+    * tables' shapes). */
+  private def withShredSidecars(df: DataFrame, path: String): DataFrame = {
+    val v = latestVersion(path).getOrElse(return df)
+    val decls = shredDeclsOf(path, v)
+      .filter { case (c, _, _) => df.columns.contains(c) }
+    decls.foldLeft(df) { case (d, (c, jp, t)) =>
+      val n = shredColName(c, jp)
+      if (d.columns.contains(n)) d
+      else d.withColumn(n, try_variant_get(col(c), jp, t))
+    }
+  }
+
+  /** Data-skipping scan over a DECLARED shredded variant path: files
+    * are pruned from the sidecar's manifest stats (the same two-level
+    * [[readWhere]] prune), then the EXACT row filter re-evaluates
+    * `variant_get` over the intact variant — pre-declaration files
+    * (no sidecar stats) are kept conservatively and their rows decide,
+    * so results are exact regardless of when shredding was declared.
+    * Undeclared paths refuse by name: without write-time sidecars
+    * there are no stats, and a silent full scan dressed up as a
+    * skipping read would be a lie. */
+  def readWhereVariant(
+      spark: SparkSession, path: String, variantCol: String,
+      jsonPath: String, lower: Double, upper: Double,
+      version: Option[Int] = None): DataFrame = {
+    val v = version.orElse(latestVersion(path)).getOrElse(
+      throw new IllegalArgumentException(s"no snapshots at $path"))
+    val tpe = shredDeclsOf(path, v).collectFirst {
+      case (c, jp, t) if c == variantCol && jp == jsonPath => t
+    }.getOrElse(throw new IllegalArgumentException(
+      s"readWhereVariant at $path: path '$jsonPath' of '$variantCol' is " +
+        "not declared for shredding — declareVariantShredding first " +
+        "(sidecar stats exist only for declared paths)"))
+    require(org.apache.spark.sql.types.DataType.fromDDL(tpe)
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"readWhereVariant needs a numeric shred type; '$jsonPath' is $tpe")
+    val statCol = shredColName(variantCol, jsonPath)
+    val (eqRefs, rest0) = listRefs(path, v).partition(_.kind == "delete")
+    val (posRefs, rest1) = rest0.partition(_.kind == "posdel")
+    val (dvRefs, dataRefs) = rest1.partition(_.kind == "dv")
+    val current = schFor(path, v)
+    val (fullRefs, kept) =
+      prunePlan(spark, dataRefs, current, Seq((statCol, lower, upper)))
+    val base =
+      if (fullRefs.isEmpty && kept.isEmpty) read(spark, path, Some(v)).filter(lit(false))
+      else assemblePruned(spark, kept, fullRefs, eqRefs, posRefs, dvRefs, current)
+    val vg = try_variant_get(col(variantCol), jsonPath, tpe).cast("double")
+    base.filter(vg >= lower && vg <= upper)
+  }
+
   /** Morton/Z-ORDER clustered rewrite over N ≥ 2 dimensions: each
     * column is value-range normalized (broadcastable min/max — same
     * deterministic scheme as the skyline buckets) and bit-interleaved
@@ -3909,7 +4150,24 @@ object LakeTable {
       notMatchedInsert: Option[org.apache.spark.sql.Column] = None,
       notMatchedBySource: Seq[MergeClause] = Nil,
       evolveColumns: Seq[String] = Nil,
+      isolationKind: String = "merge"): Int =
+    mergeConditionalMoRKeys(source, path, Seq(keyCol), matched,
+      notMatchedInsert, notMatchedBySource, evolveColumns, isolationKind)
+
+  /** [[mergeConditionalMoR]] over a COMPOSITE key — the equality-
+    * delete FILE carries every key column (Iceberg v2 equality
+    * deletes are multi-column), and [[applyMorDeletes]]' anti-join
+    * matches the whole tuple null-safely under the data-sequence
+    * rule. Same clause algebra as the CoW twin, same O(matched +
+    * inserted) write cost. */
+  def mergeConditionalMoRKeys(
+      source: DataFrame, path: String, keyCols: Seq[String],
+      matched: Seq[MergeClause],
+      notMatchedInsert: Option[org.apache.spark.sql.Column] = None,
+      notMatchedBySource: Seq[MergeClause] = Nil,
+      evolveColumns: Seq[String] = Nil,
       isolationKind: String = "merge"): Int = {
+    require(keyCols.nonEmpty, s"MERGE at $path needs at least one key column")
     requireDeterministicMerge(matched, notMatchedInsert, notMatchedBySource)
     val spark = source.sparkSession
     val base = observedBase(spark, path)
@@ -3921,16 +4179,19 @@ object LakeTable {
     val target = if (lineage) rewriteRead(spark, path, base)
       else read(spark, path, Some(base))
     val (survivors, inserts, affected) =
-      mergeRows(target, source, Seq(keyCol), matched, notMatchedInsert,
+      mergeRows(target, source, keyCols, matched, notMatchedInsert,
         notMatchedBySource, evolveColumns)
     // the replacement rows = post-merge state of exactly the UPDATED
     // keys (deleted keys ship no replacement) + the inserts. The
     // semi-join is NULL-SAFE like every key comparison in the merge:
     // a plain equi-join would silently drop an updated NULL-keyed
     // row's replacement while its delete still applied
-    val ak = affected.select(col(keyCol).as("__graft_ak"))
+    val ak = affected.select(keyCols.zipWithIndex.map {
+      case (k, i) => col(k).as(s"__graft_ak$i") }: _*)
     val replacements = survivors
-      .join(ak, survivors(keyCol) <=> col("__graft_ak"), "left_semi")
+      .join(ak, keyCols.zipWithIndex.map { case (k, i) =>
+          survivors(k) <=> col(s"__graft_ak$i")
+        }.reduce(_ && _), "left_semi")
       .unionByName(inserts, allowMissingColumns = true)
     val prev = listRefs(path, base)
     commitValidated(spark, path, base, prev,
@@ -5471,11 +5732,13 @@ object LakeTable {
     val dataRefs = refs.filter(r => r.kind == "data" && r.nFiles > 0)
     if (dataRefs.isEmpty) // keys with nothing to suppress: retire them
       return commitRefs(spark, path, base, keep, "convert_eqdeletes")
-    val (keyName, keys) = morDeleteKeys(spark, eq, current)
+    val (keyNames, keys) = morDeleteKeys(spark, eq, current)
     val data = taggedReadRefs(spark, dataRefs, current, withPos = true)
     val matched = data
       .join(keys,
-        data(keyName) <=> keys("__graft_dkey") &&
+        keyNames.zipWithIndex.map { case (k, i) =>
+            data(k) <=> keys(s"__graft_dkey$i")
+          }.reduce(_ && _) &&
           keys("__graft_dseq") > data(SeqCol),
         "left_semi")
       .select(col(FpCol).as("file_path"), col(RiCol).as("row_index"))
@@ -7295,6 +7558,127 @@ object LakeTable {
       .orderBy("l_linenumber")
   }
 
+  /** Driver query: SNAPSHOT + MIGRATE procedures (round-14 #5) — the
+    * onboarding path for a pre-existing parquet estate. Two plain
+    * parquet exports of the same events slice: one becomes a
+    * zero-copy SNAPSHOT trial table (in-query requires: the live
+    * entries still point INTO the source dir — no data bytes moved —
+    * and expire_snapshots refuses by the gc.enabled contract), the
+    * other is registered as an EXTERNAL session table and MIGRATED in
+    * place (requires: the source registration is dropped, the source
+    * files survive the drop, entries still point into the source
+    * dir). The output aggregates BOTH lake tables; the oracle replays
+    * the slice from the raw events table twice — proving snapshot
+    * reads ≡ source and migrate preserved every row. */
+  def snapshotMigrateQuery(s: SparkSession, d: String): DataFrame = {
+    val snapSrc = freshWorkDir("lakesnapsrc", d)
+    val migSrc = freshWorkDir("lakemigsrc", d)
+    val snapT = freshWorkDir("lakesnaptbl", d)
+    val migT = freshWorkDir("lakemigtbl", d)
+    val slice = graft.Tables.load(s, d, "events")
+      .filter(col("event_id") % 4L === 1L)
+      .select("event_id", "event_type", "value")
+    slice.write.mode("overwrite").parquet(snapSrc)
+    slice.write.mode("overwrite").parquet(migSrc)
+    // ---- snapshot: zero-copy trial table, no ownership ----
+    snapshotTable(s, snapSrc, snapT)
+    val snapEntries = entriesOf(snapT, latestVersion(snapT).get)
+      .filter(e => e.kind == "data")
+    require(snapEntries.nonEmpty && snapEntries.forall(_.file.startsWith(snapSrc)),
+      "snapshot must reference the source files IN PLACE (zero copy)")
+    val gcRefused =
+      try { expireSnapshots(s, snapT, 1); false }
+      catch { case e: UnsupportedOperationException =>
+        e.getMessage.contains("gc.enabled") }
+    require(gcRefused,
+      "expire_snapshots must refuse on a snapshot table (no-ownership contract)")
+    // ---- migrate: external parquet table → lake table, in place ----
+    s.sql("DROP TABLE IF EXISTS graft_mig_src")
+    s.sql(s"CREATE TABLE graft_mig_src (event_id BIGINT, event_type STRING, " +
+      s"value DOUBLE) USING parquet LOCATION '$migSrc'")
+    migrateTable(s, "graft_mig_src", migT)
+    require(!s.catalog.tableExists("graft_mig_src"),
+      "migrate must drop the source registration")
+    val migEntries = entriesOf(migT, latestVersion(migT).get)
+      .filter(e => e.kind == "data")
+    require(migEntries.nonEmpty && migEntries.forall(_.file.startsWith(migSrc)),
+      "migrate must reference the source files IN PLACE")
+    def agg(path: String, label: String) =
+      read(s, path).groupBy(lit(label).as("src"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+    agg(snapT, "snapshot").unionByName(agg(migT, "migrate"))
+      .orderBy("src", "event_type")
+  }
+
+  /** Driver query: COMPOSITE-KEY MERGE-ON-READ MERGE (round-14 #1) —
+    * the same (l_orderkey, l_linenumber) business-key MERGE as
+    * [[mergeCompositeQuery]], but under `write.merge.mode =
+    * merge-on-read`: the commit ships a MULTI-COLUMN equality-delete
+    * file (Iceberg v2 equality deletes are multi-column) plus the
+    * replacement rows — O(matched + inserted) write cost, the CDC-
+    * ingest shape at 100 TB, where the CoW twin would rewrite every
+    * touched file. In-query requires pin the contract: the MoR
+    * history records `mor_merge`, the content EQUALS the CoW twin
+    * (one-job symmetric-diff count), and [[convertEqualityDeletes]]
+    * retires the n-column delete file into deletion vectors with
+    * zero data rewritten (the metadata plane serves again). The
+    * oracle replays the clause algebra from the raw table — the same
+    * SQL as the CoW twin's. */
+  def morMergeCompositeQuery(s: SparkSession, d: String): DataFrame = {
+    val pM = freshWorkDir("lakemorcomp", d)
+    val pC = freshWorkDir("lakemorcompcow", d)
+    val li = graft.Tables.load(s, d, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    overwrite(li, pM)
+    overwrite(li, pC)
+    setTableProperties(s, pM, Map("write.merge.mode" -> "merge-on-read"))
+    val srcBase = li.groupBy("l_orderkey", "l_linenumber")
+      .agg(min("l_quantity").as("l_quantity"),
+        min("l_extendedprice").as("l_extendedprice"))
+    srcBase.filter(col("l_orderkey") % 7L === 0L)
+      .withColumn("l_quantity", col("l_quantity") + 100.0)
+      .unionByName(srcBase.filter(col("l_orderkey") % 13L === 0L)
+        .withColumn("l_orderkey", col("l_orderkey") + 10000000L))
+      .createOrReplaceTempView("graft_mcm_src")
+    s.sql("DROP TABLE IF EXISTS graft_mcm")
+    s.sql(s"CREATE TABLE graft_mcm USING graftlake OPTIONS (path '$pM')")
+    // the SQL route: write.merge.mode must carry the composite ON key
+    // onto the MoR planner (the round-13 refusal arm, now green)
+    s.sql("""MERGE INTO graft_mcm t USING graft_mcm_src u
+      |ON t.l_orderkey = u.l_orderkey AND t.l_linenumber = u.l_linenumber
+      |WHEN MATCHED AND t.l_linenumber = 1 THEN DELETE
+      |WHEN MATCHED THEN UPDATE SET l_quantity = u.l_quantity
+      |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val opsM = history(s, pM).collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    require(opsM == Map(0 -> "overwrite", 1 -> "set_properties", 2 -> "mor_merge"),
+      s"the composite MoR MERGE must commit ONE mor_merge, got $opsM")
+    // CoW twin through the library planner — same clause algebra
+    mergeConditionalKeys(
+      s.table("graft_mcm_src"), pC, Seq("l_orderkey", "l_linenumber"),
+      matched = Seq(
+        MatchedDelete(Some(col("t.l_linenumber") === 1)),
+        MatchedUpdate(None, Map("l_quantity" -> col("s.l_quantity")))),
+      notMatchedInsert = Some(lit(true)))
+    // MoR ≡ CoW, one distributed job (symmetric diff must be empty)
+    val m = read(s, pM)
+    val cw = read(s, pC)
+    val diff = m.exceptAll(cw).unionByName(cw.exceptAll(m)).limit(1).count()
+    require(diff == 0L, "merge-on-read content must equal the CoW twin")
+    // the n-column equality-delete file folds to deletion vectors
+    // with zero data rewritten; the metadata plane serves again
+    convertEqualityDeletes(s, pM)
+    require(!listRefs(pM, latestVersion(pM).get)
+        .exists(r => r.kind == "delete" && r.nFiles > 0),
+      "convert must retire the composite equality-delete manifest")
+    require(partitions(s, pM).limit(1).count() >= 0L,
+      "the partitions rollup must serve after the convert")
+    read(s, pM).groupBy("l_linenumber")
+      .agg(count(lit(1)).as("n"),
+        round(sum("l_quantity"), 6).as("sum_qty"),
+        round(sum("l_extendedprice"), 3).as("sum_price"))
+      .orderBy("l_linenumber")
+  }
+
   /** Driver query: DELETE WHERE <correlated scalar comparison>
     * (S14g's delete twin) — the per-key threshold purge: every
     * English doc shorter than its SOURCE's zh-review average is
@@ -7374,6 +7758,45 @@ object LakeTable {
         sum(col("k")).as("sum_k"),
         coalesce(sum("e"), lit(0L)).as("sum_extra_ids"))
       .orderBy("t")
+  }
+
+  /** Driver query: VARIANT SHREDDING (round-14 #6) — events parse to
+    * a variant at ingest with `$.e` (bigint) and `$.v` (double)
+    * DECLARED for shredding before any data lands; the corpus lands
+    * range-clustered on event_id so the `$.e` sidecar has file
+    * locality. The box read goes through [[readWhereVariant]]: files
+    * prune on SIDECAR manifest stats (require: files actually
+    * skipped — the plane a plain variant column cannot serve, every
+    * query a full scan of the variant bytes), rows re-check against
+    * the intact variant. The oracle replays the slice from the raw
+    * events table, so shredded-prune reads are hash-verified end to
+    * end. */
+  def variantShreddedQuery(s: SparkSession, d: String): DataFrame = {
+    val path = freshWorkDir("lakeshred", d)
+    val ev = graft.Tables.load(s, d, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("var", parse_json(to_json(struct(
+        col("event_type").as("t"), col("value").as("v"),
+        col("event_id").as("e")))))
+      .select("event_id", "var")
+    overwrite(ev.limit(0), path)
+    declareVariantShredding(s, path, "var",
+      Seq("$.e" -> "bigint", "$.v" -> "double"))
+    append(ev.repartitionByRange(8, col("event_id"))
+      .sortWithinPartitions("event_id"), path)
+    val maxId = ev.agg(max("event_id")).head.getLong(0)
+    val (lo, hi) = (maxId / 4, maxId / 2)
+    val out = readWhereVariant(s, path, "var", "$.e", lo.toDouble, hi.toDouble)
+      .select(
+        variant_get(col("var"), "$.t", "string").as("t"),
+        variant_get(col("var"), "$.v", "double").as("v"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("n"), round(sum("v"), 6).as("sum_v"))
+      .orderBy("t")
+    val audit = auditOf(path)
+    require(audit.filesKept < audit.filesClaimed,
+      s"the shredded-path predicate must skip files from sidecar stats: $audit")
+    out
   }
 
   def deleteInSubqueryQuery(s: SparkSession, d: String): DataFrame = {
@@ -8519,6 +8942,34 @@ object LakeTable {
       .orderBy("change_type", "event_id")
   }
 
+  /** Driver query: `table_changes` SQL TVF (round-14 #4) — the SAME
+    * v0→v2 CDC diff as [[changeFeedQuery]], driven entirely through
+    * SQL: `SELECT ... FROM table_changes('graftlake.\`p\`', 0, 2)`
+    * composed inside a projection + ORDER BY (Delta's TVF shape; the
+    * SQL-first incremental-ETL route). An in-query require pins the
+    * 2-arg default — omitting <to_version> reads to the TABLE HEAD,
+    * which for the shared lifecycle IS v2 — against the explicit
+    * pair, one count job. Same oracle as lake_change_feed: the TVF
+    * must serve byte-identical change rows. */
+  def tableChangesSqlQuery(s: SparkSession, d: String): DataFrame = {
+    val path = sharedCowLifecycle(s, d)
+    require(latestVersion(path).contains(2),
+      s"shared lifecycle head moved — expected v2 at $path")
+    val twoArg = s.sql(
+      s"SELECT count(*) AS n FROM table_changes('graftlake.`$path`', 0)")
+      .head.getLong(0)
+    val threeArg = s.sql(
+      s"SELECT count(*) AS n FROM table_changes('graftlake.`$path`', 0, 2)")
+      .head.getLong(0)
+    require(twoArg == threeArg,
+      s"table_changes' default <to_version> must be the head: $twoArg != $threeArg")
+    s.sql(
+      s"""SELECT change_type, event_id, event_type,
+         |       round(value, 6) AS value
+         |FROM table_changes('graftlake.`$path`', 0, 2)
+         |ORDER BY change_type, event_id""".stripMargin)
+  }
+
   // ---- change feed as a STREAMING source (Delta-style _change_data) ----
 
   private def changelogDir(path: String) = s"$path/_changelog"
@@ -8993,6 +9444,7 @@ object LakeTable {
     * lists were removed by a previous expire are skipped (the normal
     * periodic-GC usage is expire → more commits → expire again). */
   def expireSnapshots(spark: SparkSession, path: String, retain: Int): Seq[String] = {
+    requireGcEnabled(path, "expire_snapshots")
     val latest = latestVersion(path).getOrElse(return Nil)
     val cutoff = latest - retain + 1
     if (cutoff <= 0) return Nil
@@ -9082,6 +9534,7 @@ object LakeTable {
     * delegated to [[expireSnapshots]] (same tag pinning, branch
     * reachability and shared-base GC semantics). */
   def expireOlderThan(spark: SparkSession, path: String, tsMillis: Long): Seq[String] = {
+    requireGcEnabled(path, "expire (older than)")
     val latest = latestVersion(path).getOrElse(return Nil)
     val versions = liveVersions(path)
     if (versions.isEmpty) return Nil
@@ -9251,6 +9704,7 @@ object LakeTable {
   def removeOrphans(
       spark: SparkSession, path: String,
       graceMillis: Long = DefaultOrphanGraceMs): Seq[String] = {
+    requireGcEnabled(path, "remove_orphan_files")
     val cutoff = System.currentTimeMillis() - graceMillis
     def oldEnough(p: java.nio.file.Path): Boolean =
       try Files.getLastModifiedTime(p).toMillis <= cutoff

@@ -206,6 +206,24 @@ object GraftSqlShim {
       for { p <- m.provider; l <- m.storage.locationUri } yield (p, l.getPath)
     } catch { case scala.util.control.NonFatal(_) => None }
   }
+
+  /** Whether a session-catalog table is EXTERNAL (its DROP removes the
+    * registration only, never the data files) — the gate the in-place
+    * `migrate` procedure needs before dropping the source. */
+  def tableIsExternal(spark: SparkSession, nameParts: Seq[String]): Option[Boolean] = {
+    val catalog = spark.asInstanceOf[classic.SparkSession].sessionState.catalog
+    val ident = nameParts match {
+      case Seq(t) => Some(catalyst.TableIdentifier(t))
+      case Seq(db, t) => Some(catalyst.TableIdentifier(t, Some(db)))
+      case Seq(c, db, t) if c.equalsIgnoreCase("spark_catalog") =>
+        Some(catalyst.TableIdentifier(t, Some(db)))
+      case _ => None
+    }
+    try ident.filter(catalog.tableExists).map(ti =>
+      catalog.getTableMetadata(ti).tableType ==
+        catalyst.catalog.CatalogTableType.EXTERNAL)
+    catch { case scala.util.control.NonFatal(_) => None }
+  }
 }
 
 /** An executor-side handle on one open parquet writer — wraps the

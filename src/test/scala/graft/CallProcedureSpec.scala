@@ -78,7 +78,7 @@ class CallProcedureSpec extends AnyFunSuite {
         "refresh_materialized_view", "add_files",
         "rollback_to_snapshot", "rollback_to_timestamp",
         "fast_forward", "cherrypick_snapshot", "compute_table_stats",
-        "ancestors_of"))
+        "ancestors_of", "snapshot", "migrate", "register_table"))
       val desc = spark.sql("DESCRIBE PROCEDURE callc.system.expire_snapshots")
         .collect().map(_.getString(0)).mkString(" ")
       assert(desc.contains("expire_snapshots") && desc.contains("retain_last"))
@@ -190,6 +190,90 @@ class CallProcedureSpec extends AnyFunSuite {
         spark.sql("CALL callc.system.rewrite_data_files(table => 'db.nope')")
           .collect())
       assert(e2.getMessage.contains("not a lake table"), e2.getMessage)
+    }
+  }
+
+  test("snapshot creates a zero-copy trial table that refuses GC") {
+    SparkSpec.rmdir(wh)
+    SparkSpec.rmdir("/tmp/graft_test/callproc_snapsrc")
+    withCat {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS callc.db")
+      val src = "/tmp/graft_test/callproc_snapsrc"
+      (1L to 50L).map(i => (i, i * 2.0)).toDF("k", "v")
+        .write.mode("overwrite").parquet(src)
+      val out = spark.sql(
+        s"CALL callc.system.snapshot(source_dir => '$src', table => 'db.snap')")
+        .collect()
+      assert(out.length === 1)
+      val p = out.head.getString(1)
+      // zero copy: the live entries point INTO the source dir
+      assert(LakeTable.entriesOf(p, LakeTable.latestVersion(p).get)
+        .filter(_.kind == "data").forall(_.file.startsWith(src)))
+      assert(spark.table("callc.db.snap").count() === 50L)
+      // the trial table is writable...
+      spark.sql("INSERT INTO callc.db.snap VALUES (99, 0.5)")
+      assert(spark.table("callc.db.snap").count() === 51L)
+      // ...but every file-deleting maintenance op refuses by name
+      for (call <- Seq(
+        "CALL callc.system.expire_snapshots(table => 'db.snap', retain_last => 1)",
+        "CALL callc.system.remove_orphan_files(table => 'db.snap')")) {
+        val e = intercept[Exception](spark.sql(call).collect())
+        assert(e.getMessage.contains("gc.enabled"), s"$call: ${e.getMessage}")
+      }
+      // the source files really survived
+      assert(spark.read.parquet(src).count() === 50L)
+    }
+  }
+
+  test("migrate converts an EXTERNAL parquet table in place; MANAGED refuses") {
+    SparkSpec.rmdir(wh)
+    SparkSpec.rmdir("/tmp/graft_test/callproc_migsrc")
+    withCat {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS callc.db")
+      val src = "/tmp/graft_test/callproc_migsrc"
+      (1L to 40L).map(i => (i, s"s$i")).toDF("k", "s")
+        .write.mode("overwrite").parquet(src)
+      spark.sql("DROP TABLE IF EXISTS callproc_mig_ext")
+      spark.sql("CREATE TABLE callproc_mig_ext (k BIGINT, s STRING) " +
+        s"USING parquet LOCATION '$src'")
+      val out = spark.sql("CALL callc.system.migrate(" +
+        "source_table => 'callproc_mig_ext', table => 'db.mig')").collect()
+      assert(out.length === 1)
+      val p = out.head.getString(1)
+      // in place: entries point into the source dir; files survived
+      assert(LakeTable.entriesOf(p, LakeTable.latestVersion(p).get)
+        .filter(_.kind == "data").forall(_.file.startsWith(src)))
+      assert(spark.table("callc.db.mig").count() === 40L)
+      // the source REGISTRATION is gone (files are not)
+      assert(!spark.catalog.tableExists("callproc_mig_ext"))
+      assert(spark.read.parquet(src).count() === 40L)
+      // ownership transferred: GC is allowed on the migrated table
+      spark.sql("INSERT INTO callc.db.mig VALUES (99, 'x')")
+      spark.sql("CALL callc.system.expire_snapshots(table => 'db.mig', " +
+        "retain_last => 1)")
+      assert(spark.table("callc.db.mig").count() === 41L)
+      // a MANAGED source refuses by name
+      spark.sql("DROP TABLE IF EXISTS callproc_mig_managed")
+      (1L to 3L).toDF("k").write.saveAsTable("callproc_mig_managed")
+      try {
+        val e = intercept[Exception](spark.sql("CALL callc.system.migrate(" +
+          "source_table => 'callproc_mig_managed', table => 'db.mig2')")
+          .collect())
+        assert(e.getMessage.contains("MANAGED"), e.getMessage)
+      } finally spark.sql("DROP TABLE IF EXISTS callproc_mig_managed")
+    }
+  }
+
+  test("register_table refuses in path mode with the HadoopCatalog posture") {
+    SparkSpec.rmdir(wh)
+    withCat {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS callc.db")
+      val ext = "/tmp/graft_test/callproc_regsrc"
+      SparkSpec.rmdir(ext)
+      LakeTable.overwrite(Seq((1L, 1.0)).toDF("k", "v"), ext)
+      val e = intercept[Exception](spark.sql("CALL callc.system.register_table(" +
+        s"table => 'db.reg', metadata_location => '$ext')").collect())
+      assert(e.getMessage.contains("indirection"), e.getMessage)
     }
   }
 }

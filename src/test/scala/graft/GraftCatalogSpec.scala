@@ -619,4 +619,54 @@ class GraftCatalogSpec extends AnyFunSuite {
       assert(e.getMessage.contains("payload"), e.getMessage)
     } finally sql("DROP TABLE IF EXISTS vlake.db.ev")
   }
+
+  test("variant shredding: sidecar stats skip files; pre-declaration files stay exact") {
+    val p = "/tmp/graft_test/variant_shred"
+    SparkSpec.rmdir(p)
+    import spark.implicits._
+    def frame(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(col("id"),
+        parse_json(to_json(struct(col("id").as("e"),
+          (col("id") * 2.0).as("v")))).as("var"))
+    // generation 0 lands BEFORE the declaration: no sidecar, no stats
+    LakeTable.overwrite(frame(0, 100), p)
+    LakeTable.declareVariantShredding(spark, p, "var",
+      Seq("$.e" -> "bigint", "$.v" -> "double"))
+    // post-declaration generations carry sidecar stats, clustered
+    LakeTable.append(frame(100, 200), p)
+    LakeTable.append(frame(200, 300), p)
+    LakeTable.append(frame(300, 400), p)
+    // the box hits generation [200, 300) only; [100,200) and [300,400)
+    // skip on sidecar stats; [0,100) has no sidecar → kept
+    // conservatively, rows re-checked against the intact variant
+    val out = LakeTable.readWhereVariant(spark, p, "var", "$.e", 220, 260)
+      .select(variant_get(col("var"), "$.e", "bigint").as("e")).collect()
+      .map(_.getLong(0)).sorted
+    assert(out.toSeq === (220L to 260L).toSeq)
+    val audit = LakeTable.auditOf(p)
+    assert(audit.filesKept < audit.filesClaimed,
+      s"sidecar stats must skip the out-of-range generations: $audit")
+    // values round-trip identically whether served pre- or post-
+    // declaration (the row filter is the intact variant either way)
+    val lowBand = LakeTable.readWhereVariant(spark, p, "var", "$.e", 10, 20)
+      .count()
+    assert(lowBand === 11L)
+    // undeclared path refuses by name
+    val e1 = intercept[IllegalArgumentException](
+      LakeTable.readWhereVariant(spark, p, "var", "$.zzz", 0, 1))
+    assert(e1.getMessage.contains("not declared"), e1.getMessage)
+    // a malformed declaration refuses at the property chokepoint
+    val e2 = intercept[Exception](LakeTable.setTableProperties(spark, p,
+      Map("shred.var" -> "no-colon-here")))
+    assert(e2.getMessage.contains("jsonPath"), e2.getMessage)
+    val e3 = intercept[Exception](
+      LakeTable.declareVariantShredding(spark, p, "var",
+        Seq("$.x" -> "NOT_A_TYPE")))
+    assert(e3.getMessage.toLowerCase.contains("not_a_type"), e3.getMessage)
+    // compaction re-shreds: the folded file carries sidecar stats too
+    LakeTable.compact(spark, p)
+    val out2 = LakeTable.readWhereVariant(spark, p, "var", "$.e", 220, 260)
+      .count()
+    assert(out2 === 41L, "the fold must not move a row")
+  }
 }

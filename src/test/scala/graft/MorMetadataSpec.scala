@@ -117,6 +117,62 @@ class MorMetadataSpec extends AnyFunSuite {
     }
   }
 
+  test("composite-key MoR MERGE ships an n-column equality delete; convert retires it") {
+    val p = "/tmp/graft_test/mormeta_comp"
+    SparkSpec.rmdir(p)
+    // composite business key (k1, k2): k1 repeats across k2 — a
+    // single-key delete file could not express the tuple match
+    val df = (0 until 60)
+      .map(i => ((i / 4).toLong, i % 4, i * 1.0)).toDF("k1", "k2", "v")
+    LakeTable.overwrite(df, p)
+    val src = Seq(
+      (1L, 0, 1000.0),  // matched tuple: update
+      (1L, 1, -1.0),    // matched tuple: delete (v < 0 clause)
+      (99L, 0, 9.0))    // unmatched tuple: insert
+      .toDF("k1", "k2", "v")
+    LakeTable.mergeConditionalMoRKeys(src, p, Seq("k1", "k2"),
+      matched = Seq(
+        LakeTable.MatchedDelete(Some(col("s.v") < 0)),
+        LakeTable.MatchedUpdate(None, Map("v" -> col("s.v")))),
+      notMatchedInsert = Some(lit(true)))
+    val v0 = LakeTable.latestVersion(p).get
+    assert(LakeTable.history(spark, p).collect().map(_.getString(1)).toSeq
+      === Seq("overwrite", "mor_merge"))
+    // the delete file carries BOTH key columns
+    val delRef = LakeTable.entriesOf(p, v0).filter(_.kind == "delete")
+    assert(delRef.nonEmpty)
+    val delCols = spark.read.parquet(delRef.map(_.file): _*).columns.toSet
+    assert(delCols === Set("k1", "k2"), delCols.toString)
+    // tuple semantics: (1,0) updated, (1,1) gone, (1,2)/(1,3) kept
+    // untouched (same k1, different k2 — a single-key delete would
+    // have killed them), (99,0) inserted
+    def rows() = LakeTable.read(spark, p).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    val base: Set[(Long, Int, Double)] = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    val expect = base
+      .filterNot(t => t._1 == 1L && (t._2 == 0 || t._2 == 1)) +
+      ((1L, 0, 1000.0)) + ((99L, 0, 9.0))
+    assert(rows() === expect)
+    // convert folds the n-column equality file to DVs, zero data
+    // rewritten; the metadata plane serves again
+    val dataBefore = LakeTable.entriesOf(p, v0)
+      .filter(_.kind == "data").map(_.file).toSet
+    LakeTable.convertEqualityDeletes(spark, p)
+    val v1 = LakeTable.latestVersion(p).get
+    assert(!LakeTable.entriesOf(p, v1).exists(_.kind == "delete"))
+    assert(LakeTable.entriesOf(p, v1).filter(_.kind == "data").map(_.file).toSet
+      === dataBefore, "conversion must not rewrite a single data file")
+    assert(rows() === expect, "conversion must not move a row")
+    // mixed key LISTS across delete commits refuse loudly at read
+    LakeTable.deleteMoR(spark, p, "k1", col("k1") === 0L)
+    LakeTable.mergeConditionalMoRKeys(
+      Seq((2L, 0, 5.0)).toDF("k1", "k2", "v"), p, Seq("k1", "k2"),
+      matched = Seq(LakeTable.MatchedUpdate(None, Map("v" -> col("s.v")))))
+    val e = intercept[Exception](LakeTable.read(spark, p).collect())
+    assert(e.getMessage.contains("ONE key column list"), e.getMessage)
+  }
+
   test("rewritePositionDeletes consolidates the delete representation, zero data rewritten") {
     val p = "/tmp/graft_test/mormeta_rewrite"
     mkPartitioned(p)

@@ -766,6 +766,111 @@ class SqlDmlSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS sqldml_mcomp")
   }
 
+  test("table_changes TVF serves the change feed through SQL") {
+    val p = "/tmp/graft_test/sqldml_tvf"
+    freshTable(p, "sqldml_tvf")
+    import spark.implicits._
+    try {
+      LakeTable.append(Seq((5L, "e", 50.0)).toDF("k", "s", "v"), p)
+      LakeTable.delete(spark, p, col("k") === 2L)
+      // SQL TVF ≡ library call, composed inside a SELECT
+      val viaSql = spark.sql(
+        s"SELECT change_type, k, s, v FROM table_changes('graftlake.`$p`', 0, 2) " +
+          "ORDER BY change_type, k").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      val viaLib = LakeTable.changes(spark, p, 0, 2)
+        .select("change_type", "k", "s", "v").orderBy("change_type", "k")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      assert(viaSql.toSeq === viaLib.toSeq)
+      assert(viaSql.toSeq === Seq(("delete", 2L, "b", 20.0), ("insert", 5L, "e", 50.0)))
+      // composes like any relation: aggregate over the TVF
+      val agg = spark.sql(
+        s"SELECT change_type, count(*) AS n FROM " +
+          s"table_changes('graftlake.`$p`', 0, 2) GROUP BY 1 ORDER BY 1")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(agg === Seq(("delete", 1L), ("insert", 1L)))
+      // the session-catalog NAME route resolves too
+      assert(spark.sql(
+        "SELECT count(*) AS n FROM table_changes('sqldml_tvf', 0, 2)")
+        .head.getLong(0) === 2L)
+      // 2-arg form defaults <to_version> to the table head
+      assert(spark.sql(
+        s"SELECT count(*) AS n FROM table_changes('graftlake.`$p`', 0)")
+        .head.getLong(0) === 2L)
+      // refusals: non-lake table; bad arity; lineage variant on a
+      // table that does not track lineage
+      val e1 = intercept[Exception](spark.sql(
+        "SELECT * FROM table_changes('no_such_lake_tbl', 0, 1)").collect())
+      assert(e1.getMessage.contains("not a lake table"), e1.getMessage)
+      val e2 = intercept[Exception](spark.sql(
+        s"SELECT * FROM table_changes('graftlake.`$p`')").collect())
+      assert(e2.getMessage.contains("2 or 3 arguments"), e2.getMessage)
+      val e3 = intercept[Exception](spark.sql(
+        s"SELECT * FROM table_changes_with_lineage('graftlake.`$p`', 0, 2)")
+        .collect())
+      assert(e3.getMessage.contains("lineage"), e3.getMessage)
+    } finally spark.sql("DROP TABLE IF EXISTS sqldml_tvf")
+  }
+
+  test("table_changes_with_lineage TVF rides the row-lineage diff") {
+    val p = "/tmp/graft_test/sqldml_tvfl"
+    rmdir(p)
+    import spark.implicits._
+    LakeTable.overwrite(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), p)
+    LakeTable.enableRowLineage(spark, p)
+    LakeTable.append(Seq((3L, 30.0)).toDF("k", "v"), p)
+    val rows = spark.sql(
+      s"SELECT change_type, k, v FROM " +
+        s"table_changes_with_lineage('graftlake.`$p`', 1, 2) ORDER BY k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows === Seq(("insert", 3L, 30.0)), rows.toString)
+  }
+
+  test("composite ON key routes through write.merge.mode=merge-on-read") {
+    val pM = "/tmp/graft_test/sqldml_mcomp_mor"
+    val pC = "/tmp/graft_test/sqldml_mcomp_morcow"
+    rmdir(pM); rmdir(pC)
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 1, "a", 10.0), (1L, 2, "b", 20.0), (2L, 1, "c", 30.0))
+    for ((p, name) <- Seq(pM -> "sqldml_mcm", pC -> "sqldml_mcc")) {
+      LakeTable.overwrite(rows.toDF("k1", "k2", "s", "v"), p)
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      spark.sql(s"CREATE TABLE $name USING graftlake OPTIONS (path '$p')")
+    }
+    LakeTable.setTableProperties(spark, pM,
+      Map("write.merge.mode" -> "merge-on-read"))
+    Seq((1L, 1, "A", 100.0), (1L, 2, "B", 200.0), (3L, 1, "n", 99.0))
+      .toDF("k1", "k2", "s", "v").createOrReplaceTempView("sqldml_mcm_src")
+    try {
+      for (name <- Seq("sqldml_mcm", "sqldml_mcc"))
+        spark.sql(
+          s"""MERGE INTO $name t USING sqldml_mcm_src u
+            |ON t.k1 = u.k1 AND t.k2 = u.k2
+            |WHEN MATCHED AND u.v >= 200.0 THEN DELETE
+            |WHEN MATCHED THEN UPDATE SET s = u.s, v = u.v
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      def state(p: String) = LakeTable.read(spark, p).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+        .toSet
+      assert(state(pM) === state(pC),
+        "composite-key merge-on-read must equal the CoW twin")
+      assert(state(pM) === Set(
+        (1L, 1, "A", 100.0), (2L, 1, "c", 30.0), (3L, 1, "n", 99.0)))
+      // the MoR route really shipped an equality delete, not a rewrite
+      val ops = LakeTable.history(spark, pM).collect()
+        .map(r => r.getInt(0) -> r.getString(1)).toMap
+      assert(ops(2) === "mor_merge", ops.toString)
+      // compact folds the two-column delete file away; content fixed
+      LakeTable.compact(spark, pM)
+      assert(state(pM) === state(pC), "compacted MoR content must not move")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sqldml_mcm")
+      spark.sql("DROP TABLE IF EXISTS sqldml_mcc")
+    }
+  }
+
   test("DELETE WHERE <correlated scalar comparison> regroups onto the merge") {
     val p = "/tmp/graft_test/sqldml_cdel"
     freshTable(p, "sqldml_cdel")
@@ -892,5 +997,41 @@ class SqlDmlSpec extends AnyFunSuite {
           "WHERE r.rk = t.k)"))
       assert(e3.getMessage.contains("AGGREGATE"), e3.getMessage)
     } finally spark.sql("DROP TABLE IF EXISTS sqldml_corr")
+  }
+
+  test("correlated COUNT subqueries see 0, not NULL, on key-missing rows") {
+    val p = "/tmp/graft_test/sqldml_ccnt"
+    freshTable(p, "sqldml_ccnt")
+    import spark.implicits._
+    // reference rows only for k=1 (two) and k=2 (one); k=3/4 unkeyed
+    Seq((1L, 5.0), (1L, 6.0), (2L, 7.0))
+      .toDF("rk", "rv").createOrReplaceTempView("sqldml_ccnt_ref")
+    try {
+      // SET arm: a key the frame misses takes the empty-group 0 —
+      // NULL here would silently blank every unkeyed row
+      spark.sql("UPDATE sqldml_ccnt t SET v = (SELECT count(*) " +
+        "FROM sqldml_ccnt_ref r WHERE r.rk = t.k)")
+      val vs = spark.sql("SELECT k, v FROM sqldml_ccnt ORDER BY k").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(vs === Seq((1L, 2.0), (2L, 1.0), (3L, 0.0), (4L, 0.0)),
+        vs.mkString(", "))
+      // WHERE arm: count()=0 must MATCH the unkeyed rows (a NULL
+      // scalar would compare UNKNOWN and delete nothing)
+      spark.sql("DELETE FROM sqldml_ccnt t WHERE (SELECT count(*) " +
+        "FROM sqldml_ccnt_ref r WHERE r.rk = t.k) = 0")
+      assert(spark.sql("SELECT k FROM sqldml_ccnt ORDER BY k").collect()
+        .map(_.getLong(0)).toSeq === Seq(1L, 2L))
+      // max/min/sum/avg keep SQL's NULL empty-group value: the same
+      // comparison via max matches nothing (both survivors are keyed)
+      spark.sql("DELETE FROM sqldml_ccnt t WHERE (SELECT max(r.rv) " +
+        "FROM sqldml_ccnt_ref r WHERE r.rk = t.k) IS NOT NULL AND FALSE")
+      assert(spark.sql("SELECT count(*) FROM sqldml_ccnt").collect()
+        .head.getLong(0) === 2L)
+      // a count buried in arithmetic refuses by name
+      val e = intercept[Exception](spark.sql(
+        "UPDATE sqldml_ccnt t SET v = (SELECT count(*) + 1 FROM " +
+          "sqldml_ccnt_ref r WHERE r.rk = t.k)"))
+      assert(e.getMessage.contains("WHOLE selected value"), e.getMessage)
+    } finally spark.sql("DROP TABLE IF EXISTS sqldml_ccnt")
   }
 }

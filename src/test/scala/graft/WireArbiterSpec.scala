@@ -313,6 +313,21 @@ class WireArbiterSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE $cat.db.ext")
       assert(client.loadTable(Seq("db"), "ext").isEmpty)
       assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(ext)))
+      // CALL register_table binds a pre-existing lake location through
+      // the registry (the uri-mode green path of the procedure; the
+      // path catalog refuses it — CallProcedureSpec)
+      val ext2 = "/tmp/graft_test/resthttp_external2"
+      SparkSpec.rmdir(ext2)
+      LakeTable.overwrite(Seq((7L, 1.0)).toDF("id", "x"), ext2)
+      val reg = spark.sql(s"CALL $cat.system.register_table(" +
+        s"table => 'db.ext2', metadata_location => '$ext2')").collect()
+      assert(reg.length === 1 && reg.head.getString(0) === ext2)
+      assert(spark.sql(s"SELECT sum(id) FROM $cat.db.ext2").head.getLong(0) === 7L)
+      // double registration answers the 409 as a named refusal
+      val eReg = intercept[Exception](spark.sql(
+        s"CALL $cat.system.register_table(table => 'db.ext2', " +
+          s"metadata_location => '$ext2')").collect())
+      assert(eReg.getMessage.contains("already exists"), eReg.getMessage)
     } finally {
       spark.conf.unset(s"spark.sql.catalog.$cat")
       spark.conf.unset(s"spark.sql.catalog.$cat.uri")
