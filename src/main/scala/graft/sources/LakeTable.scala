@@ -3897,15 +3897,22 @@ object LakeTable {
       matched: Seq[MergeClause],
       notMatchedInsert: Option[org.apache.spark.sql.Column],
       notMatchedBySource: Seq[MergeClause] = Nil,
-      evolveColumns: Seq[String] = Nil)
+      evolveColumns: Seq[String] = Nil,
+      sourceKeyUnique: Boolean = false)
       : (DataFrame, DataFrame, DataFrame) = {
     require(keyCols.nonEmpty, "MERGE needs at least one key column")
     // SQL MERGE rejects a source that matches one target row twice
-    // (nondeterministic update order) — enforce loudly up front
-    val dup = source.groupBy(keyCols.map(col): _*).count()
-      .filter(col("count") > 1).limit(1).count()
-    require(dup == 0L,
-      s"MERGE source has duplicate keys on '${keyCols.mkString(", ")}'")
+    // (nondeterministic update order) — enforce loudly up front.
+    // Callers whose source key is unique BY CONSTRUCTION (e.g. the
+    // SCD2 rebuild's key:start id, one row per window group) declare
+    // it and skip the probe job — the check exists for user-supplied
+    // sources, not for frames the library itself derived.
+    if (!sourceKeyUnique) {
+      val dup = source.groupBy(keyCols.map(col): _*).count()
+        .filter(col("count") > 1).limit(1).count()
+      require(dup == 0L,
+        s"MERGE source has duplicate keys on '${keyCols.mkString(", ")}'")
+    }
     // SCHEMA EVOLUTION (S9e): each named source-only column is
     // surfaced on the target side as a typed NULL before the clause
     // algebra, so UPDATE SET * can write it for matched rows while
@@ -4074,7 +4081,8 @@ object LakeTable {
       notMatchedInsert: Option[org.apache.spark.sql.Column] = None,
       notMatchedBySource: Seq[MergeClause] = Nil,
       evolveColumns: Seq[String] = Nil,
-      isolationKind: String = "merge"): Int = {
+      isolationKind: String = "merge",
+      sourceKeyUnique: Boolean = false): Int = {
     require(keyCols.nonEmpty, s"MERGE at $path needs at least one key column")
     requireDeterministicMerge(matched, notMatchedInsert, notMatchedBySource)
     val spark = source.sparkSession
@@ -4118,7 +4126,7 @@ object LakeTable {
       }
       val (survivors, inserts, affected) =
         mergeRows(targetTouched, source, keyCols, matched, notMatchedInsert,
-          notMatchedBySource, evolveColumns)
+          notMatchedBySource, evolveColumns, sourceKeyUnique)
       commitValidated(spark, path, base, refs,
         carryManifests(path, refs, touched, mm)
           ++ stageRewrite(
@@ -4129,7 +4137,7 @@ object LakeTable {
       val target = rewriteRead(spark, path, base)
       val (survivors, inserts, affected) =
         mergeRows(target, source, keyCols, matched, notMatchedInsert,
-          notMatchedBySource, evolveColumns)
+          notMatchedBySource, evolveColumns, sourceKeyUnique)
       commitRefs(spark, path, base,
         stageRewrite(
           survivors.unionByName(inserts, allowMissingColumns = true), path,
@@ -4166,7 +4174,8 @@ object LakeTable {
       notMatchedInsert: Option[org.apache.spark.sql.Column] = None,
       notMatchedBySource: Seq[MergeClause] = Nil,
       evolveColumns: Seq[String] = Nil,
-      isolationKind: String = "merge"): Int = {
+      isolationKind: String = "merge",
+      sourceKeyUnique: Boolean = false): Int = {
     require(keyCols.nonEmpty, s"MERGE at $path needs at least one key column")
     requireDeterministicMerge(matched, notMatchedInsert, notMatchedBySource)
     val spark = source.sparkSession
@@ -4180,7 +4189,7 @@ object LakeTable {
       else read(spark, path, Some(base))
     val (survivors, inserts, affected) =
       mergeRows(target, source, keyCols, matched, notMatchedInsert,
-        notMatchedBySource, evolveColumns)
+        notMatchedBySource, evolveColumns, sourceKeyUnique)
     // the replacement rows = post-merge state of exactly the UPDATED
     // keys (deleted keys ship no replacement) + the inserts. The
     // semi-join is NULL-SAFE like every key comparison in the merge:
