@@ -86,6 +86,7 @@ object SparkEntry {
     "knn_ivf_kmeans" -> ((s, d) => llm.Similarity.knnIvfKmeansGate(s, d)),
     "knn_ivf_pq" -> ((s, d) => llm.Similarity.knnIvfPqGate(s, d)),
     "knn_int8" -> ((s, d) => llm.Similarity.knnInt8Gate(s, d)),
+    "knn_graph" -> ((s, d) => llm.Similarity.knnGraphGate(s, d)),
     // SemDeDup: cluster-bounded semantic dedup; rounded-everywhere
     // arithmetic makes the WHOLE algorithm oracle-replayable
     "semdedup" -> ((s, d) => llm.Similarity.semDeDupQuery(s, d)),
@@ -2304,6 +2305,7 @@ object SparkEntry {
     "knn_ivf_kmeans" -> knnGateOracle,
     "knn_ivf_pq" -> knnGateOracle,
     "knn_int8" -> knnGateOracle,
+    "knn_graph" -> knnGateOracle,
     "doc_embedding_join" ->
       """WITH n AS (SELECT vec_id, label,
         |             round(sqrt(list_sum(list_transform(embedding,

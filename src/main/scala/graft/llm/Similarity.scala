@@ -376,6 +376,134 @@ object Similarity {
   def knnIvfPqGate(s: SparkSession, d: String, floor: Double = 0.2): DataFrame =
     knnRecallGate(knnIvfPq(s, d), knnBruteForce(s, d), floor)
 
+  /** L3 scale path #5 (round 14): GRAPH-ANN — sharded navigable-
+    * small-world subgraphs. The ladder's other tiers prune by
+    * GEOMETRY (hash buckets, coarse cells); a graph index prunes by
+    * CONNECTIVITY, which dominates recall/cost at high dimension with
+    * tiny probe budgets. The Spark-native shape is the one production
+    * graph indexes actually deploy at scale — SHARDS: vectors hash
+    * into `shards` partitions; each partition builds an in-memory NSW
+    * subgraph in ONE `mapPartitions` pass (greedy insertion: beam-
+    * search the already-inserted prefix for the M nearest, link
+    * bidirectionally, prune degree to 2M keeping the most similar);
+    * queries broadcast and every shard answers from its subgraph with
+    * a best-first beam (`ef` wide), visiting O(ef·M·log n) nodes
+    * instead of its whole slice; the per-shard top-k union into the
+    * global top-k. At 100 TB: build is one pass per shard with memory
+    * = that shard's vectors + adjacency (M ints/node); search cost is
+    * per-shard logarithmic, and shards scale out with executors. The
+    * candidate scores are TRUE cosines (the graph only chooses which
+    * nodes get scored), so no re-rank pass is needed — unlike PQ/int8
+    * whose compressed scores approximate. Determinism: insertion
+    * order and every heap tie-break follow vec_id, so the built graph
+    * and the beam are reproducible run to run. `mapPartitions` is the
+    * documented last-resort tier (SURVEY §7.4) — a greedy graph walk
+    * is genuinely per-partition imperative state no relational
+    * operator expresses. */
+  def knnGraph(
+      s: SparkSession, d: String, k: Int = 5, nQueries: Int = 10,
+      shards: Int = 4, m: Int = 8, ef: Int = 48): DataFrame = {
+    import s.implicits._
+    val emb = embWithNorm(s, d)
+    // the tiny query side collects once and broadcasts (same shape as
+    // the brute-force baseline's broadcast join)
+    val queries: Array[(Long, Array[Double], Double)] = emb
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .as[(Long, Seq[Double], Double)].collect()
+      .map { case (id, v, n) => (id, v.toArray, n) }
+    val bq = s.sparkContext.broadcast(queries)
+    val perShard = emb.select(col("vec_id"), col("v"), col("nrm"))
+      .as[(Long, Seq[Double], Double)]
+      .repartition(shards, col("vec_id"))
+      .sortWithinPartitions("vec_id") // deterministic insertion order
+      .mapPartitions { it =>
+        val rows = it.toArray
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val n = rows.length
+          val ids = rows.map(_._1)
+          val vecs = rows.map(_._2.toArray)
+          val nrms = rows.map(_._3)
+          def simTo(i: Int, qv: Array[Double], qn: Double): Double = {
+            var acc = 0.0; var j = 0
+            while (j < qv.length) { acc += vecs(i)(j) * qv(j); j += 1 }
+            acc / (nrms(i) * qn)
+          }
+          val adj = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Int])
+          // (sim desc, id asc) — every ordering decision ties on id
+          def better(a: (Double, Int), b: (Double, Int)): Boolean =
+            a._1 > b._1 || (a._1 == b._1 && ids(a._2) < ids(b._2))
+          // best-first beam over the inserted prefix [0, bound)
+          def beam(qv: Array[Double], qn: Double, width: Int, bound: Int)
+              : Array[(Double, Int)] = {
+            val visited = new java.util.BitSet(bound)
+            // dequeue = the BEST unexpanded candidate (max under
+            // "a < b iff b is better")
+            val cand = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](
+              Ordering.fromLessThan[(Double, Int)]((a, b) => better(b, a)))
+            var result = List.empty[(Double, Int)] // sorted worst-first
+            def admits(e: (Double, Int)): Boolean =
+              result.size < width || better(e, result.head)
+            def offer(e: (Double, Int)): Unit = {
+              result = (e :: result).sortWith((a, b) => better(b, a))
+              if (result.size > width) result = result.tail
+            }
+            visited.set(0)
+            val seed = (simTo(0, qv, qn), 0)
+            cand.enqueue(seed); offer(seed)
+            while (cand.nonEmpty) {
+              val c = cand.dequeue()
+              // standard best-first stop: the best unexpanded candidate
+              // is strictly worse than the worst kept result
+              if (result.size >= width && better(result.head, c)) cand.clear()
+              else adj(c._2).foreach { nb =>
+                if (nb < bound && !visited.get(nb)) {
+                  visited.set(nb)
+                  val e = (simTo(nb, qv, qn), nb)
+                  if (admits(e)) { cand.enqueue(e); offer(e) }
+                }
+              }
+            }
+            result.reverse.toArray // best-first
+          }
+          // NSW build: greedy insertion, degree pruned to 2M by sim
+          var i = 1
+          while (i < n) {
+            val links = beam(vecs(i), nrms(i), m, i)
+            links.foreach { case (_, j) =>
+              adj(i) += j; adj(j) += i
+              if (adj(j).size > 2 * m) {
+                val keep = adj(j).map(x => (simTo(x, vecs(j), nrms(j)), x))
+                  .sortWith(better).take(2 * m).map(_._2)
+                adj(j).clear(); adj(j) ++= keep
+              }
+            }
+            i += 1
+          }
+          bq.value.iterator.flatMap { case (qid, qv, qn) =>
+            beam(qv, qn, ef, n).iterator
+              .filter { case (_, idx) => ids(idx) != qid }
+              .take(k)
+              .map { case (sim, idx) => (qid, ids(idx), sim) }
+          }
+        }
+      }.toDF("qid", "vec_id", "raw_sim")
+    // global top-k over the shard union — rounded sim + id tie-break,
+    // the same cross-engine-stable ranking contract as the exact path
+    val w = Window.partitionBy("qid")
+      .orderBy(round(col("raw_sim"), 6).desc, col("vec_id"))
+    perShard.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"),
+        round(col("raw_sim"), 6).as("cos_sim"))
+      .orderBy("qid", "rank")
+  }
+
+  /** Hash-gated [[knnGraph]]: exact-side aggregates + recall floor. */
+  def knnGraphGate(s: SparkSession, d: String, floor: Double = 0.6): DataFrame =
+    knnRecallGate(knnGraph(s, d), knnBruteForce(s, d), floor)
+
   /** L3 scale path #4 (round 13): INT8-QUANTIZED candidate scoring —
     * symmetric per-vector max-abs quantization (qscale = max|x|/127,
     * codes = round(x/qscale) ∈ [−127, 127] stored as ARRAY<TINYINT>:

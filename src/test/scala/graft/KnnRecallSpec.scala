@@ -90,7 +90,8 @@ class KnnRecallSpec extends AnyFunSuite {
     val rKm = recall(topSets(Similarity.knnIvfKmeans(spark, dir)))
     val rPq = recall(topSets(Similarity.knnIvfPq(spark, dir)))
     val rI8 = recall(topSets(Similarity.knnInt8(spark, dir)))
-    info(s"recall lsh=$rLsh ivf=$rIvf kmeans=$rKm ivf_pq=$rPq int8=$rI8")
+    val rGr = recall(topSets(Similarity.knnGraph(spark, dir)))
+    info(s"recall lsh=$rLsh ivf=$rIvf kmeans=$rKm ivf_pq=$rPq int8=$rI8 graph=$rGr")
     // multi-probe (own bucket + 8 Hamming-1 neighbors of 2^8) lifts
     // the structurally-low single-probe recall on this clusterless
     // random corpus; still conservative as a regression floor
@@ -103,6 +104,10 @@ class KnnRecallSpec extends AnyFunSuite {
     // int8 scans ALL candidates (quantized, not pruned) and re-ranks
     // the shortlist at full precision — near-perfect by construction
     assert(rI8 >= 0.8, s"int8 recall collapsed: $rI8")
+    // every shard answers from its NSW subgraph with a wide beam
+    // (ef=48 over ~125-node shards here), so near-exhaustive locally;
+    // the union then re-ranks true cosines — high even on random data
+    assert(rGr >= 0.6, s"graph-ANN recall collapsed: $rGr")
   }
 
   test("hard_negatives: band bounds hold, ranks dense, ceiling excludes near-dups") {
@@ -135,7 +140,8 @@ class KnnRecallSpec extends AnyFunSuite {
         "ivf" -> Similarity.knnIvfGate(spark, dir),
         "ivf_kmeans" -> Similarity.knnIvfKmeansGate(spark, dir),
         "ivf_pq" -> Similarity.knnIvfPqGate(spark, dir),
-        "int8" -> Similarity.knnInt8Gate(spark, dir))) {
+        "int8" -> Similarity.knnInt8Gate(spark, dir),
+        "graph" -> Similarity.knnGraphGate(spark, dir))) {
       val r = df.collect()
       assert(r.length === 1, nm)
       assert(r.head.getAs[Boolean]("recall_floor_met"), s"$nm gate flipped")
