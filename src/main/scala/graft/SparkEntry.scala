@@ -1774,9 +1774,10 @@ object SparkEntry {
     // delete file + replacements; content require'd equal to the CoW
     // twin in-query, so ONE oracle replay covers both planners
     "lake_mor_merge_composite" ->
-      """WITH srcb AS (SELECT l_orderkey, l_linenumber,
-        |                     min(l_quantity) AS mq, min(l_extendedprice) AS mp
-        |              FROM lineitem GROUP BY 1, 2),
+      """WITH li AS (SELECT * FROM lineitem WHERE l_orderkey % 5 = 0),
+        |srcb AS (SELECT l_orderkey, l_linenumber,
+        |                min(l_quantity) AS mq, min(l_extendedprice) AS mp
+        |         FROM li GROUP BY 1, 2),
         |upd AS (SELECT l_orderkey, l_linenumber, mq + 100 AS q
         |        FROM srcb WHERE l_orderkey % 7 = 0),
         |kept AS (
@@ -1784,7 +1785,7 @@ object SparkEntry {
         |         CASE WHEN u.l_orderkey IS NOT NULL THEN u.q
         |              ELSE l.l_quantity END AS q,
         |         l.l_extendedprice AS p
-        |  FROM lineitem l LEFT JOIN upd u
+        |  FROM li l LEFT JOIN upd u
         |    ON u.l_orderkey = l.l_orderkey AND u.l_linenumber = l.l_linenumber
         |  WHERE NOT (u.l_orderkey IS NOT NULL AND l.l_linenumber = 1)
         |  UNION ALL

@@ -7636,8 +7636,15 @@ object LakeTable {
   def morMergeCompositeQuery(s: SparkSession, d: String): DataFrame = {
     val pM = freshWorkDir("lakemorcomp", d)
     val pC = freshWorkDir("lakemorcompcow", d)
+    // a deterministic 1/5 slice: the lifecycle runs the SAME algebra
+    // as the CoW twin query but pays it FOUR times (two tables, two
+    // planners, a symmetric diff, a convert) — the slice keeps the
+    // benchmark honest about the contract without quadrupling the
+    // full-corpus cost (round-14 cost discipline)
     val li = graft.Tables.load(s, d, "lineitem")
+      .filter(col("l_orderkey") % 5L === 0L)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     overwrite(li, pM)
     overwrite(li, pC)
     setTableProperties(s, pM, Map("write.merge.mode" -> "merge-on-read"))
@@ -7681,6 +7688,7 @@ object LakeTable {
       "convert must retire the composite equality-delete manifest")
     require(partitions(s, pM).limit(1).count() >= 0L,
       "the partitions rollup must serve after the convert")
+    li.unpersist(blocking = false) // the output reads the STORED table
     read(s, pM).groupBy("l_linenumber")
       .agg(count(lit(1)).as("n"),
         round(sum("l_quantity"), 6).as("sum_qty"),
