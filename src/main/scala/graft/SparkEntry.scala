@@ -167,6 +167,7 @@ object SparkEntry {
     "label_centroid_sim" -> (llm.Similarity.labelCentroidSim _),
     "curation_funnel" -> (llm.Curation.curationFunnel _),
     "domain_caps" -> ((s, d) => llm.Curation.domainCapsQuery(s, d)),
+    "mixture_sampling" -> ((s, d) => llm.Curation.mixtureSamplingQuery(s, d)),
     "phrase_search" -> ((s, d) => llm.TextAnalysis.phraseSearch(s, d)),
     "augment_token_dropout" -> (llm.TextAnalysis.augmentTokenDropout _),
     "funnel_stages" -> (ops.Behavioral.funnelStages _),
@@ -860,6 +861,26 @@ object SparkEntry {
     // scratch — normalization dedup, recursive-CTE near-dup closure +
     // keep-best, logistic gate, hash split — so the COMPOSITION is
     // hash-verified, not just the stages
+    // mixture_sampling: temperature-flattened (T=2) domain quotas —
+    // weight = isqrt(count), quota = (w * budget) // Σw, best-first
+    // within each domain; every step integer-exact cross-engine
+    "mixture_sampling" ->
+      """WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY 1),
+        |w AS (SELECT source, cnt,
+        |             CAST(floor(sqrt(cnt)) AS BIGINT) AS w FROM c),
+        |q AS (SELECT source, cnt, w,
+        |             (w * 300) // (SELECT sum(w) FROM w) AS quota FROM w),
+        |r AS (SELECT source, n_chars,
+        |  row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents)
+        |SELECT r.source,
+        |  CAST(max(q.cnt) AS BIGINT) AS n_docs,
+        |  CAST(max(q.w) AS BIGINT) AS weight,
+        |  CAST(max(q.quota) AS BIGINT) AS quota,
+        |  CAST(sum(CASE WHEN rk <= quota THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN rk <= quota THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+        |FROM r JOIN q ON q.source = r.source
+        |GROUP BY r.source ORDER BY r.source""".stripMargin,
     "domain_caps" ->
       """WITH r AS (SELECT source, n_chars,
         |  row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk

@@ -58,6 +58,49 @@ object Curation {
       .orderBy("source")
   }
 
+  /** L20 (round 14): TEMPERATURE-FLATTENED MIXTURE SAMPLING — the
+    * multilingual-pretraining data-mix recipe (mT5/XLM-R shape):
+    * per-domain quotas ∝ count^(1/T) with T = 2, so high-resource
+    * domains stop dominating the mix while low-resource ones keep
+    * proportionally MORE of their data. Every arithmetic step is
+    * integer-exact cross-engine: the weight is isqrt(count) —
+    * IEEE-correctly-rounded sqrt of a BIGINT floors exactly (perfect
+    * squares round-trip, non-squares are irrational, never within an
+    * ulp of an integer at these magnitudes) — and the quota is
+    * `budget * w div Σw` in integer arithmetic, so the oracle replays
+    * the mix bit for bit. Selection within a domain is best-first
+    * (longest docs, id tie-break), the same one-domain-key-shuffle
+    * window as [[domainCapsQuery]]; the quota frame is O(#domains)
+    * and broadcasts. 100 TB posture: one shuffle on the domain key,
+    * quotas from a metadata-sized aggregate — never a corpus-wide
+    * window. */
+  def mixtureSamplingQuery(
+      s: SparkSession, d: String, budget: Long = 300L): DataFrame = {
+    val docs = graft.Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val weights = docs.groupBy("source")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("w", floor(sqrt(col("cnt"))).cast("long"))
+    val totalW = weights.agg(sum("w")).head.getLong(0)
+    // integer quota: `(w * budget) DIV Σw` — SQL's `/` on BIGINTs is
+    // DOUBLE division; DIV keeps the arithmetic exact cross-engine
+    val quotas = weights.withColumn("quota",
+      expr(s"(w * ${budget}L) DIV ${totalW}L"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    docs.withColumn("rk", row_number().over(w))
+      .join(broadcast(quotas), Seq("source"))
+      .groupBy("source")
+      .agg(
+        max("cnt").as("n_docs"),
+        max("w").as("weight"),
+        max("quota").as("quota"),
+        sum(when(col("rk") <= col("quota"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rk") <= col("quota"), col("n_chars"))
+          .otherwise(0L)).as("kept_chars"))
+      .orderBy("source")
+  }
+
   def curationFunnel(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.load(s, d, "documents").select("doc_id", "text")
     // every stage expression below is THE stage's own shared helper

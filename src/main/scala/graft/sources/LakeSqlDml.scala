@@ -1663,16 +1663,21 @@ object GraftTableChanges {
       case s: org.apache.spark.unsafe.types.UTF8String => s.toString
       case other => refuse(what, s"<table> must be a string literal, got $other")
     }
-    def intOf(e: Expression, n: String): Int = litOf(e, n) match {
-      case i: java.lang.Number => i.intValue()
-      case other => refuse(what, s"<$n> must be an integer literal, got $other")
-    }
     val parts = spark.sessionState.sqlParser.parseMultipartIdentifier(tbl)
     val path = LakeSqlTargets.lakePathOf(spark, parts).getOrElse(
       refuse(what, s"${parts.mkString(".")} is not a lake table"))
-    val from = intOf(args(1), "from_version")
+    // an endpoint is an integer VERSION or a timestamp STRING resolved
+    // through the same one-metadata-read rule as TIMESTAMP AS OF
+    def verOf(e: Expression, n: String): Int = litOf(e, n) match {
+      case i: java.lang.Number => i.intValue()
+      case s: org.apache.spark.unsafe.types.UTF8String =>
+        LakeTable.versionAsOf(spark, path, LakeTable.timestampMillisOf(s.toString))
+      case other => refuse(what,
+        s"<$n> must be an integer version or a timestamp string, got $other")
+    }
+    val from = verOf(args(1), "from_version")
     val to =
-      if (args.size == 3) intOf(args(2), "to_version")
+      if (args.size == 3) verOf(args(2), "to_version")
       else LakeTable.latestVersion(path).getOrElse(
         refuse(what, s"no snapshots at $path"))
     val df = if (lineage) LakeTable.changesWithLineage(spark, path, from, to)

@@ -5626,14 +5626,25 @@ object LakeTable {
     * One key column per table, as [[upsert]]. */
   def deleteMoR(
       spark: SparkSession, path: String, keyCol: String,
+      predicate: org.apache.spark.sql.Column): Int =
+    deleteMoRKeys(spark, path, Seq(keyCol), predicate)
+
+  /** [[deleteMoR]] over a COMPOSITE key: the delete file carries every
+    * key column and readers subtract on the whole tuple (null-safe,
+    * sequence-ruled) — the n-column twin the composite-key MoR MERGE
+    * established; deletion stays KEY-granular, now tuple-granular. */
+  def deleteMoRKeys(
+      spark: SparkSession, path: String, keyCols: Seq[String],
       predicate: org.apache.spark.sql.Column): Int = {
+    require(keyCols.nonEmpty, s"deleteMoR at $path needs at least one key column")
     val base = observedBase(spark, path)
     val prev = listRefs(path, base)
     // the same pass-0 manifest prune as CoW [[delete]]: a refuted
     // commit contributes no keys, so it never reaches the scan; a
     // refuted-everywhere predicate is a pure carry-forward commit
     val keys = classificationFrame(spark, path, base, prev, predicate)
-      .map(_.filter(coalesce(predicate, lit(false))).select(keyCol).distinct())
+      .map(_.filter(coalesce(predicate, lit(false)))
+        .select(keyCols.map(col): _*).distinct())
     commitValidated(spark, path, base, prev,
       prev ++ keys.flatMap(stageManifest(_, path, kind = "delete")), "mor_delete",
       conflictFilter = Some(coalesce(predicate, lit(false))))
@@ -5840,12 +5851,21 @@ object LakeTable {
     * O(upserted rows), vs CoW [[upsert]]'s full-table rewrite; the
     * read pays one extra broadcast anti-join until [[compact]]
     * folds the snapshot clean. */
-  def upsertMoR(df: DataFrame, path: String, keyCol: String): Int = {
+  def upsertMoR(df: DataFrame, path: String, keyCol: String): Int =
+    upsertMoRKeys(df, path, Seq(keyCol))
+
+  /** [[upsertMoR]] over a COMPOSITE key: one commit shipping the
+    * incoming TUPLES as an n-column delete file plus the fresh rows —
+    * the composite-business-key CDC-ingest shape with O(upserted
+    * rows) write cost. */
+  def upsertMoRKeys(df: DataFrame, path: String, keyCols: Seq[String]): Int = {
+    require(keyCols.nonEmpty, s"upsertMoR at $path needs at least one key column")
     val spark = df.sparkSession
     val base = observedBase(spark, path)
     val prev = listRefs(path, base)
     commitValidated(spark, path, base, prev,
-      prev ++ stageManifest(df.select(keyCol).distinct(), path, kind = "delete")
+      prev ++ stageManifest(
+          df.select(keyCols.map(col): _*).distinct(), path, kind = "delete")
         ++ stageManifest(df, path),
       "mor_merge")
   }

@@ -164,6 +164,22 @@ class MorMetadataSpec extends AnyFunSuite {
     assert(LakeTable.entriesOf(p, v1).filter(_.kind == "data").map(_.file).toSet
       === dataBefore, "conversion must not rewrite a single data file")
     assert(rows() === expect, "conversion must not move a row")
+    // composite-key MoR DELETE and UPSERT ride the same n-column
+    // delete-file format: tuple-granular subtraction, seq-ruled
+    LakeTable.deleteMoRKeys(spark, p, Seq("k1", "k2"),
+      col("k1") === 2L && col("k2") === 3)
+    assert(!rows().exists(t => t._1 == 2L && t._2 == 3),
+      "the composite delete must remove exactly the (2,3) tuple")
+    assert(rows().count(_._1 == 2L) === 3, "other k2 of k1=2 must survive")
+    LakeTable.upsertMoRKeys(
+      Seq((3L, 0, -30.0), (98L, 5, 8.0)).toDF("k1", "k2", "v"), p,
+      Seq("k1", "k2"))
+    assert(rows().exists(t => t == ((3L, 0, -30.0))), "upsert must replace (3,0)")
+    assert(rows().count(_._1 == 3L) === 4, "the other k2 of k1=3 survive")
+    assert(rows().exists(t => t == ((98L, 5, 8.0))), "new tuple must insert")
+    // fold the composite deletes away so the mixed-list refusal below
+    // starts from a clean slate (the merge's own read must not trip it)
+    LakeTable.convertEqualityDeletes(spark, p)
     // mixed key LISTS across delete commits refuse loudly at read
     LakeTable.deleteMoR(spark, p, "k1", col("k1") === 0L)
     LakeTable.mergeConditionalMoRKeys(

@@ -403,4 +403,27 @@ class PipelineOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getAs[Long]("kept_chars")).toMap
     out.foreach(r => assert(tight(r.getString(0)) < r.getAs[Long]("kept_chars")))
   }
+
+  test("mixture sampling: T=2 quotas flatten the mix, integer-exact") {
+    val out = graft.llm.Curation.mixtureSamplingQuery(
+      spark, "/root/testdata/sf0.01", budget = 40L).collect()
+    assert(out.nonEmpty)
+    val totW = out.map(_.getAs[Long]("weight")).sum
+    out.foreach { r =>
+      val (cnt, w, quota, kept) = (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("weight"), r.getAs[Long]("quota"),
+        r.getAs[Long]("n_kept"))
+      assert(w === math.floor(math.sqrt(cnt.toDouble)).toLong,
+        s"weight must be isqrt(count) for ${r.getString(0)}")
+      assert(quota === w * 40L / totW, s"integer quota for ${r.getString(0)}")
+      assert(kept === math.min(quota, cnt), "best-first fill up to the quota")
+    }
+    // flattening: the kept-share of a domain never exceeds what a
+    // proportional (T=1) allocation would give it by more than the
+    // sqrt compression allows — equal-count domains get equal quotas
+    val quotas = out.map(r => r.getAs[Long]("n_docs") -> r.getAs[Long]("quota"))
+    quotas.groupBy(_._1).values.foreach(g =>
+      assert(g.map(_._2).distinct.length === 1,
+        "equal-count domains must draw equal quotas"))
+  }
 }

@@ -810,6 +810,10 @@ class SqlDmlSpec extends AnyFunSuite {
         s"SELECT * FROM table_changes_with_lineage('graftlake.`$p`', 0, 2)")
         .collect())
       assert(e3.getMessage.contains("lineage"), e3.getMessage)
+      // a timestamp endpoint resolves through the TIMESTAMP AS OF rule
+      // (a future instant = the table head)
+      assert(spark.sql("SELECT count(*) AS n FROM table_changes(" +
+        s"'graftlake.`$p`', 0, '2100-01-01')").head.getLong(0) === 2L)
     } finally spark.sql("DROP TABLE IF EXISTS sqldml_tvf")
   }
 
