@@ -100,6 +100,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // table's SupportsDelete, no rule needed)
     ext.injectResolutionRule(s => new graft.sources.LakeSqlDmlRule(s))
     ext.injectPlannerStrategy(_ => graft.sources.LakeDmlStrategy)
+    // SQL reads of snapshots needing row-level assembly (MoR deletes,
+    // renames, pre-default files) lift onto the library read instead
+    // of refusing; DML/write targets keep their V2 relation
+    ext.injectResolutionRule(s => new graft.sources.MorReadLiftRule(s))
     // versioned views (S11g): read-side expansion of GraftCatalog view
     // references + the row-returning SHOW VIEWS command — the DDL half
     // intercepts in GraftSqlParser (stock analysis refuses V2-catalog

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, AttributeSet, EqualNullSafe, EqualTo, Exists, Expression, InSubquery, Literal, Not => CNot, OuterReference, PredicateHelper, ScalarSubquery, SubqueryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, CountIf, HyperLogLogPlusPlus, RegrCount}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Assignment, Command, DeleteAction, DeleteFromTable, Filter, InsertAction, InsertStarAction, LeafNode, LogicalPlan, MergeAction, MergeIntoTable, OverwritePartitionsDynamic, Project, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Assignment, Command, DeleteAction, DeleteFromTable, Filter, InsertAction, InsertIntoStatement, InsertStarAction, LeafNode, LogicalPlan, MergeAction, MergeIntoTable, OverwritePartitionsDynamic, Project, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable, V2WriteCommand}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -1608,6 +1608,71 @@ object LakeDmlStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case LakeDmlCommand(sql, effect) => LakeDmlExec(sql, effect) :: Nil
     case _ => Nil
+  }
+}
+
+/** READ-LIFT for snapshots needing ROW-LEVEL assembly (round 14): a
+  * SQL read of a graftlake table whose snapshot carries live
+  * merge-on-read delete manifests, a field-id rename, or files
+  * predating a defaulted column used to REFUSE through the V2 scan
+  * ([[LakeTable.planV2]]'s contract — a file-level scan cannot apply
+  * them; "compact first"). This resolution rule lifts exactly those
+  * relations onto the LIBRARY read: [[LakeTable.read]]'s analyzed
+  * plan substitutes for the relation, output-aliased onto the
+  * relation's attribute ids so every parent operator resolves
+  * unchanged — SELECTs, joins, aggregates, and VERSION/TIMESTAMP AS
+  * OF over MoR-state snapshots all serve through SQL instead of
+  * refusing. DML and WRITE targets are SHIELDED by reference —
+  * UPDATE/MERGE/DELETE/INSERT own their V2 relation (the row-level
+  * lowerings and the write builder need it); only genuine read
+  * positions lift. Snapshots the V2 scan can serve stay on it
+  * (pushdown, runtime filtering, exact stats). Trade-off (SCALE.md):
+  * a lifted read is the library's union/anti-join plan — parquet
+  * filter pushdown still applies inside it; manifest-stats skipping
+  * does not, the same cost [[LakeTable.read]] always had. */
+class MorReadLiftRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // collect write/DML target relations BY REFERENCE — the same
+    // table read elsewhere in the same statement (self-join, MERGE
+    // source) still lifts
+    val shielded = new java.util.IdentityHashMap[LogicalPlan, Unit]()
+    def shield(p: LogicalPlan): Unit = p.foreach {
+      case r: DataSourceV2Relation => shielded.put(r, ())
+      case _ => ()
+    }
+    plan.foreach {
+      case u: UpdateTable => shield(u.table)
+      case m: MergeIntoTable => shield(m.targetTable)
+      case del: DeleteFromTable => shield(del.table)
+      case i: InsertIntoStatement => shield(i.table)
+      case w: V2WriteCommand => shield(w.table)
+      case _ => ()
+    }
+    plan.resolveOperatorsUp {
+      case r: DataSourceV2Relation if !shielded.containsKey(r) =>
+        r.table match {
+          case t: GraftLakeTable =>
+            val path = t.tablePath
+            t.pinnedVersion.orElse(LakeTable.latestVersion(path)) match {
+              case Some(v) if LakeTable.needsRowAssembly(path, v) =>
+                val lib = LakeTable.read(spark, path, Some(v))
+                  .queryExecution.analyzed
+                val byName = lib.output
+                  .map(a => a.name.toLowerCase(java.util.Locale.ROOT) -> a).toMap
+                val aliases = r.output.map { o =>
+                  val src = byName.getOrElse(
+                    o.name.toLowerCase(java.util.Locale.ROOT),
+                    throw new IllegalStateException(
+                      s"graftlake read-lift at $path v$v: the library read " +
+                        s"lacks column '${o.name}' the relation declares"))
+                  Alias(src, o.name)(o.exprId, o.qualifier)
+                }
+                Project(aliases, lib)
+              case _ => r
+            }
+          case _ => r
+        }
+    }
   }
 }
 

@@ -3219,6 +3219,32 @@ object LakeTable {
     * schema evolution and drops are fine — missing columns
     * null-extend, dropped ids are simply absent from the read
     * schema. */
+  /** Does snapshot `v` need ROW-LEVEL assembly to read — live
+    * merge-on-read delete manifests, a field-id rename, or files
+    * predating a defaulted column? Exactly the conditions [[planV2]]
+    * refuses; the read-lift rule ([[graft.sources.MorReadLiftRule]])
+    * uses this to decide when a SQL read must route through
+    * [[read]] instead of the file-level V2 scan. One manifest-list
+    * read per call — the same O(1) metadata cost every plan-time
+    * decision in this file pays (NOT memoized: a dropped-and-
+    * recreated path would serve a stale answer). */
+  private[sources] def needsRowAssembly(path: String, v: Int): Boolean = {
+    val refs = listRefs(path, v)
+    val dataRefs = refs.filter(_.kind == "data")
+    val current = schFor(path, v)
+    val live = dataRefs.filter(_.nFiles > 0)
+    refs.exists(r => r.kind != "data" && r.nFiles > 0) ||
+      dataRefs.exists(r => r.cols.exists { case (n, id) =>
+        current.flatMap(_.cols.find(_._1 == id)).exists(_._2 != n) }) ||
+      current.exists(sch => sch.defaults.keys.exists(id =>
+        dataRefs.exists(r =>
+          r.nFiles > 0 && !r.cols.values.exists(_ == id)))) ||
+      // hive-partitioned mixed with unpartitioned commits: the V2
+      // scan would need one file index owning both layouts at once
+      (live.exists(r => hiveLayoutDir(r.base)) &&
+        live.exists(r => !hiveLayoutDir(r.base)))
+  }
+
   private[sources] def planV2(
       spark: SparkSession, path: String, v: Int,
       preds: Seq[(String, Double, Double)]): V2Plan = {
@@ -7538,9 +7564,12 @@ object LakeTable {
     require(ops == Map(0 -> "overwrite", 1 -> "set_properties",
         2 -> "mor_posdelete", 3 -> "mor_update", 4 -> "mor_merge"),
       s"write.<kind>.mode must route every statement to its MoR op, got $ops")
-    read(s, path).groupBy("lang")
-      .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
-      .orderBy("lang")
+    // the final aggregate reads THROUGH SQL: the snapshot carries live
+    // posdel + equality-delete manifests, so this exercises the
+    // round-14 read-lift (the V2 scan alone would refuse; the lifted
+    // library plan must serve the same rows the oracle replays)
+    s.sql("""SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars
+      |FROM graft_mormode GROUP BY lang ORDER BY lang""".stripMargin)
   }
 
   /** Driver query: COMPOSITE-KEY MERGE (S14h) — `ON t.l_orderkey =

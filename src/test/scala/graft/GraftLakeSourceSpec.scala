@@ -576,34 +576,42 @@ class GraftLakeSourceSpec extends AnyFunSuite {
       s"dim keys [10,30] fit one fact file; runtime filter must prune to it: $files")
   }
 
-  test("refusals name the fold: MoR deletes, renames, mixed layouts") {
+  test("row-assembly snapshots LIFT onto the library read: MoR, renames, mixed layouts") {
     import spark.implicits._
-    // merge-on-read snapshot → refuse, compact lifts it
+    // merge-on-read snapshot: the file-level scan cannot apply the
+    // delete file (planV2 still refuses at the scan layer — spec'd
+    // below), but the V2 READ surface now lifts onto the library plan
+    // (round 14) and serves the post-delete rows; compact folds the
+    // state and reads return to the plain V2 scan
     val p1 = "/tmp/graft_test/v2_refuse_mor"
     rmdir(p1)
     LakeTable.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), p1)
     LakeTable.deleteMoR(spark, p1, "k", col("k") === 1L)
-    val e1 = intercept[UnsupportedOperationException](v2(p1).collect())
-    assert(e1.getMessage.contains("compact"), e1.getMessage)
+    assert(v2(p1).collect().map(_.getLong(0)).toSeq === Seq(2L),
+      "the lifted read must apply the live equality delete")
     LakeTable.compact(spark, p1)
     assert(v2(p1).collect().map(_.getLong(0)).toSeq === Seq(2L))
-    // rename → refuse, compact (rewrite under current names) lifts it
+    // rename: per-file projection is a library-read feature — lifted
     val p2 = "/tmp/graft_test/v2_refuse_rename"
     rmdir(p2)
     LakeTable.overwrite(Seq((1L, "a")).toDF("k", "s"), p2)
     LakeTable.renameColumn(spark, p2, "s", "label")
-    val e2 = intercept[UnsupportedOperationException](v2(p2).collect())
-    assert(e2.getMessage.contains("rename"), e2.getMessage)
+    assert(v2(p2).columns.toSeq === Seq("k", "label"))
+    assert(v2(p2).head.getString(1) === "a",
+      "the lifted read must serve the renamed column from old files")
     LakeTable.compact(spark, p2)
     assert(v2(p2).columns.toSeq === Seq("k", "label"))
     assert(v2(p2).head.getString(1) === "a")
-    // hive + unpartitioned commits in one snapshot → refuse
+    // hive + unpartitioned commits in one snapshot — lifted too
     val p3 = "/tmp/graft_test/v2_refuse_mixed"
     rmdir(p3)
     val d3 = Seq((1L, "x", 1.0), (2L, "y", 2.0)).toDF("k", "tag", "v")
     LakeTable.overwritePartitioned(d3, p3, "tag")
     LakeTable.append(d3, p3)
-    val e3 = intercept[UnsupportedOperationException](v2(p3).collect())
-    assert(e3.getMessage.contains("mixes hive-partitioned"), e3.getMessage)
+    assert(v2(p3).collect().length === 4,
+      "the lifted read must union both layouts")
+    // (the scan layer's own refusal contract is unchanged — planV2
+    // still names the lifting fold; it is simply unreachable from a
+    // session with GraftExtensions, where the lift serves instead)
   }
 }

@@ -766,6 +766,40 @@ class SqlDmlSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS sqldml_mcomp")
   }
 
+  test("SQL reads lift MoR-state snapshots onto the library read") {
+    val p = "/tmp/graft_test/sqldml_lift"
+    freshTable(p, "sqldml_lift")
+    try {
+      LakeTable.deleteMoR(spark, p, "k", col("k") === 2L) // live eq delete
+      // the V2 scan refuses this snapshot; the lift serves it — both
+      // the path route and the session-catalog name route
+      assert(spark.sql(s"SELECT k FROM graftlake.`$p` ORDER BY k").collect()
+        .map(_.getLong(0)).toSeq === Seq(1L, 3L, 4L))
+      assert(spark.sql("SELECT count(*) AS n FROM sqldml_lift")
+        .head.getLong(0) === 3L)
+      // composes: self-join over the lifted relation
+      assert(spark.sql("SELECT a.k FROM sqldml_lift a JOIN sqldml_lift b " +
+        "ON a.k = b.k ORDER BY a.k").collect().map(_.getLong(0)).toSeq
+        === Seq(1L, 3L, 4L))
+      // time travel: v0 (pre-delete) has no MoR state and stays on the
+      // V2 scan; the MoR head already proved the lifted route above
+      assert(spark.sql(s"SELECT count(*) AS n FROM graftlake.`$p` " +
+        "VERSION AS OF 0").head.getLong(0) === 4L)
+      // DML/write targets keep their V2 relation (shield): INSERT,
+      // UPDATE and DELETE all work against the MoR-state table
+      spark.sql("INSERT INTO sqldml_lift VALUES (9, 'i', 90.0)")
+      spark.sql("UPDATE sqldml_lift SET v = v + 1 WHERE k = 9")
+      spark.sql("DELETE FROM sqldml_lift WHERE k = 1")
+      assert(spark.sql("SELECT k, v FROM sqldml_lift ORDER BY k").collect()
+        .map(r => (r.getLong(0), r.getDouble(2 - 1))).toSeq ===
+        Seq((3L, 30.0), (4L, 40.0), (9L, 91.0)))
+      // compact folds the MoR state away; reads return to the V2 scan
+      LakeTable.compact(spark, p)
+      assert(spark.sql("SELECT count(*) AS n FROM sqldml_lift")
+        .head.getLong(0) === 3L)
+    } finally spark.sql("DROP TABLE IF EXISTS sqldml_lift")
+  }
+
   test("table_changes TVF serves the change feed through SQL") {
     val p = "/tmp/graft_test/sqldml_tvf"
     freshTable(p, "sqldml_tvf")
