@@ -1648,12 +1648,49 @@ class MorReadLiftRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case w: V2WriteCommand => shield(w.table)
       case _ => ()
     }
+    // relations consumed DIRECTLY by an aggregate: the MoR metadata
+    // plane answers count-only shapes from manifest counts (position
+    // deletes/DVs subtract exactly) — lifting those would regress a
+    // metadata-only answer to a table scan. "defer" = the aggregate's
+    // functions are not resolved yet, so whether it is count-only is
+    // unknowable this iteration; leave the relation and decide when
+    // the fixed point resolves them.
+    val aggMark = new java.util.IdentityHashMap[LogicalPlan, String]()
+    plan.foreach {
+      case a: Aggregate =>
+        @annotation.tailrec def strip(p: LogicalPlan): LogicalPlan = p match {
+          case SubqueryAlias(_, c) => strip(c)
+          case Project(_, c) => strip(c)
+          case _ => p
+        }
+        strip(a.child) match {
+          case r: DataSourceV2Relation =>
+            val mark =
+              if (!a.resolved) "defer"
+              else {
+                val fns = a.aggregateExpressions.flatMap(_.collect {
+                  case ae: AggregateExpression => ae.aggregateFunction })
+                if (fns.nonEmpty && fns.forall {
+                    case Count(args) => args.forall(_.foldable)
+                    case _ => false })
+                  "count-only" else "lift"
+              }
+            aggMark.put(r, mark)
+          case _ => ()
+        }
+      case _ => ()
+    }
     plan.resolveOperatorsUp {
       case r: DataSourceV2Relation if !shielded.containsKey(r) =>
         r.table match {
           case t: GraftLakeTable =>
             val path = t.tablePath
             t.pinnedVersion.orElse(LakeTable.latestVersion(path)) match {
+              case Some(v) if LakeTable.needsRowAssembly(path, v) &&
+                  aggMark.get(r) == "defer" => r
+              case Some(v) if LakeTable.needsRowAssembly(path, v) &&
+                  aggMark.get(r) == "count-only" &&
+                  LakeTable.countServableMoR(path, v) => r
               case Some(v) if LakeTable.needsRowAssembly(path, v) =>
                 val lib = LakeTable.read(spark, path, Some(v))
                   .queryExecution.analyzed

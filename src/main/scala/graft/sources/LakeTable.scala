@@ -3228,13 +3228,20 @@ object LakeTable {
     * read per call — the same O(1) metadata cost every plan-time
     * decision in this file pays (NOT memoized: a dropped-and-
     * recreated path would serve a stale answer). */
-  private[sources] def needsRowAssembly(path: String, v: Int): Boolean = {
+  private[sources] def needsRowAssembly(path: String, v: Int): Boolean =
+    listRefs(path, v).exists(r => r.kind != "data" && r.nFiles > 0) ||
+      needsProjectionAssembly(path, v)
+
+  /** The PROJECTION-side reasons a V2 file scan cannot serve `v`:
+    * field-id renames, files predating a defaulted column, or mixed
+    * hive/unpartitioned layouts — the non-delete half of
+    * [[needsRowAssembly]]. */
+  private[sources] def needsProjectionAssembly(path: String, v: Int): Boolean = {
     val refs = listRefs(path, v)
     val dataRefs = refs.filter(_.kind == "data")
     val current = schFor(path, v)
     val live = dataRefs.filter(_.nFiles > 0)
-    refs.exists(r => r.kind != "data" && r.nFiles > 0) ||
-      dataRefs.exists(r => r.cols.exists { case (n, id) =>
+    dataRefs.exists(r => r.cols.exists { case (n, id) =>
         current.flatMap(_.cols.find(_._1 == id)).exists(_._2 != n) }) ||
       current.exists(sch => sch.defaults.keys.exists(id =>
         dataRefs.exists(r =>
@@ -3244,6 +3251,16 @@ object LakeTable {
       (live.exists(r => hiveLayoutDir(r.base)) &&
         live.exists(r => !hiveLayoutDir(r.base)))
   }
+
+  /** Can the METADATA plane still answer count-only aggregates at
+    * `v`? Position deletes and DVs subtract exactly from manifest
+    * counts ([[metadataAggregate]]); equality deletes and projection
+    * assembly cannot be counted from metadata. The read-lift rule
+    * keeps count-only reads on the V2 pushdown exactly here — a
+    * metadata-only count must not regress to a lifted table scan. */
+  private[sources] def countServableMoR(path: String, v: Int): Boolean =
+    !listRefs(path, v).exists(r => r.kind == "delete" && r.nFiles > 0) &&
+      !needsProjectionAssembly(path, v)
 
   private[sources] def planV2(
       spark: SparkSession, path: String, v: Int,

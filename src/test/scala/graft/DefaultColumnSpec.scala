@@ -84,17 +84,18 @@ class DefaultColumnSpec extends AnyFunSuite {
     assert(LakeTable.read(spark, p).columns.toSeq === Seq("k", "v"))
   }
 
-  test("V2 scan refuses an uncompacted defaulted snapshot; compact materializes and lifts it") {
+  test("an uncompacted defaulted snapshot LIFTS onto the library read; compact materializes") {
     import spark.implicits._
     val p = freshTable("v2")
     LakeTable.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), p)
     LakeTable.addColumnWithDefault(spark, p, "tier", "STRING", "'std'")
-    val ex = intercept[Exception] {
-      spark.read.format("graftlake").load(p).collect()
-    }
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    assert(messages(ex).exists(_.contains("predate column 'tier'")), messages(ex).mkString(" | "))
+    // pre-compact: files predate the column, so the V2 file scan
+    // cannot fill the constant — the round-14 read-lift serves the
+    // default through the library plan instead of refusing
+    val pre = spark.read.format("graftlake").load(p)
+      .select("k", "tier").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pre === Map(1L -> "std", 2L -> "std"),
+      "the lifted read must serve the declared default pre-compact")
     LakeTable.compact(spark, p)
     val rows = spark.read.format("graftlake").load(p)
       .select("k", "tier").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -208,8 +209,9 @@ class DefaultColumnSpec extends AnyFunSuite {
     // library read serves the constant immediately…
     assert(LakeTable.read(spark, p).select("tier").collect()
       .map(_.getString(0)).toSeq === Seq("standard", "standard"))
-    // …the file-level catalog scan refuses until compaction materializes
-    intercept[Exception] { spark.table("graft.ddb.t").collect() }
+    // …and so does the catalog SQL read, through the round-14 lift
+    // (the file-level scan alone cannot fill the constant)
+    assert(spark.table("graft.ddb.t").collect().length === 2)
     LakeTable.compact(spark, p)
     assert(spark.sql("SELECT k, tier FROM graft.ddb.t ORDER BY k").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq ===

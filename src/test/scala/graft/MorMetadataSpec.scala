@@ -240,15 +240,22 @@ class MorMetadataSpec extends AnyFunSuite {
       val p = s"$wh/db/t"
       LakeTable.deleteMoRPositional(spark, p, col("k") < 40L)
       LakeTable.deleteMoRVector(spark, p, col("k") >= 480L)
-      // the V2 file scan refuses MoR snapshots, so a successful
-      // count(*) PROVES the metadata pushdown answered it — with the
-      // 60 deleted rows subtracted
-      assert(spark.sql("SELECT count(*) FROM morc.db.t").head.getLong(0) === 440L)
-      // min/max cannot be served (an extremal row may be deleted):
-      // the pushdown declines and the scan's MoR refusal surfaces
-      val e = intercept[Exception](
-        spark.sql("SELECT min(k) FROM morc.db.t").collect())
-      assert(e.getMessage.contains("compact"), e.getMessage)
+      // count(*) stays METADATA-ONLY under posdel/DV state: the
+      // read-lift rule defers to the V2 aggregate pushdown here, so
+      // the plan must contain NO data scan at all — with the 60
+      // deleted rows subtracted exactly
+      val cdf = spark.sql("SELECT count(*) FROM morc.db.t")
+      assert(cdf.head.getLong(0) === 440L)
+      assert(!cdf.queryExecution.executedPlan.exists {
+        case _: org.apache.spark.sql.execution.FileSourceScanExec => true
+        case _: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => true
+        case _ => false
+      }, "a posdel/DV count must answer from manifest metadata, not a scan")
+      // min/max cannot come from metadata (an extremal row may be
+      // deleted) — the round-14 read-lift serves them through the
+      // library plan instead of the old "compact first" refusal
+      assert(spark.sql("SELECT min(k) AS m FROM morc.db.t").head.getLong(0)
+        === 40L, "min must serve through the lifted read")
     } finally {
       spark.conf.unset("spark.sql.catalog.morc")
       spark.conf.unset("spark.sql.catalog.morc.warehouse")

@@ -793,8 +793,20 @@ class SqlDmlSpec extends AnyFunSuite {
       assert(spark.sql("SELECT k, v FROM sqldml_lift ORDER BY k").collect()
         .map(r => (r.getLong(0), r.getDouble(2 - 1))).toSeq ===
         Seq((3L, 30.0), (4L, 40.0), (9L, 91.0)))
-      // compact folds the MoR state away; reads return to the V2 scan
+      // plan shape: the MoR-state read is the LIFTED library plan (no
+      // V2 batch scan of the table)…
+      def hasV2Scan(sqlText: String): Boolean =
+        spark.sql(sqlText).queryExecution.executedPlan.exists {
+          case _: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => true
+          case _ => false
+        }
+      assert(!hasV2Scan("SELECT k FROM sqldml_lift"),
+        "a row-assembly snapshot must read through the lifted plan")
+      // …and compact folds the MoR state away; reads RETURN to the V2
+      // scan (pushdown/stats fast path)
       LakeTable.compact(spark, p)
+      assert(hasV2Scan("SELECT k FROM sqldml_lift"),
+        "a V2-servable snapshot must stay on the V2 scan")
       assert(spark.sql("SELECT count(*) AS n FROM sqldml_lift")
         .head.getLong(0) === 3L)
     } finally spark.sql("DROP TABLE IF EXISTS sqldml_lift")
