@@ -111,6 +111,7 @@ object SparkEntry {
     "cjk_fingerprint" -> (llm.TextAnalysis.cjkFingerprint _),
     "sql_registry_fingerprint" -> (llm.TextAnalysis.sqlRegistryFingerprint _),
     "bpe_token_stats" -> (llm.TextAnalysis.bpeTokenStats _),
+    "bpe_train_merges" -> (llm.TextAnalysis.bpeTrainMerges _),
     "gopher_repetition" -> (llm.TextAnalysis.gopherRepetitionQuery _),
     "dsir_select" -> (llm.TextAnalysis.dsirSelectQuery _),
     "ccnet_buckets" -> (llm.TextAnalysis.ccnetBucketsQuery _),
@@ -276,6 +277,8 @@ object SparkEntry {
     "lake_rollback" -> (sources.LakeTable.rollbackQuery _),
     "lake_bloom_skip" -> (sources.LakeTable.bloomSkipQuery _),
     "lake_branch_ff" -> (sources.LakeTable.branchFastForwardQuery _),
+    "lake_truncate" -> (sources.LakeTable.truncateQuery _),
+    "lake_identifier_fields" -> (sources.LakeTable.identifierFieldsQuery _),
     "lake_cherrypick" -> (sources.LakeTable.cherryPickQuery _),
     "lake_apply_changes" -> (sources.CdcApply.applyChangesQuery _),
     "scd2_build" -> (sources.CdcApply.scd2Query _),
@@ -2017,6 +2020,28 @@ object SparkEntry {
     "lake_branch_ff" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // lake_truncate: evens land at v0, odds append at v1, SQL
+    // TRUNCATE empties the table as one metadata-only commit (zero
+    // manifests, time-travelable history — require'd in-query), and
+    // the %4==1 slice refills it; the oracle is the refill aggregate
+    "lake_truncate" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events WHERE event_id % 4 = 1
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // lake_identifier_fields: %10<5 lands at v0, the table declares
+    // its key (SET IDENTIFIER FIELDS event_id, NOT NULL guard
+    // require'd), and upsertByIdentity merges the %10∈[3,7] batch
+    // with NEGATED values without the caller naming the key — so the
+    // final content is {0,1,2} original ∪ {3..7} negated (negation is
+    // exact in doubles; refusal arms require'd in-query)
+    "lake_identifier_fields" ->
+      """WITH cur AS (
+        |  SELECT event_type, value FROM events WHERE event_id % 10 IN (0, 1, 2)
+        |  UNION ALL
+        |  SELECT event_type, -value AS value FROM events
+        |  WHERE event_id % 10 BETWEEN 3 AND 7)
+        |SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM cur GROUP BY event_type ORDER BY event_type""".stripMargin,
     // lake_cherrypick: evens on main, one odd quarter picked off a
     // branch onto a DIVERGED main (the other quarter) — every event
     // arrives exactly once, so the oracle is again the full aggregate;
@@ -3490,6 +3515,65 @@ object SparkEntry {
         |  CAST(len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS INT)
         |    AS n_uniq_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // bpe_train_merges: 3 rounds of Sennrich BPE merge induction over
+    // the word vocabulary — the oracle UNROLLS the identical rounds as
+    // CTE chains (pair count → best pair by (n DESC, left, right) →
+    // greedy-leftmost application via island alternation → retokenize)
+    "bpe_train_merges" ->
+      """WITH words AS (
+        |  SELECT w, count(*) AS cnt FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |    FROM documents)
+        |  GROUP BY w),
+        |t0 AS (
+        |  SELECT w, cnt, i AS pos, substr(w, i + 1, 1) AS tok
+        |  FROM words, LATERAL unnest(range(length(w))) AS u(i)),
+        |p1 AS (SELECT *, lead(tok) OVER (PARTITION BY w ORDER BY pos) AS nxt FROM t0),
+        |b1 AS (SELECT tok AS l, nxt AS r, sum(cnt)::BIGINT AS n FROM p1
+        |       WHERE nxt IS NOT NULL GROUP BY 1, 2 ORDER BY n DESC, l, r LIMIT 1),
+        |k1 AS (
+        |  SELECT w, pos FROM (
+        |    SELECT w, pos, pos - min(pos) OVER (PARTITION BY w, grp) AS off FROM (
+        |      SELECT s.w, s.pos,
+        |             s.pos - row_number() OVER (PARTITION BY s.w ORDER BY s.pos) AS grp
+        |      FROM p1 s, b1 WHERE s.tok = b1.l AND s.nxt = b1.r))
+        |  WHERE off % 2 = 0),
+        |t1 AS (
+        |  SELECT w, cnt, row_number() OVER (PARTITION BY w ORDER BY pos) - 1 AS pos, tok
+        |  FROM (
+        |    SELECT p.w, p.cnt, p.pos, p.tok || p.nxt AS tok
+        |    FROM p1 p JOIN k1 kk ON kk.w = p.w AND kk.pos = p.pos
+        |    UNION ALL
+        |    SELECT p.w, p.cnt, p.pos, p.tok FROM p1 p
+        |    WHERE NOT EXISTS (SELECT 1 FROM k1 kk WHERE kk.w = p.w AND kk.pos = p.pos)
+        |      AND NOT EXISTS (SELECT 1 FROM k1 kk WHERE kk.w = p.w AND kk.pos = p.pos - 1))),
+        |p2 AS (SELECT *, lead(tok) OVER (PARTITION BY w ORDER BY pos) AS nxt FROM t1),
+        |b2 AS (SELECT tok AS l, nxt AS r, sum(cnt)::BIGINT AS n FROM p2
+        |       WHERE nxt IS NOT NULL GROUP BY 1, 2 ORDER BY n DESC, l, r LIMIT 1),
+        |k2 AS (
+        |  SELECT w, pos FROM (
+        |    SELECT w, pos, pos - min(pos) OVER (PARTITION BY w, grp) AS off FROM (
+        |      SELECT s.w, s.pos,
+        |             s.pos - row_number() OVER (PARTITION BY s.w ORDER BY s.pos) AS grp
+        |      FROM p2 s, b2 WHERE s.tok = b2.l AND s.nxt = b2.r))
+        |  WHERE off % 2 = 0),
+        |t2 AS (
+        |  SELECT w, cnt, row_number() OVER (PARTITION BY w ORDER BY pos) - 1 AS pos, tok
+        |  FROM (
+        |    SELECT p.w, p.cnt, p.pos, p.tok || p.nxt AS tok
+        |    FROM p2 p JOIN k2 kk ON kk.w = p.w AND kk.pos = p.pos
+        |    UNION ALL
+        |    SELECT p.w, p.cnt, p.pos, p.tok FROM p2 p
+        |    WHERE NOT EXISTS (SELECT 1 FROM k2 kk WHERE kk.w = p.w AND kk.pos = p.pos)
+        |      AND NOT EXISTS (SELECT 1 FROM k2 kk WHERE kk.w = p.w AND kk.pos = p.pos - 1))),
+        |p3 AS (SELECT *, lead(tok) OVER (PARTITION BY w ORDER BY pos) AS nxt FROM t2),
+        |b3 AS (SELECT tok AS l, nxt AS r, sum(cnt)::BIGINT AS n FROM p3
+        |       WHERE nxt IS NOT NULL GROUP BY 1, 2 ORDER BY n DESC, l, r LIMIT 1)
+        |SELECT * FROM (
+        |  SELECT 1 AS iter, l AS merge_left, r AS merge_right, n AS pair_n FROM b1
+        |  UNION ALL SELECT 2, l, r, n FROM b2
+        |  UNION ALL SELECT 3, l, r, n FROM b3)
+        |ORDER BY iter""".stripMargin,
     "lang_id_ngram" ->
       """WITH g AS (SELECT doc_id, lang,
         |                  list_transform(range(1, length(text)-1),

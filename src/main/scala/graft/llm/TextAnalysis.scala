@@ -1036,4 +1036,74 @@ object TextAnalysis {
           .as("agree_floor_met"))
       .orderBy("lang")
   }
+
+  /** L21 BPE MERGE INDUCTION — the tokenizer-TRAINING half every
+    * data pipeline runs before token counting (Sennrich et al. 2016,
+    * "Neural Machine Translation of Rare Words with Subword Units"):
+    * `iters` rounds of count-adjacent-symbol-pairs → merge the most
+    * frequent pair, over the corpus WORD VOCABULARY (word, count).
+    * The corpus pays exactly ONE word-count aggregation; every
+    * iteration then runs on the |vocab|-sized frame — at 100 TB the
+    * loop cost is bounded by vocabulary size, not data size (the
+    * classical trainer's trick, kept intact under Spark).
+    *
+    * Within-word application is greedy leftmost, as ONE window pass:
+    * overlapping candidate starts only arise for self-pairs (`aa` in
+    * `aaaa` — for left≠right a start at p forbids one at p+1 by
+    * construction), and within each island of CONSECUTIVE starts
+    * (pos − row_number groups) the even offsets are exactly the
+    * sequential scan's choices. Pair selection tie-breaks on
+    * (count DESC, left ASC, right ASC); tokens are ASCII from the
+    * `[a-z]+` word filter, so ordering agrees cross-engine. The
+    * per-round best pair is a ONE-ROW collect — the broadcast-scalar
+    * posture the stream-join sentinel established — and each round's
+    * vocab frame is localCheckpoint'd so lineage stays flat. */
+  def bpeTrainMergesFrom(docs: DataFrame, iters: Int): DataFrame = {
+    val s = docs.sparkSession
+    val words = docs
+      .select(explode(
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val byPos = Window.partitionBy("w").orderBy("pos")
+    var toks = words
+      .select(col("w"), col("cnt"), posexplode(split(col("w"), "")))
+      .toDF("w", "cnt", "pos", "tok")
+      .filter(length(col("tok")) > 0) // split("") vintage-proof
+      .localCheckpoint(true)
+    val merges = (1 to iters).map { it =>
+      val p = toks.withColumn("nxt", lead("tok", 1).over(byPos))
+        .localCheckpoint(true)
+      val best = p.filter(col("nxt").isNotNull)
+        .groupBy("tok", "nxt").agg(sum("cnt").as("n"))
+        .orderBy(desc("n"), asc("tok"), asc("nxt"))
+        .limit(1).collect()(0) // one row — the round's merge decision
+      val (l, r, n) = (best.getString(0), best.getString(1), best.getLong(2))
+      // greedy-leftmost merge starts: alternate inside islands of
+      // consecutive start positions (self-pair runs), keep the rest
+      val kept = p.filter(col("tok") === l && col("nxt") === r)
+        .withColumn("grp", col("pos") - row_number().over(byPos))
+        .withColumn("off",
+          col("pos") - min("pos").over(Window.partitionBy("w", "grp")))
+        .filter(col("off") % 2 === 0)
+        .select("w", "pos")
+      val merged = p.join(kept, Seq("w", "pos"))
+        .select(col("w"), col("cnt"), col("pos"),
+          concat(col("tok"), col("nxt")).as("tok"))
+      val carried = p
+        .join(kept, Seq("w", "pos"), "left_anti")
+        .join(kept.select(col("w"), (col("pos") + 1).as("pos")),
+          Seq("w", "pos"), "left_anti")
+        .select("w", "cnt", "pos", "tok")
+      toks = merged.unionByName(carried)
+        .withColumn("pos", row_number().over(byPos) - 1)
+        .localCheckpoint(true)
+      (it, l, r, n)
+    }
+    import s.implicits._
+    merges.toDF("iter", "merge_left", "merge_right", "pair_n").orderBy("iter")
+  }
+
+  /** Driver query: 3 BPE merge rounds over `documents`. */
+  def bpeTrainMerges(s: SparkSession, d: String): DataFrame =
+    bpeTrainMergesFrom(Tables.load(s, d, "documents"), iters = 3)
 }

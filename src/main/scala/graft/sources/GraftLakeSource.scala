@@ -221,6 +221,19 @@ class GraftLakeTable(
     else LakeTable.delete(spark, path, cond)
   }
 
+  /** `TRUNCATE TABLE` over a catalog ident — override the
+    * [[org.apache.spark.sql.connector.catalog.TruncatableTable]]
+    * default (`deleteWhere` over an empty filter set, which pays the
+    * CoW delete's classification scan) with the O(#manifests)
+    * metadata-only commit: a truncate already knows every file goes. */
+  override def truncateTable(): Boolean = {
+    require(version.isEmpty, s"cannot TRUNCATE a version-pinned read of $path")
+    val spark = SparkSession.getActiveSession.getOrElse(
+      throw new IllegalStateException("graftlake: no active SparkSession"))
+    LakeTable.truncate(spark, path)
+    true
+  }
+
   override def name(): String =
     s"graftlake.`$path`${version.map(v => s" VERSION AS OF $v").getOrElse("")}"
 

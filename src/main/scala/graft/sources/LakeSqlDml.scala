@@ -1155,6 +1155,17 @@ class GraftSqlParser(
     """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+WRITE\s+ORDERED\s+BY\s+(.+?)\s*;?\s*$""".r
   private val WriteUnorderedRe =
     """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+WRITE\s+UNORDERED\s*;?\s*$""".r
+  // Iceberg's schema-level row-identity declaration (SET names the
+  // full set; DROP removes the named fields from the declaration)
+  private val SetIdFieldsRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+SET\s+IDENTIFIER\s+FIELDS\s+(.+?)\s*;?\s*$""".r
+  private val DropIdFieldsRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+IDENTIFIER\s+FIELDS\s+(.+?)\s*;?\s*$""".r
+  // stock grammar: claim TRUNCATE only for lake tables (everything
+  // else keeps Spark's own command — and a lake CATALOG ident served
+  // natively still lands on the metadata-only truncateTable override)
+  private val TruncateRe =
+    """(?is)^\s*TRUNCATE\s+TABLE\s+(.+?)\s*;?\s*$""".r
   private val FnTransformRe = """(?is)^\s*(\w+)\s*\(\s*([^)]*?)\s*\)\s*$""".r
   // Iceberg's ref DDL (branches as writable lineages, tags as
   // immutable GC-protected pins) + timestamp-based expiration
@@ -1348,6 +1359,43 @@ class GraftSqlParser(
           LakeDmlCommand(s"ALTER graftlake.`$p` WRITE UNORDERED",
             () => { LakeTable.clearSortOrder(p); 0 })
         }
+      case SetIdFieldsRe(ref, colsTxt) =>
+        val parts = delegate.parseMultipartIdentifier(ref.trim)
+        maintenancePathOf(parts).map { p =>
+          LakeDmlCommand(s"ALTER graftlake.`$p` SET IDENTIFIER FIELDS $colsTxt",
+            () => {
+              val cols = colsTxt.split(",")
+                .map(_.trim.stripPrefix("`").stripSuffix("`"))
+                .filter(_.nonEmpty).toSeq
+              LakeTable.setIdentifierFields(p, cols)
+              cols.size
+            })
+        }
+      case DropIdFieldsRe(ref, colsTxt) =>
+        val parts = delegate.parseMultipartIdentifier(ref.trim)
+        maintenancePathOf(parts).map { p =>
+          LakeDmlCommand(s"ALTER graftlake.`$p` DROP IDENTIFIER FIELDS $colsTxt",
+            () => {
+              val cols = colsTxt.split(",")
+                .map(_.trim.stripPrefix("`").stripSuffix("`"))
+                .filter(_.nonEmpty).toSeq
+              val cur = LakeTable.identifierFieldsOf(p)
+              cols.foreach(c => require(cur.contains(c),
+                s"graftlake ALTER: '$c' is not a declared identifier field " +
+                  s"(declared: ${if (cur.isEmpty) "none" else cur.mkString(", ")})"))
+              val next = cur.filterNot(cols.contains)
+              if (next.isEmpty) LakeTable.dropIdentifierFields(p)
+              else LakeTable.setIdentifierFields(p, next)
+              next.size
+            })
+        }
+      case TruncateRe(ref) =>
+        // TRUNCATE TABLE t PARTITION (…) is v1 grammar whose tail
+        // would not parse as an identifier — fall through, never claim
+        scala.util.Try(delegate.parseMultipartIdentifier(ref.trim)).toOption
+          .flatMap(maintenancePathOf)
+          .map(p => LakeDmlCommand(s"TRUNCATE graftlake.`$p`",
+            () => LakeTable.truncate(spark, p)))
       case AnalyzeAllRe(ref) =>
         // every sketchable column (the hll_sketch_agg input types);
         // non-sketchable ones (double, struct, …) are skipped, not

@@ -1101,6 +1101,86 @@ object LakeTable {
     else readJsonLines(p).map(_.get("col").asText)
   }
 
+  private def identifierFieldsFile(path: String) =
+    s"${metaDir(path)}/identifier_fields.json"
+
+  /** Declare the table's IDENTIFIER FIELDS — Iceberg's schema-level
+    * row-identity declaration (`ALTER TABLE … SET IDENTIFIER FIELDS
+    * k1, k2`): the business key CDC writers and upsert sinks key on
+    * without every caller re-naming it. Standing metadata like
+    * [[setSortOrder]]. Iceberg requires identifier fields be
+    * REQUIRED columns; this engine's nullability surface is CHECK
+    * constraints, so each field must carry a `<f> IS NOT NULL`
+    * constraint or the declaration refuses by name — a NULL key
+    * would silently upsert into its own private row (NULL-safe key
+    * equality matches NULL to NULL), which is never what a business
+    * key means. */
+  def setIdentifierFields(path: String, fields: Seq[String]): Unit = {
+    require(fields.nonEmpty,
+      "SET IDENTIFIER FIELDS needs at least one column (use DROP IDENTIFIER FIELDS)")
+    require(fields.distinct == fields,
+      s"SET IDENTIFIER FIELDS: duplicate column in (${fields.mkString(", ")})")
+    val v = latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"no snapshots at $path"))
+    val have = schemaOf(path, v).map(_.map(_._2).toSet).getOrElse(
+      read(SparkSession.active, path, Some(v)).schema.fieldNames.toSet)
+    val guarded = constraintsOf(path, v)
+      .map(_._2.toUpperCase(java.util.Locale.ROOT)
+        .replaceAll("[`()]", "").replaceAll("\\s+", " ").trim).toSet
+    fields.foreach { f =>
+      require(have(f),
+        s"identifier field '$f' is not a table column at $path " +
+          s"(have ${have.toSeq.sorted.mkString(", ")})")
+      require(guarded(s"${f.toUpperCase(java.util.Locale.ROOT)} IS NOT NULL"),
+        s"identifier field '$f' at $path needs a NOT NULL guard — " +
+          s"ALTER TABLE … ADD CONSTRAINT … CHECK ($f IS NOT NULL) first " +
+          "(identifier fields are required columns)")
+    }
+    Files.createDirectories(Paths.get(metaDir(path)))
+    Files.writeString(Paths.get(identifierFieldsFile(path)),
+      fields.map(f => s"{${jstr("col")}:${jstr(f)}}").mkString("\n"))
+  }
+
+  /** Drop the identifier-field declaration (keyed writes go back to
+    * naming their keys explicitly). */
+  def dropIdentifierFields(path: String): Unit =
+    Files.deleteIfExists(Paths.get(identifierFieldsFile(path)))
+
+  /** The declared identifier fields (empty = none declared). */
+  def identifierFieldsOf(path: String): Seq[String] = {
+    val p = Paths.get(identifierFieldsFile(path))
+    if (!Files.exists(p)) Nil
+    else readJsonLines(p).map(_.get("col").asText)
+  }
+
+  /** UPSERT keyed by the table's DECLARED identifier fields — the
+    * caller hands rows, the TABLE knows its key (the Flink/Iceberg
+    * upsert-mode shape; every ingest job stops hardcoding the
+    * business key). Routes on `write.merge.mode`: copy-on-write
+    * lowers onto the composite-key merge (update-all non-key columns
+    * + insert-all), merge-on-read onto the n-column equality-delete
+    * writer — both file-granular / O(matched+inserted). Refuses by
+    * name when no fields are declared, and refuses NULL-keyed source
+    * rows (the declaration's NOT NULL contract binds the batch too). */
+  def upsertByIdentity(df: DataFrame, path: String): Int = {
+    val keys = identifierFieldsOf(path)
+    require(keys.nonEmpty,
+      s"upsertByIdentity at $path: no identifier fields declared — " +
+        "SET IDENTIFIER FIELDS first, or call the keyed upsert")
+    val nullKeyed =
+      df.filter(keys.map(col(_).isNull).reduce(_ || _)).limit(1).count()
+    require(nullKeyed == 0L,
+      s"upsertByIdentity at $path: the batch carries NULL in an " +
+        s"identifier field (${keys.mkString(", ")}) — identifier fields " +
+        "are required columns")
+    if (dmlModeOf(path, "merge") == "merge-on-read")
+      upsertMoRKeys(df, path, keys)
+    else mergeConditionalKeys(df, path, keys,
+      matched = Seq(MatchedUpdate(None,
+        df.columns.filterNot(keys.contains).map(c => c -> col(s"s.$c")).toMap)),
+      notMatchedInsert = Some(lit(true)))
+  }
+
   /** Apply the declared sort order to a data batch: range-partition +
     * in-partition sort on the declared columns, preserving the
     * batch's own parallelism (a small append must not shatter into
@@ -5242,6 +5322,27 @@ object LakeTable {
     }
   }
 
+  /** TRUNCATE TABLE — every visible row removed in ONE metadata-only
+    * commit: the new version carries ZERO manifests (data AND
+    * row-level deletes — with no data files left there is nothing to
+    * subtract from), while the commit plane carries schema,
+    * constraints, promotions, defaults, properties and lineage
+    * enablement untouched, and history stays time-travelable (the
+    * pre-truncate snapshot reads back via VERSION AS OF). Cost is
+    * O(#manifests) — the V2 `SupportsDelete` DEFAULT (`deleteWhere`
+    * over an empty filter set) would pay [[delete]]'s classification
+    * scan to learn what a truncate already knows. Conflict posture is
+    * DELETE-all's snapshot isolation: the truncate drops exactly the
+    * state it READ, so a racing append rebases (its rows were never
+    * visible here and survive), and
+    * `write.delete.isolation-level=serializable` refuses any
+    * racer-added row (every phantom matches delete-all). */
+  def truncate(spark: SparkSession, path: String): Int = {
+    val base = observedBase(spark, path)
+    commitValidated(spark, path, base, listRefs(path, base), Nil, "truncate",
+      conflictFilter = Some(lit(true)), isolationKind = Some("delete"))
+  }
+
   /** REPLACE WHERE (Delta's predicate-scoped overwrite; Spark SQL
     * `INSERT INTO t REPLACE WHERE cond SELECT …` and
     * `df.writeTo(t).overwrite(cond)` both land here through the V2
@@ -8470,6 +8571,82 @@ object LakeTable {
     require(read(s, path).count() < read(s, bp).count(),
       "branch writes must be invisible on main before fast-forward")
     fastForward(s, path, "staging")
+    read(s, path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** Driver query: TRUNCATE TABLE end to end — v0 takes the evens,
+    * v1 appends the odds, SQL TRUNCATE drops everything as ONE
+    * metadata-only commit (zero manifests require'd — the commit
+    * plane carries, no classification scan runs), the pre-truncate
+    * snapshot stays time-travelable, and fresh rows land afterwards.
+    * The oracle is the post-truncate aggregate, so the
+    * empty-then-refill lifecycle itself is hash-verified. */
+  def truncateQuery(s: SparkSession, d: String): DataFrame = {
+    val path = freshWorkDir("laketrunc", d)
+    val ev = graft.Tables.load(s, d, "events")
+      .select("event_id", "event_type", "value")
+    overwrite(ev.filter(pmod(col("event_id"), lit(2L)) === 0), path) // v0
+    append(ev.filter(pmod(col("event_id"), lit(2L)) =!= 0), path) // v1
+    val before = read(s, path).count()
+    s.sql(s"TRUNCATE TABLE graftlake.`$path`") // v2, metadata-only
+    val v = latestVersion(path).get
+    require(operationOf(path, v) == "truncate",
+      s"history must record op 'truncate', got '${operationOf(path, v)}'")
+    require(listRefs(path, v).isEmpty,
+      "the truncate commit must carry ZERO manifests (metadata-only)")
+    require(read(s, path).isEmpty, "a truncated table must read empty")
+    require(read(s, path, Some(v - 1)).count() == before,
+      "the pre-truncate snapshot must stay time-travelable")
+    append(ev.filter(pmod(col("event_id"), lit(4L)) === 1), path) // refill
+    read(s, path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** Driver query: IDENTIFIER FIELDS end to end — declaring without
+    * a NOT NULL guard refuses by name, the guarded declaration lands
+    * through ALTER TABLE SQL, [[upsertByIdentity]] merges a batch
+    * WITHOUT the caller naming the key (update-all on the overlap,
+    * insert-all on the rest), a NULL-keyed batch refuses, and DROP
+    * IDENTIFIER FIELDS returns the table to explicit-key writes. The
+    * oracle recomputes the upserted content from scratch. */
+  def identifierFieldsQuery(s: SparkSession, d: String): DataFrame = {
+    val path = freshWorkDir("lakeidf", d)
+    val ev = graft.Tables.load(s, d, "events")
+      .select("event_id", "event_type", "value")
+    overwrite(ev.filter(pmod(col("event_id"), lit(10L)) < 5), path) // v0
+    val undeclared = try { upsertByIdentity(ev.limit(1), path); "" }
+      catch { case e: IllegalArgumentException => e.getMessage }
+    require(undeclared.contains("no identifier fields declared"),
+      s"upsertByIdentity before the declaration must refuse: '$undeclared'")
+    val unguarded = try { setIdentifierFields(path, Seq("event_id")); "" }
+      catch { case e: IllegalArgumentException => e.getMessage }
+    require(unguarded.contains("NOT NULL"),
+      s"an unguarded identifier field must refuse by name: '$unguarded'")
+    addConstraint(s, path, "event_id_nn", "event_id IS NOT NULL")
+    s.sql(s"ALTER TABLE graftlake.`$path` SET IDENTIFIER FIELDS event_id")
+    require(identifierFieldsOf(path) == Seq("event_id"),
+      s"declaration must read back, got ${identifierFieldsOf(path)}")
+    val nullKeyed = ev.limit(1)
+      .withColumn("event_id", lit(null).cast("long"))
+    val nullRefusal = try { upsertByIdentity(nullKeyed, path); "" }
+      catch { case e: IllegalArgumentException => e.getMessage }
+    require(nullRefusal.contains("NULL"),
+      s"a NULL-keyed batch must refuse: '$nullRefusal'")
+    // the batch overlaps [3,4] (updates, negated value — exact in
+    // doubles, so no cross-engine rounding rides the upsert) and
+    // brings [5,7] (inserts) — the TABLE supplies the key
+    upsertByIdentity(
+      ev.filter(pmod(col("event_id"), lit(10L)).between(3, 7))
+        .withColumn("value", -col("value")),
+      path)
+    s.sql(s"ALTER TABLE graftlake.`$path` DROP IDENTIFIER FIELDS event_id")
+    require(identifierFieldsOf(path).isEmpty,
+      "DROP IDENTIFIER FIELDS must clear the declaration")
     read(s, path)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))

@@ -426,4 +426,17 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(g.map(_._2).distinct.length === 1,
         "equal-count domains must draw equal quotas"))
   }
+
+  test("bpe_train_merges: greedy-leftmost merges match the sequential trainer") {
+    import spark.implicits._
+    // vocab: aaaa×3, aaa×1, ab×1. Round 1: (a,a) n = 3·3 + 2 = 11,
+    // applied leftmost-greedy → aaaa = [aa,aa] (NOT [aa,a,a] — the
+    // island alternation), aaa = [aa,a]. Round 2: (aa,aa) n = 3.
+    // Round 3: (aa,a) and (a,b) tie at 1 — left ASC picks (a,b).
+    val docs = Seq("aaaa aaaa aaaa", "aaa ab").toDF("text")
+    val m = TextAnalysis.bpeTrainMergesFrom(docs, iters = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m.toSeq === Seq(
+      (1, "a", "a", 11L), (2, "aa", "aa", 3L), (3, "a", "b", 1L)))
+  }
 }

@@ -1084,4 +1084,76 @@ class SqlDmlSpec extends AnyFunSuite {
       assert(e.getMessage.contains("WHOLE selected value"), e.getMessage)
     } finally spark.sql("DROP TABLE IF EXISTS sqldml_ccnt")
   }
+
+  test("TRUNCATE TABLE commits metadata-only; non-lake tables fall through") {
+    val p = "/tmp/graft_test/sqldml_truncate"
+    freshTable(p, "sqldml_trunc")
+    import spark.implicits._
+    try {
+      spark.sql("TRUNCATE TABLE sqldml_trunc")
+      assert(spark.table("sqldml_trunc").count() === 0)
+      val ops = LakeTable.history(spark, p).collect()
+        .map(r => r.getInt(0) -> r.getString(1)).toMap
+      assert(ops(ops.keys.max) === "truncate")
+      // metadata-only: the pre-truncate snapshot time-travels complete
+      assert(LakeTable.read(spark, p, Some(0)).count() === 4)
+      // the table refills like any other
+      LakeTable.append(Seq((7L, "g", 70.0)).toDF("k", "s", "v"), p)
+      assert(spark.table("sqldml_trunc").count() === 1)
+      // a NON-lake table keeps Spark's own TRUNCATE command
+      spark.sql("DROP TABLE IF EXISTS sqldml_plain")
+      spark.sql("CREATE TABLE sqldml_plain (i INT) USING parquet")
+      spark.sql("INSERT INTO sqldml_plain VALUES (1), (2)")
+      spark.sql("TRUNCATE TABLE sqldml_plain")
+      assert(spark.table("sqldml_plain").count() === 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sqldml_trunc")
+      spark.sql("DROP TABLE IF EXISTS sqldml_plain")
+    }
+  }
+
+  test("SET/DROP IDENTIFIER FIELDS declare the key upsertByIdentity uses") {
+    val p = "/tmp/graft_test/sqldml_idfields"
+    freshTable(p, "sqldml_idf")
+    import spark.implicits._
+    try {
+      // identifier fields are REQUIRED columns: no NOT NULL guard, no go
+      val unguarded = intercept[Exception](
+        spark.sql("ALTER TABLE sqldml_idf SET IDENTIFIER FIELDS k"))
+      assert(unguarded.getMessage.contains("NOT NULL"))
+      LakeTable.addConstraint(spark, p, "k_nn", "k IS NOT NULL")
+      spark.sql("ALTER TABLE sqldml_idf SET IDENTIFIER FIELDS k")
+      assert(LakeTable.identifierFieldsOf(p) === Seq("k"))
+      val unknown = intercept[Exception](
+        spark.sql("ALTER TABLE sqldml_idf SET IDENTIFIER FIELDS nope"))
+      assert(unknown.getMessage.contains("not a table column"))
+      // the TABLE supplies the key: update k=2, insert k=9
+      LakeTable.upsertByIdentity(
+        Seq((2L, "B", 200.0), (9L, "z", 9.0)).toDF("k", "s", "v"), p)
+      val rows = spark.sql("SELECT k, s, v FROM sqldml_idf ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+      assert(rows === Seq((1L, "a", 10.0), (2L, "B", 200.0), (3L, "c", 30.0),
+        (4L, "d", 40.0), (9L, "z", 9.0)))
+      // a NULL-keyed batch violates the declaration's contract
+      val nullKeyed = intercept[IllegalArgumentException](
+        LakeTable.upsertByIdentity(
+          Seq(("x", 1.0)).toDF("s", "v")
+            .withColumn("k", lit(null).cast("long")), p))
+      assert(nullKeyed.getMessage.contains("NULL"))
+      // write.merge.mode routes the identity upsert onto the MoR writer
+      LakeTable.setTableProperties(spark, p,
+        Map("write.merge.mode" -> "merge-on-read"))
+      LakeTable.upsertByIdentity(Seq((9L, "Z", 90.0)).toDF("k", "s", "v"), p)
+      val ops = LakeTable.history(spark, p).collect()
+        .map(r => r.getInt(0) -> r.getString(1)).toMap
+      assert(ops(ops.keys.max) === "mor_merge")
+      assert(spark.sql("SELECT s FROM sqldml_idf WHERE k = 9").collect()
+        .map(_.getString(0)).toSeq === Seq("Z"))
+      spark.sql("ALTER TABLE sqldml_idf DROP IDENTIFIER FIELDS k")
+      assert(LakeTable.identifierFieldsOf(p).isEmpty)
+      val undeclared = intercept[IllegalArgumentException](
+        LakeTable.upsertByIdentity(Seq((1L, "x", 1.0)).toDF("k", "s", "v"), p))
+      assert(undeclared.getMessage.contains("no identifier fields declared"))
+    } finally spark.sql("DROP TABLE IF EXISTS sqldml_idf")
+  }
 }
