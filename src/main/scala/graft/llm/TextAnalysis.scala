@@ -1060,6 +1060,25 @@ object TextAnalysis {
     * vocab frame is localCheckpoint'd so lineage stays flat. */
   def bpeTrainMergesFrom(docs: DataFrame, iters: Int): DataFrame = {
     val s = docs.sparkSession
+    val (merges, _) = bpeTrainLoop(docs, iters)
+    import s.implicits._
+    merges.toDF("iter", "merge_left", "merge_right", "pair_n").orderBy("iter")
+  }
+
+  /** L21b — ENCODE the corpus with the merges [[bpeTrainMergesFrom]]
+    * learned: the final per-word tokenization weighted back by word
+    * counts gives the corpus SUBWORD HISTOGRAM (what the embedding
+    * table will actually see — the sanity read every tokenizer
+    * training run ends with). Same vocabulary-bounded loop; the
+    * histogram is one |vocab|-frame aggregate. */
+  def bpeEncodeTokens(s: SparkSession, d: String): DataFrame = {
+    val (_, toks) = bpeTrainLoop(Tables.load(s, d, "documents"), iters = 3)
+    toks.groupBy("tok").agg(sum("cnt").as("n"))
+      .orderBy(desc("n"), asc("tok")).limit(20)
+  }
+
+  private[graft] def bpeTrainLoop(docs: DataFrame, iters: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     val words = docs
       .select(explode(
         expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
@@ -1099,8 +1118,7 @@ object TextAnalysis {
         .localCheckpoint(true)
       (it, l, r, n)
     }
-    import s.implicits._
-    merges.toDF("iter", "merge_left", "merge_right", "pair_n").orderBy("iter")
+    (merges, toks)
   }
 
   /** Driver query: 3 BPE merge rounds over `documents`. */

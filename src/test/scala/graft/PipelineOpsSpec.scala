@@ -438,5 +438,11 @@ class PipelineOpsSpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
     assert(m.toSeq === Seq(
       (1, "a", "a", 11L), (2, "aa", "aa", 3L), (3, "a", "b", 1L)))
+    // encode with the learned merges: aaaa→[aaaa]×3, aaa→[aa,a], ab→[ab]
+    val (_, toks) = TextAnalysis.bpeTrainLoop(docs, iters = 3)
+    val hist = toks.groupBy("tok").agg(sum("cnt").as("n"))
+      .orderBy(desc("n"), asc("tok")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(hist.toSeq === Seq(("aaaa", 3L), ("a", 1L), ("aa", 1L), ("ab", 1L)))
   }
 }
