@@ -268,4 +268,32 @@ class CdcApplySpec extends AnyFunSuite {
     assert(t.exceptAll(s0).count() + s0.exceptAll(t).count() === 0L,
       "replica must equal the source's final content")
   }
+
+  test("applyChangesByIdentity keys on the declared identifier fields") {
+    val p = "/tmp/graft_test/cdc_apply_ident"
+    rmdir(p)
+    def feed(rows: (Long, String, Long, String)*) =
+      rows.toDF("k", "s", "_seq", "change_type")
+    // undeclared target refuses by name
+    val undeclared = intercept[IllegalArgumentException](
+      CdcApply.applyChangesByIdentity(
+        feed((1L, "a", 1L, "insert")), p, "_seq"))
+    assert(undeclared.getMessage.contains("no identifier fields"))
+    // bootstrap through the EXPLICIT key, declare, then apply by identity
+    CdcApply.applyChanges(feed((1L, "a", 1L, "insert"), (2L, "b", 1L, "insert")),
+      p, "k", "_seq")
+    LakeTable.addConstraint(spark, p, "k_nn", "k IS NOT NULL")
+    LakeTable.setIdentifierFields(p, Seq("k"))
+    CdcApply.applyChangesByIdentity(feed(
+      (1L, "A", 2L, "update_postimage"), (2L, "b", 2L, "delete"),
+      (3L, "c", 2L, "insert")), p, "_seq")
+    assert(content(p) === Seq((1L, "A", 2L), (3L, "c", 2L)))
+    // a composite declaration refuses rather than keying on k alone
+    LakeTable.addConstraint(spark, p, "s_nn", "s IS NOT NULL")
+    LakeTable.setIdentifierFields(p, Seq("k", "s"))
+    val composite = intercept[IllegalArgumentException](
+      CdcApply.applyChangesByIdentity(
+        feed((4L, "d", 3L, "insert")), p, "_seq"))
+    assert(composite.getMessage.contains("composite identifier"))
+  }
 }

@@ -43,7 +43,14 @@ class LakeModelPropertySpec extends AnyFunSuite {
       var nextKey = 100L
       var model = (1L to 20L).map(k => k -> (k * 10.0 + seed)).toMap
       LakeTable.overwrite(frame(model), p) // v0
-      val perVersion = scala.collection.mutable.Buffer(model)
+      // the identity-upsert step (case 15) keys on the DECLARED
+      // identifier fields; id is never NULL in this walk, so the
+      // guard constraint holds by construction. Declared once here —
+      // the declaration is standing metadata and must survive every
+      // other op in the alphabet (truncate, rollback, compaction).
+      LakeTable.addConstraint(spark, p, "id_nn", "id IS NOT NULL")
+      LakeTable.setIdentifierFields(p, Seq("id"))
+      val perVersion = scala.collection.mutable.Buffer(model, model)
       // raced steps (cases 12/13) inject a concurrent append between a
       // state-dependent commit's snapshot read and its version claim —
       // the round-13 conflict-revalidation rebase under the snapshot
@@ -65,7 +72,7 @@ class LakeModelPropertySpec extends AnyFunSuite {
         } ++ srcM.filter { case (k, sv) => !model.contains(k) && sv > 300.0 }
 
       for (step <- 1 to 10) {
-        rnd.nextInt(14) match {
+        rnd.nextInt(16) match {
           case 0 => // append fresh keys
             val add = (0 until 3).map { i =>
               (nextKey + i) -> (rnd.nextInt(1000).toDouble)
@@ -140,7 +147,14 @@ class LakeModelPropertySpec extends AnyFunSuite {
             val ext = s"${p}_ext_$step"
             SparkSpec.rmdir(ext)
             frame(add).write.parquet(ext)
-            LakeTable.addFiles(spark, p, ext)
+            // this walk's table carries the identifier guard CHECK, so
+            // add_files must refuse BY NAME (imported files are
+            // unvalidated); the batch then lands through append so the
+            // step still commits exactly one version
+            val refusal = intercept[IllegalArgumentException](
+              LakeTable.addFiles(spark, p, ext))
+            assert(refusal.getMessage.contains("CHECK constraints"))
+            LakeTable.append(frame(add), p)
             model = model ++ add
           case 12 => // racing append between a CoW DELETE's read and claim:
             // snapshot isolation — the delete applies to the snapshot it
@@ -162,6 +176,16 @@ class LakeModelPropertySpec extends AnyFunSuite {
             LakeTable.compact(spark, p)
             perVersion += (model ++ add)
             model = model ++ add
+          case 14 => // TRUNCATE: metadata-only delete-all (round 14)
+            LakeTable.truncate(spark, p)
+            model = Map.empty
+          case 15 => // identity upsert: the DECLARATION supplies the key
+            val patch = model.keys.take(2)
+              .map(k => k -> rnd.nextInt(1000).toDouble).toMap
+            val ins = Map(nextKey -> rnd.nextInt(1000).toDouble)
+            nextKey += 1
+            LakeTable.upsertByIdentity(frame(patch ++ ins), p)
+            model = model ++ patch ++ ins
         }
         perVersion += model
         assert(readState(p) === model,
