@@ -15,8 +15,11 @@ run / fork := true
 // LoggedOutput strategy prefixes every forked-process line with
 // "[info] ", which the driver's parser rejects (BENCH_r13.json
 // "parsed": null — round-13 verdict #1). StdoutOutput lets the
-// forked JVM inherit the real stdout so the JSON line arrives bare.
+// forked JVM inherit the real stdout so the JSON line arrives bare,
+// and showSuccess drops the trailing "[success] Total time: …" line
+// so the compact JSON really is the LAST stdout line the driver sees.
 run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

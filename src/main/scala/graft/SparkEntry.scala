@@ -63,6 +63,7 @@ object SparkEntry {
     "dedup_keep_best" -> ((s, d) => llm.Dedup.dedupKeepBest(s, d)),
     "cluster_size_hist" -> (llm.Dedup.clusterSizeHistogram _),
     "streaming_dedup" -> (streaming.StreamingDedup.streamingDedupQuery _),
+    "stream_near_dup" -> (streaming.StreamingDedup.streamingNearDupQuery _),
     "simhash_docs" -> (llm.Dedup.simhashDocs _),
     "simhash_near_dup" -> ((s, d) => llm.Dedup.simhashNearDup(s, d)),
     "setsim_join_exact" -> (llm.Dedup.setSimJoinQuery _),
@@ -782,6 +783,11 @@ object SparkEntry {
         |FROM (SELECT doc_id, hs, unnest(range(16)) AS perm FROM h)
         |ORDER BY doc_id, perm""".stripMargin,
     "minhash_near_dup" -> MinhashNearDupSql,
+    // stream_near_dup: the SAME banded-LSH pair set produced by the
+    // CONTINUOUS form (flatMapGroupsWithState bucket state, pairs
+    // emitted when the later member arrives) — the batch
+    // recomputation IS its oracle, proving stream ≡ batch
+    "stream_near_dup" -> MinhashNearDupSql,
     // multi_signal_near_dup: text-side band candidates over the
     // manufactured corpus, embedding-cosine verify per candidate; the
     // +1M variant rides a perturbed copy of its base embedding (same

@@ -64,6 +64,43 @@ class StreamingEquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming near-dup emits exactly the batch banded-LSH pair set") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog again and again",
+      2L -> "the quick brown fox jumps over the lazy dog again and again",
+      3L -> "quick brown fox jumps over the lazy dog again and again so",
+      4L -> "completely different content about spark streaming state stores")
+    val corpus = docs.toDF("doc_id", "text")
+    val batchPairs = graft.llm.Dedup.minhashNearDup(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batchPairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0),
+      "the exact duplicate must band-collide with estimate 1.0")
+
+    val input = MemoryStream[(Long, String)]
+    val query = graft.streaming.StreamingDedup
+      .streamingNearDupPairs(input.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("snd_out")
+      .outputMode("append").start()
+    try {
+      // bucket state must cross the batch boundary: the dup pair's
+      // members arrive in DIFFERENT micro-batches; doc 1 is also
+      // re-delivered (at-least-once) and must be idempotent
+      input.addData(docs.head, docs(3))
+      query.processAllAvailable()
+      input.addData(docs(1), docs(2), docs.head)
+      query.processAllAvailable()
+    } finally query.stop()
+    import org.apache.spark.sql.functions.{col, round}
+    val streamed = spark.table("snd_out")
+      .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 6))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed === batchPairs,
+      "the streaming pair set must equal the batch banded-LSH pair set")
+  }
+
   test("post-termination stragglers in a LATER batch never duplicate a summary") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
