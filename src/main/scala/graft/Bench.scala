@@ -51,6 +51,7 @@ object Bench {
         graft.etl.Preprocess.prestageShared(spark, sfDir)
         graft.llm.Dedup.prestageShared(spark, sfDir)
         graft.sources.LakeTable.prestageShared(spark, sfDir)
+        graft.llm.TextAnalysis.prestageShared(spark, sfDir)
       } catch { case e: Throwable => System.err.println(s"[bench] prestage: $e") }
       System.err.println(
         f"[bench] prestage (shared frames, untimed) ${(System.nanoTime() - t0) / 1e9}%.1f s")
@@ -112,6 +113,7 @@ object Bench {
         graft.llm.Dedup.clearSharedCaches()
         graft.etl.Preprocess.clearSharedCaches()
         graft.sources.LakeTable.clearSharedCaches()
+        graft.llm.TextAnalysis.clearSharedCaches()
       }
       val (gc0, mem0, io0, cpu0) = (gcMs(), cachedMb(), diskReadBytes(), processCpuNs())
       val t0 = System.nanoTime()

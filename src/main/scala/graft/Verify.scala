@@ -51,6 +51,7 @@ object Verify {
         etl.Preprocess.prestageShared(spark, sfDir)
         llm.Dedup.prestageShared(spark, sfDir)
         sources.LakeTable.prestageShared(spark, sfDir)
+        llm.TextAnalysis.prestageShared(spark, sfDir)
       } catch { case e: Throwable => System.err.println(s"[verify] prestage: $e") }
     }
     val futures = SparkEntry.queries.toSeq.filter(t => selected(t._1)).map { case (name, fn) =>
