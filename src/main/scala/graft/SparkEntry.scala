@@ -296,6 +296,7 @@ object SparkEntry {
     "session_windows_stream" -> (streaming.EventTimeWindows.sessionWindowsStream _),
     "stream_interval_join" -> (streaming.StreamJoin.intervalJoinStream _),
     "stream_outer_join" -> (streaming.StreamJoin.outerJoinStream _),
+    "stream_right_outer_join" -> (streaming.StreamJoin.rightOuterJoinStream _),
     "stream_full_outer_join" -> (streaming.StreamJoin.fullOuterJoinStream _),
     "stream_semi_join" -> (streaming.StreamJoin.semiJoinStream _),
   )
@@ -3997,6 +3998,22 @@ object SparkEntry {
         |         AS matched_value
         |FROM v LEFT JOIN p
         |  ON p_user = user_id AND pt >= vt AND pt <= vt + INTERVAL '1 hour'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // stream_right_outer_join: the purchase-side mirror — purchases
+    // no view preceded emit once with the view side nulled (purchase
+    // windows close at watermark > pt, same sentinel drain)
+    "stream_right_outer_join" ->
+      """WITH v AS (SELECT user_id AS v_user, ts AS vt
+        |      FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, ts AS pt, value
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, count(*) AS n_rows,
+        |       CAST(sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_unmatched_purchases,
+        |       round(sum(CASE WHEN vt IS NULL THEN NULL ELSE value END), 6)
+        |         AS matched_value
+        |FROM v RIGHT JOIN p
+        |  ON v_user = user_id AND pt >= vt AND pt <= vt + INTERVAL '1 hour'
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // stream_full_outer_join: both sides' misses surface — views that
     // never converted AND purchases no view preceded each emit exactly

@@ -168,6 +168,23 @@ object StreamJoin {
       .agg(count(lit(1)).as("n_converted"))
       .orderBy("user_id")
 
+  /** Declared driver query (T13d): RIGHT OUTER — the purchase-side
+    * mirror of T13: purchases no view preceded emit once WITH a null
+    * view side when the watermark proves no match can arrive (a
+    * matching view needs v_ts in [p_ts − 1h, p_ts], so purchase
+    * windows close at watermark > p_ts — the same single sentinel
+    * jump drains the state). Oracle: the batch RIGHT JOIN. */
+  def rightOuterJoinStream(s: SparkSession, d: String): DataFrame =
+    streamJoinPairs(s, d, "rojoin", "right_outer",
+      sentinel = true, purchaseValue = true,
+      Seq(col("p_user").as("user_id"), col("v_ts"), col("p_ts"), col("value")))
+      .filter(col("user_id") =!= -1L) // the sentinel never pairs; belt and braces
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("v_ts").isNull, 1L).otherwise(0L)).as("n_unmatched_purchases"),
+        round(sum(when(col("v_ts").isNotNull, col("value"))), 6).as("matched_value"))
+      .orderBy("user_id")
+
   /** Declared driver query (T13b): FULL OUTER — both sides' misses
     * surface exactly once; purchase windows close at watermark >
     * p_ts (a matching view needs v_ts in [p_ts − 1h, p_ts]), so the

@@ -108,6 +108,52 @@ class StreamJoinSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("RIGHT OUTER interval join null-extends unmatched right rows on eviction") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val purchases = MemoryStream[(Timestamp, Long)]
+    val errors = MemoryStream[(Timestamp, Long)]
+    // right outer: the ERROR side (right) surfaces exactly once —
+    // paired, or null-extended when the watermark proves no purchase
+    // window can still claim it (error ets matches purchases with
+    // pts in [ets, ets + 10 min], so its horizon is ets + 10 min)
+    val joined = purchases.toDS().toDF("pts", "user")
+      .withWatermark("pts", "10 minutes")
+      .join(
+        errors.toDS().toDF("ets", "euser").withWatermark("ets", "10 minutes"),
+        expr("""user = euser AND
+                ets >= pts - INTERVAL 10 MINUTES AND ets <= pts"""),
+        "right_outer")
+      .select(col("euser"), col("pts"), col("ets"))
+    val query = joined.writeStream.format("memory").queryName("ssj_router")
+      .outputMode("append").start()
+    try {
+      // u1's error pairs; u3's error has no purchase and must
+      // eventually null-extend
+      errors.addData((ts(5), 1L), (ts(13), 3L))
+      purchases.addData((ts(12), 1L))
+      query.processAllAvailable()
+      // advance both sides' event-time max past u3's horizon (10:23):
+      // purchases→10:40, errors→10:40 ⇒ watermark 10:30
+      errors.addData((ts(40), 8L))
+      purchases.addData((ts(40), 9L))
+      query.processAllAvailable()
+      // outer results materialize on the batch AFTER the eviction
+      purchases.addData((ts(41), 9L))
+      query.processAllAvailable()
+
+      val rows = spark.table("ssj_router").collect()
+        .map(r => (r.getAs[Long]("euser"), Option(r.getAs[Timestamp]("pts")),
+          r.getAs[Timestamp]("ets"))).toSet
+      assert(rows.contains((1L, Some(ts(12)), ts(5))), s"inner pair lost: $rows")
+      assert(rows.contains((3L, None, ts(13))),
+        s"unmatched error must null-extend after its horizon passes: $rows")
+      // an unmatched LEFT row never surfaces in a right outer join
+      assert(!rows.exists(r => r._2.contains(ts(41))),
+        s"left-only purchase leaked: $rows")
+    } finally query.stop()
+  }
+
   test("stream-static enrichment join stays stateless and broadcasts the dim") {
     // The OTHER streaming-join cell: stream⋈static needs NO state
     // store at all — the static side re-resolves per micro-batch and
