@@ -355,6 +355,46 @@ object SparkEntry {
 
   private val MinhashNearDupSql: String = minhashPairsSqlOver(NearDupCorpusSql)
 
+  /** One BPE round as a CTE block: pair count → best pair by
+    * (n DESC, left, right) → greedy-leftmost application via island
+    * alternation → retokenize. SHARED by the `bpe_train_merges` and
+    * `bpe_encode` oracles so a fix to the round SQL cannot
+    * desynchronize train and encode verification. */
+  private def bpeRoundSql(k: Int): String = {
+    val prev = s"t${k - 1}"
+    s"""p$k AS (SELECT *, lead(tok) OVER (PARTITION BY w ORDER BY pos) AS nxt FROM $prev),
+       |b$k AS (SELECT tok AS l, nxt AS r, sum(cnt)::BIGINT AS n FROM p$k
+       |       WHERE nxt IS NOT NULL GROUP BY 1, 2 ORDER BY n DESC, l, r LIMIT 1),
+       |k$k AS (
+       |  SELECT w, pos FROM (
+       |    SELECT w, pos, pos - min(pos) OVER (PARTITION BY w, grp) AS off FROM (
+       |      SELECT s.w, s.pos,
+       |             s.pos - row_number() OVER (PARTITION BY s.w ORDER BY s.pos) AS grp
+       |      FROM p$k s, b$k WHERE s.tok = b$k.l AND s.nxt = b$k.r))
+       |  WHERE off % 2 = 0),
+       |t$k AS (
+       |  SELECT w, cnt, row_number() OVER (PARTITION BY w ORDER BY pos) - 1 AS pos, tok
+       |  FROM (
+       |    SELECT p.w, p.cnt, p.pos, p.tok || p.nxt AS tok
+       |    FROM p$k p JOIN k$k kk ON kk.w = p.w AND kk.pos = p.pos
+       |    UNION ALL
+       |    SELECT p.w, p.cnt, p.pos, p.tok FROM p$k p
+       |    WHERE NOT EXISTS (SELECT 1 FROM k$k kk WHERE kk.w = p.w AND kk.pos = p.pos)
+       |      AND NOT EXISTS (SELECT 1 FROM k$k kk WHERE kk.w = p.w AND kk.pos = p.pos - 1)))""".stripMargin
+  }
+
+  /** The full 3-round BPE CTE chain over the documents vocabulary. */
+  private val BpeCtesSql: String =
+    """WITH words AS (
+      |  SELECT w, count(*) AS cnt FROM (
+      |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      |    FROM documents)
+      |  GROUP BY w),
+      |t0 AS (
+      |  SELECT w, cnt, i AS pos, substr(w, i + 1, 1) AS tok
+      |  FROM words, LATERAL unnest(range(length(w))) AS u(i)),""".stripMargin +
+      "\n" + bpeRoundSql(1) + ",\n" + bpeRoundSql(2) + ",\n" + bpeRoundSql(3)
+
   /** Hashed-shingle-set Jaccard edges (τ = 4/5) over the near-dup
     * corpus by BRUTE FORCE — legitimate as an oracle because the
     * Spark side's prefix + positional filters are proven exact; shared
@@ -3528,131 +3568,19 @@ object SparkEntry {
     // CTE chains (pair count → best pair by (n DESC, left, right) →
     // greedy-leftmost application via island alternation → retokenize)
     "bpe_train_merges" ->
-      """WITH words AS (
-        |  SELECT w, count(*) AS cnt FROM (
-        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
-        |    FROM documents)
-        |  GROUP BY w),
-        |t0 AS (
-        |  SELECT w, cnt, i AS pos, substr(w, i + 1, 1) AS tok
-        |  FROM words, LATERAL unnest(range(length(w))) AS u(i)),
-        |p1 AS (SELECT *, lead(tok) OVER (PARTITION BY w ORDER BY pos) AS nxt FROM t0),
-        |b1 AS (SELECT tok AS l, nxt AS r, sum(cnt)::BIGINT AS n FROM p1
-        |       WHERE nxt IS NOT NULL GROUP BY 1, 2 ORDER BY n DESC, l, r LIMIT 1),
-        |k1 AS (
-        |  SELECT w, pos FROM (
-        |    SELECT w, pos, pos - min(pos) OVER (PARTITION BY w, grp) AS off FROM (
-        |      SELECT s.w, s.pos,
-        |             s.pos - row_number() OVER (PARTITION BY s.w ORDER BY s.pos) AS grp
-        |      FROM p1 s, b1 WHERE s.tok = b1.l AND s.nxt = b1.r))
-        |  WHERE off % 2 = 0),
-        |t1 AS (
-        |  SELECT w, cnt, row_number() OVER (PARTITION BY w ORDER BY pos) - 1 AS pos, tok
-        |  FROM (
-        |    SELECT p.w, p.cnt, p.pos, p.tok || p.nxt AS tok
-        |    FROM p1 p JOIN k1 kk ON kk.w = p.w AND kk.pos = p.pos
-        |    UNION ALL
-        |    SELECT p.w, p.cnt, p.pos, p.tok FROM p1 p
-        |    WHERE NOT EXISTS (SELECT 1 FROM k1 kk WHERE kk.w = p.w AND kk.pos = p.pos)
-        |      AND NOT EXISTS (SELECT 1 FROM k1 kk WHERE kk.w = p.w AND kk.pos = p.pos - 1))),
-        |p2 AS (SELECT *, lead(tok) OVER (PARTITION BY w ORDER BY pos) AS nxt FROM t1),
-        |b2 AS (SELECT tok AS l, nxt AS r, sum(cnt)::BIGINT AS n FROM p2
-        |       WHERE nxt IS NOT NULL GROUP BY 1, 2 ORDER BY n DESC, l, r LIMIT 1),
-        |k2 AS (
-        |  SELECT w, pos FROM (
-        |    SELECT w, pos, pos - min(pos) OVER (PARTITION BY w, grp) AS off FROM (
-        |      SELECT s.w, s.pos,
-        |             s.pos - row_number() OVER (PARTITION BY s.w ORDER BY s.pos) AS grp
-        |      FROM p2 s, b2 WHERE s.tok = b2.l AND s.nxt = b2.r))
-        |  WHERE off % 2 = 0),
-        |t2 AS (
-        |  SELECT w, cnt, row_number() OVER (PARTITION BY w ORDER BY pos) - 1 AS pos, tok
-        |  FROM (
-        |    SELECT p.w, p.cnt, p.pos, p.tok || p.nxt AS tok
-        |    FROM p2 p JOIN k2 kk ON kk.w = p.w AND kk.pos = p.pos
-        |    UNION ALL
-        |    SELECT p.w, p.cnt, p.pos, p.tok FROM p2 p
-        |    WHERE NOT EXISTS (SELECT 1 FROM k2 kk WHERE kk.w = p.w AND kk.pos = p.pos)
-        |      AND NOT EXISTS (SELECT 1 FROM k2 kk WHERE kk.w = p.w AND kk.pos = p.pos - 1))),
-        |p3 AS (SELECT *, lead(tok) OVER (PARTITION BY w ORDER BY pos) AS nxt FROM t2),
-        |b3 AS (SELECT tok AS l, nxt AS r, sum(cnt)::BIGINT AS n FROM p3
-        |       WHERE nxt IS NOT NULL GROUP BY 1, 2 ORDER BY n DESC, l, r LIMIT 1)
+      (BpeCtesSql + """
         |SELECT * FROM (
         |  SELECT 1 AS iter, l AS merge_left, r AS merge_right, n AS pair_n FROM b1
         |  UNION ALL SELECT 2, l, r, n FROM b2
         |  UNION ALL SELECT 3, l, r, n FROM b3)
-        |ORDER BY iter""".stripMargin,
+        |ORDER BY iter""".stripMargin),
     // bpe_encode: the corpus subword histogram after the 3 learned
     // merges — the same unrolled rounds carried one step further (k3
     // applied onto t3), then the weighted token aggregate
     "bpe_encode" ->
-      """WITH words AS (
-        |  SELECT w, count(*) AS cnt FROM (
-        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
-        |    FROM documents)
-        |  GROUP BY w),
-        |t0 AS (
-        |  SELECT w, cnt, i AS pos, substr(w, i + 1, 1) AS tok
-        |  FROM words, LATERAL unnest(range(length(w))) AS u(i)),
-        |p1 AS (SELECT *, lead(tok) OVER (PARTITION BY w ORDER BY pos) AS nxt FROM t0),
-        |b1 AS (SELECT tok AS l, nxt AS r, sum(cnt)::BIGINT AS n FROM p1
-        |       WHERE nxt IS NOT NULL GROUP BY 1, 2 ORDER BY n DESC, l, r LIMIT 1),
-        |k1 AS (
-        |  SELECT w, pos FROM (
-        |    SELECT w, pos, pos - min(pos) OVER (PARTITION BY w, grp) AS off FROM (
-        |      SELECT s.w, s.pos,
-        |             s.pos - row_number() OVER (PARTITION BY s.w ORDER BY s.pos) AS grp
-        |      FROM p1 s, b1 WHERE s.tok = b1.l AND s.nxt = b1.r))
-        |  WHERE off % 2 = 0),
-        |t1 AS (
-        |  SELECT w, cnt, row_number() OVER (PARTITION BY w ORDER BY pos) - 1 AS pos, tok
-        |  FROM (
-        |    SELECT p.w, p.cnt, p.pos, p.tok || p.nxt AS tok
-        |    FROM p1 p JOIN k1 kk ON kk.w = p.w AND kk.pos = p.pos
-        |    UNION ALL
-        |    SELECT p.w, p.cnt, p.pos, p.tok FROM p1 p
-        |    WHERE NOT EXISTS (SELECT 1 FROM k1 kk WHERE kk.w = p.w AND kk.pos = p.pos)
-        |      AND NOT EXISTS (SELECT 1 FROM k1 kk WHERE kk.w = p.w AND kk.pos = p.pos - 1))),
-        |p2 AS (SELECT *, lead(tok) OVER (PARTITION BY w ORDER BY pos) AS nxt FROM t1),
-        |b2 AS (SELECT tok AS l, nxt AS r, sum(cnt)::BIGINT AS n FROM p2
-        |       WHERE nxt IS NOT NULL GROUP BY 1, 2 ORDER BY n DESC, l, r LIMIT 1),
-        |k2 AS (
-        |  SELECT w, pos FROM (
-        |    SELECT w, pos, pos - min(pos) OVER (PARTITION BY w, grp) AS off FROM (
-        |      SELECT s.w, s.pos,
-        |             s.pos - row_number() OVER (PARTITION BY s.w ORDER BY s.pos) AS grp
-        |      FROM p2 s, b2 WHERE s.tok = b2.l AND s.nxt = b2.r))
-        |  WHERE off % 2 = 0),
-        |t2 AS (
-        |  SELECT w, cnt, row_number() OVER (PARTITION BY w ORDER BY pos) - 1 AS pos, tok
-        |  FROM (
-        |    SELECT p.w, p.cnt, p.pos, p.tok || p.nxt AS tok
-        |    FROM p2 p JOIN k2 kk ON kk.w = p.w AND kk.pos = p.pos
-        |    UNION ALL
-        |    SELECT p.w, p.cnt, p.pos, p.tok FROM p2 p
-        |    WHERE NOT EXISTS (SELECT 1 FROM k2 kk WHERE kk.w = p.w AND kk.pos = p.pos)
-        |      AND NOT EXISTS (SELECT 1 FROM k2 kk WHERE kk.w = p.w AND kk.pos = p.pos - 1))),
-        |p3 AS (SELECT *, lead(tok) OVER (PARTITION BY w ORDER BY pos) AS nxt FROM t2),
-        |b3 AS (SELECT tok AS l, nxt AS r, sum(cnt)::BIGINT AS n FROM p3
-        |       WHERE nxt IS NOT NULL GROUP BY 1, 2 ORDER BY n DESC, l, r LIMIT 1),
-        |k3 AS (
-        |  SELECT w, pos FROM (
-        |    SELECT w, pos, pos - min(pos) OVER (PARTITION BY w, grp) AS off FROM (
-        |      SELECT s.w, s.pos,
-        |             s.pos - row_number() OVER (PARTITION BY s.w ORDER BY s.pos) AS grp
-        |      FROM p3 s, b3 WHERE s.tok = b3.l AND s.nxt = b3.r))
-        |  WHERE off % 2 = 0),
-        |t3 AS (
-        |  SELECT w, cnt, row_number() OVER (PARTITION BY w ORDER BY pos) - 1 AS pos, tok
-        |  FROM (
-        |    SELECT p.w, p.cnt, p.pos, p.tok || p.nxt AS tok
-        |    FROM p3 p JOIN k3 kk ON kk.w = p.w AND kk.pos = p.pos
-        |    UNION ALL
-        |    SELECT p.w, p.cnt, p.pos, p.tok FROM p3 p
-        |    WHERE NOT EXISTS (SELECT 1 FROM k3 kk WHERE kk.w = p.w AND kk.pos = p.pos)
-        |      AND NOT EXISTS (SELECT 1 FROM k3 kk WHERE kk.w = p.w AND kk.pos = p.pos - 1)))
+      (BpeCtesSql + """
         |SELECT tok, sum(cnt)::BIGINT AS n FROM t3
-        |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
+        |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin),
     "lang_id_ngram" ->
       """WITH g AS (SELECT doc_id, lang,
         |                  list_transform(range(1, length(text)-1),

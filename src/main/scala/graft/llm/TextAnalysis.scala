@@ -1084,41 +1084,63 @@ object TextAnalysis {
         expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
     val byPos = Window.partitionBy("w").orderBy("pos")
-    var toks = words
+    // persist+count (not localCheckpoint): each round's frames are
+    // explicitly unpersisted once superseded, and the FINAL frame's
+    // blocks release in clearSharedCaches — checkpoint blocks would
+    // linger until ContextCleaner GC and pollute COLD-mode memory
+    // attribution. Plans stay shallow (3 rounds over cached inputs).
+    def staged(d: DataFrame): DataFrame = {
+      val c = d.persist(); c.count(); c
+    }
+    var toks = staged(words
       .select(col("w"), col("cnt"), posexplode(split(col("w"), "")))
       .toDF("w", "cnt", "pos", "tok")
-      .filter(length(col("tok")) > 0) // split("") vintage-proof
-      .localCheckpoint(true)
-    val merges = (1 to iters).map { it =>
-      val p = toks.withColumn("nxt", lead("tok", 1).over(byPos))
-        .localCheckpoint(true)
+      .filter(length(col("tok")) > 0)) // split("") vintage-proof
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var it = 1
+    var exhausted = false
+    while (it <= iters && !exhausted) {
+      val p = staged(toks.withColumn("nxt", lead("tok", 1).over(byPos)))
       val best = p.filter(col("nxt").isNotNull)
         .groupBy("tok", "nxt").agg(sum("cnt").as("n"))
         .orderBy(desc("n"), asc("tok"), asc("nxt"))
-        .limit(1).collect()(0) // one row — the round's merge decision
-      val (l, r, n) = (best.getString(0), best.getString(1), best.getLong(2))
-      // greedy-leftmost merge starts: alternate inside islands of
-      // consecutive start positions (self-pair runs), keep the rest
-      val kept = p.filter(col("tok") === l && col("nxt") === r)
-        .withColumn("grp", col("pos") - row_number().over(byPos))
-        .withColumn("off",
-          col("pos") - min("pos").over(Window.partitionBy("w", "grp")))
-        .filter(col("off") % 2 === 0)
-        .select("w", "pos")
-      val merged = p.join(kept, Seq("w", "pos"))
-        .select(col("w"), col("cnt"), col("pos"),
-          concat(col("tok"), col("nxt")).as("tok"))
-      val carried = p
-        .join(kept, Seq("w", "pos"), "left_anti")
-        .join(kept.select(col("w"), (col("pos") + 1).as("pos")),
-          Seq("w", "pos"), "left_anti")
-        .select("w", "cnt", "pos", "tok")
-      toks = merged.unionByName(carried)
-        .withColumn("pos", row_number().over(byPos) - 1)
-        .localCheckpoint(true)
-      (it, l, r, n)
+        .limit(1).collect() // one row — the round's merge decision
+      if (best.isEmpty) {
+        // vocabulary fully merged — no adjacent pair remains; stop
+        // early instead of indexing into an empty round. The SQL
+        // oracle's empty b_k CTEs emit no row for the same rounds, so
+        // early-stop keeps the engines' merge tables identical.
+        p.unpersist()
+        exhausted = true
+      } else {
+        val (l, r, n) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((it, l, r, n))
+        // greedy-leftmost merge starts: alternate inside islands of
+        // consecutive start positions (self-pair runs), keep the rest
+        val kept = p.filter(col("tok") === l && col("nxt") === r)
+          .withColumn("grp", col("pos") - row_number().over(byPos))
+          .withColumn("off",
+            col("pos") - min("pos").over(Window.partitionBy("w", "grp")))
+          .filter(col("off") % 2 === 0)
+          .select("w", "pos")
+        val merged = p.join(kept, Seq("w", "pos"))
+          .select(col("w"), col("cnt"), col("pos"),
+            concat(col("tok"), col("nxt")).as("tok"))
+        val carried = p
+          .join(kept, Seq("w", "pos"), "left_anti")
+          .join(kept.select(col("w"), (col("pos") + 1).as("pos")),
+            Seq("w", "pos"), "left_anti")
+          .select("w", "cnt", "pos", "tok")
+        val next = staged(merged.unionByName(carried)
+          .withColumn("pos", row_number().over(byPos) - 1))
+        toks.unpersist()
+        p.unpersist()
+        toks = next
+        it += 1
+      }
     }
-    (merges, toks)
+    (merges.result(), toks)
   }
 
   /** Driver query: 3 BPE merge rounds over `documents`. */
@@ -1143,7 +1165,12 @@ object TextAnalysis {
   }
 
   def prestageShared(s: SparkSession, d: String): Unit = { bpeTrainShared(s, d); () }
-  def clearSharedCaches(): Unit = bpeCache.clear()
+  def clearSharedCaches(): Unit = {
+    // release the final vocab frame's blocks like the sibling caches
+    // (intermediate rounds already unpersist inside the loop)
+    bpeCache.values.forEach { case (_, toks) => toks.unpersist() }
+    bpeCache.clear()
+  }
 
   private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (Seq[(Int, String, String, Long)], DataFrame)]()

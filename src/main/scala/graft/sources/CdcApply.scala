@@ -163,28 +163,6 @@ object CdcApply {
     * replication with rare reads (delete files fold at `compact`). The key is a single column (the repo's merge surface;
     * composite keys concatenate upstream). Returns the committed
     * version. */
-  /** [[applyChanges]] keyed by the target's DECLARED identifier
-    * fields (S15i) — the caller names no key; the TABLE knows its
-    * business key. Single-field declarations only: the apply plane's
-    * latest-per-key window and SCD lowering are single-key by design
-    * (composite business keys ride the merge/MoR writers directly),
-    * so a composite declaration refuses by name rather than silently
-    * keying on the first field. */
-  def applyChangesByIdentity(
-      changes: DataFrame, path: String, seqCol: String,
-      mor: Boolean = false): Int = {
-    val keys = LakeTable.identifierFieldsOf(path)
-    require(keys.nonEmpty,
-      s"applyChangesByIdentity into $path: no identifier fields " +
-        "declared — SET IDENTIFIER FIELDS first, or call applyChanges " +
-        "with an explicit key")
-    require(keys.size == 1,
-      s"applyChangesByIdentity into $path: composite identifier " +
-        s"(${keys.mkString(", ")}) — the CDC apply plane is single-key; " +
-        "use mergeConditionalKeys/upsertMoRKeys for composite-key feeds")
-    applyChanges(changes, path, keys.head, seqCol, mor)
-  }
-
   def applyChanges(
       changes: DataFrame, path: String, key: String, seqCol: String,
       mor: Boolean = false): Int = rethrowCdc {
@@ -230,6 +208,28 @@ object CdcApply {
             Some(!col(DelFlag)), Nil, Nil, "merge")
         finally cached.unpersist(blocking = false)
     }
+  }
+
+  /** [[applyChanges]] keyed by the target's DECLARED identifier
+    * fields (S15i) — the caller names no key; the TABLE knows its
+    * business key. Single-field declarations only: the apply plane's
+    * latest-per-key window and SCD lowering are single-key by design
+    * (composite business keys ride the merge/MoR writers directly),
+    * so a composite declaration refuses by name rather than silently
+    * keying on the first field. */
+  def applyChangesByIdentity(
+      changes: DataFrame, path: String, seqCol: String,
+      mor: Boolean = false): Int = {
+    val keys = LakeTable.identifierFieldsOf(path)
+    require(keys.nonEmpty,
+      s"applyChangesByIdentity into $path: no identifier fields " +
+        "declared — SET IDENTIFIER FIELDS first, or call applyChanges " +
+        "with an explicit key")
+    require(keys.size == 1,
+      s"applyChangesByIdentity into $path: composite identifier " +
+        s"(${keys.mkString(", ")}) — the CDC apply plane is single-key; " +
+        "use mergeConditionalKeys/upsertMoRKeys for composite-key feeds")
+    applyChanges(changes, path, keys.head, seqCol, mor)
   }
 
   /** SCD TYPE 2 build: the full version history of every key as a

@@ -1167,18 +1167,37 @@ object LakeTable {
     require(keys.nonEmpty,
       s"upsertByIdentity at $path: no identifier fields declared — " +
         "SET IDENTIFIER FIELDS first, or call the keyed upsert")
-    val nullKeyed =
-      df.filter(keys.map(col(_).isNull).reduce(_ || _)).limit(1).count()
-    require(nullKeyed == 0L,
-      s"upsertByIdentity at $path: the batch carries NULL in an " +
-        s"identifier field (${keys.mkString(", ")}) — identifier fields " +
-        "are required columns")
-    if (dmlModeOf(path, "merge") == "merge-on-read")
-      upsertMoRKeys(df, path, keys)
-    else mergeConditionalKeys(df, path, keys,
-      matched = Seq(MatchedUpdate(None,
-        df.columns.filterNot(keys.contains).map(c => c -> col(s"s.$c")).toMap)),
-      notMatchedInsert = Some(lit(true)))
+    // the NULL-key contract rides IN-FLOW (raise_error woven into the
+    // key columns) instead of a separate validation action — a guard
+    // collect would evaluate an expensive un-cached source batch a
+    // second time just to look for an offending row
+    val marker = "[GRAFT_IDNULL]"
+    val guarded = keys.foldLeft(df)((d, k) =>
+      d.withColumn(k, when(col(k).isNotNull, col(k)).otherwise(raise_error(lit(
+        s"$marker upsertByIdentity at $path: the batch carries NULL in " +
+          s"identifier field '$k' — identifier fields are required columns")))))
+    def unwrapNullKey(t: Throwable): Option[String] = {
+      var c = t
+      while (c != null) {
+        val m = c.getMessage
+        if (m != null && m.contains(marker))
+          return Some(m.substring(m.indexOf(marker) + marker.length).trim
+            .takeWhile(_ != '\n'))
+        c = c.getCause
+      }
+      None
+    }
+    try {
+      if (dmlModeOf(path, "merge") == "merge-on-read")
+        upsertMoRKeys(guarded, path, keys)
+      else mergeConditionalKeys(guarded, path, keys,
+        matched = Seq(MatchedUpdate(None,
+          df.columns.filterNot(keys.contains).map(c => c -> col(s"s.$c")).toMap)),
+        notMatchedInsert = Some(lit(true)))
+    } catch { case t: Throwable =>
+      throw unwrapNullKey(t)
+        .map(new IllegalArgumentException(_)).getOrElse(throw t)
+    }
   }
 
   /** Apply the declared sort order to a data batch: range-partition +
@@ -5322,25 +5341,32 @@ object LakeTable {
     }
   }
 
-  /** TRUNCATE TABLE — every visible row removed in ONE metadata-only
-    * commit: the new version carries ZERO manifests (data AND
-    * row-level deletes — with no data files left there is nothing to
-    * subtract from), while the commit plane carries schema,
-    * constraints, promotions, defaults, properties and lineage
-    * enablement untouched, and history stays time-travelable (the
-    * pre-truncate snapshot reads back via VERSION AS OF). Cost is
-    * O(#manifests) — the V2 `SupportsDelete` DEFAULT (`deleteWhere`
-    * over an empty filter set) would pay [[delete]]'s classification
-    * scan to learn what a truncate already knows. Conflict posture is
-    * DELETE-all's snapshot isolation: the truncate drops exactly the
-    * state it READ, so a racing append rebases (its rows were never
-    * visible here and survive), and
+  /** TRUNCATE TABLE — every visible row removed in ONE commit that
+    * drops EVERY prior manifest (data AND row-level deletes — with no
+    * data files left there is nothing to subtract from) and stages
+    * exactly ONE zero-row SCHEMA-ANCHOR file: this format keeps
+    * schema in the data files, so a truly file-less snapshot would
+    * read back zero-COLUMN and crash any keyed DML that refills the
+    * table (`MERGE`/`upsert` join on the key before inserting) — the
+    * anchor is the same shape CREATE TABLE's empty snapshot writes.
+    * The commit plane carries schema, constraints, promotions,
+    * defaults, properties and lineage enablement untouched, and
+    * history stays time-travelable (the pre-truncate snapshot reads
+    * back via VERSION AS OF). Cost is O(#manifests) + one empty file
+    * — the V2 `SupportsDelete` DEFAULT (`deleteWhere` over an empty
+    * filter set) would pay [[delete]]'s classification scan to learn
+    * what a truncate already knows. Conflict posture is DELETE-all's
+    * snapshot isolation: the truncate drops exactly the state it
+    * READ, so a racing append rebases (its rows were never visible
+    * here and survive), and
     * `write.delete.isolation-level=serializable` refuses any
     * racer-added row (every phantom matches delete-all). */
   def truncate(spark: SparkSession, path: String): Int = {
     val base = observedBase(spark, path)
-    commitValidated(spark, path, base, listRefs(path, base), Nil, "truncate",
-      conflictFilter = Some(lit(true)), isolationKind = Some("delete"))
+    val anchor = stageManifest(
+      read(spark, path, Some(base)).limit(0).coalesce(1), path)
+    commitValidated(spark, path, base, listRefs(path, base), anchor.toSeq,
+      "truncate", conflictFilter = Some(lit(true)), isolationKind = Some("delete"))
   }
 
   /** REPLACE WHERE (Delta's predicate-scoped overwrite; Spark SQL
@@ -8591,16 +8617,25 @@ object LakeTable {
     overwrite(ev.filter(pmod(col("event_id"), lit(2L)) === 0), path) // v0
     append(ev.filter(pmod(col("event_id"), lit(2L)) =!= 0), path) // v1
     val before = read(s, path).count()
-    s.sql(s"TRUNCATE TABLE graftlake.`$path`") // v2, metadata-only
+    s.sql(s"TRUNCATE TABLE graftlake.`$path`") // v2
     val v = latestVersion(path).get
     require(operationOf(path, v) == "truncate",
       s"history must record op 'truncate', got '${operationOf(path, v)}'")
-    require(listRefs(path, v).isEmpty,
-      "the truncate commit must carry ZERO manifests (metadata-only)")
+    // every prior manifest drops; ONE zero-row schema-anchor file
+    // remains so the truncated snapshot still serves the table schema
+    val anchored = listRefs(path, v)
+    require(anchored.size == 1 && anchored.head.kind == "data" &&
+        readManifest(anchored.head).forall(_.rows == 0L),
+      s"the truncate commit must carry exactly the zero-row schema " +
+        s"anchor, got ${anchored.map(_.kind)}")
     require(read(s, path).isEmpty, "a truncated table must read empty")
+    require(read(s, path).columns.contains("event_type"),
+      "the truncated snapshot must keep serving the table SCHEMA")
     require(read(s, path, Some(v - 1)).count() == before,
       "the pre-truncate snapshot must stay time-travelable")
-    append(ev.filter(pmod(col("event_id"), lit(4L)) === 1), path) // refill
+    // refill through KEYED DML — the path a file-less snapshot would
+    // crash (the merge joins on the key before inserting)
+    upsert(ev.filter(pmod(col("event_id"), lit(4L)) === 1), path, "event_id")
     read(s, path)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))

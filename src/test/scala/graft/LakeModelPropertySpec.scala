@@ -147,14 +147,19 @@ class LakeModelPropertySpec extends AnyFunSuite {
             val ext = s"${p}_ext_$step"
             SparkSpec.rmdir(ext)
             frame(add).write.parquet(ext)
-            // this walk's table carries the identifier guard CHECK, so
-            // add_files must refuse BY NAME (imported files are
-            // unvalidated); the batch then lands through append so the
-            // step still commits exactly one version
-            val refusal = intercept[IllegalArgumentException](
-              LakeTable.addFiles(spark, p, ext))
-            assert(refusal.getMessage.contains("CHECK constraints"))
-            LakeTable.append(frame(add), p)
+            // when the identifier guard CHECK is live, add_files must
+            // refuse BY NAME (imported files are unvalidated) and the
+            // batch lands through append instead — but a rollback
+            // (case 7) to v0 strips the constraint WITH the snapshot,
+            // so the refusal arm must branch on the CURRENT state, not
+            // assume the declaration-time one
+            val live = LakeTable.constraintsOf(p, LakeTable.latestVersion(p).get)
+            if (live.nonEmpty) {
+              val refusal = intercept[IllegalArgumentException](
+                LakeTable.addFiles(spark, p, ext))
+              assert(refusal.getMessage.contains("CHECK constraints"))
+              LakeTable.append(frame(add), p)
+            } else LakeTable.addFiles(spark, p, ext)
             model = model ++ add
           case 12 => // racing append between a CoW DELETE's read and claim:
             // snapshot isolation — the delete applies to the snapshot it

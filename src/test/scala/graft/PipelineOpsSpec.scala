@@ -444,5 +444,11 @@ class PipelineOpsSpec extends AnyFunSuite {
       .orderBy(desc("n"), asc("tok")).collect()
       .map(r => (r.getString(0), r.getLong(1)))
     assert(hist.toSeq === Seq(("aaaa", 3L), ("a", 1L), ("aa", 1L), ("ab", 1L)))
+    // a fully-merged vocabulary stops early instead of crashing on an
+    // empty round (the SQL oracle's empty b_k emits no row either)
+    val short = TextAnalysis.bpeTrainMergesFrom(
+      Seq("ab ab").toDF("text"), iters = 3).collect()
+    assert(short.length === 1 && short(0).getString(1) === "a"
+      && short(0).getString(2) === "b")
   }
 }
