@@ -451,4 +451,50 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(short.length === 1 && short(0).getString(1) === "a"
       && short(0).getString(2) === "b")
   }
+
+  test("bpe merges match a sequential reference trainer on random corpora") {
+    import spark.implicits._
+    // the classical trainer, written the OBVIOUS sequential way: count
+    // adjacent pairs weighted by word count, merge the best pair
+    // greedily left-to-right inside each word, repeat — the engine's
+    // window-based island alternation must reproduce it exactly,
+    // including self-pair runs (the 3-letter alphabet forces them)
+    def applyMerge(ts: List[String], l: String, r: String): List[String] =
+      ts match {
+        case a :: b :: rest if a == l && b == r =>
+          (a + b) :: applyMerge(rest, l, r)
+        case a :: rest => a :: applyMerge(rest, l, r)
+        case Nil => Nil
+      }
+    def refTrain(
+        words: Map[String, Long], iters: Int): Seq[(String, String, Long)] = {
+      var vocab: Map[List[String], Long] =
+        words.groupMapReduce { case (w, _) => w.split("").toList }(_._2)(_ + _)
+      (1 to iters).flatMap { _ =>
+        val counts = vocab.toSeq
+          .flatMap { case (ts, c) => ts.zip(ts.tail).map(p => p -> c) }
+          .groupMapReduce(_._1)(_._2)(_ + _)
+        if (counts.isEmpty) None
+        else {
+          val ((l, r), n) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+          vocab = vocab.toSeq
+            .map { case (ts, c) => applyMerge(ts, l, r) -> c }
+            .groupMapReduce(_._1)(_._2)(_ + _)
+          Some((l, r, n))
+        }
+      }
+    }
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val ws = Seq.fill(14)(
+        Seq.fill(2 + rnd.nextInt(6))(('a' + rnd.nextInt(3)).toChar).mkString)
+      val wordCounts = ws.groupBy(identity).view
+        .mapValues(_.size.toLong).toMap
+      val got = TextAnalysis.bpeTrainMergesFrom(
+        Seq(ws.mkString(" ")).toDF("text"), iters = 4).collect()
+        .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      assert(got === refTrain(wordCounts, 4),
+        s"trial $trial diverged from the sequential trainer (words: $ws)")
+    }
+  }
 }
