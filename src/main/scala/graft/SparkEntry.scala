@@ -3575,8 +3575,8 @@ object SparkEntry {
         |  UNION ALL SELECT 3, l, r, n FROM b3)
         |ORDER BY iter""".stripMargin),
     // bpe_encode: the corpus subword histogram after the 3 learned
-    // merges — the same unrolled rounds carried one step further (k3
-    // applied onto t3), then the weighted token aggregate
+    // merges — the weighted token aggregate over t3, the vocabulary
+    // state the unrolled rounds leave after merge 3 is applied
     "bpe_encode" ->
       (BpeCtesSql + """
         |SELECT tok, sum(cnt)::BIGINT AS n FROM t3

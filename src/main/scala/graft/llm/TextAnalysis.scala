@@ -1057,10 +1057,15 @@ object TextAnalysis {
     * `[a-z]+` word filter, so ordering agrees cross-engine. The
     * per-round best pair is a ONE-ROW collect — the broadcast-scalar
     * posture the stream-join sentinel established — and each round's
-    * vocab frame is localCheckpoint'd so lineage stays flat. */
+    * vocab frame is persisted AND plan-flattened to a single
+    * `LogicalRDD` leaf, so plan size stays O(1) per round (the next
+    * round's frame references the previous one ~5×; without the
+    * flatten the plan grows ~5^iters and a real merge schedule —
+    * 10³–10⁴ rounds — would OOM the driver on plan strings alone). */
   def bpeTrainMergesFrom(docs: DataFrame, iters: Int): DataFrame = {
     val s = docs.sparkSession
-    val (merges, _) = bpeTrainLoop(docs, iters)
+    val (merges, last) = bpeTrainLoop(docs, iters)
+    last.release() // this entry point owns the final vocab frame
     import s.implicits._
     merges.toDF("iter", "merge_left", "merge_right", "pair_n").orderBy("iter")
   }
@@ -1073,24 +1078,40 @@ object TextAnalysis {
     * histogram is one |vocab|-frame aggregate. */
   def bpeEncodeTokens(s: SparkSession, d: String): DataFrame = {
     val (_, toks) = bpeTrainShared(s, d)
-    toks.groupBy("tok").agg(sum("cnt").as("n"))
+    toks.frame.groupBy("tok").agg(sum("cnt").as("n"))
       .orderBy(desc("n"), asc("tok")).limit(20)
   }
 
+  /** One trained-round vocab frame: `frame` is the plan-flattened view
+    * (a single `LogicalRDD` leaf over the persisted blocks — reading
+    * it never replays prior rounds' plans), `cached` is the persisted
+    * frame that owns those blocks. Callers release via [[release]];
+    * `frame.unpersist()` would be a silent no-op (its plan is not the
+    * one registered with the cache manager). */
+  private[graft] final case class BpeVocab(frame: DataFrame, cached: DataFrame) {
+    def release(): Unit = { cached.unpersist(); () }
+  }
+
   private[graft] def bpeTrainLoop(docs: DataFrame, iters: Int)
-      : (Seq[(Int, String, String, Long)], DataFrame) = {
+      : (Seq[(Int, String, String, Long)], BpeVocab) = {
     val words = docs
       .select(explode(
         expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
     val byPos = Window.partitionBy("w").orderBy("pos")
-    // persist+count (not localCheckpoint): each round's frames are
-    // explicitly unpersisted once superseded, and the FINAL frame's
-    // blocks release in clearSharedCaches — checkpoint blocks would
-    // linger until ContextCleaner GC and pollute COLD-mode memory
-    // attribution. Plans stay shallow (3 rounds over cached inputs).
-    def staged(d: DataFrame): DataFrame = {
-      val c = d.persist(); c.count(); c
+    // persist+count, THEN flatten the plan to one LogicalRDD leaf
+    // (createDataFrame over the cached frame's row RDD): persist alone
+    // does NOT truncate the logical plan, and each round's frame embeds
+    // ~5 copies of the previous round's (`p` appears in `merged`, twice
+    // in `carried`'s anti-joins, and in `kept`) — unflattened, plan
+    // size is ~5^iters and explain/analysis OOMs by round 4. Blocks
+    // are still explicitly released via BpeVocab.release once a round
+    // is superseded (the FINAL frame's in clearSharedCaches), keeping
+    // COLD-mode memory attribution exact — the reason this is not
+    // localCheckpoint, whose blocks linger until ContextCleaner GC.
+    def staged(d: DataFrame): BpeVocab = {
+      val c = d.persist(); c.count()
+      BpeVocab(c.sparkSession.createDataFrame(c.rdd, c.schema), c)
     }
     var toks = staged(words
       .select(col("w"), col("cnt"), posexplode(split(col("w"), "")))
@@ -1100,8 +1121,8 @@ object TextAnalysis {
     var it = 1
     var exhausted = false
     while (it <= iters && !exhausted) {
-      val p = staged(toks.withColumn("nxt", lead("tok", 1).over(byPos)))
-      val best = p.filter(col("nxt").isNotNull)
+      val p = staged(toks.frame.withColumn("nxt", lead("tok", 1).over(byPos)))
+      val best = p.frame.filter(col("nxt").isNotNull)
         .groupBy("tok", "nxt").agg(sum("cnt").as("n"))
         .orderBy(desc("n"), asc("tok"), asc("nxt"))
         .limit(1).collect() // one row — the round's merge decision
@@ -1110,7 +1131,7 @@ object TextAnalysis {
         // early instead of indexing into an empty round. The SQL
         // oracle's empty b_k CTEs emit no row for the same rounds, so
         // early-stop keeps the engines' merge tables identical.
-        p.unpersist()
+        p.release()
         exhausted = true
       } else {
         val (l, r, n) =
@@ -1118,24 +1139,24 @@ object TextAnalysis {
         merges += ((it, l, r, n))
         // greedy-leftmost merge starts: alternate inside islands of
         // consecutive start positions (self-pair runs), keep the rest
-        val kept = p.filter(col("tok") === l && col("nxt") === r)
+        val kept = p.frame.filter(col("tok") === l && col("nxt") === r)
           .withColumn("grp", col("pos") - row_number().over(byPos))
           .withColumn("off",
             col("pos") - min("pos").over(Window.partitionBy("w", "grp")))
           .filter(col("off") % 2 === 0)
           .select("w", "pos")
-        val merged = p.join(kept, Seq("w", "pos"))
+        val merged = p.frame.join(kept, Seq("w", "pos"))
           .select(col("w"), col("cnt"), col("pos"),
             concat(col("tok"), col("nxt")).as("tok"))
-        val carried = p
+        val carried = p.frame
           .join(kept, Seq("w", "pos"), "left_anti")
           .join(kept.select(col("w"), (col("pos") + 1).as("pos")),
             Seq("w", "pos"), "left_anti")
           .select("w", "cnt", "pos", "tok")
         val next = staged(merged.unionByName(carried)
           .withColumn("pos", row_number().over(byPos) - 1))
-        toks.unpersist()
-        p.unpersist()
+        toks.release()
+        p.release()
         toks = next
         it += 1
       }
@@ -1152,13 +1173,13 @@ object TextAnalysis {
 
   /** The trained loop, memoized per (session, sfDir) — `bpe_train_merges`
     * and `bpe_encode` both consume it, and the final vocab frame is
-    * localCheckpoint'd (materialized), so the loop runs once per run:
-    * the same sanctioned materialized-view stand-in as Dedup's pair
-    * frame (at 100 TB the trained merge table IS a published artifact
-    * every encode job reads). Built unbenched by the harnesses'
-    * prestage pass; COLD mode clears it per query. */
+    * persisted + plan-flattened (materialized), so the loop runs once
+    * per run: the same sanctioned materialized-view stand-in as Dedup's
+    * pair frame (at 100 TB the trained merge table IS a published
+    * artifact every encode job reads). Built unbenched by the
+    * harnesses' prestage pass; COLD mode clears it per query. */
   private[graft] def bpeTrainShared(
-      s: SparkSession, d: String): (Seq[(Int, String, String, Long)], DataFrame) = {
+      s: SparkSession, d: String): (Seq[(Int, String, String, Long)], BpeVocab) = {
     bpeCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     bpeCache.computeIfAbsent((s, d),
       _ => bpeTrainLoop(Tables.load(s, d, "documents"), iters = 3))
@@ -1167,11 +1188,11 @@ object TextAnalysis {
   def prestageShared(s: SparkSession, d: String): Unit = { bpeTrainShared(s, d); () }
   def clearSharedCaches(): Unit = {
     // release the final vocab frame's blocks like the sibling caches
-    // (intermediate rounds already unpersist inside the loop)
-    bpeCache.values.forEach { case (_, toks) => toks.unpersist() }
+    // (intermediate rounds already release inside the loop)
+    bpeCache.values.forEach { case (_, toks) => toks.release() }
     bpeCache.clear()
   }
 
   private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (Seq[(Int, String, String, Long)], DataFrame)]()
+    (SparkSession, String), (Seq[(Int, String, String, Long)], BpeVocab)]()
 }

@@ -129,8 +129,10 @@ object StreamingDedup {
     stream
       .select(col("doc_id"),
         minhashSigNative(tokenHashesNative(col("text")), numPerms).as("sig"))
-      // <3-token docs sign NULL; the batch join drops them via its
-      // null-keyed equi-join, the stream drops them here explicitly
+      // <3-token docs sign NULL; in batch concat_ws turns the NULL sig
+      // into band_key "" so they DO band-collide, and are only dropped
+      // when the NULL est_jaccard fails the threshold filter — the
+      // stream drops them up front here, same outcome one stage earlier
       .filter(col("sig").isNotNull)
       .select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(nBands - 1))).as("band"))

@@ -440,9 +440,10 @@ class PipelineOpsSpec extends AnyFunSuite {
       (1, "a", "a", 11L), (2, "aa", "aa", 3L), (3, "a", "b", 1L)))
     // encode with the learned merges: aaaa→[aaaa]×3, aaa→[aa,a], ab→[ab]
     val (_, toks) = TextAnalysis.bpeTrainLoop(docs, iters = 3)
-    val hist = toks.groupBy("tok").agg(sum("cnt").as("n"))
+    val hist = toks.frame.groupBy("tok").agg(sum("cnt").as("n"))
       .orderBy(desc("n"), asc("tok")).collect()
       .map(r => (r.getString(0), r.getLong(1)))
+    toks.release()
     assert(hist.toSeq === Seq(("aaaa", 3L), ("a", 1L), ("aa", 1L), ("ab", 1L)))
     // a fully-merged vocabulary stops early instead of crashing on an
     // empty round (the SQL oracle's empty b_k emits no row either)
@@ -491,10 +492,33 @@ class PipelineOpsSpec extends AnyFunSuite {
       val wordCounts = ws.groupBy(identity).view
         .mapValues(_.size.toLong).toMap
       val got = TextAnalysis.bpeTrainMergesFrom(
-        Seq(ws.mkString(" ")).toDF("text"), iters = 4).collect()
+        Seq(ws.mkString(" ")).toDF("text"), iters = 6).collect()
         .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
-      assert(got === refTrain(wordCounts, 4),
+      assert(got === refTrain(wordCounts, 6),
         s"trial $trial diverged from the sequential trainer (words: $ws)")
     }
+  }
+
+  test("bpe trainer plan depth stays O(1) per round (lineage flattened)") {
+    import spark.implicits._
+    // Each round's frame references the previous round's ~5 times; if
+    // lineage were not flattened to a LogicalRDD leaf per round the
+    // plan would grow ~5^iters (round 4 OOM'd an 8 GB driver building
+    // explain strings before the flatten). Train deep enough that an
+    // exponential blow-up could not hide, then assert the final vocab
+    // frame's analyzed plan is a constant-size leaf — independent of
+    // how many rounds ran.
+    val docs = Seq("abc abcd abcde bcde cde abab caba bacb acbc").toDF("text")
+    val (m3, v3) = TextAnalysis.bpeTrainLoop(docs, iters = 3)
+    val (m8, v8) = TextAnalysis.bpeTrainLoop(docs, iters = 8)
+    val len3 = v3.frame.queryExecution.analyzed.toString.length
+    val len8 = v8.frame.queryExecution.analyzed.toString.length
+    v3.release(); v8.release()
+    assert(m8.length > m3.length, "corpus must sustain 8 merge rounds")
+    assert(m8.take(m3.length) === m3, "deeper training extends, not rewrites")
+    assert(len8 <= len3 + 64,
+      s"plan grew with rounds: iters=3 -> $len3 chars, iters=8 -> $len8")
+    assert(v8.frame.queryExecution.analyzed.collectLeaves().size === 1,
+      "final vocab frame must be a single flattened leaf")
   }
 }
