@@ -283,6 +283,8 @@ object SparkEntry {
     "lake_identifier_fields" -> (sources.LakeTable.identifierFieldsQuery _),
     "lake_cherrypick" -> (sources.LakeTable.cherryPickQuery _),
     "lake_apply_changes" -> (sources.CdcApply.applyChangesQuery _),
+    "lake_apply_changes_composite" ->
+      (sources.CdcApply.applyChangesCompositeQuery _),
     "scd2_build" -> (sources.CdcApply.scd2Query _),
     "scd2_apply" -> (sources.CdcApply.scd2ApplyQuery _),
     "lake_orphan_gc" -> (sources.LakeTable.orphanGcQuery _),
@@ -2114,6 +2116,27 @@ object SparkEntry {
         |)
         |SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
         |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // lake_apply_changes_composite: a (l_orderkey, l_partkey,
+    // l_suppkey)-keyed feed folded via the composite merge — replica ≡
+    // expected state and retry-idempotence are require'd in-query, so
+    // the oracle recomputes the final state from the raw table
+    "lake_apply_changes_composite" ->
+      """WITH base AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS l_quantity,
+        |         sum(l_extendedprice) AS l_extendedprice,
+        |         min(l_returnflag) AS l_returnflag
+        |  FROM lineitem GROUP BY l_orderkey, l_partkey, l_suppkey
+        |), final AS (
+        |  SELECT l_returnflag,
+        |         CASE WHEN l_orderkey % 3 = 0 THEN l_quantity + 5.0
+        |              ELSE l_quantity END AS l_quantity,
+        |         l_extendedprice
+        |  FROM base WHERE l_orderkey % 7 <> 0
+        |)
+        |SELECT l_returnflag, count(*) AS n,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_price
+        |FROM final GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // scd2_apply: incremental SCD2 maintenance over three ordered
     // batches + a retry, require'd row-equal to the one-shot build —
     // so it shares the batch build's oracle

@@ -59,6 +59,12 @@ object CdcApply {
   private def symDiffCount(a: DataFrame, b: DataFrame): Long =
     a.exceptAll(b).unionAll(b.exceptAll(a)).count()
 
+  /** Readable composite-key rendering for refusal messages —
+    * key values joined by ", "; NULL components print "null". */
+  private def keyDisplay(keys: Seq[String]): Column =
+    concat_ws(", ",
+      keys.map(k => coalesce(col(k).cast("string"), lit("null"))): _*)
+
   /** Effective change events with IN-FLOW validation: preimages
     * dropped, upsert flag derived, unknown types refused, conflicting
     * same-(key, seq) upserts refused (no order exists between them —
@@ -80,8 +86,9 @@ object CdcApply {
     * jobs). Refusals therefore surface at first evaluation, wrapped
     * in Spark's job failure, message intact. */
   private def effectiveEvents(
-      changes: DataFrame, key: String, seqCol: String, what: String): DataFrame = {
-    Seq("change_type", key, seqCol).foreach(c =>
+      changes: DataFrame, keys: Seq[String], seqCol: String, what: String): DataFrame = {
+    require(keys.nonEmpty, s"$what: needs at least one key column")
+    ("change_type" +: keys :+ seqCol).foreach(c =>
       require(changes.columns.contains(c),
         s"$what: the change feed lacks required column '$c'"))
     // NULL-typed rows must refuse too: the weave replaces change_type
@@ -97,11 +104,11 @@ object CdcApply {
             Kinds.mkString(", ")))).cast("string"))
         .otherwise(col("change_type")))
     val ev = typed
-      .repartition(col(key))
+      .repartition(keys.map(col): _*)
       .filter(col("change_type") =!= "update_preimage")
       .withColumn(DelFlag, !col("change_type").isin(UpKinds: _*))
     val nUp = count(when(!col(DelFlag), lit(1)))
-      .over(Window.partitionBy(col(key), col(seqCol)))
+      .over(Window.partitionBy((keys :+ seqCol).map(col): _*))
     // a NULL sequence must refuse like an unknown type: every guard
     // downstream (the in-feed ordering, s.seq >= t.seq, s.seq > t.seq)
     // evaluates UNKNOWN against a NULL and coalesces to false — the
@@ -110,14 +117,14 @@ object CdcApply {
       when(col(seqCol).isNull,
         raise_error(concat(
           lit(s"$mk$what: NULL sequence for key "),
-          coalesce(col(key).cast("string"), lit("null")),
+          keyDisplay(keys),
           lit(s" — '$seqCol' totally orders changes per key; a NULL " +
             "makes every ordering guard unknowable and the key would " +
             "silently freeze")))
           .cast(ev.schema(seqCol).dataType))
       .when(!col(DelFlag) && nUp > lit(1L),
         raise_error(concat(
-          lit(s"$mk$what: key "), col(key).cast("string"),
+          lit(s"$mk$what: key "), keyDisplay(keys),
           lit(" carries conflicting upserts at sequence "),
           col(seqCol).cast("string"),
           lit(" — no order exists between them; de-duplicate the feed " +
@@ -160,15 +167,26 @@ object CdcApply {
     * saved). `mor = true` routes through
     * [[LakeTable.mergeConditionalMoR]] — write cost O(feed), the
     * affected keys ship as a delete file; right for write-dominated
-    * replication with rare reads (delete files fold at `compact`). The key is a single column (the repo's merge surface;
-    * composite keys concatenate upstream). Returns the committed
-    * version. */
+    * replication with rare reads (delete files fold at `compact`).
+    * Returns the committed version. Composite business keys — the
+    * most common CDC-ingest shape — take [[applyChangesKeys]]. */
   def applyChanges(
       changes: DataFrame, path: String, key: String, seqCol: String,
+      mor: Boolean = false): Int =
+    applyChangesKeys(changes, path, Seq(key), seqCol, mor)
+
+  /** [[applyChanges]] over a COMPOSITE key: the latest-per-key window,
+    * the validation weave, and the merge clauses all key on the full
+    * tuple — riding [[LakeTable.mergeConditionalKeys]] /
+    * [[LakeTable.mergeConditionalMoRKeys]] (`ON t.k1 = s.k1 AND
+    * t.k2 = s.k2 ...`, null-safe). Same idempotence contract, same
+    * O(feed + touched files) cost. */
+  def applyChangesKeys(
+      changes: DataFrame, path: String, keys: Seq[String], seqCol: String,
       mor: Boolean = false): Int = rethrowCdc {
     val spark = changes.sparkSession
-    val ev = effectiveEvents(changes, key, seqCol, s"applyChanges into $path")
-    val w = Window.partitionBy(col(key))
+    val ev = effectiveEvents(changes, keys, seqCol, s"applyChanges into $path")
+    val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(seqCol).desc, col(DelFlag).asc)
     val latest = ev.withColumn("__graft_cdc_rn", row_number().over(w))
       .filter(col("__graft_cdc_rn") === 1)
@@ -195,28 +213,29 @@ object CdcApply {
         // O(feed), never O(table) — for the duration of the commit
         val cached = src.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val doMerge =
-          if (mor) LakeTable.mergeConditionalMoR _ else LakeTable.mergeConditional _
-        try
-          doMerge(cached, path, key,
-            Seq(
-              LakeTable.MatchedDelete(Some(
-                col(s"s.$DelFlag") && col(s"s.$seqCol") > col(s"t.$seqCol"))),
-              LakeTable.MatchedUpdate(Some(
-                !col(s"s.$DelFlag") && col(s"s.$seqCol") >= col(s"t.$seqCol")),
-                setAll)),
-            Some(!col(DelFlag)), Nil, Nil, "merge")
-        finally cached.unpersist(blocking = false)
+        val clauses = Seq(
+          LakeTable.MatchedDelete(Some(
+            col(s"s.$DelFlag") && col(s"s.$seqCol") > col(s"t.$seqCol"))),
+          LakeTable.MatchedUpdate(Some(
+            !col(s"s.$DelFlag") && col(s"s.$seqCol") >= col(s"t.$seqCol")),
+            setAll))
+        // the latest-per-key window leaves exactly one source row per
+        // key tuple, so the merge skips its duplicate-source probe job
+        try {
+          if (mor) LakeTable.mergeConditionalMoRKeys(
+            cached, path, keys, clauses, Some(!col(DelFlag)),
+            sourceKeyUnique = true)
+          else LakeTable.mergeConditionalKeys(
+            cached, path, keys, clauses, Some(!col(DelFlag)),
+            sourceKeyUnique = true)
+        } finally cached.unpersist(blocking = false)
     }
   }
 
   /** [[applyChanges]] keyed by the target's DECLARED identifier
     * fields (S15i) — the caller names no key; the TABLE knows its
-    * business key. Single-field declarations only: the apply plane's
-    * latest-per-key window and SCD lowering are single-key by design
-    * (composite business keys ride the merge/MoR writers directly),
-    * so a composite declaration refuses by name rather than silently
-    * keying on the first field. */
+    * business key. Composite declarations ride [[applyChangesKeys]]
+    * (the whole tuple is the merge identity). */
   def applyChangesByIdentity(
       changes: DataFrame, path: String, seqCol: String,
       mor: Boolean = false): Int = {
@@ -225,11 +244,7 @@ object CdcApply {
       s"applyChangesByIdentity into $path: no identifier fields " +
         "declared — SET IDENTIFIER FIELDS first, or call applyChanges " +
         "with an explicit key")
-    require(keys.size == 1,
-      s"applyChangesByIdentity into $path: composite identifier " +
-        s"(${keys.mkString(", ")}) — the CDC apply plane is single-key; " +
-        "use mergeConditionalKeys/upsertMoRKeys for composite-key feeds")
-    applyChanges(changes, path, keys.head, seqCol, mor)
+    applyChangesKeys(changes, path, keys, seqCol, mor)
   }
 
   /** SCD TYPE 2 build: the full version history of every key as a
@@ -248,8 +263,14 @@ object CdcApply {
     * shuffle of the feed by key. */
   def scd2FromChanges(
       changes: DataFrame, key: String, seqCol: String): DataFrame =
+    scd2FromChangesKeys(changes, Seq(key), seqCol)
+
+  /** [[scd2FromChanges]] over a COMPOSITE key — the version window
+    * partitions by the full tuple; same one-shuffle cost. */
+  def scd2FromChangesKeys(
+      changes: DataFrame, keys: Seq[String], seqCol: String): DataFrame =
     scd2FromEffective(
-      effectiveEvents(changes, key, seqCol, "scd2FromChanges"), key, seqCol)
+      effectiveEvents(changes, keys, seqCol, "scd2FromChanges"), keys, seqCol)
 
   /** [[scd2FromChanges]] over an ALREADY-EFFECTIVE frame (preimages
     * dropped, [[DelFlag]] derived, the validation weave riding its
@@ -257,16 +278,17 @@ object CdcApply {
     * is validated and key-shuffled ONCE, not re-passed through
     * [[effectiveEvents]] per consumer. */
   private def scd2FromEffective(
-      ev: DataFrame, key: String, seqCol: String): DataFrame = {
+      ev: DataFrame, keys: Seq[String], seqCol: String): DataFrame = {
     // deletes de-duplicate per (key, seq): they carry no payload into
     // the output, and one close event is as good as two
     val dedup = ev.filter(!col(DelFlag))
-      .unionByName(ev.filter(col(DelFlag)).dropDuplicates(key, seqCol))
+      .unionByName(ev.filter(col(DelFlag))
+        .dropDuplicates(keys.head, (keys.tail :+ seqCol): _*))
     // a delete at the same sequence as an upsert orders FIRST (desc:
     // true before false): the close belongs to the superseded version,
     // the open to the new one — insert-first would hand the new
     // version the delete's OWN sequence as its end (an empty validity)
-    val w = Window.partitionBy(col(key))
+    val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(seqCol).asc, col(DelFlag).desc)
     val cols = dataCols(dedup, seqCol).filterNot(_ == seqCol)
     dedup
@@ -299,6 +321,18 @@ object CdcApply {
       // current state — [[applyChangesScd2]] per micro-batch (DLT's
       // "STORED AS SCD TYPE 2" toggle)
       scd2: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    applyChangesStreamKeys(feed, target, Seq(key), seqCol, checkpoint,
+      trigger, scd2)
+
+  /** [[applyChangesStream]] over a COMPOSITE key — each micro-batch
+    * folds through [[applyChangesKeys]] / [[applyChangesScd2Keys]]. */
+  def applyChangesStreamKeys(
+      feed: DataFrame, target: String, keys: Seq[String], seqCol: String,
+      checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      scd2: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(feed.isStreaming,
       "applyChangesStream needs a streaming feed — use applyChanges for a batch")
@@ -306,8 +340,8 @@ object CdcApply {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, _: Long) =>
         if (!b.isEmpty) {
-          if (scd2) applyChangesScd2(b, target, key, seqCol)
-          else applyChanges(b, target, key, seqCol)
+          if (scd2) applyChangesScd2Keys(b, target, keys, seqCol)
+          else applyChangesKeys(b, target, keys, seqCol)
           ()
         }
       }
@@ -344,16 +378,29 @@ object CdcApply {
     * cost more than the rewrites saved, hence not the default. */
   def applyChangesScd2(
       changes: DataFrame, path: String, key: String, seqCol: String,
+      mor: Boolean = false): Int =
+    applyChangesScd2Keys(changes, path, Seq(key), seqCol, mor)
+
+  /** [[applyChangesScd2]] over a COMPOSITE key: version windows, the
+    * replay cutoff, and the open-row seed all key on the full tuple,
+    * and `__scd_id` NUL-joins every key column with the version start
+    * (the S14e separator — unreachable from cast values, so composite
+    * components cannot collide into another tuple's identity). */
+  def applyChangesScd2Keys(
+      changes: DataFrame, path: String, keys: Seq[String], seqCol: String,
       mor: Boolean = false): Int = rethrowCdc {
     val spark = changes.sparkSession
-    val ev = effectiveEvents(changes, key, seqCol, s"applyChangesScd2 into $path")
-    val cols = dataCols(ev, seqCol).filterNot(_ == seqCol) // payload incl. key
+    val ev = effectiveEvents(changes, keys, seqCol, s"applyChangesScd2 into $path")
+    val cols = dataCols(ev, seqCol).filterNot(_ == seqCol) // payload incl. keys
     // the separator must be unreachable from cast values: a ':' can
     // appear in a string key OR a timestamp-cast sequence, colliding
     // two distinct versions into one merge identity ('a:1' start '2'
-    // vs 'a' start '1:2'); NUL cannot survive any reasonable key
-    def scdId(keyC: Column, startC: Column): Column =
-      concat_ws(NulSep, keyC.cast("string"), startC.cast("string"))
+    // vs 'a' start '1:2'); NUL cannot survive any reasonable key.
+    // Composite keys NUL-join every component before the start for
+    // the same reason — the tuple is the identity, not a rendering
+    def scdId(startC: Column): Column =
+      concat_ws(NulSep,
+        (keys.map(col(_).cast("string")) :+ startC.cast("string")): _*)
     // EFFECTIVE form (payload + sequence + the derived delete flag):
     // `ev` already passed the validation weave and the key shuffle, so
     // the rebuilds below enter [[scd2FromEffective]] directly instead
@@ -363,8 +410,8 @@ object CdcApply {
     LakeTable.latestVersion(path) match {
       case None =>
         LakeTable.overwrite(
-          scd2FromEffective(evEff(ev), key, seqCol)
-            .withColumn("__scd_id", scdId(col(key), col("start_seq"))), path)
+          scd2FromEffective(evEff(ev), keys, seqCol)
+            .withColumn("__scd_id", scdId(col("start_seq"))), path)
       case Some(v) =>
         // the validated+shuffled feed has THREE consumers below (the
         // key-distinct semi-join, the replay filter's probe, the
@@ -372,16 +419,16 @@ object CdcApply {
         // contract weave and the key shuffle per consumer (round-14
         // perf ask: the weave was most of each apply's CPU)
         val evP = ev.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try applyScd2Incremental(evP, path, key, seqCol, mor, v,
+        try applyScd2Incremental(evP, path, keys, seqCol, mor, v,
           cols, scdId, evEff)
         finally evP.unpersist(blocking = false)
     }
   }
 
   private def applyScd2Incremental(
-      ev: DataFrame, path: String, key: String, seqCol: String,
+      ev: DataFrame, path: String, keys: Seq[String], seqCol: String,
       mor: Boolean, v: Int, cols: Seq[String],
-      scdId: (Column, Column) => Column,
+      scdId: Column => Column,
       evEff: DataFrame => DataFrame): Int = {
     val spark = ev.sparkSession
     locally {
@@ -398,14 +445,14 @@ object CdcApply {
             s"applyChangesScd2 into $path: the feed lacks payload column " +
               s"'$c' — a partial payload would write null versions"))
         val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-        val feedKeys = ev.select(col(key)).distinct()
+        val feedKeys = ev.select(keys.map(col): _*).distinct()
         // the touched keys' stored history feeds THREE consumers (the
         // open-row seed, the replay cutoffs, and through them the
         // rebuild) — cache the one semi-join read instead of
         // re-scanning the table per consumer; O(touched keys'
         // history), never O(table)
         val prior = LakeTable.read(spark, path)
-          .join(feedKeys, Seq(key), "left_semi").persist(lvl)
+          .join(feedKeys, keys, "left_semi").persist(lvl)
         try {
           val open = prior.filter(col("is_current"))
           // events at or below the key's LATEST KNOWN version start are
@@ -416,9 +463,9 @@ object CdcApply {
           // OPEN — silently resurrecting the deleted key (the closing
           // delete lives in a later batch the replay knows nothing of)
           val evNew = ev.join(
-            prior.groupBy(col(key))
+            prior.groupBy(keys.map(col): _*)
               .agg(max(col("start_seq")).as("__graft_max_start")),
-            Seq(key), "left")
+            keys, "left")
             .filter(col("__graft_max_start").isNull ||
               col(seqCol) > col("__graft_max_start"))
           // the at-least-once retry, short-circuited: a batch whose
@@ -434,8 +481,8 @@ object CdcApply {
               .select((cols.map(col) :+ col("start_seq").as(seqCol)): _*)
               .withColumn(DelFlag, lit(false))
             val rebuilt = scd2FromEffective(
-              seed.unionByName(evEff(evNew)), key, seqCol)
-              .withColumn("__scd_id", scdId(col(key), col("start_seq")))
+              seed.unionByName(evEff(evNew)), keys, seqCol)
+              .withColumn("__scd_id", scdId(col("start_seq")))
             // the rebuilt tail is O(feed + touched keys' history) — cache
             // it for the merge's two consumptions (touched-file semi-join,
             // clause algebra) instead of re-running the semi-join read +
@@ -507,6 +554,71 @@ object CdcApply {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
       .orderBy("event_type")
+  }
+
+  /** Driver query: COMPOSITE-KEY CDC replication — a change feed keyed
+    * on (l_orderkey, l_partkey, l_suppkey), the most common CDC-ingest
+    * shape (a line-item's identity is a business-key tuple), folded into a
+    * replica via [[applyChangesKeys]]: bootstrap inserts, then one
+    * update+delete batch through the composite merge, then the same
+    * batch AGAIN as the at-least-once retry. Requires pin replica ≡
+    * expected final state BOTH directions after the apply and after
+    * the retry, so the oracle recomputes the final state from the raw
+    * table and the whole composite fold is hash-verified. */
+  def applyChangesCompositeQuery(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val tgt = LakeTable.freshWorkDir("lakecdcapplycomp", d)
+    val keys = Seq("l_orderkey", "l_partkey", "l_suppkey")
+    // ONE cached projection feeds the three batch builds AND the
+    // expected-state gate — same posture as scd2ApplyQuery's feed.
+    // The tuple is not unique in the raw table at every sf (sf0.001
+    // carries a handful of duplicate (ok, pk, sk) rows), and a CDC
+    // feed's key must identify ONE row — fold duplicates with
+    // deterministic aggregates so both engines build the same feed
+    val li = graft.Tables.load(s, d, "lineitem")
+      .groupBy("l_orderkey", "l_partkey", "l_suppkey")
+      .agg(sum("l_quantity").as("l_quantity"),
+        sum("l_extendedprice").as("l_extendedprice"),
+        min("l_returnflag").as("l_returnflag"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val b1 = li.withColumn("change_type", lit("insert"))
+        .withColumn("_seq", lit(1L))
+      // disjoint rules keep update-vs-delete ordering out of the
+      // contract under test (composite keying is the subject here)
+      val upd = li
+        .filter(col("l_orderkey") % 3 === 0 && col("l_orderkey") % 7 =!= 0)
+        .withColumn("l_quantity", col("l_quantity") + lit(5.0))
+        .withColumn("change_type", lit("update_postimage"))
+        .withColumn("_seq", lit(2L))
+      val del = li.filter(col("l_orderkey") % 7 === 0)
+        .withColumn("change_type", lit("delete"))
+        .withColumn("_seq", lit(2L))
+      applyChangesKeys(b1, tgt, keys, "_seq") // bootstrap
+      val b2 = upd.unionByName(del)
+      applyChangesKeys(b2, tgt, keys, "_seq")
+      val expected = li.filter(col("l_orderkey") % 7 =!= 0)
+        .withColumn("l_quantity",
+          when(col("l_orderkey") % 3 === 0, col("l_quantity") + lit(5.0))
+            .otherwise(col("l_quantity")))
+      def drift(): Long = symDiffCount(
+        LakeTable.read(s, tgt).select(
+          "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+          "l_extendedprice", "l_returnflag"),
+        expected)
+      require(drift() == 0L,
+        "composite-key replica must equal the expected final state exactly")
+      applyChangesKeys(b2, tgt, keys, "_seq") // the at-least-once retry
+      require(drift() == 0L,
+        "re-applying the same composite-key batch must be a content no-op " +
+          "(the stored-sequence guard over the full key tuple)")
+      LakeTable.read(s, tgt)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"))
+        .orderBy("l_returnflag")
+    } finally li.unpersist(blocking = false)
   }
 
   /** Driver query: INCREMENTAL SCD2 maintenance end to end — the same

@@ -14,7 +14,7 @@ class CdcApplySpec extends AnyFunSuite {
   private def content(p: String): Seq[(Long, String, Long)] =
     LakeTable.read(spark, p).collect()
       .map(r => (r.getAs[Long]("k"), r.getAs[String]("s"), r.getAs[Long]("_seq")))
-      .sortBy(_._1).toSeq
+      .sortBy(t => (t._1, t._2)).toSeq
 
   test("applyChanges: bootstrap, update, delete, insert across ordered batches") {
     val p = "/tmp/graft_test/cdc_apply"
@@ -179,6 +179,64 @@ class CdcApplySpec extends AnyFunSuite {
     assert(e.getMessage.contains("'s'"), e.getMessage)
   }
 
+  test("composite keys: applyChangesKeys and applyChangesScd2Keys fold the full tuple") {
+    val p1 = "/tmp/graft_test/cdc_comp_scd1"
+    val p2 = "/tmp/graft_test/cdc_comp_scd2"
+    rmdir(p1); rmdir(p2)
+    def feed(rows: (Long, Int, String, Long, String)*) =
+      rows.toDF("ok", "ln", "s", "_seq", "change_type")
+    val keys = Seq("ok", "ln")
+    // (1,1) and (1,2) share the first component — a single-key fold
+    // would conflate them; the tuple keeps them distinct
+    val b1 = feed(
+      (1L, 1, "a", 10L, "insert"), (1L, 2, "b", 10L, "insert"),
+      (2L, 1, "c", 10L, "insert"))
+    val b2 = feed(
+      (1L, 1, "a2", 20L, "update_postimage"), // only tuple (1,1) moves
+      (2L, 1, "c", 25L, "delete"))
+    // ---- SCD1: current state per tuple ----
+    CdcApply.applyChangesKeys(b1, p1, keys, "_seq")
+    CdcApply.applyChangesKeys(b2, p1, keys, "_seq")
+    def current(): Seq[(Long, Int, String)] =
+      LakeTable.read(spark, p1).collect()
+        .map(r => (r.getAs[Long]("ok"), r.getAs[Int]("ln"), r.getAs[String]("s")))
+        .sortBy(t => (t._1, t._2)).toSeq
+    assert(current() === Seq((1L, 1, "a2"), (1L, 2, "b")))
+    CdcApply.applyChangesKeys(b2, p1, keys, "_seq") // retry: no-op
+    assert(current() === Seq((1L, 1, "a2"), (1L, 2, "b")))
+    // ---- SCD2: version history per tuple ----
+    Seq(b1, b2).foreach(b => CdcApply.applyChangesScd2Keys(b, p2, keys, "_seq"))
+    def hist(): Seq[(Long, Int, String, Long, Option[Long], Boolean)] =
+      LakeTable.read(spark, p2).collect()
+        .map(r => (r.getAs[Long]("ok"), r.getAs[Int]("ln"), r.getAs[String]("s"),
+          r.getAs[Long]("start_seq"),
+          Option(r.getAs[java.lang.Long]("end_seq")).map(_.toLong),
+          r.getAs[Boolean]("is_current")))
+        .sortBy(t => (t._1, t._2, t._4)).toSeq
+    val expect = Seq(
+      (1L, 1, "a", 10L, Some(20L), false),
+      (1L, 1, "a2", 20L, None, true),
+      (1L, 2, "b", 10L, None, true),
+      (2L, 1, "c", 10L, Some(25L), false))
+    assert(hist() === expect)
+    // equals the one-shot composite build, and the retry is a no-op
+    val oneShot = CdcApply.scd2FromChangesKeys(b1.unionByName(b2), keys, "_seq")
+      .collect()
+      .map(r => (r.getAs[Long]("ok"), r.getAs[Int]("ln"), r.getAs[String]("s"),
+        r.getAs[Long]("start_seq"),
+        Option(r.getAs[java.lang.Long]("end_seq")).map(_.toLong),
+        r.getAs[Boolean]("is_current")))
+      .sortBy(t => (t._1, t._2, t._4)).toSeq
+    assert(oneShot === expect)
+    CdcApply.applyChangesScd2Keys(b2, p2, keys, "_seq")
+    assert(hist() === expect)
+    // __scd_id NUL-joins every component: tuple ("a", "1") at start
+    // "2" and ("a", "1" + NUL-ambiguous renderings) cannot collide
+    val ids = LakeTable.read(spark, p2).select("__scd_id")
+      .collect().map(_.getString(0)).toSeq
+    assert(ids.distinct.length === ids.length, ids.mkString(", "))
+  }
+
   test("applyChangesScd2: ':' in key or sequence cannot collide version identities") {
     val p = "/tmp/graft_test/cdc_scd2_colon"
     rmdir(p)
@@ -288,12 +346,12 @@ class CdcApplySpec extends AnyFunSuite {
       (1L, "A", 2L, "update_postimage"), (2L, "b", 2L, "delete"),
       (3L, "c", 2L, "insert")), p, "_seq")
     assert(content(p) === Seq((1L, "A", 2L), (3L, "c", 2L)))
-    // a composite declaration refuses rather than keying on k alone
+    // a composite declaration rides the composite apply plane: the
+    // full (k, s) tuple is the identity, so a new tuple inserts even
+    // though its k matches an existing row
     LakeTable.addConstraint(spark, p, "s_nn", "s IS NOT NULL")
     LakeTable.setIdentifierFields(p, Seq("k", "s"))
-    val composite = intercept[IllegalArgumentException](
-      CdcApply.applyChangesByIdentity(
-        feed((4L, "d", 3L, "insert")), p, "_seq"))
-    assert(composite.getMessage.contains("composite identifier"))
+    CdcApply.applyChangesByIdentity(feed((1L, "d", 3L, "insert")), p, "_seq")
+    assert(content(p) === Seq((1L, "A", 2L), (1L, "d", 3L), (3L, "c", 2L)))
   }
 }
