@@ -129,5 +129,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "table_changes_with_lineage"),
       (args: Seq[Expression]) =>
         graft.sources.GraftTableChanges.plan(lineage = true, args)))
+    // `table_appends(tbl, from[, to])` — the appendsBetween twin
+    // (S16a): pure-append incremental scan, O(appended files); any
+    // non-append commit in range refuses by name.
+    ext.injectTableFunction((
+      new FunctionIdentifier("table_appends"),
+      new ExpressionInfo(
+        graft.sources.GraftTableChanges.getClass.getName, "table_appends"),
+      (args: Seq[Expression]) =>
+        graft.sources.GraftTableChanges.plan("table_appends", args)))
   }
 }

@@ -218,6 +218,7 @@ object SparkEntry {
     "lake_materialized_view" -> (sources.GraftMaterializedViews.materializedViewQuery _),
     "lake_mv_incremental" -> (sources.GraftMaterializedViews.incrementalMvQuery _),
     "lake_incremental_append" -> (sources.LakeTable.incrementalAppendQuery _),
+    "lake_table_appends_sql" -> (sources.LakeTable.tableAppendsSqlQuery _),
     "lake_add_files" -> (sources.LakeTable.addFilesQuery _),
     "lake_position_deletes" -> (sources.LakeTable.positionDeletesQuery _),
     "lake_filtered_rewrite" -> (sources.LakeTable.filteredRewriteQuery _),
@@ -1517,6 +1518,13 @@ object SparkEntry {
     // odds appended); v0 files provably unlisted and the refusal
     // across a later DELETE are require'd in-query
     "lake_incremental_append" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events WHERE event_id % 2 = 1
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // lake_table_appends_sql: the SAME 0→3 incremental append served
+    // through the table_appends SQL TVF (head-default refusal across
+    // the v4 delete require'd in-query)
+    "lake_table_appends_sql" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
         |FROM events WHERE event_id % 2 = 1
         |GROUP BY event_type ORDER BY event_type""".stripMargin,

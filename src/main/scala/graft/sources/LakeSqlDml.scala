@@ -1798,9 +1798,18 @@ object GraftTableChanges {
   private def refuse(what: String, msg: String): Nothing =
     throw new UnsupportedOperationException(s"graftlake $what: $msg")
 
-  def plan(lineage: Boolean, args: Seq[Expression]): LogicalPlan = {
+  def plan(lineage: Boolean, args: Seq[Expression]): LogicalPlan =
+    plan(if (lineage) "table_changes_with_lineage" else "table_changes", args)
+
+  /** `table_appends(<table>, <from_version>[, <to_version>])` — the
+    * [[LakeTable.appendsBetween]] twin of the change TVFs (S16):
+    * exactly the rows ADDED in the version range, O(appended files)
+    * whatever the table size — the nightly-sync shape, cheaper than
+    * `table_changes` because no diff and no delete machinery runs.
+    * The library's refusal contract rides unchanged: any non-append
+    * commit in range refuses BY NAME (use table_changes there). */
+  def plan(what: String, args: Seq[Expression]): LogicalPlan = {
     val spark = SparkSession.active
-    val what = if (lineage) "table_changes_with_lineage" else "table_changes"
     if (args.size < 2 || args.size > 3) refuse(what,
       s"$what(<table>, <from_version>[, <to_version>]) takes 2 or 3 " +
         s"arguments, got ${args.size}")
@@ -1830,8 +1839,12 @@ object GraftTableChanges {
       if (args.size == 3) verOf(args(2), "to_version")
       else LakeTable.latestVersion(path).getOrElse(
         refuse(what, s"no snapshots at $path"))
-    val df = if (lineage) LakeTable.changesWithLineage(spark, path, from, to)
-      else LakeTable.changes(spark, path, from, to)
+    val df = what match {
+      case "table_changes_with_lineage" =>
+        LakeTable.changesWithLineage(spark, path, from, to)
+      case "table_appends" => LakeTable.appendsBetween(spark, path, from, to)
+      case _ => LakeTable.changes(spark, path, from, to)
+    }
     // the ANALYZED change frame drops in as a resolved subtree; the
     // outer query's own analysis composes around it
     df.queryExecution.analyzed

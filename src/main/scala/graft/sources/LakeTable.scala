@@ -7192,22 +7192,13 @@ object LakeTable {
     * makes the incremental read across it refuse by name (require'd
     * too: the refusal is the semantics). */
   def incrementalAppendQuery(s: SparkSession, d: String): DataFrame = {
-    val path = freshWorkDir("lakeinca", d)
-    val ev = graft.Tables.load(s, d, "events")
-      .select("event_id", "event_type", "value")
-    overwrite(ev.filter(col("event_id") % 2 === 0), path) // v0: evens
-    append(ev.filter(col("event_id") % 4 === 1), path) // v1
-    // v2: metadata-only maintenance in range — consolidates the small
-    // manifests; an endpoint manifest-diff would claim v0's rows here
-    rewriteManifests(s, path)
+    val path = sharedAppendLifecycle(s, d)
     require(operationOf(path, 2) == "rewrite_manifests",
       "the maintenance commit must land as v2")
-    append(ev.filter(col("event_id") % 4 === 3), path) // v3
     val inc = appendsBetween(s, path, 0, 3)
     val evensFiles = read(s, path, Some(0)).inputFiles.toSet
     require(inc.inputFiles.toSet.intersect(evensFiles).isEmpty,
       "incremental append scan must not LIST any v0 file")
-    delete(s, path, col("event_id") % 10 === 0) // v4: not an append
     val refused = try { appendsBetween(s, path, 0, 4); false }
       catch { case e: IllegalArgumentException =>
         e.getMessage.contains("changes()") && e.getMessage.contains("v4=delete") &&
@@ -7217,6 +7208,31 @@ object LakeTable {
     inc.groupBy("event_type")
       .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
       .orderBy("event_type")
+  }
+
+  /** Driver query: `table_appends` SQL TVF (S16a) — the SAME 0→3
+    * incremental append read as [[incrementalAppendQuery]], driven
+    * entirely through SQL over the shared lifecycle. The 2-arg form
+    * defaults <to_version> to the table HEAD, which here includes the
+    * v4 DELETE — require'd to refuse naming the version (the refusal
+    * IS the incremental-append semantics); the explicit 0..3 range
+    * serves exactly the appended odds, O(appended files). */
+  def tableAppendsSqlQuery(s: SparkSession, d: String): DataFrame = {
+    val path = sharedAppendLifecycle(s, d)
+    def chain(t: Throwable): Iterator[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .flatMap(e => Option(e.getMessage))
+    val refused = try {
+      s.sql(s"SELECT count(*) FROM table_appends('graftlake.`$path`', 0)")
+        .head; false
+    } catch { case e: Throwable =>
+      chain(e).exists(m => m.contains("v4=delete") && m.contains("changes()")) }
+    require(refused,
+      "table_appends to the head must refuse across the v4 delete by name")
+    s.sql(
+      s"""SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+         |FROM table_appends('graftlake.`$path`', 0, 3)
+         |GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 
   /** Driver query: REPLACE WHERE (S12e) — predicate-scoped overwrite.
@@ -8301,8 +8317,33 @@ object LakeTable {
     * reader. */
   private[graft] def prestageShared(s: SparkSession, d: String): Unit = {
     materializeChanges(s, sharedCowLifecycle(s, d))
-    materializeChanges(s, sharedLineageLifecycle(s, d), lineage = true); ()
+    materializeChanges(s, sharedLineageLifecycle(s, d), lineage = true)
+    sharedAppendLifecycle(s, d); ()
   }
+
+  // shared APPEND lifecycle (v0 overwrite evens → v1 append %4==1 →
+  // v2 rewrite_manifests → v3 append %4==3 → v4 DELETE): the
+  // incremental-append reader and its `table_appends` SQL TVF twin
+  // both consume it — immutable once built, same sharing contract as
+  // [[cowShared]]. The v4 delete exists so BOTH consumers can pin the
+  // refusal contract (a non-append in range refuses by name).
+  private val appendShared = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[sources] def sharedAppendLifecycle(s: SparkSession, d: String): String =
+    appendShared.computeIfAbsent(d, _ => {
+      val path = freshWorkDir("lakeinca_shared", d)
+      val ev = graft.Tables.load(s, d, "events")
+        .select("event_id", "event_type", "value")
+      overwrite(ev.filter(col("event_id") % 2 === 0), path) // v0: evens
+      append(ev.filter(col("event_id") % 4 === 1), path) // v1
+      // v2: metadata-only maintenance in range — consolidates the
+      // small manifests; an endpoint manifest-diff would claim v0's
+      // rows here (the round-11 friction the reader sees through)
+      rewriteManifests(s, path)
+      append(ev.filter(col("event_id") % 4 === 3), path) // v3
+      delete(s, path, col("event_id") % 10 === 0) // v4: not an append
+      path
+    })
 
   /** COLD-mode attribution hook (SPARK_GRAFT_COLD): drop the shared
     * lifecycle-table pointers so the NEXT CDC-family consumer rebuilds
@@ -8310,7 +8351,7 @@ object LakeTable {
     * clearSharedCaches (the old on-disk table stays; freshWorkDir
     * gives the rebuild a new dir). */
   private[graft] def clearSharedCaches(): Unit = {
-    cowShared.clear(); lineageShared.clear()
+    cowShared.clear(); lineageShared.clear(); appendShared.clear()
   }
 
   /** Driver query: MERGE-ON-READ UPSERT — write events (v0), then

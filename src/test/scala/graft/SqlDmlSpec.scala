@@ -863,6 +863,34 @@ class SqlDmlSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS sqldml_tvf")
   }
 
+  test("table_appends TVF serves the pure-append incremental scan through SQL") {
+    val p = "/tmp/graft_test/sqldml_tvfa"
+    rmdir(p)
+    import spark.implicits._
+    LakeTable.overwrite(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), p) // v0
+    LakeTable.append(Seq((3L, 30.0)).toDF("k", "v"), p) // v1
+    LakeTable.append(Seq((4L, 40.0)).toDF("k", "v"), p) // v2
+    // SQL TVF ≡ library call: exactly the appended rows, composable
+    val viaSql = spark.sql(
+      s"SELECT k, v FROM table_appends('graftlake.`$p`', 0, 2) ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaSql === Seq((3L, 30.0), (4L, 40.0)))
+    // 2-arg form defaults to the head
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM table_appends('graftlake.`$p`', 1)")
+      .head.getLong(0) === 1L)
+    // a non-append commit in range refuses BY NAME
+    LakeTable.delete(spark, p, col("k") === 1L) // v3
+    val e = intercept[Exception](spark.sql(
+      s"SELECT * FROM table_appends('graftlake.`$p`', 0, 3)").collect())
+    assert(e.getMessage.contains("v3=delete")
+      && e.getMessage.contains("changes()"), e.getMessage)
+    // the pre-delete range still serves
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM table_appends('graftlake.`$p`', 0, 2)")
+      .head.getLong(0) === 2L)
+  }
+
   test("table_changes_with_lineage TVF rides the row-lineage diff") {
     val p = "/tmp/graft_test/sqldml_tvfl"
     rmdir(p)
