@@ -190,6 +190,7 @@ object SparkEntry {
     "multimodal_features" -> (llm.Multimodal.multimodalFeatures _),
     "video_frame_sample" -> (llm.Multimodal.videoFrameSample _),
     "media_embedding_search" -> ((s, d) => llm.Multimodal.mediaEmbeddingSearch(s, d)),
+    "media_near_dup" -> ((s, d) => llm.Multimodal.mediaNearDup(s, d)),
     "above_avg_customers" -> (ops.Relational.aboveAvgCustomers _),
     // --- reference ETL parity (SURVEY.md §2.2, §2.6 O3, §3 E1) ---
     "etl_verl_rows" -> (etl.Preprocess.verlRows _),
@@ -2630,6 +2631,32 @@ object SparkEntry {
         |      FROM v GROUP BY 1)
         |SELECT doc_id, round(dp / (nv * nq), 6) AS cos_sim
         |FROM s ORDER BY cos_sim DESC, doc_id LIMIT 5""".stripMargin,
+    // media_near_dup: 60-bit perceptual aHash pairs at hamming <= 3 —
+    // the oracle recomputes the signature per doc (average-pool to 60
+    // block sums, mean threshold via integer cross-multiplication;
+    // ASCII corpus: byte == code point) and BRUTE-FORCES all pairs,
+    // so the engine's banded join is verified lossless every run
+    "media_near_dup" ->
+      """WITH chars AS (
+        |  SELECT doc_id, i, ascii(substring(text, CAST(i+1 AS INT), 1))::BIGINT AS c,
+        |         length(text) AS len
+        |  FROM documents, LATERAL unnest(range(length(text))) AS t(i)
+        |  WHERE length(text) > 0
+        |), blocks AS (
+        |  SELECT doc_id, i * 60 // len AS j, sum(c) AS v
+        |  FROM chars GROUP BY 1, 2
+        |), tot AS (SELECT doc_id, sum(v) AS s FROM blocks GROUP BY 1),
+        |bits AS (
+        |  SELECT b.doc_id,
+        |         sum(CASE WHEN 60 * v > s THEN 1::BIGINT << CAST(j AS INT)
+        |                  ELSE 0::BIGINT END) AS h
+        |  FROM blocks b JOIN tot USING (doc_id) GROUP BY 1
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+        |FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // phrase_search: consecutive 'table scan' occurrences; adjacency
     // via 1-based positions, counts integral
     "phrase_search" ->

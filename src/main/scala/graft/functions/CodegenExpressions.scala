@@ -287,12 +287,59 @@ object HashUtil {
     }
     new GenericArrayData(out)
   }
+
+  /** 60-bit perceptual AVERAGE HASH (aHash) over opaque media bytes —
+    * the standard first pass of an image-corpus dedup pipeline: the
+    * byte stream is "resized" into 60 contiguous blocks (position i
+    * lands in block i*60/n — the integer form of an average-pooling
+    * downsample), each block's byte-sum is a grayscale pixel, and bit
+    * j is set iff block j is brighter than the global mean. The
+    * threshold compares 60*v_j > total (integer cross-multiplication,
+    * no division) so the signature is bit-identical cross-engine.
+    * Empty input hashes to 0 — callers filter empties upstream, like
+    * the MinHash <3-token rule. */
+  def aHash60(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    if (n == 0) return 0L
+    val blocks = new Array[Long](60)
+    var i = 0
+    while (i < n) {
+      blocks((i.toLong * 60 / n).toInt) += (bytes(i) & 0xff)
+      i += 1
+    }
+    var total = 0L
+    var j = 0
+    while (j < 60) { total += blocks(j); j += 1 }
+    var h = 0L
+    j = 0
+    while (j < 60) {
+      if (60L * blocks(j) > total) h |= (1L << j)
+      j += 1
+    }
+    h
+  }
 }
 
-/** Polynomial rolling hash over a string's code points (see
-  * [[HashUtil.polyHashCp]]) as a native codegen expression — one
-  * static-helper call per row instead of an interpreted
-  * aggregate-over-sequence fold (~50 expression-tree evals per char). */
+/** 60-bit perceptual average-hash over a BINARY column (see
+  * [[HashUtil.aHash60]]) — the pHash-family signature of the media
+  * near-dup first pass, as one native byte scan per row. */
+case class AHash60Expr(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_ahash60"
+
+  protected override def nullSafeEval(input: Any): Any =
+    HashUtil.aHash60(input.asInstanceOf[Array[Byte]])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashUtil.aHash60($c);")
+
+  protected override def withNewChildInternal(newChild: Expression): AHash60Expr =
+    copy(child = newChild)
+}
+
 case class CanonicalNormExpr(child: Expression)
     extends UnaryExpression {
 
@@ -310,6 +357,10 @@ case class CanonicalNormExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** Polynomial rolling hash over a string's code points (see
+  * [[HashUtil.polyHashCp]]) as a native codegen expression — one
+  * static-helper call per row instead of an interpreted
+  * aggregate-over-sequence fold (~50 expression-tree evals per char). */
 case class PolyHashExpr(child: Expression)
     extends UnaryExpression {
 

@@ -166,6 +166,10 @@ object ColumnFunctions {
     * multiplicity) — the map-only form of the exploded bit aggregate. */
   def simhashNative(th: Column): Column = ofExpr(SimHashExpr(exprOf(th)))
 
+  /** Native 60-bit perceptual average-hash over a BINARY column — the
+    * image near-dup signature (one byte scan per row). */
+  def aHash60Native(bytes: Column): Column = ofExpr(AHash60Expr(exprOf(bytes)))
+
   /** |A ∩ B| of two SORTED-ascending distinct long arrays — native
     * codegen merge loop (equals size(array_intersect(a, b)) on sorted
     * inputs; spec-asserted). */

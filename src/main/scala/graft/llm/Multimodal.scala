@@ -104,6 +104,59 @@ object Multimodal {
     (m.doc_id, vec)
   }
 
+  /** L5b PERCEPTUAL-HASH IMAGE NEAR-DUP — the standard FIRST pass of
+    * an image-corpus dedup pipeline (before embedding dedup):
+    * aHash-style 60-bit signatures over the opaque media bytes
+    * ([[graft.functions.HashUtil.aHash60]]: average-pool the byte
+    * stream to 60 "pixels", threshold on the global mean), banded
+    * like SimHash — 4 bands of 15 bits, docs agreeing on ANY band
+    * become candidates (a band-value equi-join, never O(n²)), and
+    * candidates verify by Hamming distance over the full signature.
+    * With maxHamming ≤ bands−1 = 3 the banding is EXACT (pigeonhole:
+    * ≤3 differing bits leave ≥1 of 4 bands untouched), so the output
+    * is ALL pairs at hamming ≤ 3 and the oracle can brute-force —
+    * verifying the banding's losslessness every run. All arithmetic
+    * integral → bit-identical cross-engine. Empty media rows are
+    * dropped (no content to hash — the MinHash <3-token rule's
+    * analogue). 100 TB: map-only signatures; shuffle carries only
+    * (band, band_value) keys; Hamming is one codegen'd
+    * `bit_count(xor)` per candidate. */
+  def mediaNearDup(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame =
+    mediaNearDupFrame(
+      Tables.loadParallel(s, d, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("bytes")),
+      maxHamming)
+
+  /** Media-frame form of [[mediaNearDup]] (spec cross-checks the
+    * banded join against the all-pairs brute force). */
+  def mediaNearDupFrame(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"maxHamming $maxHamming > 3 breaks the 4-band pigeonhole — add bands")
+    import graft.functions.ColumnFunctions.aHash60Native
+    val sigs = media
+      .filter(length(col("bytes")) > 0)
+      .select(col("doc_id"), aHash60Native(col("bytes")).as("phash"))
+    val bands = sigs.select(
+      col("doc_id"), col("phash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("phash"), b * 15).bitwiseAND(lit(32767L)).as("bv"))): _*))
+        .as("bb"))
+      .select(col("doc_id"), col("phash"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash")))
+          .cast("int").as("hamming"))
+      .distinct() // a pair can agree on several bands
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** L5/L3 MEDIA-EMBEDDING RETRIEVAL — the cross-modal search
     * pipeline end to end: opaque media bytes → per-partition batch
     * ENCODE (the model-inference stage, stubbed) → cosine top-k

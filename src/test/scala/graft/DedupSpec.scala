@@ -236,6 +236,51 @@ class DedupSpec extends AnyFunSuite {
     assert(banded.nonEmpty, "corpus has near-dup pairs; empty means the query broke")
   }
 
+  test("banded perceptual-hash media near-dup equals brute-force hamming <= 3 exactly") {
+    // 4 bands of 15 bits at threshold 3 = bands-1: pigeonhole makes
+    // the banding a pure prune — the banded join must reproduce the
+    // all-pairs answer EXACTLY on the media corpus
+    val d = "/root/testdata/sf0.001"
+    val banded = graft.llm.Multimodal.mediaNearDup(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    import graft.functions.ColumnFunctions._
+    val sigs = graft.Tables.load(spark, d, "documents")
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), aHash60Native(col("text").cast("binary")).as("ph"))
+    val brute = sigs.as("a")
+      .join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        bit_count(col("a.ph").bitwiseXOR(col("b.ph"))).cast("int").as("h"))
+      .filter(col("h") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded === brute,
+      s"banded=${banded.size} brute=${brute.size}; banding must lose nothing at threshold 3")
+    assert(banded.nonEmpty, "corpus has near-dup media; empty means the query broke")
+  }
+
+  test("aHash60: identical bytes collide, shifted-brightness bytes stay close, noise does not") {
+    import spark.implicits._
+    import graft.functions.ColumnFunctions.aHash60Native
+    val base = Array.tabulate(600)(i => ((i * 37 + 11) % 251).toByte)
+    // +1 on one block's bytes flips at most that block's bit (and
+    // possibly mean-threshold neighbors); random re-draw flips many
+    val bright = base.clone(); (0 until 10).foreach(i => bright(i) = (bright(i) + 120).toByte)
+    val noise = Array.tabulate(600)(i => ((i * 193 + 77) % 249).toByte)
+    val df = Seq((1L, base), (2L, base.clone()), (3L, bright), (4L, noise))
+      .toDF("doc_id", "bytes")
+      .select(col("doc_id"), aHash60Native(col("bytes")).as("h"))
+    val h = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) === h(2L), "identical bytes must hash identically")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1L), h(3L)) < ham(h(1L), h(4L)),
+      s"local brightness edit (${ham(h(1L), h(3L))}) must be closer than " +
+        s"an unrelated image (${ham(h(1L), h(4L))})")
+    // empty input hashes to 0 (callers filter empties upstream)
+    val empty = Seq((9L, Array.empty[Byte])).toDF("doc_id", "bytes")
+      .select(aHash60Native(col("bytes"))).head.getLong(0)
+    assert(empty === 0L)
+  }
+
   test("prefix+positional-filtered set-similarity join equals brute-force Jaccard >= 4/5 exactly") {
     // BOTH filters must be pure prunes: every pair with hashed-shingle
     // Jaccard >= 4/5 shares a token inside both rarest-first prefixes
