@@ -268,6 +268,7 @@ object SparkEntry {
     "lake_schema_evolution" -> (sources.LakeTable.schemaEvolutionQuery _),
     "lake_default_column" -> (sources.LakeTable.defaultColumnQuery _),
     "lake_merge_evolution" -> (sources.LakeTable.mergeEvolutionQuery _),
+    "lake_nested_evolution" -> (sources.LakeTable.nestedEvolutionQuery _),
     "lake_rename_read" -> (sources.LakeTable.renameReadQuery _),
     "lake_merge_conditional" -> (sources.LakeTable.mergeConditionalQuery _),
     "lake_sql_merge" -> (sources.LakeTable.sqlMergeQuery _),
@@ -2389,6 +2390,20 @@ object SparkEntry {
         |FROM un GROUP BY 1, 2 ORDER BY event_type, tier""".stripMargin,
     // lake_merge_evolution (S9e): left join replays SET */INSERT *
     // with the source-only grade column; untouched rows fold to
+    // lake_nested_evolution: a payload struct's subfield renamed,
+    // dropped, and re-added across five generations — metadata-only
+    // rename, time travel, and renamed-path readWhere ≡ full filter
+    // are require'd in-query; tag reads NULL for every pre-re-add
+    // generation (fresh field id) and 're' for the final one
+    "lake_nested_evolution" ->
+      """WITH final AS (
+        |  SELECT value AS revenue, NULL AS tag FROM events
+        |  UNION ALL
+        |  SELECT value, 're' FROM events WHERE event_id % 5 = 0
+        |)
+        |SELECT coalesce(tag, 'none') AS tag, count(*) AS n,
+        |       round(sum(revenue), 6) AS sum_revenue
+        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
     // 'ungraded'
     "lake_merge_evolution" ->
       """WITH src AS (

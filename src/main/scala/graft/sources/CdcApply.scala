@@ -197,7 +197,10 @@ object CdcApply {
         LakeTable.overwrite(
           src.filter(!col(DelFlag)).select(cols.map(col): _*), path)
       case Some(v) =>
-        val targetCols = LakeTable.schemaOf(path, v).map(_.map(_._2))
+        // TOP-LEVEL names only: the field-id schema also registers
+        // dotted struct-subfield paths, which are not payload columns
+        val targetCols = LakeTable.schemaOf(path, v)
+          .map(_.map(_._2).filterNot(_.contains(".")))
           .getOrElse(LakeTable.read(spark, path).columns.toSeq)
         require(targetCols.exists(_.equalsIgnoreCase(seqCol)),
           s"applyChanges into $path: the table lacks sequence column " +
@@ -432,7 +435,8 @@ object CdcApply {
       evEff: DataFrame => DataFrame): Int = {
     val spark = ev.sparkSession
     locally {
-        val tCols = LakeTable.schemaOf(path, v).map(_.map(_._2))
+        val tCols = LakeTable.schemaOf(path, v)
+          .map(_.map(_._2).filterNot(_.contains(".")))
           .getOrElse(LakeTable.read(spark, path).columns.toSeq)
         val bookkeeping = Seq("start_seq", "end_seq", "is_current", "__scd_id")
         bookkeeping.foreach(c => require(tCols.exists(_.equalsIgnoreCase(c)),

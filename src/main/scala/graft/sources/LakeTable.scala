@@ -494,11 +494,29 @@ object LakeTable {
   private[graft] def schFor(path: String, version: Int): Option[Sch] =
     schemaOf(path, version).map(Sch(_, promotedOf(path, version), defaultsOf(path, version)))
 
+  /** Every field-id-addressable path of a write schema: top-level
+    * names plus RECURSIVE dotted paths for struct subfields (Iceberg
+    * assigns ids to every nested field) — `extra_info` and
+    * `extra_info.ts` each get their own id, so subfields rename/drop/
+    * re-add independently of their parent. Array/map interiors are
+    * not addressed (no evolution surface there). */
+  private def writePaths(schema: org.apache.spark.sql.types.StructType): Seq[String] = {
+    def walk(prefix: String, dt: org.apache.spark.sql.types.DataType): Seq[String] =
+      dt match {
+        case st: org.apache.spark.sql.types.StructType =>
+          st.fields.toSeq.flatMap(f =>
+            (prefix + f.name) +: walk(prefix + f.name + ".", f.dataType))
+        case _ => Nil
+      }
+    schema.fields.toSeq.flatMap(f => f.name +: walk(f.name + ".", f.dataType))
+  }
+
   /** Field-id assignment for writing columns `names` on top of
     * version `base`: existing names keep their ids, new names get
     * fresh ids past the highwater mark — ids are NEVER reused, so a
     * column dropped and re-added under the same name is a DIFFERENT
-    * column and old files correctly serve null for it. */
+    * column and old files correctly serve null for it. Names may be
+    * dotted struct-subfield paths ([[writePaths]]). */
   private def schemaForWrite(
       path: String, base: Int, names: Seq[String]): (Seq[(Int, String)], Map[String, Int]) = {
     val prev = if (base >= 0) schemaOf(path, base).getOrElse(Nil) else Nil
@@ -1231,7 +1249,7 @@ object LakeTable {
       if (kind == "posdel" || kind == "dv") (Nil, Map.empty[String, Int])
       else schemaForWrite(
         path, latestVersion(path).getOrElse(-1),
-        df.columns.toSeq.filterNot(_.startsWith(HiddenPrefix)))
+        writePaths(df.schema).filterNot(_.startsWith(HiddenPrefix)))
     val entries = writeDataFiles(df, path, partitionCols, maxRecordsPerFile)
     if (entries.isEmpty) None
     else Some(writeManifest(path, entries, kind, fieldIds).copy(pspec = pspec))
@@ -1364,7 +1382,7 @@ object LakeTable {
       else {
         val batch = spark.read.option("mergeSchema", "true").parquet(files0: _*)
         enforceConstraints(batch, path)
-        val cols = batch.columns.toSeq
+        val cols = writePaths(batch.schema)
         val (_, fieldIds) = schemaForWrite(path, base0, cols)
         if (sortOrderOf(path).nonEmpty) {
           // standing write order: rewrite THIS batch sorted (cost
@@ -2096,7 +2114,7 @@ object LakeTable {
         val fresh = if (staged.isEmpty) Nil
           else {
             val (_, fieldIds) = schemaForWrite(
-              path, latestVersion(path).getOrElse(-1), df.columns.toSeq)
+              path, latestVersion(path).getOrElse(-1), writePaths(df.schema))
             Seq(writeManifest(path, staged, "data", fieldIds))
           }
         Right(publishStaged(spark, path, fresh, "append", cons))
@@ -2185,7 +2203,7 @@ object LakeTable {
       val (st, rows) = stats.getOrElse(f, (Map.empty[String, Seq[Double]], 0L))
       ManifestEntry(f, srcNorm, st, bytes = Files.size(Paths.get(f)), rows = rows)
     }
-    val (_, fieldIds) = schemaForWrite(path, base, imported.columns.toSeq)
+    val (_, fieldIds) = schemaForWrite(path, base, writePaths(imported.schema))
     val ref = writeManifest(path, entries, "data", fieldIds).copy(partial = true)
     publishStaged(spark, path, Seq(ref), "add_files", cons)
   }
@@ -2317,10 +2335,79 @@ object LakeTable {
     * BEFORE any union, so mixed-vintage files agree exactly and the
     * served type is the declared one (the cast is trivial — erased by
     * the optimizer — on files already written wide). */
+  /** NESTED struct-subfield evolution (S16b): when a manifest's dotted
+    * write-time paths resolve to DIFFERENT current paths (a subfield
+    * rename, possibly under a renamed parent) or to dropped ids, the
+    * affected top-level struct is rebuilt to the current shape —
+    * recursively, on the raw file frame (write-time names), BEFORE
+    * the top-level rename projection. A NULL parent struct stays NULL
+    * (`when(isNotNull, ...)`) — rebuilding field-by-field would
+    * manufacture a row of NULLs where the file stored no struct at
+    * all. Pass-through when nothing changed: the common case costs
+    * one map scan per manifest, zero plan nodes. */
+  private def rebuildNestedToCurrent(
+      df: DataFrame, cols: Map[String, Int], sch: Sch): DataFrame = {
+    if (!cols.keysIterator.exists(_.contains("."))) return df
+    val idToName = sch.cols.toMap
+    def rebuild(
+        parent: org.apache.spark.sql.Column, wPath: String, cPath: String,
+        st: org.apache.spark.sql.types.StructType)
+        : (org.apache.spark.sql.Column, Boolean) = {
+      val subs = st.fields.toSeq.flatMap { sf =>
+        val wp = s"$wPath.${sf.name}"
+        cols.get(wp) match {
+          case None =>
+            // pre-field-id subfield (legacy write): pass through by name
+            Some((sf.name, parent.getField(sf.name), false))
+          case Some(id) => idToName.get(id) match {
+            case None => None // subfield DROPPED from the schema
+            case Some(full) =>
+              // parents' paths prefix their children's by construction
+              // (renames cascade the prefix in the same commit)
+              require(full.startsWith(cPath + "."),
+                s"nested field id $id: current path '$full' escapes its " +
+                  s"parent '$cPath' — field moves are not supported")
+              val seg = full.substring(cPath.length + 1)
+              val child = parent.getField(sf.name)
+              sf.dataType match {
+                case sst: org.apache.spark.sql.types.StructType
+                    if cols.keysIterator.exists(_.startsWith(wp + ".")) =>
+                  val (rc, chChanged) = rebuild(child, wp, full, sst)
+                  Some((seg, rc, chChanged || seg != sf.name))
+                case _ => Some((seg, child, seg != sf.name))
+              }
+          }
+        }
+      }
+      val changed = subs.exists(_._3) || subs.size != st.fields.length
+      if (!changed) (parent, false)
+      else (when(parent.isNotNull,
+        struct(subs.map { case (n, c, _) => c.as(n) }: _*)), true)
+    }
+    df.schema.fields.foldLeft(df) { (acc, f) =>
+      (f.dataType, cols.get(f.name)) match {
+        case (st: org.apache.spark.sql.types.StructType, topId)
+            if cols.keysIterator.exists(_.startsWith(f.name + ".")) =>
+          // rebuild under the WRITE-TIME top name — the top-level
+          // rename projection below handles the outer name; children
+          // resolve against the CURRENT parent path (the schema keys
+          // nested paths by it)
+          val cTop = topId.flatMap(idToName.get).getOrElse(f.name)
+          val (rc, changed) = rebuild(col(f.name), f.name, cTop, st)
+          if (changed) acc.withColumn(f.name, rc) else acc
+        case _ => acc
+      }
+    }
+  }
+
   private def projectToCurrent(
-      df: DataFrame, cols: Map[String, Int],
+      df0: DataFrame, cols: Map[String, Int],
       current: Option[Sch],
       injectDefaults: Boolean = true): DataFrame = {
+    val df = current match {
+      case Some(sch) if cols.nonEmpty => rebuildNestedToCurrent(df0, cols, sch)
+      case _ => df0
+    }
     val named = current match {
       case Some(sch) if cols.nonEmpty =>
         val idToName = sch.cols.toMap
@@ -3237,6 +3324,15 @@ object LakeTable {
         case Some((sch, id)) if r.cols.nonEmpty =>
           r.cols.collectFirst { case (n, i) if i == id => n } match {
             case Some(n) => Some(Left((n, lo, hi)))
+            case None
+                if c.contains(".") &&
+                  !r.cols.keysIterator.exists(_.contains(".")) =>
+              // a manifest predating NESTED field ids (S16b): its
+              // files may still carry the dotted path BY NAME (the
+              // pass-through read serves it), so "predates → null →
+              // prune" would be a false skip — keep conservatively
+              // (nested stats don't exist, so admits() keeps it too)
+              Some(Left((c, lo, hi)))
             case None => sch.defaults.get(id).map(_ =>
               Right(defaultNums(id).forall(v => v >= lo && v <= hi)))
           }
@@ -3775,8 +3871,29 @@ object LakeTable {
     // consumer selecting the predicate column must see the same
     // schema whether or not the skip dropped every file that has it)
     lazy val fullSchema = readRefs(spark, dataRefs, current).schema
+    // resolve a possibly-dotted predicate path against a schema —
+    // nested paths (S16b) filter correctly but never prune (manifest
+    // stats cover top-level numerics only; missing stats = keep file,
+    // so a renamed nested path can never falsely skip data)
+    def pathType(schema: org.apache.spark.sql.types.StructType, column: String)
+        : Option[org.apache.spark.sql.types.DataType] =
+      column.split('.').toSeq.foldLeft(
+        Option(schema: org.apache.spark.sql.types.DataType)) {
+        case (Some(st: org.apache.spark.sql.types.StructType), seg) =>
+          st.fields.find(_.name == seg).map(_.dataType)
+        case _ => None
+      }
     preds.foldLeft(base) { case (df, (column, lower, upper)) =>
-      if (!df.columns.contains(column)) {
+      if (column.contains(".")) pathType(df.schema, column) match {
+        case Some(dt) if dt.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+          df.filter(col(column) >= lower && col(column) <= upper)
+        case Some(dt) => throw new IllegalArgumentException(
+          s"readWhere supports numeric columns; '$column' is $dt")
+        case None =>
+          // no surviving file carries the nested path → nothing matches
+          df.filter(lit(false))
+      }
+      else if (!df.columns.contains(column)) {
         // every surviving file predates the column → it is null (or
         // absent) on all rows, so nothing can satisfy the interval;
         // null-extend so the schema matches the unpruned read's
@@ -5077,8 +5194,24 @@ object LakeTable {
     require(schema.exists(_._2 == oldName), s"no such column '$oldName' at $path")
     require(!schema.exists(_._2 == newName),
       s"column '$newName' already exists at $path")
+    // a dotted path renames a struct SUBFIELD (S16b) — in place only:
+    // the parent prefix must not change (field moves re-parent data)
+    def parentOf(n: String): String =
+      if (n.contains(".")) n.substring(0, n.lastIndexOf('.')) else ""
+    require(parentOf(oldName) == parentOf(newName),
+      s"rename '$oldName' -> '$newName' changes the parent path — field " +
+        "moves are not supported, only in-place renames")
+    require(!newName.substring(newName.lastIndexOf('.') + 1).contains("."),
+      s"invalid column name '$newName'")
+    // renaming a STRUCT rewrites its descendants' path prefixes in the
+    // SAME commit, so child ids keep resolving under the new parent
     val next = schema.map { case (id, n) =>
-      (id, if (n == oldName) newName else n) }
+      val renamed =
+        if (n == oldName) newName
+        else if (n.startsWith(oldName + ".")) newName + n.substring(oldName.length)
+        else n
+      (id, renamed)
+    }
     commitRefs(spark, path, base, listRefs(path, base), "rename_column", Some(next))
   }
 
@@ -5096,6 +5229,13 @@ object LakeTable {
     val schema = schemaOf(path, base).getOrElse(throw new IllegalArgumentException(
       s"$path has no field-id schema (pre-field-id table) — add needs one"))
     require(!schema.exists(_._2 == name), s"column '$name' already exists at $path")
+    // a dotted path adds a struct SUBFIELD (S16b): the parent must be
+    // a registered field — orphan paths would never resolve
+    if (name.contains(".")) {
+      val parent = name.substring(0, name.lastIndexOf('.'))
+      require(schema.exists(_._2 == parent),
+        s"cannot add '$name': parent '$parent' is not a registered column at $path")
+    }
     val refIds = listRefs(path, base).flatMap(_.cols.values)
     val fresh = (schema.map(_._1) ++ refIds ++ Seq(-1)).max + 1
     commitRefs(spark, path, base, listRefs(path, base), "add_column",
@@ -5129,6 +5269,9 @@ object LakeTable {
     val schema = schemaOf(path, base).getOrElse(throw new IllegalArgumentException(
       s"$path has no field-id schema (pre-field-id table) — add needs one"))
     require(!schema.exists(_._2 == name), s"column '$name' already exists at $path")
+    require(!name.contains("."),
+      s"'$name': initial-defaults are TOP-LEVEL only — an added struct " +
+        "subfield reads null for old files (use addColumn)")
     val target = DataType.fromDDL(typeDdl)
     val parsed = spark.sessionState.sqlParser.parseExpression(defaultSql)
     require(parsed.collectFirst {
@@ -5202,6 +5345,9 @@ object LakeTable {
       s"$path has no field-id schema (pre-field-id table) — type promotion needs one"))
     val id = schema.find(_._2 == name).map(_._1).getOrElse(
       throw new IllegalArgumentException(s"no such column '$name' at $path"))
+    require(!name.contains("."),
+      s"'$name': type promotion is TOP-LEVEL only — promote the struct " +
+        "column by rewriting, or widen before nesting")
     val target = DataType.fromDDL(newType)
     // validate against the EFFECTIVE read type (physical + any prior
     // promotion) — read() already serves promoted types, so chained
@@ -5238,17 +5384,22 @@ object LakeTable {
     val schema = schemaOf(path, base).getOrElse(throw new IllegalArgumentException(
       s"$path has no field-id schema (pre-field-id table) — drop needs one"))
     require(schema.exists(_._2 == name), s"no such column '$name' at $path")
-    val droppedId = schema.find(_._2 == name).get._1
+    // dropping a struct (or struct subfield, S16b) drops its whole
+    // subtree — orphan child ids would resolve to paths under a
+    // parent the schema no longer has
+    val dropped = schema.filter { case (_, n) =>
+      n == name || n.startsWith(name + ".") }.map(_._1).toSet
     // an UNFOLDED equality-delete file keyed on this column would have
     // nothing to anti-join against after the drop — every read would
     // throw. Refuse loudly; compact() folds the deletes first.
     val keyedDeletes = listRefs(path, base)
-      .filter(r => r.kind == "delete" && r.cols.values.exists(_ == droppedId))
+      .filter(r => r.kind == "delete" && r.cols.values.exists(dropped))
     require(keyedDeletes.isEmpty,
       s"cannot drop '$name': ${keyedDeletes.size} live merge-on-read delete " +
         s"file(s) key on it — compact the table first to fold them")
-    val next = schema.filterNot(_._2 == name)
-    require(next.nonEmpty, s"cannot drop the last column of $path")
+    val next = schema.filterNot { case (id, _) => dropped(id) }
+    require(next.exists(!_._2.contains(".")),
+      s"cannot drop the last column of $path")
     commitRefs(spark, path, base, listRefs(path, base), "drop_column", Some(next))
   }
 
@@ -7233,6 +7384,61 @@ object LakeTable {
       s"""SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
          |FROM table_appends('graftlake.`$path`', 0, 3)
          |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  /** Driver query: NESTED struct-field schema evolution (S16b) — the
+    * VERL-row shape (`extra_info STRUCT<...>`, SURVEY §1.1.2) evolved
+    * in place. v0 lands evens with a payload struct info{amount, tag};
+    * the subfield renames METADATA-ONLY (info.amount → info.revenue,
+    * v1); a post-rename generation appends (v2 odds); the tag subfield
+    * drops (v3) and re-adds under a FRESH id (v4); a final generation
+    * carries the re-added tag (v5) — the read then mixes generations
+    * whose physical struct shapes all differ, resolved per manifest by
+    * field id. Require'd in-query: the rename rewrote ZERO data files,
+    * time travel to v0 serves the ORIGINAL subfield name, and a
+    * readWhere on the RENAMED nested path equals the full-scan filter
+    * (nested predicates flow through the prune plan with no false
+    * skip). The oracle recomputes the final state from raw events, so
+    * the whole id-resolution read is hash-verified. */
+  def nestedEvolutionQuery(s: SparkSession, d: String): DataFrame = {
+    val path = freshWorkDir("lakenested", d)
+    val ev = graft.Tables.load(s, d, "events")
+      .select("event_id", "event_type", "value")
+    overwrite(ev.filter(col("event_id") % 2 === 0).select(col("event_id"),
+      struct(col("value").as("amount"), col("event_type").as("tag"))
+        .as("info")), path) // v0: evens under the ORIGINAL shape
+    val files0 = read(s, path).inputFiles.toSet
+    renameColumn(s, path, "info.amount", "info.revenue") // v1
+    require(read(s, path).inputFiles.toSet == files0,
+      "nested rename must be metadata-only (zero files rewritten)")
+    require(read(s, path, Some(0)).schema("info").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("amount", "tag"),
+      "time travel to v0 must serve the original subfield name")
+    append(ev.filter(col("event_id") % 2 === 1).select(col("event_id"),
+      struct(col("value").as("revenue"), col("event_type").as("tag"))
+        .as("info")), path) // v2: odds under the renamed shape
+    dropColumn(s, path, "info.tag") // v3
+    addColumn(s, path, "info.tag") // v4 — fresh id; old files read null
+    append(ev.filter(col("event_id") % 5 === 0).select(
+      (col("event_id") + lit(1000000000L)).as("event_id"),
+      struct(col("value").as("revenue"), lit("re").as("tag"))
+        .as("info")), path) // v5: carries the re-added tag
+    // renamed-path predicate: the data-skipping scan must equal the
+    // full-scan filter — nested stats don't exist, so the prune plan
+    // must keep every generation (a false skip would drop rows here)
+    val pruned = readWhereBetween(
+      s, path, "info.revenue", 200.0, Double.MaxValue).count()
+    val full = read(s, path)
+      .filter(col("info.revenue") >= 200.0).count()
+    require(pruned == full,
+      s"readWhere on the renamed nested path must equal the full-scan " +
+        s"filter: $pruned != $full")
+    read(s, path)
+      .select(col("info.revenue").as("revenue"), col("info.tag").as("tag"))
+      .groupBy(coalesce(col("tag"), lit("none")).as("tag"))
+      .agg(count(lit(1)).as("n"), round(sum("revenue"), 6).as("sum_revenue"))
+      .orderBy("tag")
   }
 
   /** Driver query: REPLACE WHERE (S12e) — predicate-scoped overwrite.

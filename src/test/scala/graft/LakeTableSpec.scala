@@ -449,6 +449,83 @@ class LakeTableSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](LakeTable.renameColumn(spark, p, "amount", "k"))
   }
 
+  test("nested struct-field evolution: rename/drop/re-add resolve by field id across generations") {
+    val p = "/tmp/graft_test/lake_nested_evo"
+    rmdir(p)
+    import spark.implicits._
+    def doc(k: Long, ts: Long, tag: String) =
+      Seq((k, ts, tag)).toDF("k", "ts", "tag")
+        .select(col("k"), struct(col("ts"), col("tag")).as("info"))
+    LakeTable.overwrite(
+      doc(1L, 100L, "a").unionByName(doc(2L, 200L, "b")), p) // v0
+    val files0 = LakeTable.read(spark, p).inputFiles.toSet
+    // ---- subfield RENAME: metadata-only, old files resolve by id ----
+    LakeTable.renameColumn(spark, p, "info.ts", "info.event_ts") // v1
+    val r1 = LakeTable.read(spark, p)
+    assert(r1.inputFiles.toSet === files0, "nested rename must not rewrite files")
+    assert(r1.schema("info").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq === Seq("event_ts", "tag"))
+    assert(r1.select(col("k"), col("info.event_ts")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap === Map(1L -> 100L, 2L -> 200L))
+    // time travel to v0 serves the ORIGINAL subfield name
+    assert(LakeTable.read(spark, p, Some(0)).select(col("info.ts")).collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(100L, 200L))
+    // post-rename generation mixes transparently
+    LakeTable.append(
+      Seq((3L, 300L, "c")).toDF("k", "event_ts", "tag")
+        .select(col("k"), struct(col("event_ts"), col("tag")).as("info")), p) // v2
+    assert(LakeTable.read(spark, p).select(col("info.event_ts")).collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(100L, 200L, 300L))
+    // ---- subfield DROP then same-name RE-ADD: fresh id, old files null ----
+    LakeTable.dropColumn(spark, p, "info.tag") // v3
+    assert(LakeTable.read(spark, p).schema("info").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq === Seq("event_ts"))
+    LakeTable.addColumn(spark, p, "info.tag") // v4 — fresh field id
+    LakeTable.append(
+      Seq((4L, 400L, "d")).toDF("k", "event_ts", "tag")
+        .select(col("k"), struct(col("event_ts"), col("tag")).as("info")), p) // v5
+    val reAdd = LakeTable.read(spark, p)
+      .select(col("k"), col("info.tag")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(reAdd === Map(1L -> None, 2L -> None, 3L -> None, 4L -> Some("d")),
+      "old files must serve NULL for the re-added subfield (id never reused)")
+    // ---- PARENT rename cascades the children's path prefixes ----
+    LakeTable.renameColumn(spark, p, "info", "meta") // v6
+    val r6 = LakeTable.read(spark, p)
+    assert(r6.columns.toSet === Set("k", "meta"))
+    // predicate on the renamed nested path filters correctly across
+    // all four generations (two pre-rename, two post)
+    assert(r6.filter(col("meta.event_ts") > 150L).select("k").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(2L, 3L, 4L))
+    // ---- MoR delete (top-level key) composes with the nested rebuild ----
+    LakeTable.deleteMoR(spark, p, "k", col("k") === 2L) // v7
+    assert(LakeTable.read(spark, p).select(col("meta.event_ts")).collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(100L, 300L, 400L))
+    // ---- refusals ----
+    // a move (parent change) is not a rename
+    val mv = intercept[IllegalArgumentException](
+      LakeTable.renameColumn(spark, p, "meta.event_ts", "event_ts"))
+    assert(mv.getMessage.contains("parent"), mv.getMessage)
+    // an orphan nested add names the missing parent
+    val orphan = intercept[IllegalArgumentException](
+      LakeTable.addColumn(spark, p, "nope.x"))
+    assert(orphan.getMessage.contains("parent"), orphan.getMessage)
+    // nested defaults and promotions refuse by name
+    assert(intercept[IllegalArgumentException](
+      LakeTable.addColumnWithDefault(spark, p, "meta.flag", "INT", "1"))
+      .getMessage.contains("TOP-LEVEL"))
+    assert(intercept[IllegalArgumentException](
+      LakeTable.promoteColumnType(spark, p, "meta.event_ts", "BIGINT"))
+      .getMessage.contains("TOP-LEVEL"))
+    // dropping the struct drops its subtree (no orphan child ids)
+    LakeTable.dropColumn(spark, p, "meta") // v8
+    assert(LakeTable.read(spark, p).columns.toSeq === Seq("k"))
+    assert(LakeTable.schemaOf(p, LakeTable.latestVersion(p).get).get
+      .forall { case (_, n) => !n.startsWith("meta") },
+      "descendant ids must leave the schema with their parent")
+  }
+
   test("field-id drop: no rewrite; a same-name re-add serves null for old files") {
     val p = "/tmp/graft_test/lake_drop"
     rmdir(p)
