@@ -440,10 +440,20 @@ final class CatalogHttpServer(
     java.util.concurrent.ConcurrentHashMap.newKeySet[Seq[String]]()
   private val tableReg =
     new java.util.concurrent.ConcurrentHashMap[(Seq[String], String), String]()
+  // VIEWS ride the same registry shape (S16c, Iceberg-REST's view
+  // endpoints): a view row is name → the directory holding its
+  // GraftViews version files. The server never parses view metadata —
+  // like tables, only the data/metadata plane (shared storage) reads
+  // it; the registry is pure resolution.
+  private val viewReg =
+    new java.util.concurrent.ConcurrentHashMap[(Seq[String], String), String]()
 
   /** Registered location of `ns.name`, if any (spec observability). */
   def locationOf(ns: Seq[String], name: String): Option[String] =
     Option(tableReg.get((ns, name)))
+
+  def viewLocationOf(ns: Seq[String], name: String): Option[String] =
+    Option(viewReg.get((ns, name)))
 
   server.createContext("/v1/tables/", new com.sun.net.httpserver.HttpHandler {
     override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
@@ -770,6 +780,50 @@ final class CatalogHttpServer(
           case ("DELETE", Seq(ns, "tables", t)) =>
             if (tableReg.remove((nsOf(ns), t)) != null) respond(200, """{"ok":true}""")
             else respond(404, s"""{"error":${jStr(s"no such table: $t")}}""")
+          // ---- VIEWS (S16c): same registry contract as tables ----
+          case ("GET", Seq(ns, "views")) =>
+            val parts = nsOf(ns)
+            if (!namespaces.contains(parts))
+              respond(404, s"""{"error":${jStr(s"no such namespace: ${parts.mkString(".")}")}}""")
+            else respond(200, viewReg.keySet.iterator().asScala.toSeq
+              .filter(_._1 == parts).map(_._2).sorted
+              .map(v => s"""{"namespace":${jArr(parts)},"name":${jStr(v)}}""")
+              .mkString("""{"identifiers":[""", ",", "]}"))
+          case ("POST", Seq(ns, "views")) =>
+            val parts = nsOf(ns)
+            require(namespaces.contains(parts),
+              s"no such namespace: ${parts.mkString(".")}")
+            val doc = mapper.readTree(ex.getRequestBody)
+            val name = {
+              val n = doc.get("name")
+              require(n != null && !n.isNull && n.asText.nonEmpty, "missing 'name'")
+              n.asText
+            }
+            val loc = Option(doc.get("location")).filterNot(_.isNull).map(_.asText)
+              .orElse(warehouse.map(w =>
+                (w.stripSuffix("/") +: parts :+ name).mkString("/")))
+              .getOrElse(sys.error(
+                "no 'location' given and the catalog service has no warehouse"))
+            // views and tables share the namespace: a name registered
+            // as either refuses the other (the local catalog's rule)
+            if (tableReg.containsKey((parts, name)) ||
+                viewReg.putIfAbsent((parts, name), loc) != null)
+              respond(409, s"""{"error":${jStr(s"view exists: ${parts.mkString(".")}.$name")}}""")
+            else respond(200, s"""{"metadata-location":${jStr(loc)}}""")
+          case ("GET", Seq(ns, "views", v)) =>
+            val parts = nsOf(ns)
+            Option(viewReg.get((parts, v))) match {
+              case Some(loc) =>
+                // the current view version is read from shared storage
+                // (the GraftViews version files ARE the metadata plane)
+                respond(200, s"""{"metadata-location":${jStr(loc)},""" +
+                  s""""version":${GraftViews.latest(loc).getOrElse(-1)}}""")
+              case None => respond(404,
+                s"""{"error":${jStr(s"no such view: ${parts.mkString(".")}.$v")}}""")
+            }
+          case ("DELETE", Seq(ns, "views", v)) =>
+            if (viewReg.remove((nsOf(ns), v)) != null) respond(200, """{"ok":true}""")
+            else respond(404, s"""{"error":${jStr(s"no such view: $v")}}""")
           case (m, p) => sys.error(s"unsupported route $m /v1/namespaces/${p.mkString("/")}")
         }
       } catch {

@@ -401,8 +401,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // `cat.ns.t.history` works over catalog-over-HTTP identifiers
     val parent = uriOpt match {
       case Some(uri) if ident.namespace.length >= 2 =>
+        // tables first, then the view registry — so `cat.ns.v.versions`
+        // version-travels a service-registered view too (S16c)
         restResolve(uri, ident.namespace.toSeq.dropRight(1),
-          ident.namespace.last).getOrElse(return None)
+          ident.namespace.last)
+          .orElse(restClient(uri).loadView(
+            ident.namespace.toSeq.dropRight(1), ident.namespace.last).map(_._1))
+          .getOrElse(return None)
       case Some(_) => return None
       case None => pathOf(ident.namespace.toSeq)
     }
@@ -969,27 +974,39 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   /** Every view mutation commits a NEW immutable version file
     * ([[GraftViews]]) — `SELECT * FROM cat.ns.v.versions` reads the
     * audit trail. */
+  /** Resolution root of a view ident: the SERVICE REGISTRY in
+    * uri-mode (S16c — the view's version files live at the registered
+    * location on shared storage, so a second process pointed at the
+    * service reads and version-travels it), the warehouse path
+    * otherwise. None = not a registered view (uri-mode only). */
+  private def viewPathOf(ident: Identifier): Option[String] =
+    uriOpt match {
+      case Some(uri) => restClient(uri).loadView(ident.namespace.toSeq,
+        ident.name).map(_._1)
+      case None => Some(tablePath(ident))
+    }
+
   override def loadView(ident: Identifier): View = {
-    // catalog-over-HTTP serves TABLES; views are warehouse-directory
-    // objects — a miss here must answer the standard named miss, not
-    // a "set warehouse" config error masking the lookup (the analyzer
-    // probes loadView right after a table miss)
-    if (uriOpt.isDefined) throw new NoSuchViewException(ident)
-    val p = tablePath(ident)
+    val p = viewPathOf(ident).getOrElse(throw new NoSuchViewException(ident))
     val v = GraftViews.latest(p).getOrElse(throw new NoSuchViewException(ident))
     new GraftView(ident, p, v)
   }
 
   override def viewExists(ident: Identifier): Boolean =
-    uriOpt.isEmpty && GraftViews.isView(tablePath(ident))
+    viewPathOf(ident).exists(GraftViews.isView)
 
   override def listViews(namespace: String*): Array[Identifier] = {
     val ns = namespace.toArray
     if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
-    if (uriOpt.isDefined) return Array.empty
-    listDirs(pathOf(ns.toSeq))
-      .filter(n => GraftViews.isView(pathOf(ns.toSeq :+ n)))
-      .map(Identifier.of(ns, _)).toArray
+    uriOpt match {
+      case Some(uri) =>
+        restClient(uri).listViews(ns.toSeq).getOrElse(Nil)
+          .map(Identifier.of(ns, _)).toArray
+      case None =>
+        listDirs(pathOf(ns.toSeq))
+          .filter(n => GraftViews.isView(pathOf(ns.toSeq :+ n)))
+          .map(Identifier.of(ns, _)).toArray
+    }
   }
 
   private def viewMetaOf(info: ViewInfo): GraftViews.ViewMeta =
@@ -1008,13 +1025,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       committedAtMs = System.currentTimeMillis())
 
   override def createView(info: ViewInfo): View = {
-    val p = tablePath(info.ident)
     if (viewExists(info.ident)) throw new ViewAlreadyExistsException(info.ident)
-    require(!isTable(p),
-      s"graft catalog: a TABLE already exists at ${info.ident} — views and " +
-        "tables share the warehouse namespace")
     if (info.ident.namespace.nonEmpty && !namespaceExists(info.ident.namespace))
       throw new NoSuchNamespaceException(info.ident.namespace)
+    val p = uriOpt match {
+      case Some(uri) =>
+        // uri-mode: the service assigns the location and owns name
+        // uniqueness — a 409 (view OR table holds the name) refuses
+        restClient(uri).registerView(info.ident.namespace.toSeq, info.ident.name)
+          .getOrElse(throw new ViewAlreadyExistsException(info.ident))
+      case None =>
+        val wp = tablePath(info.ident)
+        require(!isTable(wp),
+          s"graft catalog: a TABLE already exists at ${info.ident} — views and " +
+            "tables share the warehouse namespace")
+        wp
+    }
     GraftViews.commit(p, viewMetaOf(info))
     loadView(info.ident)
   }
@@ -1023,17 +1049,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * definition stays readable in `versions` (REPLACE is an audit
     * event, not an overwrite). */
   override def replaceView(info: ViewInfo, orCreate: Boolean): View = {
-    val p = tablePath(info.ident)
-    require(!isTable(p),
-      s"graft catalog: ${info.ident} is a TABLE — REPLACE VIEW refuses it")
-    if (!GraftViews.isView(p) && !orCreate)
-      throw new NoSuchViewException(info.ident)
-    GraftViews.commit(p, viewMetaOf(info))
-    loadView(info.ident)
+    viewPathOf(info.ident) match {
+      case Some(p) if GraftViews.isView(p) =>
+        require(uriOpt.isDefined || !isTable(p),
+          s"graft catalog: ${info.ident} is a TABLE — REPLACE VIEW refuses it")
+        GraftViews.commit(p, viewMetaOf(info))
+        loadView(info.ident)
+      case Some(p) if uriOpt.isEmpty =>
+        require(!isTable(p),
+          s"graft catalog: ${info.ident} is a TABLE — REPLACE VIEW refuses it")
+        if (!orCreate) throw new NoSuchViewException(info.ident)
+        GraftViews.commit(p, viewMetaOf(info))
+        loadView(info.ident)
+      case _ =>
+        if (!orCreate) throw new NoSuchViewException(info.ident)
+        createView(info)
+    }
   }
 
   override def alterView(ident: Identifier, changes: ViewChange*): View = {
-    val p = tablePath(ident)
+    val p = viewPathOf(ident).getOrElse(throw new NoSuchViewException(ident))
     val v = GraftViews.latest(p).getOrElse(throw new NoSuchViewException(ident))
     val m = GraftViews.load(p, v)
     val props = changes.foldLeft(m.properties) {
@@ -1048,13 +1083,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def dropView(ident: Identifier): Boolean =
-    GraftViews.drop(tablePath(ident))
+    uriOpt match {
+      case Some(uri) =>
+        viewPathOf(ident) match {
+          case Some(p) =>
+            // unregister, then drop the storage (the registry is
+            // resolution; the version files are the metadata plane)
+            restClient(uri).dropView(ident.namespace.toSeq, ident.name)
+            GraftViews.drop(p)
+          case None => false
+        }
+      case None => GraftViews.drop(tablePath(ident))
+    }
 
   /** Views CAN rename (unlike tables): the stored SQL resolves its
     * table references through the saved catalog/namespace context,
     * never through the view's own location, so a directory move
-    * orphans nothing. */
+    * orphans nothing. uri-mode refuses (a registry rename would leave
+    * the storage directory under the old name — the tables plane has
+    * the same registry-indirection-only contract, but a view's files
+    * are engine-managed, so the honest answer is "not yet"). */
   override def renameView(from: Identifier, to: Identifier): Unit = {
+    require(uriOpt.isEmpty,
+      "graft catalog: RENAME VIEW over catalog-over-HTTP is not supported — " +
+        "recreate the view under the new name")
     if (!viewExists(from)) throw new NoSuchViewException(from)
     if (viewExists(to)) throw new ViewAlreadyExistsException(to)
     require(!isTable(tablePath(to)),

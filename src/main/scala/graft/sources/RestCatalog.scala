@@ -191,6 +191,58 @@ final class RestCatalogClient(baseUri: String, timeoutMs: Int = 10000,
     }
   }
 
+  // ---- VIEWS (S16c): the Iceberg-REST view endpoints, same
+  // registry contract as tables — a view row is name → the directory
+  // holding its GraftViews version files on shared storage. ----
+
+  /** View names in `ns`; None when the namespace does not exist. */
+  def listViews(ns: Seq[String]): Option[Seq[String]] = {
+    val (st, doc) = http("GET", s"/v1/namespaces/${nsSeg(ns)}/views")
+    st match {
+      case 200 => Some(elems(doc.get("identifiers")).map(_.get("name").asText))
+      case 404 => None
+      case _ => sys.error(s"graft REST catalog: list views → HTTP $st $doc")
+    }
+  }
+
+  /** (view location, current view version; -1 = no version published
+    * yet) — None when unregistered. */
+  def loadView(ns: Seq[String], name: String): Option[(String, Int)] = {
+    val (st, doc) = http("GET", s"/v1/namespaces/${nsSeg(ns)}/views/${enc(name)}")
+    st match {
+      case 200 => Some((doc.get("metadata-location").asText,
+        Option(doc.get("version")).map(_.asInt).getOrElse(-1)))
+      case 404 => None
+      case _ => sys.error(s"graft REST catalog: load view → HTTP $st $doc")
+    }
+  }
+
+  /** Register view `ns.name` (server assigns the location from its
+    * warehouse unless one is given); None when the name is taken
+    * (by a view OR a table — they share the namespace). */
+  def registerView(ns: Seq[String], name: String,
+      location: Option[String] = None): Option[String] = {
+    val body = s"""{"name":${jStr(name)}""" +
+      location.map(l => s""","location":${jStr(l)}""").getOrElse("") + "}"
+    val (st, doc) = http("POST", s"/v1/namespaces/${nsSeg(ns)}/views", Some(body))
+    st match {
+      case 200 => Some(doc.get("metadata-location").asText)
+      case 409 => None
+      case _ => sys.error(s"graft REST catalog: register view → HTTP $st $doc")
+    }
+  }
+
+  /** Unregister a view (storage untouched). */
+  def dropView(ns: Seq[String], name: String): Boolean = {
+    val (st, doc) =
+      http("DELETE", s"/v1/namespaces/${nsSeg(ns)}/views/${enc(name)}")
+    st match {
+      case 200 => true
+      case 404 => false
+      case _ => sys.error(s"graft REST catalog: drop view → HTTP $st $doc")
+    }
+  }
+
   /** Unregister (storage untouched — REST drop without purge). */
   def dropTable(ns: Seq[String], name: String): Boolean = {
     val (st, doc) =

@@ -335,6 +335,65 @@ class WireArbiterSpec extends AnyFunSuite {
     }
   }
 
+  test("HTTP read plane: views created through the service resolve from a second session") {
+    val wh = "/tmp/graft_test/resthttp_views_wh"
+    SparkSpec.rmdir(wh)
+    val srv = new graft.sources.CatalogHttpServer(warehouse = Some(wh))
+    val (c1, c2) = ("rhview1", "rhview2")
+    try {
+      // TWO catalog sessions knowing only the URL — the second never
+      // sees a disk path; every view resolves through the registry
+      Seq(c1, c2).foreach { c =>
+        spark.conf.set(s"spark.sql.catalog.$c", "graft.sources.GraftCatalog")
+        spark.conf.set(s"spark.sql.catalog.$c.uri", s"http://127.0.0.1:${srv.port}")
+      }
+      spark.sql(s"CREATE NAMESPACE $c1.db")
+      spark.sql(s"CREATE TABLE $c1.db.t (k BIGINT, v DOUBLE) USING graftlake")
+      spark.sql(s"INSERT INTO $c1.db.t VALUES (1, 10.0), (2, 20.0), (3, 30.0)")
+      spark.sql(
+        s"CREATE VIEW $c1.db.big AS SELECT k, v FROM $c1.db.t WHERE v >= 20.0")
+      val loc = srv.viewLocationOf(Seq("db"), "big").get
+      assert(loc.startsWith(wh), s"server must assign from its warehouse: $loc")
+      // the SECOND session: discovery, read, and version travel
+      assert(spark.sql(s"SHOW VIEWS IN $c2.db").collect()
+        .map(_.getString(1)).contains("big"))
+      assert(spark.sql(s"SELECT sum(k) FROM $c2.db.big").head.getLong(0) === 5L)
+      spark.sql(s"CREATE OR REPLACE VIEW $c2.db.big AS " +
+        s"SELECT k, v FROM $c2.db.t WHERE v >= 30.0")
+      assert(spark.sql(s"SELECT sum(k) FROM $c1.db.big").head.getLong(0) === 3L,
+        "session 1 must read the replaced definition")
+      val hist = spark.sql(
+        s"SELECT version FROM $c1.db.big.versions ORDER BY version").collect()
+        .map(_.getInt(0)).toSeq
+      assert(hist === Seq(0, 1), "REPLACE must keep the definition history")
+      // client-level load answers location + current version
+      val client = new graft.sources.RestCatalogClient(s"http://127.0.0.1:${srv.port}")
+      assert(client.loadView(Seq("db"), "big").contains((loc, 1)))
+      assert(client.listViews(Seq("db")).contains(Seq("big")))
+      // a view name cannot shadow a registered table (409 → refusal)
+      val clash = intercept[Exception](spark.sql(
+        s"CREATE VIEW $c2.db.t AS SELECT 1 AS one"))
+      assert(clash.getMessage.toLowerCase.contains("exists")
+        || clash.getMessage.contains("t"), clash.getMessage)
+      // uri-mode RENAME VIEW refuses by name
+      val ren = intercept[Exception](spark.sql(
+        s"ALTER VIEW $c2.db.big RENAME TO $c2.db.bigger"))
+      assert(ren.getMessage.contains("not supported"), ren.getMessage)
+      // DROP from the second session unregisters and removes storage
+      spark.sql(s"DROP VIEW $c2.db.big")
+      assert(srv.viewLocationOf(Seq("db"), "big").isEmpty)
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(loc)))
+      val gone = intercept[Exception](spark.sql(s"SELECT * FROM $c1.db.big").collect())
+      assert(gone.getMessage.contains("big"), gone.getMessage)
+    } finally {
+      Seq(c1, c2).foreach { c =>
+        spark.conf.unset(s"spark.sql.catalog.$c")
+        spark.conf.unset(s"spark.sql.catalog.$c.uri")
+      }
+      srv.close()
+    }
+  }
+
   test("HTTP: timeout is ambiguous → throws and discards the connection") {
     // an HTTP server that accepts but never answers
     val stall = new java.net.ServerSocket(
