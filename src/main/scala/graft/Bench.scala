@@ -52,6 +52,7 @@ object Bench {
         graft.llm.Dedup.prestageShared(spark, sfDir)
         graft.sources.LakeTable.prestageShared(spark, sfDir)
         graft.llm.TextAnalysis.prestageShared(spark, sfDir)
+        graft.streaming.StreamJoin.prestageShared(spark, sfDir)
       } catch { case e: Throwable => System.err.println(s"[bench] prestage: $e") }
       System.err.println(
         f"[bench] prestage (shared frames, untimed) ${(System.nanoTime() - t0) / 1e9}%.1f s")
@@ -114,6 +115,7 @@ object Bench {
         graft.etl.Preprocess.clearSharedCaches()
         graft.sources.LakeTable.clearSharedCaches()
         graft.llm.TextAnalysis.clearSharedCaches()
+        graft.streaming.StreamJoin.clearSharedCaches()
       }
       val (gc0, mem0, io0, cpu0) = (gcMs(), cachedMb(), diskReadBytes(), processCpuNs())
       val t0 = System.nanoTime()
