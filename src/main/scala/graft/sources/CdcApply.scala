@@ -242,7 +242,8 @@ object CdcApply {
   def applyChangesByIdentity(
       changes: DataFrame, path: String, seqCol: String,
       mor: Boolean = false): Int = {
-    val keys = LakeTable.identifierFieldsOf(path)
+    val keys = LakeTable.identifierFieldsChecked(
+      path, s"applyChangesByIdentity into $path")
     require(keys.nonEmpty,
       s"applyChangesByIdentity into $path: no identifier fields " +
         "declared — SET IDENTIFIER FIELDS first, or call applyChanges " +

@@ -1142,21 +1142,47 @@ object LakeTable {
       throw new IllegalArgumentException(s"no snapshots at $path"))
     val have = schemaOf(path, v).map(_.map(_._2).toSet).getOrElse(
       read(SparkSession.active, path, Some(v)).schema.fieldNames.toSet)
-    val guarded = constraintsOf(path, v)
-      .map(_._2.toUpperCase(java.util.Locale.ROOT)
-        .replaceAll("[`()]", "").replaceAll("\\s+", " ").trim).toSet
-    fields.foreach { f =>
+    fields.foreach(f =>
       require(have(f),
         s"identifier field '$f' is not a table column at $path " +
-          s"(have ${have.toSeq.sorted.mkString(", ")})")
-      require(guarded(s"${f.toUpperCase(java.util.Locale.ROOT)} IS NOT NULL"),
-        s"identifier field '$f' at $path needs a NOT NULL guard — " +
-          s"ALTER TABLE … ADD CONSTRAINT … CHECK ($f IS NOT NULL) first " +
-          "(identifier fields are required columns)")
-    }
+          s"(have ${have.toSeq.sorted.mkString(", ")})"))
+    requireIdentityGuards(path, v, fields)
     Files.createDirectories(Paths.get(metaDir(path)))
     Files.writeString(Paths.get(identifierFieldsFile(path)),
       fields.map(f => s"{${jstr("col")}:${jstr(f)}}").mkString("\n"))
+  }
+
+  /** Require every identifier field's `<f> IS NOT NULL` CHECK to be
+    * active at version `v` — shared by the declaration AND every
+    * identity-keyed USE (round-14 ADVICE: the declaration file lives
+    * outside the versioned commit plane, so a rollback past the
+    * guard-constraint commit strips the CHECK but keeps the declared
+    * key; without this re-check, NULL keys could then land via
+    * append() and silently never match any identity upsert). */
+  private def requireIdentityGuards(
+      path: String, v: Int, fields: Seq[String]): Unit = {
+    val guarded = constraintsOf(path, v)
+      .map(_._2.toUpperCase(java.util.Locale.ROOT)
+        .replaceAll("[`()]", "").replaceAll("\\s+", " ").trim).toSet
+    fields.foreach(f =>
+      require(guarded(s"${f.toUpperCase(java.util.Locale.ROOT)} IS NOT NULL"),
+        s"identifier field '$f' at $path needs a NOT NULL guard — " +
+          s"ALTER TABLE … ADD CONSTRAINT … CHECK ($f IS NOT NULL) first " +
+          "(identifier fields are required columns; a rollback may have " +
+          "stripped the guard — re-add it or re-declare the fields)"))
+  }
+
+  /** [[identifierFieldsOf]] with the NOT NULL guards re-checked at the
+    * CURRENT version — what every identity-keyed write path calls. */
+  private[sources] def identifierFieldsChecked(
+      path: String, what: String): Seq[String] = {
+    val keys = identifierFieldsOf(path)
+    if (keys.nonEmpty) {
+      val v = latestVersion(path).getOrElse(
+        throw new IllegalArgumentException(s"$what: no snapshots at $path"))
+      requireIdentityGuards(path, v, keys)
+    }
+    keys
   }
 
   /** Drop the identifier-field declaration (keyed writes go back to
@@ -1181,7 +1207,7 @@ object LakeTable {
     * name when no fields are declared, and refuses NULL-keyed source
     * rows (the declaration's NOT NULL contract binds the batch too). */
   def upsertByIdentity(df: DataFrame, path: String): Int = {
-    val keys = identifierFieldsOf(path)
+    val keys = identifierFieldsChecked(path, s"upsertByIdentity at $path")
     require(keys.nonEmpty,
       s"upsertByIdentity at $path: no identifier fields declared — " +
         "SET IDENTIFIER FIELDS first, or call the keyed upsert")

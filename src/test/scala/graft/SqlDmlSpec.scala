@@ -1184,4 +1184,31 @@ class SqlDmlSpec extends AnyFunSuite {
       assert(undeclared.getMessage.contains("no identifier fields declared"))
     } finally spark.sql("DROP TABLE IF EXISTS sqldml_idf")
   }
+
+  test("identity upserts re-check the NOT NULL guard: a rollback past it refuses") {
+    // the declaration file lives OUTSIDE the versioned commit plane —
+    // a rollback that strips the guard constraint must not leave a
+    // declared key whose required-column invariant silently no longer
+    // holds (round-14 ADVICE)
+    val p = "/tmp/graft_test/sqldml_idf_rollback"
+    rmdir(p)
+    import spark.implicits._
+    LakeTable.overwrite(Seq((1L, "a", 10.0)).toDF("k", "s", "v"), p) // v0
+    LakeTable.addConstraint(spark, p, "k_nn", "k IS NOT NULL") // v1
+    LakeTable.setIdentifierFields(p, Seq("k"))
+    LakeTable.upsertByIdentity(Seq((2L, "b", 20.0)).toDF("k", "s", "v"), p) // v2
+    LakeTable.rollback(spark, p, 0) // strips the k_nn constraint
+    val stripped = intercept[IllegalArgumentException](
+      LakeTable.upsertByIdentity(Seq((3L, "c", 30.0)).toDF("k", "s", "v"), p))
+    assert(stripped.getMessage.contains("NOT NULL guard"), stripped.getMessage)
+    val cdc = intercept[IllegalArgumentException](
+      graft.sources.CdcApply.applyChangesByIdentity(
+        Seq((3L, "c", 1L, "insert")).toDF("k", "s", "_seq", "change_type"),
+        p, "_seq"))
+    assert(cdc.getMessage.contains("NOT NULL guard"), cdc.getMessage)
+    // re-adding the guard restores the green path
+    LakeTable.addConstraint(spark, p, "k_nn2", "k IS NOT NULL")
+    LakeTable.upsertByIdentity(Seq((3L, "c", 30.0)).toDF("k", "s", "v"), p)
+    assert(LakeTable.read(spark, p).count() === 2L) // v0 row + the upsert
+  }
 }
