@@ -4569,12 +4569,40 @@ object LakeTable {
     require(!all.exists(r => r.kind == "delete" && r.nFiles > 0),
       s"$path v$v carries merge-on-read EQUALITY delete manifests — their " +
         "subtracted rows are invisible to a metadata rollup; compact first")
+    // WARM PATH (S16e, Iceberg v3 partition-statistics shape): a
+    // sidecar materialized at exactly this version serves the rollup
+    // with ZERO manifest entry files opened — O(#partitions) driver
+    // metadata, whatever the file count. Never served stale: only an
+    // exact version hit qualifies.
+    if (Files.exists(partStatsFile(path, v))) {
+      lastPartitionsSource = "stats"
+      return readPartStats(path, v)
+        .toDF("partition", "record_count", "file_count", "total_bytes")
+        .select(col("partition"), col("record_count"),
+          col("file_count"), col("total_bytes"))
+        .orderBy("partition")
+    }
+    lastPartitionsSource = "manifests"
     val posRefs = all.filter(r => r.kind == "posdel" && r.nFiles > 0)
     val dvRefs = all.filter(r => r.kind == "dv" && r.nFiles > 0)
     val refs = all.filter(r => r.kind == "data" && r.nFiles > 0)
     if (refs.isEmpty)
       return Seq.empty[(String, Long, Long, Long)]
         .toDF("partition", "record_count", "file_count", "total_bytes")
+    partitionsFold(spark, refs, posRefs, dvRefs)
+  }
+
+  /** Where [[partitions]] answered from on its last call ("stats" |
+    * "manifests") — in-query requires pin the warm path (same
+    * observability contract as [[lastPlanAudit]]). */
+  @volatile private[graft] var lastPartitionsSource: String = ""
+
+  /** The distributed per-partition fold over manifest ENTRY rows —
+    * shared by the cold read path and the stats materialization, so
+    * the sidecar can never disagree with the live rollup. */
+  private def partitionsFold(
+      spark: SparkSession, refs: Seq[ManifestRef],
+      posRefs: Seq[ManifestRef], dvRefs: Seq[ManifestRef]): DataFrame = {
     // layout segments between the commit dir and the file name; the
     // base prefix is removed by LENGTH (never regex — paths carry
     // regex metachars), so only genuinely layout-born `k=v` dirs
@@ -4603,6 +4631,99 @@ object LakeTable {
         count(lit(1)).as("file_count"),
         when(count(when(unknownBytes, lit(1))) === 0, sum("bytes")).as("total_bytes"))
       .orderBy("partition")
+  }
+
+  // ---- PARTITION-STATS SIDECAR (S16e, Iceberg v3 partition
+  // statistics files): the [[partitions]] rollup persisted per
+  // version, maintained incrementally across pure appends. ----
+
+  private def partStatsFile(path: String, v: Int): java.nio.file.Path =
+    Paths.get(s"${metaDir(path)}/v$v/partstats.json")
+
+  private def readPartStats(
+      path: String, v: Int): Seq[(String, Option[Long], Long, Option[Long])] =
+    readJsonLines(partStatsFile(path, v)).map { n =>
+      def optL(k: String): Option[Long] =
+        Option(n.get(k)).filterNot(_.isNull).map(_.asLong)
+      (n.get("partition").asText, optL("record_count"),
+        n.get("file_count").asLong, optL("total_bytes"))
+    }
+
+  private def collectPartStats(
+      df: DataFrame): Seq[(String, Option[Long], Long, Option[Long])] =
+    df.collect().toSeq.map(r => (
+      r.getString(0),
+      Option(r.getAs[java.lang.Long]("record_count")).map(_.toLong),
+      r.getLong(2),
+      Option(r.getAs[java.lang.Long]("total_bytes")).map(_.toLong)))
+
+  /** Materialize the PARTITION-STATS sidecar for the table head: the
+    * per-partition rollup persists next to the version's manifest
+    * list, and [[partitions]] then serves it with ZERO manifest entry
+    * files opened — O(1) per read on a 10⁶-partition table instead of
+    * re-folding every manifest per call. Maintained INCREMENTALLY:
+    * with a sidecar at an earlier version and every commit since a
+    * pure append (or append-transparent maintenance), only the
+    * appended manifests fold — O(delta), the nightly-maintenance
+    * shape; anything else (deletes, overwrites, compaction) rebuilds
+    * from the full fold, because a delta against rewritten or
+    * subtracted files would lie. The fresh-manifest diff is per
+    * append version against ITS OWN parent (the appendsBetween rule —
+    * an endpoint diff across a consolidation would claim pre-range
+    * rows). Returns the mode: "current" (head already has a sidecar),
+    * "incremental", or "full". */
+  def analyzePartitions(spark: SparkSession, path: String): String = {
+    val v = latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"no snapshots at $path"))
+    if (Files.exists(partStatsFile(path, v))) return "current"
+    val all = listRefs(path, v)
+    require(!all.exists(r => r.kind == "delete" && r.nFiles > 0),
+      s"$path v$v carries merge-on-read EQUALITY delete manifests — their " +
+        "subtracted rows are invisible to a metadata rollup; compact first")
+    val isAppend = (o: String) => o == "append" || o == "cherrypick"
+    val basis = (0 until v).reverse
+      .find(b => Files.exists(partStatsFile(path, b)))
+      .filter(b => (b + 1 to v).forall { x =>
+        val o = operationOf(path, x)
+        isAppend(o) || appendTransparentOps(o)
+      })
+    val rows: Seq[(String, Option[Long], Long, Option[Long])] = basis match {
+      case Some(b) =>
+        val fresh = (b + 1 to v).filter(x => isAppend(operationOf(path, x)))
+          .flatMap { x =>
+            val prev = listRefs(path, x - 1)
+              .filter(_.kind == "data").map(_.manifest).toSet
+            listRefs(path, x)
+              .filter(r => r.kind == "data" && r.nFiles > 0 && !prev(r.manifest))
+          }
+        val delta =
+          if (fresh.isEmpty) Nil
+          else collectPartStats(partitionsFold(spark, fresh, Nil, Nil))
+        (readPartStats(path, b) ++ delta).groupBy(_._1).toSeq
+          .map { case (p, rs) =>
+            // a NULL (unknown) on either side poisons the sum — never
+            // a partial total presented as exact, same as the fold
+            (p,
+              if (rs.exists(_._2.isEmpty)) None else Some(rs.map(_._2.get).sum),
+              rs.map(_._3).sum,
+              if (rs.exists(_._4.isEmpty)) None else Some(rs.map(_._4.get).sum))
+          }.sortBy(_._1)
+      case None =>
+        val posRefs = all.filter(r => r.kind == "posdel" && r.nFiles > 0)
+        val dvRefs = all.filter(r => r.kind == "dv" && r.nFiles > 0)
+        val refs = all.filter(r => r.kind == "data" && r.nFiles > 0)
+        if (refs.isEmpty) Nil
+        else collectPartStats(partitionsFold(spark, refs, posRefs, dvRefs))
+    }
+    val body = rows.map { case (p, rc, fc, tb) =>
+      s"{${jstr("partition")}:${jstr(p)}," +
+        s"${jstr("record_count")}:${rc.map(_.toString).getOrElse("null")}," +
+        s"${jstr("file_count")}:$fc," +
+        s"${jstr("total_bytes")}:${tb.map(_.toString).getOrElse("null")}}"
+    }.mkString("\n")
+    Files.createDirectories(partStatsFile(path, v).getParent)
+    Files.writeString(partStatsFile(path, v), body)
+    if (basis.isDefined) "incremental" else "full"
   }
 
   /** Iceberg-style `files` METADATA TABLE: one row per data/delete
@@ -7264,11 +7385,21 @@ object LakeTable {
     val ev = graft.Tables.load(s, d, "events")
       .select("event_id", "event_type", "value")
     overwritePartitioned(ev, path, "event_type")
+    // S16e: materialize the stats sidecar at v0, then append — the
+    // refresh must fold ONLY the appended manifests (O(delta)), and
+    // the rollup read must serve from the sidecar with zero manifest
+    // entry files opened (the 10⁶-partition warm path)
+    require(analyzePartitions(s, path) == "full",
+      "first materialization has no basis — must be a full fold")
     val ev2 = graft.Tables.load(s, d, "events")
       .select(col("event_id"), col("event_type"), col("value"),
         expr("ts DIV 1000000000").as("ts_s"))
     appendHiddenPartitioned(ev2, path, Seq(PartitionTransform("ts_s", "day")))
+    require(analyzePartitions(s, path) == "incremental",
+      "a pure append on a stats basis must refresh O(delta), not refold")
     val parts = partitions(s, path)
+    require(lastPartitionsSource == "stats",
+      "the warm path must serve the sidecar, zero manifest reads")
     require(parts.filter(col("record_count").isNull || col("file_count") < 1L ||
         col("total_bytes").isNull || col("total_bytes") <= 0L)
       .limit(1).count() == 0L,
