@@ -2388,8 +2388,6 @@ object SparkEntry {
         |)
         |SELECT event_type, tier, count(*) AS n, round(sum(value), 6) AS sum_value
         |FROM un GROUP BY 1, 2 ORDER BY event_type, tier""".stripMargin,
-    // lake_merge_evolution (S9e): left join replays SET */INSERT *
-    // with the source-only grade column; untouched rows fold to
     // lake_nested_evolution: a payload struct's subfield renamed,
     // dropped, and re-added across five generations — metadata-only
     // rename, time travel, and renamed-path readWhere ≡ full filter
@@ -2404,6 +2402,8 @@ object SparkEntry {
         |SELECT coalesce(tag, 'none') AS tag, count(*) AS n,
         |       round(sum(revenue), 6) AS sum_revenue
         |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
+    // lake_merge_evolution (S9e): left join replays SET */INSERT *
+    // with the source-only grade column; untouched rows fold to
     // 'ungraded'
     "lake_merge_evolution" ->
       """WITH src AS (

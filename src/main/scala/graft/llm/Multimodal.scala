@@ -152,8 +152,12 @@ object Multimodal {
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.phash").bitwiseXOR(col("b.phash")))
           .cast("int").as("hamming"))
-      .distinct() // a pair can agree on several bands
+      // hamming is a function of the pair, so filtering BEFORE the
+      // dedup is result-identical and shrinks the distinct's shuffle
+      // to the survivors (band collisions at hamming > 3 dominate a
+      // skewed corpus's candidate volume)
       .filter(col("hamming") <= maxHamming)
+      .distinct() // a pair can agree on several bands
       .orderBy("doc_a", "doc_b")
   }
 

@@ -628,7 +628,8 @@ final class CatalogHttpServer(
             case None => respond(404,
               jErr(s"no such table: ${sNs.mkString(".")}.$sName"))
             case Some(loc) =>
-              if (tableReg.putIfAbsent((dNs, dName), loc) != null)
+              if (viewReg.containsKey((dNs, dName)) ||
+                  tableReg.putIfAbsent((dNs, dName), loc) != null)
                 respond(409,
                   jErr(s"table exists: ${dNs.mkString(".")}.$dName"))
               else {
@@ -752,7 +753,11 @@ final class CatalogHttpServer(
                 (w.stripSuffix("/") +: parts :+ name).mkString("/")))
               .getOrElse(sys.error(
                 "no 'location' given and the catalog service has no warehouse"))
-            if (tableReg.putIfAbsent((parts, name), loc) != null)
+            // tables and views share the namespace — a name held by
+            // EITHER registry refuses the other (the view route makes
+            // the mirror check)
+            if (viewReg.containsKey((parts, name)) ||
+                tableReg.putIfAbsent((parts, name), loc) != null)
               respond(409, s"""{"error":${jStr(s"table exists: ${parts.mkString(".")}.$name")}}""")
             else respond(200, s"""{"metadata-location":${jStr(loc)}}""")
           case ("GET", Seq(ns, "tables", t)) =>

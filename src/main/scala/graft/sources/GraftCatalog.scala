@@ -1028,20 +1028,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (viewExists(info.ident)) throw new ViewAlreadyExistsException(info.ident)
     if (info.ident.namespace.nonEmpty && !namespaceExists(info.ident.namespace))
       throw new NoSuchNamespaceException(info.ident.namespace)
-    val p = uriOpt match {
+    uriOpt match {
       case Some(uri) =>
         // uri-mode: the service assigns the location and owns name
         // uniqueness — a 409 (view OR table holds the name) refuses
-        restClient(uri).registerView(info.ident.namespace.toSeq, info.ident.name)
+        val p = restClient(uri)
+          .registerView(info.ident.namespace.toSeq, info.ident.name)
           .getOrElse(throw new ViewAlreadyExistsException(info.ident))
+        // registry-then-storage is two steps: a failed version-file
+        // commit must not leave the NAME wedged (registered, zero
+        // versions — unreadable yet 409ing every retry); unregister
+        // best-effort and rethrow
+        try GraftViews.commit(p, viewMetaOf(info))
+        catch {
+          case t: Throwable =>
+            try restClient(uri).dropView(
+              info.ident.namespace.toSeq, info.ident.name)
+            catch { case _: Throwable => () }
+            throw t
+        }
       case None =>
         val wp = tablePath(info.ident)
         require(!isTable(wp),
           s"graft catalog: a TABLE already exists at ${info.ident} — views and " +
             "tables share the warehouse namespace")
-        wp
+        GraftViews.commit(wp, viewMetaOf(info))
     }
-    GraftViews.commit(p, viewMetaOf(info))
     loadView(info.ident)
   }
 

@@ -3916,8 +3916,23 @@ object LakeTable {
         case Some(dt) => throw new IllegalArgumentException(
           s"readWhere supports numeric columns; '$column' is $dt")
         case None =>
-          // no surviving file carries the nested path → nothing matches
-          df.filter(lit(false))
+          // no surviving file carries the nested path → nothing can
+          // match, but the pruned read's SCHEMA must stay layout-
+          // independent like the top-level branch: null-extend the
+          // missing path from the full-snapshot schema before the
+          // empty filter (whole struct when the top column vanished,
+          // withField when only the subfield did)
+          val top = column.takeWhile(_ != '.')
+          val rest = column.drop(top.length + 1)
+          val extended = pathType(fullSchema, column) match {
+            case Some(dt) if !df.columns.contains(top) =>
+              fullSchema.find(_.name == top).map(f =>
+                df.withColumn(top, lit(null).cast(f.dataType))).getOrElse(df)
+            case Some(dt) =>
+              df.withColumn(top, col(top).withField(rest, lit(null).cast(dt)))
+            case None => df // path nowhere in the snapshot
+          }
+          extended.filter(lit(false))
       }
       else if (!df.columns.contains(column)) {
         // every surviving file predates the column → it is null (or
@@ -4575,14 +4590,14 @@ object LakeTable {
     // metadata, whatever the file count. Never served stale: only an
     // exact version hit qualifies.
     if (Files.exists(partStatsFile(path, v))) {
-      lastPartitionsSource = "stats"
+      partitionsSourceByPath.put(path, "stats")
       return readPartStats(path, v)
         .toDF("partition", "record_count", "file_count", "total_bytes")
         .select(col("partition"), col("record_count"),
           col("file_count"), col("total_bytes"))
         .orderBy("partition")
     }
-    lastPartitionsSource = "manifests"
+    partitionsSourceByPath.put(path, "manifests")
     val posRefs = all.filter(r => r.kind == "posdel" && r.nFiles > 0)
     val dvRefs = all.filter(r => r.kind == "dv" && r.nFiles > 0)
     val refs = all.filter(r => r.kind == "data" && r.nFiles > 0)
@@ -4592,10 +4607,13 @@ object LakeTable {
     partitionsFold(spark, refs, posRefs, dvRefs)
   }
 
-  /** Where [[partitions]] answered from on its last call ("stats" |
-    * "manifests") — in-query requires pin the warm path (same
-    * observability contract as [[lastPlanAudit]]). */
-  @volatile private[graft] var lastPartitionsSource: String = ""
+  /** Where [[partitions]] answered from on its last call PER TABLE
+    * ("stats" | "manifests") — keyed by path because verify/bench run
+    * queries concurrently and a global slot would be clobbered by
+    * whichever table answered last (the same race the per-table
+    * [[lastPlanAudit]] map exists to prevent). */
+  private[graft] val partitionsSourceByPath =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** The distributed per-partition fold over manifest ENTRY rows —
     * shared by the cold read path and the stats materialization, so
@@ -5350,6 +5368,8 @@ object LakeTable {
         "moves are not supported, only in-place renames")
     require(!newName.substring(newName.lastIndexOf('.') + 1).contains("."),
       s"invalid column name '$newName'")
+    if (oldName.contains("."))
+      requireNoLegacyNested(path, base, schema, oldName, "rename")
     // renaming a STRUCT rewrites its descendants' path prefixes in the
     // SAME commit, so child ids keep resolving under the new parent
     val next = schema.map { case (id, n) =>
@@ -5377,11 +5397,25 @@ object LakeTable {
       s"$path has no field-id schema (pre-field-id table) — add needs one"))
     require(!schema.exists(_._2 == name), s"column '$name' already exists at $path")
     // a dotted path adds a struct SUBFIELD (S16b): the parent must be
-    // a registered field — orphan paths would never resolve
+    // a registered field — orphan paths would never resolve — and a
+    // STRUCT where data carries it (a subfield under a scalar would
+    // register a dangling id no write path ever emits, silently
+    // unservable forever)
     if (name.contains(".")) {
       val parent = name.substring(0, name.lastIndexOf('.'))
       require(schema.exists(_._2 == parent),
         s"cannot add '$name': parent '$parent' is not a registered column at $path")
+      val resolved = parent.split('.').toSeq.foldLeft(
+        Option(read(spark, path, Some(base)).schema
+          : org.apache.spark.sql.types.DataType)) {
+        case (Some(st: org.apache.spark.sql.types.StructType), seg) =>
+          st.fields.find(_.name == seg).map(_.dataType)
+        case _ => None
+      }
+      resolved.foreach(dt => require(
+        dt.isInstanceOf[org.apache.spark.sql.types.StructType],
+        s"cannot add '$name': parent '$parent' is ${dt.simpleString}, " +
+          "not a struct"))
     }
     val refIds = listRefs(path, base).flatMap(_.cols.values)
     val fresh = (schema.map(_._1) ++ refIds ++ Seq(-1)).max + 1
@@ -5521,6 +5555,33 @@ object LakeTable {
       Some(schema), promotedTypes = Some(promotedOf(path, base) + (id -> target.sql)))
   }
 
+  /** Refuse a NESTED rename/drop when a live data manifest carries
+    * the affected top-level struct but registered NO dotted subfield
+    * ids under it (written before nested field ids existed): its
+    * files resolve the subtree BY NAME, so an id-addressed subfield
+    * change cannot reach them — a rename would silently null the
+    * subfield for every legacy row, a drop would let legacy files
+    * RESURFACE it. compact() rewrites files and manifests under the
+    * current write-path registration and lifts the refusal. */
+  private def requireNoLegacyNested(
+      path: String, base: Int, schema: Seq[(Int, String)],
+      dotted: String, what: String): Unit = {
+    val top = dotted.takeWhile(_ != '.')
+    schema.find(_._2 == top).map(_._1).foreach { topId =>
+      val legacy = listRefs(path, base).filter { r =>
+        r.kind == "data" && r.nFiles > 0 &&
+          r.cols.exists { case (n, i) =>
+            i == topId && !r.cols.keysIterator.exists(_.startsWith(n + "."))
+          }
+      }
+      require(legacy.isEmpty,
+        s"cannot $what '$dotted': ${legacy.size} live data manifest(s) " +
+          s"predate nested field ids for '$top' — their files resolve the " +
+          "subtree by name and an id-addressed subfield change cannot " +
+          "reach them; compact() the table first")
+    }
+  }
+
   /** METADATA-ONLY column drop: the field id leaves the schema, every
     * manifest is carried unchanged, and readers project the column
     * out of old files by id. A later add of the SAME name takes a
@@ -5534,6 +5595,8 @@ object LakeTable {
     // dropping a struct (or struct subfield, S16b) drops its whole
     // subtree — orphan child ids would resolve to paths under a
     // parent the schema no longer has
+    if (name.contains("."))
+      requireNoLegacyNested(path, base, schema, name, "drop")
     val dropped = schema.filter { case (_, n) =>
       n == name || n.startsWith(name + ".") }.map(_._1).toSet
     // an UNFOLDED equality-delete file keyed on this column would have
@@ -7398,7 +7461,7 @@ object LakeTable {
     require(analyzePartitions(s, path) == "incremental",
       "a pure append on a stats basis must refresh O(delta), not refold")
     val parts = partitions(s, path)
-    require(lastPartitionsSource == "stats",
+    require(partitionsSourceByPath.get(path) == "stats",
       "the warm path must serve the sidecar, zero manifest reads")
     require(parts.filter(col("record_count").isNull || col("file_count") < 1L ||
         col("total_bytes").isNull || col("total_bytes") <= 0L)

@@ -122,32 +122,32 @@ class SnapshotsMetaSpec extends AnyFunSuite {
       (1L to 40L).map(i => (i, if (i % 2 == 0) "a" else "b", i * 1.0))
         .toDF("k", "part_key", "v"), p, "part_key") // v0
     val cold0 = snap(LakeTable.partitions(spark, p))
-    assert(LakeTable.lastPartitionsSource === "manifests")
+    assert(LakeTable.partitionsSourceByPath.get(p) === "manifests")
     assert(LakeTable.analyzePartitions(spark, p) === "full")
     assert(LakeTable.analyzePartitions(spark, p) === "current")
     assert(snap(LakeTable.partitions(spark, p)) === cold0)
-    assert(LakeTable.lastPartitionsSource === "stats",
+    assert(LakeTable.partitionsSourceByPath.get(p) === "stats",
       "an exact-version sidecar must serve the rollup")
     // pure append: the refresh folds ONLY the delta, results identical
     LakeTable.append(
       (41L to 50L).map(i => (i, "c", i * 1.0)).toDF("k", "part_key", "v")
         .repartition(1), p) // v1 — unpartitioned files land in ""
     val cold1 = snap(LakeTable.partitions(spark, p)) // v0 sidecar ≠ v1: cold
-    assert(LakeTable.lastPartitionsSource === "manifests")
+    assert(LakeTable.partitionsSourceByPath.get(p) === "manifests")
     assert(LakeTable.analyzePartitions(spark, p) === "incremental")
     assert(snap(LakeTable.partitions(spark, p)) === cold1)
-    assert(LakeTable.lastPartitionsSource === "stats")
+    assert(LakeTable.partitionsSourceByPath.get(p) === "stats")
     // a DELETE invalidates the append-only basis: full rebuild, and
     // the rebuilt sidecar still equals the live fold
     LakeTable.delete(spark, p, col("k") <= 10L) // v2
     val cold2 = snap(LakeTable.partitions(spark, p))
-    assert(LakeTable.lastPartitionsSource === "manifests")
+    assert(LakeTable.partitionsSourceByPath.get(p) === "manifests")
     assert(LakeTable.analyzePartitions(spark, p) === "full")
     assert(snap(LakeTable.partitions(spark, p)) === cold2)
-    assert(LakeTable.lastPartitionsSource === "stats")
+    assert(LakeTable.partitionsSourceByPath.get(p) === "stats")
     // time travel serves the HISTORICAL sidecar (exact-version hit) —
     // and its content is the version's own fold, never the head's
     assert(snap(LakeTable.partitions(spark, p, Some(1))) === cold1)
-    assert(LakeTable.lastPartitionsSource === "stats")
+    assert(LakeTable.partitionsSourceByPath.get(p) === "stats")
   }
 }
