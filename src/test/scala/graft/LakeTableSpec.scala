@@ -526,6 +526,51 @@ class LakeTableSpec extends AnyFunSuite {
       "descendant ids must leave the schema with their parent")
   }
 
+  test("nested rename/drop refuse over manifests predating nested field ids; compact lifts it") {
+    val p = "/tmp/graft_test/lake_nested_legacy"
+    rmdir(p)
+    import spark.implicits._
+    LakeTable.overwrite(
+      Seq((1L, 100L, "a"), (2L, 200L, "b")).toDF("k", "ts", "tag")
+        .select(col("k"), struct(col("ts"), col("tag")).as("info")), p) // v0
+    // fabricate the PRE-UPGRADE manifest shape: strip the dotted
+    // entries from v0's list.json cols maps (what a writer from
+    // before nested field ids produced), keeping the schema's dotted
+    // registrations (as a post-upgrade append would have added them)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val list = java.nio.file.Paths.get(s"$p/_graft_meta/v0/list.json")
+    val rewritten = java.nio.file.Files.readAllLines(list)
+      .asInstanceOf[java.util.List[String]].toArray.map(_.toString)
+      .filter(_.trim.nonEmpty).map { line =>
+        val n = mapper.readTree(line).asInstanceOf[
+          com.fasterxml.jackson.databind.node.ObjectNode]
+        Option(n.get("cols")).filter(_.isObject).foreach { c =>
+          val o = c.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          val dotted = new java.util.ArrayList[String]()
+          o.fieldNames().forEachRemaining(f => if (f.contains(".")) dotted.add(f))
+          dotted.forEach(f => { o.remove(f); () })
+        }
+        mapper.writeValueAsString(n)
+      }.mkString("\n")
+    java.nio.file.Files.writeString(list, rewritten)
+    // an id-addressed subfield change cannot reach legacy files —
+    // refuse BY NAME instead of silently nulling / resurfacing
+    val ren = intercept[IllegalArgumentException](
+      LakeTable.renameColumn(spark, p, "info.ts", "info.event_ts"))
+    assert(ren.getMessage.contains("compact"), ren.getMessage)
+    val drp = intercept[IllegalArgumentException](
+      LakeTable.dropColumn(spark, p, "info.tag"))
+    assert(drp.getMessage.contains("compact"), drp.getMessage)
+    // compact rewrites files+manifests under the current write-path
+    // registration and lifts the refusal; the rename then serves
+    // every row's values under the new name
+    LakeTable.compact(spark, p) // v1
+    LakeTable.renameColumn(spark, p, "info.ts", "info.event_ts") // v2
+    assert(LakeTable.read(spark, p).select(col("k"), col("info.event_ts"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      === Map(1L -> 100L, 2L -> 200L))
+  }
+
   test("field-id drop: no rewrite; a same-name re-add serves null for old files") {
     val p = "/tmp/graft_test/lake_drop"
     rmdir(p)
