@@ -288,6 +288,7 @@ object SparkEntry {
     "lake_apply_changes" -> (sources.CdcApply.applyChangesQuery _),
     "lake_apply_changes_composite" ->
       (sources.CdcApply.applyChangesCompositeQuery _),
+    "lake_cdc_tombstone" -> (sources.CdcApply.cdcTombstoneQuery _),
     "scd2_build" -> (sources.CdcApply.scd2Query _),
     "scd2_apply" -> (sources.CdcApply.scd2ApplyQuery _),
     "lake_orphan_gc" -> (sources.LakeTable.orphanGcQuery _),
@@ -2147,6 +2148,15 @@ object SparkEntry {
         |       round(sum(l_quantity), 2) AS sum_qty,
         |       round(sum(l_extendedprice), 2) AS sum_price
         |FROM final GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // lake_cdc_tombstone: out-of-order CDC delivery (delete at seq 3
+    // applied, then a stale seq-2 batch of the same keys) converges to
+    // the in-order answer via the tombstone gate — convergence and the
+    // retention-expiry boundary are require'd in-query, so the oracle
+    // is the in-order final state recomputed from the raw table
+    "lake_cdc_tombstone" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events WHERE event_id % 5 <> 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // scd2_apply: incremental SCD2 maintenance over three ordered
     // batches + a retry, require'd row-equal to the one-shot build —
     // so it shares the batch build's oracle

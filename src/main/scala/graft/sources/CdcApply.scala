@@ -65,6 +65,105 @@ object CdcApply {
     concat_ws(", ",
       keys.map(k => coalesce(col(k).cast("string"), lit("null"))): _*)
 
+  /** The tombstone-store identity of a key tuple: components NUL-joined
+    * (the [[scd2FromChanges]] `__scd_id` posture — the separator is
+    * unreachable from cast values), NULL components rendered as a bare
+    * NUL so `(a, NULL, b)` and `(a, b, NULL)` cannot collide. */
+  private def tombKey(keys: Seq[String]): Column =
+    concat_ws(NulSep,
+      keys.map(k => coalesce(col(k).cast("string"), lit(NulSep))): _*)
+
+  /** Fold the batch's latest-per-key events into the tombstone store
+    * after an apply commits at `v` (round-16 #1 — the bounded
+    * tombstone retention DLT keeps for out-of-order CDC):
+    *
+    *  - a latest-event DELETE records (or raises) the key's tombstone;
+    *  - an APPLIED upsert (`seq >= ` any stored tombstone — the gate
+    *    already dropped the stale ones) removes it — the key is alive
+    *    again and the stored sequence takes over as the guard;
+    *  - a gated stale upsert leaves the tombstone standing;
+    *  - with [[LakeTable.CdcTombstoneRetentionKey]] declared, a
+    *    tombstone expires once the feed's high-water sequence has
+    *    advanced more than the bound past it — past expiry the
+    *    documented in-order contract is the only guard again.
+    *
+    * One distributed job, O(store + batch keys): a full-outer join on
+    * the key rendering plus a one-row high-water frame broadcast for
+    * the retention prune — never a driver fold. Skipped entirely when
+    * the table has no store and the batch applied no delete, so
+    * delete-free replication pays one lightweight probe and nothing
+    * else. */
+  private def writeBackTombstones(
+      path: String, v: Int, srcLatest: DataFrame, keys: Seq[String],
+      seqCol: String, prior: Option[DataFrame]): Unit = {
+    val batch = srcLatest.select(
+      tombKey(keys).as("bk"), col(seqCol).as("bs"), col(DelFlag).as("bd"))
+    val kept = prior match {
+      case None =>
+        batch.filter(col("bd"))
+          .select(col("bk").as("__graft_tomb_key"),
+            col("bs").as("__graft_tomb_seq"))
+      case Some(t) =>
+        t.filter(col("__graft_tomb_key").isNotNull)
+          .select(col("__graft_tomb_key").as("ok"),
+            col("__graft_tomb_seq").as("os"))
+          .join(batch, col("ok") === col("bk"), "full")
+          .select(
+            coalesce(col("ok"), col("bk")).as("__graft_tomb_key"),
+            when(col("bk").isNull, col("os"))          // untouched key
+              .when(col("bd"), greatest(col("os"), col("bs"))) // (re-)delete
+              // upsert: applied (>= tombstone) revives the key — drop
+              // the tombstone; a gated stale one leaves it standing
+              .otherwise(when(col("os").isNotNull && col("bs") < col("os"),
+                col("os")))
+              .as("__graft_tomb_seq"))
+          .filter(col("__graft_tomb_seq").isNotNull)
+    }
+    // first delete ever? a store is only worth creating when something
+    // is in it — delete-free tables never pay the sidecar
+    if (prior.isEmpty && kept.isEmpty) return
+    val hw = prior.map(_.filter(col("__graft_tomb_key").isNull)
+        .select(col("__graft_tomb_seq").as("bs")))
+      .getOrElse(batch.limit(0).select(col("bs")))
+      .unionByName(batch.select(col("bs")))
+      .agg(max(col("bs")).as("__graft_tomb_hw"))
+    val retained = LakeTable.cdcTombstoneRetention(path) match {
+      case Some(r) =>
+        kept.crossJoin(broadcast(hw)) // one-row scalar join
+          .filter(col("__graft_tomb_seq").cast("double") >=
+            col("__graft_tomb_hw").cast("double") - lit(r.toDouble))
+          .drop("__graft_tomb_hw")
+      case None => kept
+    }
+    LakeTable.writeCdcTombstones(
+      retained.unionByName(hw.select(
+        lit(null).cast("string").as("__graft_tomb_key"),
+        col("__graft_tomb_hw").as("__graft_tomb_seq"))),
+      path, v)
+  }
+
+  /** Drop the batch rows a retained tombstone outranks: an upsert
+    * STRICTLY older than the key's applied delete would resurrect it
+    * through the not-matched insert — in-order delivery would have
+    * deleted it again. An upsert AT the tombstone's sequence applies
+    * (the in-feed rule: upsert outranks delete at the same sequence),
+    * and deletes always pass (a stale one no-ops against the absent
+    * key and can only RAISE the stored tombstone). Zero cost when the
+    * table has no store. */
+  private def gateTombstones(
+      src: DataFrame, keys: Seq[String], seqCol: String,
+      prior: Option[DataFrame]): DataFrame = prior match {
+    case None => src
+    case Some(t) =>
+      src.withColumn("__graft_tk", tombKey(keys))
+        .join(t.filter(col("__graft_tomb_key").isNotNull)
+            .select(col("__graft_tomb_key"), col("__graft_tomb_seq")),
+          col("__graft_tk") === col("__graft_tomb_key"), "left")
+        .filter(col(DelFlag) || col("__graft_tomb_seq").isNull ||
+          col(seqCol) >= col("__graft_tomb_seq"))
+        .drop("__graft_tk", "__graft_tomb_key", "__graft_tomb_seq")
+  }
+
   /** Effective change events with IN-FLOW validation: preimages
     * dropped, upsert flag derived, unknown types refused, conflicting
     * same-(key, seq) upserts refused (no order exists between them —
@@ -150,14 +249,20 @@ object CdcApply {
     * clause: upserts apply at `s.seq >= t.seq` (the tie goes to the
     * incoming upsert, matching the in-feed rule), deletes only at
     * strictly newer sequences — so re-applying the SAME batch (the
-    * at-least-once retry case) is a no-op on content. The boundary,
-    * named honestly: a batch STRICTLY OLDER than an applied delete
-    * can resurrect the deleted key through the not-matched insert —
-    * a deleted key leaves no stored sequence to guard by, and
-    * keeping one would need a tombstone store this operator
-    * deliberately does not maintain; deliver batches in order, as
-    * foreachBatch does. First apply against a missing table
-    * bootstraps it (deletes of never-seen keys are no-ops).
+    * at-least-once retry case) is a no-op on content. A deleted key
+    * leaves no stored sequence to guard by, so applied deletes are
+    * recorded as TOMBSTONES in a per-version parquet sidecar
+    * ([[LakeTable.readCdcTombstones]]) and a batch STRICTLY OLDER
+    * than a retained tombstone drops its upserts of that key instead
+    * of resurrecting it through the not-matched insert — out-of-order
+    * delivery (Kafka compaction, multi-partition sources) converges
+    * to the in-order answer. Retention is bounded by the
+    * [[LakeTable.CdcTombstoneRetentionKey]] table property (sequence
+    * units against the feed's high-water mark; absent = a tombstone
+    * lives until its key is re-inserted at or past it) — PAST expiry
+    * the in-order delivery contract is the only guard again, as in
+    * DLT. First apply against a missing table bootstraps it (deletes
+    * of never-seen keys are no-ops on content but still tombstone).
     *
     * One commit per call. The default is the file-granular
     * copy-on-write merge — touched files rewrite in place, the
@@ -194,8 +299,13 @@ object CdcApply {
     val src = latest.select((cols.map(col) :+ col(DelFlag)): _*)
     LakeTable.latestVersion(path) match {
       case None =>
-        LakeTable.overwrite(
+        val committed = LakeTable.overwrite(
           src.filter(!col(DelFlag)).select(cols.map(col): _*), path)
+        // bootstrap deletes (keys the feed closed before this target
+        // ever saw them) tombstone too: a stale insert arriving later
+        // must not resurrect what in-order delivery would have deleted
+        writeBackTombstones(path, committed, src, keys, seqCol, None)
+        committed
       case Some(v) =>
         // TOP-LEVEL names only: the field-id schema also registers
         // dotted struct-subfield paths, which are not payload columns
@@ -210,11 +320,14 @@ object CdcApply {
           s"applyChanges into $path: the feed lacks target column '$c' — " +
             "a partial payload would null existing values"))
         val setAll = targetCols.map(c => c -> col(s"s.$c")).toMap
+        // retained tombstones gate the batch BEFORE the merge: a stale
+        // upsert of a deleted key must not reach the not-matched insert
+        val prior = LakeTable.readCdcTombstones(spark, path)
         // the merge consumes the source TWICE (touched-file semi-join,
         // then the clause algebra) and the feed may be an expensive
         // lazy plan (a lineage diff); cache the latest-per-key fold —
         // O(feed), never O(table) — for the duration of the commit
-        val cached = src.persist(
+        val cached = gateTombstones(src, keys, seqCol, prior).persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val clauses = Seq(
           LakeTable.MatchedDelete(Some(
@@ -225,12 +338,22 @@ object CdcApply {
         // the latest-per-key window leaves exactly one source row per
         // key tuple, so the merge skips its duplicate-source probe job
         try {
-          if (mor) LakeTable.mergeConditionalMoRKeys(
-            cached, path, keys, clauses, Some(!col(DelFlag)),
-            sourceKeyUnique = true)
-          else LakeTable.mergeConditionalKeys(
-            cached, path, keys, clauses, Some(!col(DelFlag)),
-            sourceKeyUnique = true)
+          // a FULLY-gated batch (every row a stale upsert of a
+          // tombstoned key) has nothing to commit AND nothing to fold
+          // into the store (gated upserts change neither tombstones
+          // nor the high-water) — skip the merge, keep the version
+          if (prior.isDefined && cached.isEmpty) v
+          else {
+            val committed =
+              if (mor) LakeTable.mergeConditionalMoRKeys(
+                cached, path, keys, clauses, Some(!col(DelFlag)),
+                sourceKeyUnique = true)
+              else LakeTable.mergeConditionalKeys(
+                cached, path, keys, clauses, Some(!col(DelFlag)),
+                sourceKeyUnique = true)
+            writeBackTombstones(path, committed, cached, keys, seqCol, prior)
+            committed
+          }
         } finally cached.unpersist(blocking = false)
     }
   }
@@ -369,9 +492,18 @@ object CdcApply {
     * [[scd2FromChanges]] over the concatenated feed (the gate query
     * requires it); re-applying a batch is a no-op — every rebuilt row
     * matches its existing version id, including the closed rows of
-    * deleted keys. The boundary is SCD1's: a batch strictly older
-    * than applied history rebuilds the wrong chain — deliver in
-    * order. Cost per batch: O(feed + touched keys' open rows +
+    * deleted keys. Out-of-order batches CONVERGE rather than corrupt:
+    * an event at or below a key's latest known version start, or
+    * strictly below a closing delete's end, drops as stale (the
+    * stored history is the tombstone store — no sidecar needed); what
+    * out-of-order delivery costs is the intermediate versions an
+    * in-order feed would have recorded, never a resurrected or
+    * re-opened chain. The one remaining boundary: a delete of a key
+    * the table has NEVER seen leaves no history to guard by (the feed
+    * cannot know the payload it closed — the [[scd2FromChanges]]
+    * contract), so a later stale insert of that key re-opens it;
+    * deliver such feeds in order. Cost per batch: O(feed + touched
+    * keys' open rows +
     * touched files) with the default copy-on-write merge — never a
     * history rewrite, and the history reads at full scan speed
     * between batches. `mor = true` writes O(feed) instead (closed
@@ -466,13 +598,27 @@ object CdcApply {
           // open row, and filtering by the open row alone would let a
           // replayed batch rebuild its chain with the final version
           // OPEN — silently resurrecting the deleted key (the closing
-          // delete lives in a later batch the replay knows nothing of)
+          // delete lives in a later batch the replay knows nothing of).
+          // The stored ENDS guard too (round-16 #1): a closed chain's
+          // end records the delete's sequence, so an out-of-order
+          // upsert STRICTLY below it drops — in-order delivery would
+          // have superseded it with that delete; the history IS the
+          // tombstone store here (no sidecar needed). An upsert AT the
+          // closing end applies (upsert outranks delete at the same
+          // sequence). For an open chain max(end) <= max(start), so
+          // the end guard is implied by the start guard and in-order
+          // batches (all sequences past everything applied) never trip
+          // either.
           val evNew = ev.join(
             prior.groupBy(keys.map(col): _*)
-              .agg(max(col("start_seq")).as("__graft_max_start")),
+              .agg(max(col("start_seq")).as("__graft_max_start"),
+                max(col("end_seq")).as("__graft_max_end")),
             keys, "left")
             .filter(col("__graft_max_start").isNull ||
-              col(seqCol) > col("__graft_max_start"))
+              (col(seqCol) > col("__graft_max_start") &&
+                (col("__graft_max_end").isNull ||
+                  col(seqCol) >= col("__graft_max_end"))))
+            .drop("__graft_max_start", "__graft_max_end")
           // the at-least-once retry, short-circuited: a batch whose
           // events ALL drop as replays rebuilds exactly the stored
           // tails — committing that merge is a full touched-file
@@ -602,21 +748,32 @@ object CdcApply {
       applyChangesKeys(b1, tgt, keys, "_seq") // bootstrap
       val b2 = upd.unionByName(del)
       applyChangesKeys(b2, tgt, keys, "_seq")
+      // the expected state is consumed four times (two gates × two
+      // exceptAll directions) — pin it once; each gate pins its
+      // replica read the same way so a gate costs one replica scan
+      // plus one sym-diff job, not four re-reads (round-15 verdict:
+      // the gates, not the operator, were 2/3 of the query's cost)
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val expected = li.filter(col("l_orderkey") % 7 =!= 0)
         .withColumn("l_quantity",
           when(col("l_orderkey") % 3 === 0, col("l_quantity") + lit(5.0))
             .otherwise(col("l_quantity")))
-      def drift(): Long = symDiffCount(
-        LakeTable.read(s, tgt).select(
+        .persist(lvl)
+      def drift(): Long = {
+        val t = LakeTable.read(s, tgt).select(
           "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
-          "l_extendedprice", "l_returnflag"),
-        expected)
-      require(drift() == 0L,
-        "composite-key replica must equal the expected final state exactly")
-      applyChangesKeys(b2, tgt, keys, "_seq") // the at-least-once retry
-      require(drift() == 0L,
-        "re-applying the same composite-key batch must be a content no-op " +
-          "(the stored-sequence guard over the full key tuple)")
+          "l_extendedprice", "l_returnflag").persist(lvl)
+        try symDiffCount(t, expected)
+        finally t.unpersist(blocking = false)
+      }
+      try {
+        require(drift() == 0L,
+          "composite-key replica must equal the expected final state exactly")
+        applyChangesKeys(b2, tgt, keys, "_seq") // the at-least-once retry
+        require(drift() == 0L,
+          "re-applying the same composite-key batch must be a content no-op " +
+            "(the stored-sequence guard over the full key tuple)")
+      } finally expected.unpersist(blocking = false)
       LakeTable.read(s, tgt)
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
@@ -624,6 +781,75 @@ object CdcApply {
           round(sum("l_extendedprice"), 2).as("sum_price"))
         .orderBy("l_returnflag")
     } finally li.unpersist(blocking = false)
+  }
+
+  /** Driver query: CDC TOMBSTONE RETENTION (round-16 #1) — out-of-order
+    * delivery converges to the in-order answer. A replica bootstraps
+    * from the events table, a delete batch at sequence 3 removes every
+    * fifth key, and THEN a stale pre-delete batch (sequence 2, the
+    * same keys with shifted payloads) arrives late — the Kafka-
+    * compaction shape. Without tombstones the stale upserts would
+    * resurrect every deleted key through the not-matched insert; the
+    * require pins that the replica equals the in-order final state
+    * EXACTLY (one two-direction sym-diff pass). A second tiny target
+    * then pins the RETENTION contract: with
+    * `cdc.tombstones.retention.sequences = 5`, a high-water advance
+    * past the bound expires the tombstones and the same stale insert
+    * resurrects — the documented boundary returns past expiry, require'd
+    * in-query. The oracle recomputes the in-order state from the raw
+    * table, so the gate → store → expiry loop is hash-verified. */
+  def cdcTombstoneQuery(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val tgt = LakeTable.freshWorkDir("lakecdctomb", d)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val ev = graft.Tables.load(s, d, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .persist(lvl)
+    try {
+      val deleted = ev.filter(col("event_id") % 5 === 0)
+      applyChanges(ev.withColumn("change_type", lit("insert"))
+        .withColumn("_seq", lit(1L)), tgt, "event_id", "_seq")
+      applyChanges(deleted.withColumn("change_type", lit("delete"))
+        .withColumn("_seq", lit(3L)), tgt, "event_id", "_seq")
+      // the stale batch: STRICTLY older than the applied delete, its
+      // payload shifted so a resurrection could never masquerade as
+      // the in-order answer
+      applyChanges(deleted.withColumn("value", col("value") + lit(100.0))
+        .withColumn("change_type", lit("update_postimage"))
+        .withColumn("_seq", lit(2L)), tgt, "event_id", "_seq")
+      val got = LakeTable.read(s, tgt)
+        .select("event_id", "event_type", "value").persist(lvl)
+      try require(
+        symDiffCount(got, ev.filter(col("event_id") % 5 =!= 0)) == 0L,
+        "a stale pre-delete batch must converge to the in-order answer " +
+          "(the tombstone gate)")
+      finally got.unpersist(blocking = false)
+      // RETENTION EXPIRY, on a sentinel-sized second target: delete at
+      // sequence 10 tombstones the key; retention 5 and a high-water
+      // advance to 20 expire it; the stale insert then resurrects —
+      // past expiry the in-order contract is the only guard, as
+      // documented
+      val t2 = LakeTable.freshWorkDir("lakecdctombexp", d)
+      def one(id: Long, seq: Long, typ: String): DataFrame =
+        s.range(1).select(lit(id).as("event_id"), lit("x").as("event_type"),
+          lit(0.0).as("value"), lit(typ).as("change_type"),
+          lit(seq).as("_seq"))
+      applyChanges(one(1L, 1L, "insert"), t2, "event_id", "_seq")
+      LakeTable.setTableProperties(s, t2,
+        Map(LakeTable.CdcTombstoneRetentionKey -> "5"))
+      applyChanges(one(1L, 10L, "delete"), t2, "event_id", "_seq")
+      applyChanges(one(1L, 2L, "insert"), t2, "event_id", "_seq")
+      require(LakeTable.read(s, t2).filter(col("event_id") === 1L).isEmpty,
+        "within retention the tombstone must gate the stale insert")
+      applyChanges(one(2L, 20L, "insert"), t2, "event_id", "_seq") // hw → 20
+      applyChanges(one(1L, 2L, "insert"), t2, "event_id", "_seq")
+      require(LakeTable.read(s, t2).filter(col("event_id") === 1L).count() == 1L,
+        "past retention expiry the documented in-order boundary returns " +
+          "(the stale insert applies)")
+      LakeTable.read(s, tgt)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+        .orderBy("event_type")
+    } finally ev.unpersist(blocking = false)
   }
 
   /** Driver query: INCREMENTAL SCD2 maintenance end to end — the same

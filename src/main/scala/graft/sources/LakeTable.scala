@@ -692,7 +692,8 @@ object LakeTable {
     DmlModeKeys.foreach(k => props.flatMap(_.get(k)).foreach(v =>
       require(Set("copy-on-write", "merge-on-read")(v),
         s"$k '$v' — expected copy-on-write or merge-on-read")))
-    Seq("commit.retry.num-retries", "commit.retry.min-wait-ms").foreach(k =>
+    Seq("commit.retry.num-retries", "commit.retry.min-wait-ms",
+        CdcTombstoneRetentionKey).foreach(k =>
       props.flatMap(_.get(k)).foreach(v =>
         require(scala.util.Try(v.toLong).toOption.exists(_ >= 0L),
           s"$k '$v' — expected a non-negative integer")))
@@ -1322,7 +1323,8 @@ object LakeTable {
     DmlModeKeys.foreach(k => add.get(k).foreach(v =>
       require(Set("copy-on-write", "merge-on-read")(v),
         s"$k '$v' — expected copy-on-write or merge-on-read")))
-    Seq("commit.retry.num-retries", "commit.retry.min-wait-ms").foreach(k =>
+    Seq("commit.retry.num-retries", "commit.retry.min-wait-ms",
+        CdcTombstoneRetentionKey).foreach(k =>
       add.get(k).foreach(v =>
         require(scala.util.Try(v.toLong).toOption.exists(_ >= 0L),
           s"$k '$v' — expected a non-negative integer")))
@@ -4743,6 +4745,57 @@ object LakeTable {
     Files.writeString(partStatsFile(path, v), body)
     if (basis.isDefined) "incremental" else "full"
   }
+
+  // ---- CDC TOMBSTONE SIDECAR (round-16 #1): applied-delete
+  // (key, seq) pairs kept next to the version's manifest list so the
+  // APPLY plane ([[CdcApply]]) can refuse a stale out-of-order insert
+  // of a deleted key instead of resurrecting it — the bounded
+  // tombstone-retention store Delta Live Tables keeps for the same
+  // contract. The store is PARQUET written by ONE distributed job and
+  // never driver-materialized (it is joined against the batch, not
+  // collect()ed), so a 10⁸-deleted-key table pays a shuffle, not a
+  // driver fold. Rows: `__graft_tomb_key` (NUL-joined key rendering,
+  // the [[CdcApply]] identity) + `__graft_tomb_seq` in the feed's own
+  // sequence type; one NULL-keyed row carries the feed's high-water
+  // sequence (retention is measured against it). ----
+
+  /** Table property bounding tombstone retention in SEQUENCE UNITS:
+    * a tombstone expires once the feed's high-water sequence has
+    * advanced more than this far past it (absent = keep until the
+    * key is re-inserted). Numeric sequences only — the bound is
+    * arithmetic over the sequence domain. */
+  val CdcTombstoneRetentionKey = "cdc.tombstones.retention.sequences"
+
+  private def cdcTombstonesFile(path: String, v: Int): java.nio.file.Path =
+    Paths.get(s"${metaDir(path)}/v$v/cdc_tombstones.parquet")
+
+  /** The retained tombstone store as of the table head: the NEWEST
+    * version at or below head carrying a sidecar (applies write one
+    * per commit; unrelated commits — compaction, property sets —
+    * leave the walk to find the last apply's). None = no apply ever
+    * recorded a delete. */
+  private[sources] def readCdcTombstones(
+      spark: SparkSession, path: String): Option[DataFrame] =
+    latestVersion(path).flatMap { v =>
+      (0 to v).reverse.find(b => Files.exists(cdcTombstonesFile(path, b)))
+        .map(b => spark.read.parquet(cdcTombstonesFile(path, b).toString))
+    }
+
+  /** Persist the tombstone store next to version `v`'s manifest list
+    * (the [[analyzePartitions]] sidecar posture: written after the
+    * commit publishes, owned by the single-writer apply plane). */
+  private[sources] def writeCdcTombstones(
+      df: DataFrame, path: String, v: Int): Unit = {
+    val dest = cdcTombstonesFile(path, v)
+    Files.createDirectories(dest.getParent)
+    writeSingleParquet(df.sparkSession, df, dest)
+  }
+
+  /** The declared tombstone retention bound (sequence units), if any. */
+  private[sources] def cdcTombstoneRetention(path: String): Option[Long] =
+    latestVersion(path)
+      .flatMap(v => tablePropsOf(path, v).get(CdcTombstoneRetentionKey))
+      .map(_.toLong)
 
   /** Iceberg-style `files` METADATA TABLE: one row per data/delete
     * file of a snapshot, read as ONE distributed job over the

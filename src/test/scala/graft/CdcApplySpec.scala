@@ -254,6 +254,123 @@ class CdcApplySpec extends AnyFunSuite {
     assert(LakeTable.read(spark, p).count() === 2L)
   }
 
+  test("tombstones: out-of-order deletes converge instead of resurrecting") {
+    val p = "/tmp/graft_test/cdc_tomb"
+    rmdir(p)
+    def feed(rows: (Long, String, Long, String)*) =
+      rows.toDF("k", "s", "_seq", "change_type")
+    CdcApply.applyChanges(feed((1L, "a", 1L, "insert"), (2L, "b", 1L, "insert")),
+      p, "k", "_seq")
+    CdcApply.applyChanges(feed((1L, "a", 10L, "delete")), p, "k", "_seq")
+    // the stale pre-delete batch: an upsert STRICTLY older than the
+    // applied delete — without the tombstone gate the not-matched
+    // insert would resurrect k=1
+    CdcApply.applyChanges(feed((1L, "stale", 5L, "update_postimage")),
+      p, "k", "_seq")
+    assert(content(p) === Seq((2L, "b", 1L)))
+    // an upsert AT the tombstone's sequence applies (the in-feed rule:
+    // upsert outranks delete at the same sequence) and revives the key
+    CdcApply.applyChanges(feed((1L, "tie", 10L, "insert")), p, "k", "_seq")
+    assert(content(p) === Seq((1L, "tie", 10L), (2L, "b", 1L)))
+    // the applied re-insert removed the tombstone; the STORED sequence
+    // is the guard again (an older upsert no-ops at the merge)
+    CdcApply.applyChanges(feed((1L, "older", 7L, "update_postimage")),
+      p, "k", "_seq")
+    assert(content(p) === Seq((1L, "tie", 10L), (2L, "b", 1L)))
+    // re-delete, then a MIXED batch: the stale upsert drops while the
+    // fresh sibling applies — gating is per-row, not per-batch
+    CdcApply.applyChanges(feed((1L, "tie", 12L, "delete")), p, "k", "_seq")
+    CdcApply.applyChanges(feed(
+      (1L, "stale2", 11L, "update_postimage"),
+      (2L, "b2", 13L, "update_postimage")), p, "k", "_seq")
+    assert(content(p) === Seq((2L, "b2", 13L)))
+    // a FULLY-gated batch is a version no-op, and the retry of the
+    // stale batch stays gated (idempotence through the store)
+    val v = LakeTable.latestVersion(p).get
+    CdcApply.applyChanges(feed((1L, "stale2", 11L, "update_postimage")),
+      p, "k", "_seq")
+    assert(LakeTable.latestVersion(p).get === v)
+    // bootstrap deletes tombstone too: a key the feed closed before
+    // the target ever saw it must not come back via a late insert
+    val p2 = "/tmp/graft_test/cdc_tomb_boot"
+    rmdir(p2)
+    CdcApply.applyChanges(feed((5L, "x", 5L, "delete"), (6L, "y", 1L, "insert")),
+      p2, "k", "_seq")
+    CdcApply.applyChanges(feed((5L, "late", 3L, "insert")), p2, "k", "_seq")
+    assert(content(p2) === Seq((6L, "y", 1L)))
+  }
+
+  test("tombstones: composite tuples gate independently; retention expiry") {
+    val p = "/tmp/graft_test/cdc_tomb_comp"
+    rmdir(p)
+    def cfeed(rows: (Long, Int, String, Long, String)*) =
+      rows.toDF("ok", "ln", "s", "_seq", "change_type")
+    val keys = Seq("ok", "ln")
+    CdcApply.applyChangesKeys(cfeed(
+      (1L, 1, "a", 1L, "insert"), (1L, 2, "b", 1L, "insert")), p, keys, "_seq")
+    CdcApply.applyChangesKeys(cfeed((1L, 1, "a", 10L, "delete")), p, keys, "_seq")
+    // tuple (1,1) is tombstoned; sibling (1,2) shares the first
+    // component and must NOT be caught by its tombstone
+    CdcApply.applyChangesKeys(cfeed(
+      (1L, 1, "stale", 5L, "insert"),
+      (1L, 2, "b2", 5L, "update_postimage")), p, keys, "_seq")
+    val cur = LakeTable.read(spark, p).collect()
+      .map(r => (r.getAs[Long]("ok"), r.getAs[Int]("ln"), r.getAs[String]("s")))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(cur === Seq((1L, 2, "b2")))
+    // ---- retention expiry: past the declared bound the tombstone
+    // expires and the documented in-order boundary returns ----
+    val p3 = "/tmp/graft_test/cdc_tomb_ret"
+    rmdir(p3)
+    def feed(rows: (Long, String, Long, String)*) =
+      rows.toDF("k", "s", "_seq", "change_type")
+    CdcApply.applyChanges(feed((1L, "a", 1L, "insert")), p3, "k", "_seq")
+    LakeTable.setTableProperties(spark, p3,
+      Map(LakeTable.CdcTombstoneRetentionKey -> "5"))
+    CdcApply.applyChanges(feed((1L, "a", 10L, "delete")), p3, "k", "_seq")
+    // within retention (high-water 10): gated
+    CdcApply.applyChanges(feed((1L, "stale", 2L, "insert")), p3, "k", "_seq")
+    assert(content(p3) === Seq.empty)
+    // advance the high-water past 10 + 5 → the tombstone expires
+    CdcApply.applyChanges(feed((2L, "hw", 20L, "insert")), p3, "k", "_seq")
+    CdcApply.applyChanges(feed((1L, "stale", 2L, "insert")), p3, "k", "_seq")
+    assert(content(p3) === Seq((1L, "stale", 2L), (2L, "hw", 20L)))
+  }
+
+  test("applyChangesScd2: out-of-order events drop as stale, never re-open chains") {
+    val p = "/tmp/graft_test/cdc_scd2_ooo"
+    rmdir(p)
+    def feed(rows: (Long, String, Long, String)*) =
+      rows.toDF("k", "s", "_seq", "change_type")
+    def stored(): Seq[(Long, String, Long, Option[Long], Boolean)] =
+      LakeTable.read(spark, p).collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[String]("s"),
+          r.getAs[Long]("start_seq"),
+          Option(r.getAs[java.lang.Long]("end_seq")).map(_.toLong),
+          r.getAs[Boolean]("is_current")))
+        .sortBy(r => (r._1, r._3)).toSeq
+    CdcApply.applyChangesScd2(feed(
+      (1L, "v1", 10L, "insert"), (2L, "w1", 10L, "insert")), p, "k", "_seq")
+    CdcApply.applyChangesScd2(feed((1L, "v1", 20L, "delete")), p, "k", "_seq")
+    val closed = Seq(
+      (1L, "v1", 10L, Some(20L), false), (2L, "w1", 10L, None, true))
+    assert(stored() === closed)
+    // the resurrection trap: an upsert BETWEEN the last version start
+    // and the closing delete's end — in-order delivery would have
+    // superseded it with that delete; it must drop, not re-open
+    CdcApply.applyChangesScd2(feed((1L, "ghost", 15L, "insert")), p, "k", "_seq")
+    assert(stored() === closed)
+    // an insert AT the closing end applies (upsert outranks delete at
+    // the same sequence — matches the one-shot build's tie rule)
+    CdcApply.applyChangesScd2(feed((1L, "re", 20L, "insert")), p, "k", "_seq")
+    val reborn = (closed :+ ((1L, "re", 20L, Option.empty[Long], true)))
+      .sortBy(r => (r._1, r._3))
+    assert(stored() === reborn)
+    // and stale events below the NEW chain still drop
+    CdcApply.applyChangesScd2(feed((1L, "old", 17L, "insert")), p, "k", "_seq")
+    assert(stored() === reborn)
+  }
+
   test("applyChangesStream: continuous replication over the lineage CDC stream") {
     val src = "/tmp/graft_test/cdc_stream_src"
     val tgt = "/tmp/graft_test/cdc_stream_tgt"
