@@ -43,6 +43,20 @@ object Util {
     body(s2)
   }
 
+  /** Unload every cached state-store provider from executor memory
+    * (round-16 #2). Structured Streaming keeps each query's loaded
+    * provider maps in a JVM-wide cache after the query terminates,
+    * waiting for the ~60 s maintenance tick to evict them; across a
+    * long many-query run the retired state accumulates as old-gen
+    * heap and the LATE queries pay it as GC wall. A finished
+    * AvailableNow lifecycle never reuses its providers (each run has
+    * a fresh checkpoint/runId), so dropping them eagerly is pure
+    * hygiene: correctness is checkpoint-backed (a provider unloaded
+    * under a LIVE query reloads from its snapshot+deltas), and a
+    * no-op when nothing is loaded. */
+  def drainStreamState(): Unit =
+    org.apache.spark.sql.GraftSqlShim.unloadStateStores()
+
   /** rm -rf (no-op if absent); the walk stream is closed properly. */
   def rmRecursive(path: String): Unit = {
     val p = java.nio.file.Paths.get(path)

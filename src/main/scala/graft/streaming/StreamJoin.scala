@@ -58,13 +58,19 @@ object StreamJoin {
     * pair only with each other — user −1, filtered uniformly by every
     * consumer) and required by the outer forms. Same sharing contract
     * as the CDC lifecycles ([[graft.sources.LakeTable]]); COLD mode
-    * clears the pointer so a consumer rebuilds from scratch. */
+    * clears the pointer so a consumer rebuilds from scratch.
+    *
+    * Keyed by sfDir ALONE, matching the on-disk path (round-15
+    * ADVICE): a (session, sfDir) key with an sfDir-only path let a
+    * second session rmRecursive the corpus out from under the first
+    * session's active readers. The staged parquet is
+    * session-independent, so one pointer per sfDir is both sufficient
+    * and the only race-free shape. */
   private val arrivalsShared =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def sharedArrivals(s: SparkSession, d: String): String = {
-    arrivalsShared.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    arrivalsShared.computeIfAbsent((s, d), _ => {
+    arrivalsShared.computeIfAbsent(d, _ => {
       val arrivals =
         s"/tmp/graft_stream_arrivals_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
       graft.Util.rmRecursive(arrivals)
@@ -157,6 +163,12 @@ object StreamJoin {
         .start()
       q.awaitTermination()
     }
+    // retire this lifecycle's state-store providers NOW instead of
+    // leaving them for the ~60 s maintenance tick (round-16 #2: in a
+    // full many-query run the five joins run late and paid the
+    // accumulated state of every streaming query before them as GC
+    // wall; the subset A/B without that context ran ~2× faster)
+    graft.Util.drainStreamState()
     s.read.parquet(s"$out/pairs")
   }
 

@@ -154,6 +154,12 @@ object GraftSqlShim {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Unload every cached state-store provider (`StateStore.unloadAll`
+    * is private[sql]) — the between-query streaming hygiene hook;
+    * see [[graft.Util.drainStreamState]] for the contract. */
+  def unloadStateStores(): Unit =
+    execution.streaming.state.StateStore.unloadAll()
+
   /** Session-configured Hadoop conf (SQL confs applied) — what file
     * scans must read footers with; `sessionState` is private[sql]. */
   def hadoopConf(spark: SparkSession): org.apache.hadoop.conf.Configuration =
