@@ -8307,6 +8307,47 @@ object LakeTable {
       .orderBy("src", "event_type")
   }
 
+  /** The deterministic 1/5 lineitem slice + source feed both sides of
+    * the composite-MoR-merge contract consume — ONE definition so the
+    * timed MoR lifecycle and the prestaged CoW twin (and the oracle)
+    * cannot desynchronize. */
+  private def morCompSlice(s: SparkSession, d: String): DataFrame =
+    graft.Tables.load(s, d, "lineitem")
+      .filter(col("l_orderkey") % 5L === 0L)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+  private def morCompSource(li: DataFrame): DataFrame = {
+    val srcBase = li.groupBy("l_orderkey", "l_linenumber")
+      .agg(min("l_quantity").as("l_quantity"),
+        min("l_extendedprice").as("l_extendedprice"))
+    srcBase.filter(col("l_orderkey") % 7L === 0L)
+      .withColumn("l_quantity", col("l_quantity") + 100.0)
+      .unionByName(srcBase.filter(col("l_orderkey") % 13L === 0L)
+        .withColumn("l_orderkey", col("l_orderkey") + 10000000L))
+  }
+
+  // the CoW TWIN of the composite MoR merge, built once per sf dir in
+  // the prestage pass (round-15 "wrong" #2: the timed query paid the
+  // twin's overwrite + full CoW merge on top of the MoR lifecycle
+  // under test — ~2× work for a gate input; the twin is an immutable
+  // reference table, exactly the shared-lifecycle contract above)
+  private val morCompTwinShared =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[sources] def sharedMorCompositeTwin(s: SparkSession, d: String): String =
+    morCompTwinShared.computeIfAbsent(d, _ => {
+      val pC = freshWorkDir("lakemorcompcow_shared", d)
+      val li = morCompSlice(s, d)
+      overwrite(li, pC)
+      mergeConditionalKeys(
+        morCompSource(li), pC, Seq("l_orderkey", "l_linenumber"),
+        matched = Seq(
+          MatchedDelete(Some(col("t.l_linenumber") === 1)),
+          MatchedUpdate(None, Map("l_quantity" -> col("s.l_quantity")))),
+        notMatchedInsert = Some(lit(true)))
+      pC
+    })
+
   /** Driver query: COMPOSITE-KEY MERGE-ON-READ MERGE (round-14 #1) —
     * the same (l_orderkey, l_linenumber) business-key MERGE as
     * [[mergeCompositeQuery]], but under `write.merge.mode =
@@ -8316,34 +8357,25 @@ object LakeTable {
     * ingest shape at 100 TB, where the CoW twin would rewrite every
     * touched file. In-query requires pin the contract: the MoR
     * history records `mor_merge`, the content EQUALS the CoW twin
-    * (one-job symmetric-diff count), and [[convertEqualityDeletes]]
-    * retires the n-column delete file into deletion vectors with
-    * zero data rewritten (the metadata plane serves again). The
-    * oracle replays the clause algebra from the raw table — the same
-    * SQL as the CoW twin's. */
+    * (one-job symmetric-diff count against
+    * [[sharedMorCompositeTwin]], the prestaged reference built once
+    * per sf dir through the library's CoW planner), and
+    * [[convertEqualityDeletes]] retires the n-column delete file into
+    * deletion vectors with zero data rewritten (the metadata plane
+    * serves again). The oracle replays the clause algebra from the
+    * raw table — the same SQL as the CoW twin's. */
   def morMergeCompositeQuery(s: SparkSession, d: String): DataFrame = {
     val pM = freshWorkDir("lakemorcomp", d)
-    val pC = freshWorkDir("lakemorcompcow", d)
     // a deterministic 1/5 slice: the lifecycle runs the SAME algebra
-    // as the CoW twin query but pays it FOUR times (two tables, two
-    // planners, a symmetric diff, a convert) — the slice keeps the
+    // as the CoW twin query but pays it several times over (the MoR
+    // table, a symmetric diff, a convert) — the slice keeps the
     // benchmark honest about the contract without quadrupling the
     // full-corpus cost (round-14 cost discipline)
-    val li = graft.Tables.load(s, d, "lineitem")
-      .filter(col("l_orderkey") % 5L === 0L)
-      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    val li = morCompSlice(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     overwrite(li, pM)
-    overwrite(li, pC)
     setTableProperties(s, pM, Map("write.merge.mode" -> "merge-on-read"))
-    val srcBase = li.groupBy("l_orderkey", "l_linenumber")
-      .agg(min("l_quantity").as("l_quantity"),
-        min("l_extendedprice").as("l_extendedprice"))
-    srcBase.filter(col("l_orderkey") % 7L === 0L)
-      .withColumn("l_quantity", col("l_quantity") + 100.0)
-      .unionByName(srcBase.filter(col("l_orderkey") % 13L === 0L)
-        .withColumn("l_orderkey", col("l_orderkey") + 10000000L))
-      .createOrReplaceTempView("graft_mcm_src")
+    morCompSource(li).createOrReplaceTempView("graft_mcm_src")
     s.sql("DROP TABLE IF EXISTS graft_mcm")
     s.sql(s"CREATE TABLE graft_mcm USING graftlake OPTIONS (path '$pM')")
     // the SQL route: write.merge.mode must carry the composite ON key
@@ -8356,16 +8388,11 @@ object LakeTable {
     val opsM = history(s, pM).collect().map(r => r.getInt(0) -> r.getString(1)).toMap
     require(opsM == Map(0 -> "overwrite", 1 -> "set_properties", 2 -> "mor_merge"),
       s"the composite MoR MERGE must commit ONE mor_merge, got $opsM")
-    // CoW twin through the library planner — same clause algebra
-    mergeConditionalKeys(
-      s.table("graft_mcm_src"), pC, Seq("l_orderkey", "l_linenumber"),
-      matched = Seq(
-        MatchedDelete(Some(col("t.l_linenumber") === 1)),
-        MatchedUpdate(None, Map("l_quantity" -> col("s.l_quantity")))),
-      notMatchedInsert = Some(lit(true)))
-    // MoR ≡ CoW, one distributed job (symmetric diff must be empty)
+    // MoR ≡ CoW, one distributed job (symmetric diff must be empty);
+    // the twin is the prestaged shared reference — an immutable table
+    // the gate only READS (in COLD mode the consumer rebuilds it)
     val m = read(s, pM)
-    val cw = read(s, pC)
+    val cw = read(s, sharedMorCompositeTwin(s, d))
     val diff = m.exceptAll(cw).unionByName(cw.exceptAll(m)).limit(1).count()
     require(diff == 0L, "merge-on-read content must equal the CoW twin")
     // the n-column equality-delete file folds to deletion vectors
@@ -8797,7 +8824,8 @@ object LakeTable {
   private[graft] def prestageShared(s: SparkSession, d: String): Unit = {
     materializeChanges(s, sharedCowLifecycle(s, d))
     materializeChanges(s, sharedLineageLifecycle(s, d), lineage = true)
-    sharedAppendLifecycle(s, d); ()
+    sharedAppendLifecycle(s, d)
+    sharedMorCompositeTwin(s, d); ()
   }
 
   // shared APPEND lifecycle (v0 overwrite evens → v1 append %4==1 →
@@ -8831,6 +8859,7 @@ object LakeTable {
     * gives the rebuild a new dir). */
   private[graft] def clearSharedCaches(): Unit = {
     cowShared.clear(); lineageShared.clear(); appendShared.clear()
+    morCompTwinShared.clear()
   }
 
   /** Driver query: MERGE-ON-READ UPSERT — write events (v0), then
