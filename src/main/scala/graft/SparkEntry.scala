@@ -161,6 +161,7 @@ object SparkEntry {
     "q20_promotion_suppliers" -> (ops.Relational.q20PromotionSuppliers _),
     "dup_ngram_frac" -> (llm.TextAnalysis.dupNgramFrac _),
     "exact_substring_spans" -> (llm.TextAnalysis.exactSubstringSpans _),
+    "exact_substring_cut" -> (llm.TextAnalysis.exactSubstringCut _),
     "quality_logit" -> (llm.TextAnalysis.qualityLogit _),
     "normalized_dedup" -> (llm.Dedup.normalizedDedup _),
     "k_anonymity_audit" -> ((s, d) => ops.Relational.kAnonymityAudit(s, d)),
@@ -2743,6 +2744,33 @@ object SparkEntry {
         |       round(coalesce(dup_tokens, 0) * 1.0 /
         |             greatest(len(string_split(text, ' ')), 1), 6) AS dup_frac
         |FROM documents LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // exact_substring_cut (L13b): the islands CTE carried one step
+    // further — every token covered by a duplicated 8-token window is
+    // cut and the kept tokens re-join in order; identical covered-set
+    // expansion + anti-join + ordered string_agg on both engines
+    "exact_substring_cut" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |win AS (SELECT doc_id, CAST(i AS INT) AS pos,
+        |          array_to_string(tk[CAST(i AS INT):CAST(i AS INT) + 7], ' ') AS w
+        |        FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i
+        |              FROM toks WHERE len(tk) >= 8)),
+        |cnts AS (SELECT w, count(*) AS cnt FROM win GROUP BY 1),
+        |dup AS (SELECT doc_id, pos FROM win JOIN cnts USING (w) WHERE cnt >= 2),
+        |cov AS (SELECT DISTINCT doc_id, pos + i AS idx
+        |        FROM dup CROSS JOIN (SELECT unnest(range(0, 8)) AS i) o),
+        |tokpos AS (SELECT doc_id, CAST(i AS INT) AS idx, tk[CAST(i AS INT)] AS tok
+        |           FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i
+        |                 FROM toks)),
+        |kept AS (SELECT t.doc_id, t.idx, t.tok FROM tokpos t
+        |         LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.idx = c.idx
+        |         WHERE c.idx IS NULL),
+        |cl AS (SELECT doc_id, count(*) AS kept_tokens,
+        |              string_agg(tok, ' ' ORDER BY idx) AS clean_text
+        |       FROM kept GROUP BY 1)
+        |SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |       CAST(coalesce(kept_tokens, 0) AS INT) AS kept_tokens,
+        |       coalesce(clean_text, '') AS clean_text
+        |FROM documents LEFT JOIN cl USING (doc_id) ORDER BY doc_id""".stripMargin,
     // quality_logit: identical linear formula inside and outside the
     // sigmoid; keep tests the LINEAR score (monotone σ) so exp() never
     // sits on the decision boundary

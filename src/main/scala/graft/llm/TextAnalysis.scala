@@ -765,9 +765,28 @@ object TextAnalysis {
     * a 128-bit window hash instead of the spelled-out string (same
     * plan, ~8× smaller shuffle); the string key here keeps the query
     * bit-identical to the cross-engine oracle. */
-  def exactSubstringSpans(s: SparkSession, d: String): DataFrame = {
-    val W = 8
-    val docs = Tables.load(s, d, "documents")
+  /** The exact-substring window width (tokens) shared by the spans
+    * report and the cut transform. */
+  private val ExactW = 8
+
+  /** Duplicated window START positions (doc_id, pos — 1-based): a
+    * position is duplicated when its [[ExactW]]-token window occurs
+    * anywhere else in the corpus. ONE definition consumed by both
+    * [[exactSubstringSpans]] (the report) and [[exactSubstringCut]]
+    * (the transform), so the two can never disagree about what is
+    * duplicated.
+    *
+    * The window frame feeds two consumers (count agg, position probe)
+    * and the explode DOES run once per consumer — measured:
+    * ReuseExchange never fires here because column pruning
+    * specializes each consumer's subtree (counts prunes to `w`
+    * alone), which is the better trade: the map-side explode is
+    * cheap, the pruned agg shuffle is not. A pinned shared exchange
+    * was tried and rejected (it forces the probe through a shuffle
+    * where the planner's broadcast/SMJ choice is strictly better at
+    * either scale). */
+  private def exactDupPositions(docs: DataFrame): DataFrame = {
+    val W = ExactW
     val toks = docs
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .filter(size(col("tk")) >= W)
@@ -779,17 +798,15 @@ object TextAnalysis {
         s"transform(sequence(1, size(tk) - ${W - 1}), " +
           s"i -> concat_ws(' ', slice(tk, i, $W)))")))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("w"))
-    // `win` feeds two consumers (count agg, position probe) and the
-    // explode DOES run once per consumer — measured: ReuseExchange
-    // never fires here because column pruning specializes each
-    // consumer's subtree (counts prunes to `w` alone), which is the
-    // better trade: the map-side explode is cheap, the pruned agg
-    // shuffle is not. A pinned shared exchange was tried and rejected
-    // (it forces the probe through a shuffle where the planner's
-    // broadcast/SMJ choice is strictly better at either scale).
     val counts = win.groupBy("w").agg(count(lit(1)).as("cnt"))
-    val dup = win.join(counts, Seq("w")).filter(col("cnt") >= 2)
+    win.join(counts, Seq("w")).filter(col("cnt") >= 2)
       .select("doc_id", "pos")
+  }
+
+  def exactSubstringSpans(s: SparkSession, d: String): DataFrame = {
+    val W = ExactW
+    val docs = Tables.load(s, d, "documents")
+    val dup = exactDupPositions(docs)
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val spans = dup
       // gaps-and-islands: a window starts a NEW span unless it
@@ -815,6 +832,61 @@ object TextAnalysis {
           greatest(col("n_tokens"), lit(1)), 6).as("dup_frac"))
       .orderBy("doc_id")
   }
+
+  /** L13b EXACT-SUBSTRING CUT (round-16 #4) — the TRANSFORM half of
+    * Lee et al. 2021's ExactSubstr deduplication: where
+    * [[exactSubstringSpans]] REPORTS the duplicated spans, this EMITS
+    * the cleaned corpus a pipeline actually consumes — every token
+    * covered by any duplicated [[ExactW]]-token window is cut and the
+    * kept fragments re-join in order (single-space canonical form,
+    * the tokenizer's inverse). A doc with no duplication passes
+    * through token-identical; a fully-duplicated doc collapses to the
+    * empty string (the paper keeps one copy only when cutting at the
+    * SUFFIX-ARRAY level — at window granularity every occurrence of a
+    * duplicated window is cut on all sides, the conservative
+    * curation-side choice).
+    *
+    * Scale shape: the shared duplicated-position frame (one window
+    * explode + one count shuffle on the window key), the covered-set
+    * expansion (O(dup windows × W), shuffled on (doc, idx)), one
+    * anti-join against the token-position explode, one per-doc
+    * re-assembly aggregation — every stage keys on doc or window,
+    * never doc×doc, and the re-join is bounded by |kept tokens|. */
+  private[graft] def exactSubstringCutFrame(docs: DataFrame): DataFrame = {
+    val W = ExactW
+    // covered token positions: each duplicated window covers
+    // [pos, pos + W - 1]; distinct because overlapping windows cover
+    // the same positions many times over
+    val covered = exactDupPositions(docs)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(W - 1))).as("idx"))
+      .distinct()
+    val tokPos = docs
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      // materialization barrier: posexplode over an inlined split
+      // would re-tokenize per index (the dupNgramFrac measurement)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), posexplode(col("tk")))
+      .select(col("doc_id"), (col("pos") + 1).as("idx"), col("col").as("tok"))
+    val kept = tokPos.join(covered, Seq("doc_id", "idx"), "left_anti")
+    // order restored by idx (collect_list alone is arrival-ordered —
+    // nondeterministic under shuffles; the struct sort pins it)
+    val cleaned = kept.groupBy("doc_id").agg(
+      count(lit(1)).cast("int").as("kept_tokens"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("idx"), col("tok")))),
+        x => x.getField("tok")), " ").as("clean_text"))
+    docs.select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
+      .join(cleaned, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0)).as("kept_tokens"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  def exactSubstringCut(s: SparkSession, d: String): DataFrame =
+    exactSubstringCutFrame(Tables.load(s, d, "documents"))
 
   def dupNgramFrac(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.load(s, d, "documents")

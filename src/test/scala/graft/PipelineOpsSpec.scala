@@ -332,6 +332,45 @@ class PipelineOpsSpec extends AnyFunSuite {
       5L -> ((2, 0, 0, 0, 0.0))), s"got $got")
   }
 
+  test("exact_substring_cut: spans at doc start/end, adjacent spans, all-duplicated doc") {
+    import spark.implicits._
+    val tmp = "/tmp/graft_test/exact_substr_cut"
+    val mid = (1 to 14).map(i => s"u$i").mkString(" ")
+    val pRun = (1 to 8).map(i => s"p$i").mkString(" ")
+    val qRun = (1 to 8).map(i => s"q$i").mkString(" ")
+    Seq(
+      // docs 1/2: the shared run sits at doc 1's START and doc 2's END
+      (1L, "a b c d e f g h i j", "en", "s", 1L),
+      (2L, "z a b c d e f g h i", "en", "s", 1L),
+      // doc 3: fully duplicated (its two windows are identical) —
+      // the cut collapses it to the empty string
+      (3L, "w w w w w w w w w", "en", "s", 1L),
+      // doc 4: two duplicated regions bracketing 14 unique tokens
+      (4L, s"a b c d e f g h $mid w w w w w w w w", "en", "s", 1L),
+      (5L, "x y", "en", "s", 1L), // too short for any window: kept whole
+      // docs 6/7/8: ADJACENT spans — doc 6's p-run and q-run touch
+      // ([1..8] and [9..16]); the covered sets union seamlessly and
+      // only the trailing token survives
+      (6L, s"$pRun $qRun t", "en", "s", 1L),
+      (7L, s"$pRun r", "en", "s", 1L),
+      (8L, s"$qRun r2", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextAnalysis.exactSubstringCut(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_tokens"), r.getAs[Int]("kept_tokens"),
+          r.getAs[String]("clean_text")))).toMap
+    assert(got === Map(
+      1L -> ((10, 1, "j")),
+      2L -> ((10, 1, "z")),
+      3L -> ((9, 0, "")),
+      4L -> ((30, 14, mid)),
+      5L -> ((2, 2, "x y")),
+      6L -> ((17, 1, "t")),
+      7L -> ((9, 1, "r")),
+      8L -> ((9, 1, "r2"))), s"got $got")
+  }
+
   test("dsir_select: target slice excluded, top-50 descending, raw-pool ranks dense") {
     val out = TextAnalysis.dsirSelectQuery(spark, dir).collect()
     assert(out.length === 50)
