@@ -4588,9 +4588,17 @@ object LakeTable {
         "subtracted rows are invisible to a metadata rollup; compact first")
     // WARM PATH (S16e, Iceberg v3 partition-statistics shape): a
     // sidecar materialized at exactly this version serves the rollup
-    // with ZERO manifest entry files opened — O(#partitions) driver
-    // metadata, whatever the file count. Never served stale: only an
-    // exact version hit qualifies.
+    // with ZERO manifest entry files opened — whatever the file
+    // count. Never served stale: only an exact version hit
+    // qualifies. Columnar sidecars (wide partition domains) serve as
+    // ONE parquet scan — the driver never materializes the domain.
+    if (Files.exists(partStatsParquetFile(path, v))) {
+      partitionsSourceByPath.put(path, "stats")
+      return spark.read.parquet(partStatsParquetFile(path, v).toString)
+        .select(col("partition"), col("record_count"),
+          col("file_count"), col("total_bytes"))
+        .orderBy("partition")
+    }
     if (Files.exists(partStatsFile(path, v))) {
       partitionsSourceByPath.put(path, "stats")
       return readPartStats(path, v)
@@ -4660,6 +4668,13 @@ object LakeTable {
   private def partStatsFile(path: String, v: Int): java.nio.file.Path =
     Paths.get(s"${metaDir(path)}/v$v/partstats.json")
 
+  private def partStatsParquetFile(path: String, v: Int): java.nio.file.Path =
+    Paths.get(s"${metaDir(path)}/v$v/partstats.parquet")
+
+  private def partStatsExists(path: String, v: Int): Boolean =
+    Files.exists(partStatsFile(path, v)) ||
+      Files.exists(partStatsParquetFile(path, v))
+
   private def readPartStats(
       path: String, v: Int): Seq[(String, Option[Long], Long, Option[Long])] =
     readJsonLines(partStatsFile(path, v)).map { n =>
@@ -4669,13 +4684,36 @@ object LakeTable {
         n.get("file_count").asLong, optL("total_bytes"))
     }
 
-  private def collectPartStats(
-      df: DataFrame): Seq[(String, Option[Long], Long, Option[Long])] =
-    df.collect().toSeq.map(r => (
-      r.getString(0),
-      Option(r.getAs[java.lang.Long]("record_count")).map(_.toLong),
-      r.getLong(2),
-      Option(r.getAs[java.lang.Long]("total_bytes")).map(_.toLong)))
+  /** Version `v`'s persisted stats as a DataFrame, whichever encoding
+    * the materialization chose (JSON below [[ColumnarMetaThreshold]]
+    * partitions, parquet past it — the manifest-list crossover
+    * rule). */
+  private def partStatsDf(spark: SparkSession, path: String, v: Int): DataFrame =
+    if (Files.exists(partStatsParquetFile(path, v)))
+      spark.read.parquet(partStatsParquetFile(path, v).toString)
+        .select("partition", "record_count", "file_count", "total_bytes")
+    else {
+      import spark.implicits._
+      readPartStats(path, v)
+        .toDF("partition", "record_count", "file_count", "total_bytes")
+    }
+
+  /** Fold prior stats + an append delta per partition. A NULL
+    * (unknown) on either side poisons the sum — never a partial total
+    * presented as exact, same as the live fold. Pure DataFrame
+    * algebra: the merge never touches the driver, so a 10⁶-partition
+    * domain shuffles O(#partitions) metadata rows and nothing more. */
+  private def mergePartStats(a: DataFrame, b: DataFrame): DataFrame = {
+    val cols = Seq("partition", "record_count", "file_count", "total_bytes")
+    a.select(cols.map(col): _*).unionByName(b.select(cols.map(col): _*))
+      .groupBy("partition")
+      .agg(
+        when(count(when(col("record_count").isNull, lit(1))) === 0,
+          sum("record_count")).as("record_count"),
+        sum("file_count").as("file_count"),
+        when(count(when(col("total_bytes").isNull, lit(1))) === 0,
+          sum("total_bytes")).as("total_bytes"))
+  }
 
   /** Materialize the PARTITION-STATS sidecar for the table head: the
     * per-partition rollup persists next to the version's manifest
@@ -4691,23 +4729,34 @@ object LakeTable {
     * append version against ITS OWN parent (the appendsBetween rule —
     * an endpoint diff across a consolidation would claim pre-range
     * rows). Returns the mode: "current" (head already has a sidecar),
-    * "incremental", or "full". */
+    * "incremental", or "full".
+    *
+    * ENCODING (round-16 #5, the manifest-list crossover rule): the
+    * stats build as a DataFrame end to end — the fold, the prior
+    * sidecar, and the incremental merge are all distributed — and the
+    * DRIVER only ever materializes a bounded probe of
+    * [[ColumnarMetaThreshold]]+1 rows to pick the encoding. At or
+    * below the threshold the sidecar writes as human-readable JSON
+    * from that probe; past it, ONE distributed parquet write persists
+    * the domain and the driver never holds it — a 10⁶-partition
+    * table pays a metadata shuffle, not a driver fold + multi-MB JSON
+    * parse per read. */
   def analyzePartitions(spark: SparkSession, path: String): String = {
     val v = latestVersion(path).getOrElse(
       throw new IllegalArgumentException(s"no snapshots at $path"))
-    if (Files.exists(partStatsFile(path, v))) return "current"
+    if (partStatsExists(path, v)) return "current"
     val all = listRefs(path, v)
     require(!all.exists(r => r.kind == "delete" && r.nFiles > 0),
       s"$path v$v carries merge-on-read EQUALITY delete manifests — their " +
         "subtracted rows are invisible to a metadata rollup; compact first")
     val isAppend = (o: String) => o == "append" || o == "cherrypick"
     val basis = (0 until v).reverse
-      .find(b => Files.exists(partStatsFile(path, b)))
+      .find(b => partStatsExists(path, b))
       .filter(b => (b + 1 to v).forall { x =>
         val o = operationOf(path, x)
         isAppend(o) || appendTransparentOps(o)
       })
-    val rows: Seq[(String, Option[Long], Long, Option[Long])] = basis match {
+    val stats: DataFrame = basis match {
       case Some(b) =>
         val fresh = (b + 1 to v).filter(x => isAppend(operationOf(path, x)))
           .flatMap { x =>
@@ -4716,33 +4765,39 @@ object LakeTable {
             listRefs(path, x)
               .filter(r => r.kind == "data" && r.nFiles > 0 && !prev(r.manifest))
           }
-        val delta =
-          if (fresh.isEmpty) Nil
-          else collectPartStats(partitionsFold(spark, fresh, Nil, Nil))
-        (readPartStats(path, b) ++ delta).groupBy(_._1).toSeq
-          .map { case (p, rs) =>
-            // a NULL (unknown) on either side poisons the sum — never
-            // a partial total presented as exact, same as the fold
-            (p,
-              if (rs.exists(_._2.isEmpty)) None else Some(rs.map(_._2.get).sum),
-              rs.map(_._3).sum,
-              if (rs.exists(_._4.isEmpty)) None else Some(rs.map(_._4.get).sum))
-          }.sortBy(_._1)
+        if (fresh.isEmpty) partStatsDf(spark, path, b)
+        else mergePartStats(
+          partStatsDf(spark, path, b), partitionsFold(spark, fresh, Nil, Nil))
       case None =>
         val posRefs = all.filter(r => r.kind == "posdel" && r.nFiles > 0)
         val dvRefs = all.filter(r => r.kind == "dv" && r.nFiles > 0)
         val refs = all.filter(r => r.kind == "data" && r.nFiles > 0)
-        if (refs.isEmpty) Nil
-        else collectPartStats(partitionsFold(spark, refs, posRefs, dvRefs))
+        if (refs.isEmpty) {
+          import spark.implicits._
+          Seq.empty[(String, Option[Long], Long, Option[Long])]
+            .toDF("partition", "record_count", "file_count", "total_bytes")
+        }
+        else partitionsFold(spark, refs, posRefs, dvRefs)
     }
-    val body = rows.map { case (p, rc, fc, tb) =>
-      s"{${jstr("partition")}:${jstr(p)}," +
-        s"${jstr("record_count")}:${rc.map(_.toString).getOrElse("null")}," +
-        s"${jstr("file_count")}:$fc," +
-        s"${jstr("total_bytes")}:${tb.map(_.toString).getOrElse("null")}}"
-    }.mkString("\n")
+    // the driver-fold guard, by name: materialize AT MOST threshold+1
+    // rows driver-side — enough to know which side of the crossover
+    // this domain is on, never the whole domain
+    val probe = stats.orderBy("partition")
+      .limit(ColumnarMetaThreshold.toInt + 1).collect()
     Files.createDirectories(partStatsFile(path, v).getParent)
-    Files.writeString(partStatsFile(path, v), body)
+    if (probe.length <= ColumnarMetaThreshold) {
+      val body = probe.map { r =>
+        val rc = Option(r.getAs[java.lang.Long]("record_count"))
+        val tb = Option(r.getAs[java.lang.Long]("total_bytes"))
+        s"{${jstr("partition")}:${jstr(r.getString(0))}," +
+          s"${jstr("record_count")}:${rc.map(_.toString).getOrElse("null")}," +
+          s"${jstr("file_count")}:${r.getAs[Long]("file_count")}," +
+          s"${jstr("total_bytes")}:${tb.map(_.toString).getOrElse("null")}}"
+      }.mkString("\n")
+      Files.writeString(partStatsFile(path, v), body)
+    } else
+      writeSingleParquet(spark, stats.orderBy("partition"),
+        partStatsParquetFile(path, v))
     if (basis.isDefined) "incremental" else "full"
   }
 

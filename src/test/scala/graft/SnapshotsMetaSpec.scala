@@ -150,4 +150,45 @@ class SnapshotsMetaSpec extends AnyFunSuite {
     assert(snap(LakeTable.partitions(spark, p, Some(1))) === cold1)
     assert(LakeTable.partitionsSourceByPath.get(p) === "stats")
   }
+
+  test("partition-stats sidecar crosses to parquet past the columnar threshold") {
+    val p = "/tmp/graft_test/lake_partstats_wide"
+    graft.Util.rmRecursive(p)
+    def snap(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Long, Long)] =
+      df.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    def sidecar(v: Int, ext: String): java.nio.file.Path =
+      java.nio.file.Paths.get(s"$p/_graft_meta/v$v/partstats.$ext")
+    LakeTable.withColumnarMetaThreshold(5) {
+      // 8 partitions — past the scoped threshold: the materialization
+      // must pick the PARQUET encoding via the distributed fold (the
+      // driver probe is bounded at threshold+1 rows by construction)
+      LakeTable.overwritePartitioned(
+        (1L to 64L).map(i => (i, s"p${i % 8}", i * 1.0))
+          .toDF("k", "part_key", "v"), p, "part_key") // v0
+      val cold0 = snap(LakeTable.partitions(spark, p))
+      assert(cold0.length === 8)
+      assert(LakeTable.analyzePartitions(spark, p) === "full")
+      assert(java.nio.file.Files.exists(sidecar(0, "parquet")),
+        "a wide domain must persist as parquet")
+      assert(!java.nio.file.Files.exists(sidecar(0, "json")),
+        "never both encodings for one version")
+      assert(LakeTable.analyzePartitions(spark, p) === "current")
+      assert(snap(LakeTable.partitions(spark, p)) === cold0)
+      assert(LakeTable.partitionsSourceByPath.get(p) === "stats",
+        "the parquet sidecar must serve the rollup")
+      // pure append of a NEW partition: the incremental merge reads
+      // the parquet basis + folds only the delta, still distributed,
+      // still parquet (9 partitions > threshold)
+      LakeTable.append(
+        (65L to 72L).map(i => (i, "p9", i * 1.0)).toDF("k", "part_key", "v")
+          .repartition(1), p) // v1 — unpartitioned files land in ""
+      val cold1 = snap(LakeTable.partitions(spark, p))
+      assert(cold1.length === 9)
+      assert(LakeTable.analyzePartitions(spark, p) === "incremental")
+      assert(java.nio.file.Files.exists(sidecar(1, "parquet")))
+      assert(snap(LakeTable.partitions(spark, p)) === cold1)
+      assert(LakeTable.partitionsSourceByPath.get(p) === "stats")
+    }
+  }
 }
