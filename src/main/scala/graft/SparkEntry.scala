@@ -192,6 +192,7 @@ object SparkEntry {
     "video_frame_sample" -> (llm.Multimodal.videoFrameSample _),
     "media_embedding_search" -> ((s, d) => llm.Multimodal.mediaEmbeddingSearch(s, d)),
     "media_near_dup" -> ((s, d) => llm.Multimodal.mediaNearDup(s, d)),
+    "media_text_align" -> ((s, d) => llm.Multimodal.mediaTextAlign(s, d)),
     "above_avg_customers" -> (ops.Relational.aboveAvgCustomers _),
     // --- reference ETL parity (SURVEY.md §2.2, §2.6 O3, §3 E1) ---
     "etl_verl_rows" -> (etl.Preprocess.verlRows _),
@@ -2657,6 +2658,33 @@ object SparkEntry {
         |      FROM v GROUP BY 1)
         |SELECT doc_id, round(dp / (nv * nq), 6) AS cos_sim
         |FROM s ORDER BY cos_sim DESC, doc_id LIMIT 5""".stripMargin,
+    // media_text_align (L5c): CLIP-score-style alignment gate — the
+    // polyhash text tower expanded to 64 integer dims via the MinHash
+    // seeded-hash family, media embedding quantized by floor(x*1000),
+    // cosine over exact integer sums (summation-order-proof); census
+    // per source with min/max (order-independent) score extremes
+    "media_text_align" ->
+      """WITH h AS (SELECT doc_id, source,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(1, length(text)+1), i -> ascii(substring(text,i,1))::BIGINT)),
+        |      (a,c) -> (a*31+c) % 1000000007) AS h
+        |  FROM documents),
+        |terms AS (SELECT doc_id, source, j,
+        |    (h * ((103515239 + 2*j) % 1000000007) + (12345 + j)) % 1000000007 % 1000 AS tj,
+        |    CAST(floor(CAST(embedding[CAST(j AS INT)+1] AS DOUBLE) * 1000) AS BIGINT) AS mj
+        |  FROM h JOIN embeddings e ON e.vec_id = h.doc_id
+        |  CROSS JOIN (SELECT unnest(range(64)) AS j)
+        |  WHERE len(embedding) >= 64),
+        |sc AS (SELECT doc_id, source, sum(mj*tj) AS dot,
+        |              sum(mj*mj) AS na2, sum(tj*tj) AS nb2
+        |       FROM terms GROUP BY 1, 2),
+        |scored AS (SELECT source,
+        |    round(dot * 1.0 / (sqrt(na2 * 1.0) * sqrt(nb2 * 1.0)), 6) AS s
+        |  FROM sc WHERE na2 > 0 AND nb2 > 0)
+        |SELECT source, count(*) AS n_pairs,
+        |       CAST(sum(CASE WHEN s >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        |       round(min(s), 6) AS min_score, round(max(s), 6) AS max_score
+        |FROM scored GROUP BY source ORDER BY source""".stripMargin,
     // media_near_dup: 60-bit perceptual aHash pairs at hamming <= 3 —
     // the oracle recomputes the signature per doc (average-pool to 60
     // block sums, mean threshold via integer cross-multiplication;

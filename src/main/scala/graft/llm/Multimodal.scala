@@ -161,6 +161,73 @@ object Multimodal {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** L5c CROSS-MODAL ALIGNMENT GATE (round-16 #6) — the LAION-shape
+    * CLIP-score keep/drop filter over (document, media) pairs: each
+    * doc's TEXT-tower embedding scores against its paired MEDIA
+    * embedding, pairs below the alignment threshold drop, and the
+    * per-source census reports what survived — the standard quality
+    * gate a multimodal corpus passes before training. Deterministic
+    * stand-in, with the determinism engineered for cross-engine hash
+    * parity: the text tower is the repo's published
+    * [[graft.functions.ColumnFunctions.polyHash]] code-point fold
+    * expanded to [[AlignDim]] integer dimensions via the MinHash
+    * `seededHash` family (both already mirrored by DuckDB oracles and
+    * fuzz-checked), the media embedding quantizes by `floor(x*1000)`
+    * (exact IEEE ops — float values are exactly representable in
+    * double), and the cosine folds INTEGER sums, so the only floating
+    * step is one final division both engines perform on identical
+    * integers. A real deployment replaces only the two towers with
+    * model forward passes; the gate — pair join, score, threshold,
+    * census — is the operator.
+    *
+    * 100 TB shape: one equi-join on doc_id (co-partitionable by the
+    * pairing key), a single codegen projection for the score (no
+    * shuffle beyond the join), one census aggregation on the source
+    * key. Degenerate media (an all-zero embedding — no content)
+    * drops like empty bytes in the hash pipelines. */
+  private val AlignDim = 64
+
+  def mediaTextAlignFrame(
+      docs: DataFrame, media: DataFrame, minScore: Double): DataFrame = {
+    import graft.functions.ColumnFunctions.{polyHash, seededHash}
+    val paired = docs
+      .select(col("doc_id"), col("source"), polyHash(col("text")).as("h"))
+      .join(media.select(col("doc_id"), col("embedding")), Seq("doc_id"))
+      .filter(size(col("embedding")) >= AlignDim)
+    val terms = (0 until AlignDim).map { j =>
+      val t = pmod(seededHash(col("h"), j), lit(1000L))
+      val m = floor(col("embedding")(j).cast("double") * lit(1000.0)).cast("long")
+      (m * t, m * m, t * t)
+    }
+    val dot = terms.map(_._1).reduce(_ + _)
+    val na2 = terms.map(_._2).reduce(_ + _)
+    val nb2 = terms.map(_._3).reduce(_ + _)
+    val score = round(dot.cast("double") /
+      (sqrt(na2.cast("double")) * sqrt(nb2.cast("double"))), 6)
+    paired
+      .select(col("doc_id"), col("source"),
+        na2.as("na2"), nb2.as("nb2"), score.as("align_score"))
+      .filter(col("na2") > 0L && col("nb2") > 0L)
+      .withColumn("keep", col("align_score") >= lit(minScore))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("keep"), lit(1L)).otherwise(lit(0L))).as("n_keep"),
+        round(min("align_score"), 6).as("min_score"),
+        round(max("align_score"), 6).as("max_score"))
+      .orderBy("source")
+  }
+
+  /** Driver query: the alignment gate over the real tables — the
+    * embeddings table plays the media tower (vec_id IS the pairing
+    * key), documents the text side. */
+  def mediaTextAlign(s: SparkSession, d: String, minScore: Double = 0.05): DataFrame =
+    mediaTextAlignFrame(
+      Tables.load(s, d, "documents").select("doc_id", "source", "text"),
+      Tables.load(s, d, "embeddings")
+        .select(col("vec_id").as("doc_id"), col("embedding")),
+      minScore)
+
   /** L5/L3 MEDIA-EMBEDDING RETRIEVAL — the cross-modal search
     * pipeline end to end: opaque media bytes → per-partition batch
     * ENCODE (the model-inference stage, stubbed) → cosine top-k

@@ -258,6 +258,37 @@ class DedupSpec extends AnyFunSuite {
     assert(banded.nonEmpty, "corpus has near-dup media; empty means the query broke")
   }
 
+  test("media_text_align: matched pair keeps, mismatched pair drops, zero media filtered") {
+    import spark.implicits._
+    // replicate the two published towers exactly (polyHash + the
+    // seededHash expansion) so the fixtures can be CONSTRUCTED
+    // aligned/anti-aligned rather than found by luck
+    val p = 1000000007L
+    def polyH(s: String): Long = s.foldLeft(0L)((a, c) => (a * 31L + c.toInt) % p)
+    def tj(h: Long, j: Int): Long =
+      (h * ((103515239L + 2L * j) % p) + (12345L + j)) % p % 1000L
+    val text = "the quick brown fox jumps over the lazy dog"
+    val h = polyH(text)
+    // +0.5 before the /1000 so floor(x*1000) recovers tj exactly even
+    // through float32 (the media column's real element type)
+    val aligned = Array.tabulate(64)(j => ((tj(h, j) + 0.5) / 1000.0).toFloat)
+    val mis = aligned.map(v => -v)
+    val zero = Array.fill(64)(0.0f)
+    val docs = Seq((1L, "m", text), (2L, "x", text), (3L, "z", text))
+      .toDF("doc_id", "source", "text")
+    val media = Seq((1L, aligned), (2L, mis), (3L, zero)).toDF("doc_id", "embedding")
+    val out = graft.llm.Multimodal.mediaTextAlignFrame(docs, media, 0.05)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out.keySet === Set("m", "x"),
+      s"zero-content media must drop from the census: ${out.keySet}")
+    assert(out("m") === ((1L, 1L, 1.0, 1.0)),
+      s"the matched pair must keep with score exactly 1.0: ${out("m")}")
+    assert(out("x")._1 === 1L && out("x")._2 === 0L && out("x")._3 < 0.0,
+      s"the mismatched pair must score negative and drop: ${out("x")}")
+  }
+
   test("aHash60: identical bytes collide, shifted-brightness bytes stay close, noise does not") {
     import spark.implicits._
     import graft.functions.ColumnFunctions.aHash60Native
