@@ -216,25 +216,40 @@ private[sources] object GraftProcedures {
       case "rewrite_data_files" => Some(new GraftProcedure(
         "rewrite_data_files",
         Seq(in("table", StringType), opt("target_file_size_bytes", LongType),
-          opt("where", StringType)),
+          opt("where", StringType), opt("strategy", StringType)),
         StructType(Seq(StructField("version", IntegerType))),
-        "Binpack files smaller than the target (default 128 MiB) within " +
-          "the table's partition layout; right-sized files carry untouched. " +
-          "Optional `where` scopes WHICH FILES fold (Iceberg semantics: a " +
-          "file that may hold matching rows is selected, from manifest " +
-          "stats alone) — numeric range/equality conjunctions only, " +
-          "anything else refuses by name.")(args => {
+        "strategy => 'binpack' (default): fold files smaller than the " +
+          "target (default 128 MiB) within the table's partition layout; " +
+          "right-sized files carry untouched. strategy => 'sort': re-sort " +
+          "the selected files by the table's DECLARED sort order (WRITE " +
+          "ORDERED BY) — the remedy for an order declared after data " +
+          "loaded; refuses when no order is declared. Optional `where` " +
+          "scopes WHICH FILES rewrite (Iceberg semantics: a file that may " +
+          "hold matching rows is selected, from manifest stats alone) — " +
+          "numeric range/equality conjunctions only, anything else " +
+          "refuses by name.")(args => {
         val path = pathOf(args(0).get)
-        // absent target → the table's own write.target-file-size-bytes
-        // property (Iceberg's key) → 128 MiB
-        val target = long(args(1)).getOrElse(
-          LakeTable.latestVersion(path)
-            .flatMap(v => LakeTable.tablePropsOf(path, v)
-              .get("write.target-file-size-bytes").map(_.toLong))
-            .getOrElse(128L * 1024 * 1024))
-        require(target > 0, "target_file_size_bytes must be positive")
         val preds = str(args(2)).map(whereBoxes(spark, _)).getOrElse(Nil)
-        one(LakeTable.compactSmall(spark, path, target, preds))
+        str(args(3)).getOrElse("binpack") match {
+          case "sort" =>
+            require(long(args(1)).isEmpty,
+              "rewrite_data_files: target_file_size_bytes is a binpack " +
+                "knob — the sort strategy rewrites every selected file")
+            one(LakeTable.rewriteSorted(spark, path, preds))
+          case "binpack" =>
+            // absent target → the table's own write.target-file-size-bytes
+            // property (Iceberg's key) → 128 MiB
+            val target = long(args(1)).getOrElse(
+              LakeTable.latestVersion(path)
+                .flatMap(v => LakeTable.tablePropsOf(path, v)
+                  .get("write.target-file-size-bytes").map(_.toLong))
+                .getOrElse(128L * 1024 * 1024))
+            require(target > 0, "target_file_size_bytes must be positive")
+            one(LakeTable.compactSmall(spark, path, target, preds))
+          case other => throw new IllegalArgumentException(
+            s"rewrite_data_files: unknown strategy '$other' — expected " +
+              "binpack or sort")
+        }
       }))
       case "rewrite_position_delete_files" => Some(new GraftProcedure(
         "rewrite_position_delete_files",

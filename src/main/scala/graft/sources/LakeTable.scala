@@ -6671,6 +6671,77 @@ object LakeTable {
     commitRefs(spark, path, base, keptRefs ++ del ++ packed, "binpack")
   }
 
+  /** SORT-strategy data-file rewrite (round-16 #7, Iceberg's
+    * `rewrite_data_files(strategy => 'sort')`): re-sort
+    * already-landed files by the table's DECLARED sort order — the
+    * one-call remedy for an order declared AFTER data loaded
+    * ([[setSortOrder]] is metadata-only by design; until a rewrite
+    * touches them, old files keep their loose stats). Selected files
+    * (optionally scoped by `where` boxes — the [[compactSmall]]
+    * selection rule: a file that MAY hold matching rows is selected,
+    * from manifest stats alone) are read with merge-on-read deletes
+    * applied and row lineage re-materialized, then re-staged through
+    * the standard data path — which applies the declared order
+    * (range-partition + in-partition sort) and the table's declared
+    * partition layout — so post-rewrite skipping equals what
+    * declared-order appends would have produced. Untouched manifests
+    * carry as-is; the rewritten subset takes the new commit's
+    * sequence (carried delete files stop applying to it, exactly the
+    * binpack contract). Commits as op `optimize` — it IS the scoped,
+    * lineage-aware form of [[optimizeBy]], and every maintenance-
+    * transparency classification already knows that name. Refuses by
+    * name when no order is declared: a 'sort' rewrite without an
+    * order would silently binpack instead. */
+  def rewriteSorted(spark: SparkSession, path: String,
+      preds: Seq[(String, Double, Double)] = Nil): Int = {
+    val order = sortOrderOf(path)
+    require(order.nonEmpty,
+      s"rewrite_data_files(strategy => 'sort') at $path: no declared " +
+        "sort order — declare one first (WRITE ORDERED BY / setSortOrder)")
+    val base = observedBase(spark, path)
+    val refs = listRefs(path, base)
+    val (eq, rest) = refs.partition(_.kind == "delete")
+    val (pos, rest2) = rest.partition(_.kind == "posdel")
+    val (dvs, data) = rest2.partition(_.kind == "dv")
+    val del = eq ++ pos ++ dvs
+    val current = schFor(path, base)
+    val perRef = data.filter(_.nFiles > 0).map(r => r -> readManifest(r))
+    val selected: ManifestEntry => Boolean =
+      if (preds.isEmpty) _ => true
+      else {
+        val (fullRefs, kept) = prunePlan(spark, data, current, preds)
+        val files = (fullRefs.flatMap(r =>
+          perRef.collectFirst { case (pr, es) if pr == r => es }
+            .getOrElse(readManifest(r))) ++ kept).map(_.file).toSet
+        e => files(e.file)
+      }
+    val chosen = perRef.flatMap(_._2).filter(selected)
+    if (chosen.isEmpty)
+      return commitRefs(spark, path, base, refs, "optimize")
+    val lineage = nextRowIdOf(path, base).isDefined
+    val perRefMap = perRef.toMap
+    val raw = withLineageColsIf(lineage)(
+      assemblePruned(spark, chosen, Nil, eq, pos, dvs, current,
+        keepMeta = lineage))
+    val rows =
+      if (!lineage) raw
+      else attachLineage(spark, raw, data.filter(_.nFiles > 0),
+          r => perRefMap.getOrElse(r, readManifest(r)), path)
+        .withColumn(LineageRid, col(RowIdCol))
+        .withColumn(LineageLus, col(LusCol))
+        .drop(RowIdCol, LusCol)
+        .drop(FpCol, RiCol, SeqCol)
+    val chosenSet = chosen.map(_.file).toSet
+    val staged = stageRewrite(rows, path, rewriteSpec(path, data, chosenSet, perRefMap))
+    val keptRefs = perRef.flatMap { case (r, es) =>
+      val keep = es.filterNot(e => chosenSet(e.file))
+      if (keep.isEmpty) None
+      else if (keep.size == es.size) Some(r) // untouched manifest carries
+      else Some(reManifestKeep(path, r, keep, es))
+    }
+    commitRefs(spark, path, base, keptRefs ++ del ++ staged, "optimize")
+  }
+
   /** Is `b` a hive-partitioned commit dir (`col=value` subdirs whose
     * VALUES live in the directory name and are reconstructed at
     * read)? Hidden `__p_…` layout dirs are derived layout, not hive.

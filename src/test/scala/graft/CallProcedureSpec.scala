@@ -125,6 +125,51 @@ class CallProcedureSpec extends AnyFunSuite {
     }
   }
 
+  test("rewrite_data_files(strategy => 'sort') restores skipping parity for a late-declared order") {
+    SparkSpec.rmdir(wh)
+    withCat {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS callc.db")
+      spark.sql("CREATE TABLE callc.db.s (k BIGINT, v DOUBLE) USING graftlake")
+      val p = s"$wh/db/s"
+      // round-robin landing: every file spans the full k range —
+      // nothing skippable (the S8q baseline shape)
+      LakeTable.append(
+        spark.range(0, 400).select(col("id").as("k"), (col("id") * 2.0).as("v"))
+          .repartition(4), p)
+      assert(LakeTable.readWhereBetween(spark, p, "k", 0, 50).count() === 51)
+      val loose = LakeTable.lastPlanAudit
+      assert(loose.filesKept === loose.filesClaimed,
+        s"round-robin files must be unprunable: $loose")
+      // no declared order → the sort strategy refuses by name
+      val e = intercept[Exception](spark.sql(
+        "CALL callc.system.rewrite_data_files(table => 'db.s', strategy => 'sort')"))
+      assert(e.getMessage.contains("no declared sort order"), e.getMessage)
+      // declare the order AFTER the data landed (metadata-only), then
+      // the one-call remedy re-sorts the landed files
+      LakeTable.setSortOrder(p, "k")
+      val out = spark.sql(
+        "CALL callc.system.rewrite_data_files(table => 'db.s', strategy => 'sort')")
+        .collect()
+      assert(out.length == 1 && out.head.getInt(0) > 0)
+      assert(spark.table("callc.db.s").count() === 400)
+      // skipping parity with what a declared-order append would give
+      assert(LakeTable.readWhereBetween(spark, p, "k", 0, 50).count() === 51)
+      val sorted = LakeTable.lastPlanAudit
+      assert(sorted.filesKept < sorted.filesClaimed && sorted.filesKept === 1,
+        s"post-rewrite skipping must match declared-order appends: $sorted")
+      assert(LakeTable.operationOf(p, LakeTable.latestVersion(p).get) === "optimize")
+      // an unknown strategy refuses by name; the binpack knob refuses
+      // under the sort strategy
+      val e2 = intercept[Exception](spark.sql(
+        "CALL callc.system.rewrite_data_files(table => 'db.s', strategy => 'cluster')"))
+      assert(e2.getMessage.contains("unknown strategy"), e2.getMessage)
+      val e3 = intercept[Exception](spark.sql(
+        "CALL callc.system.rewrite_data_files(table => 'db.s', " +
+          "strategy => 'sort', target_file_size_bytes => 1024)"))
+      assert(e3.getMessage.contains("binpack knob"), e3.getMessage)
+    }
+  }
+
   test("add_files imports metadata-only through the CALL route") {
     SparkSpec.rmdir(wh)
     SparkSpec.rmdir("/tmp/graft_test/callproc_addf")
