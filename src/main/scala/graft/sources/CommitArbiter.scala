@@ -614,8 +614,10 @@ final class CatalogHttpServer(
         }
         val (sNs, sName) = identOf("source")
         val (dNs, dName) = identOf("destination")
-        // check-then-move under one monitor: two concurrent renames
-        // onto the same destination must not both win
+        // check-then-move under the shared cross-registry monitor: two
+        // concurrent renames onto the same destination must not both
+        // win, and a racing view CREATE must not slip between the
+        // viewReg check and the table insert
         // dynamic names route through the escaper: a quote or
         // backslash in a table name must not produce an invalid JSON
         // body the client's parser chokes on, masking the real status
@@ -634,6 +636,68 @@ final class CatalogHttpServer(
                   jErr(s"table exists: ${dNs.mkString(".")}.$dName"))
               else {
                 tableReg.remove((sNs, sName))
+                respond(200, """{"ok":true}""")
+              }
+          }
+        }
+      } catch {
+        case e: Throwable =>
+          val m = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+            .replace("\\", "\\\\").replace("\"", "\\\"")
+          try respond(400, s"""{"error":"$m"}""") catch { case _: Throwable => () }
+      }
+    }
+  })
+  // VIEW RENAME (round-16 #8): the same registry indirection as
+  // /v1/tables/rename — the view's storage directory never moves (the
+  // stored SQL resolves its references through the saved context, not
+  // through the view's own location, so nothing dangles), only the
+  // resolution row does. Same shared monitor, same cross-registry 409
+  // (a destination name held by a TABLE refuses too).
+  server.createContext("/v1/views/rename", new com.sun.net.httpserver.HttpHandler {
+    override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+      def respond(status: Int, body: String): Unit = {
+        val bytes = body.getBytes("UTF-8")
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.sendResponseHeaders(status, bytes.length.toLong)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+      try {
+        if (!authorized(ex)) { respond(401, unauthorizedBody); return }
+        require(ex.getRequestMethod == "POST",
+          s"unsupported method ${ex.getRequestMethod}")
+        val doc = mapper.readTree(ex.getRequestBody)
+        def identOf(k: String): (Seq[String], String) = {
+          val n = doc.get(k)
+          require(n != null && !n.isNull, s"missing '$k'")
+          val nsNode = n.get("namespace")
+          require(nsNode != null && nsNode.isArray && nsNode.size > 0,
+            s"missing '$k.namespace'")
+          val it = nsNode.elements()
+          val ns = Iterator.continually(it).takeWhile(_.hasNext)
+            .map(_.next().asText).toSeq
+          val name = n.get("name")
+          require(name != null && name.asText.nonEmpty, s"missing '$k.name'")
+          (ns, name.asText)
+        }
+        val (sNs, sName) = identOf("source")
+        val (dNs, dName) = identOf("destination")
+        def jErr(m: String): String =
+          s"""{"error":"${m.replace("\\", "\\\\").replace("\"", "\\\"")}"}"""
+        tableReg.synchronized {
+          if (!namespaces.contains(dNs))
+            respond(404, jErr(s"no such namespace: ${dNs.mkString(".")}"))
+          else Option(viewReg.get((sNs, sName))) match {
+            case None => respond(404,
+              jErr(s"no such view: ${sNs.mkString(".")}.$sName"))
+            case Some(loc) =>
+              if (tableReg.containsKey((dNs, dName)) ||
+                  viewReg.putIfAbsent((dNs, dName), loc) != null)
+                respond(409,
+                  jErr(s"view exists: ${dNs.mkString(".")}.$dName"))
+              else {
+                viewReg.remove((sNs, sName))
                 respond(200, """{"ok":true}""")
               }
           }
@@ -755,9 +819,16 @@ final class CatalogHttpServer(
                 "no 'location' given and the catalog service has no warehouse"))
             // tables and views share the namespace — a name held by
             // EITHER registry refuses the other (the view route makes
-            // the mirror check)
-            if (viewReg.containsKey((parts, name)) ||
-                tableReg.putIfAbsent((parts, name), loc) != null)
+            // the mirror check). The cross-registry check-then-insert
+            // runs under ONE shared monitor (round-15 ADVICE): without
+            // it a concurrent CREATE TABLE and CREATE VIEW of the same
+            // name could both pass the other registry's check and both
+            // succeed.
+            val taken = tableReg.synchronized {
+              viewReg.containsKey((parts, name)) ||
+                tableReg.putIfAbsent((parts, name), loc) != null
+            }
+            if (taken)
               respond(409, s"""{"error":${jStr(s"table exists: ${parts.mkString(".")}.$name")}}""")
             else respond(200, s"""{"metadata-location":${jStr(loc)}}""")
           case ("GET", Seq(ns, "tables", t)) =>
@@ -810,9 +881,15 @@ final class CatalogHttpServer(
               .getOrElse(sys.error(
                 "no 'location' given and the catalog service has no warehouse"))
             // views and tables share the namespace: a name registered
-            // as either refuses the other (the local catalog's rule)
-            if (tableReg.containsKey((parts, name)) ||
-                viewReg.putIfAbsent((parts, name), loc) != null)
+            // as either refuses the other (the local catalog's rule) —
+            // under the SAME monitor as the table route, so the two
+            // cross-registry checks can never interleave (round-15
+            // ADVICE's TOCTOU)
+            val taken = tableReg.synchronized {
+              tableReg.containsKey((parts, name)) ||
+                viewReg.putIfAbsent((parts, name), loc) != null
+            }
+            if (taken)
               respond(409, s"""{"error":${jStr(s"view exists: ${parts.mkString(".")}.$name")}}""")
             else respond(200, s"""{"metadata-location":${jStr(loc)}}""")
           case ("GET", Seq(ns, "views", v)) =>

@@ -1108,23 +1108,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case None => GraftViews.drop(tablePath(ident))
     }
 
-  /** Views CAN rename (unlike tables): the stored SQL resolves its
-    * table references through the saved catalog/namespace context,
-    * never through the view's own location, so a directory move
-    * orphans nothing. uri-mode refuses (a registry rename would leave
-    * the storage directory under the old name — the tables plane has
-    * the same registry-indirection-only contract, but a view's files
-    * are engine-managed, so the honest answer is "not yet"). */
-  override def renameView(from: Identifier, to: Identifier): Unit = {
-    require(uriOpt.isEmpty,
-      "graft catalog: RENAME VIEW over catalog-over-HTTP is not supported — " +
-        "recreate the view under the new name")
-    if (!viewExists(from)) throw new NoSuchViewException(from)
-    if (viewExists(to)) throw new ViewAlreadyExistsException(to)
-    require(!isTable(tablePath(to)),
-      s"graft catalog: rename target $to is a TABLE")
-    GraftViews.rename(tablePath(from), tablePath(to))
-  }
+  /** Views CAN rename (unlike path-mode tables): the stored SQL
+    * resolves its table references through the saved
+    * catalog/namespace context, never through the view's own
+    * location, so neither a directory move (path mode) nor a
+    * registry re-point (uri mode) orphans anything. uri mode
+    * (round-16 #8) routes through the service's
+    * `POST /v1/views/rename` — pure registry indirection, the
+    * storage directory never moves (the tables plane's exact
+    * contract), with the cross-registry 409 (a destination held by a
+    * TABLE refuses) arbitrated server-side under one monitor. */
+  override def renameView(from: Identifier, to: Identifier): Unit =
+    uriOpt match {
+      case Some(uri) =>
+        restClient(uri).renameView(
+          from.namespace.toSeq, from.name, to.namespace.toSeq, to.name) match {
+          case "ok" => ()
+          case "no-source" => throw new NoSuchViewException(from)
+          case "exists" => throw new ViewAlreadyExistsException(to)
+        }
+      case None =>
+        if (!viewExists(from)) throw new NoSuchViewException(from)
+        if (viewExists(to)) throw new ViewAlreadyExistsException(to)
+        require(!isTable(tablePath(to)),
+          s"graft catalog: rename target $to is a TABLE")
+        GraftViews.rename(tablePath(from), tablePath(to))
+    }
 
   // ---- namespaces ----
 

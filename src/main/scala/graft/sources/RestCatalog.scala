@@ -232,6 +232,26 @@ final class RestCatalogClient(baseUri: String, timeoutMs: Int = 10000,
     }
   }
 
+  /** Rename a view (POST /v1/views/rename — registry indirection
+    * only; storage never moves, exactly the tables plane's
+    * contract). "ok" | "no-source" | "exists" (destination taken by
+    * a view OR a table — they share the namespace). */
+  def renameView(srcNs: Seq[String], srcName: String,
+      dstNs: Seq[String], dstName: String): String = {
+    def ident(ns: Seq[String], name: String): String =
+      s"""{"namespace":${ns.map(jStr).mkString("[", ",", "]")},""" +
+        s""""name":${jStr(name)}}"""
+    val body = s"""{"source":${ident(srcNs, srcName)},""" +
+      s""""destination":${ident(dstNs, dstName)}}"""
+    val (st, doc) = http("POST", "/v1/views/rename", Some(body))
+    st match {
+      case 200 => "ok"
+      case 404 => "no-source"
+      case 409 => "exists"
+      case _ => sys.error(s"graft REST catalog: rename view → HTTP $st $doc")
+    }
+  }
+
   /** Unregister a view (storage untouched). */
   def dropView(ns: Seq[String], name: String): Boolean = {
     val (st, doc) =

@@ -375,16 +375,33 @@ class WireArbiterSpec extends AnyFunSuite {
         s"CREATE VIEW $c2.db.t AS SELECT 1 AS one"))
       assert(clash.getMessage.toLowerCase.contains("exists")
         || clash.getMessage.contains("t"), clash.getMessage)
-      // uri-mode RENAME VIEW refuses by name
-      val ren = intercept[Exception](spark.sql(
-        s"ALTER VIEW $c2.db.big RENAME TO $c2.db.bigger"))
-      assert(ren.getMessage.contains("not supported"), ren.getMessage)
+      // uri-mode RENAME VIEW (round-16 #8): pure registry indirection.
+      // The OTHER session resolves the new name, the old name 404s,
+      // and the storage directory never moved.
+      spark.sql(s"ALTER VIEW $c2.db.big RENAME TO $c2.db.bigger")
+      assert(spark.sql(s"SELECT sum(k) FROM $c1.db.bigger").head.getLong(0) === 3L,
+        "session 1 must resolve the renamed view")
+      assert(srv.viewLocationOf(Seq("db"), "big").isEmpty,
+        "the old name must unregister")
+      assert(srv.viewLocationOf(Seq("db"), "bigger").contains(loc),
+        "the registry row moved; the storage location did not")
+      val old404 = intercept[Exception](spark.sql(
+        s"SELECT * FROM $c2.db.big").collect())
+      assert(old404.getMessage.contains("big"), old404.getMessage)
+      assert(client.renameView(Seq("db"), "big", Seq("db"), "whatever")
+        === "no-source", "renaming the gone name must 404")
+      // cross-409: a rename onto a registered TABLE name refuses (the
+      // shared-namespace rule, arbitrated server-side)
+      val renClash = intercept[Exception](spark.sql(
+        s"ALTER VIEW $c2.db.bigger RENAME TO $c2.db.t"))
+      assert(renClash.getMessage.toLowerCase.contains("exists")
+        || renClash.getMessage.contains("t"), renClash.getMessage)
       // DROP from the second session unregisters and removes storage
-      spark.sql(s"DROP VIEW $c2.db.big")
-      assert(srv.viewLocationOf(Seq("db"), "big").isEmpty)
+      spark.sql(s"DROP VIEW $c2.db.bigger")
+      assert(srv.viewLocationOf(Seq("db"), "bigger").isEmpty)
       assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(loc)))
-      val gone = intercept[Exception](spark.sql(s"SELECT * FROM $c1.db.big").collect())
-      assert(gone.getMessage.contains("big"), gone.getMessage)
+      val gone = intercept[Exception](spark.sql(s"SELECT * FROM $c1.db.bigger").collect())
+      assert(gone.getMessage.contains("bigger"), gone.getMessage)
     } finally {
       Seq(c1, c2).foreach { c =>
         spark.conf.unset(s"spark.sql.catalog.$c")
