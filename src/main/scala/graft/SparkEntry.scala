@@ -2695,7 +2695,7 @@ object SparkEntry {
         |  SELECT doc_id, i, ascii(substring(text, CAST(i+1 AS INT), 1))::BIGINT AS c,
         |         length(text) AS len
         |  FROM documents, LATERAL unnest(range(length(text))) AS t(i)
-        |  WHERE length(text) > 0
+        |  WHERE length(text) > 0 AND strlen(text) = length(text)
         |), blocks AS (
         |  SELECT doc_id, i * 60 // len AS j, sum(c) AS v
         |  FROM chars GROUP BY 1, 2

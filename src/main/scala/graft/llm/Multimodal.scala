@@ -124,6 +124,13 @@ object Multimodal {
   def mediaNearDup(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame =
     mediaNearDupFrame(
       Tables.loadParallel(s, d, "documents")
+        // the engine hashes UTF-8 BYTES (the genuine media posture:
+        // opaque binary in, signature out) while the SQL oracle can
+        // only address CODE POINTS — they coincide exactly on ASCII,
+        // so the parity assumption is ENFORCED here (and mirrored in
+        // the oracle), never silently assumed: a non-ASCII doc drops
+        // from both sides instead of diverging (round-15 ADVICE)
+        .filter(octet_length(col("text")) === length(col("text")))
         .select(col("doc_id"), col("text").cast("binary").as("bytes")),
       maxHamming)
 

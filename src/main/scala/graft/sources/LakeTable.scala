@@ -501,14 +501,26 @@ object LakeTable {
     * re-add independently of their parent. Array/map interiors are
     * not addressed (no evolution surface there). */
   private def writePaths(schema: org.apache.spark.sql.types.StructType): Seq[String] = {
+    // a literal '.' in a FIELD NAME would be indistinguishable from
+    // the dotted nested paths this registry is keyed by — phantom
+    // nested ids, misrouted rename/drop/readWhere (round-15 ADVICE).
+    // Refuse at write time, Iceberg-style, at every nesting level.
+    def checkName(n: String): Unit = require(!n.contains("."),
+      s"field name '$n' contains '.' — dots are reserved for struct " +
+        "subfield paths (rename the column before writing it to a lake table)")
     def walk(prefix: String, dt: org.apache.spark.sql.types.DataType): Seq[String] =
       dt match {
         case st: org.apache.spark.sql.types.StructType =>
-          st.fields.toSeq.flatMap(f =>
-            (prefix + f.name) +: walk(prefix + f.name + ".", f.dataType))
+          st.fields.toSeq.flatMap { f =>
+            checkName(f.name)
+            (prefix + f.name) +: walk(prefix + f.name + ".", f.dataType)
+          }
         case _ => Nil
       }
-    schema.fields.toSeq.flatMap(f => f.name +: walk(f.name + ".", f.dataType))
+    schema.fields.toSeq.flatMap { f =>
+      checkName(f.name)
+      f.name +: walk(f.name + ".", f.dataType)
+    }
   }
 
   /** Field-id assignment for writing columns `names` on top of
@@ -5474,8 +5486,15 @@ object LakeTable {
     require(parentOf(oldName) == parentOf(newName),
       s"rename '$oldName' -> '$newName' changes the parent path — field " +
         "moves are not supported, only in-place renames")
-    require(!newName.substring(newName.lastIndexOf('.') + 1).contains("."),
-      s"invalid column name '$newName'")
+    // segment-wise validation (round-15 ADVICE: the old last-segment
+    // check was dead — a substring after the last '.' can never
+    // contain one — and an empty last segment slipped through,
+    // minting a subfield named "" that breaks dotted-path parsing)
+    val newSegs = newName.split("\\.", -1).toSeq
+    require(newSegs.length == oldName.split("\\.", -1).length &&
+        newSegs.forall(_.nonEmpty),
+      s"invalid column name '$newName' — every dotted segment must be " +
+        s"non-empty and the segment depth must match '$oldName'")
     if (oldName.contains("."))
       requireNoLegacyNested(path, base, schema, oldName, "rename")
     // renaming a STRUCT rewrites its descendants' path prefixes in the

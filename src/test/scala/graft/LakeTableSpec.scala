@@ -447,6 +447,24 @@ class LakeTableSpec extends AnyFunSuite {
     // misuse fails loudly
     intercept[IllegalArgumentException](LakeTable.renameColumn(spark, p, "nope", "x"))
     intercept[IllegalArgumentException](LakeTable.renameColumn(spark, p, "amount", "k"))
+    // an EMPTY rename segment would mint a field named "" that breaks
+    // dotted-path parsing later — refuse at the rename (round-15 ADVICE)
+    val eEmpty = intercept[IllegalArgumentException](
+      LakeTable.renameColumn(spark, p, "amount", ""))
+    assert(eEmpty.getMessage.contains("non-empty"), eEmpty.getMessage)
+  }
+
+  test("a literal dot in a top-level field name refuses at write time") {
+    val p = "/tmp/graft_test/lake_dotted_name"
+    rmdir(p)
+    import spark.implicits._
+    // such a name would be indistinguishable from a nested struct path
+    // in the field-id registry (phantom nested ids, misrouted
+    // rename/drop) — Iceberg-style write-time refusal
+    val e = intercept[IllegalArgumentException](LakeTable.overwrite(
+      Seq((1L, 2.0)).toDF("k", "weird.name"), p))
+    assert(e.getMessage.contains("contains '.'"), e.getMessage)
+    assert(LakeTable.latestVersion(p).isEmpty, "nothing may commit")
   }
 
   test("nested struct-field evolution: rename/drop/re-add resolve by field id across generations") {
