@@ -186,25 +186,35 @@ private[sources] object GraftProcedures {
         // itself (Iceberg's history.expire.* keys via S12f versioned
         // properties) — a maintenance scheduler then runs ONE
         // parameterless CALL per table and each table keeps its own
-        // policy, audited and time-travelable like any property
+        // policy, audited and time-travelable like any property. The
+        // pass covers the BRANCHES too, each under its OWN declared
+        // policy (round-16 #9) — a long-lived audit branch keeps its
+        // history while main expires on schedule.
         val props = LakeTable.latestVersion(path)
           .map(v => LakeTable.tablePropsOf(path, v))
           .getOrElse(Map.empty[String, String])
-        val older = str(args(1)).orElse(
-          props.get("history.expire.max-snapshot-age-ms").map(age =>
-            (System.currentTimeMillis() - age.toLong).toString))
-        val retain = int(args(2)).orElse(
-          props.get("history.expire.min-snapshots-to-keep").map(_.toInt))
-        require(older.nonEmpty || retain.nonEmpty,
-          "CALL system.expire_snapshots: pass older_than => '<ts>' and/or " +
-            "retain_last => n, or set the table's retention policy " +
-            "(history.expire.max-snapshot-age-ms / min-snapshots-to-keep)")
-        val a = older.map(ts =>
-          LakeTable.expireOlderThan(spark, path, LakeTable.timestampMillisOf(ts)))
-          .getOrElse(Nil)
-        val b = retain.map(r => LakeTable.expireSnapshots(spark, path, r))
-          .getOrElse(Nil)
-        one((a.size + b.size).toLong)
+        if (str(args(1)).isEmpty && int(args(2)).isEmpty) {
+          require(props.contains("history.expire.max-snapshot-age-ms") ||
+              props.contains("history.expire.min-snapshots-to-keep"),
+            "CALL system.expire_snapshots: pass older_than => '<ts>' and/or " +
+              "retain_last => n, or set the table's retention policy " +
+              "(history.expire.max-snapshot-age-ms / min-snapshots-to-keep)")
+          one(LakeTable.expireByPolicy(spark, path).size.toLong)
+        } else {
+          // explicit args target THIS root; an absent arg falls back
+          // to the root's own policy, as before
+          val older = str(args(1)).orElse(
+            props.get("history.expire.max-snapshot-age-ms").map(age =>
+              (System.currentTimeMillis() - age.toLong).toString))
+          val retain = int(args(2)).orElse(
+            props.get("history.expire.min-snapshots-to-keep").map(_.toInt))
+          val a = older.map(ts =>
+            LakeTable.expireOlderThan(spark, path, LakeTable.timestampMillisOf(ts)))
+            .getOrElse(Nil)
+          val b = retain.map(r => LakeTable.expireSnapshots(spark, path, r))
+            .getOrElse(Nil)
+          one((a.size + b.size).toLong)
+        }
       }))
       case "remove_orphan_files" => Some(new GraftProcedure(
         "remove_orphan_files",

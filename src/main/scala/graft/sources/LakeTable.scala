@@ -10535,6 +10535,35 @@ object LakeTable {
     expireSnapshots(spark, path, retain = latest - math.min(minKept, latest) + 1)
   }
 
+  /** POLICY-DRIVEN expire across the MAIN table and every branch
+    * (round-16 stretch #9): each root applies ITS OWN
+    * `history.expire.*` retention properties — a long-lived WAP/audit
+    * branch keeps its own policy (or, with none declared, keeps its
+    * whole history) while main expires on its schedule. One root's
+    * policy is NEVER applied to another: the policy is a versioned
+    * property of each root (a branch forks main's properties at
+    * creation and evolves them independently —
+    * [[setTableProperties]] on the branch path). Branch-referenced
+    * manifests stay pinned across every root's pass
+    * ([[expireSnapshots]]'s externalRefs rule), so per-branch expiry
+    * can never strand a sibling's data. Returns the removed files
+    * across all roots. */
+  def expireByPolicy(spark: SparkSession, path: String): Seq[String] = {
+    require(!path.contains("/_graft_branches/"),
+      "expireByPolicy runs on the main table — it walks the branches itself")
+    val roots = path +: branches(path).map(branchPath(path, _))
+    roots.flatMap { root =>
+      val props = latestVersion(root).map(tablePropsOf(root, _))
+        .getOrElse(Map.empty[String, String])
+      val age = props.get("history.expire.max-snapshot-age-ms").map(_.toLong)
+      val keep = props.get("history.expire.min-snapshots-to-keep").map(_.toInt)
+      val a = age.map(ms => expireOlderThan(spark, root,
+        System.currentTimeMillis() - ms)).getOrElse(Nil)
+      val b = keep.map(r => expireSnapshots(spark, root, r)).getOrElse(Nil)
+      a ++ b
+    }
+  }
+
   /** Iceberg-style `metadata_log_entries` METADATA TABLE: one row
     * per live version's manifest-LIST file with its commit wall-time
     * and whether it is the current head — the audit plane an

@@ -2294,4 +2294,50 @@ class LakeTableSpec extends AnyFunSuite {
         "analyze + racing append must both land")
     } finally LakeTable.setCommitArbiter(p, graft.sources.RenameArbiter)
   }
+
+  test("per-branch retention: a branch keeps its own policy while main expires") {
+    val p = "/tmp/graft_test/lake_branch_expire"
+    rmdir(p)
+    import spark.implicits._
+    LakeTable.overwrite(Seq((1L, 1.0)).toDF("k", "v"), p) // main v0
+    LakeTable.append(Seq((2L, 2.0)).toDF("k", "v"), p) // main v1
+    LakeTable.createBranch(spark, p, "audit") // branch v0 = fork of main v1
+    val bp = LakeTable.branchPath(p, "audit")
+    LakeTable.append(Seq((10L, 10.0)).toDF("k", "v"), bp) // branch v1
+    LakeTable.append(Seq((11L, 11.0)).toDF("k", "v"), bp) // branch v2
+    LakeTable.append(Seq((3L, 3.0)).toDF("k", "v"), p) // main v2
+    def liveOf(root: String): Seq[Int] =
+      (0 to LakeTable.latestVersion(root).get).filter(v =>
+        java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$root/_graft_meta/v$v")))
+    // main declares keep-1; the branch declares NOTHING — per-root
+    // policies, so the branch keeps its whole history
+    LakeTable.setTableProperties(spark, p,
+      Map("history.expire.min-snapshots-to-keep" -> "1")) // main v3
+    LakeTable.expireByPolicy(spark, p)
+    assert(liveOf(p) === Seq(LakeTable.latestVersion(p).get),
+      s"main must expire to its policy: ${liveOf(p)}")
+    assert(liveOf(bp) === Seq(0, 1, 2),
+      s"an undeclared branch keeps its history: ${liveOf(bp)}")
+    // both sides still read whole — the fork point's manifests stay
+    // pinned through main's GC (externalRefs), per-branch expiry or not
+    assert(LakeTable.read(spark, bp).collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(1L, 2L, 10L, 11L))
+    assert(LakeTable.read(spark, p).collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(1L, 2L, 3L))
+    // the branch declares ITS OWN policy — the next pass trims the
+    // branch too, still content-intact
+    LakeTable.setTableProperties(spark, bp,
+      Map("history.expire.min-snapshots-to-keep" -> "1")) // branch v3
+    LakeTable.expireByPolicy(spark, p)
+    assert(liveOf(bp) === Seq(LakeTable.latestVersion(bp).get),
+      s"the branch's own policy must apply: ${liveOf(bp)}")
+    assert(LakeTable.read(spark, bp).collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(1L, 2L, 10L, 11L))
+    assert(LakeTable.read(spark, p).collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(1L, 2L, 3L))
+    // the walk starts at main by contract
+    val e = intercept[IllegalArgumentException](LakeTable.expireByPolicy(spark, bp))
+    assert(e.getMessage.contains("main table"), e.getMessage)
+  }
 }
