@@ -299,13 +299,20 @@ object CdcApply {
     val src = latest.select((cols.map(col) :+ col(DelFlag)): _*)
     LakeTable.latestVersion(path) match {
       case None =>
-        val committed = LakeTable.overwrite(
-          src.filter(!col(DelFlag)).select(cols.map(col): _*), path)
-        // bootstrap deletes (keys the feed closed before this target
-        // ever saw them) tombstone too: a stale insert arriving later
-        // must not resurrect what in-order delivery would have deleted
-        writeBackTombstones(path, committed, src, keys, seqCol, None)
-        committed
+        // the fold feeds the bootstrap write AND the tombstone probe —
+        // pin it so the feed (often an expensive lazy plan) computes
+        // its window pass once, not per consumer
+        val cached = src.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val committed = LakeTable.overwrite(
+            cached.filter(!col(DelFlag)).select(cols.map(col): _*), path)
+          // bootstrap deletes (keys the feed closed before this target
+          // ever saw them) tombstone too: a stale insert arriving later
+          // must not resurrect what in-order delivery would have deleted
+          writeBackTombstones(path, committed, cached, keys, seqCol, None)
+          committed
+        } finally cached.unpersist(blocking = false)
       case Some(v) =>
         // TOP-LEVEL names only: the field-id schema also registers
         // dotted struct-subfield paths, which are not payload columns

@@ -63,6 +63,13 @@ class RowLineageSpec extends AnyFunSuite {
     val before2 = lineageMap(p)
     LakeTable.compactSmall(spark, p, 1024L * 1024)
     assert(lineageMap(p) === before2, "binpack must preserve ids")
+    // the SORT-strategy rewrite re-materializes lineage like its
+    // binpack sibling: every row keeps its durable id through the
+    // re-sort (round-16 S17b)
+    LakeTable.setSortOrder(p, "k")
+    LakeTable.rewriteSorted(spark, p)
+    assert(lineageMap(p) === before2, "sort rewrite must preserve ids")
+    assert(LakeTable.read(spark, p).count() === 170)
   }
 
   test("UPDATE keeps the row's id and bumps last-updated; others untouched") {
