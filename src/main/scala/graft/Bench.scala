@@ -28,6 +28,41 @@ object Bench {
         graft.Tables.load(spark, sfDir, t)
           .write.format("noop").mode("overwrite").save()
       }
+      // STREAMING warmup (round-16): the first streaming lifecycle in
+      // a JVM pays the whole micro-batch/state-store machinery's
+      // class-load + JIT (~20 s measured at the first stream-stream
+      // join) — land it HERE, untimed, on a 2-row corpus exercising
+      // the same path (file source, watermarks, interval-join state
+      // stores, foreachBatch sink), so no timed query absorbs it
+      // regardless of schedule order
+      locally {
+        import spark.implicits._
+        import org.apache.spark.sql.functions._
+        val wdir = "/tmp/graft_bench_stream_warmup"
+        graft.Util.rmRecursive(wdir)
+        Seq((1L, java.sql.Timestamp.valueOf("2020-01-01 00:00:00"), 1.0),
+            (1L, java.sql.Timestamp.valueOf("2020-01-01 00:30:00"), 2.0))
+          .toDF("u", "ts", "v").write.parquet(s"$wdir/in")
+        graft.Util.withIsolatedShufflePartitions(spark, 2) { s2 =>
+          val schema = s2.read.parquet(s"$wdir/in").schema
+          def side(a: String) = s2.readStream.schema(schema)
+            .parquet(s"$wdir/in")
+            .select(col("u").as(s"u$a"), col("ts").as(s"ts$a"), col("v"))
+            .withWatermark(s"ts$a", "1 hour")
+          side("l").join(side("r"),
+              expr("ul = ur AND tsr BETWEEN tsl AND tsl + INTERVAL 1 HOUR"),
+              "left_outer")
+            .select(col("ul"), col("tsl"), col("tsr"))
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", s"$wdir/chk")
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              b.write.mode("append").parquet(s"$wdir/out")
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start().awaitTermination()
+        }
+        graft.Util.drainStreamState()
+      }
     } catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
     // SPARK_GRAFT_COLD=1: clear the shared materializations (pair
     // frame, contraction labels, dialogue corpus) before EVERY query,
