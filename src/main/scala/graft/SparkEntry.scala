@@ -2138,7 +2138,8 @@ object SparkEntry {
         |  SELECT l_orderkey, sum(l_quantity) AS l_quantity,
         |         sum(l_extendedprice) AS l_extendedprice,
         |         min(l_returnflag) AS l_returnflag
-        |  FROM lineitem GROUP BY l_orderkey, l_partkey, l_suppkey
+        |  FROM lineitem WHERE l_orderkey % 2 = 0
+        |  GROUP BY l_orderkey, l_partkey, l_suppkey
         |), final AS (
         |  SELECT l_returnflag,
         |         CASE WHEN l_orderkey % 3 = 0 THEN l_quantity + 5.0
@@ -2157,7 +2158,7 @@ object SparkEntry {
     // is the in-order final state recomputed from the raw table
     "lake_cdc_tombstone" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
-        |FROM events WHERE event_id % 5 <> 0
+        |FROM events WHERE event_id % 2 = 0 AND event_id % 5 <> 0
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // scd2_apply: incremental SCD2 maintenance over three ordered
     // batches + a retry, require'd row-equal to the one-shot build —

@@ -732,8 +732,16 @@ object CdcApply {
     // The tuple is not unique in the raw table at every sf (sf0.001
     // carries a handful of duplicate (ok, pk, sk) rows), and a CDC
     // feed's key must identify ONE row — fold duplicates with
-    // deterministic aggregates so both engines build the same feed
+    // deterministic aggregates so both engines build the same feed.
+    // A deterministic 1/2 slice (the morMergeCompositeQuery cost
+    // discipline): the lifecycle pays THREE CoW merges over the
+    // replica (bootstrap, batch, retry — the retry rewrite is the
+    // at-least-once proof and cannot be skipped) plus two
+    // two-direction drift gates; composite keying and the tombstone
+    // plane are scale-independent contracts, so the slice keeps the
+    // benchmark honest without tripling the full-corpus write cost
     val li = graft.Tables.load(s, d, "lineitem")
+      .filter(col("l_orderkey") % 2 === 0)
       .groupBy("l_orderkey", "l_partkey", "l_suppkey")
       .agg(sum("l_quantity").as("l_quantity"),
         sum("l_extendedprice").as("l_extendedprice"),
@@ -808,7 +816,12 @@ object CdcApply {
   def cdcTombstoneQuery(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val tgt = LakeTable.freshWorkDir("lakecdctomb", d)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // deterministic 1/2 slice (the composite query's cost
+    // discipline): the lifecycle pays three applies — two of them
+    // CoW merges — plus a two-direction drift gate; the tombstone
+    // contract is scale-independent
     val ev = graft.Tables.load(s, d, "events")
+      .filter(col("event_id") % 2 === 0)
       .select(col("event_id"), col("event_type"), col("value"))
       .persist(lvl)
     try {
