@@ -2138,7 +2138,7 @@ object SparkEntry {
         |  SELECT l_orderkey, sum(l_quantity) AS l_quantity,
         |         sum(l_extendedprice) AS l_extendedprice,
         |         min(l_returnflag) AS l_returnflag
-        |  FROM lineitem WHERE l_orderkey % 2 = 0
+        |  FROM lineitem WHERE l_orderkey % 4 = 0
         |  GROUP BY l_orderkey, l_partkey, l_suppkey
         |), final AS (
         |  SELECT l_returnflag,

@@ -733,15 +733,16 @@ object CdcApply {
     // carries a handful of duplicate (ok, pk, sk) rows), and a CDC
     // feed's key must identify ONE row — fold duplicates with
     // deterministic aggregates so both engines build the same feed.
-    // A deterministic 1/2 slice (the morMergeCompositeQuery cost
-    // discipline): the lifecycle pays THREE CoW merges over the
-    // replica (bootstrap, batch, retry — the retry rewrite is the
-    // at-least-once proof and cannot be skipped) plus two
-    // two-direction drift gates; composite keying and the tombstone
-    // plane are scale-independent contracts, so the slice keeps the
-    // benchmark honest without tripling the full-corpus write cost
+    // A deterministic 1/4 slice (the morMergeCompositeQuery cost
+    // discipline, which runs 1/5): the lifecycle pays THREE CoW
+    // merges over the replica (bootstrap, batch, retry — the retry
+    // rewrite is the at-least-once proof and cannot be skipped) plus
+    // two two-direction drift gates; composite keying and the
+    // tombstone plane are scale-independent contracts, so the slice
+    // keeps the benchmark honest without tripling the full-corpus
+    // write cost
     val li = graft.Tables.load(s, d, "lineitem")
-      .filter(col("l_orderkey") % 2 === 0)
+      .filter(col("l_orderkey") % 4 === 0)
       .groupBy("l_orderkey", "l_partkey", "l_suppkey")
       .agg(sum("l_quantity").as("l_quantity"),
         sum("l_extendedprice").as("l_extendedprice"),
