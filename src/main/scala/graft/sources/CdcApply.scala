@@ -263,6 +263,12 @@ object CdcApply {
     * the in-order delivery contract is the only guard again, as in
     * DLT. First apply against a missing table bootstraps it (deletes
     * of never-seen keys are no-ops on content but still tombstone).
+    * The store survives snapshot expiry (GC carries the newest
+    * sidecar to the head before sweeping); a table ROLLBACK does not
+    * rewind it — the walk-back still resolves the newest apply's
+    * store, which a rollback past that apply has disavowed. A replica
+    * rolled back mid-replication should re-bootstrap, as with any
+    * CDC target whose history was rewritten under it.
     *
     * One commit per call. The default is the file-granular
     * copy-on-write merge — touched files rewrite in place, the

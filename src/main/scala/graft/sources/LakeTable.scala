@@ -10498,6 +10498,21 @@ object LakeTable {
       Files.deleteIfExists(Paths.get(r.manifest))
       fs
     }
+    // the CDC tombstone store (S17a) rides the last APPLY's version
+    // dir; expiring that dir would silently drop the out-of-order
+    // delete protection with it — carry the newest store forward to
+    // the head's dir (always kept) before the sweep, preserving the
+    // walk-back resolution exactly
+    (0 to latest).reverse
+      .find(v => Files.exists(cdcTombstonesFile(path, v)))
+      .filter(dropDirs.contains)
+      .foreach { sv =>
+        val dest = cdcTombstonesFile(path, latest)
+        if (!Files.exists(dest)) {
+          Files.createDirectories(dest.getParent)
+          Files.copy(cdcTombstonesFile(path, sv), dest)
+        }
+      }
     dropDirs.foreach { v =>
       val md = Paths.get(s"${metaDir(path)}/v$v")
       Files.walk(md).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))

@@ -337,6 +337,24 @@ class CdcApplySpec extends AnyFunSuite {
     assert(content(p3) === Seq((1L, "stale", 2L), (2L, "hw", 20L)))
   }
 
+  test("tombstones survive snapshot expiry (GC carries the store to the head)") {
+    val p = "/tmp/graft_test/cdc_tomb_expire"
+    rmdir(p)
+    def feed(rows: (Long, String, Long, String)*) =
+      rows.toDF("k", "s", "_seq", "change_type")
+    CdcApply.applyChanges(feed((1L, "a", 1L, "insert"), (2L, "b", 1L, "insert")),
+      p, "k", "_seq")
+    CdcApply.applyChanges(feed((1L, "a", 10L, "delete")), p, "k", "_seq")
+    // unrelated commits move the head PAST the apply that owns the
+    // store, then GC drops every version dir below the head
+    LakeTable.append(Seq((3L, "c", 1L)).toDF("k", "s", "_seq"), p)
+    LakeTable.expireSnapshots(spark, p, retain = 1)
+    // the out-of-order protection must not die with the expired dirs
+    CdcApply.applyChanges(feed((1L, "stale", 5L, "insert")), p, "k", "_seq")
+    assert(content(p) === Seq((2L, "b", 1L), (3L, "c", 1L)),
+      "the stale pre-delete insert must stay gated after expiry")
+  }
+
   test("applyChangesScd2: out-of-order events drop as stale, never re-open chains") {
     val p = "/tmp/graft_test/cdc_scd2_ooo"
     rmdir(p)
