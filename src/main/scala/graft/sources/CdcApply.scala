@@ -56,8 +56,25 @@ object CdcApply {
 
   /** Multiset symmetric-difference COUNT in one job — the equivalence
     * gate both driver queries assert (0 = identical multisets). */
-  private def symDiffCount(a: DataFrame, b: DataFrame): Long =
-    a.exceptAll(b).unionAll(b.exceptAll(a)).count()
+  /** Count of row-values whose multiplicities differ between `a` and
+    * `b` — zero iff the two multisets are EQUAL, which is the only
+    * thing every caller requires. One signed-count aggregation (union
+    * + groupBy over all columns, NULL- and NaN-safe like exceptAll)
+    * instead of the two exceptAll passes this replaces: Catalyst
+    * rewrites each EXCEPT ALL into a union + count + row-replication
+    * generate, so the old gate scanned each side twice and paid two
+    * wide shuffles plus a replication pass — 4 scans and ~3 shuffles
+    * per gate where one suffices (guide §2.4: remove shuffles
+    * outright). */
+  private def symDiffCount(a: DataFrame, b: DataFrame): Long = {
+    val cols = a.columns.toSeq
+    a.withColumn("__graft_side", lit(1L))
+      .unionAll(b.toDF(cols: _*).withColumn("__graft_side", lit(-1L)))
+      .groupBy(cols.map(col): _*)
+      .agg(sum("__graft_side").as("__graft_imbalance"))
+      .filter(col("__graft_imbalance") =!= 0L)
+      .count()
+  }
 
   /** Readable composite-key rendering for refusal messages —
     * key values joined by ", "; NULL components print "null". */

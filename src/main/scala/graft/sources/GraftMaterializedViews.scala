@@ -332,7 +332,7 @@ object GraftMaterializedViews {
     * in-query against the direct recompute (the fold must be
     * invisible in the answer). */
   def incrementalMvQuery(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.{col, lit, sum}
     val wh = s"/tmp/graft_lakemvi_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
     graft.Util.rmRecursive(wh)
     s.conf.set("spark.sql.catalog.graft_mi", "graft.sources.GraftCatalog")
@@ -371,9 +371,16 @@ object GraftMaterializedViews {
       "SELECT event_type, count(*) AS n, round(sum(value), 6) AS sv, " +
         "min(event_id) AS mn, max(event_id) AS mx " +
         "FROM graft_mi.mvdb.ev GROUP BY event_type")
+    // multiset equality in ONE signed-count aggregation instead of two
+    // exceptAll isEmpty probes (each an EXCEPT ALL rewrite = union +
+    // replication generate + its own action — guide §2.4)
     val incBare = inc.drop("phase")
-    require(incBare.exceptAll(direct).isEmpty &&
-        direct.exceptAll(incBare).isEmpty,
+    val gateCols = incBare.columns.toSeq
+    require(incBare.withColumn("__side", lit(1L))
+        .unionAll(direct.toDF(gateCols: _*).withColumn("__side", lit(-1L)))
+        .groupBy(gateCols.map(col): _*)
+        .agg(sum(col("__side")).as("__d")).filter(col("__d") =!= 0L)
+        .isEmpty,
       "the incremental fold must equal the direct recompute exactly")
     // phase 2: DML in range breaks the append chain → full recompute
     s.sql("UPDATE graft_mi.mvdb.ev SET value = value + 1 " +

@@ -575,56 +575,157 @@ object LakeTable {
   }
 
   /** Per-file per-column (min, max) stats for a freshly written
-    * commit, computed by ONE DISTRIBUTED Spark job (aggregate per
-    * `input_file_name`) instead of the round-2 driver loop that
-    * re-opened every parquet footer sequentially — the 100 TB shape:
-    * the cluster computes stats, the driver only collects one tiny
-    * row per file into the manifest (round-2 verdict item #4).
-    * Top-level NUMERIC columns only — others are simply absent, which
-    * readers treat as "cannot prune". Hive partition columns live in
-    * directory names, not file contents, and are intentionally
-    * excluded (identical to footer behavior): partition PRUNING
-    * handles those. */
+    * commit, read from the PARQUET FOOTERS the write already produced
+    * (row-group min/max + row counts) instead of re-scanning every
+    * written byte with a second aggregation job — the Iceberg shape:
+    * stats ride the write, so a commit never pays a second full read
+    * of its own data (at 100 TB the old read-back doubles write-path
+    * I/O; a footer is a few KB regardless of file size). Small
+    * commits read footers on the driver (bounded count, same posture
+    * as the manifest-entry reads); past [[FooterStatsDriverMax]] the
+    * footer reads fan out as ONE distributed job and the driver still
+    * only collects one tiny stats row per file.
+    *
+    * Semantics are identical to the aggregation job this replaces:
+    * top-level NUMERIC columns only (others absent = "cannot prune";
+    * Hive partition columns live in directory names, not file
+    * contents, so partition PRUNING handles those); a NaN-tainted
+    * float/double column carries no stats (parquet's comparator
+    * orders NaN above every value exactly like Spark's max, and
+    * parquet-mr suppresses NaN-tainted FP stats on read — either way
+    * the isNanStat/isEmpty guards below drop the column, the round-3
+    * ADVICE rule); ±Inf bounds are dropped; |long| > 2^53 and decimal
+    * bounds widen one ulp via [[statLo]]/[[statHi]]. A column a footer
+    * carries NO stats for (external writer, suppressed FP stats)
+    * yields none — readers treat that as "cannot prune", never wrong.
+    * FooterStatsSpec pins footer ≡ aggregation-job equivalence over a
+    * torture frame (nulls, NaN, ±Inf, 2^53+ longs, decimals). */
   private def collectStats(
       spark: SparkSession, files: Seq[String])
       : Map[String, (Map[String, Seq[Double]], Long)] = {
-    // an empty frame written with partition columns produces ZERO
-    // parquet files; spark.read.parquet() with no paths throws
     if (files.isEmpty) return Map.empty
-    val df = spark.read.parquet(files: _*)
-    val numCols = df.schema.fields
-      .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
-      .map(_.name).toSeq
-    // exact per-file cardinality rides in the same job: it costs
-    // nothing extra here and is what metadata-only count(*) needs —
-    // collected even for tables with no numeric column at all
-    val aggs = count(lit(1)).as("__rows") +: numCols.flatMap(c =>
-      Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
-    df.groupBy(input_file_name().as("__file"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect()
-      .map { r =>
-        val file = java.net.URI.create(r.getAs[String]("__file")).getPath
-        val stats = numCols.flatMap { c =>
-          (Option(r.getAs[Any](s"__mn_$c")), Option(r.getAs[Any](s"__mx_$c"))) match {
-            // NaN poisons pruning: Spark's min/max order NaN ABOVE
-            // every double, so one NaN row yields max=NaN (all-NaN
-            // yields min=NaN too) and the readWhere overlap test
-            // `mx >= lower` goes false — the file would be skipped
-            // even though it holds matching finite rows. Parquet
-            // footers omit stats in this case; do the same (no stats
-            // → cannot prune), per the round-3 ADVICE.
-            case (Some(mn), Some(mx)) if !isNanStat(mn) && !isNanStat(mx) &&
-                !statLo(mn).isInfinite && !statHi(mx).isInfinite =>
-              // non-finite bounds are dropped too: ±Infinity is not
-              // valid JSON for the driver-written manifests, and a
-              // column holding it cannot be range-pruned anyway
-              Some(c -> Seq(statLo(mn), statHi(mx)))
-            case _ => None // all-null/NaN/±Inf bound → no stats
+    val rows =
+      if (files.size <= FooterStatsDriverMax)
+        footerStatsBatch(files.iterator).toSeq
+      else spark.sparkContext
+        .parallelize(files, math.min(files.size,
+          spark.sparkContext.defaultParallelism))
+        .mapPartitions(footerStatsBatch).collect().toSeq
+    rows.map { case (f, st, n) => f -> (st, n) }.toMap
+  }
+
+  /** Driver-side footer-read bound for [[collectStats]]: a local
+    * footer open is sub-millisecond, so a bounded count stays well
+    * under one distributed job's scheduling cost; past it the reads
+    * fan out (the `entries`/`all_files` honesty rule: the driver
+    * never pays unbounded per-file work). Test-overridable through
+    * [[withFooterStatsDriverMax]] so specs can drive the distributed
+    * branch without writing hundreds of files. */
+  @volatile private[graft] var FooterStatsDriverMax = 256
+
+  private[graft] def withFooterStatsDriverMax[A](n: Int)(body: => A): A = {
+    val saved = FooterStatsDriverMax
+    FooterStatsDriverMax = n
+    try body finally FooterStatsDriverMax = saved
+  }
+
+  private[graft] def footerStatsBatch(files: Iterator[String])
+      : Iterator[(String, Map[String, Seq[Double]], Long)] = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    files.map(f => footerStatsOf(f, conf))
+  }
+
+  private def footerStatsOf(
+      file: String, conf: org.apache.hadoop.conf.Configuration)
+      : (String, Map[String, Seq[Double]], Long) = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file), conf))
+    try {
+      val md = reader.getFooter
+      val blocks = md.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      // the columns Spark maps to a NumericType — exactly the set the
+      // old aggregation job computed stats for. Some(None) = plain
+      // int/long/float/double, Some(Some(scale)) = decimal; None =
+      // not numeric (date/timestamp/time/unsigned/string/bool/nested)
+      def numericScale(t: org.apache.parquet.schema.Type): Option[Option[Int]] =
+        if (!t.isPrimitive) None
+        else {
+          val p = t.asPrimitiveType()
+          (p.getPrimitiveTypeName, p.getLogicalTypeAnnotation) match {
+            case (FLOAT | DOUBLE, null) => Some(None)
+            case (INT32 | INT64, null) => Some(None)
+            case (INT32 | INT64, i: LogicalTypeAnnotation.IntLogicalTypeAnnotation)
+                if i.isSigned => Some(None)
+            case (INT32 | INT64 | FIXED_LEN_BYTE_ARRAY | BINARY,
+                d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) =>
+              Some(Some(d.getScale))
+            case _ => None
           }
-        }.toMap
-        file -> (stats, r.getAs[Long]("__rows"))
+        }
+      val wanted: Map[String, Option[Int]] =
+        md.getFileMetaData.getSchema.getFields.asScala
+          .flatMap(t => numericScale(t).map(s => t.getName -> s)).toMap
+      // decimals arrive as unscaled int32/int64/binary; rescale to the
+      // BigDecimal the old aggregation returned so statLo/statHi widen
+      // them identically
+      def decode(v: Any, scale: Option[Int]): Any = (v, scale) match {
+        case (b: org.apache.parquet.io.api.Binary, Some(s)) =>
+          new java.math.BigDecimal(new java.math.BigInteger(b.getBytes), s)
+        case (i: java.lang.Integer, Some(s)) =>
+          java.math.BigDecimal.valueOf(i.longValue, s)
+        case (l: java.lang.Long, Some(s)) =>
+          java.math.BigDecimal.valueOf(l.longValue, s)
+        case _ => v
+      }
+      // typed min/max fold across row groups — Integer/Long/Float/
+      // Double/BigDecimal compareTo, with Float/Double ordering NaN
+      // above every value exactly like the Spark aggregation did
+      def cmp(a: Any, b: Any): Int = (a, b) match {
+        case (x: java.lang.Integer, y: java.lang.Integer) => x.compareTo(y)
+        case (x: java.lang.Long, y: java.lang.Long) => x.compareTo(y)
+        case (x: java.lang.Float, y: java.lang.Float) => x.compareTo(y)
+        case (x: java.lang.Double, y: java.lang.Double) => x.compareTo(y)
+        case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y)
+        case _ => throw new IllegalStateException(
+          s"footer stats: mixed min/max types ${a.getClass} vs ${b.getClass} in $file")
+      }
+      val agg = scala.collection.mutable.Map.empty[String, (Any, Any)]
+      val tainted = scala.collection.mutable.Set.empty[String]
+      blocks.foreach(_.getColumns.asScala.foreach { c =>
+        val p = c.getPath.toArray
+        if (p.length == 1 && wanted.contains(p(0)) && !tainted(p(0))) {
+          val name = p(0)
+          val st = c.getStatistics
+          if (st == null || st.isEmpty) {
+            // no information recorded for this chunk (external writer,
+            // suppressed FP stats): the column cannot prune
+            tainted += name; agg.remove(name)
+          } else if (st.hasNonNullValue) {
+            val mn = decode(st.genericGetMin, wanted(name))
+            val mx = decode(st.genericGetMax, wanted(name))
+            agg.get(name) match {
+              case None => agg(name) = (mn, mx)
+              case Some((m0, x0)) => agg(name) =
+                (if (cmp(mn, m0) < 0) mn else m0, if (cmp(mx, x0) > 0) mx else x0)
+            }
+          } // hasNonNullValue false with numNulls set = all-null chunk:
+            // contributes nothing, exactly like min/max over nulls
+      }})
+      val stats = agg.flatMap { case (c, (mn, mx)) =>
+        if (!isNanStat(mn) && !isNanStat(mx) &&
+            !statLo(mn).isInfinite && !statHi(mx).isInfinite)
+          // non-finite bounds are dropped too: ±Infinity is not
+          // valid JSON for the driver-written manifests, and a
+          // column holding it cannot be range-pruned anyway
+          Some(c -> Seq(statLo(mn), statHi(mx)))
+        else None // all-null/NaN/±Inf bound → no stats
       }.toMap
+      (file, stats, rows)
+    } finally reader.close()
   }
 
   private def writeDataFiles(
