@@ -38,8 +38,11 @@ object ProfileQuery {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
         if (jobLog) {
-          val site = Option(j.properties)
-            .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+          val site = Option(j.properties).flatMap(p =>
+            Option(p.getProperty("callSite.short"))
+              .orElse(Option(p.getProperty("spark.job.description"))))
+            .orElse(j.stageInfos.lastOption.map(_.name))
+            .getOrElse("?")
           jobStartNs.put(j.jobId, (System.nanoTime(), site))
         }
       }

@@ -265,6 +265,13 @@ object LakeTable {
     }
     Files.move(part, dest)
     graft.Util.rmRecursive(tmp.toString)
+    // the writer KNOWS the file's schema — seed the memo so the very
+    // first read never pays a footer-inference job (sidecars are
+    // written once and read right back in the apply/stats planes).
+    // asNullable: file-source reads surface every column nullable, so
+    // the seeded schema must match what inference would return
+    dirSchemaMemo.put(dest.toString, org.apache.spark.sql.types.StructType(
+      df.schema.fields.map(_.copy(nullable = true))))
   }
 
   /** Write `entries` (all sharing one commit dir) as ONE immutable
@@ -2759,7 +2766,50 @@ object LakeTable {
           .option("basePath", base)
           .parquet(es.map(_.file): _*))
       }.reduce(_.unionByName(_, allowMissingColumns = true))
-    else dropHidden(spark.read.option("basePath", ref.base).parquet(ref.base))
+    else dropHidden(cachedSchemaScan(spark, ref.base))
+
+  /** Commit-dir scans with the inferred schema MEMOIZED per dir
+    * (round-16 optimization, guide §2.4/§1.2): `spark.read.parquet`
+    * without a schema runs a footer-inference SPARK JOB on every
+    * call, and a lake lifecycle re-plans the same version dirs dozens
+    * of times — lake_catalog_sql alone ran 62 such jobs (profiled:
+    * `parquet at LakeTable.scala:2762`, ~24 ms each plus the driver
+    * resolve latency around every one). A commit dir is IMMUTABLE
+    * (UUID-named, stage-then-publish; GC removes dirs whole and a
+    * path is never reused), so the first inference per dir per JVM is
+    * exact forever after. The memo stores the RAW read schema —
+    * including reconstructed hive/hidden layout columns — so the
+    * memoized reader is bit-identical to the inferring one. Metadata
+    * only (a StructType per dir), never row data; cleared with the
+    * shared caches so COLD-mode attribution stays honest. */
+  private val dirSchemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  private def cachedSchemaScan(spark: SparkSession, base: String): DataFrame = {
+    val cached = dirSchemaMemo.get(base)
+    if (cached != null)
+      spark.read.schema(cached).option("basePath", base).parquet(base)
+    else {
+      val df = spark.read.option("basePath", base).parquet(base)
+      dirSchemaMemo.put(base, df.schema)
+      df
+    }
+  }
+
+  /** Single-SIDECAR-file variant of [[cachedSchemaScan]] (tombstone
+    * store, partition-stats parquet): the file is written once per
+    * version and never mutated, so its schema memoizes the same way.
+    * No basePath — a sidecar carries no layout columns. */
+  private[sources] def cachedSchemaFileRead(
+      spark: SparkSession, file: String): DataFrame = {
+    val cached = dirSchemaMemo.get(file)
+    if (cached != null) spark.read.schema(cached).parquet(file)
+    else {
+      val df = spark.read.parquet(file)
+      dirSchemaMemo.put(file, df.schema)
+      df
+    }
+  }
 
   // ---- ROW LINEAGE (Iceberg v3 _row_id, S10d) ----
 
@@ -4707,7 +4757,7 @@ object LakeTable {
     // ONE parquet scan — the driver never materializes the domain.
     if (Files.exists(partStatsParquetFile(path, v))) {
       partitionsSourceByPath.put(path, "stats")
-      return spark.read.parquet(partStatsParquetFile(path, v).toString)
+      return cachedSchemaFileRead(spark, partStatsParquetFile(path, v).toString)
         .select(col("partition"), col("record_count"),
           col("file_count"), col("total_bytes"))
         .orderBy("partition")
@@ -4803,7 +4853,7 @@ object LakeTable {
     * rule). */
   private def partStatsDf(spark: SparkSession, path: String, v: Int): DataFrame =
     if (Files.exists(partStatsParquetFile(path, v)))
-      spark.read.parquet(partStatsParquetFile(path, v).toString)
+      cachedSchemaFileRead(spark, partStatsParquetFile(path, v).toString)
         .select("partition", "record_count", "file_count", "total_bytes")
     else {
       import spark.implicits._
@@ -4946,7 +4996,7 @@ object LakeTable {
       spark: SparkSession, path: String): Option[DataFrame] =
     latestVersion(path).flatMap { v =>
       (0 to v).reverse.find(b => Files.exists(cdcTombstonesFile(path, b)))
-        .map(b => spark.read.parquet(cdcTombstonesFile(path, b).toString))
+        .map(b => cachedSchemaFileRead(spark, cdcTombstonesFile(path, b).toString))
     }
 
   /** Persist the tombstone store next to version `v`'s manifest list
@@ -9106,6 +9156,7 @@ object LakeTable {
   private[graft] def clearSharedCaches(): Unit = {
     cowShared.clear(); lineageShared.clear(); appendShared.clear()
     morCompTwinShared.clear()
+    dirSchemaMemo.clear()
   }
 
   /** Driver query: MERGE-ON-READ UPSERT — write events (v0), then
