@@ -17,18 +17,30 @@ object ProfileQuery {
     val names = args(0).split(",").map(_.trim).filter(_.nonEmpty)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // bench-shaped session: the same scale-adaptive partition
+      // sizing as Bench (see the rationale there)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
-      .getOrCreate()
+    // A/B knobs for overhead experiments (dev tool only)
+    val b = sys.env.get("GRAFT_PROFILE_CONF").map(_.split(";").filter(_.contains("="))
+      .foldLeft(b0) { (acc, kv) =>
+        val Array(k, v) = kv.split("=", 2); acc.config(k, v)
+      }).getOrElse(b0)
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val jobs = new java.util.concurrent.atomic.AtomicLong
     val stages = new java.util.concurrent.atomic.AtomicLong
     val tasks = new java.util.concurrent.atomic.AtomicLong
     val runMs = new java.util.concurrent.atomic.AtomicLong
+    val deserMs = new java.util.concurrent.atomic.AtomicLong
+    val gcTaskMs = new java.util.concurrent.atomic.AtomicLong
+    val cpuTaskMs = new java.util.concurrent.atomic.AtomicLong
     val inputB = new java.util.concurrent.atomic.AtomicLong
     val shReadB = new java.util.concurrent.atomic.AtomicLong
     val shWriteB = new java.util.concurrent.atomic.AtomicLong
@@ -52,13 +64,23 @@ object ProfileQuery {
             f"[job] ${j.jobId}%4d ${(System.nanoTime() - t0) / 1e3 / 1e3}%8.0f ms  $site")
         }
       }
-      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
+        if (jobLog) {
+          val i = s.stageInfo
+          val rt = Option(i.taskMetrics).map(_.executorRunTime).getOrElse(-1L)
+          if (rt >= 100L) System.err.println(
+            f"[stage] ${i.stageId}%4d ${rt}%7d taskMs ${i.numTasks}%4d tasks  ${i.name.linesIterator.take(1).mkString}")
+        }
+      }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         tasks.incrementAndGet()
         val m = t.taskMetrics
         if (m != null) {
           runMs.addAndGet(m.executorRunTime)
+          deserMs.addAndGet(m.executorDeserializeTime)
+          gcTaskMs.addAndGet(m.jvmGCTime)
+          cpuTaskMs.addAndGet(m.executorCpuTime / 1000000L)
           inputB.addAndGet(m.inputMetrics.bytesRead)
           shReadB.addAndGet(m.shuffleReadMetrics.totalBytesRead)
           shWriteB.addAndGet(m.shuffleWriteMetrics.bytesWritten)
@@ -76,7 +98,8 @@ object ProfileQuery {
       f"${"tasks"}%6s ${"taskSec"}%8s ${"inMB"}%8s ${"shRdMB"}%8s ${"shWrMB"}%8s")
     names.foreach { name =>
       graft.Util.drainStreamState()
-      Seq(jobs, stages, tasks, runMs, inputB, shReadB, shWriteB).foreach(_.set(0L))
+      Seq(jobs, stages, tasks, runMs, deserMs, gcTaskMs, cpuTaskMs,
+        inputB, shReadB, shWriteB).foreach(_.set(0L))
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -88,7 +111,9 @@ object ProfileQuery {
       Thread.sleep(300)
       println(f"$name%-30s $sec%8.2f ${jobs.get}%5d ${stages.get}%6d " +
         f"${tasks.get}%6d ${runMs.get / 1e3}%8.1f ${inputB.get / 1e6}%8.1f " +
-        f"${shReadB.get / 1e6}%8.1f ${shWriteB.get / 1e6}%8.1f")
+        f"${shReadB.get / 1e6}%8.1f ${shWriteB.get / 1e6}%8.1f " +
+        f"deser=${deserMs.get / 1e3}%6.1f gcT=${gcTaskMs.get / 1e3}%6.1f " +
+        f"cpuT=${cpuTaskMs.get / 1e3}%6.1f")
     }
     spark.stop()
   }
