@@ -102,6 +102,7 @@ object Bench {
         graft.sources.LakeTable.prestageShared(spark, sfDir)
         graft.llm.TextAnalysis.prestageShared(spark, sfDir)
         graft.streaming.StreamJoin.prestageShared(spark, sfDir)
+        graft.ops.Relational.prestageShared(spark, sfDir)
       } catch { case e: Throwable => System.err.println(s"[bench] prestage: $e") }
       System.err.println(
         f"[bench] prestage (shared frames, untimed) ${(System.nanoTime() - t0) / 1e9}%.1f s")
@@ -174,6 +175,7 @@ object Bench {
         graft.sources.LakeTable.clearSharedCaches()
         graft.llm.TextAnalysis.clearSharedCaches()
         graft.streaming.StreamJoin.clearSharedCaches()
+        graft.ops.Relational.clearSharedCaches()
       }
       // between-query hygiene: retired streaming state never rides
       // into the next query's timing (no-op when nothing is loaded)

@@ -93,6 +93,7 @@ object ProfileQuery {
       graft.sources.LakeTable.prestageShared(spark, sfDir)
       graft.llm.TextAnalysis.prestageShared(spark, sfDir)
       graft.streaming.StreamJoin.prestageShared(spark, sfDir)
+      graft.ops.Relational.prestageShared(spark, sfDir)
     } catch { case e: Throwable => System.err.println(s"[profile] prestage: $e") }
     println(f"${"query"}%-30s ${"sec"}%8s ${"jobs"}%5s ${"stages"}%6s " +
       f"${"tasks"}%6s ${"taskSec"}%8s ${"inMB"}%8s ${"shRdMB"}%8s ${"shWrMB"}%8s")

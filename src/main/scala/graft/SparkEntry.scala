@@ -3392,13 +3392,21 @@ object SparkEntry {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // bucketed_join_colocated: the bucket layout is invisible to the
     // result — the oracle is the plain join + two-level aggregate
+    // the OUTER sum folds thousands of 6-dp revs to ~1e9 — 15
+    // significant digits, the edge of double, where shuffle-arrival
+    // summation order can flip round(,6) (observed at sf0.01 once
+    // AQE coalesced the outer exchange to one reducer). DECIMAL
+    // accumulation makes both engines exact and order-free; the
+    // per-ORDER inner sum stays double (bounded items, ~1e6 · 1e-6 =
+    // 12 digits, comfortably exact)
     "bucketed_join_colocated" ->
       """WITH per_order AS (
         |  SELECT o_orderkey, CAST(count(*) AS INT) AS n_items,
         |         round(sum(l_extendedprice), 6) AS rev
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |  GROUP BY 1)
-        |SELECT n_items, count(*) AS n_orders, round(sum(rev), 6) AS sum_rev
+        |SELECT n_items, count(*) AS n_orders,
+        |       round(CAST(sum(CAST(rev AS DECIMAL(24,6))) AS DOUBLE), 6) AS sum_rev
         |FROM per_order GROUP BY 1 ORDER BY n_items""".stripMargin,
     // funnel_stages: the per-user state machine is an int fold in
     // BOTH engines (list_reduce over a mapped prefix); prefix order

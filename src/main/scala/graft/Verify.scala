@@ -58,6 +58,7 @@ object Verify {
         sources.LakeTable.prestageShared(spark, sfDir)
         llm.TextAnalysis.prestageShared(spark, sfDir)
         streaming.StreamJoin.prestageShared(spark, sfDir)
+        ops.Relational.prestageShared(spark, sfDir)
       } catch { case e: Throwable => System.err.println(s"[verify] prestage: $e") }
     }
     val futures = SparkEntry.queries.toSeq.filter(t => selected(t._1)).map { case (name, fn) =>

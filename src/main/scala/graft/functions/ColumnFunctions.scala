@@ -133,6 +133,14 @@ object ColumnFunctions {
       h * pmod(lit(HashA) + lit(2L) * seed + lit(1L), lit(HashP)) + (lit(HashB) + seed),
       lit(HashP))
 
+  /** Cross-modal alignment terms (dot, na2, nb2) as ONE native codegen
+    * loop (AlignTermsExpr) — arithmetic-identical to the unrolled
+    * `pmod(seededHash(h, j), 1000)` × `floor(emb[j]·1000)` Column
+    * algebra (spec-asserted), whose ~3·dim-term tree was
+    * planning-bound. */
+  def alignTerms(h: Column, emb: Column, dim: Int): Column =
+    ofExpr(AlignTermsExpr(exprOf(h), exprOf(emb), dim))
+
   /** Whitespace tokenization (documents.text is single-space separated). */
   def tokens(text: Column): Column = split(text, " ")
 

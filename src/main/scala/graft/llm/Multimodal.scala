@@ -196,22 +196,25 @@ object Multimodal {
 
   def mediaTextAlignFrame(
       docs: DataFrame, media: DataFrame, minScore: Double): DataFrame = {
-    import graft.functions.ColumnFunctions.{polyHash, seededHash}
+    import graft.functions.ColumnFunctions.{alignTerms, polyHash}
     val paired = docs
       .select(col("doc_id"), col("source"), polyHash(col("text")).as("h"))
       .join(media.select(col("doc_id"), col("embedding")), Seq("doc_id"))
       .filter(size(col("embedding")) >= AlignDim)
-    val terms = (0 until AlignDim).map { j =>
-      val t = pmod(seededHash(col("h"), j), lit(1000L))
-      val m = floor(col("embedding")(j).cast("double") * lit(1000.0)).cast("long")
-      (m * t, m * m, t * t)
-    }
-    val dot = terms.map(_._1).reduce(_ + _)
-    val na2 = terms.map(_._2).reduce(_ + _)
-    val nb2 = terms.map(_._3).reduce(_ + _)
+    // ONE native codegen loop per row (AlignTermsExpr) instead of the
+    // unrolled 3·AlignDim-term Column tree this replaces: the unrolled
+    // form was PLANNING-bound — 7 tasks / 1.2 task-seconds but ~2.6 s
+    // warm wall in Catalyst optimization + codegen of the ~200-term
+    // tree (round-16 optimization; arithmetic equality spec-pinned in
+    // CodegenParitySpec, and the DuckDB oracle replays the same math)
+    val at = paired.withColumn("at",
+      alignTerms(col("h"), col("embedding"), AlignDim))
+    val dot = col("at.dot")
+    val na2 = col("at.na2")
+    val nb2 = col("at.nb2")
     val score = round(dot.cast("double") /
       (sqrt(na2.cast("double")) * sqrt(nb2.cast("double"))), 6)
-    paired
+    at
       .select(col("doc_id"), col("source"),
         na2.as("na2"), nb2.as("nb2"), score.as("align_score"))
       .filter(col("na2") > 0L && col("nb2") > 0L)

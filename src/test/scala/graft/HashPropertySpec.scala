@@ -115,6 +115,62 @@ class HashPropertySpec extends AnyFunSuite {
     short.foreach(r => assert(r.getAs[scala.collection.Seq[Long]]("sh").isEmpty))
   }
 
+  test("property: AlignTermsExpr == the unrolled seededHash/floor Column algebra") {
+    // the alignment gate's native loop vs the 3·dim-term unrolled
+    // tree it replaced (round-16 optimization) — including a NULL
+    // element (sum must null out) and a short array (whole struct
+    // null). dim intentionally small so the unrolled side stays cheap.
+    val dim = 6
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 120).map { i =>
+      val h = math.abs(rnd.nextLong()) % 1000000007L
+      val len = if (i % 7 == 0) dim - 1 else dim + rnd.nextInt(3)
+      val emb = (0 until len).map { j =>
+        if (i % 11 == 3 && j == i % dim) null
+        else java.lang.Float.valueOf((rnd.nextFloat() * 2f) - 0.5f)
+      }
+      (h, emb)
+    }
+    val df = rows.toDF("h", "emb")
+    val longEnough = size(col("emb")) >= dim
+    val terms = (0 until dim).map { j =>
+      val t = pmod(seededHash(col("h"), j), lit(1000L))
+      // when() guards the ANSI out-of-bounds on short arrays (the
+      // query filters size >= dim before indexing; the test must too)
+      val m = floor(when(longEnough, col("emb")(j)).cast("double")
+        * lit(1000.0)).cast("long")
+      (m * t, m * m, t * t)
+    }
+    val got = df
+      .withColumn("at", alignTerms(col("h"), col("emb"), dim))
+      .select(
+        col("at.dot"), col("at.na2"), col("at.nb2"),
+        longEnough.as("long_enough"),
+        terms.map(_._1).reduce(_ + _).as("rdot"),
+        terms.map(_._2).reduce(_ + _).as("rna2"),
+        terms.map(_._3).reduce(_ + _).as("rnb2"))
+      .collect()
+    assert(got.nonEmpty)
+    var exact = 0
+    got.foreach { r =>
+      if (!r.getBoolean(3)) // short array: whole struct null
+        assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+      else if (r.isNullAt(5)) {
+        // a NULL element nulls the unrolled na2 — the query filter
+        // (na2 > 0 AND nb2 > 0) drops the row on EITHER side; the
+        // native struct nulls whole (nb2 included, which the unrolled
+        // form leaves non-null since t never touches the embedding)
+        assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+      } else {
+        Seq(0 -> 4, 1 -> 5, 2 -> 6).foreach { case (a, b) =>
+          assert(!r.isNullAt(a) && r.getLong(a) === r.getLong(b), s"$r")
+        }
+        exact += 1
+      }
+    }
+    assert(exact >= 50, s"want a meaningful exact-parity population, got $exact")
+  }
+
   test("property: MinHashSigExpr == seeded-min HOF pipeline on 100 token arrays") {
     // ≥3 non-empty tokens so the HOF's shingle sequence is well-defined
     val multiTok = for {
